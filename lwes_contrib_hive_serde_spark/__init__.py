@@ -1,0 +1,23 @@
+"""PySpark-native engine with the query and data-processing
+capabilities of lwes/lwes-contrib-hive-serde (a Hive SerDe +
+InputFormat/OutputFormat for LWES journal files), rebuilt Spark-first.
+
+Layout:
+    sources/    LWES wire codec, Python DataSource (batch + stream), ESF parser
+    operators/  LLM-pipeline operators: dedup, similarity, text, multimodal, joins
+    functions/  column-level helper functions (pure pyspark.sql.functions)
+    plans/      the query-surface corpus (SURVEY.md §2b) with DuckDB oracles
+    streaming/  Structured Streaming journal tailer
+"""
+
+__version__ = "0.1.0"
+
+from lwes_contrib_hive_serde_spark.sources.codec import Event  # noqa: F401
+
+
+def register(spark):
+    """Register the ``lwes`` data source with a SparkSession."""
+    from lwes_contrib_hive_serde_spark.sources.datasource import LwesDataSource
+
+    spark.dataSource.register(LwesDataSource)
+    return spark

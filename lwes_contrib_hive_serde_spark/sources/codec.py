@@ -1,0 +1,461 @@
+"""Pure-Python LWES wire codec + journal framing.
+
+Implements the LWES (Light Weight Event System, lwes.org) 0.2 event
+serialization and the journal file framing used by the reference Hive
+SerDe (lwes/lwes-contrib-hive-serde):
+
+* An **event** on the wire is::
+
+      EVENTWORD  = uint8 length + that many bytes (event name)
+      uint16     = number of attributes
+      per attribute:
+          ATTRIBUTEWORD = uint8 length + bytes (attribute name)
+          uint8         = type token
+          value         = token-specific encoding
+
+  Type tokens and value encodings (all big-endian / network order):
+
+      UINT16=0x01 (2B)   INT16=0x02 (2B)   UINT32=0x03 (4B)
+      INT32=0x04 (4B)    STRING=0x05 (uint16 len + UTF-8 bytes)
+      IPADDR=0x06 (4B)   INT64=0x07 (8B)   UINT64=0x08 (8B)
+      BOOLEAN=0x09 (1B)
+
+* A **journal file** is back-to-back records of
+  ``22-byte header + serialized event payload``.  Header layout follows
+  the reference writer comment (DatagramPacketOutputStream.java:30-40)
+  and field-by-field implementation (:49-67)::
+
+      uint16  payload length
+      int64   receipt time, epoch millis
+      4 bytes sender IP
+      uint16  sender port
+      uint16  site id
+      4 bytes zero padding ("future extensions")
+
+  struct layout: ``>Hq4sHH4x`` (HEADER_LENGTH = 22, matching
+  DatagramPacketInputStream.java:20 / DatagramPacketOutputStream.java:22).
+
+* On read, four header fields are injected into the event as virtual
+  attributes ``ReceiptTime`` (int64), ``SenderIP`` (ipaddr),
+  ``SenderPort`` (uint16), ``SiteID`` (uint16) — mirroring
+  DatagramPacketInputStream.java:75-78.  On write they are extracted
+  back out of the attribute bag into the header, defaulting to
+  0 / 0.0.0.0 when absent (DatagramPacketOutputStream.java:91-114).
+
+Notes vs the reference (documented divergences, see SURVEY.md §2a):
+
+* Strings are UTF-8 (the Java reference inherits platform charset).
+* IP addresses are serialized in network byte order; dotted-quad
+  strings at the API surface (matching the ``toString()`` coercion in
+  EventSerDe.java:282-287).
+* We do NOT replicate the stale-row leak (EventSerDe.java:199-216),
+  the per-record flush (DatagramPacketOutputStream.java:118), or the
+  headerless MR sink (JournalOutputFormat.java:40-75).
+
+This module is dependency-free (stdlib only) so it can run inside
+Spark Python workers with zero import cost beyond ``struct``.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import struct
+from dataclasses import dataclass, field
+from typing import BinaryIO, Iterator
+
+# ---------------------------------------------------------------------------
+# Wire type tokens (LWES 0.2)
+# ---------------------------------------------------------------------------
+
+UINT16 = 0x01
+INT16 = 0x02
+UINT32 = 0x03
+INT32 = 0x04
+STRING = 0x05
+IPADDR = 0x06
+INT64 = 0x07
+UINT64 = 0x08
+BOOLEAN = 0x09
+
+TYPE_NAMES = {
+    UINT16: "uint16",
+    INT16: "int16",
+    UINT32: "uint32",
+    INT32: "int32",
+    STRING: "string",
+    IPADDR: "ip_addr",
+    INT64: "int64",
+    UINT64: "uint64",
+    BOOLEAN: "boolean",
+}
+TOKEN_FOR_NAME = {v: k for k, v in TYPE_NAMES.items()}
+
+# Fixed value widths for skip-decoding (STRING is variable).
+_FIXED_WIDTH = {
+    UINT16: 2,
+    INT16: 2,
+    UINT32: 4,
+    INT32: 4,
+    IPADDR: 4,
+    INT64: 8,
+    UINT64: 8,
+    BOOLEAN: 1,
+}
+
+HEADER_LENGTH = 22
+_HEADER = struct.Struct(">Hq4sHH4x")  # len, time, ip, port, site, pad
+_U16 = struct.Struct(">H")
+_I16 = struct.Struct(">h")
+_U32 = struct.Struct(">I")
+_I32 = struct.Struct(">i")
+_I64 = struct.Struct(">q")
+_U64 = struct.Struct(">Q")
+
+MAX_PAYLOAD = 0xFFFF  # uint16 length prefix caps a datagram at 64 KiB
+
+# Header-injected virtual attribute names (DatagramPacketInputStream.java:75-78)
+RECEIPT_TIME = "ReceiptTime"
+SENDER_IP = "SenderIP"
+SENDER_PORT = "SenderPort"
+SITE_ID = "SiteID"
+HEADER_FIELDS = (RECEIPT_TIME, SENDER_IP, SENDER_PORT, SITE_ID)
+HEADER_FIELD_TYPES = {
+    RECEIPT_TIME: INT64,
+    SENDER_IP: IPADDR,
+    SENDER_PORT: UINT16,
+    SITE_ID: UINT16,
+}
+
+
+def ip_to_bytes(ip: str) -> bytes:
+    """Dotted-quad string -> 4 bytes, network order."""
+    parts = ip.split(".")
+    if len(parts) != 4:
+        raise ValueError(f"not a dotted-quad IPv4 address: {ip!r}")
+    return bytes(int(p) for p in parts)
+
+
+def bytes_to_ip(b: bytes) -> str:
+    return f"{b[0]}.{b[1]}.{b[2]}.{b[3]}"
+
+
+class CodecError(ValueError):
+    pass
+
+
+@dataclass
+class Event:
+    """A flat (name, key->typed value) bag — the LWES data model.
+
+    ``types`` maps attribute name -> wire type token.  Values are plain
+    Python: int, bool, str.  IPADDR values are dotted-quad strings.
+    """
+
+    name: str
+    attributes: dict[str, object] = field(default_factory=dict)
+    types: dict[str, int] = field(default_factory=dict)
+
+    def set(self, key: str, token: int, value: object) -> "Event":
+        self.attributes[key] = value
+        self.types[key] = token
+        return self
+
+    def get(self, key: str, default=None):
+        return self.attributes.get(key, default)
+
+
+# ---------------------------------------------------------------------------
+# Event encode / decode
+# ---------------------------------------------------------------------------
+
+_RANGES = {
+    UINT16: (0, 0xFFFF),
+    INT16: (-(1 << 15), (1 << 15) - 1),
+    UINT32: (0, 0xFFFFFFFF),
+    INT32: (-(1 << 31), (1 << 31) - 1),
+    INT64: (-(1 << 63), (1 << 63) - 1),
+    UINT64: (0, (1 << 64) - 1),
+}
+
+
+def _encode_value(out: bytearray, token: int, value: object) -> None:
+    if token == STRING:
+        raw = str(value).encode("utf-8")
+        if len(raw) > 0xFFFF:
+            raise CodecError(f"string attribute too long: {len(raw)} bytes")
+        out += _U16.pack(len(raw))
+        out += raw
+    elif token == IPADDR:
+        out += ip_to_bytes(str(value))
+    elif token == BOOLEAN:
+        out.append(1 if value else 0)
+    else:
+        lo, hi = _RANGES[token]
+        iv = int(value)  # bool is fine too
+        if not lo <= iv <= hi:
+            raise CodecError(
+                f"value {iv} out of range for {TYPE_NAMES[token]}"
+            )
+        if token == UINT16:
+            out += _U16.pack(iv)
+        elif token == INT16:
+            out += _I16.pack(iv)
+        elif token == UINT32:
+            out += _U32.pack(iv)
+        elif token == INT32:
+            out += _I32.pack(iv)
+        elif token == INT64:
+            out += _I64.pack(iv)
+        elif token == UINT64:
+            out += _U64.pack(iv)
+        else:
+            raise CodecError(f"unknown type token 0x{token:02x}")
+
+
+def encode_event(event: Event) -> bytes:
+    """Serialize an event to LWES wire bytes (no journal header)."""
+    name_raw = event.name.encode("utf-8")
+    if not 1 <= len(name_raw) <= 0xFF:
+        raise CodecError(f"event name length must be 1..255 bytes: {event.name!r}")
+    out = bytearray()
+    out.append(len(name_raw))
+    out += name_raw
+    attrs = event.attributes
+    if len(attrs) > 0xFFFF:
+        raise CodecError("too many attributes")
+    out += _U16.pack(len(attrs))
+    for key, value in attrs.items():
+        key_raw = key.encode("utf-8")
+        if not 1 <= len(key_raw) <= 0xFF:
+            raise CodecError(f"attribute name length must be 1..255: {key!r}")
+        token = event.types.get(key)
+        if token is None:
+            raise CodecError(f"no wire type for attribute {key!r}")
+        out.append(len(key_raw))
+        out += key_raw
+        out.append(token)
+        _encode_value(out, token, value)
+    return bytes(out)
+
+
+def decode_event(buf: bytes | memoryview, offset: int = 0, end: int | None = None) -> Event:
+    """Parse one event from ``buf[offset:end]``."""
+    mv = memoryview(buf)
+    if end is None:
+        end = len(mv)
+    name, pos = _read_word(mv, offset, end)
+    (n_attrs,) = _U16.unpack_from(mv, pos)
+    pos += 2
+    ev = Event(name)
+    attrs = ev.attributes
+    types = ev.types
+    for _ in range(n_attrs):
+        key, pos = _read_word(mv, pos, end)
+        token = mv[pos]
+        pos += 1
+        value, pos = _decode_value(mv, pos, token)
+        attrs[key] = value
+        types[key] = token
+    if pos > end:
+        raise CodecError("event payload overran record boundary")
+    return ev
+
+
+def _read_word(mv: memoryview, pos: int, end: int) -> tuple[str, int]:
+    if pos >= end:
+        raise CodecError("truncated event: expected word length byte")
+    n = mv[pos]
+    pos += 1
+    if pos + n > end:
+        raise CodecError("truncated event: word overruns buffer")
+    return str(mv[pos : pos + n], "utf-8"), pos + n
+
+
+def _decode_value(mv: memoryview, pos: int, token: int) -> tuple[object, int]:
+    if token == STRING:
+        (n,) = _U16.unpack_from(mv, pos)
+        pos += 2
+        return str(mv[pos : pos + n], "utf-8"), pos + n
+    if token == IPADDR:
+        return bytes_to_ip(bytes(mv[pos : pos + 4])), pos + 4
+    if token == BOOLEAN:
+        return mv[pos] != 0, pos + 1
+    if token == UINT16:
+        return _U16.unpack_from(mv, pos)[0], pos + 2
+    if token == INT16:
+        return _I16.unpack_from(mv, pos)[0], pos + 2
+    if token == UINT32:
+        return _U32.unpack_from(mv, pos)[0], pos + 4
+    if token == INT32:
+        return _I32.unpack_from(mv, pos)[0], pos + 4
+    if token == INT64:
+        return _I64.unpack_from(mv, pos)[0], pos + 8
+    if token == UINT64:
+        return _U64.unpack_from(mv, pos)[0], pos + 8
+    raise CodecError(f"unknown type token 0x{token:02x}")
+
+
+def peek_event_name(buf: bytes | memoryview, offset: int = 0) -> str:
+    """Read just the event name — the cheap skip path for event-name
+    filtering (mirrors the implicit filter at EventSerDe.java:199 without
+    paying full decode for non-matching events)."""
+    mv = memoryview(buf)
+    n = mv[offset]
+    return str(mv[offset + 1 : offset + 1 + n], "utf-8")
+
+
+# ---------------------------------------------------------------------------
+# Journal framing
+# ---------------------------------------------------------------------------
+
+
+def pack_header(
+    payload_len: int,
+    receipt_time: int = 0,
+    sender_ip: str = "0.0.0.0",
+    sender_port: int = 0,
+    site_id: int = 0,
+) -> bytes:
+    return _HEADER.pack(
+        payload_len, receipt_time, ip_to_bytes(sender_ip), sender_port, site_id
+    )
+
+
+def unpack_header(buf: bytes | memoryview, offset: int = 0):
+    """-> (payload_len, receipt_time, sender_ip, sender_port, site_id)."""
+    length, rtime, ip, port, site = _HEADER.unpack_from(buf, offset)
+    return length, rtime, bytes_to_ip(ip), port, site
+
+
+def write_journal_record(out: BinaryIO | bytearray, event: Event) -> int:
+    """Append one ``header + payload`` record.
+
+    Header fields are pulled from the event's four header attributes when
+    present, else zeroed (DatagramPacketOutputStream.java:91-114).  The
+    header attributes are NOT duplicated into the payload — they live in
+    the header only, and the reader re-injects them.
+    Returns bytes written.
+    """
+    body = Event(event.name)
+    for k, v in event.attributes.items():
+        if k not in HEADER_FIELD_TYPES:
+            body.set(k, event.types[k], v)
+    payload = encode_event(body)
+    if len(payload) > MAX_PAYLOAD:
+        raise CodecError(f"event payload {len(payload)} exceeds 64 KiB frame limit")
+    header = pack_header(
+        len(payload),
+        int(event.get(RECEIPT_TIME, 0) or 0),
+        str(event.get(SENDER_IP) or "0.0.0.0"),
+        int(event.get(SENDER_PORT, 0) or 0),
+        int(event.get(SITE_ID, 0) or 0),
+    )
+    if isinstance(out, bytearray):
+        out += header
+        out += payload
+    else:
+        out.write(header)
+        out.write(payload)
+    return HEADER_LENGTH + len(payload)
+
+
+def read_journal_records(
+    stream: BinaryIO,
+    event_names: set[str] | None = None,
+    inject_headers: bool = True,
+) -> Iterator[Event]:
+    """Iterate events from a journal stream.
+
+    ``event_names``: if given, events whose name is not in the set are
+    skipped WITHOUT decoding their attributes (name is first on the
+    wire).  This is the pushed-down form of the reference's implicit
+    event-name filter (EventSerDe.java:199).
+
+    ``inject_headers``: add the 4 header virtual attributes
+    (DatagramPacketInputStream.java:75-78).
+    """
+    read = stream.read
+    while True:
+        header = read(HEADER_LENGTH)
+        if not header:
+            return
+        if len(header) < HEADER_LENGTH:
+            raise CodecError("truncated journal header at end of stream")
+        length, rtime, ip, port, site = unpack_header(header)
+        payload = read(length)
+        if len(payload) < length:
+            raise CodecError("truncated journal payload at end of stream")
+        if event_names is not None and peek_event_name(payload) not in event_names:
+            continue
+        ev = decode_event(payload)
+        if inject_headers:
+            ev.set(RECEIPT_TIME, INT64, rtime)
+            ev.set(SENDER_IP, IPADDR, ip)
+            ev.set(SENDER_PORT, UINT16, port)
+            ev.set(SITE_ID, UINT16, site)
+        yield ev
+
+
+def open_journal(path: str) -> BinaryIO:
+    """Open a journal for reading; codec picked by extension like
+    JournalInputFormat.java:94-105 (``.gz`` supported; ``.bz2`` via
+    stdlib bz2)."""
+    if path.endswith(".gz"):
+        return gzip.open(path, "rb")
+    if path.endswith(".bz2"):
+        import bz2
+
+        return bz2.open(path, "rb")
+    return open(path, "rb")
+
+
+def open_journal_write(path: str) -> BinaryIO:
+    if path.endswith(".gz"):
+        return gzip.open(path, "wb")
+    if path.endswith(".bz2"):
+        import bz2
+
+        return bz2.open(path, "wb")
+    return open(path, "wb")
+
+
+def read_journal_file(path: str, **kwargs) -> Iterator[Event]:
+    with open_journal(path) as f:
+        # buffer the whole (decompressed) file? No — stream; journals can
+        # be large. gzip/bz2/file objects all support .read(n).
+        yield from read_journal_records(f, **kwargs)
+
+
+def write_journal_file(path: str, events: "Iterator[Event] | list[Event]") -> int:
+    """Write events to a journal file; buffered (we deliberately do not
+    replicate the reference's per-record flush,
+    DatagramPacketOutputStream.java:118). Returns record count."""
+    n = 0
+    with open_journal_write(path) as f:
+        for ev in events:
+            write_journal_record(f, ev)
+            n += 1
+    return n
+
+
+# ---------------------------------------------------------------------------
+# Raw variants (reference operators #3 / #4)
+# ---------------------------------------------------------------------------
+
+
+def read_journal_raw(stream: BinaryIO) -> Iterator[tuple[bytes, bytes]]:
+    """Yield (header_bytes, payload_bytes) without decoding — the
+    ``readDataGramBytes`` debug path (DatagramPacketInputStream.java:89-113)."""
+    read = stream.read
+    while True:
+        header = read(HEADER_LENGTH)
+        if not header:
+            return
+        if len(header) < HEADER_LENGTH:
+            raise CodecError("truncated journal header")
+        (length,) = _U16.unpack_from(header, 0)
+        payload = read(length)
+        if len(payload) < length:
+            raise CodecError("truncated journal payload")
+        yield header, payload

@@ -1,0 +1,97 @@
+"""Regenerate golden journal fixtures (run from repo root).
+
+Deterministic — these bytes are CHECKED IN; tests compare against them
+to guard the wire format (FIXTURES.md §A6). Only rerun if the format
+intentionally changes.
+"""
+
+import json
+import os
+
+from lwes_contrib_hive_serde_spark.sources import codec as c
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def all_types_events():
+    rows = []
+    for i in range(10):
+        ev = c.Event("Test::AllTypes")
+        ev.set("b_bool", c.BOOLEAN, i % 2 == 0)
+        ev.set("n_int16", c.INT16, -(1 << 15) + i * 1000)
+        ev.set("n_uint16", c.UINT16, i * 6553)
+        ev.set("n_int32", c.INT32, -(1 << 31) + i)
+        ev.set("n_uint32", c.UINT32, (1 << 32) - 1 - i)
+        ev.set("n_int64", c.INT64, -(1 << 63) + i)
+        ev.set("n_uint64", c.UINT64, (1 << 64) - 1 - i)
+        ev.set("f_float", c.STRING, f"{i * 1.5}")
+        ev.set("f_double", c.STRING, f"{i * 2.25e100}")
+        ev.set("s_str", c.STRING, f"row-{i}-héllo✓" if i % 3 else "")
+        ev.set("ip_addr", c.IPADDR, f"{i}.{255 - i}.0.255")
+        ev.set(c.RECEIPT_TIME, c.INT64, 1700000000000 + i * 1000)
+        ev.set(c.SENDER_IP, c.IPADDR, f"10.0.0.{i}")
+        ev.set(c.SENDER_PORT, c.UINT16, 9577)
+        ev.set(c.SITE_ID, c.UINT16, i % 3)
+        rows.append(ev)
+    return rows
+
+
+def multitype_events():
+    rows = []
+    for i in range(30):
+        if i % 3 == 0:
+            ev = c.Event("Auction::Complete")
+            ev.set("a_bid", c.STRING, f"bid-{i}")
+            ev.set("a_price", c.STRING, f"{i * 0.5}")
+            ev.set("a_act_id", c.INT64, 1000 + i)
+        elif i % 3 == 1:
+            ev = c.Event("Impression::Confirmed")
+            ev.set("imp_id", c.INT64, 2000 + i)
+            ev.set("imp_site", c.INT32, i % 5)
+        else:
+            ev = c.Event("Noise::Event")
+            ev.set("junk", c.STRING, "x" * (i % 7))
+        ev.set(c.RECEIPT_TIME, c.INT64, 1700000100000 + i)
+        ev.set(c.SITE_ID, c.UINT16, 42)
+        rows.append(ev)
+    return rows
+
+
+def sparse_events():
+    rows = []
+    for i in range(20):
+        ev = c.Event("Test::Sparse")
+        ev.set("k", c.INT64, i)
+        if i % 3 != 0:
+            ev.set("a", c.INT32, i * 10)
+        if i % 4 != 0:
+            ev.set("b", c.STRING, f"s{i}")
+        if i % 5 != 0:
+            ev.set("c", c.STRING, f"{i * 0.125}")  # double via string bridge
+        rows.append(ev)
+    return rows
+
+
+def dump(name, events):
+    path = os.path.join(HERE, f"{name}.journal")
+    c.write_journal_file(path, events)
+    expected = [
+        {"name": e.name, "attrs": e.attributes, "types": {k: c.TYPE_NAMES[t] for k, t in e.types.items()}}
+        for e in events
+    ]
+    with open(os.path.join(HERE, f"{name}.expected.json"), "w") as f:
+        json.dump(expected, f, indent=1, ensure_ascii=False, default=str)
+    print(name, os.path.getsize(path), "bytes")
+
+
+if __name__ == "__main__":
+    dump("all_types", all_types_events())
+    dump("multitype", multitype_events())
+    dump("sparse", sparse_events())
+    # gzip copy of sparse
+    import gzip, shutil
+
+    with open(os.path.join(HERE, "sparse.journal"), "rb") as fin, gzip.open(
+        os.path.join(HERE, "sparse.journal.gz"), "wb"
+    ) as fout:
+        shutil.copyfileobj(fin, fout)

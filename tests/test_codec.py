@@ -1,0 +1,214 @@
+"""Codec unit + property tests (no Spark) — SURVEY.md §5 item 1.
+
+Covers the exact reference semantics: 22-byte header layout
+(DatagramPacketOutputStream.java:30-40), header injection
+(DatagramPacketInputStream.java:75-78), header write-back defaults
+(DatagramPacketOutputStream.java:91-106), event-name skip
+(EventSerDe.java:199), full LWES 0.2 token set.
+"""
+
+import gzip
+import io
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lwes_contrib_hive_serde_spark.sources import codec as c
+
+
+def mkevent(name="Test::Event", **attrs):
+    ev = c.Event(name)
+    for k, (token, v) in attrs.items():
+        ev.set(k, token, v)
+    return ev
+
+
+ALL_TYPES_EVENT = mkevent(
+    "Test::AllTypes",
+    b_bool=(c.BOOLEAN, True),
+    n_int16=(c.INT16, -12345),
+    n_uint16=(c.UINT16, 65535),
+    n_int32=(c.INT32, -(1 << 31)),
+    n_uint32=(c.UINT32, (1 << 32) - 1),
+    n_int64=(c.INT64, -(1 << 63)),
+    n_uint64=(c.UINT64, (1 << 64) - 1),
+    s_str=(c.STRING, "héllo wörld ✓"),
+    ip_addr=(c.IPADDR, "255.255.255.255"),
+    f_float=(c.STRING, "3.14"),
+)
+
+
+class TestEventRoundTrip:
+    def test_all_types(self):
+        raw = c.encode_event(ALL_TYPES_EVENT)
+        ev = c.decode_event(raw)
+        assert ev.name == "Test::AllTypes"
+        assert ev.attributes == ALL_TYPES_EVENT.attributes
+        assert ev.types == ALL_TYPES_EVENT.types
+
+    def test_empty_event(self):
+        raw = c.encode_event(c.Event("E"))
+        ev = c.decode_event(raw)
+        assert ev.name == "E"
+        assert ev.attributes == {}
+
+    def test_empty_string_value(self):
+        ev = c.decode_event(c.encode_event(mkevent("E", s=(c.STRING, ""))))
+        assert ev.attributes["s"] == ""
+
+    def test_zero_ip(self):
+        ev = c.decode_event(c.encode_event(mkevent("E", ip=(c.IPADDR, "0.0.0.0"))))
+        assert ev.attributes["ip"] == "0.0.0.0"
+
+    def test_out_of_range_rejected(self):
+        with pytest.raises(c.CodecError):
+            c.encode_event(mkevent("E", x=(c.UINT16, 65536)))
+        with pytest.raises(c.CodecError):
+            c.encode_event(mkevent("E", x=(c.INT16, 1 << 15)))
+        with pytest.raises(c.CodecError):
+            c.encode_event(mkevent("E", x=(c.UINT64, -1)))
+
+    def test_name_length_limits(self):
+        with pytest.raises(c.CodecError):
+            c.encode_event(c.Event(""))
+        with pytest.raises(c.CodecError):
+            c.encode_event(c.Event("x" * 256))
+        assert c.decode_event(c.encode_event(c.Event("x" * 255))).name == "x" * 255
+
+    def test_truncation_detected(self):
+        raw = c.encode_event(ALL_TYPES_EVENT)
+        with pytest.raises(c.CodecError):
+            c.decode_event(raw[: len(raw) // 2], end=len(raw) // 2)
+
+    def test_peek_event_name(self):
+        raw = c.encode_event(ALL_TYPES_EVENT)
+        assert c.peek_event_name(raw) == "Test::AllTypes"
+
+
+_names = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126), min_size=1, max_size=40
+)
+_values = st.one_of(
+    st.tuples(st.just(c.BOOLEAN), st.booleans()),
+    st.tuples(st.just(c.UINT16), st.integers(0, 0xFFFF)),
+    st.tuples(st.just(c.INT16), st.integers(-(1 << 15), (1 << 15) - 1)),
+    st.tuples(st.just(c.UINT32), st.integers(0, 0xFFFFFFFF)),
+    st.tuples(st.just(c.INT32), st.integers(-(1 << 31), (1 << 31) - 1)),
+    st.tuples(st.just(c.INT64), st.integers(-(1 << 63), (1 << 63) - 1)),
+    st.tuples(st.just(c.UINT64), st.integers(0, (1 << 64) - 1)),
+    st.tuples(st.just(c.STRING), st.text(max_size=200)),
+    st.tuples(
+        st.just(c.IPADDR),
+        st.tuples(*[st.integers(0, 255)] * 4).map(lambda t: ".".join(map(str, t))),
+    ),
+)
+
+
+class TestPropertyRoundTrip:
+    @settings(max_examples=200, deadline=None)
+    @given(name=_names, attrs=st.dictionaries(_names, _values, max_size=20))
+    def test_decode_encode_identity(self, name, attrs):
+        ev = c.Event(name)
+        for k, (token, v) in attrs.items():
+            ev.set(k, token, v)
+        raw = c.encode_event(ev)
+        back = c.decode_event(raw)
+        assert back.name == ev.name
+        assert back.attributes == ev.attributes
+        assert back.types == ev.types
+        # encode is deterministic and a fixpoint
+        assert c.encode_event(back) == raw
+
+
+class TestJournalFraming:
+    def test_header_is_22_bytes_exact_layout(self):
+        h = c.pack_header(513, 1700000000123, "10.1.2.3", 9999, 7)
+        assert len(h) == c.HEADER_LENGTH == 22
+        # golden byte layout: >H q 4s H H 4x
+        assert h == struct.pack(
+            ">Hq4sHH4x", 513, 1700000000123, bytes([10, 1, 2, 3]), 9999, 7
+        )
+        assert h[-4:] == b"\x00\x00\x00\x00"
+        assert c.unpack_header(h) == (513, 1700000000123, "10.1.2.3", 9999, 7)
+
+    def test_write_read_round_trip_with_header_attrs(self):
+        ev = mkevent(
+            "My::Event",
+            k=(c.INT64, 42),
+            ReceiptTime=(c.INT64, 1700000000123),
+            SenderIP=(c.IPADDR, "192.168.0.1"),
+            SenderPort=(c.UINT16, 12345),
+            SiteID=(c.UINT16, 3),
+        )
+        buf = bytearray()
+        c.write_journal_record(buf, ev)
+        out = list(c.read_journal_records(io.BytesIO(bytes(buf))))
+        assert len(out) == 1
+        got = out[0]
+        assert got.attributes["k"] == 42
+        assert got.attributes["ReceiptTime"] == 1700000000123
+        assert got.attributes["SenderIP"] == "192.168.0.1"
+        assert got.attributes["SenderPort"] == 12345
+        assert got.attributes["SiteID"] == 3
+
+    def test_header_defaults_when_absent(self):
+        # DatagramPacketOutputStream.java:91-106: zeros when not set
+        buf = bytearray()
+        c.write_journal_record(buf, mkevent("E", k=(c.INT32, 1)))
+        length, rtime, ip, port, site = c.unpack_header(bytes(buf))
+        assert (rtime, ip, port, site) == (0, "0.0.0.0", 0, 0)
+        got = next(c.read_journal_records(io.BytesIO(bytes(buf))))
+        assert got.attributes["ReceiptTime"] == 0
+        assert got.attributes["SenderIP"] == "0.0.0.0"
+
+    def test_header_attrs_not_duplicated_in_payload(self):
+        ev = mkevent("E", k=(c.INT32, 1), ReceiptTime=(c.INT64, 5))
+        buf = bytearray()
+        c.write_journal_record(buf, ev)
+        payload = bytes(buf[c.HEADER_LENGTH:])
+        body = c.decode_event(payload)
+        assert "ReceiptTime" not in body.attributes
+        assert body.attributes == {"k": 1}
+
+    def test_multi_record_stream(self):
+        buf = bytearray()
+        for i in range(100):
+            c.write_journal_record(buf, mkevent("E", i=(c.INT32, i)))
+        out = list(c.read_journal_records(io.BytesIO(bytes(buf))))
+        assert [e.attributes["i"] for e in out] == list(range(100))
+
+    def test_event_name_skip_without_decode(self):
+        buf = bytearray()
+        c.write_journal_record(buf, mkevent("Keep::Me", a=(c.INT32, 1)))
+        c.write_journal_record(buf, mkevent("Drop::Me", a=(c.INT32, 2)))
+        c.write_journal_record(buf, mkevent("Keep::Me", a=(c.INT32, 3)))
+        out = list(
+            c.read_journal_records(io.BytesIO(bytes(buf)), event_names={"Keep::Me"})
+        )
+        assert [e.attributes["a"] for e in out] == [1, 3]
+
+    def test_truncated_stream_raises(self):
+        buf = bytearray()
+        c.write_journal_record(buf, mkevent("E", a=(c.INT32, 1)))
+        with pytest.raises(c.CodecError):
+            list(c.read_journal_records(io.BytesIO(bytes(buf[:-2]))))
+        with pytest.raises(c.CodecError):
+            list(c.read_journal_records(io.BytesIO(bytes(buf[:10]))))
+
+    def test_gzip_file_round_trip(self, tmp_path):
+        p = str(tmp_path / "j.journal.gz")
+        events = [mkevent("E", i=(c.INT32, i)) for i in range(50)]
+        c.write_journal_file(p, events)
+        with gzip.open(p, "rb") as f:
+            assert f.read(1)  # really gzip
+        out = list(c.read_journal_file(p))
+        assert [e.attributes["i"] for e in out] == list(range(50))
+
+    def test_raw_reader(self):
+        buf = bytearray()
+        c.write_journal_record(buf, mkevent("E", a=(c.INT32, 7)))
+        [(header, payload)] = list(c.read_journal_raw(io.BytesIO(bytes(buf))))
+        assert len(header) == 22
+        assert c.decode_event(payload).attributes == {"a": 7}

@@ -1,0 +1,58 @@
+"""Golden-binary guard: checked-in journal bytes must decode to the
+checked-in expected rows, and re-encoding must reproduce the bytes
+exactly (guards the 22-byte header layout and every value encoding
+against regressions — FIXTURES.md §A6)."""
+
+import json
+import os
+
+import pytest
+
+from lwes_contrib_hive_serde_spark.sources import codec as c
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+NAMES = ["all_types", "multitype", "sparse"]
+
+
+def load_expected(name):
+    with open(os.path.join(GOLDEN, f"{name}.expected.json")) as f:
+        return json.load(f)
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_golden_decodes_to_expected(name):
+    events = list(c.read_journal_file(os.path.join(GOLDEN, f"{name}.journal")))
+    expected = load_expected(name)
+    assert len(events) == len(expected)
+    for ev, exp in zip(events, expected):
+        assert ev.name == exp["name"]
+        got_attrs = dict(ev.attributes)
+        exp_attrs = exp["attrs"]
+        # json stringifies nothing here except big ints stay ints; compare keys
+        assert set(got_attrs) >= set(exp_attrs) - set(c.HEADER_FIELDS)
+        for k, v in exp_attrs.items():
+            if k in c.HEADER_FIELDS:
+                continue
+            assert got_attrs[k] == v, (name, ev.name, k)
+        # header attrs injected on read; default 0 when writer had none
+        for hf in c.HEADER_FIELDS:
+            assert hf in got_attrs
+            if hf in exp_attrs:
+                assert got_attrs[hf] == exp_attrs[hf]
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_golden_reencode_byte_identical(name):
+    path = os.path.join(GOLDEN, f"{name}.journal")
+    with open(path, "rb") as f:
+        original = f.read()
+    buf = bytearray()
+    for ev in c.read_journal_file(path):
+        c.write_journal_record(buf, ev)
+    assert bytes(buf) == original
+
+
+def test_gzip_variant_matches_plain():
+    plain = [e.attributes for e in c.read_journal_file(os.path.join(GOLDEN, "sparse.journal"))]
+    gz = [e.attributes for e in c.read_journal_file(os.path.join(GOLDEN, "sparse.journal.gz"))]
+    assert plain == gz
