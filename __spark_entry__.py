@@ -1,38 +1,61 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` / ``oracle_sql()`` are assembled from the package's
+query registries:
+  * lwes_contrib_hive_serde_spark.plans.corpus — the SURVEY §2b
+    delegated query surface (joins, windows, rollup, set ops, scalar
+    functions, ...) with DuckDB oracles.
+  * operator modules register their own oracle-checked entries as they
+    land (dedup / similarity / text analysis / LWES round-trip).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lwes_contrib_hive_serde_spark.plans import corpus  # noqa: E402
+
+
+def _registries():
+    regs = [corpus.REGISTRY]
+    try:
+        from lwes_contrib_hive_serde_spark.plans import extension_queries
+
+        regs.append(extension_queries.REGISTRY)
+    except ImportError:
+        pass
+    return regs
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    TPC-H Q1-shaped pricing summary: scan → pushed filter → partial+final
+    hash aggregate (see plans/corpus.py:q01).
+    """
+    return corpus.REGISTRY["q01_pricing_summary"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for reg in _registries():
+        for name, q in reg.items():
+            out[name] = q.spark_fn
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for reg in _registries():
+        for name, q in reg.items():
+            if q.oracle is not None:
+                out[name] = q.oracle
+    return out

@@ -1,0 +1,855 @@
+"""Query-surface conformance corpus — SURVEY.md §2b, line by line.
+
+The reference delegates ALL relational capability to the consuming
+engine (it depends on hive-exec 0.6, reference pom.xml:64-73); its own
+code is only the journal format adapter.  This module is the explicit,
+oracle-checked inventory of that delegated query surface re-expressed
+as idiomatic Spark DataFrame / SQL plans over the driver's test tables.
+
+Every entry registers:
+  * a Spark callable ``(spark, sf_dir) -> DataFrame``
+  * an equivalent ANSI-SQL oracle string for DuckDB (or None for
+    genuinely non-SQL-expressible ops → driver runs rows-only check)
+
+Cross-engine determinism rules used throughout (doubles summed in
+different orders differ in the last ulp):
+  * SUM over double columns: per-row cast to DECIMAL (exact,
+    associative), final cast back to DOUBLE → bit-identical results.
+    The decimal scale must be ≥ the TRUE decimal precision of the
+    expression (2dp × 2dp × 2dp → scale 6): a smaller scale puts exact
+    .5 halves on the rounding boundary where Spark (HALF_UP on the
+    binary expansion) and DuckDB (scaled-double rounding) disagree.
+  * AVG: decimal SUM / COUNT, both deterministic.
+  * int-width functions (year, datediff, size, ...) cast to BIGINT on
+    the Spark side to match DuckDB's BIGINT defaults.
+  * timestamps are projected as DATE (or formatted strings).
+  * every computed column aliased identically in both dialects.
+
+Scale notes (100 TB): every query here is expressed declaratively so
+Catalyst applies filter pushdown / column pruning / partial
+aggregation; joins against region/nation/supplier/part are explicitly
+``broadcast()`` (dimension tables stay small at any SF — lineitem and
+orders are the only fact tables); top-k uses orderBy+limit which
+Spark executes as TakeOrderedAndProject (no global sort).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Q:
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    doc: str = ""
+
+
+REGISTRY: dict[str, Q] = {}
+
+
+def register(name: str, oracle: Optional[str] = None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = Q(fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by
+        # default; read as int64 nanos and convert with exact integer
+        # division (double math would lose precision at ~1.7e18 ns).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dsum(col, alias, scale=2):
+    """Deterministic double-sum: exact decimal accumulation."""
+    return (
+        F.sum(col.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+    )
+
+
+def davg(col, alias, scale=2):
+    return (
+        (F.sum(col.cast(f"decimal(18,{scale})")).cast("double") / F.count(col))
+        .alias(alias)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scan + filter + aggregate (§2b "Projection/filter", "Aggregation")
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: scan → filter → hash aggregate (partial+final). "
+    "Filter + column pruning reach the parquet scan.",
+)
+def q01(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(disc, "sum_disc_price", scale=4),
+            dsum(charge, "sum_charge", scale=6),
+            davg(F.col("l_quantity"), "avg_qty"),
+            davg(F.col("l_extendedprice"), "avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q06_revenue_forecast",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.09
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pure scan-aggregate, all predicates pushable.",
+)
+def q06(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.09))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue", scale=4),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (§2b: equi inner/outer, broadcast, semi/anti, theta)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q03_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: fact-fact join + broadcast dim filter + top-k "
+    "(TakeOrderedAndProject, no global sort). Deterministic tiebreak on orderkey.",
+)
+def q03(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(li.l_orderkey.alias("orderkey"), F.col("o_orderdate"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", scale=4))
+        .select("orderkey", "revenue", F.col("o_orderdate").cast("date").alias("orderdate"))
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q05_region_revenue",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5 shape: star join; nation/region/supplier broadcast; "
+    "local-supplier equality adds a second join key.",
+)
+def q05(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(n.n_name.alias("nation"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", scale=4))
+    )
+
+
+@register(
+    "q10_brand_volume",
+    oracle="""
+    SELECT p.p_brand AS brand,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_type = 'PROMO'
+    GROUP BY p.p_brand
+    """,
+    doc="Broadcast-hash join: part is a dimension (2k rows at sf0.01, "
+    "still small at 100 TB); explicit broadcast() keeps lineitem unshuffled.",
+)
+def q10_brand(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(p.p_brand.alias("brand"))
+        .agg(
+            dsum(F.col("l_quantity"), "total_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q_semi_join",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_name AS name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
+    """,
+    doc="LEFT SEMI JOIN (HiveQL LEFT SEMI / EXISTS) → left_semi join type.",
+)
+def q_semi(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")
+    )
+
+
+@register(
+    "q_anti_join",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+    """,
+    doc="Anti join (NOT EXISTS / NOT IN rewrite) → left_anti join type.",
+)
+def q_anti(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment")
+    )
+
+
+@register(
+    "q_left_outer_counts",
+    oracle="""
+    SELECT n.n_name AS nation, COUNT(c.c_custkey) AS n_customers
+    FROM nation n
+    LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="LEFT OUTER JOIN preserving unmatched dimension rows (zero counts).",
+)
+def q_louter(spark, sf_dir):
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .groupBy(n.n_name.alias("nation"))
+        .agg(F.count(c.c_custkey).alias("n_customers"))
+    )
+
+
+@register(
+    "q_full_outer",
+    oracle="""
+    WITH cust AS (
+      SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey
+    ), supp AS (
+      SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey
+    )
+    SELECT COALESCE(cust.nk, supp.nk) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_supp, 0) AS n_supp
+    FROM cust FULL OUTER JOIN supp ON cust.nk = supp.nk
+    """,
+    doc="FULL OUTER JOIN of two aggregates with COALESCE key merge.",
+)
+def q_fouter(spark, sf_dir):
+    cust = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        cust.join(supp, cust.nk == supp.nk, "full_outer")
+        .select(
+            F.coalesce(cust.nk, supp.nk).alias("nationkey"),
+            F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+            F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@register(
+    "q_theta_join",
+    oracle="""
+    SELECT r.r_name AS region, COUNT(*) AS n_lower_nations
+    FROM region r
+    JOIN nation n ON n.n_nationkey < r.r_regionkey * 5
+    GROUP BY r.r_name
+    """,
+    doc="Non-equi (theta) join → BroadcastNestedLoopJoin; both sides tiny, "
+    "at scale the small side must be the broadcast one.",
+)
+def q_theta(spark, sf_dir):
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return (
+        r.join(F.broadcast(n), n.n_nationkey < r.r_regionkey * 5)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(F.count(F.lit(1)).alias("n_lower_nations"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (§2b "Window functions")
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_window_topn_per_group",
+    oracle="""
+    SELECT custkey, orderkey, totalprice FROM (
+      SELECT o_custkey AS custkey, o_orderkey AS orderkey, o_totalprice AS totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+    doc="Top-1-per-group via ROW_NUMBER window; Spark plans a single "
+    "shuffle on the partition key (no join).",
+)
+def q_wtopn(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+    )
+
+
+@register(
+    "q_window_running_sum",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend
+    FROM orders
+    """,
+    doc="Running aggregate window frame; decimal accumulation keeps the "
+    "prefix sums bit-identical across engines.",
+)
+def q_wrun(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@register(
+    "q_window_lag",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           CAST(DATEDIFF('day',
+                LAG(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+                                                     ORDER BY o_orderdate, o_orderkey),
+                CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
+    FROM orders
+    """,
+    doc="LAG + date arithmetic; NULL for each customer's first order.",
+)
+def q_wlag(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.datediff(d, F.lag(d).over(w)).cast("bigint").alias("days_since_prev"),
+    )
+
+
+@register(
+    "q_window_rank_dense",
+    oracle="""
+    SELECT o_orderpriority AS priority, orderdate, n_orders, day_rank FROM (
+      SELECT o_orderpriority,
+             CAST(o_orderdate AS DATE) AS orderdate,
+             COUNT(*) AS n_orders,
+             CAST(DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY COUNT(*) DESC,
+                                              CAST(o_orderdate AS DATE)) AS BIGINT)
+               AS day_rank
+      FROM orders
+      GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)
+    ) WHERE day_rank <= 3
+    """,
+    doc="DENSE_RANK over an aggregate (window-over-groupBy composition).",
+)
+def q_wrank(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    agg = o.groupBy(
+        "o_orderpriority", F.col("o_orderdate").cast("date").alias("orderdate")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("n_orders"), F.asc("orderdate")
+    )
+    return (
+        agg.withColumn("day_rank", F.dense_rank().over(w).cast("bigint"))
+        .filter(F.col("day_rank") <= 3)
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            "orderdate",
+            "n_orders",
+            "day_rank",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube (§2b)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("l_quantity"), "qty")
+    )
+
+
+@register(
+    "q_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_returnflag IS NULL AND l_linestatus IS NULL AS is_total,
+           l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_gsets(spark, sf_dir):
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_returnflag IS NULL AND l_linestatus IS NULL AS is_total,
+               l_linestatus, COUNT(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregates, set ops, sort/limit, dedup, sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_distinct_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Multiple DISTINCT aggregates → Spark expand+two-phase aggregate.",
+)
+def q_distinct(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_setops",
+    oracle="""
+    SELECT custkey FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+    doc="INTERSECT / EXCEPT set operators (Hive 0.6 had only UNION ALL; "
+    "included per SURVEY §2b).",
+)
+def q_setops(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    f = o.filter("o_orderstatus = 'F'").select(F.col("o_custkey").alias("custkey"))
+    op = o.filter("o_orderstatus = 'O'").select(F.col("o_custkey").alias("custkey"))
+    p = o.filter("o_orderstatus = 'P'").select(F.col("o_custkey").alias("custkey"))
+    return f.intersect(op).exceptAll(p).distinct()
+
+
+@register(
+    "q_union_all",
+    oracle="""
+    SELECT kind, COUNT(*) AS n, COUNT(DISTINCT k) AS n_distinct FROM (
+      SELECT 'cust' AS kind, c_nationkey AS k FROM customer
+      UNION ALL
+      SELECT 'supp' AS kind, s_nationkey AS k FROM supplier
+    ) GROUP BY kind
+    """,
+)
+def q_union_all(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").select(
+        F.lit("cust").alias("kind"), F.col("c_nationkey").alias("k")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.lit("supp").alias("kind"), F.col("s_nationkey").alias("k")
+    )
+    return (
+        c.unionAll(s)
+        .groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("k").alias("n_distinct"))
+    )
+
+
+@register(
+    "q_topk_global",
+    oracle="""
+    SELECT o_orderkey AS orderkey, o_totalprice AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    doc="Global top-k: Spark plans TakeOrderedAndProject (per-partition "
+    "heap + driver merge), NOT a full sort — the right plan at 100 TB.",
+)
+def q_topk(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+        .orderBy(F.desc("totalprice"), F.asc("orderkey"))
+        .limit(25)
+    )
+
+
+@register(
+    "q_exact_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="Exact deduplication = dropDuplicates → shuffle on the dedup key "
+    "with map-side partial dedup (HashAggregate).",
+)
+def q_exact_dedup(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").dropDuplicates()
+
+
+@register(
+    "q_sample_systematic",
+    oracle="""
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sampled_spend
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+    doc="Deterministic systematic sample (key mod) — cross-engine "
+    "reproducible, unlike TABLESAMPLE's RNG. df.sample() exists for "
+    "approximate sampling but is not oracle-checkable.",
+)
+def q_sample(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 97 == 0).agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice"), "sampled_spend")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions: strings, dates, conditionals, JSON (§2b "Scalar functions")
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_string_funcs",
+    oracle="""
+    SELECT c_custkey AS custkey,
+           UPPER(c_name) AS name_upper,
+           SUBSTR(c_name, 1, 8) AS name_prefix,
+           CONCAT(c_mktsegment, ':', CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+           CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+           REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS name_digits
+    FROM customer WHERE c_custkey <= 200
+    """,
+)
+def q_strings(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws(":", "c_mktsegment", F.col("c_nationkey").cast("string")).alias(
+            "seg_nation"
+        ),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_digits"),
+    )
+
+
+@register(
+    "q_date_funcs",
+    oracle="""
+    SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+           CAST(MONTH(o_orderdate) AS BIGINT) AS mo,
+           CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_dates(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), "spend"),
+    )
+
+
+@register(
+    "q_conditional",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n,
+           SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_big,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS n_urgent,
+           COALESCE(MAX(CASE WHEN o_totalprice > 500000 THEN o_custkey END), -1) AS richest_cust
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="CASE WHEN conditional aggregation (manual pivot shape).",
+)
+def q_cond(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_totalprice") > 200000, 1).otherwise(0)).alias("n_big"),
+        F.sum(
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            ).otherwise(0)
+        ).alias("n_urgent"),
+        F.coalesce(
+            F.max(F.when(F.col("o_totalprice") > 500000, F.col("o_custkey"))),
+            F.lit(-1),
+        ).alias("richest_cust"),
+    )
+
+
+@register(
+    "q_json_extract",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k_value, COUNT(*) AS n
+    FROM events
+    WHERE event_type = 'click'
+    GROUP BY 1
+    """,
+    doc="JSON extraction over the events.props payload column "
+    "(get_json_object ↔ json_extract).",
+)
+def q_json(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    return ev.groupBy(
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q_events_funnel",
+    oracle="""
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+           CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END
+                    AS DECIMAL(18,4))) AS DOUBLE) AS purchase_value
+    FROM events
+    GROUP BY user_id
+    HAVING SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+    """,
+    doc="Event funnel aggregation with HAVING over the events stream table.",
+)
+def q_funnel(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    cnt = lambda t: F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+    out = ev.groupBy("user_id").agg(
+        cnt("view").alias("views"),
+        cnt("click").alias("clicks"),
+        cnt("purchase").alias("purchases"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(0)
+            .cast("decimal(18,4)")
+        )
+        .cast("double")
+        .alias("purchase_value"),
+    )
+    return out.filter(F.col("purchases") > 0)
+
+
+@register(
+    "q_time_window",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-hour window aggregation over the event stream table "
+    "(batch form of the Structured Streaming window() operator).",
+)
+def q_time_window(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value"), "total_value", scale=4),
+    )
+
+
+ALL = REGISTRY

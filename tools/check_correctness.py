@@ -1,0 +1,133 @@
+"""Local mirror of the driver's t2 correctness gate.
+
+Runs every __spark_entry__.queries() entry through Spark AND its
+oracle_sql() through DuckDB at sf0.01, compares row count, column
+names, and an order-insensitive value hash (columns sorted by name,
+rows sorted, values canonicalized). Run from repo root:
+
+    PYTHONPATH=. python tools/check_correctness.py [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def canon(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    import datetime, decimal
+
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        f = float(v)
+        return canon(f)
+    return str(v)
+
+
+def table_signature(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    sorted_cols = [cols[i] for i in order]
+    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    return sorted_cols, lines
+
+
+def main():
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entrymod
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("check_correctness")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    only = set(sys.argv[1:])
+    n_pass = n_fail = n_weak = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, SF_DIR)
+            spark_rows = [tuple(r) for r in df.collect()]
+            spark_cols = list(df.columns)
+        except Exception as e:
+            print(f"FAIL  {name}: SPARK ERROR {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"weak  {name}: rows={len(spark_rows)} (no oracle) [{time.time()-t0:.1f}s]")
+            n_weak += 1
+            continue
+        try:
+            res = con.execute(sql)
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: ORACLE ERROR {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        sc, sl = table_signature(spark_cols, spark_rows)
+        dc, dl = table_signature(duck_cols, duck_rows)
+        ok = True
+        msgs = []
+        if len(spark_rows) != len(duck_rows):
+            ok = False
+            msgs.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
+        if sc != dc:
+            ok = False
+            msgs.append(f"cols spark={sc} duck={dc}")
+        if ok and sl != dl:
+            ok = False
+            diff = [
+                (a, b) for a, b in zip(sl, dl) if a != b
+            ][:3]
+            msgs.append(f"values differ, first diffs: {diff}")
+        if ok:
+            print(f"PASS  {name}: rows={len(spark_rows)} [{time.time()-t0:.1f}s]")
+            n_pass += 1
+        else:
+            print(f"FAIL  {name}: {'; '.join(msgs)}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_weak} weak (no oracle), {n_fail} FAIL")
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
