@@ -24,12 +24,15 @@ from lwes_contrib_hive_serde_spark.plans import corpus  # noqa: E402
 
 def _registries():
     regs = [corpus.REGISTRY]
-    try:
-        from lwes_contrib_hive_serde_spark.plans import extension_queries
-
-        regs.append(extension_queries.REGISTRY)
-    except ImportError:
-        pass
+    for modname in ("lwes_queries", "extension_queries"):
+        try:
+            mod = __import__(
+                f"lwes_contrib_hive_serde_spark.plans.{modname}",
+                fromlist=["REGISTRY"],
+            )
+            regs.append(mod.REGISTRY)
+        except ImportError:
+            pass
     return regs
 
 

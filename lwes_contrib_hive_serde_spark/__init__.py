@@ -16,8 +16,28 @@ from lwes_contrib_hive_serde_spark.sources.codec import Event  # noqa: F401
 
 
 def register(spark):
-    """Register the ``lwes`` data source with a SparkSession."""
-    from lwes_contrib_hive_serde_spark.sources.datasource import LwesDataSource
+    """Register the ``lwes`` data source with a SparkSession.
 
-    spark.dataSource.register(LwesDataSource)
+    The package modules are registered for pickle-by-value so Spark's
+    Python workers can unpickle the data source without having this
+    repo on their PYTHONPATH (the classes travel with the plan).
+    """
+    from pyspark import cloudpickle
+
+    from lwes_contrib_hive_serde_spark import sources, streaming
+    from lwes_contrib_hive_serde_spark.sources import codec, datasource
+    from lwes_contrib_hive_serde_spark.streaming import journal_stream
+
+    for mod in (codec, datasource, journal_stream):
+        try:
+            cloudpickle.register_pickle_by_value(mod)
+        except Exception:
+            pass  # best effort; PYTHONPATH fallback still works
+
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass  # pre-4.1 sessions: LwesReader.pushFilters is simply unused
+
+    spark.dataSource.register(datasource.LwesDataSource)
     return spark

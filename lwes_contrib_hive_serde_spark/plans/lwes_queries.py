@@ -1,0 +1,134 @@
+"""Oracle-checked queries that exercise the LWES data source itself.
+
+Strategy: journal the driver's ``events`` parquet table through
+``df.write.format("lwes")``, read it back with
+``spark.read.format("lwes")``, and run aggregations on the round-
+tripped DataFrame — while the DuckDB oracle runs the same aggregation
+on the ORIGINAL parquet. A hash match therefore proves the journal
+write→read cycle is lossless (header millis carry ``ts``; the
+float string-bridge carries ``value``; props stays a string).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from lwes_contrib_hive_serde_spark.plans.corpus import Q, dsum, table
+
+REGISTRY: dict[str, Q] = {}
+
+
+def register(name: str, oracle=None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = Q(fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+_EVENTS_SCHEMA = (
+    "event_id long, user_id long, event_type string, "
+    "value double, props string, ReceiptTime long"
+)
+
+
+def _events_journal(spark, sf_dir: str) -> str:
+    """Write (once per sf_dir per process) the events table as LWES
+    journals; return the journal directory."""
+    import lwes_contrib_hive_serde_spark as L
+
+    L.register(spark)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/lwes_journal_cache/{tag}/events"
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        ev = table(spark, sf_dir, "events")
+        src = ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+            F.unix_millis("ts").alias("ReceiptTime"),
+        )
+        # repartition: one journal file per core-sized chunk — scan
+        # parallelism of the non-splittable format = file count
+        (
+            src.repartition(8)
+            .write.format("lwes")
+            .option("eventName", "Driver::Event")
+            .mode("overwrite")
+            .save(out)
+        )
+    return out
+
+
+def _read_back(spark, sf_dir: str):
+    out = _events_journal(spark, sf_dir)
+    return (
+        spark.read.format("lwes")
+        .schema(_EVENTS_SCHEMA)
+        .option("eventName", "Driver::Event")
+        .load(out)
+    )
+
+
+@register(
+    "q_lwes_roundtrip_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           MIN(epoch_ms(ts)) AS first_ms,
+           MAX(epoch_ms(ts)) AS last_ms
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="events parquet → LWES journal → format('lwes') scan → aggregate; "
+    "oracle runs on the original parquet, so a match proves the journal "
+    "round-trip (incl. ReceiptTime header millis and the float string "
+    "bridge) is lossless.",
+)
+def q_roundtrip_agg(spark, sf_dir):
+    back = _read_back(spark, sf_dir)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum(F.col("value"), "total_value", scale=4),
+        F.min("ReceiptTime").alias("first_ms"),
+        F.max("ReceiptTime").alias("last_ms"),
+    )
+
+
+@register(
+    "q_lwes_header_filter",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n
+    FROM events
+    WHERE event_type = 'purchase' AND epoch_ms(ts) >= (
+        SELECT MIN(epoch_ms(ts)) FROM events
+    ) + 43200000
+    GROUP BY user_id
+    """,
+    doc="Pushed-down header predicate: ReceiptTime range filter is "
+    "evaluated on the 22-byte journal header BEFORE payload decode "
+    "(LwesReader.pushFilters).",
+)
+def q_header_filter(spark, sf_dir):
+    back = _read_back(spark, sf_dir)
+    t0 = (
+        table(spark, sf_dir, "events")
+        .agg(F.min(F.unix_millis("ts")))
+        .collect()[0][0]
+    )
+    return (
+        back.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ReceiptTime") >= t0 + 43200000)
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

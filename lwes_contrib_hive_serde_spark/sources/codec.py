@@ -104,13 +104,11 @@ _FIXED_WIDTH = {
 }
 
 HEADER_LENGTH = 22
-_HEADER = struct.Struct(">Hq4sHH4x")  # len, time, ip, port, site, pad
-_U16 = struct.Struct(">H")
-_I16 = struct.Struct(">h")
-_U32 = struct.Struct(">I")
-_I32 = struct.Struct(">i")
-_I64 = struct.Struct(">q")
-_U64 = struct.Struct(">Q")
+# NOTE: plain struct.pack/unpack_from with literal formats (the module
+# caches compiled formats internally) — precompiled struct.Struct
+# objects are not picklable, which breaks cloudpickle-by-value
+# shipping of this module to Spark python workers.
+_HEADER_FMT = ">Hq4sHH4x"  # len, time, ip, port, site, pad
 
 MAX_PAYLOAD = 0xFFFF  # uint16 length prefix caps a datagram at 64 KiB
 
@@ -184,7 +182,7 @@ def _encode_value(out: bytearray, token: int, value: object) -> None:
         raw = str(value).encode("utf-8")
         if len(raw) > 0xFFFF:
             raise CodecError(f"string attribute too long: {len(raw)} bytes")
-        out += _U16.pack(len(raw))
+        out += struct.pack(">H", len(raw))
         out += raw
     elif token == IPADDR:
         out += ip_to_bytes(str(value))
@@ -198,17 +196,17 @@ def _encode_value(out: bytearray, token: int, value: object) -> None:
                 f"value {iv} out of range for {TYPE_NAMES[token]}"
             )
         if token == UINT16:
-            out += _U16.pack(iv)
+            out += struct.pack(">H", iv)
         elif token == INT16:
-            out += _I16.pack(iv)
+            out += struct.pack(">h", iv)
         elif token == UINT32:
-            out += _U32.pack(iv)
+            out += struct.pack(">I", iv)
         elif token == INT32:
-            out += _I32.pack(iv)
+            out += struct.pack(">i", iv)
         elif token == INT64:
-            out += _I64.pack(iv)
+            out += struct.pack(">q", iv)
         elif token == UINT64:
-            out += _U64.pack(iv)
+            out += struct.pack(">Q", iv)
         else:
             raise CodecError(f"unknown type token 0x{token:02x}")
 
@@ -224,7 +222,7 @@ def encode_event(event: Event) -> bytes:
     attrs = event.attributes
     if len(attrs) > 0xFFFF:
         raise CodecError("too many attributes")
-    out += _U16.pack(len(attrs))
+    out += struct.pack(">H", len(attrs))
     for key, value in attrs.items():
         key_raw = key.encode("utf-8")
         if not 1 <= len(key_raw) <= 0xFF:
@@ -245,7 +243,7 @@ def decode_event(buf: bytes | memoryview, offset: int = 0, end: int | None = Non
     if end is None:
         end = len(mv)
     name, pos = _read_word(mv, offset, end)
-    (n_attrs,) = _U16.unpack_from(mv, pos)
+    (n_attrs,) = struct.unpack_from(">H", mv, pos)
     pos += 2
     ev = Event(name)
     attrs = ev.attributes
@@ -274,7 +272,7 @@ def _read_word(mv: memoryview, pos: int, end: int) -> tuple[str, int]:
 
 def _decode_value(mv: memoryview, pos: int, token: int) -> tuple[object, int]:
     if token == STRING:
-        (n,) = _U16.unpack_from(mv, pos)
+        (n,) = struct.unpack_from(">H", mv, pos)
         pos += 2
         return str(mv[pos : pos + n], "utf-8"), pos + n
     if token == IPADDR:
@@ -282,17 +280,17 @@ def _decode_value(mv: memoryview, pos: int, token: int) -> tuple[object, int]:
     if token == BOOLEAN:
         return mv[pos] != 0, pos + 1
     if token == UINT16:
-        return _U16.unpack_from(mv, pos)[0], pos + 2
+        return struct.unpack_from(">H", mv, pos)[0], pos + 2
     if token == INT16:
-        return _I16.unpack_from(mv, pos)[0], pos + 2
+        return struct.unpack_from(">h", mv, pos)[0], pos + 2
     if token == UINT32:
-        return _U32.unpack_from(mv, pos)[0], pos + 4
+        return struct.unpack_from(">I", mv, pos)[0], pos + 4
     if token == INT32:
-        return _I32.unpack_from(mv, pos)[0], pos + 4
+        return struct.unpack_from(">i", mv, pos)[0], pos + 4
     if token == INT64:
-        return _I64.unpack_from(mv, pos)[0], pos + 8
+        return struct.unpack_from(">q", mv, pos)[0], pos + 8
     if token == UINT64:
-        return _U64.unpack_from(mv, pos)[0], pos + 8
+        return struct.unpack_from(">Q", mv, pos)[0], pos + 8
     raise CodecError(f"unknown type token 0x{token:02x}")
 
 
@@ -317,14 +315,14 @@ def pack_header(
     sender_port: int = 0,
     site_id: int = 0,
 ) -> bytes:
-    return _HEADER.pack(
+    return struct.pack(_HEADER_FMT, 
         payload_len, receipt_time, ip_to_bytes(sender_ip), sender_port, site_id
     )
 
 
 def unpack_header(buf: bytes | memoryview, offset: int = 0):
     """-> (payload_len, receipt_time, sender_ip, sender_port, site_id)."""
-    length, rtime, ip, port, site = _HEADER.unpack_from(buf, offset)
+    length, rtime, ip, port, site = struct.unpack_from(_HEADER_FMT, buf, offset)
     return length, rtime, bytes_to_ip(ip), port, site
 
 
@@ -454,7 +452,7 @@ def read_journal_raw(stream: BinaryIO) -> Iterator[tuple[bytes, bytes]]:
             return
         if len(header) < HEADER_LENGTH:
             raise CodecError("truncated journal header")
-        (length,) = _U16.unpack_from(header, 0)
+        (length,) = struct.unpack_from(">H", header, 0)
         payload = read(length)
         if len(payload) < length:
             raise CodecError("truncated journal payload")

@@ -1,0 +1,655 @@
+"""``lwes`` Python Data Source — Spark-native replacement for the
+reference's Hive SerDe + InputFormat/OutputFormat stack.
+
+Read::
+
+    spark.dataSource.register(LwesDataSource)
+    df = (spark.read.format("lwes")
+          .schema("k long, a int, b string")          # or omit → inference
+          .option("eventName", "Test::Sparse")         # lwes.event_name
+          .option("fieldMap", '{"col": "LwesAttr"}')   # serde-prop renames
+          .load("/path/to/journals"))
+
+Write::
+
+    (df.write.format("lwes")
+       .option("eventName", "Test::Sparse")
+       .option("compression", "gzip")
+       .mode("append").save("/out/dir"))
+
+Reference semantics carried over (file:line cites into /root/reference):
+
+* one input partition per journal file — the framing has no sync
+  markers, so files are non-splittable (JournalInputFormat.java:58-60);
+  scan parallelism = file count (write many moderate files at scale).
+* four header virtual columns ``ReceiptTime`` (long, epoch millis),
+  ``SenderIP`` (string), ``SenderPort`` (int), ``SiteID`` (int) are
+  always available (DatagramPacketInputStream.java:75-78) and are
+  written back into the journal header, zero-defaulted when absent
+  (DatagramPacketOutputStream.java:91-114).
+* schema-on-read: a column whose attribute is absent in an event is
+  NULL (EventSerDe.java:234-238); NULL columns are omitted on write
+  (EventSerDe.java:377-380).
+* ``eventName`` selects one event type per table (EventSerDe.java:
+  104-106); non-matching events are skipped at the reader WITHOUT
+  decoding their payload (name is first on the wire) — the pushed-down
+  form of the implicit filter at EventSerDe.java:199. We do NOT
+  reproduce the stale-row leak (EventSerDe.java:199-216).
+* ``fieldMap`` maps Hive-style column names to case-sensitive LWES
+  attribute names (EventSerDe.java:126-166, README:50-55), including
+  the fully-qualified ``Event::Name::Field`` multi-event syntax
+  (EventSerDe.java:52-54,141-155).
+* float/double ride the wire as strings (the "string bridge",
+  EventSerDe.java:270-281/420-431, README:62-65).
+* BYTE columns upcast to int16 on write (EventSerDe.java:395-401);
+  on read declare short/int (BYTE rejected, EventSerDe.java:252-254).
+* compression chosen by file extension (JournalInputFormat.java:94-105).
+
+Performance: the reader decodes straight into per-column lists and
+yields Arrow RecordBatches (~8k rows), so Python→JVM transfer is
+columnar and amortized; the writer buffers (no per-record flush —
+deliberately not replicating DatagramPacketOutputStream.java:118).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import (
+    BooleanType,
+    ByteType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from lwes_contrib_hive_serde_spark.sources import codec as c
+
+EVENT_NAME_COL = "event_name"
+
+_JOURNAL_EXTS = (".journal", ".journal.gz", ".journal.bz2", ".gz", ".bz2", ".log")
+
+
+def _list_journal_files(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    if os.path.isdir(path):
+        out = []
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                if not f.startswith(("_", ".")):
+                    out.append(os.path.join(root, f))
+        return sorted(out)
+    import glob as _glob
+
+    matches = sorted(_glob.glob(path))
+    if not matches:
+        raise FileNotFoundError(f"no journal files at {path!r}")
+    files: list[str] = []
+    for m in matches:
+        files.extend(_list_journal_files(m))
+    return files
+
+
+# Wire token → Spark type (SURVEY §1.3)
+_TOKEN_TO_SPARK = {
+    c.BOOLEAN: BooleanType(),
+    c.INT16: ShortType(),
+    c.UINT16: IntegerType(),
+    c.INT32: IntegerType(),
+    c.UINT32: LongType(),
+    c.INT64: LongType(),
+    c.UINT64: DecimalType(20, 0),
+    c.STRING: StringType(),
+    c.IPADDR: StringType(),
+}
+
+HEADER_SCHEMA_FIELDS = [
+    StructField(c.RECEIPT_TIME, LongType()),
+    StructField(c.SENDER_IP, StringType()),
+    StructField(c.SENDER_PORT, IntegerType()),
+    StructField(c.SITE_ID, IntegerType()),
+]
+
+
+@dataclass
+class FieldSpec:
+    """Resolved mapping of one output column."""
+
+    column: str
+    attr: str  # LWES attribute name (case-sensitive)
+    event_name: str | None  # restrict to this event type (multi-event maps)
+    dtype: object  # Spark DataType
+
+
+def _parse_field_map(
+    schema: StructType, field_map_json: str | None, default_event: str | None
+) -> list[FieldSpec]:
+    """Resolve column→attribute mappings (EventSerDe.initialize,
+    EventSerDe.java:126-166). Unmapped columns use their own name."""
+    fmap: dict[str, str] = json.loads(field_map_json) if field_map_json else {}
+    specs = []
+    for f in schema.fields:
+        if f.name == EVENT_NAME_COL or f.name in c.HEADER_FIELD_TYPES:
+            continue
+        target = fmap.get(f.name, f.name)
+        if "::" in target:
+            # 'Event::Name::Field': event name = everything before the
+            # last '::' (EventSerDe.java:52-54,141-155)
+            ev_name, _, attr = target.rpartition("::")
+            specs.append(FieldSpec(f.name, attr, ev_name, f.dataType))
+        else:
+            specs.append(FieldSpec(f.name, target, default_event, f.dataType))
+    return specs
+
+
+def _convert_read(value, dtype, attr_token):
+    """Wire value → Python value matching the Spark column type
+    (deserialize_column dispatch, EventSerDe.java:228-308)."""
+    if value is None:
+        return None
+    t = type(dtype)
+    if t in (FloatType, DoubleType):
+        # string bridge (EventSerDe.java:270-281); tolerate numeric wire
+        # types too (more liberal than the reference)
+        return float(value)
+    if t is StringType:
+        return str(value)  # works for STRING and IPADDR (EventSerDe.java:282-287)
+    if t is BooleanType:
+        return bool(value)
+    if t in (ShortType, IntegerType, LongType):
+        return int(value)
+    if t is DecimalType:
+        import decimal
+
+        return decimal.Decimal(int(value))
+    if t is TimestampType:
+        # convenience: int64 millis → timestamp (for ReceiptTime columns)
+        import datetime
+
+        return datetime.datetime.fromtimestamp(
+            int(value) / 1000.0, tz=datetime.timezone.utc
+        )
+    raise c.CodecError(f"unsupported Spark type for LWES column: {dtype}")
+
+
+def _arrow_type(dtype):
+    import pyarrow as pa
+    from pyspark.sql.types import BinaryType
+
+    t = type(dtype)
+    out = {
+        BooleanType: pa.bool_(),
+        ByteType: pa.int8(),
+        ShortType: pa.int16(),
+        IntegerType: pa.int32(),
+        LongType: pa.int64(),
+        FloatType: pa.float32(),
+        DoubleType: pa.float64(),
+        StringType: pa.string(),
+        BinaryType: pa.binary(),
+    }.get(t) or (
+        pa.decimal128(dtype.precision, dtype.scale)
+        if t is DecimalType
+        else pa.timestamp("us", tz="UTC")
+        if t is TimestampType
+        else None
+    )
+    if out is None:
+        raise ValueError(f"lwes: unsupported column type {dtype} (flat scalars only)")
+    return out
+
+
+class LwesDataSource(DataSource):
+    """Register with ``spark.dataSource.register(LwesDataSource)``."""
+
+    @classmethod
+    def name(cls):
+        return "lwes"
+
+    def schema(self):
+        # schema inference by sampling (replaces the README's external
+        # ESF→DDL tool, reference README:67-68)
+        if self.options.get("raw", "false").lower() == "true":
+            return StructType(
+                HEADER_SCHEMA_FIELDS + [StructField("payload", _binary())]
+            )
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("lwes: path required for schema inference")
+        event_name = self.options.get("eventname")
+        multi = self.options.get("multievent", "false").lower() == "true"
+        sample_n = int(self.options.get("samplesize", "1000"))
+        return infer_schema(path, event_name, multi, sample_n)
+
+    def reader(self, schema: StructType):
+        return LwesReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return LwesWriter(schema, self.options, overwrite)
+
+    def simpleStreamReader(self, schema: StructType):
+        from lwes_contrib_hive_serde_spark.streaming.journal_stream import (
+            LwesStreamReader,
+        )
+
+        return LwesStreamReader(schema, self.options)
+
+
+def _binary():
+    from pyspark.sql.types import BinaryType
+
+    return BinaryType()
+
+
+def infer_schema(
+    path: str,
+    event_name: str | None,
+    multi_event: bool,
+    sample_n: int = 1000,
+) -> StructType:
+    """Sample events to build a schema. Single-event mode: attributes of
+    the (filtered) events. Multi-event mode: sparse union of all event
+    types' attributes + an ``event_name`` column (replaces the
+    reference's EventListWritable handling, EventSerDe.java:36-38)."""
+    files = _list_journal_files(path)
+    seen: dict[str, int] = {}  # attr -> token (widened on conflict)
+    count = 0
+    names = {event_name} if event_name else None
+    for fpath in files:
+        if count >= sample_n:
+            break
+        for ev in c.read_journal_file(fpath, event_names=names, inject_headers=False):
+            for k, tok in ev.types.items():
+                prev = seen.get(k)
+                seen[k] = tok if prev is None else _widen(prev, tok)
+            count += 1
+            if count >= sample_n:
+                break
+    fields = list(HEADER_SCHEMA_FIELDS)
+    if multi_event:
+        fields.append(StructField(EVENT_NAME_COL, StringType()))
+    for k in sorted(seen):
+        fields.append(StructField(k, _TOKEN_TO_SPARK[seen[k]]))
+    return StructType(fields)
+
+
+_WIDEN_ORDER = [c.BOOLEAN, c.INT16, c.UINT16, c.INT32, c.UINT32, c.INT64, c.UINT64]
+
+
+def _widen(a: int, b: int) -> int:
+    if a == b:
+        return a
+    if a in _WIDEN_ORDER and b in _WIDEN_ORDER:
+        return _WIDEN_ORDER[max(_WIDEN_ORDER.index(a), _WIDEN_ORDER.index(b))]
+    return c.STRING
+
+
+class LwesFilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class LwesReader(DataSourceReader):
+    def __init__(self, schema: StructType, options):
+        self.schema = schema
+        self.options = options
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("lwes: no path specified")
+        self.raw = options.get("raw", "false").lower() == "true"
+        self.event_name = options.get("eventname")
+        self.batch_size = int(options.get("batchsize", "8192"))
+        self.specs = _parse_field_map(
+            schema, options.get("fieldmap"), self.event_name
+        )
+        # event-name pushdown set: explicit option, or the union of
+        # names in a multi-event fieldMap
+        map_names = {s.event_name for s in self.specs if s.event_name}
+        if self.event_name:
+            self.name_filter: set[str] | None = {self.event_name}
+        elif map_names and all(s.event_name for s in self.specs):
+            self.name_filter = map_names
+        else:
+            self.name_filter = None
+        self.want_event_name = any(
+            f.name == EVENT_NAME_COL for f in schema.fields
+        )
+        # header-level predicates accepted by pushFilters: evaluated on
+        # the 22-byte header + peeked event name, BEFORE payload decode.
+        self.header_filters: list[tuple[str, str, object]] = []
+
+    # Columns whose value is known without decoding the payload.
+    _PREDECODE_COLS = frozenset(
+        {c.RECEIPT_TIME, c.SENDER_IP, c.SENDER_PORT, c.SITE_ID, EVENT_NAME_COL}
+    )
+
+    def pushFilters(self, filters):
+        """Push header-field and event-name predicates into the scan
+        (the reader-level analogue of the reference's implicit
+        event-name filter, EventSerDe.java:199 — generalized to the
+        four header fields, which the journal framing exposes without
+        touching the payload)."""
+        for flt in filters:
+            op = type(flt).__name__
+            attr = getattr(flt, "attribute", None)
+            if (
+                attr is not None
+                and len(attr) == 1
+                and attr[0] in self._PREDECODE_COLS
+                and op in ("EqualTo", "GreaterThan", "GreaterThanOrEqual",
+                           "LessThan", "LessThanOrEqual", "In")
+            ):
+                value = flt.value if op != "In" else set(flt.value)
+                self.header_filters.append((attr[0], op, value))
+            else:
+                yield flt
+
+    @staticmethod
+    def _eval_header_filters(header_filters, values: dict) -> bool:
+        for col, op, want in header_filters:
+            v = values[col]
+            if op == "EqualTo":
+                if v != want:
+                    return False
+            elif op == "GreaterThan":
+                if not v > want:
+                    return False
+            elif op == "GreaterThanOrEqual":
+                if not v >= want:
+                    return False
+            elif op == "LessThan":
+                if not v < want:
+                    return False
+            elif op == "LessThanOrEqual":
+                if not v <= want:
+                    return False
+            elif op == "In":
+                if v not in want:
+                    return False
+        return True
+
+    def partitions(self):
+        # one partition per file: non-splittable framing
+        # (JournalInputFormat.java:58-60)
+        return [LwesFilePartition(p) for p in _list_journal_files(self.path)]
+
+    def read(self, partition: LwesFilePartition) -> Iterator:
+        import pyarrow as pa
+
+        fields = self.schema.fields
+        arrow_schema = pa.schema(
+            [(f.name, _arrow_type(f.dataType)) for f in fields]
+        )
+        if self.raw:
+            yield from self._read_raw(partition.path, pa, arrow_schema)
+            return
+
+        spec_by_col = {s.column: s for s in self.specs}
+        converters = []
+        for f in fields:
+            if f.name in c.HEADER_FIELD_TYPES:
+                converters.append(("header", f.name, f.dataType))
+            elif f.name == EVENT_NAME_COL:
+                converters.append(("name", None, f.dataType))
+            else:
+                s = spec_by_col[f.name]
+                converters.append(("attr", s, f.dataType))
+
+        cols: list[list] = [[] for _ in fields]
+        n = 0
+        hf = self.header_filters
+        name_filter = self.name_filter
+        with c.open_journal(partition.path) as stream:
+            read = stream.read
+            while True:
+                hdr = read(c.HEADER_LENGTH)
+                if not hdr:
+                    break
+                if len(hdr) < c.HEADER_LENGTH:
+                    raise c.CodecError("truncated journal header")
+                length, rtime, ip, port, site = c.unpack_header(hdr)
+                payload = read(length)
+                if len(payload) < length:
+                    raise c.CodecError("truncated journal payload")
+                name = c.peek_event_name(payload)
+                if name_filter is not None and name not in name_filter:
+                    continue
+                if hf and not self._eval_header_filters(
+                    hf,
+                    {
+                        c.RECEIPT_TIME: rtime,
+                        c.SENDER_IP: ip,
+                        c.SENDER_PORT: port,
+                        c.SITE_ID: site,
+                        EVENT_NAME_COL: name,
+                    },
+                ):
+                    continue  # filtered without payload decode
+                ev = c.decode_event(payload)
+                attrs = ev.attributes
+                attrs[c.RECEIPT_TIME] = rtime
+                attrs[c.SENDER_IP] = ip
+                attrs[c.SENDER_PORT] = port
+                attrs[c.SITE_ID] = site
+                for i, (kind, spec, dtype) in enumerate(converters):
+                    if kind == "header":
+                        v = attrs.get(spec)
+                        cols[i].append(_convert_read(v, dtype, None))
+                    elif kind == "name":
+                        cols[i].append(ev.name)
+                    else:
+                        if spec.event_name is not None and ev.name != spec.event_name:
+                            cols[i].append(None)
+                            continue
+                        v = attrs.get(spec.attr)
+                        cols[i].append(
+                            None if v is None else _convert_read(v, dtype, None)
+                        )
+                n += 1
+                if n >= self.batch_size:
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(col, type=arrow_schema.field(i).type)
+                            for i, col in enumerate(cols)
+                        ],
+                        schema=arrow_schema,
+                    )
+                    cols = [[] for _ in fields]
+                    n = 0
+        if n:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(col, type=arrow_schema.field(i).type)
+                    for i, col in enumerate(cols)
+                ],
+                schema=arrow_schema,
+            )
+
+    def _read_raw(self, path, pa, arrow_schema):
+        """Raw mode: header columns + undecoded payload bytes
+        (readDataGramBytes, DatagramPacketInputStream.java:89-113)."""
+        headers: list[list] = [[], [], [], []]
+        payloads: list[bytes] = []
+        with c.open_journal(path) as stream:
+            for hdr, payload in c.read_journal_raw(stream):
+                _, rtime, ip, port, site = c.unpack_header(hdr)
+                headers[0].append(rtime)
+                headers[1].append(ip)
+                headers[2].append(port)
+                headers[3].append(site)
+                payloads.append(payload)
+                if len(payloads) >= self.batch_size:
+                    yield self._raw_batch(pa, arrow_schema, headers, payloads)
+                    headers = [[], [], [], []]
+                    payloads = []
+        if payloads:
+            yield self._raw_batch(pa, arrow_schema, headers, payloads)
+
+    @staticmethod
+    def _raw_batch(pa, arrow_schema, headers, payloads):
+        arrays = [
+            pa.array(headers[0], type=pa.int64()),
+            pa.array(headers[1], type=pa.string()),
+            pa.array(headers[2], type=pa.int32()),
+            pa.array(headers[3], type=pa.int32()),
+            pa.array(payloads, type=pa.binary()),
+        ]
+        return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+
+# ---------------------------------------------------------------------------
+# Writer
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class LwesCommitMessage(WriterCommitMessage):
+    path: str = ""
+    records: int = 0
+
+
+# Spark type → wire token for the write path (serialize_column,
+# EventSerDe.java:373-452). Floats/doubles → STRING (string bridge);
+# BYTE upcast to INT16 (EventSerDe.java:395-401).
+def _write_token(dtype) -> int:
+    t = type(dtype)
+    if t is BooleanType:
+        return c.BOOLEAN
+    if t in (ByteType, ShortType):
+        return c.INT16
+    if t is IntegerType:
+        return c.INT32
+    if t is LongType:
+        return c.INT64
+    if t is DecimalType:
+        return c.UINT64
+    if t in (FloatType, DoubleType):
+        return c.STRING
+    if t is StringType:
+        return c.STRING
+    if t is TimestampType:
+        return c.INT64  # epoch millis
+    raise ValueError(
+        f"lwes: unsupported column type for write: {dtype} "
+        "(LWES events are flat scalars; LIST/MAP/STRUCT rejected like "
+        "EventSerDe.java:443-447)"
+    )
+
+
+def _convert_write(value, dtype, token):
+    if token == c.STRING and not isinstance(value, str):
+        # float/double string bridge (EventSerDe.java:420-431)
+        return repr(float(value)) if isinstance(value, float) else str(value)
+    if type(dtype) is DecimalType:
+        return int(value)
+    if type(dtype) is TimestampType:
+        import datetime
+
+        if isinstance(value, datetime.datetime):
+            if value.tzinfo is None:
+                value = value.replace(tzinfo=datetime.timezone.utc)
+            return int(value.timestamp() * 1000)
+        return int(value)
+    return value
+
+
+class LwesWriter(DataSourceWriter):
+    def __init__(self, schema: StructType, options, overwrite: bool):
+        self.schema = schema
+        self.options = options
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("lwes: no output path specified")
+        self.overwrite = overwrite
+        self.compression = options.get("compression", "none").lower()
+        self.event_name = options.get("eventname")
+        self.specs = _parse_field_map(schema, options.get("fieldmap"), self.event_name)
+        self.has_event_name_col = any(
+            f.name == EVENT_NAME_COL for f in schema.fields
+        )
+        if not self.event_name and not self.has_event_name_col:
+            # write path requires an event name, like the reference
+            # (new Event(allEventName, ...), EventSerDe.java:332-345)
+            raise ValueError(
+                "lwes: option 'eventName' is required to write (or include "
+                f"an '{EVENT_NAME_COL}' column)"
+            )
+        if self.overwrite:
+            # clear existing journal files up front (driver side)
+            if os.path.isdir(self.path):
+                for f in _list_journal_files(self.path):
+                    os.remove(f)
+
+    def write(self, rows) -> LwesCommitMessage:
+        os.makedirs(self.path, exist_ok=True)
+        ext = ".journal.gz" if self.compression == "gzip" else ".journal"
+        out_path = os.path.join(self.path, f"part-{uuid.uuid4().hex}{ext}")
+        field_names = [f.name for f in self.schema.fields]
+        spec_by_col = {s.column: s for s in self.specs}
+        tokens = {s.column: _write_token(s.dtype) for s in self.specs}
+        n = 0
+        with c.open_journal_write(out_path) as f:
+            for row in rows:
+                d = dict(zip(field_names, row))
+                ev_name = (
+                    d.get(EVENT_NAME_COL)
+                    if self.has_event_name_col and d.get(EVENT_NAME_COL)
+                    else self.event_name
+                )
+                ev = c.Event(ev_name)
+                for col, spec in spec_by_col.items():
+                    if spec.event_name is not None and ev_name != spec.event_name:
+                        continue
+                    v = d.get(col)
+                    if v is None:
+                        continue  # nulls omitted (EventSerDe.java:377-380)
+                    tok = tokens[col]
+                    ev.set(spec.attr, tok, _convert_write(v, spec.dtype, tok))
+                # header write-back (DatagramPacketOutputStream.java:91-114)
+                for hf, htok in c.HEADER_FIELD_TYPES.items():
+                    v = d.get(hf)
+                    if v is not None:
+                        dtype = next(
+                            (f.dataType for f in self.schema.fields if f.name == hf),
+                            None,
+                        )
+                        ev.set(hf, htok, _convert_write(v, dtype, htok))
+                c.write_journal_record(f, ev)
+                n += 1
+        return LwesCommitMessage(path=out_path, records=n)
+
+    def commit(self, messages):
+        total = sum(m.records for m in messages if m)
+        marker = os.path.join(self.path, "_SUCCESS")
+        with open(marker, "w") as f:
+            f.write(json.dumps({"records": total, "files": len(messages)}))
+
+    def abort(self, messages):
+        for m in messages:
+            if m and m.path and os.path.exists(m.path):
+                os.remove(m.path)

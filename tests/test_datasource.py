@@ -1,0 +1,344 @@
+"""LWES data source integration tests (FIXTURES.md §A1–A5):
+read golden journals → expected DataFrames; write→read round-trips
+including compression; column mapping; multi-event; header defaults;
+pushed-down filters; schema inference; raw mode."""
+
+import json
+import os
+
+import pytest
+
+from lwes_contrib_hive_serde_spark.sources import codec as c
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def write_journal(path, events):
+    c.write_journal_file(str(path), events)
+    return str(path)
+
+
+def mkevent(name, **attrs):
+    ev = c.Event(name)
+    for k, (token, v) in attrs.items():
+        ev.set(k, token, v)
+    return ev
+
+
+ALL_TYPES_SCHEMA = (
+    "b_bool boolean, n_int16 short, n_uint16 int, n_int32 int, "
+    "n_uint32 long, n_int64 long, n_uint64 decimal(20,0), "
+    "f_float float, f_double double, s_str string, ip_addr string, "
+    "ReceiptTime long, SenderIP string, SenderPort int, SiteID int"
+)
+
+
+class TestRead:
+    def test_all_types_golden(self, spark):
+        df = (
+            spark.read.format("lwes")
+            .schema(ALL_TYPES_SCHEMA)
+            .option("eventName", "Test::AllTypes")
+            .load(os.path.join(GOLDEN, "all_types.journal"))
+        )
+        rows = df.orderBy("n_uint16").collect()
+        assert len(rows) == 10
+        r0 = rows[0]
+        assert r0.b_bool is True
+        assert r0.n_int16 == -(1 << 15)
+        assert r0.n_int32 == -(1 << 31)
+        assert r0.n_uint32 == (1 << 32) - 1
+        assert r0.n_int64 == -(1 << 63)
+        assert int(r0.n_uint64) == (1 << 64) - 1
+        assert r0.f_float == 0.0
+        assert r0.s_str == ""
+        assert r0.ip_addr == "0.255.0.255"
+        assert r0.ReceiptTime == 1700000000000
+        assert r0.SenderIP == "10.0.0.0"
+        assert r0.SenderPort == 9577
+        # float/double string-bridge values parse
+        r3 = rows[3]
+        assert abs(r3.f_float - 4.5) < 1e-6
+        assert r3.f_double == 3 * 2.25e100
+
+    def test_sparse_nulls(self, spark):
+        df = (
+            spark.read.format("lwes")
+            .schema("k long, a int, b string, c double")
+            .option("eventName", "Test::Sparse")
+            .load(os.path.join(GOLDEN, "sparse.journal"))
+        )
+        rows = {r.k: r for r in df.collect()}
+        assert len(rows) == 20
+        assert rows[0].a is None and rows[0].b is None and rows[0].c is None
+        assert rows[1].a == 10 and rows[1].b == "s1" and rows[1].c == 0.125
+        assert rows[3].a is None and rows[3].b == "s3" and rows[3].c == 0.375
+        assert rows[4].a == 40 and rows[4].b is None and rows[4].c == 0.5
+
+    def test_gz_matches_plain(self, spark):
+        schema = "k long, a int, b string, c double"
+        plain = (
+            spark.read.format("lwes").schema(schema)
+            .option("eventName", "Test::Sparse")
+            .load(os.path.join(GOLDEN, "sparse.journal"))
+        )
+        gz = (
+            spark.read.format("lwes").schema(schema)
+            .option("eventName", "Test::Sparse")
+            .load(os.path.join(GOLDEN, "sparse.journal.gz"))
+        )
+        assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, gz.collect()))
+
+    def test_multievent_qualified_fieldmap(self, spark):
+        # Event::Name::Field mapping (EventSerDe.java:52-54,141-155) +
+        # event_name column; unmapped Noise::Event rows are dropped, NOT
+        # leaked as stale rows (reference quirk we do not replicate).
+        fmap = {
+            "a_bid": "Auction::Complete::a_bid",
+            "a_act_id": "Auction::Complete::a_act_id",
+            "imp_id": "Impression::Confirmed::imp_id",
+            "imp_site": "Impression::Confirmed::imp_site",
+        }
+        df = (
+            spark.read.format("lwes")
+            .schema(
+                "event_name string, a_bid string, a_act_id long, "
+                "imp_id long, imp_site int"
+            )
+            .option("fieldMap", json.dumps(fmap))
+            .load(os.path.join(GOLDEN, "multitype.journal"))
+        )
+        rows = df.collect()
+        names = {r.event_name for r in rows}
+        assert names == {"Auction::Complete", "Impression::Confirmed"}
+        assert len(rows) == 20  # 30 events, 10 Noise dropped
+        auc = sorted(r.a_act_id for r in rows if r.event_name == "Auction::Complete")
+        assert auc == [1000 + i for i in range(0, 30, 3)]
+        for r in rows:
+            if r.event_name == "Auction::Complete":
+                assert r.imp_id is None and r.imp_site is None
+            else:
+                assert r.a_bid is None and r.a_act_id is None
+
+    def test_simple_fieldmap_rename(self, spark, tmp_path):
+        evs = [
+            mkevent("T::E", SenderThing=(c.STRING, f"t{i}"), XRevenue=(c.INT64, i))
+            for i in range(5)
+        ]
+        p = write_journal(tmp_path / "renamed.journal", evs)
+        df = (
+            spark.read.format("lwes")
+            .schema("sender_thing string, x_revenue long")
+            .option("eventName", "T::E")
+            .option(
+                "fieldMap",
+                json.dumps({"sender_thing": "SenderThing", "x_revenue": "XRevenue"}),
+            )
+            .load(p)
+        )
+        rows = sorted(map(tuple, df.collect()))
+        assert rows == [(f"t{i}", i) for i in range(5)]
+
+    def test_one_partition_per_file(self, spark, tmp_path):
+        d = tmp_path / "multi"
+        d.mkdir()
+        for j in range(3):
+            write_journal(
+                d / f"f{j}.journal",
+                [mkevent("E", a=(c.INT32, j * 10 + i)) for i in range(4)],
+            )
+        df = (
+            spark.read.format("lwes").schema("a int").option("eventName", "E")
+            .load(str(d))
+        )
+        assert df.rdd.getNumPartitions() == 3
+        assert df.count() == 12
+
+    def test_raw_mode(self, spark):
+        df = (
+            spark.read.format("lwes")
+            .option("raw", "true")
+            .load(os.path.join(GOLDEN, "sparse.journal"))
+        )
+        rows = df.collect()
+        assert len(rows) == 20
+        assert df.columns == ["ReceiptTime", "SenderIP", "SenderPort", "SiteID", "payload"]
+        assert c.decode_event(bytes(rows[0].payload)).name == "Test::Sparse"
+
+    def test_schema_inference(self, spark):
+        df = (
+            spark.read.format("lwes")
+            .option("eventName", "Test::Sparse")
+            .load(os.path.join(GOLDEN, "sparse.journal"))
+        )
+        got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        assert got["k"] == "bigint"
+        assert got["a"] == "int"
+        assert got["b"] == "string"
+        assert got["c"] == "string"  # double rides as string on the wire
+        assert got["ReceiptTime"] == "bigint"
+        assert df.count() == 20
+
+    def test_schema_inference_multievent(self, spark):
+        df = (
+            spark.read.format("lwes")
+            .option("multiEvent", "true")
+            .load(os.path.join(GOLDEN, "multitype.journal"))
+        )
+        assert "event_name" in df.columns
+        assert df.count() == 30  # all three event types
+        assert (
+            df.filter("event_name = 'Noise::Event'").count() == 10
+        )
+
+    def test_header_filter_pushdown(self, spark):
+        df = (
+            spark.read.format("lwes")
+            .schema(ALL_TYPES_SCHEMA)
+            .option("eventName", "Test::AllTypes")
+            .load(os.path.join(GOLDEN, "all_types.journal"))
+        )
+        assert df.filter("SiteID = 1").count() == 3
+        assert df.filter("ReceiptTime >= 1700000005000").count() == 5
+        assert (
+            df.filter("SiteID = 0 AND ReceiptTime < 1700000009000").count() == 3
+        )
+
+
+class TestWriteRoundTrip:
+    def test_round_trip_all_types(self, spark, tmp_path):
+        src = (
+            spark.read.format("lwes")
+            .schema(ALL_TYPES_SCHEMA)
+            .option("eventName", "Test::AllTypes")
+            .load(os.path.join(GOLDEN, "all_types.journal"))
+        )
+        out = str(tmp_path / "out")
+        (
+            src.write.format("lwes")
+            .option("eventName", "Test::AllTypes")
+            .mode("append")
+            .save(out)
+        )
+        back = (
+            spark.read.format("lwes")
+            .schema(ALL_TYPES_SCHEMA)
+            .option("eventName", "Test::AllTypes")
+            .load(out)
+        )
+        assert sorted(map(tuple, src.collect())) == sorted(map(tuple, back.collect()))
+
+    def test_round_trip_nulls_preserved(self, spark, tmp_path):
+        schema = "k long, a int, b string, c double"
+        src = (
+            spark.read.format("lwes").schema(schema)
+            .option("eventName", "Test::Sparse")
+            .load(os.path.join(GOLDEN, "sparse.journal"))
+        )
+        out = str(tmp_path / "sparse_out")
+        src.write.format("lwes").option("eventName", "Test::Sparse").mode("append").save(out)
+        back = (
+            spark.read.format("lwes").schema(schema)
+            .option("eventName", "Test::Sparse").load(out)
+        )
+        assert sorted(map(tuple, src.collect())) == sorted(map(tuple, back.collect()))
+        # nulls must be ABSENT attributes on the wire (EventSerDe.java:377-380)
+        files = [f for f in os.listdir(out) if f.endswith(".journal")]
+        evs = list(c.read_journal_file(os.path.join(out, files[0])))
+        assert any("a" not in e.attributes for e in evs)
+
+    def test_write_gzip(self, spark, tmp_path):
+        df = spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string")
+        out = str(tmp_path / "gz_out")
+        (
+            df.write.format("lwes")
+            .option("eventName", "G::Z")
+            .option("compression", "gzip")
+            .mode("append")
+            .save(out)
+        )
+        files = [f for f in os.listdir(out) if f.endswith(".journal.gz")]
+        assert files
+        back = (
+            spark.read.format("lwes").schema("k long, v string")
+            .option("eventName", "G::Z").load(out)
+        )
+        assert sorted(map(tuple, back.collect())) == [(1, "x"), (2, "y")]
+
+    def test_write_header_columns(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(7, 1700000000123, "1.2.3.4", 99, 5)],
+            "k long, ReceiptTime long, SenderIP string, SenderPort int, SiteID int",
+        )
+        out = str(tmp_path / "hdr_out")
+        df.write.format("lwes").option("eventName", "H::E").mode("append").save(out)
+        files = [f for f in os.listdir(out) if f.endswith(".journal")]
+        [ev] = [e for f in files for e in c.read_journal_file(os.path.join(out, f))]
+        assert ev.attributes["ReceiptTime"] == 1700000000123
+        assert ev.attributes["SenderIP"] == "1.2.3.4"
+        assert ev.attributes["SenderPort"] == 99
+        assert ev.attributes["SiteID"] == 5
+        assert ev.attributes["k"] == 7
+
+    def test_write_requires_event_name(self, spark, tmp_path):
+        df = spark.createDataFrame([(1,)], "k long")
+        with pytest.raises(Exception, match="eventName"):
+            df.write.format("lwes").mode("append").save(str(tmp_path / "noname"))
+
+    def test_write_multievent_via_column(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [("A::X", 1), ("B::Y", 2)], "event_name string, k long"
+        )
+        out = str(tmp_path / "me_out")
+        df.write.format("lwes").mode("append").save(out)
+        back = (
+            spark.read.format("lwes")
+            .schema("event_name string, k long")
+            .option("multiEvent", "true")
+            .load(out)
+        )
+        assert sorted(map(tuple, back.select("event_name", "k").collect())) == [
+            ("A::X", 1),
+            ("B::Y", 2),
+        ]
+
+    def test_overwrite_mode(self, spark, tmp_path):
+        out = str(tmp_path / "ow")
+        df1 = spark.createDataFrame([(1,)], "k long")
+        df2 = spark.createDataFrame([(2,)], "k long")
+        df1.write.format("lwes").option("eventName", "E").mode("append").save(out)
+        df2.write.format("lwes").option("eventName", "E").mode("overwrite").save(out)
+        back = (
+            spark.read.format("lwes").schema("k long")
+            .option("eventName", "E").load(out)
+        )
+        assert [tuple(r) for r in back.collect()] == [(2,)]
+
+    def test_events_table_lwes_round_trip(self, spark, tmp_path):
+        """The driver's events table journaled and read back loses
+        nothing (ts carried as ReceiptTime epoch millis)."""
+        from pyspark.sql import functions as F
+
+        from lwes_contrib_hive_serde_spark.plans.corpus import table
+
+        ev = table(spark, "/root/testdata/sf0.001", "events").limit(500)
+        src = ev.select(
+            F.col("event_id"),
+            F.col("user_id"),
+            F.col("event_type"),
+            F.col("value"),
+            F.col("props"),
+            F.unix_millis("ts").alias("ReceiptTime"),
+        )
+        out = str(tmp_path / "events_journal")
+        src.write.format("lwes").option("eventName", "Test::Event").mode("append").save(out)
+        back = (
+            spark.read.format("lwes")
+            .schema(
+                "event_id long, user_id long, event_type string, "
+                "value double, props string, ReceiptTime long"
+            )
+            .option("eventName", "Test::Event")
+            .load(out)
+        )
+        assert sorted(map(tuple, src.collect())) == sorted(map(tuple, back.collect()))

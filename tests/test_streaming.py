@@ -1,0 +1,104 @@
+"""Structured Streaming journal tailer (SURVEY §3.3 / M5).
+
+Covers: initial file pickup, new-file pickup, in-place append pickup
+(byte-offset resume), exactly-once within the run, event-time window
+aggregation with watermark over ReceiptTime.
+"""
+
+import os
+import time
+
+import pytest
+
+from lwes_contrib_hive_serde_spark.sources import codec as c
+
+
+def emit(d, fname, lo, hi, base_ms=1723500000000):
+    evs = []
+    for i in range(lo, hi):
+        ev = c.Event("S::E")
+        ev.set("n", c.INT64, i)
+        ev.set(c.RECEIPT_TIME, c.INT64, base_ms + i * 1000)
+        evs.append(ev)
+    c.write_journal_file(os.path.join(d, fname), evs)
+
+
+def wait_until(fn, timeout=30.0, interval=0.5):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if fn():
+            return True
+        time.sleep(interval)
+    return False
+
+
+class TestJournalStream:
+    def test_tail_new_files_and_appends(self, spark, tmp_path):
+        d = str(tmp_path / "jdir")
+        os.makedirs(d)
+        emit(d, "a.journal", 0, 50)
+        q = (
+            spark.readStream.format("lwes")
+            .schema("n long, ReceiptTime long")
+            .option("eventName", "S::E")
+            .load(d)
+            .writeStream.format("memory")
+            .queryName("tail_sink")
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        try:
+            assert wait_until(
+                lambda: spark.sql("select count(*) c from tail_sink").first().c == 50
+            ), "initial file not picked up"
+            emit(d, "b.journal", 50, 80)
+            with open(os.path.join(d, "a.journal"), "ab") as f:
+                for i in range(1000, 1010):
+                    ev = c.Event("S::E").set("n", c.INT64, i)
+                    c.write_journal_record(f, ev)
+            assert wait_until(
+                lambda: spark.sql("select count(*) c from tail_sink").first().c == 90
+            ), "new file / append not picked up"
+            # exactly-once: no duplicates
+            assert (
+                spark.sql("select count(distinct n) c from tail_sink").first().c == 90
+            )
+        finally:
+            q.stop()
+
+    def test_windowed_aggregation_with_watermark(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        d = str(tmp_path / "jdir2")
+        os.makedirs(d)
+        emit(d, "a.journal", 0, 120)  # 1 event/sec → 2 minutes of data
+        src = (
+            spark.readStream.format("lwes")
+            .schema("n long, ReceiptTime long")
+            .option("eventName", "S::E")
+            .load(d)
+            .withColumn("ts", F.timestamp_millis(F.col("ReceiptTime")))
+        )
+        agg = (
+            src.withWatermark("ts", "10 seconds")
+            .groupBy(F.window("ts", "60 seconds").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("win_sink")
+            .outputMode("complete")
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        try:
+            assert wait_until(
+                lambda: spark.sql("select sum(n_events) s from win_sink").first().s
+                == 120
+            )
+            rows = spark.sql(
+                "select w.start, n_events from win_sink order by w.start"
+            ).collect()
+            assert [r.n_events for r in rows] == [60, 60]
+        finally:
+            q.stop()
