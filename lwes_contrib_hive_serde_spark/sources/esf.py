@@ -1,0 +1,183 @@
+"""ESF (Event Specification Format) parser → Spark schemas.
+
+LWES deployments describe their event types in ``.esf`` files
+(public format, lwes.org). The reference README mentions an external
+"tool to create table definitions from the ESF file" (reference
+README:67-68) that is not in the repo; this module is that tool,
+emitting Spark ``StructType`` (and the fieldMap option) instead of
+Hive DDL.
+
+Grammar (the subset used by LWES 0.2 deployments)::
+
+    # comment
+    MetaEventInfo                # optional: fields shared by all events
+    {
+      int64  ReceiptTime;
+      ip_addr SenderIP;
+      ...
+    }
+    Event::Name
+    {
+      string  field_a;           # comment
+      uint32  field_b;
+    }
+
+Type names: uint16 int16 uint32 int32 int64 uint64 string ip_addr
+boolean (aliases: bool, ipaddr). Array/nullable annotations from later
+ESF revisions are rejected — the journal format is flat scalars
+(reference README:73-75, EventSerDe.java:293-297).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql.types import StructField, StructType
+
+from lwes_contrib_hive_serde_spark.sources import codec as c
+from lwes_contrib_hive_serde_spark.sources.datasource import (
+    EVENT_NAME_COL,
+    HEADER_SCHEMA_FIELDS,
+    _TOKEN_TO_SPARK,
+)
+
+_TYPE_ALIASES = {
+    "uint16": c.UINT16,
+    "int16": c.INT16,
+    "uint32": c.UINT32,
+    "int32": c.INT32,
+    "int64": c.INT64,
+    "uint64": c.UINT64,
+    "string": c.STRING,
+    "ip_addr": c.IPADDR,
+    "ipaddr": c.IPADDR,
+    "boolean": c.BOOLEAN,
+    "bool": c.BOOLEAN,
+}
+
+META_EVENT = "MetaEventInfo"
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<comment>\#[^\n]*)
+  | (?P<lbrace>\{)
+  | (?P<rbrace>\})
+  | (?P<semi>;)
+  | (?P<word>[A-Za-z_][A-Za-z0-9_:.]*)
+    """,
+    re.VERBOSE,
+)
+
+
+class EsfError(ValueError):
+    pass
+
+
+def parse_esf(text: str) -> dict[str, dict[str, int]]:
+    """Parse ESF text → {event_name: {attribute: wire token}}.
+
+    MetaEventInfo fields are folded into every event (they describe
+    the header-injected attributes and journaller-shared fields).
+    """
+    tokens = []
+    for m in _TOKEN_RE.finditer(text):
+        kind = m.lastgroup
+        if kind == "comment":
+            continue
+        tokens.append((kind, m.group()))
+    leftover = _TOKEN_RE.sub("", text)
+    if leftover.strip():
+        bad = leftover.strip().splitlines()[0][:40]
+        raise EsfError(f"unrecognized ESF syntax near: {bad!r}")
+
+    events: dict[str, dict[str, int]] = {}
+    meta: dict[str, int] = {}
+    i = 0
+
+    def expect(kind):
+        nonlocal i
+        if i >= len(tokens) or tokens[i][0] != kind:
+            got = tokens[i] if i < len(tokens) else ("eof", "")
+            raise EsfError(f"expected {kind}, got {got[1]!r}")
+        i += 1
+        return tokens[i - 1][1]
+
+    while i < len(tokens):
+        name = expect("word")
+        expect("lbrace")
+        fields: dict[str, int] = {}
+        while i < len(tokens) and tokens[i][0] != "rbrace":
+            type_name = expect("word").lower()
+            if type_name not in _TYPE_ALIASES:
+                raise EsfError(
+                    f"unknown ESF type {type_name!r} in event {name!r} "
+                    "(flat LWES scalars only)"
+                )
+            attr = expect("word")
+            expect("semi")
+            fields[attr] = _TYPE_ALIASES[type_name]
+        expect("rbrace")
+        if name == META_EVENT:
+            meta = fields
+        else:
+            events[name] = fields
+
+    if meta:
+        for fields in events.values():
+            for k, tok in meta.items():
+                fields.setdefault(k, tok)
+    if not events:
+        raise EsfError("no event definitions found")
+    return events
+
+
+def esf_to_schema(
+    text: str, event_name: str | None = None, multi_event: bool = False
+) -> StructType:
+    """ESF → Spark StructType for ``spark.read.format('lwes')``.
+
+    Single-event: pass ``event_name`` (or the file must define exactly
+    one event). Multi-event: sparse union of all events' fields +
+    ``event_name`` column.  The four header columns are always present
+    (and deduplicated if the ESF's MetaEventInfo also declares them).
+    """
+    events = parse_esf(text)
+    if multi_event:
+        chosen = events
+    else:
+        if event_name is None:
+            if len(events) != 1:
+                raise EsfError(
+                    f"ESF defines {sorted(events)}; pass event_name or "
+                    "multi_event=True"
+                )
+            event_name = next(iter(events))
+        if event_name not in events:
+            raise EsfError(f"event {event_name!r} not in ESF ({sorted(events)})")
+        chosen = {event_name: events[event_name]}
+
+    fields = list(HEADER_SCHEMA_FIELDS)
+    taken = {f.name for f in fields}
+    if multi_event:
+        fields.append(StructField(EVENT_NAME_COL, _TOKEN_TO_SPARK[c.STRING]))
+        taken.add(EVENT_NAME_COL)
+
+    merged: dict[str, int] = {}
+    for fs in chosen.values():
+        for k, tok in fs.items():
+            if k in taken:
+                continue
+            prev = merged.get(k)
+            if prev is not None and prev != tok:
+                raise EsfError(
+                    f"attribute {k!r} has conflicting types across events"
+                )
+            merged[k] = tok
+    for k in sorted(merged):
+        fields.append(StructField(k, _TOKEN_TO_SPARK[merged[k]]))
+    return StructType(fields)
+
+
+def esf_file_to_schema(path: str, **kwargs) -> StructType:
+    with open(path) as f:
+        return esf_to_schema(f.read(), **kwargs)

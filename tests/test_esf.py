@@ -1,0 +1,105 @@
+"""ESF parser tests (M3) — including use as a read schema."""
+
+import pytest
+
+from lwes_contrib_hive_serde_spark.sources import codec as c
+from lwes_contrib_hive_serde_spark.sources.esf import (
+    EsfError,
+    esf_to_schema,
+    parse_esf,
+)
+
+ESF = """
+# LWES event definitions
+MetaEventInfo
+{
+  int64   ReceiptTime;   # injected by journaller
+  ip_addr SenderIP;
+  uint16  SenderPort;
+  uint16  SiteID;
+  string  env;           # shared by all events
+}
+
+Auction::Complete
+{
+  string a_bid;          # bid id
+  string a_price;
+  int64  a_act_id;
+}
+
+Impression::Confirmed
+{
+  int64  imp_id;
+  int32  imp_site;
+  boolean confirmed;
+}
+"""
+
+
+class TestParse:
+    def test_events_and_meta_fold(self):
+        events = parse_esf(ESF)
+        assert set(events) == {"Auction::Complete", "Impression::Confirmed"}
+        auc = events["Auction::Complete"]
+        assert auc["a_bid"] == c.STRING
+        assert auc["a_act_id"] == c.INT64
+        assert auc["env"] == c.STRING  # MetaEventInfo folded in
+        assert auc["ReceiptTime"] == c.INT64
+        imp = events["Impression::Confirmed"]
+        assert imp["confirmed"] == c.BOOLEAN
+        assert imp["imp_site"] == c.INT32
+
+    def test_single_event_schema(self):
+        st = esf_to_schema(ESF, event_name="Impression::Confirmed")
+        names = [f.name for f in st.fields]
+        assert names[:4] == ["ReceiptTime", "SenderIP", "SenderPort", "SiteID"]
+        got = {f.name: f.dataType.simpleString() for f in st.fields}
+        assert got["imp_id"] == "bigint"
+        assert got["imp_site"] == "int"
+        assert got["confirmed"] == "boolean"
+        assert got["env"] == "string"
+
+    def test_multi_event_union(self):
+        st = esf_to_schema(ESF, multi_event=True)
+        got = {f.name for f in st.fields}
+        assert "event_name" in got
+        assert {"a_bid", "imp_id", "confirmed", "env"} <= got
+
+    def test_errors(self):
+        with pytest.raises(EsfError, match="unknown ESF type"):
+            parse_esf("E { float x; }")
+        with pytest.raises(EsfError, match="pass event_name"):
+            esf_to_schema(ESF)
+        with pytest.raises(EsfError, match="not in ESF"):
+            esf_to_schema(ESF, event_name="No::Pe")
+        with pytest.raises(EsfError):
+            parse_esf("E { string x }")  # missing semicolon
+        with pytest.raises(EsfError, match="unrecognized ESF syntax"):
+            parse_esf("E { string x; } @!$")
+
+    def test_schema_drives_datasource_read(self, spark, tmp_path):
+        from tests.test_datasource import mkevent, write_journal
+
+        evs = [
+            mkevent(
+                "Impression::Confirmed",
+                imp_id=(c.INT64, i),
+                imp_site=(c.INT32, i % 3),
+                confirmed=(c.BOOLEAN, i % 2 == 0),
+                env=(c.STRING, "prod"),
+            )
+            for i in range(6)
+        ]
+        p = write_journal(tmp_path / "imp.journal", evs)
+        st = esf_to_schema(ESF, event_name="Impression::Confirmed")
+        df = (
+            spark.read.format("lwes")
+            .schema(st)
+            .option("eventName", "Impression::Confirmed")
+            .load(p)
+        )
+        rows = df.orderBy("imp_id").collect()
+        assert len(rows) == 6
+        assert rows[0].confirmed is True and rows[1].confirmed is False
+        assert rows[5].imp_site == 2
+        assert rows[0].env == "prod"
