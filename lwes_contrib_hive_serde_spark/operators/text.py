@@ -1,0 +1,188 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY §2c).
+
+Everything here is expressed with built-in ``pyspark.sql.functions``
+(JVM-side, whole-stage-codegen) — no Python UDFs in the hot path, so
+these run at scan speed over 100 TB. Each helper both returns a column
+expression (composable) and has a ``with_*`` DataFrame wrapper.
+
+Operators:
+  * token counting — whitespace tokens and a BPE-ish regex token
+    estimate (word pieces + punctuation, the usual pre-tokenizer shape)
+  * quality scoring — length / punctuation / digit / uppercase /
+    stopword ratios folded into a [0,1] score
+  * language ID — stopword-hit scoring across candidate languages
+    (n-gram-free heuristic; swap in a model via mapInPandas when a
+    real classifier is available)
+  * document fingerprinting — normalization + hash for exact/near-
+    exact dedup keys (md5 for cross-engine checkability, xxhash64 for
+    speed when the oracle doesn't need to reproduce it)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenizer: word pieces OR single non-space-non-word chars.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+PUNCT_RE = r"[.,;:!?'\"()\[\]{}<>/\\|@#$%^&*_+=~`-]"
+
+# Minimal built-in stopword lists for the heuristic language scorer.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "que", "pour", "dans"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "que", "por", "con"],
+}
+
+
+def tokens(col) -> Column:
+    """Whitespace tokens of trimmed text (empty text → empty array)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(F.trim(col)) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(col), r"\s+")
+    )
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def bpe_token_count(col) -> Column:
+    """Count of BPE-ish pre-tokens (regexp_extract_all, JVM-side)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), F.lit(0))).cast(
+        "bigint"
+    )
+
+
+def char_count(col) -> Column:
+    col = F.col(col) if isinstance(col, str) else col
+    return F.length(col).cast("bigint")
+
+
+def _ratio(part: Column, whole: Column) -> Column:
+    return F.when(whole > 0, part.cast("double") / whole.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def punct_ratio(col) -> Column:
+    col = F.col(col) if isinstance(col, str) else col
+    n = F.length(col)
+    stripped = F.length(F.regexp_replace(col, PUNCT_RE, ""))
+    return _ratio(n - stripped, n)
+
+
+def digit_ratio(col) -> Column:
+    col = F.col(col) if isinstance(col, str) else col
+    n = F.length(col)
+    stripped = F.length(F.regexp_replace(col, r"[0-9]", ""))
+    return _ratio(n - stripped, n)
+
+
+def upper_ratio(col) -> Column:
+    col = F.col(col) if isinstance(col, str) else col
+    n = F.length(col)
+    stripped = F.length(F.regexp_replace(col, r"[A-Z]", ""))
+    return _ratio(n - stripped, n)
+
+
+def mean_token_len(col) -> Column:
+    t = tokens(col)
+    total = F.aggregate(
+        F.transform(t, lambda s: F.length(s).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(F.size(t) > 0, total / F.size(t)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col, lang: str = "en") -> Column:
+    t = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    hits = F.size(
+        F.filter(t, lambda s: s.isin(*STOPWORDS[lang]))
+    )
+    return _ratio(hits, F.size(t))
+
+
+def quality_score(col) -> Column:
+    """Heuristic [0,1] quality: long-enough text, moderate punctuation,
+    few digits, some stopwords. Weights are the usual web-text-filter
+    shape (cf. C4/Gopher-style rules), all computed JVM-side."""
+    n_tok = token_count(col)
+    length_term = F.least(n_tok.cast("double") / F.lit(20.0), F.lit(1.0))
+    punct_term = F.greatest(
+        F.lit(0.0), F.lit(1.0) - punct_ratio(col) * F.lit(4.0)
+    )
+    digit_term = F.greatest(F.lit(0.0), F.lit(1.0) - digit_ratio(col) * F.lit(5.0))
+    stop_term = F.least(stopword_ratio(col) * F.lit(5.0), F.lit(1.0))
+    return (
+        length_term * F.lit(0.4)
+        + punct_term * F.lit(0.25)
+        + digit_term * F.lit(0.15)
+        + stop_term * F.lit(0.2)
+    )
+
+
+def language_scores(col) -> dict[str, Column]:
+    t = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    return {
+        lang: _ratio(F.size(F.filter(t, lambda s: s.isin(*words))), F.size(t))
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def language_id(col, default: str = "und", min_score: float = 0.02) -> Column:
+    """argmax over per-language stopword-hit ratios; 'und' when no
+    language clears ``min_score``. Deterministic tie-break: language
+    name order (scores compared as (score, lang) pairs)."""
+    scores = language_scores(col)
+    pairs = F.array(
+        *[
+            F.struct(s.alias("score"), F.lit(lang).alias("lang"))
+            for lang, s in sorted(scores.items())
+        ]
+    )
+    best = F.array_max(pairs)
+    return F.when(best["score"] >= min_score, best["lang"]).otherwise(
+        F.lit(default)
+    )
+
+
+def normalize_text(col) -> Column:
+    """Dedup normalization: lowercase, collapse whitespace, trim."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint(col) -> Column:
+    """Cross-engine-checkable content fingerprint (md5 of normalized
+    text). For pure-Spark speed use fingerprint_fast (xxhash64)."""
+    return F.md5(normalize_text(col))
+
+
+def fingerprint_fast(col) -> Column:
+    return F.xxhash64(normalize_text(col))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return (
+        df.withColumn("n_tokens", token_count(text_col))
+        .withColumn("n_bpe_tokens", bpe_token_count(text_col))
+        .withColumn("punct_ratio", punct_ratio(text_col))
+        .withColumn("digit_ratio", digit_ratio(text_col))
+        .withColumn("upper_ratio", upper_ratio(text_col))
+        .withColumn("mean_token_len", mean_token_len(text_col))
+        .withColumn("stopword_ratio", stopword_ratio(text_col))
+        .withColumn("quality_score", quality_score(text_col))
+    )
+
+
+def with_language(df: DataFrame, text_col: str = "text", out_col: str = "lang_id") -> DataFrame:
+    return df.withColumn(out_col, language_id(text_col))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    return df.withColumn(out_col, fingerprint(text_col))

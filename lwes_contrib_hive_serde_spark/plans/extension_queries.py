@@ -1,0 +1,410 @@
+"""Oracle-checked queries for the LLM-pipeline extension operators
+(SURVEY §2c): text analysis, dedup, similarity search, as-of/range
+joins. Where an operator is genuinely not SQL-expressible (MinHash
+LSH, SimHash), the entry has no oracle → the driver records the
+weaker rows-only check, and tests/test_operators.py holds the
+brute-force recall oracles instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lwes_contrib_hive_serde_spark.operators import dedup, joins, similarity, text
+from lwes_contrib_hive_serde_spark.plans.corpus import Q, dsum, table
+
+REGISTRY: dict[str, Q] = {}
+
+
+def register(name: str, oracle=None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = Q(fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+# SQL fragments matching operators/text.py exactly -------------------------
+
+_SQL_WS_TOKENS = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+)
+_SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+# text.BPE_TOKEN_RE with SQL quoting
+_SQL_BPE = (
+    "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
+)
+_SQL_TOKENS_LOWER = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+def _sql_stop_ratio(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in text.STOPWORDS[lang])
+    return (
+        f"CASE WHEN {_SQL_WS_TOKENS} = 0 THEN 0.0 ELSE "
+        f"CAST(len(list_filter({_SQL_TOKENS_LOWER}, x -> list_contains([{words}], x))) AS DOUBLE)"
+        f" / CAST({_SQL_WS_TOKENS} AS DOUBLE) END"
+    )
+
+
+@register(
+    "q_doc_token_stats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(CAST({_SQL_WS_TOKENS} AS BIGINT)) AS total_tokens,
+           SUM(CAST({_SQL_BPE} AS BIGINT)) AS total_bpe_tokens,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Token counting (whitespace + BPE-ish regex) — all JVM "
+    "built-ins (split/regexp_extract_all), no Python in the scan.",
+)
+def q_doc_token_stats(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count("text")).alias("total_tokens"),
+        F.sum(text.bpe_token_count("text")).alias("total_bpe_tokens"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+@register(
+    "q_doc_quality",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_SQL_WS_TOKENS} AS BIGINT) AS n_tokens,
+           CAST(length(text) - length(regexp_replace(text,
+                '[.,;:!?''"()\\[\\]{{}}<>/\\\\|@#$%^&*_+=~`-]', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE) AS punct_ratio,
+           CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE) AS digit_ratio,
+           {_sql_stop_ratio('en')} AS stopword_ratio
+    FROM documents
+    WHERE doc_id < 100 AND length(text) > 0
+    """,
+    doc="Quality-signal ratios per document (punctuation/digit/stopword), "
+    "regexp built-ins only; IEEE division makes the doubles "
+    "bit-identical across engines.",
+)
+def q_doc_quality(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 100) & (F.length("text") > 0)
+    )
+    return d.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        text.punct_ratio("text").alias("punct_ratio"),
+        text.digit_ratio("text").alias("digit_ratio"),
+        text.stopword_ratio("text").alias("stopword_ratio"),
+    )
+
+
+_SQL_RATIOS = {
+    lang: _sql_stop_ratio(lang) for lang in ("de", "en", "es", "fr")
+}
+
+@register(
+    "q_doc_langid",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS lang_label,
+             {_SQL_RATIOS['de']} AS r_de,
+             {_SQL_RATIOS['en']} AS r_en,
+             {_SQL_RATIOS['es']} AS r_es,
+             {_SQL_RATIOS['fr']} AS r_fr
+      FROM documents
+    ), picked AS (
+      SELECT doc_id, lang_label,
+             CASE WHEN greatest(r_de, r_en, r_es, r_fr) < 0.02 THEN 'und'
+                  WHEN r_fr >= r_es AND r_fr >= r_en AND r_fr >= r_de THEN 'fr'
+                  WHEN r_es >= r_en AND r_es >= r_de THEN 'es'
+                  WHEN r_en >= r_de THEN 'en'
+                  ELSE 'de' END AS lang_id
+      FROM scored
+    )
+    SELECT lang_id, COUNT(*) AS n FROM picked GROUP BY lang_id
+    """,
+    doc="Heuristic language ID (stopword-hit argmax with deterministic "
+    "(score, lang) tie-break) — the CASE chain in the oracle mirrors "
+    "array_max's struct ordering exactly.",
+)
+def q_doc_langid(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.select(text.language_id("text").alias("lang_id")).groupBy(
+        "lang_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q_doc_fingerprint",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5({_SQL_NORM})) AS n_distinct_fp,
+           MIN(md5({_SQL_NORM})) AS min_fp
+    FROM documents
+    GROUP BY source
+    """,
+    doc="Document fingerprinting: md5 over normalized text (lowercase, "
+    "whitespace collapse) — the near-exact dedup key; md5 hex matches "
+    "across engines.",
+)
+def q_doc_fingerprint(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    fp = text.fingerprint("text")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(fp).alias("n_distinct_fp"),
+        F.min(fp).alias("min_fp"),
+    )
+
+
+@register(
+    "q_dedup_docs",
+    oracle=f"""
+    WITH keep AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY {_SQL_NORM} ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_kept,
+           SUM(n_chars) AS total_chars
+    FROM keep WHERE rn = 1
+    GROUP BY lang
+    """,
+    doc="Near-exact dedup keeping the min-doc_id row per normalized "
+    "fingerprint (deterministic keeper, unlike dropDuplicates).",
+)
+def q_dedup_docs(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    kept = dedup.fingerprint_dedup(d, "text", "doc_id")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "q_knn_single",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id AS neighbor_id,
+           ROUND(list_inner_product(embedding::DOUBLE[], qv)
+                 / (sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_inner_product(qv, qv))), 6) AS sim6
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY sim6 DESC, neighbor_id
+    LIMIT 10
+    """,
+    doc="Brute-force cosine top-k for one query vector — JVM zip_with/"
+    "aggregate dot product + TakeOrderedAndProject (per-partition "
+    "heaps, no global sort). Rounded to 6dp for cross-engine hash "
+    "stability.",
+)
+def q_knn_single(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
+    top = similarity.cosine_topk(
+        e.filter("vec_id <> 0"), qv, k=10, id_col="vec_id", vec_col="embedding"
+    )
+    return top.select(
+        "neighbor_id", F.round("cosine_sim", 6).alias("sim6")
+    ).orderBy(F.desc("sim6"), F.asc("neighbor_id"))
+
+
+@register(
+    "q_knn_multi",
+    oracle="""
+    WITH qs AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT qs.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_inner_product(e.embedding::DOUBLE[], qs.qv)
+                   / (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                      * sqrt(list_inner_product(qs.qv, qs.qv))), 6) AS sim6
+      FROM embeddings e, qs
+      WHERE e.vec_id <> qs.query_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim6 DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, sim6 FROM ranked WHERE rn <= 3
+    """,
+    doc="Batch kNN join (5 queries × top-3): per-partition numpy GEMM "
+    "via mapInPandas with broadcast query matrix, then one window for "
+    "global top-k — shuffle is O(partitions × queries × k).",
+)
+def q_knn_multi(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    qs = e.filter("vec_id < 5")
+    # k=4 then drop self-matches and re-rank to top-3, like the oracle
+    knn = similarity.knn_join(e, qs, k=4).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cosine_sim", 6)), F.asc("neighbor_id")
+    )
+    return (
+        knn.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", F.round("cosine_sim", 6).alias("sim6"))
+    )
+
+
+@register(
+    "q_embedding_neardup",
+    oracle="""
+    SELECT a.vec_id AS id1, b.vec_id AS id2
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+          >= 0.95
+    """,
+    doc="Embedding-cosine near-dup pairs at 0.95: hyperplane-LSH bucket "
+    "candidates + exact JVM re-check (banded for recall; see "
+    "tests/test_operators.py for the planted-pair recall oracle).",
+)
+def q_embedding_neardup(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_neardup_pairs(e, threshold=0.95, n_planes=12)
+    return pairs.select("id1", "id2")
+
+
+@register(
+    "q_asof_join",
+    oracle="""
+    WITH daily AS (
+      SELECT o_custkey AS cust, CAST(o_orderdate AS DATE) AS day,
+             MAX(o_totalprice) AS day_spend
+      FROM orders GROUP BY 1, 2
+    ), purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, d.day, d.day_spend
+    FROM purchases p
+    ASOF LEFT JOIN daily d
+      ON p.user_id = d.cust AND d.day <= CAST(p.ts AS DATE)
+    """,
+    doc="As-of join (latest order-day at or before each purchase "
+    "event): union + single keyed window pass — the shuffle profile "
+    "of a sort-merge join, no nested loop. Right side pre-aggregated "
+    "per (cust, day) so the match is deterministic.",
+)
+def q_asof_join(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    ev = table(spark, sf_dir, "events")
+    daily = o.groupBy(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(F.max("o_totalprice").alias("day_spend"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").cast("date").alias("pday")
+    )
+    out = joins.asof_join(
+        purchases.withColumnRenamed("user_id", "cust"),
+        daily,
+        on="cust",
+        left_time="pday",
+        right_time="day",
+        right_cols=["day", "day_spend"],
+    )
+    return out.select(
+        "event_id",
+        F.col("cust").alias("user_id"),
+        "day",
+        "day_spend",
+    )
+
+
+@register(
+    "q_range_join",
+    oracle="""
+    WITH ranges(label, lo, hi) AS (
+      VALUES ('low', 0, 20), ('mid', 20, 100), ('high', 100, 1000)
+    )
+    SELECT r.label, COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events e JOIN ranges r
+      ON e.value >= r.lo AND e.value < r.hi
+    GROUP BY r.label
+    """,
+    doc="Bounded range join: both sides bucketized (width 20) and "
+    "equi-joined on bucket id, exact range filter after — no "
+    "BroadcastNestedLoopJoin even for large range tables.",
+)
+def q_range_join(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    ranges = ev.sparkSession.createDataFrame(
+        [("low", 0, 20), ("mid", 20, 100), ("high", 100, 1000)],
+        "label string, lo int, hi int",
+    )
+    joined = joins.range_join(
+        ev, ranges, left_point="value", right_lo="lo", right_hi="hi", bucket_width=20
+    )
+    return joined.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value"), "total_value", scale=4),
+    )
+
+
+# --- non-SQL-expressible (rows-only gate; brute-force oracles in tests) ---
+
+
+@register(
+    "q_minhash_neardup",
+    oracle=None,
+    doc="MinHash(64)+LSH(16 bands) near-dup pairs at Jaccard ≥ 0.8 with "
+    "exact re-check. xxhash64 is not reproducible in DuckDB → rows-only "
+    "gate; tests/test_operators.py verifies recall against brute-force "
+    "Jaccard on planted near-dups.",
+)
+def q_minhash_neardup(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(d, threshold=0.8).select(
+        "id1", "id2", F.round("jaccard", 6).alias("jaccard6")
+    )
+
+
+@register(
+    "q_simhash_neardup",
+    oracle=None,
+    doc="64-bit SimHash (vectorized pandas UDF, FNV-1a token hashes) "
+    "with pigeonhole banding; Hamming ≤ 3 pairs. Not reproducible in "
+    "SQL → rows-only gate + test-level oracle.",
+)
+def q_simhash_neardup(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return dedup.simhash_neardup_pairs(d, max_hamming=3)
+
+
+@register(
+    "q_multimodal_meta",
+    oracle=None,
+    doc="Multimodal plumbing: documents.text bytes as a binary payload "
+    "column → content hash (JVM sha2) + mapInPandas metadata decode "
+    "(deterministic fake in this codec-less container; real PIL path "
+    "when available).",
+)
+def q_multimodal_meta(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import multimodal
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    hashed = multimodal.with_content_hash(d)
+    meta = multimodal.decode_image_meta(hashed)
+    return meta.groupBy("channels").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("mean_luma"), 6).alias("avg_luma"),
+        F.countDistinct("sha256").alias("n_distinct"),
+    )
