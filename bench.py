@@ -49,6 +49,30 @@ def main():
         next(iter(qs.values()))(spark, sf_dir).limit(1).collect()
     except Exception:
         pass
+    # warm the Python-datasource worker pool (one-time ~5s daemon +
+    # import cost otherwise lands on the first lwes query)
+    try:
+        import lwes_contrib_hive_serde_spark as L
+
+        L.register(spark)
+        wpath = "/tmp/lwes_bench_warm"
+        (
+            spark.range(256)
+            .selectExpr("id as k")
+            .write.format("lwes")
+            .option("eventName", "Warm::Up")
+            .mode("overwrite")
+            .save(wpath)
+        )
+        (
+            spark.read.format("lwes")
+            .schema("k long")
+            .option("eventName", "Warm::Up")
+            .load(wpath)
+            .count()
+        )
+    except Exception as e:
+        print(f"# warmup skipped: {e}", file=sys.stderr)
 
     per_query: dict[str, float] = {}
     total = 0.0

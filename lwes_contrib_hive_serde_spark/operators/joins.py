@@ -80,12 +80,15 @@ def range_join(
     right_hi: str,
     bucket_width: int,
     on: str | None = None,
+    broadcast_right: bool = False,
 ) -> DataFrame:
     """Join left points into right [lo, hi) intervals without a
     nested-loop: both sides explode to bucket ids of width
     ``bucket_width`` (intervals cover ⌈len/width⌉ buckets), equi-join
     on (key?, bucket), then exact range filter. Shuffle volume grows
-    by the interval/bucket cover factor instead of |L|×|R|."""
+    by the interval/bucket cover factor instead of |L|×|R|.
+    ``broadcast_right`` skips even the bucket shuffle when the interval
+    table is small (the usual case: few ranges, many points)."""
     lb = left.withColumn(
         "__bucket", (F.col(left_point) / bucket_width).cast("long")
     )
@@ -98,6 +101,8 @@ def range_join(
             )
         ),
     )
+    if broadcast_right:
+        rb = F.broadcast(rb)
     keys = ["__bucket"] if on is None else [on, "__bucket"]
     joined = lb.join(rb, keys).filter(
         (F.col(left_point) >= F.col(right_lo))

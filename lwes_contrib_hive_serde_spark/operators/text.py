@@ -126,26 +126,47 @@ def quality_score(col) -> Column:
     )
 
 
-def language_scores(col) -> dict[str, Column]:
-    t = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+def language_scores(col, *, pretokenized: bool = False) -> dict[str, Column]:
+    """Per-language stopword-hit ratios. With ``pretokenized`` the input
+    is an already-lowercased token array column — materialize it in its
+    own projection first so the split() runs once per row instead of
+    once per language per ratio (the 4-way argmax otherwise recomputes
+    the tokenizer ~12×)."""
+    t = (
+        (F.col(col) if isinstance(col, str) else col)
+        if pretokenized
+        else tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    )
     return {
         lang: _ratio(F.size(F.filter(t, lambda s: s.isin(*words))), F.size(t))
         for lang, words in STOPWORDS.items()
     }
 
 
-def language_id(col, default: str = "und", min_score: float = 0.02) -> Column:
-    """argmax over per-language stopword-hit ratios; 'und' when no
-    language clears ``min_score``. Deterministic tie-break: language
-    name order (scores compared as (score, lang) pairs)."""
-    scores = language_scores(col)
+def language_best(col, *, pretokenized: bool = False) -> Column:
+    """struct(score, lang) of the argmax language (array_max orders by
+    (score, lang), giving a deterministic tie-break)."""
+    scores = language_scores(col, pretokenized=pretokenized)
     pairs = F.array(
         *[
             F.struct(s.alias("score"), F.lit(lang).alias("lang"))
             for lang, s in sorted(scores.items())
         ]
     )
-    best = F.array_max(pairs)
+    return F.array_max(pairs)
+
+
+def language_id(
+    col, default: str = "und", min_score: float = 0.02, *, pretokenized: bool = False
+) -> Column:
+    """argmax over per-language stopword-hit ratios; 'und' when no
+    language clears ``min_score``. Deterministic tie-break: language
+    name order (scores compared as (score, lang) pairs).
+
+    NOTE: this single-Column form evaluates the argmax twice (test +
+    pick); prefer ``with_language`` on DataFrames — it materializes the
+    tokens and the argmax struct in their own projections."""
+    best = language_best(col, pretokenized=pretokenized)
     return F.when(best["score"] >= min_score, best["lang"]).otherwise(
         F.lit(default)
     )
@@ -181,7 +202,21 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def with_language(df: DataFrame, text_col: str = "text", out_col: str = "lang_id") -> DataFrame:
-    return df.withColumn(out_col, language_id(text_col))
+    """Adds ``lang_id``; tokenizes ONCE and computes the argmax struct
+    ONCE, each in its own projection (CollapseProject keeps multiply-
+    referenced non-cheap expressions materialized, so the tokenizer and
+    the 4-language scoring each run exactly once per row)."""
+    return (
+        df.withColumn("__lang_toks", tokens(F.lower(F.col(text_col))))
+        .withColumn("__lang_best", language_best("__lang_toks", pretokenized=True))
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("__lang_best.score") >= 0.02, F.col("__lang_best.lang")
+            ).otherwise(F.lit("und")),
+        )
+        .drop("__lang_toks", "__lang_best")
+    )
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:

@@ -133,9 +133,11 @@ _SQL_RATIOS = {
 )
 def q_doc_langid(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
-    return d.select(text.language_id("text").alias("lang_id")).groupBy(
-        "lang_id"
-    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        text.with_language(d.select("text"))
+        .groupBy("lang_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 @register(
@@ -344,12 +346,21 @@ def q_asof_join(spark, sf_dir):
 )
 def q_range_join(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
-    ranges = ev.sparkSession.createDataFrame(
-        [("low", 0, 20), ("mid", 20, 100), ("high", 100, 1000)],
-        "label string, lo int, hi int",
+    # VALUES via SQL: a JVM LocalRelation — createDataFrame(list) would
+    # route through a Python RDD (applySchemaToPythonRDD) and pay a
+    # Python-worker round trip for a 3-row dim table
+    ranges = ev.sparkSession.sql(
+        "SELECT * FROM VALUES ('low', 0, 20), ('mid', 20, 100), "
+        "('high', 100, 1000) AS t(label, lo, hi)"
     )
     joined = joins.range_join(
-        ev, ranges, left_point="value", right_lo="lo", right_hi="hi", bucket_width=20
+        ev,
+        ranges,
+        left_point="value",
+        right_lo="lo",
+        right_hi="hi",
+        bucket_width=20,
+        broadcast_right=True,
     )
     return joined.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),

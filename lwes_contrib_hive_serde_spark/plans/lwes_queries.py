@@ -54,9 +54,11 @@ def _events_journal(spark, sf_dir: str) -> str:
             F.unix_millis("ts").alias("ReceiptTime"),
         )
         # repartition: one journal file per core-sized chunk — scan
-        # parallelism of the non-splittable format = file count
+        # parallelism of the non-splittable format = file count, so
+        # write as many files as cores (at 100 TB: thousands of
+        # moderate files, never few huge ones)
         (
-            src.repartition(8)
+            src.repartition(32)
             .write.format("lwes")
             .option("eventName", "Driver::Event")
             .mode("overwrite")
