@@ -38,6 +38,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -849,6 +850,142 @@ def q_time_window(spark, sf_dir):
     ).agg(
         F.count(F.lit(1)).alias("n"),
         dsum(F.col("value"), "total_value", scale=4),
+    )
+
+
+@register(
+    "q_lateral_posexplode",
+    oracle="""
+    WITH toks AS (
+      SELECT p_partkey, string_split(p_name, ' ') AS ws FROM part
+    ), ex AS (
+      SELECT p_partkey,
+             unnest(ws) AS word,
+             unnest(generate_series(1, len(ws))) - 1 AS pos
+      FROM toks
+    )
+    SELECT word,
+           COUNT(*) AS n,
+           CAST(SUM(pos) AS DOUBLE) / COUNT(*) AS avg_pos,
+           MIN(p_partkey) AS min_partkey
+    FROM ex
+    GROUP BY word
+    HAVING COUNT(*) >= 5
+    """,
+    doc="LATERAL VIEW posexplode (Hive UDTF surface) — Generate operator; "
+    "position is 0-based like Spark's posexplode.",
+)
+def q_lateral_posexplode(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    ex = p.select(
+        "p_partkey", F.posexplode(F.split("p_name", " ")).alias("pos", "word")
+    )
+    return (
+        ex.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("pos").cast("double") / F.count(F.lit(1))).alias("avg_pos"),
+            F.min("p_partkey").alias("min_partkey"),
+        )
+        .filter(F.col("n") >= 5)
+    )
+
+
+@register(
+    "q_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), tagged AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    ), sessions AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) + 1800000 AS dur_ms
+      FROM tagged GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           SUM(n_events) AS total_events,
+           CAST(MAX(dur_ms) AS BIGINT) AS longest_ms
+    FROM sessions
+    GROUP BY user_id
+    """,
+    doc="session_window (30-min gap) sessionization — the batch form of "
+    "Structured Streaming's session windows; oracle is the classic "
+    "gaps-and-islands rewrite. Spark's window end = last event + gap, "
+    "hence the +1800 in the oracle's duration.",
+)
+def q_session_window(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    s = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("total_events"),
+        F.max(F.unix_millis("w.end") - F.unix_millis("w.start"))
+        .cast("bigint")
+        .alias("longest_ms"),
+    )
+
+
+@register(
+    "q_grouped_agg_pandas",
+    oracle="""
+    SELECT event_type,
+           ROUND(MEDIAN(value), 6) AS median_value,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Custom UDAF surface (Hive UDAF → pandas grouped-agg UDF): "
+    "per-group median via Arrow-batched numpy — partial aggregation "
+    "is NOT available to grouped-agg UDFs, so at 100 TB cap group "
+    "sizes or pre-aggregate; for median specifically prefer "
+    "percentile_approx (JVM, mergeable sketches).",
+)
+def q_grouped_agg_pandas(spark, sf_dir):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def median_udf(v: pd.Series) -> float:
+        return float(v.median())
+
+    # pandas grouped-agg UDFs cannot mix with JVM aggregates in one
+    # agg() (INVALID_PANDAS_UDF_PLACEMENT) — count rides a second UDF
+    @pandas_udf("long")
+    def count_udf(v: pd.Series) -> int:
+        return int(len(v))
+
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(median_udf("value"), 6).alias("median_value"),
+        count_udf("value").alias("n"),
+    )
+
+
+@register(
+    "q_approx_distinct",
+    oracle=None,
+    doc="approx_count_distinct (HyperLogLog++): sketches merge "
+    "map-side, so distinct-count at 100 TB costs one small-state "
+    "aggregation instead of a full shuffle of the key space. "
+    "Approximate by construction → rows-only driver gate; "
+    "tests/test_operators.py bounds the relative error vs exact.",
+)
+def q_approx_distinct(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
     )
 
 

@@ -264,8 +264,16 @@ def q_knn_multi(spark, sf_dir):
 @register(
     "q_embedding_neardup",
     oracle="""
+    WITH planted AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(embedding,
+                            x -> CAST(CAST(x AS DOUBLE) * 1.0009765625 AS FLOAT))
+      FROM embeddings WHERE vec_id < 10
+    )
     SELECT a.vec_id AS id1, b.vec_id AS id2
-    FROM embeddings a, embeddings b
+    FROM planted a, planted b
     WHERE a.vec_id < b.vec_id
       AND list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
           / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
@@ -273,12 +281,23 @@ def q_knn_multi(spark, sf_dir):
           >= 0.95
     """,
     doc="Embedding-cosine near-dup pairs at 0.95: hyperplane-LSH bucket "
-    "candidates + exact JVM re-check (banded for recall; see "
-    "tests/test_operators.py for the planted-pair recall oracle).",
+    "candidates + exact JVM re-check. The corpus has no natural "
+    "near-dups at any threshold (vacuous pass), so both engines plant "
+    "10 float-perturbed copies (scale by 1+2^-10, exactly "
+    "representable, deterministic IEEE on both sides) — the check then "
+    "proves the LSH path actually FINDS the 10 planted pairs.",
 )
 def q_embedding_neardup(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings")
-    pairs = similarity.embedding_neardup_pairs(e, threshold=0.95, n_planes=12)
+    copies = e.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: (x.cast("double") * F.lit(1.0009765625)).cast("float"),
+        ).alias("embedding"),
+    )
+    planted = e.select("vec_id", "embedding").unionByName(copies)
+    pairs = similarity.embedding_neardup_pairs(planted, threshold=0.95, n_planes=12)
     return pairs.select("id1", "id2")
 
 
@@ -366,6 +385,50 @@ def q_range_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         dsum(F.col("value"), "total_value", scale=4),
     )
+
+
+@register(
+    "q_ngram_jaccard",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, {_SQL_NORM} AS t FROM documents
+    ), toks AS (
+      SELECT doc_id, string_split(t, ' ') AS ws FROM norm
+    ), sh AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, len(ws) - 2)) AS i
+      ) g
+      WHERE len(ws) >= 3
+      UNION
+      SELECT DISTINCT doc_id, array_to_string(ws, ' ') AS s
+      FROM toks WHERE len(ws) < 3
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id1, id2,
+           ROUND(CAST(n_inter AS DOUBLE)
+                 / (na.n + nb.n - n_inter), 6) AS jaccard6
+    FROM inter
+    JOIN sizes na ON na.doc_id = id1
+    JOIN sizes nb ON nb.doc_id = id2
+    WHERE CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) >= 0.8
+    """,
+    doc="EXACT all-pairs n-gram (3-shingle) Jaccard >= 0.8 via inverted "
+    "index on shingles — no LSH approximation, so unlike "
+    "q_minhash_neardup this one IS SQL-expressible and fully "
+    "oracle-checked (the strong correctness anchor for the dedup "
+    "family). Shuffle profile: explode + equi-join on shingle, pairs "
+    "only form between docs sharing a shingle.",
+)
+def q_ngram_jaccard(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.8)
+    return pairs.select("id1", "id2", F.round("jaccard", 6).alias("jaccard6"))
 
 
 # --- non-SQL-expressible (rows-only gate; brute-force oracles in tests) ---

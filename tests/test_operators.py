@@ -274,3 +274,22 @@ class TestMultimodal:
         out = multimodal.sample_frame_offsets(df, every_ms=1000)
         got = {(r.id, r.frame_offset_ms) for r in out.collect()}
         assert got == {(1, 0), (1, 1000), (1, 2000), (1, 3000), (2, 0), (3, 0)}
+
+
+class TestApproxDistinct:
+    def test_hll_error_bound(self, spark):
+        """approx_count_distinct(rsd=0.02) stays within 5% of exact on
+        the lineitem order keys (driver-side rows-only gate can't check
+        values — this bounds them)."""
+        li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        rows = (
+            li.groupBy("l_returnflag")
+            .agg(
+                F.approx_count_distinct("l_orderkey", 0.02).alias("approx"),
+                F.countDistinct("l_orderkey").alias("exact"),
+            )
+            .collect()
+        )
+        assert rows
+        for r in rows:
+            assert abs(r.approx - r.exact) / r.exact < 0.05, r
