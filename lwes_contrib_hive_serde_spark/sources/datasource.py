@@ -63,6 +63,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -258,6 +259,9 @@ class LwesDataSource(DataSource):
         )
 
         return LwesStreamReader(schema, self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return LwesStreamWriter(schema, self.options, overwrite)
 
 
 def _binary():
@@ -673,6 +677,43 @@ class LwesWriter(DataSourceArrowWriter):
             f.write(json.dumps({"records": total, "files": len(messages)}))
 
     def abort(self, messages):
+        for m in messages:
+            if m and m.path and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class LwesStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming journal sink: ``df.writeStream.format("lwes")`` —
+    the Spark-native closing of the loop the reference only implies
+    (UDP stream → journaller → batch files,
+    DatagramPacketOutputStream.java:30-40). Each microbatch partition
+    becomes one journal file; commit() records per-batch manifests so
+    a restarted query can identify committed batches (idempotent
+    re-commit; uncommitted files from failed batches are aborted)."""
+
+    def __init__(self, schema: StructType, options, overwrite: bool):
+        # reuse the batch writer's schema resolution + encode loop
+        self._w = LwesWriter(schema, options, overwrite=False)
+        self.path = self._w.path
+
+    def write(self, batches) -> LwesCommitMessage:
+        return self._w.write(batches)
+
+    def commit(self, messages, batchId: int) -> None:
+        total = sum(m.records for m in messages if m)
+        marker = os.path.join(self.path, f"_batch-{batchId}.json")
+        with open(marker, "w") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "batch": batchId,
+                        "records": total,
+                        "files": [m.path for m in messages if m],
+                    }
+                )
+            )
+
+    def abort(self, messages, batchId: int) -> None:
         for m in messages:
             if m and m.path and os.path.exists(m.path):
                 os.remove(m.path)

@@ -1,0 +1,68 @@
+"""Custom stateful streaming operators (SURVEY §2b streaming row —
+`applyInPandasWithState` territory).
+
+The reference has no streaming engine at all (journals are batch dumps
+of the UDP stream, DatagramPacketOutputStream.java:30-40); these are
+the Spark-native stateful building blocks a journal-tailing pipeline
+needs beyond the built-in window/dedup operators.
+
+Scale notes: state lives in the state store partitioned by key —
+per-key state must stay small and bounded (running scalars here, not
+row buffers); use timeouts to expire idle keys so 100 TB of key
+cardinality doesn't accrete unbounded state.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def running_totals(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Per-key running (count, sum, max) maintained across microbatches
+    via applyInPandasWithState. Emits one updated row per key per batch
+    — the streaming analogue of a cumulative groupBy().agg() that
+    built-ins can't express (aggregation state across triggers with
+    custom merge logic).
+    """
+    out_schema = (
+        f"{key_col} string, n_events long, total double, max_value double"
+    )
+    state_schema = "n long, total double, mx double"
+
+    def update(
+        key: Tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state,
+    ) -> Iterator[pd.DataFrame]:
+        n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            v = pdf[val_col].astype(float)
+            n += int(len(v))
+            total += float(v.sum())
+            if len(v):
+                mx = max(mx, float(v.max()))
+        state.update((n, total, mx))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_events": [n],
+                "total": [total],
+                "max_value": [mx],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=f"{timeout}",
+    )

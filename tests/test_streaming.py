@@ -102,3 +102,206 @@ class TestJournalStream:
             assert [r.n_events for r in rows] == [60, 60]
         finally:
             q.stop()
+
+
+class TestStreamingSink:
+    def test_lwes_stream_sink_roundtrip(self, spark, tmp_path):
+        """readStream journals → writeStream.format('lwes') → batch
+        read-back: the full stream-in/stream-out loop the reference
+        only implies (UDP → journaller → batch)."""
+        src_dir = str(tmp_path / "src")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src_dir)
+        emit(src_dir, "a.journal", 0, 40)
+        q = (
+            spark.readStream.format("lwes")
+            .schema("n long, ReceiptTime long")
+            .option("eventName", "S::E")
+            .load(src_dir)
+            .writeStream.format("lwes")
+            .option("eventName", "Out::E")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="500 milliseconds")
+            .start(out_dir)
+        )
+        try:
+            def count_out():
+                try:
+                    return (
+                        spark.read.format("lwes")
+                        .schema("n long")
+                        .option("eventName", "Out::E")
+                        .load(out_dir)
+                        .count()
+                    )
+                except Exception:
+                    return 0
+
+            assert wait_until(lambda: count_out() == 40), "sink did not land 40"
+            emit(src_dir, "b.journal", 40, 60)
+            assert wait_until(lambda: count_out() == 60), "append not landed"
+            back = (
+                spark.read.format("lwes")
+                .schema("n long")
+                .option("eventName", "Out::E")
+                .load(out_dir)
+            )
+            got = sorted(r.n for r in back.collect())
+            assert got == list(range(60))
+        finally:
+            q.stop()
+
+
+class TestStreamingDedupAndSessions:
+    def test_drop_duplicates_within_watermark(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        d = str(tmp_path / "jdir3")
+        os.makedirs(d)
+        emit(d, "a.journal", 0, 30)
+        emit(d, "b.journal", 0, 30)  # full duplicates of the same keys
+        src = (
+            spark.readStream.format("lwes")
+            .schema("n long, ReceiptTime long")
+            .option("eventName", "S::E")
+            .load(d)
+            .withColumn("ts", F.timestamp_millis(F.col("ReceiptTime")))
+        )
+        dd = src.withWatermark("ts", "1 minute").dropDuplicatesWithinWatermark(["n"])
+        q = (
+            dd.writeStream.format("memory")
+            .queryName("dedup_sink")
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        try:
+            assert wait_until(
+                lambda: spark.sql("select count(*) c from dedup_sink").first().c
+                == 30
+            ), "expected 30 deduped rows"
+            time.sleep(2)  # a few more triggers: count must stay 30
+            assert spark.sql("select count(*) c from dedup_sink").first().c == 30
+            assert (
+                spark.sql("select count(distinct n) c from dedup_sink").first().c
+                == 30
+            )
+        finally:
+            q.stop()
+
+    def test_session_window_stream(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        d = str(tmp_path / "jdir4")
+        os.makedirs(d)
+        # two bursts 10 min apart → two sessions with a 60s gap window
+        evs = []
+        base = 1723500000000
+        for i in range(20):
+            ev = c.Event("S::E")
+            ev.set("n", c.INT64, i)
+            ev.set("u", c.STRING, "x")
+            ev.set(c.RECEIPT_TIME, c.INT64, base + i * 1000)
+            evs.append(ev)
+        for i in range(10):
+            ev = c.Event("S::E")
+            ev.set("n", c.INT64, 100 + i)
+            ev.set("u", c.STRING, "x")
+            ev.set(c.RECEIPT_TIME, c.INT64, base + 600000 + i * 1000)
+            evs.append(ev)
+        c.write_journal_file(os.path.join(d, "a.journal"), evs)
+        src = (
+            spark.readStream.format("lwes")
+            .schema("n long, u string, ReceiptTime long")
+            .option("eventName", "S::E")
+            .load(d)
+            .withColumn("ts", F.timestamp_millis(F.col("ReceiptTime")))
+        )
+        # streaming session_window requires a grouping key (global
+        # session aggregation is unsupported) — sessionize per user
+        agg = (
+            src.withWatermark("ts", "10 seconds")
+            .groupBy("u", F.session_window("ts", "60 seconds").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("sess_sink")
+            .outputMode("complete")
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        try:
+            assert wait_until(
+                lambda: spark.sql("select sum(n_events) s from sess_sink").first().s
+                == 30
+            )
+            rows = spark.sql(
+                "select n_events from sess_sink order by w.start"
+            ).collect()
+            assert [r.n_events for r in rows] == [20, 10]
+        finally:
+            q.stop()
+
+
+class TestStatefulOps:
+    def test_running_totals_across_batches(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from lwes_contrib_hive_serde_spark.streaming import stateful
+
+        d = str(tmp_path / "jdir5")
+        os.makedirs(d)
+
+        def emit_typed(fname, lo, hi):
+            evs = []
+            for i in range(lo, hi):
+                ev = c.Event("S::E")
+                ev.set("k", c.STRING, "a" if i % 2 == 0 else "b")
+                ev.set("v", c.STRING, repr(float(i)))
+                evs.append(ev)
+            c.write_journal_file(os.path.join(d, fname), evs)
+
+        emit_typed("a.journal", 0, 10)
+        src = (
+            spark.readStream.format("lwes")
+            .schema("k string, v double")
+            .option("eventName", "S::E")
+            .load(d)
+        )
+        out = stateful.running_totals(src, "k", "v")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("state_sink")
+            .outputMode("update")
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        try:
+            # batch 1: evens 0..8 → a: n=5 sum=20; odds 1..9 → b: n=5 sum=25
+            assert wait_until(
+                lambda: spark.sql(
+                    "select max(n_events) m from state_sink"
+                ).first().m == 5
+            )
+            emit_typed("b.journal", 10, 20)
+            # after batch 2 state accumulates: a: n=10 sum=20+70=90? evens 10..18 sum=70 → total 90
+            def latest():
+                rows = spark.sql(
+                    "select k, n_events, total from state_sink"
+                ).collect()
+                best = {}
+                for r in rows:
+                    if r.k not in best or r.n_events > best[r.k][0]:
+                        best[r.k] = (r.n_events, r.total)
+                return best
+
+            assert wait_until(
+                lambda: latest().get("a", (0, 0))[0] == 10
+                and latest().get("b", (0, 0))[0] == 10
+            ), f"state did not accumulate: {latest()}"
+            got = latest()
+            assert got["a"] == (10, 90.0)
+            assert got["b"] == (10, 100.0)
+        finally:
+            q.stop()
