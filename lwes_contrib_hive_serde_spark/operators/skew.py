@@ -1,0 +1,77 @@
+"""Skew-mitigation utilities for 100 TB aggregations (SURVEY §7 M7).
+
+A single hot key (one user generating 1% of all events) turns a
+groupBy into one straggler task. ``salted_agg`` runs the classic
+two-phase rewrite: aggregate on (key, salt) first — the hot key's rows
+split across ``n_salts`` reducers — then merge the partials on the key
+alone. Only algebraic aggregates can re-merge, so the supported set is
+count / sum / min / max / avg (avg decomposes into sum+count).
+
+Results are EXACTLY equal to the plain groupBy (the rewrite is
+algebra, not approximation) — q_salted_agg in the query corpus is
+hash-checked against a plain GROUP BY oracle to prove it.
+
+For joins, prefer AQE's skew-join splitting
+(spark.sql.adaptive.skewJoin.enabled); salting a join requires
+replicating the build side per salt, which this module leaves to AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# spec kind -> (phase-1 partial, phase-2 merge)
+_ALGEBRAIC = {"count", "sum", "min", "max", "avg"}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 32,
+    salt_on: Column | None = None,
+) -> DataFrame:
+    """Two-phase skew-resistant groupBy.
+
+    ``aggs`` maps output column name -> (kind, input column) with kind
+    in {count, sum, min, max, avg}; for count the input column is
+    ignored. ``salt_on`` is the expression hashed into the salt —
+    defaults to a uniform random-ish hash of the whole row via
+    monotonically_increasing_id, which is deterministic *within* a
+    job and irrelevant to the result (any row->salt assignment yields
+    the same merged answer).
+    """
+    for name, (kind, _col) in aggs.items():
+        if kind not in _ALGEBRAIC:
+            raise ValueError(
+                f"salted_agg: {name}: '{kind}' is not algebraic "
+                f"(supported: {sorted(_ALGEBRAIC)})"
+            )
+    salt_src = (
+        salt_on if salt_on is not None else F.monotonically_increasing_id()
+    )
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salts)))
+
+    partial_exprs = []
+    for name, (kind, col) in aggs.items():
+        if kind == "count":
+            partial_exprs.append(F.count(F.lit(1)).alias(f"__p_{name}"))
+        elif kind == "avg":
+            partial_exprs.append(F.sum(col).alias(f"__p_{name}_sum"))
+            partial_exprs.append(F.count(col).alias(f"__p_{name}_cnt"))
+        else:
+            partial_exprs.append(getattr(F, kind)(col).alias(f"__p_{name}"))
+    partial = salted.groupBy(*keys, "__salt").agg(*partial_exprs)
+
+    merge_exprs = []
+    for name, (kind, _col) in aggs.items():
+        if kind in ("count", "sum"):
+            merge_exprs.append(F.sum(f"__p_{name}").alias(name))
+        elif kind == "avg":
+            merge_exprs.append(
+                (F.sum(f"__p_{name}_sum") / F.sum(f"__p_{name}_cnt")).alias(name)
+            )
+        else:
+            merge_exprs.append(getattr(F, kind)(f"__p_{name}").alias(name))
+    return partial.groupBy(*keys).agg(*merge_exprs)

@@ -431,6 +431,91 @@ def q_ngram_jaccard(spark, sf_dir):
     return pairs.select("id1", "id2", F.round("jaccard", 6).alias("jaccard6"))
 
 
+@register(
+    "q_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE fp AS (
+      SELECT doc_id, md5({_SQL_NORM}) AS f FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2
+      FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION
+      SELECT id2 AS a, id1 AS b FROM pairs
+    ), reach AS (
+      SELECT a AS id, a AS r FROM edges
+      UNION
+      SELECT e.a AS id, t.r AS r FROM edges e JOIN reach t ON e.b = t.id
+    ), comp AS (
+      SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT cluster_id, COUNT(*) AS cluster_size
+    FROM comp GROUP BY cluster_id
+    """,
+    doc="Duplicate CLUSTERS (connected components over exact-fingerprint "
+    "dup pairs) via iterated min-label propagation — each iteration is "
+    "a small join over the dup edges, doubling propagation distance, "
+    "so 10 rounds cover chains of 2^10. Oracle: recursive-CTE "
+    "transitive closure. At 100 TB the edge set (dup pairs) is tiny "
+    "relative to the corpus; the iteration never touches the corpus.",
+)
+def q_dup_clusters(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    fp = d.select(
+        F.col("doc_id").alias("id"), text.fingerprint("text").alias("f")
+    )
+    a = fp.select(F.col("id").alias("id1"), "f")
+    b = fp.select(F.col("id").alias("id2"), "f")
+    pairs = a.join(b, "f").filter(F.col("id1") < F.col("id2")).select("id1", "id2")
+    clusters = dedup.dup_clusters(pairs)
+    return clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+
+
+@register(
+    "q_salted_agg",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Skew-resistant two-phase aggregation (operators/skew.salted_agg): "
+    "partial agg on (key, salt) splits hot keys across reducers, merge "
+    "on key re-combines — pure algebra, so the result hash-matches the "
+    "plain GROUP BY oracle exactly. The pattern for power-law keys at "
+    "100 TB (AQE handles skewed JOINS; this handles skewed AGGS).",
+)
+def q_salted_agg(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import skew
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "__val_dec", F.col("value").cast("decimal(18,4)")
+    )
+    out = skew.salted_agg(
+        ev,
+        keys=["user_id"],
+        aggs={
+            "n": ("count", "value"),
+            "total_dec": ("sum", "__val_dec"),
+            "max_value": ("max", "value"),
+        },
+        n_salts=16,
+        salt_on=F.col("event_id"),
+    )
+    # decimal accumulation for cross-engine double determinism
+    return out.select(
+        "user_id",
+        "n",
+        F.col("total_dec").cast("double").alias("total_value"),
+        "max_value",
+    )
+
+
 # --- non-SQL-expressible (rows-only gate; brute-force oracles in tests) ---
 
 

@@ -1,0 +1,138 @@
+"""UDP journaller: the live-ingest role the reference implies.
+
+The reference's journal format is literally "wire datagram + receipt
+metadata" — ``DatagramPacketOutputStream.writeDataGram(DatagramPacket,
+long, int)`` (DatagramPacketOutputStream.java:41-74) serializes a live
+UDP packet with its receipt time, sender address/port, and site id into
+the 22-byte-header framing. Production LWES systems emit UDP events; a
+journaller appends them to journal files; the engine reads the files.
+
+This module is that journaller, Spark-free: a blocking UDP listener
+that frames each received datagram into the current journal file and
+rolls files by size. Downstream, ``spark.readStream.format("lwes")``
+tails the output directory (streaming/journal_stream.py), closing the
+UDP → journal → Structured Streaming pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import threading
+import time
+from typing import Callable, Optional
+
+from lwes_contrib_hive_serde_spark.sources import codec as c
+
+
+class UdpJournaller:
+    """Receive LWES datagrams on a UDP socket and append them to
+    journal files.
+
+    Parameters
+    ----------
+    out_dir: directory for journal files (created if missing)
+    host/port: bind address; port 0 picks an ephemeral port (see
+        ``self.port`` after ``start()``)
+    site_id: written into every record's header (the deployment-site
+        tag the reference carries, DatagramPacketOutputStream.java:64)
+    roll_bytes: start a new journal file once the current one exceeds
+        this size (scan parallelism of the non-splittable format is
+        file count — roll small enough that a cluster can fan out)
+    clock_ms: receipt-time source, injectable for tests
+    """
+
+    def __init__(
+        self,
+        out_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        site_id: int = 0,
+        roll_bytes: int = 256 * 1024 * 1024,
+        clock_ms: Optional[Callable[[], int]] = None,
+    ):
+        self.out_dir = out_dir
+        self.site_id = site_id
+        self.roll_bytes = roll_bytes
+        self.clock_ms = clock_ms or (lambda: int(time.time() * 1000))
+        os.makedirs(out_dir, exist_ok=True)
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._sock.bind((host, port))
+        self._sock.settimeout(0.2)
+        self.host, self.port = self._sock.getsockname()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._file = None
+        self._file_bytes = 0
+        self._seq = 0
+        self.records = 0
+
+    # -- file rolling --------------------------------------------------
+    def _ensure_file(self):
+        if self._file is None or self._file_bytes >= self.roll_bytes:
+            if self._file is not None:
+                self._file.close()
+            path = os.path.join(
+                self.out_dir, f"journal-{int(time.time())}-{self._seq}.journal"
+            )
+            self._seq += 1
+            self._file = open(path, "ab")
+            self._file_bytes = 0
+
+    # -- ingest --------------------------------------------------------
+    def _write_datagram(self, payload: bytes, sender: tuple):
+        """Frame one datagram: header carries receipt time, sender
+        ip/port, site id (writeDataGram semantics,
+        DatagramPacketOutputStream.java:41-74). The payload is written
+        as received — no decode on the hot path; bad events surface at
+        read time, matching the reference's no-validation construction
+        (DatagramPacketInputStream.java:73)."""
+        self._ensure_file()
+        hdr = c.pack_header(
+            len(payload), self.clock_ms(), sender[0], sender[1], self.site_id
+        )
+        self._file.write(hdr)
+        self._file.write(payload)
+        self._file_bytes += len(hdr) + len(payload)
+        self.records += 1
+
+    def _loop(self):
+        while not self._stop.is_set():
+            try:
+                payload, sender = self._sock.recvfrom(c.MAX_PAYLOAD)
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            if payload:
+                self._write_datagram(payload, sender)
+        if self._file is not None:
+            self._file.flush()
+            self._file.close()
+            self._file = None
+
+    # -- lifecycle -----------------------------------------------------
+    def start(self):
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+        self._sock.close()
+
+    def flush(self):
+        if self._file is not None:
+            self._file.flush()
+
+
+def send_event(host: str, port: int, event: "c.Event") -> None:
+    """Emit one event as a UDP datagram (test/producer helper)."""
+    payload = c.encode_event(event)
+    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    try:
+        s.sendto(payload, (host, port))
+    finally:
+        s.close()

@@ -305,3 +305,61 @@ class TestStatefulOps:
             assert got["b"] == (10, 100.0)
         finally:
             q.stop()
+
+
+class TestUdpJournaller:
+    def test_udp_to_journal_to_spark(self, spark, tmp_path):
+        """UDP datagrams → journaller framing → format('lwes') scan:
+        the live-ingest loop of writeDataGram
+        (DatagramPacketOutputStream.java:41-74)."""
+        from lwes_contrib_hive_serde_spark.sources.journaller import (
+            UdpJournaller,
+            send_event,
+        )
+
+        d = str(tmp_path / "udpdir")
+        j = UdpJournaller(d, site_id=7, clock_ms=lambda: 1723500001234).start()
+        try:
+            for i in range(25):
+                ev = c.Event("Udp::E")
+                ev.set("n", c.INT64, i)
+                send_event(j.host, j.port, ev)
+            assert wait_until(lambda: j.records == 25, timeout=10), j.records
+        finally:
+            j.stop()
+        df = (
+            spark.read.format("lwes")
+            .schema("n long, ReceiptTime long, SenderIP string, SiteID int")
+            .option("eventName", "Udp::E")
+            .load(d)
+        )
+        rows = df.collect()
+        assert sorted(r.n for r in rows) == list(range(25))
+        assert all(r.ReceiptTime == 1723500001234 for r in rows)
+        assert all(r.SenderIP == "127.0.0.1" for r in rows)
+        assert all(r.SiteID == 7 for r in rows)
+
+    def test_udp_file_rolling(self, tmp_path):
+        from lwes_contrib_hive_serde_spark.sources.journaller import (
+            UdpJournaller,
+            send_event,
+        )
+
+        d = str(tmp_path / "rolldir")
+        j = UdpJournaller(d, roll_bytes=200).start()  # tiny → rolls often
+        try:
+            for i in range(20):
+                ev = c.Event("Udp::E")
+                ev.set("n", c.INT64, i)
+                send_event(j.host, j.port, ev)
+            assert wait_until(lambda: j.records == 20, timeout=10), j.records
+        finally:
+            j.stop()
+        files = [f for f in os.listdir(d) if f.endswith(".journal")]
+        assert len(files) > 1, "expected size-based file rolling"
+        total = sum(
+            1
+            for f in files
+            for _ in c.read_journal_file(os.path.join(d, f))
+        )
+        assert total == 20
