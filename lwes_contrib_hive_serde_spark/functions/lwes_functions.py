@@ -1,0 +1,74 @@
+"""Scalar helper functions for LWES tables — the reference's small
+utility surface re-expressed as Spark Column expressions (all JVM
+built-ins; no Python UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def receipt_time_ts(col="ReceiptTime") -> Column:
+    """ReceiptTime header millis → TimestampType (the int64-millis
+    receipt time of DatagramPacketInputStream.java:53-54)."""
+    return F.timestamp_millis(_c(col).cast("long"))
+
+
+def text_dump(col="ReceiptTime") -> Column:
+    """The reader's text-dump formatting of the receipt time —
+    ``MM/dd/yyyy HH:mm:ss.SSS`` exactly as readDataGram renders it
+    (DatagramPacketInputStream.java:115-151, SimpleDateFormat at
+    :124-126). A plain projection here, not a reader mode."""
+    return F.date_format(receipt_time_ts(col), "MM/dd/yyyy HH:mm:ss.SSS")
+
+
+def ip_to_long(col="SenderIP") -> Column:
+    """Dotted-quad string → uint32-as-long (LWES IPAddress wire order,
+    little-endian on the wire per lwes-java; this is the NUMERIC form
+    for range scans / CIDR math)."""
+    parts = F.split(_c(col), r"\.")
+    return (
+        F.element_at(parts, 1).cast("long") * F.lit(16777216)
+        + F.element_at(parts, 2).cast("long") * F.lit(65536)
+        + F.element_at(parts, 3).cast("long") * F.lit(256)
+        + F.element_at(parts, 4).cast("long")
+    )
+
+
+def long_to_ip(col) -> Column:
+    """Inverse of ip_to_long: numeric → dotted-quad string (matching
+    the ``toString()`` coercion the read path applies to IPAddress
+    attributes, EventSerDe.java:282-287)."""
+    v = _c(col).cast("long")
+    return F.concat_ws(
+        ".",
+        F.shiftrightunsigned(v, 24).bitwiseAND(F.lit(255)).cast("string"),
+        F.shiftrightunsigned(v, 16).bitwiseAND(F.lit(255)).cast("string"),
+        F.shiftrightunsigned(v, 8).bitwiseAND(F.lit(255)).cast("string"),
+        v.bitwiseAND(F.lit(255)).cast("string"),
+    )
+
+
+def event_sort_key(event_name_col, *attr_cols) -> Column:
+    """Total-ordering key matching EventWritable.compareTo
+    (EventWritable.java:59-97): event name, then attribute count
+    (non-null attrs), then the attribute values in the caller-given
+    (sorted-name) order. Use ``df.orderBy(event_sort_key(...))`` where
+    the reference shuffled EventWritables through its comparator —
+    Spark sorts typed columns natively (no Writable needed; we do NOT
+    replicate the per-call Thread.dumpStack at EventWritable.java:61).
+    """
+    cols = [_c(c) for c in attr_cols]
+    n_set = sum(
+        (F.when(c.isNotNull(), 1).otherwise(0) for c in cols), F.lit(0)
+    )
+    return F.struct(
+        _c(event_name_col).alias("name"),
+        n_set.alias("n_attrs"),
+        *[c.alias(f"a{i}") for i, c in enumerate(cols)],
+    )

@@ -200,21 +200,34 @@ def hyperplane_signatures(
 ) -> DataFrame:
     """(id, sig long) — sign bits of projections onto n_planes random
     hyperplanes. P(bit match) = 1 - angle/π, so high-cosine pairs
-    collide on full signatures with high probability."""
+    collide on full signatures with high probability.
+
+    Computed as one numpy GEMM per Arrow batch via mapInPandas (the
+    n_planes separate zip_with/aggregate JVM expressions evaluate
+    interpreted per element — a (batch × dim) @ (dim × planes) matmul
+    is ~an order of magnitude faster and embarrassingly parallel)."""
     import random
+
+    import pandas as pd
 
     dim = len(df.select(vec_col).first()[0])
     rng = random.Random(seed)
     planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
-    bits = []
-    for i, p in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in p])
-        proj = dot(vec_col, arr)
-        bits.append(F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
-    return df.select(F.col(id_col).alias("id"), sig.cast("long").alias("sig"))
+    weights = [1 << i for i in range(n_planes)]
+
+    def signatures(batches):
+        import numpy as np
+
+        P = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes)
+        W = np.asarray(weights, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            sig = ((X @ P >= 0).astype(np.int64) * W).sum(axis=1)
+            yield pd.DataFrame({"id": pdf[id_col].to_numpy(), "sig": sig})
+
+    return df.select(id_col, vec_col).mapInPandas(signatures, "id long, sig long")
 
 
 def embedding_neardup_pairs(

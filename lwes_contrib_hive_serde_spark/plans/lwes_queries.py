@@ -105,6 +105,73 @@ def q_roundtrip_agg(spark, sf_dir):
     )
 
 
+def _events_multi_journal(spark, sf_dir: str) -> str:
+    """Journal the events table with a PER-ROW event name
+    ('Ev::<event_type>') — the multi-event-journal scenario of
+    EventSerDe's 'Event::Name::Field' fieldMap syntax
+    (EventSerDe.java:52-54,141-155)."""
+    import lwes_contrib_hive_serde_spark as L
+
+    L.register(spark)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/lwes_journal_cache/{tag}/events_multi"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ev = table(spark, sf_dir, "events")
+        src = ev.select(
+            F.concat(F.lit("Ev::"), F.col("event_type")).alias("event_name"),
+            "event_id",
+            "user_id",
+            "value",
+            F.unix_millis("ts").alias("ReceiptTime"),
+        )
+        (
+            src.repartition(32)
+            .write.format("lwes")
+            .mode("overwrite")
+            .save(out)
+        )
+    return out
+
+
+@register(
+    "q_lwes_multievent",
+    oracle="""
+    SELECT 'Ev::' || event_type AS event_name,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           MIN(strftime(ts, '%m/%d/%Y %H:%M:%S') || '.' ||
+               lpad(CAST(epoch_ms(ts) % 1000 AS VARCHAR), 3, '0')) AS first_dump
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Multi-event journal: per-row event names on write "
+    "(event_name column), sparse multi-event read with the "
+    "event_name virtual column (replaces EventListWritable handling, "
+    "EventSerDe.java:36-38), plus the reader's text-dump receipt-time "
+    "formatting (MM/dd/yyyy HH:mm:ss.SSS, "
+    "DatagramPacketInputStream.java:115-151) as a projection.",
+)
+def q_multievent(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.functions import lwes_functions as fn
+
+    out = _events_multi_journal(spark, sf_dir)
+    back = (
+        spark.read.format("lwes")
+        .schema(
+            "event_name string, event_id long, user_id long, "
+            "value double, ReceiptTime long"
+        )
+        .load(out)
+    )
+    return back.groupBy("event_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum(F.col("value"), "total_value", scale=4),
+        F.min(fn.text_dump("ReceiptTime")).alias("first_dump"),
+    )
+
+
 @register(
     "q_lwes_header_filter",
     oracle="""

@@ -293,3 +293,47 @@ class TestApproxDistinct:
         assert rows
         for r in rows:
             assert abs(r.approx - r.exact) / r.exact < 0.05, r
+
+
+class TestLwesFunctions:
+    def test_ip_round_trip_and_text_dump(self, spark):
+        from lwes_contrib_hive_serde_spark.functions import lwes_functions as fn
+
+        df = spark.createDataFrame(
+            [("10.1.2.3", 1723500001234), ("255.255.255.255", 0), ("0.0.0.0", 999)],
+            "ip string, rt long",
+        )
+        out = df.select(
+            "ip",
+            fn.ip_to_long("ip").alias("ipn"),
+            fn.long_to_ip(fn.ip_to_long("ip")).alias("back"),
+            fn.text_dump("rt").alias("dump"),
+        ).collect()
+        for r in out:
+            assert r.back == r.ip
+        by_ip = {r.ip: r for r in out}
+        assert by_ip["10.1.2.3"].ipn == (10 << 24) + (1 << 16) + (2 << 8) + 3
+        assert by_ip["255.255.255.255"].ipn == 0xFFFFFFFF
+        # reference text-dump format MM/dd/yyyy HH:mm:ss.SSS (UTC session)
+        assert by_ip["10.1.2.3"].dump == "08/12/2024 22:00:01.234"
+        assert by_ip["255.255.255.255"].dump == "01/01/1970 00:00:00.000"
+
+    def test_event_sort_key_matches_reference_comparator(self, spark):
+        """EventWritable.compareTo order: name, then attr count, then
+        values (EventWritable.java:59-97)."""
+        from lwes_contrib_hive_serde_spark.functions import lwes_functions as fn
+
+        df = spark.createDataFrame(
+            [
+                ("B", 1, 1),
+                ("A", None, 5),   # fewer attrs sorts before more, same name
+                ("A", 2, 2),
+                ("A", 1, 2),
+            ],
+            "name string, x int, y int",
+        )
+        got = [
+            (r.name, r.x, r.y)
+            for r in df.orderBy(fn.event_sort_key("name", "x", "y")).collect()
+        ]
+        assert got == [("A", None, 5), ("A", 1, 2), ("A", 2, 2), ("B", 1, 1)]
