@@ -299,6 +299,13 @@ def infer_schema(
         fields.append(StructField(EVENT_NAME_COL, StringType()))
     for k in sorted(seen):
         fields.append(StructField(k, _TOKEN_TO_SPARK[seen[k]]))
+    # Hive-style directory partition columns (as strings, like Hive's
+    # default partition-column typing)
+    pkeys = sorted(
+        {k for f in files for k in _partition_values(f, path)} - set(seen)
+    )
+    for k in pkeys:
+        fields.append(StructField(k, StringType()))
     return StructType(fields)
 
 
@@ -314,8 +321,25 @@ def _widen(a: int, b: int) -> int:
 
 
 class LwesFilePartition(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, pvals: dict | None = None):
         self.path = path
+        self.pvals = pvals or {}
+
+
+def _partition_values(file_path: str, root: str) -> dict[str, str]:
+    """Hive-style directory partition values for one file: every
+    ``key=value`` path segment under the root (the reference's tables
+    use plain Hive partitioning, e.g. PARTITIONED BY(dt STRING),
+    reference README:48 — partition pruning was Hive's job; here it is
+    ours)."""
+    rel = os.path.relpath(os.path.dirname(os.path.abspath(file_path)),
+                          os.path.abspath(root))
+    out: dict[str, str] = {}
+    for seg in rel.split(os.sep):
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            out[k] = v
+    return out
 
 
 class LwesReader(DataSourceReader):
@@ -328,8 +352,20 @@ class LwesReader(DataSourceReader):
         self.raw = options.get("raw", "false").lower() == "true"
         self.event_name = options.get("eventname")
         self.batch_size = int(options.get("batchsize", "8192"))
+        # Hive-style directory partitioning: key=value path segments
+        # become schema columns filled per-file (reference README:48)
+        self._files = _list_journal_files(self.path)
+        self._file_pvals = {
+            f: _partition_values(f, self.path) for f in self._files
+        }
+        self.partition_keys = {
+            k for pv in self._file_pvals.values() for k in pv
+        } & {f.name for f in schema.fields}
+        part_free = StructType(
+            [f for f in schema.fields if f.name not in self.partition_keys]
+        )
         self.specs = _parse_field_map(
-            schema, options.get("fieldmap"), self.event_name
+            part_free, options.get("fieldmap"), self.event_name
         )
         # event-name pushdown set: explicit option, or the union of
         # names in a multi-event fieldMap
@@ -346,6 +382,10 @@ class LwesReader(DataSourceReader):
         # header-level predicates accepted by pushFilters: evaluated on
         # the 22-byte header + peeked event name, BEFORE payload decode.
         self.header_filters: list[tuple[str, str, object]] = []
+        # partition-column predicates: evaluated per FILE in
+        # partitions() — whole files are skipped without opening them
+        # (partition pruning, the scan-level win at 100 TB)
+        self.partition_filters: list[tuple[str, str, object]] = []
 
     # Columns whose value is known without decoding the payload.
     _PREDECODE_COLS = frozenset(
@@ -358,18 +398,18 @@ class LwesReader(DataSourceReader):
         event-name filter, EventSerDe.java:199 — generalized to the
         four header fields, which the journal framing exposes without
         touching the payload)."""
+        ops = ("EqualTo", "GreaterThan", "GreaterThanOrEqual",
+               "LessThan", "LessThanOrEqual", "In")
         for flt in filters:
             op = type(flt).__name__
             attr = getattr(flt, "attribute", None)
-            if (
-                attr is not None
-                and len(attr) == 1
-                and attr[0] in self._PREDECODE_COLS
-                and op in ("EqualTo", "GreaterThan", "GreaterThanOrEqual",
-                           "LessThan", "LessThanOrEqual", "In")
-            ):
+            name = attr[0] if attr is not None and len(attr) == 1 else None
+            if name is not None and op in ops and name in self._PREDECODE_COLS:
                 value = flt.value if op != "In" else set(flt.value)
-                self.header_filters.append((attr[0], op, value))
+                self.header_filters.append((name, op, value))
+            elif name is not None and op in ops and name in self.partition_keys:
+                value = flt.value if op != "In" else set(flt.value)
+                self.partition_filters.append((name, op, value))
             else:
                 yield flt
 
@@ -397,10 +437,35 @@ class LwesReader(DataSourceReader):
                     return False
         return True
 
+    def _typed_pvals(self, fpath: str) -> dict:
+        """Partition values for a file, converted to the declared
+        column types."""
+        dtypes = {f.name: f.dataType for f in self.schema.fields}
+        return {
+            k: _convert_read(v, dtypes[k], None)
+            for k, v in self._file_pvals.get(fpath, {}).items()
+            if k in self.partition_keys
+        }
+
     def partitions(self):
-        # one partition per file: non-splittable framing
-        # (JournalInputFormat.java:58-60)
-        return [LwesFilePartition(p) for p in _list_journal_files(self.path)]
+        # one partition per file (non-splittable framing,
+        # JournalInputFormat.java:58-60); files whose directory
+        # partition values fail the pushed filters are PRUNED here —
+        # never opened, never decoded.
+        out = []
+        for p in self._files:
+            pv = self._typed_pvals(p)
+            if self.partition_filters and not self._eval_header_filters(
+                [
+                    (col, op, want)
+                    for col, op, want in self.partition_filters
+                    if col in pv
+                ],
+                pv,
+            ):
+                continue
+            out.append(LwesFilePartition(p, pv))
+        return out
 
     def read(self, partition: LwesFilePartition) -> Iterator:
         import pyarrow as pa
@@ -414,9 +479,12 @@ class LwesReader(DataSourceReader):
             return
 
         spec_by_col = {s.column: s for s in self.specs}
+        pvals = getattr(partition, "pvals", {}) or {}
         converters = []
         for f in fields:
-            if f.name in c.HEADER_FIELD_TYPES:
+            if f.name in self.partition_keys:
+                converters.append(("part", pvals.get(f.name), f.dataType))
+            elif f.name in c.HEADER_FIELD_TYPES:
                 converters.append(("header", f.name, f.dataType))
             elif f.name == EVENT_NAME_COL:
                 converters.append(("name", None, f.dataType))
@@ -461,7 +529,9 @@ class LwesReader(DataSourceReader):
                 attrs[c.SENDER_PORT] = port
                 attrs[c.SITE_ID] = site
                 for i, (kind, spec, dtype) in enumerate(converters):
-                    if kind == "header":
+                    if kind == "part":
+                        cols[i].append(spec)  # constant for the file
+                    elif kind == "header":
                         v = attrs.get(spec)
                         cols[i].append(_convert_read(v, dtype, None))
                     elif kind == "name":

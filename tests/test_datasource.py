@@ -342,3 +342,62 @@ class TestWriteRoundTrip:
             .load(out)
         )
         assert sorted(map(tuple, src.collect())) == sorted(map(tuple, back.collect()))
+
+
+class TestHivePartitioning:
+    """Hive-style directory partitions (reference README:48
+    PARTITIONED BY(dt STRING)): key=value path segments become
+    columns; pushed partition predicates prune whole files."""
+
+    def _make(self, tmp_path):
+        root = str(tmp_path / "ptab")
+        for dt, lo in (("2024-01-01", 0), ("2024-01-02", 100)):
+            d = os.path.join(root, f"dt={dt}")
+            os.makedirs(d)
+            evs = []
+            for i in range(lo, lo + 10):
+                ev = c.Event("P::E")
+                ev.set("n", c.INT64, i)
+                evs.append(ev)
+            c.write_journal_file(os.path.join(d, "a.journal"), evs)
+        return root
+
+    def test_partition_column_and_filter(self, spark, tmp_path):
+        root = self._make(tmp_path)
+        df = (
+            spark.read.format("lwes")
+            .schema("n long, dt string")
+            .option("eventName", "P::E")
+            .load(root)
+        )
+        assert df.count() == 20
+        sub = df.filter(df.dt == "2024-01-02")
+        rows = sub.collect()
+        assert sorted(r.n for r in rows) == list(range(100, 110))
+        assert all(r.dt == "2024-01-02" for r in rows)
+
+    def test_partition_pruning_skips_files(self, spark, tmp_path):
+        from pyspark.sql.datasource import EqualTo
+        from pyspark.sql.types import StructType
+
+        from lwes_contrib_hive_serde_spark.sources.datasource import LwesReader
+
+        root = self._make(tmp_path)
+        schema = StructType.fromDDL("n long, dt string")
+        reader = LwesReader(schema, {"path": root, "eventname": "P::E"})
+        assert len(reader.partitions()) == 2
+        leftover = list(reader.pushFilters([EqualTo(("dt",), "2024-01-01")]))
+        assert leftover == []  # fully consumed by the reader
+        parts = reader.partitions()
+        assert len(parts) == 1  # one whole file pruned, never opened
+        assert parts[0].pvals == {"dt": "2024-01-01"}
+
+    def test_inferred_schema_includes_partition_cols(self, spark, tmp_path):
+        root = self._make(tmp_path)
+        df = (
+            spark.read.format("lwes")
+            .option("eventName", "P::E")
+            .load(root)
+        )
+        assert "dt" in df.columns
+        assert df.filter(df.dt == "2024-01-01").count() == 10
