@@ -1,0 +1,101 @@
+"""§2b rows not covered by the query corpus: CTAS / saveAsTable,
+multi-insert (several sinks off one cached upstream), insertInto, and
+bucketed co-located joins (bucketBy + sortBy → join with NO Exchange
+on either side — the 100 TB answer to repeated fact-fact joins).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def wh_tables(spark, tmp_path_factory):
+    """Isolated warehouse-backed database for table DDL tests."""
+    db = "t2surface"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    yield db
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+class TestCtasAndInserts:
+    def test_ctas_saveastable_roundtrip(self, spark, wh_tables):
+        db = wh_tables
+        src = spark.range(100).select(
+            F.col("id"), (F.col("id") % 7).alias("g")
+        )
+        src.write.mode("overwrite").saveAsTable(f"{db}.ctas_t")
+        back = spark.table(f"{db}.ctas_t")
+        assert back.count() == 100
+        assert back.groupBy().sum("g").first()[0] == sum(i % 7 for i in range(100))
+        # SQL CTAS off the saved table
+        spark.sql(
+            f"CREATE TABLE {db}.ctas_top AS "
+            f"SELECT g, COUNT(*) AS n FROM {db}.ctas_t GROUP BY g"
+        )
+        assert spark.table(f"{db}.ctas_top").count() == 7
+
+    def test_multi_insert_off_cached_df(self, spark, wh_tables, tmp_path):
+        """Hive's FROM t INSERT ... INSERT ... = several writes off one
+        cached upstream; the upstream computes once."""
+        db = wh_tables
+        ev = spark.range(1000).select(
+            F.col("id"),
+            (F.col("id") % 3).alias("k"),
+            (F.col("id") * 2).alias("v"),
+        )
+        cached = ev.cache()
+        try:
+            agg1 = cached.groupBy("k").agg(F.sum("v").alias("s"))
+            agg2 = cached.filter("id % 2 = 0").select("id", "v")
+            agg1.write.mode("overwrite").saveAsTable(f"{db}.mi_agg")
+            agg2.write.mode("overwrite").saveAsTable(f"{db}.mi_even")
+            assert spark.table(f"{db}.mi_agg").count() == 3
+            assert spark.table(f"{db}.mi_even").count() == 500
+        finally:
+            cached.unpersist()
+
+    def test_insert_into_appends(self, spark, wh_tables):
+        db = wh_tables
+        spark.range(10).write.mode("overwrite").saveAsTable(f"{db}.ins_t")
+        spark.range(10, 25).write.insertInto(f"{db}.ins_t")
+        assert spark.table(f"{db}.ins_t").count() == 25
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_exchange(self, spark, wh_tables):
+        """bucketBy(8, k) + sortBy(k) on both sides → sort-merge join
+        with zero Exchange nodes: at 100 TB this is the difference
+        between shuffling two fact tables per join and reading
+        co-located buckets."""
+        db = wh_tables
+        a = spark.range(10000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("va")
+        )
+        b = spark.range(10000).select(
+            F.col("id").alias("k"), (F.col("id") * 5).alias("vb")
+        )
+        for name, df in (("ba", a), ("bb", b)):
+            (
+                df.write.mode("overwrite")
+                .bucketBy(8, "k")
+                .sortBy("k")
+                .saveAsTable(f"{db}.{name}")
+            )
+        ta, tb = spark.table(f"{db}.ba"), spark.table(f"{db}.bb")
+        # disable auto-broadcast so the test proves bucket co-location,
+        # not broadcast avoidance
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = ta.join(tb, "k").select(F.sum(F.col("va") + F.col("vb")))
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            # no hash-repartition Exchange feeds the join: both sides
+            # read co-located buckets (the final global-agg
+            # SinglePartition exchange is inherent and irrelevant)
+            assert "Exchange hashpartitioning" not in plan, plan
+            assert plan.count("Bucketed: true") == 2, plan
+            expect = sum(i * 3 + i * 5 for i in range(10000))
+            assert j.first()[0] == expect
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
