@@ -140,21 +140,70 @@ def ivf_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_iter: int = 20,
 ):
     """Train a coarse quantizer and assign every vector to its nearest
     centroid. Returns (assigned_df with cluster_id column, centroids).
 
+    The quantizer trains on a bounded driver-side SAMPLE in numpy
+    (Lloyd's iterations; deterministic seed) — the standard IVF recipe:
+    at 100 TB you train on ~10^5 sampled vectors, never the corpus.
+    Assignment is distributed: one numpy GEMM per Arrow batch via
+    mapInPandas. (pyspark.ml KMeans does the same math through
+    VectorUDT conversions and many fit/transform stages — ~10x the
+    fixed cost for no quality gain at quantizer granularity.)
+
     At 100 TB the assigned table is written partitioned/bucketed BY
     cluster_id; a query then reads only nprobe partitions (partition
     pruning does the index lookup)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    import numpy as np
 
-    with_vec = df.withColumn("__v", array_to_vector(F.col(vec_col).cast("array<double>")))
-    km = KMeans(k=n_clusters, seed=seed, featuresCol="__v", predictionCol="cluster_id")
-    model = km.fit(with_vec)
-    assigned = model.transform(with_vec).drop("__v")
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    n_train = 100_000
+    sample = df.select(vec_col).limit(n_train).collect()
+    X = np.asarray([list(map(float, r[0])) for r in sample], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    centers = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
+    for _ in range(max_iter):
+        # squared-euclidean assignment via ||x||^2 - 2xTc + ||c||^2
+        d = (
+            (X * X).sum(1, keepdims=True)
+            - 2.0 * (X @ centers.T)
+            + (centers * centers).sum(1)
+        )
+        lab = d.argmin(1)
+        new = np.vstack(
+            [
+                X[lab == i].mean(0) if np.any(lab == i) else centers[i]
+                for i in range(len(centers))
+            ]
+        )
+        if np.allclose(new, centers):
+            break
+        centers = new
+    centroids = [list(map(float, c)) for c in centers]
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(centroids)
+
+    def assign(batches):
+        import numpy as np
+
+        C = np.asarray(bc.value, dtype=np.float64)
+        cn = (C * C).sum(1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            d = (V * V).sum(1, keepdims=True) - 2.0 * (V @ C.T) + cn
+            pdf = pdf.copy()
+            pdf["cluster_id"] = d.argmin(1).astype(np.int32)
+            yield pdf
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("cluster_id", IntegerType())]
+    )
+    assigned = df.mapInPandas(assign, out_schema)
     return assigned, centroids
 
 

@@ -547,6 +547,27 @@ def q_simhash_neardup(spark, sf_dir):
 
 
 @register(
+    "q_ivf_knn",
+    oracle=None,
+    doc="IVF approximate kNN: KMeans coarse quantizer (pyspark.ml), "
+    "cluster assignment = the index, search probes nprobe nearest "
+    "centroids then exact top-k inside them. At 100 TB the assigned "
+    "table is written partitioned by cluster_id so the probe filter "
+    "becomes partition pruning. KMeans centroids are not reproducible "
+    "in SQL → rows-only gate; tests/test_operators.py checks recall "
+    "against brute force.",
+)
+def q_ivf_knn(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
+    # few iterations: coarse quantizer quality barely moves recall at
+    # this nprobe and the gate checks wiring, not centroid quality
+    assigned, centroids = similarity.ivf_build(e, n_clusters=8, max_iter=4)
+    top = similarity.ivf_search(assigned, centroids, qv, k=10, nprobe=3)
+    return top.select("neighbor_id", F.round("cosine_sim", 6).alias("sim6"))
+
+
+@register(
     "q_multimodal_meta",
     oracle=None,
     doc="Multimodal plumbing: documents.text bytes as a binary payload "

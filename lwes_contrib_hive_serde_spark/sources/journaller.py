@@ -136,3 +136,39 @@ def send_event(host: str, port: int, event: "c.Event") -> None:
         s.sendto(payload, (host, port))
     finally:
         s.close()
+
+
+def main(argv=None):
+    """``python -m lwes_contrib_hive_serde_spark.sources.journaller
+    --out /journals --port 9191`` — run a journaller until SIGINT."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description="LWES UDP journaller")
+    ap.add_argument("--out", required=True, help="journal output directory")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=9191)
+    ap.add_argument("--site-id", type=int, default=0)
+    ap.add_argument(
+        "--roll-mb", type=int, default=256, help="roll files at this size"
+    )
+    args = ap.parse_args(argv)
+    j = UdpJournaller(
+        args.out,
+        host=args.host,
+        port=args.port,
+        site_id=args.site_id,
+        roll_bytes=args.roll_mb * 1024 * 1024,
+    ).start()
+    print(f"journaller listening on {j.host}:{j.port} -> {args.out}")
+    try:
+        while True:
+            time.sleep(1)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        j.stop()
+        print(f"journalled {j.records} events")
+
+
+if __name__ == "__main__":
+    main()
