@@ -157,6 +157,73 @@ def resize_image(
     return df.mapInPandas(do_resize, df.schema)
 
 
+def extract_audio_features(
+    df: DataFrame,
+    bin_col: str = "payload",
+    strict: bool = False,
+    n_mfcc: int = 8,
+) -> DataFrame:
+    """Append (sample_rate, duration_ms, mfcc array<double>) from audio
+    payload bytes via mapInPandas — same gated-decode contract as
+    decode_image_meta: real features when librosa/soundfile are
+    importable, DETERMINISTIC FAKE otherwise (strict=True raises
+    NotImplementedError instead)."""
+    try:
+        import librosa  # noqa: F401
+
+        use_librosa = True
+    except ImportError:
+        use_librosa = False
+    if strict and not use_librosa:
+        raise NotImplementedError(
+            "audio decode requires librosa, which is not installed; "
+            "pass strict=False for the deterministic fake"
+        )
+    out_schema = ", ".join(
+        [f.simpleString().replace(":", " ", 1) for f in df.schema.fields]
+        + ["sample_rate int", "duration_ms long", "mfcc array<double>"]
+    )
+
+    def extract(batches):
+        import hashlib
+        import io
+
+        import pandas as pd
+
+        for pdf in batches:
+            srs, durs, mfccs = [], [], []
+            for raw in pdf[bin_col]:
+                b = bytes(raw) if raw is not None else b""
+                if not b:
+                    srs.append(None); durs.append(None); mfccs.append(None)
+                    continue
+                if use_librosa:
+                    try:
+                        import librosa
+                        import numpy as np
+
+                        y, sr = librosa.load(io.BytesIO(b), sr=None)
+                        m = librosa.feature.mfcc(y=y, sr=sr, n_mfcc=n_mfcc)
+                        srs.append(int(sr))
+                        durs.append(int(len(y) * 1000 / sr))
+                        mfccs.append([float(x) for x in m.mean(axis=1)])
+                        continue
+                    except Exception:
+                        pass
+                # DETERMINISTIC FAKE from the byte content
+                h = hashlib.sha256(b).digest()
+                srs.append(8000 * (1 + h[0] % 6))
+                durs.append(100 + int.from_bytes(h[1:4], "big") % 60000)
+                mfccs.append([(h[4 + i] - 128) / 8.0 for i in range(n_mfcc)])
+            yield pdf.assign(
+                sample_rate=pd.array(srs, dtype="Int32"),
+                duration_ms=pd.array(durs, dtype="Int64"),
+                mfcc=pd.Series(mfccs, index=pdf.index, dtype=object),
+            )
+
+    return df.mapInPandas(extract, out_schema)
+
+
 def sample_frame_offsets(
     df: DataFrame,
     duration_col: str = "duration_ms",

@@ -973,6 +973,31 @@ def q_grouped_agg_pandas(spark, sf_dir):
 
 
 @register(
+    "q_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles (Spark `percentile` == DuckDB "
+    "quantile_cont). At 100 TB prefer percentile_approx (mergeable "
+    "KLL-style sketches, map-side combine); exact percentile shuffles "
+    "the group's values.",
+)
+def q_percentiles(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    pct = lambda p, a: F.round(
+        F.percentile("l_extendedprice", F.lit(p)), 6
+    ).alias(a)
+    return li.groupBy("l_returnflag").agg(
+        pct(0.25, "p25"), pct(0.5, "p50"), pct(0.95, "p95")
+    )
+
+
+@register(
     "q_approx_distinct",
     oracle=None,
     doc="approx_count_distinct (HyperLogLog++): sketches merge "

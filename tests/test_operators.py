@@ -337,3 +337,20 @@ class TestLwesFunctions:
             for r in df.orderBy(fn.event_sort_key("name", "x", "y")).collect()
         ]
         assert got == [("A", None, 5), ("A", 1, 2), ("A", 2, 2), ("B", 1, 1)]
+
+
+class TestAudioPlumbing:
+    def test_audio_features_deterministic(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import multimodal
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"aaa")), (2, bytearray(b"bbb")), (3, bytearray(b"aaa")),
+             (4, None)],
+            "id long, payload binary",
+        )
+        out = {r.id: r for r in multimodal.extract_audio_features(df).collect()}
+        assert out[1].sample_rate == out[3].sample_rate
+        assert list(out[1].mfcc) == list(out[3].mfcc)
+        assert len(out[1].mfcc) == 8
+        assert out[4].sample_rate is None and out[4].mfcc is None
+        assert out[1].duration_ms >= 100
