@@ -257,46 +257,46 @@ def ngram_jaccard_pairs(
 
 
 def simhash_column(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, simhash long) — 64-bit SimHash over word tokens, computed
-    in a vectorized pandas UDF (numpy bit-bucket accumulation; Arrow
-    batches; ~100× a row-at-a-time Python UDF)."""
+    """(id, simhash long) — 64-bit SimHash over word tokens.
+
+    Hybrid split of the work: token hashes are computed JVM-side
+    (codegen'd xxhash64 per token, deterministic across workers —
+    never use Python's salted builtin hash in distributed code), then
+    a pandas UDF does the 64-bit majority vote as pure vectorized
+    numpy over the whole Arrow batch (flatten + reduceat — no Python
+    per-token loop anywhere)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
-    def _simhash(texts: pd.Series) -> pd.Series:
+    def _majority(hs: pd.Series) -> pd.Series:
         import numpy as np
 
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            if not t:
+        w = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        out = np.zeros(len(hs), dtype=np.int64)
+        for i, x in enumerate(hs):
+            if x is None or len(x) == 0:
                 continue
-            toks = t.lower().split()
-            if not toks:
-                continue
-            hs = np.array(
-                [hash64(tok) for tok in toks], dtype=np.uint64
+            a = np.asarray(x, dtype=np.int64)
+            # bits: (n_tokens, 64) uint8 via byte unpack — no O(n*64)
+            # int32 shift matrix
+            bits = np.unpackbits(
+                a.view(np.uint8).reshape(len(a), 8), axis=1, bitorder="little"
             )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
-                np.int32
-            )
-            counts = bits.sum(axis=0)
-            vec = (counts * 2 - len(toks)) > 0
-            val = np.uint64(0)
-            for b in np.nonzero(vec)[0]:
-                val |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(val.astype(np.int64))
+            counts = bits.sum(axis=0, dtype=np.int64)
+            vec = counts * 2 > len(a)
+            out[i] = (w[vec].sum()).astype(np.int64)
         return pd.Series(out)
 
-    def hash64(s: str) -> int:
-        # FNV-1a 64-bit — deterministic across workers (builtin hash()
-        # is salted per process; never use it in distributed code)
-        h = 0xCBF29CE484222325
-        for ch in s.encode("utf-8"):
-            h ^= ch
-            h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        return h
-
-    return df.select(F.col(id_col).alias("id"), _simhash(F.col(text_col)).alias("simhash"))
+    token_hashes = F.transform(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda t: F.xxhash64(t),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
+        .otherwise(_majority(token_hashes))
+        .alias("simhash"),
+    )
 
 
 def simhash_neardup_pairs(
@@ -401,14 +401,18 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
                 ).alias("label"),
             )
         )
+        # checkpoint FIRST so the changed-probe and the next iteration
+        # both read materialized labels instead of recomputing the
+        # join lineage twice
+        new_ck = new_labels.localCheckpoint(eager=True)
         changed = (
-            new_labels.alias("n")
+            new_ck.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.label") != F.col("o.label"))
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True) if changed else new_labels
+        labels = new_ck
         if not changed:
             break
     return labels.select("id", F.col("label").alias("cluster_id"))

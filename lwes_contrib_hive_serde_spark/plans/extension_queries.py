@@ -434,8 +434,15 @@ def q_ngram_jaccard(spark, sf_dir):
 @register(
     "q_dup_clusters",
     oracle=f"""
-    WITH RECURSIVE fp AS (
-      SELECT doc_id, md5({_SQL_NORM}) AS f FROM documents
+    WITH RECURSIVE planted AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, upper(text) FROM documents WHERE doc_id < 20
+      UNION ALL
+      SELECT doc_id + 2000000, text || '  ' FROM documents WHERE doc_id < 20
+    ), fp AS (
+      SELECT doc_id, md5({_SQL_NORM}) AS f
+      FROM planted
     ), pairs AS (
       SELECT a.doc_id AS id1, b.doc_id AS id2
       FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
@@ -461,8 +468,24 @@ def q_ngram_jaccard(spark, sf_dir):
     "relative to the corpus; the iteration never touches the corpus.",
 )
 def q_dup_clusters(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
-    fp = d.select(
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # plant two normalized-identical copies of the first 20 docs (case
+    # edit + trailing whitespace) in BOTH engines — sf0.01 has no
+    # natural exact dups, so without planting the check is vacuous
+    planted = (
+        d.unionByName(
+            d.filter(F.col("doc_id") < 20).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.upper("text").alias("text"),
+            )
+        ).unionByName(
+            d.filter(F.col("doc_id") < 20).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit("  ")).alias("text"),
+            )
+        )
+    )
+    fp = planted.select(
         F.col("doc_id").alias("id"), text.fingerprint("text").alias("f")
     )
     a = fp.select(F.col("id").alias("id1"), "f")
