@@ -544,11 +544,18 @@ def q_salted_agg(spark, sf_dir):
 
 @register(
     "q_minhash_neardup",
-    oracle=None,
+    # Same oracle as q_ngram_jaccard (the EXACT all-pairs answer): the
+    # exact Jaccard re-check guarantees output ⊆ truth, and the LSH
+    # banding (16 bands × 4 rows) collides a Jaccard-0.8 pair with
+    # P = 1-(1-0.8^4)^16 ≈ 0.9998 — so equality holds unless a
+    # ~2e-4-probability miss occurs. The hashes themselves are not
+    # SQL-reproducible; the RESULT is.
+    oracle=REGISTRY["q_ngram_jaccard"].oracle if "q_ngram_jaccard" in REGISTRY else None,
     doc="MinHash(64)+LSH(16 bands) near-dup pairs at Jaccard ≥ 0.8 with "
-    "exact re-check. xxhash64 is not reproducible in DuckDB → rows-only "
-    "gate; tests/test_operators.py verifies recall against brute-force "
-    "Jaccard on planted near-dups.",
+    "exact re-check — oracle-checked against the exact inverted-index "
+    "answer (see comment on recall probability); "
+    "tests/test_operators.py additionally verifies recall on planted "
+    "near-dups.",
 )
 def q_minhash_neardup(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
