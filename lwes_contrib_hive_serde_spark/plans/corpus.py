@@ -998,6 +998,49 @@ def q_percentiles(spark, sf_dir):
 
 
 @register(
+    "q_groupmap_normalize",
+    oracle="""
+    WITH b AS (
+      SELECT event_id, event_type, value,
+             MIN(value) OVER (PARTITION BY event_type) AS mn,
+             MAX(value) OVER (PARTITION BY event_type) AS mx
+      FROM events
+    )
+    SELECT event_id, event_type,
+           ROUND(CASE WHEN mx > mn THEN (value - mn) / (mx - mn)
+                      ELSE 0.0 END, 6) AS scaled
+    FROM b
+    WHERE event_id < 500
+    """,
+    doc="Grouped-map applyInPandas (Hive GROUPED_MAP UDF surface): "
+    "per-group min-max normalization in whole-group pandas. min/max "
+    "are order-independent so the doubles are bit-identical to the "
+    "window-function oracle. At 100 TB: the whole group materializes "
+    "in one worker's memory — use only on bounded groups; unbounded "
+    "normalization belongs in window functions (see oracle).",
+)
+def q_groupmap_normalize(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+
+    def scale(pdf: pd.DataFrame) -> pd.DataFrame:
+        mn, mx = pdf["value"].min(), pdf["value"].max()
+        rng = mx - mn
+        scaled = (pdf["value"] - mn) / rng if rng > 0 else 0.0
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "scaled": scaled.round(6) if rng > 0 else 0.0,
+            }
+        )
+
+    out = ev.select("event_id", "event_type", "value").groupBy(
+        "event_type"
+    ).applyInPandas(scale, "event_id long, event_type string, scaled double")
+    return out.filter(F.col("event_id") < 500)
+
+
+@register(
     "q_approx_distinct",
     oracle=None,
     doc="approx_count_distinct (HyperLogLog++): sketches merge "
