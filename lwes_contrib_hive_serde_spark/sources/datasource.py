@@ -352,6 +352,11 @@ class LwesReader(DataSourceReader):
         self.raw = options.get("raw", "false").lower() == "true"
         self.event_name = options.get("eventname")
         self.batch_size = int(options.get("batchsize", "8192"))
+        # reference parity: readEvent returns null on EOFException so a
+        # truncated trailing record (crashed journaller) quietly ENDS
+        # the scan (DatagramPacketInputStream.java:80-86). strict=true
+        # raises instead — for pipelines that must detect corruption.
+        self.strict = options.get("strict", "false").lower() == "true"
         # Hive-style directory partitioning: key=value path segments
         # become schema columns filled per-file (reference README:48)
         self._files = _list_journal_files(self.path)
@@ -503,11 +508,15 @@ class LwesReader(DataSourceReader):
                 if not hdr:
                     break
                 if len(hdr) < c.HEADER_LENGTH:
-                    raise c.CodecError("truncated journal header")
+                    if self.strict:
+                        raise c.CodecError("truncated journal header")
+                    break
                 length, rtime, ip, port, site = c.unpack_header(hdr)
                 payload = read(length)
                 if len(payload) < length:
-                    raise c.CodecError("truncated journal payload")
+                    if self.strict:
+                        raise c.CodecError("truncated journal payload")
+                    break
                 name = c.peek_event_name(payload)
                 if name_filter is not None and name not in name_filter:
                     continue

@@ -401,3 +401,47 @@ class TestHivePartitioning:
         )
         assert "dt" in df.columns
         assert df.filter(df.dt == "2024-01-01").count() == 10
+
+
+class TestTruncationTolerance:
+    """Reference parity: readEvent -> null on EOFException quietly ends
+    the scan (DatagramPacketInputStream.java:80-86); strict=true
+    raises instead."""
+
+    def _write_with_torn_tail(self, tmp_path):
+        p = str(tmp_path / "torn.journal")
+        evs = []
+        for i in range(10):
+            ev = c.Event("T::E")
+            ev.set("n", c.INT64, i)
+            evs.append(ev)
+        c.write_journal_file(p, evs)
+        with open(p, "ab") as f:
+            f.write(c.pack_header(500, 0, "0.0.0.0", 0, 0))
+            f.write(b"\x01only-a-few-bytes")  # payload cut short
+        return p
+
+    def test_default_stops_quietly_at_torn_record(self, spark, tmp_path):
+        p = self._write_with_torn_tail(tmp_path)
+        df = (
+            spark.read.format("lwes")
+            .schema("n long")
+            .option("eventName", "T::E")
+            .load(p)
+        )
+        assert sorted(r.n for r in df.collect()) == list(range(10))
+
+    def test_strict_raises(self, spark, tmp_path):
+        import py4j.protocol
+        from pyspark.errors import PythonException
+
+        p = self._write_with_torn_tail(tmp_path)
+        df = (
+            spark.read.format("lwes")
+            .schema("n long")
+            .option("eventName", "T::E")
+            .option("strict", "true")
+            .load(p)
+        )
+        with pytest.raises((PythonException, py4j.protocol.Py4JJavaError)):
+            df.collect()
