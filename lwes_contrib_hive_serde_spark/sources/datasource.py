@@ -321,9 +321,12 @@ def _widen(a: int, b: int) -> int:
 
 
 class LwesFilePartition(InputPartition):
-    def __init__(self, path: str, pvals: dict | None = None):
-        self.path = path
-        self.pvals = pvals or {}
+    """One scan task: a BIN of whole journal files (each file is
+    non-splittable, but many small files pack into one task so a
+    million-file table doesn't schedule a million tasks)."""
+
+    def __init__(self, files: list):
+        self.files = files  # [(path, partition_values), ...]
 
 
 def _partition_values(file_path: str, root: str) -> dict[str, str]:
@@ -453,11 +456,21 @@ class LwesReader(DataSourceReader):
         }
 
     def partitions(self):
-        # one partition per file (non-splittable framing,
-        # JournalInputFormat.java:58-60); files whose directory
-        # partition values fail the pushed filters are PRUNED here —
-        # never opened, never decoded.
-        out = []
+        # Files are non-splittable (JournalInputFormat.java:58-60):
+        # parallelism ceiling = file count. Two scan-level moves here:
+        # 1. PRUNE: files whose directory partition values fail the
+        #    pushed filters are skipped — never opened, never decoded.
+        # 2. PACK: surviving files bin-pack into tasks of up to
+        #    maxPartitionBytes (default 128 MB, mirroring
+        #    spark.sql.files.maxPartitionBytes) so tiny-file tables
+        #    don't schedule one task per file.
+        max_bytes = int(
+            self.options.get("maxpartitionbytes", str(128 * 1024 * 1024))
+        )
+        open_cost = int(
+            self.options.get("opencostinbytes", str(4 * 1024 * 1024))
+        )
+        survivors = []
         for p in self._files:
             pv = self._typed_pvals(p)
             if self.partition_filters and not self._eval_header_filters(
@@ -469,8 +482,35 @@ class LwesReader(DataSourceReader):
                 pv,
             ):
                 continue
-            out.append(LwesFilePartition(p, pv))
-        return out
+            try:
+                size = os.path.getsize(p)
+            except OSError:
+                size = 0
+            survivors.append((p, pv, size))
+        # Spark's FilePartition sizing: aim for min(maxPartitionBytes,
+        # total/defaultParallelism) with a per-file open cost so tiny
+        # files still spread across the cluster's cores.
+        try:
+            from pyspark.sql import SparkSession
+
+            par = (
+                SparkSession.getActiveSession().sparkContext.defaultParallelism
+            )
+        except Exception:
+            par = 8
+        total = sum(size + open_cost for _, _, size in survivors)
+        target = min(max_bytes, max(open_cost, -(-total // max(par, 1))))
+        bins, cur, cur_bytes = [], [], 0
+        for p, pv, size in survivors:
+            cost = size + open_cost
+            if cur and cur_bytes + cost > target:
+                bins.append(LwesFilePartition(cur))
+                cur, cur_bytes = [], 0
+            cur.append((p, pv))
+            cur_bytes += cost
+        if cur:
+            bins.append(LwesFilePartition(cur))
+        return bins
 
     def read(self, partition: LwesFilePartition) -> Iterator:
         import pyarrow as pa
@@ -480,90 +520,95 @@ class LwesReader(DataSourceReader):
             [(f.name, _arrow_type(f.dataType)) for f in fields]
         )
         if self.raw:
-            yield from self._read_raw(partition.path, pa, arrow_schema)
+            for fpath, _pv in partition.files:
+                yield from self._read_raw(fpath, pa, arrow_schema)
             return
 
         spec_by_col = {s.column: s for s in self.specs}
-        pvals = getattr(partition, "pvals", {}) or {}
-        converters = []
-        for f in fields:
-            if f.name in self.partition_keys:
-                converters.append(("part", pvals.get(f.name), f.dataType))
-            elif f.name in c.HEADER_FIELD_TYPES:
-                converters.append(("header", f.name, f.dataType))
-            elif f.name == EVENT_NAME_COL:
-                converters.append(("name", None, f.dataType))
-            else:
-                s = spec_by_col[f.name]
-                converters.append(("attr", s, f.dataType))
-
         cols: list[list] = [[] for _ in fields]
         n = 0
         hf = self.header_filters
         name_filter = self.name_filter
-        with c.open_journal(partition.path) as stream:
-            read = stream.read
-            while True:
-                hdr = read(c.HEADER_LENGTH)
-                if not hdr:
-                    break
-                if len(hdr) < c.HEADER_LENGTH:
-                    if self.strict:
-                        raise c.CodecError("truncated journal header")
-                    break
-                length, rtime, ip, port, site = c.unpack_header(hdr)
-                payload = read(length)
-                if len(payload) < length:
-                    if self.strict:
-                        raise c.CodecError("truncated journal payload")
-                    break
-                name = c.peek_event_name(payload)
-                if name_filter is not None and name not in name_filter:
-                    continue
-                if hf and not self._eval_header_filters(
-                    hf,
-                    {
-                        c.RECEIPT_TIME: rtime,
-                        c.SENDER_IP: ip,
-                        c.SENDER_PORT: port,
-                        c.SITE_ID: site,
-                        EVENT_NAME_COL: name,
-                    },
-                ):
-                    continue  # filtered without payload decode
-                ev = c.decode_event(payload)
-                attrs = ev.attributes
-                attrs[c.RECEIPT_TIME] = rtime
-                attrs[c.SENDER_IP] = ip
-                attrs[c.SENDER_PORT] = port
-                attrs[c.SITE_ID] = site
-                for i, (kind, spec, dtype) in enumerate(converters):
-                    if kind == "part":
-                        cols[i].append(spec)  # constant for the file
-                    elif kind == "header":
-                        v = attrs.get(spec)
-                        cols[i].append(_convert_read(v, dtype, None))
-                    elif kind == "name":
-                        cols[i].append(ev.name)
-                    else:
-                        if spec.event_name is not None and ev.name != spec.event_name:
-                            cols[i].append(None)
-                            continue
-                        v = attrs.get(spec.attr)
-                        cols[i].append(
-                            None if v is None else _convert_read(v, dtype, None)
+        for fpath, pvals in partition.files:
+            converters = []
+            for f in fields:
+                if f.name in self.partition_keys:
+                    converters.append(("part", (pvals or {}).get(f.name), f.dataType))
+                elif f.name in c.HEADER_FIELD_TYPES:
+                    converters.append(("header", f.name, f.dataType))
+                elif f.name == EVENT_NAME_COL:
+                    converters.append(("name", None, f.dataType))
+                else:
+                    s = spec_by_col[f.name]
+                    converters.append(("attr", s, f.dataType))
+            with c.open_journal(fpath) as stream:
+                read = stream.read
+                while True:
+                    hdr = read(c.HEADER_LENGTH)
+                    if not hdr:
+                        break
+                    if len(hdr) < c.HEADER_LENGTH:
+                        if self.strict:
+                            raise c.CodecError("truncated journal header")
+                        break
+                    length, rtime, ip, port, site = c.unpack_header(hdr)
+                    payload = read(length)
+                    if len(payload) < length:
+                        if self.strict:
+                            raise c.CodecError("truncated journal payload")
+                        break
+                    name = c.peek_event_name(payload)
+                    if name_filter is not None and name not in name_filter:
+                        continue
+                    if hf and not self._eval_header_filters(
+                        hf,
+                        {
+                            c.RECEIPT_TIME: rtime,
+                            c.SENDER_IP: ip,
+                            c.SENDER_PORT: port,
+                            c.SITE_ID: site,
+                            EVENT_NAME_COL: name,
+                        },
+                    ):
+                        continue  # filtered without payload decode
+                    ev = c.decode_event(payload)
+                    attrs = ev.attributes
+                    attrs[c.RECEIPT_TIME] = rtime
+                    attrs[c.SENDER_IP] = ip
+                    attrs[c.SENDER_PORT] = port
+                    attrs[c.SITE_ID] = site
+                    for i, (kind, spec, dtype) in enumerate(converters):
+                        if kind == "part":
+                            cols[i].append(spec)  # constant for the file
+                        elif kind == "header":
+                            v = attrs.get(spec)
+                            cols[i].append(_convert_read(v, dtype, None))
+                        elif kind == "name":
+                            cols[i].append(ev.name)
+                        else:
+                            if (
+                                spec.event_name is not None
+                                and ev.name != spec.event_name
+                            ):
+                                cols[i].append(None)
+                                continue
+                            v = attrs.get(spec.attr)
+                            cols[i].append(
+                                None
+                                if v is None
+                                else _convert_read(v, dtype, None)
+                            )
+                    n += 1
+                    if n >= self.batch_size:
+                        yield pa.RecordBatch.from_arrays(
+                            [
+                                pa.array(col, type=arrow_schema.field(i).type)
+                                for i, col in enumerate(cols)
+                            ],
+                            schema=arrow_schema,
                         )
-                n += 1
-                if n >= self.batch_size:
-                    yield pa.RecordBatch.from_arrays(
-                        [
-                            pa.array(col, type=arrow_schema.field(i).type)
-                            for i, col in enumerate(cols)
-                        ],
-                        schema=arrow_schema,
-                    )
-                    cols = [[] for _ in fields]
-                    n = 0
+                        cols = [[] for _ in fields]
+                        n = 0
         if n:
             yield pa.RecordBatch.from_arrays(
                 [
@@ -670,6 +715,10 @@ class LwesWriter(DataSourceArrowWriter):
             raise ValueError("lwes: no output path specified")
         self.overwrite = overwrite
         self.compression = options.get("compression", "none").lower()
+        # roll to a new journal once the current one exceeds this size:
+        # the format is non-splittable, so downstream scan parallelism
+        # = file count — one huge file per task would serialize readers
+        self.roll_bytes = int(options.get("rollbytes", str(256 * 1024 * 1024)))
         self.event_name = options.get("eventname")
         self.specs = _parse_field_map(schema, options.get("fieldmap"), self.event_name)
         self.has_event_name_col = any(
@@ -697,7 +746,7 @@ class LwesWriter(DataSourceArrowWriter):
         flush per record."""
         os.makedirs(self.path, exist_ok=True)
         ext = ".journal.gz" if self.compression == "gzip" else ".journal"
-        out_path = os.path.join(self.path, f"part-{uuid.uuid4().hex}{ext}")
+        task_id = uuid.uuid4().hex
         header_dtypes = {
             f.name: f.dataType
             for f in self.schema.fields
@@ -709,7 +758,11 @@ class LwesWriter(DataSourceArrowWriter):
             for s in self.specs
         ]
         n = 0
-        with c.open_journal_write(out_path) as f:
+        seq = 0
+        files: list[str] = []
+        f = None
+        written = 0
+        try:
             for batch in batches:
                 names = batch.schema.names
                 data = {
@@ -722,6 +775,16 @@ class LwesWriter(DataSourceArrowWriter):
                     else None
                 )
                 for r in range(batch.num_rows):
+                    if f is None or written >= self.roll_bytes:
+                        if f is not None:
+                            f.close()
+                        out_path = os.path.join(
+                            self.path, f"part-{task_id}-{seq}{ext}"
+                        )
+                        seq += 1
+                        files.append(out_path)
+                        f = c.open_journal_write(out_path)
+                        written = 0
                     ev_name = (
                         ev_names[r]
                         if ev_names is not None and ev_names[r]
@@ -745,9 +808,12 @@ class LwesWriter(DataSourceArrowWriter):
                                     htok,
                                     _convert_write(v, header_dtypes.get(hf), htok),
                                 )
-                    c.write_journal_record(f, ev)
+                    written += c.write_journal_record(f, ev)
                     n += 1
-        return LwesCommitMessage(path=out_path, records=n)
+        finally:
+            if f is not None:
+                f.close()
+        return LwesCommitMessage(path=";".join(files), records=n)
 
     def commit(self, messages):
         total = sum(m.records for m in messages if m)
@@ -757,8 +823,9 @@ class LwesWriter(DataSourceArrowWriter):
 
     def abort(self, messages):
         for m in messages:
-            if m and m.path and os.path.exists(m.path):
-                os.remove(m.path)
+            for p in (m.path.split(";") if m and m.path else []):
+                if p and os.path.exists(p):
+                    os.remove(p)
 
 
 class LwesStreamWriter(DataSourceStreamArrowWriter):
@@ -787,12 +854,18 @@ class LwesStreamWriter(DataSourceStreamArrowWriter):
                     {
                         "batch": batchId,
                         "records": total,
-                        "files": [m.path for m in messages if m],
+                        "files": [
+                            p
+                            for m in messages
+                            if m and m.path
+                            for p in m.path.split(";")
+                        ],
                     }
                 )
             )
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:
-            if m and m.path and os.path.exists(m.path):
-                os.remove(m.path)
+            for p in (m.path.split(";") if m and m.path else []):
+                if p and os.path.exists(p):
+                    os.remove(p)

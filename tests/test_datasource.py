@@ -390,7 +390,7 @@ class TestHivePartitioning:
         assert leftover == []  # fully consumed by the reader
         parts = reader.partitions()
         assert len(parts) == 1  # one whole file pruned, never opened
-        assert parts[0].pvals == {"dt": "2024-01-01"}
+        assert parts[0].files[0][1] == {"dt": "2024-01-01"}
 
     def test_inferred_schema_includes_partition_cols(self, spark, tmp_path):
         root = self._make(tmp_path)
@@ -445,3 +445,65 @@ class TestTruncationTolerance:
         )
         with pytest.raises((PythonException, py4j.protocol.Py4JJavaError)):
             df.collect()
+
+
+class TestScaleShaping:
+    def test_writer_rolls_files_by_size(self, spark, tmp_path):
+        out = str(tmp_path / "rolled")
+        (
+            spark.range(2000)
+            .coalesce(1)  # single task → rolling must come from rollBytes
+            .selectExpr("id as n", "cast(id as string) as s")
+            .write.format("lwes")
+            .option("eventName", "Roll::E")
+            .option("rollBytes", "8192")
+            .mode("overwrite")
+            .save(out)
+        )
+        files = [f for f in os.listdir(out) if f.endswith(".journal")]
+        assert len(files) > 3, files
+        back = (
+            spark.read.format("lwes")
+            .schema("n long, s string")
+            .option("eventName", "Roll::E")
+            .load(out)
+        )
+        assert back.count() == 2000
+        assert back.select("n").distinct().count() == 2000
+
+    def test_reader_packs_small_files(self, spark, tmp_path):
+        from pyspark.sql.types import StructType
+
+        from lwes_contrib_hive_serde_spark.sources.datasource import LwesReader
+
+        d = str(tmp_path / "many")
+        os.makedirs(d)
+        for k in range(40):
+            evs = []
+            for i in range(5):
+                ev = c.Event("P::E")
+                ev.set("n", c.INT64, k * 5 + i)
+                evs.append(ev)
+            c.write_journal_file(os.path.join(d, f"f{k:03d}.journal"), evs)
+        schema = StructType.fromDDL("n long")
+        # tiny open cost → pack by the byte budget alone
+        reader = LwesReader(
+            schema,
+            {
+                "path": d,
+                "eventname": "P::E",
+                "opencostinbytes": "1",
+                "maxpartitionbytes": "4096",
+            },
+        )
+        parts = reader.partitions()
+        assert 1 < len(parts) < 40, len(parts)
+        assert sum(len(p.files) for p in parts) == 40
+        # and the full read still returns every row exactly once
+        df = (
+            spark.read.format("lwes")
+            .schema("n long")
+            .option("eventName", "P::E")
+            .load(d)
+        )
+        assert sorted(r.n for r in df.collect()) == list(range(200))
