@@ -24,21 +24,14 @@ def main():
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
-    from pyspark.sql import SparkSession
+    from lwes_contrib_hive_serde_spark.session import make_session
 
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("lwes-spark-bench")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .getOrCreate()
+    spark = make_session(
+        master=f"local[{cpus}]",
+        app_name="lwes-spark-bench",
+        shuffle_partitions=int(cpus),
+        driver_mem=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     )
-    spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entrymod
 

@@ -1,0 +1,73 @@
+"""Session builder with the engine's recommended configs.
+
+One place that encodes how this engine expects Spark to be configured,
+from local tests to a 1000-executor cluster. ``bench.py`` and the test
+conftest use it; a production job would call ``make_session()`` with
+its master/cores and keep everything else.
+
+Config rationale (the 100 TB story):
+  * AQE on everywhere — runtime coalescing right-sizes reducers after
+    the map side reports real sizes; skew-join splitting handles
+    power-law keys without manual salting (operators/skew.py covers
+    skewed AGGREGATIONS, which AQE does not).
+  * shuffle.partitions is only the INITIAL number — with AQE
+    coalescing, oversizing is cheap; default to 2-3x total cores
+    locally, thousands on a cluster (AQE's advisoryPartitionSizeInBytes
+    then governs the effective sizing).
+  * Arrow enabled for pandas interchange — every Python-boundary
+    operator here (pandas UDFs, mapInPandas, the lwes data source)
+    rides Arrow batches.
+  * session timezone UTC — event time is epoch-millis on the wire;
+    a fixed zone keeps date functions reproducible across engines and
+    clusters (the DuckDB oracles depend on it).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def make_session(
+    master: str | None = None,
+    app_name: str = "lwespark",
+    shuffle_partitions: int | None = None,
+    driver_mem: str | None = None,
+    extra: dict | None = None,
+) -> SparkSession:
+    cpus = os.cpu_count() or 8
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # initial value only — AQE coalesces down to real sizes
+        shuffle_partitions = (
+            int(master[6:-1]) * 2
+            if master.startswith("local[") and master[6:-1].isdigit()
+            else cpus * 2
+        )
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    if driver_mem:
+        b = b.config("spark.driver.memory", driver_mem)
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def register(spark: SparkSession) -> SparkSession:
+    """Register the lwes data source on an existing session."""
+    import lwes_contrib_hive_serde_spark as L
+
+    L.register(spark)
+    return spark
