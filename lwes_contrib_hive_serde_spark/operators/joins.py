@@ -7,7 +7,7 @@ no per-row Python — so they scale like a sort-merge join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -19,18 +19,27 @@ def asof_join(
     right_time: str,
     right_cols: list[str] | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    right_time <= left_time within the same ``on`` key (backward
-    as-of, the DuckDB/pandas merge_asof default).
+    """For each left row, attach the nearest right row within the same
+    ``on`` key: ``direction="backward"`` (default, right_time <=
+    left_time — the DuckDB ASOF / pandas merge_asof default) or
+    ``"forward"`` (right_time >= left_time). ``tolerance`` (in the
+    time column's units, e.g. days for DateType or a Column expr)
+    nulls the match when the matched right_time is farther than that
+    from left_time.
 
     Plan: tag and union both sides, single shuffle on the key, one
     ordered window pass carrying the last-seen right values forward
-    (last(ignorenulls) over rows unbounded preceding). Ties
-    (right_time == left_time) match; among equal right_times the
-    LAST in (time, tag) order wins — pre-aggregate the right side if
-    that must be deterministic. Scale: identical shuffle profile to a
-    sort-merge join on ``on``; skew on the key is handled by AQE."""
+    (last(ignorenulls) over rows unbounded preceding; forward = same
+    pass over the reversed ordering). Ties (right_time == left_time)
+    match; among equal right_times the LAST in (time, tag) order wins
+    — pre-aggregate the right side if that must be deterministic.
+    Scale: identical shuffle profile to a sort-merge join on ``on``;
+    skew on the key is handled by AQE."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     right_cols = right_cols or [
         c for c in right.columns if c not in (on, right_time)
     ]
@@ -39,6 +48,7 @@ def asof_join(
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
         F.struct(*left.columns).alias("__l"),
+        F.lit(None).cast(right.schema[right_time].dataType).alias("__rt"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
     )
     r_tag = right.select(
@@ -46,23 +56,46 @@ def asof_join(
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
         F.lit(None).cast(l_tag.schema["__l"].dataType).alias("__l"),
+        F.col(right_time).alias("__rt"),
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
     )
     unioned = l_tag.unionByName(r_tag)
-    # right rows sort BEFORE left rows at equal times → ties match
+    backward = direction == "backward"
+    # backward: right rows sort BEFORE left rows at equal times and we
+    # carry forward; forward: reverse the time ordering so "previous"
+    # means "next in real time" — ties still match.
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+        .orderBy(
+            F.col("__t").asc() if backward else F.col("__t").desc(),
+            F.col("__is_left").asc(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    carried = ["__rt"] + [f"__r_{c}" for c in right_cols]
     filled = unioned.select(
         "__is_left",
         "__l",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}")
-            for c in right_cols
-        ],
+        "__t",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
     ).filter(F.col("__is_left") == 1)
+    if tolerance is not None:
+        tol = tolerance if isinstance(tolerance, Column) else F.lit(tolerance)
+        gap = (
+            (F.col("__t") - F.col("__rt"))
+            if backward
+            else (F.col("__rt") - F.col("__t"))
+        )
+        within = F.col("__rt").isNotNull() & (gap <= tol)
+        filled = filled.select(
+            "__is_left",
+            "__l",
+            "__t",
+            *[
+                F.when(within, F.col(c)).otherwise(F.lit(None)).alias(c)
+                for c in carried
+            ],
+        )
     return filled.select(
         *[F.col("__l")[c].alias(c) for c in left.columns],
         *[

@@ -12,20 +12,12 @@ os.environ["PYTHONPATH"] = REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH",
 
 @pytest.fixture(scope="session")
 def spark():
-    from pyspark.sql import SparkSession
-
     import lwes_contrib_hive_serde_spark as L
+    from lwes_contrib_hive_serde_spark.session import make_session
 
-    s = (
-        SparkSession.builder.master("local[4]")
-        .appName("lwes-tests")
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.adaptive.enabled", "true")
-        .getOrCreate()
+    s = make_session(
+        master="local[4]", app_name="lwes-tests", shuffle_partitions=4
     )
-    s.sparkContext.setLogLevel("ERROR")
     L.register(s)
     yield s
     s.stop()

@@ -218,6 +218,40 @@ class TestJoins:
             expect = max(cands)[1] if cands else None
             assert got[lid] == expect, (lid, k, t, got[lid], expect)
 
+    def test_asof_forward_and_tolerance_vs_naive(self, spark):
+        rng = random.Random(13)
+        left = [(i, rng.randint(0, 3), rng.randint(0, 100)) for i in range(150)]
+        right = [(rng.randint(0, 3), rng.randint(0, 100), float(i)) for i in range(40)]
+        ldf = spark.createDataFrame(left, "lid long, k int, t int")
+        rdf = (
+            spark.createDataFrame(right, "k int, t int, payload double")
+            .groupBy("k", "t")
+            .agg(F.max("payload").alias("payload"))
+        )
+        rmap = {}
+        for r in rdf.collect():
+            rmap.setdefault(r.k, []).append((r.t, r.payload))
+
+        fwd = joins.asof_join(
+            ldf, rdf, on="k", left_time="t", right_time="t",
+            right_cols=["payload"], direction="forward",
+        )
+        got = {r.lid: r.payload for r in fwd.collect()}
+        for lid, k, t in left:
+            cands = [(rt, p) for rt, p in rmap.get(k, []) if rt >= t]
+            expect = min(cands)[1] if cands else None
+            assert got[lid] == expect, ("forward", lid, k, t, got[lid], expect)
+
+        tol = joins.asof_join(
+            ldf, rdf, on="k", left_time="t", right_time="t",
+            right_cols=["payload"], tolerance=5,
+        )
+        got = {r.lid: r.payload for r in tol.collect()}
+        for lid, k, t in left:
+            cands = [(rt, p) for rt, p in rmap.get(k, []) if rt <= t]
+            expect = max(cands)[1] if cands and t - max(cands)[0] <= 5 else None
+            assert got[lid] == expect, ("tolerance", lid, k, t, got[lid], expect)
+
     def test_range_join_vs_naive(self, spark):
         pts = spark.createDataFrame(
             [(i, float(i * 3 % 97)) for i in range(100)], "pid long, v double"
