@@ -200,7 +200,6 @@ def extract_audio_features(
                 if use_librosa:
                     try:
                         import librosa
-                        import numpy as np
 
                         y, sr = librosa.load(io.BytesIO(b), sr=None)
                         m = librosa.feature.mfcc(y=y, sr=sr, n_mfcc=n_mfcc)

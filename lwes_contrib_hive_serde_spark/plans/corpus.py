@@ -35,7 +35,7 @@ Spark executes as TakeOrderedAndProject (no global sort).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Optional
 
 import pandas as pd  # module-level: pandas_udf type hints must resolve

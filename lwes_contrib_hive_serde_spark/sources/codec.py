@@ -59,7 +59,6 @@ Spark Python workers with zero import cost beyond ``struct``.
 from __future__ import annotations
 
 import gzip
-import io
 import struct
 from dataclasses import dataclass, field
 from typing import BinaryIO, Iterator

@@ -20,7 +20,6 @@ writer and run one stream per subdirectory.
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Iterator
 
