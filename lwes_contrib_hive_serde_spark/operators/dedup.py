@@ -81,6 +81,7 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 64,
     shingle_k: int = 3,
+    pre_shingled: bool = False,
 ) -> DataFrame:
     """(id, sig array<long>) — H minhashes with NO shuffle at all.
 
@@ -91,8 +92,14 @@ def minhash_signatures(
     — at 100 TB the signature stage is scan-speed, embarrassingly
     parallel, zero shuffle (vs the classic explode+groupBy which
     shuffles |docs|×|shingles| rows). No raw arithmetic on hashes, so
-    ANSI-mode overflow checking never triggers."""
-    base = F.transform(word_shingles(text_col, shingle_k), lambda s: F.xxhash64(s))
+    ANSI-mode overflow checking never triggers.
+
+    ``text_col`` may instead name a pre-computed shingle ARRAY column
+    (pass ``pre_shingled=True``) so a pipeline tokenizes once."""
+    shingles = (
+        F.col(text_col) if pre_shingled else word_shingles(text_col, shingle_k)
+    )
+    base = F.transform(shingles, lambda s: F.xxhash64(s))
     # single fold over the shingles: acc[i] = min(acc[i], xxhash64(i, h)).
     # One expression referencing the shingle array exactly once, so
     # CollapseProject can never duplicate the tokenizer.
@@ -172,12 +179,14 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 3,
+    pre_shingled: bool = False,
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs only (two broadcast-scale joins
     against the shingle arrays — candidates are tiny vs the corpus)."""
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, shingle_k).alias("sh")
+    shingles = (
+        F.col(text_col) if pre_shingled else word_shingles(text_col, shingle_k)
     )
+    sh = df.select(F.col(id_col).alias("id"), shingles.alias("sh"))
     a = sh.select(F.col("id").alias("id1"), F.col("sh").alias("sh1"))
     b = sh.select(F.col("id").alias("id2"), F.col("sh").alias("sh2"))
     joined = candidates.join(a, "id1").join(b, "id2")
@@ -200,12 +209,22 @@ def minhash_dedup_pairs(
     threshold: float = 0.8,
 ) -> DataFrame:
     """End-to-end near-dup pairs: MinHash → LSH candidates → exact
-    Jaccard ≥ threshold. Returns (id1, id2, jaccard)."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
-    cands = minhash_candidate_pairs(sigs, num_hashes, bands)
-    return jaccard_pairs(df, cands, id_col, text_col, shingle_k).filter(
-        F.col("jaccard") >= threshold
+    Jaccard ≥ threshold. Returns (id1, id2, jaccard).
+
+    The shingle arrays are computed ONCE and checkpointed — the
+    signature pass, and both sides of the exact re-check, read the
+    materialized arrays instead of re-running the tokenizer."""
+    shingled = df.select(
+        F.col(id_col).alias(id_col),
+        word_shingles(text_col, shingle_k).alias("__shingles"),
+    ).localCheckpoint(eager=False)
+    sigs = minhash_signatures(
+        shingled, id_col, "__shingles", num_hashes, shingle_k, pre_shingled=True
     )
+    cands = minhash_candidate_pairs(sigs, num_hashes, bands)
+    return jaccard_pairs(
+        shingled, cands, id_col, "__shingles", shingle_k, pre_shingled=True
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def ngram_jaccard_pairs(
@@ -214,6 +233,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.8,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via an inverted index on shingles
     (no LSH approximation): explode shingles, self-join on shingle to
@@ -221,15 +241,26 @@ def ngram_jaccard_pairs(
 
     Scale: the shingle join only pairs documents SHARING a shingle —
     still quadratic in pathological corpora; prefer minhash_dedup_pairs
-    beyond ~10M docs, or cap df to a bucket/partition first."""
+    beyond ~10M docs, or cap df to a bucket/partition first. The join
+    key is xxhash64(shingle), not the string: ~3x less shuffle volume
+    and 8-byte comparisons (a cross-doc hash collision would need
+    ~2^32 distinct shingles to reach even-odds; at that corpus size
+    use MinHash anyway)."""
     sh = df.select(
-        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, shingle_k)).alias("sh")
-    )
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, shingle_k)).alias("sh"),
+    ).select("id", F.xxhash64("sh").alias("h"))
+    if materialize:
+        # the hashed shingle table feeds three consumers (sizes + both
+        # join sides); checkpointing it (docs x shingles x 16B) beats
+        # recomputing the tokenizer three times. Disable to trade
+        # compute for storage on very large corpora.
+        sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("id").alias("id1"), "sh")
-    b = sh.select(F.col("id").alias("id2"), "sh")
+    a = sh.select(F.col("id").alias("id1"), "h")
+    b = sh.select(F.col("id").alias("id2"), "h")
     inter = (
-        a.join(b, "sh")
+        a.join(b, "h")
         .filter(F.col("id1") < F.col("id2"))
         .groupBy("id1", "id2")
         .agg(F.count("*").alias("n_inter"))

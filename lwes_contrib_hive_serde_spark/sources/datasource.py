@@ -19,9 +19,10 @@ Write::
 
 Reference semantics carried over (file:line cites into /root/reference):
 
-* one input partition per journal file — the framing has no sync
-  markers, so files are non-splittable (JournalInputFormat.java:58-60);
-  scan parallelism = file count (write many moderate files at scale).
+* journal files are non-splittable — the framing has no sync markers
+  (JournalInputFormat.java:58-60), so a file never splits across
+  tasks; small files BIN-PACK into tasks (Spark FilePartition sizing)
+  and the writer size-rolls output so parallelism survives both ends.
 * four header virtual columns ``ReceiptTime`` (long, epoch millis),
   ``SenderIP`` (string), ``SenderPort`` (int), ``SiteID`` (int) are
   always available (DatagramPacketInputStream.java:75-78) and are
