@@ -700,6 +700,68 @@ def q_sample(spark, sf_dir):
 
 
 @register(
+    "q_math_funcs",
+    oracle="""
+    SELECT l_orderkey AS okey,
+           ABS(l_extendedprice - 1000.0) AS absdiff,
+           CAST(CEIL(l_extendedprice) AS BIGINT) AS ceilp,
+           CAST(FLOOR(l_discount * 100) AS BIGINT) AS floord,
+           SQRT(l_quantity) AS sqrtq,
+           l_linenumber % 3 AS lmod,
+           ROUND(l_extendedprice, 1) AS round1
+    FROM lineitem
+    WHERE l_orderkey < 200
+    """,
+    doc="Math scalar functions — restricted to the IEEE-exact subset "
+    "(abs/ceil/floor/sqrt/mod/round): sqrt is correctly rounded per "
+    "IEEE-754 so it hash-matches across engines; exp/ln/trig are NOT "
+    "cross-engine bit-stable (libm differences) and are excluded from "
+    "hash checks by design.",
+)
+def q_math_funcs(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.abs(F.col("l_extendedprice") - 1000.0).alias("absdiff"),
+        F.ceil("l_extendedprice").cast("bigint").alias("ceilp"),
+        F.floor(F.col("l_discount") * 100).cast("bigint").alias("floord"),
+        F.sqrt("l_quantity").alias("sqrtq"),
+        (F.col("l_linenumber") % 3).alias("lmod"),
+        F.round("l_extendedprice", 1).alias("round1"),
+    )
+
+
+@register(
+    "q_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS mx,
+           ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS mn,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_el,
+           ROUND(CAST(list_sort(embedding)[1] AS DOUBLE), 6) AS sorted_first
+    FROM embeddings
+    WHERE vec_id < 100
+    """,
+    doc="Array functions over the embedding column (size / min / max / "
+    "element_at / sort) — the ArrayType surface extension columns "
+    "need; floats cast to double then rounded for cross-engine hash "
+    "stability.",
+)
+def q_array_funcs(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    r6 = lambda c: F.round(c.cast("double"), 6)
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        r6(F.array_max("embedding")).alias("mx"),
+        r6(F.array_min("embedding")).alias("mn"),
+        r6(F.element_at("embedding", 1)).alias("first_el"),
+        r6(F.element_at(F.array_sort("embedding"), 1)).alias("sorted_first"),
+    )
+
+
+@register(
     "q_string_funcs",
     oracle="""
     SELECT c_custkey AS custkey,
