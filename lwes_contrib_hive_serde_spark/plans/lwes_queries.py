@@ -19,6 +19,11 @@ from lwes_contrib_hive_serde_spark.plans.corpus import Q, dsum, table
 
 REGISTRY: dict[str, Q] = {}
 
+# bump when the journal encode layout changes — keyed into the /tmp
+# cache path so a stale cache from an older code version never serves
+# a newer reader
+_CACHE_VERSION = "v2"
+
 
 def register(name: str, oracle=None, doc: str = ""):
     def deco(fn):
@@ -41,7 +46,7 @@ def _events_journal(spark, sf_dir: str) -> str:
 
     L.register(spark)
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out = f"/tmp/lwes_journal_cache/{tag}/events"
+    out = f"/tmp/lwes_journal_cache/{_CACHE_VERSION}/{tag}/events"
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
         ev = table(spark, sf_dir, "events")
@@ -114,7 +119,7 @@ def _events_multi_journal(spark, sf_dir: str) -> str:
 
     L.register(spark)
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out = f"/tmp/lwes_journal_cache/{tag}/events_multi"
+    out = f"/tmp/lwes_journal_cache/{_CACHE_VERSION}/{tag}/events_multi"
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         ev = table(spark, sf_dir, "events")
         src = ev.select(
