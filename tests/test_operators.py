@@ -388,3 +388,38 @@ class TestAudioPlumbing:
         assert len(out[1].mfcc) == 8
         assert out[4].sample_rate is None and out[4].mfcc is None
         assert out[1].duration_ms >= 100
+
+
+class TestSkew:
+    def test_salted_agg_equals_plain(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import skew
+
+        rng = random.Random(5)
+        # power-law-ish: key 0 holds half the rows
+        rows = [(0 if rng.random() < 0.5 else rng.randint(1, 20), i, float(i))
+                for i in range(5000)]
+        df = spark.createDataFrame(rows, "k int, i long, v double")
+        got = {
+            r.k: (r.n, round(r.s, 6), r.mx)
+            for r in skew.salted_agg(
+                df, keys=["k"],
+                aggs={"n": ("count", "v"), "s": ("sum", "v"), "mx": ("max", "v")},
+                n_salts=8, salt_on=F.col("i"),
+            ).collect()
+        }
+        want = {
+            r.k: (r.n, round(r.s, 6), r.mx)
+            for r in df.groupBy("k").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("v").alias("s"),
+                F.max("v").alias("mx"),
+            ).collect()
+        }
+        assert got == want
+
+    def test_non_algebraic_rejected(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import skew
+
+        df = spark.range(5).selectExpr("id as k", "id as v")
+        with pytest.raises(ValueError, match="not algebraic"):
+            skew.salted_agg(df, keys=["k"], aggs={"m": ("median", "v")})
