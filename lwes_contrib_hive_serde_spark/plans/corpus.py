@@ -1119,4 +1119,237 @@ def q_approx_distinct(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Pivot / unpivot + subquery shapes (§2b "Aggregation", "Projection/filter";
+# HiveQL expresses pivots as conditional aggregation — Hive 0.6 has no PIVOT
+# keyword — and subqueries arrived with later Hive, Spark supports both)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="PIVOT: groupBy().pivot(col, values).count(). The value list is "
+    "passed explicitly — without it Spark runs an extra distinct job "
+    "over the pivot column before planning, a full scan worth avoiding "
+    "at 100 TB. Executes as a single hash aggregate (partial+final); "
+    "empty cells coalesced to 0 to match the SQL conditional-count "
+    "shape.",
+)
+def q_pivot(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(s) for s in ("F", "O", "P")],
+    )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val
+    FROM part WHERE p_partkey < 200
+    UNION ALL
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val
+    FROM part WHERE p_partkey < 200
+    """,
+    doc="UNPIVOT / melt: df.unpivot(ids, values, var, val) — Spark plans "
+    "an Expand node (one scan fanned to N rows), not N self-union "
+    "scans like the SQL oracle spelling; at scale that is N-1 fewer "
+    "passes over the fact table.",
+)
+def q_unpivot(spark, sf_dir):
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    return p.withColumn("p_size", F.col("p_size").cast("double")).unpivot(
+        ["p_partkey"], ["p_retailprice", "p_size"], "metric", "val"
+    )
+
+
+@register(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 1.5 * (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*)
+        FROM orders)
+    """,
+    doc="Uncorrelated scalar subquery in a predicate: Spark executes the "
+    "subquery once (ReusedSubquery/scalar-subquery node), broadcasts "
+    "the scalar into the filter — no join, no per-row re-evaluation. "
+    "Mean computed via exact decimal sum for cross-engine determinism.",
+)
+def q_scalar_subquery(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("q_ssq_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM q_ssq_orders
+        WHERE o_totalprice > 1.5 * (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*)
+            FROM q_ssq_orders)
+        """
+    )
+
+
+@register(
+    "q_correlated_subquery",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier s
+    WHERE s_acctbal > (
+        SELECT CAST(SUM(CAST(s2.s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*)
+        FROM supplier s2
+        WHERE s2.s_nationkey = s.s_nationkey)
+    """,
+    doc="Correlated scalar subquery (supplier above its nation's mean "
+    "balance): Catalyst decorrelates into aggregate + equi-join — "
+    "one pass over supplier plus a per-nation aggregate, not a "
+    "nested-loop re-execution per row. That rewrite is the difference "
+    "between O(n) and O(n^2) at 100 TB.",
+)
+def q_correlated_subquery(spark, sf_dir):
+    s = table(spark, sf_dir, "supplier")
+    s.createOrReplaceTempView("q_csq_supplier")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name, s_acctbal
+        FROM q_csq_supplier s
+        WHERE s_acctbal > (
+            SELECT CAST(SUM(CAST(s2.s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*)
+            FROM q_csq_supplier s2
+            WHERE s2.s_nationkey = s.s_nationkey)
+        """
+    )
+
+
+@register(
+    "q_exists_agg",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: aggregate over EXISTS → left-semi join feeding "
+    "a hash aggregate. The semi join shuffles both sides on "
+    "l_orderkey/o_orderkey once; the extra non-equi shipdate conjunct "
+    "rides the equi-join (no nested loop).",
+)
+def q_exists_agg(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q_promo_revenue",
+    oracle="""
+    SELECT CAST(100.0 * promo / total AS DOUBLE) AS promo_pct
+    FROM (
+      SELECT
+        CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+             AS DOUBLE) AS total
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00')
+    """,
+    doc="TPC-H Q14 shape: conditional-aggregate ratio over a broadcast "
+    "fact-dim join. part is broadcast (dimension stays driver-sized at "
+    "any SF) so lineitem never shuffles; the two sums fold in one "
+    "aggregate pass. Ratio taken in double after exact decimal sums "
+    "(decimal division precision rules differ across engines).",
+)
+def q_promo_revenue(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    agg = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+            .cast("double")
+            .alias("promo"),
+            F.sum(rev).cast("double").alias("total"),
+        )
+    )
+    return agg.select(
+        (100.0 * F.col("promo") / F.col("total"))
+        .cast("double")
+        .alias("promo_pct")
+    )
+
+
+@register(
+    "q_disjunctive_join",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#18' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape: disjunctive mixed-table predicate over a "
+    "broadcast join. Catalyst factors the single-table conjuncts out "
+    "of the OR (l_quantity <= 30 side, p_size side) and pushes them "
+    "below the join into both scans, so the disjunction only "
+    "evaluates on pre-filtered rows.",
+)
+def q_disjunctive_join(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    disj = (
+        ((b == "Brand#12") & sz.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#15") & sz.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#18") & sz.between(1, 35) & q.between(20, 30))
+    )
+    return j.filter(disj).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 4),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 ALL = REGISTRY
