@@ -206,3 +206,72 @@ def q_header_filter(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def _events_v2_journal(spark, sf_dir: str) -> str:
+    """Journal the events table as a SINGLE v2 (sync-marker, zlib-
+    block) journal file — scan parallelism must then come entirely
+    from byte-range splitting, the capability the v1 format lacks
+    (JournalInputFormat.java:58-60)."""
+    import lwes_contrib_hive_serde_spark as L
+
+    L.register(spark)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/lwes_journal_cache/{_CACHE_VERSION}/{tag}/events_v2"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ev = table(spark, sf_dir, "events")
+        src = ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.unix_millis("ts").alias("ReceiptTime"),
+        )
+        (
+            src.coalesce(1)  # ONE file, on purpose
+            .write.format("lwes")
+            .option("eventName", "Driver::Event")
+            .option("format", "v2")
+            .option("compression", "gzip")  # per-block zlib
+            .mode("overwrite")
+            .save(out)
+        )
+    return out
+
+
+@register(
+    "q_lwes_v2_split",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           MIN(event_id) AS first_id,
+           MAX(epoch_ms(ts)) AS last_ms
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="v2 splittable container gate: ONE compressed journal file read "
+    "with a small maxPartitionBytes so the scan fans out across many "
+    "byte-range partitions; the oracle runs on the original parquet, "
+    "so a hash match proves range-split decoding is exact (every "
+    "record once, none duplicated at block boundaries) AND the "
+    "zlib-block round-trip is lossless.",
+)
+def q_v2_split(spark, sf_dir):
+    out = _events_v2_journal(spark, sf_dir)
+    back = (
+        spark.read.format("lwes")
+        .schema(
+            "event_id long, user_id long, event_type string, "
+            "value double, ReceiptTime long"
+        )
+        .option("eventName", "Driver::Event")
+        .option("maxPartitionBytes", str(256 * 1024))
+        .load(out)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value"), "total_value", scale=4),
+        F.min("event_id").alias("first_id"),
+        F.max("ReceiptTime").alias("last_ms"),
+    )

@@ -437,6 +437,278 @@ def write_journal_file(path: str, events: "Iterator[Event] | list[Event]") -> in
 
 
 # ---------------------------------------------------------------------------
+# v2 framing: sync-marker blocks → splittable journals (our extension)
+# ---------------------------------------------------------------------------
+#
+# The reference format has no sync markers, so a journal can never be
+# split across tasks (JournalInputFormat.java:58-60 returns false) and
+# scan parallelism is capped at file count — the single biggest scale
+# problem of the format at 100 TB. v2 is an Avro-style container that
+# keeps the record encoding IDENTICAL (22-byte header + payload, so the
+# codec above is reused verbatim) but groups records into marker-framed
+# blocks:
+#
+#     file   := magic(8) sync_marker(16) codec(1) block*
+#     block  := sync_marker(16) block_len:uint32 block_bytes
+#
+# * ``sync_marker`` is 16 random bytes chosen per file (recorded in the
+#   file header), so a reader dropped at an arbitrary byte offset can
+#   scan forward to the next marker and start decoding — exactly how
+#   Avro/SequenceFile splits work. False positives (payload bytes that
+#   happen to contain the marker) are rejected structurally: after a
+#   candidate block, the stream must be at another marker or EOF.
+# * ``codec`` applies per BLOCK (0=none, 1=zlib): blocks decompress
+#   independently, so v2 journals are splittable AND compressed — the
+#   v1 format forces a choice (whole-file gzip kills splitting).
+# * Split semantics are Hadoop's: a byte range [start, end) owns every
+#   block whose marker begins at p with start <= p < end, reading past
+#   ``end`` to finish its last block.
+
+V2_MAGIC = b"LWESJ2\r\n"  # 8 bytes
+V2_MARKER_LEN = 16
+V2_CODEC_NONE = 0
+V2_CODEC_ZLIB = 1
+V2_HEADER_LEN = len(V2_MAGIC) + V2_MARKER_LEN + 1  # 25
+_V2_CODEC_NAMES = {"none": V2_CODEC_NONE, "zlib": V2_CODEC_ZLIB,
+                   "gzip": V2_CODEC_ZLIB}  # gzip alias: same deflate bits
+
+
+class V2Writer:
+    """Streaming v2 journal writer. Records accumulate in an in-memory
+    block; each block is flushed (optionally zlib-compressed) behind a
+    sync marker once it reaches ``block_bytes``."""
+
+    def __init__(
+        self,
+        out: BinaryIO,
+        *,
+        block_bytes: int = 1 << 20,
+        codec: str = "none",
+        marker: bytes | None = None,
+    ):
+        if marker is None:
+            import os as _os
+
+            marker = _os.urandom(V2_MARKER_LEN)
+        if len(marker) != V2_MARKER_LEN:
+            raise CodecError(f"sync marker must be {V2_MARKER_LEN} bytes")
+        if codec not in _V2_CODEC_NAMES:
+            raise CodecError(f"unknown v2 codec {codec!r} (none|zlib)")
+        self._out = out
+        self.marker = marker
+        self.codec = _V2_CODEC_NAMES[codec]
+        self.block_bytes = block_bytes
+        self._block = bytearray()
+        self.records = 0
+        self.bytes_written = 0
+        out.write(V2_MAGIC)
+        out.write(marker)
+        out.write(bytes([self.codec]))
+        self.bytes_written += V2_HEADER_LEN
+
+    def write_event(self, event: Event) -> None:
+        write_journal_record(self._block, event)
+        self.records += 1
+        if len(self._block) >= self.block_bytes:
+            self._flush_block()
+
+    def _flush_block(self) -> None:
+        if not self._block:
+            return
+        data = bytes(self._block)
+        if self.codec == V2_CODEC_ZLIB:
+            import zlib
+
+            data = zlib.compress(data, 6)
+        self._out.write(self.marker)
+        self._out.write(struct.pack(">I", len(data)))
+        self._out.write(data)
+        self.bytes_written += V2_MARKER_LEN + 4 + len(data)
+        self._block.clear()
+
+    def close(self) -> None:
+        self._flush_block()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def write_journal_file_v2(
+    path: str,
+    events,
+    *,
+    block_bytes: int = 1 << 20,
+    codec: str = "none",
+    marker: bytes | None = None,
+) -> int:
+    with open(path, "wb") as f:
+        with V2Writer(
+            f, block_bytes=block_bytes, codec=codec, marker=marker
+        ) as w:
+            for ev in events:
+                w.write_event(ev)
+            return w.records
+
+
+def sniff_v2(path_or_stream) -> bool:
+    """True if the file/stream starts with the v2 magic. Streams are
+    required to support seek(0) (plain files and gzip/bz2 wrappers do)."""
+    if isinstance(path_or_stream, str):
+        with open(path_or_stream, "rb") as f:
+            return f.read(len(V2_MAGIC)) == V2_MAGIC
+    head = path_or_stream.read(len(V2_MAGIC))
+    path_or_stream.seek(0)
+    return head == V2_MAGIC
+
+
+def _v2_read_header(stream: BinaryIO) -> tuple[bytes, int]:
+    head = stream.read(V2_HEADER_LEN)
+    if len(head) < V2_HEADER_LEN or head[: len(V2_MAGIC)] != V2_MAGIC:
+        raise CodecError("not a v2 journal (bad magic)")
+    marker = head[len(V2_MAGIC) : len(V2_MAGIC) + V2_MARKER_LEN]
+    codec = head[-1]
+    if codec not in (V2_CODEC_NONE, V2_CODEC_ZLIB):
+        raise CodecError(f"unknown v2 block codec {codec}")
+    return marker, codec
+
+
+def _v2_decode_block(data: bytes, codec: int) -> bytes:
+    if codec == V2_CODEC_ZLIB:
+        import zlib
+
+        return zlib.decompress(data)
+    return data
+
+
+def iter_v2_block_records(block: bytes):
+    """Yield ``(receipt_time, sender_ip, sender_port, site_id, payload)``
+    for each record in a decoded block (record framing identical to v1)."""
+    mv = memoryview(block)
+    pos, end = 0, len(mv)
+    while pos < end:
+        if pos + HEADER_LENGTH > end:
+            raise CodecError("truncated record header inside v2 block")
+        length, rtime, ip, port, site = unpack_header(mv, pos)
+        pos += HEADER_LENGTH
+        if pos + length > end:
+            raise CodecError("truncated record payload inside v2 block")
+        yield rtime, ip, port, site, mv[pos : pos + length]
+        pos += length
+
+
+def read_journal_v2_blocks(
+    stream: BinaryIO,
+    start: int = 0,
+    end: int | None = None,
+    strict: bool = False,
+) -> Iterator[bytes]:
+    """Yield decoded record-blocks for the byte range [start, end).
+
+    A block belongs to the range iff its sync marker starts at
+    p ∈ [start, end); the final owned block is read to completion even
+    past ``end``. ``start=0`` begins at the file header. A candidate
+    marker that does not lead to a structurally valid block (next 16
+    bytes after the block are neither the marker nor EOF) is treated as
+    a payload false positive and the scan resumes one byte later —
+    random per-file markers make this path ~2^-128 per position, but it
+    is exercised by tests with a deliberately colliding payload."""
+    stream.seek(0)
+    marker, codec = _v2_read_header(stream)
+    if end is not None and start >= end:
+        return
+    pos = max(start, V2_HEADER_LEN)
+    while True:
+        pos = _v2_find_marker(stream, marker, pos)
+        if pos is None or (end is not None and pos >= end):
+            return
+        status, data, next_pos = _v2_try_block(stream, marker, pos)
+        if status == "eof_truncated":
+            # torn tail (crashed writer) — mirrors the v1 reader's
+            # quiet-EOF tolerance (DatagramPacketInputStream.java:80-86)
+            if strict:
+                raise CodecError(
+                    f"truncated v2 block at byte {pos} (torn tail)"
+                )
+            pos += 1
+            continue
+        if status == "bad":
+            pos += 1  # false positive inside a payload
+            continue
+        yield _v2_decode_block(data, codec)
+        pos = next_pos
+
+
+def _v2_find_marker(stream: BinaryIO, marker: bytes, pos: int) -> int | None:
+    """Position of the first marker occurrence at byte >= pos, searching
+    with overlapping 1 MiB chunks (marker may straddle a chunk edge)."""
+    chunk_size = 1 << 20
+    stream.seek(pos)
+    tail = b""
+    base = pos
+    while True:
+        chunk = stream.read(chunk_size)
+        if not chunk:
+            return None
+        buf = tail + chunk
+        idx = buf.find(marker)
+        if idx != -1:
+            return base - len(tail) + idx
+        tail = buf[-(V2_MARKER_LEN - 1) :]
+        base += len(chunk)
+
+
+def _v2_try_block(stream: BinaryIO, marker: bytes, pos: int):
+    """Read the block whose marker starts at ``pos``; validate that the
+    stream lands on another marker or EOF afterwards. Returns
+    ``("ok", raw_block_bytes, next_block_pos)``,
+    ``("eof_truncated", None, None)`` when the candidate runs past EOF
+    (a torn tail), or ``("bad", None, None)`` for a mid-file structural
+    mismatch (marker false positive inside a payload)."""
+    stream.seek(pos + V2_MARKER_LEN)
+    lenb = stream.read(4)
+    if len(lenb) < 4:
+        return "eof_truncated", None, None
+    (n,) = struct.unpack(">I", lenb)
+    data = stream.read(n)
+    if len(data) < n:
+        return "eof_truncated", None, None
+    after = stream.read(V2_MARKER_LEN)
+    if after and after != marker:
+        return "bad", None, None
+    return "ok", data, pos + V2_MARKER_LEN + 4 + n
+
+
+def read_journal_file_v2(
+    path: str,
+    event_names: set[str] | None = None,
+    inject_headers: bool = True,
+    start: int = 0,
+    end: int | None = None,
+    strict: bool = False,
+) -> Iterator[Event]:
+    """Event-level v2 reader (the [start, end) range API is what the
+    Spark data source's byte-range InputPartitions call)."""
+    with open(path, "rb") as f:
+        for block in read_journal_v2_blocks(f, start, end, strict):
+            for rtime, ip, port, site, payload in iter_v2_block_records(block):
+                if (
+                    event_names is not None
+                    and peek_event_name(payload) not in event_names
+                ):
+                    continue
+                ev = decode_event(payload)
+                if inject_headers:
+                    ev.set(RECEIPT_TIME, INT64, rtime)
+                    ev.set(SENDER_IP, IPADDR, ip)
+                    ev.set(SENDER_PORT, UINT16, port)
+                    ev.set(SITE_ID, UINT16, site)
+                yield ev
+
+
+# ---------------------------------------------------------------------------
 # Raw variants (reference operators #3 / #4)
 # ---------------------------------------------------------------------------
 

@@ -19,10 +19,14 @@ Write::
 
 Reference semantics carried over (file:line cites into /root/reference):
 
-* journal files are non-splittable — the framing has no sync markers
-  (JournalInputFormat.java:58-60), so a file never splits across
-  tasks; small files BIN-PACK into tasks (Spark FilePartition sizing)
-  and the writer size-rolls output so parallelism survives both ends.
+* v1 journal files are non-splittable — the framing has no sync
+  markers (JournalInputFormat.java:58-60), so a file never splits
+  across tasks; small files BIN-PACK into tasks (Spark FilePartition
+  sizing) and the writer size-rolls output so parallelism survives
+  both ends. Our v2 container (``option("format", "v2")``, extension
+  ``.journal2``) adds Avro-style sync-marker blocks with per-block
+  zlib, making journals splittable AND compressed: large v2 files fan
+  out across byte-range InputPartitions (see codec.py v2 section).
 * four header virtual columns ``ReceiptTime`` (long, epoch millis),
   ``SenderIP`` (string), ``SenderPort`` (int), ``SiteID`` (int) are
   always available (DatagramPacketInputStream.java:75-78) and are
@@ -86,9 +90,6 @@ from pyspark.sql.types import (
 from lwes_contrib_hive_serde_spark.sources import codec as c
 
 EVENT_NAME_COL = "event_name"
-
-_JOURNAL_EXTS = (".journal", ".journal.gz", ".journal.bz2", ".gz", ".bz2", ".log")
-
 
 def _list_journal_files(path: str) -> list[str]:
     if os.path.isfile(path):
@@ -282,7 +283,12 @@ def infer_schema(
     for fpath in files:
         if count >= sample_n:
             break
-        for ev in c.read_journal_file(fpath, event_names=names, inject_headers=False):
+        read_fn = (
+            c.read_journal_file_v2
+            if fpath.endswith(".journal2") or c.sniff_v2(fpath)
+            else c.read_journal_file
+        )
+        for ev in read_fn(fpath, event_names=names, inject_headers=False):
             for k, tok in ev.types.items():
                 prev = seen.get(k)
                 seen[k] = tok if prev is None else _widen(prev, tok)
@@ -316,12 +322,14 @@ def _widen(a: int, b: int) -> int:
 
 
 class LwesFilePartition(InputPartition):
-    """One scan task: a BIN of whole journal files (each file is
-    non-splittable, but many small files pack into one task so a
-    million-file table doesn't schedule a million tasks)."""
+    """One scan task: a BIN of scan units. A unit is a whole v1 journal
+    (non-splittable — no sync markers, JournalInputFormat.java:58-60)
+    or a BYTE RANGE of a v2 journal (sync-marker blocks make v2
+    splittable, codec.py v2 section): many small files pack into one
+    task, one huge v2 file fans out across many tasks."""
 
     def __init__(self, files: list):
-        self.files = files  # [(path, partition_values), ...]
+        self.files = files  # [(path, partition_values, start, end), ...]
 
 
 def _partition_values(file_path: str, root: str) -> dict[str, str]:
@@ -495,17 +503,61 @@ class LwesReader(DataSourceReader):
             par = 8
         total = sum(size + open_cost for _, _, size in survivors)
         target = min(max_bytes, max(open_cost, -(-total // max(par, 1))))
-        bins, cur, cur_bytes = [], [], 0
+        # Scan units: whole file for v1; byte ranges of ~target size for
+        # v2 files (extension .journal2) large enough to split.
+        units = []  # (path, pv, start, end, cost)
         for p, pv, size in survivors:
-            cost = size + open_cost
+            if p.endswith(".journal2") and size > target:
+                s = 0
+                while s < size:
+                    e = min(s + target, size)
+                    units.append((p, pv, s, e, (e - s) + open_cost))
+                    s = e
+            else:
+                units.append((p, pv, None, None, size + open_cost))
+        bins, cur, cur_bytes = [], [], 0
+        for p, pv, start, end, cost in units:
             if cur and cur_bytes + cost > target:
                 bins.append(LwesFilePartition(cur))
                 cur, cur_bytes = [], 0
-            cur.append((p, pv))
+            cur.append((p, pv, start, end))
             cur_bytes += cost
         if cur:
             bins.append(LwesFilePartition(cur))
         return bins
+
+    def _iter_records(self, fpath: str, start, end):
+        """Yield ``(receipt_time, ip, port, site_id, payload)`` for one
+        scan unit, dispatching on framing: v2 (magic-sniffed or a byte
+        range) via marker-block decode, else v1 sequential stream."""
+        if (
+            start is not None
+            or fpath.endswith(".journal2")
+            or c.sniff_v2(fpath)
+        ):
+            with open(fpath, "rb") as f:
+                for block in c.read_journal_v2_blocks(
+                    f, start or 0, end, self.strict
+                ):
+                    yield from c.iter_v2_block_records(block)
+            return
+        with c.open_journal(fpath) as stream:
+            read = stream.read
+            while True:
+                hdr = read(c.HEADER_LENGTH)
+                if not hdr:
+                    break
+                if len(hdr) < c.HEADER_LENGTH:
+                    if self.strict:
+                        raise c.CodecError("truncated journal header")
+                    break
+                length, rtime, ip, port, site = c.unpack_header(hdr)
+                payload = read(length)
+                if len(payload) < length:
+                    if self.strict:
+                        raise c.CodecError("truncated journal payload")
+                    break
+                yield rtime, ip, port, site, payload
 
     def read(self, partition: LwesFilePartition) -> Iterator:
         import pyarrow as pa
@@ -515,8 +567,8 @@ class LwesReader(DataSourceReader):
             [(f.name, _arrow_type(f.dataType)) for f in fields]
         )
         if self.raw:
-            for fpath, _pv in partition.files:
-                yield from self._read_raw(fpath, pa, arrow_schema)
+            for fpath, _pv, start, end in partition.files:
+                yield from self._read_raw(fpath, start, end, pa, arrow_schema)
             return
 
         spec_by_col = {s.column: s for s in self.specs}
@@ -524,7 +576,7 @@ class LwesReader(DataSourceReader):
         n = 0
         hf = self.header_filters
         name_filter = self.name_filter
-        for fpath, pvals in partition.files:
+        for fpath, pvals, start, end in partition.files:
             converters = []
             for f in fields:
                 if f.name in self.partition_keys:
@@ -536,74 +588,61 @@ class LwesReader(DataSourceReader):
                 else:
                     s = spec_by_col[f.name]
                     converters.append(("attr", s, f.dataType))
-            with c.open_journal(fpath) as stream:
-                read = stream.read
-                while True:
-                    hdr = read(c.HEADER_LENGTH)
-                    if not hdr:
-                        break
-                    if len(hdr) < c.HEADER_LENGTH:
-                        if self.strict:
-                            raise c.CodecError("truncated journal header")
-                        break
-                    length, rtime, ip, port, site = c.unpack_header(hdr)
-                    payload = read(length)
-                    if len(payload) < length:
-                        if self.strict:
-                            raise c.CodecError("truncated journal payload")
-                        break
-                    name = c.peek_event_name(payload)
-                    if name_filter is not None and name not in name_filter:
-                        continue
-                    if hf and not self._eval_header_filters(
-                        hf,
-                        {
-                            c.RECEIPT_TIME: rtime,
-                            c.SENDER_IP: ip,
-                            c.SENDER_PORT: port,
-                            c.SITE_ID: site,
-                            EVENT_NAME_COL: name,
-                        },
-                    ):
-                        continue  # filtered without payload decode
-                    ev = c.decode_event(payload)
-                    attrs = ev.attributes
-                    attrs[c.RECEIPT_TIME] = rtime
-                    attrs[c.SENDER_IP] = ip
-                    attrs[c.SENDER_PORT] = port
-                    attrs[c.SITE_ID] = site
-                    for i, (kind, spec, dtype) in enumerate(converters):
-                        if kind == "part":
-                            cols[i].append(spec)  # constant for the file
-                        elif kind == "header":
-                            v = attrs.get(spec)
-                            cols[i].append(_convert_read(v, dtype, None))
-                        elif kind == "name":
-                            cols[i].append(ev.name)
-                        else:
-                            if (
-                                spec.event_name is not None
-                                and ev.name != spec.event_name
-                            ):
-                                cols[i].append(None)
-                                continue
-                            v = attrs.get(spec.attr)
-                            cols[i].append(
-                                None
-                                if v is None
-                                else _convert_read(v, dtype, None)
-                            )
-                    n += 1
-                    if n >= self.batch_size:
-                        yield pa.RecordBatch.from_arrays(
-                            [
-                                pa.array(col, type=arrow_schema.field(i).type)
-                                for i, col in enumerate(cols)
-                            ],
-                            schema=arrow_schema,
+            for rtime, ip, port, site, payload in self._iter_records(
+                fpath, start, end
+            ):
+                name = c.peek_event_name(payload)
+                if name_filter is not None and name not in name_filter:
+                    continue
+                if hf and not self._eval_header_filters(
+                    hf,
+                    {
+                        c.RECEIPT_TIME: rtime,
+                        c.SENDER_IP: ip,
+                        c.SENDER_PORT: port,
+                        c.SITE_ID: site,
+                        EVENT_NAME_COL: name,
+                    },
+                ):
+                    continue  # filtered without payload decode
+                ev = c.decode_event(payload)
+                attrs = ev.attributes
+                attrs[c.RECEIPT_TIME] = rtime
+                attrs[c.SENDER_IP] = ip
+                attrs[c.SENDER_PORT] = port
+                attrs[c.SITE_ID] = site
+                for i, (kind, spec, dtype) in enumerate(converters):
+                    if kind == "part":
+                        cols[i].append(spec)  # constant for the file
+                    elif kind == "header":
+                        v = attrs.get(spec)
+                        cols[i].append(_convert_read(v, dtype, None))
+                    elif kind == "name":
+                        cols[i].append(ev.name)
+                    else:
+                        if (
+                            spec.event_name is not None
+                            and ev.name != spec.event_name
+                        ):
+                            cols[i].append(None)
+                            continue
+                        v = attrs.get(spec.attr)
+                        cols[i].append(
+                            None
+                            if v is None
+                            else _convert_read(v, dtype, None)
                         )
-                        cols = [[] for _ in fields]
-                        n = 0
+                n += 1
+                if n >= self.batch_size:
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(col, type=arrow_schema.field(i).type)
+                            for i, col in enumerate(cols)
+                        ],
+                        schema=arrow_schema,
+                    )
+                    cols = [[] for _ in fields]
+                    n = 0
         if n:
             yield pa.RecordBatch.from_arrays(
                 [
@@ -613,23 +652,23 @@ class LwesReader(DataSourceReader):
                 schema=arrow_schema,
             )
 
-    def _read_raw(self, path, pa, arrow_schema):
+    def _read_raw(self, path, start, end, pa, arrow_schema):
         """Raw mode: header columns + undecoded payload bytes
         (readDataGramBytes, DatagramPacketInputStream.java:89-113)."""
         headers: list[list] = [[], [], [], []]
         payloads: list[bytes] = []
-        with c.open_journal(path) as stream:
-            for hdr, payload in c.read_journal_raw(stream):
-                _, rtime, ip, port, site = c.unpack_header(hdr)
-                headers[0].append(rtime)
-                headers[1].append(ip)
-                headers[2].append(port)
-                headers[3].append(site)
-                payloads.append(payload)
-                if len(payloads) >= self.batch_size:
-                    yield self._raw_batch(pa, arrow_schema, headers, payloads)
-                    headers = [[], [], [], []]
-                    payloads = []
+        for rtime, ip, port, site, payload in self._iter_records(
+            path, start, end
+        ):
+            headers[0].append(rtime)
+            headers[1].append(ip)
+            headers[2].append(port)
+            headers[3].append(site)
+            payloads.append(bytes(payload))
+            if len(payloads) >= self.batch_size:
+                yield self._raw_batch(pa, arrow_schema, headers, payloads)
+                headers = [[], [], [], []]
+                payloads = []
         if payloads:
             yield self._raw_batch(pa, arrow_schema, headers, payloads)
 
@@ -654,6 +693,41 @@ class LwesReader(DataSourceReader):
 class LwesCommitMessage(WriterCommitMessage):
     path: str = ""
     records: int = 0
+
+
+class _V1Sink:
+    """One v1 journal file (reference framing; whole-file gzip/bz2 by
+    extension like JournalOutputFormat.java:48-60)."""
+
+    def __init__(self, path: str):
+        self._f = c.open_journal_write(path)
+        self.bytes = 0
+
+    def write_event(self, ev: "c.Event") -> None:
+        self.bytes += c.write_journal_record(self._f, ev)
+
+    def close(self) -> None:
+        self._f.close()
+
+
+class _V2Sink:
+    """One v2 journal file: sync-marker blocks, per-block compression
+    (splittable even when compressed — see codec.py v2 section)."""
+
+    def __init__(self, path: str, block_bytes: int, codec: str):
+        self._f = open(path, "wb")
+        self._w = c.V2Writer(self._f, block_bytes=block_bytes, codec=codec)
+
+    @property
+    def bytes(self) -> int:
+        return self._w.bytes_written + len(self._w._block)
+
+    def write_event(self, ev: "c.Event") -> None:
+        self._w.write_event(ev)
+
+    def close(self) -> None:
+        self._w.close()
+        self._f.close()
 
 
 # Spark type → wire token for the write path (serialize_column,
@@ -714,6 +788,12 @@ class LwesWriter(DataSourceArrowWriter):
         # the format is non-splittable, so downstream scan parallelism
         # = file count — one huge file per task would serialize readers
         self.roll_bytes = int(options.get("rollbytes", str(256 * 1024 * 1024)))
+        # v2 container (splittable sync-marker blocks): format=v2 / v2=true
+        self.v2 = (
+            options.get("format", "").lower() == "v2"
+            or options.get("v2", "false").lower() == "true"
+        )
+        self.block_bytes = int(options.get("blockbytes", str(1 << 20)))
         self.event_name = options.get("eventname")
         self.specs = _parse_field_map(schema, options.get("fieldmap"), self.event_name)
         self.has_event_name_col = any(
@@ -740,7 +820,10 @@ class LwesWriter(DataSourceArrowWriter):
         DatagramPacketOutputStream.java:118) — we buffer and never
         flush per record."""
         os.makedirs(self.path, exist_ok=True)
-        ext = ".journal.gz" if self.compression == "gzip" else ".journal"
+        if self.v2:
+            ext = ".journal2"  # compression is per-block, inside the file
+        else:
+            ext = ".journal.gz" if self.compression == "gzip" else ".journal"
         task_id = uuid.uuid4().hex
         header_dtypes = {
             f.name: f.dataType
@@ -756,7 +839,6 @@ class LwesWriter(DataSourceArrowWriter):
         seq = 0
         files: list[str] = []
         f = None
-        written = 0
         try:
             for batch in batches:
                 names = batch.schema.names
@@ -770,7 +852,7 @@ class LwesWriter(DataSourceArrowWriter):
                     else None
                 )
                 for r in range(batch.num_rows):
-                    if f is None or written >= self.roll_bytes:
+                    if f is None or f.bytes >= self.roll_bytes:
                         if f is not None:
                             f.close()
                         out_path = os.path.join(
@@ -778,8 +860,16 @@ class LwesWriter(DataSourceArrowWriter):
                         )
                         seq += 1
                         files.append(out_path)
-                        f = c.open_journal_write(out_path)
-                        written = 0
+                        if self.v2:
+                            f = _V2Sink(
+                                out_path,
+                                self.block_bytes,
+                                "zlib"
+                                if self.compression in ("gzip", "zlib")
+                                else "none",
+                            )
+                        else:
+                            f = _V1Sink(out_path)
                     ev_name = (
                         ev_names[r]
                         if ev_names is not None and ev_names[r]
@@ -803,7 +893,7 @@ class LwesWriter(DataSourceArrowWriter):
                                     htok,
                                     _convert_write(v, header_dtypes.get(hf), htok),
                                 )
-                    written += c.write_journal_record(f, ev)
+                    f.write_event(ev)
                     n += 1
         finally:
             if f is not None:

@@ -212,3 +212,120 @@ class TestJournalFraming:
         [(header, payload)] = list(c.read_journal_raw(io.BytesIO(bytes(buf))))
         assert len(header) == 22
         assert c.decode_event(payload).attributes == {"a": 7}
+
+
+class TestV2Framing:
+    """v2 splittable container (our extension — the v1 format's lack of
+    sync markers is THE scale bottleneck, JournalInputFormat.java:58-60
+    caps scan parallelism at file count)."""
+
+    @staticmethod
+    def _events(n):
+        return [
+            mkevent(
+                f"E{i % 3}",
+                k=(c.INT64, i),
+                s=(c.STRING, "x" * (i % 50)),
+                ReceiptTime=(c.INT64, 1000 + i),
+            )
+            for i in range(n)
+        ]
+
+    @pytest.mark.parametrize("codec", ["none", "zlib"])
+    def test_round_trip(self, tmp_path, codec):
+        p = str(tmp_path / "t.journal2")
+        n = c.write_journal_file_v2(
+            p, self._events(2000), block_bytes=4096, codec=codec
+        )
+        back = list(c.read_journal_file_v2(p))
+        assert n == len(back) == 2000
+        assert [e.get("k") for e in back] == list(range(2000))
+        # header attrs injected like v1 (DatagramPacketInputStream.java:75-78)
+        assert back[17].get("ReceiptTime") == 1017
+        assert back[0].get("SenderIP") == "0.0.0.0"
+
+    def test_zlib_actually_compresses(self, tmp_path):
+        import os
+
+        pn = str(tmp_path / "n.journal2")
+        pz = str(tmp_path / "z.journal2")
+        c.write_journal_file_v2(pn, self._events(2000), codec="none")
+        c.write_journal_file_v2(pz, self._events(2000), codec="zlib")
+        assert os.path.getsize(pz) < os.path.getsize(pn) / 2
+
+    @pytest.mark.parametrize("codec", ["none", "zlib"])
+    @pytest.mark.parametrize("parts", [1, 2, 3, 7, 13])
+    def test_range_split_exact_cover(self, tmp_path, codec, parts):
+        """Union over any byte-range grid == full read: no record lost,
+        none duplicated (Hadoop split semantics: a block belongs to the
+        range containing its sync marker's first byte)."""
+        import os
+
+        p = str(tmp_path / "t.journal2")
+        c.write_journal_file_v2(
+            p, self._events(2000), block_bytes=2048, codec=codec
+        )
+        size = os.path.getsize(p)
+        step = -(-size // parts)
+        got = []
+        for i in range(parts):
+            got += [
+                e.get("k")
+                for e in c.read_journal_file_v2(
+                    p, start=i * step, end=min((i + 1) * step, size)
+                )
+            ]
+        assert sorted(got) == list(range(2000))
+
+    def test_marker_collision_in_payload_resyncs(self, tmp_path):
+        """A payload that CONTAINS the sync marker bytes must not derail
+        range scanning: the candidate fails structural validation (next
+        16 bytes after the block are neither marker nor EOF) and the
+        search resumes — no loss, no dup."""
+        import os
+
+        marker = bytes(range(16))
+        evs = [mkevent("E", k=(c.INT64, i)) for i in range(200)]
+        evs[50].set("evil", c.STRING, "A" + marker.decode("latin1") + "B")
+        evs[150].set("evil2", c.STRING, marker.decode("latin1") * 3)
+        p = str(tmp_path / "evil.journal2")
+        c.write_journal_file_v2(p, evs, block_bytes=512, marker=marker)
+        raw = open(p, "rb").read()
+        # 4 payload collisions (1 + 3 copies) on top of the block markers
+        assert raw.count(marker) >= 4 + 2
+        size = os.path.getsize(p)
+        for parts in (2, 5, 11):
+            step = -(-size // parts)
+            got = []
+            for i in range(parts):
+                got += [
+                    e.get("k")
+                    for e in c.read_journal_file_v2(
+                        p, start=i * step, end=min((i + 1) * step, size)
+                    )
+                ]
+            assert sorted(got) == list(range(200))
+
+    def test_torn_tail_tolerant_and_strict(self, tmp_path):
+        p = str(tmp_path / "t.journal2")
+        c.write_journal_file_v2(p, self._events(2000), block_bytes=4096)
+        full = open(p, "rb").read()
+        torn = str(tmp_path / "torn.journal2")
+        open(torn, "wb").write(full[:-37])
+        got = list(c.read_journal_file_v2(torn))
+        assert 0 < len(got) < 2000  # tail block dropped, rest intact
+        with pytest.raises(c.CodecError, match="torn tail"):
+            list(c.read_journal_file_v2(torn, strict=True))
+
+    def test_event_name_skip(self, tmp_path):
+        p = str(tmp_path / "t.journal2")
+        c.write_journal_file_v2(p, self._events(300), block_bytes=1024)
+        only = list(c.read_journal_file_v2(p, event_names={"E1"}))
+        assert len(only) == 100 and all(e.name == "E1" for e in only)
+
+    def test_sniff(self, tmp_path):
+        p2 = str(tmp_path / "a.journal2")
+        c.write_journal_file_v2(p2, self._events(5))
+        p1 = str(tmp_path / "a.journal")
+        c.write_journal_file(p1, self._events(5))
+        assert c.sniff_v2(p2) and not c.sniff_v2(p1)
