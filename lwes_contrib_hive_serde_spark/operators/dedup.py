@@ -447,3 +447,52 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         if not changed:
             break
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def ml_minhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    num_features: int = 1 << 18,
+    max_jaccard_distance: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """pyspark.ml variant of the near-dup candidate pipeline: shingles →
+    HashingTF (binary) → MinHashLSH.approxSimilarityJoin — the SURVEY
+    §2c mapping spelled with the library estimators instead of our
+    hand-built signature fold (minhash_dedup_pairs). Returns
+    (id1, id2, jaccard_distance) candidate pairs with id1 < id2.
+
+    Our custom pipeline is preferred at scale (one shuffle for all H
+    hashes, hashed band keys, bucket caps); this exists for parity with
+    the ml API and as a cross-check — tests assert the two find the
+    same planted duplicates. Note ml jaccard here is over HASHED
+    feature indices (dimension 2^18), not raw shingles: collisions can
+    only RAISE similarity, so thresholds transfer conservatively."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(text_col, shingle_k).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    tf = HashingTF(
+        inputCol="sh", outputCol="features", numFeatures=num_features, binary=True
+    )
+    feats = tf.transform(sh).select("id", "features")
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=seed
+    )
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(
+        feats, feats, max_jaccard_distance, distCol="jaccard_distance"
+    )
+    return (
+        joined.select(
+            F.col("datasetA.id").alias("id1"),
+            F.col("datasetB.id").alias("id2"),
+            "jaccard_distance",
+        )
+        .filter(F.col("id1") < F.col("id2"))
+    )

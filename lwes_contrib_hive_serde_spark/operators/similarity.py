@@ -344,3 +344,38 @@ def exact_allpairs_cosine(
         .select("id1", "id2", cosine("v1", "v2").alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def ml_brp_ann(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """pyspark.ml BucketedRandomProjectionLSH.approxNearestNeighbors —
+    the SURVEY §2c library mapping for ANN, alongside our brute-force
+    cosine_topk / GEMM knn_join / IVF tiers. Euclidean LSH: for
+    L2-normalized embeddings euclidean-NN order == cosine-NN order
+    (‖a−b‖² = 2−2cosθ), so callers should normalize first. Returns
+    (neighbor_id, distance), ascending."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.linalg import Vectors, VectorUDT
+
+    to_vec = F.udf(lambda a: Vectors.dense(a), VectorUDT())
+    feats = df.select(
+        F.col(id_col).alias("neighbor_id"), to_vec(F.col(vec_col)).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_tables,
+        seed=seed,
+    )
+    model = lsh.fit(feats)
+    nn = model.approxNearestNeighbors(feats, Vectors.dense(query_vec), k)
+    return nn.select("neighbor_id", F.col("distCol").alias("distance"))

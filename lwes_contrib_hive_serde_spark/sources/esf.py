@@ -181,3 +181,64 @@ def esf_to_schema(
 def esf_file_to_schema(path: str, **kwargs) -> StructType:
     with open(path) as f:
         return esf_to_schema(f.read(), **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Emitter: Spark schema → ESF text (the inverse of esf_to_schema —
+# together they replace the reference README's external "tool to create
+# table definitions from the ESF file", README:67-68, in BOTH directions)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.types import (  # noqa: E402
+    BooleanType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+)
+
+# Spark type → ESF type word. float/double appear as string on the wire
+# (the string bridge, EventSerDe.java:270-281), so they emit as string.
+_SPARK_TO_ESF = {
+    BooleanType: "boolean",
+    ShortType: "int16",
+    IntegerType: "int32",
+    LongType: "int64",
+    FloatType: "string",
+    DoubleType: "string",
+    StringType: "string",
+}
+
+
+def schema_to_esf(
+    schema: StructType,
+    event_name: str,
+    include_headers: bool = False,
+) -> str:
+    """Render a flat Spark schema as an ESF event spec. Header virtual
+    columns (ReceiptTime/SenderIP/SenderPort/SiteID) and the
+    ``event_name`` column are omitted unless ``include_headers`` —
+    they live in the journal header, not the payload."""
+    skip = set() if include_headers else set(c.HEADER_FIELD_TYPES) | {
+        EVENT_NAME_COL
+    }
+    lines = [f"{event_name}", "{"]
+    for f in schema.fields:
+        if f.name in skip:
+            continue
+        t = type(f.dataType)
+        if t is DecimalType:
+            word = "uint64"
+        else:
+            word = _SPARK_TO_ESF.get(t)
+        if word is None:
+            raise EsfError(
+                f"column {f.name!r}: {f.dataType} has no ESF mapping "
+                "(LWES events are flat scalars)"
+            )
+        lines.append(f"  {word} {f.name};")
+    lines.append("}")
+    return "\n".join(lines) + "\n"

@@ -3,6 +3,7 @@
 import pytest
 
 from lwes_contrib_hive_serde_spark.sources import codec as c
+from lwes_contrib_hive_serde_spark.sources import esf
 from lwes_contrib_hive_serde_spark.sources.esf import (
     EsfError,
     esf_to_schema,
@@ -103,3 +104,45 @@ class TestParse:
         assert rows[0].confirmed is True and rows[1].confirmed is False
         assert rows[5].imp_site == 2
         assert rows[0].env == "prod"
+
+
+class TestEsfEmitter:
+    """schema_to_esf: the DDL→ESF direction (the reference README's
+    external tool, README:67-68, covered both ways)."""
+
+    def test_round_trip_schema(self):
+        from pyspark.sql.types import (
+            BooleanType,
+            DoubleType,
+            IntegerType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        st = StructType(
+            [
+                StructField("k", LongType()),
+                StructField("m", IntegerType()),
+                StructField("s", StringType()),
+                StructField("flag", BooleanType()),
+                StructField("price", DoubleType()),
+                StructField("ReceiptTime", LongType()),  # header col: omitted
+            ]
+        )
+        txt = esf.schema_to_esf(st, "My::Event")
+        assert "int64 k;" in txt and "string price;" in txt  # string bridge
+        assert "ReceiptTime" not in txt
+        back = esf.esf_to_schema(txt, event_name="My::Event")
+        names = {f.name: f.dataType.simpleString() for f in back.fields}
+        assert names["k"] == "bigint"
+        assert names["price"] == "string"
+        assert "ReceiptTime" in names  # re-injected as header virtual col
+
+    def test_unsupported_type_rejected(self):
+        from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+        st = StructType([StructField("a", ArrayType(LongType()))])
+        with pytest.raises(esf.EsfError, match="flat scalars"):
+            esf.schema_to_esf(st, "E")

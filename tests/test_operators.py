@@ -423,3 +423,68 @@ class TestSkew:
         df = spark.range(5).selectExpr("id as k", "id as v")
         with pytest.raises(ValueError, match="not algebraic"):
             skew.salted_agg(df, keys=["k"], aggs={"m": ("median", "v")})
+
+
+class TestMlLshVariants:
+    """pyspark.ml MinHashLSH / BucketedRandomProjectionLSH spellings of
+    the §2c mappings, cross-checked against our custom pipelines."""
+
+    def test_ml_minhash_agrees_with_custom(self, spark):
+        df, n_exact, _ = make_docs(spark)
+        ml_pairs = {
+            (r.id1, r.id2)
+            for r in dedup.ml_minhash_pairs(
+                df, max_jaccard_distance=0.3
+            ).collect()
+        }
+        truth = {
+            (r.id1, r.id2)
+            for r in dedup.ngram_jaccard_pairs(df, threshold=0.7).collect()
+        }
+        assert truth
+        recall = len(ml_pairs & truth) / len(truth)
+        assert recall >= 0.9, (recall, truth - ml_pairs)
+        # exact duplicates are jaccard-distance 0 → always candidates
+        exact_pairs = {(j, 60 + j) for j in range(n_exact)}
+        assert exact_pairs <= ml_pairs
+
+    @pytest.fixture(scope="class")
+    def vectors(self, spark):
+        rng = random.Random(3)
+        rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(80)]
+        for j in range(6):
+            base = rows[j][1]
+            rows.append((80 + j, [x + rng.gauss(0, 0.02) for x in base]))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    def test_ml_brp_ann_recall_vs_bruteforce(self, spark, vectors):
+        # normalize so euclidean order == cosine order
+        inv = F.sqrt(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x
+            )
+        )
+        normed = vectors.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double") / inv).alias(
+                "embedding"
+            ),
+        )
+        qv = [
+            float(x)
+            for x in normed.filter("vec_id = 0").first()["embedding"]
+        ]
+        got = {
+            r.neighbor_id
+            for r in similarity.ml_brp_ann(
+                normed, qv, k=10, num_tables=8, bucket_length=1.0
+            ).collect()
+        }
+        truth = {
+            r.neighbor_id
+            for r in similarity.cosine_topk(vectors, qv, k=10).collect()
+        }
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.6, (recall, truth, got)
