@@ -407,8 +407,12 @@ def simhash_neardup_pairs(
 def dup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     """(id, cluster_id = min id reachable) via label propagation over
     the dup-pair edges. Iterated small joins — edges are the dup pairs,
-    vastly smaller than the corpus; each iteration halves chain lengths
-    (doubling propagation), so max_iter=10 covers chains of 2^10."""
+    vastly smaller than the corpus. Each iteration does BOTH a
+    neighbor-min step (labels spread one hop along edges) and a
+    pointer-jumping step (label := label's label, halving pointer-chain
+    depth), so convergence is O(log n) rounds — plain neighbor-min
+    alone needs O(component diameter) rounds, which a 1000-long dup
+    chain at 100 TB would actually hit."""
     edges = (
         pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
         .union(pairs.select(F.col("id2").alias("a"), F.col("id1").alias("b")))
@@ -423,12 +427,27 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
             .groupBy("a")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
             .select(
                 "id",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # pointer jumping: labels are ids, so self-join label -> that
+        # id's label and take the smaller — chains of stale pointers
+        # collapse geometrically instead of one hop per round
+        lut = stepped.select(
+            F.col("id").alias("lid"), F.col("label").alias("llabel")
+        )
+        new_labels = (
+            stepped.join(lut, stepped.label == lut.lid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("llabel"), F.col("label"))
                 ).alias("label"),
             )
         )

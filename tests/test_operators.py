@@ -488,3 +488,19 @@ class TestMlLshVariants:
         }
         recall = len(got & truth) / len(truth)
         assert recall >= 0.6, (recall, truth, got)
+
+
+class TestDupClustersPointerJumping:
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        """A 100-link dup chain must fully collapse within max_iter=10:
+        pure one-hop neighbor-min would need ~100 rounds; the
+        pointer-jumping step makes label depth halve per round."""
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(100)], "id1 long, id2 long"
+        )
+        out = {
+            r.id: r.cluster_id
+            for r in dedup.dup_clusters(pairs, max_iter=10).collect()
+        }
+        assert set(out.values()) == {0}
+        assert len(out) == 101
