@@ -421,7 +421,7 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     labels = edges.select("a").union(edges.select("b")).distinct().select(
         F.col("a").alias("id"), F.col("a").alias("label")
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.b == labels.id)
             .groupBy("a")
@@ -436,21 +436,28 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
                 ).alias("label"),
             )
         )
-        # pointer jumping: labels are ids, so self-join label -> that
-        # id's label and take the smaller — chains of stale pointers
-        # collapse geometrically instead of one hop per round
-        lut = stepped.select(
-            F.col("id").alias("lid"), F.col("label").alias("llabel")
-        )
-        new_labels = (
-            stepped.join(lut, stepped.label == lut.lid, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("llabel"), F.col("label"))
-                ).alias("label"),
+        if it == 0:
+            # round 0 starts from identity labels: label-of-label ==
+            # label, so the jump join would be a guaranteed no-op
+            new_labels = stepped
+        else:
+            # pointer jumping: labels are ids, so self-join label ->
+            # that id's label and take the smaller — chains of stale
+            # pointers collapse geometrically instead of one hop per
+            # round
+            lut = stepped.select(
+                F.col("id").alias("lid"), F.col("label").alias("llabel")
             )
-        )
+            new_labels = (
+                stepped.join(lut, stepped.label == lut.lid, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("llabel"), F.col("label")),
+                    ).alias("label"),
+                )
+            )
         # checkpoint FIRST so the changed-probe and the next iteration
         # both read materialized labels instead of recomputing the
         # join lineage twice
