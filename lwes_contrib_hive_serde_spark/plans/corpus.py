@@ -1352,4 +1352,34 @@ def q_disjunctive_join(spark, sf_dir):
     )
 
 
+@register(
+    "q_having",
+    oracle="""
+    SELECT l_suppkey,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING COUNT(*) >= 100
+       AND SUM(CAST(l_quantity AS DECIMAL(18,2))) > 1000
+    """,
+    doc="GROUP BY ... HAVING (HiveQL post-aggregate predicate): filter "
+    "over aggregate outputs — Catalyst evaluates it after the final "
+    "HashAggregate, never re-scanning; the partial aggregate still "
+    "folds map-side so the shuffle carries one row per (partition, "
+    "suppkey).",
+)
+def q_having(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    qty_dec = F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            qty_dec.cast("double").alias("total_qty"),
+        )
+        .filter((F.col("n") >= 100) & (F.col("total_qty") > 1000.0))
+    )
+
+
 ALL = REGISTRY
