@@ -23,7 +23,12 @@ from lwes_contrib_hive_serde_spark.plans import corpus  # noqa: E402
 
 
 def _registries():
-    regs = [corpus.REGISTRY]
+    # lwes + extension registries FIRST: the driver's correctness gate
+    # checks queries() in iteration order, so if the registry ever grows
+    # past the checked window again, the long-green relational corpus
+    # overflows instead of the format/extension operators. The total is
+    # deliberately curated to 50 entries so every query is gated.
+    regs = []
     for modname in ("lwes_queries", "extension_queries"):
         try:
             mod = __import__(
@@ -33,6 +38,7 @@ def _registries():
             regs.append(mod.REGISTRY)
         except ImportError:
             pass
+    regs.append(corpus.REGISTRY)
     return regs
 
 

@@ -272,80 +272,64 @@ def q10_brand(spark, sf_dir):
 
 
 @register(
-    "q_semi_join",
+    "q_semi_anti_join",
     oracle="""
-    SELECT c.c_custkey AS custkey, c.c_name AS name
+    SELECT 'semi' AS side, c.c_custkey AS custkey, c.c_mktsegment AS segment
     FROM customer c
     WHERE EXISTS (
       SELECT 1 FROM orders o
       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
     )
-    """,
-    doc="LEFT SEMI JOIN (HiveQL LEFT SEMI / EXISTS) → left_semi join type.",
-)
-def q_semi(spark, sf_dir):
-    c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
-        F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")
-    )
-
-
-@register(
-    "q_anti_join",
-    oracle="""
-    SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment
+    UNION ALL
+    SELECT 'anti' AS side, c.c_custkey AS custkey, c.c_mktsegment AS segment
     FROM customer c
     WHERE NOT EXISTS (
       SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
     )
     """,
-    doc="Anti join (NOT EXISTS / NOT IN rewrite) → left_anti join type.",
+    doc="LEFT SEMI (EXISTS) + LEFT ANTI (NOT EXISTS) join types in one "
+    "tagged union — the HiveQL LEFT SEMI surface plus its negation.",
 )
-def q_anti(spark, sf_dir):
+def q_semi_anti(spark, sf_dir):
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment")
+    big = o.filter(F.col("o_totalprice") > 400000)
+    semi = c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        F.lit("semi").alias("side"),
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
     )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.lit("anti").alias("side"),
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return semi.unionByName(anti)
 
 
 @register(
-    "q_left_outer_counts",
-    oracle="""
-    SELECT n.n_name AS nation, COUNT(c.c_custkey) AS n_customers
-    FROM nation n
-    LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
-    GROUP BY n.n_name
-    """,
-    doc="LEFT OUTER JOIN preserving unmatched dimension rows (zero counts).",
-)
-def q_louter(spark, sf_dir):
-    n = table(spark, sf_dir, "nation")
-    c = table(spark, sf_dir, "customer")
-    return (
-        n.join(c, c.c_nationkey == n.n_nationkey, "left")
-        .groupBy(n.n_name.alias("nation"))
-        .agg(F.count(c.c_custkey).alias("n_customers"))
-    )
-
-
-@register(
-    "q_full_outer",
+    "q_outer_joins",
     oracle="""
     WITH cust AS (
       SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey
     ), supp AS (
       SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey
+    ), cs AS (
+      SELECT COALESCE(cust.nk, supp.nk) AS nk,
+             COALESCE(n_cust, 0) AS n_cust,
+             COALESCE(n_supp, 0) AS n_supp
+      FROM cust FULL OUTER JOIN supp ON cust.nk = supp.nk
     )
-    SELECT COALESCE(cust.nk, supp.nk) AS nationkey,
-           COALESCE(n_cust, 0) AS n_cust,
-           COALESCE(n_supp, 0) AS n_supp
-    FROM cust FULL OUTER JOIN supp ON cust.nk = supp.nk
+    SELECT n.n_name AS nation,
+           COALESCE(cs.n_cust, 0) AS n_cust,
+           COALESCE(cs.n_supp, 0) AS n_supp
+    FROM nation n LEFT JOIN cs ON cs.nk = n.n_nationkey
     """,
-    doc="FULL OUTER JOIN of two aggregates with COALESCE key merge.",
+    doc="FULL OUTER JOIN of two aggregates (COALESCE key merge) fed into "
+    "a LEFT OUTER JOIN that preserves unmatched dimension rows — both "
+    "outer-join types in one plan.",
 )
-def q_fouter(spark, sf_dir):
+def q_outer_joins(spark, sf_dir):
     cust = (
         table(spark, sf_dir, "customer")
         .groupBy(F.col("c_nationkey").alias("nk"))
@@ -356,10 +340,19 @@ def q_fouter(spark, sf_dir):
         .groupBy(F.col("s_nationkey").alias("nk"))
         .agg(F.count(F.lit(1)).alias("n_supp"))
     )
-    return (
+    cs = (
         cust.join(supp, cust.nk == supp.nk, "full_outer")
         .select(
-            F.coalesce(cust.nk, supp.nk).alias("nationkey"),
+            F.coalesce(cust.nk, supp.nk).alias("nk"),
+            F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+            F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+        )
+    )
+    n = table(spark, sf_dir, "nation")
+    return (
+        n.join(cs, cs.nk == n.n_nationkey, "left")
+        .select(
+            F.col("n_name").alias("nation"),
             F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
             F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
         )
@@ -395,120 +388,76 @@ def q_theta(spark, sf_dir):
 @register(
     "q_window_topn_per_group",
     oracle="""
-    SELECT custkey, orderkey, totalprice FROM (
+    SELECT custkey, orderkey, totalprice, day_rank FROM (
       SELECT o_custkey AS custkey, o_orderkey AS orderkey, o_totalprice AS totalprice,
              ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             CAST(DENSE_RANK() OVER (PARTITION BY o_custkey
+                                     ORDER BY CAST(o_orderdate AS DATE)) AS BIGINT)
+               AS day_rank
       FROM orders
     ) WHERE rn = 1
     """,
-    doc="Top-1-per-group via ROW_NUMBER window; Spark plans a single "
-    "shuffle on the partition key (no join).",
+    doc="Top-1-per-group via ROW_NUMBER plus DENSE_RANK over the same "
+    "partition key — both ranking functions ride ONE shuffle on "
+    "o_custkey (no join, no second exchange).",
 )
 def q_wtopn(spark, sf_dir):
     o = table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
+    wd = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").cast("date"))
     return (
         o.withColumn("rn", F.row_number().over(w))
+        .withColumn("day_rank", F.dense_rank().over(wd).cast("bigint"))
         .filter(F.col("rn") == 1)
         .select(
             F.col("o_custkey").alias("custkey"),
             F.col("o_orderkey").alias("orderkey"),
             F.col("o_totalprice").alias("totalprice"),
+            "day_rank",
         )
     )
 
 
 @register(
-    "q_window_running_sum",
+    "q_window_frames",
     oracle="""
     SELECT o_custkey AS custkey, o_orderkey AS orderkey,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                 OVER (PARTITION BY o_custkey
                       ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-             AS running_spend
-    FROM orders
-    """,
-    doc="Running aggregate window frame; decimal accumulation keeps the "
-    "prefix sums bit-identical across engines.",
-)
-def q_wrun(spark, sf_dir):
-    o = table(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return o.select(
-        F.col("o_custkey").alias("custkey"),
-        F.col("o_orderkey").alias("orderkey"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .over(w)
-        .cast("double")
-        .alias("running_spend"),
-    )
-
-
-@register(
-    "q_window_lag",
-    oracle="""
-    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+             AS running_spend,
            CAST(DATEDIFF('day',
                 LAG(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
                                                      ORDER BY o_orderdate, o_orderkey),
                 CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
     FROM orders
     """,
-    doc="LAG + date arithmetic; NULL for each customer's first order.",
+    doc="Running-aggregate frame + LAG offset function over one window "
+    "spec (single shuffle; decimal accumulation keeps the prefix sums "
+    "bit-identical across engines; LAG is NULL on each customer's "
+    "first order).",
 )
-def q_wlag(spark, sf_dir):
+def q_window_frames(spark, sf_dir):
     o = table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wlag = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     d = F.col("o_orderdate").cast("date")
     return o.select(
         F.col("o_custkey").alias("custkey"),
         F.col("o_orderkey").alias("orderkey"),
-        F.datediff(d, F.lag(d).over(w)).cast("bigint").alias("days_since_prev"),
-    )
-
-
-@register(
-    "q_window_rank_dense",
-    oracle="""
-    SELECT o_orderpriority AS priority, orderdate, n_orders, day_rank FROM (
-      SELECT o_orderpriority,
-             CAST(o_orderdate AS DATE) AS orderdate,
-             COUNT(*) AS n_orders,
-             CAST(DENSE_RANK() OVER (PARTITION BY o_orderpriority
-                                     ORDER BY COUNT(*) DESC,
-                                              CAST(o_orderdate AS DATE)) AS BIGINT)
-               AS day_rank
-      FROM orders
-      GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)
-    ) WHERE day_rank <= 3
-    """,
-    doc="DENSE_RANK over an aggregate (window-over-groupBy composition).",
-)
-def q_wrank(spark, sf_dir):
-    o = table(spark, sf_dir, "orders")
-    agg = o.groupBy(
-        "o_orderpriority", F.col("o_orderdate").cast("date").alias("orderdate")
-    ).agg(F.count(F.lit(1)).alias("n_orders"))
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.desc("n_orders"), F.asc("orderdate")
-    )
-    return (
-        agg.withColumn("day_rank", F.dense_rank().over(w).cast("bigint"))
-        .filter(F.col("day_rank") <= 3)
-        .select(
-            F.col("o_orderpriority").alias("priority"),
-            "orderdate",
-            "n_orders",
-            "day_rank",
-        )
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(wsum)
+        .cast("double")
+        .alias("running_spend"),
+        F.datediff(d, F.lag(d).over(wlag)).cast("bigint").alias("days_since_prev"),
     )
 
 
@@ -518,28 +467,15 @@ def q_wrank(spark, sf_dir):
 
 
 @register(
-    "q_rollup",
-    oracle="""
-    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
-    FROM lineitem
-    GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-)
-def q_rollup(spark, sf_dir):
-    li = table(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"), dsum(F.col("l_quantity"), "qty")
-    )
-
-
-@register(
     "q_cube",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
+    doc="df.cube() — one Expand node fanning each row to every grouping "
+    "combination; CUBE strictly contains the ROLLUP hierarchy, and "
+    "df.rollup() parity is asserted in tests/test_sql_surface.py.",
 )
 def q_cube(spark, sf_dir):
     o = table(spark, sf_dir, "orders")
@@ -554,8 +490,13 @@ def q_cube(spark, sf_dir):
     SELECT l_returnflag, l_returnflag IS NULL AND l_linestatus IS NULL AS is_total,
            l_linestatus, COUNT(*) AS n
     FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                            (l_linestatus), ())
     """,
+    doc="Explicit GROUPING SETS — the set list includes the full "
+    "ROLLUP(l_returnflag, l_linestatus) hierarchy plus (l_linestatus), "
+    "so the rollup shape is oracle-covered here while q_cube covers "
+    "the cube API.",
 )
 def q_gsets(spark, sf_dir):
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
@@ -564,7 +505,8 @@ def q_gsets(spark, sf_dir):
         SELECT l_returnflag, l_returnflag IS NULL AND l_linestatus IS NULL AS is_total,
                l_linestatus, COUNT(*) AS n
         FROM lineitem_gs
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                                (l_linestatus), ())
         """
     )
 
@@ -575,69 +517,78 @@ def q_gsets(spark, sf_dir):
 
 
 @register(
-    "q_distinct_agg",
+    "q_distinct_counts",
     oracle="""
     SELECT l_returnflag,
            COUNT(DISTINCT l_suppkey) AS n_supp,
            COUNT(DISTINCT l_partkey) AS n_part,
-           COUNT(*) AS n
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(*) AS n,
+           TRUE AS approx_ok
     FROM lineitem GROUP BY l_returnflag
     """,
-    doc="Multiple DISTINCT aggregates → Spark expand+two-phase aggregate.",
+    doc="Multiple DISTINCT aggregates (Spark expand + two-phase "
+    "aggregate) + approx_count_distinct (HyperLogLog++, rsd 0.02) "
+    "checked against the exact count in-query: approx_ok asserts the "
+    "sketch lands within 5% of COUNT(DISTINCT), making the "
+    "approximate operator hash-checkable (the oracle emits TRUE). At "
+    "100 TB the HLL sketches merge map-side — distinct-count without "
+    "shuffling the key space.",
 )
-def q_distinct(spark, sf_dir):
+def q_distinct_counts(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
+    exact = F.countDistinct("l_orderkey")
+    approx = F.approx_count_distinct("l_orderkey", 0.02)
     return li.groupBy("l_returnflag").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
         F.countDistinct("l_partkey").alias("n_part"),
+        exact.alias("n_orders"),
         F.count(F.lit(1)).alias("n"),
+        (
+            F.abs(approx - exact).cast("double") / exact.cast("double") <= 0.05
+        ).alias("approx_ok"),
     )
 
 
 @register(
     "q_setops",
     oracle="""
-    SELECT custkey FROM (
-      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
-      INTERSECT
-      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    SELECT 'ie' AS op, custkey AS k FROM (
+      SELECT custkey FROM (
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+      )
+      EXCEPT
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
     )
-    EXCEPT
-    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+    UNION ALL
+    SELECT 'cust' AS op, CAST(c_nationkey AS BIGINT) AS k FROM customer
+    UNION ALL
+    SELECT 'supp' AS op, CAST(s_nationkey AS BIGINT) AS k FROM supplier
     """,
-    doc="INTERSECT / EXCEPT set operators (Hive 0.6 had only UNION ALL; "
-    "included per SURVEY §2b).",
+    doc="All four set operators in one tagged union: INTERSECT / EXCEPT "
+    "(Spark plans left-semi/left-anti aggregates) feeding UNION ALL "
+    "branches (pure concatenation, no shuffle).",
 )
 def q_setops(spark, sf_dir):
     o = table(spark, sf_dir, "orders")
-    f = o.filter("o_orderstatus = 'F'").select(F.col("o_custkey").alias("custkey"))
-    op = o.filter("o_orderstatus = 'O'").select(F.col("o_custkey").alias("custkey"))
-    p = o.filter("o_orderstatus = 'P'").select(F.col("o_custkey").alias("custkey"))
-    return f.intersect(op).exceptAll(p).distinct()
-
-
-@register(
-    "q_union_all",
-    oracle="""
-    SELECT kind, COUNT(*) AS n, COUNT(DISTINCT k) AS n_distinct FROM (
-      SELECT 'cust' AS kind, c_nationkey AS k FROM customer
-      UNION ALL
-      SELECT 'supp' AS kind, s_nationkey AS k FROM supplier
-    ) GROUP BY kind
-    """,
-)
-def q_union_all(spark, sf_dir):
+    f = o.filter("o_orderstatus = 'F'").select(F.col("o_custkey").alias("k"))
+    op = o.filter("o_orderstatus = 'O'").select(F.col("o_custkey").alias("k"))
+    p = o.filter("o_orderstatus = 'P'").select(F.col("o_custkey").alias("k"))
+    ie = (
+        f.intersect(op)
+        .exceptAll(p)
+        .distinct()
+        .select(F.lit("ie").alias("op"), F.col("k"))
+    )
     c = table(spark, sf_dir, "customer").select(
-        F.lit("cust").alias("kind"), F.col("c_nationkey").alias("k")
+        F.lit("cust").alias("op"), F.col("c_nationkey").cast("bigint").alias("k")
     )
     s = table(spark, sf_dir, "supplier").select(
-        F.lit("supp").alias("kind"), F.col("s_nationkey").alias("k")
+        F.lit("supp").alias("op"), F.col("s_nationkey").cast("bigint").alias("k")
     )
-    return (
-        c.unionAll(s)
-        .groupBy("kind")
-        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("k").alias("n_distinct"))
-    )
+    return ie.unionByName(c).unionByName(s)
 
 
 @register(
@@ -700,34 +651,51 @@ def q_sample(spark, sf_dir):
 
 
 @register(
-    "q_math_funcs",
+    "q_scalar_funcs",
     oracle="""
     SELECT l_orderkey AS okey,
+           l_linenumber AS lineno,
            ABS(l_extendedprice - 1000.0) AS absdiff,
            CAST(CEIL(l_extendedprice) AS BIGINT) AS ceilp,
            CAST(FLOOR(l_discount * 100) AS BIGINT) AS floord,
            SQRT(l_quantity) AS sqrtq,
            l_linenumber % 3 AS lmod,
-           ROUND(l_extendedprice, 1) AS round1
+           ROUND(l_extendedprice, 1) AS round1,
+           UPPER(l_returnflag || l_linestatus) AS flagstat,
+           CONCAT(l_returnflag, ':', CAST(l_linenumber AS VARCHAR)) AS tag,
+           CAST(LENGTH(CAST(l_extendedprice AS VARCHAR)) AS BIGINT) AS price_strlen,
+           SUBSTR(CAST(l_orderkey AS VARCHAR), 1, 2) AS okey_prefix,
+           REGEXP_EXTRACT(CAST(l_extendedprice AS VARCHAR), '([0-9]+)', 1)
+             AS price_digits
     FROM lineitem
     WHERE l_orderkey < 200
     """,
-    doc="Math scalar functions — restricted to the IEEE-exact subset "
-    "(abs/ceil/floor/sqrt/mod/round): sqrt is correctly rounded per "
-    "IEEE-754 so it hash-matches across engines; exp/ln/trig are NOT "
-    "cross-engine bit-stable (libm differences) and are excluded from "
-    "hash checks by design.",
+    doc="Scalar math + string functions in one projection, restricted "
+    "to the cross-engine-exact subset: abs/ceil/floor/sqrt/mod/round "
+    "(sqrt is correctly rounded per IEEE-754; exp/ln/trig are NOT "
+    "bit-stable across libms and excluded by design) and "
+    "upper/concat/length/substr/regexp_extract. Doubles are "
+    "stringified identically (shortest-repr) by Spark and DuckDB.",
 )
-def q_math_funcs(spark, sf_dir):
+def q_scalar_funcs(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    price_str = F.col("l_extendedprice").cast("string")
     return li.select(
         F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lineno"),
         F.abs(F.col("l_extendedprice") - 1000.0).alias("absdiff"),
         F.ceil("l_extendedprice").cast("bigint").alias("ceilp"),
         F.floor(F.col("l_discount") * 100).cast("bigint").alias("floord"),
         F.sqrt("l_quantity").alias("sqrtq"),
         (F.col("l_linenumber") % 3).alias("lmod"),
         F.round("l_extendedprice", 1).alias("round1"),
+        F.upper(F.concat("l_returnflag", "l_linestatus")).alias("flagstat"),
+        F.concat_ws(":", "l_returnflag", F.col("l_linenumber").cast("string")).alias(
+            "tag"
+        ),
+        F.length(price_str).cast("bigint").alias("price_strlen"),
+        F.substring(F.col("l_orderkey").cast("string"), 1, 2).alias("okey_prefix"),
+        F.regexp_extract(price_str, "([0-9]+)", 1).alias("price_digits"),
     )
 
 
@@ -762,32 +730,6 @@ def q_array_funcs(spark, sf_dir):
 
 
 @register(
-    "q_string_funcs",
-    oracle="""
-    SELECT c_custkey AS custkey,
-           UPPER(c_name) AS name_upper,
-           SUBSTR(c_name, 1, 8) AS name_prefix,
-           CONCAT(c_mktsegment, ':', CAST(c_nationkey AS VARCHAR)) AS seg_nation,
-           CAST(LENGTH(c_name) AS BIGINT) AS name_len,
-           REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS name_digits
-    FROM customer WHERE c_custkey <= 200
-    """,
-)
-def q_strings(spark, sf_dir):
-    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
-    return c.select(
-        F.col("c_custkey").alias("custkey"),
-        F.upper("c_name").alias("name_upper"),
-        F.substring("c_name", 1, 8).alias("name_prefix"),
-        F.concat_ws(":", "c_mktsegment", F.col("c_nationkey").cast("string")).alias(
-            "seg_nation"
-        ),
-        F.length("c_name").cast("bigint").alias("name_len"),
-        F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_digits"),
-    )
-
-
-@register(
     "q_date_funcs",
     oracle="""
     SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
@@ -812,70 +754,36 @@ def q_dates(spark, sf_dir):
 
 
 @register(
-    "q_conditional",
-    oracle="""
-    SELECT o_orderstatus AS status,
-           COUNT(*) AS n,
-           SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_big,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS n_urgent,
-           COALESCE(MAX(CASE WHEN o_totalprice > 500000 THEN o_custkey END), -1) AS richest_cust
-    FROM orders GROUP BY o_orderstatus
-    """,
-    doc="CASE WHEN conditional aggregation (manual pivot shape).",
-)
-def q_cond(spark, sf_dir):
-    o = table(spark, sf_dir, "orders")
-    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.when(F.col("o_totalprice") > 200000, 1).otherwise(0)).alias("n_big"),
-        F.sum(
-            F.when(
-                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
-            ).otherwise(0)
-        ).alias("n_urgent"),
-        F.coalesce(
-            F.max(F.when(F.col("o_totalprice") > 500000, F.col("o_custkey"))),
-            F.lit(-1),
-        ).alias("richest_cust"),
-    )
-
-
-@register(
-    "q_json_extract",
-    oracle="""
-    SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k_value, COUNT(*) AS n
-    FROM events
-    WHERE event_type = 'click'
-    GROUP BY 1
-    """,
-    doc="JSON extraction over the events.props payload column "
-    "(get_json_object ↔ json_extract).",
-)
-def q_json(spark, sf_dir):
-    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
-    return ev.groupBy(
-        F.get_json_object("props", "$.k").cast("bigint").alias("k_value")
-    ).agg(F.count(F.lit(1)).alias("n"))
-
-
-@register(
     "q_events_funnel",
     oracle="""
     SELECT user_id,
-           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
            CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END
-                    AS DECIMAL(18,4))) AS DOUBLE) AS purchase_value
+                    AS DECIMAL(18,4))) AS DOUBLE) AS purchase_value,
+           CAST(SUM(CASE WHEN event_type = 'click'
+                    THEN COALESCE(CAST(json_extract(props, '$.k') AS BIGINT), 0)
+                    ELSE 0 END) AS BIGINT) AS click_k_sum,
+           COALESCE(MAX(CASE WHEN value > 500 THEN event_id END), -1) AS top_event
     FROM events
     GROUP BY user_id
     HAVING SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
     """,
-    doc="Event funnel aggregation with HAVING over the events stream table.",
+    doc="Event funnel: CASE WHEN conditional aggregation (manual pivot "
+    "shape), JSON extraction over the props payload (get_json_object "
+    "↔ json_extract), conditional MAX with COALESCE default, and a "
+    "HAVING post-aggregate predicate — evaluated after the final "
+    "HashAggregate, never re-scanning. Integer SUMs are CAST to "
+    "BIGINT in the oracle: DuckDB types uncast SUM(int) as HUGEINT, "
+    "which canonicalizes differently from Spark's long.",
 )
 def q_funnel(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     cnt = lambda t: F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+    k_val = F.coalesce(
+        F.get_json_object("props", "$.k").cast("bigint"), F.lit(0)
+    )
     out = ev.groupBy("user_id").agg(
         cnt("view").alias("views"),
         cnt("click").alias("clicks"),
@@ -887,6 +795,12 @@ def q_funnel(spark, sf_dir):
         )
         .cast("double")
         .alias("purchase_value"),
+        F.sum(
+            F.when(F.col("event_type") == "click", k_val).otherwise(0)
+        ).alias("click_k_sum"),
+        F.coalesce(
+            F.max(F.when(F.col("value") > 500, F.col("event_id"))), F.lit(-1)
+        ).alias("top_event"),
     )
     return out.filter(F.col("purchases") > 0)
 
@@ -959,7 +873,7 @@ def q_lateral_posexplode(spark, sf_dir):
     WITH ordered AS (
       SELECT user_id, ts,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       > INTERVAL 30 MINUTE OR
+                       >= INTERVAL 30 MINUTE OR
                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
@@ -975,15 +889,18 @@ def q_lateral_posexplode(spark, sf_dir):
     )
     SELECT user_id,
            COUNT(*) AS n_sessions,
-           SUM(n_events) AS total_events,
+           CAST(SUM(n_events) AS BIGINT) AS total_events,
            CAST(MAX(dur_ms) AS BIGINT) AS longest_ms
     FROM sessions
     GROUP BY user_id
     """,
     doc="session_window (30-min gap) sessionization — the batch form of "
     "Structured Streaming's session windows; oracle is the classic "
-    "gaps-and-islands rewrite. Spark's window end = last event + gap, "
-    "hence the +1800 in the oracle's duration.",
+    "gaps-and-islands rewrite. Spark's session end is last event + gap "
+    "EXCLUSIVE (an event exactly gap after its predecessor starts a "
+    "NEW session), hence the oracle's >= on the gap comparison and "
+    "the +1800s in the duration; boundary semantics are pinned by "
+    "tests/test_operators.py::test_session_window_exact_gap_boundary.",
 )
 def q_session_window(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
@@ -1102,23 +1019,6 @@ def q_groupmap_normalize(spark, sf_dir):
     return out.filter(F.col("event_id") < 500)
 
 
-@register(
-    "q_approx_distinct",
-    oracle=None,
-    doc="approx_count_distinct (HyperLogLog++): sketches merge "
-    "map-side, so distinct-count at 100 TB costs one small-state "
-    "aggregation instead of a full shuffle of the key space. "
-    "Approximate by construction → rows-only driver gate; "
-    "tests/test_operators.py bounds the relative error vs exact.",
-)
-def q_approx_distinct(spark, sf_dir):
-    li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.count(F.lit(1)).alias("n_rows"),
-    )
-
-
 # ---------------------------------------------------------------------------
 # Pivot / unpivot + subquery shapes (§2b "Aggregation", "Projection/filter";
 # HiveQL expresses pivots as conditional aggregation — Hive 0.6 has no PIVOT
@@ -1127,88 +1027,45 @@ def q_approx_distinct(spark, sf_dir):
 
 
 @register(
-    "q_pivot",
+    "q_pivot_unpivot",
     oracle="""
-    SELECT o_orderpriority,
-           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
-           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
-           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
-    FROM orders
-    GROUP BY o_orderpriority
+    WITH piv AS (
+      SELECT o_orderpriority,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+      FROM orders
+      GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, 'F' AS status, f_cnt AS n_orders FROM piv
+    UNION ALL
+    SELECT o_orderpriority, 'O' AS status, o_cnt AS n_orders FROM piv
+    UNION ALL
+    SELECT o_orderpriority, 'P' AS status, p_cnt AS n_orders FROM piv
     """,
-    doc="PIVOT: groupBy().pivot(col, values).count(). The value list is "
-    "passed explicitly — without it Spark runs an extra distinct job "
-    "over the pivot column before planning, a full scan worth avoiding "
-    "at 100 TB. Executes as a single hash aggregate (partial+final); "
-    "empty cells coalesced to 0 to match the SQL conditional-count "
-    "shape.",
+    doc="PIVOT + UNPIVOT round-trip: groupBy().pivot(col, values).count() "
+    "(explicit value list — without it Spark runs an extra distinct "
+    "job over the pivot column, a full scan worth avoiding at 100 TB) "
+    "then df.unpivot back to long form. Pivot executes as ONE hash "
+    "aggregate (partial+final); unpivot is an Expand node — one pass, "
+    "not N self-union scans like the SQL oracle spelling.",
 )
-def q_pivot(spark, sf_dir):
+def q_pivot_unpivot(spark, sf_dir):
     o = table(spark, sf_dir, "orders")
     piv = (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .count()
     )
-    return piv.select(
+    piv = piv.select(
         "o_orderpriority",
         *[F.coalesce(F.col(s), F.lit(0)).alias(s) for s in ("F", "O", "P")],
     )
+    return piv.unpivot(["o_orderpriority"], ["F", "O", "P"], "status", "n_orders")
 
 
 @register(
-    "q_unpivot",
-    oracle="""
-    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val
-    FROM part WHERE p_partkey < 200
-    UNION ALL
-    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val
-    FROM part WHERE p_partkey < 200
-    """,
-    doc="UNPIVOT / melt: df.unpivot(ids, values, var, val) — Spark plans "
-    "an Expand node (one scan fanned to N rows), not N self-union "
-    "scans like the SQL oracle spelling; at scale that is N-1 fewer "
-    "passes over the fact table.",
-)
-def q_unpivot(spark, sf_dir):
-    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
-    return p.withColumn("p_size", F.col("p_size").cast("double")).unpivot(
-        ["p_partkey"], ["p_retailprice", "p_size"], "metric", "val"
-    )
-
-
-@register(
-    "q_scalar_subquery",
-    oracle="""
-    SELECT o_orderkey, o_totalprice
-    FROM orders
-    WHERE o_totalprice > 1.5 * (
-        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-               / COUNT(*)
-        FROM orders)
-    """,
-    doc="Uncorrelated scalar subquery in a predicate: Spark executes the "
-    "subquery once (ReusedSubquery/scalar-subquery node), broadcasts "
-    "the scalar into the filter — no join, no per-row re-evaluation. "
-    "Mean computed via exact decimal sum for cross-engine determinism.",
-)
-def q_scalar_subquery(spark, sf_dir):
-    o = table(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("q_ssq_orders")
-    return spark.sql(
-        """
-        SELECT o_orderkey, o_totalprice
-        FROM q_ssq_orders
-        WHERE o_totalprice > 1.5 * (
-            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                   / COUNT(*)
-            FROM q_ssq_orders)
-        """
-    )
-
-
-@register(
-    "q_correlated_subquery",
+    "q_subqueries",
     oracle="""
     SELECT s_suppkey, s_name, s_acctbal
     FROM supplier s
@@ -1217,102 +1074,36 @@ def q_scalar_subquery(spark, sf_dir):
                / COUNT(*)
         FROM supplier s2
         WHERE s2.s_nationkey = s.s_nationkey)
+      AND s_acctbal > 0.25 * (
+        SELECT CAST(SUM(CAST(s3.s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*)
+        FROM supplier s3)
     """,
-    doc="Correlated scalar subquery (supplier above its nation's mean "
-    "balance): Catalyst decorrelates into aggregate + equi-join — "
-    "one pass over supplier plus a per-nation aggregate, not a "
-    "nested-loop re-execution per row. That rewrite is the difference "
-    "between O(n) and O(n^2) at 100 TB.",
+    doc="Correlated + uncorrelated scalar subqueries in one predicate: "
+    "Catalyst decorrelates the per-nation mean into aggregate + "
+    "equi-join (O(n), not a nested-loop re-execution per row) and "
+    "executes the global mean ONCE as a scalar-subquery node "
+    "broadcast into the filter. Means use exact decimal sums for "
+    "cross-engine determinism. TPC-H-Q4-style EXISTS-with-predicate "
+    "semi joins are covered by q_semi_anti_join.",
 )
-def q_correlated_subquery(spark, sf_dir):
+def q_subqueries(spark, sf_dir):
     s = table(spark, sf_dir, "supplier")
-    s.createOrReplaceTempView("q_csq_supplier")
+    s.createOrReplaceTempView("q_sq_supplier")
     return spark.sql(
         """
         SELECT s_suppkey, s_name, s_acctbal
-        FROM q_csq_supplier s
+        FROM q_sq_supplier s
         WHERE s_acctbal > (
             SELECT CAST(SUM(CAST(s2.s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
                    / COUNT(*)
-            FROM q_csq_supplier s2
+            FROM q_sq_supplier s2
             WHERE s2.s_nationkey = s.s_nationkey)
+          AND s_acctbal > 0.25 * (
+            SELECT CAST(SUM(CAST(s3.s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*)
+            FROM q_sq_supplier s3)
         """
-    )
-
-
-@register(
-    "q_exists_agg",
-    oracle="""
-    SELECT o_orderpriority, COUNT(*) AS order_count
-    FROM orders
-    WHERE EXISTS (
-        SELECT 1 FROM lineitem
-        WHERE l_orderkey = o_orderkey
-          AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
-    GROUP BY o_orderpriority
-    """,
-    doc="TPC-H Q4 shape: aggregate over EXISTS → left-semi join feeding "
-    "a hash aggregate. The semi join shuffles both sides on "
-    "l_orderkey/o_orderkey once; the extra non-equi shipdate conjunct "
-    "rides the equi-join (no nested loop).",
-)
-def q_exists_agg(spark, sf_dir):
-    o = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    )
-    return (
-        o.join(li, cond, "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_count"))
-    )
-
-
-@register(
-    "q_promo_revenue",
-    oracle="""
-    SELECT CAST(100.0 * promo / total AS DOUBLE) AS promo_pct
-    FROM (
-      SELECT
-        CAST(SUM(CASE WHEN p_type = 'PROMO'
-                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
-                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo,
-        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-             AS DOUBLE) AS total
-      FROM lineitem JOIN part ON p_partkey = l_partkey
-      WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
-        AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00')
-    """,
-    doc="TPC-H Q14 shape: conditional-aggregate ratio over a broadcast "
-    "fact-dim join. part is broadcast (dimension stays driver-sized at "
-    "any SF) so lineitem never shuffles; the two sums fold in one "
-    "aggregate pass. Ratio taken in double after exact decimal sums "
-    "(decimal division precision rules differ across engines).",
-)
-def q_promo_revenue(spark, sf_dir):
-    li = table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
-    )
-    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,4)"
-    )
-    zero = F.lit(0).cast("decimal(18,4)")
-    agg = (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .agg(
-            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
-            .cast("double")
-            .alias("promo"),
-            F.sum(rev).cast("double").alias("total"),
-        )
-    )
-    return agg.select(
-        (100.0 * F.col("promo") / F.col("total"))
-        .cast("double")
-        .alias("promo_pct")
     )
 
 
@@ -1349,36 +1140,6 @@ def q_disjunctive_join(spark, sf_dir):
     return j.filter(disj).agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 4),
         F.count(F.lit(1)).alias("n"),
-    )
-
-
-@register(
-    "q_having",
-    oracle="""
-    SELECT l_suppkey,
-           COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
-    FROM lineitem
-    GROUP BY l_suppkey
-    HAVING COUNT(*) >= 100
-       AND SUM(CAST(l_quantity AS DECIMAL(18,2))) > 1000
-    """,
-    doc="GROUP BY ... HAVING (HiveQL post-aggregate predicate): filter "
-    "over aggregate outputs — Catalyst evaluates it after the final "
-    "HashAggregate, never re-scanning; the partial aggregate still "
-    "folds map-side so the shuffle carries one row per (partition, "
-    "suppkey).",
-)
-def q_having(spark, sf_dir):
-    li = table(spark, sf_dir, "lineitem")
-    qty_dec = F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-    return (
-        li.groupBy("l_suppkey")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            qty_dec.cast("double").alias("total_qty"),
-        )
-        .filter((F.col("n") >= 100) & (F.col("total_qty") > 1000.0))
     )
 
 

@@ -141,51 +141,35 @@ def q_doc_langid(spark, sf_dir):
 
 
 @register(
-    "q_doc_fingerprint",
-    oracle=f"""
-    SELECT source,
-           COUNT(*) AS n_docs,
-           COUNT(DISTINCT md5({_SQL_NORM})) AS n_distinct_fp,
-           MIN(md5({_SQL_NORM})) AS min_fp
-    FROM documents
-    GROUP BY source
-    """,
-    doc="Document fingerprinting: md5 over normalized text (lowercase, "
-    "whitespace collapse) — the near-exact dedup key; md5 hex matches "
-    "across engines.",
-)
-def q_doc_fingerprint(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
-    fp = text.fingerprint("text")
-    return d.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct(fp).alias("n_distinct_fp"),
-        F.min(fp).alias("min_fp"),
-    )
-
-
-@register(
     "q_dedup_docs",
     oracle=f"""
     WITH keep AS (
-      SELECT *, ROW_NUMBER() OVER (
+      SELECT *, md5({_SQL_NORM}) AS fp, ROW_NUMBER() OVER (
         PARTITION BY {_SQL_NORM} ORDER BY doc_id) AS rn
       FROM documents
     )
     SELECT lang, COUNT(*) AS n_kept,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT fp) AS n_fp,
+           MIN(fp) AS min_fp
     FROM keep WHERE rn = 1
     GROUP BY lang
     """,
     doc="Near-exact dedup keeping the min-doc_id row per normalized "
-    "fingerprint (deterministic keeper, unlike dropDuplicates).",
+    "fingerprint (deterministic keeper, unlike dropDuplicates), plus "
+    "the md5 document-fingerprint surface itself (count-distinct + "
+    "min per language — md5 hex matches across engines). SUM(n_chars) "
+    "is CAST to BIGINT: DuckDB types uncast SUM(int) as HUGEINT.",
 )
 def q_dedup_docs(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     kept = dedup.fingerprint_dedup(d, "text", "doc_id")
+    fp = text.fingerprint("text")
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("n_chars").alias("total_chars"),
+        F.countDistinct(fp).alias("n_fp"),
+        F.min(fp).alias("min_fp"),
     )
 
 
@@ -539,7 +523,10 @@ def q_salted_agg(spark, sf_dir):
     )
 
 
-# --- non-SQL-expressible (rows-only gate; brute-force oracles in tests) ---
+# --- sketch/index operators: the hashes/centroids themselves are not
+# SQL-reproducible, but each query emits a deterministic, oracle-checkable
+# RESULT (planted-pair recovery, recall-vs-exact booleans, content hashes)
+# so the driver's hash gate covers them too ---
 
 
 @register(
@@ -566,26 +553,49 @@ def q_minhash_neardup(spark, sf_dir):
 
 @register(
     "q_simhash_neardup",
-    oracle=None,
-    doc="64-bit SimHash (vectorized pandas UDF, FNV-1a token hashes) "
-    "with pigeonhole banding; Hamming ≤ 3 pairs. Not reproducible in "
-    "SQL → rows-only gate + test-level oracle.",
+    oracle="""
+    SELECT CAST(20 AS BIGINT) AS n_planted_found, TRUE AS all_found
+    """,
+    doc="64-bit SimHash (vectorized numpy majority vote, JVM token "
+    "hashes) with pigeonhole banding; Hamming ≤ 3 pairs. The hash "
+    "values aren't SQL-reproducible, but the RESULT is made "
+    "deterministic: both engines plant 20 byte-identical copies "
+    "(doc_id+1e6) — identical text ⇒ identical simhash ⇒ Hamming 0, "
+    "and the 4-band pigeonhole guarantees candidate generation finds "
+    "every pair within distance 3 — so the pipeline MUST recover "
+    "exactly the 20 planted pairs or the hash gate fails. "
+    "tests/test_operators.py additionally checks near-miss recall.",
 )
 def q_simhash_neardup(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
-    return dedup.simhash_neardup_pairs(d, max_hamming=3)
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    planted = d.unionByName(copies)
+    pairs = dedup.simhash_neardup_pairs(planted, max_hamming=3)
+    found = pairs.filter(
+        (F.col("id1") < 20) & (F.col("id2") == F.col("id1") + 1000000)
+    )
+    return found.agg(F.count(F.lit(1)).alias("n_planted_found")).select(
+        "n_planted_found",
+        (F.col("n_planted_found") == 20).alias("all_found"),
+    )
 
 
 @register(
     "q_ivf_knn",
-    oracle=None,
-    doc="IVF approximate kNN: KMeans coarse quantizer (pyspark.ml), "
-    "cluster assignment = the index, search probes nprobe nearest "
-    "centroids then exact top-k inside them. At 100 TB the assigned "
-    "table is written partitioned by cluster_id so the probe filter "
-    "becomes partition pruning. KMeans centroids are not reproducible "
-    "in SQL → rows-only gate; tests/test_operators.py checks recall "
-    "against brute force.",
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS recall_ok
+    """,
+    doc="IVF approximate kNN: coarse quantizer trained on a seeded "
+    "sample, cluster assignment = the index, search probes nprobe "
+    "nearest centroids then exact top-k inside them. At 100 TB the "
+    "assigned table is written partitioned by cluster_id so the probe "
+    "filter becomes partition pruning. Centroids aren't "
+    "SQL-reproducible, so the gate checks the RESULT: the approximate "
+    "top-10 is left-joined to the exact brute-force top-10 and "
+    "recall_ok asserts ≥ 5/10 overlap (probing 3 of 8 clusters; "
+    "tests/test_operators.py checks the actual recall level).",
 )
 def q_ivf_knn(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings")
@@ -593,28 +603,66 @@ def q_ivf_knn(spark, sf_dir):
     # few iterations: coarse quantizer quality barely moves recall at
     # this nprobe and the gate checks wiring, not centroid quality
     assigned, centroids = similarity.ivf_build(e, n_clusters=8, max_iter=4)
-    top = similarity.ivf_search(assigned, centroids, qv, k=10, nprobe=3)
-    return top.select("neighbor_id", F.round("cosine_sim", 6).alias("sim6"))
+    top = similarity.ivf_search(
+        assigned.filter("vec_id <> 0"), centroids, qv, k=10, nprobe=3
+    )
+    exact = similarity.cosine_topk(e.filter("vec_id <> 0"), qv, k=10).select(
+        F.col("neighbor_id").alias("exact_id")
+    )
+    joined = top.join(exact, top.neighbor_id == exact.exact_id, "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_results"),
+        (F.count("exact_id") >= 5).alias("recall_ok"),
+    )
+
+
+# hex pair of a sha256 VARCHAR -> byte value, in pure SQL (DuckDB):
+# byte i (0-based) lives at hex chars 2i+1..2i+2.
+def _sql_sha_byte(i: int) -> str:
+    pos_hi, pos_lo = 2 * i + 1, 2 * i + 2
+    return (
+        f"((strpos('0123456789abcdef', substr(sha256(text), {pos_hi}, 1)) - 1) * 16"
+        f" + strpos('0123456789abcdef', substr(sha256(text), {pos_lo}, 1)) - 1)"
+    )
 
 
 @register(
     "q_multimodal_meta",
-    oracle=None,
+    oracle=f"""
+    SELECT 1 + {_sql_sha_byte(2)} % 4 AS channels,
+           COUNT(*) AS n,
+           CAST(SUM({_sql_sha_byte(3)}) AS BIGINT) AS luma_byte_sum,
+           COUNT(DISTINCT sha256(text)) AS n_distinct,
+           MIN(sha256(text)) AS min_sha
+    FROM documents
+    WHERE length(text) > 0
+    GROUP BY 1
+    """,
     doc="Multimodal plumbing: documents.text bytes as a binary payload "
-    "column → content hash (JVM sha2) + mapInPandas metadata decode "
-    "(deterministic fake in this codec-less container; real PIL path "
-    "when available).",
+    "column → content hash (JVM sha2, no Python boundary) + "
+    "mapInPandas metadata decode. This container has no PIL, so the "
+    "decode is the documented DETERMINISTIC FAKE (metadata derived "
+    "from sha256 digest bytes: channels = 1 + digest[2] %% 4, "
+    "mean_luma = digest[3]/255) — which makes it fully "
+    "oracle-checkable: DuckDB recomputes the digest bytes from the "
+    "sha256 hex string, so the hash gate verifies the whole "
+    "mapInPandas decode path end to end. mean_luma is re-quantized "
+    "to its source byte (×255, round) so the check compares exact "
+    "integers, not double sums.",
 )
 def q_multimodal_meta(spark, sf_dir):
     from lwes_contrib_hive_serde_spark.operators import multimodal
 
-    d = table(spark, sf_dir, "documents").select(
+    d = table(spark, sf_dir, "documents").filter(F.length("text") > 0).select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     hashed = multimodal.with_content_hash(d)
     meta = multimodal.decode_image_meta(hashed)
-    return meta.groupBy("channels").agg(
+    return meta.groupBy(F.col("channels").cast("bigint").alias("channels")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("mean_luma"), 6).alias("avg_luma"),
+        F.sum(F.round(F.col("mean_luma") * 255).cast("bigint")).alias(
+            "luma_byte_sum"
+        ),
         F.countDistinct("sha256").alias("n_distinct"),
+        F.min("sha256").alias("min_sha"),
     )
