@@ -78,6 +78,7 @@ def knn_join(
     data_vec: str = "embedding",
     query_id: str = "vec_id",
     query_vec: str = "embedding",
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Exact kNN of every query against the corpus.
 
@@ -85,10 +86,21 @@ def knn_join(
     GEMM against the (broadcast) query matrix and emits only its local
     top-k per query; a window then takes the global top-k. Arrow
     batches amortize the Python boundary; work is embarrassingly
-    parallel over the corpus."""
+    parallel over the corpus.
+
+    The QUERY side is collected to the driver and broadcast, so it
+    must be bounded: ``max_queries`` guards against an unbounded
+    query frame OOMing the driver (a 10M-query join belongs in
+    chunked broadcasts or an IVF index, not here)."""
     import pandas as pd
 
-    q_rows = queries.select(query_id, query_vec).collect()
+    q_rows = queries.select(query_id, query_vec).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"knn_join: query side exceeds max_queries={max_queries}; "
+            "chunk the queries or use the IVF index for query sets "
+            "this large"
+        )
     q_ids = [r[0] for r in q_rows]
     q_mat = [list(map(float, r[1])) for r in q_rows]
     sc = data.sparkSession.sparkContext
@@ -141,6 +153,7 @@ def ivf_build(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 20,
+    n_train: int = 100_000,
 ):
     """Train a coarse quantizer and assign every vector to its nearest
     centroid. Returns (assigned_df with cluster_id column, centroids).
@@ -158,8 +171,17 @@ def ivf_build(
     pruning does the index lookup)."""
     import numpy as np
 
-    n_train = 100_000
-    sample = df.select(vec_col).limit(n_train).collect()
+    # seeded RANDOM sample, not limit(): limit() takes the first
+    # partitions in order, so clustered/sorted storage would train a
+    # skewed quantizer (tests/test_operators.py pins this). A pure
+    # Bernoulli fraction — no limit() after it, which would re-bias
+    # toward early partitions — lands within ~sqrt(n) of n_train.
+    total = df.count()
+    if total > n_train:
+        frac = min(1.0, 1.05 * n_train / total)
+        sample = df.select(vec_col).sample(fraction=frac, seed=seed).collect()
+    else:
+        sample = df.select(vec_col).collect()
     X = np.asarray([list(map(float, r[0])) for r in sample], dtype=np.float64)
     rng = np.random.RandomState(seed)
     centers = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
@@ -363,11 +385,14 @@ def ml_brp_ann(
     (‖a−b‖² = 2−2cosθ), so callers should normalize first. Returns
     (neighbor_id, distance), ascending."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.linalg import Vectors, VectorUDT
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.linalg import Vectors
 
-    to_vec = F.udf(lambda a: Vectors.dense(a), VectorUDT())
+    # array_to_vector is a JVM expression — no row-at-a-time Python UDF
+    # in the conversion (the banned anti-pattern)
     feats = df.select(
-        F.col(id_col).alias("neighbor_id"), to_vec(F.col(vec_col)).alias("features")
+        F.col(id_col).alias("neighbor_id"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",

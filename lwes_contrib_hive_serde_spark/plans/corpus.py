@@ -873,7 +873,7 @@ def q_lateral_posexplode(spark, sf_dir):
     WITH ordered AS (
       SELECT user_id, ts,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       >= INTERVAL 30 MINUTE OR
+                       > INTERVAL 30 MINUTE OR
                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
@@ -896,11 +896,14 @@ def q_lateral_posexplode(spark, sf_dir):
     """,
     doc="session_window (30-min gap) sessionization — the batch form of "
     "Structured Streaming's session windows; oracle is the classic "
-    "gaps-and-islands rewrite. Spark's session end is last event + gap "
-    "EXCLUSIVE (an event exactly gap after its predecessor starts a "
-    "NEW session), hence the oracle's >= on the gap comparison and "
-    "the +1800s in the duration; boundary semantics are pinned by "
-    "tests/test_operators.py::test_session_window_exact_gap_boundary.",
+    "gaps-and-islands rewrite. Spark MERGES sessions that touch: an "
+    "event exactly gap after its predecessor EXTENDS the session "
+    "(interval [t, t+gap) unions with one starting at t+gap), so the "
+    "oracle's new-session condition is strictly >, and window end = "
+    "last event + gap gives the +1800s duration. Boundary semantics "
+    "are pinned by tests/test_operators.py::"
+    "test_session_window_exact_gap_boundary, so a TESTDATA change "
+    "landing on the boundary cannot silently diverge.",
 )
 def q_session_window(spark, sf_dir):
     ev = table(spark, sf_dir, "events")

@@ -44,10 +44,15 @@ SerDe (lwes/lwes-contrib-hive-serde):
 
 Notes vs the reference (documented divergences, see SURVEY.md §2a):
 
-* Strings are UTF-8 (the Java reference inherits platform charset).
-* IP addresses are serialized in network byte order; dotted-quad
-  strings at the API surface (matching the ``toString()`` coercion in
-  EventSerDe.java:282-287).
+* Strings are UTF-8 by default (the Java reference inherits platform
+  charset); pass ``charset=`` through the decode entry points — or
+  ``option("charset", ...)`` on the Spark reader — for legacy
+  journals written by non-UTF-8 emitters.
+* IP addresses are serialized in lwes-java's wire order — the four
+  address bytes REVERSED (Serializer.serializeIPADDR little-endian
+  quirk), for both header SenderIP and payload ip_addr values —
+  with dotted-quad strings at the API surface (matching the
+  ``toString()`` coercion in EventSerDe.java:282-287).
 * We do NOT replicate the stale-row leak (EventSerDe.java:199-216),
   the per-record flush (DatagramPacketOutputStream.java:118), or the
   headerless MR sink (JournalOutputFormat.java:40-75).
@@ -126,15 +131,23 @@ HEADER_FIELD_TYPES = {
 
 
 def ip_to_bytes(ip: str) -> bytes:
-    """Dotted-quad string -> 4 bytes, network order."""
+    """Dotted-quad string -> 4 wire bytes, REVERSED (little-endian).
+
+    lwes-java's Serializer.serializeIPADDR writes the four address
+    bytes in reverse order (addr[3], addr[2], addr[1], addr[0]) for
+    both the journal header SenderIP and payload ip_addr attributes;
+    Deserializer.deserializeIPADDR mirrors it. We match that wire
+    order so journals written by real lwes emitters decode to the
+    correct dotted quads (1.2.3.4 stays 1.2.3.4, not 4.3.2.1)."""
     parts = ip.split(".")
     if len(parts) != 4:
         raise ValueError(f"not a dotted-quad IPv4 address: {ip!r}")
-    return bytes(int(p) for p in parts)
+    return bytes(int(p) for p in reversed(parts))
 
 
 def bytes_to_ip(b: bytes) -> str:
-    return f"{b[0]}.{b[1]}.{b[2]}.{b[3]}"
+    """4 wire bytes (lwes little-endian order) -> dotted-quad string."""
+    return f"{b[3]}.{b[2]}.{b[1]}.{b[0]}"
 
 
 class CodecError(ValueError):
@@ -236,22 +249,32 @@ def encode_event(event: Event) -> bytes:
     return bytes(out)
 
 
-def decode_event(buf: bytes | memoryview, offset: int = 0, end: int | None = None) -> Event:
-    """Parse one event from ``buf[offset:end]``."""
+def decode_event(
+    buf: bytes | memoryview,
+    offset: int = 0,
+    end: int | None = None,
+    charset: str = "utf-8",
+) -> Event:
+    """Parse one event from ``buf[offset:end]``.
+
+    ``charset`` decodes names and STRING values — default strict UTF-8
+    (raises on invalid bytes); pass e.g. ``"latin-1"`` for journals
+    written by legacy platform-charset emitters (the Java reference
+    inherits the JVM default charset via lwes-java)."""
     mv = memoryview(buf)
     if end is None:
         end = len(mv)
-    name, pos = _read_word(mv, offset, end)
+    name, pos = _read_word(mv, offset, end, charset)
     (n_attrs,) = struct.unpack_from(">H", mv, pos)
     pos += 2
     ev = Event(name)
     attrs = ev.attributes
     types = ev.types
     for _ in range(n_attrs):
-        key, pos = _read_word(mv, pos, end)
+        key, pos = _read_word(mv, pos, end, charset)
         token = mv[pos]
         pos += 1
-        value, pos = _decode_value(mv, pos, token)
+        value, pos = _decode_value(mv, pos, token, charset)
         attrs[key] = value
         types[key] = token
     if pos > end:
@@ -259,21 +282,25 @@ def decode_event(buf: bytes | memoryview, offset: int = 0, end: int | None = Non
     return ev
 
 
-def _read_word(mv: memoryview, pos: int, end: int) -> tuple[str, int]:
+def _read_word(
+    mv: memoryview, pos: int, end: int, charset: str = "utf-8"
+) -> tuple[str, int]:
     if pos >= end:
         raise CodecError("truncated event: expected word length byte")
     n = mv[pos]
     pos += 1
     if pos + n > end:
         raise CodecError("truncated event: word overruns buffer")
-    return str(mv[pos : pos + n], "utf-8"), pos + n
+    return str(mv[pos : pos + n], charset), pos + n
 
 
-def _decode_value(mv: memoryview, pos: int, token: int) -> tuple[object, int]:
+def _decode_value(
+    mv: memoryview, pos: int, token: int, charset: str = "utf-8"
+) -> tuple[object, int]:
     if token == STRING:
         (n,) = struct.unpack_from(">H", mv, pos)
         pos += 2
-        return str(mv[pos : pos + n], "utf-8"), pos + n
+        return str(mv[pos : pos + n], charset), pos + n
     if token == IPADDR:
         return bytes_to_ip(bytes(mv[pos : pos + 4])), pos + 4
     if token == BOOLEAN:
@@ -361,6 +388,7 @@ def read_journal_records(
     stream: BinaryIO,
     event_names: set[str] | None = None,
     inject_headers: bool = True,
+    charset: str = "utf-8",
 ) -> Iterator[Event]:
     """Iterate events from a journal stream.
 
@@ -385,7 +413,7 @@ def read_journal_records(
             raise CodecError("truncated journal payload at end of stream")
         if event_names is not None and peek_event_name(payload) not in event_names:
             continue
-        ev = decode_event(payload)
+        ev = decode_event(payload, charset=charset)
         if inject_headers:
             ev.set(RECEIPT_TIME, INT64, rtime)
             ev.set(SENDER_IP, IPADDR, ip)
@@ -677,6 +705,12 @@ def _v2_try_block(stream: BinaryIO, marker: bytes, pos: int):
         return "eof_truncated", None, None
     after = stream.read(V2_MARKER_LEN)
     if after and after != marker:
+        if len(after) < V2_MARKER_LEN and marker.startswith(after):
+            # tail torn inside the NEXT block's sync marker (writer
+            # crashed mid-marker): THIS block's length-prefixed data
+            # was fully read, so accept it — discarding it here would
+            # silently drop a complete block in both modes
+            return "ok", data, pos + V2_MARKER_LEN + 4 + n
         return "bad", None, None
     return "ok", data, pos + V2_MARKER_LEN + 4 + n
 
@@ -688,6 +722,7 @@ def read_journal_file_v2(
     start: int = 0,
     end: int | None = None,
     strict: bool = False,
+    charset: str = "utf-8",
 ) -> Iterator[Event]:
     """Event-level v2 reader (the [start, end) range API is what the
     Spark data source's byte-range InputPartitions call)."""
@@ -699,7 +734,7 @@ def read_journal_file_v2(
                     and peek_event_name(payload) not in event_names
                 ):
                     continue
-                ev = decode_event(payload)
+                ev = decode_event(payload, charset=charset)
                 if inject_headers:
                     ev.set(RECEIPT_TIME, INT64, rtime)
                     ev.set(SENDER_IP, IPADDR, ip)

@@ -363,6 +363,11 @@ class LwesReader(DataSourceReader):
         # the scan (DatagramPacketInputStream.java:80-86). strict=true
         # raises instead — for pipelines that must detect corruption.
         self.strict = options.get("strict", "false").lower() == "true"
+        # legacy-emitter tolerance: the reference inherits the JVM
+        # platform charset via lwes-java, so journals written by e.g. a
+        # latin-1 host are valid there but not strict UTF-8; option
+        # ("charset", "latin-1") decodes them; default stays strict.
+        self.charset = options.get("charset", "utf-8")
         # Hive-style directory partitioning: key=value path segments
         # become schema columns filled per-file (reference README:48)
         self._files = _list_journal_files(self.path)
@@ -448,6 +453,19 @@ class LwesReader(DataSourceReader):
                     return False
         return True
 
+    def _eval_partition_filters(self, pv: dict) -> bool:
+        """Partition pruning with SQL NULL semantics: pushFilters
+        CONSUMES partition predicates (they are never re-evaluated by
+        Spark), so a file whose path lacks the key=value segment — a
+        NULL partition value — must FAIL the predicate here, exactly as
+        NULL fails every EqualTo/In/comparison upstream. Treating
+        missing keys as pass-through would return rows Spark was told
+        were filtered (wrong results on mixed partition layouts)."""
+        for col, op, want in self.partition_filters:
+            if pv.get(col) is None:
+                return False
+        return self._eval_header_filters(self.partition_filters, pv)
+
     def _typed_pvals(self, fpath: str) -> dict:
         """Partition values for a file, converted to the declared
         column types."""
@@ -476,14 +494,7 @@ class LwesReader(DataSourceReader):
         survivors = []
         for p in self._files:
             pv = self._typed_pvals(p)
-            if self.partition_filters and not self._eval_header_filters(
-                [
-                    (col, op, want)
-                    for col, op, want in self.partition_filters
-                    if col in pv
-                ],
-                pv,
-            ):
+            if self.partition_filters and not self._eval_partition_filters(pv):
                 continue
             try:
                 size = os.path.getsize(p)
@@ -605,7 +616,7 @@ class LwesReader(DataSourceReader):
                     },
                 ):
                     continue  # filtered without payload decode
-                ev = c.decode_event(payload)
+                ev = c.decode_event(payload, charset=self.charset)
                 attrs = ev.attributes
                 attrs[c.RECEIPT_TIME] = rtime
                 attrs[c.SENDER_IP] = ip

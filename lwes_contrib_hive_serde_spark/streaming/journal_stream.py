@@ -36,6 +36,7 @@ class LwesStreamReader(SimpleDataSourceStreamReader):
         if not self.path:
             raise ValueError("lwes stream: no path specified")
         self.event_name = options.get("eventname")
+        self.charset = options.get("charset", "utf-8")
         # reuse the batch reader's column resolution
         from lwes_contrib_hive_serde_spark.sources.datasource import (
             _parse_field_map,
@@ -78,14 +79,22 @@ class LwesStreamReader(SimpleDataSourceStreamReader):
                 if p in start_files:
                     end_files[p] = start_files[p]
                     continue
-                rows.extend(self._read_range(p, 0, None))
+                rows.extend(self._read_range(p, 0, None)[0])
                 end_files[p] = 1  # marker: consumed
                 continue
             size = os.path.getsize(p)
             pos = int(start_files.get(p, 0))
-            end_files[p] = size
             if size > pos:
-                rows.extend(self._read_range(p, pos, size))
+                # commit the boundary AFTER the last fully-consumed
+                # record, not the raw file size: a journaller appending
+                # mid-record would otherwise leave the offset inside a
+                # record and the next microbatch would resume at a
+                # non-record byte (garbage decode / duplicates).
+                got, consumed = self._read_range(p, pos, size)
+                rows.extend(got)
+                end_files[p] = pos + consumed
+            else:
+                end_files[p] = pos
         return iter(rows), {"files": end_files}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
@@ -95,13 +104,17 @@ class LwesStreamReader(SimpleDataSourceStreamReader):
             pos = int(start_files.get(p, 0))
             if p.endswith((".gz", ".bz2")):
                 if p not in start_files and os.path.exists(p):
-                    rows.extend(self._read_range(p, 0, None))
+                    rows.extend(self._read_range(p, 0, None)[0])
                 continue
             if end_pos > pos and os.path.exists(p):
-                rows.extend(self._read_range(p, pos, int(end_pos)))
+                # committed end offsets are record boundaries, so this
+                # replay is deterministic for the same offset pair
+                rows.extend(self._read_range(p, pos, int(end_pos))[0])
         return iter(rows)
 
-    def _read_range(self, path: str, start: int, end: int | None) -> list[tuple]:
+    def _read_range(
+        self, path: str, start: int, end: int | None
+    ) -> tuple[list[tuple], int]:
         from lwes_contrib_hive_serde_spark.sources.datasource import (
             EVENT_NAME_COL,
             _convert_read,
@@ -117,17 +130,23 @@ class LwesStreamReader(SimpleDataSourceStreamReader):
             consumed = 0
             budget = None if end is None else end - start
             while budget is None or consumed < budget:
+                # stop BEFORE a record whose frame would cross the
+                # budget: `consumed` only advances past fully-read
+                # records, so the returned byte count is always a
+                # record boundary (the committed resume point)
                 hdr = f.read(c.HEADER_LENGTH)
                 if not hdr or len(hdr) < c.HEADER_LENGTH:
                     break
                 length, rtime, ip, port, site = c.unpack_header(hdr)
+                if budget is not None and consumed + c.HEADER_LENGTH + length > budget:
+                    break
                 payload = f.read(length)
                 if len(payload) < length:
                     break
                 consumed += c.HEADER_LENGTH + length
                 if names is not None and c.peek_event_name(payload) not in names:
                     continue
-                ev = c.decode_event(payload)
+                ev = c.decode_event(payload, charset=self.charset)
                 attrs = ev.attributes
                 attrs[c.RECEIPT_TIME] = rtime
                 attrs[c.SENDER_IP] = ip
@@ -148,7 +167,7 @@ class LwesStreamReader(SimpleDataSourceStreamReader):
                     v = attrs.get(spec.attr)
                     row.append(None if v is None else _convert_read(v, fld.dataType, None))
                 out.append(tuple(row))
-        return out
+        return out, consumed
 
     def commit(self, end: dict) -> None:
         pass

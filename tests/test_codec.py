@@ -126,9 +126,10 @@ class TestJournalFraming:
     def test_header_is_22_bytes_exact_layout(self):
         h = c.pack_header(513, 1700000000123, "10.1.2.3", 9999, 7)
         assert len(h) == c.HEADER_LENGTH == 22
-        # golden byte layout: >H q 4s H H 4x
+        # golden byte layout: >H q 4s H H 4x — the 4 IP bytes are in
+        # lwes-java's REVERSED order (Serializer.serializeIPADDR)
         assert h == struct.pack(
-            ">Hq4sHH4x", 513, 1700000000123, bytes([10, 1, 2, 3]), 9999, 7
+            ">Hq4sHH4x", 513, 1700000000123, bytes([3, 2, 1, 10]), 9999, 7
         )
         assert h[-4:] == b"\x00\x00\x00\x00"
         assert c.unpack_header(h) == (513, 1700000000123, "10.1.2.3", 9999, 7)
@@ -329,3 +330,70 @@ class TestV2Framing:
         p1 = str(tmp_path / "a.journal")
         c.write_journal_file(p1, self._events(5))
         assert c.sniff_v2(p2) and not c.sniff_v2(p1)
+
+
+class TestTornMarkerTail:
+    def _events(self, n):
+        out = []
+        for i in range(n):
+            ev = c.Event("T::E")
+            ev.set("k", c.INT64, i)
+            out.append(ev)
+        return out
+
+    def test_tail_torn_inside_next_marker_keeps_completed_block(self, tmp_path):
+        """A writer that crashed 1-15 bytes into the NEXT sync marker
+        must not lose the preceding block: its length-prefixed data was
+        fully written, so both tolerant and strict modes return it."""
+        marker = bytes(range(16))
+        p = str(tmp_path / "t.journal2")
+        # small block_bytes -> multiple blocks
+        c.write_journal_file_v2(p, self._events(400), block_bytes=1024, marker=marker)
+        raw = open(p, "rb").read()
+        last = raw.rfind(marker)
+        assert last > c.V2_HEADER_LEN  # at least two blocks
+        torn = str(tmp_path / "torn.journal2")
+        open(torn, "wb").write(raw[: last + 5])  # 5 bytes of torn marker
+        # records of every block before the torn marker survive
+        n_full = len(list(c.read_journal_file_v2(p)))
+        got = [e.get("k") for e in c.read_journal_file_v2(torn)]
+        got_strict = [e.get("k") for e in c.read_journal_file_v2(torn, strict=True)]
+        assert got == got_strict
+        assert 0 < len(got) < 400
+        # the kept prefix is contiguous from 0 (no completed block lost)
+        assert got == list(range(len(got)))
+        n_last_block = n_full - len(got)
+        assert n_last_block > 0  # only the never-written block is missing
+
+
+class TestCharset:
+    def _latin1_payload(self):
+        # hand-crafted wire bytes: event 'E', one STRING attr s = b'\xe9'
+        # (a latin-1 'é' written by a legacy platform-charset emitter —
+        # NOT valid UTF-8)
+        out = bytearray()
+        out.append(1); out += b"E"
+        out += struct.pack(">H", 1)
+        out.append(1); out += b"s"
+        out.append(c.STRING)
+        out += struct.pack(">H", 1); out += b"\xe9"
+        return bytes(out)
+
+    def test_strict_utf8_raises_latin1_decodes(self):
+        payload = self._latin1_payload()
+        with pytest.raises(UnicodeDecodeError):
+            c.decode_event(payload)
+        ev = c.decode_event(payload, charset="latin-1")
+        assert ev.attributes["s"] == "é"
+
+    def test_journal_reader_charset(self, tmp_path):
+        payload = self._latin1_payload()
+        p = str(tmp_path / "legacy.journal")
+        with open(p, "wb") as f:
+            f.write(c.pack_header(len(payload), 1700000000000, "1.2.3.4", 9, 1))
+            f.write(payload)
+        with pytest.raises(UnicodeDecodeError):
+            list(c.read_journal_file(p))
+        evs = list(c.read_journal_file(p, charset="latin-1"))
+        assert len(evs) == 1 and evs[0].attributes["s"] == "é"
+        assert evs[0].attributes[c.SENDER_IP] == "1.2.3.4"

@@ -579,3 +579,90 @@ class TestV2Container:
         )
         got = back.filter(F.col("ReceiptTime") >= 5400).count()
         assert got == 2000 - 1800  # k >= 1800 → 3k >= 5400
+
+
+class TestPartitionNullSemantics:
+    """pushFilters CONSUMES partition predicates, so pruning must apply
+    SQL NULL semantics itself: a file missing the key=value path
+    segment has a NULL partition value, and NULL fails every pushed
+    comparison — the file must be pruned, not passed through."""
+
+    def _make_mixed(self, tmp_path):
+        root = str(tmp_path / "mixed")
+        d = os.path.join(root, "dt=2024-01-01")
+        os.makedirs(d)
+        evs = []
+        for i in range(5):
+            ev = c.Event("P::E")
+            ev.set("n", c.INT64, i)
+            evs.append(ev)
+        c.write_journal_file(os.path.join(d, "a.journal"), evs)
+        # a file at the root WITHOUT the dt= segment (NULL partition)
+        bare = []
+        for i in range(100, 103):
+            ev = c.Event("P::E")
+            ev.set("n", c.INT64, i)
+            bare.append(ev)
+        c.write_journal_file(os.path.join(root, "b.journal"), bare)
+        return root
+
+    def test_missing_partition_key_fails_pushed_filter(self, spark, tmp_path):
+        from pyspark.sql.datasource import EqualTo
+        from pyspark.sql.types import StructType
+
+        from lwes_contrib_hive_serde_spark.sources.datasource import LwesReader
+
+        root = self._make_mixed(tmp_path)
+        schema = StructType.fromDDL("n long, dt string")
+        reader = LwesReader(schema, {"path": root, "eventname": "P::E"})
+        assert sum(len(p.files) for p in reader.partitions()) == 2
+        leftover = list(reader.pushFilters([EqualTo(("dt",), "2024-01-01")]))
+        assert leftover == []
+        parts = reader.partitions()
+        files = [f for p in parts for f in p.files]
+        assert len(files) == 1 and files[0][1] == {"dt": "2024-01-01"}
+
+    def test_spark_filter_returns_only_keyed_rows(self, spark, tmp_path):
+        root = self._make_mixed(tmp_path)
+        df = (
+            spark.read.format("lwes")
+            .schema("n long, dt string")
+            .option("eventName", "P::E")
+            .load(root)
+        )
+        assert df.count() == 8  # both files without a filter
+        rows = df.filter(df.dt == "2024-01-01").collect()
+        assert sorted(r.n for r in rows) == list(range(5))
+
+
+class TestCharsetOption:
+    def test_latin1_journal_reads_under_option(self, spark, tmp_path):
+        import struct as _struct
+
+        # craft a journal whose STRING value is latin-1 (not UTF-8)
+        payload = bytearray()
+        payload.append(1); payload += b"E"
+        payload += _struct.pack(">H", 1)
+        payload.append(1); payload += b"s"
+        payload.append(c.STRING)
+        payload += _struct.pack(">H", 2); payload += b"caf\xe9"[3:] + b"!"
+        p = str(tmp_path / "legacy.journal")
+        with open(p, "wb") as f:
+            f.write(c.pack_header(len(payload), 0, "0.0.0.0", 0, 0))
+            f.write(bytes(payload))
+        ok = (
+            spark.read.format("lwes")
+            .schema("s string")
+            .option("eventName", "E")
+            .option("charset", "latin-1")
+            .load(p)
+        )
+        assert [r.s for r in ok.collect()] == ["é!"]
+        bad = (
+            spark.read.format("lwes")
+            .schema("s string")
+            .option("eventName", "E")
+            .load(p)
+        )
+        with pytest.raises(Exception):
+            bad.collect()

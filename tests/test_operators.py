@@ -504,3 +504,99 @@ class TestDupClustersPointerJumping:
         }
         assert set(out.values()) == {0}
         assert len(out) == 101
+
+
+class TestSessionWindowBoundary:
+    def test_session_window_exact_gap_boundary(self, spark):
+        """Pins the gap semantics the q_session_window oracle mirrors:
+        Spark MERGES touching sessions — an event exactly `gap` after
+        its predecessor EXTENDS the session (the oracle's new-session
+        condition is therefore strictly >); only a strictly larger gap
+        starts a new session."""
+        rows = [
+            # user 1: second event exactly 30min later -> ONE session
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:30:00"),
+            # user 2: second event 30:01 later -> two sessions
+            (2, "2024-01-01 00:00:00"),
+            (2, "2024-01-01 00:30:01"),
+        ]
+        ev = spark.createDataFrame(rows, "user_id long, ts_s string").select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+        )
+        s = ev.groupBy("user_id", F.session_window("ts", "30 minutes")).count()
+        per_user = {
+            r.user_id: r.n
+            for r in s.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert per_user == {1: 1, 2: 2}
+
+
+class TestDriverBoundsGuards:
+    def test_knn_join_rejects_unbounded_query_side(self, spark):
+        rows = [(i, [float(i), 1.0]) for i in range(10)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError, match="max_queries"):
+            similarity.knn_join(df, df, k=2, max_queries=5)
+        # within the cap it still works
+        out = similarity.knn_join(df, df.limit(3), k=2, max_queries=5)
+        assert out.count() == 6
+
+    def test_ivf_trains_unbiased_on_clustered_storage(self, spark):
+        """ivf_build samples randomly (seeded), not limit(): a frame
+        whose partitions are sorted/clustered by region must still
+        yield a quantizer covering all regions — recall parity with
+        unordered input."""
+        import random as _r
+
+        rng = _r.Random(7)
+        rows = []
+        # 4 well-separated clusters, stored SORTED by cluster
+        for cl in range(4):
+            center = [0.0] * 8
+            center[cl * 2] = 10.0
+            for i in range(100):
+                rows.append(
+                    (
+                        cl * 100 + i,
+                        [x + rng.gauss(0, 0.1) for x in center],
+                    )
+                )
+        df = (
+            spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+            .repartitionByRange(4, "vec_id")
+            .sortWithinPartitions("vec_id")
+        )
+        # n_train < total forces the sampling path; n_clusters > regions
+        # so coverage failure can only come from a biased sample
+        assigned, centroids = similarity.ivf_build(
+            df, n_clusters=8, n_train=100
+        )
+        # an order-biased (limit-style) 100-row sample sees only the
+        # first regions, leaving the tail regions ~10 units from every
+        # centroid; an unbiased sample puts a centroid near each
+        import math
+
+        for cl in range(4):
+            center = [0.0] * 8
+            center[cl * 2] = 10.0
+            dmin = min(
+                math.dist(center, c) for c in centroids
+            )
+            assert dmin < 2.0, (cl, dmin)
+        # recall parity: search in the LAST stored region (the one a
+        # limit()-biased sample would have missed)
+        qv = [float(x) for x in rows[350][1]]
+        exact = [
+            r.neighbor_id
+            for r in similarity.cosine_topk(df, qv, k=5).collect()
+        ]
+        approx = [
+            r.neighbor_id
+            for r in similarity.ivf_search(
+                assigned, centroids, qv, k=5, nprobe=2
+            ).collect()
+        ]
+        assert len(set(exact) & set(approx)) >= 4, (exact, approx)

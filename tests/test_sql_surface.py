@@ -99,3 +99,30 @@ class TestBucketedJoin:
             assert j.first()[0] == expect
         finally:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+class TestRollupParity:
+    def test_rollup_api_equals_grouping_sets(self, spark):
+        """df.rollup() parity (promised in q_cube's doc): the rollup
+        API must equal the explicit GROUPING SETS spelling that the
+        gated q_grouping_sets covers."""
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        li.createOrReplaceTempView("li_rollup")
+        api = {
+            (r.l_returnflag, r.l_linestatus, r.n)
+            for r in li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        gs = {
+            (r.l_returnflag, r.l_linestatus, r.n)
+            for r in spark.sql(
+                """
+                SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+                FROM li_rollup
+                GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                        (l_returnflag), ())
+                """
+            ).collect()
+        }
+        assert api == gs and len(api) > 3

@@ -363,3 +363,71 @@ class TestUdpJournaller:
             for _ in c.read_journal_file(os.path.join(d, f))
         )
         assert total == 20
+
+
+class TestOffsetRecordAlignment:
+    """Committed stream offsets must land on record boundaries: a
+    journaller observed mid-append would otherwise leave the offset
+    inside a record and the next microbatch would decode garbage."""
+
+    def _reader(self, root):
+        from pyspark.sql.types import StructType
+
+        from lwes_contrib_hive_serde_spark.streaming.journal_stream import (
+            LwesStreamReader,
+        )
+
+        schema = StructType.fromDDL("n long")
+        return LwesStreamReader(schema, {"path": root, "eventname": "S::E"})
+
+    def test_mid_record_append_not_committed(self, spark, tmp_path):
+        root = str(tmp_path)
+        p = os.path.join(root, "a.journal")
+        emit(root, "a.journal", 0, 3)
+        full3 = os.path.getsize(p)
+        # simulate a journaller caught mid-append: half a record's bytes
+        buf = bytearray()
+        ev = c.Event("S::E")
+        ev.set("n", c.INT64, 3)
+        c.write_journal_record(buf, ev)
+        with open(p, "ab") as f:
+            f.write(bytes(buf[: len(buf) // 2]))
+        reader = self._reader(root)
+        rows, end = reader.read(reader.initialOffset())
+        rows = list(rows)
+        assert [r[0] for r in rows] == [0, 1, 2]
+        # offset committed at the 3-record boundary, NOT the raw size
+        assert end["files"][p] == full3
+        assert os.path.getsize(p) > full3
+        # writer completes the record and adds one more
+        with open(p, "ab") as f:
+            f.write(bytes(buf[len(buf) // 2 :]))
+        emit_more = bytearray()
+        ev2 = c.Event("S::E")
+        ev2.set("n", c.INT64, 4)
+        c.write_journal_record(emit_more, ev2)
+        with open(p, "ab") as f:
+            f.write(bytes(emit_more))
+        rows2, end2 = reader.read(end)
+        rows2 = list(rows2)
+        assert [r[0] for r in rows2] == [3, 4]
+        assert end2["files"][p] == os.path.getsize(p)
+        # replay between committed offsets is deterministic
+        replay = list(reader.readBetweenOffsets(end, end2))
+        assert [r[0] for r in replay] == [3, 4]
+
+    def test_budget_never_splits_a_record(self, spark, tmp_path):
+        root = str(tmp_path)
+        p = os.path.join(root, "b.journal")
+        emit(root, "b.journal", 0, 10)
+        reader = self._reader(root)
+        size = os.path.getsize(p)
+        # an end offset inside record 6 must stop after record 5 fully
+        # consumed records, never mid-record
+        got, consumed = reader._read_range(p, 0, size - 10)
+        assert 0 < len(got) < 10
+        assert consumed <= size - 10
+        # consumed is a record boundary: re-reading from there with no
+        # budget yields exactly the remaining records
+        rest, _ = reader._read_range(p, consumed, None)
+        assert [r[0] for r in got] + [r[0] for r in rest] == list(range(10))
