@@ -52,8 +52,8 @@ def _sql_stop_ratio(lang: str) -> str:
     oracle=f"""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(CAST({_SQL_WS_TOKENS} AS BIGINT)) AS total_tokens,
-           SUM(CAST({_SQL_BPE} AS BIGINT)) AS total_bpe_tokens,
+           CAST(SUM({_SQL_WS_TOKENS}) AS BIGINT) AS total_tokens,
+           CAST(SUM({_SQL_BPE}) AS BIGINT) AS total_bpe_tokens,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
     FROM documents
     GROUP BY lang

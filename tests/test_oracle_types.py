@@ -1,0 +1,87 @@
+"""Oracle type lint: no DuckDB oracle may produce HUGEINT/INT128.
+
+The driver's correctness gate canonicalizes values per engine; DuckDB
+types SUM(INTEGER) *and* SUM(BIGINT) as HUGEINT (int128), which
+stringifies differently from Spark's BIGINT in the driver's value hash
+even when numerically equal. Two rounds were lost to this class of bug
+because the local mirror normalizes Decimal→float→int and can never
+see it (VERDICT r2 "What's wrong" #2). This test executes every
+``oracle_sql()`` entry through DuckDB at sf0.01 and fails if any
+result column is HUGEINT — or if the oracle's column names don't
+exactly match the Spark query's columns (the other silent hash-killer:
+the driver sorts columns by NAME before hashing values).
+
+Spark plans are built but never executed here, so the whole lint runs
+in a few seconds.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_LINT_SF", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# DuckDB type names that will never hash-match Spark's output.
+FORBIDDEN_TYPES = {"HUGEINT", "INT128", "UHUGEINT", "UINT128"}
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(path):
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return c
+
+
+@pytest.fixture(scope="module")
+def entrymod():
+    import __spark_entry__
+
+    return __spark_entry__
+
+
+def _oracle_items(entrymod):
+    return sorted(entrymod.oracle_sql().items())
+
+
+def test_no_hugeint_in_any_oracle(con, entrymod):
+    """Every oracle column must have a Spark-representable type."""
+    bad = []
+    for name, sql in _oracle_items(entrymod):
+        rel = con.sql(sql)
+        for col, dtype in zip(rel.columns, [str(t) for t in rel.types]):
+            base = dtype.split("(")[0].upper()
+            if base in FORBIDDEN_TYPES:
+                bad.append(f"{name}.{col}: {dtype}")
+    assert not bad, (
+        "Oracle columns with driver-hash-incompatible types (wrap the "
+        "aggregate: CAST(SUM(...) AS BIGINT)):\n  " + "\n  ".join(bad)
+    )
+
+
+def test_oracle_columns_match_spark_columns(con, entrymod, spark):
+    """Driver sorts columns by name before hashing — names must match.
+
+    Builds each Spark plan (no execution: ``df.columns`` only touches
+    the analyzed logical plan) and compares the column-name multiset
+    against the DuckDB oracle's result description.
+    """
+    qs = entrymod.queries()
+    mismatches = []
+    for name, sql in _oracle_items(entrymod):
+        duck_cols = sorted(
+            d[0] for d in con.execute(f"SELECT * FROM ({sql}) LIMIT 0").description
+        )
+        spark_cols = sorted(qs[name](spark, SF_DIR).columns)
+        if duck_cols != spark_cols:
+            mismatches.append(f"{name}: spark={spark_cols} oracle={duck_cols}")
+    assert not mismatches, "Column-name mismatches:\n  " + "\n  ".join(mismatches)
