@@ -247,7 +247,7 @@ def ivf_search(
         d = sum(x * y for x, y in zip(a, b))
         na = math.sqrt(sum(x * x for x in a)) or 1e-12
         nb = math.sqrt(sum(y * y for y in b)) or 1e-12
-        return d / (na / 1.0 * nb)
+        return d / (na * nb)
 
     ranked = sorted(
         range(len(centroids)), key=lambda i: -cos(centroids[i], query_vec)

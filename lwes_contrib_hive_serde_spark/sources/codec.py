@@ -323,10 +323,17 @@ def _decode_value(
 def peek_event_name(buf: bytes | memoryview, offset: int = 0) -> str:
     """Read just the event name — the cheap skip path for event-name
     filtering (mirrors the implicit filter at EventSerDe.java:199 without
-    paying full decode for non-matching events)."""
+    paying full decode for non-matching events).
+
+    Decodes as latin-1: LWES event names are spec-limited to ASCII
+    (where latin-1 and utf-8 agree), and the peek is only used for set
+    membership against caller-supplied names — latin-1 never raises, so
+    a legacy journal with out-of-spec name bytes is skipped by the
+    filter instead of aborting the scan before the charset-aware
+    ``decode_event`` ever runs."""
     mv = memoryview(buf)
     n = mv[offset]
-    return str(mv[offset + 1 : offset + 1 + n], "utf-8")
+    return str(mv[offset + 1 : offset + 1 + n], "latin-1")
 
 
 # ---------------------------------------------------------------------------
@@ -666,6 +673,18 @@ def read_journal_v2_blocks(
             pos += 1  # false positive inside a payload
             continue
         yield _v2_decode_block(data, codec)
+        if status == "ok_torn_tail":
+            # the trailing partial sync marker means the next block's
+            # data was lost in a crash; tolerant mode stops quietly
+            # (matching the v1 reader's EOF tolerance), strict mode
+            # raises AFTER yielding the completed block so corruption-
+            # sensitive pipelines detect the truncation
+            if strict:
+                raise CodecError(
+                    f"torn trailing sync marker after block at byte {pos}"
+                    " (next block's data lost)"
+                )
+            return
         pos = next_pos
 
 
@@ -709,8 +728,10 @@ def _v2_try_block(stream: BinaryIO, marker: bytes, pos: int):
             # tail torn inside the NEXT block's sync marker (writer
             # crashed mid-marker): THIS block's length-prefixed data
             # was fully read, so accept it — discarding it here would
-            # silently drop a complete block in both modes
-            return "ok", data, pos + V2_MARKER_LEN + 4 + n
+            # silently drop a complete block in both modes.  The torn
+            # marker itself means the NEXT block's data was lost, which
+            # strict mode must surface (see read_journal_v2_blocks).
+            return "ok_torn_tail", data, pos + V2_MARKER_LEN + 4 + n
         return "bad", None, None
     return "ok", data, pos + V2_MARKER_LEN + 4 + n
 

@@ -344,7 +344,10 @@ class TestTornMarkerTail:
     def test_tail_torn_inside_next_marker_keeps_completed_block(self, tmp_path):
         """A writer that crashed 1-15 bytes into the NEXT sync marker
         must not lose the preceding block: its length-prefixed data was
-        fully written, so both tolerant and strict modes return it."""
+        fully written, so both modes return it — but the torn marker
+        means the NEXT block's data was lost, so strict mode raises
+        AFTER yielding the completed prefix (tolerant stays quiet,
+        matching the v1 reader's EOF tolerance)."""
         marker = bytes(range(16))
         p = str(tmp_path / "t.journal2")
         # small block_bytes -> multiple blocks
@@ -357,7 +360,10 @@ class TestTornMarkerTail:
         # records of every block before the torn marker survive
         n_full = len(list(c.read_journal_file_v2(p)))
         got = [e.get("k") for e in c.read_journal_file_v2(torn)]
-        got_strict = [e.get("k") for e in c.read_journal_file_v2(torn, strict=True)]
+        got_strict = []
+        with pytest.raises(c.CodecError, match="torn trailing sync marker"):
+            for e in c.read_journal_file_v2(torn, strict=True):
+                got_strict.append(e.get("k"))
         assert got == got_strict
         assert 0 < len(got) < 400
         # the kept prefix is contiguous from 0 (no completed block lost)
@@ -397,3 +403,22 @@ class TestCharset:
         evs = list(c.read_journal_file(p, charset="latin-1"))
         assert len(evs) == 1 and evs[0].attributes["s"] == "é"
         assert evs[0].attributes[c.SENDER_IP] == "1.2.3.4"
+
+    def test_peek_event_name_never_raises_on_legacy_bytes(self, tmp_path):
+        """The name-filter peek must not abort a latin-1 journal whose
+        event NAME has out-of-spec non-ASCII bytes: the peek decodes as
+        latin-1 (names are spec-ASCII, where the charsets agree), so
+        the filter skips or matches without a UnicodeDecodeError."""
+        out = bytearray()
+        out.append(2); out += b"\xc9E"  # name 'ÉE' in latin-1, invalid UTF-8
+        out += struct.pack(">H", 0)
+        payload = bytes(out)
+        assert c.peek_event_name(payload) == "ÉE"
+        p = str(tmp_path / "legacy_name.journal")
+        with open(p, "wb") as f:
+            f.write(c.pack_header(len(payload), 1700000000000, "1.2.3.4", 9, 1))
+            f.write(payload)
+        # filtered scan: non-matching legacy name is skipped, not fatal
+        assert list(c.read_journal_file(p, event_names={"Other"}, charset="latin-1")) == []
+        evs = list(c.read_journal_file(p, event_names={"ÉE"}, charset="latin-1"))
+        assert len(evs) == 1 and evs[0].name == "ÉE"
