@@ -249,7 +249,9 @@ class LwesDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool):
         return LwesWriter(schema, self.options, overwrite)
 
-    def simpleStreamReader(self, schema: StructType):
+    def streamReader(self, schema: StructType):
+        # partition-based reader: the driver only walks record-frame
+        # boundaries (header-sized I/O); executors decode byte ranges
         from lwes_contrib_hive_serde_spark.streaming.journal_stream import (
             LwesStreamReader,
         )

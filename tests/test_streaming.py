@@ -370,7 +370,7 @@ class TestOffsetRecordAlignment:
     journaller observed mid-append would otherwise leave the offset
     inside a record and the next microbatch would decode garbage."""
 
-    def _reader(self, root):
+    def _reader(self, root, **opts):
         from pyspark.sql.types import StructType
 
         from lwes_contrib_hive_serde_spark.streaming.journal_stream import (
@@ -378,7 +378,15 @@ class TestOffsetRecordAlignment:
         )
 
         schema = StructType.fromDDL("n long")
-        return LwesStreamReader(schema, {"path": root, "eventname": "S::E"})
+        return LwesStreamReader(
+            schema, {"path": root, "eventname": "S::E", **opts}
+        )
+
+    def _drain(self, reader, start, end):
+        rows = []
+        for part in reader.partitions(start, end):
+            rows.extend(reader.read(part))
+        return rows
 
     def test_mid_record_append_not_committed(self, spark, tmp_path):
         root = str(tmp_path)
@@ -393,12 +401,13 @@ class TestOffsetRecordAlignment:
         with open(p, "ab") as f:
             f.write(bytes(buf[: len(buf) // 2]))
         reader = self._reader(root)
-        rows, end = reader.read(reader.initialOffset())
-        rows = list(rows)
-        assert [r[0] for r in rows] == [0, 1, 2]
+        start = reader.initialOffset()
+        end = reader.latestOffset()
         # offset committed at the 3-record boundary, NOT the raw size
         assert end["files"][p] == full3
         assert os.path.getsize(p) > full3
+        rows = self._drain(reader, start, end)
+        assert [r[0] for r in rows] == [0, 1, 2]
         # writer completes the record and adds one more
         with open(p, "ab") as f:
             f.write(bytes(buf[len(buf) // 2 :]))
@@ -408,26 +417,74 @@ class TestOffsetRecordAlignment:
         c.write_journal_record(emit_more, ev2)
         with open(p, "ab") as f:
             f.write(bytes(emit_more))
-        rows2, end2 = reader.read(end)
-        rows2 = list(rows2)
-        assert [r[0] for r in rows2] == [3, 4]
+        end2 = reader.latestOffset()
         assert end2["files"][p] == os.path.getsize(p)
-        # replay between committed offsets is deterministic
-        replay = list(reader.readBetweenOffsets(end, end2))
+        rows2 = self._drain(reader, end, end2)
+        assert [r[0] for r in rows2] == [3, 4]
+        # replay between committed offsets is deterministic — a FRESH
+        # reader (driver restart: no walk memo) plans the same batch
+        replay = self._drain(self._reader(root), end, end2)
         assert [r[0] for r in replay] == [3, 4]
 
-    def test_budget_never_splits_a_record(self, spark, tmp_path):
+    def test_multifile_batch_fans_out_to_many_partitions(self, spark, tmp_path):
+        """The round-3 reader decodes on EXECUTORS: a microbatch over
+        several files yields one JournalRange task per file (and the
+        driver-side walk only ever reads frame headers)."""
         root = str(tmp_path)
-        p = os.path.join(root, "b.journal")
-        emit(root, "b.journal", 0, 10)
+        for i in range(4):
+            emit(root, f"f{i}.journal", i * 10, i * 10 + 10)
         reader = self._reader(root)
+        parts = reader.partitions(reader.initialOffset(), reader.latestOffset())
+        assert len(parts) == 4
+        got = sorted(r[0] for p in parts for r in reader.read(p))
+        assert got == list(range(40))
+
+    def test_single_large_file_splits_at_record_boundaries(self, spark, tmp_path):
+        """streamSplitBytes splits one file's new range into multiple
+        executor tasks, cut only at record boundaries."""
+        root = str(tmp_path)
+        p = os.path.join(root, "big.journal")
+        emit(root, "big.journal", 0, 200)
         size = os.path.getsize(p)
-        # an end offset inside record 6 must stop after record 5 fully
-        # consumed records, never mid-record
-        got, consumed = reader._read_range(p, 0, size - 10)
-        assert 0 < len(got) < 10
-        assert consumed <= size - 10
-        # consumed is a record boundary: re-reading from there with no
-        # budget yields exactly the remaining records
-        rest, _ = reader._read_range(p, consumed, None)
-        assert [r[0] for r in got] + [r[0] for r in rest] == list(range(10))
+        reader = self._reader(root, streamsplitbytes="512")
+        parts = reader.partitions(reader.initialOffset(), reader.latestOffset())
+        assert len(parts) > 1
+        # ranges tile [0, size) exactly
+        spans = sorted((q.start, q.end) for q in parts)
+        assert spans[0][0] == 0 and spans[-1][1] == size
+        assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+        # each split decodes independently with no loss or duplication
+        got = sorted(r[0] for q in parts for r in reader.read(q))
+        assert got == list(range(200))
+
+    def test_max_bytes_per_trigger_rate_limits(self, spark, tmp_path):
+        root = str(tmp_path)
+        emit(root, "a.journal", 0, 100)
+        reader = self._reader(root, maxbytespertrigger="600")
+        start = reader.initialOffset()
+        seen = []
+        for _ in range(100):
+            end = reader.latestOffset()
+            batch = self._drain(reader, start, end)
+            if not batch and seen:
+                break
+            assert len(batch) < 100  # capped: never the whole backlog
+            seen.extend(batch)
+            start = end
+        assert sorted(r[0] for r in seen) == list(range(100))
+
+    def test_v2_journal_stream_block_offsets(self, spark, tmp_path):
+        root = str(tmp_path)
+        evs = []
+        for i in range(120):
+            ev = c.Event("S::E")
+            ev.set("n", c.INT64, i)
+            evs.append(ev)
+        c.write_journal_file_v2(
+            os.path.join(root, "a.journal2"), evs, block_bytes=256
+        )
+        reader = self._reader(root, streamsplitbytes="1024")
+        parts = reader.partitions(reader.initialOffset(), reader.latestOffset())
+        assert len(parts) > 1  # block-boundary splits
+        got = sorted(r[0] for q in parts for r in reader.read(q))
+        assert got == list(range(120))
