@@ -42,6 +42,122 @@ def _pil_available() -> bool:
         return False
 
 
+# -- stdlib header codecs (struct-only, no image/audio libs) ---------------
+#
+# Real decode for the container formats whose headers are pure public
+# fixed layouts: BMP / PNG / GIF images and RIFF/WAV audio. These run
+# BEFORE the deterministic fake, so real bytes get real metadata even
+# in codec-less containers; the fake remains only for formats that
+# genuinely need a pixel/DSP library (JPEG entropy scan, MP3, ...).
+# Every parser validates enough header structure that arbitrary text or
+# random bytes cannot false-positive into nonsense metadata.
+
+
+def parse_image_header(b: bytes):
+    """(mime, width, height, channels) from BMP/PNG/GIF header bytes,
+    or None when ``b`` is not one of those formats."""
+    import struct as _s
+
+    if len(b) >= 54 and b[:2] == b"BM":
+        # BITMAPFILEHEADER(14) + BITMAPINFOHEADER(>=40); core (12-byte)
+        # headers use 16-bit dims
+        (bi_size,) = _s.unpack_from("<I", b, 14)
+        if bi_size == 12:
+            w, h = _s.unpack_from("<HH", b, 18)
+            (bpp,) = _s.unpack_from("<H", b, 24)
+        elif bi_size in (40, 52, 56, 64, 108, 124):
+            w, h = _s.unpack_from("<ii", b, 18)
+            (bpp,) = _s.unpack_from("<H", b, 28)
+            h = abs(h)  # negative height = top-down row order
+        else:
+            return None
+        if w <= 0 or h <= 0 or bpp not in (1, 4, 8, 16, 24, 32):
+            return None
+        channels = 1 if bpp <= 8 else (3 if bpp in (16, 24) else 4)
+        return ("image/bmp", int(w), int(h), channels)
+    if len(b) >= 33 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        w, h = _s.unpack_from(">II", b, 16)
+        color_type = b[25]
+        if w == 0 or h == 0 or color_type not in (0, 2, 3, 4, 6):
+            return None
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+        return ("image/png", int(w), int(h), channels)
+    if len(b) >= 13 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = _s.unpack_from("<HH", b, 6)
+        if w == 0 or h == 0:
+            return None
+        return ("image/gif", int(w), int(h), 3)
+    return None
+
+
+def _bmp_mean_luma(b: bytes):
+    """Mean ITU-R 601-2 luma in [0,1] for UNCOMPRESSED 24/32-bpp BMP
+    pixel data (numpy over the raw rows; rows pad to 4-byte multiples).
+    None for palette/compressed/other variants."""
+    import struct as _s
+
+    import numpy as np
+
+    (data_off,) = _s.unpack_from("<I", b, 10)
+    (bi_size,) = _s.unpack_from("<I", b, 14)
+    if bi_size < 40:
+        return None
+    w, h = _s.unpack_from("<ii", b, 18)
+    (bpp,) = _s.unpack_from("<H", b, 28)
+    (compression,) = _s.unpack_from("<I", b, 30)
+    h = abs(h)
+    if compression != 0 or bpp not in (24, 32):
+        return None
+    bytes_pp = bpp // 8
+    stride = (w * bytes_pp + 3) & ~3
+    need = data_off + stride * h
+    if len(b) < need:
+        return None
+    rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=data_off)
+    px = rows.reshape(h, stride)[:, : w * bytes_pp].reshape(h, w, bytes_pp)
+    # BMP byte order is B, G, R(, A)
+    luma = (
+        0.114 * px[..., 0].astype(np.float64)
+        + 0.587 * px[..., 1]
+        + 0.299 * px[..., 2]
+    )
+    return float(luma.mean() / 255.0)
+
+
+def parse_wav_header(b: bytes):
+    """(sample_rate, channels, bits, duration_ms) from a RIFF/WAVE
+    header, walking the chunk list to the fmt and data chunks; None
+    when ``b`` is not a WAV."""
+    import struct as _s
+
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    data_size = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (csize,) = _s.unpack_from("<I", b, pos + 4)
+        if cid == b"fmt " and pos + 8 + 16 <= len(b):
+            audio_fmt, channels, sample_rate, byte_rate = _s.unpack_from(
+                "<HHII", b, pos + 8
+            )
+            (bits,) = _s.unpack_from("<H", b, pos + 22)
+            fmt = (audio_fmt, channels, sample_rate, byte_rate, bits)
+        elif cid == b"data":
+            data_size = csize
+        if fmt is not None and data_size is not None:
+            break
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data_size is None:
+        return None
+    audio_fmt, channels, sample_rate, byte_rate, bits = fmt
+    if channels == 0 or sample_rate == 0 or byte_rate == 0:
+        return None
+    duration_ms = int(data_size * 1000 // byte_rate)
+    return (int(sample_rate), int(channels), int(bits), duration_ms)
+
+
 def decode_image_meta(
     df: DataFrame,
     bin_col: str = "payload",
@@ -51,10 +167,14 @@ def decode_image_meta(
     """Append (width, height, channels, mean_luma) decoded from image
     bytes via mapInPandas.
 
-    Real decode when PIL is importable. Without PIL: ``strict=True``
-    raises NotImplementedError at plan time; otherwise a DETERMINISTIC
-    FAKE maps bytes → stable pseudo-dimensions (documented, test-only
-    semantics — the Spark plumbing exercised is identical)."""
+    Decode ladder, per payload: PIL when importable (all formats, real
+    mean_luma) → stdlib header parse for BMP/PNG/GIF (real dimensions
+    and channels everywhere; real mean_luma for uncompressed 24/32-bpp
+    BMP via numpy) → DETERMINISTIC FAKE pseudo-dimensions for unknown
+    formats (documented, test-only semantics — the Spark plumbing
+    exercised is identical). ``strict=True`` without PIL raises
+    NotImplementedError at plan time: strict means every format decodes
+    for real, which the header parsers alone cannot promise."""
     if strict and not _pil_available():
         raise NotImplementedError(
             "image decode requires PIL, which is not installed; "
@@ -96,6 +216,15 @@ def decode_image_meta(
                         continue
                     except Exception:
                         pass
+                parsed = parse_image_header(b)
+                if parsed is not None:
+                    # real stdlib header decode (BMP/PNG/GIF)
+                    _mime, w_, h_, ch_ = parsed
+                    widths.append(w_); heights.append(h_); chans.append(ch_)
+                    lumas.append(
+                        _bmp_mean_luma(b) if _mime == "image/bmp" else None
+                    )
+                    continue
                 # DETERMINISTIC FAKE: stable pseudo-metadata from bytes
                 h = hashlib.sha256(b).digest()
                 widths.append(16 + h[0] % 240)
@@ -209,6 +338,13 @@ def extract_audio_features(
                         continue
                     except Exception:
                         pass
+                parsed = parse_wav_header(b)
+                if parsed is not None:
+                    # real stdlib RIFF/WAVE header decode: exact sample
+                    # rate and duration; MFCCs need a real DSP library
+                    sr, _ch, _bits, dur = parsed
+                    srs.append(sr); durs.append(dur); mfccs.append(None)
+                    continue
                 # DETERMINISTIC FAKE from the byte content
                 h = hashlib.sha256(b).digest()
                 srs.append(8000 * (1 + h[0] % 6))

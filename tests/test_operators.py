@@ -290,6 +290,100 @@ class TestMultimodal:
         assert meta1[1] == meta1[3]
         assert all(m[0] >= 16 for m in meta1.values())
 
+    # -- golden fixtures: real bytes, stdlib-only decode ------------------
+
+    @staticmethod
+    def _golden_bmp():
+        """3x2 24-bpp BMP, pixels chosen so mean luma is exactly 0.5
+        (three white + three black); stride pads rows to 12 bytes."""
+        import struct as s
+
+        w, h, stride = 3, 2, 12
+        info = s.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0)
+        white, black = b"\xff\xff\xff", b"\x00\x00\x00"
+        row0 = white + black + white + b"\x00\x00\x00"  # bottom row + pad
+        row1 = black + white + black + b"\x00\x00\x00"
+        pixels = row0 + row1
+        filehdr = s.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 54)
+        return filehdr + info + pixels
+
+    @staticmethod
+    def _golden_png():
+        import struct as s
+
+        ihdr = s.pack(">II", 640, 480) + bytes([8, 2, 0, 0, 0])  # RGB
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + s.pack(">I", 13) + b"IHDR" + ihdr + b"\x00\x00\x00\x00"
+        )
+
+    @staticmethod
+    def _golden_gif():
+        import struct as s
+
+        return b"GIF89a" + s.pack("<HH", 320, 200) + bytes([0xF7, 0, 0])
+
+    @staticmethod
+    def _golden_wav():
+        """PCM stereo 16-bit 8 kHz with a 16000-byte data chunk: exactly
+        500 ms at byte_rate 32000."""
+        import struct as s
+
+        fmt = s.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+        return (
+            b"RIFF" + s.pack("<I", 36 + 16000) + b"WAVE"
+            + b"fmt " + s.pack("<I", 16) + fmt
+            + b"data" + s.pack("<I", 16000)
+        )
+
+    def test_stdlib_header_parsers(self):
+        assert multimodal.parse_image_header(self._golden_bmp()) == ("image/bmp", 3, 2, 3)
+        assert multimodal.parse_image_header(self._golden_png()) == ("image/png", 640, 480, 3)
+        assert multimodal.parse_image_header(self._golden_gif()) == ("image/gif", 320, 200, 3)
+        assert multimodal.parse_wav_header(self._golden_wav()) == (8000, 2, 16, 500)
+        # arbitrary text / random-ish bytes must NOT false-positive
+        for junk in (b"BMW is a carmaker, not a bitmap header padded out" * 3,
+                     b"RIFFraff text", b"GIF8 but not really", b"hello"):
+            assert multimodal.parse_image_header(junk) is None
+            assert multimodal.parse_wav_header(junk) is None
+        assert multimodal._bmp_mean_luma(self._golden_bmp()) == pytest.approx(0.5)
+
+    def test_real_image_decode_without_pil(self, spark):
+        """Real BMP/PNG/GIF bytes get REAL dimensions through the full
+        mapInPandas path with no PIL installed; unknown formats still
+        fall back to the deterministic fake."""
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(self._golden_bmp())),
+                (2, bytearray(self._golden_png())),
+                (3, bytearray(self._golden_gif())),
+                (4, bytearray(b"not an image at all")),
+            ],
+            "id long, payload binary",
+        )
+        out = {
+            r.id: r
+            for r in multimodal.decode_image_meta(
+                multimodal.with_content_hash(df)
+            ).collect()
+        }
+        assert (out[1].width, out[1].height, out[1].channels) == (3, 2, 3)
+        assert out[1].mean_luma == pytest.approx(0.5)  # real pixels, real luma
+        assert (out[2].width, out[2].height, out[2].channels) == (640, 480, 3)
+        assert (out[3].width, out[3].height, out[3].channels) == (320, 200, 3)
+        assert out[2].mean_luma is None  # compressed: header-only decode
+        assert out[4].width is not None  # fake path still covers unknowns
+
+    def test_real_wav_decode_without_librosa(self, spark):
+        df = spark.createDataFrame(
+            [(1, bytearray(self._golden_wav())), (2, bytearray(b"mp3-ish junk"))],
+            "id long, payload binary",
+        )
+        out = {r.id: r for r in multimodal.extract_audio_features(df).collect()}
+        assert out[1].sample_rate == 8000 and out[1].duration_ms == 500
+        assert out[1].mfcc is None  # real features need a DSP lib
+        assert out[2].sample_rate is not None  # fake path for unknowns
+
     def test_resize_strict_raises_without_pil(self, spark):
         df = spark.createDataFrame([(1, bytearray(b"x"))], "id long, payload binary")
         try:
