@@ -88,49 +88,63 @@ def knn_join(
     batches amortize the Python boundary; work is embarrassingly
     parallel over the corpus.
 
-    The QUERY side is collected to the driver and broadcast, so it
-    must be bounded: ``max_queries`` guards against an unbounded
-    query frame OOMing the driver (a 10M-query join belongs in
-    chunked broadcasts or an IVF index, not here)."""
-    import pandas as pd
-
-    q_rows = queries.select(query_id, query_vec).limit(max_queries + 1).collect()
-    if len(q_rows) > max_queries:
-        raise ValueError(
-            f"knn_join: query side exceeds max_queries={max_queries}; "
-            "chunk the queries or use the IVF index for query sets "
-            "this large"
-        )
-    q_ids = [r[0] for r in q_rows]
-    q_mat = [list(map(float, r[1])) for r in q_rows]
-    sc = data.sparkSession.sparkContext
-    bq = sc.broadcast((q_ids, q_mat))
-
+    The QUERY side streams to the driver via ``toLocalIterator`` in
+    chunks of ``max_queries`` (bounded driver memory — never the whole
+    query frame at once); each chunk becomes one broadcast + one
+    corpus pass, and one window takes the global top-k over the
+    unioned partials. Past a handful of chunks the repeated corpus
+    scans dominate — cache ``data`` for multi-chunk joins, or use the
+    IVF index, which is the real answer for huge query sets."""
     out_schema = "query_id long, neighbor_id long, cosine_sim double"
+    sc = data.sparkSession.sparkContext
+    projected = data.select(data_id, data_vec)
 
-    def part_topk(batches):
-        import numpy as np
+    def chunk_partial(q_ids, q_mat):
+        bq = sc.broadcast((q_ids, q_mat))
 
-        q_ids_l, q_mat_l = bq.value
-        Q = np.asarray(q_mat_l, dtype=np.float64)
-        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.asarray(pdf[data_vec].tolist(), dtype=np.float64)
-            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-            S = Qn @ Xn.T  # (nq, nx)
-            ids = pdf[data_id].to_numpy()
-            kk = min(k, S.shape[1])
-            idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
-            rows = {
-                "query_id": np.repeat(q_ids_l, kk),
-                "neighbor_id": ids[idx].ravel(),
-                "cosine_sim": np.take_along_axis(S, idx, axis=1).ravel(),
-            }
-            yield pd.DataFrame(rows)
+        def part_topk(batches):
+            import numpy as np
+            import pandas as pd
 
-    partial = data.select(data_id, data_vec).mapInPandas(part_topk, out_schema)
+            q_ids_l, q_mat_l = bq.value
+            Q = np.asarray(q_mat_l, dtype=np.float64)
+            Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.asarray(pdf[data_vec].tolist(), dtype=np.float64)
+                Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+                S = Qn @ Xn.T  # (nq, nx)
+                ids = pdf[data_id].to_numpy()
+                kk = min(k, S.shape[1])
+                idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+                rows = {
+                    "query_id": np.repeat(q_ids_l, kk),
+                    "neighbor_id": ids[idx].ravel(),
+                    "cosine_sim": np.take_along_axis(S, idx, axis=1).ravel(),
+                }
+                yield pd.DataFrame(rows)
+
+        return projected.mapInPandas(part_topk, out_schema)
+
+    partials = []
+    q_ids: list = []
+    q_mat: list = []
+    for r in queries.select(query_id, query_vec).toLocalIterator():
+        q_ids.append(r[0])
+        q_mat.append(list(map(float, r[1])))
+        if len(q_ids) >= max_queries:
+            partials.append(chunk_partial(q_ids, q_mat))
+            q_ids, q_mat = [], []
+    if q_ids:
+        partials.append(chunk_partial(q_ids, q_mat))
+    if not partials:
+        return data.sparkSession.createDataFrame([], out_schema)
+    partial = partials[0]
+    for p in partials[1:]:
+        partial = partial.unionAll(p)
+    # query ids are disjoint across chunks, so one window over the
+    # unioned partials is the same single shuffle a one-chunk join pays
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )

@@ -629,14 +629,29 @@ class TestSessionWindowBoundary:
 
 
 class TestDriverBoundsGuards:
-    def test_knn_join_rejects_unbounded_query_side(self, spark):
-        rows = [(i, [float(i), 1.0]) for i in range(10)]
+    def test_knn_join_chunks_oversized_query_side(self, spark):
+        """A query side of 2x max_queries runs in chunked broadcasts
+        with bounded driver memory and returns exactly the same
+        neighbors as a single-chunk run."""
+        rows = [(i, [float(i % 7) + 0.1, float(i % 3) + 1.0]) for i in range(10)]
         df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-        with pytest.raises(ValueError, match="max_queries"):
-            similarity.knn_join(df, df, k=2, max_queries=5)
-        # within the cap it still works
+        chunked = {
+            (r.query_id, r.neighbor_id, round(r.cosine_sim, 9))
+            for r in similarity.knn_join(df, df, k=2, max_queries=5).collect()
+        }
+        single = {
+            (r.query_id, r.neighbor_id, round(r.cosine_sim, 9))
+            for r in similarity.knn_join(df, df, k=2, max_queries=1000).collect()
+        }
+        assert chunked == single
+        assert len({q for q, _, _ in chunked}) == 10  # every query answered
+        # within one chunk it still works
         out = similarity.knn_join(df, df.limit(3), k=2, max_queries=5)
         assert out.count() == 6
+        # empty query side → empty result with the right schema
+        empty = similarity.knn_join(df, df.limit(0), k=2, max_queries=5)
+        assert empty.columns == ["query_id", "neighbor_id", "cosine_sim"]
+        assert empty.count() == 0
 
     def test_ivf_trains_unbiased_on_clustered_storage(self, spark):
         """ivf_build samples randomly (seeded), not limit(): a frame
