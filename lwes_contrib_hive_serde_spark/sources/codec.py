@@ -368,11 +368,15 @@ def write_journal_record(out: BinaryIO | bytearray, event: Event) -> int:
     the header only, and the reader re-injects them.
     Returns bytes written.
     """
-    body = Event(event.name)
-    for k, v in event.attributes.items():
-        if k not in HEADER_FIELD_TYPES:
-            body.set(k, event.types[k], v)
-    payload = encode_event(body)
+    if any(k in HEADER_FIELD_TYPES for k in event.attributes):
+        body = Event(event.name)
+        for k, v in event.attributes.items():
+            if k not in HEADER_FIELD_TYPES:
+                body.set(k, event.types[k], v)
+        payload = encode_event(body)
+    else:
+        # hot path: no header attrs to strip — encode directly, no copy
+        payload = encode_event(event)
     if len(payload) > MAX_PAYLOAD:
         raise CodecError(f"event payload {len(payload)} exceeds 64 KiB frame limit")
     header = pack_header(

@@ -1,0 +1,71 @@
+"""Codec throughput regression gate.
+
+BASELINE.md:36 sets the engineering budget: the pure-Python LWES codec
+must sustain >= 100k events/s/core (the reference's own serialize path
+is row-at-a-time Java; Arrow batching upstream means the Python codec
+is the per-core floor for scan/write throughput). This test measures
+encode and decode on a representative 4-attribute event and fails if
+either drops below budget — best-of-3 to damp scheduler noise, and the
+measured numbers print in the test output so every round records them.
+"""
+
+from __future__ import annotations
+
+import io
+import time
+
+from lwes_contrib_hive_serde_spark.sources import codec as c
+
+N = 20_000
+BUDGET = 100_000  # events/s/core, BASELINE.md:36
+
+
+def _events():
+    out = []
+    for i in range(N):
+        ev = c.Event("Bench::E")
+        ev.set("k", c.INT64, i)
+        ev.set("s", c.STRING, f"value-{i}")
+        ev.set("f", c.STRING, repr(float(i) * 1.5))
+        ev.set("n", c.INT32, i % 100)
+        out.append(ev)
+    return out
+
+
+def _best_of(fn, runs=3):
+    best = 0.0
+    for _ in range(runs):
+        best = max(best, fn())
+    return best
+
+
+def test_encode_and_decode_meet_per_core_budget(capsys):
+    evs = _events()
+
+    def encode_run():
+        buf = bytearray()
+        t0 = time.perf_counter()
+        for ev in evs:
+            c.write_journal_record(buf, ev)
+        return N / (time.perf_counter() - t0)
+
+    buf = bytearray()
+    for ev in evs:
+        c.write_journal_record(buf, ev)
+    raw = bytes(buf)
+
+    def decode_run():
+        t0 = time.perf_counter()
+        n = sum(1 for _ in c.read_journal_records(io.BytesIO(raw)))
+        assert n == N
+        return N / (time.perf_counter() - t0)
+
+    enc = _best_of(encode_run)
+    dec = _best_of(decode_run)
+    with capsys.disabled():
+        print(
+            f"\ncodec throughput: encode {enc/1000:.0f}k ev/s, "
+            f"decode {dec/1000:.0f}k ev/s (budget {BUDGET/1000:.0f}k)"
+        )
+    assert enc >= BUDGET, f"encode {enc:.0f} ev/s below budget {BUDGET}"
+    assert dec >= BUDGET, f"decode {dec:.0f} ev/s below budget {BUDGET}"
