@@ -723,6 +723,28 @@ class _V1Sink:
         self._f.close()
 
 
+class _HeaderlessSink:
+    """Strict-parity replica of the reference's MR-path sink
+    (JournalOutputFormat.java:62-74): raw ``event.serialize()`` bytes,
+    NO 22-byte journal header. The reference's own reader cannot read
+    this back (readEvent expects header+payload,
+    DatagramPacketInputStream.java:41-87) — a documented reference
+    quirk, replicated only behind option("headerless", true) for
+    byte-level parity tests; never the default."""
+
+    def __init__(self, path: str):
+        self._f = c.open_journal_write(path)
+        self.bytes = 0
+
+    def write_event(self, ev: "c.Event") -> None:
+        payload = c.encode_event(ev)
+        self._f.write(payload)
+        self.bytes += len(payload)
+
+    def close(self) -> None:
+        self._f.close()
+
+
 class _V2Sink:
     """One v2 journal file: sync-marker blocks, per-block compression
     (splittable even when compressed — see codec.py v2 section)."""
@@ -807,6 +829,12 @@ class LwesWriter(DataSourceArrowWriter):
             or options.get("v2", "false").lower() == "true"
         )
         self.block_bytes = int(options.get("blockbytes", str(1 << 20)))
+        # reference MR-path parity (JournalOutputFormat.java:62-74):
+        # raw serialized events, no journal header — unreadable by the
+        # journal reader, exactly like the reference
+        self.headerless = options.get("headerless", "false").lower() == "true"
+        if self.headerless and self.v2:
+            raise ValueError("lwes: headerless applies to v1 framing only")
         self.event_name = options.get("eventname")
         self.specs = _parse_field_map(schema, options.get("fieldmap"), self.event_name)
         self.has_event_name_col = any(
@@ -881,6 +909,8 @@ class LwesWriter(DataSourceArrowWriter):
                                 if self.compression in ("gzip", "zlib")
                                 else "none",
                             )
+                        elif self.headerless:
+                            f = _HeaderlessSink(out_path)
                         else:
                             f = _V1Sink(out_path)
                     ev_name = (

@@ -666,3 +666,52 @@ class TestCharsetOption:
         )
         with pytest.raises(Exception):
             bad.collect()
+
+
+class TestHeaderlessParity:
+    """option("headerless", true) replicates the reference MR-path sink
+    (JournalOutputFormat.java:62-74): raw event.serialize() bytes with
+    no 22-byte journal header — including the reference's own quirk
+    that the journal reader cannot read the output back
+    (DatagramPacketInputStream.java:41-87 expects header+payload)."""
+
+    def test_headerless_bytes_and_readback_incompatibility(self, spark, tmp_path):
+        out = str(tmp_path / "hl")
+        df = spark.createDataFrame([(i,) for i in range(5)], "k long")
+        (
+            df.coalesce(1)
+            .write.format("lwes")
+            .option("eventName", "MR::E")
+            .option("headerless", "true")
+            .mode("overwrite")
+            .save(out)
+        )
+        files = [f for f in os.listdir(out) if f.endswith(".journal")]
+        assert len(files) == 1
+        raw = open(os.path.join(out, files[0]), "rb").read()
+        # byte-level parity: the file is exactly the concatenation of
+        # serialized events, nothing else
+        expected = b""
+        for i in range(5):
+            ev = c.Event("MR::E")
+            ev.set("k", c.INT64, i)
+            expected += c.encode_event(ev)
+        assert raw == expected
+        # and the journal reader CANNOT round-trip it (reference quirk)
+        try:
+            got = [e.get("k") for e in c.read_journal_file(os.path.join(out, files[0]))]
+        except Exception:
+            got = None  # decode error — also faithful to the quirk
+        assert got != list(range(5))
+
+    def test_headerless_rejects_v2(self, spark, tmp_path):
+        df = spark.createDataFrame([(1,)], "k long")
+        with pytest.raises(Exception, match="headerless"):
+            (
+                df.write.format("lwes")
+                .option("eventName", "E")
+                .option("headerless", "true")
+                .option("format", "v2")
+                .mode("overwrite")
+                .save(str(tmp_path / "x"))
+            )
