@@ -153,6 +153,65 @@ class TestStreamingSink:
             q.stop()
 
 
+class TestStreamRestartRecovery:
+    def test_checkpoint_restart_no_dupes_no_loss(self, spark, tmp_path):
+        """Stop a stream, append + add files, restart from the same
+        checkpoint: the reader must resume from the checkpointed record
+        boundaries (its driver-side walk memo is gone after restart) and
+        deliver exactly-once across the restart."""
+        src_dir = str(tmp_path / "src")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src_dir)
+        emit(src_dir, "a.journal", 0, 40)
+
+        def start():
+            return (
+                spark.readStream.format("lwes")
+                .schema("n long, ReceiptTime long")
+                .option("eventName", "S::E")
+                .load(src_dir)
+                .writeStream.format("lwes")
+                .option("eventName", "Out::E")
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime="500 milliseconds")
+                .start(out_dir)
+            )
+
+        def out_ns():
+            try:
+                return sorted(
+                    r.n
+                    for r in spark.read.format("lwes")
+                    .schema("n long")
+                    .option("eventName", "Out::E")
+                    .load(out_dir)
+                    .collect()
+                )
+            except Exception:
+                return []
+
+        q = start()
+        try:
+            assert wait_until(lambda: len(out_ns()) == 40)
+        finally:
+            q.stop()
+        # while the stream is DOWN: append to the old file + a new file
+        with open(os.path.join(src_dir, "a.journal"), "ab") as f:
+            for i in range(40, 50):
+                ev = c.Event("S::E")
+                ev.set("n", c.INT64, i)
+                ev.set(c.RECEIPT_TIME, c.INT64, 1723500000000 + i * 1000)
+                c.write_journal_record(f, ev)
+        emit(src_dir, "b.journal", 50, 60)
+        q = start()
+        try:
+            assert wait_until(lambda: len(out_ns()) == 60), out_ns()
+            assert out_ns() == list(range(60))  # exactly-once across restart
+        finally:
+            q.stop()
+
+
 class TestStreamingDedupAndSessions:
     def test_drop_duplicates_within_watermark(self, spark, tmp_path):
         from pyspark.sql import functions as F
