@@ -427,10 +427,14 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
             .groupBy("a")
             .agg(F.min("label").alias("nmin"))
         )
+        # carry the round's starting label through as prev so the
+        # convergence probe below is a filter over the checkpointed
+        # frame, not another join against the previous labels
         stepped = (
             labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
             .select(
                 "id",
+                F.col("label").alias("prev"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
@@ -452,6 +456,7 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
                 stepped.join(lut, stepped.label == lut.lid, "left")
                 .select(
                     "id",
+                    "prev",
                     F.least(
                         F.col("label"),
                         F.coalesce(F.col("llabel"), F.col("label")),
@@ -462,14 +467,14 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         # both read materialized labels instead of recomputing the
         # join lineage twice
         new_ck = new_labels.localCheckpoint(eager=True)
+        labels = new_ck.select("id", "label")
+        if it == 0:
+            # identity labels always move when any edge exists; probing
+            # round 0 would only save one extra (empty-input) round
+            continue
         changed = (
-            new_ck.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            new_ck.filter(F.col("label") != F.col("prev")).limit(1).count()
         )
-        labels = new_ck
         if not changed:
             break
     return labels.select("id", F.col("label").alias("cluster_id"))
