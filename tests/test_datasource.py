@@ -715,3 +715,76 @@ class TestHeaderlessParity:
                 .mode("overwrite")
                 .save(str(tmp_path / "x"))
             )
+
+
+class TestVectorizedWriterFastPath:
+    """The numpy template fast path must produce byte-identical files
+    to the per-row Event path, fall back on nulls/headers/strings, and
+    respect file rolling."""
+
+    def _write(self, spark, df, out, **opts):
+        w = (
+            df.coalesce(1)
+            .write.format("lwes")
+            .option("eventName", "FP::E")
+            .mode("overwrite")
+        )
+        for k, v in opts.items():
+            w = w.option(k, v)
+        w.save(out)
+        files = sorted(
+            f for f in os.listdir(out) if not f.startswith("_")
+        )
+        return [open(os.path.join(out, f), "rb").read() for f in files]
+
+    def test_fast_path_bytes_identical_to_slow_path(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(i, i % 2 == 0, i % 100, i * 7) for i in range(500)],
+            "k long, flag boolean, small int, big long",
+        )
+        fast = self._write(spark, df, str(tmp_path / "fast"))
+        slow = self._write(spark, df, str(tmp_path / "slow"), fastpath="off")
+        assert fast == slow and len(fast) == 1
+        # and the reader round-trips it
+        back = (
+            spark.read.format("lwes")
+            .schema("k long, flag boolean, small int, big long")
+            .option("eventName", "FP::E")
+            .load(str(tmp_path / "fast"))
+        )
+        assert back.count() == 500
+        assert sorted(r.k for r in back.collect()) == list(range(500))
+
+    def test_nulls_fall_back_and_still_round_trip(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(0, 10), (1, None), (2, 30)], "k long, v long"
+        )
+        out = str(tmp_path / "withnulls")
+        fast = self._write(spark, df, out)
+        slow = self._write(spark, df, str(tmp_path / "slownulls"), fastpath="off")
+        assert fast == slow  # batch with nulls takes the identical slow path
+        back = (
+            spark.read.format("lwes")
+            .schema("k long, v long")
+            .option("eventName", "FP::E")
+            .load(out)
+        )
+        rows = {r.k: r.v for r in back.collect()}
+        assert rows == {0: 10, 1: None, 2: 30}
+
+    def test_rolling_matches_slow_path(self, spark, tmp_path):
+        df = spark.createDataFrame([(i,) for i in range(1000)], "k long")
+        fast = self._write(spark, df, str(tmp_path / "fr"), rollBytes="4096")
+        slow = self._write(
+            spark, df, str(tmp_path / "sr"), rollBytes="4096", fastpath="off"
+        )
+        assert len(fast) > 1
+        assert fast == slow
+
+    def test_headerless_fast_path_identical(self, spark, tmp_path):
+        df = spark.createDataFrame([(i,) for i in range(200)], "k long")
+        fast = self._write(spark, df, str(tmp_path / "hf"), headerless="true")
+        slow = self._write(
+            spark, df, str(tmp_path / "hs"), headerless="true", fastpath="off"
+        )
+        assert fast == slow
