@@ -876,9 +876,12 @@ class LwesWriter(DataSourceArrowWriter):
                 for f in _list_journal_files(self.path):
                     os.remove(f)
         self.fastpath = options.get("fastpath", "auto").lower()
-        self._fast_plan = (
-            self._build_fast_plan() if self.fastpath != "off" else None
-        )
+        self._fast_plan = None
+        self._str_plan = None
+        if self.fastpath != "off":
+            self._fast_plan = self._build_fast_plan()
+            if self._fast_plan is None:
+                self._str_plan = self._build_str_plan()
 
     def _build_fast_plan(self):
         """Precompute the vectorized encode template, or None when the
@@ -934,6 +937,167 @@ class LwesWriter(DataSourceArrowWriter):
             b"" if self.headerless else c.pack_header(len(payload))
         ) + bytes(payload)
         return record, cols
+
+    def _build_str_plan(self):
+        """Vectorized plan for schemas that mix fixed-width columns with
+        STRING columns (the documents-pipeline shape). Records are
+        variable-width, so instead of one tiled template the record is
+        a sequence of PIECES — constants, fixed-width value bytes,
+        u16 length prefixes, string payload bytes — assembled per batch
+        by Arrow's ``binary_join_element_wise`` (C++-side, no per-row
+        Python). None when the schema needs the general path.
+
+        Eligible: v1/headerless framing, constant event name, StringType
+        string columns only (Float/Double take the repr() string bridge
+        — per-row), fixed-width ints/booleans for the rest."""
+        if self.v2 or self.has_event_name_col or not self.event_name:
+            return None
+        name_raw = self.event_name.encode("utf-8")
+        if not 1 <= len(name_raw) <= 0xFF:
+            return None
+        active = [
+            s
+            for s in self.specs
+            if s.event_name is None or s.event_name == self.event_name
+        ]
+        if len(active) > 0xFFFF or not any(
+            type(s.dtype) is StringType for s in active
+        ):
+            return None
+        # pieces: ("const", bytes) | ("fixed", col, width, np_dtype)
+        #       | ("len16", col) | ("str", col)
+        pieces: list[tuple] = []
+        const_payload = 0  # payload bytes excluding string data
+
+        def const(b: bytes):
+            if pieces and pieces[-1][0] == "const":
+                pieces[-1] = ("const", pieces[-1][1] + b)
+            else:
+                pieces.append(("const", b))
+
+        const(bytes([len(name_raw)]) + name_raw + struct.pack(">H", len(active)))
+        const_payload += 1 + len(name_raw) + 2
+        for s in active:
+            try:
+                tok = _write_token(s.dtype)
+            except ValueError:
+                return None
+            key_raw = s.attr.encode("utf-8")
+            if not 1 <= len(key_raw) <= 0xFF:
+                return None
+            keyblock = bytes([len(key_raw)]) + key_raw + bytes([tok])
+            const_payload += len(keyblock)
+            if type(s.dtype) is StringType:
+                const(keyblock)
+                pieces.append(("len16", s.column))
+                pieces.append(("str", s.column))
+                const_payload += 2
+            elif tok in _FIXED_WIDTH and type(s.dtype) not in (
+                DecimalType,
+                TimestampType,
+            ):
+                width, np_dtype = _FIXED_WIDTH[tok]
+                const(keyblock)
+                pieces.append(("fixed", s.column, width, np_dtype))
+                const_payload += width
+            else:
+                return None
+        return pieces, const_payload
+
+    @staticmethod
+    def _u16be_binary(np_vals, pa):
+        """numpy uint16 values → Arrow binary array of 2-byte
+        big-endian prefixes (zero-copy into the wire assembly)."""
+        import numpy as np
+
+        raw = np.ascontiguousarray(np_vals.astype(">u2")).view(np.uint8)
+        fsb = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(2), len(np_vals), [None, pa.py_buffer(raw.tobytes())]
+        )
+        return fsb.cast(pa.binary())
+
+    def _write_batch_str_fast(self, batch, get_sink):
+        """Assemble one mixed fixed/string batch wire-side via Arrow
+        compute. Returns the record count, or None to fall back (nulls,
+        missing/header columns, oversize strings or payloads)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        pieces, const_payload = self._str_plan
+        names = set(batch.schema.names)
+        if any(hf in names for hf in c.HEADER_FIELD_TYPES):
+            return None
+        by_name = {n: batch.column(i) for i, n in enumerate(batch.schema.names)}
+        for p in pieces:
+            if p[0] == "const":
+                continue
+            arr = by_name.get(p[1])
+            if arr is None or arr.null_count:
+                return None
+        nrows = batch.num_rows
+        if nrows == 0:
+            return 0
+        # per-row payload length = const part + Σ string byte lengths
+        payload_len = np.full(nrows, const_payload, dtype=np.int64)
+        str_lens: dict[str, np.ndarray] = {}
+        str_bins: dict[str, object] = {}
+        for p in pieces:
+            if p[0] == "str" and p[1] not in str_lens:
+                sbin = by_name[p[1]].cast(pa.binary())
+                ln = pc.binary_length(sbin).to_numpy().astype(np.int64)
+                if ln.max(initial=0) > 0xFFFF:
+                    return None  # wire strings carry a u16 length
+                str_lens[p[1]] = ln
+                str_bins[p[1]] = sbin
+                payload_len += ln
+        if payload_len.max() > c.MAX_PAYLOAD:
+            return None  # slow path raises the proper CodecError
+        parts = []
+        if not self.headerless:
+            parts.append(self._u16be_binary(payload_len, pa))
+            parts.append(pa.scalar(b"\x00" * (c.HEADER_LENGTH - 2), pa.binary()))
+        for p in pieces:
+            if p[0] == "const":
+                parts.append(pa.scalar(p[1], pa.binary()))
+            elif p[0] == "fixed":
+                _, col, width, np_dtype = p
+                vals = by_name[col].to_numpy(zero_copy_only=False)
+                if np_dtype is None:  # BOOLEAN
+                    raw = vals.astype(np.uint8)
+                else:
+                    raw = np.ascontiguousarray(vals.astype(np_dtype)).view(
+                        np.uint8
+                    )
+                fsb = pa.FixedSizeBinaryArray.from_buffers(
+                    pa.binary(width), nrows, [None, pa.py_buffer(raw.tobytes())]
+                )
+                parts.append(fsb.cast(pa.binary()))
+            elif p[0] == "len16":
+                parts.append(self._u16be_binary(str_lens[p[1]], pa))
+            else:  # "str"
+                parts.append(str_bins[p[1]])
+        joined = pc.binary_join_element_wise(*parts, pa.scalar(b"", pa.binary()))
+        # contiguous record bytes straight from the array's data buffer
+        offsets = np.frombuffer(joined.buffers()[1], dtype=np.int32)[
+            joined.offset : joined.offset + len(joined) + 1
+        ]
+        raw_all = joined.buffers()[2]
+        # roll files with the per-record semantics of the slow path:
+        # a record is written whenever the file is still under
+        # roll_bytes, so files may overshoot by one record
+        done = 0
+        while done < nrows:
+            f = get_sink()
+            room = self.roll_bytes - f.bytes
+            rel = offsets[done:] - offsets[done]
+            take = int(np.searchsorted(rel[1:], room, side="left")) + 1
+            take = max(1, min(nrows - done, take))
+            f.write_raw(
+                raw_all[offsets[done] : offsets[done + take]].to_pybytes()
+            )
+            done += take
+        return nrows
 
     def _write_batch_fast(self, batch, get_sink):
         """Encode one Arrow batch via the template plan. Returns the
@@ -1036,6 +1200,11 @@ class LwesWriter(DataSourceArrowWriter):
             for batch in batches:
                 if self._fast_plan is not None:
                     got = self._write_batch_fast(batch, get_sink)
+                    if got is not None:
+                        n += got
+                        continue
+                elif self._str_plan is not None:
+                    got = self._write_batch_str_fast(batch, get_sink)
                     if got is not None:
                         n += got
                         continue

@@ -788,3 +788,74 @@ class TestVectorizedWriterFastPath:
             spark, df, str(tmp_path / "hs"), headerless="true", fastpath="off"
         )
         assert fast == slow
+
+
+class TestStringWriterFastPath:
+    """The Arrow-assembled string fast path must match the per-row
+    path byte for byte: mixed fixed/string schemas, multi-byte UTF-8,
+    empty strings, rolling, headerless."""
+
+    def _write(self, spark, df, out, **opts):
+        w = (
+            df.coalesce(1)
+            .write.format("lwes")
+            .option("eventName", "SP::E")
+            .mode("overwrite")
+        )
+        for k, v in opts.items():
+            w = w.option(k, v)
+        w.save(out)
+        files = sorted(f for f in os.listdir(out) if not f.startswith("_"))
+        return [open(os.path.join(out, f), "rb").read() for f in files]
+
+    def _df(self, spark):
+        rows = [
+            (i, f"doc-{i} café ☕ {'x' * (i % 50)}" if i % 7 else "", i % 1000)
+            for i in range(800)
+        ]
+        return spark.createDataFrame(rows, "k long, text string, v int")
+
+    def test_string_fast_path_bytes_identical(self, spark, tmp_path):
+        df = self._df(spark)
+        fast = self._write(spark, df, str(tmp_path / "fast"))
+        slow = self._write(spark, df, str(tmp_path / "slow"), fastpath="off")
+        assert fast == slow and len(fast) == 1
+        back = (
+            spark.read.format("lwes")
+            .schema("k long, text string, v int")
+            .option("eventName", "SP::E")
+            .load(str(tmp_path / "fast"))
+        )
+        got = {r.k: (r.text, r.v) for r in back.collect()}
+        assert len(got) == 800
+        assert got[7] == ("", 7)  # empty string survives
+        assert "café ☕" in got[1][0]  # multi-byte utf-8 exact
+
+    def test_string_fast_path_rolling_identical(self, spark, tmp_path):
+        df = self._df(spark)
+        fast = self._write(spark, df, str(tmp_path / "fr"), rollBytes="8192")
+        slow = self._write(
+            spark, df, str(tmp_path / "sr"), rollBytes="8192", fastpath="off"
+        )
+        assert len(fast) > 1 and fast == slow
+
+    def test_string_fast_path_headerless_identical(self, spark, tmp_path):
+        df = self._df(spark)
+        fast = self._write(spark, df, str(tmp_path / "hf"), headerless="true")
+        slow = self._write(
+            spark, df, str(tmp_path / "hs"), headerless="true", fastpath="off"
+        )
+        assert fast == slow
+
+    def test_nulls_and_oversize_fall_back(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(0, "a"), (1, None), (2, "c")], "k long, text string"
+        )
+        fast = self._write(spark, df, str(tmp_path / "nf"))
+        slow = self._write(spark, df, str(tmp_path / "ns"), fastpath="off")
+        assert fast == slow
+        # a >64 KiB payload raises the codec's frame-limit error on
+        # both paths (the fast path defers to the slow path to raise)
+        big = spark.createDataFrame([(0, "y" * 70000)], "k long, text string")
+        with pytest.raises(Exception, match="64 KiB|frame|payload"):
+            self._write(spark, big, str(tmp_path / "big"))
