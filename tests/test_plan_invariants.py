@@ -76,3 +76,21 @@ class TestPlanInvariants:
     def test_aggregates_are_partial_final(self, plans):
         # two HashAggregate nodes = map-side partial + final
         assert plans["q01_pricing_summary"].count("HashAggregate") >= 2
+
+    def test_no_row_at_a_time_python_udfs(self, plans):
+        """Python appears only as Arrow-batched evaluation
+        (ArrowEvalPython / mapInPandas / FlatMapGroupsInPandas) — a
+        BatchEvalPython node means a row-at-a-time F.udf snuck into the
+        surface."""
+        offenders = [k for k, p in plans.items() if "BatchEvalPython" in p]
+        assert not offenders, offenders
+
+    def test_single_shuffle_text_aggregations(self, plans):
+        """Text-analysis scans aggregate with exactly one Exchange:
+        tokenizer/scoring run in the scan stage, map-side partial
+        aggregation shrinks the shuffle to |groups|."""
+        import re
+
+        for q in ("q_doc_token_stats", "q_doc_langid"):
+            n = len(re.findall(r"\n\(\d+\) Exchange", plans[q]))
+            assert n == 1, (q, n, plans[q])
