@@ -573,6 +573,248 @@ class LwesReader(DataSourceReader):
                     break
                 yield rtime, ip, port, site, payload
 
+    # wire token → (width, big-endian numpy dtype) for the vectorized
+    # scan; IPADDR is fixed 4 bytes (reversed order), BOOLEAN 1 byte
+    _READ_FIXED = {
+        c.BOOLEAN: (1, None),
+        c.UINT16: (2, ">u2"),
+        c.INT16: (2, ">i2"),
+        c.UINT32: (4, ">u4"),
+        c.INT32: (4, ">i4"),
+        c.INT64: (8, ">i8"),
+        c.UINT64: (8, ">u8"),
+        c.IPADDR: (4, None),
+    }
+
+    def _skeleton(self, buf, pos, end):
+        """Parse one payload at [pos, end) into a fixed-layout skeleton:
+        (event_name, {attr: (token, rel_value_off, width)},
+        const_rel_positions, const_bytes) with offsets relative to the
+        payload start — or None when the record has variable-width
+        attributes (STRING) and can't template."""
+        import numpy as np
+
+        base = pos
+        nl = buf[pos]
+        name = bytes(buf[pos + 1 : pos + 1 + nl]).decode(self.charset)
+        pos += 1 + nl
+        (nattrs,) = struct.unpack_from(">H", buf, pos)
+        pos += 2
+        attrs = {}
+        value_ranges = []
+        for _ in range(nattrs):
+            kl = buf[pos]
+            key = bytes(buf[pos + 1 : pos + 1 + kl]).decode(self.charset)
+            pos += 1 + kl
+            tok = buf[pos]
+            pos += 1
+            if tok not in self._READ_FIXED:
+                return None  # STRING or unknown → variable layout
+            width, _ = self._READ_FIXED[tok]
+            attrs[key] = (tok, pos - base, width)
+            value_ranges.append((pos - base, width))
+            pos += width
+        if pos != end:
+            return None  # malformed vs declared length
+        length = end - base
+        is_value = np.zeros(length, dtype=bool)
+        for off, w in value_ranges:
+            is_value[off : off + w] = True
+        const_rel = np.nonzero(~is_value)[0]
+        const_bytes = np.frombuffer(
+            bytes(buf[base:end]), dtype=np.uint8
+        )[const_rel]
+        return name, attrs, const_rel, const_bytes
+
+    def _read_v1_vectorized(self, fpath, pvals, pa, arrow_schema):
+        """Whole-file vectorized decode for HOMOGENEOUS v1 journals —
+        every record the same event name and fixed-width attribute
+        layout (what LwesWriter and any single-event-type journaller
+        produce). Validates the uniform layout byte-exactly (template
+        positions compared across ALL records, vectorized), then lifts
+        header fields and attribute values straight out of numpy gather
+        views — no per-record Python. Returns a list of RecordBatches,
+        or None to fall back to the general per-record path (compressed
+        files, multi-event journals, STRING attributes, SenderIP
+        predicates)."""
+        import numpy as np
+
+        if fpath.endswith((".gz", ".bz2")):
+            return None
+        if any(col == c.SENDER_IP for col, _op, _v in self.header_filters):
+            return None  # string compare per record — rare; general path
+        with open(fpath, "rb") as fh:
+            raw = fh.read()
+        buf = np.frombuffer(raw, dtype=np.uint8)
+        n_bytes = len(raw)
+        # boundary walk (sequential by construction; header-only cost)
+        offs_l = []
+        pos = 0
+        while pos + c.HEADER_LENGTH <= n_bytes:
+            ln = (raw[pos] << 8) | raw[pos + 1]
+            nxt = pos + c.HEADER_LENGTH + ln
+            if nxt > n_bytes:
+                if self.strict:
+                    raise c.CodecError("truncated journal payload")
+                pos = n_bytes
+                break
+            offs_l.append(pos)
+            pos = nxt
+        if pos != n_bytes and self.strict:
+            raise c.CodecError("truncated journal header")
+        if not offs_l:
+            return []
+        offs = np.asarray(offs_l, dtype=np.int64)
+        nrec = len(offs)
+        first = offs_l[0]
+        skel_len = (raw[first] << 8) | raw[first + 1]
+        skel = self._skeleton(
+            buf, first + c.HEADER_LENGTH, first + c.HEADER_LENGTH + skel_len
+        )
+        if skel is None:
+            return None
+        name, attr_map, const_rel, const_bytes = skel
+        lens = (
+            buf[offs].astype(np.int64) << 8 | buf[offs + 1].astype(np.int64)
+        )
+        if not (lens == skel_len).all():
+            return None  # mixed layouts → general path
+        pbase = offs + c.HEADER_LENGTH
+        if len(const_rel) and not (
+            buf[pbase[:, None] + const_rel[None, :]] == const_bytes
+        ).all():
+            return None  # same length, different skeleton (multi-event)
+        if self.name_filter is not None and name not in self.name_filter:
+            return []  # homogeneous file, name filtered → nothing
+
+        def gather_int(base, off, width, np_dtype):
+            cols_idx = base[:, None] + (np.arange(width) + off)[None, :]
+            mat = np.ascontiguousarray(buf[cols_idx])
+            # view big-endian wire bytes, convert to native for Arrow
+            return mat.view(np_dtype).ravel().astype(np.dtype(np_dtype[1:]))
+
+        header_vals = {
+            c.RECEIPT_TIME: lambda: gather_int(offs, 2, 8, ">i8"),
+            c.SENDER_PORT: lambda: gather_int(offs, 14, 2, ">u2"),
+            c.SITE_ID: lambda: gather_int(offs, 16, 2, ">u2"),
+        }
+        cache: dict[str, object] = {}
+
+        def hval(colname):
+            if colname not in cache:
+                if colname == c.SENDER_IP:
+                    idx = offs[:, None] + (np.arange(4) + 10)[None, :]
+                    m = buf[idx]
+                    cache[colname] = np.array(
+                        [f"{r[3]}.{r[2]}.{r[1]}.{r[0]}" for r in m],
+                        dtype=object,
+                    )
+                elif colname == EVENT_NAME_COL:
+                    cache[colname] = None  # constant, handled separately
+                else:
+                    cache[colname] = header_vals[colname]().astype(np.int64)
+            return cache[colname]
+
+        # vectorized header-filter mask
+        mask = np.ones(nrec, dtype=bool)
+        for colname, op, want in self.header_filters:
+            if colname == EVENT_NAME_COL:
+                ok = (
+                    (name == want)
+                    if op == "EqualTo"
+                    else (name in want)
+                    if op == "In"
+                    else self._eval_header_filters(
+                        [(colname, op, want)], {colname: name}
+                    )
+                )
+                if not ok:
+                    return []
+                continue
+            v = hval(colname)
+            if op == "EqualTo":
+                mask &= v == want
+            elif op == "GreaterThan":
+                mask &= v > want
+            elif op == "GreaterThanOrEqual":
+                mask &= v >= want
+            elif op == "LessThan":
+                mask &= v < want
+            elif op == "LessThanOrEqual":
+                mask &= v <= want
+            elif op == "In":
+                mask &= np.isin(v, list(want))
+        if not mask.all():
+            offs = offs[mask]
+            pbase = pbase[mask]
+            nrec = int(mask.sum())
+            cache.clear()
+            if nrec == 0:
+                return []
+
+        def attr_values(tok, off, width):
+            if tok == c.BOOLEAN:
+                return buf[pbase + off] != 0
+            if tok == c.IPADDR:
+                idx = pbase[:, None] + (np.arange(4) + off)[None, :]
+                m = buf[idx]
+                return np.array(
+                    [f"{r[3]}.{r[2]}.{r[1]}.{r[0]}" for r in m], dtype=object
+                )
+            _w, np_dtype = self._READ_FIXED[tok]
+            return gather_int(pbase, off, width, np_dtype)
+
+        def to_arrow(vals, dtype, atype):
+            t = type(dtype)
+            if t is TimestampType:
+                us = np.asarray(vals, dtype=np.int64) * 1000
+                return pa.array(us, type=pa.timestamp("us", tz="UTC"))
+            if t in (FloatType, DoubleType):
+                return pa.array(np.asarray(vals, dtype=np.float64)).cast(atype)
+            if t is StringType and vals.dtype == object:
+                return pa.array(vals, type=pa.string())
+            if t is StringType:
+                # numeric wire value into a string column (str bridge)
+                return pa.array([str(int(x)) for x in vals], type=pa.string())
+            # ints / bools / decimal: safe cast errors on overflow, same
+            # as the per-record path's typed pa.array()
+            return pa.array(vals).cast(atype)
+
+        spec_by_col = {s.column: s for s in self.specs}
+        arrays = []
+        for i, f in enumerate(self.schema.fields):
+            atype = arrow_schema.field(i).type
+            if f.name in self.partition_keys:
+                arrays.append(pa.array([pvals.get(f.name)] * nrec, type=atype))
+            elif f.name == EVENT_NAME_COL:
+                arrays.append(pa.array([name] * nrec, type=atype))
+            elif f.name in c.HEADER_FIELD_TYPES:
+                v = hval(f.name)
+                arrays.append(to_arrow(v, f.dataType, atype))
+            else:
+                s = spec_by_col[f.name]
+                ent = (
+                    attr_map.get(s.attr)
+                    if s.event_name is None or s.event_name == name
+                    else None
+                )
+                if ent is None:
+                    arrays.append(pa.nulls(nrec, type=atype))
+                else:
+                    tok, off, width = ent
+                    arrays.append(
+                        to_arrow(attr_values(tok, off, width), f.dataType, atype)
+                    )
+        out = []
+        for lo in range(0, nrec, self.batch_size):
+            hi = min(lo + self.batch_size, nrec)
+            out.append(
+                pa.RecordBatch.from_arrays(
+                    [a.slice(lo, hi - lo) for a in arrays], schema=arrow_schema
+                )
+            )
+        return out
+
     def read(self, partition: LwesFilePartition) -> Iterator:
         import pyarrow as pa
 
@@ -585,12 +827,26 @@ class LwesReader(DataSourceReader):
                 yield from self._read_raw(fpath, start, end, pa, arrow_schema)
             return
 
+        remaining = []
+        for fpath, pvals, start, end in partition.files:
+            fast = None
+            if (
+                start is None
+                and not fpath.endswith(".journal2")
+                and not c.sniff_v2(fpath)
+            ):
+                fast = self._read_v1_vectorized(fpath, pvals or {}, pa, arrow_schema)
+            if fast is None:
+                remaining.append((fpath, pvals, start, end))
+            else:
+                yield from fast
+
         spec_by_col = {s.column: s for s in self.specs}
         cols: list[list] = [[] for _ in fields]
         n = 0
         hf = self.header_filters
         name_filter = self.name_filter
-        for fpath, pvals, start, end in partition.files:
+        for fpath, pvals, start, end in remaining:
             converters = []
             for f in fields:
                 if f.name in self.partition_keys:

@@ -859,3 +859,110 @@ class TestStringWriterFastPath:
         big = spark.createDataFrame([(0, "y" * 70000)], "k long, text string")
         with pytest.raises(Exception, match="64 KiB|frame|payload"):
             self._write(spark, big, str(tmp_path / "big"))
+
+
+class TestVectorizedScan:
+    """The homogeneous-journal vectorized decode must return exactly
+    the per-record path's values, trigger only when the layout is
+    uniform, and honor header filters and strict mode."""
+
+    def _journal(self, tmp_path, n=500, names=("S::E",), with_string=False):
+        p = str(tmp_path / "a.journal")
+        evs = []
+        for i in range(n):
+            ev = c.Event(names[i % len(names)])
+            ev.set("k", c.INT64, i)
+            ev.set("flag", c.BOOLEAN, i % 2 == 0)
+            ev.set("ip", c.IPADDR, f"10.0.{i % 256}.{(i * 7) % 256}")
+            if with_string:
+                ev.set("s", c.STRING, f"v{i}")
+            ev.set(c.RECEIPT_TIME, c.INT64, 1723500000000 + i)
+            ev.set(c.SITE_ID, c.UINT16, i % 5)
+            evs.append(ev)
+        c.write_journal_file(p, evs)
+        return p
+
+    def _collect(self, reader):
+        import pyarrow as pa
+
+        batches = []
+        for part in reader.partitions():
+            batches.extend(reader.read(part))
+        return pa.Table.from_batches(batches).sort_by("k") if batches else None
+
+    def _readers(self, tmp_path, schema_ddl, **opts):
+        from pyspark.sql.types import StructType
+
+        from lwes_contrib_hive_serde_spark.sources.datasource import LwesReader
+
+        schema = StructType.fromDDL(schema_ddl)
+        base = {"path": str(tmp_path), "eventname": "S::E", **opts}
+        fast = LwesReader(schema, dict(base))
+        slow = LwesReader(schema, dict(base))
+        slow._read_v1_vectorized = lambda *a, **k: None  # force general path
+        return fast, slow
+
+    def test_fast_equals_slow_with_headers_and_ip(self, spark, tmp_path):
+        self._journal(tmp_path)
+        fast, slow = self._readers(
+            tmp_path, "k long, flag boolean, ip string, ReceiptTime long, SiteID int"
+        )
+        tf, ts = self._collect(fast), self._collect(slow)
+        assert tf.equals(ts)
+        assert tf.num_rows == 500
+        assert tf.column("ip")[3].as_py() == "10.0.3.21"
+
+    def test_fast_path_triggers_on_homogeneous_only(self, spark, tmp_path):
+        import pyarrow as pa
+
+        self._journal(tmp_path)
+        fast, _ = self._readers(tmp_path, "k long")
+        sch = pa.schema([("k", pa.int64())])
+        assert fast._read_v1_vectorized(
+            str(tmp_path / "a.journal"), {}, pa, sch
+        ), "homogeneous int journal must take the vectorized path"
+
+    def test_string_and_multievent_fall_back(self, spark, tmp_path):
+        import pyarrow as pa
+
+        p1 = self._journal(tmp_path, with_string=True)
+        fast, _ = self._readers(tmp_path, "k long")
+        sch = pa.schema([("k", pa.int64())])
+        assert fast._read_v1_vectorized(p1, {}, pa, sch) is None
+        p2 = self._journal(tmp_path, names=("S::E", "T::E"))
+        fast2, _ = self._readers(tmp_path, "k long")
+        assert fast2._read_v1_vectorized(p2, {}, pa, sch) is None
+
+    def test_header_filters_match_slow_path(self, spark, tmp_path):
+        self._journal(tmp_path)
+        df = (
+            spark.read.format("lwes")
+            .schema("k long, ReceiptTime long, SiteID int")
+            .option("eventName", "S::E")
+            .load(str(tmp_path))
+        )
+        got = (
+            df.filter("SiteID = 2 and ReceiptTime >= 1723500000100")
+            .selectExpr("count(*) c", "min(k) mn", "max(k) mx")
+            .first()
+        )
+        # oracle: k % 5 == 2 and k >= 100
+        ks = [i for i in range(500) if i % 5 == 2 and i >= 100]
+        assert (got.c, got.mn, got.mx) == (len(ks), min(ks), max(ks))
+
+    def test_strict_truncation_raises_like_slow_path(self, spark, tmp_path):
+        p = self._journal(tmp_path)
+        raw = open(p, "rb").read()
+        open(p, "wb").write(raw[:-5])
+        from lwes_contrib_hive_serde_spark.sources.datasource import LwesReader
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromDDL("k long")
+        tol = LwesReader(schema, {"path": str(tmp_path), "eventname": "S::E"})
+        t = self._collect(tol)
+        assert t.num_rows == 499  # torn tail quietly dropped
+        strict = LwesReader(
+            schema, {"path": str(tmp_path), "eventname": "S::E", "strict": "true"}
+        )
+        with pytest.raises(c.CodecError):
+            self._collect(strict)
