@@ -586,57 +586,56 @@ class LwesReader(DataSourceReader):
         c.IPADDR: (4, None),
     }
 
-    def _skeleton(self, buf, pos, end):
-        """Parse one payload at [pos, end) into a fixed-layout skeleton:
-        (event_name, {attr: (token, rel_value_off, width)},
-        const_rel_positions, const_bytes) with offsets relative to the
-        payload start — or None when the record has variable-width
-        attributes (STRING) and can't template."""
-        import numpy as np
-
-        base = pos
+    def _layout(self, buf, pos, end):
+        """Parse one payload at [pos, end) into an attribute layout:
+        ``(event_name, [(key, keyblock_bytes, token, width_or_None)])``
+        in wire order — width None marks a STRING (variable). None when
+        the record is malformed vs its declared length."""
         nl = buf[pos]
         name = bytes(buf[pos + 1 : pos + 1 + nl]).decode(self.charset)
         pos += 1 + nl
         (nattrs,) = struct.unpack_from(">H", buf, pos)
         pos += 2
-        attrs = {}
-        value_ranges = []
+        pieces = []
         for _ in range(nattrs):
+            if pos >= end:
+                return None
             kl = buf[pos]
-            key = bytes(buf[pos + 1 : pos + 1 + kl]).decode(self.charset)
-            pos += 1 + kl
-            tok = buf[pos]
-            pos += 1
-            if tok not in self._READ_FIXED:
-                return None  # STRING or unknown → variable layout
-            width, _ = self._READ_FIXED[tok]
-            attrs[key] = (tok, pos - base, width)
-            value_ranges.append((pos - base, width))
-            pos += width
+            key_b = bytes(buf[pos + 1 : pos + 1 + kl])
+            key = key_b.decode(self.charset)
+            tok = buf[pos + 1 + kl]
+            block = bytes([kl]) + key_b + bytes([tok])
+            pos += len(block)
+            if tok == c.STRING:
+                if pos + 2 > end:
+                    return None
+                (sl,) = struct.unpack_from(">H", buf, pos)
+                pos += 2 + sl
+                pieces.append((key, block, tok, None))
+            elif tok in self._READ_FIXED:
+                width, _ = self._READ_FIXED[tok]
+                pos += width
+                pieces.append((key, block, tok, width))
+            else:
+                return None
         if pos != end:
-            return None  # malformed vs declared length
-        length = end - base
-        is_value = np.zeros(length, dtype=bool)
-        for off, w in value_ranges:
-            is_value[off : off + w] = True
-        const_rel = np.nonzero(~is_value)[0]
-        const_bytes = np.frombuffer(
-            bytes(buf[base:end]), dtype=np.uint8
-        )[const_rel]
-        return name, attrs, const_rel, const_bytes
+            return None
+        return name, pieces
 
     def _read_v1_vectorized(self, fpath, pvals, pa, arrow_schema):
         """Whole-file vectorized decode for HOMOGENEOUS v1 journals —
-        every record the same event name and fixed-width attribute
-        layout (what LwesWriter and any single-event-type journaller
-        produce). Validates the uniform layout byte-exactly (template
-        positions compared across ALL records, vectorized), then lifts
-        header fields and attribute values straight out of numpy gather
-        views — no per-record Python. Returns a list of RecordBatches,
-        or None to fall back to the general per-record path (compressed
-        files, multi-event journals, STRING attributes, SenderIP
-        predicates)."""
+        every record the same event name and attribute sequence (what
+        LwesWriter and any single-event-type journaller produce).
+        Validates the shared name/key/token skeleton byte-exactly
+        across ALL records via gathered compares while a per-record
+        cursor walks the values (string lengths shift it per record;
+        ``cursor == record end`` at the close is the exact structural
+        check), then lifts header fields, fixed-width values, and
+        ragged string payloads straight out of numpy gathers — no
+        per-record Python. Returns a list of RecordBatches, or None to
+        fall back to the general per-record path (compressed files,
+        multi-event journals, non-utf-8 charsets, SenderIP predicates,
+        exotic wire→column type bridges)."""
         import numpy as np
 
         if fpath.endswith((".gz", ".bz2")):
@@ -650,15 +649,16 @@ class LwesReader(DataSourceReader):
         # boundary walk (sequential by construction; header-only cost)
         offs_l = []
         pos = 0
-        while pos + c.HEADER_LENGTH <= n_bytes:
-            ln = (raw[pos] << 8) | raw[pos + 1]
-            nxt = pos + c.HEADER_LENGTH + ln
+        hl = c.HEADER_LENGTH
+        append = offs_l.append
+        while pos + hl <= n_bytes:
+            nxt = pos + hl + ((raw[pos] << 8) | raw[pos + 1])
             if nxt > n_bytes:
                 if self.strict:
                     raise c.CodecError("truncated journal payload")
                 pos = n_bytes
                 break
-            offs_l.append(pos)
+            append(pos)
             pos = nxt
         if pos != n_bytes and self.strict:
             raise c.CodecError("truncated journal header")
@@ -668,22 +668,62 @@ class LwesReader(DataSourceReader):
         nrec = len(offs)
         first = offs_l[0]
         skel_len = (raw[first] << 8) | raw[first + 1]
-        skel = self._skeleton(
+        skel = self._layout(
             buf, first + c.HEADER_LENGTH, first + c.HEADER_LENGTH + skel_len
         )
         if skel is None:
             return None
-        name, attr_map, const_rel, const_bytes = skel
+        name, pieces = skel
+        has_strings = any(w is None for _k, _b, _t, w in pieces)
+        if has_strings and self.charset != "utf-8":
+            return None  # Arrow string assembly is utf-8 only
         lens = (
             buf[offs].astype(np.int64) << 8 | buf[offs + 1].astype(np.int64)
         )
-        if not (lens == skel_len).all():
-            return None  # mixed layouts → general path
         pbase = offs + c.HEADER_LENGTH
-        if len(const_rel) and not (
-            buf[pbase[:, None] + const_rel[None, :]] == const_bytes
-        ).all():
-            return None  # same length, different skeleton (multi-event)
+        pend = pbase + lens
+        # piecewise walk over ALL records at once: validate the shared
+        # name/key/token skeleton by gathered compare, advance a
+        # per-record cursor through values (string lengths shift the
+        # cursor per record); `cur == record end` at the close is the
+        # exact structural check
+        name_block = (
+            bytes([len(name.encode(self.charset))])
+            + name.encode(self.charset)
+            + struct.pack(">H", len(pieces))
+        )
+        nb = np.frombuffer(name_block, dtype=np.uint8)
+        if lens.min() < len(name_block):
+            return None
+        if not (buf[pbase[:, None] + np.arange(len(nb))[None, :]] == nb).all():
+            return None  # different event name / attr count somewhere
+        cur = pbase + len(nb)
+        attr_fixed: dict[str, tuple] = {}  # key -> (tok, offsets, width)
+        attr_str: dict[str, tuple] = {}  # key -> (starts, lens)
+        try:
+            for key, block, tok, width in pieces:
+                kb = np.frombuffer(block, dtype=np.uint8)
+                idx = cur[:, None] + np.arange(len(kb))[None, :]
+                if idx.max() >= n_bytes or not (buf[idx] == kb).all():
+                    return None
+                cur = cur + len(kb)
+                if width is None:
+                    if (cur + 2 > pend).any():
+                        return None
+                    sl = (
+                        buf[cur].astype(np.int64) << 8
+                        | buf[cur + 1].astype(np.int64)
+                    )
+                    starts = cur + 2
+                    attr_str[key] = (starts, sl)
+                    cur = starts + sl
+                else:
+                    attr_fixed[key] = (tok, cur.copy(), width)
+                    cur = cur + width
+        except IndexError:
+            return None
+        if not (cur == pend).all():
+            return None  # some record deviates from the layout
         if self.name_filter is not None and name not in self.name_filter:
             return []  # homogeneous file, name filtered → nothing
 
@@ -749,20 +789,51 @@ class LwesReader(DataSourceReader):
             pbase = pbase[mask]
             nrec = int(mask.sum())
             cache.clear()
+            for key, (tok, o, w) in attr_fixed.items():
+                attr_fixed[key] = (tok, o[mask], w)
+            for key, (s_, l_) in attr_str.items():
+                attr_str[key] = (s_[mask], l_[mask])
             if nrec == 0:
                 return []
 
-        def attr_values(tok, off, width):
+        def string_array(starts, sl):
+            """Ragged gather → Arrow StringArray: one index vector
+            built by repeat+cumsum, one fancy gather, zero per-row
+            Python. full-validate raises on invalid UTF-8 exactly
+            where the per-record path's strict decode would."""
+            cum = np.concatenate(([0], np.cumsum(sl)))
+            if cum[-1] > 0x7FFFFFFF:
+                return None
+            total = int(cum[-1])
+            if total:
+                # fused ragged gather: idx[j] = (start_i - out_off_i) + j
+                # — one int32 repeat + one in-place arange add (files
+                # are roll-bounded, so int32 indexing always fits)
+                base = (starts - cum[:-1]).astype(np.int32)
+                idx = np.repeat(base, sl)
+                idx += np.arange(total, dtype=np.int32)
+                data = buf[idx].tobytes()
+            else:
+                data = b""
+            arr = pa.StringArray.from_buffers(
+                len(sl),
+                pa.py_buffer(cum.astype(np.int32).tobytes()),
+                pa.py_buffer(data),
+            )
+            arr.validate(full=True)
+            return arr
+
+        def fixed_values(key):
+            tok, offsets, width = attr_fixed[key]
             if tok == c.BOOLEAN:
-                return buf[pbase + off] != 0
+                return buf[offsets] != 0
             if tok == c.IPADDR:
-                idx = pbase[:, None] + (np.arange(4) + off)[None, :]
-                m = buf[idx]
+                m = buf[offsets[:, None] + np.arange(4)[None, :]]
                 return np.array(
                     [f"{r[3]}.{r[2]}.{r[1]}.{r[0]}" for r in m], dtype=object
                 )
             _w, np_dtype = self._READ_FIXED[tok]
-            return gather_int(pbase, off, width, np_dtype)
+            return gather_int(offsets, 0, width, np_dtype)
 
         def to_arrow(vals, dtype, atype):
             t = type(dtype)
@@ -784,27 +855,36 @@ class LwesReader(DataSourceReader):
         arrays = []
         for i, f in enumerate(self.schema.fields):
             atype = arrow_schema.field(i).type
+            t = type(f.dataType)
             if f.name in self.partition_keys:
                 arrays.append(pa.array([pvals.get(f.name)] * nrec, type=atype))
             elif f.name == EVENT_NAME_COL:
                 arrays.append(pa.array([name] * nrec, type=atype))
             elif f.name in c.HEADER_FIELD_TYPES:
-                v = hval(f.name)
-                arrays.append(to_arrow(v, f.dataType, atype))
+                arrays.append(to_arrow(hval(f.name), f.dataType, atype))
             else:
                 s = spec_by_col[f.name]
-                ent = (
-                    attr_map.get(s.attr)
-                    if s.event_name is None or s.event_name == name
-                    else None
-                )
-                if ent is None:
-                    arrays.append(pa.nulls(nrec, type=atype))
+                wanted = s.event_name is None or s.event_name == name
+                if wanted and s.attr in attr_str:
+                    # STRING wire → only string / float-bridge targets
+                    # are vectorizable with the slow path's semantics
+                    starts, sl = attr_str[s.attr]
+                    if t is StringType:
+                        sa = string_array(starts, sl)
+                        if sa is None:
+                            return None
+                        arrays.append(sa)
+                    elif t in (FloatType, DoubleType):
+                        sa = string_array(starts, sl)
+                        if sa is None:
+                            return None
+                        arrays.append(sa.cast(pa.float64()).cast(atype))
+                    else:
+                        return None
+                elif wanted and s.attr in attr_fixed:
+                    arrays.append(to_arrow(fixed_values(s.attr), f.dataType, atype))
                 else:
-                    tok, off, width = ent
-                    arrays.append(
-                        to_arrow(attr_values(tok, off, width), f.dataType, atype)
-                    )
+                    arrays.append(pa.nulls(nrec, type=atype))
         out = []
         for lo in range(0, nrec, self.batch_size):
             hi = min(lo + self.batch_size, nrec)

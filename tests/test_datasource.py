@@ -922,16 +922,22 @@ class TestVectorizedScan:
             str(tmp_path / "a.journal"), {}, pa, sch
         ), "homogeneous int journal must take the vectorized path"
 
-    def test_string_and_multievent_fall_back(self, spark, tmp_path):
+    def test_string_journals_vectorize_multievent_falls_back(self, spark, tmp_path):
         import pyarrow as pa
 
         p1 = self._journal(tmp_path, with_string=True)
-        fast, _ = self._readers(tmp_path, "k long")
-        sch = pa.schema([("k", pa.int64())])
-        assert fast._read_v1_vectorized(p1, {}, pa, sch) is None
+        fast, slow = self._readers(tmp_path, "k long, s string")
+        sch = pa.schema([("k", pa.int64()), ("s", pa.string())])
+        got = fast._read_v1_vectorized(p1, {}, pa, sch)
+        assert got, "uniform string journal must take the vectorized path"
+        # and values match the per-record path exactly
+        tf, ts = self._collect(fast), self._collect(slow)
+        assert tf.equals(ts)
+        assert tf.column("s")[7].as_py() == "v7"
         p2 = self._journal(tmp_path, names=("S::E", "T::E"))
         fast2, _ = self._readers(tmp_path, "k long")
-        assert fast2._read_v1_vectorized(p2, {}, pa, sch) is None
+        sch2 = pa.schema([("k", pa.int64())])
+        assert fast2._read_v1_vectorized(p2, {}, pa, sch2) is None
 
     def test_header_filters_match_slow_path(self, spark, tmp_path):
         self._journal(tmp_path)
