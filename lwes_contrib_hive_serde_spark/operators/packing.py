@@ -1,0 +1,73 @@
+"""Sequence packing for training-data pipelines (SURVEY §2c extension
+surface): assign documents to fixed-token-budget bins ("context
+windows") ahead of tokenization-time concatenation.
+
+``pack_sequences`` uses running-cumsum virtual bins: documents are
+laid out in a deterministic order and bin i covers token offsets
+[i*budget, (i+1)*budget). This is the streaming-friendly packing most
+large pipelines use (vs NP-hard bin packing): single window cumsum,
+fully SQL-expressible (= oracle-checkable), deterministic, and
+independent of partitioning. Documents longer than the budget get a
+bin of their own (flagged), mirroring the usual truncate-or-isolate
+policy downstream.
+
+Scale notes: ONE global window cumsum is a single-partition
+bottleneck at 100 TB — so the cumsum is computed per ``shard_col``
+(default: none → global, fine to ~100M docs; pass a shard key, e.g.
+crc32(doc_id) % 1024, to parallelize; bins are then (shard, bin_id)
+pairs, which is what a sharded training loader consumes anyway).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_col: str = None,
+    shard_col: str = None,
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """Adds ``bin_id`` (and ``bin_offset``, ``overflow``): the virtual
+    token-budget bin each document lands in when concatenated in
+    ``order_col`` order.
+
+    bin_id = floor(exclusive-cumsum(tokens) / budget); a document
+    "overflows" when it crosses a bin boundary (consumers either
+    truncate it or give it a fresh window — both need the flag)."""
+    order_col = order_col or token_col
+    if shard_col is None:
+        w = Window.orderBy(F.col(order_col)).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+    else:
+        w = (
+            Window.partitionBy(shard_col)
+            .orderBy(F.col(order_col))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+    start = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0))
+    return (
+        df.withColumn("__start", start)
+        .withColumn(bin_col, (F.col("__start") / F.lit(budget)).cast("bigint"))
+        .withColumn("bin_offset", F.col("__start") % F.lit(budget))
+        .withColumn(
+            "overflow",
+            (F.col("bin_offset") + F.col(token_col)) > F.lit(budget),
+        )
+        .drop("__start")
+    )
+
+
+def bin_stats(packed: DataFrame, token_col: str, bin_col: str = "bin_id") -> DataFrame:
+    """Per-bin fill statistics (docs, tokens, waste vs budget) — the
+    packing-efficiency report a data team actually reads."""
+    return packed.groupBy(bin_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_col).cast("bigint").alias("n_tokens"),
+        F.sum(F.col("overflow").cast("int")).cast("bigint").alias("n_overflow"),
+    )

@@ -1,0 +1,118 @@
+"""Deterministic sampling & dataset-mixing operators for training-data
+curation (SURVEY §2c extension surface).
+
+Every operator here is HASH-deterministic, not RNG-based: the sample a
+row belongs to is a pure function of (seed, key), so results are
+reproducible across engines, runs, cluster sizes, and partitionings —
+the property a 100 TB curation pipeline actually needs (re-running a
+failed stage must not resample), and the property that makes every
+operator DuckDB-oracle-checkable (md5 is bit-identical everywhere,
+unlike any RNG or xxhash variant).
+
+Operators:
+  * ``hash_uniform``     — md5-derived U[0,1) per (seed, key)
+  * ``bernoulli_sample`` — keep rows where hash_uniform < rate
+  * ``stratified_sample``— deterministic top-n per stratum (md5 rank)
+  * ``weighted_mixture`` — per-source keep rates (dataset mixing /
+                           up-down-sampling to target weights)
+  * ``split_train_eval`` — stable train/val/test assignment
+
+Scale notes: all operators are pure JVM expressions over a single
+scan; ``stratified_sample`` adds one shuffle (window per stratum) and
+should broadcast nothing. No RNG state, no driver involvement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 2^64 as a double — md5's first 16 hex chars mapped to U[0,1)
+_TWO64 = float(1 << 64)
+
+
+def _key_col(key):
+    return F.col(key) if isinstance(key, str) else key
+
+
+def hash_uniform(key, seed: str = "lwespark") -> F.Column:
+    """Deterministic U[0,1) from (seed, key): the first 16 hex chars of
+    md5 as a uint64 fraction. Pure JVM (md5/conv are built-ins), and
+    reproducible in any engine with md5 — the DuckDB oracle mirrors it
+    verbatim."""
+    h = F.md5(F.concat(F.lit(seed), F.lit(":"), _key_col(key).cast("string")))
+    # conv() returns the value as an UNSIGNED decimal string; cast via
+    # DECIMAL(38,0) so values >= 2^63 don't overflow the bigint cast
+    frac = F.conv(F.substring(h, 1, 16), 16, 10).cast("decimal(38,0)")
+    return frac.cast("double") / F.lit(_TWO64)
+
+
+def bernoulli_sample(
+    df: DataFrame, key, rate: float, seed: str = "lwespark"
+) -> DataFrame:
+    """Keep each row iff hash_uniform(seed, key) < rate. Exactly
+    reproducible; disjoint seeds give independent samples."""
+    return df.filter(hash_uniform(key, seed) < F.lit(float(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key: str = None,
+    seed: str = "lwespark",
+) -> DataFrame:
+    """Deterministic n-per-group sample: rank rows inside each stratum
+    by (md5 hash, key) and keep the first n. One shuffle (the window);
+    the hash order is uniform, so this is an unbiased without-
+    replacement sample per stratum."""
+    key = key or strata_col
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.concat(F.lit(seed), F.lit(":"), _key_col(key).cast("string"))),
+        _key_col(key),
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )
+
+
+def weighted_mixture(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    key: str = None,
+    seed: str = "lwespark",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Dataset mixing: per-source keep probabilities (e.g. downsample
+    web text to 30%, keep all code). Rows whose source is absent from
+    ``weights`` keep with ``default_rate``. Hash-deterministic, single
+    scan, no shuffle."""
+    key = key or source_col
+    rate = F.lit(float(default_rate))
+    for src, wgt in sorted(weights.items()):
+        rate = F.when(F.col(source_col) == src, F.lit(float(wgt))).otherwise(rate)
+    return df.filter(hash_uniform(key, seed) < rate)
+
+
+def split_train_eval(
+    df: DataFrame,
+    key,
+    fractions: dict[str, float],
+    seed: str = "lwespark",
+    out_col: str = "split",
+) -> DataFrame:
+    """Stable split assignment (train/val/test): the U[0,1) hash falls
+    into cumulative fraction buckets. A document keeps its split across
+    reruns and table growth — no leakage from resampling."""
+    u = hash_uniform(key, seed)
+    expr = None
+    cum = 0.0
+    items = sorted(fractions.items())
+    for name, frac in items:
+        cum += float(frac)
+        cond = u < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn(out_col, expr.otherwise(F.lit(items[-1][0])))

@@ -1,0 +1,191 @@
+"""Deterministic sampling / mixing / packing operators vs DuckDB
+oracles — the same cross-engine rigor as the driver's gate, run in
+pytest because the driver's registry window is curated to 50 entries.
+
+hash_uniform's md5-fraction is mirrored verbatim in DuckDB SQL
+(('0x' || substr(md5(k),1,16))::UINT64 / 2^64), so every sample
+membership decision is compared bit-for-bit across engines.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from lwes_contrib_hive_serde_spark.operators import packing, sampling
+
+SF = "/root/testdata/sf0.01"
+DOCS = f"{SF}/documents.parquet"
+
+_DUCK_U = (
+    "(('0x' || substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)),1,16))::UINT64)"
+    "::DOUBLE / 18446744073709551616.0"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS)
+
+
+class TestHashSampling:
+    def test_hash_uniform_matches_duckdb_bitwise(self, docs):
+        got = {
+            r.doc_id: r.u
+            for r in docs.select(
+                "doc_id", sampling.hash_uniform("doc_id", "s1").alias("u")
+            )
+            .limit(2000)
+            .collect()
+        }
+        dq = duckdb.sql(
+            f"SELECT doc_id, {_DUCK_U.format(seed='s1')} AS u FROM '{DOCS}'"
+        ).fetchall()
+        checked = 0
+        for doc_id, u in dq:
+            if doc_id in got:
+                assert got[doc_id] == u, doc_id  # bit-identical doubles
+                checked += 1
+        assert checked == len(got) and checked >= 400  # sf0.01: 500 docs
+
+    def test_bernoulli_sample_matches_oracle(self, docs):
+        got = sorted(
+            r.doc_id
+            for r in sampling.bernoulli_sample(docs, "doc_id", 0.25, "s2")
+            .select("doc_id")
+            .collect()
+        )
+        want = sorted(
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT doc_id FROM '{DOCS}' WHERE {_DUCK_U.format(seed='s2')} < 0.25"
+            ).fetchall()
+        )
+        assert got == want
+        # rate sanity: a 25% hash sample of n docs lands near 25%
+        n = docs.count()
+        assert abs(len(got) / n - 0.25) < 0.05
+
+    def test_stratified_sample_matches_oracle(self, docs):
+        got = sorted(
+            (r.lang, r.doc_id)
+            for r in sampling.stratified_sample(docs, "lang", 7, key="doc_id", seed="s3")
+            .select("lang", "doc_id")
+            .collect()
+        )
+        want = sorted(
+            (lang, d)
+            for lang, d in duckdb.sql(
+                f"""
+                SELECT lang, doc_id FROM (
+                  SELECT lang, doc_id, ROW_NUMBER() OVER (
+                    PARTITION BY lang
+                    ORDER BY md5('s3:' || CAST(doc_id AS VARCHAR)), doc_id
+                  ) AS rk FROM '{DOCS}'
+                ) WHERE rk <= 7
+                """
+            ).fetchall()
+        )
+        assert got == want
+        langs = {l for l, _ in got}
+        assert all(sum(1 for x in got if x[0] == l) == 7 for l in langs)
+
+    def test_weighted_mixture_matches_oracle(self, docs):
+        weights = {"en": 0.5, "de": 0.1}
+        got = sorted(
+            r.doc_id
+            for r in sampling.weighted_mixture(
+                docs, "lang", weights, key="doc_id", seed="s4", default_rate=1.0
+            )
+            .select("doc_id")
+            .collect()
+        )
+        want = sorted(
+            r[0]
+            for r in duckdb.sql(
+                f"""
+                SELECT doc_id FROM '{DOCS}'
+                WHERE {_DUCK_U.format(seed='s4')} <
+                  CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.1 ELSE 1.0 END
+                """
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_split_assignment_stable_and_complete(self, docs):
+        out = sampling.split_train_eval(
+            docs, "doc_id", {"a_train": 0.8, "b_val": 0.1, "c_test": 0.1}, seed="s5"
+        )
+        counts = {r.split: r.c for r in out.groupBy("split").agg(F.count("*").alias("c")).collect()}
+        n = docs.count()
+        assert sum(counts.values()) == n  # total partition of the table
+        assert abs(counts["a_train"] / n - 0.8) < 0.05
+        # stability: same seed, same assignment (no RNG)
+        again = {
+            r.doc_id: r.split
+            for r in sampling.split_train_eval(
+                docs, "doc_id", {"a_train": 0.8, "b_val": 0.1, "c_test": 0.1}, seed="s5"
+            ).select("doc_id", "split").limit(500).collect()
+        }
+        first = {
+            r.doc_id: r.split
+            for r in out.select("doc_id", "split").limit(500).collect()
+        }
+        assert again == first
+
+
+class TestPacking:
+    def test_pack_sequences_matches_oracle(self, spark, docs):
+        toks = docs.select(
+            "doc_id",
+            F.greatest(F.floor(F.col("n_chars") / 4), F.lit(1)).cast("bigint").alias("toks"),
+        )
+        packed = packing.pack_sequences(toks, "toks", budget=512, order_col="doc_id")
+        got = sorted(
+            (r.doc_id, r.bin_id, r.bin_offset, r.overflow)
+            for r in packed.collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in duckdb.sql(
+                f"""
+                WITH t AS (
+                  SELECT doc_id,
+                         CAST(greatest(floor(n_chars / 4), 1) AS BIGINT) AS toks
+                  FROM '{DOCS}'
+                ), c AS (
+                  SELECT doc_id, toks, COALESCE(SUM(toks) OVER (
+                    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), 0) AS s FROM t
+                )
+                SELECT doc_id, CAST(s // 512 AS BIGINT) AS bin_id,
+                       CAST(s % 512 AS BIGINT) AS bin_offset,
+                       (s % 512 + toks) > 512 AS overflow
+                FROM c
+                """
+            ).fetchall()
+        )
+        assert got == want
+        # every bin except possibly the last is filled past nothing:
+        # bin ids are contiguous from 0
+        bins = sorted({b for _d, b, _o, _f in got})
+        assert bins[0] == 0 and bins == list(range(len(bins)))
+
+    def test_sharded_packing_parallelizes(self, spark, docs):
+        toks = docs.select(
+            "doc_id",
+            (F.crc32(F.col("doc_id").cast("string")) % 8).alias("shard"),
+            F.greatest(F.col("n_chars") / 4, F.lit(1)).cast("bigint").alias("toks"),
+        )
+        packed = packing.pack_sequences(
+            toks, "toks", budget=512, order_col="doc_id", shard_col="shard"
+        )
+        rows = packed.collect()
+        # per-shard bins each start at 0 (independent cumsums)
+        shards = {r.shard for r in rows}
+        assert len(shards) == 8
+        for s in shards:
+            assert min(r.bin_id for r in rows if r.shard == s) == 0
+        stats = packing.bin_stats(packed.filter("shard = 0"), "toks").collect()
+        assert all(st.n_docs >= 1 for st in stats)
