@@ -636,14 +636,31 @@ class LwesReader(DataSourceReader):
         fall back to the general per-record path (compressed files,
         multi-event journals, non-utf-8 charsets, SenderIP predicates,
         exotic wire→column type bridges)."""
-        import numpy as np
-
         if fpath.endswith((".gz", ".bz2")):
             return None
-        if any(col == c.SENDER_IP for col, _op, _v in self.header_filters):
-            return None  # string compare per record — rare; general path
         with open(fpath, "rb") as fh:
             raw = fh.read()
+        return self._vectorized_decode(raw, pvals, pa, arrow_schema, torn_ok=True)
+
+    def _read_v2_vectorized(self, fpath, start, end, pvals, pa, arrow_schema):
+        """v2 variant: decompress the range's blocks (framing inside a
+        block is identical to v1), concatenate, and run the same
+        vectorized decode over the combined buffer."""
+        with open(fpath, "rb") as f:
+            blocks = list(
+                c.read_journal_v2_blocks(f, start or 0, end, self.strict)
+            )
+        if not blocks:
+            return []
+        return self._vectorized_decode(
+            b"".join(blocks), pvals, pa, arrow_schema, torn_ok=False
+        )
+
+    def _vectorized_decode(self, raw, pvals, pa, arrow_schema, torn_ok):
+        import numpy as np
+
+        if any(col == c.SENDER_IP for col, _op, _v in self.header_filters):
+            return None  # string compare per record — rare; general path
         buf = np.frombuffer(raw, dtype=np.uint8)
         n_bytes = len(raw)
         # boundary walk (sequential by construction; header-only cost)
@@ -654,13 +671,13 @@ class LwesReader(DataSourceReader):
         while pos + hl <= n_bytes:
             nxt = pos + hl + ((raw[pos] << 8) | raw[pos + 1])
             if nxt > n_bytes:
-                if self.strict:
+                if self.strict or not torn_ok:
                     raise c.CodecError("truncated journal payload")
                 pos = n_bytes
                 break
             append(pos)
             pos = nxt
-        if pos != n_bytes and self.strict:
+        if pos != n_bytes and (self.strict or not torn_ok):
             raise c.CodecError("truncated journal header")
         if not offs_l:
             return []
@@ -909,12 +926,15 @@ class LwesReader(DataSourceReader):
 
         remaining = []
         for fpath, pvals, start, end in partition.files:
-            fast = None
             if (
-                start is None
-                and not fpath.endswith(".journal2")
-                and not c.sniff_v2(fpath)
+                start is not None
+                or fpath.endswith(".journal2")
+                or c.sniff_v2(fpath)
             ):
+                fast = self._read_v2_vectorized(
+                    fpath, start, end, pvals or {}, pa, arrow_schema
+                )
+            else:
                 fast = self._read_v1_vectorized(fpath, pvals or {}, pa, arrow_schema)
             if fast is None:
                 remaining.append((fpath, pvals, start, end))
