@@ -1,0 +1,130 @@
+"""Property-based equivalence for the vectorized writer/reader paths.
+
+The fast paths promise BYTE-identical files (writer) and TABLE-equal
+results (reader) vs the per-record reference implementations, with
+automatic fallback whenever a batch/file is ineligible. Hypothesis
+drives random schemas, values (extremes, unicode, empties), null
+patterns, and roll sizes through both implementations directly at the
+Arrow level — no Spark session, so hundreds of examples run in
+seconds.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from lwes_contrib_hive_serde_spark.sources.datasource import LwesReader, LwesWriter
+
+_FIELD_KINDS = {
+    "long": (LongType(), pa.int64(), st.integers(-(1 << 63), (1 << 63) - 1)),
+    "int": (IntegerType(), pa.int32(), st.integers(-(1 << 31), (1 << 31) - 1)),
+    "short": (ShortType(), pa.int16(), st.integers(-(1 << 15), (1 << 15) - 1)),
+    "bool": (BooleanType(), pa.bool_(), st.booleans()),
+    "string": (
+        StringType(),
+        pa.string(),
+        st.text(max_size=40),  # includes unicode + empty
+    ),
+}
+
+
+@st.composite
+def dataset(draw):
+    kinds = draw(
+        st.lists(st.sampled_from(sorted(_FIELD_KINDS)), min_size=1, max_size=5)
+    )
+    nrows = draw(st.integers(0, 60))
+    with_nulls = draw(st.booleans())
+    cols = {}
+    fields = []
+    pa_fields = []
+    for i, kind in enumerate(kinds):
+        dtype, patype, vals = _FIELD_KINDS[kind]
+        name = f"c{i}_{kind}"
+        fields.append(StructField(name, dtype))
+        pa_fields.append((name, patype))
+        elem = st.none() | vals if with_nulls else vals
+        cols[name] = draw(
+            st.lists(elem, min_size=nrows, max_size=nrows)
+        )
+    roll = draw(st.sampled_from([256, 4096, 1 << 20]))
+    return fields, pa_fields, cols, nrows, roll
+
+
+def _write(schema, batch, out, fastpath):
+    w = LwesWriter(
+        schema,
+        {"path": out, "eventname": "P::E", "fastpath": fastpath, "rollbytes": str(256)},
+        True,
+    )
+    w.write(iter([batch]))
+    return sorted(
+        open(os.path.join(out, f), "rb").read()
+        for f in os.listdir(out)
+        if not f.startswith("_")
+    )
+
+
+@settings(max_examples=120, deadline=None)
+@given(dataset())
+def test_writer_fast_paths_byte_identical(ds):
+    fields, pa_fields, cols, nrows, roll = ds
+    schema = StructType(fields)
+    batch = pa.record_batch(
+        {n: pa.array(cols[n], type=t) for n, t in pa_fields}
+    )
+    with tempfile.TemporaryDirectory() as d1, tempfile.TemporaryDirectory() as d2:
+        fast = _write(schema, batch, d1, "auto")
+        slow = _write(schema, batch, d2, "off")
+        assert fast == slow
+
+
+@settings(max_examples=60, deadline=None)
+@given(dataset())
+def test_reader_vectorized_equals_per_record(ds):
+    fields, pa_fields, cols, nrows, roll = ds
+    schema = StructType(fields)
+    batch = pa.record_batch(
+        {n: pa.array(cols[n], type=t) for n, t in pa_fields}
+    )
+    with tempfile.TemporaryDirectory() as d:
+        LwesWriter(schema, {"path": d, "eventname": "P::E"}, True).write(
+            iter([batch])
+        )
+
+        def collect(force_slow):
+            r = LwesReader(schema, {"path": d, "eventname": "P::E"})
+            if force_slow:
+                r._read_v1_vectorized = lambda *a, **k: None
+                r._read_v2_vectorized = lambda *a, **k: None
+            batches = []
+            for p in r.partitions():
+                batches.extend(r.read(p))
+            if not batches:
+                return None
+            return pa.Table.from_batches(batches)
+
+        tf, ts = collect(False), collect(True)
+        if tf is None or ts is None:
+            assert tf is ts or (tf is None and ts is None) or (
+                tf is not None and tf.num_rows == 0
+            ) or (ts is not None and ts.num_rows == 0)
+            return
+        # rows carry no global order guarantee across paths: sort by
+        # full tuple representation
+        assert sorted(map(str, tf.to_pylist())) == sorted(map(str, ts.to_pylist()))
