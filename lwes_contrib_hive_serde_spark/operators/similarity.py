@@ -418,3 +418,53 @@ def ml_brp_ann(
     model = lsh.fit(feats)
     nn = model.approxNearestNeighbors(feats, Vectors.dense(query_vec), k)
     return nn.select("neighbor_id", F.col("distCol").alias("distance"))
+
+
+def ivf_write(assigned: DataFrame, centroids: list[list[float]], path: str) -> None:
+    """Persist the IVF index as cluster-partitioned parquet + a
+    centroid sidecar: ``path/cluster_id=N/*.parquet`` plus
+    ``_ivf_centroids.json``. This IS the index — the directory layout
+    makes every later probe a partition-pruned scan (a 16-probe search
+    over 1024 clusters reads ~1.6% of the bytes, enforced by Spark's
+    PartitionFilters, no custom index structure needed)."""
+    import json as _json
+    import os as _os
+
+    assigned.write.partitionBy("cluster_id").mode("overwrite").parquet(path)
+    with open(_os.path.join(path, "_ivf_centroids.json"), "w") as f:
+        _json.dump(centroids, f)
+
+
+def ivf_search_stored(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a stored IVF index: rank centroids driver-side (tiny),
+    read ONLY the nprobe matching ``cluster_id=N`` partitions (the
+    `isin` filter lands in PartitionFilters → directory pruning), exact
+    cosine top-k within them. The 100 TB path ivf_build's docstring
+    promises, as a tested artifact."""
+    import json as _json
+    import math
+    import os as _os
+
+    with open(_os.path.join(path, "_ivf_centroids.json")) as f:
+        centroids = _json.load(f)
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1e-12
+        nb = math.sqrt(sum(y * y for y in b)) or 1e-12
+        return d / (na * nb)
+
+    ranked = sorted(
+        range(len(centroids)), key=lambda i: -cos(centroids[i], query_vec)
+    )
+    probe = ranked[:nprobe]
+    df = spark.read.parquet(path).filter(F.col("cluster_id").isin(probe))
+    return cosine_topk(df, query_vec, k, id_col, vec_col)

@@ -709,3 +709,35 @@ class TestDriverBoundsGuards:
             ).collect()
         ]
         assert len(set(exact) & set(approx)) >= 4, (exact, approx)
+
+
+class TestIvfStored:
+    def test_stored_index_prunes_partitions_and_matches_memory(self, spark, tmp_path):
+        """ivf_write persists cluster_id=N directories; a stored search
+        reads only the probed partitions (PartitionFilters in the plan)
+        and returns the same neighbors as the in-memory probe."""
+        import io
+        import os
+        from contextlib import redirect_stdout
+
+        rows = [
+            (i, [float((i * 13 + j * 7) % 19) - 9.0 for j in range(8)])
+            for i in range(400)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        assigned, cents = similarity.ivf_build(df, n_clusters=8, seed=7)
+        idx = str(tmp_path / "ivf")
+        similarity.ivf_write(assigned, cents, idx)
+        dirs = {d for d in os.listdir(idx) if d.startswith("cluster_id=")}
+        assert len(dirs) > 1  # genuinely partitioned layout
+        q = rows[5][1]
+        stored = similarity.ivf_search_stored(spark, idx, q, k=5, nprobe=3)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            stored.explain("formatted")
+        plan = buf.getvalue()
+        assert "PartitionFilters" in plan and "cluster_id" in plan
+        mem = similarity.ivf_search(assigned, cents, q, k=5, nprobe=3)
+        got = [(r.neighbor_id, round(r.cosine_sim, 9)) for r in stored.collect()]
+        want = [(r.neighbor_id, round(r.cosine_sim, 9)) for r in mem.collect()]
+        assert got == want and len(got) == 5
