@@ -682,9 +682,43 @@ class LwesReader(DataSourceReader):
         if not offs_l:
             return []
         offs = np.asarray(offs_l, dtype=np.int64)
+        pbase = offs + c.HEADER_LENGTH
+        # group records by event NAME (vectorized: padded name-bytes
+        # matrix → np.unique rows), so multi-event journals decode as
+        # one homogeneous group per name and the name filter skips
+        # whole groups without touching their payloads
+        nl = buf[pbase].astype(np.int64)
+        maxl = int(nl.max())
+        gidx = np.minimum(
+            pbase[:, None] + 1 + np.arange(maxl)[None, :], n_bytes - 1
+        )
+        M = buf[gidx].copy()
+        M[np.arange(maxl)[None, :] >= nl[:, None]] = 0
+        K = np.concatenate([nl[:, None].astype(np.uint8), M], axis=1)
+        uniq, inv = np.unique(K, axis=0, return_inverse=True)
+        if len(uniq) > 32:
+            return None  # absurd name cardinality → general path
+        batches = []
+        if len(uniq) == 1:
+            return self._decode_group(buf, n_bytes, offs, pvals, pa, arrow_schema)
+        for g in range(len(uniq)):
+            out = self._decode_group(
+                buf, n_bytes, offs[inv == g], pvals, pa, arrow_schema
+            )
+            if out is None:
+                return None
+            batches.extend(out)
+        return batches
+
+    def _decode_group(self, buf, n_bytes, offs, pvals, pa, arrow_schema):
+        """Decode one homogeneous-name record subset (the vectorized
+        core — see ``_vectorized_decode``). Returns RecordBatches, or
+        None to fall back to the per-record path."""
+        import numpy as np
+
         nrec = len(offs)
-        first = offs_l[0]
-        skel_len = (raw[first] << 8) | raw[first + 1]
+        first = int(offs[0])
+        skel_len = (int(buf[first]) << 8) | int(buf[first + 1])
         skel = self._layout(
             buf, first + c.HEADER_LENGTH, first + c.HEADER_LENGTH + skel_len
         )

@@ -934,10 +934,14 @@ class TestVectorizedScan:
         tf, ts = self._collect(fast), self._collect(slow)
         assert tf.equals(ts)
         assert tf.column("s")[7].as_py() == "v7"
-        p2 = self._journal(tmp_path, names=("S::E", "T::E"))
-        fast2, _ = self._readers(tmp_path, "k long")
-        sch2 = pa.schema([("k", pa.int64())])
-        assert fast2._read_v1_vectorized(p2, {}, pa, sch2) is None
+        # multi-event journals decode as one homogeneous group per name
+        # (r3); the eventName filter drops the other group's records
+        # without touching their payloads
+        self._journal(tmp_path, names=("S::E", "T::E"))
+        fast2, slow2 = self._readers(tmp_path, "k long")
+        t2f, t2s = self._collect(fast2), self._collect(slow2)
+        assert t2f.equals(t2s)
+        assert t2f.num_rows == 250  # S::E half only
 
     def test_header_filters_match_slow_path(self, spark, tmp_path):
         self._journal(tmp_path)

@@ -95,20 +95,46 @@ def test_writer_fast_paths_byte_identical(ds):
 
 
 @settings(max_examples=60, deadline=None)
-@given(dataset())
-def test_reader_vectorized_equals_per_record(ds):
+@given(dataset(), st.integers(1, 3))
+def test_reader_vectorized_equals_per_record(ds, n_names):
     fields, pa_fields, cols, nrows, roll = ds
     schema = StructType(fields)
     batch = pa.record_batch(
         {n: pa.array(cols[n], type=t) for n, t in pa_fields}
     )
     with tempfile.TemporaryDirectory() as d:
-        LwesWriter(schema, {"path": d, "eventname": "P::E"}, True).write(
-            iter([batch])
-        )
+        # n_names > 1 → interleaved multi-event journal (each name's
+        # records share a layout): exercises the grouped decode
+        from lwes_contrib_hive_serde_spark.sources import codec as c
+
+        files = []
+        for i in range(n_names):
+            sub = str(os.path.join(d, f"n{i}"))
+            LwesWriter(schema, {"path": sub, "eventname": f"P{i}::E"}, True).write(
+                iter([batch])
+            )
+            files.append(sub)
+        if n_names > 1:
+            # interleave all names' records into ONE journal file
+            recs = []
+            for sub in files:
+                for f in sorted(os.listdir(sub)):
+                    if f.startswith("_"):
+                        continue
+                    recs.append(
+                        list(c.read_journal_file(os.path.join(sub, f)))
+                    )
+            merged = [ev for group in zip(*recs) for ev in group] if recs and all(recs) else [e for g in recs for e in g]
+            for sub in files:
+                import shutil
+
+                shutil.rmtree(sub)
+            c.write_journal_file(os.path.join(d, "m.journal"), merged)
 
         def collect(force_slow):
-            r = LwesReader(schema, {"path": d, "eventname": "P::E"})
+            # no eventName filter: read every name (exercises grouped
+            # decode when the journal interleaves several)
+            r = LwesReader(schema, {"path": d})
             if force_slow:
                 r._read_v1_vectorized = lambda *a, **k: None
                 r._read_v2_vectorized = lambda *a, **k: None
