@@ -637,9 +637,13 @@ class LwesReader(DataSourceReader):
         multi-event journals, non-utf-8 charsets, SenderIP predicates,
         exotic wire→column type bridges)."""
         if fpath.endswith((".gz", ".bz2")):
-            return None
-        with open(fpath, "rb") as fh:
-            raw = fh.read()
+            # whole-file decompress, then the same vectorized decode —
+            # memory is bounded by the writer's roll size
+            with c.open_journal(fpath) as fh:
+                raw = fh.read()
+        else:
+            with open(fpath, "rb") as fh:
+                raw = fh.read()
         return self._vectorized_decode(raw, pvals, pa, arrow_schema, torn_ok=True)
 
     def _read_v2_vectorized(self, fpath, start, end, pvals, pa, arrow_schema):

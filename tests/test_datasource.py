@@ -1018,3 +1018,39 @@ class TestV2VectorizedScan:
         assert nparts > 1  # genuinely range-split
         assert tf.num_rows == 5000
         assert tf.equals(ts)
+
+
+class TestGzVectorizedScan:
+    def test_gz_homogeneous_vectorizes_and_matches(self, spark, tmp_path):
+        import gzip
+
+        import pyarrow as pa
+        from pyspark.sql.types import StructType
+
+        from lwes_contrib_hive_serde_spark.sources.datasource import LwesReader
+
+        evs = []
+        for i in range(300):
+            ev = c.Event("G::E")
+            ev.set("k", c.INT64, i)
+            ev.set("s", c.STRING, f"v{i}")
+            evs.append(ev)
+        plain = str(tmp_path / "a.journal")
+        c.write_journal_file(plain, evs)
+        gz = str(tmp_path / "b.journal.gz")
+        with open(plain, "rb") as f, gzip.open(gz, "wb") as g:
+            g.write(f.read())
+        os.remove(plain)
+        schema = StructType.fromDDL("k long, s string")
+        r = LwesReader(schema, {"path": str(tmp_path), "eventname": "G::E"})
+        sch = pa.schema([("k", pa.int64()), ("s", pa.string())])
+        fast = r._read_v1_vectorized(gz, {}, pa, sch)
+        assert fast, "gz homogeneous journal must take the vectorized path"
+        slow = LwesReader(schema, {"path": str(tmp_path), "eventname": "G::E"})
+        slow._read_v1_vectorized = lambda *a, **k: None
+        def collect(rr):
+            bs = []
+            for p in rr.partitions():
+                bs.extend(rr.read(p))
+            return pa.Table.from_batches(bs).sort_by("k")
+        assert collect(r).equals(collect(slow))
