@@ -632,10 +632,12 @@ class LwesReader(DataSourceReader):
         ``cursor == record end`` at the close is the exact structural
         check), then lifts header fields, fixed-width values, and
         ragged string payloads straight out of numpy gathers — no
-        per-record Python. Returns a list of RecordBatches, or None to
-        fall back to the general per-record path (compressed files,
-        multi-event journals, non-utf-8 charsets, SenderIP predicates,
-        exotic wire→column type bridges)."""
+        per-record Python. Compressed journals decompress whole-file
+        first (roll-bounded memory); multi-event journals decode as one
+        group per name. Returns a list of RecordBatches, or None to
+        fall back to the general per-record path (non-utf-8 charsets,
+        SenderIP predicates, non-uniform per-name layouts, exotic
+        wire→column type bridges)."""
         if fpath.endswith((".gz", ".bz2")):
             # whole-file decompress, then the same vectorized decode —
             # memory is bounded by the writer's roll size
@@ -667,25 +669,13 @@ class LwesReader(DataSourceReader):
             return None  # string compare per record — rare; general path
         buf = np.frombuffer(raw, dtype=np.uint8)
         n_bytes = len(raw)
-        # boundary walk (sequential by construction; header-only cost)
-        offs_l = []
-        pos = 0
-        hl = c.HEADER_LENGTH
-        append = offs_l.append
-        while pos + hl <= n_bytes:
-            nxt = pos + hl + ((raw[pos] << 8) | raw[pos + 1])
-            if nxt > n_bytes:
-                if self.strict or not torn_ok:
-                    raise c.CodecError("truncated journal payload")
-                pos = n_bytes
-                break
-            append(pos)
-            pos = nxt
+        offs, pos = self._walk_boundaries(buf, raw, n_bytes, np)
         if pos != n_bytes and (self.strict or not torn_ok):
-            raise c.CodecError("truncated journal header")
-        if not offs_l:
+            # either a trailing partial header or a payload running past
+            # EOF — both are torn tails the strict contract must surface
+            raise c.CodecError("truncated journal record")
+        if offs is None or not len(offs):
             return []
-        offs = np.asarray(offs_l, dtype=np.int64)
         pbase = offs + c.HEADER_LENGTH
         # group records by event NAME (vectorized: padded name-bytes
         # matrix → np.unique rows), so multi-event journals decode as
@@ -699,12 +689,13 @@ class LwesReader(DataSourceReader):
         M = buf[gidx].copy()
         M[np.arange(maxl)[None, :] >= nl[:, None]] = 0
         K = np.concatenate([nl[:, None].astype(np.uint8), M], axis=1)
+        if (K == K[0]).all():
+            # homogeneous name (the common case): skip the unique sort
+            return self._decode_group(buf, n_bytes, offs, pvals, pa, arrow_schema)
         uniq, inv = np.unique(K, axis=0, return_inverse=True)
         if len(uniq) > 32:
             return None  # absurd name cardinality → general path
         batches = []
-        if len(uniq) == 1:
-            return self._decode_group(buf, n_bytes, offs, pvals, pa, arrow_schema)
         for g in range(len(uniq)):
             out = self._decode_group(
                 buf, n_bytes, offs[inv == g], pvals, pa, arrow_schema
@@ -713,6 +704,51 @@ class LwesReader(DataSourceReader):
                 return None
             batches.extend(out)
         return batches
+
+    @staticmethod
+    def _walk_boundaries(buf, raw, n_bytes, np, probe=1024):
+        """Record boundaries of a v1 buffer → (offsets array, end pos).
+
+        The general case steps record by record in Python (string
+        records vary in size), but fixed-width journals have constant
+        record size — after ``probe`` consecutive uniform records the
+        walk EXTRAPOLATES the remaining boundaries arithmetically and
+        validates every candidate's length prefix in one vectorized
+        compare, resuming stepping at the first mismatch. A 256 MB
+        fixed-width journal walks in O(probe) Python instead of
+        O(records)."""
+        hl = c.HEADER_LENGTH
+        offs_l: list[int] = []
+        append = offs_l.append
+        pos = 0
+        run_size = None
+        run_count = 0
+        while pos + hl <= n_bytes:
+            size = hl + ((raw[pos] << 8) | raw[pos + 1])
+            if pos + size > n_bytes:
+                return np.asarray(offs_l, dtype=np.int64), pos
+            if size == run_size:
+                run_count += 1
+            else:
+                run_size, run_count = size, 1
+            append(pos)
+            pos += size
+            if run_count >= probe and pos + run_size <= n_bytes:
+                m = (n_bytes - pos) // run_size
+                cand = pos + run_size * np.arange(m, dtype=np.int64)
+                lens_c = (
+                    buf[cand].astype(np.int64) << 8
+                    | buf[cand + 1].astype(np.int64)
+                )
+                good = lens_c == run_size - hl
+                k = m if bool(good.all()) else int(np.argmin(good))
+                # cand[:k] chain by construction: each is the previous
+                # boundary + the validated uniform size
+                if k:
+                    offs_l.extend(cand[:k].tolist())
+                    pos = int(cand[k - 1]) + run_size
+                run_size, run_count = None, 0
+        return np.asarray(offs_l, dtype=np.int64), pos
 
     def _decode_group(self, buf, n_bytes, offs, pvals, pa, arrow_schema):
         """Decode one homogeneous-name record subset (the vectorized

@@ -1054,3 +1054,39 @@ class TestGzVectorizedScan:
                 bs.extend(rr.read(p))
             return pa.Table.from_batches(bs).sort_by("k")
         assert collect(r).equals(collect(slow))
+
+
+class TestBoundaryWalk:
+    def test_extrapolating_walk_equals_sequential(self, spark):
+        """The fixed-stride extrapolation must yield exactly the
+        sequential walk's boundaries — including a record that breaks
+        uniformity mid-extrapolation and a torn tail."""
+        import numpy as np
+
+        from lwes_contrib_hive_serde_spark.sources.datasource import LwesReader
+
+        buf_b = bytearray()
+        for i in range(3000):
+            ev = c.Event("W::E")
+            ev.set("k", c.INT64, i)
+            if i == 2500:
+                ev.set("extra", c.INT32, 1)  # breaks the uniform run
+            c.write_journal_record(buf_b, ev)
+        raw = bytes(buf_b)
+        offs, pos = LwesReader._walk_boundaries(
+            np.frombuffer(raw, np.uint8), raw, len(raw), np
+        )
+        seq = []
+        p = 0
+        while p + 22 <= len(raw):
+            n = p + 22 + ((raw[p] << 8) | raw[p + 1])
+            if n > len(raw):
+                break
+            seq.append(p)
+            p = n
+        assert offs.tolist() == seq and pos == p == len(raw)
+        torn = raw[:-5]
+        offs2, pos2 = LwesReader._walk_boundaries(
+            np.frombuffer(torn, np.uint8), torn, len(torn), np
+        )
+        assert len(offs2) == 2999 and pos2 < len(torn)
