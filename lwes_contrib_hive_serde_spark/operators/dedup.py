@@ -527,3 +527,124 @@ def ml_minhash_pairs(
         )
         .filter(F.col("id1") < F.col("id2"))
     )
+
+
+def top_ngram_char_fraction(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Per-document fraction of characters covered by the single most
+    frequent word n-gram (Gopher A1.1's "top n-gram" repetition rule;
+    the line-level repetition rules are per-row expressions in
+    operators/text.py).
+
+    Distributed idiom, not a per-row loop: n-grams come from the same
+    single-regex extractor as MinHash shingling (word_shingles, but
+    WITH multiplicity), then one explode → groupBy(doc, gram) count →
+    window max picks each document's winner. Two shuffles total, both
+    on (doc, gram) / doc keys — at 100 TB this is the same shape as
+    any token-frequency job and AQE handles the skew of boilerplate
+    grams. Returns (id, top_ngram, top_ngram_count,
+    top_ngram_char_frac); documents with fewer than n words get
+    frac 0.0 with a NULL gram.
+
+    Definition: frac = occurrences × len(gram) / len(normalized text),
+    all lengths over single-space-normalized text, counting repeats
+    (occurrences ≥ 2) only — a document whose top gram appears once is
+    not repetitious, so its fraction is 0.
+    """
+    from lwes_contrib_hive_serde_spark.operators.text import normalize_text
+
+    norm = normalize_text(text_col)
+    pat = r"(?:(?<= )|^)(?=((?:\S+ ){%d}\S+))" % (n - 1)
+    grams = F.regexp_extract_all(norm, F.lit(pat), F.lit(1))  # with multiplicity
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.length(norm).cast("bigint").alias("n_chars"),
+        grams.alias("grams"),
+    )
+    exploded = base.select(
+        "id", "n_chars", F.explode_outer("grams").alias("gram")
+    )
+    counts = exploded.groupBy("id", "n_chars", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.desc("cnt"), F.asc("gram")  # deterministic tie-break
+    )
+    top = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    frac = (
+        F.when(
+            F.col("gram").isNotNull() & (F.col("cnt") >= 2) & (F.col("n_chars") > 0),
+            F.col("cnt") * F.length("gram") / F.col("n_chars"),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("double")
+    )
+    return top.select(
+        "id",
+        F.col("gram").alias("top_ngram"),
+        F.when(F.col("gram").isNotNull(), F.col("cnt"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("top_ngram_count"),
+        frac.alias("top_ngram_char_frac"),
+    )
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    corpus_id: str = "doc_id",
+    corpus_text: str = "text",
+    bench_id: str = "bench_id",
+    bench_text: str = "text",
+    n: int = 13,
+    hashed: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word n-gram with an evaluation set (the GPT-3 paper's 13-gram
+    overlap check — public method). Returns one row per contaminated
+    (corpus doc, benchmark doc) pair:
+    (id, bench_id, n_overlap, contaminated=true).
+
+    Scale shape: the benchmark side is tiny (eval sets are thousands of
+    docs) — its distinct shingles are broadcast, so the corpus side is
+    a scan + broadcast-hash-join with NO shuffle of corpus data; the
+    only shuffle is the per-pair count aggregation on the (tiny)
+    matched subset. Shingles ride the single-regex extractor shared
+    with MinHash (word_shingles), hashed to 8-byte keys by default so
+    the broadcast table stays compact (``hashed=False`` keeps raw
+    strings for oracle-exact cross-engine checks; xxhash64 collisions
+    at eval-set scale are negligible and can only ADD a candidate,
+    never lose one).
+
+    Documents shorter than n words contribute their whole text as one
+    shingle (word_shingles' short-text rule), which is the conservative
+    choice for decontamination: short eval answers still match.
+    """
+    key = (lambda c: F.xxhash64(c)) if hashed else (lambda c: c)
+    c_sh = corpus.select(
+        F.col(corpus_id).alias("id"),
+        F.explode(word_shingles(corpus_text, n)).alias("sh"),
+    ).select("id", key(F.col("sh")).alias("k"))
+    b_sh = (
+        benchmark.select(
+            F.col(bench_id).alias("bench_id"),
+            F.explode(word_shingles(bench_text, n)).alias("sh"),
+        )
+        .select("bench_id", key(F.col("sh")).alias("k"))
+        .dropDuplicates(["bench_id", "k"])
+    )
+    joined = c_sh.join(F.broadcast(b_sh), "k", "inner")
+    return (
+        joined.groupBy("id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .withColumn("contaminated", F.lit(True))
+    )

@@ -233,3 +233,194 @@ def with_language(df: DataFrame, text_col: str = "text", out_col: str = "lang_id
 
 def with_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
     return df.withColumn(out_col, fingerprint(text_col))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality rules (Rae et al. 2021, appendix A1.1 —
+# public paper). Every rule is a per-row JVM expression: at 100 TB this
+# whole filter battery runs at scan speed with zero shuffles, and the
+# flags survive predicate pushdown when used directly in .filter().
+# ---------------------------------------------------------------------------
+
+# Gopher's "must contain ≥2 of these" stop list.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+# Line-leading bullet markers and line-trailing ellipses.
+_BULLET_RE = r"^\s*([-*•‣◦]|\d+[.)])\s+"
+_ELLIPSIS_RE = r"(\.\.\.|…)\s*$"
+
+
+def doc_lines(col, *, keep_blank: bool = False) -> Column:
+    """Text split into lines; blank lines dropped unless ``keep_blank``."""
+    col = F.col(col) if isinstance(col, str) else col
+    ls = F.split(col, r"\n")
+    if keep_blank:
+        return ls
+    return F.filter(ls, lambda x: F.length(F.trim(x)) > 0)
+
+
+def bullet_line_ratio(col) -> Column:
+    """Fraction of non-blank lines that start with a bullet marker."""
+    ls = doc_lines(col)
+    hits = F.size(F.filter(ls, lambda x: x.rlike(_BULLET_RE)))
+    return _ratio(hits, F.size(ls))
+
+
+def ellipsis_line_ratio(col) -> Column:
+    """Fraction of non-blank lines that end with an ellipsis."""
+    ls = doc_lines(col)
+    hits = F.size(F.filter(ls, lambda x: x.rlike(_ELLIPSIS_RE)))
+    return _ratio(hits, F.size(ls))
+
+
+def alpha_word_ratio(col) -> Column:
+    """Fraction of whitespace words containing ≥1 [A-Za-z] character."""
+    t = tokens(col)
+    hits = F.size(F.filter(t, lambda s: s.rlike(r"[A-Za-z]")))
+    return _ratio(hits, F.size(t))
+
+
+def symbol_word_ratio(col) -> Column:
+    """(# of '#' or '...' symbols) / words — Gopher's symbol-to-word rule."""
+    col = F.col(col) if isinstance(col, str) else col
+    n_sym = F.size(
+        F.regexp_extract_all(col, F.lit(r"#|\.\.\."), F.lit(0))
+    ).cast("bigint")
+    return _ratio(n_sym, token_count(col))
+
+
+def gopher_stopword_hits(col) -> Column:
+    """How many DISTINCT Gopher stopwords appear as whole words."""
+    t = F.array_distinct(tokens(F.lower(F.col(col) if isinstance(col, str) else col)))
+    return F.size(F.filter(t, lambda s: s.isin(*GOPHER_STOPWORDS))).cast("bigint")
+
+
+def gopher_quality_flags(
+    col,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> Column:
+    """Struct of per-rule booleans + an overall ``pass`` flag.
+
+    Thresholds default to the published Gopher values; each rule is
+    also exposed standalone above so pipelines can compose their own
+    battery. Everything is whole-stage-codegen JVM — the struct costs
+    one projection, no shuffle, no Python."""
+    n_words = token_count(col)
+    mean_len = mean_token_len(col)
+    rules = {
+        "word_count_ok": (n_words >= min_words) & (n_words <= max_words),
+        "mean_word_len_ok": (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len),
+        "symbol_ratio_ok": symbol_word_ratio(col) <= max_symbol_word_ratio,
+        "bullet_ratio_ok": bullet_line_ratio(col) <= max_bullet_ratio,
+        "ellipsis_ratio_ok": ellipsis_line_ratio(col) <= max_ellipsis_ratio,
+        "alpha_word_ok": alpha_word_ratio(col) >= min_alpha_word_ratio,
+        "stopwords_ok": gopher_stopword_hits(col) >= min_stopword_hits,
+    }
+    overall = None
+    for c in rules.values():
+        overall = c if overall is None else (overall & c)
+    return F.struct(
+        *[c.alias(name) for name, c in rules.items()],
+        overall.alias("pass_all"),
+    )
+
+
+def with_gopher_flags(
+    df: DataFrame, text_col: str = "text", out_col: str = "gopher", **thresholds
+) -> DataFrame:
+    return df.withColumn(out_col, gopher_quality_flags(text_col, **thresholds))
+
+
+# ---------------------------------------------------------------------------
+# Repetition ratios (Gopher A1.1 "repetitious" rules). The line-level
+# fractions are pure per-row array math; the top-n-gram fraction needs
+# cross-row frequencies and lives in operators/dedup.py
+# (top_ngram_char_fraction) where the distributed idiom belongs.
+# ---------------------------------------------------------------------------
+
+
+def dup_line_fraction(col) -> Column:
+    """Fraction of non-blank lines that are repeats of an earlier line."""
+    ls = doc_lines(col)
+    return _ratio(F.size(ls) - F.size(F.array_distinct(ls)), F.size(ls))
+
+
+def dup_line_char_fraction(col) -> Column:
+    """Fraction of line characters sitting in repeat occurrences of a
+    duplicated line (chars of occurrences after the first / all line
+    chars). O(distinct_lines × lines) per row — fine for documents,
+    which have bounded line counts; not for arbitrary blobs."""
+    ls = doc_lines(col)
+    total = F.aggregate(
+        F.transform(ls, lambda x: F.length(x).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    dup_chars = F.aggregate(
+        F.array_distinct(ls),
+        F.lit(0).cast("bigint"),
+        lambda acc, d: acc
+        + (F.size(F.filter(ls, lambda x: x == d)) - 1).cast("bigint")
+        * F.length(d).cast("bigint"),
+    )
+    return _ratio(dup_chars, total)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — the standard pre-training scrub (emails / IPv4 /
+# phone numbers → typed placeholder tokens). Patterns are kept inside
+# the common subset of Java regex and RE2 (no backrefs, no lookaround)
+# so the DuckDB oracle in tests/test_text_pipeline.py can mirror them
+# verbatim.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS = {
+    # local@domain.tld — conservative, no quoted local parts.
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # dotted-quad IPv4 (syntactic: does not range-check octets).
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    # NANP-ish phone: optional +1 / (area) then 3-3-4 groups.
+    "phone": r"(\+1[ .-]?)?(\([0-9]{3}\)[ .-]?|[0-9]{3}[ .-])[0-9]{3}[ .-][0-9]{4}",
+}
+
+PII_ORDER = ["email", "ipv4", "phone"]  # email first: addresses contain dots
+
+
+def redact_pii(col, kinds: list[str] | None = None) -> Column:
+    """Replace each PII match with ``<KIND>`` (e.g. ``<EMAIL>``) —
+    chained JVM regexp_replace, no Python in the row path."""
+    out = F.col(col) if isinstance(col, str) else col
+    for kind in kinds or PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out
+
+
+def pii_counts(col, kinds: list[str] | None = None) -> Column:
+    """struct of per-kind match counts (audit before redaction).
+    Counts overlap-free per kind but kinds are counted independently,
+    matching the sequential redaction order only for disjoint matches."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.struct(
+        *[
+            F.size(
+                F.regexp_extract_all(col, F.lit(PII_PATTERNS[k]), F.lit(0))
+            ).cast("bigint").alias(k)
+            for k in (kinds or PII_ORDER)
+        ]
+    )
+
+
+def with_pii_redacted(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    return df.withColumn(out_col or text_col, redact_pii(text_col))

@@ -66,3 +66,31 @@ def running_totals(
         outputMode="update",
         timeoutConf=f"{timeout}",
     )
+
+
+def dedup_stream(
+    df: DataFrame,
+    key_cols: list[str],
+    event_time_col: str = "ReceiptTime_ts",
+    delay: str = "10 minutes",
+    within_watermark: bool = False,
+) -> DataFrame:
+    """Streaming exact dedup: watermark + dropDuplicates — the
+    ingest-time twin of operators/dedup.exact_dedup for a journal
+    tailer (duplicate datagrams / replayed journal segments are normal
+    in UDP event transport, the reference's own wire model).
+
+    State shape at scale: one state-store entry per key within the
+    watermark horizon; the watermark BOUNDS state (keys older than
+    ``delay`` are evicted), so state size tracks the duplicate-arrival
+    window, not the stream's lifetime key cardinality.
+
+    ``within_watermark=True`` uses dropDuplicatesWithinWatermark
+    (keys may recur after the horizon — the right semantics when
+    event_ids can legitimately repeat across sessions and only
+    transport-level replays within the window should collapse).
+    """
+    keyed = df.withWatermark(event_time_col, delay)
+    if within_watermark:
+        return keyed.dropDuplicatesWithinWatermark(key_cols)
+    return keyed.dropDuplicates(key_cols)

@@ -213,6 +213,48 @@ class TestStreamRestartRecovery:
 
 
 class TestStreamingDedupAndSessions:
+    def test_dedup_stream_operator(self, spark, tmp_path):
+        """dedup_stream wrapper: watermark + dropDuplicatesWithinWatermark
+        collapses replayed journal segments (the transport-level dup
+        case) while bounding state to the watermark horizon."""
+        from pyspark.sql import functions as F
+
+        from lwes_contrib_hive_serde_spark.streaming.stateful import dedup_stream
+
+        d = str(tmp_path / "jdir_ds")
+        os.makedirs(d)
+        emit(d, "a.journal", 0, 25)
+        emit(d, "replay.journal", 0, 25)  # replayed segment, same keys
+        src = (
+            spark.readStream.format("lwes")
+            .schema("n long, ReceiptTime long")
+            .option("eventName", "S::E")
+            .load(d)
+            .withColumn("ts", F.timestamp_millis(F.col("ReceiptTime")))
+        )
+        dd = dedup_stream(
+            src, ["n"], event_time_col="ts", delay="1 minute",
+            within_watermark=True,
+        )
+        q = (
+            dd.writeStream.format("memory")
+            .queryName("dedup_op_sink")
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        try:
+            assert wait_until(
+                lambda: spark.sql("select count(*) c from dedup_op_sink").first().c
+                == 25
+            ), "expected 25 deduped rows"
+            time.sleep(1.5)
+            assert (
+                spark.sql("select count(distinct n) c from dedup_op_sink").first().c
+                == 25
+            )
+        finally:
+            q.stop()
+
     def test_drop_duplicates_within_watermark(self, spark, tmp_path):
         from pyspark.sql import functions as F
 
