@@ -342,17 +342,43 @@ def with_gopher_flags(
 
 
 # ---------------------------------------------------------------------------
-# Repetition ratios (Gopher A1.1 "repetitious" rules). The line-level
-# fractions are pure per-row array math; the top-n-gram fraction needs
-# cross-row frequencies and lives in operators/dedup.py
+# Repetition ratios (Gopher A1.1 "repetitious" rules). The line- and
+# paragraph-level fractions are pure per-row array math; the top-n-gram
+# fraction needs cross-row frequencies and lives in operators/dedup.py
 # (top_ngram_char_fraction) where the distributed idiom belongs.
 # ---------------------------------------------------------------------------
 
 
+def doc_paragraphs(col) -> Column:
+    """Text split on blank-line boundaries; blank paragraphs dropped."""
+    col = F.col(col) if isinstance(col, str) else col
+    ps = F.split(col, r"\n{2,}")
+    return F.filter(ps, lambda x: F.length(F.trim(x)) > 0)
+
+
+def _dup_part_fraction(parts: Column) -> Column:
+    return _ratio(F.size(parts) - F.size(F.array_distinct(parts)), F.size(parts))
+
+
+def _dup_part_char_fraction(parts: Column) -> Column:
+    total = F.aggregate(
+        F.transform(parts, lambda x: F.length(x).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    dup_chars = F.aggregate(
+        F.array_distinct(parts),
+        F.lit(0).cast("bigint"),
+        lambda acc, d: acc
+        + (F.size(F.filter(parts, lambda x: x == d)) - 1).cast("bigint")
+        * F.length(d).cast("bigint"),
+    )
+    return _ratio(dup_chars, total)
+
+
 def dup_line_fraction(col) -> Column:
     """Fraction of non-blank lines that are repeats of an earlier line."""
-    ls = doc_lines(col)
-    return _ratio(F.size(ls) - F.size(F.array_distinct(ls)), F.size(ls))
+    return _dup_part_fraction(doc_lines(col))
 
 
 def dup_line_char_fraction(col) -> Column:
@@ -360,20 +386,85 @@ def dup_line_char_fraction(col) -> Column:
     duplicated line (chars of occurrences after the first / all line
     chars). O(distinct_lines × lines) per row — fine for documents,
     which have bounded line counts; not for arbitrary blobs."""
+    return _dup_part_char_fraction(doc_lines(col))
+
+
+def dup_paragraph_fraction(col) -> Column:
+    """Gopher's duplicate-paragraph twin of dup_line_fraction."""
+    return _dup_part_fraction(doc_paragraphs(col))
+
+
+def dup_paragraph_char_fraction(col) -> Column:
+    return _dup_part_char_fraction(doc_paragraphs(col))
+
+
+# ---------------------------------------------------------------------------
+# C4-style cleaning (Raffel et al. 2020 §2.2 — public paper): line-level
+# retention rules plus document-level drop flags. Line cleaning returns
+# the CLEANED text (the C4 recipe edits pages rather than dropping
+# them); document flags mirror the page-level drops. All JVM.
+# ---------------------------------------------------------------------------
+
+# terminal punctuation a retained line must end with
+_C4_TERMINAL_RE = r"[.!?\"']\s*$"
+# boilerplate phrases that disqualify a line (C4 used "javascript";
+# cookie/privacy banners are the same class)
+C4_BAD_LINE_RE = r"(?i)(javascript|cookies? (policy|settings)|privacy policy|terms of use)"
+_C4_SENTENCE_RE = r"[.!?]"
+
+
+def c4_clean_lines(
+    col,
+    *,
+    min_words: int = 5,
+    require_terminal: bool = True,
+) -> Column:
+    """C4 line filter: keep only lines with ≥``min_words`` words that
+    end in terminal punctuation and carry no boilerplate phrase; return
+    the kept lines re-joined with newlines (possibly empty string)."""
     ls = doc_lines(col)
-    total = F.aggregate(
-        F.transform(ls, lambda x: F.length(x).cast("bigint")),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+
+    def keep(l):
+        c = F.size(F.split(F.trim(l), r"\s+")) >= min_words
+        c = c & ~l.rlike(C4_BAD_LINE_RE)
+        if require_terminal:
+            c = c & l.rlike(_C4_TERMINAL_RE)
+        return c
+
+    return F.array_join(F.filter(ls, keep), "\n")
+
+
+def c4_doc_flags(col, *, min_sentences: int = 3) -> Column:
+    """Document-level C4 drops as a struct of booleans + ``pass_all``:
+    no 'lorem ipsum', no curly brace, at least ``min_sentences``
+    terminal-punctuation marks."""
+    col = F.col(col) if isinstance(col, str) else col
+    rules = {
+        "no_lorem_ipsum": ~F.lower(col).contains("lorem ipsum"),
+        "no_curly_brace": ~col.contains("{"),
+        "min_sentences_ok": F.size(
+            F.regexp_extract_all(col, F.lit(_C4_SENTENCE_RE), F.lit(0))
+        )
+        >= min_sentences,
+    }
+    overall = None
+    for c in rules.values():
+        overall = c if overall is None else (overall & c)
+    return F.struct(
+        *[c.alias(name) for name, c in rules.items()], overall.alias("pass_all")
     )
-    dup_chars = F.aggregate(
-        F.array_distinct(ls),
-        F.lit(0).cast("bigint"),
-        lambda acc, d: acc
-        + (F.size(F.filter(ls, lambda x: x == d)) - 1).cast("bigint")
-        * F.length(d).cast("bigint"),
+
+
+def with_c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_clean",
+    flags_col: str = "c4",
+    **kw,
+) -> DataFrame:
+    return df.withColumn(out_col, c4_clean_lines(text_col, **kw)).withColumn(
+        flags_col, c4_doc_flags(text_col)
     )
-    return _ratio(dup_chars, total)
 
 
 # ---------------------------------------------------------------------------

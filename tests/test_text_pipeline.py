@@ -375,3 +375,130 @@ class TestPiiRedaction:
             df.select(text.redact_pii("text")).explain("formatted")
         plan = buf.getvalue()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning + paragraph repetition
+# ---------------------------------------------------------------------------
+
+_C4_ROWS = [
+    (1, "This line is long enough to keep.\nshort one\n"
+        "Another good sentence stays right here!\nENABLE JAVASCRIPT TO VIEW\n"
+        "We use cookies policy banners everywhere.\nno terminal punct here at all"),
+    (2, "Lorem ipsum dolor sit amet, consetetur sadipscing elitr. More words "
+        "follow here. And a third sentence too."),
+    (3, "function f() { return 1; } This has code artifacts."),
+    (4, "One good sentence here today. Two good sentences here today! "
+        "Three good sentences here today?"),
+]
+
+
+class TestC4:
+    def test_clean_lines_matches_duckdb(self, spark):
+        df = spark.createDataFrame(_C4_ROWS, "i int, text string")
+        got = {
+            r.i: r.c
+            for r in df.select("i", text.c4_clean_lines("text").alias("c")).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t AS SELECT * FROM (VALUES "
+            + ",".join(f"({i}, '{s}')".replace("\n", "' || chr(10) || '") for i, s in _C4_ROWS)
+            + ") v(i, text)"
+        )
+        want = dict(
+            con.execute(
+                r"""
+            SELECT i, array_to_string(list_filter(
+              list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0),
+              l -> len(string_split_regex(trim(l), '\s+')) >= 5
+                   AND regexp_matches(l, '[.!?"'']\s*$')
+                   AND NOT regexp_matches(l,
+                     '(?i)(javascript|cookies? (policy|settings)|privacy policy|terms of use)')
+            ), chr(10)) FROM t
+            """
+            ).fetchall()
+        )
+        assert got == want
+        kept = got[1].split("\n")
+        assert kept == [
+            "This line is long enough to keep.",
+            "Another good sentence stays right here!",
+        ]
+
+    def test_doc_flags(self, spark):
+        df = spark.createDataFrame(_C4_ROWS, "i int, text string")
+        got = {
+            r.i: r.f.asDict()
+            for r in df.select("i", text.c4_doc_flags("text").alias("f")).collect()
+        }
+        assert not got[2]["no_lorem_ipsum"]
+        assert not got[3]["no_curly_brace"]
+        assert got[4] == {
+            "no_lorem_ipsum": True,
+            "no_curly_brace": True,
+            "min_sentences_ok": True,
+            "pass_all": True,
+        }
+        assert got[1]["min_sentences_ok"]  # '.', '!', '.' = 3
+        assert not got[3]["min_sentences_ok"]  # single '.'
+
+    def test_corpus_flags_match_duckdb(self, docs):
+        got = {
+            r.doc_id: r.f.asDict()
+            for r in docs.select(
+                "doc_id", text.c4_doc_flags("text").alias("f")
+            ).collect()
+        }
+        want = duckdb.sql(
+            f"""
+            SELECT doc_id,
+              NOT contains(lower(text), 'lorem ipsum') AS no_lorem_ipsum,
+              NOT contains(text, '{{') AS no_curly_brace,
+              len(regexp_extract_all(text, '[.!?]')) >= 3 AS min_sentences_ok
+            FROM '{DOCS}'
+            """
+        ).fetchall()
+        assert len(want) == len(got) >= 400
+        for doc_id, lorem, curly, sent in want:
+            g = got[doc_id]
+            assert (g["no_lorem_ipsum"], g["no_curly_brace"], g["min_sentences_ok"]) == (
+                lorem, curly, sent
+            ), doc_id
+            assert g["pass_all"] == (lorem and curly and sent)
+
+
+def _py_dup_para_fracs(s: str):
+    import re
+
+    parts = [p for p in re.split(r"\n{2,}", s) if p.strip()]
+    if not parts:
+        return 0.0, 0.0
+    n_dup = len(parts) - len(set(parts))
+    total = sum(len(p) for p in parts)
+    dup_chars = sum((parts.count(d) - 1) * len(d) for d in set(parts))
+    return n_dup / len(parts), (dup_chars / total if total else 0.0)
+
+
+class TestParagraphRepetition:
+    CASES = [
+        "para one\nstill para one\n\npara two\n\npara one",
+        "a\n\na\n\na",
+        "only one paragraph here",
+        "x\n\n\n\nx",
+        "",
+    ]
+
+    def test_matches_python_reference(self, spark):
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(self.CASES)], "i int, text string"
+        )
+        got = df.select(
+            "i",
+            text.dup_paragraph_fraction("text").alias("pf"),
+            text.dup_paragraph_char_fraction("text").alias("cf"),
+        ).collect()
+        for r in got:
+            want_pf, want_cf = _py_dup_para_fracs(self.CASES[r.i])
+            assert abs(r.pf - want_pf) < 1e-12, (r.i, r.pf, want_pf)
+            assert abs(r.cf - want_cf) < 1e-12, (r.i, r.cf, want_cf)
