@@ -515,3 +515,79 @@ def with_pii_redacted(
     df: DataFrame, text_col: str = "text", out_col: str | None = None
 ) -> DataFrame:
     return df.withColumn(out_col or text_col, redact_pii(text_col))
+
+
+# ---------------------------------------------------------------------------
+# URL / domain filtering (the C4 & RefinedWeb source-level filter class:
+# drop documents whose URL host sits under a blocked domain). Host
+# parsing is JVM parse_url; the blocklist match is an equi-join on the
+# EXPLODED suffix set, not an endswith theta-join — with a broadcast
+# blocklist the corpus side is scan + broadcast-hash-join, no shuffle,
+# at any scale.
+# ---------------------------------------------------------------------------
+
+
+def url_host(col) -> Column:
+    """Lowercased host of a URL (NULL for unparseable input — uses
+    try_parse_url so bad rows never fail the scan)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.try_parse_url(col, F.lit("HOST")))
+
+
+def host_suffixes(col) -> Column:
+    """All dot-suffixes of a host: 'a.b.com' → ['a.b.com','b.com','com'].
+    A host with L labels yields L entries — bounded tiny fan-out that
+    turns suffix matching into an equi-join key."""
+    host = url_host(col) if isinstance(col, str) else col
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(labels, i + 1, n), "."),
+    )
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    url_col: str,
+    blocked: DataFrame | list[str],
+    *,
+    keep: bool = False,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Drop (or with ``keep=True``, retain only) rows whose URL host
+    equals or is a subdomain of any blocked domain.
+
+    ``blocked`` is a one-column DataFrame or a plain list of domains.
+    Plan shape: explode the ≤L host suffixes per row, broadcast the
+    (small) blocklist, LEFT SEMI join to find hits, then semi/anti
+    join hits back to the input on a row id — two broadcast joins,
+    zero shuffle of the corpus.
+
+    ``id_col``: an existing unique row key. When absent a
+    monotonically_increasing_id is used, which is only safe when
+    ``df`` is deterministic (file-backed scans — the pipeline norm),
+    since the lineage is evaluated in both join branches."""
+    spark = df.sparkSession
+    if not isinstance(blocked, DataFrame):
+        blocked = spark.createDataFrame(
+            [(d,) for d in blocked], "domain string"
+        )
+    bl = F.broadcast(
+        blocked.select(F.lower(F.col(blocked.columns[0])).alias("__dom")).dropDuplicates()
+    )
+    with_id = (
+        df.withColumn("__rid", F.col(id_col))
+        if id_col
+        else df.withColumn("__rid", F.monotonically_increasing_id())
+    )
+    hits = (
+        with_id.select(
+            "__rid", F.explode(host_suffixes(url_host(url_col))).alias("__dom")
+        )
+        .join(bl, "__dom", "left_semi")
+        .select("__rid")
+        .dropDuplicates()
+    )
+    how = "left_semi" if keep else "left_anti"
+    return with_id.join(F.broadcast(hits), "__rid", how).drop("__rid")

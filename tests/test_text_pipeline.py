@@ -502,3 +502,87 @@ class TestParagraphRepetition:
             want_pf, want_cf = _py_dup_para_fracs(self.CASES[r.i])
             assert abs(r.pf - want_pf) < 1e-12, (r.i, r.pf, want_pf)
             assert abs(r.cf - want_cf) < 1e-12, (r.i, r.cf, want_cf)
+
+
+# ---------------------------------------------------------------------------
+# URL / domain filtering
+# ---------------------------------------------------------------------------
+
+_URL_ROWS = [
+    (1, "https://ads.tracker.com/pixel?id=1"),
+    (2, "https://sub.ads.tracker.com:8443/deep/path"),
+    (3, "https://tracker.com/not-ads"),          # parent of blocked, kept
+    (4, "http://example.org/article"),
+    (5, "https://EXAMPLE.org/CAPS"),             # case-insensitive host
+    (6, "https://goodtracker.com/x"),            # suffix of label ≠ subdomain
+    (7, "not a url at all"),
+    (8, None),
+]
+_BLOCKED = ["ads.tracker.com", "spam.net"]
+
+
+class TestDomainFiltering:
+    def _py_blocked(self, url):
+        import urllib.parse
+
+        if url is None:
+            return False
+        try:
+            host = (urllib.parse.urlparse(url).hostname or "").lower()
+        except ValueError:
+            return False
+        return any(
+            host == b or host.endswith("." + b) for b in _BLOCKED
+        )
+
+    def test_host_and_suffixes(self, spark):
+        df = spark.createDataFrame(_URL_ROWS, "i int, url string")
+        got = {
+            r.i: (r.h, r.s)
+            for r in df.select(
+                "i",
+                text.url_host("url").alias("h"),
+                text.host_suffixes(text.url_host("url")).alias("s"),
+            ).collect()
+        }
+        assert got[2][0] == "sub.ads.tracker.com"
+        assert got[2][1] == [
+            "sub.ads.tracker.com", "ads.tracker.com", "tracker.com", "com",
+        ]
+        assert got[5][0] == "example.org"
+        assert got[7][0] is None and got[8][0] is None
+
+    def test_filter_matches_python_reference(self, spark):
+        df = spark.createDataFrame(_URL_ROWS, "i int, url string")
+        kept = sorted(
+            r.i
+            for r in text.filter_blocked_domains(df, "url", _BLOCKED, id_col="i").collect()
+        )
+        want = sorted(i for i, u in _URL_ROWS if not self._py_blocked(u))
+        assert kept == want
+        blocked_rows = sorted(
+            r.i
+            for r in text.filter_blocked_domains(
+                df, "url", _BLOCKED, keep=True, id_col="i"
+            ).collect()
+        )
+        assert blocked_rows == sorted(i for i, u in _URL_ROWS if self._py_blocked(u))
+        assert set(kept) & set(blocked_rows) == set()
+        assert len(kept) + len(blocked_rows) == len(_URL_ROWS)
+
+    def test_blocklist_dataframe_input_and_plan(self, spark):
+        import io
+        from contextlib import redirect_stdout
+
+        df = spark.createDataFrame(_URL_ROWS, "i int, url string")
+        bl = spark.createDataFrame([(d,) for d in _BLOCKED], "domain string")
+        out = text.filter_blocked_domains(df, "url", bl, id_col="i")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" not in plan  # both joins must broadcast
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert sorted(r.i for r in out.collect()) == sorted(
+            i for i, u in _URL_ROWS if not self._py_blocked(u)
+        )
