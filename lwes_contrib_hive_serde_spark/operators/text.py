@@ -20,7 +20,7 @@ Operators:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # BPE-ish pre-tokenizer: word pieces OR single non-space-non-word chars.
@@ -591,3 +591,83 @@ def filter_blocked_domains(
     )
     how = "left_semi" if keep else "left_anti"
     return with_id.join(F.broadcast(hits), "__rid", how).drop("__rid")
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary statistics — the token-frequency table that feeds
+# tokenizer training, stopword derivation, and coverage analysis.
+# Classic two-level aggregation: per-row token arrays (JVM regex) →
+# explode → ONE groupBy(token) with map-side partial aggregation.
+# At 100 TB this is the canonical word-count shape; the only shuffle
+# is on the token key and AQE coalesces the tail.
+# ---------------------------------------------------------------------------
+
+
+def token_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    lowercase: bool = True,
+    bpe: bool = False,
+    top_k: int | None = None,
+) -> DataFrame:
+    """(token, n_occurrences, n_docs) sorted by count desc, token asc.
+
+    ``bpe=True`` uses the BPE-ish pre-tokenizer regex instead of
+    whitespace tokens. ``top_k`` bounds the result via the global
+    TakeOrderedAndProject path (per-partition heaps, no full sort)."""
+    src = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = (
+        F.regexp_extract_all(src, F.lit(BPE_TOKEN_RE), F.lit(0))
+        if bpe
+        else tokens(src)
+    )
+    exploded = df.select(F.explode(toks).alias("token"))
+    # n_docs needs per-doc distinctness: explode the DISTINCT per-row
+    # token set separately (cheaper than count_distinct(doc_id) which
+    # would shuffle doc ids per token)
+    per_doc = df.select(F.explode(F.array_distinct(toks)).alias("token"))
+    occ = exploded.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    dfreq = per_doc.groupBy("token").agg(F.count(F.lit(1)).alias("n_docs"))
+    out = occ.join(dfreq, "token").orderBy(
+        F.desc("n_occurrences"), F.asc("token")
+    )
+    return out.limit(top_k) if top_k else out
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    vocab_sizes: list[int] = (100, 1000, 10000),
+    lowercase: bool = True,
+) -> DataFrame:
+    """For each candidate vocab size k: the fraction of all token
+    occurrences covered by the k most frequent tokens (the coverage
+    curve that sizes a vocabulary). One histogram pass + a window
+    cumsum over the frequency-ranked tokens — the window partitions by
+    nothing but runs over ONLY the distinct-token table (vocab-sized,
+    not corpus-sized), so the single-partition window is bounded."""
+    hist = token_histogram(df, text_col, lowercase=lowercase)
+    order = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    cum_w = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot_w = order.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = hist.select(
+        F.row_number().over(order).alias("rank"),
+        F.sum("n_occurrences").over(cum_w).alias("cum"),
+        F.sum("n_occurrences").over(tot_w).alias("t"),
+    )
+    sizes = F.array(*[F.lit(int(k)) for k in vocab_sizes])
+    return (
+        ranked.select(
+            F.explode(sizes).alias("vocab_size"),
+            "rank",
+            (F.col("cum").cast("double") / F.col("t")).alias("cov"),
+        )
+        .filter(F.col("rank") <= F.col("vocab_size"))
+        .groupBy("vocab_size")
+        .agg(F.max("cov").alias("coverage"))
+        .orderBy("vocab_size")
+    )

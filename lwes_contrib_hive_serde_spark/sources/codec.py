@@ -258,25 +258,39 @@ def decode_event(
     """Parse one event from ``buf[offset:end]``.
 
     ``charset`` decodes names and STRING values — default strict UTF-8
-    (raises on invalid bytes); pass e.g. ``"latin-1"`` for journals
-    written by legacy platform-charset emitters (the Java reference
-    inherits the JVM default charset via lwes-java)."""
+    (raises CodecError on invalid bytes, message suggesting the
+    charset option); pass e.g. ``"latin-1"`` for journals written by
+    legacy platform-charset emitters (the Java reference inherits the
+    JVM default charset via lwes-java). Every decode failure —
+    truncation, bad type token, undecodable bytes — raises CodecError,
+    so ingest pipelines have ONE exception type to quarantine on
+    (fuzz-pinned in tests/test_codec_fuzz.py)."""
     mv = memoryview(buf)
     if end is None:
         end = len(mv)
-    name, pos = _read_word(mv, offset, end, charset)
-    (n_attrs,) = struct.unpack_from(">H", mv, pos)
-    pos += 2
-    ev = Event(name)
-    attrs = ev.attributes
-    types = ev.types
-    for _ in range(n_attrs):
-        key, pos = _read_word(mv, pos, end, charset)
-        token = mv[pos]
-        pos += 1
-        value, pos = _decode_value(mv, pos, token, charset)
-        attrs[key] = value
-        types[key] = token
+    try:
+        name, pos = _read_word(mv, offset, end, charset)
+        (n_attrs,) = struct.unpack_from(">H", mv, pos)
+        pos += 2
+        ev = Event(name)
+        attrs = ev.attributes
+        types = ev.types
+        for _ in range(n_attrs):
+            key, pos = _read_word(mv, pos, end, charset)
+            token = mv[pos]
+            pos += 1
+            value, pos = _decode_value(mv, pos, token, charset)
+            attrs[key] = value
+            types[key] = token
+    except UnicodeDecodeError as e:
+        # corrupt bytes OR a journal written in a different charset —
+        # surface as the documented failure type, keeping the hint
+        raise CodecError(
+            f"undecodable {charset} bytes in event (corrupt record, or "
+            f"pass option('charset', ...) for legacy journals): {e}"
+        ) from e
+    except (struct.error, IndexError) as e:
+        raise CodecError(f"truncated or corrupt event payload: {e}") from e
     if pos > end:
         raise CodecError("event payload overran record boundary")
     return ev
@@ -332,6 +346,8 @@ def peek_event_name(buf: bytes | memoryview, offset: int = 0) -> str:
     filter instead of aborting the scan before the charset-aware
     ``decode_event`` ever runs."""
     mv = memoryview(buf)
+    if offset >= len(mv):
+        raise CodecError("truncated record: no event name byte")
     n = mv[offset]
     return str(mv[offset + 1 : offset + 1 + n], "latin-1")
 

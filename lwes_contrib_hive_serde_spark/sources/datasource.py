@@ -1000,16 +1000,25 @@ class LwesReader(DataSourceReader):
 
         remaining = []
         for fpath, pvals, start, end in partition.files:
-            if (
-                start is not None
-                or fpath.endswith(".journal2")
-                or c.sniff_v2(fpath)
-            ):
-                fast = self._read_v2_vectorized(
-                    fpath, start, end, pvals or {}, pa, arrow_schema
-                )
-            else:
-                fast = self._read_v1_vectorized(fpath, pvals or {}, pa, arrow_schema)
+            try:
+                if (
+                    start is not None
+                    or fpath.endswith(".journal2")
+                    or c.sniff_v2(fpath)
+                ):
+                    fast = self._read_v2_vectorized(
+                        fpath, start, end, pvals or {}, pa, arrow_schema
+                    )
+                else:
+                    fast = self._read_v1_vectorized(
+                        fpath, pvals or {}, pa, arrow_schema
+                    )
+            except (UnicodeDecodeError, pa.lib.ArrowInvalid):
+                # bytes violating a fast-path assumption (e.g. invalid
+                # utf-8 in a string attr): re-decode per-record, which
+                # raises the canonical CodecError with the charset hint
+                # — the fast path must never surface its own error type
+                fast = None
             if fast is None:
                 remaining.append((fpath, pvals, start, end))
             else:

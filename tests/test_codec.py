@@ -387,7 +387,9 @@ class TestCharset:
 
     def test_strict_utf8_raises_latin1_decodes(self):
         payload = self._latin1_payload()
-        with pytest.raises(UnicodeDecodeError):
+        # contract: ALL decode failures surface as CodecError (never a
+        # raw UnicodeDecodeError), with the charset hint in the message
+        with pytest.raises(c.CodecError, match="charset"):
             c.decode_event(payload)
         ev = c.decode_event(payload, charset="latin-1")
         assert ev.attributes["s"] == "é"
@@ -398,7 +400,7 @@ class TestCharset:
         with open(p, "wb") as f:
             f.write(c.pack_header(len(payload), 1700000000000, "1.2.3.4", 9, 1))
             f.write(payload)
-        with pytest.raises(UnicodeDecodeError):
+        with pytest.raises(c.CodecError, match="charset"):
             list(c.read_journal_file(p))
         evs = list(c.read_journal_file(p, charset="latin-1"))
         assert len(evs) == 1 and evs[0].attributes["s"] == "é"

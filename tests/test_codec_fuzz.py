@@ -1,0 +1,144 @@
+"""Adversarial-input fuzzing for the journal readers: arbitrary bytes
+and bit-flipped valid journals must either decode or raise CodecError
+(the documented failure type) — never leak struct.error / IndexError /
+UnicodeDecodeError / infinite loops out of the read paths. This is the
+guarantee a 100 TB ingest needs when a journal file is torn or a
+foreign file lands in the input glob.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from lwes_contrib_hive_serde_spark.sources import codec as c
+
+ALLOWED = (c.CodecError,)
+
+
+def _drain_v1(data: bytes, **kw):
+    with io.BytesIO(data) as f:
+        for _ in c.read_journal_records(f, **kw):
+            pass
+
+
+def _valid_journal_bytes(n=20) -> bytes:
+    buf = io.BytesIO()
+    for i in range(n):
+        ev = c.Event("F::Z")
+        ev.set("n", c.INT64, i)
+        ev.set("s", c.STRING, f"value-{i}")
+        ev.set(c.RECEIPT_TIME, c.INT64, 1723500000000 + i)
+        c.write_journal_record(buf, ev)
+    return buf.getvalue()
+
+
+class TestV1Fuzz:
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=400))
+    def test_random_bytes_decode_or_codec_error(self, data):
+        try:
+            _drain_v1(data)
+        except ALLOWED:
+            pass  # the contract: CodecError only
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.data())
+    def test_bitflipped_journal_decode_or_codec_error(self, data):
+        base = bytearray(_valid_journal_bytes())
+        n_flips = data.draw(st.integers(1, 8))
+        for _ in range(n_flips):
+            pos = data.draw(st.integers(0, len(base) - 1))
+            bit = data.draw(st.integers(0, 7))
+            base[pos] ^= 1 << bit
+        try:
+            _drain_v1(bytes(base))
+        except ALLOWED:
+            pass
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.integers(0, 1), st.binary(max_size=60))
+    def test_truncations_and_garbage_tails(self, cut_side, garbage):
+        base = _valid_journal_bytes()
+        cut = len(base) // 3
+        data = (garbage + base[cut:]) if cut_side else (base[:-cut] + garbage)
+        try:
+            _drain_v1(data)
+        except ALLOWED:
+            pass
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(max_size=200))
+    def test_peek_event_name_total(self, data):
+        # peek path (pushed filters) must be total: None or a string
+        with io.BytesIO(data) as f:
+            first = f.read(22)
+        if len(first) < 22:
+            return
+        try:
+            out = c.peek_event_name(data[22:])
+            assert out is None or isinstance(out, str)
+        except ALLOWED:
+            pass
+
+
+class TestV2Fuzz:
+    @staticmethod
+    def _valid_v2_bytes(tmp_path, n=30) -> bytes:
+        p = os.path.join(str(tmp_path), "base.v2j")
+        evs = []
+        for i in range(n):
+            ev = c.Event("F::Z")
+            ev.set("n", c.INT64, i)
+            ev.set("s", c.STRING, f"val-{i}")
+            evs.append(ev)
+        c.write_journal_file_v2(p, evs)
+        with open(p, "rb") as f:
+            return f.read()
+
+    @staticmethod
+    def _drain_v2(tmp_path, data: bytes, strict: bool):
+        p = os.path.join(str(tmp_path), "fuzz.v2j")
+        with open(p, "wb") as f:
+            f.write(data)
+        for _ in c.read_journal_file_v2(p, strict=strict):
+            pass
+
+    @settings(max_examples=200, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.binary(max_size=400), st.booleans())
+    def test_random_bytes(self, tmp_path, data, strict):
+        try:
+            self._drain_v2(tmp_path, data, strict)
+        except ALLOWED:
+            pass
+
+    @settings(max_examples=200, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.data())
+    def test_bitflipped_v2_decode_or_codec_error(self, tmp_path, data):
+        base = bytearray(self._valid_v2_bytes(tmp_path))
+        for _ in range(data.draw(st.integers(1, 6))):
+            pos = data.draw(st.integers(0, len(base) - 1))
+            base[pos] ^= 1 << data.draw(st.integers(0, 7))
+        for strict in (False, True):
+            try:
+                self._drain_v2(tmp_path, bytes(base), strict)
+            except ALLOWED:
+                pass
+
+    @settings(max_examples=100, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.integers(1, 399), st.binary(max_size=50))
+    def test_truncated_v2_with_garbage_tail(self, tmp_path, cut, tail):
+        base = self._valid_v2_bytes(tmp_path)
+        data = base[: max(0, len(base) - cut)] + tail
+        for strict in (False, True):
+            try:
+                self._drain_v2(tmp_path, data, strict)
+            except ALLOWED:
+                pass

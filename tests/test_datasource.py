@@ -1090,3 +1090,48 @@ class TestBoundaryWalk:
             np.frombuffer(torn, np.uint8), torn, len(torn), np
         )
         assert len(offs2) == 2999 and pos2 < len(torn)
+
+
+class TestCharsetContract:
+    """The fast (vectorized) path must never surface Arrow/unicode
+    error types: invalid utf-8 falls back to per-record decode, which
+    raises CodecError with the charset hint; option('charset') reads
+    the same file fine (verified end-to-end through spark.read)."""
+
+    def _legacy_dir(self, tmp_path):
+        import struct
+
+        from lwes_contrib_hive_serde_spark.sources import codec as c
+
+        d = str(tmp_path / "legacy")
+        os.makedirs(d)
+        out = bytearray()
+        out.append(4)
+        out += b"L::E"
+        out += struct.pack(">H", 1)
+        out.append(1)
+        out += b"s"
+        out.append(c.STRING)
+        out += struct.pack(">H", 1)
+        out += b"\xe9"  # latin-1 'é', invalid strict utf-8
+        payload = bytes(out)
+        with open(os.path.join(d, "a.journal"), "wb") as f:
+            f.write(c.pack_header(len(payload), 1700000000000, "1.2.3.4", 9, 1))
+            f.write(payload)
+        return d
+
+    def test_strict_fails_codec_error_with_hint(self, spark, tmp_path):
+        d = self._legacy_dir(tmp_path)
+        with pytest.raises(Exception, match="charset"):
+            spark.read.format("lwes").schema("s string").load(d).collect()
+
+    def test_charset_option_reads(self, spark, tmp_path):
+        d = self._legacy_dir(tmp_path)
+        rows = (
+            spark.read.format("lwes")
+            .schema("s string")
+            .option("charset", "latin-1")
+            .load(d)
+            .collect()
+        )
+        assert [r.s for r in rows] == ["é"]

@@ -586,3 +586,65 @@ class TestDomainFiltering:
         assert sorted(r.i for r in out.collect()) == sorted(
             i for i, u in _URL_ROWS if not self._py_blocked(u)
         )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary statistics
+# ---------------------------------------------------------------------------
+
+
+class TestVocabStats:
+    def test_histogram_matches_duckdb(self, docs):
+        got = {
+            r.token: (r.n_occurrences, r.n_docs)
+            for r in text.token_histogram(docs).collect()
+        }
+        want = {
+            t: (n_occ, n_docs)
+            for t, n_occ, n_docs in duckdb.sql(
+                f"""
+                WITH w AS (
+                  SELECT doc_id,
+                         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+                  FROM '{DOCS}'
+                )
+                SELECT t, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+                FROM w GROUP BY t
+                """
+            ).fetchall()
+        }
+        assert got == want
+
+    def test_top_k_is_prefix_of_full_ordering(self, docs):
+        full = [
+            (r.token, r.n_occurrences)
+            for r in text.token_histogram(docs).collect()
+        ]
+        topk = [
+            (r.token, r.n_occurrences)
+            for r in text.token_histogram(docs, top_k=10).collect()
+        ]
+        assert topk == full[:10]
+        # ordering invariant: count desc, token asc
+        assert full == sorted(full, key=lambda x: (-x[1], x[0]))
+
+    def test_coverage_matches_python_reference(self, docs):
+        got = {
+            r.vocab_size: r.coverage
+            for r in text.vocab_coverage(
+                docs, vocab_sizes=[1, 10, 10_000]
+            ).collect()
+        }
+        hist = sorted(
+            (
+                (r.token, r.n_occurrences)
+                for r in text.token_histogram(docs).collect()
+            ),
+            key=lambda x: (-x[1], x[0]),
+        )
+        total = sum(n for _, n in hist)
+        for k in (1, 10, 10_000):
+            want = sum(n for _, n in hist[:k]) / total
+            assert abs(got[k] - want) < 1e-12, k
+        assert got[10_000] == 1.0  # vocab smaller than 10k
+        assert got[1] < got[10] < 1.0
