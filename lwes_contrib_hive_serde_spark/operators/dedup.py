@@ -211,13 +211,20 @@ def minhash_dedup_pairs(
     """End-to-end near-dup pairs: MinHash → LSH candidates → exact
     Jaccard ≥ threshold. Returns (id1, id2, jaccard).
 
-    The shingle arrays are computed ONCE and checkpointed — the
-    signature pass, and both sides of the exact re-check, read the
-    materialized arrays instead of re-running the tokenizer."""
+    The shingle arrays are computed ONCE and cached — the signature
+    pass, and both sides of the exact re-check, read the materialized
+    arrays instead of re-running the tokenizer. persist() rather than
+    localCheckpoint(): a lazily-checkpointed RDD keeps the original
+    plan's SQL-metric accumulators alive past their QueryExecution,
+    and late task-completion events then race ContextCleaner
+    unregistration (benign but noisy DAGScheduler ERRORs in long
+    sessions); cached plans re-register metrics per job."""
+    from pyspark import StorageLevel
+
     shingled = df.select(
         F.col(id_col).alias(id_col),
         word_shingles(text_col, shingle_k).alias("__shingles"),
-    ).localCheckpoint(eager=False)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures(
         shingled, id_col, "__shingles", num_hashes, shingle_k, pre_shingled=True
     )
@@ -252,10 +259,13 @@ def ngram_jaccard_pairs(
     ).select("id", F.xxhash64("sh").alias("h"))
     if materialize:
         # the hashed shingle table feeds three consumers (sizes + both
-        # join sides); checkpointing it (docs x shingles x 16B) beats
-        # recomputing the tokenizer three times. Disable to trade
-        # compute for storage on very large corpora.
-        sh = sh.localCheckpoint(eager=False)
+        # join sides); caching it (docs x shingles x 16B) beats
+        # recomputing the tokenizer three times. persist() not
+        # localCheckpoint() — see minhash_dedup_pairs. Disable to
+        # trade compute for storage on very large corpora.
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("id").alias("id1"), "h")
     b = sh.select(F.col("id").alias("id2"), "h")

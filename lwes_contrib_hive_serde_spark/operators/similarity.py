@@ -88,13 +88,17 @@ def knn_join(
     batches amortize the Python boundary; work is embarrassingly
     parallel over the corpus.
 
-    The QUERY side streams to the driver via ``toLocalIterator`` in
-    chunks of ``max_queries`` (bounded driver memory — never the whole
-    query frame at once); each chunk becomes one broadcast + one
-    corpus pass, and one window takes the global top-k over the
-    unioned partials. Past a handful of chunks the repeated corpus
-    scans dominate — cache ``data`` for multi-chunk joins, or use the
-    IVF index, which is the real answer for huge query sets."""
+    The QUERY side reaches the driver in hash-partitioned chunks of
+    ~``max_queries`` (bounded driver memory — never the whole query
+    frame at once): ``pmod(xxhash64(id), n_chunks)`` picks each
+    chunk, so no global sort and no ``toLocalIterator`` (whose lazy
+    per-partition jobs race Spark's accumulator cleanup and spray
+    benign-but-noisy DAGScheduler errors). Each chunk becomes one
+    broadcast + one corpus pass, and one window takes the global
+    top-k over the unioned partials. Past a handful of chunks the
+    repeated corpus scans dominate — cache ``data`` for multi-chunk
+    joins, or use the IVF index, which is the real answer for huge
+    query sets."""
     out_schema = "query_id long, neighbor_id long, cosine_sim double"
     sc = data.sparkSession.sparkContext
     projected = data.select(data_id, data_vec)
@@ -127,16 +131,23 @@ def knn_join(
 
         return projected.mapInPandas(part_topk, out_schema)
 
+    import math
+
+    qdf = queries.select(query_id, query_vec)
+    total = qdf.count()
+    n_chunks = max(1, math.ceil(total / max_queries))
     partials = []
-    q_ids: list = []
-    q_mat: list = []
-    for r in queries.select(query_id, query_vec).toLocalIterator():
-        q_ids.append(r[0])
-        q_mat.append(list(map(float, r[1])))
-        if len(q_ids) >= max_queries:
-            partials.append(chunk_partial(q_ids, q_mat))
-            q_ids, q_mat = [], []
-    if q_ids:
+    for i in range(n_chunks):
+        chunk = (
+            qdf
+            if n_chunks == 1
+            else qdf.where(F.pmod(F.xxhash64(query_id), F.lit(n_chunks)) == i)
+        )
+        rows = chunk.collect()
+        if not rows:
+            continue
+        q_ids = [r[0] for r in rows]
+        q_mat = [list(map(float, r[1])) for r in rows]
         partials.append(chunk_partial(q_ids, q_mat))
     if not partials:
         return data.sparkSession.createDataFrame([], out_schema)
