@@ -658,3 +658,121 @@ def contamination_overlap(
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .withColumn("contaminated", F.lit(True))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination — scan-only, zero-shuffle contamination
+# flagging against a broadcast bitset
+# ---------------------------------------------------------------------------
+
+
+def build_ngram_bloom(
+    benchmark: DataFrame,
+    bench_text: str = "text",
+    n: int = 13,
+    bits_per_item: int = 32,
+    num_hashes: int = 22,
+):
+    """Build a Bloom filter over a benchmark's distinct word-n-gram
+    hashes. Returns (bitset bytes, m_bits, num_hashes, n_items).
+
+    The benchmark side of decontamination is small (eval sets are
+    thousands of docs → ~10^5-10^7 shingles), so the filter is built
+    driver-side from the collected xxhash64 shingle hashes and
+    broadcast once — ~bits_per_item·n/8 bytes (4 B/shingle → ≤40 MB
+    even for a 10⁷-shingle eval suite). Defaults are sized for
+    DOC-level flagging, where per-shingle false positives compound
+    over every shingle of every document: 32 bits/item with k=22
+    probes ≈ 2·10⁻⁷ per shingle, so a 1000-shingle doc still has
+    ~2·10⁻⁴ odds of a spurious flag (16/8 — the classic per-KEY
+    sizing — would flag ~10% of long docs). Probes use Kirsch-
+    Mitzenmacher double hashing (h1 + i·h2 mod m) over the two 32-bit
+    halves of the one xxhash64 Spark already computes, so the corpus
+    side never hashes text more than once."""
+    import numpy as np
+
+    rows = (
+        benchmark.select(
+            F.explode(word_shingles(bench_text, n)).alias("sh")
+        )
+        .select(F.xxhash64("sh").alias("k"))
+        .distinct()
+        .collect()
+    )
+    keys = np.asarray([r[0] for r in rows], dtype=np.int64).view(np.uint64)
+    n_items = max(1, len(keys))
+    # floor keeps tiny benchmarks from producing a dense micro-filter
+    # whose FP rate no longer follows the bits_per_item design point
+    m_bits = max(int(n_items * bits_per_item), 1 << 13)
+    bits = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
+    h1 = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+    h2 = (keys >> np.uint64(32)) | np.uint64(1)  # odd → full-period stride
+    for i in range(num_hashes):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        np.bitwise_or.at(bits, (pos >> np.uint64(3)).astype(np.int64),
+                         np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)))
+    return bytes(bits.tobytes()), m_bits, num_hashes, n_items
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    bloom,
+    corpus_text: str = "text",
+    n: int = 13,
+    out_col: str = "maybe_contaminated",
+    hits_col: str = "n_bloom_hits",
+) -> DataFrame:
+    """Flag corpus docs whose any word n-gram *may* appear in the
+    benchmark bloom filter built by ``build_ngram_bloom``. Adds
+    (out_col bool, hits_col int) to every corpus row.
+
+    Guarantees: NO false negatives relative to contamination_overlap's
+    exact hashed join (same word_shingles + xxhash64 keys feed both);
+    false positives at the filter's designed rate only ADD flags —
+    safe for a drop-if-flagged policy. Scale shape: pure scan — the
+    shingle hashes are computed JVM-side (transform+xxhash64), the
+    bitset probes are one vectorized numpy pass per Arrow batch, and
+    nothing shuffles (vs the broadcast JOIN in contamination_overlap,
+    which still shuffles its matched subset to aggregate). Use this
+    as the cheap first pass at 100 TB; send the flagged sliver
+    (~contamination rate + ~10⁻⁴ of long docs at default sizing)
+    through contamination_overlap for exact per-benchmark
+    attribution."""
+    import pandas as pd
+
+    bits_b, m_bits, num_hashes, _ = bloom
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast(bits_b)
+
+    hashed = corpus.withColumn(
+        "__sh_hashes",
+        F.transform(word_shingles(corpus_text, n), lambda s: F.xxhash64(s)),
+    )
+
+    @F.pandas_udf("integer")
+    def bloom_hits(hash_arrays: pd.Series) -> pd.Series:
+        import numpy as np
+
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        out = np.zeros(len(hash_arrays), dtype=np.int32)
+        for row_i, arr in enumerate(hash_arrays):
+            if arr is None or len(arr) == 0:
+                continue
+            keys = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            h1 = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+            h2 = (keys >> np.uint64(32)) | np.uint64(1)
+            member = np.ones(len(keys), dtype=bool)
+            for i in range(num_hashes):
+                pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+                byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+                member &= (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1 > 0
+                if not member.any():
+                    break
+            out[row_i] = int(member.sum())
+        return pd.Series(out)
+
+    return (
+        hashed.withColumn(hits_col, bloom_hits(F.col("__sh_hashes")))
+        .withColumn(out_col, F.col(hits_col) > 0)
+        .drop("__sh_hashes")
+    )

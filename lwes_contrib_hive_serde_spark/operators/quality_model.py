@@ -1,0 +1,122 @@
+"""Learned quality filtering — hashed-TF + logistic regression
+(SURVEY §2c text-analysis tier, the model-based stage).
+
+The public recipe (GPT-3 / CCNet / fastText-style quality filters):
+train a cheap linear classifier to separate "reference-quality" text
+from raw crawl, score every document, keep high scorers (optionally
+with Pareto-noisy thresholding, GPT-3 appendix A). Heuristic rules
+(operators/text.py gopher_quality_flags, c4_doc_flags) supply weak
+labels when no curated positive set exists.
+
+Spark shape: Tokenizer/HashingTF/LogisticRegression are pyspark.ml
+JVM transformers — scoring is a scan (no shuffle, no Python); training
+is LBFGS over treeAggregate rounds (one pass per iteration, no
+driver-side data). HashingTF avoids a vocabulary build entirely —
+no fit pass, no dictionary broadcast, stable feature ids at any
+corpus size (the property that makes this the 100 TB-safe choice vs
+CountVectorizer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lwes_contrib_hive_serde_spark.operators import text as T
+
+
+def weak_quality_labels(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "weak_label",
+    **thresholds,
+) -> DataFrame:
+    """label 1.0 = passes ALL Gopher quality gates, else 0.0 — a
+    deterministic weak-supervision source for the classifier (the
+    NeMo-Curator/Dolma pattern: rules bootstrap the model filter).
+    ``thresholds`` pass through to gopher_quality_flags so corpora
+    that fail one gate wholesale (e.g. non-English text and the
+    stopword rule) can still produce a balanced label set."""
+    flags = T.gopher_quality_flags(text_col, **thresholds)
+    return df.withColumn(
+        out_col,
+        F.when(flags["pass_all"], F.lit(1.0)).otherwise(F.lit(0.0)),
+    )
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    label_col: str = "weak_label",
+    text_col: str = "text",
+    num_features: int = 1 << 18,
+    reg_param: float = 1e-3,
+    max_iter: int = 50,
+):
+    """Fit HashingTF(binary) → LogisticRegression on (text, label).
+    Returns the fitted PipelineModel.
+
+    Deterministic: HashingTF is stateless (murmur3 feature hashing)
+    and LBFGS from a fixed zero start converges to the same optimum
+    for the same data (convex loss) — no seed dependence."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+
+    prepared = df.select(
+        T.tokens(text_col).alias("__tokens"),
+        F.col(label_col).cast("double").alias("label"),
+    )
+    tf = HashingTF(
+        inputCol="__tokens",
+        outputCol="features",
+        numFeatures=num_features,
+        binary=True,
+    )
+    lr = LogisticRegression(
+        featuresCol="features",
+        labelCol="label",
+        regParam=reg_param,
+        maxIter=max_iter,
+    )
+    return Pipeline(stages=[tf, lr]).fit(prepared)
+
+
+def score_quality(
+    model,
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "quality_prob",
+) -> DataFrame:
+    """Append P(quality=1) for every row. Pure scan: tokenize +
+    hash + dot product, all JVM-side transformers — safe to run over
+    the full corpus before a threshold filter."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(
+        df.withColumn("__tokens", T.tokens(text_col))
+    )
+    return scored.withColumn(
+        out_col, vector_to_array("probability").getItem(1)
+    ).drop("__tokens", "features", "rawPrediction", "probability", "prediction")
+
+
+def pareto_keep(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality_prob",
+    alpha: float = 9.0,
+    seed: str = "lwespark",
+    out_col: str = "keep",
+) -> DataFrame:
+    """GPT-3's noisy quality threshold (paper appendix A, public):
+    keep a document iff score > 1 - X where X ~ Pareto(alpha) — keeps
+    most high scorers while letting a long tail of low scorers
+    through (diversity). Deterministic: the Pareto draw derives from
+    a per-row hash-uniform on (seed, id) via the inverse CDF
+    X = U^(-1/alpha) - 1, so the same seed reproduces the same keep
+    set on any cluster layout (the sampling.hash_uniform idiom)."""
+    from lwes_contrib_hive_serde_spark.operators.sampling import hash_uniform
+
+    u = F.greatest(hash_uniform(id_col, seed), F.lit(1e-12))  # U=0 → inf
+    x = F.pow(u, F.lit(-1.0 / alpha)) - F.lit(1.0)
+    return df.withColumn(out_col, F.col(score_col) > (F.lit(1.0) - x))

@@ -479,3 +479,108 @@ def ivf_search_stored(
     probe = ranked[:nprobe]
     df = spark.read.parquet(path).filter(F.col("cluster_id").isin(probe))
     return cosine_topk(df, query_vec, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup via k-means clustering (Abbas et al. 2023,
+# arXiv:2303.09540: cluster embeddings, prune high-cosine pairs WITHIN
+# clusters only)
+# ---------------------------------------------------------------------------
+
+
+def semantic_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_cluster: int = 100_000,
+) -> DataFrame:
+    """Cosine ≥ threshold pairs found the SemDeDup way: a k-means
+    coarse quantizer (ivf_build's sampled Lloyd's) assigns every
+    vector a cluster_id, then pairwise cosine runs ONLY within each
+    cluster. Returns (id1, id2, cosine_sim, cluster_id), id1 < id2.
+
+    Scale shape: ONE shuffle (groupBy cluster_id); the quadratic
+    pairwise work is confined to co-located cluster-sized numpy GEMMs
+    via applyInPandas, so total cost is Σ|cluster|² instead of n² —
+    with n_clusters sized so clusters fit an executor (~100k vectors ×
+    dim floats), this is the standard recipe for billion-vector dedup.
+    Near-dup pairs that straddle a cluster boundary are missed by
+    design (the paper's trade-off); the LSH path
+    (embedding_neardup_pairs) is the complementary recall-oriented
+    tier. Clusters above ``max_cluster`` are truncated to the first
+    ``max_cluster`` rows by id order (bounded memory; logged via the
+    truncated flag in no column — callers needing exactness must raise
+    n_clusters instead)."""
+    import pandas as pd
+
+    assigned, _ = ivf_build(
+        df.select(id_col, vec_col), n_clusters, id_col, vec_col, seed
+    )
+
+    def cluster_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) > max_cluster:
+            pdf = pdf.sort_values(id_col).head(max_cluster)
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"id1": [], "id2": [], "cosine_sim": [], "cluster_id": []}
+            ).astype(
+                {"id1": "int64", "id2": "int64", "cosine_sim": "float64",
+                 "cluster_id": "int32"}
+            )
+        X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        S = Xn @ Xn.T
+        ids = pdf[id_col].to_numpy()
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = S[iu, ju] >= threshold
+        i1, i2 = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(i1, i2), np.maximum(i1, i2)
+        return pd.DataFrame(
+            {
+                "id1": lo,
+                "id2": hi,
+                "cosine_sim": S[iu[keep], ju[keep]],
+                "cluster_id": np.full(keep.sum(), key[0], dtype=np.int32),
+            }
+        )
+
+    return assigned.groupBy("cluster_id").applyInPandas(
+        cluster_pairs,
+        "id1 long, id2 long, cosine_sim double, cluster_id int",
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup keep-one filter: drop every vector whose cluster-local
+    near-dup component contains a lower id (the kept representative).
+    Returns df minus dropped rows.
+
+    The pair graph lives inside clusters, so components do too; the
+    connected-components pass (dedup.dup_clusters' label propagation)
+    converges in O(log component-diameter) iterations on pair counts
+    that are tiny vs the corpus. The final anti-join broadcasts the
+    drop list when small (Catalyst picks the strategy via AQE)."""
+    from lwes_contrib_hive_serde_spark.operators.dedup import dup_clusters
+
+    pairs = semantic_neardup_pairs(
+        df, threshold, n_clusters, id_col, vec_col, seed
+    )
+    # dup_clusters labels each id with the min id of its component —
+    # that min IS the kept representative
+    comp = dup_clusters(pairs.select("id1", "id2"))
+    drops = comp.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drops, id_col, "left_anti")

@@ -1,0 +1,195 @@
+"""SemDeDup, bloom-filter decontamination, and the learned quality
+classifier (operators/similarity.py, dedup.py, quality_model.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lwes_contrib_hive_serde_spark.operators import dedup, quality_model, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+def _planted_vectors(spark):
+    """60 spread-out base vectors + 3 planted near-dup groups (tiny
+    perturbations) — dup pairs are unambiguous at threshold 0.95."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((i, [float(x) for x in v]))
+    # groups: (100,101), (200,201,202), (300,301)
+    for base_id, members in [(100, [100, 101]), (200, [200, 201, 202]), (300, [300, 301])]:
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        for m in members:
+            rows.append(
+                (m, [float(x + rng.gauss(0, 1e-4)) for x in v])
+            )
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+class TestSemanticDedup:
+    def test_planted_pairs_recovered_and_exact(self, spark):
+        df = _planted_vectors(spark)
+        pairs = similarity.semantic_neardup_pairs(
+            df, threshold=0.95, n_clusters=4, seed=42
+        ).collect()
+        got = {(r.id1, r.id2) for r in pairs}
+        want = {(100, 101), (200, 201), (200, 202), (201, 202), (300, 301)}
+        # planted pairs are ~cosine 1.0; kmeans puts identical-direction
+        # vectors in one cluster, so all planted pairs must be found
+        assert want <= got
+        # every reported cosine is genuinely >= threshold (exact re-check)
+        vecs = {r.vec_id: r.embedding for r in df.collect()}
+        import math
+
+        for r in pairs:
+            a, b = vecs[r.id1], vecs[r.id2]
+            dot = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(y * y for y in b))
+            exact = dot / (na * nb)
+            assert exact >= 0.95 - 1e-9
+            assert abs(exact - r.cosine_sim) < 1e-6
+        assert all(r.id1 < r.id2 for r in pairs)
+
+    def test_semantic_dedup_keeps_min_id_per_group(self, spark):
+        df = _planted_vectors(spark)
+        kept = {
+            r.vec_id
+            for r in similarity.semantic_dedup(
+                df, threshold=0.95, n_clusters=4, seed=42
+            ).collect()
+        }
+        # representatives (min ids) stay, other group members go
+        assert {100, 200, 300} <= kept
+        assert not ({101, 201, 202, 301} & kept)
+        # singletons untouched
+        assert set(range(60)) <= kept
+
+    def test_matches_exact_allpairs_within_cluster(self, spark):
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        pairs = similarity.semantic_neardup_pairs(
+            emb, threshold=0.8, n_clusters=2, seed=42
+        )
+        exact = {
+            (r.id1, r.id2)
+            for r in similarity.exact_allpairs_cosine(emb, 0.8).collect()
+        }
+        got = {(r.id1, r.id2) for r in pairs.collect()}
+        # cluster-local pairs are a SUBSET of exact all-pairs...
+        assert got <= exact
+        # ...and with only 2 clusters recall should be substantial
+        if exact:
+            assert len(got) >= len(exact) * 0.5
+
+
+class TestBloomDecontaminate:
+    def _frames(self, spark):
+        bench = spark.createDataFrame(
+            [
+                (0, "the quick brown fox jumps over the lazy dog every day"),
+                (1, "lorem ipsum dolor sit amet consectetur adipiscing elit sed"),
+            ],
+            "bench_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                # contains bench-0's 5-gram
+                (10, "notice the quick brown fox jumps over the fence now"),
+                # clean
+                (11, "completely unrelated text about spark dataframes and shuffles here"),
+                (12, "another clean document with plenty of ordinary english words inside"),
+                # contains bench-1 span
+                (13, "prefix lorem ipsum dolor sit amet consectetur suffix words"),
+            ],
+            "doc_id long, text string",
+        )
+        return corpus, bench
+
+    def test_no_false_negatives_vs_exact_join(self, spark):
+        corpus, bench = self._frames(spark)
+        n = 5
+        bloom = dedup.build_ngram_bloom(bench, n=n)
+        flagged = dedup.bloom_decontaminate(corpus, bloom, n=n)
+        got = {r.doc_id for r in flagged.collect() if r.maybe_contaminated}
+        exact = {
+            r.id
+            for r in dedup.contamination_overlap(
+                corpus, bench, n=n
+            ).collect()
+        }
+        assert exact <= got
+        assert {10, 13} <= got
+
+    def test_clean_corpus_fp_rate_bounded(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        bench = spark.createDataFrame(
+            [(0, "zzyzx qwxyv plogh wubbel framistat nine verbs walking backwards tonight")],
+            "bench_id long, text string",
+        )
+        bloom = dedup.build_ngram_bloom(bench, n=13)
+        flagged = dedup.bloom_decontaminate(docs, bloom, n=13)
+        n_fp = flagged.filter("maybe_contaminated").count()
+        # designed FP rate ~4e-4 per shingle; on this corpus that is
+        # << 1 expected flag — allow a little slack
+        assert n_fp <= 2
+
+    def test_hits_column_counts(self, spark):
+        corpus, bench = self._frames(spark)
+        bloom = dedup.build_ngram_bloom(bench, n=5)
+        out = {r.doc_id: r.n_bloom_hits for r in dedup.bloom_decontaminate(corpus, bloom, n=5).collect()}
+        assert out[10] >= 1 and out[13] >= 1
+        assert out[11] == 0 and out[12] == 0
+
+
+class TestQualityClassifier:
+    @pytest.fixture(scope="class")
+    def scored(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        # the synthetic corpus has no English stopwords, so that gate
+        # would zero every label — drop it; word-count then splits the
+        # corpus ~55/45
+        labeled = quality_model.weak_quality_labels(docs, min_stopword_hits=0)
+        model = quality_model.train_quality_classifier(labeled)
+        return quality_model.score_quality(
+            model, labeled
+        ).select("doc_id", "weak_label", "quality_prob")
+
+    def test_probabilities_valid(self, scored):
+        rows = scored.collect()
+        assert rows
+        assert all(0.0 <= r.quality_prob <= 1.0 for r in rows)
+
+    def test_separates_weak_labels(self, scored):
+        rows = scored.collect()
+        pos = sorted(r.quality_prob for r in rows if r.weak_label == 1.0)
+        neg = sorted(r.quality_prob for r in rows if r.weak_label == 0.0)
+        if not pos or not neg:
+            pytest.skip("degenerate weak labels at this SF")
+        # AUC via rank-sum
+        import bisect
+
+        wins = sum(bisect.bisect_left(neg, p) for p in pos)
+        ties = sum(
+            bisect.bisect_right(neg, p) - bisect.bisect_left(neg, p) for p in pos
+        )
+        auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+        assert auc > 0.75
+
+    def test_pareto_keep_deterministic_and_monotone(self, spark, scored):
+        kept1 = quality_model.pareto_keep(scored).collect()
+        kept2 = quality_model.pareto_keep(scored).collect()
+        assert {(r.doc_id, r.keep) for r in kept1} == {
+            (r.doc_id, r.keep) for r in kept2
+        }
+        by_keep = {}
+        for r in kept1:
+            by_keep.setdefault(r.keep, []).append(r.quality_prob)
+        # high scorers are kept at a much higher rate than low scorers
+        n_keep = sum(1 for r in kept1 if r.keep)
+        assert 0 < n_keep  # something survives
+        hi = [r for r in kept1 if r.quality_prob > 0.9]
+        if hi:
+            assert sum(1 for r in hi if r.keep) / len(hi) > 0.9
