@@ -57,11 +57,17 @@ def main():
             .mode("overwrite")
             .save(wpath)
         )
+        # warm the scan AND the filter+groupBy plan shape over the
+        # Python datasource (first codegen of that shape costs ~1.5s
+        # that otherwise lands on the first filtered lwes query)
         (
             spark.read.format("lwes")
             .schema("k long")
             .option("eventName", "Warm::Up")
             .load(wpath)
+            .filter("k >= 0")
+            .groupBy("k")
+            .count()
             .count()
         )
     except Exception as e:

@@ -94,3 +94,42 @@ class TestPlanInvariants:
         for q in ("q_doc_token_stats", "q_doc_langid"):
             n = len(re.findall(r"\n\(\d+\) Exchange", plans[q]))
             assert n == 1, (q, n, plans[q])
+
+
+class TestNewOperatorPlans:
+    """Shuffle-count invariants for the r3 pipeline operators — the
+    scale claims their docstrings make, asserted on the physical plan."""
+
+    def test_bloom_decontaminate_is_shuffle_free(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import dedup
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        bench = docs.limit(2).selectExpr("doc_id as bench_id", "text")
+        bloom = dedup.build_ngram_bloom(bench, n=13)
+        plan = _plan(dedup.bloom_decontaminate(docs, bloom, n=13))
+        assert "Exchange" not in plan  # pure scan: zero shuffles
+        assert "ArrowEvalPython" in plan  # vectorized, not row-at-a-time
+
+    def test_semantic_pairs_single_shuffle(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import similarity
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        plan = _plan(
+            similarity.semantic_neardup_pairs(emb, threshold=0.9, n_clusters=2)
+        )
+        # exactly ONE exchange: the groupBy(cluster_id) that co-locates
+        # each cluster for its applyInPandas GEMM (each node appears
+        # twice in formatted output — tree line + detail header)
+        import re
+
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+    def test_quality_scoring_is_scan_only(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import quality_model
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        labeled = quality_model.weak_quality_labels(docs, min_stopword_hits=0)
+        model = quality_model.train_quality_classifier(labeled)
+        plan = _plan(quality_model.score_quality(model, docs))
+        assert "Exchange" not in plan  # scoring shuffles nothing
+        assert "BatchEvalPython" not in plan  # no row-at-a-time Python
