@@ -64,12 +64,23 @@ def register(name: str, oracle: Optional[str] = None, doc: str = ""):
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by
-        # default; read as int64 nanos and convert with exact integer
-        # division (double math would lose precision at ~1.7e18 ns).
+        # events.ts varies by testdata generation: TIMESTAMP(NANOS)
+        # (which Spark reads as int64 only under nanosAsLong),
+        # timestamp[us] (read as TIMESTAMP_NTZ), or already-LTZ.
+        # Normalize all three to TIMESTAMP_LTZ at session-UTC so every
+        # downstream query and oracle sees one wall-clock type.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            # int64 nanos → exact integer division (double math would
+            # lose precision at ~1.7e18 ns)
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        # NTZ→LTZ cast interprets the wall-clock in session tz (UTC
+        # above), preserving the micros value exactly
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
