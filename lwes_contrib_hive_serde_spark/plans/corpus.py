@@ -52,10 +52,23 @@ class Q:
 
 REGISTRY: dict[str, Q] = {}
 
+# Oracle-checked but NOT driver-gated: the driver's correctness gate
+# checks a fixed window of queries() entries, so the registry proper is
+# curated to exactly that size. Entries whose operator category keeps a
+# gated sibling live here instead — still run against their DuckDB
+# oracle by tests/test_shadow_queries.py and tools/check_correctness.py
+# --shadow, just not submitted for a driver slot.
+SHADOW: dict[str, Q] = {}
 
-def register(name: str, oracle: Optional[str] = None, doc: str = ""):
+
+def register(
+    name: str,
+    oracle: Optional[str] = None,
+    doc: str = "",
+    shadow: bool = False,
+):
     def deco(fn):
-        REGISTRY[name] = Q(fn, oracle, doc)
+        (SHADOW if shadow else REGISTRY)[name] = Q(fn, oracle, doc)
         return fn
 
     return deco
@@ -142,6 +155,7 @@ def q01(spark, sf_dir):
 
 @register(
     "q06_revenue_forecast",
+    shadow=True,
     oracle="""
     SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
            COUNT(*) AS n
@@ -257,6 +271,7 @@ def q05(spark, sf_dir):
 
 @register(
     "q10_brand_volume",
+    shadow=True,
     oracle="""
     SELECT p.p_brand AS brand,
            CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
@@ -497,6 +512,7 @@ def q_cube(spark, sf_dir):
 
 @register(
     "q_grouping_sets",
+    shadow=True,
     oracle="""
     SELECT l_returnflag, l_returnflag IS NULL AND l_linestatus IS NULL AS is_total,
            l_linestatus, COUNT(*) AS n
@@ -712,6 +728,7 @@ def q_scalar_funcs(spark, sf_dir):
 
 @register(
     "q_array_funcs",
+    shadow=True,
     oracle="""
     SELECT vec_id,
            len(embedding) AS dim,
@@ -1123,6 +1140,7 @@ def q_subqueries(spark, sf_dir):
 
 @register(
     "q_disjunctive_join",
+    shadow=True,
     oracle="""
     SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
                 AS DOUBLE) AS revenue,

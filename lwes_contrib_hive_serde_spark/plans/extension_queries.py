@@ -15,10 +15,13 @@ from lwes_contrib_hive_serde_spark.plans.corpus import Q, dsum, table
 
 REGISTRY: dict[str, Q] = {}
 
+# See plans/corpus.py SHADOW: oracle-checked locally, not driver-gated.
+SHADOW: dict[str, Q] = {}
 
-def register(name: str, oracle=None, doc: str = ""):
+
+def register(name: str, oracle=None, doc: str = "", shadow: bool = False):
     def deco(fn):
-        REGISTRY[name] = Q(fn, oracle, doc)
+        (SHADOW if shadow else REGISTRY)[name] = Q(fn, oracle, doc)
         return fn
 
     return deco
@@ -175,6 +178,7 @@ def q_dedup_docs(spark, sf_dir):
 
 @register(
     "q_knn_single",
+    shadow=True,
     oracle="""
     WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
     SELECT vec_id AS neighbor_id,
@@ -665,4 +669,420 @@ def q_multimodal_meta(spark, sf_dir):
         ),
         F.countDistinct("sha256").alias("n_distinct"),
         F.min("sha256").alias("min_sha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline curation operators (round-3 additions): Gopher quality
+# rules, C4 line cleaning, PII redaction, benchmark decontamination,
+# SemDeDup, and URL/domain filtering.
+#
+# The synthetic documents corpus is pure lowercase space-separated
+# words — no newlines, digits, punctuation — so every rule below would
+# be vacuously true/false on the raw column. Each query therefore
+# AUGMENTS the text with a deterministic, doc_id-keyed expression built
+# identically in both engines (concat/CASE/regexp_replace only), so the
+# rules actually discriminate and the hash gate checks real behavior:
+# bullets, duplicate lines, boilerplate, lorem ipsum, curly braces,
+# emails/IPs/phones, and terminal punctuation all appear on known
+# doc_id residues.
+# ---------------------------------------------------------------------------
+
+_AUG_PARTS = [
+    # (modulus, text). Order matters — concatenated in sequence.
+    (5, "Contact bob.smith@example.com or 10.0.0.1 now.\n"),
+    (7, "- repeat me\n- repeat me\n"),
+    (11, "Please enable javascript and accept our cookie policy.\n"),
+    (17, "Lorem ipsum dolor sit amet consectetur.\n"),
+    (19, "code { display: none }\n"),
+]
+_AUG_TAIL = [
+    (3, "...", "."),  # terminal for the body line(s)
+    (13, "\nCall (415) 555-2671 today.", ""),
+]
+
+
+def _aug_col():
+    """Deterministic augmented text (Spark side)."""
+    parts = [
+        F.when(F.col("doc_id") % m == 0, F.lit(t)).otherwise(F.lit(""))
+        for m, t in _AUG_PARTS
+    ]
+    body = F.regexp_replace("text", " table ", ".\n")
+    tail = [
+        F.when(F.col("doc_id") % m == 0, F.lit(t)).otherwise(F.lit(e))
+        for m, t, e in _AUG_TAIL
+    ]
+    return F.concat(*parts, body, *tail)
+
+
+def _sql_str(t: str) -> str:
+    """Python string literal → DuckDB literal with chr(10) newlines."""
+    pieces = t.split("\n")
+    out = " || chr(10) || ".join("'" + p.replace("'", "''") + "'" for p in pieces)
+    return out
+
+
+_SQL_AUG = (
+    " || ".join(
+        f"CASE WHEN doc_id % {m} = 0 THEN {_sql_str(t)} ELSE '' END"
+        for m, t in _AUG_PARTS
+    )
+    + " || regexp_replace(text, ' table ', '.' || chr(10), 'g') || "
+    + " || ".join(
+        f"CASE WHEN doc_id % {m} = 0 THEN {_sql_str(t)} ELSE {_sql_str(e)} END"
+        for m, t, e in _AUG_TAIL
+    )
+)
+
+# SQL fragments over an augmented-text column named t ----------------------
+_SQL_T_TOKS = "CASE WHEN length(trim(t)) = 0 THEN [] ELSE string_split_regex(trim(t), '\\s+') END"
+_SQL_T_NWORDS = f"len({_SQL_T_TOKS})"
+_SQL_T_LINES = (
+    "list_filter(string_split(t, chr(10)), x -> length(trim(x)) > 0)"
+)
+
+
+_GOPHER_STOPS = ", ".join(f"'{w}'" for w in text.GOPHER_STOPWORDS)
+
+@register(
+    "q_gopher_quality",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, {_SQL_AUG} AS t FROM documents
+    ), m AS (
+      SELECT doc_id,
+             {_SQL_T_NWORDS} AS n_words,
+             CASE WHEN {_SQL_T_NWORDS} > 0 THEN
+               CAST(list_aggregate(list_transform({_SQL_T_TOKS}, x -> length(x)), 'sum') AS DOUBLE)
+                 / CAST({_SQL_T_NWORDS} AS DOUBLE)
+             ELSE 0.0 END AS mean_wlen,
+             CASE WHEN {_SQL_T_NWORDS} > 0 THEN
+               CAST(len(regexp_extract_all(t, '#|\\.\\.\\.')) AS DOUBLE)
+                 / CAST({_SQL_T_NWORDS} AS DOUBLE)
+             ELSE 0.0 END AS sym_ratio,
+             CASE WHEN len({_SQL_T_LINES}) > 0 THEN
+               CAST(len(list_filter({_SQL_T_LINES},
+                    x -> regexp_matches(x, '^\\s*([-*•‣◦]|[0-9]+[.)])\\s+'))) AS DOUBLE)
+                 / CAST(len({_SQL_T_LINES}) AS DOUBLE)
+             ELSE 0.0 END AS bullet_ratio,
+             CASE WHEN len({_SQL_T_LINES}) > 0 THEN
+               CAST(len(list_filter({_SQL_T_LINES},
+                    x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE)
+                 / CAST(len({_SQL_T_LINES}) AS DOUBLE)
+             ELSE 0.0 END AS ellipsis_ratio,
+             CASE WHEN {_SQL_T_NWORDS} > 0 THEN
+               CAST(len(list_filter({_SQL_T_TOKS}, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                 / CAST({_SQL_T_NWORDS} AS DOUBLE)
+             ELSE 0.0 END AS alpha_ratio,
+             CASE WHEN len({_SQL_T_LINES}) > 0 THEN
+               CAST(len({_SQL_T_LINES}) - len(list_distinct({_SQL_T_LINES})) AS DOUBLE)
+                 / CAST(len({_SQL_T_LINES}) AS DOUBLE)
+             ELSE 0.0 END AS dup_line_frac,
+             CAST(len(list_filter(
+                 list_distinct(CASE WHEN length(trim(lower(t))) = 0 THEN []
+                               ELSE string_split_regex(trim(lower(t)), '\\s+') END),
+                 x -> list_contains([{_GOPHER_STOPS}], x))) AS BIGINT) AS stop_hits
+      FROM aug
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_wlen, sym_ratio,
+           bullet_ratio, ellipsis_ratio, alpha_ratio, dup_line_frac, stop_hits,
+           n_words >= 50 AND n_words <= 100000 AS wc_ok,
+           mean_wlen >= 3.0 AND mean_wlen <= 10.0 AS mwl_ok,
+           sym_ratio <= 0.1 AS sym_ok,
+           bullet_ratio <= 0.9 AS bullet_ok,
+           ellipsis_ratio <= 0.3 AS ellipsis_ok,
+           alpha_ratio >= 0.8 AS alpha_ok,
+           stop_hits >= 2 AS stop_ok,
+           n_words >= 50 AND n_words <= 100000
+             AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+             AND sym_ratio <= 0.1 AND bullet_ratio <= 0.9
+             AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
+             AND stop_hits >= 2 AS pass_all
+    FROM m
+    """,
+    doc="Gopher quality-rule battery (Rae et al. 2021 A1.1 thresholds) "
+    "over deterministically augmented text: word count, mean word "
+    "length, symbol/bullet/ellipsis/alpha ratios, distinct-stopword "
+    "hits, duplicate-line fraction, and the per-rule + overall "
+    "booleans. Every rule is a single-projection JVM expression — at "
+    "100 TB the whole battery runs at scan speed with zero shuffles.",
+)
+def q_gopher_quality(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = d.withColumn("t", _aug_col())
+    g = text.gopher_quality_flags("t")
+    return aug.select(
+        "doc_id",
+        text.token_count("t").alias("n_words"),
+        text.mean_token_len("t").alias("mean_wlen"),
+        text.symbol_word_ratio("t").alias("sym_ratio"),
+        text.bullet_line_ratio("t").alias("bullet_ratio"),
+        text.ellipsis_line_ratio("t").alias("ellipsis_ratio"),
+        text.alpha_word_ratio("t").alias("alpha_ratio"),
+        text.dup_line_fraction("t").alias("dup_line_frac"),
+        text.gopher_stopword_hits("t").alias("stop_hits"),
+        g.getField("word_count_ok").alias("wc_ok"),
+        g.getField("mean_word_len_ok").alias("mwl_ok"),
+        g.getField("symbol_ratio_ok").alias("sym_ok"),
+        g.getField("bullet_ratio_ok").alias("bullet_ok"),
+        g.getField("ellipsis_ratio_ok").alias("ellipsis_ok"),
+        g.getField("alpha_word_ok").alias("alpha_ok"),
+        g.getField("stopwords_ok").alias("stop_ok"),
+        g.getField("pass_all").alias("pass_all"),
+    )
+
+
+@register(
+    "q_c4_clean",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, {_SQL_AUG} AS t FROM documents
+    ), cleaned AS (
+      SELECT doc_id, t,
+             array_to_string(list_filter({_SQL_T_LINES},
+               x -> len(string_split_regex(trim(x), '\\s+')) >= 5
+                    AND NOT regexp_matches(x,
+                        '(?i)(javascript|cookies? (policy|settings)|privacy policy|terms of use)')
+                    AND regexp_matches(x, '[.!?"'']\\s*$')), chr(10)) AS t_clean
+      FROM aug
+    )
+    SELECT doc_id,
+           CAST(len({_SQL_T_LINES}) AS BIGINT) AS n_lines,
+           CAST(CASE WHEN t_clean = '' THEN 0
+                ELSE len(string_split(t_clean, chr(10))) END AS BIGINT) AS n_kept,
+           CAST(length(t_clean) AS BIGINT) AS clean_len,
+           md5(t_clean) AS clean_md5,
+           NOT contains(lower(t), 'lorem ipsum') AS no_lorem_ipsum,
+           NOT contains(t, '{{') AS no_curly_brace,
+           len(regexp_extract_all(t, '[.!?]')) >= 3 AS min_sentences_ok,
+           NOT contains(lower(t), 'lorem ipsum') AND NOT contains(t, '{{')
+             AND len(regexp_extract_all(t, '[.!?]')) >= 3 AS pass_all
+    FROM cleaned
+    """,
+    doc="C4 cleaning (Raffel et al. 2020 §2.2) on augmented text: "
+    "line-level retention (≥5 words, terminal punctuation, no "
+    "boilerplate phrase) returning the CLEANED text — md5-checked "
+    "end to end — plus the document-level drop flags (lorem ipsum, "
+    "curly brace, ≥3 sentences). Pure per-row JVM array ops; the "
+    "cleaned text never leaves the executor uncompacted.",
+)
+def q_c4_clean(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = d.withColumn("t", _aug_col())
+    out = text.with_c4_clean(aug, "t", out_col="t_clean", flags_col="c4")
+    nl = F.size(text.doc_lines("t")).cast("bigint")
+    nk = (
+        F.when(F.col("t_clean") == "", F.lit(0))
+        .otherwise(F.size(F.split("t_clean", r"\n")))
+        .cast("bigint")
+    )
+    return out.select(
+        "doc_id",
+        nl.alias("n_lines"),
+        nk.alias("n_kept"),
+        F.length("t_clean").cast("bigint").alias("clean_len"),
+        F.md5(F.encode("t_clean", "utf-8")).alias("clean_md5"),
+        F.col("c4").getField("no_lorem_ipsum").alias("no_lorem_ipsum"),
+        F.col("c4").getField("no_curly_brace").alias("no_curly_brace"),
+        F.col("c4").getField("min_sentences_ok").alias("min_sentences_ok"),
+        F.col("c4").getField("pass_all").alias("pass_all"),
+    )
+
+
+# PII regexes are kept inside the Java-regex ∩ RE2 common subset (no
+# backrefs/lookaround) precisely so this oracle can mirror them verbatim.
+_SQL_PII = {k: v.replace("'", "''") for k, v in text.PII_PATTERNS.items()}
+
+@register(
+    "q_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, {_SQL_AUG} AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_SQL_PII["email"]}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, '{_SQL_PII["ipv4"]}')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(t, '{_SQL_PII["phone"]}')) AS BIGINT) AS n_phone,
+           CAST(length(
+             regexp_replace(regexp_replace(regexp_replace(t,
+               '{_SQL_PII["email"]}', '<EMAIL>', 'g'),
+               '{_SQL_PII["ipv4"]}', '<IPV4>', 'g'),
+               '{_SQL_PII["phone"]}', '<PHONE>', 'g')) AS BIGINT) AS red_len,
+           md5(
+             regexp_replace(regexp_replace(regexp_replace(t,
+               '{_SQL_PII["email"]}', '<EMAIL>', 'g'),
+               '{_SQL_PII["ipv4"]}', '<IPV4>', 'g'),
+               '{_SQL_PII["phone"]}', '<PHONE>', 'g')) AS red_md5
+    FROM aug
+    """,
+    doc="PII audit + redaction (emails / IPv4 / NANP phones → typed "
+    "placeholders) on augmented text: per-kind match counts, then the "
+    "chained-regexp_replace redaction md5-checked end to end. All JVM "
+    "regexp built-ins; patterns live in the Java-regex ∩ RE2 common "
+    "subset so both engines compute identical matches.",
+)
+def q_pii_redact(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = d.withColumn("t", _aug_col())
+    counts = text.pii_counts("t")
+    red = text.redact_pii("t")
+    return aug.select(
+        "doc_id",
+        counts.getField("email").alias("n_email"),
+        counts.getField("ipv4").alias("n_ipv4"),
+        counts.getField("phone").alias("n_phone"),
+        F.length(red).cast("bigint").alias("red_len"),
+        F.md5(F.encode(red, "utf-8")).alias("red_md5"),
+    )
+
+
+@register(
+    "q_decontaminate",
+    oracle="""
+    WITH nrm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, t, string_split(t, ' ') AS w FROM nrm
+    ), corpus_sh AS (
+      SELECT doc_id AS id, unnest(
+        CASE WHEN len(w) < 13 THEN [t]
+             ELSE list_distinct(list_transform(
+                    generate_series(1, len(w) - 12),
+                    i -> array_to_string(w[i:i+12], ' ')))
+        END) AS sh
+      FROM tok
+    ), bench_sh AS (
+      SELECT doc_id AS bench_id, array_to_string(w[1:13], ' ') AS sh
+      FROM tok WHERE doc_id % 25 = 0
+    )
+    SELECT c.id, b.bench_id, COUNT(*) AS n_overlap, TRUE AS contaminated
+    FROM corpus_sh c JOIN bench_sh b USING (sh)
+    GROUP BY c.id, b.bench_id
+    """,
+    doc="Benchmark decontamination (GPT-3 paper's 13-gram overlap "
+    "check): the 'benchmark' is the 13-word prefix of every 25th "
+    "document — guaranteed real contamination hits, not a vacuous "
+    "empty join. Corpus-side distinct shingles ride the single-regex "
+    "extractor shared with MinHash; the tiny benchmark shingle set is "
+    "broadcast, so the corpus side is scan + broadcast-hash-join with "
+    "zero corpus shuffle (the only shuffle is the per-pair count on "
+    "the matched subset). hashed=False keeps raw shingle strings for "
+    "oracle-exact cross-engine comparison; production uses xxhash64 "
+    "keys (same operator, hashed=True).",
+)
+def q_decontaminate(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(text.normalize_text("text"), " ")
+    bench = d.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(w, 1, 13), " ").alias("text"),
+    )
+    return dedup.contamination_overlap(d, bench, n=13, hashed=False)
+
+
+@register(
+    "q_semdedup",
+    oracle="""
+    WITH planted AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(embedding,
+                            x -> CAST(CAST(x AS DOUBLE) * 1.0009765625 AS FLOAT))
+      FROM embeddings WHERE vec_id < 10
+    )
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           ROUND(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                    * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                 6) AS sim6
+    FROM planted a, planted b
+    WHERE a.vec_id < b.vec_id
+      AND list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+          >= 0.95
+    """,
+    doc="SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means coarse "
+    "clusters confine the quadratic cosine search to co-located "
+    "cluster-sized numpy GEMMs (Σ|cluster|² instead of n²; ONE "
+    "shuffle). The corpus has no natural ≥0.95 pairs, so both engines "
+    "plant 10 exactly-representable float-perturbed copies — scaled "
+    "copies keep their direction, so original and copy land in the "
+    "same k-means cell and the oracle's brute-force pair set must be "
+    "recovered EXACTLY (a cluster-straddle miss fails the hash).",
+)
+def q_semdedup(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    copies = e.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: (x.cast("double") * F.lit(1.0009765625)).cast("float"),
+        ).alias("embedding"),
+    )
+    planted = e.select("vec_id", "embedding").unionByName(copies)
+    pairs = similarity.semantic_neardup_pairs(
+        planted, threshold=0.95, n_clusters=8, seed=42
+    )
+    return pairs.select("id1", "id2", F.round("cosine_sim", 6).alias("sim6"))
+
+
+_BLOCKED_DOMAINS = ["example.org", "src3.example.com"]
+
+@register(
+    "q_url_filter",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 4 = 0 THEN 'cdn.' ELSE '' END || source
+               || '.example.'
+               || CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                  ELSE 'net' END AS host
+      FROM documents
+    ), kept AS (
+      SELECT * FROM urls
+      WHERE NOT (host = 'example.org' OR host LIKE '%.example.org'
+                 OR host = 'src3.example.com' OR host LIKE '%.src3.example.com')
+    )
+    SELECT source, COUNT(*) AS n_kept,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+           MIN(host) AS min_host, MAX(host) AS max_host
+    FROM kept GROUP BY source
+    """,
+    doc="URL/domain filtering (the C4/RefinedWeb source-level filter): "
+    "synthesize a deterministic URL per document, parse its host with "
+    "JVM try_parse_url, explode the ≤L dot-suffixes per host, and "
+    "anti-join against a broadcast blocklist — suffix matching as an "
+    "equi-join, never an endswith theta-join, so the corpus side is "
+    "scan + two broadcast joins with zero corpus shuffle at any "
+    "scale. The oracle recomputes the same suffix semantics with "
+    "explicit LIKE patterns.",
+)
+def q_url_filter(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("cdn.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example."),
+        F.element_at(
+            F.array(F.lit("com"), F.lit("org"), F.lit("net")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ),
+        F.lit("/doc/"),
+        F.col("doc_id"),
+    )
+    with_url = d.withColumn("url", url)
+    kept = text.filter_blocked_domains(
+        with_url, "url", _BLOCKED_DOMAINS, id_col="doc_id"
+    )
+    host = text.url_host("url")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.countDistinct(host).alias("n_hosts"),
+        F.min(host).alias("min_host"),
+        F.max(host).alias("max_host"),
     )

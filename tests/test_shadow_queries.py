@@ -1,0 +1,57 @@
+"""Shadow-registry correctness: entries displaced from the driver's
+fixed 50-slot window (plans/corpus.py SHADOW) stay oracle-checked
+here — same engine-vs-DuckDB comparison the driver runs, at sf0.001
+for speed. A shadow entry going red fails CI exactly like a gated one.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from tools.check_correctness import TABLES, table_signature
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _shadow_entries():
+    from lwes_contrib_hive_serde_spark.plans import corpus, extension_queries
+
+    out = {}
+    for reg in (corpus.SHADOW, extension_queries.SHADOW):
+        out.update(reg)
+    return out
+
+
+SHADOW = _shadow_entries()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(path):
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return c
+
+
+def test_shadow_registry_nonempty():
+    assert len(SHADOW) >= 6
+
+
+@pytest.mark.parametrize("name", sorted(SHADOW))
+def test_shadow_query_matches_oracle(name, spark, con):
+    q = SHADOW[name]
+    df = q.spark_fn(spark, SF_DIR)
+    spark_rows = [tuple(r) for r in df.collect()]
+    assert q.oracle is not None, f"{name}: shadow entries must carry an oracle"
+    res = con.execute(q.oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    sc, sl = table_signature(list(df.columns), spark_rows)
+    dc, dl = table_signature(duck_cols, duck_rows)
+    assert sc == dc, f"{name}: column mismatch {sc} vs {dc}"
+    assert sl == dl, f"{name}: value mismatch"

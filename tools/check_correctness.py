@@ -75,7 +75,18 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    only = set(sys.argv[1:])
+    argv = [a for a in sys.argv[1:] if a != "--shadow"]
+    if "--shadow" in sys.argv[1:]:
+        # also check the non-driver-gated shadow entries (see
+        # plans/corpus.py SHADOW)
+        from lwes_contrib_hive_serde_spark.plans import corpus, extension_queries
+
+        for reg in (corpus.SHADOW, extension_queries.SHADOW):
+            for name, q in reg.items():
+                qs[name] = q.spark_fn
+                if q.oracle is not None:
+                    oracles[name] = q.oracle
+    only = set(argv)
     n_pass = n_fail = n_weak = 0
     for name, fn in qs.items():
         if only and name not in only:
