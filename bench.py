@@ -87,6 +87,8 @@ def main():
             continue
         per_query[name] = round(dt, 4)
         total += dt
+        # progress to stderr (driver parses only the stdout JSON line)
+        print(f"# {name}: {dt:.2f}s", file=sys.stderr)
 
     print(
         json.dumps(

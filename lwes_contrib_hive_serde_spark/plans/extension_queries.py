@@ -1079,10 +1079,14 @@ def q_url_filter(spark, sf_dir):
     kept = text.filter_blocked_domains(
         with_url, "url", _BLOCKED_DOMAINS, id_col="doc_id"
     )
-    host = text.url_host("url")
-    return kept.groupBy("source").agg(
+    # materialize host ONCE before the aggregate: agg keys/functions
+    # don't CSE, so grouping on the raw parse_url invoke would
+    # re-evaluate it per aggregate per row (and force SortAggregate on
+    # an expression key)
+    hosts = kept.select("source", text.url_host("url").alias("host"))
+    return hosts.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_kept"),
-        F.countDistinct(host).alias("n_hosts"),
-        F.min(host).alias("min_host"),
-        F.max(host).alias("max_host"),
+        F.countDistinct("host").alias("n_hosts"),
+        F.min("host").alias("min_host"),
+        F.max("host").alias("max_host"),
     )

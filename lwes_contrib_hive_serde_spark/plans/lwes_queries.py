@@ -25,6 +25,18 @@ REGISTRY: dict[str, Q] = {}
 _CACHE_VERSION = "v2"
 
 
+def _source_tag(sf_dir: str) -> str:
+    """Cache tag that also fingerprints the source parquet (mtime+size):
+    if the events table is regenerated in place, the journal cache must
+    not serve rows from the old data while oracles read the new."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    try:
+        st = os.stat(os.path.join(sf_dir, "events.parquet"))
+        return f"{tag}-{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        return tag
+
+
 def register(name: str, oracle=None, doc: str = ""):
     def deco(fn):
         REGISTRY[name] = Q(fn, oracle, doc)
@@ -45,7 +57,7 @@ def _events_journal(spark, sf_dir: str) -> str:
     import lwes_contrib_hive_serde_spark as L
 
     L.register(spark)
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tag = _source_tag(sf_dir)
     out = f"/tmp/lwes_journal_cache/{_CACHE_VERSION}/{tag}/events"
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
@@ -118,7 +130,7 @@ def _events_multi_journal(spark, sf_dir: str) -> str:
     import lwes_contrib_hive_serde_spark as L
 
     L.register(spark)
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tag = _source_tag(sf_dir)
     out = f"/tmp/lwes_journal_cache/{_CACHE_VERSION}/{tag}/events_multi"
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         ev = table(spark, sf_dir, "events")
@@ -216,7 +228,7 @@ def _events_v2_journal(spark, sf_dir: str) -> str:
     import lwes_contrib_hive_serde_spark as L
 
     L.register(spark)
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tag = _source_tag(sf_dir)
     out = f"/tmp/lwes_journal_cache/{_CACHE_VERSION}/{tag}/events_v2"
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         ev = table(spark, sf_dir, "events")
