@@ -759,6 +759,7 @@ def q_array_funcs(spark, sf_dir):
 
 @register(
     "q_date_funcs",
+    shadow=True,
     oracle="""
     SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
            CAST(MONTH(o_orderdate) AS BIGINT) AS mo,
@@ -984,6 +985,7 @@ def q_grouped_agg_pandas(spark, sf_dir):
 
 @register(
     "q_percentiles",
+    shadow=True,
     oracle="""
     SELECT l_returnflag,
            ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,

@@ -1090,3 +1090,101 @@ def q_url_filter(spark, sf_dir):
         F.min("host").alias("min_host"),
         F.max("host").alias("max_host"),
     )
+
+
+@register(
+    "q_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, doc_id % 4 AS shard,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+      FROM documents
+    ), s AS (
+      SELECT doc_id, shard, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+      FROM t
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(FLOOR(strt / 512) AS BIGINT) AS bin_id,
+           CAST(strt % 512 AS BIGINT) AS bin_offset,
+           (strt % 512) + n_tokens > 512 AS overflow
+    FROM s
+    """,
+    doc="Sequence packing: running-cumsum virtual token-budget bins "
+    "(budget 512), sharded 4 ways so the window cumsum parallelizes — "
+    "the deterministic streaming-friendly packing most training "
+    "pipelines use instead of NP-hard bin packing. Per-document "
+    "(shard, bin_id, bin_offset, overflow) assignment is fully "
+    "window-expressible, hence oracle-checkable. At 100 TB the shard "
+    "key caps any single window partition; bins are (shard, bin) "
+    "pairs, which is what a sharded training loader consumes anyway.",
+)
+def q_pack_sequences(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import packing
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 4).alias("shard"),
+        text.token_count("text").alias("n_tokens"),
+    )
+    packed = packing.pack_sequences(
+        d, "n_tokens", 512, order_col="doc_id", shard_col="shard"
+    )
+    return packed.select(
+        "doc_id", "shard", "n_tokens", "bin_id",
+        F.col("bin_offset").cast("bigint").alias("bin_offset"), "overflow",
+    )
+
+
+_MIX_U = (
+    "(('0x' || substr(md5('lwespark:' || CAST(doc_id AS VARCHAR)), 1, 16))::UINT64)"
+    "::DOUBLE / 18446744073709551616.0"
+)
+
+@register(
+    "q_data_mixture",
+    oracle=f"""
+    WITH mixed AS (
+      SELECT doc_id, source FROM documents
+      WHERE {_MIX_U} < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                       WHEN 'src2' THEN 0.25 ELSE 0.1 END
+    ), split AS (
+      SELECT doc_id, source,
+             CASE WHEN {_MIX_U} < 0.1 THEN 'test'
+                  WHEN {_MIX_U} < 0.9 THEN 'train'
+                  ELSE 'val' END AS split
+      FROM mixed
+    )
+    SELECT source, split, COUNT(*) AS n,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM split GROUP BY source, split
+    """,
+    doc="Dataset mixing + stable train/val/test split: per-source keep "
+    "probabilities and cumulative-fraction split assignment, both "
+    "driven by the md5-fraction hash_uniform (deterministic U[0,1) "
+    "from (seed, key)) — single scan, zero shuffle before the final "
+    "count, and exactly reproducible across engines (the oracle "
+    "recomputes the same md5 fraction). The same hash keeps a "
+    "document's split stable across reruns and table growth — no "
+    "eval-set leakage from resampling.",
+)
+def q_data_mixture(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import sampling
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    mixed = sampling.weighted_mixture(
+        d, "source", {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        key="doc_id", default_rate=0.1,
+    )
+    split = sampling.split_train_eval(
+        mixed, "doc_id", {"test": 0.1, "train": 0.8, "val": 0.1}
+    )
+    return split.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
