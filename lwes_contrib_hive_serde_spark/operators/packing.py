@@ -38,16 +38,27 @@ def pack_sequences(
 
     bin_id = floor(exclusive-cumsum(tokens) / budget); a document
     "overflows" when it crosses a bin boundary (consumers either
-    truncate it or give it a fresh window — both need the flag)."""
+    truncate it or give it a fresh window — both need the flag).
+
+    ``order_col`` may be a single column name or a list; pass an order
+    that is UNIQUE per (shard,) row — ties make the cumsum (and thus
+    every bin assignment after the tie) partitioning-dependent. The
+    default (order by the token count alone) is only deterministic
+    when counts are distinct; production callers should order by a
+    document key."""
     order_col = order_col or token_col
+    order_cols = (
+        [order_col] if isinstance(order_col, str) else list(order_col)
+    )
+    order_exprs = [F.col(c) for c in order_cols]
     if shard_col is None:
-        w = Window.orderBy(F.col(order_col)).rowsBetween(
+        w = Window.orderBy(*order_exprs).rowsBetween(
             Window.unboundedPreceding, -1
         )
     else:
         w = (
             Window.partitionBy(shard_col)
-            .orderBy(F.col(order_col))
+            .orderBy(*order_exprs)
             .rowsBetween(Window.unboundedPreceding, -1)
         )
     start = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0))

@@ -1595,7 +1595,11 @@ class LwesWriter(DataSourceArrowWriter):
             ext = ".journal2"  # compression is per-block, inside the file
         else:
             ext = ".journal.gz" if self.compression == "gzip" else ".journal"
-        task_id = uuid.uuid4().hex
+        # streaming replay idempotency: LwesStreamWriter pins a
+        # deterministic (epoch, partition) prefix so a replayed
+        # microbatch overwrites its predecessor's files instead of
+        # appending duplicates; the batch path keeps random task ids
+        task_id = getattr(self, "task_prefix", None) or uuid.uuid4().hex
         header_dtypes = {
             f.name: f.dataType
             for f in self.schema.fields
@@ -1709,7 +1713,17 @@ class LwesStreamWriter(DataSourceStreamArrowWriter):
     DatagramPacketOutputStream.java:30-40). Each microbatch partition
     becomes one journal file; commit() records per-batch manifests so
     a restarted query can identify committed batches (idempotent
-    re-commit; uncommitted files from failed batches are aborted)."""
+    re-commit; uncommitted files from failed batches are aborted).
+
+    Exactly-once across restarts: a query stopped between the sink
+    write and the offset commit REPLAYS that microbatch on restart, so
+    the sink must be epoch-idempotent. Files are therefore named by
+    the deterministic (batchId, partitionId) — read from the
+    ``streaming.sql.batchId`` task-local property Spark sets on
+    microbatch tasks — and any files a previous attempt of the same
+    (epoch, partition) left behind are removed before writing. If the
+    property is unavailable the sink degrades to random task ids
+    (at-least-once), never to data loss."""
 
     def __init__(self, schema: StructType, options, overwrite: bool):
         # reuse the batch writer's schema resolution + encode loop
@@ -1717,6 +1731,22 @@ class LwesStreamWriter(DataSourceStreamArrowWriter):
         self.path = self._w.path
 
     def write(self, batches) -> LwesCommitMessage:
+        import glob
+
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        epoch = tc.getLocalProperty("streaming.sql.batchId") if tc else None
+        if epoch is not None:
+            prefix = f"e{epoch}-p{tc.partitionId()}"
+            os.makedirs(self.path, exist_ok=True)
+            for stale in glob.glob(
+                os.path.join(self.path, f"part-{prefix}-*")
+            ):
+                os.remove(stale)
+            self._w.task_prefix = prefix
+        else:
+            self._w.task_prefix = None
         return self._w.write(batches)
 
     def commit(self, messages, batchId: int) -> None:

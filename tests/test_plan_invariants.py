@@ -29,10 +29,17 @@ def _plan(df) -> str:
 @pytest.fixture(scope="module")
 def plans(spark):
     import __spark_entry__ as em
+    from lwes_contrib_hive_serde_spark.plans import corpus, extension_queries
 
     sf = "/root/testdata/sf0.001"
+    fns = dict(em.queries())
+    # shadow entries (displaced from the gated window) keep the same
+    # plan invariants
+    for reg in (corpus.SHADOW, extension_queries.SHADOW):
+        for name, q in reg.items():
+            fns.setdefault(name, q.spark_fn)
     out = {}
-    for name, fn in em.queries().items():
+    for name, fn in fns.items():
         try:
             out[name] = _plan(fn(spark, sf))
         except Exception as e:  # pragma: no cover - surfaced in test
