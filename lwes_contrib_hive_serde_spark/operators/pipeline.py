@@ -1,0 +1,103 @@
+"""End-to-end training-data curation pipeline: the composition a data
+team actually runs over a raw crawl, fused into ONE lazy Spark plan.
+
+Stage order follows the published recipes (C4, Raffel et al. 2020 §2.2;
+Gopher, Rae et al. 2021 A1.1; GPT-3 decontamination-style dedup):
+
+  1. C4 line cleaning   -> text_clean (page-level drop flags filter)
+  2. Gopher quality     -> keep pass_all documents
+  3. PII redaction      -> emails/IPv4/phones replaced by placeholders
+  4. fingerprint dedup  -> min-id keeper per normalized fingerprint
+  5. weighted mixture   -> per-source keep probabilities (optional)
+  6. train/val/test split (optional)
+  7. sequence packing   -> token-budget bin assignment (optional)
+
+Plan shape at 100 TB: stages 1-3 and 5-6 are pure per-row JVM
+projections/filters that Catalyst fuses into the SCAN stage (one pass,
+zero shuffles, whole-stage codegen); stage 4 is the single dedup
+shuffle on the fingerprint key; stage 7 is one window cumsum per shard.
+Total: one scan + one shuffle + one window — the composition costs no
+more than its most expensive member, which is the reason to express the
+pipeline declaratively instead of materializing between stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lwes_contrib_hive_serde_spark.operators import (
+    dedup,
+    packing,
+    sampling,
+    text,
+)
+
+
+def curate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str | None = None,
+    *,
+    min_sentences: int = 3,
+    gopher_thresholds: dict | None = None,
+    pii: bool = True,
+    mixture: dict[str, float] | None = None,
+    mixture_default_rate: float = 0.0,
+    split_fractions: dict[str, float] | None = None,
+    pack_budget: int | None = None,
+    pack_shards: int | None = None,
+    seed: str = "lwespark",
+) -> DataFrame:
+    """Returns the curated frame with ``text_clean`` (cleaned +
+    redacted), plus ``split`` / packing columns when requested.
+
+    ``gopher_thresholds`` are keyword overrides for
+    :func:`text.gopher_quality_flags` (pass e.g. ``min_words=10`` for
+    short-document corpora); ``mixture`` maps source values to keep
+    probabilities; ``pack_shards`` shards the packing cumsum window by
+    ``crc32(id) % shards`` so no single window partition is unbounded.
+    """
+    out = df.filter(
+        text.c4_doc_flags(text_col, min_sentences=min_sentences).getField(
+            "pass_all"
+        )
+    ).withColumn("text_clean", text.c4_clean_lines(text_col))
+    out = out.filter(F.length("text_clean") > 0)
+    out = out.filter(
+        text.gopher_quality_flags(
+            "text_clean", **(gopher_thresholds or {})
+        ).getField("pass_all")
+    )
+    if pii:
+        out = out.withColumn("text_clean", text.redact_pii("text_clean"))
+    out = dedup.fingerprint_dedup(out, "text_clean", id_col)
+    if mixture is not None and source_col is not None:
+        out = sampling.weighted_mixture(
+            out,
+            source_col,
+            mixture,
+            key=id_col,
+            seed=seed,
+            default_rate=mixture_default_rate,
+        )
+    if split_fractions is not None:
+        out = sampling.split_train_eval(
+            out, id_col, split_fractions, seed=seed
+        )
+    if pack_budget is not None:
+        out = out.withColumn("n_tokens", text.token_count("text_clean"))
+        if pack_shards:
+            out = out.withColumn(
+                "shard", F.crc32(F.col(id_col).cast("string")) % pack_shards
+            )
+            out = packing.pack_sequences(
+                out, "n_tokens", pack_budget,
+                order_col=id_col, shard_col="shard",
+            )
+        else:
+            out = packing.pack_sequences(
+                out, "n_tokens", pack_budget, order_col=id_col
+            )
+    return out

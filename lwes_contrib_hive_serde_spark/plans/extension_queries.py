@@ -1188,3 +1188,155 @@ def q_data_mixture(spark, sf_dir):
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+# Parameterized SQL fragments (column name -> DuckDB expr) for the
+# fused-pipeline oracle
+def _sql_toks_of(c: str) -> str:
+    return (
+        f"CASE WHEN length(trim({c})) = 0 THEN [] "
+        f"ELSE string_split_regex(trim({c}), '\\s+') END"
+    )
+
+
+def _sql_lines_of(c: str) -> str:
+    return f"list_filter(string_split({c}, chr(10)), x -> length(trim(x)) > 0)"
+
+
+def _sql_gopher_pass(c: str, min_words: int = 50, min_stop_hits: int = 2) -> str:
+    toks, lines = _sql_toks_of(c), _sql_lines_of(c)
+    nw = f"len({toks})"
+    mean = (
+        f"(CASE WHEN {nw} > 0 THEN "
+        f"CAST(list_aggregate(list_transform({toks}, x -> length(x)), 'sum') AS DOUBLE)"
+        f" / CAST({nw} AS DOUBLE) ELSE 0.0 END)"
+    )
+    sym = (
+        f"(CASE WHEN {nw} > 0 THEN "
+        f"CAST(len(regexp_extract_all({c}, '#|\\.\\.\\.')) AS DOUBLE)"
+        f" / CAST({nw} AS DOUBLE) ELSE 0.0 END)"
+    )
+    bullet = (
+        f"(CASE WHEN len({lines}) > 0 THEN "
+        f"CAST(len(list_filter({lines}, x -> regexp_matches(x, '^\\s*([-*•‣◦]|[0-9]+[.)])\\s+'))) AS DOUBLE)"
+        f" / CAST(len({lines}) AS DOUBLE) ELSE 0.0 END)"
+    )
+    ell = (
+        f"(CASE WHEN len({lines}) > 0 THEN "
+        f"CAST(len(list_filter({lines}, x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE)"
+        f" / CAST(len({lines}) AS DOUBLE) ELSE 0.0 END)"
+    )
+    alpha = (
+        f"(CASE WHEN {nw} > 0 THEN "
+        f"CAST(len(list_filter({toks}, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)"
+        f" / CAST(len({toks}) AS DOUBLE) ELSE 0.0 END)"
+    )
+    stops = (
+        f"len(list_filter(list_distinct(CASE WHEN length(trim(lower({c}))) = 0 THEN [] "
+        f"ELSE string_split_regex(trim(lower({c})), '\\s+') END), "
+        f"x -> list_contains([{_GOPHER_STOPS}], x)))"
+    )
+    return (
+        f"({nw} >= {min_words} AND {nw} <= 100000"
+        f" AND {mean} >= 3.0 AND {mean} <= 10.0"
+        f" AND {sym} <= 0.1 AND {bullet} <= 0.9 AND {ell} <= 0.3"
+        f" AND {alpha} >= 0.8 AND {stops} >= {min_stop_hits})"
+    )
+
+
+def _sql_c4_clean_of(c: str) -> str:
+    return (
+        f"array_to_string(list_filter({_sql_lines_of(c)}, "
+        "x -> len(string_split_regex(trim(x), '\\s+')) >= 5 "
+        "AND NOT regexp_matches(x, "
+        "'(?i)(javascript|cookies? (policy|settings)|privacy policy|terms of use)') "
+        "AND regexp_matches(x, '[.!?\"'']\\s*$')), chr(10))"
+    )
+
+
+def _sql_redact_of(c: str) -> str:
+    return (
+        f"regexp_replace(regexp_replace(regexp_replace({c}, "
+        f"'{_SQL_PII['email']}', '<EMAIL>', 'g'), "
+        f"'{_SQL_PII['ipv4']}', '<IPV4>', 'g'), "
+        f"'{_SQL_PII['phone']}', '<PHONE>', 'g')"
+    )
+
+
+@register(
+    "q_curation_pipeline",
+    shadow=True,
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, source, {_SQL_AUG} AS t FROM documents
+    ), c4 AS (
+      SELECT doc_id, source, {_sql_c4_clean_of('t')} AS tc FROM aug
+      WHERE NOT contains(lower(t), 'lorem ipsum') AND NOT contains(t, '{{')
+        AND len(regexp_extract_all(t, '[.!?]')) >= 3
+    ), gq AS (
+      SELECT doc_id, source, {_sql_redact_of('tc')} AS tr FROM c4
+      WHERE length(tc) > 0 AND {_sql_gopher_pass('tc', min_words=10, min_stop_hits=1)}
+    ), ded AS (
+      SELECT doc_id, source, tr FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY trim(regexp_replace(lower(tr), '\\s+', ' ', 'g'))
+          ORDER BY doc_id) AS rn
+        FROM gq) WHERE rn = 1
+    ), mix AS (
+      SELECT * FROM ded
+      WHERE {_MIX_U} < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.7
+                       WHEN 'src2' THEN 0.4 ELSE 0.5 END
+    ), spl AS (
+      SELECT doc_id, source, tr,
+             CASE WHEN {_MIX_U} < 0.1 THEN 'test'
+                  WHEN {_MIX_U} < 0.9 THEN 'train'
+                  ELSE 'val' END AS split,
+             CASE WHEN length(trim(tr)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(tr), '\\s+')) END AS n_tokens
+      FROM mix
+    ), pk AS (
+      SELECT doc_id, source, split, tr, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+      FROM spl
+    )
+    SELECT doc_id, source, split, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(FLOOR(strt / 256) AS BIGINT) AS bin_id,
+           CAST(strt % 256 AS BIGINT) AS bin_offset,
+           (strt % 256) + n_tokens > 256 AS overflow,
+           md5(tr) AS red_md5
+    FROM pk
+    """,
+    doc="The fused curation pipeline (operators/pipeline.py): C4 clean "
+    "→ Gopher filter (min_words=10, min_stopword_hits=1 for the short "
+    "single-stopword synthetic docs) → "
+    "PII redact → fingerprint dedup → weighted mixture → stable split "
+    "→ 256-token packing, composed as ONE lazy plan. Catalyst fuses "
+    "stages 1-3 and 5-6 into the scan; the only shuffle is the dedup "
+    "key and the only window is the pack cumsum — the composition "
+    "costs no more than its most expensive member. The oracle replays "
+    "the entire chain in SQL, so the md5 on the final redacted text "
+    "hash-checks every stage end to end.",
+)
+def q_curation_pipeline(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import pipeline
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    aug = d.withColumn("t", _aug_col()).drop("text")
+    out = pipeline.curate(
+        aug,
+        text_col="t",
+        id_col="doc_id",
+        source_col="source",
+        min_sentences=3,
+        gopher_thresholds={"min_words": 10, "min_stopword_hits": 1},
+        mixture={"src0": 1.0, "src1": 0.7, "src2": 0.4},
+        mixture_default_rate=0.5,
+        split_fractions={"test": 0.1, "train": 0.8, "val": 0.1},
+        pack_budget=256,
+    )
+    return out.select(
+        "doc_id", "source", "split", "n_tokens", "bin_id",
+        F.col("bin_offset").cast("bigint").alias("bin_offset"), "overflow",
+        F.md5(F.encode("text_clean", "utf-8")).alias("red_md5"),
+    )
