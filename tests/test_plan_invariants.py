@@ -140,3 +140,53 @@ class TestNewOperatorPlans:
         plan = _plan(quality_model.score_quality(model, docs))
         assert "Exchange" not in plan  # scoring shuffles nothing
         assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+    def test_per_row_batteries_are_scan_only(self, plans):
+        """Gopher rules, C4 cleaning, and PII redaction are pure
+        projections/filters: zero Exchanges — they run at scan speed
+        at any corpus size."""
+        import re
+
+        for q in ("q_gopher_quality", "q_c4_clean", "q_pii_redact"):
+            n = len(re.findall(r"\n\(\d+\) Exchange", plans[q]))
+            assert n == 0, (q, n)
+
+    def test_decontaminate_broadcasts_benchmark(self, plans):
+        """Corpus side never shuffles for the contamination join: the
+        benchmark shingles broadcast; no sort-merge join anywhere."""
+        p = plans["q_decontaminate"]
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
+
+    def test_url_filter_broadcasts_blocklist(self, plans):
+        p = plans["q_url_filter"]
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
+
+    def test_pack_sequences_single_window(self, plans):
+        """Packing is one shuffle (the window partitioning) + one
+        Window node — no extra passes."""
+        import re
+
+        p = plans["q_pack_sequences"]
+        assert len(re.findall(r"\n\(\d+\) Exchange", p)) == 1, p
+        assert ") Window" in p
+
+    def test_data_mixture_single_shuffle(self, plans):
+        """Mixture + split are per-row hash filters fused into the
+        scan; the only Exchange is the final aggregation."""
+        import re
+
+        p = plans["q_data_mixture"]
+        assert len(re.findall(r"\n\(\d+\) Exchange", p)) == 1, p
+
+    def test_curation_pipeline_fuses_stages(self, plans):
+        """The fused pipeline keeps its promise: per-row stages live in
+        the scan stage, so only the dedup window partition and the pack
+        cumsum shuffle — two Exchanges, no sort-merge joins."""
+        import re
+
+        p = plans["q_curation_pipeline"]
+        assert len(re.findall(r"\n\(\d+\) Exchange", p)) <= 2, p
+        assert "SortMergeJoin" not in p
+        assert "BatchEvalPython" not in p
