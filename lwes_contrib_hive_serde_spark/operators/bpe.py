@@ -1,0 +1,196 @@
+"""Byte-pair-encoding tokenizer training over a Spark corpus (the
+"tokenizer training" step of a training-data pipeline; algorithm per
+Sennrich et al. 2016, arXiv:1508.07909 — public method).
+
+Scale shape: the only corpus-sized work is ONE word-count shuffle
+(explode → groupBy(word), map-side partial aggregation). The merge
+loop then runs driver-side on the *vocab-sized* word-frequency table —
+the same bounded-collect pattern as IVF centroid training: distinct
+words are orders of magnitude smaller than the corpus and are capped
+by ``max_vocab_rows`` (raises with guidance rather than silently
+truncating the tail into wrong merge counts).
+
+Encoding applies the learned merges as a chain of boundary-anchored
+JVM ``regexp_replace`` calls over a separator-joined symbol string —
+whole-stage-codegen, zero Python in the scan. The chain depth equals
+the merge count; past a few hundred merges use ``bpe_encode_udf``
+(Arrow-batched pandas) instead.
+"""
+
+from __future__ import annotations
+
+import re as _re
+
+import pandas as pd  # module-level: pandas_udf type hints must resolve
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lwes_contrib_hive_serde_spark.operators.text import tokens
+
+# end-of-word marker (standard BPE) and the symbol separator used in
+# the encoder's intermediate string form. \x1f (ASCII unit separator)
+# cannot appear in valid text.
+EOW = "</w>"
+_SEP = "\x1f"
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt) — the single corpus-sized pass; lowercased
+    whitespace words, map-side combined, one shuffle on the word key."""
+    return (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def train_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 100,
+    min_freq: int = 2,
+    max_vocab_rows: int = 1_000_000,
+) -> list[tuple[str, str]]:
+    """Learn up to ``n_merges`` BPE merges from the corpus. Returns the
+    ranked merge list [(a, b), ...]; ties break deterministically on
+    (-freq, pair) so training is reproducible across runs and
+    partitionings."""
+    wc = word_counts(df, text_col)
+    n_words = wc.count()
+    if n_words > max_vocab_rows:
+        raise ValueError(
+            f"bpe: {n_words} distinct words exceed max_vocab_rows="
+            f"{max_vocab_rows}; raise the cap (driver memory permitting) "
+            "or pre-filter rare words"
+        )
+    rows = wc.collect()  # vocab-sized, bounded above
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in rows:
+        syms = tuple(r["w"]) + (EOW,)
+        vocab[syms] = vocab.get(syms, 0) + int(r["cnt"])
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(n_merges)):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        (a, b), freq = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if freq < min_freq:
+            break
+        merges.append((a, b))
+        merged = a + b
+        new: dict[tuple[str, ...], int] = {}
+        for syms, c in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new[key] = new.get(key, 0) + c
+        vocab = new
+    return merges
+
+
+def bpe_vocab(merges: list[tuple[str, str]]) -> list[str]:
+    """The token inventory implied by a merge list (merged symbols in
+    rank order; base characters come from the corpus at encode time)."""
+    return [a + b for a, b in merges]
+
+
+def _java_quote(s: str) -> str:
+    # regex-escape for the Java dialect (re.escape only escapes
+    # punctuation, which Java accepts escaped)
+    return _re.escape(s)
+
+
+def _repl_quote(s: str) -> str:
+    # Matcher.replaceAll treats \ and $ specially in the replacement
+    return s.replace("\\", "\\\\").replace("$", "\\$")
+
+
+def bpe_segment(col, merges: list[tuple[str, str]]) -> Column:
+    """Array of BPE tokens for a whole document (lowercased whitespace
+    words, each char-split + EOW, merges applied in rank order).
+
+    Pure JVM: each word becomes SEP-joined symbols, every merge is one
+    boundary-anchored regexp_replace ((?<=SEP)a SEP b(?=SEP) → ab,
+    lookarounds so adjacent occurrences both merge), then one split.
+    Replace-all per rank is exactly the reference algorithm's apply
+    step, so segmentation matches train-time tokenization."""
+    col = F.col(col) if isinstance(col, str) else col
+
+    def encode_word(w):
+        # "abc" -> SEP a SEP b SEP c SEP </w> SEP
+        s = F.concat(
+            F.lit(_SEP),
+            F.regexp_replace(w, "(.)", "$1" + _SEP),
+            F.lit(EOW + _SEP),
+        )
+        for a, b in merges:
+            pat = f"(?<={_SEP}){_java_quote(a)}{_SEP}{_java_quote(b)}(?={_SEP})"
+            s = F.regexp_replace(s, pat, _repl_quote(a + b))
+        # strip the outer separators, split on the rest
+        return F.split(
+            F.regexp_replace(s, f"^{_SEP}|{_SEP}$", ""), _SEP
+        )
+
+    return F.flatten(F.transform(tokens(F.lower(col)), encode_word))
+
+
+def bpe_token_count_learned(col, merges: list[tuple[str, str]]) -> Column:
+    """Learned-tokenizer token count per document (the statistic token
+    budgets are planned against)."""
+    return F.size(bpe_segment(col, merges)).cast("bigint")
+
+
+def bpe_encode_udf(merges: list[tuple[str, str]]):
+    """Arrow-batched pandas encoder for merge lists too long for a
+    codegen'd regexp chain (hundreds+). Returns a callable usable as
+    ``df.select(enc("text"))``; same output as :func:`bpe_segment`."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def encode_word(w: str) -> list[str]:
+        syms = list(w) + [EOW]
+        while len(syms) > 1:
+            best, best_rank = None, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = i, r
+            if best is None:
+                break
+            a, b = merges[best_rank]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    @pandas_udf("array<string>")
+    def enc(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: [
+                tok
+                for w in (t or "").lower().split()
+                for tok in encode_word(w)
+            ]
+        )
+
+    return enc

@@ -1,0 +1,141 @@
+"""BPE tokenizer training: distributed trainer vs an independent
+pure-Python reference on the same corpus, JVM regexp-chain encoder vs
+the pandas encoder vs the reference, determinism, and plan shape."""
+
+import io
+import re
+from collections import Counter
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from lwes_contrib_hive_serde_spark.operators import bpe
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- independent reference implementation (test-local) ---------------
+
+
+def ref_train(word_freqs: dict[str, int], n_merges: int, min_freq: int = 2):
+    vocab = Counter()
+    for w, c in word_freqs.items():
+        vocab[tuple(w) + (bpe.EOW,)] += c
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for p in zip(syms, syms[1:]):
+                pairs[p] += c
+        if not pairs:
+            break
+        pair, freq = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if freq < min_freq:
+            break
+        merges.append(pair)
+        a, b = pair
+        nv = Counter()
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] += c
+        vocab = nv
+    return merges
+
+
+def ref_encode(text: str, merges):
+    out = []
+    for w in text.lower().split():
+        syms = list(w) + [bpe.EOW]
+        for a, b in merges:  # rank order; see bpe.py equivalence note
+            i, res = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        out.extend(syms)
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def merges(spark, docs):
+    return bpe.train_bpe_merges(docs, n_merges=40)
+
+
+class TestBpeTraining:
+    def test_trainer_matches_reference(self, docs, merges):
+        rows = docs.select(F.lower("text").alias("t")).collect()
+        freqs = Counter(w for r in rows for w in r["t"].split())
+        assert merges == ref_train(dict(freqs), n_merges=40)
+
+    def test_trainer_deterministic(self, docs, merges):
+        assert bpe.train_bpe_merges(docs, n_merges=40) == merges
+
+    def test_vocab_rank_order(self, merges):
+        v = bpe.bpe_vocab(merges)
+        assert len(v) == len(merges) and v[0] == merges[0][0] + merges[0][1]
+
+    def test_vocab_cap_raises(self, docs):
+        with pytest.raises(ValueError, match="max_vocab_rows"):
+            bpe.train_bpe_merges(docs, n_merges=1, max_vocab_rows=3)
+
+
+class TestBpeEncoding:
+    def test_jvm_encoder_matches_reference(self, spark, docs, merges):
+        got = (
+            docs.filter("doc_id < 30")
+            .select("doc_id", bpe.bpe_segment("text", merges).alias("toks"))
+            .collect()
+        )
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in docs.filter("doc_id < 30").collect()
+        }
+        for r in got:
+            assert list(r["toks"]) == ref_encode(texts[r["doc_id"]], merges), (
+                r["doc_id"]
+            )
+
+    def test_pandas_encoder_matches_jvm(self, spark, docs, merges):
+        enc = bpe.bpe_encode_udf(merges)
+        both = (
+            docs.filter("doc_id < 30")
+            .select(
+                bpe.bpe_segment("text", merges).alias("jvm"),
+                enc("text").alias("py"),
+            )
+            .collect()
+        )
+        for r in both:
+            assert list(r["jvm"]) == list(r["py"])
+
+    def test_token_count_learned(self, docs, merges):
+        n = docs.filter("doc_id < 5").select(
+            bpe.bpe_token_count_learned("text", merges).alias("n")
+        ).collect()
+        assert all(r["n"] > 0 for r in n)
+
+    def test_encoding_is_scan_only(self, docs, merges):
+        df = docs.select(bpe.bpe_segment("text", merges).alias("t"))
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        p = buf.getvalue()
+        assert not re.findall(r"\n\(\d+\) Exchange", p)
+        assert "BatchEvalPython" not in p
