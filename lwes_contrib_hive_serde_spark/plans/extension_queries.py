@@ -1340,3 +1340,81 @@ def q_curation_pipeline(spark, sf_dir):
         F.col("bin_offset").cast("bigint").alias("bin_offset"), "overflow",
         F.md5(F.encode("text_clean", "utf-8")).alias("red_md5"),
     )
+
+
+@register(
+    "q_top_ngram_repetition",
+    shadow=True,
+    oracle="""
+    WITH nrm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, length(t) AS n_chars, string_split(t, ' ') AS w FROM nrm
+    ), grams AS (
+      SELECT doc_id, n_chars, unnest(
+        CASE WHEN len(w) >= 2 THEN
+          list_transform(generate_series(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i + 1])
+        ELSE [NULL] END) AS gram
+      FROM tok
+    ), cnts AS (
+      SELECT doc_id, n_chars, gram, COUNT(*) AS cnt
+      FROM grams GROUP BY doc_id, n_chars, gram
+    ), top AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY cnt DESC, gram ASC) AS rn
+      FROM cnts
+    )
+    SELECT doc_id AS id, gram AS top_ngram,
+           CAST(CASE WHEN gram IS NOT NULL THEN cnt ELSE 0 END AS BIGINT)
+             AS top_ngram_count,
+           CAST(CASE WHEN gram IS NOT NULL AND cnt >= 2 AND n_chars > 0
+                THEN cnt * length(gram) / n_chars ELSE 0.0 END AS DOUBLE)
+             AS top_ngram_char_frac
+    FROM top WHERE rn = 1
+    """,
+    doc="Gopher A1.1 top-bigram repetition: fraction of characters "
+    "covered by each document's most frequent word bigram (repeats "
+    "only — a gram occurring once is not repetition). Distributed "
+    "idiom: one regex gram extraction in the scan, explode → "
+    "groupBy(doc, gram) → per-doc window max; two shuffles, both on "
+    "doc-keyed rows, AQE absorbs boilerplate-gram skew.",
+)
+def q_top_ngram_repetition(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return dedup.top_ngram_char_fraction(d, "doc_id", "text", n=2)
+
+
+@register(
+    "q_vocab_coverage",
+    shadow=True,
+    oracle="""
+    WITH ex AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents WHERE length(trim(text)) > 0
+    ), hist AS (
+      SELECT tok, COUNT(*) AS n FROM ex GROUP BY tok
+    ), ranked AS (
+      SELECT ROW_NUMBER() OVER w AS rank,
+             CAST(SUM(n) OVER (w ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum,
+             CAST(SUM(n) OVER () AS DOUBLE) AS t
+      FROM hist WINDOW w AS (ORDER BY n DESC, tok ASC)
+    )
+    SELECT CAST(k AS BIGINT) AS vocab_size, MAX(cum / t) AS coverage
+    FROM ranked, unnest([100, 1000, 10000]) AS u(k)
+    WHERE rank <= k GROUP BY k
+    """,
+    doc="Vocabulary coverage curve: fraction of token occurrences "
+    "covered by the k most frequent tokens, for candidate vocab sizes "
+    "— the statistic that sizes a tokenizer. One histogram shuffle; "
+    "the cumsum window runs over the DISTINCT-token table only "
+    "(vocab-sized, not corpus-sized), so the single-partition window "
+    "is bounded.",
+)
+def q_vocab_coverage(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    out = text.vocab_coverage(d, "text", vocab_sizes=[100, 1000, 10000])
+    return out.select(
+        F.col("vocab_size").cast("bigint").alias("vocab_size"), "coverage"
+    )
