@@ -584,3 +584,46 @@ def semantic_dedup(
         F.col("id").alias(id_col)
     )
     return df.join(drops, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization — the memory-side half of ANN at scale: a
+# float32 corpus quantized 4x smaller scans 4x faster and the integer
+# dot product is exact (no float-order nondeterminism)
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = 127/max|x|,
+    q_i = floor(x_i*scale + 0.5) (round-half-up — identical in every
+    engine, unlike banker's rounding). The scale derives from
+    ``array_max`` alone — no summation enters the quantization path,
+    so the produced integers are bit-identical across engines and
+    partitionings. Zero vectors quantize to zeros with scale 1.
+
+    Approximate dot(a, b) ≈ qdot(a, b) / (scale_a * scale_b); the
+    integer qdot is exact (|q| ≤ 127, dims ≪ 2^53), so candidate
+    RANKING by qdot is fully deterministic — float error enters only
+    the reported similarity value, which rescoring recomputes exactly.
+    """
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(1.0))
+    q = F.transform(
+        v, lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("int")
+    )
+    return df.withColumn(out_col, q).withColumn(scale_col, scale)
+
+
+def quantized_dot(qa, qb) -> Column:
+    """Exact integer dot product of two int8 arrays (JVM zip_with +
+    aggregate, whole-stage codegen)."""
+    qa = F.col(qa) if isinstance(qa, str) else qa
+    qb = F.col(qb) if isinstance(qb, str) else qb
+    prods = F.zip_with(qa, qb, lambda x, y: (x * y).cast("bigint"))
+    return F.aggregate(prods, F.lit(0).cast("bigint"), lambda acc, x: acc + x)

@@ -1418,3 +1418,62 @@ def q_vocab_coverage(spark, sf_dir):
     return out.select(
         F.col("vocab_size").cast("bigint").alias("vocab_size"), "coverage"
     )
+
+
+@register(
+    "q_quantized_knn",
+    shadow=True,
+    oracle="""
+    WITH q8 AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) *
+                    (CASE WHEN list_max(list_transform(embedding,
+                         y -> abs(CAST(y AS DOUBLE)))) > 0
+                     THEN 127.0 / list_max(list_transform(embedding,
+                         y -> abs(CAST(y AS DOUBLE))))
+                     ELSE 1.0 END) + 0.5) AS INTEGER)) AS qv,
+             CASE WHEN list_max(list_transform(embedding,
+                      y -> abs(CAST(y AS DOUBLE)))) > 0
+                  THEN 127.0 / list_max(list_transform(embedding,
+                      y -> abs(CAST(y AS DOUBLE))))
+                  ELSE 1.0 END AS s
+      FROM embeddings
+    ), qq AS (
+      SELECT qv AS qqv, s AS qs FROM q8 WHERE vec_id = 0
+    ), scored AS (
+      SELECT c.vec_id AS neighbor_id,
+             CAST(list_inner_product(c.qv::BIGINT[], qq.qqv::BIGINT[]) AS BIGINT) AS qdot,
+             ROUND(list_inner_product(c.qv::BIGINT[], qq.qqv::BIGINT[])
+                   / (c.s * qq.qs), 4) AS approx_dot4
+      FROM q8 c, qq WHERE c.vec_id <> 0
+    )
+    SELECT neighbor_id, qdot, approx_dot4 FROM scored
+    ORDER BY qdot DESC, neighbor_id LIMIT 10
+    """,
+    doc="int8-quantized kNN: per-vector symmetric scalar quantization "
+    "(scale from array_max only — no float summation enters the "
+    "quantized ints, so they are bit-identical across engines), then "
+    "top-10 by the EXACT integer dot product (deterministic ranking; "
+    "float error confined to the reported approx value, rounded). "
+    "The 4x-smaller int8 corpus is the standard memory/bandwidth "
+    "lever for billion-vector ANN; rescoring on the float column "
+    "recovers exact scores for the short candidate list.",
+)
+def q_quantized_knn(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    q8 = similarity.quantize_embeddings(e)
+    qrow = q8.filter("vec_id = 0").select("qvec", "qscale").first()
+    qv = F.array(*[F.lit(int(x)) for x in qrow["qvec"]])
+    qdot = similarity.quantized_dot("qvec", qv)
+    return (
+        q8.filter("vec_id <> 0")
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            qdot.alias("qdot"),
+            F.round(qdot / (F.col("qscale") * F.lit(float(qrow["qscale"]))), 4)
+            .alias("approx_dot4"),
+        )
+        .orderBy(F.desc("qdot"), F.asc("neighbor_id"))
+        .limit(10)
+    )

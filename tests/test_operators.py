@@ -741,3 +741,66 @@ class TestIvfStored:
         got = [(r.neighbor_id, round(r.cosine_sim, 9)) for r in stored.collect()]
         want = [(r.neighbor_id, round(r.cosine_sim, 9)) for r in mem.collect()]
         assert got == want and len(got) == 5
+
+
+class TestQuantizedKnn:
+    def test_quantized_ranking_recall_vs_exact(self, spark):
+        """int8 top-10 by integer qdot must recover most of the exact
+        float top-10 (quantization noise can reorder near-ties, so we
+        assert >=8/10 overlap, not equality)."""
+        from lwes_contrib_hive_serde_spark.operators import similarity
+        from pyspark.sql import functions as F
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        qv = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
+        exact = {
+            r["neighbor_id"]
+            for r in similarity.cosine_topk(
+                e.filter("vec_id <> 0"), qv, k=10
+            ).collect()
+        }
+        q8 = similarity.quantize_embeddings(e)
+        qrow = q8.filter("vec_id = 0").first()
+        qlit = F.array(*[F.lit(int(x)) for x in qrow["qvec"]])
+        qdot = similarity.quantized_dot("qvec", qlit)
+        # qdot ranks by unnormalized dot; compare against dot-ranked
+        # exact list for an apples-to-apples recall check
+        dots = (
+            e.filter("vec_id <> 0")
+            .select(
+                "vec_id",
+                F.aggregate(
+                    F.zip_with(
+                        "embedding",
+                        F.array(*[F.lit(x) for x in qv]),
+                        lambda a, b: a.cast("double") * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dot"),
+            )
+            .orderBy(F.desc("dot"))
+            .limit(10)
+            .collect()
+        )
+        exact_dot = {r["vec_id"] for r in dots}
+        approx = {
+            r["vec_id"]
+            for r in q8.filter("vec_id <> 0")
+            .select("vec_id", qdot.alias("qd"))
+            .orderBy(F.desc("qd"), F.asc("vec_id"))
+            .limit(10)
+            .collect()
+        }
+        assert len(approx & exact_dot) >= 8, (approx, exact_dot, exact)
+
+    def test_quantization_bounds_and_zero_vector(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import similarity
+
+        df = spark.createDataFrame(
+            [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+            "vec_id int, embedding array<float>",
+        )
+        rows = {r["vec_id"]: r for r in similarity.quantize_embeddings(df).collect()}
+        assert rows[1]["qvec"] == [64, -127, 32]  # floor(x*127+0.5)
+        assert rows[2]["qvec"] == [0, 0, 0] and rows[2]["qscale"] == 1.0
