@@ -90,10 +90,17 @@ def _walk_v1(path: str, start: int, limit: int, split_bytes: int):
 def _walk_v2(path: str, start: int, limit: int, split_bytes: int):
     """v2 analogue of ``_walk_v1`` at block granularity: frames are
     ``marker(16) + len(4) + data`` so the walk is one 20-byte read and
-    one seek per BLOCK — cheaper per byte than v1's per-record walk."""
+    one seek per BLOCK — cheaper per byte than v1's per-record walk.
+
+    A file whose container header is itself still mid-write (a
+    journaller that just created it) yields no progress this trigger
+    instead of failing the stream — the next trigger re-walks."""
     splits: list[int] = []
     with open(path, "rb") as f:
-        marker, _codec = c._v2_read_header(f)
+        try:
+            marker, _codec = c._v2_read_header(f)
+        except c.CodecError:
+            return [], start
         pos = max(start, c.V2_HEADER_LEN)
         last_split = pos
         while True:

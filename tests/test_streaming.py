@@ -589,3 +589,32 @@ class TestOffsetRecordAlignment:
         assert len(parts) > 1  # block-boundary splits
         got = sorted(r[0] for q in parts for r in reader.read(q))
         assert got == list(range(120))
+
+    def test_torn_v2_container_header_no_progress_no_crash(self, tmp_path):
+        """A v2 file whose container header is still mid-write (a
+        journaller that just created it) must yield no progress this
+        trigger — not kill the stream; once the writer completes, the
+        next trigger advances past it."""
+        root = str(tmp_path)
+        p = os.path.join(root, "a.journal2")
+        # build a complete tiny v2 file, then truncate into its header
+        evs = []
+        for i in range(5):
+            ev = c.Event("S::E")
+            ev.set("n", c.INT64, i)
+            evs.append(ev)
+        c.write_journal_file_v2(p, evs)
+        full = open(p, "rb").read()
+        with open(p, "wb") as f:
+            f.write(full[:7])  # partial container header
+        reader = self._reader(root)
+        end = reader.latestOffset()
+        assert end["files"][p] == 0  # no progress, no exception
+        assert self._drain(reader, reader.initialOffset(), end) == []
+        # writer completes the file: next trigger reads everything
+        with open(p, "wb") as f:
+            f.write(full)
+        reader2 = self._reader(root)
+        end2 = reader2.latestOffset()
+        rows = self._drain(reader2, reader2.initialOffset(), end2)
+        assert sorted(r[0] for r in rows) == [0, 1, 2, 3, 4]
