@@ -1,0 +1,55 @@
+"""Corpus datasheet — the per-source statistics table a data team
+publishes alongside a training set ("datasheets for datasets",
+Gebru et al. 2021, public): volume, token counts, exact-duplicate
+rate, quality-gate pass rate, mean heuristic quality.
+
+ONE aggregation pass: every statistic is a per-row JVM expression
+(token count, md5 fingerprint, Gopher flags, quality score) computed
+in the scan stage, then a single groupBy with map-side partials. At
+100 TB this is the same shape as any scan-aggregate — no second pass,
+no join, the only shuffle is |groups| rows wide.
+
+Cross-engine determinism: double statistics accumulate via exact
+DECIMAL sums (associative, partition-order independent); rate columns
+derive from integer counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lwes_contrib_hive_serde_spark.operators import text
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str | None = None,
+    gopher_thresholds: dict | None = None,
+) -> DataFrame:
+    """Per-``group_col`` (or whole-corpus) datasheet row:
+    n_docs, total_tokens, total_chars, n_exact_dups (docs beyond the
+    first per normalized md5 fingerprint), gopher_pass_rate,
+    mean_quality (heuristic quality score)."""
+    groups = [group_col] if group_col else []
+    flags = text.gopher_quality_flags(text_col, **(gopher_thresholds or {}))
+    base = df.select(
+        *groups,
+        text.token_count(text_col).alias("__nt"),
+        F.length(text_col).cast("bigint").alias("__nc"),
+        text.fingerprint(text_col).alias("__fp"),
+        flags.getField("pass_all").cast("int").alias("__gp"),
+        text.quality_score(text_col).alias("__q"),
+    )
+    n = F.count(F.lit(1))
+    return base.groupBy(*groups).agg(
+        n.alias("n_docs"),
+        F.sum("__nt").alias("total_tokens"),
+        F.sum("__nc").alias("total_chars"),
+        (n - F.countDistinct("__fp")).alias("n_exact_dups"),
+        (F.sum("__gp").cast("double") / n).alias("gopher_pass_rate"),
+        (F.sum(F.col("__q").cast("decimal(38,12)")).cast("double") / n).alias(
+            "mean_quality"
+        ),
+    )

@@ -1477,3 +1477,57 @@ def q_quantized_knn(spark, sf_dir):
         .orderBy(F.desc("qdot"), F.asc("neighbor_id"))
         .limit(10)
     )
+
+
+_SQL_QSCORE = (
+    f"0.4 * least(CAST({_SQL_WS_TOKENS} AS DOUBLE) / 20.0, 1.0) + "
+    "0.25 * greatest(0.0, 1.0 - (CASE WHEN length(text) > 0 THEN "
+    "CAST(length(text) - length(regexp_replace(text, "
+    "'[.,;:!?''\"()\\[\\]{}<>/\\\\|@#$%^&*_+=~`-]', '', 'g')) AS DOUBLE) "
+    "/ CAST(length(text) AS DOUBLE) ELSE 0.0 END) * 4.0) + "
+    "0.15 * greatest(0.0, 1.0 - (CASE WHEN length(text) > 0 THEN "
+    "CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) "
+    "/ CAST(length(text) AS DOUBLE) ELSE 0.0 END) * 5.0) + "
+    f"0.2 * least(({_sql_stop_ratio('en')}) * 5.0, 1.0)"
+)
+
+_SQL_GOPHER_RAW = _sql_gopher_pass("text", min_words=10, min_stop_hits=1)
+
+@register(
+    "q_corpus_report",
+    shadow=True,
+    oracle=f"""
+    WITH per AS (
+      SELECT source,
+             CAST({_SQL_WS_TOKENS} AS BIGINT) AS nt,
+             CAST(length(text) AS BIGINT) AS nc,
+             md5({_SQL_NORM}) AS fp,
+             CASE WHEN {_SQL_GOPHER_RAW} THEN 1 ELSE 0 END AS gp,
+             {_SQL_QSCORE} AS q
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens,
+           CAST(SUM(nc) AS BIGINT) AS total_chars,
+           COUNT(*) - COUNT(DISTINCT fp) AS n_exact_dups,
+           CAST(SUM(gp) AS DOUBLE) / COUNT(*) AS gopher_pass_rate,
+           CAST(SUM(CAST(q AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mean_quality
+    FROM per GROUP BY source
+    """,
+    doc="Corpus datasheet (Gebru et al. 2021 'datasheets for "
+    "datasets'): per-source volume, token/char totals, exact-dup "
+    "count, Gopher pass rate, mean heuristic quality — ONE "
+    "scan-aggregate pass, every statistic a JVM per-row expression, "
+    "doubles accumulated via exact DECIMAL sums for cross-engine "
+    "determinism.",
+)
+def q_corpus_report(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import report
+
+    d = table(spark, sf_dir, "documents")
+    return report.corpus_report(
+        d,
+        group_col="source",
+        gopher_thresholds={"min_words": 10, "min_stopword_hits": 1},
+    )
