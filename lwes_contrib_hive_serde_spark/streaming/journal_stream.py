@@ -160,16 +160,28 @@ class LwesStreamReader(DataSourceStreamReader):
         end: dict[str, int] = {}
         budget = self.max_bytes
         for p in self._current_files():
-            if p.endswith((".gz", ".bz2")):
-                # compressed journals are only safe to read once closed
-                # (no byte-offset resume inside a compressed stream)
-                end[p] = CONSUMED
-                continue
             try:
                 size = os.path.getsize(p)
             except OSError:
                 continue
-            known = self._known.get(p, 0)
+            known = self._known.get(p)
+            if p.endswith((".gz", ".bz2")):
+                # compressed journals are only safe to read once closed
+                # (no byte-offset resume inside a compressed stream);
+                # they are consumed whole but still charge the rate
+                # budget, so a backfill of many .gz files spreads over
+                # triggers instead of landing in one microbatch
+                if known == CONSUMED:
+                    end[p] = CONSUMED
+                elif budget is not None and budget <= 0:
+                    continue  # defer to a later trigger
+                else:
+                    end[p] = CONSUMED
+                    self._known[p] = CONSUMED
+                    if budget is not None:
+                        budget -= size
+                continue
+            known = known or 0
             if budget is not None and budget <= 0:
                 end[p] = known  # rate cap hit: hold position this trigger
                 continue

@@ -618,3 +618,31 @@ class TestOffsetRecordAlignment:
         end2 = reader2.latestOffset()
         rows = self._drain(reader2, reader2.initialOffset(), end2)
         assert sorted(r[0] for r in rows) == [0, 1, 2, 3, 4]
+
+    def test_compressed_files_charge_rate_budget(self, tmp_path):
+        """A backfill of many .gz journals must spread across triggers
+        under maxBytesPerTrigger instead of landing in one microbatch
+        (each is consumed whole, but still charges the budget)."""
+        import gzip
+
+        root = str(tmp_path)
+        for fname, lo in (("a.journal.gz", 0), ("b.journal.gz", 10)):
+            buf = bytearray()
+            for i in range(lo, lo + 10):
+                ev = c.Event("S::E")
+                ev.set("n", c.INT64, i)
+                c.write_journal_record(buf, ev)
+            with gzip.open(os.path.join(root, fname), "wb") as f:
+                f.write(bytes(buf))
+        size_a = os.path.getsize(os.path.join(root, "a.journal.gz"))
+        reader = self._reader(root, maxbytespertrigger=str(size_a))
+        start = reader.initialOffset()
+        end1 = reader.latestOffset()
+        consumed1 = [p for p, v in end1["files"].items() if v == -1]
+        assert len(consumed1) == 1  # only one file fits the budget
+        rows1 = self._drain(reader, start, end1)
+        assert sorted(r[0] for r in rows1) == list(range(10))
+        end2 = reader.latestOffset()
+        assert len([v for v in end2["files"].values() if v == -1]) == 2
+        rows2 = self._drain(reader, end1, end2)
+        assert sorted(r[0] for r in rows2) == list(range(10, 20))
