@@ -1,0 +1,72 @@
+"""curate() option-combination coverage (the full default chain is
+oracle-checked end to end by the q_curation_pipeline shadow entry;
+here we pin the optional stages toggle correctly)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lwes_contrib_hive_serde_spark.operators import pipeline
+
+SF = "/root/testdata/sf0.001"
+
+LOOSE = {"min_words": 1, "min_stopword_hits": 0, "min_alpha_word_ratio": 0.0}
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # append terminal punctuation so the C4 line/sentence rules keep
+    # the synthetic punctuation-free docs
+    return (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .withColumn("text", F.concat("text", F.lit(". And so. On it goes.")))
+    )
+
+
+class TestCurateOptions:
+    def test_minimal_chain_filters_and_cleans(self, docs):
+        out = pipeline.curate(
+            docs, gopher_thresholds=LOOSE, min_sentences=1, pii=False
+        )
+        assert "text_clean" in out.columns
+        assert "split" not in out.columns and "bin_id" not in out.columns
+        assert 0 < out.count() <= docs.count()
+
+    def test_split_only(self, docs):
+        out = pipeline.curate(
+            docs,
+            gopher_thresholds=LOOSE,
+            min_sentences=1,
+            split_fractions={"train": 0.9, "val": 0.1},
+        )
+        splits = {r["split"] for r in out.select("split").distinct().collect()}
+        assert splits <= {"train", "val"} and "train" in splits
+
+    def test_pack_sharded(self, docs):
+        out = pipeline.curate(
+            docs,
+            gopher_thresholds=LOOSE,
+            min_sentences=1,
+            pack_budget=128,
+            pack_shards=4,
+        )
+        rows = out.select("shard", "bin_id", "n_tokens", "overflow").collect()
+        assert rows and all(0 <= r["shard"] < 4 for r in rows)
+        # bins are dense from 0 within each shard
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], set()).add(r["bin_id"])
+        for bins in by_shard.values():
+            assert min(bins) == 0
+
+    def test_mixture_requires_source_col(self, docs):
+        # mixture without source_col is a documented no-op
+        out = pipeline.curate(
+            docs,
+            gopher_thresholds=LOOSE,
+            min_sentences=1,
+            mixture={"src0": 0.5},
+        )
+        base = pipeline.curate(
+            docs, gopher_thresholds=LOOSE, min_sentences=1
+        )
+        assert out.count() == base.count()
