@@ -671,3 +671,83 @@ def vocab_coverage(
         .agg(F.max("cov").alias("coverage"))
         .orderBy("vocab_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate line removal (CCNet / RefinedWeb-style:
+# a line repeated across many documents is template chrome — nav bars,
+# cookie banners, footers — not content). Corpus-level, unlike the
+# per-document C4/Gopher rules above.
+# ---------------------------------------------------------------------------
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    max_doc_frac: float | None = None,
+    n_total: int | None = None,
+) -> DataFrame:
+    """(line, n_docs) for lines appearing in ≥ threshold DISTINCT
+    documents; threshold = max(min_docs, ceil(max_doc_frac * n_total))
+    when a fraction is given (pass ``n_total`` to avoid a count job).
+
+    Scale shape: explode → one groupBy(line) with countDistinct —
+    the classic wordcount profile; the RESULT is boilerplate-sized
+    (tiny), which is what makes the removal join broadcastable."""
+    import math
+
+    ln = df.select(
+        F.col(id_col).alias("__id"), F.explode(doc_lines(text_col)).alias("line")
+    )
+    freq = ln.groupBy("line").agg(F.countDistinct("__id").alias("n_docs"))
+    thr = min_docs
+    if max_doc_frac is not None:
+        if n_total is None:
+            n_total = df.count()
+        thr = max(min_docs, math.ceil(max_doc_frac * n_total))
+    return freq.filter(F.col("n_docs") >= thr)
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    max_doc_frac: float | None = None,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Strip corpus-frequent lines from every document, preserving the
+    original order of surviving lines. Documents losing every line get
+    ``''`` (callers filter on length like the C4 stage).
+
+    Plan: posexplode (order key) → LEFT ANTI broadcast join against the
+    tiny frequent-lines table → groupBy(id) re-assembly via
+    array_sort(collect_list(struct(pos, line))) — deterministic under
+    any partitioning; two corpus shuffles (line count + re-assembly),
+    both on keys the data already groups by."""
+    bp = boilerplate_lines(
+        df, text_col, id_col, min_docs=min_docs, max_doc_frac=max_doc_frac
+    )
+    pos = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(doc_lines(text_col)).alias("__pos", "__line"),
+    )
+    kept = pos.join(
+        F.broadcast(bp.select(F.col("line").alias("__line"))),
+        "__line",
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s.getField("__line"),
+            ),
+            "\n",
+        ).alias(out_col)
+    )
+    return df.join(
+        rebuilt, df[id_col] == rebuilt["__id"], "left"
+    ).drop("__id").withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))

@@ -1531,3 +1531,57 @@ def q_corpus_report(spark, sf_dir):
         group_col="source",
         gopher_thresholds={"min_words": 10, "min_stopword_hits": 1},
     )
+
+
+@register(
+    "q_boilerplate_removal",
+    shadow=True,
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, {_SQL_AUG} AS t FROM documents
+    ), lines AS (
+      SELECT doc_id, i AS pos, ({_SQL_T_LINES})[i] AS line
+      FROM aug, unnest(generate_series(1, len({_SQL_T_LINES}))) AS g(i)
+    ), freq AS (
+      SELECT line FROM lines GROUP BY line
+      HAVING COUNT(DISTINCT doc_id) >=
+        greatest(2, CAST(ceil(0.02 * (SELECT COUNT(*) FROM documents)) AS BIGINT))
+    ), kept AS (
+      SELECT l.doc_id, l.pos, l.line FROM lines l
+      LEFT JOIN freq f USING (line) WHERE f.line IS NULL
+    ), rebuilt AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS tc
+      FROM kept GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           CAST(len({_SQL_T_LINES}) AS BIGINT) AS n_lines,
+           CAST(len({_SQL_T_LINES}) -
+                COALESCE(len(string_split(r.tc, chr(10))), 0) AS BIGINT)
+             AS n_removed,
+           md5(COALESCE(r.tc, '')) AS clean_md5
+    FROM aug a LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    doc="Cross-document boilerplate line removal (CCNet/RefinedWeb "
+    "class): lines repeated in ≥ max(2, 2% of docs) DISTINCT documents "
+    "are template chrome and are stripped corpus-wide, preserving "
+    "surviving line order. The augmented corpus plants repeated "
+    "bullet/banner lines on doc_id residues, so removal is "
+    "non-vacuous and the cleaned text md5 checks the full explode → "
+    "count → broadcast-anti-join → ordered-reassembly path.",
+)
+def q_boilerplate_removal(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = d.withColumn("t", _aug_col()).drop("text")
+    out = text.remove_boilerplate_lines(
+        aug, "t", "doc_id", min_docs=2, max_doc_frac=0.02, out_col="tc"
+    )
+    nl = F.size(text.doc_lines("t")).cast("bigint")
+    nk = F.when(F.col("tc") == "", F.lit(0)).otherwise(
+        F.size(F.split("tc", r"\n"))
+    )
+    return out.select(
+        "doc_id",
+        nl.alias("n_lines"),
+        (nl - nk).cast("bigint").alias("n_removed"),
+        F.md5(F.encode("tc", "utf-8")).alias("clean_md5"),
+    )

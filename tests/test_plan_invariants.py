@@ -190,3 +190,10 @@ class TestNewOperatorPlans:
         assert len(re.findall(r"\n\(\d+\) Exchange", p)) <= 2, p
         assert "SortMergeJoin" not in p
         assert "BatchEvalPython" not in p
+
+    def test_boilerplate_removal_broadcasts_frequent_lines(self, plans):
+        """The frequent-lines table is boilerplate-sized: the removal
+        anti-join must broadcast it, never sort-merge the corpus."""
+        p = plans["q_boilerplate_removal"]
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
