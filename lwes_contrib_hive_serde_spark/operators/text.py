@@ -681,6 +681,12 @@ def vocab_coverage(
 # ---------------------------------------------------------------------------
 
 
+_BP_UNITS = {
+    "line": (doc_lines, "\n"),
+    "paragraph": (doc_paragraphs, "\n\n"),
+}
+
+
 def boilerplate_lines(
     df: DataFrame,
     text_col: str = "text",
@@ -688,8 +694,10 @@ def boilerplate_lines(
     min_docs: int = 2,
     max_doc_frac: float | None = None,
     n_total: int | None = None,
+    unit: str = "line",
 ) -> DataFrame:
-    """(line, n_docs) for lines appearing in ≥ threshold DISTINCT
+    """(line, n_docs) for lines (or with ``unit="paragraph"``,
+    blank-line-delimited paragraphs) appearing in ≥ threshold DISTINCT
     documents; threshold = max(min_docs, ceil(max_doc_frac * n_total))
     when a fraction is given (pass ``n_total`` to avoid a count job).
 
@@ -698,8 +706,9 @@ def boilerplate_lines(
     (tiny), which is what makes the removal join broadcastable."""
     import math
 
+    splitter, _sep = _BP_UNITS[unit]
     ln = df.select(
-        F.col(id_col).alias("__id"), F.explode(doc_lines(text_col)).alias("line")
+        F.col(id_col).alias("__id"), F.explode(splitter(text_col)).alias("line")
     )
     freq = ln.groupBy("line").agg(F.countDistinct("__id").alias("n_docs"))
     thr = min_docs
@@ -717,22 +726,26 @@ def remove_boilerplate_lines(
     min_docs: int = 2,
     max_doc_frac: float | None = None,
     out_col: str = "text_clean",
+    unit: str = "line",
 ) -> DataFrame:
-    """Strip corpus-frequent lines from every document, preserving the
-    original order of surviving lines. Documents losing every line get
-    ``''`` (callers filter on length like the C4 stage).
+    """Strip corpus-frequent lines (or paragraphs, ``unit=
+    "paragraph"``) from every document, preserving the original order
+    of surviving units. Documents losing every unit get ``''``
+    (callers filter on length like the C4 stage).
 
     Plan: posexplode (order key) → LEFT ANTI broadcast join against the
     tiny frequent-lines table → groupBy(id) re-assembly via
     array_sort(collect_list(struct(pos, line))) — deterministic under
     any partitioning; two corpus shuffles (line count + re-assembly),
     both on keys the data already groups by."""
+    splitter, sep = _BP_UNITS[unit]
     bp = boilerplate_lines(
-        df, text_col, id_col, min_docs=min_docs, max_doc_frac=max_doc_frac
+        df, text_col, id_col, min_docs=min_docs,
+        max_doc_frac=max_doc_frac, unit=unit,
     )
     pos = df.select(
         F.col(id_col).alias("__id"),
-        F.posexplode(doc_lines(text_col)).alias("__pos", "__line"),
+        F.posexplode(splitter(text_col)).alias("__pos", "__line"),
     )
     kept = pos.join(
         F.broadcast(bp.select(F.col("line").alias("__line"))),
@@ -745,7 +758,7 @@ def remove_boilerplate_lines(
                 F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
                 lambda s: s.getField("__line"),
             ),
-            "\n",
+            sep,
         ).alias(out_col)
     )
     return df.join(

@@ -648,3 +648,33 @@ class TestVocabStats:
             assert abs(got[k] - want) < 1e-12, k
         assert got[10_000] == 1.0  # vocab smaller than 10k
         assert got[1] < got[10] < 1.0
+
+
+class TestBoilerplateParagraphs:
+    def test_paragraph_unit_strips_repeated_paragraphs(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import text as T
+        from pyspark.sql import functions as F
+
+        banner = "subscribe to our newsletter\nit is great"
+        rows = [
+            (i, f"unique body {i} paragraph.\n\n{banner}") for i in range(5)
+        ] + [(9, "no banner here at all.")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r["tc"]
+            for r in T.remove_boilerplate_lines(
+                df, "text", "doc_id", min_docs=3, out_col="tc",
+                unit="paragraph",
+            ).collect()
+        }
+        for i in range(5):
+            assert out[i] == f"unique body {i} paragraph."  # banner gone
+        assert out[9] == "no banner here at all."
+        # line unit would NOT strip it at this threshold split
+        out_line = {
+            r["doc_id"]: r["tc"]
+            for r in T.remove_boilerplate_lines(
+                df, "text", "doc_id", min_docs=6, out_col="tc"
+            ).collect()
+        }
+        assert banner.split("\n")[0] in out_line[0]
