@@ -427,6 +427,12 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
         .union(pairs.select(F.col("id2").alias("a"), F.col("id1").alias("b")))
         .distinct()
+        # materialize ONCE: edges join into every iteration, and
+        # without this each round's action re-evaluates the whole
+        # upstream pair-generation lineage (the corpus-wide candidate
+        # join) — the iteration must only ever touch the pair-sized
+        # edge list, at any corpus size
+        .localCheckpoint(eager=True)
     )
     labels = edges.select("a").union(edges.select("b")).distinct().select(
         F.col("a").alias("id"), F.col("a").alias("label")
