@@ -56,14 +56,16 @@ def train_bpe_merges(
     (-freq, pair) so training is reproducible across runs and
     partitionings."""
     wc = word_counts(df, text_col)
-    n_words = wc.count()
-    if n_words > max_vocab_rows:
+    # ONE action: limit(cap+1) bounds driver memory AND detects
+    # overflow, without a separate count() that would re-run the
+    # corpus-sized word count a second time
+    rows = wc.limit(max_vocab_rows + 1).collect()
+    if len(rows) > max_vocab_rows:
         raise ValueError(
-            f"bpe: {n_words} distinct words exceed max_vocab_rows="
+            f"bpe: >{max_vocab_rows} distinct words exceed max_vocab_rows="
             f"{max_vocab_rows}; raise the cap (driver memory permitting) "
             "or pre-filter rare words"
         )
-    rows = wc.collect()  # vocab-sized, bounded above
     vocab: dict[tuple[str, ...], int] = {}
     for r in rows:
         syms = tuple(r["w"]) + (EOW,)
