@@ -646,3 +646,62 @@ class TestOffsetRecordAlignment:
         assert len([v for v in end2["files"].values() if v == -1]) == 2
         rows2 = self._drain(reader, end1, end2)
         assert sorted(r[0] for r in rows2) == list(range(10, 20))
+
+
+class TestWalkBoundaryProperty:
+    """For ANY byte-length snapshot of a journal (a journaller caught at
+    an arbitrary point mid-write), the offset walk must commit a
+    boundary that decodes cleanly to exactly the complete records."""
+
+    def test_v1_walk_safe_at_every_truncation(self, tmp_path):
+        from lwes_contrib_hive_serde_spark.streaming.journal_stream import (
+            _walk_v1,
+        )
+
+        p = str(tmp_path / "a.journal")
+        offsets = [0]
+        with open(p, "wb") as f:
+            for i in range(8):
+                ev = c.Event("S::E")
+                ev.set("n", c.INT64, i)
+                ev.set("pad", c.STRING, "x" * (i * 7))
+                c.write_journal_record(f, ev)
+                offsets.append(f.tell())
+        size = offsets[-1]
+        raw = open(p, "rb").read()
+        for limit in range(size + 1):
+            _, boundary = _walk_v1(p, 0, limit, split_bytes=1 << 20)
+            # boundary is the greatest record boundary <= limit
+            assert boundary in offsets and boundary <= limit
+            expect = max(o for o in offsets if o <= limit)
+            assert boundary == expect
+            # decoding [0, boundary) yields exactly the records that fit
+            import io
+
+            n_rec = offsets.index(boundary)
+            got = list(c.read_journal_records(io.BytesIO(raw[:boundary])))
+            assert len(got) == n_rec
+
+    def test_v2_walk_safe_at_every_truncation(self, tmp_path):
+        from lwes_contrib_hive_serde_spark.streaming.journal_stream import (
+            _walk_v2,
+        )
+
+        p = str(tmp_path / "a.journal2")
+        evs = []
+        for i in range(40):
+            ev = c.Event("S::E")
+            ev.set("n", c.INT64, i)
+            evs.append(ev)
+        c.write_journal_file_v2(p, evs, block_bytes=128)
+        raw = open(p, "rb").read()
+        size = len(raw)
+        boundaries = set()
+        for limit in range(size + 1):
+            _, b = _walk_v2(p, 0, limit, split_bytes=1 << 20)
+            assert b <= max(limit, c.V2_HEADER_LEN) or b == 0
+            boundaries.add(b)
+            if limit == size:
+                assert b == size  # full file walks to the end
+        # several distinct block boundaries were exercised
+        assert len(boundaries) > 2
