@@ -678,3 +678,32 @@ class TestBoilerplateParagraphs:
             ).collect()
         }
         assert banner.split("\n")[0] in out_line[0]
+
+
+class TestCorpusReportGlobal:
+    def test_whole_corpus_grain(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import report
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        rows = report.corpus_report(docs).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["n_docs"] == docs.count()
+        assert r["total_tokens"] > 0 and r["total_chars"] > 0
+        assert 0.0 <= r["gopher_pass_rate"] <= 1.0
+        assert 0.0 <= r["mean_quality"] <= 1.0
+        assert r["n_exact_dups"] >= 0
+
+    def test_grouped_totals_sum_to_global(self, spark):
+        from pyspark.sql import functions as F
+
+        from lwes_contrib_hive_serde_spark.operators import report
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        per = report.corpus_report(docs, group_col="lang")
+        glob = report.corpus_report(docs).collect()[0]
+        agg = per.agg(
+            F.sum("n_docs").alias("nd"), F.sum("total_tokens").alias("nt")
+        ).collect()[0]
+        assert agg["nd"] == glob["n_docs"]
+        assert agg["nt"] == glob["total_tokens"]
