@@ -218,13 +218,29 @@ def minhash_dedup_pairs(
     plan's SQL-metric accumulators alive past their QueryExecution,
     and late task-completion events then race ContextCleaner
     unregistration (benign but noisy DAGScheduler ERRORs in long
-    sessions); cached plans re-register metrics per job."""
+    sessions); cached plans re-register metrics per job.
+
+    persist() alone is NOT a barrier: it only marks the plan cacheable,
+    and the signature job plus both exact-re-check join branches can
+    each race to compute the shingle subtree before the cache is
+    populated — re-running the tokenizer lineage up to three times
+    (observed as a 2.3x wall regression at sf0.1). The count() below
+    materializes the InMemoryRelation exactly once, JVM-side, before
+    any consumer reads it."""
     from pyspark import StorageLevel
 
+    # Small inputs (one parquet split) would shingle on one core; widen
+    # to the cluster's parallelism first. At scale the scan already
+    # yields >= cores splits and this branch is a no-op — no shuffle of
+    # the full corpus text is ever introduced at 100 TB.
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     shingled = df.select(
         F.col(id_col).alias(id_col),
         word_shingles(text_col, shingle_k).alias("__shingles"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    shingled.count()
     sigs = minhash_signatures(
         shingled, id_col, "__shingles", num_hashes, shingle_k, pre_shingled=True
     )
