@@ -136,14 +136,26 @@ class LwesStreamReader(DataSourceStreamReader):
         )
 
         self.specs = _parse_field_map(schema, options.get("fieldmap"), self.event_name)
-        # driver-side walk memo: path -> furthest known record boundary
-        # (purely an optimization — after a restart it rebuilds from the
-        # checkpointed start offsets, so correctness never depends on it)
+        # driver-side memo: path -> furthest known record boundary, or
+        # CONSUMED for compressed journals read whole. For plain files
+        # it is purely a walk cache, but for compressed files it is the
+        # record of what has already been emitted — latestOffset() must
+        # never drop a CONSUMED path from the end offset (an offset
+        # regression that a later trigger would replay as a whole-file
+        # re-read, duplicating every record). After a driver restart it
+        # is reseeded from the checkpointed start offset in
+        # partitions(); until then (``_seeded`` False) the gz budget
+        # deferral is disabled because an unknown .gz might be one the
+        # previous driver already consumed.
         self._known: dict[str, int] = {}
+        self._seeded = False
 
     # -- driver side ------------------------------------------------------
 
     def initialOffset(self) -> dict:
+        # fresh query (no checkpoint): nothing was consumed before us,
+        # so the rate-budget deferral is immediately safe
+        self._seeded = True
         return {"files": {}}
 
     def _current_files(self) -> list[str]:
@@ -170,10 +182,19 @@ class LwesStreamReader(DataSourceStreamReader):
                 # (no byte-offset resume inside a compressed stream);
                 # they are consumed whole but still charge the rate
                 # budget, so a backfill of many .gz files spreads over
-                # triggers instead of landing in one microbatch
+                # triggers instead of landing in one microbatch.
+                # Deferral (omitting the path) is ONLY applied to paths
+                # never seen in any prior offset: a CONSUMED path must
+                # always be echoed, and before the consumed-set is
+                # seeded (first trigger after a driver restart) an
+                # unknown .gz may be one the previous driver already
+                # consumed — deferring it would regress the offset and
+                # a later trigger would re-read the whole file,
+                # duplicating records (one first batch may exceed the
+                # byte budget after a restart; duplicates never happen).
                 if known == CONSUMED:
                     end[p] = CONSUMED
-                elif budget is not None and budget <= 0:
+                elif budget is not None and budget <= 0 and self._seeded:
                     continue  # defer to a later trigger
                 else:
                     end[p] = CONSUMED
@@ -200,6 +221,18 @@ class LwesStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         start_files = start.get("files", {})
+        # Reseed the persistent consumed/position memo from the
+        # checkpointed start offset: after a driver restart this is the
+        # only source of truth about already-consumed compressed
+        # journals, and latestOffset()'s budget deferral is unsafe
+        # until it is recorded (see latestOffset).
+        for p, pos in start_files.items():
+            pos = int(pos)
+            if pos == CONSUMED:
+                self._known[p] = CONSUMED
+            elif self._known.get(p) != CONSUMED:
+                self._known[p] = max(self._known.get(p, 0), pos)
+        self._seeded = True
         parts: list[JournalRange] = []
         for p, end_pos in end.get("files", {}).items():
             end_pos = int(end_pos)

@@ -619,6 +619,65 @@ class TestOffsetRecordAlignment:
         rows = self._drain(reader2, reader2.initialOffset(), end2)
         assert sorted(r[0] for r in rows) == [0, 1, 2, 3, 4]
 
+    def test_gz_restart_budget_never_duplicates(self, tmp_path):
+        """ADVICE r3: after a driver restart the walk memo is empty, so
+        a .gz already CONSUMED in the checkpointed start offset must
+        still be echoed in the end offset even when the byte budget is
+        exhausted — deferring (dropping) it is an offset regression
+        that a later trigger replays as a whole-file re-read,
+        duplicating every record."""
+        import gzip
+
+        root = str(tmp_path)
+        buf = bytearray()
+        for i in range(5):
+            ev = c.Event("S::E")
+            ev.set("n", c.INT64, i)
+            c.write_journal_record(buf, ev)
+        gz = os.path.join(root, "b.journal.gz")
+        with gzip.open(gz, "wb") as f:
+            f.write(bytes(buf))
+        reader1 = self._reader(root, maxbytespertrigger="1000000")
+        end0 = reader1.latestOffset()
+        assert end0["files"][gz] == -1
+        rows0 = self._drain(reader1, reader1.initialOffset(), end0)
+        assert sorted(r[0] for r in rows0) == list(range(5))
+        # new plain journal, sorted BEFORE the gz, sized to exhaust a
+        # one-record byte budget before latestOffset() reaches the gz
+        emit(root, "a.journal", 10, 20)
+        plain = os.path.join(root, "a.journal")
+        one_record = os.path.getsize(plain) // 10
+        # driver restart: fresh reader, checkpointed start = end0
+        reader2 = self._reader(root, maxbytespertrigger=str(one_record))
+        end1 = reader2.latestOffset()
+        assert end1["files"].get(gz) == -1, (
+            "consumed gz dropped from end offset after restart"
+        )
+        rows1 = self._drain(reader2, end0, end1)
+        assert all(r[0] >= 10 for r in rows1)  # nothing replayed
+        # later triggers keep echoing CONSUMED and never re-read
+        seen = [r[0] for r in rows1]
+        prev = end1
+        for _ in range(12):
+            nxt = reader2.latestOffset()
+            assert nxt["files"].get(gz) == -1
+            seen += [r[0] for r in self._drain(reader2, prev, nxt)]
+            prev = nxt
+        assert sorted(seen) == list(range(10, 20))  # each exactly once
+        # the budget deferral still applies to genuinely NEW gz files
+        # once the consumed-set is seeded
+        gz2 = os.path.join(root, "c.journal.gz")
+        with gzip.open(gz2, "wb") as f:
+            f.write(bytes(buf))
+        emit(root, "a2.journal", 30, 40)  # exhausts the budget first
+        deferred = reader2.latestOffset()
+        assert gz2 not in deferred["files"]  # deferred, not consumed
+        for _ in range(15):  # budget frees up once a2 is fully walked
+            later = reader2.latestOffset()
+            if later["files"].get(gz2) == -1:
+                break
+        assert later["files"].get(gz2) == -1
+
     def test_compressed_files_charge_rate_budget(self, tmp_path):
         """A backfill of many .gz journals must spread across triggers
         under maxBytesPerTrigger instead of landing in one microbatch
