@@ -1600,6 +1600,17 @@ class LwesWriter(DataSourceArrowWriter):
         # microbatch overwrites its predecessor's files instead of
         # appending duplicates; the batch path keeps random task ids
         task_id = getattr(self, "task_prefix", None) or uuid.uuid4().hex
+        # Every file is written under an attempt-unique dot-prefixed
+        # temp name and atomically renamed to its final name on close:
+        # concurrent attempts of the same (epoch, partition) —
+        # speculative execution, or a zombie task surviving a retry —
+        # can therefore never tear each other's in-progress files. Both
+        # attempts rename COMPLETE, byte-identical files over the same
+        # deterministic final name (os.replace is atomic), and readers
+        # ignore dot-prefixed names entirely (_list_journal_files). A
+        # failed attempt leaves only invisible .tmp litter, removed on
+        # the next attempt's pre-write sweep.
+        attempt = uuid.uuid4().hex[:12]
         header_dtypes = {
             f.name: f.dataType
             for f in self.schema.fields
@@ -1614,29 +1625,42 @@ class LwesWriter(DataSourceArrowWriter):
         seq = 0
         files: list[str] = []
         f = None
+        cur_tmp = cur_final = None
+
+        def _seal_current():
+            """Close the open sink and atomically publish it."""
+            nonlocal f, cur_tmp, cur_final
+            if f is not None:
+                f.close()
+                os.replace(cur_tmp, cur_final)
+                f = cur_tmp = cur_final = None
 
         def get_sink():
-            nonlocal f, seq
+            nonlocal f, seq, cur_tmp, cur_final
             if f is None or f.bytes >= self.roll_bytes:
-                if f is not None:
-                    f.close()
-                out_path = os.path.join(
+                _seal_current()
+                cur_final = os.path.join(
                     self.path, f"part-{task_id}-{seq}{ext}"
                 )
+                # tmp keeps the real extension LAST (the sink layer
+                # picks gzip/v2 framing from it) behind a leading dot
+                cur_tmp = os.path.join(
+                    self.path, f".part-{task_id}-{seq}-{attempt}.tmp{ext}"
+                )
                 seq += 1
-                files.append(out_path)
+                files.append(cur_final)
                 if self.v2:
                     f = _V2Sink(
-                        out_path,
+                        cur_tmp,
                         self.block_bytes,
                         "zlib"
                         if self.compression in ("gzip", "zlib")
                         else "none",
                     )
                 elif self.headerless:
-                    f = _HeaderlessSink(out_path)
+                    f = _HeaderlessSink(cur_tmp)
                 else:
-                    f = _V1Sink(out_path)
+                    f = _V1Sink(cur_tmp)
             return f
 
         try:
@@ -1688,9 +1712,19 @@ class LwesWriter(DataSourceArrowWriter):
                                 )
                     f.write_event(ev)
                     n += 1
-        finally:
+        except BaseException:
+            # do NOT publish a torn file: close and drop the open tmp
+            # (already-sealed files from this attempt are cleaned by
+            # the replay's pre-write sweep or remain harmless orphans)
             if f is not None:
-                f.close()
+                try:
+                    f.close()
+                finally:
+                    if cur_tmp and os.path.exists(cur_tmp):
+                        os.remove(cur_tmp)
+            raise
+        else:
+            _seal_current()
         return LwesCommitMessage(path=";".join(files), records=n)
 
     def commit(self, messages):
@@ -1721,9 +1755,15 @@ class LwesStreamWriter(DataSourceStreamArrowWriter):
     the deterministic (batchId, partitionId) — read from the
     ``streaming.sql.batchId`` task-local property Spark sets on
     microbatch tasks — and any files a previous attempt of the same
-    (epoch, partition) left behind are removed before writing. If the
-    property is unavailable the sink degrades to random task ids
-    (at-least-once), never to data loss."""
+    (epoch, partition) left behind are removed before writing. Each
+    attempt writes through attempt-unique dot-tmp names and publishes
+    via atomic rename on close (see LwesWriter.write), so a concurrent
+    zombie/speculative attempt of the same (epoch, partition) can
+    never tear the committed journal: the sweep below only ever sees
+    COMPLETE published files, and two racing attempts just replace
+    byte-identical content. If the property is unavailable the sink
+    degrades to random task ids (at-least-once), never to data
+    loss."""
 
     def __init__(self, schema: StructType, options, overwrite: bool):
         # reuse the batch writer's schema resolution + encode loop
@@ -1740,10 +1780,18 @@ class LwesStreamWriter(DataSourceStreamArrowWriter):
         if epoch is not None:
             prefix = f"e{epoch}-p{tc.partitionId()}"
             os.makedirs(self.path, exist_ok=True)
+            # published files from a prior attempt of this (epoch,
+            # partition), plus dot-tmp litter any failed attempt left.
+            # Removing a LIVE concurrent attempt's tmp is safe: its fd
+            # stays valid (POSIX), only its final rename fails and
+            # Spark retries that attempt — data is never torn.
             for stale in glob.glob(
                 os.path.join(self.path, f"part-{prefix}-*")
-            ):
-                os.remove(stale)
+            ) + glob.glob(os.path.join(self.path, f".part-{prefix}-*.tmp*")):
+                try:
+                    os.remove(stale)
+                except FileNotFoundError:
+                    pass  # a racing attempt's sweep got it first
             self._w.task_prefix = prefix
         else:
             self._w.task_prefix = None

@@ -1135,3 +1135,91 @@ class TestCharsetContract:
             .collect()
         )
         assert [r.s for r in rows] == ["é"]
+
+
+class TestAtomicPublish:
+    """Journal files must be published via attempt-unique tmp + atomic
+    rename (ADVICE r3): a failed or concurrent attempt may never leave
+    a torn file under a final ``part-*`` name."""
+
+    def _writer(self, tmp_path, prefix=None, **opts):
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        from lwes_contrib_hive_serde_spark.sources.datasource import (
+            LwesWriter,
+        )
+
+        out = str(tmp_path / "out")
+        schema = StructType(
+            [StructField("k", LongType()), StructField("v", LongType())]
+        )
+        w = LwesWriter(
+            schema,
+            {"path": out, "eventname": "A::P", **opts},
+            overwrite=False,
+        )
+        if prefix is not None:
+            w.task_prefix = prefix
+        return w, out
+
+    def _batch(self, lo, hi):
+        import pyarrow as pa
+
+        ks = list(range(lo, hi))
+        return pa.record_batch(
+            [pa.array(ks, pa.int64()), pa.array([k * 10 for k in ks], pa.int64())],
+            names=["k", "v"],
+        )
+
+    def test_success_publishes_finals_no_tmp_litter(self, tmp_path):
+        w, out = self._writer(tmp_path, prefix="e0-p0")
+        msg = w.write(iter([self._batch(0, 100)]))
+        assert msg.records == 100
+        names = os.listdir(out)
+        assert all(n.startswith("part-e0-p0-") for n in names)
+        assert not any(".tmp" in n for n in names)
+        evs = [e for f in sorted(names) for e in c.read_journal_file(os.path.join(out, f))]
+        assert sorted(e.get("k") for e in evs) == list(range(100))
+
+    def test_failed_attempt_never_publishes_torn_file(self, tmp_path):
+        # roll every ~1KB so the first batch seals several files, then
+        # the batch iterator blows up mid-write
+        w, out = self._writer(tmp_path, prefix="e1-p0", rollbytes="1024")
+
+        def batches():
+            yield self._batch(0, 200)
+            raise RuntimeError("executor died")
+
+        with pytest.raises(RuntimeError):
+            w.write(batches())
+        # whatever was published under a final name is COMPLETE: every
+        # file parses to its last byte with zero torn frames
+        for f in os.listdir(out):
+            assert ".tmp" not in f, "tmp litter left under final sweep glob"
+            path = os.path.join(out, f)
+            with open(path, "rb") as fh:  # raw frame walk to exact EOF
+                while True:
+                    hdr = fh.read(c.HEADER_LENGTH)
+                    if not hdr:
+                        break  # clean EOF on a record boundary
+                    assert len(hdr) == c.HEADER_LENGTH, f"torn header in {f}"
+                    length = c.unpack_header(hdr)[0]
+                    payload = fh.read(length)
+                    assert len(payload) == length, f"torn payload in {f}"
+        # retry of the same (epoch, partition) republishes cleanly
+        w2, _ = self._writer(tmp_path, prefix="e1-p0", rollbytes="1024")
+        import glob as g
+
+        for stale in g.glob(os.path.join(out, "part-e1-p0-*")) + g.glob(
+            os.path.join(out, ".part-e1-p0-*.tmp*")
+        ):
+            os.remove(stale)  # the stream writer's pre-write sweep
+        msg = w2.write(iter([self._batch(0, 200)]))
+        assert msg.records == 200
+        evs = [
+            e
+            for f in sorted(os.listdir(out))
+            if not f.startswith((".", "_"))
+            for e in c.read_journal_file(os.path.join(out, f))
+        ]
+        assert sorted(e.get("k") for e in evs) == list(range(200))
