@@ -31,10 +31,17 @@ def corpus_report(
     """Per-``group_col`` (or whole-corpus) datasheet row:
     n_docs, total_tokens, total_chars, n_exact_dups (docs beyond the
     first per normalized md5 fingerprint), gopher_pass_rate,
-    mean_quality (heuristic quality score)."""
+    mean_quality (heuristic quality score).
+
+    NULL text is treated as the empty string: md5(NULL) is NULL and
+    countDistinct drops NULLs, so without the coalesce every NULL-text
+    row would inflate n_exact_dups by one while silently dropping out
+    of the token/quality sums — still counted in n_docs — skewing the
+    published datasheet (ADVICE r3)."""
     groups = [group_col] if group_col else []
+    base = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     flags = text.gopher_quality_flags(text_col, **(gopher_thresholds or {}))
-    base = df.select(
+    base = base.select(
         *groups,
         text.token_count(text_col).alias("__nt"),
         F.length(text_col).cast("bigint").alias("__nc"),

@@ -1504,7 +1504,7 @@ _SQL_GOPHER_RAW = _sql_gopher_pass("text", min_words=10, min_stop_hits=1)
              md5({_SQL_NORM}) AS fp,
              CASE WHEN {_SQL_GOPHER_RAW} THEN 1 ELSE 0 END AS gp,
              {_SQL_QSCORE} AS q
-      FROM documents
+      FROM (SELECT source, COALESCE(text, '') AS text FROM documents)
     )
     SELECT source,
            COUNT(*) AS n_docs,

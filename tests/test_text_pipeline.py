@@ -707,3 +707,33 @@ class TestCorpusReportGlobal:
         ).collect()[0]
         assert agg["nd"] == glob["n_docs"]
         assert agg["nt"] == glob["total_tokens"]
+
+    def test_null_text_counts_as_empty_not_duplicate(self, spark):
+        """ADVICE r3: md5(NULL) is NULL and countDistinct drops NULLs,
+        so NULL-text rows used to inflate n_exact_dups while dropping
+        out of the token/quality sums. They must behave exactly like
+        empty-string docs."""
+        from lwes_contrib_hive_serde_spark.operators import report
+
+        rows = [
+            (1, "alpha beta gamma"),
+            (2, None),
+            (3, None),
+            (4, ""),
+            (5, "alpha beta gamma"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        r = report.corpus_report(df).collect()[0]
+        assert r["n_docs"] == 5
+        # dups: one repeat of "alpha beta gamma" + the NULL/NULL/""
+        # trio collapsing to one empty fingerprint = 3 total
+        assert r["n_exact_dups"] == 3
+        assert r["total_tokens"] == 6  # nulls contribute 0, not NULL
+        assert r["total_chars"] == 32
+        # equivalently: replacing NULL by "" must not change the row
+        df2 = spark.createDataFrame(
+            [(i, t if t is not None else "") for i, t in rows],
+            "doc_id long, text string",
+        )
+        r2 = report.corpus_report(df2).collect()[0]
+        assert r.asDict() == r2.asDict()
