@@ -983,6 +983,80 @@ def q_decontaminate(spark, sf_dir):
 
 
 @register(
+    "q_bloom_decontaminate",
+    shadow=True,
+    oracle="""
+    WITH nrm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, t, string_split(t, ' ') AS w FROM nrm
+    ), corpus_sh AS (
+      SELECT doc_id AS id, unnest(
+        CASE WHEN len(w) < 13 THEN [t]
+             ELSE list_distinct(list_transform(
+                    generate_series(1, len(w) - 12),
+                    i -> array_to_string(w[i:i+12], ' ')))
+        END) AS sh
+      FROM tok
+    ), bench_sh AS (
+      SELECT DISTINCT array_to_string(w[1:13], ' ') AS sh
+      FROM tok WHERE doc_id % 25 = 0
+    ), exact AS (
+      SELECT DISTINCT c.id FROM corpus_sh c JOIN bench_sh b USING (sh)
+    )
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           (SELECT COUNT(*) FROM exact) AS n_exact,
+           CAST(0 AS BIGINT) AS n_false_neg,
+           TRUE AS fp_within_bound
+    """,
+    doc="Bloom-filter decontamination tier (dedup.build_ngram_bloom + "
+    "bloom_decontaminate) — the designated zero-shuffle first pass at "
+    "100 TB — oracle-anchored on its structural guarantees: the exact "
+    "13-gram join (same benchmark as q_decontaminate) is a SUBSET of "
+    "the bloom flags (n_false_neg MUST be 0 — Kirsch-Mitzenmacher "
+    "double hashing over the same xxhash64 keys can only add), and "
+    "false positives stay within the designed doc-level rate "
+    "(fp_within_bound: observed FPs <= max(1, 1% of docs); the "
+    "32-bits/item k=22 sizing predicts ~2e-4 per kilo-shingle doc). "
+    "n_exact is the oracle-computed contaminated-doc count, so the "
+    "row is anchored by a real cross-engine value, not vacuous "
+    "constants.",
+)
+def q_bloom_decontaminate(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(text.normalize_text("text"), " ")
+    bench = d.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(w, 1, 13), " ").alias("text"),
+    )
+    bloom = dedup.build_ngram_bloom(bench, "text", n=13)
+    flagged = dedup.bloom_decontaminate(d, bloom, "text", n=13)
+    exact_ids = (
+        dedup.contamination_overlap(d, bench, n=13, hashed=True)
+        .select("id")
+        .distinct()
+        .withColumn("__exact", F.lit(True))
+    )
+    j = flagged.join(
+        exact_ids, flagged["doc_id"] == exact_ids["id"], "left"
+    )
+    ex = F.coalesce(F.col("__exact"), F.lit(False))
+    n = F.count(F.lit(1))
+    n_fp = F.sum((~ex & F.col("maybe_contaminated")).cast("long"))
+    return j.agg(
+        n.alias("n_docs"),
+        F.sum(ex.cast("long")).alias("n_exact"),
+        F.sum((ex & ~F.col("maybe_contaminated")).cast("long")).alias(
+            "n_false_neg"
+        ),
+        (
+            n_fp <= F.greatest(F.lit(1).cast("long"), (n / 100).cast("long"))
+        ).alias("fp_within_bound"),
+    )
+
+
+@register(
     "q_semdedup",
     oracle="""
     WITH planted AS (
