@@ -45,10 +45,11 @@ def _pil_available() -> bool:
 # -- stdlib header codecs (struct-only, no image/audio libs) ---------------
 #
 # Real decode for the container formats whose headers are pure public
-# fixed layouts: BMP / PNG / GIF images and RIFF/WAV audio. These run
-# BEFORE the deterministic fake, so real bytes get real metadata even
-# in codec-less containers; the fake remains only for formats that
-# genuinely need a pixel/DSP library (JPEG entropy scan, MP3, ...).
+# fixed layouts: BMP / PNG / GIF / JPEG (ITU T.81 SOF segment walk)
+# images and RIFF/WAV audio. These run BEFORE the deterministic fake,
+# so real bytes get real metadata even in codec-less containers; the
+# fake remains only for formats that genuinely need a pixel/DSP
+# library (JPEG *pixel* decode, MP3, ...).
 # Every parser validates enough header structure that arbitrary text or
 # random bytes cannot false-positive into nonsense metadata.
 
@@ -87,6 +88,42 @@ def parse_image_header(b: bytes):
         if w == 0 or h == 0:
             return None
         return ("image/gif", int(w), int(h), 3)
+    if len(b) >= 4 and b[:2] == b"\xff\xd8" and b[2] == 0xFF:
+        # JPEG (JFIF/EXIF, public ITU T.81 layout): walk the marker
+        # segments to the first SOFn frame header, which carries
+        # precision(1) height(2) width(2) n_components(1). Entropy
+        # decode needs a real codec; the DIMENSIONS do not.
+        pos = 2
+        n = len(b)
+        while pos + 4 <= n:
+            if b[pos] != 0xFF:
+                return None  # desynchronized — not a valid stream
+            marker = b[pos + 1]
+            pos += 2
+            if marker == 0xFF:  # fill byte before a marker
+                pos -= 1
+                continue
+            if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                continue  # standalone markers carry no length
+            if marker == 0xD9 or marker == 0xDA:
+                return None  # EOI / start-of-scan before any SOF
+            if pos + 2 > n:
+                return None
+            (seg_len,) = _s.unpack_from(">H", b, pos)
+            if seg_len < 2:
+                return None
+            # SOFn frame headers: C0-CF except C4 (DHT), C8 (JPG
+            # extension), CC (DAC)
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if seg_len < 8 or pos + 8 > n:
+                    return None
+                h, w = _s.unpack_from(">HH", b, pos + 3)
+                comps = b[pos + 7]
+                if w == 0 or h == 0 or comps not in (1, 3, 4):
+                    return None
+                return ("image/jpeg", int(w), int(h), int(comps))
+            pos += seg_len
+        return None
     return None
 
 

@@ -324,6 +324,28 @@ class TestMultimodal:
         return b"GIF89a" + s.pack("<HH", 320, 200) + bytes([0xF7, 0, 0])
 
     @staticmethod
+    def _golden_jpeg(progressive=False, comps=3, w=9, h=7):
+        """Minimal but structurally real JPEG: SOI, APP0 JFIF, DQT,
+        SOF0 (or SOF2 + APP1 EXIF for the progressive variant), DHT
+        stub, SOS, EOI — the exact segment layout of ITU T.81."""
+        import struct as s
+
+        out = b"\xff\xd8"  # SOI
+        out += b"\xff\xe0" + s.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + s.pack(">HH", 72, 72) + b"\x00\x00"
+        if progressive:
+            out += b"\xff\xe1" + s.pack(">H", 14) + b"Exif\x00\x00MM\x00\x2a\x00\x00"
+        out += b"\xff\xdb" + s.pack(">H", 67) + b"\x00" + bytes(64)  # DQT
+        sof = b"\xff\xc2" if progressive else b"\xff\xc0"
+        comp_specs = b"".join(
+            bytes([i + 1, 0x11, 0]) for i in range(comps)
+        )
+        out += sof + s.pack(">H", 8 + 3 * comps) + b"\x08" + s.pack(">HH", h, w) + bytes([comps]) + comp_specs
+        out += b"\xff\xc4" + s.pack(">H", 5) + b"\x00\x00\x00"  # DHT stub
+        out += b"\xff\xda" + s.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"  # SOS
+        out += b"\xff\xd9"  # EOI
+        return out
+
+    @staticmethod
     def _golden_wav():
         """PCM stereo 16-bit 8 kHz with a 16000-byte data chunk: exactly
         500 ms at byte_rate 32000."""
@@ -341,6 +363,25 @@ class TestMultimodal:
         assert multimodal.parse_image_header(self._golden_png()) == ("image/png", 640, 480, 3)
         assert multimodal.parse_image_header(self._golden_gif()) == ("image/gif", 320, 200, 3)
         assert multimodal.parse_wav_header(self._golden_wav()) == (8000, 2, 16, 500)
+        # JPEG: baseline SOF0, progressive SOF2 behind an EXIF APP1,
+        # grayscale — all real dimensions with no PIL (VERDICT r3 #3)
+        assert multimodal.parse_image_header(self._golden_jpeg()) == (
+            "image/jpeg", 9, 7, 3,
+        )
+        assert multimodal.parse_image_header(
+            self._golden_jpeg(progressive=True, w=1920, h=1080)
+        ) == ("image/jpeg", 1920, 1080, 3)
+        assert multimodal.parse_image_header(
+            self._golden_jpeg(comps=1, w=64, h=32)
+        ) == ("image/jpeg", 64, 32, 1)
+        # malformed JPEGs must not false-positive: truncated before
+        # SOF, SOS before any SOF, desynchronized segment stream
+        good = self._golden_jpeg()
+        sof_at = good.index(b"\xff\xc0")
+        assert multimodal.parse_image_header(good[: sof_at + 5]) is None
+        no_sof = good[:sof_at] + good[good.index(b"\xff\xda"):]
+        assert multimodal.parse_image_header(no_sof) is None
+        assert multimodal.parse_image_header(b"\xff\xd8\xffjunk") is None
         # arbitrary text / random-ish bytes must NOT false-positive
         for junk in (b"BMW is a carmaker, not a bitmap header padded out" * 3,
                      b"RIFFraff text", b"GIF8 but not really", b"hello"):
@@ -358,6 +399,7 @@ class TestMultimodal:
                 (2, bytearray(self._golden_png())),
                 (3, bytearray(self._golden_gif())),
                 (4, bytearray(b"not an image at all")),
+                (5, bytearray(self._golden_jpeg(progressive=True, w=800, h=600))),
             ],
             "id long, payload binary",
         )
@@ -373,6 +415,9 @@ class TestMultimodal:
         assert (out[3].width, out[3].height, out[3].channels) == (320, 200, 3)
         assert out[2].mean_luma is None  # compressed: header-only decode
         assert out[4].width is not None  # fake path still covers unknowns
+        # JPEG dimensions are real (stdlib SOF walk), luma header-only
+        assert (out[5].width, out[5].height, out[5].channels) == (800, 600, 3)
+        assert out[5].mean_luma is None
 
     def test_real_wav_decode_without_librosa(self, spark):
         df = spark.createDataFrame(
