@@ -547,6 +547,48 @@ def host_suffixes(col) -> Column:
     )
 
 
+def _unstable_lineage_marker(df: DataFrame) -> str | None:
+    """Name of the first analyzed-plan node/expression that makes row
+    order (or content) unstable across re-evaluations, else None.
+
+    monotonically_increasing_id keys rows by (partition, position), so
+    any lineage whose row order can differ between two evaluations of
+    the same plan — everything downstream of an exchange (join,
+    aggregate, repartition, window: reducer-side arrival order is not
+    guaranteed), a sample, or a non-deterministic expression — cannot
+    safely use it as a join-back key. Plain scan/filter/project/union
+    lineages are stable and pass. Best-effort: if the JVM plan is
+    unreachable (e.g. connect-only session) the check is skipped
+    rather than failing the pipeline."""
+    try:
+        # withCachedData replaces persisted subtrees with
+        # InMemoryRelation, so "persist the input first" genuinely
+        # clears the refusal (the cache pins rows AND their order)
+        plan = df._jdf.queryExecution().withCachedData().toString()
+    except Exception:
+        return None
+    unstable_nodes = (
+        "Sample ",
+        "Repartition",  # Repartition / RepartitionByExpression
+        "Join ",
+        "Aggregate ",
+        "Window ",
+        "Deduplicate ",
+        "Sort ",  # partial/global sort still exchanges first
+        "Intersect ",
+        "Except ",
+    )
+    for raw in plan.splitlines():
+        node = raw.lstrip(" :+-")
+        for marker in unstable_nodes:
+            if node.startswith(marker):
+                return marker.strip()
+    for expr in ("rand(", "randn(", "uuid()", "monotonically_increasing_id()"):
+        if expr in plan:
+            return expr.rstrip("(")
+    return None
+
+
 def filter_blocked_domains(
     df: DataFrame,
     url_col: str,
@@ -566,13 +608,28 @@ def filter_blocked_domains(
 
     ``id_col``: an existing unique row key. When absent a
     monotonically_increasing_id is used, which is only safe when
-    ``df`` is deterministic (file-backed scans — the pipeline norm),
-    since the lineage is evaluated in both join branches."""
+    ``df`` re-evaluates with a stable row order (file-backed
+    scan/filter/project lineage — the pipeline norm), since the
+    lineage is evaluated in both join branches. Inputs whose analyzed
+    plan contains a sample, shuffle-producing node, or
+    non-deterministic expression are REFUSED without ``id_col``
+    instead of silently dropping/keeping the wrong rows."""
     spark = df.sparkSession
     if not isinstance(blocked, DataFrame):
         blocked = spark.createDataFrame(
             [(d,) for d in blocked], "domain string"
         )
+    if not id_col:
+        marker = _unstable_lineage_marker(df)
+        if marker is not None:
+            raise ValueError(
+                "filter_blocked_domains: input plan contains "
+                f"'{marker}', whose row order/content can differ "
+                "between the two join-branch evaluations, making the "
+                "synthetic monotonically_increasing_id row key "
+                "unstable. Pass id_col=<an existing unique key "
+                "column> (or persist the input first)."
+            )
     bl = F.broadcast(
         blocked.select(F.lower(F.col(blocked.columns[0])).alias("__dom")).dropDuplicates()
     )
@@ -699,11 +756,20 @@ def boilerplate_lines(
     """(line, n_docs) for lines (or with ``unit="paragraph"``,
     blank-line-delimited paragraphs) appearing in ≥ threshold DISTINCT
     documents; threshold = max(min_docs, ceil(max_doc_frac * n_total))
-    when a fraction is given (pass ``n_total`` to avoid a count job).
+    when a fraction is given.
 
     Scale shape: explode → one groupBy(line) with countDistinct —
     the classic wordcount profile; the RESULT is boilerplate-sized
-    (tiny), which is what makes the removal join broadcastable."""
+    (tiny), which is what makes the removal join broadcastable.
+
+    When ``max_doc_frac`` is given without ``n_total``, the document
+    count is folded into the SAME lazy plan as a broadcast 1-row
+    aggregate joined on a literal key — no separate eager count job
+    blocks at plan-build time (VERDICT r3 #6). It counts documents
+    contributing at least one unit (a NULL text contributes none),
+    which is the denominator the fraction semantically refers to;
+    pass ``n_total`` explicitly to use another denominator and skip
+    the extra aggregation subtree entirely."""
     import math
 
     splitter, _sep = _BP_UNITS[unit]
@@ -711,12 +777,27 @@ def boilerplate_lines(
         F.col(id_col).alias("__id"), F.explode(splitter(text_col)).alias("line")
     )
     freq = ln.groupBy("line").agg(F.countDistinct("__id").alias("n_docs"))
-    thr = min_docs
-    if max_doc_frac is not None:
-        if n_total is None:
-            n_total = df.count()
+    if max_doc_frac is None:
+        return freq.filter(F.col("n_docs") >= min_docs)
+    if n_total is not None:
         thr = max(min_docs, math.ceil(max_doc_frac * n_total))
-    return freq.filter(F.col("n_docs") >= thr)
+        return freq.filter(F.col("n_docs") >= thr)
+    total = (
+        ln.select(F.countDistinct("__id").alias("__n_total"))
+        .withColumn("__k", F.lit(1))
+    )
+    return (
+        freq.withColumn("__k", F.lit(1))
+        .join(F.broadcast(total), "__k")
+        .filter(
+            F.col("n_docs")
+            >= F.greatest(
+                F.lit(min_docs).cast("long"),
+                F.ceil(F.lit(float(max_doc_frac)) * F.col("__n_total")),
+            )
+        )
+        .drop("__k", "__n_total")
+    )
 
 
 def remove_boilerplate_lines(

@@ -737,3 +737,88 @@ class TestCorpusReportGlobal:
         )
         r2 = report.corpus_report(df2).collect()[0]
         assert r.asDict() == r2.asDict()
+
+
+class TestBlockedDomainDeterminismGuard:
+    """VERDICT r3 #5: without id_col the synthetic row key relies on a
+    stable re-evaluation order; unstable lineages must be refused with
+    guidance, not silently mis-keyed."""
+
+    def test_sampled_input_without_id_col_raises(self, spark):
+        df = spark.createDataFrame(_URL_ROWS, "i int, url string").sample(0.9)
+        with pytest.raises(ValueError, match="id_col"):
+            text.filter_blocked_domains(df, "url", _BLOCKED)
+
+    def test_shuffled_input_without_id_col_raises(self, spark):
+        df = spark.createDataFrame(_URL_ROWS, "i int, url string").repartition(4)
+        with pytest.raises(ValueError, match="id_col"):
+            text.filter_blocked_domains(df, "url", _BLOCKED)
+
+    def test_aggregated_input_without_id_col_raises(self, spark):
+        df = (
+            spark.createDataFrame(_URL_ROWS, "i int, url string")
+            .groupBy("url")
+            .agg(F.min("i").alias("i"))
+        )
+        with pytest.raises(ValueError, match="id_col"):
+            text.filter_blocked_domains(df, "url", _BLOCKED)
+
+    def test_unstable_input_with_id_col_works(self, spark):
+        df = spark.createDataFrame(_URL_ROWS, "i int, url string").repartition(4)
+        out = text.filter_blocked_domains(df, "url", _BLOCKED, id_col="i")
+        assert out.count() > 0  # no refusal, correct keying by real id
+
+    def test_stable_scan_lineage_still_allowed(self, spark, tmp_path):
+        p = str(tmp_path / "urls.parquet")
+        spark.createDataFrame(_URL_ROWS, "i int, url string").write.parquet(p)
+        df = spark.read.parquet(p).filter("i >= 0").select("i", "url")
+        out = text.filter_blocked_domains(df, "url", _BLOCKED)
+        assert out.count() > 0
+
+    def test_persisted_unstable_input_allowed(self, spark):
+        df = (
+            spark.createDataFrame(_URL_ROWS, "i int, url string")
+            .repartition(4)
+            .persist()
+        )
+        try:
+            df.count()  # materialize: the cache pins rows and order
+            out = text.filter_blocked_domains(df, "url", _BLOCKED)
+            assert out.count() > 0
+        finally:
+            df.unpersist()
+
+
+class TestBoilerplateLazyThreshold:
+    """VERDICT r3 #6: max_doc_frac without n_total used to run a
+    hidden eager df.count() job at plan-build time; the denominator is
+    now folded into the same lazy plan."""
+
+    def _docs(self, spark):
+        rows = [
+            (i, "BANNER\nunique line {}\nFOOTER".format(i)) for i in range(10)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_no_job_at_plan_build(self, spark):
+        df = self._docs(spark)
+        jobs = spark.sparkContext._jsc.sc().dagScheduler().numTotalJobs()
+        lazy = text.boilerplate_lines(df, max_doc_frac=0.5)
+        assert (
+            spark.sparkContext._jsc.sc().dagScheduler().numTotalJobs() == jobs
+        ), "plan construction ran an eager job"
+        got = sorted(r.line for r in lazy.collect())
+        assert got == ["BANNER", "FOOTER"]
+
+    def test_matches_explicit_n_total(self, spark):
+        df = self._docs(spark)
+        implicit = sorted(
+            map(tuple, text.boilerplate_lines(df, max_doc_frac=0.3).collect())
+        )
+        explicit = sorted(
+            map(
+                tuple,
+                text.boilerplate_lines(df, max_doc_frac=0.3, n_total=10).collect(),
+            )
+        )
+        assert implicit == explicit and len(implicit) == 2
