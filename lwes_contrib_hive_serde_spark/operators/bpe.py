@@ -10,11 +10,14 @@ words are orders of magnitude smaller than the corpus and are capped
 by ``max_vocab_rows`` (raises with guidance rather than silently
 truncating the tail into wrong merge counts).
 
-Encoding applies the learned merges as a chain of boundary-anchored
-JVM ``regexp_replace`` calls over a separator-joined symbol string —
-whole-stage-codegen, zero Python in the scan. The chain depth equals
-the merge count; past a few hundred merges use ``bpe_encode_udf``
-(Arrow-batched pandas) instead.
+Encoding is two-tier, dispatched automatically by ``bpe_segment``:
+small merge lists (≤ ``DEFAULT_MAX_JVM_CHAIN``) compile to a chain of
+boundary-anchored JVM ``regexp_replace`` calls over a separator-joined
+symbol string — whole-stage-codegen, zero Python in the scan. The
+chain depth equals the merge count, so production-sized merge tables
+(10k-50k) would blow codegen; above the threshold ``bpe_segment``
+returns the Arrow-batched pandas encoder (``bpe_encode_udf``, rank-
+priority merge loop) instead. Both tiers are cross-tested equal.
 """
 
 from __future__ import annotations
@@ -120,16 +123,39 @@ def _repl_quote(s: str) -> str:
     return s.replace("\\", "\\\\").replace("$", "\\$")
 
 
-def bpe_segment(col, merges: list[tuple[str, str]]) -> Column:
+# Above this merge count bpe_segment switches from the codegen'd
+# regexp chain to the Arrow-batched pandas encoder: each merge is one
+# regexp_replace node, and a nested expression tree a few hundred
+# nodes deep overflows the analyzer's recursion (observed
+# StackOverflowError at ~300 on a warm JVM) long before the 10k-50k
+# merges of a production tokenizer; 128 keeps comfortable margin.
+DEFAULT_MAX_JVM_CHAIN = 128
+
+
+def bpe_segment(
+    col,
+    merges: list[tuple[str, str]],
+    impl: str = "auto",
+    max_jvm_chain: int = DEFAULT_MAX_JVM_CHAIN,
+) -> Column:
     """Array of BPE tokens for a whole document (lowercased whitespace
     words, each char-split + EOW, merges applied in rank order).
 
-    Pure JVM: each word becomes SEP-joined symbols, every merge is one
+    ``impl``: "jvm" forces the regexp chain, "pandas" the Arrow
+    encoder, "auto" (default) picks JVM for ≤ ``max_jvm_chain`` merges
+    and pandas above — the two tiers produce identical output
+    (cross-tested in tests/test_bpe.py).
+
+    JVM tier: each word becomes SEP-joined symbols, every merge is one
     boundary-anchored regexp_replace ((?<=SEP)a SEP b(?=SEP) → ab,
     lookarounds so adjacent occurrences both merge), then one split.
     Replace-all per rank is exactly the reference algorithm's apply
     step, so segmentation matches train-time tokenization."""
     col = F.col(col) if isinstance(col, str) else col
+    if impl not in ("auto", "jvm", "pandas"):
+        raise ValueError(f"bpe_segment: unknown impl {impl!r}")
+    if impl == "pandas" or (impl == "auto" and len(merges) > max_jvm_chain):
+        return bpe_encode_udf(merges)(col)
 
     def encode_word(w):
         # "abc" -> SEP a SEP b SEP c SEP </w> SEP
@@ -185,13 +211,24 @@ def bpe_encode_udf(merges: list[tuple[str, str]]):
             syms = out
         return syms
 
+    # replicate text.tokens() EXACTLY (cross-tier equality): Spark
+    # trim strips only ' '; Java \s is ASCII [ \t\n\x0B\f\r]; a
+    # leading non-space separator therefore yields a leading ''
+    # token — match all of it so both tiers agree byte-for-byte
+    ws = _re.compile(r"[ \t\n\x0b\x0c\r]+")
+
+    def tokenize(t: str) -> list[str]:
+        t = ("" if t is None else t).lower()
+        trimmed = t.strip(" ")
+        if trimmed == "":
+            return []
+        return ws.split(trimmed)
+
     @pandas_udf("array<string>")
     def enc(texts: pd.Series) -> pd.Series:
         return texts.map(
             lambda t: [
-                tok
-                for w in (t or "").lower().split()
-                for tok in encode_word(w)
+                tok for w in tokenize(t) for tok in encode_word(w)
             ]
         )
 

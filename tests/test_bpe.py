@@ -139,3 +139,105 @@ class TestBpeEncoding:
         p = buf.getvalue()
         assert not re.findall(r"\n\(\d+\) Exchange", p)
         assert "BatchEvalPython" not in p
+
+
+class TestBpeScaleTier:
+    """VERDICT r3 #7: production merge tables (10k+) must not compile
+    a 10k-deep regexp chain — bpe_segment auto-dispatches to the
+    Arrow-batched pandas encoder above DEFAULT_MAX_JVM_CHAIN."""
+
+    @staticmethod
+    def _synthetic_merges(n):
+        """Deterministic n-entry merge table over a-z symbols whose
+        chains are actually reachable while encoding random a-z words
+        (single-char pairs first, then progressively longer lefts)."""
+        import itertools
+
+        alpha = [chr(c) for c in range(ord("a"), ord("z") + 1)]
+        syms = alpha + ["".join(p) for p in itertools.product(alpha, alpha)]
+        out = []
+        for left, right in itertools.product(syms, alpha):
+            out.append((left, right))
+            if len(out) == n:
+                return out
+        raise AssertionError("alphabet too small")
+
+    def test_auto_dispatch_picks_tier_by_merge_count(self, spark, docs, merges):
+        small = docs.select(bpe.bpe_segment("text", merges).alias("t"))
+        big = docs.select(
+            bpe.bpe_segment("text", self._synthetic_merges(300)).alias("t")
+        )
+        def plan(df):
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
+            return buf.getvalue()
+        assert "ArrowEvalPython" not in plan(small)  # pure JVM chain
+        assert "ArrowEvalPython" in plan(big)  # pandas tier
+        # explicit impl= overrides win in both directions
+        forced = docs.select(
+            bpe.bpe_segment("text", merges, impl="pandas").alias("t")
+        )
+        assert "ArrowEvalPython" in plan(forced)
+
+    def test_tiers_agree_at_threshold_boundary(self, spark, docs):
+        """The dispatch threshold must not change RESULTS: force both
+        tiers on the same merge list at the JVM tier's ceiling. (A
+        ~300-deep forced-JVM chain can overflow the analyzer stack —
+        the very reason the pandas tier is the default above the
+        threshold — so past-threshold equality is anchored on the
+        independent reference in the test below.)"""
+        mg = self._synthetic_merges(bpe.DEFAULT_MAX_JVM_CHAIN)
+        sample = docs.filter("doc_id < 20")
+        both = sample.select(
+            bpe.bpe_segment("text", mg, impl="jvm").alias("jvm"),
+            bpe.bpe_segment("text", mg, impl="pandas").alias("py"),
+        ).collect()
+        assert both
+        for r in both:
+            assert list(r["jvm"]) == list(r["py"])
+
+    def test_pandas_tier_matches_reference_above_threshold(self, spark, docs):
+        mg = self._synthetic_merges(300)
+        sample = docs.filter("doc_id < 20").select("doc_id", "text")
+        texts = {r["doc_id"]: r["text"] for r in sample.collect()}
+        got = sample.select(
+            "doc_id", bpe.bpe_segment("text", mg).alias("t")
+        ).collect()
+        for r in got:
+            assert list(r["t"]) == ref_encode(texts[r["doc_id"]], mg)
+
+    def test_10k_merges_encode_within_budget(self, spark):
+        import random
+        import time
+
+        mg = self._synthetic_merges(10_000)
+        rng = random.Random(7)
+        rows = [
+            (
+                i,
+                " ".join(
+                    "".join(
+                        rng.choice("abcdefghijklmnopqrstuvwxyz")
+                        for _ in range(rng.randint(2, 8))
+                    )
+                    for _ in range(60)
+                ),
+            )
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        t0 = time.time()
+        got = {
+            r["doc_id"]: list(r["t"])
+            for r in df.select(
+                "doc_id", bpe.bpe_segment("text", mg).alias("t")
+            ).collect()
+        }
+        wall = time.time() - t0
+        assert wall < 120.0, f"10k-merge encode took {wall:.1f}s"
+        # merges were genuinely applied (multi-char tokens present) and
+        # a sample matches the independent rank-order reference
+        assert any(len(tok) > 2 for toks in got.values() for tok in toks)
+        for i, text in rows[:5]:
+            assert got[i] == ref_encode(text, mg)
