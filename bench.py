@@ -101,33 +101,47 @@ def main():
     except Exception as e:
         print(f"# warmup skipped: {e}", file=sys.stderr)
 
-    # best-of-n per query: the shared-host scheduler can stall identical
+    # n samples per query: the shared-host scheduler can stall identical
     # plans 2-10x run-to-run, so a single sample measures the host, not
-    # the plan. min-of-2 reports the plan; disclosed in the JSON.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # the plan. The headline stays min (the plan's cost with the host
+    # quiet), but the payload also carries the per-query MEDIAN and the
+    # raw samples (first run included) so any consumer can compare
+    # either methodology or re-aggregate (ADVICE r3: min-of-n alone is
+    # not comparable to earlier single-run totals; three samples settle
+    # regression attribution that best-of-2 left ambiguous).
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     per_query: dict[str, float] = {}
+    per_query_median: dict[str, float] = {}
+    per_query_samples: dict[str, list] = {}
     total = 0.0
+    total_median = 0.0
     for name, fn in qs.items():
-        best = None
+        samples: list[float] = []
         err = None
-        for _ in range(max(1, runs)):
+        for _ in range(runs):
             t0 = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
                 df.count()
-                dt = time.perf_counter() - t0
+                samples.append(time.perf_counter() - t0)
             except Exception as e:
                 err = e
                 break
-            best = dt if best is None else min(best, dt)
-        if best is None:
+        if not samples:
             print(f"# bench error {name}: {type(err).__name__}: {err}", file=sys.stderr)
             per_query[name] = None  # NaN is not valid JSON
+            per_query_median[name] = None
+            per_query_samples[name] = []
             continue
+        best = min(samples)
+        med = sorted(samples)[len(samples) // 2]
         per_query[name] = round(best, 4)
+        per_query_median[name] = round(med, 4)
+        per_query_samples[name] = [round(s, 4) for s in samples]
         total += best
+        total_median += med
         # progress to stderr (driver parses only the stdout JSON line)
-        print(f"# {name}: {best:.2f}s", file=sys.stderr)
+        print(f"# {name}: {best:.2f}s (median {med:.2f}s)", file=sys.stderr)
 
     print(
         json.dumps(
@@ -138,8 +152,11 @@ def main():
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_queries": len(per_query),
-                "runs_per_query": max(1, runs),
+                "runs_per_query": runs,
                 "agg": "min",
+                "total_median_s": round(total_median, 3),
+                "queries_median": per_query_median,
+                "queries_samples": per_query_samples,
             }
         )
     )
