@@ -627,3 +627,159 @@ def quantized_dot(qa, qb) -> Column:
     qb = F.col(qb) if isinstance(qb, str) else qb
     prods = F.zip_with(qa, qb, lambda x, y: (x * y).cast("bigint"))
     return F.aggregate(prods, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC) —
+# the compressed tier of the standard 100 TB vector-search ladder
+# (Jégou, Douze, Schmid 2011, "Product Quantization for Nearest
+# Neighbor Search" — public method). float32 → m one-byte codes is a
+# dim*4/m× memory cut (64-dim → 8 codes = 32×); search never touches
+# the original vectors.
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k_codes: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+    n_train: int = 100_000,
+):
+    """Train per-subspace codebooks. Returns ``codebooks``: a list of
+    ``m`` arrays, each ``k_codes × (dim/m)``.
+
+    Same scale recipe as :func:`ivf_build`: Lloyd's iterations run
+    driver-side in numpy on a bounded SEEDED sample (at 100 TB you
+    train on ~10^5 sampled vectors, never the corpus); only encoding
+    is distributed. ``dim`` must be divisible by ``m``."""
+    import numpy as np
+
+    total = df.count()
+    if total > n_train:
+        frac = min(1.0, 1.05 * n_train / total)
+        sample = df.select(vec_col).sample(fraction=frac, seed=seed).collect()
+    else:
+        sample = df.select(vec_col).collect()
+    X = np.asarray([list(map(float, r[0])) for r in sample], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    codebooks = []
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        k_eff = min(k_codes, len(S))
+        C = S[rng.choice(len(S), size=k_eff, replace=False)]
+        for _ in range(max_iter):
+            d = (
+                (S * S).sum(1, keepdims=True)
+                - 2.0 * (S @ C.T)
+                + (C * C).sum(1)
+            )
+            lab = d.argmin(1)
+            new = np.vstack(
+                [
+                    S[lab == i].mean(0) if np.any(lab == i) else C[i]
+                    for i in range(len(C))
+                ]
+            )
+            if np.allclose(new, C):
+                break
+            C = new
+        codebooks.append([[float(v) for v in row] for row in C])
+    return codebooks
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Append ``out_col``: array<int> of length m — each vector's
+    nearest codeword per subspace. One numpy GEMM per subspace per
+    Arrow batch (mapInPandas); the original vector column can then be
+    dropped for the compressed tier."""
+    import numpy as np
+
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    m = len(codebooks)
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(codebooks)
+
+    def encode(batches):
+        import numpy as np  # noqa: PLC0415 (executor-side import)
+
+        cbs = [np.asarray(c, dtype=np.float64) for c in bc.value]
+        dsub = cbs[0].shape[1]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((len(V), len(cbs)), dtype=np.int32)
+            for j, C in enumerate(cbs):
+                S = V[:, j * dsub : (j + 1) * dsub]
+                d = (
+                    (S * S).sum(1, keepdims=True)
+                    - 2.0 * (S @ C.T)
+                    + (C * C).sum(1)
+                )
+                codes[:, j] = d.argmin(1)
+            pdf = pdf.copy()
+            pdf[out_col] = list(codes)
+            yield pdf
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, ArrayType(IntegerType()))]
+    )
+    return df.mapInPandas(encode, out_schema)
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Approximate top-k by inner product via asymmetric distance
+    computation: precompute the m × k_codes table of partial dot
+    products <q_j, codebook_j[c]> driver-side, then score every row as
+    a pure-JVM table lookup — the flattened table is a LITERAL array,
+    so the scan is whole-stage codegen with no Python, no shuffle, and
+    TakeOrderedAndProject for the top-k. Returns
+    (neighbor_id, approx_dot). Rescore survivors against the original
+    vectors when exact scores matter."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    m = len(codebooks)
+    k_codes = max(len(c) for c in codebooks)
+    dsub = len(codebooks[0][0])
+    flat = []
+    for j in range(m):
+        C = np.asarray(codebooks[j], dtype=np.float64)
+        part = C @ q[j * dsub : (j + 1) * dsub]
+        row = part.tolist() + [0.0] * (k_codes - len(part))
+        flat.extend(float(x) for x in row)
+    tbl = F.array(*[F.lit(x) for x in flat])
+    code = F.col(code_col)
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(tbl, (j * k_codes + F.element_at(code, j + 1) + 1).cast("int")),
+    )
+    return (
+        encoded.select(
+            F.col(id_col).alias("neighbor_id"), score.alias("approx_dot")
+        )
+        .orderBy(F.desc("approx_dot"), F.asc("neighbor_id"))
+        .limit(k)
+    )

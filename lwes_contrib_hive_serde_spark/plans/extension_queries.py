@@ -1553,6 +1553,51 @@ def q_quantized_knn(spark, sf_dir):
     )
 
 
+@register(
+    "q_pq_adc_knn",
+    shadow=True,
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS found_planted
+    """,
+    doc="Product-quantization ADC search (Jégou et al. 2011) — the "
+    "compressed tier of the 100 TB vector ladder: per-subspace "
+    "codebooks trained on a seeded sample, distributed encode to m "
+    "one-byte codes (32x memory cut at dim 64), then scoring as a "
+    "pure-JVM literal-table lookup with TakeOrderedAndProject. "
+    "Codebooks aren't SQL-reproducible, so the gate checks the "
+    "RESULT: a deterministically planted near-duplicate of the query "
+    "(the q_semdedup scaling trick, dot ~1.0 vs isotropic background "
+    "~0.3) must appear in the ADC top-10 — quantization noise is an "
+    "order of magnitude below the planted gap. "
+    "tests/test_operators.py::TestProductQuantization pins codebook "
+    "determinism, encode ranges, exact table-sum parity, and the "
+    "pure-JVM scan shape.",
+)
+def q_pq_adc_knn(spark, sf_dir):
+    base = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = base.filter("vec_id < 5").select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: (x.cast("double") * 1.0009765625).cast("float"),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(planted)
+    cbs = similarity.pq_train(corpus, m=8, k_codes=16, seed=42)
+    enc = similarity.pq_encode(corpus, cbs)
+    qv = [
+        float(x)
+        for x in base.filter("vec_id = 0").first()["embedding"]
+    ]
+    top = similarity.pq_adc_topk(enc.filter("vec_id <> 0"), cbs, qv, k=10)
+    return top.agg(
+        F.count(F.lit(1)).alias("n_results"),
+        (
+            F.sum((F.col("neighbor_id") == F.lit(1_000_000)).cast("int")) >= 1
+        ).alias("found_planted"),
+    )
+
+
 _SQL_QSCORE = (
     f"0.4 * least(CAST({_SQL_WS_TOKENS} AS DOUBLE) / 20.0, 1.0) + "
     "0.25 * greatest(0.0, 1.0 - (CASE WHEN length(text) > 0 THEN "
