@@ -798,3 +798,138 @@ def bloom_decontaminate(
         .withColumn(out_col, F.col(hits_col) > 0)
         .drop("__sh_hashes")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring (passage) deduplication — Lee et al. 2021,
+# "Deduplicating Training Data Makes Language Models Better"
+# (arXiv:2107.06499, public method): remove word windows of length >= k
+# whose exact content appears >= min_count times across the corpus.
+# The reference implementation builds a monolithic suffix array; the
+# Spark-native shape is the equivalent k-gram map-reduce: every
+# duplicated substring of length >= k contains a duplicated k-gram, so
+# flagging duplicated k-gram start positions and removing the covered
+# word windows removes exactly the >=k-word duplicated passages.
+# ---------------------------------------------------------------------------
+
+
+def _positioned_kgrams(df, id_col, text_col, k, hashed):
+    """(id, words, gram entries) — per doc: the normalized word array
+    plus one (pos, gram) per k-gram start. Whole-text docs shorter
+    than k yield no grams (nothing a passage-dedup may remove)."""
+    words = F.split(normalize_text(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(-1))),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(" ", F.slice(words, i + 1, k)).alias("gram"),
+        ),
+    )
+    out = df.select(
+        F.col(id_col).alias("__id"),
+        words.alias("__words"),
+        F.when(F.size(words) >= k, grams)
+        .otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+        .alias("__grams"),
+    )
+    if hashed:
+        out = out.withColumn(
+            "__grams",
+            F.transform(
+                "__grams",
+                lambda g: F.struct(
+                    g.getField("pos").alias("pos"),
+                    F.xxhash64(g.getField("gram")).cast("string").alias("gram"),
+                ),
+            ),
+        )
+    return out
+
+
+def duplicate_passage_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+    min_count: int = 2,
+    hashed: bool = True,
+) -> DataFrame:
+    """(id, pos) — start positions (word index into the normalized
+    word array) of k-grams whose exact content occurs >= min_count
+    times corpus-wide (occurrences, not distinct docs: a passage
+    repeated within one document is duplicated text all the same).
+
+    Scale shape: explode grams → ONE corpus-sized groupBy on the gram
+    key (the canonical wordcount shuffle; xxhash64 keys by default so
+    the shuffle moves 8-byte-hash-sized rows, not 50-word strings) →
+    join the (usually tiny) duplicated-gram set back to the gram
+    stream. AQE broadcasts the dup set when it is small; when a corpus
+    is pathologically self-similar the join degrades gracefully to
+    sort-merge on the same key the data already shuffled by."""
+    grams = _positioned_kgrams(df, id_col, text_col, k, hashed).select(
+        "__id", F.explode("__grams").alias("g")
+    ).select("__id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("gram")
+    )
+    return grams.join(dup, "gram").select(
+        F.col("__id").alias(id_col), "pos"
+    )
+
+
+def remove_duplicate_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+    min_count: int = 2,
+    hashed: bool = True,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Strip every duplicated >=k-word passage from every document
+    (ExactSubstr semantics at word granularity). Appends ``out_col``
+    (surviving words re-joined, '' when everything was duplicated) and
+    ``n_dup_words`` (how many words were removed).
+
+    A word survives iff no flagged k-gram window [pos, pos+k) covers
+    it — computed per doc as a pure-JVM exists() over the collected
+    flag positions (|flags| is passage-count-sized, not corpus-sized).
+    Whole-doc duplicates degenerate to fingerprint_dedup; prefer that
+    first so this pass only pays for partial overlaps."""
+    flagged = duplicate_passage_spans(
+        df, text_col, id_col, k, min_count, hashed
+    )
+    flags = flagged.groupBy(id_col).agg(
+        F.collect_list("pos").alias("__flags")
+    )
+    words = F.split(normalize_text(text_col), " ")
+    joined = df.join(flags, id_col, "left").withColumn(
+        "__flags", F.coalesce(F.col("__flags"), F.array().cast("array<int>"))
+    )
+    idx = F.sequence(F.lit(0), F.size(words) - 1)
+    kept = F.filter(
+        F.zip_with(words, idx, lambda w, i: F.struct(w.alias("w"), i.alias("i"))),
+        lambda s: ~F.exists(
+            F.col("__flags"),
+            lambda p: (s.getField("i") >= p) & (s.getField("i") < p + k),
+        ),
+    )
+    n_words = F.size(words)
+    return (
+        joined.withColumn(
+            out_col,
+            F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit("")).otherwise(
+                F.array_join(F.transform(kept, lambda s: s.getField("w")), " ")
+            ),
+        )
+        .withColumn(
+            "n_dup_words",
+            F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
+            .otherwise(n_words - F.size(kept))
+            .cast("bigint"),
+        )
+        .drop("__flags")
+    )

@@ -1554,6 +1554,64 @@ def q_quantized_knn(spark, sf_dir):
 
 
 @register(
+    "q_dup_passages",
+    shadow=True,
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             array_to_string(
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')[1:12],
+               ' ') || ' zzq planted unique tail'
+      FROM documents WHERE doc_id < 5
+    ), tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM corpus WHERE text IS NOT NULL
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(w) - 4),
+               i -> struct_pack(pos := i - 1,
+                                gram := array_to_string(w[i:i+4], ' '))
+             )) AS g
+      FROM tok WHERE len(w) >= 5
+    ), flat AS (
+      SELECT doc_id, g.pos AS pos, g.gram AS gram FROM grams
+    ), dup AS (
+      SELECT gram FROM flat GROUP BY gram HAVING COUNT(*) >= 2
+    )
+    SELECT f.doc_id, CAST(f.pos AS INTEGER) AS pos
+    FROM flat f JOIN dup USING (gram)
+    """,
+    doc="Exact substring (passage) dedup spans, Lee et al. 2021 "
+    "ExactSubstr at word granularity (dedup.duplicate_passage_spans): "
+    "every duplicated >=k-word passage contains a duplicated k-gram, "
+    "so the flagged (doc, pos) starts define exactly the covered "
+    "windows remove_duplicate_passages cuts. Planted 12-word prefixes "
+    "of five documents guarantee real cross-doc duplicated passages. "
+    "hashed=False keeps raw gram strings for oracle-exact comparison; "
+    "production uses xxhash64 keys (8-byte shuffle rows). One "
+    "corpus-sized wordcount-shaped shuffle + one join back.",
+)
+def q_dup_passages(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(text.normalize_text("text"), " ")
+    planted = d.filter("doc_id < 5").select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.array_join(F.slice(w, 1, 12), " "),
+            F.lit(" zzq planted unique tail"),
+        ).alias("text"),
+    )
+    corpus = d.unionByName(planted)
+    return dedup.duplicate_passage_spans(
+        corpus, k=5, min_count=2, hashed=False
+    )
+
+
+@register(
     "q_pq_adc_knn",
     shadow=True,
     oracle="""

@@ -964,3 +964,82 @@ class TestProductQuantization:
         scoring = p.split("TakeOrderedAndProject")[1]
         assert "BatchEvalPython" not in scoring
         assert not _re.findall(r"\n\(\d+\) Exchange", scoring)
+
+
+class TestPassageDedup:
+    """Exact substring dedup (Lee et al. 2021 ExactSubstr at word
+    granularity): flagged spans vs a brute-force reference, removal
+    coverage semantics, degenerate inputs."""
+
+    ROWS = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "xx alpha beta gamma delta epsilon zeta yy zz"),
+        (3, "totally different words with no overlap at all here"),
+        (4, ""),
+        (5, None),
+        (6, "short words only"),
+    ]
+
+    @staticmethod
+    def _ref_spans(rows, k, min_count):
+        from collections import Counter
+
+        grams = []
+        for i, t in rows:
+            if not t:
+                continue
+            w = t.lower().split()
+            grams.extend(
+                (i, p, " ".join(w[p : p + k])) for p in range(len(w) - k + 1)
+            )
+        counts = Counter(g for _, _, g in grams)
+        return {(i, p) for i, p, g in grams if counts[g] >= min_count}
+
+    def test_spans_match_bruteforce(self, spark):
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        got = {
+            (r.doc_id, r.pos)
+            for r in dedup.duplicate_passage_spans(
+                df, k=5, min_count=2, hashed=False
+            ).collect()
+        }
+        assert got == self._ref_spans(self.ROWS, 5, 2)
+        # hashed tier must flag the same spans (xxhash64 is injective
+        # here for all practical purposes)
+        hashed = {
+            (r.doc_id, r.pos)
+            for r in dedup.duplicate_passage_spans(
+                df, k=5, min_count=2, hashed=True
+            ).collect()
+        }
+        assert hashed == got
+
+    def test_removal_cuts_exactly_covered_words(self, spark):
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        out = {
+            r.doc_id: (r.text_clean, r.n_dup_words)
+            for r in dedup.remove_duplicate_passages(
+                df, k=5, min_count=2, hashed=False
+            ).collect()
+        }
+        # docs 1+2 share the 6-word run "alpha..zeta": starts {0,1} in
+        # doc1 cover words 0-5; starts {1,2} in doc2 cover words 1-6
+        assert out[1] == ("eta theta iota kappa", 6)
+        assert out[2] == ("xx yy zz", 6)
+        assert out[3] == (self.ROWS[2][1], 0)  # untouched
+        assert out[4] == ("", 0)
+        assert out[5] == (None, None)  # NULL propagates like other text ops
+        assert out[6][1] == 0  # shorter than k: nothing to flag
+
+    def test_within_doc_repetition_counts(self, spark):
+        # ExactSubstr counts OCCURRENCES, not distinct docs: a passage
+        # repeated inside one document is duplicated text all the same
+        t = "one two three four five and one two three four five"
+        df = spark.createDataFrame([(1, t)], "doc_id long, text string")
+        spans = {
+            (r.doc_id, r.pos)
+            for r in dedup.duplicate_passage_spans(
+                df, k=5, min_count=2, hashed=False
+            ).collect()
+        }
+        assert (1, 0) in spans and (1, 6) in spans
