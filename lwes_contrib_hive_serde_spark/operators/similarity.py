@@ -783,3 +783,37 @@ def pq_adc_topk(
         .orderBy(F.desc("approx_dot"), F.asc("neighbor_id"))
         .limit(k)
     )
+
+
+def ivf_pq_search(
+    assigned_encoded: DataFrame,
+    centroids,
+    codebooks,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """IVF-PQ: probe the nprobe nearest coarse clusters, then rank the
+    survivors by PQ/ADC table lookup — the standard billion-scale
+    composition (FAISS IVFPQ; Jégou et al. 2011 §IV). The input is the
+    ivf_build assignment with pq_encode codes attached; with
+    cluster-partitioned storage the probe filter is partition pruning
+    and the ADC scan never touches a float vector. Returns
+    (neighbor_id, approx_dot); rescore the top-k against original
+    vectors when exact scores matter."""
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1e-12
+        nb = math.sqrt(sum(y * y for y in b)) or 1e-12
+        return d / (na * nb)
+
+    ranked = sorted(
+        range(len(centroids)), key=lambda i: -cos(centroids[i], query_vec)
+    )
+    probe = ranked[:nprobe]
+    subset = assigned_encoded.filter(F.col("cluster_id").isin(probe))
+    return pq_adc_topk(subset, codebooks, query_vec, k, id_col, code_col)

@@ -941,6 +941,44 @@ class TestProductQuantization:
             ]
             assert 1_000_000 + vid in top, (vid, top)
 
+    def test_ivf_pq_composition_finds_planted(self, spark, emb):
+        """IVF probe + ADC ranking end-to-end: the planted near-dup
+        must survive both the coarse probe and the PQ ranking."""
+        import random as _rnd
+
+        from lwes_contrib_hive_serde_spark.operators import similarity
+
+        rng = _rnd.Random(23)
+        base = {
+            r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in emb.filter("vec_id < 3").collect()
+        }
+        planted = [
+            (1_000_000 + vid, [x + rng.gauss(0, 0.01) for x in vec])
+            for vid, vec in base.items()
+        ]
+        corpus = emb.select("vec_id", "embedding").unionByName(
+            emb.sparkSession.createDataFrame(
+                planted, "vec_id long, embedding array<float>"
+            )
+        )
+        assigned, centroids = similarity.ivf_build(corpus, n_clusters=8, max_iter=5)
+        cbs = similarity.pq_train(corpus, m=8, k_codes=16, seed=42)
+        enc = similarity.pq_encode(assigned, cbs)
+        for vid, vec in base.items():
+            top = [
+                r["neighbor_id"]
+                for r in similarity.ivf_pq_search(
+                    enc.filter(f"vec_id <> {vid}"),
+                    centroids,
+                    cbs,
+                    vec,
+                    k=10,
+                    nprobe=3,
+                ).collect()
+            ]
+            assert 1_000_000 + vid in top, (vid, top)
+
     def test_adc_scan_is_pure_jvm(self, trained):
         import io
         import re as _re
