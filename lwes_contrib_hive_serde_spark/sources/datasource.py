@@ -92,6 +92,22 @@ from lwes_contrib_hive_serde_spark.sources import codec as c
 
 EVENT_NAME_COL = "event_name"
 
+def _committed_manifest_files(path: str) -> set[str]:
+    """Union of file paths recorded by the streaming sink's per-batch
+    ``_batch-{id}.json`` manifests under ``path`` (absent/corrupt
+    manifests contribute nothing rather than failing the scan)."""
+    import glob as _glob
+
+    out: set[str] = set()
+    for m in _glob.glob(os.path.join(path, "_batch-*.json")):
+        try:
+            with open(m) as f:
+                out.update(json.load(f).get("files", []))
+        except (OSError, ValueError):
+            continue
+    return out
+
+
 def _list_journal_files(path: str) -> list[str]:
     if os.path.isfile(path):
         return [path]
@@ -374,6 +390,16 @@ class LwesReader(DataSourceReader):
         # Hive-style directory partitioning: key=value path segments
         # become schema columns filled per-file (reference README:48)
         self._files = _list_journal_files(self.path)
+        # committedOnly=true: read ONLY files listed in the streaming
+        # sink's _batch-*.json manifests (LwesStreamWriter.commit) —
+        # a scan over a live/crashed streaming-sink directory then
+        # never sees files from a batch whose offset was not committed
+        # (they would otherwise be double-counted after the batch
+        # replays under the same names, or linger as orphans if the
+        # query is never restarted).
+        if options.get("committedonly", "false").lower() == "true":
+            committed = _committed_manifest_files(self.path)
+            self._files = [f for f in self._files if f in committed]
         self._file_pvals = {
             f: _partition_values(f, self.path) for f in self._files
         }

@@ -241,3 +241,8 @@ class TestBpeScaleTier:
         assert any(len(tok) > 2 for toks in got.values() for tok in toks)
         for i, text in rows[:5]:
             assert got[i] == ref_encode(text, mg)
+
+
+def test_bpe_segment_rejects_unknown_impl(spark, docs, merges):
+    with pytest.raises(ValueError, match="impl"):
+        docs.select(bpe.bpe_segment("text", merges, impl="cuda"))

@@ -979,6 +979,12 @@ class TestProductQuantization:
             ]
             assert 1_000_000 + vid in top, (vid, top)
 
+    def test_pq_train_rejects_indivisible_dim(self, spark, emb):
+        from lwes_contrib_hive_serde_spark.operators import similarity
+
+        with pytest.raises(ValueError, match="not divisible"):
+            similarity.pq_train(emb, m=7, k_codes=8)
+
     def test_adc_scan_is_pure_jvm(self, trained):
         import io
         import re as _re

@@ -764,3 +764,57 @@ class TestWalkBoundaryProperty:
                 assert b == size  # full file walks to the end
         # several distinct block boundaries were exercised
         assert len(boundaries) > 2
+
+
+class TestCommittedOnlyScan:
+    def test_batch_scan_skips_uncommitted_files(self, spark, tmp_path):
+        """committedOnly=true reads only files listed in the streaming
+        sink's _batch-*.json manifests: an orphan part file from a
+        batch whose offset never committed (crash between sink write
+        and commit) must be invisible to downstream batch scans."""
+        src = str(tmp_path / "in")
+        out = str(tmp_path / "out")
+        ck = str(tmp_path / "ck")
+        os.makedirs(src)
+        emit(src, "a.journal", 0, 20)
+        q = (
+            spark.readStream.format("lwes")
+            .schema("n long")
+            .option("path", src)
+            .option("eventname", "S::E")
+            .load()
+            .writeStream.format("lwes")
+            .option("path", out)
+            .option("eventName", "S::E")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        committed = (
+            spark.read.format("lwes").schema("n long")
+            .option("eventName", "S::E").option("committedOnly", "true")
+            .load(out)
+        )
+        assert sorted(r.n for r in committed.collect()) == list(range(20))
+        # simulate a crashed batch: a published part file with no
+        # manifest entry (write succeeded, offset commit did not)
+        evs = []
+        for i in range(100, 105):
+            ev = c.Event("S::E")
+            ev.set("n", c.INT64, i)
+            evs.append(ev)
+        c.write_journal_file(
+            os.path.join(out, "part-e99-p0-0.journal"), evs
+        )
+        plain = (
+            spark.read.format("lwes").schema("n long")
+            .option("eventName", "S::E").load(out)
+        )
+        assert plain.count() == 25  # default scan sees the orphan
+        committed2 = (
+            spark.read.format("lwes").schema("n long")
+            .option("eventName", "S::E").option("committedOnly", "true")
+            .load(out)
+        )
+        assert sorted(r.n for r in committed2.collect()) == list(range(20))
