@@ -1612,6 +1612,83 @@ def q_dup_passages(spark, sf_dir):
 
 
 @register(
+    "q_remove_dup_passages",
+    shadow=True,
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             array_to_string(
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')[1:12],
+               ' ') || ' zzq planted unique tail'
+      FROM documents WHERE doc_id < 5
+    ), words AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM corpus WHERE text IS NOT NULL
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(w) - 4),
+               i -> struct_pack(pos := i - 1,
+                                gram := array_to_string(w[i:i+4], ' '))
+             )) AS g
+      FROM words WHERE len(w) >= 5
+    ), flat AS (
+      SELECT doc_id, g.pos AS pos, g.gram AS gram FROM grams
+    ), dup AS (
+      SELECT gram FROM flat GROUP BY gram HAVING COUNT(*) >= 2
+    ), flags AS (
+      SELECT doc_id, list(pos) AS ps
+      FROM flat JOIN dup USING (gram) GROUP BY doc_id
+    ), rebuilt AS (
+      SELECT w.doc_id,
+             CASE WHEN len(w.t) = 0 THEN CAST([] AS VARCHAR[]) ELSE
+               list_filter(
+                 list_transform(
+                   generate_series(1, len(w.w)),
+                   i -> CASE WHEN len(list_filter(COALESCE(f.ps, []),
+                                p -> i - 1 >= p AND i - 1 < p + 5)) > 0
+                        THEN NULL ELSE w.w[i] END),
+                 x -> x IS NOT NULL)
+             END AS kept,
+             CASE WHEN len(w.t) = 0 THEN 0 ELSE len(w.w) END AS n_words
+      FROM words w LEFT JOIN flags f USING (doc_id)
+    )
+    SELECT c.doc_id,
+           CASE WHEN c.text IS NULL THEN NULL
+                -- array_to_string([]) is NULL in DuckDB, '' in Spark
+                ELSE COALESCE(array_to_string(r.kept, ' '), '') END AS text_clean,
+           CASE WHEN c.text IS NULL THEN NULL
+                ELSE CAST(r.n_words - len(r.kept) AS BIGINT) END AS n_dup_words
+    FROM corpus c LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    doc="Full removal grain of exact substring dedup "
+    "(dedup.remove_duplicate_passages): the DuckDB oracle rebuilds "
+    "every document by the same coverage rule — a word survives iff "
+    "no duplicated k-gram window covers its index — so the surviving "
+    "text and removed-word counts are verified value-exact "
+    "cross-engine, not just the flagged spans (q_dup_passages).",
+)
+def q_remove_dup_passages(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(text.normalize_text("text"), " ")
+    planted = d.filter("doc_id < 5").select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.array_join(F.slice(w, 1, 12), " "),
+            F.lit(" zzq planted unique tail"),
+        ).alias("text"),
+    )
+    corpus = d.unionByName(planted)
+    return dedup.remove_duplicate_passages(
+        corpus, k=5, min_count=2, hashed=False
+    ).select("doc_id", "text_clean", "n_dup_words")
+
+
+@register(
     "q_pq_adc_knn",
     shadow=True,
     oracle="""
