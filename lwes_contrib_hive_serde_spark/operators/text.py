@@ -845,3 +845,131 @@ def remove_boilerplate_lines(
     return df.join(
         rebuilt, df[id_col] == rebuilt["__id"], "left"
     ).drop("__id").withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+
+
+# ---------------------------------------------------------------------------
+# Perplexity filtering — CCNet (Wenzek et al. 2019, arXiv:1911.00359,
+# public method): score each document by language-model perplexity and
+# drop/bucket the worst. CCNet uses an external KenLM 5-gram; this is
+# the self-contained Spark-native variant — an add-alpha bigram model
+# whose counts, scoring, and thresholding are ALL DataFrame ops: two
+# wordcount-shaped shuffles build the model, scoring is joins against
+# the count tables (no driver-side model object, no broadcast dict, no
+# Python), so the same code scores 100 TB against a model trained on a
+# reference corpus by just passing that corpus' count frames.
+# ---------------------------------------------------------------------------
+
+
+def train_bigram_counts(df: DataFrame, text_col: str = "text"):
+    """(unigrams, bigrams): count frames for the add-alpha bigram LM.
+    unigrams = (w, cnt); bigrams = (w1, w2, cnt). Lowercased
+    whitespace words over normalized text (the corpus-wide tokenizer
+    every other operator shares). Two classic wordcount aggregations —
+    map-side partial combine, one shuffle each, results are
+    vocabulary-sized (and vocab²-bounded), never corpus-sized."""
+    words = F.split(normalize_text(text_col), " ")
+    # empty/NULL documents normalize to [''] — the empty-string token
+    # is an artifact, not vocabulary; it must not inflate V
+    uni = (
+        df.select(F.explode(words).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n = F.size(words)
+    pairs = F.zip_with(
+        F.slice(words, 1, n - 1),
+        F.slice(words, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bi = (
+        df.filter(n >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return uni, bi
+
+
+def perplexity_score(
+    df: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.1,
+    out_col: str = "ppl",
+) -> DataFrame:
+    """(id, n_bigrams, out_col) — add-alpha bigram perplexity of every
+    document under the given count frames:
+
+        logP(w2|w1) = ln((c(w1,w2) + α) / (c(w1) + α·V))
+        ppl = exp(-mean(logP))           (V = distinct unigram count)
+
+    Docs with fewer than two words are omitted (no bigram events).
+    Cross-engine determinism: each logP is rounded to 9 decimals and
+    summed as DECIMAL (associative), so the result is bit-identical
+    under any partitioning and hash-comparable against a SQL oracle.
+
+    Scale shape: explode doc bigrams → two left joins against the
+    count frames (token-keyed; AQE broadcasts when the model is small,
+    degrades to sort-merge on the same keys otherwise) → one per-doc
+    aggregation. V rides a broadcast one-row aggregate on a literal
+    key — the same scalar-join shape as boilerplate_lines."""
+    words = F.split(normalize_text(text_col), " ")
+    n = F.size(words)
+    pairs = F.zip_with(
+        F.slice(words, 1, n - 1),
+        F.slice(words, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    doc_bi = (
+        df.filter(n >= 2)
+        .select(F.col(id_col).alias("__id"), F.explode(pairs).alias("p"))
+        .select("__id", "p.w1", "p.w2")
+    )
+    vocab = (
+        unigrams.agg(F.count(F.lit(1)).alias("__v"))
+        .withColumn("__k", F.lit(1))
+    )
+    scored = (
+        doc_bi.join(
+            bigrams.select("w1", "w2", F.col("cnt").alias("__c12")),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            unigrams.select(F.col("w").alias("w1"), F.col("cnt").alias("__c1")),
+            "w1",
+            "left",
+        )
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(vocab), "__k")
+    )
+    logp = F.round(
+        F.log(
+            (F.coalesce(F.col("__c12"), F.lit(0)) + F.lit(float(alpha)))
+            / (
+                F.coalesce(F.col("__c1"), F.lit(0))
+                + F.lit(float(alpha)) * F.col("__v")
+            )
+        ),
+        9,
+    )
+    return (
+        scored.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.exp(
+                    -(
+                        F.sum(logp.cast("decimal(28,12)")).cast("double")
+                        / F.count(F.lit(1))
+                    )
+                ),
+                4,
+            ).alias(out_col),
+        )
+        .select(F.col("__id").alias(id_col), "n_bigrams", out_col)
+    )

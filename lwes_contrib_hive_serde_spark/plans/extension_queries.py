@@ -1612,6 +1612,57 @@ def q_dup_passages(spark, sf_dir):
 
 
 @register(
+    "q_perplexity_filter",
+    shadow=True,
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents WHERE text IS NOT NULL
+    ), pairs AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(w) - 1),
+               i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS p
+      FROM tok WHERE len(w) >= 2
+    ), flat AS (
+      SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM pairs
+    ), uni AS (
+      -- empty docs normalize to ['']: artifact token, not vocabulary
+      SELECT u AS w, COUNT(*) AS cnt
+      FROM (SELECT unnest(w) AS u FROM tok) WHERE u <> '' GROUP BY u
+    ), bi AS (
+      SELECT w1, w2, COUNT(*) AS cnt FROM flat GROUP BY w1, w2
+    ), v AS (
+      SELECT COUNT(*) AS v FROM uni
+    ), scored AS (
+      SELECT f.doc_id,
+             round(ln((b.cnt + 0.1) / (u.cnt + 0.1 * v.v)), 9) AS logp
+      FROM flat f JOIN bi b USING (w1, w2) JOIN uni u ON f.w1 = u.w
+      CROSS JOIN v
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           round(exp(-(CAST(SUM(CAST(logp AS DECIMAL(28,12))) AS DOUBLE)
+                       / COUNT(*))), 4) AS ppl4
+    FROM scored GROUP BY doc_id
+    """,
+    doc="CCNet-style perplexity filtering (Wenzek et al. 2019) with a "
+    "self-contained add-alpha bigram LM: counts, scoring, and "
+    "thresholding are ALL DataFrame ops (text.train_bigram_counts + "
+    "perplexity_score) — two wordcount shuffles build the model, "
+    "scoring is token-keyed joins against the count frames, no "
+    "driver-side model object. Determinism for the oracle: per-bigram "
+    "logP rounds to 9 decimals and accumulates as DECIMAL, so the "
+    "per-doc perplexity is bit-identical across engines and "
+    "partitionings.",
+)
+def q_perplexity_filter(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    uni, bi = text.train_bigram_counts(d)
+    return text.perplexity_score(d, uni, bi, out_col="ppl4")
+
+
+@register(
     "q_remove_dup_passages",
     shadow=True,
     oracle="""

@@ -1087,3 +1087,33 @@ class TestPassageDedup:
             ).collect()
         }
         assert (1, 0) in spans and (1, 6) in spans
+
+
+class TestHeaderParserFuzz:
+    def test_parsers_never_throw_on_arbitrary_bytes(self):
+        """Header parsers run inside executor UDFs over untrusted
+        payloads: any byte string must yield a result or None, never an
+        exception (hypothesis over random + format-prefixed bytes)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from lwes_contrib_hive_serde_spark.operators import multimodal
+
+        prefixes = [
+            b"", b"\xff\xd8\xff", b"\x89PNG\r\n\x1a\n", b"BM",
+            b"GIF89a", b"RIFF", b"\xff\xd8\xff\xe0\x00\x10JFIF\x00",
+        ]
+
+        @settings(max_examples=300, deadline=None)
+        @given(
+            st.sampled_from(prefixes),
+            st.binary(min_size=0, max_size=200),
+        )
+        def fuzz(prefix, tail):
+            b = prefix + tail
+            r = multimodal.parse_image_header(b)
+            assert r is None or (len(r) == 4 and r[1] > 0 and r[2] > 0)
+            w = multimodal.parse_wav_header(b)
+            assert w is None or len(w) == 4
+
+        fuzz()

@@ -822,3 +822,100 @@ class TestBoilerplateLazyThreshold:
             )
         )
         assert implicit == explicit and len(implicit) == 2
+
+
+class TestPerplexityFilter:
+    """CCNet-style bigram perplexity: Spark count-join scoring vs an
+    independent pure-Python reference, and the filter's ordering
+    property (fluent corpus-like text scores below word salad)."""
+
+    ROWS = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat again"),
+        (3, "the dog sat on the mat"),
+        (4, "zqx vbn plm okn ijb uhb"),  # unique bigrams → high ppl
+        (5, "the cat"),
+        (6, ""),
+        (7, None),
+    ]
+
+    @staticmethod
+    def _ref(rows, alpha=0.1):
+        from collections import Counter
+
+        docs = {
+            i: t.lower().split() for i, t in rows if t  # normalize == split here
+        }
+        uni = Counter(w for ws in docs.values() for w in ws)
+        bi = Counter(
+            (a, b) for ws in docs.values() for a, b in zip(ws, ws[1:])
+        )
+        v = len(uni)
+        import math
+
+        out = {}
+        for i, ws in docs.items():
+            if len(ws) < 2:
+                continue
+            lps = [
+                round(
+                    math.log((bi[(a, b)] + alpha) / (uni[a] + alpha * v)), 9
+                )
+                for a, b in zip(ws, ws[1:])
+            ]
+            out[i] = (len(lps), round(math.exp(-sum(lps) / len(lps)), 4))
+        return out
+
+    def test_matches_reference(self, spark):
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        uni, bi = text.train_bigram_counts(df)
+        got = {
+            r.doc_id: (r.n_bigrams, r.ppl)
+            for r in text.perplexity_score(df, uni, bi).collect()
+        }
+        assert got == self._ref(self.ROWS)
+        assert 6 not in got and 7 not in got  # <2 words: no ppl row
+
+    def test_fluent_text_scores_below_word_salad(self, spark):
+        """Needs a corpus big enough that the alpha*V floor punishes
+        unseen bigrams: 200 fluent docs over a small recurring phrase
+        set vs word-salad docs of singleton words."""
+        import random as _rnd
+
+        rng = _rnd.Random(5)
+        phrases = [
+            "the cat sat on the mat", "a dog ran in the park",
+            "we went to the store", "it is a fine day today",
+        ]
+        rows = [
+            (i, " ".join(rng.choice(phrases) for _ in range(4)))
+            for i in range(200)
+        ]
+        rows += [
+            (1000 + j, " ".join(f"w{j}x{t}" for t in range(10)))
+            for j in range(5)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        uni, bi = text.train_bigram_counts(df)
+        got = {
+            r.doc_id: r.ppl
+            for r in text.perplexity_score(df, uni, bi).collect()
+        }
+        worst_fluent = max(v for k, v in got.items() if k < 1000)
+        best_salad = min(v for k, v in got.items() if k >= 1000)
+        assert worst_fluent < best_salad, (worst_fluent, best_salad)
+
+    def test_external_model_scores_new_corpus(self, spark):
+        # the CCNet shape: model trained on a reference corpus, scores
+        # a DIFFERENT corpus (OOV words ride the alpha floor)
+        train = spark.createDataFrame(self.ROWS[:3], "doc_id long, text string")
+        uni, bi = text.train_bigram_counts(train)
+        target = spark.createDataFrame(
+            [(10, "the cat sat"), (11, "xxqz yyqz zzqz wwqz")],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: r.ppl
+            for r in text.perplexity_score(target, uni, bi).collect()
+        }
+        assert got[10] < got[11]  # in-domain text scores better
