@@ -17,10 +17,11 @@ sys.path.insert(0, ".")
 
 # queries whose semantics genuinely require a nested-loop join, or
 # whose only NLJ is against a broadcast 1-ROW side (a scalar join:
-# boilerplate_removal folds the document count into the plan as a
-# single-row aggregate joined on a literal key, which Catalyst
-# constant-folds into a BNLJ — O(n·1), the canonical scalar shape)
-NLJ_ALLOWED = {"q_theta_join", "q_boilerplate_removal"}
+# boilerplate_removal folds the document count, and perplexity_filter
+# the vocabulary size, into the plan as a single-row aggregate joined
+# on a literal key, which Catalyst constant-folds into a BNLJ —
+# O(n·1), the canonical scalar shape)
+NLJ_ALLOWED = {"q_theta_join", "q_boilerplate_removal", "q_perplexity_filter"}
 
 
 def _plan(df) -> str:
