@@ -973,3 +973,81 @@ def perplexity_score(
         )
         .select(F.col("__id").alias(id_col), "n_bigrams", out_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction — the classic corpus-statistics primitive
+# (Salton & Buckley 1988, public method) for corpus exploration,
+# keyword tagging, and search-index construction. Pure DataFrame ops:
+# term frequencies and document frequencies are wordcount-shaped
+# aggregations, IDF joins back on the term key, top-k per doc is one
+# window — the same shuffle profile as any grouped-top-k at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+def tfidf_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int | None = None,
+) -> DataFrame:
+    """(id, term, tf, df_docs, tfidf) — smoothed TF-IDF per (doc,
+    term): tfidf = tf * (ln((N+1)/(df+1)) + 1) with tf the in-doc term
+    count. ``top_k`` keeps only each document's k highest-scoring
+    terms (ties break on term asc for determinism).
+
+    Cross-engine determinism: the score rounds to 9 decimals (ln is
+    the only transcendental; counts are exact integers), so results
+    hash-compare against a SQL oracle under any partitioning.
+
+    Scale shape: one explode + groupBy(id, term) for tf, one
+    groupBy(term) for df (both map-side combined), N rides a broadcast
+    one-row aggregate on a literal key (the scalar-join shape shared
+    with boilerplate_lines/perplexity_score), IDF joins on the term
+    key, and top-k is one window over (id) — no corpus-sized
+    collect, no Python."""
+    words = F.split(normalize_text(text_col), " ")
+    terms = (
+        df.select(F.col(id_col).alias("__id"), F.explode(words).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = terms.groupBy("__id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_docs"))
+    )
+    n_docs = (
+        df.agg(F.count(F.lit(1)).alias("__n")).withColumn("__k", F.lit(1))
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(n_docs), "__k")
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("__n") + F.lit(1)).cast("double")
+                        / (F.col("df_docs") + F.lit(1)).cast("double")
+                    )
+                    + F.lit(1.0)
+                ),
+                9,
+            ),
+        )
+        .drop("__k", "__n")
+    )
+    if top_k is not None:
+        w = Window.partitionBy("__id").orderBy(
+            F.desc("tfidf"), F.asc("term")
+        )
+        scored = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= top_k)
+            .drop("__rn")
+        )
+    return scored.select(
+        F.col("__id").alias(id_col), "term", "tf", "df_docs", "tfidf"
+    )

@@ -1612,6 +1612,58 @@ def q_dup_passages(spark, sf_dir):
 
 
 @register(
+    "q_tfidf_keywords",
+    shadow=True,
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents WHERE text IS NOT NULL
+    ), terms AS (
+      SELECT doc_id, unnest(w) AS term FROM tok
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM terms WHERE term <> '' GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY term
+    ), n AS (
+      SELECT COUNT(*) AS n FROM documents
+    ), scored AS (
+      SELECT t.doc_id, t.term, t.tf, d.df_docs,
+             round(t.tf * (ln(CAST(n.n + 1 AS DOUBLE)
+                              / CAST(d.df_docs + 1 AS DOUBLE)) + 1.0), 9)
+               AS tfidf,
+             row_number() OVER (PARTITION BY t.doc_id
+                                ORDER BY round(t.tf * (ln(CAST(n.n + 1 AS DOUBLE)
+                                  / CAST(d.df_docs + 1 AS DOUBLE)) + 1.0), 9) DESC,
+                                  t.term ASC) AS rn
+      FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+           CAST(df_docs AS BIGINT) AS df_docs, tfidf
+    FROM scored WHERE rn <= 5
+    """,
+    doc="TF-IDF keyword extraction (Salton & Buckley 1988): smoothed "
+    "tfidf = tf * (ln((N+1)/(df+1)) + 1), top-5 terms per document "
+    "with deterministic (score desc, term asc) tie-break — "
+    "text.tfidf_terms. Two wordcount-shaped aggregations, IDF joined "
+    "back on the term key, scalar N on a broadcast one-row join, "
+    "grouped top-k via one window; score rounds to 9 decimals for "
+    "cross-engine hash equality.",
+)
+def q_tfidf_keywords(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text.tfidf_terms(d, top_k=5)
+    return out.select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("bigint").alias("tf"),
+        F.col("df_docs").cast("bigint").alias("df_docs"),
+        "tfidf",
+    )
+
+
+@register(
     "q_perplexity_filter",
     shadow=True,
     oracle="""

@@ -21,7 +21,12 @@ sys.path.insert(0, ".")
 # the vocabulary size, into the plan as a single-row aggregate joined
 # on a literal key, which Catalyst constant-folds into a BNLJ —
 # O(n·1), the canonical scalar shape)
-NLJ_ALLOWED = {"q_theta_join", "q_boilerplate_removal", "q_perplexity_filter"}
+NLJ_ALLOWED = {
+    "q_theta_join",
+    "q_boilerplate_removal",
+    "q_perplexity_filter",
+    "q_tfidf_keywords",  # scalar N, same one-row shape
+}
 
 
 def _plan(df) -> str:

@@ -919,3 +919,42 @@ class TestPerplexityFilter:
             for r in text.perplexity_score(target, uni, bi).collect()
         }
         assert got[10] < got[11]  # in-domain text scores better
+
+
+class TestTfidfKeywords:
+    ROWS = [
+        (1, "spark spark spark shuffle join"),
+        (2, "spark shuffle window window window"),
+        (3, "completely unrelated vocabulary here"),
+        (4, None),
+        (5, ""),
+    ]
+
+    def test_matches_reference(self, spark):
+        import math
+        from collections import Counter
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        got = {
+            (r.doc_id, r.term): (r.tf, r.df_docs, r.tfidf)
+            for r in text.tfidf_terms(df).collect()
+        }
+        docs = {i: t.lower().split() for i, t in self.ROWS if t}
+        n = len(self.ROWS)  # N counts every row, like the SQL oracle
+        dfreq = Counter(w for ws in docs.values() for w in set(ws))
+        for i, ws in docs.items():
+            for w, tf in Counter(ws).items():
+                want = round(tf * (math.log((n + 1) / (dfreq[w] + 1)) + 1.0), 9)
+                assert got[(i, w)] == (tf, dfreq[w], want), (i, w)
+        assert not any(k[0] in (4, 5) for k in got)
+
+    def test_top_k_deterministic_tiebreak(self, spark):
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        top1 = {
+            r.doc_id: r.term
+            for r in text.tfidf_terms(df, top_k=1).collect()
+        }
+        assert top1[1] == "spark"  # tf 3 of a corpus-common term
+        assert top1[2] == "window"
+        # doc 3: all terms tf=1, df=1 → equal scores → term asc wins
+        assert top1[3] == "completely"
