@@ -1051,3 +1051,99 @@ def tfidf_terms(
     return scored.select(
         F.col("__id").alias(id_col), "term", "tf", "df_docs", "tfidf"
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    query: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """(id, n_matched, score) — the ``top_k`` documents ranked by BM25
+    for a whitespace query (Robertson & Walker 1994, the standard
+    probabilistic retrieval function; idf uses the non-negative
+    ln(1 + (N-df+0.5)/(df+0.5)) smoothing):
+
+        score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))
+
+    Cross-engine determinism: per-term contributions round to 9
+    decimals and sum as DECIMAL; the final score rounds to 6.
+
+    Scale shape: the query's terms form a tiny isin() filter PUSHED
+    into the exploded term stream, so only matching (doc, term) rows
+    ever aggregate — everything else dies in the scan stage. Document
+    lengths are a per-row expression; N and avgdl ride ONE broadcast
+    one-row aggregate; ranking is orderBy+limit →
+    TakeOrderedAndProject. No corpus-sized collect, no Python."""
+    q_terms = sorted(
+        {w for w in query.lower().split() if w}
+    )
+    if not q_terms:
+        raise ValueError("bm25_search: empty query")
+    words = F.split(normalize_text(text_col), " ")
+    # NULL text is not a retrievable document: its word array is NULL
+    # (size() of which is engine-version-dependent) and it can match
+    # nothing — exclude it from N and avgdl explicitly
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            words.alias("__w"),
+        )
+        .select(
+            "__id",
+            F.size(F.filter(F.col("__w"), lambda w: w != "")).alias("__dl"),
+            F.col("__w"),
+        )
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+    ).withColumn("__k", F.lit(1))
+    tf = (
+        base.select(
+            "__id", "__dl", F.explode("__w").alias("term")
+        )
+        .filter(F.col("term").isin(q_terms))
+        .groupBy("__id", "__dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("df_docs") + F.lit(0.5))
+        / (F.col("df_docs") + F.lit(0.5))
+    )
+    contrib = F.round(
+        idf
+        * (F.col("tf") * (F.lit(k1) + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (
+                F.lit(1.0)
+                - F.lit(b)
+                + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+            )
+        ),
+        9,
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(stats), "__k")
+        .withColumn("__c", contrib)
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.round(
+                F.sum(F.col("__c").cast("decimal(28,12)")).cast("double"), 6
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("__id"))
+        .limit(top_k)
+        .select(F.col("__id").alias(id_col), "n_matched", "score")
+    )

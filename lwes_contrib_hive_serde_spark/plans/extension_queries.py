@@ -1612,6 +1612,57 @@ def q_dup_passages(spark, sf_dir):
 
 
 @register(
+    "q_bm25_search",
+    shadow=True,
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             len(list_filter(
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               x -> x <> '')) AS dl,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents WHERE text IS NOT NULL
+    ), stats AS (
+      SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM base
+    ), tf AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, dl, unnest(w) AS term FROM base)
+      WHERE term IN ('join', 'hash', 'vector')
+      GROUP BY doc_id, dl, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY term
+    ), contrib AS (
+      SELECT t.doc_id,
+             round(ln(1.0 + (s.n - d.df_docs + 0.5) / (d.df_docs + 0.5))
+                   * (t.tf * 2.2)
+                   / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl)), 9) AS c
+      FROM tf t JOIN dfreq d USING (term) CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_matched,
+           round(CAST(SUM(CAST(c AS DECIMAL(28,12))) AS DOUBLE), 6) AS score
+    FROM contrib GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+    doc="BM25 ranked search (Robertson & Walker 1994) for the query "
+    "'join hash vector' — text.bm25_search: the query's terms form a "
+    "tiny isin() filter pushed into the exploded term stream (only "
+    "matching rows ever aggregate), N and avgdl ride one broadcast "
+    "one-row aggregate, ranking is TakeOrderedAndProject. Per-term "
+    "contributions round to 9 decimals and sum as DECIMAL, final "
+    "score to 6 — hash-compared value-exact against DuckDB.",
+)
+def q_bm25_search(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text.bm25_search(d, "join hash vector", top_k=10)
+    return out.select(
+        "doc_id",
+        F.col("n_matched").cast("bigint").alias("n_matched"),
+        "score",
+    )
+
+
+@register(
     "q_tfidf_keywords",
     shadow=True,
     oracle="""

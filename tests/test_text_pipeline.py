@@ -958,3 +958,67 @@ class TestTfidfKeywords:
         assert top1[2] == "window"
         # doc 3: all terms tf=1, df=1 → equal scores → term asc wins
         assert top1[3] == "completely"
+
+
+class TestBm25Search:
+    ROWS = [
+        (1, "spark shuffle join join join"),
+        (2, "spark join"),
+        (3, "unrelated words entirely"),
+        (4, "join " * 50),  # long doc: length normalization kicks in
+        (5, None),
+    ]
+
+    @staticmethod
+    def _ref(rows, q_terms, k1=1.2, b=0.75):
+        import math
+        from collections import Counter
+
+        docs = {i: t.lower().split() for i, t in rows if t is not None}
+        n = len(docs)
+        avgdl = sum(len(w) for w in docs.values()) / n
+        dfreq = Counter(
+            t for ws in docs.values() for t in set(ws) if t in q_terms
+        )
+        out = {}
+        for i, ws in docs.items():
+            tfs = Counter(t for t in ws if t in q_terms)
+            if not tfs:
+                continue
+            total = 0
+            for t, tf in tfs.items():
+                idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+                total += round(
+                    idf * tf * (k1 + 1)
+                    / (tf + k1 * (1 - b + b * len(ws) / avgdl)),
+                    9,
+                )
+            out[i] = (len(tfs), round(total, 6))
+        return out
+
+    def test_matches_reference(self, spark):
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_matched, r.score)
+            for r in text.bm25_search(df, "spark join").collect()
+        }
+        assert got == self._ref(self.ROWS, {"spark", "join"})
+        assert 3 not in got and 5 not in got  # no match / NULL text
+
+    def test_length_normalization_prefers_concentrated_match(self, spark):
+        # same tf in a short vs a long doc: the short one must win
+        rows = [
+            (1, "join here"),
+            (2, "join " + " ".join(f"w{i}" for i in range(48))),
+            (3, "padding words only " * 5),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        ranked = [
+            r.doc_id for r in text.bm25_search(df, "join", top_k=3).collect()
+        ]
+        assert ranked == [1, 2]  # both match once; short doc first
+
+    def test_empty_query_raises(self, spark):
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        with pytest.raises(ValueError, match="empty query"):
+            text.bm25_search(df, "   ")
