@@ -1147,3 +1147,64 @@ def bm25_search(
         .limit(top_k)
         .select(F.col("__id").alias(id_col), "n_matched", "score")
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int | None = 20,
+) -> DataFrame:
+    """(w1, w2, n_pair, pmi) — collocation mining by pointwise mutual
+    information over adjacent word pairs (Church & Hanks 1990, public
+    method): pmi = ln((c12/T) / ((c1/U)·(c2/U))) with T total bigram
+    and U total unigram occurrences. ``min_count`` suppresses the
+    low-frequency noise PMI is notorious for; ``top_k`` ranks by
+    (pmi desc, w1 asc, w2 asc) via TakeOrderedAndProject.
+
+    Reuses the bigram-LM count frames (train_bigram_counts): two
+    wordcount-shaped shuffles, unigram counts joined back on each side
+    of the pair, scalar (T, U) on one broadcast one-row aggregate.
+    PMI rounds to 9 decimals for cross-engine hash equality."""
+    uni, bi = train_bigram_counts(df, text_col)
+    totals = (
+        uni.agg(F.sum("cnt").alias("__u"))
+        .withColumn("__k", F.lit(1))
+        .join(
+            bi.agg(F.sum("cnt").alias("__t")).withColumn("__k", F.lit(1)),
+            "__k",
+        )
+    )
+    scored = (
+        bi.filter(F.col("cnt") >= min_count)
+        .select("w1", "w2", F.col("cnt").alias("n_pair"))
+        .join(
+            uni.select(F.col("w").alias("w1"), F.col("cnt").alias("__c1")),
+            "w1",
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("cnt").alias("__c2")),
+            "w2",
+        )
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(totals), "__k")
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("n_pair").cast("double") / F.col("__t"))
+                    / (
+                        (F.col("__c1").cast("double") / F.col("__u"))
+                        * (F.col("__c2").cast("double") / F.col("__u"))
+                    )
+                ),
+                9,
+            ),
+        )
+        .select("w1", "w2", "n_pair", "pmi")
+    )
+    if top_k is not None:
+        scored = scored.orderBy(
+            F.desc("pmi"), F.asc("w1"), F.asc("w2")
+        ).limit(top_k)
+    return scored

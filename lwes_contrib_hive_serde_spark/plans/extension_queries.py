@@ -1612,6 +1612,52 @@ def q_dup_passages(spark, sf_dir):
 
 
 @register(
+    "q_collocations",
+    shadow=True,
+    oracle="""
+    WITH tok AS (
+      SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents WHERE text IS NOT NULL
+    ), uni AS (
+      SELECT u AS w, COUNT(*) AS cnt
+      FROM (SELECT unnest(w) AS u FROM tok) WHERE u <> '' GROUP BY u
+    ), pairs AS (
+      SELECT unnest(list_transform(
+               generate_series(1, len(w) - 1),
+               i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS p
+      FROM tok WHERE len(w) >= 2
+    ), bi AS (
+      SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS cnt FROM pairs
+      GROUP BY p.w1, p.w2
+    ), tot AS (
+      SELECT (SELECT CAST(SUM(cnt) AS DOUBLE) FROM uni) AS u,
+             (SELECT CAST(SUM(cnt) AS DOUBLE) FROM bi) AS t
+    )
+    SELECT b.w1, b.w2, CAST(b.cnt AS BIGINT) AS n_pair,
+           round(ln((b.cnt / tot.t)
+                    / ((u1.cnt / tot.u) * (u2.cnt / tot.u))), 9) AS pmi
+    FROM bi b JOIN uni u1 ON b.w1 = u1.w JOIN uni u2 ON b.w2 = u2.w
+    CROSS JOIN tot
+    WHERE b.cnt >= 5
+    ORDER BY pmi DESC, b.w1 ASC, b.w2 ASC LIMIT 20
+    """,
+    doc="Collocation mining by pointwise mutual information over "
+    "adjacent word pairs (Church & Hanks 1990) — text.collocations, "
+    "reusing the bigram-LM count frames: two wordcount shuffles, "
+    "unigram counts joined back per pair side, scalar totals on one "
+    "broadcast one-row aggregate, top-20 by (pmi desc, pair asc) via "
+    "TakeOrderedAndProject. PMI rounds to 9 decimals for value-exact "
+    "oracle comparison.",
+)
+def q_collocations(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text.collocations(d, min_count=5, top_k=20)
+    return out.select(
+        "w1", "w2", F.col("n_pair").cast("bigint").alias("n_pair"), "pmi"
+    )
+
+
+@register(
     "q_bm25_search",
     shadow=True,
     oracle="""

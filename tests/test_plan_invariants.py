@@ -27,6 +27,7 @@ NLJ_ALLOWED = {
     "q_perplexity_filter",
     "q_tfidf_keywords",  # scalar N, same one-row shape
     "q_bm25_search",  # scalar (N, avgdl), same one-row shape
+    "q_collocations",  # scalar (U, T), same one-row shape
 }
 
 

@@ -1022,3 +1022,35 @@ class TestBm25Search:
         df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
         with pytest.raises(ValueError, match="empty query"):
             text.bm25_search(df, "   ")
+
+
+class TestCollocations:
+    def test_matches_reference_and_ranks_collocation_first(self, spark):
+        import math
+        from collections import Counter
+
+        # "san francisco" always adjacent; "the" everywhere → low PMI
+        rows = [(i, "the city of san francisco is the best city") for i in range(6)]
+        rows += [(100 + i, "the weather in san francisco is mild") for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = [
+            (r.w1, r.w2, r.n_pair, r.pmi)
+            for r in text.collocations(df, min_count=5, top_k=10).collect()
+        ]
+        docs = [t.lower().split() for _, t in rows]
+        uni = Counter(w for ws in docs for w in ws)
+        bi = Counter(p for ws in docs for p in zip(ws, ws[1:]))
+        u, t = sum(uni.values()), sum(bi.values())
+        want = sorted(
+            (
+                (w1, w2, c, round(math.log((c / t) / ((uni[w1] / u) * (uni[w2] / u))), 9))
+                for (w1, w2), c in bi.items()
+                if c >= 5
+            ),
+            key=lambda r: (-r[3], r[0], r[1]),
+        )[:10]
+        assert got == want
+        # the fixed phrase carries the corpus-max PMI (tied pairs that
+        # are equally deterministic phrases share it; tie-break is
+        # alphabetical)
+        assert ("san", "francisco") in {(a, b) for a, b, _, _ in got}
