@@ -94,3 +94,74 @@ def dedup_stream(
     if within_watermark:
         return keyed.dropDuplicatesWithinWatermark(key_cols)
     return keyed.dropDuplicates(key_cols)
+
+
+def heavy_hitters_stream(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    k: int = 16,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Per-group streaming heavy hitters via the Misra-Gries summary
+    (Misra & Gries 1982, public method): at most ``k`` counters per
+    group, maintained across microbatches in the state store. Any item
+    with true frequency > n/(k+1) is guaranteed to be among the
+    counters, and each estimate undercounts by at most n/(k+1) — the
+    standard deterministic frequent-items guarantee, which survives
+    increments in any order (so arrival order across triggers and
+    partitions cannot change the guarantee).
+
+    Emits, per group per trigger: n_seen and the current summary as
+    parallel arrays (items, min_counts) sorted by (count desc, item
+    asc). State per key is O(k) — bounded regardless of stream length
+    or item cardinality (the whole point at 100 TB: an exact
+    streaming groupBy(item) would accrete unbounded state)."""
+    out_schema = (
+        f"{group_col} string, n_seen long, "
+        "items array<string>, min_counts array<long>"
+    )
+    state_schema = "n long, items array<string>, counts array<long>"
+
+    def update(
+        key: Tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, items, counts = state.get
+            summary = dict(zip(list(items), list(counts)))
+        else:
+            n, summary = 0, {}
+        for pdf in pdfs:
+            for it in pdf[item_col].astype(str):
+                n += 1
+                if it in summary:
+                    summary[it] += 1
+                elif len(summary) < k:
+                    summary[it] = 1
+                else:
+                    # decrement-all step; drop zeroed counters
+                    summary = {
+                        i: c - 1 for i, c in summary.items() if c > 1
+                    }
+        ranked = sorted(summary.items(), key=lambda kv: (-kv[1], kv[0]))
+        state.update(
+            (n, [i for i, _ in ranked], [c for _, c in ranked])
+        )
+        yield pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "n_seen": [n],
+                "items": [[i for i, _ in ranked]],
+                "min_counts": [[c for _, c in ranked]],
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=f"{timeout}",
+    )

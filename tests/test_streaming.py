@@ -818,3 +818,73 @@ class TestCommittedOnlyScan:
             .load(out)
         )
         assert sorted(r.n for r in committed2.collect()) == list(range(20))
+
+
+class TestHeavyHitters:
+    def test_misra_gries_across_batches(self, spark, tmp_path):
+        """Skewed item stream over two microbatches: the true heavy
+        item survives in the bounded summary with the Misra-Gries
+        undercount guarantee, and state carries across triggers."""
+        from lwes_contrib_hive_serde_spark.streaming import stateful
+
+        d = str(tmp_path / "hhdir")
+        os.makedirs(d)
+
+        def emit_items(fname, items):
+            evs = []
+            for it in items:
+                ev = c.Event("S::E")
+                ev.set("g", c.STRING, "grp")
+                ev.set("item", c.STRING, it)
+                evs.append(ev)
+            c.write_journal_file(os.path.join(d, fname), evs)
+
+        # batch 1: 60 hot + 40 singletons
+        emit_items(
+            "a.journal",
+            ["hot"] * 60 + [f"r{i}" for i in range(40)],
+        )
+        src = (
+            spark.readStream.format("lwes")
+            .schema("g string, item string")
+            .option("eventName", "S::E")
+            .load(d)
+        )
+        out = stateful.heavy_hitters_stream(src, "g", "item", k=8)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("hh_sink")
+            .outputMode("update")
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        try:
+            def latest():
+                rows = spark.sql(
+                    "select n_seen, items, min_counts from hh_sink"
+                ).collect()
+                return max(rows, key=lambda r: r.n_seen) if rows else None
+
+            assert wait_until(
+                lambda: latest() is not None and latest().n_seen == 100
+            )
+            r1 = latest()
+            assert "hot" in list(r1.items)
+            # batch 2: another 50 hot + 30 noise → state accumulates
+            emit_items(
+                "b.journal",
+                ["hot"] * 50 + [f"s{i}" for i in range(30)],
+            )
+            assert wait_until(
+                lambda: latest().n_seen == 180
+            ), f"state did not accumulate: {latest()}"
+            r2 = latest()
+            got = dict(zip(list(r2.items), list(r2.min_counts)))
+            assert len(got) <= 8  # bounded summary
+            # guarantee: freq(hot)=110 > n/(k+1)=20 → must be present,
+            # undercounted by at most n/(k+1)
+            assert "hot" in got
+            assert 110 - 180 // 9 <= got["hot"] <= 110
+            assert max(got, key=got.get) == "hot"
+        finally:
+            q.stop()
