@@ -1054,3 +1054,89 @@ class TestCollocations:
         # are equally deterministic phrases share it; tie-break is
         # alphabetical)
         assert ("san", "francisco") in {(a, b) for a, b, _, _ in got}
+
+
+class TestCorpusStatsRandomizedCrossCheck:
+    """One seeded random corpus, all four corpus-statistics operators
+    (tf-idf, BM25, perplexity, PMI) checked against independent Python
+    references — catches shared-tokenization or scalar-join
+    regressions the handcrafted fixtures might miss."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        import random as _rnd
+
+        rng = _rnd.Random(99)
+        vocab = [f"w{i}" for i in range(50)] + ["join", "hash", "scan"]
+        rows = [
+            (
+                i,
+                " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30))),
+            )
+            for i in range(80)
+        ]
+        rows += [(80, ""), (81, None)]
+        return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_tfidf(self, spark, corpus):
+        import math
+        from collections import Counter
+
+        rows, df = corpus
+        got = {
+            (r.doc_id, r.term): (r.tf, r.df_docs, r.tfidf)
+            for r in text.tfidf_terms(df).collect()
+        }
+        docs = {i: t.lower().split() for i, t in rows if t}
+        n = len(rows)
+        dfreq = Counter(w for ws in docs.values() for w in set(ws))
+        want = {
+            (i, w): (
+                tf,
+                dfreq[w],
+                round(tf * (math.log((n + 1) / (dfreq[w] + 1)) + 1.0), 9),
+            )
+            for i, ws in docs.items()
+            for w, tf in Counter(ws).items()
+        }
+        assert got == want
+
+    def test_bm25(self, spark, corpus):
+        rows, df = corpus
+        got = {
+            r.doc_id: (r.n_matched, r.score)
+            for r in text.bm25_search(df, "join hash scan", top_k=10_000).collect()
+        }
+        assert got == TestBm25Search._ref(rows, {"join", "hash", "scan"})
+
+    def test_perplexity(self, spark, corpus):
+        rows, df = corpus
+        uni, bi = text.train_bigram_counts(df)
+        got = {
+            r.doc_id: (r.n_bigrams, r.ppl)
+            for r in text.perplexity_score(df, uni, bi).collect()
+        }
+        assert got == TestPerplexityFilter._ref(rows)
+
+    def test_collocations(self, spark, corpus):
+        import math
+        from collections import Counter
+
+        rows, df = corpus
+        got = {
+            (r.w1, r.w2): (r.n_pair, r.pmi)
+            for r in text.collocations(df, min_count=3, top_k=None).collect()
+        }
+        docs = [t.lower().split() for _, t in rows if t]
+        uni = Counter(w for ws in docs for w in ws)
+        bi = Counter(p for ws in docs for p in zip(ws, ws[1:]))
+        u, t = sum(uni.values()), sum(bi.values())
+        want = {
+            (w1, w2): (
+                c,
+                round(math.log((c / t) / ((uni[w1] / u) * (uni[w2] / u))), 9),
+            )
+            for (w1, w2), c in bi.items()
+            if c >= 3
+        }
+        assert got == want
