@@ -269,6 +269,12 @@ def ngram_jaccard_pairs(
     and 8-byte comparisons (a cross-doc hash collision would need
     ~2^32 distinct shingles to reach even-odds; at that corpus size
     use MinHash anyway)."""
+    # widen single-split inputs to cluster parallelism first (no-op at
+    # scale where the scan already yields >= cores splits) — the explode
+    # and tokenizer otherwise run on one core.
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(text_col, shingle_k)).alias("sh"),
@@ -282,6 +288,10 @@ def ngram_jaccard_pairs(
         from pyspark import StorageLevel
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        # persist() is not a barrier — the three consumers race to
+        # compute the subtree before the cache fills (measured ~1.5x
+        # at sf0.1); one count() materializes it exactly once.
+        sh.count()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("id").alias("id1"), "h")
     b = sh.select(F.col("id").alias("id2"), "h")
