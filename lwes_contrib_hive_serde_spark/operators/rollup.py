@@ -1,0 +1,127 @@
+"""Time-bucketed pre-aggregation (hypertable-style continuous rollup).
+
+One scan of the raw events produces a PARTIAL-STATE table at a fine
+grain (e.g. hour): count / sum / min / max / sum-of-squares scalars
+plus HLL registers for a distinct-count column. Coarser grains (day,
+week, all-time) are answered by re-aggregating the partials — never by
+re-scanning raw data. Every stored state is a commutative monoid, so
+``merge(partials(A), partials(B)) == partials(A ∪ B)`` holds EXACTLY
+(not approximately): sums/counts add, min/max fold, HLL registers take
+elementwise max with a deterministic hash. Tests pin this equality
+bit-for-bit.
+
+At 100 TB this is the difference between a dashboard query scanning a
+petabyte and one scanning |buckets| x |groups| rows: the partial table
+for a year of hourly buckets over 1k groups is ~9M rows regardless of
+raw volume. The rollup aggregation itself gets Spark's map-side
+partial combine, and the HLL register join is co-partitioned on the
+same (bucket, group) keys as the scalar aggregation, so the whole
+build is two shuffles on one key set.
+
+Derived metrics (avg, variance, distinct estimate) are computed FROM
+the states at read time — they are not stored, because they don't
+merge.
+
+Reference parity: none (the reference is a storage serde); this is the
+repo's 100 TB extension mandate (SURVEY §2c).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from lwes_contrib_hive_serde_spark.operators import sketches
+
+
+STATE_COLS = ("n", "sum_v", "min_v", "max_v", "sumsq_v")
+
+
+def rollup_partials(
+    df: DataFrame,
+    ts_col: str,
+    bucket: str,
+    group_cols: Sequence[str],
+    value_col: str,
+    distinct_col: str | None = None,
+    p: int = 12,
+) -> DataFrame:
+    """Build the fine-grain partial table.
+
+    Returns (bucket_start timestamp, group..., n, sum_v, min_v, max_v,
+    sumsq_v[, hll_regs]). ``bucket`` is any ``date_trunc`` unit
+    ('hour', 'day', 'week', …). NULL values contribute to n but not to
+    the value states (sum/min/max/sumsq ignore NULLs, matching SQL
+    aggregate semantics so oracles line up)."""
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket_start")
+    keys = ["bucket_start", *group_cols]
+    scalars = (
+        df.select(b, *group_cols, value_col)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(value_col).alias("sum_v"),
+            F.min(value_col).alias("min_v"),
+            F.max(value_col).alias("max_v"),
+            F.sum(F.col(value_col) * F.col(value_col)).alias("sumsq_v"),
+        )
+    )
+    if distinct_col is None:
+        return scalars
+    regs = sketches.hll_sketch(
+        df.select(b, *group_cols, distinct_col), keys, distinct_col, p
+    )
+    # same keys on both sides — the join reuses the aggregation's
+    # hash partitioning, no extra corpus shuffle
+    return scalars.join(regs, keys, "left")
+
+
+def merge_rollup(
+    partials: DataFrame,
+    group_cols: Sequence[str],
+    bucket: str | None = None,
+    p: int = 12,
+) -> DataFrame:
+    """Re-aggregate a partial table to a coarser grain.
+
+    ``bucket``: coarser date_trunc unit applied to bucket_start (pass
+    None to drop the time axis entirely and keep only group_cols).
+    Output schema matches rollup_partials, so merges chain (hour → day
+    → week) and any chaining order yields identical bytes."""
+    has_hll = "hll_regs" in partials.columns
+    if bucket is not None:
+        keyed = partials.withColumn(
+            "bucket_start", F.date_trunc(bucket, F.col("bucket_start"))
+        )
+        keys = ["bucket_start", *group_cols]
+    else:
+        keyed = partials
+        keys = list(group_cols)
+    aggs = [
+        F.sum("n").alias("n"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+        F.sum("sumsq_v").alias("sumsq_v"),
+    ]
+    if has_hll:
+        aggs.append(
+            sketches.hll_merge_expr("hll_regs", 1 << p).alias("hll_regs")
+        )
+    return keyed.groupBy(*keys).agg(*aggs)
+
+
+def rollup_metrics(partials: DataFrame, p: int = 12) -> DataFrame:
+    """Attach derived read-time metrics: avg, population variance, and
+    (if registers are present) the HLL distinct estimate."""
+    n = F.col("n").cast("double")
+    mean = F.col("sum_v") / n
+    out = partials.withColumn("avg_v", mean).withColumn(
+        "var_v", F.col("sumsq_v") / n - mean * mean
+    )
+    if "hll_regs" in partials.columns:
+        out = out.withColumn(
+            "distinct_est", sketches.hll_estimate("hll_regs", p)
+        )
+    return out

@@ -1,0 +1,282 @@
+"""Mergeable sketch columns: HyperLogLog registers and fixed-width
+histograms as first-class DataFrame values, built entirely from JVM
+expressions (zero Python in the hot path).
+
+Why sketches as *columns*: at 100 TB you cannot afford to re-scan raw
+data for every reporting grain. The pre-aggregation idiom is to compute
+a PARTIAL state per fine bucket (hour, file, partition), store it, and
+answer coarser queries (day, week, whole-corpus) by MERGING partials —
+which only works for states that form a commutative monoid. Everything
+in this module is such a monoid:
+
+- HLL registers merge by elementwise max (Flajolet et al. 2007,
+  "HyperLogLog: the analysis of a near-optimal cardinality estimation
+  algorithm"; small-range linear-counting correction per Whang et al.
+  1990). ``sketch(A ∪ B)`` is register-for-register IDENTICAL to
+  ``merge(sketch(A), sketch(B))`` because max is associative and the
+  per-value hash is deterministic (xxhash64) — so rollup consistency is
+  exact, not approximate, and is pinned by tests.
+- Fixed-width histogram counts merge by elementwise add; quantile
+  estimates come from the cumulative walk with linear interpolation
+  inside the covering bucket (deterministic double math, so a SQL
+  oracle reproduces it bit-for-bit).
+
+Shuffle shape at scale: ``hll_partials`` aggregates on
+(group, register) — map-side partial combine applies, and the shuffle
+is bounded by |groups| x m rows regardless of input size. The dense
+register array only materializes per group (m ints). Histogram partials
+aggregate on (group, bucket): |groups| x (nbins+2) rows.
+
+Reference parity: the reference (lwes-contrib-hive-serde, EventSerDe.java)
+has no sketches; this module is part of this repo's 100 TB extension
+mandate (SURVEY §2c).
+
+Spark gotcha encoded here: ``xxhash64`` returns a SIGNED long; the
+register index uses the low p bits via bitwiseAND (sign-safe) and the
+rho suffix uses ``shiftrightunsigned`` so the top bit never smears.
+Bit length of the suffix is computed exactly with
+``length(conv(w, 10, 2))`` — ``conv`` renders the minimal binary string
+so its length is floor(log2(w))+1 with integer math, avoiding the
+float-log2 off-by-one at exact powers of two.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def hll_reg_rho(value_col: str | Column, p: int) -> tuple[Column, Column]:
+    """(register index, rho) for one value under 2^p registers.
+
+    rho = 1 + number of leading zeros of the (64-p)-bit hash suffix,
+    i.e. (64-p+1) - bitlength(suffix); suffix == 0 yields the maximum
+    rho of 64-p+1 (all-zero suffix).
+    """
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    h = F.xxhash64(value_col)
+    reg = h.bitwiseAND(F.lit((1 << p) - 1)).cast("int")
+    w = F.shiftrightunsigned(h, p)
+    nbits = 64 - p
+    rho = (
+        F.when(w == 0, F.lit(nbits + 1))
+        .otherwise(F.lit(nbits + 1) - F.length(F.conv(w, 10, 2)))
+        .cast("int")
+    )
+    return reg, rho
+
+
+def hll_partials(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    p: int = 12,
+) -> DataFrame:
+    """(group..., reg, rho) — the shuffle-bounded HLL partial table.
+
+    groupBy(group, reg).max(rho) gets a map-side partial combine, so
+    the shuffle carries at most |groups| x 2^p rows however large the
+    input. NULL values are dropped first (COUNT DISTINCT semantics)."""
+    reg, rho = hll_reg_rho(value_col, p)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, reg.alias("reg"), rho.alias("rho"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def _dense_regs(m: int) -> Column:
+    """Assemble the dense register array from collected (reg, rho)."""
+    mp = F.map_from_entries(F.collect_list(F.struct("reg", "rho")))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda i: F.coalesce(F.element_at(mp, i.cast("int")), F.lit(0)),
+    )
+
+
+def hll_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    p: int = 12,
+    out_col: str = "hll_regs",
+) -> DataFrame:
+    """(group..., out_col array<int> of length 2^p) — one sketch row per
+    group. Two aggregations on the same leading keys: the second
+    (register assembly) moves at most 2^p small rows per group."""
+    m = 1 << p
+    parts = hll_partials(df, group_cols, value_col, p)
+    return parts.groupBy(*group_cols).agg(_dense_regs(m).alias(out_col))
+
+
+def hll_merge_expr(regs_col: str | Column, m: int) -> Column:
+    """Aggregate expression merging many register arrays into one by
+    elementwise max (use inside .agg()).
+
+    Implemented as a JVM fold over collect_list — fine for rollup
+    grains (merging hours into a day folds 24 arrays). For merges with
+    millions of sketches per output group, go back through
+    hll_partials-shaped rows (posexplode + groupBy(group, pos).max)
+    instead of collecting."""
+    zero = F.transform(F.sequence(F.lit(1), F.lit(m)), lambda _: F.lit(0))
+    return F.aggregate(
+        F.collect_list(regs_col),
+        zero,
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: F.greatest(a, b)),
+    )
+
+
+def hll_merge(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    regs_col: str = "hll_regs",
+    p: int = 12,
+) -> DataFrame:
+    """Re-aggregate sketch rows to a coarser grouping (day→week …)."""
+    return df.groupBy(*group_cols).agg(
+        hll_merge_expr(regs_col, 1 << p).alias(regs_col)
+    )
+
+
+def hll_estimate(regs_col: str | Column, p: int = 12) -> Column:
+    """Cardinality estimate from a register array (double).
+
+    Standard HLL estimator with the linear-counting small-range
+    correction: E = alpha_m * m^2 / sum(2^-M_j); if E <= 2.5m and some
+    registers are zero, E = m * ln(m / V)."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    regs = F.col(regs_col) if isinstance(regs_col, str) else regs_col
+    z = F.aggregate(
+        regs,
+        F.lit(0.0),
+        lambda acc, r: acc + F.pow(F.lit(2.0), -r),
+    )
+    e = F.lit(alpha * m * m) / z
+    v = F.size(F.filter(regs, lambda r: r == 0))
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    return F.when((e <= F.lit(2.5 * m)) & (v > 0), linear).otherwise(e)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width mergeable histogram
+# ---------------------------------------------------------------------------
+
+
+def _bucket_idx(value_col: Column, lo: float, hi: float, nbins: int) -> Column:
+    """Bucket 0 = underflow (< lo), 1..nbins = [lo, hi) equal widths,
+    nbins+1 = overflow (>= hi)."""
+    width = (hi - lo) / nbins
+    return (
+        F.when(value_col < lo, F.lit(0))
+        .when(value_col >= hi, F.lit(nbins + 1))
+        .otherwise(
+            (F.floor((value_col - F.lit(lo)) / F.lit(width)) + 1).cast("int")
+        )
+        .cast("int")
+    )
+
+
+def fixed_width_histogram(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+    out_col: str = "hist",
+) -> DataFrame:
+    """(group..., out_col array<bigint> of nbins+2 counts) — equal-width
+    histogram with explicit under/overflow buckets. Merge histograms by
+    elementwise add (hist_merge); counts are exact, so merged == direct
+    bit-for-bit. NULL values are excluded."""
+    if nbins < 1 or not hi > lo:
+        raise ValueError("need nbins >= 1 and hi > lo")
+    idx = _bucket_idx(F.col(value_col), lo, hi, nbins)
+    parts = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, idx.alias("b"))
+        .groupBy(*group_cols, "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mp = F.map_from_entries(F.collect_list(F.struct("b", "c")))
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(nbins + 1)),
+        lambda i: F.coalesce(F.element_at(mp, i.cast("int")), F.lit(0).cast("long")),
+    )
+    return parts.groupBy(*group_cols).agg(dense.alias(out_col))
+
+
+def hist_merge_expr(hist_col: str | Column, nbins: int) -> Column:
+    """Aggregate expression summing histograms elementwise."""
+    zero = F.transform(
+        F.sequence(F.lit(0), F.lit(nbins + 1)), lambda _: F.lit(0).cast("long")
+    )
+    return F.aggregate(
+        F.collect_list(hist_col),
+        zero,
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+    )
+
+
+def hist_merge(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    hist_col: str = "hist",
+    nbins: int = 0,
+) -> DataFrame:
+    if nbins < 1:
+        raise ValueError("pass the histogram's nbins")
+    return df.groupBy(*group_cols).agg(
+        hist_merge_expr(hist_col, nbins).alias(hist_col)
+    )
+
+
+def hist_quantile(
+    hist_col: str | Column, q: float, lo: float, hi: float, nbins: int
+) -> Column:
+    """Quantile estimate from a histogram (double), deterministic.
+
+    Walk the cumulative counts to the first bucket where cum >= q*total
+    and linearly interpolate inside it. Underflow clamps to lo,
+    overflow to hi. The arithmetic is plain double ops in a fixed
+    order, so a SQL engine mirroring the formula agrees bit-for-bit."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError("q in [0,1]")
+    hist = F.col(hist_col) if isinstance(hist_col, str) else hist_col
+    width = (hi - lo) / nbins
+    total = F.aggregate(hist, F.lit(0).cast("long"), lambda a, x: a + x)
+    target = F.lit(q) * total.cast("double")
+    # fold: acc = (cum count so far, answer or null)
+    init = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        F.lit(None).cast("double").alias("ans"),
+    )
+    idx = F.sequence(F.lit(0), F.lit(nbins + 1))
+
+    def step(acc, i):
+        c = F.element_at(hist, (i + 1).cast("int"))  # element_at is 1-based
+        newcum = acc["cum"] + c
+        frac = (target - acc["cum"].cast("double")) / c.cast("double")
+        inner = F.lit(lo) + (i.cast("double") - 1 + frac) * F.lit(width)
+        val = (
+            F.when(i == 0, F.lit(lo))
+            .when(i == nbins + 1, F.lit(hi))
+            .otherwise(inner)
+        )
+        hit = acc["ans"].isNull() & (newcum.cast("double") >= target) & (c > 0)
+        return F.struct(
+            newcum.alias("cum"),
+            F.when(hit, val).otherwise(acc["ans"]).alias("ans"),
+        )
+
+    walked = F.aggregate(idx, init, step)
+    return F.when(total > 0, walked["ans"]).otherwise(F.lit(None).cast("double"))

@@ -2039,3 +2039,136 @@ def q_boilerplate_removal(spark, sf_dir):
         (nl - nk).cast("bigint").alias("n_removed"),
         F.md5(F.encode("tc", "utf-8")).alias("clean_md5"),
     )
+
+
+# --- mergeable sketches + pre-aggregated rollups (operators/sketches.py,
+# operators/rollup.py) -----------------------------------------------------
+
+from lwes_contrib_hive_serde_spark.operators import rollup as _rollup
+from lwes_contrib_hive_serde_spark.operators import sketches as _sketches
+
+
+@register(
+    "q_hll_rollup",
+    shadow=True,
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           TRUE AS n_match,
+           TRUE AS hll_ok,
+           TRUE AS merge_ok
+    FROM events GROUP BY event_type
+    """,
+    doc="Hypertable-style pre-aggregated rollup with mergeable HLL "
+    "sketch columns (rollup.rollup_partials / merge_rollup, "
+    "sketches.hll_*): daily partials are merged to all-time WITHOUT "
+    "re-scanning raw events, and the query itself verifies (a) the "
+    "merged row count equals the exact count, (b) the merged HLL "
+    "distinct-users estimate lands within 5% of exact COUNT DISTINCT "
+    "(p=12, sigma=1.6%), and (c) the merged registers are "
+    "REGISTER-IDENTICAL to a sketch built directly over the raw data "
+    "— merge consistency is exact, not approximate. At 100 TB the "
+    "partial table is |buckets| x |groups| rows and all three checks "
+    "still hold by construction (monoid states, deterministic "
+    "xxhash64).",
+)
+def q_hll_rollup(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    daily = _rollup.rollup_partials(
+        ev, "ts", "day", ["event_type"], "value", "user_id"
+    )
+    allt = _rollup.rollup_metrics(
+        _rollup.merge_rollup(daily, ["event_type"], None)
+    )
+    direct = _sketches.hll_sketch(
+        ev, ["event_type"], "user_id", out_col="direct_regs"
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    return (
+        allt.join(direct, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("n_users").cast("bigint").alias("n_users"),
+            (F.col("n") == F.col("n_events")).alias("n_match"),
+            (
+                F.abs(F.col("distinct_est") - F.col("n_users"))
+                / F.col("n_users")
+                < 0.05
+            ).alias("hll_ok"),
+            (F.col("hll_regs") == F.col("direct_regs")).alias("merge_ok"),
+        )
+    )
+
+
+@register(
+    "q_value_histogram",
+    shadow=True,
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CASE WHEN value < 0.0 THEN 0
+                  WHEN value >= 100.0 THEN 21
+                  ELSE CAST(floor((value - 0.0) / 5.0) AS INT) + 1 END AS bk
+      FROM events WHERE value IS NOT NULL
+    ), c AS (
+      SELECT event_type, bk, COUNT(*) AS c FROM b GROUP BY 1, 2
+    ), dense AS (
+      SELECT e.event_type, i.i, CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+      FROM (SELECT DISTINCT event_type FROM b) e
+      CROSS JOIN (SELECT unnest(generate_series(0, 21)) AS i) i
+      LEFT JOIN c ON c.event_type = e.event_type AND c.bk = i.i
+    ), agg AS (
+      SELECT event_type, SUM(c) AS total FROM dense GROUP BY 1
+    ), walk AS (
+      SELECT d.event_type, d.i, d.c,
+             SUM(d.c) OVER (PARTITION BY d.event_type ORDER BY d.i) AS cum,
+             SUM(d.c) OVER (PARTITION BY d.event_type ORDER BY d.i) - d.c
+               AS prevcum,
+             a.total
+      FROM dense d JOIN agg a USING (event_type)
+    ), hit AS (
+      SELECT event_type, i, c, prevcum, total,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY i) AS rn
+      FROM walk
+      WHERE c > 0
+        AND CAST(cum AS DOUBLE) >= 0.5 * CAST(total AS DOUBLE)
+    )
+    SELECT h.event_type,
+           (SELECT list(d.c ORDER BY d.i) FROM dense d
+            WHERE d.event_type = h.event_type) AS hist,
+           round(CASE WHEN h.i = 0 THEN 0.0
+                      WHEN h.i = 21 THEN 100.0
+                      ELSE 0.0 + ((CAST(h.i AS DOUBLE) - 1)
+                           + (0.5 * CAST(h.total AS DOUBLE)
+                              - CAST(h.prevcum AS DOUBLE))
+                             / CAST(h.c AS DOUBLE)) * 5.0 END, 6) AS p50
+    FROM hit h WHERE h.rn = 1
+    """,
+    doc="Mergeable fixed-width histogram sketch "
+    "(sketches.fixed_width_histogram, 20 bins over [0,100) plus "
+    "under/overflow) with the deterministic cumulative-walk median "
+    "estimator (sketches.hist_quantile) — the full 22-element count "
+    "vector AND the interpolated p50 are value-hash-checked against a "
+    "DuckDB mirror of the same bucket arithmetic and walk, so the "
+    "sketch is exact, not just statistically close. Counts merge by "
+    "elementwise add (map-side combinable partial on (group, bucket)), "
+    "making this the bounded-size quantile state for 100 TB rollups.",
+)
+def q_value_histogram(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    h = _sketches.fixed_width_histogram(
+        ev, ["event_type"], "value", 0.0, 100.0, 20
+    )
+    return h.select(
+        "event_type",
+        F.col("hist"),
+        F.round(
+            _sketches.hist_quantile("hist", 0.5, 0.0, 100.0, 20), 6
+        ).alias("p50"),
+    )
