@@ -1,0 +1,116 @@
+"""Graph operators over edge-list DataFrames: PageRank and degree
+statistics. Connected components live in dedup.dup_clusters; this
+module covers the rank/centrality side (crawl prioritization, domain
+authority weighting for corpus curation — the PageRank-as-quality-prior
+idiom used by web-scale training-data pipelines).
+
+PageRank (Page et al. 1999) with a FIXED iteration count so results
+are deterministic and SQL-mirrorable: each round is one join
+(edges ⋈ ranks on src, co-partitioned with the precomputed out-degree)
+plus one aggregation (contributions shuffle on dst). Rank mass at
+dangling nodes (out-degree 0) is either dropped ("none" — matches the
+plain unrolled-SQL formulation) or redistributed uniformly
+("uniform" — the standard stochastic-matrix completion; costs one
+scalar aggregate per round).
+
+Scale shape at 100 TB: the edge list is hash-partitioned on src once
+and localCheckpointed (iterations must never re-run upstream edge
+derivation — same lesson as dedup.dup_clusters); per-round cost is one
+shuffle of |edges| contributions plus one of |nodes| ranks, the
+textbook Pregel-on-DataFrames profile. Ranks are checkpointed each
+round to keep lineage O(1). No driver-side collection anywhere except
+the optional dangling-mass scalar (a one-row aggregate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def out_degrees(edges: DataFrame, src: str = "src") -> DataFrame:
+    """(id, out_deg) for every node with at least one outgoing edge."""
+    return edges.groupBy(F.col(src).alias("id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+
+
+def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected view: both directions, distinct, self-loops dropped."""
+    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    rev = edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    return fwd.union(rev).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    dangling: str = "none",
+) -> DataFrame:
+    """(id, rank) after ``iterations`` synchronous rounds.
+
+    rank_0 = 1/N for the N nodes appearing as src or dst;
+    rank_{t+1}(v) = (1-d)/N + d * (sum over in-edges u→v of
+    rank_t(u)/out_deg(u) [+ dangling mass/N if dangling='uniform']).
+
+    Deterministic given the edge set (modulo double addition order in
+    the contribution sums — round before hashing across engines).
+    """
+    if dangling not in ("none", "uniform"):
+        raise ValueError("dangling must be 'none' or 'uniform'")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # materialize the (repartitioned) edge list once — every iteration
+    # joins it, and lineage re-execution of the upstream edge
+    # derivation would dominate at scale
+    e = e.repartition("src").localCheckpoint(eager=True)
+    deg = out_degrees(e, "src").withColumnRenamed("id", "src")
+    # pre-divide: each edge carries its src's 1/out_deg weight so the
+    # per-round join is rank ⋈ weighted-edges only
+    weighted = (
+        e.join(deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    base = (1.0 - damping) / n
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    has_out = deg.select(F.col("src").alias("id"))
+    for _ in range(iterations):
+        contrib = (
+            weighted.join(
+                ranks.withColumnRenamed("id", "src"), "src"
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
+        )
+        extra = F.lit(0.0)
+        if dangling == "uniform":
+            dm = (
+                ranks.join(has_out, "id", "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+                .collect()[0]["m"]
+            )
+            extra = F.lit(damping * dm / n)
+        ranks = (
+            nodes.join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + extra
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -2172,3 +2172,84 @@ def q_value_histogram(spark, sf_dir):
             _sketches.hist_quantile("hist", 0.5, 0.0, 100.0, 20), 6
         ).alias("p50"),
     )
+
+
+# --- graph ranking (operators/graph.py) -----------------------------------
+
+from lwes_contrib_hive_serde_spark.operators import graph as _graph
+
+_PR_ORACLE_PRELUDE = """
+    WITH pairs AS (
+      SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), edges AS (
+      SELECT src, dst FROM pairs UNION SELECT dst AS src, src AS dst FROM pairs
+    ), deg AS (
+      SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+    ), nodes AS (
+      SELECT DISTINCT src AS id FROM edges
+    ), nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)
+"""
+
+def _pr_oracle_step(i: int) -> str:
+    return f"""
+    , c{i} AS (
+      SELECT e.dst AS id, SUM(p.rank / d.d) AS contrib
+      FROM edges e
+      JOIN r{i - 1} p ON p.id = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ), r{i} AS (
+      SELECT n.id,
+             0.15 / (SELECT n FROM nn)
+               + 0.85 * COALESCE(c.contrib, 0.0) AS rank
+      FROM nodes n LEFT JOIN c{i} c USING (id)
+    )
+"""
+
+_PR_ORACLE = (
+    _PR_ORACLE_PRELUDE
+    + "".join(_pr_oracle_step(i) for i in (1, 2, 3))
+    + """
+    SELECT id, round(rank, 10) AS rank10
+    FROM r3 WHERE id LIKE 's%'
+    ORDER BY rank10 DESC, id ASC LIMIT 20
+    """
+)
+
+
+@register(
+    "q_pagerank",
+    shadow=True,
+    oracle=_PR_ORACLE,
+    doc="PageRank (Page et al. 1999, fixed 3 synchronous rounds, "
+    "d=0.85) over the symmetrized customer-supplier purchase graph "
+    "(distinct o_custkey -> l_suppkey pairs, both directions) — "
+    "graph.pagerank: edges repartitioned on src and checkpointed "
+    "once, per-edge weights pre-divided by out-degree, each round one "
+    "co-partitioned join + one contribution shuffle on dst, ranks "
+    "checkpointed so lineage stays O(1) over iterations. Top-20 "
+    "suppliers by rank, value-hash-matched at 10 decimals against a "
+    "DuckDB oracle with the three rounds unrolled as chained CTEs. "
+    "The crawl-prioritization / domain-authority prior of web-corpus "
+    "curation, expressed Pregel-on-DataFrames.",
+)
+def q_pagerank(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = _graph.pagerank(_graph.symmetrize(pairs), iterations=3)
+    return (
+        pr.filter(F.col("id").startswith("s"))
+        .select("id", F.round("rank", 10).alias("rank10"))
+        .orderBy(F.desc("rank10"), F.asc("id"))
+        .limit(20)
+    )

@@ -1,0 +1,94 @@
+"""PageRank + degree operators (operators/graph.py) against an
+independent numpy reference implementation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lwes_contrib_hive_serde_spark.operators import graph as G
+
+
+def _numpy_pagerank(edges, iterations, damping=0.85, dangling="none"):
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg: dict = {}
+    for a, _ in edges:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        if dangling == "uniform":
+            dm = sum(r[idx[v]] for v in nodes if v not in outdeg)
+            nxt = np.full(n, (1 - damping) / n + damping * dm / n)
+        else:
+            nxt = np.full(n, (1 - damping) / n)
+        for a, b in edges:
+            nxt[idx[b]] += damping * r[idx[a]] / outdeg[a]
+        r = nxt
+    return {v: r[idx[v]] for v in nodes}
+
+
+@pytest.fixture(scope="module")
+def digraph(spark):
+    edges = [(i, (i * 7 + 3) % 50) for i in range(50)] + [
+        (i, (i * 13 + 1) % 50) for i in range(0, 50, 2)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    return edges, spark.createDataFrame(edges, "src long, dst long")
+
+
+class TestPageRank:
+    def test_matches_numpy_reference(self, spark, digraph):
+        edges, df = digraph
+        got = {r["id"]: r["rank"] for r in G.pagerank(df, iterations=5).collect()}
+        want = _numpy_pagerank(edges, 5)
+        assert got.keys() == want.keys()
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-15)
+
+    def test_uniform_dangling_conserves_mass(self, spark, digraph):
+        edges, _ = digraph
+        edges = edges + [(1, 999)]  # sink node
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["id"]: r["rank"]
+            for r in G.pagerank(df, iterations=3, dangling="uniform").collect()
+        }
+        want = _numpy_pagerank(edges, 3, dangling="uniform")
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-15)
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+    def test_rank_reflects_in_degree(self, spark):
+        # star graph: spokes all point at the hub
+        df = spark.createDataFrame(
+            [(i, 0) for i in range(1, 11)] + [(0, 1)], "src long, dst long"
+        )
+        got = {r["id"]: r["rank"] for r in G.pagerank(df, iterations=5).collect()}
+        assert got[0] == max(got.values())
+        assert got[0] > 5 * got[5]
+
+    def test_empty_graph(self, spark):
+        df = spark.createDataFrame([], "src long, dst long")
+        assert G.pagerank(df, iterations=2).collect() == []
+
+    def test_bad_dangling_mode(self, spark, digraph):
+        _, df = digraph
+        with pytest.raises(ValueError):
+            G.pagerank(df, dangling="teleport")
+
+
+class TestGraphHelpers:
+    def test_symmetrize_drops_self_loops_and_dedups(self, spark):
+        df = spark.createDataFrame(
+            [(1, 2), (2, 1), (3, 3), (1, 2)], "src long, dst long"
+        )
+        got = sorted(map(tuple, G.symmetrize(df).collect()))
+        assert got == [(1, 2), (2, 1)]
+
+    def test_out_degrees(self, spark):
+        df = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "src long, dst long")
+        got = {r["id"]: r["out_deg"] for r in G.out_degrees(df).collect()}
+        assert got == {1: 2, 2: 1}
