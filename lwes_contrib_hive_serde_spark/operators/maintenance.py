@@ -1,0 +1,210 @@
+"""Table-maintenance operators: journal small-file compaction.
+
+The v1 journal format is non-splittable (reference
+JournalInputFormat.java:58-60), so scan parallelism == file count and
+BOTH tails of the file-size distribution hurt at 100 TB: thousands of
+tiny files (one per UDP roll or per streaming epoch) schedule one task
+each with fixed open cost, while one giant file caps a whole scan at a
+single core. Compaction fixes the small tail the cheap way:
+
+- plain ``.journal``: records are self-framed (22-byte header +
+  payload), so CONCATENATING whole files is a valid journal. The
+  compactor never decodes a record — each output file is a streamed
+  byte copy of its input group, so compaction runs at disk bandwidth.
+- ``.gz``: re-streamed through gunzip→gzip into a single member
+  (multi-member outputs would be legal gzip but the whole-file
+  vectorized scan path assumes one member). Still no record decode.
+- ``.journal2`` (v2 container): each file has its own random sync
+  marker, so raw concat is invalid — but block payloads are
+  marker-independent. The compactor walks blocks sequentially and
+  rewrites only the 16-byte marker prefix per block (payload bytes,
+  compressed or not, are copied verbatim). Files are grouped by block
+  codec so no recompression ever happens.
+
+The driver only lists files and bin-packs sizes (first-fit decreasing,
+the same policy as the scan's task packing in
+sources/datasource.py `partitions`); the byte copying is distributed
+one task per output file. Nothing flows through the JVM row pipeline.
+
+Reference parity: none — the reference MR sink just emits whatever
+file sizes the reducer count dictates; this is the repo's own
+operational completion of the format (SURVEY §2a scan-parallelism
+note).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lwes_contrib_hive_serde_spark.sources import codec as _codec
+
+
+@dataclass(frozen=True)
+class _Group:
+    fmt: str  # 'v1' | 'gz' | 'v2-none' | 'v2-zlib'
+    files: tuple[str, ...]
+    bytes_in: int
+
+
+def plan_compaction(
+    sized_files: list[tuple[str, int]], target_bytes: int
+) -> list[list[str]]:
+    """First-fit-decreasing bin-pack of (path, size) into groups whose
+    input sizes sum to <= target_bytes (oversized singletons pass
+    through as their own group). Deterministic: sorted by (size desc,
+    path) and bins scanned in creation order."""
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    bins: list[tuple[list[str], int]] = []
+    for path, size in sorted(sized_files, key=lambda t: (-t[1], t[0])):
+        placed = False
+        for i, (files, used) in enumerate(bins):
+            if used + size <= target_bytes:
+                files.append(path)
+                bins[i] = (files, used + size)
+                placed = True
+                break
+        if not placed:
+            bins.append(([path], size))
+    return [files for files, _ in bins]
+
+
+def _classify(path: str) -> str | None:
+    if path.endswith(".journal2"):
+        with open(path, "rb") as f:
+            _, codec_id = _codec._v2_read_header(f)
+        return "v2-zlib" if codec_id == _codec.V2_CODEC_ZLIB else "v2-none"
+    if path.endswith(".journal.gz") or path.endswith(".gz"):
+        return "gz"
+    if path.endswith(".journal"):
+        return "v1"
+    return None
+
+
+def _suffix(fmt: str) -> str:
+    return {"v1": ".journal", "gz": ".journal.gz"}.get(fmt, ".journal2")
+
+
+def _copy_group(fmt: str, files: tuple[str, ...], out_path: str) -> int:
+    """Stream one input group into one output file; returns bytes out.
+    Runs on an executor; writes to a temp name and renames on success
+    so a retried task never exposes a torn file."""
+    import shutil
+
+    tmp = f"{out_path}.inprogress-{os.getpid()}"
+    try:
+        if fmt == "v1":
+            with open(tmp, "wb") as out:
+                for p in files:
+                    with open(p, "rb") as f:
+                        shutil.copyfileobj(f, out, 1 << 20)
+        elif fmt == "gz":
+            import gzip
+
+            with gzip.open(tmp, "wb") as out:
+                for p in files:
+                    with gzip.open(p, "rb") as f:
+                        shutil.copyfileobj(f, out, 1 << 20)
+        else:  # v2: rewrite the per-block marker prefix only
+            codec_name = "zlib" if fmt == "v2-zlib" else "none"
+            marker = os.urandom(_codec.V2_MARKER_LEN)
+            with open(tmp, "wb") as out:
+                out.write(_codec.V2_MAGIC)
+                out.write(marker)
+                out.write(
+                    bytes([_codec._V2_CODEC_NAMES[codec_name]])
+                )
+                for p in files:
+                    with open(p, "rb") as f:
+                        src_marker, _ = _codec._v2_read_header(f)
+                        while True:
+                            head = f.read(_codec.V2_MARKER_LEN + 4)
+                            if not head:
+                                break
+                            if (
+                                len(head) < _codec.V2_MARKER_LEN + 4
+                                or head[: _codec.V2_MARKER_LEN] != src_marker
+                            ):
+                                raise _codec.CodecError(
+                                    f"corrupt v2 block chain in {p}"
+                                )
+                            blen = int.from_bytes(
+                                head[_codec.V2_MARKER_LEN :], "big"
+                            )
+                            block = f.read(blen)
+                            if len(block) < blen:
+                                raise _codec.CodecError(
+                                    f"truncated v2 block in {p}"
+                                )
+                            out.write(marker)
+                            out.write(head[_codec.V2_MARKER_LEN :])
+                            out.write(block)
+        os.replace(tmp, out_path)
+    except BaseException:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
+    return os.path.getsize(out_path)
+
+
+def compact_journals(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Compact every journal under ``in_dir`` (non-recursive) into
+    files of ~target_bytes under ``out_dir``. Inputs are left in
+    place — callers swap directories (or delete) only after the
+    returned stats confirm the copy. Returns one row per output file:
+    (out_path, fmt, n_inputs, bytes_in, bytes_out)."""
+    os.makedirs(out_dir, exist_ok=True)
+    by_fmt: dict[str, list[tuple[str, int]]] = {}
+    for name in sorted(os.listdir(in_dir)):
+        p = os.path.join(in_dir, name)
+        if not os.path.isfile(p):
+            continue
+        fmt = _classify(p)
+        if fmt is None:
+            continue
+        by_fmt.setdefault(fmt, []).append((p, os.path.getsize(p)))
+    tasks: list[_Group] = []
+    for fmt, sized in by_fmt.items():
+        for group in plan_compaction(sized, target_bytes):
+            sizes = dict(sized)
+            tasks.append(
+                _Group(fmt, tuple(group), sum(sizes[g] for g in group))
+            )
+    if not tasks:
+        return spark.createDataFrame(
+            [],
+            "out_path string, fmt string, n_inputs int, "
+            "bytes_in long, bytes_out long",
+        )
+    jobs = [
+        (
+            g.fmt,
+            g.files,
+            os.path.join(out_dir, f"compact-{i:05d}{_suffix(g.fmt)}"),
+            g.bytes_in,
+        )
+        for i, g in enumerate(tasks)
+    ]
+
+    def run(job):
+        fmt, files, out_path, bytes_in = job
+        bytes_out = _copy_group(fmt, files, out_path)
+        return (out_path, fmt, len(files), bytes_in, bytes_out)
+
+    sc = spark.sparkContext
+    rows = sc.parallelize(jobs, len(jobs)).map(run).collect()
+    return spark.createDataFrame(
+        rows,
+        "out_path string, fmt string, n_inputs int, "
+        "bytes_in long, bytes_out long",
+    )

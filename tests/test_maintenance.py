@@ -1,0 +1,171 @@
+"""Journal compaction (operators/maintenance.py): byte-level merge of
+small journals must preserve every record exactly, across all three
+physical layouts (plain concat, gz re-stream, v2 marker rewrite)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from lwes_contrib_hive_serde_spark.operators import maintenance as M
+from lwes_contrib_hive_serde_spark.sources import codec as c
+
+
+def _events(tag: str, n: int):
+    out = []
+    for i in range(n):
+        ev = c.Event("Compact::Test")
+        ev.set("tag", c.STRING, tag)
+        ev.set("i", c.INT32, i)
+        out.append(ev)
+    return out
+
+
+def _read_all(path: str):
+    return [
+        (ev.attributes["tag"], ev.attributes["i"])
+        for ev in c.read_journal_file(path)
+    ]
+
+
+class TestPlan:
+    def test_first_fit_decreasing_packs_under_target(self):
+        files = [(f"f{i}", s) for i, s in enumerate([70, 10, 40, 50, 20, 5])]
+        groups = M.plan_compaction(files, 100)
+        sizes = dict(files)
+        for g in groups:
+            assert sum(sizes[p] for p in g) <= 100
+        assert sorted(p for g in groups for p in g) == sorted(sizes)
+        assert len(groups) == 2
+
+    def test_oversized_singleton_passes_through(self):
+        groups = M.plan_compaction([("big", 500), ("small", 10)], 100)
+        assert ["big"] in groups
+
+    def test_deterministic(self):
+        files = [(f"f{i}", (i * 37) % 90 + 1) for i in range(20)]
+        assert M.plan_compaction(files, 128) == M.plan_compaction(files, 128)
+
+    def test_bad_target(self):
+        with pytest.raises(ValueError):
+            M.plan_compaction([("a", 1)], 0)
+
+
+class TestCompactV1:
+    def test_concat_preserves_records_and_reduces_files(self, spark, tmp_path):
+        src = tmp_path / "in"
+        src.mkdir()
+        want = []
+        for k in range(8):
+            evs = _events(f"file{k}", 25)
+            c.write_journal_file(str(src / f"part-{k}.journal"), evs)
+            want += [(e.attributes["tag"], e.attributes["i"]) for e in evs]
+        out = tmp_path / "out"
+        stats = M.compact_journals(
+            spark, str(src), str(out), target_bytes=1 << 20
+        ).collect()
+        outs = sorted(os.listdir(out))
+        assert len(outs) == 1 and len(stats) == 1
+        assert stats[0]["n_inputs"] == 8
+        got = _read_all(str(out / outs[0]))
+        assert sorted(got) == sorted(want)
+        # pure concat: output bytes == sum of input bytes
+        assert stats[0]["bytes_out"] == stats[0]["bytes_in"]
+
+    def test_target_respected(self, spark, tmp_path):
+        src = tmp_path / "in"
+        src.mkdir()
+        for k in range(6):
+            c.write_journal_file(
+                str(src / f"p{k}.journal"), _events(f"f{k}", 50)
+            )
+        one = os.path.getsize(str(src / "p0.journal"))
+        out = tmp_path / "out"
+        stats = M.compact_journals(
+            spark, str(src), str(out), target_bytes=one * 2
+        ).collect()
+        assert len(stats) == 3
+        for r in stats:
+            assert r["n_inputs"] == 2
+
+
+class TestCompactGz:
+    def test_gz_single_member_output(self, spark, tmp_path):
+        src = tmp_path / "in"
+        src.mkdir()
+        want = []
+        for k in range(5):
+            evs = _events(f"gz{k}", 30)
+            c.write_journal_file(str(src / f"p{k}.journal.gz"), evs)
+            want += [(e.attributes["tag"], e.attributes["i"]) for e in evs]
+        out = tmp_path / "out"
+        stats = M.compact_journals(
+            spark, str(src), str(out), target_bytes=1 << 20
+        ).collect()
+        outs = os.listdir(out)
+        assert len(outs) == 1
+        path = str(out / outs[0])
+        assert sorted(_read_all(path)) == sorted(want)
+        # single gzip member: raw decompress of member 0 consumes the file
+        with open(path, "rb") as f:
+            import zlib
+
+            d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+            d.decompress(f.read())
+            assert d.unused_data == b""
+        assert stats[0]["fmt"] == "gz"
+
+
+class TestCompactV2:
+    @pytest.mark.parametrize("codec_name", ["none", "zlib"])
+    def test_marker_rewrite_preserves_blocks(self, spark, tmp_path, codec_name):
+        src = tmp_path / "in"
+        src.mkdir()
+        want = []
+        for k in range(4):
+            evs = _events(f"v2{k}", 40)
+            c.write_journal_file_v2(
+                str(src / f"p{k}.journal2"), evs,
+                block_bytes=256, codec=codec_name,
+            )
+            want += [(e.attributes["tag"], e.attributes["i"]) for e in evs]
+        out = tmp_path / "out"
+        stats = M.compact_journals(
+            spark, str(src), str(out), target_bytes=1 << 20
+        ).collect()
+        outs = os.listdir(out)
+        assert len(outs) == 1
+        path = str(out / outs[0])
+        got = []
+        with open(path, "rb") as f:
+            for block in c.read_journal_v2_blocks(f):
+                for _, _, _, _, payload in c.iter_v2_block_records(block):
+                    ev = c.decode_event(bytes(payload))
+                    got.append((ev.attributes["tag"], ev.attributes["i"]))
+        assert sorted(got) == sorted(want)
+        assert stats[0]["fmt"] == f"v2-{codec_name}"
+
+
+class TestMixedDir:
+    def test_formats_never_mix_and_others_ignored(self, spark, tmp_path):
+        src = tmp_path / "in"
+        src.mkdir()
+        c.write_journal_file(str(src / "a.journal"), _events("a", 10))
+        c.write_journal_file(str(src / "b.journal.gz"), _events("b", 10))
+        (src / "notes.txt").write_text("ignore me")
+        out = tmp_path / "out"
+        stats = M.compact_journals(
+            spark, str(src), str(out), target_bytes=1 << 20
+        ).collect()
+        fmts = sorted(r["fmt"] for r in stats)
+        assert fmts == ["gz", "v1"]
+        assert len(os.listdir(out)) == 2
+
+    def test_empty_dir(self, spark, tmp_path):
+        src = tmp_path / "in"
+        src.mkdir()
+        out = tmp_path / "out"
+        assert (
+            M.compact_journals(spark, str(src), str(out)).collect() == []
+        )
