@@ -2253,3 +2253,50 @@ def q_pagerank(spark, sf_dir):
         .orderBy(F.desc("rank10"), F.asc("id"))
         .limit(20)
     )
+
+
+# --- z-order layout (operators/layout.py) ---------------------------------
+
+from lwes_contrib_hive_serde_spark.operators import layout as _layout
+
+
+@register(
+    "q_zorder_values",
+    shadow=True,
+    oracle=f"""
+    WITH bounds AS (
+      SELECT CAST(MIN(user_id) AS DOUBLE) AS mnx,
+             CAST(MAX(user_id) AS DOUBLE) AS mxx,
+             CAST(MIN(value) AS DOUBLE) AS mny,
+             CAST(MAX(value) AS DOUBLE) AS mxy
+      FROM events
+    ), ranks AS (
+      SELECT e.event_id,
+             GREATEST(0, LEAST(255, CAST(floor(
+               (CAST(e.user_id AS DOUBLE) - b.mnx)
+                 / (CASE WHEN b.mxx - b.mnx = 0 THEN 1.0
+                         ELSE b.mxx - b.mnx END) * 256) AS BIGINT))) AS rx,
+             GREATEST(0, LEAST(255, CAST(floor(
+               (CAST(e.value AS DOUBLE) - b.mny)
+                 / (CASE WHEN b.mxy - b.mny = 0 THEN 1.0
+                         ELSE b.mxy - b.mny END) * 256) AS BIGINT))) AS ry
+      FROM events e CROSS JOIN bounds b
+    )
+    SELECT event_id, {_layout.interleave_sql(['rx', 'ry'], 8)} AS zvalue
+    FROM ranks WHERE event_id < 200
+    """,
+    doc="Morton z-value computation (layout.zorder_column, minmax "
+    "strategy, 8 bits/dim over (user_id, value)) — the clustering key "
+    "behind multi-dimensional parquet data skipping "
+    "(layout.zorder_write: repartitionByRange(z) + "
+    "sortWithinPartitions(z) gives tight min/max boxes on EVERY "
+    "z-ordered column; tests/test_layout.py proves row-group pruning "
+    "on real parquet stats where a linear sort prunes nothing on the "
+    "second dimension). The oracle rebuilds the identical affine "
+    "ranks and the bit-interleave via layout.interleave_sql, so the "
+    "64-bit z-values are value-hash-matched exactly.",
+)
+def q_zorder_values(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    z = _layout.zorder_column(ev, ["user_id", "value"], bits=8)
+    return z.filter(F.col("event_id") < 200).select("event_id", "zvalue")
