@@ -85,12 +85,17 @@ def merge_rollup(
 ) -> DataFrame:
     """Re-aggregate a partial table to a coarser grain.
 
-    ``bucket``: coarser date_trunc unit applied to bucket_start (pass
-    None to drop the time axis entirely and keep only group_cols).
-    Output schema matches rollup_partials, so merges chain (hour → day
-    → week) and any chaining order yields identical bytes."""
+    ``bucket``: coarser date_trunc unit applied to bucket_start; the
+    sentinel ``"keep"`` re-aggregates at the EXISTING bucket grain
+    unchanged (compaction of replay/epoch duplicates); None drops the
+    time axis entirely and keeps only group_cols. Output schema
+    matches rollup_partials, so merges chain (hour → day → week) and
+    any chaining order yields identical bytes."""
     has_hll = "hll_regs" in partials.columns
-    if bucket is not None:
+    if bucket == "keep":
+        keyed = partials
+        keys = ["bucket_start", *group_cols]
+    elif bucket is not None:
         keyed = partials.withColumn(
             "bucket_start", F.date_trunc(bucket, F.col("bucket_start"))
         )

@@ -1,0 +1,138 @@
+"""Continuous rollup: streaming maintenance of the pre-aggregated
+partial tables from operators/rollup.py.
+
+The batch rollup answers "never re-scan raw data for coarse grains";
+this module answers "never re-scan the STREAM either". Each micro-batch
+folds into the partial store incrementally, and reads merge on demand.
+
+Exactly-once without a transaction log: Structured Streaming replays a
+failed epoch with the SAME batch_id, so the store is keyed by epoch —
+``state_dir/batch=<id>/`` — and each epoch write is an idempotent
+overwrite of its own directory only (same recipe as the journal
+stream sink's epoch-idempotent commit, sources/datasource.py
+LwesStreamWriter). A replayed batch rewrites identical bytes instead
+of double-counting; a batch that failed mid-write is fully replaced.
+Merging is associative and commutative (monoid states), so reading the
+union of all epoch directories and re-aggregating yields exactly the
+rollup of all events seen once.
+
+Unbounded epoch-directory growth is handled by ``compact_state``: it
+merges all epochs at or below a high-water batch id into one compacted
+directory (named as that batch id, so later replays of newer epochs
+still land beside it). Compaction is safe because merge order is
+irrelevant — the monoid again.
+
+At scale each epoch write is |buckets x groups| rows (tiny), the read
+path is a partition-pruned parquet scan plus one re-aggregation, and
+no state lives on the driver.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lwes_contrib_hive_serde_spark.operators import rollup as _rollup
+
+
+def append_rollup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    ts_col: str,
+    bucket: str,
+    group_cols: Sequence[str],
+    value_col: str,
+    distinct_col: str | None = None,
+    p: int = 12,
+) -> None:
+    """Fold one micro-batch into the partial store (idempotent per
+    batch_id — safe under Structured Streaming epoch replay)."""
+    partials = _rollup.rollup_partials(
+        batch_df, ts_col, bucket, group_cols, value_col, distinct_col, p
+    )
+    (
+        partials.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch={batch_id}")
+        )
+    )
+
+
+def read_rollup(
+    spark: SparkSession,
+    state_dir: str,
+    group_cols: Sequence[str],
+    bucket: str | None = None,
+    p: int = 12,
+) -> DataFrame:
+    """Merge every stored epoch to the requested grain. ``bucket``:
+    a coarser date_trunc unit, ``"keep"`` for the stored grain
+    unchanged, or None to collapse the time axis."""
+    parts = spark.read.option("basePath", state_dir).parquet(
+        os.path.join(state_dir, "batch=*")
+    )
+    cols = [c for c in parts.columns if c != "batch"]
+    return _rollup.merge_rollup(parts.select(*cols), group_cols, bucket, p)
+
+
+def stream_rollup(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    ts_col: str,
+    bucket: str,
+    group_cols: Sequence[str],
+    value_col: str,
+    distinct_col: str | None = None,
+    p: int = 12,
+    trigger: str = "500 milliseconds",
+):
+    """Start the maintenance query: every micro-batch appends its
+    epoch-keyed partials. Returns the StreamingQuery."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        append_rollup_batch(
+            batch_df, batch_id, state_dir, ts_col, bucket,
+            group_cols, value_col, distinct_col, p,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=trigger)
+        .start()
+    )
+
+
+def compact_state(
+    spark: SparkSession,
+    state_dir: str,
+    group_cols: Sequence[str],
+    p: int = 12,
+) -> int:
+    """Merge all existing epoch directories into the highest epoch's
+    directory and remove the rest. Returns directories removed. Run
+    from maintenance (not concurrently with the folding query's
+    trigger for the same high-water epoch)."""
+    import re
+    import shutil
+
+    epochs = sorted(
+        int(m.group(1))
+        for name in os.listdir(state_dir)
+        if (m := re.fullmatch(r"batch=(\d+)", name))
+    )
+    if len(epochs) <= 1:
+        return 0
+    high = epochs[-1]
+    merged = read_rollup(spark, state_dir, group_cols, "keep", p)
+    # the merged frame must be fully materialized before its source
+    # directories are dropped
+    tmp = os.path.join(state_dir, f"__compact-{high}")
+    merged.write.mode("overwrite").parquet(tmp)
+    for e in epochs:
+        shutil.rmtree(os.path.join(state_dir, f"batch={e}"))
+    os.replace(tmp, os.path.join(state_dir, f"batch={high}"))
+    return len(epochs) - 1

@@ -1,0 +1,133 @@
+"""Continuous rollup maintenance (streaming/rollup_stream.py):
+epoch-keyed partial folding must equal the batch rollup over all data,
+survive epoch replay without double counting, and compact without
+changing answers."""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from lwes_contrib_hive_serde_spark.operators import rollup as R
+from lwes_contrib_hive_serde_spark.streaming import rollup_stream as RS
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def _assert_same_rollup(got_rows, want_rows):
+    a = sorted(map(tuple, got_rows))
+    b = sorted(map(tuple, want_rows))
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        for i, (xv, yv) in enumerate(zip(x, y)):
+            if isinstance(xv, float):
+                assert math.isclose(xv, yv, rel_tol=1e-9), (i, xv, yv)
+            else:
+                assert xv == yv, (i, xv, yv)
+
+
+class TestEpochFolding:
+    def test_batches_fold_to_whole(self, spark, events, tmp_path):
+        state = str(tmp_path / "state")
+        # four disjoint micro-batches by event_id residue
+        for bid in range(4):
+            RS.append_rollup_batch(
+                events.filter(F.col("event_id") % 4 == bid),
+                bid, state, "ts", "day", ["event_type"], "value", "user_id",
+            )
+        got = RS.read_rollup(spark, state, ["event_type"], "day")
+        want = R.rollup_partials(
+            events, "ts", "day", ["event_type"], "value", "user_id"
+        )
+        _assert_same_rollup(got.collect(), want.collect())
+
+    def test_epoch_replay_is_idempotent(self, spark, events, tmp_path):
+        state = str(tmp_path / "state")
+        half = events.filter(F.col("event_id") % 2 == 0)
+        RS.append_rollup_batch(
+            half, 0, state, "ts", "day", ["event_type"], "value", "user_id"
+        )
+        before = RS.read_rollup(spark, state, ["event_type"], None).collect()
+        # replay the same epoch (failure recovery): must rewrite, not add
+        RS.append_rollup_batch(
+            half, 0, state, "ts", "day", ["event_type"], "value", "user_id"
+        )
+        after = RS.read_rollup(spark, state, ["event_type"], None).collect()
+        _assert_same_rollup(after, before)
+
+    def test_compact_preserves_grain_and_answers(self, spark, events, tmp_path):
+        state = str(tmp_path / "state")
+        for bid in range(3):
+            RS.append_rollup_batch(
+                events.filter(F.col("event_id") % 3 == bid),
+                bid, state, "ts", "hour", ["event_type"], "value", "user_id",
+            )
+        before = RS.read_rollup(spark, state, ["event_type"], "day").collect()
+        removed = RS.compact_state(spark, state, ["event_type"])
+        assert removed == 2
+        assert sorted(os.listdir(state)) == ["batch=2"]
+        after = RS.read_rollup(spark, state, ["event_type"], "day").collect()
+        _assert_same_rollup(after, before)
+        # a later epoch can still land beside the compacted one
+        RS.append_rollup_batch(
+            events.limit(0), 3, state, "ts", "hour",
+            ["event_type"], "value", "user_id",
+        )
+        assert sorted(os.listdir(state)) == ["batch=2", "batch=3"]
+
+
+class TestLiveStream:
+    def test_foreachbatch_stream_folds_files(self, spark, events, tmp_path):
+        src = tmp_path / "src"
+        src.mkdir()
+        state = str(tmp_path / "state")
+        ckpt = str(tmp_path / "ckpt")
+        schema = events.schema
+        # first file present before the stream starts
+        events.filter(F.col("event_id") % 2 == 0).write.parquet(
+            str(src / "a.parquet")
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*.parquet")
+        )
+        q = RS.stream_rollup(
+            stream, state, ckpt, "ts", "day", ["event_type"], "value",
+            "user_id", trigger="300 milliseconds",
+        )
+        try:
+            events.filter(F.col("event_id") % 2 == 1).write.parquet(
+                str(src / "b.parquet")
+            )
+            deadline = time.time() + 60
+            want = R.rollup_partials(
+                events, "ts", "day", ["event_type"], "value", "user_id"
+            ).collect()
+            while time.time() < deadline:
+                try:
+                    got = RS.read_rollup(
+                        spark, state, ["event_type"], "day"
+                    ).collect()
+                    if len(got) == len(want) and sorted(
+                        r[2] for r in got
+                    ) == sorted(r[2] for r in want):
+                        break
+                except Exception:
+                    pass
+                time.sleep(0.5)
+            _assert_same_rollup(got, want)
+        finally:
+            q.stop()
