@@ -215,16 +215,22 @@ def fixed_width_histogram(
     return parts.groupBy(*group_cols).agg(dense.alias(out_col))
 
 
-def hist_merge_expr(hist_col: str | Column, nbins: int) -> Column:
-    """Aggregate expression summing histograms elementwise."""
+def _elementwise_sum_expr(col: str | Column, length: int) -> Column:
+    """Aggregate expression summing fixed-length long vectors
+    elementwise (a JVM fold over collect_list)."""
     zero = F.transform(
-        F.sequence(F.lit(0), F.lit(nbins + 1)), lambda _: F.lit(0).cast("long")
+        F.sequence(F.lit(1), F.lit(length)), lambda _: F.lit(0).cast("long")
     )
     return F.aggregate(
-        F.collect_list(hist_col),
+        F.collect_list(col),
         zero,
         lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
     )
+
+
+def hist_merge_expr(hist_col: str | Column, nbins: int) -> Column:
+    """Aggregate expression summing histograms elementwise."""
+    return _elementwise_sum_expr(hist_col, nbins + 2)
 
 
 def hist_merge(
@@ -238,6 +244,94 @@ def hist_merge(
     return df.groupBy(*group_cols).agg(
         hist_merge_expr(hist_col, nbins).alias(hist_col)
     )
+
+
+def cms_bucket_exprs(
+    value_col: str | Column, depth: int, width: int
+) -> list[Column]:
+    """One bucket index per hash row: h_i = xxhash64(i, value) % width.
+    Seeding xxhash64 with the row index gives ``depth`` independent
+    hash functions from one pass over the value."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    return [
+        F.pmod(F.xxhash64(F.lit(i), v), F.lit(width)).cast("int")
+        for i in range(depth)
+    ]
+
+
+def cms_partials(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """(group..., row, bucket, c) — Count-Min partial table (Cormode &
+    Muthukrishnan 2005). Aggregates on (group, row, bucket): map-side
+    combinable, shuffle bounded by |groups| x depth x width rows."""
+    rb = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("row"), b.alias("bucket"))
+                for i, b in enumerate(cms_bucket_exprs(value_col, depth, width))
+            ]
+        )
+    ).alias("rb")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, rb)
+        .select(*group_cols, "rb.row", "rb.bucket")
+        .groupBy(*group_cols, "row", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+    out_col: str = "cms",
+) -> DataFrame:
+    """(group..., out_col array<bigint> of depth*width) — the flattened
+    count matrix (row-major). Merge sketches with cms_merge_expr
+    (elementwise add); estimates never undercount, and overcount by
+    at most 2n/width with probability 1 - 2^-depth."""
+    parts = cms_partials(df, group_cols, value_col, depth, width)
+    mp = F.map_from_entries(
+        F.collect_list(
+            F.struct(
+                (F.col("row") * width + F.col("bucket")).alias("k"), "c"
+            )
+        )
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(depth * width - 1)),
+        lambda i: F.coalesce(
+            F.element_at(mp, i.cast("int")), F.lit(0).cast("long")
+        ),
+    )
+    return parts.groupBy(*group_cols).agg(dense.alias(out_col))
+
+
+def cms_merge_expr(cms_col: str | Column, depth: int, width: int) -> Column:
+    """Aggregate expression merging Count-Min sketches (elementwise
+    add — exact, order-free)."""
+    return _elementwise_sum_expr(cms_col, depth * width)
+
+
+def cms_estimate(
+    cms_col: str | Column, value_col: str | Column, depth: int, width: int
+) -> Column:
+    """Point-frequency estimate for one value: min over hash rows of
+    that row's bucket count. Guaranteed >= the true count."""
+    sk = F.col(cms_col) if isinstance(cms_col, str) else cms_col
+    counts = [
+        F.element_at(sk, (F.lit(i * width) + b + 1).cast("int"))
+        for i, b in enumerate(cms_bucket_exprs(value_col, depth, width))
+    ]
+    return F.least(*counts)
 
 
 def hist_quantile(

@@ -2300,3 +2300,60 @@ def q_zorder_values(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     z = _layout.zorder_column(ev, ["user_id", "value"], bits=8)
     return z.filter(F.col("event_id") < 200).select("event_id", "zvalue")
+
+
+@register(
+    "q_cms_frequencies",
+    shadow=True,
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           TRUE AS no_undercount,
+           TRUE AS within_slack,
+           TRUE AS merge_ok
+    FROM events GROUP BY event_type
+    """,
+    doc="Count-Min sketch (Cormode & Muthukrishnan 2005) over "
+    "event_type frequencies (sketches.cms_*, depth 4 x width 256, "
+    "depth hash rows from index-seeded xxhash64): the query itself "
+    "verifies the three hard properties against exact counts — "
+    "estimates never undercount (deterministic CMS guarantee), "
+    "overcount stays within the 2n/width slack, and the elementwise "
+    "sum of per-user_id-bucket partial sketches is IDENTICAL to the "
+    "sketch built directly over all rows (mergeable monoid, exact). "
+    "Partials aggregate on (group, row, bucket) so the shuffle is "
+    "bounded by depth x width rows per group at any scale.",
+)
+def q_cms_frequencies(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    depth, width = 4, 256
+    whole = _sketches.cms_sketch(
+        ev.withColumn("g", F.lit(1)), ["g"], "event_type", depth, width
+    ).drop("g")
+    merged = (
+        _sketches.cms_sketch(
+            ev.withColumn("part", F.pmod(F.col("user_id"), F.lit(8))),
+            ["part"], "event_type", depth, width,
+        )
+        .withColumn("g", F.lit(1))
+        .groupBy("g")
+        .agg(_sketches.cms_merge_expr("cms", depth, width).alias("mcms"))
+        .drop("g")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    n_total = ev.count()
+    slack = 2.0 * n_total / width
+    est = _sketches.cms_estimate("cms", "event_type", depth, width)
+    return (
+        exact.crossJoin(whole)
+        .crossJoin(merged)
+        .select(
+            "event_type",
+            "n_exact",
+            (est >= F.col("n_exact")).alias("no_undercount"),
+            ((est - F.col("n_exact")) <= F.lit(slack)).alias("within_slack"),
+            (F.col("cms") == F.col("mcms")).alias("merge_ok"),
+        )
+    )

@@ -1,0 +1,88 @@
+"""Count-Min sketch (operators/sketches.py cms_*): the two hard
+guarantees — estimates NEVER undercount, and merged sketches equal the
+direct sketch exactly — plus the probabilistic error bound on real
+data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lwes_contrib_hive_serde_spark.operators import sketches as S
+
+SF_DIR = "/root/testdata/sf0.01"
+DEPTH, WIDTH = 4, 256
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+class TestCms:
+    def test_never_undercounts_any_key(self, spark, events):
+        sk = S.cms_sketch(
+            events.withColumn("g", F.lit(1)), ["g"], "user_id", DEPTH, WIDTH
+        )
+        exact = events.groupBy("user_id").count()
+        est = exact.crossJoin(sk.drop("g")).select(
+            "user_id",
+            "count",
+            S.cms_estimate("cms", "user_id", DEPTH, WIDTH).alias("est"),
+        )
+        bad = est.filter(F.col("est") < F.col("count")).count()
+        assert bad == 0
+
+    def test_error_within_standard_bound(self, spark, events):
+        n = events.count()
+        sk = S.cms_sketch(
+            events.withColumn("g", F.lit(1)), ["g"], "user_id", DEPTH, WIDTH
+        )
+        exact = events.groupBy("user_id").count()
+        est = exact.crossJoin(sk.drop("g")).select(
+            "count", S.cms_estimate("cms", "user_id", DEPTH, WIDTH).alias("est")
+        )
+        # overcount bounded by e*n/width w.h.p.; allow the loose 2n/w
+        slack = 2.0 * n / WIDTH
+        worst = est.select(
+            F.max(F.col("est") - F.col("count")).alias("m")
+        ).collect()[0]["m"]
+        assert worst <= slack
+
+    def test_merge_equals_direct(self, spark, events):
+        per_type = S.cms_sketch(
+            events, ["event_type"], "user_id", DEPTH, WIDTH
+        )
+        merged = (
+            per_type.withColumn("g", F.lit(1))
+            .groupBy("g")
+            .agg(S.cms_merge_expr("cms", DEPTH, WIDTH).alias("cms"))
+            .collect()[0]["cms"]
+        )
+        direct = S.cms_sketch(
+            events.withColumn("g", F.lit(1)), ["g"], "user_id", DEPTH, WIDTH
+        ).collect()[0]["cms"]
+        assert list(merged) == list(direct)
+
+    def test_total_mass_per_row_equals_n(self, spark, events):
+        # every hash row distributes each NON-NULL input exactly once
+        n = events.filter(F.col("user_id").isNotNull()).count()
+        sk = S.cms_sketch(
+            events.withColumn("g", F.lit(1)), ["g"], "user_id", DEPTH, WIDTH
+        ).collect()[0]["cms"]
+        for i in range(DEPTH):
+            assert sum(sk[i * WIDTH : (i + 1) * WIDTH]) == n
+
+    def test_nulls_excluded(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (1, None), (1, "a")], "g int, v string"
+        )
+        sk = S.cms_sketch(df, ["g"], "v", 2, 16).collect()[0]["cms"]
+        assert sum(sk[:16]) == 2
+        est = (
+            df.limit(1)
+            .select(F.lit(sk).alias("cms"))
+            .select(S.cms_estimate("cms", F.lit("a"), 2, 16).alias("e"))
+            .collect()[0]["e"]
+        )
+        assert est == 2
