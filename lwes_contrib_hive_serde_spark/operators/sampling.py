@@ -116,3 +116,47 @@ def split_train_eval(
         cond = u < F.lit(cum)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     return df.withColumn(out_col, expr.otherwise(F.lit(items[-1][0])))
+
+
+def weighted_sample(
+    df: DataFrame,
+    key,
+    weight_col: str,
+    k: int,
+    group_cols: list[str] | None = None,
+    seed: str = "lwespark",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — k rows (per group),
+    inclusion probability proportional to weight, in one pass.
+
+    Efraimidis & Spirakis 2006 (A-ES): assign each row the key
+    u^(1/w) for u ~ U(0,1) and take the k largest. Equivalently (and
+    numerically safer) take the k SMALLEST of -ln(u)/w — exponential
+    race with rate w. u comes from hash_uniform, so the sample is
+    deterministic, engine-reproducible, and oracle-checkable like
+    everything else in this module; rows with weight <= 0 or NULL are
+    excluded (they can never win a rate-w race).
+
+    Scale: the A-ES key is a per-row JVM expression; selection is one
+    top-k — global k via sort+limit (Spark's TakeOrdered, no full
+    sort materialization), per-group via one window shuffle. This is
+    THE distributed answer to "sample 10M docs by quality weight from
+    100 TB": no sequential pass, no rejection loop, no RNG state.
+    """
+    u = hash_uniform(key, seed)
+    # clamp u away from 0 so ln() never hits -inf (md5 exact-zero has
+    # probability 2^-64 but a crash is a crash)
+    es_key = -F.log(F.greatest(u, F.lit(1e-300))) / F.col(weight_col).cast(
+        "double"
+    )
+    keyed = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("__es", es_key)
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy(F.asc("__es"))
+        return (
+            keyed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__es", "__rn")
+        )
+    return keyed.orderBy(F.asc("__es")).limit(k).drop("__es")

@@ -2357,3 +2357,48 @@ def q_cms_frequencies(spark, sf_dir):
             (F.col("cms") == F.col("mcms")).alias("merge_ok"),
         )
     )
+
+
+_ES_KEY = (
+    "-ln(GREATEST((('0x' || substr(md5('lwespark:' || CAST(doc_id AS VARCHAR)),"
+    " 1, 16))::UINT64)::DOUBLE / 18446744073709551616.0, 1e-300))"
+    " / CAST(n_chars AS DOUBLE)"
+)
+
+
+@register(
+    "q_weighted_sample",
+    shadow=True,
+    oracle=f"""
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY {_ES_KEY} ASC
+             ) AS rn
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM keyed WHERE rn <= 15
+    """,
+    doc="Weighted sampling WITHOUT replacement (Efraimidis & Spirakis "
+    "2006 A-ES, exponential-race form): per-row key -ln(u)/w with u "
+    "from the md5-fraction hash_uniform and w = n_chars, k=15 smallest "
+    "per source — inclusion probability proportional to weight, one "
+    "scan plus one window shuffle, deterministic across engines and "
+    "reruns (sampling.weighted_sample). The oracle recomputes the "
+    "identical race keys in SQL, so the SELECTED ROWS themselves are "
+    "value-hash-matched, not just their count — the distributed "
+    "answer to 'sample 10M docs by quality weight from 100 TB'.",
+)
+def q_weighted_sample(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import sampling
+
+    d = table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    out = sampling.weighted_sample(
+        d, "doc_id", "n_chars", 15, group_cols=["source"]
+    )
+    return out.select(
+        "source", "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
+    )

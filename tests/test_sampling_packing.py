@@ -189,3 +189,54 @@ class TestPacking:
             assert min(r.bin_id for r in rows if r.shard == s) == 0
         stats = packing.bin_stats(packed.filter("shard = 0"), "toks").collect()
         assert all(st.n_docs >= 1 for st in stats)
+
+
+class TestWeightedSample:
+    """Efraimidis-Spirakis A-ES weighted sampling without replacement."""
+
+    def _df(self, spark):
+        return spark.range(0, 1000).select(
+            F.col("id"),
+            F.when(F.col("id") < 100, 10.0).otherwise(1.0).alias("w"),
+        )
+
+    def test_deterministic_and_exact_k(self, spark):
+        df = self._df(spark)
+        a = sorted(r["id"] for r in sampling.weighted_sample(df, "id", "w", 50).collect())
+        b = sorted(r["id"] for r in sampling.weighted_sample(df, "id", "w", 50).collect())
+        assert a == b and len(a) == 50
+
+    def test_without_replacement_no_dupes(self, spark):
+        got = [r["id"] for r in sampling.weighted_sample(self._df(spark), "id", "w", 200).collect()]
+        assert len(got) == len(set(got)) == 200
+
+    def test_inclusion_tracks_weight(self, spark):
+        # 10x-weighted rows (10% of the population) must be sampled at
+        # several times the rate of 1x rows across seeds
+        df = self._df(spark)
+        heavy = light = 0
+        for s in range(10):
+            ids = [r["id"] for r in sampling.weighted_sample(df, "id", "w", 100, seed=f"s{s}").collect()]
+            heavy += sum(1 for i in ids if i < 100)
+            light += sum(1 for i in ids if i >= 100)
+        p_heavy = heavy / (10 * 100)
+        p_light = light / (10 * 900)
+        assert p_heavy > 4 * p_light
+
+    def test_per_group_k(self, spark):
+        df = self._df(spark).withColumn("g", F.col("id") % 4)
+        counts = (
+            sampling.weighted_sample(df, "id", "w", 25, group_cols=["g"])
+            .groupBy("g").count().collect()
+        )
+        assert sorted((r["g"], r["count"]) for r in counts) == [
+            (i, 25) for i in range(4)
+        ]
+
+    def test_nonpositive_weights_excluded(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1.0), (2, 0.0), (3, -2.0), (4, None), (5, 3.0)],
+            "id long, w double",
+        )
+        got = sorted(r["id"] for r in sampling.weighted_sample(df, "id", "w", 10).collect())
+        assert got == [1, 5]
