@@ -1,0 +1,131 @@
+"""Declarative data-quality validation in ONE scan (the Deequ /
+expectations idiom): a battery of constraints compiles into a single
+wide aggregation, so checking 20 rules on 100 TB costs exactly one
+pass — not 20.
+
+Each rule contributes one or two aggregate expressions to the same
+``.agg()``; the one-row result is then unpivoted to a tidy report
+(rule, column, violations, total, passed) with a generated
+inline-array explode — no second job, no driver-side loop over rules.
+
+Rules (all SQL-expressible, so reports are oracle-checkable):
+  not_null(col)           — NULL count must be 0
+  unique(col)             — no value may appear twice (count ==
+                            distinct count over non-null; NULLs are
+                            not compared equal, per SQL)
+  in_range(col, lo, hi)   — violations outside [lo, hi] (NULL passes;
+                            combine with not_null to forbid)
+  in_set(col, values)     — membership in an allowed set
+  matches(col, regex)     — full-match against a Java/RE2-common regex
+  completeness(col, frac) — non-null fraction must reach ``frac``
+  satisfies(expr, name)   — arbitrary boolean SQL expression per row
+
+Reference parity: none (the reference trusts its writer); this is the
+repo's 100 TB pipeline-hygiene mandate — a curation pipeline that
+cannot cheaply validate its own output re-scans or, worse, ships bad
+data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    rule_id: str
+    column: str
+    # violations: rows failing the constraint (NULL-safe as documented)
+    violation_expr: Column
+    # optional auxiliary aggregate (e.g. distinct count for unique)
+    threshold: float = 0.0  # allowed violation fraction, default none
+
+
+def not_null(col: str) -> Rule:
+    return Rule(f"not_null({col})", col, F.col(col).isNull())
+
+
+def in_range(col: str, lo, hi) -> Rule:
+    return Rule(
+        f"in_range({col},{lo},{hi})",
+        col,
+        F.col(col).isNotNull() & ((F.col(col) < lo) | (F.col(col) > hi)),
+    )
+
+
+def in_set(col: str, values: Sequence) -> Rule:
+    return Rule(
+        f"in_set({col})",
+        col,
+        F.col(col).isNotNull() & ~F.col(col).isin(list(values)),
+    )
+
+
+def matches(col: str, regex: str) -> Rule:
+    return Rule(
+        f"matches({col})",
+        col,
+        F.col(col).isNotNull() & ~F.col(col).rlike(regex),
+    )
+
+
+def completeness(col: str, min_fraction: float) -> Rule:
+    return Rule(
+        f"completeness({col},{min_fraction})",
+        col,
+        F.col(col).isNull(),
+        threshold=1.0 - min_fraction,
+    )
+
+
+def satisfies(expr: str | Column, name: str, column: str = "*") -> Rule:
+    cond = F.expr(expr) if isinstance(expr, str) else expr
+    return Rule(f"satisfies({name})", column, ~cond)
+
+
+def unique(col: str) -> Rule:
+    # marker rule — handled specially (needs a distinct aggregate)
+    return Rule(f"unique({col})", col, F.lit(None))
+
+
+def check(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
+    """Run the battery: returns (rule_id, column, violations, total,
+    passed), one row per rule, computed in ONE aggregation over df."""
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    uniq_rules = []
+    for i, r in enumerate(rules):
+        if r.rule_id.startswith("unique("):
+            uniq_rules.append((i, r))
+            aggs.append(
+                F.count(F.col(r.column)).alias(f"__cnt_{i}")
+            )
+            aggs.append(
+                F.countDistinct(F.col(r.column)).alias(f"__dst_{i}")
+            )
+        else:
+            aggs.append(
+                F.sum(r.violation_expr.cast("long")).alias(f"__v_{i}")
+            )
+    wide = df.agg(*aggs)
+    entries = []
+    for i, r in enumerate(rules):
+        if r.rule_id.startswith("unique("):
+            viol = F.col(f"__cnt_{i}") - F.col(f"__dst_{i}")
+        else:
+            viol = F.coalesce(F.col(f"__v_{i}"), F.lit(0))
+        allowed = F.lit(float(r.threshold)) * F.col("__total").cast("double")
+        entries.append(
+            F.struct(
+                F.lit(r.rule_id).alias("rule_id"),
+                F.lit(r.column).alias("column"),
+                viol.cast("long").alias("violations"),
+                F.col("__total").cast("long").alias("total"),
+                (viol.cast("double") <= allowed).alias("passed"),
+            )
+        )
+    return wide.select(
+        F.explode(F.array(*entries)).alias("r")
+    ).select("r.rule_id", "r.column", "r.violations", "r.total", "r.passed")

@@ -2402,3 +2402,81 @@ def q_weighted_sample(spark, sf_dir):
     return out.select(
         "source", "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
     )
+
+
+# --- data-quality validation (operators/validation.py) --------------------
+
+from lwes_contrib_hive_serde_spark.operators import validation as _validation
+
+
+@register(
+    "q_validation_report",
+    shadow=True,
+    oracle="""
+    WITH t AS (SELECT COUNT(*) AS total FROM events)
+    SELECT * FROM (
+      SELECT 'not_null(user_id)' AS rule_id, 'user_id' AS "column",
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE user_id IS NULL)
+               AS violations,
+             CAST(total AS BIGINT) AS total,
+             (SELECT COUNT(*) FROM events WHERE user_id IS NULL) = 0 AS passed
+      FROM t
+      UNION ALL
+      SELECT 'unique(event_id)', 'event_id',
+             (SELECT CAST(COUNT(event_id) - COUNT(DISTINCT event_id) AS BIGINT)
+              FROM events),
+             CAST(total AS BIGINT),
+             (SELECT COUNT(event_id) = COUNT(DISTINCT event_id) FROM events)
+      FROM t
+      UNION ALL
+      SELECT 'in_range(value,0.0,500.0)', 'value',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+              WHERE value IS NOT NULL AND (value < 0.0 OR value > 500.0)),
+             CAST(total AS BIGINT),
+             (SELECT COUNT(*) FROM events
+              WHERE value IS NOT NULL AND (value < 0.0 OR value > 500.0)) = 0
+      FROM t
+      UNION ALL
+      SELECT 'in_set(event_type)', 'event_type',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+              WHERE event_type IS NOT NULL AND event_type NOT IN
+                    ('click','view','purchase','signup','error')),
+             CAST(total AS BIGINT),
+             (SELECT COUNT(*) FROM events
+              WHERE event_type IS NOT NULL AND event_type NOT IN
+                    ('click','view','purchase','signup','error')) = 0
+      FROM t
+      UNION ALL
+      SELECT 'completeness(props,0.9)', 'props',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE props IS NULL),
+             CAST(total AS BIGINT),
+             (SELECT CAST(COUNT(*) AS DOUBLE) FROM events WHERE props IS NULL)
+               <= 0.1 * CAST(total AS DOUBLE)
+      FROM t
+    )
+    """,
+    doc="Deequ-style declarative data-quality battery "
+    "(validation.check): five constraints (not-null, uniqueness, "
+    "range, set membership, completeness threshold) compiled into ONE "
+    "wide aggregation — one scan for the whole battery at any rule "
+    "count (plan-pinned in tests/test_validation.py), then unpivoted "
+    "to a tidy (rule, column, violations, total, passed) report via "
+    "an inline-array explode with no second job. The oracle "
+    "recomputes every count in SQL, so the report is value-hash "
+    "checked end to end.",
+)
+def q_validation_report(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return _validation.check(
+        ev,
+        [
+            _validation.not_null("user_id"),
+            _validation.unique("event_id"),
+            _validation.in_range("value", 0.0, 500.0),
+            _validation.in_set(
+                "event_type",
+                ["click", "view", "purchase", "signup", "error"],
+            ),
+            _validation.completeness("props", 0.9),
+        ],
+    )

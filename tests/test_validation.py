@@ -1,0 +1,75 @@
+"""Single-pass validation battery (operators/validation.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lwes_contrib_hive_serde_spark.operators import validation as V
+
+
+@pytest.fixture(scope="module")
+def messy(spark):
+    rows = [
+        (1, "a@x.com", 10.0, "click"),
+        (2, None, 50.0, "view"),
+        (3, "bad-email", 200.0, "click"),
+        (3, "c@y.org", -5.0, "bogus"),
+        (5, "d@z.net", None, "view"),
+    ]
+    return spark.createDataFrame(rows, "id long, email string, v double, kind string")
+
+
+class TestRules:
+    def test_report_counts(self, spark, messy):
+        rep = {
+            r["rule_id"]: r
+            for r in V.check(
+                messy,
+                [
+                    V.not_null("email"),
+                    V.unique("id"),
+                    V.in_range("v", 0.0, 100.0),
+                    V.in_set("kind", ["click", "view"]),
+                    V.matches("email", r"[^@]+@[^@]+\.[a-z]+"),
+                    V.completeness("v", 0.6),
+                    V.satisfies(F.col("id") > 0, "id_positive", "id"),
+                ],
+            ).collect()
+        }
+        assert rep["not_null(email)"]["violations"] == 1
+        assert not rep["not_null(email)"]["passed"]
+        assert rep["unique(id)"]["violations"] == 1  # id=3 twice
+        assert rep["in_range(v,0.0,100.0)"]["violations"] == 2  # 200, -5
+        assert rep["in_set(kind)"]["violations"] == 1  # bogus
+        assert rep["matches(email)"]["violations"] == 1  # bad-email
+        # completeness 4/5 = 0.8 >= 0.6 → passes with 1 violation
+        assert rep["completeness(v,0.6)"]["violations"] == 1
+        assert rep["completeness(v,0.6)"]["passed"]
+        assert rep["satisfies(id_positive)"]["passed"]
+        assert all(r["total"] == 5 for r in rep.values())
+
+    def test_null_never_violates_range_set_regex(self, spark, messy):
+        rep = {
+            r["rule_id"]: r["violations"]
+            for r in V.check(
+                messy,
+                [V.in_range("email", "a", "z"), V.in_set("v", [10.0]),
+                 V.matches("kind", "x")],
+            ).collect()
+        }
+        # NULL email passes in_range (all non-null emails sort within
+        # ['a','z']); NULL v passes in_set
+        assert rep["in_range(email,a,z)"] == 0
+        assert rep["in_set(v)"] == 3  # 50, 200, -5 not in {10}; NULL passes
+        assert rep["matches(kind)"] == 5
+
+    def test_single_scan_plan(self, spark, messy):
+        rep = V.check(messy, [V.not_null("email"), V.in_range("v", 0, 1)])
+        plan = rep._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan") == 1
+
+    def test_empty_frame_all_pass(self, spark):
+        df = spark.createDataFrame([], "x long")
+        rows = V.check(df, [V.not_null("x"), V.unique("x")]).collect()
+        assert all(r["passed"] and r["violations"] == 0 for r in rows)
