@@ -888,3 +888,85 @@ class TestHeavyHitters:
             assert max(got, key=got.get) == "hot"
         finally:
             q.stop()
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_two_journal_streams(self, spark, tmp_path):
+        """Stream-stream inner interval join (SURVEY §2b streaming row):
+        two live journal streams — impressions and clicks — joined on
+        key with the click required to land within [0, 10s] after its
+        impression. Both sides carry watermarks so the join state is
+        bounded; every click planted 5 s after its impression must
+        appear exactly once."""
+        from pyspark.sql import functions as F
+
+        di = str(tmp_path / "imps")
+        dc = str(tmp_path / "clicks")
+        os.makedirs(di)
+        os.makedirs(dc)
+        base = 1723500000000
+
+        def emit_named(d, fname, name, key_lo, key_hi, at_ms):
+            evs = []
+            for k in range(key_lo, key_hi):
+                ev = c.Event(name)
+                ev.set("k", c.INT64, k)
+                ev.set(c.RECEIPT_TIME, c.INT64, at_ms(k))
+                evs.append(ev)
+            c.write_journal_file(os.path.join(d, fname), evs)
+
+        # 40 impressions at t=k s; clicks for even keys 5 s later
+        emit_named(di, "a.journal", "Ad::Imp", 0, 40,
+                   lambda k: base + k * 1000)
+        emit_named(dc, "a.journal", "Ad::Click", 0, 40,
+                   lambda k: base + k * 1000 + 5000)
+
+        imps = (
+            spark.readStream.format("lwes")
+            .schema("k long, ReceiptTime long")
+            .option("eventName", "Ad::Imp")
+            .load(di)
+            .select(
+                F.col("k").alias("ik"),
+                F.timestamp_millis(F.col("ReceiptTime")).alias("its"),
+            )
+            .withWatermark("its", "20 seconds")
+        )
+        clicks = (
+            spark.readStream.format("lwes")
+            .schema("k long, ReceiptTime long")
+            .option("eventName", "Ad::Click")
+            .load(dc)
+            .select(
+                F.col("k").alias("ck"),
+                F.timestamp_millis(F.col("ReceiptTime")).alias("cts"),
+            )
+            .withWatermark("cts", "20 seconds")
+        )
+        joined = imps.join(
+            clicks,
+            F.expr(
+                "ik = ck AND cts >= its AND cts <= its + interval 10 seconds"
+            ),
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ssj_sink")
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        try:
+            assert wait_until(
+                lambda: spark.sql("select count(*) c from ssj_sink").first().c
+                >= 40,
+                timeout=60,
+            ), "stream-stream join produced no complete output"
+            rows = spark.sql(
+                "select ik, ck, cts, its from ssj_sink"
+            ).collect()
+            assert len(rows) == 40  # exactly one match per key
+            for r in rows:
+                assert r.ik == r.ck
+                assert (r.cts.timestamp() - r.its.timestamp()) == 5.0
+        finally:
+            q.stop()
