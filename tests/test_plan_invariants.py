@@ -28,6 +28,7 @@ NLJ_ALLOWED = {
     "q_tfidf_keywords",  # scalar N, same one-row shape
     "q_bm25_search",  # scalar (N, avgdl), same one-row shape
     "q_collocations",  # scalar (U, T), same one-row shape
+    "q_cms_frequencies",  # two one-row sketch sides (whole + merged CMS)
 }
 
 
