@@ -1,0 +1,109 @@
+"""Snapshot diff: keyed comparison of two table versions in one full
+outer join — the change-data-capture primitive for pipelines without a
+transaction log.
+
+``snapshot_diff(old, new, keys)`` returns one row per key that
+differs: change ∈ {added, removed, changed}, with per-row content
+hashes so 'changed' detection is a single 64-bit comparison instead of
+N column equalities (NULL-safe: hashes fold a per-column null marker,
+and xxhash64 distinguishes NULL from '' and 0). ``changed_columns``
+lists exactly which non-key columns moved — computed lazily only for
+the 'changed' rows, so wide tables don't pay per-column comparison on
+the (dominant) unchanged set.
+
+Scale shape: ONE sort-merge/shuffled-hash full outer join on the key —
+the minimum any snapshot comparison pays — with both inputs projected
+to (keys, hash) before the shuffle when ``columns`` pruning applies;
+unchanged keys (the overwhelming majority in practice) are filtered
+before the per-column comparison expression runs. At 100 TB, diff two
+bucketed/z-ordered snapshots and the join is co-located.
+
+Reference parity: none; 100 TB pipeline-hygiene mandate (SURVEY §2c) —
+"what changed between yesterday's corpus and today's" is the first
+question every curation-pipeline incident asks.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _row_hash(cols: Sequence[str]) -> Column:
+    """Order-fixed NULL-safe content hash over the given columns."""
+    parts = []
+    for c in cols:
+        parts.append(
+            F.when(F.col(c).isNull(), F.lit("\x00null"))
+            .otherwise(F.col(c).cast("string"))
+        )
+    return F.xxhash64(*parts)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """(keys..., change, changed_columns) for every key whose content
+    differs between snapshots. ``columns`` restricts the comparison
+    (default: all shared non-key columns, in old's column order).
+
+    change: 'added' (key only in new), 'removed' (key only in old),
+    'changed' (present in both, any compared column differs)."""
+    if columns is None:
+        shared = set(old.columns) & set(new.columns)
+        columns = [c for c in old.columns if c in shared and c not in keys]
+    else:
+        columns = list(columns)
+    missing = [c for c in list(keys) + columns
+               if c not in old.columns or c not in new.columns]
+    if missing:
+        raise ValueError(f"columns absent from a snapshot: {missing}")
+
+    o = old.select(
+        *keys,
+        _row_hash(columns).alias("__oh"),
+        *[F.col(c).alias(f"__o_{c}") for c in columns],
+    )
+    n = new.select(
+        *keys,
+        _row_hash(columns).alias("__nh"),
+        *[F.col(c).alias(f"__n_{c}") for c in columns],
+    )
+    j = o.join(n, list(keys), "full_outer")
+    change = (
+        F.when(F.col("__oh").isNull(), F.lit("added"))
+        .when(F.col("__nh").isNull(), F.lit("removed"))
+        .when(F.col("__oh") != F.col("__nh"), F.lit("changed"))
+    )
+    moved = F.filter(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")),
+                    F.lit(c),
+                )
+                for c in columns
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            *keys,
+            "change",
+            F.when(F.col("change") == "changed", moved)
+            .otherwise(F.array().cast("array<string>"))
+            .alias("changed_columns"),
+        )
+    )
+
+
+def diff_summary(diff: DataFrame) -> DataFrame:
+    """(change, n) rollup of a snapshot_diff result."""
+    return diff.groupBy("change").agg(F.count(F.lit(1)).alias("n"))

@@ -2480,3 +2480,55 @@ def q_validation_report(spark, sf_dir):
             _validation.completeness("props", 0.9),
         ],
     )
+
+
+# --- snapshot diff / CDC (operators/diff.py) ------------------------------
+
+from lwes_contrib_hive_serde_spark.operators import diff as _diff
+
+
+@register(
+    "q_snapshot_diff",
+    shadow=True,
+    oracle="""
+    WITH old_t AS (
+      SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 7 <> 0
+    ), new_t AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 11 = 0 THEN n_chars + 1 ELSE n_chars END
+               AS n_chars
+      FROM documents WHERE doc_id % 5 <> 0
+    ), d AS (
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN (o.source IS DISTINCT FROM n.source)
+                    OR (o.n_chars IS DISTINCT FROM n.n_chars) THEN 'changed'
+             END AS change,
+             CASE WHEN o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+                   AND (o.n_chars IS DISTINCT FROM n.n_chars)
+                  THEN ['n_chars'] ELSE [] END AS changed_columns
+      FROM old_t o FULL OUTER JOIN new_t n USING (doc_id)
+    )
+    SELECT doc_id, change, changed_columns FROM d WHERE change IS NOT NULL
+    """,
+    doc="Snapshot diff / CDC primitive (diff.snapshot_diff): two "
+    "deterministic views of documents (old drops doc_id%7==0, new "
+    "drops doc_id%5==0 and bumps n_chars on doc_id%11==0) compared in "
+    "ONE full outer join on the key — added/removed/changed "
+    "classification via NULL-safe 64-bit content hashes, with the "
+    "per-column comparison run only on rows already known changed. "
+    "The oracle replays the same diff with IS DISTINCT FROM, so "
+    "classification AND the changed-column lists are value-hash "
+    "matched.",
+)
+def q_snapshot_diff(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    old = d.filter(F.col("doc_id") % 7 != 0)
+    new = d.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "n_chars",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.col("n_chars") + 1
+        ).otherwise(F.col("n_chars")),
+    )
+    return _diff.snapshot_diff(old, new, ["doc_id"])

@@ -1,0 +1,117 @@
+"""Snapshot diff (operators/diff.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lwes_contrib_hive_serde_spark.operators import diff as D
+
+
+@pytest.fixture(scope="module")
+def snaps(spark):
+    old = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b", 20.0),
+            (3, "c", None),
+            (4, "d", 40.0),
+            (5, None, 50.0),
+        ],
+        "id long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10.0),      # unchanged
+            (2, "B", 20.0),      # s changed
+            (3, "c", 30.0),      # v NULL -> value
+            (5, "", 50.0),       # s NULL -> '' (must count as changed)
+            (6, "f", 60.0),      # added
+        ],                        # 4 removed
+        "id long, s string, v double",
+    )
+    return old, new
+
+
+class TestSnapshotDiff:
+    def test_change_classification(self, spark, snaps):
+        old, new = snaps
+        got = {
+            r["id"]: (r["change"], sorted(r["changed_columns"]))
+            for r in D.snapshot_diff(old, new, ["id"]).collect()
+        }
+        assert got == {
+            2: ("changed", ["s"]),
+            3: ("changed", ["v"]),
+            4: ("removed", []),
+            5: ("changed", ["s"]),
+            6: ("added", []),
+        }
+
+    def test_unchanged_rows_absent(self, spark, snaps):
+        old, new = snaps
+        ids = [r["id"] for r in D.snapshot_diff(old, new, ["id"]).collect()]
+        assert 1 not in ids
+
+    def test_column_restriction(self, spark, snaps):
+        old, new = snaps
+        got = {
+            r["id"]: r["change"]
+            for r in D.snapshot_diff(old, new, ["id"], columns=["v"]).collect()
+        }
+        # restricted to v: id=2 (only s changed) no longer differs
+        assert 2 not in got
+        assert got[3] == "changed"
+
+    def test_identical_snapshots_empty(self, spark, snaps):
+        old, _ = snaps
+        assert D.snapshot_diff(old, old, ["id"]).collect() == []
+
+    def test_missing_column_raises(self, spark, snaps):
+        old, new = snaps
+        with pytest.raises(ValueError):
+            D.snapshot_diff(old, new, ["id"], columns=["nope"])
+
+    def test_summary(self, spark, snaps):
+        old, new = snaps
+        got = {
+            r["change"]: r["n"]
+            for r in D.diff_summary(
+                D.snapshot_diff(old, new, ["id"])
+            ).collect()
+        }
+        assert got == {"added": 1, "removed": 1, "changed": 3}
+
+    def test_sql_oracle_parity(self, spark, snaps):
+        import duckdb
+
+        old, new = snaps
+        con = duckdb.connect()
+        con.register("old_t", old.toPandas())
+        con.register("new_t", new.toPandas())
+        want = sorted(
+            map(
+                tuple,
+                con.execute(
+                    """
+            SELECT COALESCE(o.id, n.id) AS id,
+                   CASE WHEN o.id IS NULL THEN 'added'
+                        WHEN n.id IS NULL THEN 'removed'
+                        WHEN (o.s IS DISTINCT FROM n.s)
+                          OR (o.v IS DISTINCT FROM n.v) THEN 'changed'
+                   END AS change
+            FROM old_t o FULL OUTER JOIN new_t n USING (id)
+            WHERE CASE WHEN o.id IS NULL THEN 'added'
+                       WHEN n.id IS NULL THEN 'removed'
+                       WHEN (o.s IS DISTINCT FROM n.s)
+                         OR (o.v IS DISTINCT FROM n.v) THEN 'changed'
+                  END IS NOT NULL
+            """
+                ).fetchall(),
+            )
+        )
+        got = sorted(
+            (r["id"], r["change"])
+            for r in D.snapshot_diff(old, new, ["id"]).collect()
+        )
+        assert got == want
