@@ -1117,3 +1117,99 @@ class TestHeaderParserFuzz:
             assert w is None or len(w) == 4
 
         fuzz()
+
+
+class TestMp4Header:
+    @staticmethod
+    def _box(t, payload):
+        import struct
+        return struct.pack(">I", 8 + len(payload)) + t + payload
+
+    @classmethod
+    def _mp4(cls, ver=0, timescale=600, duration=1200, tracks=1, w=640, h=360):
+        import struct
+        if ver == 1:
+            mvhd = bytes([1, 0, 0, 0]) + b"\x00" * 16 + struct.pack(
+                ">IQ", timescale, duration
+            ) + b"\x00" * 80
+        else:
+            mvhd = bytes([0, 0, 0, 0]) + b"\x00" * 8 + struct.pack(
+                ">II", timescale, duration
+            ) + b"\x00" * 80
+        traks = b""
+        for i in range(tracks):
+            tk = (
+                bytes([0, 0, 0, 0]) + b"\x00" * 8
+                + struct.pack(">I", i + 1) + b"\x00" * 8
+                + b"\x00" * 8 + b"\x00" * 8 + b"\x00" * 36
+            )
+            tk += struct.pack(">II", w << 16, h << 16) if i == 0 else b"\x00" * 8
+            traks += cls._box(b"trak", cls._box(b"tkhd", tk))
+        moov = cls._box(b"moov", cls._box(b"mvhd", mvhd) + traks)
+        return cls._box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+    def test_v0_and_v1_layouts(self):
+        from lwes_contrib_hive_serde_spark.operators import multimodal
+
+        assert multimodal.parse_mp4_header(self._mp4()) == (
+            2000, 600, 1, 640, 360
+        )
+        assert multimodal.parse_mp4_header(
+            self._mp4(ver=1, timescale=1000, duration=90_000, tracks=2)
+        ) == (90_000, 1000, 2, 640, 360)
+
+    def test_non_mp4_and_truncation_return_none(self):
+        from lwes_contrib_hive_serde_spark.operators import multimodal
+
+        assert multimodal.parse_mp4_header(b"RIFF....WAVE") is None
+        assert multimodal.parse_mp4_header(b"") is None
+        full = self._mp4()
+        for cut in range(0, len(full), 7):
+            r = multimodal.parse_mp4_header(full[:cut])
+            assert r is None or len(r) == 5
+
+    def test_fuzz_never_throws(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from lwes_contrib_hive_serde_spark.operators import multimodal
+
+        good = self._mp4()
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.integers(0, len(good)), st.binary(max_size=64))
+        def fuzz(cut, tail):
+            r = multimodal.parse_mp4_header(good[:cut] + tail)
+            assert r is None or len(r) == 5
+
+        fuzz()
+
+    def test_decode_video_meta_dataframe(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import multimodal
+
+        rows = [
+            (1, bytearray(self._mp4())),
+            (2, bytearray(b"not a video")),
+            (3, None),
+        ]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        got = {
+            r["id"]: (r["duration_ms"], r["n_tracks"], r["video_width"])
+            for r in multimodal.decode_video_meta(df).collect()
+        }
+        assert got[1] == (2000, 1, 640)
+        assert got[2] == (None, None, None)
+        assert got[3] == (None, None, None)
+
+    def test_frame_offsets_from_parsed_duration(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import multimodal
+
+        df = spark.createDataFrame(
+            [(1, bytearray(self._mp4(duration=1800)))], "id long, payload binary"
+        )
+        meta = multimodal.decode_video_meta(df)
+        frames = multimodal.sample_frame_offsets(meta, every_ms=1000)
+        offs = sorted(
+            r["frame_offset_ms"] for r in frames.select("frame_offset_ms").collect()
+        )
+        assert offs == [0, 1000, 2000]  # duration 3000 ms at timescale 600
