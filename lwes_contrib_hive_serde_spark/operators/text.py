@@ -1208,3 +1208,61 @@ def collocations(
             F.desc("pmi"), F.asc("w1"), F.asc("w2")
         ).limit(top_k)
     return scored
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 256,
+    overlap: int = 0,
+    out_col: str = "chunk",
+) -> DataFrame:
+    """Split documents into token-budget chunks with optional overlap —
+    the pre-training/RAG windowing step (distinct from pack_sequences,
+    which BINS whole short docs; this SPLITS long docs).
+
+    Chunks start every ``max_tokens - overlap`` whitespace tokens and
+    take ``max_tokens`` tokens; the final chunk is shorter rather than
+    padded, and a document shorter than one stride yields exactly one
+    chunk. Zero-token documents yield zero chunks. Everything is JVM
+    array math — tokens/sequence/slice/posexplode, one row-expanding
+    generate and no shuffle at all: at 100 TB chunking is scan-speed
+    and the output is ready for groupBy-free downstream encoding.
+
+    Returns (id, chunk_id, out_col, n_chunk_tokens).
+    """
+    if max_tokens < 1 or not 0 <= overlap < max_tokens:
+        raise ValueError("need max_tokens >= 1 and 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    toks = tokens(text_col)
+    starts = F.when(
+        F.size(toks) > 0,
+        F.sequence(
+            F.lit(0),
+            # last stride index: ceil((n - max)/stride) capped at >= 0
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.size(toks) - F.lit(max_tokens) + F.lit(stride) - 1)
+                    / F.lit(stride)
+                ).cast("int"),
+            )
+            * F.lit(stride),
+            F.lit(stride),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("__toks"),
+        F.posexplode(starts).alias("chunk_id", "__start"),
+    )
+    piece = F.slice(
+        F.col("__toks"), F.col("__start") + 1, max_tokens
+    )
+    return exploded.select(
+        "id",
+        "chunk_id",
+        F.array_join(piece, " ").alias(out_col),
+        F.size(piece).cast("bigint").alias("n_chunk_tokens"),
+    )

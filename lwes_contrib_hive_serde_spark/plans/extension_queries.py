@@ -2532,3 +2532,48 @@ def q_snapshot_diff(spark, sf_dir):
         ).otherwise(F.col("n_chars")),
     )
     return _diff.snapshot_diff(old, new, ["doc_id"])
+
+
+@register(
+    "q_chunk_documents",
+    shadow=True,
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []
+                  ELSE string_split_regex(trim(text), '\\s+') END AS ws
+      FROM documents WHERE doc_id < 100
+    ), st AS (
+      SELECT doc_id, ws,
+             unnest(generate_series(
+               0,
+               CAST(GREATEST(0, floor((len(ws) - 50 + 39) / 40.0)) AS BIGINT)
+                 * 40,
+               40)) AS s
+      FROM toks WHERE len(ws) > 0
+    )
+    SELECT doc_id,
+           CAST(s / 40 AS INT) AS chunk_id,
+           md5(array_to_string(ws[s + 1 : s + 50], ' ')) AS chunk_md5,
+           CAST(len(ws[s + 1 : s + 50]) AS BIGINT) AS n_chunk_tokens
+    FROM st
+    """,
+    doc="Token-budget document chunking with overlap "
+    "(text.chunk_documents, max 50 tokens, stride 40/overlap 10): "
+    "chunks start every stride tokens, the final chunk is short rather "
+    "than padded, zero-token docs yield zero chunks — pure JVM "
+    "tokens/sequence/slice/posexplode, no shuffle, scan-speed at any "
+    "corpus size (the pre-training/RAG windowing step; distinct from "
+    "pack_sequences which bins whole short docs). Chunk text md5 and "
+    "token counts are value-hash-matched against a DuckDB "
+    "list-slicing mirror of the same stride arithmetic.",
+)
+def q_chunk_documents(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    out = text.chunk_documents(d, max_tokens=50, overlap=10)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "chunk_id",
+        F.md5(F.encode("chunk", "utf-8")).alias("chunk_md5"),
+        "n_chunk_tokens",
+    )

@@ -1140,3 +1140,46 @@ class TestCorpusStatsRandomizedCrossCheck:
             if c >= 3
         }
         assert got == want
+
+
+class TestChunkDocuments:
+    def test_coverage_and_overlap(self, spark):
+        df = spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(10)))], "doc_id long, text string"
+        )
+        rows = (
+            text.chunk_documents(df, max_tokens=4, overlap=1)
+            .orderBy("chunk_id")
+            .collect()
+        )
+        assert [r["chunk"] for r in rows] == [
+            "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9"
+        ]
+        # every token appears; consecutive chunks share exactly one
+        assert rows[-1]["n_chunk_tokens"] == 4
+
+    def test_short_and_empty_docs(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, ""), (3, "   ")], "doc_id long, text string"
+        )
+        rows = text.chunk_documents(df, max_tokens=5).collect()
+        assert len(rows) == 1 and rows[0]["id"] == 1
+        assert rows[0]["chunk"] == "a b" and rows[0]["n_chunk_tokens"] == 2
+
+    def test_exact_multiple_no_empty_tail(self, spark):
+        # 8 tokens, max 4, no overlap → exactly 2 chunks, never a
+        # zero-token third
+        df = spark.createDataFrame(
+            [(1, " ".join("abcdefgh"))], "doc_id long, text string"
+        )
+        rows = text.chunk_documents(df, max_tokens=4, overlap=0).collect()
+        assert [r["n_chunk_tokens"] for r in rows] == [4, 4]
+
+    def test_bad_params(self, spark):
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            text.chunk_documents(df, max_tokens=0)
+        with _pt.raises(ValueError):
+            text.chunk_documents(df, max_tokens=4, overlap=4)
