@@ -1266,3 +1266,67 @@ def chunk_documents(
         F.array_join(piece, " ").alias(out_col),
         F.size(piece).cast("bigint").alias("n_chunk_tokens"),
     )
+
+
+# default tracking parameters stripped by canonicalize_url: the public
+# utm_* family plus the big ad-click identifiers
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|mc_cid|mc_eid|ref|igshid)="
+
+
+def canonicalize_url(col) -> Column:
+    """Canonical form of a URL for crawl-level dedup, pure JVM:
+
+    - scheme and host lowercased; default ports (:80 http, :443 https)
+      dropped; fragment dropped
+    - tracking query parameters removed (TRACKING_PARAM_RE:
+      utm_* / fbclid / gclid / ...), surviving parameters SORTED so
+      param order never splits a dedup group; '?' dropped when no
+      params survive
+    - trailing slash on a bare path normalized away
+
+    NULL for unparseable input (try_parse_url guards the scan). Two
+    URLs that differ only in case, fragment, tracking params, param
+    order, default port, or trailing slash canonicalize identically —
+    run BEFORE url-key dedup/fingerprinting at 100 TB so near-misses
+    collapse at scan speed instead of surviving into the pair stage.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    scheme = F.lower(F.try_parse_url(col, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(col, F.lit("HOST")))
+    # parse_url has no PORT part — take it from AUTHORITY (host[:port])
+    port = F.nullif(
+        F.regexp_extract(
+            F.coalesce(F.try_parse_url(col, F.lit("AUTHORITY")), F.lit("")),
+            r":(\d+)$",
+            1,
+        ),
+        F.lit(""),
+    )
+    keep_port = port.isNotNull() & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    path = F.coalesce(F.try_parse_url(col, F.lit("PATH")), F.lit(""))
+    path = F.when(path == "/", F.lit("")).otherwise(path)
+    query = F.try_parse_url(col, F.lit("QUERY"))
+    params = F.when(
+        query.isNull() | (query == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(query, "&"))
+    kept = F.array_sort(
+        F.filter(
+            params,
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qpart = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    out = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        qpart,
+    )
+    return F.when(scheme.isNull() | host.isNull(), F.lit(None)).otherwise(out)

@@ -2577,3 +2577,78 @@ def q_chunk_documents(spark, sf_dir):
         F.md5(F.encode("chunk", "utf-8")).alias("chunk_md5"),
         "n_chunk_tokens",
     )
+
+
+@register(
+    "q_canonical_urls",
+    shadow=True,
+    oracle="""
+    WITH parts AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https'
+                  ELSE 'http' END AS sch,
+             CASE doc_id % 4 WHEN 0 THEN 'Sub.Example.COM'
+                  WHEN 1 THEN 'example.com' WHEN 2 THEN 'Example.org'
+                  ELSE 'cdn.example.net' END AS hst,
+             CASE doc_id % 5 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+                  WHEN 2 THEN ':8080' ELSE '' END AS prt,
+             '/p' || CAST(doc_id % 7 AS VARCHAR) AS pth,
+             CASE doc_id % 6 WHEN 0 THEN '?utm_source=x&b=2&a=1'
+                  WHEN 1 THEN '?a=1&gclid=zz' WHEN 2 THEN '?b=2&a=1'
+                  ELSE '' END AS qry,
+             CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END AS frg
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           lower(sch) || '://' || lower(hst) ||
+           CASE WHEN prt = ':8080' THEN ':8080'
+                WHEN prt = ':80' AND lower(sch) = 'https' THEN ':80'
+                WHEN prt = ':443' AND lower(sch) = 'http' THEN ':443'
+                ELSE '' END ||
+           pth ||
+           CASE doc_id % 6 WHEN 0 THEN '?a=1&b=2' WHEN 1 THEN '?a=1'
+                WHEN 2 THEN '?a=1&b=2' ELSE '' END AS canon
+    FROM parts
+    """,
+    doc="URL canonicalization for crawl-level dedup "
+    "(text.canonicalize_url, pure JVM parse_url + array ops): "
+    "lowercased scheme/host, default ports dropped (non-default "
+    "kept), fragment dropped, tracking params (utm_*/gclid/fbclid/...) "
+    "removed with survivors SORTED, bare '/' path normalized. URLs "
+    "are synthesized from doc_id component classes in both engines, "
+    "and the oracle constructs the EXPECTED canonical string directly "
+    "from the same components — ground-truth equality for every "
+    "combination of case, port, tracking, ordering, and fragment, "
+    "with no URL parser needed on the oracle side.",
+)
+def q_canonical_urls(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sch = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("HTTP"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("https"))
+        .otherwise(F.lit("http"))
+    )
+    hst = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("Sub.Example.COM"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("example.com"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("Example.org"))
+        .otherwise(F.lit("cdn.example.net"))
+    )
+    prt = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(":80"))
+        .when(F.col("doc_id") % 5 == 1, F.lit(":443"))
+        .when(F.col("doc_id") % 5 == 2, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    pth = F.concat(F.lit("/p"), (F.col("doc_id") % 7).cast("string"))
+    qry = (
+        F.when(F.col("doc_id") % 6 == 0, F.lit("?utm_source=x&b=2&a=1"))
+        .when(F.col("doc_id") % 6 == 1, F.lit("?a=1&gclid=zz"))
+        .when(F.col("doc_id") % 6 == 2, F.lit("?b=2&a=1"))
+        .otherwise(F.lit(""))
+    )
+    frg = F.when(F.col("doc_id") % 2 == 0, F.lit("#frag")).otherwise(F.lit(""))
+    url = F.concat(sch, F.lit("://"), hst, prt, pth, qry, frg)
+    return d.select(
+        "doc_id", text.canonicalize_url(url).alias("canon")
+    )

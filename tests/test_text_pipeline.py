@@ -1183,3 +1183,54 @@ class TestChunkDocuments:
             text.chunk_documents(df, max_tokens=0)
         with _pt.raises(ValueError):
             text.chunk_documents(df, max_tokens=4, overlap=4)
+
+
+class TestCanonicalizeUrl:
+    def _canon(self, spark, urls):
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "id long, u string"
+        )
+        return [
+            r["c"]
+            for r in df.select(text.canonicalize_url("u").alias("c"))
+            .orderBy("id")
+            .collect()
+        ]
+
+    def test_collapses_equivalent_forms(self, spark):
+        got = self._canon(
+            spark,
+            [
+                "HTTP://Example.COM:80/path?utm_source=x&b=2&a=1#frag",
+                "http://example.com/path?a=1&b=2",
+                "http://example.com/path?b=2&a=1&fbclid=zzz",
+            ],
+        )
+        assert got[0] == got[1] == got[2] == "http://example.com/path?a=1&b=2"
+
+    def test_default_port_rules(self, spark):
+        got = self._canon(
+            spark,
+            [
+                "https://h.com:443/x",
+                "https://h.com:80/x",   # NON-default for https: kept
+                "http://h.com:8080/x",
+            ],
+        )
+        assert got == [
+            "https://h.com/x",
+            "https://h.com:80/x",
+            "http://h.com:8080/x",
+        ]
+
+    def test_bare_and_slash_paths_identical(self, spark):
+        got = self._canon(spark, ["https://h.com", "https://h.com/"])
+        assert got[0] == got[1] == "https://h.com"
+
+    def test_all_tracking_query_drops_question_mark(self, spark):
+        got = self._canon(spark, ["https://h.com/p?utm_medium=a&gclid=b"])
+        assert got == ["https://h.com/p"]
+
+    def test_unparseable_is_null(self, spark):
+        got = self._canon(spark, ["not a url", "://x", ""])
+        assert got == [None, None, None]
