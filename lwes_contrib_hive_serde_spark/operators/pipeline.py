@@ -48,6 +48,9 @@ def curate(
     split_fractions: dict[str, float] | None = None,
     pack_budget: int | None = None,
     pack_shards: int | None = None,
+    url_col: str | None = None,
+    chunk_tokens: int | None = None,
+    chunk_overlap: int = 0,
     seed: str = "lwespark",
 ) -> DataFrame:
     """Returns the curated frame with ``text_clean`` (cleaned +
@@ -59,7 +62,18 @@ def curate(
     probabilities; ``pack_shards`` shards the packing cumsum window by
     ``crc32(id) % shards`` so no single window partition is unbounded.
     """
-    out = df.filter(
+    out = df
+    if url_col is not None:
+        # URL-level dedup FIRST: canonicalize (case/port/tracking/
+        # fragment variants collapse) and keep the min-id row per
+        # canonical URL — removes refetches of the same page before
+        # any text processing runs. Per-row JVM + the same one-shuffle
+        # min-id keeper as fingerprint dedup.
+        out = out.withColumn("__curl", text.canonicalize_url(url_col))
+        out = dedup.fingerprint_dedup(
+            out.filter(F.col("__curl").isNotNull()), "__curl", id_col
+        ).drop("__curl")
+    out = out.filter(
         text.c4_doc_flags(text_col, min_sentences=min_sentences).getField(
             "pass_all"
         )
@@ -100,4 +114,19 @@ def curate(
             out = packing.pack_sequences(
                 out, "n_tokens", pack_budget, order_col=id_col
             )
+    if chunk_tokens is not None:
+        if pack_budget is not None:
+            raise ValueError(
+                "chunk_tokens and pack_budget are alternative final "
+                "stages — chunking splits long docs, packing bins "
+                "whole docs; pick one"
+            )
+        keep = [
+            c for c in out.columns
+            if c not in (text_col, "text_clean", id_col)
+        ]
+        out = text.chunk_documents(
+            out, id_col, "text_clean", chunk_tokens, chunk_overlap,
+            out_col="chunk", keep_cols=keep,
+        ).withColumnRenamed("id", id_col)
     return out

@@ -1217,6 +1217,7 @@ def chunk_documents(
     max_tokens: int = 256,
     overlap: int = 0,
     out_col: str = "chunk",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Split documents into token-budget chunks with optional overlap —
     the pre-training/RAG windowing step (distinct from pack_sequences,
@@ -1230,10 +1231,13 @@ def chunk_documents(
     generate and no shuffle at all: at 100 TB chunking is scan-speed
     and the output is ready for groupBy-free downstream encoding.
 
-    Returns (id, chunk_id, out_col, n_chunk_tokens).
+    Returns (id, chunk_id, out_col, n_chunk_tokens[, keep_cols...]) —
+    ``keep_cols`` are carried through the explode so no join-back is
+    ever needed to reattach metadata.
     """
     if max_tokens < 1 or not 0 <= overlap < max_tokens:
         raise ValueError("need max_tokens >= 1 and 0 <= overlap < max_tokens")
+    keep_cols = list(keep_cols or [])
     stride = max_tokens - overlap
     toks = tokens(text_col)
     starts = F.when(
@@ -1254,6 +1258,7 @@ def chunk_documents(
     ).otherwise(F.array().cast("array<int>"))
     exploded = df.select(
         F.col(id_col).alias("id"),
+        *keep_cols,
         toks.alias("__toks"),
         F.posexplode(starts).alias("chunk_id", "__start"),
     )
@@ -1265,6 +1270,7 @@ def chunk_documents(
         "chunk_id",
         F.array_join(piece, " ").alias(out_col),
         F.size(piece).cast("bigint").alias("n_chunk_tokens"),
+        *keep_cols,
     )
 
 

@@ -70,3 +70,44 @@ class TestCurateOptions:
             docs, gopher_thresholds=LOOSE, min_sentences=1
         )
         assert out.count() == base.count()
+
+
+class TestCurateNewStages:
+    def test_chunking_stage(self, docs):
+        out = pipeline.curate(
+            docs, gopher_thresholds={"min_words": 5}, chunk_tokens=30,
+            chunk_overlap=5,
+        )
+        rows = out.limit(200).collect()
+        assert rows
+        assert "chunk" in out.columns and "chunk_id" in out.columns
+        assert all(r["n_chunk_tokens"] <= 30 for r in rows)
+        # metadata survived the explode without a join-back
+        assert "source" in out.columns
+
+    def test_chunking_conflicts_with_packing(self, docs):
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            pipeline.curate(docs, chunk_tokens=30, pack_budget=100)
+
+    def test_url_dedup_stage(self, spark):
+        rows = [
+            (1, "Same page text here. And so. On it goes. More words arrive "
+                "steadily now today friends.",
+             "HTTP://Example.com/p?utm_source=a"),
+            (2, "Same page text here. And so. On it goes. More words arrive "
+                "steadily now today friends.",
+             "http://example.com/p"),
+            (3, "Different page text here. And so. On it goes. More words "
+                "arrive steadily now today friends.",
+             "http://example.com/q"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, url string")
+        out = pipeline.curate(
+            df, url_col="url",
+            gopher_thresholds={"min_words": 5, "min_stopword_hits": 0},
+        )
+        ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+        # doc 2 is a canonical-URL duplicate of doc 1 → min-id kept
+        assert ids == [1, 3]
