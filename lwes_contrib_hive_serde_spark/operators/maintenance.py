@@ -208,3 +208,128 @@ def compact_journals(
         "out_path string, fmt string, n_inputs int, "
         "bytes_in long, bytes_out long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Journal statistics sidecars (ANALYZE) → ReceiptTime file skipping
+# ---------------------------------------------------------------------------
+
+
+def _stats_path(journal_path: str) -> str:
+    d, base = os.path.split(journal_path)
+    return os.path.join(d, f".{base}.stats.json")
+
+
+def scan_journal_stats(path: str) -> dict:
+    """Header-only stats walk of one journal: (size, records,
+    min/max ReceiptTime). Payloads are never decoded — v1 seeks over
+    them, gz/v2 decompress but only the 22-byte headers are parsed."""
+    size = os.path.getsize(path)
+    lo = hi = None
+    n = 0
+
+    def feed(rtime: int):
+        nonlocal lo, hi, n
+        n += 1
+        if lo is None or rtime < lo:
+            lo = rtime
+        if hi is None or rtime > hi:
+            hi = rtime
+
+    if path.endswith(".journal2"):
+        with open(path, "rb") as f:
+            for block in _codec.read_journal_v2_blocks(f):
+                for rtime, _ip, _port, _site, _payload in (
+                    _codec.iter_v2_block_records(block)
+                ):
+                    feed(rtime)
+    elif path.endswith(".gz"):
+        import gzip
+
+        with gzip.open(path, "rb") as f:
+            while True:
+                head = f.read(_codec.HEADER_LENGTH)
+                if len(head) < _codec.HEADER_LENGTH:
+                    break
+                length, rtime, _ip, _p, _s = _codec.unpack_header(head)
+                payload = f.read(length)
+                if len(payload) < length:
+                    break  # torn tail: stats cover the intact prefix
+                feed(rtime)
+    else:
+        with open(path, "rb") as f:
+            while True:
+                head = f.read(_codec.HEADER_LENGTH)
+                if len(head) < _codec.HEADER_LENGTH:
+                    break
+                length, rtime, _ip, _p, _s = _codec.unpack_header(head)
+                feed(rtime)
+                f.seek(length, os.SEEK_CUR)
+                if f.tell() > size:
+                    break
+    return {
+        "size": size,
+        "records": n,
+        "min_receipt_time": lo,
+        "max_receipt_time": hi,
+    }
+
+
+def build_journal_stats(
+    spark: SparkSession, path: str, force: bool = False
+) -> DataFrame:
+    """ANALYZE for journal directories: write a dot-prefixed
+    ``.<file>.stats.json`` sidecar per journal (atomic tmp+rename),
+    one distributed task per file. Sidecars record the on-disk size,
+    so a file appended after ANALYZE self-invalidates (the reader
+    trusts stats only when sizes match — see LwesReader.partitions).
+    With stats present, ReceiptTime range predicates skip whole files
+    without opening them: min/max file skipping, exactly parquet's
+    row-group stats trick applied to the journal format. Returns one
+    row per journal: (path, records, min_receipt_time,
+    max_receipt_time, refreshed)."""
+    import json as _json
+
+    from lwes_contrib_hive_serde_spark.sources.datasource import (
+        _list_journal_files,
+    )
+
+    files = _list_journal_files(path)
+
+    def analyze(p: str):
+        sp = _stats_path(p)
+        size = os.path.getsize(p)
+        if not force and os.path.exists(sp):
+            try:
+                with open(sp) as f:
+                    old = _json.load(f)
+                if old.get("size") == size:
+                    return (
+                        p, old["records"], old["min_receipt_time"],
+                        old["max_receipt_time"], False,
+                    )
+            except (ValueError, KeyError, OSError):
+                pass
+        st = scan_journal_stats(p)
+        tmp = f"{sp}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            _json.dump(st, f)
+        os.replace(tmp, sp)
+        return (
+            p, st["records"], st["min_receipt_time"],
+            st["max_receipt_time"], True,
+        )
+
+    if not files:
+        return spark.createDataFrame(
+            [],
+            "path string, records long, min_receipt_time long, "
+            "max_receipt_time long, refreshed boolean",
+        )
+    sc = spark.sparkContext
+    rows = sc.parallelize(files, len(files)).map(analyze).collect()
+    return spark.createDataFrame(
+        rows,
+        "path string, records long, min_receipt_time long, "
+        "max_receipt_time long, refreshed boolean",
+    )

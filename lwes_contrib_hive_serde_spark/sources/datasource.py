@@ -505,6 +505,43 @@ class LwesReader(DataSourceReader):
             if k in self.partition_keys
         }
 
+    @staticmethod
+    def _stats_prunes(path: str, size: int, rt_filters) -> bool:
+        """True iff a trusted sidecar proves NO record in ``path`` can
+        satisfy every pushed ReceiptTime predicate. Conservative on
+        any doubt (missing/stale/corrupt sidecar, NULL bounds)."""
+        d, base = os.path.split(path)
+        sp = os.path.join(d, f".{base}.stats.json")
+        try:
+            with open(sp) as f:
+                st = json.load(f)
+        except (OSError, ValueError):
+            return False
+        if st.get("size") != size:
+            return False  # appended since ANALYZE: stats are stale
+        lo, hi = st.get("min_receipt_time"), st.get("max_receipt_time")
+        if lo is None or hi is None:
+            return False
+        for _col, op, want in rt_filters:
+            # satisfiable iff SOME v in [lo, hi] passes this predicate
+            if op == "EqualTo":
+                ok = lo <= want <= hi
+            elif op == "GreaterThan":
+                ok = hi > want
+            elif op == "GreaterThanOrEqual":
+                ok = hi >= want
+            elif op == "LessThan":
+                ok = lo < want
+            elif op == "LessThanOrEqual":
+                ok = lo <= want
+            elif op == "In":
+                ok = any(lo <= v <= hi for v in want)
+            else:  # unknown op: never prune
+                ok = True
+            if not ok:
+                return True  # one unsatisfiable conjunct kills the file
+        return False
+
     def partitions(self):
         # Files are non-splittable (JournalInputFormat.java:58-60):
         # parallelism ceiling = file count. Two scan-level moves here:
@@ -514,12 +551,24 @@ class LwesReader(DataSourceReader):
         #    maxPartitionBytes (default 128 MB, mirroring
         #    spark.sql.files.maxPartitionBytes) so tiny-file tables
         #    don't schedule one task per file.
+        # 3. STATS SKIP: when a ReceiptTime predicate was pushed and a
+        #    file carries an ANALYZE sidecar (.name.stats.json, written
+        #    by operators/maintenance.py build_journal_stats) whose
+        #    recorded size still matches, the file is skipped entirely
+        #    if no value in [min,max] can satisfy the predicate —
+        #    parquet min/max skipping applied to the journal format.
+        #    Stale or absent sidecars fail safe to a normal scan.
         max_bytes = int(
             self.options.get("maxpartitionbytes", str(128 * 1024 * 1024))
         )
         open_cost = int(
             self.options.get("opencostinbytes", str(4 * 1024 * 1024))
         )
+        rt_filters = [
+            (col, op, want)
+            for col, op, want in self.header_filters
+            if col == c.RECEIPT_TIME
+        ]
         survivors = []
         for p in self._files:
             pv = self._typed_pvals(p)
@@ -529,6 +578,8 @@ class LwesReader(DataSourceReader):
                 size = os.path.getsize(p)
             except OSError:
                 size = 0
+            if rt_filters and self._stats_prunes(p, size, rt_filters):
+                continue
             survivors.append((p, pv, size))
         # Spark's FilePartition sizing: aim for min(maxPartitionBytes,
         # total/defaultParallelism) with a per-file open cost so tiny

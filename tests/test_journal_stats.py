@@ -1,0 +1,156 @@
+"""ANALYZE sidecars + ReceiptTime file skipping
+(maintenance.build_journal_stats → LwesReader._stats_prunes)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lwes_contrib_hive_serde_spark.operators import maintenance as M
+from lwes_contrib_hive_serde_spark.sources import codec as c
+
+
+def _emit(d, fname, lo_ms, n, step_ms=1000):
+    evs = []
+    for i in range(n):
+        ev = c.Event("S::E")
+        ev.set("n", c.INT64, i)
+        ev.set(c.RECEIPT_TIME, c.INT64, lo_ms + i * step_ms)
+        evs.append(ev)
+    c.write_journal_file(os.path.join(d, fname), evs)
+
+
+@pytest.fixture()
+def hourly_dir(spark, tmp_path):
+    d = str(tmp_path / "j")
+    os.makedirs(d)
+    base = 1723500000000
+    # three files covering disjoint hours
+    for k in range(3):
+        _emit(d, f"h{k}.journal", base + k * 3600_000, 50)
+    return d, base
+
+
+class TestScanStats:
+    def test_v1_stats_exact(self, tmp_path):
+        d = str(tmp_path)
+        _emit(d, "a.journal", 1000, 10, step_ms=5)
+        st = M.scan_journal_stats(os.path.join(d, "a.journal"))
+        assert st["records"] == 10
+        assert st["min_receipt_time"] == 1000
+        assert st["max_receipt_time"] == 1045
+        assert st["size"] == os.path.getsize(os.path.join(d, "a.journal"))
+
+    def test_gz_and_v2_stats(self, tmp_path):
+        d = str(tmp_path)
+        evs = []
+        for i in range(7):
+            ev = c.Event("S::E")
+            ev.set(c.RECEIPT_TIME, c.INT64, 500 + i)
+            evs.append(ev)
+        c.write_journal_file(os.path.join(d, "a.journal.gz"), evs)
+        c.write_journal_file_v2(
+            os.path.join(d, "b.journal2"), evs, block_bytes=64, codec="zlib"
+        )
+        for fname in ("a.journal.gz", "b.journal2"):
+            st = M.scan_journal_stats(os.path.join(d, fname))
+            assert st["records"] == 7
+            assert (st["min_receipt_time"], st["max_receipt_time"]) == (500, 506)
+
+
+class TestBuildAndSkip:
+    def test_build_writes_hidden_sidecars(self, spark, hourly_dir):
+        d, _ = hourly_dir
+        out = M.build_journal_stats(spark, d).collect()
+        assert len(out) == 3 and all(r["refreshed"] for r in out)
+        sidecars = [f for f in os.listdir(d) if f.endswith(".stats.json")]
+        assert len(sidecars) == 3
+        assert all(f.startswith(".") for f in sidecars)
+        # idempotent second run: nothing refreshed
+        again = M.build_journal_stats(spark, d).collect()
+        assert all(not r["refreshed"] for r in again)
+
+    def test_receipt_time_filter_skips_files(self, spark, hourly_dir):
+        import lwes_contrib_hive_serde_spark as L
+
+        d, base = hourly_dir
+        L.register(spark)
+        M.build_journal_stats(spark, d)
+        df = (
+            spark.read.format("lwes")
+            .schema("n long, ReceiptTime long")
+            .option("eventName", "S::E")
+            .load(d)
+        )
+        # only hour 1 satisfies the predicate → one file scanned
+        hour1 = df.filter(
+            (F.col("ReceiptTime") >= base + 3600_000)
+            & (F.col("ReceiptTime") < base + 2 * 3600_000)
+        )
+        assert hour1.count() == 50
+        assert hour1.rdd.getNumPartitions() == 1
+        # no stats → same answer, more partitions (fail-safe check
+        # below exercises absence)
+
+    def test_stale_sidecar_fails_safe(self, spark, hourly_dir):
+        import lwes_contrib_hive_serde_spark as L
+
+        d, base = hourly_dir
+        L.register(spark)
+        M.build_journal_stats(spark, d)
+        # append an out-of-range record to hour 0's file: size changes,
+        # sidecar must be distrusted and the file scanned anyway
+        with open(os.path.join(d, "h0.journal"), "ab") as f:
+            ev = c.Event("S::E")
+            ev.set("n", c.INT64, 999)
+            ev.set(c.RECEIPT_TIME, c.INT64, base + 3600_000 + 1)
+            c.write_journal_record(f, ev)
+        df = (
+            spark.read.format("lwes")
+            .schema("n long, ReceiptTime long")
+            .option("eventName", "S::E")
+            .load(d)
+        )
+        got = df.filter(
+            (F.col("ReceiptTime") >= base + 3600_000)
+            & (F.col("ReceiptTime") < base + 2 * 3600_000)
+        )
+        assert got.count() == 51  # the appended record is found
+
+    def test_equal_and_in_predicates(self, spark, hourly_dir):
+        import lwes_contrib_hive_serde_spark as L
+
+        d, base = hourly_dir
+        L.register(spark)
+        M.build_journal_stats(spark, d)
+        df = (
+            spark.read.format("lwes")
+            .schema("n long, ReceiptTime long")
+            .option("eventName", "S::E")
+            .load(d)
+        )
+        eq = df.filter(F.col("ReceiptTime") == base + 3600_000)
+        assert eq.count() == 1
+        assert eq.rdd.getNumPartitions() == 1
+        isin = df.filter(
+            F.col("ReceiptTime").isin([base, base + 2 * 3600_000])
+        )
+        assert isin.count() == 2
+        assert isin.rdd.getNumPartitions() == 2
+
+    def test_no_sidecars_no_skip_correctness(self, spark, tmp_path):
+        import lwes_contrib_hive_serde_spark as L
+
+        d = str(tmp_path / "plain")
+        os.makedirs(d)
+        _emit(d, "a.journal", 1000, 20)
+        L.register(spark)
+        df = (
+            spark.read.format("lwes")
+            .schema("n long, ReceiptTime long")
+            .option("eventName", "S::E")
+            .load(d)
+        )
+        assert df.filter(F.col("ReceiptTime") >= 1010 * 1).count() > 0
