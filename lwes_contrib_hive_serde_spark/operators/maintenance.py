@@ -220,59 +220,9 @@ def _stats_path(journal_path: str) -> str:
     return os.path.join(d, f".{base}.stats.json")
 
 
-def scan_journal_stats(path: str) -> dict:
-    """Header-only stats walk of one journal: (size, records,
-    min/max ReceiptTime). Payloads are never decoded — v1 seeks over
-    them, gz/v2 decompress but only the 22-byte headers are parsed."""
-    size = os.path.getsize(path)
-    lo = hi = None
-    n = 0
-
-    def feed(rtime: int):
-        nonlocal lo, hi, n
-        n += 1
-        if lo is None or rtime < lo:
-            lo = rtime
-        if hi is None or rtime > hi:
-            hi = rtime
-
-    if path.endswith(".journal2"):
-        with open(path, "rb") as f:
-            for block in _codec.read_journal_v2_blocks(f):
-                for rtime, _ip, _port, _site, _payload in (
-                    _codec.iter_v2_block_records(block)
-                ):
-                    feed(rtime)
-    elif path.endswith(".gz"):
-        import gzip
-
-        with gzip.open(path, "rb") as f:
-            while True:
-                head = f.read(_codec.HEADER_LENGTH)
-                if len(head) < _codec.HEADER_LENGTH:
-                    break
-                length, rtime, _ip, _p, _s = _codec.unpack_header(head)
-                payload = f.read(length)
-                if len(payload) < length:
-                    break  # torn tail: stats cover the intact prefix
-                feed(rtime)
-    else:
-        with open(path, "rb") as f:
-            while True:
-                head = f.read(_codec.HEADER_LENGTH)
-                if len(head) < _codec.HEADER_LENGTH:
-                    break
-                length, rtime, _ip, _p, _s = _codec.unpack_header(head)
-                feed(rtime)
-                f.seek(length, os.SEEK_CUR)
-                if f.tell() > size:
-                    break
-    return {
-        "size": size,
-        "records": n,
-        "min_receipt_time": lo,
-        "max_receipt_time": hi,
-    }
+# core walk lives with the format logic in sources/codec.py;
+# re-exported here because ANALYZE is operationally a maintenance verb
+scan_journal_stats = _codec.scan_journal_stats
 
 
 def build_journal_stats(

@@ -804,3 +804,60 @@ def read_journal_raw(stream: BinaryIO) -> Iterator[tuple[bytes, bytes]]:
         if len(payload) < length:
             raise CodecError("truncated journal payload")
         yield header, payload
+
+
+def scan_journal_stats(path: str) -> dict:
+    """Header-only stats walk of one journal: (size, records,
+    min/max ReceiptTime). Payloads are never decoded — v1 seeks over
+    them, gz/v2 decompress but only the 22-byte headers are parsed."""
+    import os
+
+    size = os.path.getsize(path)
+    lo = hi = None
+    n = 0
+
+    def feed(rtime: int):
+        nonlocal lo, hi, n
+        n += 1
+        if lo is None or rtime < lo:
+            lo = rtime
+        if hi is None or rtime > hi:
+            hi = rtime
+
+    if path.endswith(".journal2"):
+        with open(path, "rb") as f:
+            for block in read_journal_v2_blocks(f):
+                for rtime, _ip, _port, _site, _payload in (
+                    iter_v2_block_records(block)
+                ):
+                    feed(rtime)
+    elif path.endswith(".gz"):
+        import gzip
+
+        with gzip.open(path, "rb") as f:
+            while True:
+                head = f.read(HEADER_LENGTH)
+                if len(head) < HEADER_LENGTH:
+                    break
+                length, rtime, _ip, _p, _s = unpack_header(head)
+                payload = f.read(length)
+                if len(payload) < length:
+                    break  # torn tail: stats cover the intact prefix
+                feed(rtime)
+    else:
+        with open(path, "rb") as f:
+            while True:
+                head = f.read(HEADER_LENGTH)
+                if len(head) < HEADER_LENGTH:
+                    break
+                length, rtime, _ip, _p, _s = unpack_header(head)
+                feed(rtime)
+                f.seek(length, os.SEEK_CUR)
+                if f.tell() > size:
+                    break
+    return {
+        "size": size,
+        "records": n,
+        "min_receipt_time": lo,
+        "max_receipt_time": hi,
+    }

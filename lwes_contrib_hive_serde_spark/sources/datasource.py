@@ -1374,6 +1374,13 @@ class LwesWriter(DataSourceArrowWriter):
         self.headerless = options.get("headerless", "false").lower() == "true"
         if self.headerless and self.v2:
             raise ValueError("lwes: headerless applies to v1 framing only")
+        # stats=true: write the ANALYZE sidecar for each sealed file so
+        # ReceiptTime file skipping works on fresh data with no
+        # separate ANALYZE pass (a header-only re-walk per sealed file
+        # — cheap for v1, one decompress for gz/v2; off by default)
+        self.write_stats = options.get("stats", "false").lower() == "true"
+        if self.write_stats and self.headerless:
+            raise ValueError("lwes: stats sidecars need framed journals")
         self.event_name = options.get("eventname")
         self.specs = _parse_field_map(schema, options.get("fieldmap"), self.event_name)
         self.has_event_name_col = any(
@@ -1710,6 +1717,14 @@ class LwesWriter(DataSourceArrowWriter):
             if f is not None:
                 f.close()
                 os.replace(cur_tmp, cur_final)
+                if self.write_stats:
+                    st = c.scan_journal_stats(cur_final)
+                    d, base = os.path.split(cur_final)
+                    sp = os.path.join(d, f".{base}.stats.json")
+                    tmp = f"{sp}.tmp-{attempt}"
+                    with open(tmp, "w") as sf:
+                        json.dump(st, sf)
+                    os.replace(tmp, sp)
                 f = cur_tmp = cur_final = None
 
         def get_sink():

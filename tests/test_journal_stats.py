@@ -154,3 +154,56 @@ class TestBuildAndSkip:
             .load(d)
         )
         assert df.filter(F.col("ReceiptTime") >= 1010 * 1).count() > 0
+
+
+class TestWriteTimeStats:
+    def test_stats_option_writes_sidecars_and_skips(self, spark, tmp_path):
+        import lwes_contrib_hive_serde_spark as L
+
+        L.register(spark)
+        d = str(tmp_path / "out")
+        base = 1723500000000
+        df = spark.range(0, 100).select(
+            F.col("id").alias("n"),
+            (F.lit(base) + F.col("id") * 60_000).alias("ReceiptTime"),
+        )
+        (
+            df.coalesce(1).write.format("lwes")
+            .option("eventName", "S::E")
+            .option("stats", "true")
+            .option("rollbytes", "1500")  # force several small files
+            .mode("overwrite")
+            .save(d)
+        )
+        journals = [f for f in os.listdir(d) if f.endswith(".journal")]
+        sidecars = [f for f in os.listdir(d) if f.endswith(".stats.json")]
+        assert len(journals) > 1
+        assert len(sidecars) == len(journals)
+        back = (
+            spark.read.format("lwes")
+            .schema("n long, ReceiptTime long")
+            .option("eventName", "S::E")
+            .load(d)
+        )
+        assert back.count() == 100
+        # a narrow time slice must scan a strict subset of the files
+        sliced = back.filter(
+            (F.col("ReceiptTime") >= base)
+            & (F.col("ReceiptTime") < base + 5 * 60_000)
+        )
+        assert sliced.count() == 5
+        assert sliced.rdd.getNumPartitions() < len(journals)
+
+    def test_headerless_rejects_stats(self, spark, tmp_path):
+        import pytest as _pt
+
+        df = spark.range(3).select(F.col("id").alias("n"))
+        with _pt.raises(Exception, match="framed"):
+            (
+                df.write.format("lwes")
+                .option("eventName", "S::E")
+                .option("headerless", "true")
+                .option("stats", "true")
+                .mode("overwrite")
+                .save(str(tmp_path / "h"))
+            )
