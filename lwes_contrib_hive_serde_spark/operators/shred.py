@@ -1,0 +1,113 @@
+"""Semi-structured shredding: turn a JSON string column into typed
+top-level columns (the props/payload pattern every event table grows).
+
+Two halves, split the way a 100 TB pipeline needs them split:
+
+- ``infer_json_keys`` looks at a bounded SAMPLE (driver-side
+  json.loads over ``limit(sample)`` — cost independent of table size)
+  and returns {key: spark_type} with types widened across rows
+  (boolean < bigint < double < string; any conflict widens, null
+  never narrows). Inference is a planning step, so paying one tiny
+  collect is correct — never run it per-query, persist the result.
+- ``shred_json`` applies a known {key: type} mapping with ONE
+  ``from_json`` per row (single JSON parse shared by all keys,
+  whole-stage-codegen JVM) and casts to the target types. Malformed
+  JSON rows yield NULLs in every shredded column, SQL-style.
+
+A 100 TB scan therefore parses each payload exactly once, emits
+columnar typed output, and the scan itself stays one pass with zero
+shuffles. Reference n/a (the reference's STRING attributes carry
+opaque payloads; EventSerDe.java never looks inside) — SURVEY §2c
+extension surface.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
+
+# widening lattice: conflicts move DOWN the list, never up
+_WIDEN = ["boolean", "bigint", "double", "string"]
+
+
+def _json_type(v) -> str | None:
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, int):
+        return "bigint"
+    if isinstance(v, float):
+        return "double"
+    if isinstance(v, str):
+        return "string"
+    return "string"  # nested objects/arrays re-serialize as strings
+
+
+def infer_json_keys(
+    df: DataFrame, json_col: str, sample: int = 1024
+) -> dict[str, str]:
+    """{top-level key: spark type} from a bounded sample (stable:
+    keys sorted; types widened across sampled rows)."""
+    rows = (
+        df.select(F.col(json_col).alias("j"))
+        .filter(F.col("j").isNotNull())
+        .limit(sample)
+        .collect()
+    )
+    seen: dict[str, str] = {}
+    for r in rows:
+        try:
+            obj = json.loads(r["j"])
+        except (ValueError, TypeError):
+            continue
+        if not isinstance(obj, dict):
+            continue
+        for k, v in obj.items():
+            t = _json_type(v)
+            if t is None:
+                continue
+            prev = seen.get(k)
+            if prev is None:
+                seen[k] = t
+            elif prev != t:
+                seen[k] = _WIDEN[
+                    max(_WIDEN.index(prev), _WIDEN.index(t))
+                ]
+    return dict(sorted(seen.items()))
+
+
+def shred_json(
+    df: DataFrame,
+    json_col: str,
+    keys: dict[str, str] | None = None,
+    prefix: str = "",
+    sample: int = 1024,
+) -> DataFrame:
+    """Append one typed column per key (named ``prefix + key``).
+
+    ``keys`` is the {key: type} mapping from infer_json_keys (inferred
+    on the spot when omitted — fine interactively, pass it explicitly
+    in pipelines so the contract is pinned). One from_json parse per
+    row regardless of key count."""
+    if keys is None:
+        keys = infer_json_keys(df, json_col, sample)
+    if not keys:
+        return df
+    # parse every key as string first (from_json with a all-string
+    # schema never throws), then try_cast per target type — a
+    # non-numeric string yields NULL instead of failing the scan
+    # (plain cast THROWS under Spark 4's default ANSI mode)
+    parse_schema = T.StructType(
+        [T.StructField(k, T.StringType()) for k in keys]
+    )
+    parsed = F.from_json(F.col(json_col), parse_schema)
+    out = df.withColumn("__shred", parsed)
+    for k, t in keys.items():
+        col: Column = F.col("__shred").getField(k)
+        if t != "string":
+            col = col.try_cast(t)
+        out = out.withColumn(f"{prefix}{k}", col)
+    return out.drop("__shred")

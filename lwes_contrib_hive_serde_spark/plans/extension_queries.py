@@ -2652,3 +2652,43 @@ def q_canonical_urls(spark, sf_dir):
     return d.select(
         "doc_id", text.canonicalize_url(url).alias("canon")
     )
+
+
+# --- JSON shredding (operators/shred.py) ----------------------------------
+
+from lwes_contrib_hive_serde_spark.operators import shred as _shred
+
+
+@register(
+    "q_shred_props",
+    shadow=True,
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS p_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                OVER (PARTITION BY event_type) AS BIGINT) AS type_k_sum
+    FROM events WHERE event_id < 500
+    """,
+    doc="Semi-structured shredding (shred.infer_json_keys + "
+    "shred.shred_json): the JSON props payload becomes a typed bigint "
+    "column with ONE from_json parse per row shared by all keys "
+    "(all-string parse schema, per-key casts, malformed rows → NULLs "
+    "SQL-style), then a window aggregate consumes the shredded column "
+    "directly — the scan stays one pass, zero pre-window shuffles. "
+    "Inference runs on a bounded limit(sample) so planning cost is "
+    "independent of table size. Values hash-checked against DuckDB "
+    "json_extract.",
+)
+def q_shred_props(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    keys = _shred.infer_json_keys(ev, "props")
+    assert keys == {"k": "bigint"}, keys  # contract with the oracle
+    out = _shred.shred_json(ev, "props", keys, prefix="p_")
+    w = Window.partitionBy("event_type")
+    return out.select(
+        "event_id",
+        "p_k",
+        F.sum("p_k").over(w).cast("bigint").alias("type_k_sum"),
+    )

@@ -1,0 +1,81 @@
+"""JSON shredding (operators/shred.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lwes_contrib_hive_serde_spark.operators import shred as S
+
+
+@pytest.fixture(scope="module")
+def messy_json(spark):
+    rows = [
+        (1, '{"a": 1, "b": "x", "c": 2.5, "d": true}'),
+        (2, '{"a": 7, "e": {"nested": 1}}'),
+        (3, "not json"),
+        (4, None),
+        (5, '{"a": "12"}'),
+    ]
+    return spark.createDataFrame(rows, "id long, props string")
+
+
+class TestInference:
+    def test_types_and_widening(self, spark, messy_json):
+        keys = S.infer_json_keys(messy_json, "props")
+        # a: bigint rows + string row → widened to string
+        assert keys == {
+            "a": "string", "b": "string", "c": "double",
+            "d": "boolean", "e": "string",
+        }
+
+    def test_stable_key_order(self, spark, messy_json):
+        assert list(S.infer_json_keys(messy_json, "props")) == sorted(
+            S.infer_json_keys(messy_json, "props")
+        )
+
+    def test_pure_numeric_stays_bigint(self, spark):
+        df = spark.createDataFrame(
+            [(i, f'{{"k": {i}}}') for i in range(10)], "id long, j string"
+        )
+        assert S.infer_json_keys(df, "j") == {"k": "bigint"}
+
+
+class TestShred:
+    def test_values_and_nulls(self, spark, messy_json):
+        out = S.shred_json(
+            messy_json, "props",
+            {"a": "string", "c": "double", "d": "boolean"},
+            prefix="p_",
+        )
+        got = {r["id"]: (r["p_a"], r["p_c"], r["p_d"]) for r in out.collect()}
+        assert got[1] == ("1", 2.5, True)
+        assert got[2] == ("7", None, None)
+        assert got[3] == (None, None, None)  # malformed → NULLs
+        assert got[4] == (None, None, None)
+        assert got[5] == ("12", None, None)
+
+    def test_bad_numeric_casts_to_null_not_error(self, spark):
+        df = spark.createDataFrame(
+            [(1, '{"n": "abc"}'), (2, '{"n": 5}')], "id long, j string"
+        )
+        got = {
+            r["id"]: r["n"]
+            for r in S.shred_json(df, "j", {"n": "bigint"}).collect()
+        }
+        assert got == {1: None, 2: 5}
+
+    def test_single_parse_in_plan(self, spark, messy_json):
+        out = S.shred_json(
+            messy_json, "props",
+            {"a": "string", "b": "string", "c": "double"},
+        )
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("from_json") <= 3  # one per output column max,
+        # and crucially never one per key per row-parse chain
+        assert "get_json_object" not in plan
+
+    def test_empty_keys_passthrough(self, spark, messy_json):
+        df = spark.createDataFrame([(1, "null")], "id long, j string")
+        out = S.shred_json(df, "j")
+        assert out.columns == ["id", "j"]
