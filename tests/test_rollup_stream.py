@@ -131,3 +131,60 @@ class TestLiveStream:
             _assert_same_rollup(got, want)
         finally:
             q.stop()
+
+
+class TestJournalStreamIntegration:
+    def test_lwes_stream_feeds_continuous_rollup(self, spark, tmp_path):
+        """Live journal tail → epoch-folded rollup partials: the format
+        tailer and the continuous-rollup maintainer compose without any
+        glue beyond a timestamp cast."""
+        import lwes_contrib_hive_serde_spark as L
+        from lwes_contrib_hive_serde_spark.sources import codec as c
+
+        L.register(spark)
+        d = str(tmp_path / "jdir")
+        os.makedirs(d)
+        base = 1723500000000
+
+        def emit(fname, lo, hi):
+            evs = []
+            for i in range(lo, hi):
+                ev = c.Event("S::E")
+                ev.set("g", c.STRING, "even" if i % 2 == 0 else "odd")
+                ev.set("v", c.INT64, i)
+                ev.set(c.RECEIPT_TIME, c.INT64, base + i * 1000)
+                evs.append(ev)
+            c.write_journal_file(os.path.join(d, fname), evs)
+
+        emit("a.journal", 0, 60)
+        src = (
+            spark.readStream.format("lwes")
+            .schema("g string, v long, ReceiptTime long")
+            .option("eventName", "S::E")
+            .load(d)
+            .withColumn("ts", F.timestamp_millis(F.col("ReceiptTime")))
+        )
+        state = str(tmp_path / "state")
+        q = RS.stream_rollup(
+            src, state, str(tmp_path / "ckpt"), "ts", "hour", ["g"], "v",
+            trigger="300 milliseconds",
+        )
+        try:
+            emit("b.journal", 60, 100)
+            deadline = time.time() + 60
+            got = None
+            while time.time() < deadline:
+                try:
+                    got = {
+                        r["g"]: (r["n"], r["sum_v"], r["min_v"], r["max_v"])
+                        for r in RS.read_rollup(spark, state, ["g"], None).collect()
+                    }
+                    if got.get("even", (0,))[0] == 50 and got.get("odd", (0,))[0] == 50:
+                        break
+                except Exception:
+                    pass
+                time.sleep(0.5)
+            assert got["even"] == (50, sum(range(0, 100, 2)), 0, 98)
+            assert got["odd"] == (50, sum(range(1, 100, 2)), 1, 99)
+        finally:
+            q.stop()
