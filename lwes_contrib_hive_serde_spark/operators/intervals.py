@@ -1,0 +1,79 @@
+"""Interval algebra over (key, start, end) rows: merge overlapping
+intervals (gaps-and-islands) and measure coverage — the temporal
+normalization step behind sessionized billing, uptime/SLA accounting,
+and overlap dedup of time-ranged records.
+
+The merge is the classic two-window rewrite, all JVM:
+
+1. per key, ordered by start, the running ``max(end)`` over all PRIOR
+   rows tells whether this row overlaps anything before it;
+2. rows that start a new island (start > prior reach + gap) get flag 1,
+   and the running sum of flags numbers the islands;
+3. one aggregation per (key, island) yields merged spans.
+
+Cost: one shuffle on the key (the windows and the final aggregation
+share it), no joins, no iteration — at 100 TB intervals merge at
+groupBy speed. Ties/adjacency: ``min_gap=0`` merges touching
+intervals (end == next start); pass ``min_gap=-1`` to keep touching
+intervals separate, or a positive gap to bridge small holes
+(session-stitching semantics).
+
+Reference n/a; SURVEY §2c extension surface. The rewrite itself is
+textbook SQL (islands and gaps), mirrored verbatim by the DuckDB
+oracle, so merged spans are value-hash-checkable.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+    min_gap: int = 0,
+) -> DataFrame:
+    """(key..., start, end, n_merged) — the union of input intervals
+    per key, with intervals closer than ``min_gap`` bridged. Rows with
+    NULL or inverted (end < start) bounds are dropped first."""
+    clean = df.filter(
+        F.col(start_col).isNotNull()
+        & F.col(end_col).isNotNull()
+        & (F.col(end_col) >= F.col(start_col))
+    )
+    w = Window.partitionBy(*key_cols).orderBy(start_col, end_col)
+    reach = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = (
+        reach.isNull() | (F.col(start_col) > reach + F.lit(min_gap))
+    ).cast("int")
+    marked = clean.withColumn("__isl", F.sum(new_island).over(w))
+    return (
+        marked.groupBy(*key_cols, "__isl")
+        .agg(
+            F.min(start_col).alias("start"),
+            F.max(end_col).alias("end"),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .drop("__isl")
+    )
+
+
+def interval_coverage(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """(key..., covered, n_spans) — total length covered by the UNION
+    of intervals per key (double counting removed by merging first)."""
+    merged = merge_intervals(df, key_cols, start_col, end_col)
+    return merged.groupBy(*key_cols).agg(
+        F.sum(F.col("end") - F.col("start")).alias("covered"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )

@@ -2692,3 +2692,66 @@ def q_shred_props(spark, sf_dir):
         "p_k",
         F.sum("p_k").over(w).cast("bigint").alias("type_k_sum"),
     )
+
+
+# --- interval algebra (operators/intervals.py) ----------------------------
+
+from lwes_contrib_hive_serde_spark.operators import intervals as _intervals
+
+
+@register(
+    "q_merge_intervals",
+    shadow=True,
+    oracle="""
+    WITH iv AS (
+      SELECT user_id,
+             epoch_ms(ts) AS s,
+             epoch_ms(ts) + CAST(floor(value * 1000) AS BIGINT) AS e
+      FROM events WHERE user_id < 30
+    ), marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR s > MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) + 0
+             THEN 1 ELSE 0 END AS flag
+      FROM iv
+    ), isl AS (
+      SELECT user_id, s, e,
+             SUM(flag) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS island
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(s) AS start, MAX(e) AS "end",
+           CAST(COUNT(*) AS BIGINT) AS n_merged
+    FROM isl GROUP BY user_id, island
+    """,
+    doc="Gaps-and-islands interval merging "
+    "(intervals.merge_intervals): per-user event intervals "
+    "[ts, ts + value seconds) in epoch millis, unioned with the "
+    "two-window rewrite — running max(end) over prior rows detects "
+    "overlap, a running sum of new-island flags numbers islands, one "
+    "aggregation emits merged spans. One shuffle on the key, no "
+    "joins, no iteration; the oracle mirrors the rewrite verbatim so "
+    "every merged span is value-hash-checked. The temporal "
+    "normalization behind SLA/uptime accounting and time-range "
+    "dedup.",
+)
+def q_merge_intervals(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    iv = ev.select(
+        "user_id",
+        (F.unix_millis(F.col("ts"))).alias("s"),
+        (
+            F.unix_millis(F.col("ts"))
+            + F.floor(F.col("value") * 1000)
+        ).alias("e"),
+    )
+    return _intervals.merge_intervals(iv, ["user_id"], "s", "e")

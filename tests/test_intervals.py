@@ -1,0 +1,61 @@
+"""Interval merging + coverage (operators/intervals.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from lwes_contrib_hive_serde_spark.operators import intervals as I
+
+
+def _merge(spark, rows, min_gap=0):
+    df = spark.createDataFrame(rows, "k long, s long, e long")
+    out = I.merge_intervals(df, ["k"], "s", "e", min_gap=min_gap)
+    return sorted(
+        (r["k"], r["start"], r["end"], r["n_merged"]) for r in out.collect()
+    )
+
+
+class TestMergeIntervals:
+    def test_overlap_chain_merges(self, spark):
+        got = _merge(spark, [(1, 0, 10), (1, 5, 20), (1, 18, 25), (1, 40, 50)])
+        assert got == [(1, 0, 25, 3), (1, 40, 50, 1)]
+
+    def test_containment(self, spark):
+        got = _merge(spark, [(1, 0, 100), (1, 10, 20), (1, 30, 40)])
+        assert got == [(1, 0, 100, 3)]
+
+    def test_touching_intervals_merge_at_gap_zero(self, spark):
+        got = _merge(spark, [(1, 0, 10), (1, 10, 20)])
+        assert got == [(1, 0, 20, 2)]
+
+    def test_touching_intervals_split_at_negative_gap(self, spark):
+        got = _merge(spark, [(1, 0, 10), (1, 10, 20)], min_gap=-1)
+        assert got == [(1, 0, 10, 1), (1, 10, 20, 1)]
+
+    def test_positive_gap_bridges_holes(self, spark):
+        got = _merge(spark, [(1, 0, 10), (1, 14, 20)], min_gap=5)
+        assert got == [(1, 0, 20, 2)]
+        assert _merge(spark, [(1, 0, 10), (1, 16, 20)], min_gap=5) == [
+            (1, 0, 10, 1), (1, 16, 20, 1),
+        ]
+
+    def test_keys_isolated(self, spark):
+        got = _merge(spark, [(1, 0, 10), (2, 5, 15)])
+        assert got == [(1, 0, 10, 1), (2, 5, 15, 1)]
+
+    def test_invalid_rows_dropped(self, spark):
+        got = _merge(
+            spark, [(1, 0, 10), (1, 20, 15), (1, None, 5), (1, 5, None)]
+        )
+        assert got == [(1, 0, 10, 1)]
+
+    def test_coverage(self, spark):
+        df = spark.createDataFrame(
+            [(1, 0, 10), (1, 5, 20), (1, 30, 35), (2, 0, 1)],
+            "k long, s long, e long",
+        )
+        got = {
+            r["k"]: (r["covered"], r["n_spans"])
+            for r in I.interval_coverage(df, ["k"], "s", "e").collect()
+        }
+        assert got == {1: (25, 2), 2: (1, 1)}
