@@ -1,0 +1,71 @@
+"""Product-analytics rollups: cohort retention (and the helpers it
+needs), expressed as plain shuffled aggregations.
+
+``cohort_retention`` is the standard retention matrix: users are
+cohorted by the period of their FIRST event; for every later period
+the fraction of the cohort still active is reported. Three shuffled
+aggregations on the user key (first-event, distinct activity, and the
+final small matrix aggregation) — no windows over the whole event
+table, no self-joins over events, so the shape survives 100 TB: the
+big table is touched twice, both times collapsing to per-user rows.
+
+Reference n/a; SURVEY §2c extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_PERIODS = ("day", "week", "month")
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period: str = "week",
+) -> DataFrame:
+    """(cohort, period_offset, n_active, n_cohort, retention) — one
+    row per cohort x offset with activity; offset 0 is the cohort
+    period itself (retention 1.0 by construction)."""
+    if period not in _PERIODS:
+        raise ValueError(f"period must be one of {_PERIODS}")
+    p = F.date_trunc(period, F.col(ts_col))
+    firsts = (
+        df.groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(p).alias("cohort"))
+    )
+    activity = (
+        df.select(F.col(user_col).alias("u"), p.alias("p")).distinct()
+    )
+    j = activity.join(firsts, "u")
+    if period == "day":
+        off = F.datediff(F.col("p"), F.col("cohort"))
+    elif period == "week":
+        off = (F.datediff(F.col("p"), F.col("cohort")) / 7).cast("int")
+    else:  # month
+        off = F.round(
+            F.months_between(F.col("p"), F.col("cohort"))
+        ).cast("int")
+    active = (
+        j.select("u", "cohort", off.alias("period_offset"))
+        .distinct()
+        .groupBy("cohort", "period_offset")
+        .agg(F.countDistinct("u").alias("n_active"))
+    )
+    sizes = firsts.groupBy("cohort").agg(
+        F.countDistinct("u").alias("n_cohort")
+    )
+    return (
+        active.join(sizes, "cohort")
+        .select(
+            F.col("cohort").cast("date").alias("cohort"),
+            F.col("period_offset").cast("int").alias("period_offset"),
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.col("n_cohort").cast("bigint").alias("n_cohort"),
+            (
+                F.col("n_active").cast("double")
+                / F.col("n_cohort").cast("double")
+            ).alias("retention"),
+        )
+    )

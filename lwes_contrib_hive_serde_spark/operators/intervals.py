@@ -77,3 +77,25 @@ def interval_coverage(
         F.sum(F.col("end") - F.col("start")).alias("covered"),
         F.count(F.lit(1)).alias("n_spans"),
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    gap: int,
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Assign a per-key session number to every EVENT row: a new
+    session starts when the gap since the previous event exceeds
+    ``gap`` (same units as ``ts_col``). The batch analogue of
+    session_window that KEEPS row grain (session_window collapses to
+    one row per session) — feed it to per-session aggregations or
+    joins that still need the events. Same single key-shuffle profile
+    as merge_intervals; sessions number from 1 in event-time order."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    prev = F.lag(ts_col).over(w)
+    flag = (
+        prev.isNull() | (F.col(ts_col) - prev > F.lit(gap))
+    ).cast("int")
+    return df.withColumn(out_col, F.sum(flag).over(w))

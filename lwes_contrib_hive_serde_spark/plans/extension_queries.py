@@ -2755,3 +2755,49 @@ def q_merge_intervals(spark, sf_dir):
         ).alias("e"),
     )
     return _intervals.merge_intervals(iv, ["user_id"], "s", "e")
+
+
+# --- product analytics (operators/analytics.py, intervals.sessionize) -----
+
+from lwes_contrib_hive_serde_spark.operators import analytics as _analytics
+
+
+@register(
+    "q_cohort_retention",
+    shadow=True,
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id AS u, MIN(date_trunc('week', ts)) AS cohort
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS p FROM events
+    ), j AS (
+      SELECT a.u, f.cohort,
+             CAST(date_diff('day', f.cohort, a.p) / 7 AS INT)
+               AS period_offset
+      FROM activity a JOIN firsts f USING (u)
+    ), active AS (
+      SELECT cohort, period_offset, COUNT(DISTINCT u) AS n_active
+      FROM j GROUP BY cohort, period_offset
+    ), sizes AS (
+      SELECT cohort, COUNT(DISTINCT u) AS n_cohort FROM firsts GROUP BY cohort
+    )
+    SELECT a.cohort,
+           a.period_offset,
+           CAST(a.n_active AS BIGINT) AS n_active,
+           CAST(s.n_cohort AS BIGINT) AS n_cohort,
+           CAST(a.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE)
+             AS retention
+    FROM active a JOIN sizes s USING (cohort)
+    """,
+    doc="Cohort retention matrix (analytics.cohort_retention): users "
+    "cohorted by the week of their first event, per-offset active "
+    "fraction of each cohort. Three shuffled aggregations on the user "
+    "key — the event table collapses to per-user rows twice, no "
+    "self-joins or full-table windows, so the shape holds at 100 TB. "
+    "Full matrix (cohort, offset, counts, retention) value-hash "
+    "checked against the identical SQL in DuckDB.",
+)
+def q_cohort_retention(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return _analytics.cohort_retention(ev, "user_id", "ts", "week")

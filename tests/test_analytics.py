@@ -1,0 +1,80 @@
+"""Cohort retention (operators/analytics.py) + sessionize
+(operators/intervals.py)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from lwes_contrib_hive_serde_spark.operators import analytics as A
+from lwes_contrib_hive_serde_spark.operators import intervals as I
+
+
+class TestCohortRetention:
+    def test_crafted_matrix(self, spark):
+        d = datetime.datetime
+        rows = [
+            # user 1: first week W0 (Mon 2024-01-01), active W0 + W1
+            (1, d(2024, 1, 2)), (1, d(2024, 1, 9)),
+            # user 2: W0 only
+            (2, d(2024, 1, 3)),
+            # user 3: first W1, active W1 + W3
+            (3, d(2024, 1, 10)), (3, d(2024, 1, 24)),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = {
+            (str(r["cohort"]), r["period_offset"]): (
+                r["n_active"], r["n_cohort"], round(r["retention"], 6)
+            )
+            for r in A.cohort_retention(df, "user_id", "ts", "week").collect()
+        }
+        assert got == {
+            ("2024-01-01", 0): (2, 2, 1.0),
+            ("2024-01-01", 1): (1, 2, 0.5),
+            ("2024-01-08", 0): (1, 1, 1.0),
+            ("2024-01-08", 2): (1, 1, 1.0),
+        }
+
+    def test_offset_zero_always_full(self, spark):
+        ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        m = A.cohort_retention(ev, "user_id", "ts", "week")
+        zero = m.filter(F.col("period_offset") == 0).collect()
+        assert zero and all(r["retention"] == 1.0 for r in zero)
+
+    def test_monthly_period(self, spark):
+        d = datetime.datetime
+        rows = [(1, d(2024, 1, 15)), (1, d(2024, 3, 2))]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = sorted(
+            r["period_offset"]
+            for r in A.cohort_retention(df, "user_id", "ts", "month").collect()
+        )
+        assert got == [0, 2]
+
+    def test_bad_period(self, spark):
+        df = spark.createDataFrame([(1, datetime.datetime(2024, 1, 1))],
+                                   "user_id long, ts timestamp")
+        with pytest.raises(ValueError):
+            A.cohort_retention(df, "user_id", "ts", "fortnight")
+
+
+class TestSessionize:
+    def test_gap_rule_and_numbering(self, spark):
+        df = spark.createDataFrame(
+            [(1, 0), (1, 5), (1, 100), (1, 103), (2, 50)], "k long, t long"
+        )
+        got = sorted(
+            (r["k"], r["t"], r["session_id"])
+            for r in I.sessionize(df, ["k"], "t", gap=10).collect()
+        )
+        assert got == [
+            (1, 0, 1), (1, 5, 1), (1, 100, 2), (1, 103, 2), (2, 50, 1)
+        ]
+
+    def test_exact_gap_stays_in_session(self, spark):
+        df = spark.createDataFrame([(1, 0), (1, 10)], "k long, t long")
+        got = {r["t"]: r["session_id"]
+               for r in I.sessionize(df, ["k"], "t", gap=10).collect()}
+        assert got == {0: 1, 10: 1}  # gap == threshold: same session
