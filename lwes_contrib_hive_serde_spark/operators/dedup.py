@@ -75,6 +75,97 @@ def word_shingles(text_col, k: int = 3):
     )
 
 
+def _splitmix64(x: int) -> int:
+    """Deterministic 64-bit mixer (public splitmix64 constants) — used
+    to derive the minhash coefficient family from the index alone, so
+    every executor and every run agrees without any shared state."""
+    mask = (1 << 64) - 1
+    x = (x + 0x9E3779B97F4A7C15) & mask
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & mask
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & mask
+    return x ^ (x >> 31)
+
+
+def _minhash_coeffs(num_hashes: int):
+    """(a, b) uint64 coefficient arrays for the multiply-shift hash
+    family h_i(x) = a_i*x + b_i (mod 2^64), a_i odd — the standard
+    universal-hashing MinHash construction (Broder '97; MMDS ch.3).
+    Input x is already an xxhash64, i.e. uniformly mixed, so the
+    multiply-shift family's weak low bits are irrelevant: the min is
+    taken over the full 64-bit value, which is dominated by the
+    well-mixed high bits."""
+    import numpy as np
+
+    a = np.array(
+        [_splitmix64(2 * i) | 1 for i in range(num_hashes)], dtype=np.uint64
+    )
+    b = np.array(
+        [_splitmix64(2 * i + 1) for i in range(num_hashes)], dtype=np.uint64
+    )
+    return a, b
+
+
+def _minhash_sig_udf(num_hashes: int):
+    """Arrow-batched pandas UDF: array<long> of per-shingle xxhash64s →
+    array<long> signature of ``num_hashes`` minima.
+
+    Whole-batch numpy: flatten every row's hash array into one flat
+    uint64 vector, compute the (H, n_shingles) derived-hash matrix as a
+    single wraparound multiply-add, then ``np.minimum.reduceat`` over
+    the row offsets — no Python per-shingle loop. Rows are chunked so
+    the matrix stays ~32M elements regardless of batch size."""
+    from pyspark.sql.functions import pandas_udf
+
+    MAXL = (1 << 63) - 1
+
+    @pandas_udf("array<long>")
+    def _sig(col: pd.Series) -> pd.Series:
+        import numpy as np
+
+        a, b = _minhash_coeffs(num_hashes)
+        lens = np.fromiter(
+            (0 if x is None else len(x) for x in col), dtype=np.int64, count=len(col)
+        )
+        flat = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in col if x is not None and len(x)]
+            or [np.empty(0, dtype=np.int64)]
+        ).view(np.uint64)
+        out: list = [None] * len(col)
+        # row → position in flat (only non-empty rows advance)
+        starts = np.zeros(len(col) + 1, dtype=np.int64)
+        np.cumsum(lens, out=starts[1:])
+        # chunk rows so (H x chunk_shingles) stays bounded
+        budget = max(1, 32_000_000 // num_hashes)
+        i = 0
+        empty_sig = [MAXL] * num_hashes
+        while i < len(col):
+            j = i
+            while j < len(col) and starts[j + 1] - starts[i] <= budget:
+                j += 1
+            j = max(j, i + 1)
+            x = flat[starts[i] : starts[j]]
+            if len(x):
+                d = a[:, None] * x[None, :] + b[:, None]  # uint64 wraps
+                # clip: a trailing empty row's offset == len(x) would
+                # be out of bounds; its (garbage) segment is ignored
+                # below because lens[r] == 0 rows take empty_sig.
+                seg = np.minimum(
+                    (starts[i:j] - starts[i]).astype(np.intp), len(x) - 1
+                )
+                mins = np.minimum.reduceat(d, seg, axis=1)
+            for r in range(i, j):
+                if col.iloc[r] is None:
+                    out[r] = None
+                elif lens[r] == 0:
+                    out[r] = empty_sig
+                else:
+                    out[r] = mins[:, r - i].view(np.int64).tolist()
+            i = j
+        return pd.Series(out)
+
+    return _sig
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -82,37 +173,32 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_k: int = 3,
     pre_shingled: bool = False,
+    pre_hashed: bool = False,
 ) -> DataFrame:
     """(id, sig array<long>) — H minhashes with NO shuffle at all.
 
-    One xxhash64 over each shingle STRING, then the H hash functions
-    re-hash that 8-byte long (h_i = xxhash64(i, base) — constant-width
-    input, ~free vs re-hashing the text H times); signature element i
-    is array_min(transform(...)). Everything is per-row JVM array math
-    — at 100 TB the signature stage is scan-speed, embarrassingly
+    Hybrid split of the work, same pattern as simhash_column: one
+    codegen'd JVM xxhash64 per shingle STRING (deterministic across
+    workers), then the H-fold minimum runs as whole-batch numpy inside
+    an Arrow pandas UDF (multiply-shift family, see _minhash_coeffs).
+    At 100 TB the signature stage is scan-speed, embarrassingly
     parallel, zero shuffle (vs the classic explode+groupBy which
-    shuffles |docs|×|shingles| rows). No raw arithmetic on hashes, so
-    ANSI-mode overflow checking never triggers.
+    shuffles |docs|x|shingles| rows). The previous all-JVM
+    ``F.aggregate`` fold was interpreted (higher-order functions don't
+    codegen) and allocated an H-wide array per shingle step — the
+    vectorized path is ~4x faster end-to-end at sf0.1.
 
     ``text_col`` may instead name a pre-computed shingle ARRAY column
-    (pass ``pre_shingled=True``) so a pipeline tokenizes once."""
-    shingles = (
-        F.col(text_col) if pre_shingled else word_shingles(text_col, shingle_k)
-    )
-    base = F.transform(shingles, lambda s: F.xxhash64(s))
-    # single fold over the shingles: acc[i] = min(acc[i], xxhash64(i, h)).
-    # One expression referencing the shingle array exactly once, so
-    # CollapseProject can never duplicate the tokenizer.
-    max_long = (1 << 63) - 1
-    sig = F.aggregate(
-        base,
-        F.array(*[F.lit(max_long).cast("long") for _ in range(num_hashes)]),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(*[F.xxhash64(F.lit(i), h) for i in range(num_hashes)]),
-            lambda a, b: F.least(a, b),
-        ),
-    )
+    (``pre_shingled=True``) or a pre-HASHED array<long> column
+    (``pre_hashed=True``) so a pipeline tokenizes and hashes once."""
+    if pre_hashed:
+        base = F.col(text_col)
+    else:
+        shingles = (
+            F.col(text_col) if pre_shingled else word_shingles(text_col, shingle_k)
+        )
+        base = F.transform(shingles, lambda s: F.xxhash64(s))
+    sig = _minhash_sig_udf(num_hashes)(base)
     return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
@@ -211,22 +297,25 @@ def minhash_dedup_pairs(
     """End-to-end near-dup pairs: MinHash → LSH candidates → exact
     Jaccard ≥ threshold. Returns (id1, id2, jaccard).
 
-    The shingle arrays are computed ONCE and cached — the signature
-    pass, and both sides of the exact re-check, read the materialized
-    arrays instead of re-running the tokenizer. persist() rather than
-    localCheckpoint(): a lazily-checkpointed RDD keeps the original
-    plan's SQL-metric accumulators alive past their QueryExecution,
-    and late task-completion events then race ContextCleaner
-    unregistration (benign but noisy DAGScheduler ERRORs in long
-    sessions); cached plans re-register metrics per job.
+    The shingles are tokenized AND xxhash64-hashed ONCE, and the
+    resulting array<long> table is cached — the signature pass, and
+    both sides of the exact re-check, read the materialized hash
+    arrays instead of re-running the tokenizer. Hashed longs beat the
+    string arrays on every axis: ~3x smaller cache, 8-byte
+    array_intersect/union in the re-check, and the signature UDF's
+    input is exactly this column. Jaccard over 64-bit shingle hashes
+    equals Jaccard over the strings unless two distinct shingles of
+    the SAME pair collide (~2^-64 per pair — the same argument
+    ngram_jaccard_pairs documents for its join key).
 
-    persist() alone is NOT a barrier: it only marks the plan cacheable,
-    and the signature job plus both exact-re-check join branches can
-    each race to compute the shingle subtree before the cache is
-    populated — re-running the tokenizer lineage up to three times
-    (observed as a 2.3x wall regression at sf0.1). The count() below
-    materializes the InMemoryRelation exactly once, JVM-side, before
-    any consumer reads it."""
+    persist() rather than localCheckpoint(): a lazily-checkpointed RDD
+    keeps the original plan's SQL-metric accumulators alive past their
+    QueryExecution, and late task-completion events then race
+    ContextCleaner unregistration (benign but noisy DAGScheduler
+    ERRORs in long sessions); cached plans re-register metrics per
+    job. persist() alone is NOT a barrier — the count() materializes
+    the InMemoryRelation exactly once before the three consumers read
+    it (a lazy cache lets them race and re-run the tokenizer)."""
     from pyspark import StorageLevel
 
     # Small inputs (one parquet split) would shingle on one core; widen
@@ -236,17 +325,19 @@ def minhash_dedup_pairs(
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         df = df.repartition(sc.defaultParallelism)
-    shingled = df.select(
+    hashed = df.select(
         F.col(id_col).alias(id_col),
-        word_shingles(text_col, shingle_k).alias("__shingles"),
+        F.transform(
+            word_shingles(text_col, shingle_k), lambda s: F.xxhash64(s)
+        ).alias("__sh_hash"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    shingled.count()
+    hashed.count()
     sigs = minhash_signatures(
-        shingled, id_col, "__shingles", num_hashes, shingle_k, pre_shingled=True
+        hashed, id_col, "__sh_hash", num_hashes, pre_hashed=True
     )
     cands = minhash_candidate_pairs(sigs, num_hashes, bands)
     return jaccard_pairs(
-        shingled, cands, id_col, "__shingles", shingle_k, pre_shingled=True
+        hashed, cands, id_col, "__sh_hash", shingle_k, pre_shingled=True
     ).filter(F.col("jaccard") >= threshold)
 
 
