@@ -202,6 +202,25 @@ def minhash_signatures(
     return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
+def band_hash_structs(num_hashes: int, bands: int, sig_col: str = "sig"):
+    """array<struct<band,bhash>> expression over a signature column —
+    one xxhash64 per band over its r = num_hashes/bands slice. Shared
+    by the self-join candidate generator and the persisted LSH index
+    (operators/incremental.py), which must agree byte-for-byte."""
+    r = num_hashes // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.element_at(sig_col, b * r + i + 1) for i in range(r)]
+                ).alias("bhash"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_candidate_pairs(
     signatures: DataFrame,
     num_hashes: int = 64,
@@ -216,25 +235,9 @@ def minhash_candidate_pairs(
     quadratic blowup; the cap is logged in the result via the
     bucket_size column if callers want recall accounting.
     """
-    r = num_hashes // bands
     banded = signatures.select(
         "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("sig", b * r + i + 1)
-                                for i in range(r)
-                            ]
-                        ).alias("bhash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
+        F.explode(band_hash_structs(num_hashes, bands)).alias("bk"),
     ).select("id", "bk.band", "bk.bhash")
     buckets = (
         banded.groupBy("band", "bhash")

@@ -1,0 +1,284 @@
+"""Incremental near-duplicate detection against a PERSISTED MinHash
+LSH index — the realistic 100 TB curation workflow.
+
+The reference engine (lwes/lwes-contrib-hive-serde) rescans journals
+per query; a training-data pipeline cannot rescan a 100 TB corpus for
+every new crawl batch. Instead the corpus is indexed ONCE:
+
+    <path>/buckets/    (band int, bhash long, id long)   parquet,
+                       partitioned by band
+    <path>/shingles/   (id long, sh_hash array<long>)    parquet
+    <path>/meta.json   {num_hashes, bands, shingle_k}
+
+and each incoming batch (<< corpus) is deduplicated against the index
+plus itself, then its survivors are APPENDED to the index — the corpus
+text is never read again.
+
+Scale shape (the whole point):
+  * the index is the large side and NEVER shuffles: the batch's band
+    hashes and candidate ids are the broadcast side of every join;
+  * probe cost is one scan of ``buckets`` + one semi-join-pruned scan
+    of ``shingles`` (only candidate ids' rows are read — at 100 TB
+    with the parquet bloom filter / page index on ``id`` this is a
+    point-lookup scan, and ``buckets`` partitioned-by-band keeps each
+    band's probe file-local);
+  * append is an O(batch) parquet append, no compaction required for
+    correctness (``band=`` partitioning keeps bucket files clustered).
+
+The LSH parameters are frozen into meta.json at build time; probes
+always reuse them (a mismatched probe would silently miss candidates).
+Signature/banding expressions are shared with operators/dedup.py so
+index and probe agree byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lwes_contrib_hive_serde_spark.operators import dedup
+
+
+def _hashed_shingles(df: DataFrame, id_col: str, text_col: str, k: int):
+    """(id, sh_hash array<long>) — tokenize + xxhash64 once, JVM-side."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            dedup.word_shingles(text_col, k), lambda s: F.xxhash64(s)
+        ).alias("sh_hash"),
+    )
+
+
+def _bucket_rows(hashed: DataFrame, num_hashes: int, bands: int):
+    """(band, bhash, id) from a hashed-shingle table."""
+    sigs = dedup.minhash_signatures(
+        hashed, "id", "sh_hash", num_hashes, pre_hashed=True
+    )
+    return sigs.select(
+        "id",
+        F.explode(dedup.band_hash_structs(num_hashes, bands)).alias("bk"),
+    ).select("bk.band", "bk.bhash", "id")
+
+
+def minhash_index_write(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> None:
+    """Build (overwrite) the persistent LSH index for a corpus.
+
+    One pass over the corpus text: shingle+hash → cache → write the
+    shingle table and the bucket table. The corpus text column itself
+    is NOT stored — the exact re-check only needs the hashed shingle
+    sets (Jaccard over 64-bit shingle hashes equals Jaccard over the
+    strings up to a ~2^-64 per-pair collision; see minhash_dedup_pairs).
+    """
+    from pyspark import StorageLevel
+
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+    hashed = _hashed_shingles(df, id_col, text_col, shingle_k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    hashed.count()  # materialization barrier: two writers read it
+    try:
+        hashed.write.mode("overwrite").parquet(os.path.join(path, "shingles"))
+        (
+            _bucket_rows(hashed, num_hashes, bands)
+            .write.mode("overwrite")
+            .partitionBy("band")
+            .parquet(os.path.join(path, "buckets"))
+        )
+    finally:
+        hashed.unpersist()
+    meta = {
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "shingle_k": shingle_k,
+        "version": 1,
+    }
+    tmp = os.path.join(path, ".meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "meta.json"))
+
+
+def _read_meta(path: str) -> dict:
+    with open(os.path.join(path, "meta.json")) as f:
+        return json.load(f)
+
+
+def minhash_index_probe(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    max_bucket: int = 200,
+    include_batch_pairs: bool = True,
+) -> DataFrame:
+    """Near-dup pairs between a new batch and the indexed corpus (and,
+    when ``include_batch_pairs``, within the batch itself).
+
+    Returns (id1, id2, jaccard) with id1 the batch doc; for
+    batch-internal pairs id1 < id2. Candidates come from bucket
+    equality on the frozen LSH parameters; every candidate is
+    re-checked with EXACT Jaccard over the hashed shingle sets, so
+    output precision is exact and recall is the standard banding bound
+    (1-(1-j^r)^b ≈ 0.9998 at j = 0.8 with 16x4).
+
+    Join shape at 100 TB: ``batch`` is small — its bucket rows and the
+    candidate id set are broadcast; the index's ``buckets`` and
+    ``shingles`` scans are pruned (band partition / id predicate
+    pushdown) and NEVER shuffle.
+    """
+    from pyspark import StorageLevel
+
+    meta = _read_meta(path)
+    num_hashes, bands, k = meta["num_hashes"], meta["bands"], meta["shingle_k"]
+
+    bh = _hashed_shingles(batch, id_col, text_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bh.count()
+    batch_buckets = _bucket_rows(bh, num_hashes, bands).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    batch_buckets.count()
+
+    idx_buckets = spark.read.parquet(os.path.join(path, "buckets"))
+    # corpus candidates: bucket-equality join, batch side broadcast.
+    # Hot corpus buckets are capped per (band,bhash) via a window count
+    # computed AFTER the semi-restriction to probed buckets only (the
+    # window never sees the full index).
+    probed = idx_buckets.join(
+        F.broadcast(batch_buckets.select("band", "bhash").distinct()),
+        ["band", "bhash"],
+    )
+    from pyspark.sql import Window
+
+    wcnt = Window.partitionBy("band", "bhash")
+    probed = (
+        probed.withColumn("__n", F.count(F.lit(1)).over(wcnt))
+        .filter(F.col("__n") <= max_bucket)
+        .drop("__n")
+    )
+    corpus_cands = (
+        batch_buckets.join(
+            probed.select("band", "bhash", F.col("id").alias("cid")),
+            ["band", "bhash"],
+        )
+        .select(F.col("id").alias("id1"), F.col("cid").alias("id2"))
+        .distinct()
+    )
+
+    idx_sh = spark.read.parquet(os.path.join(path, "shingles"))
+    a = bh.select(F.col("id").alias("id1"), F.col("sh_hash").alias("sh1"))
+    b = idx_sh.select(F.col("id").alias("id2"), F.col("sh_hash").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size(F.array_union("sh1", "sh2"))
+    corpus_pairs = (
+        corpus_cands.join(F.broadcast(a), "id1")
+        .join(b, "id2")
+        .select(
+            "id1",
+            "id2",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    if not include_batch_pairs:
+        return corpus_pairs
+
+    sigs = dedup.minhash_signatures(bh, "id", "sh_hash", num_hashes, pre_hashed=True)
+    batch_cands = dedup.minhash_candidate_pairs(
+        sigs, num_hashes, bands, max_bucket
+    )
+    batch_pairs = dedup.jaccard_pairs(
+        bh, batch_cands, "id", "sh_hash", k, pre_shingled=True
+    ).filter(F.col("jaccard") >= threshold)
+    return corpus_pairs.unionByName(batch_pairs)
+
+
+def minhash_index_append(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append accepted batch docs to the index (O(batch) parquet
+    appends under the frozen LSH parameters — the existing index files
+    are untouched)."""
+    meta = _read_meta(path)
+    hashed = _hashed_shingles(
+        new_docs, id_col, text_col, meta["shingle_k"]
+    ).localCheckpoint()
+    hashed.write.mode("append").parquet(os.path.join(path, "shingles"))
+    (
+        _bucket_rows(hashed, meta["num_hashes"], meta["bands"])
+        .write.mode("append")
+        .partitionBy("band")
+        .parquet(os.path.join(path, "buckets"))
+    )
+
+
+def incremental_dedup(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    append_survivors: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """One incremental-curation step: (survivors, dup_pairs).
+
+    A batch doc is dropped if it near-matches ANY corpus doc, or an
+    earlier (min-id keeper) surviving batch doc — the same keeper rule
+    as fingerprint_dedup, extended transitively within the batch via
+    one connected-components pass over the batch-internal pairs (a
+    batch doc whose only match was itself dropped still drops: its
+    cluster representative survives, everything else goes).
+
+    Survivors are appended to the index so the next batch sees them.
+    """
+    pairs = minhash_index_probe(
+        spark, path, batch, id_col, text_col, threshold
+    )
+    from pyspark import StorageLevel
+
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
+    batch_ids = batch.select(F.col(id_col).alias("bid")).distinct()
+    # drop: matched a corpus doc (id2 not in batch) …
+    corpus_hit = (
+        pairs.join(
+            batch_ids, pairs["id2"] == batch_ids["bid"], "left_anti"
+        )
+        .select(F.col("id1").alias("bid"))
+        .distinct()
+    )
+    # … or in a batch-internal dup cluster and not its min-id rep
+    internal = pairs.join(batch_ids, pairs["id2"] == batch_ids["bid"], "semi")
+    clusters = dedup.dup_clusters(internal.select("id1", "id2"))
+    internal_drop = clusters.filter(
+        F.col("id") != F.col("cluster_id")
+    ).select(F.col("id").alias("bid"))
+    drop = corpus_hit.unionByName(internal_drop).distinct()
+    survivors = batch.join(
+        drop, batch[id_col] == drop["bid"], "left_anti"
+    )
+    if append_survivors:
+        minhash_index_append(spark, path, survivors, id_col, text_col)
+    return survivors, pairs

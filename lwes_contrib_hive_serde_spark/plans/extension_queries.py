@@ -2801,3 +2801,79 @@ from lwes_contrib_hive_serde_spark.operators import analytics as _analytics
 def q_cohort_retention(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     return _analytics.cohort_retention(ev, "user_id", "ts", "week")
+
+
+@register(
+    "q_incremental_dedup",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+    ), batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents
+      WHERE doc_id % 5 <> 0 AND doc_id < 25
+    ), all_docs AS (
+      SELECT * FROM corpus UNION ALL SELECT * FROM batch
+    ), norm AS (
+      SELECT doc_id, {_SQL_NORM} AS t FROM all_docs
+    ), toks AS (
+      SELECT doc_id, string_split(t, ' ') AS ws FROM norm
+    ), sh AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, len(ws) - 2)) AS i
+      ) g
+      WHERE len(ws) >= 3
+      UNION
+      SELECT DISTINCT doc_id, array_to_string(ws, ' ') AS s
+      FROM toks WHERE len(ws) < 3
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s
+      WHERE a.doc_id IN (SELECT doc_id FROM batch)
+        AND (b.doc_id IN (SELECT doc_id FROM corpus)
+             OR (b.doc_id IN (SELECT doc_id FROM batch)
+                 AND a.doc_id < b.doc_id))
+      GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           ROUND(CAST(n_inter AS DOUBLE)
+                 / (na.n + nb.n - n_inter), 6) AS jaccard6
+    FROM inter
+    JOIN sizes na ON na.doc_id = id1
+    JOIN sizes nb ON nb.doc_id = id2
+    WHERE CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) >= 0.8
+    """,
+    doc="Incremental dedup against a PERSISTED MinHash LSH index "
+    "(operators/incremental.py): corpus (doc_id %% 5 <> 0) is indexed "
+    "to parquet (buckets partitioned by band + hashed shingle sets), "
+    "then a new batch (doc_id %% 5 = 0, plus 20 planted copies of "
+    "corpus docs at +1e6) probes the index WITHOUT re-reading corpus "
+    "text. Every candidate is re-checked with exact Jaccard, so the "
+    "result equals the exact batch-vs-(corpus+batch) answer under the "
+    "usual 16x4 banding recall bound (~0.9998 at j=0.8; identical "
+    "planted copies are found with certainty). Oracle: the exact "
+    "shingle-join answer in DuckDB. At 100 TB the index never "
+    "shuffles — batch band hashes and candidate ids broadcast.",
+    shadow=True,
+)
+def q_incremental_dedup(spark, sf_dir):
+    import tempfile
+
+    from lwes_contrib_hive_serde_spark.operators import incremental
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    planted = corpus.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    batch = d.filter(F.col("doc_id") % 5 == 0).unionByName(planted)
+    idx = tempfile.mkdtemp(prefix="lwespark_incdedup_")
+    incremental.minhash_index_write(corpus, idx)
+    pairs = incremental.minhash_index_probe(spark, idx, batch)
+    return pairs.select(
+        "id1", "id2", F.round("jaccard", 6).alias("jaccard6")
+    )

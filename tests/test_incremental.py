@@ -1,0 +1,127 @@
+"""Incremental dedup against the persisted MinHash LSH index
+(operators/incremental.py): probe results checked against the exact
+batch-vs-corpus Jaccard oracle, survivor/keeper semantics, and the
+append path (a second batch must see the first batch's survivors)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from lwes_contrib_hive_serde_spark.operators import dedup, incremental
+
+VOCAB = (
+    "the quick brown fox jumps over lazy dog data spark shuffle join "
+    "aggregate window batch stream table column row filter scan".split()
+)
+
+
+def _doc(rng, lo=30, hi=60):
+    return " ".join(rng.choice(VOCAB) for _ in range(rng.randint(lo, hi)))
+
+
+@pytest.fixture(scope="module")
+def corpus_and_batch(spark):
+    rng = random.Random(11)
+    corpus_rows = [(i, _doc(rng)) for i in range(40)]
+    batch_rows = [(100 + i, _doc(rng)) for i in range(10)]  # fresh
+    batch_rows.append((200, corpus_rows[3][1]))  # exact copy of corpus
+    words = corpus_rows[5][1].split()
+    words[2] = "spark"
+    batch_rows.append((201, " ".join(words)))  # near copy of corpus
+    batch_rows.append((202, batch_rows[0][1]))  # exact dup WITHIN batch
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    return corpus, batch
+
+
+def _exact_pairs(spark, corpus, batch, threshold=0.8):
+    """Ground truth: exact Jaccard pairs, id1 in batch, id2 in corpus
+    or a later batch doc."""
+    both = corpus.unionByName(batch)
+    allp = dedup.ngram_jaccard_pairs(both, threshold=threshold)
+    bids = {r.doc_id for r in batch.select("doc_id").collect()}
+    out = set()
+    for r in allp.collect():
+        if r.id1 in bids and r.id2 in bids:
+            out.add((r.id1, r.id2))
+        elif r.id1 in bids:
+            out.add((r.id1, r.id2))
+        elif r.id2 in bids:
+            out.add((r.id2, r.id1))
+    return out
+
+
+class TestIncrementalDedup:
+    def test_probe_matches_exact_oracle(self, spark, tmp_path, corpus_and_batch):
+        corpus, batch = corpus_and_batch
+        idx = str(tmp_path / "idx")
+        incremental.minhash_index_write(corpus, idx)
+        got = {
+            (r.id1, r.id2)
+            for r in incremental.minhash_index_probe(
+                spark, idx, batch
+            ).collect()
+        }
+        truth = _exact_pairs(spark, corpus, batch)
+        assert (200, 3) in truth and (201, 5) in truth  # planted
+        assert got == truth, (got ^ truth)
+
+    def test_probe_jaccard_values_exact(self, spark, tmp_path, corpus_and_batch):
+        corpus, batch = corpus_and_batch
+        idx = str(tmp_path / "idx")
+        incremental.minhash_index_write(corpus, idx)
+        rows = incremental.minhash_index_probe(spark, idx, batch).collect()
+        by_pair = {(r.id1, r.id2): r.jaccard for r in rows}
+        assert by_pair[(200, 3)] == 1.0  # exact copy
+        assert 0.8 <= by_pair[(201, 5)] < 1.0  # near copy
+
+    def test_survivors_and_append(self, spark, tmp_path, corpus_and_batch):
+        corpus, batch = corpus_and_batch
+        idx = str(tmp_path / "idx")
+        incremental.minhash_index_write(corpus, idx)
+        survivors, pairs = incremental.incremental_dedup(
+            spark, idx, batch, append_survivors=True
+        )
+        ids = {r.doc_id for r in survivors.collect()}
+        # corpus matches dropped; batch-internal keeps min id
+        assert 200 not in ids and 201 not in ids
+        assert 100 in ids and 202 not in ids
+        assert all(100 + i in ids for i in range(1, 10))
+        # a second batch duplicating a first-batch SURVIVOR must now hit
+        batch2 = spark.createDataFrame(
+            [(300, batch.filter("doc_id = 101").first()["text"])],
+            "doc_id long, text string",
+        )
+        hits = incremental.minhash_index_probe(spark, idx, batch2).collect()
+        assert {(r.id1, r.id2) for r in hits} == {(300, 101)}
+
+    def test_dropped_doc_not_in_index(self, spark, tmp_path, corpus_and_batch):
+        corpus, batch = corpus_and_batch
+        idx = str(tmp_path / "idx")
+        incremental.minhash_index_write(corpus, idx)
+        incremental.incremental_dedup(spark, idx, batch, append_survivors=True)
+        # 202 was dropped (dup of 100) — probing its text must match the
+        # KEPT representative 100 (and transitively 202 must be absent)
+        sh = spark.read.parquet(idx + "/shingles")
+        stored = {r.id for r in sh.select("id").collect()}
+        assert 202 not in stored and 200 not in stored
+        assert 100 in stored and 3 in stored
+
+    def test_probe_never_shuffles_index(self, spark, tmp_path, corpus_and_batch):
+        """Plan invariant: the index bucket scan feeds a broadcast
+        join (batch side broadcast), not a sort-merge/shuffled hash
+        join over the index."""
+        corpus, batch = corpus_and_batch
+        idx = str(tmp_path / "idx")
+        incremental.minhash_index_write(corpus, idx)
+        plan = (
+            incremental.minhash_index_probe(
+                spark, idx, batch, include_batch_pairs=False
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoop" not in plan
