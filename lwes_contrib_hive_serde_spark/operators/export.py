@@ -1,0 +1,122 @@
+"""Training-data export: deterministic global shuffle + sharded writes.
+
+The last stage of a curation pipeline: the corpus must reach the
+trainer (a) in pseudo-random order (no crawl/domain runs — adjacent
+documents from one host measurably hurt LM training), (b) split into
+shards of roughly equal size so data loaders can stripe across
+workers, (c) DETERMINISTICALLY — re-running the export on the same
+corpus must produce identical shard membership and order, or
+checkpoint-resumed training silently re-sees data.
+
+Scale notes (why it is built this way):
+  * shard_id = hash-bucket of (seed, key) — hash bucketing, not a
+    global row_number: a total row numbering needs either a
+    single-partition window (one task sees 100 TB) or a two-pass
+    offset join; hash shards are equal-sized in expectation with ZERO
+    coordination, and membership is stable under corpus append (an
+    appended doc lands in one shard; nothing else moves — row_number
+    would renumber everything).
+  * within-shard order = sort by (order hash, key) inside each shard
+    partition (repartition on shard_id + sortWithinPartitions): the
+    only shuffle is the one the write needs anyway; no global sort.
+  * hashes follow operators/sampling.py: md5-derived by default —
+    bit-identical in every engine, so the whole shuffle plan is
+    DuckDB-oracle-checkable; ``hasher="xxhash64"`` is the cheaper
+    JVM-only variant for production runs that don't need cross-engine
+    replay. A different ``seed`` reshuffles everything (epoch
+    reshuffling = seed++ without rewriting data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lwes_contrib_hive_serde_spark.operators.sampling import hash_uniform
+
+
+def _order_hash(key_col: str, seed: str, hasher: str) -> F.Column:
+    if hasher == "md5":
+        return F.md5(
+            F.concat(F.lit(seed + ":order:"), F.col(key_col).cast("string"))
+        )
+    if hasher == "xxhash64":
+        return F.xxhash64(F.lit(seed + ":order"), F.col(key_col))
+    raise ValueError(f"unknown hasher {hasher!r} (md5 | xxhash64)")
+
+
+def with_shard_assignment(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: str = "lwespark-export",
+    hasher: str = "md5",
+) -> DataFrame:
+    """Add (shard_id, order_hash) — the deterministic shuffle plan.
+
+    shard_id in [0, n_shards); order_hash is the within-shard sort key.
+    Pure per-row JVM expressions: zero shuffle until the writer
+    repartitions on shard_id."""
+    if hasher == "md5":
+        shard = F.floor(
+            hash_uniform(key_col, seed) * F.lit(float(n_shards))
+        ).cast("int")
+    elif hasher == "xxhash64":
+        shard = F.pmod(
+            F.xxhash64(F.lit(seed), F.col(key_col)), F.lit(n_shards)
+        ).cast("int")
+    else:
+        raise ValueError(f"unknown hasher {hasher!r} (md5 | xxhash64)")
+    return df.withColumn("shard_id", shard).withColumn(
+        "order_hash", _order_hash(key_col, seed, hasher)
+    )
+
+
+def shuffled_shard_positions(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: str = "lwespark-export",
+    hasher: str = "md5",
+) -> DataFrame:
+    """(key, shard_id, pos) — the materialized shuffle manifest.
+
+    pos = rank of the row inside its shard under (order_hash, key).
+    The window partitions by shard_id, so each shard ranks
+    independently — parallelism = n_shards, never a global window."""
+    w = Window.partitionBy("shard_id").orderBy("order_hash", key_col)
+    return (
+        with_shard_assignment(df, key_col, n_shards, seed, hasher)
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("order_hash")
+    )
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int,
+    seed: str = "lwespark-export",
+    hasher: str = "md5",
+    format: str = "parquet",
+) -> None:
+    """Write the shuffled corpus as ``n_shards`` shard directories
+    (``shard_id=K/``), each internally sorted by the shuffle order.
+
+    One shuffle total: repartition on shard_id (each shard lands in
+    exactly one task → exactly one file per shard directory), sort
+    within partitions, write with partitionBy. Readers get stable
+    shard membership AND stable intra-shard order from the parquet
+    row order. ``format`` may be parquet or json (JSONL shards)."""
+    out = with_shard_assignment(df, key_col, n_shards, seed, hasher)
+    (
+        out.repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "order_hash", key_col)
+        .drop("order_hash")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .format(format)
+        .save(path)
+    )

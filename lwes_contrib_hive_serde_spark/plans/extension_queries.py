@@ -2877,3 +2877,41 @@ def q_incremental_dedup(spark, sf_dir):
     return pairs.select(
         "id1", "id2", F.round("jaccard", 6).alias("jaccard6")
     )
+
+
+_EXP_U = (
+    "(('0x' || substr(md5('lwespark-export:' || CAST(doc_id AS VARCHAR)), 1, 16))"
+    "::UINT64)::DOUBLE / 18446744073709551616.0"
+)
+
+
+@register(
+    "q_training_shuffle",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(floor({_EXP_U} * 8) AS INT) AS shard_id,
+             md5('lwespark-export:order:' || CAST(doc_id AS VARCHAR)) AS oh
+      FROM documents
+    )
+    SELECT doc_id, shard_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard_id
+                                   ORDER BY oh, doc_id) - 1 AS BIGINT) AS pos
+    FROM h
+    """,
+    doc="Deterministic global shuffle for training export "
+    "(operators/export.py): shard_id = md5-fraction bucket of "
+    "(seed, doc_id), pos = rank under the independent order hash "
+    "within the shard. Hash bucketing instead of global row_number "
+    "(no single-partition window at 100 TB; membership stable under "
+    "append), per-shard windows only. The full (doc_id, shard, pos) "
+    "manifest is value-hash-checked against the identical md5 walk "
+    "in DuckDB — the shuffle is bit-reproducible across engines, "
+    "which is what makes checkpoint-resumed training safe.",
+    shadow=True,
+)
+def q_training_shuffle(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import export
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    return export.shuffled_shard_positions(d, "doc_id", n_shards=8)

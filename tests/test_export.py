@@ -1,0 +1,124 @@
+"""Training export (operators/export.py): shard balance, determinism,
+epoch reshuffling, and the physical sharded write layout."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lwes_contrib_hive_serde_spark.operators import export
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id").cast("string")).alias("text"),
+    )
+
+
+class TestShuffle:
+    def test_deterministic_and_complete(self, spark, docs):
+        a = export.shuffled_shard_positions(docs, "doc_id", 8).collect()
+        b = export.shuffled_shard_positions(docs, "doc_id", 8).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        assert len(a) == 1000
+        assert {r.shard_id for r in a} == set(range(8))
+
+    def test_positions_dense_per_shard(self, spark, docs):
+        rows = export.shuffled_shard_positions(docs, "doc_id", 8).collect()
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r.shard_id, []).append(r.pos)
+        for shard, ps in by_shard.items():
+            assert sorted(ps) == list(range(len(ps))), shard
+
+    def test_shards_roughly_balanced(self, spark, docs):
+        counts = (
+            export.with_shard_assignment(docs, "doc_id", 8)
+            .groupBy("shard_id")
+            .count()
+            .collect()
+        )
+        for r in counts:
+            assert 70 <= r["count"] <= 180  # 125 expected, generous 4-sigma
+
+    def test_seed_changes_order(self, spark, docs):
+        a = {
+            r.doc_id: (r.shard_id, r.pos)
+            for r in export.shuffled_shard_positions(docs, "doc_id", 8).collect()
+        }
+        b = {
+            r.doc_id: (r.shard_id, r.pos)
+            for r in export.shuffled_shard_positions(
+                docs, "doc_id", 8, seed="epoch2"
+            ).collect()
+        }
+        moved = sum(1 for k in a if a[k] != b[k])
+        assert moved > 800  # epoch reseed reshuffles nearly everything
+
+    def test_append_stability(self, spark, docs):
+        """Appending rows must not move any existing row's shard."""
+        base = {
+            r.doc_id: r.shard_id
+            for r in export.with_shard_assignment(docs, "doc_id", 8)
+            .select("doc_id", "shard_id")
+            .collect()
+        }
+        bigger = docs.sparkSession.range(1500).select(
+            F.col("id").alias("doc_id")
+        )
+        grown = {
+            r.doc_id: r.shard_id
+            for r in export.with_shard_assignment(bigger, "doc_id", 8)
+            .select("doc_id", "shard_id")
+            .collect()
+        }
+        assert all(grown[k] == v for k, v in base.items())
+
+    def test_xxhash_variant(self, spark, docs):
+        rows = export.shuffled_shard_positions(
+            docs, "doc_id", 8, hasher="xxhash64"
+        ).collect()
+        assert len(rows) == 1000
+        with pytest.raises(ValueError, match="unknown hasher"):
+            export.with_shard_assignment(docs, "doc_id", 8, hasher="sha9")
+
+
+class TestExportWrite:
+    def test_layout_and_order(self, spark, docs, tmp_path):
+        path = str(tmp_path / "shards")
+        export.export_shards(docs, path, "doc_id", 4)
+        dirs = sorted(glob.glob(os.path.join(path, "shard_id=*")))
+        assert len(dirs) == 4
+        # exactly one data file per shard (repartition on shard_id)
+        for d in dirs:
+            files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+            assert len(files) == 1, d
+        # read back: membership and intra-shard ORDER match the manifest
+        back = spark.read.parquet(path)
+        manifest = export.shuffled_shard_positions(docs, "doc_id", 4)
+        got = {}
+        for r in back.collect():
+            got.setdefault(r.shard_id, []).append(r.doc_id)
+        # parquet preserves row order within the single file per shard:
+        # re-read order must equal manifest pos order
+        want = {}
+        for r in manifest.orderBy("shard_id", "pos").collect():
+            want.setdefault(r.shard_id, []).append(r.doc_id)
+        # spark may split the file into multiple read partitions; read
+        # per-file via the manifest ordering instead
+        import pyarrow.parquet as pq
+
+        for d in dirs:
+            shard = int(d.rsplit("=", 1)[1])
+            f = [os.path.join(d, x) for x in os.listdir(d) if x.endswith(".parquet")][0]
+            ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+            assert ids == want[shard], shard
+
+    def test_jsonl_format(self, spark, docs, tmp_path):
+        path = str(tmp_path / "jsonl")
+        export.export_shards(docs, path, "doc_id", 2, format="json")
+        back = spark.read.json(path)
+        assert back.count() == 1000
