@@ -393,6 +393,100 @@ def exact_allpairs_cosine(
     )
 
 
+def embedding_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.95,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    bench_id: str = "vec_id",
+    bench_vec: str = "embedding",
+    max_bench: int = 100_000,
+) -> DataFrame:
+    """Semantic decontamination: (corpus_id, bench_id, cosine_sim) for
+    every corpus×benchmark pair with cosine ≥ ``threshold``.
+
+    N-gram decontamination (dedup.contamination_overlap / the bloom
+    tier) catches verbatim leakage; this catches PARAPHRASED leakage —
+    a benchmark item rewritten into the training set keeps a
+    near-identical embedding while sharing no 8-gram. Standard
+    companion pass in LLM curation (cf. the SemDeDup-style
+    embedding-similarity literature).
+
+    Scale shape: the benchmark is the small side (eval suites are
+    thousands to low millions of rows) and is broadcast in chunks of
+    ``max_bench``; the corpus NEVER shuffles — mapInPandas over corpus
+    partitions, one numpy GEMM per Arrow batch per chunk, emitting
+    only the pairs above threshold (output is |leaks|, not |corpus|).
+    Exact, not approximate: every emitted pair carries its true
+    cosine, so downstream can re-threshold without re-running.
+
+    Output columns are fixed (``corpus_id``, ``bench_id``,
+    ``cosine_sim``) so the two sides may share an input id name."""
+    import math
+
+    out_schema = "corpus_id long, bench_id long, cosine_sim double"
+    sc = corpus.sparkSession.sparkContext
+    projected = corpus.select(corpus_id, corpus_vec)
+
+    def chunk_pairs(b_ids, b_mat):
+        bq = sc.broadcast((b_ids, b_mat))
+
+        def part_pairs(batches):
+            import numpy as np
+            import pandas as pd
+
+            b_ids_l, b_mat_l = bq.value
+            B = np.asarray(b_mat_l, dtype=np.float64)
+            Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+            b_arr = np.asarray(b_ids_l)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.asarray(pdf[corpus_vec].tolist(), dtype=np.float64)
+                Xn = X / np.maximum(
+                    np.linalg.norm(X, axis=1, keepdims=True), 1e-12
+                )
+                S = Xn @ Bn.T  # (n_corpus, n_bench)
+                ci, bi = np.nonzero(S >= threshold)
+                if len(ci) == 0:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "corpus_id": pdf[corpus_id].to_numpy()[ci],
+                        "bench_id": b_arr[bi],
+                        "cosine_sim": S[ci, bi],
+                    }
+                )
+
+        return projected.mapInPandas(part_pairs, out_schema)
+
+    bdf = bench.select(bench_id, bench_vec)
+    total = bdf.count()
+    n_chunks = max(1, math.ceil(total / max_bench))
+    partials = []
+    for i in range(n_chunks):
+        chunk = (
+            bdf
+            if n_chunks == 1
+            else bdf.where(F.pmod(F.xxhash64(bench_id), F.lit(n_chunks)) == i)
+        )
+        rows = chunk.collect()
+        if not rows:
+            continue
+        partials.append(
+            chunk_pairs(
+                [r[0] for r in rows], [list(map(float, r[1])) for r in rows]
+            )
+        )
+    if not partials:
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    out = partials[0]
+    for p in partials[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def ml_brp_ann(
     df: DataFrame,
     query_vec: list[float],

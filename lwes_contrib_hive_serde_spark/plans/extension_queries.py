@@ -2915,3 +2915,56 @@ def q_training_shuffle(spark, sf_dir):
 
     d = table(spark, sf_dir, "documents").select("doc_id")
     return export.shuffled_shard_positions(d, "doc_id", n_shards=8)
+
+
+@register(
+    "q_semantic_decontaminate",
+    oracle="""
+    WITH bench AS (
+      SELECT vec_id, embedding::DOUBLE[] AS bv FROM embeddings
+      WHERE vec_id < 10
+    ), corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+      WHERE vec_id >= 10
+      UNION ALL
+      SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings
+      WHERE vec_id < 10
+    )
+    SELECT c.vec_id AS corpus_vec_id, b.vec_id AS bench_vec_id,
+           ROUND(list_inner_product(c.cv, b.bv)
+                 / (sqrt(list_inner_product(c.cv, c.cv))
+                    * sqrt(list_inner_product(b.bv, b.bv))), 6) AS sim6
+    FROM corpus c, bench b
+    WHERE list_inner_product(c.cv, b.bv)
+          / (sqrt(list_inner_product(c.cv, c.cv))
+             * sqrt(list_inner_product(b.bv, b.bv))) >= 0.9
+    """,
+    doc="Embedding-space decontamination "
+    "(similarity.embedding_contamination): corpus x benchmark cosine "
+    "pairs >= 0.9 — catches PARAPHRASED benchmark leakage that "
+    "n-gram decontamination (q_decontaminate / bloom tier) misses. "
+    "Benchmark side broadcast in bounded chunks, corpus never "
+    "shuffles, one numpy GEMM per Arrow batch emitting only the "
+    "pairs above threshold. Exact (no LSH), so the full pair list "
+    "value-hash-matches the DuckDB brute-force oracle.",
+    shadow=True,
+)
+def q_semantic_decontaminate(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    bench = e.filter(F.col("vec_id") < 10)
+    # plant leaked benchmark items (verbatim embeddings, new ids) so
+    # the gate always exercises non-empty detection
+    leaked = bench.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    corpus = (
+        e.filter(F.col("vec_id") >= 10)
+        .select("vec_id", "embedding")
+        .unionByName(leaked)
+    )
+    pairs = similarity.embedding_contamination(corpus, bench, threshold=0.9)
+    return pairs.select(
+        F.col("corpus_id").alias("corpus_vec_id"),
+        F.col("bench_id").alias("bench_vec_id"),
+        F.round("cosine_sim", 6).alias("sim6"),
+    )

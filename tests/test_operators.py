@@ -564,6 +564,63 @@ class TestSkew:
             skew.salted_agg(df, keys=["k"], aggs={"m": ("median", "v")})
 
 
+class TestEmbeddingContamination:
+    def test_matches_exact_crossjoin(self, spark):
+        rng = random.Random(5)
+        corpus = spark.createDataFrame(
+            [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(50)],
+            "vec_id long, embedding array<float>",
+        )
+        bench_rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(8)]
+        bench = spark.createDataFrame(
+            bench_rows, "vec_id long, embedding array<float>"
+        )
+        # leak two benchmark vectors into the corpus verbatim
+        leaked = spark.createDataFrame(
+            [(900, bench_rows[0][1]), (901, bench_rows[3][1])],
+            "vec_id long, embedding array<float>",
+        )
+        corpus = corpus.unionByName(leaked)
+        got = {
+            (r.corpus_id, r.bench_id)
+            for r in similarity.embedding_contamination(
+                corpus, bench, threshold=0.9
+            ).collect()
+        }
+        assert {(900, 0), (901, 3)} <= got
+        # exact brute-force ground truth via the JVM cross join
+        a = corpus.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+        b = bench.select(F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"))
+        truth = {
+            (r.cid, r.bid)
+            for r in a.join(b)
+            .select("cid", "bid", similarity.cosine("cv", "bv").alias("s"))
+            .filter(F.col("s") >= 0.9)
+            .collect()
+        }
+        assert got == truth
+
+    def test_chunked_bench(self, spark):
+        rng = random.Random(6)
+        corpus = spark.createDataFrame(
+            [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(30)],
+            "vec_id long, embedding array<float>",
+        )
+        one = corpus.limit(1).collect()[0]
+        bench = spark.createDataFrame(
+            [(100 + i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(9)]
+            + [(200, list(one.embedding))],
+            "vec_id long, embedding array<float>",
+        )
+        got = {
+            (r.corpus_id, r.bench_id)
+            for r in similarity.embedding_contamination(
+                corpus, bench, threshold=0.99, max_bench=3
+            ).collect()
+        }
+        assert (one.vec_id, 200) in got
+
+
 class TestMlLshVariants:
     """pyspark.ml MinHashLSH / BucketedRandomProjectionLSH spellings of
     the §2c mappings, cross-checked against our custom pipelines."""
