@@ -97,6 +97,61 @@ def weighted_mixture(
     return df.filter(hash_uniform(key, seed) < rate)
 
 
+def temperature_mixture(
+    df: DataFrame,
+    source_col: str,
+    alpha: float = 0.5,
+    key: str | None = None,
+    seed: str = "lwespark",
+    target_total: int | None = None,
+    max_repeat: float = 4.0,
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Temperature-based source rebalancing: sample source s with
+    probability ∝ n_s^alpha (alpha < 1 upweights low-resource
+    sources) — the standard multilingual/multi-source LM mixing rule
+    (cf. the XLM-R exponential-smoothing formulation, public).
+
+    Realized deterministically, WITHOUT replacement-RNG: each source
+    gets an effective rate r_s = target_s / n_s where
+    target_s = n_s^alpha / Σ n_t^alpha × (target_total or N).
+    r_s < 1 downsamples via the md5-uniform threshold; r_s > 1
+    UPsamples by emitting floor(r_s) copies plus one more when the
+    row's independent repeat-hash falls under frac(r_s) — every copy
+    is tagged with ``copy_col`` so downstream (packing, training
+    logs) can tell repeats apart. Rates are capped at ``max_repeat``
+    (repeating a tiny source 100x degrades models faster than it
+    balances them — cap and surface the deficit instead).
+
+    Cost: one tiny groupBy-collect for the per-source counts
+    (|sources| rows to the driver), then a single scan with per-row
+    JVM expressions — the corpus itself never shuffles. Exactly
+    reproducible across engines, runs, and partitionings."""
+    key = key or source_col
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(source_col).agg(F.count(F.lit(1))).collect()
+    }
+    # deterministic accumulation order (dict order follows collect
+    # order, which varies run to run; the rates must not)
+    z = sum(n**alpha for _, n in sorted(counts.items()))
+    total = float(target_total if target_total is not None else sum(counts.values()))
+    rate = F.lit(0.0)
+    for src, n in sorted(counts.items()):
+        r = min((n**alpha) / z * total / n, float(max_repeat))
+        rate = F.when(F.col(source_col) == src, F.lit(r)).otherwise(rate)
+    n_copies = (
+        F.floor(rate)
+        + F.when(
+            hash_uniform(key, seed + ":rep") < rate - F.floor(rate), F.lit(1)
+        ).otherwise(F.lit(0))
+    ).cast("int")
+    copies = F.when(
+        n_copies > 0, F.sequence(F.lit(0), n_copies - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.withColumn(copy_col, F.explode(copies))
+
+
 def split_train_eval(
     df: DataFrame,
     key,

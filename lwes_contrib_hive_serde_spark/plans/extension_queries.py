@@ -2968,3 +2968,54 @@ def q_semantic_decontaminate(spark, sf_dir):
         F.col("bench_id").alias("bench_vec_id"),
         F.round("cosine_sim", 6).alias("sim6"),
     )
+
+
+_TEMP_U_REP = (
+    "(('0x' || substr(md5('lwespark:rep:' || CAST(doc_id AS VARCHAR)), 1, 16))"
+    "::UINT64)::DOUBLE / 18446744073709551616.0"
+)
+
+
+@register(
+    "q_temperature_mixture",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT SUM(sqrt(n)) AS z, SUM(n) AS big_n FROM counts
+    ), rates AS (
+      SELECT source, LEAST(sqrt(n) / z * big_n / n, 4.0) AS r
+      FROM counts, tot
+    ), base AS (
+      SELECT d.doc_id, d.source, r,
+             CAST(floor(r) AS INT)
+             + CASE WHEN {_TEMP_U_REP} < r - floor(r) THEN 1 ELSE 0 END
+               AS n_copies
+      FROM documents d JOIN rates USING (source)
+    )
+    SELECT doc_id, source, CAST(g.i AS INT) AS copy_idx
+    FROM base, LATERAL (
+      SELECT unnest(generate_series(0, n_copies - 1)) AS i
+    ) g
+    WHERE n_copies > 0
+    """,
+    doc="Temperature-based source rebalancing "
+    "(sampling.temperature_mixture, alpha=0.5): per-source rate "
+    "r_s = sqrt(n_s)/Z * N / n_s capped at 4x — low-resource sources "
+    "upsampled by emitting floor(r) tagged copies plus a "
+    "hash-fraction extra, high-resource downsampled by the md5 "
+    "threshold. One tiny counts-collect + one scan, corpus never "
+    "shuffles. The full (doc_id, source, copy_idx) expansion is "
+    "value-hash-checked against the identical sqrt/md5 walk in "
+    "DuckDB (rate floats agree because both engines compute the "
+    "same IEEE expression; the per-row u is 2^-64-granular, so a "
+    "last-ulp rate difference flipping a row has probability ~1e-12).",
+    shadow=True,
+)
+def q_temperature_mixture(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import sampling
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = sampling.temperature_mixture(d, "source", alpha=0.5, key="doc_id")
+    return out.select("doc_id", "source", "copy_idx")

@@ -240,3 +240,54 @@ class TestWeightedSample:
         )
         got = sorted(r["id"] for r in sampling.weighted_sample(df, "id", "w", 10).collect())
         assert got == [1, 5]
+
+
+class TestTemperatureMixture:
+    def test_rebalances_toward_uniform(self, spark):
+        rows = [(i, "big") for i in range(900)] + [
+            (1000 + i, "small") for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = sampling.temperature_mixture(df, "source", alpha=0.5, key="doc_id")
+        counts = {
+            r.source: r["count"]
+            for r in out.groupBy("source").count().collect()
+        }
+        # alpha=0.5: weights 30:10 -> targets 750/250; small upsampled
+        # ~2.5x, big downsampled ~0.83x (hash noise ~ sqrt(n))
+        assert 650 <= counts["big"] <= 850
+        assert 200 <= counts["small"] <= 300
+        # upsampled copies are tagged
+        cidx = {
+            r.copy_idx
+            for r in out.filter("source = 'small'").select("copy_idx").collect()
+        }
+        assert 0 in cidx and 1 in cidx
+
+    def test_alpha_one_is_identity_rates(self, spark):
+        rows = [(i, "a") for i in range(50)] + [(100 + i, "b") for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = sampling.temperature_mixture(df, "source", alpha=1.0, key="doc_id")
+        # alpha=1: every rate is exactly 1.0 -> identity, all copy 0
+        assert out.count() == 100
+        assert out.filter("copy_idx <> 0").count() == 0
+
+    def test_deterministic(self, spark):
+        rows = [(i, "a") for i in range(80)] + [(200 + i, "b") for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        a = sorted(
+            map(tuple, sampling.temperature_mixture(df, "source", key="doc_id").collect())
+        )
+        b = sorted(
+            map(tuple, sampling.temperature_mixture(df, "source", key="doc_id").collect())
+        )
+        assert a == b
+
+    def test_max_repeat_cap(self, spark):
+        rows = [(i, "big") for i in range(990)] + [(2000, "tiny")]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = sampling.temperature_mixture(
+            df, "source", alpha=0.1, key="doc_id", max_repeat=3.0
+        )
+        tiny = out.filter("source = 'tiny'").count()
+        assert tiny <= 3
