@@ -1,0 +1,59 @@
+"""Python UDTFs (Spark 4 ``@udtf`` — arrow-optimized user-defined
+TABLE functions), completing the UDF/UDAF/UDTF surface of SURVEY §2b:
+pandas scalar UDFs (`q_grouped_agg_pandas`), grouped-map
+(`q_groupmap_normalize`), Hive-style generators
+(`q_lateral_posexplode`), and — here — the modern lateral-join table
+function registered for SQL (``SELECT ... FROM t, LATERAL f(col)``).
+
+``SplitSentences`` is the genuinely-table-valued case: one document
+row expands to N sentence rows carrying CHARACTER OFFSETS into the
+original text — the offset bookkeeping is a cumulative scan that SQL
+expresses painfully but a generator trivially. Used by RAG-style
+chunking pipelines that must map chunks back to source spans.
+
+Scale: UDTFs run per-partition in the Python worker over Arrow
+batches; no shuffle is introduced — the lateral join is a Generate
+node over the scan, exactly like posexplode.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql.functions import udtf
+
+# one sentence = a run of non-terminators followed by optional
+# terminator punctuation; whitespace-only segments are dropped. The
+# same regex runs verbatim in DuckDB's regexp_extract_all (RE2-safe:
+# no lookarounds), which is what makes the oracle mirror exact.
+SENTENCE_RE = r"[^.!?]+[.!?]*"
+
+
+@udtf(returnType=(
+    "sent_idx int, sentence string, char_start int, char_end int"
+))
+class SplitSentences:
+    """(text) → one row per sentence with [char_start, char_end)
+    offsets into the ORIGINAL (untrimmed) text. sent_idx numbers the
+    kept (non-blank) sentences from 0."""
+
+    def eval(self, text: str):  # noqa: D102 — UDTF protocol method
+        if text is None:
+            return
+        idx = 0
+        for m in re.finditer(SENTENCE_RE, text):
+            raw = m.group(0)
+            stripped = raw.strip()
+            if not stripped:
+                continue
+            lead = len(raw) - len(raw.lstrip())
+            start = m.start() + lead
+            yield idx, stripped, start, start + len(stripped)
+            idx += 1
+
+
+def register_udtfs(spark) -> None:
+    """Make the UDTFs callable from SQL:
+    ``SELECT d.doc_id, s.* FROM docs d, LATERAL split_sentences(d.text) s``.
+    """
+    spark.udtf.register("split_sentences", SplitSentences)

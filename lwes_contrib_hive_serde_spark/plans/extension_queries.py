@@ -3019,3 +3019,48 @@ def q_temperature_mixture(spark, sf_dir):
     d = table(spark, sf_dir, "documents").select("doc_id", "source")
     out = sampling.temperature_mixture(d, "source", alpha=0.5, key="doc_id")
     return out.select("doc_id", "source", "copy_idx")
+
+
+@register(
+    "q_udtf_sentences",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '[^.!?]+[.!?]*') AS sents
+      FROM documents WHERE doc_id < 100
+    ), e AS (
+      SELECT doc_id, i, trim(sents[i]) AS sentence
+      FROM s, LATERAL (
+        SELECT unnest(generate_series(1, len(sents))) AS i
+      ) g
+      WHERE trim(sents[i]) <> ''
+    )
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1
+                AS INT) AS sent_idx,
+           sentence,
+           CAST(length(sentence) AS INT) AS n_chars
+    FROM e
+    """,
+    doc="Python UDTF (Spark 4 @udtf, SQL-registered lateral table "
+    "function): split_sentences expands each document into sentence "
+    "rows with char offsets into the source text. The lateral join "
+    "is a Generate over the scan — no shuffle, same shape as "
+    "posexplode. Oracle mirrors the identical RE2-safe regex via "
+    "DuckDB regexp_extract_all; offsets (not SQL-mirrorable without "
+    "a cumulative scan) are pinned by tests/test_udtf.py instead.",
+    shadow=True,
+)
+def q_udtf_sentences(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence,
+               CAST(length(s.sentence) AS INT) AS n_chars
+        FROM __udtf_docs d, LATERAL split_sentences(d.text) s
+        """
+    )

@@ -144,6 +144,43 @@ class TestNewOperatorPlans:
 
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
 
+    def test_embedding_contamination_is_scan_only(self, spark):
+        """The corpus side of semantic decontamination never shuffles:
+        benchmark broadcast through a plain Python closure, corpus
+        mapInPandas over the scan — zero Exchanges."""
+        from lwes_contrib_hive_serde_spark.operators import similarity
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        bench = emb.limit(3)
+        plan = _plan(
+            similarity.embedding_contamination(emb, bench, threshold=0.9)
+        )
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan  # Arrow path, not row-at-a-time
+
+    def test_temperature_mixture_is_scan_only(self, spark):
+        """After the counts collect, the expansion is per-row JVM
+        expressions + explode over the scan — zero Exchanges."""
+        from lwes_contrib_hive_serde_spark.operators import sampling
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = _plan(
+            sampling.temperature_mixture(docs, "source", key="doc_id")
+        )
+        assert "Exchange" not in plan
+        assert "Python" not in plan  # pure JVM expressions
+
+    def test_export_shuffle_single_exchange(self, spark):
+        """The shard manifest costs exactly one Exchange (the per-shard
+        window partitioning) — no global sort, no second pass."""
+        import re
+
+        from lwes_contrib_hive_serde_spark.operators import export
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = _plan(export.shuffled_shard_positions(docs, "doc_id", 8))
+        assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 1, plan
+
     def test_quality_scoring_is_scan_only(self, spark):
         from lwes_contrib_hive_serde_spark.operators import quality_model
 

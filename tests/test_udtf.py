@@ -1,0 +1,74 @@
+"""Python UDTF surface (functions/udtfs.py): offsets, SQL lateral
+registration, and plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lwes_contrib_hive_serde_spark.functions.udtfs import (
+    SplitSentences,
+    register_udtfs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "One sentence. Two!  Three? No terminator tail"),
+        (1, "   leading space.  trailing  "),
+        (2, None),
+        (3, "!!!"),
+        (4, "just one"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestSplitSentences:
+    def test_offsets_roundtrip(self, spark, docs):
+        register_udtfs(spark)
+        docs.createOrReplaceTempView("udtf_docs")
+        rows = spark.sql(
+            """
+            SELECT d.doc_id, d.text, s.*
+            FROM udtf_docs d, LATERAL split_sentences(d.text) s
+            """
+        ).collect()
+        assert rows, "expected sentence rows"
+        for r in rows:
+            # offsets must slice the ORIGINAL text to the sentence
+            assert r.text[r.char_start : r.char_end] == r.sentence, r
+
+    def test_sentence_content_and_numbering(self, spark, docs):
+        register_udtfs(spark)
+        docs.createOrReplaceTempView("udtf_docs")
+        got = {}
+        for r in spark.sql(
+            "SELECT d.doc_id, s.sent_idx, s.sentence "
+            "FROM udtf_docs d, LATERAL split_sentences(d.text) s"
+        ).collect():
+            got.setdefault(r.doc_id, []).append((r.sent_idx, r.sentence))
+        for v in got.values():
+            v.sort()
+        assert got[0] == [
+            (0, "One sentence."),
+            (1, "Two!"),
+            (2, "Three?"),
+            (3, "No terminator tail"),
+        ]
+        assert got[1] == [(0, "leading space."), (1, "trailing")]
+        assert 2 not in got  # null text -> no rows
+        assert 3 not in got  # punctuation-only -> no rows
+        assert got[4] == [(0, "just one")]
+
+    def test_lateral_join_no_shuffle(self, spark, docs):
+        register_udtfs(spark)
+        docs.createOrReplaceTempView("udtf_docs")
+        plan = (
+            spark.sql(
+                "SELECT d.doc_id, s.sentence "
+                "FROM udtf_docs d, LATERAL split_sentences(d.text) s"
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
