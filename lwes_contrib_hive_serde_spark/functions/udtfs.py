@@ -29,9 +29,14 @@ from pyspark.sql.functions import udtf
 SENTENCE_RE = r"[^.!?]+[.!?]*"
 
 
-@udtf(returnType=(
-    "sent_idx int, sentence string, char_start int, char_end int"
-))
+@udtf(
+    returnType=(
+        "sent_idx int, sentence string, char_start int, char_end int"
+    ),
+    useArrow=True,  # Arrow-batched evaluation (ArrowEvalPythonUDTF),
+    # not row-at-a-time BatchEvalPython — pinned by
+    # test_plan_invariants.py::test_no_row_at_a_time_python_udfs
+)
 class SplitSentences:
     """(text) → one row per sentence with [char_start, char_end)
     offsets into the ORIGINAL (untrimmed) text. sent_idx numbers the
