@@ -1,0 +1,205 @@
+"""Change application (MERGE) and slowly-changing-dimension history —
+the write-side complement to operators/diff.py's snapshot_diff.
+
+``apply_changes`` is declarative MERGE INTO for plain keyed parquet
+snapshots: a batch of (op, row) changes folds into a base snapshot as
+upserts + deletes, latest-change-per-key-wins. ``scd2_history``
+rebuilds a type-2 dimension (valid_from / valid_to / is_current) from
+a pile of versioned rows by collapsing runs of identical content.
+
+Scale shape — the parts that matter at 100 TB:
+
+* apply_changes never shuffles the BASE table. The change batch (in
+  practice orders of magnitude smaller than the snapshot) is reduced
+  to latest-per-key with one keyed window, then the base is filtered
+  with a LEFT ANTI join against just the change KEYS — broadcastable
+  whenever the batch is broadcast-sized, so the dominant cost is one
+  scan of base. The classic rewrite-the-partition MERGE does exactly
+  this under the hood; here it is explicit and plan-assertable.
+* scd2_history pays ONE shuffle on the key; both window passes and
+  the final aggregation reuse that partitioning (Catalyst collapses
+  them into a single Exchange), so history rebuild is scan + one
+  sort per key group.
+
+Reference parity: none (the reference is a serde; it has no
+mutation story). 100 TB pipeline mandate (SURVEY §2c): corpus
+snapshots are re-published daily and downstream consumers need both
+"apply this delta" and "when was each value live".
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .diff import _row_hash
+
+UPSERT = "upsert"
+DELETE = "delete"
+
+
+def latest_changes(
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Collapse a change batch to the single winning change per key:
+    highest ``seq_col`` wins; ties broken by preferring the delete
+    (delete-after-upsert at the same sequence is the conservative
+    read of an ambiguous feed, and makes the result deterministic).
+    One keyed window — the only shuffle the change side pays."""
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(),
+        F.when(F.col(op_col) == DELETE, F.lit(0)).otherwise(F.lit(1)),
+    )
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+    broadcast: bool = True,
+) -> DataFrame:
+    """MERGE: fold a change batch into a keyed snapshot.
+
+    ``changes`` carries every ``base`` column plus ``op_col``
+    ('upsert' | 'delete') and ``seq_col`` (ordering within the batch;
+    latest per key wins, ties prefer delete — see latest_changes).
+    Returns the next snapshot with base's exact schema:
+
+    * key absent from changes        → base row kept as-is
+    * winning change is an upsert    → change row (insert or replace)
+    * winning change is a delete     → key absent from the result
+
+    Plan shape: the base is only FILTERED — a LEFT ANTI join against
+    the DISTINCT change keys (every changed key leaves base: upserts
+    are re-inserted from the batch, deletes aren't), broadcast by
+    default since a delta is orders of magnitude smaller than the
+    snapshot. The keyed window runs once, on the upsert subtree only.
+    The snapshot itself never shuffles. Pass ``broadcast=False`` for
+    backfill-sized batches that exceed executor memory.
+
+    Op validation is deliberately EAGER: one limit(1) early-exit job
+    over the (small) change side, so a malformed feed fails at build
+    time instead of mid-merge."""
+    keys = list(keys)
+    missing = [c for c in base.columns if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes missing base columns: {missing}")
+    bad_ops = (
+        changes.select(op_col)
+        .filter(~F.col(op_col).isin(UPSERT, DELETE))
+        .limit(1)
+        .collect()
+    )
+    if bad_ops:
+        raise ValueError(
+            f"unknown op {bad_ops[0][0]!r} (expected {UPSERT!r}/{DELETE!r})"
+        )
+    ckeys = changes.select(*keys).dropDuplicates(keys)
+    if broadcast:
+        ckeys = F.broadcast(ckeys)
+    untouched = base.join(ckeys, keys, "left_anti")
+    win = latest_changes(changes, keys, seq_col, op_col)
+    upserts = win.filter(F.col(op_col) == UPSERT).select(*base.columns)
+    return untouched.unionByName(upserts)
+
+
+def scd2_history(
+    rows: DataFrame,
+    keys: Sequence[str],
+    version_col: str,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """Type-2 dimension history from versioned rows.
+
+    ``rows`` holds every observed (key, version, attributes…) row —
+    e.g. daily snapshot dumps unioned together, or a CDC feed.
+    Consecutive versions with identical tracked ``columns`` collapse
+    into one validity interval. Output, one row per (key, run):
+
+    * the tracked columns at the value they held through the run
+      (taken from the run's FIRST version),
+    * ``valid_from``  — first version of the run (inclusive),
+    * ``valid_to``    — first version of the NEXT run (exclusive),
+      NULL for the current run,
+    * ``is_current``  — valid_to IS NULL.
+
+    (version, key) pairs must be unique — two conflicting rows for
+    the same key+version make "the value at that version" undefined;
+    we raise rather than pick one silently.
+
+    Plan: both window functions and the run aggregation share the
+    partitionBy(key) clustering — one Exchange total."""
+    keys = list(keys)
+    if columns is None:
+        columns = [c for c in rows.columns if c not in keys and c != version_col]
+    else:
+        columns = list(columns)
+
+    kw = Window.partitionBy(*keys).orderBy(version_col)
+    h = rows.select(*keys, version_col, *columns).withColumn(
+        "__h", _row_hash(columns)
+    )
+    runs = (
+        h.withColumn("__dup", F.count(F.lit(1)).over(
+            Window.partitionBy(*keys, version_col)))
+        .withColumn(
+            "__chg",
+            F.when(
+                F.lag("__h").over(kw).isNull()
+                | (F.lag("__h").over(kw) != F.col("__h")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("__run", F.sum("__chg").over(
+            kw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    )
+    # Cheap duplicate-version guard: fold the per-row dup count into
+    # the aggregation below instead of running a separate count() job.
+    grouped = runs.groupBy(*keys, "__run").agg(
+        F.min_by(F.struct(*columns), F.col(version_col)).alias("__vals"),
+        F.min(version_col).alias("valid_from"),
+        F.max("__dup").alias("__maxdup"),
+    )
+    nw = Window.partitionBy(*keys).orderBy("valid_from")
+    out = (
+        grouped.withColumn("valid_to", F.lead("valid_from").over(nw))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(
+            *keys,
+            *[F.col(f"__vals.{c}").alias(c) for c in columns],
+            "valid_from",
+            "valid_to",
+            "is_current",
+            "__maxdup",
+        )
+    )
+    dup = out.filter(F.col("__maxdup") > 1).limit(1).collect()
+    if dup:
+        raise ValueError(
+            "duplicate (key, version) rows — history is ambiguous for "
+            f"key {tuple(dup[0][k] for k in keys)!r}"
+        )
+    return out.drop("__maxdup")
+
+
+def as_of(history: DataFrame, version) -> DataFrame:
+    """Point-in-time lookup over an scd2_history result: the row set
+    live at ``version`` (valid_from <= v < valid_to). A plain filter —
+    partition-prunable when history is stored partitioned/z-ordered
+    by validity range."""
+    v = F.lit(version)
+    return history.filter(
+        (F.col("valid_from") <= v)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > v))
+    ).drop("is_current")

@@ -3064,3 +3064,140 @@ def q_udtf_sentences(spark, sf_dir):
         FROM __udtf_docs d, LATERAL split_sentences(d.text) s
         """
     )
+
+
+# --- MERGE apply + SCD2 history (operators/cdc.py) ------------------------
+
+from lwes_contrib_hive_serde_spark.operators import cdc as _cdc
+
+# Deterministic change batch derived from customer itself, exercising
+# every MERGE path: plain delete (%10==3), plain update (%10==4, which
+# also carries a LOSING earlier delete so latest-wins is observable),
+# insert of new keys (%10==6 shifted by 1e6), and an upsert+delete TIE
+# at the same seq (%10==7, delete must win).
+_CDC_CHANGES_SQL = """
+      SELECT c_custkey, c_name, c_acctbal, 'delete' AS op, 1 AS seq
+      FROM customer WHERE c_custkey % 10 = 3
+      UNION ALL
+      SELECT c_custkey, c_name, c_acctbal, 'delete', 1
+      FROM customer WHERE c_custkey % 10 = 4
+      UNION ALL
+      SELECT c_custkey, upper(c_name), c_acctbal + 100.0, 'upsert', 2
+      FROM customer WHERE c_custkey % 10 = 4
+      UNION ALL
+      SELECT c_custkey + 1000000, c_name, 0.0, 'upsert', 1
+      FROM customer WHERE c_custkey % 10 = 6
+      UNION ALL
+      SELECT c_custkey, c_name, c_acctbal, 'upsert', 3
+      FROM customer WHERE c_custkey % 10 = 7
+      UNION ALL
+      SELECT c_custkey, c_name, c_acctbal, 'delete', 3
+      FROM customer WHERE c_custkey % 10 = 7
+"""
+
+
+@register(
+    "q_apply_changes",
+    shadow=True,
+    oracle=f"""
+    WITH base AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+    ), ch AS (
+{_CDC_CHANGES_SQL}
+    ), win AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY c_custkey
+               ORDER BY seq DESC,
+                        CASE WHEN op = 'delete' THEN 0 ELSE 1 END) AS rn
+      FROM ch
+    ), w1 AS (
+      SELECT * FROM win WHERE rn = 1
+    )
+    SELECT b.c_custkey, b.c_name, b.c_acctbal FROM base b
+    WHERE b.c_custkey NOT IN (SELECT c_custkey FROM ch)
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal FROM w1 WHERE op = 'upsert'
+    """,
+    doc="MERGE INTO for keyed parquet snapshots (cdc.apply_changes): "
+    "a change batch of upserts/deletes/inserts folds into the customer "
+    "snapshot, latest seq per key wins, delete wins same-seq ties. "
+    "Plan: base is only LEFT-ANTI-filtered against the BROADCAST "
+    "distinct change keys (snapshot never shuffles); the keyed window "
+    "runs once on the change side only. Oracle replays the same merge "
+    "with window + NOT IN; full merged snapshot value-hash matched.",
+)
+def q_apply_changes(spark, sf_dir):
+    base = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    c = table(spark, sf_dir, "customer")
+    k, nm, bal = F.col("c_custkey"), F.col("c_name"), F.col("c_acctbal")
+
+    def batch(cond, key, name, acct, op, seq):
+        return c.filter(cond).select(
+            key.alias("c_custkey"),
+            name.alias("c_name"),
+            acct.alias("c_acctbal"),
+            F.lit(op).alias("op"),
+            F.lit(seq).alias("seq"),
+        )
+
+    changes = (
+        batch(k % 10 == 3, k, nm, bal, "delete", 1)
+        .unionByName(batch(k % 10 == 4, k, nm, bal, "delete", 1))
+        .unionByName(
+            batch(k % 10 == 4, k, F.upper(nm), bal + 100.0, "upsert", 2)
+        )
+        .unionByName(
+            batch(k % 10 == 6, k + 1000000, nm, F.lit(0.0), "upsert", 1)
+        )
+        .unionByName(batch(k % 10 == 7, k, nm, bal, "upsert", 3))
+        .unionByName(batch(k % 10 == 7, k, nm, bal, "delete", 3))
+    )
+    return _cdc.apply_changes(base, changes, ["c_custkey"], "seq")
+
+
+@register(
+    "q_scd2_history",
+    shadow=True,
+    oracle="""
+    WITH h AS (
+      SELECT o_custkey, o_orderkey, o_orderstatus, o_orderpriority,
+             CASE WHEN lag(o_orderstatus || '|' || o_orderpriority) OVER w
+                       IS DISTINCT FROM (o_orderstatus || '|' || o_orderpriority)
+                  THEN 1 ELSE 0 END AS chg
+      FROM orders WHERE o_custkey % 13 = 0
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    ), r AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderkey) AS run
+      FROM h
+    ), g AS (
+      SELECT o_custkey, run,
+             MIN(o_orderstatus) AS o_orderstatus,
+             MIN(o_orderpriority) AS o_orderpriority,
+             MIN(o_orderkey) AS valid_from
+      FROM r GROUP BY o_custkey, run
+    )
+    SELECT o_custkey, o_orderstatus, o_orderpriority, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY o_custkey
+                                  ORDER BY valid_from) AS valid_to,
+           LEAD(valid_from) OVER (PARTITION BY o_custkey
+                                  ORDER BY valid_from) IS NULL AS is_current
+    FROM g
+    """,
+    doc="Type-2 dimension history (cdc.scd2_history): each customer's "
+    "orders treated as a versioned attribute feed keyed by o_custkey, "
+    "versioned by the (unique) o_orderkey; consecutive versions with "
+    "identical (status, priority) collapse into "
+    "one validity interval with valid_from/valid_to/is_current. Both "
+    "windows + the run aggregation share partitionBy(key) — ONE "
+    "Exchange total (plan-asserted in tests/test_cdc.py). Oracle is "
+    "the classic gaps-and-islands SQL over the same rows.",
+)
+def q_scd2_history(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 13 == 0)
+    return _cdc.scd2_history(
+        o, ["o_custkey"], "o_orderkey",
+        columns=["o_orderstatus", "o_orderpriority"],
+    )

@@ -1,0 +1,135 @@
+"""MERGE apply + SCD2 history (operators/cdc.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lwes_contrib_hive_serde_spark.operators import cdc as C
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "id long, s string, v double",
+    )
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(rows, "id long, s string, v double, op string, seq long")
+
+
+class TestApplyChanges:
+    def test_merge_semantics(self, spark, base):
+        ch = _changes(spark, [
+            (2, "B", 21.0, "upsert", 1),     # update
+            (4, None, None, "delete", 1),    # delete
+            (9, "z", 90.0, "upsert", 1),     # insert
+        ])
+        got = {r["id"]: (r["s"], r["v"])
+               for r in C.apply_changes(base, ch, ["id"], "seq").collect()}
+        assert got == {1: ("a", 10.0), 2: ("B", 21.0),
+                       3: ("c", 30.0), 9: ("z", 90.0)}
+
+    def test_latest_per_key_wins(self, spark, base):
+        ch = _changes(spark, [
+            (2, "first", 1.0, "upsert", 1),
+            (2, "last", 2.0, "upsert", 5),
+            (3, "back", 3.0, "upsert", 7),
+            (3, None, None, "delete", 9),    # delete after upsert
+        ])
+        got = {r["id"]: r["s"]
+               for r in C.apply_changes(base, ch, ["id"], "seq").collect()}
+        assert got == {1: "a", 2: "last", 4: "d"}  # 3 deleted
+
+    def test_tie_prefers_delete(self, spark, base):
+        ch = _changes(spark, [
+            (1, "x", 0.0, "upsert", 5),
+            (1, None, None, "delete", 5),
+        ])
+        ids = [r["id"]
+               for r in C.apply_changes(base, ch, ["id"], "seq").collect()]
+        assert 1 not in ids
+
+    def test_schema_preserved(self, spark, base):
+        ch = _changes(spark, [(1, "x", 0.0, "upsert", 1)])
+        out = C.apply_changes(base, ch, ["id"], "seq")
+        assert out.columns == base.columns
+
+    def test_unknown_op_raises(self, spark, base):
+        ch = _changes(spark, [(1, "x", 0.0, "replace", 1)])
+        with pytest.raises(ValueError, match="unknown op"):
+            C.apply_changes(base, ch, ["id"], "seq")
+
+    def test_missing_column_raises(self, spark, base):
+        ch = spark.createDataFrame([(1, "upsert", 1)], "id long, op string, seq long")
+        with pytest.raises(ValueError, match="missing base columns"):
+            C.apply_changes(base, ch, ["id"], "seq")
+
+    def test_base_side_never_shuffles(self, spark, base):
+        """The snapshot is only anti-joined against change keys —
+        broadcast when the batch is small, so the plan has no
+        Exchange on the base subtree."""
+        ch = _changes(spark, [(1, "x", 0.0, "upsert", 1)])
+        plan = (C.apply_changes(base, ch, ["id"], "seq")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+@pytest.fixture(scope="module")
+def versioned(spark):
+    # key 1: a,a,b,b,a -> runs a[1,3) b[3,5) a[5,-)
+    # key 2: x         -> one current run
+    return spark.createDataFrame(
+        [
+            (1, 1, "a"), (1, 2, "a"), (1, 3, "b"), (1, 4, "b"), (1, 5, "a"),
+            (2, 7, "x"),
+        ],
+        "id long, ver long, s string",
+    )
+
+
+class TestScd2History:
+    def test_runs_collapse(self, spark, versioned):
+        hist = C.scd2_history(versioned, ["id"], "ver").collect()
+        got = {(r["id"], r["valid_from"]): (r["s"], r["valid_to"], r["is_current"])
+               for r in hist}
+        assert got == {
+            (1, 1): ("a", 3, False),
+            (1, 3): ("b", 5, False),
+            (1, 5): ("a", None, True),
+            (2, 7): ("x", None, True),
+        }
+
+    def test_as_of(self, spark, versioned):
+        hist = C.scd2_history(versioned, ["id"], "ver")
+        at4 = {r["id"]: r["s"] for r in C.as_of(hist, 4).collect()}
+        assert at4 == {1: "b"}          # key 2 not yet live at ver 4
+        at9 = {r["id"]: r["s"] for r in C.as_of(hist, 9).collect()}
+        assert at9 == {1: "a", 2: "x"}
+
+    def test_null_values_tracked(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1, "a"), (1, 2, None), (1, 3, None), (1, 4, "a")],
+            "id long, ver long, s string",
+        )
+        hist = C.scd2_history(df, ["id"], "ver").collect()
+        assert [(r["valid_from"], r["s"]) for r in
+                sorted(hist, key=lambda r: r["valid_from"])] == [
+            (1, "a"), (2, None), (4, "a")]
+
+    def test_duplicate_version_raises(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1, "a"), (1, 1, "b")], "id long, ver long, s string")
+        with pytest.raises(ValueError, match="duplicate"):
+            C.scd2_history(df, ["id"], "ver")
+
+    def test_single_exchange(self, spark, versioned):
+        """Windows + aggregation all cluster on the key: ONE shuffle."""
+        plan = (C.scd2_history(versioned, ["id"], "ver")
+                ._jdf.queryExecution().executedPlan().toString())
+        import re
+        # hashpartitioning exchanges only (ignore any broadcast)
+        n = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert n == 1, plan
