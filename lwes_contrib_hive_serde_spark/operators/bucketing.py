@@ -1,0 +1,128 @@
+"""Bucketed table layout: pre-shuffle once at write time, join and
+aggregate shuffle-free forever after.
+
+A 100 TB fact table joined daily on the same key pays the dominant
+cost — the Exchange of the big side — on EVERY query. Hive-style
+bucketing moves that shuffle to write time: rows are hash-partitioned
+into a fixed number of buckets by the join key (Spark's
+``HashPartitioning(key, n)``, Murmur3-based) and each bucket lands in
+its own file set, recorded in the catalog. A scan of a bucketed table
+then reports its output partitioning to Catalyst, which elides the
+Exchange under joins and aggregations on the bucket key:
+
+* bucketed ⋈ bucketed (same key, same bucket count): ZERO Exchange —
+  co-located sort-merge join, each task reads bucket i of both sides;
+* groupBy(bucket key): ZERO Exchange — partial = final aggregation;
+* WHERE key = literal: bucket pruning — 1/n of the files read
+  (``SelectedBucketsCount`` in the scan node). For SCAN-ONLY queries
+  Spark's autoBucketedScan heuristic falls back to a plain file scan
+  (more parallelism, no pruning); set
+  ``spark.sql.sources.bucketing.autoBucketedScan.enabled=false`` on
+  point-lookup-heavy sessions to keep pruning.
+
+``bucket_write`` is a thin, opinionated wrapper over
+``DataFrameWriter.bucketBy`` (sorted buckets by default, external
+path supported); ``ensure_cobucketed`` verifies two catalog tables
+actually co-bucket before a pipeline relies on the plan shape — a
+silent bucket-count mismatch reintroduces the shuffle with no error,
+which at 100 TB is a regression measured in hours.
+
+tests/test_bucketing.py pins all three plan claims against real
+catalog tables (no Exchange under the join / the agg;
+SelectedBucketsCount under the point filter) plus result parity with
+the unbucketed join.
+
+Reference parity: none — bucketing lives in Hive's planner, outside
+the serde layer the reference implements. SURVEY §2b scans/sinks +
+the 100 TB mandate (co-located joins are the single biggest shuffle
+lever at warehouse scale).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def bucket_write(
+    df: DataFrame,
+    table: str,
+    keys: Sequence[str],
+    num_buckets: int,
+    path: str | None = None,
+    sort: bool = True,
+    mode: str = "overwrite",
+    file_format: str = "parquet",
+) -> None:
+    """Write ``df`` as a bucketed catalog table.
+
+    ``keys`` are the bucket (and, with ``sort=True``, sort) columns —
+    use the dominant join/aggregation key. ``num_buckets`` should be
+    sized so one bucket of the LARGER table fits an executor's memory
+    comfortably (rule of thumb: total size / 128-256 MB, rounded to a
+    power of two so a table can co-bucket with peers at 1x/2x/4x).
+    ``path`` makes the table external (data survives DROP TABLE).
+
+    Sorted buckets cost one sortWithinPartitions at write time and
+    buy merge-join without a per-query sort."""
+    keys = list(keys)
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+    missing = [k for k in keys if k not in df.columns]
+    if missing:
+        raise ValueError(f"bucket keys absent from DataFrame: {missing}")
+    w = df.write.format(file_format).mode(mode)
+    w = w.bucketBy(num_buckets, keys[0], *keys[1:])
+    if sort:
+        w = w.sortBy(keys[0], *keys[1:])
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def bucket_spec(spark: SparkSession, table: str) -> tuple[list[str], int] | None:
+    """(bucket columns, bucket count) of a catalog table, or None if
+    the table isn't bucketed. Read from DESCRIBE EXTENDED — the same
+    metadata Catalyst uses to elide the Exchange."""
+    rows = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    }
+    if "Num Buckets" not in rows:
+        return None
+    n = int(rows["Num Buckets"])
+    cols = [
+        c.strip().strip("`")
+        for c in rows["Bucket Columns"].strip("[]").split(",")
+    ]
+    return cols, n
+
+
+def ensure_cobucketed(
+    spark: SparkSession, left: str, right: str, keys: Sequence[str]
+) -> int:
+    """Assert two catalog tables co-bucket on ``keys`` (same columns,
+    same count) and return the shared bucket count. Raises with a
+    diagnosis otherwise — a mismatch silently reintroduces the
+    per-query shuffle bucketing exists to remove."""
+    keys = list(keys)
+    specs = {}
+    for t in (left, right):
+        spec = bucket_spec(spark, t)
+        if spec is None:
+            raise ValueError(f"{t} is not bucketed (expected on {keys})")
+        specs[t] = spec
+    for t, (cols, _) in specs.items():
+        if cols != keys:
+            raise ValueError(
+                f"{t} bucketed on {cols}, expected {keys} — joins on "
+                f"{keys} will still shuffle"
+            )
+    (_, ln), (_, rn) = specs[left], specs[right]
+    if ln != rn:
+        raise ValueError(
+            f"bucket-count mismatch: {left}={ln} vs {right}={rn} — "
+            "co-located join impossible; rewrite one side"
+        )
+    return ln

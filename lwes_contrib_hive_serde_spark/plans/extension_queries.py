@@ -3201,3 +3201,54 @@ def q_scd2_history(spark, sf_dir):
         o, ["o_custkey"], "o_orderkey",
         columns=["o_orderstatus", "o_orderpriority"],
     )
+
+
+# --- bucketed co-located join (operators/bucketing.py) --------------------
+
+from lwes_contrib_hive_serde_spark.operators import bucketing as _bucketing
+
+
+@register(
+    "q_bucketed_join",
+    shadow=True,
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="Co-located join over bucketed catalog tables "
+    "(bucketing.bucket_write + ensure_cobucketed): orders and lineitem "
+    "are bucket-written on the join key once (the write-time shuffle), "
+    "then the join runs with ZERO Exchange on either side — each task "
+    "reads bucket i of both tables (plan-pinned in "
+    "tests/test_bucketing.py). At 100 TB this converts the dominant "
+    "per-query fact-table shuffle into a one-time layout cost. Oracle "
+    "is the plain SQL join; value-hash parity proves the bucketed "
+    "path is a pure physical rewrite.",
+)
+def q_bucketed_join(spark, sf_dir):
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="lwespark_buckets_")
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    _bucketing.bucket_write(
+        orders.select("o_orderkey", "o_orderpriority"),
+        "q_b_orders", ["o_orderkey"], 4, path=f"{root}/orders",
+    )
+    _bucketing.bucket_write(
+        lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
+        "q_b_lineitem", ["l_orderkey"], 4, path=f"{root}/lineitem",
+    )
+    j = spark.table("q_b_orders").join(
+        spark.table("q_b_lineitem"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

@@ -1,0 +1,137 @@
+"""Bucketed layout (operators/bucketing.py): the three plan claims —
+shuffle-free join, shuffle-free aggregation, bucket pruning — pinned
+against real catalog tables, plus result parity and the co-bucket
+guard."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from lwes_contrib_hive_serde_spark.operators import bucketing as B
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def tables(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("buckets")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+    B.bucket_write(orders, "b_orders", ["o_orderkey"], 4,
+                   path=str(root / "orders"))
+    B.bucket_write(lineitem, "b_lineitem", ["l_orderkey"], 4,
+                   path=str(root / "lineitem"))
+    yield "b_orders", "b_lineitem"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+class TestBucketedPlans:
+    def test_cobucketed_join_has_no_exchange(self, spark, tables, no_broadcast):
+        bo, bl = tables
+        j = spark.table(bo).join(
+            spark.table(bl),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        ).select("o_orderkey", "l_quantity")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+
+    def test_groupby_bucket_key_has_no_exchange(self, spark, tables):
+        bo, _ = tables
+        agg = spark.table(bo).groupBy("o_orderkey").agg(
+            F.sum("o_totalprice").alias("s"))
+        assert "Exchange" not in _plan(agg)
+
+    def test_point_filter_prunes_buckets(self, spark, tables):
+        """Scan-only bucket pruning needs autoBucketedScan off (Spark
+        otherwise reverts to a plain file scan when no join/agg wants
+        the partitioning) — the knob bucketing.py documents."""
+        bo, _ = tables
+        conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        old = spark.conf.get(conf)
+        spark.conf.set(conf, "false")
+        try:
+            some_key = spark.table(bo).select("o_orderkey").first()[0]
+            scan = spark.table(bo).filter(F.col("o_orderkey") == some_key)
+            assert "SelectedBucketsCount: 1 out of 4" in _plan(scan)
+        finally:
+            spark.conf.set(conf, old)
+
+    def test_join_result_matches_unbucketed(self, spark, tables, no_broadcast):
+        bo, bl = tables
+        bucketed = (
+            spark.table(bo).join(
+                spark.table(bl), F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy().agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("l_quantity").alias("q")).first()
+        )
+        plain = (
+            spark.read.parquet(f"{SF}/orders.parquet")
+            .join(spark.read.parquet(f"{SF}/lineitem.parquet"),
+                  F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy().agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("l_quantity").alias("q")).first()
+        )
+        assert bucketed == plain
+
+
+class TestGuards:
+    def test_ensure_cobucketed_ok(self, spark, tables):
+        bo, bl = tables
+        # same count, per-table keys differ in name: check each alone
+        assert B.bucket_spec(spark, bo) == (["o_orderkey"], 4)
+        assert B.bucket_spec(spark, bl) == (["l_orderkey"], 4)
+
+    def test_bucket_count_mismatch_raises(self, spark, tables, tmp_path):
+        bo, _ = tables
+        df = spark.read.parquet(f"{SF}/orders.parquet")
+        B.bucket_write(df, "b_orders8", ["o_orderkey"], 8,
+                       path=str(tmp_path / "o8"))
+        try:
+            with pytest.raises(ValueError, match="bucket-count mismatch"):
+                B.ensure_cobucketed(
+                    spark, bo, "b_orders8", ["o_orderkey"])
+        finally:
+            spark.sql("DROP TABLE IF EXISTS b_orders8")
+
+    def test_unbucketed_raises(self, spark, tables, tmp_path):
+        bo, _ = tables
+        spark.read.parquet(f"{SF}/region.parquet").write.mode(
+            "overwrite").option("path", str(tmp_path / "plain")
+        ).saveAsTable("plain_region")
+        try:
+            assert B.bucket_spec(spark, "plain_region") is None
+            with pytest.raises(ValueError, match="not bucketed"):
+                B.ensure_cobucketed(
+                    spark, bo, "plain_region", ["o_orderkey"])
+        finally:
+            spark.sql("DROP TABLE IF EXISTS plain_region")
+
+    def test_bad_args(self, spark):
+        df = spark.range(3)
+        with pytest.raises(ValueError, match="num_buckets"):
+            B.bucket_write(df, "t", ["id"], 0)
+        with pytest.raises(ValueError, match="absent"):
+            B.bucket_write(df, "t", ["nope"], 2)
