@@ -1,0 +1,235 @@
+"""Entity resolution (record linkage): find records that describe the
+same real-world thing despite textual drift — the structured-data
+sibling of document near-dedup.
+
+Classic three-stage shape (Fellegi & Sunter 1969; Christen 2012):
+
+1. **Blocking** — never compare all pairs. Records sharing ANY
+   normalized name token land in the same block (a token inverted
+   index — multi-pass blocking, so a pair only needs one token in
+   common to be considered). Hot blocks (stopword-ish tokens shared
+   by half the table) are CAPPED, exactly like the LSH bucket cap in
+   operators/dedup.py: recall loss is logged by block, quadratic
+   blowup is structurally impossible.
+2. **Pairwise scoring** — candidate pairs join back their attributes
+   (two co-partitioned joins against the record table) and score with
+   cheap JVM expressions: token-set Jaccard over names +
+   exact-match guards on discriminating attributes.
+3. **Clustering** — matched pairs are edges; connected components
+   (dedup.dup_clusters — label propagation + pointer jumping) give
+   each entity a canonical id = min record id of its component.
+
+At 100 TB: the blocking explode shuffles |records| x |name tokens|
+KEYS (ids + token hashes, not payloads), the cap bounds every block,
+and scoring touches only surviving candidate pairs. No stage is
+quadratic in the table; the all-pairs comparison never exists.
+
+Reference parity: none (serde layer has no linkage); SURVEY §2c LLM
+pipeline mandate — entity resolution is how a training-data pipeline
+dedups structured metadata (authors, sources, licenses) where exact
+keys don't exist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import dup_clusters
+
+
+def normalize_name(col: str | Column) -> Column:
+    """Lowercase, strip non-alphanumerics to spaces, collapse runs —
+    the canonical text form all blocking and scoring sees."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "), r"\s+", " "
+        )
+    )
+
+
+def name_tokens(col: str | Column) -> Column:
+    """Distinct normalized tokens of a name (set semantics — Jaccard
+    and blocking both want sets, not bags)."""
+    return F.array_distinct(F.split(normalize_name(col), " "))
+
+
+def candidate_pairs(
+    records: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_block: int = 100,
+) -> DataFrame:
+    """(id1 < id2) pairs sharing at least one name token.
+
+    Token blocks larger than ``max_block`` are dropped whole — a
+    token carried by that many records ('inc', 'red') has no
+    discriminating power and would contribute O(block²) pairs for
+    ~zero precision. Same cap-the-bucket design as LSH banding."""
+    toks = records.select(
+        F.col(id_col).alias("id"),
+        F.explode(name_tokens(name_col)).alias("tok"),
+    ).filter(F.col("tok") != "")
+    blocks = (
+        toks.groupBy("tok")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_block))
+    )
+    return (
+        blocks.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "ids",
+                            lambda a: F.transform(
+                                "ids",
+                                lambda b: F.struct(
+                                    a.alias("id1"), b.alias("id2")
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda p: p["id1"] < p["id2"],
+                )
+            ).alias("p")
+        )
+        .select("p.id1", "p.id2")
+        .dropDuplicates(["id1", "id2"])
+    )
+
+
+def candidate_pairs_by_key(
+    records: DataFrame,
+    id_col: str,
+    key_cols: list[str],
+    max_block: int = 1000,
+) -> DataFrame:
+    """(id1 < id2) pairs agreeing exactly on ``key_cols`` — attribute
+    blocking, for when names are too low-entropy to block on (a tiny
+    shared vocabulary makes every token block hot; blocking on a
+    composite key like (brand, type) or (zip, birth_year) keeps
+    blocks tractable). NULL keys never block (SQL join semantics:
+    a NULL attribute says nothing about identity). Same cap as token
+    blocking."""
+    blocks = (
+        records.select(F.col(id_col).alias("id"), *key_cols)
+        .dropna(subset=key_cols)
+        .groupBy(*key_cols)
+        .agg(F.collect_list("id").alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_block))
+    )
+    return (
+        blocks.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "ids",
+                            lambda a: F.transform(
+                                "ids",
+                                lambda b: F.struct(
+                                    a.alias("id1"), b.alias("id2")
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda p: p["id1"] < p["id2"],
+                )
+            ).alias("p")
+        )
+        .select("p.id1", "p.id2")
+    )
+
+
+def score_pairs(
+    records: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    name_col: str,
+    exact_cols: list[str] | None = None,
+) -> DataFrame:
+    """Attach similarity features to candidate pairs: ``jaccard``
+    (token-set overlap of the names) and ``exact_<c>`` booleans for
+    each discriminating attribute. Two equi-joins against the
+    projected record table — candidate pairs are a tiny fraction of
+    the table, so both joins broadcast the pair side in practice."""
+    exact_cols = exact_cols or []
+    proj = records.select(
+        F.col(id_col).alias("__id"),
+        name_tokens(name_col).alias("__toks"),
+        *[F.col(c).alias(f"__x_{c}") for c in exact_cols],
+    )
+    a = proj.select(
+        F.col("__id").alias("id1"),
+        F.col("__toks").alias("__t1"),
+        *[F.col(f"__x_{c}").alias(f"__a_{c}") for c in exact_cols],
+    )
+    b = proj.select(
+        F.col("__id").alias("id2"),
+        F.col("__toks").alias("__t2"),
+        *[F.col(f"__x_{c}").alias(f"__b_{c}") for c in exact_cols],
+    )
+    inter = F.size(F.array_intersect("__t1", "__t2"))
+    union = F.size(F.array_union("__t1", "__t2"))
+    out = (
+        pairs.join(a, "id1")
+        .join(b, "id2")
+        .select(
+            "id1",
+            "id2",
+            (inter.cast("double") / union).alias("jaccard"),
+            *[
+                F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}")).alias(
+                    f"exact_{c}"
+                )
+                for c in exact_cols
+            ],
+        )
+    )
+    return out
+
+
+def match_pairs(
+    scored: DataFrame,
+    min_jaccard: float = 0.5,
+    require_exact: list[str] | None = None,
+) -> DataFrame:
+    """Filter scored pairs to matches: Jaccard threshold plus
+    required exact-attribute agreement."""
+    cond = F.col("jaccard") >= F.lit(min_jaccard)
+    for c in require_exact or []:
+        cond = cond & F.col(f"exact_{c}")
+    return scored.filter(cond)
+
+
+def resolve_entities(
+    records: DataFrame,
+    id_col: str,
+    name_col: str,
+    exact_cols: list[str] | None = None,
+    min_jaccard: float = 0.5,
+    max_block: int = 100,
+    block_key_cols: list[str] | None = None,
+) -> DataFrame:
+    """records + ``entity_id`` (= min record id of the matched
+    component; singletons keep their own id). Full pipeline:
+    block → score → threshold → connected components.
+    ``block_key_cols`` switches from token blocking to exact
+    attribute blocking (see candidate_pairs_by_key)."""
+    if block_key_cols:
+        pairs = candidate_pairs_by_key(
+            records, id_col, block_key_cols, max_block
+        )
+    else:
+        pairs = candidate_pairs(records, id_col, name_col, max_block)
+    scored = score_pairs(records, pairs, id_col, name_col, exact_cols)
+    matched = match_pairs(scored, min_jaccard, list(exact_cols or []))
+    comp = dup_clusters(matched.select("id1", "id2"))  # (id, cluster_id)
+    return records.join(
+        comp.withColumnRenamed("id", id_col),
+        id_col,
+        "left",
+    ).withColumn(
+        "entity_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    ).drop("cluster_id")

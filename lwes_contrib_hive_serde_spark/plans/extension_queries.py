@@ -3252,3 +3252,85 @@ def q_bucketed_join(spark, sf_dir):
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+# --- entity resolution (operators/entity.py) ------------------------------
+
+from lwes_contrib_hive_serde_spark.operators import entity as _entity
+
+# part plus planted perturbed duplicates: every p_partkey % 11 == 0
+# record reappears under id+100000 with an extra name token and the
+# same (brand, type) — textual drift with stable structure, the
+# record-linkage setting.
+_ER_RECS_SQL = """
+      SELECT p_partkey AS id, p_name AS name, p_brand, p_type FROM part
+      UNION ALL
+      SELECT p_partkey + 100000, p_name || ' spare', p_brand, p_type
+      FROM part WHERE p_partkey % 11 = 0
+"""
+_ER_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(name), "
+    "'[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+
+
+@register(
+    "q_entity_pairs",
+    shadow=True,
+    oracle=f"""
+    WITH recs AS (
+{_ER_RECS_SQL}
+    ), toks AS (
+      SELECT id, list_distinct(string_split({_ER_NORM}, ' ')) AS t
+      FROM recs
+    ), blocks AS (
+      SELECT p_brand, p_type, COUNT(*) AS n FROM recs
+      GROUP BY p_brand, p_type
+    ), cand AS (
+      SELECT a.id AS id1, b.id AS id2
+      FROM recs a
+      JOIN recs b ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+                  AND a.id < b.id
+      JOIN blocks k ON k.p_brand = a.p_brand AND k.p_type = a.p_type
+      WHERE k.n BETWEEN 2 AND 200
+    ), scored AS (
+      SELECT id1, id2,
+             CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)
+               / len(list_distinct(list_concat(ta.t, tb.t))) AS jaccard
+      FROM cand JOIN toks ta ON ta.id = id1 JOIN toks tb ON tb.id = id2
+    )
+    SELECT id1, id2, jaccard FROM scored WHERE jaccard >= 0.5
+    """,
+    doc="Entity resolution / record linkage (entity.candidate_pairs_"
+    "by_key + score_pairs + match_pairs): part records plus planted "
+    "perturbed duplicates (extra name token, same brand/type) are "
+    "blocked on the exact (brand, type) composite — the attribute-"
+    "blocking strategy for low-entropy names — capped at 200/block, "
+    "then scored by token-set Jaccard over normalized names and "
+    "thresholded at 0.5. No all-pairs comparison ever exists; the "
+    "block cap bounds the quadratic term exactly like the LSH bucket "
+    "cap. Oracle replays block-join + list_intersect Jaccard in SQL; "
+    "matched pairs and scores value-hash-match.",
+)
+def q_entity_pairs(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    recs = p.select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_name").alias("name"),
+        "p_brand",
+        "p_type",
+    ).unionByName(
+        p.filter(F.col("p_partkey") % 11 == 0).select(
+            (F.col("p_partkey") + 100000).alias("id"),
+            F.concat(F.col("p_name"), F.lit(" spare")).alias("name"),
+            "p_brand",
+            "p_type",
+        )
+    )
+    pairs = _entity.candidate_pairs_by_key(
+        recs, "id", ["p_brand", "p_type"], max_block=200
+    )
+    scored = _entity.score_pairs(recs, pairs, "id", "name")
+    return _entity.match_pairs(scored, min_jaccard=0.5).select(
+        "id1", "id2", "jaccard"
+    )

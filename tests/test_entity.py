@@ -1,0 +1,90 @@
+"""Entity resolution (operators/entity.py): blocking recall, cap
+semantics, scoring, and end-to-end clustering on planted duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lwes_contrib_hive_serde_spark.operators import entity as E
+
+
+@pytest.fixture(scope="module")
+def records(spark):
+    return spark.createDataFrame(
+        [
+            # one true entity, three spellings
+            (1, "Acme Widget Co", "US"),
+            (2, "acme widget co llc", "US"),
+            (3, "ACME-Widget Co.", "US"),
+            # same name, different country -> NOT the same entity
+            (4, "Acme Widget Co", "DE"),
+            # unrelated
+            (5, "Blue Bolt Ltd", "US"),
+            (6, "Red Bolt Ltd", "US"),
+        ],
+        "id long, name string, country string",
+    )
+
+
+class TestNormalization:
+    def test_normalize(self, spark):
+        df = spark.createDataFrame([(" ACME-Widget  Co. ",)], "s string")
+        assert df.select(E.normalize_name("s")).first()[0] == "acme widget co"
+
+    def test_tokens_are_distinct(self, spark):
+        df = spark.createDataFrame([("bolt bolt BOLT",)], "s string")
+        assert df.select(E.name_tokens("s")).first()[0] == ["bolt"]
+
+
+class TestBlocking:
+    def test_shared_token_pairs(self, spark, records):
+        pairs = {(r["id1"], r["id2"])
+                 for r in E.candidate_pairs(records, "id", "name").collect()}
+        # 1,2,3,4 all share 'acme'/'widget'; 5,6 share 'bolt'/'ltd'
+        for expect in [(1, 2), (1, 3), (2, 3), (1, 4), (5, 6)]:
+            assert expect in pairs
+        assert (1, 5) not in pairs
+
+    def test_block_cap_drops_hot_tokens(self, spark):
+        rows = [(i, f"inc company {i}") for i in range(50)]
+        df = spark.createDataFrame(rows, "id long, name string")
+        # 'inc'/'company' blocks have 50 ids -> dropped by cap 10;
+        # the numeric tokens are singletons -> no pairs survive
+        assert E.candidate_pairs(df, "id", "name", max_block=10).count() == 0
+
+
+class TestScoring:
+    def test_jaccard_and_exact(self, spark, records):
+        pairs = E.candidate_pairs(records, "id", "name")
+        scored = E.score_pairs(records, pairs, "id", "name", ["country"])
+        row = {(r["id1"], r["id2"]): r for r in scored.collect()}
+        # 1 vs 3: tokens {acme,widget,co} == {acme,widget,co} -> 1.0
+        assert row[(1, 3)]["jaccard"] == 1.0
+        assert row[(1, 3)]["exact_country"]
+        # 1 vs 2: {acme,widget,co} vs {acme,widget,co,llc} -> 3/4
+        assert row[(1, 2)]["jaccard"] == 0.75
+        # 1 vs 4: same name, different country
+        assert row[(1, 4)]["jaccard"] == 1.0
+        assert not row[(1, 4)]["exact_country"]
+        # 5 vs 6: {blue,bolt,ltd} vs {red,bolt,ltd} -> 2/4
+        assert row[(5, 6)]["jaccard"] == 0.5
+
+
+class TestResolve:
+    def test_end_to_end_entities(self, spark, records):
+        out = E.resolve_entities(
+            records, "id", "name", exact_cols=["country"],
+            min_jaccard=0.6,
+        )
+        ent = {r["id"]: r["entity_id"] for r in out.collect()}
+        # 1,2,3 cluster to min id 1; 4 isolated by country; 5,6 by low
+        # jaccard (0.5 < 0.6)
+        assert ent[1] == ent[2] == ent[3] == 1
+        assert ent[4] == 4
+        assert ent[5] == 5 and ent[6] == 6
+
+    def test_schema(self, spark, records):
+        out = E.resolve_entities(records, "id", "name")
+        assert out.columns == ["id", "name", "country", "entity_id"]
+        assert out.count() == records.count()
