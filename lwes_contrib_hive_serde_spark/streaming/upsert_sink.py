@@ -1,0 +1,241 @@
+"""Streaming upsert sink: maintain a keyed snapshot table from a
+change stream — CDC ingestion, the streaming face of
+operators/cdc.apply_changes.
+
+Every micro-batch of (op, seq, row) changes MERGEs into the current
+snapshot and publishes a new immutable version directory
+``state_dir/v=<batch_id>/``. Exactly-once comes from the same
+epoch-idempotency recipe as rollup_stream and the journal stream
+sink: Structured Streaming replays a failed epoch under the SAME
+batch_id, the version is recomputed from the same predecessor
+version, and the overwrite of ``v=<batch_id>`` lands identical bytes
+— no double-apply, no torn publish (readers only trust versions with
+a ``_SUCCESS`` marker).
+
+The version chain doubles as TIME TRAVEL: ``read_snapshot(...,
+version=n)`` reads the table as of epoch n, and ``prune_versions``
+bounds history like any retention policy. This is the
+Delta-without-a-log corner of the design space — sufficient exactly
+because each version has a single writer (the streaming query) and
+versions are totally ordered by batch id.
+
+Scale: each publish costs one apply_changes — the old snapshot is
+scanned once and anti-joined against broadcast change keys (never
+shuffled), upserts come from the (small) batch. Full-snapshot
+rewrite per epoch is the honest cost of log-free versioning; at
+100 TB you either accept it with a long trigger interval, partition
+the snapshot and rewrite only partitions containing change keys
+(partition_cols option below), or graduate to a log-based format.
+The partition-pruned path writes ONLY the touched partitions per
+epoch — the unscalable rewrite is opt-out by design.
+
+Reference parity: none (batch serde); SURVEY §2b streaming mandate.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from lwes_contrib_hive_serde_spark.operators import cdc as _cdc
+
+
+def _versions(state_dir: str) -> list[int]:
+    """Committed (_SUCCESS-marked) versions, ascending."""
+    if not os.path.isdir(state_dir):
+        return []
+    out = []
+    for name in os.listdir(state_dir):
+        m = re.fullmatch(r"v=(\d+)", name)
+        if m and os.path.exists(os.path.join(state_dir, name, "_SUCCESS")):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def read_snapshot(
+    spark: SparkSession, state_dir: str, version: int | None = None
+) -> DataFrame:
+    """The snapshot at ``version`` (default: latest committed).
+    Raises if the store is empty or the version was never committed."""
+    vs = _versions(state_dir)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions under {state_dir}")
+    if version is None:
+        version = vs[-1]
+    elif version not in vs:
+        raise FileNotFoundError(
+            f"version {version} not committed (have {vs})"
+        )
+    return spark.read.parquet(os.path.join(state_dir, f"v={version}"))
+
+
+def upsert_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+    partition_cols: Sequence[str] | None = None,
+) -> None:
+    """Publish version ``batch_id`` = predecessor snapshot + batch.
+
+    Idempotent under epoch replay: the predecessor is the largest
+    committed version STRICTLY below batch_id, so re-running an epoch
+    recomputes the same result and overwrites only its own directory.
+
+    With ``partition_cols`` the snapshot is stored hive-partitioned
+    and an epoch rewrites ONLY partitions containing change keys;
+    untouched partitions are hard-linked/copied forward without a
+    scan (metadata-speed for the common mostly-cold-key case).
+    Partition columns MUST be immutable functions of the key — if a
+    key could move between partitions, its old row would survive in
+    an untouched partition as a stale duplicate. Use
+    ``with_key_bucket`` for a partitioning that is immutable by
+    construction."""
+    spark = batch_df.sparkSession
+    keys = list(keys)
+    base_cols = [c for c in batch_df.columns if c not in (op_col, seq_col)]
+    prior = [v for v in _versions(state_dir) if v < batch_id]
+    out = os.path.join(state_dir, f"v={batch_id}")
+
+    if not prior:
+        first = _cdc.latest_changes(batch_df, keys, seq_col, op_col)
+        snap = first.filter(F.col(op_col) == _cdc.UPSERT).select(*base_cols)
+        _write(snap, out, partition_cols)
+        return
+
+    prev_dir = os.path.join(state_dir, f"v={prior[-1]}")
+    if partition_cols:
+        parts = list(partition_cols)
+        touched = [
+            tuple(r)
+            for r in batch_df.select(*parts).distinct().collect()
+        ]
+        base = spark.read.parquet(prev_dir)
+        tmp = out + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        cond = F.lit(False)
+        for t in touched:
+            c = F.lit(True)
+            for col, val in zip(parts, t):
+                c = c & F.col(col).eqNullSafe(F.lit(val))
+            cond = cond | c
+        hot = _cdc.apply_changes(
+            base.filter(cond), batch_df, keys, seq_col, op_col
+        )
+        _write(hot, tmp, parts)
+        # carry forward untouched partitions without reading them
+        touched_names = {
+            "/".join(
+                f"{c}={_hive_escape(v)}" for c, v in zip(parts, t)
+            )
+            for t in touched
+        }
+        _copy_cold_partitions(prev_dir, tmp, parts, touched_names)
+        shutil.rmtree(out, ignore_errors=True)
+        os.replace(tmp, out)
+    else:
+        base = spark.read.parquet(prev_dir)
+        snap = _cdc.apply_changes(base, batch_df, keys, seq_col, op_col)
+        _write(snap, out, None)
+
+
+def with_key_bucket(
+    df: DataFrame, keys: Sequence[str], n_buckets: int, col: str = "kb"
+) -> DataFrame:
+    """Deterministic bucket column for partition-pruned upserts:
+    pmod(xxhash64(keys), n) — immutable per key, so a key can never
+    migrate between partitions. Apply to BOTH the initial snapshot
+    batch and every change batch."""
+    return df.withColumn(
+        col, F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
+    )
+
+
+def _hive_escape(v) -> str:
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    return str(v)
+
+
+def _write(df: DataFrame, path: str, partition_cols):
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)
+
+
+def _copy_cold_partitions(
+    prev_dir: str, tmp: str, parts: Sequence[str], touched_names: set[str]
+) -> None:
+    """Link (or copy) every partition directory of the predecessor
+    version that this epoch did not rewrite. One level per partition
+    column; nested walks handle multi-column partitioning."""
+
+    def walk(src: str, rel_parts: list[str]):
+        depth = len(rel_parts)
+        if depth == len(parts):
+            rel = "/".join(rel_parts)
+            if rel in touched_names:
+                return
+            dst = os.path.join(tmp, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copytree(src, dst, copy_function=os.link)
+            return
+        for name in os.listdir(src):
+            if name.startswith(f"{parts[depth]}="):
+                walk(os.path.join(src, name), rel_parts + [name])
+
+    walk(prev_dir, [])
+    # _SUCCESS for the assembled version (the hot write's marker sits
+    # inside tmp already when partition dirs were written by Spark;
+    # ensure it exists even when the epoch touched zero partitions)
+    open(os.path.join(tmp, "_SUCCESS"), "a").close()
+
+
+def stream_upsert(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+    partition_cols: Sequence[str] | None = None,
+    trigger: str = "500 milliseconds",
+):
+    """Start the CDC-ingestion query: every micro-batch publishes a
+    new snapshot version. Returns the StreamingQuery."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_batch(
+            batch_df, batch_id, state_dir, keys, seq_col, op_col,
+            partition_cols,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=trigger)
+        .start()
+    )
+
+
+def prune_versions(state_dir: str, keep_last: int = 2) -> int:
+    """Drop all but the newest ``keep_last`` committed versions (plus
+    any uncommitted debris older than them). Returns dirs removed."""
+    vs = _versions(state_dir)
+    if len(vs) <= keep_last:
+        return 0
+    cutoff = vs[-keep_last]
+    removed = 0
+    for name in os.listdir(state_dir):
+        m = re.fullmatch(r"v=(\d+)(\.tmp)?", name)
+        if m and int(m.group(1)) < cutoff:
+            shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
+            removed += 1
+    return removed

@@ -1,0 +1,157 @@
+"""Streaming upsert sink (streaming/upsert_sink.py): versioned
+snapshot maintenance — batch folding, epoch-replay idempotency, time
+travel, partition-pruned rewrites, retention."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from lwes_contrib_hive_serde_spark.streaming import upsert_sink as U
+
+SCHEMA = "id long, s string, v double, op string, seq long"
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _snap(spark, state, version=None):
+    return {
+        r["id"]: (r["s"], r["v"])
+        for r in U.read_snapshot(spark, state, version).collect()
+    }
+
+
+class TestBatchFolding:
+    def test_versions_accumulate(self, spark, tmp_path):
+        state = str(tmp_path / "s")
+        U.upsert_batch(_batch(spark, [
+            (1, "a", 1.0, "upsert", 1), (2, "b", 2.0, "upsert", 1),
+        ]), 0, state, ["id"], "seq")
+        U.upsert_batch(_batch(spark, [
+            (2, "B", 2.5, "upsert", 2), (3, "c", 3.0, "upsert", 2),
+            (1, None, None, "delete", 2),
+        ]), 1, state, ["id"], "seq")
+        assert _snap(spark, state) == {2: ("B", 2.5), 3: ("c", 3.0)}
+        # time travel to v0
+        assert _snap(spark, state, 0) == {1: ("a", 1.0), 2: ("b", 2.0)}
+
+    def test_first_batch_deletes_ignored(self, spark, tmp_path):
+        state = str(tmp_path / "s")
+        U.upsert_batch(_batch(spark, [
+            (1, "a", 1.0, "upsert", 1), (9, None, None, "delete", 1),
+        ]), 0, state, ["id"], "seq")
+        assert _snap(spark, state) == {1: ("a", 1.0)}
+
+    def test_epoch_replay_idempotent(self, spark, tmp_path):
+        state = str(tmp_path / "s")
+        b0 = [(1, "a", 1.0, "upsert", 1)]
+        b1 = [(1, "A", 1.5, "upsert", 2), (2, "b", 2.0, "upsert", 2)]
+        U.upsert_batch(_batch(spark, b0), 0, state, ["id"], "seq")
+        U.upsert_batch(_batch(spark, b1), 1, state, ["id"], "seq")
+        before = _snap(spark, state)
+        # replay epoch 1 (same batch id, same data) — must not change
+        U.upsert_batch(_batch(spark, b1), 1, state, ["id"], "seq")
+        assert _snap(spark, state) == before
+        assert U._versions(state) == [0, 1]
+
+    def test_missing_version_raises(self, spark, tmp_path):
+        state = str(tmp_path / "s")
+        with pytest.raises(FileNotFoundError):
+            U.read_snapshot(spark, state)
+        U.upsert_batch(_batch(spark, [(1, "a", 1.0, "upsert", 1)]),
+                       0, state, ["id"], "seq")
+        with pytest.raises(FileNotFoundError):
+            U.read_snapshot(spark, state, 7)
+
+
+class TestPartitionPruning:
+    def test_partitioned_matches_plain(self, spark, tmp_path):
+        plain, parted = str(tmp_path / "p1"), str(tmp_path / "p2")
+        rows0 = [(i, f"s{i}", float(i), "upsert", 1) for i in range(20)]
+        rows1 = ([(3, "X", 33.0, "upsert", 2), (7, None, None, "delete", 2),
+                  (40, "new", 40.0, "upsert", 2)])
+        for state, part in ((plain, None), (parted, ["kb"])):
+            b0, b1 = _batch(spark, rows0), _batch(spark, rows1)
+            if part:
+                b0 = U.with_key_bucket(b0, ["id"], 4)
+                b1 = U.with_key_bucket(b1, ["id"], 4)
+            U.upsert_batch(b0, 0, state, ["id"], "seq",
+                           partition_cols=part)
+            U.upsert_batch(b1, 1, state, ["id"], "seq",
+                           partition_cols=part)
+        want = _snap(spark, plain)
+        got = {r["id"]: (r["s"], r["v"])
+               for r in U.read_snapshot(spark, parted).collect()}
+        assert got == want
+
+    def test_cold_partitions_carried_by_link(self, spark, tmp_path):
+        state = str(tmp_path / "s")
+        rows0 = [(i, f"s{i}", float(i), "upsert", 1) for i in range(20)]
+        b0 = U.with_key_bucket(_batch(spark, rows0), ["id"], 4)
+        U.upsert_batch(b0, 0, state, ["id"], "seq", partition_cols=["kb"])
+        # epoch 1 touches exactly one key -> exactly one bucket rewritten
+        b1 = U.with_key_bucket(
+            _batch(spark, [(3, "X", 33.0, "upsert", 2)]), ["id"], 4)
+        U.upsert_batch(b1, 1, state, ["id"], "seq", partition_cols=["kb"])
+        hot = b1.select("kb").first()[0]
+        v0, v1 = (os.path.join(state, v) for v in ("v=0", "v=1"))
+        for kb in range(4):
+            d0, d1 = (os.path.join(v, f"kb={kb}") for v in (v0, v1))
+            if not os.path.isdir(d0):
+                continue
+            files0 = sorted(os.listdir(d0))
+            files1 = sorted(os.listdir(d1))
+            if kb != hot:
+                # cold bucket: identical file set, hard-linked inodes
+                assert files0 == files1
+                f = next(x for x in files0 if x.endswith(".parquet"))
+                assert os.path.samefile(
+                    os.path.join(d0, f), os.path.join(d1, f))
+
+
+class TestRetention:
+    def test_prune_keeps_latest(self, spark, tmp_path):
+        state = str(tmp_path / "s")
+        for bid in range(5):
+            U.upsert_batch(_batch(spark, [
+                (bid, "x", float(bid), "upsert", bid)]),
+                bid, state, ["id"], "seq")
+        removed = U.prune_versions(state, keep_last=2)
+        assert removed == 3
+        assert U._versions(state) == [3, 4]
+        assert set(_snap(spark, state)) == {0, 1, 2, 3, 4}
+
+
+class TestLiveStream:
+    def test_foreachbatch_end_to_end(self, spark, tmp_path):
+        state = str(tmp_path / "state")
+        ckpt = str(tmp_path / "ckpt")
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        df0 = _batch(spark, [(1, "a", 1.0, "upsert", 1),
+                             (2, "b", 2.0, "upsert", 1)])
+        df0.coalesce(1).write.json(os.path.join(src, "f0"))
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(os.path.join(src, "f*"))
+        )
+        q = U.stream_upsert(stream, state, ckpt, ["id"], "seq",
+                            trigger="200 milliseconds")
+        try:
+            deadline = time.time() + 60
+            while not U._versions(state) and time.time() < deadline:
+                time.sleep(0.3)
+            df1 = _batch(spark, [(1, None, None, "delete", 2),
+                                 (3, "c", 3.0, "upsert", 2)])
+            df1.coalesce(1).write.json(os.path.join(src, "f1"))
+            while len(U._versions(state)) < 2 and time.time() < deadline:
+                time.sleep(0.3)
+        finally:
+            q.stop()
+        assert _snap(spark, state) == {2: ("b", 2.0), 3: ("c", 3.0)}
