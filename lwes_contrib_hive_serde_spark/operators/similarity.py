@@ -166,6 +166,116 @@ def knn_join(
     )
 
 
+def hard_negatives(
+    data: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    data_id: str = "vec_id",
+    data_vec: str = "embedding",
+    data_label: str = "label",
+    anchor_id: str = "vec_id",
+    anchor_vec: str = "embedding",
+    anchor_label: str = "label",
+    max_sim: float | None = None,
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor, the k most
+    cosine-similar vectors with a DIFFERENT label — the examples a
+    contrastive/embedding trainer learns the most from (Robinson et
+    al. 2021; the retrieval-training staple).
+
+    Same distributed shape as knn_join (broadcast anchor chunks,
+    per-partition numpy GEMM over Arrow batches, one window for the
+    global top-k), except the label masking happens INSIDE the GEMM:
+    same-label columns are -inf'd before the partial top-k, so the
+    result is exactly the top-k among negatives — no oversample-and-
+    refilter underflow when a label dominates a neighborhood.
+
+    ``max_sim`` optionally drops near-positives (suspected label
+    noise / duplicates): a "hard" negative at cosine 0.999 is usually
+    a mislabeled positive, the classic false-negative trap."""
+    out_schema = "query_id long, neighbor_id long, cosine_sim double"
+    sc = data.sparkSession.sparkContext
+    projected = data.select(data_id, data_vec, data_label)
+
+    def chunk_partial(q_ids, q_mat, q_labels):
+        bq = sc.broadcast((q_ids, q_mat, q_labels))
+
+        def part_topk(batches):
+            import numpy as np
+            import pandas as pd
+
+            q_ids_l, q_mat_l, q_lab_l = bq.value
+            Q = np.asarray(q_mat_l, dtype=np.float64)
+            Qn = Q / np.maximum(
+                np.linalg.norm(Q, axis=1, keepdims=True), 1e-12
+            )
+            qlab = np.asarray(q_lab_l)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.asarray(pdf[data_vec].tolist(), dtype=np.float64)
+                Xn = X / np.maximum(
+                    np.linalg.norm(X, axis=1, keepdims=True), 1e-12
+                )
+                S = Qn @ Xn.T  # (nq, nx)
+                xlab = pdf[data_label].to_numpy()
+                S[qlab[:, None] == xlab[None, :]] = -np.inf
+                if max_sim is not None:
+                    S[S > max_sim] = -np.inf
+                ids = pdf[data_id].to_numpy()
+                kk = min(k, S.shape[1])
+                idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+                sims = np.take_along_axis(S, idx, axis=1)
+                keep = np.isfinite(sims)
+                rows = {
+                    "query_id": np.repeat(q_ids_l, kk)[keep.ravel()],
+                    "neighbor_id": ids[idx].ravel()[keep.ravel()],
+                    "cosine_sim": sims.ravel()[keep.ravel()],
+                }
+                yield pd.DataFrame(rows)
+
+        return projected.mapInPandas(part_topk, out_schema)
+
+    import math
+
+    qdf = anchors.select(anchor_id, anchor_vec, anchor_label)
+    total = qdf.count()
+    n_chunks = max(1, math.ceil(total / max_queries))
+    partials = []
+    for i in range(n_chunks):
+        chunk = (
+            qdf
+            if n_chunks == 1
+            else qdf.where(
+                F.pmod(F.xxhash64(anchor_id), F.lit(n_chunks)) == i
+            )
+        )
+        rows = chunk.collect()
+        if not rows:
+            continue
+        partials.append(
+            chunk_partial(
+                [r[0] for r in rows],
+                [list(map(float, r[1])) for r in rows],
+                [r[2] for r in rows],
+            )
+        )
+    if not partials:
+        return data.sparkSession.createDataFrame([], out_schema)
+    partial = partials[0]
+    for p in partials[1:]:
+        partial = partial.unionAll(p)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) index
 # ---------------------------------------------------------------------------

@@ -3334,3 +3334,56 @@ def q_entity_pairs(spark, sf_dir):
     return _entity.match_pairs(scored, min_jaccard=0.5).select(
         "id1", "id2", "jaccard"
     )
+
+
+# --- contrastive hard-negative mining (operators/similarity.py) -----------
+
+
+@register(
+    "q_hard_negatives",
+    shadow=True,
+    oracle="""
+    WITH qs AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+      FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+      SELECT qs.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_inner_product(e.embedding::DOUBLE[], qs.qv)
+                   / (sqrt(list_inner_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]))
+                      * sqrt(list_inner_product(qs.qv, qs.qv))), 6) AS sim6
+      FROM embeddings e, qs
+      WHERE e.label <> qs.ql
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim6 DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, sim6 FROM ranked WHERE rn <= 4
+    """,
+    doc="Contrastive hard-negative mining (similarity.hard_negatives): "
+    "for each anchor, the top-4 most-cosine-similar vectors with a "
+    "DIFFERENT label — same broadcast-GEMM shape as knn_join, but "
+    "same-label columns are -inf'd INSIDE the partition GEMM, so the "
+    "result is exactly the per-anchor negative top-k with no "
+    "oversample underflow. Oracle replays label-excluded cosine "
+    "ranking in SQL; pairs and rounded sims value-hash-match.",
+)
+def q_hard_negatives(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    anchors = e.filter("vec_id < 8")
+    out = similarity.hard_negatives(e, anchors, k=5)
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("query_id").orderBy(
+        F.desc(F.round("cosine_sim", 6)), F.asc("neighbor_id")
+    )
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine_sim", 6).alias("sim6"),
+        )
+    )

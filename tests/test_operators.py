@@ -181,6 +181,57 @@ class TestSimilarity:
         }
         assert multi == single
 
+    def test_hard_negatives_excludes_same_label(self, spark, vectors):
+        from collections import Counter
+
+        labeled = vectors.withColumn(
+            "label", (F.col("vec_id") % 3).cast("int"))
+        anchors = labeled.filter("vec_id < 4")
+        rows = similarity.hard_negatives(labeled, anchors, k=6).collect()
+        lab = {r["vec_id"]: r["label"] for r in labeled.collect()}
+        for r in rows:
+            assert lab[r["query_id"]] != lab[r["neighbor_id"]]
+        counts = Counter(r["query_id"] for r in rows)
+        assert all(v == 6 for v in counts.values()) and len(counts) == 4
+
+    def test_hard_negatives_matches_bruteforce(self, spark, vectors):
+        import numpy as np
+
+        labeled = vectors.withColumn(
+            "label", (F.col("vec_id") % 3).cast("int"))
+        anchors = labeled.filter("vec_id = 5")
+        got = [
+            (r["neighbor_id"], round(r["cosine_sim"], 9))
+            for r in similarity.hard_negatives(labeled, anchors, k=4)
+            .orderBy(F.desc("cosine_sim")).collect()
+        ]
+        data = labeled.collect()
+        a = next(r for r in data if r["vec_id"] == 5)
+        av = np.array(a["embedding"], dtype=np.float64)
+        sims = []
+        for r in data:
+            if r["label"] == a["label"]:
+                continue
+            v = np.array(r["embedding"], dtype=np.float64)
+            s = float(av @ v / (np.linalg.norm(av) * np.linalg.norm(v)))
+            sims.append((r["vec_id"], round(s, 9)))
+        want = sorted(sims, key=lambda t: (-t[1], t[0]))[:4]
+        assert got == want
+
+    def test_hard_negatives_max_sim_drops_near_positives(self, spark, vectors):
+        labeled = vectors.withColumn(
+            "label", (F.col("vec_id") % 3).cast("int"))
+        # vec 80 is a tiny perturbation of vec 0 (planted near-dup);
+        # labels 0%3 vs 80%3 differ, so without the guard it would be
+        # anchor 0's top "negative" — the classic false-negative trap
+        anchors = labeled.filter("vec_id = 0")
+        top = similarity.hard_negatives(labeled, anchors, k=1).first()
+        capped = similarity.hard_negatives(
+            labeled, anchors, k=1, max_sim=0.98).first()
+        assert top["cosine_sim"] > 0.98  # the trap is real in this data
+        assert capped["neighbor_id"] != top["neighbor_id"]
+        assert capped["cosine_sim"] <= 0.98
+
     def test_ivf_search_high_recall(self, spark, vectors):
         assigned, centroids = similarity.ivf_build(vectors, n_clusters=4)
         qv = [float(x) for x in vectors.filter("vec_id = 3").first()["embedding"]]
