@@ -173,6 +173,41 @@ def split_train_eval(
     return df.withColumn(out_col, expr.otherwise(F.lit(items[-1][0])))
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    seed: str = "lwespark",
+    out_col: str = "split",
+) -> DataFrame:
+    """Group-aware train/val/test split: rows linked by ``pairs``
+    (near-dup / same-entity edges, e.g. from minhash_dedup_pairs or
+    entity matching) are guaranteed the SAME split.
+
+    Splitting by row key leaks: a near-duplicate of a training
+    document lands in eval and inflates every metric (Lee et al.
+    2022). Here each connected component of the pair graph hashes as
+    ONE unit — the split key is the component's cluster id (min
+    member id), singletons fall back to their own id, so the result
+    degrades exactly to split_train_eval when pairs is empty.
+
+    Scale: dup_clusters touches only the pair-sized edge list; the
+    corpus pays one broadcast-sized left join against the component
+    map (components ≪ corpus) and the same zero-shuffle hash split."""
+    from .dedup import dup_clusters
+
+    comp = dup_clusters(pairs.select("id1", "id2"))
+    withg = df.join(
+        comp.withColumnRenamed("id", id_col), id_col, "left"
+    ).withColumn(
+        "__split_group", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    return split_train_eval(
+        withg, "__split_group", fractions, seed, out_col
+    ).drop("cluster_id", "__split_group")
+
+
 def weighted_sample(
     df: DataFrame,
     key,

@@ -3387,3 +3387,85 @@ def q_hard_negatives(spark, sf_dir):
             F.round("cosine_sim", 6).alias("sim6"),
         )
     )
+
+
+# --- leakage-safe splitting (operators/sampling.py) -----------------------
+
+_LSS_U = (
+    "(('0x' || substr(md5('lwespark:' || CAST(grp AS VARCHAR)), 1, 16))"
+    "::UINT64)::DOUBLE / 18446744073709551616.0"
+)
+
+
+@register(
+    "q_leakage_safe_split",
+    shadow=True,
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 37 = 0
+    ), g AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) AS grp
+      FROM corpus
+    ), s AS (
+      SELECT doc_id, grp,
+             CASE WHEN {_LSS_U} < 0.1 THEN 'a_test'
+                  WHEN {_LSS_U} < 0.9 THEN 'b_train'
+                  ELSE 'c_val' END AS split
+      FROM g
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT grp) AS n_groups,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM s GROUP BY split
+    """,
+    doc="Leakage-safe train/val/test split (sampling.leakage_safe_"
+    "split): planted exact duplicates (doc_id%37 re-id'd +100000) are "
+    "linked into pair edges, connected components hash as ONE split "
+    "unit, so a duplicate can never straddle train and eval (Lee et "
+    "al. 2022's eval-leakage failure). The oracle replays components "
+    "of the exact-dup graph as md5(text) groups (identical by "
+    "transitivity of equality) and the same md5-fraction split hash; "
+    "per-split doc AND group counts value-hash-match. dup_clusters "
+    "touches only the edge list; the corpus pays one broadcast join "
+    "and a zero-shuffle hash split.",
+)
+def q_leakage_safe_split(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import sampling as _sampling
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 37 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    # exact-dup edges: min-id representative to every other member
+    fp = corpus.select(
+        "doc_id", F.md5(F.encode("text", "utf-8")).alias("fp")
+    )
+    rep = fp.groupBy("fp").agg(F.min("doc_id").alias("id1"))
+    pairs = (
+        fp.join(rep, "fp")
+        .filter(F.col("doc_id") != F.col("id1"))
+        .select("id1", F.col("doc_id").alias("id2"))
+    )
+    out = _sampling.leakage_safe_split(
+        corpus, pairs, "doc_id",
+        {"a_test": 0.1, "b_train": 0.8, "c_val": 0.1},
+    )
+    # mirror the oracle's group id for the group count
+    comp = fp.join(rep, "fp").select("doc_id", F.col("id1").alias("grp"))
+    return (
+        out.join(comp, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("grp").alias("n_groups"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

@@ -291,3 +291,52 @@ class TestTemperatureMixture:
         )
         tiny = out.filter("source = 'tiny'").count()
         assert tiny <= 3
+
+
+class TestLeakageSafeSplit:
+    def _fixture(self, spark):
+        from pyspark.sql import functions as F
+
+        rows = [(i, f"text {i}") for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        # near-dup pairs: chains 0-1-2, 10-11, 150-151-152-153
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (10, 11), (150, 151), (151, 152), (152, 153)],
+            "id1 long, id2 long",
+        )
+        return df, pairs
+
+    def test_groups_co_travel(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import sampling as S
+
+        df, pairs = self._fixture(spark)
+        out = S.leakage_safe_split(
+            df, pairs, "doc_id", {"a_train": 0.8, "b_val": 0.1, "c_test": 0.1}
+        )
+        sp = {r["doc_id"]: r["split"] for r in out.collect()}
+        assert len(sp) == 200
+        for grp in ([0, 1, 2], [10, 11], [150, 151, 152, 153]):
+            assert len({sp[i] for i in grp}) == 1, grp
+
+    def test_singletons_match_plain_split(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import sampling as S
+
+        df, pairs = self._fixture(spark)
+        fr = {"a_train": 0.8, "b_val": 0.1, "c_test": 0.1}
+        safe = {r["doc_id"]: r["split"]
+                for r in S.leakage_safe_split(df, pairs, "doc_id", fr).collect()}
+        plain = {r["doc_id"]: r["split"]
+                 for r in S.split_train_eval(df, "doc_id", fr).collect()}
+        linked = {0, 1, 2, 10, 11, 150, 151, 152, 153}
+        for i in set(plain) - linked:
+            assert safe[i] == plain[i]
+
+    def test_fractions_roughly_hold(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import sampling as S
+
+        df, pairs = self._fixture(spark)
+        out = S.leakage_safe_split(
+            df, pairs, "doc_id", {"a_train": 0.8, "b_val": 0.2})
+        n = out.count()
+        n_tr = out.filter("split = 'a_train'").count()
+        assert 0.6 < n_tr / n < 0.95
