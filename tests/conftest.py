@@ -16,7 +16,15 @@ def spark():
     from lwes_contrib_hive_serde_spark.session import make_session
 
     s = make_session(
-        master="local[4]", app_name="lwes-tests", shuffle_partitions=4
+        master="local[4]", app_name="lwes-tests", shuffle_partitions=4,
+        # one JVM serves the whole 500+-test suite: checkpointed edge
+        # lists, persisted shingle tables, broadcasts, and catalog
+        # scans all share this heap. The 1g default OOMs near the end
+        # of the suite; periodic GC (default 30min — i.e. never, in a
+        # 5-minute run) lets the ContextCleaner actually drop
+        # unreferenced checkpoint/broadcast blocks mid-suite.
+        driver_mem="6g",
+        extra={"spark.cleaner.periodicGC.interval": "45s"},
     )
     L.register(s)
     yield s

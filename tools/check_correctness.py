@@ -67,6 +67,10 @@ def main():
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # 90+ queries share this JVM (gated + shadow); the 1g default
+        # heap is marginal by the end — same sizing note as conftest
+        .config("spark.driver.memory", "6g")
+        .config("spark.cleaner.periodicGC.interval", "45s")
         .getOrCreate()
     )
     con = duckdb.connect()
