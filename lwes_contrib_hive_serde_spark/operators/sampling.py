@@ -152,6 +152,96 @@ def temperature_mixture(
     return df.withColumn(copy_col, F.explode(copies))
 
 
+def token_budget_plan(
+    df: DataFrame,
+    source_col: str,
+    token_col: str,
+    target_weights: dict[str, float],
+    total_tokens: int,
+    max_repeat: float = 4.0,
+) -> DataFrame:
+    """Per-source sampling plan to hit a TOKEN mixture under a token
+    budget — the unit LLM data recipes are actually written in
+    (docs-per-source mixing drifts when sources have different doc
+    lengths).
+
+    For each source: target_tokens = normalized weight × budget,
+    rate = target/available capped at ``max_repeat`` (rate > 1 =
+    upsampling; a shortfall a 4x repeat can't close is surfaced, not
+    silently papered over). Returns one row per source:
+    (source, available_tokens, target_tokens, rate, expected_tokens,
+    shortfall_tokens). Sources absent from ``target_weights`` get
+    rate 0 (and appear with target 0, the explicit drop).
+
+    One tiny aggregation; nothing else is touched. Feed the result to
+    apply_token_budget (or read the rates off for any sampler)."""
+    z = sum(target_weights.values())
+    if z <= 0:
+        raise ValueError("target_weights must sum positive")
+    avail = df.groupBy(source_col).agg(
+        F.sum(token_col).alias("available_tokens")
+    )
+    target = F.lit(0.0)
+    for src, w in sorted(target_weights.items()):
+        target = F.when(
+            F.col(source_col) == src, F.lit(w / z * float(total_tokens))
+        ).otherwise(target)
+    return (
+        avail.withColumn("target_tokens", target)
+        .withColumn(
+            "rate",
+            F.least(
+                F.col("target_tokens")
+                / F.col("available_tokens").cast("double"),
+                F.lit(float(max_repeat)),
+            ),
+        )
+        .withColumn(
+            "expected_tokens", F.col("rate") * F.col("available_tokens")
+        )
+        .withColumn(
+            "shortfall_tokens",
+            F.greatest(
+                F.col("target_tokens") - F.col("expected_tokens"), F.lit(0.0)
+            ),
+        )
+    )
+
+
+def apply_token_budget(
+    df: DataFrame,
+    plan: DataFrame,
+    source_col: str,
+    key,
+    seed: str = "lwespark",
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Materialize a token_budget_plan: per-source rate r < 1
+    downsamples via the md5-uniform threshold, r > 1 emits floor(r)
+    copies plus a fractional extra (same tagged-upsampling scheme as
+    temperature_mixture, so packing/training logs can tell repeats
+    apart). The plan is |sources| rows — broadcast join, corpus never
+    shuffles."""
+    rates = plan.select(source_col, "rate")
+    joined = df.join(F.broadcast(rates), source_col, "left").withColumn(
+        "rate", F.coalesce(F.col("rate"), F.lit(0.0))
+    )
+    n_copies = (
+        F.floor(F.col("rate"))
+        + F.when(
+            hash_uniform(key, seed + ":rep")
+            < F.col("rate") - F.floor(F.col("rate")),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    ).cast("int")
+    copies = F.when(
+        n_copies > 0, F.sequence(F.lit(0), n_copies - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        joined.withColumn(copy_col, F.explode(copies)).drop("rate")
+    )
+
+
 def split_train_eval(
     df: DataFrame,
     key,

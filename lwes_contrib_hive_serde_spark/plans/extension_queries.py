@@ -3469,3 +3469,93 @@ def q_leakage_safe_split(spark, sf_dir):
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+# --- token-budget mixture planning (operators/sampling.py) ----------------
+
+_TB_U_REP = (
+    "(('0x' || substr(md5('lwespark:rep:' || CAST(doc_id AS VARCHAR)), 1, 16))"
+    "::UINT64)::DOUBLE / 18446744073709551616.0"
+)
+# weights {src0: 2, src1: 1, src2: 1}, z = 4, budget = 20000 tokens
+_TB_TARGET = (
+    "CASE source WHEN 'src0' THEN 2.0 / 4.0 * 20000.0 "
+    "WHEN 'src1' THEN 1.0 / 4.0 * 20000.0 "
+    "WHEN 'src2' THEN 1.0 / 4.0 * 20000.0 ELSE 0.0 END"
+)
+
+
+@register(
+    "q_token_budget_mixture",
+    shadow=True,
+    oracle=f"""
+    WITH avail AS (
+      SELECT source, SUM(n_chars) AS available_tokens
+      FROM documents GROUP BY source
+    ), plan AS (
+      SELECT source, available_tokens, {_TB_TARGET} AS target_tokens,
+             LEAST({_TB_TARGET} / CAST(available_tokens AS DOUBLE), 4.0)
+               AS rate
+      FROM avail
+    ), rows_out AS (
+      SELECT d.source, d.n_chars,
+             CAST(floor(p.rate) AS BIGINT)
+               + CASE WHEN {_TB_U_REP} < p.rate - floor(p.rate)
+                      THEN 1 ELSE 0 END AS n_copies
+      FROM documents d JOIN plan p USING (source)
+      WHERE p.rate > 0
+    ), realized AS (
+      SELECT source,
+             CAST(SUM(n_chars * n_copies) AS BIGINT) AS realized_tokens,
+             CAST(SUM(n_copies) AS BIGINT) AS n_rows_out
+      FROM rows_out GROUP BY source
+    )
+    SELECT p.source,
+           CAST(p.available_tokens AS BIGINT) AS available_tokens,
+           ROUND(p.target_tokens, 3) AS target_tokens,
+           ROUND(p.rate, 6) AS rate6,
+           r.realized_tokens, r.n_rows_out
+    FROM plan p JOIN realized r USING (source)
+    WHERE p.rate > 0
+    """,
+    doc="Token-budget mixture planning (sampling.token_budget_plan + "
+    "apply_token_budget): the mixing recipe in the unit LLM data "
+    "recipes are written in — TOKENS, not documents. Per-source "
+    "target = weight-normalized budget share, rate = target/available "
+    "capped at 4x (shortfall surfaced, not papered over); rates < 1 "
+    "downsample by the md5-uniform hash, > 1 emit tagged copies. One "
+    "tiny aggregation + one broadcast join; the corpus never "
+    "shuffles. Oracle replays the plan arithmetic and the exact "
+    "copy-count realization; plan AND realized token sums "
+    "value-hash-match.",
+)
+def q_token_budget_mixture(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import sampling as _sampling
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    plan = _sampling.token_budget_plan(
+        d, "source", "n_chars",
+        {"src0": 2.0, "src1": 1.0, "src2": 1.0},
+        total_tokens=20000,
+    )
+    out = _sampling.apply_token_budget(d, plan, "source", "doc_id")
+    realized = out.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("realized_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows_out"),
+    )
+    return (
+        plan.filter(F.col("rate") > 0)
+        .join(realized, "source")
+        .select(
+            "source",
+            F.col("available_tokens").cast("bigint").alias(
+                "available_tokens"
+            ),
+            F.round("target_tokens", 3).alias("target_tokens"),
+            F.round("rate", 6).alias("rate6"),
+            "realized_tokens",
+            "n_rows_out",
+        )
+    )

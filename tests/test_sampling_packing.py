@@ -340,3 +340,72 @@ class TestLeakageSafeSplit:
         n = out.count()
         n_tr = out.filter("split = 'a_train'").count()
         assert 0.6 < n_tr / n < 0.95
+
+
+class TestTokenBudget:
+    def _df(self, spark):
+        rows = []
+        for i in range(300):
+            src = "web" if i < 200 else ("code" if i < 280 else "books")
+            rows.append((i, src, 100))  # web: 20k, code: 8k, books: 2k toks
+        return spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+
+    def test_plan_math(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import sampling as S
+
+        df = self._df(spark)
+        plan = {r["source"]: r for r in S.token_budget_plan(
+            df, "source", "n_tokens",
+            {"web": 1.0, "code": 1.0}, total_tokens=10000).collect()}
+        # each target 5000; web avail 20000 -> rate .25; code avail
+        # 8000 -> rate .625; books absent -> rate 0
+        assert plan["web"]["rate"] == 0.25
+        assert plan["code"]["rate"] == 0.625
+        assert plan["books"]["rate"] == 0.0
+        assert plan["web"]["shortfall_tokens"] == 0.0
+
+    def test_shortfall_surfaces_when_cap_binds(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import sampling as S
+
+        df = self._df(spark)
+        plan = {r["source"]: r for r in S.token_budget_plan(
+            df, "source", "n_tokens",
+            {"books": 1.0}, total_tokens=100000, max_repeat=4.0).collect()}
+        # books avail 2000, target 100000 -> uncapped rate 50, capped 4
+        assert plan["books"]["rate"] == 4.0
+        assert plan["books"]["expected_tokens"] == 8000.0
+        assert plan["books"]["shortfall_tokens"] == 92000.0
+
+    def test_apply_realizes_rates(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import sampling as S
+
+        df = self._df(spark)
+        plan = S.token_budget_plan(
+            df, "source", "n_tokens",
+            {"web": 1.0, "code": 1.0, "books": 2.0},
+            total_tokens=16000)
+        out = S.apply_token_budget(df, plan, "source", "doc_id")
+        got = {
+            r["source"]: r["toks"]
+            for r in out.groupBy("source").agg(
+                F.sum("n_tokens").alias("toks")).collect()
+        }
+        want = {r["source"]: r["expected_tokens"]
+                for r in plan.collect() if r["rate"] > 0}
+        for src, w in want.items():
+            assert got.get(src, 0) == pytest.approx(w, rel=0.35), (src, got, w)
+        # books rate = 8000/2000 = 4.0 -> every row exactly 4 copies
+        books = out.filter("source='books'").groupBy("doc_id").count().collect()
+        assert all(r["count"] == 4 for r in books)
+
+    def test_deterministic(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import sampling as S
+
+        df = self._df(spark)
+        plan = S.token_budget_plan(
+            df, "source", "n_tokens", {"web": 1.0}, total_tokens=5000)
+        a = sorted((r["doc_id"], r["copy_idx"]) for r in
+                   S.apply_token_budget(df, plan, "source", "doc_id").collect())
+        b = sorted((r["doc_id"], r["copy_idx"]) for r in
+                   S.apply_token_budget(df, plan, "source", "doc_id").collect())
+        assert a == b and len(a) > 0
