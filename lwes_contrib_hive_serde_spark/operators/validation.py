@@ -129,3 +129,76 @@ def check(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     return wide.select(
         F.explode(F.array(*entries)).alias("r")
     ).select("r.rule_id", "r.column", "r.violations", "r.total", "r.passed")
+
+
+# ---------------------------------------------------------------------------
+# Row-level routing (quarantine)
+# ---------------------------------------------------------------------------
+
+
+def flag_violations(
+    df: DataFrame, rules: Sequence[Rule], out_col: str = "violated_rules"
+) -> DataFrame:
+    """Per-row rule evaluation: append ``out_col`` = sorted array of
+    rule_ids the row violates (empty = clean). Dataset-level rules
+    (unique, and any completeness threshold semantics) don't apply
+    row-wise and are skipped — check() is their home. Pure per-row
+    JVM expressions: one projection, zero shuffle, scan-speed."""
+    row_rules = [
+        r for r in rules if not r.rule_id.startswith("unique(")
+    ]
+    if not row_rules:
+        return df.withColumn(out_col, F.array().cast("array<string>"))
+    arr = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.when(r.violation_expr, F.lit(r.rule_id))
+                    for r in row_rules
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return df.withColumn(out_col, arr)
+
+
+def quarantine_split(
+    df: DataFrame, rules: Sequence[Rule], out_col: str = "violated_rules"
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantined): clean rows with the flag column removed,
+    quarantined rows carrying their violated rule_ids — the
+    reject-to-quarantine write pattern. The two frames share the
+    flagged lineage; if you materialize BOTH, either persist the
+    flagged frame first or use write_with_quarantine for a
+    single-pass partitioned write."""
+    flagged = flag_violations(df, rules, out_col)
+    clean = flagged.filter(F.size(out_col) == 0).drop(out_col)
+    bad = flagged.filter(F.size(out_col) > 0)
+    return clean, bad
+
+
+def write_with_quarantine(
+    df: DataFrame,
+    rules: Sequence[Rule],
+    path: str,
+    out_col: str = "violated_rules",
+    flag_col: str = "__quarantined",
+    file_format: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """One-pass routed write: rows land under
+    ``path/__quarantined=false`` (clean) or ``=true`` (violating,
+    with the rule-id array preserved as a string column for parquet
+    friendliness). ONE scan, one write job — no double evaluation of
+    the rule battery, no persist needed."""
+    flagged = flag_violations(df, rules, out_col)
+    routed = flagged.withColumn(
+        flag_col, F.size(out_col) > 0
+    ).withColumn(out_col, F.array_join(out_col, ";"))
+    (
+        routed.write.format(file_format)
+        .mode(mode)
+        .partitionBy(flag_col)
+        .save(path)
+    )

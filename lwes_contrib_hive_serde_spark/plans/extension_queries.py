@@ -3559,3 +3559,69 @@ def q_token_budget_mixture(spark, sf_dir):
             "n_rows_out",
         )
     )
+
+
+# --- row-level quarantine routing (operators/validation.py) ---------------
+
+
+@register(
+    "q_quarantine_routing",
+    shadow=True,
+    oracle="""
+    WITH flagged AS (
+      SELECT doc_id,
+             -- DuckDB: array_to_string([]) is NULL, Spark's
+             -- array_join([]) is '' — coalesce to match
+             COALESCE(array_to_string(list_sort(list_filter([
+               CASE WHEN text IS NULL THEN 'not_null(text)' END,
+               CASE WHEN n_chars IS NOT NULL
+                     AND (n_chars < 100 OR n_chars > 2000)
+                    THEN 'in_range(n_chars,100,2000)' END,
+               CASE WHEN lang IS NOT NULL
+                     AND NOT regexp_matches(lang, '^[a-z][a-z]$')
+                    THEN 'matches(lang)' END
+             ], x -> x IS NOT NULL)), ';'), '') AS violated
+      FROM documents
+    )
+    SELECT violated,
+           COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM flagged GROUP BY violated
+    """,
+    doc="Row-level quarantine routing (validation.flag_violations / "
+    "quarantine_split / write_with_quarantine): the same declarative "
+    "rule battery that powers the one-scan report also evaluates "
+    "per-row, appending the sorted array of violated rule_ids — rows "
+    "route to clean vs quarantine sinks in ONE pass (plan-pinned "
+    "zero-Exchange in tests/test_validation.py; the partitioned "
+    "writer never evaluates rules twice). Oracle mirrors the NULL "
+    "semantics (NULL never violates range/regex, only not_null) and "
+    "the sorted rule arrays; per-violation-set doc counts "
+    "value-hash-match.",
+)
+def q_quarantine_routing(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import validation as _v
+
+    d = table(spark, sf_dir, "documents")
+    rules = [
+        _v.not_null("text"),
+        _v.in_range("n_chars", 100, 2000),
+        _v.Rule(
+            "matches(lang)",
+            "lang",
+            F.col("lang").isNotNull() & ~F.col("lang").rlike("^[a-z][a-z]$"),
+        ),
+    ]
+    flagged = _v.flag_violations(d, rules)
+    return (
+        flagged.withColumn(
+            "violated", F.array_join("violated_rules", ";")
+        )
+        .groupBy("violated")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+import io
+from contextlib import redirect_stdout
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -73,3 +76,60 @@ class TestRules:
         df = spark.createDataFrame([], "x long")
         rows = V.check(df, [V.not_null("x"), V.unique("x")]).collect()
         assert all(r["passed"] and r["violations"] == 0 for r in rows)
+
+
+class TestQuarantine:
+    @pytest.fixture(scope="class")
+    def frame(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "good", 10),
+                (2, None, 20),          # not_null(text)
+                (3, "ok", -5),          # in_range
+                (4, None, 99999),       # both
+                (5, "fine", 500),
+            ],
+            "id long, text string, n int",
+        )
+
+    def _rules(self):
+        return [V.not_null("text"), V.in_range("n", 0, 10000)]
+
+    def test_flag_arrays(self, spark, frame):
+        out = {r["id"]: list(r["violated_rules"])
+               for r in V.flag_violations(frame, self._rules()).collect()}
+        assert out[1] == [] and out[5] == []
+        assert out[2] == ["not_null(text)"]
+        assert out[3] == ["in_range(n,0,10000)"]
+        assert out[4] == ["in_range(n,0,10000)", "not_null(text)"]
+
+    def test_split(self, spark, frame):
+        clean, bad = V.quarantine_split(frame, self._rules())
+        assert sorted(r["id"] for r in clean.collect()) == [1, 5]
+        assert "violated_rules" not in clean.columns
+        assert sorted(r["id"] for r in bad.collect()) == [2, 3, 4]
+
+    def test_unique_rule_skipped_rowwise(self, spark, frame):
+        rules = self._rules() + [V.unique("id")]
+        out = V.flag_violations(frame, rules)
+        flat = [x for r in out.collect() for x in r["violated_rules"]]
+        assert not any(x.startswith("unique(") for x in flat)
+
+    def test_routed_write_single_pass(self, spark, frame, tmp_path):
+        import os
+
+        path = str(tmp_path / "routed")
+        V.write_with_quarantine(frame, self._rules(), path)
+        back = spark.read.parquet(path)
+        ok = back.filter("__quarantined = false")
+        bad = back.filter("__quarantined = true")
+        assert sorted(r["id"] for r in ok.collect()) == [1, 5]
+        got = {r["id"]: r["violated_rules"] for r in bad.collect()}
+        assert got[4] == "in_range(n,0,10000);not_null(text)"
+        assert os.path.isdir(os.path.join(path, "__quarantined=true"))
+
+    def test_scan_only_plan(self, spark, frame):
+        plan_buf = io.StringIO()
+        with redirect_stdout(plan_buf):
+            V.flag_violations(frame, self._rules()).explain("formatted")
+        assert "Exchange" not in plan_buf.getvalue()
