@@ -111,3 +111,80 @@ class TestCurateNewStages:
         ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
         # doc 2 is a canonical-URL duplicate of doc 1 → min-id kept
         assert ids == [1, 3]
+
+
+class TestEndToEndTrainingExport:
+    """The full r4 user journey: raw corpus -> curate -> near-dup
+    pairs -> leakage-safe split -> token-budget mixture on the train
+    split -> deterministic hash-sharded export. Every stage is an
+    existing operator; this pins the COMPOSITION."""
+
+    @pytest.fixture(scope="class")
+    def raw(self, spark):
+        import random
+
+        rng = random.Random(7)
+        words = ("the quick brown fox jumps over a lazy dog near the old "
+                 "river bank and then rests a while under shade trees").split()
+        rows = []
+        for i in range(120):
+            src = "web" if i % 3 else "code"
+            body = " ".join(rng.choice(words) for _ in range(60))
+            text = f"Doc {i} begins. {body}. It ends now."
+            rows.append((i, src, text))
+        # plant near-duplicates: 5 docs re-issued with a tiny edit
+        for j in range(5):
+            base = rows[j][2]
+            rows.append((1000 + j, "web", base.replace("begins", "starts")))
+        return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def test_corpus_to_shards(self, spark, raw, tmp_path):
+        from lwes_contrib_hive_serde_spark.operators import (
+            dedup, export, sampling,
+        )
+
+        curated = pipeline.curate(
+            raw, source_col="source",
+            gopher_thresholds={"min_words": 10, "min_stopword_hits": 0},
+        ).select("doc_id", "source", "text_clean")
+
+        pairs = dedup.minhash_dedup_pairs(
+            curated, "doc_id", "text_clean", threshold=0.7)
+        planted = {(j, 1000 + j) for j in range(5)}
+        found = {(r["id1"], r["id2"]) for r in pairs.collect()}
+        surviving = {p for p in planted
+                     if p[0] in {r["doc_id"] for r in curated.collect()}}
+        assert surviving <= found  # near-dups detected
+
+        split = sampling.leakage_safe_split(
+            curated, pairs, "doc_id",
+            {"a_train": 0.8, "b_eval": 0.2}, seed="e2e")
+        sp = {r["doc_id"]: r["split"] for r in split.collect()}
+        for a, b in found:
+            assert sp[a] == sp[b], (a, b)  # no leakage across splits
+
+        train = split.filter("split = 'a_train'").withColumn(
+            "n_tokens", F.size(F.split("text_clean", " ")))
+        plan = sampling.token_budget_plan(
+            train, "source", "n_tokens",
+            {"web": 3.0, "code": 1.0}, total_tokens=4000)
+        mixed = sampling.apply_token_budget(
+            plan=plan, df=train, source_col="source", key="doc_id")
+
+        out_path = str(tmp_path / "shards")
+        mixed = mixed.withColumn(
+            "row_key",
+            F.concat_ws(":", F.col("doc_id"), F.col("copy_idx")))
+        export.export_shards(mixed, out_path, "row_key", n_shards=4)
+
+        back = spark.read.parquet(out_path)
+        assert back.count() == mixed.count()
+        assert back.select("shard_id").distinct().count() <= 4
+        # determinism: re-export yields identical shard membership
+        out2 = str(tmp_path / "shards2")
+        export.export_shards(mixed, out2, "row_key", n_shards=4)
+        a = sorted(map(tuple, spark.read.parquet(out_path)
+                       .select("row_key", "shard_id").collect()))
+        b = sorted(map(tuple, spark.read.parquet(out2)
+                       .select("row_key", "shard_id").collect()))
+        assert a == b
