@@ -114,6 +114,56 @@ def apply_changes(
     return untouched.unionByName(upserts)
 
 
+def diff_to_changes(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    seq,
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """CDC extraction — the inverse of apply_changes: the change batch
+    that transforms snapshot ``old`` into snapshot ``new``.
+
+    added/changed keys → upsert rows carrying new's payload; removed
+    keys → delete rows (payload columns NULL). ``seq`` is the batch
+    sequence value stamped on every change (a batch id, an export
+    timestamp). Round-trip law, property-tested in tests/test_cdc.py:
+
+        apply_changes(old, diff_to_changes(old, new, k, s), k, seq_col)
+            == new  (as a multiset)
+
+    Plan: one full outer join on the key (snapshot_diff's shape,
+    inlined here because the payload must ride along, not just the
+    change classification) — the minimum any snapshot comparison
+    pays."""
+    keys = list(keys)
+    cols = [c for c in new.columns if c not in keys]
+    o = old.select(*keys, _row_hash(cols).alias("__oh"))
+    n = new.select(
+        *keys, _row_hash(cols).alias("__nh"),
+        *[F.col(c).alias(f"__n_{c}") for c in cols],
+    )
+    j = o.join(n, keys, "full_outer")
+    return (
+        j.withColumn(
+            op_col,
+            F.when(F.col("__nh").isNull(), F.lit(DELETE))
+            .when(
+                F.col("__oh").isNull() | (F.col("__oh") != F.col("__nh")),
+                F.lit(UPSERT),
+            ),
+        )
+        .filter(F.col(op_col).isNotNull())
+        .select(
+            *keys,
+            *[F.col(f"__n_{c}").alias(c) for c in cols],
+            op_col,
+            F.lit(seq).alias(seq_col),
+        )
+    )
+
+
 def scd2_history(
     rows: DataFrame,
     keys: Sequence[str],

@@ -133,3 +133,48 @@ class TestScd2History:
         # hashpartitioning exchanges only (ignore any broadcast)
         n = len(re.findall(r"Exchange hashpartitioning", plan))
         assert n == 1, plan
+
+
+class TestDiffToChanges:
+    def test_extraction_classifies(self, spark):
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, s string")
+        new = spark.createDataFrame(
+            [(1, "a"), (2, "B"), (4, "d")], "id long, s string")
+        ch = {(r["id"]): (r["op"], r["s"])
+              for r in C.diff_to_changes(old, new, ["id"], 7).collect()}
+        assert ch == {2: ("upsert", "B"), 3: ("delete", None),
+                      4: ("upsert", "d")}
+
+    def test_round_trip_property(self, spark):
+        """apply_changes(old, diff_to_changes(old, new)) == new, over
+        seeded random snapshot pairs with NULLs, empty strings, and
+        overlapping/disjoint key ranges."""
+        import random
+
+        rng = random.Random(11)
+        for trial in range(5):
+            def snap(key_lo, key_hi):
+                rows = []
+                for k in range(key_lo, key_hi):
+                    if rng.random() < 0.3:
+                        continue
+                    s = rng.choice([None, "", "x", "yy", "zzz"])
+                    v = rng.choice([None, 0.0, 1.5, -2.25])
+                    rows.append((k, s, v))
+                return spark.createDataFrame(
+                    rows, "id long, s string, v double")
+
+            old = snap(0, 40)
+            new = snap(20, 60)
+            got = C.apply_changes(
+                old, C.diff_to_changes(old, new, ["id"], trial),
+                ["id"], "seq",
+            )
+            a = sorted(map(tuple, got.collect()))
+            b = sorted(map(tuple, new.collect()))
+            assert a == b, (trial, a, b)
+
+    def test_identical_snapshots_empty_batch(self, spark):
+        df = spark.createDataFrame([(1, "a"), (2, None)], "id long, s string")
+        assert C.diff_to_changes(df, df, ["id"], 1).count() == 0
