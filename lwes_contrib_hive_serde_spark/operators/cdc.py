@@ -243,6 +243,46 @@ def scd2_history(
     return out.drop("__maxdup")
 
 
+def temporal_join(
+    facts: DataFrame,
+    history: DataFrame,
+    keys: Sequence[str],
+    version_col: str,
+    how: str = "left",
+    prefix: str = "dim_",
+) -> DataFrame:
+    """Join each fact row to the dimension state live AT its version:
+    key equality plus valid_from <= fact.version < valid_to (NULL
+    valid_to = current) — the standard SCD2 lookup. Dimension
+    attribute columns come back ``prefix``-renamed (valid_from /
+    valid_to included) so fact columns never collide.
+
+    Plan: the equality on the key drives a hash/sort-merge join; the
+    interval predicate rides along as a join residual, so the cost is
+    the one keyed shuffle any dimension join pays — never a range
+    cross-product. At most one history run matches per fact (runs
+    partition the version axis), so cardinality is preserved for
+    ``how='left'``."""
+    keys = list(keys)
+    h = history
+    renames = [c for c in h.columns if c not in keys and c != "is_current"]
+    for c in renames:
+        h = h.withColumnRenamed(c, f"{prefix}{c}")
+    h = h.drop("is_current")
+    vf, vt = f"{prefix}valid_from", f"{prefix}valid_to"
+    cond = None
+    for k in keys:
+        eq = facts[k] == h[k]
+        cond = eq if cond is None else cond & eq
+    v = facts[version_col]
+    cond = cond & (v >= h[vf]) & (h[vt].isNull() | (v < h[vt]))
+    joined = facts.join(h, cond, how)
+    # drop the duplicated key columns from the history side
+    for k in keys:
+        joined = joined.drop(h[k])
+    return joined
+
+
 def as_of(history: DataFrame, version) -> DataFrame:
     """Point-in-time lookup over an scd2_history result: the row set
     live at ``version`` (valid_from <= v < valid_to). A plain filter —

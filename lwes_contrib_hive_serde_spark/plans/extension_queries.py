@@ -3625,3 +3625,76 @@ def q_quarantine_routing(spark, sf_dir):
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+# --- SCD2 temporal join (operators/cdc.py) --------------------------------
+
+
+@register(
+    "q_temporal_join",
+    shadow=True,
+    oracle="""
+    WITH h AS (
+      SELECT o_custkey, o_orderkey, o_orderstatus,
+             CASE WHEN lag(o_orderstatus) OVER w
+                       IS DISTINCT FROM o_orderstatus
+                  THEN 1 ELSE 0 END AS chg
+      FROM orders WHERE o_custkey % 13 = 0
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    ), r AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderkey) AS run
+      FROM h
+    ), g AS (
+      SELECT o_custkey, run, MIN(o_orderstatus) AS dim_status,
+             MIN(o_orderkey) AS valid_from
+      FROM r GROUP BY o_custkey, run
+    ), hist AS (
+      SELECT o_custkey, dim_status, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY o_custkey
+                                    ORDER BY valid_from) AS valid_to
+      FROM g
+    ), joined AS (
+      SELECT f.o_custkey, f.o_orderkey, f.o_orderstatus,
+             hist.dim_status, hist.valid_from AS dim_valid_from
+      FROM orders f JOIN hist
+        ON f.o_custkey = hist.o_custkey
+       AND f.o_orderkey >= hist.valid_from
+       AND (hist.valid_to IS NULL OR f.o_orderkey < hist.valid_to)
+      WHERE f.o_custkey % 13 = 0
+    )
+    SELECT o_custkey,
+           COUNT(*) AS n_facts,
+           CAST(SUM(CASE WHEN o_orderstatus = dim_status
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_self_consistent,
+           CAST(MIN(dim_valid_from) AS BIGINT) AS first_run,
+           CAST(MAX(dim_valid_from) AS BIGINT) AS last_run
+    FROM joined GROUP BY o_custkey
+    """,
+    doc="SCD2 temporal join (cdc.temporal_join over cdc.scd2_history): "
+    "each fact row joins the dimension state live AT its version — "
+    "key-equality-driven join with the validity interval as residual, "
+    "never a range product (plan-pinned in tests/test_cdc.py). The "
+    "query is self-referential by construction: every order joined to "
+    "its customer's status history AT its own orderkey must see its "
+    "own status (n_self_consistent == n_facts) — any off-by-one in "
+    "the interval bounds breaks the hash match. Oracle replays "
+    "gaps-and-islands + BETWEEN join in SQL.",
+)
+def q_temporal_join(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 13 == 0)
+    hist = _cdc.scd2_history(
+        o, ["o_custkey"], "o_orderkey", columns=["o_orderstatus"]
+    ).withColumnRenamed("o_orderstatus", "status")
+    facts = o.select("o_custkey", "o_orderkey", "o_orderstatus")
+    j = _cdc.temporal_join(facts, hist, ["o_custkey"], "o_orderkey")
+    return j.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_facts"),
+        F.sum(
+            F.when(
+                F.col("o_orderstatus") == F.col("dim_status"), 1
+            ).otherwise(0)
+        ).cast("bigint").alias("n_self_consistent"),
+        F.min("dim_valid_from").alias("first_run"),
+        F.max("dim_valid_from").alias("last_run"),
+    )

@@ -178,3 +178,34 @@ class TestDiffToChanges:
     def test_identical_snapshots_empty_batch(self, spark):
         df = spark.createDataFrame([(1, "a"), (2, None)], "id long, s string")
         assert C.diff_to_changes(df, df, ["id"], 1).count() == 0
+
+
+class TestTemporalJoin:
+    def test_lookup_at_version(self, spark, versioned):
+        hist = C.scd2_history(versioned, ["id"], "ver")
+        facts = spark.createDataFrame(
+            [(1, 1), (1, 2), (1, 4), (1, 5), (1, 99), (2, 6), (2, 7)],
+            "id long, ver long",
+        )
+        out = {(r["id"], r["ver"]): (r["dim_s"], r["dim_valid_from"])
+               for r in C.temporal_join(facts, hist, ["id"], "ver").collect()}
+        assert out[(1, 1)] == ("a", 1)
+        assert out[(1, 2)] == ("a", 1)
+        assert out[(1, 4)] == ("b", 3)
+        assert out[(1, 5)] == ("a", 5)
+        assert out[(1, 99)] == ("a", 5)      # current run, open-ended
+        assert out[(2, 6)] == (None, None)   # before key 2 existed
+        assert out[(2, 7)] == ("x", 7)
+
+    def test_cardinality_preserved(self, spark, versioned):
+        hist = C.scd2_history(versioned, ["id"], "ver")
+        facts = spark.createDataFrame(
+            [(1, v) for v in range(0, 10)], "id long, ver long")
+        assert C.temporal_join(facts, hist, ["id"], "ver").count() == 10
+
+    def test_keyed_join_not_range_product(self, spark, versioned):
+        hist = C.scd2_history(versioned, ["id"], "ver")
+        facts = spark.createDataFrame([(1, 2)], "id long, ver long")
+        plan = (C.temporal_join(facts, hist, ["id"], "ver")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
