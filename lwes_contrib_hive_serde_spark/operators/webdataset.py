@@ -1,0 +1,153 @@
+"""WebDataset-style tar shards: the de-facto container format for
+multimodal training corpora (images/audio + captions streamed
+sequentially by data loaders; public format — POSIX tar where
+consecutive entries sharing a basename form one sample:
+``000123.jpg`` + ``000123.txt`` + ``000123.json``).
+
+``write_tar_shards`` turns a DataFrame with binary/string payload
+columns into ``shard-<id>.tar`` files with deterministic membership
+AND intra-shard order (the same md5 shuffle as operators/export.py,
+so re-exports are bit-identical and training-order reproducible).
+``read_tar_shards`` is the inverse: one Spark task per tar, rows
+(key, ext, content) — ``group_samples`` pivots to one row per sample
+with a ext→bytes map.
+
+Scale shape: membership/order hashing is per-row JVM; ONE shuffle
+(repartition on shard_id) routes every sample to the task that owns
+its shard; each task streams its tar(s) sequentially with stdlib
+tarfile — no driver involvement, no per-sample small files (the
+whole point of webdataset at 100 TB: object stores hate millions of
+tiny objects, loaders want sequential reads). Reads parallelize per
+shard via binaryFile, which is exactly the loader-side contract.
+
+Paths must be on storage all executors share (local FS in tests,
+NFS/fuse mounts in clusters). Tars are written to a dot-prefixed
+temp name and atomically renamed, so readers never see a torn shard.
+
+Reference parity: none (no multimodal in the serde); SURVEY §2c
+multimodal mandate.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import tarfile
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .export import with_shard_assignment
+
+
+def write_tar_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    content_cols: Sequence[tuple[str, str]],
+    n_shards: int,
+    seed: str = "lwespark-export",
+) -> None:
+    """Write ``n_shards`` webdataset tars under ``path``.
+
+    ``content_cols``: [(column, extension)] — each row emits one tar
+    entry per pair, named ``<key>.<ext>``, in the given order (loaders
+    rely on same-basename adjacency; NULL payloads skip their entry).
+    Binary columns write raw; string columns write UTF-8.
+
+    Deterministic: shard membership and intra-shard order come from
+    the md5 hash of the key (export.with_shard_assignment), so the
+    same input always produces byte-identical shards."""
+    os.makedirs(path, exist_ok=True)
+    cols = [key_col] + [c for c, _ in content_cols] + ["shard_id", "order_hash"]
+    assigned = with_shard_assignment(df, key_col, n_shards, seed).select(*cols)
+    exts = [e for _, e in content_cols]
+    n_payload = len(content_cols)
+
+    def write_partition(rows):
+        cur_shard, tar, tmp = None, None, None
+
+        def close_current():
+            nonlocal tar, tmp
+            if tar is not None:
+                tar.close()
+                final = os.path.join(path, f"shard-{cur_shard:05d}.tar")
+                os.replace(tmp, final)
+                tar = None
+
+        for row in rows:
+            sid = row["shard_id"]
+            if sid != cur_shard:
+                close_current()
+                cur_shard = sid
+                tmp = os.path.join(
+                    path, f".shard-{sid:05d}.tar.{os.getpid()}.tmp"
+                )
+                tar = tarfile.open(tmp, "w")
+            key = str(row[0])
+            for i in range(n_payload):
+                payload = row[i + 1]
+                if payload is None:
+                    continue
+                data = (
+                    payload
+                    if isinstance(payload, (bytes, bytearray))
+                    else str(payload).encode("utf-8")
+                )
+                info = tarfile.TarInfo(name=f"{key}.{exts[i]}")
+                info.size = len(data)
+                info.mtime = 0  # fixed: byte-identical re-exports
+                tar.addfile(info, io.BytesIO(bytes(data)))
+        close_current()
+
+    (
+        assigned.repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "order_hash", key_col)
+        .foreachPartition(write_partition)
+    )
+
+
+def read_tar_shards(spark: SparkSession, path: str) -> DataFrame:
+    """(shard, key, ext, content) — one row per tar entry, one Spark
+    task per shard tar (binaryFile source; a shard must fit an
+    executor, which shard SIZING guarantees — the standard recipe is
+    ~100MB-1GB tars)."""
+    bin_df = (
+        spark.read.format("binaryFile")
+        .load(os.path.join(path, "shard-*.tar"))
+        .select("path", "content")
+    )
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"shard": [], "key": [], "ext": [], "content": []}
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                shard = os.path.basename(p)
+                with tarfile.open(fileobj=io.BytesIO(blob)) as tar:
+                    for m in tar:
+                        if not m.isfile():
+                            continue
+                        stem, dot, ext = m.name.rpartition(".")
+                        out["shard"].append(shard)
+                        out["key"].append(stem if dot else m.name)
+                        out["ext"].append(ext if dot else "")
+                        out["content"].append(
+                            tar.extractfile(m).read()
+                        )
+            yield pd.DataFrame(out)
+
+    return bin_df.mapInPandas(
+        parse, "shard string, key string, ext string, content binary"
+    )
+
+
+def group_samples(entries: DataFrame) -> DataFrame:
+    """Pivot (key, ext, content) entry rows to one row per SAMPLE:
+    (shard, key, parts: map<ext, binary>). One keyed aggregation."""
+    return entries.groupBy("shard", "key").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("ext", "content"))
+        ).alias("parts")
+    )

@@ -1,0 +1,83 @@
+"""WebDataset tar shards (operators/webdataset.py): round trip,
+determinism, sample adjacency, NULL skipping."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tarfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from lwes_contrib_hive_serde_spark.operators import webdataset as W
+
+
+@pytest.fixture(scope="module")
+def samples(spark):
+    rows = []
+    for i in range(40):
+        img = bytes([i % 256]) * (50 + i)          # fake image payload
+        cap = f"caption for sample {i}"
+        meta = None if i % 7 == 0 else '{"ok":true}'
+        rows.append((f"{i:06d}", img, cap, meta))
+    return spark.createDataFrame(
+        rows, "key string, img binary, txt string, json string")
+
+
+CONTENT = [("img", "jpg"), ("txt", "txt"), ("json", "json")]
+
+
+class TestRoundTrip:
+    def test_write_read_round_trip(self, spark, samples, tmp_path):
+        path = str(tmp_path / "wds")
+        W.write_tar_shards(samples, path, "key", CONTENT, n_shards=4)
+        tars = sorted(os.listdir(path))
+        assert tars == [f"shard-{i:05d}.tar" for i in range(4)]
+
+        back = W.read_tar_shards(spark, path)
+        grouped = {r["key"]: dict(r["parts"])
+                   for r in W.group_samples(back).collect()}
+        orig = {r["key"]: r for r in samples.collect()}
+        assert set(grouped) == set(orig)
+        for k, parts in grouped.items():
+            assert bytes(parts["jpg"]) == bytes(orig[k]["img"])
+            assert bytes(parts["txt"]).decode() == orig[k]["txt"]
+            if orig[k]["json"] is None:
+                assert "json" not in parts       # NULL entry skipped
+            else:
+                assert bytes(parts["json"]).decode() == orig[k]["json"]
+
+    def test_same_basename_adjacent(self, spark, samples, tmp_path):
+        """Loaders stream tars sequentially: a sample's entries must
+        be consecutive."""
+        path = str(tmp_path / "wds")
+        W.write_tar_shards(samples, path, "key", CONTENT, n_shards=2)
+        for t in sorted(os.listdir(path)):
+            with tarfile.open(os.path.join(path, t)) as tar:
+                stems = [m.name.rpartition(".")[0] for m in tar
+                         if m.isfile()]
+            seen = set()
+            prev = None
+            for s in stems:
+                if s != prev:
+                    assert s not in seen, f"{s} split in {t}"
+                    seen.add(s)
+                    prev = s
+
+    def test_byte_identical_reexport(self, spark, samples, tmp_path):
+        p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+        W.write_tar_shards(samples, p1, "key", CONTENT, n_shards=3)
+        W.write_tar_shards(samples, p2, "key", CONTENT, n_shards=3)
+        for t in sorted(os.listdir(p1)):
+            h1 = hashlib.md5(open(os.path.join(p1, t), "rb").read())
+            h2 = hashlib.md5(open(os.path.join(p2, t), "rb").read())
+            assert h1.hexdigest() == h2.hexdigest(), t
+
+    def test_no_torn_shards(self, spark, samples, tmp_path):
+        path = str(tmp_path / "wds")
+        W.write_tar_shards(samples, path, "key", CONTENT, n_shards=2)
+        assert not [f for f in os.listdir(path) if f.endswith(".tmp")]
+        for t in os.listdir(path):
+            with tarfile.open(os.path.join(path, t)) as tar:
+                assert tar.getmembers()  # parse to completion
