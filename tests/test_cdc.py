@@ -209,3 +209,43 @@ class TestTemporalJoin:
         plan = (C.temporal_join(facts, hist, ["id"], "ver")
                 ._jdf.queryExecution().executedPlan().toString())
         assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+class TestScd2Property:
+    def test_history_matches_bruteforce_as_of(self, spark):
+        """Randomized feeds: at every version point, as_of(history)
+        must equal the brute-force 'value of the latest version <= v'
+        — intervals partition the axis with no overlaps or gaps."""
+        import random
+
+        rng = random.Random(23)
+        rows = []
+        for k in range(1, 6):
+            vers = sorted(rng.sample(range(1, 40), rng.randint(1, 8)))
+            for v in vers:
+                rows.append((k, v, rng.choice(["a", "b", None])))
+        df = spark.createDataFrame(rows, "id long, ver long, s string")
+        hist = C.scd2_history(df, ["id"], "ver")
+
+        # interval sanity per key: sorted, disjoint, last open-ended
+        by_key = {}
+        for r in hist.collect():
+            by_key.setdefault(r["id"], []).append(
+                (r["valid_from"], r["valid_to"], r["s"]))
+        for k, iv in by_key.items():
+            iv.sort()
+            for (f1, t1, _), (f2, _, _) in zip(iv, iv[1:]):
+                assert t1 == f2, (k, iv)      # adjacent, no gap/overlap
+            assert iv[-1][1] is None
+
+        feed = {}
+        for k, v, s in rows:
+            feed.setdefault(k, []).append((v, s))
+        for probe in (1, 3, 7, 15, 25, 39, 99):
+            got = {r["id"]: r["s"] for r in C.as_of(hist, probe).collect()}
+            want = {}
+            for k, vs in feed.items():
+                past = [(v, s) for v, s in vs if v <= probe]
+                if past:
+                    want[k] = max(past)[1]
+            assert got == want, (probe, got, want)
