@@ -269,18 +269,22 @@ def temporal_join(
     for c in renames:
         h = h.withColumnRenamed(c, f"{prefix}{c}")
     h = h.drop("is_current")
+    # history keys get a disposable prefix so the join condition can
+    # never resolve both sides to the same attribute — facts and
+    # history routinely share lineage (a dimension DERIVED from the
+    # fact table), where df[k] == h[k] triggers Spark's trivially-
+    # true-predicate ambiguity
+    for k in keys:
+        h = h.withColumnRenamed(k, f"__hk_{k}")
     vf, vt = f"{prefix}valid_from", f"{prefix}valid_to"
     cond = None
     for k in keys:
-        eq = facts[k] == h[k]
+        eq = F.col(k) == F.col(f"__hk_{k}")
         cond = eq if cond is None else cond & eq
-    v = facts[version_col]
-    cond = cond & (v >= h[vf]) & (h[vt].isNull() | (v < h[vt]))
+    v = F.col(version_col)
+    cond = cond & (v >= F.col(vf)) & (F.col(vt).isNull() | (v < F.col(vt)))
     joined = facts.join(h, cond, how)
-    # drop the duplicated key columns from the history side
-    for k in keys:
-        joined = joined.drop(h[k])
-    return joined
+    return joined.drop(*[f"__hk_{k}" for k in keys])
 
 
 def as_of(history: DataFrame, version) -> DataFrame:
