@@ -195,6 +195,118 @@ def parse_wav_header(b: bytes):
     return (int(sample_rate), int(channels), int(bits), duration_ms)
 
 
+def parse_wav_pcm(b: bytes):
+    """(sample_rate, channels, numpy float array in [-1, 1]) for an
+    UNCOMPRESSED PCM WAV (audio_fmt 1, 8/16/32-bit int) — the case a
+    DSP library is genuinely not needed for. None for any other
+    format/codec (no fabricated samples, same honesty contract as the
+    image path). Multi-channel audio is mixed down by mean."""
+    import struct as _s
+
+    import numpy as np
+
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (csize,) = _s.unpack_from("<I", b, pos + 4)
+        if cid == b"fmt " and pos + 8 + 16 <= len(b):
+            audio_fmt, channels, sample_rate, _br = _s.unpack_from(
+                "<HHII", b, pos + 8
+            )
+            (bits,) = _s.unpack_from("<H", b, pos + 22)
+            fmt = (audio_fmt, channels, sample_rate, bits)
+        elif cid == b"data":
+            data = b[pos + 8 : pos + 8 + csize]
+        if fmt is not None and data is not None:
+            break
+        pos += 8 + csize + (csize & 1)
+    if fmt is None or data is None:
+        return None
+    audio_fmt, channels, sample_rate, bits = fmt
+    if audio_fmt != 1 or channels == 0 or sample_rate == 0:
+        return None
+    if bits == 16:
+        y = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 8:  # WAV 8-bit is unsigned
+        y = (np.frombuffer(data, dtype="u1").astype(np.float64) - 128.0) / 128.0
+    elif bits == 32:
+        y = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        return None
+    if channels > 1:
+        y = y[: len(y) - len(y) % channels].reshape(-1, channels).mean(axis=1)
+    return int(sample_rate), int(channels), y
+
+
+def decode_audio_pcm(
+    df: DataFrame,
+    bin_col: str = "payload",
+    clip_threshold: float = 0.999,
+) -> DataFrame:
+    """Append REAL waveform QC features for PCM WAV payloads —
+    (sample_rate, channels, duration_ms, rms, peak, zero_cross_rate,
+    clipped_frac) — the silence/clipping/energy battery a speech-data
+    pipeline filters on before any model touches the audio. All
+    numpy over Arrow batches; non-PCM payloads yield NULL features
+    (no deterministic fake here: these columns drive FILTERING
+    decisions, and fabricated energies would silently pass or drop
+    real audio).
+
+    zero_cross_rate is crossings per second (≈ 2x the dominant
+    frequency for a pure tone); clipped_frac is the fraction of
+    samples at or beyond ``clip_threshold`` of full scale."""
+    out_schema = ", ".join(
+        [f.simpleString().replace(":", " ", 1) for f in df.schema.fields]
+        + [
+            "sample_rate int", "channels int", "duration_ms long",
+            "rms double", "peak double", "zero_cross_rate double",
+            "clipped_frac double",
+        ]
+    )
+
+    def extract(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            cols = {k: [] for k in (
+                "sample_rate", "channels", "duration_ms", "rms", "peak",
+                "zero_cross_rate", "clipped_frac")}
+            for raw in pdf[bin_col]:
+                b = bytes(raw) if raw is not None else b""
+                parsed = parse_wav_pcm(b) if b else None
+                if parsed is None or len(parsed[2]) == 0:
+                    for k in cols:
+                        cols[k].append(None)
+                    continue
+                sr, ch, y = parsed
+                n = len(y)
+                crossings = int(np.count_nonzero(np.signbit(y[1:]) != np.signbit(y[:-1])))
+                cols["sample_rate"].append(sr)
+                cols["channels"].append(ch)
+                cols["duration_ms"].append(int(n * 1000 // sr))
+                cols["rms"].append(float(np.sqrt(np.mean(y * y))))
+                cols["peak"].append(float(np.max(np.abs(y))))
+                cols["zero_cross_rate"].append(crossings * sr / n)
+                cols["clipped_frac"].append(
+                    float(np.mean(np.abs(y) >= clip_threshold))
+                )
+            yield pdf.assign(
+                sample_rate=pd.array(cols["sample_rate"], dtype="Int32"),
+                channels=pd.array(cols["channels"], dtype="Int32"),
+                duration_ms=pd.array(cols["duration_ms"], dtype="Int64"),
+                rms=pd.array(cols["rms"], dtype="Float64"),
+                peak=pd.array(cols["peak"], dtype="Float64"),
+                zero_cross_rate=pd.array(
+                    cols["zero_cross_rate"], dtype="Float64"),
+                clipped_frac=pd.array(cols["clipped_frac"], dtype="Float64"),
+            )
+
+    return df.mapInPandas(extract, out_schema)
+
+
 def parse_mp4_header(b: bytes):
     """(duration_ms, timescale, n_tracks, width, height) from an ISO
     BMFF (MP4/MOV, ISO/IEC 14496-12 public layout) moov box walk;

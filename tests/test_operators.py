@@ -580,6 +580,88 @@ class TestAudioPlumbing:
         assert out[1].duration_ms >= 100
 
 
+class TestPcmDecode:
+    """Real PCM WAV waveform decode (multimodal.parse_wav_pcm /
+    decode_audio_pcm) — known sine waves have closed-form RMS, peak,
+    and zero-crossing rate."""
+
+    @staticmethod
+    def _sine_wav(freq=440, sr=8000, dur_s=0.5, amp=0.5, bits=16, ch=1):
+        import math
+        import struct as s
+
+        n = int(sr * dur_s)
+        frames = bytearray()
+        for i in range(n):
+            v = amp * math.sin(2 * math.pi * freq * i / sr)
+            for _ in range(ch):
+                if bits == 16:
+                    frames += s.pack("<h", int(v * 32767))
+                else:
+                    frames += s.pack("B", int((v + 1) * 127.5))
+        byte_rate = sr * ch * bits // 8
+        fmt = s.pack("<HHIIHH", 1, ch, sr, byte_rate, ch * bits // 8, bits)
+        return (
+            b"RIFF" + s.pack("<I", 36 + len(frames)) + b"WAVE"
+            + b"fmt " + s.pack("<I", 16) + fmt
+            + b"data" + s.pack("<I", len(frames)) + bytes(frames)
+        )
+
+    def test_parse_pcm_sine(self):
+        import math
+
+        from lwes_contrib_hive_serde_spark.operators import multimodal
+
+        sr, ch, y = multimodal.parse_wav_pcm(self._sine_wav())
+        assert (sr, ch, len(y)) == (8000, 1, 4000)
+        rms = math.sqrt(sum(v * v for v in y) / len(y))
+        assert abs(rms - 0.5 / math.sqrt(2)) < 0.01
+        assert abs(max(abs(v) for v in y) - 0.5) < 0.01
+
+    def test_non_pcm_returns_none(self):
+        from lwes_contrib_hive_serde_spark.operators import multimodal
+
+        assert multimodal.parse_wav_pcm(b"\x00" * 64) is None
+        # audio_fmt 3 (IEEE float) refused, not fabricated
+        import struct as s
+
+        fmt = s.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+        blob = (b"RIFF" + s.pack("<I", 36 + 8) + b"WAVE"
+                + b"fmt " + s.pack("<I", 16) + fmt
+                + b"data" + s.pack("<I", 8) + b"\x00" * 8)
+        assert multimodal.parse_wav_pcm(blob) is None
+
+    def test_decode_audio_pcm_features(self, spark):
+        import math
+
+        from lwes_contrib_hive_serde_spark.operators import multimodal
+
+        clean = self._sine_wav(freq=440, amp=0.5)
+        loud = self._sine_wav(freq=100, amp=1.0)       # clipping peaks
+        df = spark.createDataFrame(
+            [(1, bytearray(clean)), (2, bytearray(loud)), (3, bytearray(b"xx")),
+             (4, None)],
+            "id long, payload binary",
+        )
+        out = {r.id: r for r in multimodal.decode_audio_pcm(df).collect()}
+        r1 = out[1]
+        assert r1.sample_rate == 8000 and r1.duration_ms == 500
+        assert abs(r1.rms - 0.5 / math.sqrt(2)) < 0.01
+        assert abs(r1.peak - 0.5) < 0.01
+        # sine at f crosses zero 2f times per second
+        assert abs(r1.zero_cross_rate - 880) < 10
+        assert r1.clipped_frac == 0.0
+        assert out[2].clipped_frac > 0.0
+        assert abs(out[2].zero_cross_rate - 200) < 10
+        assert out[3].rms is None and out[4].rms is None  # no fake
+
+    def test_stereo_downmix(self):
+        from lwes_contrib_hive_serde_spark.operators import multimodal
+
+        sr, ch, y = multimodal.parse_wav_pcm(self._sine_wav(ch=2))
+        assert ch == 2 and len(y) == 4000  # frames, not samples
+
+
 class TestSkew:
     def test_salted_agg_equals_plain(self, spark):
         from lwes_contrib_hive_serde_spark.operators import skew
