@@ -1,0 +1,167 @@
+"""Exact heavy hitters over unbounded key spaces (SURVEY §2c 100 TB
+extension surface; the reference — lwes-contrib-hive-serde,
+EventSerDe.java — has no aggregation layer at all, so this module is
+part of this repo's own scale mandate, like sketches.py).
+
+The problem: ``GROUP BY item`` over a 100 TB table with billions of
+DISTINCT items shuffles the full key space just to answer "which items
+exceed 0.1% of the rows?". The classic fix is the two-pass
+Misra-Gries (1982) / mergeable-summaries (Agarwal et al., PODS 2012)
+algorithm:
+
+  pass 1  Each partition maintains a Misra-Gries summary of capacity
+          ``k`` (at most k counters, streamed in Arrow batches:
+          vectorized value_counts per batch, then the merge-and-
+          decrement compression). Guarantee per partition p: every
+          counter undercounts its true in-partition count by at most
+          n_p/(k+1), and any item with in-partition count greater
+          than n_p/(k+1) is present.
+
+  sum     Summing the per-partition counters item-wise keeps the
+          guarantee additive: global undercount <= sum_p n_p/(k+1)
+          = n/(k+1). Hence every item with TRUE global count
+          > n/(k+1) appears in at least one partition's summary.
+          With k >= ceil(1/phi) the candidate set provably contains
+          every phi-heavy hitter. Candidate set size is bounded by
+          k x num_partitions (tiny vs the key space).
+
+  pass 2  Re-scan once, counting ONLY the candidates exactly (every
+          other item folds into one NULL bucket that also yields the
+          grand total), and keep candidates whose exact count
+          > phi * n.
+
+The result is EXACT — identical to the full GROUP BY + HAVING — which
+is what makes ``q_heavy_hitters`` value-hash-checkable against a plain
+SQL oracle. The approximation only ever lives in the intermediate
+candidate set, and only in the direction of extra candidates.
+
+Shuffle shape at scale: pass 1 is one mapInPandas scan emitting
+<= k rows per partition plus a (candidate)-keyed aggregation over
+k x P rows; pass 2 is one scan + a broadcast of <= k x P candidate
+keys + an aggregation whose key space is <= |candidates| + 1. The
+full item key space is NEVER shuffled.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def _mg_compress(counts: "pd.Series", k: int) -> "pd.Series":
+    """Compress a counter multiset to at most k entries, Misra-Gries
+    style: subtract the (k+1)-th largest count from everything and
+    drop the non-positive remainder. Each surviving counter shrinks by
+    exactly that pivot value, which is what yields the n/(k+1)
+    undercount bound (at least k+1 counters each absorb the pivot)."""
+    if len(counts) <= k:
+        return counts
+    # kth largest beyond capacity: values sorted desc, pivot at index k
+    pivot = counts.nlargest(k + 1).iloc[k]
+    out = counts - pivot
+    return out[out > 0]
+
+
+def mg_partials(df: DataFrame, item_col: str, k: int) -> DataFrame:
+    """Pass 1: per-partition Misra-Gries summaries.
+
+    Returns (item string, mg_count long) with at most ``k`` rows per
+    input partition. NULL items are ignored (SQL GROUP BY semantics
+    for the final pass keep NULL out of the heavy set anyway).
+    """
+    if k < 1:
+        raise ValueError("mg_partials: k must be >= 1")
+    field = df.schema[item_col]
+    schema = StructType(
+        [
+            StructField("item", field.dataType, True),
+            StructField("mg_count", LongType(), False),
+        ]
+    )
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: pd.Series | None = None
+        for pdf in batches:
+            vc = pdf[item_col].dropna().value_counts()
+            if vc.empty:
+                continue
+            acc = vc if acc is None else acc.add(vc, fill_value=0)
+            acc = _mg_compress(acc, k)
+        if acc is None or acc.empty:
+            return
+        yield pd.DataFrame(
+            {"item": acc.index, "mg_count": acc.values.astype("int64")}
+        )
+
+    return df.select(F.col(item_col)).mapInPandas(summarize, schema)
+
+
+def mg_candidates(df: DataFrame, item_col: str, k: int) -> DataFrame:
+    """Global candidate set: per-partition summaries summed item-wise.
+    (item, est_count) where est_count <= true count <= est_count +
+    n/(k+1). Row count bounded by k x num_partitions."""
+    return (
+        mg_partials(df, item_col, k)
+        .groupBy("item")
+        .agg(F.sum("mg_count").alias("est_count"))
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    phi: float,
+    k: int | None = None,
+    group_total_col: str = "n",
+) -> DataFrame:
+    """EXACT phi-heavy hitters (items with count > phi * total rows)
+    without ever shuffling the full item key space.
+
+    Equivalent to::
+
+        SELECT item, COUNT(*) FROM t GROUP BY item
+        HAVING COUNT(*) > phi * (SELECT COUNT(*) FROM t)
+
+    but pass 1 bounds the aggregation key space to Misra-Gries
+    candidates (capacity k >= ceil(1/phi), default 2/phi for slack)
+    and pass 2 recounts only those. Output: (item, n) with n the
+    exact count, NULL items excluded.
+    """
+    if not 0.0 < phi < 1.0:
+        raise ValueError("heavy_hitters: phi must be in (0, 1)")
+    if k is None:
+        k = max(1, int(2.0 / phi))
+    if k + 1 <= 1.0 / phi:
+        raise ValueError(
+            f"heavy_hitters: k={k} too small for phi={phi}; "
+            f"need k+1 > 1/phi or the candidate set can miss a heavy hitter"
+        )
+    cand = mg_candidates(df, item_col, k).select(
+        F.col("item").alias("__cand_item"), F.lit(True).alias("__is_cand")
+    )
+    # Pass 2: one scan; non-candidates fold into the NULL bucket so the
+    # same aggregation yields both exact candidate counts and the grand
+    # total. Aggregation key space: |candidates| + 1.
+    tagged = df.join(
+        F.broadcast(cand), F.col(item_col) == F.col("__cand_item"), "left"
+    )
+    counted = tagged.groupBy(
+        F.when(F.col("__is_cand"), F.col("__cand_item")).alias("item")
+    ).agg(F.count(F.lit(1)).alias(group_total_col))
+    # The unpartitioned window runs over the already-aggregated frame
+    # (<= |candidates| + 1 rows), not the raw data — a deliberate
+    # single-partition op over sketch-sized state.
+    total = F.sum(group_total_col).over(Window.partitionBy())
+    return (
+        counted.withColumn("__total", total)
+        .filter(
+            F.col("item").isNotNull()
+            & (F.col(group_total_col) > F.lit(phi) * F.col("__total"))
+        )
+        .drop("__total")
+    )

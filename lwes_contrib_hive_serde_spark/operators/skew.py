@@ -11,9 +11,16 @@ Results are EXACTLY equal to the plain groupBy (the rewrite is
 algebra, not approximation) — q_salted_agg in the query corpus is
 hash-checked against a plain GROUP BY oracle to prove it.
 
-For joins, prefer AQE's skew-join splitting
-(spark.sql.adaptive.skewJoin.enabled); salting a join requires
-replicating the build side per salt, which this module leaves to AQE.
+For joins, AQE's skew-join splitting
+(spark.sql.adaptive.skewJoin.enabled) is the first line of defense —
+but it only fires for sort-merge joins whose skew is visible in the
+shuffle statistics of THIS query, and it cannot split a skewed
+broadcast-probe or a join feeding a co-partitioned downstream op.
+``salted_join`` is the explicit rewrite for those cases: replicate the
+(small) build side once per salt and spread each hot probe key across
+``n_salts`` reducers. The result is EXACTLY the plain join (salting is
+partitioning algebra, not approximation) — q_salted_join hash-checks
+it against the unsalted SQL join.
 """
 
 from __future__ import annotations
@@ -75,3 +82,50 @@ def salted_agg(
         else:
             merge_exprs.append(getattr(F, kind)(f"__p_{name}").alias(name))
     return partial.groupBy(*keys).agg(*merge_exprs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join: EXACTLY equivalent to
+    ``big.join(small, on, how)`` but with each hot key's probe rows
+    spread across ``n_salts`` reducers.
+
+    Mechanics: every ``big`` row draws a salt from a hash of a
+    row-unique id (which salt a row gets is irrelevant to the result —
+    any assignment yields the same joined rows); ``small`` is exploded
+    once per salt value (an ``n_salts``-fold blowup, so keep the small
+    side small — this is the same cost envelope as a broadcast, paid
+    through the shuffle instead when the build side exceeds the
+    broadcast threshold but one probe key dominates). The join runs on
+    (keys..., salt), so the single reducer that previously owned a hot
+    key becomes ``n_salts`` parallel reducers.
+
+    Supported ``how``: inner / left / left_semi / left_anti — the
+    shapes where replicating the RIGHT side cannot manufacture or drop
+    rows. right/full outer would emit one unmatched copy of a small
+    row PER SALT and are rejected.
+
+    At 100 TB: the big side is never replicated and keeps its one
+    shuffle; AQE handles residual imbalance among the salted
+    sub-keys. Prefer plain ``broadcast(small)`` when the small side
+    fits the broadcast threshold — salting only wins when it doesn't.
+    """
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join: how='{how}' not supported (replicating the "
+            f"right side breaks right/full outer); use one of {sorted(allowed)}"
+        )
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    big_s = big.withColumn("__salt", salt.cast("int"))
+    small_s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    joined = big_s.join(small_s, [*on, "__salt"], how)
+    return joined.drop("__salt")

@@ -3698,3 +3698,85 @@ def q_temporal_join(spark, sf_dir):
         F.min("dim_valid_from").alias("first_run"),
         F.max("dim_valid_from").alias("last_run"),
     )
+
+
+# --- skew-resistant salted join (operators/skew.py::salted_join) ----------
+
+@register(
+    "q_salted_join",
+    shadow=True,
+    oracle="""
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(l.l_extendedprice) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    doc="Skew-resistant salted equi-join (skew.salted_join): the probe "
+    "side draws a per-row salt, the build side is exploded once per "
+    "salt, and the join runs on (key, salt) so one hot key spreads "
+    "over n_salts reducers. The rewrite is partitioning algebra, not "
+    "approximation — this query hash-matches the plain unsalted SQL "
+    "join, proving exact equivalence. At 100 TB the big side is never "
+    "replicated; use when the build side exceeds the broadcast "
+    "threshold but a handful of probe keys dominate.",
+)
+def q_salted_join(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import skew
+
+    li = table(spark, sf_dir, "lineitem")
+    pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = skew.salted_join(
+        li.withColumnRenamed("l_partkey", "p_partkey"), pt,
+        on=["p_partkey"], how="inner", n_salts=8,
+    )
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("l_extendedprice").cast("double").alias("revenue"),
+    )
+
+
+# --- exact heavy hitters (operators/frequent.py) --------------------------
+
+# Deterministic Zipf-ish item id mirrored in both engines: the
+# md5-fraction u (see sampling.hash_uniform) pushed through u^4 so the
+# synthetic key space (400 items over uniform event ids) concentrates
+# mass near item 0 — a realistic heavy-hitter distribution no natural
+# column of the uniform test corpus provides.
+_HH_U = (
+    "((('0x' || substr(md5('lwespark:' || CAST(event_id AS VARCHAR)), 1, 16))"
+    "::UINT64)::DOUBLE / 18446744073709551616.0)"
+)
+_HH_ITEM = f"CAST(FLOOR(400.0 * POW({_HH_U}, 4.0)) AS INTEGER)"
+
+
+@register(
+    "q_heavy_hitters",
+    shadow=True,
+    oracle=f"""
+    SELECT {_HH_ITEM} AS item, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1
+    HAVING COUNT(*) > 0.01 * (SELECT COUNT(*) FROM events)
+    ORDER BY item
+    """,
+    doc="EXACT phi-heavy hitters without shuffling the key space "
+    "(frequent.heavy_hitters — two-pass Misra-Gries 1982 / mergeable "
+    "summaries, Agarwal et al. PODS 2012): pass 1 streams per-partition "
+    "capacity-k summaries (undercount <= n/(k+1), so every item above "
+    "phi*n provably survives with k >= 1/phi), pass 2 recounts only "
+    "the <= k*P candidates via one broadcast and folds everything else "
+    "into a NULL bucket that doubles as the grand total. Result is "
+    "identical to GROUP BY + HAVING — hash-matched here — while the "
+    "aggregation key space stays sketch-sized at any corpus scale.",
+)
+def q_heavy_hitters(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import frequent
+    from lwes_contrib_hive_serde_spark.operators.sampling import hash_uniform
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "item",
+        F.floor(F.lit(400.0) * F.pow(hash_uniform("event_id"), F.lit(4.0)))
+        .cast("int"),
+    )
+    return frequent.heavy_hitters(ev, "item", phi=0.01, k=256).orderBy("item")

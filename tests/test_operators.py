@@ -696,6 +696,90 @@ class TestSkew:
         with pytest.raises(ValueError, match="not algebraic"):
             skew.salted_agg(df, keys=["k"], aggs={"m": ("median", "v")})
 
+    def _skewed_pair(self, spark):
+        rng = random.Random(11)
+        # key 0 holds ~half the probe rows; some keys have no dim match
+        big = spark.createDataFrame(
+            [(0 if rng.random() < 0.5 else rng.randint(1, 30), i)
+             for i in range(4000)],
+            "k int, i long",
+        )
+        small = spark.createDataFrame(
+            [(k, f"dim{k}") for k in range(0, 25, 1)], "k int, label string"
+        )
+        return big, small
+
+    @pytest.mark.parametrize("how", ["inner", "left", "left_semi", "left_anti"])
+    def test_salted_join_equals_plain(self, spark, how):
+        from lwes_contrib_hive_serde_spark.operators import skew
+
+        big, small = self._skewed_pair(spark)
+        got = sorted(
+            tuple(r) for r in skew.salted_join(
+                big, small, on=["k"], how=how, n_salts=8
+            ).collect()
+        )
+        want = sorted(tuple(r) for r in big.join(small, ["k"], how).collect())
+        assert got == want
+
+    def test_salted_join_rejects_right_outer(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import skew
+
+        big, small = self._skewed_pair(spark)
+        with pytest.raises(ValueError, match="not supported"):
+            skew.salted_join(big, small, on=["k"], how="full")
+
+
+class TestHeavyHitters:
+    def _zipf_df(self, spark, n=6000, n_items=400, seed=7):
+        rng = random.Random(seed)
+        # Zipf-ish: item id = floor(n_items * u^4) concentrates near 0
+        rows = [(int(n_items * (rng.random() ** 4)), i) for i in range(n)]
+        rows += [(None, -j) for j in range(1, 8)]  # NULL items fold to total
+        return spark.createDataFrame(rows, "item int, rid long")
+
+    def test_exact_vs_groupby_having(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import frequent
+
+        df = self._zipf_df(spark).repartition(8)
+        phi = 0.01
+        got = {(r.item, r.n) for r in
+               frequent.heavy_hitters(df, "item", phi, k=128).collect()}
+        n_total = df.count()
+        want = {
+            (r.item, r.n)
+            for r in df.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("item").isNotNull()
+                    & (F.col("n") > phi * n_total)).collect()
+        }
+        assert got == want and len(want) > 3
+
+    def test_candidate_guarantee(self, spark):
+        """Every item with true count > n/(k+1) appears in the MG
+        candidate set, and est_count never overcounts."""
+        from lwes_contrib_hive_serde_spark.operators import frequent
+
+        df = self._zipf_df(spark, seed=13).repartition(16)
+        k = 32
+        cand = {r.item: r.est_count
+                for r in frequent.mg_candidates(df, "item", k).collect()}
+        exact = {r.item: r.n for r in
+                 df.filter(F.col("item").isNotNull()).groupBy("item")
+                 .agg(F.count(F.lit(1)).alias("n")).collect()}
+        n = sum(exact.values())
+        for item, cnt in exact.items():
+            if cnt > n / (k + 1):
+                assert item in cand, f"missed heavy item {item} ({cnt})"
+        for item, est in cand.items():
+            assert est <= exact[item], "MG counter must never overcount"
+
+    def test_k_too_small_rejected(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import frequent
+
+        df = spark.range(10).selectExpr("id as item")
+        with pytest.raises(ValueError, match="too small"):
+            frequent.heavy_hitters(df, "item", phi=0.01, k=10)
+
 
 class TestEmbeddingContamination:
     def test_matches_exact_crossjoin(self, spark):
