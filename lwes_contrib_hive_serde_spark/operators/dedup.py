@@ -473,9 +473,42 @@ def simhash_neardup_pairs(
     pair within the Hamming ball agrees exactly on ≥1 band, so a
     band-equality bucket join finds all of them; exact popcount
     (bit_count(xor), JVM built-in) re-checks candidates."""
+    sh = simhash_column(df, id_col, text_col)
+    return hamming_neardup_pairs(sh, "id", "simhash", max_hamming, max_bucket)
+
+
+def hamming_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """(id1, id2, hamming) pairs whose 64-bit ``hash_col`` values are
+    within ``max_hamming`` bits — the banding core shared by SimHash
+    text near-dup and perceptual image-hash near-dup
+    (multimodal.image_dhash).
+
+    Pigeonhole banding: 64 bits split into max_hamming+1 bands — any
+    pair inside the Hamming ball agrees on >=1 whole band (its <=
+    max_hamming differing bits cannot touch all max_hamming+1 bands),
+    so a band-equality bucket join finds every true pair; exact
+    popcount (bit_count(xor), JVM built-in) then re-checks candidates.
+    NULL hashes are dropped (undecodable payloads never pair).
+
+    Scale shape: one explode (nbands rows/doc), one bucket shuffle,
+    pair generation confined to buckets capped at ``max_bucket`` —
+    never an all-pairs product."""
     nbands = max_hamming + 1
     width = 64 // nbands
-    sh = simhash_column(df, id_col, text_col)
+    if width == 0:
+        raise ValueError(
+            f"hamming_neardup_pairs: max_hamming={max_hamming} needs "
+            f"{max_hamming + 1} non-empty bands out of 64 bits"
+        )
+    sh = df.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("simhash")
+    ).filter(F.col(hash_col).isNotNull())
     bands = sh.select(
         "id",
         "simhash",

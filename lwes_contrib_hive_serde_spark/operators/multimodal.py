@@ -127,10 +127,11 @@ def parse_image_header(b: bytes):
     return None
 
 
-def _bmp_mean_luma(b: bytes):
-    """Mean ITU-R 601-2 luma in [0,1] for UNCOMPRESSED 24/32-bpp BMP
-    pixel data (numpy over the raw rows; rows pad to 4-byte multiples).
-    None for palette/compressed/other variants."""
+def _bmp_luma_grid(b: bytes):
+    """2-D ITU-R 601-2 luma array (float64, [0,255], row 0 = top) for
+    UNCOMPRESSED 24/32-bpp BMP pixel data (numpy over the raw rows;
+    rows pad to 4-byte multiples). None for palette/compressed/other
+    variants."""
     import struct as _s
 
     import numpy as np
@@ -139,10 +140,10 @@ def _bmp_mean_luma(b: bytes):
     (bi_size,) = _s.unpack_from("<I", b, 14)
     if bi_size < 40:
         return None
-    w, h = _s.unpack_from("<ii", b, 18)
+    w, h_raw = _s.unpack_from("<ii", b, 18)
     (bpp,) = _s.unpack_from("<H", b, 28)
     (compression,) = _s.unpack_from("<I", b, 30)
-    h = abs(h)
+    h = abs(h_raw)
     if compression != 0 or bpp not in (24, 32):
         return None
     bytes_pp = bpp // 8
@@ -158,7 +159,14 @@ def _bmp_mean_luma(b: bytes):
         + 0.587 * px[..., 1]
         + 0.299 * px[..., 2]
     )
-    return float(luma.mean() / 255.0)
+    # positive biHeight = bottom-up row order; flip so row 0 is the top
+    return luma if h_raw < 0 else luma[::-1]
+
+
+def _bmp_mean_luma(b: bytes):
+    """Mean luma in [0,1] for uncompressed 24/32-bpp BMP, else None."""
+    luma = _bmp_luma_grid(b)
+    return None if luma is None else float(luma.mean() / 255.0)
 
 
 def parse_wav_header(b: bytes):
@@ -516,6 +524,127 @@ def decode_image_meta(
     spark = df.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
     return df.mapInPandas(decode, out_schema)
+
+
+def dhash64_from_luma(luma) -> int:
+    """64-bit difference hash (dHash, public algorithm: Krawetz 2013)
+    from a 2-D luma array: block-average down to a 9x8 grid, compare
+    horizontally adjacent cells left>right, pack row-major into a
+    SIGNED int64 (two's complement, Spark LongType-safe).
+
+    Robustness comes from the construction: uniform brightness shifts
+    and global contrast scaling preserve every left>right comparison,
+    and small local noise flips at most a few of the 64 bits — so
+    near-duplicate images land within a small Hamming distance."""
+    import numpy as np
+
+    a = np.asarray(luma, dtype=np.float64)
+    gh, gw = 8, 9
+    h, w = a.shape
+    if h < 1 or w < 2:
+        raise ValueError("dhash64: image must be at least 1x2")
+    if h < gh or w < gw:
+        # tiny image: nearest-neighbor sample up to the grid
+        yi = (np.arange(gh) * h) // gh
+        xi = (np.arange(gw) * w) // gw
+        grid = a[np.ix_(yi, xi)]
+    else:
+        # block-average resample via a 2-D summed-area table: cell
+        # (r, c) is the mean of pixel box [ys[r], ys[r+1]) x [xs[c], xs[c+1])
+        ys = (np.arange(gh + 1) * h) // gh
+        xs = (np.arange(gw + 1) * w) // gw
+        cs = np.zeros((h + 1, w + 1))
+        cs[1:, 1:] = a.cumsum(0).cumsum(1)
+        area = (ys[1:, None] - ys[:-1, None]) * (xs[None, 1:] - xs[None, :-1])
+        grid = (
+            cs[ys[1:, None], xs[None, 1:]]
+            - cs[ys[:-1, None], xs[None, 1:]]
+            - cs[ys[1:, None], xs[None, :-1]]
+            + cs[ys[:-1, None], xs[None, :-1]]
+        ) / area
+    bits = (grid[:, :-1] > grid[:, 1:]).ravel()  # 8 rows x 8 comparisons
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return v - (1 << 64) if v >= (1 << 63) else v  # two's complement
+
+
+def image_dhash(
+    df: DataFrame,
+    bin_col: str = "payload",
+    out_col: str = "dhash",
+    batch_size: int = 64,
+) -> DataFrame:
+    """Append a perceptual difference-hash column (nullable long)
+    decoded from image bytes via mapInPandas.
+
+    Decode ladder: PIL when importable (all formats: grayscale +
+    LANCZOS 9x8 resize) → stdlib numpy decode for uncompressed
+    24/32-bpp BMP → NULL. Like decode_audio_pcm — and unlike the
+    metadata-only decode_image_meta — this column drives DEDUP
+    DECISIONS, so undecodable payloads get NULL, never a fake
+    (hamming_neardup_pairs drops NULLs; a fabricated hash could merge
+    two unrelated images into one dedup cluster and silently drop
+    real training data)."""
+    use_pil = _pil_available()
+    in_schema = df.schema
+    out_schema = ", ".join(
+        [f.simpleString().replace(":", " ", 1) for f in in_schema.fields]
+        + [f"{out_col} bigint"]
+    )
+
+    def decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            hashes = []
+            for raw in pdf[bin_col]:
+                b = bytes(raw) if raw is not None else b""
+                luma = None
+                if b and use_pil:
+                    import io
+
+                    from PIL import Image
+
+                    try:
+                        img = Image.open(io.BytesIO(b)).convert("L")
+                        luma = np.asarray(
+                            img.resize((9, 8), Image.LANCZOS), dtype=np.float64
+                        )
+                    except Exception:
+                        luma = None
+                if luma is None and len(b) >= 54 and b[:2] == b"BM":
+                    luma = _bmp_luma_grid(b)
+                hashes.append(
+                    dhash64_from_luma(luma) if luma is not None else None
+                )
+            yield pdf.assign(**{out_col: pd.array(hashes, dtype="Int64")})
+
+    return df.mapInPandas(decode, out_schema)
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    bin_col: str = "payload",
+    max_hamming: int = 6,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """(id1, id2, hamming) pairs of perceptually near-duplicate images:
+    dHash each payload, then the pigeonhole band join shared with
+    SimHash (dedup.hamming_neardup_pairs). One decode scan + one
+    bucket shuffle; undecodable payloads never pair."""
+    from lwes_contrib_hive_serde_spark.operators.dedup import (
+        hamming_neardup_pairs,
+    )
+
+    hashed = image_dhash(
+        df.select(id_col, bin_col), bin_col=bin_col, out_col="__dhash"
+    )
+    return hamming_neardup_pairs(
+        hashed, id_col, "__dhash", max_hamming, max_bucket
+    )
 
 
 def resize_image(

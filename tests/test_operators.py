@@ -662,6 +662,136 @@ class TestPcmDecode:
         assert ch == 2 and len(y) == 4000  # frames, not samples
 
 
+class TestImageDhash:
+    """Perceptual difference-hash (multimodal.image_dhash /
+    dhash64_from_luma) + the shared pigeonhole band join
+    (dedup.hamming_neardup_pairs)."""
+
+    @staticmethod
+    def _bmp_from_gray(arr):
+        """24-bpp bottom-up BMP with R=G=B=arr (uint8 2-D array)."""
+        import struct as s
+
+        import numpy as np
+
+        a = np.asarray(arr, dtype=np.uint8)
+        h, w = a.shape
+        stride = (w * 3 + 3) & ~3
+        rows = bytearray()
+        for r in range(h - 1, -1, -1):  # bottom-up
+            row = bytearray()
+            for c in range(w):
+                v = int(a[r, c])
+                row += bytes([v, v, v])
+            row += b"\x00" * (stride - len(row))
+            rows += row
+        info = s.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0
+        )
+        filehdr = s.pack("<2sIHHI", b"BM", 14 + 40 + len(rows), 0, 0, 54)
+        return bytes(filehdr + info + rows)
+
+    @staticmethod
+    def _img(seed, h=40, w=60):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+
+    def test_brightness_and_contrast_invariance(self):
+        import numpy as np
+
+        from lwes_contrib_hive_serde_spark.operators import multimodal
+
+        base = self._img(1).astype(np.float64)
+        h0 = multimodal.dhash64_from_luma(base)
+        assert h0 == multimodal.dhash64_from_luma(np.clip(base * 0.5 + 20, 0, 255))
+        # a long is produced (two's complement packing)
+        assert -(1 << 63) <= h0 < (1 << 63)
+
+    def test_near_dup_close_distinct_far(self):
+        import numpy as np
+
+        from lwes_contrib_hive_serde_spark.operators import multimodal
+
+        a = self._img(2).astype(np.float64)
+        noisy = a + np.random.default_rng(3).normal(0, 4, a.shape)
+        ha = multimodal.dhash64_from_luma(a)
+        hn = multimodal.dhash64_from_luma(noisy)
+        hb = multimodal.dhash64_from_luma(self._img(4).astype(np.float64))
+        ham = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")
+        assert ham(ha, hn) <= 6
+        assert ham(ha, hb) > 16
+
+    def test_spark_pairs_end_to_end(self, spark):
+        import numpy as np
+
+        from lwes_contrib_hive_serde_spark.operators import multimodal
+
+        base = self._img(5)
+        noisy = np.clip(
+            base.astype(np.int64)
+            + np.random.default_rng(6).integers(-3, 4, base.shape),
+            0, 255,
+        ).astype(np.uint8)
+        rows = [
+            (1, bytearray(self._bmp_from_gray(base))),
+            (2, bytearray(self._bmp_from_gray(noisy))),
+            (3, bytearray(self._bmp_from_gray(self._img(7)))),
+            (4, bytearray(b"not an image at all")),
+            (5, None),
+        ]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        hashed = multimodal.image_dhash(df)
+        hs = {r.id: r.dhash for r in hashed.collect()}
+        assert hs[4] is None and hs[5] is None  # refusal, not fake
+        assert hs[1] is not None and hs[3] is not None
+        pairs = {
+            (r.id1, r.id2): r.hamming
+            for r in multimodal.image_neardup_pairs(
+                df, "id", "payload", max_hamming=8
+            ).collect()
+        }
+        assert (1, 2) in pairs
+        assert (1, 3) not in pairs and (3, 1) not in pairs
+
+    def test_hamming_band_recall_vs_bruteforce(self, spark):
+        """Planted 64-bit hashes: banding must find EVERY pair within
+        the ball and nothing outside it (exact recheck)."""
+        import itertools
+        import random as _r
+
+        from lwes_contrib_hive_serde_spark.operators import dedup
+
+        rng = _r.Random(9)
+        hashes = {}
+        base = rng.getrandbits(64)
+        for i in range(6):  # cluster: flips of <= 3 bits around base
+            v = base
+            for bit in rng.sample(range(64), i % 4):
+                v ^= 1 << bit
+            hashes[i] = v
+        for i in range(6, 30):
+            hashes[i] = rng.getrandbits(64)
+
+        def signed(v):
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        df = spark.createDataFrame(
+            [(i, signed(v)) for i, v in hashes.items()], "id long, h long"
+        )
+        got = {
+            (r.id1, r.id2): r.hamming
+            for r in dedup.hamming_neardup_pairs(df, "id", "h", 3).collect()
+        }
+        want = {}
+        for i, j in itertools.combinations(sorted(hashes), 2):
+            d = bin(hashes[i] ^ hashes[j]).count("1")
+            if d <= 3:
+                want[(i, j)] = d
+        assert got == want and len(want) >= 3
+
+
 class TestSkew:
     def test_salted_agg_equals_plain(self, spark):
         from lwes_contrib_hive_serde_spark.operators import skew
