@@ -1,0 +1,317 @@
+"""Mergeable rank/quantile sketches for unbounded value ranges
+(SURVEY §2c 100 TB extension surface — completes the sketch family in
+operators/sketches.py: HLL answers distinct-count, CMS answers
+point-frequency, the fixed-width histogram answers quantiles over a
+KNOWN range; this module answers quantiles when the range is unknown
+or unbounded, which is the common case for latency / price / length
+columns at corpus scale).
+
+Algorithm: a deterministic variant of the KLL sketch (Karnin, Lang &
+Liberty, "Optimal quantile approximation in streams", FOCS 2016 —
+public). State is a list of levels; level i holds at most O(k *
+c^(height-i)) values, each representing 2^i original rows. When a
+level overflows, its sorted buffer is halved by keeping every other
+element (the survivor parity ALTERNATES per level between compactions
+— the deterministic stand-in for KLL's random coin; each compaction
+shifts any rank by at most 2^i, and the geometric capacity decay
+makes the total expected shift O(n/k)). Merging two sketches is
+level-wise concatenation followed by the same compaction — the state
+is a commutative monoid up to compaction order, and every operation
+preserves TOTAL WEIGHT exactly (sum over levels of len * 2^level ==
+rows ingested, asserted in tests), so ranks are never silently lost.
+
+Spark shape: one ``mapInPandas`` scan builds a per-partition sketch
+(numpy sort/slice per Arrow batch — no Python per-row work), then ONE
+aggregation keyed by the group columns merges partial sketches whose
+size is O(k log(n/k)) each — the shuffle is bounded by |groups| x
+sketch size at any input scale, exactly like hll_partials. Quantile
+extraction walks the weighted sorted values of the merged sketch.
+
+Accuracy contract (tested): additive rank error <= eps * n with
+eps ~= 3/k for the deterministic compactor — i.e. k=200 gives
+~1.5% rank error; estimated quantiles are always ACTUAL data values
+(no interpolation invention).
+
+Reference parity: the reference (lwes-contrib-hive-serde) has no
+aggregation layer; this is the repo's own scale mandate, like
+sketches.py (Count-Min, HLL).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+class _KLL:
+    """Driver/executor-local deterministic KLL state. levels[i] is an
+    UNSORTED numpy array of doubles, each entry weighing 2^i rows."""
+
+    __slots__ = ("k", "levels", "parity")
+
+    def __init__(self, k: int):
+        if k < 8:
+            raise ValueError("kll: k must be >= 8")
+        self.k = k
+        self.levels: list[np.ndarray] = [np.empty(0)]
+        self.parity: list[int] = [0]
+
+    def _cap(self, level: int) -> int:
+        # geometric capacity decay toward older (higher) levels, floor 8
+        h = len(self.levels)
+        c = int(self.k * (2.0 / 3.0) ** (h - 1 - level))
+        return max(8, c)
+
+    def add_batch(self, values: np.ndarray) -> None:
+        v = values[~np.isnan(values)]
+        if v.size == 0:
+            return
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compress()
+
+    def _compress(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            if self.levels[i].size <= self._cap(i):
+                i += 1
+                continue
+            buf = np.sort(self.levels[i])
+            if buf.size % 2 == 1:
+                # odd straggler stays at this level (weight stays
+                # exact); min/max end alternates to avoid a
+                # directional bias
+                if self.parity[i]:
+                    keep_down, buf = buf[-1:], buf[:-1]
+                else:
+                    keep_down, buf = buf[:1], buf[1:]
+            else:
+                keep_down = buf[:0]
+            survivors = buf[self.parity[i] :: 2]
+            self.parity[i] ^= 1  # alternate survivor parity per compaction
+            self.levels[i] = keep_down
+            if i + 1 == len(self.levels):
+                self.levels.append(np.empty(0))
+                self.parity.append(0)
+            self.levels[i + 1] = np.concatenate(
+                [self.levels[i + 1], survivors]
+            )
+            i += 1
+
+    def merge(self, other: "_KLL") -> None:
+        for lv in range(len(other.levels)):
+            while lv >= len(self.levels):
+                self.levels.append(np.empty(0))
+                self.parity.append(0)
+            self.levels[lv] = np.concatenate(
+                [self.levels[lv], other.levels[lv]]
+            )
+        self._compress()
+
+    def total_weight(self) -> int:
+        return int(sum(a.size << i for i, a in enumerate(self.levels)))
+
+    def quantiles(self, qs: Sequence[float]) -> list[float | None]:
+        n = self.total_weight()
+        if n == 0:
+            return [None] * len(qs)
+        vals = np.concatenate(self.levels)
+        wts = np.concatenate(
+            [np.full(a.size, 1 << i, dtype=np.int64)
+             for i, a in enumerate(self.levels)]
+        )
+        order = np.argsort(vals, kind="stable")
+        vals, wts = vals[order], wts[order]
+        cum = np.cumsum(wts)
+        out = []
+        for q in qs:
+            if not 0.0 <= q <= 1.0:
+                raise ValueError("quantile q must be in [0,1]")
+            target = q * n
+            idx = int(np.searchsorted(cum, target, side="left"))
+            idx = min(idx, vals.size - 1)
+            out.append(float(vals[idx]))
+        return out
+
+
+_SKETCH_FIELDS = [
+    StructField("level", IntegerType(), False),
+    StructField("items", ArrayType(DoubleType(), False), False),
+]
+
+
+def _sketch_schema(group_fields) -> StructType:
+    return StructType(
+        list(group_fields)
+        + [
+            StructField(
+                "kll",
+                ArrayType(StructType(_SKETCH_FIELDS), False),
+                False,
+            ),
+            StructField("n", LongType(), False),
+        ]
+    )
+
+
+def _to_rows(s: _KLL) -> list:
+    return [
+        {"level": i, "items": [float(x) for x in a]}
+        for i, a in enumerate(s.levels)
+        if a.size
+    ]
+
+
+def _from_rows(rows, k: int) -> _KLL:
+    s = _KLL(k)
+    for r in rows:
+        lv = int(r["level"])
+        while lv >= len(s.levels):
+            s.levels.append(np.empty(0))
+            s.parity.append(0)
+        s.levels[lv] = np.concatenate(
+            [s.levels[lv], np.asarray(r["items"], dtype=np.float64)]
+        )
+    return s
+
+
+def kll_partials(
+    df: DataFrame,
+    value_col: str,
+    k: int = 200,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-partition KLL partial sketches: one row per (partition,
+    group) with the serialized level structure and its exact ingested
+    row count ``n``. The scan is one mapInPandas pass; per Arrow batch
+    the work is a numpy sort over at most O(k log) retained values."""
+    group_cols = list(group_cols)
+    in_fields = [df.schema[c] for c in group_cols]
+    schema = _sketch_schema(in_fields)
+    cols = group_cols + [value_col]
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        states: dict[tuple, tuple[_KLL, int]] = {}
+        for pdf in batches:
+            if group_cols:
+                grouped = pdf.groupby(group_cols, dropna=False, sort=False)
+                items = ((key if isinstance(key, tuple) else (key,), g)
+                         for key, g in grouped)
+            else:
+                items = [((), pdf)]
+            for key, g in items:
+                vals = g[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+                vals = vals[~np.isnan(vals)]
+                if vals.size == 0:
+                    continue
+                st, n = states.get(key, (None, 0))
+                if st is None:
+                    st = _KLL(k)
+                st.add_batch(vals)
+                states[key] = (st, n + vals.size)
+        if not states:
+            return
+        recs = []
+        for key, (st, n) in states.items():
+            rec = dict(zip(group_cols, key))
+            rec["kll"] = _to_rows(st)
+            rec["n"] = n
+            recs.append(rec)
+        yield pd.DataFrame(recs, columns=group_cols + ["kll", "n"])
+
+    return df.select(*cols).mapInPandas(build, schema)
+
+
+def kll_sketch(
+    df: DataFrame,
+    value_col: str,
+    k: int = 200,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """One merged KLL sketch row per group: (group..., kll, n). The
+    merge is an applyInPandas over partial sketches — sketch-sized
+    input per group, never raw rows. Partials are merged in a
+    DETERMINISTIC order (sorted by serialized form) so repeated runs
+    produce identical sketches regardless of task scheduling."""
+    group_cols = list(group_cols)
+    parts = kll_partials(df, value_col, k, group_cols)
+    in_fields = [df.schema[c] for c in group_cols]
+    schema = _sketch_schema(in_fields)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = sorted(
+            range(len(pdf)),
+            key=lambda i: (len(pdf["kll"].iloc[i]), str(pdf["kll"].iloc[i])),
+        )
+        acc: _KLL | None = None
+        n = 0
+        for i in order:
+            s = _from_rows(pdf["kll"].iloc[i], k)
+            n += int(pdf["n"].iloc[i])
+            if acc is None:
+                acc = s
+                acc._compress()
+            else:
+                acc.merge(s)
+        out = {c: [pdf[c].iloc[0]] for c in group_cols}
+        out["kll"] = [_to_rows(acc)]
+        out["n"] = [n]
+        return pd.DataFrame(out, columns=group_cols + ["kll", "n"])
+
+    if group_cols:
+        return parts.groupBy(*group_cols).applyInPandas(merge, schema)
+    return parts.withColumn("__g", F.lit(1)).groupBy("__g").applyInPandas(
+        lambda pdf: merge(pdf.drop(columns=["__g"])), schema
+    )
+
+
+def kll_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: Sequence[float],
+    k: int = 200,
+    group_cols: Sequence[str] = (),
+    prefix: str = "q",
+) -> DataFrame:
+    """Per-group approximate quantiles from one scan + one
+    sketch-sized merge: (group..., n, {prefix}{q} for each q).
+    Estimates are actual data values within additive rank error
+    ~3n/k. Column names replace '.' with '_' (q0_5 for the median)."""
+    group_cols = list(group_cols)
+    sk = kll_sketch(df, value_col, k, group_cols)
+    names = [f"{prefix}{str(float(q)).replace('.', '_')}" for q in qs]
+    out_schema = StructType(
+        [sk.schema[c] for c in group_cols]
+        + [StructField("n", LongType(), False)]
+        + [StructField(nm, DoubleType(), True) for nm in names]
+    )
+    qs = [float(q) for q in qs]
+
+    def extract(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, row in pdf.iterrows():
+            s = _from_rows(row["kll"], k)
+            ests = s.quantiles(qs)
+            rec = {c: row[c] for c in group_cols}
+            rec["n"] = int(row["n"])
+            rec.update(dict(zip(names, ests)))
+            rows.append(rec)
+        return pd.DataFrame(rows, columns=group_cols + ["n"] + names)
+
+    if group_cols:
+        return sk.groupBy(*group_cols).applyInPandas(extract, out_schema)
+    return sk.withColumn("__g", F.lit(1)).groupBy("__g").applyInPandas(
+        lambda pdf: extract(pdf.drop(columns=["__g"])), out_schema
+    )

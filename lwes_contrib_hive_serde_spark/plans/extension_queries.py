@@ -3780,3 +3780,62 @@ def q_heavy_hitters(spark, sf_dir):
         .cast("int"),
     )
     return frequent.heavy_hitters(ev, "item", phi=0.01, k=256).orderBy("item")
+
+
+# --- mergeable KLL quantile sketch (operators/quantiles.py) ---------------
+
+@register(
+    "q_kll_quantiles",
+    shadow=True,
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           TRUE AS p50_in_bound,
+           TRUE AS p95_in_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Mergeable KLL quantile sketch (Karnin-Lang-Liberty FOCS 2016, "
+    "deterministic alternating-parity compactor — quantiles.kll_*): "
+    "one mapInPandas scan builds per-partition level sketches, one "
+    "applyInPandas merge per group over sketch-sized partials (the "
+    "shuffle is |groups| x O(k log n) at any scale — raw values never "
+    "shuffle), estimates are actual data values. The query verifies "
+    "the hard rank guarantee in-query against the raw data: for each "
+    "group and q in {0.5, 0.95}, count(v < est) <= (q+eps)n and "
+    "count(v <= est) >= (q-eps)n with eps = 3/k — the tie-safe "
+    "two-sided rank bound. Exact per-group counts carry the value "
+    "hash; the booleans must all be TRUE to match the oracle.",
+)
+def q_kll_quantiles(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import quantiles as _q
+
+    k = 200
+    eps = 3.0 / k
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    est = _q.kll_quantiles(
+        li, "l_extendedprice", [0.5, 0.95], k=k, group_cols=["l_returnflag"]
+    ).select("l_returnflag", "q0_5", "q0_95")
+    j = li.join(F.broadcast(est), "l_returnflag")
+    v = F.col("l_extendedprice")
+    agg = j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.when(v < F.col("q0_5"), 1).otherwise(0)).alias("lt50"),
+        F.sum(F.when(v <= F.col("q0_5"), 1).otherwise(0)).alias("le50"),
+        F.sum(F.when(v < F.col("q0_95"), 1).otherwise(0)).alias("lt95"),
+        F.sum(F.when(v <= F.col("q0_95"), 1).otherwise(0)).alias("le95"),
+    )
+    n = F.col("n_exact").cast("double")
+    return agg.select(
+        "l_returnflag",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (
+            (F.col("lt50") <= (0.5 + eps) * n)
+            & (F.col("le50") >= (0.5 - eps) * n)
+        ).alias("p50_in_bound"),
+        (
+            (F.col("lt95") <= (0.95 + eps) * n)
+            & (F.col("le95") >= (0.95 - eps) * n)
+        ).alias("p95_in_bound"),
+    )

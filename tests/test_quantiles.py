@@ -1,0 +1,99 @@
+"""Mergeable KLL quantile sketch (operators/quantiles.py): weight
+conservation, rank-error bounds, merge soundness, determinism, and
+the Spark one-scan + sketch-sized-merge path."""
+
+import numpy as np
+import pytest
+
+from lwes_contrib_hive_serde_spark.operators import quantiles as Q
+
+
+def _rank(sorted_vals, x):
+    return int(np.searchsorted(sorted_vals, x, side="left"))
+
+
+class TestKllLocal:
+    def test_weight_exact_and_rank_error(self):
+        rng = np.random.default_rng(1)
+        data = rng.normal(0, 100, 20000)
+        s = Q._KLL(200)
+        for chunk in np.array_split(data, 37):
+            s.add_batch(chunk)
+        assert s.total_weight() == data.size
+        sv = np.sort(data)
+        eps = 3.0 / 200
+        for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+            (est,) = s.quantiles([q])
+            err = abs(_rank(sv, est) - q * data.size)
+            assert err <= eps * data.size, (q, err)
+            assert est in data  # estimates are actual data values
+
+    def test_merge_keeps_weight_and_bounds(self):
+        rng = np.random.default_rng(2)
+        a = rng.exponential(5, 9000)
+        b = rng.exponential(50, 4000)  # different distribution
+        sa, sb = Q._KLL(128), Q._KLL(128)
+        sa.add_batch(a)
+        sb.add_batch(b)
+        sa.merge(sb)
+        both = np.concatenate([a, b])
+        assert sa.total_weight() == both.size
+        sv = np.sort(both)
+        eps = 3.0 / 128
+        for q in (0.1, 0.5, 0.9):
+            (est,) = sa.quantiles([q])
+            assert abs(_rank(sv, est) - q * both.size) <= eps * both.size
+
+    def test_extremes_and_empty(self):
+        s = Q._KLL(64)
+        assert s.quantiles([0.5]) == [None]
+        s.add_batch(np.array([3.0, 1.0, 2.0]))
+        assert s.quantiles([0.0])[0] == 1.0
+        assert s.quantiles([1.0])[0] == 3.0
+
+    def test_k_guard(self):
+        with pytest.raises(ValueError, match="k must be"):
+            Q._KLL(4)
+
+
+class TestKllSpark:
+    def _df(self, spark, n=12000, groups=3, seed=5):
+        rng = np.random.default_rng(seed)
+        rows = [
+            (int(i % groups), float(v))
+            for i, v in enumerate(rng.lognormal(3, 1.5, n))
+        ]
+        return spark.createDataFrame(rows, "g int, v double"), rows
+
+    def test_grouped_quantiles_within_bound(self, spark):
+        df, rows = self._df(spark)
+        k = 200
+        out = {
+            r.g: (r.n, r.q0_5, r.q0_9)
+            for r in Q.kll_quantiles(
+                df.repartition(8), "v", [0.5, 0.9], k=k, group_cols=["g"]
+            ).collect()
+        }
+        eps = 3.0 / k
+        for g in (0, 1, 2):
+            vals = np.sort([v for gg, v in rows if gg == g])
+            n, q50, q90 = out[g]
+            assert n == vals.size  # exact count survives the sketch path
+            assert abs(_rank(vals, q50) - 0.5 * n) <= eps * n
+            assert abs(_rank(vals, q90) - 0.9 * n) <= eps * n
+
+    def test_global_and_null_handling(self, spark):
+        df = spark.createDataFrame(
+            [(float(i),) for i in range(1000)] + [(None,)] * 25, "v double"
+        )
+        r = Q.kll_quantiles(df.repartition(4), "v", [0.5], k=128).collect()[0]
+        assert r.n == 1000  # NULLs never ingested
+        assert abs(r.q0_5 - 500.0) <= 3.0 / 128 * 1000
+
+    def test_sketch_deterministic(self, spark):
+        df, _ = self._df(spark, n=5000)
+        a = Q.kll_sketch(df.repartition(8), "v", 128, ["g"]).collect()
+        b = Q.kll_sketch(df.repartition(8), "v", 128, ["g"]).collect()
+        fa = {r.g: (r.n, [(x.level, tuple(x.items)) for x in r.kll]) for r in a}
+        fb = {r.g: (r.n, [(x.level, tuple(x.items)) for x in r.kll]) for r in b}
+        assert fa == fb
