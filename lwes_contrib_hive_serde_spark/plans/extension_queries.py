@@ -3839,3 +3839,55 @@ def q_kll_quantiles(spark, sf_dir):
             & (F.col("le95") >= (0.95 - eps) * n)
         ).alias("p95_in_bound"),
     )
+
+
+# --- prefix-filtered exact Jaccard (dedup.jaccard_prefix_pairs) -----------
+
+@register(
+    "q_jaccard_prefix",
+    shadow=True,
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, {_SQL_NORM} AS t FROM documents
+    ), toks AS (
+      SELECT doc_id, string_split(t, ' ') AS ws FROM norm
+    ), sh AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, len(ws) - 2)) AS i
+      ) g
+      WHERE len(ws) >= 3
+      UNION
+      SELECT DISTINCT doc_id, array_to_string(ws, ' ') AS s
+      FROM toks WHERE len(ws) < 3
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id1, id2,
+           ROUND(CAST(n_inter AS DOUBLE)
+                 / (na.n + nb.n - n_inter), 6) AS jaccard6
+    FROM inter
+    JOIN sizes na ON na.doc_id = id1
+    JOIN sizes nb ON nb.doc_id = id2
+    WHERE CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) >= 0.8
+    """,
+    doc="Exact all-pairs Jaccard >= 0.8 via PREFIX FILTERING "
+    "(SSJoin/all-pairs/PPJoin family, Chaudhuri 2006 / Bayardo 2007 / "
+    "Xiao 2008): docs sorted by ascending global shingle frequency "
+    "index only their first n - ceil(t*n) + 1 tokens; any qualifying "
+    "pair provably shares a prefix token, so the candidate self-join "
+    "shuffles ~(1-t) of the tokens — and the RAREST ones, with the "
+    "fewest join partners. Same oracle as q_ngram_jaccard because the "
+    "answer is IDENTICAL (pruning, not approximation — equality also "
+    "pinned pair-for-pair in tests). The exact-dedup tier to choose "
+    "when corpus size makes the full inverted index too hot but "
+    "MinHash recall is not acceptable.",
+)
+def q_jaccard_prefix(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_prefix_pairs(d, threshold=0.8)
+    return pairs.select("id1", "id2", F.round("jaccard", 6).alias("jaccard6"))

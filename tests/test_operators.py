@@ -120,6 +120,58 @@ class TestDedup:
         # precision is exact: every returned pair re-checked with true Jaccard
         assert got <= truth
 
+    def test_prefix_filter_equals_inverted_index(self, spark):
+        """jaccard_prefix_pairs must return EXACTLY the inverted-index
+        answer (same pairs, same jaccard values) — prefix filtering is
+        a pruning strategy, not an approximation."""
+        df, _, _ = make_docs(spark)
+        for t in (0.6, 0.8):
+            got = {
+                (r.id1, r.id2): round(r.jaccard, 9)
+                for r in dedup.jaccard_prefix_pairs(df, threshold=t).collect()
+            }
+            want = {
+                (r.id1, r.id2): round(r.jaccard, 9)
+                for r in dedup.ngram_jaccard_pairs(df, threshold=t).collect()
+            }
+            assert got == want and want
+
+    def test_prefix_filter_bruteforce_random(self, spark):
+        """Randomized completeness check against a Python brute force,
+        including ceil(t*n) float-boundary sizes (n=5, t=0.8)."""
+        import itertools
+        import random as _r
+
+        rng = _r.Random(21)
+        vocab = [f"w{i}" for i in range(30)]
+        rows = []
+        for i in range(40):
+            n = rng.randint(3, 9)
+            rows.append((i, " ".join(rng.sample(vocab, n))))
+        for i in range(8):  # planted: reordered copies and 1-word edits
+            words = rows[i][1].split()
+            rng.shuffle(words)
+            rows.append((100 + i, " ".join(words)))
+            if len(words) >= 5:
+                words2 = list(words)
+                words2[0] = "zz%d" % i
+                rows.append((200 + i, " ".join(words2)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        t = 0.8
+        got = {
+            (r.id1, r.id2)
+            for r in dedup.jaccard_prefix_pairs(
+                df, shingle_k=1, threshold=t
+            ).collect()
+        }
+        sets = {i: set(txt.split()) for i, txt in rows}
+        want = set()
+        for i, j in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[i] & sets[j])
+            if inter and inter / len(sets[i] | sets[j]) >= t:
+                want.add((i, j))
+        assert got == want
+
     def test_simhash_finds_planted_dups(self, spark):
         df, n_exact, _ = make_docs(spark)
         pairs = dedup.simhash_neardup_pairs(df, max_hamming=3)
