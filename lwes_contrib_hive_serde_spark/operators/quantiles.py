@@ -234,6 +234,53 @@ def kll_partials(
     return df.select(*cols).mapInPandas(build, schema)
 
 
+def _merge_pdf(pdf: pd.DataFrame, k: int, group_cols: list) -> pd.DataFrame:
+    """Merge one group's partial-sketch rows in a DETERMINISTIC order
+    (sorted by serialized form) so repeated runs produce identical
+    sketches regardless of task scheduling."""
+    order = sorted(
+        range(len(pdf)),
+        key=lambda i: (len(pdf["kll"].iloc[i]), str(pdf["kll"].iloc[i])),
+    )
+    acc: _KLL | None = None
+    n = 0
+    for i in order:
+        s = _from_rows(pdf["kll"].iloc[i], k)
+        n += int(pdf["n"].iloc[i])
+        if acc is None:
+            acc = s
+            acc._compress()
+        else:
+            acc.merge(s)
+    out = {c: [pdf[c].iloc[0]] for c in group_cols}
+    out["kll"] = [_to_rows(acc) if acc is not None else []]
+    out["n"] = [n]
+    return pd.DataFrame(out, columns=group_cols + ["kll", "n"])
+
+
+def kll_merge_groups(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    k: int = 200,
+) -> DataFrame:
+    """Merge an existing (group..., kll, n) sketch table per group —
+    the monoid fold used by both kll_sketch and the rollup's
+    coarser-grain re-aggregation. Input rows are sketch-sized; raw
+    values never appear here."""
+    group_cols = list(group_cols)
+    in_fields = [df.schema[c] for c in group_cols]
+    schema = _sketch_schema(in_fields)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _merge_pdf(pdf, k, group_cols)
+
+    if group_cols:
+        return df.groupBy(*group_cols).applyInPandas(merge, schema)
+    return df.withColumn("__g", F.lit(1)).groupBy("__g").applyInPandas(
+        lambda pdf: merge(pdf.drop(columns=["__g"])), schema
+    )
+
+
 def kll_sketch(
     df: DataFrame,
     value_col: str,
@@ -242,39 +289,44 @@ def kll_sketch(
 ) -> DataFrame:
     """One merged KLL sketch row per group: (group..., kll, n). The
     merge is an applyInPandas over partial sketches — sketch-sized
-    input per group, never raw rows. Partials are merged in a
-    DETERMINISTIC order (sorted by serialized form) so repeated runs
-    produce identical sketches regardless of task scheduling."""
+    input per group, never raw rows."""
     group_cols = list(group_cols)
     parts = kll_partials(df, value_col, k, group_cols)
-    in_fields = [df.schema[c] for c in group_cols]
-    schema = _sketch_schema(in_fields)
+    return kll_merge_groups(parts, group_cols, k)
 
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        order = sorted(
-            range(len(pdf)),
-            key=lambda i: (len(pdf["kll"].iloc[i]), str(pdf["kll"].iloc[i])),
-        )
-        acc: _KLL | None = None
-        n = 0
-        for i in order:
-            s = _from_rows(pdf["kll"].iloc[i], k)
-            n += int(pdf["n"].iloc[i])
-            if acc is None:
-                acc = s
-                acc._compress()
-            else:
-                acc.merge(s)
-        out = {c: [pdf[c].iloc[0]] for c in group_cols}
-        out["kll"] = [_to_rows(acc)]
-        out["n"] = [n]
-        return pd.DataFrame(out, columns=group_cols + ["kll", "n"])
 
-    if group_cols:
-        return parts.groupBy(*group_cols).applyInPandas(merge, schema)
-    return parts.withColumn("__g", F.lit(1)).groupBy("__g").applyInPandas(
-        lambda pdf: merge(pdf.drop(columns=["__g"])), schema
+def kll_quantile_cols(
+    df: DataFrame,
+    qs: Sequence[float],
+    k: int = 200,
+    kll_col: str = "kll",
+    prefix: str = "q",
+) -> DataFrame:
+    """Append per-row quantile estimate columns extracted from an
+    existing KLL sketch column — read-time derivation over an
+    already-aggregated (sketch-sized) table, the quantile analogue of
+    rollup_metrics' avg/var/distinct_est."""
+    names = [f"{prefix}{str(float(q)).replace('.', '_')}" for q in qs]
+    qs = [float(q) for q in qs]
+    out_schema = ", ".join(
+        [f.simpleString().replace(":", " ", 1) for f in df.schema.fields]
+        + [f"{nm} double" for nm in names]
     )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {nm: [] for nm in names}
+            for rows in pdf[kll_col]:
+                ests = (
+                    _from_rows(rows, k).quantiles(qs)
+                    if rows is not None and len(rows)
+                    else [None] * len(qs)
+                )
+                for nm, e in zip(names, ests):
+                    cols[nm].append(e)
+            yield pdf.assign(**cols)
+
+    return df.mapInPandas(extract, out_schema)
 
 
 def kll_quantiles(
@@ -291,27 +343,4 @@ def kll_quantiles(
     ~3n/k. Column names replace '.' with '_' (q0_5 for the median)."""
     group_cols = list(group_cols)
     sk = kll_sketch(df, value_col, k, group_cols)
-    names = [f"{prefix}{str(float(q)).replace('.', '_')}" for q in qs]
-    out_schema = StructType(
-        [sk.schema[c] for c in group_cols]
-        + [StructField("n", LongType(), False)]
-        + [StructField(nm, DoubleType(), True) for nm in names]
-    )
-    qs = [float(q) for q in qs]
-
-    def extract(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for _, row in pdf.iterrows():
-            s = _from_rows(row["kll"], k)
-            ests = s.quantiles(qs)
-            rec = {c: row[c] for c in group_cols}
-            rec["n"] = int(row["n"])
-            rec.update(dict(zip(names, ests)))
-            rows.append(rec)
-        return pd.DataFrame(rows, columns=group_cols + ["n"] + names)
-
-    if group_cols:
-        return sk.groupBy(*group_cols).applyInPandas(extract, out_schema)
-    return sk.withColumn("__g", F.lit(1)).groupBy("__g").applyInPandas(
-        lambda pdf: extract(pdf.drop(columns=["__g"])), out_schema
-    )
+    return kll_quantile_cols(sk, qs, k, prefix=prefix).drop("kll")

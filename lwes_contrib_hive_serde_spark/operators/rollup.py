@@ -46,14 +46,19 @@ def rollup_partials(
     value_col: str,
     distinct_col: str | None = None,
     p: int = 12,
+    quantile_k: int | None = None,
 ) -> DataFrame:
     """Build the fine-grain partial table.
 
     Returns (bucket_start timestamp, group..., n, sum_v, min_v, max_v,
-    sumsq_v[, hll_regs]). ``bucket`` is any ``date_trunc`` unit
+    sumsq_v[, hll_regs][, kll]). ``bucket`` is any ``date_trunc`` unit
     ('hour', 'day', 'week', …). NULL values contribute to n but not to
     the value states (sum/min/max/sumsq ignore NULLs, matching SQL
-    aggregate semantics so oracles line up)."""
+    aggregate semantics so oracles line up). ``quantile_k`` adds a
+    mergeable KLL sketch of ``value_col`` per bucket (see
+    operators/quantiles.py) so coarser grains can answer p50/p95/...
+    by merging partials — quantiles being exactly the metric the
+    scalar states CANNOT derive."""
     b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket_start")
     keys = ["bucket_start", *group_cols]
     scalars = (
@@ -67,14 +72,22 @@ def rollup_partials(
             F.sum(F.col(value_col) * F.col(value_col)).alias("sumsq_v"),
         )
     )
-    if distinct_col is None:
-        return scalars
-    regs = sketches.hll_sketch(
-        df.select(b, *group_cols, distinct_col), keys, distinct_col, p
-    )
-    # same keys on both sides — the join reuses the aggregation's
-    # hash partitioning, no extra corpus shuffle
-    return scalars.join(regs, keys, "left")
+    out = scalars
+    if distinct_col is not None:
+        regs = sketches.hll_sketch(
+            df.select(b, *group_cols, distinct_col), keys, distinct_col, p
+        )
+        # same keys on both sides — the join reuses the aggregation's
+        # hash partitioning, no extra corpus shuffle
+        out = out.join(regs, keys, "left")
+    if quantile_k is not None:
+        from lwes_contrib_hive_serde_spark.operators import quantiles
+
+        sk = quantiles.kll_sketch(
+            df.select(b, *group_cols, value_col), value_col, quantile_k, keys
+        ).drop("n")  # the scalar n (NULLs included) is authoritative
+        out = out.join(sk, keys, "left")
+    return out
 
 
 def merge_rollup(
@@ -82,6 +95,7 @@ def merge_rollup(
     group_cols: Sequence[str],
     bucket: str | None = None,
     p: int = 12,
+    quantile_k: int = 200,
 ) -> DataFrame:
     """Re-aggregate a partial table to a coarser grain.
 
@@ -90,8 +104,13 @@ def merge_rollup(
     unchanged (compaction of replay/epoch duplicates); None drops the
     time axis entirely and keeps only group_cols. Output schema
     matches rollup_partials, so merges chain (hour → day → week) and
-    any chaining order yields identical bytes."""
+    any chaining order yields identical bytes for the scalar and HLL
+    states; KLL sketches stay rank-error-bounded (the sketch bytes
+    depend on compaction order, the guarantee does not), merged in a
+    second aggregation co-partitioned on the same keys and joined
+    back without touching raw data."""
     has_hll = "hll_regs" in partials.columns
+    has_kll = "kll" in partials.columns
     if bucket == "keep":
         keyed = partials
         keys = ["bucket_start", *group_cols]
@@ -114,12 +133,40 @@ def merge_rollup(
         aggs.append(
             sketches.hll_merge_expr("hll_regs", 1 << p).alias("hll_regs")
         )
-    return keyed.groupBy(*keys).agg(*aggs)
+    merged = keyed.groupBy(*keys).agg(*aggs)
+    if has_kll:
+        from lwes_contrib_hive_serde_spark.operators import quantiles
+
+        # second aggregation on the SAME keys over sketch-sized rows,
+        # joined back co-partitioned — raw data is never touched
+        ksk = quantiles.kll_merge_groups(
+            keyed.select(*keys, "kll", F.lit(0).cast("long").alias("n"))
+            .filter(F.col("kll").isNotNull()),
+            keys,
+            quantile_k,
+        ).drop("n")
+        if keys:
+            merged = merged.join(ksk, keys, "left")
+        else:  # all-time single-row rollup: join the two singletons
+            merged = (
+                merged.withColumn("__j", F.lit(1))
+                .join(ksk.withColumn("__j", F.lit(1)), "__j", "left")
+                .drop("__j")
+            )
+    return merged
 
 
-def rollup_metrics(partials: DataFrame, p: int = 12) -> DataFrame:
-    """Attach derived read-time metrics: avg, population variance, and
-    (if registers are present) the HLL distinct estimate."""
+def rollup_metrics(
+    partials: DataFrame,
+    p: int = 12,
+    qs: Sequence[float] | None = None,
+    quantile_k: int = 200,
+) -> DataFrame:
+    """Attach derived read-time metrics: avg, population variance,
+    (if registers are present) the HLL distinct estimate, and (if a
+    KLL column is present and ``qs`` given) quantile estimates — all
+    computed over the already-aggregated partial table, never raw
+    data."""
     n = F.col("n").cast("double")
     mean = F.col("sum_v") / n
     out = partials.withColumn("avg_v", mean).withColumn(
@@ -129,4 +176,8 @@ def rollup_metrics(partials: DataFrame, p: int = 12) -> DataFrame:
         out = out.withColumn(
             "distinct_est", sketches.hll_estimate("hll_regs", p)
         )
+    if qs and "kll" in partials.columns:
+        from lwes_contrib_hive_serde_spark.operators import quantiles
+
+        out = quantiles.kll_quantile_cols(out, qs, quantile_k)
     return out

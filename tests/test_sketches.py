@@ -284,3 +284,77 @@ class TestRollup:
         ).distinct().count()
         assert daily.count() <= n_buckets * 5
         assert daily.count() < events.count() / 10
+
+
+class TestRollupQuantiles:
+    """KLL sketch column inside the time-bucket rollup: coarser
+    grains answer quantiles by MERGING partials (never re-scanning
+    raw data), within the sketch's rank-error bound."""
+
+    K = 128
+    EPS = 3.0 / 128
+
+    def _rank(self, sorted_vals, x):
+        return int(np.searchsorted(sorted_vals, x, side="left"))
+
+    def test_merged_day_quantiles_within_bound(self, spark, events):
+        hourly = R.rollup_partials(
+            events, "ts", "hour", ["event_type"], "value",
+            quantile_k=self.K,
+        )
+        daily = R.merge_rollup(
+            hourly, ["event_type"], "day", quantile_k=self.K
+        )
+        est = R.rollup_metrics(daily, qs=[0.5, 0.9], quantile_k=self.K)
+        pdf = events.select(
+            F.date_trunc("day", "ts").alias("d"), "event_type", "value"
+        ).toPandas()
+        rows = est.collect()
+        assert rows
+        checked = 0
+        for r in rows:
+            vals = np.sort(
+                pdf.loc[
+                    (pdf.d == r["bucket_start"])
+                    & (pdf.event_type == r["event_type"]),
+                    "value",
+                ].dropna()
+            )
+            if vals.size < 50:
+                continue
+            for q, col in ((0.5, "q0_5"), (0.9, "q0_9")):
+                err = abs(self._rank(vals, r[col]) - q * vals.size)
+                assert err <= self.EPS * vals.size + 1, (r, q, err)
+            checked += 1
+        assert checked >= 3
+
+    def test_alltime_chain_matches_direct_bounds(self, spark, events):
+        hourly = R.rollup_partials(
+            events, "ts", "hour", ["event_type"], "value",
+            quantile_k=self.K,
+        )
+        via_day = R.merge_rollup(
+            R.merge_rollup(hourly, ["event_type"], "day", quantile_k=self.K),
+            ["event_type"], None, quantile_k=self.K,
+        )
+        est = {
+            r["event_type"]: r["q0_5"]
+            for r in R.rollup_metrics(
+                via_day, qs=[0.5], quantile_k=self.K
+            ).collect()
+        }
+        pdf = events.select("event_type", "value").toPandas()
+        for et, q50 in est.items():
+            vals = np.sort(pdf.loc[pdf.event_type == et, "value"].dropna())
+            err = abs(self._rank(vals, q50) - 0.5 * vals.size)
+            assert err <= self.EPS * vals.size + 1, (et, err)
+        # total weight survives two merge hops exactly
+        n_by = {
+            r["event_type"]: r["n"] for r in via_day.collect()
+        }
+        exact = {
+            r["event_type"]: r["c"]
+            for r in events.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        assert n_by == exact
