@@ -47,11 +47,13 @@ def append_rollup_batch(
     value_col: str,
     distinct_col: str | None = None,
     p: int = 12,
+    quantile_k: int | None = None,
 ) -> None:
     """Fold one micro-batch into the partial store (idempotent per
     batch_id — safe under Structured Streaming epoch replay)."""
     partials = _rollup.rollup_partials(
-        batch_df, ts_col, bucket, group_cols, value_col, distinct_col, p
+        batch_df, ts_col, bucket, group_cols, value_col, distinct_col, p,
+        quantile_k,
     )
     (
         partials.write.mode("overwrite").parquet(
@@ -66,6 +68,7 @@ def read_rollup(
     group_cols: Sequence[str],
     bucket: str | None = None,
     p: int = 12,
+    quantile_k: int = 200,
 ) -> DataFrame:
     """Merge every stored epoch to the requested grain. ``bucket``:
     a coarser date_trunc unit, ``"keep"`` for the stored grain
@@ -74,7 +77,9 @@ def read_rollup(
         os.path.join(state_dir, "batch=*")
     )
     cols = [c for c in parts.columns if c != "batch"]
-    return _rollup.merge_rollup(parts.select(*cols), group_cols, bucket, p)
+    return _rollup.merge_rollup(
+        parts.select(*cols), group_cols, bucket, p, quantile_k
+    )
 
 
 def stream_rollup(
@@ -88,6 +93,7 @@ def stream_rollup(
     distinct_col: str | None = None,
     p: int = 12,
     trigger: str = "500 milliseconds",
+    quantile_k: int | None = None,
 ):
     """Start the maintenance query: every micro-batch appends its
     epoch-keyed partials. Returns the StreamingQuery."""
@@ -95,7 +101,7 @@ def stream_rollup(
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         append_rollup_batch(
             batch_df, batch_id, state_dir, ts_col, bucket,
-            group_cols, value_col, distinct_col, p,
+            group_cols, value_col, distinct_col, p, quantile_k,
         )
 
     return (

@@ -188,3 +188,33 @@ class TestJournalStreamIntegration:
             assert got["odd"] == (50, sum(range(1, 100, 2)), 1, 99)
         finally:
             q.stop()
+
+
+class TestStreamedQuantiles:
+    def test_epoch_quantiles_within_bound(self, spark, events, tmp_path):
+        """KLL states folded per epoch answer all-time quantiles within
+        the rank bound after the cross-epoch merge."""
+        import numpy as np
+
+        state = str(tmp_path / "qstate")
+        k = 128
+        for bid in range(3):
+            RS.append_rollup_batch(
+                events.filter(F.col("event_id") % 3 == bid),
+                bid, state, "ts", "day", ["event_type"], "value",
+                quantile_k=k,
+            )
+        allt = RS.read_rollup(
+            spark, state, ["event_type"], None, quantile_k=k
+        )
+        est = {
+            r["event_type"]: r["q0_5"]
+            for r in R.rollup_metrics(allt, qs=[0.5], quantile_k=k).collect()
+        }
+        pdf = events.select("event_type", "value").toPandas()
+        eps = 3.0 / k
+        assert est
+        for et, q50 in est.items():
+            vals = np.sort(pdf.loc[pdf.event_type == et, "value"].dropna())
+            rank = int(np.searchsorted(vals, q50, side="left"))
+            assert abs(rank - 0.5 * vals.size) <= eps * vals.size + 1
