@@ -67,47 +67,77 @@ def _mg_compress(counts: "pd.Series", k: int) -> "pd.Series":
     return out[out > 0]
 
 
-def mg_partials(df: DataFrame, item_col: str, k: int) -> DataFrame:
-    """Pass 1: per-partition Misra-Gries summaries.
+def mg_partials(
+    df: DataFrame,
+    item_col: str,
+    k: int,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Pass 1: per-partition Misra-Gries summaries, one independent
+    capacity-k summary per group value seen in the partition.
 
-    Returns (item string, mg_count long) with at most ``k`` rows per
-    input partition. NULL items are ignored (SQL GROUP BY semantics
-    for the final pass keep NULL out of the heavy set anyway).
+    Returns (group..., item, mg_count long) with at most ``k`` rows
+    per (partition, group). NULL items are ignored (SQL GROUP BY
+    semantics for the final pass keep NULL out of the heavy set
+    anyway).
     """
     if k < 1:
         raise ValueError("mg_partials: k must be >= 1")
-    field = df.schema[item_col]
+    group_cols = list(group_cols)
     schema = StructType(
-        [
-            StructField("item", field.dataType, True),
+        [df.schema[c] for c in group_cols]
+        + [
+            StructField("item", df.schema[item_col].dataType, True),
             StructField("mg_count", LongType(), False),
         ]
     )
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc: pd.Series | None = None
+        accs: dict[tuple, pd.Series] = {}
         for pdf in batches:
-            vc = pdf[item_col].dropna().value_counts()
-            if vc.empty:
+            if group_cols:
+                grouped = pdf.groupby(group_cols, dropna=False, sort=False)
+                chunks = ((key if isinstance(key, tuple) else (key,), g)
+                          for key, g in grouped)
+            else:
+                chunks = [((), pdf)]
+            for key, g in chunks:
+                vc = g[item_col].dropna().value_counts()
+                if vc.empty:
+                    continue
+                acc = accs.get(key)
+                acc = vc if acc is None else acc.add(vc, fill_value=0)
+                accs[key] = _mg_compress(acc, k)
+        frames = []
+        for key, acc in accs.items():
+            if acc.empty:
                 continue
-            acc = vc if acc is None else acc.add(vc, fill_value=0)
-            acc = _mg_compress(acc, k)
-        if acc is None or acc.empty:
-            return
-        yield pd.DataFrame(
-            {"item": acc.index, "mg_count": acc.values.astype("int64")}
-        )
+            frame = pd.DataFrame(
+                {"item": acc.index, "mg_count": acc.values.astype("int64")}
+            )
+            for c, v in zip(group_cols, key):
+                frame[c] = v
+            frames.append(frame[group_cols + ["item", "mg_count"]])
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
 
-    return df.select(F.col(item_col)).mapInPandas(summarize, schema)
+    return df.select(*group_cols, item_col).mapInPandas(summarize, schema)
 
 
-def mg_candidates(df: DataFrame, item_col: str, k: int) -> DataFrame:
-    """Global candidate set: per-partition summaries summed item-wise.
-    (item, est_count) where est_count <= true count <= est_count +
-    n/(k+1). Row count bounded by k x num_partitions."""
+def mg_candidates(
+    df: DataFrame,
+    item_col: str,
+    k: int,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Candidate set per group: per-partition summaries summed
+    item-wise. (group..., item, est_count) where est_count <= true
+    count <= est_count + n_group/(k+1). Row count bounded by
+    k x num_partitions per group."""
+    group_cols = list(group_cols)
     return (
-        mg_partials(df, item_col, k)
-        .groupBy("item")
+        mg_partials(df, item_col, k, group_cols)
+        .groupBy(*group_cols, "item")
         .agg(F.sum("mg_count").alias("est_count"))
     )
 
@@ -118,19 +148,26 @@ def heavy_hitters(
     phi: float,
     k: int | None = None,
     group_total_col: str = "n",
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """EXACT phi-heavy hitters (items with count > phi * total rows)
-    without ever shuffling the full item key space.
+    """EXACT phi-heavy hitters (items with count > phi * total rows —
+    per group when ``group_cols`` is given) without ever shuffling the
+    full item key space.
 
     Equivalent to::
 
-        SELECT item, COUNT(*) FROM t GROUP BY item
-        HAVING COUNT(*) > phi * (SELECT COUNT(*) FROM t)
+        SELECT [group,] item, COUNT(*) FROM t GROUP BY [group,] item
+        HAVING COUNT(*) > phi * (per-group total)
 
     but pass 1 bounds the aggregation key space to Misra-Gries
-    candidates (capacity k >= ceil(1/phi), default 2/phi for slack)
-    and pass 2 recounts only those. Output: (item, n) with n the
-    exact count, NULL items excluded.
+    candidates (capacity k >= ceil(1/phi) per group, default 2/phi
+    for slack) and pass 2 recounts only those. Output:
+    (group..., item, n) with n the exact count, NULL items excluded.
+
+    Grouped caveat for the broadcast: the candidate table is
+    k x P x |groups| rows worst-case — keep |groups| modest (dashboard
+    dimensions, not raw keys) or pre-partition by group and run
+    ungrouped per partition.
     """
     if not 0.0 < phi < 1.0:
         raise ValueError("heavy_hitters: phi must be in (0, 1)")
@@ -141,22 +178,27 @@ def heavy_hitters(
             f"heavy_hitters: k={k} too small for phi={phi}; "
             f"need k+1 > 1/phi or the candidate set can miss a heavy hitter"
         )
-    cand = mg_candidates(df, item_col, k).select(
-        F.col("item").alias("__cand_item"), F.lit(True).alias("__is_cand")
+    group_cols = list(group_cols)
+    cand = mg_candidates(df, item_col, k, group_cols).select(
+        *[F.col(c).alias(f"__cand_{c}") for c in group_cols],
+        F.col("item").alias("__cand_item"),
+        F.lit(True).alias("__is_cand"),
     )
-    # Pass 2: one scan; non-candidates fold into the NULL bucket so the
-    # same aggregation yields both exact candidate counts and the grand
-    # total. Aggregation key space: |candidates| + 1.
-    tagged = df.join(
-        F.broadcast(cand), F.col(item_col) == F.col("__cand_item"), "left"
-    )
+    # Pass 2: one scan; non-candidates fold into the per-group NULL
+    # bucket so the same aggregation yields both exact candidate counts
+    # and the per-group grand total. Key space: |candidates| + |groups|.
+    join_cond = F.col(item_col) == F.col("__cand_item")
+    for c in group_cols:
+        join_cond = join_cond & F.col(c).eqNullSafe(F.col(f"__cand_{c}"))
+    tagged = df.join(F.broadcast(cand), join_cond, "left")
     counted = tagged.groupBy(
-        F.when(F.col("__is_cand"), F.col("__cand_item")).alias("item")
+        *group_cols,
+        F.when(F.col("__is_cand"), F.col("__cand_item")).alias("item"),
     ).agg(F.count(F.lit(1)).alias(group_total_col))
-    # The unpartitioned window runs over the already-aggregated frame
-    # (<= |candidates| + 1 rows), not the raw data — a deliberate
-    # single-partition op over sketch-sized state.
-    total = F.sum(group_total_col).over(Window.partitionBy())
+    # The window runs over the already-aggregated frame (sketch-sized),
+    # not the raw data; ungrouped, that is a deliberate single-partition
+    # op over <= |candidates| + 1 rows.
+    total = F.sum(group_total_col).over(Window.partitionBy(*group_cols))
     return (
         counted.withColumn("__total", total)
         .filter(

@@ -962,6 +962,40 @@ class TestHeavyHitters:
         with pytest.raises(ValueError, match="too small"):
             frequent.heavy_hitters(df, "item", phi=0.01, k=10)
 
+    def test_grouped_equals_per_group_having(self, spark):
+        """Per-group heavy hitters == GROUP BY group, item HAVING
+        count > phi * group_total, group by group."""
+        import random as _r
+
+        from lwes_contrib_hive_serde_spark.operators import frequent
+
+        rng = _r.Random(17)
+        rows = []
+        for i in range(9000):
+            g = rng.choice(["a", "b", "c"])
+            skewed = {"a": 4, "b": 2, "c": 6}[g]
+            rows.append((g, int(300 * (rng.random() ** skewed)), i))
+        df = spark.createDataFrame(rows, "g string, item int, rid long") \
+            .repartition(8)
+        phi = 0.02
+        got = {
+            (r.g, r.item, r.n)
+            for r in frequent.heavy_hitters(
+                df, "item", phi, k=128, group_cols=["g"]
+            ).collect()
+        }
+        totals = {g: sum(1 for gg, _, _ in rows if gg == g) for g in "abc"}
+        from collections import Counter
+
+        want = set()
+        cnt = Counter((g, it) for g, it, _ in rows)
+        for (g, it), c in cnt.items():
+            if c > phi * totals[g]:
+                want.add((g, it, c))
+        assert got == want and len(want) > 5
+        # the per-group thresholds must genuinely differ
+        assert len({g for g, _, _ in want}) == 3
+
 
 class TestEmbeddingContamination:
     def test_matches_exact_crossjoin(self, spark):
