@@ -526,6 +526,33 @@ def decode_image_meta(
     return df.mapInPandas(decode, out_schema)
 
 
+def gray_bmp_bytes(width: int, height: int, values: bytes) -> bytes:
+    """Serialize a REAL 24-bpp bottom-up BMP with R=G=B=values[i] in
+    row-major (top-to-bottom) order — a deterministic, decodable
+    fixture generator used by tests and the q_image_dhash oracle
+    query (gray pixels make ITU-R 601-2 luma equal the byte exactly:
+    0.114v + 0.587v + 0.299v == v)."""
+    import struct as _s
+
+    if len(values) < width * height:
+        raise ValueError("gray_bmp_bytes: need width*height values")
+    stride = (width * 3 + 3) & ~3
+    rows = bytearray()
+    for r in range(height - 1, -1, -1):  # bottom-up row order
+        row = bytearray()
+        for c in range(width):
+            v = values[r * width + c]
+            row += bytes([v, v, v])
+        row += b"\x00" * (stride - len(row))
+        rows += row
+    info = _s.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, stride * height,
+        2835, 2835, 0, 0,
+    )
+    filehdr = _s.pack("<2sIHHI", b"BM", 14 + 40 + len(rows), 0, 0, 54)
+    return bytes(filehdr + info + rows)
+
+
 def dhash64_from_luma(luma) -> int:
     """64-bit difference hash (dHash, public algorithm: Krawetz 2013)
     from a 2-D luma array: block-average down to a 9x8 grid, compare

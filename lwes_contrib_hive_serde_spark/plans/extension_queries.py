@@ -3891,3 +3891,99 @@ def q_jaccard_prefix(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     pairs = dedup.jaccard_prefix_pairs(d, threshold=0.8)
     return pairs.select("id1", "id2", F.round("jaccard", 6).alias("jaccard6"))
+
+
+# --- perceptual image dHash over REAL decoded BMPs ------------------------
+
+def _sql_digest_byte(expr: str, i: int) -> str:
+    """Byte i (0-based) of sha256(expr) in DuckDB SQL — hex pair at
+    chars 2i+1..2i+2."""
+    hi, lo = 2 * i + 1, 2 * i + 2
+    return (
+        f"((strpos('0123456789abcdef', substr(sha256({expr}), {hi}, 1)) - 1) * 16"
+        f" + strpos('0123456789abcdef', substr(sha256({expr}), {lo}, 1)) - 1)"
+    )
+
+
+def _dhash_oracle_sql() -> str:
+    # 72 pixel bytes: sha256(text) ++ sha256(text||'a') ++ sha256(text||'b')[:8]
+    exprs = []
+    for j in range(72):
+        if j < 32:
+            exprs.append(_sql_digest_byte("text", j))
+        elif j < 64:
+            exprs.append(_sql_digest_byte("text || 'a'", j - 32))
+        else:
+            exprs.append(_sql_digest_byte("text || 'b'", j - 64))
+    byte_list = ",\n        ".join(exprs)
+    return f"""
+    WITH px AS (
+      SELECT doc_id, [
+        {byte_list}
+      ] AS bs
+      FROM documents WHERE doc_id < 48 AND length(text) > 0
+    ), bits AS (
+      SELECT doc_id, i,
+             CASE WHEN bs[(i // 8) * 9 + (i % 8) + 1]
+                       > bs[(i // 8) * 9 + (i % 8) + 2]
+                  THEN (1::HUGEINT << (63 - i)) ELSE 0::HUGEINT END AS term
+      FROM px, LATERAL (SELECT unnest(generate_series(0, 63)) AS i) g
+    ), packed AS (
+      SELECT doc_id, SUM(term) AS s FROM bits GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN s >= (1::HUGEINT << 63)
+                     THEN s - (1::HUGEINT << 64) ELSE s END AS BIGINT)
+             AS dhash
+    FROM packed ORDER BY doc_id
+    """
+
+
+@register(
+    "q_image_dhash",
+    shadow=True,
+    oracle=_dhash_oracle_sql(),
+    doc="Perceptual image difference-hash over REAL image bytes "
+    "(multimodal.image_dhash): the query synthesizes decodable 9x8 "
+    "grayscale 24-bpp BMPs from sha256 digest bytes of each document, "
+    "runs them through the full production decode ladder (stdlib BMP "
+    "parser -> luma grid -> summed-area block resample, identity at "
+    "9x8 -> 64 left>right comparisons -> two's-complement long), and "
+    "the DuckDB oracle recomputes the identical 64-bit hash "
+    "arithmetically from the same digest bytes — so the value hash "
+    "gates the ENTIRE real decode + hash path end to end, unlike the "
+    "deterministic-fake tier of q_multimodal_meta. Gray pixels make "
+    "ITU-R luma equal the source byte exactly, keeping both engines "
+    "in integer arithmetic.",
+)
+def q_image_dhash(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import multimodal
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 48) & (F.length("text") > 0))
+        .select("doc_id", "text")
+    )
+
+    def synth(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                raw = (
+                    hashlib.sha256(t.encode("utf-8")).digest()
+                    + hashlib.sha256((t + "a").encode("utf-8")).digest()
+                    + hashlib.sha256((t + "b").encode("utf-8")).digest()
+                )
+                payloads.append(multimodal.gray_bmp_bytes(9, 8, raw[:72]))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    imgs = d.mapInPandas(synth, "doc_id long, payload binary")
+    return multimodal.image_dhash(imgs).select("doc_id", "dhash").orderBy(
+        "doc_id"
+    )
