@@ -1,5 +1,6 @@
-"""Product-analytics rollups: cohort retention (and the helpers it
-needs), expressed as plain shuffled aggregations.
+"""Product-analytics rollups: cohort retention, event-flow transition
+matrices, and top event paths — expressed as plain shuffled
+aggregations and per-user windows.
 
 ``cohort_retention`` is the standard retention matrix: users are
 cohorted by the period of their FIRST event; for every later period
@@ -68,4 +69,86 @@ def cohort_retention(
                 / F.col("n_cohort").cast("double")
             ).alias("retention"),
         )
+    )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    order_col: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: (prev_type, next_type, n, p) where p is the row-normalized
+    transition probability. One window shuffle on the user key (lag
+    within user ordered by time) + one small aggregation — the
+    |types|^2 output is dashboard-sized at any corpus scale.
+
+    ``order_col`` breaks timestamp ties deterministically (defaults to
+    ``ts_col`` alone, which is only deterministic if (user, ts) is
+    unique — pass the event id when it is not)."""
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + (
+        [F.col(order_col)] if order_col is not None else []
+    )
+    w = Window.partitionBy(user_col).orderBy(*order)
+    steps = (
+        df.select(user_col, ts_col, type_col,
+                  *([order_col] if order_col else []))
+        .withColumn("__prev", F.lag(type_col).over(w))
+        .filter(F.col("__prev").isNotNull())
+    )
+    counts = steps.groupBy(
+        F.col("__prev").alias("prev_type"),
+        F.col(type_col).alias("next_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    row_total = F.sum("n").over(Window.partitionBy("prev_type"))
+    return counts.select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n").cast("double") / row_total.cast("double")).alias("p"),
+    )
+
+
+def top_paths(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    path_len: int = 3,
+    top_n: int = 20,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Most common initial event paths: each user's first ``path_len``
+    event types (time order) joined with '>' — (path, n_users),
+    heaviest first. One per-user aggregation (sorted collect confined
+    to each user's own events) + one path-count aggregation + top-n.
+    Users with fewer than ``path_len`` events count with their full
+    shorter path."""
+    order_expr = F.struct(
+        F.col(ts_col).alias("t"),
+        *([F.col(order_col).alias("o")] if order_col else []),
+        F.col(type_col).alias("e"),
+    )
+    per_user = df.groupBy(user_col).agg(
+        F.concat_ws(
+            ">",
+            F.slice(
+                F.transform(
+                    F.array_sort(F.collect_list(order_expr)),
+                    lambda s: s["e"],
+                ),
+                1,
+                path_len,
+            ),
+        ).alias("path")
+    )
+    return (
+        per_user.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(top_n)
     )

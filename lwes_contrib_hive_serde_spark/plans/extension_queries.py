@@ -3987,3 +3987,73 @@ def q_image_dhash(spark, sf_dir):
     return multimodal.image_dhash(imgs).select("doc_id", "dhash").orderBy(
         "doc_id"
     )
+
+
+# --- event-flow analytics (operators/analytics.py) ------------------------
+
+@register(
+    "q_event_transitions",
+    shadow=True,
+    oracle="""
+    WITH steps AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev
+      FROM events
+    ), c AS (
+      SELECT prev AS prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM steps WHERE prev IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type)
+                                    AS DOUBLE) AS p
+    FROM c
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "streams (analytics.event_transitions): lag window keyed on the "
+    "user + one |types|^2-sized aggregation — the raw table shuffles "
+    "once on the user key and the output is dashboard-sized at any "
+    "scale. event_id breaks timestamp ties so both engines walk the "
+    "identical sequence; the row-normalized probability is one IEEE "
+    "double division, hash-exact across engines.",
+)
+def q_event_transitions(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import analytics
+
+    ev = table(spark, sf_dir, "events")
+    return analytics.event_transitions(
+        ev, "user_id", "ts", "event_type", order_col="event_id"
+    )
+
+
+@register(
+    "q_top_paths",
+    shadow=True,
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id,
+             list(event_type ORDER BY ts, event_id) AS evs
+      FROM events GROUP BY user_id
+    ), paths AS (
+      SELECT array_to_string(evs[1:3], '>') AS path FROM ordered
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path LIMIT 20
+    """,
+    doc="Top initial event paths (analytics.top_paths): each user's "
+    "first 3 event types in (ts, event_id) order joined with '>', "
+    "counted and top-20'd. The sorted collect is confined to each "
+    "user's own events (per-user aggregation, no global window); "
+    "path counting aggregates |distinct paths| keys. Oracle mirrors "
+    "the walk with DuckDB ordered list aggregation + slice.",
+)
+def q_top_paths(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import analytics
+
+    ev = table(spark, sf_dir, "events")
+    return analytics.top_paths(
+        ev, "user_id", "ts", "event_type",
+        path_len=3, top_n=20, order_col="event_id",
+    )

@@ -78,3 +78,54 @@ class TestSessionize:
         got = {r["t"]: r["session_id"]
                for r in I.sessionize(df, ["k"], "t", gap=10).collect()}
         assert got == {0: 1, 10: 1}  # gap == threshold: same session
+
+
+class TestEventFlow:
+    def _events(self, spark):
+        d = datetime.datetime
+        rows = [
+            # user 1: a -> b -> a; user 2: a -> b; user 3: b (no step)
+            (1, d(2024, 1, 1, 0), "a", 1),
+            (1, d(2024, 1, 1, 1), "b", 2),
+            (1, d(2024, 1, 1, 2), "a", 3),
+            (2, d(2024, 1, 1, 0), "a", 4),
+            (2, d(2024, 1, 1, 1), "b", 5),
+            (3, d(2024, 1, 1, 0), "b", 6),
+        ]
+        return spark.createDataFrame(
+            rows, "u long, ts timestamp, e string, eid long"
+        )
+
+    def test_transition_matrix(self, spark):
+        df = self._events(spark)
+        got = {
+            (r.prev_type, r.next_type): (r.n, round(r.p, 9))
+            for r in A.event_transitions(
+                df, "u", "ts", "e", order_col="eid"
+            ).collect()
+        }
+        assert got == {
+            ("a", "b"): (2, 1.0),   # both a-steps go to b
+            ("b", "a"): (1, 1.0),   # the only b-step goes to a
+        }
+
+    def test_tie_broken_by_order_col(self, spark):
+        d = datetime.datetime
+        t = d(2024, 1, 1, 0)
+        df = spark.createDataFrame(
+            [(1, t, "x", 2), (1, t, "y", 1)],
+            "u long, ts timestamp, e string, eid long",
+        )
+        got = {(r.prev_type, r.next_type)
+               for r in A.event_transitions(
+                   df, "u", "ts", "e", order_col="eid"
+               ).collect()}
+        assert got == {("y", "x")}  # eid order, not insertion order
+
+    def test_top_paths(self, spark):
+        df = self._events(spark)
+        got = [(r.path, r.n_users)
+               for r in A.top_paths(
+                   df, "u", "ts", "e", path_len=2, order_col="eid"
+               ).collect()]
+        assert got == [("a>b", 2), ("b", 1)]  # short path kept as-is
