@@ -1,0 +1,135 @@
+"""Distribution-drift detection between two datasets (ingestion
+epochs, sources, train vs serve) from mergeable histogram states —
+the data-quality monitor a 100 TB pipeline runs on every batch.
+
+Metrics, all computed from the fixed-width histogram sketch
+(sketches.fixed_width_histogram — exact counts, mergeable by
+elementwise add):
+
+- PSI, population stability index (standard model-monitoring metric:
+  sum over buckets of (p_i - q_i) * ln(p_i / q_i); industry folk
+  thresholds: < 0.1 stable, 0.1-0.2 moderate shift, > 0.2 action).
+- KL divergence D(ref || cur) = sum p_i * ln(p_i / q_i).
+- Total variation distance = 0.5 * sum |p_i - q_i| (computed from the
+  UNsmoothed frequencies — it needs no log, so empty buckets are
+  fine, and it is the tightest bound on how much any event's
+  probability can differ).
+
+PSI/KL use additive smoothing (default 0.5 counts per bucket) so
+empty buckets never produce infinities; smoothing is applied
+IDENTICALLY to both sides, and the DuckDB oracle mirrors the exact
+same walk, so the values are engine-reproducible.
+
+Scale shape: each side collapses to |groups| x (nbins+2) histogram
+rows before the two sides ever meet — the join and the bucket fold
+run over sketch-sized data. Because the histogram states merge
+exactly, drift between ANY two stored epochs/grains of the rollup
+store (operators/rollup.py) is computable without re-scanning raw
+data: merge each side's partials, then call ``drift_from_histograms``.
+
+Reference n/a (the reference is a storage serde); SURVEY §2c
+extension surface.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from lwes_contrib_hive_serde_spark.operators import sketches
+
+
+def drift_from_histograms(
+    joined: DataFrame,
+    nbins: int,
+    ref_col: str = "h_ref",
+    cur_col: str = "h_cur",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Append (n_ref, n_cur, psi, kl, tv) to a frame holding two
+    aligned histogram columns of nbins+2 buckets each. Pure JVM
+    expression fold over the bucket arrays, deterministic
+    index-order summation."""
+    nb = nbins + 2
+    s = float(smoothing)
+    href, hcur = F.col(ref_col), F.col(cur_col)
+
+    def total(h: Column) -> Column:
+        return F.aggregate(
+            h, F.lit(0).cast("long"), lambda a, x: a + x
+        ).cast("double")
+
+    n_ref, n_cur = total(href), total(hcur)
+    idx = F.sequence(F.lit(1), F.lit(nb))  # element_at is 1-based
+
+    def fold(term) -> Column:
+        return F.aggregate(
+            idx, F.lit(0.0), lambda acc, i: acc + term(i.cast("int"))
+        )
+
+    def p(i: Column) -> Column:  # smoothed ref frequency
+        return (F.element_at(href, i).cast("double") + F.lit(s)) / (
+            F.col("__nr") + F.lit(s * nb)
+        )
+
+    def q(i: Column) -> Column:  # smoothed cur frequency
+        return (F.element_at(hcur, i).cast("double") + F.lit(s)) / (
+            F.col("__nc") + F.lit(s * nb)
+        )
+
+    psi = fold(lambda i: (p(i) - q(i)) * F.log(p(i) / q(i)))
+    kl = fold(lambda i: p(i) * F.log(p(i) / q(i)))
+    tv = F.lit(0.5) * fold(
+        lambda i: F.abs(
+            F.element_at(href, i).cast("double") / F.col("__nr")
+            - F.element_at(hcur, i).cast("double") / F.col("__nc")
+        )
+    )
+    return (
+        joined.withColumn("__nr", n_ref)
+        .withColumn("__nc", n_cur)
+        .withColumn("n_ref", F.col("__nr").cast("bigint"))
+        .withColumn("n_cur", F.col("__nc").cast("bigint"))
+        .withColumn("psi", psi)
+        .withColumn("kl", kl)
+        .withColumn("tv", tv)
+        .drop("__nr", "__nc")
+    )
+
+
+def histogram_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+    group_cols: Sequence[str] = (),
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Per-group drift of ``value_col`` between a reference and a
+    current dataset: (group..., n_ref, n_cur, psi, kl, tv).
+
+    Each side is collapsed to its histogram sketch first, so the
+    comparison work is sketch-sized regardless of input scale. Groups
+    are matched with an INNER join — a group present on only one side
+    has no aligned distribution to compare; detect appearing/vanishing
+    groups with a cheap anti-join on the group key first."""
+    group_cols = list(group_cols)
+    href = sketches.fixed_width_histogram(
+        ref, group_cols, value_col, lo, hi, nbins, out_col="h_ref"
+    )
+    hcur = sketches.fixed_width_histogram(
+        cur, group_cols, value_col, lo, hi, nbins, out_col="h_cur"
+    )
+    if group_cols:
+        joined = href.join(hcur, group_cols, "inner")
+    else:
+        joined = (
+            href.withColumn("__j", F.lit(1))
+            .join(hcur.withColumn("__j", F.lit(1)), "__j")
+            .drop("__j")
+        )
+    out = drift_from_histograms(joined, nbins, smoothing=smoothing)
+    return out.select(*group_cols, "n_ref", "n_cur", "psi", "kl", "tv")

@@ -4057,3 +4057,76 @@ def q_top_paths(spark, sf_dir):
         ev, "user_id", "ts", "event_type",
         path_len=3, top_n=20, order_col="event_id",
     )
+
+
+
+# --- distribution drift (operators/drift.py) ------------------------------
+
+@register(
+    "q_histogram_drift",
+    shadow=True,
+    oracle="""
+    WITH src AS (
+      SELECT event_type, value, event_id % 2 AS side
+      FROM events WHERE value IS NOT NULL
+    ), b AS (
+      SELECT event_type, side,
+             CASE WHEN value < 0.0 THEN 0
+                  WHEN value >= 100.0 THEN 21
+                  ELSE CAST(floor((value - 0.0) / 5.0) AS INT) + 1 END AS bk
+      FROM src
+    ), c AS (
+      SELECT event_type, side, bk, COUNT(*) AS c FROM b GROUP BY 1, 2, 3
+    ), dense AS (
+      SELECT e.event_type, i.i,
+             CAST(COALESCE(r.c, 0) AS DOUBLE) AS cr,
+             CAST(COALESCE(u.c, 0) AS DOUBLE) AS cu
+      FROM (SELECT DISTINCT event_type FROM b) e
+      CROSS JOIN (SELECT unnest(generate_series(0, 21)) AS i) i
+      LEFT JOIN c r ON r.event_type = e.event_type AND r.bk = i.i AND r.side = 0
+      LEFT JOIN c u ON u.event_type = e.event_type AND u.bk = i.i AND u.side = 1
+    ), tot AS (
+      SELECT event_type, SUM(cr) AS nr, SUM(cu) AS nc FROM dense GROUP BY 1
+    ), terms AS (
+      SELECT d.event_type,
+             (d.cr + 0.5) / (t.nr + 11.0) AS p,
+             (d.cu + 0.5) / (t.nc + 11.0) AS q,
+             d.cr / t.nr AS fr,
+             d.cu / t.nc AS fc
+      FROM dense d JOIN tot t USING (event_type)
+    )
+    SELECT t.event_type,
+           CAST(t.nr AS BIGINT) AS n_ref,
+           CAST(t.nc AS BIGINT) AS n_cur,
+           ROUND(SUM((p - q) * ln(p / q)), 6) AS psi6,
+           ROUND(SUM(p * ln(p / q)), 6) AS kl6,
+           ROUND(0.5 * SUM(abs(fr - fc)), 6) AS tv6
+    FROM terms JOIN tot t USING (event_type)
+    GROUP BY t.event_type, t.nr, t.nc
+    """,
+    doc="Distribution-drift monitor (drift.histogram_drift): PSI / KL "
+    "/ total-variation per event_type between the even and odd "
+    "event_id halves, computed from mergeable fixed-width histogram "
+    "states (20 bins over [0,100) + under/overflow, additive 0.5 "
+    "smoothing for the log metrics, UNsmoothed frequencies for TV). "
+    "Each side collapses to |groups| x 22 sketch rows before the "
+    "sides meet, so at 100 TB drift between any two stored rollup "
+    "epochs computes without re-scanning raw data. The oracle replays "
+    "the identical smoothed walk; metrics rounded to 6 decimals to "
+    "absorb summation-order ulps.",
+)
+def q_histogram_drift(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import drift as _drift
+
+    ev = table(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    out = _drift.histogram_drift(
+        ref, cur, "value", 0.0, 100.0, 20, group_cols=["event_type"]
+    )
+    return out.select(
+        "event_type", "n_ref", "n_cur",
+        F.round("psi", 6).alias("psi6"),
+        F.round("kl", 6).alias("kl6"),
+        F.round("tv", 6).alias("tv6"),
+    )

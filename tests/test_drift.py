@@ -1,0 +1,86 @@
+"""Distribution-drift metrics (operators/drift.py): crafted
+distributions against a numpy replay, zero-drift identity, and
+empty-bucket smoothing."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lwes_contrib_hive_serde_spark.operators import drift as D
+
+
+def _numpy_drift(ref, cur, lo, hi, nbins, s=0.5):
+    nb = nbins + 2
+
+    def hist(vals):
+        h = np.zeros(nb)
+        width = (hi - lo) / nbins
+        for v in vals:
+            if v < lo:
+                h[0] += 1
+            elif v >= hi:
+                h[nb - 1] += 1
+            else:
+                h[int((v - lo) // width) + 1] += 1
+        return h
+
+    hr, hc = hist(ref), hist(cur)
+    nr, nc = hr.sum(), hc.sum()
+    p = (hr + s) / (nr + s * nb)
+    q = (hc + s) / (nc + s * nb)
+    psi = float(np.sum((p - q) * np.log(p / q)))
+    kl = float(np.sum(p * np.log(p / q)))
+    tv = float(0.5 * np.sum(np.abs(hr / nr - hc / nc)))
+    return psi, kl, tv
+
+
+class TestHistogramDrift:
+    def test_matches_numpy_replay(self, spark):
+        rng = np.random.default_rng(3)
+        ref = rng.normal(40, 10, 3000)
+        cur = rng.normal(55, 14, 2500)  # real shift
+        rdf = spark.createDataFrame([(float(v),) for v in ref], "v double")
+        cdf = spark.createDataFrame([(float(v),) for v in cur], "v double")
+        row = D.histogram_drift(rdf, cdf, "v", 0.0, 100.0, 20).collect()[0]
+        psi, kl, tv = _numpy_drift(ref, cur, 0.0, 100.0, 20)
+        assert row.n_ref == 3000 and row.n_cur == 2500
+        assert math.isclose(row.psi, psi, rel_tol=1e-9)
+        assert math.isclose(row.kl, kl, rel_tol=1e-9)
+        assert math.isclose(row.tv, tv, rel_tol=1e-9)
+        assert row.psi > 0.2  # this shift IS actionable drift
+
+    def test_identical_distributions_near_zero(self, spark):
+        df = spark.range(2000).selectExpr("CAST(id % 97 AS DOUBLE) AS v")
+        row = D.histogram_drift(df, df, "v", 0.0, 100.0, 20).collect()[0]
+        assert abs(row.psi) < 1e-12 and abs(row.kl) < 1e-12
+        assert row.tv == 0.0
+
+    def test_empty_bucket_smoothing_finite(self, spark):
+        # cur concentrated in one bucket; most ref buckets empty on cur
+        rdf = spark.range(500).selectExpr("CAST(id % 100 AS DOUBLE) AS v")
+        cdf = spark.range(500).selectExpr("CAST(3 AS DOUBLE) AS v")
+        row = D.histogram_drift(rdf, cdf, "v", 0.0, 100.0, 20).collect()[0]
+        assert math.isfinite(row.psi) and math.isfinite(row.kl)
+        assert row.psi > 1.0  # extreme drift reads extreme
+        assert 0.9 < row.tv <= 1.0
+
+    def test_grouped(self, spark):
+        rows_r = [("a", float(i % 10)) for i in range(300)] + [
+            ("b", float(i % 10)) for i in range(300)
+        ]
+        rows_c = [("a", float(i % 10)) for i in range(300)] + [
+            ("b", float(i % 10) + 50.0) for i in range(300)
+        ]
+        rdf = spark.createDataFrame(rows_r, "g string, v double")
+        cdf = spark.createDataFrame(rows_c, "g string, v double")
+        out = {
+            r.g: r.psi
+            for r in D.histogram_drift(
+                rdf, cdf, "v", 0.0, 100.0, 20, group_cols=["g"]
+            ).collect()
+        }
+        assert abs(out["a"]) < 1e-12 and out["b"] > 1.0
