@@ -344,3 +344,44 @@ def kll_quantiles(
     group_cols = list(group_cols)
     sk = kll_sketch(df, value_col, k, group_cols)
     return kll_quantile_cols(sk, qs, k, prefix=prefix).drop("kll")
+
+
+def quantile_bins(
+    df: DataFrame,
+    value_col: str,
+    nbins: int,
+    k: int = 200,
+    out_col: str = "bin",
+) -> tuple[DataFrame, list[float]]:
+    """Equi-depth (quantile) binning: split ``value_col`` into
+    ``nbins`` buckets of ~equal population — the feature bucketizer a
+    training pipeline uses where equal-WIDTH bins collapse under
+    skew.
+
+    Boundaries come from one KLL sketch pass (interior quantiles at
+    i/nbins), so the cost is one scan + a sketch-sized merge; bucket
+    assignment is a pure JVM fold over the boundary array literal (no
+    Python in the scan, no second shuffle). Returns (df + int bucket
+    column in [0, nbins-1], boundaries) — row r lands in bucket
+    ``#{boundaries b : v >= b}``; NULL values get NULL. Populations
+    are equal within the sketch's rank error (~3n/k per boundary);
+    heavy ties on a boundary value collapse naturally into the lower
+    bucket (a duplicated boundary simply leaves its bucket empty).
+    """
+    if nbins < 2:
+        raise ValueError("quantile_bins: nbins must be >= 2")
+    qs = [i / nbins for i in range(1, nbins)]
+    row = kll_sketch(df, value_col, k).collect()[0]
+    bounds = _from_rows(row["kll"], k).quantiles(qs)
+    if bounds and bounds[0] is None:
+        raise ValueError("quantile_bins: no non-null values to bin")
+    v = F.col(value_col)
+    bin_expr = F.aggregate(
+        F.lit([float(b) for b in bounds]).cast("array<double>"),
+        F.lit(0),
+        lambda acc, b: acc + F.when(v >= b, 1).otherwise(0),
+    )
+    out = df.withColumn(
+        out_col, F.when(v.isNotNull(), bin_expr).cast("int")
+    )
+    return out, [float(b) for b in bounds]

@@ -4130,3 +4130,54 @@ def q_histogram_drift(spark, sf_dir):
         F.round("kl", 6).alias("kl6"),
         F.round("tv", 6).alias("tv6"),
     )
+
+
+@register(
+    "q_quantile_bins",
+    shadow=True,
+    oracle="""
+    SELECT CAST(i AS INT) AS bin, TRUE AS balanced,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+            WHERE l_extendedprice IS NOT NULL) AS n_total
+    FROM (SELECT unnest(generate_series(0, 9)) AS i)
+    ORDER BY bin
+    """,
+    doc="Equi-depth feature binning (quantiles.quantile_bins): 10 "
+    "KLL-derived boundaries over l_extendedprice, bucket assignment "
+    "as a JVM fold over the boundary array (no Python in the scan, "
+    "no second shuffle). The query verifies the hard guarantee "
+    "in-query: every bucket's population is within twice the "
+    "per-boundary rank error (2 * 3n/k + slack) of n/10 — skew-proof "
+    "equal-depth, which equal-width bins cannot deliver. All ten "
+    "buckets must exist and be balanced to hash-match the oracle.",
+)
+def q_quantile_bins(spark, sf_dir):
+    from pyspark.sql import Window as _W
+
+    from lwes_contrib_hive_serde_spark.operators import quantiles as _q
+
+    k, nbins = 200, 10
+    li = table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    out, _bounds = _q.quantile_bins(li, "l_extendedprice", nbins, k=k)
+    counts = (
+        out.filter(F.col("bin").isNotNull())
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = F.sum("c").over(_W.partitionBy())
+    slack = F.lit(2.0 * 3.0 / k) * F.col("n_total").cast("double") + F.lit(2.0)
+    return (
+        counts.withColumn("n_total", total)
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            (
+                F.abs(
+                    F.col("c").cast("double")
+                    - F.col("n_total").cast("double") / nbins
+                )
+                <= slack
+            ).alias("balanced"),
+            F.col("n_total").cast("bigint").alias("n_total"),
+        )
+        .orderBy("bin")
+    )

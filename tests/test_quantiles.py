@@ -3,6 +3,7 @@ conservation, rank-error bounds, merge soundness, determinism, and
 the Spark one-scan + sketch-sized-merge path."""
 
 import numpy as np
+from pyspark.sql import functions as F
 import pytest
 
 from lwes_contrib_hive_serde_spark.operators import quantiles as Q
@@ -97,3 +98,37 @@ class TestKllSpark:
         fa = {r.g: (r.n, [(x.level, tuple(x.items)) for x in r.kll]) for r in a}
         fb = {r.g: (r.n, [(x.level, tuple(x.items)) for x in r.kll]) for r in b}
         assert fa == fb
+
+
+class TestQuantileBins:
+    def test_balanced_on_skewed_data(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        vals = rng.lognormal(0, 2, 20000)  # heavy skew
+        df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+        out, bounds = Q.quantile_bins(df.repartition(8), "v", 10, k=200)
+        assert len(bounds) == 9 and bounds == sorted(bounds)
+        counts = {r.bin: r.c for r in
+                  out.groupBy("bin").agg(F.count("*").alias("c")).collect()}
+        assert set(counts) == set(range(10))
+        n = vals.size
+        slack = 2 * (3.0 / 200) * n + 2
+        for b, c in counts.items():
+            assert abs(c - n / 10) <= slack, (b, c)
+
+    def test_nulls_and_determinism(self, spark):
+        df = spark.createDataFrame(
+            [(float(i),) for i in range(1000)] + [(None,)] * 5, "v double"
+        )
+        out1, b1 = Q.quantile_bins(df, "v", 4, k=128)
+        out2, b2 = Q.quantile_bins(df, "v", 4, k=128)
+        assert b1 == b2
+        rows = {r.v: r.bin for r in out1.collect()}
+        assert rows[None] is None
+        assert rows[0.0] == 0 and rows[999.0] == 3
+
+    def test_nbins_guard(self, spark):
+        df = spark.range(5).selectExpr("CAST(id AS DOUBLE) v")
+        with pytest.raises(ValueError, match="nbins"):
+            Q.quantile_bins(df, "v", 1)
