@@ -1,0 +1,124 @@
+"""Continuous distribution-drift monitoring: every micro-batch is
+compared against a FROZEN reference histogram and the drift metrics
+(PSI / KL / TV, operators/drift.py) are appended to an epoch-keyed
+log — the alerting loop a 100 TB ingestion pipeline runs so a
+upstream schema/behavior change is caught in the epoch it happens,
+not at the next full-corpus audit.
+
+Same exactly-once recipe as the rollup store
+(streaming/rollup_stream.py) and the journal sink: each epoch writes
+``log_dir/batch=<id>`` as an idempotent overwrite, so Structured
+Streaming's epoch replay after a failure cannot double-log. The
+reference histogram is built ONCE from a reference dataset and stored
+as a tiny parquet (|groups| x (nbins+2) counts); every epoch reads it
+back (sketch-sized — cheap) and compares against the batch's own
+histogram, so per-epoch work never touches more than
+2 x |groups| x (nbins+2) rows past the one batch scan.
+
+Reference n/a; SURVEY §2c extension surface.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from lwes_contrib_hive_serde_spark.operators import drift as _drift
+from lwes_contrib_hive_serde_spark.operators import sketches as _sketches
+
+
+def build_reference(
+    ref_df: DataFrame,
+    path: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+    group_cols: Sequence[str] = (),
+) -> None:
+    """Freeze the reference distribution: one histogram pass over the
+    reference dataset, stored as a sketch-sized parquet."""
+    _sketches.fixed_width_histogram(
+        ref_df, list(group_cols), value_col, lo, hi, nbins, out_col="h_ref"
+    ).write.mode("overwrite").parquet(path)
+
+
+def drift_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    ref_path: str,
+    log_dir: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+    group_cols: Sequence[str] = (),
+    smoothing: float = 0.5,
+) -> None:
+    """Score one micro-batch against the frozen reference and log the
+    metrics (idempotent per batch_id — replay-safe)."""
+    group_cols = list(group_cols)
+    spark = batch_df.sparkSession
+    ref = spark.read.parquet(ref_path)
+    cur = _sketches.fixed_width_histogram(
+        batch_df, group_cols, value_col, lo, hi, nbins, out_col="h_cur"
+    )
+    if group_cols:
+        joined = ref.join(cur, group_cols, "inner")
+    else:
+        joined = (
+            ref.withColumn("__j", F.lit(1))
+            .join(cur.withColumn("__j", F.lit(1)), "__j")
+            .drop("__j")
+        )
+    out = _drift.drift_from_histograms(
+        joined, nbins, smoothing=smoothing
+    ).select(
+        *group_cols,
+        F.lit(batch_id).cast("long").alias("batch_id"),
+        "n_ref", "n_cur", "psi", "kl", "tv",
+    )
+    out.write.mode("overwrite").parquet(
+        os.path.join(log_dir, f"batch={batch_id}")
+    )
+
+
+def stream_drift(
+    stream_df: DataFrame,
+    ref_path: str,
+    log_dir: str,
+    checkpoint_dir: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+    group_cols: Sequence[str] = (),
+    smoothing: float = 0.5,
+    trigger: str = "500 milliseconds",
+):
+    """Start the monitoring query; returns the StreamingQuery."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        drift_batch(
+            batch_df, batch_id, ref_path, log_dir, value_col,
+            lo, hi, nbins, group_cols, smoothing,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=trigger)
+        .start()
+    )
+
+
+def read_drift_log(spark: SparkSession, log_dir: str) -> DataFrame:
+    """All logged epochs, ordered by batch."""
+    return (
+        spark.read.option("basePath", log_dir)
+        .parquet(os.path.join(log_dir, "batch=*"))
+        .drop("batch")
+        .orderBy("batch_id")
+    )

@@ -84,3 +84,64 @@ class TestHistogramDrift:
             ).collect()
         }
         assert abs(out["a"]) < 1e-12 and out["b"] > 1.0
+
+
+class TestStreamDrift:
+    """Continuous drift monitoring (streaming/drift_stream.py):
+    epoch-idempotent logging against a frozen reference."""
+
+    def test_batch_fold_and_replay_idempotent(self, spark, tmp_path):
+        from lwes_contrib_hive_serde_spark.streaming import drift_stream as DS
+
+        ref_path = str(tmp_path / "ref")
+        log_dir = str(tmp_path / "log")
+        ref = spark.range(4000).selectExpr("CAST(id % 80 AS DOUBLE) AS v")
+        DS.build_reference(ref, ref_path, "v", 0.0, 100.0, 20)
+        # epoch 0: same distribution; epoch 1: shifted
+        same = spark.range(1000).selectExpr("CAST(id % 80 AS DOUBLE) AS v")
+        shifted = spark.range(1000).selectExpr(
+            "CAST(id % 20 + 80 AS DOUBLE) AS v"
+        )
+        DS.drift_batch(same, 0, ref_path, log_dir, "v", 0.0, 100.0, 20)
+        DS.drift_batch(shifted, 1, ref_path, log_dir, "v", 0.0, 100.0, 20)
+        # replay epoch 1 (failure recovery) — must not double-log
+        DS.drift_batch(shifted, 1, ref_path, log_dir, "v", 0.0, 100.0, 20)
+        log = DS.read_drift_log(spark, log_dir).collect()
+        assert [r.batch_id for r in log] == [0, 1]
+        by = {r.batch_id: r for r in log}
+        assert by[0].psi < 0.05 < by[1].psi  # shift detected, not noise
+        assert by[1].n_cur == 1000 and by[1].n_ref == 4000
+
+    def test_live_stream_monitor(self, spark, tmp_path):
+        import time
+
+        from lwes_contrib_hive_serde_spark.streaming import drift_stream as DS
+
+        ref_path = str(tmp_path / "ref2")
+        src = str(tmp_path / "src")
+        log_dir = str(tmp_path / "log2")
+        ck = str(tmp_path / "ck")
+        ref = spark.range(2000).selectExpr("CAST(id % 50 AS DOUBLE) AS v")
+        DS.build_reference(ref, ref_path, "v", 0.0, 100.0, 20)
+        spark.range(500).selectExpr("CAST(id % 50 AS DOUBLE) AS v") \
+            .write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema("v double").parquet(src)
+        q = DS.stream_drift(
+            stream, ref_path, log_dir, ck, "v", 0.0, 100.0, 20,
+            trigger="200 milliseconds",
+        )
+        try:
+            deadline = time.time() + 30
+            rows = []
+            while time.time() < deadline:
+                try:
+                    rows = DS.read_drift_log(spark, log_dir).collect()
+                except Exception:
+                    rows = []
+                if rows:
+                    break
+                time.sleep(0.5)
+        finally:
+            q.stop()
+        assert rows and rows[0].n_cur == 500
+        assert abs(rows[0].psi) < 0.05
