@@ -374,19 +374,26 @@ def ngram_jaccard_pairs(
         F.explode(word_shingles(text_col, shingle_k)).alias("sh"),
     ).select("id", F.xxhash64("sh").alias("h"))
     if materialize:
-        # the hashed shingle table feeds three consumers (sizes + both
-        # join sides); caching it (docs x shingles x 16B) beats
-        # recomputing the tokenizer three times. persist() not
-        # localCheckpoint() — see minhash_dedup_pairs. Disable to
-        # trade compute for storage on very large corpora.
+        # the hashed shingle table feeds both self-join sides; caching
+        # it (docs x shingles x 16B) beats recomputing the tokenizer
+        # twice. persist() not localCheckpoint() — see
+        # minhash_dedup_pairs. Disable to trade compute for storage on
+        # very large corpora.
         from pyspark import StorageLevel
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-        # persist() is not a barrier — the three consumers race to
-        # compute the subtree before the cache fills (measured ~1.5x
-        # at sf0.1); one count() materializes it exactly once.
+        # persist() is not a barrier — the consumers race to compute
+        # the subtree before the cache fills (measured ~1.5x at
+        # sf0.1); one count() materializes it exactly once.
         sh.count()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    # |doc| straight from the shingle array on the RAW doc scan — one
+    # vectorized regexp pass per doc instead of a docs x shingles
+    # groupBy SHUFFLE over the exploded table (word_shingles is
+    # distinct, so array size == shingle-set size exactly)
+    sizes = df.select(
+        F.col(id_col).alias("id"),
+        F.size(word_shingles(text_col, shingle_k)).alias("n"),
+    )
     a = sh.select(F.col("id").alias("id1"), "h")
     b = sh.select(F.col("id").alias("id2"), "h")
     inter = (
@@ -661,7 +668,11 @@ def hamming_neardup_pairs(
 # ---------------------------------------------------------------------------
 
 
-def dup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+def dup_clusters(
+    pairs: DataFrame,
+    max_iter: int = 10,
+    small_graph_threshold: int = 200_000,
+) -> DataFrame:
     """(id, cluster_id = min id reachable) via label propagation over
     the dup-pair edges. Iterated small joins — edges are the dup pairs,
     vastly smaller than the corpus. Each iteration does BOTH a
@@ -669,7 +680,16 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     pointer-jumping step (label := label's label, halving pointer-chain
     depth), so convergence is O(log n) rounds — plain neighbor-min
     alone needs O(component diameter) rounds, which a 1000-long dup
-    chain at 100 TB would actually hit."""
+    chain at 100 TB would actually hit.
+
+    Small-graph fast path: every distributed round is a fixed
+    scheduler+checkpoint cost (~8 jobs for a typical converge), which
+    DOMINATES when the edge list is tiny. Edge lists at or under
+    ``small_graph_threshold`` (checked with a bounded limit probe
+    against the already-materialized edge frame, never the corpus)
+    are solved with a driver union-find instead — IDENTICAL labels
+    (min reachable id), one collect of pair-sized data. Set the
+    threshold to 0 to force the distributed loop."""
     edges = (
         pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
         .union(pairs.select(F.col("id2").alias("a"), F.col("id1").alias("b")))
@@ -681,6 +701,33 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         # edge list, at any corpus size
         .localCheckpoint(eager=True)
     )
+    if small_graph_threshold > 0:
+        probe = edges.limit(small_graph_threshold + 1).count()
+        if probe <= small_graph_threshold:
+            rows = edges.collect()  # bounded by the probe above
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != x:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in rows:
+                ra, rb = find(r.a), find(r.b)
+                if ra != rb:
+                    # union by MIN so the root is the min reachable id
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            members = {x for r in rows for x in (r.a, r.b)}
+            out = [(x, find(x)) for x in sorted(members)]
+            return pairs.sparkSession.createDataFrame(
+                out, schema=edges.select(
+                    F.col("a").alias("id"), F.col("a").alias("cluster_id")
+                ).schema,
+            )
     labels = edges.select("a").union(edges.select("b")).distinct().select(
         F.col("a").alias("id"), F.col("a").alias("label")
     )
