@@ -346,6 +346,31 @@ def kll_quantiles(
     return kll_quantile_cols(sk, qs, k, prefix=prefix).drop("kll")
 
 
+def top_fraction_filter(
+    df: DataFrame,
+    score_col: str,
+    keep_frac: float,
+    k: int = 200,
+) -> tuple[DataFrame, float]:
+    """Keep the top ``keep_frac`` of rows by ``score_col`` WITHOUT a
+    global sort: the cut threshold comes from one KLL sketch pass
+    (quantile 1 - keep_frac), then a plain filter — two scans total,
+    zero shuffles of raw rows. The curation move "keep the best 30%
+    by quality-model score" at 100 TB, where orderBy + limit would
+    need a full range-partitioned sort of the corpus.
+
+    Returns (filtered df, threshold). Kept fraction is within the
+    sketch's rank error (~3/k) of the target; rows exactly AT the
+    threshold are kept (>=), NULL scores drop."""
+    if not 0.0 < keep_frac < 1.0:
+        raise ValueError("top_fraction_filter: keep_frac in (0, 1)")
+    row = kll_sketch(df, score_col, k).collect()[0]
+    (thr,) = _from_rows(row["kll"], k).quantiles([1.0 - keep_frac])
+    if thr is None:
+        raise ValueError("top_fraction_filter: no non-null scores")
+    return df.filter(F.col(score_col) >= F.lit(float(thr))), float(thr)
+
+
 def quantile_bins(
     df: DataFrame,
     value_col: str,

@@ -97,6 +97,84 @@ def weighted_mixture(
     return df.filter(hash_uniform(key, seed) < rate)
 
 
+def distribution_match(
+    df: DataFrame,
+    ref: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+    key: str,
+    seed: str = "lwespark",
+) -> tuple[DataFrame, list[float]]:
+    """Rejection-sample ``df`` so ``value_col``'s distribution matches
+    the REFERENCE dataset's shape — the curation move "make the kept
+    web text match the curated set's length/quality profile" (domain
+    matching by importance reweighting over histogram buckets).
+
+    Bucket b keeps rows with probability c * p_b / q_b, where p is
+    the reference frequency, q the current frequency, and
+    c = min over occupied target buckets of q_b / p_b — the largest
+    scale that keeps every probability <= 1, i.e. maximal retention
+    with an EXACT shape match in expectation. Buckets the reference
+    never occupies drop entirely; under/overflow buckets participate
+    like any other.
+
+    Deterministic: the keep decision is hash_uniform(seed, key) <
+    prob[bucket(v)], so results are reproducible across runs,
+    partitionings, and engines (the DuckDB oracle replays the same
+    md5 walk and the same per-bucket arithmetic). Cost: one histogram
+    pass per side (sketch-sized driver collect of nbins+2 counts) +
+    one filter scan; the corpus never shuffles.
+
+    Returns (filtered df, per-bucket keep probabilities).
+    """
+    from lwes_contrib_hive_serde_spark.operators import sketches
+
+    nb = nbins + 2
+    def counts(d: DataFrame) -> list[int]:
+        rows = (
+            sketches.fixed_width_histogram(
+                d.withColumn("__g", F.lit(1)), ["__g"], value_col,
+                lo, hi, nbins,
+            ).collect()
+        )
+        return [int(x) for x in rows[0]["hist"]] if rows else [0] * nb
+
+    p_cnt, q_cnt = counts(ref), counts(df)
+    np_, nq = sum(p_cnt), sum(q_cnt)
+    if np_ == 0 or nq == 0:
+        raise ValueError("distribution_match: empty reference or input")
+    # c = min q_b/n_q / (p_b/n_p) over buckets the target occupies;
+    # a target bucket the input can't supply (q_b == 0) forces c = 0 —
+    # surface that as an error instead of silently keeping nothing
+    c = None
+    for pb, qb in zip(p_cnt, q_cnt):
+        if pb == 0:
+            continue
+        if qb == 0:
+            raise ValueError(
+                "distribution_match: reference occupies a bucket the "
+                "input has no rows in — coarsen nbins or clip the "
+                "reference"
+            )
+        r = (qb / nq) / (pb / np_)
+        c = r if c is None or r < c else c
+    probs = [
+        0.0 if pb == 0 else min(1.0, c * (pb / np_) / (qb / nq))
+        for pb, qb in zip(p_cnt, q_cnt)
+    ]
+    idx = sketches._bucket_idx(F.col(value_col), lo, hi, nbins)
+    prob = F.element_at(
+        F.lit(probs).cast("array<double>"), idx + F.lit(1)
+    )
+    kept = df.filter(
+        F.col(value_col).isNotNull()
+        & (hash_uniform(key, seed) < prob)
+    )
+    return kept, probs
+
+
 def temperature_mixture(
     df: DataFrame,
     source_col: str,

@@ -4181,3 +4181,125 @@ def q_quantile_bins(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+# --- KLL top-fraction gate + distribution matching ------------------------
+
+@register(
+    "q_top_fraction",
+    shadow=True,
+    oracle="""
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_total,
+           TRUE AS frac_ok,
+           TRUE AS none_below_thr
+    """,
+    doc="Top-fraction quality gate (quantiles.top_fraction_filter): "
+    "keep the best 25% of lineitem rows by l_extendedprice with a "
+    "KLL-derived threshold — two scans and ZERO raw-row shuffles, "
+    "where orderBy+limit would range-shuffle the corpus. In-query "
+    "verification: kept fraction within the sketch rank error "
+    "(3/k + slack) of the target, and no kept row below the "
+    "threshold. Exact corpus count carries the value hash.",
+)
+def q_top_fraction(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import quantiles as _q
+
+    k, frac = 200, 0.25
+    li = table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    kept, thr = _q.top_fraction_filter(li, "l_extendedprice", frac, k=k)
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.when(F.col("l_extendedprice") < thr, 1).otherwise(0)).alias(
+            "n_below"
+        ),
+    ).crossJoin(li.agg(F.count(F.lit(1)).alias("n_total"))).select(
+        F.col("n_total").cast("bigint").alias("n_total"),
+        (
+            F.abs(
+                F.col("n_kept").cast("double")
+                / F.col("n_total").cast("double")
+                - F.lit(frac)
+            )
+            <= F.lit(3.0 / k + 0.005)
+        ).alias("frac_ok"),
+        (F.col("n_below") == 0).alias("none_below_thr"),
+    )
+
+
+_DM_U = (
+    "((('0x' || substr(md5('lwespark:' || CAST(doc_id AS VARCHAR)), 1, 16))"
+    "::UINT64)::DOUBLE / 18446744073709551616.0)"
+)
+_DM_BK = (
+    "CASE WHEN n_chars < 0.0 THEN 0 WHEN n_chars >= 600.0 THEN 11 "
+    "ELSE CAST(floor((n_chars - 0.0) / 60.0) AS INT) + 1 END"
+)
+
+
+@register(
+    "q_distribution_match",
+    shadow=True,
+    oracle=f"""
+    WITH tagged AS (
+      SELECT doc_id, n_chars, {_DM_BK} AS bk, doc_id % 3 = 0 AS is_ref
+      FROM documents WHERE n_chars IS NOT NULL
+    ), hist AS (
+      SELECT i.i AS bk,
+             CAST(SUM(CASE WHEN t.is_ref THEN 1 ELSE 0 END) AS DOUBLE) AS pb,
+             CAST(SUM(CASE WHEN t.is_ref THEN 0 ELSE 1 END) AS DOUBLE) AS qb
+      FROM (SELECT unnest(generate_series(0, 11)) AS i) i
+      LEFT JOIN tagged t ON t.bk = i.i
+      GROUP BY i.i
+    ), tot AS (
+      SELECT SUM(pb) AS np, SUM(qb) AS nq FROM hist
+    ), cval AS (
+      SELECT MIN((h.qb / t.nq) / (h.pb / t.np)) AS c
+      FROM hist h, tot t WHERE h.pb > 0
+    ), probs AS (
+      SELECT h.bk,
+             CASE WHEN h.pb = 0 THEN 0.0
+                  ELSE LEAST(1.0, c.c * (h.pb / t.np) / (h.qb / t.nq)) END
+               AS prob
+      FROM hist h, tot t, cval c
+    ), kept AS (
+      SELECT g.doc_id, g.bk
+      FROM tagged g JOIN probs p ON p.bk = g.bk
+      WHERE NOT g.is_ref AND {_DM_U} < p.prob
+    )
+    SELECT bk AS bin, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM kept GROUP BY bk ORDER BY bk
+    """,
+    doc="Distribution matching by deterministic rejection sampling "
+    "(sampling.distribution_match): the non-reference documents are "
+    "thinned so their n_chars histogram matches the reference "
+    "third's shape — per-bucket keep probability c*p_b/q_b with c "
+    "chosen for maximal retention, keep decision = md5-fraction "
+    "hash < prob, so membership is EXACTLY reproducible and the "
+    "oracle replays the complete walk (histograms, c, probabilities, "
+    "per-row hash) down to the kept row ids. One sketch-sized "
+    "histogram collect per side + one filter scan; the corpus never "
+    "shuffles.",
+)
+def q_distribution_match(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import sampling as _sampling
+    from lwes_contrib_hive_serde_spark.operators import sketches as _sk
+
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
+    ref = d.filter(F.col("doc_id") % 3 == 0)
+    cur = d.filter(F.col("doc_id") % 3 != 0)
+    kept, _probs = _sampling.distribution_match(
+        cur, ref, "n_chars", 0.0, 600.0, 10, key="doc_id"
+    )
+    bk = _sk._bucket_idx(F.col("n_chars"), 0.0, 600.0, 10)
+    return (
+        kept.select(bk.alias("bin"), "doc_id")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+        )
+        .orderBy("bin")
+    )

@@ -29,6 +29,7 @@ NLJ_ALLOWED = {
     "q_bm25_search",  # scalar (N, avgdl), same one-row shape
     "q_collocations",  # scalar (U, T), same one-row shape
     "q_cms_frequencies",  # two one-row sketch sides (whole + merged CMS)
+    "q_top_fraction",  # scalar (n_total) one-row side, same shape
 }
 
 

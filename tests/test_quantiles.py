@@ -132,3 +132,21 @@ class TestQuantileBins:
         df = spark.range(5).selectExpr("CAST(id AS DOUBLE) v")
         with pytest.raises(ValueError, match="nbins"):
             Q.quantile_bins(df, "v", 1)
+
+
+class TestTopFractionFilter:
+    def test_kept_fraction_and_threshold(self, spark):
+        rng = np.random.default_rng(23)
+        vals = rng.lognormal(1, 1, 20000)
+        df = spark.createDataFrame([(float(v),) for v in vals], "s double")
+        kept, thr = Q.top_fraction_filter(df.repartition(8), "s", 0.3, k=200)
+        n_kept = kept.count()
+        assert abs(n_kept / vals.size - 0.3) <= 3.0 / 200 + 0.005
+        assert kept.filter(F.col("s") < thr).count() == 0
+        # threshold is a real data value near the true 70th percentile
+        assert abs(np.searchsorted(np.sort(vals), thr) / vals.size - 0.7) < 0.02
+
+    def test_guards(self, spark):
+        df = spark.range(5).selectExpr("CAST(id AS DOUBLE) s")
+        with pytest.raises(ValueError, match="keep_frac"):
+            Q.top_fraction_filter(df, "s", 1.5)

@@ -409,3 +409,47 @@ class TestTokenBudget:
         b = sorted((r["doc_id"], r["copy_idx"]) for r in
                    S.apply_token_budget(df, plan, "source", "doc_id").collect())
         assert a == b and len(a) > 0
+
+
+class TestDistributionMatch:
+    def test_shape_matches_reference(self, spark):
+        import numpy as np
+
+        from lwes_contrib_hive_serde_spark.operators import sampling as S
+
+        rng = np.random.default_rng(5)
+        cur = rng.uniform(0, 100, 30000)          # flat input
+        ref = np.clip(rng.normal(30, 8, 8000), 0, 99.9)  # peaked target
+        cdf = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(cur)], "id long, v double"
+        )
+        rdf = spark.createDataFrame([(float(v),) for v in ref], "v double")
+        kept, probs = S.distribution_match(
+            cdf, rdf, "v", 0.0, 100.0, 20, key="id"
+        )
+        kept_vals = np.array([r.v for r in kept.collect()])
+        assert kept_vals.size > 500
+        # normalized kept histogram ~ reference shape (TV < 0.1)
+        bins = np.linspace(0, 100, 21)
+        hk, _ = np.histogram(kept_vals, bins=bins)
+        hr, _ = np.histogram(ref, bins=bins)
+        tv = 0.5 * np.abs(
+            hk / hk.sum() - hr / hr.sum()
+        ).sum()
+        assert tv < 0.1, tv
+        # deterministic: rerun keeps the identical row set
+        kept2, probs2 = S.distribution_match(
+            cdf, rdf, "v", 0.0, 100.0, 20, key="id"
+        )
+        assert probs == probs2
+        assert {r.id for r in kept.collect()} == {r.id for r in kept2.collect()}
+
+    def test_unsupplied_target_bucket_raises(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import sampling as S
+
+        cdf = spark.createDataFrame(
+            [(i, float(i % 10)) for i in range(100)], "id long, v double"
+        )
+        rdf = spark.createDataFrame([(95.0,)], "v double")
+        with pytest.raises(ValueError, match="coarsen"):
+            S.distribution_match(cdf, rdf, "v", 0.0, 100.0, 20, key="id")
