@@ -1,0 +1,207 @@
+"""Continuous heavy-hitter tracking over a stream: per-epoch
+Misra-Gries summaries folded into an epoch-keyed store, answering
+"which items exceed phi of everything seen so far?" at any moment
+WITHOUT retaining raw events.
+
+MG summaries are the textbook mergeable summary (Agarwal et al., PODS
+2012): summing per-epoch candidate counters item-wise keeps the
+additive undercount bound sum_e n_e/(k+1) = n/(k+1), so any item
+whose TRUE all-time count exceeds phi * n has upper bound
+est + n/(k+1) > phi * n and provably survives in the candidate set —
+the stream variant cannot recount exactly (raw events are gone), so
+the report carries (lower bound, upper bound, certain?) instead of
+the batch module's exact two-pass answer.
+
+Same epoch-idempotent replay recipe as the rollup store: candidates
+land in ``state_dir/cand/batch=<id>``, per-epoch row totals (needed
+for the error bound) in ``state_dir/total/batch=<id>``, both as
+overwrite-by-epoch so Structured Streaming replay cannot
+double-count. Store size is <= k x P per epoch; ``compact_store``
+re-compresses all epochs into one capacity-k summary per group when
+the epoch count grows.
+
+Reference n/a; SURVEY §2c extension surface.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from lwes_contrib_hive_serde_spark.operators.frequent import (
+    _mg_compress,
+    mg_candidates,
+)
+
+
+def append_mg_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    item_col: str,
+    k: int,
+    group_cols: Sequence[str] = (),
+) -> None:
+    """Fold one micro-batch's MG candidate summary into the store
+    (idempotent per batch_id)."""
+    group_cols = list(group_cols)
+    cand = mg_candidates(batch_df, item_col, k, group_cols)
+    cand.write.mode("overwrite").parquet(
+        os.path.join(state_dir, "cand", f"batch={batch_id}")
+    )
+    totals = batch_df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    totals.write.mode("overwrite").parquet(
+        os.path.join(state_dir, "total", f"batch={batch_id}")
+    )
+
+
+def read_heavy_hitters(
+    spark: SparkSession,
+    state_dir: str,
+    phi: float,
+    k: int,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """All-time heavy-hitter report from the store: (group..., item,
+    est_count, ub_count, certain). ``ub_count = est + n/(k+1)`` is a
+    true upper bound; every item whose real count exceeds phi*n is in
+    the result (completeness), and rows with ``certain`` have
+    est_count alone above the bar (no false positive possible)."""
+    group_cols = list(group_cols)
+    cand = (
+        spark.read.option("basePath", os.path.join(state_dir, "cand"))
+        .parquet(os.path.join(state_dir, "cand", "batch=*"))
+        .drop("batch")
+    )
+    totals = (
+        spark.read.option("basePath", os.path.join(state_dir, "total"))
+        .parquet(os.path.join(state_dir, "total", "batch=*"))
+        .drop("batch")
+    )
+    est = cand.groupBy(*group_cols, "item").agg(
+        F.sum("est_count").alias("est_count")
+    )
+    n = totals.groupBy(*group_cols).agg(F.sum("n_rows").alias("__n"))
+    if group_cols:
+        j = est.join(n, group_cols)
+    else:  # two sketch-sized singletons on a literal key
+        j = (
+            est.withColumn("__j", F.lit(1))
+            .join(n.withColumn("__j", F.lit(1)), "__j")
+            .drop("__j")
+        )
+    bound = F.col("__n").cast("double") / (k + 1)
+    ub = F.col("est_count").cast("double") + bound
+    bar = F.lit(phi) * F.col("__n").cast("double")
+    return (
+        j.filter(ub > bar)
+        .select(
+            *group_cols,
+            "item",
+            "est_count",
+            ub.alias("ub_count"),
+            (F.col("est_count").cast("double") > bar).alias("certain"),
+        )
+    )
+
+
+def compact_store(
+    spark: SparkSession,
+    state_dir: str,
+    k: int,
+    group_cols: Sequence[str] = (),
+    compacted_id: str = "0-compacted",
+) -> None:
+    """Re-compress every stored epoch into ONE capacity-k summary per
+    group (the mergeable-summaries fold keeps the n/(k+1) bound), then
+    replace the epoch directories. Totals are summed into one epoch
+    row likewise."""
+    group_cols = list(group_cols)
+    cand_dir = os.path.join(state_dir, "cand")
+    total_dir = os.path.join(state_dir, "total")
+    cand = (
+        spark.read.option("basePath", cand_dir)
+        .parquet(os.path.join(cand_dir, "batch=*")).drop("batch")
+    )
+    summed = cand.groupBy(*group_cols, "item").agg(
+        F.sum("est_count").alias("est_count")
+    )
+
+    def compress(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pd.Series(
+            pdf["est_count"].to_numpy(), index=pdf["item"].to_numpy()
+        )
+        s = _mg_compress(s, k)
+        out = pd.DataFrame(
+            {"item": s.index, "est_count": s.values.astype("int64")}
+        )
+        for c in group_cols:
+            out[c] = pdf[c].iloc[0]
+        return out[group_cols + ["item", "est_count"]]
+
+    if group_cols:
+        compacted = summed.groupBy(*group_cols).applyInPandas(
+            compress, summed.schema
+        )
+    else:
+        compacted = (
+            summed.withColumn("__g", F.lit(1))
+            .groupBy("__g")
+            .applyInPandas(
+                lambda pdf: compress(pdf.drop(columns=["__g"])),
+                summed.schema,
+            )
+        )
+    totals = (
+        spark.read.option("basePath", total_dir)
+        .parquet(os.path.join(total_dir, "batch=*")).drop("batch")
+        .groupBy(*group_cols)
+        .agg(F.sum("n_rows").alias("n_rows"))
+    )
+    # write the folded state under fresh epoch dirs, then drop the old
+    import shutil
+
+    compacted.write.mode("overwrite").parquet(
+        os.path.join(cand_dir, f"batch={compacted_id}.tmp")
+    )
+    totals.write.mode("overwrite").parquet(
+        os.path.join(total_dir, f"batch={compacted_id}.tmp")
+    )
+    for d, name in ((cand_dir, "cand"), (total_dir, "total")):
+        for entry in os.listdir(d):
+            if entry.startswith("batch=") and not entry.endswith(".tmp"):
+                shutil.rmtree(os.path.join(d, entry))
+        os.rename(
+            os.path.join(d, f"batch={compacted_id}.tmp"),
+            os.path.join(d, f"batch={compacted_id}"),
+        )
+
+
+def stream_heavy_hitters(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    item_col: str,
+    k: int,
+    group_cols: Sequence[str] = (),
+    trigger: str = "500 milliseconds",
+):
+    """Start the tracking query; returns the StreamingQuery."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        append_mg_batch(
+            batch_df, batch_id, state_dir, item_col, k, group_cols
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=trigger)
+        .start()
+    )

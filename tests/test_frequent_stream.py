@@ -1,0 +1,100 @@
+"""Streaming heavy hitters (streaming/frequent_stream.py): epoch
+folding completeness, replay idempotence, compaction, and the live
+foreachBatch path."""
+
+from __future__ import annotations
+
+import random
+import time
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from lwes_contrib_hive_serde_spark.streaming import frequent_stream as FS
+
+
+def _zipf_rows(seed, n, n_items=300, power=4):
+    rng = random.Random(seed)
+    return [(int(n_items * (rng.random() ** power)), i) for i in range(n)]
+
+
+class TestStreamHeavyHitters:
+    def test_fold_completeness_and_replay(self, spark, tmp_path):
+        state = str(tmp_path / "hh")
+        k, phi = 256, 0.01
+        epochs = [_zipf_rows(s, 3000) for s in (1, 2, 3)]
+        for bid, rows in enumerate(epochs):
+            df = spark.createDataFrame(rows, "item int, rid long") \
+                .repartition(4)
+            FS.append_mg_batch(df, bid, state, "item", k)
+        # replay epoch 2 — overwrite, not double-count
+        FS.append_mg_batch(
+            spark.createDataFrame(epochs[2], "item int, rid long"),
+            2, state, "item", k,
+        )
+        report = {r.item: r for r in
+                  FS.read_heavy_hitters(spark, state, phi, k).collect()}
+        allc = Counter(it for rows in epochs for it, _ in rows)
+        n = sum(allc.values())
+        true_heavy = {it for it, c in allc.items() if c > phi * n}
+        # completeness: every true heavy hitter is reported
+        assert true_heavy <= set(report)
+        for it, r in report.items():
+            # est is a valid lower bound, ub a valid upper bound
+            assert r.est_count <= allc[it] <= r.ub_count
+            if r.certain:
+                assert allc[it] >= r.est_count > phi * n
+
+    def test_compaction_keeps_guarantees(self, spark, tmp_path):
+        state = str(tmp_path / "hh2")
+        k, phi = 256, 0.01
+        epochs = [_zipf_rows(s + 10, 2500) for s in range(4)]
+        for bid, rows in enumerate(epochs):
+            FS.append_mg_batch(
+                spark.createDataFrame(rows, "item int, rid long"),
+                bid, state, "item", k,
+            )
+        FS.compact_store(spark, state, k)
+        import os
+
+        assert os.listdir(str(tmp_path / "hh2" / "cand")) == ["batch=0-compacted"]
+        report = {r.item: r for r in
+                  FS.read_heavy_hitters(spark, state, phi, k).collect()}
+        allc = Counter(it for rows in epochs for it, _ in rows)
+        n = sum(allc.values())
+        true_heavy = {it for it, c in allc.items() if c > phi * n}
+        assert true_heavy <= set(report)
+        for it, r in report.items():
+            assert r.est_count <= allc[it]
+
+    def test_live_stream(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        state = str(tmp_path / "hh3")
+        ck = str(tmp_path / "ck")
+        rows = _zipf_rows(99, 2000)
+        spark.createDataFrame(rows, "item int, rid long") \
+            .write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema("item int, rid long").parquet(src)
+        q = FS.stream_heavy_hitters(
+            stream, state, ck, "item", k=256, trigger="200 milliseconds"
+        )
+        try:
+            deadline = time.time() + 30
+            report = []
+            while time.time() < deadline:
+                try:
+                    report = FS.read_heavy_hitters(
+                        spark, state, 0.01, 256
+                    ).collect()
+                except Exception:
+                    report = []
+                if report:
+                    break
+                time.sleep(0.5)
+        finally:
+            q.stop()
+        allc = Counter(it for it, _ in rows)
+        n = sum(allc.values())
+        true_heavy = {it for it, c in allc.items() if c > 0.01 * n}
+        assert true_heavy and true_heavy <= {r.item for r in report}

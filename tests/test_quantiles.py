@@ -150,3 +150,48 @@ class TestTopFractionFilter:
         df = spark.range(5).selectExpr("CAST(id AS DOUBLE) s")
         with pytest.raises(ValueError, match="keep_frac"):
             Q.top_fraction_filter(df, "s", 1.5)
+
+
+class TestKllProperty:
+    """Hypothesis: weight conservation and rank bounds hold for ANY
+    data shape, batch split, and merge tree."""
+
+    def test_random_splits_and_merges(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            data=st.lists(
+                st.floats(
+                    min_value=-1e9, max_value=1e9,
+                    allow_nan=False, allow_infinity=False,
+                ),
+                min_size=1, max_size=2000,
+            ),
+            n_parts=st.integers(1, 7),
+            k=st.sampled_from([8, 32, 128]),
+            q=st.floats(0.0, 1.0),
+        )
+        def check(data, n_parts, k, q):
+            arr = np.asarray(data)
+            parts = np.array_split(arr, n_parts)
+            sketches = []
+            for p in parts:
+                s = Q._KLL(k)
+                s.add_batch(p)
+                sketches.append(s)
+            acc = sketches[0]
+            for s in sketches[1:]:
+                acc.merge(s)
+            assert acc.total_weight() == arr.size
+            (est,) = acc.quantiles([q])
+            assert est in arr
+            sv = np.sort(arr)
+            lt = int(np.searchsorted(sv, est, side="left"))
+            le = int(np.searchsorted(sv, est, side="right"))
+            eps = 3.0 / k
+            # tie-safe two-sided rank bound
+            assert lt <= q * arr.size + eps * arr.size + 1
+            assert le >= q * arr.size - eps * arr.size - 1
+
+        check()
