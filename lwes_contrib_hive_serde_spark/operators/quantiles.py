@@ -238,10 +238,16 @@ def _merge_pdf(pdf: pd.DataFrame, k: int, group_cols: list) -> pd.DataFrame:
     """Merge one group's partial-sketch rows in a DETERMINISTIC order
     (sorted by serialized form) so repeated runs produce identical
     sketches regardless of task scheduling."""
-    order = sorted(
-        range(len(pdf)),
-        key=lambda i: (len(pdf["kll"].iloc[i]), str(pdf["kll"].iloc[i])),
-    )
+    def _key(i):
+        # structural, not str(): numpy reprs elide large arrays, which
+        # would make equal-prefix keys collide and the order depend on
+        # the (nondeterministic) task arrival order
+        return tuple(
+            (int(r["level"]), tuple(float(x) for x in r["items"]))
+            for r in pdf["kll"].iloc[i]
+        )
+
+    order = sorted(range(len(pdf)), key=_key)
     acc: _KLL | None = None
     n = 0
     for i in order:
