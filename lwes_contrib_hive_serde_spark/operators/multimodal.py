@@ -635,9 +635,15 @@ def image_dhash(
                     from PIL import Image
 
                     try:
+                        # Pillow 10 moved the constant into Resampling
+                        lanczos = (
+                            Image.Resampling.LANCZOS
+                            if hasattr(Image, "Resampling")
+                            else Image.LANCZOS
+                        )
                         img = Image.open(io.BytesIO(b)).convert("L")
                         luma = np.asarray(
-                            img.resize((9, 8), Image.LANCZOS), dtype=np.float64
+                            img.resize((9, 8), lanczos), dtype=np.float64
                         )
                     except Exception:
                         luma = None
