@@ -1,0 +1,143 @@
+"""Distributed PCA for embedding columns — the dimensionality-
+reduction tier of the vector ladder (similarity.py: exact kNN → IVF →
+PQ/int8; this module shrinks d itself before any of those run, the
+standard move before clustering/ANN at 100 TB vector scale).
+
+Single-pass training: each partition computes (n, sum x, X^T X) with
+one numpy GEMM per Arrow batch — the Gram matrix is a commutative
+monoid (elementwise add), so the driver receives at most P rows of
+d^2 + d doubles, sums them, forms the covariance
+(Gram/n - mean mean^T), and runs one d x d eigendecomposition
+locally (d is small — 16..1024 — while n is unbounded; the heavy
+direction never leaves the executors). Projection broadcasts the
+(k x d) component matrix and GEMMs each Arrow batch.
+
+Determinism: eigenvectors are sign-normalized (first nonzero
+component positive) so repeated trainings produce identical models;
+eigh on a symmetric matrix is deterministic for a fixed LAPACK.
+
+Reference n/a (the reference is a storage serde); SURVEY §2c
+extension surface.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pca_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    center: bool = True,
+) -> dict:
+    """Fit PCA on an array<float|double> column.
+
+    Returns {"mean": (d,), "components": (k, d) rows = top components,
+    "explained_variance": (k,), "total_variance": float, "n": int,
+    "center": bool}. One scan; driver work is O(d^2) memory and one
+    eigh."""
+    parts_schema = "n long, s binary, g binary"
+
+    def accumulate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        s = None
+        g = None
+        for pdf in batches:
+            vecs = pdf[vec_col].dropna()
+            if vecs.empty:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in vecs]
+            )
+            n += X.shape[0]
+            s = X.sum(axis=0) if s is None else s + X.sum(axis=0)
+            gram = X.T @ X  # BLAS GEMM per batch
+            g = gram if g is None else g + gram
+        if n == 0:
+            return
+        yield pd.DataFrame(
+            {"n": [n], "s": [s.tobytes()], "g": [g.tobytes()]}
+        )
+
+    rows = df.select(vec_col).mapInPandas(accumulate, parts_schema).collect()
+    if not rows:
+        raise ValueError("pca_train: no non-null vectors")
+    n = sum(r.n for r in rows)
+    s = sum(np.frombuffer(r.s, dtype=np.float64) for r in rows)
+    d = s.size
+    g = sum(
+        np.frombuffer(r.g, dtype=np.float64).reshape(d, d) for r in rows
+    )
+    if not 1 <= k <= d:
+        raise ValueError(f"pca_train: k={k} out of range for dim {d}")
+    mean = s / n
+    cov = g / n - (np.outer(mean, mean) if center else 0.0)
+    cov = (cov + cov.T) / 2.0  # exact symmetry for eigh
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T.copy()  # (k, d)
+    evals = np.maximum(evals[order], 0.0)
+    # sign convention: first nonzero coefficient of each component > 0
+    for i in range(comps.shape[0]):
+        nz = np.nonzero(np.abs(comps[i]) > 1e-12)[0]
+        if nz.size and comps[i, nz[0]] < 0:
+            comps[i] = -comps[i]
+    return {
+        "mean": mean if center else np.zeros(d),
+        "components": comps,
+        "explained_variance": evals,
+        "total_variance": float(np.trace(cov)),
+        "n": int(n),
+        "center": bool(center),
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+    whiten: bool = False,
+) -> DataFrame:
+    """Append the k-dim projection of ``vec_col``: (x - mean) @ C^T,
+    optionally variance-whitened. The (k x d) matrix rides the UDF
+    closure (broadcast by Spark); each Arrow batch is one GEMM."""
+    comps = np.asarray(model["components"], dtype=np.float64)
+    mean = np.asarray(model["mean"], dtype=np.float64)
+    scale = None
+    if whiten:
+        ev = np.asarray(model["explained_variance"], dtype=np.float64)
+        scale = 1.0 / np.sqrt(np.maximum(ev, 1e-12))
+    in_schema = df.schema
+    out_schema = ", ".join(
+        [f.simpleString().replace(":", " ", 1) for f in in_schema.fields]
+        + [f"{out_col} array<double>"]
+    )
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            vals = pdf[vec_col]
+            mask = vals.notna()
+            if mask.any():
+                X = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in vals[mask]]
+                )
+                Y = (X - mean) @ comps.T
+                if scale is not None:
+                    Y = Y * scale
+                it = iter(Y)
+                outs = [
+                    list(next(it)) if ok else None for ok in mask
+                ]
+            else:
+                outs = [None] * len(pdf)
+            yield pdf.assign(**{out_col: outs})
+
+    return df.mapInPandas(project, out_schema)

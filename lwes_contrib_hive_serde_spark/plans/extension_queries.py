@@ -4303,3 +4303,67 @@ def q_distribution_match(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+# --- distributed PCA (operators/decomposition.py) -------------------------
+
+@register(
+    "q_pca_project",
+    shadow=True,
+    oracle="""
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+            WHERE embedding IS NOT NULL) AS n,
+           TRUE AS variances_match_eigenvalues,
+           TRUE AS components_orthonormal,
+           TRUE AS variance_ordered
+    """,
+    doc="Distributed PCA over the embedding column "
+    "(decomposition.pca_train/pca_project): per-partition (n, sum, "
+    "X^T X) partials via one numpy GEMM per Arrow batch — the Gram "
+    "matrix is a mergeable monoid, the driver sums P sketch-sized "
+    "rows and eigendecomposes d x d locally; projection is one "
+    "broadcast GEMM per batch. The query verifies the spectral "
+    "contract in-query: the variance of each projected component "
+    "equals its eigenvalue (rel 1e-6), the component matrix is "
+    "orthonormal (C C^T == I within 1e-9), and explained variances "
+    "are non-increasing. Exact corpus count carries the value hash.",
+)
+def q_pca_project(spark, sf_dir):
+    import numpy as _np
+
+    from lwes_contrib_hive_serde_spark.operators import decomposition as _dc
+
+    k = 8
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    model = _dc.pca_train(emb, "embedding", k=k)
+    ev = _np.asarray(model["explained_variance"])
+    comps = _np.asarray(model["components"])
+    gram = comps @ comps.T
+    ortho = bool(_np.allclose(gram, _np.eye(k), atol=1e-9))
+    ordered = bool(_np.all(_np.diff(ev) <= 1e-12))
+    proj = _dc.pca_project(emb, model, "embedding", out_col="p")
+    # per-component variance from one aggregation over the projection
+    sums = proj.select(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.element_at("p", i + 1)).alias(f"s{i}")
+            for i in range(k)
+        ],
+        *[
+            F.sum(F.element_at("p", i + 1) * F.element_at("p", i + 1)).alias(
+                f"q{i}"
+            )
+            for i in range(k)
+        ],
+    ).collect()[0]
+    n = sums["n"]
+    var_ok = all(
+        abs((sums[f"q{i}"] / n - (sums[f"s{i}"] / n) ** 2) - ev[i])
+        <= 1e-6 * max(ev[i], 1e-12)
+        for i in range(k)
+    )
+    return spark.createDataFrame(
+        [(int(n), bool(var_ok), ortho, ordered)],
+        "n bigint, variances_match_eigenvalues boolean, "
+        "components_orthonormal boolean, variance_ordered boolean",
+    )

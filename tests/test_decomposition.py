@@ -1,0 +1,82 @@
+"""Distributed PCA (operators/decomposition.py) vs a local numpy
+reference: same subspace, same eigenvalues, same projections."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lwes_contrib_hive_serde_spark.operators import decomposition as DC
+
+
+def _data(n=3000, d=12, seed=7):
+    rng = np.random.default_rng(seed)
+    # anisotropic: a few dominant directions
+    basis = rng.normal(size=(d, d))
+    scales = np.array([20, 12, 6, 3] + [0.5] * (d - 4))
+    return (rng.normal(size=(n, d)) * scales) @ basis / 10.0
+
+
+def _df(spark, X):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "id long, embedding array<double>",
+    )
+
+
+class TestPca:
+    def test_matches_numpy_reference(self, spark):
+        X = _data()
+        model = DC.pca_train(_df(spark, X).repartition(8), k=4)
+        assert model["n"] == X.shape[0]
+        # numpy reference on the same data
+        mean = X.mean(axis=0)
+        cov = np.cov(X.T, bias=True)
+        evals, evecs = np.linalg.eigh(cov)
+        order = np.argsort(evals)[::-1][:4]
+        ref_vals = evals[order]
+        ref_vecs = evecs[:, order].T
+        assert np.allclose(model["mean"], mean, atol=1e-9)
+        assert np.allclose(
+            model["explained_variance"], ref_vals, rtol=1e-8
+        )
+        # same subspace: |cos| of matched components ~ 1
+        for got, want in zip(model["components"], ref_vecs):
+            c = abs(float(got @ want))
+            assert c > 1 - 1e-8, c
+
+    def test_projection_and_whitening(self, spark):
+        X = _data(seed=9)
+        df = _df(spark, X).repartition(8)
+        model = DC.pca_train(df, k=3)
+        rows = DC.pca_project(df, model, out_col="p").orderBy("id").collect()
+        Y = np.array([r.p for r in rows])
+        ref = (X - model["mean"]) @ np.asarray(model["components"]).T
+        assert np.allclose(Y, ref, atol=1e-9)
+        # component variances equal the eigenvalues
+        assert np.allclose(
+            Y.var(axis=0), model["explained_variance"], rtol=1e-6
+        )
+        white = DC.pca_project(df, model, out_col="p", whiten=True) \
+            .orderBy("id").collect()
+        W = np.array([r.p for r in white])
+        assert np.allclose(W.var(axis=0), 1.0, rtol=1e-6)
+
+    def test_deterministic_and_null_rows(self, spark):
+        X = _data(n=500, seed=3)
+        df = _df(spark, X)
+        m1 = DC.pca_train(df.repartition(4), k=2)
+        m2 = DC.pca_train(df.repartition(7), k=2)
+        assert np.allclose(m1["components"], m2["components"], atol=1e-9)
+        withnull = df.unionByName(
+            spark.createDataFrame([(999999, None)],
+                                  "id long, embedding array<double>")
+        )
+        out = {r.id: r.p for r in
+               DC.pca_project(withnull, m1, out_col="p").collect()}
+        assert out[999999] is None
+
+    def test_k_guard(self, spark):
+        X = _data(n=50, d=4)
+        with pytest.raises(ValueError, match="out of range"):
+            DC.pca_train(_df(spark, X), k=9)
