@@ -98,6 +98,118 @@ def pca_train(
     }
 
 
+def linear_fit(
+    df: DataFrame,
+    vec_col: str,
+    y_col: str,
+    l2: float = 0.0,
+    fit_intercept: bool = True,
+) -> dict:
+    """Closed-form (ridge) linear regression of ``y_col`` on an
+    array<double> feature column: one scan accumulating the mergeable
+    sufficient statistics (n, X^T X, X^T y, sum x, sum y, y^T y) via
+    numpy GEMMs per Arrow batch, then the d x d normal-equation solve
+    on the driver — exact least squares at any n with O(d^2) driver
+    memory, no iterations, no learning rate.
+
+    Returns {"weights": (d,), "intercept": float, "n": int, "l2":
+    float, "rss": float, "r2": float}. The intercept is fit by
+    centering (never penalized). Rows with NULL features or target
+    are excluded."""
+    schema = "n long, sx binary, sy double, g binary, xy binary, yy double"
+
+    def accumulate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        sx = g = xy = None
+        sy = yy = 0.0
+        for pdf in batches:
+            mask = pdf[vec_col].notna() & pdf[y_col].notna()
+            if not mask.any():
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col][mask]]
+            )
+            y = pdf[y_col][mask].to_numpy(dtype=np.float64)
+            n += X.shape[0]
+            sx = X.sum(0) if sx is None else sx + X.sum(0)
+            sy += float(y.sum())
+            gram = X.T @ X
+            g = gram if g is None else g + gram
+            v = X.T @ y
+            xy = v if xy is None else xy + v
+            yy += float(y @ y)
+        if n == 0:
+            return
+        yield pd.DataFrame(
+            {
+                "n": [n], "sx": [sx.tobytes()], "sy": [sy],
+                "g": [g.tobytes()], "xy": [xy.tobytes()], "yy": [yy],
+            }
+        )
+
+    rows = df.select(vec_col, y_col).mapInPandas(accumulate, schema).collect()
+    if not rows:
+        raise ValueError("linear_fit: no complete (x, y) rows")
+    n = sum(r.n for r in rows)
+    sx = sum(np.frombuffer(r.sx, dtype=np.float64) for r in rows)
+    d = sx.size
+    sy = sum(r.sy for r in rows)
+    g = sum(np.frombuffer(r.g, dtype=np.float64).reshape(d, d) for r in rows)
+    xy = sum(np.frombuffer(r.xy, dtype=np.float64) for r in rows)
+    yy = sum(r.yy for r in rows)
+    if fit_intercept:
+        mx, my = sx / n, sy / n
+        A = g - n * np.outer(mx, mx)
+        b = xy - n * mx * my
+    else:
+        A = g.copy()
+        b = xy.copy()
+    A = (A + A.T) / 2.0 + float(l2) * np.eye(d)
+    w = np.linalg.solve(A, b)
+    intercept = float(my - mx @ w) if fit_intercept else 0.0
+    # rss from the same statistics — no second scan:
+    # rss = y'y - 2 w'X'y - 2 b0 Σy + w'G w + 2 b0 w'Σx + n b0²
+    rss = (
+        yy
+        - 2.0 * float(w @ xy)
+        - 2.0 * intercept * sy
+        + float(w @ g @ w)
+        + 2.0 * intercept * float(w @ sx)
+        + n * intercept * intercept
+    )
+    tss = yy - n * (sy / n) ** 2
+    return {
+        "weights": w,
+        "intercept": intercept,
+        "n": int(n),
+        "l2": float(l2),
+        "rss": float(max(rss, 0.0)),
+        "r2": float(1.0 - rss / tss) if tss > 0 else float("nan"),
+    }
+
+
+def linear_predict(
+    df: DataFrame,
+    model: dict,
+    vec_col: str,
+    out_col: str = "yhat",
+) -> DataFrame:
+    """Append the fitted prediction w . x + b as a pure JVM expression
+    fold over the feature array — no Python in the scoring scan."""
+    w = [float(v) for v in model["weights"]]
+    b = float(model["intercept"])
+    pred = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.lit(w).cast("array<double>"),
+            lambda x, c: x * c,
+        ),
+        F.lit(b),
+        lambda acc, t: acc + t,
+    )
+    return df.withColumn(out_col, pred)
+
+
 def pca_project(
     df: DataFrame,
     model: dict,

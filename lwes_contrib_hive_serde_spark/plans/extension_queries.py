@@ -4367,3 +4367,49 @@ def q_pca_project(spark, sf_dir):
         "n bigint, variances_match_eigenvalues boolean, "
         "components_orthonormal boolean, variance_ordered boolean",
     )
+
+
+@register(
+    "q_linear_fit",
+    shadow=True,
+    oracle="""
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+            WHERE embedding IS NOT NULL) AS n,
+           TRUE AS weights_recovered,
+           TRUE AS fit_exact
+    """,
+    doc="Closed-form distributed ridge/least-squares "
+    "(decomposition.linear_fit): one scan accumulates the mergeable "
+    "sufficient statistics (n, X'X, X'y, sums) via numpy GEMMs per "
+    "Arrow batch, the d x d normal-equation solve runs on the "
+    "driver — exact least squares at any n, no iterations. The query "
+    "plants a noise-free linear target (3*x_1 - 2*x_5 + 0.7 over the "
+    "embedding coordinates, derived JVM-side) and verifies in-query "
+    "that the solver recovers the exact coefficients, intercept, and "
+    "R^2 == 1; scoring (linear_predict) is a pure JVM fold. Exact "
+    "corpus count carries the value hash.",
+)
+def q_linear_fit(spark, sf_dir):
+    import numpy as _np
+
+    from lwes_contrib_hive_serde_spark.operators import decomposition as _dc
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    labeled = emb.withColumn(
+        "y",
+        F.lit(3.0) * F.element_at("embedding", 1)
+        - F.lit(2.0) * F.element_at("embedding", 5)
+        + F.lit(0.7),
+    )
+    m = _dc.linear_fit(labeled, "embedding", "y")
+    w = _np.asarray(m["weights"])
+    want = _np.zeros_like(w)
+    want[0], want[4] = 3.0, -2.0
+    weights_ok = bool(
+        _np.allclose(w, want, atol=1e-6) and abs(m["intercept"] - 0.7) < 1e-6
+    )
+    fit_ok = bool(m["r2"] > 1.0 - 1e-9)
+    return spark.createDataFrame(
+        [(int(m["n"]), weights_ok, fit_ok)],
+        "n bigint, weights_recovered boolean, fit_exact boolean",
+    )

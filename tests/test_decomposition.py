@@ -80,3 +80,54 @@ class TestPca:
         X = _data(n=50, d=4)
         with pytest.raises(ValueError, match="out of range"):
             DC.pca_train(_df(spark, X), k=9)
+
+
+class TestLinearFit:
+    def test_recovers_true_weights(self, spark):
+        rng = np.random.default_rng(13)
+        n, d = 4000, 6
+        X = rng.normal(size=(n, d))
+        w_true = np.array([2.0, -1.0, 0.5, 0.0, 3.0, -0.25])
+        y = X @ w_true + 1.5 + rng.normal(0, 0.01, n)
+        df = spark.createDataFrame(
+            [([float(v) for v in row], float(t)) for row, t in zip(X, y)],
+            "x array<double>, y double",
+        ).repartition(8)
+        m = DC.linear_fit(df, "x", "y")
+        assert m["n"] == n
+        assert np.allclose(m["weights"], w_true, atol=0.01)
+        assert abs(m["intercept"] - 1.5) < 0.01
+        assert m["r2"] > 0.999
+        # exact agreement with the local closed form on the same data
+        Xc = np.hstack([X, np.ones((n, 1))])
+        ref, *_ = np.linalg.lstsq(Xc, y, rcond=None)
+        assert np.allclose(m["weights"], ref[:d], atol=1e-8)
+        assert abs(m["intercept"] - ref[d]) < 1e-8
+
+    def test_ridge_shrinks_and_predict_matches(self, spark):
+        rng = np.random.default_rng(17)
+        n, d = 800, 4
+        X = rng.normal(size=(n, d))
+        y = X @ np.array([1.0, 2.0, -1.0, 0.5]) + 0.3
+        df = spark.createDataFrame(
+            [([float(v) for v in row], float(t)) for row, t in zip(X, y)],
+            "x array<double>, y double",
+        )
+        m0 = DC.linear_fit(df, "x", "y", l2=0.0)
+        m1 = DC.linear_fit(df, "x", "y", l2=1000.0)
+        assert np.linalg.norm(m1["weights"]) < np.linalg.norm(m0["weights"])
+        preds = {tuple(r.x): r.yhat for r in
+                 DC.linear_predict(df, m0, "x").collect()}
+        for row, t in list(zip(X, y))[:20]:
+            got = preds[tuple(float(v) for v in row)]
+            want = float(row @ m0["weights"] + m0["intercept"])
+            assert abs(got - want) < 1e-9
+
+    def test_null_rows_excluded(self, spark):
+        df = spark.createDataFrame(
+            [([1.0, 2.0], 3.0), (None, 1.0), ([1.0, 1.0], None),
+             ([2.0, 0.0], 2.0), ([0.0, 1.0], 1.0)],
+            "x array<double>, y double",
+        )
+        m = DC.linear_fit(df, "x", "y")
+        assert m["n"] == 3
