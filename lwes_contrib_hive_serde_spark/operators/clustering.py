@@ -1,0 +1,212 @@
+"""Distributed k-means (Lloyd's algorithm) over embedding columns.
+
+similarity.ivf_build trains its coarse quantizer on a bounded SAMPLE
+(good enough for routing); this module is the full-data tier: every
+Lloyd iteration assigns ALL rows to their nearest centroid with one
+numpy GEMM per Arrow batch and reduces the mergeable per-centroid
+partials (count, sum vector) — one aggregation keyed by centroid id
+per iteration, shuffle bounded by k x d doubles per partition
+regardless of n. The driver updates k x d centroids and decides
+convergence; rows never leave the executors.
+
+Determinism: init picks the k hash-smallest rows (md5-style ordering
+via xxhash64 of the vector bytes), assignment breaks distance ties
+toward the lowest centroid index (numpy argmin), and executor-side
+partial sums are float64 — so refits on the same data and partition
+count agree to ulps, and the planted-cluster oracle is stable.
+
+Empty-cluster rule: a centroid that attracts no rows keeps its
+previous position (documented standard choice; at 100 TB a dead
+centroid means k is too high for the data, which the caller can see
+from the returned counts).
+
+Reference n/a; SURVEY §2c extension surface.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _init_centroids(df: DataFrame, vec_col: str, k: int) -> np.ndarray:
+    """Deterministic farthest-point (maximin) seeding: the first seed
+    is the xxhash64-smallest row (a uniform pseudo-random draw any
+    engine reproduces); each further seed is the row maximizing its
+    distance to the nearest already-chosen seed (ties broken by the
+    hash). Farthest-point init provably 2-approximates the k-center
+    objective and, unlike a plain random draw, never places two seeds
+    inside one dense blob while another blob goes unseeded — the
+    classic Lloyd local-optimum trap. Costs k bounded passes (one
+    per seed), each collecting ONE candidate row per partition."""
+    hashed = (
+        df.select(
+            F.col(vec_col).alias("v"),
+            F.xxhash64(F.col(vec_col).cast("string")).alias("h"),
+        )
+        .filter(F.col("v").isNotNull())
+    )
+    first = hashed.orderBy("h").limit(1).collect()
+    if not first:
+        raise ValueError(f"kmeans: need at least k={k} non-null vectors")
+    chosen = [np.asarray(list(first[0].v), dtype=np.float64)]
+    schema = "dist double, h long, v array<double>"
+    for _ in range(k - 1):
+        C = np.asarray(chosen)
+        c_norms = (C * C).sum(1)
+
+        def far(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            best = None  # (dist, h, vec)
+            for pdf in batches:
+                mask = pdf["v"].notna()
+                if not mask.any():
+                    continue
+                X = np.asarray(
+                    [np.asarray(x, dtype=np.float64) for x in pdf["v"][mask]]
+                )
+                hs = pdf["h"][mask].to_numpy()
+                dmin = (
+                    c_norms[None, :] - 2.0 * (X @ C.T) + (X * X).sum(1)[:, None]
+                ).min(1)
+                i = int(np.lexsort((hs, -dmin))[0])  # max dist, min hash
+                cand = (float(dmin[i]), int(hs[i]), list(X[i]))
+                if best is None or (cand[0], -cand[1]) > (best[0], -best[1]):
+                    best = cand
+            if best is not None:
+                yield pd.DataFrame(
+                    {"dist": [best[0]], "h": [best[1]], "v": [best[2]]}
+                )
+
+        cands = hashed.mapInPandas(far, schema).collect()
+        if not cands:
+            break
+        top = max(cands, key=lambda r: (r.dist, -r.h))
+        if top.dist <= 0.0:
+            break  # every remaining point coincides with a seed
+        chosen.append(np.asarray(list(top.v), dtype=np.float64))
+    if len(chosen) < k:
+        raise ValueError(
+            f"kmeans: need at least k={k} DISTINCT non-null vectors"
+        )
+    return np.asarray(chosen)
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+) -> dict:
+    """Lloyd's iterations to convergence (max centroid movement <=
+    tol) or ``max_iter``. Returns {"centroids": (k, d), "counts":
+    (k,), "inertia": float, "iterations": int}."""
+    centroids = _init_centroids(df, vec_col, k)
+    d = centroids.shape[1]
+    schema = "cid int, n long, s binary, sq double"
+    it_done = 0
+    inertia = float("nan")
+    for it in range(max_iter):
+        C = centroids  # captured by the closure, broadcast by Spark
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            counts = np.zeros(len(C), dtype=np.int64)
+            sums = np.zeros_like(C)
+            sqsum = 0.0
+            c_norms = (C * C).sum(1)
+            for pdf in batches:
+                vecs = pdf.iloc[:, 0].dropna()
+                if vecs.empty:
+                    continue
+                X = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in vecs]
+                )
+                # argmin over squared distance via the GEMM identity
+                d2 = c_norms[None, :] - 2.0 * (X @ C.T)
+                assign = d2.argmin(1)
+                sqsum += float(
+                    (d2[np.arange(len(X)), assign] + (X * X).sum(1)).sum()
+                )
+                np.add.at(counts, assign, 1)
+                np.add.at(sums, assign, X)
+            hit = np.nonzero(counts)[0]
+            if hit.size == 0:
+                return
+            yield pd.DataFrame(
+                {
+                    "cid": hit.astype("int32"),
+                    "n": counts[hit],
+                    "s": [sums[i].tobytes() for i in hit],
+                    "sq": [0.0] * (hit.size - 1) + [sqsum],
+                }
+            )
+
+        rows = (
+            df.select(vec_col).mapInPandas(partials, schema)
+            .groupBy("cid")
+            .agg(
+                F.sum("n").alias("n"),
+                F.collect_list("s").alias("ss"),
+                F.sum("sq").alias("sq"),
+            )
+            .collect()
+        )
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros_like(centroids)
+        inertia = 0.0
+        for r in rows:
+            counts[r.cid] = r.n
+            sums[r.cid] = sum(
+                np.frombuffer(b, dtype=np.float64) for b in r.ss
+            )
+            inertia += r.sq
+        new = centroids.copy()
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz, None]
+        move = float(np.abs(new - centroids).max())
+        centroids = new
+        it_done = it + 1
+        if move <= tol:
+            break
+    return {
+        "centroids": centroids,
+        "counts": counts,
+        "inertia": float(inertia),
+        "iterations": it_done,
+    }
+
+
+def kmeans_assign(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Append the nearest-centroid id (NULL for NULL vectors): one
+    GEMM per Arrow batch against the broadcast centroid matrix."""
+    C = np.asarray(model["centroids"], dtype=np.float64)
+    c_norms = (C * C).sum(1)
+    in_schema = df.schema
+    out_schema = ", ".join(
+        [f.simpleString().replace(":", " ", 1) for f in in_schema.fields]
+        + [f"{out_col} int"]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = pdf[vec_col]
+            mask = vals.notna()
+            out = pd.array([None] * len(pdf), dtype="Int32")
+            if mask.any():
+                X = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in vals[mask]]
+                )
+                a = (c_norms[None, :] - 2.0 * (X @ C.T)).argmin(1)
+                out[np.asarray(mask)] = a.astype("int32")
+            yield pdf.assign(**{out_col: out})
+
+    return df.mapInPandas(assign, out_schema)

@@ -4413,3 +4413,52 @@ def q_linear_fit(spark, sf_dir):
         [(int(m["n"]), weights_ok, fit_ok)],
         "n bigint, weights_recovered boolean, fit_exact boolean",
     )
+
+
+@register(
+    "q_kmeans_clusters",
+    shadow=True,
+    oracle="""
+    SELECT CAST(label AS INT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           TRUE AS cluster_pure
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+    doc="Distributed Lloyd's k-means (clustering.kmeans_fit/assign): "
+    "embeddings are shifted 30*label along dimension 1 (pure JVM "
+    "transform), planting 10 well-separated blobs keyed by label; "
+    "k-means with deterministic farthest-point seeding must then "
+    "assign every vector of a label to ONE cluster and distinct "
+    "labels to DISTINCT clusters (purity == 1, checked in-query via "
+    "countDistinct over the label x cluster contingency). Each Lloyd "
+    "iteration is one GEMM scan + a k x d mergeable partial "
+    "reduction; rows never leave the executors. Exact per-label "
+    "counts carry the value hash.",
+)
+def q_kmeans_clusters(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import clustering as _cl
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            + F.when(i == 0, F.lit(30.0) * F.col("label")).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    m = _cl.kmeans_fit(emb, k=10, max_iter=25)
+    assigned = _cl.kmeans_assign(emb, m)
+    per_label = assigned.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.countDistinct("cluster").alias("nclus"),
+    )
+    total_clusters = per_label.agg(
+        F.sum("nclus").alias("s")
+    ).collect()[0]["s"]
+    # purity: one cluster per label AND no cluster shared across labels
+    pure_global = bool(total_clusters == 10)
+    return per_label.select(
+        F.col("label").cast("int").alias("label"),
+        F.col("n_vecs").cast("bigint").alias("n_vecs"),
+        ((F.col("nclus") == 1) & F.lit(pure_global)).alias("cluster_pure"),
+    ).orderBy("label")

@@ -1,0 +1,80 @@
+"""Distributed Lloyd's k-means (operators/clustering.py): planted
+blob recovery, inertia monotonicity vs local replay, assignment
+consistency, determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lwes_contrib_hive_serde_spark.operators import clustering as CL
+
+
+def _blobs(n_per=400, d=8, seed=5, spread=0.05):
+    rng = np.random.default_rng(seed)
+    centers = np.eye(4, d) * 10.0  # four well-separated blobs
+    X = np.vstack(
+        [c + rng.normal(0, spread, (n_per, d)) for c in centers]
+    )
+    labels = np.repeat(np.arange(4), n_per)
+    return X, labels, centers
+
+
+def _df(spark, X):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in r]) for i, r in enumerate(X)],
+        "id long, embedding array<double>",
+    )
+
+
+class TestKmeans:
+    def test_recovers_planted_blobs(self, spark):
+        X, labels, centers = _blobs()
+        df = _df(spark, X).repartition(8)
+        m = CL.kmeans_fit(df, k=4, max_iter=25)
+        assert m["iterations"] < 25  # converged, not exhausted
+        assert sorted(m["counts"]) == [400, 400, 400, 400]
+        # each fitted centroid sits on one true center
+        got = np.asarray(m["centroids"])
+        for c in centers:
+            dmin = np.linalg.norm(got - c, axis=1).min()
+            assert dmin < 0.1, dmin
+        # assignments agree with the plant (up to centroid relabeling)
+        rows = CL.kmeans_assign(df, m).orderBy("id").collect()
+        a = np.array([r.cluster for r in rows])
+        for blob in range(4):
+            vals = a[labels == blob]
+            assert (vals == vals[0]).all()
+        assert len(set(a)) == 4
+
+    def test_inertia_matches_local_replay(self, spark):
+        X, _, _ = _blobs(n_per=150, seed=9)
+        df = _df(spark, X).repartition(4)
+        m = CL.kmeans_fit(df, k=4, max_iter=10)
+        C = np.asarray(m["centroids"])
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        # fitted inertia is reported for the assignment AGAINST the
+        # pre-update centroids of the last iteration; after
+        # convergence those equal the returned centroids to tol, so
+        # the local replay agrees closely
+        assert abs(m["inertia"] - d2.min(1).sum()) / d2.min(1).sum() < 1e-3
+
+    def test_deterministic_refit(self, spark):
+        X, _, _ = _blobs(n_per=100, seed=11)
+        df = _df(spark, X)
+        m1 = CL.kmeans_fit(df.repartition(3), k=4)
+        m2 = CL.kmeans_fit(df.repartition(6), k=4)
+        assert np.allclose(m1["centroids"], m2["centroids"], atol=1e-9)
+
+    def test_null_vectors_and_k_guard(self, spark):
+        X, _, _ = _blobs(n_per=30)
+        df = _df(spark, X).unionByName(
+            _df(spark, np.zeros((0, 8))).sparkSession.createDataFrame(
+                [(999999, None)], "id long, embedding array<double>"
+            )
+        )
+        m = CL.kmeans_fit(df, k=4)
+        out = {r.id: r.cluster for r in CL.kmeans_assign(df, m).collect()}
+        assert out[999999] is None
+        with pytest.raises(ValueError, match="at least k"):
+            CL.kmeans_fit(_df(spark, X[:2]), k=4)
