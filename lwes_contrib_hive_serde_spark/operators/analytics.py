@@ -72,6 +72,94 @@ def cohort_retention(
     )
 
 
+def rolling_anomalies(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    window_rows: int = 24,
+    z_threshold: float = 3.0,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Trailing-window anomaly scores per key: for each row, the mean
+    and population stddev of the PRECEDING ``window_rows`` values
+    (the row itself excluded — an anomaly must not mask itself), the
+    z-score against them, and an ``is_anomaly`` flag at
+    |z| > threshold. Rows without a full trailing window score NULL
+    (no flag on cold start). One window shuffle on the key; every
+    expression is a JVM built-in, so a SQL oracle replays it
+    bit-for-bit.
+
+    This is the metric-stream monitor for rollup outputs: run it over
+    (bucket_start, group, n) partial tables to catch an ingestion
+    volume collapse or a metric spike in the grain it happens."""
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + (
+        [F.col(order_col)] if order_col is not None else []
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(-window_rows, -1)
+    )
+    v = F.col(value_col).cast("double")
+    cnt = F.count(v).over(w)
+    mean = F.avg(v).over(w)
+    # population variance of the trailing window, E[x^2] - E[x]^2
+    var = F.avg(v * v).over(w) - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    full = cnt == window_rows
+    z = F.when(full & (std > 0), (v - mean) / std)
+    return (
+        df.withColumn("trail_mean", F.when(full, mean))
+        .withColumn("trail_std", F.when(full, std))
+        .withColumn("z", z)
+        .withColumn(
+            "is_anomaly",
+            F.when(z.isNotNull(), F.abs(z) > F.lit(float(z_threshold)))
+            .otherwise(F.lit(False)),
+        )
+    )
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.2,
+    out_col: str = "ewma",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Exponentially weighted moving average per key (recursive
+    y_t = alpha*x_t + (1-alpha)*y_{t-1}, seeded with the first
+    value) — the smoothing companion to rolling_anomalies. The
+    recursion is not expressible as a fixed-frame window, so each
+    key's series runs through one Arrow-batched applyInPandas pass
+    (pandas ewm, C-loop); the shuffle key is the series key, state is
+    one double per key. NULL values carry the previous smoothed value
+    forward."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("ewma: alpha in (0, 1]")
+    out_schema = ", ".join(
+        [f.simpleString().replace(":", " ", 1) for f in df.schema.fields]
+        + [f"{out_col} double"]
+    )
+    sort_cols = [ts_col] + ([order_col] if order_col else [])
+
+    def smooth(pdf):
+        pdf = pdf.sort_values(sort_cols, kind="stable")
+        s = pdf[value_col].astype("float64").ewm(
+            alpha=alpha, adjust=False, ignore_na=True
+        ).mean()
+        return pdf.assign(**{out_col: s})
+
+    return df.groupBy(*key_cols).applyInPandas(
+        lambda pdf: smooth(pdf), out_schema
+    )
+
+
 def event_transitions(
     df: DataFrame,
     user_col: str,

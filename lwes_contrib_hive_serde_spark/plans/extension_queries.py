@@ -4462,3 +4462,52 @@ def q_kmeans_clusters(spark, sf_dir):
         F.col("n_vecs").cast("bigint").alias("n_vecs"),
         ((F.col("nclus") == 1) & F.lit(pure_global)).alias("cluster_pure"),
     ).orderBy("label")
+
+
+@register(
+    "q_rolling_anomalies",
+    shadow=True,
+    oracle="""
+    WITH w AS (
+      SELECT event_type, value,
+             COUNT(value) OVER win AS cnt,
+             AVG(value) OVER win AS m,
+             AVG(value * value) OVER win AS m2
+      FROM events
+      WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(SUM(CASE WHEN abs((value - m) / sqrt(GREATEST(m2 - m*m, 0.0)))
+                              > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM w
+    WHERE cnt = 24 AND sqrt(GREATEST(m2 - m*m, 0.0)) > 0
+    GROUP BY event_type
+    """,
+    doc="Trailing-window anomaly detection "
+    "(analytics.rolling_anomalies): per event_type, each value is "
+    "z-scored against the mean/stddev of its 24 PRECEDING values "
+    "(self-excluded so a spike cannot mask itself; cold-start rows "
+    "unscored). One key-partitioned window, all JVM built-ins — the "
+    "oracle replays the identical frame arithmetic and the 3-sigma "
+    "flag count hash-matches. Run it over rollup partial tables to "
+    "catch volume collapses in the grain they happen.",
+)
+def q_rolling_anomalies(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import analytics as _an
+
+    ev = table(spark, sf_dir, "events")
+    scored = _an.rolling_anomalies(
+        ev, ["event_type"], "ts", "value",
+        window_rows=24, z_threshold=3.0, order_col="event_id",
+    )
+    return (
+        scored.filter(F.col("z").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum(F.when(F.col("is_anomaly"), 1).otherwise(0))
+            .cast("bigint").alias("n_anomalies"),
+        )
+    )

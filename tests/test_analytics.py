@@ -129,3 +129,49 @@ class TestEventFlow:
                    df, "u", "ts", "e", path_len=2, order_col="eid"
                ).collect()]
         assert got == [("a>b", 2), ("b", 1)]  # short path kept as-is
+
+
+class TestRollingAnomalies:
+    def test_planted_spike_flagged(self, spark):
+        import math
+        import random as _r
+
+        rng = _r.Random(3)
+        rows = [(1, i, 10.0 + rng.gauss(0, 0.5)) for i in range(60)]
+        rows[45] = (1, 45, 30.0)  # the spike
+        df = spark.createDataFrame(rows, "k int, t long, v double")
+        out = {r.t: r for r in A.rolling_anomalies(
+            df, ["k"], "t", "v", window_rows=12).collect()}
+        assert out[45].is_anomaly and abs(out[45].z) > 5
+        flagged = [t for t, r in out.items() if r.is_anomaly]
+        assert flagged == [45]  # noise never flags at 3 sigma here
+        # cold start: first 12 rows have no full window
+        for t in range(12):
+            assert out[t].z is None and not out[t].is_anomaly
+        # the spike itself is excluded from its own baseline
+        assert abs(out[45].trail_mean - 10.0) < 0.5
+        # replay one window by hand
+        vals = [rows[i][2] for i in range(33, 45)]
+        mean = sum(vals) / 12
+        var = sum(x * x for x in vals) / 12 - mean * mean
+        assert math.isclose(out[45].trail_mean, mean, rel_tol=1e-12)
+        assert math.isclose(out[45].trail_std, math.sqrt(var), rel_tol=1e-9)
+
+    def test_ewma_matches_recursion(self, spark):
+        rows = [(1, t, float(v)) for t, v in enumerate([1, 2, 6, 2, 1, 9])]
+        df = spark.createDataFrame(rows, "k int, t long, v double")
+        out = [r.ewma for r in A.ewma(df, ["k"], "t", "v", alpha=0.5)
+               .orderBy("t").collect()]
+        want = []
+        y = None
+        for _, _, v in rows:
+            y = v if y is None else 0.5 * v + 0.5 * y
+            want.append(y)
+        assert all(abs(a - b) < 1e-12 for a, b in zip(out, want))
+
+    def test_ewma_alpha_guard(self, spark):
+        df = spark.createDataFrame([(1, 1, 1.0)], "k int, t long, v double")
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="alpha"):
+            A.ewma(df, ["k"], "t", "v", alpha=0.0)
