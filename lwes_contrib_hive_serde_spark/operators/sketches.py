@@ -334,6 +334,40 @@ def cms_estimate(
     return F.least(*counts)
 
 
+def cms_inner_product(
+    cms_a: str | Column, cms_b: str | Column, depth: int, width: int
+) -> Column:
+    """Equi-join SIZE estimate from two Count-Min sketches built with
+    the same (depth, width, hash rows) over the two join columns:
+    |A JOIN B on k| = sum_k f_A(k) * f_B(k), estimated as the MIN over
+    hash rows of the row-wise bucket inner product (Cormode &
+    Muthukrishnan 2005, §4.2). Deterministic guarantee: never
+    undercounts (collisions only ADD mass); overcount <= n_A * n_B *
+    2 / width with probability 1 - 2^-depth per the standard bound.
+
+    The planner's use: estimate a join's output cardinality from two
+    stored sketch columns — e.g. decide broadcast vs shuffle, or
+    detect a fan-out join that would explode, WITHOUT running the
+    join or scanning either table (sketches merge, so per-partition /
+    per-epoch sketches roll up first). Pure JVM fold, sketch-sized
+    input."""
+    a = F.col(cms_a) if isinstance(cms_a, str) else cms_a
+    b = F.col(cms_b) if isinstance(cms_b, str) else cms_b
+    rows = []
+    for r in range(depth):
+        idx = F.sequence(F.lit(r * width + 1), F.lit((r + 1) * width))
+        rows.append(
+            F.aggregate(
+                idx,
+                F.lit(0).cast("long"),
+                lambda acc, i: acc
+                + F.element_at(a, i.cast("int"))
+                * F.element_at(b, i.cast("int")),
+            )
+        )
+    return F.least(*rows)
+
+
 def hist_quantile(
     hist_col: str | Column, q: float, lo: float, hi: float, nbins: int
 ) -> Column:

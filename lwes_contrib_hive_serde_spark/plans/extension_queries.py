@@ -4511,3 +4511,62 @@ def q_rolling_anomalies(spark, sf_dir):
             .cast("bigint").alias("n_anomalies"),
         )
     )
+
+
+@register(
+    "q_join_size_estimate",
+    shadow=True,
+    oracle="""
+    WITH fa AS (
+      SELECT user_id, COUNT(*) AS f FROM events
+      WHERE event_id % 2 = 0 GROUP BY user_id
+    ), fb AS (
+      SELECT user_id, COUNT(*) AS f FROM events
+      WHERE event_id % 2 = 1 GROUP BY user_id
+    )
+    SELECT CAST((SELECT SUM(fa.f * fb.f) FROM fa
+                 JOIN fb USING (user_id)) AS BIGINT) AS exact_join_size,
+           TRUE AS no_undercount,
+           TRUE AS within_slack
+    """,
+    doc="Join-cardinality estimation from Count-Min sketches "
+    "(sketches.cms_inner_product, Cormode & Muthukrishnan 2005 "
+    "SS4.2): |A JOIN B| estimated as the min over hash rows of the "
+    "bucket inner product of the two sides' sketches — never "
+    "undercounts, overcount <= n_A*n_B*2/width, verified in-query "
+    "against the exact join size (which carries the value hash). "
+    "The planner's sketch-only cardinality probe: decide broadcast "
+    "vs shuffle or catch a fan-out explosion WITHOUT scanning either "
+    "table, since the sketches merge and roll up from stored "
+    "partials.",
+)
+def q_join_size_estimate(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import sketches as _sk
+
+    depth, width = 4, 2048
+    ev = table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    ca = _sk.cms_sketch(a.withColumn("g", F.lit(1)), ["g"], "user_id",
+                        depth, width, out_col="ca").drop("g")
+    cb = _sk.cms_sketch(b.withColumn("g", F.lit(1)), ["g"], "user_id",
+                        depth, width, out_col="cb").drop("g")
+    n_a, n_b = a.count(), b.count()
+    exact = (
+        a.select("user_id").join(b.select("user_id"), "user_id").count()
+    )
+    est_df = (
+        ca.withColumn("__j", F.lit(1))
+        .join(cb.withColumn("__j", F.lit(1)), "__j")
+        .select(
+            _sk.cms_inner_product("ca", "cb", depth, width).alias("est")
+        )
+    )
+    slack = 2.0 * n_a * n_b / width
+    return est_df.select(
+        F.lit(exact).cast("bigint").alias("exact_join_size"),
+        (F.col("est") >= F.lit(exact)).alias("no_undercount"),
+        (F.col("est").cast("double") <= F.lit(float(exact) + slack)).alias(
+            "within_slack"
+        ),
+    )

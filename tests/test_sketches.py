@@ -358,3 +358,29 @@ class TestRollupQuantiles:
             .agg(F.count(F.lit(1)).alias("c")).collect()
         }
         assert n_by == exact
+
+
+class TestCmsInnerProduct:
+    def test_join_size_bounds(self, spark):
+        import random as _r
+
+        rng = _r.Random(7)
+        a = [(int(200 * (rng.random() ** 3)),) for _ in range(4000)]
+        b = [(int(200 * (rng.random() ** 2)),) for _ in range(3000)]
+        da = spark.createDataFrame(a, "k int")
+        db = spark.createDataFrame(b, "k int")
+        depth, width = 4, 1024
+        ca = S.cms_sketch(da.withColumn("g", F.lit(1)), ["g"], "k",
+                          depth, width, out_col="ca").drop("g")
+        cb = S.cms_sketch(db.withColumn("g", F.lit(1)), ["g"], "k",
+                          depth, width, out_col="cb").drop("g")
+        est = (
+            ca.withColumn("__j", F.lit(1))
+            .join(cb.withColumn("__j", F.lit(1)), "__j")
+            .select(S.cms_inner_product("ca", "cb", depth, width).alias("e"))
+            .collect()[0]["e"]
+        )
+        exact = da.join(db, "k").count()
+        slack = 2.0 * len(a) * len(b) / width
+        assert exact <= est <= exact + slack, (exact, est, slack)
+        assert est < 2 * exact  # width chosen so the estimate is usable
