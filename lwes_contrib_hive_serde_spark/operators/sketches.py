@@ -334,6 +334,41 @@ def cms_estimate(
     return F.least(*counts)
 
 
+def hll_intersect_estimate(
+    regs_a: str | Column, regs_b: str | Column, p: int
+) -> Column:
+    """|A ∩ B| estimate from two HLL register arrays via
+    inclusion-exclusion: est(A) + est(B) - est(A ∪ B), where the
+    union sketch is the elementwise register max (exact for HLL).
+    Floored at 0 (inclusion-exclusion can go slightly negative for
+    near-disjoint sets). Relative error grows as |A∪B|/|A∩B| shrinks
+    — fine for overlap RATIOS of comparable-size sets (the dedup
+    audit question "how much do these two crawls share?"), wrong
+    tool for needle-in-haystack intersections; use the exact join
+    there."""
+    a = F.col(regs_a) if isinstance(regs_a, str) else regs_a
+    b = F.col(regs_b) if isinstance(regs_b, str) else regs_b
+    union = F.zip_with(a, b, lambda x, y: F.greatest(x, y))
+    est = (
+        hll_estimate(a, p)
+        + hll_estimate(b, p)
+        - hll_estimate(union, p)
+    )
+    return F.greatest(est, F.lit(0.0))
+
+
+def hll_jaccard_estimate(
+    regs_a: str | Column, regs_b: str | Column, p: int
+) -> Column:
+    """Jaccard |A∩B| / |A∪B| estimate from two HLL sketches — the
+    corpus-overlap ratio without materializing either key set."""
+    a = F.col(regs_a) if isinstance(regs_a, str) else regs_a
+    b = F.col(regs_b) if isinstance(regs_b, str) else regs_b
+    union = F.zip_with(a, b, lambda x, y: F.greatest(x, y))
+    u = hll_estimate(union, p)
+    return F.when(u > 0, hll_intersect_estimate(a, b, p) / u)
+
+
 def cms_inner_product(
     cms_a: str | Column, cms_b: str | Column, depth: int, width: int
 ) -> Column:

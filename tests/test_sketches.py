@@ -384,3 +384,37 @@ class TestCmsInnerProduct:
         slack = 2.0 * len(a) * len(b) / width
         assert exact <= est <= exact + slack, (exact, est, slack)
         assert est < 2 * exact  # width chosen so the estimate is usable
+
+
+class TestHllSetAlgebra:
+    def test_intersection_and_jaccard_estimates(self, spark):
+        # A = [0, 30000), B = [20000, 50000): |∩|=10000, |∪|=50000
+        da = spark.range(0, 30000).select(F.lit(1).alias("g"), "id")
+        db = spark.range(20000, 50000).select(F.lit(1).alias("g"), "id")
+        p = 12
+        ca = S.hll_sketch(da, ["g"], "id", p).withColumnRenamed(
+            "hll_regs", "ra"
+        )
+        cb = S.hll_sketch(db, ["g"], "id", p).withColumnRenamed(
+            "hll_regs", "rb"
+        )
+        row = ca.join(cb, "g").select(
+            S.hll_intersect_estimate("ra", "rb", p).alias("i"),
+            S.hll_jaccard_estimate("ra", "rb", p).alias("j"),
+        ).collect()[0]
+        # sigma ~1.6% per estimate; inclusion-exclusion compounds ->
+        # generous 15% band on the intersection, 0.2±0.05 on jaccard
+        assert abs(row.i - 10000) / 10000 < 0.15, row.i
+        assert abs(row.j - 0.2) < 0.05, row.j
+
+    def test_disjoint_floors_at_zero(self, spark):
+        da = spark.range(0, 5000).select(F.lit(1).alias("g"), "id")
+        db = spark.range(100000, 105000).select(F.lit(1).alias("g"), "id")
+        p = 12
+        ca = S.hll_sketch(da, ["g"], "id", p).withColumnRenamed(
+            "hll_regs", "ra")
+        cb = S.hll_sketch(db, ["g"], "id", p).withColumnRenamed(
+            "hll_regs", "rb")
+        row = ca.join(cb, "g").select(
+            S.hll_intersect_estimate("ra", "rb", p).alias("i")).collect()[0]
+        assert 0.0 <= row.i < 500  # near-zero, never negative
