@@ -121,7 +121,14 @@ def compact_store(
     """Re-compress every stored epoch into ONE capacity-k summary per
     group (the mergeable-summaries fold keeps the n/(k+1) bound), then
     replace the epoch directories. Totals are summed into one epoch
-    row likewise."""
+    row likewise.
+
+    The directory swap uses local-filesystem rename semantics (like
+    the journal compactor in operators/maintenance.py); on an object
+    store, point ``state_dir`` at a posix-mounted path or run the
+    swap through the store's own atomic-rename layer. Run compaction
+    only while the streaming query is stopped — it rewrites the same
+    directories the fold appends to."""
     group_cols = list(group_cols)
     cand_dir = os.path.join(state_dir, "cand")
     total_dir = os.path.join(state_dir, "total")
