@@ -1,0 +1,100 @@
+"""Reproduce the SURVEY §6.1 scale evidence: replicate the sf tables
+N-fold (ids remapped, so every document gains N-1 exact twins — a
+worst-ish dedup load) and run the heaviest operator families,
+printing wall times. Writes only under /tmp.
+
+Usage:
+    PYTHONPATH=. python tools/scale_probe.py [N] [SF_DIR]
+    (defaults: N=10, SF_DIR=$SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def xcopies(df, id_col, n, stride=10_000_000):
+    out = df
+    for i in range(1, n):
+        out = out.unionByName(
+            df.withColumn(id_col, F.col(id_col) + F.lit(i * stride))
+        )
+    return out
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(2 * int(cpus)))
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = xcopies(
+        spark.read.parquet(f"{sf}/documents.parquet"), "doc_id", n
+    ).repartition(2 * int(cpus)).persist()
+    events = xcopies(
+        spark.read.parquet(f"{sf}/events.parquet"), "event_id", n
+    ).persist()
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    li_n = li
+    for _ in range(n - 1):
+        li_n = li_n.unionByName(li)
+    li_n = li_n.persist()
+    print(
+        f"N={n}: docs={docs.count()} events={events.count()} "
+        f"lineitem={li_n.count()}"
+    )
+
+    from lwes_contrib_hive_serde_spark.operators import (
+        analytics, dedup, drift, frequent, quantiles,
+    )
+    from lwes_contrib_hive_serde_spark.operators.sampling import hash_uniform
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        v = fn()
+        print(f"  {name:24s} {time.perf_counter() - t0:7.1f}s  result={v}")
+
+    timed("fingerprint_dedup", lambda: dedup.fingerprint_dedup(docs).count())
+    timed("minhash_pairs", lambda: dedup.minhash_dedup_pairs(
+        docs, threshold=0.8, num_hashes=64, bands=16).count())
+    timed("simhash_pairs", lambda: dedup.simhash_neardup_pairs(
+        docs, max_hamming=3).count())
+    ev_items = events.withColumn(
+        "item",
+        F.floor(
+            F.lit(100000.0) * F.pow(hash_uniform("event_id"), F.lit(6.0))
+        ).cast("int"),
+    )
+    timed("heavy_hitters", lambda: frequent.heavy_hitters(
+        ev_items, "item", phi=0.001, k=4000).count())
+    timed("kll_quantiles", lambda: quantiles.kll_quantiles(
+        li_n, "l_extendedprice", [0.5, 0.99], k=200,
+        group_cols=["l_returnflag"]).count())
+    timed("histogram_drift", lambda: drift.histogram_drift(
+        events.filter(F.col("event_id") % 2 == 0),
+        events.filter(F.col("event_id") % 2 == 1),
+        "value", 0.0, 100.0, 20, group_cols=["event_type"]).count())
+    timed("event_transitions", lambda: analytics.event_transitions(
+        events, "user_id", "ts", "event_type", order_col="event_id"
+    ).count())
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
