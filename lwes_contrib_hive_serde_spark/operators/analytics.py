@@ -86,7 +86,10 @@ def rolling_anomalies(
     (the row itself excluded — an anomaly must not mask itself), the
     z-score against them, and an ``is_anomaly`` flag at
     |z| > threshold. Rows without a full trailing window score NULL
-    (no flag on cold start). One window shuffle on the key; every
+    (no flag on cold start), as does a window with zero variance — a
+    jump after 24 IDENTICAL values has no finite z; layer a
+    plain-difference rule on ``trail_mean`` if constancy breaks
+    matter in your stream. One window shuffle on the key; every
     expression is a JVM built-in, so a SQL oracle replays it
     bit-for-bit.
 

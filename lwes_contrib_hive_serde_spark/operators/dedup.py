@@ -610,6 +610,16 @@ def hamming_neardup_pairs(
     sh = df.select(
         F.col(id_col).alias("id"), F.col(hash_col).alias("simhash")
     ).filter(F.col(hash_col).isNotNull())
+    if max_hamming == 0:
+        # exact-equality degenerates to one bucket join on the full
+        # hash (a single 64-bit band literal would overflow LongType)
+        a = sh.select(F.col("id").alias("id1"), "simhash")
+        b = sh.select(F.col("id").alias("id2"), "simhash")
+        return (
+            a.join(b, "simhash")
+            .filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2", F.lit(0).cast("int").alias("hamming"))
+        )
     bands = sh.select(
         "id",
         "simhash",

@@ -1703,3 +1703,16 @@ class TestMp4Header:
             r["frame_offset_ms"] for r in frames.select("frame_offset_ms").collect()
         )
         assert offs == [0, 1000, 2000]  # duration 3000 ms at timescale 600
+
+
+class TestHammingZeroRadius:
+    def test_exact_equality_fast_path(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import dedup
+
+        df = spark.createDataFrame(
+            [(1, 42), (2, 42), (3, -7), (4, -7), (5, 99)],
+            "id long, h long",
+        )
+        got = {(r.id1, r.id2, r.hamming)
+               for r in dedup.hamming_neardup_pairs(df, "id", "h", 0).collect()}
+        assert got == {(1, 2, 0), (3, 4, 0)}
