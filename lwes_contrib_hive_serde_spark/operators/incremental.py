@@ -253,13 +253,13 @@ def incremental_dedup(
 
     Survivors are appended to the index so the next batch sees them.
     """
+    # localCheckpoint, NOT persist: append_survivors writes into the
+    # same buckets/shingles paths this plan reads, which can
+    # invalidate a cached plan — a post-append re-evaluation would
+    # match the batch against its own survivors and drop everything.
     pairs = minhash_index_probe(
         spark, path, batch, id_col, text_col, threshold
-    )
-    from pyspark import StorageLevel
-
-    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-    pairs.count()
+    ).localCheckpoint(eager=True)
     batch_ids = batch.select(F.col(id_col).alias("bid")).distinct()
     # drop: matched a corpus doc (id2 not in batch) …
     corpus_hit = (
@@ -282,3 +282,153 @@ def incremental_dedup(
     if append_survivors:
         minhash_index_append(spark, path, survivors, id_col, text_col)
     return survivors, pairs
+
+
+# ---------------------------------------------------------------------------
+# Incremental IMAGE near-dup: persisted dHash band index
+# ---------------------------------------------------------------------------
+#
+# The multimodal twin of the MinHash index above, with a simpler
+# layout because a perceptual dHash is one 64-bit value — the exact
+# Hamming recheck needs only the stored hash, no shingle table:
+#
+#     <path>/hashes/   (band int, bval long, id long, dhash long)
+#                      parquet, partitioned by band
+#     <path>/meta.json {"max_hamming": d}
+#
+# Pigeonhole banding (shared semantics with dedup.hamming_neardup_pairs):
+# the index side never shuffles; each batch broadcasts its band rows,
+# candidates popcount-recheck against the stored hash in the same join.
+
+
+def _dhash_bands(hashed: DataFrame, max_hamming: int) -> DataFrame:
+    nbands = max_hamming + 1
+    width = 64 // nbands
+    return hashed.select(
+        "id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("dhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bval"),
+                    )
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"),
+             "id", "dhash")
+
+
+def _batch_dhashes(batch: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    from lwes_contrib_hive_serde_spark.operators import multimodal
+
+    return (
+        multimodal.image_dhash(
+            batch.select(id_col, bin_col), bin_col=bin_col, out_col="dhash"
+        )
+        .filter(F.col("dhash").isNotNull())
+        .select(F.col(id_col).alias("id"), "dhash")
+    )
+
+
+def dhash_index_write(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    id_col: str = "id",
+    bin_col: str = "payload",
+    max_hamming: int = 6,
+) -> None:
+    """Build the image index: decode every payload once, store band
+    rows partitioned by band. Undecodable payloads are not indexed
+    (they can never pair — same refusal as image_dhash)."""
+    if not 0 <= max_hamming <= 31:
+        raise ValueError("dhash_index_write: max_hamming in [0, 31]")
+    hashed = _batch_dhashes(df, id_col, bin_col)
+    _dhash_bands(hashed, max_hamming).write.partitionBy("band").mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "hashes"))
+    tmp = os.path.join(path, ".meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"max_hamming": max_hamming, "kind": "dhash"}, f)
+    os.replace(tmp, os.path.join(path, "meta.json"))
+
+
+def dhash_index_probe(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """(batch_id, index_id, hamming) matches of the batch against the
+    index under the frozen radius. The index scan joins against the
+    BROADCAST batch band rows — the large side never shuffles; the
+    band= partitioning prunes each probe to its band's files."""
+    meta = _read_meta(path)
+    d = int(meta["max_hamming"])
+    hashed = _batch_dhashes(batch, id_col, bin_col)
+    bands = _dhash_bands(hashed, d).select(
+        "band", "bval",
+        F.col("id").alias("batch_id"), F.col("dhash").alias("bh"),
+    )
+    idx = spark.read.parquet(os.path.join(path, "hashes"))
+    ham = F.bit_count(F.col("dhash").bitwiseXOR(F.col("bh")))
+    return (
+        idx.join(F.broadcast(bands), ["band", "bval"])
+        .filter(ham <= d)
+        .select(
+            "batch_id",
+            F.col("id").alias("index_id"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+def incremental_image_dedup(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "id",
+    bin_col: str = "payload",
+    append_survivors: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """One incremental image-curation step: (survivors, matches).
+    Keeper rules mirror incremental_dedup: drop any batch image that
+    matches the index; within the batch, keep one representative per
+    dup cluster (min id). Undecodable payloads survive by default —
+    refusing to hash must not silently discard data. Survivors'
+    band rows are appended so the next batch sees them."""
+    meta = _read_meta(path)
+    d = int(meta["max_hamming"])
+    # localCheckpoint, NOT persist: the survivor append below writes
+    # into the same parquet path this plan reads, which INVALIDATES a
+    # cached plan — re-evaluating it post-append would self-match the
+    # batch against its own survivors. The checkpoint severs lineage,
+    # freezing the pre-append answer.
+    matches = dhash_index_probe(
+        spark, path, batch, id_col, bin_col
+    ).localCheckpoint(eager=True)
+    corpus_drop = matches.select(F.col("batch_id").alias("bid")).distinct()
+    hashed = _batch_dhashes(batch, id_col, bin_col)
+    internal = dedup.hamming_neardup_pairs(hashed, "id", "dhash", d)
+    clusters = dedup.dup_clusters(internal.select("id1", "id2"))
+    internal_drop = clusters.filter(
+        F.col("id") != F.col("cluster_id")
+    ).select(F.col("id").alias("bid"))
+    drop = corpus_drop.unionByName(internal_drop).distinct()
+    survivors = batch.join(
+        drop, batch[id_col] == drop["bid"], "left_anti"
+    )
+    if append_survivors:
+        surv_hashed = _batch_dhashes(survivors, id_col, bin_col)
+        _dhash_bands(surv_hashed, d).write.partitionBy("band").mode(
+            "append"
+        ).parquet(os.path.join(path, "hashes"))
+    return survivors, matches

@@ -125,3 +125,71 @@ class TestIncrementalDedup:
         )
         assert "BroadcastHashJoin" in plan
         assert "BroadcastNestedLoop" not in plan
+
+
+class TestIncrementalImageDedup:
+    """Persisted dHash band index (incremental.dhash_index_*)."""
+
+    @staticmethod
+    def _bmp(seed, noise=None, h=32, w=48):
+        import numpy as np
+
+        from lwes_contrib_hive_serde_spark.operators import multimodal
+
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        if noise is not None:
+            nrng = np.random.default_rng(noise)
+            img = np.clip(
+                img.astype(np.int64) + nrng.integers(-3, 4, img.shape),
+                0, 255,
+            ).astype(np.uint8)
+        flat = bytes(int(v) for v in img.reshape(-1))
+        return bytearray(multimodal.gray_bmp_bytes(w, h, flat))
+
+    def test_probe_append_cycle(self, spark, tmp_path):
+        from lwes_contrib_hive_serde_spark.operators import incremental as INC
+
+        path = str(tmp_path / "imgidx")
+        corpus = spark.createDataFrame(
+            [(1, self._bmp(1)), (2, self._bmp(2)), (3, self._bmp(3))],
+            "id long, payload binary",
+        )
+        INC.dhash_index_write(spark, path, corpus, max_hamming=8)
+        batch = spark.createDataFrame(
+            [
+                (10, self._bmp(1, noise=7)),   # near-dup of corpus 1
+                (11, self._bmp(40)),           # fresh
+                (12, self._bmp(40)),           # exact dup of 11 (in batch)
+                (13, bytearray(b"not an image")),  # undecodable
+            ],
+            "id long, payload binary",
+        )
+        surv, matches = INC.incremental_image_dedup(
+            spark, path, batch
+        )
+        got = sorted(r.id for r in surv.collect())
+        assert got == [11, 13]  # 10 hit corpus, 12 lost to 11, 13 kept
+        assert {(r.batch_id, r.index_id) for r in matches.collect()} == {
+            (10, 1)
+        }
+        # the appended survivor is now visible to the NEXT batch
+        batch2 = spark.createDataFrame(
+            [(20, self._bmp(40, noise=9))], "id long, payload binary"
+        )
+        surv2, m2 = INC.incremental_image_dedup(spark, path, batch2)
+        assert surv2.count() == 0
+        assert {r.index_id for r in m2.collect()} == {11}
+
+    def test_radius_guard(self, spark, tmp_path):
+        from lwes_contrib_hive_serde_spark.operators import incremental as INC
+
+        df = spark.createDataFrame(
+            [(1, self._bmp(5))], "id long, payload binary"
+        )
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="max_hamming"):
+            INC.dhash_index_write(
+                spark, str(tmp_path / "x"), df, max_hamming=40
+            )
