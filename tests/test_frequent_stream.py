@@ -98,3 +98,43 @@ class TestStreamHeavyHitters:
         n = sum(allc.values())
         true_heavy = {it for it, c in allc.items() if c > 0.01 * n}
         assert true_heavy and true_heavy <= {r.item for r in report}
+
+
+class TestMgProperty:
+    """Hypothesis: the Misra-Gries guarantee (undercount <= n/(k+1),
+    never overcount, heavy items always present) holds for ANY stream
+    and any chunking — pure-pandas check of the shared _mg_compress
+    fold, no Spark in the loop."""
+
+    def test_random_streams(self):
+        from collections import Counter
+
+        import pandas as pd
+        from hypothesis import given, settings, strategies as st
+
+        from lwes_contrib_hive_serde_spark.operators.frequent import (
+            _mg_compress,
+        )
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            items=st.lists(st.integers(0, 30), min_size=1, max_size=1500),
+            k=st.sampled_from([1, 2, 5, 16]),
+            chunk=st.integers(1, 200),
+        )
+        def check(items, k, chunk):
+            acc = None
+            for i in range(0, len(items), chunk):
+                vc = pd.Series(items[i:i + chunk]).value_counts()
+                acc = vc if acc is None else acc.add(vc, fill_value=0)
+                acc = _mg_compress(acc, k)
+            true = Counter(items)
+            n = len(items)
+            for item, est in acc.items():
+                assert 0 < est <= true[item]  # never overcounts
+                assert true[item] - est <= n / (k + 1) + 1e-9
+            for item, cnt in true.items():
+                if cnt > n / (k + 1):
+                    assert item in acc.index, (item, cnt, n, k)
+
+        check()
