@@ -377,6 +377,53 @@ def top_fraction_filter(
     return df.filter(F.col(score_col) >= F.lit(float(thr))), float(thr)
 
 
+def clip_to_quantiles(
+    df: DataFrame,
+    value_col: str,
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+    k: int = 200,
+    group_cols: Sequence[str] = (),
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorize: clamp ``value_col`` to its [lo_q, hi_q] quantile
+    band, PER GROUP when ``group_cols`` is given — the outlier guard
+    before any mean/variance-sensitive downstream stage (a single
+    corrupt 1e308 row otherwise poisons a whole feature). Bounds come
+    from one grouped KLL pass (sketch-sized broadcast join back);
+    clamping is a pure JVM least/greatest. NULLs pass through
+    unchanged; clip bounds are actual data values, so clipping can
+    never invent a value the group has not seen."""
+    if not 0.0 <= lo_q < hi_q <= 1.0:
+        raise ValueError("clip_to_quantiles: need 0 <= lo_q < hi_q <= 1")
+    group_cols = list(group_cols)
+    out_col = out_col or value_col
+    bounds = kll_quantiles(
+        df, value_col, [lo_q, hi_q], k=k, group_cols=group_cols,
+        prefix="__cq",
+    )
+    lo_name = f"__cq{str(float(lo_q)).replace('.', '_')}"
+    hi_name = f"__cq{str(float(hi_q)).replace('.', '_')}"
+    b = bounds.select(
+        *group_cols,
+        F.col(lo_name).alias("__lo"),
+        F.col(hi_name).alias("__hi"),
+    )
+    if group_cols:
+        joined = df.join(F.broadcast(b), group_cols, "left")
+    else:
+        joined = (
+            df.withColumn("__j", F.lit(1))
+            .join(F.broadcast(b.withColumn("__j", F.lit(1))), "__j", "left")
+            .drop("__j")
+        )
+    clipped = F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi"))
+    return joined.withColumn(
+        out_col,
+        F.when(F.col(value_col).isNotNull(), clipped),
+    ).drop("__lo", "__hi")
+
+
 def quantile_bins(
     df: DataFrame,
     value_col: str,

@@ -195,3 +195,39 @@ class TestKllProperty:
             assert le >= q * arr.size - eps * arr.size - 1
 
         check()
+
+
+class TestClipToQuantiles:
+    def test_grouped_winsorize(self, spark):
+        rng = np.random.default_rng(31)
+        rows = []
+        for g, scale in (("a", 1.0), ("b", 100.0)):
+            for v in rng.normal(0, scale, 2000):
+                rows.append((g, float(v)))
+        rows.append(("a", 1e12))   # the poison row
+        rows.append(("b", None))
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = Q.clip_to_quantiles(
+            df, "v", 0.01, 0.99, k=200, group_cols=["g"], out_col="w"
+        )
+        pdf = {(r.g, r.v): r.w for r in out.collect()}
+        assert pdf[("b", None)] is None
+        # poison clamped to an actual observed "a" value, small scale
+        assert pdf[("a", 1e12)] < 10.0
+        # group bands differ by the scale ratio: "b" keeps wide values
+        import numpy as _np
+
+        wa = [w for (g, v), w in pdf.items() if g == "a" and w is not None]
+        wb = [w for (g, v), w in pdf.items() if g == "b" and w is not None]
+        assert max(map(abs, wb)) > 10 * max(
+            w for w in map(abs, wa) if w < 1e6
+        )
+        # interior values untouched
+        interior = [(v, w) for (g, v), w in pdf.items()
+                    if g == "a" and v is not None and abs(v) < 1.0]
+        assert interior and all(v == w for v, w in interior)
+
+    def test_bad_band_guard(self, spark):
+        df = spark.range(5).selectExpr("CAST(id AS DOUBLE) v")
+        with pytest.raises(ValueError, match="lo_q"):
+            Q.clip_to_quantiles(df, "v", 0.9, 0.1)
