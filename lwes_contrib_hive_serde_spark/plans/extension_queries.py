@@ -3708,7 +3708,8 @@ def q_temporal_join(spark, sf_dir):
     oracle="""
     SELECT p.p_brand,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
-           CAST(SUM(l.l_extendedprice) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_brand
     """,
@@ -3732,7 +3733,9 @@ def q_salted_join(spark, sf_dir):
     )
     return j.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.sum("l_extendedprice").cast("double").alias("revenue"),
+        # dsum, not SUM(double): decimal accumulation is order-free, so
+        # the value hash cannot depend on scan partitioning
+        dsum(F.col("l_extendedprice"), "revenue"),
     )
 
 
