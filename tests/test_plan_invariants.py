@@ -30,6 +30,7 @@ NLJ_ALLOWED = {
     "q_collocations",  # scalar (U, T), same one-row shape
     "q_cms_frequencies",  # two one-row sketch sides (whole + merged CMS)
     "q_top_fraction",  # scalar (n_total) one-row side, same shape
+    "q_join_size_estimate",  # two one-row CMS sketch sides, same shape
 }
 
 
