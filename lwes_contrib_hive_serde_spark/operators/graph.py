@@ -114,3 +114,68 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation counts over the UNDIRECTED
+    simple graph of ``edges`` (directions/duplicates/self-loops
+    collapsed): (id, n_triangles). Nodes in no triangle are absent.
+
+    Algorithm: compact-forward / degree orientation (Latapy 2008,
+    public). Every edge is oriented from its (degree, id)-smaller
+    endpoint to the larger; wedges are generated only between the
+    out-neighbors of each node and closed against the canonical edge
+    set. Orientation bounds each node's out-degree by O(sqrt(m)) on
+    any graph, so the wedge join is O(m^1.5) worst-case instead of
+    sum-of-degrees-squared — the high-degree hub that would explode a
+    naive wedge join generates NO wedges because all its edges point
+    into it.
+
+    Shape: one degree aggregation, two joins over the (pair-sized)
+    edge list, one closing semi-join, one explode+count. The corpus
+    never appears — run it on dup/entity pair outputs to find
+    clique-ish near-dup neighborhoods that min-id clustering hides."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("id").alias("b"), F.col("d").alias("db"))
+    keyed = und.join(da, "a").join(db, "b")
+    # orient lo -> hi by (degree, id); id breaks degree ties totally
+    lo_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = keyed.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    o1 = oriented.select(F.col("u"), F.col("v").alias("v1"))
+    o2 = oriented.select(F.col("u"), F.col("v").alias("v2"))
+    wedges = (
+        o1.join(o2, "u")
+        .filter(F.col("v1") < F.col("v2"))  # each unordered pair once
+    )
+    closing = und.select(
+        F.col("a").alias("v1"), F.col("b").alias("v2")
+    )  # canonical: v1 < v2 already holds for the wedge pair
+    tris = wedges.join(closing, ["v1", "v2"], "left_semi")
+    return (
+        tris.select(
+            F.explode(F.array("u", "v1", "v2")).alias("id")
+        )
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

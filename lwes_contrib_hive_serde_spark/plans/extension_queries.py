@@ -4573,3 +4573,70 @@ def q_join_size_estimate(spark, sf_dir):
             "within_slack"
         ),
     )
+
+
+
+@register(
+    "q_triangle_counts",
+    shadow=True,
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, upper(text) FROM documents WHERE doc_id < 20
+      UNION ALL
+      SELECT doc_id + 2000000, text || '  ' FROM documents WHERE doc_id < 20
+    ), fp AS (
+      SELECT doc_id, md5({_SQL_NORM}) AS f FROM planted
+    ), e AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+    ), tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), nodes AS (
+      SELECT x AS id FROM tri UNION ALL
+      SELECT y FROM tri UNION ALL
+      SELECT z FROM tri
+    )
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY id ORDER BY id
+    """,
+    doc="Per-node triangle counts (graph.triangle_counts, "
+    "compact-forward degree orientation per Latapy 2008): the planted "
+    "3-way duplicate clusters of q_dup_clusters form 20 exact "
+    "triangles over the fingerprint-equality pair graph; every member "
+    "must report exactly its clique participation. Orientation bounds "
+    "wedge generation by O(sqrt(m)) per node, so the hub that would "
+    "explode a naive wedge join generates no wedges. Oracle replays "
+    "the canonical 3-way self-join.",
+)
+def q_triangle_counts(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import graph as _graph
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (
+        d.unionByName(
+            d.filter(F.col("doc_id") < 20).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.upper("text").alias("text"),
+            )
+        ).unionByName(
+            d.filter(F.col("doc_id") < 20).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit("  ")).alias("text"),
+            )
+        )
+    )
+    fp = planted.select(
+        F.col("doc_id").alias("id"), text.fingerprint("text").alias("f")
+    )
+    a = fp.select(F.col("id").alias("id1"), "f")
+    b = fp.select(F.col("id").alias("id2"), "f")
+    pairs = (
+        a.join(b, "f").filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+    )
+    return _graph.triangle_counts(pairs, "id1", "id2").orderBy("id")

@@ -92,3 +92,40 @@ class TestGraphHelpers:
         df = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "src long, dst long")
         got = {r["id"]: r["out_deg"] for r in G.out_degrees(df).collect()}
         assert got == {1: 2, 2: 1}
+
+
+class TestTriangles:
+    def test_known_graph(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import graph as G
+
+        # K4 on {1,2,3,4} (4 triangles, each node in 3), plus a
+        # pendant 4-5 and an isolated edge 8-9; duplicate and
+        # reversed edges must collapse
+        edges = [(1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+                 (4, 5), (8, 9), (1, 1)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.id: r.n_triangles
+               for r in G.triangle_counts(df).collect()}
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_matches_bruteforce_random(self, spark):
+        import itertools
+        import random as _r
+
+        from lwes_contrib_hive_serde_spark.operators import graph as G
+
+        rng = _r.Random(13)
+        nodes = list(range(30))
+        edges = [(a, b) for a, b in itertools.combinations(nodes, 2)
+                 if rng.random() < 0.15]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.id: r.n_triangles
+               for r in G.triangle_counts(df).collect()}
+        es = {frozenset(e) for e in edges}
+        want = {}
+        for a, b, c in itertools.combinations(nodes, 3):
+            if ({frozenset((a, b)), frozenset((b, c)), frozenset((a, c))}
+                    <= es):
+                for x in (a, b, c):
+                    want[x] = want.get(x, 0) + 1
+        assert got == want and sum(want.values()) > 0
