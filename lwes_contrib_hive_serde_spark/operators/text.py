@@ -1336,3 +1336,50 @@ def canonicalize_url(col) -> Column:
         qpart,
     )
     return F.when(scheme.isNull() | host.isNull(), F.lit(None)).otherwise(out)
+
+
+
+def s_stem(col) -> "Column":
+    """Harman's S-stemmer (1991, "How effective is suffixing?" —
+    public rule set): the conservative three-rule English plural
+    stripper, as a pure JVM expression so it runs inside the scan:
+
+        -ies -> -y   unless the word ends in -eies / -aies
+        -es  -> -e   unless the word ends in -aes / -ees / -oes
+        -s   -> ''   unless the word ends in -us / -ss
+
+    Deliberately weaker than Porter (no derivational rules) and
+    exactly mirrorable in any SQL engine — the normalizer for search
+    (BM25/TF-IDF) and vocabulary folding where an aggressive stemmer
+    would merge distinct terms. Apply per token, e.g.
+    ``F.transform(tokens(c), s_stem)``."""
+    w = F.col(col) if isinstance(col, str) else col
+
+    def ends(s):
+        return w.endswith(s)
+
+    strip = lambda n: F.substring(w, 1, F.length(w) - F.lit(n))
+    # each suffix rule CONSUMES its match even when the exception
+    # blocks rewriting ("goes" stops at the -es rule; it must not
+    # fall through to the bare -s rule)
+    return (
+        F.when(
+            ends("ies"),
+            F.when(
+                ends("eies") | ends("aies"), w
+            ).otherwise(F.concat(strip(3), F.lit("y"))),
+        )
+        .when(
+            ends("es"),
+            F.when(
+                ends("aes") | ends("ees") | ends("oes"), w
+            ).otherwise(strip(1)),
+        )
+        .when(
+            ends("s"),
+            F.when(
+                ends("us") | ends("ss") | (F.length(w) <= 1), w
+            ).otherwise(strip(1)),
+        )
+        .otherwise(w)
+    )

@@ -4640,3 +4640,55 @@ def q_triangle_counts(spark, sf_dir):
         .select("id1", "id2")
     )
     return _graph.triangle_counts(pairs, "id1", "id2").orderBy("id")
+
+
+_SQL_STEM = (
+    "CASE WHEN ends_with(t, 'ies') THEN "
+    "  CASE WHEN ends_with(t, 'eies') OR ends_with(t, 'aies') THEN t "
+    "       ELSE substr(t, 1, len(t) - 3) || 'y' END "
+    "WHEN ends_with(t, 'es') THEN "
+    "  CASE WHEN ends_with(t, 'aes') OR ends_with(t, 'ees') "
+    "            OR ends_with(t, 'oes') THEN t "
+    "       ELSE substr(t, 1, len(t) - 1) END "
+    "WHEN ends_with(t, 's') THEN "
+    "  CASE WHEN ends_with(t, 'us') OR ends_with(t, 'ss') "
+    "            OR len(t) <= 1 THEN t "
+    "       ELSE substr(t, 1, len(t) - 1) END "
+    "ELSE t END"
+)
+
+
+@register(
+    "q_s_stem_vocab",
+    shadow=True,
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS t
+      FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT t) AS BIGINT) AS vocab_raw,
+           CAST(COUNT(DISTINCT {_SQL_STEM}) AS BIGINT) AS vocab_stemmed
+    FROM toks GROUP BY lang
+    """,
+    doc="Harman S-stemmer vocabulary folding (text.s_stem — the "
+    "conservative three-rule plural stripper, 1991, as a pure JVM "
+    "when-chain inside the scan): per language, total tokens, raw "
+    "vocabulary, and post-stem vocabulary. The oracle replays the "
+    "exact rule cascade (including the consume-on-exception "
+    "semantics: 'goes' stops at the -es rule, it does not fall "
+    "through to bare -s), so every token's stem is hash-gated.",
+)
+def q_s_stem_vocab(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = d.select(
+        "lang", F.explode(text.tokens("text")).alias("tok")
+    ).withColumn("st", text.s_stem("tok"))
+    return toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("vocab_raw"),
+        F.countDistinct("st").alias("vocab_stemmed"),
+    )

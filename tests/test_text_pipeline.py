@@ -1234,3 +1234,37 @@ class TestCanonicalizeUrl:
     def test_unparseable_is_null(self, spark):
         got = self._canon(spark, ["not a url", "://x", ""])
         assert got == [None, None, None]
+
+
+class TestSStem:
+    def test_rule_table(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import text as T
+
+        cases = {
+            "ponies": "pony",     # -ies -> -y
+            "ties": "ty",         # Harman's documented quirk
+            "aies": "aies",       # -aies exception
+            "boxes": "boxe",      # -es strips the s only
+            "goes": "goes",       # -oes exception
+            "trees": "trees",     # -ees exception
+            "dogs": "dog",        # -s dropped
+            "bus": "bus",         # -us exception
+            "glass": "glass",     # -ss exception
+            "s": "s",             # bare s untouched
+            "cat": "cat",         # no rule
+        }
+        df = spark.createDataFrame([(w,) for w in cases], "w string")
+        got = {r.w: r.s for r in df.select(
+            "w", T.s_stem("w").alias("s")).collect()}
+        assert got == cases
+
+    def test_array_transform_form(self, spark):
+        from pyspark.sql import functions as F
+
+        from lwes_contrib_hive_serde_spark.operators import text as T
+
+        df = spark.createDataFrame([("dogs chase ponies",)], "t string")
+        out = df.select(
+            F.transform(T.tokens("t"), T.s_stem).alias("st")
+        ).collect()[0].st
+        assert out == ["dog", "chase", "pony"]
