@@ -1716,3 +1716,33 @@ class TestHammingZeroRadius:
         got = {(r.id1, r.id2, r.hamming)
                for r in dedup.hamming_neardup_pairs(df, "id", "h", 0).collect()}
         assert got == {(1, 2, 0), (3, 4, 0)}
+
+
+class TestDhashProperty:
+    """Hypothesis (pure numpy, no Spark): dHash is exactly invariant
+    to positive affine luma transforms and never crashes on any
+    image geometry."""
+
+    def test_affine_invariance_any_geometry(self):
+        import numpy as np
+        from hypothesis import given, settings, strategies as st
+
+        from lwes_contrib_hive_serde_spark.operators import multimodal
+
+        @settings(max_examples=50, deadline=None)
+        @given(
+            h=st.integers(1, 40),
+            w=st.integers(2, 40),
+            seed=st.integers(0, 2**31 - 1),
+            gain=st.floats(0.05, 20.0),
+            bias=st.floats(-100.0, 100.0),
+        )
+        def check(h, w, seed, gain, bias):
+            rng = np.random.default_rng(seed)
+            img = rng.uniform(0, 255, size=(h, w))
+            h0 = multimodal.dhash64_from_luma(img)
+            h1 = multimodal.dhash64_from_luma(img * gain + bias)
+            assert h0 == h1  # strictly monotone transforms preserve bits
+            assert -(1 << 63) <= h0 < (1 << 63)
+
+        check()
