@@ -47,6 +47,7 @@ def rollup_partials(
     distinct_col: str | None = None,
     p: int = 12,
     quantile_k: int | None = None,
+    hist: tuple[float, float, int] | None = None,
 ) -> DataFrame:
     """Build the fine-grain partial table.
 
@@ -58,7 +59,10 @@ def rollup_partials(
     mergeable KLL sketch of ``value_col`` per bucket (see
     operators/quantiles.py) so coarser grains can answer p50/p95/...
     by merging partials — quantiles being exactly the metric the
-    scalar states CANNOT derive."""
+    scalar states CANNOT derive. ``hist=(lo, hi, nbins)`` adds the
+    fixed-width histogram state (merge = elementwise add, exact), the
+    input drift.drift_from_histograms consumes — drift between any
+    two stored grains/epochs then needs NO raw re-scan."""
     b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket_start")
     keys = ["bucket_start", *group_cols]
     scalars = (
@@ -87,6 +91,13 @@ def rollup_partials(
             df.select(b, *group_cols, value_col), value_col, quantile_k, keys
         ).drop("n")  # the scalar n (NULLs included) is authoritative
         out = out.join(sk, keys, "left")
+    if hist is not None:
+        lo, hi, nbins = hist
+        hs = sketches.fixed_width_histogram(
+            df.select(b, *group_cols, value_col), keys, value_col,
+            lo, hi, nbins,
+        )
+        out = out.join(hs, keys, "left")
     return out
 
 
@@ -96,6 +107,7 @@ def merge_rollup(
     bucket: str | None = None,
     p: int = 12,
     quantile_k: int = 200,
+    hist_nbins: int | None = None,
 ) -> DataFrame:
     """Re-aggregate a partial table to a coarser grain.
 
@@ -132,6 +144,15 @@ def merge_rollup(
     if has_hll:
         aggs.append(
             sketches.hll_merge_expr("hll_regs", 1 << p).alias("hll_regs")
+        )
+    if "hist" in partials.columns:
+        if hist_nbins is None:
+            raise ValueError(
+                "merge_rollup: partials carry a histogram state; pass "
+                "hist_nbins so the merge width matches the build"
+            )
+        aggs.append(
+            sketches.hist_merge_expr("hist", hist_nbins).alias("hist")
         )
     merged = keyed.groupBy(*keys).agg(*aggs)
     if has_kll:

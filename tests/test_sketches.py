@@ -418,3 +418,52 @@ class TestHllSetAlgebra:
         row = ca.join(cb, "g").select(
             S.hll_intersect_estimate("ra", "rb", p).alias("i")).collect()[0]
         assert 0.0 <= row.i < 500  # near-zero, never negative
+
+
+class TestRollupHistogramDrift:
+    """Histogram states inside the rollup: merged == direct exactly,
+    and two stored epochs drive drift_from_histograms with no raw
+    re-scan."""
+
+    def test_merge_exact_and_epoch_drift(self, spark, events):
+        from lwes_contrib_hive_serde_spark.operators import drift as D
+
+        hist = (0.0, 100.0, 20)
+        hourly = R.rollup_partials(
+            events, "ts", "hour", ["event_type"], "value", hist=hist
+        )
+        via = sorted(map(tuple, R.merge_rollup(
+            hourly, ["event_type"], "day", hist_nbins=20).collect()))
+        direct = sorted(map(tuple, R.rollup_partials(
+            events, "ts", "day", ["event_type"], "value", hist=hist
+        ).collect()))
+        for a, b in zip(via, direct):
+            assert a[-1] == b[-1]  # histogram counts identical
+        # epoch drift purely from stored states
+        e0 = R.merge_rollup(
+            R.rollup_partials(
+                events.filter(F.col("event_id") % 2 == 0),
+                "ts", "hour", ["event_type"], "value", hist=hist,
+            ), ["event_type"], None, hist_nbins=20,
+        ).select("event_type", F.col("hist").alias("h_ref"))
+        e1 = R.merge_rollup(
+            R.rollup_partials(
+                events.filter(F.col("event_id") % 2 == 1),
+                "ts", "hour", ["event_type"], "value", hist=hist,
+            ), ["event_type"], None, hist_nbins=20,
+        ).select("event_type", F.col("hist").alias("h_cur"))
+        out = D.drift_from_histograms(e0.join(e1, "event_type"), 20)
+        rows = out.collect()
+        assert rows
+        for r in rows:
+            # same halves of the same stream: sampling noise only —
+            # well under the 0.2 "action" threshold
+            assert abs(r["psi"]) < 0.15 and r["tv"] < 0.15
+
+    def test_merge_requires_width(self, spark, events):
+        hourly = R.rollup_partials(
+            events, "ts", "hour", ["event_type"], "value",
+            hist=(0.0, 100.0, 20),
+        )
+        with pytest.raises(ValueError, match="hist_nbins"):
+            R.merge_rollup(hourly, ["event_type"], "day")
