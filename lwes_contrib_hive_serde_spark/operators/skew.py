@@ -129,3 +129,65 @@ def salted_join(
     )
     joined = big_s.join(small_s, [*on, "__salt"], how)
     return joined.drop("__salt")
+
+
+def salted_topk(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    k: int,
+    tiebreak_col: str,
+    descending: bool = True,
+    n_salts: int = 32,
+) -> DataFrame:
+    """EXACT top-k rows per group by (order_col, tiebreak) — identical
+    to the window row_number() <= k idiom, without its failure mode:
+    a window sorts and buffers EVERY row of the hottest group on one
+    reducer. Here each (group, salt) sub-group keeps only its own
+    top-k (aggregation buffer bounded by k x rows/salt), then the
+    per-salt winners — at most k x n_salts CANDIDATE rows per group,
+    independent of group size — are re-ranked in a tiny second
+    aggregation. Total ordering comes from (order_col, tiebreak_col),
+    so ties cannot make the result partition-dependent; rows with
+    NULL order values are excluded (a NULL cannot rank).
+    ``descending=True`` negates the order value into an ascending
+    sort key, so it requires a NUMERIC order column (use
+    descending=False or pre-negate otherwise).
+
+    Returns the original columns plus ``rank`` (1-based). Payload
+    rides through the aggregation as a struct."""
+    if k < 1:
+        raise ValueError("salted_topk: k must be >= 1")
+    payload = [c for c in df.columns]
+    ordc = F.col(order_col)
+    # sort_array is ascending; negate descending NUMERIC orders into
+    # ascending sort keys
+    sort_key = (-ordc).alias("__o") if descending else ordc.alias("__o")
+    tb = F.col(tiebreak_col)
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    packed = (
+        df.filter(ordc.isNotNull())
+        .select(
+            *keys,
+            salt.cast("int").alias("__salt"),
+            F.struct(
+                sort_key, tb.alias("__t"),
+                F.struct(*payload).alias("__p"),
+            ).alias("__row"),
+        )
+    )
+    per_salt = packed.groupBy(*keys, "__salt").agg(
+        F.slice(F.sort_array(F.collect_list("__row")), 1, k).alias("__top")
+    )
+    final = per_salt.groupBy(*keys).agg(
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("__top"))), 1, k
+        ).alias("__top")
+    )
+    exploded = final.select(
+        F.posexplode("__top").alias("__pos", "__row")
+    )
+    return exploded.select(
+        "__row.__p.*",
+        (F.col("__pos") + 1).cast("int").alias("rank"),
+    )

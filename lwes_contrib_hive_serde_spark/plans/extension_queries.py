@@ -4692,3 +4692,50 @@ def q_s_stem_vocab(spark, sf_dir):
         F.countDistinct("tok").alias("vocab_raw"),
         F.countDistinct("st").alias("vocab_stemmed"),
     )
+
+
+@register(
+    "q_salted_topk",
+    shadow=True,
+    oracle="""
+    WITH keyed AS (
+      SELECT l_returnflag, l_extendedprice,
+             l_orderkey * 100 + l_linenumber AS tb
+      FROM lineitem
+    ), ranked AS (
+      SELECT l_returnflag, l_extendedprice, tb,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice DESC, tb
+             ) AS rank
+      FROM keyed
+    )
+    SELECT l_returnflag, l_extendedprice, CAST(tb AS BIGINT) AS tb,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 4 ORDER BY l_returnflag, rank
+    """,
+    doc="Skew-proof exact top-k per group (skew.salted_topk): each "
+    "(group, salt) sub-group keeps only its own top-k in a bounded "
+    "aggregation buffer, then <= k x n_salts candidates per group "
+    "re-rank in a tiny second pass — same answer as the window "
+    "row_number idiom (hash-matched here against exactly that SQL) "
+    "without buffering the hottest group's every row on one reducer. "
+    "(l_orderkey, l_linenumber) folds into one total-order tiebreak "
+    "so ties cannot make the result partition-dependent.",
+)
+def q_salted_topk(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import skew
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice",
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber"))
+        .cast("bigint").alias("tb"),
+    )
+    top = skew.salted_topk(
+        li, ["l_returnflag"], "l_extendedprice", 4,
+        tiebreak_col="tb", n_salts=8,
+    )
+    return top.select(
+        "l_returnflag", "l_extendedprice", "tb",
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("l_returnflag", "rank")

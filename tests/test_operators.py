@@ -1750,3 +1750,43 @@ class TestDhashProperty:
             assert -(1 << 63) <= h0 < (1 << 63)
 
         check()
+
+
+class TestSaltedTopk:
+    def test_equals_window_topn(self, spark):
+        import random as _r
+
+        from pyspark.sql import Window
+
+        from lwes_contrib_hive_serde_spark.operators import skew
+
+        rng = _r.Random(23)
+        # hot group 0 holds half the rows; ties in v broken by i
+        rows = [(0 if rng.random() < 0.5 else rng.randint(1, 10),
+                 rng.randint(0, 50) * 1.0, i) for i in range(6000)]
+        df = spark.createDataFrame(rows, "g int, v double, i long")
+        got = sorted(
+            (r.g, r.v, r.i, r.rank)
+            for r in skew.salted_topk(
+                df, ["g"], "v", 5, tiebreak_col="i", n_salts=8
+            ).collect()
+        )
+        w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("i"))
+        want = sorted(
+            (r.g, r.v, r.i, r.rn)
+            for r in df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5).collect()
+        )
+        assert got == want and len(want) == 55
+
+    def test_ascending_and_null_order(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import skew
+
+        df = spark.createDataFrame(
+            [(1, 3.0, 1), (1, 1.0, 2), (1, None, 3), (1, 2.0, 4)],
+            "g int, v double, i long",
+        )
+        got = [(r.i, r.rank) for r in skew.salted_topk(
+            df, ["g"], "v", 2, "i", descending=False
+        ).orderBy("rank").collect()]
+        assert got == [(2, 1), (4, 2)]  # NULL v excluded
