@@ -563,6 +563,19 @@ def dhash64_from_luma(luma) -> int:
     and global contrast scaling preserve every left>right comparison,
     and small local noise flips at most a few of the 64 bits — so
     near-duplicate images land within a small Hamming distance."""
+    grid = _dhash_grid(luma)
+    bits = (grid[:, :-1] > grid[:, 1:]).ravel()  # 8 rows x 8 comparisons
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return v - (1 << 64) if v >= (1 << 63) else v  # two's complement
+
+
+def _dhash_grid(luma):
+    """The 9x8 block-averaged grid dHash compares (exposed so tests
+    can reason about exact ties between adjacent cells — the one
+    place where a monotone luma transform may legitimately flip a
+    comparison)."""
     import numpy as np
 
     a = np.asarray(luma, dtype=np.float64)
@@ -589,11 +602,7 @@ def dhash64_from_luma(luma) -> int:
             - cs[ys[1:, None], xs[None, :-1]]
             + cs[ys[:-1, None], xs[None, :-1]]
         ) / area
-    bits = (grid[:, :-1] > grid[:, 1:]).ravel()  # 8 rows x 8 comparisons
-    v = 0
-    for bit in bits:
-        v = (v << 1) | int(bit)
-    return v - (1 << 64) if v >= (1 << 63) else v  # two's complement
+    return grid
 
 
 def image_dhash(
