@@ -143,23 +143,40 @@ def main():
         # progress to stderr (driver parses only the stdout JSON line)
         print(f"# {name}: {best:.2f}s (median {med:.2f}s)", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "corpus_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": per_query,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "n_queries": len(per_query),
-                "runs_per_query": runs,
-                "agg": "min",
-                "total_median_s": round(total_median, 3),
-                "queries_median": per_query_median,
-                "queries_samples": per_query_samples,
-            }
-        )
+    # Stdout contract (VERDICT r4 #1): the driver's capture window is
+    # small — BENCH_r04.json came back parsed:null because the one-line
+    # payload grew past it once per-query samples+medians were inlined.
+    # Keep stdout to the compact essentials (metric, total, per-query
+    # min) and write the full samples/median payload to a sidecar file
+    # next to this script for the judge's regression attribution.
+    compact = {
+        "metric": "corpus_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(per_query),
+        "runs_per_query": runs,
+        "agg": "min",
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(
+                {
+                    **compact,
+                    "total_median_s": round(total_median, 3),
+                    "queries_median": per_query_median,
+                    "queries_samples": per_query_samples,
+                },
+                f,
+                indent=1,
+            )
+    except OSError as e:
+        print(f"# sidecar write failed: {e}", file=sys.stderr)
+    print(json.dumps(compact))
     spark.stop()
 
 

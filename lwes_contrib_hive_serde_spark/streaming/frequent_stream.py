@@ -25,6 +25,7 @@ Reference n/a; SURVEY §2c extension surface.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Sequence
 
@@ -38,6 +39,26 @@ from lwes_contrib_hive_serde_spark.operators.frequent import (
 )
 
 
+def _compacted_meta_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "compacted_meta.json")
+
+
+def _max_compacted_batch_id(state_dir: str) -> int:
+    """Highest numeric epoch already folded into the compacted summary
+    (-1 if the store was never compacted). Written atomically by
+    ``compact_store``; read on every append so a micro-batch that was
+    persisted but not checkpoint-committed before a crash — and thus
+    replayed by Structured Streaming AFTER a compaction consumed it —
+    is recognized as already-counted instead of re-created next to the
+    compacted dir (which would double-count the epoch and break the
+    est<=true lower bound / ``certain`` no-false-positive guarantee)."""
+    try:
+        with open(_compacted_meta_path(state_dir)) as f:
+            return int(json.load(f)["max_batch_id"])
+    except (OSError, ValueError, KeyError):
+        return -1
+
+
 def append_mg_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -47,7 +68,10 @@ def append_mg_batch(
     group_cols: Sequence[str] = (),
 ) -> None:
     """Fold one micro-batch's MG candidate summary into the store
-    (idempotent per batch_id)."""
+    (idempotent per batch_id, including replays of epochs that a
+    ``compact_store`` run already folded away — those are skipped)."""
+    if batch_id <= _max_compacted_batch_id(state_dir):
+        return  # replayed epoch already inside the compacted summary
     group_cols = list(group_cols)
     cand = mg_candidates(batch_df, item_col, k, group_cols)
     cand.write.mode("overwrite").parquet(
@@ -132,6 +156,15 @@ def compact_store(
     group_cols = list(group_cols)
     cand_dir = os.path.join(state_dir, "cand")
     total_dir = os.path.join(state_dir, "total")
+    # a compaction that crashed between .tmp write and rename leaves a
+    # batch=*.tmp dir the batch=* glob below would double-read — drop
+    # leftovers first (their content is a fold of dirs still present)
+    import shutil
+
+    for d in (cand_dir, total_dir):
+        for entry in os.listdir(d):
+            if entry.startswith("batch=") and entry.endswith(".tmp"):
+                shutil.rmtree(os.path.join(d, entry))
     cand = (
         spark.read.option("basePath", cand_dir)
         .parquet(os.path.join(cand_dir, "batch=*")).drop("batch")
@@ -171,8 +204,19 @@ def compact_store(
         .groupBy(*group_cols)
         .agg(F.sum("n_rows").alias("n_rows"))
     )
-    # write the folded state under fresh epoch dirs, then drop the old
-    import shutil
+    # write the folded state under fresh epoch dirs, then drop the old.
+    # highest NUMERIC epoch being folded away — recorded so a replayed
+    # micro-batch <= this id (written but not checkpoint-committed
+    # before a crash) is skipped by append_mg_batch instead of being
+    # double-counted next to the compacted summary
+    folded_max = _max_compacted_batch_id(state_dir)
+    for entry in os.listdir(cand_dir):
+        if entry.startswith("batch="):
+            suffix = entry[len("batch="):].removesuffix(".tmp")
+            try:
+                folded_max = max(folded_max, int(suffix))
+            except ValueError:
+                pass  # the compacted dir itself (non-numeric id)
 
     compacted.write.mode("overwrite").parquet(
         os.path.join(cand_dir, f"batch={compacted_id}.tmp")
@@ -188,6 +232,10 @@ def compact_store(
             os.path.join(d, f"batch={compacted_id}.tmp"),
             os.path.join(d, f"batch={compacted_id}"),
         )
+    meta_tmp = _compacted_meta_path(state_dir) + ".tmp"
+    with open(meta_tmp, "w") as f:
+        json.dump({"max_batch_id": folded_max}, f)
+    os.rename(meta_tmp, _compacted_meta_path(state_dir))
 
 
 def stream_heavy_hitters(

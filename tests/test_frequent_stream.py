@@ -68,6 +68,61 @@ class TestStreamHeavyHitters:
         for it, r in report.items():
             assert r.est_count <= allc[it]
 
+    def test_replay_after_compaction_not_double_counted(
+        self, spark, tmp_path
+    ):
+        """ADVICE r4 (medium): an epoch written but not
+        checkpoint-committed before a crash is replayed AFTER a
+        compaction already folded it into the compacted summary. The
+        meta file must make the replayed append a no-op, keeping
+        est_count a true lower bound."""
+        import os
+
+        state = str(tmp_path / "hh4")
+        k, phi = 256, 0.01
+        epochs = [_zipf_rows(s + 50, 2500) for s in range(3)]
+        for bid, rows in enumerate(epochs):
+            FS.append_mg_batch(
+                spark.createDataFrame(rows, "item int, rid long"),
+                bid, state, "item", k,
+            )
+        FS.compact_store(spark, state, k)
+        # crash-replay of the last epoch (id 2), already compacted away
+        FS.append_mg_batch(
+            spark.createDataFrame(epochs[2], "item int, rid long"),
+            2, state, "item", k,
+        )
+        # the replayed epoch dir must NOT reappear next to the summary
+        assert os.listdir(str(tmp_path / "hh4" / "cand")) == [
+            "batch=0-compacted"
+        ]
+        report = {r.item: r for r in
+                  FS.read_heavy_hitters(spark, state, phi, k).collect()}
+        allc = Counter(it for rows in epochs for it, _ in rows)
+        n = sum(allc.values())
+        true_heavy = {it for it, c in allc.items() if c > phi * n}
+        assert true_heavy <= set(report)
+        for it, r in report.items():
+            # lower bound survives the replay (would fail if the epoch
+            # were double-counted: est could exceed the true count)
+            assert r.est_count <= allc[it] <= r.ub_count
+            if r.certain:
+                assert allc[it] > phi * n
+        # a genuinely NEW epoch (id 3) must still fold in normally
+        extra = _zipf_rows(77, 2500)
+        FS.append_mg_batch(
+            spark.createDataFrame(extra, "item int, rid long"),
+            3, state, "item", k,
+        )
+        allc2 = allc + Counter(it for it, _ in extra)
+        n2 = sum(allc2.values())
+        report2 = {r.item: r for r in
+                   FS.read_heavy_hitters(spark, state, phi, k).collect()}
+        true_heavy2 = {it for it, c in allc2.items() if c > phi * n2}
+        assert true_heavy2 <= set(report2)
+        for it, r in report2.items():
+            assert r.est_count <= allc2[it] <= r.ub_count
+
     def test_live_stream(self, spark, tmp_path):
         src = str(tmp_path / "src")
         state = str(tmp_path / "hh3")
