@@ -50,7 +50,13 @@ def drift_from_histograms(
     """Append (n_ref, n_cur, psi, kl, tv) to a frame holding two
     aligned histogram columns of nbins+2 buckets each. Pure JVM
     expression fold over the bucket arrays, deterministic
-    index-order summation."""
+    index-order summation.
+
+    A side with zero total count — which rollup_partials legitimately
+    produces for a bucket whose values are all NULL (the histogram
+    merge folds an empty state to a zero vector) — has no distribution
+    to compare: psi/kl/tv are emitted as NULL for that row (never 0/0
+    noise), so callers can tell "no data" from "no drift"."""
     nb = nbins + 2
     s = float(smoothing)
     href, hcur = F.col(ref_col), F.col(cur_col)
@@ -86,14 +92,15 @@ def drift_from_histograms(
             - F.element_at(hcur, i).cast("double") / F.col("__nc")
         )
     )
+    both_sides = (F.col("__nr") > 0) & (F.col("__nc") > 0)
     return (
         joined.withColumn("__nr", n_ref)
         .withColumn("__nc", n_cur)
         .withColumn("n_ref", F.col("__nr").cast("bigint"))
         .withColumn("n_cur", F.col("__nc").cast("bigint"))
-        .withColumn("psi", psi)
-        .withColumn("kl", kl)
-        .withColumn("tv", tv)
+        .withColumn("psi", F.when(both_sides, psi))
+        .withColumn("kl", F.when(both_sides, kl))
+        .withColumn("tv", F.when(both_sides, tv))
         .drop("__nr", "__nc")
     )
 

@@ -106,7 +106,7 @@ def merge_rollup(
     group_cols: Sequence[str],
     bucket: str | None = None,
     p: int = 12,
-    quantile_k: int = 200,
+    quantile_k: int | None = None,
     hist_nbins: int | None = None,
 ) -> DataFrame:
     """Re-aggregate a partial table to a coarser grain.
@@ -123,6 +123,14 @@ def merge_rollup(
     back without touching raw data."""
     has_hll = "hll_regs" in partials.columns
     has_kll = "kll" in partials.columns
+    if has_kll and quantile_k is None:
+        # mirror the hist fail-fast: merging k=128 partials under a
+        # silent k=200 default would apply the wrong compaction caps
+        # and quietly degrade the documented ~3/k rank-error bound
+        raise ValueError(
+            "merge_rollup: partials carry a KLL state; pass quantile_k "
+            "matching the k the partials were built with"
+        )
     if bucket == "keep":
         keyed = partials
         keys = ["bucket_start", *group_cols]
@@ -181,7 +189,7 @@ def rollup_metrics(
     partials: DataFrame,
     p: int = 12,
     qs: Sequence[float] | None = None,
-    quantile_k: int = 200,
+    quantile_k: int | None = None,
 ) -> DataFrame:
     """Attach derived read-time metrics: avg, population variance,
     (if registers are present) the HLL distinct estimate, and (if a
@@ -200,5 +208,10 @@ def rollup_metrics(
     if qs and "kll" in partials.columns:
         from lwes_contrib_hive_serde_spark.operators import quantiles
 
+        if quantile_k is None:
+            raise ValueError(
+                "rollup_metrics: quantile estimates requested over a "
+                "KLL state; pass quantile_k matching the build"
+            )
         out = quantiles.kll_quantile_cols(out, qs, quantile_k)
     return out

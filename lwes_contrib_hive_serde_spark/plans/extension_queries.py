@@ -3745,12 +3745,17 @@ def q_salted_join(spark, sf_dir):
 # md5-fraction u (see sampling.hash_uniform) pushed through u^4 so the
 # synthetic key space (400 items over uniform event ids) concentrates
 # mass near item 0 — a realistic heavy-hitter distribution no natural
-# column of the uniform test corpus provides.
+# column of the uniform test corpus provides. u^4 is spelled as
+# (u*u)*(u*u), NOT POW(u, 4): * and / are IEEE-754 correctly rounded
+# in binary64 so both engines produce bit-identical doubles, whereas
+# java.lang.Math.pow vs libm pow may differ by 1 ulp and flip a FLOOR
+# boundary in one engine only (ADVICE r4).
 _HH_U = (
     "((('0x' || substr(md5('lwespark:' || CAST(event_id AS VARCHAR)), 1, 16))"
     "::UINT64)::DOUBLE / 18446744073709551616.0)"
 )
-_HH_ITEM = f"CAST(FLOOR(400.0 * POW({_HH_U}, 4.0)) AS INTEGER)"
+_HH_U2 = f"({_HH_U} * {_HH_U})"
+_HH_ITEM = f"CAST(FLOOR(400.0 * ({_HH_U2} * {_HH_U2})) AS INTEGER)"
 
 
 @register(
@@ -3777,10 +3782,10 @@ def q_heavy_hitters(spark, sf_dir):
     from lwes_contrib_hive_serde_spark.operators import frequent
     from lwes_contrib_hive_serde_spark.operators.sampling import hash_uniform
 
+    u = hash_uniform("event_id")
+    u2 = u * u  # (u*u)*(u*u), not pow: exact-rounded, engine-identical
     ev = table(spark, sf_dir, "events").withColumn(
-        "item",
-        F.floor(F.lit(400.0) * F.pow(hash_uniform("event_id"), F.lit(4.0)))
-        .cast("int"),
+        "item", F.floor(F.lit(400.0) * (u2 * u2)).cast("int")
     )
     return frequent.heavy_hitters(ev, "item", phi=0.01, k=256).orderBy("item")
 

@@ -68,7 +68,7 @@ def read_rollup(
     group_cols: Sequence[str],
     bucket: str | None = None,
     p: int = 12,
-    quantile_k: int = 200,
+    quantile_k: int | None = None,
 ) -> DataFrame:
     """Merge every stored epoch to the requested grain. ``bucket``:
     a coarser date_trunc unit, ``"keep"`` for the stored grain
@@ -117,6 +117,7 @@ def compact_state(
     state_dir: str,
     group_cols: Sequence[str],
     p: int = 12,
+    quantile_k: int | None = None,
 ) -> int:
     """Merge all existing epoch directories into the highest epoch's
     directory and remove the rest. Returns directories removed. Run
@@ -133,7 +134,7 @@ def compact_state(
     if len(epochs) <= 1:
         return 0
     high = epochs[-1]
-    merged = read_rollup(spark, state_dir, group_cols, "keep", p)
+    merged = read_rollup(spark, state_dir, group_cols, "keep", p, quantile_k)
     # the merged frame must be fully materialized before its source
     # directories are dropped
     tmp = os.path.join(state_dir, f"__compact-{high}")

@@ -68,6 +68,52 @@ class TestHistogramDrift:
         assert row.psi > 1.0  # extreme drift reads extreme
         assert 0.9 < row.tv <= 1.0
 
+    def test_zero_total_side_yields_null_metrics(self, spark):
+        """ADVICE r4: a zero-vector histogram state — which
+        rollup_partials produces for a bucket whose values are all
+        NULL (hist merge folds an empty state to zeros) — must yield
+        NULL psi/kl/tv ("no data"), never 0/0 noise or a zero-side
+        KL, while populated rows are untouched by the guard."""
+        from lwes_contrib_hive_serde_spark.operators import rollup as R
+
+        nbins = 20
+        rows = [
+            ("a", float(i % 10)) for i in range(100)
+        ] + [("z", None) for _ in range(5)]
+        df = spark.createDataFrame(rows, "g string, v double") \
+            .selectExpr("timestamp '2024-01-01' AS ts", "g", "v")
+        parts = R.merge_rollup(
+            R.rollup_partials(
+                df, "ts", "day", ["g"], "v", hist=(0.0, 100.0, nbins)
+            ),
+            ["g"], None, hist_nbins=nbins,
+        ).select("g", F.col("hist").alias("h_ref"))
+        # the merge folds the all-NULL group's missing state to an
+        # all-zero vector — exactly the ADVICE scenario
+        zref = {r.g: r.h_ref for r in parts.collect()}
+        assert zref["z"] is not None and sum(zref["z"]) == 0
+        cur = spark.createDataFrame(
+            [("a", float(i % 10)) for i in range(100)]
+            + [("z", float(i % 10)) for i in range(50)],
+            "g string, v double",
+        )
+        from lwes_contrib_hive_serde_spark.operators import sketches
+
+        hcur = sketches.fixed_width_histogram(
+            cur, ["g"], "v", 0.0, 100.0, nbins, out_col="h_cur"
+        )
+        out = {
+            r.g: r
+            for r in D.drift_from_histograms(
+                parts.join(hcur, "g"), nbins
+            ).collect()
+        }
+        z = out["z"]
+        assert z.n_ref == 0 and z.n_cur == 50
+        assert z.psi is None and z.kl is None and z.tv is None
+        a = out["a"]
+        assert abs(a.psi) < 1e-12 and a.tv == 0.0
+
     def test_grouped(self, spark):
         rows_r = [("a", float(i % 10)) for i in range(300)] + [
             ("b", float(i % 10)) for i in range(300)

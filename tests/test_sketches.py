@@ -328,6 +328,33 @@ class TestRollupQuantiles:
             checked += 1
         assert checked >= 3
 
+    def test_merge_requires_explicit_k_when_kll_present(
+        self, spark, events
+    ):
+        """ADVICE r4: a silent k=200 default over k=128 partials would
+        apply the wrong compaction caps — the merge must fail fast,
+        mirroring the hist_nbins treatment."""
+        import pytest
+
+        hourly = R.rollup_partials(
+            events, "ts", "hour", ["event_type"], "value",
+            quantile_k=self.K,
+        )
+        with pytest.raises(ValueError, match="quantile_k"):
+            R.merge_rollup(hourly, ["event_type"], "day")
+        with pytest.raises(ValueError, match="quantile_k"):
+            R.rollup_metrics(
+                R.merge_rollup(
+                    hourly, ["event_type"], None, quantile_k=self.K
+                ),
+                qs=[0.5],
+            )
+        # partials WITHOUT a KLL state still merge with no k argument
+        plain = R.rollup_partials(
+            events, "ts", "hour", ["event_type"], "value"
+        )
+        assert R.merge_rollup(plain, ["event_type"], "day").count() > 0
+
     def test_alltime_chain_matches_direct_bounds(self, spark, events):
         hourly = R.rollup_partials(
             events, "ts", "hour", ["event_type"], "value",
