@@ -131,6 +131,45 @@ def salted_join(
     return joined.drop("__salt")
 
 
+def _topk_cmp(x: Column, y: Column) -> Column:
+    """array_sort comparator over (__o, __t) ONLY — the payload struct
+    never participates in ordering (it may hold unorderable types like
+    MapType, and on (__o, __t) ties it must not silently rank)."""
+    return (
+        F.when(x["__o"] < y["__o"], -1)
+        .when(x["__o"] > y["__o"], 1)
+        .when(x["__t"] < y["__t"], -1)
+        .when(x["__t"] > y["__t"], 1)
+        .otherwise(0)
+        .cast("int")
+    )
+
+
+def _batch_topk_prefilter(packed: DataFrame, keys: list[str], k: int) -> DataFrame:
+    """Per-Arrow-batch partial top-k (the mg_partials pattern): within
+    each pandas batch keep only each (group, salt)'s k best rows by
+    (__o, __t). A dropped row has >= k better rows in its own
+    sub-group, so it cannot be in the global top-k — the filter is
+    exact. Downstream collect_list buffers then hold at most
+    k x n_batches rows per (group, salt) regardless of how hot the
+    group is."""
+    schema = packed.schema
+    gcols = [*keys, "__salt"]
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) <= k:
+                yield pdf
+                continue
+            yield (
+                pdf.sort_values(["__o", "__t"], kind="mergesort")
+                .groupby(gcols, sort=False, dropna=False)
+                .head(k)
+            )
+
+    return packed.mapInPandas(fn, schema)
+
+
 def salted_topk(
     df: DataFrame,
     keys: list[str],
@@ -139,20 +178,37 @@ def salted_topk(
     tiebreak_col: str,
     descending: bool = True,
     n_salts: int = 32,
+    batch_prefilter: bool = False,
 ) -> DataFrame:
     """EXACT top-k rows per group by (order_col, tiebreak) — identical
     to the window row_number() <= k idiom, without its failure mode:
     a window sorts and buffers EVERY row of the hottest group on one
     reducer. Here each (group, salt) sub-group keeps only its own
-    top-k (aggregation buffer bounded by k x rows/salt), then the
-    per-salt winners — at most k x n_salts CANDIDATE rows per group,
-    independent of group size — are re-ranked in a tiny second
-    aggregation. Total ordering comes from (order_col, tiebreak_col),
-    so ties cannot make the result partition-dependent; rows with
-    NULL order values are excluded (a NULL cannot rank).
-    ``descending=True`` negates the order value into an ascending
-    sort key, so it requires a NUMERIC order column (use
-    descending=False or pre-negate otherwise).
+    top-k, then the per-salt winners — at most k x n_salts CANDIDATE
+    rows per group, independent of group size — are re-ranked in a
+    tiny second aggregation.
+
+    Buffer bound, honestly stated: the per-(group, salt) phase builds
+    its candidate list via collect_list before slicing, so its
+    aggregation buffer holds the ENTIRE sub-group (rows/n_salts for
+    the hottest group) — a 32x improvement over the window idiom, not
+    a k-bound. For pathological skew (one group owning ~all rows),
+    pass ``batch_prefilter=True``: a mapInPandas pass first reduces
+    each Arrow batch to its per-(group, salt) top-k, bounding every
+    downstream aggregation buffer at k x n_batches rows, with
+    identical output (the per-batch filter is exact — see
+    _batch_topk_prefilter). The prefilter costs one Arrow round-trip
+    over the filtered input, so default it off for ordinary skew.
+
+    Ordering: rows sort by (order_col, tiebreak_col) ONLY — the
+    payload struct never participates, so unorderable payload columns
+    (maps) are fine. For a deterministic result the pair must be a
+    total order within each group (unique tiebreak), exactly like the
+    window idiom it replaces. Rows with NULL order values are
+    excluded (a NULL cannot rank); a NULL tiebreak compares as equal
+    and leaves tie order unspecified. ``descending=True`` negates the
+    order value into an ascending sort key, so it requires a NUMERIC
+    order column (use descending=False or pre-negate otherwise).
 
     Returns the original columns plus ``rank`` (1-based). Payload
     rides through the aggregation as a struct."""
@@ -160,28 +216,36 @@ def salted_topk(
         raise ValueError("salted_topk: k must be >= 1")
     payload = [c for c in df.columns]
     ordc = F.col(order_col)
-    # sort_array is ascending; negate descending NUMERIC orders into
+    # array_sort is ascending; negate descending NUMERIC orders into
     # ascending sort keys
-    sort_key = (-ordc).alias("__o") if descending else ordc.alias("__o")
-    tb = F.col(tiebreak_col)
+    sort_key = (-ordc) if descending else ordc
     salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
     packed = (
         df.filter(ordc.isNotNull())
         .select(
             *keys,
             salt.cast("int").alias("__salt"),
-            F.struct(
-                sort_key, tb.alias("__t"),
-                F.struct(*payload).alias("__p"),
-            ).alias("__row"),
+            sort_key.alias("__o"),
+            F.col(tiebreak_col).alias("__t"),
+            F.struct(*payload).alias("__p"),
         )
     )
+    if batch_prefilter:
+        packed = _batch_topk_prefilter(packed, keys, k)
+    row = F.struct(
+        F.col("__o").alias("__o"),
+        F.col("__t").alias("__t"),
+        F.col("__p").alias("__p"),
+    )
     per_salt = packed.groupBy(*keys, "__salt").agg(
-        F.slice(F.sort_array(F.collect_list("__row")), 1, k).alias("__top")
+        F.slice(
+            F.array_sort(F.collect_list(row), _topk_cmp), 1, k
+        ).alias("__top")
     )
     final = per_salt.groupBy(*keys).agg(
         F.slice(
-            F.sort_array(F.flatten(F.collect_list("__top"))), 1, k
+            F.array_sort(F.flatten(F.collect_list("__top")), _topk_cmp),
+            1, k,
         ).alias("__top")
     )
     exploded = final.select(

@@ -1796,3 +1796,83 @@ class TestSaltedTopk:
             df, ["g"], "v", 2, "i", descending=False
         ).orderBy("rank").collect()]
         assert got == [(2, 1), (4, 2)]  # NULL v excluded
+
+    def test_map_payload_column(self, spark):
+        """ADVICE r4: an unorderable payload column (MapType) used to
+        fail at analysis because the payload struct participated in
+        sort_array; the comparator now ranks on (order, tiebreak)
+        only."""
+        from lwes_contrib_hive_serde_spark.operators import skew
+
+        df = spark.createDataFrame(
+            [(1, 3.0, 1, {"a": 1}), (1, 1.0, 2, {"b": 2}),
+             (1, 2.0, 3, {"c": 3}), (2, 9.0, 4, {"d": 4})],
+            "g int, v double, i long, m map<string,int>",
+        )
+        got = {(r.g, r.rank): (r.v, r.m) for r in skew.salted_topk(
+            df, ["g"], "v", 2, "i"
+        ).collect()}
+        assert got[(1, 1)] == (3.0, {"a": 1})
+        assert got[(1, 2)] == (2.0, {"c": 3})
+        assert got[(2, 1)] == (9.0, {"d": 4})
+
+    def test_batch_prefilter_extreme_skew_identical(self, spark):
+        """Extreme-skew tier (VERDICT r4 #4): 99% of rows in ONE group;
+        the mapInPandas per-batch partial top-k must (a) bound every
+        downstream aggregation buffer to k rows per (group, salt) per
+        Arrow batch and (b) return the exact same rows/ranks as the
+        plain path and the window idiom."""
+        import random as _r
+
+        from pyspark.sql import Window
+
+        from lwes_contrib_hive_serde_spark.operators import skew
+
+        rng = _r.Random(7)
+        rows = [(0 if rng.random() < 0.99 else rng.randint(1, 5),
+                 rng.randint(0, 1000) * 1.0, i) for i in range(20000)]
+        df = spark.createDataFrame(rows, "g int, v double, i long") \
+            .repartition(8)
+        k, n_salts = 7, 8
+        plain = sorted(
+            (r.g, r.v, r.i, r.rank)
+            for r in skew.salted_topk(
+                df, ["g"], "v", k, "i", n_salts=n_salts
+            ).collect()
+        )
+        pre = sorted(
+            (r.g, r.v, r.i, r.rank)
+            for r in skew.salted_topk(
+                df, ["g"], "v", k, "i", n_salts=n_salts,
+                batch_prefilter=True,
+            ).collect()
+        )
+        w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("i"))
+        want = sorted(
+            (r.g, r.v, r.i, r.rn)
+            for r in df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k).collect()
+        )
+        assert pre == plain == want
+        # buffer bound: after the prefilter no (group, salt) carries
+        # more than k rows per Arrow batch — 8 partitions x 2500 rows
+        # under the default 10000 maxRecordsPerBatch is 8 batches, so
+        # <= k * 8 rows even for the 99% group (vs ~2475 unfiltered
+        # rows per (g0, salt) feeding collect_list on the plain path)
+        ordc = F.col("v")
+        packed = df.filter(ordc.isNotNull()).select(
+            "g",
+            F.pmod(
+                F.xxhash64(F.monotonically_increasing_id()),
+                F.lit(n_salts),
+            ).cast("int").alias("__salt"),
+            (-ordc).alias("__o"),
+            F.col("i").alias("__t"),
+            F.struct("g", "v", "i").alias("__p"),
+        )
+        filtered = skew._batch_topk_prefilter(packed, ["g"], k)
+        worst = (
+            filtered.groupBy("g", "__salt").count()
+            .agg(F.max("count")).collect()[0][0]
+        )
+        assert worst <= k * 8, worst
