@@ -4234,6 +4234,93 @@ def q_top_fraction(spark, sf_dir):
     )
 
 
+@register(
+    "q_winsorize",
+    shadow=True,
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           TRUE AS lo_in_bound,
+           TRUE AS hi_in_bound,
+           TRUE AS clip_semantics_ok,
+           TRUE AS bounds_are_data_values
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Winsorization (quantiles.clip_to_quantiles): per-group clamp "
+    "of l_extendedprice to its [p5, p95] KLL band — one sketch pass, "
+    "a sketch-sized broadcast join back, and a pure JVM "
+    "least/greatest; the outlier guard before any mean/variance- "
+    "sensitive stage. The KLL estimates cannot be replayed in SQL, so "
+    "the query verifies the hard guarantees in-query (VERDICT r4 #3): "
+    "each clip bound sits within the 3/k rank error of its target "
+    "quantile (tie-safe two-sided count bound), interior rows pass "
+    "through unchanged, every clipped value lands exactly ON its "
+    "bound, and both bounds are actual data values of the group. "
+    "Exact per-group counts carry the value hash; all four booleans "
+    "must be TRUE to match the oracle.",
+)
+def q_winsorize(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import quantiles as _q
+
+    k, lo_q, hi_q = 200, 0.05, 0.95
+    eps = 3.0 / k
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    clipped = _q.clip_to_quantiles(
+        li, "l_extendedprice", lo_q, hi_q, k=k,
+        group_cols=["l_returnflag"], out_col="v_clip",
+    )
+    # deterministic compactor: this second sketch pass reproduces the
+    # exact bounds clip_to_quantiles used, exposing them for checks
+    bounds = _q.kll_quantiles(
+        li, "l_extendedprice", [lo_q, hi_q], k=k,
+        group_cols=["l_returnflag"],
+    ).select(
+        "l_returnflag",
+        F.col("q0_05").alias("__lo"),
+        F.col("q0_95").alias("__hi"),
+    )
+    j = clipped.join(F.broadcast(bounds), "l_returnflag")
+    v = F.col("l_extendedprice")
+    lo, hi = F.col("__lo"), F.col("__hi")
+    vc = F.col("v_clip")
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    agg = j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        cnt(v < lo).alias("lt_lo"),
+        cnt(v <= lo).alias("le_lo"),
+        cnt(v < hi).alias("lt_hi"),
+        cnt(v <= hi).alias("le_hi"),
+        (
+            cnt((v >= lo) & (v <= hi) & (vc != v))
+            + cnt((v < lo) & (vc != lo))
+            + cnt((v > hi) & (vc != hi))
+        ).alias("bad_clip"),
+        F.max(F.when(v == lo, 1).otherwise(0)).alias("lo_is_data"),
+        F.max(F.when(v == hi, 1).otherwise(0)).alias("hi_is_data"),
+    )
+    n = F.col("n_exact").cast("double")
+    return agg.select(
+        "l_returnflag",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (
+            (F.col("lt_lo") <= (lo_q + eps) * n)
+            & (F.col("le_lo") >= (lo_q - eps) * n)
+        ).alias("lo_in_bound"),
+        (
+            (F.col("lt_hi") <= (hi_q + eps) * n)
+            & (F.col("le_hi") >= (hi_q - eps) * n)
+        ).alias("hi_in_bound"),
+        (F.col("bad_clip") == 0).alias("clip_semantics_ok"),
+        ((F.col("lo_is_data") == 1) & (F.col("hi_is_data") == 1))
+        .alias("bounds_are_data_values"),
+    )
+
+
 _DM_U = (
     "((('0x' || substr(md5('lwespark:' || CAST(doc_id AS VARCHAR)), 1, 16))"
     "::UINT64)::DOUBLE / 18446744073709551616.0)"
@@ -4519,6 +4606,64 @@ def q_rolling_anomalies(spark, sf_dir):
             .cast("bigint").alias("n_anomalies"),
         )
     )
+
+
+@register(
+    "q_ewma",
+    shadow=True,
+    oracle="""
+    WITH src AS (
+      SELECT user_id, CAST(event_id AS BIGINT) AS event_id,
+             CAST(event_id % 1024 AS DOUBLE) AS v,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS rn
+      FROM events
+    ), capped AS (
+      SELECT * FROM src WHERE rn <= 30
+    )
+    SELECT a.user_id, a.event_id, a.v,
+           SUM(b.v / CAST(
+                 1 << (a.rn - b.rn
+                       + CASE WHEN b.rn = 1 THEN 0 ELSE 1 END)
+               AS DOUBLE)) AS ewma_v
+    FROM capped a JOIN capped b
+      ON a.user_id = b.user_id AND b.rn <= a.rn
+    GROUP BY a.user_id, a.event_id, a.v, a.rn
+    """,
+    doc="Recursive EWMA smoothing (analytics.ewma, "
+    "y_t = a*x_t + (1-a)*y_{t-1} seeded with the first value): one "
+    "Arrow-batched applyInPandas pass per series key — the recursion "
+    "has no fixed-frame window form. VALUE-HASHED against the "
+    "closed-form SQL replay y_t = x_1/2^(t-1) + sum x_i/2^(t-i+1) "
+    "(VERDICT r4 #3): with alpha = 0.5, integer-derived values < 2^10 "
+    "and series capped at 30 rows, every term and every partial sum "
+    "is a dyadic rational within 53 significand bits, so the pandas "
+    "recursion and the SQL sum are BIT-IDENTICAL doubles in any "
+    "summation order — no tolerance, no rounding. (Division by 1<<n, "
+    "not POW: same exact-rounding reasoning as q_heavy_hitters.)",
+)
+def q_ewma(spark, sf_dir):
+    from pyspark.sql import Window as _W
+
+    from lwes_contrib_hive_serde_spark.operators import analytics as _an
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts",
+        F.col("event_id").cast("bigint").alias("event_id"),
+        (F.col("event_id") % 1024).cast("double").alias("v"),
+    )
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    capped = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 30)
+        .drop("rn")
+    )
+    sm = _an.ewma(
+        capped, ["user_id"], "ts", "v",
+        alpha=0.5, out_col="ewma_v", order_col="event_id",
+    )
+    return sm.select("user_id", "event_id", "v", "ewma_v")
 
 
 @register(
