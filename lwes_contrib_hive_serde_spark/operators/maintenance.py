@@ -14,6 +14,8 @@ single core. Compaction fixes the small tail the cheap way:
 - ``.gz``: re-streamed through gunzip→gzip into a single member
   (multi-member outputs would be legal gzip but the whole-file
   vectorized scan path assumes one member). Still no record decode.
+- ``.zst``: same re-stream shape through the zstandard codec (honest
+  CodecError when the package is absent).
 - ``.journal2`` (v2 container): each file has its own random sync
   marker, so raw concat is invalid — but block payloads are
   marker-independent. The compactor walks blocks sequentially and
@@ -44,7 +46,7 @@ from lwes_contrib_hive_serde_spark.sources import codec as _codec
 
 @dataclass(frozen=True)
 class _Group:
-    fmt: str  # 'v1' | 'gz' | 'v2-none' | 'v2-zlib'
+    fmt: str  # 'v1' | 'gz' | 'zst' | 'v2-none' | 'v2-zlib' | 'v2-zstd'
     files: tuple[str, ...]
     bytes_in: int
 
@@ -76,16 +78,23 @@ def _classify(path: str) -> str | None:
     if path.endswith(".journal2"):
         with open(path, "rb") as f:
             _, codec_id = _codec._v2_read_header(f)
-        return "v2-zlib" if codec_id == _codec.V2_CODEC_ZLIB else "v2-none"
+        return {
+            _codec.V2_CODEC_ZLIB: "v2-zlib",
+            _codec.V2_CODEC_ZSTD: "v2-zstd",
+        }.get(codec_id, "v2-none")
     if path.endswith(".journal.gz") or path.endswith(".gz"):
         return "gz"
+    if path.endswith(".journal.zst") or path.endswith(".zst"):
+        return "zst"
     if path.endswith(".journal"):
         return "v1"
     return None
 
 
 def _suffix(fmt: str) -> str:
-    return {"v1": ".journal", "gz": ".journal.gz"}.get(fmt, ".journal2")
+    return {
+        "v1": ".journal", "gz": ".journal.gz", "zst": ".journal.zst",
+    }.get(fmt, ".journal2")
 
 
 def _copy_group(fmt: str, files: tuple[str, ...], out_path: str) -> int:
@@ -108,8 +117,18 @@ def _copy_group(fmt: str, files: tuple[str, ...], out_path: str) -> int:
                 for p in files:
                     with gzip.open(p, "rb") as f:
                         shutil.copyfileobj(f, out, 1 << 20)
+        elif fmt == "zst":
+            # like gz: re-streamed into a single frame so the
+            # whole-file vectorized scan path's one-shot read holds
+            zstd = _codec._zstd_module()
+            with zstd.open(tmp, "wb") as out:
+                for p in files:
+                    with zstd.open(p, "rb") as f:
+                        shutil.copyfileobj(f, out, 1 << 20)
         else:  # v2: rewrite the per-block marker prefix only
-            codec_name = "zlib" if fmt == "v2-zlib" else "none"
+            codec_name = {
+                "v2-zlib": "zlib", "v2-zstd": "zstd",
+            }.get(fmt, "none")
             marker = os.urandom(_codec.V2_MARKER_LEN)
             with open(tmp, "wb") as out:
                 out.write(_codec.V2_MAGIC)

@@ -449,16 +449,34 @@ def read_journal_records(
         yield ev
 
 
+def _zstd_module():
+    """Try-import ``zstandard`` with an honest error. The reference
+    picks ANY installed Hadoop codec by extension
+    (JournalInputFormat.java:94-105); we mirror that for zstd — the
+    production default at 100 TB — but refuse loudly when the
+    library is absent rather than guessing another codec."""
+    try:
+        import zstandard
+    except ImportError as e:
+        raise CodecError(
+            "zstd journal support requires the 'zstandard' package "
+            "(pip install zstandard); it is not installed"
+        ) from e
+    return zstandard
+
+
 def open_journal(path: str) -> BinaryIO:
     """Open a journal for reading; codec picked by extension like
     JournalInputFormat.java:94-105 (``.gz`` supported; ``.bz2`` via
-    stdlib bz2)."""
+    stdlib bz2; ``.zst`` via the zstandard package when installed)."""
     if path.endswith(".gz"):
         return gzip.open(path, "rb")
     if path.endswith(".bz2"):
         import bz2
 
         return bz2.open(path, "rb")
+    if path.endswith(".zst"):
+        return _zstd_module().open(path, "rb")
     return open(path, "rb")
 
 
@@ -469,6 +487,8 @@ def open_journal_write(path: str) -> BinaryIO:
         import bz2
 
         return bz2.open(path, "wb")
+    if path.endswith(".zst"):
+        return _zstd_module().open(path, "wb")
     return open(path, "wb")
 
 
@@ -512,9 +532,11 @@ def write_journal_file(path: str, events: "Iterator[Event] | list[Event]") -> in
 #   Avro/SequenceFile splits work. False positives (payload bytes that
 #   happen to contain the marker) are rejected structurally: after a
 #   candidate block, the stream must be at another marker or EOF.
-# * ``codec`` applies per BLOCK (0=none, 1=zlib): blocks decompress
-#   independently, so v2 journals are splittable AND compressed — the
-#   v1 format forces a choice (whole-file gzip kills splitting).
+# * ``codec`` applies per BLOCK (0=none, 1=zlib, 2=zstd): blocks
+#   decompress independently, so v2 journals are splittable AND
+#   compressed — the v1 format forces a choice (whole-file gzip kills
+#   splitting). zstd needs the ``zstandard`` package (honest CodecError
+#   when absent); zlib/none are stdlib-only.
 # * Split semantics are Hadoop's: a byte range [start, end) owns every
 #   block whose marker begins at p with start <= p < end, reading past
 #   ``end`` to finish its last block.
@@ -523,9 +545,11 @@ V2_MAGIC = b"LWESJ2\r\n"  # 8 bytes
 V2_MARKER_LEN = 16
 V2_CODEC_NONE = 0
 V2_CODEC_ZLIB = 1
+V2_CODEC_ZSTD = 2
 V2_HEADER_LEN = len(V2_MAGIC) + V2_MARKER_LEN + 1  # 25
 _V2_CODEC_NAMES = {"none": V2_CODEC_NONE, "zlib": V2_CODEC_ZLIB,
-                   "gzip": V2_CODEC_ZLIB}  # gzip alias: same deflate bits
+                   "gzip": V2_CODEC_ZLIB,  # gzip alias: same deflate bits
+                   "zstd": V2_CODEC_ZSTD}
 
 
 class V2Writer:
@@ -548,7 +572,9 @@ class V2Writer:
         if len(marker) != V2_MARKER_LEN:
             raise CodecError(f"sync marker must be {V2_MARKER_LEN} bytes")
         if codec not in _V2_CODEC_NAMES:
-            raise CodecError(f"unknown v2 codec {codec!r} (none|zlib)")
+            raise CodecError(f"unknown v2 codec {codec!r} (none|zlib|zstd)")
+        if _V2_CODEC_NAMES[codec] == V2_CODEC_ZSTD:
+            _zstd_module()  # fail at construction, not first flush
         self._out = out
         self.marker = marker
         self.codec = _V2_CODEC_NAMES[codec]
@@ -575,6 +601,8 @@ class V2Writer:
             import zlib
 
             data = zlib.compress(data, 6)
+        elif self.codec == V2_CODEC_ZSTD:
+            data = _zstd_module().ZstdCompressor().compress(data)
         self._out.write(self.marker)
         self._out.write(struct.pack(">I", len(data)))
         self._out.write(data)
@@ -625,7 +653,7 @@ def _v2_read_header(stream: BinaryIO) -> tuple[bytes, int]:
         raise CodecError("not a v2 journal (bad magic)")
     marker = head[len(V2_MAGIC) : len(V2_MAGIC) + V2_MARKER_LEN]
     codec = head[-1]
-    if codec not in (V2_CODEC_NONE, V2_CODEC_ZLIB):
+    if codec not in (V2_CODEC_NONE, V2_CODEC_ZLIB, V2_CODEC_ZSTD):
         raise CodecError(f"unknown v2 block codec {codec}")
     return marker, codec
 
@@ -635,6 +663,10 @@ def _v2_decode_block(data: bytes, codec: int) -> bytes:
         import zlib
 
         return zlib.decompress(data)
+    if codec == V2_CODEC_ZSTD:
+        # ZstdCompressor.compress frames carry the content size, so
+        # one-shot decompression needs no max_output_size hint
+        return _zstd_module().ZstdDecompressor().decompress(data)
     return data
 
 
@@ -831,10 +863,11 @@ def scan_journal_stats(path: str) -> dict:
                     iter_v2_block_records(block)
                 ):
                     feed(rtime)
-    elif path.endswith(".gz"):
-        import gzip
-
-        with gzip.open(path, "rb") as f:
+    elif path.endswith((".gz", ".bz2", ".zst")):
+        # compressed v1: stream-decompress, headers parsed, payloads
+        # read past (no decode). .bz2 previously fell into the raw
+        # seek branch below and parsed compressed bytes as headers.
+        with open_journal(path) as f:
             while True:
                 head = f.read(HEADER_LENGTH)
                 if len(head) < HEADER_LENGTH:

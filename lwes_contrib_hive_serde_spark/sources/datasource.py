@@ -48,7 +48,11 @@ Reference semantics carried over (file:line cites into /root/reference):
   EventSerDe.java:270-281/420-431, README:62-65).
 * BYTE columns upcast to int16 on write (EventSerDe.java:395-401);
   on read declare short/int (BYTE rejected, EventSerDe.java:252-254).
-* compression chosen by file extension (JournalInputFormat.java:94-105).
+* compression chosen by file extension (JournalInputFormat.java:94-105):
+  ``.gz`` (gzip), ``.bz2`` (stdlib bz2), ``.zst`` (zstandard package,
+  honest CodecError when absent). Write side: ``option("compression",
+  "none"|"gzip"|"zlib"|"zstd")`` — v1 picks the matching extension;
+  v2 maps it to the per-block codec byte (0=none, 1=zlib, 2=zstd).
 
 Performance: the reader decodes straight into per-column lists and
 yields Arrow RecordBatches (~8k rows), so Python→JVM transfer is
@@ -715,7 +719,7 @@ class LwesReader(DataSourceReader):
         fall back to the general per-record path (non-utf-8 charsets,
         SenderIP predicates, non-uniform per-name layouts, exotic
         wire→column type bridges)."""
-        if fpath.endswith((".gz", ".bz2")):
+        if fpath.endswith((".gz", ".bz2", ".zst")):
             # whole-file decompress, then the same vectorized decode —
             # memory is bounded by the writer's roll size
             with c.open_journal(fpath) as fh:
@@ -1358,6 +1362,13 @@ class LwesWriter(DataSourceArrowWriter):
             raise ValueError("lwes: no output path specified")
         self.overwrite = overwrite
         self.compression = options.get("compression", "none").lower()
+        if self.compression not in ("none", "gzip", "zlib", "zstd"):
+            raise ValueError(
+                f"lwes: unknown compression {self.compression!r} "
+                "(none|gzip|zlib|zstd)"
+            )
+        if self.compression == "zstd":
+            c._zstd_module()  # honest ImportError at plan time
         # roll to a new journal once the current one exceeds this size:
         # the format is non-splittable, so downstream scan parallelism
         # = file count — one huge file per task would serialize readers
@@ -1678,7 +1689,11 @@ class LwesWriter(DataSourceArrowWriter):
         if self.v2:
             ext = ".journal2"  # compression is per-block, inside the file
         else:
-            ext = ".journal.gz" if self.compression == "gzip" else ".journal"
+            ext = {
+                "gzip": ".journal.gz",
+                "zlib": ".journal.gz",  # same deflate bits, gzip wrapper
+                "zstd": ".journal.zst",
+            }.get(self.compression, ".journal")
         # streaming replay idempotency: LwesStreamWriter pins a
         # deterministic (epoch, partition) prefix so a replayed
         # microbatch overwrites its predecessor's files instead of
@@ -1745,9 +1760,8 @@ class LwesWriter(DataSourceArrowWriter):
                     f = _V2Sink(
                         cur_tmp,
                         self.block_bytes,
-                        "zlib"
-                        if self.compression in ("gzip", "zlib")
-                        else "none",
+                        {"gzip": "zlib", "zlib": "zlib", "zstd": "zstd"}
+                        .get(self.compression, "none"),
                     )
                 elif self.headerless:
                     f = _HeaderlessSink(cur_tmp)

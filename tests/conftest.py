@@ -29,3 +29,64 @@ def spark():
     L.register(s)
     yield s
     s.stop()
+
+
+@pytest.fixture()
+def stub_zstd(monkeypatch):
+    """A STUB zstandard module (zlib bits under the zstd API surface
+    the codec uses) injected into sys.modules, so zstd PLUMBING —
+    extension dispatch, v2 codec-byte framing, compaction grouping —
+    is testable in containers without the real library. Driver-side
+    only: Spark executor workers are separate processes and do not
+    see it."""
+    import types
+    import zlib
+
+    mod = types.ModuleType("zstandard")
+
+    class _Comp:
+        def compress(self, data):
+            return zlib.compress(data, 3)
+
+    class _Decomp:
+        def decompress(self, data):
+            return zlib.decompress(data)
+
+    class _File:
+        def __init__(self, path, mode):
+            self._f = open(path, mode)
+            self._mode = mode
+            self._buf = b""
+            self._rpos = 0
+
+        def write(self, data):
+            self._buf += data
+            return len(data)
+
+        def read(self, n=-1):
+            if not self._buf:
+                self._buf = zlib.decompress(self._f.read())
+            if n is None or n < 0:
+                out = self._buf[self._rpos:]
+                self._rpos = len(self._buf)
+                return out
+            out = self._buf[self._rpos : self._rpos + n]
+            self._rpos += len(out)
+            return out
+
+        def close(self):
+            if "w" in self._mode:
+                self._f.write(zlib.compress(self._buf, 3))
+            self._f.close()
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            self.close()
+
+    mod.open = lambda path, mode="rb": _File(path, mode)
+    mod.ZstdCompressor = _Comp
+    mod.ZstdDecompressor = _Decomp
+    monkeypatch.setitem(sys.modules, "zstandard", mod)
+    return mod

@@ -3,6 +3,7 @@ read golden journals → expected DataFrames; write→read round-trips
 including compression; column mapping; multi-event; header defaults;
 pushed-down filters; schema inference; raw mode."""
 
+import importlib.util
 import json
 import os
 
@@ -265,6 +266,39 @@ class TestWriteRoundTrip:
             .option("eventName", "G::Z").load(out)
         )
         assert sorted(map(tuple, back.collect())) == [(1, "x"), (2, "y")]
+
+    @pytest.mark.skipif(
+        importlib.util.find_spec("zstandard") is None,
+        reason="zstandard not installed",
+    )
+    def test_write_zstd_v1(self, spark, tmp_path):
+        df = spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string")
+        out = str(tmp_path / "zst_out")
+        (
+            df.write.format("lwes")
+            .option("eventName", "Z::S")
+            .option("compression", "zstd")
+            .mode("append")
+            .save(out)
+        )
+        files = [f for f in os.listdir(out) if f.endswith(".journal.zst")]
+        assert files
+        back = (
+            spark.read.format("lwes").schema("k long, v string")
+            .option("eventName", "Z::S").load(out)
+        )
+        assert sorted(map(tuple, back.collect())) == [(1, "x"), (2, "y")]
+
+    def test_write_unknown_compression_rejected(self, spark, tmp_path):
+        df = spark.createDataFrame([(1,)], "k long")
+        with pytest.raises(Exception, match="unknown compression"):
+            (
+                df.write.format("lwes")
+                .option("eventName", "B::C")
+                .option("compression", "snappy")
+                .mode("append")
+                .save(str(tmp_path / "bad_out"))
+            )
 
     def test_write_header_columns(self, spark, tmp_path):
         df = spark.createDataFrame(
@@ -536,7 +570,20 @@ class TestV2Container:
             .save(out)
         )
 
-    @pytest.mark.parametrize("compression", ["none", "gzip"])
+    @pytest.mark.parametrize(
+        "compression",
+        [
+            "none",
+            "gzip",
+            pytest.param(
+                "zstd",
+                marks=pytest.mark.skipif(
+                    importlib.util.find_spec("zstandard") is None,
+                    reason="zstandard not installed",
+                ),
+            ),
+        ],
+    )
     def test_single_file_splits_into_ranges(self, spark, tmp_path, compression):
         out = str(tmp_path / "v2")
         self._write(spark, out, compression)
