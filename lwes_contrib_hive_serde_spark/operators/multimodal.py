@@ -315,6 +315,173 @@ def decode_audio_pcm(
     return df.mapInPandas(extract, out_schema)
 
 
+# MPEG audio frame-header tables (public layout, ISO/IEC 11172-3 /
+# 13818-3 — same publish-spec approach as the JPEG SOF walker above).
+# Bitrate kbps by (version-group, layer, index 1-14); index 0 is
+# free-format (bitrate not in the header → refused, not guessed) and
+# 15 is forbidden.
+_MP3_BITRATES = {
+    # (is_v1, layer): 14 entries for indices 1..14
+    (True, 1): (32, 64, 96, 128, 160, 192, 224, 256,
+                288, 320, 352, 384, 416, 448),
+    (True, 2): (32, 48, 56, 64, 80, 96, 112, 128,
+                160, 192, 224, 256, 320, 384),
+    (True, 3): (32, 40, 48, 56, 64, 80, 96, 112,
+                128, 160, 192, 224, 256, 320),
+    (False, 1): (32, 48, 56, 64, 80, 96, 112, 128,
+                 144, 160, 176, 192, 224, 256),
+    (False, 2): (8, 16, 24, 32, 40, 48, 56, 64,
+                 80, 96, 112, 128, 144, 160),
+    (False, 3): (8, 16, 24, 32, 40, 48, 56, 64,
+                 80, 96, 112, 128, 144, 160),
+}
+# sample rate Hz by (version bits, index 0-2): 3=V1, 2=V2, 0=V2.5
+_MP3_RATES = {
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+
+
+def _mp3_frame_header(b: bytes, pos: int):
+    """Parse one MPEG audio frame header at ``pos``: (frame_bytes,
+    samples_per_frame, sample_rate, bitrate_kbps, channels, layer,
+    version_bits) or None if the 4 bytes are not a valid header."""
+    if pos + 4 > len(b):
+        return None
+    h = int.from_bytes(b[pos : pos + 4], "big")
+    if (h >> 21) & 0x7FF != 0x7FF:  # 11-bit frame sync
+        return None
+    ver = (h >> 19) & 0x3  # 0=V2.5, 1=reserved, 2=V2, 3=V1
+    layer_bits = (h >> 17) & 0x3  # 0=reserved, 1=L3, 2=L2, 3=L1
+    br_idx = (h >> 12) & 0xF
+    sr_idx = (h >> 10) & 0x3
+    padding = (h >> 9) & 0x1
+    mode = (h >> 6) & 0x3  # 3 = mono
+    if ver == 1 or layer_bits == 0 or br_idx in (0, 15) or sr_idx == 3:
+        return None  # reserved / free-format / forbidden
+    layer = 4 - layer_bits  # 1, 2, 3
+    is_v1 = ver == 3
+    bitrate = _MP3_BITRATES[(is_v1, layer)][br_idx - 1] * 1000
+    rate = _MP3_RATES[ver][sr_idx]
+    if layer == 1:
+        samples = 384
+        frame_bytes = (12 * bitrate // rate + padding) * 4
+    elif layer == 2 or is_v1:
+        samples = 1152
+        frame_bytes = 144 * bitrate // rate + padding
+    else:  # layer 3, V2/V2.5: half-size granule
+        samples = 576
+        frame_bytes = 72 * bitrate // rate + padding
+    channels = 1 if mode == 3 else 2
+    return frame_bytes, samples, rate, bitrate // 1000, channels, layer, ver
+
+
+def parse_mp3_frames(b: bytes):
+    """(duration_ms, avg_bitrate_kbps, sample_rate, channels,
+    n_frames, layer) from an MPEG audio frame-header walk — duration
+    and bitrate for the dominant compressed-audio format WITHOUT
+    decoding a single sample (frame headers carry size and sample
+    count; VBR streams average per-frame bitrates). Skips a leading
+    ID3v2 tag (syncsafe size) and accepts a trailing 128-byte ID3v1
+    tag.
+
+    Honesty contract (same as decode_audio_pcm): None — never a
+    guess — for non-MPEG bytes, a TRUNCATED final frame, a desync
+    mid-stream (bytes after a frame that are neither a valid next
+    header, an ID3v1 tag, nor EOF), free-format streams (bitrate not
+    in the header), or mixed sample rates / layers across frames.
+    Entropy decode of the audio itself needs a real codec; these
+    METADATA columns do not."""
+    pos, n = 0, len(b)
+    if n >= 10 and b[:3] == b"ID3":
+        size = ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14) \
+            | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
+        pos = 10 + size + (10 if b[5] & 0x10 else 0)  # + footer if any
+    first = _mp3_frame_header(b, pos)
+    if first is None:
+        return None
+    rate0, layer0, ver0 = first[2], first[5], first[6]
+    n_frames = total_samples = bitrate_sum = 0
+    channels = first[4]
+    while pos < n:
+        if n - pos == 128 and b[pos : pos + 3] == b"TAG":
+            break  # ID3v1 trailer
+        hdr = _mp3_frame_header(b, pos)
+        if hdr is None:
+            return None  # desync / torn header
+        fb, samples, rate, kbps, ch, layer, ver = hdr
+        if (rate, layer, ver) != (rate0, layer0, ver0):
+            return None  # mixed stream parameters: refuse, don't guess
+        if pos + fb > n:
+            return None  # truncated final frame
+        n_frames += 1
+        total_samples += samples
+        bitrate_sum += kbps
+        pos += fb
+    if n_frames == 0:
+        return None
+    duration_ms = total_samples * 1000 // rate0
+    return (
+        int(duration_ms),
+        int(round(bitrate_sum / n_frames)),
+        int(rate0),
+        int(channels),
+        int(n_frames),
+        int(layer0),
+    )
+
+
+def decode_mp3_meta(
+    df: DataFrame, bin_col: str = "payload", batch_size: int = 64
+) -> DataFrame:
+    """Append (mp3_duration_ms, mp3_bitrate_kbps, mp3_sample_rate,
+    mp3_channels, mp3_n_frames, mp3_layer) parsed from MPEG audio
+    payloads via mapInPandas; NULLs for anything parse_mp3_frames
+    refuses. Header-only — sample data never ships through Python."""
+    in_schema = df.schema
+    out_schema = ", ".join(
+        [f.simpleString().replace(":", " ", 1) for f in in_schema.fields]
+        + [
+            "mp3_duration_ms long", "mp3_bitrate_kbps int",
+            "mp3_sample_rate int", "mp3_channels int",
+            "mp3_n_frames int", "mp3_layer int",
+        ]
+    )
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            cols = {k: [] for k in ("d", "b", "r", "c", "n", "l")}
+            for raw in pdf[bin_col]:
+                parsed = parse_mp3_frames(
+                    bytes(raw) if raw is not None else b""
+                )
+                if parsed is None:
+                    for k in cols:
+                        cols[k].append(None)
+                else:
+                    d, kbps, r, c_, nf, layer = parsed
+                    cols["d"].append(d); cols["b"].append(kbps)
+                    cols["r"].append(r); cols["c"].append(c_)
+                    cols["n"].append(nf); cols["l"].append(layer)
+            yield pdf.assign(
+                mp3_duration_ms=pd.array(cols["d"], dtype="Int64"),
+                mp3_bitrate_kbps=pd.array(cols["b"], dtype="Int32"),
+                mp3_sample_rate=pd.array(cols["r"], dtype="Int32"),
+                mp3_channels=pd.array(cols["c"], dtype="Int32"),
+                mp3_n_frames=pd.array(cols["n"], dtype="Int32"),
+                mp3_layer=pd.array(cols["l"], dtype="Int32"),
+            )
+
+    spark = df.sparkSession
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+    )
+    return df.mapInPandas(decode, out_schema)
+
+
 def parse_mp4_header(b: bytes):
     """(duration_ms, timescale, n_tracks, width, height) from an ISO
     BMFF (MP4/MOV, ISO/IEC 14496-12 public layout) moov box walk;

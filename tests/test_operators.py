@@ -632,6 +632,130 @@ class TestAudioPlumbing:
         assert out[1].duration_ms >= 100
 
 
+class TestMp3Metadata:
+    """MPEG audio frame-header walk (multimodal.parse_mp3_frames /
+    decode_mp3_meta, VERDICT r4 #5): duration/bitrate/samplerate for
+    the dominant compressed-audio format via the PUBLIC frame-header
+    layout — same approach as the JPEG SOF walker — with the NULL
+    (never guess) policy for truncated/invalid/free-format streams."""
+
+    @staticmethod
+    def _header(ver=3, layer=3, br_idx=9, sr_idx=0, pad=0, mode=0):
+        layer_bits = 4 - layer
+        h = (
+            (0x7FF << 21) | (ver << 19) | (layer_bits << 17) | (1 << 16)
+            | (br_idx << 12) | (sr_idx << 10) | (pad << 9) | (mode << 6)
+        )
+        return h.to_bytes(4, "big")
+
+    @classmethod
+    def _frame(cls, **kw):
+        from lwes_contrib_hive_serde_spark.operators import multimodal
+
+        hdr = cls._header(**kw)
+        fb = multimodal._mp3_frame_header(hdr, 0)[0]
+        return hdr + b"\x55" * (fb - 4)
+
+    def test_cbr_v1_l3(self):
+        from lwes_contrib_hive_serde_spark.operators import multimodal
+
+        # V1 L3, 44100 Hz, br_idx 9 = 128 kbps, stereo: frame size
+        # 144*128000//44100 = 417 bytes, 1152 samples/frame
+        blob = b"".join(self._frame() for _ in range(10))
+        assert len(blob) == 417 * 10
+        d, kbps, sr, ch, nf, layer = multimodal.parse_mp3_frames(blob)
+        assert (kbps, sr, ch, nf, layer) == (128, 44100, 2, 10, 3)
+        assert d == 10 * 1152 * 1000 // 44100  # 261 ms
+
+    def test_vbr_average_and_padding(self):
+        from lwes_contrib_hive_serde_spark.operators import multimodal
+
+        # alternating 128/192 kbps (br_idx 9/11) with padding bits
+        blob = b"".join(
+            self._frame(br_idx=9 if i % 2 == 0 else 11, pad=i % 2)
+            for i in range(8)
+        )
+        d, kbps, sr, ch, nf, layer = multimodal.parse_mp3_frames(blob)
+        assert (kbps, nf) == (160, 8)  # (128+192)/2
+
+    def test_v2_l3_half_granule_and_mono(self):
+        from lwes_contrib_hive_serde_spark.operators import multimodal
+
+        # V2 (ver bits 2) L3 @ 22050 Hz (sr_idx 0), br_idx 4 = 32
+        # kbps, mono: 576 samples, frame = 72*32000//22050 = 104
+        blob = b"".join(
+            self._frame(ver=2, br_idx=4, mode=3) for _ in range(20)
+        )
+        d, kbps, sr, ch, nf, layer = multimodal.parse_mp3_frames(blob)
+        assert (kbps, sr, ch, nf) == (32, 22050, 1, 20)
+        assert d == 20 * 576 * 1000 // 22050
+
+    def test_id3v2_prefix_and_id3v1_trailer(self):
+        from lwes_contrib_hive_serde_spark.operators import multimodal
+
+        tag_body = b"\x00" * 200
+        # syncsafe 200 = 0b0000001_1001000 -> bytes (0,0,1,72)
+        id3v2 = b"ID3\x04\x00\x00" + bytes([0, 0, 200 >> 7, 200 & 0x7F]) \
+            + tag_body
+        id3v1 = b"TAG" + b"\x00" * 125
+        blob = id3v2 + b"".join(self._frame() for _ in range(5)) + id3v1
+        d, kbps, sr, ch, nf, layer = multimodal.parse_mp3_frames(blob)
+        assert nf == 5 and sr == 44100
+
+    def test_null_policy_refusals(self):
+        from lwes_contrib_hive_serde_spark.operators import multimodal as m
+
+        good = self._frame()
+        assert m.parse_mp3_frames(b"") is None
+        assert m.parse_mp3_frames(b"not audio at all") is None
+        # truncated final frame
+        assert m.parse_mp3_frames(good + good[:100]) is None
+        # mid-stream desync (garbage between frames)
+        assert m.parse_mp3_frames(good + b"\x00\x01\x02\x03" + good) is None
+        # free-format (br_idx 0): bitrate not in header — refused
+        assert m.parse_mp3_frames(self._header(br_idx=0) + b"\x55" * 400) is None
+        # reserved version / layer / sr_idx
+        assert m.parse_mp3_frames(self._header(ver=1) + b"\x55" * 400) is None
+        assert m.parse_mp3_frames(self._header(sr_idx=3) + b"\x55" * 400) is None
+        # mixed sample rates across frames: refuse, don't guess
+        v1 = self._frame()
+        v2 = self._frame(sr_idx=1)
+        assert m.parse_mp3_frames(v1 + v2) is None
+
+    def test_fuzz_never_raises(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from lwes_contrib_hive_serde_spark.operators import multimodal as m
+
+        @settings(max_examples=150, deadline=None)
+        @given(st.binary(max_size=2048))
+        def check(b):
+            out = m.parse_mp3_frames(b)
+            if out is not None:
+                d, kbps, sr, ch, nf, layer = out
+                assert nf >= 1 and sr > 0 and kbps > 0 and layer in (1, 2, 3)
+                assert ch in (1, 2) and d >= 0
+
+        check()
+
+    def test_decode_mp3_meta_spark(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import multimodal
+
+        blob = b"".join(self._frame() for _ in range(4))
+        df = spark.createDataFrame(
+            [(1, bytearray(blob)), (2, bytearray(b"junk")), (3, None)],
+            "id long, payload binary",
+        )
+        out = {r.id: r for r in multimodal.decode_mp3_meta(df).collect()}
+        assert out[1].mp3_n_frames == 4
+        assert out[1].mp3_sample_rate == 44100
+        assert out[1].mp3_bitrate_kbps == 128
+        assert out[1].mp3_duration_ms == 4 * 1152 * 1000 // 44100
+        assert out[2].mp3_duration_ms is None
+        assert out[3].mp3_duration_ms is None
+
+
 class TestPcmDecode:
     """Real PCM WAV waveform decode (multimodal.parse_wav_pcm /
     decode_audio_pcm) — known sine waves have closed-form RMS, peak,
