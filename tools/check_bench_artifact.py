@@ -1,0 +1,150 @@
+"""Sanity-check a driver-produced BENCH_r{N}.json against a clean
+local re-run (VERDICT r4 #6).
+
+The per-round bench runs on a SHARED host: r4's artifact reported
+q_c4_clean at 4.3x its true cost purely from co-tenant contention,
+which — unchallenged — would have misdirected a round of optimization
+toward code that had not changed. This tool re-times, on an otherwise
+quiet machine, every query whose driver-reported time exceeds
+``--factor`` (default 2x) times nothing-else-running local cost, and
+records BOTH numbers so a regression claim is always backed by two
+independent measurements.
+
+Usage (from repo root, with nothing else running):
+
+    PYTHONPATH=. python tools/check_bench_artifact.py BENCH_r05.json \
+        [--factor 2.0] [--runs 3] [--sf-dir /root/testdata/sf0.1]
+
+Output: one line per suspect query with driver vs clean-min seconds
+and a verdict (HOST-NOISE when the clean run is under the driver time
+by the factor; REGRESSED-LOCALLY-TOO when the clean run confirms it),
+plus a JSON report next to the artifact
+(``<artifact>.recheck.json``) for the next round's judge.
+
+The artifact's ``queries`` map may live at the top level or inside a
+``parsed`` wrapper; entries of ``null`` (driver-side error) are
+re-run unconditionally.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def load_driver_queries(path: str) -> dict[str, float | None]:
+    with open(path) as f:
+        art = json.load(f)
+    node = art.get("parsed") if isinstance(art.get("parsed"), dict) else art
+    qs = node.get("queries")
+    if not isinstance(qs, dict):
+        raise SystemExit(
+            f"{path}: no 'queries' map found (artifact truncated? "
+            "that itself is VERDICT r4 finding #1 — re-run bench.py)"
+        )
+    return qs
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("artifact")
+    ap.add_argument("--factor", type=float, default=2.0)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    args = ap.parse_args()
+
+    driver_times = load_driver_queries(args.artifact)
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from lwes_contrib_hive_serde_spark.session import make_session
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    spark = make_session(
+        master=f"local[{args.cpus}]",
+        app_name="bench-artifact-recheck",
+        shuffle_partitions=int(args.cpus),
+    )
+    # one untimed warmup so JVM/JIT cost doesn't masquerade as a confirm
+    try:
+        next(iter(qs.values()))(spark, args.sf_dir).limit(1).collect()
+    except Exception:
+        pass
+
+    report = {}
+    for name, dt in driver_times.items():
+        if name not in qs:
+            report[name] = {"driver_s": dt, "verdict": "UNKNOWN-QUERY"}
+            continue
+        suspect = dt is None
+        clean = None
+        if not suspect:
+            # first pass: one clean sample; only multi-sample queries
+            # that look slow (avoids re-running the whole corpus)
+            t0 = time.perf_counter()
+            qs[name](spark, args.sf_dir).count()
+            clean = time.perf_counter() - t0
+            suspect = dt > args.factor * clean
+        if not suspect:
+            report[name] = {
+                "driver_s": dt,
+                "clean_s": round(clean, 4),
+                "verdict": "OK",
+            }
+            continue
+        samples = []
+        for _ in range(max(1, args.runs)):
+            t0 = time.perf_counter()
+            qs[name](spark, args.sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        clean_min = min(samples + ([clean] if clean is not None else []))
+        if dt is None:
+            verdict = "DRIVER-ERROR-RUNS-LOCALLY"
+        elif dt > args.factor * clean_min:
+            verdict = "HOST-NOISE"
+        else:
+            verdict = "REGRESSED-LOCALLY-TOO"
+        report[name] = {
+            "driver_s": dt,
+            "clean_min_s": round(clean_min, 4),
+            "clean_samples_s": [round(s, 4) for s in samples],
+            "verdict": verdict,
+        }
+        print(
+            f"{name}: driver={dt}s clean_min={clean_min:.3f}s -> {verdict}",
+            file=sys.stderr,
+        )
+    spark.stop()
+
+    flagged = {
+        k: v for k, v in report.items() if v["verdict"] not in ("OK",)
+    }
+    out_path = args.artifact + ".recheck.json"
+    with open(out_path, "w") as f:
+        json.dump(
+            {
+                "artifact": os.path.basename(args.artifact),
+                "factor": args.factor,
+                "sf_dir": args.sf_dir,
+                "flagged": flagged,
+                "n_queries": len(report),
+                "n_flagged": len(flagged),
+            },
+            f,
+            indent=1,
+        )
+    print(json.dumps({"n_queries": len(report), "n_flagged": len(flagged),
+                      "report": out_path}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
