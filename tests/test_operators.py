@@ -1921,6 +1921,39 @@ class TestSaltedTopk:
         ).orderBy("rank").collect()]
         assert got == [(2, 1), (4, 2)]  # NULL v excluded
 
+    def test_auto_n_salts(self, spark):
+        """CMS-driven salt sizing (VERDICT r4 #7): a 90%-one-key
+        distribution needs ~0.9*P salts; a uniform one needs none.
+        The CMS bound only overestimates, so the suggestion may err
+        high (safe) but never leaves the hot key unsplit."""
+        import random as _r
+
+        from lwes_contrib_hive_serde_spark.operators import skew
+
+        P = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        rng = _r.Random(11)
+        hot = spark.createDataFrame(
+            [(0 if rng.random() < 0.9 else rng.randint(1, 1000), i)
+             for i in range(20000)],
+            "g int, i long",
+        )
+        n = skew.auto_n_salts(hot, ["g"])
+        import math
+
+        assert math.ceil(0.9 * P) <= n <= min(256, math.ceil(1.2 * P)), n
+        uniform = spark.range(20000).selectExpr("id % 5000 AS g", "id AS i")
+        assert skew.auto_n_salts(uniform, ["g"]) == 1
+        empty = hot.filter("g < 0")
+        assert skew.auto_n_salts(empty, ["g"]) == 1
+        # the suggestion feeds the exact rewrite unchanged
+        got = sorted(
+            map(tuple, skew.salted_agg(
+                hot, ["g"], {"n": ("count", "i")}, n_salts=n
+            ).collect())
+        )
+        want = sorted(map(tuple, hot.groupBy("g").count().collect()))
+        assert got == want
+
     def test_map_payload_column(self, spark):
         """ADVICE r4: an unorderable payload column (MapType) used to
         fail at analysis because the payload struct participated in
