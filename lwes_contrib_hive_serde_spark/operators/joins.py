@@ -7,6 +7,9 @@ no per-row Python — so they scale like a sort-merge join.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -142,3 +145,148 @@ def range_join(
         & (F.col(left_point) < F.col(right_hi))
     )
     return joined.drop("__bucket")
+
+
+def _bloom_set_bits(bits, keys, m_bits: int, num_hashes: int) -> None:
+    """Set Kirsch-Mitzenmacher double-hash probes (h1 + i*h2 mod m)
+    for a batch of int64 xxhash64 keys — same probe scheme as
+    dedup.build_ngram_bloom so one hash family serves both tiers."""
+    ks = np.asarray(keys, dtype=np.int64).view(np.uint64)
+    h1 = ks & np.uint64(0xFFFFFFFF)
+    h2 = (ks >> np.uint64(32)) | np.uint64(1)  # odd → full-period stride
+    for i in range(num_hashes):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        np.bitwise_or.at(
+            bits,
+            (pos >> np.uint64(3)).astype(np.int64),
+            np.left_shift(
+                np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)
+            ),
+        )
+
+
+def build_key_bloom(
+    df: DataFrame,
+    on: list[str],
+    bits_per_key: int = 16,
+    num_hashes: int = 7,
+):
+    """Distributed Bloom filter over a DataFrame's join-key set:
+    per-partition numpy bitsets OR-merged through treeAggregate, so
+    the KEYS never land on the driver — only m/8 bytes of bitset do
+    (vs collecting the key set, which at 10^9 keys would be tens of
+    GB). Returns (bitset bytes, m_bits, num_hashes, n_keys).
+
+    Sizing: m = bits_per_key * |distinct keys| (floored at 2^13 so
+    tiny builds keep their design FP rate). 16 bits/key with k=7
+    probes ≈ 7·10^-4 false-positive rate — false positives only
+    admit extra probe-side rows that the exact join then removes, so
+    FP rate trades shuffle volume, never correctness."""
+    keyh = F.xxhash64(*[F.col(c) for c in on])
+    keys = df.select(keyh.alias("__k")).distinct()
+    keys.persist()
+    try:
+        n_keys = keys.count()
+        m_bits = max(int(max(n_keys, 1) * bits_per_key), 1 << 13)
+        nbytes = (m_bits + 7) // 8
+
+        def partition_bits(rows):
+            import numpy as _np
+
+            bits = _np.zeros(nbytes, dtype=_np.uint8)
+            buf = []
+            for r in rows:
+                buf.append(r[0])
+                if len(buf) >= (1 << 18):
+                    _bloom_set_bits(bits, buf, m_bits, num_hashes)
+                    buf.clear()
+            if buf:
+                _bloom_set_bits(bits, buf, m_bits, num_hashes)
+            yield bits
+
+        if n_keys == 0:
+            bits = np.zeros(nbytes, dtype=np.uint8)  # rejects everything
+        else:
+            # per-partition bitsets OR-merged log-depth on executors
+            bits = keys.rdd.mapPartitions(partition_bits).treeReduce(
+                np.bitwise_or
+            )
+    finally:
+        keys.unpersist()
+    return bytes(bits.tobytes()), m_bits, num_hashes, n_keys
+
+
+def bloom_prefilter_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    bits_per_key: int = 16,
+    num_hashes: int = 7,
+) -> DataFrame:
+    """Equi-join with a Bloom-filter prefilter on the probe side —
+    EXACTLY the same rows as ``big.join(small, on, how)`` (false
+    positives are admitted into the shuffle and removed by the real
+    join; hash-matched against the plain SQL join by q_bloom_join),
+    but only candidate big-side rows ever shuffle.
+
+    The 100 TB case: the build side exceeds the broadcast threshold
+    (so no BHJ) yet its KEY SET fits a bloom of m bits — a 10^8-key
+    dim at 16 bits/key is a 200 MB filter where the table itself is
+    far larger, and the probe side is selective against it. A plain
+    SMJ moves every probe row; here the filter rides to executors as
+    one broadcast variable and drops non-candidates BEFORE the
+    exchange. Spark's own runtime bloom join
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) injects the
+    same idea for shapes its optimizer recognizes; this operator is
+    the explicit form for shapes it does not (Python data sources,
+    filters reused across several queries via build_key_bloom).
+
+    Supported ``how``:
+    - inner / left_semi: big rows failing the bloom CANNOT match —
+      filtered out, then the exact join runs on survivors.
+    - left_anti: bloom misses are DEFINITELY non-matching, so they
+      are kept verbatim and only bloom HITS pay the anti-join.
+    Shapes where non-matching probe rows must survive with NULLs
+    (left/right/full outer) gain nothing from a prefilter and are
+    rejected.
+
+    The membership test is a vectorized Arrow-batched pandas UDF over
+    the single xxhash64 Spark computes per row (bit-indexing has no
+    JVM expression form); everything else is built-in."""
+    allowed = {"inner", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how not in allowed:
+        raise ValueError(
+            f"bloom_prefilter_join: how='{how}' gains nothing from a "
+            f"prefilter (non-matching rows must survive); use one of "
+            f"{sorted(allowed)}"
+        )
+    bits_bytes, m_bits, k, _n = build_key_bloom(
+        small, on, bits_per_key, num_hashes
+    )
+    sc = big.sparkSession.sparkContext
+    bits_b = sc.broadcast(np.frombuffer(bits_bytes, dtype=np.uint8))
+
+    @F.pandas_udf("boolean")
+    def member(h: pd.Series) -> pd.Series:
+        ks = h.to_numpy(dtype=np.int64).view(np.uint64)
+        h1 = ks & np.uint64(0xFFFFFFFF)
+        h2 = (ks >> np.uint64(32)) | np.uint64(1)
+        bits = bits_b.value
+        ok = np.ones(len(ks), dtype=bool)
+        for i in range(k):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+            probe = (
+                bits[(pos >> np.uint64(3)).astype(np.int64)]
+                >> (pos & np.uint64(7)).astype(np.uint8)
+            ) & np.uint8(1)
+            ok &= probe.astype(bool)
+        return pd.Series(ok)
+
+    hit = member(F.xxhash64(*[F.col(c) for c in on]))
+    if how in ("left_anti", "leftanti"):
+        flagged = big.withColumn("__bloom_hit", hit)
+        misses = flagged.filter(~F.col("__bloom_hit")).drop("__bloom_hit")
+        hits = flagged.filter(F.col("__bloom_hit")).drop("__bloom_hit")
+        return misses.unionByName(hits.join(small, on, "left_anti"))
+    return big.filter(hit).join(small, on, how)

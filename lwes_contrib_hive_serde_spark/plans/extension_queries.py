@@ -2404,6 +2404,36 @@ def q_weighted_sample(spark, sf_dir):
     )
 
 
+@register(
+    "q_stratified_sample",
+    shadow=True,
+    oracle="""
+    WITH keyed AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('lwespark:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT source, doc_id FROM keyed WHERE rn <= 20
+    """,
+    doc="Exact n-per-stratum sampling (sampling.stratified_sample): "
+    "rows rank inside each stratum by a deterministic md5 hash order "
+    "(+ key tiebreak) and the first n win — an unbiased without- "
+    "replacement sample whose SELECTED ROWS are identical across "
+    "engines and reruns, hash-matched here against the SQL replay of "
+    "the same ranking. One window shuffle on the stratum key; at "
+    "extreme stratum skew compose with skew.salted_topk (same "
+    "(order, tiebreak) contract) instead of the window.",
+)
+def q_stratified_sample(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import sampling
+
+    d = table(spark, sf_dir, "documents").select("source", "doc_id")
+    return sampling.stratified_sample(d, "source", 20, key="doc_id")
+
+
 # --- data-quality validation (operators/validation.py) --------------------
 
 from lwes_contrib_hive_serde_spark.operators import validation as _validation
@@ -3735,6 +3765,48 @@ def q_salted_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_lines"),
         # dsum, not SUM(double): decimal accumulation is order-free, so
         # the value hash cannot depend on scan partitioning
+        dsum(F.col("l_extendedprice"), "revenue"),
+    )
+
+
+@register(
+    "q_bloom_join",
+    shadow=True,
+    oracle="""
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size = 1
+    GROUP BY p.p_brand
+    """,
+    doc="Bloom-prefiltered equi-join (joins.bloom_prefilter_join / "
+    "build_key_bloom): the build side's key set folds into a "
+    "treeReduce-merged bitset (keys never land on the driver), one "
+    "broadcast variable carries m bits to the probe scan, and only "
+    "candidate probe rows enter the join exchange — false positives "
+    "(~7e-4 at 16 bits/key, k=7) are removed by the exact join, so "
+    "the result hash-matches the plain SQL join verbatim. The "
+    "explicit form of Spark's runtime bloom-filter join for shapes "
+    "the optimizer cannot inject it into (Python data sources, "
+    "filters reused across queries). Here p_size=1 keeps ~2% of "
+    "parts, so ~98% of lineitem rows never shuffle.",
+)
+def q_bloom_join(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import joins as _joins
+
+    pt = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 1)
+        .select("p_partkey", "p_brand")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_extendedprice"
+    )
+    j = _joins.bloom_prefilter_join(li, pt, ["p_partkey"], how="inner")
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_lines"),
         dsum(F.col("l_extendedprice"), "revenue"),
     )
 

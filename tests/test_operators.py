@@ -1991,6 +1991,11 @@ class TestSaltedTopk:
         df = spark.createDataFrame(rows, "g int, v double, i long") \
             .repartition(8)
         k, n_salts = 7, 8
+        # other tests (decode_video_meta / decode_mp3_meta) retune the
+        # session-wide Arrow batch size; pin it so the batch-count
+        # bound below is deterministic regardless of suite order
+        prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         plain = sorted(
             (r.g, r.v, r.i, r.rank)
             for r in skew.salted_topk(
@@ -2033,3 +2038,79 @@ class TestSaltedTopk:
             .agg(F.max("count")).collect()[0][0]
         )
         assert worst <= k * 8, worst
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+class TestBloomPrefilterJoin:
+    """Bloom-prefiltered equi-join (joins.bloom_prefilter_join): the
+    result must be EXACTLY the plain join for every supported mode —
+    false positives trade shuffle volume, never rows — and the filter
+    itself must actually prune and hold its designed FP rate."""
+
+    def _tables(self, spark):
+        big = spark.range(20000).selectExpr(
+            "CASE WHEN id % 100 = 99 THEN NULL ELSE id % 5000 END AS k",
+            "id AS payload",
+        )
+        small = spark.range(50).selectExpr(
+            "id * 97 AS k", "concat('dim', id) AS name"
+        )
+        return big, small
+
+    @pytest.mark.parametrize("how", ["inner", "left_semi", "left_anti"])
+    def test_exact_equivalence(self, spark, how):
+        from lwes_contrib_hive_serde_spark.operators import joins
+
+        big, small = self._tables(spark)
+        nullsafe = lambda rows: sorted(  # noqa: E731
+            map(tuple, rows),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+        got = nullsafe(joins.bloom_prefilter_join(
+            big, small, ["k"], how=how
+        ).collect())
+        want = nullsafe(big.join(small, ["k"], how).collect())
+        assert got == want and want  # non-degenerate
+
+    def test_outer_rejected(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import joins
+
+        big, small = self._tables(spark)
+        with pytest.raises(ValueError, match="gains nothing"):
+            joins.bloom_prefilter_join(big, small, ["k"], how="left")
+
+    def test_filter_prunes_and_fp_rate(self, spark):
+        import numpy as np
+
+        from lwes_contrib_hive_serde_spark.operators import joins
+
+        small = spark.range(500).selectExpr("id * 7 AS k")
+        bits_b, m, k, n = joins.build_key_bloom(small, ["k"])
+        assert n == 500 and m >= 500 * 16
+        bits = np.frombuffer(bits_b, dtype=np.uint8)
+
+        def member(keys):
+            ks = np.asarray(keys, dtype=np.int64).view(np.uint64)
+            h1 = ks & np.uint64(0xFFFFFFFF)
+            h2 = (ks >> np.uint64(32)) | np.uint64(1)
+            ok = np.ones(len(ks), dtype=bool)
+            for i in range(k):
+                pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+                ok &= (
+                    (bits[(pos >> np.uint64(3)).astype(np.int64)]
+                     >> (pos & np.uint64(7)).astype(np.uint8))
+                    & np.uint8(1)
+                ).astype(bool)
+            return ok
+
+        # every real key passes (no false negatives, ever)
+        import pyspark.sql.functions as _F
+
+        real = [r[0] for r in spark.range(500).selectExpr("id*7 AS k")
+                .select(_F.xxhash64("k")).collect()]
+        assert member(real).all()
+        # absent keys: designed FP rate ~7e-4 at 16 bits/key, k=7
+        absent = [r[0] for r in spark.range(20000).selectExpr(
+            "id * 7 + 3 AS k").select(_F.xxhash64("k")).collect()]
+        fp = member(absent).mean()
+        assert fp < 0.01, fp
