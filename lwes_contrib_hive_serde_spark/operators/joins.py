@@ -165,11 +165,73 @@ def _bloom_set_bits(bits, keys, m_bits: int, num_hashes: int) -> None:
         )
 
 
+def _bloom_hash_types(big: DataFrame, small: DataFrame, on: list[str]):
+    """Resolve ONE hashing type per join key so both sides feed
+    xxhash64 identical bytes. Spark's xxhash64 is type-sensitive —
+    int 5 and bigint 5 hash differently — so hashing each side's
+    native type would produce bloom FALSE NEGATIVES (silently dropped
+    matches) whenever the key types differ but are join-compatible.
+    Returns a list of type names to cast BOTH sides to before hashing
+    (None per column where the sides already agree), mirroring Spark's
+    own binary-comparison coercion for the shapes we accept; any
+    mismatch outside that ladder raises instead of guessing."""
+    from pyspark.sql.types import (
+        ByteType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    int_rank = {ByteType: 0, ShortType: 1, IntegerType: 2, LongType: 3}
+    int_name = {0: "tinyint", 1: "smallint", 2: "int", 3: "bigint"}
+    out = []
+    for c in on:
+        bt = big.schema[c].dataType
+        st = small.schema[c].dataType
+        if bt == st:
+            out.append(None)
+            continue
+        bi, si = type(bt), type(st)
+        if bi in int_rank and si in int_rank:
+            out.append(int_name[max(int_rank[bi], int_rank[si])])
+        elif bi in (FloatType, DoubleType) and si in (FloatType, DoubleType):
+            out.append("double")
+        elif (bi in int_rank and si in (FloatType, DoubleType)) or (
+            si in int_rank and bi in (FloatType, DoubleType)
+        ):
+            out.append("double")
+        elif bi is DecimalType and si is DecimalType:
+            ip = max(bt.precision - bt.scale, st.precision - st.scale)
+            s = max(bt.scale, st.scale)
+            out.append(f"decimal({min(ip + s, 38)},{s})")
+        else:
+            raise ValueError(
+                f"bloom_prefilter_join: key {c!r} has incompatible "
+                f"types {bt.simpleString()} vs {st.simpleString()}; "
+                f"cast one side explicitly before joining"
+            )
+    return out
+
+
+def _bloom_key_hash(on: list[str], cast_to=None) -> Column:
+    cast_to = cast_to or [None] * len(on)
+    return F.xxhash64(
+        *[
+            F.col(c).cast(t) if t is not None else F.col(c)
+            for c, t in zip(on, cast_to)
+        ]
+    )
+
+
 def build_key_bloom(
     df: DataFrame,
     on: list[str],
     bits_per_key: int = 16,
     num_hashes: int = 7,
+    cast_to: list | None = None,
 ):
     """Distributed Bloom filter over a DataFrame's join-key set:
     per-partition numpy bitsets OR-merged through treeAggregate, so
@@ -181,8 +243,13 @@ def build_key_bloom(
     tiny builds keep their design FP rate). 16 bits/key with k=7
     probes ≈ 7·10^-4 false-positive rate — false positives only
     admit extra probe-side rows that the exact join then removes, so
-    FP rate trades shuffle volume, never correctness."""
-    keyh = F.xxhash64(*[F.col(c) for c in on])
+    FP rate trades shuffle volume, never correctness.
+
+    ``cast_to`` (one type name or None per key, from
+    ``_bloom_hash_types``) casts each key before hashing so a probe
+    side with different-but-compatible key types hashes identically;
+    pass the same list to the probe hash."""
+    keyh = _bloom_key_hash(on, cast_to)
     keys = df.select(keyh.alias("__k")).distinct()
     keys.persist()
     try:
@@ -261,8 +328,9 @@ def bloom_prefilter_join(
             f"prefilter (non-matching rows must survive); use one of "
             f"{sorted(allowed)}"
         )
+    cast_to = _bloom_hash_types(big, small, on)
     bits_bytes, m_bits, k, _n = build_key_bloom(
-        small, on, bits_per_key, num_hashes
+        small, on, bits_per_key, num_hashes, cast_to=cast_to
     )
     sc = big.sparkSession.sparkContext
     bits_b = sc.broadcast(np.frombuffer(bits_bytes, dtype=np.uint8))
@@ -283,7 +351,7 @@ def bloom_prefilter_join(
             ok &= probe.astype(bool)
         return pd.Series(ok)
 
-    hit = member(F.xxhash64(*[F.col(c) for c in on]))
+    hit = member(_bloom_key_hash(on, cast_to))
     if how in ("left_anti", "leftanti"):
         flagged = big.withColumn("__bloom_hit", hit)
         misses = flagged.filter(~F.col("__bloom_hit")).drop("__bloom_hit")

@@ -2079,6 +2079,37 @@ class TestBloomPrefilterJoin:
         with pytest.raises(ValueError, match="gains nothing"):
             joins.bloom_prefilter_join(big, small, ["k"], how="left")
 
+    @pytest.mark.parametrize(
+        "big_t,small_t",
+        [("int", "bigint"), ("bigint", "int"), ("smallint", "double"),
+         ("decimal(10,2)", "decimal(12,0)")],
+    )
+    def test_mixed_key_types_no_false_negatives(self, spark, big_t, small_t):
+        """xxhash64 is type-sensitive, so differing-but-compatible key
+        types MUST be coerced before hashing or matches silently drop
+        (ADVICE r5). Every matching row must survive the prefilter."""
+        from lwes_contrib_hive_serde_spark.operators import joins
+
+        big = spark.range(2000).selectExpr(
+            f"CAST(id % 300 AS {big_t}) AS k", "id AS payload"
+        )
+        small = spark.range(40).selectExpr(
+            f"CAST(id * 7 AS {small_t}) AS k", "concat('d', id) AS name"
+        )
+        got = sorted(map(tuple, joins.bloom_prefilter_join(
+            big, small, ["k"], how="inner"
+        ).collect()))
+        want = sorted(map(tuple, big.join(small, ["k"], "inner").collect()))
+        assert got == want and want
+
+    def test_incoercible_key_types_raise(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import joins
+
+        big = spark.range(10).selectExpr("CAST(id AS string) AS k")
+        small = spark.range(10).selectExpr("id AS k")
+        with pytest.raises(ValueError, match="incompatible"):
+            joins.bloom_prefilter_join(big, small, ["k"], how="inner")
+
     def test_filter_prunes_and_fp_rate(self, spark):
         import numpy as np
 
