@@ -120,10 +120,10 @@ def _copy_group(fmt: str, files: tuple[str, ...], out_path: str) -> int:
         elif fmt == "zst":
             # like gz: re-streamed into a single frame so the
             # whole-file vectorized scan path's one-shot read holds
-            zstd = _codec._zstd_module()
-            with zstd.open(tmp, "wb") as out:
+            zstd = _codec._zstd_backend()
+            with zstd.open_write(tmp) as out:
                 for p in files:
-                    with zstd.open(p, "rb") as f:
+                    with zstd.open_read(p) as f:
                         shutil.copyfileobj(f, out, 1 << 20)
         else:  # v2: rewrite the per-block marker prefix only
             codec_name = {

@@ -449,20 +449,20 @@ def read_journal_records(
         yield ev
 
 
-def _zstd_module():
-    """Try-import ``zstandard`` with an honest error. The reference
-    picks ANY installed Hadoop codec by extension
-    (JournalInputFormat.java:94-105); we mirror that for zstd — the
-    production default at 100 TB — but refuse loudly when the
-    library is absent rather than guessing another codec."""
+def _zstd_backend():
+    """The zstd provider shim (zstandard preferred, pyarrow's bundled
+    libzstd as fallback — see zstd_backend.py) wrapped in an honest
+    CodecError. The reference picks ANY installed Hadoop codec by
+    extension (JournalInputFormat.java:94-105); we mirror that for
+    zstd — the production default at 100 TB — but refuse loudly when
+    no provider is available rather than guessing another codec."""
+    from . import zstd_backend
+
     try:
-        import zstandard
+        zstd_backend.ensure_available()
     except ImportError as e:
-        raise CodecError(
-            "zstd journal support requires the 'zstandard' package "
-            "(pip install zstandard); it is not installed"
-        ) from e
-    return zstandard
+        raise CodecError(str(e)) from e
+    return zstd_backend
 
 
 def open_journal(path: str) -> BinaryIO:
@@ -476,7 +476,7 @@ def open_journal(path: str) -> BinaryIO:
 
         return bz2.open(path, "rb")
     if path.endswith(".zst"):
-        return _zstd_module().open(path, "rb")
+        return _zstd_backend().open_read(path)
     return open(path, "rb")
 
 
@@ -488,7 +488,7 @@ def open_journal_write(path: str) -> BinaryIO:
 
         return bz2.open(path, "wb")
     if path.endswith(".zst"):
-        return _zstd_module().open(path, "wb")
+        return _zstd_backend().open_write(path)
     return open(path, "wb")
 
 
@@ -574,7 +574,7 @@ class V2Writer:
         if codec not in _V2_CODEC_NAMES:
             raise CodecError(f"unknown v2 codec {codec!r} (none|zlib|zstd)")
         if _V2_CODEC_NAMES[codec] == V2_CODEC_ZSTD:
-            _zstd_module()  # fail at construction, not first flush
+            _zstd_backend()  # fail at construction, not first flush
         self._out = out
         self.marker = marker
         self.codec = _V2_CODEC_NAMES[codec]
@@ -602,7 +602,7 @@ class V2Writer:
 
             data = zlib.compress(data, 6)
         elif self.codec == V2_CODEC_ZSTD:
-            data = _zstd_module().ZstdCompressor().compress(data)
+            data = _zstd_backend().compress(data)
         self._out.write(self.marker)
         self._out.write(struct.pack(">I", len(data)))
         self._out.write(data)
@@ -664,9 +664,8 @@ def _v2_decode_block(data: bytes, codec: int) -> bytes:
 
         return zlib.decompress(data)
     if codec == V2_CODEC_ZSTD:
-        # ZstdCompressor.compress frames carry the content size, so
-        # one-shot decompression needs no max_output_size hint
-        return _zstd_module().ZstdDecompressor().decompress(data)
+        # backend decompress is streaming — no content-size hint needed
+        return _zstd_backend().decompress(data)
     return data
 
 

@@ -1368,7 +1368,7 @@ class LwesWriter(DataSourceArrowWriter):
                 "(none|gzip|zlib|zstd)"
             )
         if self.compression == "zstd":
-            c._zstd_module()  # honest ImportError at plan time
+            c._zstd_backend()  # honest CodecError at plan time
         # roll to a new journal once the current one exceeds this size:
         # the format is non-splittable, so downstream scan parallelism
         # = file count — one huge file per task would serialize readers

@@ -1,0 +1,107 @@
+"""zstd codec backend with two interchangeable providers.
+
+The journal layer (codec.py) needs four zstd operations: streaming
+file read/write (whole-file ``.zst`` journals, the reference's
+pick-codec-by-extension behavior, JournalInputFormat.java:94-105) and
+one-shot block compress/decompress (the v2 container's per-block
+codec byte 2). Provider preference:
+
+1. ``zstandard`` (python-zstandard) — the canonical binding, used
+   when installed.
+2. pyarrow's bundled libzstd (``pyarrow.CompressedInputStream`` /
+   ``CompressedOutputStream`` / ``pyarrow.compress``) — the SAME
+   RFC 8878 frame format from the same reference C library, so files
+   written under either provider read under the other (pinned by
+   TestZstdJournals round-trips + the frame-magic assertion).
+
+Decompression always goes through the providers' STREAMING APIs, so
+no frame is ever required to carry its content size — frames from
+zstandard one-shot, pyarrow one-shot, and external zstd CLI streams
+all decode. When neither provider is available every entry point
+raises ImportError naming both options; codec.py wraps that in its
+honest CodecError (never a silent fallback to another codec).
+"""
+
+from __future__ import annotations
+
+from typing import BinaryIO
+
+_MISSING_MSG = (
+    "zstd journal support requires either the 'zstandard' package "
+    "(pip install zstandard) or a pyarrow build with zstd support; "
+    "neither is available"
+)
+
+
+def _provider():
+    """Resolve the active provider each call (no caching: tests inject
+    a stub ``zstandard`` into sys.modules mid-session, and a cache
+    would pin the pre-stub choice)."""
+    try:
+        import zstandard
+
+        return ("zstandard", zstandard)
+    except ImportError:
+        pass
+    try:
+        import pyarrow as pa
+
+        if pa.Codec.is_available("zstd"):
+            return ("pyarrow", pa)
+    except ImportError:
+        pass
+    raise ImportError(_MISSING_MSG)
+
+
+def available() -> bool:
+    try:
+        _provider()
+        return True
+    except ImportError:
+        return False
+
+
+def provider_name() -> str:
+    return _provider()[0]
+
+
+def ensure_available() -> None:
+    """Raise ImportError at plan/construction time, not first flush."""
+    _provider()
+
+
+def open_read(path: str) -> BinaryIO:
+    """Streaming decompressing reader over a ``.zst`` file; supports
+    ``.read(n)`` and context-manager close like gzip.open."""
+    name, mod = _provider()
+    if name == "zstandard":
+        return mod.open(path, "rb")
+    return mod.CompressedInputStream(mod.OSFile(path, "rb"), "zstd")
+
+
+def open_write(path: str) -> BinaryIO:
+    name, mod = _provider()
+    if name == "zstandard":
+        return mod.open(path, "wb")
+    return mod.CompressedOutputStream(mod.OSFile(path, "wb"), "zstd")
+
+
+def compress(data: bytes) -> bytes:
+    """One-shot frame compression (v2 block bodies)."""
+    name, mod = _provider()
+    if name == "zstandard":
+        return mod.ZstdCompressor().compress(data)
+    return mod.compress(data, codec="zstd", asbytes=True)
+
+
+def decompress(data: bytes) -> bytes:
+    """One-shot frame decompression via streaming APIs — works whether
+    or not the frame header carries the content size."""
+    name, mod = _provider()
+    if name == "zstandard":
+        import io
+
+        with mod.ZstdDecompressor().stream_reader(io.BytesIO(data)) as r:
+            return r.read()
+    with mod.CompressedInputStream(mod.BufferReader(data), "zstd") as r:
+        return r.read()

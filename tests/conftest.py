@@ -52,6 +52,24 @@ def stub_zstd(monkeypatch):
         def decompress(self, data):
             return zlib.decompress(data)
 
+        def stream_reader(self, fobj):
+            import io as _io
+
+            class _R:
+                def __init__(self, f):
+                    self._b = _io.BytesIO(zlib.decompress(f.read()))
+
+                def read(self, n=-1):
+                    return self._b.read(n)
+
+                def __enter__(self):
+                    return self
+
+                def __exit__(self, *exc):
+                    pass
+
+            return _R(fobj)
+
     class _File:
         def __init__(self, path, mode):
             self._f = open(path, mode)

@@ -25,15 +25,14 @@ def mkevent(name="Test::Event", **attrs):
     return ev
 
 
-try:
-    import zstandard  # noqa: F401
+from lwes_contrib_hive_serde_spark.sources import zstd_backend
 
-    HAS_ZSTD = True
-except ImportError:
-    HAS_ZSTD = False
+# a real zstd provider: the zstandard package OR pyarrow's bundled
+# libzstd (same frame format) — see zstd_backend.py
+HAS_ZSTD = zstd_backend.available()
 
 needs_zstd = pytest.mark.skipif(
-    not HAS_ZSTD, reason="zstandard not installed"
+    not HAS_ZSTD, reason="no zstd provider (zstandard or pyarrow+zstd)"
 )
 
 
@@ -296,7 +295,7 @@ class TestV2Framing:
 
     def test_zstd_actually_compresses(self, tmp_path):
         if not HAS_ZSTD:
-            pytest.skip("zstandard not installed")
+            pytest.skip("no zstd provider (zstandard or pyarrow+zstd)")
         import os
 
         pn = str(tmp_path / "n.journal2")
@@ -464,7 +463,7 @@ class TestZstdJournals:
 
     def test_v1_zst_round_trip(self, tmp_path):
         if not HAS_ZSTD:
-            pytest.skip("zstandard not installed")
+            pytest.skip("no zstd provider (zstandard or pyarrow+zstd)")
         import os
 
         p = str(tmp_path / "j.journal.zst")
@@ -484,7 +483,7 @@ class TestZstdJournals:
 
     def test_v1_zst_stats_walk(self, tmp_path):
         if not HAS_ZSTD:
-            pytest.skip("zstandard not installed")
+            pytest.skip("no zstd provider (zstandard or pyarrow+zstd)")
         p = str(tmp_path / "j.journal.zst")
         events = [
             mkevent("E", i=(c.INT32, i), ReceiptTime=(c.INT64, 5000 + i))
@@ -496,19 +495,14 @@ class TestZstdJournals:
         assert (st["min_receipt_time"], st["max_receipt_time"]) == (5000, 5099)
 
     def test_missing_zstandard_is_honest_error(self, tmp_path, monkeypatch):
-        """With zstandard unimportable, every zstd entry point raises
-        CodecError naming the package — reads, writes, and the v2
-        writer at construction (not first flush)."""
-        import builtins
+        """With NO zstd provider (neither the zstandard package nor a
+        pyarrow build with zstd), every zstd entry point raises
+        CodecError naming the missing dependencies — reads, writes,
+        and the v2 writer at construction (not first flush)."""
+        def no_provider():
+            raise ImportError(zstd_backend._MISSING_MSG)
 
-        real_import = builtins.__import__
-
-        def no_zstd(name, *a, **k):
-            if name == "zstandard":
-                raise ImportError("No module named 'zstandard'")
-            return real_import(name, *a, **k)
-
-        monkeypatch.setattr(builtins, "__import__", no_zstd)
+        monkeypatch.setattr(zstd_backend, "_provider", no_provider)
         with pytest.raises(c.CodecError, match="zstandard"):
             c.open_journal_write(str(tmp_path / "x.journal.zst"))
         with pytest.raises(c.CodecError, match="zstandard"):
@@ -522,8 +516,8 @@ class TestZstdJournals:
 
     def test_v2_zstd_file_unreadable_without_lib(self, tmp_path, monkeypatch):
         """A v2 file whose header declares codec byte 2 read without
-        the library: the header parses (codec 2 is known), but block
-        decode raises the honest CodecError."""
+        any zstd provider: the header parses (codec 2 is known), but
+        block decode raises the honest CodecError."""
         # forge a v2 header declaring zstd + one fake block
         marker = bytes(range(16))
         blob = b"not-really-zstd"
@@ -534,16 +528,10 @@ class TestZstdJournals:
             f.write(marker)
             f.write(struct.pack(">I", len(blob)))
             f.write(blob)
-        import builtins
+        def no_provider():
+            raise ImportError(zstd_backend._MISSING_MSG)
 
-        real_import = builtins.__import__
-
-        def no_zstd(name, *a, **k):
-            if name == "zstandard":
-                raise ImportError("No module named 'zstandard'")
-            return real_import(name, *a, **k)
-
-        monkeypatch.setattr(builtins, "__import__", no_zstd)
+        monkeypatch.setattr(zstd_backend, "_provider", no_provider)
         with pytest.raises(c.CodecError, match="zstandard"):
             list(c.read_journal_file_v2(str(tmp_path / "z.journal2")))
 
@@ -557,6 +545,61 @@ class TestZstdJournals:
                 {"path": "/tmp/x", "compression": "lz4"},
                 False,
             )
+
+
+class TestZstdBackend:
+    """The provider shim itself (zstd_backend.py): both providers
+    speak the same RFC 8878 frame format, so one-shot and streaming
+    writes must cross-decode regardless of which provider produced
+    them."""
+
+    needs = pytest.mark.skipif(not HAS_ZSTD, reason="no zstd provider")
+
+    @needs
+    def test_oneshot_round_trip_and_magic(self):
+        data = b"journal block " * 500
+        comp = zstd_backend.compress(data)
+        assert comp[:4] == b"\x28\xb5\x2f\xfd"  # zstd frame magic
+        assert zstd_backend.decompress(comp) == data
+        assert len(comp) < len(data) / 2
+
+    @needs
+    def test_streaming_file_round_trip(self, tmp_path):
+        p = str(tmp_path / "t.zst")
+        data = b"streamed payload " * 1000
+        with zstd_backend.open_write(p) as f:
+            f.write(data)
+        with open(p, "rb") as f:
+            assert f.read(4) == b"\x28\xb5\x2f\xfd"
+        with zstd_backend.open_read(p) as f:
+            # chunked reads like read_journal_records does
+            out = bytearray()
+            while chunk := f.read(4096):
+                out += chunk
+        assert bytes(out) == data
+
+    @needs
+    def test_streaming_frame_decodes_oneshot(self, tmp_path):
+        """Streaming writers omit the frame content size; the shim's
+        decompress must not require it."""
+        p = str(tmp_path / "t.zst")
+        data = b"no content size header " * 300
+        with zstd_backend.open_write(p) as f:
+            f.write(data)
+        assert zstd_backend.decompress(open(p, "rb").read()) == data
+
+    @needs
+    def test_provider_is_named(self):
+        assert zstd_backend.provider_name() in ("zstandard", "pyarrow")
+
+    def test_no_provider_raises_importerror(self, monkeypatch):
+        def no_provider():
+            raise ImportError(zstd_backend._MISSING_MSG)
+
+        monkeypatch.setattr(zstd_backend, "_provider", no_provider)
+        assert not zstd_backend.available()
+        with pytest.raises(ImportError, match="zstandard"):
+            zstd_backend.compress(b"x")
 
 
 class TestZstdPlumbingWithStub:

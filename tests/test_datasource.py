@@ -268,8 +268,11 @@ class TestWriteRoundTrip:
         assert sorted(map(tuple, back.collect())) == [(1, "x"), (2, "y")]
 
     @pytest.mark.skipif(
-        importlib.util.find_spec("zstandard") is None,
-        reason="zstandard not installed",
+        not __import__(
+            "lwes_contrib_hive_serde_spark.sources.zstd_backend",
+            fromlist=["available"],
+        ).available(),
+        reason="no zstd provider (zstandard or pyarrow+zstd)",
     )
     def test_write_zstd_v1(self, spark, tmp_path):
         df = spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string")
@@ -578,8 +581,11 @@ class TestV2Container:
             pytest.param(
                 "zstd",
                 marks=pytest.mark.skipif(
-                    importlib.util.find_spec("zstandard") is None,
-                    reason="zstandard not installed",
+                    not __import__(
+                        "lwes_contrib_hive_serde_spark.sources.zstd_backend",
+                        fromlist=["available"],
+                    ).available(),
+                    reason="no zstd provider (zstandard or pyarrow+zstd)",
                 ),
             ),
         ],

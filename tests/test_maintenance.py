@@ -127,8 +127,11 @@ class TestCompactV2:
             pytest.param(
                 "zstd",
                 marks=pytest.mark.skipif(
-                    importlib.util.find_spec("zstandard") is None,
-                    reason="zstandard not installed",
+                    not __import__(
+                        "lwes_contrib_hive_serde_spark.sources.zstd_backend",
+                        fromlist=["available"],
+                    ).available(),
+                    reason="no zstd provider (zstandard or pyarrow+zstd)",
                 ),
             ),
         ],
