@@ -159,9 +159,17 @@ def main():
         "runs_per_query": runs,
         "agg": "min",
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    # Sidecar path is overridable (SPARK_GRAFT_BENCH_DETAIL env var or
+    # --detail-path argv) so a driver/shared-host run doesn't clobber a
+    # committed clean-run artifact; clean runs are committed
+    # round-stamped as BENCH_DETAIL_r{N}.json (VERDICT r5 #6).
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL")
+    if "--detail-path" in sys.argv:
+        detail_path = sys.argv[sys.argv.index("--detail-path") + 1]
+    if not detail_path:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
     try:
         with open(detail_path, "w") as f:
             json.dump(
