@@ -1154,17 +1154,199 @@ def duplicate_passage_spans(
     stream. AQE broadcasts the dup set when it is small; when a corpus
     is pathologically self-similar the join degrades gracefully to
     sort-merge on the same key the data already shuffled by."""
+    return _dup_window_starts(
+        df, text_col, id_col, k, min_count, hashed, keep="all"
+    ).select(F.col("__id").alias(id_col), "pos")
+
+
+def _dup_window_starts(
+    df, text_col, id_col, k, min_count, hashed, keep
+) -> DataFrame:
+    """(__id, pos) duplicated-k-gram window starts, under one of two
+    survivor policies:
+
+    - ``keep="all"``: every occurrence of a >=min_count gram is
+      flagged (duplicate_passage_spans' historical grain — removal
+      cuts ALL copies).
+    - ``keep="first"``: the lexicographically-first occurrence by
+      (id, pos) is the CANONICAL copy and stays unflagged — the
+      ExactSubstr survivor rule (Lee et al. 2022, "Deduplicating
+      Training Data Makes Language Models Better": duplicated spans
+      are removed from all but one position in the corpus).
+
+    Scale shape is the same either way: explode grams → ONE
+    corpus-sized groupBy on the gram key (8-byte xxhash64 rows by
+    default) → join the duplicated-gram set back. keep="first" adds a
+    min(struct(id,pos)) to that same aggregate — no extra shuffle —
+    and filters the canonical row out after the join."""
     grams = _positioned_kgrams(df, id_col, text_col, k, hashed).select(
         "__id", F.explode("__grams").alias("g")
     ).select("__id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    if keep == "all":
+        dup = (
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= min_count)
+            .select("gram")
+        )
+        return grams.join(dup, "gram").select("__id", "pos")
+    if keep != "first":
+        raise ValueError(f"keep must be 'all' or 'first', got {keep!r}")
     dup = (
         grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.struct(F.col("__id"), F.col("pos"))).alias("__canon"),
+        )
         .filter(F.col("n") >= min_count)
-        .select("gram")
+        .select("gram", "__canon")
     )
-    return grams.join(dup, "gram").select(
-        F.col("__id").alias(id_col), "pos"
+    return (
+        grams.join(dup, "gram")
+        .filter(
+            ~(
+                (F.col("__id") == F.col("__canon.__id"))
+                & (F.col("pos") == F.col("__canon.pos"))
+            )
+        )
+        .select("__id", "pos")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+    min_count: int = 2,
+    hashed: bool = True,
+    keep: str = "all",
+) -> DataFrame:
+    """(id, span_start, span_end, n_words) — MAXIMAL duplicated spans
+    per document: overlapping/adjacent flagged k-gram windows
+    [pos, pos+k) merged into their union intervals (half-open word
+    indices into the normalized word array). This is the span grain of
+    ExactSubstr (Lee et al. 2022): adjacent matching shingles merge
+    into one long duplicated region instead of reporting every window
+    start (duplicate_passage_spans' grain).
+
+    ``keep="first"`` excludes the canonical (lexicographically-first
+    by (id, pos)) occurrence of each duplicated gram from flagging, so
+    one copy of every duplicated region survives corpus-wide.
+
+    Merging is gaps-and-islands over the flagged starts: lag + one
+    cumulative sum + groupBy, all within a doc-partitioned window —
+    one shuffle on the doc id after the corpus-sized gram shuffle,
+    span state never leaves the JVM."""
+    flags = _dup_window_starts(
+        df, text_col, id_col, k, min_count, hashed, keep
+    )
+    w = Window.partitionBy("__id").orderBy("pos")
+    grouped = (
+        flags.withColumn("__prev", F.lag("pos").over(w))
+        .withColumn(
+            "__brk",
+            F.when(
+                F.col("__prev").isNull()
+                | (F.col("pos") > F.col("__prev") + k),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__grp",
+            F.sum("__brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return (
+        grouped.groupBy("__id", "__grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("span_start").cast("int").alias("span_start"),
+            F.col("span_end").cast("int").alias("span_end"),
+            (F.col("span_end") - F.col("span_start"))
+            .cast("int")
+            .alias("n_words"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+    min_count: int = 2,
+    hashed: bool = True,
+    keep: str = "first",
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """ExactSubstr removal (Lee et al. 2022) with the paper's
+    keep-one-copy survivor rule: cut every maximal duplicated >=k-word
+    span from every document EXCEPT the canonical first occurrence
+    (``keep="first"``, default), reassembling the survivors in order.
+    ``keep="none"`` cuts all copies (remove_duplicate_passages'
+    behavior, but over merged spans). Appends ``out_col`` (surviving
+    words re-joined, '' when everything was duplicated, NULL for NULL
+    input), ``n_dup_words``, and ``n_dup_spans``.
+
+    A word survives iff no merged span [start, end) covers it — a
+    pure-JVM exists() over the per-doc span list, which after merging
+    is at most ceil(words/k) entries and usually a handful."""
+    span_keep = {"none": "all", "first": "first"}.get(keep)
+    if span_keep is None:
+        raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
+    spans = duplicate_spans(
+        df, text_col, id_col, k, min_count, hashed, keep=span_keep
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    words = F.split(normalize_text(text_col), " ")
+    joined = df.join(per_doc, id_col, "left").withColumn(
+        "__spans",
+        F.coalesce(
+            F.col("__spans"),
+            F.array().cast("array<struct<span_start:int,span_end:int>>"),
+        ),
+    )
+    idx = F.sequence(F.lit(0), F.size(words) - 1)
+    kept = F.filter(
+        F.zip_with(words, idx, lambda w, i: F.struct(w.alias("w"), i.alias("i"))),
+        lambda s: ~F.exists(
+            F.col("__spans"),
+            lambda sp: (s.getField("i") >= sp.getField("span_start"))
+            & (s.getField("i") < sp.getField("span_end")),
+        ),
+    )
+    n_words = F.size(words)
+    empty = F.length(F.trim(F.col(text_col))) == 0
+    return (
+        joined.withColumn(
+            out_col,
+            F.when(empty, F.lit("")).otherwise(
+                F.array_join(F.transform(kept, lambda s: s.getField("w")), " ")
+            ),
+        )
+        .withColumn(
+            "n_dup_words",
+            F.when(empty, F.lit(0))
+            .otherwise(n_words - F.size(kept))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "n_dup_spans",
+            F.when(F.col(text_col).isNull(), F.lit(None))
+            .when(empty, F.lit(0))
+            .otherwise(F.size("__spans"))
+            .cast("bigint"),
+        )
+        .drop("__spans")
     )
 
 

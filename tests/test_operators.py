@@ -1703,6 +1703,129 @@ class TestPassageDedup:
         assert (1, 0) in spans and (1, 6) in spans
 
 
+class TestDuplicateSpans:
+    """Maximal-span grain of ExactSubstr (dedup.duplicate_spans /
+    remove_duplicate_spans): merged extents, the keep-first canonical
+    survivor rule (Lee et al. 2022), and brute-force parity."""
+
+    ROWS = TestPassageDedup.ROWS
+
+    @staticmethod
+    def _ref_merged(rows, k, min_count, keep="all"):
+        """Brute-force: flagged window starts -> merged intervals."""
+        from collections import Counter, defaultdict
+
+        grams = []
+        for i, t in rows:
+            if not t:
+                continue
+            w = t.lower().split()
+            grams.extend(
+                (i, p, " ".join(w[p : p + k])) for p in range(len(w) - k + 1)
+            )
+        counts = Counter(g for _, _, g in grams)
+        canon = {}
+        for i, p, g in sorted(grams):
+            canon.setdefault(g, (i, p))
+        flags = defaultdict(list)
+        for i, p, g in grams:
+            if counts[g] >= min_count and (
+                keep == "all" or canon[g] != (i, p)
+            ):
+                flags[i].append(p)
+        spans = set()
+        for i, ps in flags.items():
+            ps.sort()
+            start, end = ps[0], ps[0] + k
+            for p in ps[1:]:
+                if p <= end:
+                    end = p + k
+                else:
+                    spans.add((i, start, end))
+                    start, end = p, p + k
+            spans.add((i, start, end))
+        return spans
+
+    def test_merged_spans_match_bruteforce(self, spark):
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        got = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in dedup.duplicate_spans(
+                df, k=5, min_count=2, hashed=False
+            ).collect()
+        }
+        assert got == self._ref_merged(self.ROWS, 5, 2)
+        # docs 1+2 share "alpha..zeta" (6 words): windows {0,1} merge
+        # to [0,6) in doc1, {1,2} to [1,7) in doc2
+        assert (1, 0, 6) in got and (2, 1, 7) in got
+
+    def test_keep_first_leaves_canonical_copy(self, spark):
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        got = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in dedup.duplicate_spans(
+                df, k=5, min_count=2, hashed=False, keep="first"
+            ).collect()
+        }
+        assert got == self._ref_merged(self.ROWS, 5, 2, keep="first")
+        # doc1 holds the canonical occurrences -> no spans flagged there
+        assert not any(i == 1 for i, _, _ in got)
+        assert (2, 1, 7) in got
+
+    def test_remove_keep_first_is_lossless_for_canonical(self, spark):
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        out = {
+            r.doc_id: (r.text_clean, r.n_dup_words, r.n_dup_spans)
+            for r in dedup.remove_duplicate_spans(
+                df, k=5, min_count=2, hashed=False, keep="first"
+            ).collect()
+        }
+        assert out[1] == (self.ROWS[0][1], 0, 0)  # canonical survives whole
+        assert out[2] == ("xx yy zz", 6, 1)
+        assert out[3] == (self.ROWS[2][1], 0, 0)
+        assert out[4] == ("", 0, 0)
+        assert out[5] == (None, None, None)
+        # every duplicated region still exists somewhere in the corpus
+        # exactly once: union of cleaned texts contains "alpha..zeta"
+        assert "alpha beta gamma delta epsilon zeta" in out[1][0]
+
+    def test_remove_keep_none_matches_passage_removal(self, spark):
+        """keep='none' over merged spans must cut exactly the same
+        words as remove_duplicate_passages (coverage union is
+        invariant under merging)."""
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        a = {
+            r.doc_id: (r.text_clean, r.n_dup_words)
+            for r in dedup.remove_duplicate_spans(
+                df, k=5, min_count=2, hashed=False, keep="none"
+            ).collect()
+        }
+        b = {
+            r.doc_id: (r.text_clean, r.n_dup_words)
+            for r in dedup.remove_duplicate_passages(
+                df, k=5, min_count=2, hashed=False
+            ).collect()
+        }
+        assert a == b
+
+    def test_within_doc_keep_first(self, spark):
+        # self-repetition: the FIRST copy survives, later ones cut
+        t = "one two three four five and one two three four five"
+        df = spark.createDataFrame([(1, t)], "doc_id long, text string")
+        out = dedup.remove_duplicate_spans(
+            df, k=5, min_count=2, hashed=False, keep="first"
+        ).collect()[0]
+        assert out.text_clean == "one two three four five and"
+        assert out.n_dup_words == 5 and out.n_dup_spans == 1
+
+    def test_bad_keep_rejected(self, spark):
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        with pytest.raises(ValueError, match="keep"):
+            dedup.duplicate_spans(df, keep="last")
+        with pytest.raises(ValueError, match="keep"):
+            dedup.remove_duplicate_spans(df, keep="all")
+
+
 class TestHeaderParserFuzz:
     def test_parsers_never_throw_on_arbitrary_bytes(self):
         """Header parsers run inside executor UDFs over untrusted
