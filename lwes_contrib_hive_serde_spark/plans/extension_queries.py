@@ -1888,6 +1888,160 @@ def q_remove_dup_passages(spark, sf_dir):
     ).select("doc_id", "text_clean", "n_dup_words")
 
 
+# shared corpus CTE for the ExactSubstr family: 12-word prefixes of
+# five documents re-planted under shifted ids guarantee real
+# cross-document duplicated runs LONGER than one k=5 window, so span
+# merging is actually exercised
+_SUBSTR_BASE = """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             array_to_string(
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')[1:12],
+               ' ') || ' zzq planted unique tail'
+      FROM documents WHERE doc_id < 5
+    ), words AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM corpus WHERE text IS NOT NULL
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(w) - 4),
+               i -> struct_pack(pos := i - 1,
+                                gram := array_to_string(w[i:i+4], ' '))
+             )) AS g
+      FROM words WHERE len(w) >= 5
+    ), flat AS (
+      SELECT doc_id, g.pos AS pos, g.gram AS gram FROM grams
+    )"""
+
+
+@register(
+    "q_substring_spans",
+    shadow=True,
+    oracle=_SUBSTR_BASE
+    + """, dup AS (
+      SELECT gram FROM flat GROUP BY gram HAVING COUNT(*) >= 2
+    ), flags AS (
+      SELECT doc_id, pos FROM flat JOIN dup USING (gram)
+    ), brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                    OR pos > lag(pos) OVER w + 5 THEN 1 ELSE 0 END AS b
+      FROM flags WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), grp AS (
+      SELECT doc_id, pos,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM brk
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS INTEGER) AS span_start,
+           CAST(MAX(pos) + 5 AS INTEGER) AS span_end,
+           CAST(MAX(pos) + 5 - MIN(pos) AS INTEGER) AS n_words
+    FROM grp GROUP BY doc_id, g
+    """,
+    doc="Maximal duplicated spans, ExactSubstr grain (Lee et al. 2022"
+    " — dedup.duplicate_spans): overlapping/adjacent duplicated "
+    "k-gram windows merged into union intervals by gaps-and-islands "
+    "(lag + cumulative sum + groupBy inside a doc-partitioned "
+    "window). The planted 12-word prefixes force spans spanning 8 "
+    "merged windows, so the merge itself is value-verified, not just "
+    "the window starts (q_dup_passages). One corpus-sized gram "
+    "shuffle + one doc-id shuffle; span state never leaves the JVM.",
+)
+def q_substring_spans(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(text.normalize_text("text"), " ")
+    planted = d.filter("doc_id < 5").select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.array_join(F.slice(w, 1, 12), " "),
+            F.lit(" zzq planted unique tail"),
+        ).alias("text"),
+    )
+    corpus = d.unionByName(planted)
+    return dedup.duplicate_spans(
+        corpus, k=5, min_count=2, hashed=False
+    )
+
+
+@register(
+    "q_substring_dedup",
+    shadow=True,
+    oracle=_SUBSTR_BASE
+    + """, flagged AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               COUNT(*) OVER (PARTITION BY gram) AS n,
+               ROW_NUMBER() OVER (PARTITION BY gram
+                                  ORDER BY doc_id, pos) AS rn
+        FROM flat)
+      WHERE n >= 2 AND rn > 1
+    ), flags AS (
+      SELECT doc_id, list(pos) AS ps FROM flagged GROUP BY doc_id
+    ), nspans AS (
+      SELECT doc_id, CAST(SUM(b) AS BIGINT) AS ns FROM (
+        SELECT doc_id,
+               CASE WHEN lag(pos) OVER w IS NULL
+                      OR pos > lag(pos) OVER w + 5 THEN 1 ELSE 0 END AS b
+        FROM flagged WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+      GROUP BY doc_id
+    ), rebuilt AS (
+      SELECT w.doc_id,
+             CASE WHEN len(w.t) = 0 THEN CAST([] AS VARCHAR[]) ELSE
+               list_filter(
+                 list_transform(
+                   generate_series(1, len(w.w)),
+                   i -> CASE WHEN len(list_filter(COALESCE(f.ps, []),
+                                p -> i - 1 >= p AND i - 1 < p + 5)) > 0
+                        THEN NULL ELSE w.w[i] END),
+                 x -> x IS NOT NULL)
+             END AS kept,
+             CASE WHEN len(w.t) = 0 THEN 0 ELSE len(w.w) END AS n_words
+      FROM words w LEFT JOIN flags f USING (doc_id)
+    )
+    SELECT c.doc_id,
+           CASE WHEN c.text IS NULL THEN NULL
+                ELSE COALESCE(array_to_string(r.kept, ' '), '') END AS text_clean,
+           CASE WHEN c.text IS NULL THEN NULL
+                ELSE CAST(r.n_words - len(r.kept) AS BIGINT) END AS n_dup_words,
+           CASE WHEN c.text IS NULL THEN NULL
+                ELSE COALESCE(n.ns, 0) END AS n_dup_spans
+    FROM corpus c LEFT JOIN rebuilt r USING (doc_id)
+                  LEFT JOIN nspans n USING (doc_id)
+    """,
+    doc="Full ExactSubstr dedup with the paper's keep-one-copy "
+    "survivor rule (Lee et al. 2022 — dedup.remove_duplicate_spans "
+    "keep='first'): the lexicographically-first (doc,pos) occurrence "
+    "of every duplicated gram stays; all other copies are cut as "
+    "merged maximal spans with order-preserving reassembly. The "
+    "oracle replays the canonical-survivor rule with a window "
+    "ROW_NUMBER (= Spark's min(struct(id,pos)) on the same key), the "
+    "coverage cut word-by-word, and the span count by "
+    "gaps-and-islands — text_clean, n_dup_words, and n_dup_spans all "
+    "value-exact cross-engine. Planted prefix copies land under "
+    "HIGHER ids than their originals, so exactly the planted docs "
+    "lose their prefixes and the originals survive whole.",
+)
+def q_substring_dedup(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(text.normalize_text("text"), " ")
+    planted = d.filter("doc_id < 5").select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.array_join(F.slice(w, 1, 12), " "),
+            F.lit(" zzq planted unique tail"),
+        ).alias("text"),
+    )
+    corpus = d.unionByName(planted)
+    return dedup.remove_duplicate_spans(
+        corpus, k=5, min_count=2, hashed=False, keep="first"
+    ).select("doc_id", "text_clean", "n_dup_words", "n_dup_spans")
+
+
 @register(
     "q_pq_adc_knn",
     shadow=True,
