@@ -27,6 +27,55 @@ MEDIA_META_SCHEMA = (
     "duration_ms long, sha256 string"
 )
 
+_ARROW_BATCH_KEY = "spark.sql.execution.arrow.maxRecordsPerBatch"
+# pre-first-shrink value per session, for restore_arrow_batch_size
+_ARROW_BATCH_SAVED: dict[int, str | None] = {}
+
+
+def _shrink_arrow_batches(spark, batch_size: int) -> None:
+    """Shrink (never grow) the session's Arrow batch size so a batch
+    of large media blobs fits executor memory.
+
+    SESSION-WIDE SIDE EFFECT, by necessity: mapInPandas reads this
+    conf at ACTION time, not when the lazy DataFrame is built, so a
+    set/restore around the decode_* call would be a no-op — the
+    restored value would be live by the time the query runs. Instead
+    every decode_* operator funnels through this helper, which (a)
+    only ever LOWERS the value (repeated decode calls no longer stack
+    arbitrary values; unrelated queries run slower, never bigger),
+    and (b) stashes the first-seen value so callers can undo the
+    shrink with restore_arrow_batch_size(spark) once their media
+    actions have executed."""
+    key = id(spark)
+    if key not in _ARROW_BATCH_SAVED:
+        try:
+            _ARROW_BATCH_SAVED[key] = spark.conf.get(_ARROW_BATCH_KEY)
+        except Exception:
+            _ARROW_BATCH_SAVED[key] = None
+    try:
+        current = int(spark.conf.get(_ARROW_BATCH_KEY))
+    except Exception:
+        current = 10000  # Spark's default
+    if current <= 0 or batch_size < current:  # 0 = unlimited
+        spark.conf.set(_ARROW_BATCH_KEY, str(batch_size))
+
+
+def restore_arrow_batch_size(spark) -> None:
+    """Undo every _shrink_arrow_batches call on this session: restore
+    the Arrow batch size that was live before the first decode_*
+    operator touched it. Call AFTER the media query's action has run
+    (collect/write), or the shrink never applies."""
+    if id(spark) not in _ARROW_BATCH_SAVED:
+        return  # never shrunk (or already restored): nothing to do
+    saved = _ARROW_BATCH_SAVED.pop(id(spark))
+    if saved is None:
+        try:
+            spark.conf.unset(_ARROW_BATCH_KEY)
+        except Exception:
+            pass
+    else:
+        spark.conf.set(_ARROW_BATCH_KEY, saved)
+
 
 def with_content_hash(df: DataFrame, bin_col: str = "payload", out_col: str = "sha256") -> DataFrame:
     """Content-addressing: sha2 on the JVM, no Python boundary."""
@@ -476,10 +525,44 @@ def decode_mp3_meta(
             )
 
     spark = df.sparkSession
-    spark.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
-    )
+    _shrink_arrow_batches(spark, batch_size)
     return df.mapInPandas(decode, out_schema)
+
+
+def cbr_mp3_bytes(
+    n_frames: int,
+    br_idx: int,
+    sr_idx: int,
+    mono: bool = False,
+    id3v2: bool = False,
+    id3v1: bool = False,
+) -> bytes:
+    """Serialize a REAL constant-bitrate MPEG-1 Layer III frame
+    sequence (valid 4-byte headers + zero filler, optional ID3v2
+    prefix / ID3v1 trailer) — a deterministic, parseable fixture
+    generator used by tests and the q_mp3_meta oracle query, the
+    audio analogue of gray_bmp_bytes. ``br_idx`` 1..14 indexes the V1
+    L3 bitrate table, ``sr_idx`` 0..2 the V1 sample rates
+    (44100/48000/32000). Only headers matter to the walker; filler
+    bytes are never interpreted."""
+    if not (1 <= br_idx <= 14) or not (0 <= sr_idx <= 2) or n_frames < 1:
+        raise ValueError("cbr_mp3_bytes: br_idx 1..14, sr_idx 0..2, n>=1")
+    bitrate = _MP3_BITRATES[(True, 3)][br_idx - 1] * 1000
+    rate = _MP3_RATES[3][sr_idx]
+    frame_bytes = 144 * bitrate // rate  # padding 0
+    mode = 3 if mono else 0
+    # 0xFF 0xFB = sync + V1 (11) + L3 (01) + no-CRC (1)
+    header = bytes(
+        [0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), mode << 6]
+    )
+    frame = header + b"\x00" * (frame_bytes - 4)
+    out = bytearray()
+    if id3v2:  # v2.3, no flags, 17-byte syncsafe body
+        out += b"ID3\x03\x00\x00" + bytes([0, 0, 0, 17]) + b"\x00" * 17
+    out += frame * n_frames
+    if id3v1:
+        out += b"TAG" + b"\x00" * 125
+    return bytes(out)
 
 
 def parse_mp4_header(b: bytes):
@@ -601,9 +684,7 @@ def decode_video_meta(
             )
 
     spark = df.sparkSession
-    spark.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
-    )
+    _shrink_arrow_batches(spark, batch_size)
     return df.mapInPandas(decode, out_schema)
 
 
@@ -689,7 +770,7 @@ def decode_image_meta(
             yield pdf
 
     spark = df.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    _shrink_arrow_batches(spark, batch_size)
     return df.mapInPandas(decode, out_schema)
 
 

@@ -4223,6 +4223,88 @@ def q_image_dhash(spark, sf_dir):
     )
 
 
+def _mp3_meta_oracle_sql() -> str:
+    b = [_sql_digest_byte("text", i) for i in range(6)]
+    return f"""
+    WITH params AS (
+      SELECT doc_id,
+             1 + ({b[0]}) % 8 AS n_frames,
+             ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[
+               1 + ({b[1]}) % 14] AS kbps,
+             ([44100,48000,32000])[1 + ({b[2]}) % 3] AS rate,
+             CASE WHEN ({b[3]}) % 2 = 1 THEN 1 ELSE 2 END AS channels
+      FROM documents WHERE doc_id < 48 AND length(text) > 0
+    )
+    SELECT doc_id,
+           CAST((n_frames * 1152 * 1000) // rate AS BIGINT)
+             AS mp3_duration_ms,
+           CAST(kbps AS INTEGER) AS mp3_bitrate_kbps,
+           CAST(rate AS INTEGER) AS mp3_sample_rate,
+           CAST(channels AS INTEGER) AS mp3_channels,
+           CAST(n_frames AS INTEGER) AS mp3_n_frames,
+           CAST(3 AS INTEGER) AS mp3_layer
+    FROM params ORDER BY doc_id
+    """
+
+
+@register(
+    "q_mp3_meta",
+    shadow=True,
+    oracle=_mp3_meta_oracle_sql(),
+    doc="MPEG audio frame-header metadata over REAL parseable MP3 "
+    "byte streams (multimodal.decode_mp3_meta): the query synthesizes "
+    "valid CBR MPEG-1 Layer III frame sequences from sha256 digest "
+    "bytes of each document (frame count, bitrate index, sample rate, "
+    "channel mode, and optional ID3v2 prefix / ID3v1 trailer all "
+    "digest-derived — the q_image_dhash recipe), runs them through "
+    "the full production header walk (ID3 skip -> per-frame header "
+    "parse -> frame-size stride -> duration/bitrate arithmetic), and "
+    "the DuckDB oracle recomputes duration_ms = n*1152*1000 // rate "
+    "and the table lookups from the same digest bytes — value-exact "
+    "gating of the ENTIRE walker path, closing the walker's "
+    "pytest-only gap (VERDICT r5 #4). Integer arithmetic end to end; "
+    "ID3 handling is exercised on ~half the docs but is invisible to "
+    "the metadata, so the oracle needs no tag terms.",
+)
+def q_mp3_meta(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import multimodal
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 48) & (F.length("text") > 0))
+        .select("doc_id", "text")
+    )
+
+    def synth(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                dg = hashlib.sha256(t.encode("utf-8")).digest()
+                payloads.append(
+                    multimodal.cbr_mp3_bytes(
+                        n_frames=1 + dg[0] % 8,
+                        br_idx=1 + dg[1] % 14,
+                        sr_idx=dg[2] % 3,
+                        mono=bool(dg[3] % 2),
+                        id3v2=bool(dg[4] % 2),
+                        id3v1=bool(dg[5] % 2),
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    clips = d.mapInPandas(synth, "doc_id long, payload binary")
+    return multimodal.decode_mp3_meta(clips).select(
+        "doc_id", "mp3_duration_ms", "mp3_bitrate_kbps",
+        "mp3_sample_rate", "mp3_channels", "mp3_n_frames", "mp3_layer",
+    ).orderBy("doc_id")
+
+
 # --- event-flow analytics (operators/analytics.py) ------------------------
 
 @register(
