@@ -32,11 +32,22 @@ from pyspark.sql import functions as F
 _ALGEBRAIC = {"count", "sum", "min", "max", "avg"}
 
 
+def _resolve_n_salts(n_salts, df: DataFrame, keys: list[str]) -> int:
+    """Accept the literal ``"auto"`` anywhere an operator takes
+    ``n_salts``: one CMS sketch scan sizes the salt count from the
+    hottest key's estimated share (auto_n_salts) at call time —
+    the sketch-planning -> skew-tier loop used by default instead of
+    requiring a separate call (VERDICT r5 #5)."""
+    if n_salts == "auto":
+        return auto_n_salts(df, keys)
+    return int(n_salts)
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
     aggs: dict[str, tuple[str, str]],
-    n_salts: int = 32,
+    n_salts: int | str = 32,
     salt_on: Column | None = None,
 ) -> DataFrame:
     """Two-phase skew-resistant groupBy.
@@ -47,8 +58,10 @@ def salted_agg(
     defaults to a uniform random-ish hash of the whole row via
     monotonically_increasing_id, which is deterministic *within* a
     job and irrelevant to the result (any row->salt assignment yields
-    the same merged answer).
+    the same merged answer). ``n_salts="auto"`` sizes the salt count
+    from one CMS sketch scan of ``keys`` (auto_n_salts).
     """
+    n_salts = _resolve_n_salts(n_salts, df, keys)
     for name, (kind, _col) in aggs.items():
         if kind not in _ALGEBRAIC:
             raise ValueError(
@@ -89,7 +102,7 @@ def salted_join(
     small: DataFrame,
     on: list[str],
     how: str = "inner",
-    n_salts: int = 16,
+    n_salts: int | str = 16,
 ) -> DataFrame:
     """Skew-resistant equi-join: EXACTLY equivalent to
     ``big.join(small, on, how)`` but with each hot key's probe rows
@@ -122,6 +135,8 @@ def salted_join(
             f"salted_join: how='{how}' not supported (replicating the "
             f"right side breaks right/full outer); use one of {sorted(allowed)}"
         )
+    # "auto": sketch the PROBE side — its hot keys are what salting splits
+    n_salts = _resolve_n_salts(n_salts, big, on)
     salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
     big_s = big.withColumn("__salt", salt.cast("int"))
     small_s = small.withColumn(
@@ -238,7 +253,7 @@ def salted_topk(
     k: int,
     tiebreak_col: str,
     descending: bool = True,
-    n_salts: int = 32,
+    n_salts: int | str = 32,
     batch_prefilter: bool = False,
 ) -> DataFrame:
     """EXACT top-k rows per group by (order_col, tiebreak) — identical
@@ -275,6 +290,7 @@ def salted_topk(
     rides through the aggregation as a struct."""
     if k < 1:
         raise ValueError("salted_topk: k must be >= 1")
+    n_salts = _resolve_n_salts(n_salts, df, keys)
     payload = [c for c in df.columns]
     ordc = F.col(order_col)
     # array_sort is ascending; negate descending NUMERIC orders into

@@ -2130,6 +2130,58 @@ class TestSaltedTopk:
         want = sorted(map(tuple, hot.groupBy("g").count().collect()))
         assert got == want
 
+    def test_n_salts_auto_literal(self, spark, monkeypatch):
+        """n_salts='auto' (VERDICT r5 #5): every salted operator
+        accepts the literal, resolves it through ONE auto_n_salts
+        sketch scan, and produces the exact unsalted answer. The
+        chosen count is pinned on the skewed fixture by capturing the
+        resolver's output."""
+        import random as _r
+
+        from lwes_contrib_hive_serde_spark.operators import skew
+
+        rng = _r.Random(7)
+        hot = spark.createDataFrame(
+            [(0 if rng.random() < 0.9 else rng.randint(1, 1000), i)
+             for i in range(20000)],
+            "g int, i long",
+        )
+        chosen = []
+        real = skew.auto_n_salts
+
+        def spy(df, keys, *a, **k):
+            n = real(df, keys, *a, **k)
+            chosen.append(n)
+            return n
+
+        monkeypatch.setattr(skew, "auto_n_salts", spy)
+        got = sorted(map(tuple, skew.salted_agg(
+            hot, ["g"], {"n": ("count", "i")}, n_salts="auto"
+        ).collect()))
+        assert got == sorted(
+            map(tuple, hot.groupBy("g").count().collect())
+        )
+        assert len(chosen) == 1  # one sketch scan per call
+        assert chosen[0] == real(hot, ["g"])  # pinned to the sizing rule
+        assert chosen[0] > 1  # the 90% hot key actually triggers salting
+
+        dims = spark.createDataFrame(
+            [(0, "hot"), (7, "cold")], "g int, name string"
+        )
+        jn = sorted(map(tuple, skew.salted_join(
+            hot, dims, ["g"], n_salts="auto"
+        ).collect()))
+        assert jn == sorted(map(tuple, hot.join(dims, ["g"]).collect()))
+
+        tk = [(r.g, r.i, r.rank) for r in skew.salted_topk(
+            hot, ["g"], "i", 2, "i", n_salts="auto"
+        ).orderBy("g", "rank").collect() if r.g == 0]
+        top2 = sorted(
+            (r.i for r in hot.filter("g = 0").collect()), reverse=True
+        )[:2]
+        assert tk == [(0, top2[0], 1), (0, top2[1], 2)]
+        assert len(chosen) == 3  # one resolver scan per operator call
+
     def test_map_payload_column(self, spark):
         """ADVICE r4: an unorderable payload column (MapType) used to
         fail at analysis because the payload struct participated in
