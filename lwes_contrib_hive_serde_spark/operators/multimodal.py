@@ -565,6 +565,193 @@ def cbr_mp3_bytes(
     return bytes(out)
 
 
+# ADTS (AAC transport) frame-header tables — public layout, ISO/IEC
+# 13818-7 / 14496-3, the other dominant compressed-audio wrapper.
+# Sampling-frequency index 0..12; 13/14 reserved, 15 escape → refused.
+_ADTS_RATES = (
+    96000, 88200, 64000, 48000, 44100, 32000, 24000,
+    22050, 16000, 12000, 11025, 8000, 7350,
+)
+
+
+def _adts_frame_header(b: bytes, pos: int):
+    """Parse one ADTS frame header at ``pos``: (frame_bytes, samples,
+    sample_rate, channels, profile, mpeg2_flag) or None if the 7
+    bytes are not a valid header. channel_configuration 0 (channel
+    layout deferred to an in-stream PCE) is refused — channels are
+    not in the header, so reporting any count would be a guess."""
+    if pos + 7 > len(b):
+        return None
+    h = b[pos : pos + 7]
+    # 12-bit sync 0xFFF + layer bits must be 00
+    if h[0] != 0xFF or (h[1] & 0xF6) != 0xF0:
+        return None
+    mpeg2 = (h[1] >> 3) & 1
+    prot_absent = h[1] & 1
+    profile = (h[2] >> 6) & 0x3
+    sfi = (h[2] >> 2) & 0xF
+    if sfi >= 13:
+        return None  # reserved / escape
+    ch_cfg = ((h[2] & 0x1) << 2) | (h[3] >> 6)
+    if ch_cfg == 0:
+        return None  # channels live in a PCE: refuse, don't guess
+    frame_len = ((h[3] & 0x3) << 11) | (h[4] << 3) | (h[5] >> 5)
+    header_len = 7 if prot_absent else 9
+    if frame_len < header_len:
+        return None
+    blocks = h[6] & 0x3
+    samples = 1024 * (blocks + 1)
+    channels = 8 if ch_cfg == 7 else ch_cfg
+    return (
+        frame_len, samples, _ADTS_RATES[sfi], channels, profile, mpeg2
+    )
+
+
+def parse_adts_frames(b: bytes):
+    """(duration_ms, avg_bitrate_kbps, sample_rate, channels,
+    n_frames, profile) from an ADTS (AAC) frame-header walk — the
+    same header-only approach and honesty contract as
+    parse_mp3_frames: None — never a guess — for non-ADTS bytes, a
+    truncated final frame, a mid-stream desync, channel_configuration
+    0 (layout in a PCE the header walk cannot see), or mixed sample
+    rates / channel configs / profiles across frames. Skips a leading
+    ID3v2 tag and accepts a trailing 128-byte ID3v1 tag.
+
+    ADTS carries no bitrate field, so avg_bitrate_kbps is derived:
+    floor(total_frame_bits * rate / (total_samples * 1000)) — integer
+    arithmetic end to end (SQL-replayable by q_aac_meta)."""
+    pos, n = 0, len(b)
+    if n >= 10 and b[:3] == b"ID3":
+        size = ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14) \
+            | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
+        pos = 10 + size + (10 if b[5] & 0x10 else 0)
+    first = _adts_frame_header(b, pos)
+    if first is None:
+        return None
+    rate0, ch0, prof0, m0 = first[2], first[3], first[4], first[5]
+    n_frames = total_samples = total_bytes = 0
+    while pos < n:
+        if n - pos == 128 and b[pos : pos + 3] == b"TAG":
+            break  # ID3v1 trailer
+        hdr = _adts_frame_header(b, pos)
+        if hdr is None:
+            return None  # desync / torn header
+        fb, samples, rate, ch, prof, m2 = hdr
+        if (rate, ch, prof, m2) != (rate0, ch0, prof0, m0):
+            return None  # mixed stream parameters: refuse, don't guess
+        if pos + fb > n:
+            return None  # truncated final frame
+        n_frames += 1
+        total_samples += samples
+        total_bytes += fb
+        pos += fb
+    if n_frames == 0:
+        return None
+    duration_ms = total_samples * 1000 // rate0
+    kbps = total_bytes * 8 * rate0 // (total_samples * 1000)
+    return (
+        int(duration_ms),
+        int(kbps),
+        int(rate0),
+        int(ch0),
+        int(n_frames),
+        int(prof0),
+    )
+
+
+def decode_aac_meta(
+    df: DataFrame, bin_col: str = "payload", batch_size: int = 64
+) -> DataFrame:
+    """Append (aac_duration_ms, aac_bitrate_kbps, aac_sample_rate,
+    aac_channels, aac_n_frames, aac_profile) parsed from ADTS
+    payloads via mapInPandas; NULLs for anything parse_adts_frames
+    refuses. Header-only — sample data never ships through Python.
+    Shrinks the session Arrow batch size via _shrink_arrow_batches
+    (documented session-wide effect; undo with
+    restore_arrow_batch_size)."""
+    in_schema = df.schema
+    out_schema = ", ".join(
+        [f.simpleString().replace(":", " ", 1) for f in in_schema.fields]
+        + [
+            "aac_duration_ms long", "aac_bitrate_kbps int",
+            "aac_sample_rate int", "aac_channels int",
+            "aac_n_frames int", "aac_profile int",
+        ]
+    )
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            cols = {k: [] for k in ("d", "b", "r", "c", "n", "p")}
+            for raw in pdf[bin_col]:
+                parsed = parse_adts_frames(
+                    bytes(raw) if raw is not None else b""
+                )
+                if parsed is None:
+                    for k in cols:
+                        cols[k].append(None)
+                else:
+                    d, kbps, r, c_, nf, prof = parsed
+                    cols["d"].append(d); cols["b"].append(kbps)
+                    cols["r"].append(r); cols["c"].append(c_)
+                    cols["n"].append(nf); cols["p"].append(prof)
+            yield pdf.assign(
+                aac_duration_ms=pd.array(cols["d"], dtype="Int64"),
+                aac_bitrate_kbps=pd.array(cols["b"], dtype="Int32"),
+                aac_sample_rate=pd.array(cols["r"], dtype="Int32"),
+                aac_channels=pd.array(cols["c"], dtype="Int32"),
+                aac_n_frames=pd.array(cols["n"], dtype="Int32"),
+                aac_profile=pd.array(cols["p"], dtype="Int32"),
+            )
+
+    spark = df.sparkSession
+    _shrink_arrow_batches(spark, batch_size)
+    return df.mapInPandas(decode, out_schema)
+
+
+def adts_aac_bytes(
+    n_frames: int,
+    sfi: int,
+    ch_cfg: int,
+    frame_len: int,
+    profile: int = 1,
+    blocks: int = 0,
+    id3v2: bool = False,
+    id3v1: bool = False,
+) -> bytes:
+    """Serialize a REAL ADTS frame sequence (valid 7-byte headers +
+    zero filler, optional ID3 tags) — the AAC analogue of
+    cbr_mp3_bytes, used by tests and the q_aac_meta oracle query.
+    ``sfi`` 0..12 indexes _ADTS_RATES, ``ch_cfg`` 1..7, ``frame_len``
+    is the full per-frame byte count (header included, >= 7),
+    ``blocks`` is number_of_raw_data_blocks_in_frame (frame carries
+    blocks+1 x 1024 samples)."""
+    if not (0 <= sfi <= 12) or not (1 <= ch_cfg <= 7) or frame_len < 7 \
+            or n_frames < 1 or not (0 <= profile <= 2) \
+            or not (0 <= blocks <= 3):
+        raise ValueError(
+            "adts_aac_bytes: sfi 0..12, ch_cfg 1..7, frame_len>=7, "
+            "n>=1, profile 0..2, blocks 0..3"
+        )
+    h = bytearray(7)
+    h[0] = 0xFF
+    h[1] = 0xF1  # sync + MPEG-4 + layer 00 + protection_absent
+    h[2] = (profile << 6) | (sfi << 2) | (ch_cfg >> 2)
+    h[3] = ((ch_cfg & 0x3) << 6) | ((frame_len >> 11) & 0x3)
+    h[4] = (frame_len >> 3) & 0xFF
+    h[5] = ((frame_len & 0x7) << 5) | 0x1F  # buffer fullness high bits
+    h[6] = (0x3F << 2) | blocks  # fullness low bits + block count
+    frame = bytes(h) + b"\x00" * (frame_len - 7)
+    out = bytearray()
+    if id3v2:
+        out += b"ID3\x03\x00\x00" + bytes([0, 0, 0, 17]) + b"\x00" * 17
+    out += frame * n_frames
+    if id3v1:
+        out += b"TAG" + b"\x00" * 125
+    return bytes(out)
+
+
 def parse_mp4_header(b: bytes):
     """(duration_ms, timescale, n_tracks, width, height) from an ISO
     BMFF (MP4/MOV, ISO/IEC 14496-12 public layout) moov box walk;

@@ -4305,6 +4305,90 @@ def q_mp3_meta(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _aac_meta_oracle_sql() -> str:
+    b = [_sql_digest_byte("text", i) for i in range(7)]
+    return f"""
+    WITH params AS (
+      SELECT doc_id,
+             1 + ({b[0]}) % 8 AS n_frames,
+             ([96000,88200,64000,48000,44100,32000,24000,22050,16000,
+               12000,11025,8000,7350])[1 + ({b[1]}) % 13] AS rate,
+             1 + ({b[2]}) % 7 AS ch_cfg,
+             100 + ({b[3]}) AS frame_len,
+             ({b[4]}) % 3 AS profile
+      FROM documents WHERE doc_id < 48 AND length(text) > 0
+    )
+    SELECT doc_id,
+           CAST((n_frames * 1024 * 1000) // rate AS BIGINT)
+             AS aac_duration_ms,
+           CAST((n_frames * frame_len * 8 * rate)
+                // (n_frames * 1024 * 1000) AS INTEGER)
+             AS aac_bitrate_kbps,
+           CAST(rate AS INTEGER) AS aac_sample_rate,
+           CAST(CASE WHEN ch_cfg = 7 THEN 8 ELSE ch_cfg END AS INTEGER)
+             AS aac_channels,
+           CAST(n_frames AS INTEGER) AS aac_n_frames,
+           CAST(profile AS INTEGER) AS aac_profile
+    FROM params ORDER BY doc_id
+    """
+
+
+@register(
+    "q_aac_meta",
+    shadow=True,
+    oracle=_aac_meta_oracle_sql(),
+    doc="ADTS (AAC) frame-header metadata over REAL parseable byte "
+    "streams (multimodal.decode_aac_meta, VERDICT r5 #7): valid ADTS "
+    "frame sequences synthesized from sha256 digest bytes (frame "
+    "count, sampling-frequency index, channel config, frame length, "
+    "profile, and optional ID3 tags all digest-derived — the "
+    "q_mp3_meta/q_image_dhash recipe), walked by the production "
+    "header parser; the DuckDB oracle recomputes duration = "
+    "n*1024*1000 // rate and the derived bitrate floor((bits*rate) "
+    "// (samples*1000)) from the same digest bytes. ADTS carries no "
+    "bitrate field, so the derived-bitrate arithmetic is exactly "
+    "what's gated. Integer arithmetic end to end.",
+)
+def q_aac_meta(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import multimodal
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 48) & (F.length("text") > 0))
+        .select("doc_id", "text")
+    )
+
+    def synth(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                dg = hashlib.sha256(t.encode("utf-8")).digest()
+                payloads.append(
+                    multimodal.adts_aac_bytes(
+                        n_frames=1 + dg[0] % 8,
+                        sfi=dg[1] % 13,
+                        ch_cfg=1 + dg[2] % 7,
+                        frame_len=100 + dg[3],
+                        profile=dg[4] % 3,
+                        id3v2=bool(dg[5] % 2),
+                        id3v1=bool(dg[6] % 2),
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    clips = d.mapInPandas(synth, "doc_id long, payload binary")
+    return multimodal.decode_aac_meta(clips).select(
+        "doc_id", "aac_duration_ms", "aac_bitrate_kbps",
+        "aac_sample_rate", "aac_channels", "aac_n_frames", "aac_profile",
+    ).orderBy("doc_id")
+
+
 # --- event-flow analytics (operators/analytics.py) ------------------------
 
 @register(

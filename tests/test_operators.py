@@ -632,6 +632,92 @@ class TestAudioPlumbing:
         assert out[1].duration_ms >= 100
 
 
+class TestAdtsMetadata:
+    """ADTS (AAC) frame-header walk (multimodal.parse_adts_frames /
+    decode_aac_meta, VERDICT r5 #7): same public-header-layout
+    approach and NULL (never guess) honesty contract as the MP3
+    walker, for the other dominant compressed-audio wrapper."""
+
+    def test_cbr_stream(self):
+        from lwes_contrib_hive_serde_spark.operators import multimodal as m
+
+        # 48 kHz (sfi 3), stereo (cfg 2), LC (profile 1), 384 B frames
+        blob = m.adts_aac_bytes(10, 3, 2, 384)
+        d, kbps, sr, ch, nf, prof = m.parse_adts_frames(blob)
+        assert (sr, ch, nf, prof) == (48000, 2, 10, 1)
+        assert d == 10 * 1024 * 1000 // 48000
+        assert kbps == 10 * 384 * 8 * 48000 // (10 * 1024 * 1000)
+
+    def test_multi_block_frames_and_7p1(self):
+        from lwes_contrib_hive_serde_spark.operators import multimodal as m
+
+        # blocks=1 -> 2048 samples/frame; ch_cfg 7 -> 8 channels
+        blob = m.adts_aac_bytes(4, 4, 7, 512, blocks=1)
+        d, kbps, sr, ch, nf, prof = m.parse_adts_frames(blob)
+        assert (sr, ch, nf) == (44100, 8, 4)
+        assert d == 4 * 2048 * 1000 // 44100
+
+    def test_id3_tags_skipped(self):
+        from lwes_contrib_hive_serde_spark.operators import multimodal as m
+
+        blob = m.adts_aac_bytes(5, 8, 1, 200, id3v2=True, id3v1=True)
+        d, kbps, sr, ch, nf, prof = m.parse_adts_frames(blob)
+        assert (sr, ch, nf) == (16000, 1, 5)
+
+    def test_null_policy_refusals(self):
+        from lwes_contrib_hive_serde_spark.operators import multimodal as m
+
+        good = m.adts_aac_bytes(1, 3, 2, 300)
+        assert m.parse_adts_frames(b"") is None
+        assert m.parse_adts_frames(b"definitely not audio") is None
+        # truncated final frame
+        assert m.parse_adts_frames(good + good[:100]) is None
+        # mid-stream desync
+        assert m.parse_adts_frames(good + b"\x01\x02\x03" + good) is None
+        # mixed sample rates / channel configs: refuse, don't guess
+        assert m.parse_adts_frames(
+            good + m.adts_aac_bytes(1, 4, 2, 300)
+        ) is None
+        assert m.parse_adts_frames(
+            good + m.adts_aac_bytes(1, 3, 1, 300)
+        ) is None
+        # channel_configuration 0 (PCE) refused: forge cfg 0
+        forged = bytearray(good)
+        forged[2] &= ~0x01
+        forged[3] &= 0x3F
+        assert m.parse_adts_frames(bytes(forged)) is None
+        # reserved sampling-frequency index (13)
+        forged2 = bytearray(good)
+        forged2[2] = (forged2[2] & ~0x3C) | (13 << 2)
+        assert m.parse_adts_frames(bytes(forged2)) is None
+
+    def test_generator_validates_args(self):
+        from lwes_contrib_hive_serde_spark.operators import multimodal as m
+
+        import pytest as _pt
+
+        for bad in [dict(sfi=13), dict(ch_cfg=0), dict(ch_cfg=8),
+                    dict(frame_len=6), dict(profile=3), dict(blocks=4)]:
+            kw = dict(n_frames=1, sfi=0, ch_cfg=1, frame_len=100)
+            kw.update(bad)
+            with _pt.raises(ValueError):
+                m.adts_aac_bytes(**kw)
+
+    def test_fuzz_never_raises(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from lwes_contrib_hive_serde_spark.operators import multimodal as m
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.binary(max_size=600))
+        def run(b):
+            out = m.parse_adts_frames(b)
+            assert out is None or len(out) == 6
+
+        run()
+
+
 class TestArrowBatchScope:
     """decode_* operators shrink the session Arrow batch size for big
     media blobs (documented session-wide effect — the conf is read at
