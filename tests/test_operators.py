@@ -2424,6 +2424,63 @@ class TestBloomPrefilterJoin:
         with pytest.raises(ValueError, match="incompatible"):
             joins.bloom_prefilter_join(big, small, ["k"], how="inner")
 
+    def test_plan_accepts_selective_fixture(self, spark):
+        """plan_bloom_join (VERDICT r5 #8): a probe side where <2% of
+        rows match must get a go-ahead with a sane sizing, and the
+        sized filter must still produce the exact join."""
+        from lwes_contrib_hive_serde_spark.operators import joins
+
+        big = spark.range(50000).selectExpr(
+            "id % 20000 AS k", "id AS payload"
+        )
+        small = spark.range(50).selectExpr("id * 379 AS k")  # sparse keys
+        plan = joins.plan_bloom_join(big, small, ["k"], width=1024)
+        assert plan["use_bloom"], plan["reason"]
+        # CMS only OVERestimates: the bound must cover the true count
+        true_survivors = big.join(small.distinct(), ["k"], "left_semi").count()
+        assert plan["est_survivors_ub"] >= true_survivors
+        assert plan["est_selectivity_ub"] <= 0.3
+        assert plan["n_big_rows"] == 50000 and plan["n_small_keys"] == 50
+        assert 4 <= plan["bits_per_key"] <= 32
+        got = sorted(map(tuple, joins.bloom_prefilter_join(
+            big, small, ["k"],
+            bits_per_key=plan["bits_per_key"],
+            num_hashes=plan["num_hashes"],
+        ).collect()))
+        assert got == sorted(map(tuple, big.join(small, ["k"]).collect()))
+
+    def test_plan_refuses_nonselective_fixture(self, spark):
+        """When nearly every probe row matches, the prefilter cannot
+        pay for itself — the plan must refuse with a reason."""
+        from lwes_contrib_hive_serde_spark.operators import joins
+
+        big = spark.range(20000).selectExpr("id % 100 AS k", "id AS payload")
+        small = spark.range(95).selectExpr("id AS k")  # 95% of keys match
+        plan = joins.plan_bloom_join(big, small, ["k"], width=1024)
+        assert not plan["use_bloom"]
+        assert "cannot pay" in plan["reason"]
+        assert plan["est_selectivity_ub"] >= 0.9
+
+    def test_plan_refuses_oversized_filter(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import joins
+
+        big = spark.range(8000).selectExpr("id AS k")
+        small = spark.range(2000).selectExpr("id * 16 AS k")
+        plan = joins.plan_bloom_join(
+            big, small, ["k"], max_filter_bytes=512
+        )
+        assert not plan["use_bloom"] and "MiB" in plan["reason"]
+
+    def test_plan_empty_sides(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import joins
+
+        big = spark.range(100).selectExpr("id AS k")
+        none_ = big.filter("k < 0")
+        p1 = joins.plan_bloom_join(big, none_, ["k"], width=256)
+        assert p1["use_bloom"] and p1["n_small_keys"] == 0
+        p2 = joins.plan_bloom_join(none_, big, ["k"], width=256)
+        assert not p2["use_bloom"] and p2["n_big_rows"] == 0
+
     def test_filter_prunes_and_fp_rate(self, spark):
         import numpy as np
 
