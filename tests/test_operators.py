@@ -731,6 +731,9 @@ class TestArrowBatchScope:
     def test_shrink_only_and_restore(self, spark):
         from lwes_contrib_hive_serde_spark.operators import multimodal as m
 
+        # earlier decode_* tests in the session may have stashed a
+        # pre-shrink value already — reset so this test owns the state
+        m._ARROW_BATCH_SAVED.pop(id(spark), None)
         spark.conf.set(self.KEY, "5000")
         try:
             m._shrink_arrow_batches(spark, 64)
