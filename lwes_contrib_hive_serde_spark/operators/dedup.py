@@ -1241,6 +1241,22 @@ def duplicate_spans(
     flags = _dup_window_starts(
         df, text_col, id_col, k, min_count, hashed, keep
     )
+    return _merge_starts_to_spans(flags, k).select(
+        F.col("__id").alias(id_col),
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start"))
+        .cast("int")
+        .alias("n_words"),
+    )
+
+
+def _merge_starts_to_spans(flags: DataFrame, k: int) -> DataFrame:
+    """(__id, pos) flagged k-gram window starts -> (__id, span_start,
+    span_end) MAXIMAL merged half-open intervals, by gaps-and-islands:
+    lag + one cumulative sum + groupBy inside a doc-partitioned
+    window. Shared by duplicate_spans and the incremental passage
+    index probe."""
     w = Window.partitionBy("__id").orderBy("pos")
     grouped = (
         flags.withColumn("__prev", F.lag("pos").over(w))
@@ -1266,12 +1282,9 @@ def duplicate_spans(
             (F.max("pos") + k).alias("span_end"),
         )
         .select(
-            F.col("__id").alias(id_col),
+            "__id",
             F.col("span_start").cast("int").alias("span_start"),
             F.col("span_end").cast("int").alias("span_end"),
-            (F.col("span_end") - F.col("span_start"))
-            .cast("int")
-            .alias("n_words"),
         )
     )
 
@@ -1304,6 +1317,21 @@ def remove_duplicate_spans(
     spans = duplicate_spans(
         df, text_col, id_col, k, min_count, hashed, keep=span_keep
     )
+    return _cut_spans(df, spans, text_col, id_col, out_col)
+
+
+def _cut_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Cut ``spans`` (id_col, span_start, span_end half-open word
+    intervals) out of every document with order-preserving
+    reassembly — the removal grain shared by remove_duplicate_spans
+    and the incremental passage index. Appends ``out_col``,
+    ``n_dup_words``, and ``n_dup_spans`` (NULLs for NULL input)."""
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )

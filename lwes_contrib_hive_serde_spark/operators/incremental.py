@@ -36,6 +36,8 @@ from __future__ import annotations
 import json
 import os
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -432,3 +434,285 @@ def incremental_image_dedup(
             "append"
         ).parquet(os.path.join(path, "hashes"))
     return survivors, matches
+
+
+# ---------------------------------------------------------------------------
+# Incremental ExactSubstr: persisted corpus k-gram index
+# ---------------------------------------------------------------------------
+#
+# The batch-vs-frozen-corpus grain of exact substring dedup (Lee et
+# al. 2022): a new crawl batch must not retain >=k-word spans that
+# already exist in the training corpus, and the corpus must not be
+# re-scanned per batch. The corpus's k-gram set is indexed ONCE:
+#
+#     <path>/grams/    (gram long|string) parquet — DISTINCT k-grams,
+#                      xxhash64-hashed by default
+#     <path>/bloom.bin OR-able bitset over the gram keys (the
+#                      build_key_bloom probe scheme)
+#     <path>/meta.json {k, hashed, bits_per_key, m_bits, num_hashes,
+#                       n_keys}
+#
+# Probe shape at 100 TB: the batch's gram set is the broadcast side
+# of every join; the index's grams table is scanned scan-only (never
+# shuffled), and the bloom bitset prefilters batch grams BEFORE that
+# scan — a mostly-novel batch broadcasts almost nothing into the
+# confirm join. Append is O(batch): new distinct grams append to
+# parquet and OR into the bitset under the frozen (m_bits,
+# num_hashes); the sizing headroom is tracked and appends REFUSE once
+# the design FP rate can no longer hold (rebuild with a larger
+# filter instead of silently degrading).
+
+
+def passage_index_write(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    hashed: bool = True,
+    bits_per_key: int = 16,
+    key_headroom: float = 4.0,
+) -> None:
+    """Build (overwrite) the persistent k-gram index for a corpus.
+
+    One pass: positioned k-grams -> distinct gram keys -> parquet +
+    bloom bitset. Positions are NOT stored — the probe question is
+    "does this span exist in the corpus", not where. ``hashed=True``
+    stores 8-byte xxhash64 keys (the production tier; a ~2^-64
+    per-pair collision can at worst cut one extra span);
+    ``hashed=False`` stores raw gram strings (oracle-exact, larger).
+    The bitset is sized for ``key_headroom`` x the initial key count
+    so appended batches keep the design FP rate until the tracked
+    key count exhausts the headroom."""
+    from lwes_contrib_hive_serde_spark.operators import joins
+
+    grams = (
+        dedup._positioned_kgrams(df, id_col, text_col, k, hashed)
+        .select(F.explode("__grams").alias("g"))
+        .select(F.col("g.gram").alias("gram"))
+        .distinct()
+    )
+    if hashed:
+        grams = grams.select(F.col("gram").cast("long").alias("gram"))
+    grams.persist()
+    try:
+        grams.write.mode("overwrite").parquet(os.path.join(path, "grams"))
+        # headroom folds into bits_per_key: m = bpk * headroom * n
+        bits, m_bits, num_hashes, n_keys = joins.build_key_bloom(
+            grams, ["gram"],
+            bits_per_key=max(1, int(bits_per_key * key_headroom)),
+        )
+    finally:
+        grams.unpersist()
+    tmpb = os.path.join(path, ".bloom.bin.tmp")
+    with open(tmpb, "wb") as f:
+        f.write(bits)
+    os.replace(tmpb, os.path.join(path, "bloom.bin"))
+    meta = {
+        "k": k,
+        "hashed": hashed,
+        "bits_per_key": bits_per_key,
+        "m_bits": m_bits,
+        "num_hashes": num_hashes,
+        "n_keys": n_keys,
+        "version": 1,
+    }
+    tmp = os.path.join(path, ".meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "meta.json"))
+
+
+def _batch_gram_positions(batch, id_col, text_col, meta):
+    """(__id, pos, gram) for the batch under the index's frozen
+    parameters."""
+    out = (
+        dedup._positioned_kgrams(
+            batch, id_col, text_col, meta["k"], meta["hashed"]
+        )
+        .select("__id", F.explode("__grams").alias("g"))
+        .select(
+            "__id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram")
+        )
+    )
+    if meta["hashed"]:
+        out = out.withColumn("gram", F.col("gram").cast("long"))
+    return out
+
+
+def _bloom_member_col(spark, path: str, meta: dict):
+    """Vectorized membership test against the stored bitset, shipped
+    once as a broadcast variable (the bloom_prefilter_join probe)."""
+    import numpy as np
+    import pandas as pd
+
+    with open(os.path.join(path, "bloom.bin"), "rb") as f:
+        bits_arr = np.frombuffer(f.read(), dtype=np.uint8)
+    bits_b = spark.sparkContext.broadcast(bits_arr)
+    m_bits, num_hashes = meta["m_bits"], meta["num_hashes"]
+
+    @F.pandas_udf("boolean")
+    def member(h: pd.Series) -> pd.Series:
+        ks = h.to_numpy(dtype=np.int64).view(np.uint64)
+        h1 = ks & np.uint64(0xFFFFFFFF)
+        h2 = (ks >> np.uint64(32)) | np.uint64(1)
+        bits = bits_b.value
+        ok = np.ones(len(ks), dtype=bool)
+        for i in range(num_hashes):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+            probe = (
+                bits[(pos >> np.uint64(3)).astype(np.int64)]
+                >> (pos & np.uint64(7)).astype(np.uint8)
+            ) & np.uint8(1)
+            ok &= probe.astype(bool)
+        return pd.Series(ok)
+
+    return member
+
+
+def passage_index_probe(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    exact: bool = True,
+) -> DataFrame:
+    """(id, pos) — k-gram window starts in the batch whose gram
+    already exists in the indexed corpus.
+
+    Two tiers: the stored bloom bitset first drops every
+    definitely-novel batch gram (zero index I/O for the typical
+    mostly-novel batch), then — with ``exact=True`` (default) — the
+    survivors are confirmed against the grams table so bloom false
+    positives cannot flag a span that is not really in the corpus.
+    ``exact=False`` skips the confirm scan entirely and accepts the
+    bitset's design FP rate (~7e-4 at 16 bits/key) as a flagging
+    error; use it only when an occasional extra cut span is cheaper
+    than any index scan.
+
+    Join shape: batch gram rows carry the bloom verdict in-place (one
+    broadcast variable, vectorized membership); the confirm join
+    broadcasts the bloom-surviving DISTINCT batch grams against the
+    scan-only grams table — the index NEVER shuffles."""
+    meta = _read_meta(path)
+    grams = _batch_gram_positions(batch, id_col, text_col, meta)
+    member = _bloom_member_col(spark, path, meta)
+    keyh = (
+        F.xxhash64(F.col("gram"))
+    )
+    candidates = grams.filter(member(keyh))
+    if not exact:
+        return candidates.select(F.col("__id").alias(id_col), "pos")
+    idx = spark.read.parquet(os.path.join(path, "grams"))
+    confirmed_grams = idx.join(
+        F.broadcast(candidates.select("gram").distinct()), "gram"
+    )
+    flagged = candidates.join(
+        F.broadcast(confirmed_grams.select("gram").distinct()), "gram"
+    )
+    return flagged.select(F.col("__id").alias(id_col), "pos")
+
+
+def remove_passages_against_index(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    exact: bool = True,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """ExactSubstr decontamination of a batch against the frozen
+    corpus index: every >=k-word span of a batch document that
+    already exists in the corpus is cut (maximal merged spans,
+    order-preserving reassembly — the remove_duplicate_spans grain).
+    The corpus copy is the surviving canonical copy by construction,
+    so this is the keep-first rule with the index as the canonical
+    side. Appends ``out_col``, ``n_dup_words``, ``n_dup_spans``."""
+    meta = _read_meta(path)
+    flags = passage_index_probe(
+        spark, path, batch, id_col, text_col, exact
+    ).select(F.col(id_col).alias("__id"), "pos")
+    spans = dedup._merge_starts_to_spans(flags, meta["k"]).select(
+        F.col("__id").alias(id_col), "span_start", "span_end"
+    )
+    return dedup._cut_spans(batch, spans, text_col, id_col, out_col)
+
+
+def passage_index_append(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append a batch's k-grams to the index: batch-distinct grams go
+    to parquet (O(batch); cross-batch duplicates in the grams table
+    are harmless to the semi-join semantics and cheap until a
+    compaction rewrites them) and OR into the bloom bitset under the
+    frozen (m_bits, num_hashes).
+
+    REFUSES — honestly, with the rebuild recipe — once the tracked
+    key count would exceed the bitset's design capacity
+    (m_bits / bits_per_key): beyond it the FP rate quietly degrades,
+    and with ``exact=False`` probes that is a correctness-adjacent
+    error, not just wasted I/O."""
+    import numpy as np
+
+    from lwes_contrib_hive_serde_spark.operators import joins
+
+    meta = _read_meta(path)
+    grams = (
+        _batch_gram_positions(new_docs, id_col, text_col, meta)
+        .select("gram")
+        .distinct()
+    )
+    grams.persist()
+    try:
+        n_new = grams.count()
+        capacity = meta["m_bits"] // meta["bits_per_key"]
+        if meta["n_keys"] + n_new > capacity:
+            raise ValueError(
+                f"passage_index_append: {meta['n_keys']} + {n_new} keys "
+                f"would exceed the bitset's design capacity {capacity} "
+                f"(m_bits={meta['m_bits']} at {meta['bits_per_key']} "
+                f"bits/key); rebuild with passage_index_write("
+                f"bits_per_key={meta['bits_per_key']}, larger "
+                f"key_headroom) to keep the design FP rate"
+            )
+        grams.write.mode("append").parquet(os.path.join(path, "grams"))
+        m_bits, num_hashes = meta["m_bits"], meta["num_hashes"]
+        nbytes = (m_bits + 7) // 8
+
+        def partition_bits(rows):
+            bits = np.zeros(nbytes, dtype=np.uint8)
+            buf = []
+            for r in rows:
+                buf.append(r[0])
+                if len(buf) >= (1 << 18):
+                    joins._bloom_set_bits(bits, buf, m_bits, num_hashes)
+                    buf.clear()
+            if buf:
+                joins._bloom_set_bits(bits, buf, m_bits, num_hashes)
+            yield bits
+
+        keyed = grams.select(F.xxhash64(F.col("gram")).alias("__k"))
+        if n_new:
+            new_bits = keyed.rdd.mapPartitions(partition_bits).treeReduce(
+                np.bitwise_or
+            )
+            with open(os.path.join(path, "bloom.bin"), "rb") as f:
+                old = np.frombuffer(f.read(), dtype=np.uint8)
+            merged = np.bitwise_or(old, new_bits)
+            tmpb = os.path.join(path, ".bloom.bin.tmp")
+            with open(tmpb, "wb") as f:
+                f.write(merged.tobytes())
+            os.replace(tmpb, os.path.join(path, "bloom.bin"))
+    finally:
+        grams.unpersist()
+    meta["n_keys"] = meta["n_keys"] + n_new
+    tmp = os.path.join(path, ".meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "meta.json"))

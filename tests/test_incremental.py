@@ -193,3 +193,151 @@ class TestIncrementalImageDedup:
             INC.dhash_index_write(
                 spark, str(tmp_path / "x"), df, max_hamming=40
             )
+
+
+class TestPassageIndex:
+    """Incremental ExactSubstr (incremental.passage_index_*): a batch
+    decontaminated against a FROZEN corpus k-gram index — bloom
+    prefilter + exact confirm, brute-force parity, append cycle with
+    capacity refusal, scan-only index plan."""
+
+    CORPUS = [
+        (100, "the quick brown fox jumps over the lazy dog near the river"),
+        (101, "completely unrelated corpus text about machine learning"),
+        (102, "another corpus document with its own distinctive words here"),
+    ]
+    BATCH = [
+        (1, "intro words then the quick brown fox jumps over the lazy dog"
+            " and a novel ending"),
+        (2, "totally novel text nothing shared with anything indexed"),
+        (3, "another corpus document with its own distinctive words here"),
+        (4, ""),
+        (5, None),
+    ]
+
+    @staticmethod
+    def _brute_flags(corpus, batch, k):
+        corpus_grams = set()
+        for _, t in corpus:
+            w = t.lower().split()
+            corpus_grams.update(
+                " ".join(w[p : p + k]) for p in range(len(w) - k + 1)
+            )
+        flags = set()
+        for i, t in batch:
+            if not t:
+                continue
+            w = t.lower().split()
+            for p in range(len(w) - k + 1):
+                if " ".join(w[p : p + k]) in corpus_grams:
+                    flags.add((i, p))
+        return flags
+
+    @pytest.mark.parametrize("hashed", [True, False])
+    def test_probe_matches_bruteforce(self, spark, tmp_path, hashed):
+        corpus = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        batch = spark.createDataFrame(self.BATCH, "doc_id long, text string")
+        path = str(tmp_path / f"pidx_{hashed}")
+        incremental.passage_index_write(corpus, path, k=4, hashed=hashed)
+        got = {
+            (r.doc_id, r.pos)
+            for r in incremental.passage_index_probe(
+                spark, path, batch
+            ).collect()
+        }
+        assert got == self._brute_flags(self.CORPUS, self.BATCH, 4)
+        # whole-doc duplicate (batch doc 3) flags every window
+        assert (3, 0) in got
+
+    def test_remove_cuts_corpus_spans_only(self, spark, tmp_path):
+        corpus = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        batch = spark.createDataFrame(self.BATCH, "doc_id long, text string")
+        path = str(tmp_path / "pidx")
+        incremental.passage_index_write(corpus, path, k=4)
+        out = {
+            r.doc_id: (r.text_clean, r.n_dup_words, r.n_dup_spans)
+            for r in incremental.remove_passages_against_index(
+                spark, path, batch
+            ).collect()
+        }
+        assert out[1] == ("intro words then and a novel ending", 9, 1)
+        assert out[2] == (self.BATCH[1][1], 0, 0)
+        assert out[3] == ("", 9, 1)  # whole doc was a corpus copy
+        assert out[4] == ("", 0, 0)
+        assert out[5] == (None, None, None)
+
+    def test_append_cycle_and_capacity_refusal(self, spark, tmp_path):
+        corpus = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        batch = spark.createDataFrame(self.BATCH, "doc_id long, text string")
+        path = str(tmp_path / "pidx")
+        incremental.passage_index_write(corpus, path, k=4)
+        # doc 2 is novel; after appending it, a re-probe flags it
+        incremental.passage_index_append(
+            spark, path, batch.filter("doc_id = 2")
+        )
+        got = {
+            r.doc_id
+            for r in incremental.passage_index_probe(
+                spark, path, batch
+            ).collect()
+        }
+        assert 2 in got
+        # capacity guard: shrink the recorded headroom and refuse
+        import json as _json
+        import os as _os
+
+        mp = _os.path.join(path, "meta.json")
+        meta = _json.load(open(mp))
+        meta["bits_per_key"] = meta["m_bits"]  # capacity -> 1 key
+        _json.dump(meta, open(mp, "w"))
+        big = spark.range(500).selectExpr(
+            "id AS doc_id",
+            "concat('u', id, ' v', id, ' w', id, ' x', id, ' y', id) AS text",
+        )
+        with pytest.raises(ValueError, match="design capacity"):
+            incremental.passage_index_append(spark, path, big)
+
+    def test_approx_tier_matches_exact_here(self, spark, tmp_path):
+        """exact=False accepts the design FP rate; on this tiny gram
+        universe no FP fires, so the tiers must agree — and the
+        approximate plan must not read the grams table at all."""
+        corpus = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        batch = spark.createDataFrame(self.BATCH, "doc_id long, text string")
+        path = str(tmp_path / "pidx")
+        incremental.passage_index_write(corpus, path, k=4)
+        exact = {
+            (r.doc_id, r.pos)
+            for r in incremental.passage_index_probe(
+                spark, path, batch, exact=True
+            ).collect()
+        }
+        approx_df = incremental.passage_index_probe(
+            spark, path, batch, exact=False
+        )
+        approx = {(r.doc_id, r.pos) for r in approx_df.collect()}
+        assert approx == exact
+        plan = (
+            approx_df._jdf.queryExecution().executedPlan().toString()
+        )
+        # zero index I/O on the bloom tier: the batch is an
+        # in-memory relation, so NO parquet scan may appear at all
+        assert "parquet" not in plan.lower()
+
+    def test_probe_never_shuffles_index(self, spark, tmp_path):
+        corpus = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        batch = spark.createDataFrame(self.BATCH, "doc_id long, text string")
+        path = str(tmp_path / "pidx")
+        incremental.passage_index_write(corpus, path, k=4)
+        plan = (
+            incremental.passage_index_probe(spark, path, batch)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoop" not in plan
+        # the index side of every join is the streamed (scan) side:
+        # no Exchange may feed the parquet grams scan
+        import re as _re
+
+        assert not _re.search(r"Exchange[^\n]*\n[^\n]*parquet", plan)
