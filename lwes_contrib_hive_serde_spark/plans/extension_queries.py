@@ -2043,6 +2043,118 @@ def q_substring_dedup(spark, sf_dir):
 
 
 @register(
+    "q_substring_decontaminate",
+    shadow=True,
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= 50
+    ), batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 50
+      UNION ALL
+      SELECT doc_id + 2000000,
+             array_to_string(
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')[1:12],
+               ' ') || ' zzq planted unique tail'
+      FROM documents WHERE doc_id >= 50 AND doc_id < 55
+    ), cw AS (
+      SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM corpus WHERE text IS NOT NULL
+    ), cgrams AS (
+      SELECT DISTINCT unnest(list_transform(
+               generate_series(1, len(w) - 4),
+               i -> array_to_string(w[i:i+4], ' '))) AS gram
+      FROM cw WHERE len(w) >= 5
+    ), words AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM batch WHERE text IS NOT NULL
+    ), bgrams AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(w) - 4),
+               i -> struct_pack(pos := i - 1,
+                                gram := array_to_string(w[i:i+4], ' '))
+             )) AS g
+      FROM words WHERE len(w) >= 5
+    ), flagged AS (
+      SELECT b.doc_id, b.g.pos AS pos
+      FROM bgrams b JOIN cgrams c ON b.g.gram = c.gram
+    ), flags AS (
+      SELECT doc_id, list(pos) AS ps FROM flagged GROUP BY doc_id
+    ), nspans AS (
+      SELECT doc_id, CAST(SUM(b) AS BIGINT) AS ns FROM (
+        SELECT doc_id,
+               CASE WHEN lag(pos) OVER w IS NULL
+                      OR pos > lag(pos) OVER w + 5 THEN 1 ELSE 0 END AS b
+        FROM flagged WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+      GROUP BY doc_id
+    ), rebuilt AS (
+      SELECT w.doc_id,
+             CASE WHEN len(w.t) = 0 THEN CAST([] AS VARCHAR[]) ELSE
+               list_filter(
+                 list_transform(
+                   generate_series(1, len(w.w)),
+                   i -> CASE WHEN len(list_filter(COALESCE(f.ps, []),
+                                p -> i - 1 >= p AND i - 1 < p + 5)) > 0
+                        THEN NULL ELSE w.w[i] END),
+                 x -> x IS NOT NULL)
+             END AS kept,
+             CASE WHEN len(w.t) = 0 THEN 0 ELSE len(w.w) END AS n_words
+      FROM words w LEFT JOIN flags f USING (doc_id)
+    )
+    SELECT c.doc_id,
+           CASE WHEN c.text IS NULL THEN NULL
+                ELSE COALESCE(array_to_string(r.kept, ' '), '') END AS text_clean,
+           CASE WHEN c.text IS NULL THEN NULL
+                ELSE CAST(r.n_words - len(r.kept) AS BIGINT) END AS n_dup_words,
+           CASE WHEN c.text IS NULL THEN NULL
+                ELSE COALESCE(n.ns, 0) END AS n_dup_spans
+    FROM batch c LEFT JOIN rebuilt r USING (doc_id)
+                 LEFT JOIN nspans n USING (doc_id)
+    """,
+    doc="Incremental ExactSubstr against a PERSISTED corpus k-gram "
+    "index (incremental.passage_index_write / "
+    "remove_passages_against_index): the query builds the index from "
+    "the doc_id >= 50 half of the corpus in a temp dir — distinct "
+    "gram table + OR-able bloom bitset — then decontaminates the "
+    "doc_id < 50 half plus five planted prefix copies of corpus "
+    "docs, cutting every >=5-word span that exists in the indexed "
+    "half (maximal merged spans, order-preserving reassembly). The "
+    "DuckDB oracle replays corpus-gram intersection, islands span "
+    "count, and the word-coverage cut — text_clean / n_dup_words / "
+    "n_dup_spans value-exact cross-engine. Probe plan: bloom "
+    "prefilter drops novel grams before the scan-only confirm join "
+    "(index NEVER shuffles; pinned in test_incremental.py). "
+    "hashed=False stores raw gram strings for oracle-exactness; "
+    "production uses 8-byte xxhash64 keys.",
+)
+def q_substring_decontaminate(spark, sf_dir):
+    import tempfile
+
+    from lwes_contrib_hive_serde_spark.operators import incremental
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter("doc_id >= 50")
+    w = F.split(text.normalize_text("text"), " ")
+    planted = d.filter("doc_id >= 50 AND doc_id < 55").select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(
+            F.array_join(F.slice(w, 1, 12), " "),
+            F.lit(" zzq planted unique tail"),
+        ).alias("text"),
+    )
+    batch = d.filter("doc_id < 50").unionByName(planted)
+    path = tempfile.mkdtemp(prefix="lwespark_pidx_")
+    incremental.passage_index_write(
+        corpus, path, k=5, hashed=False
+    )
+    return incremental.remove_passages_against_index(
+        spark, path, batch
+    ).select("doc_id", "text_clean", "n_dup_words", "n_dup_spans")
+
+
+@register(
     "q_pq_adc_knn",
     shadow=True,
     oracle="""
