@@ -716,3 +716,55 @@ def passage_index_append(
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, os.path.join(path, "meta.json"))
+
+
+def passage_index_compact(
+    spark: SparkSession,
+    path: str,
+    key_headroom: float = 4.0,
+) -> dict:
+    """Rewrite the grams table DISTINCT (appended batches may re-add
+    grams already present — harmless to probe semantics, wasted I/O)
+    and rebuild the bloom bitset at fresh ``key_headroom``, resetting
+    the append capacity consumed since the build. Returns
+    {"n_keys_before", "n_keys_after"} (before = tracked count incl.
+    append overcounts, after = true distinct count).
+
+    The rewrite is atomic-by-rename: the new grams land in a temp dir
+    next to the old, then replace it; meta/bloom update after. A
+    probe racing the compaction sees either the old or the new index,
+    both correct."""
+    import shutil
+
+    import numpy as np
+
+    from lwes_contrib_hive_serde_spark.operators import joins
+
+    meta = _read_meta(path)
+    gpath = os.path.join(path, "grams")
+    tmpg = os.path.join(path, ".grams.compact.tmp")
+    grams = spark.read.parquet(gpath).distinct()
+    grams.persist()
+    try:
+        grams.write.mode("overwrite").parquet(tmpg)
+        bits, m_bits, num_hashes, n_keys = joins.build_key_bloom(
+            grams, ["gram"],
+            bits_per_key=max(1, int(meta["bits_per_key"] * key_headroom)),
+        )
+    finally:
+        grams.unpersist()
+    old = os.path.join(path, ".grams.old.tmp")
+    os.rename(gpath, old)
+    os.rename(tmpg, gpath)
+    shutil.rmtree(old)
+    tmpb = os.path.join(path, ".bloom.bin.tmp")
+    with open(tmpb, "wb") as f:
+        f.write(bits)
+    os.replace(tmpb, os.path.join(path, "bloom.bin"))
+    before = meta["n_keys"]
+    meta.update(m_bits=m_bits, num_hashes=num_hashes, n_keys=n_keys)
+    tmp = os.path.join(path, ".meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "meta.json"))
+    return {"n_keys_before": before, "n_keys_after": n_keys}

@@ -341,3 +341,37 @@ class TestPassageIndex:
         import re as _re
 
         assert not _re.search(r"Exchange[^\n]*\n[^\n]*parquet", plan)
+
+    def test_compact_dedupes_grams_and_resets_capacity(self, spark, tmp_path):
+        corpus = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        batch = spark.createDataFrame(self.BATCH, "doc_id long, text string")
+        path = str(tmp_path / "pidx")
+        incremental.passage_index_write(corpus, path, k=4)
+        # append the same docs twice: grams table now holds duplicates
+        # and the tracked key count overcounts
+        incremental.passage_index_append(
+            spark, path, batch.filter("doc_id = 2")
+        )
+        incremental.passage_index_append(
+            spark, path, batch.filter("doc_id = 2")
+        )
+        import os as _os
+
+        n_rows_before = spark.read.parquet(
+            _os.path.join(path, "grams")
+        ).count()
+        stats = incremental.passage_index_compact(spark, path)
+        n_rows_after = spark.read.parquet(
+            _os.path.join(path, "grams")
+        ).count()
+        assert n_rows_after < n_rows_before
+        assert stats["n_keys_after"] == n_rows_after
+        assert stats["n_keys_before"] > stats["n_keys_after"]
+        # probes still correct after the rewrite
+        got = {
+            r.doc_id
+            for r in incremental.passage_index_probe(
+                spark, path, batch
+            ).collect()
+        }
+        assert {1, 2, 3} <= got
