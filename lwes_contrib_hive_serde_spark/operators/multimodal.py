@@ -752,6 +752,125 @@ def adts_aac_bytes(
     return bytes(out)
 
 
+def parse_flac_header(b: bytes):
+    """(duration_ms, sample_rate, channels, bits_per_sample,
+    total_samples) from a FLAC STREAMINFO block (public xiph layout:
+    'fLaC' magic, then metadata blocks of 1-byte header + 24-bit
+    length; STREAMINFO — type 0, 34 bytes — MUST be first per spec,
+    and a stream violating that is refused, not searched). Duration
+    is exact from total_samples/sample_rate; total_samples == 0 means
+    UNKNOWN per spec, reported as None duration and None
+    total_samples — never a guess. None for non-FLAC bytes,
+    truncation, a zero sample rate, or a wrong-type/wrong-size first
+    block."""
+    if len(b) < 8 + 34 or b[:4] != b"fLaC":
+        return None
+    btype = b[4] & 0x7F
+    length = (b[5] << 16) | (b[6] << 8) | b[7]
+    if btype != 0 or length != 34 or len(b) < 8 + 34:
+        return None
+    s = b[8 : 8 + 34]
+    # bytes 10..17 hold: sample_rate(20) channels(3)+1 bits(5)+1
+    # total_samples(36)
+    v = int.from_bytes(s[10:18], "big")
+    sample_rate = v >> 44
+    channels = ((v >> 41) & 0x7) + 1
+    bits = ((v >> 36) & 0x1F) + 1
+    total_samples = v & ((1 << 36) - 1)
+    if sample_rate == 0:
+        return None  # invalid per spec
+    if total_samples == 0:
+        return (None, int(sample_rate), int(channels), int(bits), None)
+    duration_ms = total_samples * 1000 // sample_rate
+    return (
+        int(duration_ms),
+        int(sample_rate),
+        int(channels),
+        int(bits),
+        int(total_samples),
+    )
+
+
+def flac_bytes(
+    sample_rate: int,
+    channels: int,
+    bits_per_sample: int,
+    total_samples: int,
+) -> bytes:
+    """Serialize a REAL minimal FLAC header ('fLaC' + last-block
+    STREAMINFO) — the FLAC analogue of cbr_mp3_bytes/adts_aac_bytes,
+    used by tests and the q_flac_meta oracle query. Frame data is
+    omitted: the header walk never reads past STREAMINFO."""
+    if not (1 <= sample_rate < (1 << 20)) or not (1 <= channels <= 8) \
+            or not (4 <= bits_per_sample <= 32) \
+            or not (0 <= total_samples < (1 << 36)):
+        raise ValueError(
+            "flac_bytes: sample_rate 1..2^20-1, channels 1..8, "
+            "bits 4..32, total_samples < 2^36"
+        )
+    v = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits_per_sample - 1) << 36)
+        | total_samples
+    )
+    info = (
+        (4096).to_bytes(2, "big") * 2  # min/max blocksize
+        + b"\x00\x00\x00" * 2          # min/max framesize (unknown)
+        + v.to_bytes(8, "big")
+        + b"\x00" * 16                 # md5 (unset)
+    )
+    assert len(info) == 34
+    return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + info
+
+
+def decode_flac_meta(
+    df: DataFrame, bin_col: str = "payload", batch_size: int = 64
+) -> DataFrame:
+    """Append (flac_duration_ms, flac_sample_rate, flac_channels,
+    flac_bits, flac_total_samples) parsed from FLAC payloads via
+    mapInPandas; NULLs for anything parse_flac_header refuses (and
+    NULL duration/total for spec-unknown lengths). Header-only."""
+    in_schema = df.schema
+    out_schema = ", ".join(
+        [f.simpleString().replace(":", " ", 1) for f in in_schema.fields]
+        + [
+            "flac_duration_ms long", "flac_sample_rate int",
+            "flac_channels int", "flac_bits int",
+            "flac_total_samples long",
+        ]
+    )
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            cols = {k: [] for k in ("d", "r", "c", "b", "t")}
+            for raw in pdf[bin_col]:
+                parsed = parse_flac_header(
+                    bytes(raw) if raw is not None else b""
+                )
+                if parsed is None:
+                    for k in cols:
+                        cols[k].append(None)
+                else:
+                    d, r, c_, bits, t = parsed
+                    cols["d"].append(d); cols["r"].append(r)
+                    cols["c"].append(c_); cols["b"].append(bits)
+                    cols["t"].append(t)
+            yield pdf.assign(
+                flac_duration_ms=pd.array(cols["d"], dtype="Int64"),
+                flac_sample_rate=pd.array(cols["r"], dtype="Int32"),
+                flac_channels=pd.array(cols["c"], dtype="Int32"),
+                flac_bits=pd.array(cols["b"], dtype="Int32"),
+                flac_total_samples=pd.array(cols["t"], dtype="Int64"),
+            )
+
+    spark = df.sparkSession
+    _shrink_arrow_batches(spark, batch_size)
+    return df.mapInPandas(decode, out_schema)
+
+
 def parse_mp4_header(b: bytes):
     """(duration_ms, timescale, n_tracks, width, height) from an ISO
     BMFF (MP4/MOV, ISO/IEC 14496-12 public layout) moov box walk;

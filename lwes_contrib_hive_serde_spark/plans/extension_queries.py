@@ -4501,6 +4501,86 @@ def q_aac_meta(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _flac_meta_oracle_sql() -> str:
+    b = [_sql_digest_byte("text", i) for i in range(5)]
+    return f"""
+    WITH params AS (
+      SELECT doc_id,
+             ([8000,16000,22050,44100,48000,96000,192000])[
+               1 + ({b[0]}) % 7] AS rate,
+             1 + ({b[1]}) % 8 AS channels,
+             ([8,16,24])[1 + ({b[2]}) % 3] AS bits,
+             CASE WHEN ({b[3]}) % 5 = 0 THEN 0
+                  ELSE 1000 + ({b[3]}) * 257 + ({b[4]}) END AS total
+      FROM documents WHERE doc_id < 48 AND length(text) > 0
+    )
+    SELECT doc_id,
+           CASE WHEN total = 0 THEN NULL
+                ELSE CAST((total * 1000) // rate AS BIGINT)
+           END AS flac_duration_ms,
+           CAST(rate AS INTEGER) AS flac_sample_rate,
+           CAST(channels AS INTEGER) AS flac_channels,
+           CAST(bits AS INTEGER) AS flac_bits,
+           CASE WHEN total = 0 THEN NULL
+                ELSE CAST(total AS BIGINT) END AS flac_total_samples
+    FROM params ORDER BY doc_id
+    """
+
+
+@register(
+    "q_flac_meta",
+    shadow=True,
+    oracle=_flac_meta_oracle_sql(),
+    doc="FLAC STREAMINFO metadata over REAL parseable headers "
+    "(multimodal.decode_flac_meta): minimal fLaC + STREAMINFO blocks "
+    "synthesized from sha256 digest bytes (rate/channels/bit "
+    "depth/total samples digest-derived; ~one fifth of docs carry "
+    "the spec's total_samples=0 UNKNOWN marker), walked by the "
+    "production bit-field parser; the DuckDB oracle recomputes "
+    "duration = total*1000 // rate and NULLs the unknown-length "
+    "cases from the same digest bytes — the walker's bit unpacking "
+    "(20/3/5/36-bit fields in one 64-bit group) is what's gated.",
+)
+def q_flac_meta(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import multimodal
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 48) & (F.length("text") > 0))
+        .select("doc_id", "text")
+    )
+
+    def synth(batches):
+        import hashlib
+
+        import pandas as pd
+
+        rates = (8000, 16000, 22050, 44100, 48000, 96000, 192000)
+        bits_tab = (8, 16, 24)
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                dg = hashlib.sha256(t.encode("utf-8")).digest()
+                total = 0 if dg[3] % 5 == 0 else 1000 + dg[3] * 257 + dg[4]
+                payloads.append(
+                    multimodal.flac_bytes(
+                        sample_rate=rates[dg[0] % 7],
+                        channels=1 + dg[1] % 8,
+                        bits_per_sample=bits_tab[dg[2] % 3],
+                        total_samples=total,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    clips = d.mapInPandas(synth, "doc_id long, payload binary")
+    return multimodal.decode_flac_meta(clips).select(
+        "doc_id", "flac_duration_ms", "flac_sample_rate",
+        "flac_channels", "flac_bits", "flac_total_samples",
+    ).orderBy("doc_id")
+
+
 # --- event-flow analytics (operators/analytics.py) ------------------------
 
 @register(

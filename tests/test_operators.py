@@ -718,6 +718,68 @@ class TestAdtsMetadata:
         run()
 
 
+class TestFlacMetadata:
+    """FLAC STREAMINFO header walk (multimodal.parse_flac_header /
+    decode_flac_meta): exact duration from the spec's
+    sample-count/sample-rate fields, NULL policy for invalid/unknown."""
+
+    def test_round_trip(self):
+        from lwes_contrib_hive_serde_spark.operators import multimodal as m
+
+        blob = m.flac_bytes(44100, 2, 16, 441000)
+        d, r, c, bits, t = m.parse_flac_header(blob)
+        assert (d, r, c, bits, t) == (10000, 44100, 2, 16, 441000)
+        # hi-res corner: 8 channels, 24-bit, 192 kHz
+        d2, r2, c2, b2, t2 = m.parse_flac_header(
+            m.flac_bytes(192000, 8, 24, 192000 * 3 + 7)
+        )
+        assert (r2, c2, b2) == (192000, 8, 24)
+        assert d2 == (192000 * 3 + 7) * 1000 // 192000
+
+    def test_unknown_length_is_null_not_guess(self):
+        from lwes_contrib_hive_serde_spark.operators import multimodal as m
+
+        d, r, c, bits, t = m.parse_flac_header(m.flac_bytes(48000, 1, 16, 0))
+        assert d is None and t is None
+        assert (r, c, bits) == (48000, 1, 16)
+
+    def test_refusals(self):
+        from lwes_contrib_hive_serde_spark.operators import multimodal as m
+
+        good = m.flac_bytes(44100, 2, 16, 1000)
+        assert m.parse_flac_header(b"") is None
+        assert m.parse_flac_header(b"fLaC") is None  # truncated
+        assert m.parse_flac_header(good[:20]) is None
+        assert m.parse_flac_header(b"OggS" + good[4:]) is None
+        # first block not STREAMINFO: refused, not searched
+        wrong = bytearray(good)
+        wrong[4] = 0x84  # type 4 (VORBIS_COMMENT), last-block
+        assert m.parse_flac_header(bytes(wrong)) is None
+        # zero sample rate is invalid per spec
+        zeroed = bytearray(good)
+        zeroed[8 + 10] = zeroed[8 + 11] = 0
+        zeroed[8 + 12] &= 0x0F
+        assert m.parse_flac_header(bytes(zeroed)) is None
+        with pytest.raises(ValueError):
+            m.flac_bytes(0, 2, 16, 10)
+        with pytest.raises(ValueError):
+            m.flac_bytes(44100, 9, 16, 10)
+
+    def test_fuzz_never_raises(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from lwes_contrib_hive_serde_spark.operators import multimodal as m
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.binary(max_size=100))
+        def run(b):
+            out = m.parse_flac_header(b)
+            assert out is None or len(out) == 5
+
+        run()
+
+
 class TestArrowBatchScope:
     """decode_* operators shrink the session Arrow batch size for big
     media blobs (documented session-wide effect — the conf is read at
