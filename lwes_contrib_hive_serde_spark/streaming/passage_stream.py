@@ -1,0 +1,105 @@
+"""Streaming ExactSubstr decontamination: a document stream cleaned
+against — and folded into — the persistent passage index
+(operators/incremental.passage_index_*), so every micro-batch is
+deduplicated against the whole corpus INCLUDING all earlier batches,
+without ever re-scanning either.
+
+Per epoch (foreachBatch):
+
+1. probe + cut: spans already in the index are removed from the
+   batch's documents (maximal merged spans, order-preserving
+   reassembly — remove_passages_against_index);
+2. publish: cleaned docs land in ``out_dir/batch=<id>/`` with a
+   _SUCCESS marker, FIRST-WRITE-WINS — a committed epoch dir is
+   never rewritten, because after step 3 a replayed probe would see
+   the epoch's own spans as corpus-known (see decontaminate_batch);
+   replays of uncommitted epochs recompute identical bytes (the
+   rollup_stream/upsert_sink recipe), so the OUTPUT is exactly-once;
+3. index append: the RAW batch's grams join the index (raw, not
+   cleaned — cutting creates artifact grams spanning cut boundaries
+   that exist in no real document), marked by
+   ``index_path/appended/batch=<id>`` so a replayed epoch skips the
+   append. A crash between append and marker re-appends on replay —
+   duplicate gram rows and an overcounted key budget, both
+   correctness-neutral to probes (semi-join semantics; bloom OR is
+   idempotent) and reclaimed by passage_index_compact. Appends are
+   therefore at-least-once while probe results stay exact.
+
+Ordering note: within one epoch, documents do NOT dedup against each
+other — batch-internal duplication is remove_duplicate_spans'
+(batch-mode) job; this stream handles the cross-epoch axis. A span
+seen first in epoch N survives there and is cut from every epoch
+> N — the keep-first rule with time as the canonical order.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lwes_contrib_hive_serde_spark.operators import incremental
+
+
+def decontaminate_batch(
+    spark: SparkSession,
+    index_path: str,
+    out_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    exact: bool = True,
+) -> None:
+    """One epoch of the fold — pure function of (index state, batch),
+    callable without a streaming query for tests and backfills.
+
+    Output is FIRST-WRITE-WINS (a committed ``batch=<id>`` is never
+    rewritten): once this epoch's grams have joined the index, a
+    replayed probe would see the epoch's OWN spans as corpus-known
+    and cut everything — the committed output from the pre-append
+    probe is the correct one. Since a replayed epoch carries the same
+    rows under the same batch id (the Structured Streaming replay
+    contract), skipping the rewrite loses nothing."""
+    outp = os.path.join(out_dir, f"batch={batch_id}")
+    if not os.path.exists(os.path.join(outp, "_SUCCESS")):
+        cleaned = incremental.remove_passages_against_index(
+            spark, index_path, batch_df, id_col, text_col, exact
+        )
+        cleaned.write.mode("overwrite").parquet(outp)
+    marker = os.path.join(index_path, "appended", f"batch={batch_id}")
+    if os.path.exists(marker):
+        return  # replayed epoch: grams already folded in
+    incremental.passage_index_append(
+        spark, index_path, batch_df, id_col, text_col
+    )
+    os.makedirs(marker, exist_ok=True)
+
+
+def stream_decontaminate(
+    stream_df: DataFrame,
+    index_path: str,
+    out_dir: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    exact: bool = True,
+    trigger_seconds: int | None = None,
+):
+    """Wire the fold into a Structured Streaming query. The index at
+    ``index_path`` must exist (passage_index_write over the seed
+    corpus — or over an EMPTY DataFrame to start from nothing)."""
+    spark = stream_df.sparkSession
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        decontaminate_batch(
+            spark, index_path, out_dir, batch_df, batch_id,
+            id_col, text_col, exact,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -970,3 +970,116 @@ class TestStreamStreamJoin:
                 assert (r.cts.timestamp() - r.its.timestamp()) == 5.0
         finally:
             q.stop()
+
+
+class TestStreamingPassageDecontamination:
+    """streaming/passage_stream: per-epoch decontamination against the
+    growing passage index — cross-epoch keep-first (time-canonical),
+    exactly-once output, at-least-once-but-harmless index appends."""
+
+    def _index(self, spark, tmp_path):
+        from lwes_contrib_hive_serde_spark.operators import incremental
+
+        corpus = spark.createDataFrame(
+            [(1000, "seed corpus alpha beta gamma delta epsilon zeta")],
+            "doc_id long, text string",
+        )
+        path = str(tmp_path / "pidx")
+        incremental.passage_index_write(corpus, path, k=4)
+        return path
+
+    def test_epochs_fold_and_replay_is_idempotent(self, spark, tmp_path):
+        import os
+
+        from lwes_contrib_hive_serde_spark.streaming import passage_stream
+
+        idx = self._index(spark, tmp_path)
+        out = str(tmp_path / "out")
+        b0 = spark.createDataFrame(
+            [(1, "fresh words one two three four five six seven"),
+             (2, "prefix alpha beta gamma delta epsilon zeta suffix here")],
+            "doc_id long, text string",
+        )
+        passage_stream.decontaminate_batch(spark, idx, out, b0, 0)
+        got0 = {
+            r.doc_id: r.text_clean
+            for r in spark.read.parquet(
+                os.path.join(out, "batch=0")
+            ).collect()
+        }
+        # doc 2's seed-corpus span is cut; doc 1 is novel and survives
+        assert got0[1] == b0.collect()[0].text
+        assert "alpha" not in got0[2] and "prefix" in got0[2]
+
+        # epoch 1 repeats doc 1's passage: cut (epoch 0 holds the
+        # canonical copy now), plus novel tail survives
+        b1 = spark.createDataFrame(
+            [(3, "fresh words one two three four five six seven plus novel tail")],
+            "doc_id long, text string",
+        )
+        passage_stream.decontaminate_batch(spark, idx, out, b1, 1)
+        got1 = spark.read.parquet(os.path.join(out, "batch=1")).collect()[0]
+        assert "fresh" not in got1.text_clean
+        assert "novel tail" in got1.text_clean
+
+        # replaying epoch 1 (same batch id) lands identical output and
+        # skips the second append (marker) — tracked key count stable
+        from lwes_contrib_hive_serde_spark.operators import incremental
+
+        keys_before = incremental._read_meta(idx)["n_keys"]
+        passage_stream.decontaminate_batch(spark, idx, out, b1, 1)
+        got1b = spark.read.parquet(os.path.join(out, "batch=1")).collect()[0]
+        assert got1b.text_clean == got1.text_clean
+        assert incremental._read_meta(idx)["n_keys"] == keys_before
+
+    def test_live_stream(self, spark, tmp_path):
+        import json
+        import os
+        import time
+
+        from lwes_contrib_hive_serde_spark.streaming import passage_stream
+
+        idx = self._index(spark, tmp_path)
+        out = str(tmp_path / "out")
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+
+        def put(name, rows):
+            with open(os.path.join(src, name), "w") as f:
+                for r in rows:
+                    f.write(json.dumps(r) + "\n")
+
+        put("a.json", [
+            {"doc_id": 1, "text": "live epoch passage aa bb cc dd ee"},
+        ])
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = passage_stream.stream_decontaminate(
+            stream, idx, out, checkpoint=str(tmp_path / "ckpt")
+        )
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                if os.path.exists(os.path.join(out, "batch=0", "_SUCCESS")):
+                    break
+                time.sleep(0.5)
+            put("b.json", [
+                {"doc_id": 2, "text": "live epoch passage aa bb cc dd ee with extra"},
+            ])
+            while time.time() < deadline:
+                if os.path.exists(os.path.join(out, "batch=1", "_SUCCESS")):
+                    break
+                time.sleep(0.5)
+        finally:
+            q.stop()
+        rows = {
+            r.doc_id: r.text_clean
+            for r in spark.read.option("basePath", out)
+            .parquet(out + "/batch=*")
+            .collect()
+        }
+        assert rows[1] == "live epoch passage aa bb cc dd ee"
+        assert "live" not in rows[2] and "extra" in rows[2]
