@@ -1383,3 +1383,98 @@ def s_stem(col) -> "Column":
         )
         .otherwise(w)
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (the first stage of every web-crawl pipeline)
+# ---------------------------------------------------------------------------
+#
+# Regex tier, deliberately: a real DOM parse needs a library the hot
+# path cannot afford (and this container does not ship) — the chain
+# below is pure JVM regexp_replace, runs at scan speed, and matches
+# what large-scale pipelines (C4, CCNet) actually do before
+# model-based extraction. Patterns stay in the Java-regex ∩ RE2
+# common subset (no backreferences/lookaround) so the DuckDB oracle
+# replays them verbatim — the same constraint as the PII operator.
+
+_HTML_BLOCK_RES = (
+    r"(?is)<script[^>]*>.*?</script>",
+    r"(?is)<style[^>]*>.*?</style>",
+    r"(?s)<!--.*?-->",
+)
+_HTML_TAG_RE = r"<[^>]*>"
+# decode order matters: &amp; LAST, so double-encoded entities decode
+# exactly one level (the HTML spec's behavior for a single pass)
+_HTML_ENTITIES = (
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
+)
+_HTML_ANCHOR_RE = r"(?is)<a[\s>].*?</a>"
+
+
+def strip_html_tags(col) -> Column:
+    """Visible text of an HTML fragment: script/style/comment blocks
+    dropped, tags replaced by spaces (so adjacent block elements do
+    not fuse words), the six ubiquitous entities decoded, whitespace
+    collapsed. Pure JVM regexp chain — no parser, no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat in _HTML_BLOCK_RES:
+        c = F.regexp_replace(c, pat, " ")
+    c = F.regexp_replace(c, _HTML_TAG_RE, " ")
+    for ent, rep in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def html_tag_count(col) -> Column:
+    """Number of tags (opening, closing, or self-closing) — with
+    char_count this gives tag density, the cheap markup-vs-content
+    signal."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"<[a-zA-Z/][^>]*>"), 0))
+
+
+def html_link_density(col) -> Column:
+    """Fraction of the VISIBLE text that lives inside <a> anchors —
+    the classic boilerplate discriminator (jusText, Pomikálek 2011;
+    boilerpipe, Kohlschütter 2010): navigation and link farms score
+    near 1, body prose near 0. NULL for NULL input; 0.0 when the
+    stripped text is empty."""
+    c = F.col(col) if isinstance(col, str) else col
+    anchors = F.regexp_extract_all(c, F.lit(_HTML_ANCHOR_RE), 0)
+    anchor_chars = F.aggregate(
+        F.transform(anchors, lambda a: F.length(strip_html_tags(a))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    total = F.length(strip_html_tags(c))
+    return F.when(
+        total > 0, anchor_chars.cast("double") / total.cast("double")
+    ).otherwise(F.when(c.isNotNull(), F.lit(0.0)))
+
+
+def html_title(col) -> Column:
+    """<title> content (stripped, entity-decoded), '' when absent."""
+    c = F.col(col) if isinstance(col, str) else col
+    raw = F.regexp_extract(c, r"(?is)<title[^>]*>([^<]*)</title>", 1)
+    out = raw
+    for ent, rep in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def with_html_extracted(
+    df: DataFrame,
+    html_col: str = "html",
+    out_col: str = "text",
+) -> DataFrame:
+    """One-pass web-extraction stage: visible text + title +
+    tag count + link density. Everything whole-stage-codegen; feed
+    the result straight into with_text_stats / gopher_quality_flags /
+    the dedup battery."""
+    return (
+        df.withColumn(out_col, strip_html_tags(html_col))
+        .withColumn("html_title", html_title(html_col))
+        .withColumn("html_tag_count", html_tag_count(html_col))
+        .withColumn("html_link_density", html_link_density(html_col))
+    )

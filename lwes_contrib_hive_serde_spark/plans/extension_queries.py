@@ -4581,6 +4581,109 @@ def q_flac_meta(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _sql_html_strip(expr: str, blocks: bool = True) -> str:
+    """DuckDB mirror of text.strip_html_tags: block drops -> tag
+    strip -> entity decode (&amp; last) -> whitespace collapse."""
+    e = expr
+    if blocks:
+        e = f"regexp_replace({e}, '(?is)<script[^>]*>.*?</script>', ' ', 'g')"
+        e = f"regexp_replace({e}, '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
+        e = f"regexp_replace({e}, '(?s)<!--.*?-->', ' ', 'g')"
+    e = f"regexp_replace({e}, '<[^>]*>', ' ', 'g')"
+    for ent, rep in (
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "''"), ("&amp;", "&"),
+    ):
+        e = f"replace({e}, '{ent}', '{rep}')"
+    return f"trim(regexp_replace({e}, '\\s+', ' ', 'g'))"
+
+
+_HTML_WRAP_SQL = (
+    "'<html><head><title>Doc ' || doc_id || "
+    "' &amp; friends</title><style>p{color:red}</style></head>"
+    "<body><script>var a=\"<b>x</b>\";</script><p>' || text || "
+    "'</p><!-- note --><nav><a href=\"/\">Home page</a> "
+    "<a href=\"/x\">About&nbsp;link</a></nav></body></html>'"
+)
+
+
+@register(
+    "q_html_extract",
+    shadow=True,
+    oracle=f"""
+    WITH wrapped AS (
+      SELECT doc_id, {_HTML_WRAP_SQL} AS html
+      FROM documents WHERE doc_id < 100 AND text IS NOT NULL
+    ), stripped AS (
+      SELECT doc_id, html,
+             {_sql_html_strip('html')} AS text_extracted,
+             {_sql_html_strip(
+                 "regexp_extract(html, '(?is)<title[^>]*>([^<]*)</title>', 1)",
+                 blocks=False)} AS html_title
+      FROM wrapped
+    ), adens AS (
+      SELECT doc_id,
+             CAST(COALESCE(list_sum(list_transform(
+               regexp_extract_all(html, '(?is)<a[\\s>].*?</a>'),
+               a -> len({_sql_html_strip('a', blocks=False)})
+             )), 0) AS BIGINT) AS anchor_chars
+      FROM wrapped
+    )
+    SELECT s.doc_id,
+           s.text_extracted,
+           s.html_title,
+           CAST(len(regexp_extract_all(s.html, '<[a-zA-Z/][^>]*>'))
+                AS INTEGER) AS tag_count,
+           CASE WHEN len(s.text_extracted) > 0
+                THEN CAST(a.anchor_chars AS DOUBLE) / len(s.text_extracted)
+                ELSE 0.0 END AS link_density
+    FROM stripped s JOIN adens a USING (doc_id)
+    """,
+    doc="HTML -> text extraction (the first stage of every web-crawl "
+    "training pipeline — text.strip_html_tags / with_html_extracted): "
+    "each document is wrapped in deterministic HTML (title, style, "
+    "script-with-fake-tags, comment, entity escapes, nav anchors) and "
+    "run through the production strip chain — script/style/comment "
+    "block drops, tag strip, single-level entity decode with &amp; "
+    "last, whitespace collapse — plus the <title> extract, tag count, "
+    "and jusText/boilerpipe link density (anchor-text chars / visible "
+    "chars). The DuckDB oracle replays the identical regexp chain "
+    "(Java-regex ∩ RE2 common subset, the q_pii_redact constraint) — "
+    "extracted text, title, tag count, and IEEE link density all "
+    "value-exact. Pure JVM whole-stage-codegen, zero Python.",
+)
+def q_html_extract(spark, sf_dir):
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 100) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    wrapped = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(
+                " &amp; friends</title><style>p{color:red}</style></head>"
+                "<body><script>var a=\"<b>x</b>\";</script><p>"
+            ),
+            F.col("text"),
+            F.lit(
+                "</p><!-- note --><nav><a href=\"/\">Home page</a> "
+                "<a href=\"/x\">About&nbsp;link</a></nav></body></html>"
+            ),
+        ).alias("html"),
+    )
+    out = text.with_html_extracted(wrapped, "html", "text_extracted")
+    return out.select(
+        "doc_id",
+        "text_extracted",
+        "html_title",
+        F.col("html_tag_count").cast("int").alias("tag_count"),
+        F.col("html_link_density").alias("link_density"),
+    )
+
+
 # --- event-flow analytics (operators/analytics.py) ------------------------
 
 @register(

@@ -1268,3 +1268,74 @@ class TestSStem:
             F.transform(T.tokens("t"), T.s_stem).alias("st")
         ).collect()[0].st
         assert out == ["dog", "chase", "pony"]
+
+
+class TestHtmlExtraction:
+    """HTML -> text regex tier (text.strip_html_tags and friends):
+    block drops, single-level entity decode, link density, honesty on
+    degenerate markup."""
+
+    def test_full_page(self, spark):
+        html = (
+            '<html><head><title>My &amp; Page</title>'
+            '<style>p{color:red}</style></head>'
+            '<body><script>var x="<p>fake</p>";</script>'
+            '<p>Hello &lt;world&gt;!</p><!-- note -->'
+            '<div>Second&nbsp;block</div>'
+            '<nav><a href="/">Home</a> <a href="/a">About us</a></nav>'
+            "</body></html>"
+        )
+        df = spark.createDataFrame([(html,)], "html string")
+        r = text.with_html_extracted(df, "html").collect()[0]
+        assert r.text == "My & Page Hello <world>! Second block Home About us"
+        assert r.html_title == "My & Page"
+        # every tag counted, including the fake ones inside script
+        assert r.html_tag_count > 10
+        assert abs(r.html_link_density - 12 / len(r.text)) < 1e-12
+
+    def test_script_content_with_fake_tags_dropped_whole(self, spark):
+        df = spark.createDataFrame(
+            [('<script>if(a<b){document.write("<i>x</i>")}</script>real',)],
+            "html string",
+        )
+        r = df.select(text.strip_html_tags("html").alias("t")).collect()[0]
+        assert r.t == "real"
+
+    def test_double_encoded_entities_decode_one_level(self, spark):
+        # &amp;lt; is the ESCAPED text "&lt;" — one decode pass must
+        # yield the literal string "&lt;", not "<"
+        df = spark.createDataFrame([("a &amp;lt; b",)], "html string")
+        r = df.select(text.strip_html_tags("html").alias("t")).collect()[0]
+        assert r.t == "a &lt; b"
+
+    def test_plain_text_and_null(self, spark):
+        df = spark.createDataFrame(
+            [(1, "no markup here"), (2, None), (3, "")],
+            "id long, html string",
+        )
+        rows = {
+            r.id: (r.text, r.html_title, r.html_tag_count, r.html_link_density)
+            for r in text.with_html_extracted(df, "html").collect()
+        }
+        assert rows[1] == ("no markup here", "", 0, 0.0)
+        assert rows[2] == (None, None, None, None)
+        assert rows[3] == ("", "", 0, 0.0)
+
+    def test_all_links_density_one(self, spark):
+        df = spark.createDataFrame(
+            [('<a href="x">only a link</a>',)], "html string"
+        )
+        r = text.with_html_extracted(df, "html").collect()[0]
+        assert r.html_link_density == 1.0
+
+    def test_feeds_quality_battery(self, spark):
+        """The extracted column composes with the existing text
+        operators (the with_* chain contract)."""
+        df = spark.createDataFrame(
+            [('<p>the quick brown fox jumps over the lazy dog</p>',)],
+            "html string",
+        )
+        out = text.with_text_stats(
+            text.with_html_extracted(df, "html", "text"), "text"
+        ).collect()[0]
+        assert out.n_tokens == 9
