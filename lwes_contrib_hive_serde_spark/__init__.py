@@ -25,10 +25,10 @@ def register(spark):
     from pyspark import cloudpickle
 
     from lwes_contrib_hive_serde_spark import sources, streaming
-    from lwes_contrib_hive_serde_spark.sources import codec, datasource
+    from lwes_contrib_hive_serde_spark.sources import codec, datasource, warc
     from lwes_contrib_hive_serde_spark.streaming import journal_stream
 
-    for mod in (codec, datasource, journal_stream):
+    for mod in (codec, datasource, journal_stream, warc):
         try:
             cloudpickle.register_pickle_by_value(mod)
         except Exception:
@@ -40,4 +40,5 @@ def register(spark):
         pass  # pre-4.1 sessions: LwesReader.pushFilters is simply unused
 
     spark.dataSource.register(datasource.LwesDataSource)
+    spark.dataSource.register(warc.WarcDataSource)
     return spark

@@ -4684,6 +4684,90 @@ def q_html_extract(spark, sf_dir):
     )
 
 
+@register(
+    "q_warc_extract",
+    shadow=True,
+    oracle="""
+    SELECT doc_id,
+           'http://corpus.example/' || doc_id AS target_uri,
+           CAST(200 AS INTEGER) AS http_status,
+           'text/html; charset=utf-8' AS http_content_type,
+           trim(regexp_replace(
+             replace(replace(
+               regexp_replace(
+                 '<html><body><p>' || text || '</p></body></html>',
+                 '<[^>]*>', ' ', 'g'),
+               '&nbsp;', ' '), '&amp;', '&'),
+             '\\s+', ' ', 'g')) AS page_text
+    FROM documents WHERE doc_id < 60 AND text IS NOT NULL
+    ORDER BY doc_id
+    """,
+    doc="WARC crawl ingestion end to end (sources/warc.py, the "
+    "CommonCrawl input tier): the query serializes each document "
+    "into a REAL WARC response record (ISO 28500 framing: version "
+    "line, headers, Content-Length block holding an HTTP/1.1 "
+    "message), packs the records into concatenated-gzip-member "
+    ".warc.gz files (the CommonCrawl layout) in a temp dir, reads "
+    "them back through spark.read.format('warc') with the "
+    "record_type pushdown, and strips the HTML body with the "
+    "production extraction chain. The DuckDB oracle reconstructs "
+    "uri/status/content-type/visible-text arithmetically from the "
+    "same documents — the record framing, gzip member walk, HTTP "
+    "parse, and payload-is-body contract are all value-gated. "
+    "Parallelism note: files are the split unit (concatenated gzip "
+    "members are not byte-splittable), matching every Hadoop WARC "
+    "reader.",
+)
+def q_warc_extract(spark, sf_dir):
+    import gzip as _gz
+    import os as _os
+    import tempfile
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 60) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    rows = d.collect()  # bounded: 60 rows, fixture construction only
+    tmp = tempfile.mkdtemp(prefix="lwespark_warc_")
+    per_file = 20
+    for fi in range(0, len(rows), per_file):
+        with open(_os.path.join(tmp, f"f{fi}.warc.gz"), "wb") as f:
+            for r in rows[fi : fi + per_file]:
+                body = f"<html><body><p>{r.text}</p></body></html>".encode()
+                block = (
+                    b"HTTP/1.1 200 OK\r\n"
+                    b"Content-Type: text/html; charset=utf-8\r\n\r\n"
+                    + body
+                )
+                head = (
+                    "WARC/1.0\r\nWARC-Type: response\r\n"
+                    f"WARC-Record-ID: <urn:doc:{r.doc_id}>\r\n"
+                    f"WARC-Target-URI: http://corpus.example/{r.doc_id}\r\n"
+                    "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                    "Content-Type: application/http; msgtype=response\r\n"
+                    f"Content-Length: {len(block)}\r\n\r\n"
+                ).encode()
+                f.write(_gz.compress(head + block + b"\r\n\r\n"))
+    pages = (
+        spark.read.format("warc")
+        .option("path", tmp)
+        .load()
+        .filter(F.col("record_type") == "response")
+    )
+    return pages.select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "target_uri",
+        "http_status",
+        "http_content_type",
+        text.strip_html_tags(F.col("payload").cast("string")).alias(
+            "page_text"
+        ),
+    ).orderBy("doc_id")
+
+
 # --- event-flow analytics (operators/analytics.py) ------------------------
 
 @register(

@@ -1,0 +1,313 @@
+"""WARC (Web ARChive, ISO 28500) Python DataSource — the container
+format of CommonCrawl and every web-scale crawl, i.e. the raw INPUT
+of the LLM-data pipeline whose downstream stages (HTML extraction,
+quality, dedup) live in operators/.
+
+    spark.read.format("warc").option("path", "crawl/*.warc.gz")
+
+Schema (fixed):
+    record_type string       WARC-Type (response / request / warcinfo
+                             / metadata / resource / ...)
+    record_id string         WARC-Record-ID
+    target_uri string        WARC-Target-URI (NULL for warcinfo)
+    warc_date string         WARC-Date as written (ISO-8601)
+    content_type string      the record block's Content-Type
+    content_length long      the record block's byte length
+    http_status int          parsed HTTP status for http-response
+                             blocks, NULL otherwise
+    http_content_type string HTTP Content-Type header, NULL otherwise
+    payload binary           HTTP body when http_status is non-NULL
+                             (headers already consumed), else the raw
+                             record block
+    path string              source file
+
+Format notes (public layout, ISO 28500 §4):
+    record = version line "WARC/1.0|1.1" CRLF, header fields
+    (name ":" value CRLF, continuations indented), blank line,
+    Content-Length block bytes, CRLF CRLF separator.
+
+Scale shape: ``.warc.gz`` files are CONCATENATED GZIP MEMBERS — a
+byte-offset split cannot cheaply find a member boundary, so (like
+every Hadoop WARC reader and the v1 journal tier here) parallelism
+is per-file, and crawls ship as many ~1 GB files precisely so that
+file-level parallelism saturates a cluster. Small files bin-pack
+into tasks (the LwesReader recipe); a pushed ``record_type =``
+filter (or the ``recordtypes`` option) drops non-matching records
+at parse time, BEFORE the HTTP parse and before any bytes cross
+into the plan. Malformed records raise by default (a torn crawl
+file should fail loudly); ``option("permissive", "true")`` skips to
+the next gzip member / EOF instead, counting is the caller's job.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+from typing import BinaryIO, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+WARC_SCHEMA = StructType(
+    [
+        StructField("record_type", StringType()),
+        StructField("record_id", StringType()),
+        StructField("target_uri", StringType()),
+        StructField("warc_date", StringType()),
+        StructField("content_type", StringType()),
+        StructField("content_length", LongType()),
+        StructField("http_status", IntegerType()),
+        StructField("http_content_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("path", StringType()),
+    ]
+)
+
+
+class WarcError(ValueError):
+    pass
+
+
+def _open_warc(path: str) -> BinaryIO:
+    if path.endswith(".gz"):
+        return gzip.open(path, "rb")
+    return open(path, "rb")
+
+
+def read_warc_stream(stream: BinaryIO) -> Iterator[tuple[dict, bytes]]:
+    """Yield (headers, block) per WARC record; headers keys are
+    lower-cased. Raises WarcError on a malformed version line, header
+    framing, or a truncated block."""
+    while True:
+        line = stream.readline()
+        if not line:
+            return
+        if line in (b"\r\n", b"\n"):
+            continue  # inter-record padding
+        if not line.startswith(b"WARC/"):
+            raise WarcError(
+                f"expected WARC version line, got {line[:40]!r}"
+            )
+        headers: dict[str, str] = {}
+        last = None
+        while True:
+            hl = stream.readline()
+            if hl in (b"\r\n", b"\n"):
+                break
+            if not hl:
+                raise WarcError("EOF inside record headers")
+            if hl[:1] in (b" ", b"\t") and last is not None:
+                headers[last] += " " + hl.strip().decode(
+                    "utf-8", "replace"
+                )
+                continue
+            name, sep, value = hl.partition(b":")
+            if not sep:
+                raise WarcError(f"malformed header line {hl[:40]!r}")
+            last = name.strip().decode("utf-8", "replace").lower()
+            headers[last] = value.strip().decode("utf-8", "replace")
+        try:
+            n = int(headers.get("content-length", "0"))
+        except ValueError as e:
+            raise WarcError("bad Content-Length") from e
+        block = stream.read(n)
+        if len(block) < n:
+            raise WarcError(
+                f"truncated block: wanted {n}, got {len(block)}"
+            )
+        yield headers, block
+
+
+def parse_http_response(block: bytes):
+    """(status, content_type, body) for an HTTP message block, or
+    None when the block is not one (payload then stays the raw
+    block — never a guess at where headers end)."""
+    if not (block.startswith(b"HTTP/") or block.startswith(b"GET ")
+            or block.startswith(b"POST ") or block.startswith(b"HEAD ")):
+        return None
+    sep = block.find(b"\r\n\r\n")
+    if sep < 0:
+        return None
+    head, body = block[:sep], block[sep + 4 :]
+    lines = head.split(b"\r\n")
+    status = None
+    if lines[0].startswith(b"HTTP/"):
+        parts = lines[0].split(None, 2)
+        if len(parts) >= 2 and parts[1].isdigit():
+            status = int(parts[1])
+        else:
+            return None
+    ctype = None
+    for hl in lines[1:]:
+        name, s, value = hl.partition(b":")
+        if s and name.strip().lower() == b"content-type":
+            ctype = value.strip().decode("utf-8", "replace")
+            break
+    return status, ctype, body
+
+
+def iter_warc_rows(
+    path: str,
+    record_types: set[str] | None = None,
+    permissive: bool = False,
+):
+    """Yield WARC_SCHEMA-ordered tuples for one file."""
+    with _open_warc(path) as f:
+        gen = read_warc_stream(f)
+        while True:
+            try:
+                item = next(gen, None)
+            except (WarcError, OSError, EOFError):
+                if permissive:
+                    return  # skip the rest of a torn file
+                raise
+            if item is None:
+                return
+            headers, block = item
+            rtype = headers.get("warc-type", "")
+            if record_types and rtype not in record_types:
+                continue
+            status = http_ctype = None
+            payload = block
+            ctype = headers.get("content-type")
+            if ctype and "application/http" in ctype:
+                parsed = parse_http_response(block)
+                if parsed is not None:
+                    status, http_ctype, payload = parsed
+            yield (
+                rtype,
+                headers.get("warc-record-id"),
+                headers.get("warc-target-uri"),
+                headers.get("warc-date"),
+                ctype,
+                int(headers.get("content-length", "0")),
+                status,
+                http_ctype,
+                payload,
+                path,
+            )
+
+
+def _list_warc_files(path: str) -> list[str]:
+    import glob as _g
+
+    if os.path.isdir(path):
+        out = []
+        for root, _dirs, names in os.walk(path):
+            for n in names:
+                if n.endswith((".warc", ".warc.gz", ".arc.gz")):
+                    out.append(os.path.join(root, n))
+        return sorted(out)
+    return sorted(p for p in _g.glob(path) if os.path.isfile(p))
+
+
+class WarcPartition(InputPartition):
+    def __init__(self, files: list):
+        self.files = files
+
+
+class WarcReader(DataSourceReader):
+    def __init__(self, schema: StructType, options):
+        self.options = options
+        path = options.get("path")
+        if not path:
+            raise ValueError("warc: path required")
+        self._files = _list_warc_files(path)
+        types = options.get("recordtypes")
+        self.record_types = (
+            {t.strip() for t in types.split(",") if t.strip()}
+            if types
+            else None
+        )
+        self.permissive = (
+            options.get("permissive", "false").lower() == "true"
+        )
+
+    def pushFilters(self, filters):
+        """Absorb record_type equality/In — applied at parse time,
+        before the HTTP parse; everything else stays in the plan."""
+        for flt in filters:
+            op = type(flt).__name__
+            attr = getattr(flt, "attribute", None)
+            name = attr[0] if attr is not None and len(attr) == 1 else None
+            if name == "record_type" and op in ("EqualTo", "In"):
+                want = (
+                    {flt.value} if op == "EqualTo" else set(flt.value)
+                )
+                self.record_types = (
+                    want
+                    if self.record_types is None
+                    else self.record_types & want
+                )
+            else:
+                yield flt
+
+    def partitions(self):
+        # files are non-splittable (concatenated gzip members) —
+        # bin-pack whole files into ~maxpartitionbytes tasks, the
+        # LwesReader v1 recipe
+        max_bytes = int(
+            self.options.get("maxpartitionbytes", str(128 * 1024 * 1024))
+        )
+        open_cost = int(
+            self.options.get("opencostinbytes", str(4 * 1024 * 1024))
+        )
+        try:
+            from pyspark.sql import SparkSession
+
+            par = (
+                SparkSession.getActiveSession().sparkContext.defaultParallelism
+            )
+        except Exception:
+            par = 8
+        sized = []
+        for p in self._files:
+            try:
+                sized.append((p, os.path.getsize(p)))
+            except OSError:
+                sized.append((p, 0))
+        total = sum(s + open_cost for _, s in sized)
+        target = min(max_bytes, max(open_cost, -(-total // max(par, 1))))
+        bins, cur, cur_bytes = [], [], 0
+        for p, size in sized:
+            cost = size + open_cost
+            if cur and cur_bytes + cost > target:
+                bins.append(WarcPartition(cur))
+                cur, cur_bytes = [], 0
+            cur.append(p)
+            cur_bytes += cost
+        if cur:
+            bins.append(WarcPartition(cur))
+        return bins or [WarcPartition([])]
+
+    def read(self, partition):
+        for path in partition.files:
+            yield from iter_warc_rows(
+                path, self.record_types, self.permissive
+            )
+
+
+class WarcDataSource(DataSource):
+    """Register with ``spark.dataSource.register(WarcDataSource)`` (or
+    ``lwes_contrib_hive_serde_spark.register(spark)``)."""
+
+    @classmethod
+    def name(cls):
+        return "warc"
+
+    def schema(self):
+        return WARC_SCHEMA
+
+    def reader(self, schema: StructType):
+        return WarcReader(schema, self.options)
