@@ -51,6 +51,8 @@ def curate(
     url_col: str | None = None,
     chunk_tokens: int | None = None,
     chunk_overlap: int = 0,
+    html_col: str | None = None,
+    max_link_density: float | None = None,
     seed: str = "lwespark",
 ) -> DataFrame:
     """Returns the curated frame with ``text_clean`` (cleaned +
@@ -61,8 +63,20 @@ def curate(
     short-document corpora); ``mixture`` maps source values to keep
     probabilities; ``pack_shards`` shards the packing cumsum window by
     ``crc32(id) % shards`` so no single window partition is unbounded.
+
+    ``html_col`` runs the web-extraction stage FIRST (the crawl
+    entry point: strip tags/scripts, decode entities) and writes the
+    visible text into ``text_col`` for every downstream stage;
+    ``max_link_density`` additionally drops boilerplate-shaped pages
+    (jusText/boilerpipe signal) at that stage.
     """
     out = df
+    if html_col is not None:
+        out = text.with_html_extracted(out, html_col, text_col)
+        if max_link_density is not None:
+            out = out.filter(
+                F.col("html_link_density") <= max_link_density
+            )
     if url_col is not None:
         # URL-level dedup FIRST: canonicalize (case/port/tracking/
         # fragment variants collapse) and keep the min-id row per

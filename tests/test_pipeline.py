@@ -188,3 +188,33 @@ class TestEndToEndTrainingExport:
         b = sorted(map(tuple, spark.read.parquet(out2)
                        .select("row_key", "shard_id").collect()))
         assert a == b
+
+
+class TestCurateHtmlStage:
+    def test_html_entry_point(self, spark):
+        """html_col runs web extraction first; max_link_density drops
+        boilerplate-shaped pages before any text stage."""
+        from lwes_contrib_hive_serde_spark.operators import pipeline
+
+        rows = [
+            (1, "<p>the quick brown fox jumps over the lazy dog and "
+                "then runs away. It was fast. It was seen. It left.</p>"),
+            (2, '<nav><a href="/">home</a> <a href="/a">about page now'
+                "</a></nav><p>tiny</p>"),
+            (3, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, html string")
+        out = pipeline.curate(
+            df,
+            html_col="html",
+            max_link_density=0.5,
+            min_sentences=1,
+            gopher_thresholds={"min_words": 5},
+            pii=False,
+        )
+        got = {r.doc_id for r in out.collect()}
+        assert 1 in got           # real prose survives
+        assert 2 not in got       # link-farm page dropped at entry
+        assert 3 not in got       # NULL html never reaches text stages
+        r1 = out.filter("doc_id = 1").collect()[0]
+        assert "<p>" not in r1.text_clean and "fox" in r1.text_clean
