@@ -496,7 +496,7 @@ def passage_index_write(
         grams = grams.select(F.col("gram").cast("long").alias("gram"))
     grams.persist()
     try:
-        grams.write.mode("overwrite").parquet(os.path.join(path, "grams"))
+        _write_grams(grams, os.path.join(path, "grams"), "overwrite")
         # headroom folds into bits_per_key: m = bpk * headroom * n
         bits, m_bits, num_hashes, n_keys = joins.build_key_bloom(
             grams, ["gram"],
@@ -521,6 +521,26 @@ def passage_index_write(
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, os.path.join(path, "meta.json"))
+
+
+def _write_grams(grams: DataFrame, dest: str, mode: str) -> None:
+    """Write a gram table range-sorted with a parquet bloom filter on
+    the key column: probes that push an In(gram, ...) predicate skip
+    row groups by min/max AND per-group bloom, so a mostly-novel
+    candidate set touches almost no pages. The range shuffle is paid
+    once at BUILD/COMPACT time and amortized over every probe;
+    appends only sort within partitions (no global range to keep)."""
+    if mode == "overwrite":
+        grams = grams.repartitionByRange(
+            max(grams.sparkSession.sparkContext.defaultParallelism, 1),
+            "gram",
+        )
+    (
+        grams.sortWithinPartitions("gram")
+        .write.mode(mode)
+        .option("parquet.bloom.filter.enabled#gram", "true")
+        .parquet(dest)
+    )
 
 
 def _batch_gram_positions(batch, id_col, text_col, meta):
@@ -577,6 +597,7 @@ def passage_index_probe(
     id_col: str = "doc_id",
     text_col: str = "text",
     exact: bool = True,
+    isin_threshold: int = 5000,
 ) -> DataFrame:
     """(id, pos) — k-gram window starts in the batch whose gram
     already exists in the indexed corpus.
@@ -605,13 +626,23 @@ def passage_index_probe(
     if not exact:
         return candidates.select(F.col("__id").alias(id_col), "pos")
     idx = spark.read.parquet(os.path.join(path, "grams"))
-    confirmed_grams = idx.join(
-        F.broadcast(candidates.select("gram").distinct()), "gram"
-    )
-    flagged = candidates.join(
-        F.broadcast(confirmed_grams.select("gram").distinct()), "gram"
-    )
-    return flagged.select(F.col("__id").alias(id_col), "pos")
+    cand_grams = candidates.select("gram").distinct()
+    n_cands = cand_grams.count()  # batch-sized; bounds the tier choice
+    if n_cands <= int(isin_threshold):
+        # small candidate set: push an In(gram, ...) predicate into
+        # the parquet scan — the range-sorted, bloom-filtered layout
+        # (_write_grams) turns the confirm into row-group skips
+        # instead of a full table scan. The collect is the same
+        # driver-sized payload a broadcast would ship anyway.
+        vals = [r.gram for r in cand_grams.collect()]
+        confirmed = idx.filter(F.col("gram").isin(vals)) if vals \
+            else idx.filter(F.lit(False))
+    else:
+        confirmed = idx.join(F.broadcast(cand_grams), "gram")
+    confirmed_set = confirmed.select("gram").distinct()
+    return candidates.join(
+        F.broadcast(confirmed_set), "gram"
+    ).select(F.col("__id").alias(id_col), "pos")
 
 
 def remove_passages_against_index(
@@ -681,7 +712,7 @@ def passage_index_append(
                 f"bits_per_key={meta['bits_per_key']}, larger "
                 f"key_headroom) to keep the design FP rate"
             )
-        grams.write.mode("append").parquet(os.path.join(path, "grams"))
+        _write_grams(grams, os.path.join(path, "grams"), "append")
         m_bits, num_hashes = meta["m_bits"], meta["num_hashes"]
         nbytes = (m_bits + 7) // 8
 
@@ -746,7 +777,7 @@ def passage_index_compact(
     grams = spark.read.parquet(gpath).distinct()
     grams.persist()
     try:
-        grams.write.mode("overwrite").parquet(tmpg)
+        _write_grams(grams, tmpg, "overwrite")
         bits, m_bits, num_hashes, n_keys = joins.build_key_bloom(
             grams, ["gram"],
             bits_per_key=max(1, int(meta["bits_per_key"] * key_headroom)),

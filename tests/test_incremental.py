@@ -375,3 +375,24 @@ class TestPassageIndex:
             ).collect()
         }
         assert {1, 2, 3} <= got
+
+    def test_confirm_tiers_agree_and_isin_pushes_down(self, spark, tmp_path):
+        """Small candidate sets confirm via an In(gram,...) predicate
+        pushed into the parquet scan (row-group skipping on the
+        range-sorted, bloom-filtered layout); large sets fall back to
+        the broadcast join. Both tiers return identical flags."""
+        corpus = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        batch = spark.createDataFrame(self.BATCH, "doc_id long, text string")
+        path = str(tmp_path / "pidx")
+        incremental.passage_index_write(corpus, path, k=4)
+        via_isin = incremental.passage_index_probe(
+            spark, path, batch, isin_threshold=100000
+        )
+        via_bcast = incremental.passage_index_probe(
+            spark, path, batch, isin_threshold=0
+        )
+        a = sorted((r.doc_id, r.pos) for r in via_isin.collect())
+        b = sorted((r.doc_id, r.pos) for r in via_bcast.collect())
+        assert a == b and a
+        plan = via_isin._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [In(gram" in plan.replace("\n", "")
