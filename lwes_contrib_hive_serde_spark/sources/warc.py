@@ -48,6 +48,7 @@ from typing import BinaryIO, Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
 )
 from pyspark.sql.types import (
@@ -311,3 +312,82 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema: StructType):
         return WarcReader(schema, self.options)
+
+    def streamReader(self, schema: StructType):
+        return WarcStreamReader(schema, self.options)
+
+
+# ---------------------------------------------------------------------------
+# Streaming: tail a crawl directory as files arrive
+# ---------------------------------------------------------------------------
+
+
+class WarcStreamReader(DataSourceStreamReader):
+    """``readStream.format("warc")`` over a directory crawl files land
+    in. WARC files are WRITE-ONCE (crawlers publish by atomic rename,
+    never append — and a ``.warc.gz`` has no byte-offset resume
+    anyway), so the streaming contract is the file-source one: each
+    file is consumed WHOLE, exactly once, on first sight. Offsets are
+    ``{"files": {path: 1}}`` consumed-sets; ``maxfilespertrigger``
+    (default 16) spreads a backfill of thousands of files across
+    triggers instead of landing it in one microbatch.
+
+    Restart safety (the journal_stream recipe): previously-consumed
+    paths must always be echoed in the end offset, and rate deferral
+    of unseen files is disabled until the consumed-set has been
+    reseeded from the checkpointed start offset — otherwise a file
+    the previous driver consumed could be deferred now and replayed
+    later as a duplicate."""
+
+    def __init__(self, schema, options):
+        self.options = options
+        path = options.get("path")
+        if not path:
+            raise ValueError("warc stream: path required")
+        self.path = path
+        types = options.get("recordtypes")
+        self.record_types = (
+            {t.strip() for t in types.split(",") if t.strip()}
+            if types
+            else None
+        )
+        self.permissive = (
+            options.get("permissive", "false").lower() == "true"
+        )
+        self.max_files = int(options.get("maxfilespertrigger", "16"))
+        self._known: set[str] = set()
+        self._seeded = False
+
+    def initialOffset(self) -> dict:
+        self._seeded = True  # fresh query: nothing consumed before us
+        return {"files": {}}
+
+    def latestOffset(self) -> dict:
+        end = {p: 1 for p in self._known}
+        budget = self.max_files
+        for p in _list_warc_files(self.path):
+            if p in self._known:
+                continue
+            if budget <= 0 and self._seeded:
+                continue  # defer to a later trigger
+            end[p] = 1
+            self._known.add(p)
+            budget -= 1
+        return {"files": end}
+
+    def partitions(self, start: dict, end: dict):
+        start_files = set(start.get("files", {}))
+        self._known.update(start_files)
+        self._seeded = True
+        new = sorted(set(end.get("files", {})) - start_files)
+        self._known.update(new)
+        return [WarcPartition([p]) for p in new] or [WarcPartition([])]
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def read(self, partition):
+        for path in partition.files:
+            yield from iter_warc_rows(
+                path, self.record_types, self.permissive
+            )

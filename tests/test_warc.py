@@ -187,3 +187,117 @@ class TestWarcDataSource:
         assert {r.text for r in out} == {
             f"doc 0 {i}" for i in range(3)
         }
+
+
+class TestWarcStreaming:
+    """readStream.format('warc'): files consumed whole on first sight
+    (write-once crawl convention), exactly-once across restarts via
+    the consumed-set offset."""
+
+    def _put(self, d, name, uris):
+        with open(os.path.join(d, name), "wb") as f:
+            for u in uris:
+                f.write(gzip.compress(warc_record(
+                    "response", u, f"<p>{u}</p>".encode()
+                )))
+
+    def test_files_arrive_and_are_read_once(self, spark, tmp_path):
+        import time
+
+        src = str(tmp_path / "crawl")
+        out = str(tmp_path / "out")
+        os.makedirs(src)
+        self._put(src, "a.warc.gz", ["http://e/a1", "http://e/a2"])
+        q = (
+            spark.readStream.format("warc")
+            .option("path", src)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+
+            def rows():
+                try:
+                    return {
+                        r.target_uri
+                        for r in spark.read.parquet(out).collect()
+                    }
+                except Exception:
+                    return set()
+
+            while time.time() < deadline:
+                if rows() == {"http://e/a1", "http://e/a2"}:
+                    break
+                time.sleep(0.5)
+            self._put(src, "b.warc.gz", ["http://e/b1"])
+            while time.time() < deadline:
+                if "http://e/b1" in rows():
+                    break
+                time.sleep(0.5)
+        finally:
+            q.stop()
+        got = sorted(
+            r.target_uri for r in spark.read.parquet(out).collect()
+        )
+        # exactly once: no duplicates even though a.warc.gz was listed
+        # in several triggers
+        assert got == ["http://e/a1", "http://e/a2", "http://e/b1"]
+
+    def test_restart_does_not_replay(self, spark, tmp_path):
+        import time
+
+        src = str(tmp_path / "crawl")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src)
+        self._put(src, "a.warc.gz", ["http://e/1"])
+
+        def run_until(n):
+            q = (
+                spark.readStream.format("warc")
+                .option("path", src)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                deadline = time.time() + 60
+                while time.time() < deadline:
+                    try:
+                        if spark.read.parquet(out).count() >= n:
+                            return
+                    except Exception:
+                        pass
+                    time.sleep(0.5)
+            finally:
+                q.stop()
+
+        run_until(1)
+        self._put(src, "b.warc.gz", ["http://e/2"])
+        run_until(2)  # restarted from checkpoint
+        got = sorted(
+            r.target_uri for r in spark.read.parquet(out).collect()
+        )
+        assert got == ["http://e/1", "http://e/2"]
+
+    def test_max_files_per_trigger_spreads_backfill(self, spark, tmp_path):
+        src = str(tmp_path / "crawl")
+        os.makedirs(src)
+        for i in range(5):
+            self._put(src, f"f{i}.warc.gz", [f"http://e/{i}"])
+        r = W.WarcStreamReader(None, {"path": src, "maxfilespertrigger": "2"})
+        o0 = r.initialOffset()
+        o1 = r.latestOffset()
+        assert len(o1["files"]) == 2
+        o2 = r.latestOffset()
+        assert len(o2["files"]) == 4
+        parts = r.partitions(o1, o2)
+        assert sum(len(p.files) for p in parts) == 2  # only the delta
+        o3 = r.latestOffset()
+        assert len(o3["files"]) == 5
