@@ -53,6 +53,7 @@ def curate(
     chunk_overlap: int = 0,
     html_col: str | None = None,
     max_link_density: float | None = None,
+    main_content: bool = False,
     seed: str = "lwespark",
 ) -> DataFrame:
     """Returns the curated frame with ``text_clean`` (cleaned +
@@ -73,6 +74,13 @@ def curate(
     out = df
     if html_col is not None:
         out = text.with_html_extracted(out, html_col, text_col)
+        if main_content:
+            # block-level boilerplate removal (jusText-lite) replaces
+            # the whole-page strip as the downstream text; the page-
+            # level metrics columns stay for filtering
+            out = out.withColumn(
+                text_col, text.extract_main_content(html_col)
+            )
         if max_link_density is not None:
             out = out.filter(
                 F.col("html_link_density") <= max_link_density

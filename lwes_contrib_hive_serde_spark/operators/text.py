@@ -1478,3 +1478,86 @@ def with_html_extracted(
         .withColumn("html_tag_count", html_tag_count(html_col))
         .withColumn("html_link_density", html_link_density(html_col))
     )
+
+
+# block-level tags whose boundaries delimit classification units; the
+# jusText/boilerpipe block model approximated with a JVM split
+_HTML_BLOCK_TAG_RE = (
+    r"(?i)</?(?:p|div|td|th|li|h[1-6]|section|article|aside|header|"
+    r"footer|nav|blockquote|pre|table|ul|ol|tr|dl|dd|dt|form|"
+    r"figure|figcaption|main|br)\b[^>]*>"
+)
+
+
+def _html_visible(c: Column) -> Column:
+    """Tag strip + entity decode + collapse for one fragment (block
+    patterns assumed already dropped)."""
+    c = F.regexp_replace(c, _HTML_TAG_RE, " ")
+    for ent, rep in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def _fragment_anchor_chars(c: Column) -> Column:
+    return F.aggregate(
+        F.transform(
+            F.regexp_extract_all(c, F.lit(_HTML_ANCHOR_RE), 0),
+            lambda a: F.length(_html_visible(a)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def extract_main_content(
+    col,
+    min_words: int = 5,
+    max_link_density: float = 0.33,
+) -> Column:
+    """Main-content extraction, the jusText/boilerpipe block model
+    (Pomikálek 2011; Kohlschütter et al. 2010) approximated as pure
+    JVM expressions: the page splits into BLOCKS at block-level tag
+    boundaries, each block is scored by word count and link density,
+    and only content-shaped blocks (>= min_words words, <=
+    max_link_density of their visible chars inside anchors) survive
+    into the joined result. Navigation bars, footers, related-links
+    boxes — short and link-dense — drop; paragraphs survive.
+
+    Approximation, stated honestly: blocks come from a regex split,
+    not a DOM, so nesting depth and per-block tag identity are not
+    modeled (no jusText context reclassification); inline anchors
+    split across a block boundary by malformed markup count toward
+    neither block. For the precision tier, plug a real DOM extractor
+    in via mapInPandas — this expression tier is the one that runs
+    at 100 TB scan speed."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat in _HTML_BLOCK_RES:
+        c = F.regexp_replace(c, pat, " ")
+    blocks = F.split(c, _HTML_BLOCK_TAG_RE)
+    scored = F.transform(
+        blocks,
+        lambda b: F.struct(
+            _html_visible(b).alias("t"),
+            _fragment_anchor_chars(b).alias("ac"),
+        ),
+    )
+    good = F.filter(
+        scored,
+        lambda s: (F.length(s.getField("t")) > 0)
+        & (
+            F.size(F.split(s.getField("t"), " ")) >= F.lit(min_words)
+        )
+        & (
+            s.getField("ac").cast("double")
+            / F.length(s.getField("t")).cast("double")
+            <= F.lit(float(max_link_density))
+        ),
+    )
+    raw = F.col(col) if isinstance(col, str) else col
+    return F.when(raw.isNull(), F.lit(None).cast("string")).otherwise(
+        F.trim(
+            F.concat_ws(
+                " ", F.transform(good, lambda s: s.getField("t"))
+            )
+        )
+    )

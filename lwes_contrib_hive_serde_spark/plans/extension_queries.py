@@ -4768,6 +4768,114 @@ def q_warc_extract(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+_SQL_BLOCK_TAG_RE = (
+    "(?i)</?(?:p|div|td|th|li|h[1-6]|section|article|aside|header|"
+    "footer|nav|blockquote|pre|table|ul|ol|tr|dl|dd|dt|form|"
+    "figure|figcaption|main|br)\\b[^>]*>"
+)
+
+
+def _sql_fragment_visible(expr: str) -> str:
+    """DuckDB mirror of text._html_visible on one block fragment."""
+    e = f"regexp_replace({expr}, '<[^>]*>', ' ', 'g')"
+    for ent, rep in (
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "''"), ("&amp;", "&"),
+    ):
+        e = f"replace({e}, '{ent}', '{rep}')"
+    return f"trim(regexp_replace({e}, '\\s+', ' ', 'g'))"
+
+
+def _main_content_oracle_sql() -> str:
+    vis_b = _sql_fragment_visible("b")
+    vis_a = _sql_fragment_visible("a")
+    return f"""
+    WITH wrapped AS (
+      SELECT doc_id,
+        '<html><body><nav><a href="/">Home page</a> '
+        || '<a href="/a">About page</a> <a href="/c">Contact page</a>'
+        || '</nav><h1>Doc ' || doc_id || ' heading words</h1><p>'
+        || text || '</p><div class="rel"><a href="/1">Related one'
+        || '</a> <a href="/2">Related two</a></div>'
+        || '<footer>c 2026</footer></body></html>' AS html
+      FROM documents WHERE doc_id < 80 AND text IS NOT NULL
+    ), blocks AS (
+      SELECT doc_id, unnest(str_split_regex(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+          '(?s)<!--.*?-->', ' ', 'g'),
+        '{_SQL_BLOCK_TAG_RE}')) AS b
+      FROM wrapped
+    ), scored AS (
+      SELECT doc_id, {vis_b} AS t,
+             CAST(COALESCE(list_sum(list_transform(
+               regexp_extract_all(b, '(?is)<a[\\s>].*?</a>'),
+               a -> len({vis_a}))), 0) AS BIGINT) AS ac
+      FROM blocks
+    ), good AS (
+      SELECT doc_id, string_agg(t, ' ' ORDER BY rowid) AS main_text
+      FROM (SELECT row_number() OVER () AS rowid, * FROM scored)
+      WHERE len(t) > 0
+        AND len(string_split(t, ' ')) >= 5
+        AND CAST(ac AS DOUBLE) / len(t) <= 0.33
+      GROUP BY doc_id
+    )
+    SELECT w.doc_id, COALESCE(g.main_text, '') AS main_text
+    FROM wrapped w LEFT JOIN good g USING (doc_id)
+    ORDER BY w.doc_id
+    """
+
+
+@register(
+    "q_main_content",
+    shadow=True,
+    oracle=_main_content_oracle_sql(),
+    doc="Main-content extraction, the jusText/boilerpipe block model "
+    "(Pomikálek 2011; Kohlschütter et al. 2010 — "
+    "text.extract_main_content): pages split into blocks at "
+    "block-level tag boundaries, each block scored by word count and "
+    "link density, and only content-shaped blocks survive — the nav "
+    "bar, related-links box, and footer planted around every "
+    "document's body must drop in BOTH engines while the heading and "
+    "body paragraph survive. The DuckDB oracle replays the identical "
+    "split + per-block score + ordered re-join (str_split_regex / "
+    "list pipelines over the same RE2-safe patterns). Pure JVM "
+    "whole-stage-codegen on the Spark side — the tier that runs at "
+    "crawl scan speed; a DOM-based extractor plugs in via "
+    "mapInPandas for the precision tier.",
+)
+def q_main_content(spark, sf_dir):
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 80) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    wrapped = d.select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                '<html><body><nav><a href="/">Home page</a> '
+                '<a href="/a">About page</a> <a href="/c">Contact page</a>'
+                "</nav><h1>Doc "
+            ),
+            F.col("doc_id").cast("string"),
+            F.lit(" heading words</h1><p>"),
+            F.col("text"),
+            F.lit(
+                '</p><div class="rel"><a href="/1">Related one</a> '
+                '<a href="/2">Related two</a></div>'
+                "<footer>c 2026</footer></body></html>"
+            ),
+        ).alias("html"),
+    )
+    return wrapped.select(
+        "doc_id",
+        text.extract_main_content("html").alias("main_text"),
+    ).orderBy("doc_id")
+
+
 # --- event-flow analytics (operators/analytics.py) ------------------------
 
 @register(

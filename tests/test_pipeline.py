@@ -218,3 +218,19 @@ class TestCurateHtmlStage:
         assert 3 not in got       # NULL html never reaches text stages
         r1 = out.filter("doc_id = 1").collect()[0]
         assert "<p>" not in r1.text_clean and "fox" in r1.text_clean
+
+    def test_main_content_mode(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import pipeline
+
+        html = ('<nav><a href="/">home</a> <a href="/b">about</a></nav>'
+                "<p>the quick brown fox jumps over the lazy dog and "
+                "runs to the edge of that field with joy. "
+                "It ran far. It was seen. It left.</p>")
+        df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+        out = pipeline.curate(
+            df, html_col="html", main_content=True,
+            min_sentences=1, gopher_thresholds={"min_words": 5}, pii=False,
+        ).collect()
+        assert len(out) == 1
+        assert "home" not in out[0].text_clean
+        assert "fox" in out[0].text_clean

@@ -1339,3 +1339,66 @@ class TestHtmlExtraction:
             text.with_html_extracted(df, "html", "text"), "text"
         ).collect()[0]
         assert out.n_tokens == 9
+
+
+class TestMainContentExtraction:
+    """jusText/boilerpipe-lite block classification
+    (text.extract_main_content): content-shaped blocks survive,
+    short/link-dense boilerplate drops."""
+
+    PAGE = (
+        '<html><body>'
+        '<nav><a href="/">Home</a> <a href="/a">About</a> '
+        '<a href="/c">Contact</a></nav>'
+        '<h1>A real article title here for you</h1>'
+        '<p>This is the first paragraph of genuine body prose with '
+        'plenty of words to pass the threshold.</p>'
+        '<p>Second paragraph also long enough to be kept with a '
+        'single <a href="/r">reference link</a> inside it.</p>'
+        '<div class="related"><a href="/1">Related one</a> '
+        '<a href="/2">Related two</a></div>'
+        '<footer>Copyright</footer>'
+        '</body></html>'
+    )
+
+    def test_boilerplate_blocks_drop(self, spark):
+        df = spark.createDataFrame([(self.PAGE,)], "html string")
+        got = df.select(
+            text.extract_main_content("html").alias("m")
+        ).collect()[0].m
+        assert got.startswith("A real article title")
+        assert "first paragraph" in got and "Second paragraph" in got
+        assert "reference link" in got  # inline link inside prose kept
+        assert "Home" not in got and "Related" not in got
+        assert "Copyright" not in got
+
+    def test_thresholds_are_knobs(self, spark):
+        df = spark.createDataFrame([(self.PAGE,)], "html string")
+        # min_words=1 + link density 1.0: everything visible survives
+        loose = df.select(text.extract_main_content(
+            "html", min_words=1, max_link_density=1.0
+        ).alias("m")).collect()[0].m
+        assert "Home" in loose and "Copyright" in loose
+
+    def test_script_never_becomes_content(self, spark):
+        html = ('<script>var s = "a very long sentence of junk words '
+                'that would pass the block filter";</script>'
+                '<p>short real</p>')
+        df = spark.createDataFrame([(html,)], "html string")
+        got = df.select(text.extract_main_content(
+            "html", min_words=2
+        ).alias("m")).collect()[0].m
+        assert got == "short real"
+
+    def test_null_and_empty(self, spark):
+        df = spark.createDataFrame(
+            [(1, None), (2, ""), (3, "word")], "id long, html string"
+        )
+        rows = {
+            r.id: r.m
+            for r in df.select(
+                "id",
+                text.extract_main_content("html", min_words=1).alias("m"),
+            ).collect()
+        }
+        assert rows[1] is None and rows[2] == "" and rows[3] == "word"
