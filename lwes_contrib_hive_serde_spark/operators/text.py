@@ -20,6 +20,8 @@ Operators:
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1561,3 +1563,54 @@ def extract_main_content(
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode hygiene (the canonical first text-cleaning stage)
+# ---------------------------------------------------------------------------
+
+# C0/C1 controls except \t \n \r, plus zero-width and BOM characters —
+# the bytes that break tokenizers and duplicate otherwise-identical
+# text. Pure JVM regexp (single character class).
+_CONTROL_CHARS_RE = (
+    "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f"
+    "\\u200b-\\u200d\\u2060\\ufeff]"
+)
+
+
+def strip_control_chars(col) -> Column:
+    """Remove C0/C1 control characters (keeping tab/newline/CR) and
+    zero-width/BOM code points — invisible bytes that fragment
+    tokenizers and defeat exact dedup. JVM-side, scan speed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, _CONTROL_CHARS_RE, "")
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    form: str = "NFC",
+    batch_size: int = 4096,
+) -> DataFrame:
+    """Unicode-normalize a text column (NFC/NFKC/NFD/NFKD) via an
+    Arrow-batched pandas UDF — honestly the Python tier: the JVM has
+    no normalization builtin, and composed-vs-decomposed variants of
+    the same string otherwise hash apart in every dedup stage.
+    stdlib ``unicodedata`` only; NULLs pass through. Run it ONCE at
+    corpus ingestion, before fingerprints/shingles are computed."""
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"normalize_unicode: unknown form {form!r}")
+    out_col = out_col or text_col
+
+    @F.pandas_udf("string")
+    def norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize(form, t)
+            if t is not None
+            else None
+        )
+
+    return df.withColumn(out_col, norm(F.col(text_col)))

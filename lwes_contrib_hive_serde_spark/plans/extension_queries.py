@@ -4876,6 +4876,43 @@ def q_main_content(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@register(
+    "q_unicode_normalize",
+    shadow=True,
+    oracle="""
+    SELECT doc_id,
+           nfc_normalize(text || ' cafe' || chr(769)
+                         || ' nai' || chr(776) || 've') AS norm_text
+    FROM documents WHERE doc_id < 80 AND text IS NOT NULL
+    ORDER BY doc_id
+    """,
+    doc="Unicode NFC normalization (text.normalize_unicode, the "
+    "canonical first text-cleaning stage): every document gets a "
+    "planted DECOMPOSED suffix (combining acute U+0301, diaeresis "
+    "U+0308), the Arrow-batched stdlib-unicodedata normalizer folds "
+    "it to composed form, and DuckDB's independent nfc_normalize "
+    "must produce the identical string — two separate Unicode "
+    "implementations agreeing character-for-character. Without this "
+    "stage, composed and decomposed variants of the same text hash "
+    "apart in every dedup tier.",
+)
+def q_unicode_normalize(spark, sf_dir):
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 80) & F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" café naïve"),
+            ).alias("text"),
+        )
+    )
+    return text.normalize_unicode(d, out_col="norm_text").select(
+        "doc_id", "norm_text"
+    ).orderBy("doc_id")
+
+
 # --- event-flow analytics (operators/analytics.py) ------------------------
 
 @register(

@@ -1402,3 +1402,50 @@ class TestMainContentExtraction:
             ).collect()
         }
         assert rows[1] is None and rows[2] == "" and rows[3] == "word"
+
+
+class TestUnicodeHygiene:
+    """Unicode normalization + control stripping (text.normalize_unicode
+    / strip_control_chars): composed == decomposed after NFC, invisible
+    bytes gone — checked against DuckDB's nfc_normalize."""
+
+    def test_nfc_merges_composed_and_decomposed(self, spark):
+        composed = "café résumé"
+        decomposed = "café résumé"
+        df = spark.createDataFrame(
+            [(1, composed), (2, decomposed), (3, None)],
+            "id long, text string",
+        )
+        out = {
+            r.id: r.text
+            for r in text.normalize_unicode(df).collect()
+        }
+        assert out[1] == out[2] == composed
+        assert out[3] is None
+        # cross-engine agreement with DuckDB's normalizer
+        want = duckdb.sql(
+            f"SELECT nfc_normalize('{decomposed}')"
+        ).fetchone()[0]
+        assert out[2] == want
+
+    def test_nfkc_folds_compatibility_forms(self, spark):
+        df = spark.createDataFrame(
+            [("ﬁle ①",)], "text string"  # fi-ligature, circled 1
+        )
+        got = text.normalize_unicode(df, form="NFKC").collect()[0].text
+        assert got == "file 1"
+
+    def test_bad_form_rejected(self, spark):
+        df = spark.createDataFrame([("x",)], "text string")
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="form"):
+            text.normalize_unicode(df, form="NFX")
+
+    def test_control_chars_stripped(self, spark):
+        dirty = "a\x00b​c﻿d\te\nf"
+        df = spark.createDataFrame([(dirty,)], "text string")
+        got = df.select(
+            text.strip_control_chars("text").alias("t")
+        ).collect()[0].t
+        assert got == "abcd\te\nf"  # tab/newline survive
