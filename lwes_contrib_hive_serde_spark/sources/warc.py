@@ -158,12 +158,42 @@ def parse_http_response(block: bytes):
     return status, ctype, body
 
 
+def verify_block_digest(headers: dict, block: bytes) -> bool | None:
+    """Check the record's WARC-Block-Digest (ISO 28500 §5.8, the
+    ``sha1:BASE32`` convention CommonCrawl writes; sha256/md5 labels
+    accepted too). None when the record carries no digest or an
+    algorithm we don't ship; True/False otherwise."""
+    import base64
+    import hashlib
+
+    spec = headers.get("warc-block-digest")
+    if not spec or ":" not in spec:
+        return None
+    algo, _, want = spec.partition(":")
+    algo = algo.strip().lower()
+    if algo not in ("sha1", "sha256", "md5"):
+        return None
+    h = hashlib.new(algo, block)
+    want = want.strip()
+    # CommonCrawl writes base32; hex also appears in the wild
+    try:
+        if len(want) == h.digest_size * 2:
+            return bytes.fromhex(want) == h.digest()
+        return base64.b32decode(want.upper()) == h.digest()
+    except (ValueError, TypeError):
+        return False
+
+
 def iter_warc_rows(
     path: str,
     record_types: set[str] | None = None,
     permissive: bool = False,
+    verify_digests: bool = False,
 ):
-    """Yield WARC_SCHEMA-ordered tuples for one file."""
+    """Yield WARC_SCHEMA-ordered tuples for one file.
+    ``verify_digests`` recomputes each record's WARC-Block-Digest and
+    raises WarcError on mismatch (permissive: the record is dropped) —
+    fixity checking during the scan, no second pass."""
     with _open_warc(path) as f:
         gen = read_warc_stream(f)
         while True:
@@ -179,6 +209,15 @@ def iter_warc_rows(
             rtype = headers.get("warc-type", "")
             if record_types and rtype not in record_types:
                 continue
+            if verify_digests:
+                ok = verify_block_digest(headers, block)
+                if ok is False:
+                    if permissive:
+                        continue
+                    raise WarcError(
+                        f"block digest mismatch for "
+                        f"{headers.get('warc-record-id')} in {path}"
+                    )
             status = http_ctype = None
             payload = block
             ctype = headers.get("content-type")
@@ -233,6 +272,9 @@ class WarcReader(DataSourceReader):
         )
         self.permissive = (
             options.get("permissive", "false").lower() == "true"
+        )
+        self.verify_digests = (
+            options.get("verifydigests", "false").lower() == "true"
         )
 
     def pushFilters(self, filters):
@@ -295,7 +337,8 @@ class WarcReader(DataSourceReader):
     def read(self, partition):
         for path in partition.files:
             yield from iter_warc_rows(
-                path, self.record_types, self.permissive
+                path, self.record_types, self.permissive,
+                self.verify_digests,
             )
 
 

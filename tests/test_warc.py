@@ -301,3 +301,71 @@ class TestWarcStreaming:
         assert sum(len(p.files) for p in parts) == 2  # only the delta
         o3 = r.latestOffset()
         assert len(o3["files"]) == 5
+
+
+class TestWarcDigestVerification:
+    """WARC-Block-Digest fixity checking (ISO 28500 §5.8): CommonCrawl's
+    sha1:BASE32 convention verified during the scan."""
+
+    @staticmethod
+    def _digested_record(body: bytes, corrupt: bool = False):
+        import base64
+        import hashlib
+
+        block = b"HTTP/1.1 200 OK\r\n\r\n" + body
+        digest = base64.b32encode(hashlib.sha1(block).digest()).decode()
+        if corrupt:
+            digest = ("A" if digest[0] != "A" else "B") + digest[1:]
+        head = (
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            "WARC-Record-ID: <urn:uuid:d>\r\n"
+            "WARC-Target-URI: http://e/d\r\n"
+            f"WARC-Block-Digest: sha1:{digest}\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(block)}\r\n\r\n"
+        ).encode()
+        return head + block + b"\r\n\r\n"
+
+    def test_good_digest_passes(self, tmp_path):
+        p = str(tmp_path / "ok.warc")
+        with open(p, "wb") as f:
+            f.write(self._digested_record(b"payload bytes"))
+        rows = list(W.iter_warc_rows(p, verify_digests=True))
+        assert len(rows) == 1
+
+    def test_bad_digest_raises_or_drops(self, tmp_path):
+        p = str(tmp_path / "bad.warc")
+        with open(p, "wb") as f:
+            f.write(self._digested_record(b"payload bytes", corrupt=True))
+            f.write(self._digested_record(b"good record"))
+        with pytest.raises(W.WarcError, match="digest mismatch"):
+            list(W.iter_warc_rows(p, verify_digests=True))
+        # permissive: the corrupt record drops, the good one survives
+        rows = list(
+            W.iter_warc_rows(p, verify_digests=True, permissive=True)
+        )
+        assert len(rows) == 1 and rows[0][8] == b"good record"
+
+    def test_absent_or_unknown_digest_is_not_a_failure(self, tmp_path):
+        # records without a digest (or with an unshipped algorithm)
+        # must pass verification untouched — absence is not corruption
+        p = str(tmp_path / "none.warc")
+        with open(p, "wb") as f:
+            f.write(warc_record("response", "http://e/x", b"no digest"))
+        assert len(list(W.iter_warc_rows(p, verify_digests=True))) == 1
+        assert W.verify_block_digest({}, b"x") is None
+        assert W.verify_block_digest(
+            {"warc-block-digest": "blake3:abc"}, b"x"
+        ) is None
+
+    def test_hex_and_sha256_labels(self):
+        import hashlib
+
+        block = b"some block"
+        hexd = hashlib.sha256(block).hexdigest()
+        assert W.verify_block_digest(
+            {"warc-block-digest": f"sha256:{hexd}"}, block
+        ) is True
+        assert W.verify_block_digest(
+            {"warc-block-digest": f"sha256:{hexd}"}, block + b"!"
+        ) is False
