@@ -234,3 +234,101 @@ class TestCurateHtmlStage:
         assert len(out) == 1
         assert "home" not in out[0].text_clean
         assert "fox" in out[0].text_clean
+
+
+class TestCrawlToCorpusEndToEnd:
+    """The full ingestion story this round's tiers compose into:
+    WARC files (streaming source) -> HTML main-content extraction ->
+    curation -> ExactSubstr decontamination against a persistent
+    passage index that grows with every epoch. One test, the whole
+    pipeline, real bytes end to end."""
+
+    def test_two_epoch_crawl(self, spark, tmp_path):
+        import gzip
+        import os
+
+        from lwes_contrib_hive_serde_spark.operators import (
+            incremental, text as T,
+        )
+        from lwes_contrib_hive_serde_spark.streaming import passage_stream
+
+        def warc_file(path, pages):
+            with open(path, "wb") as f:
+                for uri, body_text in pages:
+                    body = (
+                        f"<html><body><nav><a href='/'>home link</a>"
+                        f"</nav><p>{body_text}</p></body></html>"
+                    ).encode()
+                    block = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+                    head = (
+                        f"WARC/1.0\r\nWARC-Type: response\r\n"
+                        f"WARC-Record-ID: <urn:{uri}>\r\n"
+                        f"WARC-Target-URI: {uri}\r\n"
+                        f"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                        "Content-Type: application/http; msgtype=response\r\n"
+                        f"Content-Length: {len(block)}\r\n\r\n"
+                    ).encode()
+                    f.write(gzip.compress(head + block + b"\r\n\r\n"))
+
+        crawl = str(tmp_path / "crawl")
+        os.makedirs(crawl)
+        prose = ("the quick brown fox jumps over the lazy dog and runs "
+                 "to the edge of that wide field with joy today")
+        warc_file(os.path.join(crawl, "epoch0.warc.gz"), [
+            ("http://a/1", prose + ". It was seen. It left. It won."),
+            ("http://a/2", "a completely different and rather long story "
+                           "about the sea and the sky with many words. "
+                           "It flows. It ends. It stays."),
+        ])
+
+        # empty seed index: the corpus starts from nothing
+        idx = str(tmp_path / "pidx")
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        incremental.passage_index_write(empty, idx, k=6)
+
+        def process_epoch(batch_files_df, batch_id):
+            from lwes_contrib_hive_serde_spark.operators import pipeline
+
+            docs = pipeline.curate(
+                batch_files_df.filter("record_type = 'response'")
+                .selectExpr(
+                    "target_uri AS url",
+                    "CAST(payload AS STRING) AS html",
+                )
+                .withColumn(
+                    "doc_id",
+                    (F.crc32("url") % 1000000).cast("long"),
+                ),
+                html_col="html",
+                main_content=True,
+                min_sentences=1,
+                gopher_thresholds={"min_words": 5},
+                pii=False,
+            ).select("doc_id", F.col("text_clean").alias("text"), "url")
+            passage_stream.decontaminate_batch(
+                spark, idx, str(tmp_path / "out"), docs, batch_id,
+            )
+
+        batch0 = spark.read.format("warc").option("path", crawl).load()
+        process_epoch(batch0, 0)
+        out0 = spark.read.parquet(str(tmp_path / "out/batch=0"))
+        texts0 = {r.url: r.text_clean for r in out0.collect()}
+        assert "fox" in texts0["http://a/1"]
+        assert "home link" not in texts0["http://a/1"]  # nav dropped
+
+        # epoch 1: one page REPEATS epoch 0's prose (plus novel tail),
+        # one is novel — the repeated span must be cut against the
+        # index the first epoch appended to
+        warc_file(os.path.join(crawl, "epoch1.warc.gz"), [
+            ("http://b/1", prose + " plus a brand new closing thought "
+                           "about tomorrow. It was new. It grew. It won."),
+        ])
+        batch1 = (
+            spark.read.format("warc").option("path", crawl).load()
+            .filter("path LIKE '%epoch1%'")
+        )
+        process_epoch(batch1, 1)
+        out1 = spark.read.parquet(str(tmp_path / "out/batch=1")).collect()
+        assert len(out1) == 1
+        assert "quick brown fox" not in out1[0].text_clean  # cut: corpus copy
+        assert "closing thought" in out1[0].text_clean      # novelty survives
