@@ -95,3 +95,21 @@ if __name__ == "__main__":
         os.path.join(HERE, "sparse.journal.gz"), "wb"
     ) as fout:
         shutil.copyfileobj(fin, fout)
+
+    # zstd variants of sparse (v1 whole-file + v2 block codec) — see
+    # test_golden.py zstd tests; encodes under whichever zstd provider
+    # is active (both providers emit RFC 8878 frames)
+    from lwes_contrib_hive_serde_spark.sources import zstd_backend
+
+    if zstd_backend.available():
+        with open(os.path.join(HERE, "sparse.journal"), "rb") as fin:
+            raw = fin.read()
+        with zstd_backend.open_write(
+            os.path.join(HERE, "sparse.journal.zst")
+        ) as fout:
+            fout.write(raw)
+        c.write_journal_file_v2(
+            os.path.join(HERE, "sparse.journal2.zst-blocks"),
+            list(c.read_journal_file(os.path.join(HERE, "sparse.journal"))),
+            block_bytes=256, codec="zstd", marker=bytes(range(16)),
+        )

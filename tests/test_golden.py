@@ -56,3 +56,38 @@ def test_gzip_variant_matches_plain():
     plain = [e.attributes for e in c.read_journal_file(os.path.join(GOLDEN, "sparse.journal"))]
     gz = [e.attributes for e in c.read_journal_file(os.path.join(GOLDEN, "sparse.journal.gz"))]
     assert plain == gz
+
+
+def test_zstd_variant_matches_plain():
+    """Checked-in .zst golden (encoded once with the pyarrow-libzstd
+    provider) must decode identically to the plain journal under
+    WHICHEVER zstd provider is active — byte-level provider-drift
+    guard for zstd_backend.py. Skipped only when no provider exists."""
+    from lwes_contrib_hive_serde_spark.sources import zstd_backend
+
+    if not zstd_backend.available():
+        pytest.skip("no zstd provider")
+    plain = [e.attributes for e in c.read_journal_file(os.path.join(GOLDEN, "sparse.journal"))]
+    zst = [e.attributes for e in c.read_journal_file(os.path.join(GOLDEN, "sparse.journal.zst"))]
+    assert plain == zst
+
+
+def test_zstd_v2_blocks_golden_decodes():
+    """Checked-in v2 container with zstd block-codec byte 2: full read
+    and a mid-file byte-range read must both decode (frame format +
+    marker resync under compressed blocks)."""
+    from lwes_contrib_hive_serde_spark.sources import zstd_backend
+
+    if not zstd_backend.available():
+        pytest.skip("no zstd provider")
+    p = os.path.join(GOLDEN, "sparse.journal2.zst-blocks")
+    plain = [e.attributes for e in c.read_journal_file(os.path.join(GOLDEN, "sparse.journal"))]
+    full = [e.attributes for e in c.read_journal_file_v2(p)]
+    assert full == plain
+    size = os.path.getsize(p)
+    halves = [
+        e.attributes
+        for e in list(c.read_journal_file_v2(p, start=0, end=size // 2))
+        + list(c.read_journal_file_v2(p, start=size // 2, end=size))
+    ]
+    assert sorted(map(repr, halves)) == sorted(map(repr, plain))
