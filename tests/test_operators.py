@@ -2581,3 +2581,56 @@ class TestBloomPrefilterJoin:
             "id * 7 + 3 AS k").select(_F.xxhash64("k")).collect()]
         fp = member(absent).mean()
         assert fp < 0.01, fp
+
+
+class TestDuplicateSpansRandomized:
+    """Seeded randomized corpora vs the brute-force reference: merge
+    correctness and the keep-first survivor rule must hold on shapes
+    nobody hand-picked (overlapping plants, self-repeats, shared
+    vocabulary collisions)."""
+
+    @staticmethod
+    def _random_corpus(rng, n_docs=12, vocab=18, max_len=40):
+        docs = []
+        for i in range(n_docs):
+            words = [
+                f"w{rng.randrange(vocab)}"
+                for _ in range(rng.randrange(3, max_len))
+            ]
+            docs.append((i, " ".join(words)))
+        # plant cross-doc copies: splice doc j's middle into doc i
+        for _ in range(4):
+            i, j = rng.randrange(n_docs), rng.randrange(n_docs)
+            wi = docs[i][1].split()
+            wj = docs[j][1].split()
+            if len(wj) >= 8:
+                seg = wj[2 : 2 + rng.randrange(6, min(12, len(wj) - 1))]
+                at = rng.randrange(len(wi) + 1)
+                docs[i] = (i, " ".join(wi[:at] + seg + wi[at:]))
+        return docs
+
+    @pytest.mark.parametrize("seed", [3, 17, 99])
+    def test_matches_bruteforce(self, spark, seed):
+        import random as _r
+
+        rng = _r.Random(seed)
+        rows = self._random_corpus(rng)
+        k = 5
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for keep in ("all", "first"):
+            got = {
+                (r.doc_id, r.span_start, r.span_end)
+                for r in dedup.duplicate_spans(
+                    df, k=k, min_count=2, hashed=False, keep=keep
+                ).collect()
+            }
+            want = TestDuplicateSpans._ref_merged(rows, k, 2, keep=keep)
+            assert got == want, (seed, keep)
+        # hashed production tier flags the same spans
+        h = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in dedup.duplicate_spans(
+                df, k=k, min_count=2, hashed=True, keep="first"
+            ).collect()
+        }
+        assert h == TestDuplicateSpans._ref_merged(rows, k, 2, keep="first")
