@@ -403,7 +403,7 @@ def bloom_prefilter_join(
     small: DataFrame,
     on: list[str],
     how: str = "inner",
-    bits_per_key: int = 16,
+    bits_per_key: int | str = 16,
     num_hashes: int = 7,
 ) -> DataFrame:
     """Equi-join with a Bloom-filter prefilter on the probe side —
@@ -443,6 +443,15 @@ def bloom_prefilter_join(
             f"prefilter (non-matching rows must survive); use one of "
             f"{sorted(allowed)}"
         )
+    if bits_per_key == "auto":
+        # sketch-driven go/no-go + sizing: when the planner refuses
+        # (prefilter can't pay for itself, or the filter exceeds the
+        # broadcast budget), run the PLAIN join — same rows either way
+        plan = plan_bloom_join(big, small, on)
+        if not plan["use_bloom"]:
+            return big.join(small, on, how)
+        bits_per_key = plan["bits_per_key"]
+        num_hashes = plan["num_hashes"]
     cast_to = _bloom_hash_types(big, small, on)
     bits_bytes, m_bits, k, _n = build_key_bloom(
         small, on, bits_per_key, num_hashes, cast_to=cast_to

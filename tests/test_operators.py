@@ -2634,3 +2634,31 @@ class TestDuplicateSpansRandomized:
             ).collect()
         }
         assert h == TestDuplicateSpans._ref_merged(rows, k, 2, keep="first")
+
+
+class TestBloomAutoSizing:
+    def test_auto_uses_plan_and_falls_back(self, spark):
+        """bits_per_key='auto': planner-accepted shapes run the sized
+        prefilter; planner-refused shapes run the plain join. Both
+        return EXACTLY the plain join's rows."""
+        from lwes_contrib_hive_serde_spark.operators import joins
+
+        selective_big = spark.range(20000).selectExpr(
+            "id % 8000 AS k", "id AS payload"
+        )
+        small = spark.range(40).selectExpr("id * 379 AS k")
+        got = sorted(map(tuple, joins.bloom_prefilter_join(
+            selective_big, small, ["k"], bits_per_key="auto"
+        ).collect()))
+        assert got == sorted(
+            map(tuple, selective_big.join(small, ["k"]).collect())
+        )
+
+        dense_big = spark.range(5000).selectExpr("id % 50 AS k", "id AS p")
+        dense_small = spark.range(48).selectExpr("id AS k", "'d' AS n")
+        got2 = sorted(map(tuple, joins.bloom_prefilter_join(
+            dense_big, dense_small, ["k"], bits_per_key="auto"
+        ).collect()))
+        assert got2 == sorted(
+            map(tuple, dense_big.join(dense_small, ["k"]).collect())
+        )
