@@ -54,6 +54,7 @@ def curate(
     html_col: str | None = None,
     max_link_density: float | None = None,
     main_content: bool = False,
+    blocked_terms: list[str] | None = None,
     seed: str = "lwespark",
 ) -> DataFrame:
     """Returns the curated frame with ``text_clean`` (cleaned +
@@ -95,6 +96,12 @@ def curate(
         out = dedup.fingerprint_dedup(
             out.filter(F.col("__curl").isNotNull()), "__curl", id_col
         ).drop("__curl")
+    if blocked_terms:
+        # the C4 badwords rule (Raffel et al. 2020 §2.2): any page
+        # containing a blocklisted term drops, before any cleaning
+        out = out.filter(
+            text.blocked_term_hits(text_col, blocked_terms) == 0
+        )
     out = out.filter(
         text.c4_doc_flags(text_col, min_sentences=min_sentences).getField(
             "pass_all"

@@ -1614,3 +1614,40 @@ def normalize_unicode(
         )
 
     return df.withColumn(out_col, norm(F.col(text_col)))
+
+
+def blocked_term_hits(col, terms: list[str]) -> Column:
+    """Count of DISTINCT blocklist entries present in the text — the
+    C4 "bad words" content filter (Raffel et al. 2020 §2.2: any page
+    containing a blocklisted term is dropped), generalized: entries
+    WITHOUT spaces match whole lowercased tokens (no substring false
+    positives — 'class' never hits a blocklisted 'ass'); entries WITH
+    spaces match as phrases of the normalized text. Pure JVM:
+    array_intersect against a literal array + contains() per phrase."""
+    words = sorted({t.strip().lower() for t in terms
+                    if t.strip() and " " not in t.strip()})
+    phrases = sorted({t.strip().lower() for t in terms
+                      if t.strip() and " " in t.strip()})
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.lit(0)
+    if words:
+        t = tokens(F.lower(c))
+        n = n + F.size(
+            F.array_intersect(t, F.array(*[F.lit(w) for w in words]))
+        )
+    if phrases:
+        norm = normalize_text(c)
+        for p in phrases:
+            n = n + F.when(norm.contains(p), 1).otherwise(0)
+    return F.when(c.isNull(), F.lit(None).cast("int")).otherwise(
+        n.cast("int")
+    )
+
+
+def with_blocked_terms(
+    df: DataFrame, terms: list[str], text_col: str = "text"
+) -> DataFrame:
+    """Adds ``n_blocked_terms``; filter ``= 0`` for the C4 drop rule."""
+    return df.withColumn(
+        "n_blocked_terms", blocked_term_hits(text_col, terms)
+    )

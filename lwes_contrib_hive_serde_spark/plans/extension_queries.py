@@ -4913,6 +4913,48 @@ def q_unicode_normalize(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@register(
+    "q_blocked_terms",
+    shadow=True,
+    oracle="""
+    SELECT doc_id,
+           CAST(
+             len(list_intersect(
+               list_distinct(string_split_regex(lower(trim(text)), '\\s+')),
+               ['slow', 'zzqnotaword'])) +
+             CASE WHEN contains(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+               'slow scan') THEN 1 ELSE 0 END
+           AS INTEGER) AS n_blocked_terms
+    FROM documents WHERE doc_id < 200 AND length(trim(text)) > 0
+    ORDER BY doc_id
+    """,
+    doc="Content blocklist filtering, the C4 bad-words rule (Raffel "
+    "et al. 2020 §2.2 — text.blocked_term_hits): single-word entries "
+    "match whole lowercased tokens via array_intersect against a "
+    "literal array (no substring false positives), multiword entries "
+    "match as normalized-text phrases. The blocklist plants one "
+    "common corpus word ('slow'), one absent word, and one phrase "
+    "('slow scan') so hit counts span 0..3; DuckDB replays the "
+    "identical distinct-token intersection + phrase contains. Pure "
+    "JVM scan-speed expressions; wired into curate(blocked_terms=...) "
+    "as the pre-cleaning drop.",
+)
+def q_blocked_terms(spark, sf_dir):
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") < 200)
+            & (F.length(F.trim("text")) > 0)
+        )
+        .select("doc_id", "text")
+    )
+    out = text.with_blocked_terms(
+        d, ["slow", "zzqnotaword", "slow scan"]
+    )
+    return out.select("doc_id", "n_blocked_terms").orderBy("doc_id")
+
+
 # --- event-flow analytics (operators/analytics.py) ------------------------
 
 @register(

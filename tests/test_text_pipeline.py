@@ -1449,3 +1449,60 @@ class TestUnicodeHygiene:
             text.strip_control_chars("text").alias("t")
         ).collect()[0].t
         assert got == "abcd\te\nf"  # tab/newline survive
+
+
+class TestBlockedTerms:
+    """C4 bad-words rule (text.blocked_term_hits): whole-token word
+    matching, phrase matching, NULL honesty."""
+
+    def test_token_match_no_substring_false_positives(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the class was outstanding"),   # 'ass' must NOT hit
+             (2, "what an ass he was"),
+             (3, "Bad WORD and bad word again"),  # distinct count = 2
+             (4, None),
+             (5, "")],
+            "id long, text string",
+        )
+        out = {
+            r.id: r.n_blocked_terms
+            for r in text.with_blocked_terms(
+                df, ["ass", "bad", "word"]
+            ).collect()
+        }
+        assert out[1] == 0
+        assert out[2] == 1
+        assert out[3] == 2  # distinct entries, not occurrences
+        assert out[4] is None
+        assert out[5] == 0
+
+    def test_phrase_entries(self, spark):
+        df = spark.createDataFrame(
+            [(1, "click here to   WIN big prizes"),
+             (2, "win some, lose some")],
+            "id long, text string",
+        )
+        out = {
+            r.id: r.n_blocked_terms
+            for r in text.with_blocked_terms(
+                df, ["win big", "lose everything"]
+            ).collect()
+        }
+        # normalization collapses whitespace and lowercases
+        assert out[1] == 1 and out[2] == 0
+
+    def test_curate_drops_blocked_pages(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import pipeline
+
+        good = ("the quick brown fox jumps over the lazy dog and runs "
+                "to the edge of that field with joy. It ran. It hid. "
+                "It left.")
+        df = spark.createDataFrame(
+            [(1, good), (2, good + " casino jackpot bonus.")],
+            "doc_id long, text string",
+        )
+        out = pipeline.curate(
+            df, blocked_terms=["casino"], min_sentences=1,
+            gopher_thresholds={"min_words": 5}, pii=False,
+        ).collect()
+        assert [r.doc_id for r in out] == [1]
