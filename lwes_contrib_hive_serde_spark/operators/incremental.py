@@ -93,11 +93,25 @@ def minhash_index_write(
     )
     hashed.count()  # materialization barrier: two writers read it
     try:
-        hashed.write.mode("overwrite").parquet(os.path.join(path, "shingles"))
+        # range-sorted + parquet-bloom layout on id: the probe's
+        # In(id, ...) pushdown then skips row groups by min/max AND
+        # per-group bloom — the one-time range shuffle is amortized
+        # over every probe
+        (
+            hashed.repartitionByRange(
+                max(sc.defaultParallelism, 1), "id"
+            )
+            .sortWithinPartitions("id")
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#id", "true")
+            .parquet(os.path.join(path, "shingles"))
+        )
         (
             _bucket_rows(hashed, num_hashes, bands)
+            .sortWithinPartitions("bhash")
             .write.mode("overwrite")
             .partitionBy("band")
+            .option("parquet.bloom.filter.enabled#bhash", "true")
             .parquet(os.path.join(path, "buckets"))
         )
     finally:
@@ -128,6 +142,7 @@ def minhash_index_probe(
     threshold: float = 0.8,
     max_bucket: int = 200,
     include_batch_pairs: bool = True,
+    isin_threshold: int = 5000,
 ) -> DataFrame:
     """Near-dup pairs between a new batch and the indexed corpus (and,
     when ``include_batch_pairs``, within the batch itself).
@@ -182,9 +197,26 @@ def minhash_index_probe(
         )
         .select(F.col("id").alias("id1"), F.col("cid").alias("id2"))
         .distinct()
+        # eager checkpoint: bounded (<= batch x max_bucket pairs of two
+        # longs) and reused by BOTH the candidate-count tier choice and
+        # the final plan — the bucket scan runs once either way
+        .localCheckpoint(eager=True)
     )
 
     idx_sh = spark.read.parquet(os.path.join(path, "shingles"))
+    cand_ids = corpus_cands.select("id2").distinct()
+    n_ids = cand_ids.count()
+    if n_ids <= int(isin_threshold):
+        # point-lookup confirm: push an In(id, ...) predicate into the
+        # shingles scan — with the range-sorted, bloom-filtered layout
+        # (minhash_index_write) the exact re-check reads only the row
+        # groups holding candidate ids instead of the whole table
+        vals = [r.id2 for r in cand_ids.collect()]
+        idx_sh = (
+            idx_sh.filter(F.col("id").isin(vals))
+            if vals
+            else idx_sh.filter(F.lit(False))
+        )
     a = bh.select(F.col("id").alias("id1"), F.col("sh_hash").alias("sh1"))
     b = idx_sh.select(F.col("id").alias("id2"), F.col("sh_hash").alias("sh2"))
     inter = F.size(F.array_intersect("sh1", "sh2"))
@@ -226,11 +258,18 @@ def minhash_index_append(
     hashed = _hashed_shingles(
         new_docs, id_col, text_col, meta["shingle_k"]
     ).localCheckpoint()
-    hashed.write.mode("append").parquet(os.path.join(path, "shingles"))
+    (
+        hashed.sortWithinPartitions("id")
+        .write.mode("append")
+        .option("parquet.bloom.filter.enabled#id", "true")
+        .parquet(os.path.join(path, "shingles"))
+    )
     (
         _bucket_rows(hashed, meta["num_hashes"], meta["bands"])
+        .sortWithinPartitions("bhash")
         .write.mode("append")
         .partitionBy("band")
+        .option("parquet.bloom.filter.enabled#bhash", "true")
         .parquet(os.path.join(path, "buckets"))
     )
 

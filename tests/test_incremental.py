@@ -396,3 +396,29 @@ class TestPassageIndex:
         assert a == b and a
         plan = via_isin._jdf.queryExecution().executedPlan().toString()
         assert "PushedFilters: [In(gram" in plan.replace("\n", "")
+
+
+class TestMinhashProbePushdown:
+    def test_confirm_scan_pushes_candidate_ids(self, spark, tmp_path, corpus_and_batch):
+        """The exact-Jaccard confirm reads the shingles table through
+        an In(id, ...) predicate when the candidate set is small —
+        point lookups on the range-sorted bloom-filtered layout, not
+        a full scan — and the result is unchanged vs the broadcast
+        tier."""
+        corpus, batch = corpus_and_batch
+        idx = str(tmp_path / "idx")
+        incremental.minhash_index_write(corpus, idx)
+        small = incremental.minhash_index_probe(
+            spark, idx, batch, include_batch_pairs=False
+        )
+        plan = small._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [In(id" in plan.replace("\n", "")
+        a = sorted((r.id1, r.id2) for r in small.collect())
+        b = sorted(
+            (r.id1, r.id2)
+            for r in incremental.minhash_index_probe(
+                spark, idx, batch, include_batch_pairs=False,
+                isin_threshold=0,
+            ).collect()
+        )
+        assert a == b and a
