@@ -391,9 +391,14 @@ def dhash_index_write(
     if not 0 <= max_hamming <= 31:
         raise ValueError("dhash_index_write: max_hamming in [0, 31]")
     hashed = _batch_dhashes(df, id_col, bin_col)
-    _dhash_bands(hashed, max_hamming).write.partitionBy("band").mode(
-        "overwrite"
-    ).parquet(os.path.join(path, "hashes"))
+    (
+        _dhash_bands(hashed, max_hamming)
+        .sortWithinPartitions("bval")
+        .write.partitionBy("band")
+        .mode("overwrite")
+        .option("parquet.bloom.filter.enabled#bval", "true")
+        .parquet(os.path.join(path, "hashes"))
+    )
     tmp = os.path.join(path, ".meta.json.tmp")
     with open(tmp, "w") as f:
         json.dump({"max_hamming": max_hamming, "kind": "dhash"}, f)
@@ -406,19 +411,32 @@ def dhash_index_probe(
     batch: DataFrame,
     id_col: str = "id",
     bin_col: str = "payload",
+    isin_threshold: int = 5000,
 ) -> DataFrame:
     """(batch_id, index_id, hamming) matches of the batch against the
     index under the frozen radius. The index scan joins against the
     BROADCAST batch band rows — the large side never shuffles; the
-    band= partitioning prunes each probe to its band's files."""
+    band= partitioning prunes each probe to its band's files, and for
+    small batches the distinct band values additionally push down as
+    an In(bval, ...) predicate (a superset filter — the join still
+    decides band membership) so the sorted, bloom-filtered layout
+    skips row groups."""
     meta = _read_meta(path)
     d = int(meta["max_hamming"])
     hashed = _batch_dhashes(batch, id_col, bin_col)
     bands = _dhash_bands(hashed, d).select(
         "band", "bval",
         F.col("id").alias("batch_id"), F.col("dhash").alias("bh"),
-    )
+    ).localCheckpoint(eager=True)  # bounded: nbands x batch rows
     idx = spark.read.parquet(os.path.join(path, "hashes"))
+    bvals = bands.select("bval").distinct()
+    if bvals.count() <= int(isin_threshold):
+        vals = [r.bval for r in bvals.collect()]
+        idx = (
+            idx.filter(F.col("bval").isin(vals))
+            if vals
+            else idx.filter(F.lit(False))
+        )
     ham = F.bit_count(F.col("dhash").bitwiseXOR(F.col("bh")))
     return (
         idx.join(F.broadcast(bands), ["band", "bval"])
@@ -469,9 +487,14 @@ def incremental_image_dedup(
     )
     if append_survivors:
         surv_hashed = _batch_dhashes(survivors, id_col, bin_col)
-        _dhash_bands(surv_hashed, d).write.partitionBy("band").mode(
-            "append"
-        ).parquet(os.path.join(path, "hashes"))
+        (
+            _dhash_bands(surv_hashed, d)
+            .sortWithinPartitions("bval")
+            .write.partitionBy("band")
+            .mode("append")
+            .option("parquet.bloom.filter.enabled#bval", "true")
+            .parquet(os.path.join(path, "hashes"))
+        )
     return survivors, matches
 
 
