@@ -871,6 +871,261 @@ def decode_flac_meta(
     return df.mapInPandas(decode, out_schema)
 
 
+# Ogg (RFC 3533) container walk — Opus (RFC 7845) / Vorbis (xiph
+# Vorbis I spec) identification headers. Completes the audio family
+# next to WAV/MP3(ADTS)/AAC/FLAC: pages are CRC-checked (the RFC's
+# 0x04c11db7 table, init 0, no reflection), the codec is identified
+# from the BOS packet, and duration comes from the LAST page's
+# granule position — Vorbis granules count PCM samples at the stream
+# rate; Opus granules always count 48 kHz samples and include the
+# ID-header pre-skip, which is subtracted per RFC 7845 §4.
+
+_OGG_CRC_TABLE: list | None = None
+
+
+def _ogg_crc(data: bytes) -> int:
+    global _OGG_CRC_TABLE
+    if _OGG_CRC_TABLE is None:
+        tab = []
+        for i in range(256):
+            r = i << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7) if r & 0x80000000 else (r << 1)
+            tab.append(r & 0xFFFFFFFF)
+        _OGG_CRC_TABLE = tab
+    crc = 0
+    tab = _OGG_CRC_TABLE
+    for byte in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ tab[((crc >> 24) & 0xFF) ^ byte]
+    return crc
+
+
+def parse_ogg_pages(b: bytes):
+    """(codec, duration_ms, sample_rate, channels, n_pages, pre_skip)
+    from a single-stream Ogg file. NULL policy (None, never a guess)
+    for: non-Ogg bytes, page desync or truncation, CRC mismatch,
+    version != 0, a non-BOS first page, chained or multiplexed
+    streams (a second BOS page), codecs other than Opus/Vorbis,
+    malformed ID headers, or a stream whose pages never complete a
+    packet (every granule == -1 → duration None, identity kept).
+
+    - Vorbis: ``\\x01vorbis`` ID header — version must be 0, rate
+      must be nonzero; duration = last_granule * 1000 // rate.
+    - Opus: ``OpusHead`` — major version (upper nibble) must be 0;
+      ``sample_rate`` reported is the ID header's original input
+      rate (informational per RFC 7845); duration =
+      max(0, last_granule - pre_skip) * 1000 // 48000.
+    ``pre_skip`` is None for Vorbis."""
+    if len(b) < 27 or b[:4] != b"OggS":
+        return None
+    pos = 0
+    n_pages = 0
+    serial0 = None
+    codec = rate = channels = None
+    pre_skip = 0
+    last_granule = None
+    while pos < len(b):
+        if len(b) - pos < 27 or b[pos : pos + 4] != b"OggS":
+            return None  # desync / trailing garbage: refused
+        if b[pos + 4] != 0:
+            return None  # stream structure version must be 0
+        htype = b[pos + 5]
+        granule = int.from_bytes(b[pos + 6 : pos + 14], "little", signed=True)
+        serial = int.from_bytes(b[pos + 14 : pos + 18], "little")
+        nseg = b[pos + 26]
+        seg_end = pos + 27 + nseg
+        if seg_end > len(b):
+            return None
+        body_len = sum(b[pos + 27 : seg_end])
+        page_end = seg_end + body_len
+        if page_end > len(b):
+            return None  # truncated page
+        page = bytearray(b[pos:page_end])
+        want = int.from_bytes(page[22:26], "little")
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page)) != want:
+            return None
+        if n_pages == 0:
+            if not htype & 0x02:
+                return None  # first page must be BOS
+            serial0 = serial
+            body = b[seg_end:page_end]
+            if body.startswith(b"OpusHead"):
+                if len(body) < 19 or body[8] >> 4 != 0:
+                    return None
+                codec = "opus"
+                channels = body[9]
+                pre_skip = int.from_bytes(body[10:12], "little")
+                rate = int.from_bytes(body[12:16], "little")
+            elif body.startswith(b"\x01vorbis"):
+                if len(body) < 30:
+                    return None
+                if int.from_bytes(body[7:11], "little") != 0:
+                    return None
+                codec = "vorbis"
+                channels = body[11]
+                rate = int.from_bytes(body[12:16], "little")
+                if rate == 0 or channels == 0:
+                    return None
+            else:
+                return None  # Theora/Speex/FLAC-in-Ogg: not claimed
+        else:
+            if htype & 0x02:
+                return None  # chained or multiplexed stream
+            if serial != serial0:
+                return None
+        if granule != -1:
+            last_granule = granule
+        n_pages += 1
+        pos = page_end
+    if codec is None:
+        return None
+    if last_granule is None or last_granule < 0:
+        duration_ms = None
+    elif codec == "opus":
+        duration_ms = max(0, last_granule - pre_skip) * 1000 // 48000
+    else:
+        duration_ms = last_granule * 1000 // rate
+    return (
+        codec,
+        duration_ms,
+        int(rate),
+        int(channels),
+        n_pages,
+        int(pre_skip) if codec == "opus" else None,
+    )
+
+
+def _ogg_page(
+    body: bytes, granule: int, serial: int, seq: int, htype: int
+) -> bytes:
+    segs = []
+    n = len(body)
+    while n >= 255:
+        segs.append(255)
+        n -= 255
+    segs.append(n)  # final (possibly 0) lacing value
+    page = bytearray(
+        b"OggS"
+        + b"\x00"
+        + bytes([htype])
+        + granule.to_bytes(8, "little", signed=True)
+        + serial.to_bytes(4, "little")
+        + seq.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + bytes([len(segs)])
+        + bytes(segs)
+        + body
+    )
+    page[22:26] = _ogg_crc(bytes(page)).to_bytes(4, "little")
+    return bytes(page)
+
+
+def ogg_bytes(
+    codec: str,
+    sample_rate: int,
+    channels: int,
+    total_samples: int,
+    n_body_pages: int = 1,
+    pre_skip: int = 0,
+    serial: int = 0x1D5EED,
+) -> bytes:
+    """Serialize a REAL minimal Ogg stream (CRC-correct pages, BOS ID
+    header, EOS final page) — the Ogg analogue of
+    cbr_mp3_bytes/flac_bytes, used by tests and the q_ogg_meta oracle
+    query. Audio packet bodies are opaque filler: the walker never
+    decodes past the ID header, duration comes from granules. For
+    Opus the final granule is ``total_samples + pre_skip`` (RFC 7845
+    granules include pre-skip), so the walker reports exactly
+    ``total_samples`` worth of 48 kHz output."""
+    if codec not in ("opus", "vorbis"):
+        raise ValueError("codec must be 'opus' or 'vorbis'")
+    if not (1 <= channels <= 255) or sample_rate <= 0:
+        raise ValueError("channels 1..255, sample_rate > 0")
+    if total_samples < 0 or n_body_pages < 1 or pre_skip < 0:
+        raise ValueError("total_samples/pre_skip >= 0, n_body_pages >= 1")
+    if codec == "opus":
+        ident = (
+            b"OpusHead"
+            + bytes([1, channels])
+            + pre_skip.to_bytes(2, "little")
+            + sample_rate.to_bytes(4, "little")
+            + b"\x00\x00"  # output gain 0 dB
+            + b"\x00"  # channel mapping family 0
+        )
+        final_granule = total_samples + pre_skip
+    else:
+        ident = (
+            b"\x01vorbis"
+            + (0).to_bytes(4, "little")
+            + bytes([channels])
+            + sample_rate.to_bytes(4, "little")
+            + b"\x00" * 12  # max/nominal/min bitrate: unset
+            + bytes([0xB8])  # blocksizes 2^8 / 2^11
+            + b"\x01"  # framing bit
+        )
+        final_granule = total_samples
+    out = [_ogg_page(ident, 0, serial, 0, 0x02)]
+    for i in range(n_body_pages):
+        last = i == n_body_pages - 1
+        granule = final_granule if last else (
+            final_granule * (i + 1) // n_body_pages
+        )
+        body = bytes([(i * 37 + j) & 0xFF for j in range(20)])
+        out.append(
+            _ogg_page(body, granule, serial, i + 1, 0x04 if last else 0x00)
+        )
+    return b"".join(out)
+
+
+def decode_ogg_meta(
+    df: DataFrame, bin_col: str = "payload", batch_size: int = 64
+) -> DataFrame:
+    """Append (ogg_codec, ogg_duration_ms, ogg_sample_rate,
+    ogg_channels, ogg_n_pages, ogg_pre_skip) parsed from Ogg payloads
+    via mapInPandas; NULLs for anything parse_ogg_pages refuses.
+    Header+granule walk only — no audio decode."""
+    in_schema = df.schema
+    out_schema = ", ".join(
+        [f.simpleString().replace(":", " ", 1) for f in in_schema.fields]
+        + [
+            "ogg_codec string", "ogg_duration_ms long",
+            "ogg_sample_rate int", "ogg_channels int",
+            "ogg_n_pages int", "ogg_pre_skip int",
+        ]
+    )
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            cols = {k: [] for k in ("cd", "d", "r", "c", "n", "p")}
+            for raw in pdf[bin_col]:
+                parsed = parse_ogg_pages(
+                    bytes(raw) if raw is not None else b""
+                )
+                if parsed is None:
+                    for k in cols:
+                        cols[k].append(None)
+                else:
+                    cd, d, r, c_, n, p = parsed
+                    cols["cd"].append(cd); cols["d"].append(d)
+                    cols["r"].append(r); cols["c"].append(c_)
+                    cols["n"].append(n); cols["p"].append(p)
+            yield pdf.assign(
+                ogg_codec=pd.array(cols["cd"], dtype="string"),
+                ogg_duration_ms=pd.array(cols["d"], dtype="Int64"),
+                ogg_sample_rate=pd.array(cols["r"], dtype="Int32"),
+                ogg_channels=pd.array(cols["c"], dtype="Int32"),
+                ogg_n_pages=pd.array(cols["n"], dtype="Int32"),
+                ogg_pre_skip=pd.array(cols["p"], dtype="Int32"),
+            )
+
+    spark = df.sparkSession
+    _shrink_arrow_batches(spark, batch_size)
+    return df.mapInPandas(decode, out_schema)
+
+
 def parse_mp4_header(b: bytes):
     """(duration_ms, timescale, n_tracks, width, height) from an ISO
     BMFF (MP4/MOV, ISO/IEC 14496-12 public layout) moov box walk;

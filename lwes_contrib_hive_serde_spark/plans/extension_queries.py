@@ -4581,6 +4581,95 @@ def q_flac_meta(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _ogg_meta_oracle_sql() -> str:
+    b = [_sql_digest_byte("text", i) for i in range(7)]
+    return f"""
+    WITH params AS (
+      SELECT doc_id,
+             CASE WHEN ({b[0]}) % 2 = 0 THEN 'opus' ELSE 'vorbis' END
+               AS codec,
+             ([8000,16000,22050,44100,48000])[1 + ({b[1]}) % 5] AS rate,
+             ({b[2]}) AS chb,
+             1000 + ({b[3]}) * 257 + ({b[4]}) AS total,
+             1 + ({b[5]}) % 4 AS body_pages,
+             ({b[6]}) AS skip
+      FROM documents WHERE doc_id < 48 AND length(text) > 0
+    )
+    SELECT doc_id,
+           codec AS ogg_codec,
+           CAST(CASE WHEN codec = 'opus'
+                THEN (total * 1000) // 48000
+                ELSE (total * 1000) // rate END AS BIGINT)
+             AS ogg_duration_ms,
+           CAST(rate AS INTEGER) AS ogg_sample_rate,
+           CAST(CASE WHEN codec = 'opus' THEN 1 + chb % 2
+                ELSE 1 + chb % 8 END AS INTEGER) AS ogg_channels,
+           CAST(1 + body_pages AS INTEGER) AS ogg_n_pages,
+           CAST(CASE WHEN codec = 'opus' THEN skip ELSE NULL END
+                AS INTEGER) AS ogg_pre_skip
+    FROM params ORDER BY doc_id
+    """
+
+
+@register(
+    "q_ogg_meta",
+    shadow=True,
+    oracle=_ogg_meta_oracle_sql(),
+    doc="Ogg (RFC 3533) page-walk metadata over REAL CRC-correct "
+    "streams (multimodal.decode_ogg_meta): Opus and Vorbis files "
+    "synthesized from sha256 digest bytes (codec, rate, channels, "
+    "total samples, page count, and Opus pre-skip all "
+    "digest-derived — the q_mp3_meta/q_aac_meta recipe), walked by "
+    "the production parser including per-page CRC verification "
+    "(0x04c11db7, init 0) and BOS ID-header identification; the "
+    "DuckDB oracle recomputes duration from the same digest bytes "
+    "under the two granule rules the walker implements — Vorbis "
+    "granule*1000//rate at the stream rate, Opus at the fixed 48 kHz "
+    "decode rate with the RFC 7845 pre-skip already netted out by "
+    "the synthesizer's granule = total + pre_skip. Integer "
+    "arithmetic end to end.",
+)
+def q_ogg_meta(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import multimodal
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 48) & (F.length("text") > 0))
+        .select("doc_id", "text")
+    )
+
+    def synth(batches):
+        import hashlib
+
+        import pandas as pd
+
+        rates = (8000, 16000, 22050, 44100, 48000)
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                dg = hashlib.sha256(t.encode("utf-8")).digest()
+                codec = "opus" if dg[0] % 2 == 0 else "vorbis"
+                payloads.append(
+                    multimodal.ogg_bytes(
+                        codec=codec,
+                        sample_rate=rates[dg[1] % 5],
+                        channels=1 + dg[2] % (2 if codec == "opus" else 8),
+                        total_samples=1000 + dg[3] * 257 + dg[4],
+                        n_body_pages=1 + dg[5] % 4,
+                        pre_skip=dg[6] if codec == "opus" else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    clips = d.mapInPandas(synth, "doc_id long, payload binary")
+    return multimodal.decode_ogg_meta(clips).select(
+        "doc_id", "ogg_codec", "ogg_duration_ms", "ogg_sample_rate",
+        "ogg_channels", "ogg_n_pages", "ogg_pre_skip",
+    ).orderBy("doc_id")
+
+
 def _sql_html_strip(expr: str, blocks: bool = True) -> str:
     """DuckDB mirror of text.strip_html_tags: block drops -> tag
     strip -> entity decode (&amp; last) -> whitespace collapse."""

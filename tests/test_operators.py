@@ -780,6 +780,128 @@ class TestFlacMetadata:
         run()
 
 
+class TestOggMetadata:
+    """Ogg page walk (multimodal.parse_ogg_pages / decode_ogg_meta):
+    RFC 3533 page framing with CRC fixity, Opus (RFC 7845) / Vorbis
+    (Vorbis I) ID-header identification, duration from the final
+    granule position — and the same NULL-never-guess honesty contract
+    as the MP3/ADTS/FLAC walkers."""
+
+    def test_vorbis_round_trip(self):
+        from lwes_contrib_hive_serde_spark.operators import multimodal as m
+
+        blob = m.ogg_bytes("vorbis", 44100, 2, 441000, n_body_pages=3)
+        cd, d, r, c, n, p = m.parse_ogg_pages(blob)
+        assert (cd, d, r, c, n, p) == ("vorbis", 10000, 44100, 2, 4, None)
+
+    def test_opus_pre_skip_subtracted(self):
+        from lwes_contrib_hive_serde_spark.operators import multimodal as m
+
+        # RFC 7845: granules are 48 kHz and include pre-skip; the
+        # walker must report output duration (granule - pre_skip)
+        blob = m.ogg_bytes("opus", 44100, 1, 96000, n_body_pages=2,
+                           pre_skip=312)
+        cd, d, r, c, n, p = m.parse_ogg_pages(blob)
+        assert (cd, d, n, p) == ("opus", 2000, 3, 312)
+        # input rate is informational, reported as-is
+        assert (r, c) == (44100, 1)
+
+    def test_no_finished_packet_is_null_duration(self):
+        from lwes_contrib_hive_serde_spark.operators import multimodal as m
+
+        ident = (
+            b"OpusHead" + bytes([1, 2]) + (0).to_bytes(2, "little")
+            + (48000).to_bytes(4, "little") + b"\x00\x00\x00"
+        )
+        pages = (
+            m._ogg_page(ident, -1, 7, 0, 0x02)
+            + m._ogg_page(b"x" * 10, -1, 7, 1, 0x04)
+        )
+        cd, d, r, c, n, p = m.parse_ogg_pages(pages)
+        assert cd == "opus" and d is None and n == 2
+
+    def test_refusals(self):
+        from lwes_contrib_hive_serde_spark.operators import multimodal as m
+
+        good = m.ogg_bytes("vorbis", 48000, 2, 4800)
+        other = m.ogg_bytes("opus", 48000, 2, 4800, serial=99)
+        assert m.parse_ogg_pages(b"") is None
+        assert m.parse_ogg_pages(b"not an ogg stream at all....") is None
+        assert m.parse_ogg_pages(good[:-3]) is None      # truncation
+        assert m.parse_ogg_pages(good + b"junk") is None  # desync
+        assert m.parse_ogg_pages(good + other) is None    # chained
+        # CRC corruption in a body byte
+        bad = bytearray(good)
+        bad[-1] ^= 0xFF
+        assert m.parse_ogg_pages(bytes(bad)) is None
+        # stream structure version != 0 (CRC recomputed so only the
+        # version check can refuse it)
+        ver = bytearray(good)
+        ver[4] = 1
+        ver[22:26] = b"\x00\x00\x00\x00"
+        # recompute CRC over page 0 only
+        nseg = ver[26]
+        body_len = sum(ver[27:27 + nseg])
+        end = 27 + nseg + body_len
+        ver[22:26] = m._ogg_crc(bytes(ver[:end])).to_bytes(4, "little")
+        assert m.parse_ogg_pages(bytes(ver)) is None
+        # unknown codec in the BOS packet
+        unk = m._ogg_page(b"theora-ish-id-header", 0, 5, 0, 0x02)
+        assert m.parse_ogg_pages(unk) is None
+        # non-BOS first page
+        nob = m._ogg_page(b"OpusHead" + b"\x01\x02" + b"\x00" * 9,
+                          0, 5, 0, 0x00)
+        assert m.parse_ogg_pages(nob) is None
+        # zero vorbis rate
+        ident = (
+            b"\x01vorbis" + (0).to_bytes(4, "little") + bytes([2])
+            + (0).to_bytes(4, "little") + b"\x00" * 12 + b"\xb8\x01"
+        )
+        assert m.parse_ogg_pages(m._ogg_page(ident, 0, 5, 0, 0x02)) is None
+
+    def test_generator_validates_args(self):
+        from lwes_contrib_hive_serde_spark.operators import multimodal as m
+
+        for bad in [dict(codec="mp3"), dict(channels=0),
+                    dict(sample_rate=0), dict(total_samples=-1),
+                    dict(n_body_pages=0), dict(pre_skip=-1)]:
+            kw = dict(codec="opus", sample_rate=48000, channels=2,
+                      total_samples=4800)
+            kw.update(bad)
+            with pytest.raises(ValueError):
+                m.ogg_bytes(**kw)
+
+    def test_large_body_lacing(self):
+        from lwes_contrib_hive_serde_spark.operators import multimodal as m
+
+        # a >255-byte packet needs multiple lacing values (255,...,n);
+        # round-trip a page with a 700-byte body through the walker
+        ident = (
+            b"OpusHead" + bytes([1, 2]) + (0).to_bytes(2, "little")
+            + (48000).to_bytes(4, "little") + b"\x00\x00\x00"
+        )
+        pages = (
+            m._ogg_page(ident, 0, 7, 0, 0x02)
+            + m._ogg_page(b"z" * 700, 960, 7, 1, 0x04)
+        )
+        cd, d, r, c, n, p = m.parse_ogg_pages(pages)
+        assert (cd, d, n) == ("opus", 20, 2)
+
+    def test_fuzz_never_raises(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from lwes_contrib_hive_serde_spark.operators import multimodal as m
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.binary(max_size=400))
+        def run(b):
+            out = m.parse_ogg_pages(b)
+            assert out is None or len(out) == 6
+
+        run()
+
+
 class TestArrowBatchScope:
     """decode_* operators shrink the session Arrow batch size for big
     media blobs (documented session-wide effect — the conf is read at
