@@ -25,10 +25,16 @@ def register(spark):
     from pyspark import cloudpickle
 
     from lwes_contrib_hive_serde_spark import sources, streaming
-    from lwes_contrib_hive_serde_spark.sources import codec, datasource, warc
+    from lwes_contrib_hive_serde_spark.sources import (
+        codec,
+        datasource,
+        jsonl,
+        warc,
+        zstd_backend,
+    )
     from lwes_contrib_hive_serde_spark.streaming import journal_stream
 
-    for mod in (codec, datasource, journal_stream, warc):
+    for mod in (codec, datasource, journal_stream, warc, jsonl, zstd_backend):
         try:
             cloudpickle.register_pickle_by_value(mod)
         except Exception:
@@ -41,4 +47,5 @@ def register(spark):
 
     spark.dataSource.register(datasource.LwesDataSource)
     spark.dataSource.register(warc.WarcDataSource)
+    spark.dataSource.register(jsonl.JsonlDataSource)
     return spark

@@ -4670,6 +4670,80 @@ def q_ogg_meta(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _documents_jsonl(spark, sf_dir: str) -> str:
+    """Write (once per sf_dir per process) the documents table as
+    zstd JSONL shards; return the shard directory. Cache tag
+    fingerprints the source parquet (the lwes_queries recipe)."""
+    import os
+
+    import lwes_contrib_hive_serde_spark as L
+
+    L.register(spark)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        tag = f"{tag}-{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        pass
+    out = f"/tmp/jsonl_shard_cache/v1/{tag}/documents"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            table(spark, sf_dir, "documents")
+            .repartition(8)
+            .write.format("jsonl")
+            .option("compression", "zstd")
+            .mode("overwrite")
+            .save(out)
+        )
+    return out
+
+
+@register(
+    "q_jsonl_roundtrip",
+    shadow=True,
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n,
+           COUNT(DISTINCT source) AS n_sources,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           MIN(doc_id) AS min_id,
+           MAX(doc_id) AS max_id
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="JSONL shard source/sink round trip (sources/jsonl.py, the "
+    "Dolma/RedPajama corpus interchange format): documents parquet → "
+    "zstd-compressed .jsonl.zst shards (pure-Python writer over the "
+    "journal tier's zstd backend — Spark's built-in json reader "
+    "can't touch zstd text without the Hadoop native codec) → "
+    "format('jsonl') scan with strict typed conversions → aggregate; "
+    "the DuckDB oracle runs on the ORIGINAL parquet, so a hash match "
+    "proves the JSON encode/decode cycle is lossless including "
+    "multi-line strings, unicode, and NULLs. Shards bin-pack into "
+    "tasks like every non-splittable tier here.",
+)
+def q_jsonl_roundtrip(spark, sf_dir):
+    out = _documents_jsonl(spark, sf_dir)
+    back = (
+        spark.read.format("jsonl")
+        .schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars int"
+        )
+        .option("path", out)
+        .load()
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 def _sql_html_strip(expr: str, blocks: bool = True) -> str:
     """DuckDB mirror of text.strip_html_tags: block drops -> tag
     strip -> entity decode (&amp; last) -> whitespace collapse."""

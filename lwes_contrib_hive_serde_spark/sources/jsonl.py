@@ -1,0 +1,577 @@
+"""JSONL shard Python DataSource — the interchange format of public
+LLM corpora (Dolma, RedPajama, C4 dumps ship as ``*.jsonl.zst`` /
+``*.jsonl.gz`` shards). Spark's built-in json reader handles plain
+and gzip text, but zstd text needs the Hadoop native codec this
+container (and many clusters) lacks; this source reads and writes
+all three through the same pure-Python path, reusing the journal
+tier's zstd backend (zstd_backend.py: python-zstandard when
+installed, pyarrow's bundled libzstd otherwise).
+
+    spark.read.format("jsonl").schema(ddl).option("path", "d/*.jsonl.zst")
+    df.write.format("jsonl").option("compression", "zstd").save(out)
+
+Reader contract:
+  - Schema: user-supplied, or inferred from the first
+    ``samplelines`` (default 1000) lines of the first shard —
+    JSON-native types only (BIGINT / DOUBLE / BOOLEAN / VARCHAR,
+    arrays thereof); nested objects and mixed arrays infer as
+    stringified-JSON columns.
+  - Conversions are STRICT by type (a string where the schema says
+    long is an error, not a NULL); a missing key is NULL. Malformed
+    lines raise JsonlError naming file and line number;
+    ``option("permissive", "true")`` skips them instead.
+  - ``.jsonl.gz`` / ``.jsonl.zst`` members are non-splittable, so
+    (like the v1 journal and WARC tiers) parallelism is per-file and
+    small shards bin-pack into ~maxpartitionbytes tasks; corpora
+    ship as many ~100 MB-1 GB shards precisely so file-level
+    parallelism saturates a cluster.
+
+Writer contract:
+  - One shard per task (rolling at ``rollbytes``, default 256 MB
+    compressed+raw heuristic, so a huge partition never produces one
+    unsplittable monster file), attempt-unique dot-prefixed temp
+    names with atomic os.replace publish — the journal sink's
+    torn-file-free recipe (datasource.py LwesWriter).
+  - Values encode JSON-natively: integers, doubles (shortest-repr,
+    exact round-trip), booleans, strings, NULLs, arrays of those;
+    date/timestamp as ISO-8601 strings. NaN/Infinity raise (standard
+    JSON has no spelling for them; ``option("nanasnull","true")``
+    writes null instead). binary / map / struct columns are refused
+    with a pointer at the lwes / webdataset sinks — never silently
+    stringified.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import uuid
+from typing import BinaryIO, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    ByteType,
+    DateType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from lwes_contrib_hive_serde_spark.sources import zstd_backend
+
+
+class JsonlError(ValueError):
+    pass
+
+
+_EXTS = (".jsonl", ".jsonl.gz", ".jsonl.zst", ".ndjson",
+         ".ndjson.gz", ".ndjson.zst")
+
+
+def _open_jsonl(path: str) -> BinaryIO:
+    if path.endswith(".zst"):
+        return zstd_backend.open_read(path)
+    if path.endswith(".gz"):
+        return gzip.open(path, "rb")
+    return open(path, "rb")
+
+
+def _iter_lines(f: BinaryIO, chunk: int = 1 << 20) -> Iterator[bytes]:
+    """Chunked line splitter over any ``.read(n)`` stream — pyarrow's
+    CompressedInputStream (the zstd fallback provider) has no
+    readline, and 1 MB reads beat per-line reads on every provider."""
+    buf = b""
+    while True:
+        data = f.read(chunk)
+        if not data:
+            if buf:
+                yield buf
+            return
+        buf += data
+        if b"\n" in buf:
+            *lines, buf = buf.split(b"\n")
+            yield from lines
+
+
+def _list_jsonl_files(path: str) -> list[str]:
+    import glob as _g
+
+    if os.path.isdir(path):
+        out = []
+        for root, _dirs, names in os.walk(path):
+            for n in names:
+                if n.endswith(_EXTS) and not n.startswith("."):
+                    out.append(os.path.join(root, n))
+        return sorted(out)
+    return sorted(
+        p for p in _g.glob(path)
+        if os.path.isfile(p) and not os.path.basename(p).startswith(".")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Schema inference
+# ---------------------------------------------------------------------------
+
+
+def _infer_one(v):
+    """JSON value → Spark type (or None for null: undecided)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return BooleanType()
+    if isinstance(v, int):
+        return LongType()
+    if isinstance(v, float):
+        return DoubleType()
+    if isinstance(v, str):
+        return StringType()
+    if isinstance(v, list):
+        kinds = {
+            bool if isinstance(e, bool) else type(e)
+            for e in v
+            if e is not None
+        }
+        if kinds <= {str}:
+            return ArrayType(StringType())
+        if kinds <= {bool}:
+            return ArrayType(BooleanType())
+        if kinds <= {int}:
+            return ArrayType(LongType())
+        if kinds <= {int, float}:
+            return ArrayType(DoubleType())
+        return StringType()  # nested / mixed arrays → stringified JSON
+    return StringType()  # objects → stringified JSON column
+
+
+def _merge_types(a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    if type(a) is type(b):
+        if isinstance(a, ArrayType):
+            m = _merge_types(a.elementType, b.elementType)
+            if type(m) is StringType and {
+                type(a.elementType), type(b.elementType)
+            } != {StringType}:
+                # array<long> row meets array<string> row: no strict
+                # element type exists → whole column stringifies
+                return StringType()
+            return ArrayType(m)
+        return a
+    pair = {type(a), type(b)}
+    if pair == {LongType, DoubleType}:
+        return DoubleType()
+    return StringType()
+
+
+def infer_jsonl_schema(
+    paths: list[str], sample_lines: int = 1000
+) -> StructType:
+    """Infer a flat schema from the head of the first shard. Field
+    order is first-seen; every field is nullable. Raises JsonlError
+    when no line parses (inference needs at least one object)."""
+    types: dict[str, object] = {}
+    order: list[str] = []
+    seen_any = False
+    for path in paths[:1]:
+        with _open_jsonl(path) as f:
+            for i, raw in enumerate(_iter_lines(f)):
+                if i >= sample_lines:
+                    break
+                raw = raw.strip()
+                if not raw:
+                    continue
+                try:
+                    obj = json.loads(raw)
+                except ValueError:
+                    continue
+                if not isinstance(obj, dict):
+                    continue
+                seen_any = True
+                for k, v in obj.items():
+                    if k not in types:
+                        types[k] = None
+                        order.append(k)
+                    types[k] = _merge_types(types[k], _infer_one(v))
+    if not seen_any:
+        raise JsonlError(
+            "jsonl: could not infer a schema (no parseable object "
+            "lines in the first shard) — pass .schema(...) explicitly"
+        )
+    return StructType(
+        [StructField(k, types[k] or StringType(), True) for k in order]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Read path
+# ---------------------------------------------------------------------------
+
+_INT_TYPES = (ByteType, ShortType, IntegerType, LongType)
+_FLOAT_TYPES = (FloatType, DoubleType)
+
+
+def _converter(dtype, field: str):
+    """Strict JSON value → Spark value converter for one field."""
+    if isinstance(dtype, _INT_TYPES):
+        def conv(v):
+            if isinstance(v, bool) or not isinstance(v, int):
+                raise JsonlError(
+                    f"field {field!r}: expected integer, got {v!r}"
+                )
+            return v
+    elif isinstance(dtype, _FLOAT_TYPES):
+        def conv(v):
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                raise JsonlError(
+                    f"field {field!r}: expected number, got {v!r}"
+                )
+            return float(v)
+    elif isinstance(dtype, BooleanType):
+        def conv(v):
+            if not isinstance(v, bool):
+                raise JsonlError(
+                    f"field {field!r}: expected boolean, got {v!r}"
+                )
+            return v
+    elif isinstance(dtype, StringType):
+        def conv(v):
+            if isinstance(v, str):
+                return v
+            if isinstance(v, (dict, list)):
+                # nested JSON lands as its compact serialization —
+                # the documented stringified-JSON column contract
+                return json.dumps(
+                    v, separators=(",", ":"), sort_keys=False,
+                    ensure_ascii=False,
+                )
+            raise JsonlError(
+                f"field {field!r}: expected string, got {v!r}"
+            )
+    elif isinstance(dtype, TimestampType):
+        from datetime import datetime
+
+        def conv(v):
+            if not isinstance(v, str):
+                raise JsonlError(
+                    f"field {field!r}: expected ISO timestamp string"
+                )
+            try:
+                return datetime.fromisoformat(v.replace("Z", "+00:00"))
+            except ValueError as e:
+                raise JsonlError(
+                    f"field {field!r}: bad timestamp {v!r}"
+                ) from e
+    elif isinstance(dtype, DateType):
+        from datetime import date
+
+        def conv(v):
+            if not isinstance(v, str):
+                raise JsonlError(
+                    f"field {field!r}: expected ISO date string"
+                )
+            try:
+                return date.fromisoformat(v)
+            except ValueError as e:
+                raise JsonlError(f"field {field!r}: bad date {v!r}") from e
+    elif isinstance(dtype, ArrayType):
+        inner = _converter(dtype.elementType, field + "[]")
+
+        def conv(v):
+            if not isinstance(v, list):
+                raise JsonlError(
+                    f"field {field!r}: expected array, got {v!r}"
+                )
+            return [None if e is None else inner(e) for e in v]
+    else:
+        raise JsonlError(
+            f"jsonl: unsupported type {dtype.simpleString()} for field "
+            f"{field!r} (JSON-native scalars, arrays, date/timestamp "
+            "strings only; binary belongs in the lwes/webdataset tiers)"
+        )
+    return conv
+
+
+def iter_jsonl_rows(
+    path: str, schema: StructType, permissive: bool = False
+) -> Iterator[tuple]:
+    convs = [(f.name, _converter(f.dataType, f.name)) for f in schema.fields]
+    with _open_jsonl(path) as f:
+        for lineno, raw in enumerate(_iter_lines(f), 1):
+            raw = raw.strip()
+            if not raw:
+                continue
+            try:
+                obj = json.loads(raw)
+                if not isinstance(obj, dict):
+                    raise JsonlError("line is not a JSON object")
+                yield tuple(
+                    None if (v := obj.get(name)) is None else conv(v)
+                    for name, conv in convs
+                )
+            except ValueError as e:
+                if permissive:
+                    continue
+                raise JsonlError(
+                    f"{path}:{lineno}: {e}"
+                ) from (None if isinstance(e, JsonlError) else e)
+
+
+class JsonlPartition(InputPartition):
+    def __init__(self, files: list):
+        self.files = files
+
+
+def bin_pack_files(
+    files: list[str],
+    max_bytes: int,
+    open_cost: int,
+    parallelism: int,
+    part_cls=JsonlPartition,
+) -> list:
+    """Whole-file bin-packing for non-splittable shard formats: the
+    LwesReader/WarcReader recipe, shared. Target bin size adapts down
+    so small corpora still fan out across the cluster."""
+    sized = []
+    for p in files:
+        try:
+            sized.append((p, os.path.getsize(p)))
+        except OSError:
+            sized.append((p, 0))
+    total = sum(s + open_cost for _, s in sized)
+    target = min(
+        max_bytes, max(open_cost, -(-total // max(parallelism, 1)))
+    )
+    bins, cur, cur_bytes = [], [], 0
+    for p, size in sized:
+        cost = size + open_cost
+        if cur and cur_bytes + cost > target:
+            bins.append(part_cls(cur))
+            cur, cur_bytes = [], 0
+        cur.append(p)
+        cur_bytes += cost
+    if cur:
+        bins.append(part_cls(cur))
+    return bins or [part_cls([])]
+
+
+class JsonlReader(DataSourceReader):
+    def __init__(self, schema: StructType, options):
+        self.schema = schema
+        self.options = options
+        path = options.get("path")
+        if not path:
+            raise ValueError("jsonl: path required")
+        self._files = _list_jsonl_files(path)
+        self.permissive = (
+            options.get("permissive", "false").lower() == "true"
+        )
+        if any(p.endswith(".zst") for p in self._files):
+            zstd_backend.ensure_available()  # plan-time, not first task
+        # plan-time converter validation: an unsupported schema type
+        # fails the query at analysis, not inside an executor
+        for f in schema.fields:
+            _converter(f.dataType, f.name)
+
+    def partitions(self):
+        max_bytes = int(
+            self.options.get("maxpartitionbytes", str(128 * 1024 * 1024))
+        )
+        open_cost = int(
+            self.options.get("opencostinbytes", str(4 * 1024 * 1024))
+        )
+        try:
+            from pyspark.sql import SparkSession
+
+            par = (
+                SparkSession.getActiveSession().sparkContext.defaultParallelism
+            )
+        except Exception:
+            par = 8
+        return bin_pack_files(self._files, max_bytes, open_cost, par)
+
+    def read(self, partition):
+        for path in partition.files:
+            yield from iter_jsonl_rows(path, self.schema, self.permissive)
+
+
+# ---------------------------------------------------------------------------
+# Write path
+# ---------------------------------------------------------------------------
+
+
+class JsonlCommitMessage(WriterCommitMessage):
+    path: str = ""
+    records: int = 0
+
+
+def _encoder(dtype, field: str, nan_as_null: bool):
+    """Spark value → JSON-native value encoder for one field."""
+    import datetime as _dt
+    import math
+
+    if isinstance(dtype, _INT_TYPES + (BooleanType, StringType)):
+        return lambda v: v
+    if isinstance(dtype, _FLOAT_TYPES):
+        def enc(v):
+            if math.isnan(v) or math.isinf(v):
+                if nan_as_null:
+                    return None
+                raise JsonlError(
+                    f"field {field!r}: {v!r} has no JSON spelling "
+                    "(set option('nanasnull','true') to write null)"
+                )
+            return float(v)
+        return enc
+    if isinstance(dtype, (TimestampType, DateType)):
+        return lambda v: v.isoformat()
+    if isinstance(dtype, ArrayType):
+        inner = _encoder(dtype.elementType, field + "[]", nan_as_null)
+        return lambda v: [None if e is None else inner(e) for e in v]
+    raise JsonlError(
+        f"jsonl: cannot write type {dtype.simpleString()} for field "
+        f"{field!r} — binary/map/struct belong in the lwes/webdataset/"
+        "parquet sinks"
+    )
+
+
+class JsonlWriter(DataSourceWriter):
+    def __init__(self, schema: StructType, options, overwrite: bool):
+        self.schema = schema
+        self.options = options
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl: no output path specified")
+        self.compression = options.get("compression", "none").lower()
+        if self.compression not in ("none", "gzip", "zstd"):
+            raise ValueError(
+                f"jsonl: unknown compression {self.compression!r} "
+                "(none|gzip|zstd)"
+            )
+        if self.compression == "zstd":
+            zstd_backend.ensure_available()
+        nan_as_null = options.get("nanasnull", "false").lower() == "true"
+        self.roll_bytes = int(
+            options.get("rollbytes", str(256 * 1024 * 1024))
+        )
+        self.encoders = [
+            (f.name, _encoder(f.dataType, f.name, nan_as_null))
+            for f in schema.fields
+        ]
+        if overwrite and os.path.isdir(self.path):
+            for p in _list_jsonl_files(self.path):
+                os.remove(p)
+
+    def _open(self, tmp: str):
+        if self.compression == "zstd":
+            return zstd_backend.open_write(tmp)
+        if self.compression == "gzip":
+            # mtime=0: byte-deterministic shards for a given row order
+            return gzip.GzipFile(tmp, "wb", mtime=0)
+        return open(tmp, "wb")
+
+    def write(self, rows) -> JsonlCommitMessage:
+        os.makedirs(self.path, exist_ok=True)
+        ext = ".jsonl" + {
+            "gzip": ".gz", "zstd": ".zst"
+        }.get(self.compression, "")
+        task_id = uuid.uuid4().hex
+        attempt = uuid.uuid4().hex[:12]
+        files: list[str] = []
+        f = None
+        cur_tmp = cur_final = None
+        seq = 0
+        written = 0
+        n = 0
+
+        def _seal():
+            nonlocal f
+            if f is not None:
+                f.close()
+                os.replace(cur_tmp, cur_final)
+
+        for row in rows:
+            if f is None or written >= self.roll_bytes:
+                _seal()
+                cur_final = os.path.join(
+                    self.path, f"part-{task_id}-{seq:04d}{ext}"
+                )
+                d, base = os.path.split(cur_final)
+                cur_tmp = os.path.join(d, f".{base}.tmp-{attempt}")
+                f = self._open(cur_tmp)
+                files.append(cur_final)
+                seq += 1
+                written = 0
+            obj = {
+                name: (None if (v := row[i]) is None else enc(v))
+                for i, (name, enc) in enumerate(self.encoders)
+            }
+            line = (
+                json.dumps(
+                    obj, separators=(",", ":"), ensure_ascii=False,
+                    allow_nan=False,
+                ).encode("utf-8")
+                + b"\n"
+            )
+            f.write(line)
+            written += len(line)
+            n += 1
+        _seal()
+        msg = JsonlCommitMessage()
+        msg.path = ";".join(files)
+        msg.records = n
+        return msg
+
+    def commit(self, messages):
+        total = sum(m.records for m in messages if m)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write(json.dumps({"records": total}))
+
+    def abort(self, messages):
+        for m in messages:
+            for p in (m.path.split(";") if m and m.path else []):
+                if p and os.path.exists(p):
+                    os.remove(p)
+
+
+class JsonlDataSource(DataSource):
+    """Register with ``spark.dataSource.register(JsonlDataSource)`` (or
+    ``lwes_contrib_hive_serde_spark.register(spark)``)."""
+
+    @classmethod
+    def name(cls):
+        return "jsonl"
+
+    def schema(self):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("jsonl: path required")
+        files = _list_jsonl_files(path)
+        if not files:
+            raise JsonlError(f"jsonl: no shards match {path!r}")
+        return infer_jsonl_schema(
+            files, int(self.options.get("samplelines", "1000"))
+        )
+
+    def reader(self, schema: StructType):
+        return JsonlReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return JsonlWriter(schema, self.options, overwrite)

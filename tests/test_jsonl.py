@@ -1,0 +1,231 @@
+"""JSONL shard data source (sources/jsonl.py): the Dolma/RedPajama
+corpus interchange format — .jsonl / .jsonl.gz / .jsonl.zst read and
+write, schema inference, strict typed conversions, permissive mode,
+atomic shard publish."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+import pytest
+
+from lwes_contrib_hive_serde_spark.sources import jsonl as J
+from lwes_contrib_hive_serde_spark.sources import zstd_backend
+
+
+def _write_shard(path: str, objs):
+    data = b"".join(
+        json.dumps(o, separators=(",", ":")).encode() + b"\n" for o in objs
+    )
+    if path.endswith(".zst"):
+        with zstd_backend.open_write(path) as f:
+            f.write(data)
+    elif path.endswith(".gz"):
+        with gzip.open(path, "wb") as f:
+            f.write(data)
+    else:
+        with open(path, "wb") as f:
+            f.write(data)
+
+
+ROWS = [
+    {"id": 1, "text": "hello world", "score": 0.5, "ok": True,
+     "tags": ["a", "b"]},
+    {"id": 2, "text": "säcond \n line", "score": 2, "ok": False,
+     "tags": []},
+    {"id": 3, "text": None, "score": None, "ok": None, "tags": None},
+    {"id": 4, "text": "d", "score": -1.25, "ok": True, "tags": ["x"]},
+]
+
+DDL = "id long, text string, score double, ok boolean, tags array<string>"
+
+
+def _ddl_schema():
+    from pyspark.sql.types import (
+        ArrayType, BooleanType, DoubleType, LongType, StringType,
+        StructField, StructType,
+    )
+
+    return StructType([
+        StructField("id", LongType()),
+        StructField("text", StringType()),
+        StructField("score", DoubleType()),
+        StructField("ok", BooleanType()),
+        StructField("tags", ArrayType(StringType())),
+    ])
+
+
+def _id_schema():
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    return StructType([StructField("id", LongType())])
+
+
+class TestJsonlLibrary:
+    def test_iter_rows_all_codecs(self, tmp_path):
+        schema = _ddl_schema()
+        for ext in (".jsonl", ".jsonl.gz", ".jsonl.zst"):
+            p = str(tmp_path / f"shard{ext}")
+            _write_shard(p, ROWS)
+            got = list(J.iter_jsonl_rows(p, schema))
+            assert got[0] == (1, "hello world", 0.5, True, ["a", "b"])
+            assert got[1][2] == 2.0  # int where double declared: widened
+            assert got[2] == (3, None, None, None, None)
+            assert len(got) == 4
+
+    def test_strict_conversions_raise_with_location(self, tmp_path):
+        schema = _id_schema()
+        p = str(tmp_path / "bad.jsonl")
+        _write_shard(p, [{"id": 1}, {"id": "nope"}])
+        with pytest.raises(J.JsonlError, match=r"bad\.jsonl:2.*integer"):
+            list(J.iter_jsonl_rows(p, schema))
+        # permissive skips the bad line instead
+        got = list(J.iter_jsonl_rows(p, schema, permissive=True))
+        assert got == [(1,)]
+
+    def test_malformed_json_and_non_object(self, tmp_path):
+        schema = _id_schema()
+        p = str(tmp_path / "torn.jsonl")
+        with open(p, "wb") as f:
+            f.write(b'{"id": 1}\n[1,2,3]\n{"id": 2}\nnot json\n')
+        with pytest.raises(J.JsonlError, match="torn.jsonl:2"):
+            list(J.iter_jsonl_rows(p, schema))
+        got = list(J.iter_jsonl_rows(p, schema, permissive=True))
+        assert got == [(1,), (2,)]
+
+    def test_nested_object_stringifies_into_string_column(self, tmp_path):
+        from pyspark.sql.types import (
+            LongType, StringType, StructField, StructType,
+        )
+
+        schema = StructType([
+            StructField("id", LongType()),
+            StructField("meta", StringType()),
+        ])
+        p = str(tmp_path / "nested.jsonl")
+        _write_shard(p, [{"id": 1, "meta": {"a": [1, 2], "b": "x"}}])
+        (row,) = J.iter_jsonl_rows(p, schema)
+        assert row == (1, '{"a":[1,2],"b":"x"}')
+
+    def test_schema_inference(self, tmp_path):
+        p = str(tmp_path / "inf.jsonl")
+        _write_shard(p, ROWS + [{"id": 9, "score": 7}])
+        st = J.infer_jsonl_schema([p])
+        assert st.simpleString() == (
+            "struct<id:bigint,text:string,score:double,ok:boolean,"
+            "tags:array<string>>"
+        )
+        # mixed scalar arrays / nested arrays / mixed columns → string
+        p2 = str(tmp_path / "mix.jsonl")
+        _write_shard(
+            p2,
+            [
+                {"a": [1, 2.5], "b": [[1]], "c": 1, "d": [1, "x"]},
+                {"a": [3], "b": None, "c": "s", "d": None},
+            ],
+        )
+        st2 = J.infer_jsonl_schema([p2])
+        assert st2.simpleString() == (
+            "struct<a:array<double>,b:string,c:string,d:string>"
+        )
+        with pytest.raises(J.JsonlError, match="infer"):
+            empty = str(tmp_path / "empty.jsonl")
+            open(empty, "wb").close()
+            J.infer_jsonl_schema([empty])
+
+    def test_unsupported_schema_type_fails_at_plan(self):
+        from pyspark.sql.types import (
+            BinaryType, LongType, StructField, StructType,
+        )
+
+        schema = StructType([
+            StructField("id", LongType()),
+            StructField("payload", BinaryType()),
+        ])
+        with pytest.raises(J.JsonlError, match="binary"):
+            J.JsonlReader(schema, {"path": "/tmp/x.jsonl"})
+
+    def test_bin_packing(self, tmp_path):
+        files = []
+        for i in range(6):
+            p = str(tmp_path / f"s{i}.jsonl")
+            _write_shard(p, [{"id": i}])
+            files.append(p)
+        bins = J.bin_pack_files(files, 10**9, 4 << 20, parallelism=3)
+        assert sum(len(b.files) for b in bins) == 6
+        assert len(bins) == 3  # adapts to parallelism, not max_bytes
+        assert J.bin_pack_files([], 1, 1, 1)[0].files == []
+
+
+@pytest.mark.usefixtures("spark")
+class TestJsonlSpark:
+    def _ids(self, df):
+        return sorted(r["id"] for r in df.select("id").collect())
+
+    def test_round_trip_zstd(self, spark, tmp_path):
+        import lwes_contrib_hive_serde_spark as L
+
+        L.register(spark)
+        src = spark.createDataFrame(
+            [(i, f"text {i}", float(i) / 3, i % 2 == 0, ["t", str(i)])
+             for i in range(100)],
+            DDL,
+        )
+        out = str(tmp_path / "shards")
+        (src.repartition(4).write.format("jsonl")
+         .option("compression", "zstd").mode("overwrite").save(out))
+        names = [n for n in os.listdir(out) if n.endswith(".jsonl.zst")]
+        assert len(names) == 4 and not any(n.startswith(".") for n in names)
+        assert os.path.exists(os.path.join(out, "_SUCCESS"))
+        back = (spark.read.format("jsonl").schema(DDL)
+                .option("path", out).load())
+        a = sorted(map(tuple, src.collect()))
+        b = sorted(map(tuple, back.collect()))
+        assert a == b
+
+    def test_overwrite_clears_and_inference_reads(self, spark, tmp_path):
+        import lwes_contrib_hive_serde_spark as L
+
+        L.register(spark)
+        out = str(tmp_path / "ow")
+        src = spark.createDataFrame([(1, "a"), (2, "b")], "id long, t string")
+        src.write.format("jsonl").mode("overwrite").save(out)
+        src.write.format("jsonl").mode("overwrite").save(out)
+        inferred = spark.read.format("jsonl").option("path", out).load()
+        assert inferred.schema.simpleString() == (
+            "struct<id:bigint,t:string>"
+        )
+        assert inferred.count() == 2  # overwrite removed the first files
+
+    def test_nan_policy(self, spark, tmp_path):
+        import lwes_contrib_hive_serde_spark as L
+
+        L.register(spark)
+        src = spark.createDataFrame(
+            [(1, float("nan"))], "id long, v double"
+        )
+        out = str(tmp_path / "nan")
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors.exceptions.captured import PythonException
+
+        with pytest.raises((PythonException, Py4JJavaError)):
+            src.write.format("jsonl").mode("overwrite").save(out)
+        (src.write.format("jsonl").option("nanasnull", "true")
+         .mode("overwrite").save(str(tmp_path / "nan2")))
+        back = (spark.read.format("jsonl").schema("id long, v double")
+                .option("path", str(tmp_path / "nan2")).load())
+        assert back.collect()[0]["v"] is None
+
+    def test_permissive_option_skips_torn_lines(self, spark, tmp_path):
+        import lwes_contrib_hive_serde_spark as L
+
+        L.register(spark)
+        p = str(tmp_path / "torn.jsonl")
+        with open(p, "wb") as f:
+            f.write(b'{"id": 1}\ngarbage\n{"id": 2}\n')
+        df = (spark.read.format("jsonl").schema("id long")
+              .option("path", str(tmp_path)).option("permissive", "true")
+              .load())
+        assert self._ids(df) == [1, 2]
