@@ -149,6 +149,127 @@ def zorder_write(
     )
 
 
+def hilbert_index(ranks: Sequence[Column], bits: int) -> Column:
+    """Hilbert-curve index of k rank columns of ``bits`` bits each —
+    the curve behind Delta's liquid clustering. Better data-skipping
+    locality than Morton: consecutive index values are always
+    Manhattan-distance-1 neighbors (no quadrant jumps), so the
+    min/max boxes a clustered write produces are tighter on every
+    dimension (pinned empirically by tests/test_layout.py).
+
+    Algorithm: Skilling 2004 ("Programming the Hilbert curve", AIP
+    Conf. Proc. 707, public method) — the inverse-undo loop over bit
+    levels, Gray encode, then bit transpose. All of it runs JVM-side
+    with zero UDFs: the level loop is one ``F.aggregate`` fold over a
+    literal levels array (evaluated iteratively at runtime, so the
+    expression tree stays O(bits·k) instead of exploding), and the
+    Gray/transpose stage is wrapped in a second one-element fold so
+    the folded struct is bound to a lambda variable and computed
+    exactly once."""
+    n = len(ranks)
+    if n < 2:
+        raise ValueError("hilbert_index needs at least 2 columns")
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a signed long")
+    levels = [1 << b for b in range(bits - 1, 0, -1)]  # M, M/2, .., 2
+
+    init = F.struct(
+        *[r.cast("long").alias(f"x{i}") for i, r in enumerate(ranks)]
+    )
+
+    def level_step(acc: Column, q: Column) -> Column:
+        p = q - F.lit(1).cast("long")
+        xs = [acc[f"x{i}"] for i in range(n)]
+        # i = 0: the else-branch swap is a no-op (t = (X0^X0)&P = 0)
+        xs[0] = (
+            F.when(xs[0].bitwiseAND(q) != 0, xs[0].bitwiseXOR(p))
+            .otherwise(xs[0])
+        )
+        for i in range(1, n):
+            cond = xs[i].bitwiseAND(q) != 0
+            t = xs[0].bitwiseXOR(xs[i]).bitwiseAND(p)
+            x0 = F.when(cond, xs[0].bitwiseXOR(p)).otherwise(
+                xs[0].bitwiseXOR(t)
+            )
+            xi = F.when(cond, xs[i]).otherwise(xs[i].bitwiseXOR(t))
+            xs[0], xs[i] = x0, xi
+        return F.struct(*[c.alias(f"x{i}") for i, c in enumerate(xs)])
+
+    folded = F.aggregate(
+        F.array(*[F.lit(q) for q in levels]).cast("array<long>"),
+        init,
+        level_step,
+    )
+
+    def gray_and_transpose(_acc: Column, s: Column) -> Column:
+        # Gray encode: X'[i] = X[0] ^ ... ^ X[i]
+        pre = []
+        run = None
+        for i in range(n):
+            run = s[f"x{i}"] if run is None else run.bitwiseXOR(s[f"x{i}"])
+            pre.append(run)
+        t = F.lit(0).cast("long")
+        for q in levels:
+            t = t.bitwiseXOR(
+                F.when(
+                    pre[n - 1].bitwiseAND(F.lit(q)) != 0, F.lit(q - 1)
+                ).otherwise(F.lit(0)).cast("long")
+            )
+        final = [c.bitwiseXOR(t) for c in pre]
+        # transpose: dim i's bit at level b lands at b*n + (n-1-i)
+        h = F.lit(0).cast("long")
+        for b in range(bits):
+            for i in range(n):
+                bit = F.shiftright(final[i], b).bitwiseAND(F.lit(1))
+                h = h.bitwiseOR(F.shiftleft(bit, b * n + (n - 1 - i)))
+        return h
+
+    # one-element fold = let-binding: the level fold above is
+    # evaluated once, however many times the Gray stage references it
+    return F.aggregate(
+        F.array(folded), F.lit(0).cast("long"), gray_and_transpose
+    )
+
+
+def hilbert_column(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 12,
+    strategy: str = "minmax",
+    out_col: str = "hvalue",
+) -> DataFrame:
+    """Attach the Hilbert index column (rank strategies shared with
+    z-order: 'minmax' affine or 'quantile' equi-depth)."""
+    if strategy == "minmax":
+        df, ranks = minmax_ranks(df, cols, bits)
+    elif strategy == "quantile":
+        df, ranks = quantile_ranks(df, cols, bits)
+    else:
+        raise ValueError("strategy must be 'minmax' or 'quantile'")
+    return df.withColumn(out_col, hilbert_index(ranks, bits))
+
+
+def hilbert_write(
+    df: DataFrame,
+    cols: Sequence[str],
+    path: str,
+    n_files: int,
+    bits: int = 12,
+    strategy: str = "minmax",
+) -> None:
+    """Cluster by Hilbert index and write parquet — zorder_write with
+    the better curve: same one range shuffle + within-partition sort,
+    tighter per-file min/max boxes."""
+    h = hilbert_column(df, cols, bits, strategy)
+    (
+        h.repartitionByRange(n_files, "hvalue")
+        .sortWithinPartitions("hvalue")
+        .drop("hvalue")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def interleave_sql(cols: Sequence[str], bits: int) -> str:
     """The same bit-interleave as interleave_bits, as an ANSI-SQL
     expression over already-computed integer rank columns — lets a SQL

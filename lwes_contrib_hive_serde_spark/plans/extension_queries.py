@@ -4670,6 +4670,98 @@ def q_ogg_meta(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _hilbert_oracle_sql(bits: int = 8) -> str:
+    """DuckDB mirror of layout.hilbert_index for n=2: the Skilling
+    level loop as a RECURSIVE CTE (q halves per step, exactly the
+    Spark fold), then the Gray-encode / t-mask / bit transpose as
+    unrolled integer expressions."""
+    m = 1 << (bits - 1)
+    levels = [1 << b for b in range(bits - 1, 0, -1)]
+    xa = "(CASE WHEN (x & q) != 0 THEN xor(x, q-1) ELSE x END)"
+    t1 = f"(xor({xa}, y) & (q-1))"
+    step_x = (
+        f"CASE WHEN (y & q) != 0 THEN xor({xa}, q-1) "
+        f"ELSE xor({xa}, {t1}) END"
+    )
+    step_y = f"CASE WHEN (y & q) != 0 THEN y ELSE xor(y, {t1}) END"
+    texpr = "0"
+    for q in levels:
+        texpr = (
+            f"xor({texpr}, CASE WHEN (yp & {q}) != 0 "
+            f"THEN {q - 1} ELSE 0 END)"
+        )
+    inter = " | ".join(
+        f"(((xf >> {b}) & 1) << {2 * b + 1}) | "
+        f"(((yf >> {b}) & 1) << {2 * b})"
+        for b in range(bits)
+    )
+    return f"""
+    WITH RECURSIVE it AS (
+      SELECT event_id, event_type,
+             CAST(event_id % 256 AS BIGINT) AS x,
+             CAST(user_id % 256 AS BIGINT) AS y, {m} AS q
+      FROM events
+      UNION ALL
+      SELECT event_id, event_type, {step_x} AS x, {step_y} AS y,
+             q // 2 AS q
+      FROM it WHERE q > 1
+    ), gray AS (
+      SELECT event_id, event_type, x, xor(x, y) AS yp
+      FROM it WHERE q = 1
+    ), fin AS (
+      SELECT event_id, event_type,
+             xor(x, {texpr}) AS xf, xor(yp, {texpr}) AS yf
+      FROM gray
+    ), keys AS (
+      SELECT event_id, event_type, {inter} AS h FROM fin
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(h) AS BIGINT) AS sum_h,
+           MIN(h) AS min_h,
+           MAX(h) AS max_h,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_cells
+    FROM keys GROUP BY event_type
+    """
+
+
+@register(
+    "q_hilbert_layout",
+    shadow=True,
+    oracle=_hilbert_oracle_sql(),
+    doc="Hilbert-curve index (layout.hilbert_index — the clustering "
+    "key behind Delta liquid clustering, Skilling 2004's public "
+    "transform): every event mapped to its Hilbert cell on a 256x256 "
+    "(event_id%256, user_id%256) grid, aggregated per event_type. "
+    "The Spark side runs the level loop as one JVM F.aggregate fold "
+    "(zero UDFs, O(bits) expression size); the DuckDB oracle "
+    "re-implements the same transform as a RECURSIVE CTE plus "
+    "unrolled Gray/transpose arithmetic — a hash match pins every "
+    "bit of the curve. Bijectivity and the Manhattan-distance-1 "
+    "adjacency property are pinned separately in tests/test_layout.py, "
+    "and row-group min/max skipping on BOTH grid dimensions is "
+    "asserted on real parquet bytes there too.",
+)
+def q_hilbert_layout(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import layout
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        (F.col("event_id") % 256).alias("x"),
+        (F.col("user_id") % 256).alias("y"),
+    )
+    keyed = ev.withColumn(
+        "h", layout.hilbert_index([F.col("x"), F.col("y")], 8)
+    )
+    return keyed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("h").alias("sum_h"),
+        F.min("h").alias("min_h"),
+        F.max("h").alias("max_h"),
+        F.countDistinct("h").alias("n_cells"),
+    )
+
+
 def _documents_jsonl(spark, sf_dir: str) -> str:
     """Write (once per sf_dir per process) the documents table as
     zstd JSONL shards; return the shard directory. Cache tag

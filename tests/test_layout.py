@@ -145,3 +145,97 @@ class TestSkipping:
         back = spark.read.parquet(pz)
         assert back.count() == grid.count()
         assert "zvalue" not in back.columns
+
+
+def _hilbert_ref(coords, bits):
+    """Skilling 2004 AxesToTranspose + transpose, independent python
+    reference for hilbert_index parity."""
+    X = list(coords)
+    n = len(X)
+    M = 1 << (bits - 1)
+    Q = M
+    while Q > 1:
+        P = Q - 1
+        for i in range(n):
+            if X[i] & Q:
+                X[0] ^= P
+            else:
+                t = (X[0] ^ X[i]) & P
+                X[0] ^= t
+                X[i] ^= t
+        Q >>= 1
+    for i in range(1, n):
+        X[i] ^= X[i - 1]
+    t = 0
+    Q = M
+    while Q > 1:
+        if X[n - 1] & Q:
+            t ^= Q - 1
+        Q >>= 1
+    X = [x ^ t for x in X]
+    h = 0
+    for bi in range(bits - 1, -1, -1):
+        for i in range(n):
+            h = (h << 1) | ((X[i] >> bi) & 1)
+    return h
+
+
+class TestHilbert:
+    def test_matches_python_reference_2d(self, spark):
+        rows = [(x, y) for x in range(16) for y in range(16)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        got = df.select(
+            "x", "y",
+            L.hilbert_index([F.col("x"), F.col("y")], 4).alias("h"),
+        ).collect()
+        for r in got:
+            assert r["h"] == _hilbert_ref((r["x"], r["y"]), 4)
+
+    def test_matches_python_reference_3d(self, spark):
+        rows = [(x, y, z) for x in range(8) for y in range(8)
+                for z in range(8)]
+        df = spark.createDataFrame(rows, "a long, b long, c long")
+        got = df.select(
+            "a", "b", "c",
+            L.hilbert_index(
+                [F.col("a"), F.col("b"), F.col("c")], 3
+            ).alias("h"),
+        ).collect()
+        for r in got:
+            assert r["h"] == _hilbert_ref((r["a"], r["b"], r["c"]), 3)
+
+    def test_bijection_and_unit_step_adjacency(self, spark):
+        # the defining Hilbert property Morton lacks: consecutive
+        # index values are Manhattan-distance-1 neighbors
+        rows = [(x, y) for x in range(16) for y in range(16)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        got = {
+            r["h"]: (r["x"], r["y"])
+            for r in df.select(
+                "x", "y",
+                L.hilbert_index([F.col("x"), F.col("y")], 4).alias("h"),
+            ).collect()
+        }
+        assert sorted(got) == list(range(256))
+        for k in range(255):
+            (x0, y0), (x1, y1) = got[k], got[k + 1]
+            assert abs(x0 - x1) + abs(y0 - y1) == 1
+
+    def test_arg_validation(self):
+        with pytest.raises(ValueError, match="at least 2"):
+            L.hilbert_index([F.col("x")], 8)
+        with pytest.raises(ValueError, match="exceeds"):
+            L.hilbert_index([F.col("x")] * 4, 16)
+        with pytest.raises(ValueError, match="strategy"):
+            L.hilbert_column(None, ["x"], strategy="nope")
+
+    def test_hilbert_prunes_both_dims(self, spark, grid, tmp_path):
+        ph = str(tmp_path / "h")
+        L.hilbert_write(grid, ["x", "y"], ph, n_files=16, bits=8)
+        hy, tot = _rg_hits(ph, "y", 10, 20)
+        hx, _ = _rg_hits(ph, "x", 10, 20)
+        assert hy <= tot // 2
+        assert hx <= tot // 2
+        back = spark.read.parquet(ph)
+        assert back.count() == grid.count()
+        assert "hvalue" not in back.columns
