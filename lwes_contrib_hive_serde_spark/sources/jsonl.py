@@ -52,6 +52,7 @@ from typing import BinaryIO, Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -575,3 +576,76 @@ class JsonlDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool):
         return JsonlWriter(schema, self.options, overwrite)
+
+    def streamReader(self, schema: StructType):
+        return JsonlStreamReader(schema, self.options)
+
+
+# ---------------------------------------------------------------------------
+# Streaming: tail a corpus directory as shards land
+# ---------------------------------------------------------------------------
+
+
+class JsonlStreamReader(DataSourceStreamReader):
+    """``readStream.format("jsonl")`` over a directory corpus shards
+    land in. Shards are WRITE-ONCE (every public corpus publishes by
+    atomic rename; a compressed shard has no byte-offset resume
+    anyway), so the streaming contract is the WARC/file-source one:
+    each shard consumed WHOLE, exactly once, on first sight. Offsets
+    are ``{"files": {path: 1}}`` consumed-sets; ``maxfilespertrigger``
+    (default 16) spreads a backfill across triggers.
+
+    Restart safety (the warc/journal_stream recipe): previously-
+    consumed paths are always echoed in the end offset, and rate
+    deferral of unseen files stays disabled until the consumed-set
+    has been reseeded from the checkpointed start offset — otherwise
+    a shard the previous driver consumed could be deferred now and
+    replayed later as a duplicate."""
+
+    def __init__(self, schema: StructType, options):
+        self.schema = schema
+        self.options = options
+        path = options.get("path")
+        if not path:
+            raise ValueError("jsonl stream: path required")
+        self.path = path
+        self.permissive = (
+            options.get("permissive", "false").lower() == "true"
+        )
+        self.max_files = int(options.get("maxfilespertrigger", "16"))
+        for f in schema.fields:
+            _converter(f.dataType, f.name)
+        self._known: set[str] = set()
+        self._seeded = False
+
+    def initialOffset(self) -> dict:
+        self._seeded = True  # fresh query: nothing consumed before us
+        return {"files": {}}
+
+    def latestOffset(self) -> dict:
+        end = {p: 1 for p in self._known}
+        budget = self.max_files
+        for p in _list_jsonl_files(self.path):
+            if p in self._known:
+                continue
+            if budget <= 0 and self._seeded:
+                continue  # defer to a later trigger
+            end[p] = 1
+            self._known.add(p)
+            budget -= 1
+        return {"files": end}
+
+    def partitions(self, start: dict, end: dict):
+        start_files = set(start.get("files", {}))
+        self._known.update(start_files)
+        self._seeded = True
+        new = sorted(set(end.get("files", {})) - start_files)
+        self._known.update(new)
+        return [JsonlPartition([p]) for p in new] or [JsonlPartition([])]
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def read(self, partition):
+        for path in partition.files:
+            yield from iter_jsonl_rows(path, self.schema, self.permissive)

@@ -229,3 +229,83 @@ class TestJsonlSpark:
               .option("path", str(tmp_path)).option("permissive", "true")
               .load())
         assert self._ids(df) == [1, 2]
+
+
+class TestJsonlStreaming:
+    """readStream.format('jsonl'): shards consumed whole on first
+    sight (write-once corpus convention), exactly-once across
+    restarts via the consumed-set offset — the WARC stream contract."""
+
+    def _put(self, d, name, ids):
+        _write_shard(os.path.join(d, name), [{"id": i} for i in ids])
+
+    def test_shards_arrive_and_are_read_once(self, spark, tmp_path):
+        import time
+
+        import lwes_contrib_hive_serde_spark as L
+
+        L.register(spark)
+        src = str(tmp_path / "drop")
+        out = str(tmp_path / "out")
+        os.makedirs(src)
+        self._put(src, "a.jsonl.zst", [1, 2])
+        q = (
+            spark.readStream.format("jsonl")
+            .schema("id long")
+            .option("path", src)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+
+            def ids():
+                try:
+                    return sorted(
+                        r["id"] for r in spark.read.parquet(out).collect()
+                    )
+                except Exception:
+                    return []
+
+            while time.time() < deadline and ids() != [1, 2]:
+                time.sleep(0.5)
+            self._put(src, "b.jsonl.gz", [3])
+            while time.time() < deadline and 3 not in ids():
+                time.sleep(0.5)
+        finally:
+            q.stop()
+        assert sorted(
+            r["id"] for r in spark.read.parquet(out).collect()
+        ) == [1, 2, 3]
+
+    def test_max_files_per_trigger_and_restart_reseed(self, tmp_path):
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        src = str(tmp_path / "drop")
+        os.makedirs(src)
+        for i in range(5):
+            self._put(src, f"f{i}.jsonl", [i])
+        schema = StructType([StructField("id", LongType())])
+        r = J.JsonlStreamReader(
+            schema, {"path": src, "maxfilespertrigger": "2"}
+        )
+        r.initialOffset()  # fresh query: seeds the consumed-set
+        o1 = r.latestOffset()
+        assert len(o1["files"]) == 2
+        o2 = r.latestOffset()
+        assert len(o2["files"]) == 4
+        parts = r.partitions(o1, o2)
+        assert sum(len(p.files) for p in parts) == 2
+        # restart: a fresh reader reseeded from the checkpointed start
+        # never re-lists consumed shards as new
+        r2 = J.JsonlStreamReader(
+            schema, {"path": src, "maxfilespertrigger": "2"}
+        )
+        o3 = r2.latestOffset()  # unseeded: echoes everything it sees
+        assert len(o3["files"]) == 5
+        assert r2.partitions(o2, o3) and sum(
+            len(p.files) for p in r2.partitions(o2, o3)
+        ) == 1
