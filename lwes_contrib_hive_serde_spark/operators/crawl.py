@@ -1,0 +1,263 @@
+"""Crawl-policy operators: robots.txt (RFC 9309) parsing and URL
+allow/deny matching, plus sitemap URL extraction.
+
+Extension tier (SURVEY §2c, crawl ingestion): nothing in the reference
+serde touches crawl policy — this is the stage every large-scale web
+corpus (C4, CCNet, RefinedWeb) runs between frontier and fetch/filter,
+and the natural companion to the WARC source (`sources/warc.py`) and
+HTML extraction (`operators/text.py`).
+
+Semantics follow RFC 9309 ("Robots Exclusion Protocol", public):
+
+* groups start at a ``User-agent:`` line; CONSECUTIVE user-agent lines
+  stack into one group sharing its rules; blank lines do NOT end a
+  group; ``#`` starts a comment anywhere on a line
+* exactly one group applies per crawler: the group(s) naming the
+  crawler's product token (case-insensitive exact match), else the
+  ``*`` group, else no restrictions; multiple groups for the same
+  token merge
+* rule matching is byte-prefix on the URL path, with ``*`` matching
+  any span and a trailing ``$`` anchoring end-of-path; the LONGEST
+  matched pattern wins; on a length tie ``Allow`` wins; no matched
+  rule → allowed; an EMPTY ``Disallow:`` value is no restriction
+* ``Sitemap:`` lines are group-independent
+
+Deliberately out of scope (documented, not guessed): percent-encoding
+equivalence between pattern and path octets — patterns and paths are
+compared as given. Normalize both sides with
+``text.canonicalize_url`` upstream if crawl sources mix encodings.
+
+Scale shape (100 TB of URLs): robots.txt corpora are per-HOST and tiny
+(RFC 9309 caps the parseable prefix at 500 KiB; real files are a few
+KiB) while the URL table is the fact side. ``parse_robots`` windows
+only within one host's file; ``compile_robots`` collapses each host's
+applicable rules to ONE row with a precompiled regex array; and
+``robots_allowed`` BROADCASTS that one-row-per-host table — URLs are
+decided in the scan stage with zero shuffles of the fact table. The
+per-element regexes inside the higher-order filter are non-foldable
+(patterns are data), so they compile per evaluation — bounded by the
+handful of rules per host, not by corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "parse_robots",
+    "compile_robots",
+    "robots_allowed",
+    "robots_sitemaps",
+    "sitemap_locs",
+]
+
+# line shape: "key: value"; keys are ASCII letters/dashes (RFC 9309 §2.2)
+_KEY_RE = r"^([A-Za-z][A-Za-z-]*)\s*:"
+_VAL_RE = r"^[A-Za-z][A-Za-z-]*\s*:(.*)$"
+
+
+def _lines(df: DataFrame, content_col: str, host_col: str) -> DataFrame:
+    """Explode robots.txt bodies to (host, pos, key, value) rows.
+
+    Comments stripped first (`#` to end of line), keys lowercased,
+    values trimmed. Lines that don't parse as ``key: value`` get key
+    '' and are ignored downstream — RFC 9309 §2.2.2 says to skip
+    unparseable lines, not to fail the file.
+    """
+    raw = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(content_col), F.lit("")), r"\r\n|\r|\n")
+        ).alias("pos", "__line"),
+    )
+    clean = F.trim(F.regexp_replace(F.col("__line"), "#.*", ""))
+    return raw.select(
+        "host",
+        "pos",
+        F.lower(F.regexp_extract(clean, _KEY_RE, 1)).alias("key"),
+        F.trim(F.regexp_extract(clean, _VAL_RE, 1)).alias("value"),
+    )
+
+
+def parse_robots(
+    df: DataFrame,
+    content_col: str = "robots_txt",
+    host_col: str = "host",
+) -> DataFrame:
+    """Parse robots.txt bodies into a long rules table:
+    ``(host, agent, rule, pattern)`` with one row per
+    (group-member-agent × group-rule) pair.
+
+    Group assembly is two window passes WITHIN a host's file (ordered
+    by line position): a group starts at a ``User-agent:`` line whose
+    predecessor is not one (consecutive UA lines stack), and every
+    allow/disallow line belongs to the most recent group. Rules with
+    an empty pattern are dropped (RFC 9309: an empty Disallow imposes
+    no restriction); rules appearing before any User-agent line have
+    no group and are dropped. Agents are lowercased (matching is
+    case-insensitive); patterns keep their case (paths are
+    case-sensitive).
+    """
+    lines = _lines(df, content_col, host_col)
+    is_ua = F.col("key") == "user-agent"
+    w = Window.partitionBy("host").orderBy("pos")
+    new_group = is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False))
+    lines = lines.withColumn(
+        "gid", F.sum(new_group.cast("int")).over(w)
+    )
+    agents = (
+        lines.filter(is_ua & (F.col("value") != ""))
+        .select("host", "gid", F.lower(F.col("value")).alias("agent"))
+        .distinct()
+    )
+    rules = lines.filter(
+        F.col("key").isin("allow", "disallow") & (F.col("value") != "")
+    ).select(
+        "host",
+        "gid",
+        F.col("key").alias("rule"),
+        F.col("value").alias("pattern"),
+    )
+    return agents.join(rules, ["host", "gid"]).select(
+        "host", "agent", "rule", "pattern"
+    )
+
+
+def _pattern_regex(pattern: Column) -> Column:
+    """Robots path pattern → anchored Java regex, pure JVM.
+
+    ``*`` → ``.*``; a trailing ``$`` anchors end-of-path; everything
+    else is escaped literal; the result is start-anchored (robots
+    matching is prefix matching).
+    """
+    has_end = pattern.endswith("$")
+    body = F.when(
+        has_end, F.substring(pattern, 1, F.length(pattern) - 1)
+    ).otherwise(pattern)
+    esc = F.regexp_replace(body, r"([.+?(){}\[\]|^$\\])", r"\\$1")
+    wc = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(
+        F.lit("^"), wc, F.when(has_end, F.lit("$")).otherwise(F.lit(""))
+    )
+
+
+def compile_robots(rules_df: DataFrame, agent: str = "*") -> DataFrame:
+    """Resolve which group applies to ``agent`` and collapse each
+    host's applicable rules to ONE row:
+    ``(host, rules: array<struct<rx, plen, allow, pattern>>)``.
+
+    Group selection per RFC 9309 §2.2.1: rules whose agent token
+    equals ``agent`` (case-insensitive) take precedence; only if the
+    host has none do the ``*`` rules apply; groups repeating the same
+    token merge. The output is per-host (tiny — one row per host that
+    HAS applicable rules), ready to broadcast.
+    """
+    crawler = agent.lower()
+    spec = (
+        F.when(F.col("agent") == crawler, F.lit(2))
+        .when(F.col("agent") == "*", F.lit(1))
+    )
+    appl = rules_df.withColumn("__spec", spec).filter(spec.isNotNull())
+    best = appl.groupBy("host").agg(F.max("__spec").alias("__best"))
+    used = appl.join(best, "host").filter(F.col("__spec") == F.col("__best"))
+    entry = F.struct(
+        _pattern_regex(F.col("pattern")).alias("rx"),
+        F.length("pattern").alias("plen"),
+        (F.col("rule") == "allow").cast("int").alias("allow"),
+        F.col("pattern").alias("pattern"),
+    )
+    return used.groupBy("host").agg(
+        F.collect_list(entry).alias("rules")
+    )
+
+
+def robots_allowed(
+    urls_df: DataFrame,
+    rules_df: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+    out_col: str = "allowed",
+    matched_col: str | None = None,
+) -> DataFrame:
+    """Append ``out_col`` (boolean): may ``agent`` fetch each URL
+    under the long rules table from :func:`parse_robots`?
+
+    Decision per URL, all JVM in the scan stage: the compiled per-host
+    rule array arrives by broadcast; matching rules are selected with
+    a higher-order filter (start-anchored regex per rule); the winner
+    is the array-max of ``(plen, allow, pattern)`` — longest pattern
+    first, Allow on length ties, pattern string as a deterministic
+    final tiebreak so ``matched_col`` never depends on row order. No
+    matching rule, no applicable group, or no robots.txt for the host
+    → allowed (RFC 9309 default-allow).
+
+    ``matched_col`` (optional) records the winning pattern (NULL when
+    default-allow). The URL's host is lowercased before the join;
+    an empty path matches as ``/``. NULL/unparseable URLs → NULL host
+    → default-allow (they carry no robots evidence either way;
+    filter them upstream with ``text.canonicalize_url`` if they
+    should be dropped).
+    """
+    comp = compile_robots(rules_df, agent).withColumnRenamed(
+        "host", "__robots_host"
+    )
+    host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
+    path = F.coalesce(
+        F.nullif(F.try_parse_url(F.col(url_col), F.lit("PATH")), F.lit("")),
+        F.lit("/"),
+    )
+    joined = urls_df.withColumn("__path", path).join(
+        F.broadcast(comp),
+        host == F.col("__robots_host"),
+        "left",
+    )
+    matched = F.filter(
+        F.col("rules"),
+        lambda r: F.regexp_like(F.col("__path"), r.getField("rx")),
+    )
+    best = F.array_max(
+        F.transform(
+            matched,
+            lambda r: F.struct(
+                r.getField("plen").alias("plen"),
+                r.getField("allow").alias("allow"),
+                r.getField("pattern").alias("pattern"),
+            ),
+        )
+    )
+    out = joined.withColumn(
+        out_col,
+        F.coalesce(best.getField("allow") == 1, F.lit(True)),
+    )
+    if matched_col is not None:
+        out = out.withColumn(matched_col, best.getField("pattern"))
+    return out.drop("__path", "__robots_host", "rules")
+
+
+def robots_sitemaps(
+    df: DataFrame,
+    content_col: str = "robots_txt",
+    host_col: str = "host",
+) -> DataFrame:
+    """Extract ``Sitemap:`` lines → ``(host, sitemap)``; RFC 9309 §2.3
+    sitemap lines are group-independent, so no group assembly needed.
+    """
+    lines = _lines(df, content_col, host_col)
+    return lines.filter(
+        (F.col("key") == "sitemap") & (F.col("value") != "")
+    ).select("host", F.col("value").alias("sitemap"))
+
+
+def sitemap_locs(col) -> Column:
+    """``array<string>`` of ``<loc>`` URL values from a sitemap XML
+    body (sitemaps.org protocol, public) — pure JVM
+    ``regexp_extract_all``, whitespace inside the element trimmed.
+    Handles urlset and sitemapindex bodies alike (both wrap URLs in
+    ``<loc>``). Entity/CDATA decoding is out of scope — real sitemap
+    ``<loc>`` values are required to be entity-escaped URLs; only
+    ``&amp;`` is decoded here (the one entity legal in a URL).
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    locs = F.regexp_extract_all(col, F.lit(r"<loc>\s*(.*?)\s*</loc>"), 1)
+    return F.transform(locs, lambda u: F.replace(u, F.lit("&amp;"), F.lit("&")))

@@ -6102,3 +6102,159 @@ def q_salted_topk(spark, sf_dir):
         "l_returnflag", "l_extendedprice", "tb",
         F.col("rank").cast("int").alias("rank"),
     ).orderBy("l_returnflag", "rank")
+
+
+# --- crawl policy (operators/crawl.py) -------------------------------------
+
+from lwes_contrib_hive_serde_spark.operators import crawl as _crawl
+
+_ROBOTS_A = (
+    "# crawl policy\r\n"
+    "User-agent: *\n"
+    "Disallow: /private\n"
+    "Allow: /private/open\n"
+    "Disallow: /tmp/*/x\n"
+    "Disallow: /exact$\n"
+    "Sitemap: https://a.example.com/sitemap.xml\n"
+    "\n"
+    "User-agent: mybot\n"
+    "Disallow: /mybot-only\n"
+    "Allow: /\n"
+)
+_ROBOTS_B = (
+    "User-agent: mybot\n"
+    "User-agent: otherbot\n"
+    "Disallow: /\n"
+    "\n"
+    "User-agent: *\n"
+    "Disallow:\n"
+)
+_ROBOTS_D = "User-agent: zbot\nDisallow: /z\n"
+
+
+@register(
+    "q_robots",
+    shadow=True,
+    oracle="""
+    WITH parts AS (
+      SELECT doc_id, doc_id % 4 AS h, (doc_id % 32) // 4 AS p
+      FROM documents WHERE doc_id < 256
+    )
+    SELECT doc_id,
+      'https://' ||
+      CASE h WHEN 0 THEN 'a.example.com' WHEN 1 THEN 'b.example.com'
+             WHEN 2 THEN 'c.example.com' ELSE 'd.example.com' END ||
+      CASE p WHEN 0 THEN '/private/open/page' WHEN 1 THEN '/private/secret'
+             WHEN 2 THEN '/tmp/a/x' WHEN 3 THEN '/exact'
+             WHEN 4 THEN '/exactly' WHEN 5 THEN '/mybot-only/sub'
+             WHEN 6 THEN '/' ELSE '/z/page' END AS url,
+      CASE WHEN h = 0 AND p IN (1, 2, 3) THEN FALSE ELSE TRUE END
+        AS allowed_star,
+      CASE WHEN h = 0 THEN
+        CASE p WHEN 0 THEN '/private/open' WHEN 1 THEN '/private'
+               WHEN 2 THEN '/tmp/*/x' WHEN 3 THEN '/exact$' ELSE NULL END
+      ELSE NULL END AS matched_star,
+      CASE WHEN h = 1 THEN FALSE
+           WHEN h = 0 AND p = 5 THEN FALSE
+           ELSE TRUE END AS allowed_mybot
+    FROM parts
+    """,
+    doc="robots.txt crawl policy end to end (crawl.parse_robots + "
+    "crawl.robots_allowed, RFC 9309): robots bodies with comments, "
+    "CRLF, stacked User-agent groups, an empty Disallow, a wildcard "
+    "pattern, a $-anchored pattern, and a Sitemap line are parsed "
+    "into the long rules table, compiled to one broadcastable "
+    "regex-array row per host, and every synthesized URL is decided "
+    "for BOTH the '*' crawler and an agent-specific one ('mybot', "
+    "whose group overrides '*' per the RFC). The oracle constructs "
+    "the EXPECTED verdicts and winning patterns directly from the "
+    "same (host, path) component classes — longest-match, allow-on-"
+    "tie, default-allow for unknown hosts (c.example.com has no "
+    "robots row), and group selection are all ground-truth-gated. "
+    "Scale shape: the URL side never shuffles — one broadcast hash "
+    "join against the per-host compiled rules, decision in the scan "
+    "stage.",
+)
+def q_robots(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 256)
+    h = F.col("doc_id") % 4
+    p = F.expr("(doc_id % 32) div 4")
+    host = (
+        F.when(h == 0, "a.example.com")
+        .when(h == 1, "b.example.com")
+        .when(h == 2, "c.example.com")
+        .otherwise("d.example.com")
+    )
+    path = (
+        F.when(p == 0, "/private/open/page")
+        .when(p == 1, "/private/secret")
+        .when(p == 2, "/tmp/a/x")
+        .when(p == 3, "/exact")
+        .when(p == 4, "/exactly")
+        .when(p == 5, "/mybot-only/sub")
+        .when(p == 6, "/")
+        .otherwise("/z/page")
+    )
+    urls = d.select(
+        "doc_id", F.concat(F.lit("https://"), host, path).alias("url")
+    )
+    robots = d.filter(F.col("doc_id").isin(0, 1, 3)).select(
+        F.when(F.col("doc_id") == 0, "a.example.com")
+        .when(F.col("doc_id") == 1, "b.example.com")
+        .otherwise("d.example.com")
+        .alias("host"),
+        F.when(F.col("doc_id") == 0, _ROBOTS_A)
+        .when(F.col("doc_id") == 1, _ROBOTS_B)
+        .otherwise(_ROBOTS_D)
+        .alias("robots_txt"),
+    )
+    rules = _crawl.parse_robots(robots)
+    out = _crawl.robots_allowed(
+        urls, rules, agent="*",
+        out_col="allowed_star", matched_col="matched_star",
+    )
+    out = _crawl.robots_allowed(
+        out, rules, agent="mybot", out_col="allowed_mybot"
+    )
+    return out.select(
+        "doc_id", "url", "allowed_star", "matched_star", "allowed_mybot"
+    )
+
+
+@register(
+    "q_sitemap_urls",
+    shadow=True,
+    oracle="""
+    SELECT doc_id, CAST(i AS INT) AS i, loc FROM (
+      SELECT doc_id, 0 AS i,
+             'https://s.example.com/page/' || doc_id AS loc
+      FROM documents WHERE doc_id < 100
+      UNION ALL
+      SELECT doc_id, 1 AS i,
+             'https://s.example.com/img/' || doc_id || '?a=1&b=2' AS loc
+      FROM documents WHERE doc_id < 100
+    ) t
+    """,
+    doc="Sitemap URL extraction (crawl.sitemap_locs, sitemaps.org "
+    "protocol): <loc> values pulled from synthesized urlset XML with "
+    "pure JVM regexp_extract_all — surrounding whitespace trimmed, "
+    "&amp; (the one entity legal in a URL) decoded — then "
+    "posexploded to one row per URL. The oracle constructs the "
+    "expected URLs directly from the same doc_id components, so "
+    "extraction, trimming, entity decoding, and ordinal positions "
+    "are all ground-truth-gated.",
+)
+def q_sitemap_urls(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc>'
+              "https://s.example.com/page/"),
+        F.col("doc_id").cast("string"),
+        F.lit("</loc></url><url><loc>\n  https://s.example.com/img/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?a=1&amp;b=2\n</loc></url></urlset>"),
+    )
+    return d.select(
+        "doc_id",
+        F.posexplode(_crawl.sitemap_locs(xml)).alias("i", "loc"),
+    ).select("doc_id", F.col("i").cast("int").alias("i"), "loc")

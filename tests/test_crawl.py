@@ -1,0 +1,250 @@
+"""Crawl-policy operators (operators/crawl.py): RFC 9309 robots.txt
+parsing, group selection, longest-match allow/deny, and sitemap
+extraction. The shadow query q_robots value-hashes the same semantics
+against a DuckDB ground-truth CASE table; these tests pin the parser
+edge cases the synthesized fixture can't reach (literal regex
+metachars in patterns, ties, rules before any User-agent line, NULL
+bodies, port/query URLs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lwes_contrib_hive_serde_spark.operators import crawl
+
+ROBOTS_A = (
+    "# crawl policy\r\n"
+    "User-agent: *\n"
+    "Disallow: /private\n"
+    "Allow: /private/open\n"
+    "Disallow: /tmp/*/x\n"
+    "Disallow: /exact$\n"
+    "Sitemap: https://a.example.com/sitemap.xml\n"
+    "\n"
+    "User-agent: mybot\n"
+    "Disallow: /mybot-only\n"
+    "Allow: /\n"
+)
+ROBOTS_B = (
+    "User-agent: mybot\n"
+    "User-agent: otherbot\n"
+    "Disallow: /\n"
+    "\n"
+    "User-agent: *\n"
+    "Disallow:\n"
+)
+
+
+@pytest.fixture(scope="module")
+def rules(spark):
+    robots = spark.createDataFrame(
+        [("a.example.com", ROBOTS_A), ("b.example.com", ROBOTS_B)],
+        ["host", "robots_txt"],
+    )
+    return crawl.parse_robots(robots).cache()
+
+
+class TestParseRobots:
+    def test_long_table(self, rules):
+        rows = {
+            (r.host, r.agent, r.rule, r.pattern) for r in rules.collect()
+        }
+        assert rows == {
+            ("a.example.com", "*", "disallow", "/private"),
+            ("a.example.com", "*", "allow", "/private/open"),
+            ("a.example.com", "*", "disallow", "/tmp/*/x"),
+            ("a.example.com", "*", "disallow", "/exact$"),
+            ("a.example.com", "mybot", "disallow", "/mybot-only"),
+            ("a.example.com", "mybot", "allow", "/"),
+            # stacked UA lines share the group's rules; the empty
+            # Disallow in the * group is dropped entirely
+            ("b.example.com", "mybot", "disallow", "/"),
+            ("b.example.com", "otherbot", "disallow", "/"),
+        }
+
+    def test_key_case_and_whitespace_insensitive(self, spark):
+        txt = "USER-AGENT :x\nuSeR-aGeNt: MixedBot\nDISALLOW:  /a  \n"
+        # "USER-AGENT :x" has space before ':' — RFC grammar allows
+        # it; agent lowercased, pattern trimmed but case kept
+        df = spark.createDataFrame([("h", txt)], ["host", "robots_txt"])
+        rows = {
+            (r.agent, r.rule, r.pattern)
+            for r in crawl.parse_robots(df).collect()
+        }
+        assert rows == {
+            ("x", "disallow", "/a"),
+            ("mixedbot", "disallow", "/a"),
+        }
+
+    def test_rules_before_any_group_dropped(self, spark):
+        txt = "Disallow: /orphan\nUser-agent: *\nDisallow: /kept\n"
+        df = spark.createDataFrame([("h", txt)], ["host", "robots_txt"])
+        rows = [r.pattern for r in crawl.parse_robots(df).collect()]
+        assert rows == ["/kept"]
+
+    def test_null_and_empty_bodies(self, spark):
+        df = spark.createDataFrame(
+            [("h1", None), ("h2", "")], ["host", "robots_txt"]
+        )
+        assert crawl.parse_robots(df).count() == 0
+
+    def test_repeated_groups_for_same_token_merge(self, spark):
+        txt = (
+            "User-agent: bot\nDisallow: /a\n"
+            "User-agent: other\nDisallow: /x\n"
+            "User-agent: bot\nDisallow: /b\n"
+        )
+        df = spark.createDataFrame([("h", txt)], ["host", "robots_txt"])
+        pats = {
+            r.pattern
+            for r in crawl.parse_robots(df)
+            .filter(F.col("agent") == "bot")
+            .collect()
+        }
+        assert pats == {"/a", "/b"}
+
+
+def _decide(spark, rules, urls, agent):
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    out = crawl.robots_allowed(
+        df, rules, agent=agent, matched_col="m"
+    ).collect()
+    return {r.url: (r.allowed, r.m) for r in out}
+
+
+class TestRobotsAllowed:
+    def test_star_matrix(self, spark, rules):
+        got = _decide(
+            spark,
+            rules,
+            [
+                "https://a.example.com/private/open/page",
+                "https://a.example.com/private/secret",
+                "https://a.example.com/tmp/a/x",
+                "https://a.example.com/exact",
+                "https://a.example.com/exactly",
+                "https://a.example.com/",
+                "https://b.example.com/anything",
+                "https://unknown.example.com/x",
+            ],
+            "*",
+        )
+        assert got["https://a.example.com/private/open/page"] == (
+            True,
+            "/private/open",  # longest match wins over /private
+        )
+        assert got["https://a.example.com/private/secret"] == (
+            False,
+            "/private",
+        )
+        assert got["https://a.example.com/tmp/a/x"] == (False, "/tmp/*/x")
+        assert got["https://a.example.com/exact"] == (False, "/exact$")
+        # $ anchors end-of-path: /exactly is NOT /exact
+        assert got["https://a.example.com/exactly"] == (True, None)
+        assert got["https://a.example.com/"] == (True, None)
+        # b's * group had only an empty Disallow → no restrictions
+        assert got["https://b.example.com/anything"] == (True, None)
+        # no robots.txt for the host → default allow
+        assert got["https://unknown.example.com/x"] == (True, None)
+
+    def test_agent_group_overrides_star(self, spark, rules):
+        got = _decide(
+            spark,
+            rules,
+            [
+                # denied for * but mybot's group (Allow: /) permits it
+                "https://a.example.com/private/secret",
+                "https://a.example.com/mybot-only/sub",
+                "https://b.example.com/",
+            ],
+            "MyBot",  # agent matching is case-insensitive
+        )
+        assert got["https://a.example.com/private/secret"] == (True, "/")
+        assert got["https://a.example.com/mybot-only/sub"] == (
+            False,
+            "/mybot-only",
+        )
+        assert got["https://b.example.com/"] == (False, "/")
+
+    def test_tie_allows(self, spark):
+        txt = "User-agent: *\nDisallow: /dir\nAllow: /dir\n"
+        robots = spark.createDataFrame([("h", txt)], ["host", "robots_txt"])
+        r = crawl.parse_robots(robots)
+        got = _decide(spark, r, ["https://h/dir/page"], "*")
+        assert got["https://h/dir/page"] == (True, "/dir")
+
+    def test_regex_metachars_in_pattern_are_literal(self, spark):
+        txt = "User-agent: *\nDisallow: /a(b)+c.d\n"
+        robots = spark.createDataFrame([("h", txt)], ["host", "robots_txt"])
+        r = crawl.parse_robots(robots)
+        got = _decide(
+            spark,
+            r,
+            [
+                "https://h/a(b)+c.d",  # literal match → denied
+                "https://h/abbc.d",  # would match if '(b)+' were regex
+                "https://h/a(b)+cXd",  # '.' must not be a wildcard
+            ],
+            "*",
+        )
+        assert got["https://h/a(b)+c.d"] == (False, "/a(b)+c.d")
+        assert got["https://h/abbc.d"] == (True, None)
+        assert got["https://h/a(b)+cXd"] == (True, None)
+
+    def test_empty_path_is_root_and_host_lowercased(self, spark):
+        txt = "User-agent: *\nDisallow: /\n"
+        robots = spark.createDataFrame([("h.com", txt)], ["host", "robots_txt"])
+        r = crawl.parse_robots(robots)
+        got = _decide(
+            spark,
+            r,
+            ["https://H.COM", "https://h.com:8080/x", "not a url"],
+            "*",
+        )
+        assert got["https://H.COM"] == (False, "/")
+        assert got["https://h.com:8080/x"] == (False, "/")
+        # unparseable URL → no host evidence → default allow
+        assert got["not a url"] == (True, None)
+
+    def test_original_columns_preserved(self, spark, rules):
+        df = spark.createDataFrame(
+            [(7, "https://a.example.com/private/x")], ["k", "url"]
+        )
+        out = crawl.robots_allowed(df, rules).collect()[0]
+        assert (out.k, out.allowed) == (7, False)
+        assert "rules" not in out.asDict()
+
+
+class TestSitemaps:
+    def test_robots_sitemap_lines(self, spark):
+        robots = spark.createDataFrame(
+            [("a.example.com", ROBOTS_A), ("b.example.com", ROBOTS_B)],
+            ["host", "robots_txt"],
+        )
+        rows = [tuple(r) for r in crawl.robots_sitemaps(robots).collect()]
+        assert rows == [
+            ("a.example.com", "https://a.example.com/sitemap.xml")
+        ]
+
+    def test_sitemap_locs(self, spark):
+        xml = (
+            '<?xml version="1.0"?><urlset>'
+            "<url><loc>https://h/x?a=1&amp;b=2</loc></url>"
+            "<url><loc>\n  https://h/y \n</loc></url>"
+            "</urlset>"
+        )
+        idx = (
+            "<sitemapindex><sitemap><loc>https://h/s1.xml</loc>"
+            "</sitemap></sitemapindex>"
+        )
+        df = spark.createDataFrame([(xml,), (idx,)], ["x"])
+        got = [
+            r.locs
+            for r in df.select(crawl.sitemap_locs("x").alias("locs"))
+            .collect()
+        ]
+        assert got == [
+            ["https://h/x?a=1&b=2", "https://h/y"],
+            ["https://h/s1.xml"],
+        ]
