@@ -60,3 +60,94 @@ def corpus_report(
             "mean_quality"
         ),
     )
+
+
+_ORDERABLE_PREFIXES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "decimal", "string", "varchar", "char", "date", "timestamp",
+    "boolean", "binary",
+)
+
+
+def profile_table(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    exact_distinct: bool = True,
+    approx_rsd: float = 0.05,
+) -> DataFrame:
+    """Per-column profile in ONE aggregation pass — the ANALYZE-style
+    datasheet a catalog records per table: ``(column, dtype, n_rows,
+    n_nulls, n_distinct, min_value, max_value)``, one row per column.
+
+    All statistics come from a single ``df.agg(...)`` (map-side
+    partials, one scan); the wide one-row result is then exploded to
+    long form driver-free. min/max are cast to string so one schema
+    fits every column type; non-orderable columns (array/map/struct)
+    profile nulls and distinct but report NULL min/max.
+
+    Scale: with ``exact_distinct=True`` Spark plans the k distinct
+    aggregates via one Expand node — the scan is read once but the
+    aggregation input is replicated ~(k+1)×, which is the exact-NDV
+    price at any scale. At 100 TB pass ``exact_distinct=False``:
+    approx_count_distinct (HyperLogLog++, ``approx_rsd`` relative
+    error) keeps the pass expand-free with constant-size sketch
+    buffers. Exact mode is the cross-engine-oracled path (shadow
+    q_profile_table); approx NDV is engine-specific by construction.
+
+    Cross-engine caveat (documented, not a defect): float/double
+    min/max stringify with engine-specific formatting (exponent
+    thresholds differ between Spark and DuckDB) — the oracle profiles
+    int/string columns; numeric semantics are identical either way.
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    dtypes = dict(df.dtypes)
+    missing = [c for c in cols if c not in dtypes]
+    if missing:
+        raise ValueError(f"profile_table: unknown columns {missing}")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        orderable = dtypes[c].startswith(_ORDERABLE_PREFIXES)
+        aggs.append(
+            F.coalesce(
+                F.sum(F.col(c).isNull().cast("bigint")), F.lit(0)
+            ).alias(f"__nulls_{i}")
+        )
+        if exact_distinct:
+            aggs.append(F.countDistinct(F.col(c)).alias(f"__ndv_{i}"))
+        else:
+            aggs.append(
+                F.approx_count_distinct(F.col(c), approx_rsd).alias(
+                    f"__ndv_{i}"
+                )
+            )
+        if orderable:
+            aggs.append(F.min(c).cast("string").alias(f"__min_{i}"))
+            aggs.append(F.max(c).cast("string").alias(f"__max_{i}"))
+        else:
+            aggs.append(F.lit(None).cast("string").alias(f"__min_{i}"))
+            aggs.append(F.lit(None).cast("string").alias(f"__max_{i}"))
+    wide = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(dtypes[c]).alias("dtype"),
+                F.col(f"__nulls_{i}").alias("n_nulls"),
+                F.col(f"__ndv_{i}").alias("n_distinct"),
+                F.col(f"__min_{i}").alias("min_value"),
+                F.col(f"__max_{i}").alias("max_value"),
+            )
+            for i, c in enumerate(cols)
+        ]
+    )
+    return wide.select(
+        F.col("__n").alias("n_rows"), F.explode(entries).alias("e")
+    ).select(
+        "e.column",
+        "e.dtype",
+        "n_rows",
+        "e.n_nulls",
+        "e.n_distinct",
+        "e.min_value",
+        "e.max_value",
+    )

@@ -6258,3 +6258,56 @@ def q_sitemap_urls(spark, sf_dir):
         "doc_id",
         F.posexplode(_crawl.sitemap_locs(xml)).alias("i", "loc"),
     ).select("doc_id", F.col("i").cast("int").alias("i"), "loc")
+
+
+# --- column profiling (operators/report.py) --------------------------------
+
+from lwes_contrib_hive_serde_spark.operators import report as _report
+
+
+@register(
+    "q_profile_table",
+    shadow=True,
+    oracle="""
+    SELECT 'doc_id' AS "column", 'bigint' AS dtype,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+           CAST(MAX(doc_id) AS VARCHAR) AS max_value
+    FROM documents
+    UNION ALL
+    SELECT 'lang', 'string', COUNT(*),
+           CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT lang) AS BIGINT),
+           CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'source', 'string', COUNT(*),
+           CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT source) AS BIGINT),
+           CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', 'bigint', COUNT(*),
+           CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+           CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+    FROM documents
+    """,
+    doc="One-pass column profiling (report.profile_table, the "
+    "ANALYZE-style catalog datasheet): n_rows / n_nulls / exact NDV "
+    "/ min / max for four documents columns computed in a SINGLE "
+    "df.agg over one scan, then exploded to one row per column with "
+    "zero driver round-trips. Hash-matched against the per-column "
+    "UNION ALL replay in DuckDB. The 100 TB path flips "
+    "exact_distinct=False for an expand-free HLL++ sketch pass "
+    "(engine-specific NDV by construction, so the oracle gates the "
+    "exact mode).",
+)
+def q_profile_table(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return _report.profile_table(
+        d, ["doc_id", "lang", "source", "n_chars"]
+    )

@@ -1506,3 +1506,79 @@ class TestBlockedTerms:
             gopher_thresholds={"min_words": 5}, pii=False,
         ).collect()
         assert [r.doc_id for r in out] == [1]
+
+
+class TestProfileTable:
+    """report.profile_table: one-pass per-column datasheet (the
+    shadow q_profile_table gates exact values against DuckDB; these
+    pin the edge shapes the fixture can't reach)."""
+
+    def _df(self, spark):
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("k", T.LongType()),
+                T.StructField("s", T.StringType()),
+                T.StructField("arr", T.ArrayType(T.LongType())),
+            ]
+        )
+        return spark.createDataFrame(
+            [(1, "b", [1]), (2, None, [2, 3]), (2, "a", None)], schema
+        )
+
+    def test_exact_profile(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import report
+
+        rows = {
+            r.column: r
+            for r in report.profile_table(self._df(spark)).collect()
+        }
+        assert set(rows) == {"k", "s", "arr"}
+        k = rows["k"]
+        assert (k.dtype, k.n_rows, k.n_nulls, k.n_distinct) == (
+            "bigint", 3, 0, 2,
+        )
+        assert (k.min_value, k.max_value) == ("1", "2")
+        s = rows["s"]
+        assert (s.n_nulls, s.n_distinct, s.min_value, s.max_value) == (
+            1, 2, "a", "b",
+        )
+        # non-orderable column: nulls/NDV profiled, min/max NULL
+        a = rows["arr"]
+        assert (a.n_nulls, a.n_distinct) == (1, 2)
+        assert (a.min_value, a.max_value) == (None, None)
+
+    def test_approx_mode_is_expand_free(self, spark):
+        import io
+        from contextlib import redirect_stdout
+
+        from lwes_contrib_hive_serde_spark.operators import report
+
+        df = self._df(spark)
+        approx = report.profile_table(df, exact_distinct=False)
+        rows = {r.column: r for r in approx.collect()}
+        # tiny input: HLL++ is exact here
+        assert rows["k"].n_distinct == 2
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            approx.explain("formatted")
+        assert "Expand" not in buf.getvalue()
+        buf2 = io.StringIO()
+        with redirect_stdout(buf2):
+            report.profile_table(df).explain("formatted")
+        assert "Expand" in buf2.getvalue()  # the documented exact price
+
+    def test_empty_frame_and_unknown_column(self, spark):
+        import pytest as _pytest
+
+        from lwes_contrib_hive_serde_spark.operators import report
+
+        df = self._df(spark).filter("k < 0")
+        rows = {r.column: r for r in report.profile_table(df).collect()}
+        assert rows["k"].n_rows == 0
+        assert rows["k"].n_nulls == 0
+        assert rows["k"].n_distinct == 0
+        assert rows["k"].min_value is None
+        with _pytest.raises(ValueError, match="unknown columns"):
+            report.profile_table(self._df(spark), ["nope"])
