@@ -41,6 +41,7 @@ handful of rules per host, not by corpus size.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -50,6 +51,9 @@ __all__ = [
     "robots_allowed",
     "robots_sitemaps",
     "sitemap_locs",
+    "detect_charset",
+    "decode_payload",
+    "with_decoded_payload",
 ]
 
 # line shape: "key: value"; keys are ASCII letters/dashes (RFC 9309 §2.2)
@@ -261,3 +265,183 @@ def sitemap_locs(col) -> Column:
     col = F.col(col) if isinstance(col, str) else col
     locs = F.regexp_extract_all(col, F.lit(r"<loc>\s*(.*?)\s*</loc>"), 1)
     return F.transform(locs, lambda u: F.replace(u, F.lit("&amp;"), F.lit("&")))
+
+
+# --- payload charset handling ----------------------------------------------
+
+# WHATWG Encoding Standard label → Python codec. Browsers (and thus
+# the bytes a crawler sees) treat iso-8859-1 / latin1 / ascii as
+# windows-1252 — the 0x80-0x9F range carries curly quotes and dashes
+# in real pages that declare latin1. utf-16 with no BOM is LE per the
+# spec. Labels not in this map pass through lowercased (Python's
+# codec registry accepts most IANA names); codecs Python cannot look
+# up fall back to utf-8 at decode time.
+_CHARSET_ALIASES = {
+    "utf8": "utf-8",
+    "utf-8": "utf-8",
+    "utf-16be": "utf-16-be",
+    "utf-16le": "utf-16-le",
+    "utf-16": "utf-16-le",
+    "latin-1": "cp1252",
+    "latin1": "cp1252",
+    "iso-8859-1": "cp1252",
+    "iso8859-1": "cp1252",
+    "ascii": "cp1252",
+    "us-ascii": "cp1252",
+    "windows-1252": "cp1252",
+    "cp1252": "cp1252",
+    "x-cp1252": "cp1252",
+    "shift-jis": "shift_jis",
+    "sjis": "shift_jis",
+    "x-sjis": "shift_jis",
+    "gb2312": "gbk",
+    "euc-jp": "euc_jp",
+    "euc-kr": "euc_kr",
+}
+
+_META_CHARSET_RE = (
+    r'(?i)<meta[^>]*charset\s*=\s*["\']?([A-Za-z0-9_.:-]+)'
+)
+_CT_CHARSET_RE = r'(?i)charset\s*=\s*["\']?([^"\';\s]+)'
+
+
+def detect_charset(
+    bin_col,
+    content_type_col=None,
+    sniff_bytes: int = 1024,
+) -> Column:
+    """Charset of an HTTP payload as a normalized Python codec name —
+    the WHATWG sniff order, pure JVM:
+
+    1. byte-order mark (EF BB BF → utf-8, FE FF → utf-16-be,
+       FF FE → utf-16-le) — a BOM beats every declaration;
+    2. ``charset=`` parameter of the Content-Type header
+       (``content_type_col``, optional);
+    3. ``<meta charset=…>`` / ``http-equiv`` declaration in the first
+       ``sniff_bytes`` bytes, read through ISO-8859-1 (total — every
+       byte decodes, so the sniff itself can never fail);
+    4. utf-8 (the modern-web default; pipelines that want WHATWG's
+       strict windows-1252 HTML default can coalesce over this).
+
+    Labels normalize through the WHATWG alias table (latin1/ascii →
+    cp1252, BOM-less utf-16 → LE, …); unknown labels pass through
+    lowercased for Python's codec registry to resolve at decode time.
+    """
+    bin_col = F.col(bin_col) if isinstance(bin_col, str) else bin_col
+    bom = (
+        F.when(
+            F.substring(bin_col, 1, 3) == F.lit(b"\xef\xbb\xbf"),
+            F.lit("utf-8"),
+        )
+        .when(
+            F.substring(bin_col, 1, 2) == F.lit(b"\xfe\xff"),
+            F.lit("utf-16-be"),
+        )
+        .when(
+            F.substring(bin_col, 1, 2) == F.lit(b"\xff\xfe"),
+            F.lit("utf-16-le"),
+        )
+    )
+    header = None
+    if content_type_col is not None:
+        ct = (
+            F.col(content_type_col)
+            if isinstance(content_type_col, str)
+            else content_type_col
+        )
+        header = F.nullif(
+            F.regexp_extract(F.coalesce(ct, F.lit("")), _CT_CHARSET_RE, 1),
+            F.lit(""),
+        )
+    prefix = F.decode(F.substring(bin_col, 1, sniff_bytes), "ISO-8859-1")
+    meta = F.nullif(
+        F.regexp_extract(
+            F.coalesce(prefix, F.lit("")), _META_CHARSET_RE, 1
+        ),
+        F.lit(""),
+    )
+    label = F.lower(
+        F.coalesce(*([bom] + ([header] if header is not None else []) +
+                     [meta, F.lit("utf-8")]))
+    )
+    alias_map = F.create_map(
+        *[F.lit(x) for kv in _CHARSET_ALIASES.items() for x in kv]
+    )
+    return F.coalesce(F.element_at(alias_map, label), label)
+
+
+def decode_payload(
+    bin_col,
+    charset_col,
+    errors: str = "replace",
+) -> Column:
+    """Decode payload bytes with a PER-ROW charset (the
+    :func:`detect_charset` output) into a string.
+
+    Spark's JVM ``decode`` is strict (raises MALFORMED_CHARACTER_
+    CODING on the first bad byte — a non-starter for crawl data) and
+    supports six charsets; real crawls carry cp1252, shift_jis, gbk,
+    … with malformed runs in most shards. So this is the documented
+    Arrow-batched escape hatch (same pattern as
+    ``text.normalize_unicode``): Python's codec machinery with
+    ``errors='replace'`` — U+FFFD for undecodable runs, NEVER a
+    failed job. Unknown codec labels fall back to utf-8; a leading
+    BOM/ZWNBSP is stripped after decode; NULL bytes → NULL.
+
+    Scale: one vectorized Python stage in the scan (ArrowEvalPython),
+    no shuffle; everything upstream (sniff) and downstream (filters,
+    extraction) stays JVM. Row-level decode cost dominates regardless
+    of engine — this is bytes→str, not expression work.
+    """
+    import codecs
+
+    bin_col = F.col(bin_col) if isinstance(bin_col, str) else bin_col
+    charset_col = (
+        F.col(charset_col) if isinstance(charset_col, str) else charset_col
+    )
+
+    @F.pandas_udf("string")
+    def _dec(b: pd.Series, cs: pd.Series) -> pd.Series:
+        known: dict[str, str] = {}
+
+        def one(raw, label):
+            if raw is None:
+                return None
+            label = label or "utf-8"
+            codec = known.get(label)
+            if codec is None:
+                try:
+                    codecs.lookup(label)
+                    codec = label
+                except LookupError:
+                    codec = "utf-8"
+                known[label] = codec
+            return bytes(raw).decode(codec, errors).lstrip("\ufeff")
+
+        return pd.Series(
+            [one(raw, label) for raw, label in zip(b, cs)], dtype=object
+        )
+
+    return _dec(bin_col, charset_col)
+
+
+def with_decoded_payload(
+    df: DataFrame,
+    bin_col: str = "payload",
+    content_type_col: str | None = "http_content_type",
+    charset_out: str = "charset",
+    text_out: str = "page_text",
+    errors: str = "replace",
+) -> DataFrame:
+    """Sniff + decode in one step: append ``charset_out`` (detected
+    codec label) and ``text_out`` (decoded text) to a crawl frame —
+    the bridge from the WARC source's ``payload binary`` to the HTML
+    extraction tier. ``content_type_col=None`` skips the header
+    signal (e.g. for non-HTTP archives)."""
+    ct = None
+    if content_type_col is not None and content_type_col in df.columns:
+        ct = content_type_col
+    out = df.withColumn(charset_out, detect_charset(bin_col, ct))
+    return out.withColumn(
+        text_out, decode_payload(bin_col, charset_out, errors=errors)
+    )

@@ -6311,3 +6311,79 @@ def q_profile_table(spark, sf_dir):
     return _report.profile_table(
         d, ["doc_id", "lang", "source", "n_chars"]
     )
+
+
+@register(
+    "q_charset_decode",
+    shadow=True,
+    oracle="""
+    SELECT doc_id,
+      CASE doc_id % 6 WHEN 1 THEN 'utf-16-be' WHEN 2 THEN 'utf-16-le'
+           WHEN 3 THEN 'cp1252' WHEN 4 THEN 'cp1252'
+           WHEN 5 THEN 'utf-16-be' ELSE 'utf-8' END AS charset,
+      CASE doc_id % 6
+           WHEN 3 THEN 'doc ' || doc_id
+           WHEN 4 THEN '<html><head><meta charset="windows-1252">' ||
+                       '</head><body>q' || doc_id || '“'
+           WHEN 5 THEN 'h' || doc_id
+           ELSE text END AS page_text
+    FROM documents WHERE doc_id < 300 AND text IS NOT NULL
+    """,
+    doc="Payload charset sniff + decode (crawl.detect_charset + "
+    "crawl.decode_payload, WHATWG encoding sniff): six byte-level "
+    "shapes synthesized Spark-side with JVM encode() — plain utf-8, "
+    "utf-16be/le WITH byte-order marks (one also carrying a LYING "
+    "Content-Type header, proving BOM precedence), a latin-1 header "
+    "declaration, an in-body <meta charset=windows-1252> plus a raw "
+    "0x93 byte (curly quote — the cp1252/latin1 divergence range), "
+    "and a BOM-less header-declared utf-16be. Detection is pure JVM "
+    "(BOM bytes → header param → meta regex over a total ISO-8859-1 "
+    "prefix read → utf-8 default); decoding is the documented "
+    "Arrow-batched escape hatch (Python codecs, errors='replace' — "
+    "JVM decode is strict and six-charset-only). The oracle "
+    "constructs the expected labels and decoded strings directly "
+    "from the same doc_id classes — BOM stripping, alias folding "
+    "(latin1→cp1252 per WHATWG), precedence, and the 0x93→U+201C "
+    "mapping are all ground-truth-gated.",
+)
+def q_charset_decode(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 300) & F.col("text").isNotNull()
+    )
+    m = F.col("doc_id") % 6
+    did = F.col("doc_id").cast("string")
+    ascii3 = F.concat(F.lit("doc "), did)
+    html4 = F.concat(
+        F.lit('<html><head><meta charset="windows-1252"></head><body>q'),
+        did,
+    )
+    h5 = F.concat(F.lit("h"), did)
+    payload = (
+        F.when(m == 1, F.concat(F.lit(b"\xfe\xff"),
+                                F.encode("text", "UTF-16BE")))
+        .when(m == 2, F.concat(F.lit(b"\xff\xfe"),
+                               F.encode("text", "UTF-16LE")))
+        .when(m == 3, F.encode(ascii3, "ISO-8859-1"))
+        .when(m == 4, F.concat(F.encode(html4, "ISO-8859-1"),
+                               F.lit(b"\x93")))
+        .when(m == 5, F.encode(h5, "UTF-16BE"))
+        .otherwise(F.encode("text", "UTF-8"))
+    )
+    ct = (
+        F.when(m == 1, "text/html; charset=latin-1")  # BOM must win
+        .when(m == 3, "text/html; charset=ISO-8859-1")
+        .when(m == 5, "text/html; charset=utf-16be")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    frame = d.select(
+        "doc_id",
+        payload.alias("payload"),
+        ct.alias("http_content_type"),
+    )
+    from lwes_contrib_hive_serde_spark.operators.crawl import (
+        with_decoded_payload,
+    )
+
+    return with_decoded_payload(frame).select(
+        "doc_id", "charset", "page_text"
+    )

@@ -248,3 +248,81 @@ class TestSitemaps:
             ["https://h/x?a=1&b=2", "https://h/y"],
             ["https://h/s1.xml"],
         ]
+
+
+class TestCharset:
+    """detect_charset / decode_payload (WHATWG sniff + replace-mode
+    decode); the shadow q_charset_decode gates the six synthesized
+    shapes against DuckDB — these pin precedence and failure paths."""
+
+    def _decode(self, spark, rows):
+        df = spark.createDataFrame(
+            rows, "payload binary, http_content_type string"
+        )
+        out = crawl.with_decoded_payload(df).collect()
+        return [(r.charset, r.page_text) for r in out]
+
+    def test_sniff_precedence_and_aliases(self, spark):
+        got = self._decode(
+            spark,
+            [
+                ("plain".encode(), None),
+                (b"\xef\xbb\xbf" + "bom8".encode(), None),
+                # BOM beats a lying Content-Type header
+                (
+                    b"\xfe\xff" + "bom be 中".encode("utf-16-be"),
+                    "text/html; charset=latin-1",
+                ),
+                (b"\xff\xfe" + "bom le".encode("utf-16-le"), None),
+                (
+                    "hdr latin “q”".encode("cp1252"),
+                    "text/html; charset=ISO-8859-1",
+                ),
+                (
+                    '<html><meta charset="windows-1252"><body>…'
+                    .encode("cp1252"),
+                    None,
+                ),
+                ("hdr be".encode("utf-16-be"), "text/html; charset=UTF-16BE"),
+            ],
+        )
+        assert got == [
+            ("utf-8", "plain"),
+            ("utf-8", "bom8"),  # BOM char stripped after decode
+            ("utf-16-be", "bom be 中"),
+            ("utf-16-le", "bom le"),
+            ("cp1252", "hdr latin “q”"),
+            ("cp1252", '<html><meta charset="windows-1252"><body>…'),
+            ("utf-16-be", "hdr be"),
+        ]
+
+    def test_never_raises(self, spark):
+        got = self._decode(
+            spark,
+            [
+                (b"bad \xff\xfe tail", None),  # malformed utf-8
+                (b"x", "text/html; charset=NOSUCH-enc"),  # unknown codec
+                (None, None),  # NULL payload
+                (b"\xfe\xff\x00a\x00", None),  # truncated utf-16 unit
+            ],
+        )
+        assert got[0] == ("utf-8", "bad �� tail")
+        # unknown label passes through; decode falls back to utf-8
+        assert got[1] == ("nosuch-enc", "x")
+        assert got[2] == ("utf-8", None)
+        assert got[3][0] == "utf-16-be"
+        assert got[3][1].startswith("a")  # replacement, not a raise
+
+    def test_plan_is_arrow_batched(self, spark):
+        import io
+        from contextlib import redirect_stdout
+
+        df = spark.createDataFrame(
+            [(b"x", None)], "payload binary, http_content_type string"
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            crawl.with_decoded_payload(df).explain("formatted")
+        plan = buf.getvalue()
+        assert "ArrowEvalPython" in plan
+        assert "BatchEvalPython" not in plan
