@@ -1651,3 +1651,76 @@ def with_blocked_terms(
     return df.withColumn(
         "n_blocked_terms", blocked_term_hits(text_col, terms)
     )
+
+
+# Writing-system detection — BMP codepoint ranges, spelled as explicit
+# \x{…} spans so the SAME class strings compile in Java regex (Spark)
+# and RE2 (DuckDB oracle); \p{script=…} names are engine-specific.
+# Latin includes the supplement/extended-A/B accents; han includes
+# ext-A. Sorted dict order is the struct field order everywhere.
+SCRIPT_RANGES = {
+    "arabic": r"\x{0600}-\x{06FF}\x{0750}-\x{077F}",
+    "cyrillic": r"\x{0400}-\x{04FF}",
+    "devanagari": r"\x{0900}-\x{097F}",
+    "greek": r"\x{0370}-\x{03FF}",
+    "han": r"\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}",
+    "hangul": r"\x{1100}-\x{11FF}\x{AC00}-\x{D7AF}",
+    "hebrew": r"\x{0590}-\x{05FF}",
+    "kana": r"\x{3040}-\x{30FF}",
+    "latin": r"A-Za-z\x{00C0}-\x{024F}",
+    "thai": r"\x{0E00}-\x{0E7F}",
+}
+
+
+def script_counts(col) -> Column:
+    """Per-script letter counts as ``struct<arabic: bigint, …,
+    thai: bigint>`` — ten pure-JVM ``length(regexp_replace(…))``
+    passes inside the scan (one row-level expression, no Python, no
+    shuffle). Digits, punctuation, and whitespace count toward no
+    script; NULL text → NULL counts. The multilingual-pipeline
+    router: pick tokenizer / language-ID fallback / filters by
+    writing system before any model runs.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    return F.struct(
+        *[
+            F.length(F.regexp_replace(col, f"[^{rng}]", "")).alias(name)
+            for name, rng in SCRIPT_RANGES.items()
+        ]
+    )
+
+
+def dominant_script(col, min_fraction: float = 0.5) -> Column:
+    """Name of the script holding at least ``min_fraction`` of a
+    document's script-classified letters; ``'mixed'`` when no script
+    reaches the bar, ``'unknown'`` when NO letter falls in any range
+    (digits-only, emoji, unsupported scripts). Ties break on script
+    name (lexicographically larger wins) — deterministic, and
+    mirrored exactly by the DuckDB oracle's struct list_max. Keep
+    ``min_fraction`` binary-exact (0.5, 0.25, …) so the threshold
+    multiply is bit-identical across engines.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    counts = [
+        F.length(F.regexp_replace(col, f"[^{rng}]", "")).alias(name)
+        for name, rng in SCRIPT_RANGES.items()
+    ]
+    entries = F.array(
+        *[
+            F.struct(c.alias("c"), F.lit(name).alias("n"))
+            for c, name in zip(counts, SCRIPT_RANGES)
+        ]
+    )
+    total = F.aggregate(
+        entries, F.lit(0).cast("bigint"), lambda acc, e: acc + e.getField("c")
+    )
+    best = F.array_max(entries)
+    return (
+        F.when(col.isNull(), F.lit(None).cast("string"))
+        .when(total == 0, F.lit("unknown"))
+        .when(
+            best.getField("c") >= F.lit(min_fraction) * total,
+            best.getField("n"),
+        )
+        .otherwise(F.lit("mixed"))
+    )

@@ -6387,3 +6387,81 @@ def q_charset_decode(spark, sf_dir):
     return with_decoded_payload(frame).select(
         "doc_id", "charset", "page_text"
     )
+
+
+# --- writing-system detection (operators/text.py SCRIPT_RANGES) ------------
+
+_SC_ITEMS = ", ".join(
+    "struct_pack(c := CAST(length(regexp_replace(s, '[^" + rng
+    + "]', '', 'g')) AS BIGINT), n := '" + name + "')"
+    for name, rng in text.SCRIPT_RANGES.items()
+)
+
+
+def _sc_count(script: str) -> str:
+    return (
+        "CAST(length(regexp_replace(s, '[^" + text.SCRIPT_RANGES[script]
+        + "]', '', 'g')) AS BIGINT)"
+    )
+
+
+@register(
+    "q_script_mix",
+    shadow=True,
+    oracle=f"""
+    WITH src AS (
+      SELECT doc_id,
+        CASE doc_id % 7
+          WHEN 0 THEN 'abc def' WHEN 1 THEN '中文中文'
+          WHEN 2 THEN 'мир мир' WHEN 3 THEN 'ab 中文'
+          WHEN 4 THEN '123 !!!' WHEN 5 THEN 'ab 中文 мир'
+          ELSE text END AS s
+      FROM documents WHERE doc_id < 700
+    ), agg AS (
+      SELECT doc_id, s,
+             list_max([{_SC_ITEMS}]) AS best,
+             list_sum(list_transform([{_SC_ITEMS}], x -> x.c)) AS total
+      FROM src
+    )
+    SELECT doc_id,
+      {_sc_count("latin")} AS n_latin,
+      {_sc_count("han")} AS n_han,
+      {_sc_count("cyrillic")} AS n_cyrillic,
+      CASE WHEN s IS NULL THEN NULL
+           WHEN total = 0 THEN 'unknown'
+           WHEN best.c >= 0.5 * total THEN best.n
+           ELSE 'mixed' END AS dom
+    FROM agg
+    """,
+    doc="Writing-system detection (text.script_counts + "
+    "text.dominant_script): ten BMP codepoint-range letter counts as "
+    "one JVM struct expression in the scan, and a dominant-script "
+    "vote (>=50% of script-classified letters; 'mixed' below the "
+    "bar, 'unknown' with zero classified letters, NULL text -> "
+    "NULL). The range classes are spelled as \\x{{...}} spans so the "
+    "IDENTICAL strings compile in Java regex and RE2 — the oracle "
+    "replays counts, the lexicographic tie-break (struct list_max), "
+    "and the threshold on the same synthesized latin/han/cyrillic/"
+    "tie/digits-only/mixed cases plus the real corpus text.",
+)
+def q_script_mix(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 700)
+    m = F.col("doc_id") % 7
+    s = (
+        F.when(m == 0, "abc def")
+        .when(m == 1, "中文中文")
+        .when(m == 2, "мир мир")
+        .when(m == 3, "ab 中文")
+        .when(m == 4, "123 !!!")
+        .when(m == 5, "ab 中文 мир")
+        .otherwise(F.col("text"))
+    )
+    sel = d.select("doc_id", s.alias("s"))
+    sc = text.script_counts("s")
+    return sel.select(
+        "doc_id",
+        sc.getField("latin").cast("bigint").alias("n_latin"),
+        sc.getField("han").cast("bigint").alias("n_han"),
+        sc.getField("cyrillic").cast("bigint").alias("n_cyrillic"),
+        text.dominant_script("s").alias("dom"),
+    )

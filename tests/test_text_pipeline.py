@@ -1582,3 +1582,61 @@ class TestProfileTable:
         assert rows["k"].min_value is None
         with _pytest.raises(ValueError, match="unknown columns"):
             report.profile_table(self._df(spark), ["nope"])
+
+
+class TestScriptDetection:
+    """text.script_counts / dominant_script (shadow q_script_mix
+    gates the cross-engine replay; these pin each range and the
+    decision edges)."""
+
+    def _dom(self, spark, samples, **kw):
+        from lwes_contrib_hive_serde_spark.operators import text
+
+        df = spark.createDataFrame([(s,) for s in samples], ["t"])
+        return [
+            r.d
+            for r in df.select(
+                text.dominant_script("t", **kw).alias("d")
+            ).collect()
+        ]
+
+    def test_each_script_detected(self, spark):
+        samples = {
+            "arabic": "سلام عليكم",
+            "cyrillic": "привет мир",
+            "devanagari": "नमस्ते दुनिया",
+            "greek": "γεια σου",
+            "han": "中文文本",
+            "hangul": "안녕하세요",
+            "hebrew": "שלום עולם",
+            "kana": "ひらがなカタカナ",
+            "latin": "héllo wörld",
+            "thai": "สวัสดีครับ",
+        }
+        got = self._dom(spark, list(samples.values()))
+        assert got == list(samples)
+
+    def test_counts_struct(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import text
+
+        df = spark.createDataFrame([("ab 中文 мир 123",)], ["t"])
+        row = df.select(text.script_counts("t").alias("s")).collect()[0].s
+        assert (row.latin, row.han, row.cyrillic, row.thai) == (2, 2, 3, 0)
+
+    def test_decision_edges(self, spark):
+        got = self._dom(
+            spark,
+            [
+                "ab 中文",  # 2-2 tie → lexicographically larger name
+                "123 !!! 🙂",  # nothing classified
+                "ab 中文 мир",  # best 3/7 < 0.5
+                None,
+            ],
+        )
+        assert got == ["latin", "unknown", "mixed", None]
+
+    def test_min_fraction(self, spark):
+        # cyrillic is 3/7 — dominant at a 0.25 bar, mixed at 0.5
+        assert self._dom(spark, ["ab 中文 мир"], min_fraction=0.25) == [
+            "cyrillic"
+        ]
