@@ -332,3 +332,110 @@ class TestCrawlToCorpusEndToEnd:
         assert len(out1) == 1
         assert "quick brown fox" not in out1[0].text_clean  # cut: corpus copy
         assert "closing thought" in out1[0].text_clean      # novelty survives
+
+
+class TestFrontierToCorpus:
+    """The crawl FRONT half composed end to end: raw URL frontier →
+    canonicalization dedup → robots.txt gate → fetch (WARC bytes) →
+    charset sniff/decode (a cp1252 page a naive utf-8 cast would
+    mangle) → main-content extraction → curation. Together with
+    TestCrawlToCorpusEndToEnd this covers frontier-to-corpus."""
+
+    def test_frontier_pipeline(self, spark, tmp_path):
+        import gzip
+        import os
+
+        from lwes_contrib_hive_serde_spark.operators import (
+            crawl as C, text as T,
+        )
+
+        # -- frontier: dupes differing only in tracking/fragment, one
+        # disallowed path, one unknown host
+        frontier = spark.createDataFrame(
+            [
+                ("http://A.example.com/story?utm_source=x#top",),
+                ("http://a.example.com/story",),
+                ("http://a.example.com/private/report",),
+                ("http://other.example.net/page",),
+            ],
+            ["url"],
+        )
+        robots = spark.createDataFrame(
+            [("a.example.com", "User-agent: *\nDisallow: /private\n")],
+            ["host", "robots_txt"],
+        )
+        rules = C.parse_robots(robots)
+        todo = (
+            frontier.select(T.canonicalize_url("url").alias("url"))
+            .distinct()
+        )
+        todo = C.robots_allowed(todo, rules).filter("allowed")
+        fetch_list = sorted(r.url for r in todo.collect())
+        assert fetch_list == [
+            "http://a.example.com/story",
+            "http://other.example.net/page",
+        ]
+
+        # -- fetch: the story page is windows-1252 WITH a meta
+        # declaration and a curly-quoted pull quote (bytes 0x93/0x94
+        # that CAST(payload AS STRING) would turn into U+FFFD)
+        story_html = (
+            '<html><head><meta charset="windows-1252"></head><body>'
+            "<p>She said “the tide will turn” and the crowd "
+            "agreed with her that evening. It was calm. It was late. "
+            "It was enough.</p></body></html>"
+        )
+        page_html = (
+            "<html><body><p>plain utf-8 page body with several plain "
+            "words to pass the gate. It works. It ships. It stays."
+            "</p></body></html>"
+        )
+        crawldir = str(tmp_path / "crawl2")
+        os.makedirs(crawldir)
+        pages = [
+            ("http://a.example.com/story",
+             story_html.encode("cp1252"), "text/html"),
+            ("http://other.example.net/page",
+             page_html.encode("utf-8"), "text/html; charset=utf-8"),
+        ]
+        with open(os.path.join(crawldir, "f.warc.gz"), "wb") as f:
+            for uri, body, ctype in pages:
+                block = (
+                    f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n\r\n"
+                ).encode() + body
+                head = (
+                    f"WARC/1.0\r\nWARC-Type: response\r\n"
+                    f"WARC-Record-ID: <urn:{uri}>\r\n"
+                    f"WARC-Target-URI: {uri}\r\n"
+                    "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                    "Content-Type: application/http; msgtype=response\r\n"
+                    f"Content-Length: {len(block)}\r\n\r\n"
+                ).encode()
+                f.write(gzip.compress(head + block + b"\r\n\r\n"))
+
+        fetched = (
+            spark.read.format("warc").option("path", crawldir).load()
+            .filter("record_type = 'response'")
+        )
+        decoded = C.with_decoded_payload(fetched)
+        docs = pipeline.curate(
+            decoded.selectExpr(
+                "target_uri AS url", "page_text AS html", "charset"
+            ).withColumn(
+                "doc_id", (F.crc32("url") % 1000000).cast("long")
+            ),
+            html_col="html",
+            min_sentences=1,
+            gopher_thresholds={"min_words": 5},
+            pii=False,
+        )
+        rows = {r.url: r for r in docs.collect()}
+        assert set(rows) == {
+            "http://a.example.com/story",
+            "http://other.example.net/page",
+        }
+        story = rows["http://a.example.com/story"]
+        assert story.charset == "cp1252"
+        assert "“the tide will turn”" in story.text_clean
+        assert "�" not in story.text_clean  # no mangled bytes
+        assert rows["http://other.example.net/page"].charset == "utf-8"
