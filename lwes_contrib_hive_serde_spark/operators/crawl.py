@@ -50,6 +50,7 @@ __all__ = [
     "compile_robots",
     "robots_allowed",
     "robots_sitemaps",
+    "robots_crawl_delays",
     "sitemap_locs",
     "detect_charset",
     "decode_payload",
@@ -103,6 +104,24 @@ def parse_robots(
     case-insensitive); patterns keep their case (paths are
     case-sensitive).
     """
+    agents, lines = _grouped_lines(df, content_col, host_col)
+    rules = lines.filter(
+        F.col("key").isin("allow", "disallow") & (F.col("value") != "")
+    ).select(
+        "host",
+        "gid",
+        F.col("key").alias("rule"),
+        F.col("value").alias("pattern"),
+    )
+    return agents.join(rules, ["host", "gid"]).select(
+        "host", "agent", "rule", "pattern"
+    )
+
+
+def _grouped_lines(df: DataFrame, content_col: str, host_col: str):
+    """(agents, lines-with-gid): the shared group assembly — a group
+    starts at a User-agent line whose predecessor is not one; every
+    later line carries its group id."""
     lines = _lines(df, content_col, host_col)
     is_ua = F.col("key") == "user-agent"
     w = Window.partitionBy("host").orderBy("pos")
@@ -115,16 +134,33 @@ def parse_robots(
         .select("host", "gid", F.lower(F.col("value")).alias("agent"))
         .distinct()
     )
-    rules = lines.filter(
-        F.col("key").isin("allow", "disallow") & (F.col("value") != "")
+    return agents, lines
+
+
+def robots_crawl_delays(
+    df: DataFrame,
+    content_col: str = "robots_txt",
+    host_col: str = "host",
+) -> DataFrame:
+    """``Crawl-delay:`` directives → ``(host, agent, crawl_delay)``
+    (seconds, double) — the de-facto politeness extension (not in
+    RFC 9309 but honored by most non-Google crawlers). Group-scoped
+    exactly like allow/disallow: stacked User-agent lines share the
+    value, repeated groups for one token keep the MAX delay (the
+    conservative merge), non-numeric values are dropped. Feed the
+    per-host delay into frontier scheduling: at 100 TB the fetch
+    bound is per-host politeness, not cluster throughput."""
+    agents, lines = _grouped_lines(df, content_col, host_col)
+    delays = lines.filter(
+        (F.col("key") == "crawl-delay")
+        & F.col("value").rlike(r"^\d+(\.\d+)?$")
     ).select(
-        "host",
-        "gid",
-        F.col("key").alias("rule"),
-        F.col("value").alias("pattern"),
+        "host", "gid", F.col("value").cast("double").alias("crawl_delay")
     )
-    return agents.join(rules, ["host", "gid"]).select(
-        "host", "agent", "rule", "pattern"
+    return (
+        agents.join(delays, ["host", "gid"])
+        .groupBy("host", "agent")
+        .agg(F.max("crawl_delay").alias("crawl_delay"))
     )
 
 

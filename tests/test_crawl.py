@@ -326,3 +326,24 @@ class TestCharset:
         plan = buf.getvalue()
         assert "ArrowEvalPython" in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestCrawlDelay:
+    def test_group_scoped_delays(self, spark):
+        txt = (
+            "User-agent: a\nUser-agent: b\nCrawl-delay: 2.5\n"
+            "Disallow: /x\n"
+            "User-agent: *\nCrawl-delay: 10\n"
+            "User-agent: a\nCrawl-delay: 1\n"  # merge keeps MAX
+            "User-agent: c\nCrawl-delay: soon\n"  # non-numeric dropped
+        )
+        df = spark.createDataFrame([("h", txt)], ["host", "robots_txt"])
+        got = {
+            (r.host, r.agent): r.crawl_delay
+            for r in crawl.robots_crawl_delays(df).collect()
+        }
+        assert got == {
+            ("h", "a"): 2.5,
+            ("h", "b"): 2.5,
+            ("h", "*"): 10.0,
+        }
