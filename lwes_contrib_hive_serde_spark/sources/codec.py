@@ -467,14 +467,18 @@ def _zstd_backend():
 
 def open_journal(path: str) -> BinaryIO:
     """Open a journal for reading; codec picked by extension like
-    JournalInputFormat.java:94-105 (``.gz`` supported; ``.bz2`` via
-    stdlib bz2; ``.zst`` via the zstandard package when installed)."""
+    JournalInputFormat.java:94-105 (``.gz`` supported; ``.bz2`` and
+    ``.xz`` via stdlib; ``.zst`` via the zstd backend)."""
     if path.endswith(".gz"):
         return gzip.open(path, "rb")
     if path.endswith(".bz2"):
         import bz2
 
         return bz2.open(path, "rb")
+    if path.endswith(".xz"):
+        import lzma
+
+        return lzma.open(path, "rb")
     if path.endswith(".zst"):
         return _zstd_backend().open_read(path)
     return open(path, "rb")
@@ -487,6 +491,10 @@ def open_journal_write(path: str) -> BinaryIO:
         import bz2
 
         return bz2.open(path, "wb")
+    if path.endswith(".xz"):
+        import lzma
+
+        return lzma.open(path, "wb")
     if path.endswith(".zst"):
         return _zstd_backend().open_write(path)
     return open(path, "wb")

@@ -49,9 +49,9 @@ Reference semantics carried over (file:line cites into /root/reference):
 * BYTE columns upcast to int16 on write (EventSerDe.java:395-401);
   on read declare short/int (BYTE rejected, EventSerDe.java:252-254).
 * compression chosen by file extension (JournalInputFormat.java:94-105):
-  ``.gz`` (gzip), ``.bz2`` (stdlib bz2), ``.zst`` (zstandard package,
+  ``.gz`` (gzip), ``.bz2``/``.xz`` (stdlib), ``.zst`` (zstd backend,
   honest CodecError when absent). Write side: ``option("compression",
-  "none"|"gzip"|"zlib"|"zstd")`` — v1 picks the matching extension;
+  "none"|"gzip"|"zlib"|"zstd"|"xz")`` — v1 picks the matching extension;
   v2 maps it to the per-block codec byte (0=none, 1=zlib, 2=zstd).
 
 Performance: the reader decodes straight into per-column lists and
@@ -719,7 +719,7 @@ class LwesReader(DataSourceReader):
         fall back to the general per-record path (non-utf-8 charsets,
         SenderIP predicates, non-uniform per-name layouts, exotic
         wire→column type bridges)."""
-        if fpath.endswith((".gz", ".bz2", ".zst")):
+        if fpath.endswith((".gz", ".bz2", ".zst", ".xz")):
             # whole-file decompress, then the same vectorized decode —
             # memory is bounded by the writer's roll size
             with c.open_journal(fpath) as fh:
@@ -1362,10 +1362,10 @@ class LwesWriter(DataSourceArrowWriter):
             raise ValueError("lwes: no output path specified")
         self.overwrite = overwrite
         self.compression = options.get("compression", "none").lower()
-        if self.compression not in ("none", "gzip", "zlib", "zstd"):
+        if self.compression not in ("none", "gzip", "zlib", "zstd", "xz"):
             raise ValueError(
                 f"lwes: unknown compression {self.compression!r} "
-                "(none|gzip|zlib|zstd)"
+                "(none|gzip|zlib|zstd|xz)"
             )
         if self.compression == "zstd":
             c._zstd_backend()  # honest CodecError at plan time
@@ -1385,6 +1385,11 @@ class LwesWriter(DataSourceArrowWriter):
         self.headerless = options.get("headerless", "false").lower() == "true"
         if self.headerless and self.v2:
             raise ValueError("lwes: headerless applies to v1 framing only")
+        if self.compression == "xz" and self.v2:
+            raise ValueError(
+                "lwes: xz is whole-file (v1) only — v2 blocks use "
+                "none|zlib|zstd"
+            )
         # stats=true: write the ANALYZE sidecar for each sealed file so
         # ReceiptTime file skipping works on fresh data with no
         # separate ANALYZE pass (a header-only re-walk per sealed file
@@ -1693,6 +1698,7 @@ class LwesWriter(DataSourceArrowWriter):
                 "gzip": ".journal.gz",
                 "zlib": ".journal.gz",  # same deflate bits, gzip wrapper
                 "zstd": ".journal.zst",
+                "xz": ".journal.xz",
             }.get(self.compression, ".journal")
         # streaming replay idempotency: LwesStreamWriter pins a
         # deterministic (epoch, partition) prefix so a replayed

@@ -80,8 +80,8 @@ class JsonlError(ValueError):
     pass
 
 
-_EXTS = (".jsonl", ".jsonl.gz", ".jsonl.zst", ".ndjson",
-         ".ndjson.gz", ".ndjson.zst")
+_EXTS = (".jsonl", ".jsonl.gz", ".jsonl.zst", ".jsonl.xz",
+         ".ndjson", ".ndjson.gz", ".ndjson.zst", ".ndjson.xz")
 
 
 def _open_jsonl(path: str) -> BinaryIO:
@@ -89,6 +89,10 @@ def _open_jsonl(path: str) -> BinaryIO:
         return zstd_backend.open_read(path)
     if path.endswith(".gz"):
         return gzip.open(path, "rb")
+    if path.endswith(".xz"):
+        import lzma
+
+        return lzma.open(path, "rb")
     return open(path, "rb")
 
 
@@ -461,10 +465,10 @@ class JsonlWriter(DataSourceWriter):
         if not self.path:
             raise ValueError("jsonl: no output path specified")
         self.compression = options.get("compression", "none").lower()
-        if self.compression not in ("none", "gzip", "zstd"):
+        if self.compression not in ("none", "gzip", "zstd", "xz"):
             raise ValueError(
                 f"jsonl: unknown compression {self.compression!r} "
-                "(none|gzip|zstd)"
+                "(none|gzip|zstd|xz)"
             )
         if self.compression == "zstd":
             zstd_backend.ensure_available()
@@ -486,12 +490,17 @@ class JsonlWriter(DataSourceWriter):
         if self.compression == "gzip":
             # mtime=0: byte-deterministic shards for a given row order
             return gzip.GzipFile(tmp, "wb", mtime=0)
+        if self.compression == "xz":
+            import lzma
+
+            # the .xz container stores no timestamp: deterministic
+            return lzma.open(tmp, "wb")
         return open(tmp, "wb")
 
     def write(self, rows) -> JsonlCommitMessage:
         os.makedirs(self.path, exist_ok=True)
         ext = ".jsonl" + {
-            "gzip": ".gz", "zstd": ".zst"
+            "gzip": ".gz", "zstd": ".zst", "xz": ".xz"
         }.get(self.compression, "")
         task_id = uuid.uuid4().hex
         attempt = uuid.uuid4().hex[:12]

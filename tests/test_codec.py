@@ -218,6 +218,17 @@ class TestJournalFraming:
         out = list(c.read_journal_file(p))
         assert [e.attributes["i"] for e in out] == list(range(50))
 
+    def test_xz_file_round_trip(self, tmp_path):
+        import lzma
+
+        p = str(tmp_path / "j.journal.xz")
+        events = [mkevent("E", i=(c.INT32, i)) for i in range(50)]
+        c.write_journal_file(p, events)
+        with lzma.open(p, "rb") as f:
+            assert f.read(1)  # really an .xz container
+        out = list(c.read_journal_file(p))
+        assert [e.attributes["i"] for e in out] == list(range(50))
+
     def test_raw_reader(self):
         buf = bytearray()
         c.write_journal_record(buf, mkevent("E", a=(c.INT32, 7)))

@@ -1276,3 +1276,36 @@ class TestAtomicPublish:
             for e in c.read_journal_file(os.path.join(out, f))
         ]
         assert sorted(e.get("k") for e in evs) == list(range(200))
+
+
+class TestXzJournals:
+    def test_spark_xz_round_trip(self, spark, tmp_path):
+        import os
+
+        import lwes_contrib_hive_serde_spark as L
+
+        L.register(spark)
+        src = spark.createDataFrame(
+            [(i, f"u{i}") for i in range(200)], "n int, u string"
+        )
+        out = str(tmp_path / "xzj")
+        (src.repartition(2).write.format("lwes")
+         .option("eventname", "E").option("compression", "xz")
+         .mode("overwrite").save(out))
+        names = [n for n in os.listdir(out) if n.endswith(".journal.xz")]
+        assert len(names) == 2
+        back = (spark.read.format("lwes").schema("n int, u string")
+                .option("path", out).option("eventname", "E").load())
+        assert sorted(r.n for r in back.collect()) == list(range(200))
+
+    def test_xz_rejected_for_v2(self, spark, tmp_path):
+        import pytest as _pytest
+
+        import lwes_contrib_hive_serde_spark as L
+
+        L.register(spark)
+        src = spark.createDataFrame([(1,)], "n int")
+        with _pytest.raises(Exception, match="v1"):
+            (src.write.format("lwes").option("eventname", "E")
+             .option("compression", "xz").option("v2", "true")
+             .mode("overwrite").save(str(tmp_path / "bad")))

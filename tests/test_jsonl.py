@@ -22,6 +22,11 @@ def _write_shard(path: str, objs):
     if path.endswith(".zst"):
         with zstd_backend.open_write(path) as f:
             f.write(data)
+    elif path.endswith(".xz"):
+        import lzma
+
+        with lzma.open(path, "wb") as f:
+            f.write(data)
     elif path.endswith(".gz"):
         with gzip.open(path, "wb") as f:
             f.write(data)
@@ -66,7 +71,7 @@ def _id_schema():
 class TestJsonlLibrary:
     def test_iter_rows_all_codecs(self, tmp_path):
         schema = _ddl_schema()
-        for ext in (".jsonl", ".jsonl.gz", ".jsonl.zst"):
+        for ext in (".jsonl", ".jsonl.gz", ".jsonl.zst", ".jsonl.xz"):
             p = str(tmp_path / f"shard{ext}")
             _write_shard(p, ROWS)
             got = list(J.iter_jsonl_rows(p, schema))
@@ -309,3 +314,27 @@ class TestJsonlStreaming:
         assert r2.partitions(o2, o3) and sum(
             len(p.files) for p in r2.partitions(o2, o3)
         ) == 1
+
+
+class TestJsonlXz:
+    def test_round_trip_xz(self, spark, tmp_path):
+        import os
+
+        import lwes_contrib_hive_serde_spark as L
+
+        L.register(spark)
+        src = spark.createDataFrame(
+            [(i, f"xz text {i}", float(i), i % 2 == 0, [str(i)])
+             for i in range(40)],
+            DDL,
+        )
+        out = str(tmp_path / "xzshards")
+        (src.repartition(2).write.format("jsonl")
+         .option("compression", "xz").mode("overwrite").save(out))
+        names = [n for n in os.listdir(out) if n.endswith(".jsonl.xz")]
+        assert len(names) == 2
+        back = (spark.read.format("jsonl").schema(DDL)
+                .option("path", out).load())
+        assert sorted(map(tuple, src.collect())) == sorted(
+            map(tuple, back.collect())
+        )
