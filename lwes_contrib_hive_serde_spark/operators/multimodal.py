@@ -1634,3 +1634,311 @@ def sample_frame_offsets(
             )
         ),
     )
+
+
+# --- PDF (ISO 32000) metadata walk ------------------------------------------
+#
+# Document corpora are full of PDFs; the ingestion question is the
+# same as for audio/video: how many pages, which version, encrypted?,
+# WITHOUT a rendering library. This walker reads the cross-reference
+# machinery only (ISO 32000-1 §7.5, public): classic xref tables,
+# PDF 1.5 cross-reference STREAMS (FlateDecode, with the PNG
+# Up/Sub/None row predictors), objects compressed into object streams
+# (ObjStm), and incremental-update /Prev chains. Page count comes
+# from the page-tree ROOT's /Count (the spec defines it as the total
+# leaf count — no tree recursion needed). Anything outside that
+# envelope (exotic filters, encrypted xref, damaged offsets) → NULL
+# fields, never a guess; the version/linearized flags still report
+# when only the header is readable.
+
+_PDF_SCAN_CAP = 32  # /Prev chain + ObjStm hops upper bound
+
+
+def _pdf_dict_text(data: bytes, start: int, cap: int = 1 << 16):
+    """Balanced ``<< … >>`` span starting at/after ``start``; returns
+    (text, end_index) or None. Byte scan with a depth counter — PDF
+    dicts nest."""
+    i = data.find(b"<<", start, start + cap)
+    if i < 0:
+        return None
+    depth = 0
+    j = i
+    end = min(len(data), i + cap)
+    while j < end - 1:
+        if data[j : j + 2] == b"<<":
+            depth += 1
+            j += 2
+        elif data[j : j + 2] == b">>":
+            depth -= 1
+            j += 2
+            if depth == 0:
+                return data[i:j], j
+        else:
+            j += 1
+    return None
+
+
+def _pdf_int(d: bytes, key: bytes):
+    import re
+
+    m = re.search(rb"/" + key + rb"\s+(\d+)", d)
+    return int(m.group(1)) if m else None
+
+
+def _pdf_ref(d: bytes, key: bytes):
+    import re
+
+    m = re.search(rb"/" + key + rb"\s+(\d+)\s+\d+\s+R", d)
+    return int(m.group(1)) if m else None
+
+
+def _png_unpredict(data: bytes, columns: int) -> bytes | None:
+    """Undo PNG row predictors (ISO 32000 /Predictor >= 10): each row
+    is 1 filter byte + ``columns`` data bytes; only None(0)/Sub(1)/
+    Up(2) appear in real xref streams — refuse the rest."""
+    row_w = columns + 1
+    if row_w <= 1 or len(data) % row_w:
+        return None
+    out = bytearray()
+    prev = bytearray(columns)
+    for r in range(0, len(data), row_w):
+        ft = data[r]
+        row = bytearray(data[r + 1 : r + row_w])
+        if ft == 0:
+            pass
+        elif ft == 1:
+            for i in range(1, columns):
+                row[i] = (row[i] + row[i - 1]) & 0xFF
+        elif ft == 2:
+            for i in range(columns):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        else:
+            return None
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _pdf_stream_data(b: bytes, dict_text: bytes, dict_end: int):
+    """Stream payload following a dict, decoded per /Filter (none or
+    FlateDecode, optional PNG predictor); None when unsupported."""
+    import re
+    import zlib
+
+    m = re.compile(rb"stream\r?\n").search(b, dict_end, dict_end + 64)
+    if not m:
+        return None
+    start = m.end()
+    length = _pdf_int(dict_text, b"Length")
+    if length is None:  # indirect /Length: fall back to endstream scan
+        e = b.find(b"endstream", start)
+        if e < 0:
+            return None
+        raw = b[start:e].rstrip(b"\r\n")
+    else:
+        raw = b[start : start + length]
+    if b"/FlateDecode" in dict_text:
+        try:
+            raw = zlib.decompress(raw)
+        except zlib.error:
+            return None
+    elif re.search(rb"/Filter\s*[/\[]", dict_text):
+        return None  # some other filter — out of envelope
+    pred = _pdf_int(dict_text, b"Predictor")
+    if pred and pred >= 10:
+        cols = _pdf_int(dict_text, b"Columns") or 1
+        raw = _png_unpredict(raw, cols)
+    elif pred and pred != 1:
+        return None
+    return raw
+
+
+def parse_pdf_meta(b: bytes):
+    """(version, n_pages, n_objects, encrypted, linearized,
+    xref_stream) for a PDF, or None when the bytes are not a PDF at
+    all. Fields the walker cannot PROVE are None — see the module
+    note above for the supported envelope."""
+    import re
+
+    if not b:
+        return None
+    m = re.search(rb"%PDF-(\d+\.\d+)", b[:1024])
+    if m is None:
+        return None
+    version = m.group(1).decode("ascii")
+    linearized = b"/Linearized" in b[:2048]
+    xref_stream = False
+    tail = b[-2048:]
+    sx = tail.rfind(b"startxref")
+    partial = (version, None, None, None, linearized, False)
+    if sx < 0:
+        return partial
+    m2 = re.search(rb"startxref\s+(\d+)", tail[sx:])
+    if not m2:
+        return partial
+    off = int(m2.group(1))
+
+    offsets: dict[int, tuple] = {}  # objnum -> ("o", off) | ("c", stm, idx)
+    trailers: list[bytes] = []
+    seen = set()
+    obj_hdr = re.compile(rb"(\d+)\s+(\d+)\s+obj")
+    try:
+        for _ in range(_PDF_SCAN_CAP):
+            if off in seen or off < 0 or off >= len(b):
+                break
+            seen.add(off)
+            if re.match(rb"\s*xref", b[off : off + 8]):
+                # classic table: subsections of 20-byte entries
+                p = b.find(b"xref", off) + 4
+                while True:
+                    ms = re.compile(rb"\s*(\d+)\s+(\d+)\s*[\r\n]").match(
+                        b, p
+                    )
+                    if not ms:
+                        break
+                    first, count = int(ms.group(1)), int(ms.group(2))
+                    p = ms.end()
+                    for k in range(count):
+                        ent = b[p : p + 20]
+                        me = re.match(rb"(\d{10})\s+(\d{5})\s+([nf])", ent)
+                        if me and me.group(3) == b"n":
+                            offsets.setdefault(
+                                first + k, ("o", int(me.group(1)))
+                            )
+                        p += 20
+                t = b.find(b"trailer", p)
+                if t < 0:
+                    break
+                got = _pdf_dict_text(b, t)
+                if not got:
+                    break
+                trailers.append(got[0])
+                prev = _pdf_int(got[0], b"Prev")
+            else:
+                mh = obj_hdr.match(b, off) or obj_hdr.search(
+                    b, off, off + 32
+                )
+                if not mh:
+                    break
+                xref_stream = True
+                got = _pdf_dict_text(b, mh.end())
+                if not got:
+                    break
+                d, dend = got
+                trailers.append(d)
+                data = _pdf_stream_data(b, d, dend)
+                size = _pdf_int(d, b"Size")
+                if data is not None and size is not None:
+                    ws = re.search(
+                        rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]", d
+                    )
+                    w = [int(x) for x in ws.groups()] if ws else None
+                    idx = re.search(rb"/Index\s*\[([\d\s]+)\]", d)
+                    pairs = (
+                        [int(x) for x in idx.group(1).split()]
+                        if idx
+                        else [0, size]
+                    )
+                    if w:
+                        rw = sum(w)
+                        pos = 0
+                        for a in range(0, len(pairs) - 1, 2):
+                            first, count = pairs[a], pairs[a + 1]
+                            for k in range(count):
+                                row = data[pos : pos + rw]
+                                pos += rw
+                                if len(row) < rw:
+                                    break
+                                f0, f1, f2 = 1, 0, 0
+                                q = 0
+                                if w[0]:
+                                    f0 = int.from_bytes(row[: w[0]], "big")
+                                    q = w[0]
+                                f1 = int.from_bytes(
+                                    row[q : q + w[1]], "big"
+                                )
+                                q += w[1]
+                                f2 = int.from_bytes(
+                                    row[q : q + w[2]], "big"
+                                )
+                                num = first + k
+                                if f0 == 1:
+                                    offsets.setdefault(num, ("o", f1))
+                                elif f0 == 2:
+                                    offsets.setdefault(num, ("c", f1, f2))
+                prev = _pdf_int(d, b"Prev")
+            if prev is None:
+                break
+            off = prev
+    except Exception:
+        return partial
+
+    if not trailers:
+        return partial
+    newest = trailers[0]
+    n_objects = _pdf_int(newest, b"Size")
+    encrypted = any(b"/Encrypt" in t for t in trailers)
+
+    def load(num, hops=0):
+        """Object body bytes for objnum, or None."""
+        if hops > _PDF_SCAN_CAP:
+            return None
+        loc = offsets.get(num)
+        if loc is None:
+            return None
+        if loc[0] == "o":
+            mo = obj_hdr.match(b, loc[1]) or obj_hdr.search(
+                b, loc[1], loc[1] + 32
+            )
+            if not mo or int(mo.group(1)) != num:
+                return None
+            end = b.find(b"endobj", mo.end(), mo.end() + (1 << 16))
+            return b[mo.end() : end if end > 0 else mo.end() + (1 << 16)]
+        stm_num, idx = loc[1], loc[2]
+        body = load(stm_num, hops + 1)
+        if body is None:
+            return None
+        got = _pdf_dict_text(body, 0)
+        if not got:
+            return None
+        d, dend = got
+        data = _pdf_stream_data(body, d, dend)
+        first = _pdf_int(d, b"First")
+        n = _pdf_int(d, b"N")
+        if data is None or first is None or n is None:
+            return None
+        import re as _re
+
+        nums = [
+            (int(a), int(o))
+            for a, o in _re.findall(rb"(\d+)\s+(\d+)", data[:first])[:n]
+        ]
+        for i, (onum, ooff) in enumerate(nums):
+            if onum == num:
+                end = (
+                    first + nums[i + 1][1] if i + 1 < len(nums) else len(data)
+                )
+                return data[first + ooff : end]
+        return None
+
+    n_pages = None
+    try:
+        root_ref = next(
+            (
+                r
+                for r in (_pdf_ref(t, b"Root") for t in trailers)
+                if r is not None
+            ),
+            None,
+        )
+        if root_ref is not None:
+            cat = load(root_ref)
+            if cat is not None:
+                pages_ref = _pdf_ref(cat, b"Pages")
+                if pages_ref is not None:
+                    pages = load(pages_ref)
+                    if pages is not None:
+                        n_pages = _pdf_int(pages, b"Count")
+    except Exception:
+        n_pages = None
+    return (version, n_pages, n_objects, encrypted, linearized, xref_stream)
