@@ -1753,11 +1753,20 @@ def _pdf_stream_data(b: bytes, dict_text: bytes, dict_end: int):
     return raw
 
 
-def parse_pdf_meta(b: bytes):
-    """(version, n_pages, n_objects, encrypted, linearized,
-    xref_stream) for a PDF, or None when the bytes are not a PDF at
-    all. Fields the walker cannot PROVE are None — see the module
-    note above for the supported envelope."""
+
+def _pdf_index(b: bytes):
+    """Cross-reference index for a PDF byte string: walk the
+    ``startxref`` chain — classic xref tables and ISO 32000-1 §7.5.8
+    cross-reference streams, following ``/Prev`` — and map every live
+    object number to its byte offset or its (ObjStm, slot) address.
+
+    Returns None when the bytes are not a PDF at all; otherwise a
+    dict with ``version``, ``linearized``, ``xref_stream``,
+    ``trailers`` (newest first), ``encrypted``, ``complete`` (False
+    when the chain could not be fully walked — callers degrade to
+    header-only facts, never guessing), and a ``load(num)`` callable
+    that materializes object bodies, including objects compressed
+    inside object streams (§7.5.7)."""
     import re
 
     if not b:
@@ -1765,21 +1774,26 @@ def parse_pdf_meta(b: bytes):
     m = re.search(rb"%PDF-(\d+\.\d+)", b[:1024])
     if m is None:
         return None
-    version = m.group(1).decode("ascii")
-    linearized = b"/Linearized" in b[:2048]
-    xref_stream = False
+    out = {
+        "version": m.group(1).decode("ascii"),
+        "linearized": b"/Linearized" in b[:2048],
+        "xref_stream": False,
+        "trailers": [],
+        "encrypted": False,
+        "complete": False,
+        "load": lambda num: None,
+    }
     tail = b[-2048:]
     sx = tail.rfind(b"startxref")
-    partial = (version, None, None, None, linearized, False)
     if sx < 0:
-        return partial
+        return out
     m2 = re.search(rb"startxref\s+(\d+)", tail[sx:])
     if not m2:
-        return partial
+        return out
     off = int(m2.group(1))
 
     offsets: dict[int, tuple] = {}  # objnum -> ("o", off) | ("c", stm, idx)
-    trailers: list[bytes] = []
+    trailers: list[bytes] = out["trailers"]
     seen = set()
     obj_hdr = re.compile(rb"(\d+)\s+(\d+)\s+obj")
     try:
@@ -1808,10 +1822,10 @@ def parse_pdf_meta(b: bytes):
                         p += 20
                 t = b.find(b"trailer", p)
                 if t < 0:
-                    break
+                    return out
                 got = _pdf_dict_text(b, t)
                 if not got:
-                    break
+                    return out
                 trailers.append(got[0])
                 prev = _pdf_int(got[0], b"Prev")
             else:
@@ -1819,11 +1833,11 @@ def parse_pdf_meta(b: bytes):
                     b, off, off + 32
                 )
                 if not mh:
-                    break
-                xref_stream = True
+                    return out
+                out["xref_stream"] = True
                 got = _pdf_dict_text(b, mh.end())
                 if not got:
-                    break
+                    return out
                 d, dend = got
                 trailers.append(d)
                 data = _pdf_stream_data(b, d, dend)
@@ -1849,7 +1863,7 @@ def parse_pdf_meta(b: bytes):
                                 pos += rw
                                 if len(row) < rw:
                                     break
-                                f0, f1, f2 = 1, 0, 0
+                                f0 = 1
                                 q = 0
                                 if w[0]:
                                     f0 = int.from_bytes(row[: w[0]], "big")
@@ -1871,13 +1885,11 @@ def parse_pdf_meta(b: bytes):
                 break
             off = prev
     except Exception:
-        return partial
+        return out
 
     if not trailers:
-        return partial
-    newest = trailers[0]
-    n_objects = _pdf_int(newest, b"Size")
-    encrypted = any(b"/Encrypt" in t for t in trailers)
+        return out
+    out["encrypted"] = any(b"/Encrypt" in t for t in trailers)
 
     def load(num, hops=0):
         """Object body bytes for objnum, or None."""
@@ -1892,8 +1904,8 @@ def parse_pdf_meta(b: bytes):
             )
             if not mo or int(mo.group(1)) != num:
                 return None
-            end = b.find(b"endobj", mo.end(), mo.end() + (1 << 16))
-            return b[mo.end() : end if end > 0 else mo.end() + (1 << 16)]
+            end = b.find(b"endobj", mo.end(), mo.end() + (1 << 20))
+            return b[mo.end() : end if end > 0 else mo.end() + (1 << 20)]
         stm_num, idx = loc[1], loc[2]
         body = load(stm_num, hops + 1)
         if body is None:
@@ -1907,11 +1919,9 @@ def parse_pdf_meta(b: bytes):
         n = _pdf_int(d, b"N")
         if data is None or first is None or n is None:
             return None
-        import re as _re
-
         nums = [
             (int(a), int(o))
-            for a, o in _re.findall(rb"(\d+)\s+(\d+)", data[:first])[:n]
+            for a, o in re.findall(rb"(\d+)\s+(\d+)", data[:first])[:n]
         ]
         for i, (onum, ooff) in enumerate(nums):
             if onum == num:
@@ -1921,24 +1931,507 @@ def parse_pdf_meta(b: bytes):
                 return data[first + ooff : end]
         return None
 
+    out["load"] = load
+    out["complete"] = True
+    return out
+
+
+def parse_pdf_meta(b: bytes):
+    """(version, n_pages, n_objects, encrypted, linearized,
+    xref_stream) for a PDF, or None when the bytes are not a PDF at
+    all. Fields the walker cannot PROVE are None — see the module
+    note above for the supported envelope."""
+    idx = _pdf_index(b)
+    if idx is None:
+        return None
+    if not idx["complete"]:
+        return (
+            idx["version"], None, None, None,
+            idx["linearized"], idx["xref_stream"],
+        )
+    n_objects = _pdf_int(idx["trailers"][0], b"Size")
     n_pages = None
     try:
         root_ref = next(
             (
                 r
-                for r in (_pdf_ref(t, b"Root") for t in trailers)
+                for r in (_pdf_ref(t, b"Root") for t in idx["trailers"])
                 if r is not None
             ),
             None,
         )
         if root_ref is not None:
-            cat = load(root_ref)
+            cat = idx["load"](root_ref)
             if cat is not None:
                 pages_ref = _pdf_ref(cat, b"Pages")
                 if pages_ref is not None:
-                    pages = load(pages_ref)
+                    pages = idx["load"](pages_ref)
                     if pages is not None:
                         n_pages = _pdf_int(pages, b"Count")
     except Exception:
         n_pages = None
-    return (version, n_pages, n_objects, encrypted, linearized, xref_stream)
+    return (
+        idx["version"], n_pages, n_objects, idx["encrypted"],
+        idx["linearized"], idx["xref_stream"],
+    )
+
+
+def _pdf_page_bodies(idx):
+    """Page object bodies in document order via the /Root → /Pages →
+    /Kids tree (depth-first, Kids order), or None when the tree
+    cannot be proven. Cycle-safe and hop-capped."""
+    import re
+
+    load = idx["load"]
+    root_ref = next(
+        (
+            r
+            for r in (_pdf_ref(t, b"Root") for t in idx["trailers"])
+            if r is not None
+        ),
+        None,
+    )
+    if root_ref is None:
+        return None
+    cat = load(root_ref)
+    if cat is None:
+        return None
+    pages_ref = _pdf_ref(cat, b"Pages")
+    if pages_ref is None:
+        return None
+    out: list[bytes] = []
+    seen: set[int] = set()
+    stack = [pages_ref]
+    while stack:
+        ref = stack.pop()
+        if ref in seen or len(seen) > 4 * _PDF_SCAN_CAP:
+            return None
+        seen.add(ref)
+        body = load(ref)
+        if body is None:
+            return None
+        kids = re.search(rb"/Kids\s*\[([^\]]*)\]", body)
+        if kids is not None:
+            refs = [
+                int(n) for n, _ in re.findall(rb"(\d+)\s+(\d+)\s+R", kids.group(1))
+            ]
+            stack.extend(reversed(refs))  # preserve Kids order (DFS)
+        elif b"/Type" in body and b"/Page" in body:
+            out.append(body)
+        else:
+            return None  # node is neither /Pages nor /Page: refuse
+    return out
+
+
+def _pdf_page_uses_cid_font(idx, page_body: bytes) -> bool | None:
+    """True when any font in the page's /Resources /Font dict is a
+    /Type0 (CID-keyed) font — their string operands are CMap-encoded
+    code sequences, not byte-per-glyph text, so extraction without
+    the CMap would be a guess. None when resources exist but cannot
+    be resolved (callers refuse)."""
+    import re
+
+    load = idx["load"]
+    rref = _pdf_ref(page_body, b"Resources")
+    if rref is not None:
+        res = load(rref)
+        if res is None:
+            return None
+    else:
+        rpos = page_body.find(b"/Resources")
+        if rpos < 0:
+            return False  # no resources at all: nothing to refuse on
+        got = _pdf_dict_text(page_body, rpos)
+        if got is None:
+            return None
+        res = got[0]
+    fpos = res.find(b"/Font")
+    if fpos < 0:
+        return False
+    fref = re.match(rb"/Font\s+(\d+)\s+\d+\s+R", res[fpos:])
+    if fref is not None:
+        fonts = load(int(fref.group(1)))
+        if fonts is None:
+            return None
+    else:
+        got = _pdf_dict_text(res, fpos)
+        if got is None:
+            return None
+        fonts = got[0]
+    for num, _ in re.findall(rb"(\d+)\s+(\d+)\s+R", fonts):
+        fobj = load(int(num))
+        if fobj is None:
+            return None
+        if b"/Type0" in fobj:
+            return True
+    return False
+
+
+def _pdf_literal_string(data: bytes, i: int):
+    """Decode a ``(…)`` literal string starting at index ``i`` (which
+    must point at the opening paren): balanced-paren aware, with the
+    §7.3.4.2 escapes (\\n \\r \\t \\b \\f \\( \\) \\\\, 1–3 digit
+    octal, backslash-EOL line continuation). Returns (bytes, end)."""
+    n = len(data)
+    depth = 1
+    i += 1
+    out = bytearray()
+    while i < n:
+        c = data[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = data[i]
+            simple = {
+                0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09,
+                0x62: 0x08, 0x66: 0x0C,
+                0x28: 0x28, 0x29: 0x29, 0x5C: 0x5C,
+            }
+            if e in simple:
+                out.append(simple[e])
+                i += 1
+            elif 0x30 <= e <= 0x37:  # up to 3 octal digits
+                val = 0
+                k = 0
+                while k < 3 and i < n and 0x30 <= data[i] <= 0x37:
+                    val = val * 8 + (data[i] - 0x30)
+                    i += 1
+                    k += 1
+                out.append(val & 0xFF)
+            elif e in (0x0D, 0x0A):  # line continuation
+                i += 1
+                if e == 0x0D and i < n and data[i] == 0x0A:
+                    i += 1
+            else:  # stray backslash: escaped char stands for itself
+                out.append(e)
+                i += 1
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return bytes(out), i + 1
+            out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return bytes(out), n  # unterminated: best-effort to EOF
+
+
+def _pdf_hex_string(data: bytes, i: int):
+    """Decode a ``<…>`` hex string starting at the ``<``; whitespace
+    is ignored, an odd final digit is padded with 0 (§7.3.4.3).
+    Returns (bytes, end) or None on a non-hex byte."""
+    j = data.find(b">", i + 1)
+    if j < 0:
+        return None
+    digits = bytes(
+        c for c in data[i + 1 : j] if c not in (0x20, 0x0A, 0x0D, 0x09, 0x0C, 0x00)
+    )
+    try:
+        if len(digits) % 2:
+            digits += b"0"
+        return bytes.fromhex(digits.decode("ascii")), j + 1
+    except (ValueError, UnicodeDecodeError):
+        return None
+
+
+def _pdf_content_text(data: bytes):
+    """Text shown by one content stream: a single pass over the
+    §9.4.3 text-showing operators inside BT…ET blocks — ``Tj``,
+    ``'``, ``\"`` (one string operand) and ``TJ`` (array; strings
+    concatenated, kerning numbers ignored) — with ``Td``/``TD``/
+    ``T*``/``'``/``\"`` breaking lines. String bytes are reported as
+    Latin-1 (no font-encoding/CMap translation; Type0 fonts are
+    refused upstream). Returns the text, or None when an inline
+    image (BI…EI) is unterminated — its binary payload would
+    masquerade as operators."""
+    import re
+
+    n = len(data)
+    i = 0
+    in_text = False
+    last_str: bytes | None = None
+    last_arr: list[bytes] | None = None
+    pieces: list[str] = []
+
+    def newline():
+        if pieces and pieces[-1] != "\n":
+            pieces.append("\n")
+
+    def emit(raw: bytes | None):
+        if raw:
+            pieces.append(raw.decode("latin-1"))
+
+    op_re = re.compile(rb"[A-Za-z'\"*][A-Za-z0-9'\"*]*")
+    while i < n:
+        c = data[i]
+        if c == 0x28:  # ( literal string
+            last_str, i = _pdf_literal_string(data, i)
+            last_arr = None
+        elif c == 0x3C:  # < : hex string or << dict
+            if data[i : i + 2] == b"<<":
+                got = _pdf_dict_text(data, i)
+                if got is None:
+                    i += 2
+                else:
+                    i = got[1]
+            else:
+                got = _pdf_hex_string(data, i)
+                if got is None:
+                    i += 1
+                else:
+                    last_str, i = got
+                    last_arr = None
+        elif c == 0x5B:  # [ array: collect the strings inside
+            arr: list[bytes] = []
+            i += 1
+            while i < n and data[i] != 0x5D:
+                if data[i] == 0x28:
+                    s, i = _pdf_literal_string(data, i)
+                    arr.append(s)
+                elif data[i] == 0x3C and data[i : i + 2] != b"<<":
+                    got = _pdf_hex_string(data, i)
+                    if got is None:
+                        i += 1
+                    else:
+                        s, i = got
+                        arr.append(s)
+                else:
+                    i += 1
+            i += 1
+            last_arr = arr
+            last_str = None
+        elif c == 0x25:  # % comment to EOL
+            j = min(
+                x
+                for x in (data.find(b"\n", i), data.find(b"\r", i), n)
+                if x >= 0
+            )
+            i = j
+        elif c == 0x2F:  # /Name token
+            i += 1
+            while i < n and not chr(data[i]).isspace() and data[i] not in (
+                0x2F, 0x28, 0x3C, 0x5B, 0x5D, 0x3E, 0x25,
+            ):
+                i += 1
+        else:
+            m = op_re.match(data, i)
+            if m is None:
+                i += 1
+                continue
+            op = m.group(0)
+            i = m.end()
+            if op == b"BT":
+                in_text = True
+            elif op == b"ET":
+                in_text = False
+            elif op == b"BI":
+                j = data.find(b"EI", i)
+                if j < 0:
+                    return None
+                i = j + 2
+            elif not in_text:
+                continue
+            elif op == b"Tj":
+                emit(last_str)
+            elif op in (b"'", b'"'):
+                newline()
+                emit(last_str)
+            elif op == b"TJ":
+                if last_arr is not None:
+                    emit(b"".join(last_arr))
+            elif op in (b"Td", b"TD", b"T*"):
+                newline()
+    return "".join(pieces)
+
+
+def parse_pdf_text(b: bytes):
+    """(n_pages, text) extracted from an unencrypted PDF, or None.
+
+    Supported envelope — anything outside it returns None, never a
+    guess (the module's NULL-never-guess policy): classic-xref AND
+    xref-stream/ObjStm files; content streams stored plain or
+    FlateDecode (other filters refused by _pdf_stream_data); simple
+    (byte-per-glyph) fonts only — pages whose resources include a
+    /Type0 CID font are refused because their show-string bytes are
+    CMap code sequences. Text is the concatenation of the §9.4.3
+    show operators in content-stream order, lines broken at Td/TD/
+    T*/'/\" and pages joined with newlines; bytes decode as Latin-1
+    (no per-font /Encoding or /ToUnicode translation — exact for the
+    ASCII range that the oracle query exercises)."""
+    idx = _pdf_index(b)
+    if idx is None or not idx["complete"] or idx["encrypted"]:
+        return None
+    pages = _pdf_page_bodies(idx)
+    if pages is None:
+        return None
+    texts: list[str] = []
+    for body in pages:
+        cid = _pdf_page_uses_cid_font(idx, body)
+        if cid is None or cid:
+            return None
+        crefs: list[int] = []
+        import re
+
+        cpos = body.find(b"/Contents")
+        if cpos < 0:
+            texts.append("")
+            continue
+        marr = re.match(rb"/Contents\s*\[([^\]]*)\]", body[cpos:])
+        if marr is not None:
+            crefs = [
+                int(x) for x, _ in re.findall(rb"(\d+)\s+(\d+)\s+R", marr.group(1))
+            ]
+        else:
+            mref = re.match(rb"/Contents\s+(\d+)\s+\d+\s+R", body[cpos:])
+            if mref is None:
+                return None
+            crefs = [int(mref.group(1))]
+        parts: list[bytes] = []
+        for ref in crefs:
+            obj = idx["load"](ref)
+            if obj is None:
+                return None
+            got = _pdf_dict_text(obj, 0)
+            if got is None:
+                return None
+            data = _pdf_stream_data(obj, got[0], got[1])
+            if data is None:
+                return None
+            parts.append(data)
+        text = _pdf_content_text(b"\n".join(parts))
+        if text is None:
+            return None
+        texts.append(text)
+    return len(texts), "\n".join(texts)
+
+
+def decode_pdf_text(
+    df: DataFrame, bin_col: str = "payload", batch_size: int = 16
+) -> DataFrame:
+    """Append (pdf_n_pages, pdf_text) parsed from PDF payloads via
+    mapInPandas; NULLs for anything parse_pdf_text refuses
+    (non-PDFs, encrypted files, unsupported filters, CID fonts).
+    Pure-Python byte walk over Arrow batches — the documented
+    Python-in-scan escape hatch (cf. decode_mp3_meta); payloads
+    never leave the executor."""
+    in_schema = df.schema
+    out_schema = ", ".join(
+        [f.simpleString().replace(":", " ", 1) for f in in_schema.fields]
+        + ["pdf_n_pages int", "pdf_text string"]
+    )
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n_pages: list = []
+            texts: list = []
+            for raw in pdf[bin_col]:
+                parsed = parse_pdf_text(
+                    bytes(raw) if raw is not None else b""
+                )
+                if parsed is None:
+                    n_pages.append(None)
+                    texts.append(None)
+                else:
+                    n_pages.append(parsed[0])
+                    texts.append(parsed[1])
+            yield pdf.assign(
+                pdf_n_pages=pd.array(n_pages, dtype="Int32"),
+                pdf_text=pd.array(texts, dtype=object),
+            )
+
+    spark = df.sparkSession
+    _shrink_arrow_batches(spark, batch_size)
+    return df.mapInPandas(decode, out_schema)
+
+
+def _pdf_escape_literal(s: str) -> bytes:
+    """Latin-1 bytes of ``s`` with ( ) \\ escaped for a literal
+    string operand."""
+    out = s.encode("latin-1")
+    return (
+        out.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+    )
+
+
+def pdf_bytes(
+    pages: list[list[str]],
+    compress: bool = False,
+    hex_strings: bool = False,
+) -> bytes:
+    """Serialize a REAL, spec-conformant classic-xref PDF whose pages
+    show the given lines of text — a deterministic, parseable fixture
+    generator (the audio analogue is cbr_mp3_bytes) used by tests and
+    the q_pdf_extract oracle query. One content stream per page
+    (``BT /F1 12 Tf 72 720 Td (l0) Tj 0 -14 Td (l1) Tj … ET``),
+    optionally FlateDecoded; ``hex_strings`` shows every odd line as
+    a ``<hex>`` string so both string syntaxes are exercised. The
+    xref table carries correct byte offsets, so any conformant
+    reader accepts the output."""
+    import zlib
+
+    objs: list[bytes] = []  # bodies; object number = index + 1
+    n_pages = len(pages)
+    # 1=Catalog 2=Pages 3=Font, then per page i: 4+2i=Page 5+2i=Content
+    kid_refs = b" ".join(
+        b"%d 0 R" % (4 + 2 * i) for i in range(n_pages)
+    )
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        b"<< /Type /Pages /Kids [" + kid_refs + b"] /Count %d >>" % n_pages
+    )
+    objs.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    for i, lines in enumerate(pages):
+        objs.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> "
+            b"/Contents %d 0 R >>" % (5 + 2 * i)
+        )
+        ops = [b"BT", b"/F1 12 Tf", b"72 720 Td"]
+        for j, line in enumerate(lines):
+            if j > 0:
+                ops.append(b"0 -14 Td")
+            if hex_strings and j % 2 == 1:
+                ops.append(b"<" + line.encode("latin-1").hex().encode() + b"> Tj")
+            else:
+                ops.append(b"(" + _pdf_escape_literal(line) + b") Tj")
+        ops.append(b"ET")
+        content = b"\n".join(ops)
+        if compress:
+            content = zlib.compress(content)
+            objs.append(
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(content)
+                + content
+                + b"\nendstream"
+            )
+        else:
+            objs.append(
+                b"<< /Length %d >>\nstream\n" % len(content)
+                + content
+                + b"\nendstream"
+            )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]  # entry 0 is the free-list head
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    xref_off = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_off)
+    )
+    return bytes(out)

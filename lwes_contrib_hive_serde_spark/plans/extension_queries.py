@@ -6465,3 +6465,88 @@ def q_script_mix(spark, sf_dir):
         sc.getField("cyrillic").cast("bigint").alias("n_cyrillic"),
         text.dominant_script("s").alias("dom"),
     )
+
+
+def _pdf_extract_oracle_sql() -> str:
+    b = [_sql_digest_byte("text", i) for i in range(4)]
+    return f"""
+    WITH params AS (
+      SELECT doc_id,
+             1 + ({b[0]}) % 3 AS n_pages,
+             1 + ({b[1]}) % 4 AS n_lines,
+             ({b[2]}) % 10 AS w
+      FROM documents WHERE doc_id < 48 AND length(text) > 0
+    )
+    SELECT doc_id,
+           CAST(n_pages AS INTEGER) AS pdf_n_pages,
+           array_to_string(flatten(list_transform(range(0, n_pages), p ->
+             list_transform(range(0, n_lines), l ->
+               'pg' || p || ' ln' || l || ' w' || w
+               || ' (' || w || chr(37) || ')'))), chr(10)) AS pdf_text
+    FROM params ORDER BY doc_id
+    """
+
+
+@register(
+    "q_pdf_extract",
+    shadow=True,
+    oracle=_pdf_extract_oracle_sql(),
+    doc="PDF text extraction over REAL, spec-conformant PDF byte "
+    "streams (multimodal.parse_pdf_text / decode_pdf_text, VERDICT "
+    "r7 #1): the query synthesizes classic-xref PDFs from sha256 "
+    "digest bytes of each document (page count, lines per page, a "
+    "word index, and FlateDecode on/off all digest-derived — the "
+    "q_mp3_meta/q_image_dhash recipe), with every odd line shown as "
+    "a <hex> string and every line containing escaped parens, then "
+    "runs them through the FULL production path: startxref chain -> "
+    "xref table -> page-tree walk -> /Contents stream decode "
+    "(zlib FlateDecode for ~half the docs) -> BT/ET Tj text-operator "
+    "walk with literal-string escape and hex-string decoding. The "
+    "DuckDB oracle rebuilds the identical line grid from the same "
+    "digest bytes — value-exact gating of xref offsets, stream "
+    "lengths, Flate round-trip, both string syntaxes, and the "
+    "line-break policy in one hash.",
+)
+def q_pdf_extract(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import multimodal
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 48) & (F.length("text") > 0))
+        .select("doc_id", "text")
+    )
+
+    def synth(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                dg = hashlib.sha256(t.encode("utf-8")).digest()
+                n_pages, n_lines, w = 1 + dg[0] % 3, 1 + dg[1] % 4, dg[2] % 10
+                pages = [
+                    [
+                        f"pg{p} ln{ln} w{w} ({w}%)"
+                        for ln in range(n_lines)
+                    ]
+                    for p in range(n_pages)
+                ]
+                payloads.append(
+                    multimodal.pdf_bytes(
+                        pages,
+                        compress=bool(dg[3] % 2),
+                        hex_strings=True,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    docs = d.mapInPandas(synth, "doc_id long, payload binary")
+    return (
+        multimodal.decode_pdf_text(docs)
+        .select("doc_id", "pdf_n_pages", "pdf_text")
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,218 @@
+"""PDF text extraction (multimodal.parse_pdf_text / decode_pdf_text,
+VERDICT r7 #1): round-trips over pdf_bytes fixtures, the documented
+refusal envelope (encrypted / CID fonts / unsupported filters — NULL,
+never a guess), truncation fuzz, and a hand-built xref-stream +
+object-stream file proving the compressed-object path feeds the text
+walk. The value-level gate is shadow q_pdf_extract (DuckDB rebuilds
+the digest-derived line grid)."""
+
+from __future__ import annotations
+
+import pytest
+
+from lwes_contrib_hive_serde_spark.operators import multimodal as mm
+
+PAGES = [["pg0 ln0 w7 (7%)", "pg0 ln1 w7 (7%)"], ["pg1 ln0 w7 (7%)"]]
+FLAT = "pg0 ln0 w7 (7%)\npg0 ln1 w7 (7%)\npg1 ln0 w7 (7%)"
+
+
+class TestPdfMeta:
+    def test_meta_fields(self):
+        b = mm.pdf_bytes(PAGES)
+        version, n_pages, n_objects, enc, lin, xs = mm.parse_pdf_meta(b)
+        assert (version, n_pages, enc, lin, xs) == (
+            "1.4", 2, False, False, False,
+        )
+        assert n_objects == 8  # catalog+pages+font+2*(page+content)+free
+
+    def test_meta_encrypted_flag(self):
+        b = mm.pdf_bytes(PAGES).replace(
+            b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R"
+        )
+        assert mm.parse_pdf_meta(b)[3] is True
+
+    def test_meta_non_pdf(self):
+        assert mm.parse_pdf_meta(b"") is None
+        assert mm.parse_pdf_meta(b"GIF89a not a pdf") is None
+
+
+class TestPdfTextRoundTrip:
+    @pytest.mark.parametrize("compress", [False, True])
+    @pytest.mark.parametrize("hex_strings", [False, True])
+    def test_round_trip(self, compress, hex_strings):
+        b = mm.pdf_bytes(PAGES, compress=compress, hex_strings=hex_strings)
+        assert mm.parse_pdf_text(b) == (2, FLAT)
+
+    def test_escapes(self):
+        # parens, backslash, and a newline escape inside the shown text
+        b = mm.pdf_bytes([["a(b)c \\ d"]])
+        assert mm.parse_pdf_text(b) == (1, "a(b)c \\ d")
+
+    def test_empty_page_and_empty_doc(self):
+        assert mm.parse_pdf_text(mm.pdf_bytes([[]])) == (1, "")
+        assert mm.parse_pdf_text(mm.pdf_bytes([["x"], []])) == (2, "x\n")
+
+    def test_single_long_page(self):
+        lines = [f"line {i}" for i in range(40)]
+        n, text = mm.parse_pdf_text(mm.pdf_bytes([lines], compress=True))
+        assert n == 1 and text == "\n".join(lines)
+
+
+class TestPdfRefusals:
+    """NULL-never-guess: everything outside the documented envelope
+    returns None rather than partial or garbled text."""
+
+    def test_encrypted(self):
+        b = mm.pdf_bytes(PAGES).replace(
+            b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R"
+        )
+        assert mm.parse_pdf_text(b) is None
+
+    def test_cid_font(self):
+        # /Type0 fonts show CMap code sequences, not bytes-per-glyph
+        b = mm.pdf_bytes(PAGES).replace(b"/Type1", b"/Type0")
+        assert mm.parse_pdf_text(b) is None
+
+    def test_unsupported_filter(self):
+        b = mm.pdf_bytes(PAGES, compress=True).replace(
+            b"/FlateDecode", b"/LZWDecode\x20\x20"
+        )
+        assert mm.parse_pdf_text(b) is None
+
+    def test_non_pdf_and_empty(self):
+        assert mm.parse_pdf_text(b"") is None
+        assert mm.parse_pdf_text(b"hello world") is None
+
+    def test_truncation_fuzz_never_raises(self):
+        b = mm.pdf_bytes(PAGES, compress=True, hex_strings=True)
+        for cut in range(0, len(b), 7):
+            got = mm.parse_pdf_text(b[:cut])
+            assert got is None or got == (2, FLAT)
+
+    def test_mutation_fuzz_never_raises(self):
+        import hashlib
+
+        b = bytearray(mm.pdf_bytes(PAGES))
+        for i in range(0, len(b), 11):
+            mut = bytearray(b)
+            mut[i] ^= 1 + hashlib.sha256(bytes([i & 0xFF])).digest()[0] % 254
+            got = mm.parse_pdf_text(bytes(mut))
+            assert got is None or isinstance(got, tuple)
+
+
+def _xref_stream_pdf(line: str) -> bytes:
+    """Hand-built single-page PDF using an ISO 32000 cross-reference
+    STREAM (obj 7) with catalog/pages/font packed into an object
+    stream (obj 6) — the modern layout pdf_bytes deliberately does
+    not emit, exercising _pdf_index's type-2 entries end to end."""
+    packed = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+    ]
+    hdr = []
+    body = b""
+    for num, ob in packed:
+        hdr.append(b"%d %d" % (num, len(body)))
+        body += ob + b" "
+    header = b" ".join(hdr) + b" "
+    objstm_data = header + body
+    objstm = (
+        b"<< /Type /ObjStm /N 3 /First %d /Length %d >>\nstream\n"
+        % (len(header), len(objstm_data))
+        + objstm_data
+        + b"\nendstream"
+    )
+    content = b"BT /F1 12 Tf 72 720 Td (" + line.encode() + b") Tj ET"
+    page = (
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"
+    )
+    cont = (
+        b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream"
+    )
+
+    out = bytearray(b"%PDF-1.5\n")
+    offs = {}
+    for num, ob in ((4, page), (5, cont), (6, objstm)):
+        offs[num] = len(out)
+        out += b"%d 0 obj\n" % num + ob + b"\nendobj\n"
+    xref_off = len(out)
+    rows = b""
+    rows += bytes([0]) + (0).to_bytes(2, "big") + bytes([0])  # obj 0 free
+    for slot, num in enumerate((1, 2, 3)):  # type 2: in ObjStm 6
+        rows += bytes([2]) + (6).to_bytes(2, "big") + bytes([slot])
+    for num in (4, 5, 6):  # type 1: direct offsets
+        rows += bytes([1]) + offs[num].to_bytes(2, "big") + bytes([0])
+    rows += bytes([1]) + xref_off.to_bytes(2, "big") + bytes([0])  # obj 7
+    out += (
+        b"7 0 obj\n<< /Type /XRef /Size 8 /W [1 2 1] /Root 1 0 R "
+        b"/Length %d >>\nstream\n" % len(rows)
+        + rows
+        + b"\nendstream\nendobj\n"
+    )
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    return bytes(out)
+
+
+class TestPdfXrefStream:
+    def test_objstm_text_extraction(self):
+        b = _xref_stream_pdf("hello from an object stream")
+        assert mm.parse_pdf_text(b) == (1, "hello from an object stream")
+
+    def test_objstm_meta(self):
+        b = _xref_stream_pdf("x")
+        version, n_pages, n_objects, enc, lin, xs = mm.parse_pdf_meta(b)
+        assert (version, n_pages, n_objects, enc, xs) == (
+            "1.5", 1, 8, False, True,
+        )
+
+
+class TestDecodePdfTextOperator:
+    def test_dataframe_operator_with_nulls(self, spark):
+        rows = [
+            (1, mm.pdf_bytes([["alpha"], ["beta"]])),
+            (2, mm.pdf_bytes([["gamma (g)"]], compress=True)),
+            (3, b"not a pdf"),
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, payload binary")
+        got = {
+            r["doc_id"]: (r["pdf_n_pages"], r["pdf_text"])
+            for r in mm.decode_pdf_text(df).collect()
+        }
+        mm.restore_arrow_batch_size(spark)
+        assert got[1] == (2, "alpha\nbeta")
+        assert got[2] == (1, "gamma (g)")
+        assert got[3] == (None, None)
+        assert got[4] == (None, None)
+
+    def test_content_stream_array_and_inline_resources(self):
+        # /Contents as an ARRAY of two streams, joined with a newline
+        one = b"BT /F1 12 Tf 72 720 Td (one) Tj ET"
+        two = b"BT 0 -14 Td (two) Tj ET"
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 6 0 R >> >> "
+            b"/Contents [4 0 R 5 0 R] >>",
+            b"<< /Length %d >>\nstream\n" % len(one) + one + b"\nendstream",
+            b"<< /Length %d >>\nstream\n" % len(two) + two + b"\nendstream",
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        ]
+        out = bytearray(b"%PDF-1.4\n")
+        offsets = []
+        for num, body in enumerate(objs, start=1):
+            offsets.append(len(out))
+            out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+        xref_off = len(out)
+        out += b"xref\n0 %d\n" % (len(objs) + 1)
+        out += b"0000000000 65535 f \n"
+        for off in offsets:
+            out += b"%010d 00000 n \n" % off
+        out += (
+            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, xref_off)
+        )
+        assert mm.parse_pdf_text(bytes(out)) == (1, "one\ntwo")
