@@ -47,5 +47,7 @@ def register(spark):
 
     spark.dataSource.register(datasource.LwesDataSource)
     spark.dataSource.register(warc.WarcDataSource)
+    spark.dataSource.register(warc.WetDataSource)
+    spark.dataSource.register(warc.WatDataSource)
     spark.dataSource.register(jsonl.JsonlDataSource)
     return spark

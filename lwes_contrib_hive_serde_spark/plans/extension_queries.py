@@ -6550,3 +6550,73 @@ def q_pdf_extract(spark, sf_dir):
         .select("doc_id", "pdf_n_pages", "pdf_text")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_wet_extract",
+    shadow=True,
+    oracle="""
+    SELECT doc_id,
+           'http://corpus.example/' || doc_id AS target_uri,
+           CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+           text AS wet_text
+    FROM documents WHERE doc_id < 60 AND text IS NOT NULL
+    ORDER BY doc_id
+    """,
+    doc="CommonCrawl WET sidecar ingestion (sources/warc.py "
+    "WetDataSource, VERDICT r7 #3): the query serializes each "
+    "document as a REAL WET ``conversion`` record (ISO 28500 "
+    "framing, text/plain block = the extracted text bytes) into "
+    "concatenated-gzip-member .warc.wet.gz files, each file led by "
+    "the ``warcinfo`` prologue real WET files carry, and reads them "
+    "back through spark.read.format('wet') — whose record-type "
+    "contract drops the prologue WITHOUT any caller-side filter. "
+    "The DuckDB oracle reconstructs uri/UTF-8 byte "
+    "length/text from the same documents: the framing walk, the "
+    "format alias's pinned record_type, Content-Length arithmetic "
+    "on multi-byte text, and payload-is-text-verbatim are all "
+    "value-gated in one hash.",
+)
+def q_wet_extract(spark, sf_dir):
+    import gzip as _gz
+    import os as _os
+    import tempfile
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 60) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    rows = d.collect()  # bounded: 60 rows, fixture construction only
+    tmp = tempfile.mkdtemp(prefix="lwespark_wet_")
+    per_file = 20
+    for fi in range(0, len(rows), per_file):
+        with open(_os.path.join(tmp, f"f{fi}.warc.wet.gz"), "wb") as f:
+            info = b"software: lwespark-test\r\n"
+            f.write(_gz.compress(
+                ("WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+                 "WARC-Record-ID: <urn:uuid:info>\r\n"
+                 "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                 "Content-Type: application/warc-fields\r\n"
+                 f"Content-Length: {len(info)}\r\n\r\n").encode()
+                + info + b"\r\n\r\n"))
+            for r in rows[fi : fi + per_file]:
+                body = r.text.encode("utf-8")
+                head = (
+                    "WARC/1.0\r\nWARC-Type: conversion\r\n"
+                    f"WARC-Record-ID: <urn:doc:{r.doc_id}>\r\n"
+                    f"WARC-Target-URI: http://corpus.example/{r.doc_id}\r\n"
+                    "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                    "Content-Type: text/plain\r\n"
+                    f"Content-Length: {len(body)}\r\n\r\n"
+                ).encode()
+                f.write(_gz.compress(head + body + b"\r\n\r\n"))
+    pages = spark.read.format("wet").option("path", tmp).load()
+    return pages.select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "target_uri",
+        "content_length",
+        F.col("payload").cast("string").alias("wet_text"),
+    ).orderBy("doc_id")

@@ -246,7 +246,12 @@ def _list_warc_files(path: str) -> list[str]:
         out = []
         for root, _dirs, names in os.walk(path):
             for n in names:
-                if n.endswith((".warc", ".warc.gz", ".arc.gz")):
+                if n.endswith(
+                    (
+                        ".warc", ".warc.gz", ".arc.gz",
+                        ".wet", ".wet.gz", ".wat", ".wat.gz",
+                    )
+                ):
                     out.append(os.path.join(root, n))
         return sorted(out)
     return sorted(p for p in _g.glob(path) if os.path.isfile(p))
@@ -358,6 +363,62 @@ class WarcDataSource(DataSource):
 
     def streamReader(self, schema: StructType):
         return WarcStreamReader(schema, self.options)
+
+
+def _with_default_types(options, types: str) -> dict:
+    """Copy of the datasource options with ``recordtypes`` defaulted —
+    an explicit option (or a pushed record_type filter, which
+    intersects) still narrows further."""
+    out = dict(options)
+    if not out.get("recordtypes"):
+        out["recordtypes"] = types
+    return out
+
+
+class WetDataSource(WarcDataSource):
+    """CommonCrawl WET sidecar: same ISO 28500 framing as WARC, but
+    the records that matter are ``conversion`` records whose block IS
+    the extracted plain text (Content-Type text/plain — no HTTP
+    message to parse, so ``payload`` is the text bytes verbatim;
+    ``F.col("payload").cast("string")`` is the UTF-8 decode). Reading
+    ``format("wet")`` pins ``recordtypes=conversion`` so the leading
+    ``warcinfo`` record every WET file starts with never reaches the
+    plan. Batch and streaming, same split policy as WARC (whole
+    files, bin-packed — WET ships as ~150 MB .warc.wet.gz files)."""
+
+    @classmethod
+    def name(cls):
+        return "wet"
+
+    def reader(self, schema: StructType):
+        return WarcReader(schema, _with_default_types(self.options, "conversion"))
+
+    def streamReader(self, schema: StructType):
+        return WarcStreamReader(
+            schema, _with_default_types(self.options, "conversion")
+        )
+
+
+class WatDataSource(WarcDataSource):
+    """CommonCrawl WAT sidecar: ``metadata`` records whose block is a
+    JSON envelope (Envelope/WARC-Header-Metadata/Payload-Metadata…)
+    describing the sibling WARC record. ``format("wat")`` pins
+    ``recordtypes=metadata``; the JSON payload composes with
+    operators/shred.py:  shred_json(df.withColumn("j",
+    F.col("payload").cast("string")), "j", keys=…) turns envelope
+    fields into typed columns with one from_json per row."""
+
+    @classmethod
+    def name(cls):
+        return "wat"
+
+    def reader(self, schema: StructType):
+        return WarcReader(schema, _with_default_types(self.options, "metadata"))
+
+    def streamReader(self, schema: StructType):
+        return WarcStreamReader(
+            schema, _with_default_types(self.options, "metadata")
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -369,3 +369,107 @@ class TestWarcDigestVerification:
         assert W.verify_block_digest(
             {"warc-block-digest": f"sha256:{hexd}"}, block + b"!"
         ) is False
+
+
+class TestWetWat:
+    """CommonCrawl WET/WAT sidecar formats (VERDICT r7 #3): same ISO
+    28500 framing, record-type contract pinned by the format alias."""
+
+    def _wet_dir(self, tmp_path, texts):
+        d = str(tmp_path / "wet")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "seg.warc.wet.gz"), "wb") as f:
+            info = b"software: test-extractor\r\n"
+            f.write(gzip.compress(
+                ("WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+                 "WARC-Record-ID: <urn:uuid:info>\r\n"
+                 "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                 "Content-Type: application/warc-fields\r\n"
+                 f"Content-Length: {len(info)}\r\n\r\n").encode()
+                + info + b"\r\n\r\n"))
+            for i, t in enumerate(texts):
+                body = t.encode()
+                f.write(gzip.compress(
+                    ("WARC/1.0\r\nWARC-Type: conversion\r\n"
+                     f"WARC-Target-URI: http://e/{i}\r\n"
+                     f"WARC-Record-ID: <urn:uuid:{i}>\r\n"
+                     "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                     "Content-Type: text/plain\r\n"
+                     f"Content-Length: {len(body)}\r\n\r\n").encode()
+                    + body + b"\r\n\r\n"))
+        return d
+
+    def test_wet_defaults_to_conversion_records(self, spark, tmp_path):
+        texts = ["first page text", "second page text", "third"]
+        d = self._wet_dir(tmp_path, texts)
+        df = spark.read.format("wet").option("path", d).load()
+        rows = sorted(
+            (r["target_uri"], r["record_type"],
+             bytes(r["payload"]).decode())
+            for r in df.collect()
+        )
+        # the warcinfo prologue never reaches the plan
+        assert rows == [
+            (f"http://e/{i}", "conversion", t)
+            for i, t in enumerate(texts)
+        ]
+
+    def test_wet_explicit_recordtypes_still_wins(self, spark, tmp_path):
+        d = self._wet_dir(tmp_path, ["x"])
+        df = (
+            spark.read.format("wet")
+            .option("path", d)
+            .option("recordtypes", "warcinfo")
+            .load()
+        )
+        assert [r["record_type"] for r in df.collect()] == ["warcinfo"]
+
+    def test_wat_shred_composition(self, spark, tmp_path):
+        import json
+
+        from pyspark.sql import functions as F
+
+        from lwes_contrib_hive_serde_spark.operators.shred import shred_json
+
+        d = str(tmp_path / "wat")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "seg.warc.wat.gz"), "wb") as f:
+            for i in range(4):
+                env = json.dumps({
+                    "uri": f"http://e/{i}",
+                    "status": 200 + i,
+                    "title": f"page {i}",
+                })
+                body = env.encode()
+                f.write(gzip.compress(
+                    ("WARC/1.0\r\nWARC-Type: metadata\r\n"
+                     f"WARC-Target-URI: http://e/{i}\r\n"
+                     f"WARC-Record-ID: <urn:uuid:{i}>\r\n"
+                     "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                     "Content-Type: application/json\r\n"
+                     f"Content-Length: {len(body)}\r\n\r\n").encode()
+                    + body + b"\r\n\r\n"))
+        df = (
+            spark.read.format("wat").option("path", d).load()
+            .withColumn("j", F.col("payload").cast("string"))
+        )
+        shredded = shred_json(
+            df, "j", keys={"uri": "string", "status": "int", "title": "string"}
+        )
+        got = sorted(
+            (r["uri"], r["status"], r["title"])
+            for r in shredded.collect()
+        )
+        assert got == [
+            (f"http://e/{i}", 200 + i, f"page {i}") for i in range(4)
+        ]
+
+    def test_stream_reader_inherits_default_types(self, tmp_path):
+        r = W.WetDataSource({"path": str(tmp_path)}).streamReader(
+            W.WARC_SCHEMA
+        )
+        assert r.record_types == {"conversion"}
+        r2 = W.WatDataSource({"path": str(tmp_path)}).streamReader(
+            W.WARC_SCHEMA
+        )
+        assert r2.record_types == {"metadata"}
