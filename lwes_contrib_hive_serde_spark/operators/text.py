@@ -1724,3 +1724,155 @@ def dominant_script(col, min_fraction: float = 0.5) -> Column:
         )
         .otherwise(F.lit("mixed"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-n-gram language ID — Cavnar & Trenkle (1994), "N-Gram-Based
+# Text Categorization": per-language rank profiles of the most frequent
+# character n-grams, classified by out-of-place rank distance. The
+# trained-model upgrade over the stopword heuristic (language_scores) —
+# it separates same-script languages (es/pt, da/no) the 10-stopword
+# lists cannot. VERDICT r7 #4.
+# ---------------------------------------------------------------------------
+
+
+def char_ngrams(col, n_max: int = 3) -> Column:
+    """Padded character n-grams (n = 1..n_max) of normalized text,
+    as one flat array — each word wrapped in '_' sentinels the way
+    Cavnar–Trenkle profiles are built ("the" → _t, th, he, e_, _th,
+    the, he_, …). Pure JVM higher-order functions (transform /
+    sequence / flatten): runs inside the scan at codegen speed, no
+    Python. n_max ≤ 5 keeps the sequence bound positive for every
+    nonempty padded word."""
+    words = F.filter(
+        F.split(normalize_text(col), " "), lambda w: w != ""
+    )
+    padded = F.transform(
+        words, lambda w: F.concat(F.lit("_"), w, F.lit("_"))
+    )
+
+    def grams_of(w):
+        per_n = [
+            F.when(
+                F.length(w) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(w) - F.lit(n - 1)),
+                    lambda i: w.substr(i, F.lit(n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+            for n in range(1, n_max + 1)
+        ]
+        return F.flatten(F.array(*per_n))
+
+    return F.flatten(F.transform(padded, grams_of))
+
+
+def train_langid_profiles(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    n_max: int = 3,
+    top_k: int = 300,
+) -> DataFrame:
+    """(lang, gram, rank) — each language's top-``top_k`` character
+    n-grams by frequency over its seed text, rank 1 = most frequent,
+    ties broken gram-ascending so the profile is deterministic under
+    any partitioning (and reproducible in a SQL oracle).
+
+    ONE count-aggregate (explode grams → groupBy(lang, gram), map-side
+    partial combine) plus a per-language rank window over the
+    vocabulary-sized counts — the result is |langs|·top_k rows, a
+    broadcast-sized model no matter how big the seed corpus is."""
+    grams = df.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(char_ngrams(text_col, n_max)).alias("gram"),
+    )
+    counts = grams.groupBy("lang", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("cnt").desc(), F.col("gram").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("lang", "gram", "rank")
+    )
+
+
+def langid(
+    df: DataFrame,
+    profiles: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_max: int = 3,
+    top_k: int = 300,
+    out_col: str = "lang",
+) -> DataFrame:
+    """(id, out_col, langid_distance, langid_n_grams) — Cavnar–
+    Trenkle out-of-place classification of every document against
+    the trained profiles: the document's own top-``top_k`` gram
+    ranks are compared to each language's profile, distance +=
+    |doc_rank − profile_rank| when the gram is in the profile, else
+    the max penalty ``top_k``; the language with the smallest total
+    wins (ties: lang ascending). Classic CT has no reject class —
+    threshold ``langid_distance / langid_n_grams`` (the per-gram
+    average out-of-place, in [0, top_k]; raw totals are NOT
+    comparable across docs of different profile sizes) for an
+    "unknown" band. Docs with no grams (empty/NULL text) are
+    omitted, the perplexity_score convention.
+
+    Scale shape: gram counting is the wordcount aggregate (one
+    shuffle keyed (doc, gram), map-side combine), doc ranks one
+    window shuffle on ``id_col``, candidate languages ride an
+    exploded LITERAL array (|langs| is read from the profile frame —
+    a bounded, model-sized collect), and the profile join is an
+    explicit broadcast on (lang, gram). Nothing corpus-sized ever
+    sits on the driver; integer arithmetic end to end, so the verdict
+    hash-matches a SQL oracle replaying the same rank walk."""
+    langs = sorted(
+        r["lang"] for r in profiles.select("lang").distinct().collect()
+    )
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(char_ngrams(text_col, n_max)).alias("gram"),
+    )
+    counts = grams.groupBy("__id", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.col("cnt").desc(), F.col("gram").asc()
+    )
+    doc_prof = (
+        counts.withColumn("drank", F.row_number().over(w))
+        .filter(F.col("drank") <= top_k)
+        .select("__id", "gram", "drank")
+    )
+    per_lang = doc_prof.withColumn(
+        "lang", F.explode(F.array(*[F.lit(l) for l in langs]))
+    )
+    joined = per_lang.join(
+        F.broadcast(profiles.select("lang", "gram", "rank")),
+        ["lang", "gram"],
+        "left",
+    )
+    dist = F.coalesce(
+        F.abs(F.col("drank") - F.col("rank")), F.lit(top_k)
+    ).cast("bigint")
+    totals = joined.groupBy("__id", "lang").agg(
+        F.sum(dist).alias("__dist"),
+        F.count(F.lit(1)).alias("__n"),  # = |doc profile|, every lang
+    )
+    best = F.min(
+        F.struct(F.col("__dist"), F.col("lang"), F.col("__n"))
+    ).alias("__b")
+    return (
+        totals.groupBy("__id")
+        .agg(best)
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__b.lang").alias(out_col),
+            F.col("__b.__dist").alias("langid_distance"),
+            F.col("__b.__n").alias("langid_n_grams"),
+        )
+    )

@@ -6620,3 +6620,143 @@ def q_wet_extract(spark, sf_dir):
         "content_length",
         F.col("payload").cast("string").alias("wet_text"),
     ).orderBy("doc_id")
+
+
+_LANGID_SEEDS = [
+    ("en", "the quick brown fox jumps over the lazy dog and the cat "
+           "with them is that for it this was not are they have from"),
+    ("de", "der schnelle braune fuchs springt und die katze ist nicht "
+           "mit einem zu auf dem das sie er wir haben nicht sind"),
+    ("fr", "le renard brun rapide saute et le chat est un une que "
+           "pour dans les avec nous vous sont ont pas sur"),
+    ("es", "el zorro marron rapido salta y el gato es un una que por "
+           "con los para nosotros son han no sobre las"),
+]
+
+_LANGID_TEMPLATES = [
+    "the dog and the cat are with them that is it for",
+    "die katze und der fuchs sind nicht mit einem zu auf",
+    "le chat est dans les arbres pour un une que avec",
+    "el gato es un animal que por con los una",
+    "中文 中文 数据 处理",
+]
+
+_LANGID_K = 200
+
+
+def _langid_oracle_sql() -> str:
+    seeds = ", ".join(
+        f"('{l}', '{t}')" for l, t in _LANGID_SEEDS
+    )
+    cases = " ".join(
+        f"WHEN {i} THEN '{t}'" for i, t in enumerate(_LANGID_TEMPLATES)
+    )
+
+    def grams(expr: str) -> str:
+        norm = f"trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g'))"
+        return (
+            f"flatten(list_transform("
+            f"list_filter(string_split({norm}, ' '), w -> w != ''), "
+            f"w -> flatten(list_transform([1,2,3], n -> "
+            f"list_transform(range(1, length('_' || w || '_') - n + 2), "
+            f"i -> substr('_' || w || '_', i::INT, n::INT))))))"
+        )
+
+    k = _LANGID_K
+    return f"""
+    WITH seed(lang, stext) AS (VALUES {seeds}),
+    seed_lists AS (
+      SELECT lang, {grams("stext")} AS gl FROM seed
+    ),
+    seed_grams AS (
+      SELECT lang, unnest(gl) AS gram FROM seed_lists
+    ),
+    prof_counts AS (
+      SELECT lang, gram, count(*) AS cnt FROM seed_grams GROUP BY 1, 2
+    ),
+    prof AS (
+      SELECT lang, gram,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY cnt DESC, gram ASC) AS rank
+      FROM prof_counts
+      QUALIFY rank <= {k}
+    ),
+    docs AS (
+      SELECT doc_id,
+             (CASE doc_id % 5 {cases} END)
+             || ' w' || (doc_id % 7) AS dtext
+      FROM documents WHERE doc_id < 400
+    ),
+    doc_lists AS (
+      SELECT doc_id, {grams("dtext")} AS gl FROM docs
+    ),
+    doc_grams AS (
+      SELECT doc_id, unnest(gl) AS gram FROM doc_lists
+    ),
+    doc_counts AS (
+      SELECT doc_id, gram, count(*) AS cnt FROM doc_grams GROUP BY 1, 2
+    ),
+    doc_prof AS (
+      SELECT doc_id, gram,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS drank
+      FROM doc_counts
+      QUALIFY drank <= {k}
+    ),
+    totals AS (
+      SELECT d.doc_id, l.lang,
+             sum(coalesce(abs(d.drank - p.rank), {k})) AS dist,
+             count(*) AS n
+      FROM doc_prof d
+      CROSS JOIN (SELECT DISTINCT lang FROM seed) l
+      LEFT JOIN prof p ON p.lang = l.lang AND p.gram = d.gram
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, lang, CAST(dist AS BIGINT) AS langid_distance,
+           CAST(n AS BIGINT) AS langid_n_grams
+    FROM totals
+    QUALIFY row_number() OVER (
+      PARTITION BY doc_id ORDER BY dist ASC, lang ASC) = 1
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "q_langid_ngram",
+    shadow=True,
+    oracle=_langid_oracle_sql(),
+    doc="Character-n-gram language ID, Cavnar & Trenkle 1994 "
+    "(text.train_langid_profiles + text.langid, VERDICT r7 #4 — the "
+    "trained upgrade over the stopword heuristic): per-language "
+    "top-k char-1..3-gram rank profiles trained from seed text in "
+    "one count-aggregate, documents classified by out-of-place rank "
+    "distance (|doc_rank - profile_rank|, max-penalty k for absent "
+    "grams, argmin language with lexicographic tie-break). The "
+    "DuckDB oracle replays the ENTIRE pipeline — padded-word gram "
+    "explode, both rank windows with the cnt-desc/gram-asc "
+    "tie-break, the penalty join, and the argmin — from the same "
+    "seed and template literals, so training AND scoring are "
+    "value-hash-gated end to end. Docs cycle four same-script-"
+    "separable languages plus an unknown-script case whose gated "
+    "distance documents the no-reject-class contract (threshold on "
+    "langid_distance for an 'unknown' band). Integer arithmetic "
+    "end to end.",
+)
+def q_langid_ngram(spark, sf_dir):
+    seeds = spark.createDataFrame(_LANGID_SEEDS, "lang string, text string")
+    prof = text.train_langid_profiles(seeds, top_k=_LANGID_K)
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    m = F.col("doc_id") % 5
+    tmpl = F.when(m == 0, _LANGID_TEMPLATES[0])
+    for i in range(1, 5):
+        tmpl = tmpl.when(m == i, _LANGID_TEMPLATES[i])
+    docs = d.select(
+        "doc_id",
+        F.concat(
+            tmpl, F.lit(" w"), (F.col("doc_id") % 7).cast("string")
+        ).alias("text"),
+    )
+    out = text.langid(docs, prof, top_k=_LANGID_K)
+    return out.select(
+        "doc_id", "lang", "langid_distance", "langid_n_grams"
+    ).orderBy("doc_id")
