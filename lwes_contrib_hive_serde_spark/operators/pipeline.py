@@ -8,6 +8,9 @@ Gopher, Rae et al. 2021 A1.1; GPT-3 decontamination-style dedup):
   2. Gopher quality     -> keep pass_all documents
   3. PII redaction      -> emails/IPv4/phones replaced by placeholders
   4. fingerprint dedup  -> min-id keeper per normalized fingerprint
+  4b. ExactSubstr spans -> duplicated >=k-word spans cut, first copy
+                           kept (Lee et al. 2022; optional,
+                           ``dedup_spans_k=``)
   5. weighted mixture   -> per-source keep probabilities (optional)
   6. train/val/test split (optional)
   7. sequence packing   -> token-budget bin assignment (optional)
@@ -15,7 +18,9 @@ Gopher, Rae et al. 2021 A1.1; GPT-3 decontamination-style dedup):
 Plan shape at 100 TB: stages 1-3 and 5-6 are pure per-row JVM
 projections/filters that Catalyst fuses into the SCAN stage (one pass,
 zero shuffles, whole-stage codegen); stage 4 is the single dedup
-shuffle on the fingerprint key; stage 7 is one window cumsum per shard.
+shuffle on the fingerprint key; stage 4b adds one k-gram-hash
+aggregate and an id-keyed span join when enabled; stage 7 is one
+window cumsum per shard.
 Total: one scan + one shuffle + one window — the composition costs no
 more than its most expensive member, which is the reason to express the
 pipeline declaratively instead of materializing between stages.
@@ -55,6 +60,8 @@ def curate(
     max_link_density: float | None = None,
     main_content: bool = False,
     blocked_terms: list[str] | None = None,
+    dedup_spans_k: int | None = None,
+    dedup_spans_min_count: int = 2,
     seed: str = "lwespark",
 ) -> DataFrame:
     """Returns the curated frame with ``text_clean`` (cleaned +
@@ -116,6 +123,27 @@ def curate(
     if pii:
         out = out.withColumn("text_clean", text.redact_pii("text_clean"))
     out = dedup.fingerprint_dedup(out, "text_clean", id_col)
+    if dedup_spans_k is not None:
+        # 4b. ExactSubstr span removal (Lee et al. 2022): cut every
+        # duplicated >=k-word span except its canonical first
+        # occurrence — the sub-document stage fingerprint dedup
+        # cannot reach (boilerplate paragraphs, license blocks,
+        # syndicated passages shared across otherwise-distinct
+        # pages). Cost model: ONE extra gram aggregate (shuffle
+        # keyed on the k-gram hash) + the id-keyed span join; the
+        # cut itself is a per-row JVM exists() over the merged span
+        # list. Docs whose every word was duplicated reassemble to
+        # '' and drop, the same hygiene rule as the cleaning stage.
+        out = dedup.remove_duplicate_spans(
+            out,
+            "text_clean",
+            id_col,
+            k=dedup_spans_k,
+            min_count=dedup_spans_min_count,
+            keep="first",
+            out_col="text_clean",
+        ).drop("n_dup_words", "n_dup_spans")
+        out = out.filter(F.length("text_clean") > 0)
     if mixture is not None and source_col is not None:
         out = sampling.weighted_mixture(
             out,
