@@ -302,3 +302,113 @@ def build_journal_stats(
         "path string, records long, min_receipt_time long, "
         "max_receipt_time long, refreshed boolean",
     )
+
+
+def journal_count(
+    spark: SparkSession,
+    path: str,
+    min_receipt_time: int | None = None,
+    max_receipt_time: int | None = None,
+) -> dict:
+    """COUNT(*) / min / max ReceiptTime over a journal directory,
+    answered from the ANALYZE sidecars wherever possible — the
+    metadata-only fast path that closes the stats loop (VERDICT r7
+    #6): a count over a petabyte of journals whose sidecars are
+    fresh touches ZERO journal bytes.
+
+    Per file, in order of preference:
+      * sidecar fresh (recorded size == on-disk size, the
+        self-invalidation contract from build_journal_stats) AND the
+        file's [min,max] falls entirely inside the predicate range →
+        O(1) contribution from the sidecar alone;
+      * sidecar fresh but the range only PARTIALLY overlaps → that
+        file gets a header-only filtered walk (payloads seeked over,
+        never decoded);
+      * sidecar stale/missing/disjoint-unprovable → same fail-safe
+        walk. Disjoint fresh files are skipped without opening.
+
+    The walks run as one distributed job (a task per non-O(1) file);
+    sidecar reads are driver-side metadata I/O, exactly like a
+    parquet footer pass. Returns {"records", "min_receipt_time",
+    "max_receipt_time", "files_total", "files_from_stats",
+    "files_scanned"} — the two file counters make the fast path's
+    coverage observable (and testable)."""
+    import json as _json
+
+    from lwes_contrib_hive_serde_spark.sources.codec import (
+        iter_journal_receipt_times,
+    )
+    from lwes_contrib_hive_serde_spark.sources.datasource import (
+        _list_journal_files,
+    )
+
+    lo_q = min_receipt_time if min_receipt_time is not None else -(1 << 62)
+    hi_q = max_receipt_time if max_receipt_time is not None else (1 << 62)
+
+    files = _list_journal_files(path)
+    n = 0
+    lo = hi = None
+    to_scan: list[str] = []
+    from_stats = 0
+    for p in files:
+        st = None
+        sp = _stats_path(p)
+        try:
+            size = os.path.getsize(p)
+            with open(sp) as f:
+                cand = _json.load(f)
+            if (
+                cand.get("size") == size
+                and isinstance(cand.get("records"), int)
+            ):
+                st = cand
+        except (OSError, ValueError):
+            st = None
+        if st is None:
+            to_scan.append(p)
+            continue
+        fmin, fmax = st["min_receipt_time"], st["max_receipt_time"]
+        if st["records"] == 0 or fmin is None:
+            from_stats += 1
+            continue  # empty file: contributes nothing
+        if fmin > hi_q or fmax < lo_q:
+            from_stats += 1
+            continue  # provably disjoint: skipped unopened
+        if fmin >= lo_q and fmax <= hi_q:
+            from_stats += 1  # fully covered: sidecar is the answer
+            n += st["records"]
+            lo = fmin if lo is None else min(lo, fmin)
+            hi = fmax if hi is None else max(hi, fmax)
+        else:
+            to_scan.append(p)  # partial overlap: must look inside
+
+    if to_scan:
+        def walk(p: str):
+            wn = 0
+            wlo = whi = None
+            for rt in iter_journal_receipt_times(p):
+                if lo_q <= rt <= hi_q:
+                    wn += 1
+                    if wlo is None or rt < wlo:
+                        wlo = rt
+                    if whi is None or rt > whi:
+                        whi = rt
+            return wn, wlo, whi
+
+        sc = spark.sparkContext
+        for wn, wlo, whi in (
+            sc.parallelize(to_scan, len(to_scan)).map(walk).collect()
+        ):
+            n += wn
+            if wlo is not None:
+                lo = wlo if lo is None else min(lo, wlo)
+                hi = whi if hi is None else max(hi, whi)
+
+    return {
+        "records": n,
+        "min_receipt_time": lo,
+        "max_receipt_time": hi,
+        "files_total": len(files),
+        "files_from_stats": from_stats,
+        "files_scanned": len(to_scan),
+    }

@@ -845,23 +845,13 @@ def read_journal_raw(stream: BinaryIO) -> Iterator[tuple[bytes, bytes]]:
         yield header, payload
 
 
-def scan_journal_stats(path: str) -> dict:
-    """Header-only stats walk of one journal: (size, records,
-    min/max ReceiptTime). Payloads are never decoded — v1 seeks over
-    them, gz/v2 decompress but only the 22-byte headers are parsed."""
+def iter_journal_receipt_times(path: str):
+    """Header-only ReceiptTime walk of one journal (any tier: v1
+    plain, v1 .gz/.bz2/.xz/.zst, v2 blocks). Payloads are never
+    decoded — plain v1 seeks over them, compressed tiers read past;
+    only the 22-byte headers are parsed. A torn tail ends the
+    iteration cleanly (the intact prefix is reported)."""
     import os
-
-    size = os.path.getsize(path)
-    lo = hi = None
-    n = 0
-
-    def feed(rtime: int):
-        nonlocal lo, hi, n
-        n += 1
-        if lo is None or rtime < lo:
-            lo = rtime
-        if hi is None or rtime > hi:
-            hi = rtime
 
     if path.endswith(".journal2"):
         with open(path, "rb") as f:
@@ -869,11 +859,13 @@ def scan_journal_stats(path: str) -> dict:
                 for rtime, _ip, _port, _site, _payload in (
                     iter_v2_block_records(block)
                 ):
-                    feed(rtime)
-    elif path.endswith((".gz", ".bz2", ".zst")):
+                    yield rtime
+    elif path.endswith((".gz", ".bz2", ".xz", ".zst")):
         # compressed v1: stream-decompress, headers parsed, payloads
-        # read past (no decode). .bz2 previously fell into the raw
-        # seek branch below and parsed compressed bytes as headers.
+        # read past (no decode). EVERY open_journal codec extension
+        # must be listed here — .bz2 (and later .xz) once fell into
+        # the raw seek branch below and parsed compressed bytes as
+        # headers.
         with open_journal(path) as f:
             while True:
                 head = f.read(HEADER_LENGTH)
@@ -883,18 +875,35 @@ def scan_journal_stats(path: str) -> dict:
                 payload = f.read(length)
                 if len(payload) < length:
                     break  # torn tail: stats cover the intact prefix
-                feed(rtime)
+                yield rtime
     else:
+        size = os.path.getsize(path)
         with open(path, "rb") as f:
             while True:
                 head = f.read(HEADER_LENGTH)
                 if len(head) < HEADER_LENGTH:
                     break
                 length, rtime, _ip, _p, _s = unpack_header(head)
-                feed(rtime)
+                yield rtime
                 f.seek(length, os.SEEK_CUR)
                 if f.tell() > size:
                     break
+
+
+def scan_journal_stats(path: str) -> dict:
+    """Header-only stats walk of one journal: (size, records,
+    min/max ReceiptTime) — a fold over iter_journal_receipt_times."""
+    import os
+
+    size = os.path.getsize(path)
+    lo = hi = None
+    n = 0
+    for rtime in iter_journal_receipt_times(path):
+        n += 1
+        if lo is None or rtime < lo:
+            lo = rtime
+        if hi is None or rtime > hi:
+            hi = rtime
     return {
         "size": size,
         "records": n,

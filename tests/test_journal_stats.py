@@ -207,3 +207,73 @@ class TestWriteTimeStats:
                 .mode("overwrite")
                 .save(str(tmp_path / "h"))
             )
+
+
+class TestJournalCount:
+    """Metadata-only COUNT/min/max (maintenance.journal_count,
+    VERDICT r7 #6): sidecar answers == full-scan answers, including
+    the stale-sidecar and partial-overlap fail-safe paths."""
+
+    def test_sidecar_only_full_range(self, spark, hourly_dir):
+        d, base = hourly_dir
+        M.build_journal_stats(spark, d)
+        got = M.journal_count(spark, d)
+        assert got["records"] == 150
+        assert got["min_receipt_time"] == base
+        assert got["max_receipt_time"] == base + 2 * 3600_000 + 49_000
+        # every file answered from stats, zero journal bytes touched
+        assert got["files_from_stats"] == 3 and got["files_scanned"] == 0
+
+    def test_disjoint_range_skips_unopened(self, spark, hourly_dir):
+        d, base = hourly_dir
+        M.build_journal_stats(spark, d)
+        got = M.journal_count(
+            spark, d, min_receipt_time=base + 10 * 3600_000
+        )
+        assert got["records"] == 0
+        assert got["min_receipt_time"] is None
+        assert got["files_scanned"] == 0
+
+    def test_partial_overlap_walks_that_file_only(self, spark, hourly_dir):
+        d, base = hourly_dir
+        M.build_journal_stats(spark, d)
+        # range covers all of hour 0 but only records 0..24 of hour 1
+        got = M.journal_count(
+            spark, d, max_receipt_time=base + 3600_000 + 24_000
+        )
+        assert got["records"] == 75
+        assert got["files_from_stats"] == 2 and got["files_scanned"] == 1
+        assert got["max_receipt_time"] == base + 3600_000 + 24_000
+
+    def test_stale_sidecar_fails_safe(self, spark, hourly_dir):
+        d, base = hourly_dir
+        M.build_journal_stats(spark, d)
+        # append to h0 AFTER analyze: its sidecar size no longer
+        # matches, so the file must be walked, not trusted
+        _emit(d, "h0b.journal", base + 10_000, 5)
+        os.rename(
+            os.path.join(d, "h0b.journal"), os.path.join(d, "h0.journal")
+        )
+        got = M.journal_count(spark, d)
+        full = sum(
+            c.scan_journal_stats(os.path.join(d, f))["records"]
+            for f in ("h0.journal", "h1.journal", "h2.journal")
+        )
+        assert got["records"] == full == 105
+        assert got["files_scanned"] == 1  # only the stale file
+
+    def test_no_sidecars_equals_full_scan(self, spark, hourly_dir):
+        d, base = hourly_dir
+        got = M.journal_count(spark, d)
+        assert got["records"] == 150
+        assert got["files_from_stats"] == 0 and got["files_scanned"] == 3
+
+    def test_xz_journal_stats_are_headers_not_garbage(self, tmp_path):
+        # regression: .xz journals once fell into the raw-seek branch
+        # and parsed LZMA bytes as event headers
+        d = str(tmp_path)
+        _emit(d, "a.journal.xz", 1723500000000, 7)
+        st = c.scan_journal_stats(os.path.join(d, "a.journal.xz"))
+        assert st["records"] == 7
+        assert st["min_receipt_time"] == 1723500000000
+        assert st["max_receipt_time"] == 1723500006000
