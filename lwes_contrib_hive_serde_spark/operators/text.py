@@ -1876,3 +1876,166 @@ def langid(
             F.col("__b.__n").alias("langid_n_grams"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stupid-backoff trigram LM — Brants et al. 2007, "Large Language
+# Models in Machine Translation": the trigram upgrade over the
+# add-alpha bigram filter (train_bigram_counts / perplexity_score),
+# closing most of the gap to CCNet's 5-gram KenLM while staying
+# SQL-expressible. VERDICT r7 #8.
+# ---------------------------------------------------------------------------
+
+
+def train_trigram_counts(df: DataFrame, text_col: str = "text"):
+    """(unigrams, bigrams, trigrams): count frames for the
+    stupid-backoff trigram LM — the bigram trainer's frames plus one
+    more wordcount aggregation over word triples. Lowercased
+    whitespace words over normalized text, the shared tokenizer.
+    Three classic map-side-combined aggregations; the frames are
+    vocabulary-sized, never corpus-sized."""
+    uni, bi = train_bigram_counts(df, text_col)
+    words = F.split(normalize_text(text_col), " ")
+    n = F.size(words)
+    triples = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.struct(
+            F.element_at(words, i).alias("w1"),
+            F.element_at(words, i + 1).alias("w2"),
+            F.element_at(words, i + 2).alias("w3"),
+        ),
+    )
+    tri = (
+        df.filter(n >= 3)
+        .select(F.explode(triples).alias("t"))
+        .select("t.w1", "t.w2", "t.w3")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return uni, bi, tri
+
+
+def stupid_backoff_score(
+    df: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    trigrams: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+    out_col: str = "sb_ppl",
+) -> DataFrame:
+    """(id, n_trigrams, out_col) — perplexity-like score of every
+    document under the stupid-backoff trigram model (Brants 2007,
+    α = 0.4, the paper's constant):
+
+        S(w3|w1w2) = c(w1w2w3)/c(w1w2)        when the trigram is seen
+                   = α·c(w2w3)/c(w2)          else, when the bigram is
+                   = α²·c(w3)/N               else, when the word is
+                   = α²/(N+V)                 else (unseen word floor)
+        score = exp(-mean(ln S))
+
+    Stupid backoff yields scores, not normalized probabilities, so
+    ``out_col`` is a relative fluency ranking — exactly what a CCNet
+    -style quality filter thresholds. Docs with fewer than three
+    words are omitted (no trigram events).
+
+    Cross-engine determinism: each ln S rounds to 9 decimals and sums
+    as DECIMAL (associative), bit-identical under any partitioning.
+
+    Scale shape: explode doc trigrams → four LEFT joins against the
+    count frames (token-keyed; AQE broadcasts small models, degrades
+    to sort-merge on the same keys otherwise) → one per-doc
+    aggregation. N and V ride one broadcast one-row aggregate — the
+    perplexity_score recipe with one extra backoff tier."""
+    words = F.split(normalize_text(text_col), " ")
+    n = F.size(words)
+    triples = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.struct(
+            F.element_at(words, i).alias("w1"),
+            F.element_at(words, i + 1).alias("w2"),
+            F.element_at(words, i + 2).alias("w3"),
+        ),
+    )
+    doc_tri = (
+        df.filter(n >= 3)
+        .select(F.col(id_col).alias("__id"), F.explode(triples).alias("t"))
+        .select("__id", "t.w1", "t.w2", "t.w3")
+    )
+    scalars = (
+        unigrams.agg(
+            F.sum("cnt").alias("__n"), F.count(F.lit(1)).alias("__v")
+        )
+        .withColumn("__k", F.lit(1))
+    )
+    scored = (
+        doc_tri.join(
+            trigrams.select(
+                "w1", "w2", "w3", F.col("cnt").alias("__c123")
+            ),
+            ["w1", "w2", "w3"],
+            "left",
+        )
+        .join(
+            bigrams.select(
+                "w1", "w2", F.col("cnt").alias("__c12")
+            ),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            bigrams.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("cnt").alias("__c23"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            unigrams.select(F.col("w").alias("w2"), F.col("cnt").alias("__c2")),
+            "w2",
+            "left",
+        )
+        .join(
+            unigrams.select(F.col("w").alias("w3"), F.col("cnt").alias("__c3")),
+            "w3",
+            "left",
+        )
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(scalars), "__k")
+    )
+    a = F.lit(float(alpha))
+    s = (
+        F.when(
+            F.col("__c123").isNotNull() & F.col("__c12").isNotNull(),
+            F.col("__c123") / F.col("__c12"),
+        )
+        .when(
+            F.col("__c23").isNotNull() & F.col("__c2").isNotNull(),
+            a * F.col("__c23") / F.col("__c2"),
+        )
+        .when(
+            F.col("__c3").isNotNull(),
+            a * a * F.col("__c3") / F.col("__n"),
+        )
+        .otherwise(a * a / (F.col("__n") + F.col("__v")))
+    )
+    logs = F.round(F.log(s), 9)
+    return (
+        scored.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(
+                F.exp(
+                    -(
+                        F.sum(logs.cast("decimal(28,12)")).cast("double")
+                        / F.count(F.lit(1))
+                    )
+                ),
+                4,
+            ).alias(out_col),
+        )
+        .select(F.col("__id").alias(id_col), "n_trigrams", out_col)
+    )

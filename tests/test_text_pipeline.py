@@ -1724,3 +1724,53 @@ class TestCavnarTrenkleLangid:
         # profile, so one gram per word escapes the penalty)
         assert norm[2] > 90.0
         assert norm[1] < 50.0
+
+
+class TestStupidBackoff:
+    """Trigram stupid backoff (text.train_trigram_counts /
+    stupid_backoff_score, VERDICT r7 #8). Corpus-level value gate:
+    shadow q_trigram_backoff."""
+
+    def test_all_four_tiers_score_finite(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import text
+
+        train = spark.createDataFrame(
+            [(1, "the cat sat on the mat"), (2, "the dog sat on a rug")],
+            "doc_id long, text string",
+        )
+        uni, bi, tri = text.train_trigram_counts(train)
+        docs = spark.createDataFrame(
+            [
+                (10, "the cat sat on the mat"),   # all trigrams seen
+                (11, "the cat sat on a mat"),     # backoff to bigrams
+                (12, "dog mat cat rug the on"),   # backoff to unigrams
+                (13, "zz qq xx yy ww vv"),        # unseen-word floor
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["sb_ppl"]
+            for r in text.stupid_backoff_score(docs, uni, bi, tri).collect()
+        }
+        assert set(got) == {10, 11, 12, 13}
+        # fluency ordering: exact match < bigram-backoff < unigram
+        # scramble < fully-unseen gibberish, all finite
+        assert got[10] < got[11] < got[12] < got[13]
+        # floor tier: every event scores alpha^2/(N+V), so
+        # sb_ppl == (N+V)/alpha^2 exactly
+        n_plus_v = 12 + 8  # 12 tokens, 8 distinct words in train
+        assert abs(got[13] - n_plus_v / 0.16) < 0.5
+
+    def test_short_docs_omitted(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import text
+
+        train = spark.createDataFrame(
+            [(1, "a b c d")], "doc_id long, text string"
+        )
+        uni, bi, tri = text.train_trigram_counts(train)
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, ""), (3, None), (4, "a b c")],
+            "doc_id long, text string",
+        )
+        out = text.stupid_backoff_score(docs, uni, bi, tri)
+        assert [r["doc_id"] for r in out.collect()] == [4]
