@@ -2435,3 +2435,146 @@ def pdf_bytes(
         % (len(objs) + 1, xref_off)
     )
     return bytes(out)
+
+
+def parse_docx_text(b: bytes):
+    """(n_paragraphs, text) extracted from a DOCX (OOXML
+    WordprocessingML, ECMA-376) byte string, or None.
+
+    Supported envelope — outside it None, never a guess (the
+    module's NULL-never-guess policy): a well-formed ZIP containing
+    a parseable ``word/document.xml``. Encrypted Office files are a
+    different container entirely (OLE CFB, no ZIP magic) and fall
+    out naturally; a torn ZIP or malformed XML refuses. Text is the
+    concatenation of ``w:t`` runs per paragraph (``w:tab`` → TAB,
+    in-paragraph ``w:br``/``w:cr`` → newline), paragraphs joined
+    with newlines — the ordering the document part itself defines,
+    via one stdlib ElementTree walk."""
+    import io
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    if not b[:4] in (b"PK\x03\x04", b"PK\x05\x06"):
+        return None
+    try:
+        with zipfile.ZipFile(io.BytesIO(b)) as z:
+            with z.open("word/document.xml") as f:
+                root = ET.parse(f).getroot()
+    except (zipfile.BadZipFile, KeyError, OSError, ET.ParseError):
+        return None
+    W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+    paras: list[str] = []
+    for p in root.iter(f"{W}p"):
+        parts: list[str] = []
+        for node in p.iter():
+            if node.tag == f"{W}t":
+                parts.append(node.text or "")
+            elif node.tag == f"{W}tab":
+                parts.append("\t")
+            elif node.tag in (f"{W}br", f"{W}cr"):
+                parts.append("\n")
+        paras.append("".join(parts))
+    return len(paras), "\n".join(paras)
+
+
+def docx_bytes(paragraphs: list[list[str]], deflate: bool = False) -> bytes:
+    """Serialize a REAL, spec-conformant minimal DOCX whose document
+    part holds the given paragraphs (each a list of runs) — the
+    document-format sibling of pdf_bytes/cbr_mp3_bytes, deterministic
+    byte-for-byte (fixed ZIP timestamps) so tests and the
+    q_docx_extract oracle can digest-synthesize fixtures. Any
+    conformant reader (Word, LibreOffice, python-docx) accepts the
+    output: [Content_Types].xml, _rels/.rels, and word/document.xml
+    are all present and well-formed."""
+    import io
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    body = []
+    for runs in paragraphs:
+        body.append(
+            "<w:p>"
+            + "".join(
+                f'<w:r><w:t xml:space="preserve">{escape(t)}</w:t></w:r>'
+                for t in runs
+            )
+            + "</w:p>"
+        )
+    doc = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+        'wordprocessingml/2006/main"><w:body>'
+        + "".join(body)
+        + "</w:body></w:document>"
+    )
+    ctypes = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'content-types">'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Default Extension="rels" ContentType="application/vnd.'
+        'openxmlformats-package.relationships+xml"/>'
+        '<Override PartName="/word/document.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.'
+        'wordprocessingml.document.main+xml"/></Types>'
+    )
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/'
+        'package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.'
+        'org/officeDocument/2006/relationships/officeDocument" '
+        'Target="word/document.xml"/></Relationships>'
+    )
+    buf = io.BytesIO()
+    comp = zipfile.ZIP_DEFLATED if deflate else zipfile.ZIP_STORED
+    with zipfile.ZipFile(buf, "w", comp) as z:
+        for name, data in (
+            ("[Content_Types].xml", ctypes),
+            ("_rels/.rels", rels),
+            ("word/document.xml", doc),
+        ):
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zi.compress_type = comp
+            z.writestr(zi, data)
+    return buf.getvalue()
+
+
+def decode_docx_text(
+    df: DataFrame, bin_col: str = "payload", batch_size: int = 16
+) -> DataFrame:
+    """Append (docx_n_paras, docx_text) parsed from DOCX payloads via
+    mapInPandas; NULLs for anything parse_docx_text refuses (non-ZIP
+    containers incl. encrypted OLE files, torn archives, malformed
+    XML). The documented Python-in-scan escape hatch, cf.
+    decode_pdf_text."""
+    in_schema = df.schema
+    out_schema = ", ".join(
+        [f.simpleString().replace(":", " ", 1) for f in in_schema.fields]
+        + ["docx_n_paras int", "docx_text string"]
+    )
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n_paras: list = []
+            texts: list = []
+            for raw in pdf[bin_col]:
+                parsed = parse_docx_text(
+                    bytes(raw) if raw is not None else b""
+                )
+                if parsed is None:
+                    n_paras.append(None)
+                    texts.append(None)
+                else:
+                    n_paras.append(parsed[0])
+                    texts.append(parsed[1])
+            yield pdf.assign(
+                docx_n_paras=pd.array(n_paras, dtype="Int32"),
+                docx_text=pd.array(texts, dtype=object),
+            )
+
+    spark = df.sparkSession
+    _shrink_arrow_batches(spark, batch_size)
+    return df.mapInPandas(decode, out_schema)

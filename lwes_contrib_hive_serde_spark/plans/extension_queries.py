@@ -6844,3 +6844,80 @@ def q_trigram_backoff(spark, sf_dir):
     train = d.filter(F.col("doc_id") % 2 == 0)
     uni, bi, tri = text.train_trigram_counts(train)
     return text.stupid_backoff_score(d, uni, bi, tri, out_col="sb_ppl")
+
+
+def _docx_extract_oracle_sql() -> str:
+    b = [_sql_digest_byte("text", i) for i in range(4)]
+    return f"""
+    WITH params AS (
+      SELECT doc_id,
+             1 + ({b[0]}) % 4 AS n_paras,
+             1 + ({b[1]}) % 3 AS n_runs,
+             ({b[2]}) % 10 AS w
+      FROM documents WHERE doc_id < 48 AND length(text) > 0
+    )
+    SELECT doc_id,
+           CAST(n_paras AS INTEGER) AS docx_n_paras,
+           array_to_string(list_transform(range(0, n_paras), p ->
+             array_to_string(list_transform(range(0, n_runs), r ->
+               'p' || p || ' r' || r || ' <' || w || '&>'), '')),
+             chr(10)) AS docx_text
+    FROM params ORDER BY doc_id
+    """
+
+
+@register(
+    "q_docx_extract",
+    shadow=True,
+    oracle=_docx_extract_oracle_sql(),
+    doc="DOCX text extraction over REAL, spec-conformant OOXML byte "
+    "streams (multimodal.parse_docx_text / decode_docx_text — the "
+    "document-format sibling of q_pdf_extract): the query "
+    "synthesizes minimal WordprocessingML packages from sha256 "
+    "digest bytes of each document (paragraph count, runs per "
+    "paragraph, a word index, and ZIP deflate on/off all "
+    "digest-derived), with every run containing XML-special "
+    "characters (< & >) so entity escaping round-trips, then runs "
+    "them through the FULL production path: ZIP central-directory "
+    "walk -> word/document.xml parse -> w:p/w:r/w:t run "
+    "concatenation with paragraph line breaks. The DuckDB oracle "
+    "rebuilds the identical run grid from the same digest bytes — "
+    "ZIP framing (stored AND deflated members), XML unescaping, and "
+    "the paragraph-join policy are all value-gated in one hash.",
+)
+def q_docx_extract(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import multimodal
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 48) & (F.length("text") > 0))
+        .select("doc_id", "text")
+    )
+
+    def synth(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                dg = hashlib.sha256(t.encode("utf-8")).digest()
+                n_paras, n_runs, w = 1 + dg[0] % 4, 1 + dg[1] % 3, dg[2] % 10
+                paras = [
+                    [f"p{p} r{r} <{w}&>" for r in range(n_runs)]
+                    for p in range(n_paras)
+                ]
+                payloads.append(
+                    multimodal.docx_bytes(paras, deflate=bool(dg[3] % 2))
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    docs = d.mapInPandas(synth, "doc_id long, payload binary")
+    return (
+        multimodal.decode_docx_text(docs)
+        .select("doc_id", "docx_n_paras", "docx_text")
+        .orderBy("doc_id")
+    )

@@ -216,3 +216,76 @@ class TestDecodePdfTextOperator:
             % (len(objs) + 1, xref_off)
         )
         assert mm.parse_pdf_text(bytes(out)) == (1, "one\ntwo")
+
+
+class TestDocxText:
+    """DOCX extraction (multimodal.parse_docx_text / docx_bytes):
+    round-trips, tab/br handling, refusal envelope. Value-level gate:
+    shadow q_docx_extract."""
+
+    @pytest.mark.parametrize("deflate", [False, True])
+    def test_round_trip(self, deflate):
+        paras = [["hello ", "world"], ["second para"], []]
+        b = mm.docx_bytes(paras, deflate=deflate)
+        assert mm.parse_docx_text(b) == (3, "hello world\nsecond para\n")
+
+    def test_xml_escaping_round_trips(self):
+        b = mm.docx_bytes([["a < b & c > d", "\"quoted\""]])
+        assert mm.parse_docx_text(b) == (1, 'a < b & c > d"quoted"')
+
+    def test_tab_and_br_elements(self):
+        import io
+        import zipfile
+
+        b = mm.docx_bytes([["x"]])
+        # splice a tab and a br into the run via direct XML surgery
+        with zipfile.ZipFile(io.BytesIO(b)) as z:
+            doc = z.read("word/document.xml").decode()
+        doc = doc.replace(
+            "<w:r><w:t", "<w:r><w:tab/><w:br/><w:t", 1
+        )
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("word/document.xml", doc)
+        assert mm.parse_docx_text(buf.getvalue()) == (1, "\t\nx")
+
+    def test_refusals(self):
+        import io
+        import zipfile
+
+        assert mm.parse_docx_text(b"") is None
+        assert mm.parse_docx_text(b"not a zip at all") is None
+        # OLE CFB magic (encrypted Office container): not a ZIP
+        assert mm.parse_docx_text(b"\xd0\xcf\x11\xe0" + b"\x00" * 64) is None
+        # a ZIP without word/document.xml refuses
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("other.txt", "x")
+        assert mm.parse_docx_text(buf.getvalue()) is None
+        # malformed XML refuses
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("word/document.xml", "<w:document><unclosed")
+        assert mm.parse_docx_text(buf.getvalue()) is None
+
+    def test_truncation_fuzz_never_raises(self):
+        b = mm.docx_bytes([["some text here"]], deflate=True)
+        for cut in range(0, len(b), 13):
+            got = mm.parse_docx_text(b[:cut])
+            assert got is None or isinstance(got, tuple)
+
+    def test_dataframe_operator(self, spark):
+        rows = [
+            (1, mm.docx_bytes([["alpha"], ["beta"]])),
+            (2, b"junk"),
+            (3, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, payload binary")
+        got = {
+            r["doc_id"]: (r["docx_n_paras"], r["docx_text"])
+            for r in mm.decode_docx_text(df).collect()
+        }
+        mm.restore_arrow_batch_size(spark)
+        assert got[1] == (2, "alpha\nbeta")
+        assert got[2] == (None, None)
+        assert got[3] == (None, None)
