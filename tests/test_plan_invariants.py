@@ -25,6 +25,7 @@ NLJ_ALLOWED = {
     "q_theta_join",
     "q_boilerplate_removal",
     "q_perplexity_filter",
+    "q_trigram_backoff",  # scalar (N, V) one-row side, same shape
     "q_tfidf_keywords",  # scalar N, same one-row shape
     "q_bm25_search",  # scalar (N, avgdl), same one-row shape
     "q_collocations",  # scalar (U, T), same one-row shape
