@@ -6921,3 +6921,111 @@ def q_docx_extract(spark, sf_dir):
         .select("doc_id", "docx_n_paras", "docx_text")
         .orderBy("doc_id")
     )
+
+
+def _wat_outlinks_oracle_sql() -> str:
+    b0 = _sql_digest_byte("text", 0)
+    return f"""
+    WITH params AS (
+      SELECT doc_id, 1 + ({b0}) % 4 AS n_links
+      FROM documents WHERE doc_id < 60 AND text IS NOT NULL
+    )
+    SELECT doc_id,
+           'http://corpus.example/' || doc_id AS page_url,
+           'http://links.example/' || doc_id || '/' || i AS link_url
+    FROM params, unnest(range(0, n_links)) AS t(i)
+    ORDER BY doc_id, link_url
+    """
+
+
+@register(
+    "q_wat_outlinks",
+    shadow=True,
+    oracle=_wat_outlinks_oracle_sql(),
+    doc="CommonCrawl WAT outlink extraction (sources/warc.py "
+    "WatDataSource + wat_outlinks — the web-graph/frontier feed): "
+    "the query serializes each document as a REAL WAT ``metadata`` "
+    "record whose block is the CommonCrawl JSON envelope (Envelope "
+    "-> Payload-Metadata -> HTTP-Response-Metadata -> HTML-Metadata "
+    "-> Links[], link count digest-derived) inside .warc.wat.gz "
+    "files, reads them back through spark.read.format('wat') — the "
+    "alias pins recordtypes=metadata — and shreds the envelope with "
+    "ONE from_json against the pinned nested path plus one explode. "
+    "The DuckDB oracle regenerates the same (page, link) grid from "
+    "the digest bytes: ISO 28500 framing, the four-level JSON "
+    "descent, and the explode fan-out are all value-gated. A decoy "
+    "non-envelope JSON record per file pins the schema-on-read "
+    "contract (no matching path -> no rows, never an error).",
+)
+def q_wat_outlinks(spark, sf_dir):
+    import gzip as _gz
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from lwes_contrib_hive_serde_spark.sources.warc import wat_outlinks
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 60) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    rows = d.collect()  # bounded: 60 rows, fixture construction only
+    tmp = tempfile.mkdtemp(prefix="lwespark_wat_")
+    import hashlib
+
+    def rec(uri: str, body: bytes) -> bytes:
+        head = (
+            "WARC/1.0\r\nWARC-Type: metadata\r\n"
+            f"WARC-Record-ID: <urn:wat:{uri}>\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            "Content-Type: application/json\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        return head + body + b"\r\n\r\n"
+
+    per_file = 20
+    for fi in range(0, len(rows), per_file):
+        with open(_os.path.join(tmp, f"f{fi}.warc.wat.gz"), "wb") as f:
+            # decoy: valid JSON without the envelope path
+            f.write(_gz.compress(rec(
+                "http://decoy.example/x",
+                _json.dumps({"not": "an envelope"}).encode(),
+            )))
+            for r in rows[fi : fi + per_file]:
+                dg = hashlib.sha256(r.text.encode("utf-8")).digest()
+                n_links = 1 + dg[0] % 4
+                env = {
+                    "Envelope": {
+                        "Payload-Metadata": {
+                            "HTTP-Response-Metadata": {
+                                "HTML-Metadata": {
+                                    "Links": [
+                                        {
+                                            "path": "A@/href",
+                                            "url": (
+                                                "http://links.example/"
+                                                f"{r.doc_id}/{i}"
+                                            ),
+                                        }
+                                        for i in range(n_links)
+                                    ]
+                                }
+                            }
+                        }
+                    }
+                }
+                f.write(_gz.compress(rec(
+                    f"http://corpus.example/{r.doc_id}",
+                    _json.dumps(env).encode(),
+                )))
+    pages = spark.read.format("wat").option("path", tmp).load()
+    out = wat_outlinks(pages)
+    return out.select(
+        F.regexp_extract("page_url", r"/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "page_url",
+        "link_url",
+    ).orderBy("doc_id", "link_url")

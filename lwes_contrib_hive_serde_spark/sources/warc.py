@@ -495,3 +495,49 @@ class WarcStreamReader(DataSourceStreamReader):
             yield from iter_warc_rows(
                 path, self.record_types, self.permissive
             )
+
+
+def wat_outlinks(df, payload_col: str = "payload", uri_col: str = "target_uri"):
+    """(page_url, link_url) outlink pairs from WAT ``metadata``
+    records — the edge list a frontier builder or web-graph job
+    consumes. ONE ``from_json`` per record against the pinned
+    CommonCrawl envelope path (Envelope → Payload-Metadata →
+    HTTP-Response-Metadata → HTML-Metadata → Links[].url; schema-on-
+    read, everything else pruned at parse time), then one explode —
+    pure JVM, scan-speed, no shuffle. Records without that path (or
+    with a non-JSON payload) vanish, the schema-on-read contract.
+    Composes with ``operators/crawl.py``: page_url keys per-host
+    politeness, link_url feeds the frontier."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    links_t = T.ArrayType(
+        T.StructType([T.StructField("url", T.StringType())])
+    )
+    env_t = T.StructType([
+        T.StructField("Envelope", T.StructType([
+            T.StructField("Payload-Metadata", T.StructType([
+                T.StructField("HTTP-Response-Metadata", T.StructType([
+                    T.StructField("HTML-Metadata", T.StructType([
+                        T.StructField("Links", links_t),
+                    ])),
+                ])),
+            ])),
+        ])),
+    ])
+    parsed = F.from_json(F.col(payload_col).cast("string"), env_t)
+    links = (
+        parsed.getField("Envelope")
+        .getField("Payload-Metadata")
+        .getField("HTTP-Response-Metadata")
+        .getField("HTML-Metadata")
+        .getField("Links")
+    )
+    return (
+        df.select(
+            F.col(uri_col).alias("page_url"),
+            F.explode(links).alias("__l"),
+        )
+        .select("page_url", F.col("__l.url").alias("link_url"))
+        .filter(F.col("link_url").isNotNull())
+    )

@@ -473,3 +473,43 @@ class TestWetWat:
             W.WARC_SCHEMA
         )
         assert r2.record_types == {"metadata"}
+
+
+class TestWatOutlinks:
+    def test_envelope_extraction_and_decoys(self, spark, tmp_path):
+        import json
+
+        from lwes_contrib_hive_serde_spark.sources.warc import wat_outlinks
+
+        d = str(tmp_path / "wat2")
+        os.makedirs(d, exist_ok=True)
+
+        def rec(uri, payload: bytes) -> bytes:
+            head = (
+                "WARC/1.0\r\nWARC-Type: metadata\r\n"
+                f"WARC-Record-ID: <urn:x:{uri}>\r\n"
+                f"WARC-Target-URI: {uri}\r\n"
+                "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                "Content-Type: application/json\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n"
+            ).encode()
+            return head + payload + b"\r\n\r\n"
+
+        env = {
+            "Envelope": {"Payload-Metadata": {"HTTP-Response-Metadata": {
+                "HTML-Metadata": {"Links": [
+                    {"path": "A@/href", "url": "http://t/1"},
+                    {"path": "A@/href", "url": "http://t/2"},
+                    {"path": "IMG@/src"},  # no url key -> dropped
+                ]}}}}
+        }
+        with open(os.path.join(d, "a.warc.wat.gz"), "wb") as f:
+            f.write(gzip.compress(rec("http://p/a", json.dumps(env).encode())))
+            f.write(gzip.compress(rec("http://p/b", b"{\"other\": 1}")))
+            f.write(gzip.compress(rec("http://p/c", b"not json at all")))
+        df = spark.read.format("wat").option("path", d).load()
+        got = sorted(tuple(r) for r in wat_outlinks(df).collect())
+        assert got == [
+            ("http://p/a", "http://t/1"),
+            ("http://p/a", "http://t/2"),
+        ]
