@@ -2578,3 +2578,189 @@ def decode_docx_text(
     spark = df.sparkSession
     _shrink_arrow_batches(spark, batch_size)
     return df.mapInPandas(decode, out_schema)
+
+
+def parse_epub_text(b: bytes):
+    """(n_chapters, text) extracted from an EPUB (OCF/OPF, ISO/IEC
+    23736) byte string, or None.
+
+    Supported envelope — outside it None, never a guess: a
+    well-formed ZIP whose META-INF/container.xml names a parseable
+    OPF package; chapters are the spine's itemrefs resolved through
+    the manifest, each an XML-parseable (X)HTML part whose body text
+    is the ElementTree itertext() concatenation (script/style
+    subtrees skipped), chapters joined with newlines. DRM-protected
+    books (META-INF/encryption.xml present) and spine items that are
+    missing, non-XML, or outside the archive refuse the whole
+    document."""
+    import io
+    import posixpath
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    if not b[:4] in (b"PK\x03\x04", b"PK\x05\x06"):
+        return None
+    try:
+        z = zipfile.ZipFile(io.BytesIO(b))
+    except (zipfile.BadZipFile, OSError):
+        return None
+    with z:
+        names = set(z.namelist())
+        if "META-INF/encryption.xml" in names:
+            return None  # DRM: extraction would be a guess
+        try:
+            croot = ET.fromstring(z.read("META-INF/container.xml"))
+        except (KeyError, ET.ParseError, OSError):
+            return None
+        CN = "{urn:oasis:names:tc:opendocument:xmlns:container}"
+        opf_path = None
+        for rf in croot.iter(f"{CN}rootfile"):
+            opf_path = rf.get("full-path")
+            break
+        if not opf_path or opf_path not in names:
+            return None
+        try:
+            opf = ET.fromstring(z.read(opf_path))
+        except (ET.ParseError, OSError):
+            return None
+        OPF = "{http://www.idpf.org/2007/opf}"
+        base = posixpath.dirname(opf_path)
+        hrefs: dict[str, str] = {}
+        for item in opf.iter(f"{OPF}item"):
+            iid, href = item.get("id"), item.get("href")
+            if iid and href:
+                hrefs[iid] = posixpath.normpath(
+                    posixpath.join(base, href) if base else href
+                )
+        chapters: list[str] = []
+        skip = {
+            "{http://www.w3.org/1999/xhtml}script",
+            "{http://www.w3.org/1999/xhtml}style",
+            "script", "style",
+        }
+
+        def node_text(n) -> str:
+            if n.tag in skip:
+                return n.tail or ""
+            parts = [n.text or ""]
+            for c in n:
+                parts.append(node_text(c))
+            parts.append(n.tail or "")
+            return "".join(parts)
+
+        for ref in opf.iter(f"{OPF}itemref"):
+            idref = ref.get("idref")
+            part = hrefs.get(idref)
+            if part is None or part not in names:
+                return None
+            try:
+                doc = ET.fromstring(z.read(part))
+            except (ET.ParseError, OSError):
+                return None
+            H = "{http://www.w3.org/1999/xhtml}"
+            body = doc.find(f"{H}body")
+            if body is None:
+                body = doc.find("body")
+            if body is None:
+                return None
+            chapters.append(node_text(body).strip())
+        if not chapters:
+            return None  # an EPUB with an empty spine is torn
+    return len(chapters), "\n".join(chapters)
+
+
+def epub_bytes(chapters: list[str], deflate: bool = False) -> bytes:
+    """Serialize a REAL, spec-conformant minimal EPUB holding the
+    given chapter texts — the third member of the document-format
+    fixture family (pdf_bytes, docx_bytes), deterministic
+    byte-for-byte (fixed ZIP timestamps): ``mimetype`` (stored, the
+    OCF rule), META-INF/container.xml, content.opf with a
+    manifest+spine, and one XHTML part per chapter."""
+    import io
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    container = (
+        '<?xml version="1.0"?>'
+        '<container version="1.0" xmlns="urn:oasis:names:tc:'
+        'opendocument:xmlns:container"><rootfiles>'
+        '<rootfile full-path="OEBPS/content.opf" media-type='
+        '"application/oebps-package+xml"/></rootfiles></container>'
+    )
+    items = "".join(
+        f'<item id="c{i}" href="ch{i}.xhtml" '
+        'media-type="application/xhtml+xml"/>'
+        for i in range(len(chapters))
+    )
+    refs = "".join(
+        f'<itemref idref="c{i}"/>' for i in range(len(chapters))
+    )
+    opf = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<package xmlns="http://www.idpf.org/2007/opf" version="3.0" '
+        'unique-identifier="uid"><metadata xmlns:dc="http://purl.org/'
+        'dc/elements/1.1/"><dc:identifier id="uid">urn:fixture'
+        '</dc:identifier><dc:title>fixture</dc:title></metadata>'
+        f"<manifest>{items}</manifest><spine>{refs}</spine></package>"
+    )
+    buf = io.BytesIO()
+    comp = zipfile.ZIP_DEFLATED if deflate else zipfile.ZIP_STORED
+    with zipfile.ZipFile(buf, "w") as z:
+        mt = zipfile.ZipInfo("mimetype", date_time=(1980, 1, 1, 0, 0, 0))
+        mt.compress_type = zipfile.ZIP_STORED  # OCF: first, stored
+        z.writestr(mt, "application/epub+zip")
+        entries = [("META-INF/container.xml", container),
+                   ("OEBPS/content.opf", opf)]
+        for i, text in enumerate(chapters):
+            entries.append((
+                f"OEBPS/ch{i}.xhtml",
+                '<?xml version="1.0" encoding="UTF-8"?>'
+                '<html xmlns="http://www.w3.org/1999/xhtml"><head>'
+                f"<title>ch{i}</title></head><body><p>"
+                + escape(text)
+                + "</p></body></html>",
+            ))
+        for name, data in entries:
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zi.compress_type = comp
+            z.writestr(zi, data)
+    return buf.getvalue()
+
+
+def decode_epub_text(
+    df: DataFrame, bin_col: str = "payload", batch_size: int = 16
+) -> DataFrame:
+    """Append (epub_n_chapters, epub_text) parsed from EPUB payloads
+    via mapInPandas; NULLs for anything parse_epub_text refuses
+    (non-ZIP, DRM, torn spine, malformed parts). The documented
+    Python-in-scan escape hatch, cf. decode_pdf_text."""
+    in_schema = df.schema
+    out_schema = ", ".join(
+        [f.simpleString().replace(":", " ", 1) for f in in_schema.fields]
+        + ["epub_n_chapters int", "epub_text string"]
+    )
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n_ch: list = []
+            texts: list = []
+            for raw in pdf[bin_col]:
+                parsed = parse_epub_text(
+                    bytes(raw) if raw is not None else b""
+                )
+                if parsed is None:
+                    n_ch.append(None)
+                    texts.append(None)
+                else:
+                    n_ch.append(parsed[0])
+                    texts.append(parsed[1])
+            yield pdf.assign(
+                epub_n_chapters=pd.array(n_ch, dtype="Int32"),
+                epub_text=pd.array(texts, dtype=object),
+            )
+
+    spark = df.sparkSession
+    _shrink_arrow_batches(spark, batch_size)
+    return df.mapInPandas(decode, out_schema)

@@ -7029,3 +7029,78 @@ def q_wat_outlinks(spark, sf_dir):
         "page_url",
         "link_url",
     ).orderBy("doc_id", "link_url")
+
+
+def _epub_extract_oracle_sql() -> str:
+    b = [_sql_digest_byte("text", i) for i in range(3)]
+    return f"""
+    WITH params AS (
+      SELECT doc_id,
+             1 + ({b[0]}) % 4 AS n_ch,
+             ({b[1]}) % 10 AS w
+      FROM documents WHERE doc_id < 48 AND length(text) > 0
+    )
+    SELECT doc_id,
+           CAST(n_ch AS INTEGER) AS epub_n_chapters,
+           array_to_string(list_transform(range(0, n_ch), c ->
+             'ch' || c || ' w' || w || ' <' || w || '&>'), chr(10))
+             AS epub_text
+    FROM params ORDER BY doc_id
+    """
+
+
+@register(
+    "q_epub_extract",
+    shadow=True,
+    oracle=_epub_extract_oracle_sql(),
+    doc="EPUB text extraction over REAL, spec-conformant OCF/OPF "
+    "byte streams (multimodal.parse_epub_text / decode_epub_text — "
+    "completing the document-format triad with q_pdf_extract and "
+    "q_docx_extract): the query synthesizes minimal EPUBs from "
+    "sha256 digest bytes (chapter count, word index, ZIP deflate "
+    "on/off digest-derived; every chapter contains XML-special "
+    "characters so entity escaping round-trips) and runs them "
+    "through the FULL production path: OCF container.xml -> OPF "
+    "manifest/spine resolution in spine order -> per-chapter XHTML "
+    "body itertext. The DuckDB oracle rebuilds the identical "
+    "chapter grid from the same digest bytes — ZIP framing, the "
+    "two-level package indirection, XML unescaping, and the "
+    "chapter-join policy all value-gated in one hash.",
+)
+def q_epub_extract(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import multimodal
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 48) & (F.length("text") > 0))
+        .select("doc_id", "text")
+    )
+
+    def synth(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                dg = hashlib.sha256(t.encode("utf-8")).digest()
+                n_ch, w = 1 + dg[0] % 4, dg[1] % 10
+                chapters = [
+                    f"ch{c} w{w} <{w}&>" for c in range(n_ch)
+                ]
+                payloads.append(
+                    multimodal.epub_bytes(
+                        chapters, deflate=bool(dg[2] % 2)
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    docs = d.mapInPandas(synth, "doc_id long, payload binary")
+    return (
+        multimodal.decode_epub_text(docs)
+        .select("doc_id", "epub_n_chapters", "epub_text")
+        .orderBy("doc_id")
+    )

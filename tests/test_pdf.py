@@ -289,3 +289,78 @@ class TestDocxText:
         assert got[1] == (2, "alpha\nbeta")
         assert got[2] == (None, None)
         assert got[3] == (None, None)
+
+
+class TestEpubText:
+    """EPUB extraction (multimodal.parse_epub_text / epub_bytes):
+    round-trips, spine order, refusal envelope. Value-level gate:
+    shadow q_epub_extract."""
+
+    @pytest.mark.parametrize("deflate", [False, True])
+    def test_round_trip(self, deflate):
+        b = mm.epub_bytes(["one <&>", "two", ""], deflate=deflate)
+        assert mm.parse_epub_text(b) == (3, "one <&>\ntwo\n")
+
+    def test_spine_order_not_zip_order(self):
+        import io
+        import zipfile
+
+        b = mm.epub_bytes(["first", "second"])
+        # swap the spine: itemrefs c1 then c0 — text must follow spine
+        with zipfile.ZipFile(io.BytesIO(b)) as z:
+            opf = z.read("OEBPS/content.opf").decode()
+            parts = {n: z.read(n) for n in z.namelist()}
+        opf = opf.replace(
+            '<itemref idref="c0"/><itemref idref="c1"/>',
+            '<itemref idref="c1"/><itemref idref="c0"/>',
+        )
+        parts["OEBPS/content.opf"] = opf.encode()
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            for n, data in parts.items():
+                z.writestr(n, data)
+        assert mm.parse_epub_text(buf.getvalue()) == (2, "second\nfirst")
+
+    def test_refusals(self):
+        import io
+        import zipfile
+
+        assert mm.parse_epub_text(b"") is None
+        assert mm.parse_epub_text(b"not a zip") is None
+        b = mm.epub_bytes(["x"])
+        # DRM: encryption.xml present
+        buf = io.BytesIO(b)
+        with zipfile.ZipFile(buf, "a") as z:
+            z.writestr("META-INF/encryption.xml", "<enc/>")
+        assert mm.parse_epub_text(buf.getvalue()) is None
+        # spine item missing from the archive
+        with zipfile.ZipFile(io.BytesIO(b)) as z:
+            parts = {n: z.read(n) for n in z.namelist()}
+        del parts["OEBPS/ch0.xhtml"]
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            for n, data in parts.items():
+                z.writestr(n, data)
+        assert mm.parse_epub_text(buf.getvalue()) is None
+
+    def test_truncation_fuzz_never_raises(self):
+        b = mm.epub_bytes(["some chapter text"], deflate=True)
+        for cut in range(0, len(b), 17):
+            got = mm.parse_epub_text(b[:cut])
+            assert got is None or isinstance(got, tuple)
+
+    def test_dataframe_operator(self, spark):
+        rows = [
+            (1, mm.epub_bytes(["alpha", "beta"])),
+            (2, b"junk"),
+            (3, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, payload binary")
+        got = {
+            r["doc_id"]: (r["epub_n_chapters"], r["epub_text"])
+            for r in mm.decode_epub_text(df).collect()
+        }
+        mm.restore_arrow_batch_size(spark)
+        assert got[1] == (2, "alpha\nbeta")
+        assert got[2] == (None, None)
+        assert got[3] == (None, None)
