@@ -2764,3 +2764,79 @@ def decode_epub_text(
     spark = df.sparkSession
     _shrink_arrow_batches(spark, batch_size)
     return df.mapInPandas(decode, out_schema)
+
+
+def parse_document_text(b: bytes):
+    """(format, n_units, text) for any supported document container,
+    or None — the dispatch tier over the format walkers: ``%PDF`` →
+    parse_pdf_text, ZIP with META-INF/container.xml → parse_epub_text,
+    ZIP with word/document.xml → parse_docx_text. n_units is the
+    format's natural unit (pages / chapters / paragraphs). Sniffing
+    reads only the magic and the ZIP name list; each walker's own
+    refusal envelope then applies unchanged (a recognized-but-
+    refused document is None, never a cross-format guess)."""
+    if not b:
+        return None
+    if b[:5] == b"%PDF-" or b"%PDF-" in b[:1024]:
+        got = parse_pdf_text(b)
+        return None if got is None else ("pdf", got[0], got[1])
+    if b[:4] in (b"PK\x03\x04", b"PK\x05\x06"):
+        import io
+        import zipfile
+
+        try:
+            with zipfile.ZipFile(io.BytesIO(b)) as z:
+                names = set(z.namelist())
+        except (zipfile.BadZipFile, OSError):
+            return None
+        if "META-INF/container.xml" in names:
+            got = parse_epub_text(b)
+            return None if got is None else ("epub", got[0], got[1])
+        if "word/document.xml" in names:
+            got = parse_docx_text(b)
+            return None if got is None else ("docx", got[0], got[1])
+    return None
+
+
+def decode_document_text(
+    df: DataFrame, bin_col: str = "payload", batch_size: int = 16
+) -> DataFrame:
+    """Append (doc_format, doc_n_units, doc_text) for mixed-format
+    document payloads via mapInPandas — ONE pass over a corpus where
+    PDFs, DOCX and EPUBs arrive interleaved (the real shape of a
+    crawl's attachment stream), dispatching per row on container
+    magic; NULLs for everything unrecognized or refused."""
+    in_schema = df.schema
+    out_schema = ", ".join(
+        [f.simpleString().replace(":", " ", 1) for f in in_schema.fields]
+        + ["doc_format string", "doc_n_units int", "doc_text string"]
+    )
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            fmts: list = []
+            n_units: list = []
+            texts: list = []
+            for raw in pdf[bin_col]:
+                parsed = parse_document_text(
+                    bytes(raw) if raw is not None else b""
+                )
+                if parsed is None:
+                    fmts.append(None)
+                    n_units.append(None)
+                    texts.append(None)
+                else:
+                    fmts.append(parsed[0])
+                    n_units.append(parsed[1])
+                    texts.append(parsed[2])
+            yield pdf.assign(
+                doc_format=pd.array(fmts, dtype=object),
+                doc_n_units=pd.array(n_units, dtype="Int32"),
+                doc_text=pd.array(texts, dtype=object),
+            )
+
+    spark = df.sparkSession
+    _shrink_arrow_batches(spark, batch_size)
+    return df.mapInPandas(decode, out_schema)

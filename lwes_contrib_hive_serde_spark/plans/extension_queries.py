@@ -7104,3 +7104,88 @@ def q_epub_extract(spark, sf_dir):
         .select("doc_id", "epub_n_chapters", "epub_text")
         .orderBy("doc_id")
     )
+
+
+def _document_extract_oracle_sql() -> str:
+    b = [_sql_digest_byte("text", i) for i in range(4)]
+    return f"""
+    WITH params AS (
+      SELECT doc_id,
+             ({b[0]}) % 3 AS fmt,
+             1 + ({b[1]}) % 3 AS n_units,
+             ({b[2]}) % 10 AS w
+      FROM documents WHERE doc_id < 48 AND length(text) > 0
+    )
+    SELECT doc_id,
+           CASE fmt WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+                    ELSE 'epub' END AS doc_format,
+           CAST(n_units AS INTEGER) AS doc_n_units,
+           array_to_string(list_transform(range(0, n_units), u ->
+             'u' || u || ' w' || w), chr(10)) AS doc_text
+    FROM params ORDER BY doc_id
+    """
+
+
+@register(
+    "q_document_extract",
+    shadow=True,
+    oracle=_document_extract_oracle_sql(),
+    doc="Mixed-format document extraction in ONE pass "
+    "(multimodal.parse_document_text / decode_document_text — the "
+    "dispatch tier over the PDF/DOCX/EPUB walkers): each document's "
+    "digest picks its container format, so a single corpus column "
+    "interleaves all three (the real shape of a crawl's attachment "
+    "stream); the same digest-derived unit grid is serialized as "
+    "PDF pages, DOCX paragraphs, or EPUB chapters and extracted "
+    "back through per-row magic-byte dispatch. The DuckDB oracle "
+    "rebuilds format label AND text grid from the digest bytes — "
+    "the dispatch decision itself is value-gated alongside all "
+    "three extraction paths, in one hash.",
+)
+def q_document_extract(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import multimodal
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 48) & (F.length("text") > 0))
+        .select("doc_id", "text")
+    )
+
+    def synth(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                dg = hashlib.sha256(t.encode("utf-8")).digest()
+                fmt, n_units, w = dg[0] % 3, 1 + dg[1] % 3, dg[2] % 10
+                units = [f"u{u} w{w}" for u in range(n_units)]
+                flag = bool(dg[3] % 2)
+                if fmt == 0:
+                    payloads.append(
+                        multimodal.pdf_bytes(
+                            [[u] for u in units], compress=flag
+                        )
+                    )
+                elif fmt == 1:
+                    payloads.append(
+                        multimodal.docx_bytes(
+                            [[u] for u in units], deflate=flag
+                        )
+                    )
+                else:
+                    payloads.append(
+                        multimodal.epub_bytes(units, deflate=flag)
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    docs = d.mapInPandas(synth, "doc_id long, payload binary")
+    return (
+        multimodal.decode_document_text(docs)
+        .select("doc_id", "doc_format", "doc_n_units", "doc_text")
+        .orderBy("doc_id")
+    )

@@ -364,3 +364,53 @@ class TestEpubText:
         assert got[1] == (2, "alpha\nbeta")
         assert got[2] == (None, None)
         assert got[3] == (None, None)
+
+
+class TestDocumentDispatch:
+    """Mixed-format dispatch (multimodal.parse_document_text /
+    decode_document_text). Value gate: shadow q_document_extract."""
+
+    def test_dispatch_per_format(self):
+        assert mm.parse_document_text(mm.pdf_bytes([["a"]])) == (
+            "pdf", 1, "a",
+        )
+        assert mm.parse_document_text(mm.docx_bytes([["b"]])) == (
+            "docx", 1, "b",
+        )
+        assert mm.parse_document_text(mm.epub_bytes(["c"])) == (
+            "epub", 1, "c",
+        )
+
+    def test_recognized_but_refused_is_none_not_cross_guess(self):
+        # an encrypted PDF is recognized as PDF, then refused — it
+        # must NOT fall through to the ZIP walkers
+        b = mm.pdf_bytes([["x"]]).replace(
+            b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R"
+        )
+        assert mm.parse_document_text(b) is None
+        # a plain ZIP that is neither DOCX nor EPUB
+        import io
+        import zipfile
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("data.txt", "x")
+        assert mm.parse_document_text(buf.getvalue()) is None
+
+    def test_mixed_corpus_one_pass(self, spark):
+        rows = [
+            (1, mm.pdf_bytes([["p one"], ["p two"]])),
+            (2, mm.docx_bytes([["d one"]])),
+            (3, mm.epub_bytes(["e one", "e two", "e three"])),
+            (4, b"neither"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, payload binary")
+        got = {
+            r["doc_id"]: (r["doc_format"], r["doc_n_units"], r["doc_text"])
+            for r in mm.decode_document_text(df).collect()
+        }
+        mm.restore_arrow_batch_size(spark)
+        assert got[1] == ("pdf", 2, "p one\np two")
+        assert got[2] == ("docx", 1, "d one")
+        assert got[3] == ("epub", 3, "e one\ne two\ne three")
+        assert got[4] == (None, None, None)
