@@ -62,6 +62,10 @@ def curate(
     blocked_terms: list[str] | None = None,
     dedup_spans_k: int | None = None,
     dedup_spans_min_count: int = 2,
+    document_col: str | None = None,
+    langid_profiles: DataFrame | None = None,
+    langid_keep: set[str] | None = None,
+    langid_max_avg_distance: float | None = None,
     seed: str = "lwespark",
 ) -> DataFrame:
     """Returns the curated frame with ``text_clean`` (cleaned +
@@ -78,8 +82,38 @@ def curate(
     visible text into ``text_col`` for every downstream stage;
     ``max_link_density`` additionally drops boilerplate-shaped pages
     (jusText/boilerpipe signal) at that stage.
+
+    ``document_col`` is the binary sibling of ``html_col``: the
+    column holds PDF/DOCX/EPUB container bytes (a crawl's attachment
+    stream) and the mixed-format dispatch
+    (multimodal.decode_document_text) extracts ``text_col`` per row;
+    unrecognized or refused payloads drop. Mutually exclusive with
+    ``html_col``.
+
+    ``langid_profiles`` (from text.train_langid_profiles) enables a
+    language-filter stage after cleaning: keep documents whose
+    Cavnar–Trenkle verdict is in ``langid_keep`` (any language when
+    None) and — when ``langid_max_avg_distance`` is set — whose
+    per-gram average out-of-place distance stays under it, dropping
+    unknown-script/gibberish pages no single-language profile
+    matches. Adds ``lang``. Cost: the classifier's two keyed
+    shuffles plus one id-keyed join back.
     """
     out = df
+    if document_col is not None:
+        if html_col is not None:
+            raise ValueError(
+                "document_col and html_col are alternative entry "
+                "points — binary containers vs HTML pages; pick one"
+            )
+        from lwes_contrib_hive_serde_spark.operators import multimodal
+
+        out = (
+            multimodal.decode_document_text(out, document_col)
+            .filter(F.col("doc_text").isNotNull())
+            .withColumn(text_col, F.col("doc_text"))
+            .drop("doc_text")
+        )
     if html_col is not None:
         out = text.with_html_extracted(out, html_col, text_col)
         if main_content:
@@ -122,6 +156,29 @@ def curate(
     )
     if pii:
         out = out.withColumn("text_clean", text.redact_pii("text_clean"))
+    if langid_profiles is not None:
+        # language filter BEFORE dedup: no point fingerprinting
+        # pages the mixture will never keep. Verdicts join back on
+        # the id key; docs the classifier omits (no grams) drop.
+        verdicts = text.langid(
+            out.select(id_col, "text_clean"),
+            langid_profiles,
+            text_col="text_clean",
+            id_col=id_col,
+        )
+        if langid_keep is not None:
+            verdicts = verdicts.filter(
+                F.col("lang").isin(*sorted(langid_keep))
+            )
+        if langid_max_avg_distance is not None:
+            verdicts = verdicts.filter(
+                F.col("langid_distance")
+                / F.col("langid_n_grams")
+                <= langid_max_avg_distance
+            )
+        out = out.join(
+            verdicts.select(id_col, "lang"), id_col, "inner"
+        )
     out = dedup.fingerprint_dedup(out, "text_clean", id_col)
     if dedup_spans_k is not None:
         # 4b. ExactSubstr span removal (Lee et al. 2022): cut every

@@ -504,3 +504,104 @@ class TestCurateExactSubstr:
         assert 1 in got and 2 not in got
         assert 3 in got and "duplicated" not in got[3]
         assert "extra words" in got[3]
+
+
+class TestCurateDocumentEntry:
+    """document_col: PDF/DOCX/EPUB attachment-stream entry point."""
+
+    def test_mixed_binary_corpus(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import multimodal as mm
+
+        body = (
+            "plenty of clean document words flow through here today. "
+            "and the second sentence keeps the cleaner happy too."
+        )
+        rows = [
+            (1, mm.pdf_bytes([[body]])),
+            (2, mm.docx_bytes([[body + " extra docx words."]])),
+            (3, mm.epub_bytes([body + " extra epub words."])),
+            (4, b"unparseable junk payload"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, payload binary")
+        out = pipeline.curate(
+            docs,
+            gopher_thresholds=LOOSE,
+            min_sentences=1,
+            pii=False,
+            document_col="payload",
+        )
+        got = {r["doc_id"]: r for r in out.collect()}
+        assert set(got) == {1, 2, 3}  # junk dropped at the entry stage
+        assert {got[i]["doc_format"] for i in (1, 2, 3)} == {
+            "pdf", "docx", "epub",
+        }
+        assert all("clean document words" in got[i]["text_clean"] for i in got)
+
+    def test_document_and_html_are_exclusive(self, spark):
+        docs = spark.createDataFrame(
+            [(1, b"x", "<p>y</p>")], "doc_id long, payload binary, html string"
+        )
+        with pytest.raises(ValueError, match="alternative entry"):
+            pipeline.curate(
+                docs, document_col="payload", html_col="html"
+            )
+
+
+class TestCurateLangid:
+    """langid_profiles: Cavnar-Trenkle language filter stage."""
+
+    SEEDS = [
+        ("en", "the quick brown fox jumps over the lazy dog and the "
+               "cat with them is that for it this was not are they"),
+        ("de", "der schnelle braune fuchs springt und die katze ist "
+               "nicht mit einem zu auf dem das sie er wir haben"),
+    ]
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "the dog and the cat are with them today. "
+                    "that is it for the brown fox story now."),
+                (2, "die katze und der fuchs sind nicht mit einem da. "
+                    "das ist zu auf dem haus und sie haben es."),
+                (3, "中文 数据 处理 中文 数据 处理 中文 数据. "
+                    "中文 数据 处理 中文 数据 处理 中文 数据."),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_keep_set_filters_languages(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import text
+
+        prof = text.train_langid_profiles(
+            spark.createDataFrame(self.SEEDS, "lang string, text string")
+        )
+        out = pipeline.curate(
+            self._docs(spark),
+            gopher_thresholds=LOOSE,
+            min_sentences=1,
+            pii=False,
+            langid_profiles=prof,
+            langid_keep={"en"},
+        )
+        got = {r["doc_id"]: r["lang"] for r in out.collect()}
+        assert got == {1: "en"}
+
+    def test_avg_distance_threshold_drops_unknown_script(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import text
+
+        prof = text.train_langid_profiles(
+            spark.createDataFrame(self.SEEDS, "lang string, text string")
+        )
+        out = pipeline.curate(
+            self._docs(spark),
+            gopher_thresholds=LOOSE,
+            min_sentences=1,
+            pii=False,
+            langid_profiles=prof,
+            langid_max_avg_distance=200.0,
+        )
+        got = {r["doc_id"]: r["lang"] for r in out.collect()}
+        # both real languages survive with their labels; the
+        # unknown-script page averages near the top_k=300 ceiling
+        assert got == {1: "en", 2: "de"}
