@@ -184,18 +184,73 @@ def verify_block_digest(headers: dict, block: bytes) -> bool | None:
         return False
 
 
+def read_arc_stream(stream: BinaryIO) -> Iterator[tuple[dict, bytes]]:
+    """Yield (headers, block) per legacy ARC v1 record (the
+    pre-WARC Internet Archive / pre-2013 CommonCrawl container):
+    each record is one space-separated header line
+    ``URL IP-address Archive-date Content-type Archive-length``
+    followed by exactly Archive-length payload bytes. The first
+    record is the ``filedesc://`` version block, yielded like any
+    other (callers drop it by record type). Headers are mapped onto
+    the WARC vocabulary so one downstream path serves both formats;
+    the 14-digit ARC date becomes ISO-8601."""
+    while True:
+        line = stream.readline()
+        if not line:
+            return
+        if line in (b"\r\n", b"\n"):
+            continue  # inter-record padding
+        parts = line.strip().split(b" ")
+        if len(parts) < 5:
+            raise WarcError(f"malformed ARC header line {line[:60]!r}")
+        url, _ip, date, mime, length_b = (
+            parts[0], parts[1], parts[-3], parts[-2], parts[-1],
+        )
+        try:
+            n = int(length_b)
+        except ValueError as e:
+            raise WarcError("bad ARC Archive-length") from e
+        block = stream.read(n)
+        if len(block) < n:
+            raise WarcError(
+                f"truncated ARC block: wanted {n}, got {len(block)}"
+            )
+        d = date.decode("ascii", "replace")
+        iso = (
+            f"{d[0:4]}-{d[4:6]}-{d[6:8]}T{d[8:10]}:{d[10:12]}:{d[12:14]}Z"
+            if len(d) == 14 and d.isdigit()
+            else d
+        )
+        u = url.decode("utf-8", "replace")
+        headers = {
+            "warc-type": (
+                "warcinfo" if u.startswith("filedesc://") else "response"
+            ),
+            "warc-record-id": f"<urn:arc:{u}>",
+            "warc-target-uri": None if u.startswith("filedesc://") else u,
+            "warc-date": iso,
+            "content-type": mime.decode("utf-8", "replace"),
+            "content-length": str(n),
+        }
+        yield headers, block
+
+
 def iter_warc_rows(
     path: str,
     record_types: set[str] | None = None,
     permissive: bool = False,
     verify_digests: bool = False,
 ):
-    """Yield WARC_SCHEMA-ordered tuples for one file.
+    """Yield WARC_SCHEMA-ordered tuples for one file (WARC, or
+    legacy ARC by ``.arc``/``.arc.gz`` extension — same downstream
+    row shape, so one reader serves both container generations).
     ``verify_digests`` recomputes each record's WARC-Block-Digest and
     raises WarcError on mismatch (permissive: the record is dropped) —
-    fixity checking during the scan, no second pass."""
+    fixity checking during the scan, no second pass. ARC records
+    carry no digests (None = unverifiable, never a guess)."""
+    is_arc = path.endswith((".arc", ".arc.gz"))
     with _open_warc(path) as f:
-        gen = read_warc_stream(f)
+        gen = read_arc_stream(f) if is_arc else read_warc_stream(f)
         while True:
             try:
                 item = next(gen, None)
@@ -221,7 +276,12 @@ def iter_warc_rows(
             status = http_ctype = None
             payload = block
             ctype = headers.get("content-type")
-            if ctype and "application/http" in ctype:
+            # WARC marks HTTP message blocks with application/http;
+            # ARC response blocks embed the raw HTTP message under
+            # the RESOURCE's mime type, so probe the block itself
+            if (ctype and "application/http" in ctype) or (
+                is_arc and rtype == "response"
+            ):
                 parsed = parse_http_response(block)
                 if parsed is not None:
                     status, http_ctype, payload = parsed

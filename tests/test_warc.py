@@ -513,3 +513,68 @@ class TestWatOutlinks:
             ("http://p/a", "http://t/1"),
             ("http://p/a", "http://t/2"),
         ]
+
+
+class TestArcLegacy:
+    """Legacy ARC v1 container (pre-2013 CommonCrawl): the directory
+    walk already admitted .arc.gz — now the parser speaks it, mapped
+    onto the WARC row shape so one downstream path serves both."""
+
+    def _arc_bytes(self, n_recs=3):
+        out = bytearray()
+        filedesc = b"1 0 InternetArchive\nURL IP-address Archive-date Content-type Archive-length\n"
+        out += (
+            b"filedesc://seg.arc 0.0.0.0 20081201000000 text/plain "
+            + str(len(filedesc)).encode() + b"\n"
+        )
+        out += filedesc + b"\n"
+        for i in range(n_recs):
+            body = f"<html>page {i}</html>".encode()
+            block = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+            )
+            out += (
+                f"http://arc.example/{i} 1.2.3.4 2008120100000{i} "
+                f"text/html {len(block)}\n".encode()
+            )
+            out += block + b"\n"
+        return bytes(out)
+
+    def test_arc_rows_parse_and_map(self, tmp_path):
+        p = str(tmp_path / "seg.arc")
+        with open(p, "wb") as f:
+            f.write(self._arc_bytes())
+        rows = list(W.iter_warc_rows(p))
+        assert rows[0][0] == "warcinfo" and rows[0][2] is None
+        rt, rid, uri, date, ctype, clen, status, hct, payload, _ = rows[1]
+        assert (rt, uri, status, hct) == (
+            "response", "http://arc.example/0", 200, "text/html",
+        )
+        assert payload == b"<html>page 0</html>"
+        assert date == "2008-12-01T00:00:00Z"  # 14-digit -> ISO
+
+    def test_arc_gz_through_datasource(self, spark, tmp_path):
+        import gzip as _gz
+
+        d = str(tmp_path / "arc")
+        os.makedirs(d)
+        with open(os.path.join(d, "seg.arc.gz"), "wb") as f:
+            f.write(_gz.compress(self._arc_bytes()))
+        df = (
+            spark.read.format("warc").option("path", d).load()
+            .filter("record_type = 'response'")
+        )
+        got = sorted(
+            (r["target_uri"], r["http_status"]) for r in df.collect()
+        )
+        assert got == [(f"http://arc.example/{i}", 200) for i in range(3)]
+
+    def test_truncated_arc_raises_unless_permissive(self, tmp_path):
+        p = str(tmp_path / "torn.arc")
+        b = self._arc_bytes()
+        with open(p, "wb") as f:
+            f.write(b[: len(b) - 15])
+        with pytest.raises(W.WarcError, match="truncated ARC"):
+            list(W.iter_warc_rows(p))
+        got = list(W.iter_warc_rows(p, permissive=True))
+        assert len(got) == 3  # intact prefix: filedesc + 2 full pages
