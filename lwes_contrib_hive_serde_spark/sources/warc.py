@@ -81,8 +81,27 @@ class WarcError(ValueError):
 
 
 def _open_warc(path: str) -> BinaryIO:
+    """Codec by extension, the journal tier's convention: .gz (the
+    CommonCrawl concatenated-member layout), .bz2/.xz via stdlib,
+    .zst via the shared zstd backend (plain streams; CommonCrawl's
+    dictionary-seekable .warc.zst variant is out of envelope and
+    fails loudly at decompress time rather than guessing)."""
     if path.endswith(".gz"):
         return gzip.open(path, "rb")
+    if path.endswith(".bz2"):
+        import bz2
+
+        return bz2.open(path, "rb")
+    if path.endswith(".xz"):
+        import lzma
+
+        return lzma.open(path, "rb")
+    if path.endswith(".zst"):
+        from lwes_contrib_hive_serde_spark.sources.codec import (
+            _zstd_backend,
+        )
+
+        return _zstd_backend().open_read(path)
     return open(path, "rb")
 
 
@@ -308,7 +327,8 @@ def _list_warc_files(path: str) -> list[str]:
             for n in names:
                 if n.endswith(
                     (
-                        ".warc", ".warc.gz", ".arc.gz",
+                        ".warc", ".warc.gz", ".warc.bz2", ".warc.xz",
+                        ".warc.zst", ".arc", ".arc.gz",
                         ".wet", ".wet.gz", ".wat", ".wat.gz",
                     )
                 ):

@@ -24,6 +24,7 @@ honest CodecError (never a silent fallback to another codec).
 
 from __future__ import annotations
 
+import io
 from typing import BinaryIO
 
 _MISSING_MSG = (
@@ -70,13 +71,42 @@ def ensure_available() -> None:
     _provider()
 
 
+class _ReadlineShim(io.RawIOBase):
+    """RawIOBase adapter over a read()-only decompression stream so
+    io.BufferedReader can add readline() — neither zstandard's
+    ZstdDecompressionReader nor pyarrow's CompressedInputStream
+    implements it, but line-framed consumers (the WARC/ARC parsers)
+    need it."""
+
+    def __init__(self, f):
+        self._f = f
+
+    def readable(self) -> bool:
+        return True
+
+    def readinto(self, b) -> int:
+        data = self._f.read(len(b))
+        n = len(data)
+        b[:n] = data
+        return n
+
+    def close(self) -> None:
+        try:
+            self._f.close()
+        finally:
+            super().close()
+
+
 def open_read(path: str) -> BinaryIO:
     """Streaming decompressing reader over a ``.zst`` file; supports
-    ``.read(n)`` and context-manager close like gzip.open."""
+    ``.read(n)``, ``.readline()`` and context-manager close like
+    gzip.open."""
     name, mod = _provider()
     if name == "zstandard":
-        return mod.open(path, "rb")
-    return mod.CompressedInputStream(mod.OSFile(path, "rb"), "zstd")
+        raw = mod.open(path, "rb")
+    else:
+        raw = mod.CompressedInputStream(mod.OSFile(path, "rb"), "zstd")
+    return io.BufferedReader(_ReadlineShim(raw))
 
 
 def open_write(path: str) -> BinaryIO:

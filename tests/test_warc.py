@@ -578,3 +578,31 @@ class TestArcLegacy:
             list(W.iter_warc_rows(p))
         got = list(W.iter_warc_rows(p, permissive=True))
         assert len(got) == 3  # intact prefix: filedesc + 2 full pages
+
+
+class TestWarcCodecExtensions:
+    @pytest.mark.parametrize("ext", ["bz2", "xz", "zst"])
+    def test_compressed_warc_round_trip(self, tmp_path, ext):
+        raw = b"".join(
+            warc_record("response", f"http://e/{i}", b"x" * (i + 1))
+            for i in range(3)
+        )
+        if ext == "bz2":
+            import bz2 as m
+
+            data = m.compress(raw)
+        elif ext == "xz":
+            import lzma as m
+
+            data = m.compress(raw)
+        else:
+            from lwes_contrib_hive_serde_spark.sources.codec import (
+                _zstd_backend,
+            )
+
+            data = _zstd_backend().compress(raw)
+        p = str(tmp_path / f"a.warc.{ext}")
+        with open(p, "wb") as f:
+            f.write(data)
+        rows = list(W.iter_warc_rows(p))
+        assert [r[2] for r in rows] == [f"http://e/{i}" for i in range(3)]
