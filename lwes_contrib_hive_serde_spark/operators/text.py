@@ -2039,3 +2039,62 @@ def stupid_backoff_score(
         )
         .select(F.col("__id").alias(id_col), "n_trigrams", out_col)
     )
+
+
+def surt_key(col) -> Column:
+    """SURT-form URL key (Sort-friendly URI Reordering Transform, the
+    Internet Archive / CommonCrawl CDX ``urlkey``), pure JVM:
+
+        http://www.Example.COM:80/Path?b=2&a=1
+            -> com,example)/path?a=1&b=2
+
+    - host lowercased, leading ``www.`` stripped, components REVERSED
+      and comma-joined (so one host's pages sort contiguously and a
+      domain prefix-scan covers all its subdomains);
+    - default ports dropped (80 http / 443 https), others kept as
+      ``:port`` on the host part;
+    - path lowercased, empty path → ``/``; fragment dropped;
+    - query lowercased, parameters SORTED and re-joined, ``?``
+      dropped when empty — parameter order never splits a key.
+
+    NULL for unparseable input. The sort key CDX indexes are ordered
+    by; pair with ``canonicalize_url`` (which additionally strips
+    tracking params) when the key should also collapse marketing
+    variants."""
+    col = F.col(col) if isinstance(col, str) else col
+    scheme = F.lower(F.try_parse_url(col, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(col, F.lit("HOST")))
+    host = F.regexp_replace(host, r"^www\.", "")
+    port = F.nullif(
+        F.regexp_extract(
+            F.coalesce(F.try_parse_url(col, F.lit("AUTHORITY")), F.lit("")),
+            r":(\d+)$",
+            1,
+        ),
+        F.lit(""),
+    )
+    keep_port = port.isNotNull() & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.lower(F.coalesce(F.try_parse_url(col, F.lit("PATH")), F.lit("")))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.lower(F.coalesce(F.try_parse_url(col, F.lit("QUERY")), F.lit("")))
+    params = F.array_sort(
+        F.filter(F.split(query, "&"), lambda p: p != "")
+    )
+    qpart = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(params, "&")),
+    ).otherwise(F.lit(""))
+    return F.when(
+        host.isNotNull() & (host != ""),
+        F.concat(
+            rev_host,
+            F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+            F.lit(")"),
+            path,
+            qpart,
+        ),
+    )

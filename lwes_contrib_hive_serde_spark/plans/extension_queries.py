@@ -7189,3 +7189,61 @@ def q_document_extract(spark, sf_dir):
         .select("doc_id", "doc_format", "doc_n_units", "doc_text")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_surt_keys",
+    shadow=True,
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, doc_id % 6 AS v, CAST(doc_id % 10 AS VARCHAR) AS m
+      FROM documents WHERE doc_id < 600
+    )
+    SELECT doc_id,
+      CASE v
+        WHEN 0 THEN 'http://www.site' || m || '.com/page/' || doc_id
+        WHEN 1 THEN 'https://Sub.Site' || m || '.ORG:8443/A/B?x=2&a=1'
+        WHEN 2 THEN 'http://site' || m || '.com:80/'
+        WHEN 3 THEN 'https://site' || m || '.net'
+        WHEN 4 THEN 'http://site' || m || '.io/p?b=2&a=1&c=3'
+        ELSE 'https://www.site' || m || '.com:443/Q?z=9'
+      END AS url,
+      CASE v
+        WHEN 0 THEN 'com,site' || m || ')/page/' || doc_id
+        WHEN 1 THEN 'org,site' || m || ',sub:8443)/a/b?a=1&x=2'
+        WHEN 2 THEN 'com,site' || m || ')/'
+        WHEN 3 THEN 'net,site' || m || ')/'
+        WHEN 4 THEN 'io,site' || m || ')/p?a=1&b=2&c=3'
+        ELSE 'com,site' || m || ')/q?z=9'
+      END AS urlkey
+    FROM p ORDER BY doc_id
+    """,
+    doc="SURT urlkey transform (text.surt_key — the Internet "
+    "Archive / CommonCrawl CDX sort key): host lowercased, www. "
+    "stripped, components reversed comma-joined, default ports "
+    "dropped / others kept, path lowercased with the empty-path "
+    "floor, query params lowercased and SORTED. Six synthesized URL "
+    "shapes per doc_id cover every rule (case, www, both default "
+    "ports, a kept :8443, unsorted multi-param queries, bare "
+    "hosts); the oracle states the EXPECTED key arithmetically "
+    "(independent construction, not a parser replay), so the whole "
+    "try_parse_url -> reorder -> sort chain is value-gated. Pure "
+    "JVM scan expression — the key CDX indexes sort by, and the "
+    "prefix-scan handle for per-domain corpus slices at 100 TB.",
+)
+def q_surt_keys(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    m = (F.col("doc_id") % 10).cast("string")
+    v = F.col("doc_id") % 6
+    url = (
+        F.when(v == 0, F.concat(F.lit("http://www.site"), m, F.lit(".com/page/"), F.col("doc_id").cast("string")))
+        .when(v == 1, F.concat(F.lit("https://Sub.Site"), m, F.lit(".ORG:8443/A/B?x=2&a=1")))
+        .when(v == 2, F.concat(F.lit("http://site"), m, F.lit(".com:80/")))
+        .when(v == 3, F.concat(F.lit("https://site"), m, F.lit(".net")))
+        .when(v == 4, F.concat(F.lit("http://site"), m, F.lit(".io/p?b=2&a=1&c=3")))
+        .otherwise(F.concat(F.lit("https://www.site"), m, F.lit(".com:443/Q?z=9")))
+    )
+    sel = d.select("doc_id", url.alias("url"))
+    return sel.select(
+        "doc_id", "url", text.surt_key("url").alias("urlkey")
+    ).orderBy("doc_id")

@@ -621,3 +621,145 @@ def wat_outlinks(df, payload_col: str = "payload", uri_col: str = "target_uri"):
         .select("page_url", F.col("__l.url").alias("link_url"))
         .filter(F.col("link_url").isNotNull())
     )
+
+
+def _iter_gzip_members(stream: BinaryIO, chunk: int = 1 << 20):
+    """(offset, length, decompressed) per gzip MEMBER of a
+    concatenated-member file — the byte geometry CDX indexes record:
+    CommonCrawl writes one WARC record per member precisely so a
+    ranged GET of [offset, offset+length) fetches one record. A
+    torn / non-gzip tail raises (honesty; callers catch)."""
+    import zlib
+
+    pos = 0  # absolute offset of the next unread stream byte
+    start = 0  # offset where the current member began
+    pending = b""
+    d = zlib.decompressobj(wbits=31)
+    out = bytearray()
+    fed = False  # current member has consumed at least one byte
+    while True:
+        if not pending:
+            pending = stream.read(chunk)
+            if not pending:
+                if fed:
+                    # mid-member EOF — even a lone partial header is
+                    # a torn tail, never silently dropped
+                    raise WarcError("truncated gzip member at EOF")
+                return
+            pos += len(pending)
+        out += d.decompress(pending)
+        fed = True
+        if d.eof:
+            unused = d.unused_data
+            member_end = pos - len(unused)
+            yield start, member_end - start, bytes(out)
+            start = member_end
+            pending = unused
+            d = zlib.decompressobj(wbits=31)
+            out = bytearray()
+            fed = False
+        else:
+            pending = b""
+
+
+def iter_cdx_records(path: str):
+    """Yield CDX-style tuples (url, timestamp14, mime, status, digest,
+    offset, length, filename) for one WARC file — the index entries a
+    wayback-style random-access layer sorts and serves.
+
+    For ``.warc.gz`` the (offset, length) pair is the GZIP MEMBER's
+    byte range, measured with a member-boundary walk — exact, so
+    ``fetch_warc_record(path, offset, length)`` round-trips every
+    entry (pinned by tests). For plain ``.warc`` it is the record's
+    framing span (inter-record padding accrues to the FOLLOWING
+    record's offset; the parser skips it on fetch, so ranges stay
+    self-consistent). ``digest`` reuses the record's
+    WARC-Block-Digest when present, else sha1:BASE32 of the block is
+    computed in-walk — the CommonCrawl CDX convention."""
+    import base64
+    import hashlib
+    import io
+    import re
+
+    def row(headers: dict, block: bytes, off: int, length: int):
+        date = headers.get("warc-date") or ""
+        ts = re.sub(r"[^0-9]", "", date)[:14]
+        digest = headers.get("warc-block-digest")
+        if not digest:
+            digest = "sha1:" + base64.b32encode(
+                hashlib.sha1(block).digest()
+            ).decode("ascii")
+        status = None
+        ctype = headers.get("content-type")
+        http_ctype = None
+        if ctype and "application/http" in ctype:
+            parsed = parse_http_response(block)
+            if parsed is not None:
+                status, http_ctype, _body = parsed
+        return (
+            headers.get("warc-target-uri"),
+            ts,
+            http_ctype or ctype,
+            status,
+            digest,
+            off,
+            length,
+            os.path.basename(path),
+        )
+
+    if path.endswith(".gz"):
+        with open(path, "rb") as f:
+            for off, length, data in _iter_gzip_members(f):
+                for headers, block in read_warc_stream(io.BytesIO(data)):
+                    yield row(headers, block, off, length)
+    else:
+        with open(path, "rb") as f:
+            gen = read_warc_stream(f)
+            while True:
+                start = f.tell()
+                item = next(gen, None)
+                if item is None:
+                    return
+                headers, block = item
+                yield row(headers, block, start, f.tell() - start)
+
+
+def fetch_warc_record(path: str, offset: int, length: int):
+    """Random access: materialize the single record at a CDX entry's
+    (offset, length) without touching the rest of the file — the
+    read side of iter_cdx_records, a ranged-GET stand-in."""
+    import gzip as _gzip
+    import io
+
+    with open(path, "rb") as f:
+        f.seek(offset)
+        raw = f.read(length)
+    data = _gzip.decompress(raw) if path.endswith(".gz") else raw
+    return next(read_warc_stream(io.BytesIO(data)), None)
+
+
+def build_cdx(spark, path: str):
+    """Distributed CDX(J)-style index over a WARC directory: one task
+    per file walks member boundaries (iter_cdx_records), then the
+    urlkey is a pure-JVM SURT expression (text.surt_key) and the
+    frame is returned in (urlkey, timestamp) order — the sort CDX
+    ships in, which makes per-domain slices a range scan. Columns:
+    (urlkey, url, timestamp, mime, status, digest, offset, length,
+    filename)."""
+    from lwes_contrib_hive_serde_spark.operators.text import surt_key
+
+    files = _list_warc_files(path)
+    schema = (
+        "url string, timestamp string, mime string, status int, "
+        "digest string, offset long, length long, filename string"
+    )
+    if not files:
+        return spark.createDataFrame([], schema).selectExpr(
+            "NULL as urlkey", "*"
+        ).limit(0)
+    sc = spark.sparkContext
+    rows = sc.parallelize(files, len(files)).flatMap(iter_cdx_records)
+    df = spark.createDataFrame(rows, schema)
+    return df.select(surt_key("url").alias("urlkey"), "*").orderBy(
+        "urlkey", "timestamp"
+    )
