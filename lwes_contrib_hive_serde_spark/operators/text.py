@@ -2098,3 +2098,48 @@ def surt_key(col) -> Column:
             qpart,
         ),
     )
+
+
+# --- HTML metadata signals (robots meta / lang attribute) ----------------
+
+# both attribute orders appear in the wild: name-then-content and
+# content-then-name
+_META_ROBOTS_NC_RE = (
+    r'(?is)<meta\s[^>]*name\s*=\s*["\x27]?robots["\x27]?[^>]*'
+    r'content\s*=\s*["\x27]([^"\x27>]*)'
+)
+_META_ROBOTS_CN_RE = (
+    r'(?is)<meta\s[^>]*content\s*=\s*["\x27]([^"\x27>]*)["\x27]?'
+    r'[^>]*name\s*=\s*["\x27]?robots'
+)
+_HTML_LANG_RE = r'(?is)<html\s[^>]*lang\s*=\s*["\x27]?([A-Za-z-]+)'
+
+
+def html_noindex(col) -> Column:
+    """True when the page's ``<meta name="robots">`` directive
+    contains ``noindex`` or ``none`` as a standalone comma- or
+    space-separated token — the opt-out signal a crawl curation MUST
+    honor before the page enters a corpus. Pure JVM regex over the
+    raw HTML (case-insensitive, quote-agnostic, both attribute
+    orders); pages without the tag are False. Response-header
+    X-Robots-Tag is the caller's column to check (the WARC source
+    exposes raw headers on request records)."""
+    col = F.col(col) if isinstance(col, str) else col
+    directives = F.lower(
+        F.concat(
+            F.regexp_extract(col, _META_ROBOTS_NC_RE, 1),
+            F.lit(","),
+            F.regexp_extract(col, _META_ROBOTS_CN_RE, 1),
+        )
+    )
+    return directives.rlike(r"(^|[,\s])(noindex|none)($|[,\s])")
+
+
+def html_lang(col) -> Column:
+    """The ``<html lang="…">`` attribute, lowercased with any region
+    subtag dropped (``en-US`` → ``en``), NULL when absent — the
+    author-declared language, the cheap first tier before the
+    trained classifier (langid) settles disagreements."""
+    col = F.col(col) if isinstance(col, str) else col
+    tag = F.lower(F.regexp_extract(col, _HTML_LANG_RE, 1))
+    return F.nullif(F.split(tag, "-").getItem(0), F.lit(""))

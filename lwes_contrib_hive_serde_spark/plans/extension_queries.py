@@ -7247,3 +7247,48 @@ def q_surt_keys(spark, sf_dir):
     return sel.select(
         "doc_id", "url", text.surt_key("url").alias("urlkey")
     ).orderBy("doc_id")
+
+
+@register(
+    "q_html_signals",
+    shadow=True,
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, doc_id % 6 AS v FROM documents WHERE doc_id < 600
+    )
+    SELECT doc_id,
+      CASE v WHEN 1 THEN TRUE WHEN 3 THEN TRUE ELSE FALSE END
+        AS noindex,
+      CASE v WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'pt'
+             WHEN 3 THEN 'zh' ELSE NULL END AS lang
+    FROM p ORDER BY doc_id
+    """,
+    doc="HTML metadata signals (text.html_noindex + text.html_lang): "
+    "the robots-meta opt-out a curation pipeline must honor "
+    "(noindex/none as standalone comma- or space-separated "
+    "directives — 'noindexing' must NOT match) and the "
+    "author-declared <html lang> with region subtags dropped "
+    "(pt-BR -> pt). Six synthesized page shapes cover single/double/"
+    "unquoted attribute quoting, attribute-order variance, "
+    "uppercase directives, a decoy 'nofollow'-only page and a "
+    "tagless page; the oracle states the expected verdicts "
+    "directly. Pure JVM regex — both signals ride the same scan "
+    "as HTML extraction.",
+)
+def q_html_signals(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    v = F.col("doc_id") % 6
+    html = (
+        F.when(v == 0, '<html lang="en-US"><meta name="robots" content="index, follow"><body>x</body></html>')
+        .when(v == 1, "<html LANG='de'><META NAME='robots' CONTENT='NOINDEX, nofollow'><body>x</body></html>")
+        .when(v == 2, '<html lang=pt-BR><meta content="noindexing" name="robots"><body>x</body></html>')
+        .when(v == 3, '<html lang="zh"><meta content="none" name="robots"><body>x</body></html>')
+        .when(v == 4, '<html><meta name="robots" content="nofollow"><body>x</body></html>')
+        .otherwise("<html><body>plain page no signals</body></html>")
+    )
+    sel = d.select("doc_id", html.alias("h"))
+    return sel.select(
+        "doc_id",
+        text.html_noindex("h").alias("noindex"),
+        text.html_lang("h").alias("lang"),
+    ).orderBy("doc_id")
