@@ -59,6 +59,7 @@ def curate(
     html_col: str | None = None,
     max_link_density: float | None = None,
     main_content: bool = False,
+    honor_noindex: bool = True,
     blocked_terms: list[str] | None = None,
     dedup_spans_k: int | None = None,
     dedup_spans_min_count: int = 2,
@@ -115,6 +116,10 @@ def curate(
             .drop("doc_text")
         )
     if html_col is not None:
+        if honor_noindex:
+            # the robots-meta opt-out is a compliance floor, not a
+            # quality heuristic — honored by default, same scan stage
+            out = out.filter(~text.html_noindex(html_col))
         out = text.with_html_extracted(out, html_col, text_col)
         if main_content:
             # block-level boilerplate removal (jusText-lite) replaces

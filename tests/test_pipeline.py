@@ -605,3 +605,27 @@ class TestCurateLangid:
         # both real languages survive with their labels; the
         # unknown-script page averages near the top_k=300 ceiling
         assert got == {1: "en", 2: "de"}
+
+
+class TestCurateNoindex:
+    def test_noindex_pages_drop_by_default(self, spark):
+        body = (
+            "plenty of clean page words flow through here today. "
+            "and the second sentence keeps the cleaner happy too."
+        )
+        rows = [
+            (1, f'<html lang="en"><body><p>{body}</p></body></html>'),
+            (2, '<html><meta name="robots" content="noindex">'
+                f"<body><p>{body} opted out page though.</p></body></html>"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, html string")
+        out = pipeline.curate(
+            docs, gopher_thresholds=LOOSE, min_sentences=1, pii=False,
+            html_col="html",
+        )
+        assert [r["doc_id"] for r in out.collect()] == [1]
+        kept = pipeline.curate(
+            docs, gopher_thresholds=LOOSE, min_sentences=1, pii=False,
+            html_col="html", honor_noindex=False,
+        )
+        assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2]
