@@ -16,6 +16,10 @@ Schema (fixed):
     http_status int          parsed HTTP status for http-response
                              blocks, NULL otherwise
     http_content_type string HTTP Content-Type header, NULL otherwise
+    http_headers map<string,string>  all HTTP response headers
+                             (lower-cased names, first value wins) for
+                             http-response blocks — X-Robots-Tag,
+                             Last-Modified, …; NULL otherwise
     payload binary           HTTP body when http_status is non-NULL
                              (headers already consumed), else the raw
                              record block
@@ -55,6 +59,7 @@ from pyspark.sql.types import (
     BinaryType,
     IntegerType,
     LongType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -70,6 +75,7 @@ WARC_SCHEMA = StructType(
         StructField("content_length", LongType()),
         StructField("http_status", IntegerType()),
         StructField("http_content_type", StringType()),
+        StructField("http_headers", MapType(StringType(), StringType())),
         StructField("payload", BinaryType()),
         StructField("path", StringType()),
     ]
@@ -149,10 +155,13 @@ def read_warc_stream(stream: BinaryIO) -> Iterator[tuple[dict, bytes]]:
         yield headers, block
 
 
-def parse_http_response(block: bytes):
-    """(status, content_type, body) for an HTTP message block, or
-    None when the block is not one (payload then stays the raw
-    block — never a guess at where headers end)."""
+def parse_http_response(block: bytes, with_headers: bool = False):
+    """(status, content_type, body) — or (status, content_type,
+    headers, body) with ``with_headers`` — for an HTTP message
+    block, or None when the block is not one (payload then stays
+    the raw block — never a guess at where headers end). Header
+    names lower-case; repeats keep the FIRST value (the
+    Set-Cookie-style tail is crawl noise, not metadata)."""
     if not (block.startswith(b"HTTP/") or block.startswith(b"GET ")
             or block.startswith(b"POST ") or block.startswith(b"HEAD ")):
         return None
@@ -169,11 +178,18 @@ def parse_http_response(block: bytes):
         else:
             return None
     ctype = None
+    headers: dict[str, str] = {}
     for hl in lines[1:]:
         name, s, value = hl.partition(b":")
-        if s and name.strip().lower() == b"content-type":
-            ctype = value.strip().decode("utf-8", "replace")
-            break
+        if not s:
+            continue
+        key = name.strip().decode("utf-8", "replace").lower()
+        val = value.strip().decode("utf-8", "replace")
+        headers.setdefault(key, val)
+        if ctype is None and key == "content-type":
+            ctype = val
+    if with_headers:
+        return status, ctype, headers, body
     return status, ctype, body
 
 
@@ -293,6 +309,7 @@ def iter_warc_rows(
                         f"{headers.get('warc-record-id')} in {path}"
                     )
             status = http_ctype = None
+            http_headers = None
             payload = block
             ctype = headers.get("content-type")
             # WARC marks HTTP message blocks with application/http;
@@ -301,9 +318,9 @@ def iter_warc_rows(
             if (ctype and "application/http" in ctype) or (
                 is_arc and rtype == "response"
             ):
-                parsed = parse_http_response(block)
+                parsed = parse_http_response(block, with_headers=True)
                 if parsed is not None:
-                    status, http_ctype, payload = parsed
+                    status, http_ctype, http_headers, payload = parsed
             yield (
                 rtype,
                 headers.get("warc-record-id"),
@@ -313,6 +330,7 @@ def iter_warc_rows(
                 int(headers.get("content-length", "0")),
                 status,
                 http_ctype,
+                http_headers,
                 payload,
                 path,
             )

@@ -47,7 +47,7 @@ class TestWarcParser:
         rows = list(W.iter_warc_rows(p))
         assert len(rows) == 2
         assert rows[0][0] == "warcinfo" and rows[0][2] is None
-        rt, rid, uri, date, ctype, clen, status, hct, payload, path = rows[1]
+        rt, rid, uri, date, ctype, clen, status, hct, hh, payload, path = rows[1]
         assert (rt, uri, status) == ("response", "http://e/1", 200)
         assert hct == "text/html; charset=utf-8"
         assert payload == b"<html>1</html>"
@@ -344,7 +344,7 @@ class TestWarcDigestVerification:
         rows = list(
             W.iter_warc_rows(p, verify_digests=True, permissive=True)
         )
-        assert len(rows) == 1 and rows[0][8] == b"good record"
+        assert len(rows) == 1 and rows[0][9] == b"good record"
 
     def test_absent_or_unknown_digest_is_not_a_failure(self, tmp_path):
         # records without a digest (or with an unshipped algorithm)
@@ -546,7 +546,7 @@ class TestArcLegacy:
             f.write(self._arc_bytes())
         rows = list(W.iter_warc_rows(p))
         assert rows[0][0] == "warcinfo" and rows[0][2] is None
-        rt, rid, uri, date, ctype, clen, status, hct, payload, _ = rows[1]
+        rt, rid, uri, date, ctype, clen, status, hct, hh, payload, _ = rows[1]
         assert (rt, uri, status, hct) == (
             "response", "http://arc.example/0", 200, "text/html",
         )
@@ -678,3 +678,41 @@ class TestCdxIndex:
                 f.write(full + full[:cut])
             with pytest.raises(W.WarcError, match="truncated gzip"):
                 list(W.iter_cdx_records(p))
+
+
+class TestHttpHeadersColumn:
+    def test_headers_surface_x_robots_tag(self, spark, tmp_path):
+        d = str(tmp_path / "h")
+        os.makedirs(d)
+        body = b"<html>x</html>"
+        block = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"X-Robots-Tag: noindex\r\nLast-Modified: Tue, 01 Jan 2026 "
+            b"00:00:00 GMT\r\nSet-Cookie: a=1\r\nSet-Cookie: b=2\r\n\r\n"
+            + body
+        )
+        rec = (
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            "WARC-Record-ID: <urn:h:1>\r\n"
+            "WARC-Target-URI: http://e/h\r\n"
+            "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(block)}\r\n\r\n"
+        ).encode() + block + b"\r\n\r\n"
+        with open(os.path.join(d, "a.warc"), "wb") as f:
+            f.write(rec)
+            f.write(warc_record("warcinfo", None, b"i\r\n", http=False))
+        df = spark.read.format("warc").option("path", d).load()
+        rows = {r["record_type"]: r for r in df.collect()}
+        hh = rows["response"]["http_headers"]
+        assert hh["x-robots-tag"] == "noindex"
+        assert hh["last-modified"].startswith("Tue, 01 Jan 2026")
+        assert hh["set-cookie"] == "a=1"  # first value wins
+        assert rows["warcinfo"]["http_headers"] is None
+        # crawl-compliance filter rides the scan
+        kept = df.filter(
+            "http_headers IS NULL OR "
+            "NOT coalesce(http_headers['x-robots-tag'], '') RLIKE "
+            "'(^|[,\\\\s])(noindex|none)($|[,\\\\s])'"
+        )
+        assert {r["record_type"] for r in kept.collect()} == {"warcinfo"}
