@@ -781,3 +781,54 @@ def build_cdx(spark, path: str):
     return df.select(surt_key("url").alias("urlkey"), "*").orderBy(
         "urlkey", "timestamp"
     )
+
+
+def read_warc_via_cdx(spark, cdx_df, base_dir: str, parallelism: int | None = None):
+    """WARC records as a DataFrame driven by a CDX index — the
+    random-access read path that makes concatenated-gzip crawls
+    EFFECTIVELY SPLITTABLE: parallelism is per index slice, not per
+    file, so one 1 GB .warc.gz no longer pins a whole task and a
+    100-file crawl can fan out to 1000 executors. Each task fetches
+    only its entries' [offset, offset+length) ranges (a ranged-GET
+    stand-in), decompresses those members alone, and emits the same
+    WARC_SCHEMA rows as the scan path — no file is ever read end to
+    end. Index rows (not record bytes) are what shuffles in the
+    repartition; record payloads stay inside their task. Pair with a
+    ``status = 200``/mime filter ON THE CDX FIRST — pruning happens
+    at index granularity, before any crawl byte moves."""
+    import io
+
+    n = parallelism or spark.sparkContext.defaultParallelism
+    idx = cdx_df.select("filename", "offset", "length").repartition(n)
+
+    def fetch(rows):
+        for r in rows:
+            path = os.path.join(base_dir, r.filename)
+            got = fetch_warc_record(path, r.offset, r.length)
+            if got is None:
+                continue
+            headers, block = got
+            rtype = headers.get("warc-type", "")
+            status = http_ctype = None
+            http_headers = None
+            payload = block
+            ctype = headers.get("content-type")
+            if ctype and "application/http" in ctype:
+                parsed = parse_http_response(block, with_headers=True)
+                if parsed is not None:
+                    status, http_ctype, http_headers, payload = parsed
+            yield (
+                rtype,
+                headers.get("warc-record-id"),
+                headers.get("warc-target-uri"),
+                headers.get("warc-date"),
+                ctype,
+                int(headers.get("content-length", "0")),
+                status,
+                http_ctype,
+                http_headers,
+                payload,
+                path,
+            )
+
+    return spark.createDataFrame(idx.rdd.mapPartitions(fetch), WARC_SCHEMA)

@@ -716,3 +716,43 @@ class TestHttpHeadersColumn:
             "'(^|[,\\\\s])(noindex|none)($|[,\\\\s])'"
         )
         assert {r["record_type"] for r in kept.collect()} == {"warcinfo"}
+
+
+class TestReadViaCdx:
+    def test_index_driven_read_matches_scan(self, spark, tmp_path):
+        d = str(tmp_path / "cdxread")
+        os.makedirs(d)
+        for fi in range(2):
+            with open(os.path.join(d, f"f{fi}.warc.gz"), "wb") as f:
+                for ri in range(5):
+                    f.write(gzip.compress(warc_record(
+                        "response", f"http://h{ri}.ex/f{fi}",
+                        f"<p>{fi}:{ri}</p>".encode(),
+                    )))
+        cdx = W.build_cdx(spark, d)
+        via_index = W.read_warc_via_cdx(spark, cdx, d, parallelism=4)
+        scan = spark.read.format("warc").option("path", d).load()
+        a = sorted(
+            (r["target_uri"], bytes(r["payload"])) for r in via_index.collect()
+        )
+        b = sorted(
+            (r["target_uri"], bytes(r["payload"])) for r in scan.collect()
+        )
+        assert a == b and len(a) == 10
+
+    def test_cdx_level_pruning_reads_subset(self, spark, tmp_path):
+        d = str(tmp_path / "cdxprune")
+        os.makedirs(d)
+        with open(os.path.join(d, "f.warc.gz"), "wb") as f:
+            for ri in range(6):
+                f.write(gzip.compress(warc_record(
+                    "response", f"http://h{ri % 2}.ex/p{ri}",
+                    f"<p>{ri}</p>".encode(),
+                )))
+        cdx = W.build_cdx(spark, d).filter(
+            "urlkey LIKE 'ex,h1)%'"
+        )
+        rows = W.read_warc_via_cdx(spark, cdx, d, parallelism=2).collect()
+        assert sorted(r["target_uri"] for r in rows) == [
+            "http://h1.ex/p1", "http://h1.ex/p3", "http://h1.ex/p5",
+        ]
