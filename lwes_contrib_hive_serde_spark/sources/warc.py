@@ -53,7 +53,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     BinaryType,
@@ -496,6 +498,9 @@ class WetDataSource(WarcDataSource):
             schema, _with_default_types(self.options, "conversion")
         )
 
+    def writer(self, schema: StructType, overwrite: bool):
+        return WetWriter(schema, self.options, overwrite)
+
 
 class WatDataSource(WarcDataSource):
     """CommonCrawl WAT sidecar: ``metadata`` records whose block is a
@@ -832,3 +837,138 @@ def read_warc_via_cdx(spark, cdx_df, base_dir: str, parallelism: int | None = No
             )
 
     return spark.createDataFrame(idx.rdd.mapPartitions(fetch), WARC_SCHEMA)
+
+
+class WetCommitMessage(WriterCommitMessage):
+    def __init__(self, files: list, records: int):
+        self.files = files
+        self.records = records
+
+
+class WetWriter(DataSourceWriter):
+    """``df.write.format("wet")`` — serialize a text corpus as REAL
+    WET files (conversion records, one gzip member per record, a
+    warcinfo prologue member per file — byte-compatible with the
+    CommonCrawl layout, so anything that reads WET reads these).
+    Input needs ``target_uri`` and a text column (``option("textcol")``,
+    default ``text``); optional ``warc_date`` rides through. Every
+    record is written WITH its WARC-Block-Digest (sha1:BASE32), so
+    ``option("verifydigests","true")`` on read fixity-checks the
+    round trip. Files roll at ``rollbytes`` (compressed, default
+    256 MiB), land via atomic tmp+rename, and gzip members carry
+    mtime=0 — byte-deterministic output for a given row order."""
+
+    def __init__(self, schema: StructType, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("wet: no output path specified")
+        names = [f.name for f in schema.fields]
+        self.text_col = options.get("textcol", "text")
+        for need in ("target_uri", self.text_col):
+            if need not in names:
+                raise ValueError(
+                    f"wet: input needs a {need!r} column (have {names})"
+                )
+        self.i_uri = names.index("target_uri")
+        self.i_text = names.index(self.text_col)
+        self.i_date = names.index("warc_date") if "warc_date" in names else None
+        self.roll_bytes = int(
+            options.get("rollbytes", str(256 * 1024 * 1024))
+        )
+        if overwrite and os.path.isdir(self.path):
+            for p in _list_warc_files(self.path):
+                os.remove(p)
+
+    def _member(self, head: str, block: bytes) -> bytes:
+        import io
+
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+            g.write(head.encode() + block + b"\r\n\r\n")
+        return buf.getvalue()
+
+    def _info_member(self) -> bytes:
+        info = b"software: lwespark-wet-writer\r\nformat: WARC File Format 1.0\r\n"
+        head = (
+            "WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+            "WARC-Record-ID: <urn:uuid:warcinfo>\r\n"
+            "WARC-Date: 1980-01-01T00:00:00Z\r\n"
+            "Content-Type: application/warc-fields\r\n"
+            f"Content-Length: {len(info)}\r\n\r\n"
+        )
+        return self._member(head, info)
+
+    def write(self, rows) -> WetCommitMessage:
+        import base64
+        import hashlib
+        import uuid as _uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        task = _uuid.uuid4().hex
+        files: list[str] = []
+        f = None
+        cur_tmp = cur_final = None
+        seq = 0
+        written = 0
+        n = 0
+
+        def _seal():
+            nonlocal f
+            if f is not None:
+                f.close()
+                os.replace(cur_tmp, cur_final)
+
+        for row in rows:
+            uri, text = row[self.i_uri], row[self.i_text]
+            if uri is None or text is None:
+                continue
+            if f is None or written >= self.roll_bytes:
+                _seal()
+                cur_final = os.path.join(
+                    self.path, f"part-{task}-{seq:04d}.warc.wet.gz"
+                )
+                d, base = os.path.split(cur_final)
+                cur_tmp = os.path.join(d, f".{base}.tmp-{task}")
+                f = open(cur_tmp, "wb")
+                prologue = self._info_member()
+                f.write(prologue)
+                written = len(prologue)
+                files.append(cur_final)
+                seq += 1
+            block = text.encode("utf-8")
+            digest = base64.b32encode(
+                hashlib.sha1(block).digest()
+            ).decode("ascii")
+            date = (
+                row[self.i_date]
+                if self.i_date is not None and row[self.i_date]
+                else "1980-01-01T00:00:00Z"
+            )
+            head = (
+                "WARC/1.0\r\nWARC-Type: conversion\r\n"
+                f"WARC-Record-ID: <urn:uuid:{_uuid.uuid5(_uuid.NAMESPACE_URL, uri)}>\r\n"
+                f"WARC-Target-URI: {uri}\r\n"
+                f"WARC-Date: {date}\r\n"
+                f"WARC-Block-Digest: sha1:{digest}\r\n"
+                "Content-Type: text/plain\r\n"
+                f"Content-Length: {len(block)}\r\n\r\n"
+            )
+            member = self._member(head, block)
+            f.write(member)
+            written += len(member)
+            n += 1
+        _seal()
+        return WetCommitMessage(files, n)
+
+    def commit(self, messages):
+        pass
+
+    def abort(self, messages):
+        for m in messages:
+            if m is None:
+                continue
+            for p in getattr(m, "files", []):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass

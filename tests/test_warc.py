@@ -756,3 +756,45 @@ class TestReadViaCdx:
         assert sorted(r["target_uri"] for r in rows) == [
             "http://h1.ex/p1", "http://h1.ex/p3", "http://h1.ex/p5",
         ]
+
+
+class TestWetSink:
+    def test_write_read_round_trip_with_fixity(self, spark, tmp_path):
+        d = str(tmp_path / "wetout")
+        rows = [
+            (f"http://corpus.example/{i}", f"text of document {i} héllo")
+            for i in range(25)
+        ]
+        df = spark.createDataFrame(rows, "target_uri string, text string")
+        df.write.format("wet").option("path", d).mode("append").save()
+        back = (
+            spark.read.format("wet").option("path", d)
+            .option("verifydigests", "true")  # fixity-check our own digests
+            .load()
+        )
+        got = sorted(
+            (r["target_uri"], bytes(r["payload"]).decode("utf-8"))
+            for r in back.collect()
+        )
+        assert got == sorted(rows)
+        # the warcinfo prologue exists but never reaches the wet plan
+        all_types = {
+            r["record_type"]
+            for r in spark.read.format("warc").option("path", d)
+            .load().collect()
+        }
+        assert all_types == {"warcinfo", "conversion"}
+
+    def test_null_rows_skipped_and_rolling(self, spark, tmp_path):
+        d = str(tmp_path / "wetroll")
+        rows = [("http://e/1", "a" * 2000), (None, "x"), ("http://e/2", None),
+                ("http://e/3", "b" * 2000)]
+        df = spark.createDataFrame(rows, "target_uri string, text string")
+        (df.coalesce(1).write.format("wet").option("path", d)
+         .option("rollbytes", "200").mode("append").save())
+        files = sorted(os.listdir(d))
+        assert len(files) >= 2  # rolled
+        back = spark.read.format("wet").option("path", d).load()
+        assert sorted(r["target_uri"] for r in back.collect()) == [
+            "http://e/1", "http://e/3",
+        ]
