@@ -309,6 +309,7 @@ def journal_count(
     path: str,
     min_receipt_time: int | None = None,
     max_receipt_time: int | None = None,
+    event_name: str | None = None,
 ) -> dict:
     """COUNT(*) / min / max ReceiptTime over a journal directory,
     answered from the ANALYZE sidecars wherever possible — the
@@ -326,6 +327,12 @@ def journal_count(
         never decoded);
       * sidecar stale/missing/disjoint-unprovable → same fail-safe
         walk. Disjoint fresh files are skipped without opening.
+
+    ``event_name`` narrows the count to one event type using the
+    sidecar's per-event ``events`` map ({name: [count, min, max]} —
+    the name rides the wire right after each header, so ANALYZE
+    recorded it without decoding payloads); sidecars written before
+    the map existed simply fail the freshness check and walk.
 
     The walks run as one distributed job (a task per non-O(1) file);
     sidecar reads are driver-side metadata I/O, exactly like a
@@ -367,6 +374,18 @@ def journal_count(
         if st is None:
             to_scan.append(p)
             continue
+        if event_name is not None:
+            ev = st.get("events")
+            if not isinstance(ev, dict):
+                to_scan.append(p)  # pre-events sidecar: walk
+                continue
+            got = ev.get(event_name)
+            if got is None:
+                from_stats += 1
+                continue  # event provably absent: skipped unopened
+            cnt, fmin, fmax = got[0], got[1], got[2]
+            st = {"records": cnt, "min_receipt_time": fmin,
+                  "max_receipt_time": fmax}
         fmin, fmax = st["min_receipt_time"], st["max_receipt_time"]
         if st["records"] == 0 or fmin is None:
             from_stats += 1
@@ -386,7 +405,15 @@ def journal_count(
         def walk(p: str):
             wn = 0
             wlo = whi = None
-            for rt in iter_journal_receipt_times(p):
+            for item in iter_journal_receipt_times(
+                p, with_names=event_name is not None
+            ):
+                if event_name is not None:
+                    rt, name = item
+                    if name != event_name:
+                        continue
+                else:
+                    rt = item
                 if lo_q <= rt <= hi_q:
                     wn += 1
                     if wlo is None or rt < wlo:

@@ -845,21 +845,26 @@ def read_journal_raw(stream: BinaryIO) -> Iterator[tuple[bytes, bytes]]:
         yield header, payload
 
 
-def iter_journal_receipt_times(path: str):
+def iter_journal_receipt_times(path: str, with_names: bool = False):
     """Header-only ReceiptTime walk of one journal (any tier: v1
-    plain, v1 .gz/.bz2/.xz/.zst, v2 blocks). Payloads are never
-    decoded — plain v1 seeks over them, compressed tiers read past;
-    only the 22-byte headers are parsed. A torn tail ends the
-    iteration cleanly (the intact prefix is reported)."""
+    plain, v1 .gz/.bz2/.xz/.zst, v2 blocks), yielding ``rtime`` — or
+    ``(rtime, event_name)`` with ``with_names`` (the name is FIRST on
+    the wire with a 1-byte length prefix, so naming costs only ~34
+    extra bytes per record on the plain-v1 seek path; attributes are
+    never decoded either way). A torn tail ends the iteration cleanly
+    (the intact prefix is reported)."""
     import os
 
     if path.endswith(".journal2"):
         with open(path, "rb") as f:
             for block in read_journal_v2_blocks(f):
-                for rtime, _ip, _port, _site, _payload in (
+                for rtime, _ip, _port, _site, payload in (
                     iter_v2_block_records(block)
                 ):
-                    yield rtime
+                    if with_names:
+                        yield rtime, peek_event_name(payload)
+                    else:
+                        yield rtime
     elif path.endswith((".gz", ".bz2", ".xz", ".zst")):
         # compressed v1: stream-decompress, headers parsed, payloads
         # read past (no decode). EVERY open_journal codec extension
@@ -875,7 +880,10 @@ def iter_journal_receipt_times(path: str):
                 payload = f.read(length)
                 if len(payload) < length:
                     break  # torn tail: stats cover the intact prefix
-                yield rtime
+                if with_names:
+                    yield rtime, peek_event_name(payload)
+                else:
+                    yield rtime
     else:
         size = os.path.getsize(path)
         with open(path, "rb") as f:
@@ -884,29 +892,54 @@ def iter_journal_receipt_times(path: str):
                 if len(head) < HEADER_LENGTH:
                     break
                 length, rtime, _ip, _p, _s = unpack_header(head)
-                yield rtime
-                f.seek(length, os.SEEK_CUR)
+                if with_names:
+                    nl_raw = f.read(1)
+                    if not nl_raw:
+                        break
+                    nl = nl_raw[0]
+                    name_raw = f.read(nl)
+                    if len(name_raw) < nl or 1 + nl > length:
+                        break  # torn/corrupt tail
+                    yield rtime, name_raw.decode("utf-8", "replace")
+                    f.seek(length - 1 - nl, os.SEEK_CUR)
+                else:
+                    yield rtime
+                    f.seek(length, os.SEEK_CUR)
                 if f.tell() > size:
                     break
 
 
 def scan_journal_stats(path: str) -> dict:
     """Header-only stats walk of one journal: (size, records,
-    min/max ReceiptTime) — a fold over iter_journal_receipt_times."""
+    min/max ReceiptTime, and a per-event-name ``events`` map
+    ``{name: [count, min_rtime, max_rtime]}`` — the name rides the
+    wire right after the header, so per-event stats cost no payload
+    decode). A fold over iter_journal_receipt_times."""
     import os
 
     size = os.path.getsize(path)
     lo = hi = None
     n = 0
-    for rtime in iter_journal_receipt_times(path):
+    events: dict[str, list] = {}
+    for rtime, name in iter_journal_receipt_times(path, with_names=True):
         n += 1
         if lo is None or rtime < lo:
             lo = rtime
         if hi is None or rtime > hi:
             hi = rtime
+        ev = events.get(name)
+        if ev is None:
+            events[name] = [1, rtime, rtime]
+        else:
+            ev[0] += 1
+            if rtime < ev[1]:
+                ev[1] = rtime
+            if rtime > ev[2]:
+                ev[2] = rtime
     return {
         "size": size,
         "records": n,
         "min_receipt_time": lo,
         "max_receipt_time": hi,
+        "events": events,
     }

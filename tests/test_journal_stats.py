@@ -277,3 +277,63 @@ class TestJournalCount:
         assert st["records"] == 7
         assert st["min_receipt_time"] == 1723500000000
         assert st["max_receipt_time"] == 1723500006000
+
+
+class TestJournalCountByEvent:
+    """Per-event-name metadata counts (the events map in ANALYZE
+    sidecars): name rides the wire right after the header, so
+    COUNT(*) WHERE event_name = X is sidecar-only too."""
+
+    def _mixed_dir(self, spark, tmp_path):
+        d = str(tmp_path / "mix")
+        os.makedirs(d)
+        base = 1723500000000
+        for k in range(2):
+            evs = []
+            for i in range(40):
+                ev = c.Event("S::Click" if i % 4 == 0 else "S::View")
+                ev.set("n", c.INT64, i)
+                ev.set(c.RECEIPT_TIME, c.INT64, base + k * 3600_000 + i * 1000)
+                evs.append(ev)
+            c.write_journal_file(os.path.join(d, f"h{k}.journal"), evs)
+        return d, base
+
+    def test_event_count_from_sidecars_only(self, spark, tmp_path):
+        d, base = self._mixed_dir(spark, tmp_path)
+        M.build_journal_stats(spark, d)
+        got = M.journal_count(spark, d, event_name="S::Click")
+        assert got["records"] == 20  # 10 per file
+        assert got["files_from_stats"] == 2 and got["files_scanned"] == 0
+        assert got["min_receipt_time"] == base
+        assert got["max_receipt_time"] == base + 3600_000 + 36_000
+
+    def test_absent_event_skips_unopened(self, spark, tmp_path):
+        d, _ = self._mixed_dir(spark, tmp_path)
+        M.build_journal_stats(spark, d)
+        got = M.journal_count(spark, d, event_name="S::Nope")
+        assert got["records"] == 0 and got["files_scanned"] == 0
+
+    def test_event_with_partial_range_walks(self, spark, tmp_path):
+        d, base = self._mixed_dir(spark, tmp_path)
+        M.build_journal_stats(spark, d)
+        got = M.journal_count(
+            spark, d, event_name="S::Click",
+            max_receipt_time=base + 3600_000 + 10_000,
+        )
+        # all of file 0 (10 clicks) + clicks at +0,+4,+8 s in file 1
+        assert got["records"] == 13
+        assert got["files_from_stats"] == 1 and got["files_scanned"] == 1
+
+    def test_pre_events_sidecar_fails_safe(self, spark, tmp_path):
+        import json
+
+        d, _ = self._mixed_dir(spark, tmp_path)
+        M.build_journal_stats(spark, d)
+        # simulate an old sidecar: strip the events map from one file
+        sp = os.path.join(d, ".h0.journal.stats.json")
+        st = json.load(open(sp))
+        del st["events"]
+        json.dump(st, open(sp, "w"))
+        got = M.journal_count(spark, d, event_name="S::View")
+        assert got["records"] == 60
+        assert got["files_scanned"] == 1  # only the stripped one
