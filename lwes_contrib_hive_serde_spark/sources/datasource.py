@@ -510,10 +510,15 @@ class LwesReader(DataSourceReader):
         }
 
     @staticmethod
-    def _stats_prunes(path: str, size: int, rt_filters) -> bool:
+    def _stats_prunes(path: str, size: int, rt_filters, wanted_names=None) -> bool:
         """True iff a trusted sidecar proves NO record in ``path`` can
-        satisfy every pushed ReceiptTime predicate. Conservative on
-        any doubt (missing/stale/corrupt sidecar, NULL bounds)."""
+        satisfy every pushed ReceiptTime predicate AND the event-name
+        set: with ``wanted_names`` and a sidecar ``events`` map, a
+        file containing none of the wanted event types is skipped
+        unopened, and the ReceiptTime bounds tighten to the wanted
+        events' own [min,max] instead of the file's. Conservative on
+        any doubt (missing/stale/corrupt sidecar, NULL bounds,
+        pre-events-map sidecars)."""
         d, base = os.path.split(path)
         sp = os.path.join(d, f".{base}.stats.json")
         try:
@@ -524,6 +529,14 @@ class LwesReader(DataSourceReader):
         if st.get("size") != size:
             return False  # appended since ANALYZE: stats are stale
         lo, hi = st.get("min_receipt_time"), st.get("max_receipt_time")
+        if wanted_names:
+            ev = st.get("events")
+            if isinstance(ev, dict):
+                present = [ev[n] for n in wanted_names if n in ev]
+                if not present:
+                    return True  # no wanted event type in this file
+                lo = min(e[1] for e in present)
+                hi = max(e[2] for e in present)
         if lo is None or hi is None:
             return False
         for _col, op, want in rt_filters:
@@ -573,6 +586,17 @@ class LwesReader(DataSourceReader):
             for col, op, want in self.header_filters
             if col == c.RECEIPT_TIME
         ]
+        # the full pushed event-name set: the eventName/fieldMap
+        # option intersected with any pushed event_name EqualTo/In
+        name_sets = []
+        if self.name_filter:
+            name_sets.append(set(self.name_filter))
+        for col, op, want in self.header_filters:
+            if col == EVENT_NAME_COL and op == "EqualTo":
+                name_sets.append({want})
+            elif col == EVENT_NAME_COL and op == "In":
+                name_sets.append(set(want))
+        wanted_names = set.intersection(*name_sets) if name_sets else None
         survivors = []
         for p in self._files:
             pv = self._typed_pvals(p)
@@ -582,7 +606,9 @@ class LwesReader(DataSourceReader):
                 size = os.path.getsize(p)
             except OSError:
                 size = 0
-            if rt_filters and self._stats_prunes(p, size, rt_filters):
+            if (rt_filters or wanted_names) and self._stats_prunes(
+                p, size, rt_filters, wanted_names
+            ):
                 continue
             survivors.append((p, pv, size))
         # Spark's FilePartition sizing: aim for min(maxPartitionBytes,

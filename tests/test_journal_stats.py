@@ -337,3 +337,63 @@ class TestJournalCountByEvent:
         got = M.journal_count(spark, d, event_name="S::View")
         assert got["records"] == 60
         assert got["files_scanned"] == 1  # only the stripped one
+
+
+class TestReaderEventNamePruning:
+    def test_files_without_wanted_event_never_open(self, spark, tmp_path):
+        d = str(tmp_path / "byname")
+        os.makedirs(d)
+        base = 1723500000000
+        for k, name in enumerate(["S::A", "S::B"]):
+            evs = []
+            for i in range(20):
+                ev = c.Event(name)
+                ev.set("n", c.INT64, i)
+                ev.set(c.RECEIPT_TIME, c.INT64, base + i * 1000)
+                evs.append(ev)
+            c.write_journal_file(os.path.join(d, f"f{k}.journal"), evs)
+        M.build_journal_stats(spark, d)
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        from lwes_contrib_hive_serde_spark.sources.datasource import LwesReader
+
+        sch = StructType([StructField("n", LongType())])
+        reader = LwesReader(sch, {"path": d, "eventname": "S::A"})
+        parts = reader.partitions()
+        files = [f for part in parts for f in getattr(part, "files", [])]
+        flat = [getattr(t, "path", t) if not isinstance(t, tuple) else t[0]
+                for t in files]
+        joined = " ".join(str(x) for x in flat)
+        assert "f0.journal" in joined and "f1.journal" not in joined
+
+    def test_event_bounds_tighten_receipt_pruning(self, spark, tmp_path):
+        d = str(tmp_path / "tight")
+        os.makedirs(d)
+        base = 1723500000000
+        # one file: wanted event early, other event late — a query for
+        # the wanted event in the LATE range must prune the whole file
+        evs = []
+        for i in range(10):
+            ev = c.Event("S::Early")
+            ev.set(c.RECEIPT_TIME, c.INT64, base + i * 1000)
+            evs.append(ev)
+        for i in range(10):
+            ev = c.Event("S::Late")
+            ev.set(c.RECEIPT_TIME, c.INT64, base + 1_000_000 + i * 1000)
+            evs.append(ev)
+        c.write_journal_file(os.path.join(d, "f.journal"), evs)
+        M.build_journal_stats(spark, d)
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        from lwes_contrib_hive_serde_spark.sources.datasource import LwesReader
+
+        sch = StructType([StructField("n", LongType())])
+        r = LwesReader(sch, {"path": d, "eventname": "S::Early"})
+        # pushed ReceiptTime >= late-range start: satisfiable for the
+        # FILE bounds but not for S::Early's own [min,max]
+        r.header_filters.append(
+            (c.RECEIPT_TIME, "GreaterThanOrEqual", base + 1_000_000)
+        )
+        assert all(
+            not getattr(part, "files", []) for part in r.partitions()
+        )
