@@ -397,3 +397,36 @@ class TestReaderEventNamePruning:
         assert all(
             not getattr(part, "files", []) for part in r.partitions()
         )
+
+
+class TestPerEventStatsAllTiers:
+    @pytest.mark.parametrize("fname", [
+        "a.journal", "a.journal.gz", "a.journal.xz",
+    ])
+    def test_events_map_matches_plain(self, tmp_path, fname):
+        d = str(tmp_path)
+        base = 1723500000000
+        evs = []
+        for i in range(12):
+            ev = c.Event("S::X" if i % 3 == 0 else "S::Y")
+            ev.set("n", c.INT64, i)
+            ev.set(c.RECEIPT_TIME, c.INT64, base + i * 1000)
+            evs.append(ev)
+        c.write_journal_file(os.path.join(d, fname), evs)
+        st = c.scan_journal_stats(os.path.join(d, fname))
+        assert st["records"] == 12
+        assert st["events"]["S::X"] == [4, base, base + 9000]
+        assert st["events"]["S::Y"] == [8, base + 1000, base + 11000]
+
+    def test_events_map_v2(self, tmp_path):
+        base = 1723500000000
+        evs = []
+        for i in range(10):
+            ev = c.Event("S::V2")
+            ev.set("n", c.INT64, i)
+            ev.set(c.RECEIPT_TIME, c.INT64, base + i * 1000)
+            evs.append(ev)
+        p = os.path.join(str(tmp_path), "a.journal2")
+        c.write_journal_file_v2(p, evs)
+        st = c.scan_journal_stats(p)
+        assert st["events"] == {"S::V2": [10, base, base + 9000]}
