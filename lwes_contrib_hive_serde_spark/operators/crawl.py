@@ -481,3 +481,40 @@ def with_decoded_payload(
     return out.withColumn(
         text_out, decode_payload(bin_col, charset_out, errors=errors)
     )
+
+
+def robots_noindex(
+    http_headers_col=None, html_col=None,
+) -> Column:
+    """True when EITHER robots opt-out channel says noindex: the
+    ``X-Robots-Tag`` response header (pass the WARC source's
+    ``http_headers`` map column) or the page's ``<meta
+    name="robots">`` directive (pass the raw HTML column) — RFC
+    9309's cousins that operate per-page rather than per-path. A
+    curation pipeline must drop these BEFORE the corpus, whatever
+    robots.txt said about fetching. Both channels use the same
+    standalone-token match (``noindex`` / ``none``; 'noindexing'
+    must not match); either argument may be omitted. Pure JVM."""
+    from lwes_contrib_hive_serde_spark.operators import text as _text
+
+    checks = []
+    if http_headers_col is not None:
+        col = (
+            F.col(http_headers_col)
+            if isinstance(http_headers_col, str)
+            else http_headers_col
+        )
+        tag = F.lower(F.coalesce(col.getItem("x-robots-tag"), F.lit("")))
+        checks.append(
+            tag.rlike(r"(^|[,\s])(noindex|none)($|[,\s])")
+        )
+    if html_col is not None:
+        checks.append(_text.html_noindex(html_col))
+    if not checks:
+        raise ValueError(
+            "robots_noindex: pass http_headers_col and/or html_col"
+        )
+    out = checks[0]
+    for c_ in checks[1:]:
+        out = out | c_
+    return out

@@ -7292,3 +7292,56 @@ def q_html_signals(spark, sf_dir):
         text.html_noindex("h").alias("noindex"),
         text.html_lang("h").alias("lang"),
     ).orderBy("doc_id")
+
+
+from lwes_contrib_hive_serde_spark.operators import crawl as _crawl
+
+
+@register(
+    "q_robots_tag",
+    shadow=True,
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, doc_id % 6 AS v FROM documents WHERE doc_id < 600
+    )
+    SELECT doc_id,
+      CASE v WHEN 0 THEN TRUE   -- header noindex
+             WHEN 1 THEN TRUE   -- header none (uppercase)
+             WHEN 2 THEN FALSE  -- header noindexing decoy
+             WHEN 3 THEN TRUE   -- meta noindex, clean header
+             WHEN 4 THEN FALSE  -- nofollow only, both channels
+             ELSE FALSE END AS opted_out
+    FROM p ORDER BY doc_id
+    """,
+    doc="Per-page robots opt-out across BOTH channels "
+    "(crawl.robots_noindex): the X-Robots-Tag response header (the "
+    "WARC source's http_headers map) OR'd with the <meta "
+    "name=robots> directive, standalone-token matched so "
+    "'noindexing' never trips it. Six synthesized (header, html) "
+    "shapes cover each channel firing alone, case-insensitivity, "
+    "token-boundary decoys, and nofollow-only pages; the oracle "
+    "states expected verdicts directly. Pure JVM map access + "
+    "regex — the compliance filter rides the same scan as HTML "
+    "extraction.",
+)
+def q_robots_tag(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    v = F.col("doc_id") % 6
+    tag = (
+        F.when(v == 0, "noindex, nofollow")
+        .when(v == 1, "NONE")
+        .when(v == 2, "noindexing")
+        .when(v == 4, "nofollow")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    hh = F.create_map(F.lit("x-robots-tag"), tag)
+    html = (
+        F.when(v == 3, '<html><meta name="robots" content="noindex"><body>x</body></html>')
+        .when(v == 4, '<html><meta name="robots" content="nofollow"><body>x</body></html>')
+        .otherwise("<html><body>x</body></html>")
+    )
+    sel = d.select("doc_id", hh.alias("hh"), html.alias("html"))
+    return sel.select(
+        "doc_id",
+        _crawl.robots_noindex(F.col("hh"), "html").alias("opted_out"),
+    ).orderBy("doc_id")
