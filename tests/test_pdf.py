@@ -414,3 +414,64 @@ class TestDocumentDispatch:
         assert got[2] == ("docx", 1, "d one")
         assert got[3] == ("epub", 3, "e one\ne two\ne three")
         assert got[4] == (None, None, None)
+
+
+class TestStreamingDocumentExtraction:
+    def test_dispatch_tier_streams(self, spark, tmp_path):
+        """decode_document_text rides Structured Streaming unchanged:
+        a WARC stream of binary attachments -> per-row dispatch ->
+        memory sink."""
+        import gzip
+        import os
+        import time
+
+        src = str(tmp_path / "docs")
+        os.makedirs(src)
+        payloads = {
+            "http://e/a.pdf": mm.pdf_bytes([["pdf text"]]),
+            "http://e/b.docx": mm.docx_bytes([["docx text"]]),
+            "http://e/c.epub": mm.epub_bytes(["epub text"]),
+        }
+        with open(os.path.join(src, "a.warc.gz"), "wb") as f:
+            for uri, blob in payloads.items():
+                head = (
+                    "WARC/1.0\r\nWARC-Type: resource\r\n"
+                    f"WARC-Record-ID: <urn:d:{uri}>\r\n"
+                    f"WARC-Target-URI: {uri}\r\n"
+                    "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                    "Content-Type: application/octet-stream\r\n"
+                    f"Content-Length: {len(blob)}\r\n\r\n"
+                ).encode()
+                f.write(gzip.compress(head + blob + b"\r\n\r\n"))
+        stream = (
+            spark.readStream.format("warc").option("path", src).load()
+            .select("target_uri", "payload")
+        )
+        out = mm.decode_document_text(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("docstream")
+            .option(
+                "checkpointLocation", str(tmp_path / "ckpt")
+            )
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                rows = spark.sql(
+                    "SELECT target_uri, doc_format, doc_text "
+                    "FROM docstream"
+                ).collect()
+                if len(rows) == 3:
+                    break
+                time.sleep(1)
+            got = {r["target_uri"]: (r["doc_format"], r["doc_text"]) for r in rows}
+            assert got == {
+                "http://e/a.pdf": ("pdf", "pdf text"),
+                "http://e/b.docx": ("docx", "docx text"),
+                "http://e/c.epub": ("epub", "epub text"),
+            }
+        finally:
+            q.stop()
+            mm.restore_arrow_batch_size(spark)
