@@ -2143,3 +2143,24 @@ def html_lang(col) -> Column:
     col = F.col(col) if isinstance(col, str) else col
     tag = F.lower(F.regexp_extract(col, _HTML_LANG_RE, 1))
     return F.nullif(F.split(tag, "-").getItem(0), F.lit(""))
+
+
+def dedup_lines(col) -> Column:
+    """Text with exact duplicate LINES removed, first copy kept in
+    place (order-preserving) — the removal counterpart of the
+    dup_line_fraction flag (Rae et al. 2021 repetition cleaning:
+    navigation bars, cookie banners and footer lines repeat
+    verbatim). array_distinct keeps first-encounter order, so this
+    is one JVM expression in the scan."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.array_join(F.array_distinct(F.split(col, "\n")), "\n")
+
+
+def dedup_paragraphs(col) -> Column:
+    """Text with exact duplicate PARAGRAPHS (blank-line-separated
+    blocks) removed, first copy kept; paragraphs re-join with one
+    blank line. The paragraph-grain sibling of dedup_lines."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.array_join(
+        F.array_distinct(paragraphs(col)), "\n\n"
+    )

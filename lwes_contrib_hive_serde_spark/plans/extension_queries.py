@@ -7345,3 +7345,55 @@ def q_robots_tag(spark, sf_dir):
         "doc_id",
         _crawl.robots_noindex(F.col("hh"), "html").alias("opted_out"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_dedup_lines",
+    shadow=True,
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             'nav bar ' || (doc_id % 7) || chr(10) || 'body line a'
+             || chr(10) || 'nav bar ' || (doc_id % 7) || chr(10)
+             || 'body line b' || chr(10) || 'body line a' AS t,
+             string_split(text, chr(10)) AS rl
+      FROM documents WHERE doc_id < 500 AND text IS NOT NULL
+    ), synth AS (
+      SELECT doc_id, t, string_split(t, chr(10)) AS l, rl FROM p
+    )
+    SELECT doc_id,
+      array_to_string(list_transform(
+        list_filter(range(1, len(l) + 1), i -> list_position(l, l[i]) = i),
+        i -> l[i]), chr(10)) AS synth_clean,
+      array_to_string(list_transform(
+        list_filter(range(1, len(rl) + 1), i -> list_position(rl, rl[i]) = i),
+        i -> rl[i]), chr(10)) AS real_clean
+    FROM synth ORDER BY doc_id
+    """,
+    doc="Exact duplicate-line removal, first copy kept in place "
+    "(text.dedup_lines — the removal counterpart of the "
+    "dup_line_fraction flag; Rae et al. 2021 repetition cleaning "
+    "for verbatim-repeating nav/cookie/footer lines): "
+    "array_distinct keeps first-encounter order, so the whole "
+    "operator is one JVM expression in the scan. Gated on BOTH a "
+    "synthesized nav-bar-repeats shape (expected output stated "
+    "arithmetically) and the real corpus text, where the DuckDB "
+    "mirror is an independent order-preserving-distinct "
+    "construction (keep line i iff its FIRST occurrence index is "
+    "i) — two different algorithms, one hash.",
+)
+def q_dedup_lines(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 500) & F.col("text").isNotNull()
+    )
+    m = (F.col("doc_id") % 7).cast("string")
+    synth = F.concat(
+        F.lit("nav bar "), m, F.lit("\nbody line a\nnav bar "), m,
+        F.lit("\nbody line b\nbody line a"),
+    )
+    sel = d.select("doc_id", synth.alias("t"), F.col("text"))
+    return sel.select(
+        "doc_id",
+        text.dedup_lines("t").alias("synth_clean"),
+        text.dedup_lines("text").alias("real_clean"),
+    ).orderBy("doc_id")
