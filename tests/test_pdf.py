@@ -475,3 +475,81 @@ class TestStreamingDocumentExtraction:
         finally:
             q.stop()
             mm.restore_arrow_batch_size(spark)
+
+
+class TestDocumentPropertyRoundTrips:
+    """Hypothesis round-trips: arbitrary text through each
+    synthesizer/parser pair — escapes, entities, and odd whitespace
+    must all survive byte-exact."""
+
+    def test_pdf_literal_escapes_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        # PDF literal strings: any latin-1 text minus the newline
+        # kinds the line-break policy folds (the walker emits \n for
+        # Td line breaks, so embedded newlines are out of contract)
+        line = st.text(
+            st.characters(
+                min_codepoint=0x20, max_codepoint=0xFF,
+            ),
+            min_size=0, max_size=60,
+        )
+
+        @given(st.lists(line, min_size=1, max_size=5))
+        @settings(max_examples=60, deadline=None)
+        def check(lines):
+            n, text = mm.parse_pdf_text(mm.pdf_bytes([lines]))
+            # reference model of the emitter policy: a Td break
+            # emits ONE newline only when text came before it (and
+            # never doubles); empty show strings emit nothing
+            pieces = []
+            for i, line in enumerate(lines):
+                if i > 0 and pieces and pieces[-1] != "\n":
+                    pieces.append("\n")
+                if line:
+                    pieces.append(line)
+            assert n == 1
+            assert text == "".join(pieces)
+
+        check()
+
+    def test_docx_unicode_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        run = st.text(
+            st.characters(
+                blacklist_categories=("Cs", "Cc"),
+            ),
+            min_size=0, max_size=40,
+        )
+
+        @given(st.lists(st.lists(run, max_size=3), min_size=1, max_size=4))
+        @settings(max_examples=60, deadline=None)
+        def check(paras):
+            n, text = mm.parse_docx_text(mm.docx_bytes(paras))
+            assert n == len(paras)
+            assert text == "\n".join("".join(p) for p in paras)
+
+        check()
+
+    def test_epub_unicode_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        # XHTML body text; strip()ed by the walker, so generate
+        # already-stripped chapters
+        chap = st.text(
+            st.characters(blacklist_categories=("Cs", "Cc", "Zs", "Zl", "Zp")),
+            min_size=1, max_size=40,
+        )
+
+        @given(st.lists(chap, min_size=1, max_size=4))
+        @settings(max_examples=60, deadline=None)
+        def check(chapters):
+            n, text = mm.parse_epub_text(mm.epub_bytes(chapters))
+            assert n == len(chapters)
+            assert text == "\n".join(chapters)
+
+        check()
