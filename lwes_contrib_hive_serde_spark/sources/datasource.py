@@ -645,7 +645,11 @@ class LwesReader(DataSourceReader):
             cur_bytes += cost
         if cur:
             bins.append(LwesFilePartition(cur))
-        return bins
+        # never return ZERO partitions: pyspark's python datasource
+        # calls read(None) for an empty plan — one empty partition is
+        # the contract (the WarcReader convention), and all-files-
+        # pruned is now a reachable state via event-name skipping
+        return bins or [LwesFilePartition([])]
 
     def _iter_records(self, fpath: str, start, end):
         """Yield ``(receipt_time, ip, port, site_id, payload)`` for one

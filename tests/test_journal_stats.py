@@ -430,3 +430,49 @@ class TestPerEventStatsAllTiers:
         c.write_journal_file_v2(p, evs)
         st = c.scan_journal_stats(p)
         assert st["events"] == {"S::V2": [10, base, base + 9000]}
+
+
+class TestEventPruningEndToEnd:
+    def test_pruned_scan_equals_sidecarless_scan(self, spark, tmp_path):
+        """Silent-data-loss guard: with per-event sidecars present,
+        a full spark.read with eventName + ReceiptTime filters must
+        return EXACTLY the rows a sidecar-less scan returns."""
+        import glob
+
+        d = str(tmp_path / "e2e")
+        os.makedirs(d)
+        base = 1723500000000
+        for k in range(3):
+            evs = []
+            for i in range(30):
+                ev = c.Event("S::A" if (i + k) % 2 == 0 else "S::B")
+                ev.set("n", c.INT64, k * 100 + i)
+                ev.set(c.RECEIPT_TIME, c.INT64, base + k * 3600_000 + i * 1000)
+                evs.append(ev)
+            c.write_journal_file(os.path.join(d, f"h{k}.journal"), evs)
+
+        def read_all():
+            return sorted(
+                r["n"]
+                for r in (
+                    spark.read.format("lwes")
+                    .option("eventName", "S::A")
+                    .load(d)
+                    .filter(F.col("ReceiptTime") >= base + 3600_000)
+                    .collect()
+                )
+            )
+
+        before = read_all()
+        M.build_journal_stats(spark, d)
+        after = read_all()
+        assert after == before and len(after) > 0
+        # and the sidecars really are being consulted: an impossible
+        # event name now yields zero partitions-worth of rows
+        none = (
+            spark.read.format("lwes").option("eventName", "S::Zzz")
+            .load(d).collect()
+        )
+        assert none == []
+        for sp in glob.glob(os.path.join(d, ".*.stats.json")):
+            os.remove(sp)
