@@ -972,3 +972,67 @@ class WetWriter(DataSourceWriter):
                     os.remove(p)
                 except OSError:
                     pass
+
+
+def write_cdxj(cdx_df, path: str, mode: str = "overwrite") -> None:
+    """Materialize a CDX frame (build_cdx's columns) as CDXJ text —
+    ``urlkey timestamp {json}`` lines in (urlkey, timestamp) order,
+    the format pywb/OpenWayback-family tooling consumes. Numeric
+    fields are serialized as STRINGS (the CDXJ convention). One
+    sorted write; at fleet scale the sort is a range partitioning,
+    so per-domain slices land contiguously in the output shards."""
+    from pyspark.sql import functions as F
+
+    line = F.concat_ws(
+        " ",
+        F.col("urlkey"),
+        F.col("timestamp"),
+        F.to_json(
+            F.struct(
+                F.col("url"),
+                F.col("mime"),
+                F.col("status").cast("string").alias("status"),
+                F.col("digest"),
+                F.col("length").cast("string").alias("length"),
+                F.col("offset").cast("string").alias("offset"),
+                F.col("filename"),
+            )
+        ),
+    )
+    (
+        cdx_df.sort("urlkey", "timestamp")
+        .select(line.alias("value"))
+        .write.mode(mode)
+        .text(path)
+    )
+
+
+def read_cdxj(spark, path: str):
+    """Read CDXJ text back into the build_cdx column layout —
+    the round-trip partner of write_cdxj (numeric fields restored
+    from their CDXJ string spelling)."""
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(path)
+    parts = F.split(F.col("value"), " ", 3)
+    js = F.from_json(
+        parts.getItem(2),
+        "url string, mime string, status string, digest string, "
+        "length string, offset string, filename string",
+    )
+    return raw.select(
+        parts.getItem(0).alias("urlkey"),
+        F.col("value").alias("__v"),
+        parts.getItem(1).alias("timestamp"),
+        js.alias("__j"),
+    ).select(
+        "urlkey",
+        F.col("__j.url").alias("url"),
+        "timestamp",
+        F.col("__j.mime").alias("mime"),
+        F.col("__j.status").cast("int").alias("status"),
+        F.col("__j.digest").alias("digest"),
+        F.col("__j.offset").cast("long").alias("offset"),
+        F.col("__j.length").cast("long").alias("length"),
+        F.col("__j.filename").alias("filename"),
+    )

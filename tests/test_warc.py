@@ -798,3 +798,34 @@ class TestWetSink:
         assert sorted(r["target_uri"] for r in back.collect()) == [
             "http://e/1", "http://e/3",
         ]
+
+
+class TestCdxj:
+    def test_cdxj_round_trip_and_fetch(self, spark, tmp_path):
+        d = str(tmp_path / "c")
+        os.makedirs(d)
+        with open(os.path.join(d, "f.warc.gz"), "wb") as f:
+            for ri in range(4):
+                f.write(gzip.compress(warc_record(
+                    "response", f"http://h{ri}.ex/p", f"<p>{ri}</p>".encode()
+                )))
+        cdx = W.build_cdx(spark, d)
+        out = str(tmp_path / "cdxj")
+        W.write_cdxj(cdx, out)
+        back = W.read_cdxj(spark, out)
+        a = sorted(tuple(r) for r in cdx.collect())
+        b = sorted(tuple(r) for r in back.collect())
+        assert a == b and len(a) == 4
+        # the text really is `urlkey ts {json}` and sorted
+        lines = [
+            r["value"]
+            for r in spark.read.text(out).collect()
+        ]
+        keys = [ln.split(" ", 2)[0] for ln in sorted(lines)]
+        assert keys == sorted(keys) and keys[0].startswith("ex,h0)")
+        # blind fetch through the round-tripped geometry
+        r = back.collect()[0]
+        headers, _ = W.fetch_warc_record(
+            os.path.join(d, r["filename"]), r["offset"], r["length"]
+        )
+        assert headers.get("warc-target-uri") == r["url"]
