@@ -1036,3 +1036,49 @@ def read_cdxj(spark, path: str):
         F.col("__j.length").cast("long").alias("length"),
         F.col("__j.filename").alias("filename"),
     )
+
+
+def update_cdx(spark, path: str, cdx_path: str):
+    """Incremental CDX maintenance: index ONLY the crawl files not
+    yet present in the parquet index at ``cdx_path`` (crawl files
+    are write-once, so filename membership IS the freshness
+    contract), append their entries, and return a report dict
+    {"files_total", "files_new", "records_indexed"}. The existing
+    index is never rewritten or re-read beyond its filename column —
+    the incremental-index idiom (cf. passage/image indexes) applied
+    to the crawl tier. Read the result with
+    ``spark.read.parquet(cdx_path)``; sort/export via write_cdxj
+    when wayback-tooling interop is needed."""
+    from lwes_contrib_hive_serde_spark.operators.text import surt_key
+
+    files = _list_warc_files(path)
+    have: set[str] = set()
+    try:
+        have = {
+            r["filename"]
+            for r in spark.read.parquet(cdx_path)
+            .select("filename").distinct().collect()
+        }
+    except Exception:
+        have = set()  # first build: nothing indexed yet
+    new = [p for p in files if os.path.basename(p) not in have]
+    if not new:
+        return {
+            "files_total": len(files), "files_new": 0,
+            "records_indexed": 0,
+        }
+    schema = (
+        "url string, timestamp string, mime string, status int, "
+        "digest string, offset long, length long, filename string"
+    )
+    sc = spark.sparkContext
+    rows = sc.parallelize(new, len(new)).flatMap(iter_cdx_records)
+    df = spark.createDataFrame(rows, schema).select(
+        surt_key("url").alias("urlkey"), "*"
+    )
+    n = df.count()
+    df.write.mode("append").parquet(cdx_path)
+    return {
+        "files_total": len(files), "files_new": len(new),
+        "records_indexed": n,
+    }

@@ -829,3 +829,35 @@ class TestCdxj:
             os.path.join(d, r["filename"]), r["offset"], r["length"]
         )
         assert headers.get("warc-target-uri") == r["url"]
+
+
+class TestIncrementalCdx:
+    def test_only_new_files_indexed(self, spark, tmp_path):
+        d = str(tmp_path / "inc")
+        idx = str(tmp_path / "idx")
+        os.makedirs(d)
+
+        def put(name, n):
+            with open(os.path.join(d, name), "wb") as f:
+                for ri in range(n):
+                    f.write(gzip.compress(warc_record(
+                        "response", f"http://e/{name}/{ri}", b"x"
+                    )))
+
+        put("a.warc.gz", 3)
+        r1 = W.update_cdx(spark, d, idx)
+        assert (r1["files_new"], r1["records_indexed"]) == (1, 3)
+        # idempotent: nothing new, nothing re-read
+        r2 = W.update_cdx(spark, d, idx)
+        assert (r2["files_new"], r2["records_indexed"]) == (0, 0)
+        put("b.warc.gz", 2)
+        r3 = W.update_cdx(spark, d, idx)
+        assert (r3["files_new"], r3["records_indexed"]) == (1, 2)
+        got = spark.read.parquet(idx)
+        assert got.count() == 5
+        # entries stay blind-fetchable across increments
+        r = got.filter("filename = 'b.warc.gz'").collect()[0]
+        headers, _ = W.fetch_warc_record(
+            os.path.join(d, r["filename"]), r["offset"], r["length"]
+        )
+        assert headers.get("warc-target-uri") == r["url"]
