@@ -60,6 +60,7 @@ def curate(
     max_link_density: float | None = None,
     main_content: bool = False,
     honor_noindex: bool = True,
+    http_headers_col: str | None = None,
     blocked_terms: list[str] | None = None,
     dedup_spans_k: int | None = None,
     dedup_spans_min_count: int = 2,
@@ -117,9 +118,19 @@ def curate(
         )
     if html_col is not None:
         if honor_noindex:
-            # the robots-meta opt-out is a compliance floor, not a
-            # quality heuristic — honored by default, same scan stage
-            out = out.filter(~text.html_noindex(html_col))
+            # the robots opt-out is a compliance floor, not a quality
+            # heuristic — honored by default, same scan stage; with
+            # http_headers_col (the WARC source's map) the
+            # X-Robots-Tag channel is checked too
+            from lwes_contrib_hive_serde_spark.operators import crawl
+
+            out = out.filter(
+                ~crawl.robots_noindex(
+                    http_headers_col, html_col
+                )
+                if http_headers_col is not None
+                else ~text.html_noindex(html_col)
+            )
         out = text.with_html_extracted(out, html_col, text_col)
         if main_content:
             # block-level boilerplate removal (jusText-lite) replaces

@@ -629,3 +629,28 @@ class TestCurateNoindex:
             html_col="html", honor_noindex=False,
         )
         assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2]
+
+
+class TestCurateHeaderNoindex:
+    def test_x_robots_tag_channel(self, spark):
+        from pyspark.sql import functions as F
+
+        body = (
+            "plenty of clean page words flow through here today. "
+            "and the second sentence keeps the cleaner happy too."
+        )
+        rows = [
+            (1, f"<html><body><p>{body}</p></body></html>", None),
+            (2, f"<html><body><p>{body} opted out.</p></body></html>",
+             "noindex"),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, html string, tag string"
+        ).withColumn(
+            "hh", F.create_map(F.lit("x-robots-tag"), F.col("tag"))
+        )
+        out = pipeline.curate(
+            docs, gopher_thresholds=LOOSE, min_sentences=1, pii=False,
+            html_col="html", http_headers_col="hh",
+        )
+        assert [r["doc_id"] for r in out.collect()] == [1]
