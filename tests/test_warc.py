@@ -861,3 +861,62 @@ class TestIncrementalCdx:
             os.path.join(d, r["filename"]), r["offset"], r["length"]
         )
         assert headers.get("warc-target-uri") == r["url"]
+
+
+class TestWatToWebGraph:
+    def test_outlinks_to_host_pagerank(self, spark, tmp_path):
+        """The web-graph story end to end: WAT metadata records ->
+        outlink edges -> SURT host keys -> PageRank over the host
+        graph. A small star graph (every host links to hub) must
+        rank the hub first."""
+        import json
+
+        from pyspark.sql import functions as F
+
+        from lwes_contrib_hive_serde_spark.operators import graph, text
+        from lwes_contrib_hive_serde_spark.sources.warc import wat_outlinks
+
+        d = str(tmp_path / "graph")
+        os.makedirs(d)
+
+        def rec(uri, links):
+            env = json.dumps({"Envelope": {"Payload-Metadata": {
+                "HTTP-Response-Metadata": {"HTML-Metadata": {
+                    "Links": [{"url": u} for u in links]}}}}})
+            body = env.encode()
+            head = (
+                "WARC/1.0\r\nWARC-Type: metadata\r\n"
+                f"WARC-Record-ID: <urn:g:{uri}>\r\n"
+                f"WARC-Target-URI: {uri}\r\n"
+                "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                "Content-Type: application/json\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode()
+            return gzip.compress(head + body + b"\r\n\r\n")
+
+        with open(os.path.join(d, "g.warc.wat.gz"), "wb") as f:
+            for i in range(4):
+                f.write(rec(
+                    f"http://spoke{i}.ex/page",
+                    ["http://hub.ex/", f"http://spoke{(i+1) % 4}.ex/p"],
+                ))
+        wat = spark.read.format("wat").option("path", d).load()
+        edges = (
+            wat_outlinks(wat)
+            .select(
+                text.surt_key("page_url").alias("src_key"),
+                text.surt_key("link_url").alias("dst_key"),
+            )
+            .select(
+                F.regexp_extract("src_key", r"^([^)]*)\)", 1).alias("src"),
+                F.regexp_extract("dst_key", r"^([^)]*)\)", 1).alias("dst"),
+            )
+            .filter("src <> dst")
+            .distinct()
+        )
+        ranks = graph.pagerank(edges, iterations=8).orderBy(
+            F.col("rank").desc()
+        )
+        top = ranks.collect()[0]
+        assert top["id"] == "ex,hub"
+        assert abs(ranks.agg(F.sum("rank")).collect()[0][0]) > 0
