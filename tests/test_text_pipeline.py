@@ -1774,3 +1774,31 @@ class TestStupidBackoff:
         )
         out = text.stupid_backoff_score(docs, uni, bi, tri)
         assert [r["doc_id"] for r in out.collect()] == [4]
+
+
+class TestLineParagraphDedup:
+    def test_dedup_lines_first_copy_kept_in_place(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import text
+
+        df = spark.createDataFrame(
+            [(1, "nav\nbody a\nnav\nbody b\nbody a"), (2, ""), (3, None)],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["c"]
+            for r in df.select(
+                "doc_id", text.dedup_lines("text").alias("c")
+            ).collect()
+        }
+        assert got[1] == "nav\nbody a\nbody b"
+        assert got[2] == "" and got[3] is None
+
+    def test_dedup_paragraphs(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import text
+
+        t = "para one\n\ncookie banner\n\npara two\n\ncookie banner"
+        df = spark.createDataFrame([(1, t)], "doc_id long, text string")
+        got = df.select(
+            text.dedup_paragraphs("text").alias("c")
+        ).collect()[0]["c"]
+        assert got == "para one\n\ncookie banner\n\npara two"
