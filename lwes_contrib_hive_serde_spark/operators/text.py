@@ -2162,5 +2162,5 @@ def dedup_paragraphs(col) -> Column:
     blank line. The paragraph-grain sibling of dedup_lines."""
     col = F.col(col) if isinstance(col, str) else col
     return F.array_join(
-        F.array_distinct(paragraphs(col)), "\n\n"
+        F.array_distinct(doc_paragraphs(col)), "\n\n"
     )
