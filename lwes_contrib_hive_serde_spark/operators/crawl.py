@@ -518,3 +518,69 @@ def robots_noindex(
     for c_ in checks[1:]:
         out = out | c_
     return out
+
+
+def resolve_url(base_col, rel_col) -> Column:
+    """RFC 3986 §5 reference resolution as ONE JVM expression —
+    outlinks in real WAT/HTML are routinely relative, and a frontier
+    cannot enqueue them unresolved. Handles the five reference
+    shapes: absolute (kept verbatim), protocol-relative ``//host/…``
+    (base scheme grafted), root-relative ``/path``, fragment/query-
+    only, and path-relative including ``.``/``..`` dot segments —
+    removed with an aggregate fold over the merged path, so ``../``
+    chains resolve without any Python. NULL base or NULL/empty
+    reference → NULL (never a guess). Fragments are dropped (the
+    frontier's fetch identity, matching canonicalize_url)."""
+    base = F.col(base_col) if isinstance(base_col, str) else base_col
+    rel = F.col(rel_col) if isinstance(rel_col, str) else rel_col
+    rel = F.regexp_replace(rel, r"#.*$", "")  # fragment never fetches
+
+    scheme = F.try_parse_url(base, F.lit("PROTOCOL"))
+    authority = F.try_parse_url(base, F.lit("AUTHORITY"))
+    base_path = F.coalesce(F.try_parse_url(base, F.lit("PATH")), F.lit(""))
+    origin = F.concat(scheme, F.lit("://"), authority)
+
+    has_scheme = rel.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+    proto_rel = rel.startswith("//")
+    root_rel = rel.startswith("/") & ~proto_rel
+    query_only = rel.startswith("?")
+
+    # merge: directory of the base path + the relative reference
+    base_dir = F.regexp_replace(base_path, r"[^/]*$", "")
+    merged = F.concat(base_dir, rel)
+
+    def remove_dot_segments(path: Column) -> Column:
+        segs = F.split(path, "/")
+        folded = F.aggregate(
+            segs,
+            F.array().cast("array<string>"),
+            lambda acc, x: (
+                F.when(x == ".", acc)
+                .when(
+                    x == "..",
+                    # never pop above root: keep the leading '' segment
+                    F.when(
+                        F.size(acc) > 1, F.slice(acc, 1, F.size(acc) - 1)
+                    ).otherwise(acc),
+                )
+                .otherwise(F.concat(acc, F.array(x)))
+            ),
+        )
+        out = F.array_join(folded, "/")
+        # a trailing '.' or '..' resolves to a directory
+        return F.when(
+            path.rlike(r"/\.\.?$") & ~out.endswith("/"),
+            F.concat(out, F.lit("/")),
+        ).otherwise(out)
+
+    resolved = (
+        F.when(rel == "", F.lit(None).cast("string"))
+        .when(has_scheme, rel)
+        .when(proto_rel, F.concat(scheme, F.lit(":"), rel))
+        .when(root_rel, F.concat(origin, remove_dot_segments(rel)))
+        .when(query_only, F.concat(origin, base_path, rel))
+        .otherwise(F.concat(origin, remove_dot_segments(merged)))
+    )
+    return F.when(
+        scheme.isNotNull() & authority.isNotNull(), resolved
+    )

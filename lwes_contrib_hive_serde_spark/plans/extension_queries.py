@@ -7397,3 +7397,68 @@ def q_dedup_lines(spark, sf_dir):
         text.dedup_lines("t").alias("synth_clean"),
         text.dedup_lines("text").alias("real_clean"),
     ).orderBy("doc_id")
+
+
+_RESOLVE_CASES = [
+    # (base, ref, expected)
+    ("http://a.example/dir/page.html", "other.html",
+     "http://a.example/dir/other.html"),
+    ("http://a.example/dir/page.html", "/root.html",
+     "http://a.example/root.html"),
+    ("http://a.example/dir/page.html", "../up.html",
+     "http://a.example/up.html"),
+    ("http://a.example/d1/d2/p", "../../x", "http://a.example/x"),
+    ("http://a.example/d1/d2/p", "../../../x", "http://a.example/x"),
+    ("http://a.example/dir/", "sub/./y", "http://a.example/dir/sub/y"),
+    ("http://a.example/p", "https://b.example/q", "https://b.example/q"),
+    ("https://a.example/p", "//c.example/z", "https://c.example/z"),
+    ("http://a.example/p?old=1", "?new=2", "http://a.example/p?new=2"),
+    ("http://a.example/p", "frag#sec", "http://a.example/frag"),
+    ("http://a.example/dir/p", "..", "http://a.example/"),
+    ("http://a.example/p", "", None),
+]
+
+
+def _resolve_urls_oracle_sql() -> str:
+    cases = " ".join(
+        f"WHEN {i} THEN " + ("NULL" if e is None else f"'{e}'")
+        for i, (_b, _r, e) in enumerate(_RESOLVE_CASES)
+    )
+    n = len(_RESOLVE_CASES)
+    return f"""
+    SELECT doc_id,
+           CASE doc_id % {n} {cases} END AS resolved
+    FROM documents WHERE doc_id < 600 ORDER BY doc_id
+    """
+
+
+@register(
+    "q_resolve_urls",
+    shadow=True,
+    oracle=_resolve_urls_oracle_sql(),
+    doc="RFC 3986 §5 reference resolution (crawl.resolve_url — the "
+    "step between wat_outlinks and a fetchable frontier, since real "
+    "HTML outlinks are routinely relative): absolute, protocol-"
+    "relative, root-relative, query-only, fragment-dropping, and "
+    "path-relative references incl. '..' chains and the above-root "
+    "clamp, with dot segments removed by an aggregate fold over the "
+    "merged path — ONE JVM expression, no Python. Twelve case "
+    "shapes cycle per doc_id; the oracle states every expected "
+    "resolution directly (independent construction), including the "
+    "NULL for an empty reference.",
+)
+def q_resolve_urls(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import crawl as _c
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    n = len(_RESOLVE_CASES)
+    m = F.col("doc_id") % n
+    base = F.lit(None).cast("string")
+    ref = F.lit(None).cast("string")
+    for i, (b, r, _e) in enumerate(_RESOLVE_CASES):
+        base = F.when(m == i, b).otherwise(base)
+        ref = F.when(m == i, r).otherwise(ref)
+    sel = d.select("doc_id", base.alias("b"), ref.alias("r"))
+    return sel.select(
+        "doc_id", _c.resolve_url("b", "r").alias("resolved")
+    ).orderBy("doc_id")
