@@ -600,7 +600,12 @@ class WarcStreamReader(DataSourceStreamReader):
             )
 
 
-def wat_outlinks(df, payload_col: str = "payload", uri_col: str = "target_uri"):
+def wat_outlinks(
+    df,
+    payload_col: str = "payload",
+    uri_col: str = "target_uri",
+    resolve: bool = False,
+):
     """(page_url, link_url) outlink pairs from WAT ``metadata``
     records — the edge list a frontier builder or web-graph job
     consumes. ONE ``from_json`` per record against the pinned
@@ -610,7 +615,11 @@ def wat_outlinks(df, payload_col: str = "payload", uri_col: str = "target_uri"):
     pure JVM, scan-speed, no shuffle. Records without that path (or
     with a non-JSON payload) vanish, the schema-on-read contract.
     Composes with ``operators/crawl.py``: page_url keys per-host
-    politeness, link_url feeds the frontier."""
+    politeness, link_url feeds the frontier. ``resolve=True``
+    resolves relative references against the page URL (RFC 3986,
+    crawl.resolve_url) — real WAT links are routinely relative, and
+    a frontier cannot enqueue them unresolved; unresolvable rows
+    drop."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -636,7 +645,7 @@ def wat_outlinks(df, payload_col: str = "payload", uri_col: str = "target_uri"):
         .getField("HTML-Metadata")
         .getField("Links")
     )
-    return (
+    out = (
         df.select(
             F.col(uri_col).alias("page_url"),
             F.explode(links).alias("__l"),
@@ -644,6 +653,16 @@ def wat_outlinks(df, payload_col: str = "payload", uri_col: str = "target_uri"):
         .select("page_url", F.col("__l.url").alias("link_url"))
         .filter(F.col("link_url").isNotNull())
     )
+    if resolve:
+        from lwes_contrib_hive_serde_spark.operators.crawl import (
+            resolve_url,
+        )
+
+        out = out.select(
+            "page_url",
+            resolve_url("page_url", "link_url").alias("link_url"),
+        ).filter(F.col("link_url").isNotNull())
+    return out
 
 
 def _iter_gzip_members(stream: BinaryIO, chunk: int = 1 << 20):

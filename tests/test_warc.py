@@ -920,3 +920,41 @@ class TestWatToWebGraph:
         top = ranks.collect()[0]
         assert top["id"] == "ex,hub"
         assert abs(ranks.agg(F.sum("rank")).collect()[0][0]) > 0
+
+
+class TestWatOutlinkResolution:
+    def test_relative_links_resolve_against_page(self, spark, tmp_path):
+        import json
+
+        from lwes_contrib_hive_serde_spark.sources.warc import wat_outlinks
+
+        d = str(tmp_path / "rel")
+        os.makedirs(d)
+        env = json.dumps({"Envelope": {"Payload-Metadata": {
+            "HTTP-Response-Metadata": {"HTML-Metadata": {"Links": [
+                {"url": "other.html"},
+                {"url": "/abs/path"},
+                {"url": "../up"},
+                {"url": "https://ext.example/x"},
+            ]}}}}})
+        body = env.encode()
+        head = (
+            "WARC/1.0\r\nWARC-Type: metadata\r\n"
+            "WARC-Record-ID: <urn:r:1>\r\n"
+            "WARC-Target-URI: http://site.example/dir/page.html\r\n"
+            "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            "Content-Type: application/json\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        with open(os.path.join(d, "r.warc.wat.gz"), "wb") as f:
+            f.write(gzip.compress(head + body + b"\r\n\r\n"))
+        df = spark.read.format("wat").option("path", d).load()
+        got = sorted(
+            r["link_url"] for r in wat_outlinks(df, resolve=True).collect()
+        )
+        assert got == [
+            "http://site.example/abs/path",
+            "http://site.example/dir/other.html",
+            "http://site.example/up",
+            "https://ext.example/x",
+        ]
