@@ -2164,3 +2164,22 @@ def dedup_paragraphs(col) -> Column:
     return F.array_join(
         F.array_distinct(doc_paragraphs(col)), "\n\n"
     )
+
+
+_HTML_HREF_RE = r"""(?i)<a\s[^>]*href\s*=\s*["']?([^"'\s>]+)"""
+
+
+def html_links(col) -> Column:
+    """Anchor hrefs of a raw HTML page as an array — the no-WAT
+    outlink path (when only response records exist, the frontier
+    still needs edges). One JVM regexp_extract_all (quote-agnostic,
+    case-insensitive, attribute order within the tag irrelevant);
+    javascript:/mailto:/tel:/data: pseudo-links are dropped at the
+    same stage. Compose with crawl.resolve_url for relative
+    references and surt_key for host grouping."""
+    col = F.col(col) if isinstance(col, str) else col
+    raw = F.regexp_extract_all(col, F.lit(_HTML_HREF_RE), F.lit(1))
+    return F.filter(
+        raw,
+        lambda u: ~F.lower(u).rlike(r"^(javascript|mailto|tel|data):"),
+    )

@@ -7462,3 +7462,54 @@ def q_resolve_urls(spark, sf_dir):
     return sel.select(
         "doc_id", _c.resolve_url("b", "r").alias("resolved")
     ).orderBy("doc_id")
+
+
+@register(
+    "q_html_links",
+    shadow=True,
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, doc_id % 4 AS v, CAST(doc_id % 10 AS VARCHAR) AS m
+      FROM documents WHERE doc_id < 600
+    )
+    SELECT doc_id,
+      CASE v
+        WHEN 0 THEN ['/a' || m || '.html', 'http://ext.example/' || m]
+        WHEN 1 THEN ['rel/' || m]
+        WHEN 2 THEN []
+        ELSE ['../up' || m]
+      END AS links
+    FROM p ORDER BY doc_id
+    """,
+    doc="Anchor-href extraction from raw HTML (text.html_links — "
+    "the no-WAT outlink path for response-only crawls): one JVM "
+    "regexp_extract_all over four synthesized page shapes covering "
+    "double/single/unquoted href values, attribute-order variance, "
+    "multi-link pages, javascript:/mailto: pseudo-link dropping, "
+    "and a linkless page; the oracle states the expected arrays "
+    "directly. Pairs with crawl.resolve_url + surt_key to feed the "
+    "frontier at scan speed.",
+)
+def q_html_links(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    m = (F.col("doc_id") % 10).cast("string")
+    v = F.col("doc_id") % 4
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit('<p><a href="/a'), m,
+            F.lit('.html">x</a> <a class="e" href=\'http://ext.example/'),
+            m, F.lit("'>y</a> <a href=\"mailto:a@b.c\">m</a></p>"),
+        ))
+        .when(v == 1, F.concat(
+            F.lit('<a target="_b" href=rel/'), m,
+            F.lit('><a href="javascript:void(0)">j</a>'),
+        ))
+        .when(v == 2, F.lit("<p>no links here at all</p>"))
+        .otherwise(F.concat(
+            F.lit('<A HREF="../up'), m, F.lit('">up</A>'),
+        ))
+    )
+    sel = d.select("doc_id", html.alias("h"))
+    return sel.select(
+        "doc_id", text.html_links("h").alias("links")
+    ).orderBy("doc_id")
