@@ -958,3 +958,58 @@ class TestWatOutlinkResolution:
             "http://site.example/up",
             "https://ext.example/x",
         ]
+
+
+class TestResponseOnlyFrontier:
+    def test_html_links_to_frontier(self, spark, tmp_path):
+        """The no-WAT frontier path end to end: response records ->
+        html_links -> resolve_url -> surt host grouping, with
+        pseudo-links and cross-host edges separated."""
+        from pyspark.sql import functions as F
+
+        from lwes_contrib_hive_serde_spark.operators import crawl, text
+
+        d = str(tmp_path / "rfront")
+        os.makedirs(d)
+        pages = {
+            "http://site.example/dir/a.html":
+                '<a href="b.html">n</a> <a href="/top">t</a>'
+                ' <a href="mailto:x@y.z">m</a>',
+            "http://site.example/dir/b.html":
+                '<a href="https://other.example/x">o</a>',
+        }
+        with open(os.path.join(d, "f.warc.gz"), "wb") as f:
+            for uri, html in pages.items():
+                f.write(gzip.compress(warc_record(
+                    "response", uri, html.encode()
+                )))
+        resp = (
+            spark.read.format("warc").option("path", d).load()
+            .filter("http_status = 200")
+            .select(
+                "target_uri",
+                F.col("payload").cast("string").alias("html"),
+            )
+        )
+        edges = (
+            resp.select(
+                "target_uri",
+                F.explode(text.html_links("html")).alias("ref"),
+            )
+            .select(
+                "target_uri",
+                crawl.resolve_url("target_uri", "ref").alias("url"),
+            )
+            .filter(F.col("url").isNotNull())
+            .select("url", text.surt_key("url").alias("urlkey"))
+        )
+        got = sorted(r["url"] for r in edges.collect())
+        assert got == [
+            "http://site.example/dir/b.html",
+            "http://site.example/top",
+            "https://other.example/x",
+        ]
+        hosts = {
+            r["urlkey"].split(")")[0] for r in edges.collect()
+        }
+        assert hosts == {"example,site", "example,other"}
