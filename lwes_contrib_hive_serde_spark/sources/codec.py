@@ -667,13 +667,26 @@ def _v2_read_header(stream: BinaryIO) -> tuple[bytes, int]:
 
 
 def _v2_decode_block(data: bytes, codec: int) -> bytes:
+    """Per-block decompression, with corruption surfaced as the
+    codec's own honest error: a bit-flipped compressed body raises
+    provider-specific exceptions (zlib.error, pyarrow OSError,
+    zstd.ZstdError) that callers should not have to enumerate —
+    they all become CodecError here."""
     if codec == V2_CODEC_ZLIB:
         import zlib
 
-        return zlib.decompress(data)
+        try:
+            return zlib.decompress(data)
+        except zlib.error as e:
+            raise CodecError(f"corrupt zlib block: {e}") from e
     if codec == V2_CODEC_ZSTD:
         # backend decompress is streaming — no content-size hint needed
-        return _zstd_backend().decompress(data)
+        try:
+            return _zstd_backend().decompress(data)
+        except CodecError:
+            raise
+        except Exception as e:
+            raise CodecError(f"corrupt zstd block: {e}") from e
     return data
 
 
