@@ -1824,12 +1824,15 @@ def langid(
 
     Scale shape: gram counting is the wordcount aggregate (one
     shuffle keyed (doc, gram), map-side combine), doc ranks one
-    window shuffle on ``id_col``, candidate languages ride an
-    exploded LITERAL array (|langs| is read from the profile frame —
-    a bounded, model-sized collect), and the profile join is an
-    explicit broadcast on (lang, gram). Nothing corpus-sized ever
-    sits on the driver; integer arithmetic end to end, so the verdict
-    hash-matches a SQL oracle replaying the same rank walk."""
+    window shuffle on ``id_col``, and candidate languages come from
+    ONE inner broadcast join on the gram key via the savings
+    identity (distance = top_k·n − Σ matched savings) — no per-
+    language row explosion, so 200 candidate languages cost the
+    same shuffle as 2. Nothing corpus-sized ever sits on the
+    driver; integer arithmetic end to end, so the verdict
+    hash-matches a SQL oracle replaying the explicit-penalty form
+    (the two forms are provably identical: every matched gram saves
+    at least 1, so the argmin is always a matched language)."""
     langs = sorted(
         r["lang"] for r in profiles.select("lang").distinct().collect()
     )
@@ -1848,20 +1851,46 @@ def langid(
         .filter(F.col("drank") <= top_k)
         .select("__id", "gram", "drank")
     )
-    per_lang = doc_prof.withColumn(
-        "lang", F.explode(F.array(*[F.lit(l) for l in langs]))
+    # SAVINGS form of the out-of-place sum — the 100 TB shape:
+    #   distance_l = top_k·n_grams − Σ_matched (top_k − |drank−rank|)
+    # Every matched gram saves ≥ 1 (|drank−rank| ≤ top_k−1), so the
+    # argmin language always has ≥ 1 matched gram when any language
+    # matches at all — which means candidates come from ONE inner
+    # join on the gram key, and the naive |langs|× row explosion
+    # (fatal at 200 languages) never happens. Docs no language
+    # matches tie at top_k·n_grams across all languages and take the
+    # lexicographic minimum, identical to the explicit-penalty form.
+    sizes = doc_prof.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("__n")
     )
-    joined = per_lang.join(
+    matched = doc_prof.join(
         F.broadcast(profiles.select("lang", "gram", "rank")),
-        ["lang", "gram"],
-        "left",
+        "gram",
+        "inner",
     )
-    dist = F.coalesce(
-        F.abs(F.col("drank") - F.col("rank")), F.lit(top_k)
+    saving = (
+        F.lit(top_k) - F.abs(F.col("drank") - F.col("rank"))
     ).cast("bigint")
-    totals = joined.groupBy("__id", "lang").agg(
-        F.sum(dist).alias("__dist"),
-        F.count(F.lit(1)).alias("__n"),  # = |doc profile|, every lang
+    cand = (
+        matched.groupBy("__id", "lang")
+        .agg(F.sum(saving).alias("__sav"))
+        .join(sizes, "__id")
+        .withColumn(
+            "__dist",
+            F.lit(top_k) * F.col("__n").cast("bigint") - F.col("__sav"),
+        )
+    )
+    fallback = (
+        sizes.join(cand.select("__id").distinct(), "__id", "left_anti")
+        .select(
+            "__id",
+            F.lit(langs[0] if langs else None).alias("lang"),
+            (F.lit(top_k) * F.col("__n").cast("bigint")).alias("__dist"),
+            "__n",
+        )
+    )
+    totals = cand.select("__id", "lang", "__dist", "__n").unionByName(
+        fallback
     )
     best = F.min(
         F.struct(F.col("__dist"), F.col("lang"), F.col("__n"))
