@@ -820,15 +820,37 @@ def read_warc_via_cdx(spark, cdx_df, base_dir: str, parallelism: int | None = No
     repartition; record payloads stay inside their task. Pair with a
     ``status = 200``/mime filter ON THE CDX FIRST — pruning happens
     at index granularity, before any crawl byte moves."""
+    import gzip as _gzip
     import io
 
     n = parallelism or spark.sparkContext.defaultParallelism
-    idx = cdx_df.select("filename", "offset", "length").repartition(n)
+    # range-partition + sort: each task owns a CONTIGUOUS slice of
+    # (filename, offset) space, so reads are sequential within a
+    # file and one handle serves a whole run of entries — and a
+    # single huge file still fans out across tasks (ranges split
+    # inside it), which per-file partitioning cannot do
+    idx = (
+        cdx_df.select("filename", "offset", "length")
+        .repartitionByRange(n, "filename", "offset")
+        .sortWithinPartitions("filename", "offset")
+    )
 
     def fetch(rows):
+        cur_path = None
+        handle = None
         for r in rows:
             path = os.path.join(base_dir, r.filename)
-            got = fetch_warc_record(path, r.offset, r.length)
+            if path != cur_path:
+                if handle is not None:
+                    handle.close()
+                handle = open(path, "rb")
+                cur_path = path
+            handle.seek(r.offset)
+            raw = handle.read(r.length)
+            data = (
+                _gzip.decompress(raw) if path.endswith(".gz") else raw
+            )
+            got = next(read_warc_stream(io.BytesIO(data)), None)
             if got is None:
                 continue
             headers, block = got
@@ -854,6 +876,8 @@ def read_warc_via_cdx(spark, cdx_df, base_dir: str, parallelism: int | None = No
                 payload,
                 path,
             )
+        if handle is not None:
+            handle.close()
 
     return spark.createDataFrame(idx.rdd.mapPartitions(fetch), WARC_SCHEMA)
 
