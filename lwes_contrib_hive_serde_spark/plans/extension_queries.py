@@ -7513,3 +7513,84 @@ def q_html_links(spark, sf_dir):
     return sel.select(
         "doc_id", text.html_links("h").alias("links")
     ).orderBy("doc_id")
+
+
+@register(
+    "q_arc_extract",
+    shadow=True,
+    oracle="""
+    SELECT doc_id,
+           'http://corpus.example/' || doc_id AS target_uri,
+           CAST(200 AS INTEGER) AS http_status,
+           '2008-12-01T00:00:00Z' AS warc_date,
+           trim(regexp_replace(
+             replace(replace(
+               regexp_replace(
+                 '<html><body><p>' || text || '</p></body></html>',
+                 '<[^>]*>', ' ', 'g'),
+               '&nbsp;', ' '), '&amp;', '&'),
+             '\\s+', ' ', 'g')) AS page_text
+    FROM documents WHERE doc_id < 60 AND text IS NOT NULL
+    ORDER BY doc_id
+    """,
+    doc="Legacy ARC v1 ingestion end to end (sources/warc.py "
+    "read_arc_stream — the pre-2013 CommonCrawl container): each "
+    "document is serialized as a REAL ARC record (space-separated "
+    "URL/IP/14-digit-date/mime/length header line + an HTTP "
+    "response block), a filedesc:// version block leads each file, "
+    "records pack into concatenated .arc.gz gzip members, and the "
+    "SAME spark.read.format('warc') path reads them back — header "
+    "mapping onto the WARC vocabulary, 14-digit→ISO date, the "
+    "HTTP-probe (ARC has no application/http marker), and the HTML "
+    "strip are all value-gated against the arithmetic oracle. One "
+    "reader, both container generations.",
+)
+def q_arc_extract(spark, sf_dir):
+    import gzip as _gz
+    import os as _os
+    import tempfile
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 60) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    rows = d.collect()  # bounded: 60 rows, fixture construction only
+    tmp = tempfile.mkdtemp(prefix="lwespark_arc_")
+    per_file = 20
+    for fi in range(0, len(rows), per_file):
+        with open(_os.path.join(tmp, f"f{fi}.arc.gz"), "wb") as f:
+            fd = b"1 0 InternetArchive\nURL IP-address Archive-date Content-type Archive-length\n"
+            f.write(_gz.compress(
+                b"filedesc://f.arc 0.0.0.0 20081201000000 text/plain "
+                + str(len(fd)).encode() + b"\n" + fd + b"\n"
+            ))
+            for r in rows[fi : fi + per_file]:
+                body = (
+                    f"<html><body><p>{r.text}</p></body></html>".encode()
+                )
+                block = (
+                    b"HTTP/1.1 200 OK\r\n"
+                    b"Content-Type: text/html; charset=utf-8\r\n\r\n"
+                    + body
+                )
+                f.write(_gz.compress(
+                    f"http://corpus.example/{r.doc_id} 1.2.3.4 "
+                    f"20081201000000 text/html {len(block)}\n".encode()
+                    + block + b"\n"
+                ))
+    pages = (
+        spark.read.format("warc").option("path", tmp).load()
+        .filter(F.col("record_type") == "response")
+    )
+    return pages.select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "target_uri",
+        "http_status",
+        "warc_date",
+        text.strip_html_tags(F.col("payload").cast("string")).alias(
+            "page_text"
+        ),
+    ).orderBy("doc_id")
