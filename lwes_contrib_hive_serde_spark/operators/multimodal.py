@@ -2770,7 +2770,8 @@ def parse_document_text(b: bytes):
     """(format, n_units, text) for any supported document container,
     or None — the dispatch tier over the format walkers: ``%PDF`` →
     parse_pdf_text, ZIP with META-INF/container.xml → parse_epub_text,
-    ZIP with word/document.xml → parse_docx_text. n_units is the
+    ZIP with word/document.xml → parse_docx_text, ZIP with
+    ppt/presentation.xml → parse_pptx_text. n_units is the
     format's natural unit (pages / chapters / paragraphs). Sniffing
     reads only the magic and the ZIP name list; each walker's own
     refusal envelope then applies unchanged (a recognized-but-
@@ -2795,6 +2796,9 @@ def parse_document_text(b: bytes):
         if "word/document.xml" in names:
             got = parse_docx_text(b)
             return None if got is None else ("docx", got[0], got[1])
+        if "ppt/presentation.xml" in names:
+            got = parse_pptx_text(b)
+            return None if got is None else ("pptx", got[0], got[1])
     return None
 
 
@@ -2840,3 +2844,114 @@ def decode_document_text(
     spark = df.sparkSession
     _shrink_arrow_batches(spark, batch_size)
     return df.mapInPandas(decode, out_schema)
+
+
+def parse_pptx_text(b: bytes):
+    """(n_slides, text) extracted from a PPTX (OOXML PresentationML)
+    byte string, or None. Slides are the ``ppt/slides/slideN.xml``
+    parts taken in numeric order (the package's own naming
+    contract); each slide's text is its DrawingML ``a:t`` runs
+    concatenated, one line per paragraph (``a:p``), slides joined
+    with newlines. Same refusal envelope as parse_docx_text: not a
+    ZIP / torn archive / malformed XML → None, never a guess."""
+    import io
+    import re
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    if not b[:4] in (b"PK\x03\x04", b"PK\x05\x06"):
+        return None
+    try:
+        z = zipfile.ZipFile(io.BytesIO(b))
+    except (zipfile.BadZipFile, OSError):
+        return None
+    with z:
+        names = z.namelist()
+        slide_re = re.compile(r"^ppt/slides/slide(\d+)\.xml$")
+        slides = sorted(
+            (int(m.group(1)), n)
+            for n in names
+            if (m := slide_re.match(n))
+        )
+        if not slides:
+            return None
+        A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+        texts: list[str] = []
+        for _num, name in slides:
+            try:
+                root = ET.fromstring(z.read(name))
+            except (ET.ParseError, OSError, KeyError):
+                return None
+            paras: list[str] = []
+            for p in root.iter(f"{A}p"):
+                paras.append(
+                    "".join(t.text or "" for t in p.iter(f"{A}t"))
+                )
+            texts.append("\n".join(paras))
+    return len(texts), "\n".join(texts)
+
+
+def pptx_bytes(slides: list[list[str]], deflate: bool = False) -> bytes:
+    """Serialize a REAL minimal PPTX whose slides hold the given
+    paragraph lists — the PresentationML member of the deterministic
+    fixture family (pdf_bytes, docx_bytes, epub_bytes)."""
+    import io
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    A = "http://schemas.openxmlformats.org/drawingml/2006/main"
+    P = "http://schemas.openxmlformats.org/presentationml/2006/main"
+    ctypes_overrides = "".join(
+        f'<Override PartName="/ppt/slides/slide{i + 1}.xml" '
+        'ContentType="application/vnd.openxmlformats-officedocument.'
+        'presentationml.slide+xml"/>'
+        for i in range(len(slides))
+    )
+    ctypes = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'content-types">'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Default Extension="rels" ContentType="application/vnd.'
+        'openxmlformats-package.relationships+xml"/>'
+        '<Override PartName="/ppt/presentation.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.presentationml.'
+        'presentation.main+xml"/>'
+        f"{ctypes_overrides}</Types>"
+    )
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/'
+        'package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.'
+        'org/officeDocument/2006/relationships/officeDocument" '
+        'Target="ppt/presentation.xml"/></Relationships>'
+    )
+    pres = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<p:presentation xmlns:p="{P}"/>'
+    )
+    entries = [
+        ("[Content_Types].xml", ctypes),
+        ("_rels/.rels", rels),
+        ("ppt/presentation.xml", pres),
+    ]
+    for i, paras in enumerate(slides):
+        body = "".join(
+            f'<a:p><a:r><a:t>{escape(t)}</a:t></a:r></a:p>' for t in paras
+        )
+        entries.append((
+            f"ppt/slides/slide{i + 1}.xml",
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<p:sld xmlns:p="{P}" xmlns:a="{A}"><p:cSld><p:spTree>'
+            f"<p:sp><p:txBody>{body}</p:txBody></p:sp>"
+            "</p:spTree></p:cSld></p:sld>",
+        ))
+    buf = io.BytesIO()
+    comp = zipfile.ZIP_DEFLATED if deflate else zipfile.ZIP_STORED
+    with zipfile.ZipFile(buf, "w", comp) as z:
+        for name, data in entries:
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zi.compress_type = comp
+            z.writestr(zi, data)
+    return buf.getvalue()

@@ -7594,3 +7594,77 @@ def q_arc_extract(spark, sf_dir):
             "page_text"
         ),
     ).orderBy("doc_id")
+
+
+def _pptx_extract_oracle_sql() -> str:
+    b = [_sql_digest_byte("text", i) for i in range(4)]
+    return f"""
+    WITH params AS (
+      SELECT doc_id,
+             1 + ({b[0]}) % 3 AS n_slides,
+             1 + ({b[1]}) % 3 AS n_paras,
+             ({b[2]}) % 10 AS w
+      FROM documents WHERE doc_id < 48 AND length(text) > 0
+    )
+    SELECT doc_id,
+           'pptx' AS doc_format,
+           CAST(n_slides AS INTEGER) AS doc_n_units,
+           array_to_string(flatten(list_transform(range(0, n_slides), sl ->
+             list_transform(range(0, n_paras), pr ->
+               's' || sl || ' p' || pr || ' <' || w || '&>'))),
+             chr(10)) AS doc_text
+    FROM params ORDER BY doc_id
+    """
+
+
+@register(
+    "q_pptx_extract",
+    shadow=True,
+    oracle=_pptx_extract_oracle_sql(),
+    doc="PPTX text extraction through the mixed-format DISPATCH path "
+    "(multimodal.parse_pptx_text via parse_document_text — "
+    "completing the OOXML pair with q_docx_extract): minimal "
+    "PresentationML packages synthesized from digest bytes (slide "
+    "count, paragraphs per slide, XML-special characters in every "
+    "run, ZIP deflate on/off), slides taken in the package's "
+    "numeric part order, a:t runs concatenated per a:p paragraph. "
+    "The DuckDB oracle rebuilds the slide/paragraph grid — ZIP "
+    "framing, slide ordering, entity unescaping and both join "
+    "policies value-gated, plus the dispatch label itself.",
+)
+def q_pptx_extract(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import multimodal
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 48) & (F.length("text") > 0))
+        .select("doc_id", "text")
+    )
+
+    def synth(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                dg = hashlib.sha256(t.encode("utf-8")).digest()
+                ns, np_, w = 1 + dg[0] % 3, 1 + dg[1] % 3, dg[2] % 10
+                slides = [
+                    [f"s{sl} p{pr} <{w}&>" for pr in range(np_)]
+                    for sl in range(ns)
+                ]
+                payloads.append(
+                    multimodal.pptx_bytes(slides, deflate=bool(dg[3] % 2))
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    docs = d.mapInPandas(synth, "doc_id long, payload binary")
+    return (
+        multimodal.decode_document_text(docs)
+        .select("doc_id", "doc_format", "doc_n_units", "doc_text")
+        .orderBy("doc_id")
+    )

@@ -553,3 +553,43 @@ class TestDocumentPropertyRoundTrips:
             assert text == "\n".join(chapters)
 
         check()
+
+
+class TestPptxText:
+    """PPTX extraction (multimodal.parse_pptx_text / pptx_bytes).
+    Value gate: shadow q_pptx_extract through the dispatch path."""
+
+    @pytest.mark.parametrize("deflate", [False, True])
+    def test_round_trip(self, deflate):
+        slides = [["title one", "bullet <&>"], ["title two"]]
+        b = mm.pptx_bytes(slides, deflate=deflate)
+        assert mm.parse_pptx_text(b) == (
+            2, "title one\nbullet <&>\ntitle two",
+        )
+
+    def test_slide_numeric_order_not_zip_order(self):
+        import io
+        import zipfile
+
+        b = mm.pptx_bytes([["first"], ["second"]])
+        with zipfile.ZipFile(io.BytesIO(b)) as z:
+            parts = {n: z.read(n) for n in z.namelist()}
+        # rewrite the archive with slide2 BEFORE slide1: numeric part
+        # order must still win (slide10 vs slide2 ordering class)
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            for n in sorted(parts, reverse=True):
+                z.writestr(n, parts[n])
+        assert mm.parse_pptx_text(buf.getvalue()) == (2, "first\nsecond")
+
+    def test_refusals_and_dispatch(self):
+        assert mm.parse_pptx_text(b"") is None
+        assert mm.parse_pptx_text(mm.docx_bytes([["d"]])) is None
+        got = mm.parse_document_text(mm.pptx_bytes([["deck text"]]))
+        assert got == ("pptx", 1, "deck text")
+
+    def test_truncation_fuzz_never_raises(self):
+        b = mm.pptx_bytes([["some slide text"]], deflate=True)
+        for cut in range(0, len(b), 19):
+            got = mm.parse_pptx_text(b[:cut])
+            assert got is None or isinstance(got, tuple)
