@@ -2771,7 +2771,8 @@ def parse_document_text(b: bytes):
     or None — the dispatch tier over the format walkers: ``%PDF`` →
     parse_pdf_text, ZIP with META-INF/container.xml → parse_epub_text,
     ZIP with word/document.xml → parse_docx_text, ZIP with
-    ppt/presentation.xml → parse_pptx_text. n_units is the
+    ppt/presentation.xml → parse_pptx_text, ZIP with xl/workbook.xml
+    → parse_xlsx_text. n_units is the
     format's natural unit (pages / chapters / paragraphs). Sniffing
     reads only the magic and the ZIP name list; each walker's own
     refusal envelope then applies unchanged (a recognized-but-
@@ -2799,6 +2800,9 @@ def parse_document_text(b: bytes):
         if "ppt/presentation.xml" in names:
             got = parse_pptx_text(b)
             return None if got is None else ("pptx", got[0], got[1])
+        if "xl/workbook.xml" in names:
+            got = parse_xlsx_text(b)
+            return None if got is None else ("xlsx", got[0], got[1])
     return None
 
 
@@ -2947,6 +2951,186 @@ def pptx_bytes(slides: list[list[str]], deflate: bool = False) -> bytes:
             f"<p:sp><p:txBody>{body}</p:txBody></p:sp>"
             "</p:spTree></p:cSld></p:sld>",
         ))
+    buf = io.BytesIO()
+    comp = zipfile.ZIP_DEFLATED if deflate else zipfile.ZIP_STORED
+    with zipfile.ZipFile(buf, "w", comp) as z:
+        for name, data in entries:
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zi.compress_type = comp
+            z.writestr(zi, data)
+    return buf.getvalue()
+
+
+def parse_xlsx_text(b: bytes):
+    """(n_sheets, text) extracted from an XLSX (OOXML SpreadsheetML)
+    byte string, or None. Sheets are the ``xl/worksheets/sheetN.xml``
+    parts in numeric order; each sheet renders row-major — cells in
+    document order, shared-string (``t="s"``), formula-string
+    (``t="str"``) and inline (``t="inlineStr"``) cells as their
+    text, other cells as their raw ``<v>`` lexical value; TABs join
+    cells, newlines join rows, blank rows drop, sheets join with
+    newlines. Same refusal envelope as the other OOXML walkers."""
+    import io
+    import re
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    if not b[:4] in (b"PK\x03\x04", b"PK\x05\x06"):
+        return None
+    try:
+        z = zipfile.ZipFile(io.BytesIO(b))
+    except (zipfile.BadZipFile, OSError):
+        return None
+    with z:
+        names = z.namelist()
+        sheet_re = re.compile(r"^xl/worksheets/sheet(\d+)\.xml$")
+        sheets = sorted(
+            (int(m.group(1)), n)
+            for n in names
+            if (m := sheet_re.match(n))
+        )
+        if not sheets:
+            return None
+        S = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in names:
+            try:
+                sroot = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            except (ET.ParseError, OSError):
+                return None
+            for si in sroot.iter(f"{S}si"):
+                shared.append(
+                    "".join(t.text or "" for t in si.iter(f"{S}t"))
+                )
+        texts: list[str] = []
+        for _num, name in sheets:
+            try:
+                root = ET.fromstring(z.read(name))
+            except (ET.ParseError, OSError, KeyError):
+                return None
+            rows: list[str] = []
+            for row in root.iter(f"{S}row"):
+                cells: list[str] = []
+                for cell in row.iter(f"{S}c"):
+                    ctype = cell.get("t", "n")
+                    if ctype == "s":
+                        v = cell.find(f"{S}v")
+                        try:
+                            idx = int((v.text or "").strip())
+                        except (AttributeError, ValueError):
+                            return None
+                        if not 0 <= idx < len(shared):
+                            return None  # dangling shared ref: torn
+                        cells.append(shared[idx])
+                    elif ctype == "inlineStr":
+                        is_ = cell.find(f"{S}is")
+                        cells.append(
+                            ""
+                            if is_ is None
+                            else "".join(
+                                t.text or "" for t in is_.iter(f"{S}t")
+                            )
+                        )
+                    else:  # n / str / b / e: the lexical <v>
+                        v = cell.find(f"{S}v")
+                        cells.append(
+                            "" if v is None or v.text is None else v.text
+                        )
+                line = "\t".join(cells)
+                if line.strip():
+                    rows.append(line)
+            texts.append("\n".join(rows))
+    return len(texts), "\n".join(texts)
+
+
+def xlsx_bytes(
+    sheets: list[list[list[str]]], deflate: bool = False
+) -> bytes:
+    """Serialize a REAL minimal XLSX whose sheets hold the given
+    rows of string cells (written through sharedStrings, the layout
+    Excel itself produces) — the SpreadsheetML member of the
+    deterministic fixture family."""
+    import io
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    S = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    strings: list[str] = []
+    index: dict[str, int] = {}
+
+    def sref(s: str) -> int:
+        if s not in index:
+            index[s] = len(strings)
+            strings.append(s)
+        return index[s]
+
+    sheet_parts = []
+    for si, rows in enumerate(sheets):
+        rx = []
+        for ri, row in enumerate(rows):
+            cells = "".join(
+                f'<c r="{chr(65 + ci)}{ri + 1}" t="s">'
+                f"<v>{sref(cell)}</v></c>"
+                for ci, cell in enumerate(row)
+            )
+            rx.append(f'<row r="{ri + 1}">{cells}</row>')
+        sheet_parts.append((
+            f"xl/worksheets/sheet{si + 1}.xml",
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<worksheet xmlns="{S}"><sheetData>'
+            + "".join(rx)
+            + "</sheetData></worksheet>",
+        ))
+    sst = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<sst xmlns="{S}" count="{len(strings)}" '
+        f'uniqueCount="{len(strings)}">'
+        + "".join(f"<si><t>{escape(s)}</t></si>" for s in strings)
+        + "</sst>"
+    )
+    overrides = "".join(
+        f'<Override PartName="/{n}" ContentType="application/vnd.'
+        'openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        for n, _ in sheet_parts
+    )
+    ctypes = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'content-types">'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Default Extension="rels" ContentType="application/vnd.'
+        'openxmlformats-package.relationships+xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.spreadsheetml.'
+        'sheet.main+xml"/>'
+        '<Override PartName="/xl/sharedStrings.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.spreadsheetml.'
+        'sharedStrings+xml"/>'
+        f"{overrides}</Types>"
+    )
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/'
+        'package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.'
+        'org/officeDocument/2006/relationships/officeDocument" '
+        'Target="xl/workbook.xml"/></Relationships>'
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<workbook xmlns="{S}"><sheets>'
+        + "".join(
+            f'<sheet name="S{i + 1}" sheetId="{i + 1}"/>'
+            for i in range(len(sheets))
+        )
+        + "</sheets></workbook>"
+    )
+    entries = [
+        ("[Content_Types].xml", ctypes),
+        ("_rels/.rels", rels),
+        ("xl/workbook.xml", workbook),
+        ("xl/sharedStrings.xml", sst),
+    ] + sheet_parts
     buf = io.BytesIO()
     comp = zipfile.ZIP_DEFLATED if deflate else zipfile.ZIP_STORED
     with zipfile.ZipFile(buf, "w", comp) as z:

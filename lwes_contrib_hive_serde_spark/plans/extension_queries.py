@@ -7668,3 +7668,80 @@ def q_pptx_extract(spark, sf_dir):
         .select("doc_id", "doc_format", "doc_n_units", "doc_text")
         .orderBy("doc_id")
     )
+
+
+def _xlsx_extract_oracle_sql() -> str:
+    b = [_sql_digest_byte("text", i) for i in range(4)]
+    return f"""
+    WITH params AS (
+      SELECT doc_id,
+             1 + ({b[0]}) % 2 AS n_sheets,
+             1 + ({b[1]}) % 3 AS n_rows,
+             ({b[2]}) % 10 AS w
+      FROM documents WHERE doc_id < 48 AND length(text) > 0
+    )
+    SELECT doc_id,
+           'xlsx' AS doc_format,
+           CAST(n_sheets AS INTEGER) AS doc_n_units,
+           array_to_string(flatten(list_transform(range(0, n_sheets), sh ->
+             list_transform(range(0, n_rows), r ->
+               'h' || sh || chr(9) || 'v' || r || ' <' || w || '&>'))),
+             chr(10)) AS doc_text
+    FROM params ORDER BY doc_id
+    """
+
+
+@register(
+    "q_xlsx_extract",
+    shadow=True,
+    oracle=_xlsx_extract_oracle_sql(),
+    doc="XLSX text extraction through the mixed-format DISPATCH "
+    "path (multimodal.parse_xlsx_text via parse_document_text — "
+    "SpreadsheetML completes the Office trio): digest-synthesized "
+    "workbooks written through sharedStrings (the layout Excel "
+    "itself produces, with string interning exercised by repeated "
+    "header cells), sheets in numeric part order, rows rendered "
+    "TAB-joined with XML-special characters in every value. The "
+    "DuckDB oracle rebuilds the sheet/row/cell grid — ZIP framing, "
+    "shared-string indirection, entity unescaping and both join "
+    "policies value-gated, plus the dispatch label.",
+)
+def q_xlsx_extract(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import multimodal
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 48) & (F.length("text") > 0))
+        .select("doc_id", "text")
+    )
+
+    def synth(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                dg = hashlib.sha256(t.encode("utf-8")).digest()
+                ns, nr, w = 1 + dg[0] % 2, 1 + dg[1] % 3, dg[2] % 10
+                sheets = [
+                    [
+                        [f"h{sh}", f"v{r} <{w}&>"]
+                        for r in range(nr)
+                    ]
+                    for sh in range(ns)
+                ]
+                payloads.append(
+                    multimodal.xlsx_bytes(sheets, deflate=bool(dg[3] % 2))
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    docs = d.mapInPandas(synth, "doc_id long, payload binary")
+    return (
+        multimodal.decode_document_text(docs)
+        .select("doc_id", "doc_format", "doc_n_units", "doc_text")
+        .orderBy("doc_id")
+    )

@@ -593,3 +593,58 @@ class TestPptxText:
         for cut in range(0, len(b), 19):
             got = mm.parse_pptx_text(b[:cut])
             assert got is None or isinstance(got, tuple)
+
+
+class TestXlsxText:
+    """XLSX extraction (multimodal.parse_xlsx_text / xlsx_bytes).
+    Value gate: shadow q_xlsx_extract through the dispatch path."""
+
+    @pytest.mark.parametrize("deflate", [False, True])
+    def test_round_trip_with_shared_string_interning(self, deflate):
+        sheets = [
+            [["name", "count"], ["alpha <&>", "3"], ["name", "4"]],
+            [["solo"]],
+        ]
+        b = mm.xlsx_bytes(sheets, deflate=deflate)
+        assert mm.parse_xlsx_text(b) == (
+            2, "name\tcount\nalpha <&>\t3\nname\t4\nsolo",
+        )
+
+    def test_inline_and_numeric_cells(self):
+        import io
+        import zipfile
+
+        S = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        sheet = (
+            f'<worksheet xmlns="{S}"><sheetData>'
+            '<row r="1">'
+            '<c r="A1" t="inlineStr"><is><t>inline text</t></is></c>'
+            '<c r="B1"><v>42</v></c>'
+            '<c r="C1" t="str"><v>formula result</v></c>'
+            "</row></sheetData></worksheet>"
+        )
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("xl/workbook.xml", "<wb/>")
+            z.writestr("xl/worksheets/sheet1.xml", sheet)
+        assert mm.parse_xlsx_text(buf.getvalue()) == (
+            1, "inline text\t42\tformula result",
+        )
+
+    def test_dangling_shared_ref_refuses(self):
+        b = mm.xlsx_bytes([[["a"]]])
+        # corrupt: point the cell at a shared index that cannot exist
+        bad = b.replace(b"<v>0</v>", b"<v>9</v>")
+        assert mm.parse_xlsx_text(bad) is None
+
+    def test_refusals_and_dispatch(self):
+        assert mm.parse_xlsx_text(b"") is None
+        assert mm.parse_xlsx_text(mm.docx_bytes([["d"]])) is None
+        got = mm.parse_document_text(mm.xlsx_bytes([[["cell"]]]))
+        assert got == ("xlsx", 1, "cell")
+
+    def test_truncation_fuzz_never_raises(self):
+        b = mm.xlsx_bytes([[["some", "cells"]]], deflate=True)
+        for cut in range(0, len(b), 23):
+            got = mm.parse_xlsx_text(b[:cut])
+            assert got is None or isinstance(got, tuple)
