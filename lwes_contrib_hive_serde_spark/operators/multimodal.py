@@ -2461,6 +2461,7 @@ def parse_docx_text(b: bytes):
             with z.open("word/document.xml") as f:
                 root = ET.parse(f).getroot()
     except (zipfile.BadZipFile, KeyError, OSError, ET.ParseError):
+        # BadZipFile covers CRC-corrupt members surfaced at read time
         return None
     W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
     paras: list[str] = []
@@ -2610,7 +2611,7 @@ def parse_epub_text(b: bytes):
             return None  # DRM: extraction would be a guess
         try:
             croot = ET.fromstring(z.read("META-INF/container.xml"))
-        except (KeyError, ET.ParseError, OSError):
+        except (KeyError, ET.ParseError, OSError, zipfile.BadZipFile):
             return None
         CN = "{urn:oasis:names:tc:opendocument:xmlns:container}"
         opf_path = None
@@ -2621,7 +2622,7 @@ def parse_epub_text(b: bytes):
             return None
         try:
             opf = ET.fromstring(z.read(opf_path))
-        except (ET.ParseError, OSError):
+        except (ET.ParseError, OSError, zipfile.BadZipFile):
             return None
         OPF = "{http://www.idpf.org/2007/opf}"
         base = posixpath.dirname(opf_path)
@@ -2655,7 +2656,7 @@ def parse_epub_text(b: bytes):
                 return None
             try:
                 doc = ET.fromstring(z.read(part))
-            except (ET.ParseError, OSError):
+            except (ET.ParseError, OSError, zipfile.BadZipFile):
                 return None
             H = "{http://www.w3.org/1999/xhtml}"
             body = doc.find(f"{H}body")
@@ -2884,7 +2885,7 @@ def parse_pptx_text(b: bytes):
         for _num, name in slides:
             try:
                 root = ET.fromstring(z.read(name))
-            except (ET.ParseError, OSError, KeyError):
+            except (ET.ParseError, OSError, KeyError, zipfile.BadZipFile):
                 return None
             paras: list[str] = []
             for p in root.iter(f"{A}p"):
@@ -2996,7 +2997,7 @@ def parse_xlsx_text(b: bytes):
         if "xl/sharedStrings.xml" in names:
             try:
                 sroot = ET.fromstring(z.read("xl/sharedStrings.xml"))
-            except (ET.ParseError, OSError):
+            except (ET.ParseError, OSError, zipfile.BadZipFile):
                 return None
             for si in sroot.iter(f"{S}si"):
                 shared.append(
@@ -3006,7 +3007,7 @@ def parse_xlsx_text(b: bytes):
         for _num, name in sheets:
             try:
                 root = ET.fromstring(z.read(name))
-            except (ET.ParseError, OSError, KeyError):
+            except (ET.ParseError, OSError, KeyError, zipfile.BadZipFile):
                 return None
             rows: list[str] = []
             for row in root.iter(f"{S}row"):

@@ -632,10 +632,27 @@ class TestXlsxText:
         )
 
     def test_dangling_shared_ref_refuses(self):
+        import io
+        import zipfile
+
         b = mm.xlsx_bytes([[["a"]]])
-        # corrupt: point the cell at a shared index that cannot exist
-        bad = b.replace(b"<v>0</v>", b"<v>9</v>")
-        assert mm.parse_xlsx_text(bad) is None
+        # rebuild the archive with the cell pointing at a shared
+        # index that cannot exist (CRC kept valid, so the dangling-
+        # ref check itself — not the ZIP layer — must refuse)
+        with zipfile.ZipFile(io.BytesIO(b)) as z:
+            parts = {n: z.read(n) for n in z.namelist()}
+        parts["xl/worksheets/sheet1.xml"] = parts[
+            "xl/worksheets/sheet1.xml"
+        ].replace(b"<v>0</v>", b"<v>9</v>")
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            for n, data in parts.items():
+                z.writestr(n, data)
+        assert mm.parse_xlsx_text(buf.getvalue()) is None
+        # and a CRC-corrupt member refuses at the ZIP layer
+        raw = bytearray(b)
+        raw[b.index(b"<v>0</v>") + 3] = ord("9")
+        assert mm.parse_xlsx_text(bytes(raw)) is None
 
     def test_refusals_and_dispatch(self):
         assert mm.parse_xlsx_text(b"") is None
