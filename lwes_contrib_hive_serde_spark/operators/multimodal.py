@@ -2773,7 +2773,8 @@ def parse_document_text(b: bytes):
     parse_pdf_text, ZIP with META-INF/container.xml → parse_epub_text,
     ZIP with word/document.xml → parse_docx_text, ZIP with
     ppt/presentation.xml → parse_pptx_text, ZIP with xl/workbook.xml
-    → parse_xlsx_text. n_units is the
+    → parse_xlsx_text, ZIP with content.xml → parse_odt_text.
+    n_units is the
     format's natural unit (pages / chapters / paragraphs). Sniffing
     reads only the magic and the ZIP name list; each walker's own
     refusal envelope then applies unchanged (a recognized-but-
@@ -2804,6 +2805,9 @@ def parse_document_text(b: bytes):
         if "xl/workbook.xml" in names:
             got = parse_xlsx_text(b)
             return None if got is None else ("xlsx", got[0], got[1])
+        if "content.xml" in names:
+            got = parse_odt_text(b)
+            return None if got is None else ("odt", got[0], got[1])
     return None
 
 
@@ -3136,6 +3140,106 @@ def xlsx_bytes(
     comp = zipfile.ZIP_DEFLATED if deflate else zipfile.ZIP_STORED
     with zipfile.ZipFile(buf, "w", comp) as z:
         for name, data in entries:
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zi.compress_type = comp
+            z.writestr(zi, data)
+    return buf.getvalue()
+
+
+def parse_odt_text(b: bytes):
+    """(n_paragraphs, text) extracted from an ODT (OpenDocument
+    Text, OASIS ODF) byte string, or None. Paragraphs are the
+    ``text:p`` and ``text:h`` elements of content.xml in document
+    order, each rendered as its descendant text with ``text:tab`` →
+    TAB, ``text:line-break`` → newline, and ``text:s`` expanding to
+    its ``text:c`` space count. Same refusal envelope as the OOXML
+    walkers; ODF encryption (manifest ``algorithm-name`` entries)
+    refuses before any parse."""
+    import io
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    if not b[:4] in (b"PK\x03\x04", b"PK\x05\x06"):
+        return None
+    try:
+        z = zipfile.ZipFile(io.BytesIO(b))
+    except (zipfile.BadZipFile, OSError):
+        return None
+    with z:
+        names = set(z.namelist())
+        if "content.xml" not in names:
+            return None
+        if "META-INF/manifest.xml" in names:
+            try:
+                man = z.read("META-INF/manifest.xml")
+            except (OSError, zipfile.BadZipFile):
+                return None
+            if b"encryption-data" in man:
+                return None  # ODF encryption: extraction is a guess
+        try:
+            root = ET.fromstring(z.read("content.xml"))
+        except (ET.ParseError, OSError, zipfile.BadZipFile):
+            return None
+    T_ = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"
+
+    def node_text(n) -> str:
+        parts = [n.text or ""]
+        for c_ in n:
+            if c_.tag == f"{T_}tab":
+                parts.append("\t")
+            elif c_.tag == f"{T_}line-break":
+                parts.append("\n")
+            elif c_.tag == f"{T_}s":
+                parts.append(" " * int(c_.get(f"{T_}c", "1")))
+            else:
+                parts.append(node_text(c_))
+            parts.append(c_.tail or "")
+        return "".join(parts)
+
+    paras = [
+        node_text(p)
+        for p in root.iter()
+        if p.tag in (f"{T_}p", f"{T_}h")
+    ]
+    return len(paras), "\n".join(paras)
+
+
+def odt_bytes(paragraphs: list[str], deflate: bool = False) -> bytes:
+    """Serialize a REAL minimal ODT holding the given paragraphs —
+    the OpenDocument member of the deterministic fixture family
+    (mimetype stored first, the ODF packaging rule)."""
+    import io
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    O = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+    T_ = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+    body = "".join(f"<text:p>{escape(p)}</text:p>" for p in paragraphs)
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f'<office:document-content xmlns:office="{O}" xmlns:text="{T_}">'
+        f"<office:body><office:text>{body}</office:text></office:body>"
+        "</office:document-content>"
+    )
+    manifest = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<manifest:manifest xmlns:manifest="urn:oasis:names:tc:'
+        'opendocument:xmlns:manifest:1.0">'
+        '<manifest:file-entry manifest:full-path="/" manifest:media-type='
+        '"application/vnd.oasis.opendocument.text"/>'
+        '<manifest:file-entry manifest:full-path="content.xml" '
+        'manifest:media-type="text/xml"/></manifest:manifest>'
+    )
+    buf = io.BytesIO()
+    comp = zipfile.ZIP_DEFLATED if deflate else zipfile.ZIP_STORED
+    with zipfile.ZipFile(buf, "w") as z:
+        mt = zipfile.ZipInfo("mimetype", date_time=(1980, 1, 1, 0, 0, 0))
+        mt.compress_type = zipfile.ZIP_STORED
+        z.writestr(mt, "application/vnd.oasis.opendocument.text")
+        for name, data in (
+            ("META-INF/manifest.xml", manifest),
+            ("content.xml", content),
+        ):
             zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
             zi.compress_type = comp
             z.writestr(zi, data)

@@ -7745,3 +7745,72 @@ def q_xlsx_extract(spark, sf_dir):
         .select("doc_id", "doc_format", "doc_n_units", "doc_text")
         .orderBy("doc_id")
     )
+
+
+def _odt_extract_oracle_sql() -> str:
+    b = [_sql_digest_byte("text", i) for i in range(3)]
+    return f"""
+    WITH params AS (
+      SELECT doc_id,
+             1 + ({b[0]}) % 4 AS n_paras,
+             ({b[1]}) % 10 AS w
+      FROM documents WHERE doc_id < 48 AND length(text) > 0
+    )
+    SELECT doc_id,
+           'odt' AS doc_format,
+           CAST(n_paras AS INTEGER) AS doc_n_units,
+           array_to_string(list_transform(range(0, n_paras), p ->
+             'p' || p || ' w' || w || ' <' || w || '&>'), chr(10))
+             AS doc_text
+    FROM params ORDER BY doc_id
+    """
+
+
+@register(
+    "q_odt_extract",
+    shadow=True,
+    oracle=_odt_extract_oracle_sql(),
+    doc="ODT text extraction through the mixed-format DISPATCH path "
+    "(multimodal.parse_odt_text via parse_document_text — the "
+    "OpenDocument/LibreOffice member of the family): digest-"
+    "synthesized ODF packages (mimetype stored first per the "
+    "packaging rule, manifest present, paragraph count and content "
+    "digest-derived with XML-special characters in every "
+    "paragraph), text:p walk in document order; ODF encryption "
+    "(manifest encryption-data) refuses before any parse. The "
+    "DuckDB oracle rebuilds the paragraph grid; the dispatch label "
+    "rides the same hash.",
+)
+def q_odt_extract(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import multimodal
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 48) & (F.length("text") > 0))
+        .select("doc_id", "text")
+    )
+
+    def synth(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                dg = hashlib.sha256(t.encode("utf-8")).digest()
+                np_, w = 1 + dg[0] % 4, dg[1] % 10
+                paras = [f"p{p} w{w} <{w}&>" for p in range(np_)]
+                payloads.append(
+                    multimodal.odt_bytes(paras, deflate=bool(dg[2] % 2))
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    docs = d.mapInPandas(synth, "doc_id long, payload binary")
+    return (
+        multimodal.decode_document_text(docs)
+        .select("doc_id", "doc_format", "doc_n_units", "doc_text")
+        .orderBy("doc_id")
+    )

@@ -665,3 +665,66 @@ class TestXlsxText:
         for cut in range(0, len(b), 23):
             got = mm.parse_xlsx_text(b[:cut])
             assert got is None or isinstance(got, tuple)
+
+
+class TestOdtText:
+    """ODT extraction (multimodal.parse_odt_text / odt_bytes).
+    Value gate: shadow q_odt_extract through the dispatch path."""
+
+    @pytest.mark.parametrize("deflate", [False, True])
+    def test_round_trip(self, deflate):
+        b = mm.odt_bytes(["para one <&>", "para two"], deflate=deflate)
+        assert mm.parse_odt_text(b) == (2, "para one <&>\npara two")
+
+    def test_tab_linebreak_and_space_runs(self):
+        import io
+        import zipfile
+
+        b = mm.odt_bytes(["x"])
+        with zipfile.ZipFile(io.BytesIO(b)) as z:
+            parts = {n: z.read(n) for n in z.namelist()}
+        parts["content.xml"] = parts["content.xml"].replace(
+            b"<text:p>x</text:p>",
+            b"<text:p>a<text:tab/>b<text:line-break/>c"
+            b'<text:s text:c="3"/>d</text:p>',
+        )
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            for n, data in parts.items():
+                z.writestr(n, data)
+        assert mm.parse_odt_text(buf.getvalue()) == (1, "a\tb\nc   d")
+
+    def test_encryption_refuses(self):
+        import io
+        import zipfile
+
+        b = mm.odt_bytes(["secret"])
+        with zipfile.ZipFile(io.BytesIO(b)) as z:
+            parts = {n: z.read(n) for n in z.namelist()}
+        parts["META-INF/manifest.xml"] = parts[
+            "META-INF/manifest.xml"
+        ].replace(
+            b"</manifest:manifest>",
+            b'<manifest:file-entry manifest:full-path="content.xml">'
+            b"<manifest:encryption-data/></manifest:file-entry>"
+            b"</manifest:manifest>",
+        )
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            for n, data in parts.items():
+                z.writestr(n, data)
+        assert mm.parse_odt_text(buf.getvalue()) is None
+
+    def test_dispatch_and_refusals(self):
+        assert mm.parse_odt_text(b"") is None
+        got = mm.parse_document_text(mm.odt_bytes(["odf text"]))
+        assert got == ("odt", 1, "odf text")
+        # dispatch priority: an EPUB also contains content.xml-free
+        # container.xml — ensure epub keeps winning
+        assert mm.parse_document_text(mm.epub_bytes(["e"]))[0] == "epub"
+
+    def test_truncation_fuzz_never_raises(self):
+        b = mm.odt_bytes(["some odf text"], deflate=True)
+        for cut in range(0, len(b), 17):
+            got = mm.parse_odt_text(b[:cut])
+            assert got is None or isinstance(got, tuple)
