@@ -2773,8 +2773,8 @@ def parse_document_text(b: bytes):
     parse_pdf_text, ZIP with META-INF/container.xml → parse_epub_text,
     ZIP with word/document.xml → parse_docx_text, ZIP with
     ppt/presentation.xml → parse_pptx_text, ZIP with xl/workbook.xml
-    → parse_xlsx_text, ZIP with content.xml → parse_odt_text.
-    n_units is the
+    → parse_xlsx_text, ZIP with content.xml → parse_odt_text,
+    ``{\\rtf`` → parse_rtf_text. n_units is the
     format's natural unit (pages / chapters / paragraphs). Sniffing
     reads only the magic and the ZIP name list; each walker's own
     refusal envelope then applies unchanged (a recognized-but-
@@ -2784,6 +2784,9 @@ def parse_document_text(b: bytes):
     if b[:5] == b"%PDF-" or b"%PDF-" in b[:1024]:
         got = parse_pdf_text(b)
         return None if got is None else ("pdf", got[0], got[1])
+    if b.startswith(b"{\\rtf"):
+        got = parse_rtf_text(b)
+        return None if got is None else ("rtf", got[0], got[1])
     if b[:4] in (b"PK\x03\x04", b"PK\x05\x06"):
         import io
         import zipfile
@@ -3244,3 +3247,153 @@ def odt_bytes(paragraphs: list[str], deflate: bool = False) -> bytes:
             zi.compress_type = comp
             z.writestr(zi, data)
     return buf.getvalue()
+
+
+def parse_rtf_text(b: bytes):
+    """(n_paragraphs, text) extracted from an RTF byte string, or
+    None. A single group-aware walk: ``\\par``/``\\line`` break
+    paragraphs/lines, ``\\tab`` → TAB, ``\\'xx`` hex escapes decode
+    per the header ``\\ansicpg`` code page (cp1252 default),
+    ``\\uN`` Unicode escapes honor ``\\ucN`` skip counts, groups
+    opened by destination control words (fonttbl/colortbl/
+    stylesheet/info/pict/…, or any ``\\*`` destination) are skipped
+    whole. Not starting with ``{\\rtf`` → None, never a guess."""
+    if not b.startswith(b"{\\rtf"):
+        return None
+    # header code page for \'xx escapes
+    import re
+
+    m = re.match(rb"\{\\rtf1[^{]*?\\ansicpg(\d+)", b[:256])
+    codec = f"cp{m.group(1).decode()}" if m else "cp1252"
+    try:
+        "".encode()  # no-op; codec validity checked at first use
+    except Exception:
+        pass
+    SKIP_DESTS = {
+        b"fonttbl", b"colortbl", b"stylesheet", b"info", b"pict",
+        b"header", b"footer", b"themedata", b"listtable",
+        b"listoverridetable", b"generator", b"xmlnstbl",
+    }
+    out: list[str] = []
+    i, n = 0, len(b)
+    depth = 0
+    skip_until_depth = None  # inside a skipped destination group
+    uc_skip = [1]  # \ucN per group depth (inherited)
+    pending_skip = 0  # bytes to skip after \uN
+    while i < n:
+        c = b[i]
+        if skip_until_depth is not None:
+            if c == 0x7B:
+                depth += 1
+            elif c == 0x7D:
+                depth -= 1
+                if depth < skip_until_depth:
+                    skip_until_depth = None
+            i += 1
+            continue
+        if c == 0x7B:  # {
+            depth += 1
+            uc_skip.append(uc_skip[-1])
+            i += 1
+            # destination group check: {\*\dest …} or {\dest …}
+            j = i
+            starred = False
+            if b[j : j + 2] == b"\\*":
+                starred = True
+                j += 2
+            if j < n and b[j : j + 1] == b"\\":
+                mw = re.match(rb"\\([a-z]+)", b[j:])
+                if mw and (starred or mw.group(1) in SKIP_DESTS):
+                    skip_until_depth = depth
+            continue
+        if c == 0x7D:  # }
+            depth -= 1
+            if len(uc_skip) > 1:
+                uc_skip.pop()
+            i += 1
+            continue
+        if c == 0x5C:  # backslash
+            nxt = b[i + 1 : i + 2]
+            if nxt == b"'":
+                try:
+                    ch = bytes([int(b[i + 2 : i + 4], 16)])
+                    if pending_skip > 0:
+                        pending_skip -= 1
+                    else:
+                        out.append(ch.decode(codec, "replace"))
+                except (ValueError, LookupError):
+                    pass
+                i += 4
+                continue
+            if nxt in (b"\\", b"{", b"}"):
+                if pending_skip > 0:
+                    pending_skip -= 1
+                else:
+                    out.append(nxt.decode("ascii"))
+                i += 2
+                continue
+            if nxt == b"~":
+                out.append("\u00a0")
+                i += 2
+                continue
+            mw = re.match(rb"\\([a-z]+)(-?\d+)? ?", b[i:])
+            if mw is None:
+                i += 1
+                continue
+            word, num = mw.group(1), mw.group(2)
+            if word == b"par" or word == b"line":
+                out.append("\n")
+            elif word == b"tab":
+                out.append("\t")
+            elif word == b"uc" and num is not None:
+                uc_skip[-1] = int(num)
+            elif word == b"u" and num is not None:
+                cp = int(num)
+                out.append(chr(cp + 0x10000 if cp < 0 else cp))
+                pending_skip = uc_skip[-1]
+            i += mw.end()
+            continue
+        if c in (0x0D, 0x0A):
+            i += 1  # raw newlines are formatting, not text
+            continue
+        if pending_skip > 0:
+            pending_skip -= 1
+            i += 1
+            continue
+        out.append(chr(c) if c < 0x80 else bytes([c]).decode(codec, "replace"))
+        i += 1
+    text = "".join(out)
+    paras = [p for p in text.split("\n")]
+    while paras and paras[-1] == "":
+        paras.pop()
+    return max(len(paras), 1), "\n".join(paras)
+
+
+def rtf_bytes(paragraphs: list[str]) -> bytes:
+    """Serialize a minimal RTF document holding the given paragraphs
+    — with a font table (skipped as a destination group), cp1252
+    hex escapes for latin-1 bytes and \\uN escapes beyond —
+    deterministic, accepted by Word/LibreOffice."""
+    out = [
+        b"{\\rtf1\\ansi\\ansicpg1252\\deff0"
+        b"{\\fonttbl{\\f0 Times New Roman;}}\n"
+    ]
+    for k, p in enumerate(paragraphs):
+        if k:
+            out.append(b"\\par ")
+        for ch in p:
+            o = ord(ch)
+            if ch in "\\{}":
+                out.append(b"\\" + ch.encode("ascii"))
+            elif ch == "\t":
+                out.append(b"\\tab ")
+            elif o < 0x80:
+                out.append(ch.encode("ascii"))
+            elif o < 0x100:
+                out.append(b"\\'%02x" % o)
+            else:
+                v = o - 0x10000 if o > 0x7FFF else o
+                out.append(b"\\u%d?" % v)
+        out.append(b"\n")
+    out.append(b"}")
+    return b"".join(out)

@@ -7814,3 +7814,71 @@ def q_odt_extract(spark, sf_dir):
         .select("doc_id", "doc_format", "doc_n_units", "doc_text")
         .orderBy("doc_id")
     )
+
+
+def _rtf_extract_oracle_sql() -> str:
+    b = [_sql_digest_byte("text", i) for i in range(2)]
+    return f"""
+    WITH params AS (
+      SELECT doc_id,
+             1 + ({b[0]}) % 4 AS n_paras,
+             ({b[1]}) % 10 AS w
+      FROM documents WHERE doc_id < 48 AND length(text) > 0
+    )
+    SELECT doc_id,
+           'rtf' AS doc_format,
+           CAST(n_paras AS INTEGER) AS doc_n_units,
+           array_to_string(list_transform(range(0, n_paras), p ->
+             'p' || p || ' café' || w || ' {{b}} & ' || chr(20013)),
+             chr(10)) AS doc_text
+    FROM params ORDER BY doc_id
+    """
+
+
+@register(
+    "q_rtf_extract",
+    shadow=True,
+    oracle=_rtf_extract_oracle_sql(),
+    doc="RTF text extraction through the mixed-format DISPATCH path "
+    "(multimodal.parse_rtf_text — the legacy-document member of the "
+    "family): digest-synthesized RTF with a font table (skipped as "
+    "a destination group), every paragraph exercising brace "
+    "escapes, cp1252 \\'xx hex escapes (the é), AND \\uN Unicode "
+    "escapes with \\uc fallback-skip handling (the CJK codepoint); "
+    "the DuckDB oracle rebuilds the identical paragraph grid, so "
+    "group skipping, both escape decoders, and the paragraph-break "
+    "policy are value-gated in one hash.",
+)
+def q_rtf_extract(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import multimodal
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 48) & (F.length("text") > 0))
+        .select("doc_id", "text")
+    )
+
+    def synth(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                dg = hashlib.sha256(t.encode("utf-8")).digest()
+                np_, w = 1 + dg[0] % 4, dg[1] % 10
+                paras = [
+                    f"p{p} café{w} {{b}} & 中" for p in range(np_)
+                ]
+                payloads.append(multimodal.rtf_bytes(paras))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    docs = d.mapInPandas(synth, "doc_id long, payload binary")
+    return (
+        multimodal.decode_document_text(docs)
+        .select("doc_id", "doc_format", "doc_n_units", "doc_text")
+        .orderBy("doc_id")
+    )

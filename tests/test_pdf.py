@@ -728,3 +728,37 @@ class TestOdtText:
         for cut in range(0, len(b), 17):
             got = mm.parse_odt_text(b[:cut])
             assert got is None or isinstance(got, tuple)
+
+
+class TestRtfText:
+    """RTF extraction (multimodal.parse_rtf_text / rtf_bytes).
+    Value gate: shadow q_rtf_extract through the dispatch path."""
+
+    def test_round_trip_escapes_and_unicode(self):
+        paras = ["hello {braces} & plain", "café läuft", "中文 text",
+                 "tab\there"]
+        assert mm.parse_rtf_text(mm.rtf_bytes(paras)) == (
+            4, "\n".join(paras),
+        )
+
+    def test_destination_groups_skipped(self):
+        b = (b"{\\rtf1\\ansi{\\fonttbl{\\f0 Arial;}}"
+             b"{\\*\\generator SomeTool 1.0;}"
+             b"{\\info{\\title secret title}}visible\\par also}")
+        assert mm.parse_rtf_text(b) == (2, "visible\nalso")
+
+    def test_uc_skip_honored(self):
+        # \uc2 → two fallback bytes skipped after \uN
+        b = b"{\\rtf1\\ansi\\uc2 a\\u20013 ??b}"
+        n, text = mm.parse_rtf_text(b)
+        assert text == "a中b"
+
+    def test_dispatch_and_refusal(self):
+        assert mm.parse_rtf_text(b"plain text") is None
+        assert mm.parse_document_text(mm.rtf_bytes(["r"])) == ("rtf", 1, "r")
+
+    def test_truncation_fuzz_never_raises(self):
+        b = mm.rtf_bytes(["some rtf café 中"])
+        for cut in range(0, len(b), 7):
+            got = mm.parse_rtf_text(b[:cut])
+            assert got is None or isinstance(got, tuple)
