@@ -2212,3 +2212,76 @@ def html_links(col) -> Column:
         raw,
         lambda u: ~F.lower(u).rlike(r"^(javascript|mailto|tel|data):"),
     )
+
+
+def strip_markdown(col) -> Column:
+    """Markdown source → visible text, a chained JVM regexp pass at
+    scan speed (the README/docs-corpus sibling of strip_html_tags):
+    fenced code blocks keep their body, inline code keeps its text,
+    images drop to their alt text, links keep the label, table
+    rows keep their cells space-joined PER ROW, emphasis /
+    heading / blockquote / list markers strip, and
+    whitespace collapses per line. Patterns stay in the Java∩RE2
+    subset so a SQL oracle replays them verbatim."""
+    c_ = F.col(col) if isinstance(col, str) else col
+    # fenced code blocks: drop the ``` fences, keep the body
+    c_ = F.regexp_replace(c_, r"(?m)^```[^\n]*$", "")
+    # images before links: ![alt](url) -> alt
+    c_ = F.regexp_replace(c_, r"!\[([^\]]*)\]\([^)]*\)", "$1")
+    c_ = F.regexp_replace(c_, r"\[([^\]]*)\]\([^)]*\)", "$1")
+    # reference-style link definitions vanish
+    c_ = F.regexp_replace(c_, r"(?m)^\s*\[[^\]]+\]:\s*\S+[^\n]*$", "")
+    # headings / blockquotes / list markers at line start
+    c_ = F.regexp_replace(c_, r"(?m)^#{1,6}\s+", "")
+    c_ = F.regexp_replace(c_, r"(?m)^>\s?", "")
+    c_ = F.regexp_replace(c_, r"(?m)^\s*[-*+]\s+", "")
+    c_ = F.regexp_replace(c_, r"(?m)^\s*\d+\.\s+", "")
+    # tables: cell pipes and separator rows
+    c_ = F.regexp_replace(c_, r"(?m)^\|?[\s:|-]+\|[\s:|-]*$", "")
+    c_ = F.regexp_replace(c_, r"[ \t]*\|[ \t]*", " ")
+    # emphasis/strikethrough/inline code markers
+    c_ = F.regexp_replace(c_, r"(\*{1,3}|_{1,3}|~~|`)", "")
+    # horizontal rules
+    c_ = F.regexp_replace(c_, r"(?m)^\s*([-*_]\s*){3,}$", "")
+    # collapse intra-line whitespace, trim lines, drop blank lines
+    c_ = F.regexp_replace(c_, r"[ \t]+", " ")
+    c_ = F.regexp_replace(c_, r"(?m)^ | $", "")
+    c_ = F.regexp_replace(c_, r"\n{2,}", "\n")
+    return F.regexp_replace(c_, r"^\n+|\n+$", "")
+
+
+def strip_latex(col) -> Column:
+    """LaTeX source → visible text (detex-lite for arXiv-style
+    corpora), a chained JVM regexp pass: comments drop,
+    $-delimited inline/display math drops (its text is not prose;
+    environment BODIES like equation stay as text with the markers
+    stripped), \\begin/\\end markers and label/ref/cite/include machinery drop, one-argument
+    text commands (emph/textbf/textit/section/…) keep their
+    argument, remaining \\commands drop, ~ becomes space. One
+    nesting level of braces is unwrapped — deeper nesting degrades
+    gracefully (markers stripped, text kept). Java∩RE2 subset."""
+    c_ = F.col(col) if isinstance(col, str) else col
+    c_ = F.regexp_replace(c_, r"(?m)%[^\n]*$", "")
+    c_ = F.regexp_replace(c_, r"\$\$[^$]*\$\$", " ")
+    c_ = F.regexp_replace(c_, r"\$[^$]*\$", " ")
+    c_ = F.regexp_replace(c_, r"\\begin\{[^}]*\}(\[[^\]]*\])?", " ")
+    c_ = F.regexp_replace(c_, r"\\end\{[^}]*\}", " ")
+    c_ = F.regexp_replace(
+        c_, r"\\(label|ref|eqref|cite|citep|citet|input|include|"
+        r"bibliography|bibliographystyle|usepackage|documentclass)"
+        r"(\[[^\]]*\])?\{[^}]*\}", " ",
+    )
+    # text commands keep their argument (one unwrap pass)
+    c_ = F.regexp_replace(
+        c_, r"\\(emph|textbf|textit|texttt|textsc|underline|section"
+        r"|subsection|subsubsection|paragraph|title|author|caption"
+        r"|footnote|mbox|text)\*?\{([^{}]*)\}", "$2",
+    )
+    # leftover no-argument commands and stray braces
+    c_ = F.regexp_replace(c_, r"\\[A-Za-z]+\*?(\[[^\]]*\])?", " ")
+    c_ = F.regexp_replace(c_, r"[{}]", "")
+    c_ = F.regexp_replace(c_, r"~", " ")
+    c_ = F.regexp_replace(c_, r"[ \t]+", " ")
+    c_ = F.regexp_replace(c_, r"(?m)^ | $", "")
+    c_ = F.regexp_replace(c_, r"\n{2,}", "\n")
+    return F.regexp_replace(c_, r"^\n+|\n+$", "")

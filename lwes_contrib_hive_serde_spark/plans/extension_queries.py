@@ -7882,3 +7882,148 @@ def q_rtf_extract(spark, sf_dir):
         .select("doc_id", "doc_format", "doc_n_units", "doc_text")
         .orderBy("doc_id")
     )
+
+
+def _chain_rr(expr: str, steps: list[tuple[str, str]]) -> str:
+    """Nested DuckDB regexp_replace chain (global flag; multiline
+    lives inside each pattern as (?m), RE2-style)."""
+    for pat, rep in steps:
+        # DuckDB plain string literals keep backslashes VERBATIM
+        # (no C-style escapes) — only quotes need doubling
+        pat_sql = pat.replace("'", "''")
+        rep_sql = rep.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat_sql}', '{rep_sql}', 'g')"
+    return expr
+
+
+_MD_STEPS = [
+    (r"(?m)^```[^\n]*$", ""),
+    (r"!\[([^\]]*)\]\([^)]*\)", r"\1"),
+    (r"\[([^\]]*)\]\([^)]*\)", r"\1"),
+    (r"(?m)^\s*\[[^\]]+\]:\s*\S+[^\n]*$", ""),
+    (r"(?m)^#{1,6}\s+", ""),
+    (r"(?m)^>\s?", ""),
+    (r"(?m)^\s*[-*+]\s+", ""),
+    (r"(?m)^\s*\d+\.\s+", ""),
+    (r"(?m)^\|?[\s:|-]+\|[\s:|-]*$", ""),
+    (r"[ \t]*\|[ \t]*", " "),
+    (r"(\*{1,3}|_{1,3}|~~|`)", ""),
+    (r"(?m)^\s*([-*_]\s*){3,}$", ""),
+    (r"[ \t]+", " "),
+    (r"(?m)^ | $", ""),
+    (r"\n{2,}", "\n"),
+    (r"^\n+|\n+$", ""),
+]
+
+
+@register(
+    "q_strip_markdown",
+    shadow=True,
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+        '# Title ' || (doc_id % 7) || chr(10) || chr(10)
+        || 'Some **bold** and _em_ with [a link](http://x/'
+        || (doc_id % 7) || ') and ![img](u).' || chr(10) || chr(10)
+        || '- item one' || chr(10) || '- item ' || (doc_id % 5)
+        || chr(10) || chr(10) || '| a | b |' || chr(10)
+        || '|---|---|' || chr(10) || '| 1 | ' || (doc_id % 3)
+        || ' |' || chr(10) || chr(10) || '```py' || chr(10)
+        || 'code ' || (doc_id % 2) || chr(10) || '```' AS md
+      FROM documents WHERE doc_id < 500
+    )
+    SELECT doc_id, {_chain_rr("md", _MD_STEPS)} AS clean
+    FROM p ORDER BY doc_id
+    """,
+    doc="Markdown → visible text (text.strip_markdown — the README/"
+    "docs-corpus sibling of strip_html_tags): headings, emphasis, "
+    "links-keep-label, image-alt, list markers, table rows "
+    "space-joined per row, fenced code kept body-only — one chained "
+    "JVM regexp pass at scan speed, every pattern in the Java∩RE2 "
+    "subset so the DuckDB oracle replays the IDENTICAL chain "
+    "(backref spelling aside) over synthesized per-doc markdown.",
+)
+def q_strip_markdown(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    i7 = (F.col("doc_id") % 7).cast("string")
+    i5 = (F.col("doc_id") % 5).cast("string")
+    i3 = (F.col("doc_id") % 3).cast("string")
+    i2 = (F.col("doc_id") % 2).cast("string")
+    md = F.concat(
+        F.lit("# Title "), i7, F.lit("\n\nSome **bold** and _em_ with [a link](http://x/"),
+        i7, F.lit(") and ![img](u).\n\n- item one\n- item "), i5,
+        F.lit("\n\n| a | b |\n|---|---|\n| 1 | "), i3,
+        F.lit(" |\n\n```py\ncode "), i2, F.lit("\n```"),
+    )
+    sel = d.select("doc_id", md.alias("md"))
+    return sel.select(
+        "doc_id", text.strip_markdown("md").alias("clean")
+    ).orderBy("doc_id")
+
+
+_TEX_STEPS = [
+    (r"(?m)%[^\n]*$", ""),
+    (r"\$\$[^$]*\$\$", " "),
+    (r"\$[^$]*\$", " "),
+    (r"\\begin\{[^}]*\}(\[[^\]]*\])?", " "),
+    (r"\\end\{[^}]*\}", " "),
+    (r"\\(label|ref|eqref|cite|citep|citet|input|include|"
+     r"bibliography|bibliographystyle|usepackage|documentclass)"
+     r"(\[[^\]]*\])?\{[^}]*\}", " "),
+    (r"\\(emph|textbf|textit|texttt|textsc|underline|section"
+     r"|subsection|subsubsection|paragraph|title|author|caption"
+     r"|footnote|mbox|text)\*?\{([^{}]*)\}", r"\2"),
+    (r"\\[A-Za-z]+\*?(\[[^\]]*\])?", " "),
+    (r"[{}]", ""),
+    (r"~", " "),
+    (r"[ \t]+", " "),
+    (r"(?m)^ | $", ""),
+    (r"\n{2,}", "\n"),
+    (r"^\n+|\n+$", ""),
+]
+
+
+@register(
+    "q_strip_latex",
+    shadow=True,
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+        '\\documentclass{{article}}' || chr(10)
+        || '% comment ' || (doc_id % 7) || chr(10)
+        || '\\section{{Intro ' || (doc_id % 7) || '}}' || chr(10)
+        || 'We study $x^' || (doc_id % 5) || '$ and '
+        || '\\emph{{important}} things~here \\cite{{r' || (doc_id % 3)
+        || '}}.' || chr(10) || '\\begin{{equation}}' || chr(10)
+        || 'y = ' || (doc_id % 2) || 'x + b' || chr(10)
+        || '\\end{{equation}}' || chr(10) || 'Done.' AS tex
+      FROM documents WHERE doc_id < 500
+    )
+    SELECT doc_id, {_chain_rr("tex", _TEX_STEPS)} AS clean
+    FROM p ORDER BY doc_id
+    """,
+    doc="LaTeX → visible text (text.strip_latex, detex-lite for "
+    "arXiv-style corpora): comments and $-math drop, text commands "
+    "keep their argument, structure commands and stray braces "
+    "strip, environment bodies stay — one chained JVM regexp pass "
+    "at scan speed; the DuckDB oracle replays the identical chain "
+    "(backref spelling aside) over synthesized per-doc LaTeX with "
+    "sections, inline math, cites, and an equation environment.",
+)
+def q_strip_latex(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    i7 = (F.col("doc_id") % 7).cast("string")
+    i5 = (F.col("doc_id") % 5).cast("string")
+    i3 = (F.col("doc_id") % 3).cast("string")
+    i2 = (F.col("doc_id") % 2).cast("string")
+    tex = F.concat(
+        F.lit("\\documentclass{article}\n% comment "), i7,
+        F.lit("\n\\section{Intro "), i7, F.lit("}\nWe study $x^"), i5,
+        F.lit("$ and \\emph{important} things~here \\cite{r"), i3,
+        F.lit("}.\n\\begin{equation}\ny = "), i2,
+        F.lit("x + b\n\\end{equation}\nDone."),
+    )
+    sel = d.select("doc_id", tex.alias("tex"))
+    return sel.select(
+        "doc_id", text.strip_latex("tex").alias("clean")
+    ).orderBy("doc_id")
