@@ -65,6 +65,7 @@ def curate(
     dedup_spans_k: int | None = None,
     dedup_spans_min_count: int = 2,
     document_col: str | None = None,
+    markup: str | None = None,
     langid_profiles: DataFrame | None = None,
     langid_keep: set[str] | None = None,
     langid_max_avg_distance: float | None = None,
@@ -142,6 +143,19 @@ def curate(
         if max_link_density is not None:
             out = out.filter(
                 F.col("html_link_density") <= max_link_density
+            )
+    if markup is not None:
+        # source-markup strip: README/docs corpora arrive as
+        # markdown, arXiv-style corpora as LaTeX — same scan stage
+        # as the HTML strip, pure JVM regexp chains
+        if markup == "markdown":
+            out = out.withColumn(text_col, text.strip_markdown(text_col))
+        elif markup == "latex":
+            out = out.withColumn(text_col, text.strip_latex(text_col))
+        else:
+            raise ValueError(
+                f"markup must be 'markdown' or 'latex', got {markup!r}"
+                " (HTML pages use html_col instead)"
             )
     if url_col is not None:
         # URL-level dedup FIRST: canonicalize (case/port/tracking/

@@ -654,3 +654,24 @@ class TestCurateHeaderNoindex:
             html_col="html", http_headers_col="hh",
         )
         assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+class TestCurateMarkup:
+    def test_markdown_strip_stage(self, spark):
+        rows = [(1,
+            "# Doc\n\nSome **clean** document words flow through "
+            "here today. And the [second](http://x) sentence keeps "
+            "the cleaner happy too.")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = pipeline.curate(
+            docs, gopher_thresholds=LOOSE, min_sentences=1, pii=False,
+            markup="markdown",
+        )
+        got = out.collect()[0]["text_clean"]
+        assert "**" not in got and "](http" not in got
+        assert "clean document words" in got
+
+    def test_unknown_markup_raises(self, spark):
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="markup"):
+            pipeline.curate(docs, markup="asciidoc")
