@@ -111,3 +111,54 @@ def shred_json(
             col = col.try_cast(t)
         out = out.withColumn(f"{prefix}{k}", col)
     return out.drop("__shred")
+
+
+def notebook_cells(
+    df: DataFrame, json_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, cell_idx, cell_type, source) — one row per Jupyter
+    notebook cell, in notebook order. ONE from_json against the
+    pinned nbformat-4 shape (cells[].cell_type + source, where
+    source is a LIST OF LINES in real notebooks but a plain string
+    in some emitters — both spellings are accepted per cell) plus
+    one posexplode; pure JVM, scan-speed, the code-corpus
+    ingestion path. Invalid JSON / no cells → no rows, the
+    schema-on-read contract."""
+    nb_t = T.StructType([
+        T.StructField("cells", T.ArrayType(T.StructType([
+            T.StructField("cell_type", T.StringType()),
+            T.StructField("source", T.ArrayType(T.StringType())),
+        ]))),
+    ])
+    # second parse for string-typed source (emitters disagree);
+    # from_json returns NULL for the mismatched spelling, so the
+    # two coalesce per cell
+    nb_s = T.StructType([
+        T.StructField("cells", T.ArrayType(T.StructType([
+            T.StructField("cell_type", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]))),
+    ])
+    cells_l = F.from_json(F.col(json_col), nb_t).getField("cells")
+    cells_s = F.from_json(F.col(json_col), nb_s).getField("cells")
+    out = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode_outer(
+                F.coalesce(cells_l, F.array().cast(nb_t["cells"].dataType))
+            ).alias("cell_idx", "__c"),
+            cells_s.alias("__cs"),
+        )
+        .filter(F.col("__c").isNotNull())
+        .select(
+            F.col("__id").alias(id_col),
+            "cell_idx",
+            F.col("__c.cell_type").alias("cell_type"),
+            F.coalesce(
+                F.array_join(F.col("__c.source"), ""),
+                F.element_at(F.col("__cs"), F.col("cell_idx") + 1)
+                .getField("source"),
+            ).alias("source"),
+        )
+    )
+    return out

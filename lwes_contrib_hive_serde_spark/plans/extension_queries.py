@@ -8027,3 +8027,79 @@ def q_strip_latex(spark, sf_dir):
     return sel.select(
         "doc_id", text.strip_latex("tex").alias("clean")
     ).orderBy("doc_id")
+
+
+from lwes_contrib_hive_serde_spark.operators import shred as _shred
+
+
+def _notebook_oracle_sql() -> str:
+    b0 = _sql_digest_byte("text", 0)
+    return f"""
+    WITH params AS (
+      SELECT doc_id, 1 + ({b0}) % 3 AS n_cells
+      FROM documents WHERE doc_id < 60 AND text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS cell_idx,
+           CASE WHEN i % 2 = 0 THEN 'markdown' ELSE 'code' END
+             AS cell_type,
+           'line a' || i || chr(10) || 'line b' || doc_id || chr(10)
+             AS source
+    FROM params, unnest(range(0, n_cells)) AS t(i)
+    ORDER BY doc_id, cell_idx
+    """
+
+
+@register(
+    "q_notebook_cells",
+    shadow=True,
+    oracle=_notebook_oracle_sql(),
+    doc="Jupyter notebook shredding (shred.notebook_cells — the "
+    "code-corpus ingestion path): nbformat-4 JSON synthesized from "
+    "digest bytes (cell count digest-derived, cell types "
+    "alternating, EVEN cells written with list-of-lines source and "
+    "ODD cells with the plain-string spelling some emitters "
+    "produce, so both accepted syntaxes are value-gated), one "
+    "from_json + posexplode, pure JVM. The DuckDB oracle states "
+    "the expected (idx, type, source) grid arithmetically.",
+)
+def q_notebook_cells(spark, sf_dir):
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 60) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+
+    def synth(batches):
+        import hashlib
+        import json as _json
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                dg = hashlib.sha256(t.encode("utf-8")).digest()
+                n_cells = 1 + dg[0] % 3
+                cells = []
+                for i in range(n_cells):
+                    src_lines = [f"line a{i}\n", f"line b{did}\n"]
+                    cells.append({
+                        "cell_type": "markdown" if i % 2 == 0 else "code",
+                        # even cells: list-of-lines; odd: plain string
+                        "source": (
+                            src_lines if i % 2 == 0 else "".join(src_lines)
+                        ),
+                        "metadata": {},
+                    })
+                payloads.append(_json.dumps(
+                    {"cells": cells, "nbformat": 4, "nbformat_minor": 5}
+                ))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "nb": payloads}
+            )
+
+    docs = d.mapInPandas(synth, "doc_id long, nb string")
+    return _shred.notebook_cells(docs, "nb").orderBy(
+        "doc_id", "cell_idx"
+    )
