@@ -2285,3 +2285,78 @@ def strip_latex(col) -> Column:
     c_ = F.regexp_replace(c_, r"(?m)^ | $", "")
     c_ = F.regexp_replace(c_, r"\n{2,}", "\n")
     return F.regexp_replace(c_, r"^\n+|\n+$", "")
+
+
+# --- Code-corpus signals (The Stack / BigCode pipeline staples) ----------
+
+_SPDX_RE = r"SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)"
+_LICENSE_HINTS = (
+    r"(?i)(Apache License,?\s*Version 2\.0"
+    r"|GNU GENERAL PUBLIC LICENSE"
+    r"|GNU LESSER GENERAL PUBLIC LICENSE"
+    r"|MIT License"
+    r"|BSD 2-Clause|BSD 3-Clause"
+    r"|Mozilla Public License"
+    r"|This is free and unencumbered software released into the "
+    r"public domain)"
+)
+
+
+def spdx_license(col) -> Column:
+    """The file's ``SPDX-License-Identifier`` tag value (first
+    occurrence), NULL when absent — the machine-readable license
+    signal The Stack-style corpus filters key on. One JVM regex."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.nullif(F.regexp_extract(col, _SPDX_RE, 1), F.lit(""))
+
+
+def license_hint(col) -> Column:
+    """A human-readable license-header phrase found in the file
+    (canonical phrases of Apache-2.0 / GPL / LGPL / MIT / BSD /
+    MPL / Unlicense), NULL when none — the fallback tier when no
+    SPDX tag exists. One JVM regex; use WITH spdx_license, which
+    wins when both are present."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.nullif(F.regexp_extract(col, _LICENSE_HINTS, 1), F.lit(""))
+
+
+_SECRET_RES = (
+    # (pattern, replacement) — applied in order, Java∩RE2 subset
+    (r"AKIA[0-9A-Z]{16}", "<AWS_KEY>"),
+    (r"ghp_[A-Za-z0-9]{36}", "<GH_TOKEN>"),
+    (r"gho_[A-Za-z0-9]{36}", "<GH_TOKEN>"),
+    (r"xox[baprs]-[0-9A-Za-z-]{10,48}", "<SLACK_TOKEN>"),
+    (r"sk-[A-Za-z0-9]{20}T3BlbkFJ[A-Za-z0-9]{20}", "<API_KEY>"),
+    (r"-----BEGIN [A-Z ]*PRIVATE KEY-----[A-Za-z0-9+/=\s]+"
+     r"-----END [A-Z ]*PRIVATE KEY-----", "<PRIVATE_KEY>"),
+    (r"(?i)(password|passwd|secret|api_key|apikey|auth_token)"
+     r"""(\s*[=:]\s*)["'][^"']{6,}["']""", "$1$2\"<SECRET>\""),
+)
+
+
+def redact_secrets(col) -> Column:
+    """Code-corpus secret redaction (the BigCode/The-Stack
+    counterpart of redact_pii): AWS access keys, GitHub/Slack/API
+    tokens, PEM private-key blocks, and quoted password/secret/
+    api_key assignments are replaced by typed placeholders — a
+    chained JVM regexp pass at scan speed, patterns in the Java∩RE2
+    subset so a SQL oracle replays them verbatim. Pattern-based
+    (high precision, bounded recall): entropy-scan recall belongs
+    in a trained scanner, not a scan-stage regex."""
+    c_ = F.col(col) if isinstance(col, str) else col
+    for pat, rep in _SECRET_RES:
+        c_ = F.regexp_replace(c_, pat, rep)
+    return c_
+
+
+def secret_hits(col) -> Column:
+    """Count of secret-pattern matches in the text (0 = clean) —
+    the filter-side companion of redact_secrets for drop-don't-
+    redact policies."""
+    col = F.col(col) if isinstance(col, str) else col
+    out = F.lit(0)
+    for pat, _rep in _SECRET_RES:
+        out = out + F.size(
+            F.regexp_extract_all(col, F.lit(pat), F.lit(0))
+        )
+    return out.cast("int")
