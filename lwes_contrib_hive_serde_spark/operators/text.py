@@ -2360,3 +2360,47 @@ def secret_hits(col) -> Column:
             F.regexp_extract_all(col, F.lit(pat), F.lit(0))
         )
     return out.cast("int")
+
+
+_CC_CANDIDATE_RE = r"\b(?:\d[ -]?){12,18}\d\b"
+
+
+def luhn_valid(col) -> Column:
+    """Luhn checksum validity of a digit string (separators
+    stripped), as one JVM fold: doubled-from-the-right digits fold
+    through the 9-cap, summed mod 10 — no Python, no UDF. NULL/empty
+    → false."""
+    col = F.col(col) if isinstance(col, str) else col
+    digits = F.regexp_replace(col, r"[^0-9]", "")
+    n = F.length(digits)
+    # position from the right (1-based); even positions double
+    total = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            (n - i) % 2 == 1,
+            # doubled digit, 9-capped: 2d - 9 when 2d > 9
+            F.when(
+                F.substring(digits, i, 1).cast("int") > 4,
+                F.substring(digits, i, 1).cast("int") * 2 - 9,
+            ).otherwise(F.substring(digits, i, 1).cast("int") * 2),
+        ).otherwise(F.substring(digits, i, 1).cast("int")),
+    )
+    return F.when(n >= 13, total % 10 == 0).otherwise(F.lit(False))
+
+
+def redact_credit_cards(col, placeholder: str = "<CARD>") -> Column:
+    """Replace Luhn-VALID card-shaped digit runs (13–19 digits,
+    spaces/dashes allowed) with a placeholder; Luhn-invalid runs —
+    order ids, timestamps, phone-ish digit strings — stay untouched,
+    which is the precision reason to pay for the checksum instead
+    of regex-replacing every long digit run. All JVM: candidate
+    extraction, the Luhn fold per candidate, and a fold-driven
+    replace of the validated matches."""
+    c_ = F.col(col) if isinstance(col, str) else col
+    candidates = F.regexp_extract_all(c_, F.lit(_CC_CANDIDATE_RE), F.lit(0))
+    valid = F.filter(candidates, lambda m: luhn_valid(m))
+    return F.aggregate(
+        valid, c_, lambda acc, m: F.replace(acc, m, F.lit(placeholder))
+    )

@@ -8162,3 +8162,51 @@ def q_code_signals(spark, sf_dir):
         text.secret_hits("c").alias("n_secrets"),
         redacted.alias("redacted"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_card_redaction",
+    shadow=True,
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, doc_id % 6 AS v, CAST(doc_id % 10 AS VARCHAR) AS m
+      FROM documents WHERE doc_id < 600
+    )
+    SELECT doc_id,
+      CASE v
+        WHEN 0 THEN 'pay with <CARD> now ' || m
+        WHEN 1 THEN 'invalid 4111 1111 1111 1112 stays ' || m
+        WHEN 2 THEN 'amex <CARD> ok ' || m
+        WHEN 3 THEN 'order 1234567890123 unchanged ' || m
+        WHEN 4 THEN 'two <CARD> and <CARD> here ' || m
+        ELSE 'no digits at all ' || m
+      END AS redacted
+    FROM p ORDER BY doc_id
+    """,
+    doc="Credit-card redaction with a REAL Luhn checksum "
+    "(text.redact_credit_cards / luhn_valid — the high-precision "
+    "PII tier beyond redact_pii): card-shaped digit runs validate "
+    "through a pure-JVM aggregate fold (doubled-from-the-right, "
+    "9-cap, mod 10) and only Luhn-VALID runs redact — order ids "
+    "and invalid numbers stay, which is the precision reason to "
+    "pay for the checksum. Six shapes cover spaced Visa, Luhn-"
+    "invalid lookalikes, Amex, short ids, multi-card lines, and "
+    "clean text; the oracle states the redacted text directly.",
+)
+def q_card_redaction(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    m = (F.col("doc_id") % 10).cast("string")
+    v = F.col("doc_id") % 6
+    t = (
+        F.when(v == 0, F.concat(F.lit("pay with 4111 1111 1111 1111 now "), m))
+        .when(v == 1, F.concat(F.lit("invalid 4111 1111 1111 1112 stays "), m))
+        .when(v == 2, F.concat(F.lit("amex 378282246310005 ok "), m))
+        .when(v == 3, F.concat(F.lit("order 1234567890123 unchanged "), m))
+        .when(v == 4, F.concat(
+            F.lit("two 4111111111111111 and 5500-0000-0000-0004 here "), m))
+        .otherwise(F.concat(F.lit("no digits at all "), m))
+    )
+    sel = d.select("doc_id", t.alias("t"))
+    return sel.select(
+        "doc_id", text.redact_credit_cards("t").alias("redacted")
+    ).orderBy("doc_id")
