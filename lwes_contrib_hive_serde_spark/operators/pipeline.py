@@ -48,6 +48,8 @@ def curate(
     min_sentences: int = 3,
     gopher_thresholds: dict | None = None,
     pii: bool = True,
+    redact_secrets: bool = False,
+    redact_cards: bool = False,
     mixture: dict[str, float] | None = None,
     mixture_default_rate: float = 0.0,
     split_fractions: dict[str, float] | None = None,
@@ -186,6 +188,16 @@ def curate(
     )
     if pii:
         out = out.withColumn("text_clean", text.redact_pii("text_clean"))
+    if redact_secrets:
+        # code-corpus secrets (BigCode-style): same scan stage
+        out = out.withColumn(
+            "text_clean", text.redact_secrets("text_clean")
+        )
+    if redact_cards:
+        # Luhn-validated card runs only — lookalikes stay
+        out = out.withColumn(
+            "text_clean", text.redact_credit_cards("text_clean")
+        )
     if langid_profiles is not None:
         # language filter BEFORE dedup: no point fingerprinting
         # pages the mixture will never keep. Verdicts join back on

@@ -2404,3 +2404,18 @@ def redact_credit_cards(col, placeholder: str = "<CARD>") -> Column:
     return F.aggregate(
         valid, c_, lambda acc, m: F.replace(acc, m, F.lit(placeholder))
     )
+
+
+_SSN_RE = (
+    r"\b(?!000|666|9\d\d)\d{3}-(?!00)\d{2}-(?!0000)\d{4}\b"
+)
+
+
+def redact_ssn(col, placeholder: str = "<SSN>") -> Column:
+    """US Social Security numbers in dashed form, with the
+    never-issued ranges excluded (000/666/9xx areas, 00 group,
+    0000 serial) so date-like and part-number-like strings keep
+    their meaning. Java regex lookahead (not RE2) — the oracle
+    states expected outputs rather than replaying the pattern."""
+    c_ = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c_, _SSN_RE, placeholder)

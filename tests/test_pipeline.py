@@ -675,3 +675,23 @@ class TestCurateMarkup:
         docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with pytest.raises(ValueError, match="markup"):
             pipeline.curate(docs, markup="asciidoc")
+
+
+class TestCurateRedactionTiers:
+    def test_secrets_and_cards_stages(self, spark):
+        body = (
+            "plenty of clean document words flow through here today. "
+            'password="hunter2secret" and card 4111 1111 1111 1111 '
+            "plus invalid 4111 1111 1111 1112 stays here fine."
+        )
+        docs = spark.createDataFrame(
+            [(1, body)], "doc_id long, text string"
+        )
+        out = pipeline.curate(
+            docs, gopher_thresholds=LOOSE, min_sentences=1, pii=False,
+            redact_secrets=True, redact_cards=True,
+        )
+        got = out.collect()[0]["text_clean"]
+        assert "<SECRET>" in got and "hunter2secret" not in got
+        assert "<CARD>" in got
+        assert "4111 1111 1111 1112" in got  # luhn-invalid untouched

@@ -1802,3 +1802,23 @@ class TestLineParagraphDedup:
             text.dedup_paragraphs("text").alias("c")
         ).collect()[0]["c"]
         assert got == "para one\n\ncookie banner\n\npara two"
+
+
+class TestSsnRedaction:
+    def test_issued_ranges_only(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import text
+
+        cases = [
+            ("ssn 123-45-6789 here", "ssn <SSN> here"),
+            ("area 000-12-3456 never issued", "area 000-12-3456 never issued"),
+            ("area 666-12-3456 never issued", "area 666-12-3456 never issued"),
+            ("area 900-12-3456 never issued", "area 900-12-3456 never issued"),
+            ("group 123-00-4567 never", "group 123-00-4567 never"),
+            ("serial 123-45-0000 never", "serial 123-45-0000 never"),
+            ("date-ish 202-60-1231 redacts", "date-ish <SSN> redacts"),
+        ]
+        df = spark.createDataFrame(cases, "t string, want string")
+        for r in df.select(
+            text.redact_ssn("t").alias("got"), "want"
+        ).collect():
+            assert r["got"] == r["want"]
