@@ -2419,3 +2419,42 @@ def redact_ssn(col, placeholder: str = "<SSN>") -> Column:
     states expected outputs rather than replaying the pattern."""
     c_ = F.col(col) if isinstance(col, str) else col
     return F.regexp_replace(c_, _SSN_RE, placeholder)
+
+
+_IBAN_CANDIDATE_RE = r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b"
+
+
+def iban_valid(col) -> Column:
+    """ISO 13616 mod-97 validity of an IBAN-shaped string, as one
+    JVM fold: the first four chars rotate to the end, letters map
+    to 10..35, and the remainder accumulates incrementally
+    ((acc·10+d) mod 97 per digit — no big-integer needed). Valid
+    iff the remainder is 1."""
+    col = F.col(col) if isinstance(col, str) else col
+    rearranged = F.concat(F.substring(col, 5, 1 << 20), F.substring(col, 1, 4))
+    chars = F.split(rearranged, "")
+    acc = F.aggregate(
+        chars,
+        F.lit(0),
+        lambda a, ch: F.when(
+            ch.rlike("[0-9]"), (a * 10 + ch.cast("int")) % 97
+        ).otherwise(
+            (a * 100 + (F.ascii(F.upper(ch)) - 55)) % 97
+        ),
+    )
+    return (F.length(col) >= 15) & (acc == 1)
+
+
+def redact_ibans(col, placeholder: str = "<IBAN>") -> Column:
+    """Replace mod-97-VALID IBAN-shaped runs with a placeholder;
+    invalid lookalikes (tracking codes, serials) stay — the
+    checksum-gated precision design shared with
+    redact_credit_cards. All JVM."""
+    c_ = F.col(col) if isinstance(col, str) else col
+    candidates = F.regexp_extract_all(
+        c_, F.lit(_IBAN_CANDIDATE_RE), F.lit(0)
+    )
+    valid = F.filter(candidates, lambda m: iban_valid(m))
+    return F.aggregate(
+        valid, c_, lambda acc, m: F.replace(acc, m, F.lit(placeholder))
+    )

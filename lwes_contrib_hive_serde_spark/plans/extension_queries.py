@@ -8210,3 +8210,48 @@ def q_card_redaction(spark, sf_dir):
     return sel.select(
         "doc_id", text.redact_credit_cards("t").alias("redacted")
     ).orderBy("doc_id")
+
+
+@register(
+    "q_iban_redaction",
+    shadow=True,
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, doc_id % 5 AS v, CAST(doc_id % 10 AS VARCHAR) AS m
+      FROM documents WHERE doc_id < 600
+    )
+    SELECT doc_id,
+      CASE v
+        WHEN 0 THEN 'send to <IBAN> please ' || m
+        WHEN 1 THEN 'send to DE89370400440532013001 nope ' || m
+        WHEN 2 THEN '<IBAN> is valid ' || m
+        WHEN 3 THEN 'code AB12SHORT1 too short ' || m
+        ELSE 'plain words only ' || m
+      END AS redacted
+    FROM p ORDER BY doc_id
+    """,
+    doc="IBAN redaction with a REAL ISO 13616 mod-97 checksum "
+    "(text.redact_ibans / iban_valid): candidates validate through "
+    "a pure-JVM incremental-remainder fold (rotate-first-four, "
+    "letters → 10..35, (acc·10+d) mod 97 — no big integer), and "
+    "only checksum-valid runs redact; invalid lookalikes and short "
+    "codes stay. Five shapes (valid DE and GB IBANs, a one-digit-"
+    "off checksum, a short code, clean text); the oracle states "
+    "the redacted text directly. Completes the checksum-gated "
+    "financial-PII pair with q_card_redaction.",
+)
+def q_iban_redaction(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    m = (F.col("doc_id") % 10).cast("string")
+    v = F.col("doc_id") % 5
+    t = (
+        F.when(v == 0, F.concat(F.lit("send to DE89370400440532013000 please "), m))
+        .when(v == 1, F.concat(F.lit("send to DE89370400440532013001 nope "), m))
+        .when(v == 2, F.concat(F.lit("GB82WEST12345698765432 is valid "), m))
+        .when(v == 3, F.concat(F.lit("code AB12SHORT1 too short "), m))
+        .otherwise(F.concat(F.lit("plain words only "), m))
+    )
+    sel = d.select("doc_id", t.alias("t"))
+    return sel.select(
+        "doc_id", text.redact_ibans("t").alias("redacted")
+    ).orderBy("doc_id")
