@@ -2458,3 +2458,51 @@ def redact_ibans(col, placeholder: str = "<IBAN>") -> Column:
     return F.aggregate(
         valid, c_, lambda acc, m: F.replace(acc, m, F.lit(placeholder))
     )
+
+
+# Built-in Cavnar-Trenkle seed text: original sample sentences
+# written for this package (not quoted from any corpus), ~40 common
+# words per language — enough for the char-1..3-gram profiles to
+# separate same-script languages on ordinary prose. Extend or
+# replace with domain seed text for production profiles.
+LANGID_SEEDS: list[tuple[str, str]] = [
+    ("en", "the house stands near the water and the children walk "
+           "to school every morning because they want to learn and "
+           "this is what we have always said about that place"),
+    ("de", "das haus steht nahe am wasser und die kinder gehen jeden "
+           "morgen zur schule weil sie lernen wollen und das ist was "
+           "wir immer über diesen ort gesagt haben"),
+    ("fr", "la maison se trouve près de l'eau et les enfants vont à "
+           "l'école chaque matin parce qu'ils veulent apprendre et "
+           "c'est ce que nous avons toujours dit de cet endroit"),
+    ("es", "la casa está cerca del agua y los niños van a la escuela "
+           "cada mañana porque quieren aprender y esto es lo que "
+           "siempre hemos dicho sobre ese lugar"),
+    ("pt", "a casa fica perto da água e as crianças vão à escola "
+           "todas as manhãs porque querem aprender e é isso que "
+           "sempre dissemos sobre esse lugar"),
+    ("it", "la casa si trova vicino all'acqua e i bambini vanno a "
+           "scuola ogni mattina perché vogliono imparare e questo è "
+           "ciò che abbiamo sempre detto di quel posto"),
+    ("nl", "het huis staat dicht bij het water en de kinderen lopen "
+           "elke ochtend naar school omdat ze willen leren en dit is "
+           "wat we altijd over die plek hebben gezegd"),
+    ("sv", "huset står nära vattnet och barnen går till skolan varje "
+           "morgon eftersom de vill lära sig och det är vad vi alltid "
+           "har sagt om den platsen"),
+    ("pl", "dom stoi blisko wody a dzieci idą do szkoły każdego ranka "
+           "ponieważ chcą się uczyć i to jest to co zawsze "
+           "mówiliśmy o tym miejscu"),
+    ("tr", "ev suyun yakınında duruyor ve çocuklar her sabah okula "
+           "yürüyor çünkü öğrenmek istiyorlar ve bu yer hakkında her "
+           "zaman söylediğimiz şey budur"),
+]
+
+
+def default_langid_profiles(spark, top_k: int = 300) -> DataFrame:
+    """Trained profiles over the built-in LANGID_SEEDS — langid
+    usable out of the box for ten European-script languages. For
+    production accuracy, train on a few KB of real per-language
+    text instead; the seeds are a bootstrap, not a benchmark."""
+    df = spark.createDataFrame(LANGID_SEEDS, "lang string, text string")
+    return train_langid_profiles(df, top_k=top_k)

@@ -1822,3 +1822,35 @@ class TestSsnRedaction:
             text.redact_ssn("t").alias("got"), "want"
         ).collect():
             assert r["got"] == r["want"]
+
+
+class TestDefaultLangidSeeds:
+    def test_ten_languages_separate_on_new_prose(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import text
+
+        prof = text.default_langid_profiles(spark)
+        # fresh sentences, NOT the seed text
+        probes = [
+            ("en", "we said the children would learn near the water"),
+            ("de", "wir sagten die kinder würden am wasser lernen"),
+            ("fr", "nous avons dit que les enfants apprendraient"),
+            ("es", "dijimos que los niños aprenderían cerca del agua"),
+            ("pt", "dissemos que as crianças aprenderiam perto da água"),
+            ("it", "abbiamo detto che i bambini avrebbero imparato"),
+            ("nl", "we zeiden dat de kinderen bij het water zouden leren"),
+            ("sv", "vi sa att barnen skulle lära sig nära vattnet"),
+            ("pl", "powiedzieliśmy że dzieci będą się uczyć przy wodzie"),
+            ("tr", "çocukların suyun yanında öğreneceğini söyledik"),
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, (_l, t) in enumerate(probes)],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["lang"]
+            for r in text.langid(docs, prof).collect()
+        }
+        want = {i: l for i, (l, _t) in enumerate(probes)}
+        misses = {i: (got[i], want[i]) for i in want if got[i] != want[i]}
+        # allow at most one near-language confusion on 10 short probes
+        assert len(misses) <= 1, misses
