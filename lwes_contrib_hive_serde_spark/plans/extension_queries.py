@@ -8255,3 +8255,170 @@ def q_iban_redaction(spark, sf_dir):
     return sel.select(
         "doc_id", text.redact_ibans("t").alias("redacted")
     ).orderBy("doc_id")
+
+
+# Lakehouse tier (sources/delta.py) --------------------------------------
+
+
+def _documents_delta(spark, sf_dir: str) -> str:
+    """Build (once per sf_dir per process) a three-commit Delta
+    table from the documents parquet: v0 appends doc_id%3==0, v1
+    appends %3==1, a checkpoint lands at v1 (so checkpointed replay
+    is on the oracled path), v2 overwrites with %4==0. The oracle
+    recomputes each snapshot's membership from the ORIGINAL parquet,
+    so a hash match proves log replay, checkpoint reload, and time
+    travel end to end."""
+    import os
+
+    from lwes_contrib_hive_serde_spark.sources import delta as D
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        tag = f"{tag}-{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        pass
+    out = f"/tmp/delta_table_cache/v1/{tag}/documents"
+    done = os.path.join(out, "_delta_log", f"{2:020d}.json")
+    if not os.path.exists(done):
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        D.write_delta(docs.where("doc_id % 3 = 0"), out, mode="append")
+        D.write_delta(docs.where("doc_id % 3 = 1"), out, mode="append")
+        D.write_checkpoint(spark, out)
+        D.write_delta(docs.where("doc_id % 4 = 0"), out, mode="overwrite")
+    return out
+
+
+def _documents_delta_partitioned(spark, sf_dir: str) -> str:
+    """A lang-partitioned Delta table: partition values live ONLY in
+    the transaction log (the data files do not contain the lang
+    column), so reading it back exercises the manifest-broadcast
+    partition attach."""
+    import os
+
+    from lwes_contrib_hive_serde_spark.sources import delta as D
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        tag = f"{tag}-{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        pass
+    out = f"/tmp/delta_table_cache/v1/{tag}/documents_by_lang"
+    done = os.path.join(out, "_delta_log", f"{0:020d}.json")
+    if not os.path.exists(done):
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "source", "n_chars", "lang"
+        )
+        D.write_delta(docs, out, partition_by=["lang"])
+    return out
+
+
+@register(
+    "q_delta_versions",
+    shadow=True,
+    oracle="""
+    SELECT 'latest' AS snapshot, lang,
+           COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents WHERE doc_id % 4 = 0 GROUP BY lang
+    UNION ALL
+    SELECT 'v1' AS snapshot, lang,
+           COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents WHERE doc_id % 3 IN (0, 1) GROUP BY lang
+    """,
+    doc="Delta Lake log replay + time travel (sources/delta.py): a "
+    "three-commit table (append, append, overwrite) with a parquet "
+    "checkpoint at v1; the query reads BOTH the latest snapshot "
+    "(post-overwrite) and versionAsOf=1 (pre-overwrite, through the "
+    "checkpoint) and aggregates each. The DuckDB oracle recomputes "
+    "both snapshots' membership from the original parquet, so a "
+    "hash match proves action reconciliation (adds minus removes), "
+    "checkpoint reload, and version pinning. The scan itself is "
+    "Spark's native parquet reader over the replayed file list — "
+    "the log never touches a data byte.",
+)
+def q_delta_versions(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.sources import delta as D
+
+    out = _documents_delta(spark, sf_dir)
+
+    def agg(df, tag):
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        ).select(F.lit(tag).alias("snapshot"), "*")
+
+    latest = agg(D.read_delta(spark, out), "latest")
+    v1 = agg(D.read_delta(spark, out, version=1), "v1")
+    return latest.unionAll(v1)
+
+
+@register(
+    "q_delta_partition_prune",
+    shadow=True,
+    oracle="""
+    SELECT 'all' AS part, lang,
+           COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'pruned' AS part, lang,
+           COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents WHERE lang = (
+        SELECT lang FROM documents GROUP BY lang
+        ORDER BY COUNT(*) DESC, lang LIMIT 1
+    ) GROUP BY lang
+    """,
+    doc="Delta partitioned-table attach + driver-side partition "
+    "pruning (sources/delta.py read_delta): the table is "
+    "partitioned by lang, so the protocol stores lang ONLY in the "
+    "log's partitionValues — the data files do not contain the "
+    "column. The full read re-attaches it via one BROADCAST join "
+    "of the file manifest against input_file_name(); the pruned "
+    "read filters the file list on the DRIVER before the scan is "
+    "planned (the delta-rs mechanism), so non-matching partitions "
+    "are never opened. Hash-gated against recomputing both from "
+    "the original parquet.",
+)
+def q_delta_partition_prune(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.sources import delta as D
+
+    out = _documents_delta_partitioned(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    top_lang = (
+        docs.groupBy("lang")
+        .count()
+        .orderBy(F.desc("count"), "lang")
+        .first()[0]
+    )
+
+    def agg(df, tag):
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        ).select(F.lit(tag).alias("part"), "*")
+
+    full = agg(D.read_delta(spark, out), "all")
+    pruned = agg(
+        D.read_delta(
+            spark, out, partition_filters=[("lang", "=", top_lang)]
+        ),
+        "pruned",
+    )
+    return full.unionAll(pruned)

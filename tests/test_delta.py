@@ -1,0 +1,368 @@
+"""Delta Lake tier (sources/delta.py): log replay, time travel,
+partition attach + prune, checkpoints, stats-only counts, and the
+protocol-gating refusals (never misread a newer table)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from lwes_contrib_hive_serde_spark.sources import delta as D
+
+
+def _docs(spark, n=20):
+    rows = [
+        Row(doc_id=i, text=f"doc {i} body", lang=["en", "de", "fr"][i % 3])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def _read_rows(spark, path, **kw):
+    return sorted(
+        (r.doc_id, r.text, r.lang)
+        for r in D.read_delta(spark, path, **kw).collect()
+    )
+
+
+def _expected(df):
+    return sorted((r.doc_id, r.text, r.lang) for r in df.collect())
+
+
+class TestRoundTrip:
+    def test_write_read_unpartitioned(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        df = _docs(spark)
+        assert D.write_delta(df, p) == 0
+        assert _read_rows(spark, p) == _expected(df)
+
+    def test_append_and_time_travel(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        a = _docs(spark).where("doc_id % 3 = 0")
+        b = _docs(spark).where("doc_id % 3 = 1")
+        assert D.write_delta(a, p) == 0
+        assert D.write_delta(b, p, mode="append") == 1
+        assert _read_rows(spark, p, version=0) == _expected(a)
+        assert _read_rows(spark, p) == _expected(a.unionAll(b))
+
+    def test_overwrite_replaces_and_preserves_history(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        a = _docs(spark).where("doc_id < 10")
+        b = _docs(spark).where("doc_id % 4 = 0")
+        D.write_delta(a, p)
+        D.write_delta(_docs(spark).where("doc_id >= 10"), p, mode="append")
+        v = D.write_delta(b, p, mode="overwrite")
+        assert v == 2
+        assert _read_rows(spark, p) == _expected(b)
+        assert _read_rows(spark, p, version=1) == _expected(_docs(spark))
+
+    def test_timestamp_as_of(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark).where("doc_id < 5"), p)
+        hist = D.delta_history(p)
+        ts0 = hist[0]["timestamp_ms"]
+        # a later commit with a strictly larger stamped timestamp
+        D.write_delta(_docs(spark).where("doc_id >= 5"), p, mode="append")
+        f = D._commit_file(p, 1)
+        lines = open(f).read().splitlines()
+        acts = [json.loads(x) for x in lines]
+        acts[0]["commitInfo"]["timestamp"] = ts0 + 10_000
+        with open(f, "w") as fh:
+            fh.write("".join(json.dumps(a) + "\n" for a in acts))
+        got = _read_rows(spark, p, timestamp_ms=ts0 + 5_000)
+        assert got == _expected(_docs(spark).where("doc_id < 5"))
+        with pytest.raises(D.DeltaError, match="no commit at or before"):
+            D.read_delta(spark, p, timestamp_ms=ts0 - 1)
+
+    def test_empty_write_and_read(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark).where("doc_id < 0"), p)
+        out = D.read_delta(spark, p)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == ["doc_id", "text", "lang"]
+
+
+class TestPartitioned:
+    def test_partition_columns_attached(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        df = _docs(spark)
+        D.write_delta(df, p, partition_by=["lang"])
+        assert _read_rows(spark, p) == _expected(df)
+        # partition column values come from the LOG, not the files:
+        # the data files must not contain the lang column at all
+        import urllib.parse
+
+        files = [
+            urllib.parse.unquote(r.path)
+            for r in D.delta_files(spark, p).collect()
+        ]
+        import pyarrow.parquet as pq
+
+        cols = pq.read_schema(os.path.join(p, files[0])).names
+        assert "lang" not in cols
+
+    def test_null_and_funny_partition_values(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        rows = [
+            Row(doc_id=0, text="a", lang=None),
+            Row(doc_id=1, text="b", lang="pt BR=x"),
+            Row(doc_id=2, text="c", lang="en"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        D.write_delta(df, p, partition_by=["lang"])
+        assert _read_rows(spark, p) == _expected(df)
+
+    def test_int_partition_column_typed(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        df = _docs(spark).withColumn("bucket", (F.col("doc_id") % 4).cast("int"))
+        D.write_delta(df, p, partition_by=["bucket"])
+        back = D.read_delta(spark, p)
+        assert dict(back.dtypes)["bucket"] == "int"
+        assert back.where("bucket = 2").count() == df.where("bucket = 2").count()
+
+    def test_partition_filters_prune_files(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        df = _docs(spark, 30)
+        D.write_delta(df, p, partition_by=["lang"])
+        pruned = D.read_delta(
+            spark, p, partition_filters=[("lang", "=", "en")]
+        )
+        assert _expected(pruned) == _expected(df.where("lang = 'en'"))
+        # driver-side pruning: the plan only ever opens en's files
+        opened = {
+            r[0]
+            for r in pruned.select(F.input_file_name()).distinct().collect()
+        }
+        all_files = D.delta_files(spark, p).collect()
+        en_files = {f.path for f in all_files if f.lang == "en"}
+        assert len(opened) == len(en_files)
+        with pytest.raises(D.DeltaError, match="not a partition column"):
+            D.read_delta(spark, p, partition_filters=[("doc_id", "=", 1)])
+
+    def test_partition_filter_in_and_range(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        df = _docs(spark).withColumn("bucket", (F.col("doc_id") % 4).cast("int"))
+        D.write_delta(df, p, partition_by=["bucket"])
+        got = D.read_delta(
+            spark, p, partition_filters=[("bucket", "in", [0, 3])]
+        )
+        assert got.count() == df.where("bucket in (0, 3)").count()
+        got = D.read_delta(spark, p, partition_filters=[("bucket", ">=", 2)])
+        assert got.count() == df.where("bucket >= 2").count()
+
+
+class TestCheckpoint:
+    def test_checkpoint_bounds_replay(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        for lo in (0, 5, 10):
+            D.write_delta(
+                _docs(spark).where(f"doc_id >= {lo} and doc_id < {lo + 5}"),
+                p,
+                mode="append",
+            )
+        assert D.write_checkpoint(spark, p) == 2
+        D.write_delta(
+            _docs(spark).where("doc_id >= 15"), p, mode="append"
+        )
+        # simulate log retention: pre-checkpoint commits vanish
+        for v in (0, 1, 2):
+            os.remove(D._commit_file(p, v))
+        assert _read_rows(spark, p) == _expected(_docs(spark))
+
+    def test_checkpoint_preserves_tombstones_and_meta(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark), p, partition_by=["lang"])
+        D.write_delta(
+            _docs(spark).where("lang = 'en'"), p, mode="overwrite",
+            partition_by=["lang"],
+        )
+        D.write_checkpoint(spark, p)
+        os.remove(D._commit_file(p, 0))
+        os.remove(D._commit_file(p, 1))
+        df = D.read_delta(spark, p)
+        assert _expected(df) == _expected(_docs(spark).where("lang = 'en'"))
+        # appends against the checkpointed metaData still work
+        D.write_delta(
+            _docs(spark).where("lang = 'de'"), p, mode="append",
+            partition_by=["lang"],
+        )
+        assert D.read_delta(spark, p).count() == _docs(spark).where(
+            "lang in ('en','de')"
+        ).count()
+
+
+class TestMetadataOnly:
+    def test_delta_count_from_stats(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 25), p, partition_by=["lang"])
+        assert D.delta_count(spark, p) == 25
+        files = D.delta_files(spark, p)
+        assert files.where("num_records is null").count() == 0
+        assert files.agg(F.sum("num_records")).first()[0] == 25
+
+    def test_delta_count_falls_back_without_stats(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 10), p)
+        # strip stats from the log (a writer that records none)
+        f = D._commit_file(p, 0)
+        acts = [json.loads(x) for x in open(f).read().splitlines()]
+        for a in acts:
+            if "add" in a:
+                a["add"].pop("stats", None)
+        with open(f, "w") as fh:
+            fh.write("".join(json.dumps(a) + "\n" for a in acts))
+        assert D.delta_count(spark, p) == 10
+
+    def test_history(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark), p)
+        D.write_delta(_docs(spark), p, mode="overwrite")
+        hist = D.delta_history(p)
+        assert [h["version"] for h in hist] == [0, 1]
+        assert all(h["operation"] == "WRITE" for h in hist)
+        assert all(isinstance(h["timestamp_ms"], int) for h in hist)
+
+
+class TestRefusals:
+    def _mk_min_table(self, tmp_path, protocol, extra_add=None, config=None):
+        p = str(tmp_path / "t")
+        os.makedirs(os.path.join(p, "_delta_log"))
+        schema = {
+            "type": "struct",
+            "fields": [
+                {"name": "x", "type": "long", "nullable": True, "metadata": {}}
+            ],
+        }
+        actions = [
+            {"protocol": protocol},
+            {
+                "metaData": {
+                    "id": "0" * 32,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(schema),
+                    "partitionColumns": [],
+                    "configuration": config or {},
+                }
+            },
+        ]
+        if extra_add:
+            actions.append({"add": extra_add})
+        with open(D._commit_file(p, 0), "w") as f:
+            f.write("".join(json.dumps(a) + "\n" for a in actions))
+        return p
+
+    def test_refuses_newer_reader_version(self, spark, tmp_path):
+        p = self._mk_min_table(
+            tmp_path, {"minReaderVersion": 2, "minWriterVersion": 5}
+        )
+        with pytest.raises(D.DeltaError, match="minReaderVersion=2"):
+            D.read_delta(spark, p)
+
+    def test_refuses_unknown_reader_feature(self, spark, tmp_path):
+        p = self._mk_min_table(
+            tmp_path,
+            {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            },
+        )
+        with pytest.raises(D.DeltaError, match="deletionVectors"):
+            D.read_delta(spark, p)
+
+    def test_timestamp_ntz_feature_is_allowed(self, spark, tmp_path):
+        p = self._mk_min_table(
+            tmp_path,
+            {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["timestampNtz"],
+                "writerFeatures": ["timestampNtz"],
+            },
+        )
+        assert D.read_delta(spark, p).count() == 0
+
+    def test_refuses_deletion_vector_add(self, spark, tmp_path):
+        p = self._mk_min_table(
+            tmp_path,
+            {"minReaderVersion": 1, "minWriterVersion": 2},
+            extra_add={
+                "path": "f.parquet",
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+                "deletionVector": {"storageType": "u", "pathOrInlineDv": "x"},
+            },
+        )
+        with pytest.raises(D.DeltaError, match="deletion vectors"):
+            D.read_delta(spark, p)
+
+    def test_refuses_column_mapping_config(self, spark, tmp_path):
+        p = self._mk_min_table(
+            tmp_path,
+            {"minReaderVersion": 1, "minWriterVersion": 2},
+            config={"delta.columnMapping.mode": "name"},
+        )
+        with pytest.raises(D.DeltaError, match="column mapping"):
+            D.read_delta(spark, p)
+
+    def test_refuses_absolute_add_path(self, spark, tmp_path):
+        p = self._mk_min_table(
+            tmp_path,
+            {"minReaderVersion": 1, "minWriterVersion": 2},
+            extra_add={
+                "path": "s3://elsewhere/f.parquet",
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+            },
+        )
+        with pytest.raises(D.DeltaError, match="absolute/external"):
+            D.read_delta(spark, p)
+
+    def test_mode_error_refuses_existing(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark), p)
+        with pytest.raises(D.DeltaError, match="already exists"):
+            D.write_delta(_docs(spark), p, mode="error")
+
+    def test_schema_mismatch_refused(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark), p)
+        other = _docs(spark).withColumn("extra", F.lit(1))
+        with pytest.raises(D.DeltaError, match="schema mismatch"):
+            D.write_delta(other, p, mode="append")
+
+    def test_partitioning_mismatch_refused(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark), p, partition_by=["lang"])
+        with pytest.raises(D.DeltaError, match="partitioned by"):
+            D.write_delta(_docs(spark), p, mode="append")
+
+    def test_not_a_table(self, spark, tmp_path):
+        with pytest.raises(D.DeltaError, match="not a Delta table"):
+            D.read_delta(spark, str(tmp_path / "nope"))
+
+    def test_missing_version(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark), p)
+        with pytest.raises(D.DeltaError, match="does not exist"):
+            D.read_delta(spark, p, version=7)
+
+
+class TestConcurrency:
+    def test_lost_race_retries_to_next_version(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark).where("doc_id < 5"), p)
+        # another writer already claimed version 1 with a bare commit
+        with open(D._commit_file(p, 1), "w") as f:
+            f.write(json.dumps({"commitInfo": {"timestamp": 1}}) + "\n")
+        v = D.write_delta(
+            _docs(spark).where("doc_id >= 5"), p, mode="append"
+        )
+        assert v == 2
+        assert _read_rows(spark, p) == _expected(_docs(spark))
