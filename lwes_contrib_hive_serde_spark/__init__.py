@@ -27,6 +27,7 @@ def register(spark):
     from lwes_contrib_hive_serde_spark import sources, streaming
     from lwes_contrib_hive_serde_spark.sources import (
         codec,
+        avro_ocf,
         datasource,
         jsonl,
         warc,
@@ -34,7 +35,7 @@ def register(spark):
     )
     from lwes_contrib_hive_serde_spark.streaming import journal_stream
 
-    for mod in (codec, datasource, journal_stream, warc, jsonl, zstd_backend):
+    for mod in (codec, datasource, journal_stream, warc, jsonl, avro_ocf, zstd_backend):
         try:
             cloudpickle.register_pickle_by_value(mod)
         except Exception:
@@ -50,4 +51,5 @@ def register(spark):
     spark.dataSource.register(warc.WetDataSource)
     spark.dataSource.register(warc.WatDataSource)
     spark.dataSource.register(jsonl.JsonlDataSource)
+    spark.dataSource.register(avro_ocf.AvroDataSource)
     return spark

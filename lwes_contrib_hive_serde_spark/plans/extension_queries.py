@@ -8422,3 +8422,70 @@ def q_delta_partition_prune(spark, sf_dir):
         "pruned",
     )
     return full.unionAll(pruned)
+
+
+def _documents_avro(spark, sf_dir: str) -> str:
+    """Write (once per sf_dir per process) the documents table as
+    deflate-compressed Avro OCF shards; return the directory (the
+    _documents_jsonl recipe)."""
+    import os
+
+    import lwes_contrib_hive_serde_spark as L
+
+    L.register(spark)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        tag = f"{tag}-{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        pass
+    out = f"/tmp/avro_shard_cache/v1/{tag}/documents"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            table(spark, sf_dir, "documents")
+            .repartition(8)
+            .write.format("avro_ocf")
+            .option("codec", "deflate")
+            .mode("overwrite")
+            .save(out)
+        )
+    return out
+
+
+@register(
+    "q_avro_roundtrip",
+    shadow=True,
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n,
+           COUNT(DISTINCT source) AS n_sources,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           MIN(doc_id) AS min_id,
+           MAX(doc_id) AS max_id
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Avro OCF source/sink round trip (sources/avro_ocf.py — pure "
+    "stdlib container codec: zigzag varints, deflate blocks, sync "
+    "markers; no avro library in this environment): documents "
+    "parquet → .avro shards → format('avro_ocf') scan with the "
+    "schema compiled from the embedded writer schema → aggregate. "
+    "The DuckDB oracle runs on the ORIGINAL parquet, so a hash "
+    "match proves the binary encode/decode cycle is lossless "
+    "including multi-line unicode strings and NULL unions. Shards "
+    "bin-pack into tasks like every non-splittable tier here.",
+)
+def q_avro_roundtrip(spark, sf_dir):
+    out = _documents_avro(spark, sf_dir)
+    back = (
+        spark.read.format("avro_ocf").option("path", out).load()
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

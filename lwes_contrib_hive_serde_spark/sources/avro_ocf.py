@@ -1,0 +1,875 @@
+"""Avro Object Container File source/sink — pure stdlib, no avro
+library in the container.
+
+Avro OCF is the other half of the lakehouse story: Iceberg manifests,
+Kafka archive dumps, and a long tail of Hadoop-era corpora ship as
+``.avro`` container files, and Spark's built-in reader is a separate
+jar this environment (and many stock clusters) lacks. The format is
+small and fully public (Apache Avro spec, "Object Container Files" +
+"Binary Encoding"): a header ``Obj\\x01`` + metadata map (embedded
+writer schema JSON, codec name) + 16-byte sync marker, then blocks of
+``<record count><byte size><payload><sync>`` with zigzag-varint
+framing.
+
+    spark.read.format("avro_ocf").option("path", "d/*.avro").load()
+    df.write.format("avro_ocf").option("codec", "deflate").save(out)
+
+Type surface (HONEST subset — anything else is a typed refusal,
+never a silent coercion):
+  - primitives: null boolean int long float double bytes string
+  - complex: record (→ struct), enum (→ string), fixed (→ binary),
+    array, map (string keys by spec), union ONLY of [null, T]
+    (→ nullable T); multi-branch unions are refused
+  - logical: date, timestamp-millis/micros (→ timestamp),
+    local-timestamp-millis/micros (→ timestamp_ntz),
+    decimal(bytes|fixed) (→ decimal(p,s)), uuid (→ string)
+  - codecs: null, deflate (raw zlib), bzip2, xz, zstandard (via
+    zstd_backend); snappy is refused (no library here, and guessing
+    at its CRC framing would violate the honesty contract)
+
+Scale notes: like every non-splittable tier here (jsonl, WARC, v1
+journals), parallelism is per-file with whole-file bin-packing —
+Avro corpora ship as many ~100 MB-1 GB part files, so file-level
+parallelism saturates a cluster. Decoding is per-record Python (the
+same accepted tier as the journal codec); the schema is compiled
+ONCE into a closure tree per task, not re-interpreted per value.
+
+The writer emits one part file per task with attempt-unique temp
+names and atomic rename (the journal sink's torn-file-free recipe),
+rolling at ``rollbytes``; blocks flush at ``blockbytes`` so a reader
+gets real skip granularity.
+"""
+
+from __future__ import annotations
+
+import bz2
+import io
+import json
+import lzma
+import os
+import struct
+import uuid
+import zlib
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    ByteType,
+    DataType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    MapType,
+    ShortType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+from lwes_contrib_hive_serde_spark.sources import zstd_backend
+
+MAGIC = b"Obj\x01"
+_EPOCH_DAY = 719468  # unused marker; dates go through datetime below
+
+
+class AvroError(ValueError):
+    """Corrupt container, unsupported schema shape, or codec."""
+
+
+# ---------------------------------------------------------------- binary
+
+def _read_long(buf, pos: int) -> tuple[int, int]:
+    acc = 0
+    shift = 0
+    while True:
+        try:
+            b = buf[pos]
+        except IndexError:
+            raise AvroError("truncated varint")
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            break
+        shift += 7
+        if shift > 70:
+            raise AvroError("varint too long")
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+def _zigzag(n: int) -> bytes:
+    n = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+# ---------------------------------------------------------------- schema → decoder
+
+def _is_logical(sch: dict, base: str, logical: str) -> bool:
+    return sch.get("type") == base and sch.get("logicalType") == logical
+
+
+def _compile_read(sch, names: dict):
+    """Compile an avro schema node → (spark DataType, nullable,
+    decode(buf, pos) -> (value, pos))."""
+    import datetime as _dt
+    from decimal import Decimal
+
+    if isinstance(sch, str):
+        if sch in names:
+            return names[sch]
+        sch = {"type": sch}
+    if isinstance(sch, list):  # union
+        branches = sch
+        nulls = [b for b in branches if b == "null" or (isinstance(b, dict) and b.get("type") == "null")]
+        others = [b for b in branches if b not in nulls]
+        if len(others) != 1 or not nulls:
+            raise AvroError(
+                "only unions of [null, T] are supported "
+                f"(got {len(branches)} branches)"
+            )
+        null_idx = branches.index(nulls[0])
+        dtype, _n, inner = _compile_read(others[0], names)
+
+        def dec_union(buf, pos):
+            idx, pos = _read_long(buf, pos)
+            if idx == null_idx:
+                return None, pos
+            return inner(buf, pos)
+
+        return dtype, True, dec_union
+
+    t = sch["type"] if isinstance(sch, dict) else sch
+    if isinstance(sch, dict):
+        lt = sch.get("logicalType")
+        if lt:
+            if lt == "date" and t == "int":
+                def dec_date(buf, pos):
+                    v, pos = _read_long(buf, pos)
+                    return _dt.date(1970, 1, 1) + _dt.timedelta(days=v), pos
+                return DateType(), False, dec_date
+            if lt in ("timestamp-millis", "timestamp-micros") and t == "long":
+                scale = 1_000 if lt == "timestamp-millis" else 1
+                def dec_ts(buf, pos):
+                    v, pos = _read_long(buf, pos)
+                    us = v * scale
+                    return (
+                        _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+                        + _dt.timedelta(microseconds=us)
+                    ), pos
+                return TimestampType(), False, dec_ts
+            if lt in (
+                "local-timestamp-millis", "local-timestamp-micros"
+            ) and t == "long":
+                scale = 1_000 if lt.endswith("millis") else 1
+                def dec_tsn(buf, pos):
+                    v, pos = _read_long(buf, pos)
+                    return (
+                        _dt.datetime(1970, 1, 1)
+                        + _dt.timedelta(microseconds=v * scale)
+                    ), pos
+                return TimestampNTZType(), False, dec_tsn
+            if lt == "decimal" and t in ("bytes", "fixed"):
+                prec = int(sch["precision"])
+                scl = int(sch.get("scale", 0))
+                size = int(sch["size"]) if t == "fixed" else None
+                def dec_dec(buf, pos):
+                    if size is None:
+                        n, pos = _read_long(buf, pos)
+                    else:
+                        n = size
+                    raw = bytes(buf[pos:pos + n])
+                    if len(raw) != n:
+                        raise AvroError("truncated decimal")
+                    pos += n
+                    unscaled = int.from_bytes(raw, "big", signed=True)
+                    return Decimal(unscaled).scaleb(-scl), pos
+                return DecimalType(prec, scl), False, dec_dec
+            if lt == "uuid" and t == "string":
+                pass  # falls through to plain string
+            elif lt in ("time-millis", "time-micros"):
+                raise AvroError(
+                    f"logicalType {lt} has no Spark column type; refusing"
+                )
+            # unknown logical types: spec says fall back to base type
+
+    if t == "null":
+        raise AvroError("a bare null column has no Spark type")
+    if t == "boolean":
+        def dec_bool(buf, pos):
+            return buf[pos] != 0, pos + 1
+        return BooleanType(), False, dec_bool
+    if t in ("int", "long"):
+        def dec_long(buf, pos):
+            return _read_long(buf, pos)
+        return (IntegerType() if t == "int" else LongType()), False, dec_long
+    if t == "float":
+        def dec_float(buf, pos):
+            return struct.unpack_from("<f", buf, pos)[0], pos + 4
+        return FloatType(), False, dec_float
+    if t == "double":
+        def dec_double(buf, pos):
+            return struct.unpack_from("<d", buf, pos)[0], pos + 8
+        return DoubleType(), False, dec_double
+    if t == "bytes":
+        def dec_bytes(buf, pos):
+            n, pos = _read_long(buf, pos)
+            raw = bytes(buf[pos:pos + n])
+            if len(raw) != n:
+                raise AvroError("truncated bytes")
+            return raw, pos + n
+        return BinaryType(), False, dec_bytes
+    if t == "string":
+        def dec_str(buf, pos):
+            n, pos = _read_long(buf, pos)
+            raw = bytes(buf[pos:pos + n])
+            if len(raw) != n:
+                raise AvroError("truncated string")
+            return raw.decode("utf-8"), pos + n
+        return StringType(), False, dec_str
+    if t == "fixed":
+        size = int(sch["size"])
+        def dec_fixed(buf, pos):
+            raw = bytes(buf[pos:pos + size])
+            if len(raw) != size:
+                raise AvroError("truncated fixed")
+            return raw, pos + size
+        out = (BinaryType(), False, dec_fixed)
+        if sch.get("name"):
+            names[sch["name"]] = out
+        return out
+    if t == "enum":
+        symbols = list(sch["symbols"])
+        def dec_enum(buf, pos):
+            idx, pos = _read_long(buf, pos)
+            try:
+                return symbols[idx], pos
+            except IndexError:
+                raise AvroError(f"enum index {idx} out of range")
+        out = (StringType(), False, dec_enum)
+        if sch.get("name"):
+            names[sch["name"]] = out
+        return out
+    if t == "array":
+        idt, inull, idec = _compile_read(sch["items"], names)
+        def dec_array(buf, pos):
+            out = []
+            while True:
+                count, pos = _read_long(buf, pos)
+                if count == 0:
+                    return out, pos
+                if count < 0:
+                    count = -count
+                    _sz, pos = _read_long(buf, pos)
+                for _ in range(count):
+                    v, pos = idec(buf, pos)
+                    out.append(v)
+        return ArrayType(idt, inull), False, dec_array
+    if t == "map":
+        vdt, vnull, vdec = _compile_read(sch["values"], names)
+        def dec_map(buf, pos):
+            out = {}
+            while True:
+                count, pos = _read_long(buf, pos)
+                if count == 0:
+                    return out, pos
+                if count < 0:
+                    count = -count
+                    _sz, pos = _read_long(buf, pos)
+                for _ in range(count):
+                    n, pos = _read_long(buf, pos)
+                    k = bytes(buf[pos:pos + n]).decode("utf-8")
+                    pos += n
+                    v, pos = vdec(buf, pos)
+                    out[k] = v
+        return MapType(StringType(), vdt, vnull), False, dec_map
+    if t == "record":
+        fields = []
+        decs = []
+        placeholder = [None, None, None]
+        if sch.get("name"):
+            names[sch["name"]] = placeholder  # recursion refused below
+        for f in sch["fields"]:
+            fdt, fnull, fdec = _compile_read(f["type"], names)
+            if fdt is None:
+                raise AvroError(
+                    f"recursive record {sch.get('name')!r} not supported"
+                )
+            fields.append(StructField(f["name"], fdt, fnull))
+            decs.append(fdec)
+        def dec_record(buf, pos):
+            vals = []
+            for d in decs:
+                v, pos = d(buf, pos)
+                vals.append(v)
+            return tuple(vals), pos
+        out = (StructType(fields), False, dec_record)
+        if sch.get("name"):
+            names[sch["name"]] = out
+        return out
+    raise AvroError(f"unsupported avro type {t!r}")
+
+
+def compile_reader(schema_json: str):
+    """Writer schema JSON → (top-level StructType, row decoder). The
+    top level must be a record (the only shape OCF writers emit for
+    tabular data)."""
+    sch = json.loads(schema_json)
+    dt, _nullable, dec = _compile_read(sch, {})
+    if not isinstance(dt, StructType):
+        raise AvroError(
+            "top-level schema must be a record; got "
+            f"{dt.simpleString() if isinstance(dt, DataType) else dt}"
+        )
+    return dt, dec
+
+
+# ---------------------------------------------------------------- container
+
+def _decompress(codec: str, data: bytes) -> bytes:
+    if codec in ("null", ""):
+        return data
+    if codec == "deflate":
+        try:
+            return zlib.decompress(data, -15)
+        except zlib.error as e:
+            raise AvroError(f"corrupt deflate block: {e}")
+    if codec == "bzip2":
+        try:
+            return bz2.decompress(data)
+        except (OSError, ValueError) as e:
+            raise AvroError(f"corrupt bzip2 block: {e}")
+    if codec == "xz":
+        try:
+            return lzma.decompress(data)
+        except lzma.LZMAError as e:
+            raise AvroError(f"corrupt xz block: {e}")
+    if codec == "zstandard":
+        try:
+            return zstd_backend.decompress(data)
+        except Exception as e:
+            raise AvroError(f"corrupt zstandard block: {e}")
+    raise AvroError(
+        f"unsupported avro codec {codec!r} (null/deflate/bzip2/xz/"
+        "zstandard are implemented; snappy needs a library this "
+        "environment lacks)"
+    )
+
+
+def _read_header(f) -> tuple[dict, bytes]:
+    magic = f.read(4)
+    if magic != MAGIC:
+        raise AvroError(f"not an Avro container (magic {magic!r})")
+    buf = f.read()
+    meta = {}
+    pos = 0
+    while True:
+        count, pos = _read_long(buf, pos)
+        if count == 0:
+            break
+        if count < 0:
+            count = -count
+            _sz, pos = _read_long(buf, pos)
+        for _ in range(count):
+            n, pos = _read_long(buf, pos)
+            k = bytes(buf[pos:pos + n]).decode("utf-8"); pos += n
+            n, pos = _read_long(buf, pos)
+            v = bytes(buf[pos:pos + n]); pos += n
+            meta[k] = v
+    sync = bytes(buf[pos:pos + 16])
+    if len(sync) != 16:
+        raise AvroError("truncated header (no sync marker)")
+    meta["__body_offset__"] = 4 + pos + 16
+    return meta, sync
+
+
+def read_avro_header(path: str) -> tuple[str, str, bytes, int]:
+    """Return (schema json, codec, sync marker, body offset)."""
+    with open(path, "rb") as f:
+        head = f.read(4)
+        if head != MAGIC:
+            raise AvroError(f"{path}: not an Avro container")
+        # headers are small; read a generous fixed window then retry
+        # with the whole file only if the metadata map overruns it
+        f.seek(0)
+        data = f.read(1 << 20)
+        bio = io.BytesIO(data)
+        try:
+            meta, sync = _read_header(bio)
+        except AvroError:
+            f.seek(0)
+            meta, sync = _read_header(f)
+    schema = meta.get(b"avro.schema") or meta.get("avro.schema")
+    if schema is None:
+        raise AvroError(f"{path}: header has no avro.schema")
+    codec = (meta.get(b"avro.codec") or meta.get("avro.codec") or b"null")
+    if isinstance(schema, bytes):
+        schema = schema.decode("utf-8")
+    if isinstance(codec, bytes):
+        codec = codec.decode("utf-8")
+    return schema, codec, sync, meta["__body_offset__"]
+
+
+def iter_avro_rows(
+    path: str, expected: StructType | None = None
+) -> Iterator[tuple]:
+    """Decode one OCF file to row tuples (writer-schema order).
+    With ``expected``, a file whose writer schema maps to a
+    different Spark schema raises instead of misdecoding — checked
+    HERE, in the task, so a 100k-file directory costs no driver-
+    side header sweep at plan time."""
+    schema, codec, sync, offset = read_avro_header(path)
+    _dt, dec = compile_reader(schema)
+    if expected is not None and _dt != expected:
+        raise AvroError(
+            f"{path}: writer schema maps to {_dt.simpleString()}, "
+            f"expected {expected.simpleString()} — mixed-schema "
+            "directories need separate reads"
+        )
+    with open(path, "rb") as f:
+        f.seek(offset)
+        body = f.read()
+    pos = 0
+    n = len(body)
+    while pos < n:
+        count, pos = _read_long(body, pos)
+        size, pos = _read_long(body, pos)
+        if count < 0 or size < 0 or pos + size + 16 > n:
+            raise AvroError(f"{path}: corrupt block frame at {pos}")
+        block = _decompress(codec, body[pos:pos + size])
+        pos += size
+        if body[pos:pos + 16] != sync:
+            raise AvroError(f"{path}: sync marker mismatch (torn write?)")
+        pos += 16
+        bpos = 0
+        for _ in range(count):
+            row, bpos = dec(block, bpos)
+            yield row
+        if bpos != len(block):
+            raise AvroError(
+                f"{path}: block decoded {bpos} of {len(block)} bytes "
+                "— record/count mismatch"
+            )
+
+
+# ---------------------------------------------------------------- spark read
+
+_EXTS = (".avro",)
+
+
+def _list_avro_files(path: str) -> list[str]:
+    import glob as _g
+
+    if os.path.isdir(path):
+        out = []
+        for root, _dirs, names in os.walk(path):
+            for nm in names:
+                if nm.endswith(_EXTS) and not nm.startswith((".", "_")):
+                    out.append(os.path.join(root, nm))
+        return sorted(out)
+    return sorted(
+        p for p in _g.glob(path)
+        if os.path.isfile(p) and not os.path.basename(p).startswith(".")
+    )
+
+
+class AvroPartition(InputPartition):
+    def __init__(self, files: list):
+        self.files = files
+
+
+class AvroReader(DataSourceReader):
+    def __init__(self, schema: StructType, options):
+        self.schema = schema
+        self.options = options
+        path = options.get("path")
+        if not path:
+            raise ValueError("avro_ocf: path required")
+        self._files = _list_avro_files(path)
+        if not self._files:
+            raise AvroError(f"avro_ocf: no files match {path!r}")
+        # plan-time sanity on the FIRST header only (codec + schema
+        # mapping); every other file is verified inside its own task
+        # by iter_avro_rows(expected=...) so huge directories cost no
+        # driver-side header sweep
+        sj, codec, _sync, _off = read_avro_header(self._files[0])
+        dt, _dec = compile_reader(sj)
+        if dt != self.schema:
+            raise AvroError(
+                f"{self._files[0]}: writer schema maps to "
+                f"{dt.simpleString()}, expected "
+                f"{self.schema.simpleString()}"
+            )
+        if codec not in ("null", "", "deflate", "bzip2", "xz", "zstandard"):
+            raise AvroError(f"{self._files[0]}: unsupported codec {codec!r}")
+
+    def partitions(self):
+        from lwes_contrib_hive_serde_spark.sources.jsonl import bin_pack_files
+
+        max_bytes = int(
+            self.options.get("maxpartitionbytes", str(128 * 1024 * 1024))
+        )
+        open_cost = int(
+            self.options.get("opencostinbytes", str(4 * 1024 * 1024))
+        )
+        try:
+            from pyspark.sql import SparkSession
+
+            par = (
+                SparkSession.getActiveSession().sparkContext.defaultParallelism
+            )
+        except Exception:
+            par = 8
+        return bin_pack_files(
+            self._files, max_bytes, open_cost, par, part_cls=AvroPartition
+        )
+
+    def read(self, partition):
+        for path in partition.files:
+            yield from iter_avro_rows(path, expected=self.schema)
+
+
+# ---------------------------------------------------------------- spark write
+
+_AVRO_NAME_OK = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _spark_to_avro(dtype: DataType, name: str, path: str, nullable: bool):
+    """Spark type → (avro schema node, encode(value) -> bytes-appender).
+    Encoders append to a bytearray for one record."""
+    import datetime as _dt
+
+    if not _AVRO_NAME_OK.match(name):
+        raise AvroError(
+            f"field name {name!r} is not a valid avro name "
+            "([A-Za-z_][A-Za-z0-9_]*) — rename before writing"
+        )
+
+    if isinstance(dtype, BooleanType):
+        node = "boolean"
+        def enc(v, out):
+            out.append(1 if v else 0)
+    elif isinstance(dtype, (ByteType, ShortType, IntegerType)):
+        node = "int"
+        def enc(v, out):
+            out += _zigzag(v)
+    elif isinstance(dtype, LongType):
+        node = "long"
+        def enc(v, out):
+            out += _zigzag(v)
+    elif isinstance(dtype, FloatType):
+        node = "float"
+        def enc(v, out):
+            out += struct.pack("<f", v)
+    elif isinstance(dtype, DoubleType):
+        node = "double"
+        def enc(v, out):
+            out += struct.pack("<d", v)
+    elif isinstance(dtype, StringType):
+        node = "string"
+        def enc(v, out):
+            b = v.encode("utf-8")
+            out += _zigzag(len(b))
+            out += b
+    elif isinstance(dtype, BinaryType):
+        node = "bytes"
+        def enc(v, out):
+            v = bytes(v)
+            out += _zigzag(len(v))
+            out += v
+    elif isinstance(dtype, DateType):
+        node = {"type": "int", "logicalType": "date"}
+        epoch = _dt.date(1970, 1, 1)
+        def enc(v, out):
+            out += _zigzag((v - epoch).days)
+    elif isinstance(dtype, TimestampType):
+        node = {"type": "long", "logicalType": "timestamp-micros"}
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        def enc(v, out):
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=_dt.timezone.utc)
+            td = v - epoch
+            us = (td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds
+            out += _zigzag(us)
+    elif isinstance(dtype, TimestampNTZType):
+        node = {"type": "long", "logicalType": "local-timestamp-micros"}
+        epoch = _dt.datetime(1970, 1, 1)
+        def enc(v, out):
+            td = v - epoch
+            us = (td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds
+            out += _zigzag(us)
+    elif isinstance(dtype, DecimalType):
+        node = {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": dtype.precision,
+            "scale": dtype.scale,
+        }
+        scale = dtype.scale
+        def enc(v, out):
+            unscaled = int(v.scaleb(scale).to_integral_value())
+            nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+            out += _zigzag(nbytes)
+            out += unscaled.to_bytes(nbytes, "big", signed=True)
+    elif isinstance(dtype, ArrayType):
+        inode, ienc = _spark_to_avro(
+            dtype.elementType, name, path + "[]", dtype.containsNull
+        )
+        node = {"type": "array", "items": inode}
+        def enc(v, out):
+            if len(v):
+                out += _zigzag(len(v))
+                for e in v:
+                    ienc(e, out)
+            out += _zigzag(0)
+    elif isinstance(dtype, MapType):
+        if not isinstance(dtype.keyType, StringType):
+            raise AvroError(
+                f"{path}: avro maps require string keys, got "
+                f"{dtype.keyType.simpleString()}"
+            )
+        vnode, venc = _spark_to_avro(
+            dtype.valueType, name, path + "{}", dtype.valueContainsNull
+        )
+        node = {"type": "map", "values": vnode}
+        def enc(v, out):
+            items = list(v.items())
+            if items:
+                out += _zigzag(len(items))
+                for k, val in items:
+                    b = k.encode("utf-8")
+                    out += _zigzag(len(b))
+                    out += b
+                    venc(val, out)
+            out += _zigzag(0)
+    elif isinstance(dtype, StructType):
+        fnodes, fencs = [], []
+        for f in dtype.fields:
+            fn, fe = _spark_to_avro(
+                f.dataType, f.name, path + "." + f.name, f.nullable
+            )
+            fnodes.append({"name": f.name, "type": fn})
+            fencs.append(fe)
+        node = {
+            "type": "record",
+            "name": "r_" + path.replace(".", "_").replace("[]", "_item")
+            .replace("{}", "_value"),
+            "fields": fnodes,
+        }
+        def enc(v, out):
+            for fe, fv in zip(fencs, v):
+                fe(fv, out)
+    else:
+        raise AvroError(
+            f"{path}: cannot write type {dtype.simpleString()} to avro"
+        )
+
+    if nullable:
+        inner = enc
+        def enc_n(v, out):
+            if v is None:
+                out += b"\x00"  # union index 0 = null
+            else:
+                out += b"\x02"  # union index 1 (zigzag of 1)
+                inner(v, out)
+        return ["null", node], enc_n
+    return node, enc
+
+
+def schema_to_avro_json(schema: StructType, name: str = "spark_row") -> tuple[str, list]:
+    fields, encs = [], []
+    for f in schema.fields:
+        node, enc = _spark_to_avro(f.dataType, f.name, f.name, f.nullable)
+        fields.append({"name": f.name, "type": node})
+        encs.append(enc)
+    doc = {"type": "record", "name": name, "fields": fields}
+    return json.dumps(doc), encs
+
+
+def _compress(codec: str, data: bytes) -> bytes:
+    if codec == "null":
+        return data
+    if codec == "deflate":
+        c = zlib.compressobj(6, zlib.DEFLATED, -15)
+        return c.compress(data) + c.flush()
+    if codec == "bzip2":
+        return bz2.compress(data)
+    if codec == "xz":
+        return lzma.compress(data)
+    if codec == "zstandard":
+        return zstd_backend.compress(data)
+    raise AvroError(f"unsupported write codec {codec!r}")
+
+
+class AvroWriteHandle:
+    """Streaming OCF writer for one output file."""
+
+    def __init__(self, f, schema_json: str, encs, codec: str,
+                 block_bytes: int, sync: bytes):
+        self.f = f
+        self.encs = encs
+        self.codec = codec
+        self.block_bytes = block_bytes
+        self.sync = sync
+        self.buf = bytearray()
+        self.count = 0
+        self.bytes_written = 0
+        header = bytearray()
+        header += MAGIC
+        meta = {
+            "avro.schema": schema_json.encode("utf-8"),
+            "avro.codec": codec.encode("utf-8"),
+        }
+        header += _zigzag(len(meta))
+        for k, v in meta.items():
+            kb = k.encode("utf-8")
+            header += _zigzag(len(kb)); header += kb
+            header += _zigzag(len(v)); header += v
+        header += _zigzag(0)
+        header += sync
+        f.write(bytes(header))
+        self.bytes_written += len(header)
+
+    def write_row(self, row):
+        for enc, v in zip(self.encs, row):
+            enc(v, self.buf)
+        self.count += 1
+        if len(self.buf) >= self.block_bytes:
+            self.flush_block()
+
+    def flush_block(self):
+        if not self.count:
+            return
+        payload = _compress(self.codec, bytes(self.buf))
+        frame = _zigzag(self.count) + _zigzag(len(payload))
+        self.f.write(frame)
+        self.f.write(payload)
+        self.f.write(self.sync)
+        self.bytes_written += len(frame) + len(payload) + 16
+        self.buf = bytearray()
+        self.count = 0
+
+    def close(self):
+        self.flush_block()
+        self.f.close()
+
+
+class AvroCommitMessage(WriterCommitMessage):
+    path: str = ""
+    records: int = 0
+
+
+class AvroWriter(DataSourceWriter):
+    def __init__(self, schema: StructType, options, overwrite: bool):
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("avro_ocf: no output path specified")
+        self.codec = options.get("codec", "deflate").lower()
+        if self.codec not in ("null", "deflate", "bzip2", "xz", "zstandard"):
+            raise AvroError(f"unsupported write codec {self.codec!r}")
+        if self.codec == "zstandard":
+            zstd_backend.ensure_available()
+        self.block_bytes = int(options.get("blockbytes", str(64 * 1024)))
+        self.roll_bytes = int(options.get("rollbytes", str(256 * 1024 * 1024)))
+        self.schema_json, self.encs = schema_to_avro_json(schema)
+        if overwrite and os.path.isdir(self.path):
+            for p in _list_avro_files(self.path):
+                os.remove(p)
+
+    def write(self, rows) -> AvroCommitMessage:
+        os.makedirs(self.path, exist_ok=True)
+        task_id = uuid.uuid4().hex
+        attempt = uuid.uuid4().hex[:12]
+        files = []
+        handle = None
+        cur_tmp = cur_final = None
+        seq = 0
+        n = 0
+
+        def _seal():
+            nonlocal handle
+            if handle is not None:
+                handle.close()
+                os.replace(cur_tmp, cur_final)
+                handle = None
+
+        for row in rows:
+            if handle is None or handle.bytes_written >= self.roll_bytes:
+                _seal()
+                cur_final = os.path.join(
+                    self.path, f"part-{task_id}-{seq:04d}.avro"
+                )
+                d, base = os.path.split(cur_final)
+                cur_tmp = os.path.join(d, f".{base}.tmp-{attempt}")
+                sync = uuid.uuid4().bytes
+                handle = AvroWriteHandle(
+                    open(cur_tmp, "wb"), self.schema_json, self.encs,
+                    self.codec, self.block_bytes, sync,
+                )
+                files.append(cur_final)
+                seq += 1
+            handle.write_row(row)
+            n += 1
+        _seal()
+        msg = AvroCommitMessage()
+        msg.path = ";".join(files)
+        msg.records = n
+        return msg
+
+    def commit(self, messages):
+        total = sum(m.records for m in messages if m)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write(json.dumps({"records": total}))
+
+    def abort(self, messages):
+        for m in messages:
+            for p in (m.path.split(";") if m and m.path else []):
+                if p and os.path.exists(p):
+                    os.remove(p)
+
+
+class AvroDataSource(DataSource):
+    """Register with ``spark.dataSource.register(AvroDataSource)`` (or
+    ``lwes_contrib_hive_serde_spark.register(spark)``)."""
+
+    @classmethod
+    def name(cls):
+        return "avro_ocf"
+
+    def schema(self):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("avro_ocf: path required")
+        files = _list_avro_files(path)
+        if not files:
+            raise AvroError(f"avro_ocf: no files match {path!r}")
+        sj, _codec, _sync, _off = read_avro_header(files[0])
+        dt, _dec = compile_reader(sj)
+        return dt
+
+    def reader(self, schema: StructType):
+        return AvroReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return AvroWriter(schema, self.options, overwrite)

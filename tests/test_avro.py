@@ -1,0 +1,338 @@
+"""Avro OCF tier (sources/avro_ocf.py): a hand-encoded golden file
+(independent byte-level construction of the public spec) pins the
+decoder; round trips pin the writer; refusals pin the honesty
+contract (snappy, multi-branch unions, corrupt frames)."""
+
+import datetime as dt
+import io
+import json
+import os
+import struct
+import zlib
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import Row
+
+from lwes_contrib_hive_serde_spark.sources import avro_ocf as A
+
+
+# -- independent spec encoder (test-side oracle, written from the
+#    Avro 1.11 spec, NOT from the module under test) ----------------
+
+def zz(n: int) -> bytes:
+    u = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+    out = b""
+    while True:
+        b7 = u & 0x7F
+        u >>= 7
+        out += bytes([b7 | 0x80 if u else b7])
+        if not u:
+            return out
+
+
+def estr(s: str) -> bytes:
+    b = s.encode()
+    return zz(len(b)) + b
+
+
+def ebytes(b: bytes) -> bytes:
+    return zz(len(b)) + b
+
+
+def ocf(schema: dict, codec: str, blocks: list[bytes], counts: list[int],
+        sync: bytes = b"S" * 16) -> bytes:
+    out = b"Obj\x01"
+    meta = {"avro.schema": json.dumps(schema).encode(),
+            "avro.codec": codec.encode()}
+    out += zz(len(meta))
+    for k, v in meta.items():
+        out += estr(k) + ebytes(v)
+    out += zz(0)
+    out += sync
+    for raw, cnt in zip(blocks, counts):
+        payload = raw
+        if codec == "deflate":
+            c = zlib.compressobj(6, zlib.DEFLATED, -15)
+            payload = c.compress(raw) + c.flush()
+        out += zz(cnt) + zz(len(payload)) + payload + sync
+    return out
+
+
+GOLDEN_SCHEMA = {
+    "type": "record",
+    "name": "row",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "small", "type": "int"},
+        {"name": "name", "type": ["null", "string"]},
+        {"name": "score", "type": "double"},
+        {"name": "ok", "type": "boolean"},
+        {"name": "blob", "type": "bytes"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "attrs", "type": {"type": "map", "values": "long"}},
+        {"name": "color", "type": {"type": "enum", "name": "c",
+                                   "symbols": ["RED", "GREEN"]}},
+        {"name": "fx", "type": {"type": "fixed", "name": "f4", "size": 4}},
+        {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "at", "type": {"type": "long",
+                                "logicalType": "timestamp-micros"}},
+        {"name": "amt", "type": {"type": "bytes", "logicalType": "decimal",
+                                 "precision": 10, "scale": 2}},
+    ],
+}
+
+
+def golden_record(i: int) -> bytes:
+    b = zz(1000 + i)                      # id
+    b += zz(-i)                           # small
+    if i % 2:
+        b += zz(1) + estr(f"doc-{i}")     # union idx 1 = string
+    else:
+        b += zz(0)                        # union idx 0 = null
+    b += struct.pack("<d", i * 0.5)       # score
+    b += b"\x01" if i % 3 == 0 else b"\x00"   # ok
+    b += ebytes(bytes([i % 256]) * 3)     # blob
+    b += zz(2) + estr(f"t{i}") + estr("x") + zz(0)  # tags
+    b += zz(1) + estr("k") + zz(i * 7) + zz(0)      # attrs
+    b += zz(i % 2)                        # enum
+    b += struct.pack(">I", i)             # fixed 4
+    b += zz(19000 + i)                    # date (days)
+    b += zz(1_600_000_000_000_000 + i)    # timestamp-micros
+    unscaled = 12345 + i                  # decimal 123.45+
+    raw = unscaled.to_bytes(3, "big", signed=True)
+    b += ebytes(raw)
+    return b
+
+
+def golden_expected(i: int):
+    return (
+        1000 + i,
+        -i,
+        f"doc-{i}" if i % 2 else None,
+        i * 0.5,
+        i % 3 == 0,
+        bytes([i % 256]) * 3,
+        [f"t{i}", "x"],
+        {"k": i * 7},
+        ["RED", "GREEN"][i % 2],
+        struct.pack(">I", i),
+        dt.date(1970, 1, 1) + dt.timedelta(days=19000 + i),
+        dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc) + dt.timedelta(
+            microseconds=1_600_000_000_000_000 + i),
+        Decimal(12345 + i).scaleb(-2),
+    )
+
+
+class TestGoldenDecode:
+    @pytest.mark.parametrize("codec", ["null", "deflate"])
+    def test_hand_encoded_file_decodes(self, tmp_path, codec):
+        recs = b"".join(golden_record(i) for i in range(7))
+        data = ocf(GOLDEN_SCHEMA, codec, [recs], [7])
+        p = str(tmp_path / "g.avro")
+        open(p, "wb").write(data)
+        rows = list(A.iter_avro_rows(p))
+        assert len(rows) == 7
+        for i, row in enumerate(rows):
+            exp = golden_expected(i)
+            assert row == exp, (i, row, exp)
+
+    def test_golden_through_spark(self, spark, tmp_path):
+        recs = b"".join(golden_record(i) for i in range(5))
+        p = str(tmp_path / "g.avro")
+        open(p, "wb").write(ocf(GOLDEN_SCHEMA, "deflate", [recs], [5]))
+        df = spark.read.format("avro_ocf").option("path", p).load()
+        got = sorted(df.collect(), key=lambda r: r.id)
+        assert [r.id for r in got] == [1000 + i for i in range(5)]
+        assert got[1]["name"] == "doc-1" and got[0]["name"] is None
+        assert got[2].attrs == {"k": 14}
+        assert got[3].color == "GREEN"
+        assert got[0].amt == Decimal("123.45")
+        # timestamps collect in the session's UTC zone
+        assert got[0].at == dt.datetime(2020, 9, 13, 12, 26, 40)
+
+    def test_multi_block_and_negative_block_count(self, tmp_path):
+        # negative array/map block counts carry a byte size (spec);
+        # build an array encoded that way
+        schema = {
+            "type": "record", "name": "r",
+            "fields": [{"name": "xs",
+                        "type": {"type": "array", "items": "long"}}],
+        }
+        # rec: a NEGATIVE block (-2 items + byte size) holding
+        # values 1,2, then a plain block of 1 item (value 3), then
+        # the 0 terminator
+        items12 = zz(1) + zz(2)
+        rec = zz(-2) + zz(len(items12)) + items12 + zz(1) + zz(3) + zz(0)
+        p = str(tmp_path / "b.avro")
+        open(p, "wb").write(ocf(schema, "null", [rec, rec], [1, 1]))
+        rows = list(A.iter_avro_rows(p))
+        assert rows == [([1, 2, 3],), ([1, 2, 3],)]
+
+
+class TestRoundTrip:
+    def _df(self, spark):
+        rows = [
+            Row(
+                id=i,
+                name=None if i % 4 == 0 else f"n{i}",
+                score=i * 1.25,
+                ok=i % 2 == 0,
+                blob=bytes([i]) * 2,
+                tags=[f"a{i}", "b"],
+                attrs={"k": i, "j": i * 2},
+                day=dt.date(2024, 1, 1) + dt.timedelta(days=i),
+                at=dt.datetime(2024, 6, 1, 12, 0, 0, 123456)
+                + dt.timedelta(seconds=i),
+                amt=Decimal(f"{i}.37"),
+                nested=Row(a=i, b=f"s{i}"),
+            )
+            for i in range(25)
+        ]
+        schema = (
+            "id long, name string, score double, ok boolean, "
+            "blob binary, tags array<string>, attrs map<string,long>, "
+            "day date, at timestamp, amt decimal(10,2), "
+            "nested struct<a:long,b:string>"
+        )
+        return spark.createDataFrame(rows, schema)
+
+    @pytest.mark.parametrize("codec", ["null", "deflate", "bzip2", "xz"])
+    def test_codec_round_trip(self, spark, tmp_path, codec):
+        df = self._df(spark)
+        out = str(tmp_path / codec)
+        (df.write.format("avro_ocf").option("codec", codec)
+           .option("path", out).mode("append").save())
+        back = spark.read.format("avro_ocf").option("path", out).load()
+        assert back.schema == df.schema
+        a = sorted(df.collect(), key=lambda r: r.id)
+        b = sorted(back.collect(), key=lambda r: r.id)
+        assert a == b
+
+    def test_zstandard_round_trip(self, spark, tmp_path):
+        from lwes_contrib_hive_serde_spark.sources import zstd_backend
+
+        if not zstd_backend.available():
+            pytest.skip("no zstd provider")
+        df = self._df(spark)
+        out = str(tmp_path / "z")
+        (df.write.format("avro_ocf").option("codec", "zstandard")
+           .option("path", out).mode("append").save())
+        back = spark.read.format("avro_ocf").option("path", out).load()
+        assert sorted(df.collect(), key=lambda r: r.id) == sorted(
+            back.collect(), key=lambda r: r.id
+        )
+
+    def test_small_blocks_roll_files(self, spark, tmp_path):
+        df = self._df(spark).repartition(2)
+        out = str(tmp_path / "roll")
+        (df.write.format("avro_ocf")
+           .option("blockbytes", "64")      # many blocks per file
+           .option("rollbytes", "600")      # several files per task
+           .option("path", out).mode("append").save())
+        files = [f for f in os.listdir(out) if f.endswith(".avro")]
+        assert len(files) > 2
+        back = spark.read.format("avro_ocf").option("path", out).load()
+        assert back.count() == 25
+        assert sorted(r.id for r in back.collect()) == list(range(25))
+
+    def test_overwrite_mode(self, spark, tmp_path):
+        df = self._df(spark)
+        out = str(tmp_path / "ow")
+        df.write.format("avro_ocf").option("path", out).mode("append").save()
+        (df.limit(3).write.format("avro_ocf").mode("overwrite")
+           .option("path", out).save())
+        back = spark.read.format("avro_ocf").option("path", out).load()
+        assert back.count() == 3
+
+
+class TestRefusals:
+    def test_snappy_refused(self, tmp_path):
+        schema = {"type": "record", "name": "r",
+                  "fields": [{"name": "x", "type": "long"}]}
+        p = str(tmp_path / "s.avro")
+        open(p, "wb").write(ocf(schema, "snappy", [zz(1)], [1]))
+        with pytest.raises(A.AvroError, match="snappy"):
+            list(A.iter_avro_rows(p))
+
+    def test_multi_branch_union_refused(self, tmp_path):
+        schema = {"type": "record", "name": "r",
+                  "fields": [{"name": "x",
+                              "type": ["null", "long", "string"]}]}
+        p = str(tmp_path / "u.avro")
+        open(p, "wb").write(ocf(schema, "null", [b""], [0]))
+        with pytest.raises(A.AvroError, match="unions"):
+            list(A.iter_avro_rows(p))
+
+    def test_bad_magic(self, tmp_path):
+        p = str(tmp_path / "m.avro")
+        open(p, "wb").write(b"NOPE" + b"\x00" * 40)
+        with pytest.raises(A.AvroError, match="not an Avro container"):
+            list(A.iter_avro_rows(p))
+
+    def test_sync_mismatch(self, tmp_path):
+        schema = {"type": "record", "name": "r",
+                  "fields": [{"name": "x", "type": "long"}]}
+        data = bytearray(ocf(schema, "null", [zz(1)], [1]))
+        data[-3] ^= 0xFF  # corrupt the block's trailing sync
+        p = str(tmp_path / "y.avro")
+        open(p, "wb").write(bytes(data))
+        with pytest.raises(A.AvroError, match="sync marker"):
+            list(A.iter_avro_rows(p))
+
+    def test_count_payload_mismatch(self, tmp_path):
+        schema = {"type": "record", "name": "r",
+                  "fields": [{"name": "x", "type": "long"}]}
+        # claims 1 record but carries two longs
+        p = str(tmp_path / "c.avro")
+        open(p, "wb").write(ocf(schema, "null", [zz(1) + zz(2)], [1]))
+        with pytest.raises(A.AvroError, match="mismatch"):
+            list(A.iter_avro_rows(p))
+
+    def test_time_logical_refused(self, tmp_path):
+        schema = {"type": "record", "name": "r",
+                  "fields": [{"name": "t",
+                              "type": {"type": "int",
+                                       "logicalType": "time-millis"}}]}
+        p = str(tmp_path / "t.avro")
+        open(p, "wb").write(ocf(schema, "null", [b""], [0]))
+        with pytest.raises(A.AvroError, match="time-millis"):
+            list(A.iter_avro_rows(p))
+
+    def test_unknown_logical_falls_back_to_base(self, tmp_path):
+        # spec: readers MUST fall back to the base type for logical
+        # types they don't know
+        schema = {"type": "record", "name": "r",
+                  "fields": [{"name": "x",
+                              "type": {"type": "long",
+                                       "logicalType": "duration-ish"}}]}
+        p = str(tmp_path / "l.avro")
+        open(p, "wb").write(ocf(schema, "null", [zz(42)], [1]))
+        assert list(A.iter_avro_rows(p)) == [(42,)]
+
+    def test_mixed_schema_dir_refused_in_task(self, spark, tmp_path):
+        s1 = {"type": "record", "name": "r",
+              "fields": [{"name": "x", "type": "long"}]}
+        s2 = {"type": "record", "name": "r",
+              "fields": [{"name": "x", "type": "string"}]}
+        d = tmp_path / "mix"
+        d.mkdir()
+        open(d / "a.avro", "wb").write(ocf(s1, "null", [zz(1)], [1]))
+        open(d / "b.avro", "wb").write(ocf(s2, "null", [estr("x")], [1]))
+        df = spark.read.format("avro_ocf").option("path", str(d)).load()
+        with pytest.raises(Exception, match="mixed-schema"):
+            df.collect()
+
+    def test_write_map_with_int_keys_refused(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [Row(m={1: "a"})], "m map<int,string>"
+        )
+        with pytest.raises(Exception, match="string keys"):
+            (df.write.format("avro_ocf").mode("append")
+               .option("path", str(tmp_path / "o")).save())
+
+    def test_write_invalid_field_name_refused(self, spark, tmp_path):
+        df = spark.createDataFrame([(1,)], ["bad name"])
+        with pytest.raises(Exception, match="valid avro name"):
+            (df.write.format("avro_ocf").mode("append")
+               .option("path", str(tmp_path / "o")).save())
