@@ -8489,3 +8489,81 @@ def q_avro_roundtrip(spark, sf_dir):
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+def _documents_iceberg(spark, sf_dir: str) -> str:
+    """Build (once per sf_dir per process) a two-snapshot Iceberg v1
+    table from the documents parquet: snapshot 1 appends doc_id%3==0,
+    snapshot 2 appends the rest. The reader under test walks
+    metadata.json → manifest list (Avro) → manifests (Avro) with the
+    repo's own stdlib Avro decoder."""
+    import os
+
+    from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        tag = f"{tag}-{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        pass
+    out = f"/tmp/iceberg_table_cache/v1/{tag}/documents"
+    done = os.path.join(out, "metadata", "v2.metadata.json")
+    if not os.path.exists(done):
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        I.write_iceberg_table(docs.where("doc_id % 3 = 0"), out)
+        I.write_iceberg_table(docs.where("doc_id % 3 != 0"), out)
+    return out
+
+
+@register(
+    "q_iceberg_read",
+    shadow=True,
+    oracle="""
+    SELECT 'current' AS snapshot, lang,
+           COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'first' AS snapshot, lang,
+           COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents WHERE doc_id % 3 = 0 GROUP BY lang
+    """,
+    doc="Iceberg v1 snapshot read + time travel (sources/iceberg.py): "
+    "the metadata tree — metadata.json, manifest list, manifests — "
+    "is walked with the repo's own stdlib Avro OCF decoder "
+    "(sources/avro_ocf.py), and the resulting live-file list feeds "
+    "Spark's native parquet scan. The query reads the CURRENT "
+    "snapshot (two appends) and the FIRST snapshot (time travel by "
+    "snapshot id) and aggregates each; the DuckDB oracle recomputes "
+    "both memberships from the original parquet, so a hash match "
+    "proves manifest-list chaining across snapshots, status "
+    "filtering, and snapshot pinning. iceberg_count answers "
+    "COUNT(*) from record_count manifests alone — required by the "
+    "spec, so no scan fallback is needed.",
+)
+def q_iceberg_read(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+    out = _documents_iceberg(spark, sf_dir)
+    first = I.iceberg_history(out)[0]["snapshot_id"]
+
+    def agg(df, tag):
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        ).select(F.lit(tag).alias("snapshot"), "*")
+
+    cur = agg(I.read_iceberg(spark, out), "current")
+    old = agg(I.read_iceberg(spark, out, snapshot_id=first), "first")
+    return cur.unionAll(old)

@@ -1,0 +1,550 @@
+"""Apache Iceberg table read support — metadata.json → manifest list
+(Avro) → manifests (Avro) → native parquet scan.
+
+The second lakehouse format (sources/delta.py is the first). Iceberg
+keeps its state in a tree of files, all public spec
+(iceberg.apache.org/spec): a JSON ``metadata/v<N>.metadata.json``
+names the current snapshot; the snapshot points at a *manifest list*
+(an Avro OCF file of manifest descriptors); each *manifest* (Avro
+again) lists data files with per-file stats. This module walks that
+tree with the repo's own stdlib Avro decoder (sources/avro_ocf.py)
+and hands the resulting file list to ``spark.read.parquet`` — like
+the Delta tier, the data path is Spark's native vectorized scan;
+only the (small) metadata tree is driver-side.
+
+Iceberg differs from Delta in the ways that matter here:
+  - data files contain ALL columns (partition transforms are derived,
+    not carved out of the files), so no partition-attach join is
+    needed;
+  - ``record_count`` is a REQUIRED field of every data-file entry, so
+    ``iceberg_count`` is always metadata-only (no scan fail-safe
+    needed);
+  - row-level deletes (format v2) live in separate delete files.
+    Reading the base files while ignoring deletes would resurrect
+    deleted rows, so any delete content anywhere → typed refusal,
+    never a misread. v2 tables WITHOUT deletes read fine.
+
+Honesty contract: unsupported format versions (>2), delete files,
+and non-parquet data file formats are refusals by name. Column
+renames via field-ids are not resolved (we match parquet columns by
+name, the pre-evolution contract); the reader checks the first data
+file's parquet schema against the expected names and refuses on a
+mismatch rather than silently returning NULL columns.
+
+``write_iceberg_table`` is FIXTURE-GRADE: it exists so the reader
+can be tested end to end without an iceberg library in the
+container (same recipe as the WARC/CDX tiers' synthesizers). It
+writes spec-shaped metadata (v1) through the repo's own Avro
+writer; it does not emit Avro field-id annotations, so external
+readers that resolve by field-id may not accept its manifests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+from lwes_contrib_hive_serde_spark.sources import avro_ocf
+
+
+class IcebergError(ValueError):
+    """Unsupported format version/feature or corrupt metadata tree."""
+
+
+# ---------------------------------------------------------------- schema
+
+_PRIMITIVES = {
+    "boolean": BooleanType(),
+    "int": IntegerType(),
+    "long": LongType(),
+    "float": FloatType(),
+    "double": DoubleType(),
+    "date": DateType(),
+    "timestamp": TimestampNTZType(),
+    "timestamptz": TimestampType(),
+    "string": StringType(),
+    "uuid": StringType(),
+    "binary": BinaryType(),
+}
+
+
+def iceberg_type_to_spark(t):
+    """Iceberg schema JSON type → Spark type (honest subset)."""
+    if isinstance(t, str):
+        if t in _PRIMITIVES:
+            return _PRIMITIVES[t]
+        if t.startswith("decimal("):
+            inner = t[len("decimal("):-1]
+            p, s = inner.split(",")
+            return DecimalType(int(p), int(s))
+        if t.startswith("fixed["):
+            return BinaryType()
+        raise IcebergError(f"unsupported iceberg type {t!r}")
+    kind = t.get("type")
+    if kind == "struct":
+        return StructType(
+            [
+                StructField(
+                    f["name"],
+                    iceberg_type_to_spark(f["type"]),
+                    not f.get("required", False),
+                )
+                for f in t["fields"]
+            ]
+        )
+    if kind == "list":
+        from pyspark.sql.types import ArrayType
+
+        return ArrayType(
+            iceberg_type_to_spark(t["element"]),
+            not t.get("element-required", False),
+        )
+    if kind == "map":
+        from pyspark.sql.types import MapType
+
+        kt = iceberg_type_to_spark(t["key"])
+        if not isinstance(kt, StringType):
+            raise IcebergError("only string map keys are supported")
+        return MapType(
+            kt,
+            iceberg_type_to_spark(t["value"]),
+            not t.get("value-required", False),
+        )
+    raise IcebergError(f"unsupported iceberg type {t!r}")
+
+
+def _current_schema(meta: dict) -> StructType:
+    if "schemas" in meta:
+        sid = meta.get("current-schema-id", 0)
+        for s in meta["schemas"]:
+            if s.get("schema-id") == sid:
+                return iceberg_type_to_spark(s)
+        raise IcebergError(f"current-schema-id {sid} not in schemas")
+    if "schema" in meta:
+        return iceberg_type_to_spark(meta["schema"])
+    raise IcebergError("metadata has no schema")
+
+
+# ---------------------------------------------------------------- metadata tree
+
+def _strip_file_uri(p: str) -> str:
+    if p.startswith("file://"):
+        return p[len("file://"):]
+    if "://" in p:
+        raise IcebergError(
+            f"non-local file URI {p!r} (this environment reads local "
+            "paths; object-store schemes need their Hadoop FS)"
+        )
+    return p
+
+
+def load_table_metadata(path: str) -> dict:
+    """Resolve the current metadata.json for a HadoopTables-layout
+    table: version-hint.text when present, else the highest
+    v<N>.metadata.json."""
+    mdir = os.path.join(path, "metadata")
+    if not os.path.isdir(mdir):
+        raise IcebergError(f"not an Iceberg table (no metadata/): {path}")
+    hint = os.path.join(mdir, "version-hint.text")
+    candidates = []
+    if os.path.exists(hint):
+        v = open(hint).read().strip()
+        candidates = [os.path.join(mdir, f"v{v}.metadata.json")]
+    else:
+        vs = []
+        for n in os.listdir(mdir):
+            if n.endswith(".metadata.json") and n.startswith("v"):
+                stem = n[1:].split(".")[0]
+                if stem.isdigit():
+                    vs.append(int(stem))
+        if not vs:
+            raise IcebergError(f"no v*.metadata.json under {mdir}")
+        candidates = [os.path.join(mdir, f"v{max(vs)}.metadata.json")]
+    with open(candidates[0]) as f:
+        meta = json.load(f)
+    fv = meta.get("format-version", 1)
+    if fv not in (1, 2):
+        raise IcebergError(f"format-version {fv} not supported (1/2 only)")
+    return meta
+
+
+def _pick_snapshot(meta: dict, snapshot_id=None, timestamp_ms=None) -> dict:
+    snaps = meta.get("snapshots") or []
+    if not snaps:
+        raise IcebergError("table has no snapshots (empty table)")
+    if snapshot_id is not None and timestamp_ms is not None:
+        raise IcebergError("pass snapshot_id or timestamp_ms, not both")
+    if snapshot_id is not None:
+        for s in snaps:
+            if s["snapshot-id"] == snapshot_id:
+                return s
+        raise IcebergError(f"snapshot {snapshot_id} not found")
+    if timestamp_ms is not None:
+        log = meta.get("snapshot-log") or [
+            {"timestamp-ms": s["timestamp-ms"], "snapshot-id": s["snapshot-id"]}
+            for s in snaps
+        ]
+        eligible = [e for e in log if e["timestamp-ms"] <= timestamp_ms]
+        if not eligible:
+            raise IcebergError(
+                f"no snapshot at or before timestamp {timestamp_ms}"
+            )
+        want = max(eligible, key=lambda e: e["timestamp-ms"])["snapshot-id"]
+        return _pick_snapshot(meta, snapshot_id=want)
+    cur = meta.get("current-snapshot-id")
+    if cur in (None, -1):
+        raise IcebergError("metadata has no current-snapshot-id")
+    return _pick_snapshot(meta, snapshot_id=cur)
+
+
+def _live_data_files(table_path: str, snap: dict) -> list[dict]:
+    """Walk manifest list → manifests → live data-file entries.
+    Returns dicts with file_path, record_count, file_size_in_bytes."""
+    if "manifest-list" in snap:
+        # rows are mapped by the embedded writer schema's field NAMES
+        # (not positions), so foreign writers' extra fields are fine
+        manifests = _manifest_list_entries(_strip_file_uri(snap["manifest-list"]))
+    elif "manifests" in snap:  # ancient v1 inline form
+        manifests = [
+            {"manifest_path": p, "content": 0} for p in snap["manifests"]
+        ]
+    else:
+        raise IcebergError("snapshot has neither manifest-list nor manifests")
+
+    files = []
+    for m in manifests:
+        if m.get("content", 0) == 1:
+            raise IcebergError(
+                "table has DELETE manifests; reading base files would "
+                "resurrect deleted rows — refusing"
+            )
+        mpath = _strip_file_uri(m["manifest_path"])
+        for entry in _named_rows(mpath):
+            status = entry.get("status", 1)
+            if status == 2:  # DELETED entry
+                continue
+            df = entry.get("data_file")
+            if df is None:
+                raise IcebergError(f"{mpath}: manifest entry without data_file")
+            content = df.get("content", 0)
+            if content in (1, 2):
+                raise IcebergError(
+                    "data_file with delete content in manifest — refusing"
+                )
+            fmt = (df.get("file_format") or "").upper()
+            if fmt != "PARQUET":
+                raise IcebergError(
+                    f"data file format {fmt!r} not supported (PARQUET only)"
+                )
+            files.append(df)
+    return files
+
+
+def _named_rows(avro_path: str) -> list[dict]:
+    """Decode an Avro OCF file into dicts keyed by the writer
+    schema's field names (positions are writer-defined; names are
+    the spec contract)."""
+    schema_json, _codec, _sync, _off = avro_ocf.read_avro_header(avro_path)
+    dt, _dec = avro_ocf.compile_reader(schema_json)
+    names = [f.name for f in dt.fields]
+
+    def fix(value, dtype):
+        if isinstance(dtype, StructType) and isinstance(value, tuple):
+            return {
+                f.name: fix(v, f.dataType)
+                for f, v in zip(dtype.fields, value)
+            }
+        return value
+
+    out = []
+    for row in avro_ocf.iter_avro_rows(avro_path):
+        out.append(
+            {
+                n: fix(v, f.dataType)
+                for n, f, v in zip(names, dt.fields, row)
+            }
+        )
+    return out
+
+
+def _manifest_list_entries(ml_path: str) -> list[dict]:
+    return _named_rows(ml_path)
+
+
+# ---------------------------------------------------------------- public API
+
+def read_iceberg(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    timestamp_ms: int | None = None,
+) -> DataFrame:
+    """Read an Iceberg table (HadoopTables directory layout) at the
+    current — or a time-travelled — snapshot as a DataFrame."""
+    meta = load_table_metadata(path)
+    schema = _current_schema(meta)
+    snap = _pick_snapshot(meta, snapshot_id, timestamp_ms)
+    files = _live_data_files(path, snap)
+    if not files:
+        return spark.createDataFrame([], schema)
+    paths = [_strip_file_uri(f["file_path"]) for f in files]
+    # name-mapped read: refuse (don't NULL-fill) if the first file
+    # lacks expected columns — the field-id rename case we don't do
+    import pyarrow.parquet as pq
+
+    have = set(pq.read_schema(paths[0]).names)
+    missing = [f.name for f in schema.fields if f.name not in have]
+    if missing:
+        raise IcebergError(
+            f"data file {paths[0]} lacks columns {missing} — likely a "
+            "field-id rename, which this name-mapped reader refuses "
+            "rather than silently NULL-filling"
+        )
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def iceberg_files(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """The live data-file manifest as a DataFrame — metadata only."""
+    meta = load_table_metadata(path)
+    snap = _pick_snapshot(meta, snapshot_id)
+    files = _live_data_files(path, snap)
+    rows = [
+        (
+            f["file_path"],
+            int(f["record_count"]),
+            int(f.get("file_size_in_bytes") or 0),
+        )
+        for f in files
+    ]
+    return spark.createDataFrame(
+        rows,
+        StructType(
+            [
+                StructField("file_path", StringType(), False),
+                StructField("record_count", LongType(), False),
+                StructField("file_size_in_bytes", LongType(), False),
+            ]
+        ),
+    )
+
+
+def iceberg_count(
+    path: str, snapshot_id: int | None = None
+) -> int:
+    """COUNT(*) from manifests alone — record_count is REQUIRED by
+    the spec, so there is no scan fallback to need."""
+    meta = load_table_metadata(path)
+    snap = _pick_snapshot(meta, snapshot_id)
+    return sum(int(f["record_count"]) for f in _live_data_files(path, snap))
+
+
+def iceberg_history(path: str) -> list[dict]:
+    meta = load_table_metadata(path)
+    return [
+        {
+            "snapshot_id": s["snapshot-id"],
+            "timestamp_ms": s["timestamp-ms"],
+            "operation": (s.get("summary") or {}).get("operation"),
+        }
+        for s in meta.get("snapshots") or []
+    ]
+
+
+# ---------------------------------------------------------------- fixture writer
+
+_MANIFEST_ENTRY_SCHEMA = StructType(
+    [
+        StructField("status", IntegerType(), False),
+        StructField("snapshot_id", LongType(), True),
+        StructField(
+            "data_file",
+            StructType(
+                [
+                    StructField("file_path", StringType(), False),
+                    StructField("file_format", StringType(), False),
+                    StructField("record_count", LongType(), False),
+                    StructField("file_size_in_bytes", LongType(), False),
+                ]
+            ),
+            False,
+        ),
+    ]
+)
+
+_MANIFEST_LIST_SCHEMA = StructType(
+    [
+        StructField("manifest_path", StringType(), False),
+        StructField("manifest_length", LongType(), False),
+        StructField("partition_spec_id", IntegerType(), False),
+        StructField("content", IntegerType(), False),
+        StructField("added_snapshot_id", LongType(), True),
+    ]
+)
+
+
+def _write_avro_file(path: str, schema: StructType, rows: list[tuple],
+                     record_name: str) -> None:
+    schema_json, encs = avro_ocf.schema_to_avro_json(schema, name=record_name)
+    h = avro_ocf.AvroWriteHandle(
+        open(path, "wb"), schema_json, encs, "deflate", 64 * 1024,
+        uuid.uuid4().bytes,
+    )
+    for r in rows:
+        h.write_row(r)
+    h.close()
+
+
+def _spark_to_iceberg_type(dtype) -> object:
+    for k, v in _PRIMITIVES.items():
+        if type(dtype) is type(v) and k not in ("uuid",):
+            return k
+    if isinstance(dtype, DecimalType):
+        return f"decimal({dtype.precision},{dtype.scale})"
+    raise IcebergError(
+        f"fixture writer: unsupported column type {dtype.simpleString()}"
+    )
+
+
+def write_iceberg_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+) -> int:
+    """FIXTURE-GRADE iceberg v1 writer (see module docstring):
+    appends df as a new snapshot (or creates the table). Returns the
+    new snapshot id. Data files land via Spark's native parquet
+    writer; manifests and the manifest list are written with the
+    repo's own Avro encoder in spec field order."""
+    if mode != "append":
+        raise IcebergError("fixture writer supports append only")
+    mdir = os.path.join(path, "metadata")
+    ddir = os.path.join(path, "data")
+    os.makedirs(mdir, exist_ok=True)
+    os.makedirs(ddir, exist_ok=True)
+
+    existing = None
+    version = 1
+    if os.path.exists(os.path.join(mdir, "version-hint.text")):
+        existing = load_table_metadata(path)
+        version = int(
+            open(os.path.join(mdir, "version-hint.text")).read().strip()
+        ) + 1
+
+    # 1. data files (staged, then published into data/)
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    entries = []
+    for n in sorted(os.listdir(staging)):
+        if not n.endswith(".parquet"):
+            continue
+        src = os.path.join(staging, n)
+        dst = os.path.join(ddir, f"{uuid.uuid4().hex}.parquet")
+        num = pq.read_metadata(src).num_rows
+        os.replace(src, dst)
+        entries.append(
+            (1, None, (dst, "PARQUET", num, os.path.getsize(dst)))
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+
+    snapshot_id = int.from_bytes(os.urandom(6), "big")
+    now_ms = int(time.time() * 1000)
+
+    # 2. one manifest for this snapshot's added files
+    manifest = os.path.join(mdir, f"manifest-{snapshot_id}.avro")
+    _write_avro_file(
+        manifest, _MANIFEST_ENTRY_SCHEMA, entries, "manifest_entry"
+    )
+
+    # 3. manifest list = prior snapshot's manifests + this one
+    prior_manifests: list[tuple] = []
+    if existing is not None:
+        prev = _pick_snapshot(existing)
+        for m in _manifest_list_entries(
+            _strip_file_uri(prev["manifest-list"])
+        ):
+            prior_manifests.append(
+                (
+                    m["manifest_path"],
+                    int(m["manifest_length"]),
+                    int(m.get("partition_spec_id") or 0),
+                    int(m.get("content") or 0),
+                    m.get("added_snapshot_id"),
+                )
+            )
+    ml = os.path.join(mdir, f"snap-{snapshot_id}.avro")
+    rows = prior_manifests + [
+        (manifest, os.path.getsize(manifest), 0, 0, snapshot_id)
+    ]
+    _write_avro_file(ml, _MANIFEST_LIST_SCHEMA, rows, "manifest_file")
+
+    # 4. metadata.json
+    fields = []
+    for i, f in enumerate(df.schema.fields, start=1):
+        fields.append(
+            {
+                "id": i,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": _spark_to_iceberg_type(f.dataType),
+            }
+        )
+    snap = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": now_ms,
+        "manifest-list": ml,
+        "summary": {"operation": "append"},
+    }
+    snapshots = (existing.get("snapshots") if existing else []) or []
+    snaplog = (existing.get("snapshot-log") if existing else []) or []
+    meta = {
+        "format-version": 1,
+        "table-uuid": (
+            existing["table-uuid"] if existing else str(uuid.uuid4())
+        ),
+        "location": path,
+        "last-updated-ms": now_ms,
+        "last-column-id": len(fields),
+        "schema": {"type": "struct", "fields": fields},
+        "partition-spec": [],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "properties": {},
+        "current-snapshot-id": snapshot_id,
+        "snapshots": snapshots + [snap],
+        "snapshot-log": snaplog
+        + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}],
+    }
+    with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    tmp = os.path.join(mdir, f".version-hint.tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(mdir, "version-hint.text"))
+    return snapshot_id

@@ -1,0 +1,201 @@
+"""Iceberg tier (sources/iceberg.py): metadata-tree walk through the
+repo's own Avro decoder, snapshot time travel, metadata-only counts,
+and the delete/format refusals."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from lwes_contrib_hive_serde_spark.sources import avro_ocf as A
+from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+
+def _docs(spark, n=20):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=i, text=f"body {i}", lang=["en", "de"][i % 2])
+            for i in range(n)
+        ]
+    )
+
+
+def _vals(df):
+    return sorted((r.doc_id, r.text, r.lang) for r in df.collect())
+
+
+class TestReadWrite:
+    def test_single_snapshot_round_trip(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        df = _docs(spark)
+        I.write_iceberg_table(df, p)
+        back = I.read_iceberg(spark, p)
+        assert back.schema == df.schema
+        assert _vals(back) == _vals(df)
+
+    def test_append_and_snapshot_time_travel(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        a = _docs(spark).where("doc_id < 8")
+        b = _docs(spark).where("doc_id >= 8")
+        s1 = I.write_iceberg_table(a, p)
+        s2 = I.write_iceberg_table(b, p)
+        assert _vals(I.read_iceberg(spark, p)) == _vals(_docs(spark))
+        assert _vals(I.read_iceberg(spark, p, snapshot_id=s1)) == _vals(a)
+        hist = I.iceberg_history(p)
+        assert [h["snapshot_id"] for h in hist] == [s1, s2]
+        ts1 = hist[0]["timestamp_ms"]
+        # pin distinct timestamps so timestamp travel is well-defined
+        mdir = os.path.join(p, "metadata")
+        v = open(os.path.join(mdir, "version-hint.text")).read().strip()
+        mpath = os.path.join(mdir, f"v{v}.metadata.json")
+        meta = json.load(open(mpath))
+        meta["snapshots"][1]["timestamp-ms"] = ts1 + 60_000
+        meta["snapshot-log"][1]["timestamp-ms"] = ts1 + 60_000
+        json.dump(meta, open(mpath, "w"))
+        got = I.read_iceberg(spark, p, timestamp_ms=ts1 + 5_000)
+        assert _vals(got) == _vals(a)
+        with pytest.raises(I.IcebergError, match="no snapshot at or before"):
+            I.read_iceberg(spark, p, timestamp_ms=ts1 - 1)
+
+    def test_metadata_only_count_and_files(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        s1 = I.write_iceberg_table(_docs(spark, 12), p)
+        I.write_iceberg_table(_docs(spark, 5), p)
+        assert I.iceberg_count(p) == 17
+        assert I.iceberg_count(p, snapshot_id=s1) == 12
+        files = I.iceberg_files(spark, p)
+        assert files.count() >= 2
+        total = sum(r.record_count for r in files.collect())
+        assert total == 17
+
+    def test_version_hint_vs_scan_fallback(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark), p)
+        os.remove(os.path.join(p, "metadata", "version-hint.text"))
+        assert I.read_iceberg(spark, p).count() == 20
+
+
+class TestRefusals:
+    def _table(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark), p)
+        return p
+
+    def _meta_path(self, p):
+        mdir = os.path.join(p, "metadata")
+        v = open(os.path.join(mdir, "version-hint.text")).read().strip()
+        return os.path.join(mdir, f"v{v}.metadata.json")
+
+    def test_refuses_format_version_3(self, spark, tmp_path):
+        p = self._table(spark, tmp_path)
+        mp = self._meta_path(p)
+        meta = json.load(open(mp))
+        meta["format-version"] = 3
+        json.dump(meta, open(mp, "w"))
+        with pytest.raises(I.IcebergError, match="format-version 3"):
+            I.read_iceberg(spark, p)
+
+    def test_refuses_delete_manifest(self, spark, tmp_path):
+        p = self._table(spark, tmp_path)
+        meta = json.load(open(self._meta_path(p)))
+        ml = meta["snapshots"][-1]["manifest-list"]
+        rows = I._manifest_list_entries(ml)
+        rows[0]["content"] = 1  # a DELETE manifest
+        I._write_avro_file(
+            ml,
+            I._MANIFEST_LIST_SCHEMA,
+            [
+                (
+                    r["manifest_path"],
+                    r["manifest_length"],
+                    r["partition_spec_id"],
+                    r["content"],
+                    r["added_snapshot_id"],
+                )
+                for r in rows
+            ],
+            "manifest_file",
+        )
+        with pytest.raises(I.IcebergError, match="DELETE manifests"):
+            I.read_iceberg(spark, p)
+
+    def test_refuses_non_parquet_data(self, spark, tmp_path):
+        p = self._table(spark, tmp_path)
+        meta = json.load(open(self._meta_path(p)))
+        ml = meta["snapshots"][-1]["manifest-list"]
+        m = I._manifest_list_entries(ml)[0]["manifest_path"]
+        entries = I._named_rows(m)
+        I._write_avro_file(
+            m,
+            I._MANIFEST_ENTRY_SCHEMA,
+            [
+                (
+                    e["status"],
+                    e["snapshot_id"],
+                    (
+                        e["data_file"]["file_path"],
+                        "ORC",
+                        e["data_file"]["record_count"],
+                        e["data_file"]["file_size_in_bytes"],
+                    ),
+                )
+                for e in entries
+            ],
+            "manifest_entry",
+        )
+        with pytest.raises(I.IcebergError, match="ORC"):
+            I.read_iceberg(spark, p)
+
+    def test_refuses_missing_columns(self, spark, tmp_path):
+        p = self._table(spark, tmp_path)
+        mp = self._meta_path(p)
+        meta = json.load(open(mp))
+        meta["schema"]["fields"].append(
+            {"id": 99, "name": "renamed_col", "required": False,
+             "type": "string"}
+        )
+        json.dump(meta, open(mp, "w"))
+        with pytest.raises(I.IcebergError, match="renamed_col"):
+            I.read_iceberg(spark, p)
+
+    def test_deleted_entries_are_skipped_not_read(self, spark, tmp_path):
+        p = self._table(spark, tmp_path)
+        meta = json.load(open(self._meta_path(p)))
+        ml = meta["snapshots"][-1]["manifest-list"]
+        m = I._manifest_list_entries(ml)[0]["manifest_path"]
+        entries = I._named_rows(m)
+        # mark every entry status=2 (deleted tombstone): a valid v1
+        # shape — the files drop out of the snapshot
+        I._write_avro_file(
+            m,
+            I._MANIFEST_ENTRY_SCHEMA,
+            [
+                (
+                    2,
+                    e["snapshot_id"],
+                    (
+                        e["data_file"]["file_path"],
+                        e["data_file"]["file_format"],
+                        e["data_file"]["record_count"],
+                        e["data_file"]["file_size_in_bytes"],
+                    ),
+                )
+                for e in entries
+            ],
+            "manifest_entry",
+        )
+        out = I.read_iceberg(spark, p)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == [
+            "doc_id", "text", "lang",
+        ]
+
+    def test_not_a_table(self, spark, tmp_path):
+        with pytest.raises(I.IcebergError, match="not an Iceberg table"):
+            I.read_iceberg(spark, str(tmp_path / "nope"))
+
+    def test_unknown_snapshot(self, spark, tmp_path):
+        p = self._table(spark, tmp_path)
+        with pytest.raises(I.IcebergError, match="snapshot 123 not found"):
+            I.read_iceberg(spark, p, snapshot_id=123)
