@@ -2506,3 +2506,45 @@ def default_langid_profiles(spark, top_k: int = 300) -> DataFrame:
     text instead; the seeds are a bootstrap, not a benchmark."""
     df = spark.createDataFrame(LANGID_SEEDS, "lang string, text string")
     return train_langid_profiles(df, top_k=top_k)
+
+
+def compression_ratio(col, level: int = 6) -> Column:
+    """zlib-compressed size over raw utf-8 size — the classic
+    repetitiveness / junk detector (used by RefinedWeb-style
+    pipelines as a cheap quality gate): boilerplate-heavy or
+    template-spam text compresses far below natural prose, while
+    encoded noise (hex dumps, base64 blobs) barely compresses at
+    all. Arrow-batched pandas UDF (the documented Python-in-scan
+    escape hatch — the JVM has no deflate expression); stdlib zlib
+    at a FIXED level so the signal is deterministic. NULL in, NULL
+    out; empty text → NULL (no meaningful ratio)."""
+    if not 1 <= int(level) <= 9:
+        raise ValueError(f"compression_ratio: level {level} not in 1..9")
+    lvl = int(level)
+
+    @F.pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return None
+            return len(zlib.compress(raw, lvl)) / len(raw)
+
+        return s.map(one)
+
+    return _ratio(col if isinstance(col, Column) else F.col(col))
+
+
+def repetitive_by_compression(
+    col, max_ratio: float = 0.25, level: int = 6
+) -> Column:
+    """True when text compresses below ``max_ratio`` — i.e. is
+    dominated by repeated content. 0.25 is far below natural prose
+    (~0.4-0.65 at level 6) and far above pathological repetition
+    (~0.01-0.1), so the flag is robust to zlib build differences;
+    tune per corpus with compression_ratio directly."""
+    return compression_ratio(col, level=level) < F.lit(float(max_ratio))

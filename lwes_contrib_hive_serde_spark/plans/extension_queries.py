@@ -8567,3 +8567,83 @@ def q_iceberg_read(spark, sf_dir):
     cur = agg(I.read_iceberg(spark, out), "current")
     old = agg(I.read_iceberg(spark, out, snapshot_id=first), "first")
     return cur.unionAll(old)
+
+
+@register(
+    "q_compression_filter",
+    shadow=True,
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'repeat_phrase'
+                           WHEN 1 THEN 'hex_noise'
+                           WHEN 2 THEN 'char_run'
+                           ELSE 'short_noise' END AS shape,
+           CASE doc_id % 4
+             WHEN 0 THEN length(repeat('spam ham ', 80))
+             WHEN 1 THEN length(concat(
+               md5(CAST(doc_id * 8 + 0 AS VARCHAR)),
+               md5(CAST(doc_id * 8 + 1 AS VARCHAR)),
+               md5(CAST(doc_id * 8 + 2 AS VARCHAR)),
+               md5(CAST(doc_id * 8 + 3 AS VARCHAR)),
+               md5(CAST(doc_id * 8 + 4 AS VARCHAR)),
+               md5(CAST(doc_id * 8 + 5 AS VARCHAR)),
+               md5(CAST(doc_id * 8 + 6 AS VARCHAR)),
+               md5(CAST(doc_id * 8 + 7 AS VARCHAR))))
+             WHEN 2 THEN length(repeat('a', 500))
+             ELSE length(md5(CAST(doc_id AS VARCHAR)))
+           END AS raw_len,
+           (doc_id % 4) IN (0, 2) AS is_repetitive,
+           CASE WHEN (doc_id % 4) IN (0, 2) THEN 'low' ELSE 'high'
+           END AS band
+    FROM documents WHERE doc_id < 400 ORDER BY doc_id
+    """,
+    doc="Compression-ratio quality signal (text.compression_ratio / "
+    "repetitive_by_compression — the RefinedWeb-style cheap junk "
+    "detector): zlib size over raw size through an Arrow-batched "
+    "pandas UDF at a fixed level. Four deterministic shapes built "
+    "identically in both engines (a repeated phrase, 256 chars of "
+    "DISTINCT md5 hex noise (eight different hashes — repeating one "
+    "hash would be repetition, the opposite signal), a 500-char single-char run, one 32-char md5): "
+    "the oracle STATES raw length, the repetitive flag (threshold "
+    "0.25), and a low/high ratio band with wide margins on both "
+    "sides — natural prose sits ~0.4-0.65, repetition ~0.01-0.1, "
+    "hex noise ≥0.5 — so the gate is robust to zlib build "
+    "differences while still failing on any real signal bug "
+    "(wrong threshold direction, bytes-vs-chars confusion, level "
+    "drift into no-compression territory).",
+)
+def q_compression_filter(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    v = F.col("doc_id") % 4
+    built = (
+        F.when(v == 0, F.repeat(F.lit("spam ham "), 80))
+        .when(
+            v == 1,
+            F.concat(
+                *[
+                    F.md5((F.col("doc_id") * 8 + k).cast("string"))
+                    for k in range(8)
+                ]
+            ),
+        )
+        .when(v == 2, F.repeat(F.lit("a"), 500))
+        .otherwise(F.md5(F.col("doc_id").cast("string")))
+    )
+    shape = (
+        F.when(v == 0, F.lit("repeat_phrase"))
+        .when(v == 1, F.lit("hex_noise"))
+        .when(v == 2, F.lit("char_run"))
+        .otherwise(F.lit("short_noise"))
+    )
+    sel = d.select("doc_id", shape.alias("shape"), built.alias("t"))
+    ratio = text.compression_ratio("t")
+    return sel.select(
+        "doc_id",
+        "shape",
+        F.length("t").alias("raw_len"),
+        text.repetitive_by_compression("t").alias("is_repetitive"),
+        F.when(ratio < 0.25, F.lit("low"))
+        .when(ratio > 0.45, F.lit("high"))
+        .otherwise(F.lit("mid"))
+        .alias("band"),
+    ).orderBy("doc_id")

@@ -1854,3 +1854,46 @@ class TestDefaultLangidSeeds:
         misses = {i: (got[i], want[i]) for i in want if got[i] != want[i]}
         # allow at most one near-language confusion on 10 short probes
         assert len(misses) <= 1, misses
+
+
+class TestCompressionRatio:
+    def test_signal_separates_repetition_from_prose(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import text as T
+
+        rows = [
+            (0, "spam ham " * 100),
+            (1, "The study examined how river sediment moves through "
+                "mountain valleys during spring, and why some channels "
+                "carry far more material than others in dry years."),
+            (2, None),
+            (3, ""),
+        ]
+        df = spark.createDataFrame(rows, "id long, t string").select(
+            "id",
+            T.compression_ratio("t").alias("r"),
+            T.repetitive_by_compression("t").alias("rep"),
+        )
+        got = {r.id: (r.r, r.rep) for r in df.collect()}
+        assert got[0][0] < 0.1 and got[0][1] is True
+        assert 0.35 < got[1][0] < 0.9 and got[1][1] is False
+        assert got[2] == (None, None)
+        assert got[3] == (None, None)  # empty text: no meaningful ratio
+
+    def test_level_validated_and_plan_is_arrow(self, spark):
+        import io
+        from contextlib import redirect_stdout
+
+        import pytest as _pytest
+
+        from lwes_contrib_hive_serde_spark.operators import text as T
+
+        with _pytest.raises(ValueError, match="level"):
+            T.compression_ratio("t", level=0)
+        df = spark.createDataFrame([(1, "x")], "id long, t string").select(
+            T.compression_ratio("t").alias("r")
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
