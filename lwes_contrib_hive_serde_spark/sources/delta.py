@@ -805,3 +805,190 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
         json.dump(last, f)
     os.replace(tmp, lp)
     return version
+
+
+# ---------------------------------------------------------------- maintenance
+
+
+def _publish_parquet_dir(staging: str, dest_dir: str, table_path: str,
+                         pv: dict) -> list[dict]:
+    """Move staged part files into dest_dir under attempt-unique
+    names; return their add actions (partitionValues = pv)."""
+    import pyarrow.parquet as pq
+
+    adds = []
+    rel_dir = os.path.relpath(dest_dir, table_path)
+    segs = [] if rel_dir == "." else rel_dir.split(os.sep)
+    for n in sorted(os.listdir(staging)):
+        if not n.endswith(".parquet"):
+            continue
+        src = os.path.join(staging, n)
+        unique = f"part-{uuid.uuid4().hex}.parquet"
+        rel = "/".join(
+            [urllib.parse.quote(s, safe="/=") for s in segs] + [unique]
+        )
+        dst = os.path.join(dest_dir, unique)
+        os.makedirs(dest_dir, exist_ok=True)
+        num_records = pq.read_metadata(src).num_rows
+        os.replace(src, dst)
+        st = os.stat(dst)
+        adds.append(
+            {
+                "path": rel,
+                "partitionValues": dict(pv),
+                "size": st.st_size,
+                "modificationTime": int(st.st_mtime * 1000),
+                "dataChange": False,
+                "stats": json.dumps({"numRecords": num_records}),
+            }
+        )
+    return adds
+
+
+def delta_compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+    max_commit_attempts: int = 10,
+) -> dict:
+    """Small-file compaction (the OPTIMIZE of this tier): within each
+    partition, groups holding at least ``min_files`` files where at
+    least one is under half the target are rewritten into
+    ~target-sized files and swapped in via ONE ``dataChange=false``
+    commit (the protocol's marker that no logical rows changed, so
+    streaming consumers skip it). At 100 TB this is the difference
+    between a scan planning 10M straggler files and 100k right-sized
+    ones. Returns {"files_removed": n, "files_added": m,
+    "version": v} (version None when nothing needed compacting).
+
+    Concurrency: if another commit lands first, the compaction
+    re-replays and retries only while every file it rewrote is still
+    live; otherwise it aborts and removes its staged output —
+    compaction never wins a race against a real data change."""
+    import shutil
+
+    state = _replay(path)
+    _check_readable(state)
+    part_cols = _partition_columns(state)
+    full_schema = _schema(state)
+    data_schema = StructType(
+        [f for f in full_schema.fields if f.name not in part_cols]
+    )
+
+    groups: dict[tuple, list[dict]] = {}
+    for a in state.adds.values():
+        pv = a.get("partitionValues") or {}
+        key = tuple((c, pv.get(c)) for c in part_cols)
+        groups.setdefault(key, []).append(a)
+
+    removes: list[dict] = []
+    adds: list[dict] = []
+    for key, files in groups.items():
+        if len(files) < min_files:
+            continue
+        if not any(
+            int(f.get("size") or 0) < target_file_bytes // 2 for f in files
+        ):
+            continue
+        paths = [_file_abspath(path, f["path"]) for f in files]
+        total = sum(int(f.get("size") or 0) for f in files)
+        n_out = max(1, -(-total // target_file_bytes))
+        df = spark.read.schema(data_schema).parquet(*paths)
+        staging = os.path.join(path, f".compact-{uuid.uuid4().hex}")
+        df.repartition(n_out).write.mode("overwrite").parquet(staging)
+        pv = dict(key)
+        dest_dir = os.path.dirname(paths[0])
+        adds.extend(_publish_parquet_dir(staging, dest_dir, path, pv))
+        shutil.rmtree(staging, ignore_errors=True)
+        removes.extend(files)
+
+    if not removes:
+        return {"files_removed": 0, "files_added": 0, "version": None}
+
+    now_ms = int(time.time() * 1000)
+    removed_paths = {r["path"] for r in removes}
+    for _ in range(max_commit_attempts):
+        current = _replay(path)
+        if not removed_paths <= set(current.adds):
+            # a real data change already touched our inputs: abort
+            for a in adds:
+                try:
+                    os.remove(_file_abspath(path, a["path"]))
+                except OSError:
+                    pass
+            raise DeltaError(
+                "compaction lost a race against a data-changing "
+                "commit; aborted cleanly (re-run to retry)"
+            )
+        version = current.version + 1
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "OPTIMIZE",
+                    "operationParameters": {
+                        "targetFileBytes": target_file_bytes
+                    },
+                }
+            }
+        ]
+        for r in removes:
+            actions.append(
+                {
+                    "remove": {
+                        "path": r["path"],
+                        "deletionTimestamp": now_ms,
+                        "dataChange": False,
+                        "partitionValues": r.get("partitionValues") or {},
+                        "size": r.get("size"),
+                    }
+                }
+            )
+        actions.extend({"add": a} for a in adds)
+        payload = "".join(json.dumps(x) + "\n" for x in actions).encode()
+        target = _commit_file(path, version)
+        try:
+            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+        return {
+            "files_removed": len(removes),
+            "files_added": len(adds),
+            "version": version,
+        }
+    raise DeltaError("compaction could not commit (sustained contention)")
+
+
+def delta_vacuum(
+    path: str,
+    retention_ms: int = 7 * 24 * 3600 * 1000,
+    now_ms: int | None = None,
+) -> int:
+    """Physically delete tombstoned data files whose
+    deletionTimestamp is older than the retention window; returns
+    the number of files removed from disk. Time travel to versions
+    that referenced them stops working — exactly the real VACUUM
+    trade-off, which is why the default retention is 7 days; the
+    log itself is never touched (checkpoints bound replay cost
+    instead)."""
+    state = _replay(path)
+    if now_ms is None:
+        now_ms = int(time.time() * 1000)
+    cutoff = now_ms - retention_ms
+    live = set(state.adds)
+    n = 0
+    for p, r in state.tombstones.items():
+        if p in live:
+            continue
+        ts = int(r.get("deletionTimestamp") or 0)
+        if ts > cutoff:
+            continue
+        try:
+            os.remove(_file_abspath(path, p))
+            n += 1
+        except FileNotFoundError:
+            pass
+    return n

@@ -366,3 +366,98 @@ class TestConcurrency:
         )
         assert v == 2
         assert _read_rows(spark, p) == _expected(_docs(spark))
+
+
+class TestMaintenance:
+    def test_compact_merges_small_files(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        df = _docs(spark, 40)
+        # many tiny files: one commit per slice
+        for lo in range(0, 40, 8):
+            D.write_delta(
+                df.where(f"doc_id >= {lo} and doc_id < {lo + 8}"),
+                p, mode="append",
+            )
+        before = D.delta_files(spark, p).count()
+        assert before >= 5
+        res = D.delta_compact(spark, p, target_file_bytes=1 << 30)
+        assert res["files_removed"] == before
+        after = D.delta_files(spark, p)
+        assert after.count() < before
+        # content identical, stats carried over
+        assert _read_rows(spark, p) == _expected(df)
+        assert D.delta_count(spark, p) == 40
+        # the compaction commit is dataChange=false end to end
+        acts = [
+            json.loads(x)
+            for x in open(D._commit_file(p, res["version"])).read().splitlines()
+        ]
+        for a in acts:
+            for k in ("add", "remove"):
+                if k in a:
+                    assert a[k]["dataChange"] is False
+        # pre-compaction versions still time travel (files not deleted)
+        assert len(_read_rows(spark, p, version=1)) == 16
+
+    def test_compact_partitioned_and_skips_compact_groups(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        df = _docs(spark, 30)
+        for _ in range(3):
+            D.write_delta(
+                df.where("doc_id < 10"), p, mode="append",
+                partition_by=["lang"],
+            )
+        res = D.delta_compact(spark, p, target_file_bytes=1 << 30)
+        assert res["files_added"] >= 1
+        files = D.delta_files(spark, p).collect()
+        langs = {f.lang for f in files}
+        assert langs == {"en", "de", "fr"}
+        # rows preserved incl. partition column re-attach
+        got = D.read_delta(spark, p).groupBy("lang").count().collect()
+        exp = {r.lang: r["count"] for r in got}
+        assert sum(exp.values()) == 30
+        # nothing left to compact: second run is a no-op
+        res2 = D.delta_compact(spark, p, target_file_bytes=1 << 30)
+        assert res2 == {"files_removed": 0, "files_added": 0, "version": None}
+
+    def test_vacuum_honors_retention(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark), p)
+        D.write_delta(_docs(spark).where("doc_id < 5"), p, mode="overwrite")
+        # fresh tombstones: default 7-day retention keeps the files
+        assert D.delta_vacuum(p) == 0
+        assert len(_read_rows(spark, p, version=0)) == 20  # time travel OK
+        # zero retention: tombstoned files go away
+        n = D.delta_vacuum(p, retention_ms=0)
+        assert n >= 1
+        assert _read_rows(spark, p) == _expected(
+            _docs(spark).where("doc_id < 5")
+        )
+        # files re-added after a remove are never vacuumed
+        assert D.delta_count(spark, p) == 5
+
+    def test_compact_aborts_when_inputs_change(self, spark, tmp_path, monkeypatch):
+        p = str(tmp_path / "t")
+        df = _docs(spark, 20)
+        D.write_delta(df.where("doc_id < 10"), p)
+        D.write_delta(df.where("doc_id >= 10"), p, mode="append")
+
+        real_replay = D._replay
+        calls = {"n": 0}
+
+        def racing_replay(path, version=None):
+            st = real_replay(path, version)
+            calls["n"] += 1
+            if calls["n"] == 2:
+                # between planning and commit, an overwrite removes
+                # every input file of the compaction
+                D.write_delta(df.where("doc_id = 0"), p, mode="overwrite")
+                return real_replay(path, version)
+            return st
+
+        monkeypatch.setattr(D, "_replay", racing_replay)
+        with pytest.raises(D.DeltaError, match="lost a race"):
+            D.delta_compact(spark, p, target_file_bytes=1 << 30)
+        monkeypatch.undo()
+        # table unharmed and no stray staged adds
+        assert _read_rows(spark, p) == _expected(df.where("doc_id = 0"))
