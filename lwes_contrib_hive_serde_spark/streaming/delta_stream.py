@@ -1,0 +1,216 @@
+"""Structured Streaming over a Delta table — initial snapshot, then
+version-tailed appends, exactly once.
+
+    spark.readStream.format("delta_stream").option("path", tbl).load()
+
+The real Delta streaming contract, reproduced on the repo's log
+replay (sources/delta.py):
+
+  - **Initial snapshot**: the first microbatch is the RECONCILED
+    table at the version current when the stream starts (not a
+    replay of historical adds — files an overwrite removed are
+    gone). ``option("startingversion", "latest")`` skips it and
+    tails only commits after stream start;
+    ``option("startingversion", N)`` tails from version N onward
+    with no snapshot (the delta-spark semantics).
+  - **Tail**: each later version contributes its ``dataChange=true``
+    add actions. Compaction commits (``dataChange=false``, see
+    delta_compact) are skipped ENTIRELY — that is the protocol's
+    point: OPTIMIZE must be invisible to consumers.
+  - **Data-changing removes** (overwrites/deletes) make an
+    append-only tail a lie, so they are a typed error unless
+    ``option("ignorechanges", "true")`` — which, exactly like
+    delta-spark's ignoreChanges, re-emits that commit's adds and may
+    therefore duplicate rows downstream; the option name is the
+    user's acknowledgement.
+  - **Offsets** are ``{"version": N, "snapshot_done": bool}`` in the
+    checkpoint; restart resumes after version N, and partitions are
+    derived purely from (start, end] log replay — at-most-once per
+    file per offset range, exactly-once end to end with a
+    checkpointed sink.
+
+Scale: latestOffset/partitions replay only the commit JSONs after
+the last offset (checkpoints bound the snapshot replay); each task
+reads ONE parquet file with pyarrow and yields Arrow RecordBatches
+(zero row-at-a-time Python), attaching log-held partition values as
+constant columns.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from lwes_contrib_hive_serde_spark.sources import delta as D
+
+
+class DeltaFileSlice(InputPartition):
+    def __init__(self, file_path: str, partition_values: dict,
+                 part_cols: list[str]):
+        self.file_path = file_path
+        self.partition_values = partition_values
+        self.part_cols = part_cols
+
+
+class DeltaStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options):
+        self.options = options
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("delta_stream: path required")
+        self.ignore_changes = (
+            options.get("ignorechanges", "false").lower() == "true"
+        )
+        starting = options.get("startingversion")
+        state = D._replay(self.path)
+        D._check_readable(state)
+        self.schema = D._schema(state)
+        if schema is not None and len(schema.fields) and schema != self.schema:
+            raise D.DeltaError(
+                "delta_stream: user schema differs from the table's "
+                f"({self.schema.simpleString()}); omit .schema(...)"
+            )
+        self.part_cols = D._partition_columns(state)
+        self._current_at_start = state.version
+        if starting is None:
+            self._start_version = state.version
+            self._want_snapshot = True
+        elif str(starting).lower() == "latest":
+            self._start_version = state.version
+            self._want_snapshot = False
+        else:
+            self._start_version = int(starting) - 1
+            self._want_snapshot = False
+
+    # -- offsets ----------------------------------------------------
+
+    def initialOffset(self) -> dict:
+        if self._want_snapshot:
+            # snapshot pending: nothing consumed yet
+            return {"version": -1, "snapshot_done": False}
+        return {"version": self._start_version, "snapshot_done": True}
+
+    def latestOffset(self) -> dict:
+        state = D._replay(self.path)
+        return {"version": state.version, "snapshot_done": True}
+
+    def commit(self, end: dict) -> None:
+        pass  # progress lives in the engine's offset checkpoint
+
+    # -- planning ---------------------------------------------------
+
+    def partitions(self, start: dict, end: dict):
+        end_v = int(end["version"])
+        slices: list[DeltaFileSlice] = []
+        if not start.get("snapshot_done", True):
+            # initial snapshot: reconciled state at end version
+            state = D._replay(self.path, version=end_v)
+            D._check_readable(state)
+            for a in state.adds.values():
+                slices.append(self._slice(a))
+        else:
+            start_v = int(start["version"])
+            for v, actions in self._versions_between(start_v, end_v):
+                removes = [
+                    r for r in actions
+                    if "remove" in r and r["remove"].get("dataChange", True)
+                ]
+                if removes and not self.ignore_changes:
+                    raise D.DeltaError(
+                        f"version {v} contains data-changing removes; an "
+                        "append-only stream cannot represent them. Set "
+                        "option('ignorechanges','true') to re-emit that "
+                        "commit's adds (may duplicate rows downstream)."
+                    )
+                for a in actions:
+                    add = a.get("add")
+                    if add and add.get("dataChange", True):
+                        slices.append(self._slice(add))
+        return slices or [DeltaFileSlice("", {}, self.part_cols)]
+
+    def _slice(self, add: dict) -> DeltaFileSlice:
+        return DeltaFileSlice(
+            D._file_abspath(self.path, add["path"]),
+            add.get("partitionValues") or {},
+            self.part_cols,
+        )
+
+    def _versions_between(self, start_v: int, end_v: int):
+        commits, _cps = D._list_log(self.path)
+        import json as _json
+
+        for v in commits:
+            if v <= start_v or v > end_v:
+                continue
+            actions = []
+            with open(D._commit_file(self.path, v), "rb") as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        actions.append(_json.loads(line))
+            yield v, actions
+
+    # -- execution ----------------------------------------------------
+
+    def read(self, partition: DeltaFileSlice) -> Iterator:
+        if not partition.file_path:
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self.schema)
+        tbl = pq.read_table(partition.file_path)
+        n = tbl.num_rows
+        cols = []
+        for field in target:
+            if field.name in partition.part_cols:
+                dtype = next(
+                    f.dataType
+                    for f in self.schema.fields
+                    if f.name == field.name
+                )
+                raw = partition.partition_values.get(field.name)
+                val = D._cast_partition_value(raw, dtype)
+                cols.append(pa.array([val] * n, type=field.type))
+            else:
+                cols.append(tbl.column(field.name).cast(field.type))
+        out = pa.table(cols, schema=target)
+        yield from out.to_batches(max_chunksize=8192)
+
+
+class DeltaStreamDataSource(DataSource):
+    """``spark.readStream.format("delta_stream")``. Batch reads go
+    through sources.delta.read_delta instead — that path is Spark's
+    native parquet scan; a Python batch reader here would be the
+    slow path on purpose, so it refuses with the pointer."""
+
+    @classmethod
+    def name(cls):
+        return "delta_stream"
+
+    def schema(self):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("delta_stream: path required")
+        state = D._replay(path)
+        D._check_readable(state)
+        return D._schema(state)
+
+    def reader(self, schema: StructType):
+        raise D.DeltaError(
+            "batch Delta reads use "
+            "lwes_contrib_hive_serde_spark.sources.delta.read_delta "
+            "(native parquet scan); format('delta_stream') is the "
+            "STREAMING entry point"
+        )
+
+    def streamReader(self, schema: StructType):
+        return DeltaStreamReader(schema, self.options)

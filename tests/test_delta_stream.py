@@ -1,0 +1,163 @@
+"""Streaming Delta source (streaming/delta_stream.py): initial
+snapshot semantics, version tailing, compaction invisibility, the
+ignorechanges contract, and exactly-once restart."""
+
+import time
+
+import pytest
+from pyspark.sql import Row
+
+from lwes_contrib_hive_serde_spark.sources import delta as D
+
+
+def _docs(spark, lo, hi):
+    return spark.createDataFrame(
+        [Row(doc_id=i, lang=["en", "de"][i % 2]) for i in range(lo, hi)]
+    )
+
+
+def _start(spark, path, name, **opts):
+    reader = spark.readStream.format("delta_stream").option("path", path)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return (
+        reader.load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+
+
+def _ids(spark, name):
+    return sorted(
+        r.doc_id for r in spark.sql(f"select doc_id from {name}").collect()
+    )
+
+
+class TestDeltaStream:
+    def test_snapshot_then_tail_skips_compaction(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 0, 5), p)
+        D.write_delta(_docs(spark, 5, 10), p, mode="append")
+        D.write_delta(_docs(spark, 0, 3), p, mode="overwrite")
+        q = _start(spark, p, "ds_snap")
+        try:
+            q.processAllAvailable()
+            # snapshot = RECONCILED state (post-overwrite), not history
+            assert _ids(spark, "ds_snap") == [0, 1, 2]
+            D.write_delta(_docs(spark, 20, 24), p, mode="append")
+            q.processAllAvailable()
+            assert _ids(spark, "ds_snap") == [0, 1, 2, 20, 21, 22, 23]
+            # OPTIMIZE is invisible: no new rows, no error
+            res = D.delta_compact(spark, p, target_file_bytes=1 << 30)
+            assert res["version"] is not None
+            q.processAllAvailable()
+            assert _ids(spark, "ds_snap") == [0, 1, 2, 20, 21, 22, 23]
+            # and the stream keeps tailing after it
+            D.write_delta(_docs(spark, 30, 32), p, mode="append")
+            q.processAllAvailable()
+            assert _ids(spark, "ds_snap") == [0, 1, 2, 20, 21, 22, 23, 30, 31]
+        finally:
+            q.stop()
+
+    def test_overwrite_mid_stream_errors_without_ignorechanges(
+        self, spark, tmp_path
+    ):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 0, 4), p)
+        q = _start(spark, p, "ds_err")
+        try:
+            q.processAllAvailable()
+            D.write_delta(_docs(spark, 0, 2), p, mode="overwrite")
+            with pytest.raises(Exception, match="ignorechanges"):
+                q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def test_ignorechanges_reemits_overwrite_adds(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 0, 4), p)
+        q = _start(spark, p, "ds_ign", ignorechanges="true")
+        try:
+            q.processAllAvailable()
+            assert _ids(spark, "ds_ign") == [0, 1, 2, 3]
+            D.write_delta(_docs(spark, 10, 12), p, mode="overwrite")
+            q.processAllAvailable()
+            # the overwrite's adds land (documented possible dupes)
+            assert _ids(spark, "ds_ign") == [0, 1, 2, 3, 10, 11]
+        finally:
+            q.stop()
+
+    def test_startingversion_latest_skips_snapshot(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 0, 6), p)
+        q = _start(spark, p, "ds_latest", startingversion="latest")
+        try:
+            q.processAllAvailable()
+            assert _ids(spark, "ds_latest") == []
+            D.write_delta(_docs(spark, 6, 9), p, mode="append")
+            q.processAllAvailable()
+            assert _ids(spark, "ds_latest") == [6, 7, 8]
+        finally:
+            q.stop()
+
+    def test_startingversion_number_tails_history(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 0, 2), p)           # v0
+        D.write_delta(_docs(spark, 2, 4), p, "append") # v1
+        D.write_delta(_docs(spark, 4, 6), p, "append") # v2
+        q = _start(spark, p, "ds_from1", startingversion="1")
+        try:
+            q.processAllAvailable()
+            assert _ids(spark, "ds_from1") == [2, 3, 4, 5]
+        finally:
+            q.stop()
+
+    def test_partition_values_attached_in_stream(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 0, 8), p, partition_by=["lang"])
+        q = _start(spark, p, "ds_part")
+        try:
+            q.processAllAvailable()
+            rows = spark.sql(
+                "select lang, count(*) n from ds_part group by lang"
+            ).collect()
+            got = {r.lang: r.n for r in rows}
+            assert got == {"en": 4, "de": 4}
+        finally:
+            q.stop()
+
+    def test_exactly_once_across_restart(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        out = str(tmp_path / "out")
+        ck = str(tmp_path / "ck")
+        D.write_delta(_docs(spark, 0, 5), p)
+
+        def run_once():
+            q = (
+                spark.readStream.format("delta_stream")
+                .option("path", p)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            q.stop()
+
+        run_once()
+        D.write_delta(_docs(spark, 5, 9), p, mode="append")
+        run_once()
+        got = sorted(
+            r.doc_id for r in spark.read.parquet(out).collect()
+        )
+        assert got == list(range(9))  # no dupes, no gaps
+
+    def test_batch_read_refused_with_pointer(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 0, 3), p)
+        with pytest.raises(Exception, match="read_delta"):
+            spark.read.format("delta_stream").option("path", p).load().collect()
