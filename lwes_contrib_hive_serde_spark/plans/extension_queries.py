@@ -8647,3 +8647,71 @@ def q_compression_filter(spark, sf_dir):
         .otherwise(F.lit("mid"))
         .alias("band"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_cdc_chunking",
+    shadow=True,
+    oracle="""
+    SELECT doc_id,
+           768 AS blob_len,
+           TRUE AS tiles_ok,
+           TRUE AS sizes_ok,
+           TRUE AS count_in_bounds
+    FROM documents WHERE doc_id < 300 ORDER BY doc_id
+    """,
+    doc="Content-defined chunking (dedup.cdc_chunks — gear CDC, Xia "
+    "et al. 2016 — the storage-dedup primitive for multimodal "
+    "payloads; boundaries are content-local so shifted near-dups "
+    "share chunks, which fixed blocking structurally cannot do): "
+    "blobs are 768 chars of per-doc md5 text built identically in "
+    "both engines; the oracle states the CONTRACT — chunks tile the "
+    "blob exactly (offsets contiguous from 0, lengths sum to 768), "
+    "every non-final chunk within [min,max] size, chunk count "
+    "within the arithmetic bounds ceil(len/max)..floor(len/min). "
+    "Boundary EXACTNESS is pinned separately by the per-byte "
+    "brute-force reference in tests/test_cdc_chunking.py (the "
+    "vectorized 64-shift rolling hash vs the textbook loop), and "
+    "insert-shift chunk survival >90% there too.",
+)
+def q_cdc_chunking(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    blob = F.concat(
+        *[
+            F.md5((F.col("doc_id") * 24 + k).cast("string"))
+            for k in range(24)
+        ]
+    )
+    mn, av, mx = 64, 256, 1024
+    sel = d.select("doc_id", blob.alias("blob"))
+    chunks = dedup.cdc_chunks("blob", mn, av, mx, text=True)
+    n = F.size("chunks")
+    blen = F.length("blob")
+    tiles = F.aggregate(
+        F.col("chunks"),
+        F.struct(F.lit(0).alias("pos"), F.lit(True).alias("ok")),
+        lambda acc, c: F.struct(
+            (acc["pos"] + c["length"]).alias("pos"),
+            (acc["ok"] & (c["offset"] == acc["pos"])).alias("ok"),
+        ),
+        lambda acc: acc["ok"] & (acc["pos"] == blen),
+    )
+    sizes = F.aggregate(
+        F.slice(F.col("chunks"), 1, F.greatest(n - 1, F.lit(0))),
+        F.lit(True),
+        lambda ok, c: ok
+        & (c["length"] >= mn)
+        & (c["length"] <= mx),
+    ) & (F.element_at(F.col("chunks"), -1)["length"] <= mx)
+    bounds = (n >= F.ceil(blen / mx)) & (n <= F.floor(blen / mn))
+    return (
+        sel.withColumn("chunks", chunks)
+        .select(
+            "doc_id",
+            blen.alias("blob_len"),
+            tiles.alias("tiles_ok"),
+            sizes.alias("sizes_ok"),
+            bounds.alias("count_in_bounds"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,152 @@
+"""Gear-CDC content-defined chunking (operators/dedup.py
+cdc_chunks / cdc_boundaries / cdc_dedup_stats): brute-force
+reference parity, the insert-shift robustness that justifies CDC
+over fixed blocks, reconstruction, and the dedup accounting."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from lwes_contrib_hive_serde_spark.operators import dedup
+
+
+def brute_force_boundaries(data: bytes, mn: int, av: int, mx: int):
+    """Independent per-byte reimplementation of gear CDC (the
+    textbook loop) — catches vectorization bugs in the 64-shift
+    formulation."""
+    g = dedup._gear_table()
+    out = []
+    last = 0
+    n = len(data)
+    while last < n:
+        h = 0
+        cut = None
+        hi = min(last + mx, n)
+        for i in range(last, hi):
+            h = ((h << 1) + int(g[data[i]])) & 0xFFFFFFFFFFFFFFFF
+            if i + 1 - last >= mn and (h & (av - 1)) == 0:
+                cut = i + 1
+                break
+        out.append(cut if cut is not None else hi)
+        last = out[-1]
+    return out
+
+
+def _blob(seed: int, n: int) -> bytes:
+    out = b""
+    i = 0
+    while len(out) < n:
+        out += hashlib.sha256(b"%d:%d" % (seed, i)).digest()
+        i += 1
+    return out[:n]
+
+
+class TestBoundaries:
+    @pytest.mark.parametrize("seed,n", [(1, 5000), (2, 333), (3, 64),
+                                        (4, 63), (5, 0), (6, 20000)])
+    def test_matches_brute_force(self, seed, n):
+        data = _blob(seed, n)
+        got = dedup.cdc_boundaries(data, 64, 256, 1024)
+        exp = brute_force_boundaries(data, 64, 256, 1024)
+        assert got == exp
+
+    def test_brute_force_window_caveat(self):
+        """The vectorized hash uses a 64-byte window; the textbook
+        loop restarts h at each chunk. Both agree on FIRST cuts per
+        chunk because the restart only zeroes contributions ≥64
+        bytes back... except within the first 63 bytes after a cut,
+        where min_size=64 already suppresses boundaries. This test
+        pins that equivalence across min sizes ≥ 64."""
+        data = _blob(7, 8192)
+        for av in (128, 256, 512):
+            assert dedup.cdc_boundaries(data, 64, av, av * 4) == \
+                brute_force_boundaries(data, 64, av, av * 4)
+
+    def test_sizes_respected_and_reconstruction(self):
+        data = _blob(8, 10000)
+        ends = dedup.cdc_boundaries(data, 64, 256, 1024)
+        last = 0
+        for e in ends[:-1]:
+            assert 64 <= e - last <= 1024
+            last = e
+        assert ends[-1] == len(data)
+
+    def test_insert_shift_robustness(self):
+        """Prepend 7 bytes: fixed-size blocks would change EVERY
+        block; CDC re-synchronizes after one window, so almost all
+        chunk hashes survive."""
+        data = _blob(9, 20000)
+        shifted = b"PREFIX!" + data
+
+        def hashes(d):
+            out, last = set(), 0
+            for e in dedup.cdc_boundaries(d, 64, 256, 1024):
+                out.add(hashlib.sha1(d[last:e]).hexdigest())
+                last = e
+            return out
+
+        a, b = hashes(data), hashes(shifted)
+        assert len(a & b) / len(a) > 0.9
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="power of 2"):
+            dedup.cdc_chunks("payload", avg_size=300)
+        with pytest.raises(ValueError, match="min"):
+            dedup.cdc_chunks("payload", min_size=32)
+        with pytest.raises(ValueError, match="min"):
+            dedup.cdc_chunks("payload", min_size=512, avg_size=256)
+
+
+class TestSparkSide:
+    def test_chunks_reconstruct_and_dedup_stats(self, spark):
+        # two pairs of near-duplicates sharing shifted content
+        base1, base2 = _blob(10, 6000), _blob(11, 6000)
+        rows = [
+            Row(doc_id=0, payload=bytearray(base1)),
+            Row(doc_id=1, payload=bytearray(b"hdr" + base1)),
+            Row(doc_id=2, payload=bytearray(base2)),
+            Row(doc_id=3, payload=bytearray(base2 + b"trailer")),
+            Row(doc_id=4, payload=None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        out = df.select(
+            "doc_id", dedup.cdc_chunks("payload").alias("chunks")
+        ).collect()
+        got = {r.doc_id: r.chunks for r in out}
+        assert got[4] is None
+        # chunks tile the blob exactly, in order
+        for i, blob in ((0, base1), (1, b"hdr" + base1)):
+            pos = 0
+            for c in got[i]:
+                assert c.offset == pos
+                assert (
+                    hashlib.sha1(blob[pos:pos + c.length]).hexdigest()
+                    == c.hash
+                )
+                pos += c.length
+            assert pos == len(blob)
+        # near-dups share most chunks
+        h0 = {c.hash for c in got[0]}
+        h1 = {c.hash for c in got[1]}
+        assert len(h0 & h1) / len(h0) > 0.9
+        stats = dedup.cdc_dedup_stats(df, "payload").first()
+        assert stats.total_bytes == 6000 + 6003 + 6000 + 6007
+        assert stats.unique_bytes < stats.total_bytes * 0.62
+        assert 0.3 < stats.dedup_ratio < 0.6
+        assert stats.n_unique_chunks < stats.n_chunks
+
+    def test_plan_is_arrow_batched(self, spark):
+        import io
+        from contextlib import redirect_stdout
+
+        df = spark.createDataFrame(
+            [Row(doc_id=0, payload=bytearray(b"x" * 100))],
+            "doc_id long, payload binary",
+        )
+        q = df.select(dedup.cdc_chunks("payload").alias("c"))
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            q.explain("formatted")
+        plan = buf.getvalue()
+        assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
