@@ -30,6 +30,8 @@ Connected components (dup clusters) use iterated small-joins
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -1589,4 +1591,90 @@ def cdc_dedup_stats(
             F.lit(1.0)
             - F.sum("length") / F.sum(F.col("refs") * F.col("length"))
         ).alias("dedup_ratio"),
+    )
+
+
+def chunk_store_write(
+    df: DataFrame,
+    path: str,
+    col: str = "payload",
+    id_col: str = "doc_id",
+    min_size: int = 64,
+    avg_size: int = 256,
+    max_size: int = 1024,
+    text: bool = False,
+) -> None:
+    """Content-addressed chunk store: ``path/chunks`` holds each
+    DISTINCT chunk once (hash, bytes), ``path/recipes`` holds per-id
+    ordered hash lists. Near-duplicate corpora (multimodal payload
+    variants, re-crawled pages with shifted boilerplate) store the
+    shared bytes once — the deduplicating-backup layout (restic/
+    borg's) expressed as two parquet tables.
+
+    Scale: chunk BYTES are sliced JVM-side (substring over the
+    blob — cdc_chunks only computed offsets), deduplicated by one
+    hash-keyed aggregate; only the recipes table (hashes, no bytes)
+    is re-read at restore planning. The store is append-immutable:
+    rewrite = re-run."""
+    chunks = cdc_chunks(col, min_size, avg_size, max_size, text=text)
+    exploded = df.select(
+        F.col(id_col).alias("__id"), F.col(col).alias("__blob"),
+        F.posexplode(chunks).alias("pos", "c"),
+    )
+    # substring(col, pos, len) handles BOTH string and binary in the
+    # JVM — chunk bytes are sliced natively, not in Python
+    piece = F.expr("substring(__blob, c.offset + 1, c.length)")
+    (
+        exploded.select(F.col("c.hash").alias("hash"), piece.alias("bytes"))
+        .groupBy("hash")
+        .agg(F.first("bytes").alias("bytes"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "chunks"))
+    )
+    (
+        exploded.groupBy("__id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", F.col("c.hash").alias("hash")))
+            ).alias("parts")
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("parts.hash").alias("hashes"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "recipes"))
+    )
+
+
+def chunk_store_restore(
+    spark,
+    path: str,
+    id_col: str = "doc_id",
+    text: bool = False,
+) -> DataFrame:
+    """Rebuild every blob from the chunk store exactly: recipes
+    posexplode → one join against the chunks table on hash →
+    order-restoring array_sort → one JVM concat fold. Returns
+    (id_col, payload). The join is the only shuffle; chunk bytes
+    move once."""
+    chunks = spark.read.parquet(os.path.join(path, "chunks"))
+    recipes = spark.read.parquet(os.path.join(path, "recipes"))
+    parts = recipes.select(
+        F.col(id_col), F.posexplode("hashes").alias("pos", "hash")
+    ).join(chunks, "hash")
+    empty = F.lit("") if text else F.lit(bytearray(b""))
+    return (
+        parts.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "bytes"))
+            ).alias("parts")
+        )
+        .select(
+            F.col(id_col),
+            F.aggregate(
+                "parts", empty, lambda acc, p: F.concat(acc, p["bytes"])
+            ).alias("payload"),
+        )
     )

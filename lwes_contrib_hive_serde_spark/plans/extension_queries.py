@@ -8715,3 +8715,59 @@ def q_cdc_chunking(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+def _documents_chunk_store(spark, sf_dir: str) -> str:
+    """Build (once per sf_dir per process) the content-addressed
+    chunk store over the documents text."""
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        tag = f"{tag}-{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        pass
+    out = f"/tmp/chunk_store_cache/v1/{tag}/documents"
+    if not os.path.exists(os.path.join(out, "recipes", "_SUCCESS")):
+        dedup.chunk_store_write(
+            table(spark, sf_dir, "documents"), out, "text", text=True
+        )
+    return out
+
+
+@register(
+    "q_chunk_store_roundtrip",
+    shadow=True,
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+           MIN(doc_id) AS min_id,
+           MAX(doc_id) AS max_id
+    FROM documents WHERE length(text) > 0 GROUP BY lang
+    """,
+    doc="Content-addressed chunk store round trip "
+    "(dedup.chunk_store_write / chunk_store_restore — the restic/"
+    "borg deduplicating-storage layout as two parquet tables): "
+    "documents text → gear-CDC chunks sliced JVM-side → distinct "
+    "chunks + ordered per-doc hash recipes → restore via one join "
+    "+ order-restoring concat fold → inner-join back against the "
+    "ORIGINAL corpus on (doc_id, exact text equality) → aggregate. "
+    "The DuckDB oracle recomputes the aggregate from the original "
+    "parquet over non-empty docs (empty blobs have no chunks and "
+    "are absent from recipes by design), so a hash match proves "
+    "byte-exact reconstruction of every document through the "
+    "dedup'd store.",
+)
+def q_chunk_store_roundtrip(spark, sf_dir):
+    store = _documents_chunk_store(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    back = dedup.chunk_store_restore(spark, store, text=True)
+    j = docs.join(back, "doc_id").where(F.col("payload") == F.col("text"))
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("text")).alias("sum_len"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
