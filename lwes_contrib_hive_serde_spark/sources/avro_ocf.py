@@ -55,6 +55,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -330,6 +331,31 @@ def _compile_read(sch, names: dict):
     raise AvroError(f"unsupported avro type {t!r}")
 
 
+def _schema_compatible(writer: DataType, expected: DataType) -> bool:
+    """Field names and types must match exactly; nullability may
+    only WIDEN (a non-null writer column read as nullable is safe;
+    the reverse could smuggle NULLs into a non-null schema)."""
+    if isinstance(writer, StructType) and isinstance(expected, StructType):
+        if [f.name for f in writer.fields] != [f.name for f in expected.fields]:
+            return False
+        return all(
+            _schema_compatible(w.dataType, e.dataType)
+            and (e.nullable or not w.nullable)
+            for w, e in zip(writer.fields, expected.fields)
+        )
+    if isinstance(writer, ArrayType) and isinstance(expected, ArrayType):
+        return _schema_compatible(
+            writer.elementType, expected.elementType
+        ) and (expected.containsNull or not writer.containsNull)
+    if isinstance(writer, MapType) and isinstance(expected, MapType):
+        return (
+            _schema_compatible(writer.keyType, expected.keyType)
+            and _schema_compatible(writer.valueType, expected.valueType)
+            and (expected.valueContainsNull or not writer.valueContainsNull)
+        )
+    return writer == expected
+
+
 def compile_reader(schema_json: str):
     """Writer schema JSON → (top-level StructType, row decoder). The
     top level must be a record (the only shape OCF writers emit for
@@ -440,7 +466,7 @@ def iter_avro_rows(
     side header sweep at plan time."""
     schema, codec, sync, offset = read_avro_header(path)
     _dt, dec = compile_reader(schema)
-    if expected is not None and _dt != expected:
+    if expected is not None and not _schema_compatible(_dt, expected):
         raise AvroError(
             f"{path}: writer schema maps to {_dt.simpleString()}, "
             f"expected {expected.simpleString()} — mixed-schema "
@@ -514,7 +540,7 @@ class AvroReader(DataSourceReader):
         # driver-side header sweep
         sj, codec, _sync, _off = read_avro_header(self._files[0])
         dt, _dec = compile_reader(sj)
-        if dt != self.schema:
+        if not _schema_compatible(dt, self.schema):
             raise AvroError(
                 f"{self._files[0]}: writer schema maps to "
                 f"{dt.simpleString()}, expected "
@@ -873,3 +899,60 @@ class AvroDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool):
         return AvroWriter(schema, self.options, overwrite)
+
+    def streamReader(self, schema: StructType):
+        return AvroStreamReader(schema, self.options)
+
+
+class AvroStreamReader(DataSourceStreamReader):
+    """``readStream.format("avro_ocf")`` over a directory that
+    container files land in (Kafka archive dumps, export jobs).
+    Same write-once contract and restart safety as the jsonl/WARC
+    streams: each file consumed WHOLE, exactly once, on first
+    sight; offsets are consumed-sets; ``maxfilespertrigger``
+    (default 16) spreads a backfill; rate deferral stays disabled
+    until the consumed-set reseeds from the checkpointed start so a
+    restart can never replay a file the previous driver consumed."""
+
+    def __init__(self, schema: StructType, options):
+        self.schema = schema
+        self.options = options
+        path = options.get("path")
+        if not path:
+            raise ValueError("avro_ocf stream: path required")
+        self.path = path
+        self.max_files = int(options.get("maxfilespertrigger", "16"))
+        self._known: set[str] = set()
+        self._seeded = False
+
+    def initialOffset(self) -> dict:
+        self._seeded = True
+        return {"files": {}}
+
+    def latestOffset(self) -> dict:
+        end = {p: 1 for p in self._known}
+        budget = self.max_files
+        for p in _list_avro_files(self.path):
+            if p in self._known:
+                continue
+            if budget <= 0 and self._seeded:
+                continue
+            end[p] = 1
+            self._known.add(p)
+            budget -= 1
+        return {"files": end}
+
+    def partitions(self, start: dict, end: dict):
+        start_files = set(start.get("files", {}))
+        self._known.update(start_files)
+        self._seeded = True
+        new = sorted(set(end.get("files", {})) - start_files)
+        self._known.update(new)
+        return [AvroPartition([p]) for p in new] or [AvroPartition([])]
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def read(self, partition):
+        for path in partition.files:
+            yield from iter_avro_rows(path, expected=self.schema)

@@ -992,3 +992,70 @@ def delta_vacuum(
         except FileNotFoundError:
             pass
     return n
+
+
+def delta_restore(
+    path: str,
+    version: int,
+    max_commit_attempts: int = 10,
+) -> int:
+    """RESTORE the table to an earlier version as a NEW commit (the
+    Delta RESTORE command): adds back the target version's files
+    that are no longer live and removes files added since — history
+    is preserved, nothing is rewritten or deleted from disk, and the
+    restore itself can be time-travelled past. Fails if a file the
+    target version needs was already vacuumed (the real command's
+    failure mode too — restore windows are bounded by vacuum
+    retention). Returns the new version."""
+    target_state = _replay(path, version)
+    _check_readable(target_state)
+    for a in target_state.adds.values():
+        if not os.path.exists(_file_abspath(path, a["path"])):
+            raise DeltaError(
+                f"cannot restore to version {version}: data file "
+                f"{a['path']} was vacuumed"
+            )
+    now_ms = int(time.time() * 1000)
+    for _ in range(max_commit_attempts):
+        current = _replay(path)
+        adds = [
+            a for p, a in target_state.adds.items()
+            if p not in current.adds
+        ]
+        removes = [
+            a for p, a in current.adds.items()
+            if p not in target_state.adds
+        ]
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "RESTORE",
+                    "operationParameters": {"version": version},
+                }
+            }
+        ]
+        for r in removes:
+            actions.append(
+                {
+                    "remove": {
+                        "path": r["path"],
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                        "partitionValues": r.get("partitionValues") or {},
+                        "size": r.get("size"),
+                    }
+                }
+            )
+        actions.extend({"add": dict(a, dataChange=True)} for a in adds)
+        payload = "".join(json.dumps(x) + "\n" for x in actions).encode()
+        new_version = current.version + 1
+        target = _commit_file(path, new_version)
+        try:
+            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+        return new_version
+    raise DeltaError("restore could not commit (sustained contention)")

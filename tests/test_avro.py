@@ -336,3 +336,45 @@ class TestRefusals:
         with pytest.raises(Exception, match="valid avro name"):
             (df.write.format("avro_ocf").mode("append")
                .option("path", str(tmp_path / "o")).save())
+
+
+class TestAvroStream:
+    def test_directory_tail_exactly_once(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        d = tmp_path / "stream"
+        d.mkdir()
+        schema = {"type": "record", "name": "r",
+                  "fields": [{"name": "x", "type": "long"}]}
+
+        def shard(name, vals):
+            recs = b"".join(zz(v) for v in vals)
+            open(d / name, "wb").write(
+                ocf(schema, "deflate", [recs], [len(vals)])
+            )
+
+        shard("a.avro", [1, 2, 3])
+        q = (
+            spark.readStream.format("avro_ocf")
+            .schema("x long")
+            .option("path", str(d))
+            .load()
+            .writeStream.format("memory")
+            .queryName("avro_tail")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = lambda: sorted(
+                r.x for r in spark.sql("select x from avro_tail").collect()
+            )
+            assert got() == [1, 2, 3]
+            shard("b.avro", [4, 5])
+            q.processAllAvailable()
+            assert got() == [1, 2, 3, 4, 5]
+            # re-trigger without new files: no dupes
+            q.processAllAvailable()
+            assert got() == [1, 2, 3, 4, 5]
+        finally:
+            q.stop()

@@ -461,3 +461,30 @@ class TestMaintenance:
         monkeypatch.undo()
         # table unharmed and no stray staged adds
         assert _read_rows(spark, p) == _expected(df.where("doc_id = 0"))
+
+
+class TestRestore:
+    def test_restore_rolls_back_as_new_commit(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        df = _docs(spark)
+        D.write_delta(df.where("doc_id < 10"), p)                 # v0
+        D.write_delta(df.where("doc_id >= 10"), p, mode="append") # v1
+        D.write_delta(df.where("doc_id = 0"), p, mode="overwrite")# v2
+        v = D.delta_restore(p, 1)
+        assert v == 3
+        assert _read_rows(spark, p) == _expected(df)
+        # history intact: the overwrite state is still travel-able
+        assert _read_rows(spark, p, version=2) == _expected(
+            df.where("doc_id = 0")
+        )
+        hist = D.delta_history(p)
+        assert hist[-1]["operation"] == "RESTORE"
+
+    def test_restore_refuses_after_vacuum(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        df = _docs(spark)
+        D.write_delta(df, p)                                      # v0
+        D.write_delta(df.where("doc_id = 0"), p, mode="overwrite")# v1
+        D.delta_vacuum(p, retention_ms=0)
+        with pytest.raises(D.DeltaError, match="was vacuumed"):
+            D.delta_restore(p, 0)
