@@ -68,6 +68,7 @@ def curate(
     dedup_spans_min_count: int = 2,
     document_col: str | None = None,
     markup: str | None = None,
+    min_compression_ratio: float | None = None,
     langid_profiles: DataFrame | None = None,
     langid_keep: set[str] | None = None,
     langid_max_avg_distance: float | None = None,
@@ -94,6 +95,12 @@ def curate(
     (multimodal.decode_document_text) extracts ``text_col`` per row;
     unrecognized or refused payloads drop. Mutually exclusive with
     ``html_col``.
+
+    ``min_compression_ratio`` drops documents whose zlib
+    compression ratio falls BELOW the given floor — i.e. pages so
+    repetitive they compress to almost nothing (template spam,
+    keyword stuffing); natural prose sits ~0.4-0.65, so 0.2-0.25 is
+    a safe floor. Cost: one Arrow-batched scan stage.
 
     ``langid_profiles`` (from text.train_langid_profiles) enables a
     language-filter stage after cleaning: keep documents whose
@@ -186,6 +193,14 @@ def curate(
             "text_clean", **(gopher_thresholds or {})
         ).getField("pass_all")
     )
+    if min_compression_ratio is not None:
+        # repetition/template-spam gate (RefinedWeb-style): pages
+        # whose zlib ratio undercuts the floor are boilerplate loops
+        # the line-level rules above can miss (Arrow-batched stage)
+        out = out.filter(
+            text.compression_ratio("text_clean")
+            >= F.lit(float(min_compression_ratio))
+        )
     if pii:
         out = out.withColumn("text_clean", text.redact_pii("text_clean"))
     if redact_secrets:

@@ -535,6 +535,7 @@ def write_delta(
     path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    merge_schema: bool = False,
     max_commit_attempts: int = 10,
 ) -> int:
     """Write a DataFrame as a Delta commit; returns the committed
@@ -560,6 +561,7 @@ def write_delta(
             )
 
     exists = os.path.isdir(_log_path(path))
+    schema_changed = False
     if exists:
         commits, checkpoints = _list_log(path)
         exists = bool(commits or checkpoints)
@@ -577,13 +579,32 @@ def write_delta(
             )
         want = [(f.name, f.dataType) for f in prior_schema.fields]
         got = [(f.name, f.dataType) for f in df.schema.fields]
-        if want != got:
-            raise DeltaError(
-                "schema mismatch with existing table (no implicit "
-                f"evolution): table={prior_schema.simpleString()} "
-                f"df={df.schema.simpleString()}"
-            )
         meta = prior.metadata
+        if want != got:
+            # merge_schema: the mergeSchema evolution contract —
+            # existing columns keep name+type+order, NEW columns
+            # append (forced nullable: pre-evolution files hold no
+            # values for them and read back as NULL)
+            if not merge_schema or got[: len(want)] != want:
+                raise DeltaError(
+                    "schema mismatch with existing table"
+                    + (
+                        ""
+                        if merge_schema
+                        else " (pass merge_schema=True to append new "
+                        "trailing columns)"
+                    )
+                    + f": table={prior_schema.simpleString()} "
+                    f"df={df.schema.simpleString()}"
+                )
+            new_fields = [
+                StructField(f.name, f.dataType, True)
+                for f in df.schema.fields[len(want):]
+            ]
+            merged = StructType(list(prior_schema.fields) + new_fields)
+            meta = dict(meta)
+            meta["schemaString"] = merged.json()
+            schema_changed = True
     else:
         meta = {
             "id": str(uuid.uuid4()),
@@ -663,6 +684,8 @@ def write_delta(
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
             )
+            actions.append({"metaData": meta})
+        elif schema_changed:
             actions.append({"metaData": meta})
         if mode == "overwrite" and have_any:
             current = _replay(path)

@@ -292,18 +292,78 @@ def _manifest_list_entries(ml_path: str) -> list[dict]:
 
 # ---------------------------------------------------------------- public API
 
+def _identity_partition_fields(meta: dict) -> list[str]:
+    """Names of identity-transform partition fields in the default
+    spec; non-identity transforms (bucket/truncate/days/...) return
+    their field names too but values are transform OUTPUTS — pruning
+    against them with raw column values would be wrong, so
+    partition_filters refuses them."""
+    specs = meta.get("partition-specs") or []
+    default_id = meta.get("default-spec-id", 0)
+    fields = []
+    for sp in specs:
+        if sp.get("spec-id") == default_id:
+            for f in sp.get("fields") or []:
+                fields.append((f.get("name"), f.get("transform")))
+    if not specs and meta.get("partition-spec"):
+        for f in meta["partition-spec"]:
+            fields.append((f.get("name"), f.get("transform")))
+    return fields
+
+
+_OPS = {
+    "=": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "<": lambda a, b: a is not None and a < b,
+    "<=": lambda a, b: a is not None and a <= b,
+    ">": lambda a, b: a is not None and a > b,
+    ">=": lambda a, b: a is not None and a >= b,
+    "in": lambda a, b: a in b,
+}
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,
     snapshot_id: int | None = None,
     timestamp_ms: int | None = None,
+    partition_filters: list[tuple] | None = None,
 ) -> DataFrame:
     """Read an Iceberg table (HadoopTables directory layout) at the
-    current — or a time-travelled — snapshot as a DataFrame."""
+    current — or a time-travelled — snapshot as a DataFrame.
+    ``partition_filters`` [(field, op, value)] prune the file list
+    on the DRIVER against each manifest entry's partition struct —
+    identity transforms only (bucket/truncate values are transform
+    outputs; pruning them against raw column values would silently
+    drop the wrong files, so they refuse)."""
     meta = load_table_metadata(path)
     schema = _current_schema(meta)
     snap = _pick_snapshot(meta, snapshot_id, timestamp_ms)
     files = _live_data_files(path, snap)
+    if partition_filters:
+        spec = dict(_identity_partition_fields(meta))
+        for col, op, _v in partition_filters:
+            if col not in spec:
+                raise IcebergError(
+                    f"partition filter column {col!r} is not a "
+                    f"partition field (fields: {sorted(spec)})"
+                )
+            if spec[col] != "identity":
+                raise IcebergError(
+                    f"partition field {col!r} uses transform "
+                    f"{spec[col]!r}; only identity fields prune safely"
+                )
+            if op not in _OPS:
+                raise IcebergError(f"unsupported filter op {op!r}")
+        pruned = []
+        for f in files:
+            part = f.get("partition") or {}
+            if all(
+                _OPS[op](part.get(col), val)
+                for col, op, val in partition_filters
+            ):
+                pruned.append(f)
+        files = pruned
     if not files:
         return spark.createDataFrame([], schema)
     paths = [_strip_file_uri(f["file_path"]) for f in files]
@@ -375,24 +435,35 @@ def iceberg_history(path: str) -> list[dict]:
 
 # ---------------------------------------------------------------- fixture writer
 
-_MANIFEST_ENTRY_SCHEMA = StructType(
-    [
-        StructField("status", IntegerType(), False),
-        StructField("snapshot_id", LongType(), True),
-        StructField(
-            "data_file",
-            StructType(
-                [
-                    StructField("file_path", StringType(), False),
-                    StructField("file_format", StringType(), False),
-                    StructField("record_count", LongType(), False),
-                    StructField("file_size_in_bytes", LongType(), False),
-                ]
-            ),
-            False,
-        ),
+def _manifest_entry_schema(part_fields: list) -> StructType:
+    data_file = [
+        StructField("file_path", StringType(), False),
+        StructField("file_format", StringType(), False),
     ]
-)
+    if part_fields:
+        data_file.append(
+            StructField(
+                "partition",
+                StructType(
+                    [StructField(n, t, True) for n, t in part_fields]
+                ),
+                False,
+            )
+        )
+    data_file += [
+        StructField("record_count", LongType(), False),
+        StructField("file_size_in_bytes", LongType(), False),
+    ]
+    return StructType(
+        [
+            StructField("status", IntegerType(), False),
+            StructField("snapshot_id", LongType(), True),
+            StructField("data_file", StructType(data_file), False),
+        ]
+    )
+
+
+_MANIFEST_ENTRY_SCHEMA = _manifest_entry_schema([])
 
 _MANIFEST_LIST_SCHEMA = StructType(
     [
@@ -432,14 +503,32 @@ def write_iceberg_table(
     df: DataFrame,
     path: str,
     mode: str = "append",
+    partition_by: list[str] | None = None,
 ) -> int:
     """FIXTURE-GRADE iceberg v1 writer (see module docstring):
     appends df as a new snapshot (or creates the table). Returns the
     new snapshot id. Data files land via Spark's native parquet
     writer; manifests and the manifest list are written with the
-    repo's own Avro encoder in spec field order."""
+    repo's own Avro encoder in spec field order.
+
+    ``partition_by`` declares IDENTITY partition fields: staging
+    goes through partitionBy (partition-pure files), then each file
+    gets the column added back as a constant (Iceberg data files
+    contain ALL columns, unlike Delta/Hive) and the manifest entry
+    records the value in its partition struct — which is what
+    read_iceberg's partition_filters prune against."""
     if mode != "append":
         raise IcebergError("fixture writer supports append only")
+    partition_by = list(partition_by or [])
+    types = {f.name: f.dataType for f in df.schema.fields}
+    for c in partition_by:
+        if c not in types:
+            raise IcebergError(f"partition_by column {c!r} not in df")
+        if not isinstance(types[c], (StringType, LongType, IntegerType)):
+            raise IcebergError(
+                "fixture writer partitions on string/long/int only, "
+                f"got {types[c].simpleString()} for {c!r}"
+            )
     mdir = os.path.join(path, "metadata")
     ddir = os.path.join(path, "data")
     os.makedirs(mdir, exist_ok=True)
@@ -452,25 +541,81 @@ def write_iceberg_table(
         version = int(
             open(os.path.join(mdir, "version-hint.text")).read().strip()
         ) + 1
+        prior_parts = [n for n, _t in _identity_partition_fields(existing)]
+        if prior_parts != partition_by:
+            raise IcebergError(
+                f"table is partitioned by {prior_parts}, write asked "
+                f"for {partition_by}"
+            )
 
     # 1. data files (staged, then published into data/)
+    import urllib.parse
+
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(staging)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
     import shutil
 
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
+    def _cast_part(raw, dtype):
+        if raw is None:
+            return None
+        if isinstance(dtype, (LongType, IntegerType)):
+            return int(raw)
+        return raw
+
     entries = []
-    for n in sorted(os.listdir(staging)):
-        if not n.endswith(".parquet"):
-            continue
-        src = os.path.join(staging, n)
-        dst = os.path.join(ddir, f"{uuid.uuid4().hex}.parquet")
-        num = pq.read_metadata(src).num_rows
-        os.replace(src, dst)
-        entries.append(
-            (1, None, (dst, "PARQUET", num, os.path.getsize(dst)))
-        )
+    for root, _dirs, names in os.walk(staging):
+        for n in sorted(names):
+            if not n.endswith(".parquet"):
+                continue
+            src = os.path.join(root, n)
+            rel = os.path.relpath(root, staging)
+            segs = [] if rel == "." else rel.split(os.sep)
+            pv = {}
+            for seg in segs:
+                col, _, raw = seg.partition("=")
+                raw = urllib.parse.unquote(raw)
+                pv[col] = (
+                    None if raw == "__HIVE_DEFAULT_PARTITION__"
+                    else _cast_part(raw, types[col])
+                )
+            dst = os.path.join(ddir, f"{uuid.uuid4().hex}.parquet")
+            if partition_by:
+                # add the partition columns back as constants: iceberg
+                # data files carry every column
+                tbl = pq.read_table(src)
+                nrows = tbl.num_rows
+                for c in partition_by:
+                    from pyspark.sql.pandas.types import to_arrow_type
+
+                    tbl = tbl.append_column(
+                        c, pa.array([pv[c]] * nrows,
+                                    type=to_arrow_type(types[c]))
+                    )
+                # restore declared column order
+                tbl = tbl.select([f.name for f in df.schema.fields])
+                pq.write_table(tbl, dst)
+                os.remove(src)
+                num = nrows
+            else:
+                num = pq.read_metadata(src).num_rows
+                os.replace(src, dst)
+            part_tuple = tuple(pv[c] for c in partition_by)
+            if partition_by:
+                entries.append(
+                    (1, None,
+                     (dst, "PARQUET", part_tuple, num,
+                      os.path.getsize(dst)))
+                )
+            else:
+                entries.append(
+                    (1, None, (dst, "PARQUET", num, os.path.getsize(dst)))
+                )
     shutil.rmtree(staging, ignore_errors=True)
 
     snapshot_id = int.from_bytes(os.urandom(6), "big")
@@ -478,8 +623,11 @@ def write_iceberg_table(
 
     # 2. one manifest for this snapshot's added files
     manifest = os.path.join(mdir, f"manifest-{snapshot_id}.avro")
+    entry_schema = _manifest_entry_schema(
+        [(c, types[c]) for c in partition_by]
+    )
     _write_avro_file(
-        manifest, _MANIFEST_ENTRY_SCHEMA, entries, "manifest_entry"
+        manifest, entry_schema, entries, "manifest_entry"
     )
 
     # 3. manifest list = prior snapshot's manifests + this one
@@ -515,6 +663,15 @@ def write_iceberg_table(
                 "type": _spark_to_iceberg_type(f.dataType),
             }
         )
+    part_spec_fields = [
+        {
+            "name": c,
+            "transform": "identity",
+            "source-id": [f.name for f in df.schema.fields].index(c) + 1,
+            "field-id": 1000 + i,
+        }
+        for i, c in enumerate(partition_by)
+    ]
     snap = {
         "snapshot-id": snapshot_id,
         "timestamp-ms": now_ms,
@@ -532,8 +689,8 @@ def write_iceberg_table(
         "last-updated-ms": now_ms,
         "last-column-id": len(fields),
         "schema": {"type": "struct", "fields": fields},
-        "partition-spec": [],
-        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "partition-spec": part_spec_fields,
+        "partition-specs": [{"spec-id": 0, "fields": part_spec_fields}],
         "default-spec-id": 0,
         "properties": {},
         "current-snapshot-id": snapshot_id,

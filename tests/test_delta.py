@@ -488,3 +488,49 @@ class TestRestore:
         D.delta_vacuum(p, retention_ms=0)
         with pytest.raises(D.DeltaError, match="was vacuumed"):
             D.delta_restore(p, 0)
+
+
+class TestSchemaEvolution:
+    def test_merge_schema_appends_nullable_column(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        df = _docs(spark)
+        D.write_delta(df.where("doc_id < 10"), p)
+        evolved = _docs(spark).where("doc_id >= 10").withColumn(
+            "quality", (F.col("doc_id") * 2).cast("double")
+        )
+        with pytest.raises(D.DeltaError, match="merge_schema=True"):
+            D.write_delta(evolved, p, mode="append")
+        v = D.write_delta(evolved, p, mode="append", merge_schema=True)
+        assert v == 1
+        back = D.read_delta(spark, p)
+        assert [f.name for f in back.schema.fields] == [
+            "doc_id", "text", "lang", "quality",
+        ]
+        # pre-evolution rows read NULL for the new column
+        assert back.where("quality is null").count() == 10
+        assert back.where("quality = 24.0").count() == 1
+        # time travel shows the OLD schema
+        old = D.read_delta(spark, p, version=0)
+        assert [f.name for f in old.schema.fields] == [
+            "doc_id", "text", "lang",
+        ]
+        # subsequent appends use the evolved schema without the flag
+        D.write_delta(
+            _docs(spark, 25).where("doc_id >= 20").withColumn(
+                "quality", F.lit(None).cast("double")
+            ),
+            p, mode="append",
+        )
+        assert D.read_delta(spark, p).count() == 25
+
+    def test_merge_schema_refuses_type_change_and_reorder(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark), p)
+        retyped = _docs(spark).withColumn(
+            "doc_id", F.col("doc_id").cast("string")
+        ).select("doc_id", "text", "lang")
+        with pytest.raises(D.DeltaError, match="schema mismatch"):
+            D.write_delta(retyped, p, mode="append", merge_schema=True)
+        reordered = _docs(spark).select("lang", "text", "doc_id")
+        with pytest.raises(D.DeltaError, match="schema mismatch"):
+            D.write_delta(reordered, p, mode="append", merge_schema=True)

@@ -199,3 +199,75 @@ class TestRefusals:
         p = self._table(spark, tmp_path)
         with pytest.raises(I.IcebergError, match="snapshot 123 not found"):
             I.read_iceberg(spark, p, snapshot_id=123)
+
+
+class TestPartitioned:
+    def test_identity_partition_prune(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        df = _docs(spark, 24)
+        I.write_iceberg_table(df, p, partition_by=["lang"])
+        # full read: partition columns are IN the data files
+        back = I.read_iceberg(spark, p)
+        assert _vals(back) == _vals(df)
+        # driver-side pruning against manifest partition structs
+        pruned = I.read_iceberg(
+            spark, p, partition_filters=[("lang", "=", "en")]
+        )
+        assert _vals(pruned) == _vals(df.where("lang = 'en'"))
+        from pyspark.sql import functions as F
+
+        opened = {
+            r[0]
+            for r in pruned.select(F.input_file_name()).distinct().collect()
+        }
+        all_open = {
+            r[0]
+            for r in back.select(F.input_file_name()).distinct().collect()
+        }
+        assert len(opened) < len(all_open)
+
+    def test_partition_appends_and_mismatch(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        df = _docs(spark, 10)
+        I.write_iceberg_table(df, p, partition_by=["lang"])
+        I.write_iceberg_table(_docs(spark, 20).where("doc_id >= 10"),
+                              p, partition_by=["lang"])
+        assert I.iceberg_count(p) == 20
+        got = I.read_iceberg(
+            spark, p, partition_filters=[("lang", "=", "de")]
+        ).count()
+        assert got == _docs(spark, 20).where("lang = 'de'").count()
+        with pytest.raises(I.IcebergError, match="partitioned by"):
+            I.write_iceberg_table(_docs(spark, 5), p)
+
+    def test_filters_refused_on_non_partition_field(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark), p, partition_by=["lang"])
+        with pytest.raises(I.IcebergError, match="not a"):
+            I.read_iceberg(
+                spark, p, partition_filters=[("doc_id", "=", 1)]
+            )
+        p2 = str(tmp_path / "u")
+        I.write_iceberg_table(_docs(spark), p2)
+        with pytest.raises(I.IcebergError, match="not a"):
+            I.read_iceberg(
+                spark, p2, partition_filters=[("lang", "=", "en")]
+            )
+
+    def test_non_identity_transform_refused(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark), p, partition_by=["lang"])
+        mp = os.path.join(
+            p, "metadata",
+            "v" + open(os.path.join(p, "metadata", "version-hint.text"))
+            .read().strip() + ".metadata.json",
+        )
+        meta = json.load(open(mp))
+        for spec in meta["partition-specs"]:
+            for f in spec["fields"]:
+                f["transform"] = "bucket[16]"
+        json.dump(meta, open(mp, "w"))
+        with pytest.raises(I.IcebergError, match="identity"):
+            I.read_iceberg(
+                spark, p, partition_filters=[("lang", "=", "en")]
+            )

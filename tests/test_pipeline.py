@@ -695,3 +695,39 @@ class TestCurateRedactionTiers:
         assert "<SECRET>" in got and "hunter2secret" not in got
         assert "<CARD>" in got
         assert "4111 1111 1111 1112" in got  # luhn-invalid untouched
+
+
+class TestCompressionStage:
+    def test_min_compression_ratio_drops_repetition(self, spark):
+        from lwes_contrib_hive_serde_spark.operators.pipeline import curate
+
+        prose = (
+            "The river carries sediment down from the mountains each "
+            "spring, and the villages along its banks time their "
+            "planting to the floods. Records from the last century "
+            "show the pattern clearly. Each year brings variation."
+        )
+        # a NATURAL sentence looped: every gopher ratio (stopwords,
+        # mean word length, symbols) looks fine, only compression
+        # exposes the repetition
+        spam = (
+            "The quick brown fox jumps with the lazy dog and that is "
+            "all of it today. " * 40
+        ).strip()
+        rows = [(0, prose, "a"), (1, spam, "a")]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        kept = curate(
+            df,
+            gopher_thresholds={"min_words": 10},
+            min_sentences=1,
+            min_compression_ratio=0.25,
+        )
+        ids = [r.doc_id for r in kept.select("doc_id").collect()]
+        assert ids == [0]
+        # without the stage the spam page survives these thresholds
+        kept2 = curate(
+            df, gopher_thresholds={"min_words": 10}, min_sentences=1
+        )
+        assert sorted(
+            r.doc_id for r in kept2.select("doc_id").collect()
+        ) == [0, 1]
