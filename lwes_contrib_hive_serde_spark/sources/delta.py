@@ -119,6 +119,7 @@ class _State:
         self.metadata: dict | None = None
         self.adds: dict[str, dict] = {}
         self.tombstones: dict[str, dict] = {}
+        self.txns: dict[str, int] = {}
         self.version: int = -1
         self.commit_timestamps: dict[int, int] = {}
 
@@ -135,8 +136,11 @@ class _State:
             r = action["remove"]
             self.adds.pop(r["path"], None)
             self.tombstones[r["path"]] = r
-        # commitInfo / txn / cdc / domainMetadata don't affect the
-        # live-file reconciliation.
+        elif "txn" in action:
+            t = action["txn"]
+            prev = self.txns.get(t["appId"], -1)
+            self.txns[t["appId"]] = max(prev, int(t["version"]))
+        # commitInfo / cdc / domainMetadata don't affect reconciliation.
 
 
 def _replay(path: str, version: int | None = None) -> _State:
@@ -211,7 +215,7 @@ def _load_checkpoint(path: str, version: int, state: _State) -> None:
         return v
 
     for row in rows:
-        for key in ("protocol", "metaData", "add", "remove"):
+        for key in ("protocol", "metaData", "add", "remove", "txn"):
             val = row.get(key)
             if val is None:
                 continue
@@ -536,6 +540,7 @@ def write_delta(
     mode: str = "append",
     partition_by: list[str] | None = None,
     merge_schema: bool = False,
+    txn: tuple[str, int] | None = None,
     max_commit_attempts: int = 10,
 ) -> int:
     """Write a DataFrame as a Delta commit; returns the committed
@@ -671,6 +676,18 @@ def write_delta(
         next_version = (
             max(commits + checkpoints) + 1 if have_any else 0
         )
+        if txn is not None and have_any:
+            applied = _replay(path).txns.get(txn[0], -1)
+            if applied >= int(txn[1]):
+                # this (appId, version) already committed — the
+                # exactly-once contract for replayed stream epochs:
+                # drop the staged files, report the existing state
+                for a in adds:
+                    try:
+                        os.remove(_file_abspath(path, a["path"]))
+                    except OSError:
+                        pass
+                return _replay(path).version
         actions = [
             {
                 "commitInfo": {
@@ -680,6 +697,16 @@ def write_delta(
                 }
             }
         ]
+        if txn is not None:
+            actions.append(
+                {
+                    "txn": {
+                        "appId": txn[0],
+                        "version": int(txn[1]),
+                        "lastUpdated": now_ms,
+                    }
+                }
+            )
         if next_version == 0:
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
@@ -726,14 +753,18 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
     state = _replay(path)
     _check_readable(state)
     version = state.version
+    blank = {"protocol": None, "metaData": None, "add": None,
+             "remove": None, "txn": None}
     rows = []
-    rows.append({"protocol": state.protocol, "metaData": None, "add": None, "remove": None})
-    meta = dict(state.metadata)
-    rows.append({"protocol": None, "metaData": meta, "add": None, "remove": None})
+    rows.append(dict(blank, protocol=state.protocol))
+    rows.append(dict(blank, metaData=dict(state.metadata)))
     for a in state.adds.values():
-        rows.append({"protocol": None, "metaData": None, "add": a, "remove": None})
+        rows.append(dict(blank, add=a))
     for r in state.tombstones.values():
-        rows.append({"protocol": None, "metaData": None, "add": None, "remove": r})
+        rows.append(dict(blank, remove=r))
+    for app, v in state.txns.items():
+        rows.append(dict(blank, txn={"appId": app, "version": v,
+                                     "lastUpdated": None}))
 
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -779,12 +810,20 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
     proto_t = pa.struct(
         [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
     )
+    txn_t = pa.struct(
+        [
+            ("appId", pa.string()),
+            ("version", pa.int64()),
+            ("lastUpdated", pa.int64()),
+        ]
+    )
     cp_schema = pa.schema(
         [
             ("protocol", proto_t),
             ("metaData", meta_t),
             ("add", add_t),
             ("remove", rm_t),
+            ("txn", txn_t),
         ]
     )
 
@@ -1082,3 +1121,231 @@ def delta_restore(
             f.write(payload)
         return new_version
     raise DeltaError("restore could not commit (sustained contention)")
+
+
+def convert_to_delta(
+    spark: SparkSession,
+    path: str,
+    partition_by: list[str] | None = None,
+    schema: StructType | None = None,
+) -> int:
+    """In-place CONVERT TO DELTA of an existing parquet directory:
+    version 0 references the files WHERE THEY ARE (no copy, no
+    rewrite — the point of the real command), with numRecords stats
+    from each footer. Hive-style ``col=val`` layouts declare their
+    partition columns via ``partition_by``; partition values come
+    from the directory names, exactly the convention that wrote
+    them. Refuses when a Delta log already exists."""
+    if os.path.isdir(_log_path(path)):
+        commits, checkpoints = _list_log(path)
+        if commits or checkpoints:
+            raise DeltaError(f"{path} is already a Delta table")
+    partition_by = list(partition_by or [])
+    import pyarrow.parquet as pq
+
+    adds = []
+    first_file = None
+    for root, dirs, names in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        for n in sorted(names):
+            if not n.endswith(".parquet") or n.startswith((".", "_")):
+                continue
+            fp = os.path.join(root, n)
+            rel_dir = os.path.relpath(root, path)
+            segs = [] if rel_dir == "." else rel_dir.split(os.sep)
+            pv = {}
+            for seg in segs:
+                col, eq, raw = seg.partition("=")
+                if not eq:
+                    raise DeltaError(
+                        f"non-hive subdirectory {seg!r} under {path} — "
+                        "convert_to_delta needs a flat or col=val layout"
+                    )
+                raw = urllib.parse.unquote(raw)
+                pv[col] = (
+                    None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
+                )
+            if sorted(pv) != sorted(partition_by):
+                raise DeltaError(
+                    f"file {fp} sits under partitions {sorted(pv)}; "
+                    f"declared partition_by={sorted(partition_by)}"
+                )
+            first_file = first_file or fp
+            st = os.stat(fp)
+            adds.append(
+                {
+                    "path": "/".join(
+                        [urllib.parse.quote(s, safe="/=") for s in segs]
+                        + [n]
+                    ),
+                    "partitionValues": pv,
+                    "size": st.st_size,
+                    "modificationTime": int(st.st_mtime * 1000),
+                    "dataChange": True,
+                    "stats": json.dumps(
+                        {"numRecords": pq.read_metadata(fp).num_rows}
+                    ),
+                }
+            )
+    if first_file is None:
+        raise DeltaError(f"no parquet files under {path}")
+
+    if schema is None:
+        data_schema = spark.read.parquet(first_file).schema
+        fields = list(data_schema.fields)
+        for c in partition_by:
+            # hive layout: partition cols live in dir names as strings
+            fields.append(StructField(c, StringType(), True))
+        schema = StructType(fields)
+
+    meta = {
+        "id": str(uuid.uuid4()),
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema.json(),
+        "partitionColumns": partition_by,
+        "configuration": {},
+        "createdTime": int(time.time() * 1000),
+    }
+    os.makedirs(_log_path(path), exist_ok=True)
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "CONVERT",
+                "operationParameters": {},
+            }
+        },
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": meta},
+    ]
+    actions.extend({"add": a} for a in adds)
+    payload = "".join(json.dumps(a) + "\n" for a in actions).encode()
+    target = _commit_file(path, 0)
+    fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+    with os.fdopen(fd, "wb") as f:
+        f.write(payload)
+    return 0
+
+
+def delta_zorder(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+    curve: str = "hilbert",
+    bits: int = 12,
+    max_commit_attempts: int = 10,
+) -> dict:
+    """OPTIMIZE ZORDER BY: rewrite each partition's live files
+    clustered along a space-filling curve over ``cols`` (hilbert —
+    Delta liquid clustering's curve — or zorder/Morton from
+    operators/layout.py), committed dataChange=false like
+    delta_compact. Per-file min/max boxes on the clustered columns
+    tighten, so downstream scans with predicates on them skip row
+    groups — the data-skipping payoff measured in layout.py's own
+    tests. Same race contract as delta_compact: aborts cleanly if a
+    data-changing commit wins."""
+    from lwes_contrib_hive_serde_spark.operators import layout
+
+    import shutil
+
+    state = _replay(path)
+    _check_readable(state)
+    part_cols = _partition_columns(state)
+    full_schema = _schema(state)
+    for c in cols:
+        if c in part_cols or c not in {f.name for f in full_schema.fields}:
+            raise DeltaError(
+                f"zorder column {c!r} must be a non-partition data column"
+            )
+    data_schema = StructType(
+        [f for f in full_schema.fields if f.name not in part_cols]
+    )
+
+    groups: dict[tuple, list[dict]] = {}
+    for a in state.adds.values():
+        pv = a.get("partitionValues") or {}
+        key = tuple((c, pv.get(c)) for c in part_cols)
+        groups.setdefault(key, []).append(a)
+
+    removes: list[dict] = []
+    adds: list[dict] = []
+    for key, files in groups.items():
+        paths = [_file_abspath(path, f["path"]) for f in files]
+        total = sum(int(f.get("size") or 0) for f in files)
+        n_out = max(1, -(-total // target_file_bytes))
+        df = spark.read.schema(data_schema).parquet(*paths)
+        if curve == "hilbert":
+            keyed = layout.hilbert_column(df, cols, bits, out_col="__sfc")
+        elif curve == "zorder":
+            keyed = layout.zorder_column(df, cols, bits, out_col="__sfc")
+        else:
+            raise DeltaError(f"unknown curve {curve!r} (hilbert|zorder)")
+        clustered = (
+            keyed.repartitionByRange(n_out, "__sfc")
+            .sortWithinPartitions("__sfc")
+            .drop("__sfc")
+        )
+        staging = os.path.join(path, f".zorder-{uuid.uuid4().hex}")
+        clustered.write.mode("overwrite").parquet(staging)
+        pv = dict(key)
+        dest_dir = os.path.dirname(paths[0])
+        adds.extend(_publish_parquet_dir(staging, dest_dir, path, pv))
+        shutil.rmtree(staging, ignore_errors=True)
+        removes.extend(files)
+
+    if not removes:
+        return {"files_removed": 0, "files_added": 0, "version": None}
+    now_ms = int(time.time() * 1000)
+    removed_paths = {r["path"] for r in removes}
+    for _ in range(max_commit_attempts):
+        current = _replay(path)
+        if not removed_paths <= set(current.adds):
+            for a in adds:
+                try:
+                    os.remove(_file_abspath(path, a["path"]))
+                except OSError:
+                    pass
+            raise DeltaError(
+                "zorder lost a race against a data-changing commit; "
+                "aborted cleanly (re-run to retry)"
+            )
+        version = current.version + 1
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "OPTIMIZE",
+                    "operationParameters": {
+                        "zOrderBy": cols, "curve": curve,
+                    },
+                }
+            }
+        ]
+        for r in removes:
+            actions.append(
+                {
+                    "remove": {
+                        "path": r["path"],
+                        "deletionTimestamp": now_ms,
+                        "dataChange": False,
+                        "partitionValues": r.get("partitionValues") or {},
+                        "size": r.get("size"),
+                    }
+                }
+            )
+        actions.extend({"add": a} for a in adds)
+        payload = "".join(json.dumps(x) + "\n" for x in actions).encode()
+        target = _commit_file(path, version)
+        try:
+            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+        return {
+            "files_removed": len(removes),
+            "files_added": len(adds),
+            "version": version,
+        }
+    raise DeltaError("zorder could not commit (sustained contention)")

@@ -214,3 +214,39 @@ class DeltaStreamDataSource(DataSource):
 
     def streamReader(self, schema: StructType):
         return DeltaStreamReader(schema, self.options)
+
+
+def delta_sink(
+    path: str,
+    app_id: str,
+    partition_by: list[str] | None = None,
+    merge_schema: bool = False,
+):
+    """Exactly-once streaming APPEND into a Delta table, as a
+    ``foreachBatch`` function:
+
+        q = (df.writeStream.foreachBatch(
+                 delta_sink(tbl, app_id="ingest-1"))
+             .option("checkpointLocation", ck).start())
+
+    Exactly-once comes from the protocol's ``txn`` action: every
+    commit records (appId, epochId), and a REPLAYED epoch — Spark
+    re-runs the last batch after any restart — is detected inside
+    write_delta's commit loop (latest txn version per appId is part
+    of log replay, checkpoint-persisted) and skipped, its staged
+    files removed. This is exactly how delta-spark's streaming sink
+    achieves idempotence; the engine's offset checkpoint handles
+    at-least-once delivery, the txn ledger de-duplicates it to
+    exactly-once."""
+
+    def write_batch(batch_df, epoch_id: int) -> None:
+        D.write_delta(
+            batch_df,
+            path,
+            mode="append",
+            partition_by=partition_by,
+            merge_schema=merge_schema,
+            txn=(app_id, int(epoch_id)),
+        )
+
+    return write_batch

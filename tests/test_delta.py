@@ -534,3 +534,104 @@ class TestSchemaEvolution:
         reordered = _docs(spark).select("lang", "text", "doc_id")
         with pytest.raises(D.DeltaError, match="schema mismatch"):
             D.write_delta(reordered, p, mode="append", merge_schema=True)
+
+
+class TestConvertAndZorder:
+    def test_convert_parquet_dir_in_place(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        df = _docs(spark, 30)
+        df.write.partitionBy("lang").parquet(p)
+        import glob
+
+        files_before = set(glob.glob(p + "/**/*.parquet", recursive=True))
+        assert D.convert_to_delta(spark, p, partition_by=["lang"]) == 0
+        # no copy: exactly the same data files on disk
+        files_after = set(glob.glob(p + "/**/*.parquet", recursive=True))
+        assert files_after == files_before
+        back = D.read_delta(spark, p)
+        got = sorted((r.doc_id, r.text, r.lang) for r in back.collect())
+        assert got == _expected(df)
+        assert D.delta_count(spark, p) == 30  # stats from footers
+        # converted tables accept normal appends
+        D.write_delta(
+            _docs(spark, 35).where("doc_id >= 30"), p, mode="append",
+            partition_by=["lang"],
+        )
+        assert D.read_delta(spark, p).count() == 35
+        with pytest.raises(D.DeltaError, match="already a Delta table"):
+            D.convert_to_delta(spark, p, partition_by=["lang"])
+
+    def test_convert_flat_dir(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        _docs(spark).repartition(3).write.parquet(p)
+        D.convert_to_delta(spark, p)
+        assert _read_rows(spark, p) == _expected(_docs(spark))
+
+    def test_convert_refuses_undeclared_partitions(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        _docs(spark).write.partitionBy("lang").parquet(p)
+        with pytest.raises(D.DeltaError, match="declared partition_by"):
+            D.convert_to_delta(spark, p)
+
+    def test_zorder_tightens_file_ranges(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        p = str(tmp_path / "t")
+        rows = [
+            Row(doc_id=i, x=(i * 37) % 100, y=(i * 61) % 100)
+            for i in range(400)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, x long, y long")
+        # interleaved appends: every file spans the whole x range
+        for k in range(4):
+            D.write_delta(df.where(f"doc_id % 4 = {k}"), p, mode="append")
+
+        def spans(paths):
+            out = []
+            for fp in paths:
+                md = pq.read_metadata(fp)
+                lo = min(md.row_group(i).column(1).statistics.min
+                         for i in range(md.num_row_groups))
+                hi = max(md.row_group(i).column(1).statistics.max
+                         for i in range(md.num_row_groups))
+                out.append(hi - lo)
+            return out
+
+        import urllib.parse as up
+
+        before = [
+            os.path.join(p, up.unquote(r.path))
+            for r in D.delta_files(spark, p).collect()
+        ]
+        res = D.delta_zorder(
+            spark, p, ["x", "y"], target_file_bytes=2000, bits=8
+        )
+        assert res["files_added"] >= 2
+        after = [
+            os.path.join(p, up.unquote(r.path))
+            for r in D.delta_files(spark, p).collect()
+        ]
+        # content identical, commit invisible to streams
+        assert D.read_delta(spark, p).count() == 400
+        assert (
+            D.read_delta(spark, p).agg(F.sum("x"), F.sum("y")).first()
+            == df.agg(F.sum("x"), F.sum("y")).first()
+        )
+        # clustering payoff: average per-file x-span shrinks
+        assert sum(spans(after)) / len(after) < sum(spans(before)) / len(before)
+        acts = [
+            json.loads(l)
+            for l in open(D._commit_file(p, res["version"])).read().splitlines()
+        ]
+        for a in acts:
+            for k in ("add", "remove"):
+                if k in a:
+                    assert a[k]["dataChange"] is False
+
+    def test_zorder_refuses_partition_or_unknown_column(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark), p, partition_by=["lang"])
+        with pytest.raises(D.DeltaError, match="non-partition"):
+            D.delta_zorder(spark, p, ["lang"])
+        with pytest.raises(D.DeltaError, match="non-partition"):
+            D.delta_zorder(spark, p, ["nope"])

@@ -161,3 +161,80 @@ class TestDeltaStream:
         D.write_delta(_docs(spark, 0, 3), p)
         with pytest.raises(Exception, match="read_delta"):
             spark.read.format("delta_stream").option("path", p).load().collect()
+
+
+class TestDeltaSink:
+    def test_exactly_once_append_sink(self, spark, tmp_path):
+        from lwes_contrib_hive_serde_spark.sources import jsonl  # noqa: F401
+        from lwes_contrib_hive_serde_spark.streaming.delta_stream import (
+            delta_sink,
+        )
+
+        src = tmp_path / "src"
+        src.mkdir()
+        tbl = str(tmp_path / "tbl")
+        ck = str(tmp_path / "ck")
+
+        def shard(name, ids):
+            import json as _json
+
+            with open(src / name, "w") as f:
+                for i in ids:
+                    f.write(_json.dumps({"doc_id": i}) + "\n")
+
+        shard("a.jsonl", [0, 1, 2])
+
+        def run_once():
+            q = (
+                spark.readStream.format("jsonl")
+                .schema("doc_id long")
+                .option("path", str(src))
+                .load()
+                .writeStream.foreachBatch(delta_sink(tbl, app_id="t1"))
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            q.stop()
+
+        run_once()
+        assert sorted(
+            r.doc_id for r in D.read_delta(spark, tbl).collect()
+        ) == [0, 1, 2]
+        shard("b.jsonl", [3, 4])
+        run_once()
+        got = sorted(r.doc_id for r in D.read_delta(spark, tbl).collect())
+        assert got == [0, 1, 2, 3, 4]
+        # txn ledger recorded per epoch
+        state = D._replay(tbl)
+        assert state.txns.get("t1") is not None
+
+    def test_replayed_epoch_skipped(self, spark, tmp_path):
+        from lwes_contrib_hive_serde_spark.streaming.delta_stream import (
+            delta_sink,
+        )
+
+        tbl = str(tmp_path / "tbl")
+        sink = delta_sink(tbl, app_id="manual")
+        df = _docs(spark, 0, 4)
+        sink(df, 0)
+        sink(df, 1)
+        n_before = D.read_delta(spark, tbl).count()
+        # a restart replays epoch 1: must be a no-op
+        sink(df, 1)
+        assert D.read_delta(spark, tbl).count() == n_before == 8
+        # no orphaned files left behind by the skipped replay
+        import os
+
+        live = {os.path.basename(r.path)
+                for r in D.delta_files(spark, tbl).collect()}
+        on_disk = {n for n in os.listdir(tbl)
+                   if n.endswith(".parquet")}
+        assert on_disk == live
+        # txn survives a checkpoint
+        D.write_checkpoint(spark, tbl)
+        for v in range(D._replay(tbl).version):
+            os.remove(D._commit_file(tbl, v))
+        sink(df, 1)  # still skipped, via the checkpointed ledger
+        assert D.read_delta(spark, tbl).count() == 8
