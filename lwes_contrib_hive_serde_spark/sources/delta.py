@@ -359,12 +359,52 @@ def _decode_file_uri(col):
     return F.url_decode(F.regexp_replace(col, r"\+", "%2B"))
 
 
+def _norm_stat(v):
+    """Normalize a value for bound comparison: dates/datetimes to
+    ISO strings (which sort like the values), numbers and strings
+    as themselves."""
+    import datetime as _dt
+
+    if isinstance(v, (_dt.date, _dt.datetime)):
+        return v.isoformat()
+    return v
+
+
+def _file_may_match(stats: dict, col: str, op: str, val) -> bool:
+    """False ONLY when the file's min/max bounds PROVE no row can
+    match — missing stats always keep the file (fail-safe)."""
+    mins = stats.get("minValues") or {}
+    maxs = stats.get("maxValues") or {}
+    if col not in mins or col not in maxs:
+        return True
+    lo, hi = mins[col], maxs[col]
+    v = _norm_stat(val)
+    try:
+        if op == "=":
+            return not (v < lo or v > hi)
+        if op == "<":
+            return lo < v
+        if op == "<=":
+            return lo <= v
+        if op == ">":
+            return hi > v
+        if op == ">=":
+            return hi >= v
+        if op == "in":
+            return any(not (_norm_stat(x) < lo or _norm_stat(x) > hi)
+                       for x in val)
+    except TypeError:
+        return True  # incomparable types: never unsound
+    return True  # != and anything else: bounds can't disprove
+
+
 def read_delta(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     timestamp_ms: int | None = None,
     partition_filters: list[tuple] | None = None,
+    data_filters: list[tuple] | None = None,
 ) -> DataFrame:
     """Read a Delta table as a DataFrame.
 
@@ -373,7 +413,13 @@ def read_delta(
     timestamp is <= timestamp_ms).
     partition_filters: list of (column, op, value) pruned on the
     DRIVER before the scan is planned; op in = != < <= > >= in.
-    """
+    data_filters: list of (column, op, value) over DATA columns —
+    applied as a real WHERE clause AND used to SKIP whole files via
+    the per-file minValues/maxValues stats the writer records (the
+    protocol's data-skipping mechanism). Files without stats are
+    never skipped, so results are exact either way; after
+    delta_zorder on the filtered columns the skip rate is what
+    clustering bought."""
     if version is not None and timestamp_ms is not None:
         raise DeltaError("pass version or timestamp_ms, not both")
     if timestamp_ms is not None:
@@ -387,6 +433,30 @@ def read_delta(
     if missing:
         raise DeltaError(f"partition columns missing from schema: {missing}")
     adds = _prune(list(state.adds.values()), partition_filters, part_cols, types)
+    if data_filters:
+        for col, op, _v in data_filters:
+            if col in part_cols:
+                raise DeltaError(
+                    f"{col!r} is a partition column — use "
+                    "partition_filters for it"
+                )
+            if col not in types:
+                raise DeltaError(f"data filter column {col!r} not in schema")
+            if op not in ("=", "<", "<=", ">", ">=", "in", "!="):
+                raise DeltaError(f"unsupported data filter op {op!r}")
+        kept = []
+        for a in adds:
+            st = a.get("stats")
+            try:
+                stats = json.loads(st) if st else {}
+            except (TypeError, ValueError):
+                stats = {}
+            if all(
+                _file_may_match(stats, col, op, val)
+                for col, op, val in data_filters
+            ):
+                kept.append(a)
+        adds = kept
 
     data_schema = StructType(
         [f for f in full_schema.fields if f.name not in part_cols]
@@ -396,7 +466,7 @@ def read_delta(
     paths = [_file_abspath(path, a["path"]) for a in adds]
     df = spark.read.schema(data_schema).parquet(*paths)
     if not part_cols:
-        return df
+        return _apply_data_filters(df, data_filters)
 
     manifest_schema = StructType(
         [StructField("__delta_file", StringType(), False)]
@@ -420,7 +490,31 @@ def read_delta(
     joined = df.withColumn(
         "__delta_file", _strip_scheme(_decode_file_uri(F.input_file_name()))
     ).join(F.broadcast(manifest), "__delta_file", "left")
-    return joined.select(*[f.name for f in full_schema.fields])
+    return _apply_data_filters(
+        joined.select(*[f.name for f in full_schema.fields]), data_filters
+    )
+
+
+def _apply_data_filters(df: DataFrame, data_filters) -> DataFrame:
+    # file skipping is an optimization; the WHERE clause is the
+    # semantics (and Catalyst pushes it into the surviving scans)
+    for col, op, val in data_filters or []:
+        c = F.col(col)
+        if op == "=":
+            df = df.filter(c == val)
+        elif op == "!=":
+            df = df.filter(c != val)
+        elif op == "<":
+            df = df.filter(c < val)
+        elif op == "<=":
+            df = df.filter(c <= val)
+        elif op == ">":
+            df = df.filter(c > val)
+        elif op == ">=":
+            df = df.filter(c >= val)
+        elif op == "in":
+            df = df.filter(c.isin(list(val)))
+    return df
 
 
 def _version_at_timestamp(path: str, ts_ms: int) -> int:
@@ -507,6 +601,64 @@ def delta_history(path: str) -> list[dict]:
             )
         out.append(entry)
     return out
+
+
+def _footer_stats(parquet_path: str) -> str:
+    """Per-file stats JSON from the parquet footer: numRecords plus
+    minValues/maxValues/nullCount for columns whose row-group
+    statistics exist (numeric/string/date/timestamp). This is the
+    fuel for read_delta's data_filters file skipping — the protocol's
+    data-skipping mechanism, free at write time because the footer
+    already holds the numbers."""
+    import datetime as _dt
+
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(parquet_path)
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+
+    def _plain(v):
+        if isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, (_dt.date, _dt.datetime)):
+            return v.isoformat()
+        if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+            return None
+        return v
+
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:
+                continue  # nested: out of scope for skipping
+            st = col.statistics
+            if st is None:
+                continue
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            if not st.has_min_max:
+                continue
+            lo, hi = _plain(st.min), _plain(st.max)
+            if lo is None or hi is None:
+                continue
+            if name not in mins or lo < mins[name]:
+                mins[name] = lo
+            if name not in maxs or hi > maxs[name]:
+                maxs[name] = hi
+    out = {"numRecords": md.num_rows}
+    if mins:
+        out["minValues"] = mins
+        out["maxValues"] = maxs
+    if nulls:
+        out["nullCount"] = nulls
+    return json.dumps(out)
 
 
 # ---------------------------------------------------------------- writer
@@ -650,7 +802,7 @@ def write_delta(
             )
             dst = os.path.join(path, *segs, unique)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
-            num_records = pq.read_metadata(src).num_rows
+            stats = _footer_stats(src)
             os.replace(src, dst)
             st = os.stat(dst)
             adds.append(
@@ -660,7 +812,7 @@ def write_delta(
                     "size": st.st_size,
                     "modificationTime": int(st.st_mtime * 1000),
                     "dataChange": True,
-                    "stats": json.dumps({"numRecords": num_records}),
+                    "stats": stats,
                 }
             )
     import shutil
@@ -891,7 +1043,7 @@ def _publish_parquet_dir(staging: str, dest_dir: str, table_path: str,
         )
         dst = os.path.join(dest_dir, unique)
         os.makedirs(dest_dir, exist_ok=True)
-        num_records = pq.read_metadata(src).num_rows
+        stats = _footer_stats(src)
         os.replace(src, dst)
         st = os.stat(dst)
         adds.append(
@@ -901,7 +1053,7 @@ def _publish_parquet_dir(staging: str, dest_dir: str, table_path: str,
                 "size": st.st_size,
                 "modificationTime": int(st.st_mtime * 1000),
                 "dataChange": False,
-                "stats": json.dumps({"numRecords": num_records}),
+                "stats": stats,
             }
         )
     return adds
