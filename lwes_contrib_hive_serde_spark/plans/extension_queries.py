@@ -8771,3 +8771,75 @@ def q_chunk_store_roundtrip(spark, sf_dir):
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+def _documents_delta_ranged(spark, sf_dir: str) -> str:
+    """Documents as a Delta table of key-ordered files (repartition
+    by range on doc_id), so per-file min/max bounds are disjoint and
+    data skipping has something to prove."""
+    import os
+
+    from lwes_contrib_hive_serde_spark.sources import delta as D
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        tag = f"{tag}-{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        pass
+    out = f"/tmp/delta_table_cache/v1/{tag}/documents_ranged"
+    done = os.path.join(out, "_delta_log", f"{0:020d}.json")
+    if not os.path.exists(done):
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        D.write_delta(
+            docs.repartitionByRange(8, "doc_id")
+            .sortWithinPartitions("doc_id"),
+            out,
+        )
+    return out
+
+
+@register(
+    "q_delta_skipping",
+    shadow=True,
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents
+    WHERE doc_id >= 100 AND doc_id <= 300 AND n_chars > 50
+    GROUP BY lang
+    """,
+    doc="Delta data skipping (sources/delta.py _footer_stats + "
+    "read_delta(data_filters=)): the table is written as key-"
+    "ordered files so per-file minValues/maxValues bounds are "
+    "disjoint; the read proves files whose bounds exclude the "
+    "doc_id range are never planned (pytest asserts the planned-"
+    "file count directly) while the SAME predicates also run as a "
+    "real WHERE clause, so the result is exact regardless — which "
+    "is what this hash gate checks against DuckDB recomputing from "
+    "the original parquet. The n_chars filter rides along to cover "
+    "multi-column bounds.",
+)
+def q_delta_skipping(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.sources import delta as D
+
+    out = _documents_delta_ranged(spark, sf_dir)
+    got = D.read_delta(
+        spark,
+        out,
+        data_filters=[
+            ("doc_id", ">=", 100),
+            ("doc_id", "<=", 300),
+            ("n_chars", ">", 50),
+        ],
+    )
+    return got.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
