@@ -2548,3 +2548,56 @@ def repetitive_by_compression(
     (~0.01-0.1), so the flag is robust to zlib build differences;
     tune per corpus with compression_ratio directly."""
     return compression_ratio(col, level=level) < F.lit(float(max_ratio))
+
+
+def fim_transform(
+    col,
+    key: str,
+    rate: float = 0.5,
+    spm_rate: float = 0.5,
+    seed: str = "lwespark",
+    prefix_tok: str = "<|fim_prefix|>",
+    suffix_tok: str = "<|fim_suffix|>",
+    middle_tok: str = "<|fim_middle|>",
+) -> Column:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022, the
+    FIM pretraining objective; sentinel rendering per the public
+    SantaCoder/StarCoder recipe): a ``rate`` fraction of documents is
+    rewritten by cutting at two deterministic points into
+    (prefix, middle, suffix) and emitting either
+
+      PSM: <pre>prefix<suf>suffix<mid>middle
+      SPM: <pre><suf>suffix<mid>prefix middle   (spm_rate of cases)
+
+    so the model learns to infill. EVERYTHING is hash-deterministic
+    (the sampling tier's md5-fraction U[0,1) over ``key``): which
+    docs transform, where the cuts fall, and which format — so runs,
+    partitionings, and engines agree row for row, and the DuckDB
+    oracle replays the construction exactly. Pure JVM expressions;
+    NULL text stays NULL; the choice hashes use distinct seed
+    suffixes so they are independent."""
+    from lwes_contrib_hive_serde_spark.operators.sampling import hash_uniform
+
+    c = col if isinstance(col, Column) else F.col(col)
+    L = F.length(c)
+    i1 = F.floor(hash_uniform(key, seed + ":fim-c1") * L).cast("int")
+    i2 = F.floor(hash_uniform(key, seed + ":fim-c2") * L).cast("int")
+    lo, hi = F.least(i1, i2), F.greatest(i1, i2)
+    prefix = c.substr(F.lit(1), lo)
+    middle = c.substr(lo + F.lit(1), hi - lo)
+    suffix = c.substr(hi + F.lit(1), L - hi)
+    psm = F.concat(
+        F.lit(prefix_tok), prefix, F.lit(suffix_tok), suffix,
+        F.lit(middle_tok), middle,
+    )
+    spm = F.concat(
+        F.lit(prefix_tok), F.lit(suffix_tok), suffix,
+        F.lit(middle_tok), prefix, middle,
+    )
+    chosen = F.when(
+        hash_uniform(key, seed + ":fim-spm") < F.lit(float(spm_rate)), spm
+    ).otherwise(psm)
+    return F.when(
+        (hash_uniform(key, seed + ":fim") < F.lit(float(rate))) & (L > 0),
+        chosen,
+    ).otherwise(c)

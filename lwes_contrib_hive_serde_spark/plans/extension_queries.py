@@ -8843,3 +8843,63 @@ def q_delta_skipping(spark, sf_dir):
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+def _sql_u01(suffix: str) -> str:
+    """DuckDB mirror of sampling.hash_uniform(doc_id, 'lwespark:<sfx>')."""
+    return (
+        f"((('0x' || substr(md5('lwespark:{suffix}:' || "
+        "CAST(doc_id AS VARCHAR)), 1, 16))::UINT64)::DOUBLE"
+        " / 18446744073709551616.0)"
+    )
+
+
+@register(
+    "q_fim_transform",
+    shadow=True,
+    oracle=f"""
+    WITH cuts AS (
+      SELECT doc_id, text,
+             CAST(FLOOR({_sql_u01('fim-c1')} * length(text)) AS INT) AS i1,
+             CAST(FLOOR({_sql_u01('fim-c2')} * length(text)) AS INT) AS i2,
+             {_sql_u01('fim')} < 0.6 AS apply,
+             {_sql_u01('fim-spm')} < 0.5 AS use_spm
+      FROM documents WHERE doc_id < 500
+    ), parts AS (
+      SELECT doc_id, text, apply, use_spm,
+             LEAST(i1, i2) AS lo, GREATEST(i1, i2) AS hi
+      FROM cuts
+    )
+    SELECT doc_id,
+           CASE
+             WHEN NOT apply OR length(text) = 0 THEN text
+             WHEN use_spm THEN
+               '<|fim_prefix|>' || '<|fim_suffix|>'
+               || substr(text, hi + 1, length(text) - hi)
+               || '<|fim_middle|>' || substr(text, 1, lo)
+               || substr(text, lo + 1, hi - lo)
+             ELSE
+               '<|fim_prefix|>' || substr(text, 1, lo)
+               || '<|fim_suffix|>'
+               || substr(text, hi + 1, length(text) - hi)
+               || '<|fim_middle|>' || substr(text, lo + 1, hi - lo)
+           END AS fim_text
+    FROM parts ORDER BY doc_id
+    """,
+    doc="Fill-in-the-middle transformation (text.fim_transform — "
+    "Bavarian et al. 2022's FIM objective, SantaCoder/StarCoder "
+    "sentinel rendering): 60% of documents are cut at two md5-"
+    "fraction-deterministic points into prefix/middle/suffix and "
+    "rendered PSM or (half the time) SPM; the rest pass through. "
+    "Everything — membership, cut points, format choice — derives "
+    "from the sampling tier's hash_uniform, so the oracle replays "
+    "the ENTIRE construction in SQL and the transformed strings "
+    "value-hash-match character for character. Pure JVM scan "
+    "stage, no shuffle, no RNG.",
+)
+def q_fim_transform(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return d.select(
+        "doc_id",
+        text.fim_transform("text", key="doc_id", rate=0.6).alias("fim_text"),
+    ).orderBy("doc_id")

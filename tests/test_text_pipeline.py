@@ -1897,3 +1897,48 @@ class TestCompressionRatio:
             df.explain("formatted")
         plan = buf.getvalue()
         assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+
+class TestFimTransform:
+    def test_reconstruction_and_rates(self, spark):
+        from lwes_contrib_hive_serde_spark.operators import text as T
+
+        rows = [(i, f"doc {i} " + "abcdefghij" * 20) for i in range(200)]
+        rows.append((900, None))
+        rows.append((901, ""))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = df.select(
+            "doc_id", "text",
+            T.fim_transform("text", key="doc_id", rate=0.5).alias("fim"),
+        ).collect()
+        by_id = {r.doc_id: r for r in out}
+        assert by_id[900].fim is None
+        assert by_id[901].fim == ""
+        P, S, M = "<|fim_prefix|>", "<|fim_suffix|>", "<|fim_middle|>"
+        n_fim = n_spm = 0
+        for r in out:
+            if r.text is None or r.fim == r.text:
+                continue
+            n_fim += 1
+            assert r.fim.startswith(P)
+            body = r.fim[len(P):]
+            if body.startswith(S):  # SPM: <pre><suf>suffix<mid>prefix middle
+                n_spm += 1
+                suffix, rest = body[len(S):].split(M, 1)
+                assert (rest + suffix).startswith("doc ")
+                assert sorted(rest + suffix) == sorted(r.text)
+                # exact reconstruction: prefix+middle comes before suffix
+                assert rest + suffix == r.text
+            else:  # PSM: <pre>prefix<suf>suffix<mid>middle
+                pre, rest = body.split(S, 1)
+                suffix, middle = rest.split(M, 1)
+                assert pre + middle + suffix == r.text
+        # rate ~0.5 of 200, spm ~half of those (hash-uniform)
+        assert 70 <= n_fim <= 130
+        assert n_spm >= 10 and n_fim - n_spm >= 10
+        # rate=0 is the identity
+        ident = df.select(
+            T.fim_transform("text", key="doc_id", rate=0.0).alias("f"),
+            "text",
+        ).where("f is distinct from text")
+        assert ident.count() == 0
