@@ -2601,3 +2601,62 @@ def fim_transform(
         (hash_uniform(key, seed + ":fim") < F.lit(float(rate))) & (L > 0),
         chosen,
     ).otherwise(c)
+
+
+def render_chat(
+    messages,
+    im_start: str = "<|im_start|>",
+    im_end: str = "<|im_end|>",
+) -> Column:
+    """Render an ``array<struct<role:string, content:string>>``
+    conversation into the ChatML-shaped training string
+
+        <|im_start|>role\\ncontent<|im_end|>\\n   (per message)
+
+    returning ``struct<text, assistant_spans:array<struct<s,e>>>``
+    where the spans are the character ranges of ASSISTANT content
+    inside the rendered text — the loss mask an SFT pipeline needs
+    (train on completions, not prompts). One JVM aggregate fold over
+    the message array: no UDF, no shuffle; span arithmetic rides the
+    same fold that builds the string, so offsets cannot drift from
+    the rendering. NULL conversation → NULL."""
+    m = messages if isinstance(messages, Column) else F.col(messages)
+    start_len = len(im_start)
+    acc0 = F.struct(
+        F.lit("").alias("text"),
+        F.array().cast("array<struct<s:int,e:int>>").alias("spans"),
+    )
+
+    def step(acc, msg):
+        header = F.concat(
+            F.lit(im_start), msg["role"], F.lit("\n")
+        )
+        body_start = (
+            F.length(acc["text"]) + F.length(header)
+        ).cast("int")
+        rendered = F.concat(
+            acc["text"], header, msg["content"], F.lit(im_end + "\n")
+        )
+        span = F.struct(
+            body_start.alias("s"),
+            (body_start + F.length(msg["content"]).cast("int")).alias("e"),
+        )
+        return F.struct(
+            rendered.alias("text"),
+            F.when(
+                msg["role"] == "assistant",
+                F.array_append(acc["spans"], span),
+            )
+            .otherwise(acc["spans"])
+            .alias("spans"),
+        )
+
+    folded = F.aggregate(m, acc0, step)
+    out_t = "struct<text:string,assistant_spans:array<struct<s:int,e:int>>>"
+    return F.when(
+        m.isNotNull(),
+        F.struct(
+            folded["text"].alias("text"),
+            folded["spans"].alias("assistant_spans"),
+        ),
+    ).otherwise(F.lit(None).cast(out_t))

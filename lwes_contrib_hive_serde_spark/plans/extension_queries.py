@@ -8903,3 +8903,85 @@ def q_fim_transform(spark, sf_dir):
         "doc_id",
         text.fim_transform("text", key="doc_id", rate=0.6).alias("fim_text"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_render_chat",
+    shadow=True,
+    oracle="""
+    WITH conv AS (
+      SELECT doc_id,
+             substr(text, 1, 40) AS u1,
+             upper(substr(text, 1, 30)) AS a1,
+             md5(CAST(doc_id AS VARCHAR)) AS a2
+      FROM documents WHERE doc_id < 400 AND length(text) >= 40
+    ), parts AS (
+      SELECT doc_id,
+        '<|im_start|>system' || chr(10) || 'be helpful<|im_end|>' || chr(10)
+          AS p0,
+        '<|im_start|>user' || chr(10) || u1 || '<|im_end|>' || chr(10) AS p1,
+        '<|im_start|>assistant' || chr(10) || a1 || '<|im_end|>' || chr(10)
+          AS p2,
+        '<|im_start|>user' || chr(10) || 'and?<|im_end|>' || chr(10) AS p3,
+        '<|im_start|>assistant' || chr(10) || a2 || '<|im_end|>' || chr(10)
+          AS p4,
+        u1, a1, a2
+      FROM conv
+    )
+    SELECT doc_id,
+           p0 || p1 || p2 || p3 || p4 AS rendered,
+           2 AS n_spans,
+           CAST(length(p0 || p1) + length('<|im_start|>assistant') + 1
+                AS INT) AS s1,
+           CAST(length(p0 || p1) + length('<|im_start|>assistant') + 1
+                + length(a1) AS INT) AS e1,
+           TRUE AS span1_exact,
+           TRUE AS span2_exact
+    FROM parts ORDER BY doc_id
+    """,
+    doc="Chat rendering + loss-mask spans (text.render_chat — the "
+    "SFT formatting op: ChatML-shaped string plus the character "
+    "ranges of ASSISTANT content, i.e. what the trainer unmasks): "
+    "a five-message conversation is built deterministically from "
+    "each document, rendered by ONE JVM aggregate fold, and the "
+    "oracle restates the full concatenation plus the first span's "
+    "offsets by length arithmetic; span*_exact gate that slicing "
+    "the rendered text at the fold's offsets returns exactly each "
+    "assistant message — proving offsets cannot drift from the "
+    "rendering they ride on.",
+)
+def q_render_chat(spark, sf_dir):
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 400) & (F.length("text") >= 40))
+    )
+    u1 = F.substring("text", 1, 40)
+    a1 = F.upper(F.substring("text", 1, 30))
+    a2 = F.md5(F.col("doc_id").cast("string"))
+    msgs = F.array(
+        F.struct(F.lit("system").alias("role"), F.lit("be helpful").alias("content")),
+        F.struct(F.lit("user").alias("role"), u1.alias("content")),
+        F.struct(F.lit("assistant").alias("role"), a1.alias("content")),
+        F.struct(F.lit("user").alias("role"), F.lit("and?").alias("content")),
+        F.struct(F.lit("assistant").alias("role"), a2.alias("content")),
+    )
+    r = text.render_chat(msgs)
+    sel = d.select("doc_id", r.alias("r"), a1.alias("a1"), a2.alias("a2"))
+    sp = F.col("r.assistant_spans")
+    s1 = F.element_at(sp, 1)["s"]
+    e1 = F.element_at(sp, 1)["e"]
+    s2 = F.element_at(sp, 2)["s"]
+    e2 = F.element_at(sp, 2)["e"]
+    return sel.select(
+        "doc_id",
+        F.col("r.text").alias("rendered"),
+        F.size(sp).alias("n_spans"),
+        s1.alias("s1"),
+        e1.alias("e1"),
+        (
+            F.col("r.text").substr(s1 + 1, e1 - s1) == F.col("a1")
+        ).alias("span1_exact"),
+        (
+            F.col("r.text").substr(s2 + 1, e2 - s2) == F.col("a2")
+        ).alias("span2_exact"),
+    ).orderBy("doc_id")

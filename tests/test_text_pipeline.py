@@ -1942,3 +1942,39 @@ class TestFimTransform:
             "text",
         ).where("f is distinct from text")
         assert ident.count() == 0
+
+
+class TestRenderChat:
+    def test_render_and_spans(self, spark):
+        from pyspark.sql import Row
+
+        from lwes_contrib_hive_serde_spark.operators import text as T
+
+        conv = [
+            Row(role="system", content="be brief"),
+            Row(role="user", content="hi there"),
+            Row(role="assistant", content="hello!"),
+            Row(role="user", content="bye"),
+            Row(role="assistant", content="ciao"),
+        ]
+        df = spark.createDataFrame(
+            [(1, conv), (2, None)],
+            "id long, msgs array<struct<role:string,content:string>>",
+        )
+        out = {r.id: r.r for r in df.select(
+            "id", T.render_chat("msgs").alias("r")
+        ).collect()}
+        assert out[2] is None
+        text = out[1].text
+        exp = (
+            "<|im_start|>system\nbe brief<|im_end|>\n"
+            "<|im_start|>user\nhi there<|im_end|>\n"
+            "<|im_start|>assistant\nhello!<|im_end|>\n"
+            "<|im_start|>user\nbye<|im_end|>\n"
+            "<|im_start|>assistant\nciao<|im_end|>\n"
+        )
+        assert text == exp
+        spans = out[1].assistant_spans
+        assert len(spans) == 2
+        # spans point EXACTLY at assistant content — the loss mask
+        assert [text[s.s:s.e] for s in spans] == ["hello!", "ciao"]
