@@ -132,6 +132,82 @@ def iceberg_type_to_spark(t):
     raise IcebergError(f"unsupported iceberg type {t!r}")
 
 
+def _schema_field_ids(meta: dict) -> dict:
+    """column name → (field id, iceberg type string) for the current
+    top-level schema fields."""
+    sch = None
+    if "schemas" in meta:
+        sid = meta.get("current-schema-id", 0)
+        for s_ in meta["schemas"]:
+            if s_.get("schema-id") == sid:
+                sch = s_
+    if sch is None:
+        sch = meta.get("schema")
+    if sch is None:
+        raise IcebergError("metadata has no schema")
+    out = {}
+    for f in sch.get("fields") or []:
+        t = f.get("type")
+        if isinstance(t, str):
+            out[f["name"]] = (int(f["id"]), t)
+    return out
+
+
+def _sv_decode(raw: bytes, itype: str):
+    """Iceberg single-value serialization → python value (the bound
+    encoding in manifests; spec 'Binary single-value serialization').
+    Returns None for types we do not compare (fail-safe keep)."""
+    import struct as _struct
+
+    if raw is None:
+        return None
+    raw = bytes(raw)
+    try:
+        if itype in ("int", "date"):
+            return _struct.unpack("<i", raw)[0]
+        if itype == "long":
+            return _struct.unpack("<q", raw)[0]
+        if itype == "float":
+            return _struct.unpack("<f", raw)[0]
+        if itype == "double":
+            return _struct.unpack("<d", raw)[0]
+        if itype == "string":
+            return raw.decode("utf-8")
+    except ( _struct.error, UnicodeDecodeError):
+        return None
+    return None
+
+
+def _sv_encode(val, itype: str) -> bytes | None:
+    import struct as _struct
+
+    if val is None:
+        return None
+    if itype in ("int", "date"):
+        return _struct.pack("<i", int(val))
+    if itype == "long":
+        return _struct.pack("<q", int(val))
+    if itype == "float":
+        return _struct.pack("<f", float(val))
+    if itype == "double":
+        return _struct.pack("<d", float(val))
+    if itype == "string":
+        return str(val).encode("utf-8")
+    return None
+
+
+def _bounds_to_dict(bounds) -> dict:
+    """Avro's non-string-key map arrives as array<struct<key,value>>
+    — tuples or dicts depending on depth; normalize to {id: bytes}."""
+    out = {}
+    for item in bounds or []:
+        if isinstance(item, dict):
+            out[int(item["key"])] = item["value"]
+        else:
+            out[int(item[0])] = item[1]
+    return out
+
+
 def _current_schema(meta: dict) -> StructType:
     if "schemas" in meta:
         sid = meta.get("current-schema-id", 0)
@@ -328,6 +404,7 @@ def read_iceberg(
     snapshot_id: int | None = None,
     timestamp_ms: int | None = None,
     partition_filters: list[tuple] | None = None,
+    data_filters: list[tuple] | None = None,
 ) -> DataFrame:
     """Read an Iceberg table (HadoopTables directory layout) at the
     current — or a time-travelled — snapshot as a DataFrame.
@@ -335,11 +412,53 @@ def read_iceberg(
     on the DRIVER against each manifest entry's partition struct —
     identity transforms only (bucket/truncate values are transform
     outputs; pruning them against raw column values would silently
-    drop the wrong files, so they refuse)."""
+    drop the wrong files, so they refuse).
+
+    ``data_filters`` [(column, op, value)] prune files via the
+    manifests' lower_bounds/upper_bounds (spec single-value
+    serialization, decoded by the column's field id) AND run as a
+    real WHERE clause — exact results whether or not an entry
+    carries bounds (bound-less files are never skipped). The Delta
+    tier's contract, on Iceberg's metadata."""
     meta = load_table_metadata(path)
     schema = _current_schema(meta)
     snap = _pick_snapshot(meta, snapshot_id, timestamp_ms)
     files = _live_data_files(path, snap)
+    if data_filters:
+        from lwes_contrib_hive_serde_spark.sources.delta import (
+            _file_may_match,
+        )
+
+        ids = _schema_field_ids(meta)
+        for col, op, _v in data_filters:
+            if col not in ids:
+                raise IcebergError(
+                    f"data filter column {col!r} not a top-level "
+                    "primitive column"
+                )
+            if op not in ("=", "<", "<=", ">", ">=", "in", "!="):
+                raise IcebergError(f"unsupported data filter op {op!r}")
+        kept = []
+        for f in files:
+            lower = _bounds_to_dict(f.get("lower_bounds"))
+            upper = _bounds_to_dict(f.get("upper_bounds"))
+            ok = True
+            for col, op, val in data_filters:
+                fid, itype = ids[col]
+                lo = _sv_decode(lower.get(fid), itype)
+                hi = _sv_decode(upper.get(fid), itype)
+                if lo is None or hi is None:
+                    continue  # no usable bounds: keep (fail-safe)
+                stats = {
+                    "minValues": {col: lo},
+                    "maxValues": {col: hi},
+                }
+                if not _file_may_match(stats, col, op, val):
+                    ok = False
+                    break
+            if ok:
+                kept.append(f)
+        files = kept
     if partition_filters:
         spec = dict(_identity_partition_fields(meta))
         for col, op, _v in partition_filters:
@@ -379,7 +498,13 @@ def read_iceberg(
             "field-id rename, which this name-mapped reader refuses "
             "rather than silently NULL-filling"
         )
-    return spark.read.schema(schema).parquet(*paths)
+    from lwes_contrib_hive_serde_spark.sources.delta import (
+        _apply_data_filters,
+    )
+
+    return _apply_data_filters(
+        spark.read.schema(schema).parquet(*paths), data_filters
+    )
 
 
 def iceberg_files(
@@ -435,7 +560,20 @@ def iceberg_history(path: str) -> list[dict]:
 
 # ---------------------------------------------------------------- fixture writer
 
-def _manifest_entry_schema(part_fields: list) -> StructType:
+_BOUNDS_T = __import__("pyspark.sql.types", fromlist=["ArrayType"]).ArrayType(
+    StructType(
+        [
+            StructField("key", IntegerType(), False),
+            StructField("value", __import__(
+                "pyspark.sql.types", fromlist=["BinaryType"]
+            ).BinaryType(), True),
+        ]
+    ),
+    True,
+)
+
+
+def _manifest_entry_schema(part_fields: list, bounds: bool = False) -> StructType:
     data_file = [
         StructField("file_path", StringType(), False),
         StructField("file_format", StringType(), False),
@@ -454,6 +592,11 @@ def _manifest_entry_schema(part_fields: list) -> StructType:
         StructField("record_count", LongType(), False),
         StructField("file_size_in_bytes", LongType(), False),
     ]
+    if bounds:
+        data_file += [
+            StructField("lower_bounds", _BOUNDS_T, True),
+            StructField("upper_bounds", _BOUNDS_T, True),
+        ]
     return StructType(
         [
             StructField("status", IntegerType(), False),
@@ -568,6 +711,35 @@ def write_iceberg_table(
             return int(raw)
         return raw
 
+    _ITYPE = {
+        LongType: "long", IntegerType: "int", StringType: "string",
+        DoubleType: "double", FloatType: "float",
+    }
+
+    def _file_bounds(parquet_path):
+        """(lower, upper) as [(field_id, bytes)] per the spec's
+        single-value serialization, from the footer stats."""
+        import json as _json
+
+        from lwes_contrib_hive_serde_spark.sources.delta import _footer_stats
+
+        st = _json.loads(_footer_stats(parquet_path))
+        mins = st.get("minValues") or {}
+        maxs = st.get("maxValues") or {}
+        names = [f.name for f in df.schema.fields]
+        lower, upper = [], []
+        for i, name in enumerate(names, start=1):
+            itype = _ITYPE.get(type(types[name]))
+            if itype is None or name not in mins or name not in maxs:
+                continue
+            lo = _sv_encode(mins[name], itype)
+            hi = _sv_encode(maxs[name], itype)
+            if lo is None or hi is None:
+                continue
+            lower.append((i, bytearray(lo)))
+            upper.append((i, bytearray(hi)))
+        return lower, upper
+
     entries = []
     for root, _dirs, names in os.walk(staging):
         for n in sorted(names):
@@ -606,15 +778,18 @@ def write_iceberg_table(
                 num = pq.read_metadata(src).num_rows
                 os.replace(src, dst)
             part_tuple = tuple(pv[c] for c in partition_by)
+            lower, upper = _file_bounds(dst)
             if partition_by:
                 entries.append(
                     (1, None,
                      (dst, "PARQUET", part_tuple, num,
-                      os.path.getsize(dst)))
+                      os.path.getsize(dst), lower, upper))
                 )
             else:
                 entries.append(
-                    (1, None, (dst, "PARQUET", num, os.path.getsize(dst)))
+                    (1, None,
+                     (dst, "PARQUET", num, os.path.getsize(dst),
+                      lower, upper))
                 )
     shutil.rmtree(staging, ignore_errors=True)
 
@@ -624,7 +799,7 @@ def write_iceberg_table(
     # 2. one manifest for this snapshot's added files
     manifest = os.path.join(mdir, f"manifest-{snapshot_id}.avro")
     entry_schema = _manifest_entry_schema(
-        [(c, types[c]) for c in partition_by]
+        [(c, types[c]) for c in partition_by], bounds=True
     )
     _write_avro_file(
         manifest, entry_schema, entries, "manifest_entry"

@@ -271,3 +271,63 @@ class TestPartitioned:
             I.read_iceberg(
                 spark, p, partition_filters=[("lang", "=", "en")]
             )
+
+
+class TestDataSkipping:
+    def test_bounds_recorded_and_files_skipped(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        p = str(tmp_path / "t")
+        df = _docs(spark, 40)
+        for lo in range(0, 40, 10):
+            I.write_iceberg_table(
+                df.where(f"doc_id >= {lo} and doc_id < {lo + 10}")
+                .coalesce(1),
+                p,
+            )
+        got = I.read_iceberg(spark, p, data_filters=[("doc_id", "=", 25)])
+        assert [r.doc_id for r in got.collect()] == [25]
+        assert got.select(F.input_file_name()).distinct().count() == 1
+        got = I.read_iceberg(
+            spark, p, data_filters=[("doc_id", "in", [5, 35])]
+        )
+        assert sorted(r.doc_id for r in got.collect()) == [5, 35]
+        assert got.select(F.input_file_name()).distinct().count() == 2
+        # string bounds work too (text is 'body N')
+        got = I.read_iceberg(
+            spark, p, data_filters=[("text", "=", "body 7")]
+        )
+        assert got.count() == 1
+
+    def test_failsafe_without_bounds(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark).coalesce(1), p)
+        # strip bounds: rewrite the manifest without them (an older
+        # writer's shape)
+        meta = json.load(open(os.path.join(
+            p, "metadata",
+            "v" + open(os.path.join(p, "metadata", "version-hint.text"))
+            .read().strip() + ".metadata.json")))
+        ml = meta["snapshots"][-1]["manifest-list"]
+        m = I._manifest_list_entries(ml)[0]["manifest_path"]
+        entries = I._named_rows(m)
+        I._write_avro_file(
+            m, I._MANIFEST_ENTRY_SCHEMA,
+            [
+                (e["status"], e["snapshot_id"],
+                 (e["data_file"]["file_path"],
+                  e["data_file"]["file_format"],
+                  e["data_file"]["record_count"],
+                  e["data_file"]["file_size_in_bytes"]))
+                for e in entries
+            ],
+            "manifest_entry",
+        )
+        got = I.read_iceberg(spark, p, data_filters=[("doc_id", "=", 3)])
+        assert [r.doc_id for r in got.collect()] == [3]
+
+    def test_unknown_column_refused(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark), p)
+        with pytest.raises(I.IcebergError, match="data filter column"):
+            I.read_iceberg(spark, p, data_filters=[("nope", "=", 1)])
