@@ -1,0 +1,69 @@
+"""Tiny lakehouse catalog: name → format-prefixed path, registered
+as temp views so plain ``spark.sql`` reaches every tier this repo
+reads — Delta and Iceberg tables next to parquet, jsonl, Avro, and
+LWES journals, joinable in one statement.
+
+    register_lakehouse(spark, {
+        "docs":   "delta:/data/docs",
+        "events": "lwes:/data/journals",
+        "embs":   "iceberg:/data/embs",
+        "raw":    "parquet:/data/raw",
+    })
+    spark.sql("select ... from docs join embs using (doc_id)")
+
+Semantics: a Delta/Iceberg view pins the snapshot CURRENT AT
+REGISTRATION (the file list is resolved when the view is created —
+exactly a snapshot-isolation read); call register_lakehouse again
+to advance. Suffix the spec with ``@<version>`` (Delta) or
+``@<snapshot_id>`` (Iceberg) to pin time travel explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+class CatalogError(ValueError):
+    pass
+
+
+def _load(spark: SparkSession, spec: str):
+    fmt, sep, rest = spec.partition(":")
+    if not sep:
+        raise CatalogError(
+            f"table spec {spec!r} needs a 'format:path' shape"
+        )
+    path, at, pin = rest.partition("@")
+    if fmt == "delta":
+        from lwes_contrib_hive_serde_spark.sources import delta as D
+
+        return D.read_delta(
+            spark, path, version=int(pin) if at else None
+        )
+    if fmt == "iceberg":
+        from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+        return I.read_iceberg(
+            spark, path, snapshot_id=int(pin) if at else None
+        )
+    if at:
+        raise CatalogError(f"@pin is only for delta/iceberg: {spec!r}")
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt in ("lwes", "jsonl", "avro_ocf", "warc", "wet", "wat"):
+        import lwes_contrib_hive_serde_spark as L
+
+        L.register(spark)
+        return spark.read.format(fmt).option("path", path).load()
+    raise CatalogError(
+        f"unknown format {fmt!r} in {spec!r} (delta|iceberg|parquet|"
+        "lwes|jsonl|avro_ocf|warc|wet|wat)"
+    )
+
+
+def register_lakehouse(spark: SparkSession, tables: dict[str, str]) -> None:
+    """Create/replace one temp view per entry. Registration is
+    metadata-only (log/manifest replay for the lakehouse formats);
+    no data is read until a query runs."""
+    for name, spec in tables.items():
+        _load(spark, spec).createOrReplaceTempView(name)

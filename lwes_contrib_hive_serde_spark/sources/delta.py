@@ -371,8 +371,16 @@ def _norm_stat(v):
 
 
 def _file_may_match(stats: dict, col: str, op: str, val) -> bool:
-    """False ONLY when the file's min/max bounds PROVE no row can
-    match — missing stats always keep the file (fail-safe)."""
+    """False ONLY when the file's stats PROVE no row can match —
+    missing stats always keep the file (fail-safe)."""
+    if op in ("isnull", "isnotnull"):
+        nulls = stats.get("nullCount") or {}
+        n = stats.get("numRecords")
+        if col not in nulls or n is None:
+            return True
+        if op == "isnull":
+            return nulls[col] > 0
+        return nulls[col] < n
     mins = stats.get("minValues") or {}
     maxs = stats.get("maxValues") or {}
     if col not in mins or col not in maxs:
@@ -442,7 +450,10 @@ def read_delta(
                 )
             if col not in types:
                 raise DeltaError(f"data filter column {col!r} not in schema")
-            if op not in ("=", "<", "<=", ">", ">=", "in", "!="):
+            if op not in (
+                "=", "<", "<=", ">", ">=", "in", "!=",
+                "isnull", "isnotnull",
+            ):
                 raise DeltaError(f"unsupported data filter op {op!r}")
         kept = []
         for a in adds:
@@ -514,6 +525,10 @@ def _apply_data_filters(df: DataFrame, data_filters) -> DataFrame:
             df = df.filter(c >= val)
         elif op == "in":
             df = df.filter(c.isin(list(val)))
+        elif op == "isnull":
+            df = df.filter(c.isNull())
+        elif op == "isnotnull":
+            df = df.filter(c.isNotNull())
     return df
 
 
@@ -1334,9 +1349,9 @@ def convert_to_delta(
                     "size": st.st_size,
                     "modificationTime": int(st.st_mtime * 1000),
                     "dataChange": True,
-                    "stats": json.dumps(
-                        {"numRecords": pq.read_metadata(fp).num_rows}
-                    ),
+                    # full footer stats: converted tables data-skip
+                    # exactly like written ones
+                    "stats": _footer_stats(fp),
                 }
             )
     if first_file is None:

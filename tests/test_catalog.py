@@ -1,0 +1,57 @@
+"""Lakehouse catalog (sources/catalog.py): every tier joinable from
+one spark.sql statement, snapshot pinning via @."""
+
+import pytest
+from pyspark.sql import Row
+
+from lwes_contrib_hive_serde_spark.sources import catalog as C
+from lwes_contrib_hive_serde_spark.sources import delta as D
+from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+
+class TestCatalog:
+    def test_cross_format_join(self, spark, tmp_path):
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, lang=["en", "de"][i % 2]) for i in range(10)]
+        )
+        scores = spark.createDataFrame(
+            [Row(doc_id=i, score=i * 0.5) for i in range(10)]
+        )
+        dt = str(tmp_path / "dt")
+        ib = str(tmp_path / "ib")
+        pq = str(tmp_path / "pq")
+        D.write_delta(docs, dt)
+        I.write_iceberg_table(scores, ib)
+        docs.limit(4).write.parquet(pq)
+        C.register_lakehouse(spark, {
+            "cat_docs": f"delta:{dt}",
+            "cat_scores": f"iceberg:{ib}",
+            "cat_head": f"parquet:{pq}",
+        })
+        out = spark.sql(
+            "select d.lang, count(*) n, sum(s.score) total "
+            "from cat_docs d join cat_scores s using (doc_id) "
+            "group by d.lang order by d.lang"
+        ).collect()
+        assert [(r.lang, r.n) for r in out] == [("de", 5), ("en", 5)]
+        assert spark.sql("select count(*) from cat_head").first()[0] == 4
+
+    def test_version_pinning(self, spark, tmp_path):
+        docs = spark.createDataFrame([Row(doc_id=i) for i in range(5)])
+        dt = str(tmp_path / "dt")
+        D.write_delta(docs, dt)
+        D.write_delta(docs, dt, mode="append")
+        C.register_lakehouse(spark, {"pin0": f"delta:{dt}@0"})
+        assert spark.sql("select count(*) from pin0").first()[0] == 5
+        # snapshot isolation: view registered at latest stays put
+        C.register_lakehouse(spark, {"latest": f"delta:{dt}"})
+        D.write_delta(docs, dt, mode="append")
+        assert spark.sql("select count(*) from latest").first()[0] == 10
+
+    def test_bad_specs(self, spark, tmp_path):
+        with pytest.raises(C.CatalogError, match="format:path"):
+            C.register_lakehouse(spark, {"x": "/no/format"})
+        with pytest.raises(C.CatalogError, match="unknown format"):
+            C.register_lakehouse(spark, {"x": "orc:/nope"})
+        with pytest.raises(C.CatalogError, match="only for delta"):
+            C.register_lakehouse(spark, {"x": "parquet:/p@3"})

@@ -719,3 +719,32 @@ class TestDataSkipping:
         D.write_delta(_docs(spark), p, partition_by=["lang"])
         with pytest.raises(D.DeltaError, match="partition_filters"):
             D.read_delta(spark, p, data_filters=[("lang", "=", "en")])
+
+
+class TestNullnessSkipping:
+    def test_isnull_isnotnull_ops(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        rows = [Row(doc_id=i, text=None if i < 10 else f"t{i}")
+                for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        # one all-null file, one no-null file
+        D.write_delta(df.where("doc_id < 10").coalesce(1), p)
+        D.write_delta(df.where("doc_id >= 10").coalesce(1), p, mode="append")
+        got = D.read_delta(spark, p, data_filters=[("text", "isnull", None)])
+        assert got.count() == 10
+        assert got.select(F.input_file_name()).distinct().count() == 1
+        got = D.read_delta(
+            spark, p, data_filters=[("text", "isnotnull", None)]
+        )
+        assert got.count() == 10
+        assert got.select(F.input_file_name()).distinct().count() == 1
+
+    def test_converted_tables_skip_too(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        df = _docs(spark, 40)
+        (df.repartitionByRange(4, "doc_id")
+           .sortWithinPartitions("doc_id").write.parquet(p))
+        D.convert_to_delta(spark, p)
+        got = D.read_delta(spark, p, data_filters=[("doc_id", "=", 25)])
+        assert [r.doc_id for r in got.collect()] == [25]
+        assert got.select(F.input_file_name()).distinct().count() == 1
