@@ -1471,11 +1471,15 @@ def cdc_boundaries(data: bytes, min_size: int, avg_size: int,
         return []
     b = np.frombuffer(data, dtype=np.uint8)
     g = _GEAR[b.astype(np.intp)]
+    # Only the low log2(avg) bits face the boundary test, and the
+    # k-th shift feeds bit positions >= k — so bytes further back
+    # than log2(avg) positions cannot change the masked hash. The
+    # textbook 64-shift window collapses to log2(avg) shifted adds
+    # (8 for avg=256), bit-identical to the full hash under the mask
+    # (the brute-force parity test pins this).
+    bits = (avg_size - 1).bit_length()
     h = np.zeros(n, dtype=np.uint64)
-    for k in range(64):
-        # G[b[i-k]] << k contributes to h[i]
-        if k >= n:
-            break
+    for k in range(min(bits, n)):
         h[k:] += g[: n - k] << np.uint64(k)
     mask = np.uint64(avg_size - 1)
     candidates = np.flatnonzero((h & mask) == 0) + 1  # end offsets
