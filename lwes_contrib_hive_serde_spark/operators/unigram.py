@@ -1,0 +1,258 @@
+"""Unigram language-model tokenizer (SentencePiece's unigram mode,
+Kudo 2018) — the second trained tokenizer next to operators/bpe.py.
+
+Where BPE grows a vocabulary bottom-up by merging, the unigram model
+starts from a LARGE seed vocabulary of candidate pieces and fits
+piece probabilities so each word's best segmentation (Viterbi) is
+most probable, then keeps the strongest ``vocab_size`` pieces. This
+implementation is the deterministic hard-EM (Viterbi-EM) variant:
+
+  1. word counts — ONE shuffle on the word key (the corpus itself
+     never shuffles; everything after runs on the distinct-word
+     table, which is tiny relative to 100 TB of text);
+  2. seed vocabulary — every substring of every distinct word up to
+     ``max_piece_len``, weighted by word count, top ``seed_size`` by
+     total count (pure JVM: sequence/transform/flatten explosion, one
+     aggregate), plus EVERY single character (coverage guarantee);
+  3. hard-EM iterations — E-step Viterbi-segments each distinct word
+     under current piece log-probs (Arrow-batched pandas over the
+     word table, vocab broadcast in the closure) and emits piece
+     counts x word count; M-step is one aggregate. Hard EM is
+     deterministic: integer counts in, integer counts out;
+  4. prune to ``vocab_size`` pieces by final count (single chars
+     always kept), recompute log-probs.
+
+Ties in the Viterbi DP are broken deterministically: higher score,
+then FEWER pieces, then the longer last piece — mirrored exactly by
+the exhaustive-enumeration reference in tests/test_unigram.py, which
+pins the DP against all 2^(L-1) segmentations on small words.
+
+The trained model is a DataFrame (piece, count, logp) like
+text.train_langid_profiles; ``unigram_encode`` broadcasts it and
+tokenizes a column Arrow-batched. Whitespace handling follows the
+SentencePiece convention: words carry a leading ``▁`` marker, so
+detokenization is ``concat(pieces).replace("▁", " ")``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd  # module-level: pandas_udf type hints must resolve
+from pyspark.sql import Column, DataFrame, functions as F
+
+WORD_MARKER = "▁"  # ▁
+
+
+def _words_with_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, n) over the corpus — ▁-prefixed, one shuffle."""
+    words = df.select(
+        F.explode(
+            F.split(F.trim(F.col(text_col)), r"\s+")
+        ).alias("w")
+    ).filter(F.length("w") > 0)
+    return (
+        words.select(F.concat(F.lit(WORD_MARKER), F.col("w")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _seed_pieces(
+    words: DataFrame, max_piece_len: int, seed_size: int
+) -> DataFrame:
+    """Top candidate substrings by corpus-weighted count, plus every
+    single character. Substring explosion is pure JVM."""
+    L = F.length("word")
+    starts = F.sequence(F.lit(1), L)
+    subs = F.flatten(
+        F.transform(
+            starts,
+            lambda i: F.transform(
+                F.sequence(
+                    i, F.least(i + F.lit(max_piece_len - 1), L)
+                ),
+                lambda j: F.col("word").substr(i, j - i + 1),
+            ),
+        )
+    )
+    exploded = words.select(
+        F.explode(subs).alias("piece"), F.col("n")
+    )
+    counts = exploded.groupBy("piece").agg(F.sum("n").alias("count"))
+    chars = counts.filter(F.length("piece") == 1)
+    multi = (
+        counts.filter(F.length("piece") > 1)
+        .orderBy(F.desc("count"), "piece")
+        .limit(seed_size)
+    )
+    return chars.unionAll(multi)
+
+
+def _viterbi(word: str, logp: dict, max_len: int):
+    """Best segmentation under (score desc, fewer pieces, longer
+    last piece) — the deterministic tie-break the tests mirror.
+    Returns list of pieces, or None if the word cannot be covered."""
+    n = len(word)
+    NEG = float("-inf")
+    # state: (score, n_pieces, back_j)
+    best = [(NEG, 0, -1)] * (n + 1)
+    best[0] = (0.0, 0, -1)
+    for i in range(1, n + 1):
+        cand = None
+        for j in range(max(0, i - max_len), i):
+            sj, pj, _ = best[j]
+            if sj == NEG:
+                continue
+            lp = logp.get(word[j:i])
+            if lp is None:
+                continue
+            state = (sj + lp, pj + 1, j)
+            if cand is None:
+                cand = state
+                continue
+            # higher score wins; then fewer pieces; then smaller j
+            # (longer last piece)
+            if (
+                state[0] > cand[0]
+                or (state[0] == cand[0] and state[1] < cand[1])
+                or (
+                    state[0] == cand[0]
+                    and state[1] == cand[1]
+                    and state[2] < cand[2]
+                )
+            ):
+                cand = state
+        if cand is not None:
+            best[i] = cand
+    if best[n][0] == NEG:
+        return None
+    out = []
+    i = n
+    while i > 0:
+        j = best[i][2]
+        out.append(word[j:i])
+        i = j
+    out.reverse()
+    return out
+
+
+def train_unigram(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 2000,
+    max_piece_len: int = 8,
+    seed_size: int = 20000,
+    iters: int = 3,
+) -> DataFrame:
+    """Train; returns (piece, count, logp). See module docstring."""
+    if vocab_size < 1 or max_piece_len < 1 or iters < 1:
+        raise ValueError("train_unigram: sizes/iters must be positive")
+    spark = df.sparkSession
+    words = _words_with_counts(df, text_col).cache()
+    seed = _seed_pieces(words, max_piece_len, seed_size)
+    # initial probabilities from raw substring counts
+    vocab = {r["piece"]: r["count"] for r in seed.collect()}
+    if not vocab:
+        raise ValueError("train_unigram: empty corpus")
+
+    def em_round(piece_counts: dict) -> dict:
+        total = sum(piece_counts.values())
+        logp = {
+            p: math.log(c) - math.log(total)
+            for p, c in piece_counts.items()
+        }
+        ml = max_piece_len
+
+        def segment(batches):
+            for pdf in batches:
+                out_p, out_n = [], []
+                for word, n in zip(pdf["word"], pdf["n"]):
+                    seg = _viterbi(word, logp, ml)
+                    if seg is None:
+                        continue  # unseen char at train time: skip
+                    for piece in seg:
+                        out_p.append(piece)
+                        out_n.append(int(n))
+                yield pd.DataFrame({"piece": out_p, "n": out_n})
+
+        counted = (
+            words.mapInPandas(segment, "piece string, n long")
+            .groupBy("piece")
+            .agg(F.sum("n").alias("count"))
+        )
+        new = {r["piece"]: r["count"] for r in counted.collect()}
+        # coverage floor: single chars never leave the vocabulary
+        for p, c in piece_counts.items():
+            if len(p) == 1 and p not in new:
+                new[p] = 1
+        return new
+
+    for _ in range(iters):
+        vocab = em_round(vocab)
+
+    # prune: all single chars + strongest multi-char pieces
+    singles = {p: c for p, c in vocab.items() if len(p) == 1}
+    multis = sorted(
+        ((p, c) for p, c in vocab.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )
+    keep = dict(singles)
+    budget = max(0, vocab_size - len(keep))
+    for p, c in multis[:budget]:
+        keep[p] = c
+    total = sum(keep.values())
+    rows = [
+        (p, int(c), math.log(c) - math.log(total))
+        for p, c in sorted(keep.items())
+    ]
+    words.unpersist()
+    return spark.createDataFrame(
+        rows, "piece string, count long, logp double"
+    )
+
+
+def unigram_encode(
+    col,
+    model: DataFrame,
+    max_piece_len: int = 8,
+) -> Column:
+    """Tokenize a text column with a trained model →
+    ``array<string>`` of pieces (▁ marks word starts; unknown
+    characters surface as themselves so detokenization stays exact).
+    Arrow-batched; the model is collected once (vocab-sized) and
+    rides the closure."""
+    logp = {
+        r["piece"]: r["logp"] for r in model.select("piece", "logp").collect()
+    }
+    ml = max_piece_len
+
+    @F.pandas_udf("array<string>")
+    def encode(s: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            out = []
+            for w in t.split():
+                w = WORD_MARKER + w
+                seg = _viterbi(w, logp, ml)
+                if seg is None:
+                    # char-fallback with unknowns passed through
+                    seg = []
+                    for ch in w:
+                        seg.append(ch)
+                out.extend(seg)
+            return out
+
+        return s.map(one)
+
+    c = col if isinstance(col, Column) else F.col(col)
+    return encode(c)
+
+
+def unigram_decode(pieces) -> Column:
+    """array<string> pieces → text (the ▁ convention inverted):
+    concat, then ▁ → space, trimming the leading one."""
+    p = pieces if isinstance(pieces, Column) else F.col(pieces)
+    joined = F.array_join(p, "")
+    return F.ltrim(F.translate(joined, WORD_MARKER, " "))

@@ -8985,3 +8985,58 @@ def q_render_chat(spark, sf_dir):
             F.col("r.text").substr(s2 + 1, e2 - s2) == F.col("a2")
         ).alias("span2_exact"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_unigram_encode",
+    shadow=True,
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3
+             WHEN 0 THEN ['▁the', '▁cat']
+             WHEN 1 THEN ['▁the', '▁cat', '▁s', 'at']
+             ELSE ['▁', 't', 'h', 'at', '▁cat']
+           END AS toks
+    FROM documents WHERE doc_id < 300 ORDER BY doc_id
+    """,
+    doc="Unigram-LM tokenizer ENCODE path (operators/unigram.py, "
+    "Kudo 2018; training itself is pytest-oracled like BPE — "
+    "exhaustive-enumeration Viterbi parity, EM improvement, "
+    "repartition determinism in tests/test_unigram.py): a FIXED "
+    "hand-computable model (two word pieces at logp -1, '\\u2581s'/"
+    "'at' at -2, char fallback at -10) tokenizes three crafted "
+    "shapes where the best segmentation is provable by hand — "
+    "whole-word pieces win, partial pieces compose, and 'that' mixes "
+    "char fallback with the 'at' piece (▁+t+h+at beats five chars "
+    "by 18 nats — the DP takes every usable piece). The "
+    "oracle STATES the token arrays; a hash match pins the "
+    "Arrow-batched Viterbi encode and the \\u2581 word-marker "
+    "convention cross-engine.",
+)
+def q_unigram_encode(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.operators import unigram as U
+
+    model = spark.createDataFrame(
+        [
+            ("\u2581the", 10, -1.0),
+            ("\u2581cat", 10, -1.0),
+            ("\u2581s", 5, -2.0),
+            ("at", 5, -2.0),
+        ]
+        + [
+            (ch, 1, -10.0)
+            for ch in ["\u2581", "t", "h", "a", "c", "e", "s"]
+        ],
+        "piece string, count long, logp double",
+    )
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    v = F.col("doc_id") % 3
+    built = (
+        F.when(v == 0, F.lit("the cat"))
+        .when(v == 1, F.lit("the cat sat"))
+        .otherwise(F.lit("that cat"))
+    )
+    sel = d.select("doc_id", built.alias("t"))
+    return sel.select(
+        "doc_id", U.unigram_encode("t", model).alias("toks")
+    ).orderBy("doc_id")

@@ -1,0 +1,139 @@
+"""Unigram LM tokenizer (operators/unigram.py, Kudo 2018 hard-EM):
+exhaustive-enumeration parity for the Viterbi DP, coverage/round-trip
+laws, EM improvement, and determinism."""
+
+import itertools
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from lwes_contrib_hive_serde_spark.operators import unigram as U
+
+
+def exhaustive_best(word: str, logp: dict, max_len: int):
+    """All segmentations via cut-point powerset, ranked by the SAME
+    (score desc, fewer pieces, longer-last-piece) tie-break —
+    independent of the DP under test."""
+    n = len(word)
+    best = None
+    for cuts in itertools.product([0, 1], repeat=max(0, n - 1)):
+        pos = [0] + [i + 1 for i, c in enumerate(cuts) if c] + [n]
+        pieces = [word[a:b] for a, b in zip(pos, pos[1:])]
+        if any(len(p) > max_len or p not in logp for p in pieces):
+            continue
+        score = sum(logp[p] for p in pieces)
+        # longer last piece == smaller final cut index
+        key = (-score, len(pieces), pos[-2])
+        if best is None or key < best[0]:
+            best = (key, pieces)
+    return None if best is None else best[1]
+
+
+class TestViterbi:
+    def test_matches_exhaustive_enumeration(self):
+        vocab = ["a", "b", "c", "ab", "bc", "abc", "cab", "bca"]
+        logp = {p: math.log(1 + len(p) * 2) - math.log(50) for p in vocab}
+        for word in ("abcabc", "aabbcc", "cababc", "abc", "a",
+                     "bcabca", "ccccab"):
+            got = U._viterbi(word, logp, 3)
+            exp = exhaustive_best(word, logp, 3)
+            assert got == exp, (word, got, exp)
+
+    def test_tie_break_is_deterministic(self):
+        # two pieces with IDENTICAL logp: "ab"+"c" vs "a"+"bc" tie on
+        # score and count; longer LAST piece ("bc", i.e. smaller j)
+        logp = {"a": -2.0, "c": -2.0, "ab": -3.0, "bc": -3.0}
+        assert U._viterbi("abc", logp, 2) == ["a", "bc"]
+
+    def test_uncoverable_returns_none(self):
+        assert U._viterbi("xyz", {"x": -1.0}, 4) is None
+
+
+class TestTraining:
+    def _corpus(self, spark):
+        # a corpus where 'the' and 'ing' style units dominate
+        rows = []
+        for i in range(60):
+            rows.append((i, "the cat sat on the mat " * 3))
+            rows.append((1000 + i, "singing and running and jumping " * 2))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_train_encode_decode_roundtrip(self, spark):
+        df = self._corpus(spark)
+        model = U.train_unigram(df, vocab_size=200, max_piece_len=6,
+                                seed_size=2000, iters=2)
+        pieces = {r.piece for r in model.collect()}
+        # coverage: every corpus character is a piece
+        chars = set("".join(
+            U.WORD_MARKER + w
+            for r in df.collect() for w in r.text.split()
+        ))
+        assert chars <= pieces
+        enc = df.select(
+            "text", U.unigram_encode("text", model, 6).alias("toks")
+        )
+        back = enc.select(
+            "text", U.unigram_decode("toks").alias("rt")
+        )
+        assert back.where("rt != regexp_replace(trim(text), '\\\\s+', ' ')")\
+                   .count() == 0
+
+    def test_frequent_words_become_single_pieces(self, spark):
+        df = self._corpus(spark)
+        model = U.train_unigram(df, vocab_size=200, max_piece_len=6,
+                                seed_size=2000, iters=2)
+        toks = df.limit(1).select(
+            U.unigram_encode("text", model, 6).alias("t")
+        ).first().t
+        assert U.WORD_MARKER + "the" in toks  # one piece, not t-h-e
+
+    def test_compression_beats_chars_and_em_improves(self, spark):
+        df = self._corpus(spark)
+        m1 = U.train_unigram(df, vocab_size=300, max_piece_len=6,
+                             seed_size=2000, iters=1)
+        m3 = U.train_unigram(df, vocab_size=300, max_piece_len=6,
+                             seed_size=2000, iters=3)
+
+        def n_tokens(model):
+            return df.select(
+                F.size(U.unigram_encode("text", model, 6)).alias("k")
+            ).agg(F.sum("k")).first()[0]
+
+        def n_chars():
+            return df.select(
+                F.sum(F.length(F.regexp_replace("text", r"\s+", "")))
+            ).first()[0]
+
+        t3 = n_tokens(m3)
+        assert t3 < n_chars() * 0.5  # real compression
+        assert t3 <= n_tokens(m1)    # EM never hurts here
+
+    def test_deterministic_across_runs(self, spark):
+        df = self._corpus(spark)
+        a = U.train_unigram(df, vocab_size=150, max_piece_len=5,
+                            seed_size=1000, iters=2)
+        b = U.train_unigram(df.repartition(7), vocab_size=150,
+                            max_piece_len=5, seed_size=1000, iters=2)
+        ra = sorted((r["piece"], r["count"]) for r in a.collect())
+        rb = sorted((r["piece"], r["count"]) for r in b.collect())
+        assert ra == rb
+
+    def test_unknown_chars_pass_through(self, spark):
+        df = self._corpus(spark)
+        model = U.train_unigram(df, vocab_size=150, max_piece_len=5,
+                                seed_size=1000, iters=1)
+        odd = spark.createDataFrame(
+            [Row(text="the Ω cat")], "text string"
+        )
+        out = odd.select(
+            U.unigram_decode(
+                U.unigram_encode("text", model, 5)
+            ).alias("rt")
+        ).first().rt
+        assert out == "the Ω cat"
+
+    def test_validation(self, spark):
+        df = self._corpus(spark)
+        with pytest.raises(ValueError, match="positive"):
+            U.train_unigram(df, vocab_size=0)
