@@ -1516,3 +1516,182 @@ def delta_zorder(
             "version": version,
         }
     raise DeltaError("zorder could not commit (sustained contention)")
+
+
+def delta_delete(
+    spark: SparkSession,
+    path: str,
+    where: list[tuple],
+    max_commit_attempts: int = 10,
+) -> dict:
+    """Row-level DELETE by copy-on-write rewrite (the pre-deletion-
+    vector Delta mechanism): ``where`` uses the data_filters /
+    partition_filters grammar — (column, op, value) with op in
+    = != < <= > >= in isnull isnotnull; partition columns and data
+    columns may mix. Only files whose stats/partition values say
+    they MIGHT hold matches are rewritten (everything the skipping
+    tier knows is reused); each such file is re-read, the matching
+    rows dropped, and the survivors written back as ONE new file,
+    committed as remove+add with dataChange=true — streams see it,
+    exactly as they must (an append-only tail cannot represent a
+    delete; delta_stream errors without ignorechanges). Returns
+    {"rows_deleted", "files_rewritten", "version"} (version None
+    when no file could match).
+
+    At 100 TB: the rewrite cost is proportional to files TOUCHED,
+    not table size — a delete keyed on a zordered/partitioned
+    column rewrites a handful of files. GDPR-style id deletes are
+    the intended use."""
+    import shutil
+
+    state = _replay(path)
+    _check_readable(state)
+    part_cols = _partition_columns(state)
+    full_schema = _schema(state)
+    types = {f.name: f.dataType for f in full_schema.fields}
+    data_schema = StructType(
+        [f for f in full_schema.fields if f.name not in part_cols]
+    )
+    part_preds = [(c, o, v) for c, o, v in where if c in part_cols]
+    data_preds = [(c, o, v) for c, o, v in where if c not in part_cols]
+    for c, o, _v in where:
+        if c not in types:
+            raise DeltaError(f"delete predicate column {c!r} not in schema")
+        if o not in ("=", "!=", "<", "<=", ">", ">=", "in",
+                     "isnull", "isnotnull"):
+            raise DeltaError(f"unsupported delete op {o!r}")
+
+    candidates = _prune(
+        list(state.adds.values()), part_preds or None, part_cols, types
+    )
+    if data_preds:
+        kept = []
+        for a in candidates:
+            st = a.get("stats")
+            try:
+                stats = json.loads(st) if st else {}
+            except (TypeError, ValueError):
+                stats = {}
+            if all(
+                _file_may_match(stats, c, o, v) for c, o, v in data_preds
+            ):
+                kept.append(a)
+        candidates = kept
+    if not candidates:
+        return {"rows_deleted": 0, "files_rewritten": 0, "version": None}
+
+    # the delete predicate as ONE Column (conjunction), evaluated
+    # per file over data columns + literal partition values
+    def match_expr(pv: dict):
+        cond = F.lit(True)
+        for c, o, v in where:
+            col = (
+                F.lit(_cast_partition_value(pv.get(c), types[c])).cast(
+                    types[c]
+                )
+                if c in part_cols
+                else F.col(c)
+            )
+            if o == "=":
+                cond = cond & (col == v)
+            elif o == "!=":
+                cond = cond & (col != v)
+            elif o == "<":
+                cond = cond & (col < v)
+            elif o == "<=":
+                cond = cond & (col <= v)
+            elif o == ">":
+                cond = cond & (col > v)
+            elif o == ">=":
+                cond = cond & (col >= v)
+            elif o == "in":
+                cond = cond & col.isin(list(v))
+            elif o == "isnull":
+                cond = cond & col.isNull()
+            elif o == "isnotnull":
+                cond = cond & col.isNotNull()
+        return cond
+
+    removes, adds = [], []
+    rows_deleted = 0
+    for a in candidates:
+        fp = _file_abspath(path, a["path"])
+        pv = a.get("partitionValues") or {}
+        df = spark.read.schema(data_schema).parquet(fp)
+        hit = df.filter(match_expr(pv))
+        n_hit = hit.count()
+        if n_hit == 0:
+            continue  # stats said maybe; rows said no — file untouched
+        rows_deleted += n_hit
+        survivors = df.filter(~match_expr(pv) | match_expr(pv).isNull())
+        staging = os.path.join(path, f".delete-{uuid.uuid4().hex}")
+        survivors.coalesce(1).write.mode("overwrite").parquet(staging)
+        new_adds = _publish_parquet_dir(
+            staging, os.path.dirname(fp), path, pv
+        )
+        shutil.rmtree(staging, ignore_errors=True)
+        for na in new_adds:
+            na["dataChange"] = True
+            # drop empty survivor files entirely
+            if json.loads(na["stats"])["numRecords"] > 0:
+                adds.append(na)
+            else:
+                try:
+                    os.remove(_file_abspath(path, na["path"]))
+                except OSError:
+                    pass
+        removes.append(a)
+
+    if not removes:
+        return {"rows_deleted": 0, "files_rewritten": 0, "version": None}
+    now_ms = int(time.time() * 1000)
+    removed_paths = {r["path"] for r in removes}
+    for _ in range(max_commit_attempts):
+        current = _replay(path)
+        if not removed_paths <= set(current.adds):
+            for a in adds:
+                try:
+                    os.remove(_file_abspath(path, a["path"]))
+                except OSError:
+                    pass
+            raise DeltaError(
+                "delete lost a race against another commit; aborted "
+                "cleanly (re-run to retry)"
+            )
+        version = current.version + 1
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "DELETE",
+                    "operationParameters": {},
+                }
+            }
+        ]
+        for r in removes:
+            actions.append(
+                {
+                    "remove": {
+                        "path": r["path"],
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                        "partitionValues": r.get("partitionValues") or {},
+                        "size": r.get("size"),
+                    }
+                }
+            )
+        actions.extend({"add": a} for a in adds)
+        payload = "".join(json.dumps(x) + "\n" for x in actions).encode()
+        target = _commit_file(path, version)
+        try:
+            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+        return {
+            "rows_deleted": rows_deleted,
+            "files_rewritten": len(removes),
+            "version": version,
+        }
+    raise DeltaError("delete could not commit (sustained contention)")

@@ -748,3 +748,89 @@ class TestNullnessSkipping:
         got = D.read_delta(spark, p, data_filters=[("doc_id", "=", 25)])
         assert [r.doc_id for r in got.collect()] == [25]
         assert got.select(F.input_file_name()).distinct().count() == 1
+
+
+class TestDelete:
+    def test_delete_by_data_predicate_touches_only_candidates(
+        self, spark, tmp_path
+    ):
+        p = str(tmp_path / "t")
+        df = _docs(spark, 40)
+        for lo in range(0, 40, 10):
+            D.write_delta(
+                df.where(f"doc_id >= {lo} and doc_id < {lo + 10}")
+                .coalesce(1),
+                p, mode="append",
+            )
+        before = {r.path for r in D.delta_files(spark, p).collect()}
+        res = D.delta_delete(spark, p, [("doc_id", "in", [5, 7])])
+        assert res["rows_deleted"] == 2
+        assert res["files_rewritten"] == 1  # skipping: one file touched
+        after = {r.path for r in D.delta_files(spark, p).collect()}
+        # the three untouched files keep their identity
+        assert len(before & after) == 3
+        assert _read_rows(spark, p) == _expected(
+            df.where("doc_id not in (5, 7)")
+        )
+        # stats refreshed: delta_count stays metadata-only correct
+        assert D.delta_count(spark, p) == 38
+        hist = D.delta_history(p)
+        assert hist[-1]["operation"] == "DELETE"
+
+    def test_delete_whole_partition_drops_files(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        df = _docs(spark, 30)
+        D.write_delta(df, p, partition_by=["lang"])
+        res = D.delta_delete(spark, p, [("lang", "=", "de")])
+        assert res["rows_deleted"] == df.where("lang = 'de'").count()
+        assert D.read_delta(spark, p).where("lang = 'de'").count() == 0
+        # no survivor files written for the emptied partition
+        assert all(
+            r.lang != "de" for r in D.delta_files(spark, p).collect()
+        )
+        assert _read_rows(spark, p) == _expected(df.where("lang != 'de'"))
+
+    def test_delete_mixed_predicate_and_null_rows_kept(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        rows = [
+            Row(doc_id=i, text=None if i % 5 == 0 else f"t{i}",
+                lang=["en", "de"][i % 2])
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        D.write_delta(df, p, partition_by=["lang"])
+        # delete en-rows with text < 't5' — NULL text rows must stay
+        res = D.delta_delete(
+            spark, p, [("lang", "=", "en"), ("text", "<", "t5")]
+        )
+        exp_deleted = df.where("lang = 'en' and text < 't5'").count()
+        assert res["rows_deleted"] == exp_deleted
+        got = D.read_delta(spark, p)
+        assert got.count() == 20 - exp_deleted
+        assert got.where("text is null").count() == 4  # untouched
+
+    def test_delete_no_match_is_noop(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark), p)
+        v_before = D._replay(p).version
+        res = D.delta_delete(spark, p, [("doc_id", "=", 999)])
+        assert res == {
+            "rows_deleted": 0, "files_rewritten": 0, "version": None,
+        }
+        assert D._replay(p).version == v_before
+
+    def test_stream_sees_delete_as_change(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark), p)
+        q = (
+            spark.readStream.format("delta_stream").option("path", p)
+            .load().writeStream.format("memory").queryName("del_s")
+            .outputMode("append").start()
+        )
+        try:
+            q.processAllAvailable()
+            D.delta_delete(spark, p, [("doc_id", "<", 5)])
+            with pytest.raises(Exception, match="ignorechanges"):
+                q.processAllAvailable()
+        finally:
+            q.stop()
