@@ -1695,3 +1695,190 @@ def delta_delete(
             "version": version,
         }
     raise DeltaError("delete could not commit (sustained contention)")
+
+
+def delta_update(
+    spark: SparkSession,
+    path: str,
+    where: list[tuple],
+    set_exprs: dict[str, str],
+    max_commit_attempts: int = 10,
+) -> dict:
+    """Row-level UPDATE by copy-on-write rewrite — delta_delete's
+    sibling: files that MIGHT hold matches (same stats/partition
+    candidate selection) are re-read, matching rows get
+    ``set_exprs`` applied (column → SQL expression over the row,
+    e.g. {"text": "upper(text)", "n_chars": "n_chars + 1"}), and
+    the whole file is written back with fresh stats. Partition
+    columns cannot be assigned (that would move rows between
+    partitions — delete+insert is the honest spelling). Returns
+    {"rows_updated", "files_rewritten", "version"}."""
+    import shutil
+
+    state = _replay(path)
+    _check_readable(state)
+    part_cols = _partition_columns(state)
+    full_schema = _schema(state)
+    types = {f.name: f.dataType for f in full_schema.fields}
+    for c in set_exprs:
+        if c in part_cols:
+            raise DeltaError(
+                f"cannot assign partition column {c!r} (rows would "
+                "change partitions); delete + append instead"
+            )
+        if c not in types:
+            raise DeltaError(f"assignment column {c!r} not in schema")
+    data_schema = StructType(
+        [f for f in full_schema.fields if f.name not in part_cols]
+    )
+    part_preds = [(c, o, v) for c, o, v in where if c in part_cols]
+    data_preds = [(c, o, v) for c, o, v in where if c not in part_cols]
+    for c, o, _v in where:
+        if c not in types:
+            raise DeltaError(f"update predicate column {c!r} not in schema")
+        if o not in ("=", "!=", "<", "<=", ">", ">=", "in",
+                     "isnull", "isnotnull"):
+            raise DeltaError(f"unsupported update op {o!r}")
+
+    candidates = _prune(
+        list(state.adds.values()), part_preds or None, part_cols, types
+    )
+    if data_preds:
+        kept = []
+        for a in candidates:
+            st = a.get("stats")
+            try:
+                stats = json.loads(st) if st else {}
+            except (TypeError, ValueError):
+                stats = {}
+            if all(
+                _file_may_match(stats, c, o, v) for c, o, v in data_preds
+            ):
+                kept.append(a)
+        candidates = kept
+    if not candidates:
+        return {"rows_updated": 0, "files_rewritten": 0, "version": None}
+
+    def match_expr(pv: dict):
+        cond = F.lit(True)
+        for c, o, v in where:
+            col = (
+                F.lit(_cast_partition_value(pv.get(c), types[c])).cast(
+                    types[c]
+                )
+                if c in part_cols
+                else F.col(c)
+            )
+            if o == "=":
+                cond = cond & (col == v)
+            elif o == "!=":
+                cond = cond & (col != v)
+            elif o == "<":
+                cond = cond & (col < v)
+            elif o == "<=":
+                cond = cond & (col <= v)
+            elif o == ">":
+                cond = cond & (col > v)
+            elif o == ">=":
+                cond = cond & (col >= v)
+            elif o == "in":
+                cond = cond & col.isin(list(v))
+            elif o == "isnull":
+                cond = cond & col.isNull()
+            elif o == "isnotnull":
+                cond = cond & col.isNotNull()
+        return cond
+
+    removes, adds = [], []
+    rows_updated = 0
+    for a in candidates:
+        fp = _file_abspath(path, a["path"])
+        pv = a.get("partitionValues") or {}
+        df = spark.read.schema(data_schema).parquet(fp)
+        cond = match_expr(pv)
+        n_hit = df.filter(cond).count()
+        if n_hit == 0:
+            continue
+        rows_updated += n_hit
+        updated = df
+        # expose partition values as literal columns so set
+        # expressions may READ them (writing them is refused above)
+        for c in part_cols:
+            updated = updated.withColumn(
+                c,
+                F.lit(_cast_partition_value(pv.get(c), types[c])).cast(
+                    types[c]
+                ),
+            )
+        for c, expr in set_exprs.items():
+            updated = updated.withColumn(
+                c,
+                F.when(cond, F.expr(expr).cast(types[c])).otherwise(
+                    F.col(c)
+                ),
+            )
+        updated = updated.select(*[f.name for f in data_schema.fields])
+        staging = os.path.join(path, f".update-{uuid.uuid4().hex}")
+        updated.coalesce(1).write.mode("overwrite").parquet(staging)
+        new_adds = _publish_parquet_dir(
+            staging, os.path.dirname(fp), path, pv
+        )
+        shutil.rmtree(staging, ignore_errors=True)
+        for na in new_adds:
+            na["dataChange"] = True
+            adds.append(na)
+        removes.append(a)
+
+    if not removes:
+        return {"rows_updated": 0, "files_rewritten": 0, "version": None}
+    now_ms = int(time.time() * 1000)
+    removed_paths = {r["path"] for r in removes}
+    for _ in range(max_commit_attempts):
+        current = _replay(path)
+        if not removed_paths <= set(current.adds):
+            for a in adds:
+                try:
+                    os.remove(_file_abspath(path, a["path"]))
+                except OSError:
+                    pass
+            raise DeltaError(
+                "update lost a race against another commit; aborted "
+                "cleanly (re-run to retry)"
+            )
+        version = current.version + 1
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "UPDATE",
+                    "operationParameters": {},
+                }
+            }
+        ]
+        for r in removes:
+            actions.append(
+                {
+                    "remove": {
+                        "path": r["path"],
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                        "partitionValues": r.get("partitionValues") or {},
+                        "size": r.get("size"),
+                    }
+                }
+            )
+        actions.extend({"add": a} for a in adds)
+        payload = "".join(json.dumps(x) + "\n" for x in actions).encode()
+        target = _commit_file(path, version)
+        try:
+            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+        return {
+            "rows_updated": rows_updated,
+            "files_rewritten": len(removes),
+            "version": version,
+        }
+    raise DeltaError("update could not commit (sustained contention)")

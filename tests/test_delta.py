@@ -834,3 +834,59 @@ class TestDelete:
                 q.processAllAvailable()
         finally:
             q.stop()
+
+
+class TestUpdate:
+    def test_update_rewrites_only_candidates(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        df = _docs(spark, 40)
+        for lo in range(0, 40, 10):
+            D.write_delta(
+                df.where(f"doc_id >= {lo} and doc_id < {lo + 10}")
+                .coalesce(1),
+                p, mode="append",
+            )
+        before = {r.path for r in D.delta_files(spark, p).collect()}
+        res = D.delta_update(
+            spark, p,
+            [("doc_id", ">=", 15), ("doc_id", "<", 18)],
+            {"text": "upper(text)"},
+        )
+        assert res["rows_updated"] == 3
+        assert res["files_rewritten"] == 1
+        after = {r.path for r in D.delta_files(spark, p).collect()}
+        assert len(before & after) == 3
+        got = D.read_delta(spark, p)
+        assert got.where("text = upper(text)").count() == 3
+        assert got.count() == 40  # updates never change cardinality
+        # unmatched rows byte-identical
+        assert got.where(
+            "doc_id not between 15 and 17 and text != concat('doc ', doc_id, ' body')"
+        ).count() == 0
+        assert D.delta_history(p)[-1]["operation"] == "UPDATE"
+
+    def test_update_expression_uses_row_values(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark), p, partition_by=["lang"])
+        res = D.delta_update(
+            spark, p, [("lang", "=", "de")],
+            {"text": "concat(text, ' [', lang, ']')"},
+        )
+        assert res["rows_updated"] == _docs(spark).where("lang='de'").count()
+        got = D.read_delta(spark, p)
+        assert got.where("text like '% [de]'").count() == res["rows_updated"]
+        assert got.where("lang != 'de' and text like '%[%'").count() == 0
+
+    def test_partition_assignment_refused(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark), p, partition_by=["lang"])
+        with pytest.raises(D.DeltaError, match="partition column"):
+            D.delta_update(spark, p, [("doc_id", "=", 1)], {"lang": "'x'"})
+
+    def test_update_no_match_is_noop(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark), p)
+        res = D.delta_update(
+            spark, p, [("doc_id", "=", 999)], {"text": "'x'"}
+        )
+        assert res["version"] is None
