@@ -1882,3 +1882,259 @@ def delta_update(
             "version": version,
         }
     raise DeltaError("update could not commit (sustained contention)")
+
+
+def delta_merge(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: list[str],
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    max_commit_attempts: int = 10,
+) -> dict:
+    """MERGE INTO (upsert) — the third copy-on-write DML verb.
+    ``on`` names the join key columns; matched target rows are
+    replaced by their source row (``when_matched='update'``) or
+    dropped (``'delete'``); unmatched source rows append
+    (``when_not_matched='insert'``; ``'ignore'`` skips them).
+    Source must carry exactly the table's columns (the
+    full-row-upsert contract; partial-column merges are a
+    projection away).
+
+    Scale shape: the source's per-key [min,max] bounds select
+    candidate target files (the skipping tier again), each candidate
+    is rewritten with ONE broadcast join against the source —
+    appropriate for the CDC-batch-into-big-table case where the
+    source is small relative to the table; the table side never
+    shuffles. Duplicate keys in the source are an error (a MERGE
+    whose result depends on row order is a bug, not a feature).
+    Returns {"rows_updated", "rows_inserted", "files_rewritten",
+    "version"}."""
+    import shutil
+
+    if when_matched not in ("update", "delete"):
+        raise DeltaError(f"when_matched must be update|delete, got {when_matched!r}")
+    if when_not_matched not in ("insert", "ignore"):
+        raise DeltaError(
+            f"when_not_matched must be insert|ignore, got {when_not_matched!r}"
+        )
+    state = _replay(path)
+    _check_readable(state)
+    part_cols = _partition_columns(state)
+    full_schema = _schema(state)
+    types = {f.name: f.dataType for f in full_schema.fields}
+    want = [(f.name, f.dataType) for f in full_schema.fields]
+    got = [(f.name, f.dataType) for f in source.schema.fields]
+    if want != got:
+        raise DeltaError(
+            "merge source schema must equal the table schema: "
+            f"table={full_schema.simpleString()} "
+            f"source={source.schema.simpleString()}"
+        )
+    for k in on:
+        if k not in types:
+            raise DeltaError(f"merge key {k!r} not in schema")
+        if k in part_cols:
+            raise DeltaError(
+                f"merge key {k!r} is a partition column; repartition-"
+                "aware merge keys are not supported — use a data column"
+            )
+    data_schema = StructType(
+        [f for f in full_schema.fields if f.name not in part_cols]
+    )
+
+    src = source.cache()
+    n_src = src.count()
+    dup = src.groupBy(*on).count().filter("count > 1").count()
+    if dup:
+        raise DeltaError(
+            f"merge source has {dup} duplicate key groups on {on} — "
+            "resolve upstream (order-dependent merges are refused)"
+        )
+    # candidate files via source key bounds (one tiny agg)
+    bounds = src.agg(
+        *[F.min(k).alias(f"__lo_{k}") for k in on],
+        *[F.max(k).alias(f"__hi_{k}") for k in on],
+    ).first()
+    key_preds = []
+    for k in on:
+        lo, hi = bounds[f"__lo_{k}"], bounds[f"__hi_{k}"]
+        if lo is not None:
+            key_preds.append((k, ">=", lo))
+            key_preds.append((k, "<=", hi))
+    candidates = []
+    for a in state.adds.values():
+        st = a.get("stats")
+        try:
+            stats = json.loads(st) if st else {}
+        except (TypeError, ValueError):
+            stats = {}
+        if all(_file_may_match(stats, c, o, v) for c, o, v in key_preds):
+            candidates.append(a)
+
+    removes, adds = [], []
+    rows_updated = 0
+    matched_keys = None
+    for a in candidates:
+        fp = _file_abspath(path, a["path"])
+        pv = a.get("partitionValues") or {}
+        tgt = spark.read.schema(data_schema).parquet(fp)
+        hits = tgt.join(F.broadcast(src.select(*on)), on, "left_semi")
+        n_hit = hits.count()
+        if n_hit == 0:
+            continue
+        rows_updated += n_hit
+        keep = tgt.join(F.broadcast(src.select(*on)), on, "left_anti")
+        if when_matched == "update":
+            matched_src = src.join(
+                F.broadcast(hits.select(*on)), on, "left_semi"
+            )
+            if part_cols:
+                # a matched source row with a DIFFERENT partition
+                # value would have to move partitions — refuse rather
+                # than silently dropping or duplicating it
+                same = matched_src
+                for c in part_cols:
+                    same = same.filter(
+                        F.col(c).eqNullSafe(
+                            F.lit(
+                                _cast_partition_value(pv.get(c), types[c])
+                            ).cast(types[c])
+                        )
+                    )
+                if same.count() != n_hit:
+                    raise DeltaError(
+                        "merge would move matched rows across "
+                        "partitions; delete + insert is the honest "
+                        "spelling"
+                    )
+                matched_src = same
+            repl = matched_src.select(
+                *[f.name for f in data_schema.fields]
+            )
+            new_rows = keep.unionByName(repl)
+        else:
+            new_rows = keep
+        staging = os.path.join(path, f".merge-{uuid.uuid4().hex}")
+        new_rows.coalesce(1).write.mode("overwrite").parquet(staging)
+        new_adds = _publish_parquet_dir(
+            staging, os.path.dirname(fp), path, pv
+        )
+        shutil.rmtree(staging, ignore_errors=True)
+        for na in new_adds:
+            na["dataChange"] = True
+            if json.loads(na["stats"])["numRecords"] > 0:
+                adds.append(na)
+            else:
+                try:
+                    os.remove(_file_abspath(path, na["path"]))
+                except OSError:
+                    pass
+        removes.append(a)
+        matched_keys = (
+            hits.select(*on)
+            if matched_keys is None
+            else matched_keys.unionByName(hits.select(*on))
+        )
+
+    rows_inserted = 0
+    if when_not_matched == "insert":
+        unmatched = src
+        if matched_keys is not None:
+            unmatched = src.join(
+                F.broadcast(matched_keys.distinct()), on, "left_anti"
+            )
+        rows_inserted = unmatched.count()
+        if rows_inserted:
+            staging = os.path.join(path, f".merge-ins-{uuid.uuid4().hex}")
+            writer = unmatched.write.mode("overwrite")
+            if part_cols:
+                writer = writer.partitionBy(*part_cols)
+            writer.parquet(staging)
+            for root, _dirs, names in os.walk(staging):
+                if not any(n.endswith(".parquet") for n in names):
+                    continue
+                rel = os.path.relpath(root, staging)
+                segs = [] if rel == "." else rel.split(os.sep)
+                pv = {}
+                for seg in segs:
+                    c, _, raw = seg.partition("=")
+                    raw = urllib.parse.unquote(raw)
+                    pv[c] = (
+                        None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
+                    )
+                dest = os.path.join(path, *segs)
+                sub = os.path.join(staging, *segs) if segs else staging
+                # move ONLY this dir level's files
+                import tempfile
+
+                tmpd = tempfile.mkdtemp(dir=staging)
+                for n in names:
+                    if n.endswith(".parquet"):
+                        os.replace(
+                            os.path.join(root, n), os.path.join(tmpd, n)
+                        )
+                for na in _publish_parquet_dir(tmpd, dest, path, pv):
+                    na["dataChange"] = True
+                    adds.append(na)
+            shutil.rmtree(staging, ignore_errors=True)
+
+    src.unpersist()
+    if not removes and not adds:
+        return {
+            "rows_updated": 0, "rows_inserted": 0,
+            "files_rewritten": 0, "version": None,
+        }
+    now_ms = int(time.time() * 1000)
+    removed_paths = {r["path"] for r in removes}
+    for _ in range(max_commit_attempts):
+        current = _replay(path)
+        if not removed_paths <= set(current.adds):
+            for a in adds:
+                try:
+                    os.remove(_file_abspath(path, a["path"]))
+                except OSError:
+                    pass
+            raise DeltaError(
+                "merge lost a race against another commit; aborted "
+                "cleanly (re-run to retry)"
+            )
+        version = current.version + 1
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "MERGE",
+                    "operationParameters": {"on": on},
+                }
+            }
+        ]
+        for r in removes:
+            actions.append(
+                {
+                    "remove": {
+                        "path": r["path"],
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                        "partitionValues": r.get("partitionValues") or {},
+                        "size": r.get("size"),
+                    }
+                }
+            )
+        actions.extend({"add": a} for a in adds)
+        payload = "".join(json.dumps(x) + "\n" for x in actions).encode()
+        target = _commit_file(path, version)
+        try:
+            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+        return {
+            "rows_updated": rows_updated,
+            "rows_inserted": rows_inserted,
+            "files_rewritten": len(removes),
+            "version": version,
+        }
+    raise DeltaError("merge could not commit (sustained contention)")

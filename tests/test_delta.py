@@ -890,3 +890,88 @@ class TestUpdate:
             spark, p, [("doc_id", "=", 999)], {"text": "'x'"}
         )
         assert res["version"] is None
+
+
+class TestMerge:
+    def test_upsert_updates_and_inserts(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        df = _docs(spark, 30)
+        for lo in range(0, 30, 10):
+            D.write_delta(
+                df.where(f"doc_id >= {lo} and doc_id < {lo + 10}")
+                .coalesce(1), p, mode="append",
+            )
+        src = spark.createDataFrame(
+            [
+                Row(doc_id=5, text="CHANGED 5", lang="en"),
+                Row(doc_id=7, text="CHANGED 7", lang="fr"),
+                Row(doc_id=100, text="NEW 100", lang="de"),
+            ]
+        )
+        before = {r.path for r in D.delta_files(spark, p).collect()}
+        res = D.delta_merge(spark, p, src, on=["doc_id"])
+        assert res["rows_updated"] == 2
+        assert res["rows_inserted"] == 1
+        assert res["files_rewritten"] == 1  # keys 5,7 live in one file
+        after = {r.path for r in D.delta_files(spark, p).collect()}
+        assert len(before & after) == 2  # two untouched files persist
+        got = {r.doc_id: r.text for r in D.read_delta(spark, p).collect()}
+        assert got[5] == "CHANGED 5" and got[7] == "CHANGED 7"
+        assert got[100] == "NEW 100"
+        assert len(got) == 31
+        assert D.delta_history(p)[-1]["operation"] == "MERGE"
+
+    def test_when_matched_delete_and_ignore_inserts(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark), p)
+        src = spark.createDataFrame(
+            [Row(doc_id=3, text="x", lang="x"),
+             Row(doc_id=999, text="y", lang="y")]
+        )
+        res = D.delta_merge(
+            spark, p, src, on=["doc_id"],
+            when_matched="delete", when_not_matched="ignore",
+        )
+        assert res["rows_updated"] == 1 and res["rows_inserted"] == 0
+        ids = {r.doc_id for r in D.read_delta(spark, p).collect()}
+        assert 3 not in ids and 999 not in ids and len(ids) == 19
+
+    def test_partitioned_upsert_same_partition(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 30), p, partition_by=["lang"])
+        src = spark.createDataFrame(
+            [Row(doc_id=6, text="C6", lang="en"),    # 6%3=0 -> en
+             Row(doc_id=200, text="N200", lang="fr")]
+        )
+        res = D.delta_merge(spark, p, src, on=["doc_id"])
+        assert res["rows_updated"] == 1 and res["rows_inserted"] == 1
+        got = D.read_delta(spark, p)
+        assert got.where("doc_id = 6").first().text == "C6"
+        assert got.where("doc_id = 200").first().lang == "fr"
+        assert got.count() == 31
+
+    def test_partition_move_refused(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 30), p, partition_by=["lang"])
+        src = spark.createDataFrame(
+            [Row(doc_id=6, text="moved", lang="zz")]  # 6 lives in en
+        )
+        with pytest.raises(D.DeltaError, match="move matched rows"):
+            D.delta_merge(spark, p, src, on=["doc_id"])
+
+    def test_duplicate_source_keys_refused(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark), p)
+        src = spark.createDataFrame(
+            [Row(doc_id=1, text="a", lang="en"),
+             Row(doc_id=1, text="b", lang="en")]
+        )
+        with pytest.raises(D.DeltaError, match="duplicate key"):
+            D.delta_merge(spark, p, src, on=["doc_id"])
+
+    def test_schema_mismatch_refused(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark), p)
+        src = spark.createDataFrame([Row(doc_id=1)])
+        with pytest.raises(D.DeltaError, match="source schema"):
+            D.delta_merge(spark, p, src, on=["doc_id"])
