@@ -9040,3 +9040,111 @@ def q_unigram_encode(spark, sf_dir):
     return sel.select(
         "doc_id", U.unigram_encode("t", model).alias("toks")
     ).orderBy("doc_id")
+
+
+def _documents_delta_dml(spark, sf_dir: str) -> str:
+    """Delta table carried through the full DML triad: write →
+    DELETE doc_id%7==3 → UPDATE doc_id%5==0 (text=upper, n_chars+1M)
+    → MERGE (doc_id%11==0 rows re-sourced with reversed text;
+    shifted copies of doc_id<20 inserted). Cached per sf_dir."""
+    import os
+
+    from lwes_contrib_hive_serde_spark.sources import delta as D
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        tag = f"{tag}-{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        pass
+    out = f"/tmp/delta_table_cache/v1/{tag}/documents_dml"
+    done = os.path.join(out, "_delta_log", f"{3:020d}.json")
+    if not os.path.exists(done):
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        D.write_delta(
+            docs.repartitionByRange(8, "doc_id")
+            .sortWithinPartitions("doc_id"),
+            out,
+        )
+        # DELETE: ids ≡ 3 (mod 7). The predicate grammar has no
+        # modulo, so the id list is computed from the corpus — the
+        # point here is the DML behavior, not the predicate pushdown
+        ids = [
+            r[0]
+            for r in docs.select("doc_id")
+            .where("doc_id % 7 = 3")
+            .collect()
+        ]
+        D.delta_delete(spark, out, [("doc_id", "in", ids)])
+        D.delta_update(
+            spark, out,
+            [("doc_id", "in", [
+                r[0] for r in docs.select("doc_id")
+                .where("doc_id % 5 = 0 and doc_id % 7 != 3").collect()
+            ])],
+            {"text": "upper(text)", "n_chars": "n_chars + 1000000"},
+        )
+        src = (
+            docs.where("doc_id % 11 = 0 and doc_id % 7 != 3")
+            .withColumn("text", F.concat(F.lit("MERGED:"), F.col("text")))
+        ).unionByName(
+            docs.where("doc_id < 20").withColumn(
+                "doc_id", F.col("doc_id") + 500000
+            )
+        )
+        D.delta_merge(spark, out, src, on=["doc_id"])
+    return out
+
+
+@register(
+    "q_delta_dml",
+    shadow=True,
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 11 = 0 THEN 'MERGED:' || text
+                  WHEN doc_id % 5 = 0 THEN upper(text)
+                  ELSE text END AS text,
+             CASE WHEN doc_id % 11 = 0 THEN n_chars
+                  WHEN doc_id % 5 = 0 THEN n_chars + 1000000
+                  ELSE n_chars END AS n_chars
+      FROM documents WHERE doc_id % 7 != 3
+    ), ins AS (
+      SELECT doc_id + 500000 AS doc_id, lang, text, n_chars
+      FROM documents WHERE doc_id < 20
+    ), final AS (
+      SELECT * FROM base UNION ALL SELECT * FROM ins
+    )
+    SELECT lang,
+           COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM final GROUP BY lang
+    """,
+    doc="Delta row-level DML triad end to end (sources/delta.py "
+    "delta_delete / delta_update / delta_merge — all copy-on-write "
+    "rewrites confined to stats-candidate files): the table is "
+    "carried through DELETE (ids ≡3 mod 7), UPDATE (ids ≡0 mod 5: "
+    "text uppercased, n_chars+1e6), and MERGE (ids ≡0 mod 11 "
+    "re-sourced with a MERGED: prefix — REPLACING prior updates, "
+    "which the oracle's CASE order mirrors — plus 20 shifted "
+    "inserts). The DuckDB oracle recomputes the final table state "
+    "from the original parquet, so a hash match proves all three "
+    "verbs compose correctly: deletes stay deleted through later "
+    "rewrites, merge replacement wins over update, inserts land "
+    "once.",
+)
+def q_delta_dml(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.sources import delta as D
+
+    out = _documents_delta_dml(spark, sf_dir)
+    return D.read_delta(spark, out).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
