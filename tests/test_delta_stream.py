@@ -238,3 +238,63 @@ class TestDeltaSink:
             os.remove(D._commit_file(tbl, v))
         sink(df, 1)  # still skipped, via the checkpointed ledger
         assert D.read_delta(spark, tbl).count() == 8
+
+
+class TestJournalToDelta:
+    """Capstone composition: the reference's native format streams
+    through the lakehouse tier — LWES journal tail → exactly-once
+    delta_sink → native read_delta — with a restart in the middle."""
+
+    def test_journal_stream_lands_in_delta_exactly_once(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from lwes_contrib_hive_serde_spark.sources import codec as c
+        from lwes_contrib_hive_serde_spark.streaming.delta_stream import (
+            delta_sink,
+        )
+
+        d = str(tmp_path / "jdir")
+        os.makedirs(d)
+
+        def emit(fname, lo, hi):
+            evs = []
+            for i in range(lo, hi):
+                ev = c.Event("S::E")
+                ev.set("n", c.INT64, i)
+                ev.set(c.RECEIPT_TIME, c.INT64, 1723500000000 + i)
+                evs.append(ev)
+            c.write_journal_file(os.path.join(d, fname), evs)
+
+        tbl = str(tmp_path / "tbl")
+        ck = str(tmp_path / "ck")
+        emit("a.journal", 0, 40)
+
+        def run_once():
+            q = (
+                spark.readStream.format("lwes")
+                .schema("n long, ReceiptTime long")
+                .option("eventName", "S::E")
+                .load(d)
+                .writeStream.foreachBatch(delta_sink(tbl, app_id="jrnl"))
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            q.stop()
+
+        run_once()
+        got = sorted(r.n for r in D.read_delta(spark, tbl).collect())
+        assert got == list(range(40))
+        # restart with a new journal: no dupes, no gaps, txn advances
+        emit("b.journal", 40, 70)
+        run_once()
+        got = sorted(r.n for r in D.read_delta(spark, tbl).collect())
+        assert got == list(range(70))
+        assert D.delta_count(spark, tbl) == 70  # stats-only count agrees
+        # re-running with nothing new commits nothing
+        v = D._replay(tbl).version
+        run_once()
+        assert D._replay(tbl).version == v
