@@ -1456,14 +1456,23 @@ def _gear_table():
 
 def cdc_boundaries(data: bytes, min_size: int, avg_size: int,
                    max_size: int) -> list[int]:
-    """Chunk END offsets for one blob under gear CDC. The rolling
-    gear hash ``h_n = 2*h_{n-1} + G[b_n] (mod 2^64)`` forgets bytes
-    64 positions back, so the whole array of hashes is computed as
-    64 shifted vectorized adds (no per-byte Python); a boundary
-    falls where ``h & (avg_size-1) == 0``, subject to min/max chunk
-    size. Insert-shift robustness — the reason CDC beats fixed-size
-    blocks for dedup — follows because boundaries depend only on a
-    64-byte local window."""
+    """Chunk END offsets for one blob under NORMALIZED gear CDC
+    (FastCDC's two-mask rule, Xia et al. 2016 §3.3). The rolling
+    gear hash ``h_n = 2*h_{n-1} + G[b_n] (mod 2^64)`` is computed as
+    a handful of shifted vectorized adds — only the low mask bits
+    face the boundary test, and the k-th shift feeds bit positions
+    >= k, so bytes further back than the widest mask cannot change
+    it (the brute-force parity test pins the equivalence).
+
+    Normalization: before the average point a STRICTER mask
+    (log2(avg)+1 bits) must hit; after it a LOOSER mask
+    (log2(avg)-1 bits) suffices. On ordinary data this tightens the
+    size distribution around avg; on LOW-ENTROPY data it is what
+    keeps chunking content-defined at all — a single-mask cut that
+    never fires degenerates to forced max_size cuts, which are
+    POSITION-based and lose every chunk under a one-byte shift (the
+    failure mode that showed up on template-repetitive corpus text
+    and motivated this rule)."""
     import numpy as np
 
     n = len(data)
@@ -1471,32 +1480,40 @@ def cdc_boundaries(data: bytes, min_size: int, avg_size: int,
         return []
     b = np.frombuffer(data, dtype=np.uint8)
     g = _GEAR[b.astype(np.intp)]
-    # Only the low log2(avg) bits face the boundary test, and the
-    # k-th shift feeds bit positions >= k — so bytes further back
-    # than log2(avg) positions cannot change the masked hash. The
-    # textbook 64-shift window collapses to log2(avg) shifted adds
-    # (8 for avg=256), bit-identical to the full hash under the mask
-    # (the brute-force parity test pins this).
     bits = (avg_size - 1).bit_length()
+    bits_strict = bits + 1
+    bits_loose = max(1, bits - 1)
     h = np.zeros(n, dtype=np.uint64)
-    for k in range(min(bits, n)):
+    for k in range(min(bits_strict, n)):
         h[k:] += g[: n - k] << np.uint64(k)
-    mask = np.uint64(avg_size - 1)
-    candidates = np.flatnonzero((h & mask) == 0) + 1  # end offsets
+    mask_strict = np.uint64((1 << bits_strict) - 1)
+    mask_loose = np.uint64((1 << bits_loose) - 1)
+    # loose hits are a superset of strict hits (low bits nest)
+    cand = np.flatnonzero((h & mask_loose) == 0) + 1  # end offsets
+    strict_ok = (h[cand - 1] & mask_strict) == 0
     out = []
     last = 0
     ci = 0
-    m = len(candidates)
+    m = len(cand)
     while last < n:
         lo = last + min_size
+        mid = last + avg_size
         hi = min(last + max_size, n)
-        while ci < m and candidates[ci] < lo:
+        while ci < m and cand[ci] < lo:
             ci += 1
-        if ci < m and candidates[ci] <= hi:
-            cut = int(candidates[ci])
-            ci += 1
-        else:
+        cut = None
+        j = ci
+        while j < m and cand[j] <= hi:
+            c = int(cand[j])
+            if (c <= mid and strict_ok[j]) or c > mid:
+                cut = c
+                ci = j + 1
+                break
+            j += 1
+        if cut is None:
             cut = hi
+            while ci < m and cand[ci] <= hi:
+                ci += 1
         out.append(cut)
         last = cut
     return out
@@ -1681,4 +1698,79 @@ def chunk_store_restore(
                 "parts", empty, lambda acc, p: F.concat(acc, p["bytes"])
             ).alias("payload"),
         )
+    )
+
+
+def cdc_neardup_pairs(
+    df: DataFrame,
+    col: str = "payload",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    min_size: int = 64,
+    avg_size: int = 256,
+    max_size: int = 1024,
+    text: bool = False,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """BINARY near-duplicate pairs via CDC chunk overlap: exact
+    Jaccard over each blob's content-defined chunk-hash SET — the
+    ngram_jaccard_pairs recipe with chunks instead of shingles, which
+    is what makes it work on payloads n-grams cannot touch (images
+    with different EXIF headers, shifted archives, re-encoded
+    attachments sharing byte runs). Inverted index on the chunk hash;
+    hashes shared by more than ``max_bucket`` blobs are dropped from
+    CANDIDATE GENERATION (a chunk in thousands of blobs is
+    boilerplate, e.g. a shared file header — the all-pairs blow-up is
+    never materialized) but still count in the Jaccard denominator,
+    so scores are conservative, never inflated. Returns
+    (id1, id2, jaccard ≥ threshold)."""
+    from pyspark import StorageLevel
+
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+    chunks = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.transform(
+                cdc_chunks(col, min_size, avg_size, max_size, text=text),
+                lambda c: c["hash"],
+            )
+        ).alias("hs"),
+    ).filter(F.col("hs").isNotNull())
+    chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
+    chunks.count()
+    sh = chunks.select("id", F.explode("hs").alias("h"))
+    hot = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") > max_bucket)
+        .select("h")
+    )
+    cold = sh.join(F.broadcast(hot), "h", "left_anti")
+    sizes = chunks.select(F.col("id"), F.size("hs").alias("n"))
+    a = cold.select(F.col("id").alias("id1"), "h")
+    b = cold.select(F.col("id").alias("id2"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("id").alias("id1"), F.col("n").alias("n1"))
+    nb = sizes.select(F.col("id").alias("id2"), F.col("n").alias("n2"))
+    return (
+        inter.join(na, "id1")
+        .join(nb, "id2")
+        .select(
+            "id1",
+            "id2",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )

@@ -12,10 +12,13 @@ from lwes_contrib_hive_serde_spark.operators import dedup
 
 
 def brute_force_boundaries(data: bytes, mn: int, av: int, mx: int):
-    """Independent per-byte reimplementation of gear CDC (the
-    textbook loop) — catches vectorization bugs in the 64-shift
-    formulation."""
+    """Independent per-byte reimplementation of NORMALIZED gear CDC
+    (FastCDC's two-mask textbook loop) — catches vectorization bugs
+    in the shifted-adds formulation."""
     g = dedup._gear_table()
+    bits = (av - 1).bit_length()
+    mask_s = (1 << (bits + 1)) - 1
+    mask_l = (1 << max(1, bits - 1)) - 1
     out = []
     last = 0
     n = len(data)
@@ -25,7 +28,14 @@ def brute_force_boundaries(data: bytes, mn: int, av: int, mx: int):
         hi = min(last + mx, n)
         for i in range(last, hi):
             h = ((h << 1) + int(g[data[i]])) & 0xFFFFFFFFFFFFFFFF
-            if i + 1 - last >= mn and (h & (av - 1)) == 0:
+            size = i + 1 - last
+            if size < mn:
+                continue
+            if size <= av:
+                if (h & mask_s) == 0:
+                    cut = i + 1
+                    break
+            elif (h & mask_l) == 0:
                 cut = i + 1
                 break
         out.append(cut if cut is not None else hi)
@@ -52,12 +62,12 @@ class TestBoundaries:
         assert got == exp
 
     def test_brute_force_window_caveat(self):
-        """The vectorized hash uses a 64-byte window; the textbook
-        loop restarts h at each chunk. Both agree on FIRST cuts per
-        chunk because the restart only zeroes contributions ≥64
-        bytes back... except within the first 63 bytes after a cut,
-        where min_size=64 already suppresses boundaries. This test
-        pins that equivalence across min sizes ≥ 64."""
+        """The vectorized hash runs over the whole stream; the
+        textbook loop restarts h at each chunk. They agree at every
+        TESTED position because the masks read only the low
+        log2(avg)+1 bits, fed by the last log2(avg)+1 bytes — all
+        inside the current chunk once min_size >= 64. This test pins
+        that equivalence across avg sizes."""
         data = _blob(7, 8192)
         for av in (128, 256, 512):
             assert dedup.cdc_boundaries(data, 64, av, av * 4) == \
@@ -189,3 +199,47 @@ class TestChunkStore:
         )
         assert j.where("restored != text").count() == 0
         assert back.count() == 6
+
+
+class TestCdcNeardup:
+    def test_shifted_binary_neardups_found(self, spark):
+        base1, base2 = _blob(30, 12000), _blob(31, 12000)
+        rows = [
+            Row(doc_id=0, payload=bytearray(base1)),
+            Row(doc_id=1, payload=bytearray(b"EXIF-v2-hdr " + base1)),
+            Row(doc_id=2, payload=bytearray(base2)),
+            Row(doc_id=3, payload=bytearray(base2[:6000] + _blob(32, 6000))),
+            Row(doc_id=4, payload=bytearray(_blob(33, 12000))),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        pairs = {
+            (r.id1, r.id2): r.jaccard
+            for r in dedup.cdc_neardup_pairs(df, threshold=0.2).collect()
+        }
+        assert (0, 1) in pairs and pairs[(0, 1)] > 0.85
+        # half-shared content: J over chunk sets lands mid-range
+        assert (2, 3) in pairs and 0.2 < pairs[(2, 3)] < 0.7
+        assert not any(4 in p for p in pairs)
+
+    def test_hot_chunk_capped_but_denominator_honest(self, spark):
+        # every blob shares one hot chunk (a common header); cap=2
+        # drops it from candidate generation, so UNRELATED blobs pair
+        # on nothing — but related blobs' scores still divide by the
+        # FULL set size
+        hdr = _blob(40, 2000)
+        rows = [
+            Row(doc_id=i, payload=bytearray(hdr + _blob(60 + i, 8000)))
+            for i in range(6)
+        ]
+        rows.append(Row(doc_id=100, payload=bytearray(hdr + _blob(70, 8000))))
+        rows.append(Row(doc_id=101, payload=bytearray(hdr + _blob(70, 8000))))
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        pairs = dedup.cdc_neardup_pairs(
+            df, threshold=0.5, max_bucket=2
+        ).collect()
+        got = {(r.id1, r.id2): r.jaccard for r in pairs}
+        # only the genuinely identical-body pair survives; its score
+        # is < 1.0 because the capped header chunks still count in
+        # the union
+        assert set(got) == {(100, 101)}
+        assert 0.5 < got[(100, 101)] < 1.0
