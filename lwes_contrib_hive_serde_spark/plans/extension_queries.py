@@ -9148,3 +9148,109 @@ def q_delta_dml(spark, sf_dir):
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+def _documents_delta_dv(spark, sf_dir: str) -> str:
+    """Delta table whose deletes are DELETION VECTORS (sources/
+    delta_dv.py + delta.delta_delete_dv): v0 appends all documents
+    across range-clustered files, v1 DV-deletes ids ≡2 (mod 5) —
+    scattered positions, real RoaringBitmap serialization in
+    ``deletion_vector_*.bin`` sidecars — a parquet CHECKPOINT lands
+    at v1 (descriptors must survive checkpoint round-trip), and v2
+    DV-deletes ids ≡3 (mod 7), unioning bitmaps on files already
+    carrying DVs. Base parquet files are never rewritten. Cached
+    per sf_dir."""
+    import os
+
+    from lwes_contrib_hive_serde_spark.sources import delta as D
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        tag = f"{tag}-{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        pass
+    out = f"/tmp/delta_table_cache/v1/{tag}/documents_dv"
+    done = os.path.join(out, "_delta_log", f"{2:020d}.json")
+    if not os.path.exists(done):
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        D.write_delta(
+            docs.repartitionByRange(6, "doc_id")
+            .sortWithinPartitions("doc_id"),
+            out,
+        )
+        ids1 = [
+            r[0]
+            for r in docs.select("doc_id").where("doc_id % 5 = 2").collect()
+        ]
+        D.delta_delete_dv(spark, out, [("doc_id", "in", ids1)])
+        D.write_checkpoint(spark, out)
+        ids2 = [
+            r[0]
+            for r in docs.select("doc_id").where("doc_id % 7 = 3").collect()
+        ]
+        D.delta_delete_dv(spark, out, [("doc_id", "in", ids2)])
+    return out
+
+
+@register(
+    "q_delta_dv",
+    shadow=True,
+    oracle="""
+    SELECT 'latest' AS snapshot, lang,
+           COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents WHERE doc_id % 5 != 2 AND doc_id % 7 != 3
+    GROUP BY lang
+    UNION ALL
+    SELECT 'v1' AS snapshot, lang,
+           COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents WHERE doc_id % 5 != 2 GROUP BY lang
+    UNION ALL
+    SELECT 'v0' AS snapshot, lang,
+           COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents GROUP BY lang
+    """,
+    doc="Delta DELETION VECTORS read end to end (sources/delta_dv.py"
+    " Z85 + portable RoaringBitmap + DV file framing per Delta "
+    "PROTOCOL.md; delta.delta_delete_dv writes them, read_delta "
+    "drops deleted positions via a _metadata.row_index broadcast "
+    "anti-join so the scan stays Spark's native parquet reader). "
+    "The fixture DV-deletes ids ≡2 (mod 5), checkpoints — the "
+    "descriptor must survive the parquet checkpoint — then "
+    "DV-deletes ids ≡3 (mod 7), UNIONING bitmaps on files that "
+    "already carry DVs; base files are never rewritten. The query "
+    "reads the latest snapshot, versionAsOf=1 (through the "
+    "checkpoint), and versionAsOf=0 (pre-DV); the DuckDB oracle "
+    "recomputes all three memberships from the original parquet, "
+    "so a hash match proves bitmap encode/decode, position "
+    "semantics, union-on-redelete, and DV time travel.",
+)
+def q_delta_dv(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.sources import delta as D
+
+    out = _documents_delta_dv(spark, sf_dir)
+
+    def agg(df, tag):
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        ).select(F.lit(tag).alias("snapshot"), "*")
+
+    latest = agg(D.read_delta(spark, out), "latest")
+    v1 = agg(D.read_delta(spark, out, version=1), "v1")
+    v0 = agg(D.read_delta(spark, out, version=0), "v0")
+    return latest.unionAll(v1).unionAll(v0)

@@ -8,8 +8,12 @@ parquet checkpoints) whose replay yields the exact set of live data
 files. This module implements the public protocol
 (github.com/delta-io/delta PROTOCOL.md) with the repo's honesty
 contract: read what the protocol version says we can read, REFUSE
-(never guess) anything newer — deletion vectors, column mapping,
-v2 checkpoints.
+(never guess) anything newer — column mapping, v2 checkpoints.
+Deletion vectors ARE read (delta_dv.py decodes the RoaringBitmap
+payloads; read_delta drops deleted positions via
+``_metadata.row_index`` without leaving the native parquet scan),
+so tables written by current production writers — where DVs are
+the default DELETE mechanism — open here.
 
 Design — why this is a module API and not a Python DataSource:
 the expensive part of a Delta read is the parquet scan, and Spark
@@ -77,7 +81,7 @@ class DeltaError(ValueError):
 
 # Reader features (protocol v3 tables) this implementation can
 # honor. Anything else in readerFeatures is an honest refusal.
-_SUPPORTED_READER_FEATURES = {"timestampNtz"}
+_SUPPORTED_READER_FEATURES = {"timestampNtz", "deletionVectors"}
 _LOG_DIR = "_delta_log"
 
 
@@ -249,12 +253,6 @@ def _check_readable(state: _State) -> None:
     conf = (state.metadata or {}).get("configuration") or {}
     if conf.get("delta.columnMapping.mode", "none") not in ("none", ""):
         raise DeltaError("column mapping tables are not supported")
-    for a in state.adds.values():
-        if a.get("deletionVector"):
-            raise DeltaError(
-                "table has deletion vectors; reading the base file "
-                "would resurrect deleted rows — refusing"
-            )
     fmt = (state.metadata.get("format") or {}).get("provider", "parquet")
     if fmt != "parquet":
         raise DeltaError(f"unsupported data format provider: {fmt}")
@@ -406,6 +404,89 @@ def _file_may_match(stats: dict, col: str, op: str, val) -> bool:
     return True  # != and anything else: bounds can't disprove
 
 
+# Above this, broadcasting the exploded (file, position) pairs of an
+# anti-join would strain the driver; fall back to a shuffle anti-join.
+_DV_BROADCAST_MAX_ROWS = 5_000_000
+
+
+def _decode_deleted_pairs(
+    spark: SparkSession, table_path: str, dv_adds: list[tuple]
+) -> tuple[DataFrame | None, int]:
+    """Decode each DV-carrying file's bitmap on the driver (DVs are
+    log-adjacent metadata, the same locality as the replay itself)
+    and explode to a (file, row_index) DataFrame. Runs BEFORE the
+    scan is planned, so a corrupt DV fails loudly instead of the
+    base file's deleted rows leaking through. Returns (pairs or
+    None, total deleted rows)."""
+    import pandas as pd
+
+    from . import delta_dv
+
+    frames = []
+    total = 0
+    for a, abspath in dv_adds:
+        pos = delta_dv.dv_read_positions(table_path, a["deletionVector"])
+        if not len(pos):
+            continue
+        total += len(pos)
+        frames.append(
+            pd.DataFrame({"__dv_file": abspath, "__dv_pos": pos})
+        )
+    if not total:
+        return None, 0
+    deleted = spark.createDataFrame(
+        pd.concat(frames, ignore_index=True),
+        schema="__dv_file string, __dv_pos long",
+    )
+    return deleted, total
+
+
+def _anti_join_deleted(
+    df: DataFrame, deleted: DataFrame, total: int
+) -> DataFrame:
+    """LEFT ANTI join the scan against the deleted (file, position)
+    pairs keyed on ``_metadata.row_index`` — the row's physical
+    position in its parquet file, which is exactly what DV
+    positions index (PROTOCOL.md "Deletion Vectors"). The scan
+    stays Spark's native vectorized reader; the join side is one
+    broadcast whose size is the total DELETED-row count, which real
+    writers bound (``maxDeletedRowsRatio`` triggers a rewrite) and
+    OPTIMIZE purges — past _DV_BROADCAST_MAX_ROWS it degrades to a
+    shuffle anti-join rather than a driver OOM."""
+    keyed = df.withColumn(
+        "__dv_file", _strip_scheme(_decode_file_uri(F.input_file_name()))
+    ).withColumn("__dv_pos", F.col("_metadata.row_index"))
+    right = (
+        F.broadcast(deleted) if total <= _DV_BROADCAST_MAX_ROWS else deleted
+    )
+    return keyed.join(right, ["__dv_file", "__dv_pos"], "left_anti").drop(
+        "__dv_file", "__dv_pos"
+    )
+
+
+def _apply_deletion_vectors(
+    spark: SparkSession, table_path: str, dv_adds: list[tuple], df: DataFrame
+) -> DataFrame:
+    deleted, total = _decode_deleted_pairs(spark, table_path, dv_adds)
+    if deleted is None:
+        return df
+    return _anti_join_deleted(df, deleted, total)
+
+
+def _refuse_dvs(adds, op: str) -> None:
+    """Copy-on-write DML rewrites whole files from their raw bytes;
+    doing that to a DV-carrying file would resurrect its deleted
+    rows. Those verbs refuse instead — delta_compact purges DVs
+    (it reads through them), after which DML proceeds."""
+    n = sum(1 for a in adds if a.get("deletionVector"))
+    if n:
+        raise DeltaError(
+            f"{op}: {n} candidate file(s) carry deletion vectors; "
+            "rewriting them raw would resurrect deleted rows. Run "
+            "delta_compact first (it applies and purges DVs)."
+        )
+
+
 def read_delta(
     spark: SparkSession,
     path: str,
@@ -475,7 +556,15 @@ def read_delta(
     if not adds:
         return spark.createDataFrame([], full_schema)
     paths = [_file_abspath(path, a["path"]) for a in adds]
+    dv_adds = [
+        (a, p) for a, p in zip(adds, paths) if a.get("deletionVector")
+    ]
+    dv_deleted, dv_total = (
+        _decode_deleted_pairs(spark, path, dv_adds) if dv_adds else (None, 0)
+    )
     df = spark.read.schema(data_schema).parquet(*paths)
+    if dv_deleted is not None:
+        df = _anti_join_deleted(df, dv_deleted, dv_total)
     if not part_cols:
         return _apply_data_filters(df, data_filters)
 
@@ -533,21 +622,27 @@ def _apply_data_filters(df: DataFrame, data_filters) -> DataFrame:
 
 
 def _version_at_timestamp(path: str, ts_ms: int) -> int:
-    state = _replay(path)
-    eligible = [v for v, t in state.commit_timestamps.items() if t <= ts_ms]
+    # walk ALL commit files (delta_history), not the replay's
+    # timestamps — replay starts at the latest checkpoint, which
+    # would make pre-checkpoint times unreachable even though their
+    # commits (and version-based travel to them) still work.
+    hist = delta_history(path)
+    eligible = [h["version"] for h in hist if h["timestamp_ms"] <= ts_ms]
     if not eligible:
         raise DeltaError(
             f"no commit at or before timestamp {ts_ms}; earliest is "
-            f"{min(state.commit_timestamps.values(), default=None)}"
+            f"{min((h['timestamp_ms'] for h in hist), default=None)}"
         )
     return max(eligible)
 
 
 def delta_files(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
     """The live-file manifest as a DataFrame: path, size,
-    modification_time, num_records (from stats; NULL if the writer
-    recorded none), one column per partition value (as string).
-    Metadata-only — no data file is opened."""
+    modification_time, num_records (PHYSICAL rows from stats; NULL
+    if the writer recorded none), num_deleted (the file's deletion-
+    vector cardinality, 0 when it has none — live rows are
+    num_records - num_deleted), one column per partition value (as
+    string). Metadata-only — no data file is opened."""
     state = _replay(path, version)
     _check_readable(state)
     part_cols = _partition_columns(state)
@@ -560,6 +655,8 @@ def delta_files(spark: SparkSession, path: str, version: int | None = None) -> D
                 num = json.loads(stats).get("numRecords")
             except (ValueError, TypeError):
                 num = None
+        dv = a.get("deletionVector") or {}
+        n_del = int(dv.get("cardinality") or 0)
         pv = a.get("partitionValues") or {}
         rows.append(
             (
@@ -567,6 +664,7 @@ def delta_files(spark: SparkSession, path: str, version: int | None = None) -> D
                 int(a.get("size") or 0),
                 int(a.get("modificationTime") or 0),
                 num,
+                n_del,
                 *[pv.get(c) for c in part_cols],
             )
         )
@@ -576,6 +674,7 @@ def delta_files(spark: SparkSession, path: str, version: int | None = None) -> D
             StructField("size", LongType(), False),
             StructField("modification_time", LongType(), False),
             StructField("num_records", LongType(), True),
+            StructField("num_deleted", LongType(), False),
         ]
         + [StructField(c, StringType(), True) for c in part_cols]
     )
@@ -585,10 +684,12 @@ def delta_files(spark: SparkSession, path: str, version: int | None = None) -> D
 def delta_count(spark: SparkSession, path: str, version: int | None = None) -> int:
     """COUNT(*) from per-file stats alone when every live file
     carries numRecords; falls back to a real scan otherwise (the
-    fail-safe contract of journal_count)."""
+    fail-safe contract of journal_count). numRecords counts
+    physical rows, so each file's deletion-vector cardinality is
+    subtracted — the stats-only answer stays exact under DVs."""
     files = delta_files(spark, path, version).collect()
     if files and all(r.num_records is not None for r in files):
-        return sum(r.num_records for r in files)
+        return sum(r.num_records - r.num_deleted for r in files)
     return read_delta(spark, path, version).count()
 
 
@@ -701,6 +802,53 @@ _WRITABLE_PARTITION_TYPES = (
 )
 
 
+def _compat_meta(
+    prior: _State,
+    df_schema: StructType,
+    partition_by: list[str],
+    merge_schema: bool,
+) -> tuple[dict, bool]:
+    """Validate a write's schema/partitioning against an existing
+    table's state and return (metaData to commit, whether it
+    changed). merge_schema follows the mergeSchema evolution
+    contract — existing columns keep name+type+order, NEW columns
+    append (forced nullable: pre-evolution files hold no values for
+    them and read back as NULL). Called per commit attempt so a
+    concurrent schema-evolving commit is re-reconciled, not
+    clobbered."""
+    prior_schema = _schema(prior)
+    prior_parts = _partition_columns(prior)
+    if prior_parts != partition_by:
+        raise DeltaError(
+            f"table is partitioned by {prior_parts}, write asked "
+            f"for {partition_by}"
+        )
+    want = [(f.name, f.dataType) for f in prior_schema.fields]
+    got = [(f.name, f.dataType) for f in df_schema.fields]
+    if want == got:
+        return prior.metadata, False
+    if not merge_schema or got[: len(want)] != want:
+        raise DeltaError(
+            "schema mismatch with existing table"
+            + (
+                ""
+                if merge_schema
+                else " (pass merge_schema=True to append new "
+                "trailing columns)"
+            )
+            + f": table={prior_schema.simpleString()} "
+            f"df={df_schema.simpleString()}"
+        )
+    new_fields = [
+        StructField(f.name, f.dataType, True)
+        for f in df_schema.fields[len(want):]
+    ]
+    merged = StructType(list(prior_schema.fields) + new_fields)
+    meta = dict(prior.metadata)
+    meta["schemaString"] = merged.json()
+    return meta, True
+
+
 def write_delta(
     df: DataFrame,
     path: str,
@@ -733,59 +881,19 @@ def write_delta(
             )
 
     exists = os.path.isdir(_log_path(path))
-    schema_changed = False
     if exists:
         commits, checkpoints = _list_log(path)
         exists = bool(commits or checkpoints)
     if exists and mode == "error":
         raise DeltaError(f"Delta table already exists at {path}")
     if exists:
+        # fail fast BEFORE staging any data; the commit loop
+        # re-validates against the then-current replay on every
+        # attempt (a concurrent mergeSchema commit between here and
+        # the winning O_EXCL create must not be clobbered).
         prior = _replay(path)
         _check_readable(prior)
-        prior_schema = _schema(prior)
-        prior_parts = _partition_columns(prior)
-        if prior_parts != partition_by:
-            raise DeltaError(
-                f"table is partitioned by {prior_parts}, write asked "
-                f"for {partition_by}"
-            )
-        want = [(f.name, f.dataType) for f in prior_schema.fields]
-        got = [(f.name, f.dataType) for f in df.schema.fields]
-        meta = prior.metadata
-        if want != got:
-            # merge_schema: the mergeSchema evolution contract —
-            # existing columns keep name+type+order, NEW columns
-            # append (forced nullable: pre-evolution files hold no
-            # values for them and read back as NULL)
-            if not merge_schema or got[: len(want)] != want:
-                raise DeltaError(
-                    "schema mismatch with existing table"
-                    + (
-                        ""
-                        if merge_schema
-                        else " (pass merge_schema=True to append new "
-                        "trailing columns)"
-                    )
-                    + f": table={prior_schema.simpleString()} "
-                    f"df={df.schema.simpleString()}"
-                )
-            new_fields = [
-                StructField(f.name, f.dataType, True)
-                for f in df.schema.fields[len(want):]
-            ]
-            merged = StructType(list(prior_schema.fields) + new_fields)
-            meta = dict(meta)
-            meta["schemaString"] = merged.json()
-            schema_changed = True
-    else:
-        meta = {
-            "id": str(uuid.uuid4()),
-            "format": {"provider": "parquet", "options": {}},
-            "schemaString": df.schema.json(),
-            "partitionColumns": partition_by,
-            "configuration": {},
-            "createdTime": int(time.time() * 1000),
-        }
+        _compat_meta(prior, df.schema, partition_by, merge_schema)
 
     # 1. Stage the data with the native parquet writer.
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
@@ -834,27 +942,60 @@ def write_delta(
 
     shutil.rmtree(staging, ignore_errors=True)
 
-    # 3. Commit with optimistic concurrency.
+    # 3. Commit with optimistic concurrency. Everything derived
+    #    from table state — metaData, schema evolution, txn ledger,
+    #    overwrite's remove set — is recomputed from a FRESH replay
+    #    on every attempt, so losing a race to a commit that
+    #    evolved the schema (or changed anything else) is either
+    #    reconciled or refused, never silently clobbered.
     os.makedirs(_log_path(path), exist_ok=True)
     now_ms = int(time.time() * 1000)
+
+    def _abandon():
+        for a in adds:
+            try:
+                os.remove(_file_abspath(path, a["path"]))
+            except OSError:
+                pass
+
     for _ in range(max_commit_attempts):
         commits, checkpoints = _list_log(path)
         have_any = bool(commits or checkpoints)
         next_version = (
             max(commits + checkpoints) + 1 if have_any else 0
         )
-        if txn is not None and have_any:
-            applied = _replay(path).txns.get(txn[0], -1)
+        schema_changed = False
+        if have_any:
+            current = _replay(path)
+            if mode == "error":
+                _abandon()
+                raise DeltaError(f"Delta table already exists at {path}")
+            try:
+                _check_readable(current)
+                meta, schema_changed = _compat_meta(
+                    current, df.schema, partition_by, merge_schema
+                )
+            except DeltaError:
+                _abandon()
+                raise
+        else:
+            current = None
+            meta = {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": df.schema.json(),
+                "partitionColumns": partition_by,
+                "configuration": {},
+                "createdTime": int(time.time() * 1000),
+            }
+        if txn is not None and current is not None:
+            applied = current.txns.get(txn[0], -1)
             if applied >= int(txn[1]):
                 # this (appId, version) already committed — the
                 # exactly-once contract for replayed stream epochs:
                 # drop the staged files, report the existing state
-                for a in adds:
-                    try:
-                        os.remove(_file_abspath(path, a["path"]))
-                    except OSError:
-                        pass
-                return _replay(path).version
+                _abandon()
+                return current.version
         actions = [
             {
                 "commitInfo": {
@@ -881,20 +1022,18 @@ def write_delta(
             actions.append({"metaData": meta})
         elif schema_changed:
             actions.append({"metaData": meta})
-        if mode == "overwrite" and have_any:
-            current = _replay(path)
+        if mode == "overwrite" and current is not None:
             for a in current.adds.values():
-                actions.append(
-                    {
-                        "remove": {
-                            "path": a["path"],
-                            "deletionTimestamp": now_ms,
-                            "dataChange": True,
-                            "partitionValues": a.get("partitionValues") or {},
-                            "size": a.get("size"),
-                        }
-                    }
-                )
+                rm = {
+                    "path": a["path"],
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                    "partitionValues": a.get("partitionValues") or {},
+                    "size": a.get("size"),
+                }
+                if a.get("deletionVector"):
+                    rm["deletionVector"] = a["deletionVector"]
+                actions.append({"remove": rm})
         actions.extend({"add": a} for a in adds)
         payload = "".join(json.dumps(a) + "\n" for a in actions).encode()
         target = _commit_file(path, next_version)
@@ -940,6 +1079,18 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
     # MAP columns per the checkpoint spec, not inferred structs whose
     # fields would vary with the table's partition columns.
     smap = pa.map_(pa.string(), pa.string())
+    # deletionVector rides along per the checkpoint schema — a
+    # checkpoint that dropped it would resurrect deleted rows on
+    # the next checkpointed replay.
+    dv_t = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ]
+    )
     add_t = pa.struct(
         [
             ("path", pa.string()),
@@ -948,6 +1099,7 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
             ("stats", pa.string()),
+            ("deletionVector", dv_t),
         ]
     )
     rm_t = pa.struct(
@@ -997,7 +1149,7 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
     def _norm(rs):
         keys_add = [
             "path", "partitionValues", "size", "modificationTime",
-            "dataChange", "stats",
+            "dataChange", "stats", "deletionVector",
         ]
         keys_rm = [
             "path", "deletionTimestamp", "dataChange", "partitionValues",
@@ -1114,16 +1266,30 @@ def delta_compact(
     removes: list[dict] = []
     adds: list[dict] = []
     for key, files in groups.items():
-        if len(files) < min_files:
-            continue
-        if not any(
-            int(f.get("size") or 0) < target_file_bytes // 2 for f in files
-        ):
-            continue
+        has_dv = any(f.get("deletionVector") for f in files)
+        if not has_dv:
+            if len(files) < min_files:
+                continue
+            if not any(
+                int(f.get("size") or 0) < target_file_bytes // 2
+                for f in files
+            ):
+                continue
         paths = [_file_abspath(path, f["path"]) for f in files]
         total = sum(int(f.get("size") or 0) for f in files)
         n_out = max(1, -(-total // target_file_bytes))
         df = spark.read.schema(data_schema).parquet(*paths)
+        if has_dv:
+            # OPTIMIZE is also the DV purge: read THROUGH the
+            # deletion vectors and write clean files — logical rows
+            # unchanged, so dataChange=false stays truthful.
+            df = _apply_deletion_vectors(
+                spark,
+                path,
+                [(f, p) for f, p in zip(files, paths)
+                 if f.get("deletionVector")],
+                df,
+            )
         staging = os.path.join(path, f".compact-{uuid.uuid4().hex}")
         df.repartition(n_out).write.mode("overwrite").parquet(staging)
         pv = dict(key)
@@ -1139,7 +1305,11 @@ def delta_compact(
     removed_paths = {r["path"] for r in removes}
     for _ in range(max_commit_attempts):
         current = _replay(path)
-        if not removed_paths <= set(current.adds):
+        if not removed_paths <= set(current.adds) or any(
+            (current.adds[rp].get("deletionVector") or None)
+            != (state.adds[rp].get("deletionVector") or None)
+            for rp in removed_paths
+        ):
             # a real data change already touched our inputs: abort
             for a in adds:
                 try:
@@ -1442,6 +1612,13 @@ def delta_zorder(
         total = sum(int(f.get("size") or 0) for f in files)
         n_out = max(1, -(-total // target_file_bytes))
         df = spark.read.schema(data_schema).parquet(*paths)
+        dv_files = [
+            (f, p) for f, p in zip(files, paths) if f.get("deletionVector")
+        ]
+        if dv_files:
+            # rewriting clustered files purges their DVs, same as
+            # delta_compact — logical rows unchanged.
+            df = _apply_deletion_vectors(spark, path, dv_files, df)
         if curve == "hilbert":
             keyed = layout.hilbert_column(df, cols, bits, out_col="__sfc")
         elif curve == "zorder":
@@ -1467,7 +1644,11 @@ def delta_zorder(
     removed_paths = {r["path"] for r in removes}
     for _ in range(max_commit_attempts):
         current = _replay(path)
-        if not removed_paths <= set(current.adds):
+        if not removed_paths <= set(current.adds) or any(
+            (current.adds[rp].get("deletionVector") or None)
+            != (state.adds[rp].get("deletionVector") or None)
+            for rp in removed_paths
+        ):
             for a in adds:
                 try:
                     os.remove(_file_abspath(path, a["path"]))
@@ -1579,6 +1760,7 @@ def delta_delete(
         candidates = kept
     if not candidates:
         return {"rows_deleted": 0, "files_rewritten": 0, "version": None}
+    _refuse_dvs(candidates, "delta_delete")
 
     # the delete predicate as ONE Column (conjunction), evaluated
     # per file over data columns + literal partition values
@@ -1648,7 +1830,11 @@ def delta_delete(
     removed_paths = {r["path"] for r in removes}
     for _ in range(max_commit_attempts):
         current = _replay(path)
-        if not removed_paths <= set(current.adds):
+        if not removed_paths <= set(current.adds) or any(
+            (current.adds[rp].get("deletionVector") or None)
+            != (state.adds[rp].get("deletionVector") or None)
+            for rp in removed_paths
+        ):
             for a in adds:
                 try:
                     os.remove(_file_abspath(path, a["path"]))
@@ -1695,6 +1881,221 @@ def delta_delete(
             "version": version,
         }
     raise DeltaError("delete could not commit (sustained contention)")
+
+
+def delta_delete_dv(
+    spark: SparkSession,
+    path: str,
+    where: list[tuple],
+    max_commit_attempts: int = 10,
+) -> dict:
+    """Row-level DELETE that writes DELETION VECTORS instead of
+    rewriting files — the modern Delta writer's default DELETE
+    (PROTOCOL.md "Deletion Vectors"): each candidate file keeps its
+    bytes; a RoaringBitmap of its deleted row positions lands in a
+    sidecar ``deletion_vector_<uuid>.bin`` and the file's ``add`` is
+    re-committed carrying the descriptor. ``where`` uses the same
+    (column, op, value) grammar as delta_delete.
+
+    Why this exists alongside copy-on-write delta_delete: at 100 TB
+    a delete touching a thin slice of many large files rewrites
+    terabytes under copy-on-write but writes only kilobytes of
+    bitmap here — merge-on-read until delta_compact purges. Files
+    already carrying a DV get the union of old and new positions;
+    a file whose every physical row ends up deleted is removed
+    outright. Candidate selection reuses the stats/partition
+    skipping tier; matching positions are found in ONE distributed
+    scan over candidates (``_metadata.row_index``), and only the
+    DELETED (file, position) pairs come back to the driver — the
+    same O(deleted rows) the bitmap files themselves cost.
+    Upgrades the table to reader v3 / writer v7 with the
+    deletionVectors feature on first use, as the protocol requires.
+    Returns {"rows_deleted", "files_with_dvs", "files_removed",
+    "version"}."""
+    from . import delta_dv
+
+    state = _replay(path)
+    _check_readable(state)
+    part_cols = _partition_columns(state)
+    full_schema = _schema(state)
+    types = {f.name: f.dataType for f in full_schema.fields}
+    data_schema = StructType(
+        [f for f in full_schema.fields if f.name not in part_cols]
+    )
+    part_preds = [(c, o, v) for c, o, v in where if c in part_cols]
+    data_preds = [(c, o, v) for c, o, v in where if c not in part_cols]
+    for c, o, _v in where:
+        if c not in types:
+            raise DeltaError(f"delete predicate column {c!r} not in schema")
+        if o not in ("=", "!=", "<", "<=", ">", ">=", "in",
+                     "isnull", "isnotnull"):
+            raise DeltaError(f"unsupported delete op {o!r}")
+
+    candidates = _prune(
+        list(state.adds.values()), part_preds or None, part_cols, types
+    )
+    if data_preds:
+        kept = []
+        for a in candidates:
+            st = a.get("stats")
+            try:
+                stats = json.loads(st) if st else {}
+            except (TypeError, ValueError):
+                stats = {}
+            if all(
+                _file_may_match(stats, c, o, v) for c, o, v in data_preds
+            ):
+                kept.append(a)
+        candidates = kept
+    if not candidates:
+        return {"rows_deleted": 0, "files_with_dvs": 0,
+                "files_removed": 0, "version": None}
+
+    # Surviving candidates already satisfy every partition
+    # predicate exactly (pruning on partitionValues is not an
+    # approximation), so only data predicates select rows.
+    cand_paths = [_file_abspath(path, a["path"]) for a in candidates]
+    by_path = {p: a for p, a in zip(cand_paths, candidates)}
+    scan = spark.read.schema(data_schema).parquet(*cand_paths)
+    cond = _apply_data_filters(scan, data_preds) if data_preds else scan
+    pairs = (
+        cond.select(
+            _strip_scheme(_decode_file_uri(F.input_file_name())).alias("f"),
+            F.col("_metadata.row_index").alias("p"),
+        )
+        .collect()
+    )
+    matched: dict[str, set] = {}
+    for r in pairs:
+        matched.setdefault(r["f"], set()).add(int(r["p"]))
+
+    now_ms = int(time.time() * 1000)
+    removes: list[dict] = []
+    new_adds: list[dict] = []
+    dv_payloads: list[tuple[dict, list]] = []  # (old add, merged positions)
+    rows_deleted = 0
+    files_removed = 0
+    for p, a in by_path.items():
+        hit = matched.get(p)
+        if not hit:
+            continue  # stats said maybe; rows said no
+        old_desc = a.get("deletionVector")
+        existing = (
+            set(delta_dv.dv_read_positions(path, old_desc).tolist())
+            if old_desc
+            else set()
+        )
+        merged = existing | hit
+        newly = len(merged) - len(existing)
+        if newly == 0:
+            continue  # every match was already deleted
+        rows_deleted += newly
+        st = a.get("stats")
+        try:
+            n_phys = json.loads(st).get("numRecords") if st else None
+        except (TypeError, ValueError):
+            n_phys = None
+        if n_phys is not None and len(merged) >= int(n_phys):
+            files_removed += 1
+            removes.append(a)
+        else:
+            dv_payloads.append((a, sorted(merged)))
+
+    if rows_deleted == 0:
+        return {"rows_deleted": 0, "files_with_dvs": 0,
+                "files_removed": 0, "version": None}
+
+    if dv_payloads:
+        descriptors = delta_dv.dv_write_file(
+            path, [pos for _a, pos in dv_payloads]
+        )
+        for (a, _pos), desc in zip(dv_payloads, descriptors):
+            na = dict(a)
+            na["deletionVector"] = desc
+            na["dataChange"] = True
+            st = na.get("stats")
+            try:
+                stats = json.loads(st) if st else {}
+            except (TypeError, ValueError):
+                stats = {}
+            if stats:
+                # bounds now cover deleted rows too — mark them wide
+                stats["tightBounds"] = False
+                na["stats"] = json.dumps(stats)
+            new_adds.append(na)
+            removes.append(a)
+
+    touched_paths = {r["path"] for r in removes}
+    for _ in range(max_commit_attempts):
+        current = _replay(path)
+        if not touched_paths <= set(current.adds) or any(
+            (current.adds[rp].get("deletionVector") or None)
+            != (state.adds[rp].get("deletionVector") or None)
+            for rp in touched_paths
+        ):
+            raise DeltaError(
+                "dv-delete lost a race against another commit; "
+                "aborted cleanly (re-run to retry)"
+            )
+        version = current.version + 1
+        proto = dict(current.protocol or {})
+        need_upgrade = not (
+            int(proto.get("minReaderVersion", 1)) >= 3
+            and "deletionVectors" in (proto.get("readerFeatures") or [])
+        )
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "DELETE",
+                    "operationParameters": {"mode": "deletion-vectors"},
+                }
+            }
+        ]
+        if need_upgrade:
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": sorted(
+                            set(proto.get("readerFeatures") or [])
+                            | {"deletionVectors"}
+                        ),
+                        "writerFeatures": sorted(
+                            set(proto.get("writerFeatures") or [])
+                            | {"deletionVectors"}
+                        ),
+                    }
+                }
+            )
+        for r in removes:
+            rm = {
+                "path": r["path"],
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+                "partitionValues": r.get("partitionValues") or {},
+                "size": r.get("size"),
+            }
+            if r.get("deletionVector"):
+                rm["deletionVector"] = r["deletionVector"]
+            actions.append({"remove": rm})
+        actions.extend({"add": a} for a in new_adds)
+        payload = "".join(json.dumps(x) + "\n" for x in actions).encode()
+        target = _commit_file(path, version)
+        try:
+            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+        return {
+            "rows_deleted": rows_deleted,
+            "files_with_dvs": len(new_adds),
+            "files_removed": files_removed,
+            "version": version,
+        }
+    raise DeltaError("dv-delete could not commit (sustained contention)")
 
 
 def delta_update(
@@ -1758,6 +2159,7 @@ def delta_update(
         candidates = kept
     if not candidates:
         return {"rows_updated": 0, "files_rewritten": 0, "version": None}
+    _refuse_dvs(candidates, "delta_update")
 
     def match_expr(pv: dict):
         cond = F.lit(True)
@@ -1835,7 +2237,11 @@ def delta_update(
     removed_paths = {r["path"] for r in removes}
     for _ in range(max_commit_attempts):
         current = _replay(path)
-        if not removed_paths <= set(current.adds):
+        if not removed_paths <= set(current.adds) or any(
+            (current.adds[rp].get("deletionVector") or None)
+            != (state.adds[rp].get("deletionVector") or None)
+            for rp in removed_paths
+        ):
             for a in adds:
                 try:
                     os.remove(_file_abspath(path, a["path"]))
@@ -1972,6 +2378,7 @@ def delta_merge(
             stats = {}
         if all(_file_may_match(stats, c, o, v) for c, o, v in key_preds):
             candidates.append(a)
+    _refuse_dvs(candidates, "delta_merge")
 
     removes, adds = [], []
     rows_updated = 0
@@ -1987,13 +2394,23 @@ def delta_merge(
         rows_updated += n_hit
         keep = tgt.join(F.broadcast(src.select(*on)), on, "left_anti")
         if when_matched == "update":
+            # SQL MERGE updates EVERY matched target row: a key
+            # matching N target rows (duplicates in the TARGET are
+            # legal; only source-side duplicates are refused above)
+            # must yield N copies of its source values, so count
+            # matches per key and replicate.
+            key_counts = hits.groupBy(*on).agg(
+                F.count(F.lit(1)).alias("__n_copies")
+            )
             matched_src = src.join(
-                F.broadcast(hits.select(*on)), on, "left_semi"
+                F.broadcast(key_counts.select(*on)), on, "left_semi"
             )
             if part_cols:
                 # a matched source row with a DIFFERENT partition
                 # value would have to move partitions — refuse rather
-                # than silently dropping or duplicating it
+                # than silently dropping or duplicating it. Compare
+                # per KEY (source rows), not per matched target row.
+                n_keys = key_counts.count()
                 same = matched_src
                 for c in part_cols:
                     same = same.filter(
@@ -2003,15 +2420,20 @@ def delta_merge(
                             ).cast(types[c])
                         )
                     )
-                if same.count() != n_hit:
+                if same.count() != n_keys:
                     raise DeltaError(
                         "merge would move matched rows across "
                         "partitions; delete + insert is the honest "
                         "spelling"
                     )
                 matched_src = same
-            repl = matched_src.select(
-                *[f.name for f in data_schema.fields]
+            repl = (
+                matched_src.join(F.broadcast(key_counts), on, "inner")
+                .withColumn(
+                    "__copy",
+                    F.explode(F.sequence(F.lit(1), F.col("__n_copies"))),
+                )
+                .select(*[f.name for f in data_schema.fields])
             )
             new_rows = keep.unionByName(repl)
         else:
@@ -2090,7 +2512,11 @@ def delta_merge(
     removed_paths = {r["path"] for r in removes}
     for _ in range(max_commit_attempts):
         current = _replay(path)
-        if not removed_paths <= set(current.adds):
+        if not removed_paths <= set(current.adds) or any(
+            (current.adds[rp].get("deletionVector") or None)
+            != (state.adds[rp].get("deletionVector") or None)
+            for rp in removed_paths
+        ):
             for a in adds:
                 try:
                     os.remove(_file_abspath(path, a["path"]))

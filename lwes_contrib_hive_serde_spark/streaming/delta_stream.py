@@ -52,10 +52,13 @@ from lwes_contrib_hive_serde_spark.sources import delta as D
 
 class DeltaFileSlice(InputPartition):
     def __init__(self, file_path: str, partition_values: dict,
-                 part_cols: list[str]):
+                 part_cols: list[str], table_path: str = "",
+                 deletion_vector: dict | None = None):
         self.file_path = file_path
         self.partition_values = partition_values
         self.part_cols = part_cols
+        self.table_path = table_path
+        self.deletion_vector = deletion_vector
 
 
 class DeltaStreamReader(DataSourceStreamReader):
@@ -139,6 +142,8 @@ class DeltaStreamReader(DataSourceStreamReader):
             D._file_abspath(self.path, add["path"]),
             add.get("partitionValues") or {},
             self.part_cols,
+            table_path=self.path,
+            deletion_vector=add.get("deletionVector"),
         )
 
     def _versions_between(self, start_v: int, end_v: int):
@@ -168,6 +173,24 @@ class DeltaStreamReader(DataSourceStreamReader):
 
         target = to_arrow_schema(self.schema)
         tbl = pq.read_table(partition.file_path)
+        if partition.deletion_vector:
+            # apply the file's deletion vector: DV positions index
+            # physical rows, which pq.read_table yields in order
+            import numpy as np
+
+            from lwes_contrib_hive_serde_spark.sources import delta_dv
+
+            pos = delta_dv.dv_read_positions(
+                partition.table_path, partition.deletion_vector
+            )
+            if len(pos) and pos[-1] >= tbl.num_rows:
+                raise delta_dv.DeletionVectorError(
+                    f"DV position {int(pos[-1])} out of range for "
+                    f"{partition.file_path} ({tbl.num_rows} rows)"
+                )
+            mask = np.ones(tbl.num_rows, dtype=bool)
+            mask[pos] = False
+            tbl = tbl.filter(pa.array(mask))
         n = tbl.num_rows
         cols = []
         for field in target:

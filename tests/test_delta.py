@@ -265,12 +265,24 @@ class TestRefusals:
             {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
+                "readerFeatures": ["v2Checkpoint"],
+                "writerFeatures": ["v2Checkpoint"],
+            },
+        )
+        with pytest.raises(D.DeltaError, match="v2Checkpoint"):
+            D.read_delta(spark, p)
+
+    def test_deletion_vectors_feature_is_allowed(self, spark, tmp_path):
+        p = self._mk_min_table(
+            tmp_path,
+            {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
                 "readerFeatures": ["deletionVectors"],
                 "writerFeatures": ["deletionVectors"],
             },
         )
-        with pytest.raises(D.DeltaError, match="deletionVectors"):
-            D.read_delta(spark, p)
+        assert D.read_delta(spark, p).count() == 0
 
     def test_timestamp_ntz_feature_is_allowed(self, spark, tmp_path):
         p = self._mk_min_table(
@@ -284,7 +296,13 @@ class TestRefusals:
         )
         assert D.read_delta(spark, p).count() == 0
 
-    def test_refuses_deletion_vector_add(self, spark, tmp_path):
+    def test_malformed_deletion_vector_fails_loudly(self, spark, tmp_path):
+        # a DV we cannot decode must error at plan time, never fall
+        # back to reading the base file (which would resurrect rows)
+        from lwes_contrib_hive_serde_spark.sources.delta_dv import (
+            DeletionVectorError,
+        )
+
         p = self._mk_min_table(
             tmp_path,
             {"minReaderVersion": 1, "minWriterVersion": 2},
@@ -294,10 +312,16 @@ class TestRefusals:
                 "size": 1,
                 "modificationTime": 0,
                 "dataChange": True,
-                "deletionVector": {"storageType": "u", "pathOrInlineDv": "x"},
+                "deletionVector": {
+                    "storageType": "u",
+                    "pathOrInlineDv": "x",
+                    "offset": 1,
+                    "sizeInBytes": 4,
+                    "cardinality": 1,
+                },
             },
         )
-        with pytest.raises(D.DeltaError, match="deletion vectors"):
+        with pytest.raises(DeletionVectorError, match="too short"):
             D.read_delta(spark, p)
 
     def test_refuses_column_mapping_config(self, spark, tmp_path):

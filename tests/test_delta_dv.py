@@ -1,0 +1,444 @@
+"""Delta deletion vectors: codec golden/round-trip tests, the
+DV-writing DELETE, read-side application, stats consistency, and
+OPTIMIZE's purge.
+
+The codec is pinned three independent ways: the Z85 test vector
+from ZeroMQ RFC 32, a hand-computed portable RoaringBitmap byte
+golden (cookie 12346, one array + one high-key container, worked
+out on paper from RoaringFormatSpec), and run-container bytes the
+writer never emits (read-side coverage writers can't self-confirm).
+End-to-end, delta_delete_dv writes protocol-exact descriptors +
+.bin sidecars and read_delta must drop exactly those rows via
+``_metadata.row_index`` — survivors are compared against a plain
+filter of the same base data.
+"""
+
+import json
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lwes_contrib_hive_serde_spark.sources import delta as D
+from lwes_contrib_hive_serde_spark.sources import delta_dv as dv
+
+
+class TestZ85:
+    def test_rfc32_vector(self):
+        raw = bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+        assert dv.z85_encode(raw) == "HelloWorld"
+        assert dv.z85_decode("HelloWorld") == raw
+
+    def test_uuid_round_trip(self):
+        import uuid
+
+        u = uuid.UUID("01234567-89ab-cdef-0123-456789abcdef")
+        enc = dv.z85_encode(u.bytes)
+        assert len(enc) == 20
+        assert dv.z85_decode(enc) == u.bytes
+
+    def test_bad_char_and_length(self):
+        with pytest.raises(dv.DeletionVectorError):
+            dv.z85_decode("abcd")  # not multiple of 5
+        with pytest.raises(dv.DeletionVectorError):
+            dv.z85_decode("abc~d")  # ~ not in alphabet
+
+
+class TestRoaring32:
+    # {3, 4, 70000}: two containers (key 0 array [3,4], key 1 array
+    # [4464]); offsets 24 and 28 — worked out by hand from
+    # RoaringFormatSpec.
+    GOLDEN = bytes(
+        [0x3A, 0x30, 0, 0, 2, 0, 0, 0,
+         0, 0, 1, 0, 1, 0, 0, 0,
+         24, 0, 0, 0, 28, 0, 0, 0,
+         3, 0, 4, 0, 0x70, 0x11]
+    )
+
+    def test_golden_read(self):
+        vals, pos = dv.roaring32_deserialize(self.GOLDEN)
+        assert pos == len(self.GOLDEN)
+        assert list(vals) == [3, 4, 70000]
+
+    def test_golden_write(self):
+        assert dv.roaring32_serialize(np.array([3, 4, 70000])) == self.GOLDEN
+
+    def test_bitmap_container_round_trip(self):
+        # >4096 values in one 64Ki block forces a bitmap container
+        vals = np.arange(0, 20000, 3, dtype=np.uint32)
+        data = dv.roaring32_serialize(vals)
+        back, pos = dv.roaring32_deserialize(data)
+        assert pos == len(data)
+        assert np.array_equal(back, vals)
+
+    def test_run_container_read(self):
+        # cookie 12347, 1 container, run flag set, runs
+        # [(5, len 3), (100, len 0)] -> {5,6,7,8,100}; fewer than 4
+        # containers means NO offset header — the reader must honor
+        # that asymmetry of the spec.
+        buf = (
+            struct.pack("<I", 12347)
+            + bytes([1])
+            + struct.pack("<HH", 0, 4)
+            + struct.pack("<H", 2)
+            + struct.pack("<HH", 5, 3)
+            + struct.pack("<HH", 100, 0)
+        )
+        vals, pos = dv.roaring32_deserialize(buf)
+        assert pos == len(buf)
+        assert list(vals) == [5, 6, 7, 8, 100]
+
+    def test_truncated_fails(self):
+        with pytest.raises(dv.DeletionVectorError):
+            dv.roaring32_deserialize(self.GOLDEN[:10])
+
+
+class TestBitmapArray64:
+    def test_high_words(self):
+        vals = np.array([1, 7, (1 << 32) + 3, (2 << 32) + 9], dtype=np.int64)
+        data = dv.bitmap_array_serialize(vals)
+        assert np.array_equal(dv.bitmap_array_deserialize(data), vals)
+
+    def test_large_random_round_trip(self):
+        rng = np.random.default_rng(42)
+        vals = np.unique(rng.integers(0, 2**33, 100_000))
+        data = dv.bitmap_array_serialize(vals)
+        assert np.array_equal(
+            dv.bitmap_array_deserialize(data), vals.astype(np.int64)
+        )
+
+    def test_bad_magic(self):
+        with pytest.raises(dv.DeletionVectorError, match="magic"):
+            dv.bitmap_array_deserialize(b"\x00" * 16)
+
+
+class TestDvFile:
+    def test_two_dvs_one_file(self, tmp_path):
+        p = str(tmp_path)
+        descs = dv.dv_write_file(p, [[0, 2, 5], range(9000)], prefix="ab")
+        assert [d["cardinality"] for d in descs] == [3, 9000]
+        assert all(d["storageType"] == "u" for d in descs)
+        got0 = dv.dv_read_positions(p, descs[0])
+        got1 = dv.dv_read_positions(p, descs[1])
+        assert list(got0) == [0, 2, 5]
+        assert np.array_equal(got1, np.arange(9000))
+
+    def test_crc_detects_corruption(self, tmp_path):
+        p = str(tmp_path)
+        (desc,) = dv.dv_write_file(p, [[1, 2, 3]])
+        path = dv.dv_absolute_path(p, desc)
+        raw = bytearray(open(path, "rb").read())
+        raw[7] ^= 0xFF  # flip a payload byte
+        open(path, "wb").write(bytes(raw))
+        with pytest.raises(dv.DeletionVectorError, match="checksum"):
+            dv.dv_read_positions(p, desc)
+
+    def test_cardinality_mismatch_detected(self, tmp_path):
+        p = str(tmp_path)
+        (desc,) = dv.dv_write_file(p, [[1, 2, 3]])
+        desc = dict(desc, cardinality=99)
+        with pytest.raises(dv.DeletionVectorError, match="cardinality"):
+            dv.dv_read_positions(p, desc)
+
+    def test_inline_descriptor(self, tmp_path):
+        desc = dv.dv_inline_descriptor([4, 9, (1 << 32) + 1])
+        assert desc["storageType"] == "i"
+        got = dv.dv_read_positions(str(tmp_path), desc)
+        assert list(got) == [4, 9, (1 << 32) + 1]
+
+
+def _docs(spark, n=400):
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("text-"), F.col("id")).alias("text"),
+            (F.col("id") % 7).alias("bucket"),
+        )
+    )
+
+
+class TestDeleteWithDvs:
+    def test_end_to_end_survivors(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark).repartition(4), p)
+        res = D.delta_delete_dv(spark, p, [("doc_id", "<", 120)])
+        assert res["rows_deleted"] == 120
+        assert res["version"] == 1
+        # base files untouched; adds now carry descriptors
+        state = D._replay(p)
+        assert any(a.get("deletionVector") for a in state.adds.values())
+        got = sorted(
+            r.doc_id for r in D.read_delta(spark, p).collect()
+        )
+        assert got == list(range(120, 400))
+
+    def test_protocol_upgraded(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark), p)
+        D.delta_delete_dv(spark, p, [("doc_id", "=", 5)])
+        proto = D._replay(p).protocol
+        assert proto["minReaderVersion"] == 3
+        assert "deletionVectors" in proto["readerFeatures"]
+
+    def test_second_delete_unions(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark).coalesce(1), p)
+        D.delta_delete_dv(spark, p, [("doc_id", "<", 50)])
+        res = D.delta_delete_dv(spark, p, [("doc_id", "<", 100)])
+        # only the 50 NEW deletions count
+        assert res["rows_deleted"] == 50
+        got = sorted(r.doc_id for r in D.read_delta(spark, p).collect())
+        assert got == list(range(100, 400))
+
+    def test_full_file_coverage_removes_file(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 100).coalesce(1), p)
+        res = D.delta_delete_dv(spark, p, [("doc_id", ">=", 0)])
+        assert res["files_removed"] == 1
+        assert res["files_with_dvs"] == 0
+        assert D.read_delta(spark, p).count() == 0
+
+    def test_no_match_no_commit(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark), p)
+        res = D.delta_delete_dv(spark, p, [("doc_id", ">", 10_000)])
+        assert res["version"] is None
+        assert D._replay(p).version == 0
+
+    def test_count_and_files_stats_consistent(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark).repartition(3), p)
+        D.delta_delete_dv(spark, p, [("doc_id", "<", 77)])
+        # stats-only count subtracts DV cardinality — no scan needed,
+        # and it must equal the scan
+        assert D.delta_count(spark, p) == 400 - 77
+        files = D.delta_files(spark, p).collect()
+        assert sum(r.num_deleted for r in files) == 77
+        assert sum(r.num_records for r in files) == 400  # physical
+        assert D.read_delta(spark, p).count() == 400 - 77
+
+    def test_data_filters_still_exact_under_dvs(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark).repartition(2), p)
+        D.delta_delete_dv(spark, p, [("doc_id", ">=", 300)])
+        got = sorted(
+            r.doc_id
+            for r in D.read_delta(
+                spark, p, data_filters=[("doc_id", ">=", 250)]
+            ).collect()
+        )
+        assert got == list(range(250, 300))
+
+    def test_time_travel_before_delete(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark), p)
+        D.delta_delete_dv(spark, p, [("doc_id", "<", 200)])
+        assert D.read_delta(spark, p, version=0).count() == 400
+        assert D.read_delta(spark, p).count() == 200
+
+    def test_partitioned_table(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark), p, partition_by=["bucket"])
+        D.delta_delete_dv(
+            spark, p, [("bucket", "=", 3), ("doc_id", "<", 100)]
+        )
+        df = D.read_delta(spark, p)
+        assert df.filter("bucket = 3 AND doc_id < 100").count() == 0
+        # everything else intact, partition column re-attached
+        expect = 400 - sum(
+            1 for i in range(400) if i % 7 == 3 and i < 100
+        )
+        assert df.count() == expect
+
+
+class TestCheckpointAndMaintenanceUnderDvs:
+    def test_checkpoint_preserves_dvs(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark), p)
+        D.delta_delete_dv(spark, p, [("doc_id", "<", 150)])
+        D.write_checkpoint(spark, p)
+        # force checkpointed replay: version=None replays from cp
+        state = D._replay(p)
+        assert any(a.get("deletionVector") for a in state.adds.values())
+        assert D.read_delta(spark, p).count() == 250
+        assert D.delta_count(spark, p) == 250
+
+    def test_compact_purges_dvs(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark).repartition(3), p)
+        D.delta_delete_dv(spark, p, [("doc_id", "<", 100)])
+        res = D.delta_compact(spark, p)
+        assert res["version"] is not None
+        state = D._replay(p)
+        assert not any(a.get("deletionVector") for a in state.adds.values())
+        got = sorted(r.doc_id for r in D.read_delta(spark, p).collect())
+        assert got == list(range(100, 400))
+        # physical rows now equal logical rows
+        assert D.delta_count(spark, p) == 300
+        files = D.delta_files(spark, p).collect()
+        assert sum(r.num_records for r in files) == 300
+
+    def test_dml_refuses_dv_candidates(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark).coalesce(1), p)
+        D.delta_delete_dv(spark, p, [("doc_id", "=", 3)])
+        with pytest.raises(D.DeltaError, match="deletion vectors"):
+            D.delta_delete(spark, p, [("doc_id", "=", 4)])
+        with pytest.raises(D.DeltaError, match="deletion vectors"):
+            D.delta_update(spark, p, [("doc_id", "=", 4)], {"text": "'x'"})
+        src = _docs(spark, 5)
+        with pytest.raises(D.DeltaError, match="deletion vectors"):
+            D.delta_merge(spark, p, src, on=["doc_id"])
+        # compact purges; DML then proceeds
+        D.delta_compact(spark, p)
+        res = D.delta_delete(spark, p, [("doc_id", "=", 4)])
+        assert res["rows_deleted"] == 1
+
+    def test_zorder_purges_dvs(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark).repartition(2), p)
+        D.delta_delete_dv(spark, p, [("doc_id", "<", 40)])
+        D.delta_zorder(spark, p, ["doc_id", "bucket"])
+        state = D._replay(p)
+        assert not any(a.get("deletionVector") for a in state.adds.values())
+        assert D.read_delta(spark, p).count() == 360
+
+    def test_overwrite_remove_carries_dv(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark), p)
+        D.delta_delete_dv(spark, p, [("doc_id", "<", 10)])
+        D.write_delta(_docs(spark, 50), p, mode="overwrite")
+        assert D.read_delta(spark, p).count() == 50
+        # the remove action for the DV'd file carried its descriptor
+        v = D._replay(p).version
+        lines = [
+            json.loads(line)
+            for line in open(D._commit_file(p, v))
+            if line.strip()
+        ]
+        rms = [a["remove"] for a in lines if "remove" in a]
+        assert any(r.get("deletionVector") for r in rms)
+
+
+class TestMergeDuplicateTargetKeys:
+    def test_matched_target_dups_each_updated(self, spark, tmp_path):
+        # SQL MERGE updates EVERY matched target row: 3 target copies
+        # of key 1 -> 3 rows carrying the source values
+        p = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (1, "c"), (2, "d")], "k int, v string"
+        )
+        D.write_delta(base.coalesce(1), p)
+        src = spark.createDataFrame([(1, "NEW"), (9, "ins")], "k int, v string")
+        res = D.delta_merge(spark, p, src, on=["k"])
+        assert res["rows_updated"] == 3
+        assert res["rows_inserted"] == 1
+        got = sorted(
+            (r.k, r.v) for r in D.read_delta(spark, p).collect()
+        )
+        assert got == [(1, "NEW"), (1, "NEW"), (1, "NEW"), (2, "d"), (9, "ins")]
+
+    def test_partitioned_dup_targets_ok(self, spark, tmp_path):
+        # the per-key partition check must not trip on target dups
+        p = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [(1, "x", "a"), (1, "x", "b"), (2, "y", "c")],
+            "k int, part string, v string",
+        )
+        D.write_delta(base.coalesce(1), p, partition_by=["part"])
+        src = spark.createDataFrame(
+            [(1, "x", "NEW")], "k int, part string, v string"
+        )
+        res = D.delta_merge(spark, p, src, on=["k"])
+        assert res["rows_updated"] == 2
+        got = sorted(
+            (r.k, r.part, r.v) for r in D.read_delta(spark, p).collect()
+        )
+        assert got == [(1, "x", "NEW"), (1, "x", "NEW"), (2, "y", "c")]
+
+    def test_partition_move_still_refused(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [(1, "x", "a"), (1, "x", "b")], "k int, part string, v string"
+        )
+        D.write_delta(base.coalesce(1), p, partition_by=["part"])
+        src = spark.createDataFrame(
+            [(1, "OTHER", "NEW")], "k int, part string, v string"
+        )
+        with pytest.raises(D.DeltaError, match="move matched rows"):
+            D.delta_merge(spark, p, src, on=["k"])
+
+
+class TestTimestampTravelPastCheckpoint:
+    def test_pre_checkpoint_timestamp_reachable(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 10), p)  # v0
+        t0 = D.delta_history(p)[0]["timestamp_ms"]
+        import time as _t
+
+        _t.sleep(0.05)
+        D.write_delta(_docs(spark, 5), p, mode="overwrite")  # v1
+        D.write_checkpoint(spark, p)
+        D.write_delta(_docs(spark, 3), p, mode="overwrite")  # v2
+        # timestamp pointing at v0 — BEFORE the checkpoint — must
+        # resolve (the commit JSONs still exist)
+        assert D.read_delta(spark, p, timestamp_ms=t0).count() == 10
+        assert D.read_delta(spark, p).count() == 3
+
+
+class TestStreamingUnderDvs:
+    def test_snapshot_applies_dvs(self, spark, tmp_path):
+        # a fresh stream's initial snapshot must NOT resurrect
+        # DV-deleted rows
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 20).coalesce(1), p)
+        D.delta_delete_dv(spark, p, [("doc_id", "<", 12)])
+        q = (
+            spark.readStream.format("delta_stream")
+            .option("path", p)
+            .load()
+            .writeStream.format("memory")
+            .queryName("dv_snap")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = sorted(
+                r.doc_id
+                for r in spark.sql("select doc_id from dv_snap").collect()
+            )
+            assert got == list(range(12, 20))
+        finally:
+            q.stop()
+
+    def test_tail_dv_delete_needs_ignorechanges(self, spark, tmp_path):
+        # a DV delete is a data-changing remove: the strict stream
+        # errors; with ignorechanges the re-emitted add applies the
+        # DV (no resurrected rows)
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 10).coalesce(1), p)
+        q = (
+            spark.readStream.format("delta_stream")
+            .option("path", p)
+            .option("ignorechanges", "true")
+            .load()
+            .writeStream.format("memory")
+            .queryName("dv_tail")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            D.delta_delete_dv(spark, p, [("doc_id", "<", 4)])
+            q.processAllAvailable()
+            got = sorted(
+                r.doc_id
+                for r in spark.sql("select doc_id from dv_tail").collect()
+            )
+            # snapshot (0..9) + re-emitted survivors (4..9 once more)
+            assert got == sorted(list(range(10)) + list(range(4, 10)))
+        finally:
+            q.stop()
