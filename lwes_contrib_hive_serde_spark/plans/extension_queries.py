@@ -8426,8 +8426,11 @@ def q_delta_partition_prune(spark, sf_dir):
 
 def _documents_avro(spark, sf_dir: str) -> str:
     """Write (once per sf_dir per process) the documents table as
-    deflate-compressed Avro OCF shards; return the directory (the
-    _documents_jsonl recipe)."""
+    Avro OCF shards with MIXED codecs — half the rows in deflate
+    shards, half in snappy shards (raw block + BE CRC32 per the
+    Avro spec, snappy_backend providing the codec) — so one
+    directory read exercises per-file codec dispatch; return the
+    directory (the _documents_jsonl recipe)."""
     import os
 
     import lwes_contrib_hive_serde_spark as L
@@ -8439,16 +8442,27 @@ def _documents_avro(spark, sf_dir: str) -> str:
         tag = f"{tag}-{int(st.st_mtime)}-{st.st_size}"
     except OSError:
         pass
-    out = f"/tmp/avro_shard_cache/v1/{tag}/documents"
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+    out = f"/tmp/avro_shard_cache/v2/{tag}/documents"
+    done = os.path.join(out, "_BOTH_CODECS_DONE")
+    if not os.path.exists(done):
+        docs = table(spark, sf_dir, "documents")
         (
-            table(spark, sf_dir, "documents")
-            .repartition(8)
+            docs.where("doc_id % 2 = 0")
+            .repartition(4)
             .write.format("avro_ocf")
             .option("codec", "deflate")
             .mode("overwrite")
             .save(out)
         )
+        (
+            docs.where("doc_id % 2 = 1")
+            .repartition(4)
+            .write.format("avro_ocf")
+            .option("codec", "snappy")
+            .mode("append")
+            .save(out)
+        )
+        open(done, "w").close()
     return out
 
 
@@ -8467,9 +8481,10 @@ def _documents_avro(spark, sf_dir: str) -> str:
     GROUP BY lang
     """,
     doc="Avro OCF source/sink round trip (sources/avro_ocf.py — pure "
-    "stdlib container codec: zigzag varints, deflate blocks, sync "
-    "markers; no avro library in this environment): documents "
-    "parquet → .avro shards → format('avro_ocf') scan with the "
+    "stdlib container codec: zigzag varints, deflate AND snappy "
+    "blocks — snappy is raw block + big-endian CRC32 per the Avro "
+    "spec via snappy_backend — sync markers): documents "
+    "parquet → mixed-codec .avro shards → format('avro_ocf') scan with the "
     "schema compiled from the embedded writer schema → aggregate. "
     "The DuckDB oracle runs on the ORIGINAL parquet, so a hash "
     "match proves the binary encode/decode cycle is lossless "

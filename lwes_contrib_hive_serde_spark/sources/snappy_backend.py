@@ -1,0 +1,87 @@
+"""snappy codec backend with two interchangeable providers — the
+zstd_backend recipe applied to the OTHER codec real Avro corpora
+actually use (snappy is the most common OCF block codec in the
+wild; Avro spec 1.12 "Required Codecs" lists it beside deflate).
+
+Only one-shot block operations are needed (Avro blocks, not
+streams). Provider preference:
+
+1. ``python-snappy`` (``import snappy``) — the canonical binding,
+   used when installed.
+2. pyarrow's bundled snappy (``pyarrow.Codec('snappy')``) — the
+   same Google reference format. pyarrow's decompress requires the
+   uncompressed size up front, which raw snappy carries as a
+   varint32 preamble (format description, github.com/google/snappy
+   format_description.txt) — so the preamble is parsed here and
+   fed back, no caller contract change.
+
+When neither provider is available every entry point raises
+ImportError naming both options; avro_ocf.py wraps that in its
+honest AvroError (never a silent fallback to another codec).
+"""
+
+from __future__ import annotations
+
+_MISSING_MSG = (
+    "snappy support requires either the 'python-snappy' package "
+    "(pip install python-snappy) or a pyarrow build with snappy "
+    "support; neither is available"
+)
+
+
+def _provider():
+    """Resolve the active provider each call (no caching — mirrors
+    zstd_backend: tests may inject a stub ``snappy`` module
+    mid-session)."""
+    try:
+        import snappy
+
+        return ("snappy", snappy)
+    except ImportError:
+        pass
+    try:
+        import pyarrow as pa
+
+        if pa.Codec.is_available("snappy"):
+            return ("pyarrow", pa)
+    except ImportError:
+        pass
+    raise ImportError(_MISSING_MSG)
+
+
+def available() -> bool:
+    try:
+        _provider()
+        return True
+    except ImportError:
+        return False
+
+
+def uncompressed_size(data: bytes) -> int:
+    """The varint32 preamble every raw-snappy block starts with."""
+    n, shift, i = 0, 0, 0
+    while True:
+        if i >= len(data) or shift > 35:
+            raise ValueError("truncated/invalid snappy length preamble")
+        b = data[i]
+        n |= (b & 0x7F) << shift
+        i += 1
+        shift += 7
+        if not b & 0x80:
+            return n
+
+
+def compress(data: bytes) -> bytes:
+    name, mod = _provider()
+    if name == "snappy":
+        return mod.compress(data)
+    return bytes(mod.Codec("snappy").compress(data))
+
+
+def decompress(data: bytes) -> bytes:
+    name, mod = _provider()
+    if name == "snappy":
+        return mod.decompress(data)
+    return bytes(
+        mod.Codec("snappy").decompress(data, uncompressed_size(data))
+    )

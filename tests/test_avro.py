@@ -246,14 +246,84 @@ class TestRoundTrip:
         assert back.count() == 3
 
 
-class TestRefusals:
-    def test_snappy_refused(self, tmp_path):
+def hand_snappy_literal(data: bytes) -> bytes:
+    """A raw snappy block written BY HAND from the format spec
+    (github.com/google/snappy format_description.txt): varint32
+    uncompressed-length preamble, then one literal element whose
+    tag is ((len-1) << 2) | 0b00 for len <= 60. Pins the read path
+    to spec-exact bytes no provider produced."""
+    assert len(data) <= 60
+    n = len(data)
+    preamble = b""
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        preamble += bytes([b | (0x80 if n else 0)])
+        if not n:
+            break
+    return preamble + bytes([(len(data) - 1) << 2]) + data
+
+
+class TestSnappy:
+    def test_hand_built_snappy_block_decodes(self, tmp_path):
+        # one record {x: 1} in a hand-assembled snappy block
+        # (+ big-endian CRC32 of the uncompressed data, per the
+        # Avro spec's snappy codec definition)
         schema = {"type": "record", "name": "r",
                   "fields": [{"name": "x", "type": "long"}]}
+        raw = zz(1)
+        block = hand_snappy_literal(raw) + struct.pack(
+            ">I", zlib.crc32(raw) & 0xFFFFFFFF
+        )
         p = str(tmp_path / "s.avro")
-        open(p, "wb").write(ocf(schema, "snappy", [zz(1)], [1]))
-        with pytest.raises(A.AvroError, match="snappy"):
+        open(p, "wb").write(ocf(schema, "snappy", [block], [1]))
+        rows = list(A.iter_avro_rows(p))
+        assert rows == [(1,)]
+
+    def test_crc_mismatch_detected(self, tmp_path):
+        schema = {"type": "record", "name": "r",
+                  "fields": [{"name": "x", "type": "long"}]}
+        raw = zz(1)
+        block = hand_snappy_literal(raw) + struct.pack(">I", 0xDEADBEEF)
+        p = str(tmp_path / "s.avro")
+        open(p, "wb").write(ocf(schema, "snappy", [block], [1]))
+        with pytest.raises(A.AvroError, match="CRC32 mismatch"):
             list(A.iter_avro_rows(p))
+
+    def test_snappy_round_trip_through_spark(self, spark, tmp_path):
+        from lwes_contrib_hive_serde_spark.sources import snappy_backend
+
+        if not snappy_backend.available():
+            pytest.skip("no snappy provider")
+        df = TestRoundTrip._df(TestRoundTrip, spark)
+        out = str(tmp_path / "sn")
+        (df.write.format("avro_ocf").option("codec", "snappy")
+           .option("path", out).mode("append").save())
+        # header says snappy, and the read round-trips
+        first = sorted(
+            n for n in os.listdir(out) if n.endswith(".avro")
+        )[0]
+        _schema, codec, _sync, _off = A.read_avro_header(
+            os.path.join(out, first)
+        )
+        assert codec == "snappy"
+        back = spark.read.format("avro_ocf").option("path", out).load()
+        assert sorted(df.collect(), key=lambda r: r.id) == sorted(
+            back.collect(), key=lambda r: r.id
+        )
+
+    def test_backend_round_trip_and_preamble(self):
+        from lwes_contrib_hive_serde_spark.sources import snappy_backend
+
+        if not snappy_backend.available():
+            pytest.skip("no snappy provider")
+        data = b"compress me " * 100
+        comp = snappy_backend.compress(data)
+        assert snappy_backend.uncompressed_size(comp) == len(data)
+        assert snappy_backend.decompress(comp) == data
+
+
+class TestRefusals:
 
     def test_multi_branch_union_refused(self, tmp_path):
         schema = {"type": "record", "name": "r",
