@@ -2023,12 +2023,108 @@ def _pdf_page_bodies(idx):
     return out
 
 
-def _pdf_page_uses_cid_font(idx, page_body: bytes) -> bool | None:
-    """True when any font in the page's /Resources /Font dict is a
-    /Type0 (CID-keyed) font — their string operands are CMap-encoded
-    code sequences, not byte-per-glyph text, so extraction without
-    the CMap would be a guess. None when resources exist but cannot
-    be resolved (callers refuse)."""
+_CMAP_RANGE_CAP = 1 << 16  # one bfrange may not span more than a code plane
+
+
+def _pdf_tounicode_cmap(data: bytes):
+    """Parse a /ToUnicode CMap stream (PDF 32000 §9.10.3; the Adobe
+    CMap/CIDFont file format) into (code_width_bytes, {code → str}),
+    or None when outside the supported envelope: a single uniform
+    codespace width of 1 or 2 bytes (Identity-H's <0000> <FFFF> is
+    the overwhelmingly common case), bfchar entries, and bfrange in
+    both forms — scalar destination (successive codes increment the
+    LAST UTF-16 code unit, §CMap spec) and array destination.
+    Destinations are UTF-16BE, so multi-unit expansions (ligatures)
+    and surrogate pairs (non-BMP) come through as real strings."""
+    import re
+
+    width = None
+    for m in re.finditer(
+        rb"begincodespacerange(.*?)endcodespacerange", data, re.S
+    ):
+        for lo, hi in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)
+        ):
+            if len(lo) != len(hi) or len(lo) % 2:
+                return None
+            w = len(lo) // 2
+            if width is None:
+                width = w
+            elif width != w:
+                return None  # mixed-width codespaces: refuse
+    if width not in (1, 2):
+        return None
+
+    def utf16(dst_hex: bytes):
+        raw = bytes.fromhex(dst_hex.decode("ascii"))
+        if len(raw) % 2:
+            return None
+        try:
+            return raw.decode("utf-16-be")
+        except UnicodeDecodeError:
+            return None
+
+    mapping: dict[int, str] = {}
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        for src, dst in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)
+        ):
+            s = utf16(dst)
+            if s is None:
+                return None
+            mapping[int(src, 16)] = s
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        body = m.group(1)
+        for lo, hi, arr in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+            rb"\[((?:\s*<[0-9A-Fa-f]+>)+)\s*\]",
+            body,
+        ):
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            dsts = re.findall(rb"<([0-9A-Fa-f]+)>", arr)
+            if hi_i - lo_i + 1 != len(dsts) or len(dsts) > _CMAP_RANGE_CAP:
+                return None
+            for k, d in enumerate(dsts):
+                s = utf16(d)
+                if s is None:
+                    return None
+                mapping[lo_i + k] = s
+        # scalar form, with array bodies removed so they don't
+        # re-match as <lo> <hi> <first-array-element>
+        scalar_body = re.sub(
+            rb"\[(?:\s*<[0-9A-Fa-f]+>)+\s*\]", b"", body
+        )
+        for lo, hi, dst in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>",
+            scalar_body,
+        ):
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            if hi_i < lo_i or hi_i - lo_i + 1 > _CMAP_RANGE_CAP:
+                return None
+            raw = bytes.fromhex(dst.decode("ascii"))
+            if len(raw) < 2 or len(raw) % 2:
+                return None
+            head, last = raw[:-2], int.from_bytes(raw[-2:], "big")
+            for k in range(hi_i - lo_i + 1):
+                s = utf16(head.hex().encode() + b"%04x" % (last + k))
+                if s is None:
+                    return None
+                mapping[lo_i + k] = s
+    if not mapping:
+        return None
+    return width, mapping
+
+
+def _pdf_page_fonts(idx, page_body: bytes):
+    """The page's /Resources /Font dict as {name-bytes → decoder}:
+    ``"simple"`` for byte-per-glyph fonts (Latin-1 reporting, the
+    pre-Type0 behavior) or a (width, {code → str}) CMap tuple for
+    /Type0 fonts that carry a /ToUnicode stream. Returns None — the
+    caller refuses — when resources cannot be resolved, or when a
+    Type0 font has NO ToUnicode (its codes are unknowable without
+    the embedded CMap program: NULL-never-guess). An absent
+    /Resources or /Font yields {} (nothing to refuse on, matching
+    the previous contract)."""
     import re
 
     load = idx["load"]
@@ -2040,14 +2136,14 @@ def _pdf_page_uses_cid_font(idx, page_body: bytes) -> bool | None:
     else:
         rpos = page_body.find(b"/Resources")
         if rpos < 0:
-            return False  # no resources at all: nothing to refuse on
+            return {}  # no resources at all: nothing to refuse on
         got = _pdf_dict_text(page_body, rpos)
         if got is None:
             return None
         res = got[0]
     fpos = res.find(b"/Font")
     if fpos < 0:
-        return False
+        return {}
     fref = re.match(rb"/Font\s+(\d+)\s+\d+\s+R", res[fpos:])
     if fref is not None:
         fonts = load(int(fref.group(1)))
@@ -2058,13 +2154,36 @@ def _pdf_page_uses_cid_font(idx, page_body: bytes) -> bool | None:
         if got is None:
             return None
         fonts = got[0]
-    for num, _ in re.findall(rb"(\d+)\s+(\d+)\s+R", fonts):
+    out: dict[bytes, object] = {}
+    pairs = re.findall(
+        rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R", fonts
+    )
+    if not pairs and b"/Type0" in fonts:
+        return None  # inline Type0 font dict we cannot name-resolve
+    for name, num in pairs:
         fobj = load(int(num))
         if fobj is None:
             return None
-        if b"/Type0" in fobj:
-            return True
-    return False
+        if b"/Type0" not in fobj:
+            out[name] = "simple"
+            continue
+        turef = _pdf_ref(fobj, b"ToUnicode")
+        if turef is None:
+            return None  # Type0 without ToUnicode: codes unknowable
+        tobj = load(turef)
+        if tobj is None:
+            return None
+        got = _pdf_dict_text(tobj, 0)
+        if got is None:
+            return None
+        data = _pdf_stream_data(tobj, got[0], got[1])
+        if data is None:
+            return None
+        cmap = _pdf_tounicode_cmap(data)
+        if cmap is None:
+            return None
+        out[name] = cmap
+    return out
 
 
 def _pdf_literal_string(data: bytes, i: int):
@@ -2140,16 +2259,22 @@ def _pdf_hex_string(data: bytes, i: int):
         return None
 
 
-def _pdf_content_text(data: bytes):
+def _pdf_content_text(data: bytes, fonts: dict | None = None):
     """Text shown by one content stream: a single pass over the
     §9.4.3 text-showing operators inside BT…ET blocks — ``Tj``,
     ``'``, ``\"`` (one string operand) and ``TJ`` (array; strings
-    concatenated, kerning numbers ignored) — with ``Td``/``TD``/
-    ``T*``/``'``/``\"`` breaking lines. String bytes are reported as
-    Latin-1 (no font-encoding/CMap translation; Type0 fonts are
-    refused upstream). Returns the text, or None when an inline
-    image (BI…EI) is unterminated — its binary payload would
-    masquerade as operators."""
+    decoded individually, kerning numbers ignored) — with ``Td``/
+    ``TD``/``T*``/``'``/``\"`` breaking lines. ``fonts`` is the
+    page's resource map from _pdf_page_fonts; the walker tracks
+    ``/Name size Tf`` font selection, reporting simple-font bytes
+    as Latin-1 and decoding Type0 show strings through the font's
+    /ToUnicode CMap (fixed code width, every code must map — an
+    unmapped code refuses the stream rather than guessing; a font
+    name absent from the map falls back to simple, matching the
+    inherited-resources behavior of the pre-CMap walker). Returns
+    the text, or None when an inline image (BI…EI) is unterminated
+    — its binary payload would masquerade as operators — or when a
+    CMap decode fails."""
     import re
 
     n = len(data)
@@ -2157,15 +2282,34 @@ def _pdf_content_text(data: bytes):
     in_text = False
     last_str: bytes | None = None
     last_arr: list[bytes] | None = None
+    last_name: bytes | None = None
+    current: object = "simple"
     pieces: list[str] = []
+    bad = []  # CMap decode failure flag (closure-writable)
 
     def newline():
         if pieces and pieces[-1] != "\n":
             pieces.append("\n")
 
     def emit(raw: bytes | None):
-        if raw:
+        if not raw:
+            return
+        if current == "simple":
             pieces.append(raw.decode("latin-1"))
+            return
+        width, mapping = current
+        if len(raw) % width:
+            bad.append(True)
+            return
+        out: list[str] = []
+        for k in range(0, len(raw), width):
+            code = int.from_bytes(raw[k : k + width], "big")
+            s = mapping.get(code)
+            if s is None:
+                bad.append(True)
+                return
+            out.append(s)
+        pieces.append("".join(out))
 
     op_re = re.compile(rb"[A-Za-z'\"*][A-Za-z0-9'\"*]*")
     while i < n:
@@ -2214,11 +2358,13 @@ def _pdf_content_text(data: bytes):
             )
             i = j
         elif c == 0x2F:  # /Name token
+            start = i
             i += 1
             while i < n and not chr(data[i]).isspace() and data[i] not in (
                 0x2F, 0x28, 0x3C, 0x5B, 0x5D, 0x3E, 0x25,
             ):
                 i += 1
+            last_name = data[start + 1 : i]
         else:
             m = op_re.match(data, i)
             if m is None:
@@ -2230,6 +2376,9 @@ def _pdf_content_text(data: bytes):
                 in_text = True
             elif op == b"ET":
                 in_text = False
+            elif op == b"Tf":
+                if fonts is not None and last_name is not None:
+                    current = fonts.get(last_name, "simple")
             elif op == b"BI":
                 j = data.find(b"EI", i)
                 if j < 0:
@@ -2244,9 +2393,12 @@ def _pdf_content_text(data: bytes):
                 emit(last_str)
             elif op == b"TJ":
                 if last_arr is not None:
-                    emit(b"".join(last_arr))
+                    for s in last_arr:
+                        emit(s)
             elif op in (b"Td", b"TD", b"T*"):
                 newline()
+            if bad:
+                return None
     return "".join(pieces)
 
 
@@ -2257,13 +2409,17 @@ def parse_pdf_text(b: bytes):
     guess (the module's NULL-never-guess policy): classic-xref AND
     xref-stream/ObjStm files; content streams stored plain or
     FlateDecode (other filters refused by _pdf_stream_data); simple
-    (byte-per-glyph) fonts only — pages whose resources include a
-    /Type0 CID font are refused because their show-string bytes are
-    CMap code sequences. Text is the concatenation of the §9.4.3
-    show operators in content-stream order, lines broken at Td/TD/
-    T*/'/\" and pages joined with newlines; bytes decode as Latin-1
-    (no per-font /Encoding or /ToUnicode translation — exact for the
-    ASCII range that the oracle query exercises)."""
+    (byte-per-glyph) fonts reported as Latin-1, and /Type0 (CID)
+    fonts WITH a /ToUnicode CMap — their show strings decode
+    through the CMap's bfchar/bfrange mappings (fixed 1- or 2-byte
+    codes, UTF-16BE destinations incl. surrogate pairs), which is
+    how TrueType/Identity-H PDFs — most of the last decade's —
+    carry recoverable text. Type0 WITHOUT ToUnicode, or any show
+    string with an unmapped code, still refuses: those bytes are
+    glyph indexes only the embedded font program could name. Text
+    is the concatenation of the §9.4.3 show operators in
+    content-stream order, lines broken at Td/TD/T*/'/\" and pages
+    joined with newlines."""
     idx = _pdf_index(b)
     if idx is None or not idx["complete"] or idx["encrypted"]:
         return None
@@ -2272,8 +2428,8 @@ def parse_pdf_text(b: bytes):
         return None
     texts: list[str] = []
     for body in pages:
-        cid = _pdf_page_uses_cid_font(idx, body)
-        if cid is None or cid:
+        fonts = _pdf_page_fonts(idx, body)
+        if fonts is None:
             return None
         crefs: list[int] = []
         import re
@@ -2304,7 +2460,7 @@ def parse_pdf_text(b: bytes):
             if data is None:
                 return None
             parts.append(data)
-        text = _pdf_content_text(b"\n".join(parts))
+        text = _pdf_content_text(b"\n".join(parts), fonts)
         if text is None:
             return None
         texts.append(text)
@@ -2316,7 +2472,8 @@ def decode_pdf_text(
 ) -> DataFrame:
     """Append (pdf_n_pages, pdf_text) parsed from PDF payloads via
     mapInPandas; NULLs for anything parse_pdf_text refuses
-    (non-PDFs, encrypted files, unsupported filters, CID fonts).
+    (non-PDFs, encrypted files, unsupported filters, Type0 fonts
+    without a /ToUnicode CMap).
     Pure-Python byte walk over Arrow batches — the documented
     Python-in-scan escape hatch (cf. decode_mp3_meta); payloads
     never leave the executor."""
@@ -2420,6 +2577,13 @@ def pdf_bytes(
                 + b"\nendstream"
             )
 
+    return _pdf_assemble(objs)
+
+
+def _pdf_assemble(objs: list[bytes]) -> bytes:
+    """Classic-xref assembly shared by the fixture synthesizers:
+    object number = list index + 1, correct byte offsets, /Root at
+    object 1."""
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]  # entry 0 is the free-list head
     for num, body in enumerate(objs, start=1):
@@ -2435,6 +2599,146 @@ def pdf_bytes(
         % (len(objs) + 1, xref_off)
     )
     return bytes(out)
+
+
+def pdf_type0_bytes(
+    pages: list[list[str]],
+    compress: bool = False,
+    omit_tounicode: bool = False,
+) -> bytes:
+    """Serialize a spec-conformant classic-xref PDF whose pages show
+    the given lines through a /Type0 (CID-keyed, Identity-H) font
+    with a /ToUnicode CMap — the TrueType-embedding shape most
+    modern PDF producers emit, and the fixture for the CMap decode
+    path. Codes are deliberately NOT character values: digits map
+    through one SCALAR bfrange (last-unit increment), half the
+    remaining characters through bfchar entries, the other half
+    through one ARRAY-form bfrange — so all three mapping syntaxes
+    carry real text. Show strings are 2-byte-code hex strings; odd
+    lines render as TJ arrays split mid-line (per-element CMap
+    decode). ``omit_tounicode`` drops the CMap to synthesize the
+    refusal case."""
+    import zlib
+
+    chars = sorted({c for lines in pages for line in lines for c in line})
+    code_of: dict[str, int] = {}
+    digits = [c for c in chars if "0" <= c <= "9"]
+    others = [c for c in chars if not ("0" <= c <= "9")]
+    for c in digits:
+        code_of[c] = 0x0130 + ord(c) - 0x30
+    half = (len(others) + 1) // 2
+    for k, c in enumerate(others[:half]):
+        code_of[c] = 0x0200 + k
+    for k, c in enumerate(others[half:]):
+        code_of[c] = 0x0300 + k
+
+    cmap_lines = [
+        b"/CIDInit /ProcSet findresource begin",
+        b"12 dict begin",
+        b"begincmap",
+        b"/CMapName /Adobe-Identity-UCS def",
+        b"/CMapType 2 def",
+        b"1 begincodespacerange",
+        b"<0000> <FFFF>",
+        b"endcodespacerange",
+    ]
+    if digits:
+        # one scalar range spanning the whole digit window (codes
+        # 0x0130..0x0139 → U+0030..U+0039 by last-unit increment)
+        cmap_lines += [
+            b"1 beginbfrange",
+            b"<0130> <0139> <0030>",
+            b"endbfrange",
+        ]
+    if others[:half]:
+        cmap_lines.append(b"%d beginbfchar" % len(others[:half]))
+        for k, c in enumerate(others[:half]):
+            dst = c.encode("utf-16-be").hex().encode()
+            cmap_lines.append(b"<%04x> <%s>" % (0x0200 + k, dst))
+        cmap_lines.append(b"endbfchar")
+    if others[half:]:
+        dsts = b" ".join(
+            b"<%s>" % c.encode("utf-16-be").hex().encode()
+            for c in others[half:]
+        )
+        cmap_lines += [
+            b"1 beginbfrange",
+            b"<%04x> <%04x> [%s]"
+            % (0x0300, 0x0300 + len(others[half:]) - 1, dsts),
+            b"endbfrange",
+        ]
+    cmap_lines += [
+        b"endcmap",
+        b"CMapName currentdict /CMap defineresource pop",
+        b"end",
+        b"end",
+    ]
+    cmap_stream = b"\n".join(cmap_lines)
+
+    def hexcodes(s: str) -> bytes:
+        return b"".join(b"%04x" % code_of[c] for c in s)
+
+    objs: list[bytes] = []
+    n_pages = len(pages)
+    # 1=Catalog 2=Pages 3=Type0 font 4=CIDFont 5=ToUnicode,
+    # then per page i: 6+2i=Page 7+2i=Content
+    kid_refs = b" ".join(b"%d 0 R" % (6 + 2 * i) for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        b"<< /Type /Pages /Kids [" + kid_refs + b"] /Count %d >>" % n_pages
+    )
+    font = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth-Identity-H "
+        b"/Encoding /Identity-H /DescendantFonts [4 0 R]"
+    )
+    if not omit_tounicode:
+        font += b" /ToUnicode 5 0 R"
+    objs.append(font + b" >>")
+    objs.append(
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synth "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        b"/Supplement 0 >> >>"
+    )
+    objs.append(
+        b"<< /Length %d >>\nstream\n" % len(cmap_stream)
+        + cmap_stream
+        + b"\nendstream"
+    )
+    for i, lines in enumerate(pages):
+        objs.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> "
+            b"/Contents %d 0 R >>" % (7 + 2 * i)
+        )
+        ops = [b"BT", b"/F1 12 Tf", b"72 720 Td"]
+        for j, line in enumerate(lines):
+            if j > 0:
+                ops.append(b"0 -14 Td")
+            if j % 2 == 1 and len(line) > 1:
+                mid = len(line) // 2
+                ops.append(
+                    b"[<%s> -250 <%s>] TJ"
+                    % (hexcodes(line[:mid]), hexcodes(line[mid:]))
+                )
+            else:
+                ops.append(b"<%s> Tj" % hexcodes(line))
+        ops.append(b"ET")
+        content = b"\n".join(ops)
+        if compress:
+            content = zlib.compress(content)
+            objs.append(
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n"
+                % len(content)
+                + content
+                + b"\nendstream"
+            )
+        else:
+            objs.append(
+                b"<< /Length %d >>\nstream\n" % len(content)
+                + content
+                + b"\nendstream"
+            )
+    return _pdf_assemble(objs)
 
 
 def parse_docx_text(b: bytes):

@@ -6501,11 +6501,16 @@ def _pdf_extract_oracle_sql() -> str:
     "runs them through the FULL production path: startxref chain -> "
     "xref table -> page-tree walk -> /Contents stream decode "
     "(zlib FlateDecode for ~half the docs) -> BT/ET Tj text-operator "
-    "walk with literal-string escape and hex-string decoding. The "
+    "walk with literal-string escape and hex-string decoding. A "
+    "digest-selected THIRD of the docs render instead as /Type0 "
+    "Identity-H PDFs with /ToUnicode CMaps (pdf_type0_bytes: scalar "
+    "bfrange, bfchar, AND array bfrange all carrying real codes; TJ "
+    "arrays split mid-line), exercising the CMap decode path the "
+    "modern-PDF majority needs (round-9 Type0 support). The "
     "DuckDB oracle rebuilds the identical line grid from the same "
     "digest bytes — value-exact gating of xref offsets, stream "
-    "lengths, Flate round-trip, both string syntaxes, and the "
-    "line-break policy in one hash.",
+    "lengths, Flate round-trip, both string syntaxes, CMap "
+    "translation, and the line-break policy in one hash.",
 )
 def q_pdf_extract(spark, sf_dir):
     from lwes_contrib_hive_serde_spark.operators import multimodal
@@ -6533,13 +6538,20 @@ def q_pdf_extract(spark, sf_dir):
                     ]
                     for p in range(n_pages)
                 ]
-                payloads.append(
-                    multimodal.pdf_bytes(
-                        pages,
-                        compress=bool(dg[3] % 2),
-                        hex_strings=True,
+                if dg[4] % 3 == 0:
+                    payloads.append(
+                        multimodal.pdf_type0_bytes(
+                            pages, compress=bool(dg[3] % 2)
+                        )
                     )
-                )
+                else:
+                    payloads.append(
+                        multimodal.pdf_bytes(
+                            pages,
+                            compress=bool(dg[3] % 2),
+                            hex_strings=True,
+                        )
+                    )
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "payload": payloads}
             )

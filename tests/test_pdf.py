@@ -68,8 +68,9 @@ class TestPdfRefusals:
         )
         assert mm.parse_pdf_text(b) is None
 
-    def test_cid_font(self):
-        # /Type0 fonts show CMap code sequences, not bytes-per-glyph
+    def test_cid_font_without_tounicode(self):
+        # /Type0 fonts show CMap code sequences, not bytes-per-glyph;
+        # WITHOUT a /ToUnicode CMap the codes are unknowable → refuse
         b = mm.pdf_bytes(PAGES).replace(b"/Type1", b"/Type0")
         assert mm.parse_pdf_text(b) is None
 
@@ -762,3 +763,110 @@ class TestRtfText:
         for cut in range(0, len(b), 7):
             got = mm.parse_rtf_text(b[:cut])
             assert got is None or isinstance(got, tuple)
+
+
+class TestPdfType0:
+    """/Type0 (CID/Identity-H) fonts with /ToUnicode CMaps — the
+    modern-PDF majority shape (round-9 Type0 support). The
+    synthesizer routes real text through all three CMap mapping
+    syntaxes (scalar bfrange, bfchar, array bfrange) and TJ arrays;
+    the shadow value gate is q_pdf_extract's digest-selected Type0
+    third."""
+
+    T0_PAGES = [["pg0 ln0 w5 (5%)", "pg0 ln1 w5 (5%)"],
+                ["second page 0123456789"]]
+    T0_FLAT = "pg0 ln0 w5 (5%)\npg0 ln1 w5 (5%)\nsecond page 0123456789"
+
+    @pytest.mark.parametrize("compress", [False, True])
+    def test_round_trip(self, compress):
+        b = mm.pdf_type0_bytes(self.T0_PAGES, compress=compress)
+        assert mm.parse_pdf_text(b) == (2, self.T0_FLAT)
+
+    def test_omit_tounicode_refused(self):
+        b = mm.pdf_type0_bytes(self.T0_PAGES, omit_tounicode=True)
+        assert mm.parse_pdf_text(b) is None
+
+    def test_unmapped_code_refused(self):
+        # corrupt one show-string code to a value no mapping covers
+        b = mm.pdf_type0_bytes([["abc"]])
+        assert mm.parse_pdf_text(b) is not None
+        # codes live in <....> hex show strings; 0x0fff is unmapped
+        import re
+
+        m = re.search(rb"<([0-9a-f]{4,})> Tj", b)
+        bad = b[: m.start(1)] + b"0fff" + b[m.start(1) + 4:]
+        assert mm.parse_pdf_text(bad) is None
+
+    def test_cmap_multi_unit_and_surrogates(self):
+        # ligature expansion (one code → "fi") and a non-BMP char
+        # (U+1D11E as a surrogate pair) decode as real strings
+        cmap = (
+            b"begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            b"2 beginbfchar\n<0001> <D834DD1E>\n<0002> <00660069>\n"
+            b"endbfchar\n"
+        )
+        got = mm._pdf_tounicode_cmap(cmap)
+        assert got is not None
+        w, m = got
+        assert w == 2
+        assert m[1] == "\U0001D11E"
+        assert m[2] == "fi"
+
+    def test_cmap_scalar_range_increments_last_unit(self):
+        cmap = (
+            b"begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            b"1 beginbfrange\n<0010> <0013> <0061>\nendbfrange\n"
+        )
+        _w, m = mm._pdf_tounicode_cmap(cmap)
+        assert [m[0x10 + k] for k in range(4)] == ["a", "b", "c", "d"]
+
+    def test_cmap_mixed_width_refused(self):
+        cmap = (
+            b"begincodespacerange <00> <FF> <0000> <FFFF> "
+            b"endcodespacerange\n"
+            b"1 beginbfchar <01> <0041> endbfchar\n"
+        )
+        assert mm._pdf_tounicode_cmap(cmap) is None
+
+    def test_cmap_range_length_mismatch_refused(self):
+        cmap = (
+            b"begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            b"1 beginbfrange\n<0010> <0012> [<0041> <0042>]\nendbfrange\n"
+        )
+        assert mm._pdf_tounicode_cmap(cmap) is None
+
+    def test_mixed_simple_and_type0_fonts_one_page(self):
+        # page with TWO fonts: /F1 simple, /F2 Type0 — Tf switches
+        # decoders mid-stream
+        t0 = mm.pdf_type0_bytes([["xy"]])
+        idx = mm._pdf_index(t0)
+        body = mm._pdf_page_bodies(idx)[0]
+        fonts = mm._pdf_page_fonts(idx, body)
+        width, mapping = fonts[b"F1"]
+        code = {v: k for k, v in mapping.items()}
+        content = (
+            b"BT /F0 12 Tf (simple ) Tj "
+            b"/F1 12 Tf <%04x%04x> Tj ET" % (code["x"], code["y"])
+        )
+        fonts_mixed = {b"F0": "simple", b"F1": (width, mapping)}
+        assert mm._pdf_content_text(content, fonts_mixed) == "simple xy"
+
+    def test_truncation_fuzz_never_raises(self):
+        b = mm.pdf_type0_bytes(self.T0_PAGES, compress=True)
+        for cut in range(0, len(b), 7):
+            got = mm.parse_pdf_text(b[:cut])
+            assert got is None or got == (2, self.T0_FLAT)
+
+    def test_mutation_fuzz_never_raises(self):
+        import hashlib
+
+        b = bytearray(mm.pdf_type0_bytes(self.T0_PAGES))
+        for i in range(0, len(b), 11):
+            mut = bytearray(b)
+            mut[i] ^= 1 + hashlib.sha256(bytes([i & 0xFF])).digest()[0] % 254
+            got = mm.parse_pdf_text(bytes(mut))
+            assert got is None or isinstance(got, tuple)
+
+    def test_dispatch_still_pdf(self):
+        b = mm.pdf_type0_bytes([["dispatch me"]])
+        assert mm.parse_document_text(b) == ("pdf", 1, "dispatch me")
