@@ -9281,3 +9281,116 @@ def q_delta_dv(spark, sf_dir):
     v1 = agg(D.read_delta(spark, out, version=1), "v1")
     v0 = agg(D.read_delta(spark, out, version=0), "v0")
     return latest.unionAll(v1).unionAll(v0)
+
+
+def _documents_iceberg_deleted(spark, sf_dir: str) -> str:
+    """Iceberg v2 table with POSITIONAL DELETES (sources/iceberg.py
+    add_iceberg_position_deletes): snapshot 1 appends all documents
+    across several files; snapshot 2 commits a delete manifest whose
+    (file_path, pos) parquet names every row with doc_id ≡1 (mod 4)
+    — positions computed from the live data files themselves;
+    snapshot 3 deletes doc_id ≡2 (mod 6), overlapping files that
+    already carry deletes. Metadata upgrades to format-version 2.
+    Cached per sf_dir."""
+    import os
+
+    from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        tag = f"{tag}-{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        pass
+    out = f"/tmp/iceberg_table_cache/v1/{tag}/documents_deleted"
+    done = os.path.join(out, "_FIXTURE_DONE")
+    if not os.path.exists(done):
+        import pyarrow.parquet as pq
+
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        I.write_iceberg_table(
+            docs.repartitionByRange(5, "doc_id")
+            .sortWithinPartitions("doc_id"),
+            out,
+        )
+
+        def pairs_where(pred):
+            pairs = []
+            for r in I.iceberg_files(spark, out).collect():
+                if r.content != 0:
+                    continue
+                ids = pq.read_table(
+                    r.file_path, columns=["doc_id"]
+                ).column("doc_id").to_pylist()
+                pairs.extend(
+                    (r.file_path, pos)
+                    for pos, i in enumerate(ids)
+                    if pred(i)
+                )
+            return pairs
+
+        p1 = pairs_where(lambda i: i % 4 == 1)
+        if p1:
+            I.add_iceberg_position_deletes(out, p1)
+        p2 = pairs_where(lambda i: i % 6 == 2)
+        if p2:
+            I.add_iceberg_position_deletes(out, p2)
+        open(done, "w").close()
+    return out
+
+
+@register(
+    "q_iceberg_deletes",
+    shadow=True,
+    oracle="""
+    SELECT 'latest' AS snapshot, lang,
+           COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents WHERE doc_id % 4 != 1 AND doc_id % 6 != 2
+    GROUP BY lang
+    UNION ALL
+    SELECT 'v0' AS snapshot, lang,
+           COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents GROUP BY lang
+    """,
+    doc="Iceberg v2 POSITIONAL DELETES read end to end "
+    "(sources/iceberg.py — spec 'Position Delete Files': "
+    "(file_path, pos) parquet referenced from a content=1 delete "
+    "manifest, metadata at format-version 2). Two stacked delete "
+    "snapshots (ids ≡1 mod 4, then ids ≡2 mod 6 — the second "
+    "overlaps files already carrying deletes) apply via the same "
+    "_metadata.row_index broadcast anti-join as Delta deletion "
+    "vectors, so the scan stays Spark's native parquet reader; "
+    "equality deletes remain a typed refusal. The query reads the "
+    "latest snapshot AND snapshot-travels to the pre-delete append; "
+    "the DuckDB oracle recomputes both memberships from the "
+    "original parquet — pair decoding, per-(file,pos) dedup across "
+    "delete files, and delete time travel are all value-gated in "
+    "one hash.",
+)
+def q_iceberg_deletes(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+    out = _documents_iceberg_deleted(spark, sf_dir)
+
+    def agg(df, tag):
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        ).select(F.lit(tag).alias("snapshot"), "*")
+
+    meta = I.load_table_metadata(out)
+    first = meta["snapshots"][0]["snapshot-id"]
+    latest = agg(I.read_iceberg(spark, out), "latest")
+    v0 = agg(I.read_iceberg(spark, out, snapshot_id=first), "v0")
+    return latest.unionAll(v0)

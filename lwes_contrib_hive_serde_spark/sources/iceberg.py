@@ -20,12 +20,16 @@ Iceberg differs from Delta in the ways that matter here:
     ``iceberg_count`` is always metadata-only (no scan fail-safe
     needed);
   - row-level deletes (format v2) live in separate delete files.
-    Reading the base files while ignoring deletes would resurrect
-    deleted rows, so any delete content anywhere → typed refusal,
-    never a misread. v2 tables WITHOUT deletes read fine.
+    POSITIONAL deletes — (file_path, pos) parquet named by a
+    content=1 delete manifest — are APPLIED (round 9): the pairs
+    anti-join the scan on ``_metadata.row_index``, the same
+    mechanism as Delta deletion vectors. EQUALITY deletes
+    (content=2) remain a typed refusal: applying them needs
+    equality-join semantics this reader does not implement, and
+    skipping them would resurrect rows.
 
-Honesty contract: unsupported format versions (>2), delete files,
-and non-parquet data file formats are refusals by name. Column
+Honesty contract: unsupported format versions (>2), equality
+deletes, and non-parquet data file formats are refusals by name. Column
 renames via field-ids are not resolved (we match parquet columns by
 name, the pre-evolution contract); the reader checks the first data
 file's parquet schema against the expected names and refuses on a
@@ -292,9 +296,16 @@ def _pick_snapshot(meta: dict, snapshot_id=None, timestamp_ms=None) -> dict:
     return _pick_snapshot(meta, snapshot_id=cur)
 
 
-def _live_data_files(table_path: str, snap: dict) -> list[dict]:
-    """Walk manifest list → manifests → live data-file entries.
-    Returns dicts with file_path, record_count, file_size_in_bytes."""
+def _live_files(table_path: str, snap: dict) -> tuple[list[dict], list[dict]]:
+    """Walk manifest list → manifests → live file entries. Returns
+    (data_files, position_delete_files), each a list of dicts with
+    file_path, record_count, file_size_in_bytes. Positional delete
+    files (v2 merge-on-read, spec "Position Delete Files": parquet
+    of (file_path, pos) naming deleted rows by physical position)
+    are ROUTED, not refused — read_iceberg applies them. EQUALITY
+    deletes (content=2) still refuse: applying them needs the
+    column-equality join semantics this reader does not implement,
+    and skipping them would resurrect rows."""
     if "manifest-list" in snap:
         # rows are mapped by the embedded writer schema's field NAMES
         # (not positions), so foreign writers' extra fields are fine
@@ -306,14 +317,11 @@ def _live_data_files(table_path: str, snap: dict) -> list[dict]:
     else:
         raise IcebergError("snapshot has neither manifest-list nor manifests")
 
-    files = []
+    files: list[dict] = []
+    deletes: list[dict] = []
     for m in manifests:
-        if m.get("content", 0) == 1:
-            raise IcebergError(
-                "table has DELETE manifests; reading base files would "
-                "resurrect deleted rows — refusing"
-            )
         mpath = _strip_file_uri(m["manifest_path"])
+        is_delete_manifest = m.get("content", 0) == 1
         for entry in _named_rows(mpath):
             status = entry.get("status", 1)
             if status == 2:  # DELETED entry
@@ -322,17 +330,60 @@ def _live_data_files(table_path: str, snap: dict) -> list[dict]:
             if df is None:
                 raise IcebergError(f"{mpath}: manifest entry without data_file")
             content = df.get("content", 0)
-            if content in (1, 2):
+            if content == 2:
                 raise IcebergError(
-                    "data_file with delete content in manifest — refusing"
+                    "table has EQUALITY delete files; applying them "
+                    "needs equality-join semantics this reader does "
+                    "not implement — refusing rather than resurrecting "
+                    "rows"
                 )
             fmt = (df.get("file_format") or "").upper()
             if fmt != "PARQUET":
                 raise IcebergError(
                     f"data file format {fmt!r} not supported (PARQUET only)"
                 )
-            files.append(df)
+            if content == 1 or (is_delete_manifest and content != 0):
+                deletes.append(df)
+            elif is_delete_manifest:
+                raise IcebergError(
+                    f"{mpath}: delete manifest holds a content=0 "
+                    "(data) entry — malformed metadata, refusing"
+                )
+            else:
+                files.append(df)
+    return files, deletes
+
+
+def _live_data_files(table_path: str, snap: dict) -> list[dict]:
+    """Back-compat wrapper: data files only, refusing if the
+    snapshot carries delete files (callers that cannot apply
+    them — the fixture writer's prior-manifest carry — must not
+    silently drop deletes)."""
+    files, deletes = _live_files(table_path, snap)
+    if deletes:
+        raise IcebergError(
+            "snapshot carries positional delete files; this code "
+            "path cannot apply them"
+        )
     return files
+
+
+def _position_delete_pairs(delete_files: list[dict]):
+    """Decode positional delete parquet files into one numpy-backed
+    (file_path, pos) table. Driver-side by design: delete files are
+    metadata-adjacent (their total size is bounded by deleted-row
+    count, the same bound as the Delta DV decode), and the result
+    feeds a broadcast anti-join."""
+    import pyarrow.parquet as pq
+
+    paths, poss = [], []
+    for f in delete_files:
+        t = pq.read_table(
+            _strip_file_uri(f["file_path"]), columns=["file_path", "pos"]
+        )
+        paths.extend(_strip_file_uri(p) for p in t.column("file_path").to_pylist())
+        poss.extend(t.column("pos").to_pylist())
+    return paths, poss
 
 
 def _named_rows(avro_path: str) -> list[dict]:
@@ -423,7 +474,7 @@ def read_iceberg(
     meta = load_table_metadata(path)
     schema = _current_schema(meta)
     snap = _pick_snapshot(meta, snapshot_id, timestamp_ms)
-    files = _live_data_files(path, snap)
+    files, delete_files = _live_files(path, snap)
     if data_filters:
         from lwes_contrib_hive_serde_spark.sources.delta import (
             _file_may_match,
@@ -502,9 +553,34 @@ def read_iceberg(
         _apply_data_filters,
     )
 
-    return _apply_data_filters(
-        spark.read.schema(schema).parquet(*paths), data_filters
-    )
+    df = spark.read.schema(schema).parquet(*paths)
+    if delete_files:
+        # v2 positional deletes: the SAME mechanism as Delta DVs —
+        # (file, position) pairs anti-joined against
+        # _metadata.row_index so the scan stays native. Pairs are
+        # matched by normalized path; real layouts never reuse a
+        # data-file name (UUID filenames), so path identity is the
+        # sequence-number scoping in practice. Pairs for files this
+        # snapshot (or pruning) dropped no-op via the join.
+        dpaths, dposs = _position_delete_pairs(delete_files)
+        if dpaths:
+            import pandas as pd
+
+            from lwes_contrib_hive_serde_spark.sources.delta import (
+                _anti_join_deleted,
+            )
+
+            live = set(paths)
+            pairs = pd.DataFrame(
+                {"__dv_file": dpaths, "__dv_pos": dposs}
+            )
+            pairs = pairs[pairs["__dv_file"].isin(live)]
+            if len(pairs):
+                deleted = spark.createDataFrame(
+                    pairs, schema="__dv_file string, __dv_pos long"
+                )
+                df = _anti_join_deleted(df, deleted, len(pairs))
+    return _apply_data_filters(df, data_filters)
 
 
 def iceberg_files(
@@ -512,17 +588,22 @@ def iceberg_files(
     path: str,
     snapshot_id: int | None = None,
 ) -> DataFrame:
-    """The live data-file manifest as a DataFrame — metadata only."""
+    """The live-file manifest as a DataFrame — metadata only. Lists
+    BOTH content tiers: data files (content=0) and positional
+    delete files (content=1); record_count for a delete file counts
+    delete pairs, not rows."""
     meta = load_table_metadata(path)
     snap = _pick_snapshot(meta, snapshot_id)
-    files = _live_data_files(path, snap)
+    files, deletes = _live_files(path, snap)
     rows = [
         (
             f["file_path"],
             int(f["record_count"]),
             int(f.get("file_size_in_bytes") or 0),
+            c,
         )
-        for f in files
+        for fs, c in ((files, 0), (deletes, 1))
+        for f in fs
     ]
     return spark.createDataFrame(
         rows,
@@ -531,6 +612,7 @@ def iceberg_files(
                 StructField("file_path", StringType(), False),
                 StructField("record_count", LongType(), False),
                 StructField("file_size_in_bytes", LongType(), False),
+                StructField("content", IntegerType(), False),
             ]
         ),
     )
@@ -539,11 +621,23 @@ def iceberg_files(
 def iceberg_count(
     path: str, snapshot_id: int | None = None
 ) -> int:
-    """COUNT(*) from manifests alone — record_count is REQUIRED by
-    the spec, so there is no scan fallback to need."""
+    """COUNT(*) from manifests alone when the snapshot is
+    delete-free — record_count is REQUIRED by the spec, so no scan
+    fallback is needed. Under positional deletes the delete files
+    themselves are read (driver-side, bounded by deleted-row count)
+    and live-targeting pairs subtracted after per-(file, pos)
+    dedup, so the answer stays exact without touching a data
+    byte."""
     meta = load_table_metadata(path)
     snap = _pick_snapshot(meta, snapshot_id)
-    return sum(int(f["record_count"]) for f in _live_data_files(path, snap))
+    files, deletes = _live_files(path, snap)
+    total = sum(int(f["record_count"]) for f in files)
+    if not deletes:
+        return total
+    live = {_strip_file_uri(f["file_path"]) for f in files}
+    dpaths, dposs = _position_delete_pairs(deletes)
+    seen = {(p, q) for p, q in zip(dpaths, dposs) if p in live}
+    return total - len(seen)
 
 
 def iceberg_history(path: str) -> list[dict]:
@@ -873,6 +967,144 @@ def write_iceberg_table(
         "snapshot-log": snaplog
         + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}],
     }
+    with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    tmp = os.path.join(mdir, f".version-hint.tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(mdir, "version-hint.text"))
+    return snapshot_id
+
+
+_DELETE_ENTRY_SCHEMA = StructType(
+    [
+        StructField("status", IntegerType(), False),
+        StructField("snapshot_id", LongType(), True),
+        StructField(
+            "data_file",
+            StructType(
+                [
+                    StructField("content", IntegerType(), False),
+                    StructField("file_path", StringType(), False),
+                    StructField("file_format", StringType(), False),
+                    StructField("record_count", LongType(), False),
+                    StructField("file_size_in_bytes", LongType(), False),
+                ]
+            ),
+            False,
+        ),
+    ]
+)
+
+
+def add_iceberg_position_deletes(
+    path: str, pairs: list[tuple[str, int]]
+) -> int:
+    """FIXTURE-GRADE v2 delete appender (write_iceberg_table's
+    sibling): commit a new snapshot whose DELETE manifest points at
+    one positional-delete parquet file holding ``pairs`` of
+    (data_file_path, pos) — the spec's "Position Delete Files"
+    layout: columns ``file_path`` (string, field id 2147483546) and
+    ``pos`` (long, field id 2147483545), sorted by (file_path,
+    pos), referenced from a manifest-list entry with content=1 and
+    a data_file struct with content=1. The table's metadata
+    upgrades to format-version 2 (deletes do not exist in v1).
+    Returns the new snapshot id. This is both the synthesizer for
+    the reader's oracles and a real merge-on-read DELETE for tables
+    this writer owns."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    meta = load_table_metadata(path)
+    snap = _pick_snapshot(meta)
+    files, _prior_deletes = _live_files(path, snap)
+    live = {_strip_file_uri(f["file_path"]) for f in files}
+    for p, _pos in pairs:
+        if _strip_file_uri(p) not in live:
+            raise IcebergError(
+                f"positional delete targets non-live file {p!r}"
+            )
+    mdir = os.path.join(path, "metadata")
+    ddir = os.path.join(path, "data")
+    version = int(
+        open(os.path.join(mdir, "version-hint.text")).read().strip()
+    ) + 1
+
+    ordered = sorted((str(p), int(q)) for p, q in pairs)
+    del_schema = pa.schema(
+        [
+            pa.field(
+                "file_path", pa.string(), nullable=False,
+                metadata={b"PARQUET:field_id": b"2147483546"},
+            ),
+            pa.field(
+                "pos", pa.int64(), nullable=False,
+                metadata={b"PARQUET:field_id": b"2147483545"},
+            ),
+        ]
+    )
+    del_path = os.path.join(ddir, f"delete-{uuid.uuid4().hex}.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": [p for p, _ in ordered],
+                "pos": [q for _, q in ordered],
+            },
+            schema=del_schema,
+        ),
+        del_path,
+    )
+
+    snapshot_id = int.from_bytes(os.urandom(6), "big")
+    now_ms = int(time.time() * 1000)
+    manifest = os.path.join(mdir, f"manifest-del-{snapshot_id}.avro")
+    _write_avro_file(
+        manifest,
+        _DELETE_ENTRY_SCHEMA,
+        [
+            (1, None,
+             (1, del_path, "PARQUET", len(ordered),
+              os.path.getsize(del_path)))
+        ],
+        "manifest_entry",
+    )
+    prior_manifests = [
+        (
+            m["manifest_path"],
+            int(m["manifest_length"]),
+            int(m.get("partition_spec_id") or 0),
+            int(m.get("content") or 0),
+            m.get("added_snapshot_id"),
+        )
+        for m in _manifest_list_entries(
+            _strip_file_uri(snap["manifest-list"])
+        )
+    ]
+    ml = os.path.join(mdir, f"snap-{snapshot_id}.avro")
+    _write_avro_file(
+        ml,
+        _MANIFEST_LIST_SCHEMA,
+        prior_manifests
+        + [(manifest, os.path.getsize(manifest), 0, 1, snapshot_id)],
+        "manifest_file",
+    )
+    new_snap = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": now_ms,
+        "manifest-list": ml,
+        "summary": {"operation": "delete"},
+    }
+    meta = dict(meta)
+    meta["format-version"] = 2
+    meta["last-sequence-number"] = int(
+        meta.get("last-sequence-number") or 0
+    ) + 1
+    meta["last-updated-ms"] = now_ms
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshots"] = (meta.get("snapshots") or []) + [new_snap]
+    meta["snapshot-log"] = (meta.get("snapshot-log") or []) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    ]
     with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
         json.dump(meta, f)
     tmp = os.path.join(mdir, f".version-hint.tmp-{uuid.uuid4().hex}")

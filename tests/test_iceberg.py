@@ -117,7 +117,10 @@ class TestRefusals:
             ],
             "manifest_file",
         )
-        with pytest.raises(I.IcebergError, match="DELETE manifests"):
+        # a delete manifest whose entries are plain DATA files is
+        # malformed — refused by name (positional deletes themselves
+        # are supported since round 9; see TestPositionalDeletes)
+        with pytest.raises(I.IcebergError, match="content=0"):
             I.read_iceberg(spark, p)
 
     def test_refuses_non_parquet_data(self, spark, tmp_path):
@@ -331,3 +334,128 @@ class TestDataSkipping:
         I.write_iceberg_table(_docs(spark), p)
         with pytest.raises(I.IcebergError, match="data filter column"):
             I.read_iceberg(spark, p, data_filters=[("nope", "=", 1)])
+
+
+class TestPositionalDeletes:
+    """v2 merge-on-read positional deletes (round 9): spec 'Position
+    Delete Files' — (file_path, pos) parquet referenced from a
+    content=1 manifest — applied via the same _metadata.row_index
+    anti-join as Delta DVs. Value gate: shadow q_iceberg_deletes."""
+
+    def _pairs_for(self, spark, p, pred):
+        """(file_path, pos) of rows matching pred, from the live
+        data files themselves."""
+        import pyarrow.parquet as pq
+
+        pairs = []
+        for r in I.iceberg_files(spark, p).collect():
+            if r.content != 0:
+                continue
+            ids = pq.read_table(
+                r.file_path, columns=["doc_id"]
+            ).column("doc_id").to_pylist()
+            pairs.extend(
+                (r.file_path, pos) for pos, i in enumerate(ids) if pred(i)
+            )
+        return pairs
+
+    def test_delete_and_read_survivors(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 40).repartition(3), p)
+        pairs = self._pairs_for(spark, p, lambda i: i % 4 == 1)
+        I.add_iceberg_position_deletes(p, pairs)
+        got = sorted(r.doc_id for r in I.read_iceberg(spark, p).collect())
+        assert got == [i for i in range(40) if i % 4 != 1]
+        # metadata upgraded to v2
+        assert I.load_table_metadata(p)["format-version"] == 2
+
+    def test_count_subtracts_deduped_pairs(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 30).coalesce(1), p)
+        pairs = self._pairs_for(spark, p, lambda i: i < 7)
+        I.add_iceberg_position_deletes(p, pairs)
+        # second delete overlaps the first: union, not double-count
+        pairs2 = self._pairs_for(spark, p, lambda i: i < 10)
+        I.add_iceberg_position_deletes(p, pairs2)
+        assert I.iceberg_count(p) == 20
+        assert I.read_iceberg(spark, p).count() == 20
+
+    def test_time_travel_before_delete(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 20).coalesce(1), p)
+        first = I.load_table_metadata(p)["current-snapshot-id"]
+        pairs = self._pairs_for(spark, p, lambda i: i % 2 == 0)
+        I.add_iceberg_position_deletes(p, pairs)
+        assert I.read_iceberg(spark, p).count() == 10
+        assert I.read_iceberg(spark, p, snapshot_id=first).count() == 20
+        assert I.iceberg_count(p, snapshot_id=first) == 20
+
+    def test_append_after_delete_preserves_deletes(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 10).coalesce(1), p)
+        pairs = self._pairs_for(spark, p, lambda i: i < 4)
+        I.add_iceberg_position_deletes(p, pairs)
+        df2 = spark.createDataFrame(
+            [Row(doc_id=i, text=f"body {i}", lang="fr")
+             for i in range(100, 105)]
+        )
+        I.write_iceberg_table(df2, p)
+        got = sorted(r.doc_id for r in I.read_iceberg(spark, p).collect())
+        assert got == list(range(4, 10)) + list(range(100, 105))
+
+    def test_files_lists_both_tiers(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 10).coalesce(1), p)
+        I.add_iceberg_position_deletes(
+            p, self._pairs_for(spark, p, lambda i: i == 0)
+        )
+        rows = I.iceberg_files(spark, p).collect()
+        assert sorted({r.content for r in rows}) == [0, 1]
+        dele = [r for r in rows if r.content == 1]
+        assert len(dele) == 1 and dele[0].record_count == 1
+
+    def test_delete_targeting_dead_file_refused(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 10).coalesce(1), p)
+        with pytest.raises(I.IcebergError, match="non-live"):
+            I.add_iceberg_position_deletes(p, [("/nope.parquet", 0)])
+
+    def test_equality_deletes_still_refused(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 10).coalesce(1), p)
+        pairs = self._pairs_for(spark, p, lambda i: i == 0)
+        I.add_iceberg_position_deletes(p, pairs)
+        # rewrite the delete manifest's content to 2 (equality)
+        meta = I.load_table_metadata(p)
+        ml = I._strip_file_uri(
+            [s for s in meta["snapshots"]
+             if s["snapshot-id"] == meta["current-snapshot-id"]][0][
+                "manifest-list"
+            ]
+        )
+        for m in I._manifest_list_entries(ml):
+            if int(m.get("content") or 0) != 1:
+                continue
+            mp = I._strip_file_uri(m["manifest_path"])
+            entries = I._named_rows(mp)
+            I._write_avro_file(
+                mp,
+                I._DELETE_ENTRY_SCHEMA,
+                [
+                    (
+                        e["status"],
+                        e["snapshot_id"],
+                        (
+                            2,
+                            e["data_file"]["file_path"],
+                            e["data_file"]["file_format"],
+                            e["data_file"]["record_count"],
+                            e["data_file"]["file_size_in_bytes"],
+                        ),
+                    )
+                    for e in entries
+                ],
+                "manifest_entry",
+            )
+        with pytest.raises(I.IcebergError, match="EQUALITY"):
+            I.read_iceberg(spark, p)
