@@ -545,8 +545,14 @@ def resolve_url(base_col, rel_col) -> Column:
     root_rel = rel.startswith("/") & ~proto_rel
     query_only = rel.startswith("?")
 
-    # merge: directory of the base path + the relative reference
-    base_dir = F.regexp_replace(base_path, r"[^/]*$", "")
+    # merge: directory of the base path + the relative reference.
+    # RFC 3986 §5.3 merge: when the base has an authority but an
+    # EMPTY path (http://host.example with no trailing slash — the
+    # common WARC target_uri shape), the merged path is "/" + ref,
+    # not a bare concat (which would glue the ref onto the host).
+    base_dir = F.when(
+        base_path == "", F.lit("/")
+    ).otherwise(F.regexp_replace(base_path, r"[^/]*$", ""))
     merged = F.concat(base_dir, rel)
 
     def remove_dot_segments(path: Column) -> Column:

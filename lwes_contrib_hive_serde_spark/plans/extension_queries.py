@@ -7428,6 +7428,11 @@ _RESOLVE_CASES = [
     ("http://a.example/p", "frag#sec", "http://a.example/frag"),
     ("http://a.example/dir/p", "..", "http://a.example/"),
     ("http://a.example/p", "", None),
+    # RFC 3986 §5.3: authority with EMPTY path (the common WARC
+    # target_uri shape) merges path-relative refs under "/" —
+    # NOT a bare concat onto the host (ADVICE r8)
+    ("http://host.example", "a/b", "http://host.example/a/b"),
+    ("http://host.example", "./x", "http://host.example/x"),
 ]
 
 
@@ -7454,10 +7459,12 @@ def _resolve_urls_oracle_sql() -> str:
     "relative, root-relative, query-only, fragment-dropping, and "
     "path-relative references incl. '..' chains and the above-root "
     "clamp, with dot segments removed by an aggregate fold over the "
-    "merged path — ONE JVM expression, no Python. Twelve case "
-    "shapes cycle per doc_id; the oracle states every expected "
-    "resolution directly (independent construction), including the "
-    "NULL for an empty reference.",
+    "merged path — ONE JVM expression, no Python. Fourteen case "
+    "shapes cycle per doc_id — incl. the §5.3 empty-base-path "
+    "merge ('http://host.example' + 'a/b' → '/a/b', ADVICE r8) — "
+    "and the oracle states every expected resolution directly "
+    "(independent construction), including the NULL for an empty "
+    "reference.",
 )
 def q_resolve_urls(spark, sf_dir):
     from lwes_contrib_hive_serde_spark.operators import crawl as _c

@@ -999,3 +999,78 @@ class TestMerge:
         src = spark.createDataFrame([Row(doc_id=1)])
         with pytest.raises(D.DeltaError, match="source schema"):
             D.delta_merge(spark, p, src, on=["doc_id"])
+
+
+class TestConcurrentWriters:
+    def test_two_threads_all_appends_land(self, spark, tmp_path):
+        """Optimistic concurrency under real contention: two writers
+        racing on the same versions, every append must land exactly
+        once (losers re-replay, revalidate, and retry at the next
+        version — never clobber, never drop)."""
+        import threading
+
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark).limit(1), p)  # create the table
+        n_each = 5
+        errors = []
+
+        schema = D.read_delta(spark, p).schema
+
+        def writer(base):
+            try:
+                for k in range(n_each):
+                    src = spark.createDataFrame(
+                        [
+                            tuple(
+                                [base + k]
+                                + [f"w{base}-{k}"] * (len(schema) - 1)
+                            )
+                        ],
+                        schema,
+                    )
+                    D.write_delta(src, p, mode="append",
+                                  max_commit_attempts=50)
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        t1 = threading.Thread(target=writer, args=(1000,))
+        t2 = threading.Thread(target=writer, args=(2000,))
+        t1.start(); t2.start(); t1.join(); t2.join()
+        assert errors == []
+        got = D.read_delta(spark, p)
+        ids = sorted(r.doc_id for r in got.collect())
+        # 1 seed row + 10 appended rows, each exactly once
+        assert len(ids) == 1 + 2 * n_each
+        assert sorted(i for i in ids if i >= 1000) == (
+            [1000 + k for k in range(n_each)]
+            + [2000 + k for k in range(n_each)]
+        )
+        # versions are a contiguous ledger: create + 10 appends
+        assert D._replay(p).version == 2 * n_each
+
+    def test_concurrent_schema_evolution_not_clobbered(self, spark, tmp_path):
+        """ADVICE r8: a mergeSchema commit landing between a writer's
+        validation and its winning O_EXCL attempt must be re-read —
+        the stale pre-evolution metaData must not be re-committed or
+        bypassed."""
+        p = str(tmp_path / "t")
+        base = spark.createDataFrame([(1, "a")], "id long, s string")
+        D.write_delta(base, p)
+        # writer A validates against v0... (simulated by calling the
+        # internal pieces in sequence): first, B evolves the schema
+        evolved = spark.createDataFrame(
+            [(2, "b", 9.5)], "id long, s string, score double"
+        )
+        D.write_delta(evolved, p, merge_schema=True)
+        # now A appends with the OLD schema — the per-attempt
+        # revalidation must reject it (old schema is a prefix, but
+        # appending pre-evolution columns without merge_schema is a
+        # mismatch against the CURRENT table schema)
+        with pytest.raises(D.DeltaError, match="schema mismatch"):
+            D.write_delta(
+                spark.createDataFrame([(3, "c")], "id long, s string"), p
+            )
+        # and the evolved schema is intact
+        got = D.read_delta(spark, p)
+        assert [f.name for f in got.schema.fields] == ["id", "s", "score"]
+        assert got.count() == 2
