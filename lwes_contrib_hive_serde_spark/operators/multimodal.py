@@ -218,6 +218,520 @@ def _bmp_mean_luma(b: bytes):
     return None if luma is None else float(luma.mean() / 255.0)
 
 
+# -- baseline JPEG luma decode (ITU-T T.81, public spec) -------------------
+#
+# Real corpora are JPEG, and in a PIL-less container the perceptual
+# dedup tier would NULL out without this: a pure-numpy BASELINE
+# (SOF0/SOF1 huffman-sequential) decoder that recovers only the Y
+# (luma) plane — exactly what the 9x8 dHash grid needs. Chroma
+# entropy data is huffman-CONSUMED (the bitstream is serial) but
+# never dequantized or IDCT'd. Progressive (SOF2) and arithmetic
+# (SOF9+) files return None — the NULL-never-guess envelope, same
+# as every decoder in this module. PIL remains the fast path when
+# importable; this is the honest fallback, not the hot path.
+
+
+def _jpeg_idct_matrix():
+    import numpy as np
+
+    x = np.arange(8)
+    m = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2
+    m[0] /= np.sqrt(2)
+    return m  # M[u, x]; spatial = M.T @ coeff @ M
+
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _JpegBits:
+    """MSB-first bit reader over byte-destuffed entropy data (T.81
+    §B.1.1.5: 0xFF00 in a scan means a literal 0xFF byte). ``peek16``
+    + ``skip`` support the one-lookup huffman LUT (reading past the
+    end peeks zero bits, which is fine — a code completed from
+    padding fails later checks or ends at the block boundary)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("jpeg: entropy data exhausted")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= n
+        out = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return out
+
+    def peek16(self) -> int:
+        while self.nbits < 16:
+            if self.pos >= len(self.data):
+                return (self.acc << (16 - self.nbits)) & 0xFFFF
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        if self.nbits < n:
+            raise ValueError("jpeg: entropy data exhausted")
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+
+
+_JPEG_LUT_CACHE: dict = {}
+
+
+def _jpeg_huff_table(bits: list[int], values: bytes) -> list:
+    """16-bit prefix lookup: LUT[peek16] = (symbol, code_length),
+    built per T.81 §C.2 canonical code assignment — every huffman
+    decode is ONE table index instead of a bit-serial walk. Cached
+    by content: virtually every real JPEG ships the Annex K typical
+    tables, so across a corpus the 64Ki fill happens once, not
+    per file."""
+    key = (tuple(bits), bytes(values))
+    cached = _JPEG_LUT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    lut = [None] * (1 << 16)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            base = code << (16 - length)
+            entry = (values[k], length)
+            for j in range(1 << (16 - length)):
+                lut[base + j] = entry
+            k += 1
+            code += 1
+        code <<= 1
+    if len(_JPEG_LUT_CACHE) < 64:  # bound worst-case memory
+        _JPEG_LUT_CACHE[key] = lut
+    return lut
+
+
+def _jpeg_huff_decode(br: _JpegBits, table: list) -> int:
+    entry = table[br.peek16()]
+    if entry is None:
+        raise ValueError("jpeg: invalid huffman code")
+    br.skip(entry[1])
+    return entry[0]
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """T.81 EXTEND: map a t-bit magnitude to its signed value."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _jpeg_luma(b: bytes):
+    """Full-size Y (luma) plane of a BASELINE JPEG as float64, or
+    None outside the envelope: SOF0/SOF1 huffman-sequential only
+    (progressive/arithmetic/hierarchical refuse), 8-bit precision,
+    1- or 3-component scans with any sampling factors, optional
+    restart intervals. Implements the T.81 pipeline — marker walk,
+    DQT/DHT/DRI/SOS, canonical huffman decode, dequantize,
+    de-zigzag, orthonormal IDCT, +128 level shift — decoding the Y
+    component only (chroma blocks are entropy-consumed, never
+    transformed)."""
+    import numpy as np
+
+    import struct as _s
+
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    try:
+        qt: dict[int, np.ndarray] = {}
+        dc_tabs: dict[int, dict] = {}
+        ac_tabs: dict[int, dict] = {}
+        restart = 0
+        sof = None
+        i = 2
+        n = len(b)
+        while i + 4 <= n:
+            if b[i] != 0xFF:
+                return None
+            marker = b[i + 1]
+            i += 2
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                continue
+            if marker == 0xD9:  # EOI before SOS
+                return None
+            (seg_len,) = _s.unpack_from(">H", b, i)
+            seg = b[i + 2 : i + seg_len]
+            if marker == 0xDB:  # DQT
+                p = 0
+                while p < len(seg):
+                    pq, tq = seg[p] >> 4, seg[p] & 0xF
+                    p += 1
+                    if pq == 0:
+                        tbl = np.frombuffer(
+                            seg, np.uint8, 64, p
+                        ).astype(np.float64)
+                        p += 64
+                    else:
+                        tbl = np.frombuffer(
+                            seg, ">u2", 64, p
+                        ).astype(np.float64)
+                        p += 128
+                    qt[tq] = tbl
+            elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+                prec = seg[0]
+                if prec != 8:
+                    return None
+                h_img, w_img = _s.unpack_from(">HH", seg, 1)
+                nc = seg[5]
+                comps = []
+                for k in range(nc):
+                    cid = seg[6 + 3 * k]
+                    hv = seg[7 + 3 * k]
+                    comps.append(
+                        {
+                            "id": cid,
+                            "h": hv >> 4,
+                            "v": hv & 0xF,
+                            "tq": seg[8 + 3 * k],
+                        }
+                    )
+                sof = (w_img, h_img, comps)
+            elif marker in (
+                0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+            ):
+                return None  # progressive / arithmetic / hierarchical
+            elif marker == 0xC4:  # DHT
+                p = 0
+                while p < len(seg):
+                    tc, th = seg[p] >> 4, seg[p] & 0xF
+                    counts = list(seg[p + 1 : p + 17])
+                    nvals = sum(counts)
+                    vals = seg[p + 17 : p + 17 + nvals]
+                    tab = _jpeg_huff_table(counts, vals)
+                    (dc_tabs if tc == 0 else ac_tabs)[th] = tab
+                    p += 17 + nvals
+            elif marker == 0xDD:  # DRI
+                (restart,) = _s.unpack_from(">H", seg, 0)
+            elif marker == 0xDA:  # SOS: scan follows
+                if sof is None:
+                    return None
+                ns = seg[0]
+                scan_sel = {}
+                for k in range(ns):
+                    cs = seg[1 + 2 * k]
+                    tt = seg[2 + 2 * k]
+                    scan_sel[cs] = (tt >> 4, tt & 0xF)
+                i += seg_len
+                return _jpeg_decode_scan(
+                    b, i, sof, scan_sel, qt, dc_tabs, ac_tabs, restart
+                )
+            i += seg_len
+        return None
+    except (ValueError, IndexError, KeyError, _s.error):
+        return None
+
+
+def _jpeg_decode_scan(b, i, sof, scan_sel, qt, dc_tabs, ac_tabs, restart):
+    import numpy as np
+
+    w_img, h_img, comps = sof
+    if len(scan_sel) != len(comps):
+        return None  # multi-scan files are not baseline
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1 or w_img < 1 or h_img < 1:
+        return None
+    mcux = -(-w_img // (8 * hmax))
+    mcuy = -(-h_img // (8 * vmax))
+
+    # byte-destuff up to EOI; record restart-marker byte offsets
+    raw = b[i:]
+    end = raw.find(b"\xff\xd9")
+    if end >= 0:
+        raw = raw[:end]
+    data = bytearray()
+    k = 0
+    rst_positions = []
+    while k < len(raw):
+        c = raw[k]
+        if c == 0xFF:
+            nxt = raw[k + 1] if k + 1 < len(raw) else 0
+            if nxt == 0x00:
+                data.append(0xFF)
+                k += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                rst_positions.append(len(data))
+                k += 2
+                continue
+            break  # any other marker ends the scan
+        data.append(c)
+        k += 1
+    br = _JpegBits(bytes(data))
+
+    y = comps[0]
+    luma = np.zeros((mcuy * 8 * y["v"], mcux * 8 * y["h"]))
+    m = _jpeg_idct_matrix()
+    pred = {c["id"]: 0 for c in comps}
+    qy = qt.get(y["tq"])
+    if qy is None:
+        return None
+    mcu_count = 0
+    rst_iter = iter(rst_positions)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                # byte-align and jump to the recorded restart boundary
+                nxt = next(rst_iter, None)
+                if nxt is None:
+                    return None
+                br = _JpegBits(bytes(data[nxt:]))
+                for c in comps:
+                    pred[c["id"]] = 0
+            mcu_count += 1
+            for c in comps:
+                td, ta = scan_sel[c["id"]]
+                dct = dc_tabs.get(td)
+                act = ac_tabs.get(ta)
+                if dct is None or act is None:
+                    return None
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = np.zeros(64)
+                        t = _jpeg_huff_decode(br, dct)
+                        if t > 11:
+                            return None
+                        diff = _jpeg_extend(br.read(t), t) if t else 0
+                        pred[c["id"]] += diff
+                        coef[0] = pred[c["id"]]
+                        kk = 1
+                        while kk < 64:
+                            rs = _jpeg_huff_decode(br, act)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    kk += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            kk += r
+                            if kk > 63:
+                                return None
+                            coef[kk] = _jpeg_extend(br.read(s), s)
+                            kk += 1
+                        if c is y:
+                            blk = np.zeros(64)
+                            blk[_JPEG_ZIGZAG] = coef * qy
+                            blk = blk.reshape(8, 8)
+                            px = m.T @ blk @ m + 128.0
+                            ry = (my * y["v"] + by) * 8
+                            rx = (mx * y["h"] + bx) * 8
+                            luma[ry : ry + 8, rx : rx + 8] = px
+    return np.clip(luma[:h_img, :w_img], 0.0, 255.0)
+
+
+# T.81 Annex K.3 typical huffman tables (public spec constants) —
+# the fixture encoder uses the standard luminance pair.
+_JPEG_STD_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_STD_DC_VALS = bytes(range(12))
+_JPEG_STD_AC_BITS = [
+    0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D,
+]
+_JPEG_STD_AC_VALS = bytes(
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31,
+        0x41, 0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32,
+        0x81, 0x91, 0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52,
+        0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28, 0x29, 0x2A,
+        0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57,
+        0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83,
+        0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94,
+        0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8,
+        0xD9, 0xDA, 0xE1, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8,
+        0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ]
+)
+
+
+def jpeg_gray_bytes(
+    pixels, quant: int = 1, restart: int = 0, color: bool = False
+) -> bytes:
+    """Serialize a REAL baseline (SOF0) JPEG of the given 2-D uint8
+    array — the fixture generator for _jpeg_luma (the bmp_bytes
+    recipe applied to T.81): forward DCT per block, uniform
+    quantization (default 1 → near-lossless for smooth content),
+    standard Annex K luminance huffman tables, correct byte
+    stuffing. ``restart`` emits a DRI segment and RSTn markers
+    every that many MCUs (predictor reset + byte alignment);
+    ``color`` writes a 3-component 4:4:4 YCbCr file whose chroma
+    planes are flat 128 (DC-diff 0 + EOB per block) — the pixels
+    array stays the Y plane, so the decoder's chroma-consuming
+    path is exercised with a known luma answer. Any conformant
+    decoder accepts the output."""
+    import numpy as np
+
+    import struct as _s
+
+    a = np.asarray(pixels, dtype=np.float64)
+    h, w = a.shape
+    m = _jpeg_idct_matrix()  # forward DCT = M @ block @ M.T
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    qtbl = np.full(64, int(quant), dtype=np.uint8)
+    out += b"\xff\xdb" + _s.pack(">H", 67) + bytes([0]) + qtbl.tobytes()
+    ncomp = 3 if color else 1
+    sof_comps = bytes([1, 0x11, 0])
+    if color:
+        sof_comps += bytes([2, 0x11, 0, 3, 0x11, 0])
+    out += (
+        b"\xff\xc0"
+        + _s.pack(">H", 8 + 3 * ncomp)
+        + bytes([8])
+        + _s.pack(">HH", h, w)
+        + bytes([ncomp])
+        + sof_comps
+    )
+    for tc, bits, vals in (
+        (0, _JPEG_STD_DC_BITS, _JPEG_STD_DC_VALS),
+        (1, _JPEG_STD_AC_BITS, _JPEG_STD_AC_VALS),
+    ):
+        out += (
+            b"\xff\xc4"
+            + _s.pack(">H", 19 + len(vals))
+            + bytes([tc << 4])
+            + bytes(bits)
+            + vals
+        )
+    if restart:
+        out += b"\xff\xdd" + _s.pack(">H", 4) + _s.pack(">H", restart)
+    sos_comps = bytes([1, 0x00])
+    if color:
+        sos_comps += bytes([2, 0x00, 3, 0x00])
+    out += (
+        b"\xff\xda"
+        + _s.pack(">H", 6 + 2 * ncomp)
+        + bytes([ncomp])
+        + sos_comps
+        + bytes([0, 63, 0])
+    )
+
+    # canonical encode tables (inverse of _jpeg_huff_table)
+    def enc_table(bits, vals):
+        t = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                t[vals[k]] = (length, code)
+                k += 1
+                code += 1
+            code <<= 1
+        return t
+
+    dc_enc = enc_table(_JPEG_STD_DC_BITS, _JPEG_STD_DC_VALS)
+    ac_enc = enc_table(_JPEG_STD_AC_BITS, _JPEG_STD_AC_VALS)
+
+    acc = 0
+    nbits = 0
+    scan = bytearray()
+
+    def put(length, code):
+        nonlocal acc, nbits
+        acc = (acc << length) | code
+        nbits += length
+        while nbits >= 8:
+            nbits -= 8
+            byte = (acc >> nbits) & 0xFF
+            scan.append(byte)
+            if byte == 0xFF:
+                scan.append(0x00)  # byte stuffing
+            acc &= (1 << nbits) - 1
+
+    def magnitude(v):
+        t = int(v).bit_length() if v > 0 else int(-v).bit_length()
+        return t, (v if v > 0 else v + (1 << t) - 1) & ((1 << t) - 1)
+
+    bh, bw = -(-h // 8), -(-w // 8)
+    padded = np.empty((bh * 8, bw * 8))
+    padded[:h, :w] = a
+    padded[h:, :w] = a[-1:, :]  # edge-replicate padding
+    padded[:, w:] = padded[:, w - 1 : w]
+    pred = 0
+
+    def flush_scan():
+        nonlocal acc, nbits
+        if nbits:
+            put(8 - nbits, (1 << (8 - nbits)) - 1)  # pad with 1s
+
+    mcu_count = 0
+    rst_n = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart and mcu_count and mcu_count % restart == 0:
+                flush_scan()
+                scan.append(0xFF)
+                scan.append(0xD0 + rst_n)
+                rst_n = (rst_n + 1) % 8
+                pred = 0
+            mcu_count += 1
+            blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = m @ blk @ m.T
+            zz = np.round(
+                coef.reshape(64)[_JPEG_ZIGZAG] / float(quant)
+            ).astype(np.int64)
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            t, lowbits = magnitude(diff) if diff else (0, 0)
+            ln, code = dc_enc[t]
+            put(ln, code)
+            if t:
+                put(t, lowbits)
+            run = 0
+            for kk in range(1, 64):
+                v = int(zz[kk])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, code = ac_enc[0xF0]  # ZRL
+                    put(ln, code)
+                    run -= 16
+                t, lowbits = magnitude(v)
+                ln, code = ac_enc[(run << 4) | t]
+                put(ln, code)
+                put(t, lowbits)
+                run = 0
+            if run:
+                ln, code = ac_enc[0x00]  # EOB
+                put(ln, code)
+            if color:
+                # two flat chroma blocks: DC diff 0 (predictors are
+                # per-component and the planes are constant) + EOB
+                for _ in range(2):
+                    ln, code = dc_enc[0]
+                    put(ln, code)
+                    ln, code = ac_enc[0x00]
+                    put(ln, code)
+    flush_scan()
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 def parse_wav_header(b: bytes):
     """(sample_rate, channels, bits, duration_ms) from a RIFF/WAVE
     header, walking the chunk list to the fmt and data chunks; None
@@ -1424,13 +1938,22 @@ def image_dhash(
     decoded from image bytes via mapInPandas.
 
     Decode ladder: PIL when importable (all formats: grayscale +
-    LANCZOS 9x8 resize) → stdlib numpy decode for uncompressed
-    24/32-bpp BMP → NULL. Like decode_audio_pcm — and unlike the
+    LANCZOS 9x8 resize) → pure-numpy decode for uncompressed
+    24/32-bpp BMP and BASELINE JPEG (_jpeg_luma: SOF0/SOF1
+    huffman-sequential Y plane — what real corpora are made of, so
+    a PIL-less container still dedups them; progressive/arithmetic
+    stay NULL) → NULL. Like decode_audio_pcm — and unlike the
     metadata-only decode_image_meta — this column drives DEDUP
     DECISIONS, so undecodable payloads get NULL, never a fake
     (hamming_neardup_pairs drops NULLs; a fabricated hash could merge
     two unrelated images into one dedup cluster and silently drop
-    real training data)."""
+    real training data).
+
+    Note the two ladder rungs legitimately differ by a resampling
+    kernel (LANCZOS vs block average); dHash tolerates it by
+    construction, but a corpus should be hashed by ONE rung —
+    which holds, since the ladder is per-environment, not
+    per-image."""
     use_pil = _pil_available()
     in_schema = df.schema
     out_schema = ", ".join(
@@ -1467,6 +1990,8 @@ def image_dhash(
                         luma = None
                 if luma is None and len(b) >= 54 and b[:2] == b"BM":
                     luma = _bmp_luma_grid(b)
+                if luma is None and b[:2] == b"\xff\xd8":
+                    luma = _jpeg_luma(b)
                 hashes.append(
                     dhash64_from_luma(luma) if luma is not None else None
                 )

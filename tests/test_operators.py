@@ -2784,3 +2784,112 @@ class TestBloomAutoSizing:
         assert got2 == sorted(
             map(tuple, dense_big.join(dense_small, ["k"]).collect())
         )
+
+
+class TestJpegLuma:
+    """Baseline-JPEG Y-plane decode (multimodal._jpeg_luma, round 9
+    — ITU T.81 SOF0 huffman-sequential, pure numpy) feeding the
+    dHash ladder so perceptual dedup works on JPEG corpora without
+    PIL. The jpeg_gray_bytes fixture encoder is real T.81 output
+    (forward DCT, Annex K tables, byte stuffing, DRI, 4:4:4 color)."""
+
+    @staticmethod
+    def _grad(h=35, w=50):
+        import numpy as np
+
+        return np.clip(
+            np.add.outer(np.linspace(0, 200, h), np.linspace(0, 255, w))
+            / 2, 0, 255,
+        ).astype(np.uint8)
+
+    def test_flat_block_is_exact(self):
+        import numpy as np
+
+        from lwes_contrib_hive_serde_spark.operators import multimodal as mm
+
+        a = np.full((8, 8), 130, dtype=np.uint8)
+        got = mm._jpeg_luma(mm.jpeg_gray_bytes(a))
+        # a flat block survives DCT→quant(1)→IDCT exactly
+        assert got.shape == (8, 8)
+        assert np.abs(got - 130).max() == 0.0
+
+    def test_gradient_round_trip_within_one_level(self):
+        import numpy as np
+
+        from lwes_contrib_hive_serde_spark.operators import multimodal as mm
+
+        img = self._grad()
+        got = mm._jpeg_luma(mm.jpeg_gray_bytes(img))
+        assert got.shape == img.shape  # non-multiple-of-8 dims crop
+        assert np.abs(got - img).max() <= 1.0
+
+    @pytest.mark.parametrize(
+        "kw",
+        [{}, {"restart": 2}, {"color": True},
+         {"color": True, "restart": 3}, {"quant": 4}],
+    )
+    def test_dhash_parity_across_encodings(self, kw):
+        import numpy as np
+
+        from lwes_contrib_hive_serde_spark.operators import multimodal as mm
+
+        img = self._grad()
+        got = mm._jpeg_luma(mm.jpeg_gray_bytes(img, **kw))
+        assert mm.dhash64_from_luma(got) == mm.dhash64_from_luma(
+            img.astype(np.float64)
+        )
+
+    def test_refusals(self):
+        from lwes_contrib_hive_serde_spark.operators import multimodal as mm
+
+        img = self._grad(16, 16)
+        b = bytearray(mm.jpeg_gray_bytes(img))
+        # flip SOF0 to SOF2 (progressive): refuse, never garbage
+        i = bytes(b).find(b"\xff\xc0")
+        prog = bytes(b[:i]) + b"\xff\xc2" + bytes(b[i + 2:])
+        assert mm._jpeg_luma(prog) is None
+        assert mm._jpeg_luma(b"\xff\xd8only a soi") is None
+        assert mm._jpeg_luma(b"not a jpeg") is None
+
+    def test_truncation_fuzz_never_raises(self):
+        from lwes_contrib_hive_serde_spark.operators import multimodal as mm
+
+        b = mm.jpeg_gray_bytes(self._grad(16, 24), color=True)
+        for cut in range(0, len(b), 5):
+            got = mm._jpeg_luma(b[:cut])
+            assert got is None or got.shape == (16, 24)
+
+    def test_mutation_fuzz_never_raises(self):
+        import hashlib
+
+        from lwes_contrib_hive_serde_spark.operators import multimodal as mm
+
+        b = bytearray(mm.jpeg_gray_bytes(self._grad(16, 16)))
+        for i in range(0, len(b), 7):
+            mut = bytearray(b)
+            mut[i] ^= 1 + hashlib.sha256(bytes([i & 0xFF])).digest()[0] % 254
+            got = mm._jpeg_luma(bytes(mut))
+            assert got is None or hasattr(got, "shape")
+
+    def test_image_dhash_ladder_decodes_jpeg(self, spark):
+        import numpy as np
+
+        from lwes_contrib_hive_serde_spark.operators import multimodal as mm
+
+        base = self._grad(40, 60)
+        noisy = np.clip(
+            base.astype(np.int64)
+            + np.random.default_rng(8).integers(-2, 3, base.shape),
+            0, 255,
+        ).astype(np.uint8)
+        rows = [
+            (1, bytearray(mm.jpeg_gray_bytes(base))),
+            (2, bytearray(mm.jpeg_gray_bytes(noisy, color=True))),
+            (3, bytearray(b"\xff\xd8 then junk")),
+        ]
+        df = spark.createDataFrame(rows, "id long, payload binary")
+        hs = {r.id: r.dhash for r in mm.image_dhash(df).collect()}
+        assert hs[1] is not None and hs[2] is not None
+        assert hs[3] is None
+        ham = bin((hs[1] ^ hs[2]) & ((1 << 64) - 1)).count("1")
+        assert ham <= 6  # perceptual near-dup across jpeg encodings
