@@ -38,9 +38,11 @@ mismatch rather than silently returning NULL columns.
 ``write_iceberg_table`` is FIXTURE-GRADE: it exists so the reader
 can be tested end to end without an iceberg library in the
 container (same recipe as the WARC/CDX tiers' synthesizers). It
-writes spec-shaped metadata (v1) through the repo's own Avro
-writer; it does not emit Avro field-id annotations, so external
-readers that resolve by field-id may not accept its manifests.
+writes spec-shaped metadata (v1 for appends; v2 once
+``add_iceberg_position_deletes`` runs) through the repo's own Avro
+writer, with the spec's ``field-id`` attributes annotated on every
+manifest / manifest-list field (round 9) so id-resolving external
+readers can accept its output.
 """
 
 from __future__ import annotations
@@ -713,9 +715,74 @@ _MANIFEST_LIST_SCHEMA = StructType(
 )
 
 
+# Spec field ids for the manifest-entry and manifest-list Avro
+# schemas (iceberg.apache.org/spec, "Manifests" / "Manifest Lists"
+# tables) — external readers resolve manifest columns BY THESE IDS,
+# so the writer annotates every field. Keys are dotted paths into
+# the record tree; the partition struct's members get their
+# spec-declared 1000+i ids at call time.
+_MANIFEST_ENTRY_FIELD_IDS = {
+    "status": 0,
+    "snapshot_id": 1,
+    "data_file": 2,
+    "data_file.content": 134,
+    "data_file.file_path": 100,
+    "data_file.file_format": 101,
+    "data_file.partition": 102,
+    "data_file.record_count": 103,
+    "data_file.file_size_in_bytes": 104,
+    "data_file.lower_bounds": 125,
+    "data_file.lower_bounds.key": 126,
+    "data_file.lower_bounds.value": 127,
+    "data_file.upper_bounds": 128,
+    "data_file.upper_bounds.key": 129,
+    "data_file.upper_bounds.value": 130,
+}
+_MANIFEST_LIST_FIELD_IDS = {
+    "manifest_path": 500,
+    "manifest_length": 501,
+    "partition_spec_id": 502,
+    "content": 517,
+    "added_snapshot_id": 503,
+}
+
+
+def _annotate_field_ids(schema_json: str, ids: dict) -> str:
+    """Inject Iceberg ``field-id`` attributes into an Avro schema
+    JSON by dotted field path. Avro readers ignore unknown
+    attributes (the spec's open-attribute rule), so the repo's own
+    decoder is unaffected; id-resolving readers gain what they
+    need. Arrays and unions are traversed without extending the
+    path (the avro map-as-array encoding keeps key/value one level
+    under the map field)."""
+    doc = json.loads(schema_json)
+
+    def walk(node, prefix):
+        if isinstance(node, list):
+            for branch in node:
+                walk(branch, prefix)
+        elif isinstance(node, dict):
+            t = node.get("type")
+            if t == "record":
+                for f in node.get("fields", []):
+                    path = prefix + f["name"]
+                    if path in ids:
+                        f["field-id"] = ids[path]
+                    walk(f["type"], path + ".")
+            elif t == "array":
+                walk(node.get("items"), prefix)
+            elif t == "map":
+                walk(node.get("values"), prefix)
+
+    walk(doc, "")
+    return json.dumps(doc)
+
+
 def _write_avro_file(path: str, schema: StructType, rows: list[tuple],
-                     record_name: str) -> None:
+                     record_name: str, field_ids: dict | None = None) -> None:
     schema_json, encs = avro_ocf.schema_to_avro_json(schema, name=record_name)
+    if field_ids:
+        schema_json = _annotate_field_ids(schema_json, field_ids)
     h = avro_ocf.AvroWriteHandle(
         open(path, "wb"), schema_json, encs, "deflate", 64 * 1024,
         uuid.uuid4().bytes,
@@ -895,8 +962,12 @@ def write_iceberg_table(
     entry_schema = _manifest_entry_schema(
         [(c, types[c]) for c in partition_by], bounds=True
     )
+    entry_ids = dict(_MANIFEST_ENTRY_FIELD_IDS)
+    for k, c in enumerate(partition_by):
+        entry_ids[f"data_file.partition.{c}"] = 1000 + k
     _write_avro_file(
-        manifest, entry_schema, entries, "manifest_entry"
+        manifest, entry_schema, entries, "manifest_entry",
+        field_ids=entry_ids,
     )
 
     # 3. manifest list = prior snapshot's manifests + this one
@@ -919,7 +990,8 @@ def write_iceberg_table(
     rows = prior_manifests + [
         (manifest, os.path.getsize(manifest), 0, 0, snapshot_id)
     ]
-    _write_avro_file(ml, _MANIFEST_LIST_SCHEMA, rows, "manifest_file")
+    _write_avro_file(ml, _MANIFEST_LIST_SCHEMA, rows, "manifest_file",
+                     field_ids=_MANIFEST_LIST_FIELD_IDS)
 
     # 4. metadata.json
     fields = []
@@ -1067,6 +1139,7 @@ def add_iceberg_position_deletes(
               os.path.getsize(del_path)))
         ],
         "manifest_entry",
+        field_ids=_MANIFEST_ENTRY_FIELD_IDS,
     )
     prior_manifests = [
         (
@@ -1087,6 +1160,7 @@ def add_iceberg_position_deletes(
         prior_manifests
         + [(manifest, os.path.getsize(manifest), 0, 1, snapshot_id)],
         "manifest_file",
+        field_ids=_MANIFEST_LIST_FIELD_IDS,
     )
     new_snap = {
         "snapshot-id": snapshot_id,

@@ -459,3 +459,85 @@ class TestPositionalDeletes:
             )
         with pytest.raises(I.IcebergError, match="EQUALITY"):
             I.read_iceberg(spark, p)
+
+
+class TestFieldIdAnnotations:
+    def test_manifest_avro_carries_spec_field_ids(self, spark, tmp_path):
+        """External Iceberg readers resolve manifest columns by
+        field-id; the writer must annotate every field per the
+        spec's Manifests / Manifest Lists tables (round 9)."""
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 10), p, partition_by=["lang"])
+        meta = I.load_table_metadata(p)
+        ml = I._strip_file_uri(
+            meta["snapshots"][-1]["manifest-list"]
+        )
+        sj, _c, _s, _o = A.read_avro_header(ml)
+        doc = json.loads(sj)
+        ids = {f["name"]: f.get("field-id") for f in doc["fields"]}
+        assert ids["manifest_path"] == 500
+        assert ids["manifest_length"] == 501
+        assert ids["content"] == 517
+        mpath = I._strip_file_uri(
+            I._manifest_list_entries(ml)[0]["manifest_path"]
+        )
+        sj, _c, _s, _o = A.read_avro_header(mpath)
+        doc = json.loads(sj)
+        top = {f["name"]: f for f in doc["fields"]}
+        assert top["status"]["field-id"] == 0
+        assert top["data_file"]["field-id"] == 2
+
+        def record_of(node):
+            if isinstance(node, list):
+                node = [x for x in node if x != "null"][0]
+            return node
+
+        df_fields = {
+            f["name"]: f
+            for f in record_of(top["data_file"]["type"])["fields"]
+        }
+        assert df_fields["file_path"]["field-id"] == 100
+        assert df_fields["record_count"]["field-id"] == 103
+        assert df_fields["partition"]["field-id"] == 102
+        part = record_of(df_fields["partition"]["type"])["fields"]
+        assert part[0]["field-id"] == 1000
+        assert df_fields["lower_bounds"]["field-id"] == 125
+        # map-as-array key/value ids one level under the bounds field
+        items = record_of(
+            record_of(df_fields["lower_bounds"]["type"])["items"]
+        )
+        kv = {f["name"]: f.get("field-id") for f in items["fields"]}
+        assert kv == {"key": 126, "value": 127}
+        # the repo's own reader still accepts annotated schemas
+        assert I.read_iceberg(spark, p).count() == 10
+
+    def test_delete_manifest_annotated(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 10).coalesce(1), p)
+        import pyarrow.parquet as pq
+
+        r = I.iceberg_files(spark, p).collect()[0]
+        ids = pq.read_table(
+            r.file_path, columns=["doc_id"]
+        ).column("doc_id").to_pylist()
+        I.add_iceberg_position_deletes(
+            p, [(r.file_path, ids.index(3))]
+        )
+        meta = I.load_table_metadata(p)
+        ml = I._strip_file_uri(meta["snapshots"][-1]["manifest-list"])
+        dm = [
+            m for m in I._manifest_list_entries(ml)
+            if int(m.get("content") or 0) == 1
+        ][0]
+        sj, _c, _s, _o = A.read_avro_header(
+            I._strip_file_uri(dm["manifest_path"])
+        )
+        doc = json.loads(sj)
+        top = {f["name"]: f for f in doc["fields"]}
+        assert top["status"]["field-id"] == 0
+        df_rec = top["data_file"]["type"]
+        if isinstance(df_rec, list):
+            df_rec = [x for x in df_rec if x != "null"][0]
+        df_ids = {f["name"]: f.get("field-id") for f in df_rec["fields"]}
+        assert df_ids["content"] == 134
+        assert df_ids["file_path"] == 100
