@@ -9401,3 +9401,99 @@ def q_iceberg_deletes(spark, sf_dir):
     latest = agg(I.read_iceberg(spark, out), "latest")
     v0 = agg(I.read_iceberg(spark, out, snapshot_id=first), "v0")
     return latest.unionAll(v0)
+
+
+def _documents_delta_mapped(spark, sf_dir: str) -> str:
+    """Delta table carried through the COLUMN MAPPING lifecycle
+    (sources/delta.py delta_enable_column_mapping /
+    delta_rename_column): v0 writes documents, v1 upgrades to
+    columnMapping.mode=name (metadata-only — physicalName = the
+    name at upgrade, zero files rewritten), v2 renames n_chars →
+    char_count, v3 renames lang → language. The parquet files still
+    hold columns named n_chars/lang; only the mapping makes the new
+    logical names resolve. Cached per sf_dir."""
+    import os
+
+    from lwes_contrib_hive_serde_spark.sources import delta as D
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        tag = f"{tag}-{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        pass
+    out = f"/tmp/delta_table_cache/v1/{tag}/documents_mapped"
+    done = os.path.join(out, "_delta_log", f"{3:020d}.json")
+    if not os.path.exists(done):
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        D.write_delta(docs.repartition(4), out)
+        D.delta_enable_column_mapping(out)
+        D.delta_rename_column(out, "n_chars", "char_count")
+        D.delta_rename_column(out, "lang", "language")
+    return out
+
+
+@register(
+    "q_delta_column_mapping",
+    shadow=True,
+    oracle="""
+    SELECT 'renamed' AS snapshot, lang AS language,
+           COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'original' AS snapshot, lang AS language,
+           COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents GROUP BY lang
+    """,
+    doc="Delta COLUMN MAPPING read end to end (sources/delta.py — "
+    "PROTOCOL.md 'Column Mapping', round 9): the table upgrades to "
+    "mode=name and renames TWO columns with metadata-only commits "
+    "(delta_rename_column — zero data files rewritten, pinned by "
+    "pytest), so the parquet columns still carry the OLD names and "
+    "read_delta must resolve them through each field's "
+    "physicalName, scanning the physical schema and cast-renaming "
+    "to the logical one. The query aggregates by the RENAMED "
+    "columns at the latest version AND by the original names at "
+    "versionAsOf=0 (pre-upgrade), emitting identical values under "
+    "both schemas; the DuckDB oracle recomputes both from the "
+    "original parquet. A hash match proves physical-name "
+    "resolution, stats/partition key translation, and schema time "
+    "travel across the mapping boundary.",
+)
+def q_delta_column_mapping(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.sources import delta as D
+
+    out = _documents_delta_mapped(spark, sf_dir)
+    latest = (
+        D.read_delta(spark, out)
+        .groupBy("language")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("char_count").alias("sum_chars"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .select(F.lit("renamed").alias("snapshot"), "*")
+    )
+    v0 = (
+        D.read_delta(spark, out, version=0)
+        .groupBy(F.col("lang").alias("language"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .select(F.lit("original").alias("snapshot"), "*")
+    )
+    return latest.unionAll(v0)

@@ -81,7 +81,9 @@ class DeltaError(ValueError):
 
 # Reader features (protocol v3 tables) this implementation can
 # honor. Anything else in readerFeatures is an honest refusal.
-_SUPPORTED_READER_FEATURES = {"timestampNtz", "deletionVectors"}
+_SUPPORTED_READER_FEATURES = {
+    "timestampNtz", "deletionVectors", "columnMapping",
+}
 _LOG_DIR = "_delta_log"
 
 
@@ -245,14 +247,17 @@ def _check_readable(state: _State) -> None:
                 "table requires reader features this implementation "
                 f"does not support: {sorted(unsupported)}"
             )
-    elif v > 1:
+    elif v > 2:
         raise DeltaError(
-            f"minReaderVersion={v} not supported (column mapping / "
-            "newer protocol); refusing rather than misreading"
+            f"minReaderVersion={v} not supported; refusing rather "
+            "than misreading"
         )
+    # v2 = column mapping, which _column_mapping resolves (unknown
+    # modes refuse there); v1 is the base protocol.
     conf = (state.metadata or {}).get("configuration") or {}
-    if conf.get("delta.columnMapping.mode", "none") not in ("none", ""):
-        raise DeltaError("column mapping tables are not supported")
+    mode = conf.get("delta.columnMapping.mode", "none")
+    if mode not in ("none", "", "name", "id"):
+        raise DeltaError(f"unknown column mapping mode {mode!r}")
     fmt = (state.metadata.get("format") or {}).get("provider", "parquet")
     if fmt != "parquet":
         raise DeltaError(f"unsupported data format provider: {fmt}")
@@ -264,6 +269,84 @@ def _schema(state: _State) -> StructType:
 
 def _partition_columns(state: _State) -> list[str]:
     return list(state.metadata.get("partitionColumns") or [])
+
+
+def _column_mapping(state: _State) -> dict | None:
+    """None when the table has no column mapping; else {"mode",
+    "physical": {top-level logical name → physical name}} from each
+    schema field's ``delta.columnMapping.physicalName`` metadata
+    (PROTOCOL.md "Column Mapping"). Under mapping, parquet columns,
+    ``partitionValues`` keys, and per-file ``stats`` keys all use
+    PHYSICAL names — column renames become metadata-only. A mapped
+    field without a physicalName refuses: guessing the parquet
+    column would misread."""
+    conf = (state.metadata or {}).get("configuration") or {}
+    mode = conf.get("delta.columnMapping.mode", "none")
+    if mode in ("none", ""):
+        return None
+    sch = json.loads(state.metadata["schemaString"])
+    physical = {}
+    for f in sch.get("fields") or []:
+        meta = f.get("metadata") or {}
+        phys = meta.get("delta.columnMapping.physicalName")
+        if not phys:
+            raise DeltaError(
+                f"column mapping mode={mode} but field "
+                f"{f.get('name')!r} has no physicalName — refusing "
+                "rather than misreading"
+            )
+        physical[f["name"]] = phys
+    return {"mode": mode, "physical": physical}
+
+
+def _physical_field_json(field_json: dict) -> dict:
+    """One schema-JSON field rewritten (recursively) to its physical
+    name, so ``StructType.fromJson`` yields the physical READ
+    schema; nested struct fields carry their own physicalName."""
+    out = dict(field_json)
+    meta = out.get("metadata") or {}
+    phys = meta.get("delta.columnMapping.physicalName")
+    if not phys:
+        raise DeltaError(
+            f"mapped field {out.get('name')!r} lacks physicalName"
+        )
+    out["name"] = phys
+
+    def fix_type(t):
+        if isinstance(t, dict):
+            kind = t.get("type")
+            if kind == "struct":
+                return dict(
+                    t, fields=[_physical_field_json(f) for f in t["fields"]]
+                )
+            if kind == "array":
+                return dict(t, elementType=fix_type(t["elementType"]))
+            if kind == "map":
+                return dict(t, valueType=fix_type(t["valueType"]))
+        return t
+
+    out["type"] = fix_type(out.get("type"))
+    return out
+
+
+def _physical_schema(state: _State) -> StructType:
+    sch = json.loads(state.metadata["schemaString"])
+    return StructType.fromJson(
+        dict(sch, fields=[_physical_field_json(f) for f in sch["fields"]])
+    )
+
+
+def _refuse_column_mapping(state: _State, op: str) -> None:
+    """Write/DML verbs do not emit physical-name parquet or mapped
+    stats yet — they refuse on mapped tables rather than producing
+    files readers would mis-resolve. Reads, checkpoints, vacuum,
+    restore, and the metadata-only rename are unaffected."""
+    if _column_mapping(state) is not None:
+        raise DeltaError(
+            f"{op}: table uses column mapping; this writer does not "
+            "emit physical-name files yet — read/rename are "
+            "supported, writes are not"
+        )
 
 
 def _file_abspath(table_path: str, add_path: str) -> str:
@@ -315,7 +398,10 @@ def _prune(
     filters,
     part_cols: list[str],
     types: dict[str, DataType],
+    key_of: dict | None = None,
 ) -> list[dict]:
+    """``key_of`` maps logical → physical names: under column
+    mapping, partitionValues keys are PHYSICAL (PROTOCOL.md)."""
     if not filters:
         return adds
     for col, op, _ in filters:
@@ -331,7 +417,8 @@ def _prune(
         pv = a.get("partitionValues") or {}
         ok = True
         for col, op, val in filters:
-            actual = _cast_partition_value(pv.get(col), types[col])
+            key = key_of.get(col, col) if key_of else col
+            actual = _cast_partition_value(pv.get(key), types[col])
             if not _OPS[op](actual, val):
                 ok = False
                 break
@@ -521,7 +608,12 @@ def read_delta(
     missing = [c for c in part_cols if c not in types]
     if missing:
         raise DeltaError(f"partition columns missing from schema: {missing}")
-    adds = _prune(list(state.adds.values()), partition_filters, part_cols, types)
+    mapping = _column_mapping(state)
+    phys_of = mapping["physical"] if mapping else {}
+    adds = _prune(
+        list(state.adds.values()), partition_filters, part_cols, types,
+        key_of=phys_of or None,
+    )
     if data_filters:
         for col, op, _v in data_filters:
             if col in part_cols:
@@ -544,14 +636,17 @@ def read_delta(
             except (TypeError, ValueError):
                 stats = {}
             if all(
-                _file_may_match(stats, col, op, val)
+                # stats keys are physical names under column mapping
+                _file_may_match(stats, phys_of.get(col, col), op, val)
                 for col, op, val in data_filters
             ):
                 kept.append(a)
         adds = kept
 
+    read_schema = _physical_schema(state) if mapping else full_schema
+    phys_part = {phys_of.get(c, c) for c in part_cols}
     data_schema = StructType(
-        [f for f in full_schema.fields if f.name not in part_cols]
+        [f for f in read_schema.fields if f.name not in phys_part]
     )
     if not adds:
         return spark.createDataFrame([], full_schema)
@@ -565,6 +660,20 @@ def read_delta(
     df = spark.read.schema(data_schema).parquet(*paths)
     if dv_deleted is not None:
         df = _anti_join_deleted(df, dv_deleted, dv_total)
+    if mapping:
+        # physical → logical rename; casting to the logical type is
+        # a positional no-op type-wise that renames NESTED struct
+        # fields too. input_file_name() survives the projection, so
+        # the manifest attach below still works.
+        logical_data = [
+            f for f in full_schema.fields if f.name not in part_cols
+        ]
+        df = df.select(
+            *[
+                F.col(pf.name).cast(lf.dataType).alias(lf.name)
+                for pf, lf in zip(data_schema.fields, logical_data)
+            ]
+        )
     if not part_cols:
         return _apply_data_filters(df, data_filters)
 
@@ -579,7 +688,9 @@ def read_delta(
             tuple(
                 [p]
                 + [
-                    _cast_partition_value(pv.get(c), types[c])
+                    _cast_partition_value(
+                        pv.get(phys_of.get(c, c)), types[c]
+                    )
                     for c in part_cols
                 ]
             )
@@ -646,6 +757,8 @@ def delta_files(spark: SparkSession, path: str, version: int | None = None) -> D
     state = _replay(path, version)
     _check_readable(state)
     part_cols = _partition_columns(state)
+    mapping = _column_mapping(state)
+    phys_of = mapping["physical"] if mapping else {}
     rows = []
     for a in state.adds.values():
         stats = a.get("stats")
@@ -665,7 +778,7 @@ def delta_files(spark: SparkSession, path: str, version: int | None = None) -> D
                 int(a.get("modificationTime") or 0),
                 num,
                 n_del,
-                *[pv.get(c) for c in part_cols],
+                *[pv.get(phys_of.get(c, c)) for c in part_cols],
             )
         )
     schema = StructType(
@@ -893,6 +1006,7 @@ def write_delta(
         # the winning O_EXCL create must not be clobbered).
         prior = _replay(path)
         _check_readable(prior)
+        _refuse_column_mapping(prior, "write_delta")
         _compat_meta(prior, df.schema, partition_by, merge_schema)
 
     # 1. Stage the data with the native parquet writer.
@@ -972,6 +1086,7 @@ def write_delta(
                 raise DeltaError(f"Delta table already exists at {path}")
             try:
                 _check_readable(current)
+                _refuse_column_mapping(current, "write_delta")
                 meta, schema_changed = _compat_meta(
                     current, df.schema, partition_by, merge_schema
                 )
@@ -1251,6 +1366,7 @@ def delta_compact(
 
     state = _replay(path)
     _check_readable(state)
+    _refuse_column_mapping(state, "delta_compact")
     part_cols = _partition_columns(state)
     full_schema = _schema(state)
     data_schema = StructType(
@@ -1588,6 +1704,7 @@ def delta_zorder(
 
     state = _replay(path)
     _check_readable(state)
+    _refuse_column_mapping(state, "delta_zorder")
     part_cols = _partition_columns(state)
     full_schema = _schema(state)
     for c in cols:
@@ -1727,6 +1844,7 @@ def delta_delete(
 
     state = _replay(path)
     _check_readable(state)
+    _refuse_column_mapping(state, "delta_delete")
     part_cols = _partition_columns(state)
     full_schema = _schema(state)
     types = {f.name: f.dataType for f in full_schema.fields}
@@ -1916,6 +2034,7 @@ def delta_delete_dv(
 
     state = _replay(path)
     _check_readable(state)
+    _refuse_column_mapping(state, "delta_delete_dv")
     part_cols = _partition_columns(state)
     full_schema = _schema(state)
     types = {f.name: f.dataType for f in full_schema.fields}
@@ -2118,6 +2237,7 @@ def delta_update(
 
     state = _replay(path)
     _check_readable(state)
+    _refuse_column_mapping(state, "delta_update")
     part_cols = _partition_columns(state)
     full_schema = _schema(state)
     types = {f.name: f.dataType for f in full_schema.fields}
@@ -2327,6 +2447,7 @@ def delta_merge(
         )
     state = _replay(path)
     _check_readable(state)
+    _refuse_column_mapping(state, "delta_merge")
     part_cols = _partition_columns(state)
     full_schema = _schema(state)
     types = {f.name: f.dataType for f in full_schema.fields}
@@ -2564,3 +2685,158 @@ def delta_merge(
             "version": version,
         }
     raise DeltaError("merge could not commit (sustained contention)")
+
+
+def delta_enable_column_mapping(
+    path: str, max_commit_attempts: int = 10
+) -> int:
+    """ALTER TABLE … SET columnMapping.mode = 'name' — the
+    metadata-only protocol upgrade (PROTOCOL.md "Column Mapping"):
+    every schema field (recursively) gains a stable
+    ``delta.columnMapping.id`` and a ``physicalName`` EQUAL TO ITS
+    CURRENT NAME, which is why no data file needs rewriting — the
+    parquet columns already carry those names. After this,
+    delta_rename_column renames columns without touching a byte of
+    data. Upgrades the protocol to reader v2 / writer v5 (or adds
+    the columnMapping feature on v3/v7 tables). Returns the new
+    version; idempotent (returns the current version if mapping is
+    already on)."""
+    now_ms = int(time.time() * 1000)
+    for _ in range(max_commit_attempts):
+        state = _replay(path)
+        _check_readable(state)
+        if _column_mapping(state) is not None:
+            return state.version
+        sch = json.loads(state.metadata["schemaString"])
+        next_id = 0
+
+        def annotate(field):
+            nonlocal next_id
+            next_id += 1
+            out = dict(field)
+            meta = dict(out.get("metadata") or {})
+            meta["delta.columnMapping.id"] = next_id
+            meta["delta.columnMapping.physicalName"] = out["name"]
+            out["metadata"] = meta
+            t = out.get("type")
+            if isinstance(t, dict) and t.get("type") == "struct":
+                out["type"] = dict(
+                    t, fields=[annotate(f) for f in t["fields"]]
+                )
+            return out
+
+        fields = [annotate(f) for f in sch["fields"]]
+        meta = dict(state.metadata)
+        meta["schemaString"] = json.dumps(dict(sch, fields=fields))
+        conf = dict(meta.get("configuration") or {})
+        conf["delta.columnMapping.mode"] = "name"
+        conf["delta.columnMapping.maxColumnId"] = str(next_id)
+        meta["configuration"] = conf
+        proto = dict(state.protocol or {})
+        if proto.get("readerFeatures") is not None or int(
+            proto.get("minReaderVersion", 1)
+        ) >= 3:
+            proto = {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(
+                    set(proto.get("readerFeatures") or [])
+                    | {"columnMapping"}
+                ),
+                "writerFeatures": sorted(
+                    set(proto.get("writerFeatures") or [])
+                    | {"columnMapping"}
+                ),
+            }
+        else:
+            proto = {
+                "minReaderVersion": max(
+                    2, int(proto.get("minReaderVersion", 1))
+                ),
+                "minWriterVersion": max(
+                    5, int(proto.get("minWriterVersion", 2))
+                ),
+            }
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "SET COLUMN MAPPING",
+                    "operationParameters": {"mode": "name"},
+                }
+            },
+            {"protocol": proto},
+            {"metaData": meta},
+        ]
+        payload = "".join(json.dumps(a) + "\n" for a in actions).encode()
+        target = _commit_file(path, state.version + 1)
+        try:
+            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+        return state.version + 1
+    raise DeltaError(
+        "enable-column-mapping could not commit (sustained contention)"
+    )
+
+
+def delta_rename_column(
+    path: str, old: str, new: str, max_commit_attempts: int = 10
+) -> int:
+    """Metadata-only column RENAME — the operation column mapping
+    exists for: the logical name changes in schemaString (and in
+    partitionColumns when the column partitions the table) while
+    physicalName keeps pointing at the bytes already on disk, so a
+    100 TB table renames in one tiny JSON commit. Top-level columns
+    only (nested renames are a projection away); requires mapping
+    (delta_enable_column_mapping first). Returns the new version."""
+    if old == new:
+        raise DeltaError("rename: old and new names are identical")
+    now_ms = int(time.time() * 1000)
+    for _ in range(max_commit_attempts):
+        state = _replay(path)
+        _check_readable(state)
+        if _column_mapping(state) is None:
+            raise DeltaError(
+                "rename requires column mapping; run "
+                "delta_enable_column_mapping first"
+            )
+        sch = json.loads(state.metadata["schemaString"])
+        names = [f["name"] for f in sch["fields"]]
+        if old not in names:
+            raise DeltaError(f"rename: no column {old!r} (have {names})")
+        if new in names:
+            raise DeltaError(f"rename: column {new!r} already exists")
+        fields = [
+            dict(f, name=new) if f["name"] == old else f
+            for f in sch["fields"]
+        ]
+        meta = dict(state.metadata)
+        meta["schemaString"] = json.dumps(dict(sch, fields=fields))
+        parts = list(state.metadata.get("partitionColumns") or [])
+        if old in parts:
+            meta["partitionColumns"] = [
+                new if c == old else c for c in parts
+            ]
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "RENAME COLUMN",
+                    "operationParameters": {"old": old, "new": new},
+                }
+            },
+            {"metaData": meta},
+        ]
+        payload = "".join(json.dumps(a) + "\n" for a in actions).encode()
+        target = _commit_file(path, state.version + 1)
+        try:
+            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+        return state.version + 1
+    raise DeltaError("rename could not commit (sustained contention)")

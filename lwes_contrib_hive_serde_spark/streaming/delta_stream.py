@@ -73,6 +73,12 @@ class DeltaStreamReader(DataSourceStreamReader):
         starting = options.get("startingversion")
         state = D._replay(self.path)
         D._check_readable(state)
+        if D._column_mapping(state) is not None:
+            raise D.DeltaError(
+                "delta_stream: column-mapped tables are not supported "
+                "(this reader resolves parquet columns by logical "
+                "name); batch read_delta handles them"
+            )
         self.schema = D._schema(state)
         if schema is not None and len(schema.fields) and schema != self.schema:
             raise D.DeltaError(

@@ -253,11 +253,21 @@ class TestRefusals:
         return p
 
     def test_refuses_newer_reader_version(self, spark, tmp_path):
+        # v2 (column mapping) is supported since round 9; anything
+        # past the feature-vector protocol (v3) refuses
+        p = self._mk_min_table(
+            tmp_path, {"minReaderVersion": 4, "minWriterVersion": 9}
+        )
+        with pytest.raises(D.DeltaError, match="minReaderVersion=4"):
+            D.read_delta(spark, p)
+
+    def test_reader_v2_without_mapping_reads(self, spark, tmp_path):
+        # minReaderVersion=2 + mode=none: we understand column
+        # mapping, so this table is within the envelope
         p = self._mk_min_table(
             tmp_path, {"minReaderVersion": 2, "minWriterVersion": 5}
         )
-        with pytest.raises(D.DeltaError, match="minReaderVersion=2"):
-            D.read_delta(spark, p)
+        assert D.read_delta(spark, p).count() == 0
 
     def test_refuses_unknown_reader_feature(self, spark, tmp_path):
         p = self._mk_min_table(
@@ -1074,3 +1084,140 @@ class TestConcurrentWriters:
         got = D.read_delta(spark, p)
         assert [f.name for f in got.schema.fields] == ["id", "s", "score"]
         assert got.count() == 2
+
+
+class TestColumnMapping:
+    """Column mapping (PROTOCOL.md) — round 9: reads resolve parquet
+    columns by physicalName, so delta_rename_column renames a 100 TB
+    table in one JSON commit. Value gate: shadow
+    q_delta_column_mapping."""
+
+    def _table(self, spark, tmp_path, partition_by=None):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark), p, partition_by=partition_by)
+        return p
+
+    def test_enable_is_metadata_only_and_idempotent(self, spark, tmp_path):
+        p = self._table(spark, tmp_path)
+        files_before = sorted(
+            r.path for r in D.delta_files(spark, p).collect()
+        )
+        v = D.delta_enable_column_mapping(p)
+        assert v == 1
+        assert D.delta_enable_column_mapping(p) == 1  # idempotent
+        assert sorted(
+            r.path for r in D.delta_files(spark, p).collect()
+        ) == files_before  # zero files rewritten
+        assert _read_rows(spark, p) == _expected(_docs(spark))
+
+    def test_rename_and_read(self, spark, tmp_path):
+        p = self._table(spark, tmp_path)
+        D.delta_enable_column_mapping(p)
+        D.delta_rename_column(p, "text", "body")
+        got = D.read_delta(spark, p)
+        assert got.columns == ["doc_id", "body", "lang"]
+        assert sorted(
+            (r.doc_id, r.body, r.lang) for r in got.collect()
+        ) == _expected(_docs(spark))
+        # time travel to the pre-rename schema
+        assert D.read_delta(spark, p, version=0).columns == [
+            "doc_id", "text", "lang",
+        ]
+
+    def test_rename_partition_column_prunes(self, spark, tmp_path):
+        p = self._table(spark, tmp_path, partition_by=["lang"])
+        D.delta_enable_column_mapping(p)
+        D.delta_rename_column(p, "lang", "lingua")
+        got = D.read_delta(
+            spark, p, partition_filters=[("lingua", "=", "en")]
+        )
+        want = _docs(spark).where("lang = 'en'")
+        assert sorted(
+            (r.doc_id, r.text, r.lingua) for r in got.collect()
+        ) == _expected(want)
+
+    def test_stats_skipping_uses_physical_keys(self, spark, tmp_path):
+        p = self._table(spark, tmp_path)
+        D.delta_enable_column_mapping(p)
+        D.delta_rename_column(p, "doc_id", "id2")
+        got = D.read_delta(spark, p, data_filters=[("id2", ">=", 15)])
+        assert sorted(r.id2 for r in got.collect()) == list(range(15, 20))
+
+    def test_rename_collision_and_missing(self, spark, tmp_path):
+        p = self._table(spark, tmp_path)
+        D.delta_enable_column_mapping(p)
+        with pytest.raises(D.DeltaError, match="already exists"):
+            D.delta_rename_column(p, "text", "lang")
+        with pytest.raises(D.DeltaError, match="no column"):
+            D.delta_rename_column(p, "nope", "x")
+
+    def test_rename_without_mapping_refused(self, spark, tmp_path):
+        p = self._table(spark, tmp_path)
+        with pytest.raises(D.DeltaError, match="requires column mapping"):
+            D.delta_rename_column(p, "text", "body")
+
+    def test_writes_refuse_mapped_tables(self, spark, tmp_path):
+        p = self._table(spark, tmp_path)
+        D.delta_enable_column_mapping(p)
+        with pytest.raises(D.DeltaError, match="column mapping"):
+            D.write_delta(_docs(spark), p, mode="append")
+        with pytest.raises(D.DeltaError, match="column mapping"):
+            D.delta_delete(spark, p, [("doc_id", "=", 1)])
+        with pytest.raises(D.DeltaError, match="column mapping"):
+            D.delta_compact(spark, p)
+
+    def test_checkpoint_carries_mapping(self, spark, tmp_path):
+        p = self._table(spark, tmp_path)
+        D.delta_enable_column_mapping(p)
+        D.delta_rename_column(p, "text", "body")
+        D.write_checkpoint(spark, p)
+        import os as _os
+
+        _os.remove(D._commit_file(p, 0))
+        _os.remove(D._commit_file(p, 1))
+        got = D.read_delta(spark, p)
+        assert got.columns == ["doc_id", "body", "lang"]
+        assert got.count() == 20
+
+    def test_dvs_then_mapping_compose(self, spark, tmp_path):
+        # DVs applied on physical scan BEFORE the logical rename
+        p = self._table(spark, tmp_path)
+        D.delta_delete_dv(spark, p, [("doc_id", "<", 5)])
+        D.delta_enable_column_mapping(p)
+        D.delta_rename_column(p, "doc_id", "id2")
+        got = D.read_delta(spark, p)
+        assert sorted(r.id2 for r in got.collect()) == list(range(5, 20))
+        assert D.delta_count(spark, p) == 15
+
+    def test_foreign_physical_names_read(self, spark, tmp_path):
+        # a table whose physicalNames are col-<uuid> style (what
+        # real writers emit post-rename): synthesize by renaming the
+        # parquet columns AND the schema metadata by hand
+        import json as _json
+        import os as _os
+
+        import pyarrow.parquet as pq
+
+        p = self._table(spark, tmp_path)
+        D.delta_enable_column_mapping(p)
+        # rewrite data files with physical names col_a/col_b/col_c
+        state = D._replay(p)
+        renames = {"doc_id": "col_a", "text": "col_b", "lang": "col_c"}
+        for a in state.adds.values():
+            fp = D._file_abspath(p, a["path"])
+            t = pq.read_table(fp)
+            t = t.rename_columns([renames[n] for n in t.column_names])
+            pq.write_table(t, fp)
+        sch = _json.loads(state.metadata["schemaString"])
+        for f in sch["fields"]:
+            f["metadata"]["delta.columnMapping.physicalName"] = renames[
+                f["name"]
+            ]
+        meta = dict(state.metadata)
+        meta["schemaString"] = _json.dumps(sch)
+        acts = [{"metaData": meta}]
+        with open(D._commit_file(p, state.version + 1), "w") as fh:
+            fh.write("".join(_json.dumps(x) + "\n" for x in acts))
+        got = D.read_delta(spark, p)
+        assert got.columns == ["doc_id", "text", "lang"]
+        assert _read_rows(spark, p) == _expected(_docs(spark))

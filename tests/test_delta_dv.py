@@ -442,3 +442,23 @@ class TestStreamingUnderDvs:
             assert got == sorted(list(range(10)) + list(range(4, 10)))
         finally:
             q.stop()
+
+
+class TestStreamMappedRefusal:
+    def test_stream_refuses_column_mapped_table(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 10), p)
+        D.delta_enable_column_mapping(p)
+        q = (
+            spark.readStream.format("delta_stream")
+            .option("path", p)
+            .load()
+            .writeStream.format("memory")
+            .queryName("cm_refuse")
+            .outputMode("append")
+            .start()
+        )
+        # the refusal surfaces as the stream's terminal exception
+        with pytest.raises(Exception, match="column-mapped"):
+            q.processAllAvailable()
+        q.stop()
