@@ -9497,3 +9497,90 @@ def q_delta_column_mapping(spark, sf_dir):
         .select(F.lit("original").alias("snapshot"), "*")
     )
     return latest.unionAll(v0)
+
+
+def _documents_delta_dv_update(spark, sf_dir: str) -> str:
+    """Delta table carried through MERGE-ON-READ DML (sources/
+    delta.py delta_update_dv + delta_delete_dv): v0 writes
+    documents, v1 dv-UPDATES ids ≡0 (mod 9) — old rows masked by
+    deletion vectors, rewritten rows appended, base files untouched
+    — and v2 dv-DELETES ids ≡1 (mod 7), unioning bitmaps on files
+    the update already masked. Cached per sf_dir."""
+    import os
+
+    from lwes_contrib_hive_serde_spark.sources import delta as D
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        tag = f"{tag}-{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        pass
+    out = f"/tmp/delta_table_cache/v1/{tag}/documents_dv_update"
+    done = os.path.join(out, "_delta_log", f"{2:020d}.json")
+    if not os.path.exists(done):
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        D.write_delta(
+            docs.repartitionByRange(5, "doc_id")
+            .sortWithinPartitions("doc_id"),
+            out,
+        )
+        ids_u = [
+            r[0]
+            for r in docs.select("doc_id").where("doc_id % 9 = 0").collect()
+        ]
+        if ids_u:
+            D.delta_update_dv(
+                spark, out, [("doc_id", "in", ids_u)],
+                {"text": "upper(text)", "n_chars": "n_chars + 1000000"},
+            )
+        ids_d = [
+            r[0]
+            for r in docs.select("doc_id").where("doc_id % 7 = 1").collect()
+        ]
+        if ids_d:
+            D.delta_delete_dv(spark, out, [("doc_id", "in", ids_d)])
+    return out
+
+
+@register(
+    "q_delta_dv_update",
+    shadow=True,
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN doc_id % 9 = 0
+                         THEN n_chars + 1000000 ELSE n_chars END)
+                AS BIGINT) AS sum_chars,
+           CAST(SUM(length(CASE WHEN doc_id % 9 = 0
+                                THEN upper(text) ELSE text END))
+                AS BIGINT) AS sum_text_len,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents WHERE doc_id % 7 != 1
+    GROUP BY lang
+    """,
+    doc="Delta MERGE-ON-READ UPDATE composed with DV delete "
+    "(sources/delta.py delta_update_dv — the modern writer's "
+    "UPDATE: matched rows deletion-vector-masked in place, "
+    "rewritten rows appended, base files never rewritten — then "
+    "delta_delete_dv over the SAME files, unioning bitmaps with "
+    "the update's masks and masking some of the update's appended "
+    "rows too). The DuckDB oracle recomputes the final state from "
+    "the original parquet (CASE applies the update, WHERE applies "
+    "the delete), so one hash gates mask-before-predicate "
+    "semantics, bitmap union across DML verbs, update-row "
+    "re-emission, and the read path's anti-join over all of it.",
+)
+def q_delta_dv_update(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.sources import delta as D
+
+    out = _documents_delta_dv_update(spark, sf_dir)
+    return D.read_delta(spark, out).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

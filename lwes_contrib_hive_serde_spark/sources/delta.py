@@ -99,10 +99,51 @@ def _checkpoint_file(path: str, version: int) -> str:
     return os.path.join(_log_path(path), f"{version:020d}.checkpoint.parquet")
 
 
+_MULTIPART_CP_RE = None  # compiled lazily (module import stays cheap)
+
+
+def _multipart_cp_files(path: str, version: int) -> list[str] | None:
+    """The complete, ordered part list of a multi-part checkpoint at
+    ``version`` (``NNN.checkpoint.<k>.<n>.parquet``), or None if no
+    complete set exists."""
+    import re
+
+    global _MULTIPART_CP_RE
+    if _MULTIPART_CP_RE is None:
+        _MULTIPART_CP_RE = re.compile(
+            r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$"
+        )
+    d = _log_path(path)
+    parts: dict[int, str] = {}
+    total = None
+    try:
+        names = os.listdir(d)
+    except FileNotFoundError:
+        return None
+    for n in names:
+        m = _MULTIPART_CP_RE.match(n)
+        if m is None or int(m.group(1)) != version:
+            continue
+        k, tot = int(m.group(2)), int(m.group(3))
+        if total is None:
+            total = tot
+        elif total != tot:
+            return None  # inconsistent part counts: treat as absent
+        parts[k] = os.path.join(d, n)
+    if total is None or len(parts) != total:
+        return None
+    return [parts[k] for k in range(1, total + 1)]
+
+
 def _list_log(path: str) -> tuple[list[int], list[int]]:
-    """Return (sorted commit versions, sorted checkpoint versions)."""
+    """Return (sorted commit versions, sorted checkpoint versions).
+    A multi-part checkpoint (``NNN.checkpoint.<k-of-n>.parquet``)
+    counts only when EVERY part is present — a torn set is treated
+    as absent, so replay falls back to the commit walk rather than
+    reconstructing partial state."""
     d = _log_path(path)
     commits, checkpoints = [], []
+    multi: set[int] = set()
     try:
         names = os.listdir(d)
     except FileNotFoundError:
@@ -112,6 +153,15 @@ def _list_log(path: str) -> tuple[list[int], list[int]]:
             commits.append(int(n[:20]))
         elif n.endswith(".checkpoint.parquet") and n[:20].isdigit():
             checkpoints.append(int(n[:20]))
+        elif (
+            n.endswith(".parquet")
+            and ".checkpoint." in n
+            and n[:20].isdigit()
+        ):
+            multi.add(int(n[:20]))
+    for v in multi:
+        if v not in checkpoints and _multipart_cp_files(path, v):
+            checkpoints.append(v)
     return sorted(commits), sorted(checkpoints)
 
 
@@ -198,20 +248,28 @@ def _replay(path: str, version: int | None = None) -> _State:
 
 
 def _load_checkpoint(path: str, version: int, state: _State) -> None:
-    """Load a classic single-part parquet checkpoint into state.
-    Multi-part (``parts`` in _last_checkpoint) and v2 checkpoints
-    are refused — we never write them, and guessing at sidecar
-    layouts we don't implement would violate the honesty contract."""
+    """Load a classic parquet checkpoint into state — single-part
+    or multi-part (every part required; action reconciliation is
+    order-insensitive across parts because a checkpoint holds one
+    reconciled action per object). v2 checkpoints (sidecar files
+    named from a JSON manifest) are refused — guessing at a layout
+    we don't implement would violate the honesty contract."""
     import pyarrow.parquet as pq
 
     cp = _checkpoint_file(path, version)
-    if not os.path.exists(cp):
-        raise DeltaError(
-            f"checkpoint {version} listed but single-part file missing "
-            "(multi-part/v2 checkpoints are not supported)"
-        )
-    tbl = pq.read_table(cp)
-    rows = tbl.to_pylist()
+    if os.path.exists(cp):
+        part_files = [cp]
+    else:
+        part_files = _multipart_cp_files(path, version)
+        if not part_files:
+            raise DeltaError(
+                f"checkpoint {version} listed but neither a "
+                "single-part file nor a complete multi-part set "
+                "exists (v2 checkpoints are not supported)"
+            )
+    rows = []
+    for pf in part_files:
+        rows.extend(pq.read_table(pf).to_pylist())
 
     def _as_dict(v):
         # arrow map columns round-trip to python as list-of-pairs;
@@ -2840,3 +2898,261 @@ def delta_rename_column(
             f.write(payload)
         return state.version + 1
     raise DeltaError("rename could not commit (sustained contention)")
+
+
+def delta_update_dv(
+    spark: SparkSession,
+    path: str,
+    where: list[tuple],
+    set_exprs: dict[str, str],
+    max_commit_attempts: int = 10,
+) -> dict:
+    """Merge-on-read UPDATE — delta_delete_dv's sibling and the
+    modern writer's UPDATE shape: matched rows are deletion-vector-
+    masked in their base files and re-appended with ``set_exprs``
+    applied, all in ONE commit. Against copy-on-write delta_update
+    the write amplification drops from every-touched-file to
+    kilobytes of bitmap + only-the-updated-rows of new parquet —
+    at 100 TB that is the difference between rewriting terabytes
+    and appending megabytes. Files already carrying DVs union
+    (already-deleted rows can NEVER match — they are masked before
+    the predicate runs). Same grammar as delta_update; partition
+    columns cannot be assigned. Returns {"rows_updated",
+    "files_with_dvs", "files_removed", "version"}."""
+    from . import delta_dv
+
+    import shutil
+
+    state = _replay(path)
+    _check_readable(state)
+    _refuse_column_mapping(state, "delta_update_dv")
+    part_cols = _partition_columns(state)
+    full_schema = _schema(state)
+    types = {f.name: f.dataType for f in full_schema.fields}
+    for c in set_exprs:
+        if c in part_cols:
+            raise DeltaError(
+                f"cannot assign partition column {c!r} (rows would "
+                "change partitions); delete + append instead"
+            )
+        if c not in types:
+            raise DeltaError(f"assignment column {c!r} not in schema")
+    data_schema = StructType(
+        [f for f in full_schema.fields if f.name not in part_cols]
+    )
+    part_preds = [(c, o, v) for c, o, v in where if c in part_cols]
+    data_preds = [(c, o, v) for c, o, v in where if c not in part_cols]
+    for c, o, _v in where:
+        if c not in types:
+            raise DeltaError(f"update predicate column {c!r} not in schema")
+        if o not in ("=", "!=", "<", "<=", ">", ">=", "in",
+                     "isnull", "isnotnull"):
+            raise DeltaError(f"unsupported update op {o!r}")
+    candidates = _prune(
+        list(state.adds.values()), part_preds or None, part_cols, types
+    )
+    if data_preds:
+        kept = []
+        for a in candidates:
+            st = a.get("stats")
+            try:
+                stats = json.loads(st) if st else {}
+            except (TypeError, ValueError):
+                stats = {}
+            if all(
+                _file_may_match(stats, c, o, v) for c, o, v in data_preds
+            ):
+                kept.append(a)
+        candidates = kept
+    if not candidates:
+        return {"rows_updated": 0, "files_with_dvs": 0,
+                "files_removed": 0, "version": None}
+
+    def match_expr(pv: dict):
+        cond = F.lit(True)
+        for c, o, v in where:
+            col = (
+                F.lit(_cast_partition_value(pv.get(c), types[c])).cast(
+                    types[c]
+                )
+                if c in part_cols
+                else F.col(c)
+            )
+            if o == "=":
+                cond = cond & (col == v)
+            elif o == "!=":
+                cond = cond & (col != v)
+            elif o == "<":
+                cond = cond & (col < v)
+            elif o == "<=":
+                cond = cond & (col <= v)
+            elif o == ">":
+                cond = cond & (col > v)
+            elif o == ">=":
+                cond = cond & (col >= v)
+            elif o == "in":
+                cond = cond & col.isin(list(v))
+            elif o == "isnull":
+                cond = cond & col.isNull()
+            elif o == "isnotnull":
+                cond = cond & col.isNotNull()
+        return cond
+
+    now_ms = int(time.time() * 1000)
+    removes: list[dict] = []
+    new_adds: list[dict] = []
+    dv_payloads: list[tuple[dict, list]] = []
+    rows_updated = 0
+    files_removed = 0
+    for a in candidates:
+        fp = _file_abspath(path, a["path"])
+        pv = a.get("partitionValues") or {}
+        old_desc = a.get("deletionVector")
+        existing = (
+            set(delta_dv.dv_read_positions(path, old_desc).tolist())
+            if old_desc
+            else set()
+        )
+        df = spark.read.schema(data_schema).parquet(fp).withColumn(
+            "__pos", F.col("_metadata.row_index")
+        )
+        if existing:
+            # mask already-deleted rows BEFORE the predicate: a DV'd
+            # row must never resurrect as an "updated" row
+            df = df.filter(~F.col("__pos").isin([int(x) for x in existing]))
+        hit = df.filter(match_expr(pv))
+        positions = [int(r["__pos"]) for r in hit.select("__pos").collect()]
+        if not positions:
+            continue
+        rows_updated += len(positions)
+        updated = hit
+        for c in part_cols:
+            updated = updated.withColumn(
+                c,
+                F.lit(_cast_partition_value(pv.get(c), types[c])).cast(
+                    types[c]
+                ),
+            )
+        for c, expr in set_exprs.items():
+            updated = updated.withColumn(c, F.expr(expr).cast(types[c]))
+        updated = updated.select(*[f.name for f in data_schema.fields])
+        staging = os.path.join(path, f".updatedv-{uuid.uuid4().hex}")
+        updated.coalesce(1).write.mode("overwrite").parquet(staging)
+        for na in _publish_parquet_dir(
+            staging, os.path.dirname(fp), path, pv
+        ):
+            na["dataChange"] = True
+            new_adds.append(na)
+        shutil.rmtree(staging, ignore_errors=True)
+        merged = existing | set(positions)
+        st = a.get("stats")
+        try:
+            n_phys = json.loads(st).get("numRecords") if st else None
+        except (TypeError, ValueError):
+            n_phys = None
+        removes.append(a)
+        if n_phys is not None and len(merged) >= int(n_phys):
+            files_removed += 1
+        else:
+            dv_payloads.append((a, sorted(merged)))
+
+    if rows_updated == 0:
+        return {"rows_updated": 0, "files_with_dvs": 0,
+                "files_removed": 0, "version": None}
+
+    masked_adds: list[dict] = []
+    if dv_payloads:
+        descriptors = delta_dv.dv_write_file(
+            path, [pos for _a, pos in dv_payloads]
+        )
+        for (a, _pos), desc in zip(dv_payloads, descriptors):
+            na = dict(a)
+            na["deletionVector"] = desc
+            na["dataChange"] = True
+            st = na.get("stats")
+            try:
+                stats = json.loads(st) if st else {}
+            except (TypeError, ValueError):
+                stats = {}
+            if stats:
+                stats["tightBounds"] = False
+                na["stats"] = json.dumps(stats)
+            masked_adds.append(na)
+
+    touched_paths = {r["path"] for r in removes}
+    for _ in range(max_commit_attempts):
+        current = _replay(path)
+        if not touched_paths <= set(current.adds) or any(
+            (current.adds[rp].get("deletionVector") or None)
+            != (state.adds[rp].get("deletionVector") or None)
+            for rp in touched_paths
+        ):
+            for na in new_adds:
+                try:
+                    os.remove(_file_abspath(path, na["path"]))
+                except OSError:
+                    pass
+            raise DeltaError(
+                "dv-update lost a race against another commit; "
+                "aborted cleanly (re-run to retry)"
+            )
+        version = current.version + 1
+        proto = dict(current.protocol or {})
+        need_upgrade = not (
+            int(proto.get("minReaderVersion", 1)) >= 3
+            and "deletionVectors" in (proto.get("readerFeatures") or [])
+        )
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "UPDATE",
+                    "operationParameters": {"mode": "deletion-vectors"},
+                }
+            }
+        ]
+        if need_upgrade:
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": sorted(
+                            set(proto.get("readerFeatures") or [])
+                            | {"deletionVectors"}
+                        ),
+                        "writerFeatures": sorted(
+                            set(proto.get("writerFeatures") or [])
+                            | {"deletionVectors"}
+                        ),
+                    }
+                }
+            )
+        for r in removes:
+            rm = {
+                "path": r["path"],
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+                "partitionValues": r.get("partitionValues") or {},
+                "size": r.get("size"),
+            }
+            if r.get("deletionVector"):
+                rm["deletionVector"] = r["deletionVector"]
+            actions.append({"remove": rm})
+        actions.extend({"add": a} for a in masked_adds)
+        actions.extend({"add": a} for a in new_adds)
+        payload = "".join(json.dumps(x) + "\n" for x in actions).encode()
+        target = _commit_file(path, version)
+        try:
+            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+        return {
+            "rows_updated": rows_updated,
+            "files_with_dvs": len(masked_adds),
+            "files_removed": files_removed,
+            "version": version,
+        }
+    raise DeltaError("dv-update could not commit (sustained contention)")

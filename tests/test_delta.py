@@ -1221,3 +1221,52 @@ class TestColumnMapping:
         got = D.read_delta(spark, p)
         assert got.columns == ["doc_id", "text", "lang"]
         assert _read_rows(spark, p) == _expected(_docs(spark))
+
+
+class TestMultiPartCheckpoint:
+    def test_multipart_checkpoint_replays(self, spark, tmp_path):
+        """Foreign writers split big checkpoints into
+        NNN.checkpoint.<k>.<n>.parquet parts; replay must use a
+        COMPLETE set (all parts), and treat a torn set as absent."""
+        import pyarrow.parquet as pq
+
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark).where("doc_id < 10"), p)
+        D.write_delta(_docs(spark).where("doc_id >= 10"), p, mode="append")
+        v = D.write_checkpoint(spark, p)
+        # split the single-part checkpoint into two parts by row
+        cp = D._checkpoint_file(p, v)
+        tbl = pq.read_table(cp)
+        half = tbl.num_rows // 2
+        d = D._log_path(p)
+        pq.write_table(
+            tbl.slice(0, half),
+            os.path.join(d, f"{v:020d}.checkpoint.{1:010d}.{2:010d}.parquet"),
+        )
+        pq.write_table(
+            tbl.slice(half),
+            os.path.join(d, f"{v:020d}.checkpoint.{2:010d}.{2:010d}.parquet"),
+        )
+        os.remove(cp)
+        # pre-checkpoint commits cleaned: replay MUST go through parts
+        for vv in range(v + 1):
+            os.remove(D._commit_file(p, vv))
+        assert _read_rows(spark, p) == _expected(_docs(spark))
+
+    def test_torn_multipart_set_is_ignored(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark), p)
+        v = D.write_checkpoint(spark, p)
+        cp = D._checkpoint_file(p, v)
+        tbl = pq.read_table(cp)
+        d = D._log_path(p)
+        # only part 1 of 2 exists
+        pq.write_table(
+            tbl,
+            os.path.join(d, f"{v:020d}.checkpoint.{1:010d}.{2:010d}.parquet"),
+        )
+        os.remove(cp)
+        # commits still present: replay falls back to the commit walk
+        assert _read_rows(spark, p) == _expected(_docs(spark))

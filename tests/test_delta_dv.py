@@ -462,3 +462,79 @@ class TestStreamMappedRefusal:
         with pytest.raises(Exception, match="column-mapped"):
             q.processAllAvailable()
         q.stop()
+
+
+class TestUpdateWithDvs:
+    def test_update_masks_and_appends(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 100).repartition(3), p)
+        res = D.delta_update_dv(
+            spark, p, [("doc_id", "<", 30)],
+            {"text": "upper(text)", "bucket": "bucket + 100"},
+        )
+        assert res["rows_updated"] == 30
+        assert res["files_with_dvs"] >= 1
+        got = {r.doc_id: (r.text, r.bucket)
+               for r in D.read_delta(spark, p).collect()}
+        assert len(got) == 100
+        for i in range(100):
+            t, b = got[i]
+            if i < 30:
+                assert t == f"TEXT-{i}" and b == (i % 7) + 100
+            else:
+                assert t == f"text-{i}" and b == i % 7
+        # base files untouched: physical rows unchanged, masked by DVs
+        files = D.delta_files(spark, p).collect()
+        assert sum(r.num_deleted for r in files) == 30
+        assert D.delta_count(spark, p) == 100
+
+    def test_update_on_dvd_rows_never_resurrects(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 50).coalesce(1), p)
+        D.delta_delete_dv(spark, p, [("doc_id", "<", 10)])
+        # predicate overlaps deleted rows; only live ones update
+        res = D.delta_update_dv(
+            spark, p, [("doc_id", "<", 20)], {"text": "'U'"}
+        )
+        assert res["rows_updated"] == 10  # 10..19 only
+        got = sorted(r.doc_id for r in D.read_delta(spark, p).collect())
+        assert got == list(range(10, 50))
+        u = D.read_delta(spark, p).filter("text = 'U'").count()
+        assert u == 10
+
+    def test_full_coverage_removes_file(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 20).coalesce(1), p)
+        res = D.delta_update_dv(
+            spark, p, [("doc_id", ">=", 0)], {"text": "'X'"}
+        )
+        assert res["files_removed"] == 1
+        assert res["files_with_dvs"] == 0
+        df = D.read_delta(spark, p)
+        assert df.count() == 20
+        assert df.filter("text = 'X'").count() == 20
+
+    def test_partitioned_update_stays_in_partition(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 70), p, partition_by=["bucket"])
+        res = D.delta_update_dv(
+            spark, p, [("bucket", "=", 2), ("doc_id", "<", 30)],
+            {"text": "concat(text, '-b', cast(bucket as string))"},
+        )
+        want_ids = [i for i in range(30) if i % 7 == 2]
+        assert res["rows_updated"] == len(want_ids)
+        df = D.read_delta(spark, p)
+        assert df.count() == 70
+        upd = {r.doc_id for r in df.filter("text like '%-b2'").collect()}
+        assert upd == set(want_ids)
+
+    def test_compact_purges_after_dv_update(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 40).repartition(2), p)
+        D.delta_update_dv(spark, p, [("doc_id", "<", 15)], {"text": "'Z'"})
+        D.delta_compact(spark, p)
+        state = D._replay(p)
+        assert not any(a.get("deletionVector") for a in state.adds.values())
+        df = D.read_delta(spark, p)
+        assert df.count() == 40
+        assert df.filter("text = 'Z'").count() == 15
