@@ -9584,3 +9584,66 @@ def q_delta_dv_update(spark, sf_dir):
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+@register(
+    "q_delta_cdf",
+    shadow=True,
+    oracle="""
+    WITH ins AS (
+      SELECT 'insert' AS _change_type, lang, doc_id, text, n_chars
+      FROM documents
+    ), pre AS (
+      SELECT 'update_preimage' AS _change_type, lang, doc_id, text,
+             n_chars
+      FROM documents WHERE doc_id % 9 = 0
+    ), post AS (
+      SELECT 'update_postimage' AS _change_type, lang, doc_id,
+             upper(text) AS text, n_chars + 1000000 AS n_chars
+      FROM documents WHERE doc_id % 9 = 0
+    ), del AS (
+      SELECT 'delete' AS _change_type, lang, doc_id,
+             CASE WHEN doc_id % 9 = 0 THEN upper(text) ELSE text END
+               AS text,
+             CASE WHEN doc_id % 9 = 0 THEN n_chars + 1000000
+                  ELSE n_chars END AS n_chars
+      FROM documents WHERE doc_id % 7 = 1
+    ), feed AS (
+      SELECT * FROM ins UNION ALL SELECT * FROM pre
+      UNION ALL SELECT * FROM post UNION ALL SELECT * FROM del
+    )
+    SELECT _change_type, lang,
+           COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM feed GROUP BY _change_type, lang
+    """,
+    doc="Delta CHANGE DATA FEED derived from log actions "
+    "(sources/delta.py delta_table_changes — the incremental-"
+    "pipeline surface: inserts/deletes/update pre+post images with "
+    "_commit_version/_commit_timestamp, derived exactly as "
+    "delta-spark does when no _change_data files exist). Over the "
+    "merge-on-read fixture (v0 append, v1 dv-UPDATE ids ≡0 mod 9, "
+    "v2 dv-DELETE ids ≡1 mod 7), the feed must contain every "
+    "original row as insert, the updated rows as preimage (original "
+    "values) AND postimage (transformed values), and the deleted "
+    "rows with the values they held WHEN DELETED — i.e. "
+    "post-update for rows both updated and deleted, which is "
+    "exactly what the oracle's CASE reconstructs. Only changed "
+    "files are read and only changed positions materialize "
+    "(row_index semi-joins): CDF cost scales with change volume, "
+    "not table size.",
+)
+def q_delta_cdf(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.sources import delta as D
+
+    out = _documents_delta_dv_update(spark, sf_dir)
+    ch = D.delta_table_changes(spark, out, 0)
+    return ch.groupBy("_change_type", "lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

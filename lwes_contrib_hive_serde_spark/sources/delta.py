@@ -3156,3 +3156,237 @@ def delta_update_dv(
             "version": version,
         }
     raise DeltaError("dv-update could not commit (sustained contention)")
+
+
+def _commit_actions(path: str, version: int) -> list[dict]:
+    out = []
+    with open(_commit_file(path, version), "rb") as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                out.append(json.loads(line))
+    return out
+
+
+def _rows_at_positions(
+    spark: SparkSession, table_path: str, file_abspath: str,
+    data_schema: StructType, positions,
+):
+    """The rows of one parquet file at the given physical positions
+    (semi-join on _metadata.row_index — the CDF row materializer)."""
+    import pandas as pd
+
+    df = spark.read.schema(data_schema).parquet(file_abspath).withColumn(
+        "__dv_pos", F.col("_metadata.row_index")
+    )
+    pos_df = spark.createDataFrame(
+        pd.DataFrame({"__dv_pos": sorted(int(p) for p in positions)}),
+        schema="__dv_pos long",
+    )
+    return df.join(F.broadcast(pos_df), "__dv_pos", "left_semi").drop(
+        "__dv_pos"
+    )
+
+
+def delta_table_changes(
+    spark: SparkSession,
+    path: str,
+    starting_version: int,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """Change Data Feed — the row-level diff between two versions,
+    DERIVED from the transaction log's actions (the same derivation
+    delta-spark uses when no ``_change_data`` files exist): the
+    incremental-pipeline surface that turns a Delta table into a
+    stream of inserts/deletes/updates without re-reading the whole
+    table. Returns the table's columns plus ``_change_type``
+    (insert / delete / update_preimage / update_postimage),
+    ``_commit_version``, and ``_commit_timestamp``.
+
+    Derivable commits (everything this module's writers emit):
+      - WRITE append           → added files' rows as insert
+      - WRITE overwrite        → prior snapshot's live rows as
+                                 delete + added files as insert
+      - DELETE (dv mode)       → newly-masked positions as delete
+      - UPDATE (dv mode)       → newly-masked positions as
+                                 update_preimage + appended files
+                                 as update_postimage
+      - OPTIMIZE / metadata    → no logical changes, skipped
+    Copy-on-write DELETE/UPDATE/MERGE and RESTORE rewrite files, so
+    their per-row diff is NOT derivable from actions alone — those
+    commits refuse by operation name rather than emitting a wrong
+    feed (the honesty contract; real CDF needs cdc files there).
+
+    Scale shape: only CHANGED files are ever read, and only changed
+    positions come back (semi-joins on ``_metadata.row_index``) —
+    the cost of a CDF read is proportional to the change volume,
+    never the table."""
+    from . import delta_dv
+
+    commits, _cps = _list_log(path)
+    if ending_version is None:
+        ending_version = max(commits) if commits else -1
+    if starting_version > ending_version:
+        raise DeltaError(
+            f"starting_version {starting_version} > ending_version "
+            f"{ending_version}"
+        )
+    state = _replay(path, ending_version)
+    _check_readable(state)
+    _refuse_column_mapping(state, "delta_table_changes")
+    full_schema = _schema(state)
+    part_cols = _partition_columns(state)
+    types = {f.name: f.dataType for f in full_schema.fields}
+    data_schema = StructType(
+        [f for f in full_schema.fields if f.name not in part_cols]
+    )
+
+    def attach_parts(df: DataFrame, pv: dict) -> DataFrame:
+        for c in part_cols:
+            df = df.withColumn(
+                c,
+                F.lit(_cast_partition_value(pv.get(c), types[c])).cast(
+                    types[c]
+                ),
+            )
+        return df.select(*[f.name for f in full_schema.fields])
+
+    def tag(df, ctype, v, ts):
+        return df.select(
+            "*",
+            F.lit(ctype).alias("_change_type"),
+            F.lit(v).cast("long").alias("_commit_version"),
+            F.lit(ts).cast("long").alias("_commit_timestamp"),
+        )
+
+    pieces: list[DataFrame] = []
+    prior: _State | None = None
+    for v in commits:
+        if v < starting_version or v > ending_version:
+            continue
+        actions = _commit_actions(path, v)
+        ci = next(
+            (a["commitInfo"] for a in actions if "commitInfo" in a), {}
+        )
+        op = (ci.get("operation") or "").upper()
+        params = ci.get("operationParameters") or {}
+        ts = int(ci.get("timestamp") or 0)
+        adds = [a["add"] for a in actions if "add" in a]
+        removes = [a["remove"] for a in actions if "remove" in a]
+        dc_adds = [a for a in adds if a.get("dataChange", True)]
+        dc_removes = [r for r in removes if r.get("dataChange", True)]
+        if not dc_adds and not dc_removes:
+            continue  # OPTIMIZE / metadata-only / protocol commits
+
+        def file_rows(add_dict):
+            fp = _file_abspath(path, add_dict["path"])
+            df = spark.read.schema(data_schema).parquet(fp)
+            desc = add_dict.get("deletionVector")
+            if desc:
+                dv_deleted, dv_total = _decode_deleted_pairs(
+                    spark, path, [(add_dict, fp)]
+                )
+                if dv_deleted is not None:
+                    df = _anti_join_deleted(df, dv_deleted, dv_total)
+            return attach_parts(df, add_dict.get("partitionValues") or {})
+
+        dv_mode = params.get("mode") == "deletion-vectors"
+        if not dc_removes:
+            # adds-only data change = pure insert, whatever the
+            # operation label (append, insert-only merge, ...)
+            for a in dc_adds:
+                pieces.append(tag(file_rows(a), "insert", v, ts))
+        elif op == "WRITE":
+            for r in dc_removes:
+                # overwrite: the prior snapshot's live rows die
+                if prior is None:
+                    prior = _replay(path, v - 1) if v > 0 else _State()
+                old = prior.adds.get(r["path"])
+                if old is None:
+                    raise DeltaError(
+                        f"version {v}: removed file {r['path']} not "
+                        "live at the prior version — cannot derive CDF"
+                    )
+                pieces.append(tag(file_rows(old), "delete", v, ts))
+            for a in dc_adds:
+                pieces.append(tag(file_rows(a), "insert", v, ts))
+        elif op in ("DELETE", "UPDATE") and dv_mode:
+            pre_type = "delete" if op == "DELETE" else "update_preimage"
+            for r in dc_removes:
+                fp = _file_abspath(path, r["path"])
+                old_desc = r.get("deletionVector")
+                old_pos = (
+                    set(delta_dv.dv_read_positions(path, old_desc).tolist())
+                    if old_desc
+                    else set()
+                )
+                new_add = next(
+                    (a for a in dc_adds if a["path"] == r["path"]), None
+                )
+                if new_add is not None:
+                    new_pos = set(
+                        delta_dv.dv_read_positions(
+                            path, new_add["deletionVector"]
+                        ).tolist()
+                    )
+                    newly = new_pos - old_pos
+                else:
+                    # full-coverage removal: every still-live row
+                    # died — read the file, anti-join the OLD dv
+                    df = spark.read.schema(data_schema).parquet(fp)
+                    if old_pos:
+                        import pandas as pd
+
+                        old_df = spark.createDataFrame(
+                            pd.DataFrame(
+                                {
+                                    "__dv_file": fp,
+                                    "__dv_pos": sorted(old_pos),
+                                }
+                            ),
+                            schema="__dv_file string, __dv_pos long",
+                        )
+                        df = _anti_join_deleted(df, old_df, len(old_pos))
+                    pv = r.get("partitionValues") or {}
+                    pieces.append(
+                        tag(attach_parts(df, pv), pre_type, v, ts)
+                    )
+                    continue
+                if newly:
+                    rows = _rows_at_positions(
+                        spark, path, fp, data_schema, newly
+                    )
+                    pv = r.get("partitionValues") or {}
+                    pieces.append(
+                        tag(attach_parts(rows, pv), pre_type, v, ts)
+                    )
+            if op == "UPDATE":
+                for a in dc_adds:
+                    if a["path"] in {r["path"] for r in dc_removes}:
+                        continue  # the DV-masked re-add, not new rows
+                    pieces.append(
+                        tag(file_rows(a), "update_postimage", v, ts)
+                    )
+        else:
+            raise DeltaError(
+                f"version {v}: operation {op or 'unknown'!r} rewrites "
+                "files, so its row-level diff is not derivable from "
+                "log actions alone — CDF refuses rather than emitting "
+                "a wrong feed"
+            )
+        prior = None  # prior snapshot is per-version; recompute lazily
+
+    if not pieces:
+        empty = StructType(
+            list(full_schema.fields)
+            + [
+                StructField("_change_type", StringType(), False),
+                StructField("_commit_version", LongType(), False),
+                StructField("_commit_timestamp", LongType(), False),
+            ]
+        )
+        return spark.createDataFrame([], empty)
+    out = pieces[0]
+    for p_ in pieces[1:]:
+        out = out.unionByName(p_)
+    return out

@@ -538,3 +538,78 @@ class TestUpdateWithDvs:
         df = D.read_delta(spark, p)
         assert df.count() == 40
         assert df.filter("text = 'Z'").count() == 15
+
+
+class TestTableChanges:
+    """Change Data Feed derived from log actions
+    (delta_table_changes). Value gate: shadow q_delta_cdf."""
+
+    def test_insert_delete_update_feed(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 30).coalesce(1), p)         # v0
+        D.delta_delete_dv(spark, p, [("doc_id", "<", 5)])      # v1
+        D.delta_update_dv(
+            spark, p, [("doc_id", "in", [10, 11])], {"text": "'U'"}
+        )                                                      # v2
+        ch = D.delta_table_changes(spark, p, 0)
+        agg = {
+            (r["_commit_version"], r["_change_type"]): r["count"]
+            for r in ch.groupBy("_commit_version", "_change_type")
+            .count().collect()
+        }
+        assert agg == {
+            (0, "insert"): 30,
+            (1, "delete"): 5,
+            (2, "update_preimage"): 2,
+            (2, "update_postimage"): 2,
+        }
+        post = sorted(
+            (r.doc_id, r.text)
+            for r in ch.filter(
+                "_change_type = 'update_postimage'"
+            ).collect()
+        )
+        assert post == [(10, "U"), (11, "U")]
+        pre = sorted(
+            r.doc_id
+            for r in ch.filter("_change_type = 'update_preimage'").collect()
+        )
+        assert pre == [10, 11]
+
+    def test_version_range_bounds(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 10).coalesce(1), p)
+        D.delta_delete_dv(spark, p, [("doc_id", "=", 0)])
+        assert D.delta_table_changes(spark, p, 1).count() == 1
+        assert D.delta_table_changes(spark, p, 0, 0).count() == 10
+        with pytest.raises(D.DeltaError, match="starting_version"):
+            D.delta_table_changes(spark, p, 5, 1)
+
+    def test_overwrite_derives_delete_plus_insert(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 20).coalesce(1), p)
+        D.delta_delete_dv(spark, p, [("doc_id", "<", 4)])
+        D.write_delta(_docs(spark, 3), p, mode="overwrite")
+        ch = D.delta_table_changes(spark, p, 2)
+        agg = {
+            r["_change_type"]: r["count"]
+            for r in ch.groupBy("_change_type").count().collect()
+        }
+        # 16 live rows die (DV applied to the preimage), 3 arrive
+        assert agg == {"delete": 16, "insert": 3}
+
+    def test_optimize_is_invisible(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 20).repartition(3), p)
+        D.delta_compact(spark, p, target_file_bytes=1 << 30)
+        ch = D.delta_table_changes(spark, p, 1)
+        assert ch.count() == 0
+
+    def test_copy_on_write_dml_refuses(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 20).coalesce(1), p)
+        D.delta_delete(spark, p, [("doc_id", "=", 3)])  # copy-on-write
+        with pytest.raises(D.DeltaError, match="not derivable"):
+            D.delta_table_changes(spark, p, 1)
+        # but the insert-only prefix still reads
+        assert D.delta_table_changes(spark, p, 0, 0).count() == 20
