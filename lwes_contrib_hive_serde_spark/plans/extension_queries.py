@@ -9647,3 +9647,95 @@ def q_delta_cdf(spark, sf_dir):
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+def _documents_iceberg_eq_deleted(spark, sf_dir: str) -> str:
+    """Iceberg v2 table with EQUALITY DELETES and a post-delete
+    append (sources/iceberg.py add_iceberg_equality_deletes):
+    snapshot 1 appends all documents (sequence 1), snapshot 2
+    commits an equality delete on doc_id for ids ≡2 (mod 5)
+    (sequence 2), snapshot 3 RE-APPENDS a 'REBORN:' variant of the
+    deleted ids that are also ≡0 (mod 3) (sequence 3) — those rows
+    carry keys the delete names, but their sequence number is
+    LARGER, so the spec says they survive. Cached per sf_dir."""
+    import os
+
+    from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        tag = f"{tag}-{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        pass
+    out = f"/tmp/iceberg_table_cache/v1/{tag}/documents_eq_deleted"
+    done = os.path.join(out, "_FIXTURE_DONE")
+    if not os.path.exists(done):
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        I.write_iceberg_table(
+            docs.repartitionByRange(4, "doc_id")
+            .sortWithinPartitions("doc_id"),
+            out,
+        )
+        ids = [
+            r[0]
+            for r in docs.select("doc_id").where("doc_id % 5 = 2").collect()
+        ]
+        if ids:
+            I.add_iceberg_equality_deletes(
+                out, [{"doc_id": i} for i in ids], ["doc_id"]
+            )
+        reborn = docs.where("doc_id % 5 = 2 AND doc_id % 3 = 0").withColumn(
+            "text", F.concat(F.lit("REBORN:"), F.col("text"))
+        )
+        if reborn.count():
+            I.write_iceberg_table(reborn, out)
+        open(done, "w").close()
+    return out
+
+
+@register(
+    "q_iceberg_eq_deletes",
+    shadow=True,
+    oracle="""
+    WITH survivors AS (
+      SELECT doc_id, text, lang, n_chars
+      FROM documents WHERE doc_id % 5 != 2
+      UNION ALL
+      SELECT doc_id, 'REBORN:' || text AS text, lang, n_chars
+      FROM documents WHERE doc_id % 5 = 2 AND doc_id % 3 = 0
+    )
+    SELECT lang,
+           COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM survivors GROUP BY lang
+    """,
+    doc="Iceberg v2 EQUALITY DELETES with sequence-number scoping "
+    "(sources/iceberg.py _apply_equality_deletes — spec 'Equality "
+    "Delete Files': a data row dies when it value-matches any "
+    "delete row on the equality_ids columns AND its file's "
+    "sequence number is strictly smaller than the delete's). The "
+    "fixture equality-deletes ids ≡2 (mod 5), then RE-APPENDS a "
+    "REBORN: variant of a subset of exactly those keys at a later "
+    "sequence — the spec's streaming-upsert (Flink CDC) shape, "
+    "where naive unscoped application would wrongly kill the "
+    "re-appended rows. Applied as one broadcast anti-join with the "
+    "seq inequality as an extra conjunct; per-row sequence numbers "
+    "attach via one broadcast manifest join. The DuckDB oracle "
+    "recomputes survivors from the original parquet.",
+)
+def q_iceberg_eq_deletes(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+    out = _documents_iceberg_eq_deleted(spark, sf_dir)
+    return I.read_iceberg(spark, out).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

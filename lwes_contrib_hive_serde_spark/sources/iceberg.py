@@ -24,12 +24,15 @@ Iceberg differs from Delta in the ways that matter here:
     content=1 delete manifest — are APPLIED (round 9): the pairs
     anti-join the scan on ``_metadata.row_index``, the same
     mechanism as Delta deletion vectors. EQUALITY deletes
-    (content=2) remain a typed refusal: applying them needs
-    equality-join semantics this reader does not implement, and
-    skipping them would resurrect rows.
+    (content=2) are ALSO applied (round 9): value-matching
+    broadcast anti-joins on the delete file's equality_ids
+    columns, scoped by sequence number — a data file committed at
+    or after the delete is untouched, which is what makes
+    streaming-upsert (Flink CDC) tables read correctly.
 
-Honesty contract: unsupported format versions (>2), equality
-deletes, and non-parquet data file formats are refusals by name. Column
+Honesty contract: unsupported format versions (>2), malformed
+delete metadata, and non-parquet data file formats are refusals by
+name. Column
 renames via field-ids are not resolved (we match parquet columns by
 name, the pre-evolution contract); the reader checks the first data
 file's parquet schema against the expected names and refuses on a
@@ -53,6 +56,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     BooleanType,
@@ -298,16 +302,21 @@ def _pick_snapshot(meta: dict, snapshot_id=None, timestamp_ms=None) -> dict:
     return _pick_snapshot(meta, snapshot_id=cur)
 
 
-def _live_files(table_path: str, snap: dict) -> tuple[list[dict], list[dict]]:
+def _live_files(
+    table_path: str, snap: dict
+) -> tuple[list[dict], list[dict], list[dict]]:
     """Walk manifest list → manifests → live file entries. Returns
-    (data_files, position_delete_files), each a list of dicts with
-    file_path, record_count, file_size_in_bytes. Positional delete
-    files (v2 merge-on-read, spec "Position Delete Files": parquet
-    of (file_path, pos) naming deleted rows by physical position)
-    are ROUTED, not refused — read_iceberg applies them. EQUALITY
-    deletes (content=2) still refuse: applying them needs the
-    column-equality join semantics this reader does not implement,
-    and skipping them would resurrect rows."""
+    (data_files, position_delete_files, equality_delete_files),
+    each a list of dicts with file_path, record_count,
+    file_size_in_bytes — plus ``__seq`` (the file's data sequence
+    number: the entry's own when present, else inherited from the
+    manifest-list entry, else 0 for v1) and, on equality files,
+    ``equality_ids``. Positional deletes (spec "Position Delete
+    Files") apply by (file_path, pos); EQUALITY deletes (spec
+    "Equality Delete Files") apply by value equality on their
+    equality_ids columns against data files with STRICTLY SMALLER
+    sequence numbers — both are routed to read_iceberg, which
+    applies them."""
     if "manifest-list" in snap:
         # rows are mapped by the embedded writer schema's field NAMES
         # (not positions), so foreign writers' extra fields are fine
@@ -320,10 +329,12 @@ def _live_files(table_path: str, snap: dict) -> tuple[list[dict], list[dict]]:
         raise IcebergError("snapshot has neither manifest-list nor manifests")
 
     files: list[dict] = []
-    deletes: list[dict] = []
+    pos_deletes: list[dict] = []
+    eq_deletes: list[dict] = []
     for m in manifests:
         mpath = _strip_file_uri(m["manifest_path"])
         is_delete_manifest = m.get("content", 0) == 1
+        m_seq = m.get("sequence_number")
         for entry in _named_rows(mpath):
             status = entry.get("status", 1)
             if status == 2:  # DELETED entry
@@ -332,20 +343,25 @@ def _live_files(table_path: str, snap: dict) -> tuple[list[dict], list[dict]]:
             if df is None:
                 raise IcebergError(f"{mpath}: manifest entry without data_file")
             content = df.get("content", 0)
-            if content == 2:
-                raise IcebergError(
-                    "table has EQUALITY delete files; applying them "
-                    "needs equality-join semantics this reader does "
-                    "not implement — refusing rather than resurrecting "
-                    "rows"
-                )
             fmt = (df.get("file_format") or "").upper()
             if fmt != "PARQUET":
                 raise IcebergError(
                     f"data file format {fmt!r} not supported (PARQUET only)"
                 )
-            if content == 1 or (is_delete_manifest and content != 0):
-                deletes.append(df)
+            df = dict(df)
+            seq = entry.get("sequence_number")
+            df["__seq"] = int(
+                seq if seq is not None else (m_seq if m_seq is not None else 0)
+            )
+            if content == 2:
+                if not df.get("equality_ids"):
+                    raise IcebergError(
+                        f"{mpath}: equality delete file without "
+                        "equality_ids — refusing"
+                    )
+                eq_deletes.append(df)
+            elif content == 1 or (is_delete_manifest and content != 0):
+                pos_deletes.append(df)
             elif is_delete_manifest:
                 raise IcebergError(
                     f"{mpath}: delete manifest holds a content=0 "
@@ -353,7 +369,7 @@ def _live_files(table_path: str, snap: dict) -> tuple[list[dict], list[dict]]:
                 )
             else:
                 files.append(df)
-    return files, deletes
+    return files, pos_deletes, eq_deletes
 
 
 def _live_data_files(table_path: str, snap: dict) -> list[dict]:
@@ -361,11 +377,11 @@ def _live_data_files(table_path: str, snap: dict) -> list[dict]:
     snapshot carries delete files (callers that cannot apply
     them — the fixture writer's prior-manifest carry — must not
     silently drop deletes)."""
-    files, deletes = _live_files(table_path, snap)
-    if deletes:
+    files, pos_del, eq_del = _live_files(table_path, snap)
+    if pos_del or eq_del:
         raise IcebergError(
-            "snapshot carries positional delete files; this code "
-            "path cannot apply them"
+            "snapshot carries delete files; this code path cannot "
+            "apply them"
         )
     return files
 
@@ -476,7 +492,7 @@ def read_iceberg(
     meta = load_table_metadata(path)
     schema = _current_schema(meta)
     snap = _pick_snapshot(meta, snapshot_id, timestamp_ms)
-    files, delete_files = _live_files(path, snap)
+    files, delete_files, eq_delete_files = _live_files(path, snap)
     if data_filters:
         from lwes_contrib_hive_serde_spark.sources.delta import (
             _file_may_match,
@@ -582,7 +598,80 @@ def read_iceberg(
                     pairs, schema="__dv_file string, __dv_pos long"
                 )
                 df = _anti_join_deleted(df, deleted, len(pairs))
+    if eq_delete_files:
+        df = _apply_equality_deletes(
+            spark, meta, files, eq_delete_files, df
+        )
     return _apply_data_filters(df, data_filters)
+
+
+def _apply_equality_deletes(
+    spark: SparkSession, meta: dict, data_files: list[dict],
+    eq_files: list[dict], df: DataFrame,
+) -> DataFrame:
+    """Apply v2 EQUALITY delete files (spec "Equality Delete
+    Files"): a data row is deleted when it value-matches (null
+    matches null — eqNullSafe) any delete row on the delete file's
+    ``equality_ids`` columns, and the data file's sequence number
+    is STRICTLY SMALLER than the delete file's — rows committed at
+    or after the delete are untouched, which is what makes
+    streaming-upsert tables (Flink CDC) correct. Mechanics: each
+    row gets its file's sequence number via one broadcast manifest
+    join on input_file_name (the Delta partition-attach recipe),
+    then one broadcast LEFT ANTI join per distinct equality-id set
+    with the seq inequality as an extra join conjunct. Delete rows
+    are bounded by delete-file volume; the data side never
+    shuffles."""
+    from lwes_contrib_hive_serde_spark.sources.delta import (
+        _decode_file_uri,
+        _strip_scheme,
+    )
+
+    ids = _schema_field_ids(meta)
+    name_of = {fid: name for name, (fid, _t) in ids.items()}
+
+    seq_rows = [
+        (_strip_file_uri(f["file_path"]), int(f.get("__seq") or 0))
+        for f in data_files
+    ]
+    seq_map = spark.createDataFrame(
+        seq_rows, "__ib_file string, __ib_seq long"
+    )
+    keyed = df.withColumn(
+        "__ib_file", _strip_scheme(_decode_file_uri(F.input_file_name()))
+    ).join(F.broadcast(seq_map), "__ib_file", "left")
+
+    groups: dict[tuple, list[dict]] = {}
+    for f in eq_files:
+        key = tuple(sorted(int(i) for i in f["equality_ids"]))
+        groups.setdefault(key, []).append(f)
+    for key, fs in groups.items():
+        cols = []
+        for fid in key:
+            name = name_of.get(fid)
+            if name is None:
+                raise IcebergError(
+                    f"equality delete references unknown field id "
+                    f"{fid} — refusing"
+                )
+            cols.append(name)
+        del_df = None
+        for f in fs:
+            one = (
+                spark.read.parquet(_strip_file_uri(f["file_path"]))
+                .select(
+                    *[F.col(c).alias(f"__ed_{c}") for c in cols],
+                )
+                .withColumn(
+                    "__ed_seq", F.lit(int(f.get("__seq") or 0))
+                )
+            )
+            del_df = one if del_df is None else del_df.unionByName(one)
+        cond = F.col("__ib_seq") < F.col("__ed_seq")
+        for c in cols:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__ed_{c}"))
+        keyed = keyed.join(F.broadcast(del_df), cond, "left_anti")
+    return keyed.drop("__ib_file", "__ib_seq")
 
 
 def iceberg_files(
@@ -596,7 +685,7 @@ def iceberg_files(
     delete pairs, not rows."""
     meta = load_table_metadata(path)
     snap = _pick_snapshot(meta, snapshot_id)
-    files, deletes = _live_files(path, snap)
+    files, pos_del, eq_del = _live_files(path, snap)
     rows = [
         (
             f["file_path"],
@@ -604,7 +693,7 @@ def iceberg_files(
             int(f.get("file_size_in_bytes") or 0),
             c,
         )
-        for fs, c in ((files, 0), (deletes, 1))
+        for fs, c in ((files, 0), (pos_del, 1), (eq_del, 2))
         for f in fs
     ]
     return spark.createDataFrame(
@@ -628,16 +717,23 @@ def iceberg_count(
     fallback is needed. Under positional deletes the delete files
     themselves are read (driver-side, bounded by deleted-row count)
     and live-targeting pairs subtracted after per-(file, pos)
-    dedup, so the answer stays exact without touching a data
-    byte."""
+    dedup, so the answer stays exact without touching a data byte.
+    EQUALITY deletes refuse with a pointer to a real scan — their
+    effect depends on data values, which metadata cannot know."""
     meta = load_table_metadata(path)
     snap = _pick_snapshot(meta, snapshot_id)
-    files, deletes = _live_files(path, snap)
+    files, pos_del, eq_del = _live_files(path, snap)
+    if eq_del:
+        raise IcebergError(
+            "equality deletes require value comparison against the "
+            "data — metadata-only COUNT cannot be exact; use "
+            "read_iceberg(...).count()"
+        )
     total = sum(int(f["record_count"]) for f in files)
-    if not deletes:
+    if not pos_del:
         return total
     live = {_strip_file_uri(f["file_path"]) for f in files}
-    dpaths, dposs = _position_delete_pairs(deletes)
+    dpaths, dposs = _position_delete_pairs(pos_del)
     seen = {(p, q) for p, q in zip(dpaths, dposs) if p in live}
     return total - len(seen)
 
@@ -711,6 +807,9 @@ _MANIFEST_LIST_SCHEMA = StructType(
         StructField("partition_spec_id", IntegerType(), False),
         StructField("content", IntegerType(), False),
         StructField("added_snapshot_id", LongType(), True),
+        # v2 sequence number: entries in the manifest inherit it;
+        # deletes are scoped against data files by comparing these
+        StructField("sequence_number", LongType(), True),
     ]
 )
 
@@ -744,6 +843,7 @@ _MANIFEST_LIST_FIELD_IDS = {
     "partition_spec_id": 502,
     "content": 517,
     "added_snapshot_id": 503,
+    "sequence_number": 515,
 }
 
 
@@ -984,11 +1084,17 @@ def write_iceberg_table(
                     int(m.get("partition_spec_id") or 0),
                     int(m.get("content") or 0),
                     m.get("added_snapshot_id"),
+                    m.get("sequence_number"),
                 )
             )
     ml = os.path.join(mdir, f"snap-{snapshot_id}.avro")
+    seq = (
+        int(existing.get("last-sequence-number") or 0) + 1
+        if existing is not None
+        else 1
+    )
     rows = prior_manifests + [
-        (manifest, os.path.getsize(manifest), 0, 0, snapshot_id)
+        (manifest, os.path.getsize(manifest), 0, 0, snapshot_id, seq)
     ]
     _write_avro_file(ml, _MANIFEST_LIST_SCHEMA, rows, "manifest_file",
                      field_ids=_MANIFEST_LIST_FIELD_IDS)
@@ -1022,12 +1128,15 @@ def write_iceberg_table(
     snapshots = (existing.get("snapshots") if existing else []) or []
     snaplog = (existing.get("snapshot-log") if existing else []) or []
     meta = {
-        "format-version": 1,
+        "format-version": (
+            int(existing.get("format-version") or 1) if existing else 1
+        ),
         "table-uuid": (
             existing["table-uuid"] if existing else str(uuid.uuid4())
         ),
         "location": path,
         "last-updated-ms": now_ms,
+        "last-sequence-number": seq,
         "last-column-id": len(fields),
         "schema": {"type": "struct", "fields": fields},
         "partition-spec": part_spec_fields,
@@ -1089,7 +1198,7 @@ def add_iceberg_position_deletes(
 
     meta = load_table_metadata(path)
     snap = _pick_snapshot(meta)
-    files, _prior_deletes = _live_files(path, snap)
+    files, _prior_pos, _prior_eq = _live_files(path, snap)
     live = {_strip_file_uri(f["file_path"]) for f in files}
     for p, _pos in pairs:
         if _strip_file_uri(p) not in live:
@@ -1148,6 +1257,7 @@ def add_iceberg_position_deletes(
             int(m.get("partition_spec_id") or 0),
             int(m.get("content") or 0),
             m.get("added_snapshot_id"),
+            m.get("sequence_number"),
         )
         for m in _manifest_list_entries(
             _strip_file_uri(snap["manifest-list"])
@@ -1158,7 +1268,8 @@ def add_iceberg_position_deletes(
         ml,
         _MANIFEST_LIST_SCHEMA,
         prior_manifests
-        + [(manifest, os.path.getsize(manifest), 0, 1, snapshot_id)],
+        + [(manifest, os.path.getsize(manifest), 0, 1, snapshot_id,
+            int(meta.get("last-sequence-number") or 0) + 1)],
         "manifest_file",
         field_ids=_MANIFEST_LIST_FIELD_IDS,
     )
@@ -1173,6 +1284,162 @@ def add_iceberg_position_deletes(
     meta["last-sequence-number"] = int(
         meta.get("last-sequence-number") or 0
     ) + 1
+    meta["last-updated-ms"] = now_ms
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshots"] = (meta.get("snapshots") or []) + [new_snap]
+    meta["snapshot-log"] = (meta.get("snapshot-log") or []) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    ]
+    with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    tmp = os.path.join(mdir, f".version-hint.tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(mdir, "version-hint.text"))
+    return snapshot_id
+
+
+from pyspark.sql.types import ArrayType as _ArrayType
+
+_ARRAY_INT_T = _ArrayType(IntegerType(), False)
+
+_EQ_DELETE_ENTRY_SCHEMA = StructType(
+    [
+        StructField("status", IntegerType(), False),
+        StructField("snapshot_id", LongType(), True),
+        StructField(
+            "data_file",
+            StructType(
+                [
+                    StructField("content", IntegerType(), False),
+                    StructField("file_path", StringType(), False),
+                    StructField("file_format", StringType(), False),
+                    StructField("record_count", LongType(), False),
+                    StructField("file_size_in_bytes", LongType(), False),
+                    StructField(
+                        "equality_ids",
+                        _ARRAY_INT_T,
+                        False,
+                    ),
+                ]
+            ),
+            False,
+        ),
+    ]
+)
+
+_EQ_PA_TYPES = None  # iceberg type string → pyarrow type (lazy)
+
+
+def add_iceberg_equality_deletes(
+    path: str, rows: list[dict], equality_cols: list[str]
+) -> int:
+    """FIXTURE-GRADE v2 EQUALITY delete appender (spec "Equality
+    Delete Files"): commit a new snapshot whose delete manifest
+    points at one parquet file holding the delete ROWS — only the
+    ``equality_cols`` columns, each annotated with its schema field
+    id — with ``equality_ids`` naming those fields in the manifest
+    entry. The delete's sequence number scopes it to data committed
+    STRICTLY BEFORE it (Flink-CDC upsert semantics: a later append
+    of the same key survives). Upgrades metadata to format-version
+    2; returns the new snapshot id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    global _EQ_PA_TYPES
+    if _EQ_PA_TYPES is None:
+        _EQ_PA_TYPES = {
+            "long": pa.int64(), "int": pa.int32(),
+            "string": pa.string(), "double": pa.float64(),
+            "float": pa.float32(), "boolean": pa.bool_(),
+            "date": pa.date32(),
+        }
+    meta = load_table_metadata(path)
+    snap = _pick_snapshot(meta)
+    ids = _schema_field_ids(meta)
+    fields = []
+    eq_ids = []
+    for c in equality_cols:
+        if c not in ids:
+            raise IcebergError(
+                f"equality column {c!r} not a top-level primitive "
+                "column"
+            )
+        fid, itype = ids[c]
+        pat = _EQ_PA_TYPES.get(itype)
+        if pat is None:
+            raise IcebergError(
+                f"equality column type {itype!r} not supported by "
+                "the fixture appender"
+            )
+        eq_ids.append(fid)
+        fields.append(
+            pa.field(
+                c, pat, nullable=True,
+                metadata={b"PARQUET:field_id": str(fid).encode()},
+            )
+        )
+    mdir = os.path.join(path, "metadata")
+    ddir = os.path.join(path, "data")
+    version = int(
+        open(os.path.join(mdir, "version-hint.text")).read().strip()
+    ) + 1
+    del_path = os.path.join(ddir, f"eq-delete-{uuid.uuid4().hex}.parquet")
+    pq.write_table(
+        pa.table(
+            {c: [r.get(c) for r in rows] for c in equality_cols},
+            schema=pa.schema(fields),
+        ),
+        del_path,
+    )
+    snapshot_id = int.from_bytes(os.urandom(6), "big")
+    now_ms = int(time.time() * 1000)
+    seq = int(meta.get("last-sequence-number") or 0) + 1
+    manifest = os.path.join(mdir, f"manifest-eqdel-{snapshot_id}.avro")
+    eq_entry_ids = dict(_MANIFEST_ENTRY_FIELD_IDS)
+    eq_entry_ids["data_file.equality_ids"] = 135
+    _write_avro_file(
+        manifest,
+        _EQ_DELETE_ENTRY_SCHEMA,
+        [
+            (1, None,
+             (2, del_path, "PARQUET", len(rows),
+              os.path.getsize(del_path), eq_ids))
+        ],
+        "manifest_entry",
+        field_ids=eq_entry_ids,
+    )
+    prior_manifests = [
+        (
+            m["manifest_path"],
+            int(m["manifest_length"]),
+            int(m.get("partition_spec_id") or 0),
+            int(m.get("content") or 0),
+            m.get("added_snapshot_id"),
+            m.get("sequence_number"),
+        )
+        for m in _manifest_list_entries(
+            _strip_file_uri(snap["manifest-list"])
+        )
+    ]
+    ml = os.path.join(mdir, f"snap-{snapshot_id}.avro")
+    _write_avro_file(
+        ml,
+        _MANIFEST_LIST_SCHEMA,
+        prior_manifests
+        + [(manifest, os.path.getsize(manifest), 0, 1, snapshot_id, seq)],
+        "manifest_file",
+        field_ids=_MANIFEST_LIST_FIELD_IDS,
+    )
+    new_snap = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": now_ms,
+        "manifest-list": ml,
+        "summary": {"operation": "delete"},
+    }
+    meta = dict(meta)
+    meta["format-version"] = 2
+    meta["last-sequence-number"] = seq
     meta["last-updated-ms"] = now_ms
     meta["current-snapshot-id"] = snapshot_id
     meta["snapshots"] = (meta.get("snapshots") or []) + [new_snap]

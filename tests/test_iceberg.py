@@ -112,6 +112,7 @@ class TestRefusals:
                     r["partition_spec_id"],
                     r["content"],
                     r["added_snapshot_id"],
+                    r.get("sequence_number"),
                 )
                 for r in rows
             ],
@@ -420,12 +421,14 @@ class TestPositionalDeletes:
         with pytest.raises(I.IcebergError, match="non-live"):
             I.add_iceberg_position_deletes(p, [("/nope.parquet", 0)])
 
-    def test_equality_deletes_still_refused(self, spark, tmp_path):
+    def test_equality_content_without_ids_refused(self, spark, tmp_path):
+        # an equality-content entry missing equality_ids is
+        # malformed — refused by name (real equality deletes are
+        # supported; see TestEqualityDeletes)
         p = str(tmp_path / "t")
         I.write_iceberg_table(_docs(spark, 10).coalesce(1), p)
         pairs = self._pairs_for(spark, p, lambda i: i == 0)
         I.add_iceberg_position_deletes(p, pairs)
-        # rewrite the delete manifest's content to 2 (equality)
         meta = I.load_table_metadata(p)
         ml = I._strip_file_uri(
             [s for s in meta["snapshots"]
@@ -457,8 +460,91 @@ class TestPositionalDeletes:
                 ],
                 "manifest_entry",
             )
-        with pytest.raises(I.IcebergError, match="EQUALITY"):
+        with pytest.raises(I.IcebergError, match="equality_ids"):
             I.read_iceberg(spark, p)
+
+
+class TestEqualityDeletes:
+    """v2 EQUALITY deletes (spec 'Equality Delete Files'), round 9:
+    value-matching anti-joins scoped by sequence number — data
+    committed at-or-after the delete survives (the Flink-CDC upsert
+    contract)."""
+
+    def test_basic_and_seq_scoping(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 20).coalesce(1), p)
+        I.add_iceberg_equality_deletes(
+            p, [{"doc_id": 3}, {"doc_id": 4}], ["doc_id"]
+        )
+        got = sorted(r.doc_id for r in I.read_iceberg(spark, p).collect())
+        assert got == [i for i in range(20) if i not in (3, 4)]
+        # re-append a deleted key AFTER the delete: it survives
+        from pyspark.sql import Row as _Row
+
+        I.write_iceberg_table(
+            spark.createDataFrame(
+                [_Row(doc_id=3, text="reborn", lang="fr")]
+            ),
+            p,
+        )
+        rows = {(r.doc_id, r.text) for r in I.read_iceberg(spark, p).collect()}
+        assert (3, "reborn") in rows and (3, "body 3") not in rows
+
+    def test_multi_column_and_null_matching(self, spark, tmp_path):
+        from pyspark.sql import Row as _Row
+
+        p = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [
+                _Row(doc_id=0, text="a", lang="en"),
+                _Row(doc_id=1, text="b", lang=None),
+                _Row(doc_id=2, text="c", lang="de"),
+            ]
+        )
+        I.write_iceberg_table(df.coalesce(1), p)
+        I.add_iceberg_equality_deletes(
+            p, [{"doc_id": 1, "lang": None}], ["doc_id", "lang"]
+        )
+        got = sorted(r.doc_id for r in I.read_iceberg(spark, p).collect())
+        assert got == [0, 2]  # null matched null (eqNullSafe)
+
+    def test_composes_with_positional(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 12).coalesce(1), p)
+        I.add_iceberg_equality_deletes(p, [{"doc_id": 2}], ["doc_id"])
+        r0 = [
+            r for r in I.iceberg_files(spark, p).collect()
+            if r.content == 0
+        ][0]
+        ids = pq.read_table(
+            r0.file_path, columns=["doc_id"]
+        ).column("doc_id").to_pylist()
+        I.add_iceberg_position_deletes(p, [(r0.file_path, ids.index(5))])
+        got = sorted(r.doc_id for r in I.read_iceberg(spark, p).collect())
+        assert got == [i for i in range(12) if i not in (2, 5)]
+
+    def test_count_refuses_pointing_to_scan(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 10).coalesce(1), p)
+        I.add_iceberg_equality_deletes(p, [{"doc_id": 0}], ["doc_id"])
+        with pytest.raises(I.IcebergError, match="metadata-only"):
+            I.iceberg_count(p)
+        assert I.read_iceberg(spark, p).count() == 9
+
+    def test_unknown_column_refused(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 5).coalesce(1), p)
+        with pytest.raises(I.IcebergError, match="not a top-level"):
+            I.add_iceberg_equality_deletes(p, [{"nope": 1}], ["nope"])
+
+    def test_files_lists_equality_tier(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 10).coalesce(1), p)
+        I.add_iceberg_equality_deletes(p, [{"doc_id": 1}], ["doc_id"])
+        rows = I.iceberg_files(spark, p).collect()
+        assert sorted({r.content for r in rows}) == [0, 2]
 
 
 class TestFieldIdAnnotations:
