@@ -32,11 +32,12 @@ Iceberg differs from Delta in the ways that matter here:
 
 Honesty contract: unsupported format versions (>2), malformed
 delete metadata, and non-parquet data file formats are refusals by
-name. Column
-renames via field-ids are not resolved (we match parquet columns by
-name, the pre-evolution contract); the reader checks the first data
-file's parquet schema against the expected names and refuses on a
-mismatch rather than silently returning NULL columns.
+name. Column renames ARE resolved when data files carry parquet
+field ids (round 9): the read schema annotates each field with its
+id and Spark's native reader matches per file — which is what
+makes ``iceberg_rename_column`` a metadata-only operation. Files
+WITHOUT ids keep the name-matched read, and a name mismatch there
+still refuses rather than NULL-filling.
 
 ``write_iceberg_table`` is FIXTURE-GRADE: it exists so the reader
 can be tested end to end without an iceberg library in the
@@ -140,6 +141,23 @@ def iceberg_type_to_spark(t):
             not t.get("value-required", False),
         )
     raise IcebergError(f"unsupported iceberg type {t!r}")
+
+
+def _top_level_field_ids(meta: dict) -> dict:
+    """column name → field id for EVERY top-level field of the
+    current schema (any type — the read-schema id annotation needs
+    them all, unlike the bounds decoder's primitive subset)."""
+    sch = None
+    if "schemas" in meta:
+        sid = meta.get("current-schema-id", 0)
+        for s_ in meta["schemas"]:
+            if s_.get("schema-id") == sid:
+                sch = s_
+    if sch is None:
+        sch = meta.get("schema")
+    if sch is None:
+        raise IcebergError("metadata has no schema")
+    return {f["name"]: int(f["id"]) for f in sch.get("fields") or []}
 
 
 def _schema_field_ids(meta: dict) -> dict:
@@ -543,11 +561,24 @@ def read_iceberg(
                 )
             if op not in _OPS:
                 raise IcebergError(f"unsupported filter op {op!r}")
+        # manifests written BEFORE a column rename keep the old
+        # partition-struct field name; spec field order is stable
+        # (ids never reorder), so resolve by POSITION with a
+        # same-name fast path
+        order = [n for n, _t in _identity_partition_fields(meta)]
+
+        def part_value(part: dict, col: str):
+            if col in part:
+                return part[col]
+            vals = list(part.values())
+            idx = order.index(col)
+            return vals[idx] if idx < len(vals) else None
+
         pruned = []
         for f in files:
             part = f.get("partition") or {}
             if all(
-                _OPS[op](part.get(col), val)
+                _OPS[op](part_value(part, col), val)
                 for col, op, val in partition_filters
             ):
                 pruned.append(f)
@@ -556,22 +587,60 @@ def read_iceberg(
         return spark.createDataFrame([], schema)
     paths = [_strip_file_uri(f["file_path"]) for f in files]
     # name-mapped read: refuse (don't NULL-fill) if the first file
-    # lacks expected columns — the field-id rename case we don't do
+    # Column resolution: when the data files carry parquet FIELD
+    # IDS (what real Iceberg writers — and this module's, round 9 —
+    # emit), resolve by id, which is the spec's contract and what
+    # makes metadata-only renames read correctly: the read schema
+    # carries each field's id as parquet.field.id metadata and
+    # Spark's native reader matches on it per file (ids absent from
+    # an old file mean a later-added column → NULL, the correct
+    # evolution semantics). Files WITHOUT ids fall back to name
+    # matching with the original refusal — never a silent NULL-fill
+    # for a renamed column.
     import pyarrow.parquet as pq
 
-    have = set(pq.read_schema(paths[0]).names)
-    missing = [f.name for f in schema.fields if f.name not in have]
-    if missing:
-        raise IcebergError(
-            f"data file {paths[0]} lacks columns {missing} — likely a "
-            "field-id rename, which this name-mapped reader refuses "
-            "rather than silently NULL-filling"
+    first = pq.read_schema(paths[0])
+    has_ids = any(
+        f.metadata and b"PARQUET:field_id" in f.metadata for f in first
+    )
+    if has_ids:
+        top_ids = _top_level_field_ids(meta)
+        schema = StructType(
+            [
+                StructField(
+                    f.name, f.dataType, f.nullable,
+                    {"parquet.field.id": top_ids[f.name]}
+                    if f.name in top_ids
+                    else None,
+                )
+                for f in schema.fields
+            ]
         )
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        spark.conf.set(
+            "spark.sql.parquet.fieldId.read.ignoreMissing", "true"
+        )
+    else:
+        have = set(first.names)
+        missing = [f.name for f in schema.fields if f.name not in have]
+        if missing:
+            raise IcebergError(
+                f"data file {paths[0]} lacks columns {missing} — "
+                "likely a field-id rename, and the files carry no "
+                "field ids to resolve it by; refusing rather than "
+                "silently NULL-filling"
+            )
     from lwes_contrib_hive_serde_spark.sources.delta import (
         _apply_data_filters,
     )
 
     df = spark.read.schema(schema).parquet(*paths)
+    if has_ids:
+        # the id annotations did their job at scan time; the result
+        # schema is the logical one, metadata-free
+        df = df.select(
+            *[F.col(f.name).alias(f.name, metadata={}) for f in schema.fields]
+        )
     if delete_files:
         # v2 positional deletes: the SAME mechanism as Delta DVs —
         # (file, position) pairs anti-joined against
@@ -657,11 +726,23 @@ def _apply_equality_deletes(
             cols.append(name)
         del_df = None
         for f in fs:
+            import pyarrow.parquet as pq
+
+            fp = _strip_file_uri(f["file_path"])
+            # the delete file's columns may carry PRE-RENAME names;
+            # resolve by its own footer field ids when present
+            fsch = pq.read_schema(fp)
+            by_id = {}
+            for fld in fsch:
+                if fld.metadata and b"PARQUET:field_id" in fld.metadata:
+                    by_id[int(fld.metadata[b"PARQUET:field_id"])] = fld.name
+            sel = []
+            for fid, c in zip(key, cols):
+                src_name = by_id.get(fid, c)
+                sel.append(F.col(src_name).alias(f"__ed_{c}"))
             one = (
-                spark.read.parquet(_strip_file_uri(f["file_path"]))
-                .select(
-                    *[F.col(c).alias(f"__ed_{c}") for c in cols],
-                )
+                spark.read.parquet(fp)
+                .select(*sel)
                 .withColumn(
                     "__ed_seq", F.lit(int(f.get("__seq") or 0))
                 )
@@ -956,7 +1037,22 @@ def write_iceberg_table(
     import urllib.parse
 
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
-    writer = df.write.mode("overwrite")
+    # stamp parquet FIELD IDS (schema position = iceberg field id,
+    # matching the metadata.json this writer emits) so readers —
+    # ours and external — resolve columns by id and metadata-only
+    # renames work (spec "Column Projection")
+    df.sparkSession.conf.set(
+        "spark.sql.parquet.fieldId.write.enabled", "true"
+    )
+    annotated = df.select(
+        *[
+            F.col(f.name).alias(
+                f.name, metadata={"parquet.field.id": i}
+            )
+            for i, f in enumerate(df.schema.fields, start=1)
+        ]
+    )
+    writer = annotated.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
@@ -1023,15 +1119,25 @@ def write_iceberg_table(
                 # data files carry every column
                 tbl = pq.read_table(src)
                 nrows = tbl.num_rows
+                names = [f.name for f in df.schema.fields]
                 for c in partition_by:
                     from pyspark.sql.pandas.types import to_arrow_type
 
+                    # partition columns carry their field id too
                     tbl = tbl.append_column(
-                        c, pa.array([pv[c]] * nrows,
-                                    type=to_arrow_type(types[c]))
+                        pa.field(
+                            c, to_arrow_type(types[c]), nullable=True,
+                            metadata={
+                                b"PARQUET:field_id": str(
+                                    names.index(c) + 1
+                                ).encode()
+                            },
+                        ),
+                        pa.array([pv[c]] * nrows,
+                                 type=to_arrow_type(types[c])),
                     )
                 # restore declared column order
-                tbl = tbl.select([f.name for f in df.schema.fields])
+                tbl = tbl.select(names)
                 pq.write_table(tbl, dst)
                 os.remove(src)
                 num = nrows
@@ -1453,3 +1559,61 @@ def add_iceberg_equality_deletes(
         f.write(str(version))
     os.replace(tmp, os.path.join(mdir, "version-hint.text"))
     return snapshot_id
+
+
+def iceberg_rename_column(path: str, old: str, new: str) -> None:
+    """Metadata-only column RENAME — field ids make it free (spec
+    "Schema Evolution"): the schema's field keeps its id, only the
+    name changes, and readers that resolve parquet columns by field
+    id (this one, round 9) keep reading every existing file. Writes
+    a new metadata.json version; top-level columns only."""
+    if old == new:
+        raise IcebergError("rename: old and new names are identical")
+    meta = load_table_metadata(path)
+    mdir = os.path.join(path, "metadata")
+    version = int(
+        open(os.path.join(mdir, "version-hint.text")).read().strip()
+    ) + 1
+    meta = dict(meta)
+
+    def rename_in(sch):
+        names = [f["name"] for f in sch.get("fields") or []]
+        if old not in names:
+            raise IcebergError(f"rename: no column {old!r} (have {names})")
+        if new in names:
+            raise IcebergError(f"rename: column {new!r} already exists")
+        return dict(
+            sch,
+            fields=[
+                dict(f, name=new) if f["name"] == old else f
+                for f in sch["fields"]
+            ],
+        )
+
+    if "schemas" in meta:
+        sid = meta.get("current-schema-id", 0)
+        meta["schemas"] = [
+            rename_in(s_) if s_.get("schema-id") == sid else s_
+            for s_ in meta["schemas"]
+        ]
+    if "schema" in meta:
+        meta["schema"] = rename_in(meta["schema"])
+    # identity partition fields are named after the source column
+    for key in ("partition-spec",):
+        if meta.get(key):
+            meta[key] = [
+                dict(f, name=new) if f.get("name") == old else f
+                for f in meta[key]
+            ]
+    for sp in meta.get("partition-specs") or []:
+        sp["fields"] = [
+            dict(f, name=new) if f.get("name") == old else f
+            for f in sp.get("fields") or []
+        ]
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    tmp = os.path.join(mdir, f".version-hint.tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(mdir, "version-hint.text"))

@@ -151,8 +151,37 @@ class TestRefusals:
         with pytest.raises(I.IcebergError, match="ORC"):
             I.read_iceberg(spark, p)
 
-    def test_refuses_missing_columns(self, spark, tmp_path):
+    def test_added_column_null_fills_with_field_ids(self, spark, tmp_path):
+        # files carry field ids (round 9), so a schema field whose
+        # id is absent from a file is a LATER-ADDED column → NULL,
+        # the correct evolution semantics
         p = self._table(spark, tmp_path)
+        mp = self._meta_path(p)
+        meta = json.load(open(mp))
+        meta["schema"]["fields"].append(
+            {"id": 99, "name": "added_col", "required": False,
+             "type": "string"}
+        )
+        json.dump(meta, open(mp, "w"))
+        got = I.read_iceberg(spark, p)
+        assert "added_col" in got.columns
+        assert got.filter("added_col IS NOT NULL").count() == 0
+        assert got.count() == 20
+
+    def test_refuses_missing_columns_without_field_ids(self, spark, tmp_path):
+        # strip the parquet field ids: the name-matched fallback must
+        # still REFUSE a column the file does not carry
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        p = self._table(spark, tmp_path)
+        for r in I.iceberg_files(spark, p).collect():
+            fp = I._strip_file_uri(r.file_path)
+            t = pq.read_table(fp)
+            t = t.cast(
+                pa.schema([pa.field(f.name, f.type) for f in t.schema])
+            )
+            pq.write_table(t, fp)
         mp = self._meta_path(p)
         meta = json.load(open(mp))
         meta["schema"]["fields"].append(
@@ -627,3 +656,69 @@ class TestFieldIdAnnotations:
         df_ids = {f["name"]: f.get("field-id") for f in df_rec["fields"]}
         assert df_ids["content"] == 134
         assert df_ids["file_path"] == 100
+
+
+class TestFieldIdRename:
+    """Metadata-only column rename resolved by parquet field ids
+    (round 9): iceberg_rename_column + per-file id matching in
+    Spark's native reader."""
+
+    def test_rename_reads_old_files(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 12).coalesce(1), p)
+        I.iceberg_rename_column(p, "text", "body")
+        got = I.read_iceberg(spark, p)
+        assert got.columns == ["doc_id", "body", "lang"]
+        assert sorted((r.doc_id, r.body) for r in got.collect()) == [
+            (i, f"body {i}") for i in range(12)
+        ]
+
+    def test_append_after_rename_mixes_files(self, spark, tmp_path):
+        from pyspark.sql import Row as _Row
+
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 5).coalesce(1), p)
+        I.iceberg_rename_column(p, "text", "body")
+        I.write_iceberg_table(
+            spark.createDataFrame([_Row(doc_id=99, body="post", lang="fr")]),
+            p,
+        )
+        got = {(r.doc_id, r.body) for r in I.read_iceberg(spark, p).collect()}
+        assert (99, "post") in got and (0, "body 0") in got
+        assert len(got) == 6
+
+    def test_rename_partition_column_still_prunes(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 20), p, partition_by=["lang"])
+        I.iceberg_rename_column(p, "lang", "lingua")
+        got = I.read_iceberg(
+            spark, p, partition_filters=[("lingua", "=", "en")]
+        )
+        assert got.count() == 10
+        assert "lingua" in got.columns
+
+    def test_rename_then_equality_delete_on_new_name(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 10).coalesce(1), p)
+        I.iceberg_rename_column(p, "doc_id", "id2")
+        I.add_iceberg_equality_deletes(p, [{"id2": 4}], ["id2"])
+        got = sorted(r.id2 for r in I.read_iceberg(spark, p).collect())
+        assert got == [i for i in range(10) if i != 4]
+
+    def test_equality_delete_survives_later_rename(self, spark, tmp_path):
+        # delete file written pre-rename carries the OLD column name;
+        # its footer field id resolves it post-rename
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 10).coalesce(1), p)
+        I.add_iceberg_equality_deletes(p, [{"doc_id": 7}], ["doc_id"])
+        I.iceberg_rename_column(p, "doc_id", "id2")
+        got = sorted(r.id2 for r in I.read_iceberg(spark, p).collect())
+        assert got == [i for i in range(10) if i != 7]
+
+    def test_collision_and_missing_refused(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 5).coalesce(1), p)
+        with pytest.raises(I.IcebergError, match="already exists"):
+            I.iceberg_rename_column(p, "text", "lang")
+        with pytest.raises(I.IcebergError, match="no column"):
+            I.iceberg_rename_column(p, "nope", "x")
