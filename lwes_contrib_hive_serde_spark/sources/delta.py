@@ -82,7 +82,7 @@ class DeltaError(ValueError):
 # Reader features (protocol v3 tables) this implementation can
 # honor. Anything else in readerFeatures is an honest refusal.
 _SUPPORTED_READER_FEATURES = {
-    "timestampNtz", "deletionVectors", "columnMapping",
+    "timestampNtz", "deletionVectors", "columnMapping", "v2Checkpoint",
 }
 _LOG_DIR = "_delta_log"
 
@@ -135,15 +135,46 @@ def _multipart_cp_files(path: str, version: int) -> list[str] | None:
     return [parts[k] for k in range(1, total + 1)]
 
 
+_V2_CP_RE = None
+
+
+def _v2_cp_file(path: str, version: int) -> str | None:
+    """The v2 checkpoint file for ``version`` —
+    ``NNN.checkpoint.<uuid>.{json,parquet}`` (PROTOCOL.md "V2
+    Checkpoints") — or None."""
+    import re
+
+    global _V2_CP_RE
+    if _V2_CP_RE is None:
+        _V2_CP_RE = re.compile(
+            r"^(\d{20})\.checkpoint\.([0-9a-fA-F-]{8,})\.(json|parquet)$"
+        )
+    d = _log_path(path)
+    try:
+        names = os.listdir(d)
+    except FileNotFoundError:
+        return None
+    for n in names:
+        m = _V2_CP_RE.match(n)
+        if m and int(m.group(1)) == version and not m.group(2).isdigit():
+            return os.path.join(d, n)
+    return None
+
+
 def _list_log(path: str) -> tuple[list[int], list[int]]:
     """Return (sorted commit versions, sorted checkpoint versions).
     A multi-part checkpoint (``NNN.checkpoint.<k-of-n>.parquet``)
     counts only when EVERY part is present — a torn set is treated
     as absent, so replay falls back to the commit walk rather than
-    reconstructing partial state."""
+    reconstructing partial state. V2 checkpoints
+    (``NNN.checkpoint.<uuid>.{json,parquet}`` + sidecars) count
+    too."""
+    import re
+
     d = _log_path(path)
     commits, checkpoints = [], []
     multi: set[int] = set()
+    v2: set[int] = set()
     try:
         names = os.listdir(d)
     except FileNotFoundError:
@@ -153,16 +184,22 @@ def _list_log(path: str) -> tuple[list[int], list[int]]:
             commits.append(int(n[:20]))
         elif n.endswith(".checkpoint.parquet") and n[:20].isdigit():
             checkpoints.append(int(n[:20]))
-        elif (
-            n.endswith(".parquet")
-            and ".checkpoint." in n
-            and n[:20].isdigit()
-        ):
-            multi.add(int(n[:20]))
+        elif ".checkpoint." in n and n[:20].isdigit():
+            mid = n[len("00000000000000000000.checkpoint."):]
+            stem = mid.rsplit(".", 1)[0]
+            if n.endswith(".parquet") and re.fullmatch(
+                r"\d{10}\.\d{10}", stem
+            ):
+                multi.add(int(n[:20]))
+            elif n.endswith((".json", ".parquet")) and not stem.isdigit():
+                v2.add(int(n[:20]))
     for v in multi:
         if v not in checkpoints and _multipart_cp_files(path, v):
             checkpoints.append(v)
-    return sorted(commits), sorted(checkpoints)
+    for v in v2:
+        if v not in checkpoints:
+            checkpoints.append(v)
+    return sorted(commits), sorted(set(checkpoints))
 
 
 class _State:
@@ -248,12 +285,12 @@ def _replay(path: str, version: int | None = None) -> _State:
 
 
 def _load_checkpoint(path: str, version: int, state: _State) -> None:
-    """Load a classic parquet checkpoint into state — single-part
-    or multi-part (every part required; action reconciliation is
+    """Load a parquet checkpoint into state — classic single-part,
+    multi-part (every part required; action reconciliation is
     order-insensitive across parts because a checkpoint holds one
-    reconciled action per object). v2 checkpoints (sidecar files
-    named from a JSON manifest) are refused — guessing at a layout
-    we don't implement would violate the honesty contract."""
+    reconciled action per object), or V2 (uuid-named top file whose
+    ``sidecar`` actions point at add/remove parquet under
+    ``_delta_log/_sidecars/`` — PROTOCOL.md "V2 Checkpoints")."""
     import pyarrow.parquet as pq
 
     cp = _checkpoint_file(path, version)
@@ -262,15 +299,20 @@ def _load_checkpoint(path: str, version: int, state: _State) -> None:
     else:
         part_files = _multipart_cp_files(path, version)
         if not part_files:
+            v2 = _v2_cp_file(path, version)
+            if v2 is not None:
+                return _load_checkpoint_v2(path, v2, state)
             raise DeltaError(
-                f"checkpoint {version} listed but neither a "
-                "single-part file nor a complete multi-part set "
-                "exists (v2 checkpoints are not supported)"
+                f"checkpoint {version} listed but no single-part, "
+                "multi-part, or v2 checkpoint file exists"
             )
     rows = []
     for pf in part_files:
         rows.extend(pq.read_table(pf).to_pylist())
+    _apply_checkpoint_rows(rows, state)
 
+
+def _apply_checkpoint_rows(rows: list[dict], state: _State) -> None:
     def _as_dict(v):
         # arrow map columns round-trip to python as list-of-pairs;
         # the log replay expects plain dicts.
@@ -292,6 +334,48 @@ def _load_checkpoint(path: str, version: int, state: _State) -> None:
                 fmt["options"] = _as_dict(fmt.get("options"))
                 val["format"] = fmt
             state.apply({key: val})
+
+
+def _load_checkpoint_v2(path: str, cp_file: str, state: _State) -> None:
+    """Load a V2 checkpoint (PROTOCOL.md "V2 Checkpoints"): the top
+    file — JSON lines or parquet — holds protocol/metaData/txn plus
+    ``sidecar`` actions naming add/remove parquet files under
+    ``_delta_log/_sidecars/``; checkpointMetadata is validated for
+    presence (a v2 file without it is malformed)."""
+    import pyarrow.parquet as pq
+
+    sidecars: list[str] = []
+    saw_meta = False
+    top_rows: list[dict] = []
+    if cp_file.endswith(".json"):
+        with open(cp_file, "rb") as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    top_rows.append(json.loads(line))
+    else:
+        top_rows = pq.read_table(cp_file).to_pylist()
+    for row in top_rows:
+        if row.get("checkpointMetadata") is not None:
+            saw_meta = True
+        sc = row.get("sidecar")
+        if sc is not None:
+            sidecars.append(sc["path"])
+    if not saw_meta:
+        raise DeltaError(
+            f"{cp_file}: v2 checkpoint without checkpointMetadata — "
+            "malformed, refusing"
+        )
+    _apply_checkpoint_rows(top_rows, state)
+    sdir = os.path.join(_log_path(path), "_sidecars")
+    for name in sidecars:
+        sp = name if os.path.isabs(name) else os.path.join(sdir, name)
+        if not os.path.exists(sp):
+            raise DeltaError(
+                f"v2 checkpoint sidecar missing: {sp} — refusing "
+                "rather than reconstructing partial state"
+            )
+        _apply_checkpoint_rows(pq.read_table(sp).to_pylist(), state)
 
 
 def _check_readable(state: _State) -> None:
@@ -1223,12 +1307,16 @@ def write_delta(
     )
 
 
-def write_checkpoint(spark: SparkSession, path: str) -> int:
-    """Write a classic single-part parquet checkpoint at the
-    current version and point _last_checkpoint at it; returns the
-    checkpointed version. Readers then replay only commits after
-    it — this is what bounds log-replay cost on long-lived
-    tables."""
+def write_checkpoint(spark: SparkSession, path: str, v2: bool = False) -> int:
+    """Write a checkpoint at the current version and point
+    _last_checkpoint at it; returns the checkpointed version.
+    Readers then replay only commits after it — this is what bounds
+    log-replay cost on long-lived tables. ``v2=True`` writes the
+    V2 layout (PROTOCOL.md "V2 Checkpoints"): a uuid-named JSON top
+    file holding checkpointMetadata/protocol/metaData/txn plus one
+    ``sidecar`` action pointing at an add/remove parquet under
+    ``_delta_log/_sidecars/`` — the layout current writers emit for
+    large tables, where sidecars parallelize checkpoint IO."""
     state = _replay(path)
     _check_readable(state)
     version = state.version
@@ -1348,10 +1436,58 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
                 r["metaData"] = m
         return rs
 
-    tbl = pa.Table.from_pylist(_norm(rows), schema=cp_schema)
-    tmp = _checkpoint_file(path, version) + f".tmp-{uuid.uuid4().hex}"
-    pq.write_table(tbl, tmp)
-    os.replace(tmp, _checkpoint_file(path, version))
+    rows = _norm(rows)
+    if v2:
+        # sidecar: add/remove rows only, parquet, under _sidecars/
+        side_schema = pa.schema([("add", add_t), ("remove", rm_t)])
+        side_rows = [
+            {"add": r["add"], "remove": r["remove"]}
+            for r in rows
+            if r["add"] is not None or r["remove"] is not None
+        ]
+        sdir = os.path.join(_log_path(path), "_sidecars")
+        os.makedirs(sdir, exist_ok=True)
+        side_name = f"{uuid.uuid4().hex}.parquet"
+        side_path = os.path.join(sdir, side_name)
+        tmp = side_path + f".tmp-{uuid.uuid4().hex}"
+        pq.write_table(
+            pa.Table.from_pylist(side_rows, schema=side_schema), tmp
+        )
+        os.replace(tmp, side_path)
+        top_actions = [
+            {"checkpointMetadata": {"version": version}},
+            {"protocol": state.protocol},
+            {"metaData": rows[1]["metaData"]},
+        ]
+        for r in rows:
+            if r["txn"] is not None:
+                top_actions.append({"txn": r["txn"]})
+        top_actions.append(
+            {
+                "sidecar": {
+                    "path": side_name,
+                    "sizeInBytes": os.path.getsize(side_path),
+                    "modificationTime": int(
+                        os.stat(side_path).st_mtime * 1000
+                    ),
+                }
+            }
+        )
+        top = os.path.join(
+            _log_path(path),
+            f"{version:020d}.checkpoint.{uuid.uuid4()}.json",
+        )
+        tmp = top + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(
+                "".join(json.dumps(a) + "\n" for a in top_actions)
+            )
+        os.replace(tmp, top)
+    else:
+        tbl = pa.Table.from_pylist(rows, schema=cp_schema)
+        tmp = _checkpoint_file(path, version) + f".tmp-{uuid.uuid4().hex}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, _checkpoint_file(path, version))
     last = {"version": version, "size": len(rows)}
     lp = os.path.join(_log_path(path), "_last_checkpoint")
     tmp = lp + f".tmp-{uuid.uuid4().hex}"
@@ -1547,6 +1683,8 @@ def delta_vacuum(
     trade-off, which is why the default retention is 7 days; the
     log itself is never touched (checkpoints bound replay cost
     instead)."""
+    from . import delta_dv
+
     state = _replay(path)
     if now_ms is None:
         now_ms = int(time.time() * 1000)
@@ -1561,6 +1699,39 @@ def delta_vacuum(
             continue
         try:
             os.remove(_file_abspath(path, p))
+            n += 1
+        except FileNotFoundError:
+            pass
+    # DV sidecar hygiene: a deletion_vector_*.bin is deletable once
+    # NO live add and NO unexpired tombstone references it — DVs are
+    # superseded in place (re-delete, OPTIMIZE purge), so orphans
+    # accumulate exactly like tombstoned data files.
+    referenced: set[str] = set()
+    for a in state.adds.values():
+        d = a.get("deletionVector")
+        if d and d.get("storageType") in ("u", "p"):
+            referenced.add(delta_dv.dv_absolute_path(path, d))
+    for p, r in state.tombstones.items():
+        ts = int(r.get("deletionTimestamp") or 0)
+        d = r.get("deletionVector")
+        if d and ts > cutoff and d.get("storageType") in ("u", "p"):
+            referenced.add(delta_dv.dv_absolute_path(path, d))
+    try:
+        names = os.listdir(path)
+    except FileNotFoundError:
+        names = []
+    for name in names:
+        if not (
+            name.startswith("deletion_vector_") and name.endswith(".bin")
+        ):
+            continue
+        fp = os.path.join(path, name)
+        if fp in referenced:
+            continue
+        try:
+            if os.stat(fp).st_mtime * 1000 > cutoff:
+                continue  # young orphan: an in-flight commit may own it
+            os.remove(fp)
             n += 1
         except FileNotFoundError:
             pass

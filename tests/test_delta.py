@@ -275,11 +275,11 @@ class TestRefusals:
             {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": ["v2Checkpoint"],
-                "writerFeatures": ["v2Checkpoint"],
+                "readerFeatures": ["typeWidening"],
+                "writerFeatures": ["typeWidening"],
             },
         )
-        with pytest.raises(D.DeltaError, match="v2Checkpoint"):
+        with pytest.raises(D.DeltaError, match="typeWidening"):
             D.read_delta(spark, p)
 
     def test_deletion_vectors_feature_is_allowed(self, spark, tmp_path):
@@ -1270,3 +1270,86 @@ class TestMultiPartCheckpoint:
         os.remove(cp)
         # commits still present: replay falls back to the commit walk
         assert _read_rows(spark, p) == _expected(_docs(spark))
+
+
+class TestV2Checkpoint:
+    def test_v2_checkpoint_round_trip(self, spark, tmp_path):
+        """V2 layout: uuid-named JSON top file + add/remove sidecar
+        parquet under _delta_log/_sidecars/; replay must go through
+        it once pre-checkpoint commits are gone."""
+        import glob
+
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark).where("doc_id < 10"), p)
+        D.write_delta(
+            _docs(spark).where("doc_id >= 10"), p, mode="append"
+        )
+        D.write_delta(
+            _docs(spark).where("doc_id % 2 = 0"), p, mode="overwrite"
+        )
+        v = D.write_checkpoint(spark, p, v2=True)
+        assert v == 2
+        assert glob.glob(
+            os.path.join(p, "_delta_log", "*.checkpoint.*.json")
+        )
+        assert glob.glob(
+            os.path.join(p, "_delta_log", "_sidecars", "*.parquet")
+        )
+        for vv in range(v + 1):
+            os.remove(D._commit_file(p, vv))
+        assert _read_rows(spark, p) == _expected(
+            _docs(spark).where("doc_id % 2 = 0")
+        )
+        # appends after the v2 checkpoint replay on top of it
+        D.write_delta(_docs(spark).where("doc_id = 1"), p, mode="append")
+        assert D.read_delta(spark, p).count() == 11
+
+    def test_v2_checkpoint_preserves_dvs_and_txns(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark), p, txn=("app1", 7))
+        from lwes_contrib_hive_serde_spark.sources.delta import (
+            delta_delete_dv,
+        )
+
+        delta_delete_dv(spark, p, [("doc_id", "<", 6)])
+        v = D.write_checkpoint(spark, p, v2=True)
+        for vv in range(v + 1):
+            os.remove(D._commit_file(p, vv))
+        state = D._replay(p)
+        assert state.txns.get("app1") == 7
+        assert any(a.get("deletionVector") for a in state.adds.values())
+        assert D.read_delta(spark, p).count() == 14
+        assert D.delta_count(spark, p) == 14
+
+    def test_missing_sidecar_refuses(self, spark, tmp_path):
+        import glob
+
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark), p)
+        v = D.write_checkpoint(spark, p, v2=True)
+        for s in glob.glob(
+            os.path.join(p, "_delta_log", "_sidecars", "*.parquet")
+        ):
+            os.remove(s)
+        os.remove(D._commit_file(p, v))
+        with pytest.raises(D.DeltaError, match="sidecar missing"):
+            D.read_delta(spark, p)
+
+    def test_v2_without_checkpoint_metadata_refuses(self, spark, tmp_path):
+        import glob
+
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark), p)
+        D.write_checkpoint(spark, p, v2=True)
+        (top,) = glob.glob(
+            os.path.join(p, "_delta_log", "*.checkpoint.*.json")
+        )
+        lines = [
+            line
+            for line in open(top).read().splitlines()
+            if "checkpointMetadata" not in line
+        ]
+        open(top, "w").write("\n".join(lines) + "\n")
+        os.remove(D._commit_file(p, 0))
+        with pytest.raises(D.DeltaError, match="checkpointMetadata"):
+            D.read_delta(spark, p)

@@ -613,3 +613,40 @@ class TestTableChanges:
             D.delta_table_changes(spark, p, 1)
         # but the insert-only prefix still reads
         assert D.delta_table_changes(spark, p, 0, 0).count() == 20
+
+
+class TestVacuumDvHygiene:
+    def test_orphaned_dv_files_vacuumed(self, spark, tmp_path):
+        import glob
+        import os as _os
+        import time as _time
+
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 30).coalesce(1), p)
+        D.delta_delete_dv(spark, p, [("doc_id", "<", 5)])
+        D.delta_delete_dv(spark, p, [("doc_id", "<", 9)])  # supersedes
+        bins = glob.glob(_os.path.join(p, "deletion_vector_*.bin"))
+        assert len(bins) == 2
+        # live DV must survive; the superseded one vacuums once old
+        old = _time.time() - 10
+        for b in bins:
+            _os.utime(b, (old, old))
+        removed = D.delta_vacuum(p, retention_ms=1_000)
+        remaining = glob.glob(_os.path.join(p, "deletion_vector_*.bin"))
+        assert removed >= 1
+        assert len(remaining) == 1
+        # and the table still reads correctly through the live DV
+        got = sorted(r.doc_id for r in D.read_delta(spark, p).collect())
+        assert got == list(range(9, 30))
+
+    def test_young_orphans_kept(self, spark, tmp_path):
+        import glob
+        import os as _os
+
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 10).coalesce(1), p)
+        D.delta_delete_dv(spark, p, [("doc_id", "=", 1)])
+        D.delta_delete_dv(spark, p, [("doc_id", "=", 2)])
+        # default retention: nothing young is touched
+        assert D.delta_vacuum(p) == 0
+        assert len(glob.glob(_os.path.join(p, "deletion_vector_*.bin"))) == 2
