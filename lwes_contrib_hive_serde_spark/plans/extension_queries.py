@@ -9739,3 +9739,102 @@ def q_iceberg_eq_deletes(spark, sf_dir):
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+def _documents_hudi(spark, sf_dir: str) -> str:
+    """Hudi COPY_ON_WRITE table (sources/hudi.py, the third
+    lakehouse format): commit 1 appends all documents as several
+    file groups; commit 2 UPSERTS ids ≡0 (mod 8) with an
+    'UPSERTED:' text prefix — rewriting exactly the file groups
+    holding those keys into NEW versions, so both versions sit on
+    disk and the reader must slice to the latest completed one.
+    Cached per sf_dir; returns (path, first_instant via a sidecar
+    file)."""
+    import os
+
+    from lwes_contrib_hive_serde_spark.sources import hudi as H
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        tag = f"{tag}-{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        pass
+    out = f"/tmp/hudi_table_cache/v1/{tag}/documents"
+    done = os.path.join(out, "_FIXTURE_DONE")
+    if not os.path.exists(done):
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        H.write_hudi_table(
+            docs.repartitionByRange(4, "doc_id")
+            .sortWithinPartitions("doc_id"),
+            out,
+            record_key="doc_id",
+        )
+        up = docs.where("doc_id % 8 = 0").withColumn(
+            "text", F.concat(F.lit("UPSERTED:"), F.col("text"))
+        )
+        if up.count():
+            H.write_hudi_table(
+                up, out, record_key="doc_id", mode="upsert"
+            )
+        open(done, "w").close()
+    return out
+
+
+@register(
+    "q_hudi_read",
+    shadow=True,
+    oracle="""
+    SELECT 'latest' AS snapshot, lang,
+           COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(CASE WHEN doc_id % 8 = 0
+                                THEN 'UPSERTED:' || text
+                                ELSE text END)) AS BIGINT)
+             AS sum_text_len,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'v1' AS snapshot, lang,
+           COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents GROUP BY lang
+    """,
+    doc="Hudi COPY_ON_WRITE read end to end (sources/hudi.py — the "
+    "THIRD lakehouse format, from the public table layout: .hoodie "
+    "timeline of <instant>.commit markers, file groups named "
+    "<fileId>_<token>_<instant>.parquet, per-group latest-completed-"
+    "slice resolution). The fixture appends all documents then "
+    "UPSERTS ids ≡0 (mod 8) — copy-on-write rewrites those file "
+    "groups into new versions, leaving BOTH on disk: reading the "
+    "stale or the uncommitted version is the format's canonical "
+    "correctness trap. The query aggregates the latest snapshot AND "
+    "time-travels to the pre-upsert instant; the DuckDB oracle "
+    "recomputes both states from the original parquet, so one hash "
+    "gates timeline parsing, slice math, upsert merge semantics, "
+    "and instant-pinned travel.",
+)
+def q_hudi_read(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.sources import hudi as H
+
+    out = _documents_hudi(spark, sf_dir)
+    instants = H.hudi_instants(out)
+
+    def agg(df, tag):
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        ).select(F.lit(tag).alias("snapshot"), "*")
+
+    latest = agg(H.read_hudi(spark, out), "latest")
+    v1 = agg(
+        H.read_hudi(spark, out, as_of_instant=instants[0]), "v1"
+    )
+    return latest.unionAll(v1)

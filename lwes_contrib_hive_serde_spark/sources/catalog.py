@@ -46,8 +46,16 @@ def _load(spark: SparkSession, spec: str):
         return I.read_iceberg(
             spark, path, snapshot_id=int(pin) if at else None
         )
+    if fmt == "hudi":
+        from lwes_contrib_hive_serde_spark.sources import hudi as H
+
+        return H.read_hudi(
+            spark, path, as_of_instant=pin if at else None
+        )
     if at:
-        raise CatalogError(f"@pin is only for delta/iceberg: {spec!r}")
+        raise CatalogError(
+            f"@pin is only for delta/iceberg/hudi: {spec!r}"
+        )
     if fmt == "parquet":
         return spark.read.parquet(path)
     if fmt in ("lwes", "jsonl", "avro_ocf", "warc", "wet", "wat"):
@@ -56,8 +64,8 @@ def _load(spark: SparkSession, spec: str):
         L.register(spark)
         return spark.read.format(fmt).option("path", path).load()
     raise CatalogError(
-        f"unknown format {fmt!r} in {spec!r} (delta|iceberg|parquet|"
-        "lwes|jsonl|avro_ocf|warc|wet|wat)"
+        f"unknown format {fmt!r} in {spec!r} (delta|iceberg|hudi|"
+        "parquet|lwes|jsonl|avro_ocf|warc|wet|wat)"
     )
 
 

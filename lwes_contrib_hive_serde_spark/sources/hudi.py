@@ -1,0 +1,353 @@
+"""Apache Hudi COPY_ON_WRITE table read support — timeline walk →
+file-slice resolution → native parquet scan.
+
+The THIRD lakehouse format (delta.py, iceberg.py are the others),
+implemented from the public table layout (hudi.apache.org/docs,
+"Table & Query Types" / "Timeline" / "File Layouts"):
+
+  - ``.hoodie/hoodie.properties`` names the table and its type;
+  - the TIMELINE is a directory of instant files —
+    ``<instant>.commit`` marks a completed write (17-digit
+    ``yyyyMMddHHmmssSSS`` instant times order totally);
+  - data files live in partition directories named
+    ``<fileId>_<writeToken>_<instant>.parquet``: a FILE GROUP is
+    all versions sharing a fileId, and a COW write rewrites the
+    whole group into a new version stamped with its commit instant.
+
+Reading COW at an instant T is therefore pure file-slice math, no
+log merging: for each (partition, fileId), take the version with
+the LARGEST instant that is (a) ≤ T and (b) a COMPLETED commit —
+condition (b) is what makes half-finished writes invisible (an
+orphan parquet from a crashed writer has no ``.commit`` marker and
+must never be read). The surviving file list goes to
+``spark.read.parquet`` — like the other two tiers, metadata is
+driver-side and the data path is Spark's native vectorized scan.
+
+Honesty contract: MERGE_ON_READ tables (log files that must be
+merged per read), ``deltacommit``/``replacecommit`` instants
+(compaction/clustering semantics this reader does not implement),
+and unparseable file names are refusals by name — never a misread.
+
+``write_hudi_table`` is FIXTURE-GRADE (the write_iceberg_table
+recipe): appends create new file groups; ``upsert`` rewrites the
+file groups holding matching record keys into new versions — the
+real COW write shape, which is exactly what makes the reader's
+slice-resolution testable (an upsert leaves BOTH versions on disk;
+reading the old one back would be a correctness bug, not a perf
+bug). Emits the five ``_hoodie_*`` meta columns real writers add.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class HudiError(ValueError):
+    """Unsupported table type/feature or corrupt timeline."""
+
+
+_HOODIE = ".hoodie"
+_META_COLS = [
+    "_hoodie_commit_time",
+    "_hoodie_commit_seqno",
+    "_hoodie_record_key",
+    "_hoodie_partition_path",
+    "_hoodie_file_name",
+]
+
+
+def _timeline_dir(path: str) -> str:
+    return os.path.join(path, _HOODIE)
+
+
+def _load_properties(path: str) -> dict:
+    pf = os.path.join(_timeline_dir(path), "hoodie.properties")
+    if not os.path.exists(pf):
+        raise HudiError(f"not a Hudi table (no .hoodie/): {path}")
+    props = {}
+    for line in open(pf):
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        k, _, v = line.partition("=")
+        props[k.strip()] = v.strip()
+    return props
+
+
+def _timeline(path: str) -> tuple[list[str], set[str]]:
+    """(sorted completed commit instants, set of all instants seen).
+    Foreign instant kinds that change visibility semantics refuse."""
+    d = _timeline_dir(path)
+    completed: list[str] = []
+    seen: set[str] = set()
+    for n in os.listdir(d):
+        if n in ("hoodie.properties",) or n.startswith("."):
+            continue
+        if os.path.isdir(os.path.join(d, n)):
+            continue  # metadata/, archived/ subdirs etc.
+        stem, _, kind = n.partition(".")
+        if not stem.isdigit():
+            continue
+        seen.add(stem)
+        if kind == "commit":
+            completed.append(stem)
+        elif kind in ("commit.requested", "commit.inflight", "inflight",
+                      "requested"):
+            continue  # incomplete: invisible by design
+        elif kind in ("deltacommit", "replacecommit", "compaction",
+                      "clean", "rollback"):
+            raise HudiError(
+                f"timeline instant kind {kind!r} is not supported "
+                "(MERGE_ON_READ / clustering semantics); refusing "
+                "rather than misreading"
+            )
+    return sorted(completed), seen
+
+
+def _parse_file_name(name: str):
+    """(fileId, instant) from <fileId>_<writeToken>_<instant>.parquet;
+    None for non-data files."""
+    if not name.endswith(".parquet"):
+        return None
+    parts = name[: -len(".parquet")].split("_")
+    if len(parts) != 3 or not parts[2].isdigit():
+        raise HudiError(
+            f"unparseable Hudi data file name {name!r} — refusing"
+        )
+    return parts[0], parts[2]
+
+
+def _file_slices(path: str, target: str, completed: set[str]):
+    """The live file list at instant ``target``: per (partition,
+    fileId), the version with the largest COMPLETED instant ≤
+    target. Uncommitted versions (no .commit marker) are invisible."""
+    best: dict[tuple, tuple] = {}
+    for root, dirs, names in os.walk(path):
+        dirs[:] = [d for d in dirs if d not in (_HOODIE,) and not
+                   d.startswith(".")]
+        rel = os.path.relpath(root, path)
+        part = "" if rel == "." else rel
+        for n in names:
+            if n.startswith("."):
+                continue
+            parsed = _parse_file_name(n) if n.endswith(".parquet") else None
+            if parsed is None:
+                continue
+            file_id, instant = parsed
+            if instant > target or instant not in completed:
+                continue
+            key = (part, file_id)
+            cur = best.get(key)
+            if cur is None or instant > cur[0]:
+                best[key] = (instant, os.path.join(root, n))
+    return [p for _i, p in best.values()]
+
+
+def read_hudi(
+    spark: SparkSession,
+    path: str,
+    as_of_instant: str | None = None,
+    keep_meta_columns: bool = False,
+) -> DataFrame:
+    """Read a Hudi COPY_ON_WRITE table at its latest — or an
+    earlier — completed commit. ``as_of_instant`` is a timeline
+    instant string (prefix compare: any completed instant ≤ it);
+    the five ``_hoodie_*`` meta columns are dropped unless
+    ``keep_meta_columns``. MERGE_ON_READ tables refuse."""
+    props = _load_properties(path)
+    ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
+    if ttype != "COPY_ON_WRITE":
+        raise HudiError(
+            f"table type {ttype} not supported (log-file merging); "
+            "COPY_ON_WRITE only"
+        )
+    completed, _seen = _timeline(path)
+    if not completed:
+        raise HudiError(f"no completed commits in {path}")
+    if as_of_instant is not None:
+        eligible = [c for c in completed if c <= str(as_of_instant)]
+        if not eligible:
+            raise HudiError(
+                f"no completed commit at or before {as_of_instant} "
+                f"(earliest is {completed[0]})"
+            )
+        target = eligible[-1]
+    else:
+        target = completed[-1]
+    paths = _file_slices(path, target, set(completed))
+    if not paths:
+        raise HudiError(f"no data files at instant {target}")
+    df = spark.read.parquet(*paths)
+    if not keep_meta_columns:
+        df = df.drop(*_META_COLS)
+    return df
+
+
+def hudi_instants(path: str) -> list[str]:
+    """Completed commit instants, oldest first — the time-travel
+    axis."""
+    completed, _ = _timeline(path)
+    return completed
+
+
+def _next_instant(path: str) -> str:
+    """A 17-digit instant strictly greater than any existing one
+    (monotonicity matters more than wall-clock fidelity when two
+    commits land in the same millisecond)."""
+    now = time.strftime("%Y%m%d%H%M%S", time.gmtime()) + f"{int(time.time() * 1000) % 1000:03d}"
+    completed, seen = [], set()
+    try:
+        completed, seen = _timeline(path)
+    except (FileNotFoundError, HudiError):
+        pass
+    prior = max(seen) if seen else ""
+    return now if now > prior else str(int(prior) + 1).zfill(17)
+
+
+def write_hudi_table(
+    df: DataFrame,
+    path: str,
+    record_key: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> str:
+    """FIXTURE-GRADE Hudi COW writer (see module docstring):
+    ``append`` adds new file groups; ``upsert`` rewrites every file
+    group holding a matching record key into a NEW version (merged
+    rows, same fileId, new instant) and appends unmatched keys as a
+    new group — the canonical COW upsert. Emits the ``_hoodie_*``
+    meta columns and hive-style partition dirs. Returns the commit
+    instant."""
+    if mode not in ("append", "upsert"):
+        raise HudiError(f"unsupported mode {mode!r}")
+    partition_by = list(partition_by or [])
+    cols = [f.name for f in df.schema.fields]
+    if record_key not in cols:
+        raise HudiError(f"record key {record_key!r} not in DataFrame")
+    for c in partition_by:
+        if c not in cols:
+            raise HudiError(f"partition column {c!r} not in DataFrame")
+    spark = df.sparkSession
+    hdir = _timeline_dir(path)
+    exists = os.path.exists(os.path.join(hdir, "hoodie.properties"))
+    os.makedirs(hdir, exist_ok=True)
+    if not exists:
+        with open(os.path.join(hdir, "hoodie.properties"), "w") as f:
+            f.write(
+                "hoodie.table.name="
+                + os.path.basename(os.path.normpath(path))
+                + "\nhoodie.table.type=COPY_ON_WRITE\n"
+                "hoodie.table.version=6\n"
+                f"hoodie.table.recordkey.fields={record_key}\n"
+                + (
+                    "hoodie.table.partition.fields="
+                    + ",".join(partition_by) + "\n"
+                    if partition_by
+                    else ""
+                )
+            )
+    instant = _next_instant(path)
+
+    def part_dir_of(pv: dict) -> str:
+        return "/".join(f"{c}={pv[c]}" for c in partition_by)
+
+    import pyarrow.parquet as pq
+
+    def write_group(rows_df: DataFrame, part_rel: str, file_id: str):
+        """One file group version: stamp meta columns, one parquet."""
+        seq = F.concat(
+            F.lit(instant), F.lit("_"),
+            F.monotonically_increasing_id().cast("string"),
+        )
+        name = f"{file_id}_0-0-0_{instant}.parquet"
+        stamped = rows_df.select(
+            F.lit(instant).alias("_hoodie_commit_time"),
+            seq.alias("_hoodie_commit_seqno"),
+            F.col(record_key).cast("string").alias("_hoodie_record_key"),
+            F.lit(part_rel).alias("_hoodie_partition_path"),
+            F.lit(name).alias("_hoodie_file_name"),
+            *cols,
+        )
+        staging = os.path.join(path, f".hudi-staging-{uuid.uuid4().hex}")
+        stamped.coalesce(1).write.mode("overwrite").parquet(staging)
+        dest_dir = os.path.join(path, part_rel) if part_rel else path
+        os.makedirs(dest_dir, exist_ok=True)
+        src = next(
+            os.path.join(staging, n)
+            for n in os.listdir(staging)
+            if n.endswith(".parquet")
+        )
+        os.replace(src, os.path.join(dest_dir, name))
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        return os.path.join(part_rel, name) if part_rel else name
+
+    written: list[str] = []
+    remaining = df
+    if mode == "upsert" and exists:
+        completed, _ = _timeline(path)
+        if completed:
+            target = completed[-1]
+            for fp in _file_slices(path, target, set(completed)):
+                old = spark.read.parquet(fp)
+                keys = [
+                    r[0]
+                    for r in old.select("_hoodie_record_key")
+                    .distinct().collect()
+                ]
+                hit = df.filter(
+                    F.col(record_key).cast("string").isin(keys)
+                )
+                if hit.isEmpty():
+                    continue
+                # merged group: new rows win by record key
+                survivors = old.select(*cols).join(
+                    F.broadcast(hit.select(record_key)),
+                    record_key,
+                    "left_anti",
+                )
+                merged = survivors.unionByName(hit)
+                name = os.path.basename(fp)
+                file_id = name.split("_")[0]
+                rel = os.path.relpath(os.path.dirname(fp), path)
+                rel = "" if rel == "." else rel
+                written.append(write_group(merged, rel, file_id))
+                remaining = remaining.join(
+                    F.broadcast(hit.select(record_key)),
+                    record_key,
+                    "left_anti",
+                )
+    if not remaining.isEmpty():
+        if partition_by:
+            pvs = [
+                tuple(r)
+                for r in remaining.select(*partition_by)
+                .distinct().collect()
+            ]
+            for pv_vals in pvs:
+                pv = dict(zip(partition_by, pv_vals))
+                rows = remaining
+                for c, v in pv.items():
+                    rows = rows.filter(F.col(c) == v)
+                written.append(
+                    write_group(rows, part_dir_of(pv), str(uuid.uuid4()))
+                )
+        else:
+            written.append(write_group(remaining, "", str(uuid.uuid4())))
+
+    commit = {
+        "operation": mode,
+        "writeStats": [{"path": w} for w in written],
+    }
+    tmp = os.path.join(hdir, f".{instant}.commit.tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(commit, f)
+    os.replace(tmp, os.path.join(hdir, f"{instant}.commit"))
+    return instant

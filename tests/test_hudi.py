@@ -1,0 +1,126 @@
+"""Hudi COPY_ON_WRITE tier (sources/hudi.py): timeline walk,
+file-slice resolution (latest completed version per file group),
+upsert rewrite semantics, time travel, and the MOR/instant-kind
+refusals. Value gate: shadow q_hudi_read."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from lwes_contrib_hive_serde_spark.sources import hudi as H
+
+
+def _docs(spark, n=20):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=i, text=f"body {i}", lang=["en", "de"][i % 2])
+            for i in range(n)
+        ]
+    )
+
+
+class TestCowReadWrite:
+    def test_append_round_trip(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        H.write_hudi_table(_docs(spark).repartition(1), p, record_key="doc_id")
+        back = H.read_hudi(spark, p)
+        assert sorted(back.columns) == ["doc_id", "lang", "text"]
+        assert sorted(
+            (r.doc_id, r.text) for r in back.collect()
+        ) == [(i, f"body {i}") for i in range(20)]
+
+    def test_meta_columns_on_request(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        t1 = H.write_hudi_table(_docs(spark, 5), p, record_key="doc_id")
+        km = H.read_hudi(spark, p, keep_meta_columns=True)
+        assert "_hoodie_record_key" in km.columns
+        assert {r["_hoodie_commit_time"] for r in km.collect()} == {t1}
+
+    def test_upsert_rewrites_file_group(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        t1 = H.write_hudi_table(
+            _docs(spark).repartition(1), p, record_key="doc_id"
+        )
+        up = spark.createDataFrame(
+            [Row(doc_id=3, text="NEW", lang="fr"),
+             Row(doc_id=100, text="ins", lang="fr")]
+        )
+        H.write_hudi_table(up, p, record_key="doc_id", mode="upsert")
+        rows = {(r.doc_id, r.text) for r in H.read_hudi(spark, p).collect()}
+        assert (3, "NEW") in rows and (3, "body 3") not in rows
+        assert (100, "ins") in rows
+        assert len(rows) == 21
+        # BOTH versions exist on disk; the reader picked the newest
+        groups = {}
+        for n in os.listdir(p):
+            if n.endswith(".parquet"):
+                fid = n.split("_")[0]
+                groups.setdefault(fid, []).append(n)
+        assert any(len(v) == 2 for v in groups.values())
+        # time travel to the pre-upsert slice
+        old = {(r.doc_id, r.text)
+               for r in H.read_hudi(spark, p, as_of_instant=t1).collect()}
+        assert (3, "body 3") in old and (100, "ins") not in old
+
+    def test_uncommitted_files_invisible(self, spark, tmp_path):
+        import shutil
+
+        p = str(tmp_path / "t")
+        H.write_hudi_table(_docs(spark, 10).repartition(1), p,
+                           record_key="doc_id")
+        live = [n for n in os.listdir(p) if n.endswith(".parquet")]
+        shutil.copy(
+            os.path.join(p, live[0]),
+            os.path.join(p, "dead_0-0-0_99999999999999999.parquet"),
+        )
+        assert H.read_hudi(spark, p).count() == 10
+
+    def test_partitioned_table(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        H.write_hudi_table(
+            _docs(spark), p, record_key="doc_id", partition_by=["lang"]
+        )
+        back = H.read_hudi(spark, p)
+        assert back.count() == 20
+        assert back.filter("lang = 'en'").count() == 10
+        # hive-style dirs on disk
+        assert os.path.isdir(os.path.join(p, "lang=en"))
+
+    def test_refusals(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        H.write_hudi_table(_docs(spark, 5), p, record_key="doc_id")
+        # MOR type refuses
+        pf = os.path.join(p, ".hoodie", "hoodie.properties")
+        s = open(pf).read().replace("COPY_ON_WRITE", "MERGE_ON_READ")
+        open(pf, "w").write(s)
+        with pytest.raises(H.HudiError, match="COPY_ON_WRITE"):
+            H.read_hudi(spark, p)
+        s = open(pf).read().replace("MERGE_ON_READ", "COPY_ON_WRITE")
+        open(pf, "w").write(s)
+        # deltacommit instant refuses
+        open(os.path.join(p, ".hoodie",
+                          "99999999999999998.deltacommit"), "w").close()
+        with pytest.raises(H.HudiError, match="deltacommit"):
+            H.read_hudi(spark, p)
+
+    def test_not_a_table_and_no_commits(self, spark, tmp_path):
+        with pytest.raises(H.HudiError, match="not a Hudi table"):
+            H.read_hudi(spark, str(tmp_path / "nope"))
+
+    def test_catalog_spec(self, spark, tmp_path):
+        from lwes_contrib_hive_serde_spark.sources import catalog as C
+
+        p = str(tmp_path / "t")
+        t1 = H.write_hudi_table(_docs(spark, 8), p, record_key="doc_id")
+        up = spark.createDataFrame([Row(doc_id=0, text="X", lang="fr")])
+        H.write_hudi_table(up, p, record_key="doc_id", mode="upsert")
+        C.register_lakehouse(
+            spark, {"h_now": f"hudi:{p}", "h_then": f"hudi:{p}@{t1}"}
+        )
+        assert spark.sql(
+            "SELECT text FROM h_now WHERE doc_id = 0"
+        ).first()[0] == "X"
+        assert spark.sql(
+            "SELECT text FROM h_then WHERE doc_id = 0"
+        ).first()[0] == "body 0"
