@@ -492,11 +492,23 @@ def _refuse_column_mapping(state: _State, op: str) -> None:
 
 
 def _file_abspath(table_path: str, add_path: str) -> str:
-    # add.path is URL-encoded and relative to the table root
-    # (absolute paths appear only with shallow clones, unsupported).
+    """Resolve an add.path (URL-encoded, normally relative to the
+    table root). ABSOLUTE paths are how SHALLOW CLONES reference the
+    source table's files (PROTOCOL.md: add.path "may be absolute");
+    local absolute paths and file: URIs resolve, remote schemes
+    refuse (a local engine cannot promise s3:// bytes)."""
     rel = urllib.parse.unquote(add_path)
-    if "://" in rel or rel.startswith("/"):
-        raise DeltaError(f"absolute/external add path not supported: {rel}")
+    if rel.startswith("file://"):
+        rel = rel[len("file://"):]
+    elif rel.startswith("file:"):
+        rel = rel[len("file:"):]
+    if "://" in rel:
+        raise DeltaError(
+            f"external add path not supported: {rel} (local "
+            "absolute paths and file: URIs only)"
+        )
+    if rel.startswith("/"):
+        return rel  # shallow-clone absolute reference
     return os.path.join(table_path, rel)
 
 
@@ -1691,14 +1703,19 @@ def delta_vacuum(
     cutoff = now_ms - retention_ms
     live = set(state.adds)
     n = 0
+    root = os.path.realpath(path)
     for p, r in state.tombstones.items():
         if p in live:
             continue
         ts = int(r.get("deletionTimestamp") or 0)
         if ts > cutoff:
             continue
+        fp = os.path.realpath(_file_abspath(path, p))
+        if not fp.startswith(root + os.sep):
+            continue  # shallow-clone reference: NEVER delete the
+            # source table's files (the real VACUUM contract)
         try:
-            os.remove(_file_abspath(path, p))
+            os.remove(fp)
             n += 1
         except FileNotFoundError:
             pass
@@ -3561,3 +3578,70 @@ def delta_table_changes(
     for p_ in pieces[1:]:
         out = out.unionByName(p_)
     return out
+
+
+def delta_clone(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    version: int | None = None,
+) -> int:
+    """SHALLOW CLONE — a zero-copy table copy (the Delta CLONE
+    command's shallow mode): the clone's first commit re-adds the
+    source snapshot's files BY ABSOLUTE PATH, so a 100 TB table
+    clones in one small JSON write. The clone then evolves
+    independently: appends/DML land inside the clone directory,
+    the source is never written (vacuum on the clone skips
+    out-of-root paths by contract). 'u'-type deletion vectors are
+    rewritten to 'p' (absolute) descriptors so they keep resolving
+    against the SOURCE's sidecar files. Returns the clone's version
+    (0)."""
+    state = _replay(src, version)
+    _check_readable(state)
+    if os.path.isdir(_log_path(dst)):
+        commits, checkpoints = _list_log(dst)
+        if commits or checkpoints:
+            raise DeltaError(f"clone target already exists: {dst}")
+    os.makedirs(_log_path(dst), exist_ok=True)
+    now_ms = int(time.time() * 1000)
+    meta = dict(state.metadata)
+    meta["id"] = str(uuid.uuid4())
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "CLONE",
+                "operationParameters": {
+                    "source": src,
+                    "sourceVersion": state.version,
+                },
+            }
+        },
+        {"protocol": state.protocol},
+        {"metaData": meta},
+    ]
+    from . import delta_dv
+
+    for a in state.adds.values():
+        na = dict(a)
+        na["path"] = urllib.parse.quote(
+            _file_abspath(src, a["path"]), safe="/"
+        )
+        desc = na.get("deletionVector")
+        if desc and desc.get("storageType") == "u":
+            na["deletionVector"] = dict(
+                desc,
+                storageType="p",
+                pathOrInlineDv=delta_dv.dv_absolute_path(src, desc),
+            )
+        na["dataChange"] = True
+        actions.append({"add": na})
+    payload = "".join(json.dumps(x) + "\n" for x in actions).encode()
+    target = _commit_file(dst, 0)
+    try:
+        fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+    except FileExistsError:
+        raise DeltaError(f"clone target already exists: {dst}")
+    with os.fdopen(fd, "wb") as f:
+        f.write(payload)
+    return 0

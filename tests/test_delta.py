@@ -355,7 +355,7 @@ class TestRefusals:
                 "dataChange": True,
             },
         )
-        with pytest.raises(D.DeltaError, match="absolute/external"):
+        with pytest.raises(D.DeltaError, match="external add path"):
             D.read_delta(spark, p)
 
     def test_mode_error_refuses_existing(self, spark, tmp_path):
@@ -1352,4 +1352,78 @@ class TestV2Checkpoint:
         open(top, "w").write("\n".join(lines) + "\n")
         os.remove(D._commit_file(p, 0))
         with pytest.raises(D.DeltaError, match="checkpointMetadata"):
+            D.read_delta(spark, p)
+
+
+class TestShallowClone:
+    def test_clone_is_zero_copy_and_independent(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        D.write_delta(_docs(spark), src)
+        assert D.delta_clone(spark, src, dst) == 0
+        # zero copy: no parquet under dst
+        assert not [
+            n for n in os.listdir(dst) if n.endswith(".parquet")
+        ]
+        assert _read_rows(spark, dst) == _expected(_docs(spark))
+        # clone evolves independently of the source
+        D.write_delta(
+            _docs(spark).where("doc_id = 0").withColumn(
+                "doc_id", F.col("doc_id") + 1000
+            ),
+            dst,
+            mode="append",
+        )
+        assert D.read_delta(spark, dst).count() == 21
+        assert D.read_delta(spark, src).count() == 20
+
+    def test_clone_carries_dvs(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        D.write_delta(_docs(spark), src)
+        D.delta_delete_dv(spark, src, [("doc_id", "<", 7)])
+        D.delta_clone(spark, src, dst)
+        got = sorted(r.doc_id for r in D.read_delta(spark, dst).collect())
+        assert got == list(range(7, 20))
+        assert D.delta_count(spark, dst) == 13
+
+    def test_clone_overwrite_then_vacuum_never_touches_source(
+        self, spark, tmp_path
+    ):
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        D.write_delta(_docs(spark), src)
+        D.delta_clone(spark, src, dst)
+        D.write_delta(_docs(spark, 3), dst, mode="overwrite")
+        # the clone's tombstones now reference SOURCE-absolute paths
+        removed = D.delta_vacuum(dst, retention_ms=0, now_ms=2**60)
+        assert removed == 0  # out-of-root paths skipped
+        assert D.read_delta(spark, src).count() == 20  # source intact
+        assert D.read_delta(spark, dst).count() == 3
+
+    def test_clone_at_version_and_existing_target(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        D.write_delta(_docs(spark).where("doc_id < 5"), src)
+        D.write_delta(
+            _docs(spark).where("doc_id >= 5"), src, mode="append"
+        )
+        D.delta_clone(spark, src, dst, version=0)
+        assert D.read_delta(spark, dst).count() == 5
+        with pytest.raises(D.DeltaError, match="already exists"):
+            D.delta_clone(spark, src, dst)
+
+    def test_remote_absolute_paths_still_refuse(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 3), p)
+        # hand-append an s3 add: read must refuse
+        import json as _json
+
+        with open(D._commit_file(p, 1), "w") as f:
+            f.write(_json.dumps({"add": {
+                "path": "s3://elsewhere/f.parquet",
+                "partitionValues": {}, "size": 1,
+                "modificationTime": 0, "dataChange": True,
+            }}) + "\n")
+        with pytest.raises(D.DeltaError, match="external add path"):
             D.read_delta(spark, p)
