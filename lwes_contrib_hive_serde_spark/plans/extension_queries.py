@@ -9838,3 +9838,88 @@ def q_hudi_read(spark, sf_dir):
         H.read_hudi(spark, out, as_of_instant=instants[0]), "v1"
     )
     return latest.unionAll(v1)
+
+
+def _documents_delta_dv_merge(spark, sf_dir: str) -> str:
+    """Delta table carried through MERGE-ON-READ MERGE (sources/
+    delta.py delta_merge_dv): v0 writes documents, v1 merges a CDC
+    batch — ids ≡0 (mod 10) re-sourced with a 'MERGED:' text prefix
+    (matched targets DV-masked, replacements appended) plus shifted
+    copies of doc_id<15 inserted — in ONE commit, base files never
+    rewritten. Cached per sf_dir."""
+    import os
+
+    from lwes_contrib_hive_serde_spark.sources import delta as D
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        tag = f"{tag}-{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        pass
+    out = f"/tmp/delta_table_cache/v1/{tag}/documents_dv_merge"
+    done = os.path.join(out, "_delta_log", f"{1:020d}.json")
+    if not os.path.exists(done):
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        D.write_delta(
+            docs.repartitionByRange(5, "doc_id")
+            .sortWithinPartitions("doc_id"),
+            out,
+        )
+        src = (
+            docs.where("doc_id % 10 = 0")
+            .withColumn("text", F.concat(F.lit("MERGED:"), F.col("text")))
+        ).unionByName(
+            docs.where("doc_id < 15").withColumn(
+                "doc_id", F.col("doc_id") + 700000
+            )
+        )
+        D.delta_merge_dv(spark, out, src, on=["doc_id"])
+    return out
+
+
+@register(
+    "q_delta_dv_merge",
+    shadow=True,
+    oracle="""
+    WITH final AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 10 = 0 THEN 'MERGED:' || text
+                  ELSE text END AS text,
+             n_chars
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 700000 AS doc_id, lang, text, n_chars
+      FROM documents WHERE doc_id < 15
+    )
+    SELECT lang,
+           COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM final GROUP BY lang
+    """,
+    doc="Delta MERGE-ON-READ MERGE (sources/delta.py delta_merge_dv "
+    "— the DV-backed DML triad's third verb: matched target rows "
+    "deletion-vector-masked, replacement rows and unmatched inserts "
+    "appended, ONE commit, base files never rewritten — the "
+    "CDC-batch-into-100TB-table shape with write amplification ∝ "
+    "matched rows). The fixture merges a batch that re-sources ids "
+    "≡0 (mod 10) and inserts 15 shifted copies; the DuckDB oracle "
+    "recomputes the final state from the original parquet, so one "
+    "hash gates candidate selection, per-key replication, bitmap "
+    "masking, and insert routing.",
+)
+def q_delta_dv_merge(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.sources import delta as D
+
+    out = _documents_delta_dv_merge(spark, sf_dir)
+    return D.read_delta(spark, out).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

@@ -3645,3 +3645,349 @@ def delta_clone(
     with os.fdopen(fd, "wb") as f:
         f.write(payload)
     return 0
+
+
+def delta_merge_dv(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: list[str],
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    max_commit_attempts: int = 10,
+) -> dict:
+    """Merge-on-read MERGE — completes the DV-backed DML triad
+    (delta_delete_dv / delta_update_dv): matched target rows are
+    deletion-vector-masked in their base files; their replacements
+    (``when_matched='update'``, one copy per matched target row —
+    SQL MERGE semantics) and unmatched source rows
+    (``when_not_matched='insert'``) append as new files, all in ONE
+    commit. Same contract as delta_merge (full-row source schema,
+    duplicate source keys refused, partition moves refused) but the
+    table side is never rewritten — the CDC-batch-into-100 TB-table
+    shape with write amplification ∝ matched rows. Files already
+    carrying DVs union; masked rows can never match. Returns
+    {"rows_updated", "rows_inserted", "files_with_dvs",
+    "files_removed", "version"}."""
+    from . import delta_dv
+
+    import shutil
+
+    if when_matched not in ("update", "delete"):
+        raise DeltaError(
+            f"when_matched must be update|delete, got {when_matched!r}"
+        )
+    if when_not_matched not in ("insert", "ignore"):
+        raise DeltaError(
+            f"when_not_matched must be insert|ignore, got "
+            f"{when_not_matched!r}"
+        )
+    state = _replay(path)
+    _check_readable(state)
+    _refuse_column_mapping(state, "delta_merge_dv")
+    part_cols = _partition_columns(state)
+    full_schema = _schema(state)
+    types = {f.name: f.dataType for f in full_schema.fields}
+    want = [(f.name, f.dataType) for f in full_schema.fields]
+    got = [(f.name, f.dataType) for f in source.schema.fields]
+    if want != got:
+        raise DeltaError(
+            "merge source schema must equal the table schema: "
+            f"table={full_schema.simpleString()} "
+            f"source={source.schema.simpleString()}"
+        )
+    for k in on:
+        if k not in types:
+            raise DeltaError(f"merge key {k!r} not in schema")
+        if k in part_cols:
+            raise DeltaError(
+                f"merge key {k!r} is a partition column; use a data "
+                "column"
+            )
+    data_schema = StructType(
+        [f for f in full_schema.fields if f.name not in part_cols]
+    )
+    src = source.cache()
+    try:
+        dup = src.groupBy(*on).count().filter("count > 1").count()
+        if dup:
+            raise DeltaError(
+                f"merge source has {dup} duplicate key groups on {on} — "
+                "resolve upstream (order-dependent merges are refused)"
+            )
+        bounds = src.agg(
+            *[F.min(k).alias(f"__lo_{k}") for k in on],
+            *[F.max(k).alias(f"__hi_{k}") for k in on],
+        ).first()
+        key_preds = []
+        for k in on:
+            lo, hi = bounds[f"__lo_{k}"], bounds[f"__hi_{k}"]
+            if lo is not None:
+                key_preds.append((k, ">=", lo))
+                key_preds.append((k, "<=", hi))
+        candidates = []
+        for a in state.adds.values():
+            st = a.get("stats")
+            try:
+                stats = json.loads(st) if st else {}
+            except (TypeError, ValueError):
+                stats = {}
+            if all(
+                _file_may_match(stats, c, o, v) for c, o, v in key_preds
+            ):
+                candidates.append(a)
+
+        now_ms = int(time.time() * 1000)
+        removes: list[dict] = []
+        new_adds: list[dict] = []
+        dv_payloads: list[tuple[dict, list]] = []
+        rows_updated = 0
+        files_removed = 0
+        matched_keys = None
+        for a in candidates:
+            fp = _file_abspath(path, a["path"])
+            pv = a.get("partitionValues") or {}
+            old_desc = a.get("deletionVector")
+            existing = (
+                set(delta_dv.dv_read_positions(path, old_desc).tolist())
+                if old_desc
+                else set()
+            )
+            tgt = spark.read.schema(data_schema).parquet(fp).withColumn(
+                "__pos", F.col("_metadata.row_index")
+            )
+            if existing:
+                tgt = tgt.filter(
+                    ~F.col("__pos").isin([int(x) for x in existing])
+                )
+            hits = tgt.join(F.broadcast(src.select(*on)), on, "left_semi")
+            pos_rows = hits.select(*on, "__pos").collect()
+            if not pos_rows:
+                continue
+            positions = [int(r["__pos"]) for r in pos_rows]
+            rows_updated += len(positions)
+            key_counts: dict[tuple, int] = {}
+            for r in pos_rows:
+                kk = tuple(r[k] for k in on)
+                key_counts[kk] = key_counts.get(kk, 0) + 1
+            kc_df = spark.createDataFrame(
+                [k + (n,) for k, n in key_counts.items()],
+                StructType(
+                    [
+                        StructField(k, types[k], True) for k in on
+                    ]
+                    + [StructField("__n_copies", LongType(), False)]
+                ),
+            )
+            if when_matched == "update":
+                matched_src = src.join(
+                    F.broadcast(kc_df.select(*on)), on, "left_semi"
+                )
+                if part_cols:
+                    same = matched_src
+                    for c in part_cols:
+                        same = same.filter(
+                            F.col(c).eqNullSafe(
+                                F.lit(
+                                    _cast_partition_value(
+                                        pv.get(c), types[c]
+                                    )
+                                ).cast(types[c])
+                            )
+                        )
+                    if same.count() != len(key_counts):
+                        raise DeltaError(
+                            "merge would move matched rows across "
+                            "partitions; delete + insert is the honest "
+                            "spelling"
+                        )
+                    matched_src = same
+                repl = (
+                    matched_src.join(F.broadcast(kc_df), on, "inner")
+                    .withColumn(
+                        "__copy",
+                        F.explode(
+                            F.sequence(F.lit(1), F.col("__n_copies"))
+                        ),
+                    )
+                    .select(*[f.name for f in data_schema.fields])
+                )
+                staging = os.path.join(
+                    path, f".mergedv-{uuid.uuid4().hex}"
+                )
+                repl.coalesce(1).write.mode("overwrite").parquet(staging)
+                for na in _publish_parquet_dir(
+                    staging, os.path.dirname(fp), path, pv
+                ):
+                    na["dataChange"] = True
+                    new_adds.append(na)
+                shutil.rmtree(staging, ignore_errors=True)
+            merged = existing | set(positions)
+            st = a.get("stats")
+            try:
+                n_phys = json.loads(st).get("numRecords") if st else None
+            except (TypeError, ValueError):
+                n_phys = None
+            removes.append(a)
+            if n_phys is not None and len(merged) >= int(n_phys):
+                files_removed += 1
+            else:
+                dv_payloads.append((a, sorted(merged)))
+            keys_df = kc_df.select(*on)
+            matched_keys = (
+                keys_df
+                if matched_keys is None
+                else matched_keys.unionByName(keys_df)
+            )
+
+        rows_inserted = 0
+        if when_not_matched == "insert":
+            unmatched = src
+            if matched_keys is not None:
+                unmatched = src.join(
+                    F.broadcast(matched_keys.distinct()), on, "left_anti"
+                )
+            rows_inserted = unmatched.count()
+            if rows_inserted:
+                staging = os.path.join(
+                    path, f".mergedv-ins-{uuid.uuid4().hex}"
+                )
+                writer = unmatched.write.mode("overwrite")
+                if part_cols:
+                    writer = writer.partitionBy(*part_cols)
+                writer.parquet(staging)
+                for root, _dirs, names in os.walk(staging):
+                    if not any(n.endswith(".parquet") for n in names):
+                        continue
+                    rel = os.path.relpath(root, staging)
+                    segs = [] if rel == "." else rel.split(os.sep)
+                    pv = {}
+                    for seg in segs:
+                        c, _, raw = seg.partition("=")
+                        raw = urllib.parse.unquote(raw)
+                        pv[c] = (
+                            None
+                            if raw == "__HIVE_DEFAULT_PARTITION__"
+                            else raw
+                        )
+                    dest = os.path.join(path, *segs)
+                    import tempfile
+
+                    tmpd = tempfile.mkdtemp(dir=staging)
+                    for n in names:
+                        if n.endswith(".parquet"):
+                            os.replace(
+                                os.path.join(root, n),
+                                os.path.join(tmpd, n),
+                            )
+                    for na in _publish_parquet_dir(tmpd, dest, path, pv):
+                        na["dataChange"] = True
+                        new_adds.append(na)
+                shutil.rmtree(staging, ignore_errors=True)
+    finally:
+        src.unpersist()
+
+    if rows_updated == 0 and rows_inserted == 0:
+        return {
+            "rows_updated": 0, "rows_inserted": 0,
+            "files_with_dvs": 0, "files_removed": 0, "version": None,
+        }
+    masked_adds: list[dict] = []
+    if dv_payloads:
+        descriptors = delta_dv.dv_write_file(
+            path, [pos for _a, pos in dv_payloads]
+        )
+        for (a, _pos), desc in zip(dv_payloads, descriptors):
+            na = dict(a)
+            na["deletionVector"] = desc
+            na["dataChange"] = True
+            st = na.get("stats")
+            try:
+                stats = json.loads(st) if st else {}
+            except (TypeError, ValueError):
+                stats = {}
+            if stats:
+                stats["tightBounds"] = False
+                na["stats"] = json.dumps(stats)
+            masked_adds.append(na)
+
+    touched_paths = {r["path"] for r in removes}
+    for _ in range(max_commit_attempts):
+        current = _replay(path)
+        if not touched_paths <= set(current.adds) or any(
+            (current.adds[rp].get("deletionVector") or None)
+            != (state.adds[rp].get("deletionVector") or None)
+            for rp in touched_paths
+        ):
+            for na in new_adds:
+                try:
+                    os.remove(_file_abspath(path, na["path"]))
+                except OSError:
+                    pass
+            raise DeltaError(
+                "dv-merge lost a race against another commit; aborted "
+                "cleanly (re-run to retry)"
+            )
+        version = current.version + 1
+        proto = dict(current.protocol or {})
+        need_upgrade = bool(touched_paths) and not (
+            int(proto.get("minReaderVersion", 1)) >= 3
+            and "deletionVectors" in (proto.get("readerFeatures") or [])
+        )
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "MERGE",
+                    "operationParameters": {
+                        "on": on, "mode": "deletion-vectors",
+                    },
+                }
+            }
+        ]
+        if need_upgrade:
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": sorted(
+                            set(proto.get("readerFeatures") or [])
+                            | {"deletionVectors"}
+                        ),
+                        "writerFeatures": sorted(
+                            set(proto.get("writerFeatures") or [])
+                            | {"deletionVectors"}
+                        ),
+                    }
+                }
+            )
+        for r in removes:
+            rm = {
+                "path": r["path"],
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+                "partitionValues": r.get("partitionValues") or {},
+                "size": r.get("size"),
+            }
+            if r.get("deletionVector"):
+                rm["deletionVector"] = r["deletionVector"]
+            actions.append({"remove": rm})
+        actions.extend({"add": a} for a in masked_adds)
+        actions.extend({"add": a} for a in new_adds)
+        payload = "".join(json.dumps(x) + "\n" for x in actions).encode()
+        target = _commit_file(path, version)
+        try:
+            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+        return {
+            "rows_updated": rows_updated,
+            "rows_inserted": rows_inserted,
+            "files_with_dvs": len(masked_adds),
+            "files_removed": files_removed,
+            "version": version,
+        }
+    raise DeltaError("dv-merge could not commit (sustained contention)")

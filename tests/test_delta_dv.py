@@ -650,3 +650,78 @@ class TestVacuumDvHygiene:
         # default retention: nothing young is touched
         assert D.delta_vacuum(p) == 0
         assert len(glob.glob(_os.path.join(p, "deletion_vector_*.bin"))) == 2
+
+
+class TestMergeWithDvs:
+    def test_upsert_masks_and_appends(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 50).repartition(2), p)
+        src = spark.createDataFrame(
+            [(3, "NEW3", 103), (7, "NEW7", 107), (900, "INS", 900)],
+            "doc_id long, text string, bucket long",
+        )
+        res = D.delta_merge_dv(spark, p, src, on=["doc_id"])
+        assert res["rows_updated"] == 2
+        assert res["rows_inserted"] == 1
+        got = {r.doc_id: r.text for r in D.read_delta(spark, p).collect()}
+        assert got[3] == "NEW3" and got[7] == "NEW7" and got[900] == "INS"
+        assert len(got) == 51
+        # base files untouched, masked by DVs
+        files = D.delta_files(spark, p).collect()
+        assert sum(r.num_deleted for r in files) == 2
+        assert D.delta_count(spark, p) == 51
+
+    def test_duplicate_target_keys_replicate(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (2, "c")], "k long, v string"
+        )
+        D.write_delta(base.coalesce(1), p)
+        src = spark.createDataFrame([(1, "NEW")], "k long, v string")
+        res = D.delta_merge_dv(spark, p, src, on=["k"])
+        assert res["rows_updated"] == 2
+        got = sorted((r.k, r.v) for r in D.read_delta(spark, p).collect())
+        assert got == [(1, "NEW"), (1, "NEW"), (2, "c")]
+
+    def test_matched_delete_mode(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 20).coalesce(1), p)
+        src = spark.createDataFrame(
+            [(4, "x", 0), (5, "x", 0)], "doc_id long, text string, bucket long"
+        )
+        res = D.delta_merge_dv(
+            spark, p, src, on=["doc_id"],
+            when_matched="delete", when_not_matched="ignore",
+        )
+        assert res["rows_updated"] == 2 and res["rows_inserted"] == 0
+        got = sorted(r.doc_id for r in D.read_delta(spark, p).collect())
+        assert got == [i for i in range(20) if i not in (4, 5)]
+
+    def test_masked_rows_never_match(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 20).coalesce(1), p)
+        D.delta_delete_dv(spark, p, [("doc_id", "=", 6)])
+        src = spark.createDataFrame(
+            [(6, "GHOST", 0)], "doc_id long, text string, bucket long"
+        )
+        res = D.delta_merge_dv(spark, p, src, on=["doc_id"])
+        # key 6 is dead: it INSERTS (no match), never resurrects
+        assert res["rows_updated"] == 0 and res["rows_inserted"] == 1
+        got = [r.text for r in D.read_delta(spark, p)
+               .filter("doc_id = 6").collect()]
+        assert got == ["GHOST"]
+
+    def test_compact_purges_after_dv_merge(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 30).repartition(2), p)
+        src = spark.createDataFrame(
+            [(i, "U", 0) for i in range(10)],
+            "doc_id long, text string, bucket long",
+        )
+        D.delta_merge_dv(spark, p, src, on=["doc_id"])
+        D.delta_compact(spark, p)
+        state = D._replay(p)
+        assert not any(a.get("deletionVector") for a in state.adds.values())
+        df = D.read_delta(spark, p)
+        assert df.count() == 30
+        assert df.filter("text = 'U'").count() == 10
