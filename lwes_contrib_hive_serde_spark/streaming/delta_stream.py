@@ -28,6 +28,18 @@ replay (sources/delta.py):
     derived purely from (start, end] log replay — at-most-once per
     file per offset range, exactly-once end to end with a
     checkpointed sink.
+  - **Change Data Feed**: ``option("readchangefeed", "true")``
+    streams row-level CHANGES instead of rows — the table columns
+    plus ``_change_type`` (insert / delete / update_preimage /
+    update_postimage), ``_commit_version``, ``_commit_timestamp``.
+    The initial snapshot arrives as inserts; each tailed version is
+    derived exactly like sources.delta.delta_table_changes
+    (appends → insert, overwrites → delete+insert, DV deletes →
+    newly-masked positions, DV updates → pre+post images);
+    copy-on-write DML commits REFUSE (their per-row diff is not
+    derivable — a CDF stream must never emit a wrong feed). Cost
+    scales with change volume: tasks read only changed files and
+    take only changed positions.
 
 Scale: latestOffset/partitions replay only the commit JSONs after
 the last offset (checkpoints bound the snapshot replay); each task
@@ -50,15 +62,35 @@ from pyspark.sql.types import StructType
 from lwes_contrib_hive_serde_spark.sources import delta as D
 
 
+def _cdf_schema(table_schema: StructType) -> StructType:
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    return StructType(
+        list(table_schema.fields)
+        + [
+            StructField("_change_type", StringType(), False),
+            StructField("_commit_version", LongType(), False),
+            StructField("_commit_timestamp", LongType(), False),
+        ]
+    )
+
+
 class DeltaFileSlice(InputPartition):
     def __init__(self, file_path: str, partition_values: dict,
                  part_cols: list[str], table_path: str = "",
-                 deletion_vector: dict | None = None):
+                 deletion_vector: dict | None = None,
+                 change: tuple | None = None,
+                 positions: list | None = None):
         self.file_path = file_path
         self.partition_values = partition_values
         self.part_cols = part_cols
         self.table_path = table_path
         self.deletion_vector = deletion_vector
+        # CDF mode: (change_type, commit_version, commit_ts); when
+        # ``positions`` is set the slice KEEPS only those physical
+        # rows (pre-images / deletes) instead of masking a DV
+        self.change = change
+        self.positions = positions
 
 
 class DeltaStreamReader(DataSourceStreamReader):
@@ -70,6 +102,9 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.ignore_changes = (
             options.get("ignorechanges", "false").lower() == "true"
         )
+        self.cdf = (
+            options.get("readchangefeed", "false").lower() == "true"
+        )
         starting = options.get("startingversion")
         state = D._replay(self.path)
         D._check_readable(state)
@@ -80,10 +115,11 @@ class DeltaStreamReader(DataSourceStreamReader):
                 "name); batch read_delta handles them"
             )
         self.schema = D._schema(state)
-        if schema is not None and len(schema.fields) and schema != self.schema:
+        expected = _cdf_schema(self.schema) if self.cdf else self.schema
+        if schema is not None and len(schema.fields) and schema != expected:
             raise D.DeltaError(
                 "delta_stream: user schema differs from the table's "
-                f"({self.schema.simpleString()}); omit .schema(...)"
+                f"({expected.simpleString()}); omit .schema(...)"
             )
         self.part_cols = D._partition_columns(state)
         self._current_at_start = state.version
@@ -121,8 +157,18 @@ class DeltaStreamReader(DataSourceStreamReader):
             # initial snapshot: reconciled state at end version
             state = D._replay(self.path, version=end_v)
             D._check_readable(state)
+            ts0 = state.commit_timestamps.get(end_v, 0)
             for a in state.adds.values():
-                slices.append(self._slice(a))
+                slices.append(
+                    self._slice(
+                        a,
+                        change=("insert", end_v, ts0) if self.cdf else None,
+                    )
+                )
+        elif self.cdf:
+            start_v = int(start["version"])
+            for v, actions in self._versions_between(start_v, end_v):
+                slices.extend(self._cdf_slices(v, actions))
         else:
             start_v = int(start["version"])
             for v, actions in self._versions_between(start_v, end_v):
@@ -143,13 +189,119 @@ class DeltaStreamReader(DataSourceStreamReader):
                         slices.append(self._slice(add))
         return slices or [DeltaFileSlice("", {}, self.part_cols)]
 
-    def _slice(self, add: dict) -> DeltaFileSlice:
+    def _cdf_slices(self, v: int, actions: list) -> list:
+        """Per-version change slices — the delta_table_changes
+        derivation planned DRIVER-side into per-file tasks: inserts
+        read whole files (minus their DVs), DV deletes/updates
+        become take-these-positions slices (the newly masked rows),
+        full-coverage removals become mask-old-DV slices, update
+        postimages read the appended files. Underivable operations
+        (copy-on-write DML, RESTORE) refuse — a CDF stream must
+        never emit a wrong feed."""
+        from lwes_contrib_hive_serde_spark.sources import delta_dv
+
+        ci = next(
+            (a["commitInfo"] for a in actions if "commitInfo" in a), {}
+        )
+        op = (ci.get("operation") or "").upper()
+        params = ci.get("operationParameters") or {}
+        ts = int(ci.get("timestamp") or 0)
+        adds = [a["add"] for a in actions if "add" in a]
+        removes = [a["remove"] for a in actions if "remove" in a]
+        dc_adds = [a for a in adds if a.get("dataChange", True)]
+        dc_removes = [r for r in removes if r.get("dataChange", True)]
+        if not dc_adds and not dc_removes:
+            return []  # OPTIMIZE / metadata-only: invisible
+        out: list[DeltaFileSlice] = []
+        dv_mode = params.get("mode") == "deletion-vectors"
+        if not dc_removes:
+            for a in dc_adds:
+                out.append(self._slice(a, change=("insert", v, ts)))
+        elif op == "WRITE":
+            prior = D._replay(self.path, v - 1) if v > 0 else None
+            for r in dc_removes:
+                old = prior.adds.get(r["path"]) if prior else None
+                if old is None:
+                    raise D.DeltaError(
+                        f"version {v}: removed file {r['path']} not "
+                        "live at the prior version — cannot derive CDF"
+                    )
+                out.append(self._slice(old, change=("delete", v, ts)))
+            for a in dc_adds:
+                out.append(self._slice(a, change=("insert", v, ts)))
+        elif op in ("DELETE", "UPDATE") and dv_mode:
+            pre = "delete" if op == "DELETE" else "update_preimage"
+            removed_paths = {r["path"] for r in dc_removes}
+            for r in dc_removes:
+                old_desc = r.get("deletionVector")
+                old_pos = (
+                    set(
+                        delta_dv.dv_read_positions(
+                            self.path, old_desc
+                        ).tolist()
+                    )
+                    if old_desc
+                    else set()
+                )
+                new_add = next(
+                    (a for a in dc_adds if a["path"] == r["path"]), None
+                )
+                if new_add is not None:
+                    new_pos = set(
+                        delta_dv.dv_read_positions(
+                            self.path, new_add["deletionVector"]
+                        ).tolist()
+                    )
+                    newly = sorted(new_pos - old_pos)
+                    if newly:
+                        out.append(
+                            DeltaFileSlice(
+                                D._file_abspath(self.path, r["path"]),
+                                r.get("partitionValues") or {},
+                                self.part_cols,
+                                table_path=self.path,
+                                change=(pre, v, ts),
+                                positions=[int(x) for x in newly],
+                            )
+                        )
+                else:
+                    # full-coverage removal: every still-live row died
+                    out.append(
+                        DeltaFileSlice(
+                            D._file_abspath(self.path, r["path"]),
+                            r.get("partitionValues") or {},
+                            self.part_cols,
+                            table_path=self.path,
+                            deletion_vector=old_desc,
+                            change=(pre, v, ts),
+                        )
+                    )
+            if op == "UPDATE":
+                for a in dc_adds:
+                    if a["path"] in removed_paths:
+                        continue  # the DV-masked re-add
+                    out.append(
+                        self._slice(
+                            a, change=("update_postimage", v, ts)
+                        )
+                    )
+        else:
+            raise D.DeltaError(
+                f"version {v}: operation {op or 'unknown'!r} rewrites "
+                "files, so its row-level diff is not derivable from "
+                "log actions alone — the CDF stream refuses rather "
+                "than emitting a wrong feed"
+            )
+        return out
+
+    def _slice(self, add: dict, change: tuple | None = None) -> DeltaFileSlice:
         return DeltaFileSlice(
             D._file_abspath(self.path, add["path"]),
             add.get("partitionValues") or {},
             self.part_cols,
             table_path=self.path,
             deletion_vector=add.get("deletionVector"),
+            change=change,
         )
 
     def _versions_between(self, start_v: int, end_v: int):
@@ -179,7 +331,14 @@ class DeltaStreamReader(DataSourceStreamReader):
 
         target = to_arrow_schema(self.schema)
         tbl = pq.read_table(partition.file_path)
-        if partition.deletion_vector:
+        if partition.positions is not None:
+            if partition.positions and partition.positions[-1] >= tbl.num_rows:
+                raise ValueError(
+                    f"CDF position {partition.positions[-1]} out of "
+                    f"range for {partition.file_path} ({tbl.num_rows})"
+                )
+            tbl = tbl.take(pa.array(partition.positions, type=pa.int64()))
+        elif partition.deletion_vector:
             # apply the file's deletion vector: DV positions index
             # physical rows, which pq.read_table yields in order
             import numpy as np
@@ -212,6 +371,15 @@ class DeltaStreamReader(DataSourceStreamReader):
             else:
                 cols.append(tbl.column(field.name).cast(field.type))
         out = pa.table(cols, schema=target)
+        if partition.change is not None:
+            ctype, cver, cts = partition.change
+            out = out.append_column(
+                "_change_type", pa.array([ctype] * n, type=pa.string())
+            ).append_column(
+                "_commit_version", pa.array([cver] * n, type=pa.int64())
+            ).append_column(
+                "_commit_timestamp", pa.array([cts] * n, type=pa.int64())
+            )
         yield from out.to_batches(max_chunksize=8192)
 
 
@@ -231,7 +399,10 @@ class DeltaStreamDataSource(DataSource):
             raise ValueError("delta_stream: path required")
         state = D._replay(path)
         D._check_readable(state)
-        return D._schema(state)
+        base = D._schema(state)
+        if self.options.get("readchangefeed", "false").lower() == "true":
+            return _cdf_schema(base)
+        return base
 
     def reader(self, schema: StructType):
         raise D.DeltaError(

@@ -298,3 +298,104 @@ class TestJournalToDelta:
         v = D._replay(tbl).version
         run_once()
         assert D._replay(tbl).version == v
+
+
+class TestChangeFeedStream:
+    """readchangefeed=true: the streaming Change Data Feed (round
+    9) — per-version change rows derived from log actions, same
+    contract as sources.delta.delta_table_changes."""
+
+    def _start_cdf(self, spark, path, name):
+        return (
+            spark.readStream.format("delta_stream")
+            .option("path", path)
+            .option("readchangefeed", "true")
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+
+    def test_snapshot_then_dml_feed(self, spark, tmp_path):
+        from lwes_contrib_hive_serde_spark.sources.delta import (
+            delta_delete_dv,
+            delta_update_dv,
+        )
+
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 0, 20), p)
+        q = self._start_cdf(spark, p, "cdf_feed")
+        try:
+            q.processAllAvailable()
+            got = {
+                (r["_change_type"], r["_commit_version"]): r["n"]
+                for r in spark.sql(
+                    "select _change_type, _commit_version, count(*) n "
+                    "from cdf_feed group by 1, 2"
+                ).collect()
+            }
+            assert got == {("insert", 0): 20}
+            delta_delete_dv(spark, p, [("doc_id", "<", 4)])
+            delta_update_dv(
+                spark, p, [("doc_id", "in", [10, 11])], {"lang": "'xx'"}
+            )
+            D.write_delta(_docs(spark, 100, 103), p, mode="append")
+            q.processAllAvailable()
+            got = {
+                (r["_change_type"], r["_commit_version"]): r["n"]
+                for r in spark.sql(
+                    "select _change_type, _commit_version, count(*) n "
+                    "from cdf_feed group by 1, 2"
+                ).collect()
+            }
+            assert got == {
+                ("insert", 0): 20,
+                ("delete", 1): 4,
+                ("update_preimage", 2): 2,
+                ("update_postimage", 2): 2,
+                ("insert", 3): 3,
+            }
+            # preimages carry OLD values, postimages NEW
+            pre = {
+                r.lang
+                for r in spark.sql(
+                    "select lang from cdf_feed where "
+                    "_change_type = 'update_preimage'"
+                ).collect()
+            }
+            post = {
+                r.lang
+                for r in spark.sql(
+                    "select lang from cdf_feed where "
+                    "_change_type = 'update_postimage'"
+                ).collect()
+            }
+            assert post == {"xx"} and "xx" not in pre
+        finally:
+            q.stop()
+
+    def test_optimize_invisible_and_cow_refuses(self, spark, tmp_path):
+        from lwes_contrib_hive_serde_spark.sources.delta import (
+            delta_compact,
+            delta_delete,
+        )
+
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 0, 10), p)
+        q = self._start_cdf(spark, p, "cdf_opt")
+        try:
+            q.processAllAvailable()
+            delta_compact(spark, p, target_file_bytes=1 << 30)
+            q.processAllAvailable()
+            assert (
+                spark.sql("select count(*) from cdf_opt").first()[0] == 10
+            )
+            # a copy-on-write DELETE is underivable: the stream fails
+            delta_delete(spark, p, [("doc_id", "=", 3)])
+            import pytest as _pytest
+
+            with _pytest.raises(Exception, match="not derivable"):
+                q.processAllAvailable()
+        finally:
+            q.stop()
