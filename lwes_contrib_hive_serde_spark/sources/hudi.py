@@ -154,12 +154,18 @@ def read_hudi(
     path: str,
     as_of_instant: str | None = None,
     keep_meta_columns: bool = False,
+    partition_filters: list[tuple] | None = None,
 ) -> DataFrame:
     """Read a Hudi COPY_ON_WRITE table at its latest — or an
     earlier — completed commit. ``as_of_instant`` is a timeline
     instant string (prefix compare: any completed instant ≤ it);
     the five ``_hoodie_*`` meta columns are dropped unless
-    ``keep_meta_columns``. MERGE_ON_READ tables refuse."""
+    ``keep_meta_columns``. ``partition_filters`` [(col, op, value)]
+    with op in = != < <= > >= in prune hive-style partition dirs
+    ON THE DRIVER before the scan is planned (values compare as the
+    strings the directory names carry — the hive-dir contract), the
+    same mechanism as the Delta/Iceberg tiers. MERGE_ON_READ tables
+    refuse."""
     props = _load_properties(path)
     ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
     if ttype != "COPY_ON_WRITE":
@@ -181,6 +187,44 @@ def read_hudi(
     else:
         target = completed[-1]
     paths = _file_slices(path, target, set(completed))
+    if partition_filters:
+        _OPS = {
+            "=": lambda a, b: a == b,
+            "!=": lambda a, b: a != b,
+            "<": lambda a, b: a is not None and a < b,
+            "<=": lambda a, b: a is not None and a <= b,
+            ">": lambda a, b: a is not None and a > b,
+            ">=": lambda a, b: a is not None and a >= b,
+            "in": lambda a, b: a in b,
+        }
+        part_fields = [
+            c for c in (
+                props.get("hoodie.table.partition.fields") or ""
+            ).split(",") if c
+        ]
+        for col, op, _v in partition_filters:
+            if col not in part_fields:
+                raise HudiError(
+                    f"partition filter column {col!r} is not a "
+                    f"partition field (fields: {part_fields})"
+                )
+            if op not in _OPS:
+                raise HudiError(f"unsupported partition filter op {op!r}")
+        import urllib.parse
+
+        kept = []
+        for fp in paths:
+            rel = os.path.relpath(os.path.dirname(fp), path)
+            pv = {}
+            for seg in [] if rel == "." else rel.split(os.sep):
+                c, _, raw = seg.partition("=")
+                pv[c] = urllib.parse.unquote(raw)
+            if all(
+                _OPS[op](pv.get(col), val)
+                for col, op, val in partition_filters
+            ):
+                kept.append(fp)
+        paths = kept
     if not paths:
         raise HudiError(f"no data files at instant {target}")
     df = spark.read.parquet(*paths)

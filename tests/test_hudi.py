@@ -124,3 +124,37 @@ class TestCowReadWrite:
         assert spark.sql(
             "SELECT text FROM h_then WHERE doc_id = 0"
         ).first()[0] == "body 0"
+
+
+class TestPartitionPruning:
+    def test_driver_side_prune(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        p = str(tmp_path / "t")
+        H.write_hudi_table(
+            _docs(spark), p, record_key="doc_id", partition_by=["lang"]
+        )
+        got = H.read_hudi(
+            spark, p, partition_filters=[("lang", "=", "en")]
+        )
+        assert got.count() == 10
+        # the plan only ever opens en's files
+        opened = {
+            r[0]
+            for r in got.select(F.input_file_name()).distinct().collect()
+        }
+        assert all("lang=en" in o for o in opened)
+        with pytest.raises(H.HudiError, match="not a partition field"):
+            H.read_hudi(
+                spark, p, partition_filters=[("doc_id", "=", 1)]
+            )
+
+    def test_prune_empty_refuses_like_no_files(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        H.write_hudi_table(
+            _docs(spark, 4), p, record_key="doc_id", partition_by=["lang"]
+        )
+        with pytest.raises(H.HudiError, match="no data files"):
+            H.read_hudi(
+                spark, p, partition_filters=[("lang", "=", "zz")]
+            )
