@@ -509,7 +509,11 @@ def _file_abspath(table_path: str, add_path: str) -> str:
         )
     if rel.startswith("/"):
         return rel  # shallow-clone absolute reference
-    return os.path.join(table_path, rel)
+    # Always absolute: DV/DML code joins these strings against
+    # input_file_name()'s absolute path — with a relative table
+    # path the keys would never match and DV-deleted rows would
+    # silently resurrect (read) or match zero rows (DML).
+    return os.path.abspath(os.path.join(table_path, rel))
 
 
 def _cast_partition_value(raw: str | None, dtype: DataType):
@@ -726,6 +730,208 @@ def _refuse_dvs(adds, op: str) -> None:
             "rewriting them raw would resurrect deleted rows. Run "
             "delta_compact first (it applies and purges DVs)."
         )
+
+
+def _mask_existing_dv_rows(
+    spark: SparkSession, path: str, candidates: list[dict], df: DataFrame
+) -> DataFrame:
+    """Drop rows already deletion-vector-masked from a DML candidate
+    scan that carries ``__dv_file``/``__dv_pos`` columns — the READ
+    path's broadcast/shuffle anti-join (never an ``isin`` literal
+    list: a multi-million-row DV must not be inlined into the
+    Catalyst plan). Keeps the key columns for downstream DV build."""
+    dv_adds = [
+        (a, _file_abspath(path, a["path"]))
+        for a in candidates
+        if a.get("deletionVector")
+    ]
+    if not dv_adds:
+        return df
+    deleted, total = _decode_deleted_pairs(spark, path, dv_adds)
+    if deleted is None:
+        return df
+    right = (
+        F.broadcast(deleted) if total <= _DV_BROADCAST_MAX_ROWS else deleted
+    )
+    return df.join(right, ["__dv_file", "__dv_pos"], "left_anti")
+
+
+def _build_dvs_distributed(
+    spark: SparkSession,
+    path: str,
+    matched: DataFrame,
+    candidates: list[dict],
+) -> list[dict]:
+    """Build per-file deletion vectors IN EXECUTORS from a matched
+    (``__dv_file``, ``__dv_pos``) DataFrame: one ``groupBy(file)``
+    + ``applyInPandas`` job unions each file's new positions with
+    its existing DV (read from the sidecar — log-adjacent metadata
+    on the same shared storage the scan reads), serializes the
+    RoaringBitmap, and writes the ``deletion_vector_<uuid>.bin``
+    sidecar FROM THE TASK. Only per-file summary rows return to the
+    driver, so driver memory is bounded by #files, never #deleted
+    rows — the scale contract a DELETE matching 10⁹ rows at 100 TB
+    needs. A file whose merged DV covers every physical row skips
+    the sidecar write (it will be removed outright).
+
+    Returns one dict per touched file: {"file": abspath, "newly":
+    n_new_positions, "cardinality": merged_size, "descriptor":
+    dict | None (None = full-file delete or nothing new), "full":
+    bool}.
+    """
+    import pandas as pd
+
+    root = os.path.abspath(path)
+    info: dict[str, dict] = {}
+    for a in candidates:
+        st = a.get("stats")
+        try:
+            n_phys = json.loads(st).get("numRecords") if st else None
+        except (TypeError, ValueError):
+            n_phys = None
+        info[_file_abspath(path, a["path"])] = {
+            "descriptor": a.get("deletionVector"),
+            "n_phys": n_phys,
+        }
+    bc = spark.sparkContext.broadcast(info)
+
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        from lwes_contrib_hive_serde_spark.sources import delta_dv
+
+        f = pdf["__dv_file"].iloc[0]
+        meta = bc.value.get(f) or {}
+        new = np.unique(pdf["__dv_pos"].to_numpy(np.int64))
+        desc = meta.get("descriptor")
+        if desc is not None:
+            existing = delta_dv.dv_read_positions(root, desc)
+            merged = np.union1d(existing, new)
+            newly = int(len(merged) - len(existing))
+        else:
+            merged, newly = new, int(len(new))
+        n_phys = meta.get("n_phys")
+        full = n_phys is not None and len(merged) >= int(n_phys)
+        out = None
+        if newly > 0 and not full:
+            out = delta_dv.dv_write_file(root, [merged])[0]
+        return pd.DataFrame(
+            {
+                "file": [f],
+                "newly": [newly],
+                "cardinality": [int(len(merged))],
+                "descriptor": [json.dumps(out) if out else None],
+                "full": [bool(full)],
+            }
+        )
+
+    rows = (
+        matched.select("__dv_file", "__dv_pos")
+        .groupBy("__dv_file")
+        .applyInPandas(
+            build,
+            schema="file string, newly long, cardinality long, "
+            "descriptor string, full boolean",
+        )
+        .collect()
+    )
+    return [
+        {
+            "file": r["file"],
+            "newly": int(r["newly"]),
+            "cardinality": int(r["cardinality"]),
+            "descriptor": json.loads(r["descriptor"])
+            if r["descriptor"]
+            else None,
+            "full": bool(r["full"]),
+        }
+        for r in rows
+    ]
+
+
+def _remove_written_dvs(path: str, dv_results: list[dict]) -> None:
+    """Abort path: delete the sidecars an aborted DV-DML attempt
+    wrote from its executors (vacuum would eventually sweep them,
+    but a clean abort should not leave litter)."""
+    from . import delta_dv
+
+    for r in dv_results:
+        d = r.get("descriptor")
+        if not d or d.get("storageType") not in ("u", "p"):
+            continue
+        try:
+            os.remove(delta_dv.dv_absolute_path(os.path.abspath(path), d))
+        except OSError:
+            pass
+
+
+def _dv_dml_classify(
+    dv_results: list[dict], by_path: dict[str, dict]
+) -> tuple[list[dict], list[dict], int, int]:
+    """Turn _build_dvs_distributed's per-file rows into commit
+    bookkeeping: (removes, masked_adds, rows_affected,
+    files_removed). Files where nothing was newly masked are left
+    untouched (stats said maybe; rows said no — or every match was
+    already deleted)."""
+    removes: list[dict] = []
+    masked_adds: list[dict] = []
+    rows_affected = 0
+    files_removed = 0
+    for r in dv_results:
+        if r["newly"] == 0:
+            continue
+        a = by_path[r["file"]]
+        rows_affected += r["newly"]
+        removes.append(a)
+        if r["full"]:
+            files_removed += 1
+            continue
+        na = dict(a)
+        na["deletionVector"] = r["descriptor"]
+        na["dataChange"] = True
+        st = na.get("stats")
+        try:
+            stats = json.loads(st) if st else {}
+        except (TypeError, ValueError):
+            stats = {}
+        if stats:
+            # bounds now cover deleted rows too — mark them wide
+            stats["tightBounds"] = False
+            na["stats"] = json.dumps(stats)
+        masked_adds.append(na)
+    return removes, masked_adds, rows_affected, files_removed
+
+
+def _publish_partitioned_staging(
+    staging: str, table_path: str
+) -> list[dict]:
+    """Publish a ``partitionBy``-style staging tree (hive ``c=v/``
+    dirs, possibly nested, possibly none) into the table: each leaf
+    directory's parquet files move under the matching table subdir
+    with attempt-unique names; returns their add actions with the
+    partitionValues parsed back from the directory segments."""
+    import tempfile
+
+    adds: list[dict] = []
+    for root, _dirs, names in os.walk(staging):
+        if not any(n.endswith(".parquet") for n in names):
+            continue
+        rel = os.path.relpath(root, staging)
+        segs = [] if rel == "." else rel.split(os.sep)
+        pv: dict = {}
+        for seg in segs:
+            c, _, raw = seg.partition("=")
+            raw = urllib.parse.unquote(raw)
+            pv[c] = None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
+        dest = os.path.join(table_path, *segs)
+        tmpd = tempfile.mkdtemp(dir=staging)
+        for n in names:
+            if n.endswith(".parquet"):
+                os.replace(os.path.join(root, n), os.path.join(tmpd, n))
+        for na in _publish_parquet_dir(tmpd, dest, table_path, pv):
+            na["dataChange"] = True
+            adds.append(na)
+    return adds
 
 
 def read_delta(
@@ -2269,15 +2475,15 @@ def delta_delete_dv(
     a file whose every physical row ends up deleted is removed
     outright. Candidate selection reuses the stats/partition
     skipping tier; matching positions are found in ONE distributed
-    scan over candidates (``_metadata.row_index``), and only the
-    DELETED (file, position) pairs come back to the driver — the
-    same O(deleted rows) the bitmap files themselves cost.
+    scan over candidates (``_metadata.row_index``) and the per-file
+    RoaringBitmaps are built AND their sidecars written IN
+    EXECUTORS (``_build_dvs_distributed``) — only #files summary
+    rows reach the driver, so a DELETE matching 10⁹ rows costs the
+    driver nothing but the commit JSON.
     Upgrades the table to reader v3 / writer v7 with the
     deletionVectors feature on first use, as the protocol requires.
     Returns {"rows_deleted", "files_with_dvs", "files_removed",
     "version"}."""
-    from . import delta_dv
-
     state = _replay(path)
     _check_readable(state)
     _refuse_column_mapping(state, "delta_delete_dv")
@@ -2318,78 +2524,32 @@ def delta_delete_dv(
 
     # Surviving candidates already satisfy every partition
     # predicate exactly (pruning on partitionValues is not an
-    # approximation), so only data predicates select rows.
+    # approximation), so only data predicates select rows. ONE
+    # distributed job finds matches AND builds the per-file bitmaps
+    # in executors (_build_dvs_distributed) — only #files summary
+    # rows ever reach the driver. Rows the existing DV already
+    # masks need no pre-filter here: the executor-side union counts
+    # them as newly=0, the same no-op a re-delete is.
     cand_paths = [_file_abspath(path, a["path"]) for a in candidates]
     by_path = {p: a for p, a in zip(cand_paths, candidates)}
     scan = spark.read.schema(data_schema).parquet(*cand_paths)
     cond = _apply_data_filters(scan, data_preds) if data_preds else scan
-    pairs = (
-        cond.select(
-            _strip_scheme(_decode_file_uri(F.input_file_name())).alias("f"),
-            F.col("_metadata.row_index").alias("p"),
-        )
-        .collect()
+    matched = cond.select(
+        _strip_scheme(_decode_file_uri(F.input_file_name())).alias(
+            "__dv_file"
+        ),
+        F.col("_metadata.row_index").alias("__dv_pos"),
     )
-    matched: dict[str, set] = {}
-    for r in pairs:
-        matched.setdefault(r["f"], set()).add(int(r["p"]))
-
-    now_ms = int(time.time() * 1000)
-    removes: list[dict] = []
-    new_adds: list[dict] = []
-    dv_payloads: list[tuple[dict, list]] = []  # (old add, merged positions)
-    rows_deleted = 0
-    files_removed = 0
-    for p, a in by_path.items():
-        hit = matched.get(p)
-        if not hit:
-            continue  # stats said maybe; rows said no
-        old_desc = a.get("deletionVector")
-        existing = (
-            set(delta_dv.dv_read_positions(path, old_desc).tolist())
-            if old_desc
-            else set()
-        )
-        merged = existing | hit
-        newly = len(merged) - len(existing)
-        if newly == 0:
-            continue  # every match was already deleted
-        rows_deleted += newly
-        st = a.get("stats")
-        try:
-            n_phys = json.loads(st).get("numRecords") if st else None
-        except (TypeError, ValueError):
-            n_phys = None
-        if n_phys is not None and len(merged) >= int(n_phys):
-            files_removed += 1
-            removes.append(a)
-        else:
-            dv_payloads.append((a, sorted(merged)))
+    dv_results = _build_dvs_distributed(spark, path, matched, candidates)
+    removes, new_adds, rows_deleted, files_removed = _dv_dml_classify(
+        dv_results, by_path
+    )
 
     if rows_deleted == 0:
         return {"rows_deleted": 0, "files_with_dvs": 0,
                 "files_removed": 0, "version": None}
 
-    if dv_payloads:
-        descriptors = delta_dv.dv_write_file(
-            path, [pos for _a, pos in dv_payloads]
-        )
-        for (a, _pos), desc in zip(dv_payloads, descriptors):
-            na = dict(a)
-            na["deletionVector"] = desc
-            na["dataChange"] = True
-            st = na.get("stats")
-            try:
-                stats = json.loads(st) if st else {}
-            except (TypeError, ValueError):
-                stats = {}
-            if stats:
-                # bounds now cover deleted rows too — mark them wide
-                stats["tightBounds"] = False
-                na["stats"] = json.dumps(stats)
-            new_adds.append(na)
-            removes.append(a)
-
+    now_ms = int(time.time() * 1000)
     touched_paths = {r["path"] for r in removes}
     for _ in range(max_commit_attempts):
         current = _replay(path)
@@ -2398,6 +2558,7 @@ def delta_delete_dv(
             != (state.adds[rp].get("deletionVector") or None)
             for rp in touched_paths
         ):
+            _remove_written_dvs(path, dv_results)
             raise DeltaError(
                 "dv-delete lost a race against another commit; "
                 "aborted cleanly (re-run to retry)"
@@ -3107,8 +3268,6 @@ def delta_update_dv(
     the predicate runs). Same grammar as delta_update; partition
     columns cannot be assigned. Returns {"rows_updated",
     "files_with_dvs", "files_removed", "version"}."""
-    from . import delta_dv
-
     import shutil
 
     state = _replay(path)
@@ -3156,117 +3315,97 @@ def delta_update_dv(
         return {"rows_updated": 0, "files_with_dvs": 0,
                 "files_removed": 0, "version": None}
 
-    def match_expr(pv: dict):
-        cond = F.lit(True)
-        for c, o, v in where:
-            col = (
-                F.lit(_cast_partition_value(pv.get(c), types[c])).cast(
-                    types[c]
-                )
-                if c in part_cols
-                else F.col(c)
+    # ONE distributed job over every candidate file: partition
+    # values attach via a #files-row broadcast join (the read
+    # path's recipe), existing DV masks apply as an anti-join
+    # (never an isin literal list), the predicate runs uniformly,
+    # and per-file bitmaps build in executors. Driver traffic is
+    # #files summary rows — never matched positions.
+    cand_paths = [_file_abspath(path, a["path"]) for a in candidates]
+    by_path = {p: a for p, a in zip(cand_paths, candidates)}
+    scan = (
+        spark.read.schema(data_schema)
+        .parquet(*cand_paths)
+        .withColumn(
+            "__dv_file",
+            _strip_scheme(_decode_file_uri(F.input_file_name())),
+        )
+        .withColumn("__dv_pos", F.col("_metadata.row_index"))
+    )
+    if part_cols:
+        pv_rows = [
+            tuple(
+                [p]
+                + [
+                    _cast_partition_value(
+                        (a.get("partitionValues") or {}).get(c), types[c]
+                    )
+                    for c in part_cols
+                ]
             )
-            if o == "=":
-                cond = cond & (col == v)
-            elif o == "!=":
-                cond = cond & (col != v)
-            elif o == "<":
-                cond = cond & (col < v)
-            elif o == "<=":
-                cond = cond & (col <= v)
-            elif o == ">":
-                cond = cond & (col > v)
-            elif o == ">=":
-                cond = cond & (col >= v)
-            elif o == "in":
-                cond = cond & col.isin(list(v))
-            elif o == "isnull":
-                cond = cond & col.isNull()
-            elif o == "isnotnull":
-                cond = cond & col.isNotNull()
-        return cond
+            for p, a in by_path.items()
+        ]
+        pv_schema = StructType(
+            [StructField("__dv_file", StringType(), False)]
+            + [StructField(c, types[c], True) for c in part_cols]
+        )
+        scan = scan.join(
+            F.broadcast(spark.createDataFrame(pv_rows, pv_schema)),
+            "__dv_file",
+            "left",
+        )
+    # mask already-deleted rows BEFORE the predicate: a DV'd row
+    # must never resurrect as an "updated" row
+    scan = _mask_existing_dv_rows(spark, path, candidates, scan)
 
-    now_ms = int(time.time() * 1000)
-    removes: list[dict] = []
-    new_adds: list[dict] = []
-    dv_payloads: list[tuple[dict, list]] = []
-    rows_updated = 0
-    files_removed = 0
-    for a in candidates:
-        fp = _file_abspath(path, a["path"])
-        pv = a.get("partitionValues") or {}
-        old_desc = a.get("deletionVector")
-        existing = (
-            set(delta_dv.dv_read_positions(path, old_desc).tolist())
-            if old_desc
-            else set()
+    cond = F.lit(True)
+    for c, o, v in where:
+        col = F.col(c)
+        if o == "=":
+            cond = cond & (col == v)
+        elif o == "!=":
+            cond = cond & (col != v)
+        elif o == "<":
+            cond = cond & (col < v)
+        elif o == "<=":
+            cond = cond & (col <= v)
+        elif o == ">":
+            cond = cond & (col > v)
+        elif o == ">=":
+            cond = cond & (col >= v)
+        elif o == "in":
+            cond = cond & col.isin(list(v))
+        elif o == "isnull":
+            cond = cond & col.isNull()
+        elif o == "isnotnull":
+            cond = cond & col.isNotNull()
+    matched = scan.filter(cond).persist()
+    try:
+        dv_results = _build_dvs_distributed(
+            spark, path, matched, candidates
         )
-        df = spark.read.schema(data_schema).parquet(fp).withColumn(
-            "__pos", F.col("_metadata.row_index")
+        removes, masked_adds, rows_updated, files_removed = (
+            _dv_dml_classify(dv_results, by_path)
         )
-        if existing:
-            # mask already-deleted rows BEFORE the predicate: a DV'd
-            # row must never resurrect as an "updated" row
-            df = df.filter(~F.col("__pos").isin([int(x) for x in existing]))
-        hit = df.filter(match_expr(pv))
-        positions = [int(r["__pos"]) for r in hit.select("__pos").collect()]
-        if not positions:
-            continue
-        rows_updated += len(positions)
-        updated = hit
-        for c in part_cols:
-            updated = updated.withColumn(
-                c,
-                F.lit(_cast_partition_value(pv.get(c), types[c])).cast(
-                    types[c]
-                ),
-            )
+        if rows_updated == 0:
+            return {"rows_updated": 0, "files_with_dvs": 0,
+                    "files_removed": 0, "version": None}
+
+        updated = matched
         for c, expr in set_exprs.items():
             updated = updated.withColumn(c, F.expr(expr).cast(types[c]))
-        updated = updated.select(*[f.name for f in data_schema.fields])
+        updated = updated.select(*[f.name for f in full_schema.fields])
         staging = os.path.join(path, f".updatedv-{uuid.uuid4().hex}")
-        updated.coalesce(1).write.mode("overwrite").parquet(staging)
-        for na in _publish_parquet_dir(
-            staging, os.path.dirname(fp), path, pv
-        ):
-            na["dataChange"] = True
-            new_adds.append(na)
+        writer = updated.write.mode("overwrite")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(staging)
+        new_adds = _publish_partitioned_staging(staging, path)
         shutil.rmtree(staging, ignore_errors=True)
-        merged = existing | set(positions)
-        st = a.get("stats")
-        try:
-            n_phys = json.loads(st).get("numRecords") if st else None
-        except (TypeError, ValueError):
-            n_phys = None
-        removes.append(a)
-        if n_phys is not None and len(merged) >= int(n_phys):
-            files_removed += 1
-        else:
-            dv_payloads.append((a, sorted(merged)))
+    finally:
+        matched.unpersist()
 
-    if rows_updated == 0:
-        return {"rows_updated": 0, "files_with_dvs": 0,
-                "files_removed": 0, "version": None}
-
-    masked_adds: list[dict] = []
-    if dv_payloads:
-        descriptors = delta_dv.dv_write_file(
-            path, [pos for _a, pos in dv_payloads]
-        )
-        for (a, _pos), desc in zip(dv_payloads, descriptors):
-            na = dict(a)
-            na["deletionVector"] = desc
-            na["dataChange"] = True
-            st = na.get("stats")
-            try:
-                stats = json.loads(st) if st else {}
-            except (TypeError, ValueError):
-                stats = {}
-            if stats:
-                stats["tightBounds"] = False
-                na["stats"] = json.dumps(stats)
-            masked_adds.append(na)
-
+    now_ms = int(time.time() * 1000)
     touched_paths = {r["path"] for r in removes}
     for _ in range(max_commit_attempts):
         current = _replay(path)
@@ -3280,6 +3419,7 @@ def delta_update_dv(
                     os.remove(_file_abspath(path, na["path"]))
                 except OSError:
                     pass
+            _remove_written_dvs(path, dv_results)
             raise DeltaError(
                 "dv-update lost a race against another commit; "
                 "aborted cleanly (re-run to retry)"
@@ -3669,8 +3809,6 @@ def delta_merge_dv(
     carrying DVs union; masked rows can never match. Returns
     {"rows_updated", "rows_inserted", "files_with_dvs",
     "files_removed", "version"}."""
-    from . import delta_dv
-
     import shutil
 
     if when_matched not in ("update", "delete"):
@@ -3740,112 +3878,113 @@ def delta_merge_dv(
         now_ms = int(time.time() * 1000)
         removes: list[dict] = []
         new_adds: list[dict] = []
-        dv_payloads: list[tuple[dict, list]] = []
+        masked_adds: list[dict] = []
+        dv_results: list[dict] = []
         rows_updated = 0
         files_removed = 0
-        matched_keys = None
-        for a in candidates:
-            fp = _file_abspath(path, a["path"])
-            pv = a.get("partitionValues") or {}
-            old_desc = a.get("deletionVector")
-            existing = (
-                set(delta_dv.dv_read_positions(path, old_desc).tolist())
-                if old_desc
-                else set()
-            )
-            tgt = spark.read.schema(data_schema).parquet(fp).withColumn(
-                "__pos", F.col("_metadata.row_index")
-            )
-            if existing:
-                tgt = tgt.filter(
-                    ~F.col("__pos").isin([int(x) for x in existing])
+        hits = None
+        # ONE distributed job over every candidate file (the
+        # delete/update shape): pv attach via #files-row broadcast,
+        # existing DVs masked by anti-join (a masked row can NEVER
+        # match), matches found by one semi-join against the source
+        # keys, bitmaps built in executors. Only #files summary
+        # rows and small aggregates reach the driver.
+        if candidates:
+            cand_paths = [_file_abspath(path, a["path"]) for a in candidates]
+            by_path = {p: a for p, a in zip(cand_paths, candidates)}
+            scan = (
+                spark.read.schema(data_schema)
+                .parquet(*cand_paths)
+                .withColumn(
+                    "__dv_file",
+                    _strip_scheme(_decode_file_uri(F.input_file_name())),
                 )
-            hits = tgt.join(F.broadcast(src.select(*on)), on, "left_semi")
-            pos_rows = hits.select(*on, "__pos").collect()
-            if not pos_rows:
-                continue
-            positions = [int(r["__pos"]) for r in pos_rows]
-            rows_updated += len(positions)
-            key_counts: dict[tuple, int] = {}
-            for r in pos_rows:
-                kk = tuple(r[k] for k in on)
-                key_counts[kk] = key_counts.get(kk, 0) + 1
-            kc_df = spark.createDataFrame(
-                [k + (n,) for k, n in key_counts.items()],
-                StructType(
-                    [
-                        StructField(k, types[k], True) for k in on
-                    ]
-                    + [StructField("__n_copies", LongType(), False)]
-                ),
+                .withColumn("__dv_pos", F.col("_metadata.row_index"))
             )
-            if when_matched == "update":
-                matched_src = src.join(
-                    F.broadcast(kc_df.select(*on)), on, "left_semi"
-                )
-                if part_cols:
-                    same = matched_src
-                    for c in part_cols:
-                        same = same.filter(
-                            F.col(c).eqNullSafe(
-                                F.lit(
-                                    _cast_partition_value(
-                                        pv.get(c), types[c]
-                                    )
-                                ).cast(types[c])
+            if part_cols:
+                pv_rows = [
+                    tuple(
+                        [p]
+                        + [
+                            _cast_partition_value(
+                                (a.get("partitionValues") or {}).get(c),
+                                types[c],
                             )
-                        )
-                    if same.count() != len(key_counts):
-                        raise DeltaError(
-                            "merge would move matched rows across "
-                            "partitions; delete + insert is the honest "
-                            "spelling"
-                        )
-                    matched_src = same
-                repl = (
-                    matched_src.join(F.broadcast(kc_df), on, "inner")
-                    .withColumn(
-                        "__copy",
-                        F.explode(
-                            F.sequence(F.lit(1), F.col("__n_copies"))
-                        ),
+                            for c in part_cols
+                        ]
                     )
-                    .select(*[f.name for f in data_schema.fields])
+                    for p, a in by_path.items()
+                ]
+                pv_schema = StructType(
+                    [StructField("__dv_file", StringType(), False)]
+                    + [StructField(c, types[c], True) for c in part_cols]
                 )
-                staging = os.path.join(
-                    path, f".mergedv-{uuid.uuid4().hex}"
+                scan = scan.join(
+                    F.broadcast(spark.createDataFrame(pv_rows, pv_schema)),
+                    "__dv_file",
+                    "left",
                 )
-                repl.coalesce(1).write.mode("overwrite").parquet(staging)
-                for na in _publish_parquet_dir(
-                    staging, os.path.dirname(fp), path, pv
-                ):
-                    na["dataChange"] = True
-                    new_adds.append(na)
-                shutil.rmtree(staging, ignore_errors=True)
-            merged = existing | set(positions)
-            st = a.get("stats")
-            try:
-                n_phys = json.loads(st).get("numRecords") if st else None
-            except (TypeError, ValueError):
-                n_phys = None
-            removes.append(a)
-            if n_phys is not None and len(merged) >= int(n_phys):
-                files_removed += 1
-            else:
-                dv_payloads.append((a, sorted(merged)))
-            keys_df = kc_df.select(*on)
-            matched_keys = (
-                keys_df
-                if matched_keys is None
-                else matched_keys.unionByName(keys_df)
+            scan = _mask_existing_dv_rows(spark, path, candidates, scan)
+            hits = scan.join(
+                F.broadcast(src.select(*on)), on, "left_semi"
+            ).persist()
+            dv_results = _build_dvs_distributed(
+                spark, path, hits, candidates
             )
+            removes, masked_adds, rows_updated, files_removed = (
+                _dv_dml_classify(dv_results, by_path)
+            )
+
+        if rows_updated and when_matched == "update":
+            if part_cols:
+                # partition-move check: each matched key's source
+                # partition values must equal its target rows' —
+                # one small join over distinct (key, partition)
+                # combinations, never per file
+                tgt_keys = hits.select(*on, *part_cols).distinct()
+                for c in part_cols:
+                    tgt_keys = tgt_keys.withColumnRenamed(c, f"__tgt_{c}")
+                same_part = F.lit(True)
+                for c in part_cols:
+                    same_part = same_part & F.col(c).eqNullSafe(
+                        F.col(f"__tgt_{c}")
+                    )
+                moved = (
+                    src.join(tgt_keys, on, "inner")
+                    .filter(~same_part)
+                    .count()
+                )
+                if moved:
+                    raise DeltaError(
+                        "merge would move matched rows across "
+                        "partitions; delete + insert is the honest "
+                        "spelling"
+                    )
+            counts = hits.groupBy(*on).agg(
+                F.count(F.lit(1)).alias("__n_copies")
+            )
+            repl = (
+                src.join(counts, on, "inner")
+                .withColumn(
+                    "__copy",
+                    F.explode(F.sequence(F.lit(1), F.col("__n_copies"))),
+                )
+                .select(*[f.name for f in full_schema.fields])
+            )
+            staging = os.path.join(path, f".mergedv-{uuid.uuid4().hex}")
+            writer = repl.write.mode("overwrite")
+            if part_cols:
+                writer = writer.partitionBy(*part_cols)
+            writer.parquet(staging)
+            new_adds.extend(_publish_partitioned_staging(staging, path))
+            shutil.rmtree(staging, ignore_errors=True)
 
         rows_inserted = 0
         if when_not_matched == "insert":
             unmatched = src
-            if matched_keys is not None:
+            if rows_updated:
                 unmatched = src.join(
-                    F.broadcast(matched_keys.distinct()), on, "left_anti"
+                    hits.select(*on).distinct(), on, "left_anti"
                 )
             rows_inserted = unmatched.count()
             if rows_inserted:
@@ -3856,60 +3995,20 @@ def delta_merge_dv(
                 if part_cols:
                     writer = writer.partitionBy(*part_cols)
                 writer.parquet(staging)
-                for root, _dirs, names in os.walk(staging):
-                    if not any(n.endswith(".parquet") for n in names):
-                        continue
-                    rel = os.path.relpath(root, staging)
-                    segs = [] if rel == "." else rel.split(os.sep)
-                    pv = {}
-                    for seg in segs:
-                        c, _, raw = seg.partition("=")
-                        raw = urllib.parse.unquote(raw)
-                        pv[c] = (
-                            None
-                            if raw == "__HIVE_DEFAULT_PARTITION__"
-                            else raw
-                        )
-                    dest = os.path.join(path, *segs)
-                    import tempfile
-
-                    tmpd = tempfile.mkdtemp(dir=staging)
-                    for n in names:
-                        if n.endswith(".parquet"):
-                            os.replace(
-                                os.path.join(root, n),
-                                os.path.join(tmpd, n),
-                            )
-                    for na in _publish_parquet_dir(tmpd, dest, path, pv):
-                        na["dataChange"] = True
-                        new_adds.append(na)
+                new_adds.extend(
+                    _publish_partitioned_staging(staging, path)
+                )
                 shutil.rmtree(staging, ignore_errors=True)
     finally:
         src.unpersist()
 
+    if hits is not None:
+        hits.unpersist()
     if rows_updated == 0 and rows_inserted == 0:
         return {
             "rows_updated": 0, "rows_inserted": 0,
             "files_with_dvs": 0, "files_removed": 0, "version": None,
         }
-    masked_adds: list[dict] = []
-    if dv_payloads:
-        descriptors = delta_dv.dv_write_file(
-            path, [pos for _a, pos in dv_payloads]
-        )
-        for (a, _pos), desc in zip(dv_payloads, descriptors):
-            na = dict(a)
-            na["deletionVector"] = desc
-            na["dataChange"] = True
-            st = na.get("stats")
-            try:
-                stats = json.loads(st) if st else {}
-            except (TypeError, ValueError):
-                stats = {}
-            if stats:
-                stats["tightBounds"] = False
-                na["stats"] = json.dumps(stats)
-            masked_adds.append(na)
 
     touched_paths = {r["path"] for r in removes}
     for _ in range(max_commit_attempts):
@@ -3924,6 +4023,7 @@ def delta_merge_dv(
                     os.remove(_file_abspath(path, na["path"]))
                 except OSError:
                     pass
+            _remove_written_dvs(path, dv_results)
             raise DeltaError(
                 "dv-merge lost a race against another commit; aborted "
                 "cleanly (re-run to retry)"

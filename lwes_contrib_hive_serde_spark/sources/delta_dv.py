@@ -407,7 +407,10 @@ def dv_write_file(
         f.write(bytes([_FORMAT_VERSION]))
         pos = 1
         for positions in dvs:
-            arr = np.unique(np.asarray(list(positions), dtype=np.int64))
+            if isinstance(positions, np.ndarray):
+                arr = np.unique(positions.astype(np.int64, copy=False))
+            else:
+                arr = np.unique(np.asarray(list(positions), dtype=np.int64))
             data = bitmap_array_serialize(arr)
             f.write(struct.pack(">i", len(data)))
             f.write(data)

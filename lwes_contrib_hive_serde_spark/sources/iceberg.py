@@ -252,13 +252,17 @@ def _current_schema(meta: dict) -> StructType:
 
 def _strip_file_uri(p: str) -> str:
     if p.startswith("file://"):
-        return p[len("file://"):]
-    if "://" in p:
+        p = p[len("file://"):]
+    elif "://" in p:
         raise IcebergError(
             f"non-local file URI {p!r} (this environment reads local "
             "paths; object-store schemes need their Hadoop FS)"
         )
-    return p
+    # Always absolute: delete-file application joins these strings
+    # against input_file_name()'s absolute path — a relative path
+    # (table created via a relative CWD path) would never match and
+    # positional/equality deletes would silently not apply.
+    return p if p.startswith("/") else os.path.abspath(p)
 
 
 def load_table_metadata(path: str) -> dict:

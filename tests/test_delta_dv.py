@@ -725,3 +725,133 @@ class TestMergeWithDvs:
         df = D.read_delta(spark, p)
         assert df.count() == 30
         assert df.filter("text = 'U'").count() == 10
+
+
+class TestScaleShape:
+    """The r10 scale contract for the DV-DML triad: per-verb Spark
+    job count is CONSTANT in the number of candidate files (one
+    distributed candidate scan + executor-side bitmap build — never
+    a serial per-file driver loop; a per-file loop would add ≥1 job
+    per file), and only #files summary rows ever reach the driver
+    (pinned structurally: the verbs collect the applyInPandas
+    output, whose row count equals the touched file count). AQE
+    splits one action into per-stage jobs, so the pin is
+    COMPARATIVE: the same verb on a small vs a large file count
+    must run the same number of jobs."""
+
+    FEW, MANY = 3, 18
+
+    def _jobs_for(self, spark, gid, fn):
+        sc = spark.sparkContext
+        sc.setJobGroup(gid, "dv scale pin")
+        try:
+            fn()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(sc.statusTracker().getJobIdsForGroup(gid))
+
+    def _table(self, spark, tmp_path, tag, nf):
+        p = str(tmp_path / f"t-{tag}-{nf}")
+        D.write_delta(_docs(spark, 600).repartition(nf), p)
+        return p
+
+    def test_delete_jobs_constant_in_file_count(self, spark, tmp_path):
+        counts = {}
+        for nf in (self.FEW, self.MANY):
+            p = self._table(spark, tmp_path, "del", nf)
+            counts[nf] = self._jobs_for(
+                spark,
+                f"dvdel-{nf}",
+                lambda: D.delta_delete_dv(spark, p, [("doc_id", "<", 300)]),
+            )
+        assert counts[self.MANY] <= counts[self.FEW] + 1, (
+            f"delta_delete_dv job count grew with file count: {counts} — "
+            "smells like a per-file loop"
+        )
+
+    def test_update_jobs_constant_in_file_count(self, spark, tmp_path):
+        counts = {}
+        for nf in (self.FEW, self.MANY):
+            p = self._table(spark, tmp_path, "upd", nf)
+            counts[nf] = self._jobs_for(
+                spark,
+                f"dvupd-{nf}",
+                lambda: D.delta_update_dv(
+                    spark, p, [("doc_id", "<", 300)],
+                    {"text": "upper(text)"},
+                ),
+            )
+        assert counts[self.MANY] <= counts[self.FEW] + 1, (
+            f"delta_update_dv job count grew with file count: {counts} — "
+            "smells like a per-file loop"
+        )
+
+    def test_merge_jobs_constant_in_file_count(self, spark, tmp_path):
+        src = spark.createDataFrame(
+            [(i, "U", int(i % 7)) for i in range(0, 600, 2)],
+            "doc_id long, text string, bucket long",
+        )
+        counts = {}
+        for nf in (self.FEW, self.MANY):
+            p = self._table(spark, tmp_path, "mrg", nf)
+            counts[nf] = self._jobs_for(
+                spark,
+                f"dvmrg-{nf}",
+                lambda: D.delta_merge_dv(spark, p, src, on=["doc_id"]),
+            )
+        assert counts[self.MANY] <= counts[self.FEW] + 1, (
+            f"delta_merge_dv job count grew with file count: {counts} — "
+            "smells like a per-file loop"
+        )
+
+    def test_dv_sidecars_written_before_commit(self, spark, tmp_path):
+        # executor-written sidecars must be durable by the time the
+        # verb returns: a fresh read through a NEW replay applies them
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 200).repartition(4), p)
+        res = D.delta_delete_dv(spark, p, [("doc_id", "<", 50)])
+        assert res["rows_deleted"] == 50
+        state = D._replay(p)
+        for a in state.adds.values():
+            d = a.get("deletionVector")
+            if d and d.get("storageType") == "u":
+                fp = dv.dv_absolute_path(p, d)
+                assert __import__("os").path.exists(fp)
+
+
+class TestRelativeTablePath:
+    """ADVICE r9 (high): with a RELATIVE table path, the DV join key
+    (built from _file_abspath) must still match input_file_name()'s
+    absolute path — before the fix, read_delta silently RESURRECTED
+    deleted rows and delta_delete_dv reported rows_deleted=0."""
+
+    def _rel(self, tmp_path):
+        import os
+
+        return os.path.relpath(str(tmp_path / "t"), os.getcwd())
+
+    def test_read_applies_dvs_via_relative_path(self, spark, tmp_path):
+        rel = self._rel(tmp_path)
+        D.write_delta(_docs(spark, 100).coalesce(1), rel)
+        assert D.delta_delete_dv(
+            spark, rel, [("doc_id", "<", 40)]
+        )["rows_deleted"] == 40
+        got = sorted(r.doc_id for r in D.read_delta(spark, rel).collect())
+        assert got == list(range(40, 100)), "DV-deleted rows resurrected"
+
+    def test_update_and_merge_via_relative_path(self, spark, tmp_path):
+        rel = self._rel(tmp_path)
+        D.write_delta(_docs(spark, 60).coalesce(1), rel)
+        res = D.delta_update_dv(
+            spark, rel, [("doc_id", "<", 10)], {"text": "'X'"}
+        )
+        assert res["rows_updated"] == 10
+        src = spark.createDataFrame(
+            [(20, "M", 0)], "doc_id long, text string, bucket long"
+        )
+        res = D.delta_merge_dv(spark, rel, src, on=["doc_id"])
+        assert res["rows_updated"] == 1
+        df = D.read_delta(spark, rel)
+        assert df.count() == 60
+        assert df.filter("text = 'X'").count() == 10
+        assert df.filter("text = 'M'").count() == 1
