@@ -187,6 +187,9 @@ def read_hudi(
     else:
         target = completed[-1]
     paths = _file_slices(path, target, set(completed))
+    if not paths:
+        raise HudiError(f"no data files at instant {target}")
+    all_paths = paths
     if partition_filters:
         _OPS = {
             "=": lambda a, b: a == b,
@@ -226,7 +229,14 @@ def read_hudi(
                 kept.append(fp)
         paths = kept
     if not paths:
-        raise HudiError(f"no data files at instant {target}")
+        # a valid filter matching zero partitions yields an EMPTY
+        # DataFrame with the table schema (the Delta/Iceberg
+        # contract) — only a timeline with no data files errors
+        schema = spark.read.parquet(all_paths[0]).schema
+        df = spark.createDataFrame([], schema)
+        if not keep_meta_columns:
+            df = df.drop(*_META_COLS)
+        return df
     df = spark.read.parquet(*paths)
     if not keep_meta_columns:
         df = df.drop(*_META_COLS)

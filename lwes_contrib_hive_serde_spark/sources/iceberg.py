@@ -620,10 +620,6 @@ def read_iceberg(
                 for f in schema.fields
             ]
         )
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        spark.conf.set(
-            "spark.sql.parquet.fieldId.read.ignoreMissing", "true"
-        )
     else:
         have = set(first.names)
         missing = [f.name for f in schema.fields if f.name not in have]
@@ -638,7 +634,21 @@ def read_iceberg(
         _apply_data_filters,
     )
 
-    df = spark.read.schema(schema).parquet(*paths)
+    scan_spark = spark
+    if has_ids:
+        # the field-id read confs are consulted lazily AT EXECUTION,
+        # so setting them on the caller's session would leak id
+        # resolution into unrelated parquet reads for the rest of
+        # the session. Scope them to a CLONED session (same
+        # SparkContext, copied SQLConf) that only this scan uses.
+        from pyspark.sql import SparkSession as _SS
+
+        scan_spark = _SS(spark.sparkContext, spark._jsparkSession.cloneSession())
+        scan_spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        scan_spark.conf.set(
+            "spark.sql.parquet.fieldId.read.ignoreMissing", "true"
+        )
+    df = scan_spark.read.schema(schema).parquet(*paths)
     if has_ids:
         # the id annotations did their job at scan time; the result
         # schema is the logical one, metadata-free

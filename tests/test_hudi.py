@@ -149,12 +149,15 @@ class TestPartitionPruning:
                 spark, p, partition_filters=[("doc_id", "=", 1)]
             )
 
-    def test_prune_empty_refuses_like_no_files(self, spark, tmp_path):
+    def test_prune_empty_yields_empty_frame(self, spark, tmp_path):
+        # ADVICE r9: a valid filter matching zero partitions is an
+        # EMPTY DataFrame with the table schema (the Delta/Iceberg
+        # contract), not an error misattributed to the instant
         p = str(tmp_path / "t")
         H.write_hudi_table(
             _docs(spark, 4), p, record_key="doc_id", partition_by=["lang"]
         )
-        with pytest.raises(H.HudiError, match="no data files"):
-            H.read_hudi(
-                spark, p, partition_filters=[("lang", "=", "zz")]
-            )
+        df = H.read_hudi(spark, p, partition_filters=[("lang", "=", "zz")])
+        assert df.count() == 0
+        full = H.read_hudi(spark, p)
+        assert df.schema == full.schema

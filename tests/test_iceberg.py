@@ -722,3 +722,26 @@ class TestFieldIdRename:
             I.iceberg_rename_column(p, "text", "lang")
         with pytest.raises(I.IcebergError, match="no column"):
             I.iceberg_rename_column(p, "nope", "x")
+
+
+class TestFieldIdConfScoping:
+    def test_read_does_not_leak_session_confs(self, spark, tmp_path):
+        """ADVICE r9: field-id resolution must not mutate the
+        caller's session as a read side effect — the confs live on
+        a cloned session scoped to the scan, so unrelated parquet
+        reads keep their semantics."""
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "false")
+        spark.conf.set(
+            "spark.sql.parquet.fieldId.read.ignoreMissing", "false"
+        )
+        before = ("false", "false")
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 6).coalesce(1), p)
+        I.iceberg_rename_column(p, "text", "body")
+        got = I.read_iceberg(spark, p)
+        assert got.count() == 6  # execution, not just planning
+        after = (
+            spark.conf.get("spark.sql.parquet.fieldId.read.enabled"),
+            spark.conf.get("spark.sql.parquet.fieldId.read.ignoreMissing"),
+        )
+        assert after == before
