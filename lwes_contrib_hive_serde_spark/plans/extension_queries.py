@@ -9409,9 +9409,16 @@ def _documents_delta_mapped(spark, sf_dir: str) -> str:
     delta_rename_column): v0 writes documents, v1 upgrades to
     columnMapping.mode=name (metadata-only — physicalName = the
     name at upgrade, zero files rewritten), v2 renames n_chars →
-    char_count, v3 renames lang → language. The parquet files still
-    hold columns named n_chars/lang; only the mapping makes the new
-    logical names resolve. Cached per sf_dir."""
+    char_count, v3 renames lang → language. Round 10 extends the
+    lifecycle with POST-RENAME WRITES (the table no longer turns
+    read-only once mapped): v4 APPENDS a transformed slice
+    (ids ≡3 mod 10, shifted by +5,000,000 — the appended files
+    carry PHYSICAL column names n_chars/lang), v5 dv-UPDATES
+    char_count += 7 for ids ≡2 mod 13, v6 dv-DELETES ids ≡4
+    mod 17 (bitmaps union with v5's on shared files). The
+    parquet files still hold columns named
+    n_chars/lang; only the mapping makes the new logical names
+    resolve. Cached per sf_dir."""
     import os
 
     from lwes_contrib_hive_serde_spark.sources import delta as D
@@ -9422,8 +9429,8 @@ def _documents_delta_mapped(spark, sf_dir: str) -> str:
         tag = f"{tag}-{int(st.st_mtime)}-{st.st_size}"
     except OSError:
         pass
-    out = f"/tmp/delta_table_cache/v1/{tag}/documents_mapped"
-    done = os.path.join(out, "_delta_log", f"{3:020d}.json")
+    out = f"/tmp/delta_table_cache/v2/{tag}/documents_mapped"
+    done = os.path.join(out, "_delta_log", f"{6:020d}.json")
     if not os.path.exists(done):
         docs = table(spark, sf_dir, "documents").select(
             "doc_id", "text", "lang", "source", "n_chars"
@@ -9432,6 +9439,31 @@ def _documents_delta_mapped(spark, sf_dir: str) -> str:
         D.delta_enable_column_mapping(out)
         D.delta_rename_column(out, "n_chars", "char_count")
         D.delta_rename_column(out, "lang", "language")
+        extra = docs.where("doc_id % 10 = 3").select(
+            (F.col("doc_id") + 5000000).alias("doc_id"),
+            "text",
+            F.col("lang").alias("language"),
+            "source",
+            F.col("n_chars").alias("char_count"),
+        )
+        D.write_delta(extra.repartition(2), out, mode="append")
+        ids_u = [
+            r[0]
+            for r in D.read_delta(spark, out)
+            .select("doc_id").where("doc_id % 13 = 2").collect()
+        ]
+        if ids_u:
+            D.delta_update_dv(
+                spark, out, [("doc_id", "in", ids_u)],
+                {"char_count": "char_count + 7"},
+            )
+        ids_d = [
+            r[0]
+            for r in D.read_delta(spark, out)
+            .select("doc_id").where("doc_id % 17 = 4").collect()
+        ]
+        if ids_d:
+            D.delta_delete_dv(spark, out, [("doc_id", "in", ids_d)])
     return out
 
 
@@ -9439,12 +9471,25 @@ def _documents_delta_mapped(spark, sf_dir: str) -> str:
     "q_delta_column_mapping",
     shadow=True,
     oracle="""
+    WITH base AS (
+      SELECT doc_id, text, lang, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 5000000, text, lang, n_chars
+      FROM documents WHERE doc_id % 10 = 3
+    ),
+    upd AS (
+      SELECT doc_id, text, lang,
+             CASE WHEN doc_id % 13 = 2 THEN n_chars + 7
+                  ELSE n_chars END AS n_chars
+      FROM base
+    ),
+    final AS (SELECT * FROM upd WHERE doc_id % 17 <> 4)
     SELECT 'renamed' AS snapshot, lang AS language,
            COUNT(*) AS n,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
            CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
            MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
-    FROM documents GROUP BY lang
+    FROM final GROUP BY lang
     UNION ALL
     SELECT 'original' AS snapshot, lang AS language,
            COUNT(*) AS n,
@@ -9453,20 +9498,22 @@ def _documents_delta_mapped(spark, sf_dir: str) -> str:
            MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
     FROM documents GROUP BY lang
     """,
-    doc="Delta COLUMN MAPPING read end to end (sources/delta.py — "
-    "PROTOCOL.md 'Column Mapping', round 9): the table upgrades to "
-    "mode=name and renames TWO columns with metadata-only commits "
-    "(delta_rename_column — zero data files rewritten, pinned by "
-    "pytest), so the parquet columns still carry the OLD names and "
-    "read_delta must resolve them through each field's "
-    "physicalName, scanning the physical schema and cast-renaming "
-    "to the logical one. The query aggregates by the RENAMED "
-    "columns at the latest version AND by the original names at "
-    "versionAsOf=0 (pre-upgrade), emitting identical values under "
-    "both schemas; the DuckDB oracle recomputes both from the "
-    "original parquet. A hash match proves physical-name "
-    "resolution, stats/partition key translation, and schema time "
-    "travel across the mapping boundary.",
+    doc="Delta COLUMN MAPPING lifecycle end to end (sources/"
+    "delta.py — PROTOCOL.md 'Column Mapping'; write support round "
+    "10): the table upgrades to mode=name, renames TWO columns "
+    "with metadata-only commits (delta_rename_column — zero data "
+    "files rewritten, pinned by pytest), then keeps LIVING: a "
+    "post-rename APPEND lands files whose parquet columns carry "
+    "the PHYSICAL names (write_delta's logical→physical "
+    "projection), a dv-UPDATE bumps char_count for ids ≡2 mod 13 "
+    "(merge-on-read under mapping), and a dv-DELETE drops ids ≡4 "
+    "mod 17. The query aggregates by the RENAMED columns at the "
+    "latest version AND by the original names at versionAsOf=0 "
+    "(pre-upgrade); the DuckDB oracle recomputes the full "
+    "append+update+delete derivation from the original parquet. A "
+    "hash match proves physical-name emission on write, mapped "
+    "stats/partition key translation in DML candidate selection, "
+    "and schema time travel across the mapping boundary.",
 )
 def q_delta_column_mapping(spark, sf_dir):
     from lwes_contrib_hive_serde_spark.sources import delta as D

@@ -478,17 +478,59 @@ def _physical_schema(state: _State) -> StructType:
     )
 
 
-def _refuse_column_mapping(state: _State, op: str) -> None:
-    """Write/DML verbs do not emit physical-name parquet or mapped
-    stats yet — they refuse on mapped tables rather than producing
-    files readers would mis-resolve. Reads, checkpoints, vacuum,
-    restore, and the metadata-only rename are unaffected."""
-    if _column_mapping(state) is not None:
-        raise DeltaError(
-            f"{op}: table uses column mapping; this writer does not "
-            "emit physical-name files yet — read/rename are "
-            "supported, writes are not"
+def _phys_field_map(state: _State) -> dict | None:
+    """logical top-level field name → PHYSICAL StructField (name and
+    recursively-renamed type), or None when the table is unmapped.
+    The write-side inverse of the read path's physical→logical
+    cast-rename."""
+    if _column_mapping(state) is None:
+        return None
+    logical, physical = _schema(state), _physical_schema(state)
+    return {lf.name: pf for lf, pf in zip(logical.fields, physical.fields)}
+
+
+def _rename_to_physical(
+    df: DataFrame, state: _State, field_names: list[str]
+) -> DataFrame:
+    """Project a LOGICAL-schema DataFrame down to ``field_names``
+    under the table's PHYSICAL column names (casting to the physical
+    struct type renames nested fields positionally — the exact
+    inverse of read_delta's mapped projection). No-op rename (plain
+    select) for unmapped tables. Data files, stats keys and
+    hive-style partition dirs all come out physical downstream of
+    this one projection."""
+    fm = _phys_field_map(state)
+    if fm is None:
+        return df.select(*field_names)
+    return df.select(
+        *[
+            F.col(n).cast(fm[n].dataType).alias(fm[n].name)
+            for n in field_names
+        ]
+    )
+
+
+def _physical_name_of(state: _State) -> dict:
+    """{logical top-level name → physical name}; identity-free ({})
+    when unmapped — callers use ``phys_of.get(c, c)``."""
+    m = _column_mapping(state)
+    return m["physical"] if m else {}
+
+
+def _schema_phys_map(meta: dict) -> dict | None:
+    """The {logical → physical} top-level map a metaData action
+    implies, or None when it has no column mapping — the
+    drift-detection snapshot write_delta compares per commit
+    attempt (staged parquet must agree with the committed map)."""
+    conf = meta.get("configuration") or {}
+    if conf.get("delta.columnMapping.mode", "none") in ("none", ""):
+        return None
+    return {
+        f["name"]: (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName"
         )
+        for f in json.loads(meta["schemaString"]).get("fields") or []
+    }
 
 
 def _file_abspath(table_path: str, add_path: str) -> str:
@@ -730,6 +772,49 @@ def _refuse_dvs(adds, op: str) -> None:
             "rewriting them raw would resurrect deleted rows. Run "
             "delta_compact first (it applies and purges DVs)."
         )
+
+
+def _scan_data_files_logical(
+    spark: SparkSession,
+    state: _State,
+    paths: list[str],
+    with_keys: bool = False,
+) -> DataFrame:
+    """Scan data files and return their NON-PARTITION columns under
+    LOGICAL names — the read path's physical-resolution + cast-
+    rename, packaged for the DML verbs so their predicates and
+    set-expressions always see logical columns whether or not the
+    table uses column mapping. ``with_keys`` adds ``__dv_file`` /
+    ``__dv_pos`` (normalized file path + physical row index), the
+    join keys for DV masking and executor-side bitmap builds."""
+    full_schema = _schema(state)
+    part_cols = _partition_columns(state)
+    mapping = _column_mapping(state)
+    read_schema = _physical_schema(state) if mapping else full_schema
+    phys_of = mapping["physical"] if mapping else {}
+    phys_part = {phys_of.get(c, c) for c in part_cols}
+    phys_data = StructType(
+        [f for f in read_schema.fields if f.name not in phys_part]
+    )
+    df = spark.read.schema(phys_data).parquet(*paths)
+    if with_keys:
+        df = df.withColumn(
+            "__dv_file",
+            _strip_scheme(_decode_file_uri(F.input_file_name())),
+        ).withColumn("__dv_pos", F.col("_metadata.row_index"))
+    if mapping:
+        logical_data = [
+            f for f in full_schema.fields if f.name not in part_cols
+        ]
+        keep = ["__dv_file", "__dv_pos"] if with_keys else []
+        df = df.select(
+            *[
+                F.col(pf.name).cast(lf.dataType).alias(lf.name)
+                for pf, lf in zip(phys_data.fields, logical_data)
+            ],
+            *[F.col(k) for k in keep],
+        )
+    return df
 
 
 def _mask_existing_dv_rows(
@@ -1280,6 +1365,7 @@ def _compat_meta(
     df_schema: StructType,
     partition_by: list[str],
     merge_schema: bool,
+    new_field_phys: dict | None = None,
 ) -> tuple[dict, bool]:
     """Validate a write's schema/partitioning against an existing
     table's state and return (metaData to commit, whether it
@@ -1288,7 +1374,14 @@ def _compat_meta(
     append (forced nullable: pre-evolution files hold no values for
     them and read back as NULL). Called per commit attempt so a
     concurrent schema-evolving commit is re-reconciled, not
-    clobbered."""
+    clobbered.
+
+    Under column mapping, appended fields must carry a
+    ``delta.columnMapping.id`` / ``physicalName`` — the caller
+    passes ``new_field_phys`` {logical name → physical name},
+    assigned ONCE before staging so the staged parquet and every
+    commit attempt agree on the physical column names; ids come
+    from the attempt's current maxColumnId."""
     prior_schema = _schema(prior)
     prior_parts = _partition_columns(prior)
     if prior_parts != partition_by:
@@ -1312,13 +1405,38 @@ def _compat_meta(
             + f": table={prior_schema.simpleString()} "
             f"df={df_schema.simpleString()}"
         )
-    new_fields = [
-        StructField(f.name, f.dataType, True)
-        for f in df_schema.fields[len(want):]
-    ]
-    merged = StructType(list(prior_schema.fields) + new_fields)
     meta = dict(prior.metadata)
+    mapped = _column_mapping(prior) is not None
+    conf = dict(meta.get("configuration") or {})
+    max_id = int(conf.get("delta.columnMapping.maxColumnId", "0"))
+    new_fields = []
+    for f in df_schema.fields[len(want):]:
+        if mapped:
+            phys = (new_field_phys or {}).get(f.name)
+            if not phys:
+                raise DeltaError(
+                    f"appending column {f.name!r} to a mapped table "
+                    "needs a physical-name assignment (internal)"
+                )
+            max_id += 1
+            new_fields.append(
+                StructField(
+                    f.name,
+                    f.dataType,
+                    True,
+                    {
+                        "delta.columnMapping.id": max_id,
+                        "delta.columnMapping.physicalName": phys,
+                    },
+                )
+            )
+        else:
+            new_fields.append(StructField(f.name, f.dataType, True))
+    merged = StructType(list(prior_schema.fields) + new_fields)
     meta["schemaString"] = merged.json()
+    if mapped and new_fields:
+        conf["delta.columnMapping.maxColumnId"] = str(max_id)
+        meta["configuration"] = conf
     return meta, True
 
 
@@ -1359,6 +1477,10 @@ def write_delta(
         exists = bool(commits or checkpoints)
     if exists and mode == "error":
         raise DeltaError(f"Delta table already exists at {path}")
+    new_field_phys: dict = {}
+    staged_phys_map: dict | None = None
+    staged_df = df
+    stage_partition_by = partition_by
     if exists:
         # fail fast BEFORE staging any data; the commit loop
         # re-validates against the then-current replay on every
@@ -1366,14 +1488,43 @@ def write_delta(
         # the winning O_EXCL create must not be clobbered).
         prior = _replay(path)
         _check_readable(prior)
-        _refuse_column_mapping(prior, "write_delta")
-        _compat_meta(prior, df.schema, partition_by, merge_schema)
+        fm = _phys_field_map(prior)
+        if fm is not None and merge_schema:
+            # new columns appended to a MAPPED table get their
+            # physical names assigned ONCE, pre-staging, so the
+            # staged parquet and every commit attempt agree
+            have = {f.name for f in _schema(prior).fields}
+            new_field_phys = {
+                f.name: f"col-{uuid.uuid4().hex}"
+                for f in df.schema.fields
+                if f.name not in have
+            }
+        staged_meta, _ = _compat_meta(
+            prior, df.schema, partition_by, merge_schema, new_field_phys
+        )
+        staged_phys_map = _schema_phys_map(staged_meta)
+        if fm is not None:
+            # emit PHYSICAL column names into the data files (the
+            # inverse of read_delta's mapped projection); stats keys
+            # and hive partition dirs follow automatically
+            staged_df = df.select(
+                *[
+                    F.col(f.name).cast(fm[f.name].dataType).alias(
+                        fm[f.name].name
+                    )
+                    if f.name in fm
+                    else F.col(f.name).alias(new_field_phys[f.name])
+                    for f in df.schema.fields
+                ]
+            )
+            phys_of = _physical_name_of(prior)
+            stage_partition_by = [phys_of.get(c, c) for c in partition_by]
 
     # 1. Stage the data with the native parquet writer.
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
+    writer = staged_df.write.mode("overwrite")
+    if stage_partition_by:
+        writer = writer.partitionBy(*stage_partition_by)
     writer.parquet(staging)
 
     # 2. Publish staged files into the table root (same volume →
@@ -1446,10 +1597,16 @@ def write_delta(
                 raise DeltaError(f"Delta table already exists at {path}")
             try:
                 _check_readable(current)
-                _refuse_column_mapping(current, "write_delta")
                 meta, schema_changed = _compat_meta(
-                    current, df.schema, partition_by, merge_schema
+                    current, df.schema, partition_by, merge_schema,
+                    new_field_phys,
                 )
+                if _schema_phys_map(meta) != staged_phys_map:
+                    raise DeltaError(
+                        "column mapping changed concurrently (enable/"
+                        "rename raced this write); staged files carry "
+                        "stale physical names — aborted cleanly, re-run"
+                    )
             except DeltaError:
                 _abandon()
                 raise
@@ -1778,17 +1935,22 @@ def delta_compact(
 
     state = _replay(path)
     _check_readable(state)
-    _refuse_column_mapping(state, "delta_compact")
     part_cols = _partition_columns(state)
     full_schema = _schema(state)
+    # compaction never evaluates column predicates, so mapped tables
+    # compact OPAQUELY under their physical schema: scan physical,
+    # write physical, stats/pv keys stay physical throughout
+    phys_of = _physical_name_of(state)
+    read_schema = _physical_schema(state) if phys_of else full_schema
+    phys_part = [phys_of.get(c, c) for c in part_cols]
     data_schema = StructType(
-        [f for f in full_schema.fields if f.name not in part_cols]
+        [f for f in read_schema.fields if f.name not in set(phys_part)]
     )
 
     groups: dict[tuple, list[dict]] = {}
     for a in state.adds.values():
         pv = a.get("partitionValues") or {}
-        key = tuple((c, pv.get(c)) for c in part_cols)
+        key = tuple((pc, pv.get(pc)) for pc in phys_part)
         groups.setdefault(key, []).append(a)
 
     removes: list[dict] = []
@@ -2156,7 +2318,6 @@ def delta_zorder(
 
     state = _replay(path)
     _check_readable(state)
-    _refuse_column_mapping(state, "delta_zorder")
     part_cols = _partition_columns(state)
     full_schema = _schema(state)
     for c in cols:
@@ -2164,14 +2325,21 @@ def delta_zorder(
             raise DeltaError(
                 f"zorder column {c!r} must be a non-partition data column"
             )
+    # mapped tables cluster OPAQUELY under their physical schema
+    # (same posture as delta_compact); only the curve columns need
+    # logical→physical translation
+    phys_of = _physical_name_of(state)
+    read_schema = _physical_schema(state) if phys_of else full_schema
+    phys_part = [phys_of.get(c, c) for c in part_cols]
+    cols = [phys_of.get(c, c) for c in cols]
     data_schema = StructType(
-        [f for f in full_schema.fields if f.name not in part_cols]
+        [f for f in read_schema.fields if f.name not in set(phys_part)]
     )
 
     groups: dict[tuple, list[dict]] = {}
     for a in state.adds.values():
         pv = a.get("partitionValues") or {}
-        key = tuple((c, pv.get(c)) for c in part_cols)
+        key = tuple((pc, pv.get(pc)) for pc in phys_part)
         groups.setdefault(key, []).append(a)
 
     removes: list[dict] = []
@@ -2296,9 +2464,9 @@ def delta_delete(
 
     state = _replay(path)
     _check_readable(state)
-    _refuse_column_mapping(state, "delta_delete")
     part_cols = _partition_columns(state)
     full_schema = _schema(state)
+    phys_of = _physical_name_of(state)
     types = {f.name: f.dataType for f in full_schema.fields}
     data_schema = StructType(
         [f for f in full_schema.fields if f.name not in part_cols]
@@ -2313,7 +2481,8 @@ def delta_delete(
             raise DeltaError(f"unsupported delete op {o!r}")
 
     candidates = _prune(
-        list(state.adds.values()), part_preds or None, part_cols, types
+        list(state.adds.values()), part_preds or None, part_cols, types,
+        key_of=phys_of or None,
     )
     if data_preds:
         kept = []
@@ -2324,7 +2493,9 @@ def delta_delete(
             except (TypeError, ValueError):
                 stats = {}
             if all(
-                _file_may_match(stats, c, o, v) for c, o, v in data_preds
+                # stats keys are physical under column mapping
+                _file_may_match(stats, phys_of.get(c, c), o, v)
+                for c, o, v in data_preds
             ):
                 kept.append(a)
         candidates = kept
@@ -2338,9 +2509,11 @@ def delta_delete(
         cond = F.lit(True)
         for c, o, v in where:
             col = (
-                F.lit(_cast_partition_value(pv.get(c), types[c])).cast(
-                    types[c]
-                )
+                F.lit(
+                    _cast_partition_value(
+                        pv.get(phys_of.get(c, c)), types[c]
+                    )
+                ).cast(types[c])
                 if c in part_cols
                 else F.col(c)
             )
@@ -2369,13 +2542,16 @@ def delta_delete(
     for a in candidates:
         fp = _file_abspath(path, a["path"])
         pv = a.get("partitionValues") or {}
-        df = spark.read.schema(data_schema).parquet(fp)
+        df = _scan_data_files_logical(spark, state, [fp])
         hit = df.filter(match_expr(pv))
         n_hit = hit.count()
         if n_hit == 0:
             continue  # stats said maybe; rows said no — file untouched
         rows_deleted += n_hit
         survivors = df.filter(~match_expr(pv) | match_expr(pv).isNull())
+        survivors = _rename_to_physical(
+            survivors, state, [f.name for f in data_schema.fields]
+        )
         staging = os.path.join(path, f".delete-{uuid.uuid4().hex}")
         survivors.coalesce(1).write.mode("overwrite").parquet(staging)
         new_adds = _publish_parquet_dir(
@@ -2486,13 +2662,10 @@ def delta_delete_dv(
     "version"}."""
     state = _replay(path)
     _check_readable(state)
-    _refuse_column_mapping(state, "delta_delete_dv")
     part_cols = _partition_columns(state)
     full_schema = _schema(state)
+    phys_of = _physical_name_of(state)
     types = {f.name: f.dataType for f in full_schema.fields}
-    data_schema = StructType(
-        [f for f in full_schema.fields if f.name not in part_cols]
-    )
     part_preds = [(c, o, v) for c, o, v in where if c in part_cols]
     data_preds = [(c, o, v) for c, o, v in where if c not in part_cols]
     for c, o, _v in where:
@@ -2503,7 +2676,8 @@ def delta_delete_dv(
             raise DeltaError(f"unsupported delete op {o!r}")
 
     candidates = _prune(
-        list(state.adds.values()), part_preds or None, part_cols, types
+        list(state.adds.values()), part_preds or None, part_cols, types,
+        key_of=phys_of or None,
     )
     if data_preds:
         kept = []
@@ -2514,7 +2688,8 @@ def delta_delete_dv(
             except (TypeError, ValueError):
                 stats = {}
             if all(
-                _file_may_match(stats, c, o, v) for c, o, v in data_preds
+                _file_may_match(stats, phys_of.get(c, c), o, v)
+                for c, o, v in data_preds
             ):
                 kept.append(a)
         candidates = kept
@@ -2532,14 +2707,9 @@ def delta_delete_dv(
     # them as newly=0, the same no-op a re-delete is.
     cand_paths = [_file_abspath(path, a["path"]) for a in candidates]
     by_path = {p: a for p, a in zip(cand_paths, candidates)}
-    scan = spark.read.schema(data_schema).parquet(*cand_paths)
+    scan = _scan_data_files_logical(spark, state, cand_paths, with_keys=True)
     cond = _apply_data_filters(scan, data_preds) if data_preds else scan
-    matched = cond.select(
-        _strip_scheme(_decode_file_uri(F.input_file_name())).alias(
-            "__dv_file"
-        ),
-        F.col("_metadata.row_index").alias("__dv_pos"),
-    )
+    matched = cond.select("__dv_file", "__dv_pos")
     dv_results = _build_dvs_distributed(spark, path, matched, candidates)
     removes, new_adds, rows_deleted, files_removed = _dv_dml_classify(
         dv_results, by_path
@@ -2644,9 +2814,9 @@ def delta_update(
 
     state = _replay(path)
     _check_readable(state)
-    _refuse_column_mapping(state, "delta_update")
     part_cols = _partition_columns(state)
     full_schema = _schema(state)
+    phys_of = _physical_name_of(state)
     types = {f.name: f.dataType for f in full_schema.fields}
     for c in set_exprs:
         if c in part_cols:
@@ -2669,7 +2839,8 @@ def delta_update(
             raise DeltaError(f"unsupported update op {o!r}")
 
     candidates = _prune(
-        list(state.adds.values()), part_preds or None, part_cols, types
+        list(state.adds.values()), part_preds or None, part_cols, types,
+        key_of=phys_of or None,
     )
     if data_preds:
         kept = []
@@ -2680,7 +2851,8 @@ def delta_update(
             except (TypeError, ValueError):
                 stats = {}
             if all(
-                _file_may_match(stats, c, o, v) for c, o, v in data_preds
+                _file_may_match(stats, phys_of.get(c, c), o, v)
+                for c, o, v in data_preds
             ):
                 kept.append(a)
         candidates = kept
@@ -2692,9 +2864,11 @@ def delta_update(
         cond = F.lit(True)
         for c, o, v in where:
             col = (
-                F.lit(_cast_partition_value(pv.get(c), types[c])).cast(
-                    types[c]
-                )
+                F.lit(
+                    _cast_partition_value(
+                        pv.get(phys_of.get(c, c)), types[c]
+                    )
+                ).cast(types[c])
                 if c in part_cols
                 else F.col(c)
             )
@@ -2723,7 +2897,7 @@ def delta_update(
     for a in candidates:
         fp = _file_abspath(path, a["path"])
         pv = a.get("partitionValues") or {}
-        df = spark.read.schema(data_schema).parquet(fp)
+        df = _scan_data_files_logical(spark, state, [fp])
         cond = match_expr(pv)
         n_hit = df.filter(cond).count()
         if n_hit == 0:
@@ -2735,9 +2909,11 @@ def delta_update(
         for c in part_cols:
             updated = updated.withColumn(
                 c,
-                F.lit(_cast_partition_value(pv.get(c), types[c])).cast(
-                    types[c]
-                ),
+                F.lit(
+                    _cast_partition_value(
+                        pv.get(phys_of.get(c, c)), types[c]
+                    )
+                ).cast(types[c]),
             )
         for c, expr in set_exprs.items():
             updated = updated.withColumn(
@@ -2746,7 +2922,9 @@ def delta_update(
                     F.col(c)
                 ),
             )
-        updated = updated.select(*[f.name for f in data_schema.fields])
+        updated = _rename_to_physical(
+            updated, state, [f.name for f in data_schema.fields]
+        )
         staging = os.path.join(path, f".update-{uuid.uuid4().hex}")
         updated.coalesce(1).write.mode("overwrite").parquet(staging)
         new_adds = _publish_parquet_dir(
@@ -2854,9 +3032,9 @@ def delta_merge(
         )
     state = _replay(path)
     _check_readable(state)
-    _refuse_column_mapping(state, "delta_merge")
     part_cols = _partition_columns(state)
     full_schema = _schema(state)
+    phys_of = _physical_name_of(state)
     types = {f.name: f.dataType for f in full_schema.fields}
     want = [(f.name, f.dataType) for f in full_schema.fields]
     got = [(f.name, f.dataType) for f in source.schema.fields]
@@ -2904,7 +3082,10 @@ def delta_merge(
             stats = json.loads(st) if st else {}
         except (TypeError, ValueError):
             stats = {}
-        if all(_file_may_match(stats, c, o, v) for c, o, v in key_preds):
+        if all(
+            _file_may_match(stats, phys_of.get(c, c), o, v)
+            for c, o, v in key_preds
+        ):
             candidates.append(a)
     _refuse_dvs(candidates, "delta_merge")
 
@@ -2914,7 +3095,7 @@ def delta_merge(
     for a in candidates:
         fp = _file_abspath(path, a["path"])
         pv = a.get("partitionValues") or {}
-        tgt = spark.read.schema(data_schema).parquet(fp)
+        tgt = _scan_data_files_logical(spark, state, [fp])
         hits = tgt.join(F.broadcast(src.select(*on)), on, "left_semi")
         n_hit = hits.count()
         if n_hit == 0:
@@ -2944,7 +3125,9 @@ def delta_merge(
                     same = same.filter(
                         F.col(c).eqNullSafe(
                             F.lit(
-                                _cast_partition_value(pv.get(c), types[c])
+                                _cast_partition_value(
+                                    pv.get(phys_of.get(c, c)), types[c]
+                                )
                             ).cast(types[c])
                         )
                     )
@@ -2966,6 +3149,9 @@ def delta_merge(
             new_rows = keep.unionByName(repl)
         else:
             new_rows = keep
+        new_rows = _rename_to_physical(
+            new_rows, state, [f.name for f in data_schema.fields]
+        )
         staging = os.path.join(path, f".merge-{uuid.uuid4().hex}")
         new_rows.coalesce(1).write.mode("overwrite").parquet(staging)
         new_adds = _publish_parquet_dir(
@@ -2998,9 +3184,14 @@ def delta_merge(
         rows_inserted = unmatched.count()
         if rows_inserted:
             staging = os.path.join(path, f".merge-ins-{uuid.uuid4().hex}")
-            writer = unmatched.write.mode("overwrite")
+            ins = _rename_to_physical(
+                unmatched, state, [f.name for f in full_schema.fields]
+            )
+            writer = ins.write.mode("overwrite")
             if part_cols:
-                writer = writer.partitionBy(*part_cols)
+                writer = writer.partitionBy(
+                    *[phys_of.get(c, c) for c in part_cols]
+                )
             writer.parquet(staging)
             for root, _dirs, names in os.walk(staging):
                 if not any(n.endswith(".parquet") for n in names):
@@ -3272,9 +3463,9 @@ def delta_update_dv(
 
     state = _replay(path)
     _check_readable(state)
-    _refuse_column_mapping(state, "delta_update_dv")
     part_cols = _partition_columns(state)
     full_schema = _schema(state)
+    phys_of = _physical_name_of(state)
     types = {f.name: f.dataType for f in full_schema.fields}
     for c in set_exprs:
         if c in part_cols:
@@ -3284,9 +3475,6 @@ def delta_update_dv(
             )
         if c not in types:
             raise DeltaError(f"assignment column {c!r} not in schema")
-    data_schema = StructType(
-        [f for f in full_schema.fields if f.name not in part_cols]
-    )
     part_preds = [(c, o, v) for c, o, v in where if c in part_cols]
     data_preds = [(c, o, v) for c, o, v in where if c not in part_cols]
     for c, o, _v in where:
@@ -3296,7 +3484,8 @@ def delta_update_dv(
                      "isnull", "isnotnull"):
             raise DeltaError(f"unsupported update op {o!r}")
     candidates = _prune(
-        list(state.adds.values()), part_preds or None, part_cols, types
+        list(state.adds.values()), part_preds or None, part_cols, types,
+        key_of=phys_of or None,
     )
     if data_preds:
         kept = []
@@ -3307,7 +3496,8 @@ def delta_update_dv(
             except (TypeError, ValueError):
                 stats = {}
             if all(
-                _file_may_match(stats, c, o, v) for c, o, v in data_preds
+                _file_may_match(stats, phys_of.get(c, c), o, v)
+                for c, o, v in data_preds
             ):
                 kept.append(a)
         candidates = kept
@@ -3323,22 +3513,17 @@ def delta_update_dv(
     # #files summary rows — never matched positions.
     cand_paths = [_file_abspath(path, a["path"]) for a in candidates]
     by_path = {p: a for p, a in zip(cand_paths, candidates)}
-    scan = (
-        spark.read.schema(data_schema)
-        .parquet(*cand_paths)
-        .withColumn(
-            "__dv_file",
-            _strip_scheme(_decode_file_uri(F.input_file_name())),
-        )
-        .withColumn("__dv_pos", F.col("_metadata.row_index"))
-    )
+    scan = _scan_data_files_logical(spark, state, cand_paths, with_keys=True)
     if part_cols:
         pv_rows = [
             tuple(
                 [p]
                 + [
                     _cast_partition_value(
-                        (a.get("partitionValues") or {}).get(c), types[c]
+                        (a.get("partitionValues") or {}).get(
+                            phys_of.get(c, c)
+                        ),
+                        types[c],
                     )
                     for c in part_cols
                 ]
@@ -3394,11 +3579,15 @@ def delta_update_dv(
         updated = matched
         for c, expr in set_exprs.items():
             updated = updated.withColumn(c, F.expr(expr).cast(types[c]))
-        updated = updated.select(*[f.name for f in full_schema.fields])
+        updated = _rename_to_physical(
+            updated, state, [f.name for f in full_schema.fields]
+        )
         staging = os.path.join(path, f".updatedv-{uuid.uuid4().hex}")
         writer = updated.write.mode("overwrite")
         if part_cols:
-            writer = writer.partitionBy(*part_cols)
+            writer = writer.partitionBy(
+                *[phys_of.get(c, c) for c in part_cols]
+            )
         writer.parquet(staging)
         new_adds = _publish_partitioned_staging(staging, path)
         shutil.rmtree(staging, ignore_errors=True)
@@ -3497,16 +3686,17 @@ def _commit_actions(path: str, version: int) -> list[dict]:
 
 
 def _rows_at_positions(
-    spark: SparkSession, table_path: str, file_abspath: str,
-    data_schema: StructType, positions,
+    spark: SparkSession, state: _State, file_abspath: str, positions
 ):
     """The rows of one parquet file at the given physical positions
-    (semi-join on _metadata.row_index — the CDF row materializer)."""
+    (semi-join on _metadata.row_index — the CDF row materializer).
+    Columns come back LOGICAL (mapped tables scan physical and
+    rename, via _scan_data_files_logical)."""
     import pandas as pd
 
-    df = spark.read.schema(data_schema).parquet(file_abspath).withColumn(
-        "__dv_pos", F.col("_metadata.row_index")
-    )
+    df = _scan_data_files_logical(
+        spark, state, [file_abspath], with_keys=True
+    ).drop("__dv_file")
     pos_df = spark.createDataFrame(
         pd.DataFrame({"__dv_pos": sorted(int(p) for p in positions)}),
         schema="__dv_pos long",
@@ -3561,21 +3751,20 @@ def delta_table_changes(
         )
     state = _replay(path, ending_version)
     _check_readable(state)
-    _refuse_column_mapping(state, "delta_table_changes")
     full_schema = _schema(state)
     part_cols = _partition_columns(state)
+    phys_of = _physical_name_of(state)
     types = {f.name: f.dataType for f in full_schema.fields}
-    data_schema = StructType(
-        [f for f in full_schema.fields if f.name not in part_cols]
-    )
 
     def attach_parts(df: DataFrame, pv: dict) -> DataFrame:
         for c in part_cols:
             df = df.withColumn(
                 c,
-                F.lit(_cast_partition_value(pv.get(c), types[c])).cast(
-                    types[c]
-                ),
+                F.lit(
+                    _cast_partition_value(
+                        pv.get(phys_of.get(c, c)), types[c]
+                    )
+                ).cast(types[c]),
             )
         return df.select(*[f.name for f in full_schema.fields])
 
@@ -3608,14 +3797,29 @@ def delta_table_changes(
 
         def file_rows(add_dict):
             fp = _file_abspath(path, add_dict["path"])
-            df = spark.read.schema(data_schema).parquet(fp)
             desc = add_dict.get("deletionVector")
             if desc:
+                # keys ride the scan (with_keys) because the mapped
+                # rename-select would otherwise sit between the scan
+                # and a later _metadata reference
+                df = _scan_data_files_logical(
+                    spark, state, [fp], with_keys=True
+                )
                 dv_deleted, dv_total = _decode_deleted_pairs(
                     spark, path, [(add_dict, fp)]
                 )
                 if dv_deleted is not None:
-                    df = _anti_join_deleted(df, dv_deleted, dv_total)
+                    right = (
+                        F.broadcast(dv_deleted)
+                        if dv_total <= _DV_BROADCAST_MAX_ROWS
+                        else dv_deleted
+                    )
+                    df = df.join(
+                        right, ["__dv_file", "__dv_pos"], "left_anti"
+                    )
+                df = df.drop("__dv_file", "__dv_pos")
+            else:
+                df = _scan_data_files_logical(spark, state, [fp])
             return attach_parts(df, add_dict.get("partitionValues") or {})
 
         dv_mode = params.get("mode") == "deletion-vectors"
@@ -3661,7 +3865,9 @@ def delta_table_changes(
                 else:
                     # full-coverage removal: every still-live row
                     # died — read the file, anti-join the OLD dv
-                    df = spark.read.schema(data_schema).parquet(fp)
+                    df = _scan_data_files_logical(
+                        spark, state, [fp], with_keys=True
+                    )
                     if old_pos:
                         import pandas as pd
 
@@ -3674,16 +3880,19 @@ def delta_table_changes(
                             ),
                             schema="__dv_file string, __dv_pos long",
                         )
-                        df = _anti_join_deleted(df, old_df, len(old_pos))
+                        df = df.join(
+                            F.broadcast(old_df),
+                            ["__dv_file", "__dv_pos"],
+                            "left_anti",
+                        )
+                    df = df.drop("__dv_file", "__dv_pos")
                     pv = r.get("partitionValues") or {}
                     pieces.append(
                         tag(attach_parts(df, pv), pre_type, v, ts)
                     )
                     continue
                 if newly:
-                    rows = _rows_at_positions(
-                        spark, path, fp, data_schema, newly
-                    )
+                    rows = _rows_at_positions(spark, state, fp, newly)
                     pv = r.get("partitionValues") or {}
                     pieces.append(
                         tag(attach_parts(rows, pv), pre_type, v, ts)
@@ -3822,9 +4031,9 @@ def delta_merge_dv(
         )
     state = _replay(path)
     _check_readable(state)
-    _refuse_column_mapping(state, "delta_merge_dv")
     part_cols = _partition_columns(state)
     full_schema = _schema(state)
+    phys_of = _physical_name_of(state)
     types = {f.name: f.dataType for f in full_schema.fields}
     want = [(f.name, f.dataType) for f in full_schema.fields]
     got = [(f.name, f.dataType) for f in source.schema.fields]
@@ -3871,7 +4080,8 @@ def delta_merge_dv(
             except (TypeError, ValueError):
                 stats = {}
             if all(
-                _file_may_match(stats, c, o, v) for c, o, v in key_preds
+                _file_may_match(stats, phys_of.get(c, c), o, v)
+                for c, o, v in key_preds
             ):
                 candidates.append(a)
 
@@ -3892,14 +4102,8 @@ def delta_merge_dv(
         if candidates:
             cand_paths = [_file_abspath(path, a["path"]) for a in candidates]
             by_path = {p: a for p, a in zip(cand_paths, candidates)}
-            scan = (
-                spark.read.schema(data_schema)
-                .parquet(*cand_paths)
-                .withColumn(
-                    "__dv_file",
-                    _strip_scheme(_decode_file_uri(F.input_file_name())),
-                )
-                .withColumn("__dv_pos", F.col("_metadata.row_index"))
+            scan = _scan_data_files_logical(
+                spark, state, cand_paths, with_keys=True
             )
             if part_cols:
                 pv_rows = [
@@ -3907,7 +4111,9 @@ def delta_merge_dv(
                         [p]
                         + [
                             _cast_partition_value(
-                                (a.get("partitionValues") or {}).get(c),
+                                (a.get("partitionValues") or {}).get(
+                                    phys_of.get(c, c)
+                                ),
                                 types[c],
                             )
                             for c in part_cols
@@ -3969,12 +4175,16 @@ def delta_merge_dv(
                     "__copy",
                     F.explode(F.sequence(F.lit(1), F.col("__n_copies"))),
                 )
-                .select(*[f.name for f in full_schema.fields])
+            )
+            repl = _rename_to_physical(
+                repl, state, [f.name for f in full_schema.fields]
             )
             staging = os.path.join(path, f".mergedv-{uuid.uuid4().hex}")
             writer = repl.write.mode("overwrite")
             if part_cols:
-                writer = writer.partitionBy(*part_cols)
+                writer = writer.partitionBy(
+                    *[phys_of.get(c, c) for c in part_cols]
+                )
             writer.parquet(staging)
             new_adds.extend(_publish_partitioned_staging(staging, path))
             shutil.rmtree(staging, ignore_errors=True)
@@ -3991,9 +4201,14 @@ def delta_merge_dv(
                 staging = os.path.join(
                     path, f".mergedv-ins-{uuid.uuid4().hex}"
                 )
-                writer = unmatched.write.mode("overwrite")
+                ins = _rename_to_physical(
+                    unmatched, state, [f.name for f in full_schema.fields]
+                )
+                writer = ins.write.mode("overwrite")
                 if part_cols:
-                    writer = writer.partitionBy(*part_cols)
+                    writer = writer.partitionBy(
+                        *[phys_of.get(c, c) for c in part_cols]
+                    )
                 writer.parquet(staging)
                 new_adds.extend(
                     _publish_partitioned_staging(staging, path)

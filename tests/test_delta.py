@@ -1156,15 +1156,158 @@ class TestColumnMapping:
         with pytest.raises(D.DeltaError, match="requires column mapping"):
             D.delta_rename_column(p, "text", "body")
 
-    def test_writes_refuse_mapped_tables(self, spark, tmp_path):
+    def test_append_after_rename_emits_physical_names(
+        self, spark, tmp_path
+    ):
+        # r10: writes land on mapped tables. The appended file must
+        # carry PHYSICAL column names (here: the pre-rename name),
+        # physical stats keys, and read back under the logical name.
+        import json as _json
+
+        import pyarrow.parquet as _pq
+
         p = self._table(spark, tmp_path)
         D.delta_enable_column_mapping(p)
-        with pytest.raises(D.DeltaError, match="column mapping"):
-            D.write_delta(_docs(spark), p, mode="append")
-        with pytest.raises(D.DeltaError, match="column mapping"):
-            D.delta_delete(spark, p, [("doc_id", "=", 1)])
-        with pytest.raises(D.DeltaError, match="column mapping"):
-            D.delta_compact(spark, p)
+        D.delta_rename_column(p, "text", "body")
+        before = set(D._replay(p).adds)
+        more = spark.createDataFrame(
+            [(100, "b100", "en")], "doc_id long, body string, lang string"
+        )
+        D.write_delta(more, p, mode="append")
+        got = D.read_delta(spark, p)
+        assert got.filter("doc_id = 100").collect()[0].body == "b100"
+        state = D._replay(p)
+        new_adds = [state.adds[k] for k in set(state.adds) - before]
+        newest = next(  # skip empty part files the writer may stage
+            a for a in new_adds
+            if _json.loads(a["stats"])["numRecords"] > 0
+        )
+        fp = D._file_abspath(p, newest["path"])
+        assert "text" in _pq.read_schema(fp).names  # physical name
+        assert "text" in _json.loads(newest["stats"])["minValues"]
+
+    def test_overwrite_mapped(self, spark, tmp_path):
+        p = self._table(spark, tmp_path)
+        D.delta_enable_column_mapping(p)
+        D.delta_rename_column(p, "text", "body")
+        repl = spark.createDataFrame(
+            [(1, "only", "fr")], "doc_id long, body string, lang string"
+        )
+        D.write_delta(repl, p, mode="overwrite")
+        got = D.read_delta(spark, p)
+        assert [(r.doc_id, r.body, r.lang) for r in got.collect()] == [
+            (1, "only", "fr")
+        ]
+
+    def test_merge_schema_append_on_mapped_table(self, spark, tmp_path):
+        # new columns get a fresh col-<uuid> physicalName + id and
+        # maxColumnId advances; old files NULL-fill
+        p = self._table(spark, tmp_path)
+        D.delta_enable_column_mapping(p)
+        more = spark.createDataFrame(
+            [(200, "t", "de", 0.5)],
+            "doc_id long, text string, lang string, score double",
+        )
+        D.write_delta(more, p, mode="append", merge_schema=True)
+        got = D.read_delta(spark, p)
+        assert got.columns == ["doc_id", "text", "lang", "score"]
+        assert got.filter("score is not null").count() == 1
+        state = D._replay(p)
+        import json as _json
+
+        fields = _json.loads(state.metadata["schemaString"])["fields"]
+        newf = [f for f in fields if f["name"] == "score"][0]
+        phys = newf["metadata"]["delta.columnMapping.physicalName"]
+        assert phys.startswith("col-")
+        conf = state.metadata["configuration"]
+        assert int(conf["delta.columnMapping.maxColumnId"]) == int(
+            newf["metadata"]["delta.columnMapping.id"]
+        )
+        # a second rename of the evolved column still reads
+        D.delta_rename_column(p, "score", "quality")
+        got = D.read_delta(spark, p)
+        assert got.filter("quality is not null").count() == 1
+
+    def test_mapped_dml_round_trip(self, spark, tmp_path):
+        # COW delete/update/merge + compact on a renamed partitioned
+        # table — predicates are logical, files/stats/pv physical
+        p = self._table(spark, tmp_path, partition_by=["lang"])
+        D.delta_enable_column_mapping(p)
+        D.delta_rename_column(p, "lang", "lingua")
+        D.delta_rename_column(p, "text", "body")
+        r = D.delta_delete(spark, p, [("lingua", "=", "en"),
+                                      ("doc_id", "<", 4)])
+        assert r["rows_deleted"] > 0
+        r = D.delta_update(spark, p, [("doc_id", "=", 11)],
+                           {"body": "'UPD'"})
+        assert r["rows_updated"] == 1
+        src = spark.createDataFrame(
+            [(12, "MRG", D.read_delta(spark, p)
+              .filter("doc_id = 12").collect()[0].lingua)],
+            "doc_id long, body string, lingua string",
+        )
+        r = D.delta_merge(spark, p, src, on=["doc_id"])
+        assert r["rows_updated"] == 1
+        got = D.read_delta(spark, p)
+        assert got.filter("body = 'UPD'").count() == 1
+        assert got.filter("body = 'MRG'").count() == 1
+        D.delta_compact(spark, p, min_files=2)
+        assert D.read_delta(spark, p).count() == got.count()
+
+    def test_mapped_dv_triad(self, spark, tmp_path):
+        # merge-on-read DELETE/UPDATE/MERGE on a mapped table
+        p = self._table(spark, tmp_path)
+        D.delta_enable_column_mapping(p)
+        D.delta_rename_column(p, "text", "body")
+        r = D.delta_delete_dv(spark, p, [("doc_id", "<", 3)])
+        assert r["rows_deleted"] == 3
+        r = D.delta_update_dv(spark, p, [("doc_id", "=", 5)],
+                              {"body": "'DVU'"})
+        assert r["rows_updated"] == 1
+        src = spark.createDataFrame(
+            [(7, "DVM", "en"), (999, "NEW", "fr")],
+            "doc_id long, body string, lang string",
+        )
+        r = D.delta_merge_dv(spark, p, src, on=["doc_id"])
+        assert r["rows_updated"] == 1 and r["rows_inserted"] == 1
+        got = D.read_delta(spark, p)
+        assert got.count() == 20 - 3 + 1
+        assert got.filter("body = 'DVU'").count() == 1
+        assert got.filter("body = 'DVM'").count() == 1
+        # CDF over the DV delete+update commits derives logical-named
+        # images (MERGE commits stay refused: replacement-vs-insert
+        # is ambiguous without _change_data files)
+        cdf = D.delta_table_changes(spark, p, 3, ending_version=4)
+        types = {x[0] for x in cdf.select("_change_type").distinct().collect()}
+        assert {"delete", "update_preimage", "update_postimage"} <= types
+
+    def test_concurrent_mapping_upgrade_aborts_staged_write(
+        self, spark, tmp_path
+    ):
+        # write staged against an unmapped table must not commit
+        # files with stale (logical) names after a concurrent
+        # enable_column_mapping + rename
+        p = self._table(spark, tmp_path)
+        orig_stats = D._footer_stats
+        upgraded = {"done": False}
+
+        def hook(parquet_path):
+            # fires during publish — AFTER staging wrote unmapped
+            # (logical-name) files, BEFORE the commit loop replays.
+            # (No rename: logical schema must stay compatible so the
+            # DRIFT check, not the schema check, is what trips.)
+            if not upgraded["done"]:
+                upgraded["done"] = True
+                D.delta_enable_column_mapping(p)
+            return orig_stats(parquet_path)
+
+        import unittest.mock as mock
+
+        with mock.patch.object(D, "_footer_stats", side_effect=hook):
+            with pytest.raises(
+                D.DeltaError, match="column mapping changed concurrently"
+            ):
+                D.write_delta(_docs(spark), p, mode="append")
 
     def test_checkpoint_carries_mapping(self, spark, tmp_path):
         p = self._table(spark, tmp_path)
