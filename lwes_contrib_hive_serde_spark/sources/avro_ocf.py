@@ -454,7 +454,9 @@ def _read_header(f) -> tuple[dict, bytes]:
 
 def read_avro_header(path: str) -> tuple[str, str, bytes, int]:
     """Return (schema json, codec, sync marker, body offset)."""
-    with open(path, "rb") as f:
+    from lwes_contrib_hive_serde_spark.sources import fsio
+
+    with fsio.open_read(path) as f:
         head = f.read(4)
         if head != MAGIC:
             raise AvroError(f"{path}: not an Avro container")
@@ -495,7 +497,9 @@ def iter_avro_rows(
             f"expected {expected.simpleString()} — mixed-schema "
             "directories need separate reads"
         )
-    with open(path, "rb") as f:
+    from lwes_contrib_hive_serde_spark.sources import fsio
+
+    with fsio.open_read(path) as f:
         f.seek(offset)
         body = f.read()
     pos = 0

@@ -59,6 +59,8 @@ import time
 import urllib.parse
 import uuid
 
+from lwes_contrib_hive_serde_spark.sources import fsio
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
     BooleanType,
@@ -88,15 +90,15 @@ _LOG_DIR = "_delta_log"
 
 
 def _log_path(path: str) -> str:
-    return os.path.join(path, _LOG_DIR)
+    return fsio.join(path, _LOG_DIR)
 
 
 def _commit_file(path: str, version: int) -> str:
-    return os.path.join(_log_path(path), f"{version:020d}.json")
+    return fsio.join(_log_path(path), f"{version:020d}.json")
 
 
 def _checkpoint_file(path: str, version: int) -> str:
-    return os.path.join(_log_path(path), f"{version:020d}.checkpoint.parquet")
+    return fsio.join(_log_path(path), f"{version:020d}.checkpoint.parquet")
 
 
 _MULTIPART_CP_RE = None  # compiled lazily (module import stays cheap)
@@ -117,7 +119,7 @@ def _multipart_cp_files(path: str, version: int) -> list[str] | None:
     parts: dict[int, str] = {}
     total = None
     try:
-        names = os.listdir(d)
+        names = fsio.listdir(d)
     except FileNotFoundError:
         return None
     for n in names:
@@ -129,7 +131,7 @@ def _multipart_cp_files(path: str, version: int) -> list[str] | None:
             total = tot
         elif total != tot:
             return None  # inconsistent part counts: treat as absent
-        parts[k] = os.path.join(d, n)
+        parts[k] = fsio.join(d, n)
     if total is None or len(parts) != total:
         return None
     return [parts[k] for k in range(1, total + 1)]
@@ -151,13 +153,13 @@ def _v2_cp_file(path: str, version: int) -> str | None:
         )
     d = _log_path(path)
     try:
-        names = os.listdir(d)
+        names = fsio.listdir(d)
     except FileNotFoundError:
         return None
     for n in names:
         m = _V2_CP_RE.match(n)
         if m and int(m.group(1)) == version and not m.group(2).isdigit():
-            return os.path.join(d, n)
+            return fsio.join(d, n)
     return None
 
 
@@ -176,7 +178,7 @@ def _list_log(path: str) -> tuple[list[int], list[int]]:
     multi: set[int] = set()
     v2: set[int] = set()
     try:
-        names = os.listdir(d)
+        names = fsio.listdir(d)
     except FileNotFoundError:
         raise DeltaError(f"not a Delta table (no {_LOG_DIR}/): {path}")
     for n in names:
@@ -260,7 +262,7 @@ def _replay(path: str, version: int | None = None) -> _State:
         if v < start or v > target:
             continue
         ts_fallback = None
-        with open(_commit_file(path, v), "rb") as f:
+        with fsio.open_read(_commit_file(path, v)) as f:
             for line in f:
                 line = line.strip()
                 if not line:
@@ -273,7 +275,12 @@ def _replay(path: str, version: int | None = None) -> _State:
                 state.apply(action)
         if v not in state.commit_timestamps:
             if ts_fallback is None:
-                ts_fallback = int(os.stat(_commit_file(path, v)).st_mtime * 1000)
+                cf = _commit_file(path, v)
+                ts_fallback = (
+                    int(os.stat(cf).st_mtime * 1000)
+                    if fsio.is_local(cf)
+                    else 0
+                )
             state.commit_timestamps[v] = ts_fallback
         state.version = v
     if state.metadata is None or state.protocol is None:
@@ -294,7 +301,7 @@ def _load_checkpoint(path: str, version: int, state: _State) -> None:
     import pyarrow.parquet as pq
 
     cp = _checkpoint_file(path, version)
-    if os.path.exists(cp):
+    if fsio.exists(cp):
         part_files = [cp]
     else:
         part_files = _multipart_cp_files(path, version)
@@ -308,7 +315,8 @@ def _load_checkpoint(path: str, version: int, state: _State) -> None:
             )
     rows = []
     for pf in part_files:
-        rows.extend(pq.read_table(pf).to_pylist())
+        with fsio.open_read(pf) as f:
+            rows.extend(pq.read_table(f).to_pylist())
     _apply_checkpoint_rows(rows, state)
 
 
@@ -348,13 +356,14 @@ def _load_checkpoint_v2(path: str, cp_file: str, state: _State) -> None:
     saw_meta = False
     top_rows: list[dict] = []
     if cp_file.endswith(".json"):
-        with open(cp_file, "rb") as f:
+        with fsio.open_read(cp_file) as f:
             for line in f:
                 line = line.strip()
                 if line:
                     top_rows.append(json.loads(line))
     else:
-        top_rows = pq.read_table(cp_file).to_pylist()
+        with fsio.open_read(cp_file) as f:
+            top_rows = pq.read_table(f).to_pylist()
     for row in top_rows:
         if row.get("checkpointMetadata") is not None:
             saw_meta = True
@@ -367,15 +376,20 @@ def _load_checkpoint_v2(path: str, cp_file: str, state: _State) -> None:
             "malformed, refusing"
         )
     _apply_checkpoint_rows(top_rows, state)
-    sdir = os.path.join(_log_path(path), "_sidecars")
+    sdir = fsio.join(_log_path(path), "_sidecars")
     for name in sidecars:
-        sp = name if os.path.isabs(name) else os.path.join(sdir, name)
-        if not os.path.exists(sp):
+        sp = (
+            name
+            if (os.path.isabs(name) or "://" in name)
+            else fsio.join(sdir, name)
+        )
+        if not fsio.exists(sp):
             raise DeltaError(
                 f"v2 checkpoint sidecar missing: {sp} — refusing "
                 "rather than reconstructing partial state"
             )
-        _apply_checkpoint_rows(pq.read_table(sp).to_pylist(), state)
+        with fsio.open_read(sp) as f:
+            _apply_checkpoint_rows(pq.read_table(f).to_pylist(), state)
 
 
 def _check_readable(state: _State) -> None:
@@ -537,20 +551,19 @@ def _file_abspath(table_path: str, add_path: str) -> str:
     """Resolve an add.path (URL-encoded, normally relative to the
     table root). ABSOLUTE paths are how SHALLOW CLONES reference the
     source table's files (PROTOCOL.md: add.path "may be absolute");
-    local absolute paths and file: URIs resolve, remote schemes
-    refuse (a local engine cannot promise s3:// bytes)."""
+    local absolute paths, file: URIs, and — since r10's fsio layer —
+    object-store URIs all resolve."""
     rel = urllib.parse.unquote(add_path)
     if rel.startswith("file://"):
         rel = rel[len("file://"):]
     elif rel.startswith("file:"):
         rel = rel[len("file:"):]
     if "://" in rel:
-        raise DeltaError(
-            f"external add path not supported: {rel} (local "
-            "absolute paths and file: URIs only)"
-        )
+        return rel  # absolute URI reference (clone across stores)
     if rel.startswith("/"):
         return rel  # shallow-clone absolute reference
+    if not fsio.is_local(table_path):
+        return fsio.join(table_path, rel)
     # Always absolute: DV/DML code joins these strings against
     # input_file_name()'s absolute path — with a relative table
     # path the keys would never match and DV-deleted rows would
@@ -724,6 +737,10 @@ def _decode_deleted_pairs(
     deleted = spark.createDataFrame(
         pd.concat(frames, ignore_index=True),
         schema="__dv_file string, __dv_pos long",
+    ).withColumn(
+        # scan-side keys are scheme-stripped (s3a:// vs s3://
+        # spellings must still join); normalize the pair side too
+        "__dv_file", _strip_scheme(F.col("__dv_file"))
     )
     return deleted, total
 
@@ -796,7 +813,9 @@ def _scan_data_files_logical(
     phys_data = StructType(
         [f for f in read_schema.fields if f.name not in phys_part]
     )
-    df = spark.read.schema(phys_data).parquet(*paths)
+    df = spark.read.schema(phys_data).parquet(
+        *[fsio.spark_path(p) for p in paths]
+    )
     if with_keys:
         df = df.withColumn(
             "__dv_file",
@@ -1095,7 +1114,12 @@ def read_delta(
     )
     if not adds:
         return spark.createDataFrame([], full_schema)
-    paths = [_file_abspath(path, a["path"]) for a in adds]
+    # spark_path: the Spark-side spelling (s3→s3a, registered test
+    # schemes→their local root). Used for BOTH the scan and the
+    # manifest/DV join keys so input_file_name() matches.
+    paths = [
+        fsio.spark_path(_file_abspath(path, a["path"])) for a in adds
+    ]
     dv_adds = [
         (a, p) for a, p in zip(adds, paths) if a.get("deletionVector")
     ]
@@ -1258,7 +1282,7 @@ def delta_history(path: str) -> list[dict]:
     out = []
     for v in commits:
         entry = {"version": v, "timestamp_ms": None, "operation": None}
-        with open(_commit_file(path, v), "rb") as f:
+        with fsio.open_read(_commit_file(path, v)) as f:
             for line in f:
                 line = line.strip()
                 if not line:
@@ -1270,8 +1294,9 @@ def delta_history(path: str) -> list[dict]:
                     entry["operation"] = ci.get("operation")
                     break
         if entry["timestamp_ms"] is None:
-            entry["timestamp_ms"] = int(
-                os.stat(_commit_file(path, v)).st_mtime * 1000
+            cf = _commit_file(path, v)
+            entry["timestamp_ms"] = (
+                int(os.stat(cf).st_mtime * 1000) if fsio.is_local(cf) else 0
             )
         out.append(entry)
     return out
@@ -1459,6 +1484,7 @@ def write_delta(
     atomic create."""
     if mode not in ("append", "overwrite", "error"):
         raise DeltaError(f"unsupported mode {mode!r}")
+    fsio.require_local(path, "write_delta")
     partition_by = list(partition_by or [])
     spark = df.sparkSession
     types = {f.name: f.dataType for f in df.schema.fields}
@@ -1692,6 +1718,7 @@ def write_checkpoint(spark: SparkSession, path: str, v2: bool = False) -> int:
     ``sidecar`` action pointing at an add/remove parquet under
     ``_delta_log/_sidecars/`` — the layout current writers emit for
     large tables, where sidecars parallelize checkpoint IO."""
+    fsio.require_local(path, "write_checkpoint")
     state = _replay(path)
     _check_readable(state)
     version = state.version
@@ -1933,6 +1960,7 @@ def delta_compact(
     compaction never wins a race against a real data change."""
     import shutil
 
+    fsio.require_local(path, "delta_compact")
     state = _replay(path)
     _check_readable(state)
     part_cols = _partition_columns(state)
@@ -2065,6 +2093,7 @@ def delta_vacuum(
     instead)."""
     from . import delta_dv
 
+    fsio.require_local(path, "delta_vacuum")
     state = _replay(path)
     if now_ms is None:
         now_ms = int(time.time() * 1000)
@@ -2136,6 +2165,7 @@ def delta_restore(
     target version needs was already vacuumed (the real command's
     failure mode too — restore windows are bounded by vacuum
     retention). Returns the new version."""
+    fsio.require_local(path, "delta_restore")
     target_state = _replay(path, version)
     _check_readable(target_state)
     for a in target_state.adds.values():
@@ -2316,6 +2346,7 @@ def delta_zorder(
 
     import shutil
 
+    fsio.require_local(path, "delta_zorder")
     state = _replay(path)
     _check_readable(state)
     part_cols = _partition_columns(state)
@@ -2462,6 +2493,7 @@ def delta_delete(
     the intended use."""
     import shutil
 
+    fsio.require_local(path, "delta_delete")
     state = _replay(path)
     _check_readable(state)
     part_cols = _partition_columns(state)
@@ -2660,6 +2692,7 @@ def delta_delete_dv(
     deletionVectors feature on first use, as the protocol requires.
     Returns {"rows_deleted", "files_with_dvs", "files_removed",
     "version"}."""
+    fsio.require_local(path, "delta_delete_dv")
     state = _replay(path)
     _check_readable(state)
     part_cols = _partition_columns(state)
@@ -2812,6 +2845,7 @@ def delta_update(
     {"rows_updated", "files_rewritten", "version"}."""
     import shutil
 
+    fsio.require_local(path, "delta_update")
     state = _replay(path)
     _check_readable(state)
     part_cols = _partition_columns(state)
@@ -3030,6 +3064,7 @@ def delta_merge(
         raise DeltaError(
             f"when_not_matched must be insert|ignore, got {when_not_matched!r}"
         )
+    fsio.require_local(path, "delta_merge")
     state = _replay(path)
     _check_readable(state)
     part_cols = _partition_columns(state)
@@ -3301,6 +3336,7 @@ def delta_enable_column_mapping(
     already on)."""
     now_ms = int(time.time() * 1000)
     for _ in range(max_commit_attempts):
+        fsio.require_local(path, "delta_enable_column_mapping")
         state = _replay(path)
         _check_readable(state)
         if _column_mapping(state) is not None:
@@ -3394,6 +3430,7 @@ def delta_rename_column(
         raise DeltaError("rename: old and new names are identical")
     now_ms = int(time.time() * 1000)
     for _ in range(max_commit_attempts):
+        fsio.require_local(path, "delta_rename_column")
         state = _replay(path)
         _check_readable(state)
         if _column_mapping(state) is None:
@@ -3461,6 +3498,7 @@ def delta_update_dv(
     "files_with_dvs", "files_removed", "version"}."""
     import shutil
 
+    fsio.require_local(path, "delta_update_dv")
     state = _replay(path)
     _check_readable(state)
     part_cols = _partition_columns(state)
@@ -3677,7 +3715,7 @@ def delta_update_dv(
 
 def _commit_actions(path: str, version: int) -> list[dict]:
     out = []
-    with open(_commit_file(path, version), "rb") as f:
+    with fsio.open_read(_commit_file(path, version)) as f:
         for line in f:
             line = line.strip()
             if line:
@@ -3806,7 +3844,7 @@ def delta_table_changes(
                     spark, state, [fp], with_keys=True
                 )
                 dv_deleted, dv_total = _decode_deleted_pairs(
-                    spark, path, [(add_dict, fp)]
+                    spark, path, [(add_dict, fsio.spark_path(fp))]
                 )
                 if dv_deleted is not None:
                     right = (
@@ -3874,11 +3912,13 @@ def delta_table_changes(
                         old_df = spark.createDataFrame(
                             pd.DataFrame(
                                 {
-                                    "__dv_file": fp,
+                                    "__dv_file": fsio.spark_path(fp),
                                     "__dv_pos": sorted(old_pos),
                                 }
                             ),
                             schema="__dv_file string, __dv_pos long",
+                        ).withColumn(
+                            "__dv_file", _strip_scheme(F.col("__dv_file"))
                         )
                         df = df.join(
                             F.broadcast(old_df),
@@ -3945,6 +3985,7 @@ def delta_clone(
     rewritten to 'p' (absolute) descriptors so they keep resolving
     against the SOURCE's sidecar files. Returns the clone's version
     (0)."""
+    fsio.require_local(dst, "delta_clone (destination)")
     state = _replay(src, version)
     _check_readable(state)
     if os.path.isdir(_log_path(dst)):
@@ -4029,6 +4070,7 @@ def delta_merge_dv(
             f"when_not_matched must be insert|ignore, got "
             f"{when_not_matched!r}"
         )
+    fsio.require_local(path, "delta_merge_dv")
     state = _replay(path)
     _check_readable(state)
     part_cols = _partition_columns(state)

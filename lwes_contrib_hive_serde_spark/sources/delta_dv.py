@@ -310,12 +310,20 @@ def dv_absolute_path(table_path: str, descriptor: dict) -> str:
     """Resolve a descriptor's on-disk DV file path. storageType
     'u' assembles ``<table>/<prefix>/deletion_vector_<uuid>.bin``;
     'p' is already absolute; 'i' has no file."""
+    from lwes_contrib_hive_serde_spark.sources import fsio
+
     st = descriptor.get("storageType")
     if st == "p":
         return descriptor["pathOrInlineDv"]
     if st == "u":
         prefix, u = _uuid_from_path_or_inline(descriptor["pathOrInlineDv"])
         name = f"deletion_vector_{u}.bin"
+        if not fsio.is_local(table_path):
+            return (
+                fsio.join(table_path, prefix, name)
+                if prefix
+                else fsio.join(table_path, name)
+            )
         return (
             os.path.join(table_path, prefix, name)
             if prefix
@@ -342,8 +350,10 @@ def dv_read_positions(table_path: str, descriptor: dict) -> np.ndarray:
                 f"descriptor says {size}"
             )
     elif st in ("u", "p"):
+        from lwes_contrib_hive_serde_spark.sources import fsio
+
         path = dv_absolute_path(table_path, descriptor)
-        with open(path, "rb") as f:
+        with fsio.open_read(path) as f:
             head = f.read(1)
             if head != bytes([_FORMAT_VERSION]):
                 raise DeletionVectorError(

@@ -1,0 +1,282 @@
+"""Filesystem abstraction for lakehouse METADATA reads — the layer
+that lets ``read_delta`` / ``read_iceberg`` / ``read_hudi`` open
+tables by object-store URI (s3://, gs://, abfs://) instead of
+refusing every non-local path.
+
+Why only the driver-side metadata reads: a lakehouse read has two
+halves with different I/O shapes. The DATA half (terabytes of
+parquet) already rides ``spark.read.parquet`` — Spark's Hadoop
+filesystems handle the object store there, all we owe it is the
+right URI spelling (``spark_path``: s3 → s3a for Hadoop's S3A
+connector, registered test schemes → their local translation). The
+METADATA half (kilobytes of commit JSON, Avro manifests, DV
+bitmaps, checkpoint parquet) is driver-side Python ``open()`` /
+``listdir()`` today; this module gives those calls a pyarrow.fs
+dispatch keyed on the URI scheme, exactly the delta-rs layering
+(object_store crate under the log replay, native scan for data).
+
+WRITES stay local-only by design, not laziness: every commit in
+this engine lands via ``O_CREAT|O_EXCL`` — the optimistic-
+concurrency contract that plain S3 cannot honor without an
+external lock service (the same caveat delta-rs documents). A
+remote write is a typed refusal (``require_local``), never a
+corrupt-on-race maybe.
+
+Testing: ``register_filesystem("mock", local_root=...)`` maps a
+``mock://`` URI space onto a local directory — the full remote
+code path (scheme split, pyarrow SubTreeFileSystem metadata reads,
+spark_path translation) exercised with zero network. Real schemes
+resolve lazily: ``s3://`` builds a ``pyarrow.fs.S3FileSystem`` on
+first touch (env-credentialed, region from AWS_REGION), so merely
+importing this module costs nothing.
+"""
+
+from __future__ import annotations
+
+import os
+import posixpath
+import re
+
+_SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://(.*)$", re.S)
+
+
+class FsIoError(ValueError):
+    """Unresolvable scheme, missing credentials/driver, or a write
+    attempted against a store without atomic create."""
+
+
+# scheme -> {"fs": pyarrow.fs.FileSystem, "spark_path": callable|None}
+_REGISTRY: dict[str, dict] = {}
+
+
+def register_filesystem(
+    scheme: str,
+    fs=None,
+    local_root: str | None = None,
+    spark_path=None,
+) -> None:
+    """Register a filesystem for ``scheme://`` URIs. Pass either a
+    ``pyarrow.fs.FileSystem`` (``fs``) plus an optional
+    ``spark_path(path_within_scheme) -> str`` translator for the
+    Spark-side scan, or ``local_root`` — a local directory the
+    scheme proxies onto (SubTreeFileSystem; spark_path defaults to
+    the real local path), which is the no-network test double."""
+    from pyarrow import fs as pafs
+
+    if local_root is not None:
+        root = os.path.abspath(local_root)
+        fs = pafs.SubTreeFileSystem(root, pafs.LocalFileSystem())
+        if spark_path is None:
+            def spark_path(p, _root=root):  # noqa: E306
+                return os.path.join(_root, p) if p else _root
+    if fs is None:
+        raise FsIoError("register_filesystem needs fs or local_root")
+    _REGISTRY[scheme.lower()] = {"fs": fs, "spark_path": spark_path}
+
+
+def unregister_filesystem(scheme: str) -> None:
+    _REGISTRY.pop(scheme.lower(), None)
+
+
+def split(uri: str) -> tuple[str | None, str]:
+    """(scheme, path-within-scheme) — (None, local path) for plain
+    paths and ``file:`` URIs (which stay local, scheme stripped)."""
+    m = _SCHEME_RE.match(uri)
+    if m is None:
+        if uri.startswith("file:"):
+            return None, uri[len("file:"):]
+        return None, uri
+    scheme = m.group(1).lower()
+    if scheme == "file":
+        return None, "/" + m.group(2).lstrip("/")
+    return scheme, m.group(2)
+
+
+def is_local(uri: str) -> bool:
+    return split(uri)[0] is None
+
+
+_LAZY_FS_CACHE: dict[str, object] = {}
+
+
+def _fs_for(scheme: str):
+    ent = _REGISTRY.get(scheme)
+    if ent is not None:
+        return ent["fs"]
+    if scheme in _LAZY_FS_CACHE:
+        return _LAZY_FS_CACHE[scheme]
+    from pyarrow import fs as pafs
+
+    try:
+        if scheme in ("s3", "s3a"):
+            f = pafs.S3FileSystem(
+                region=os.environ.get("AWS_REGION")
+                or os.environ.get("AWS_DEFAULT_REGION")
+            )
+        elif scheme == "gs":
+            f = pafs.GcsFileSystem()
+        elif scheme in ("abfs", "abfss", "az"):
+            acct = os.environ.get("AZURE_STORAGE_ACCOUNT_NAME")
+            if not acct:
+                raise FsIoError(
+                    f"{scheme}:// needs AZURE_STORAGE_ACCOUNT_NAME set"
+                )
+            f = pafs.AzureFileSystem(account_name=acct)
+        elif scheme == "hdfs":
+            f = pafs.HadoopFileSystem.from_uri("hdfs://default")
+        else:
+            raise FsIoError(
+                f"no filesystem registered for scheme {scheme!r} "
+                "(register_filesystem, or use s3/gs/abfs/hdfs/file)"
+            )
+    except FsIoError:
+        raise
+    except Exception as e:  # credential/driver construction errors
+        raise FsIoError(
+            f"could not construct a {scheme}:// filesystem: {e}"
+        ) from e
+    _LAZY_FS_CACHE[scheme] = f
+    return f
+
+
+def require_local(uri: str, op: str) -> None:
+    """Writes commit via O_CREAT|O_EXCL — atomic create, which
+    object stores do not offer without a lock service. Refuse with
+    the reason rather than corrupting a log on the first race."""
+    if not is_local(uri):
+        raise FsIoError(
+            f"{op}: {uri!r} is on an object store; this engine's "
+            "writes rely on atomic file create (O_EXCL) for "
+            "optimistic concurrency, which plain object storage "
+            "cannot honor — reads work, writes need a local/HDFS "
+            "path (the delta-rs caveat)"
+        )
+
+
+def join(uri: str, *parts: str) -> str:
+    scheme, path = split(uri)
+    if scheme is None:
+        return os.path.join(path, *parts)
+    return f"{scheme}://{posixpath.join(path, *parts)}"
+
+
+def listdir(uri: str) -> list[str]:
+    """Immediate child names (files and dirs), FileNotFoundError if
+    the directory does not exist — os.listdir semantics."""
+    scheme, path = split(uri)
+    if scheme is None:
+        return os.listdir(path)
+    from pyarrow import fs as pafs
+
+    f = _fs_for(scheme)
+    sel = pafs.FileSelector(path, recursive=False, allow_not_found=False)
+    try:
+        infos = f.get_file_info(sel)
+    except (FileNotFoundError, OSError) as e:
+        raise FileNotFoundError(f"{uri}: {e}") from e
+    return [posixpath.basename(i.path.rstrip("/")) for i in infos]
+
+
+def exists(uri: str) -> bool:
+    scheme, path = split(uri)
+    if scheme is None:
+        return os.path.exists(path)
+    from pyarrow import fs as pafs
+
+    info = _fs_for(scheme).get_file_info(path)
+    return info.type != pafs.FileType.NotFound
+
+
+def isdir(uri: str) -> bool:
+    scheme, path = split(uri)
+    if scheme is None:
+        return os.path.isdir(path)
+    from pyarrow import fs as pafs
+
+    info = _fs_for(scheme).get_file_info(path)
+    return info.type == pafs.FileType.Directory
+
+
+def open_read(uri: str):
+    """Binary file-like for driver-side metadata reads (commit
+    JSON, Avro manifests, DV bins, checkpoint parquet — all accept
+    a file object). Remote files come back as a fully-buffered
+    BytesIO: metadata files are kilobytes-to-megabytes by design,
+    one GET beats N range requests, and callers get full io
+    semantics (readline, seek) that pyarrow's NativeFile lacks."""
+    import io
+
+    scheme, path = split(uri)
+    if scheme is None:
+        return open(path, "rb")
+    with _fs_for(scheme).open_input_file(path) as f:
+        return io.BytesIO(f.read())
+
+
+def read_bytes(uri: str) -> bytes:
+    with open_read(uri) as f:
+        return f.read()
+
+
+def spark_path(uri: str) -> str:
+    """The spelling of ``uri`` to hand Spark's reader: registered
+    schemes use their translator (mock:// → the real local dir),
+    s3:// becomes s3a:// (Hadoop's S3A connector), everything else
+    passes through."""
+    scheme, path = split(uri)
+    if scheme is None:
+        return path
+    ent = _REGISTRY.get(scheme)
+    if ent is not None and ent["spark_path"] is not None:
+        return ent["spark_path"](path)
+    if scheme == "s3":
+        return f"s3a://{path}"
+    return uri
+
+
+def walk(uri: str):
+    """os.walk semantics over any scheme: yields (root_uri, dirs,
+    files) top-down. Remote walks issue ONE recursive listing and
+    group it driver-side — one LIST round trip, not one per
+    directory."""
+    scheme, path = split(uri)
+    if scheme is None:
+        yield from os.walk(path)
+        return
+    from collections import defaultdict
+
+    from pyarrow import fs as pafs
+
+    f = _fs_for(scheme)
+    sel = pafs.FileSelector(path, recursive=True, allow_not_found=True)
+    infos = f.get_file_info(sel)
+    dirs_by_parent: dict = defaultdict(list)
+    files_by_parent: dict = defaultdict(list)
+    all_dirs = [path.rstrip("/")]
+    for i in infos:
+        p = i.path.rstrip("/")
+        parent = posixpath.dirname(p)
+        name = posixpath.basename(p)
+        if i.type == pafs.FileType.Directory:
+            dirs_by_parent[parent].append(name)
+            all_dirs.append(p)
+        else:
+            files_by_parent[parent].append(name)
+    for d in all_dirs:
+        yield (
+            f"{scheme}://{d}",
+            sorted(dirs_by_parent.get(d, [])),
+            sorted(files_by_parent.get(d, [])),
+        )
+
+
+def relpath(uri: str, start_uri: str) -> str:
+    """Path of ``uri`` relative to ``start_uri`` (same scheme),
+    '.'-rooted like os.path.relpath."""
+    s1, p1 = split(uri)
+    s2, p2 = split(start_uri)
+    if s1 != s2:
+        raise FsIoError(f"relpath across schemes: {uri} vs {start_uri}")
+    if s1 is None:
+        return os.path.relpath(p1, p2)
+    return posixpath.relpath(p1.rstrip("/"), p2.rstrip("/"))

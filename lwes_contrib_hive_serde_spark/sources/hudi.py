@@ -44,6 +44,7 @@ import os
 import time
 import uuid
 
+from lwes_contrib_hive_serde_spark.sources import fsio
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -63,15 +64,15 @@ _META_COLS = [
 
 
 def _timeline_dir(path: str) -> str:
-    return os.path.join(path, _HOODIE)
+    return fsio.join(path, _HOODIE)
 
 
 def _load_properties(path: str) -> dict:
-    pf = os.path.join(_timeline_dir(path), "hoodie.properties")
-    if not os.path.exists(pf):
+    pf = fsio.join(_timeline_dir(path), "hoodie.properties")
+    if not fsio.exists(pf):
         raise HudiError(f"not a Hudi table (no .hoodie/): {path}")
     props = {}
-    for line in open(pf):
+    for line in fsio.read_bytes(pf).decode("utf-8").splitlines():
         line = line.strip()
         if not line or line.startswith("#"):
             continue
@@ -86,10 +87,10 @@ def _timeline(path: str) -> tuple[list[str], set[str]]:
     d = _timeline_dir(path)
     completed: list[str] = []
     seen: set[str] = set()
-    for n in os.listdir(d):
+    for n in fsio.listdir(d):
         if n in ("hoodie.properties",) or n.startswith("."):
             continue
-        if os.path.isdir(os.path.join(d, n)):
+        if fsio.isdir(fsio.join(d, n)):
             continue  # metadata/, archived/ subdirs etc.
         stem, _, kind = n.partition(".")
         if not stem.isdigit():
@@ -128,10 +129,14 @@ def _file_slices(path: str, target: str, completed: set[str]):
     fileId), the version with the largest COMPLETED instant ≤
     target. Uncommitted versions (no .commit marker) are invisible."""
     best: dict[tuple, tuple] = {}
-    for root, dirs, names in os.walk(path):
+    for root, dirs, names in fsio.walk(path):
         dirs[:] = [d for d in dirs if d not in (_HOODIE,) and not
                    d.startswith(".")]
-        rel = os.path.relpath(root, path)
+        rel = fsio.relpath(root, path)
+        if rel != "." and (
+            rel.split("/")[0] == _HOODIE or rel.startswith(".")
+        ):
+            continue  # remote walks cannot prune dirs in place
         part = "" if rel == "." else rel
         for n in names:
             if n.startswith("."):
@@ -145,7 +150,7 @@ def _file_slices(path: str, target: str, completed: set[str]):
             key = (part, file_id)
             cur = best.get(key)
             if cur is None or instant > cur[0]:
-                best[key] = (instant, os.path.join(root, n))
+                best[key] = (instant, fsio.join(root, n))
     return [p for _i, p in best.values()]
 
 
@@ -217,7 +222,11 @@ def read_hudi(
 
         kept = []
         for fp in paths:
-            rel = os.path.relpath(os.path.dirname(fp), path)
+            parent = (
+                fp[: fp.rindex("/")] if "://" in fp
+                else os.path.dirname(fp)
+            )
+            rel = fsio.relpath(parent, path)
             pv = {}
             for seg in [] if rel == "." else rel.split(os.sep):
                 c, _, raw = seg.partition("=")
@@ -232,12 +241,12 @@ def read_hudi(
         # a valid filter matching zero partitions yields an EMPTY
         # DataFrame with the table schema (the Delta/Iceberg
         # contract) — only a timeline with no data files errors
-        schema = spark.read.parquet(all_paths[0]).schema
+        schema = spark.read.parquet(fsio.spark_path(all_paths[0])).schema
         df = spark.createDataFrame([], schema)
         if not keep_meta_columns:
             df = df.drop(*_META_COLS)
         return df
-    df = spark.read.parquet(*paths)
+    df = spark.read.parquet(*[fsio.spark_path(p) for p in paths])
     if not keep_meta_columns:
         df = df.drop(*_META_COLS)
     return df
@@ -278,6 +287,7 @@ def write_hudi_table(
     new group — the canonical COW upsert. Emits the ``_hoodie_*``
     meta columns and hive-style partition dirs. Returns the commit
     instant."""
+    fsio.require_local(path, "write_hudi_table")
     if mode not in ("append", "upsert"):
         raise HudiError(f"unsupported mode {mode!r}")
     partition_by = list(partition_by or [])

@@ -74,7 +74,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from lwes_contrib_hive_serde_spark.sources import avro_ocf
+from lwes_contrib_hive_serde_spark.sources import avro_ocf, fsio
 
 
 class IcebergError(ValueError):
@@ -254,10 +254,7 @@ def _strip_file_uri(p: str) -> str:
     if p.startswith("file://"):
         p = p[len("file://"):]
     elif "://" in p:
-        raise IcebergError(
-            f"non-local file URI {p!r} (this environment reads local "
-            "paths; object-store schemes need their Hadoop FS)"
-        )
+        return p  # object-store URI — resolved by the fsio layer
     # Always absolute: delete-file application joins these strings
     # against input_file_name()'s absolute path — a relative path
     # (table created via a relative CWD path) would never match and
@@ -269,25 +266,25 @@ def load_table_metadata(path: str) -> dict:
     """Resolve the current metadata.json for a HadoopTables-layout
     table: version-hint.text when present, else the highest
     v<N>.metadata.json."""
-    mdir = os.path.join(path, "metadata")
-    if not os.path.isdir(mdir):
+    mdir = fsio.join(path, "metadata")
+    if not fsio.isdir(mdir):
         raise IcebergError(f"not an Iceberg table (no metadata/): {path}")
-    hint = os.path.join(mdir, "version-hint.text")
+    hint = fsio.join(mdir, "version-hint.text")
     candidates = []
-    if os.path.exists(hint):
-        v = open(hint).read().strip()
-        candidates = [os.path.join(mdir, f"v{v}.metadata.json")]
+    if fsio.exists(hint):
+        v = fsio.read_bytes(hint).decode().strip()
+        candidates = [fsio.join(mdir, f"v{v}.metadata.json")]
     else:
         vs = []
-        for n in os.listdir(mdir):
+        for n in fsio.listdir(mdir):
             if n.endswith(".metadata.json") and n.startswith("v"):
                 stem = n[1:].split(".")[0]
                 if stem.isdigit():
                     vs.append(int(stem))
         if not vs:
             raise IcebergError(f"no v*.metadata.json under {mdir}")
-        candidates = [os.path.join(mdir, f"v{max(vs)}.metadata.json")]
-    with open(candidates[0]) as f:
+        candidates = [fsio.join(mdir, f"v{max(vs)}.metadata.json")]
+    with fsio.open_read(candidates[0]) as f:
         meta = json.load(f)
     fv = meta.get("format-version", 1)
     if fv not in (1, 2):
@@ -418,9 +415,8 @@ def _position_delete_pairs(delete_files: list[dict]):
 
     paths, poss = [], []
     for f in delete_files:
-        t = pq.read_table(
-            _strip_file_uri(f["file_path"]), columns=["file_path", "pos"]
-        )
+        with fsio.open_read(_strip_file_uri(f["file_path"])) as fh:
+            t = pq.read_table(fh, columns=["file_path", "pos"])
         paths.extend(_strip_file_uri(p) for p in t.column("file_path").to_pylist())
         poss.extend(t.column("pos").to_pylist())
     return paths, poss
@@ -589,7 +585,12 @@ def read_iceberg(
         files = pruned
     if not files:
         return spark.createDataFrame([], schema)
-    paths = [_strip_file_uri(f["file_path"]) for f in files]
+    # spark_path: the Spark-side spelling (s3→s3a, registered test
+    # schemes→their local translation); also the delete-join key so
+    # input_file_name() matches.
+    paths = [
+        fsio.spark_path(_strip_file_uri(f["file_path"])) for f in files
+    ]
     # name-mapped read: refuse (don't NULL-fill) if the first file
     # Column resolution: when the data files carry parquet FIELD
     # IDS (what real Iceberg writers — and this module's, round 9 —
@@ -603,7 +604,8 @@ def read_iceberg(
     # for a renamed column.
     import pyarrow.parquet as pq
 
-    first = pq.read_schema(paths[0])
+    with fsio.open_read(paths[0]) as _f0:
+        first = pq.read_schema(_f0)
     has_ids = any(
         f.metadata and b"PARQUET:field_id" in f.metadata for f in first
     )
@@ -669,16 +671,22 @@ def read_iceberg(
 
             from lwes_contrib_hive_serde_spark.sources.delta import (
                 _anti_join_deleted,
+                _strip_scheme,
             )
 
             live = set(paths)
             pairs = pd.DataFrame(
-                {"__dv_file": dpaths, "__dv_pos": dposs}
+                {
+                    "__dv_file": [fsio.spark_path(p) for p in dpaths],
+                    "__dv_pos": dposs,
+                }
             )
             pairs = pairs[pairs["__dv_file"].isin(live)]
             if len(pairs):
                 deleted = spark.createDataFrame(
                     pairs, schema="__dv_file string, __dv_pos long"
+                ).withColumn(
+                    "__dv_file", _strip_scheme(F.col("__dv_file"))
                 )
                 df = _anti_join_deleted(df, deleted, len(pairs))
     if eq_delete_files:
@@ -714,12 +722,15 @@ def _apply_equality_deletes(
     name_of = {fid: name for name, (fid, _t) in ids.items()}
 
     seq_rows = [
-        (_strip_file_uri(f["file_path"]), int(f.get("__seq") or 0))
+        (
+            fsio.spark_path(_strip_file_uri(f["file_path"])),
+            int(f.get("__seq") or 0),
+        )
         for f in data_files
     ]
     seq_map = spark.createDataFrame(
         seq_rows, "__ib_file string, __ib_seq long"
-    )
+    ).withColumn("__ib_file", _strip_scheme(F.col("__ib_file")))
     keyed = df.withColumn(
         "__ib_file", _strip_scheme(_decode_file_uri(F.input_file_name()))
     ).join(F.broadcast(seq_map), "__ib_file", "left")
@@ -745,7 +756,8 @@ def _apply_equality_deletes(
             fp = _strip_file_uri(f["file_path"])
             # the delete file's columns may carry PRE-RENAME names;
             # resolve by its own footer field ids when present
-            fsch = pq.read_schema(fp)
+            with fsio.open_read(fp) as _fh:
+                fsch = pq.read_schema(_fh)
             by_id = {}
             for fld in fsch:
                 if fld.metadata and b"PARQUET:field_id" in fld.metadata:
@@ -755,7 +767,7 @@ def _apply_equality_deletes(
                 src_name = by_id.get(fid, c)
                 sel.append(F.col(src_name).alias(f"__ed_{c}"))
             one = (
-                spark.read.parquet(fp)
+                spark.read.parquet(fsio.spark_path(fp))
                 .select(*sel)
                 .withColumn(
                     "__ed_seq", F.lit(int(f.get("__seq") or 0))
@@ -1016,6 +1028,7 @@ def write_iceberg_table(
     contain ALL columns, unlike Delta/Hive) and the manifest entry
     records the value in its partition struct — which is what
     read_iceberg's partition_filters prune against."""
+    fsio.require_local(path, "write_iceberg_table")
     if mode != "append":
         raise IcebergError("fixture writer supports append only")
     partition_by = list(partition_by or [])
@@ -1313,6 +1326,7 @@ def add_iceberg_position_deletes(
     Returns the new snapshot id. This is both the synthesizer for
     the reader's oracles and a real merge-on-read DELETE for tables
     this writer owns."""
+    fsio.require_local(path, "add_iceberg_position_deletes")
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -1463,6 +1477,7 @@ def add_iceberg_equality_deletes(
     STRICTLY BEFORE it (Flink-CDC upsert semantics: a later append
     of the same key survives). Upgrades metadata to format-version
     2; returns the new snapshot id."""
+    fsio.require_local(path, "add_iceberg_equality_deletes")
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -1581,6 +1596,7 @@ def iceberg_rename_column(path: str, old: str, new: str) -> None:
     name changes, and readers that resolve parquet columns by field
     id (this one, round 9) keep reading every existing file. Writes
     a new metadata.json version; top-level columns only."""
+    fsio.require_local(path, "iceberg_rename_column")
     if old == new:
         raise IcebergError("rename: old and new names are identical")
     meta = load_table_metadata(path)

@@ -343,20 +343,16 @@ class TestRefusals:
         with pytest.raises(D.DeltaError, match="column mapping"):
             D.read_delta(spark, p)
 
-    def test_refuses_absolute_add_path(self, spark, tmp_path):
-        p = self._mk_min_table(
-            tmp_path,
-            {"minReaderVersion": 1, "minWriterVersion": 2},
-            extra_add={
-                "path": "s3://elsewhere/f.parquet",
-                "partitionValues": {},
-                "size": 1,
-                "modificationTime": 0,
-                "dataChange": True,
-            },
-        )
-        with pytest.raises(D.DeltaError, match="external add path"):
-            D.read_delta(spark, p)
+    def test_remote_absolute_add_path_resolves_as_uri(self, tmp_path):
+        # r10 fsio: a remote add path is no longer a refusal — it
+        # resolves verbatim (clone-across-stores) and the scan gets
+        # the Hadoop spelling; actual fetch fails only if the store
+        # is unreachable, same as every production reader
+        got = D._file_abspath(str(tmp_path), "s3://elsewhere/f.parquet")
+        assert got == "s3://elsewhere/f.parquet"
+        from lwes_contrib_hive_serde_spark.sources import fsio
+
+        assert fsio.spark_path(got) == "s3a://elsewhere/f.parquet"
 
     def test_mode_error_refuses_existing(self, spark, tmp_path):
         p = str(tmp_path / "t")
@@ -1556,10 +1552,14 @@ class TestShallowClone:
         with pytest.raises(D.DeltaError, match="already exists"):
             D.delta_clone(spark, src, dst)
 
-    def test_remote_absolute_paths_still_refuse(self, spark, tmp_path):
+    def test_remote_absolute_paths_resolve_not_refuse(
+        self, spark, tmp_path
+    ):
+        # r10 fsio: a clone referencing another store's files now
+        # PLANS (paths resolve; vacuum still never deletes them —
+        # the out-of-root guard is path-prefix based and unchanged)
         p = str(tmp_path / "t")
         D.write_delta(_docs(spark, 3), p)
-        # hand-append an s3 add: read must refuse
         import json as _json
 
         with open(D._commit_file(p, 1), "w") as f:
@@ -1568,5 +1568,10 @@ class TestShallowClone:
                 "partitionValues": {}, "size": 1,
                 "modificationTime": 0, "dataChange": True,
             }}) + "\n")
-        with pytest.raises(D.DeltaError, match="external add path"):
-            D.read_delta(spark, p)
+        state = D._replay(p)
+        assert "s3://elsewhere/f.parquet" in {
+            D._file_abspath(p, a["path"]) for a in state.adds.values()
+        }
+        # vacuum on the local table must not try to delete the
+        # remote reference
+        assert D.delta_vacuum(p, retention_ms=0) == 0

@@ -1,0 +1,162 @@
+"""Object-store filesystem abstraction (sources/fsio.py): the r10
+layer that lets the three lakehouse readers open tables by URI.
+
+The mock:// scheme (register_filesystem(local_root=...)) proxies a
+URI space onto a local directory through pyarrow's
+SubTreeFileSystem — the FULL remote code path (scheme split,
+pyarrow metadata reads, spark_path translation for the native
+scan, write refusals) with zero network. What it proves carries to
+s3/gs/abfs because every call site dispatches through the same
+five fsio primitives.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lwes_contrib_hive_serde_spark.sources import delta as D
+from lwes_contrib_hive_serde_spark.sources import fsio
+from lwes_contrib_hive_serde_spark.sources import hudi as H
+from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+
+@pytest.fixture()
+def mock_fs(tmp_path):
+    root = str(tmp_path)
+    fsio.register_filesystem("mock", local_root=root)
+    yield root
+    fsio.unregister_filesystem("mock")
+
+
+def _docs(spark, n=40):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+        (F.col("id") % 3).alias("bucket"),
+    )
+
+
+class TestPrimitives:
+    def test_split_and_join(self):
+        assert fsio.split("/a/b") == (None, "/a/b")
+        assert fsio.split("file:///a/b") == (None, "/a/b")
+        assert fsio.split("s3://bkt/k") == ("s3", "bkt/k")
+        assert fsio.join("s3://bkt/t", "_delta_log") == "s3://bkt/t/_delta_log"
+        assert fsio.is_local("/x") and not fsio.is_local("gs://b/x")
+
+    def test_spark_path_translations(self, mock_fs):
+        assert fsio.spark_path("s3://b/k") == "s3a://b/k"
+        assert fsio.spark_path("/a/b") == "/a/b"
+        assert fsio.spark_path("mock://sub/f") == os.path.join(
+            mock_fs, "sub/f"
+        )
+
+    def test_mock_listing_and_reads(self, mock_fs):
+        os.makedirs(os.path.join(mock_fs, "d"))
+        with open(os.path.join(mock_fs, "d", "x.bin"), "wb") as f:
+            f.write(b"payload")
+        assert fsio.listdir("mock://d") == ["x.bin"]
+        assert fsio.exists("mock://d/x.bin")
+        assert fsio.isdir("mock://d")
+        assert fsio.read_bytes("mock://d/x.bin") == b"payload"
+        with fsio.open_read("mock://d/x.bin") as f:
+            assert f.readline() == b"payload"  # line iteration works
+        with pytest.raises(FileNotFoundError):
+            fsio.listdir("mock://nope")
+
+    def test_walk_remote(self, mock_fs):
+        os.makedirs(os.path.join(mock_fs, "w", "a=1"))
+        open(os.path.join(mock_fs, "w", "a=1", "f.parquet"), "w").close()
+        seen = {
+            (fsio.relpath(root, "mock://w"), tuple(files))
+            for root, _dirs, files in fsio.walk("mock://w")
+        }
+        assert (".", ()) in seen
+        assert ("a=1", ("f.parquet",)) in seen
+
+    def test_unknown_scheme_typed_error(self):
+        with pytest.raises(fsio.FsIoError, match="no filesystem"):
+            fsio.listdir("weird://x/y")
+
+    def test_require_local(self):
+        fsio.require_local("/ok", "op")  # no raise
+        with pytest.raises(fsio.FsIoError, match="atomic file create"):
+            fsio.require_local("s3://b/t", "op")
+
+
+class TestDeltaOverMock:
+    def test_read_time_travel_cdf_and_dvs(self, spark, mock_fs):
+        p = os.path.join(mock_fs, "t")
+        D.write_delta(_docs(spark).repartition(3), p,
+                      partition_by=["bucket"])
+        D.delta_delete_dv(spark, p, [("doc_id", "<", 10)])
+        D.write_checkpoint(spark, p)
+        uri = "mock://t"
+        got = sorted(r.doc_id for r in D.read_delta(spark, uri).collect())
+        assert got == list(range(10, 40)), "DVs must apply via mock://"
+        assert D.read_delta(spark, uri, version=0).count() == 40
+        assert D.read_delta(
+            spark, uri, partition_filters=[("bucket", "=", 1)]
+        ).count() == 10
+        assert D.delta_count(spark, uri) == 30
+        assert len(D.delta_history(uri)) == 2
+        cdf = D.delta_table_changes(spark, uri, 0)
+        assert cdf.filter("_change_type = 'delete'").count() == 10
+
+    def test_writes_refuse_remote(self, spark, mock_fs):
+        p = os.path.join(mock_fs, "t2")
+        D.write_delta(_docs(spark, 5), p)
+        for op in (
+            lambda: D.write_delta(_docs(spark, 5), "mock://t2",
+                                  mode="append"),
+            lambda: D.delta_delete_dv(spark, "mock://t2",
+                                      [("doc_id", "=", 1)]),
+            lambda: D.delta_compact(spark, "mock://t2"),
+            lambda: D.delta_vacuum("mock://t2"),
+            lambda: D.delta_enable_column_mapping("mock://t2"),
+        ):
+            with pytest.raises(fsio.FsIoError, match="atomic file create"):
+                op()
+
+
+class TestIcebergHudiOverMock:
+    def test_iceberg_rename_and_deletes(self, spark, mock_fs):
+        p = os.path.join(mock_fs, "ice")
+        I.write_iceberg_table(_docs(spark, 20).coalesce(1), p)
+        I.iceberg_rename_column(p, "text", "body")
+        files = I._live_files(
+            p, I._pick_snapshot(I.load_table_metadata(p))
+        )[0]
+        fp = I._strip_file_uri(files[0]["file_path"])
+        I.add_iceberg_position_deletes(p, [(fp, 0), (fp, 1)])
+        df = I.read_iceberg(spark, "mock://ice")
+        assert df.columns == ["doc_id", "body", "bucket"]
+        assert df.count() == 18
+        with pytest.raises(fsio.FsIoError):
+            I.iceberg_rename_column("mock://ice", "body", "x")
+
+    def test_hudi_upsert_and_prune(self, spark, mock_fs):
+        p = os.path.join(mock_fs, "hud")
+        docs = _docs(spark, 20).withColumn(
+            "lang", F.when(F.col("doc_id") % 2 == 0, "en").otherwise("fr")
+        )
+        H.write_hudi_table(docs, p, record_key="doc_id",
+                           partition_by=["lang"])
+        up = spark.createDataFrame(
+            [(0, "UPD", 0, "en")],
+            "doc_id long, text string, bucket long, lang string",
+        )
+        H.write_hudi_table(up, p, record_key="doc_id", mode="upsert",
+                           partition_by=["lang"])
+        df = H.read_hudi(spark, "mock://hud")
+        assert df.count() == 20
+        assert df.filter("text = 'UPD'").count() == 1
+        assert H.read_hudi(
+            spark, "mock://hud", partition_filters=[("lang", "=", "fr")]
+        ).count() == 10
+        assert H.read_hudi(
+            spark, "mock://hud", partition_filters=[("lang", "=", "zz")]
+        ).count() == 0
+        with pytest.raises(fsio.FsIoError):
+            H.write_hudi_table(docs, "mock://hud", record_key="doc_id")
