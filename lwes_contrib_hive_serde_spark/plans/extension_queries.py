@@ -9633,31 +9633,109 @@ def q_delta_dv_update(spark, sf_dir):
     )
 
 
+def _documents_delta_cdf_mixed(spark, sf_dir: str) -> str:
+    """Delta table whose history MIXES copy-on-write and merge-on-
+    read DML under delta.enableChangeDataFeed=true — the r10 CDF
+    completeness fixture: v0 appends documents, v1 SET TBLPROPERTIES
+    (enableChangeDataFeed → minWriterVersion 4), v2 COW-DELETEs ids
+    ≡3 mod 11 (emits _change_data), v3 COW-UPDATEs n_chars += 5000
+    for ids ≡5 mod 13 (emits _change_data pre+post), v4 dv-UPDATEs
+    ids ≡0 mod 9 (upper(text), n_chars += 1000000 — derived, no cdc
+    needed), v5 dv-DELETEs ids ≡1 mod 7. Cached per sf_dir."""
+    import os
+
+    from lwes_contrib_hive_serde_spark.sources import delta as D
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        tag = f"{tag}-{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        pass
+    out = f"/tmp/delta_table_cache/v1/{tag}/documents_cdf_mixed"
+    done = os.path.join(out, "_delta_log", f"{5:020d}.json")
+    if not os.path.exists(done):
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        D.write_delta(
+            docs.repartitionByRange(5, "doc_id")
+            .sortWithinPartitions("doc_id"),
+            out,
+        )
+        D.delta_set_properties(
+            out, {"delta.enableChangeDataFeed": "true"}
+        )
+
+        def ids_where(pred):
+            return [
+                r[0]
+                for r in D.read_delta(spark, out)
+                .select("doc_id").where(pred).collect()
+            ]
+
+        ids = ids_where("doc_id % 11 = 3")
+        if ids:
+            D.delta_delete(spark, out, [("doc_id", "in", ids)])
+        ids = ids_where("doc_id % 13 = 5")
+        if ids:
+            D.delta_update(
+                spark, out, [("doc_id", "in", ids)],
+                {"n_chars": "n_chars + 5000"},
+            )
+        ids = ids_where("doc_id % 9 = 0")
+        if ids:
+            D.delta_update_dv(
+                spark, out, [("doc_id", "in", ids)],
+                {"text": "upper(text)", "n_chars": "n_chars + 1000000"},
+            )
+        ids = ids_where("doc_id % 7 = 1")
+        if ids:
+            D.delta_delete_dv(spark, out, [("doc_id", "in", ids)])
+    return out
+
+
 @register(
     "q_delta_cdf",
     shadow=True,
     oracle="""
-    WITH ins AS (
-      SELECT 'insert' AS _change_type, lang, doc_id, text, n_chars
-      FROM documents
-    ), pre AS (
-      SELECT 'update_preimage' AS _change_type, lang, doc_id, text,
-             n_chars
-      FROM documents WHERE doc_id % 9 = 0
-    ), post AS (
-      SELECT 'update_postimage' AS _change_type, lang, doc_id,
-             upper(text) AS text, n_chars + 1000000 AS n_chars
-      FROM documents WHERE doc_id % 9 = 0
-    ), del AS (
-      SELECT 'delete' AS _change_type, lang, doc_id,
+    WITH s1 AS (
+      SELECT doc_id, lang, text, n_chars FROM documents
+      WHERE doc_id % 11 <> 3
+    ), s2 AS (
+      SELECT doc_id, lang, text,
+             CASE WHEN doc_id % 13 = 5 THEN n_chars + 5000
+                  ELSE n_chars END AS n_chars
+      FROM s1
+    ), s3 AS (
+      SELECT doc_id, lang,
              CASE WHEN doc_id % 9 = 0 THEN upper(text) ELSE text END
                AS text,
              CASE WHEN doc_id % 9 = 0 THEN n_chars + 1000000
                   ELSE n_chars END AS n_chars
-      FROM documents WHERE doc_id % 7 = 1
+      FROM s2
     ), feed AS (
-      SELECT * FROM ins UNION ALL SELECT * FROM pre
-      UNION ALL SELECT * FROM post UNION ALL SELECT * FROM del
+      SELECT 'insert' AS _change_type, lang, doc_id, text, n_chars
+      FROM documents
+      UNION ALL
+      SELECT 'delete', lang, doc_id, text, n_chars
+      FROM documents WHERE doc_id % 11 = 3
+      UNION ALL
+      SELECT 'update_preimage', lang, doc_id, text, n_chars
+      FROM s1 WHERE doc_id % 13 = 5
+      UNION ALL
+      SELECT 'update_postimage', lang, doc_id, text, n_chars + 5000
+      FROM s1 WHERE doc_id % 13 = 5
+      UNION ALL
+      SELECT 'update_preimage', lang, doc_id, text, n_chars
+      FROM s2 WHERE doc_id % 9 = 0
+      UNION ALL
+      SELECT 'update_postimage', lang, doc_id, upper(text),
+             n_chars + 1000000
+      FROM s2 WHERE doc_id % 9 = 0
+      UNION ALL
+      SELECT 'delete', lang, doc_id, text, n_chars
+      FROM s3 WHERE doc_id % 7 = 1
     )
     SELECT _change_type, lang,
            COUNT(*) AS n,
@@ -9666,26 +9744,25 @@ def q_delta_dv_update(spark, sf_dir):
            MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
     FROM feed GROUP BY _change_type, lang
     """,
-    doc="Delta CHANGE DATA FEED derived from log actions "
-    "(sources/delta.py delta_table_changes — the incremental-"
-    "pipeline surface: inserts/deletes/update pre+post images with "
-    "_commit_version/_commit_timestamp, derived exactly as "
-    "delta-spark does when no _change_data files exist). Over the "
-    "merge-on-read fixture (v0 append, v1 dv-UPDATE ids ≡0 mod 9, "
-    "v2 dv-DELETE ids ≡1 mod 7), the feed must contain every "
-    "original row as insert, the updated rows as preimage (original "
-    "values) AND postimage (transformed values), and the deleted "
-    "rows with the values they held WHEN DELETED — i.e. "
-    "post-update for rows both updated and deleted, which is "
-    "exactly what the oracle's CASE reconstructs. Only changed "
-    "files are read and only changed positions materialize "
-    "(row_index semi-joins): CDF cost scales with change volume, "
-    "not table size.",
+    doc="Delta CHANGE DATA FEED over a history MIXING copy-on-write "
+    "and merge-on-read DML (sources/delta.py delta_table_changes + "
+    "the r10 _change_data tier): with delta.enableChangeDataFeed "
+    "set (delta_set_properties — protocol upgraded to writer v4), "
+    "the COW DELETE and UPDATE commits EMIT cdc actions whose "
+    "_change_data/ parquet the reader takes verbatim (PROTOCOL.md "
+    "'Add CDC File' — previously those commits refused), while the "
+    "dv-UPDATE and dv-DELETE commits stay DERIVED from masks and "
+    "appends. The DuckDB oracle replays the whole lifecycle "
+    "(delete → update → dv-update → dv-delete, each over the "
+    "previous state) and rebuilds the feed: one hash gates cdc "
+    "emission, cdc-over-derivation precedence, pre/post image "
+    "values at every stage, and deleted rows carrying the values "
+    "they held WHEN deleted.",
 )
 def q_delta_cdf(spark, sf_dir):
     from lwes_contrib_hive_serde_spark.sources import delta as D
 
-    out = _documents_delta_dv_update(spark, sf_dir)
+    out = _documents_delta_cdf_mixed(spark, sf_dir)
     ch = D.delta_table_changes(spark, out, 0)
     return ch.groupBy("_change_type", "lang").agg(
         F.count(F.lit(1)).alias("n"),

@@ -1006,6 +1006,76 @@ def _dv_dml_classify(
     return removes, masked_adds, rows_affected, files_removed
 
 
+def _cdf_enabled(state: _State) -> bool:
+    """delta.enableChangeDataFeed=true — the table property that
+    obliges DML writers to emit ``_change_data`` files (cdc
+    actions), exactly delta-spark's gate."""
+    conf = (state.metadata or {}).get("configuration") or {}
+    return str(
+        conf.get("delta.enableChangeDataFeed", "false")
+    ).lower() == "true"
+
+
+def _publish_cdc_staging(staging: str, table_path: str) -> list[dict]:
+    """Move a (possibly partitionBy-staged) tree of CDC rows under
+    ``_change_data/`` and return the matching ``cdc`` actions
+    (PROTOCOL.md "Add CDC File": dataChange=false — the logical
+    change is carried by the commit's add/remove actions; cdc files
+    are the row-level record of it). Empty part files are dropped."""
+    import pyarrow.parquet as pq
+
+    out: list[dict] = []
+    cdir = os.path.join(table_path, "_change_data")
+    for root, _dirs, names in os.walk(staging):
+        pnames = [n for n in names if n.endswith(".parquet")]
+        if not pnames:
+            continue
+        rel = os.path.relpath(root, staging)
+        segs = [] if rel == "." else rel.split(os.sep)
+        pv: dict = {}
+        for seg in segs:
+            c, _, raw = seg.partition("=")
+            raw = urllib.parse.unquote(raw)
+            pv[c] = None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
+        os.makedirs(cdir, exist_ok=True)
+        for n in pnames:
+            src = os.path.join(root, n)
+            if pq.read_metadata(src).num_rows == 0:
+                continue
+            unique = f"cdc-{uuid.uuid4().hex}.parquet"
+            dst = os.path.join(cdir, unique)
+            os.replace(src, dst)
+            st = os.stat(dst)
+            out.append(
+                {
+                    "path": "_change_data/" + unique,
+                    "partitionValues": dict(pv),
+                    "size": st.st_size,
+                    "dataChange": False,
+                }
+            )
+    return out
+
+
+def _cdc_protocol_actions(proto: dict) -> list[dict]:
+    """The protocol upgrade (if any) a commit carrying cdc actions
+    owes: legacy writers need minWriterVersion ≥ 4; feature-table
+    writers (v7) need changeDataFeed in writerFeatures."""
+    p = dict(proto or {})
+    wv = int(p.get("minWriterVersion", 2))
+    if wv >= 7:
+        feats = set(p.get("writerFeatures") or [])
+        if "changeDataFeed" in feats:
+            return []
+        p["writerFeatures"] = sorted(feats | {"changeDataFeed"})
+        return [{"protocol": p}]
+    if wv >= 4:
+        return []
+    p["minWriterVersion"] = 4
+    p.setdefault("minReaderVersion", 1)
+    return [{"protocol": p}]
+
+
 def _publish_partitioned_staging(
     staging: str, table_path: str
 ) -> list[dict]:
@@ -2570,6 +2640,8 @@ def delta_delete(
         return cond
 
     removes, adds = [], []
+    cdc_actions: list[dict] = []
+    cdf_on = _cdf_enabled(state)
     rows_deleted = 0
     for a in candidates:
         fp = _file_abspath(path, a["path"])
@@ -2580,6 +2652,18 @@ def delta_delete(
         if n_hit == 0:
             continue  # stats said maybe; rows said no — file untouched
         rows_deleted += n_hit
+        if cdf_on:
+            # the table promised a Change Data Feed: record the
+            # deleted rows as a _change_data file (cdc action)
+            cdc_rows = _rename_to_physical(
+                hit, state, [f.name for f in data_schema.fields]
+            ).withColumn("_change_type", F.lit("delete"))
+            cstage = os.path.join(path, f".cdc-{uuid.uuid4().hex}")
+            cdc_rows.coalesce(1).write.mode("overwrite").parquet(cstage)
+            for ca in _publish_cdc_staging(cstage, path):
+                ca["partitionValues"] = dict(pv)
+                cdc_actions.append(ca)
+            shutil.rmtree(cstage, ignore_errors=True)
         survivors = df.filter(~match_expr(pv) | match_expr(pv).isNull())
         survivors = _rename_to_physical(
             survivors, state, [f.name for f in data_schema.fields]
@@ -2618,6 +2702,11 @@ def delta_delete(
                     os.remove(_file_abspath(path, a["path"]))
                 except OSError:
                     pass
+            for c in cdc_actions:
+                try:
+                    os.remove(_file_abspath(path, c["path"]))
+                except OSError:
+                    pass
             raise DeltaError(
                 "delete lost a race against another commit; aborted "
                 "cleanly (re-run to retry)"
@@ -2632,6 +2721,8 @@ def delta_delete(
                 }
             }
         ]
+        if cdc_actions:
+            actions.extend(_cdc_protocol_actions(current.protocol))
         for r in removes:
             actions.append(
                 {
@@ -2645,6 +2736,7 @@ def delta_delete(
                 }
             )
         actions.extend({"add": a} for a in adds)
+        actions.extend({"cdc": c} for c in cdc_actions)
         payload = "".join(json.dumps(x) + "\n" for x in actions).encode()
         target = _commit_file(path, version)
         try:
@@ -2927,6 +3019,8 @@ def delta_update(
         return cond
 
     removes, adds = [], []
+    cdc_actions: list[dict] = []
+    cdf_on = _cdf_enabled(state)
     rows_updated = 0
     for a in candidates:
         fp = _file_abspath(path, a["path"])
@@ -2937,6 +3031,40 @@ def delta_update(
         if n_hit == 0:
             continue
         rows_updated += n_hit
+        if cdf_on:
+            # pre/post images of exactly the matched rows — post is
+            # computed from PRE values (filtering transformed rows
+            # with the predicate would consult updated values)
+            pre = df.filter(cond)
+            post = pre
+            for c in part_cols:
+                post = post.withColumn(
+                    c,
+                    F.lit(
+                        _cast_partition_value(
+                            pv.get(phys_of.get(c, c)), types[c]
+                        )
+                    ).cast(types[c]),
+                )
+            for c, expr in set_exprs.items():
+                post = post.withColumn(c, F.expr(expr).cast(types[c]))
+            dnames = [f.name for f in data_schema.fields]
+            cdc_rows = (
+                _rename_to_physical(pre, state, dnames)
+                .withColumn("_change_type", F.lit("update_preimage"))
+                .unionByName(
+                    _rename_to_physical(post, state, dnames)
+                    .withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                )
+            )
+            cstage = os.path.join(path, f".cdc-{uuid.uuid4().hex}")
+            cdc_rows.coalesce(1).write.mode("overwrite").parquet(cstage)
+            for ca in _publish_cdc_staging(cstage, path):
+                ca["partitionValues"] = dict(pv)
+                cdc_actions.append(ca)
+            shutil.rmtree(cstage, ignore_errors=True)
         updated = df
         # expose partition values as literal columns so set
         # expressions may READ them (writing them is refused above)
@@ -2986,6 +3114,11 @@ def delta_update(
                     os.remove(_file_abspath(path, a["path"]))
                 except OSError:
                     pass
+            for c in cdc_actions:
+                try:
+                    os.remove(_file_abspath(path, c["path"]))
+                except OSError:
+                    pass
             raise DeltaError(
                 "update lost a race against another commit; aborted "
                 "cleanly (re-run to retry)"
@@ -3000,6 +3133,8 @@ def delta_update(
                 }
             }
         ]
+        if cdc_actions:
+            actions.extend(_cdc_protocol_actions(current.protocol))
         for r in removes:
             actions.append(
                 {
@@ -3013,6 +3148,7 @@ def delta_update(
                 }
             )
         actions.extend({"add": a} for a in adds)
+        actions.extend({"cdc": c} for c in cdc_actions)
         payload = "".join(json.dumps(x) + "\n" for x in actions).encode()
         target = _commit_file(path, version)
         try:
@@ -3125,6 +3261,18 @@ def delta_merge(
     _refuse_dvs(candidates, "delta_merge")
 
     removes, adds = [], []
+    cdc_actions: list[dict] = []
+    cdf_on = _cdf_enabled(state)
+    dnames = [f.name for f in data_schema.fields]
+
+    def _emit_cdc(rows_phys, pv_dict):
+        cstage = os.path.join(path, f".cdc-{uuid.uuid4().hex}")
+        rows_phys.coalesce(1).write.mode("overwrite").parquet(cstage)
+        for ca in _publish_cdc_staging(cstage, path):
+            ca["partitionValues"] = dict(pv_dict)
+            cdc_actions.append(ca)
+        shutil.rmtree(cstage, ignore_errors=True)
+
     rows_updated = 0
     matched_keys = None
     for a in candidates:
@@ -3182,8 +3330,28 @@ def delta_merge(
                 .select(*[f.name for f in data_schema.fields])
             )
             new_rows = keep.unionByName(repl)
+            if cdf_on:
+                _emit_cdc(
+                    _rename_to_physical(hits, state, dnames)
+                    .withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    )
+                    .unionByName(
+                        _rename_to_physical(repl, state, dnames)
+                        .withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        )
+                    ),
+                    pv,
+                )
         else:
             new_rows = keep
+            if cdf_on:
+                _emit_cdc(
+                    _rename_to_physical(hits, state, dnames)
+                    .withColumn("_change_type", F.lit("delete")),
+                    pv,
+                )
         new_rows = _rename_to_physical(
             new_rows, state, [f.name for f in data_schema.fields]
         )
@@ -3218,6 +3386,23 @@ def delta_merge(
             )
         rows_inserted = unmatched.count()
         if rows_inserted:
+            if cdf_on:
+                cstage = os.path.join(path, f".cdc-{uuid.uuid4().hex}")
+                cw = (
+                    _rename_to_physical(
+                        unmatched, state,
+                        [f.name for f in full_schema.fields],
+                    )
+                    .withColumn("_change_type", F.lit("insert"))
+                    .write.mode("overwrite")
+                )
+                if part_cols:
+                    cw = cw.partitionBy(
+                        *[phys_of.get(c, c) for c in part_cols]
+                    )
+                cw.parquet(cstage)
+                cdc_actions.extend(_publish_cdc_staging(cstage, path))
+                shutil.rmtree(cstage, ignore_errors=True)
             staging = os.path.join(path, f".merge-ins-{uuid.uuid4().hex}")
             ins = _rename_to_physical(
                 unmatched, state, [f.name for f in full_schema.fields]
@@ -3276,6 +3461,11 @@ def delta_merge(
                     os.remove(_file_abspath(path, a["path"]))
                 except OSError:
                     pass
+            for c in cdc_actions:
+                try:
+                    os.remove(_file_abspath(path, c["path"]))
+                except OSError:
+                    pass
             raise DeltaError(
                 "merge lost a race against another commit; aborted "
                 "cleanly (re-run to retry)"
@@ -3290,6 +3480,8 @@ def delta_merge(
                 }
             }
         ]
+        if cdc_actions:
+            actions.extend(_cdc_protocol_actions(current.protocol))
         for r in removes:
             actions.append(
                 {
@@ -3303,6 +3495,7 @@ def delta_merge(
                 }
             )
         actions.extend({"add": a} for a in adds)
+        actions.extend({"cdc": c} for c in cdc_actions)
         payload = "".join(json.dumps(x) + "\n" for x in actions).encode()
         target = _commit_file(path, version)
         try:
@@ -3413,6 +3606,57 @@ def delta_enable_column_mapping(
         return state.version + 1
     raise DeltaError(
         "enable-column-mapping could not commit (sustained contention)"
+    )
+
+
+def delta_set_properties(
+    path: str, props: dict, max_commit_attempts: int = 10
+) -> int:
+    """ALTER TABLE … SET TBLPROPERTIES — a metadata-only commit
+    updating ``configuration``. Enabling
+    ``delta.enableChangeDataFeed`` also performs the protocol
+    upgrade CDC writers owe (minWriterVersion ≥ 4, or the
+    changeDataFeed writer feature on v7 tables) so foreign readers
+    see a spec-conformant table. Returns the new version."""
+    now_ms = int(time.time() * 1000)
+    fsio.require_local(path, "delta_set_properties")
+    for _ in range(max_commit_attempts):
+        state = _replay(path)
+        _check_readable(state)
+        meta = dict(state.metadata)
+        conf = dict(meta.get("configuration") or {})
+        if all(conf.get(k) == str(v) for k, v in props.items()):
+            return state.version
+        for k, v in props.items():
+            conf[k] = str(v)
+        meta["configuration"] = conf
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "SET TBLPROPERTIES",
+                    "operationParameters": {
+                        "properties": {k: str(v) for k, v in props.items()}
+                    },
+                }
+            }
+        ]
+        if str(
+            props.get("delta.enableChangeDataFeed", "")
+        ).lower() == "true":
+            actions.extend(_cdc_protocol_actions(state.protocol))
+        actions.append({"metaData": meta})
+        payload = "".join(json.dumps(a) + "\n" for a in actions).encode()
+        target = _commit_file(path, state.version + 1)
+        try:
+            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+        return state.version + 1
+    raise DeltaError(
+        "set-properties could not commit (sustained contention)"
     )
 
 
@@ -3759,7 +4003,11 @@ def delta_table_changes(
     (insert / delete / update_preimage / update_postimage),
     ``_commit_version``, and ``_commit_timestamp``.
 
-    Derivable commits (everything this module's writers emit):
+    Commits carrying ``cdc`` actions (PROTOCOL.md "Add CDC File" —
+    what the COW DML verbs and delta_merge_dv emit once
+    ``delta.enableChangeDataFeed=true`` via delta_set_properties)
+    are read DIRECTLY from their ``_change_data/`` files, as the
+    spec requires. Otherwise the feed is DERIVED:
       - WRITE append           → added files' rows as insert
       - WRITE overwrite        → prior snapshot's live rows as
                                  delete + added files as insert
@@ -3768,10 +4016,10 @@ def delta_table_changes(
                                  update_preimage + appended files
                                  as update_postimage
       - OPTIMIZE / metadata    → no logical changes, skipped
-    Copy-on-write DELETE/UPDATE/MERGE and RESTORE rewrite files, so
-    their per-row diff is NOT derivable from actions alone — those
-    commits refuse by operation name rather than emitting a wrong
-    feed (the honesty contract; real CDF needs cdc files there).
+    Copy-on-write DELETE/UPDATE/MERGE and RESTORE commits WITHOUT
+    cdc files rewrite whole files, so their per-row diff is not
+    derivable — those refuse by operation name rather than emitting
+    a wrong feed (the honesty contract).
 
     Scale shape: only CHANGED files are ever read, and only changed
     positions come back (semi-joins on ``_metadata.row_index``) —
@@ -3828,6 +4076,63 @@ def delta_table_changes(
         ts = int(ci.get("timestamp") or 0)
         adds = [a["add"] for a in actions if "add" in a]
         removes = [a["remove"] for a in actions if "remove" in a]
+        cdcs = [a["cdc"] for a in actions if "cdc" in a]
+        if cdcs:
+            # PROTOCOL.md "Add CDC File": when a commit carries cdc
+            # actions, readers MUST take the feed from those files
+            # and ignore the commit's add/remove for CDF purposes —
+            # this is what makes copy-on-write DML commits readable.
+            mapping = _column_mapping(state)
+            read_schema = (
+                _physical_schema(state) if mapping else full_schema
+            )
+            phys_part = {phys_of.get(x, x) for x in part_cols}
+            cdc_fields = [
+                f for f in read_schema.fields if f.name not in phys_part
+            ]
+            cdc_schema = StructType(
+                cdc_fields
+                + [StructField("_change_type", StringType(), True)]
+            )
+            for c in cdcs:
+                fp = _file_abspath(path, c["path"])
+                cdf = spark.read.schema(cdc_schema).parquet(
+                    fsio.spark_path(fp)
+                )
+                if mapping:
+                    logical_data = [
+                        f
+                        for f in full_schema.fields
+                        if f.name not in part_cols
+                    ]
+                    cdf = cdf.select(
+                        *[
+                            F.col(pf.name)
+                            .cast(lf.dataType)
+                            .alias(lf.name)
+                            for pf, lf in zip(cdc_fields, logical_data)
+                        ],
+                        F.col("_change_type"),
+                    )
+                pv = c.get("partitionValues") or {}
+                for pc in part_cols:
+                    cdf = cdf.withColumn(
+                        pc,
+                        F.lit(
+                            _cast_partition_value(
+                                pv.get(phys_of.get(pc, pc)), types[pc]
+                            )
+                        ).cast(types[pc]),
+                    )
+                cdf = cdf.select(
+                    *[f.name for f in full_schema.fields],
+                    "_change_type",
+                    F.lit(v).cast("long").alias("_commit_version"),
+                    F.lit(ts).cast("long").alias("_commit_timestamp"),
+                )
+                pieces.append(cdf)
+            prior = None
+            continue
         dc_adds = [a for a in adds if a.get("dataChange", True)]
         dc_removes = [r for r in removes if r.get("dataChange", True)]
         if not dc_adds and not dc_removes:
@@ -4132,6 +4437,26 @@ def delta_merge_dv(
         new_adds: list[dict] = []
         masked_adds: list[dict] = []
         dv_results: list[dict] = []
+        cdc_actions: list[dict] = []
+        cdf_on = _cdf_enabled(state)
+        phys_parts = [phys_of.get(c, c) for c in part_cols]
+        full_names = [f.name for f in full_schema.fields]
+
+        def _emit_cdc_part(rows_logical, ctype):
+            cstage = os.path.join(path, f".cdc-{uuid.uuid4().hex}")
+            cw = (
+                _rename_to_physical(rows_logical, state, full_names)
+                .withColumn("_change_type", F.lit(ctype))
+                .write.mode("overwrite")
+            )
+            if part_cols:
+                cw = cw.partitionBy(*phys_parts)
+            cw.parquet(cstage)
+            cdc_actions.extend(_publish_cdc_staging(cstage, path))
+            import shutil as _sh
+
+            _sh.rmtree(cstage, ignore_errors=True)
+
         rows_updated = 0
         files_removed = 0
         hits = None
@@ -4182,6 +4507,13 @@ def delta_merge_dv(
             removes, masked_adds, rows_updated, files_removed = (
                 _dv_dml_classify(dv_results, by_path)
             )
+            if rows_updated and cdf_on:
+                _emit_cdc_part(
+                    hits,
+                    "update_preimage"
+                    if when_matched == "update"
+                    else "delete",
+                )
 
         if rows_updated and when_matched == "update":
             if part_cols:
@@ -4218,6 +4550,8 @@ def delta_merge_dv(
                     F.explode(F.sequence(F.lit(1), F.col("__n_copies"))),
                 )
             )
+            if cdf_on:
+                _emit_cdc_part(repl, "update_postimage")
             repl = _rename_to_physical(
                 repl, state, [f.name for f in full_schema.fields]
             )
@@ -4240,6 +4574,8 @@ def delta_merge_dv(
                 )
             rows_inserted = unmatched.count()
             if rows_inserted:
+                if cdf_on:
+                    _emit_cdc_part(unmatched, "insert")
                 staging = os.path.join(
                     path, f".mergedv-ins-{uuid.uuid4().hex}"
                 )
@@ -4280,6 +4616,11 @@ def delta_merge_dv(
                     os.remove(_file_abspath(path, na["path"]))
                 except OSError:
                     pass
+            for c in cdc_actions:
+                try:
+                    os.remove(_file_abspath(path, c["path"]))
+                except OSError:
+                    pass
             _remove_written_dvs(path, dv_results)
             raise DeltaError(
                 "dv-merge lost a race against another commit; aborted "
@@ -4303,6 +4644,13 @@ def delta_merge_dv(
             }
         ]
         if need_upgrade:
+            # ONE protocol action carrying both upgrades (a second
+            # one would win reconciliation and drop the first)
+            wfeats = set(proto.get("writerFeatures") or []) | {
+                "deletionVectors"
+            }
+            if cdc_actions:
+                wfeats |= {"changeDataFeed"}
             actions.append(
                 {
                     "protocol": {
@@ -4312,13 +4660,12 @@ def delta_merge_dv(
                             set(proto.get("readerFeatures") or [])
                             | {"deletionVectors"}
                         ),
-                        "writerFeatures": sorted(
-                            set(proto.get("writerFeatures") or [])
-                            | {"deletionVectors"}
-                        ),
+                        "writerFeatures": sorted(wfeats),
                     }
                 }
             )
+        elif cdc_actions:
+            actions.extend(_cdc_protocol_actions(proto))
         for r in removes:
             rm = {
                 "path": r["path"],
@@ -4332,6 +4679,7 @@ def delta_merge_dv(
             actions.append({"remove": rm})
         actions.extend({"add": a} for a in masked_adds)
         actions.extend({"add": a} for a in new_adds)
+        actions.extend({"cdc": c} for c in cdc_actions)
         payload = "".join(json.dumps(x) + "\n" for x in actions).encode()
         target = _commit_file(path, version)
         try:

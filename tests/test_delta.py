@@ -1575,3 +1575,108 @@ class TestShallowClone:
         # vacuum on the local table must not try to delete the
         # remote reference
         assert D.delta_vacuum(p, retention_ms=0) == 0
+
+
+class TestChangeDataFiles:
+    """_change_data (cdc action) tier — r10: COW DML + dv-MERGE
+    emit cdc files when delta.enableChangeDataFeed=true, and
+    delta_table_changes reads cdc commits verbatim (PROTOCOL.md
+    'Add CDC File'), unlocking CDF over copy-on-write history."""
+
+    def _cdf_table(self, spark, tmp_path, partition_by=None):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark), p, partition_by=partition_by)
+        D.delta_set_properties(p, {"delta.enableChangeDataFeed": "true"})
+        return p
+
+    def test_set_properties_upgrades_protocol(self, spark, tmp_path):
+        p = self._cdf_table(spark, tmp_path)
+        proto = D._replay(p).protocol
+        assert int(proto["minWriterVersion"]) >= 4
+        # idempotent: re-setting the same value commits nothing
+        v = D._replay(p).version
+        assert D.delta_set_properties(
+            p, {"delta.enableChangeDataFeed": "true"}
+        ) == v
+
+    def test_cow_delete_emits_and_cdf_reads(self, spark, tmp_path):
+        p = self._cdf_table(spark, tmp_path)
+        D.delta_delete(spark, p, [("doc_id", "<", 4)])
+        acts = D._commit_actions(p, 2)
+        assert any("cdc" in a for a in acts)
+        cdf = D.delta_table_changes(spark, p, 2)
+        got = sorted(
+            (r.doc_id, r["_change_type"]) for r in cdf.collect()
+        )
+        assert got == [(i, "delete") for i in range(4)]
+
+    def test_cow_update_pre_and_post_images(self, spark, tmp_path):
+        p = self._cdf_table(spark, tmp_path)
+        D.delta_update(spark, p, [("doc_id", "=", 7)],
+                       {"text": "upper(text)"})
+        cdf = D.delta_table_changes(spark, p, 2)
+        rows = {r["_change_type"]: r.text for r in cdf.collect()}
+        assert rows["update_preimage"] == "doc 7 body"
+        assert rows["update_postimage"] == "DOC 7 BODY"
+
+    def test_cow_merge_full_feed(self, spark, tmp_path):
+        p = self._cdf_table(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(5, "M", "en"), (999, "NEW", "fr")],
+            "doc_id long, text string, lang string",
+        )
+        D.delta_merge(spark, p, src, on=["doc_id"])
+        cdf = D.delta_table_changes(spark, p, 2)
+        got = {(r.doc_id, r["_change_type"]) for r in cdf.collect()}
+        assert (5, "update_preimage") in got
+        assert (5, "update_postimage") in got
+        assert (999, "insert") in got
+        assert len(got) == 3
+
+    def test_dv_merge_emits_cdc_and_feed_reads(self, spark, tmp_path):
+        p = self._cdf_table(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(6, "DVM", "en"), (888, "NEW", "de")],
+            "doc_id long, text string, lang string",
+        )
+        D.delta_merge_dv(spark, p, src, on=["doc_id"])
+        acts = D._commit_actions(p, 2)
+        assert any("cdc" in a for a in acts)
+        cdf = D.delta_table_changes(spark, p, 2)
+        got = {(r.doc_id, r["_change_type"]) for r in cdf.collect()}
+        assert got == {
+            (6, "update_preimage"), (6, "update_postimage"),
+            (888, "insert"),
+        }
+
+    def test_partitioned_cow_delete_cdc_partition_values(
+        self, spark, tmp_path
+    ):
+        p = self._cdf_table(spark, tmp_path, partition_by=["lang"])
+        D.delta_delete(spark, p, [("lang", "=", "en"),
+                                  ("doc_id", "<", 6)])
+        cdf = D.delta_table_changes(spark, p, 2)
+        rows = cdf.collect()
+        assert rows and all(r.lang == "en" for r in rows)
+        assert all(r["_change_type"] == "delete" for r in rows)
+
+    def test_without_property_cow_still_refuses_cdf(
+        self, spark, tmp_path
+    ):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark), p)
+        D.delta_delete(spark, p, [("doc_id", "<", 2)])
+        with pytest.raises(D.DeltaError, match="not derivable"):
+            D.delta_table_changes(spark, p, 1)
+
+    def test_cdc_on_mapped_table(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark), p)
+        D.delta_enable_column_mapping(p)
+        D.delta_rename_column(p, "text", "body")
+        D.delta_set_properties(p, {"delta.enableChangeDataFeed": "true"})
+        D.delta_update(spark, p, [("doc_id", "=", 3)], {"body": "'X'"})
+        cdf = D.delta_table_changes(spark, p, 4)
+        rows = {r["_change_type"]: r.body for r in cdf.collect()}
+        assert rows["update_preimage"] == "doc 3 body"
+        assert rows["update_postimage"] == "X"
