@@ -9964,6 +9964,125 @@ def q_hudi_read(spark, sf_dir):
     return latest.unionAll(v1)
 
 
+def _documents_hudi_mor(spark, sf_dir: str) -> str:
+    """Hudi MERGE_ON_READ table (sources/hudi.py, round 10): instant
+    1 inserts all documents as base files (deltacommit), instant 2
+    LOG-UPDATES ids ≡2 mod 8 ('LOG:' prefix, n_chars += 70000) —
+    dot-prefixed log files the read-optimized view must NOT see —
+    instant 3 COMPACTS (merged base files, commit), instant 4
+    log-updates ids ≡6 mod 10 ('PEND:' prefix) and stays
+    UNCOMPACTED: permanently invisible to RO reads. Cached per
+    sf_dir."""
+    import os
+
+    from lwes_contrib_hive_serde_spark.sources import hudi as H
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        tag = f"{tag}-{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        pass
+    out = f"/tmp/hudi_table_cache/v1/{tag}/documents_mor"
+    done = os.path.join(out, "_FIXTURE_DONE")
+    if not os.path.exists(done):
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        H.write_hudi_table(
+            docs.repartitionByRange(4, "doc_id")
+            .sortWithinPartitions("doc_id"),
+            out,
+            record_key="doc_id",
+            table_type="MERGE_ON_READ",
+        )
+        up = docs.where("doc_id % 8 = 2").select(
+            "doc_id",
+            F.concat(F.lit("LOG:"), F.col("text")).alias("text"),
+            "lang",
+            "source",
+            (F.col("n_chars") + 70000).alias("n_chars"),
+        )
+        if up.count():
+            H.hudi_log_update(spark, out, up, "doc_id")
+            H.hudi_compact(spark, out, "doc_id")
+        pend = docs.where("doc_id % 10 = 6").select(
+            "doc_id",
+            F.concat(F.lit("PEND:"), F.col("text")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        if pend.count():
+            H.hudi_log_update(spark, out, pend, "doc_id")
+        open(done, "w").close()
+    return out
+
+
+@register(
+    "q_hudi_mor",
+    shadow=True,
+    oracle="""
+    SELECT 'ro_latest' AS snapshot, lang,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN doc_id % 8 = 2 THEN n_chars + 70000
+                         ELSE n_chars END) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(CASE WHEN doc_id % 8 = 2
+                                THEN 'LOG:' || text
+                                ELSE text END)) AS BIGINT)
+             AS sum_text_len,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'ro_precompact' AS snapshot, lang,
+           COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents GROUP BY lang
+    """,
+    doc="Hudi MERGE_ON_READ in READ-OPTIMIZED mode (sources/"
+    "hudi.py, round 10): base-files-only slice resolution over a "
+    "table whose history is insert (deltacommit) → log-update ids "
+    "≡2 mod 8 (dot-prefixed .log files) → COMPACTION (merged base "
+    "files, commit) → a second, UNCOMPACTED log-update ids ≡6 mod "
+    "10. The RO view at latest must show exactly the compacted "
+    "state — the first update visible, the pending one NOT (that "
+    "staleness is the RO contract, not a bug) — and time travel to "
+    "the pre-compaction instant must show the original values even "
+    "though its log files sat on disk then. The DuckDB oracle "
+    "recomputes both states from the original parquet; snapshot "
+    "query_type refuses by name (log merging unimplemented).",
+)
+def q_hudi_mor(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.sources import hudi as H
+
+    out = _documents_hudi_mor(spark, sf_dir)
+    instants = H.hudi_instants(out)
+
+    def agg(df, tag):
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        ).select(F.lit(tag).alias("snapshot"), "*")
+
+    latest = agg(
+        H.read_hudi(spark, out, query_type="read_optimized"),
+        "ro_latest",
+    )
+    pre = agg(
+        H.read_hudi(
+            spark, out, as_of_instant=instants[1],
+            query_type="read_optimized",
+        ),
+        "ro_precompact",
+    )
+    return latest.unionAll(pre)
+
+
 def _documents_delta_dv_merge(spark, sf_dir: str) -> str:
     """Delta table carried through MERGE-ON-READ MERGE (sources/
     delta.py delta_merge_dv): v0 writes documents, v1 merges a CDC

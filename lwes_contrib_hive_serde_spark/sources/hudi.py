@@ -23,10 +23,19 @@ must never be read). The surviving file list goes to
 ``spark.read.parquet`` — like the other two tiers, metadata is
 driver-side and the data path is Spark's native vectorized scan.
 
-Honesty contract: MERGE_ON_READ tables (log files that must be
-merged per read), ``deltacommit``/``replacecommit`` instants
-(compaction/clustering semantics this reader does not implement),
-and unparseable file names are refusals by name — never a misread.
+MERGE_ON_READ tables (round 10) read in READ-OPTIMIZED mode: the
+same slice math over BASE files only — log files are dot-prefixed
+(``.{fileId}_{baseInstant}.log.{v}_{token}``) and therefore
+invisible to the walk, which is precisely the RO contract: data as
+of the last compaction, pending log updates not yet visible.
+``hudi_compact`` (fixture-grade) performs the visibility flip a
+real compactor does: merged base files under a fresh ``commit``
+instant.
+
+Honesty contract: MOR SNAPSHOT reads (log merging per read),
+``replacecommit`` instants (clustering semantics this reader does
+not implement), and unparseable file names are refusals by name —
+never a misread.
 
 ``write_hudi_table`` is FIXTURE-GRADE (the write_iceberg_table
 recipe): appends create new file groups; ``upsert`` rewrites the
@@ -96,17 +105,21 @@ def _timeline(path: str) -> tuple[list[str], set[str]]:
         if not stem.isdigit():
             continue
         seen.add(stem)
-        if kind == "commit":
+        if kind in ("commit", "deltacommit"):
+            # deltacommit = a MOR write; its BASE files become
+            # visible to the read-optimized view when it completes
+            # (log files are dot-prefixed and never picked up)
             completed.append(stem)
-        elif kind in ("commit.requested", "commit.inflight", "inflight",
-                      "requested"):
+        elif kind.endswith((".requested", ".inflight")) or kind in (
+            "inflight", "requested",
+        ):
             continue  # incomplete: invisible by design
-        elif kind in ("deltacommit", "replacecommit", "compaction",
-                      "clean", "rollback"):
+        elif kind in ("replacecommit", "compaction", "clean",
+                      "rollback"):
             raise HudiError(
                 f"timeline instant kind {kind!r} is not supported "
-                "(MERGE_ON_READ / clustering semantics); refusing "
-                "rather than misreading"
+                "(clustering/cleaning semantics); refusing rather "
+                "than misreading"
             )
     return sorted(completed), seen
 
@@ -160,6 +173,7 @@ def read_hudi(
     as_of_instant: str | None = None,
     keep_meta_columns: bool = False,
     partition_filters: list[tuple] | None = None,
+    query_type: str = "snapshot",
 ) -> DataFrame:
     """Read a Hudi COPY_ON_WRITE table at its latest — or an
     earlier — completed commit. ``as_of_instant`` is a timeline
@@ -169,14 +183,34 @@ def read_hudi(
     with op in = != < <= > >= in prune hive-style partition dirs
     ON THE DRIVER before the scan is planned (values compare as the
     strings the directory names carry — the hive-dir contract), the
-    same mechanism as the Delta/Iceberg tiers. MERGE_ON_READ tables
-    refuse."""
+    same mechanism as the Delta/Iceberg tiers.
+
+    ``query_type``: COPY_ON_WRITE tables serve both types
+    identically. MERGE_ON_READ tables serve ``read_optimized``
+    (base files only — data as of the last compaction; pending log
+    updates invisible BY DESIGN, the trade real RO queries make for
+    parquet-scan speed) and refuse ``snapshot`` by name (log
+    merging unimplemented)."""
+    if query_type not in ("snapshot", "read_optimized"):
+        raise HudiError(
+            f"query_type {query_type!r} not supported "
+            "(snapshot | read_optimized)"
+        )
     props = _load_properties(path)
     ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
-    if ttype != "COPY_ON_WRITE":
+    if ttype == "MERGE_ON_READ":
+        if query_type != "read_optimized":
+            raise HudiError(
+                "MERGE_ON_READ snapshot reads require log-file "
+                "merging, which this reader does not implement — "
+                "pass query_type='read_optimized' for the "
+                "base-files-only view (data as of the last "
+                "compaction; pending log updates invisible)"
+            )
+    elif ttype != "COPY_ON_WRITE":
         raise HudiError(
-            f"table type {ttype} not supported (log-file merging); "
-            "COPY_ON_WRITE only"
+            f"table type {ttype} not supported (COPY_ON_WRITE / "
+            "MERGE_ON_READ read-optimized only)"
         )
     completed, _seen = _timeline(path)
     if not completed:
@@ -279,6 +313,7 @@ def write_hudi_table(
     record_key: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    table_type: str = "COPY_ON_WRITE",
 ) -> str:
     """FIXTURE-GRADE Hudi COW writer (see module docstring):
     ``append`` adds new file groups; ``upsert`` rewrites every file
@@ -290,6 +325,13 @@ def write_hudi_table(
     fsio.require_local(path, "write_hudi_table")
     if mode not in ("append", "upsert"):
         raise HudiError(f"unsupported mode {mode!r}")
+    if table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+        raise HudiError(f"unsupported table type {table_type!r}")
+    if table_type == "MERGE_ON_READ" and mode == "upsert":
+        raise HudiError(
+            "MOR upserts land in log files (hudi_log_update), not "
+            "COW group rewrites"
+        )
     partition_by = list(partition_by or [])
     cols = [f.name for f in df.schema.fields]
     if record_key not in cols:
@@ -300,13 +342,23 @@ def write_hudi_table(
     spark = df.sparkSession
     hdir = _timeline_dir(path)
     exists = os.path.exists(os.path.join(hdir, "hoodie.properties"))
+    if exists:
+        # the table's recorded type governs appends, not the param
+        table_type = _load_properties(path).get(
+            "hoodie.table.type", "COPY_ON_WRITE"
+        )
+        if table_type == "MERGE_ON_READ" and mode == "upsert":
+            raise HudiError(
+                "MOR upserts land in log files (hudi_log_update), "
+                "not COW group rewrites"
+            )
     os.makedirs(hdir, exist_ok=True)
     if not exists:
         with open(os.path.join(hdir, "hoodie.properties"), "w") as f:
             f.write(
                 "hoodie.table.name="
                 + os.path.basename(os.path.normpath(path))
-                + "\nhoodie.table.type=COPY_ON_WRITE\n"
+                + f"\nhoodie.table.type={table_type}\n"
                 "hoodie.table.version=6\n"
                 f"hoodie.table.recordkey.fields={record_key}\n"
                 + (
@@ -410,8 +462,168 @@ def write_hudi_table(
         "operation": mode,
         "writeStats": [{"path": w} for w in written],
     }
-    tmp = os.path.join(hdir, f".{instant}.commit.tmp-{uuid.uuid4().hex}")
+    kind = "deltacommit" if table_type == "MERGE_ON_READ" else "commit"
+    tmp = os.path.join(hdir, f".{instant}.{kind}.tmp-{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         json.dump(commit, f)
+    os.replace(tmp, os.path.join(hdir, f"{instant}.{kind}"))
+    return instant
+
+
+def hudi_log_update(
+    spark: SparkSession, path: str, updates: DataFrame, record_key: str
+) -> str:
+    """FIXTURE-GRADE MOR log write: for each file group holding a
+    matching record key, a dot-prefixed LOG file
+    (``.<fileId>_<baseInstant>.log.<v>_0-0-0`` — the real naming,
+    which is what makes it INVISIBLE to the read-optimized slice
+    walk) lands next to the base file, and the instant completes as
+    a ``deltacommit``. The log PAYLOAD is parquet, not Hudi's avro
+    log-block format — honest fixture scope: the read-optimized
+    view never opens logs (that invisibility is exactly what the
+    reader tests), and hudi_compact reads them back to build the
+    merged base files a real compactor would. Keys matching no
+    group refuse (fixture keeps insert-vs-update unambiguous)."""
+    fsio.require_local(path, "hudi_log_update")
+    props = _load_properties(path)
+    if props.get("hoodie.table.type") != "MERGE_ON_READ":
+        raise HudiError("hudi_log_update needs a MERGE_ON_READ table")
+    completed, _ = _timeline(path)
+    if not completed:
+        raise HudiError("no completed instants to update against")
+    instant = _next_instant(path)
+    target = completed[-1]
+    wrote = 0
+    unmatched = updates
+    for fp in _file_slices(path, target, set(completed)):
+        base = spark.read.parquet(fp)
+        keys = [
+            r[0]
+            for r in base.select("_hoodie_record_key").distinct().collect()
+        ]
+        hit = updates.filter(
+            F.col(record_key).cast("string").isin(keys)
+        )
+        if hit.isEmpty():
+            continue
+        name = os.path.basename(fp)
+        file_id, _tok, base_instant = name[: -len(".parquet")].split("_")
+        n_logs = sum(
+            1
+            for n in os.listdir(os.path.dirname(fp))
+            if n.startswith(f".{file_id}_") and ".log." in n
+        )
+        log_name = f".{file_id}_{base_instant}.log.{n_logs + 1}_0-0-0"
+        staging = os.path.join(path, f".hudi-log-{uuid.uuid4().hex}")
+        hit.coalesce(1).write.mode("overwrite").parquet(staging)
+        src = next(
+            os.path.join(staging, n)
+            for n in os.listdir(staging)
+            if n.endswith(".parquet")
+        )
+        os.replace(src, os.path.join(os.path.dirname(fp), log_name))
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        wrote += 1
+        unmatched = unmatched.join(
+            F.broadcast(hit.select(record_key)), record_key, "left_anti"
+        )
+    if not unmatched.isEmpty():
+        raise HudiError(
+            "log update contains keys matching no file group — "
+            "inserts go through write_hudi_table"
+        )
+    hdir = _timeline_dir(path)
+    tmp = os.path.join(hdir, f".{instant}.deltacommit.tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump({"operation": "upsert", "logFiles": wrote}, f)
+    os.replace(tmp, os.path.join(hdir, f"{instant}.deltacommit"))
+    return instant
+
+
+def hudi_compact(spark: SparkSession, path: str, record_key: str) -> str:
+    """FIXTURE-GRADE MOR compaction: every file group carrying log
+    files gets a NEW base version — base rows merged with its log
+    rows (log wins by record key, later logs win over earlier) —
+    committed under a ``commit`` instant, exactly the visibility
+    flip real compaction performs: the read-optimized view sees the
+    logged updates only from this instant on. Old base versions and
+    the log files stay on disk (cleaning is a separate concern),
+    which is what exercises the reader's slice resolution."""
+    fsio.require_local(path, "hudi_compact")
+    props = _load_properties(path)
+    if props.get("hoodie.table.type") != "MERGE_ON_READ":
+        raise HudiError("hudi_compact needs a MERGE_ON_READ table")
+    completed, _ = _timeline(path)
+    if not completed:
+        raise HudiError("nothing to compact")
+    instant = _next_instant(path)
+    target = completed[-1]
+    cols = None
+    compacted = 0
+    for fp in _file_slices(path, target, set(completed)):
+        d = os.path.dirname(fp)
+        name = os.path.basename(fp)
+        file_id, _tok, _bi = name[: -len(".parquet")].split("_")
+        logs = sorted(
+            n
+            for n in os.listdir(d)
+            if n.startswith(f".{file_id}_") and ".log." in n
+        )
+        if not logs:
+            continue
+        base = spark.read.parquet(fp)
+        if cols is None:
+            cols = [
+                c for c in base.columns if not c.startswith("_hoodie_")
+            ]
+        merged = base.select(*cols)
+        for ln in logs:  # later logs win over earlier
+            # pyarrow read: Spark's scanner skips dot-prefixed
+            # (hidden) files — the very property that keeps logs
+            # out of the read-optimized view
+            import pyarrow.parquet as pq
+
+            upd = spark.createDataFrame(
+                pq.read_table(os.path.join(d, ln)).to_pandas()
+            ).select(*cols)
+            merged = merged.join(
+                F.broadcast(upd.select(record_key)), record_key,
+                "left_anti",
+            ).unionByName(upd)
+        seq = F.concat(
+            F.lit(instant), F.lit("_"),
+            F.monotonically_increasing_id().cast("string"),
+        )
+        rel = os.path.relpath(d, path)
+        rel = "" if rel == "." else rel
+        new_name = f"{file_id}_0-0-0_{instant}.parquet"
+        stamped = merged.select(
+            F.lit(instant).alias("_hoodie_commit_time"),
+            seq.alias("_hoodie_commit_seqno"),
+            F.col(record_key).cast("string").alias("_hoodie_record_key"),
+            F.lit(rel).alias("_hoodie_partition_path"),
+            F.lit(new_name).alias("_hoodie_file_name"),
+            *cols,
+        )
+        staging = os.path.join(path, f".hudi-compact-{uuid.uuid4().hex}")
+        stamped.coalesce(1).write.mode("overwrite").parquet(staging)
+        src = next(
+            os.path.join(staging, n)
+            for n in os.listdir(staging)
+            if n.endswith(".parquet")
+        )
+        os.replace(src, os.path.join(d, new_name))
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        compacted += 1
+    if not compacted:
+        raise HudiError("no file group carries log files")
+    hdir = _timeline_dir(path)
+    tmp = os.path.join(hdir, f".{instant}.commit.tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump({"operation": "compact", "fileGroups": compacted}, f)
     os.replace(tmp, os.path.join(hdir, f"{instant}.commit"))
     return instant

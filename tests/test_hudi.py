@@ -90,18 +90,24 @@ class TestCowReadWrite:
     def test_refusals(self, spark, tmp_path):
         p = str(tmp_path / "t")
         H.write_hudi_table(_docs(spark, 5), p, record_key="doc_id")
-        # MOR type refuses
+        # MOR snapshot refuses (r10: read_optimized works instead)
         pf = os.path.join(p, ".hoodie", "hoodie.properties")
         s = open(pf).read().replace("COPY_ON_WRITE", "MERGE_ON_READ")
         open(pf, "w").write(s)
-        with pytest.raises(H.HudiError, match="COPY_ON_WRITE"):
+        with pytest.raises(H.HudiError, match="log-file merging"):
             H.read_hudi(spark, p)
         s = open(pf).read().replace("MERGE_ON_READ", "COPY_ON_WRITE")
         open(pf, "w").write(s)
-        # deltacommit instant refuses
+        # unknown hybrid table type refuses by name
+        s2 = s.replace("COPY_ON_WRITE", "SOMETHING_ELSE")
+        open(pf, "w").write(s2)
+        with pytest.raises(H.HudiError, match="SOMETHING_ELSE"):
+            H.read_hudi(spark, p)
+        open(pf, "w").write(s)
+        # replacecommit (clustering) still refuses
         open(os.path.join(p, ".hoodie",
-                          "99999999999999998.deltacommit"), "w").close()
-        with pytest.raises(H.HudiError, match="deltacommit"):
+                          "99999999999999998.replacecommit"), "w").close()
+        with pytest.raises(H.HudiError, match="replacecommit"):
             H.read_hudi(spark, p)
 
     def test_not_a_table_and_no_commits(self, spark, tmp_path):
@@ -161,3 +167,95 @@ class TestPartitionPruning:
         assert df.count() == 0
         full = H.read_hudi(spark, p)
         assert df.schema == full.schema
+
+
+class TestMergeOnReadRO:
+    """MERGE_ON_READ read-optimized tier (round 10): base-files-only
+    slice math; dot-prefixed log files invisible until compaction
+    flips them into new base versions."""
+
+    def _mor(self, spark, tmp_path):
+        p = str(tmp_path / "mor")
+        H.write_hudi_table(
+            _docs(spark, 16), p, record_key="doc_id",
+            table_type="MERGE_ON_READ",
+        )
+        return p
+
+    def test_snapshot_refuses_ro_reads(self, spark, tmp_path):
+        p = self._mor(spark, tmp_path)
+        with pytest.raises(H.HudiError, match="read_optimized"):
+            H.read_hudi(spark, p)
+        assert H.read_hudi(
+            spark, p, query_type="read_optimized"
+        ).count() == 16
+
+    def test_log_updates_invisible_until_compaction(
+        self, spark, tmp_path
+    ):
+        p = self._mor(spark, tmp_path)
+        upd = spark.createDataFrame(
+            [(1, "LOG", "en")], "doc_id long, text string, lang string"
+        )
+        i2 = H.hudi_log_update(spark, p, upd, "doc_id")
+        ro = H.read_hudi(spark, p, query_type="read_optimized")
+        assert ro.filter("text = 'LOG'").count() == 0  # RO staleness
+        assert ro.count() == 16
+        H.hudi_compact(spark, p, "doc_id")
+        ro = H.read_hudi(spark, p, query_type="read_optimized")
+        assert ro.filter("text = 'LOG'").count() == 1
+        assert ro.count() == 16
+        # travel back: pre-compaction instant shows original values
+        old = H.read_hudi(
+            spark, p, as_of_instant=i2, query_type="read_optimized"
+        )
+        assert old.filter("text = 'LOG'").count() == 0
+
+    def test_append_after_compaction(self, spark, tmp_path):
+        p = self._mor(spark, tmp_path)
+        upd = spark.createDataFrame(
+            [(2, "LOG", "en")], "doc_id long, text string, lang string"
+        )
+        H.hudi_log_update(spark, p, upd, "doc_id")
+        H.hudi_compact(spark, p, "doc_id")
+        more = spark.createDataFrame(
+            [(100, "NEW", "fr")], "doc_id long, text string, lang string"
+        )
+        H.write_hudi_table(more, p, record_key="doc_id")
+        ro = H.read_hudi(spark, p, query_type="read_optimized")
+        assert ro.count() == 17
+        assert ro.filter("text = 'NEW'").count() == 1
+
+    def test_mor_upsert_and_insert_keys_refused(self, spark, tmp_path):
+        p = self._mor(spark, tmp_path)
+        with pytest.raises(H.HudiError, match="log files"):
+            H.write_hudi_table(
+                _docs(spark, 2), p, record_key="doc_id", mode="upsert"
+            )
+        ghost = spark.createDataFrame(
+            [(999, "X", "en")], "doc_id long, text string, lang string"
+        )
+        with pytest.raises(H.HudiError, match="matching no file group"):
+            H.hudi_log_update(spark, p, ghost, "doc_id")
+
+    def test_cow_rejects_mor_fixture_helpers(self, spark, tmp_path):
+        p = str(tmp_path / "cow")
+        H.write_hudi_table(_docs(spark, 4), p, record_key="doc_id")
+        upd = spark.createDataFrame(
+            [(1, "L", "en")], "doc_id long, text string, lang string"
+        )
+        with pytest.raises(H.HudiError, match="MERGE_ON_READ"):
+            H.hudi_log_update(spark, p, upd, "doc_id")
+        with pytest.raises(H.HudiError, match="MERGE_ON_READ"):
+            H.hudi_compact(spark, p, "doc_id")
+
+    def test_replacecommit_still_refuses(self, spark, tmp_path):
+        p = self._mor(spark, tmp_path)
+        import os
+
+        open(
+            os.path.join(p, ".hoodie", "99999999999999999.replacecommit"),
+            "w",
+        ).close()
+        with pytest.raises(H.HudiError, match="replacecommit"):
+            H.read_hudi(spark, p, query_type="read_optimized")
