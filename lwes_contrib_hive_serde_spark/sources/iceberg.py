@@ -287,9 +287,48 @@ def load_table_metadata(path: str) -> dict:
     with fsio.open_read(candidates[0]) as f:
         meta = json.load(f)
     fv = meta.get("format-version", 1)
-    if fv not in (1, 2):
-        raise IcebergError(f"format-version {fv} not supported (1/2 only)")
+    if fv not in (1, 2, 3):
+        raise IcebergError(
+            f"format-version {fv} not supported (1/2/3 only)"
+        )
+    if fv == 3:
+        _check_v3_features(meta)
     return meta
+
+
+def _check_v3_features(meta: dict) -> None:
+    """v3 GROUNDWORK (spec 'Version 3' changes): accept v3 tables
+    that use no v3-only SEMANTIC features, refuse the rest BY NAME
+    instead of a blanket format-version error. Row-lineage METADATA
+    (next-row-id / first-row-id) is tolerated — lineage adds derived
+    columns this reader simply does not surface, it never changes
+    which rows exist. Features that DO change visible data refuse:
+    non-null column DEFAULT VALUES (a NULL-fill read of an old file
+    would be wrong data) — deletion VECTORS (puffin) are caught at
+    manifest-walk time where their entries are visible."""
+    schemas = meta.get("schemas") or (
+        [meta["schema"]] if "schema" in meta else []
+    )
+
+    def walk_fields(t):
+        if not isinstance(t, dict):
+            return
+        for f in t.get("fields") or []:
+            if f.get("initial-default") is not None:
+                raise IcebergError(
+                    f"v3 column {f.get('name')!r} carries a non-null "
+                    "initial-default — reading pre-evolution files "
+                    "would need default materialization, which this "
+                    "reader does not implement (NULL-filling would "
+                    "be wrong data); refusing by name"
+                )
+            walk_fields(f.get("type"))
+        for k in ("element", "key", "value"):
+            if isinstance(t.get(k), dict):
+                walk_fields(t[k])
+
+    for s in schemas:
+        walk_fields(s)
 
 
 def _pick_snapshot(meta: dict, snapshot_id=None, timestamp_ms=None) -> dict:
@@ -363,6 +402,13 @@ def _live_files(
                 raise IcebergError(f"{mpath}: manifest entry without data_file")
             content = df.get("content", 0)
             fmt = (df.get("file_format") or "").upper()
+            if fmt == "PUFFIN" or df.get("content_offset") is not None:
+                raise IcebergError(
+                    f"{mpath}: v3 DELETION VECTOR entry (puffin blob "
+                    "at content_offset) — skipping it would resurrect "
+                    "deleted rows; refusing by name (v2 positional/"
+                    "equality delete files are supported)"
+                )
             if fmt != "PARQUET":
                 raise IcebergError(
                     f"data file format {fmt!r} not supported (PARQUET only)"

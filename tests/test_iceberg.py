@@ -87,13 +87,18 @@ class TestRefusals:
         v = open(os.path.join(mdir, "version-hint.text")).read().strip()
         return os.path.join(mdir, f"v{v}.metadata.json")
 
-    def test_refuses_format_version_3(self, spark, tmp_path):
+    def test_format_version_3_accepted_4_refused(self, spark, tmp_path):
+        # r10: v3 without v3-only semantic features READS (see
+        # TestV3Groundwork); unknown future versions still refuse
         p = self._table(spark, tmp_path)
         mp = self._meta_path(p)
         meta = json.load(open(mp))
         meta["format-version"] = 3
         json.dump(meta, open(mp, "w"))
-        with pytest.raises(I.IcebergError, match="format-version 3"):
+        assert I.read_iceberg(spark, p).count() == 20
+        meta["format-version"] = 4
+        json.dump(meta, open(mp, "w"))
+        with pytest.raises(I.IcebergError, match="format-version 4"):
             I.read_iceberg(spark, p)
 
     def test_refuses_delete_manifest(self, spark, tmp_path):
@@ -745,3 +750,102 @@ class TestFieldIdConfScoping:
             spark.conf.get("spark.sql.parquet.fieldId.read.ignoreMissing"),
         )
         assert after == before
+
+
+class TestV3Groundwork:
+    """Iceberg format-version 3 (round 10): accept v3 tables using
+    no v3-only semantic features; refuse the data-changing ones BY
+    NAME instead of a blanket format-version error."""
+
+    def _upgrade_to_v3(self, p, extra_meta=None, field_patch=None):
+        import json as _json
+        import os as _os
+
+        mdir = _os.path.join(p, "metadata")
+        v = open(_os.path.join(mdir, "version-hint.text")).read().strip()
+        mf = _os.path.join(mdir, f"v{v}.metadata.json")
+        meta = _json.load(open(mf))
+        meta["format-version"] = 3
+        meta.update(extra_meta or {})
+        if field_patch:
+            for s in meta.get("schemas") or [meta.get("schema")]:
+                for f in s.get("fields") or []:
+                    if f["name"] == field_patch[0]:
+                        f.update(field_patch[1])
+        _json.dump(meta, open(mf, "w"))
+
+    def test_v3_without_features_reads(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 8).coalesce(1), p)
+        # row-lineage METADATA is tolerated: lineage adds derived
+        # columns we do not surface; it never changes row existence
+        self._upgrade_to_v3(p, extra_meta={"next-row-id": 8})
+        got = I.read_iceberg(spark, p)
+        assert got.count() == 8
+        assert I.load_table_metadata(p)["format-version"] == 3
+
+    def test_v4_still_blanket_refuses(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 2).coalesce(1), p)
+        self._upgrade_to_v3(p)
+        import json as _json
+        import os as _os
+
+        mdir = _os.path.join(p, "metadata")
+        v = open(_os.path.join(mdir, "version-hint.text")).read().strip()
+        mf = _os.path.join(mdir, f"v{v}.metadata.json")
+        meta = _json.load(open(mf))
+        meta["format-version"] = 4
+        _json.dump(meta, open(mf, "w"))
+        with pytest.raises(I.IcebergError, match="format-version 4"):
+            I.read_iceberg(spark, p)
+
+    def test_default_values_refuse_by_name(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 4).coalesce(1), p)
+        self._upgrade_to_v3(
+            p, field_patch=("lang", {"initial-default": "xx"})
+        )
+        with pytest.raises(I.IcebergError, match="initial-default"):
+            I.read_iceberg(spark, p)
+
+    def test_puffin_deletion_vectors_refuse_by_name(
+        self, spark, tmp_path
+    ):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 6).coalesce(1), p)
+        files = I._live_files(
+            p, I._pick_snapshot(I.load_table_metadata(p))
+        )[0]
+        fp = I._strip_file_uri(files[0]["file_path"])
+        # a v2-style positional delete, then rewrite its manifest
+        # entry into a v3 puffin DV shape
+        I.add_iceberg_position_deletes(p, [(fp, 0)])
+        self._upgrade_to_v3(p)
+        # patch the delete manifest's avro is heavy; instead patch
+        # via the entry dict at walk time using the PUBLIC shape:
+        # simulate by checking the walker directly
+        meta = I.load_table_metadata(p)
+        snap = I._pick_snapshot(meta)
+        import unittest.mock as mock
+
+        real = I._named_rows
+
+        with mock.patch.object(I, "_named_rows") as m:
+            def impl(mpath):
+                rows = real(mpath)
+                out = []
+                for r in rows:
+                    d = r.get("data_file") or {}
+                    if d.get("content", 0) == 1:
+                        d = dict(d)
+                        d["file_format"] = "PUFFIN"
+                        d["content_offset"] = 4
+                        r = dict(r)
+                        r["data_file"] = d
+                    out.append(r)
+                return out
+
+            m.side_effect = impl
+            with pytest.raises(I.IcebergError, match="DELETION VECTOR"):
+                I._live_files(p, snap)
