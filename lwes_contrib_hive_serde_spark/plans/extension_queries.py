@@ -9773,6 +9773,91 @@ def q_delta_cdf(spark, sf_dir):
     )
 
 
+def _documents_iceberg_dml_deleted(spark, sf_dir: str) -> str:
+    """Iceberg table carried through the PREDICATE DML verb
+    (sources/iceberg.py iceberg_delete, round 10 — the Delta
+    delta_delete_dv sibling): snapshot 1 appends documents,
+    snapshot 2 iceberg_delete ids ≡3 mod 6, snapshot 3 renames
+    n_chars → char_count (metadata-only, field-id resolution),
+    snapshot 4 iceberg_delete char_count < 250 on the RENAMED
+    column — matching through the first delete (dead rows never
+    match twice; the verb's count is exact). Cached per sf_dir."""
+    import os
+
+    from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        tag = f"{tag}-{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        pass
+    out = f"/tmp/iceberg_table_cache/v1/{tag}/documents_dml_deleted"
+    done = os.path.join(out, "_FIXTURE_DONE")
+    if not os.path.exists(done):
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        I.write_iceberg_table(
+            docs.repartitionByRange(4, "doc_id")
+            .sortWithinPartitions("doc_id"),
+            out,
+        )
+        I.iceberg_delete(spark, out, [("doc_id", "in", [
+            r[0]
+            for r in docs.select("doc_id")
+            .where("doc_id % 6 = 3").collect()
+        ] or [-1])])
+        I.iceberg_rename_column(out, "n_chars", "char_count")
+        I.iceberg_delete(spark, out, [("char_count", "<", 250)])
+        open(done, "w").close()
+    return out
+
+
+@register(
+    "q_iceberg_dml_delete",
+    shadow=True,
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents
+    WHERE doc_id % 6 <> 3 AND n_chars >= 250
+    GROUP BY lang
+    """,
+    doc="Iceberg PREDICATE-driven merge-on-read DELETE "
+    "(sources/iceberg.py iceberg_delete, round 10 — completing the "
+    "third format's DML story): ONE distributed scan finds matches "
+    "through existing deletes and field-id renames, the sorted "
+    "(file_path, pos) v2 positional-delete file is written by the "
+    "CLUSTER (the shuffle is deleted pairs only), and the driver "
+    "reads back nothing but the footer row count. The fixture "
+    "deletes ids ≡3 mod 6, renames n_chars → char_count "
+    "metadata-only, then deletes char_count < 250 on the RENAMED "
+    "column; the DuckDB oracle recomputes the surviving state from "
+    "the original parquet. Hash match gates the delete-file "
+    "format, sequence routing, dead-rows-never-match, and "
+    "id-resolved predicates.",
+)
+def q_iceberg_dml_delete(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+    out = _documents_iceberg_dml_deleted(spark, sf_dir)
+    return (
+        I.read_iceberg(spark, out)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("char_count").alias("sum_chars"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
 def _documents_iceberg_eq_deleted(spark, sf_dir: str) -> str:
     """Iceberg v2 table with EQUALITY DELETES and a post-delete
     append (sources/iceberg.py add_iceberg_equality_deletes):

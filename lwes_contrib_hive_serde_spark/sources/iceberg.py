@@ -538,6 +538,7 @@ def read_iceberg(
     timestamp_ms: int | None = None,
     partition_filters: list[tuple] | None = None,
     data_filters: list[tuple] | None = None,
+    _keep_keys: bool = False,
 ) -> DataFrame:
     """Read an Iceberg table (HadoopTables directory layout) at the
     current — or a time-travelled — snapshot as a DataFrame.
@@ -697,11 +698,25 @@ def read_iceberg(
             "spark.sql.parquet.fieldId.read.ignoreMissing", "true"
         )
     df = scan_spark.read.schema(schema).parquet(*paths)
+    if _keep_keys:
+        # iceberg_delete's hook: the physical (file, row position)
+        # identity of every surviving row, captured BEFORE any
+        # projection so the metadata column still resolves
+        from lwes_contrib_hive_serde_spark.sources.delta import (
+            _decode_file_uri as _dfu,
+            _strip_scheme as _ss,
+        )
+
+        df = df.withColumn(
+            "__if_file", _ss(_dfu(F.input_file_name()))
+        ).withColumn("__if_pos", F.col("_metadata.row_index"))
     if has_ids:
         # the id annotations did their job at scan time; the result
         # schema is the logical one, metadata-free
+        keep = ["__if_file", "__if_pos"] if _keep_keys else []
         df = df.select(
-            *[F.col(f.name).alias(f.name, metadata={}) for f in schema.fields]
+            *[F.col(f.name).alias(f.name, metadata={}) for f in schema.fields],
+            *[F.col(k) for k in keep],
         )
     if delete_files:
         # v2 positional deletes: the SAME mechanism as Delta DVs —
@@ -1415,7 +1430,20 @@ def add_iceberg_position_deletes(
         ),
         del_path,
     )
+    return _commit_position_delete_file(
+        path, meta, snap, mdir, version, del_path, len(ordered)
+    )
 
+
+def _commit_position_delete_file(
+    path: str, meta: dict, snap: dict, mdir: str, version: int,
+    del_path: str, n_pairs: int,
+) -> int:
+    """Register an already-written positional-delete parquet file:
+    delete manifest (content=1) + manifest list carrying the prior
+    manifests + new snapshot + metadata.json v-bump — the commit
+    tail shared by the fixture appender (driver-written pairs) and
+    iceberg_delete (executor-written file)."""
     snapshot_id = int.from_bytes(os.urandom(6), "big")
     now_ms = int(time.time() * 1000)
     manifest = os.path.join(mdir, f"manifest-del-{snapshot_id}.avro")
@@ -1424,7 +1452,7 @@ def add_iceberg_position_deletes(
         _DELETE_ENTRY_SCHEMA,
         [
             (1, None,
-             (1, del_path, "PARQUET", len(ordered),
+             (1, del_path, "PARQUET", n_pairs,
               os.path.getsize(del_path)))
         ],
         "manifest_entry",
@@ -1693,3 +1721,90 @@ def iceberg_rename_column(path: str, old: str, new: str) -> None:
     with open(tmp, "w") as f:
         f.write(str(version))
     os.replace(tmp, os.path.join(mdir, "version-hint.text"))
+
+
+def iceberg_delete(
+    spark: SparkSession, path: str, where: list[tuple]
+) -> dict:
+    """Predicate-driven MERGE-ON-READ DELETE — the Iceberg sibling
+    of delta_delete_dv, completing the third format's DML story:
+    matched rows become v2 POSITIONAL DELETE entries; no data file
+    is rewritten. ``where`` uses read_iceberg's data_filters
+    grammar ((column, op, value), op in = != < <= > >= in
+    isnull isnotnull).
+
+    Scale shape (the r10 DV-DML contract): ONE distributed scan
+    finds matches — through existing positional/equality deletes
+    (a dead row can never match) and through field-id renames —
+    and the sorted (file_path, pos) delete file is written BY THE
+    CLUSTER (repartition(1) + sortWithinPartitions: the spec wants
+    one file ordered by file/pos; the sort is a shuffle of DELETED
+    pairs only, never the table). The driver reads back only the
+    footer row count for the manifest entry — never the positions.
+    Returns {"rows_deleted", "snapshot_id" | None}."""
+    fsio.require_local(path, "iceberg_delete")
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.types import LongType as _Long
+    from pyspark.sql.types import StringType as _Str
+
+    meta = load_table_metadata(path)
+    snap = _pick_snapshot(meta)
+    schema = _current_schema(meta)
+    names = {f.name for f in schema.fields}
+    for c, o, _v in where:
+        if c not in names:
+            raise IcebergError(f"delete predicate column {c!r} not in schema")
+        if o not in ("=", "!=", "<", "<=", ">", ">=", "in",
+                     "isnull", "isnotnull"):
+            raise IcebergError(f"unsupported delete op {o!r}")
+    from lwes_contrib_hive_serde_spark.sources.delta import (
+        _apply_data_filters,
+    )
+
+    df = read_iceberg(spark, path, _keep_keys=True)
+    if "__if_file" not in df.columns:
+        return {"rows_deleted": 0, "snapshot_id": None}  # empty table
+    matched = _apply_data_filters(df, where).select(
+        F.col("__if_file").cast(_Str()).alias(
+            "file_path",
+            metadata={"parquet.field.id": 2147483546},
+        ),
+        F.col("__if_pos").cast(_Long()).alias(
+            "pos", metadata={"parquet.field.id": 2147483545}
+        ),
+    )
+    staging = os.path.join(path, f".icedel-{uuid.uuid4().hex}")
+    (
+        matched.repartition(1)
+        .sortWithinPartitions("file_path", "pos")
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    import shutil
+
+    part = next(
+        (
+            os.path.join(staging, n)
+            for n in sorted(os.listdir(staging))
+            if n.endswith(".parquet")
+        ),
+        None,
+    )
+    n_pairs = pq.read_metadata(part).num_rows if part else 0
+    if not n_pairs:
+        shutil.rmtree(staging, ignore_errors=True)
+        return {"rows_deleted": 0, "snapshot_id": None}
+    mdir = os.path.join(path, "metadata")
+    ddir = os.path.join(path, "data")
+    os.makedirs(ddir, exist_ok=True)
+    del_path = os.path.join(ddir, f"delete-{uuid.uuid4().hex}.parquet")
+    os.replace(part, del_path)
+    shutil.rmtree(staging, ignore_errors=True)
+    version = int(
+        open(os.path.join(mdir, "version-hint.text")).read().strip()
+    ) + 1
+    sid = _commit_position_delete_file(
+        path, meta, snap, mdir, version, del_path, n_pairs
+    )
+    return {"rows_deleted": int(n_pairs), "snapshot_id": sid}

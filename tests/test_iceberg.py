@@ -849,3 +849,88 @@ class TestV3Groundwork:
             m.side_effect = impl
             with pytest.raises(I.IcebergError, match="DELETION VECTOR"):
                 I._live_files(p, snap)
+
+
+class TestIcebergDeleteVerb:
+    """iceberg_delete (round 10): predicate-driven merge-on-read
+    DELETE — one distributed scan, cluster-written sorted delete
+    file, driver sees only the footer row count."""
+
+    def test_basic_and_through_existing_deletes(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 30).repartition(3), p)
+        r = I.iceberg_delete(spark, p, [("doc_id", "<", 10)])
+        assert r["rows_deleted"] == 10 and r["snapshot_id"]
+        assert I.read_iceberg(spark, p).count() == 20
+        # overlap: dead rows never match twice; count stays exact
+        r = I.iceberg_delete(spark, p, [("doc_id", "<", 15)])
+        assert r["rows_deleted"] == 5
+        assert I.read_iceberg(spark, p).count() == 15
+        # metadata-only count subtracts the deduped pairs
+        assert I.iceberg_count(p) == 15
+
+    def test_no_match_commits_nothing(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 5), p)
+        snaps_before = len(I.load_table_metadata(p)["snapshots"])
+        r = I.iceberg_delete(spark, p, [("doc_id", ">", 999)])
+        assert r == {"rows_deleted": 0, "snapshot_id": None}
+        assert len(I.load_table_metadata(p)["snapshots"]) == snaps_before
+
+    def test_after_rename_resolves_by_field_id(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 12).coalesce(1), p)
+        I.iceberg_rename_column(p, "doc_id", "id2")
+        r = I.iceberg_delete(spark, p, [("id2", "=", 7)])
+        assert r["rows_deleted"] == 1
+        got = sorted(x[0] for x in
+                     I.read_iceberg(spark, p).select("id2").collect())
+        assert got == [i for i in range(12) if i != 7]
+
+    def test_unknown_column_and_op_refused(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 3), p)
+        with pytest.raises(I.IcebergError, match="not in schema"):
+            I.iceberg_delete(spark, p, [("nope", "=", 1)])
+        with pytest.raises(I.IcebergError, match="unsupported delete op"):
+            I.iceberg_delete(spark, p, [("doc_id", "like", 1)])
+
+    def test_delete_file_spec_shape(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 10).repartition(2), p)
+        I.iceberg_delete(spark, p, [("doc_id", "<", 6)])
+        dels = [
+            n for n in os.listdir(os.path.join(p, "data"))
+            if n.startswith("delete-")
+        ]
+        assert len(dels) == 1
+        t = pq.read_table(os.path.join(p, "data", dels[0]))
+        assert t.column_names == ["file_path", "pos"]
+        # sorted by (file_path, pos) and field ids stamped
+        rows = list(zip(t.column(0).to_pylist(), t.column(1).to_pylist()))
+        assert rows == sorted(rows)
+        sch = pq.read_schema(os.path.join(p, "data", dels[0]))
+        assert sch.field("file_path").metadata[
+            b"PARQUET:field_id"
+        ] == b"2147483546"
+
+    def test_jobs_constant_in_file_count(self, spark, tmp_path):
+        counts = {}
+        for nf in (2, 12):
+            p = str(tmp_path / f"t{nf}")
+            I.write_iceberg_table(
+                _docs(spark, 120).repartition(nf), p
+            )
+            sc = spark.sparkContext
+            gid = f"icedel-{nf}"
+            sc.setJobGroup(gid, "pin")
+            try:
+                I.iceberg_delete(spark, p, [("doc_id", "<", 60)])
+            finally:
+                sc.setLocalProperty("spark.jobGroup.id", None)
+            counts[nf] = len(sc.statusTracker().getJobIdsForGroup(gid))
+        assert counts[12] <= counts[2] + 1, (
+            f"iceberg_delete jobs grew with file count: {counts}"
+        )
