@@ -195,8 +195,11 @@ class DeltaStreamReader(DataSourceStreamReader):
         read whole files (minus their DVs), DV deletes/updates
         become take-these-positions slices (the newly masked rows),
         full-coverage removals become mask-old-DV slices, update
-        postimages read the appended files. Underivable operations
-        (copy-on-write DML, RESTORE) refuse — a CDF stream must
+        postimages read the appended files. Commits carrying cdc
+        actions (r10 _change_data tier) stream their cdc files
+        VERBATIM — change type per row from the file — which is how
+        copy-on-write DML commits become streamable; without cdc
+        files they refuse, as does RESTORE — a CDF stream must
         never emit a wrong feed."""
         from lwes_contrib_hive_serde_spark.sources import delta_dv
 
@@ -208,6 +211,21 @@ class DeltaStreamReader(DataSourceStreamReader):
         ts = int(ci.get("timestamp") or 0)
         adds = [a["add"] for a in actions if "add" in a]
         removes = [a["remove"] for a in actions if "remove" in a]
+        cdcs = [a["cdc"] for a in actions if "cdc" in a]
+        if cdcs:
+            # PROTOCOL.md "Add CDC File": cdc files ARE the feed for
+            # this commit — one slice per file, change type read
+            # from the file's own _change_type column (None marker)
+            return [
+                DeltaFileSlice(
+                    D._file_abspath(self.path, c["path"]),
+                    c.get("partitionValues") or {},
+                    self.part_cols,
+                    table_path=self.path,
+                    change=(None, v, ts),
+                )
+                for c in cdcs
+            ]
         dc_adds = [a for a in adds if a.get("dataChange", True)]
         dc_removes = [r for r in removes if r.get("dataChange", True)]
         if not dc_adds and not dc_removes:
@@ -373,8 +391,13 @@ class DeltaStreamReader(DataSourceStreamReader):
         out = pa.table(cols, schema=target)
         if partition.change is not None:
             ctype, cver, cts = partition.change
+            if ctype is None:
+                # cdc slice: per-row change type from the file itself
+                type_col = tbl.column("_change_type").cast(pa.string())
+            else:
+                type_col = pa.array([ctype] * n, type=pa.string())
             out = out.append_column(
-                "_change_type", pa.array([ctype] * n, type=pa.string())
+                "_change_type", type_col
             ).append_column(
                 "_commit_version", pa.array([cver] * n, type=pa.int64())
             ).append_column(

@@ -399,3 +399,57 @@ class TestChangeFeedStream:
                 q.processAllAvailable()
         finally:
             q.stop()
+
+
+class TestChangeFeedStreamCdc:
+    """r10: commits carrying cdc actions (_change_data files) stream
+    VERBATIM — copy-on-write DML becomes streamable once
+    delta.enableChangeDataFeed is set."""
+
+    def test_cow_dml_streams_via_cdc(self, spark, tmp_path):
+        from lwes_contrib_hive_serde_spark.sources.delta import (
+            delta_delete,
+            delta_set_properties,
+            delta_update,
+        )
+
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 0, 20), p)
+        delta_set_properties(p, {"delta.enableChangeDataFeed": "true"})
+        q = (
+            spark.readStream.format("delta_stream")
+            .option("path", p)
+            .option("readchangefeed", "true")
+            .load()
+            .writeStream.format("memory")
+            .queryName("cdf_cdc")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            delta_delete(spark, p, [("doc_id", "<", 3)])
+            delta_update(spark, p, [("doc_id", "=", 5)], {"lang": "'zz'"})
+            q.processAllAvailable()
+            got = {
+                (r["_change_type"], r["_commit_version"]): r["n"]
+                for r in spark.sql(
+                    "select _change_type, _commit_version, count(*) n "
+                    "from cdf_cdc group by 1, 2"
+                ).collect()
+            }
+            # the initial snapshot tags the stream-start version
+            # (1: the SET TBLPROPERTIES commit), then cdc commits
+            assert got == {
+                ("insert", 1): 20,
+                ("delete", 2): 3,
+                ("update_preimage", 3): 1,
+                ("update_postimage", 3): 1,
+            }
+            post = spark.sql(
+                "select lang from cdf_cdc where "
+                "_change_type = 'update_postimage'"
+            ).first()[0]
+            assert post == "zz"
+        finally:
+            q.stop()
