@@ -80,7 +80,8 @@ class DeltaFileSlice(InputPartition):
                  part_cols: list[str], table_path: str = "",
                  deletion_vector: dict | None = None,
                  change: tuple | None = None,
-                 positions: list | None = None):
+                 positions: list | None = None,
+                 name_map: dict | None = None):
         self.file_path = file_path
         self.partition_values = partition_values
         self.part_cols = part_cols
@@ -91,6 +92,9 @@ class DeltaFileSlice(InputPartition):
         # rows (pre-images / deletes) instead of masking a DV
         self.change = change
         self.positions = positions
+        # column mapping: logical → PHYSICAL top-level names (file
+        # columns and partitionValues keys are physical)
+        self.name_map = name_map or {}
 
 
 class DeltaStreamReader(DataSourceStreamReader):
@@ -108,12 +112,25 @@ class DeltaStreamReader(DataSourceStreamReader):
         starting = options.get("startingversion")
         state = D._replay(self.path)
         D._check_readable(state)
+        self.name_map = None  # logical → physical, mapped tables only
         if D._column_mapping(state) is not None:
-            raise D.DeltaError(
-                "delta_stream: column-mapped tables are not supported "
-                "(this reader resolves parquet columns by logical "
-                "name); batch read_delta handles them"
-            )
+            logical, physical = D._schema(state), D._physical_schema(state)
+            # top-level renames stream fine (tasks select by physical
+            # name); NESTED physical renames would need a recursive
+            # arrow rebuild — refuse those by name
+            for lf, pf in zip(logical.fields, physical.fields):
+                if lf.dataType.json() != pf.dataType.json():
+                    raise D.DeltaError(
+                        "delta_stream: column mapping renames a NESTED "
+                        f"field inside {lf.name!r}; this reader handles "
+                        "top-level physical names only — batch "
+                        "read_delta handles the rest"
+                    )
+            self.name_map = {
+                lf.name: pf.name
+                for lf, pf in zip(logical.fields, physical.fields)
+                if lf.name != pf.name
+            }
         self.schema = D._schema(state)
         expected = _cdf_schema(self.schema) if self.cdf else self.schema
         if schema is not None and len(schema.fields) and schema != expected:
@@ -223,6 +240,7 @@ class DeltaStreamReader(DataSourceStreamReader):
                     self.part_cols,
                     table_path=self.path,
                     change=(None, v, ts),
+                    name_map=self.name_map,
                 )
                 for c in cdcs
             ]
@@ -280,6 +298,7 @@ class DeltaStreamReader(DataSourceStreamReader):
                                 table_path=self.path,
                                 change=(pre, v, ts),
                                 positions=[int(x) for x in newly],
+                                name_map=self.name_map,
                             )
                         )
                 else:
@@ -292,6 +311,7 @@ class DeltaStreamReader(DataSourceStreamReader):
                             table_path=self.path,
                             deletion_vector=old_desc,
                             change=(pre, v, ts),
+                            name_map=self.name_map,
                         )
                     )
             if op == "UPDATE":
@@ -320,6 +340,7 @@ class DeltaStreamReader(DataSourceStreamReader):
             table_path=self.path,
             deletion_vector=add.get("deletionVector"),
             change=change,
+            name_map=self.name_map,
         )
 
     def _versions_between(self, start_v: int, end_v: int):
@@ -376,18 +397,20 @@ class DeltaStreamReader(DataSourceStreamReader):
             tbl = tbl.filter(pa.array(mask))
         n = tbl.num_rows
         cols = []
+        nm = partition.name_map
         for field in target:
+            phys = nm.get(field.name, field.name)
             if field.name in partition.part_cols:
                 dtype = next(
                     f.dataType
                     for f in self.schema.fields
                     if f.name == field.name
                 )
-                raw = partition.partition_values.get(field.name)
+                raw = partition.partition_values.get(phys)
                 val = D._cast_partition_value(raw, dtype)
                 cols.append(pa.array([val] * n, type=field.type))
             else:
-                cols.append(tbl.column(field.name).cast(field.type))
+                cols.append(tbl.column(phys).cast(field.type))
         out = pa.table(cols, schema=target)
         if partition.change is not None:
             ctype, cver, cts = partition.change

@@ -453,3 +453,73 @@ class TestChangeFeedStreamCdc:
             assert post == "zz"
         finally:
             q.stop()
+
+
+class TestMappedTableStream:
+    """r10: column-mapped tables stream (top-level renames — tasks
+    select parquet columns by PHYSICAL name; partitionValues keys
+    translate too). Nested physical renames refuse by name."""
+
+    def test_snapshot_appends_and_cdf(self, spark, tmp_path):
+        from lwes_contrib_hive_serde_spark.sources.delta import (
+            delta_delete_dv,
+            delta_enable_column_mapping,
+            delta_rename_column,
+        )
+
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 0, 10), p, partition_by=["lang"])
+        delta_enable_column_mapping(p)
+        delta_rename_column(p, "doc_id", "id2")
+        delta_rename_column(p, "lang", "lingua")
+        q = (
+            spark.readStream.format("delta_stream")
+            .option("path", p)
+            .load()
+            .writeStream.format("memory")
+            .queryName("mapped_rows")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.sql(
+                "select id2, lingua from mapped_rows order by id2"
+            ).collect()
+            assert [r.id2 for r in rows] == list(range(10))
+            assert {r.lingua for r in rows} == {"en", "de"}
+            # post-rename append (physical-name files) streams too
+            more = spark.createDataFrame(
+                [(100, "fr")], "id2 long, lingua string"
+            )
+            D.write_delta(more, p, mode="append", partition_by=["lingua"])
+            q.processAllAvailable()
+            assert spark.sql(
+                "select count(*) from mapped_rows where id2 = 100"
+            ).first()[0] == 1
+        finally:
+            q.stop()
+        # CDF over a DV delete on the mapped table
+        delta_delete_dv(spark, p, [("id2", "<", 2)])
+        q2 = (
+            spark.readStream.format("delta_stream")
+            .option("path", p)
+            .option("readchangefeed", "true")
+            .option("startingversion", D._replay(p).version)
+            .load()
+            .writeStream.format("memory")
+            .queryName("mapped_cdf")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q2.processAllAvailable()
+            got = {
+                (r.id2, r["_change_type"])
+                for r in spark.sql(
+                    "select id2, _change_type from mapped_cdf"
+                ).collect()
+            }
+            assert got == {(0, "delete"), (1, "delete")}
+        finally:
+            q2.stop()
