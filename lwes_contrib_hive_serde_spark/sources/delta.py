@@ -2219,6 +2219,35 @@ def delta_vacuum(
             n += 1
         except FileNotFoundError:
             pass
+    # _change_data hygiene: a cdc file is deletable only when NO
+    # commit references it — committed cdc files serve CDF reads for
+    # as long as their commit JSON exists (this engine never
+    # truncates the log), so this sweep collects exactly the
+    # leftovers of ABORTED DML attempts (mtime-guarded like DV bins).
+    cdir = os.path.join(path, "_change_data")
+    if os.path.isdir(cdir):
+        commits, _cps = _list_log(path)
+        cdc_refs: set[str] = set()
+        for v in commits:
+            for a in _commit_actions(path, v):
+                c = a.get("cdc")
+                if c:
+                    cdc_refs.add(os.path.realpath(
+                        _file_abspath(path, c["path"])
+                    ))
+        for name in os.listdir(cdir):
+            if not name.endswith(".parquet"):
+                continue
+            fp = os.path.join(cdir, name)
+            if os.path.realpath(fp) in cdc_refs:
+                continue
+            try:
+                if os.stat(fp).st_mtime * 1000 > cutoff:
+                    continue
+                os.remove(fp)
+                n += 1
+            except FileNotFoundError:
+                pass
     return n
 
 
@@ -4011,15 +4040,18 @@ def delta_table_changes(
       - WRITE append           → added files' rows as insert
       - WRITE overwrite        → prior snapshot's live rows as
                                  delete + added files as insert
+      - RESTORE                → same shape: removed-since files'
+                                 rows as delete, restored-back
+                                 files as insert
       - DELETE (dv mode)       → newly-masked positions as delete
       - UPDATE (dv mode)       → newly-masked positions as
                                  update_preimage + appended files
                                  as update_postimage
       - OPTIMIZE / metadata    → no logical changes, skipped
-    Copy-on-write DELETE/UPDATE/MERGE and RESTORE commits WITHOUT
-    cdc files rewrite whole files, so their per-row diff is not
-    derivable — those refuse by operation name rather than emitting
-    a wrong feed (the honesty contract).
+    Copy-on-write DELETE/UPDATE/MERGE commits WITHOUT cdc files
+    rewrite whole files, so their per-row diff is not derivable —
+    those refuse by operation name rather than emitting a wrong
+    feed (the honesty contract).
 
     Scale shape: only CHANGED files are ever read, and only changed
     positions come back (semi-joins on ``_metadata.row_index``) —
@@ -4171,9 +4203,10 @@ def delta_table_changes(
             # operation label (append, insert-only merge, ...)
             for a in dc_adds:
                 pieces.append(tag(file_rows(a), "insert", v, ts))
-        elif op == "WRITE":
+        elif op in ("WRITE", "RESTORE"):
             for r in dc_removes:
-                # overwrite: the prior snapshot's live rows die
+                # overwrite/restore: the prior snapshot's live rows
+                # die; restored-back files arrive as inserts
                 if prior is None:
                     prior = _replay(path, v - 1) if v > 0 else _State()
                 old = prior.adds.get(r["path"])

@@ -253,7 +253,7 @@ class DeltaStreamReader(DataSourceStreamReader):
         if not dc_removes:
             for a in dc_adds:
                 out.append(self._slice(a, change=("insert", v, ts)))
-        elif op == "WRITE":
+        elif op in ("WRITE", "RESTORE"):
             prior = D._replay(self.path, v - 1) if v > 0 else None
             for r in dc_removes:
                 old = prior.adds.get(r["path"]) if prior else None

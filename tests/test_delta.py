@@ -1669,6 +1669,36 @@ class TestChangeDataFiles:
         with pytest.raises(D.DeltaError, match="not derivable"):
             D.delta_table_changes(spark, p, 1)
 
+    def test_vacuum_sweeps_orphaned_cdc_only(self, spark, tmp_path):
+        # aborted-DML leftovers in _change_data vacuum; committed
+        # cdc files are protected by their commit reference, not age
+        import shutil
+        import time as _time
+
+        p = self._cdf_table(spark, tmp_path)
+        D.delta_delete(spark, p, [("doc_id", "<", 4)])
+        cdir = os.path.join(p, "_change_data")
+        referenced = [
+            f for f in os.listdir(cdir) if f.endswith(".parquet")
+        ]
+        assert referenced
+        orphan = os.path.join(cdir, "cdc-aborted-attempt.parquet")
+        shutil.copy(os.path.join(cdir, referenced[0]), orphan)
+        old = _time.time() - 10
+        for name in os.listdir(cdir):
+            fp = os.path.join(cdir, name)
+            os.utime(fp, (old, old))
+        removed = D.delta_vacuum(p, retention_ms=1_000)
+        assert removed == 1
+        assert not os.path.exists(orphan)
+        # referenced cdc files survive and the feed still reads
+        cdf = D.delta_table_changes(spark, p, 2)
+        assert cdf.count() == 4
+        # young orphans are never touched
+        shutil.copy(os.path.join(cdir, referenced[0]), orphan)
+        assert D.delta_vacuum(p, retention_ms=3_600_000) == 0
+        assert os.path.exists(orphan)
+
     def test_cdc_on_mapped_table(self, spark, tmp_path):
         p = str(tmp_path / "t")
         D.write_delta(_docs(spark), p)

@@ -605,6 +605,45 @@ class TestTableChanges:
         ch = D.delta_table_changes(spark, p, 1)
         assert ch.count() == 0
 
+    def test_restore_derives_delete_plus_insert(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 10).coalesce(1), p)           # v0
+        D.write_delta(
+            _docs(spark, 3).coalesce(1), p, mode="overwrite"
+        )                                                        # v1
+        D.delta_restore(p, 0)                                    # v2
+        ch = D.delta_table_changes(spark, p, 2)
+        agg = {
+            r["_change_type"]: r["count"]
+            for r in ch.groupBy("_change_type").count().collect()
+        }
+        # the overwrite's 3 rows die; version 0's 10 rows return
+        assert agg == {"delete": 3, "insert": 10}
+        ins = sorted(
+            r.doc_id
+            for r in ch.filter("_change_type = 'insert'").collect()
+        )
+        assert ins == list(range(10))
+
+    def test_restore_reapplies_target_dv(self, spark, tmp_path):
+        # restoring to a DV'd version re-adds the file WITH its
+        # descriptor — the feed's inserts must honor the mask
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 10).coalesce(1), p)           # v0
+        D.delta_delete_dv(spark, p, [("doc_id", "<", 3)])        # v1
+        D.write_delta(
+            _docs(spark, 2).coalesce(1), p, mode="overwrite"
+        )                                                        # v2
+        D.delta_restore(p, 1)                                    # v3
+        ch = D.delta_table_changes(spark, p, 3)
+        agg = {
+            r["_change_type"]: r["count"]
+            for r in ch.groupBy("_change_type").count().collect()
+        }
+        assert agg == {"delete": 2, "insert": 7}
+        got = sorted(r.doc_id for r in D.read_delta(spark, p).collect())
+        assert got == list(range(3, 10))
+
     def test_copy_on_write_dml_refuses(self, spark, tmp_path):
         p = str(tmp_path / "t")
         D.write_delta(_docs(spark, 20).coalesce(1), p)

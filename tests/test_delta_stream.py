@@ -375,6 +375,34 @@ class TestChangeFeedStream:
         finally:
             q.stop()
 
+    def test_restore_streams_as_delete_plus_insert(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark, 0, 10), p)                    # v0
+        q = self._start_cdf(spark, p, "cdf_restore")
+        try:
+            q.processAllAvailable()
+            D.write_delta(
+                _docs(spark, 100, 103), p, mode="overwrite"
+            )                                                    # v1
+            D.delta_restore(p, 0)                                # v2
+            q.processAllAvailable()
+            got = {
+                (r["_change_type"], r["_commit_version"]): r["n"]
+                for r in spark.sql(
+                    "select _change_type, _commit_version, count(*) n "
+                    "from cdf_restore group by 1, 2"
+                ).collect()
+            }
+            assert got == {
+                ("insert", 0): 10,
+                ("delete", 1): 10,
+                ("insert", 1): 3,
+                ("delete", 2): 3,
+                ("insert", 2): 10,
+            }
+        finally:
+            q.stop()
+
     def test_optimize_invisible_and_cow_refuses(self, spark, tmp_path):
         from lwes_contrib_hive_serde_spark.sources.delta import (
             delta_compact,
