@@ -2264,6 +2264,8 @@ def delta_restore(
     target version needs was already vacuumed (the real command's
     failure mode too — restore windows are bounded by vacuum
     retention). Returns the new version."""
+    from . import delta_dv
+
     fsio.require_local(path, "delta_restore")
     target_state = _replay(path, version)
     _check_readable(target_state)
@@ -2273,16 +2275,41 @@ def delta_restore(
                 f"cannot restore to version {version}: data file "
                 f"{a['path']} was vacuumed"
             )
+        desc = a.get("deletionVector")
+        if desc and desc.get("storageType") != "i":
+            if not os.path.exists(delta_dv.dv_absolute_path(path, desc)):
+                raise DeltaError(
+                    f"cannot restore to version {version}: deletion "
+                    f"vector of {a['path']} was vacuumed"
+                )
+
+    def _dv_key(a: dict):
+        # a file is "the same" across versions only if its DV is too
+        # — restoring past a merge-on-read DML must re-add the file
+        # with the TARGET's descriptor (or none), or masked rows
+        # would silently stay dead
+        d = a.get("deletionVector")
+        if not d:
+            return None
+        return (
+            d.get("storageType"),
+            d.get("pathOrInlineDv"),
+            d.get("offset"),
+            d.get("sizeInBytes"),
+        )
+
     now_ms = int(time.time() * 1000)
     for _ in range(max_commit_attempts):
         current = _replay(path)
         adds = [
             a for p, a in target_state.adds.items()
             if p not in current.adds
+            or _dv_key(current.adds[p]) != _dv_key(a)
         ]
         removes = [
             a for p, a in current.adds.items()
             if p not in target_state.adds
+            or _dv_key(a) != _dv_key(target_state.adds[p])
         ]
         actions = [
             {

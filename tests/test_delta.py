@@ -519,6 +519,37 @@ class TestRestore:
         with pytest.raises(D.DeltaError, match="was vacuumed"):
             D.delta_restore(p, 0)
 
+    def test_restore_undoes_dv_deletes(self, spark, tmp_path):
+        # a file live in both versions but DV'd since the target
+        # must be re-added with the TARGET descriptor (or none) —
+        # path-only comparison would leave masked rows dead
+        p = str(tmp_path / "t")
+        df = _docs(spark)
+        D.write_delta(df.coalesce(1), p)                          # v0
+        D.delta_delete_dv(spark, p, [("doc_id", "<", 4)])         # v1
+        D.delta_restore(p, 0)                                     # v2
+        assert _read_rows(spark, p) == _expected(df)
+        # and restoring forward re-applies the DV
+        D.delta_restore(p, 1)                                     # v3
+        assert _read_rows(spark, p) == _expected(
+            df.where("doc_id >= 4")
+        )
+
+    def test_restore_refuses_vacuumed_dv(self, spark, tmp_path):
+        import glob
+        import time as _time
+
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark).coalesce(1), p)                # v0
+        D.delta_delete_dv(spark, p, [("doc_id", "<", 4)])         # v1
+        D.delta_restore(p, 0)                                     # v2: DV orphaned
+        old = _time.time() - 10
+        for b in glob.glob(os.path.join(p, "deletion_vector_*.bin")):
+            os.utime(b, (old, old))
+        assert D.delta_vacuum(p, retention_ms=1_000) == 1
+        with pytest.raises(D.DeltaError, match="deletion vector"):
+            D.delta_restore(p, 1)
+
 
 class TestSchemaEvolution:
     def test_merge_schema_appends_nullable_column(self, spark, tmp_path):
