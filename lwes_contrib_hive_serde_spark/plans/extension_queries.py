@@ -10251,3 +10251,176 @@ def q_delta_dv_merge(spark, sf_dir):
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+def _documents_hudi_snap(spark, sf_dir: str) -> str:
+    """Hudi MERGE_ON_READ table exercising the SNAPSHOT view
+    (sources/hudi.py round 10, log merging): instant 1 inserts all
+    documents as base files; instant 2 LOG-UPDATES ids ≡3 mod 7
+    ('SNAP:' prefix, n_chars += 1000); instant 3 LOG-DELETES ids
+    ≡5 mod 11 (payload-level ``_hoodie_is_deleted`` records);
+    instant 4 RESURRECTS ids ≡5 mod 55 ('BACK:' prefix, n_chars +=
+    5) — a later update must win over the delete. NOTHING is ever
+    compacted: every logical change lives only in HoodieLogFormat
+    blocks, so a correct answer proves the executor-side decode +
+    latest-per-key merge. Cached per sf_dir."""
+    import os
+
+    from lwes_contrib_hive_serde_spark.sources import hudi as H
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        tag = f"{tag}-{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        pass
+    out = f"/tmp/hudi_table_cache/v1/{tag}/documents_snap"
+    done = os.path.join(out, "_FIXTURE_DONE")
+    if not os.path.exists(done):
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        H.write_hudi_table(
+            docs.repartitionByRange(4, "doc_id")
+            .sortWithinPartitions("doc_id"),
+            out,
+            record_key="doc_id",
+            table_type="MERGE_ON_READ",
+        )
+        snap = docs.where("doc_id % 7 = 3").select(
+            "doc_id",
+            F.concat(F.lit("SNAP:"), F.col("text")).alias("text"),
+            "lang",
+            "source",
+            (F.col("n_chars") + 1000).alias("n_chars"),
+        )
+        if snap.count():
+            H.hudi_log_update(spark, out, snap, "doc_id")
+        dels = docs.where("doc_id % 11 = 5").select("doc_id")
+        if dels.count():
+            H.hudi_log_update(
+                spark, out, deletes=dels, record_key="doc_id"
+            )
+        back = docs.where("doc_id % 55 = 5").select(
+            "doc_id",
+            F.concat(F.lit("BACK:"), F.col("text")).alias("text"),
+            "lang",
+            "source",
+            (F.col("n_chars") + 5).alias("n_chars"),
+        )
+        if back.count():
+            H.hudi_log_update(spark, out, back, "doc_id")
+        open(done, "w").close()
+    return out
+
+
+@register(
+    "q_hudi_snapshot",
+    shadow=True,
+    oracle="""
+    WITH final AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 55 = 5 THEN 'BACK:' || text
+                  WHEN doc_id % 7 = 3 THEN 'SNAP:' || text
+                  ELSE text END AS text,
+             CASE WHEN doc_id % 55 = 5 THEN n_chars + 5
+                  WHEN doc_id % 7 = 3 THEN n_chars + 1000
+                  ELSE n_chars END AS n_chars
+      FROM documents
+      WHERE NOT (doc_id % 11 = 5 AND doc_id % 55 <> 5)
+    ), mid AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 7 = 3 THEN 'SNAP:' || text
+                  ELSE text END AS text,
+             CASE WHEN doc_id % 7 = 3 THEN n_chars + 1000
+                  ELSE n_chars END AS n_chars
+      FROM documents
+    )
+    SELECT 'latest' AS snapshot, lang, COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM final GROUP BY lang
+    UNION ALL
+    SELECT 'mid' AS snapshot, lang, COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM mid GROUP BY lang
+    """,
+    doc="Hudi MERGE_ON_READ SNAPSHOT reads (sources/hudi.py round "
+    "10 + hudi_log.py): every logical change — update wave, "
+    "payload-level deletes, a later resurrection that must win "
+    "over its delete — lives ONLY in HoodieLogFormat AVRO blocks "
+    "(magic #HUDI#, BE framing, Avro-binary records under the "
+    "SCHEMA header), decoded in executors via mapInPandas and "
+    "merged latest-per-key onto the base scan. Section 'latest' "
+    "reads the full log stack; section 'mid' time-travels to the "
+    "update instant (deletes and resurrection invisible). The "
+    "DuckDB oracle recomputes both states from the original "
+    "parquet.",
+)
+def q_hudi_snapshot(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.sources import hudi as H
+
+    out = _documents_hudi_snap(spark, sf_dir)
+    instants = H.hudi_instants(out)
+
+    def agg(df, tag):
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        ).select(F.lit(tag).alias("snapshot"), "*")
+
+    latest = agg(H.read_hudi(spark, out), "latest")
+    mid = agg(
+        H.read_hudi(spark, out, as_of_instant=instants[1]), "mid"
+    )
+    return latest.unionAll(mid)
+
+
+@register(
+    "q_hudi_incremental",
+    shadow=True,
+    oracle="""
+    WITH changed AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 55 = 5 THEN 'BACK:' || text
+                  ELSE 'SNAP:' || text END AS text,
+             CASE WHEN doc_id % 55 = 5 THEN n_chars + 5
+                  ELSE n_chars + 1000 END AS n_chars
+      FROM documents
+      WHERE doc_id % 55 = 5
+         OR (doc_id % 7 = 3 AND doc_id % 11 <> 5)
+    )
+    SELECT lang, COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM changed GROUP BY lang
+    """,
+    doc="Hudi INCREMENTAL query (hudi_incremental, round 10): the "
+    "latest state of every record changed after the initial insert "
+    "— update-wave rows unless a later delete killed them, plus "
+    "resurrected rows, minus records whose FINAL state in range is "
+    "a payload-level delete. All changes live in log blocks, so "
+    "the incremental scan is log-decode + latest-per-key with "
+    "driver-side base-file pruning (untouched file groups are "
+    "never opened). The DuckDB oracle recomputes the changed set "
+    "from the original parquet.",
+)
+def q_hudi_incremental(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.sources import hudi as H
+
+    out = _documents_hudi_snap(spark, sf_dir)
+    begin = H.hudi_instants(out)[0]
+    return H.hudi_incremental(spark, out, begin).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

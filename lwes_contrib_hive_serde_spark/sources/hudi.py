@@ -23,19 +23,26 @@ must never be read). The surviving file list goes to
 ``spark.read.parquet`` — like the other two tiers, metadata is
 driver-side and the data path is Spark's native vectorized scan.
 
-MERGE_ON_READ tables (round 10) read in READ-OPTIMIZED mode: the
-same slice math over BASE files only — log files are dot-prefixed
+MERGE_ON_READ tables (round 10) serve BOTH query types. The
+READ-OPTIMIZED view is the same slice math over BASE files only —
+log files are dot-prefixed
 (``.{fileId}_{baseInstant}.log.{v}_{token}``) and therefore
 invisible to the walk, which is precisely the RO contract: data as
-of the last compaction, pending log updates not yet visible.
-``hudi_compact`` (fixture-grade) performs the visibility flip a
-real compactor does: merged base files under a fresh ``commit``
-instant.
+of the last compaction, pending log updates not yet visible. The
+SNAPSHOT view merges the log files on read: blocks in the real
+HoodieLogFormat (hudi_log.py) are decoded IN EXECUTORS
+(mapInPandas over the slice's log-file list), the latest record
+per key wins — ordered by (instant, log version, block, row) —
+and the result is one global anti-join + union against the base
+scan (a record key lives in exactly one file group, so no
+per-group loop; small log volumes broadcast, so the base scan
+never shuffles). ``hudi_compact`` (fixture-grade) performs the
+visibility flip a real compactor does: merged base files under a
+fresh ``commit`` instant.
 
-Honesty contract: MOR SNAPSHOT reads (log merging per read),
-``replacecommit`` instants (clustering semantics this reader does
-not implement), and unparseable file names are refusals by name —
-never a misread.
+Honesty contract: ``replacecommit`` instants (clustering semantics
+this reader does not implement), non-AVRO log block payloads, and
+unparseable file names are refusals by name — never a misread.
 
 ``write_hudi_table`` is FIXTURE-GRADE (the write_iceberg_table
 recipe): appends create new file groups; ``upsert`` rewrites the
@@ -167,6 +174,100 @@ def _file_slices(path: str, target: str, completed: set[str]):
     return [p for _i, p in best.values()]
 
 
+def _iter_log_records(data: bytes, source: str, valid_instants):
+    """Decode one log file's bytes → (instant, block_idx, row_idx,
+    field_names, row_tuple) for every record of every VALID
+    AVRO_DATA_BLOCK. Blocks whose INSTANT_TIME is not a completed
+    instant ≤ target are invisible (crashed/in-flight writers);
+    COMMAND blocks are skipped (the timeline validity check
+    subsumes rollback — a rolled-back instant has no deltacommit
+    marker); torn tails refuse only when they name a COMPLETED
+    instant (that is data loss, not an uncommitted append)."""
+    from lwes_contrib_hive_serde_spark.sources import hudi_log
+    from lwes_contrib_hive_serde_spark.sources.avro_ocf import (
+        compile_reader,
+    )
+
+    cache: dict[str, tuple] = {}
+    for bi, (btype, headers, content) in enumerate(
+        hudi_log.scan_blocks(data, source)
+    ):
+        if btype == hudi_log.CORRUPT_BLOCK:
+            instant = headers.get(hudi_log.H_INSTANT_TIME)
+            if instant and instant in valid_instants:
+                raise HudiError(
+                    f"{source}: torn log block for COMPLETED "
+                    f"instant {instant} — data loss, refusing"
+                )
+            return  # uncommitted tail: invisible by design
+        if btype == hudi_log.COMMAND_BLOCK:
+            continue
+        if btype != hudi_log.AVRO_DATA_BLOCK:
+            raise HudiError(
+                f"{source}: log block type ordinal {btype} not "
+                "supported (AVRO_DATA_BLOCK only — DELETE/HFILE/"
+                "PARQUET/CDC blocks refuse by name)"
+            )
+        instant = headers.get(hudi_log.H_INSTANT_TIME)
+        schema_json = headers.get(hudi_log.H_SCHEMA)
+        if instant is None or schema_json is None:
+            raise HudiError(
+                f"{source}: data block missing INSTANT_TIME/SCHEMA "
+                "header"
+            )
+        if instant not in valid_instants:
+            continue
+        if schema_json not in cache:
+            dt, dec = compile_reader(schema_json)
+            cache[schema_json] = ([f.name for f in dt.fields], dec)
+        names, dec = cache[schema_json]
+        for ri, rb in enumerate(
+            hudi_log.decode_avro_content(content)
+        ):
+            row, _pos = dec(rb, 0)
+            yield instant, bi, ri, names, row
+
+
+_ORD_COLS = ["__instant", "__logv", "__block", "__row", "__deleted"]
+
+
+def _log_rows_fn(out_cols: list[str], valid_instants: frozenset):
+    """mapInPandas body: (path, logv) batches → decoded log records
+    aligned to ``out_cols`` + the ordering/delete columns. Runs in
+    EXECUTORS — the driver never holds log bytes."""
+
+    def fn(batches):
+        import pandas as pd
+
+        from lwes_contrib_hive_serde_spark.sources import fsio as _fs
+
+        for pdf in batches:
+            rows = []
+            for pth, logv in zip(pdf["path"], pdf["logv"]):
+                data = _fs.read_bytes(pth)
+                for inst, bi, ri, names, row in _iter_log_records(
+                    data, pth, valid_instants
+                ):
+                    rec = dict(zip(names, row))
+                    deleted = bool(rec.pop("_hoodie_is_deleted", False))
+                    extra = set(rec) - set(out_cols)
+                    if extra:
+                        raise HudiError(
+                            f"{pth}: log schema carries columns "
+                            f"{sorted(extra)} unknown to the base "
+                            "file — refusing"
+                        )
+                    rows.append(
+                        [rec.get(c) for c in out_cols]
+                        + [inst, int(logv), bi, ri, deleted]
+                    )
+            yield pd.DataFrame(
+                rows, columns=out_cols + _ORD_COLS, dtype=object
+            )
+
+    return fn
+
+
 def read_hudi(
     spark: SparkSession,
     path: str,
@@ -189,8 +290,9 @@ def read_hudi(
     identically. MERGE_ON_READ tables serve ``read_optimized``
     (base files only — data as of the last compaction; pending log
     updates invisible BY DESIGN, the trade real RO queries make for
-    parquet-scan speed) and refuse ``snapshot`` by name (log
-    merging unimplemented)."""
+    parquet-scan speed) and ``snapshot`` (log files merged on read
+    — executor-side HoodieLogFormat decode, latest record per key
+    wins, ``_hoodie_is_deleted`` payloads drop keys)."""
     if query_type not in ("snapshot", "read_optimized"):
         raise HudiError(
             f"query_type {query_type!r} not supported "
@@ -198,19 +300,13 @@ def read_hudi(
         )
     props = _load_properties(path)
     ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
-    if ttype == "MERGE_ON_READ":
-        if query_type != "read_optimized":
-            raise HudiError(
-                "MERGE_ON_READ snapshot reads require log-file "
-                "merging, which this reader does not implement — "
-                "pass query_type='read_optimized' for the "
-                "base-files-only view (data as of the last "
-                "compaction; pending log updates invisible)"
-            )
-    elif ttype != "COPY_ON_WRITE":
+    mor_snapshot = (
+        ttype == "MERGE_ON_READ" and query_type == "snapshot"
+    )
+    if ttype not in ("MERGE_ON_READ", "COPY_ON_WRITE"):
         raise HudiError(
             f"table type {ttype} not supported (COPY_ON_WRITE / "
-            "MERGE_ON_READ read-optimized only)"
+            "MERGE_ON_READ only)"
         )
     completed, _seen = _timeline(path)
     if not completed:
@@ -281,9 +377,120 @@ def read_hudi(
             df = df.drop(*_META_COLS)
         return df
     df = spark.read.parquet(*[fsio.spark_path(p) for p in paths])
+    if mor_snapshot:
+        df = _merge_log_files(
+            spark, path, df, paths, target, set(completed)
+        )
     if not keep_meta_columns:
         df = df.drop(*_META_COLS)
     return df
+
+
+def _slice_log_files(
+    table_path: str, base_paths: list[str], completed: set[str]
+) -> list[tuple[str, int]]:
+    """(log path, log version) for every log file attached to one
+    of the given base-file slices — same fileId AND same base
+    instant (logs of an older, superseded base version are dead)."""
+    out: list[tuple[str, int]] = []
+    seen_dirs: dict[str, list[str]] = {}
+    for fp in base_paths:
+        d = fp[: fp.rindex("/")] if "://" in fp else os.path.dirname(fp)
+        name = fp.rsplit("/", 1)[-1] if "://" in fp else os.path.basename(fp)
+        file_id, _tok, base_instant = name[: -len(".parquet")].split("_")
+        if d not in seen_dirs:
+            seen_dirs[d] = fsio.listdir(d)
+        for n in seen_dirs[d]:
+            if not (n.startswith(".") and ".log." in n):
+                continue
+            parsed = _parse_log_name(n)
+            if (
+                parsed
+                and parsed[0] == file_id
+                and parsed[1] == base_instant
+            ):
+                out.append((fsio.join(d, n), parsed[2]))
+    return out
+
+
+_LOG_BROADCAST_MAX_BYTES = 32 << 20
+
+
+def _merge_log_files(
+    spark: SparkSession,
+    table_path: str,
+    base_df: DataFrame,
+    base_paths: list[str],
+    target: str,
+    completed: set[str],
+) -> DataFrame:
+    """The MOR SNAPSHOT merge: decode every valid log block of the
+    chosen file slices in EXECUTORS (mapInPandas over a path list),
+    keep the LATEST record per key — ordered by (instant, log
+    version, block, row) — then stitch: base rows whose key was
+    never logged + latest non-deleted log rows. Record keys live in
+    exactly one file group, so the merge is a single global
+    anti-join + union, no per-group loop; when the total log volume
+    is small (the common case between compactions) the log side is
+    broadcast, so the base scan never shuffles."""
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.window import Window
+
+    logs = _slice_log_files(table_path, base_paths, completed)
+    if not logs:
+        return base_df
+    valid = frozenset(c for c in completed if c <= target)
+    out_cols = base_df.columns
+    ord_fields = [
+        StructField("__instant", StringType(), False),
+        StructField("__logv", IntegerType(), False),
+        StructField("__block", IntegerType(), False),
+        StructField("__row", IntegerType(), False),
+        StructField("__deleted", BooleanType(), False),
+    ]
+    out_schema = StructType(
+        list(base_df.schema.fields) + ord_fields
+    )
+    paths_df = spark.createDataFrame(
+        logs, "path string, logv int"
+    ).repartition(
+        min(len(logs), spark.sparkContext.defaultParallelism)
+    )
+    log_rows = paths_df.mapInPandas(
+        _log_rows_fn(out_cols, valid), schema=out_schema
+    )
+    w = (
+        Window.partitionBy("_hoodie_record_key")
+        .orderBy(
+            F.desc("__instant"), F.desc("__logv"),
+            F.desc("__block"), F.desc("__row"),
+        )
+    )
+    latest = (
+        log_rows.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    total_log_bytes = 0
+    local = all("://" not in p for p, _v in logs)
+    if local:
+        total_log_bytes = sum(os.path.getsize(p) for p, _v in logs)
+    small = local and total_log_bytes <= _LOG_BROADCAST_MAX_BYTES
+    keys = latest.select("_hoodie_record_key")
+    survivors = base_df.join(
+        F.broadcast(keys) if small else keys,
+        "_hoodie_record_key",
+        "left_anti",
+    )
+    upserts = latest.filter(~F.col("__deleted")).select(*out_cols)
+    return survivors.select(*out_cols).unionByName(upserts)
 
 
 def hudi_instants(path: str) -> list[str]:
@@ -375,21 +582,27 @@ def write_hudi_table(
 
     import pyarrow.parquet as pq
 
-    def write_group(rows_df: DataFrame, part_rel: str, file_id: str):
-        """One file group version: stamp meta columns, one parquet."""
-        seq = F.concat(
-            F.lit(instant), F.lit("_"),
-            F.monotonically_increasing_id().cast("string"),
-        )
+    def write_group(
+        rows_df: DataFrame,
+        part_rel: str,
+        file_id: str,
+        carried: DataFrame | None = None,
+    ):
+        """One file group version: stamp meta columns, one parquet.
+        ``carried`` rows (upsert survivors, WITH meta columns) keep
+        their original _hoodie_commit_time/seqno — the real COW
+        writer copies unchanged records' meta, which is what makes
+        the incremental query's row filter meaningful — only the
+        file name is re-stamped."""
         name = f"{file_id}_0-0-0_{instant}.parquet"
-        stamped = rows_df.select(
-            F.lit(instant).alias("_hoodie_commit_time"),
-            seq.alias("_hoodie_commit_seqno"),
-            F.col(record_key).cast("string").alias("_hoodie_record_key"),
-            F.lit(part_rel).alias("_hoodie_partition_path"),
-            F.lit(name).alias("_hoodie_file_name"),
-            *cols,
+        stamped = _stamp_meta(
+            rows_df, record_key, instant, part_rel, name, cols
         )
+        if carried is not None:
+            stamped = stamped.unionByName(
+                carried.withColumn("_hoodie_file_name", F.lit(name))
+                .select(*stamped.columns)
+            )
         staging = os.path.join(path, f".hudi-staging-{uuid.uuid4().hex}")
         stamped.coalesce(1).write.mode("overwrite").parquet(staging)
         dest_dir = os.path.join(path, part_rel) if part_rel else path
@@ -423,18 +636,20 @@ def write_hudi_table(
                 )
                 if hit.isEmpty():
                     continue
-                # merged group: new rows win by record key
-                survivors = old.select(*cols).join(
+                # merged group: new rows win by record key;
+                # survivors carry their ORIGINAL meta columns
+                survivors = old.join(
                     F.broadcast(hit.select(record_key)),
                     record_key,
                     "left_anti",
                 )
-                merged = survivors.unionByName(hit)
                 name = os.path.basename(fp)
                 file_id = name.split("_")[0]
                 rel = os.path.relpath(os.path.dirname(fp), path)
                 rel = "" if rel == "." else rel
-                written.append(write_group(merged, rel, file_id))
+                written.append(
+                    write_group(hit, rel, file_id, carried=survivors)
+                )
                 remaining = remaining.join(
                     F.broadcast(hit.select(record_key)),
                     record_key,
@@ -470,70 +685,160 @@ def write_hudi_table(
     return instant
 
 
+def _parse_log_name(name: str):
+    """(fileId, baseInstant, logVersion) from
+    ``.<fileId>_<baseInstant>.log.<version>_<writeToken>`` — the
+    real dot-prefixed naming; None for anything else."""
+    if not name.startswith(".") or ".log." not in name:
+        return None
+    left, _, right = name[1:].partition(".log.")
+    file_id, _, base_instant = left.rpartition("_")
+    v = right.split("_")[0]
+    if not file_id or not base_instant.isdigit() or not v.isdigit():
+        raise HudiError(f"unparseable Hudi log file name {name!r}")
+    return file_id, base_instant, int(v)
+
+
+def _stamp_meta(rows_df, record_key, instant, part_rel, file_name, cols):
+    seq = F.concat(
+        F.lit(instant), F.lit("_"),
+        F.monotonically_increasing_id().cast("string"),
+    )
+    return rows_df.select(
+        F.lit(instant).alias("_hoodie_commit_time"),
+        seq.alias("_hoodie_commit_seqno"),
+        F.col(record_key).cast("string").alias("_hoodie_record_key"),
+        F.lit(part_rel).alias("_hoodie_partition_path"),
+        F.lit(file_name).alias("_hoodie_file_name"),
+        *cols,
+    )
+
+
 def hudi_log_update(
-    spark: SparkSession, path: str, updates: DataFrame, record_key: str
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame | None = None,
+    record_key: str | None = None,
+    deletes: DataFrame | None = None,
 ) -> str:
-    """FIXTURE-GRADE MOR log write: for each file group holding a
-    matching record key, a dot-prefixed LOG file
-    (``.<fileId>_<baseInstant>.log.<v>_0-0-0`` — the real naming,
-    which is what makes it INVISIBLE to the read-optimized slice
-    walk) lands next to the base file, and the instant completes as
-    a ``deltacommit``. The log PAYLOAD is parquet, not Hudi's avro
-    log-block format — honest fixture scope: the read-optimized
-    view never opens logs (that invisibility is exactly what the
-    reader tests), and hudi_compact reads them back to build the
-    merged base files a real compactor would. Keys matching no
-    group refuse (fixture keeps insert-vs-update unambiguous)."""
+    """MOR log write in the REAL HoodieLogFormat (hudi_log.py): for
+    each file group holding a matching record key, an
+    AVRO_DATA_BLOCK — records Avro-encoded under the stamped table
+    schema carried in the block's SCHEMA header — lands in a new
+    dot-prefixed log file ``.<fileId>_<baseInstant>.log.<v>_0-0-0``
+    next to the base file, and the instant completes as a
+    ``deltacommit``. The dot prefix is what keeps logs INVISIBLE to
+    the read-optimized slice walk; snapshot reads merge them.
+
+    ``deletes`` rows (same key column) travel as records with
+    ``_hoodie_is_deleted = true`` — the payload-level delete every
+    Hudi payload class honors — so no DELETE_BLOCK serialization is
+    needed. Keys matching no file group refuse (inserts go through
+    write_hudi_table). FIXTURE-GRADE on the write axis: matched
+    rows are collected per group to encode the block (bounded by
+    the update batch, not the table)."""
+    from lwes_contrib_hive_serde_spark.sources import hudi_log
+    from lwes_contrib_hive_serde_spark.sources.avro_ocf import (
+        schema_to_avro_json,
+    )
+
     fsio.require_local(path, "hudi_log_update")
     props = _load_properties(path)
     if props.get("hoodie.table.type") != "MERGE_ON_READ":
         raise HudiError("hudi_log_update needs a MERGE_ON_READ table")
+    if record_key is None:
+        record_key = props.get("hoodie.table.recordkey.fields")
+    if not record_key:
+        raise HudiError("record key unknown (pass record_key=)")
     completed, _ = _timeline(path)
     if not completed:
         raise HudiError("no completed instants to update against")
     instant = _next_instant(path)
     target = completed[-1]
     wrote = 0
-    unmatched = updates
+
+    # normalize both verbs into one stream of (row-source, deleted?)
+    batches: list[tuple[DataFrame, bool]] = []
+    if updates is not None and not updates.isEmpty():
+        batches.append((updates, False))
+    if deletes is not None and not deletes.isEmpty():
+        batches.append((deletes, True))
+    if not batches:
+        raise HudiError("nothing to log: no updates and no deletes")
+
+    unmatched = [df for df, _d in batches]
     for fp in _file_slices(path, target, set(completed)):
-        base = spark.read.parquet(fp)
+        base = spark.read.parquet(fsio.spark_path(fp))
         keys = [
             r[0]
             for r in base.select("_hoodie_record_key").distinct().collect()
         ]
-        hit = updates.filter(
-            F.col(record_key).cast("string").isin(keys)
-        )
-        if hit.isEmpty():
+        data_cols = [
+            c for c in base.columns if not c.startswith("_hoodie_")
+        ]
+        hits = []
+        for i, (df, deleted) in enumerate(batches):
+            hit = df.filter(F.col(record_key).cast("string").isin(keys))
+            if hit.isEmpty():
+                continue
+            if deleted:
+                # a delete record needs only the key; other data
+                # columns ride as NULL
+                hit = hit.select(
+                    *[
+                        F.col(c) if c in hit.columns
+                        else F.lit(None)
+                        .cast(base.schema[c].dataType).alias(c)
+                        for c in data_cols
+                    ]
+                )
+            hits.append((hit, deleted))
+            unmatched[i] = unmatched[i].join(
+                F.broadcast(hit.select(record_key)), record_key,
+                "left_anti",
+            )
+        if not hits:
             continue
         name = os.path.basename(fp)
         file_id, _tok, base_instant = name[: -len(".parquet")].split("_")
+        d = os.path.dirname(fp)
         n_logs = sum(
-            1
-            for n in os.listdir(os.path.dirname(fp))
-            if n.startswith(f".{file_id}_") and ".log." in n
+            1 for n in os.listdir(d)
+            if _parse_log_name(n) is not None
+            and _parse_log_name(n)[0] == file_id
         )
         log_name = f".{file_id}_{base_instant}.log.{n_logs + 1}_0-0-0"
-        staging = os.path.join(path, f".hudi-log-{uuid.uuid4().hex}")
-        hit.coalesce(1).write.mode("overwrite").parquet(staging)
-        src = next(
-            os.path.join(staging, n)
-            for n in os.listdir(staging)
-            if n.endswith(".parquet")
-        )
-        os.replace(src, os.path.join(os.path.dirname(fp), log_name))
-        import shutil
-
-        shutil.rmtree(staging, ignore_errors=True)
+        rel = os.path.relpath(d, path)
+        rel = "" if rel == "." else rel
+        blocks = b""
+        for hit, deleted in hits:
+            stamped = _stamp_meta(
+                hit, record_key, instant, rel, log_name, data_cols
+            ).withColumn("_hoodie_is_deleted", F.lit(bool(deleted)))
+            sj, encs = schema_to_avro_json(stamped.schema)
+            payloads = []
+            for row in stamped.collect():
+                buf = bytearray()
+                for enc, v in zip(encs, row):
+                    enc(v, buf)
+                payloads.append(bytes(buf))
+            blocks += hudi_log.encode_block(
+                hudi_log.AVRO_DATA_BLOCK,
+                {
+                    hudi_log.H_INSTANT_TIME: instant,
+                    hudi_log.H_SCHEMA: sj,
+                },
+                hudi_log.encode_avro_content(payloads),
+            )
+        with open(os.path.join(d, log_name), "wb") as f:
+            f.write(blocks)
         wrote += 1
-        unmatched = unmatched.join(
-            F.broadcast(hit.select(record_key)), record_key, "left_anti"
-        )
-    if not unmatched.isEmpty():
-        raise HudiError(
-            "log update contains keys matching no file group — "
-            "inserts go through write_hudi_table"
-        )
+    for rest in unmatched:
+        if not rest.isEmpty():
+            raise HudiError(
+                "log update contains keys matching no file group — "
+                "inserts go through write_hudi_table"
+            )
     hdir = _timeline_dir(path)
     tmp = os.path.join(hdir, f".{instant}.deltacommit.tmp-{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
@@ -566,47 +871,29 @@ def hudi_compact(spark: SparkSession, path: str, record_key: str) -> str:
         d = os.path.dirname(fp)
         name = os.path.basename(fp)
         file_id, _tok, _bi = name[: -len(".parquet")].split("_")
-        logs = sorted(
-            n
-            for n in os.listdir(d)
-            if n.startswith(f".{file_id}_") and ".log." in n
-        )
-        if not logs:
+        if not _slice_log_files(path, [fp], set(completed)):
             continue
         base = spark.read.parquet(fp)
         if cols is None:
             cols = [
                 c for c in base.columns if not c.startswith("_hoodie_")
             ]
-        merged = base.select(*cols)
-        for ln in logs:  # later logs win over earlier
-            # pyarrow read: Spark's scanner skips dot-prefixed
-            # (hidden) files — the very property that keeps logs
-            # out of the read-optimized view
-            import pyarrow.parquet as pq
-
-            upd = spark.createDataFrame(
-                pq.read_table(os.path.join(d, ln)).to_pandas()
-            ).select(*cols)
-            merged = merged.join(
-                F.broadcast(upd.select(record_key)), record_key,
-                "left_anti",
-            ).unionByName(upd)
-        seq = F.concat(
-            F.lit(instant), F.lit("_"),
-            F.monotonically_increasing_id().cast("string"),
+        # the snapshot merge confined to this one file slice — the
+        # same decode + latest-per-key machinery the reader uses.
+        # Every surviving row KEEPS its original meta columns (base
+        # rows their write's, log rows their deltacommit's): real
+        # compaction merges payloads without touching record meta,
+        # which is what keeps the incremental query's row filter
+        # truthful — compaction is not a data change.
+        merged = _merge_log_files(
+            spark, path, base, [fp], target, set(completed)
         )
         rel = os.path.relpath(d, path)
         rel = "" if rel == "." else rel
         new_name = f"{file_id}_0-0-0_{instant}.parquet"
-        stamped = merged.select(
-            F.lit(instant).alias("_hoodie_commit_time"),
-            seq.alias("_hoodie_commit_seqno"),
-            F.col(record_key).cast("string").alias("_hoodie_record_key"),
-            F.lit(rel).alias("_hoodie_partition_path"),
-            F.lit(new_name).alias("_hoodie_file_name"),
-            *cols,
-        )
+        stamped = merged.withColumn(
+            "_hoodie_file_name", F.lit(new_name)
+        ).select(*_META_COLS, *cols)
         staging = os.path.join(path, f".hudi-compact-{uuid.uuid4().hex}")
         stamped.coalesce(1).write.mode("overwrite").parquet(staging)
         src = next(
@@ -627,3 +914,126 @@ def hudi_compact(spark: SparkSession, path: str, record_key: str) -> str:
         json.dump({"operation": "compact", "fileGroups": compacted}, f)
     os.replace(tmp, os.path.join(hdir, f"{instant}.commit"))
     return instant
+
+
+def hudi_incremental(
+    spark: SparkSession,
+    path: str,
+    begin_instant: str,
+    end_instant: str | None = None,
+    keep_meta_columns: bool = False,
+) -> DataFrame:
+    """The Hudi INCREMENTAL query: the latest state of every record
+    changed by commits in ``(begin_instant, end_instant]`` —
+    time-travel's derivative. Driver-side pruning mirrors the real
+    implementation: only file groups whose base file was written in
+    the range are scanned (an untouched group cannot hold rows in
+    range), plus — on MOR — log blocks whose deltacommit lands in
+    the range; rows then filter on ``_hoodie_commit_time``, which
+    is truthful because upsert survivors and compaction keep their
+    ORIGINAL meta columns. A record whose final state in range is a
+    payload-level delete is dropped (it no longer exists). Returns
+    the five ``_hoodie_*`` columns only on request, like
+    read_hudi."""
+    from pyspark.sql.window import Window
+
+    props = _load_properties(path)
+    ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
+    if ttype not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+        raise HudiError(f"table type {ttype} not supported")
+    completed, _seen = _timeline(path)
+    if not completed:
+        raise HudiError(f"no completed commits in {path}")
+    begin = str(begin_instant)
+    end = str(end_instant) if end_instant is not None else completed[-1]
+    if begin > end:
+        raise HudiError(
+            f"begin_instant {begin} is after end_instant {end}"
+        )
+    completed_set = {c for c in completed if c <= end}
+    slices = _file_slices(path, end, completed_set)
+
+    def _base_instant(fp: str) -> str:
+        name = fp.rsplit("/", 1)[-1] if "://" in fp else os.path.basename(fp)
+        return name[: -len(".parquet")].split("_")[2]
+
+    changed = [fp for fp in slices if _base_instant(fp) > begin]
+    pieces = []
+    meta_and_cols = None
+    if changed:
+        base = spark.read.parquet(
+            *[fsio.spark_path(p) for p in changed]
+        ).filter(
+            (F.col("_hoodie_commit_time") > begin)
+            & (F.col("_hoodie_commit_time") <= end)
+        )
+        meta_and_cols = base.columns
+        pieces.append(
+            base.withColumn("__instant", F.col("_hoodie_commit_time"))
+            .withColumn("__logv", F.lit(-1))
+            .withColumn("__block", F.lit(-1))
+            .withColumn("__row", F.lit(-1))
+            .withColumn("__deleted", F.lit(False))
+        )
+    if ttype == "MERGE_ON_READ" and slices:
+        logs = _slice_log_files(path, slices, completed_set)
+        if logs:
+            from pyspark.sql.types import (
+                BooleanType,
+                IntegerType,
+                StringType,
+                StructField,
+                StructType,
+            )
+
+            if meta_and_cols is None:
+                meta_and_cols = spark.read.parquet(
+                    fsio.spark_path(slices[0])
+                ).columns
+            probe = spark.read.parquet(fsio.spark_path(slices[0]))
+            valid = frozenset(completed_set)
+            out_schema = StructType(
+                list(probe.schema.fields)
+                + [
+                    StructField("__instant", StringType(), False),
+                    StructField("__logv", IntegerType(), False),
+                    StructField("__block", IntegerType(), False),
+                    StructField("__row", IntegerType(), False),
+                    StructField("__deleted", BooleanType(), False),
+                ]
+            )
+            paths_df = spark.createDataFrame(
+                logs, "path string, logv int"
+            ).repartition(
+                min(len(logs), spark.sparkContext.defaultParallelism)
+            )
+            log_rows = paths_df.mapInPandas(
+                _log_rows_fn(probe.columns, valid), schema=out_schema
+            ).filter(
+                (F.col("__instant") > begin)
+                & (F.col("__instant") <= end)
+            )
+            pieces.append(log_rows)
+    if not pieces:
+        if not slices:
+            raise HudiError(f"no data files at instant {end}")
+        schema = spark.read.parquet(fsio.spark_path(slices[0])).schema
+        df = spark.createDataFrame([], schema)
+        return df if keep_meta_columns else df.drop(*_META_COLS)
+    allp = pieces[0]
+    for p2 in pieces[1:]:
+        allp = allp.unionByName(p2)
+    w = (
+        Window.partitionBy("_hoodie_record_key")
+        .orderBy(
+            F.desc("__instant"), F.desc("__logv"),
+            F.desc("__block"), F.desc("__row"),
+        )
+    )
+    latest = (
+        allp.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(~F.col("__deleted"))
+        .select(*meta_and_cols)
+    )
+    return latest if keep_meta_columns else latest.drop(*_META_COLS)

@@ -1,0 +1,239 @@
+"""Apache Hudi log-file format (HoodieLogFormat, format version 1)
+— the byte-level codec behind MERGE_ON_READ snapshot reads.
+
+Implemented from the public spec (hudi.apache.org/tech-specs, "Log
+File Format") — matching the on-disk layout HoodieLogFormatWriter
+produces. One log file is a sequence of LOG BLOCKS:
+
+  magic            6 bytes   b"#HUDI#"
+  block length     8 bytes   BE — every byte AFTER this field,
+                             i.e. version..reverse-pointer inclusive
+  format version   4 bytes   BE — 1
+  block type       4 bytes   BE — HoodieLogBlockType ordinal
+  header           metadata map (encoding below)
+  content length   8 bytes   BE
+  content          block-type-specific payload
+  footer           metadata map (writers emit an empty map)
+  total length     8 bytes   BE — whole block INCLUDING the magic
+                             (the reverse-traversal pointer)
+
+The metadata map is: entry count (4 bytes BE), then per entry the
+HeaderMetadataType ordinal (4), the UTF-8 value length (4) and the
+value bytes. Ordinals (HeaderMetadataType): 0 INSTANT_TIME,
+1 TARGET_INSTANT_TIME, 2 SCHEMA, 3 COMMAND_BLOCK_TYPE. Block-type
+ordinals (HoodieLogBlockType): 0 COMMAND_BLOCK, 1 DELETE_BLOCK,
+2 CORRUPT_BLOCK, 3 AVRO_DATA_BLOCK, 4 HFILE_DATA_BLOCK,
+5 PARQUET_DATA_BLOCK, 6 CDC_DATA_BLOCK.
+
+AVRO_DATA_BLOCK content is: content version (4 bytes BE, currently
+3 — the reader accepts any), record count (4 bytes BE), then per
+record its byte length (4 bytes BE) and the record as PLAIN Avro
+binary under the writer schema carried in the block's SCHEMA
+header. The Avro record codec is shared with the OCF tier
+(avro_ocf.compile_reader / schema_to_avro_json) — one Avro
+implementation, two container formats.
+
+Honesty contract: DELETE/HFILE/PARQUET/CDC blocks refuse by name
+(their payload serializations are version-churned); deletes travel
+as data records carrying ``_hoodie_is_deleted = true`` — the
+documented payload-level delete every Hudi payload class honors.
+COMMAND (rollback) blocks are skipped: a rolled-back instant's
+deltacommit marker is gone from the timeline, so the validity
+check in the MOR reader already makes its blocks invisible —
+the command block adds nothing for a reader that never prunes
+the timeline. A TORN TAIL (truncated final block) is skipped only
+when the tear precedes a decodable committed instant; a torn block
+whose header names a COMPLETED instant refuses (that is data loss,
+not an uncommitted append).
+"""
+
+from __future__ import annotations
+
+import struct
+
+MAGIC = b"#HUDI#"
+FORMAT_VERSION = 1
+
+COMMAND_BLOCK = 0
+DELETE_BLOCK = 1
+CORRUPT_BLOCK = 2
+AVRO_DATA_BLOCK = 3
+HFILE_DATA_BLOCK = 4
+PARQUET_DATA_BLOCK = 5
+CDC_DATA_BLOCK = 6
+
+H_INSTANT_TIME = 0
+H_TARGET_INSTANT_TIME = 1
+H_SCHEMA = 2
+H_COMMAND_BLOCK_TYPE = 3
+
+_AVRO_CONTENT_VERSION = 3
+
+
+class HudiLogError(ValueError):
+    """Corrupt framing or an unsupported block payload."""
+
+
+def _encode_metadata(meta: dict[int, str]) -> bytes:
+    out = bytearray(struct.pack(">i", len(meta)))
+    for ordinal, value in sorted(meta.items()):
+        vb = value.encode("utf-8")
+        out += struct.pack(">ii", ordinal, len(vb))
+        out += vb
+    return bytes(out)
+
+
+def _decode_metadata(buf: bytes, pos: int) -> tuple[dict[int, str], int]:
+    if pos + 4 > len(buf):
+        raise HudiLogError("truncated metadata map")
+    (count,) = struct.unpack_from(">i", buf, pos)
+    pos += 4
+    if count < 0 or count > 64:
+        raise HudiLogError(f"implausible metadata entry count {count}")
+    meta: dict[int, str] = {}
+    for _ in range(count):
+        if pos + 8 > len(buf):
+            raise HudiLogError("truncated metadata entry")
+        ordinal, vlen = struct.unpack_from(">ii", buf, pos)
+        pos += 8
+        if vlen < 0 or pos + vlen > len(buf):
+            raise HudiLogError("truncated metadata value")
+        meta[ordinal] = buf[pos:pos + vlen].decode("utf-8")
+        pos += vlen
+    return meta, pos
+
+
+def encode_avro_content(record_payloads: list[bytes]) -> bytes:
+    """AVRO_DATA_BLOCK content bytes from already-Avro-encoded
+    records."""
+    out = bytearray(
+        struct.pack(">ii", _AVRO_CONTENT_VERSION, len(record_payloads))
+    )
+    for rb in record_payloads:
+        out += struct.pack(">i", len(rb))
+        out += rb
+    return bytes(out)
+
+
+def decode_avro_content(content: bytes) -> list[bytes]:
+    """AVRO_DATA_BLOCK content bytes → per-record Avro binary."""
+    if len(content) < 8:
+        raise HudiLogError("avro data block content shorter than header")
+    _version, count = struct.unpack_from(">ii", content, 0)
+    pos = 8
+    records = []
+    for _ in range(count):
+        if pos + 4 > len(content):
+            raise HudiLogError("truncated avro data block record frame")
+        (rlen,) = struct.unpack_from(">i", content, pos)
+        pos += 4
+        if rlen < 0 or pos + rlen > len(content):
+            raise HudiLogError("truncated avro data block record")
+        records.append(content[pos:pos + rlen])
+        pos += rlen
+    if pos != len(content):
+        raise HudiLogError(
+            f"avro data block decoded {pos} of {len(content)} bytes"
+        )
+    return records
+
+
+def encode_block(
+    block_type: int, headers: dict[int, str], content: bytes
+) -> bytes:
+    """One complete log block, magic through reverse pointer."""
+    hb = _encode_metadata(headers)
+    fb = _encode_metadata({})
+    # every byte after the length field: version(4) + type(4) +
+    # headers + content-length(8) + content + footers + reverse(8)
+    block_len = 4 + 4 + len(hb) + 8 + len(content) + len(fb) + 8
+    total = len(MAGIC) + 8 + block_len
+    out = bytearray(MAGIC)
+    out += struct.pack(">q", block_len)
+    out += struct.pack(">ii", FORMAT_VERSION, block_type)
+    out += hb
+    out += struct.pack(">q", len(content))
+    out += content
+    out += fb
+    out += struct.pack(">q", total)
+    return bytes(out)
+
+
+def scan_blocks(
+    data: bytes, source: str = "<log>"
+) -> list[tuple[int, dict[int, str], bytes]]:
+    """Parse a log file's bytes into [(block_type, headers,
+    content)]. A torn TAIL is tolerated (see module docstring) by
+    returning what decoded cleanly plus a final sentinel the caller
+    checks: entries with block_type == CORRUPT_BLOCK carry the
+    undecodable tail's headers when those were readable (so the
+    caller can refuse if the torn block names a committed instant)
+    and empty content."""
+    blocks: list[tuple[int, dict[int, str], bytes]] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        start = pos
+        try:
+            if data[pos:pos + 6] != MAGIC:
+                raise HudiLogError(
+                    f"{source}: bad magic at offset {pos}"
+                )
+            pos += 6
+            if pos + 8 > n:
+                raise HudiLogError("torn length field")
+            (block_len,) = struct.unpack_from(">q", data, pos)
+            pos += 8
+            if block_len < 24 or pos + block_len > n:
+                raise HudiLogError("torn block body")
+            end = pos + block_len
+            version, btype = struct.unpack_from(">ii", data, pos)
+            if version != FORMAT_VERSION:
+                raise HudiLogError(
+                    f"{source}: log format version {version} not "
+                    "supported (only 1)"
+                )
+            pos += 8
+            headers, pos = _decode_metadata(data, pos)
+            if pos + 8 > end:
+                raise HudiLogError("truncated content length")
+            (clen,) = struct.unpack_from(">q", data, pos)
+            pos += 8
+            if clen < 0 or pos + clen > end:
+                raise HudiLogError("truncated content")
+            content = data[pos:pos + clen]
+            pos += clen
+            _footers, pos = _decode_metadata(data, pos)
+            if pos + 8 != end:
+                raise HudiLogError("footer/reverse-pointer misaligned")
+            (total,) = struct.unpack_from(">q", data, pos)
+            pos += 8
+            if total != end - start:
+                raise HudiLogError(
+                    f"{source}: reverse pointer {total} != block "
+                    f"span {end - start}"
+                )
+            blocks.append((btype, headers, content))
+        except HudiLogError:
+            if start == 0 and data[:6] != MAGIC:
+                # not a log file at all — that's corruption, not a tear
+                raise
+            # torn tail: salvage headers if they decoded, let the
+            # caller decide whether the tear is benign
+            headers = {}
+            try:
+                hpos = start + 6 + 8 + 8
+                if data[start:start + 6] == MAGIC and hpos < n:
+                    headers, _ = _decode_metadata(data, hpos)
+            except HudiLogError:
+                headers = {}
+            blocks.append((CORRUPT_BLOCK, headers, b""))
+            break
+    return blocks
+
+
+def append_block(path: str, block: bytes) -> None:
+    """Append one encoded block to a LOCAL log file (fixture
+    writer's disk primitive)."""
+    with open(path, "ab") as f:
+        f.write(block)

@@ -90,12 +90,11 @@ class TestCowReadWrite:
     def test_refusals(self, spark, tmp_path):
         p = str(tmp_path / "t")
         H.write_hudi_table(_docs(spark, 5), p, record_key="doc_id")
-        # MOR snapshot refuses (r10: read_optimized works instead)
+        # MOR snapshot with no logs == the read-optimized view
         pf = os.path.join(p, ".hoodie", "hoodie.properties")
         s = open(pf).read().replace("COPY_ON_WRITE", "MERGE_ON_READ")
         open(pf, "w").write(s)
-        with pytest.raises(H.HudiError, match="log-file merging"):
-            H.read_hudi(spark, p)
+        assert H.read_hudi(spark, p).count() == 5
         s = open(pf).read().replace("MERGE_ON_READ", "COPY_ON_WRITE")
         open(pf, "w").write(s)
         # unknown hybrid table type refuses by name
@@ -182,10 +181,9 @@ class TestMergeOnReadRO:
         )
         return p
 
-    def test_snapshot_refuses_ro_reads(self, spark, tmp_path):
+    def test_snapshot_equals_ro_without_logs(self, spark, tmp_path):
         p = self._mor(spark, tmp_path)
-        with pytest.raises(H.HudiError, match="read_optimized"):
-            H.read_hudi(spark, p)
+        assert H.read_hudi(spark, p).count() == 16
         assert H.read_hudi(
             spark, p, query_type="read_optimized"
         ).count() == 16
@@ -259,3 +257,219 @@ class TestMergeOnReadRO:
         ).close()
         with pytest.raises(H.HudiError, match="replacecommit"):
             H.read_hudi(spark, p, query_type="read_optimized")
+
+
+class TestMergeOnReadSnapshot:
+    """MOR SNAPSHOT tier: real HoodieLogFormat blocks decoded in
+    executors, latest-per-key merge onto base files."""
+
+    def _mor(self, spark, tmp_path, n=16, partition_by=None):
+        p = str(tmp_path / "mor")
+        H.write_hudi_table(
+            _docs(spark, n), p, record_key="doc_id",
+            table_type="MERGE_ON_READ", partition_by=partition_by,
+        )
+        return p
+
+    def test_snapshot_sees_log_updates_ro_does_not(
+        self, spark, tmp_path
+    ):
+        p = self._mor(spark, tmp_path)
+        upd = spark.createDataFrame(
+            [(1, "LOG", "en"), (3, "LOG", "de")],
+            "doc_id long, text string, lang string",
+        )
+        H.hudi_log_update(spark, p, upd, "doc_id")
+        snap = H.read_hudi(spark, p)
+        assert snap.count() == 16
+        assert snap.filter("text = 'LOG'").count() == 2
+        ro = H.read_hudi(spark, p, query_type="read_optimized")
+        assert ro.filter("text = 'LOG'").count() == 0
+
+    def test_latest_update_wins_across_deltacommits(
+        self, spark, tmp_path
+    ):
+        p = self._mor(spark, tmp_path)
+        for txt in ("A", "B", "C"):
+            upd = spark.createDataFrame(
+                [(5, txt, "en")], "doc_id long, text string, lang string"
+            )
+            H.hudi_log_update(spark, p, upd, "doc_id")
+        snap = H.read_hudi(spark, p)
+        assert snap.count() == 16
+        assert [r.text for r in snap.filter("doc_id = 5").collect()] == ["C"]
+        # time travel to the middle deltacommit
+        mid = H.hudi_instants(p)[-2]
+        old = H.read_hudi(spark, p, as_of_instant=mid)
+        assert [r.text for r in old.filter("doc_id = 5").collect()] == ["B"]
+
+    def test_payload_level_delete(self, spark, tmp_path):
+        p = self._mor(spark, tmp_path)
+        dels = spark.createDataFrame([(2,), (4,)], "doc_id long")
+        H.hudi_log_update(spark, p, deletes=dels, record_key="doc_id")
+        snap = H.read_hudi(spark, p)
+        assert snap.count() == 14
+        assert snap.filter("doc_id in (2, 4)").count() == 0
+        # delete then re-update: later update resurrects the key
+        upd = spark.createDataFrame(
+            [(2, "BACK", "en")], "doc_id long, text string, lang string"
+        )
+        H.hudi_log_update(spark, p, upd, "doc_id")
+        snap = H.read_hudi(spark, p)
+        assert snap.count() == 15
+        assert [r.text for r in snap.filter("doc_id = 2").collect()] == [
+            "BACK"
+        ]
+        # compaction folds the deletes into the new base
+        H.hudi_compact(spark, p, "doc_id")
+        ro = H.read_hudi(spark, p, query_type="read_optimized")
+        assert ro.count() == 15
+        assert ro.filter("doc_id = 4").count() == 0
+
+    def test_uncommitted_log_file_invisible(self, spark, tmp_path):
+        from lwes_contrib_hive_serde_spark.sources import hudi_log as HL
+        from lwes_contrib_hive_serde_spark.sources.avro_ocf import (
+            schema_to_avro_json,
+        )
+
+        p = self._mor(spark, tmp_path, n=4)
+        # forge a log block for an instant with NO deltacommit marker
+        base = next(
+            n for n in os.listdir(p) if n.endswith(".parquet")
+        )
+        file_id, _tok, bi = base[: -len(".parquet")].split("_")
+        import pyspark.sql.types as T
+
+        sch = T.StructType([T.StructField("doc_id", T.LongType())])
+        sj, encs = schema_to_avro_json(sch)
+        buf = bytearray()
+        encs[0](999, buf)
+        blk = HL.encode_block(
+            HL.AVRO_DATA_BLOCK,
+            {HL.H_INSTANT_TIME: "99999999999999999", HL.H_SCHEMA: sj},
+            HL.encode_avro_content([bytes(buf)]),
+        )
+        HL.append_block(
+            os.path.join(p, f".{file_id}_{bi}.log.1_0-0-0"), blk
+        )
+        snap = H.read_hudi(spark, p)
+        assert snap.count() == 4  # forged block invisible
+
+    def test_torn_tail_tolerated_unless_committed(
+        self, spark, tmp_path
+    ):
+        p = self._mor(spark, tmp_path, n=4)
+        upd = spark.createDataFrame(
+            [(1, "LOG", "en")], "doc_id long, text string, lang string"
+        )
+        H.hudi_log_update(spark, p, upd, "doc_id")
+        log = next(
+            os.path.join(p, n) for n in os.listdir(p)
+            if n.startswith(".") and ".log." in n
+        )
+        data = open(log, "rb").read()
+        # torn tail of an extra UNCOMMITTED block: tolerated
+        open(log, "ab").write(data[:40])
+        assert H.read_hudi(spark, p).filter("text = 'LOG'").count() == 1
+        # truncating the COMMITTED block itself: data loss, refuses
+        open(log, "wb").write(data[:-8])
+        # raised in the EXECUTOR, so it surfaces as a PythonException
+        with pytest.raises(Exception, match="data loss"):
+            H.read_hudi(spark, p).filter("text = 'LOG'").count()
+
+    def test_partitioned_snapshot_with_pruning(self, spark, tmp_path):
+        p = self._mor(spark, tmp_path, partition_by=["lang"])
+        upd = spark.createDataFrame(
+            [(0, "LOG", "en"), (1, "LOG", "de")],
+            "doc_id long, text string, lang string",
+        )
+        H.hudi_log_update(spark, p, upd, "doc_id")
+        en = H.read_hudi(
+            spark, p, partition_filters=[("lang", "=", "en")]
+        )
+        assert en.count() == 8
+        assert en.filter("text = 'LOG'").count() == 1
+
+    def test_unsupported_block_type_refuses(self, spark, tmp_path):
+        from lwes_contrib_hive_serde_spark.sources import hudi_log as HL
+
+        p = self._mor(spark, tmp_path, n=4)
+        base = next(n for n in os.listdir(p) if n.endswith(".parquet"))
+        file_id, _tok, bi = base[: -len(".parquet")].split("_")
+        inst = H.hudi_instants(p)[-1]
+        blk = HL.encode_block(
+            HL.DELETE_BLOCK, {HL.H_INSTANT_TIME: inst}, b"\x00" * 8
+        )
+        HL.append_block(
+            os.path.join(p, f".{file_id}_{bi}.log.1_0-0-0"), blk
+        )
+        with pytest.raises(Exception, match="not supported"):
+            H.read_hudi(spark, p).count()
+
+
+class TestIncremental:
+    """hudi_incremental: latest state of records changed in
+    (begin, end] — meta-preservation on upsert survivors and
+    compaction is what makes the row filter truthful."""
+
+    def test_cow_upsert_changes_only(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        t1 = H.write_hudi_table(
+            _docs(spark).repartition(1), p, record_key="doc_id"
+        )
+        up = spark.createDataFrame(
+            [Row(doc_id=3, text="NEW", lang="fr"),
+             Row(doc_id=100, text="ins", lang="fr")]
+        )
+        H.write_hudi_table(up, p, record_key="doc_id", mode="upsert")
+        inc = H.hudi_incremental(spark, p, begin_instant=t1)
+        got = sorted((r.doc_id, r.text) for r in inc.collect())
+        # survivors of the rewritten group are NOT in the feed
+        assert got == [(3, "NEW"), (100, "ins")]
+        # full-history incremental == the snapshot
+        assert H.hudi_incremental(spark, p, "0").count() == 21
+
+    def test_mor_log_changes_and_compaction_silence(
+        self, spark, tmp_path
+    ):
+        p = str(tmp_path / "t")
+        H.write_hudi_table(
+            _docs(spark, 8), p, record_key="doc_id",
+            table_type="MERGE_ON_READ",
+        )
+        t1 = H.hudi_instants(p)[-1]
+        upd = spark.createDataFrame(
+            [(1, "L1", "en")], "doc_id long, text string, lang string"
+        )
+        H.hudi_log_update(spark, p, upd, "doc_id")
+        inc = H.hudi_incremental(spark, p, t1)
+        assert [(r.doc_id, r.text) for r in inc.collect()] == [(1, "L1")]
+        # compaction is NOT a data change
+        t2 = H.hudi_instants(p)[-1]
+        H.hudi_compact(spark, p, "doc_id")
+        assert H.hudi_incremental(spark, p, t2).count() == 0
+        # and post-compaction the same range still answers correctly
+        inc = H.hudi_incremental(spark, p, t1)
+        assert [(r.doc_id, r.text) for r in inc.collect()] == [(1, "L1")]
+
+    def test_mor_final_delete_dropped(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        H.write_hudi_table(
+            _docs(spark, 6), p, record_key="doc_id",
+            table_type="MERGE_ON_READ",
+        )
+        t1 = H.hudi_instants(p)[-1]
+        upd = spark.createDataFrame(
+            [(2, "X", "en")], "doc_id long, text string, lang string"
+        )
+        H.hudi_log_update(spark, p, upd, "doc_id")
+        dels = spark.createDataFrame([(2,)], "doc_id long")
+        H.hudi_log_update(spark, p, deletes=dels, record_key="doc_id")
+        assert H.hudi_incremental(spark, p, t1).count() == 0
+
+    def test_bounds_and_empty_range(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        t1 = H.write_hudi_table(_docs(spark, 4), p, record_key="doc_id")
+        with pytest.raises(H.HudiError, match="after end_instant"):
+            H.hudi_incremental(spark, p, "9" * 17, t1)
+        assert H.hudi_incremental(spark, p, t1).count() == 0
