@@ -10424,3 +10424,86 @@ def q_hudi_incremental(spark, sf_dir):
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+def _documents_iceberg_dv(spark, sf_dir: str) -> str:
+    """Iceberg v3 table carried through DELETION VECTORS
+    (sources/puffin.py + iceberg.py round 10): snapshot 1 writes
+    documents (2 range files); snapshot 2 DV-deletes ids ≡4 mod 9
+    via explicit pairs (upgrading to format-version 3, Puffin blobs
+    in the Delta-compatible frame); snapshot 3 runs the v3
+    iceberg_delete verb on ids ≡1 mod 6 — executor-built MERGED
+    vectors, superseded entries dropped. Cached per sf_dir."""
+    import os
+
+    from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        tag = f"{tag}-{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        pass
+    out = f"/tmp/iceberg_table_cache/v1/{tag}/documents_dv"
+    done = os.path.join(out, "_FIXTURE_DONE")
+    if not os.path.exists(done):
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        I.write_iceberg_table(
+            docs.repartitionByRange(2, "doc_id")
+            .sortWithinPartitions("doc_id"),
+            out,
+        )
+        pairs = [
+            (r["__if_file"], r["__if_pos"])
+            for r in I.read_iceberg(spark, out, _keep_keys=True)
+            .filter("doc_id % 9 = 4")
+            .select("__if_file", "__if_pos")
+            .collect()
+        ]
+        if pairs:
+            I.add_iceberg_deletion_vectors(out, pairs)
+        # the v3 verb: ids < 40 overlap the mod-9 wave, so file 1's
+        # vector MERGES and its superseded entry is dropped
+        I.iceberg_delete(spark, out, [("doc_id", "<", 40)])
+        open(done, "w").close()
+    return out
+
+
+@register(
+    "q_iceberg_dv",
+    shadow=True,
+    oracle="""
+    SELECT lang, COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents
+    WHERE NOT (doc_id % 9 = 4 OR doc_id < 40)
+    GROUP BY lang
+    """,
+    doc="Iceberg v3 DELETION VECTORS (sources/puffin.py + "
+    "iceberg.py round 10): positions masked by Puffin "
+    "deletion-vector-v1 blobs — Delta-compatible <len BE>"
+    "<RoaringBitmapArray><crc BE> frames addressed straight from "
+    "manifest entries (referenced_data_file/content_offset/"
+    "content_size_in_bytes, spec field ids 143/144/145) — applied "
+    "through the shared _metadata.row_index anti-join. History: "
+    "explicit-pair DV append (v3 upgrade), then the predicate "
+    "iceberg_delete verb whose executor-built vectors MERGE with "
+    "the first wave (superseded entries dropped: at most one DV "
+    "per file). The DuckDB oracle recomputes the surviving set "
+    "from the original parquet.",
+)
+def q_iceberg_dv(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+    out = _documents_iceberg_dv(spark, sf_dir)
+    return I.read_iceberg(spark, out).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

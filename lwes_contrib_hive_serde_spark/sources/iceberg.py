@@ -304,8 +304,9 @@ def _check_v3_features(meta: dict) -> None:
     columns this reader simply does not surface, it never changes
     which rows exist. Features that DO change visible data refuse:
     non-null column DEFAULT VALUES (a NULL-fill read of an old file
-    would be wrong data) — deletion VECTORS (puffin) are caught at
-    manifest-walk time where their entries are visible."""
+    would be wrong data). Deletion VECTORS (puffin) are SUPPORTED
+    (round 10): routed at manifest-walk time into the same
+    (file, pos) anti-join as v2 positional deletes."""
     schemas = meta.get("schemas") or (
         [meta["schema"]] if "schema" in meta else []
     )
@@ -362,19 +363,23 @@ def _pick_snapshot(meta: dict, snapshot_id=None, timestamp_ms=None) -> dict:
 
 def _live_files(
     table_path: str, snap: dict
-) -> tuple[list[dict], list[dict], list[dict]]:
+) -> tuple[list[dict], list[dict], list[dict], list[dict]]:
     """Walk manifest list → manifests → live file entries. Returns
-    (data_files, position_delete_files, equality_delete_files),
-    each a list of dicts with file_path, record_count,
-    file_size_in_bytes — plus ``__seq`` (the file's data sequence
-    number: the entry's own when present, else inherited from the
-    manifest-list entry, else 0 for v1) and, on equality files,
-    ``equality_ids``. Positional deletes (spec "Position Delete
-    Files") apply by (file_path, pos); EQUALITY deletes (spec
-    "Equality Delete Files") apply by value equality on their
-    equality_ids columns against data files with STRICTLY SMALLER
-    sequence numbers — both are routed to read_iceberg, which
-    applies them."""
+    (data_files, position_delete_files, equality_delete_files,
+    deletion_vectors), each a list of dicts with file_path,
+    record_count, file_size_in_bytes — plus ``__seq`` (the file's
+    data sequence number: the entry's own when present, else
+    inherited from the manifest-list entry, else 0 for v1) and, on
+    equality files, ``equality_ids``. Positional deletes (spec
+    "Position Delete Files") apply by (file_path, pos); EQUALITY
+    deletes (spec "Equality Delete Files") apply by value equality
+    on their equality_ids columns against data files with STRICTLY
+    SMALLER sequence numbers; v3 DELETION VECTORS (content=1
+    entries whose file_format is PUFFIN, carrying
+    referenced_data_file + content_offset + content_size_in_bytes,
+    spec field ids 143/144/145) apply by position like positional
+    deletes but live as Puffin blobs — all three are routed to
+    read_iceberg, which applies them."""
     if "manifest-list" in snap:
         # rows are mapped by the embedded writer schema's field NAMES
         # (not positions), so foreign writers' extra fields are fine
@@ -389,6 +394,7 @@ def _live_files(
     files: list[dict] = []
     pos_deletes: list[dict] = []
     eq_deletes: list[dict] = []
+    dvs: list[dict] = []
     for m in manifests:
         mpath = _strip_file_uri(m["manifest_path"])
         is_delete_manifest = m.get("content", 0) == 1
@@ -403,12 +409,33 @@ def _live_files(
             content = df.get("content", 0)
             fmt = (df.get("file_format") or "").upper()
             if fmt == "PUFFIN" or df.get("content_offset") is not None:
-                raise IcebergError(
-                    f"{mpath}: v3 DELETION VECTOR entry (puffin blob "
-                    "at content_offset) — skipping it would resurrect "
-                    "deleted rows; refusing by name (v2 positional/"
-                    "equality delete files are supported)"
+                # v3 deletion vector: a position-delete blob inside
+                # a Puffin file, addressed by (offset, size) right
+                # from the manifest so reads never parse the footer
+                if content != 1:
+                    raise IcebergError(
+                        f"{mpath}: puffin entry with content={content} "
+                        "— only deletion vectors (content=1) live in "
+                        "puffin files"
+                    )
+                if (
+                    not df.get("referenced_data_file")
+                    or df.get("content_offset") is None
+                    or df.get("content_size_in_bytes") is None
+                ):
+                    raise IcebergError(
+                        f"{mpath}: deletion-vector entry missing "
+                        "referenced_data_file/content_offset/"
+                        "content_size_in_bytes"
+                    )
+                df = dict(df)
+                seq = entry.get("sequence_number")
+                df["__seq"] = int(
+                    seq if seq is not None
+                    else (m_seq if m_seq is not None else 0)
                 )
+                dvs.append(df)
+                continue
             if fmt != "PARQUET":
                 raise IcebergError(
                     f"data file format {fmt!r} not supported (PARQUET only)"
@@ -434,7 +461,7 @@ def _live_files(
                 )
             else:
                 files.append(df)
-    return files, pos_deletes, eq_deletes
+    return files, pos_deletes, eq_deletes, dvs
 
 
 def _live_data_files(table_path: str, snap: dict) -> list[dict]:
@@ -442,13 +469,42 @@ def _live_data_files(table_path: str, snap: dict) -> list[dict]:
     snapshot carries delete files (callers that cannot apply
     them — the fixture writer's prior-manifest carry — must not
     silently drop deletes)."""
-    files, pos_del, eq_del = _live_files(table_path, snap)
-    if pos_del or eq_del:
+    files, pos_del, eq_del, dvs = _live_files(table_path, snap)
+    if pos_del or eq_del or dvs:
         raise IcebergError(
             "snapshot carries delete files; this code path cannot "
             "apply them"
         )
     return files
+
+
+def _dv_delete_pairs(dv_entries: list[dict]):
+    """Decode deletion-vector blobs into (data_file_path, pos)
+    lists — the same shape _position_delete_pairs produces, so
+    both delete kinds ride ONE anti-join. Driver-side by design:
+    blob bytes are Roaring-compressed and metadata-adjacent, the
+    same bound as the Delta DV decode."""
+    from lwes_contrib_hive_serde_spark.sources import puffin
+
+    paths, poss = [], []
+    for d in dv_entries:
+        blob = puffin.read_blob(
+            _strip_file_uri(d["file_path"]),
+            int(d["content_offset"]),
+            int(d["content_size_in_bytes"]),
+        )
+        positions = puffin.decode_dv_blob(blob)
+        rc = d.get("record_count")
+        if rc is not None and int(rc) != len(positions):
+            raise IcebergError(
+                f"deletion vector cardinality mismatch for "
+                f"{d['referenced_data_file']}: manifest says {rc}, "
+                f"blob holds {len(positions)}"
+            )
+        ref = _strip_file_uri(d["referenced_data_file"])
+        paths.extend([ref] * len(positions))
+        poss.extend(positions.tolist())
+    return paths, poss
 
 
 def _position_delete_pairs(delete_files: list[dict]):
@@ -557,7 +613,9 @@ def read_iceberg(
     meta = load_table_metadata(path)
     schema = _current_schema(meta)
     snap = _pick_snapshot(meta, snapshot_id, timestamp_ms)
-    files, delete_files, eq_delete_files = _live_files(path, snap)
+    files, delete_files, eq_delete_files, dv_files = _live_files(
+        path, snap
+    )
     if data_filters:
         from lwes_contrib_hive_serde_spark.sources.delta import (
             _file_may_match,
@@ -718,15 +776,24 @@ def read_iceberg(
             *[F.col(f.name).alias(f.name, metadata={}) for f in schema.fields],
             *[F.col(k) for k in keep],
         )
-    if delete_files:
-        # v2 positional deletes: the SAME mechanism as Delta DVs —
-        # (file, position) pairs anti-joined against
-        # _metadata.row_index so the scan stays native. Pairs are
-        # matched by normalized path; real layouts never reuse a
-        # data-file name (UUID filenames), so path identity is the
-        # sequence-number scoping in practice. Pairs for files this
-        # snapshot (or pruning) dropped no-op via the join.
-        dpaths, dposs = _position_delete_pairs(delete_files)
+    if delete_files or dv_files:
+        # v2 positional deletes AND v3 deletion vectors: the SAME
+        # mechanism as Delta DVs — (file, position) pairs
+        # anti-joined against _metadata.row_index so the scan stays
+        # native. Pairs are matched by normalized path; real
+        # layouts never reuse a data-file name (UUID filenames), so
+        # path identity is the sequence-number scoping in practice.
+        # Pairs for files this snapshot (or pruning) dropped no-op
+        # via the join.
+        dpaths, dposs = (
+            _position_delete_pairs(delete_files)
+            if delete_files
+            else ([], [])
+        )
+        if dv_files:
+            vp, vq = _dv_delete_pairs(dv_files)
+            dpaths = list(dpaths) + vp
+            dposs = list(dposs) + vq
         if dpaths:
             import pandas as pd
 
@@ -853,7 +920,7 @@ def iceberg_files(
     delete pairs, not rows."""
     meta = load_table_metadata(path)
     snap = _pick_snapshot(meta, snapshot_id)
-    files, pos_del, eq_del = _live_files(path, snap)
+    files, pos_del, eq_del, dvs = _live_files(path, snap)
     rows = [
         (
             f["file_path"],
@@ -861,7 +928,7 @@ def iceberg_files(
             int(f.get("file_size_in_bytes") or 0),
             c,
         )
-        for fs, c in ((files, 0), (pos_del, 1), (eq_del, 2))
+        for fs, c in ((files, 0), (pos_del, 1), (eq_del, 2), (dvs, 1))
         for f in fs
     ]
     return spark.createDataFrame(
@@ -890,7 +957,7 @@ def iceberg_count(
     effect depends on data values, which metadata cannot know."""
     meta = load_table_metadata(path)
     snap = _pick_snapshot(meta, snapshot_id)
-    files, pos_del, eq_del = _live_files(path, snap)
+    files, pos_del, eq_del, dvs = _live_files(path, snap)
     if eq_del:
         raise IcebergError(
             "equality deletes require value comparison against the "
@@ -898,10 +965,20 @@ def iceberg_count(
             "read_iceberg(...).count()"
         )
     total = sum(int(f["record_count"]) for f in files)
-    if not pos_del:
+    if not pos_del and not dvs:
         return total
     live = {_strip_file_uri(f["file_path"]) for f in files}
-    dpaths, dposs = _position_delete_pairs(pos_del)
+    dpaths, dposs = (
+        _position_delete_pairs(pos_del) if pos_del else ([], [])
+    )
+    if dvs:
+        # the blobs decode anyway (cardinality alone would trust a
+        # possibly-duplicated entry); per-(file, pos) dedup below
+        # keeps the answer exact even if a superseded DV entry is
+        # still live alongside its merged successor
+        vp, vq = _dv_delete_pairs(dvs)
+        dpaths = list(dpaths) + vp
+        dposs = list(dposs) + vq
     seen = {(p, q) for p, q in zip(dpaths, dposs) if p in live}
     return total - len(seen)
 
@@ -1393,7 +1470,13 @@ def add_iceberg_position_deletes(
 
     meta = load_table_metadata(path)
     snap = _pick_snapshot(meta)
-    files, _prior_pos, _prior_eq = _live_files(path, snap)
+    if int(meta.get("format-version") or 1) >= 3:
+        raise IcebergError(
+            "v3 tables must not gain position delete FILES (spec "
+            "'Position Delete Files' are v2-only going forward) — "
+            "use add_iceberg_deletion_vectors / iceberg_delete"
+        )
+    files, _prior_pos, _prior_eq, _prior_dv = _live_files(path, snap)
     live = {_strip_file_uri(f["file_path"]) for f in files}
     for p, _pos in pairs:
         if _strip_file_uri(p) not in live:
@@ -1505,6 +1588,242 @@ def _commit_position_delete_file(
         f.write(str(version))
     os.replace(tmp, os.path.join(mdir, "version-hint.text"))
     return snapshot_id
+
+
+_DV_ENTRY_SCHEMA = StructType(
+    [
+        StructField("status", IntegerType(), False),
+        StructField("snapshot_id", LongType(), True),
+        StructField(
+            "data_file",
+            StructType(
+                [
+                    StructField("content", IntegerType(), False),
+                    StructField("file_path", StringType(), False),
+                    StructField("file_format", StringType(), False),
+                    StructField("record_count", LongType(), False),
+                    StructField("file_size_in_bytes", LongType(), False),
+                    StructField(
+                        "referenced_data_file", StringType(), False
+                    ),
+                    StructField("content_offset", LongType(), False),
+                    StructField(
+                        "content_size_in_bytes", LongType(), False
+                    ),
+                ]
+            ),
+            False,
+        ),
+    ]
+)
+
+_DV_ENTRY_FIELD_IDS = dict(
+    _MANIFEST_ENTRY_FIELD_IDS,
+    **{
+        "data_file.referenced_data_file": 143,
+        "data_file.content_offset": 144,
+        "data_file.content_size_in_bytes": 145,
+    },
+)
+
+
+def _commit_dv_entries(
+    path: str, meta: dict, snap: dict, mdir: str, version: int,
+    dv_rows: list[tuple],
+    superseded: set[str] | None = None,
+) -> int:
+    """Commit deletion-vector manifest entries (spec v3): one
+    DELETE manifest holding every (puffin_path, size, cardinality,
+    referenced_data_file, content_offset, content_size_in_bytes)
+    row, a manifest list carrying the prior manifests, a new
+    snapshot, format-version pinned to 3. Prior DV entries whose
+    referenced file got a NEW (merged) vector are dropped from the
+    carried manifests by rewriting those manifests without them —
+    the spec's at-most-one-DV-per-file invariant."""
+    snapshot_id = int.from_bytes(os.urandom(6), "big")
+    now_ms = int(time.time() * 1000)
+    seq = int(meta.get("last-sequence-number") or 0) + 1
+    manifest = os.path.join(mdir, f"manifest-dv-{snapshot_id}.avro")
+    _write_avro_file(
+        manifest,
+        _DV_ENTRY_SCHEMA,
+        [
+            (1, None,
+             (1, pf, "PUFFIN", int(card), os.path.getsize(pf),
+              ref, int(off), int(size)))
+            for pf, card, ref, off, size in dv_rows
+        ],
+        "manifest_entry",
+        field_ids=_DV_ENTRY_FIELD_IDS,
+    )
+    superseded = superseded or set()
+    prior_manifests = []
+    for m in _manifest_list_entries(_strip_file_uri(snap["manifest-list"])):
+        mp = _strip_file_uri(m["manifest_path"])
+        keep = (
+            mp,
+            int(m["manifest_length"]),
+            int(m.get("partition_spec_id") or 0),
+            int(m.get("content") or 0),
+            m.get("added_snapshot_id"),
+            m.get("sequence_number"),
+        )
+        if superseded and int(m.get("content") or 0) == 1:
+            rows = _named_rows(mp)
+            live = [
+                r for r in rows
+                if not (
+                    (r.get("data_file") or {}).get("content_offset")
+                    is not None
+                    and _strip_file_uri(
+                        (r.get("data_file") or {}).get(
+                            "referenced_data_file"
+                        ) or ""
+                    ) in superseded
+                )
+            ]
+            if len(live) != len(rows):
+                if not live:
+                    continue  # every entry superseded: drop manifest
+                rewritten = os.path.join(
+                    mdir, f"manifest-dv-{snapshot_id}-{uuid.uuid4().hex}.avro"
+                )
+                _write_avro_file(
+                    rewritten,
+                    _DV_ENTRY_SCHEMA,
+                    [
+                        (1, None,
+                         (1, d["file_path"], "PUFFIN",
+                          int(d["record_count"]),
+                          int(d["file_size_in_bytes"]),
+                          d["referenced_data_file"],
+                          int(d["content_offset"]),
+                          int(d["content_size_in_bytes"])))
+                        for r in live
+                        for d in [r["data_file"]]
+                    ],
+                    "manifest_entry",
+                    field_ids=_DV_ENTRY_FIELD_IDS,
+                )
+                keep = (
+                    rewritten, os.path.getsize(rewritten),
+                    int(m.get("partition_spec_id") or 0), 1,
+                    m.get("added_snapshot_id"), m.get("sequence_number"),
+                )
+        prior_manifests.append(keep)
+    ml = os.path.join(mdir, f"snap-{snapshot_id}.avro")
+    _write_avro_file(
+        ml,
+        _MANIFEST_LIST_SCHEMA,
+        prior_manifests
+        + [(manifest, os.path.getsize(manifest), 0, 1, snapshot_id, seq)],
+        "manifest_file",
+        field_ids=_MANIFEST_LIST_FIELD_IDS,
+    )
+    new_snap = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": now_ms,
+        "manifest-list": ml,
+        "summary": {"operation": "delete"},
+    }
+    meta = dict(meta)
+    meta["format-version"] = 3
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now_ms
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshots"] = (meta.get("snapshots") or []) + [new_snap]
+    meta["snapshot-log"] = (meta.get("snapshot-log") or []) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    ]
+    with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    tmp = os.path.join(mdir, f".version-hint.tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(mdir, "version-hint.text"))
+    return snapshot_id
+
+
+def add_iceberg_deletion_vectors(
+    path: str, pairs: list[tuple[str, int]]
+) -> int:
+    """FIXTURE-GRADE v3 deletion-vector appender — the Puffin
+    sibling of add_iceberg_position_deletes: group ``pairs`` of
+    (data_file_path, pos) by file, serialize one deletion-vector-v1
+    blob per file into ONE Puffin file, and commit DELETE-manifest
+    entries addressing each blob by (content_offset,
+    content_size_in_bytes). A file that already carries a DV gets
+    a MERGED vector (union of old and new positions) and the stale
+    entry is dropped from the carried manifests — the spec's
+    at-most-one-DV-per-file invariant. Upgrades the table to
+    format-version 3. Returns the new snapshot id."""
+    fsio.require_local(path, "add_iceberg_deletion_vectors")
+    import numpy as np
+
+    from lwes_contrib_hive_serde_spark.sources import puffin
+
+    meta = load_table_metadata(path)
+    snap = _pick_snapshot(meta)
+    files, prior_pos, _prior_eq, prior_dvs = _live_files(path, snap)
+    if prior_pos:
+        raise IcebergError(
+            "table carries v2 position delete FILES; v3 forbids "
+            "mixing them with deletion vectors — compact first"
+        )
+    live = {_strip_file_uri(f["file_path"]) for f in files}
+    by_file: dict[str, list[int]] = {}
+    for p, q in pairs:
+        sp = _strip_file_uri(str(p))
+        if sp not in live:
+            raise IcebergError(
+                f"deletion vector targets non-live file {p!r}"
+            )
+        by_file.setdefault(sp, []).append(int(q))
+    prior_by_ref = {
+        _strip_file_uri(d["referenced_data_file"]): d for d in prior_dvs
+    }
+    mdir = os.path.join(path, "metadata")
+    ddir = os.path.join(path, "data")
+    os.makedirs(ddir, exist_ok=True)
+    version = int(
+        open(os.path.join(mdir, "version-hint.text")).read().strip()
+    ) + 1
+    blobs, cards, refs = [], [], []
+    superseded: set[str] = set()
+    for ref in sorted(by_file):
+        positions = np.asarray(sorted(set(by_file[ref])), dtype=np.int64)
+        old = prior_by_ref.get(ref)
+        if old is not None:
+            prev = puffin.decode_dv_blob(
+                puffin.read_blob(
+                    _strip_file_uri(old["file_path"]),
+                    int(old["content_offset"]),
+                    int(old["content_size_in_bytes"]),
+                )
+            )
+            positions = np.union1d(prev, positions)
+            superseded.add(ref)
+        blobs.append(
+            {
+                "type": "deletion-vector-v1",
+                "data": puffin.encode_dv_blob(positions),
+                "properties": {
+                    "referenced-data-file": ref,
+                    "cardinality": str(len(positions)),
+                },
+            }
+        )
+        cards.append(len(positions))
+        refs.append(ref)
+    pf = os.path.join(ddir, f"dv-{uuid.uuid4().hex}.puffin")
+    metas = puffin.write_puffin(pf, blobs)
+    dv_rows = [
+        (pf, cards[i], refs[i], metas[i]["offset"], metas[i]["length"])
+        for i in range(len(refs))
+    ]
+    return _commit_dv_entries(
+        path, meta, snap, mdir, version, dv_rows, superseded
+    )
 
 
 from pyspark.sql.types import ArrayType as _ArrayType
@@ -1723,24 +2042,148 @@ def iceberg_rename_column(path: str, old: str, new: str) -> None:
     os.replace(tmp, os.path.join(mdir, "version-hint.text"))
 
 
+def _iceberg_delete_dv(
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    snap: dict,
+    matched: DataFrame,
+) -> dict:
+    """The v3 tail of iceberg_delete: build one MERGED deletion
+    vector per touched data file IN EXECUTORS — groupBy(file) →
+    applyInPandas unions the file's new positions with its
+    existing DV blob (read from shared storage in the task),
+    serializes the Roaring bitmap, and writes a single-blob Puffin
+    file FROM THE TASK. Only (file, puffin_path, offset, length,
+    cardinality, newly) summary rows reach the driver, which
+    commits the manifest entries — the same driver-memory-∝-#files
+    contract as Delta's _build_dvs_distributed."""
+    import pandas as pd
+
+    files, _pos, _eq, prior_dvs = _live_files(path, snap)
+    prior_by_ref = {
+        _strip_file_uri(d["referenced_data_file"]): {
+            "file_path": _strip_file_uri(d["file_path"]),
+            "offset": int(d["content_offset"]),
+            "size": int(d["content_size_in_bytes"]),
+        }
+        for d in prior_dvs
+    }
+    ddir = os.path.join(path, "data")
+    os.makedirs(ddir, exist_ok=True)
+    bc = spark.sparkContext.broadcast(prior_by_ref)
+    ddir_b = ddir
+
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import uuid as _uuid
+
+        import numpy as np
+
+        from lwes_contrib_hive_serde_spark.sources import puffin
+
+        f = pdf["__dv_file"].iloc[0]
+        new = np.unique(pdf["__dv_pos"].to_numpy(np.int64))
+        old = bc.value.get(f)
+        if old is not None:
+            prev = puffin.decode_dv_blob(
+                puffin.read_blob(
+                    old["file_path"], old["offset"], old["size"]
+                )
+            )
+            merged = np.union1d(prev, new)
+            newly = int(len(merged) - len(prev))
+        else:
+            merged, newly = new, int(len(new))
+        pf, off, size = None, 0, 0
+        if newly > 0:
+            pf = os.path.join(
+                ddir_b, f"dv-{_uuid.uuid4().hex}.puffin"
+            )
+            blob = puffin.encode_dv_blob(merged)
+            m = puffin.write_puffin(
+                pf,
+                [
+                    {
+                        "type": "deletion-vector-v1",
+                        "data": blob,
+                        "properties": {
+                            "referenced-data-file": f,
+                            "cardinality": str(len(merged)),
+                        },
+                    }
+                ],
+            )
+            off, size = m[0]["offset"], m[0]["length"]
+        return pd.DataFrame(
+            {
+                "file": [f],
+                "newly": [newly],
+                "cardinality": [int(len(merged))],
+                "puffin": [pf],
+                "offset": [off],
+                "length": [size],
+            }
+        )
+
+    rows = (
+        matched.select(
+            F.col("__if_file").alias("__dv_file"),
+            F.col("__if_pos").alias("__dv_pos"),
+        )
+        .groupBy("__dv_file")
+        .applyInPandas(
+            build,
+            schema="file string, newly long, cardinality long, "
+            "puffin string, offset long, length long",
+        )
+        .collect()
+    )
+    touched = [r for r in rows if r["newly"] > 0]
+    if not touched:
+        return {"rows_deleted": 0, "snapshot_id": None}
+    mdir = os.path.join(path, "metadata")
+    version = int(
+        open(os.path.join(mdir, "version-hint.text")).read().strip()
+    ) + 1
+    dv_rows = [
+        (r["puffin"], int(r["cardinality"]), r["file"],
+         int(r["offset"]), int(r["length"]))
+        for r in touched
+    ]
+    superseded = {
+        r["file"] for r in touched if r["file"] in prior_by_ref
+    }
+    sid = _commit_dv_entries(
+        path, meta, snap, mdir, version, dv_rows, superseded
+    )
+    return {
+        "rows_deleted": int(sum(r["newly"] for r in touched)),
+        "snapshot_id": sid,
+    }
+
+
 def iceberg_delete(
     spark: SparkSession, path: str, where: list[tuple]
 ) -> dict:
     """Predicate-driven MERGE-ON-READ DELETE — the Iceberg sibling
     of delta_delete_dv, completing the third format's DML story:
-    matched rows become v2 POSITIONAL DELETE entries; no data file
-    is rewritten. ``where`` uses read_iceberg's data_filters
-    grammar ((column, op, value), op in = != < <= > >= in
-    isnull isnotnull).
+    matched rows become v2 POSITIONAL DELETE entries on v1/v2
+    tables, and v3 DELETION VECTORS (Puffin blobs) on v3 tables —
+    the spec forbids new position delete files once a table is v3.
+    ``where`` uses read_iceberg's data_filters grammar ((column,
+    op, value), op in = != < <= > >= in isnull isnotnull).
 
     Scale shape (the r10 DV-DML contract): ONE distributed scan
     finds matches — through existing positional/equality deletes
-    (a dead row can never match) and through field-id renames —
-    and the sorted (file_path, pos) delete file is written BY THE
-    CLUSTER (repartition(1) + sortWithinPartitions: the spec wants
-    one file ordered by file/pos; the sort is a shuffle of DELETED
-    pairs only, never the table). The driver reads back only the
-    footer row count for the manifest entry — never the positions.
+    (a dead row can never match) and through field-id renames. On
+    the v2 path the sorted (file_path, pos) delete file is written
+    BY THE CLUSTER (repartition(1) + sortWithinPartitions: the spec
+    wants one file ordered by file/pos; the sort is a shuffle of
+    DELETED pairs only, never the table) and the driver reads back
+    only the footer row count. On the v3 path each matched file's
+    bitmap is built and its Puffin file written IN AN EXECUTOR
+    (groupBy file → applyInPandas, merging any existing DV), so
+    driver memory is bounded by #files, never #deleted rows.
     Returns {"rows_deleted", "snapshot_id" | None}."""
     fsio.require_local(path, "iceberg_delete")
     import pyarrow.parquet as pq
@@ -1765,6 +2208,10 @@ def iceberg_delete(
     df = read_iceberg(spark, path, _keep_keys=True)
     if "__if_file" not in df.columns:
         return {"rows_deleted": 0, "snapshot_id": None}  # empty table
+    if int(meta.get("format-version") or 1) >= 3:
+        return _iceberg_delete_dv(
+            spark, path, meta, snap, _apply_data_filters(df, where)
+        )
     matched = _apply_data_filters(df, where).select(
         F.col("__if_file").cast(_Str()).alias(
             "file_path",

@@ -1,0 +1,170 @@
+"""Puffin file format + Iceberg v3 ``deletion-vector-v1`` blobs.
+
+Implemented from the public specs:
+
+- **Puffin** (iceberg.apache.org/puffin-spec): a statistics/blob
+  container. Layout::
+
+      Magic  "PFA1"
+      <blob bytes, concatenated>
+      Magic  "PFA1"
+      FooterPayload        UTF-8 JSON (optionally LZ4 — refused)
+      FooterPayloadSize    4 bytes LITTLE-endian
+      Flags                4 bytes (bit 0 of byte 0 = payload
+                           compressed)
+      Magic  "PFA1"
+
+  The footer JSON carries ``blobs``: per blob its ``type``,
+  ``fields``, ``snapshot-id``, ``sequence-number``, ``offset``,
+  ``length`` and free-form ``properties``.
+
+- **deletion-vector-v1** (Iceberg table spec v3, "Position Delete
+  Files → Deletion Vectors"): one blob per (data file, snapshot)
+  holding the file's deleted positions. The blob layout was
+  deliberately made BYTE-COMPATIBLE with Delta Lake's deletion
+  vector frame so both formats can share vectors::
+
+      length   4 bytes big-endian   len(magic + vector)
+      magic    D1 33 39 64          (1681511377 little-endian)
+      vector   64-bit RoaringBitmapArray "portable" serialization
+      crc      4 bytes big-endian   CRC-32 of magic + vector
+
+  which is exactly ``<dataSize><data><crc>`` from Delta's DV file
+  format with ``data = RoaringBitmapArray.serialize()`` — so this
+  module delegates the payload to delta_dv.bitmap_array_serialize/
+  _deserialize and only owns the Puffin container. Properties
+  ``referenced-data-file`` and ``cardinality`` ride in the footer
+  blob metadata; the manifest entry carries the same via
+  ``referenced_data_file``/``content_offset``/
+  ``content_size_in_bytes`` (spec field ids 143/144/145).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+
+import numpy as np
+
+from lwes_contrib_hive_serde_spark.sources import delta_dv, fsio
+
+MAGIC = b"PFA1"
+
+
+class PuffinError(ValueError):
+    """Corrupt container or an unsupported feature."""
+
+
+def encode_dv_blob(positions) -> bytes:
+    """One deletion-vector-v1 blob from row positions."""
+    data = delta_dv.bitmap_array_serialize(
+        np.asarray(list(positions) if not isinstance(
+            positions, np.ndarray) else positions, dtype=np.int64)
+    )
+    return (
+        struct.pack(">i", len(data))
+        + data
+        + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+    )
+
+
+def decode_dv_blob(blob: bytes) -> np.ndarray:
+    """deletion-vector-v1 blob → sorted int64 positions, verifying
+    frame length, the Delta-compatible magic (inside the bitmap
+    payload) and the CRC-32."""
+    if len(blob) < 12:
+        raise PuffinError("deletion vector blob shorter than framing")
+    (dlen,) = struct.unpack_from(">i", blob, 0)
+    if dlen < 0 or 4 + dlen + 4 != len(blob):
+        raise PuffinError(
+            f"deletion vector blob length {dlen} inconsistent with "
+            f"{len(blob)} total bytes"
+        )
+    data = blob[4:4 + dlen]
+    (want,) = struct.unpack_from(">I", blob, 4 + dlen)
+    got = zlib.crc32(data) & 0xFFFFFFFF
+    if got != want:
+        raise PuffinError(
+            f"deletion vector CRC mismatch: stored {want:#010x}, "
+            f"computed {got:#010x}"
+        )
+    return delta_dv.bitmap_array_deserialize(data)
+
+
+def write_puffin(path: str, blobs: list[dict]) -> list[dict]:
+    """Write a Puffin file. Each blob dict: ``type`` (str),
+    ``data`` (bytes), optional ``snapshot_id``/``sequence_number``/
+    ``properties``. Returns the footer's per-blob metadata —
+    offset/length included — for the caller's manifest entries."""
+    metas = []
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        off = len(MAGIC)
+        for b in blobs:
+            data = b["data"]
+            metas.append(
+                {
+                    "type": b["type"],
+                    "fields": list(b.get("fields") or []),
+                    "snapshot-id": int(b.get("snapshot_id") or 0),
+                    "sequence-number": int(b.get("sequence_number") or 0),
+                    "offset": off,
+                    "length": len(data),
+                    "properties": dict(b.get("properties") or {}),
+                }
+            )
+            f.write(data)
+            off += len(data)
+        payload = json.dumps(
+            {"blobs": metas, "properties": {"created-by": "lwes-spark"}}
+        ).encode("utf-8")
+        f.write(MAGIC)
+        f.write(payload)
+        f.write(struct.pack("<i", len(payload)))
+        f.write(b"\x00\x00\x00\x00")  # flags: uncompressed footer
+        f.write(MAGIC)
+    return metas
+
+
+def read_footer(path: str) -> dict:
+    """Parse and validate a Puffin footer → the payload JSON."""
+    data = fsio.read_bytes(path)
+    if len(data) < 4 + 4 + 4 + 4 + 4 or data[:4] != MAGIC:
+        raise PuffinError(f"{path}: not a Puffin file (bad header magic)")
+    if data[-4:] != MAGIC:
+        raise PuffinError(f"{path}: bad trailing footer magic")
+    flags = data[-8:-4]
+    if flags[0] & 1:
+        raise PuffinError(
+            f"{path}: LZ4-compressed footer payload not supported"
+        )
+    if any(flags) and not (flags[0] & 1):
+        raise PuffinError(f"{path}: unknown footer flags {flags.hex()}")
+    (psize,) = struct.unpack("<i", data[-12:-8])
+    if psize < 0 or len(data) < psize + 24:
+        raise PuffinError(f"{path}: implausible footer payload size {psize}")
+    payload = data[-12 - psize:-12]
+    if data[-12 - psize - 4:-12 - psize] != MAGIC:
+        raise PuffinError(f"{path}: bad footer-start magic")
+    try:
+        doc = json.loads(payload.decode("utf-8"))
+    except (UnicodeDecodeError, json.JSONDecodeError) as e:
+        raise PuffinError(f"{path}: footer payload is not JSON: {e}")
+    if not isinstance(doc.get("blobs"), list):
+        raise PuffinError(f"{path}: footer payload lacks a blobs list")
+    return doc
+
+
+def read_blob(path: str, offset: int, length: int) -> bytes:
+    """One blob's bytes by (offset, length) — what manifest entries
+    carry, so DV reads never parse the footer."""
+    with fsio.open_read(path) as f:
+        f.seek(int(offset))
+        data = f.read(int(length))
+    if len(data) != length:
+        raise PuffinError(
+            f"{path}: blob at {offset} truncated "
+            f"({len(data)} of {length} bytes)"
+        )
+    return data

@@ -809,22 +809,17 @@ class TestV3Groundwork:
         with pytest.raises(I.IcebergError, match="initial-default"):
             I.read_iceberg(spark, p)
 
-    def test_puffin_deletion_vectors_refuse_by_name(
-        self, spark, tmp_path
-    ):
+    def test_malformed_dv_entry_refuses(self, spark, tmp_path):
+        # a PUFFIN-format entry missing its addressing fields must
+        # refuse, not silently drop (which would resurrect rows)
         p = str(tmp_path / "t")
         I.write_iceberg_table(_docs(spark, 6).coalesce(1), p)
         files = I._live_files(
             p, I._pick_snapshot(I.load_table_metadata(p))
         )[0]
         fp = I._strip_file_uri(files[0]["file_path"])
-        # a v2-style positional delete, then rewrite its manifest
-        # entry into a v3 puffin DV shape
         I.add_iceberg_position_deletes(p, [(fp, 0)])
         self._upgrade_to_v3(p)
-        # patch the delete manifest's avro is heavy; instead patch
-        # via the entry dict at walk time using the PUBLIC shape:
-        # simulate by checking the walker directly
         meta = I.load_table_metadata(p)
         snap = I._pick_snapshot(meta)
         import unittest.mock as mock
@@ -841,14 +836,140 @@ class TestV3Groundwork:
                         d = dict(d)
                         d["file_format"] = "PUFFIN"
                         d["content_offset"] = 4
+                        # no referenced_data_file / content_size
                         r = dict(r)
                         r["data_file"] = d
                     out.append(r)
                 return out
 
             m.side_effect = impl
-            with pytest.raises(I.IcebergError, match="DELETION VECTOR"):
+            with pytest.raises(I.IcebergError, match="missing"):
                 I._live_files(p, snap)
+
+
+class TestDeletionVectors:
+    """Iceberg v3 deletion vectors (sources/puffin.py + the v3
+    routing): Puffin container, Delta-compatible blob framing,
+    merged re-deletes, the v3 iceberg_delete path."""
+
+    def _table(self, spark, tmp_path, n=10, parts=1):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, n).repartition(parts), p)
+        return p
+
+    def _first_file(self, p):
+        files = I._live_files(
+            p, I._pick_snapshot(I.load_table_metadata(p))
+        )[0]
+        return I._strip_file_uri(files[0]["file_path"])
+
+    def test_puffin_container_round_trip(self, tmp_path):
+        from lwes_contrib_hive_serde_spark.sources import puffin as P
+
+        pf = str(tmp_path / "x.puffin")
+        b1 = P.encode_dv_blob([1, 5, 9])
+        b2 = P.encode_dv_blob([0, 2**33 + 7])
+        metas = P.write_puffin(
+            pf,
+            [
+                {"type": "deletion-vector-v1", "data": b1,
+                 "properties": {"referenced-data-file": "a"}},
+                {"type": "deletion-vector-v1", "data": b2,
+                 "properties": {"referenced-data-file": "b"}},
+            ],
+        )
+        doc = P.read_footer(pf)
+        assert [b["properties"]["referenced-data-file"]
+                for b in doc["blobs"]] == ["a", "b"]
+        for m, want in zip(metas, ([1, 5, 9], [0, 2**33 + 7])):
+            got = P.decode_dv_blob(
+                P.read_blob(pf, m["offset"], m["length"])
+            )
+            assert got.tolist() == want
+        # corrupt CRC refuses
+        raw = bytearray(P.read_blob(pf, metas[0]["offset"],
+                                    metas[0]["length"]))
+        raw[-1] ^= 0xFF
+        with pytest.raises(P.PuffinError, match="CRC"):
+            P.decode_dv_blob(bytes(raw))
+
+    def test_dv_blob_is_delta_frame_compatible(self):
+        # the v3 blob IS Delta's <size BE><RoaringBitmapArray><crc BE>
+        import struct as _s
+        import zlib as _z
+
+        from lwes_contrib_hive_serde_spark.sources import (
+            delta_dv as DV,
+            puffin as P,
+        )
+
+        blob = P.encode_dv_blob([3, 4, 70000])
+        (dlen,) = _s.unpack_from(">i", blob, 0)
+        data = blob[4:4 + dlen]
+        assert data == DV.bitmap_array_serialize([3, 4, 70000])
+        (crc,) = _s.unpack_from(">I", blob, 4 + dlen)
+        assert crc == _z.crc32(data) & 0xFFFFFFFF
+
+    def test_read_count_travel_and_merge(self, spark, tmp_path):
+        p = self._table(spark, tmp_path)
+        fp = self._first_file(p)
+        sid = I.add_iceberg_deletion_vectors(p, [(fp, 0), (fp, 3)])
+        got = sorted(r.doc_id for r in I.read_iceberg(spark, p).collect())
+        assert got == [1, 2, 4, 5, 6, 7, 8, 9]
+        assert I.iceberg_count(p) == 8
+        assert I.load_table_metadata(p)["format-version"] == 3
+        # merged re-delete: union, superseded entry dropped
+        I.add_iceberg_deletion_vectors(p, [(fp, 1), (fp, 3)])
+        assert I.iceberg_count(p) == 7
+        dvs = I._live_files(
+            p, I._pick_snapshot(I.load_table_metadata(p))
+        )[3]
+        assert len(dvs) == 1  # at most one DV per file
+        # time travel to the first DV snapshot
+        assert I.read_iceberg(spark, p, snapshot_id=sid).count() == 8
+
+    def test_v2_position_files_refused_on_v3(self, spark, tmp_path):
+        p = self._table(spark, tmp_path)
+        fp = self._first_file(p)
+        I.add_iceberg_deletion_vectors(p, [(fp, 0)])
+        with pytest.raises(I.IcebergError, match="v3"):
+            I.add_iceberg_position_deletes(p, [(fp, 1)])
+
+    def test_delete_verb_writes_dvs_on_v3(self, spark, tmp_path):
+        import glob
+        import os as _os
+
+        p = self._table(spark, tmp_path, n=20, parts=2)
+        fp = self._first_file(p)
+        I.add_iceberg_deletion_vectors(p, [(fp, 0)])
+        r = I.iceberg_delete(spark, p, [("doc_id", "<", 5)])
+        assert r["rows_deleted"] > 0
+        got = sorted(x.doc_id for x in I.read_iceberg(spark, p).collect())
+        assert got == list(range(5, 20))
+        # no v2 delete parquet was written; puffin files were
+        assert not glob.glob(_os.path.join(p, "data", "delete-*.parquet"))
+        assert glob.glob(_os.path.join(p, "data", "dv-*.puffin"))
+        # deleting already-dead rows counts only the newly dead
+        r2 = I.iceberg_delete(spark, p, [("doc_id", "<", 7)])
+        assert r2["rows_deleted"] == 2
+        assert I.iceberg_count(p) == 13
+        # per-file DV uniqueness survives the merge
+        dvs = I._live_files(
+            p, I._pick_snapshot(I.load_table_metadata(p))
+        )[3]
+        refs = [d["referenced_data_file"] for d in dvs]
+        assert len(refs) == len(set(refs))
+
+    def test_dv_cardinality_mismatch_refuses(self, spark, tmp_path):
+        p = self._table(spark, tmp_path, n=6)
+        fp = self._first_file(p)
+        I.add_iceberg_deletion_vectors(p, [(fp, 0)])
+        meta = I.load_table_metadata(p)
+        snap = I._pick_snapshot(meta)
+        dvs = I._live_files(p, snap)[3]
+        d = dict(dvs[0], record_count=99)
+        with pytest.raises(I.IcebergError, match="cardinality"):
+            I._dv_delete_pairs([d])
 
 
 class TestIcebergDeleteVerb:
