@@ -10507,3 +10507,101 @@ def q_iceberg_dv(spark, sf_dir):
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+def _documents_iceberg_upmrg(spark, sf_dir: str) -> str:
+    """Iceberg table carried through the v3 DML triad's UPDATE and
+    MERGE (sources/iceberg.py round 10): snapshot 1 writes
+    documents; snapshot 2 UPDATEs ids < 60 ('UPD:' prefix,
+    n_chars += 500) — matched rows masked by executor-built
+    deletion vectors, updated images in new data files, ONE
+    commit; snapshot 3 MERGEs a CDC batch that re-sources ids
+    ≡0 mod 12 ('MRG:' prefix) and inserts 10 shifted copies of
+    doc_id < 10. Cached per sf_dir."""
+    import os
+
+    from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        tag = f"{tag}-{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        pass
+    out = f"/tmp/iceberg_table_cache/v1/{tag}/documents_upmrg"
+    done = os.path.join(out, "_FIXTURE_DONE")
+    if not os.path.exists(done):
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        I.write_iceberg_table(
+            docs.repartitionByRange(3, "doc_id")
+            .sortWithinPartitions("doc_id"),
+            out,
+        )
+        I.iceberg_update(
+            spark, out, [("doc_id", "<", 60)],
+            {"text": "concat('UPD:', text)", "n_chars": "n_chars + 500"},
+        )
+        src = (
+            docs.where("doc_id % 12 = 0")
+            .withColumn("text", F.concat(F.lit("MRG:"), F.col("text")))
+        ).unionByName(
+            docs.where("doc_id < 10").withColumn(
+                "doc_id", F.col("doc_id") + 900000
+            )
+        )
+        I.iceberg_merge(spark, out, src, on=["doc_id"])
+        open(done, "w").close()
+    return out
+
+
+@register(
+    "q_iceberg_update_merge",
+    shadow=True,
+    oracle="""
+    WITH upd AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id < 60 THEN 'UPD:' || text
+                  ELSE text END AS text,
+             CASE WHEN doc_id < 60 THEN n_chars + 500
+                  ELSE n_chars END AS n_chars
+      FROM documents
+    ), final AS (
+      SELECT u.doc_id, u.lang,
+             CASE WHEN u.doc_id % 12 = 0 THEN 'MRG:' || d.text
+                  ELSE u.text END AS text,
+             CASE WHEN u.doc_id % 12 = 0 THEN d.n_chars
+                  ELSE u.n_chars END AS n_chars
+      FROM upd u JOIN documents d USING (doc_id)
+      UNION ALL
+      SELECT doc_id + 900000 AS doc_id, lang, text, n_chars
+      FROM documents WHERE doc_id < 10
+    )
+    SELECT lang, COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM final GROUP BY lang
+    """,
+    doc="Iceberg v3 UPDATE + MERGE (iceberg_update / iceberg_merge, "
+    "round 10): matched rows masked by executor-built Puffin "
+    "deletion vectors, replacement/inserted images in new data "
+    "files, ONE snapshot per verb, no file rewritten — the Delta "
+    "DV-DML triad on the third format. The MERGE replaces "
+    "already-UPDATEd rows, so its vectors must mask rows living in "
+    "the UPDATE's replacement files (vector merging + superseded-"
+    "entry drop both on the hot path). The DuckDB oracle "
+    "recomputes the final state from the original parquet.",
+)
+def q_iceberg_update_merge(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+    out = _documents_iceberg_upmrg(spark, sf_dir)
+    return I.read_iceberg(spark, out).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

@@ -1198,7 +1198,125 @@ def write_iceberg_table(
                 f"for {partition_by}"
             )
 
-    # 1. data files (staged, then published into data/)
+    entries = _stage_data_files(df, path, partition_by, types)
+
+    snapshot_id = int.from_bytes(os.urandom(6), "big")
+    now_ms = int(time.time() * 1000)
+
+    # 2. one manifest for this snapshot's added files
+    manifest = os.path.join(mdir, f"manifest-{snapshot_id}.avro")
+    entry_schema = _manifest_entry_schema(
+        [(c, types[c]) for c in partition_by], bounds=True
+    )
+    entry_ids = dict(_MANIFEST_ENTRY_FIELD_IDS)
+    for k, c in enumerate(partition_by):
+        entry_ids[f"data_file.partition.{c}"] = 1000 + k
+    _write_avro_file(
+        manifest, entry_schema, entries, "manifest_entry",
+        field_ids=entry_ids,
+    )
+
+    # 3. manifest list = prior snapshot's manifests + this one
+    prior_manifests: list[tuple] = []
+    if existing is not None:
+        prev = _pick_snapshot(existing)
+        for m in _manifest_list_entries(
+            _strip_file_uri(prev["manifest-list"])
+        ):
+            prior_manifests.append(
+                (
+                    m["manifest_path"],
+                    int(m["manifest_length"]),
+                    int(m.get("partition_spec_id") or 0),
+                    int(m.get("content") or 0),
+                    m.get("added_snapshot_id"),
+                    m.get("sequence_number"),
+                )
+            )
+    ml = os.path.join(mdir, f"snap-{snapshot_id}.avro")
+    seq = (
+        int(existing.get("last-sequence-number") or 0) + 1
+        if existing is not None
+        else 1
+    )
+    rows = prior_manifests + [
+        (manifest, os.path.getsize(manifest), 0, 0, snapshot_id, seq)
+    ]
+    _write_avro_file(ml, _MANIFEST_LIST_SCHEMA, rows, "manifest_file",
+                     field_ids=_MANIFEST_LIST_FIELD_IDS)
+
+    # 4. metadata.json
+    fields = []
+    for i, f in enumerate(df.schema.fields, start=1):
+        fields.append(
+            {
+                "id": i,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": _spark_to_iceberg_type(f.dataType),
+            }
+        )
+    part_spec_fields = [
+        {
+            "name": c,
+            "transform": "identity",
+            "source-id": [f.name for f in df.schema.fields].index(c) + 1,
+            "field-id": 1000 + i,
+        }
+        for i, c in enumerate(partition_by)
+    ]
+    snap = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": now_ms,
+        "manifest-list": ml,
+        "summary": {"operation": "append"},
+    }
+    snapshots = (existing.get("snapshots") if existing else []) or []
+    snaplog = (existing.get("snapshot-log") if existing else []) or []
+    meta = {
+        "format-version": (
+            int(existing.get("format-version") or 1) if existing else 1
+        ),
+        "table-uuid": (
+            existing["table-uuid"] if existing else str(uuid.uuid4())
+        ),
+        "location": path,
+        "last-updated-ms": now_ms,
+        "last-sequence-number": seq,
+        "last-column-id": len(fields),
+        "schema": {"type": "struct", "fields": fields},
+        "partition-spec": part_spec_fields,
+        "partition-specs": [{"spec-id": 0, "fields": part_spec_fields}],
+        "default-spec-id": 0,
+        "properties": {},
+        "current-snapshot-id": snapshot_id,
+        "snapshots": snapshots + [snap],
+        "snapshot-log": snaplog
+        + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}],
+    }
+    with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    tmp = os.path.join(mdir, f".version-hint.tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(mdir, "version-hint.text"))
+    return snapshot_id
+
+
+def _stage_data_files(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    types: dict,
+) -> list[tuple]:
+    """Stage ``df`` as published parquet data files under
+    ``<path>/data`` and return manifest-entry tuples (WITH a
+    partition tuple when ``partition_by`` is set, without
+    otherwise) — the data-file half of write_iceberg_table,
+    factored out so UPDATE/MERGE can append replacement files
+    inside their own commits."""
+    ddir = os.path.join(path, "data")
+    os.makedirs(ddir, exist_ok=True)
     import urllib.parse
 
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
@@ -1324,108 +1442,7 @@ def write_iceberg_table(
                       lower, upper))
                 )
     shutil.rmtree(staging, ignore_errors=True)
-
-    snapshot_id = int.from_bytes(os.urandom(6), "big")
-    now_ms = int(time.time() * 1000)
-
-    # 2. one manifest for this snapshot's added files
-    manifest = os.path.join(mdir, f"manifest-{snapshot_id}.avro")
-    entry_schema = _manifest_entry_schema(
-        [(c, types[c]) for c in partition_by], bounds=True
-    )
-    entry_ids = dict(_MANIFEST_ENTRY_FIELD_IDS)
-    for k, c in enumerate(partition_by):
-        entry_ids[f"data_file.partition.{c}"] = 1000 + k
-    _write_avro_file(
-        manifest, entry_schema, entries, "manifest_entry",
-        field_ids=entry_ids,
-    )
-
-    # 3. manifest list = prior snapshot's manifests + this one
-    prior_manifests: list[tuple] = []
-    if existing is not None:
-        prev = _pick_snapshot(existing)
-        for m in _manifest_list_entries(
-            _strip_file_uri(prev["manifest-list"])
-        ):
-            prior_manifests.append(
-                (
-                    m["manifest_path"],
-                    int(m["manifest_length"]),
-                    int(m.get("partition_spec_id") or 0),
-                    int(m.get("content") or 0),
-                    m.get("added_snapshot_id"),
-                    m.get("sequence_number"),
-                )
-            )
-    ml = os.path.join(mdir, f"snap-{snapshot_id}.avro")
-    seq = (
-        int(existing.get("last-sequence-number") or 0) + 1
-        if existing is not None
-        else 1
-    )
-    rows = prior_manifests + [
-        (manifest, os.path.getsize(manifest), 0, 0, snapshot_id, seq)
-    ]
-    _write_avro_file(ml, _MANIFEST_LIST_SCHEMA, rows, "manifest_file",
-                     field_ids=_MANIFEST_LIST_FIELD_IDS)
-
-    # 4. metadata.json
-    fields = []
-    for i, f in enumerate(df.schema.fields, start=1):
-        fields.append(
-            {
-                "id": i,
-                "name": f.name,
-                "required": not f.nullable,
-                "type": _spark_to_iceberg_type(f.dataType),
-            }
-        )
-    part_spec_fields = [
-        {
-            "name": c,
-            "transform": "identity",
-            "source-id": [f.name for f in df.schema.fields].index(c) + 1,
-            "field-id": 1000 + i,
-        }
-        for i, c in enumerate(partition_by)
-    ]
-    snap = {
-        "snapshot-id": snapshot_id,
-        "timestamp-ms": now_ms,
-        "manifest-list": ml,
-        "summary": {"operation": "append"},
-    }
-    snapshots = (existing.get("snapshots") if existing else []) or []
-    snaplog = (existing.get("snapshot-log") if existing else []) or []
-    meta = {
-        "format-version": (
-            int(existing.get("format-version") or 1) if existing else 1
-        ),
-        "table-uuid": (
-            existing["table-uuid"] if existing else str(uuid.uuid4())
-        ),
-        "location": path,
-        "last-updated-ms": now_ms,
-        "last-sequence-number": seq,
-        "last-column-id": len(fields),
-        "schema": {"type": "struct", "fields": fields},
-        "partition-spec": part_spec_fields,
-        "partition-specs": [{"spec-id": 0, "fields": part_spec_fields}],
-        "default-spec-id": 0,
-        "properties": {},
-        "current-snapshot-id": snapshot_id,
-        "snapshots": snapshots + [snap],
-        "snapshot-log": snaplog
-        + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}],
-    }
-    with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
-        json.dump(meta, f)
-    tmp = os.path.join(mdir, f".version-hint.tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, os.path.join(mdir, "version-hint.text"))
-    return snapshot_id
+    return entries
 
 
 _DELETE_ENTRY_SCHEMA = StructType(
@@ -1631,6 +1648,8 @@ def _commit_dv_entries(
     path: str, meta: dict, snap: dict, mdir: str, version: int,
     dv_rows: list[tuple],
     superseded: set[str] | None = None,
+    data_manifest: str | None = None,
+    operation: str = "delete",
 ) -> int:
     """Commit deletion-vector manifest entries (spec v3): one
     DELETE manifest holding every (puffin_path, size, cardinality,
@@ -1712,11 +1731,20 @@ def _commit_dv_entries(
                 )
         prior_manifests.append(keep)
     ml = os.path.join(mdir, f"snap-{snapshot_id}.avro")
+    new_rows = [
+        (manifest, os.path.getsize(manifest), 0, 1, snapshot_id, seq)
+    ]
+    if data_manifest is not None:
+        # UPDATE/MERGE: replacement/inserted rows ride a DATA
+        # manifest in the SAME snapshot as the masking vectors
+        new_rows.append(
+            (data_manifest, os.path.getsize(data_manifest), 0, 0,
+             snapshot_id, seq)
+        )
     _write_avro_file(
         ml,
         _MANIFEST_LIST_SCHEMA,
-        prior_manifests
-        + [(manifest, os.path.getsize(manifest), 0, 1, snapshot_id, seq)],
+        prior_manifests + new_rows,
         "manifest_file",
         field_ids=_MANIFEST_LIST_FIELD_IDS,
     )
@@ -1724,7 +1752,7 @@ def _commit_dv_entries(
         "snapshot-id": snapshot_id,
         "timestamp-ms": now_ms,
         "manifest-list": ml,
-        "summary": {"operation": "delete"},
+        "summary": {"operation": operation},
     }
     meta = dict(meta)
     meta["format-version"] = 3
@@ -2042,26 +2070,9 @@ def iceberg_rename_column(path: str, old: str, new: str) -> None:
     os.replace(tmp, os.path.join(mdir, "version-hint.text"))
 
 
-def _iceberg_delete_dv(
-    spark: SparkSession,
-    path: str,
-    meta: dict,
-    snap: dict,
-    matched: DataFrame,
-) -> dict:
-    """The v3 tail of iceberg_delete: build one MERGED deletion
-    vector per touched data file IN EXECUTORS — groupBy(file) →
-    applyInPandas unions the file's new positions with its
-    existing DV blob (read from shared storage in the task),
-    serializes the Roaring bitmap, and writes a single-blob Puffin
-    file FROM THE TASK. Only (file, puffin_path, offset, length,
-    cardinality, newly) summary rows reach the driver, which
-    commits the manifest entries — the same driver-memory-∝-#files
-    contract as Delta's _build_dvs_distributed."""
-    import pandas as pd
-
-    files, _pos, _eq, prior_dvs = _live_files(path, snap)
-    prior_by_ref = {
+def _prior_dvs_by_ref(path: str, snap: dict) -> dict:
+    _files, _pos, _eq, prior_dvs = _live_files(path, snap)
+    return {
         _strip_file_uri(d["referenced_data_file"]): {
             "file_path": _strip_file_uri(d["file_path"]),
             "offset": int(d["content_offset"]),
@@ -2069,6 +2080,25 @@ def _iceberg_delete_dv(
         }
         for d in prior_dvs
     }
+
+
+def _build_iceberg_dvs(
+    spark: SparkSession,
+    path: str,
+    prior_by_ref: dict,
+    matched: DataFrame,
+) -> list:
+    """Build one MERGED deletion vector per touched data file IN
+    EXECUTORS — groupBy(file) → applyInPandas unions the file's new
+    positions with its existing DV blob (read from shared storage
+    in the task), serializes the Roaring bitmap, and writes a
+    single-blob Puffin file FROM THE TASK. Only (file, puffin_path,
+    offset, length, cardinality, newly) summary rows reach the
+    driver — the same driver-memory-∝-#files contract as Delta's
+    _build_dvs_distributed. ``matched`` must carry __if_file /
+    __if_pos."""
+    import pandas as pd
+
     ddir = os.path.join(path, "data")
     os.makedirs(ddir, exist_ok=True)
     bc = spark.sparkContext.broadcast(prior_by_ref)
@@ -2138,7 +2168,20 @@ def _iceberg_delete_dv(
         )
         .collect()
     )
-    touched = [r for r in rows if r["newly"] > 0]
+    return [r for r in rows if r["newly"] > 0]
+
+
+def _iceberg_delete_dv(
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    snap: dict,
+    matched: DataFrame,
+) -> dict:
+    """The v3 tail of iceberg_delete: executor-built merged vectors
+    (_build_iceberg_dvs), then one DV-manifest commit."""
+    prior_by_ref = _prior_dvs_by_ref(path, snap)
+    touched = _build_iceberg_dvs(spark, path, prior_by_ref, matched)
     if not touched:
         return {"rows_deleted": 0, "snapshot_id": None}
     mdir = os.path.join(path, "metadata")
@@ -2255,3 +2298,182 @@ def iceberg_delete(
         path, meta, snap, mdir, version, del_path, n_pairs
     )
     return {"rows_deleted": int(n_pairs), "snapshot_id": sid}
+
+
+def _write_data_manifest(
+    mdir: str, entries: list[tuple], partition_by: list[str],
+    types: dict,
+) -> str:
+    """One content=0 manifest for freshly staged data files — the
+    manifest half of write_iceberg_table's append, shared with
+    UPDATE/MERGE commits."""
+    manifest = os.path.join(mdir, f"manifest-{uuid.uuid4().hex}.avro")
+    entry_schema = _manifest_entry_schema(
+        [(c, types[c]) for c in partition_by], bounds=True
+    )
+    entry_ids = dict(_MANIFEST_ENTRY_FIELD_IDS)
+    for k, c in enumerate(partition_by):
+        entry_ids[f"data_file.partition.{c}"] = 1000 + k
+    _write_avro_file(
+        manifest, entry_schema, entries, "manifest_entry",
+        field_ids=entry_ids,
+    )
+    return manifest
+
+
+def _iceberg_dv_dml_commit(
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    snap: dict,
+    masked: DataFrame,
+    replacements: DataFrame,
+    operation: str,
+) -> tuple[int | None, int, int]:
+    """Shared UPDATE/MERGE tail: executor-built merged vectors for
+    ``masked`` (__if_file/__if_pos), replacement/inserted rows
+    staged as new data files, BOTH committed in one snapshot
+    (format-version 3). Returns (snapshot_id | None, rows_masked,
+    rows_added)."""
+    prior_by_ref = _prior_dvs_by_ref(path, snap)
+    touched = _build_iceberg_dvs(spark, path, prior_by_ref, masked)
+    schema = _current_schema(meta)
+    types = {f.name: f.dataType for f in schema.fields}
+    partition_by = [n for n, _t in _identity_partition_fields(meta)]
+    entries = _stage_data_files(
+        replacements.select(*[f.name for f in schema.fields]),
+        path, partition_by, types,
+    )
+    rows_added = sum(
+        int(e[2][3] if partition_by else e[2][2]) for e in entries
+    )
+    if not touched and not rows_added:
+        return None, 0, 0
+    mdir = os.path.join(path, "metadata")
+    version = int(
+        open(os.path.join(mdir, "version-hint.text")).read().strip()
+    ) + 1
+    manifest = _write_data_manifest(mdir, entries, partition_by, types)
+    dv_rows = [
+        (r["puffin"], int(r["cardinality"]), r["file"],
+         int(r["offset"]), int(r["length"]))
+        for r in touched
+    ]
+    superseded = {
+        r["file"] for r in touched if r["file"] in prior_by_ref
+    }
+    sid = _commit_dv_entries(
+        path, meta, snap, mdir, version, dv_rows, superseded,
+        data_manifest=manifest, operation=operation,
+    )
+    return sid, int(sum(r["newly"] for r in touched)), rows_added
+
+
+def iceberg_update(
+    spark: SparkSession,
+    path: str,
+    where: list[tuple],
+    set_exprs: dict[str, str],
+) -> dict:
+    """Predicate-driven MERGE-ON-READ UPDATE — iceberg_delete's
+    sibling, upgrading the table to v3: matched rows are masked by
+    executor-built deletion vectors and their updated images ride
+    new data files in the SAME snapshot, so no existing file is
+    rewritten (write amplification ∝ matched rows). ``where`` is
+    the data_filters grammar; ``set_exprs`` maps column → SQL
+    expression over the old row (the delta_update contract).
+    Returns {"rows_updated", "snapshot_id" | None}."""
+    fsio.require_local(path, "iceberg_update")
+    from lwes_contrib_hive_serde_spark.sources.delta import (
+        _apply_data_filters,
+    )
+
+    meta = load_table_metadata(path)
+    snap = _pick_snapshot(meta)
+    schema = _current_schema(meta)
+    names = {f.name for f in schema.fields}
+    for c in set_exprs:
+        if c not in names:
+            raise IcebergError(f"SET column {c!r} not in schema")
+    df = read_iceberg(spark, path, _keep_keys=True)
+    if "__if_file" not in df.columns:
+        return {"rows_updated": 0, "snapshot_id": None}
+    matched = _apply_data_filters(df, where)
+    replacements = matched.select(
+        *[
+            (
+                F.expr(set_exprs[f.name]).cast(f.dataType)
+                if f.name in set_exprs
+                else F.col(f.name)
+            ).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+    sid, masked, _added = _iceberg_dv_dml_commit(
+        spark, path, meta, snap, matched, replacements, "overwrite"
+    )
+    return {"rows_updated": masked, "snapshot_id": sid}
+
+
+def iceberg_merge(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: list[str],
+) -> dict:
+    """MERGE (upsert) INTO an Iceberg table — the delta_merge_dv
+    shape on the third format: target rows matching a source key
+    are masked by executor-built deletion vectors and replaced by
+    their source images; unmatched source rows are appended — ONE
+    snapshot, no file rewritten. Duplicate keys in ``source``
+    refuse (a target row would have two replacement candidates).
+    Returns {"rows_updated", "rows_inserted", "snapshot_id" |
+    None}."""
+    fsio.require_local(path, "iceberg_merge")
+    meta = load_table_metadata(path)
+    snap = _pick_snapshot(meta)
+    schema = _current_schema(meta)
+    names = [f.name for f in schema.fields]
+    for c in on:
+        if c not in names:
+            raise IcebergError(f"merge key {c!r} not in table schema")
+    missing = [c for c in names if c not in source.columns]
+    if missing:
+        raise IcebergError(f"source lacks table columns {missing}")
+    if source.groupBy(*on).count().filter("count > 1").limit(1).count():
+        raise IcebergError(
+            "source has duplicate merge keys — each matched target "
+            "row needs exactly one replacement image"
+        )
+    df = read_iceberg(spark, path, _keep_keys=True)
+    if "__if_file" not in df.columns:
+        return {
+            "rows_updated": 0, "rows_inserted": 0, "snapshot_id": None
+        }
+    src = source.select(
+        *[F.col(c).cast(schema[c].dataType).alias(f"__src_{c}")
+          for c in names]
+    )
+    # join strategy stays Spark's call (AQE broadcasts a small
+    # source at runtime); the shuffle is bounded by |source| + the
+    # matched rows, never a rewrite of the table
+    cond = [df[c] == src[f"__src_{c}"] for c in on]
+    joined = df.join(src, cond, "inner")
+    matched = joined.select("__if_file", "__if_pos")
+    replacements = joined.select(
+        *[F.col(f"__src_{c}").alias(c) for c in names]
+    )
+    inserts = src.join(
+        df.select(*[F.col(c) for c in on]).distinct(),
+        [src[f"__src_{c}"] == F.col(c) for c in on],
+        "left_anti",
+    ).select(*[F.col(f"__src_{c}").alias(c) for c in names])
+    sid, masked, added = _iceberg_dv_dml_commit(
+        spark, path, meta, snap, matched,
+        replacements.unionByName(inserts), "overwrite",
+    )
+    return {
+        "rows_updated": masked,
+        "rows_inserted": added - masked,
+        "snapshot_id": sid,
+    }

@@ -1055,3 +1055,97 @@ class TestIcebergDeleteVerb:
         assert counts[12] <= counts[2] + 1, (
             f"iceberg_delete jobs grew with file count: {counts}"
         )
+
+
+class TestUpdateMerge:
+    """iceberg_update / iceberg_merge (round 10): DV-mask +
+    replacement data files in ONE snapshot — the delta DV-DML triad
+    on the third format."""
+
+    def _table(self, spark, tmp_path, n=20, partition_by=None):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(
+            _docs(spark, n).repartition(2), p,
+            partition_by=partition_by,
+        )
+        return p
+
+    def test_update_basic_and_travel(self, spark, tmp_path):
+        p = self._table(spark, tmp_path)
+        r = I.iceberg_update(
+            spark, p, [("doc_id", "<", 5)], {"text": "upper(text)"}
+        )
+        assert r["rows_updated"] == 5
+        got = {x.doc_id: x.text for x in I.read_iceberg(spark, p).collect()}
+        assert len(got) == 20
+        assert got[3] == "BODY 3"
+        assert got[7] == "body 7"
+        assert I.iceberg_count(p) == 20
+        assert I.load_table_metadata(p)["format-version"] == 3
+        first = I.iceberg_history(p)[0]["snapshot_id"]
+        old = {x.doc_id: x.text
+               for x in I.read_iceberg(spark, p, snapshot_id=first)
+               .collect()}
+        assert old[3] == old[3].lower()
+
+    def test_update_zero_match_no_commit(self, spark, tmp_path):
+        p = self._table(spark, tmp_path, n=4)
+        v = len(I.iceberg_history(p))
+        r = I.iceberg_update(
+            spark, p, [("doc_id", "=", 999)], {"text": "'X'"}
+        )
+        assert r == {"rows_updated": 0, "snapshot_id": None}
+        assert len(I.iceberg_history(p)) == v
+
+    def test_merge_upsert_and_dup_refusal(self, spark, tmp_path):
+        from pyspark.sql import Row
+
+        p = self._table(spark, tmp_path)
+        src = spark.createDataFrame(
+            [Row(doc_id=3, text="MRG", lang="fr"),
+             Row(doc_id=100, text="NEW", lang="fr")]
+        )
+        r = I.iceberg_merge(spark, p, src, on=["doc_id"])
+        assert r["rows_updated"] == 1 and r["rows_inserted"] == 1
+        got = {x.doc_id: x.text for x in I.read_iceberg(spark, p).collect()}
+        assert got[3] == "MRG" and got[100] == "NEW" and len(got) == 21
+        dup = spark.createDataFrame(
+            [Row(doc_id=1, text="a", lang="en"),
+             Row(doc_id=1, text="b", lang="en")]
+        )
+        with pytest.raises(I.IcebergError, match="duplicate"):
+            I.iceberg_merge(spark, p, dup, on=["doc_id"])
+
+    def test_update_through_existing_dvs(self, spark, tmp_path):
+        p = self._table(spark, tmp_path)
+        r1 = I.iceberg_update(
+            spark, p, [("doc_id", "<", 3)], {"text": "'A'"}
+        )
+        assert r1["rows_updated"] == 3
+        r2 = I.iceberg_update(
+            spark, p, [("doc_id", "<", 5)], {"text": "'B'"}
+        )
+        # the 3 'A' rows live in NEW files; all 5 ids still match
+        assert r2["rows_updated"] == 5
+        got = {x.doc_id: x.text for x in I.read_iceberg(spark, p).collect()}
+        assert all(got[i] == "B" for i in range(5))
+        assert len(got) == 20 and I.iceberg_count(p) == 20
+        # at most one live DV per file
+        dvs = I._live_files(
+            p, I._pick_snapshot(I.load_table_metadata(p))
+        )[3]
+        refs = [d["referenced_data_file"] for d in dvs]
+        assert len(refs) == len(set(refs))
+
+    def test_partitioned_update_keeps_pruning(self, spark, tmp_path):
+        p = self._table(spark, tmp_path, partition_by=["lang"])
+        r = I.iceberg_update(
+            spark, p, [("doc_id", "=", 2)], {"text": "'P'"}
+        )
+        assert r["rows_updated"] == 1
+        got = I.read_iceberg(
+            spark, p, partition_filters=[("lang", "=", "en")]
+        )
+        assert got.filter("doc_id = 2").first().text == "P"
+        assert got.count() == 10
+        assert I.read_iceberg(spark, p).count() == 20
