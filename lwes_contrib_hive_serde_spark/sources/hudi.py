@@ -121,12 +121,19 @@ def _timeline(path: str) -> tuple[list[str], set[str]]:
             "inflight", "requested",
         ):
             continue  # incomplete: invisible by design
-        elif kind in ("replacecommit", "compaction", "clean",
-                      "rollback"):
+        elif kind in ("clean", "rollback"):
+            # visibility-NEUTRAL housekeeping: clean deletes
+            # superseded file versions (the slice walk already picks
+            # only the latest existing version) and rollback removes
+            # a failed instant's files (invisible anyway — only
+            # COMPLETED commits are ever read). Tolerated, not
+            # surfaced.
+            continue
+        elif kind in ("replacecommit", "compaction"):
             raise HudiError(
                 f"timeline instant kind {kind!r} is not supported "
-                "(clustering/cleaning semantics); refusing rather "
-                "than misreading"
+                "(clustering semantics); refusing rather than "
+                "misreading"
             )
     return sorted(completed), seen
 

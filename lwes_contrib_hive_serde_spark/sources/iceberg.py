@@ -2477,3 +2477,175 @@ def iceberg_merge(
         "rows_inserted": added - masked,
         "snapshot_id": sid,
     }
+
+
+def _bump_metadata(path: str, meta: dict) -> None:
+    """Write the next vN.metadata.json + version hint."""
+    mdir = os.path.join(path, "metadata")
+    version = int(
+        open(os.path.join(mdir, "version-hint.text")).read().strip()
+    ) + 1
+    with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    tmp = os.path.join(mdir, f".version-hint.tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(mdir, "version-hint.text"))
+
+
+def iceberg_compact(spark: SparkSession, path: str) -> dict:
+    """REWRITE DATA FILES (the spec's compaction shape, the Iceberg
+    sibling of delta_compact): read the current snapshot — every
+    positional/equality delete and deletion vector APPLIED — stage
+    the surviving rows as fresh data files, and commit a REPLACE
+    snapshot whose manifest list carries ONLY the new data
+    manifest. Deletes and vectors are thereby purged from the live
+    view (their work is baked into the new files); history is
+    untouched, so time travel to pre-compaction snapshots still
+    sees them. This is also the migration path off v2 position
+    delete files before DV-era DML. Returns {"files_before",
+    "files_after", "snapshot_id"}."""
+    fsio.require_local(path, "iceberg_compact")
+    meta = load_table_metadata(path)
+    snap = _pick_snapshot(meta)
+    files, pos_del, eq_del, dvs = _live_files(path, snap)
+    schema = _current_schema(meta)
+    types = {f.name: f.dataType for f in schema.fields}
+    partition_by = [n for n, _t in _identity_partition_fields(meta)]
+    df = read_iceberg(spark, path)
+    entries = _stage_data_files(
+        df.select(*[f.name for f in schema.fields]),
+        path, partition_by, types,
+    )
+    mdir = os.path.join(path, "metadata")
+    manifest = _write_data_manifest(mdir, entries, partition_by, types)
+    snapshot_id = int.from_bytes(os.urandom(6), "big")
+    now_ms = int(time.time() * 1000)
+    seq = int(meta.get("last-sequence-number") or 0) + 1
+    ml = os.path.join(mdir, f"snap-{snapshot_id}.avro")
+    _write_avro_file(
+        ml,
+        _MANIFEST_LIST_SCHEMA,
+        [(manifest, os.path.getsize(manifest), 0, 0, snapshot_id, seq)],
+        "manifest_file",
+        field_ids=_MANIFEST_LIST_FIELD_IDS,
+    )
+    new_snap = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": now_ms,
+        "manifest-list": ml,
+        "summary": {"operation": "replace"},
+    }
+    meta = dict(meta)
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now_ms
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshots"] = (meta.get("snapshots") or []) + [new_snap]
+    meta["snapshot-log"] = (meta.get("snapshot-log") or []) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    ]
+    _bump_metadata(path, meta)
+    return {
+        "files_before": len(files) + len(pos_del) + len(eq_del) + len(dvs),
+        "files_after": len(entries),
+        "snapshot_id": snapshot_id,
+    }
+
+
+def iceberg_rollback(path: str, snapshot_id: int) -> None:
+    """ROLLBACK the current pointer to an earlier snapshot (the
+    real ``rollback_to_snapshot``): a metadata-only move — no
+    snapshot is deleted, so rolling FORWARD again stays possible
+    and time travel across the abandoned range keeps working."""
+    fsio.require_local(path, "iceberg_rollback")
+    meta = load_table_metadata(path)
+    known = {int(s["snapshot-id"]) for s in meta.get("snapshots") or []}
+    if int(snapshot_id) not in known:
+        raise IcebergError(
+            f"snapshot {snapshot_id} not in table history"
+        )
+    now_ms = int(time.time() * 1000)
+    meta = dict(meta)
+    meta["current-snapshot-id"] = int(snapshot_id)
+    meta["last-updated-ms"] = now_ms
+    meta["snapshot-log"] = (meta.get("snapshot-log") or []) + [
+        {"timestamp-ms": now_ms, "snapshot-id": int(snapshot_id)}
+    ]
+    _bump_metadata(path, meta)
+
+
+def iceberg_expire_snapshots(
+    path: str, keep_last: int = 1
+) -> dict:
+    """EXPIRE old snapshots and physically delete every file only
+    they reference — the real expire_snapshots trade: bounded
+    storage for bounded time travel. Keeps the ``keep_last`` most
+    recent snapshots plus the current one, walks the kept
+    snapshots' manifest trees to build the live set, and removes
+    expired manifest lists, manifests, data files, delete files,
+    and Puffin DV files not in it. Returns {"snapshots_expired",
+    "files_deleted"}."""
+    fsio.require_local(path, "iceberg_expire_snapshots")
+    if keep_last < 1:
+        raise IcebergError("keep_last must be >= 1")
+    meta = load_table_metadata(path)
+    snaps = list(meta.get("snapshots") or [])
+    if len(snaps) <= keep_last:
+        return {"snapshots_expired": 0, "files_deleted": 0}
+    current = meta.get("current-snapshot-id")
+    snaps_sorted = sorted(snaps, key=lambda s: int(s["timestamp-ms"]))
+    keep = snaps_sorted[-keep_last:]
+    keep_ids = {int(s["snapshot-id"]) for s in keep}
+    if current is not None:
+        keep_ids.add(int(current))
+    kept = [s for s in snaps if int(s["snapshot-id"]) in keep_ids]
+    expired = [s for s in snaps if int(s["snapshot-id"]) not in keep_ids]
+    if not expired:
+        return {"snapshots_expired": 0, "files_deleted": 0}
+
+    def tree_files(snapshot: dict) -> set[str]:
+        out = set()
+        ml = _strip_file_uri(snapshot["manifest-list"])
+        out.add(os.path.realpath(ml))
+        for m in _manifest_list_entries(ml):
+            mp = _strip_file_uri(m["manifest_path"])
+            out.add(os.path.realpath(mp))
+            for e in _named_rows(mp):
+                d = e.get("data_file") or {}
+                fp = d.get("file_path")
+                if fp:
+                    out.add(os.path.realpath(_strip_file_uri(fp)))
+        return out
+
+    live: set[str] = set()
+    for s in kept:
+        live |= tree_files(s)
+    # union the dead trees BEFORE deleting anything: expired
+    # snapshots routinely share manifests, and deleting mid-walk
+    # would break reading the next snapshot's tree
+    dead: set[str] = set()
+    for s in expired:
+        dead |= tree_files(s)
+    root = os.path.realpath(path)
+    deleted = 0
+    for fp in sorted(dead - live):
+        if not fp.startswith(root + os.sep):
+            continue  # never reach outside the table directory
+        try:
+            os.remove(fp)
+            deleted += 1
+        except FileNotFoundError:
+            pass
+    now_ms = int(time.time() * 1000)
+    meta = dict(meta)
+    meta["snapshots"] = kept
+    meta["snapshot-log"] = [
+        x for x in (meta.get("snapshot-log") or [])
+        if int(x["snapshot-id"]) in keep_ids
+    ]
+    meta["last-updated-ms"] = now_ms
+    _bump_metadata(path, meta)
+    return {
+        "snapshots_expired": len(expired),
+        "files_deleted": deleted,
+    }

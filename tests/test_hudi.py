@@ -473,3 +473,21 @@ class TestIncremental:
         with pytest.raises(H.HudiError, match="after end_instant"):
             H.hudi_incremental(spark, p, "9" * 17, t1)
         assert H.hudi_incremental(spark, p, t1).count() == 0
+
+
+class TestTimelineTolerance:
+    def test_clean_and_rollback_instants_are_neutral(
+        self, spark, tmp_path
+    ):
+        p = str(tmp_path / "t")
+        H.write_hudi_table(_docs(spark, 6), p, record_key="doc_id")
+        hdir = os.path.join(p, ".hoodie")
+        open(os.path.join(hdir, "99999999999999990.clean"), "w").close()
+        open(os.path.join(hdir, "99999999999999991.rollback"),
+             "w").close()
+        assert H.read_hudi(spark, p).count() == 6
+        # clustering still refuses by name
+        open(os.path.join(hdir, "99999999999999992.replacecommit"),
+             "w").close()
+        with pytest.raises(H.HudiError, match="replacecommit"):
+            H.read_hudi(spark, p)

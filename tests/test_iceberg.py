@@ -1149,3 +1149,85 @@ class TestUpdateMerge:
         assert got.filter("doc_id = 2").first().text == "P"
         assert got.count() == 10
         assert I.read_iceberg(spark, p).count() == 20
+
+
+class TestMaintenance:
+    """iceberg_compact / iceberg_rollback / iceberg_expire_snapshots
+    (round 10): the maintenance verbs that bound DV accumulation,
+    undo bad writes, and bound storage."""
+
+    def test_compact_applies_and_purges_deletes(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 20).repartition(2), p)
+        I.iceberg_update(spark, p, [("doc_id", "<", 5)], {"text": "'U'"})
+        I.iceberg_delete(spark, p, [("doc_id", "=", 19)])
+        r = I.iceberg_compact(spark, p)
+        assert r["files_after"] >= 1
+        got = {x.doc_id: x.text for x in I.read_iceberg(spark, p).collect()}
+        assert len(got) == 19 and got[2] == "U" and 19 not in got
+        _f, pos, eq, dvs = I._live_files(
+            p, I._pick_snapshot(I.load_table_metadata(p))
+        )
+        assert not pos and not eq and not dvs
+        assert I.iceberg_count(p) == 19
+        # pre-compaction snapshot still answers with deletes applied
+        mid = I.iceberg_history(p)[-2]["snapshot_id"]
+        assert I.read_iceberg(spark, p, snapshot_id=mid).count() == 19
+
+    def test_compact_clears_v2_position_files(self, spark, tmp_path):
+        # the documented migration path: pos-file table → compact →
+        # DV appender works
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 10).coalesce(1), p)
+        files = I._live_files(
+            p, I._pick_snapshot(I.load_table_metadata(p))
+        )[0]
+        fp = I._strip_file_uri(files[0]["file_path"])
+        I.add_iceberg_position_deletes(p, [(fp, 0)])
+        I.iceberg_compact(spark, p)
+        nf = I._live_files(
+            p, I._pick_snapshot(I.load_table_metadata(p))
+        )[0]
+        nfp = I._strip_file_uri(nf[0]["file_path"])
+        I.add_iceberg_deletion_vectors(p, [(nfp, 0)])
+        assert I.iceberg_count(p) == 8
+
+    def test_rollback_moves_pointer_both_ways(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        s1 = I.write_iceberg_table(_docs(spark, 5), p)
+        s2 = I.write_iceberg_table(_docs(spark, 3), p)
+        I.iceberg_rollback(p, s1)
+        assert I.iceberg_count(p) == 5
+        I.iceberg_rollback(p, s2)  # roll FORWARD again
+        assert I.iceberg_count(p) == 8
+        with pytest.raises(I.IcebergError, match="not in table history"):
+            I.iceberg_rollback(p, 123456)
+
+    def test_expire_deletes_only_unreferenced(self, spark, tmp_path):
+        import glob
+
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 8).coalesce(1), p)   # s1
+        I.write_iceberg_table(_docs(spark, 4).coalesce(1), p)   # s2
+        I.iceberg_delete(spark, p, [("doc_id", "=", 0)]) or None
+        r = I.iceberg_update(spark, p, [("doc_id", "=", 1)],
+                             {"text": "'X'"})
+        before = I.read_iceberg(spark, p).collect()
+        ex = I.iceberg_expire_snapshots(p, keep_last=1)
+        assert ex["snapshots_expired"] >= 2
+        after = I.read_iceberg(spark, p).collect()
+        assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+        # the s1/s2 data files survive (still referenced by the
+        # kept snapshot); expired manifest lists are gone.
+        # 12 appended - 2 deleted (doc_id=0 existed in both appends)
+        assert I.iceberg_count(p) == 10
+        hist = I.iceberg_history(p)
+        assert len(hist) == 1
+        assert hist[0]["snapshot_id"] == r["snapshot_id"]
+
+    def test_expire_noop_when_nothing_to_drop(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 4), p)
+        assert I.iceberg_expire_snapshots(p, keep_last=5) == {
+            "snapshots_expired": 0, "files_deleted": 0
+        }
