@@ -436,15 +436,21 @@ def _live_files(
                 )
                 dvs.append(df)
                 continue
-            if fmt != "PARQUET":
+            if fmt not in ("PARQUET", "ORC", "AVRO"):
                 raise IcebergError(
-                    f"data file format {fmt!r} not supported (PARQUET only)"
+                    f"data file format {fmt!r} not supported "
+                    "(PARQUET / ORC / AVRO)"
                 )
             df = dict(df)
             seq = entry.get("sequence_number")
             df["__seq"] = int(
                 seq if seq is not None else (m_seq if m_seq is not None else 0)
             )
+            if content != 0 and fmt != "PARQUET":
+                raise IcebergError(
+                    f"{mpath}: delete file in format {fmt!r} — only "
+                    "PARQUET delete files are supported"
+                )
             if content == 2:
                 if not df.get("equality_ids"):
                     raise IcebergError(
@@ -690,6 +696,32 @@ def read_iceberg(
         files = pruned
     if not files:
         return spark.createDataFrame([], schema)
+    # mixed data-file formats (ORC / AVRO appear in older
+    # production tables): scan each format with its own reader and
+    # union. Non-parquet scans have no ``_metadata.row_index`` and
+    # no per-file field-id resolution, so deletes and physical row
+    # identity refuse rather than misread.
+    non_parquet = [
+        f for f in files
+        if (f.get("file_format") or "").upper() != "PARQUET"
+    ]
+    if non_parquet:
+        if delete_files or eq_delete_files or dv_files:
+            raise IcebergError(
+                "snapshot mixes delete files with non-parquet data "
+                "files — deletes apply via parquet row_index, which "
+                f"{(non_parquet[0].get('file_format') or '').upper()} "
+                "scans cannot provide; compact first"
+            )
+        if _keep_keys:
+            raise IcebergError(
+                "physical row identity (row_index) is parquet-only — "
+                "this verb cannot run on ORC/AVRO data files; "
+                "compact first"
+            )
+        return _read_mixed_formats(
+            spark, meta, schema, files, data_filters
+        )
     # spark_path: the Spark-side spelling (s3→s3a, registered test
     # schemes→their local translation); also the delete-join key so
     # input_file_name() matches.
@@ -821,6 +853,78 @@ def read_iceberg(
         df = _apply_equality_deletes(
             spark, meta, files, eq_delete_files, df
         )
+    return _apply_data_filters(df, data_filters)
+
+
+def _read_mixed_formats(
+    spark: SparkSession,
+    meta: dict,
+    schema: StructType,
+    files: list[dict],
+    data_filters,
+) -> DataFrame:
+    """Scan a delete-free snapshot whose data files span formats:
+    parquet via the native reader, ORC via spark.read.orc, AVRO via
+    the repo's avro_ocf source (one read per file — AVRO data files
+    are a legacy shape, never the bulk of a table). Column
+    resolution is by NAME with the usual refusal: a first-file
+    probe per format catches missing columns instead of silently
+    NULL-filling a renamed one."""
+    by_fmt: dict[str, list[str]] = {}
+    for f in files:
+        fmt = (f.get("file_format") or "").upper()
+        by_fmt.setdefault(fmt, []).append(
+            fsio.spark_path(_strip_file_uri(f["file_path"]))
+        )
+    from lwes_contrib_hive_serde_spark.sources.delta import (
+        _apply_data_filters,
+    )
+
+    if "AVRO" in by_fmt:
+        from lwes_contrib_hive_serde_spark.sources.avro_ocf import (
+            AvroDataSource,
+        )
+
+        try:
+            spark.dataSource.register(AvroDataSource)
+        except Exception:
+            pass  # already registered
+    plain = StructType(
+        [StructField(f.name, f.dataType, True) for f in schema.fields]
+    )
+    pieces = []
+    for fmt, paths in sorted(by_fmt.items()):
+        if fmt == "PARQUET":
+            probe = spark.read.parquet(paths[0])
+        elif fmt == "ORC":
+            probe = spark.read.orc(paths[0])
+        else:  # AVRO
+            probe = (
+                spark.read.format("avro_ocf")
+                .option("path", paths[0]).load()
+            )
+        missing = [
+            f.name for f in plain.fields if f.name not in probe.columns
+        ]
+        if missing:
+            raise IcebergError(
+                f"{fmt} data file {paths[0]} lacks columns {missing} "
+                "— likely a field-id rename, which non-parquet scans "
+                "cannot resolve; refusing rather than NULL-filling"
+            )
+        if fmt == "PARQUET":
+            pieces.append(spark.read.schema(plain).parquet(*paths))
+        elif fmt == "ORC":
+            pieces.append(spark.read.schema(plain).orc(*paths))
+        else:
+            for p in paths:
+                pieces.append(
+                    spark.read.format("avro_ocf")
+                    .schema(plain).option("path", p).load()
+                )
+    df = pieces[0]
+    for p2 in pieces[1:]:
+        df = df.unionByName(p2)
     return _apply_data_filters(df, data_filters)
 
 

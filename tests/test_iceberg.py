@@ -1231,3 +1231,112 @@ class TestMaintenance:
         assert I.iceberg_expire_snapshots(p, keep_last=5) == {
             "snapshots_expired": 0, "files_deleted": 0
         }
+
+
+class TestMixedDataFileFormats:
+    """ORC / AVRO data files (round 10): older production tables
+    carry them; each format scans with its own reader and unions.
+    Deletes and physical row identity refuse on non-parquet scans
+    (no row_index) — compact first."""
+
+    def _convert_one(self, spark, p, fmt):
+        """Rewrite one live data file in ``fmt`` and patch its
+        manifest entry (file_path + file_format)."""
+        from pyspark.sql.types import (
+            IntegerType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        meta = I.load_table_metadata(p)
+        snap = I._pick_snapshot(meta)
+        ml = I._strip_file_uri(snap["manifest-list"])
+        m = I._manifest_list_entries(ml)[-1]["manifest_path"]
+        entries = I._named_rows(m)
+        d0 = entries[0]["data_file"]
+        src = I._strip_file_uri(d0["file_path"])
+        df = spark.read.parquet(src)
+        staging = src + f".{fmt.lower()}-staging"
+        if fmt == "ORC":
+            df.coalesce(1).write.mode("overwrite").orc(staging)
+            new = src[: -len(".parquet")] + ".orc"
+            part = next(
+                os.path.join(staging, n) for n in os.listdir(staging)
+                if n.endswith(".orc")
+            )
+        else:
+            (df.coalesce(1).write.format("avro_ocf").mode("overwrite")
+             .option("path", staging).save())
+            new = src[: -len(".parquet")] + ".avro"
+            part = next(
+                os.path.join(staging, n) for n in os.listdir(staging)
+                if n.endswith(".avro")
+            )
+        os.replace(part, new)
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        os.remove(src)
+        rows = []
+        for e in entries:
+            d = dict(e["data_file"])
+            if d["file_path"] == d0["file_path"]:
+                d["file_path"] = new
+                d["file_format"] = fmt
+                d["file_size_in_bytes"] = os.path.getsize(new)
+            rows.append(
+                (e["status"], e.get("snapshot_id"),
+                 (d["file_path"], d["file_format"],
+                  d["record_count"], d["file_size_in_bytes"]))
+            )
+        I._write_avro_file(
+            m,
+            StructType([
+                StructField("status", IntegerType(), False),
+                StructField("snapshot_id", LongType(), True),
+                StructField("data_file", StructType([
+                    StructField("file_path", StringType(), False),
+                    StructField("file_format", StringType(), False),
+                    StructField("record_count", LongType(), False),
+                    StructField("file_size_in_bytes", LongType(), False),
+                ]), False),
+            ]),
+            rows,
+            "manifest_entry",
+        )
+        return new
+
+    @pytest.mark.parametrize("fmt", ["ORC", "AVRO"])
+    def test_mixed_format_read(self, spark, tmp_path, fmt):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 20).repartition(2), p)
+        self._convert_one(spark, p, fmt)
+        got = I.read_iceberg(spark, p)
+        assert _vals(got) == _vals(_docs(spark, 20))
+        # data filters still run as a WHERE clause
+        assert I.read_iceberg(
+            spark, p, data_filters=[("doc_id", "<", 5)]
+        ).count() == 5
+        # metadata-only count is format-agnostic
+        assert I.iceberg_count(p) == 20
+
+    def test_deletes_on_mixed_refuse(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 10).repartition(2), p)
+        self._convert_one(spark, p, "ORC")
+        with pytest.raises(I.IcebergError, match="compact first"):
+            I.iceberg_delete(spark, p, [("doc_id", "=", 1)])
+        # and a delete-carrying snapshot with non-parquet data
+        # cannot read (pairs would silently miss the ORC rows)
+        files = I._live_files(
+            p, I._pick_snapshot(I.load_table_metadata(p))
+        )[0]
+        pq_file = next(
+            I._strip_file_uri(f["file_path"]) for f in files
+            if (f.get("file_format") or "").upper() == "PARQUET"
+        )
+        I.add_iceberg_position_deletes(p, [(pq_file, 0)])
+        with pytest.raises(I.IcebergError, match="row_index"):
+            I.read_iceberg(spark, p)
