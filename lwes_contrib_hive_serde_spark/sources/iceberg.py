@@ -773,21 +773,25 @@ def read_iceberg(
         _apply_data_filters,
     )
 
-    scan_spark = spark
     if has_ids:
         # the field-id read confs are consulted lazily AT EXECUTION,
-        # so setting them on the caller's session would leak id
-        # resolution into unrelated parquet reads for the rest of
-        # the session. Scope them to a CLONED session (same
-        # SparkContext, copied SQLConf) that only this scan uses.
-        from pyspark.sql import SparkSession as _SS
-
-        scan_spark = _SS(spark.sparkContext, spark._jsparkSession.cloneSession())
-        scan_spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        scan_spark.conf.set(
+        # so they must be live on the session that ultimately runs
+        # the query. A cloned-session scope (tried in r10) broke
+        # createOrReplaceTempView — the returned DataFrame belonged
+        # to the clone, making registered views invisible to the
+        # caller. Setting them on the caller's session is SAFE to
+        # leave: both confs are inert unless the requested read
+        # schema itself carries parquet.field.id metadata
+        # (fieldId.read.enabled only switches lookup for id-
+        # annotated schemas; ignoreMissing only fires when such a
+        # schema meets an id-less file), and this module strips the
+        # id metadata from every DataFrame it returns — pinned by
+        # tests/test_iceberg.py::TestFieldIdConfScoping.
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        spark.conf.set(
             "spark.sql.parquet.fieldId.read.ignoreMissing", "true"
         )
-    df = scan_spark.read.schema(schema).parquet(*paths)
+    df = spark.read.schema(schema).parquet(*paths)
     if _keep_keys:
         # iceberg_delete's hook: the physical (file, row position)
         # identity of every surviving row, captured BEFORE any

@@ -1,0 +1,324 @@
+"""Streaming Iceberg source: ``spark.readStream.format(
+"iceberg_stream").option("path", ...)`` — the delta_stream
+contract on the second format.
+
+Semantics (mirroring delta_stream, which mirrors delta-spark):
+
+- INITIAL SNAPSHOT: the table's reconciled current state — every
+  live data file minus its positional-delete / deletion-vector
+  positions — then the stream TAILS new snapshots.
+- APPEND snapshots emit exactly their added files' rows.
+- REPLACE snapshots (compaction / rewrite-data-files) are
+  INVISIBLE: same logical rows, so an append-only stream emits
+  nothing.
+- Snapshots that remove files or add delete content (DELETE /
+  UPDATE / MERGE / overwrite) cannot be represented append-only:
+  the stream fails, or re-emits that snapshot's added files under
+  ``option("ignorechanges", "true")`` (may duplicate rows
+  downstream — the delta_stream/delta-spark contract, verbatim).
+- Offsets are SNAPSHOT IDS, resolved through the snapshot-log. A
+  checkpointed snapshot expired by iceberg_expire_snapshots fails
+  the stream by name (bounded time travel bounds restartability —
+  the Kafka retention analogy), never silently skips.
+
+Honesty contract: equality deletes (value-dependent), non-parquet
+data files (no per-row masking without parquet row order), and
+field-id renames the first file cannot resolve by name all refuse
+with a pointer to batch read_iceberg.
+
+Scale shape: planning is a driver-side metadata walk per
+microbatch (manifest diffs, DV/pos-delete decode bounded by
+change volume); tasks read ONE parquet file each via pyarrow and
+mask positions locally — no shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from lwes_contrib_hive_serde_spark.sources import fsio
+from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+
+class IcebergFileSlice(InputPartition):
+    def __init__(
+        self,
+        file_path: str,
+        dv: tuple | None = None,          # (puffin_path, offset, size)
+        pos_delete_files: list | None = None,
+    ):
+        self.file_path = file_path
+        self.dv = dv
+        self.pos_delete_files = pos_delete_files or []
+
+
+class IcebergStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options):
+        self.options = options
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("iceberg_stream: path required")
+        self.ignore_changes = (
+            options.get("ignorechanges", "false").lower() == "true"
+        )
+        meta = I.load_table_metadata(self.path)
+        self.schema = I._current_schema(meta)
+        if schema is not None and len(schema.fields) and schema != self.schema:
+            raise I.IcebergError(
+                "iceberg_stream: user schema differs from the "
+                f"table's ({self.schema.simpleString()}); omit "
+                ".schema(...)"
+            )
+        snap = I._pick_snapshot(meta)
+        self._start_sid = int(snap["snapshot-id"])
+        # refuse-by-name early: the first file must resolve every
+        # column by NAME (tasks read with pyarrow, which has no
+        # field-id resolution)
+        files, _pos, eq, _dvs = I._live_files(self.path, snap)
+        if eq:
+            raise I.IcebergError(
+                "iceberg_stream: table carries EQUALITY deletes — "
+                "value-dependent masking cannot stream; use batch "
+                "read_iceberg"
+            )
+        for f in files:
+            fmt = (f.get("file_format") or "").upper()
+            if fmt != "PARQUET":
+                raise I.IcebergError(
+                    f"iceberg_stream: {fmt} data files cannot stream "
+                    "(per-row position masking needs parquet row "
+                    "order); compact first"
+                )
+        if files:
+            import pyarrow.parquet as pq
+
+            fp = I._strip_file_uri(files[0]["file_path"])
+            with fsio.open_read(fp) as fh:
+                names = set(pq.read_schema(fh).names)
+            missing = [
+                f.name for f in self.schema.fields if f.name not in names
+            ]
+            if missing:
+                raise I.IcebergError(
+                    f"iceberg_stream: data file lacks columns "
+                    f"{missing} (field-id rename?) — tasks resolve by "
+                    "name; use batch read_iceberg"
+                )
+
+    # -- offsets ----------------------------------------------------
+
+    def initialOffset(self) -> dict:
+        return {"sid": self._start_sid, "snapshot_done": False}
+
+    def latestOffset(self) -> dict:
+        meta = I.load_table_metadata(self.path)
+        return {
+            "sid": int(I._pick_snapshot(meta)["snapshot-id"]),
+            "snapshot_done": True,
+        }
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    # -- planning ---------------------------------------------------
+
+    def _snap_by_id(self, meta: dict, sid: int) -> dict:
+        for s in meta.get("snapshots") or []:
+            if int(s["snapshot-id"]) == sid:
+                return s
+        raise I.IcebergError(
+            f"iceberg_stream: snapshot {sid} no longer exists "
+            "(expired?) — the stream cannot resume past expired "
+            "history; restart without a checkpoint"
+        )
+
+    def _log_between(self, meta: dict, start_sid: int, end_sid: int):
+        """snapshot-log entries strictly after the LAST occurrence
+        of start_sid (rollback re-appends old ids) through end_sid
+        inclusive."""
+        log = [int(x["snapshot-id"]) for x in meta.get("snapshot-log") or []]
+        try:
+            i = len(log) - 1 - log[::-1].index(start_sid)
+        except ValueError:
+            raise I.IcebergError(
+                f"iceberg_stream: checkpointed snapshot {start_sid} "
+                "is gone from the snapshot log (expired?) — cannot "
+                "resume without risking a gap"
+            )
+        out = []
+        for sid in log[i + 1:]:
+            out.append(sid)
+            if sid == end_sid:
+                break
+        return out
+
+    def _delete_state(self, snap: dict):
+        """(files, {data_path: dv_triple}, pos_delete_paths) at one
+        snapshot — the per-file masking inputs."""
+        files, pos, eq, dvs = I._live_files(self.path, snap)
+        if eq:
+            raise I.IcebergError(
+                "iceberg_stream: equality deletes appeared mid-stream "
+                "— value-dependent masking cannot stream"
+            )
+        for f in files:
+            if (f.get("file_format") or "").upper() != "PARQUET":
+                raise I.IcebergError(
+                    "iceberg_stream: non-parquet data file appeared "
+                    "mid-stream; compact first"
+                )
+        dv_by_ref = {
+            I._strip_file_uri(d["referenced_data_file"]): (
+                I._strip_file_uri(d["file_path"]),
+                int(d["content_offset"]),
+                int(d["content_size_in_bytes"]),
+            )
+            for d in dvs
+        }
+        pos_paths = [I._strip_file_uri(p["file_path"]) for p in pos]
+        return files, dv_by_ref, pos_paths
+
+    def _slices_for(self, paths, dv_by_ref, pos_paths):
+        return [
+            IcebergFileSlice(
+                p,
+                dv=dv_by_ref.get(p),
+                pos_delete_files=pos_paths,
+            )
+            for p in paths
+        ]
+
+    def partitions(self, start: dict, end: dict):
+        meta = I.load_table_metadata(self.path)
+        end_sid = int(end["sid"])
+        slices: list[IcebergFileSlice] = []
+        if not start.get("snapshot_done", True):
+            snap = self._snap_by_id(meta, end_sid)
+            files, dv_by_ref, pos_paths = self._delete_state(snap)
+            paths = [I._strip_file_uri(f["file_path"]) for f in files]
+            slices = self._slices_for(paths, dv_by_ref, pos_paths)
+            return slices or [IcebergFileSlice("")]
+        start_sid = int(start["sid"])
+        if start_sid == end_sid:
+            return [IcebergFileSlice("")]
+        prev = self._snap_by_id(meta, start_sid)
+        p_files, p_dv, p_pos = self._delete_state(prev)
+        p_paths = {I._strip_file_uri(f["file_path"]) for f in p_files}
+        for sid in self._log_between(meta, start_sid, end_sid):
+            snap = self._snap_by_id(meta, sid)
+            op = ((snap.get("summary") or {}).get("operation") or "").lower()
+            files, dv_by_ref, pos_paths = self._delete_state(snap)
+            paths = {I._strip_file_uri(f["file_path"]) for f in files}
+            added = sorted(paths - p_paths)
+            removed = p_paths - paths
+            # delete content changed on carried-over files?
+            dv_changed = any(
+                dv_by_ref.get(p) != p_dv.get(p) for p in (paths & p_paths)
+            )
+            pos_changed = set(pos_paths) != set(p_pos)
+            if op == "replace":
+                pass  # compaction: same logical rows, invisible
+            elif removed or dv_changed or pos_changed:
+                if not self.ignore_changes:
+                    raise I.IcebergError(
+                        f"snapshot {sid} ({op or 'unknown'}) removes "
+                        "or re-masks rows; an append-only stream "
+                        "cannot represent it. Set option("
+                        "'ignorechanges','true') to re-emit its "
+                        "added files (may duplicate rows downstream)."
+                    )
+                slices.extend(
+                    self._slices_for(added, dv_by_ref, pos_paths)
+                )
+            else:
+                slices.extend(
+                    self._slices_for(added, dv_by_ref, pos_paths)
+                )
+            p_paths, p_dv, p_pos = paths, dv_by_ref, pos_paths
+        return slices or [IcebergFileSlice("")]
+
+    # -- execution ----------------------------------------------------
+
+    def read(self, partition: IcebergFileSlice) -> Iterator:
+        if not partition.file_path:
+            return
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from lwes_contrib_hive_serde_spark.sources import puffin
+
+        target = to_arrow_schema(self.schema)
+        with fsio.open_read(partition.file_path) as fh:
+            tbl = pq.read_table(fh)
+        dead = np.empty(0, dtype=np.int64)
+        if partition.dv is not None:
+            pf, off, size = partition.dv
+            dead = puffin.decode_dv_blob(puffin.read_blob(pf, off, size))
+        for dp in partition.pos_delete_files:
+            with fsio.open_read(dp) as fh:
+                dt = pq.read_table(fh, columns=["file_path", "pos"])
+            fps = dt.column("file_path").to_pylist()
+            ps = dt.column("pos").to_numpy(zero_copy_only=False)
+            mine = np.array(
+                [
+                    p
+                    for f, p in zip(fps, ps)
+                    if I._strip_file_uri(f) == partition.file_path
+                ],
+                dtype=np.int64,
+            )
+            if len(mine):
+                dead = np.union1d(dead, mine)
+        if len(dead):
+            if dead[-1] >= tbl.num_rows:
+                raise I.IcebergError(
+                    f"delete position {int(dead[-1])} out of range "
+                    f"for {partition.file_path} ({tbl.num_rows} rows)"
+                )
+            mask = np.ones(tbl.num_rows, dtype=bool)
+            mask[dead] = False
+            tbl = tbl.filter(pa.array(mask))
+        cols = [
+            tbl.column(field.name).cast(field.type) for field in target
+        ]
+        yield from pa.table(cols, schema=target).to_batches(
+            max_chunksize=8192
+        )
+
+
+class IcebergStreamDataSource(DataSource):
+    """``spark.readStream.format("iceberg_stream")``. Batch reads
+    go through sources.iceberg.read_iceberg (native parquet scan);
+    this is the STREAMING entry point only."""
+
+    @classmethod
+    def name(cls):
+        return "iceberg_stream"
+
+    def schema(self):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("iceberg_stream: path required")
+        return I._current_schema(I.load_table_metadata(path))
+
+    def reader(self, schema: StructType):
+        raise I.IcebergError(
+            "batch Iceberg reads use "
+            "lwes_contrib_hive_serde_spark.sources.iceberg."
+            "read_iceberg (native parquet scan); "
+            "format('iceberg_stream') is the STREAMING entry point"
+        )
+
+    def streamReader(self, schema: StructType):
+        return IcebergStreamReader(schema, self.options)

@@ -445,7 +445,13 @@ class TestStreamingUnderDvs:
 
 
 class TestStreamMappedRefusal:
-    def test_stream_refuses_column_mapped_table(self, spark, tmp_path):
+    def test_stream_reads_mapped_table_without_renames(
+        self, spark, tmp_path
+    ):
+        # r10: column-mapped tables STREAM (top-level renames are
+        # resolved by physical name; TestMappedTableStream in
+        # test_delta_stream.py covers the rename case) — this pins
+        # the previously-refused enable-without-rename shape
         p = str(tmp_path / "t")
         D.write_delta(_docs(spark, 10), p)
         D.delta_enable_column_mapping(p)
@@ -454,14 +460,18 @@ class TestStreamMappedRefusal:
             .option("path", p)
             .load()
             .writeStream.format("memory")
-            .queryName("cm_refuse")
+            .queryName("cm_stream")
             .outputMode("append")
             .start()
         )
-        # the refusal surfaces as the stream's terminal exception
-        with pytest.raises(Exception, match="column-mapped"):
+        try:
             q.processAllAvailable()
-        q.stop()
+            assert (
+                spark.sql("select count(*) from cm_stream").first()[0]
+                == 10
+            )
+        finally:
+            q.stop()
 
 
 class TestUpdateWithDvs:

@@ -732,26 +732,50 @@ class TestFieldIdRename:
 
 
 class TestFieldIdConfScoping:
-    def test_read_does_not_leak_session_confs(self, spark, tmp_path):
-        """ADVICE r9: field-id resolution must not mutate the
-        caller's session as a read side effect — the confs live on
-        a cloned session scoped to the scan, so unrelated parquet
-        reads keep their semantics."""
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "false")
-        spark.conf.set(
-            "spark.sql.parquet.fieldId.read.ignoreMissing", "false"
+    def test_read_confs_inert_for_unrelated_reads(self, spark, tmp_path):
+        """ADVICE r9 follow-up, revised in r10: the cloned-session
+        scope broke createOrReplaceTempView (views registered from
+        the clone were invisible to the caller), so the confs now
+        live on the caller's session — which is safe because both
+        are INERT for read schemas without parquet.field.id
+        metadata. This pins the FUNCTIONAL property: an unrelated
+        parquet read before and after an id-resolved iceberg read
+        returns identical results, and the iceberg result carries
+        no id metadata."""
+        from pyspark.sql import Row
+
+        plain = str(tmp_path / "plain")
+        spark.createDataFrame(
+            [Row(a=1, b="x"), Row(a=2, b="y")]
+        ).write.parquet(plain)
+        before = sorted(
+            (r.a, r.b) for r in spark.read.parquet(plain).collect()
         )
-        before = ("false", "false")
         p = str(tmp_path / "t")
         I.write_iceberg_table(_docs(spark, 6).coalesce(1), p)
         I.iceberg_rename_column(p, "text", "body")
         got = I.read_iceberg(spark, p)
         assert got.count() == 6  # execution, not just planning
-        after = (
-            spark.conf.get("spark.sql.parquet.fieldId.read.enabled"),
-            spark.conf.get("spark.sql.parquet.fieldId.read.ignoreMissing"),
+        assert all(
+            not f.metadata for f in got.schema.fields
+        )  # results never carry id metadata out
+        after = sorted(
+            (r.a, r.b) for r in spark.read.parquet(plain).collect()
         )
         assert after == before
+
+    def test_views_registered_from_read_are_visible(
+        self, spark, tmp_path
+    ):
+        # the regression that killed the cloned-session approach
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 6).coalesce(1), p)
+        I.iceberg_rename_column(p, "text", "body")
+        I.read_iceberg(spark, p).createOrReplaceTempView("fid_view")
+        assert spark.sql(
+            "select count(*) from fid_view"
+        ).first()[0] == 6
+        spark.catalog.dropTempView("fid_view")
 
 
 class TestV3Groundwork:

@@ -1,0 +1,145 @@
+"""Streaming Iceberg source (streaming/iceberg_stream.py): initial
+snapshot semantics, snapshot tailing, compaction invisibility, the
+ignorechanges contract, and the expiry/equality refusals."""
+
+import pytest
+from pyspark.sql import Row
+
+from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+
+def _docs(spark, lo, hi):
+    return spark.createDataFrame(
+        [Row(doc_id=i, lang=["en", "de"][i % 2]) for i in range(lo, hi)]
+    )
+
+
+def _start(spark, path, name, **opts):
+    reader = (
+        spark.readStream.format("iceberg_stream").option("path", path)
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return (
+        reader.load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+
+
+def _ids(spark, name):
+    return sorted(
+        r.doc_id for r in spark.sql(f"select doc_id from {name}").collect()
+    )
+
+
+class TestIcebergStream:
+    def test_snapshot_then_tail_skips_compaction(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 0, 5), p)
+        I.write_iceberg_table(_docs(spark, 5, 10), p)
+        q = _start(spark, p, "is_snap")
+        try:
+            q.processAllAvailable()
+            assert _ids(spark, "is_snap") == list(range(10))
+            I.write_iceberg_table(_docs(spark, 20, 23), p)
+            q.processAllAvailable()
+            assert _ids(spark, "is_snap") == list(range(10)) + [20, 21, 22]
+            # compaction is invisible
+            I.iceberg_compact(spark, p)
+            q.processAllAvailable()
+            assert _ids(spark, "is_snap") == list(range(10)) + [20, 21, 22]
+            # and the stream keeps tailing after it
+            I.write_iceberg_table(_docs(spark, 30, 32), p)
+            q.processAllAvailable()
+            assert _ids(spark, "is_snap") == (
+                list(range(10)) + [20, 21, 22, 30, 31]
+            )
+        finally:
+            q.stop()
+
+    def test_initial_snapshot_applies_dvs(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 0, 10).coalesce(1), p)
+        I.iceberg_delete(spark, p, [("doc_id", "<", 3)])  # v2 pos file
+        q = _start(spark, p, "is_dv")
+        try:
+            q.processAllAvailable()
+            assert _ids(spark, "is_dv") == list(range(3, 10))
+        finally:
+            q.stop()
+
+    def test_delete_mid_stream_errors_without_ignorechanges(
+        self, spark, tmp_path
+    ):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 0, 6).coalesce(1), p)
+        q = _start(spark, p, "is_err")
+        try:
+            q.processAllAvailable()
+            I.iceberg_update(spark, p, [("doc_id", "=", 1)],
+                             {"lang": "'xx'"})
+            with pytest.raises(Exception, match="append-only"):
+                q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def test_ignorechanges_reemits_update_adds(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 0, 6).coalesce(1), p)
+        q = _start(spark, p, "is_ign", ignorechanges="true")
+        try:
+            q.processAllAvailable()
+            I.iceberg_update(spark, p, [("doc_id", "=", 1)],
+                             {"lang": "'xx'"})
+            q.processAllAvailable()
+            # the replacement file's single row re-emits
+            got = _ids(spark, "is_ign")
+            assert got == [0, 1, 1, 2, 3, 4, 5]
+            langs = {
+                r.lang
+                for r in spark.sql(
+                    "select lang from is_ign where doc_id = 1"
+                ).collect()
+            }
+            assert "xx" in langs
+        finally:
+            q.stop()
+
+    def test_expired_checkpoint_refuses(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        s1 = I.write_iceberg_table(_docs(spark, 0, 4), p)
+        I.write_iceberg_table(_docs(spark, 4, 8), p)
+        I.iceberg_expire_snapshots(p, keep_last=1)
+        from lwes_contrib_hive_serde_spark.streaming.iceberg_stream import (
+            IcebergStreamReader,
+        )
+
+        r = IcebergStreamReader(None, {"path": p})
+        with pytest.raises(I.IcebergError, match="expired"):
+            r.partitions(
+                {"sid": s1, "snapshot_done": True},
+                r.latestOffset(),
+            )
+
+    def test_equality_deletes_refuse(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 0, 6).coalesce(1), p)
+        I.add_iceberg_equality_deletes(p, [{"doc_id": 1}], ["doc_id"])
+        from lwes_contrib_hive_serde_spark.streaming.iceberg_stream import (
+            IcebergStreamReader,
+        )
+
+        with pytest.raises(I.IcebergError, match="EQUALITY"):
+            IcebergStreamReader(None, {"path": p})
+
+    def test_batch_read_refused_with_pointer(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 0, 3), p)
+        with pytest.raises(Exception, match="STREAMING entry point"):
+            (
+                spark.read.format("iceberg_stream")
+                .option("path", p).load().collect()
+            )
