@@ -33,9 +33,14 @@ def register(spark):
         warc,
         zstd_backend,
     )
-    from lwes_contrib_hive_serde_spark.streaming import delta_stream, journal_stream
+    from lwes_contrib_hive_serde_spark.streaming import (
+        delta_stream,
+        iceberg_stream,
+        journal_stream,
+    )
 
-    for mod in (codec, datasource, journal_stream, delta_stream, warc, jsonl, avro_ocf, zstd_backend):
+    for mod in (codec, datasource, journal_stream, delta_stream,
+                iceberg_stream, warc, jsonl, avro_ocf, zstd_backend):
         try:
             cloudpickle.register_pickle_by_value(mod)
         except Exception:
@@ -53,4 +58,5 @@ def register(spark):
     spark.dataSource.register(jsonl.JsonlDataSource)
     spark.dataSource.register(avro_ocf.AvroDataSource)
     spark.dataSource.register(delta_stream.DeltaStreamDataSource)
+    spark.dataSource.register(iceberg_stream.IcebergStreamDataSource)
     return spark
