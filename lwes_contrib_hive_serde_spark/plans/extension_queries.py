@@ -10605,3 +10605,85 @@ def q_iceberg_update_merge(spark, sf_dir):
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+def _documents_iceberg_bucketed(spark, sf_dir: str) -> str:
+    """Iceberg table partitioned by bucket[8](doc_id) +
+    truncate[2](lang) — the transform-partitioned layout real
+    tables use (iceberg_transforms.py, hashes pinned to the spec's
+    Appendix B vectors). Cached per sf_dir."""
+    import os
+
+    from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        tag = f"{tag}-{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        pass
+    out = f"/tmp/iceberg_table_cache/v1/{tag}/documents_bucketed"
+    done = os.path.join(out, "metadata", "version-hint.text")
+    if not os.path.exists(done):
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        I.write_iceberg_table_transformed(
+            docs.coalesce(4), out,
+            [("doc_id", "bucket[8]"), ("lang", "truncate[2]")],
+        )
+    return out
+
+
+@register(
+    "q_iceberg_transforms",
+    shadow=True,
+    oracle="""
+    SELECT 'bucket_eq' AS section, lang, COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents WHERE doc_id IN (7, 77, 777) GROUP BY lang
+    UNION ALL
+    SELECT 'trunc_eq' AS section, lang, COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents WHERE lang = 'en' GROUP BY lang
+    """,
+    doc="Iceberg TRANSFORM-partitioned pruning "
+    "(iceberg_transforms.py, round 10): the table partitions by "
+    "bucket[8](doc_id) + truncate[2](lang), so pruning must apply "
+    "the spec's OWN murmur3 bucket hash (Appendix-B-pinned "
+    "vectors) and truncation to the literals — a wrong hash "
+    "silently drops the right files, which is exactly what the "
+    "oracle catches: DuckDB recomputes both filters from the raw "
+    "parquet, so a mispruned read hash-mismatches. Bucket fields "
+    "prune equality/IN with a residual row filter (buckets are "
+    "not partition-pure); truncate fields prune order-preserved.",
+)
+def q_iceberg_transforms(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+    out = _documents_iceberg_bucketed(spark, sf_dir)
+
+    def agg(df, tag):
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        ).select(F.lit(tag).alias("section"), "*")
+
+    bucket_eq = agg(
+        I.read_iceberg(
+            spark, out,
+            partition_filters=[("doc_id", "in", [7, 77, 777])],
+        ),
+        "bucket_eq",
+    )
+    trunc_eq = agg(
+        I.read_iceberg(
+            spark, out, partition_filters=[("lang", "=", "en")]
+        ),
+        "trunc_eq",
+    )
+    return bucket_eq.unionAll(trunc_eq)

@@ -657,43 +657,125 @@ def read_iceberg(
             if ok:
                 kept.append(f)
         files = kept
+    residual_filters: list[tuple] = []
     if partition_filters:
-        spec = dict(_identity_partition_fields(meta))
+        from lwes_contrib_hive_serde_spark.sources import (
+            iceberg_transforms as TR,
+        )
+
+        # partition filters name SOURCE columns; the spec maps each
+        # partition field to its source-id, so transformed fields
+        # (bucket/truncate/temporal) prune by applying the spec's
+        # OWN transform to the literal (Appendix-B-pinned hashing) —
+        # a wrong hash would silently drop the right files
+        by_source: dict[str, tuple] = {}
+        src_names = {
+            i: f.name
+            for i, f in enumerate(_current_schema(meta).fields, start=1)
+        }
+        order: list[str] = []
+        for pf in (
+            next(
+                (
+                    sp.get("fields") or []
+                    for sp in meta.get("partition-specs") or []
+                    if sp.get("spec-id") == meta.get("default-spec-id", 0)
+                ),
+                None,
+            )
+            or meta.get("partition-spec")
+            or []
+        ):
+            kind, param = TR.parse_transform(pf.get("transform"))
+            src = src_names.get(pf.get("source-id"))
+            if src is None:
+                src = pf.get("name")
+            by_source[src] = (pf.get("name"), kind, param)
+            order.append(pf.get("name"))
         for col, op, _v in partition_filters:
-            if col not in spec:
+            if col not in by_source:
                 raise IcebergError(
                     f"partition filter column {col!r} is not a "
-                    f"partition field (fields: {sorted(spec)})"
+                    "partition source column (sources: "
+                    f"{sorted(by_source)})"
                 )
-            if spec[col] != "identity":
+            fname, kind, param = by_source[col]
+            if kind == "unknown":
                 raise IcebergError(
-                    f"partition field {col!r} uses transform "
-                    f"{spec[col]!r}; only identity fields prune safely"
+                    f"partition field {fname!r} uses an unknown "
+                    "transform; refusing to prune"
+                )
+            if kind == "void":
+                raise IcebergError(
+                    f"partition field {fname!r} is void-transformed "
+                    "— it cannot prune"
+                )
+            if kind == "bucket" and op not in ("=", "in"):
+                raise IcebergError(
+                    "bucket partitions prune EQUALITY only "
+                    f"(got {op!r} on {col!r}) — ranges do not map "
+                    "to hash buckets"
                 )
             if op not in _OPS:
                 raise IcebergError(f"unsupported filter op {op!r}")
+
         # manifests written BEFORE a column rename keep the old
         # partition-struct field name; spec field order is stable
         # (ids never reorder), so resolve by POSITION with a
         # same-name fast path
-        order = [n for n, _t in _identity_partition_fields(meta)]
-
-        def part_value(part: dict, col: str):
-            if col in part:
-                return part[col]
+        def part_value(part: dict, fname: str):
+            if fname in part:
+                return part[fname]
             vals = list(part.values())
-            idx = order.index(col)
+            idx = order.index(fname)
             return vals[idx] if idx < len(vals) else None
+
+        def keeps(part: dict, col: str, op: str, val) -> bool:
+            fname, kind, param = by_source[col]
+            pv = part_value(part, fname)
+            if kind == "identity":
+                return _OPS[op](pv, val)
+            if kind == "bucket":
+                if op == "=":
+                    return pv == TR.bucket(param, val)
+                return pv in {TR.bucket(param, v) for v in val}
+            # order-preserving transforms: compare in transform
+            # space; boundary groups survive (the residual row
+            # filter finishes the job)
+            tv = (
+                [TR.apply_transform(kind, param, v) for v in val]
+                if op == "in"
+                else TR.apply_transform(kind, param, val)
+            )
+            if op == "=":
+                return pv == tv
+            if op == "in":
+                return pv in set(tv)
+            if op == "!=":
+                return True  # a != literal prunes nothing safely
+            if pv is None:
+                return False
+            if op in ("<", "<="):
+                return pv <= tv
+            return pv >= tv  # > / >=
 
         pruned = []
         for f in files:
             part = f.get("partition") or {}
             if all(
-                _OPS[op](part_value(part, col), val)
+                keeps(part, col, op, val)
                 for col, op, val in partition_filters
             ):
                 pruned.append(f)
         files = pruned
+        # transformed partitions are not partition-pure in source-
+        # column space: whatever survived pruning still needs the
+        # predicate as a row filter
+        residual_filters = [
+            (col, op, val)
+            for col, op, val in partition_filters
+            if by_source[col][1] != "identity"
+        ]
     if not files:
         return spark.createDataFrame([], schema)
     # mixed data-file formats (ORC / AVRO appear in older
@@ -719,8 +801,15 @@ def read_iceberg(
                 "this verb cannot run on ORC/AVRO data files; "
                 "compact first"
             )
-        return _read_mixed_formats(
-            spark, meta, schema, files, data_filters
+        from lwes_contrib_hive_serde_spark.sources.delta import (
+            _apply_data_filters as _adf,
+        )
+
+        return _adf(
+            _read_mixed_formats(
+                spark, meta, schema, files, data_filters
+            ),
+            residual_filters or None,
         )
     # spark_path: the Spark-side spelling (s3→s3a, registered test
     # schemes→their local translation); also the delete-join key so
@@ -857,7 +946,9 @@ def read_iceberg(
         df = _apply_equality_deletes(
             spark, meta, files, eq_delete_files, df
         )
-    return _apply_data_filters(df, data_filters)
+    return _apply_data_filters(
+        _apply_data_filters(df, data_filters), residual_filters or None
+    )
 
 
 def _read_mixed_formats(
@@ -2757,3 +2848,183 @@ def iceberg_expire_snapshots(
         "snapshots_expired": len(expired),
         "files_deleted": deleted,
     }
+
+
+def write_iceberg_table_transformed(
+    df: DataFrame,
+    path: str,
+    transform_spec: list[tuple[str, str]],
+) -> int:
+    """FIXTURE-GRADE writer for TRANSFORM-partitioned tables
+    (bucket[N] / truncate[W] / year / month / day / hour) — table
+    CREATION only, the shape needed to test transform-aware
+    pruning. Each (column, transform) pair becomes a partition
+    field named ``<col>_<kind>`` whose manifest partition value is
+    the TRANSFORM OUTPUT (iceberg_transforms.apply_transform, the
+    spec's functions with Appendix-B-pinned hashing); data files
+    keep every source column (transform outputs live only in
+    metadata). Staging computes the transform per row in an
+    Arrow-batched pandas UDF and partitions by it."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    from lwes_contrib_hive_serde_spark.sources import (
+        iceberg_transforms as TR,
+    )
+
+    fsio.require_local(path, "write_iceberg_table_transformed")
+    mdir = os.path.join(path, "metadata")
+    ddir = os.path.join(path, "data")
+    if os.path.exists(os.path.join(mdir, "version-hint.text")):
+        raise IcebergError(
+            "write_iceberg_table_transformed creates tables only "
+            "(fixture scope) — the table already exists"
+        )
+    os.makedirs(mdir, exist_ok=True)
+    os.makedirs(ddir, exist_ok=True)
+    types = {f.name: f.dataType for f in df.schema.fields}
+    names = [f.name for f in df.schema.fields]
+    parts = []  # (field_name, kind, param, source_col, value_dtype)
+    staged = df
+    for i, (col, tr) in enumerate(transform_spec):
+        if col not in types:
+            raise IcebergError(f"transform column {col!r} not in df")
+        kind, param = TR.parse_transform(tr)
+        if kind in ("unknown", "void", "identity"):
+            raise IcebergError(
+                f"transform {tr!r} not supported here (identity goes "
+                "through write_iceberg_table)"
+            )
+        if kind == "truncate" and isinstance(types[col], StringType):
+            out_t, vdt = "string", StringType()
+        else:
+            out_t, vdt = "long", LongType()
+        helper = f"__tp{i}"
+
+        def make(kind=kind, param=param):
+            def f(s):
+                return s.map(
+                    lambda v: TR.apply_transform(kind, param, v)
+                )
+            return f
+
+        # explicit SCALAR eval type: `from __future__ import
+        # annotations` stringifies hints, which the hint-based
+        # pandas_udf inference cannot resolve for a local alias
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", UserWarning)
+            udf = pandas_udf(make(), out_t, functionType=200)
+        staged = staged.withColumn(helper, udf(F.col(col)))
+        parts.append((f"{col}_{kind}", kind, param, col, vdt))
+    import urllib.parse
+
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    staged.write.mode("overwrite").partitionBy(
+        *[f"__tp{i}" for i in range(len(parts))]
+    ).parquet(staging)
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    entries = []
+    for root, _dirs, fnames in os.walk(staging):
+        for n in sorted(fnames):
+            if not n.endswith(".parquet"):
+                continue
+            src = os.path.join(root, n)
+            rel = os.path.relpath(root, staging)
+            pv = {}
+            for seg in [] if rel == "." else rel.split(os.sep):
+                k, _, raw = seg.partition("=")
+                pv[k] = urllib.parse.unquote(raw)
+            vals = []
+            for i, (fname, kind, param, col, vdt) in enumerate(parts):
+                raw = pv.get(f"__tp{i}")
+                if raw in (None, "__HIVE_DEFAULT_PARTITION__"):
+                    vals.append(None)
+                elif isinstance(vdt, LongType):
+                    vals.append(int(raw))
+                else:
+                    vals.append(raw)
+            dst = os.path.join(ddir, f"{uuid.uuid4().hex}.parquet")
+            num = pq.read_metadata(src).num_rows
+            os.replace(src, dst)
+            entries.append(
+                (1, None,
+                 (dst, "PARQUET", tuple(vals), num,
+                  os.path.getsize(dst), [], []))
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+
+    snapshot_id = int.from_bytes(os.urandom(6), "big")
+    now_ms = int(time.time() * 1000)
+    manifest = os.path.join(mdir, f"manifest-{snapshot_id}.avro")
+    entry_schema = _manifest_entry_schema(
+        [(fname, vdt) for fname, _k, _p, _c, vdt in parts], bounds=True
+    )
+    entry_ids = dict(_MANIFEST_ENTRY_FIELD_IDS)
+    for k, (fname, *_rest) in enumerate(parts):
+        entry_ids[f"data_file.partition.{fname}"] = 1000 + k
+    _write_avro_file(
+        manifest, entry_schema, entries, "manifest_entry",
+        field_ids=entry_ids,
+    )
+    ml = os.path.join(mdir, f"snap-{snapshot_id}.avro")
+    _write_avro_file(
+        ml, _MANIFEST_LIST_SCHEMA,
+        [(manifest, os.path.getsize(manifest), 0, 0, snapshot_id, 1)],
+        "manifest_file", field_ids=_MANIFEST_LIST_FIELD_IDS,
+    )
+    fields = [
+        {
+            "id": i,
+            "name": f.name,
+            "required": not f.nullable,
+            "type": _spark_to_iceberg_type(f.dataType),
+        }
+        for i, f in enumerate(df.schema.fields, start=1)
+    ]
+    spec_fields = [
+        {
+            "name": fname,
+            "transform": (
+                f"{kind}[{param}]" if param is not None else kind
+            ),
+            "source-id": names.index(col) + 1,
+            "field-id": 1000 + i,
+        }
+        for i, (fname, kind, param, col, _vdt) in enumerate(parts)
+    ]
+    meta = {
+        "format-version": 1,
+        "table-uuid": str(uuid.uuid4()),
+        "location": path,
+        "last-updated-ms": now_ms,
+        "last-sequence-number": 1,
+        "last-column-id": len(fields),
+        "schema": {"type": "struct", "fields": fields},
+        "partition-spec": spec_fields,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "default-spec-id": 0,
+        "properties": {},
+        "current-snapshot-id": snapshot_id,
+        "snapshots": [
+            {
+                "snapshot-id": snapshot_id,
+                "timestamp-ms": now_ms,
+                "manifest-list": ml,
+                "summary": {"operation": "append"},
+            }
+        ],
+        "snapshot-log": [
+            {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+        ],
+    }
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write("1")
+    return snapshot_id

@@ -1,0 +1,193 @@
+"""Iceberg partition TRANSFORMS (table spec "Partition Transforms"
++ Appendix B "32-bit Hash Requirements").
+
+Real tables rarely partition on raw column values: they bucket by
+murmur3 (``bucket[N]``), truncate (``truncate[W]``), or derive
+calendar units from timestamps/dates (``year``/``month``/``day``/
+``hour``). Pruning those partitions needs the EXACT transform the
+writer used — a wrong bucket hash silently drops the right files —
+so this module implements the spec's functions from scratch and
+pins them against the spec's own published test vectors
+(tests/test_iceberg_transforms.py).
+
+Hash (Appendix B): murmur3_x86_32 with seed 0 over:
+  - int/long:   the value as 8-byte little-endian (ints WIDEN to
+                long first so bucket(int x) == bucket(long x))
+  - string:     UTF-8 bytes
+  - date:       days-from-epoch as int → long rule
+  - timestamp:  microseconds-from-epoch → long rule
+bucket value = (hash & Integer.MAX_VALUE) % N.
+
+Order-preserving transforms (truncate, year/month/day/hour) admit
+range pruning; bucket admits only equality.
+"""
+
+from __future__ import annotations
+
+import struct
+from datetime import date, datetime, timezone
+
+
+def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
+    """Public-domain murmur3 32-bit x86 variant, seed 0 per the
+    spec; returns a SIGNED 32-bit int (Java semantics)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    rounds = n // 4
+    for i in range(rounds):
+        (k,) = struct.unpack_from("<I", data, i * 4)
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[rounds * 4:]
+    k = 0
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+_EPOCH = date(1970, 1, 1)
+
+
+def _hash_value(value) -> int:
+    if isinstance(value, bool):
+        raise ValueError("bucket transform is not defined for booleans")
+    if isinstance(value, int):
+        return murmur3_x86_32(struct.pack("<q", value))
+    if isinstance(value, str):
+        return murmur3_x86_32(value.encode("utf-8"))
+    if isinstance(value, bytes):
+        return murmur3_x86_32(value)
+    if isinstance(value, datetime):
+        us = int(value.timestamp() * 1_000_000) if value.tzinfo else int(
+            value.replace(tzinfo=timezone.utc).timestamp() * 1_000_000
+        )
+        return murmur3_x86_32(struct.pack("<q", us))
+    if isinstance(value, date):
+        return murmur3_x86_32(
+            struct.pack("<q", (value - _EPOCH).days)
+        )
+    raise ValueError(
+        f"bucket transform undefined for {type(value).__name__}"
+    )
+
+
+def bucket(n: int, value) -> int | None:
+    """(murmur3(v) & Integer.MAX_VALUE) % n — the spec's bucket."""
+    if value is None:
+        return None
+    return (_hash_value(value) & 0x7FFFFFFF) % n
+
+
+def truncate(width: int, value):
+    """Spec truncate: ints/longs → v - (((v % W) + W) % W) (floors
+    toward -inf); strings → first W CODE POINTS; bytes → first W
+    bytes."""
+    if value is None:
+        return None
+    if isinstance(value, int) and not isinstance(value, bool):
+        return value - (((value % width) + width) % width)
+    if isinstance(value, str):
+        return value[:width]
+    if isinstance(value, bytes):
+        return value[:width]
+    raise ValueError(
+        f"truncate transform undefined for {type(value).__name__}"
+    )
+
+
+def _as_datetime(value) -> datetime:
+    if isinstance(value, datetime):
+        return value
+    if isinstance(value, date):
+        return datetime(value.year, value.month, value.day)
+    raise ValueError(
+        f"temporal transform undefined for {type(value).__name__}"
+    )
+
+
+def years(value) -> int | None:
+    """Years from 1970 (ordinal, so ordering is preserved)."""
+    if value is None:
+        return None
+    return _as_datetime(value).year - 1970
+
+
+def months(value) -> int | None:
+    if value is None:
+        return None
+    d = _as_datetime(value)
+    return (d.year - 1970) * 12 + (d.month - 1)
+
+
+def days(value) -> int | None:
+    if value is None:
+        return None
+    d = _as_datetime(value)
+    return (d.date() if isinstance(d, datetime) else d).toordinal() - _EPOCH.toordinal()
+
+
+def hours(value) -> int | None:
+    if value is None:
+        return None
+    d = _as_datetime(value)
+    if d.tzinfo is None:
+        d = d.replace(tzinfo=timezone.utc)
+    return int(d.timestamp() // 3600)
+
+
+def parse_transform(name: str):
+    """'identity' | 'bucket[N]' | 'truncate[W]' | 'year'.. →
+    (kind, param | None). Unknown transforms return ('unknown',
+    None) so callers refuse by name instead of mispruning."""
+    t = (name or "").strip().lower()
+    if t in ("identity", "year", "month", "day", "hour", "void"):
+        return t, None
+    for kind in ("bucket", "truncate"):
+        if t.startswith(kind + "[") and t.endswith("]"):
+            try:
+                return kind, int(t[len(kind) + 1:-1])
+            except ValueError:
+                return "unknown", None
+    return "unknown", None
+
+
+def apply_transform(kind: str, param, value):
+    """The transform output for a raw column value — what the
+    writer stored in the manifest's partition struct."""
+    if kind == "identity":
+        return value
+    if kind == "bucket":
+        return bucket(param, value)
+    if kind == "truncate":
+        return truncate(param, value)
+    if kind == "year":
+        return years(value)
+    if kind == "month":
+        return months(value)
+    if kind == "day":
+        return days(value)
+    if kind == "hour":
+        return hours(value)
+    raise ValueError(f"unknown transform {kind!r}")
+
+
+ORDER_PRESERVING = {"identity", "truncate", "year", "month", "day", "hour"}

@@ -1,0 +1,165 @@
+"""Iceberg partition transforms (sources/iceberg_transforms.py):
+the spec's Appendix-B hash vectors, transform math, and
+transform-aware partition pruning in read_iceberg."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from lwes_contrib_hive_serde_spark.sources import iceberg as I
+from lwes_contrib_hive_serde_spark.sources import (
+    iceberg_transforms as T,
+)
+
+
+class TestSpecVectors:
+    """The table spec publishes these exact murmur3 results
+    (Appendix B, 'Hash requirements') — a wrong hash would prune
+    the WRONG files, so they are pinned byte-for-byte."""
+
+    def test_published_hash_vectors(self):
+        assert T._hash_value(34) == 2017239379          # int
+        assert T._hash_value(34) == T._hash_value(34)   # long == int
+        assert T._hash_value("iceberg") == 1210000089
+        assert T._hash_value(dt.date(2017, 11, 16)) == -653330422
+        assert T._hash_value(
+            dt.datetime(2017, 11, 16, 22, 31, 8, tzinfo=dt.timezone.utc)
+        ) == -2047944441
+        assert T._hash_value(bytes([0, 1, 2, 3])) == -188683207
+
+    def test_bucket_and_null(self):
+        assert T.bucket(16, 34) == (2017239379 & 0x7FFFFFFF) % 16
+        assert T.bucket(16, None) is None
+
+    def test_truncate(self):
+        assert T.truncate(10, 17) == 10
+        assert T.truncate(10, -3) == -10   # floors toward -inf
+        assert T.truncate(3, "iceberg") == "ice"
+        assert T.truncate(2, b"abcd") == b"ab"
+
+    def test_temporal(self):
+        d = dt.date(2017, 11, 16)
+        assert T.years(d) == 47
+        assert T.months(d) == 47 * 12 + 10
+        assert T.days(d) == (d - dt.date(1970, 1, 1)).days
+        ts = dt.datetime(1970, 1, 2, 5, 0, tzinfo=dt.timezone.utc)
+        assert T.hours(ts) == 29
+
+    def test_parse(self):
+        assert T.parse_transform("bucket[16]") == ("bucket", 16)
+        assert T.parse_transform("truncate[4]") == ("truncate", 4)
+        assert T.parse_transform("day") == ("day", None)
+        assert T.parse_transform("zorder") == ("unknown", None)
+
+
+class TestTransformPruning:
+    def _table(self, spark, tmp_path, spec):
+        p = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [
+                Row(
+                    doc_id=i,
+                    name=f"user-{i % 7}",
+                    ts=dt.datetime(
+                        2024, 1 + (i % 12), 3, tzinfo=dt.timezone.utc
+                    ),
+                )
+                for i in range(120)
+            ]
+        )
+        I.write_iceberg_table_transformed(df, p, spec)
+        return p
+
+    def _files_opened(self, df):
+        return {
+            r[0]
+            for r in df.select(F.input_file_name()).distinct().collect()
+        }
+
+    def test_bucket_equality_prunes_and_filters(self, spark, tmp_path):
+        p = self._table(spark, tmp_path, [("doc_id", "bucket[4]")])
+        every = I.read_iceberg(spark, p)
+        assert every.count() == 120
+        got = I.read_iceberg(
+            spark, p, partition_filters=[("doc_id", "=", 42)]
+        )
+        assert [r.doc_id for r in got.collect()] == [42]
+        assert len(self._files_opened(got)) < len(
+            self._files_opened(every)
+        )
+        # in-list
+        got = I.read_iceberg(
+            spark, p, partition_filters=[("doc_id", "in", [1, 2])]
+        )
+        assert sorted(r.doc_id for r in got.collect()) == [1, 2]
+
+    def test_bucket_range_refuses(self, spark, tmp_path):
+        p = self._table(spark, tmp_path, [("doc_id", "bucket[4]")])
+        with pytest.raises(I.IcebergError, match="EQUALITY only"):
+            I.read_iceberg(
+                spark, p, partition_filters=[("doc_id", "<", 10)]
+            )
+
+    def test_month_range_prunes(self, spark, tmp_path):
+        p = self._table(spark, tmp_path, [("ts", "month")])
+        every = I.read_iceberg(spark, p)
+        got = I.read_iceberg(
+            spark, p,
+            partition_filters=[(
+                "ts", ">=",
+                dt.datetime(2024, 11, 1, tzinfo=dt.timezone.utc),
+            )],
+        )
+        assert {r.ts.month for r in got.collect()} == {11, 12}
+        assert len(self._files_opened(got)) < len(
+            self._files_opened(every)
+        )
+        # boundary correctness: rows INSIDE the boundary month but
+        # before the literal are filtered by the residual
+        got = I.read_iceberg(
+            spark, p,
+            partition_filters=[(
+                "ts", ">",
+                dt.datetime(2024, 12, 3, tzinfo=dt.timezone.utc),
+            )],
+        )
+        assert got.count() == 0
+
+    def test_truncate_string_prunes(self, spark, tmp_path):
+        p = self._table(spark, tmp_path, [("name", "truncate[6]")])
+        got = I.read_iceberg(
+            spark, p, partition_filters=[("name", "=", "user-3")]
+        )
+        assert {r.name for r in got.collect()} == {"user-3"}
+
+    def test_mixed_identity_and_transform(self, spark, tmp_path):
+        p = self._table(
+            spark, tmp_path,
+            [("doc_id", "bucket[4]"), ("ts", "month")],
+        )
+        got = I.read_iceberg(
+            spark, p,
+            partition_filters=[
+                ("doc_id", "=", 13),
+                ("ts", "=",
+                 dt.datetime(2024, 2, 3, tzinfo=dt.timezone.utc)),
+            ],
+        )
+        assert [r.doc_id for r in got.collect()] == [13]
+
+    def test_non_source_column_refuses(self, spark, tmp_path):
+        p = self._table(spark, tmp_path, [("doc_id", "bucket[4]")])
+        with pytest.raises(I.IcebergError, match="not a partition"):
+            I.read_iceberg(
+                spark, p, partition_filters=[("name", "=", "x")]
+            )
+
+    def test_data_filters_compose(self, spark, tmp_path):
+        p = self._table(spark, tmp_path, [("doc_id", "bucket[4]")])
+        got = I.read_iceberg(
+            spark, p,
+            partition_filters=[("doc_id", "in", [5, 6, 7])],
+            data_filters=[("name", "=", "user-5")],
+        )
+        assert [r.doc_id for r in got.collect()] == [5]
