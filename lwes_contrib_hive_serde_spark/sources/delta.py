@@ -1543,6 +1543,7 @@ def write_delta(
     merge_schema: bool = False,
     txn: tuple[str, int] | None = None,
     max_commit_attempts: int = 10,
+    generated: dict[str, str] | None = None,
 ) -> int:
     """Write a DataFrame as a Delta commit; returns the committed
     version. mode: append | overwrite | error (error refuses if the
@@ -1573,6 +1574,33 @@ def write_delta(
         exists = bool(commits or checkpoints)
     if exists and mode == "error":
         raise DeltaError(f"Delta table already exists at {path}")
+    if generated:
+        # GENERATED columns (PROTOCOL.md "Generated Columns") are
+        # declared AT CREATION: the expression rides each field's
+        # delta.generationExpression metadata, the protocol needs
+        # minWriterVersion >= 4, and the creating batch must itself
+        # satisfy col == expr (validated below, one pass)
+        if exists:
+            raise DeltaError(
+                "generated columns are declared at table creation; "
+                "this table already exists"
+            )
+        for col, gexpr in generated.items():
+            if col not in types:
+                raise DeltaError(
+                    f"generated column {col!r} not in DataFrame — "
+                    "include it (its type comes from the data)"
+                )
+            bad = df.filter(
+                ~F.col(col).eqNullSafe(
+                    F.expr(gexpr).cast(types[col])
+                )
+            ).limit(1).collect()
+            if bad:
+                raise DeltaError(
+                    f"generated column {col} = {gexpr} violated by "
+                    f"creating batch row {bad[0]}"
+                )
     new_field_phys: dict = {}
     staged_phys_map: dict | None = None
     staged_df = df
@@ -1584,6 +1612,11 @@ def write_delta(
         # the winning O_EXCL create must not be clobbered).
         prior = _replay(path)
         _check_readable(prior)
+        # writer integrity gate: CHECK constraints + generated
+        # columns (may ADD computed columns, so it precedes every
+        # schema-derived step)
+        df = _enforce_writer_invariants(df, prior, "write_delta")
+        staged_df = df
         fm = _phys_field_map(prior)
         if fm is not None and merge_schema:
             # new columns appended to a MAPPED table get their
@@ -1708,10 +1741,21 @@ def write_delta(
                 raise
         else:
             current = None
+            schema_json = df.schema.json()
+            if generated:
+                doc = json.loads(schema_json)
+                for fld in doc.get("fields") or []:
+                    if fld["name"] in generated:
+                        md = dict(fld.get("metadata") or {})
+                        md["delta.generationExpression"] = generated[
+                            fld["name"]
+                        ]
+                        fld["metadata"] = md
+                schema_json = json.dumps(doc)
             meta = {
                 "id": str(uuid.uuid4()),
                 "format": {"provider": "parquet", "options": {}},
-                "schemaString": df.schema.json(),
+                "schemaString": schema_json,
                 "partitionColumns": partition_by,
                 "configuration": {},
                 "createdTime": int(time.time() * 1000),
@@ -1745,7 +1789,12 @@ def write_delta(
             )
         if next_version == 0:
             actions.append(
-                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 4 if generated else 2,
+                    }
+                }
             )
             actions.append({"metaData": meta})
         elif schema_changed:
@@ -3008,6 +3057,12 @@ def delta_update(
             )
         if c not in types:
             raise DeltaError(f"assignment column {c!r} not in schema")
+    if _generated_columns_of(state) or _check_constraints_of(state):
+        _dml_integrity_gate(
+            spark, path, state, "delta_update",
+            _updated_preview(spark, path, where, set_exprs)
+            if _check_constraints_of(state) else None,
+        )
     data_schema = StructType(
         [f for f in full_schema.fields if f.name not in part_cols]
     )
@@ -3259,6 +3314,23 @@ def delta_merge(
     fsio.require_local(path, "delta_merge")
     state = _replay(path)
     _check_readable(state)
+    if _generated_columns_of(state) or _check_constraints_of(state):
+        # every NEW row a merge produces carries SOURCE values, so
+        # validating the source (cast to table types) validates the
+        # whole verb; when_matched='delete' adds no rows but the
+        # generated-column refusal still applies
+        _sch = _schema(state)
+        _prev = source.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in _sch.fields
+                if f.name in source.columns
+            ]
+        )
+        _dml_integrity_gate(
+            spark, path, state, "delta_merge",
+            _prev if _check_constraints_of(state) else None,
+        )
     part_cols = _partition_columns(state)
     full_schema = _schema(state)
     phys_of = _physical_name_of(state)
@@ -3813,6 +3885,12 @@ def delta_update_dv(
             )
         if c not in types:
             raise DeltaError(f"assignment column {c!r} not in schema")
+    if _generated_columns_of(state) or _check_constraints_of(state):
+        _dml_integrity_gate(
+            spark, path, state, "delta_update_dv",
+            _updated_preview(spark, path, where, set_exprs)
+            if _check_constraints_of(state) else None,
+        )
     part_preds = [(c, o, v) for c, o, v in where if c in part_cols]
     data_preds = [(c, o, v) for c, o, v in where if c not in part_cols]
     for c, o, _v in where:
@@ -4438,6 +4516,23 @@ def delta_merge_dv(
     fsio.require_local(path, "delta_merge_dv")
     state = _replay(path)
     _check_readable(state)
+    if _generated_columns_of(state) or _check_constraints_of(state):
+        # every NEW row a merge produces carries SOURCE values, so
+        # validating the source (cast to table types) validates the
+        # whole verb; when_matched='delete' adds no rows but the
+        # generated-column refusal still applies
+        _sch = _schema(state)
+        _prev = source.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in _sch.fields
+                if f.name in source.columns
+            ]
+        )
+        _dml_integrity_gate(
+            spark, path, state, "delta_merge_dv",
+            _prev if _check_constraints_of(state) else None,
+        )
     part_cols = _partition_columns(state)
     full_schema = _schema(state)
     phys_of = _physical_name_of(state)
@@ -4756,3 +4851,245 @@ def delta_merge_dv(
             "version": version,
         }
     raise DeltaError("dv-merge could not commit (sustained contention)")
+
+
+def _check_constraints_of(state: _State) -> dict[str, str]:
+    """CHECK constraints from configuration (PROTOCOL.md "CHECK
+    Constraints": ``delta.constraints.<name> = <sql expr>``)."""
+    conf = (state.metadata or {}).get("configuration") or {}
+    pre = "delta.constraints."
+    return {
+        k[len(pre):]: v for k, v in conf.items() if k.startswith(pre)
+    }
+
+
+def _generated_columns_of(state: _State) -> dict[str, str]:
+    """column → generation expression, from the schema fields'
+    ``delta.generationExpression`` metadata (PROTOCOL.md "Generated
+    Columns")."""
+    doc = json.loads(state.metadata["schemaString"])
+    out = {}
+    for f in doc.get("fields") or []:
+        expr = (f.get("metadata") or {}).get("delta.generationExpression")
+        if expr:
+            out[f["name"]] = expr
+    return out
+
+
+def _enforce_writer_invariants(
+    df: DataFrame, state: _State, op: str
+) -> DataFrame:
+    """The writer-side integrity gate every data-adding commit owes
+    (PROTOCOL.md Writer Requirements): compute ABSENT generated
+    columns from their expressions, validate PRESENT ones match,
+    and reject rows violating any CHECK constraint (SQL semantics:
+    NULL passes). One combined pass over the WRITTEN batch — never
+    the table — so the cost is one extra job over the rows already
+    in motion."""
+    gens = _generated_columns_of(state)
+    schema = _schema(state)
+    checks = []
+    for col, expr in gens.items():
+        dtype = next(
+            (f.dataType for f in schema.fields if f.name == col), None
+        )
+        if col not in df.columns:
+            df = df.withColumn(col, F.expr(expr).cast(dtype))
+        else:
+            checks.append(
+                (
+                    f"generated column {col} = {expr}",
+                    F.col(col).eqNullSafe(F.expr(expr).cast(dtype)),
+                )
+            )
+    for name, expr in _check_constraints_of(state).items():
+        checks.append(
+            (
+                f"CHECK constraint {name} ({expr})",
+                F.coalesce(F.expr(expr).cast("boolean"), F.lit(True)),
+            )
+        )
+    if checks:
+        ok = checks[0][1]
+        for _label, c in checks[1:]:
+            ok = ok & c
+        bad = df.filter(~F.coalesce(ok, F.lit(False))).limit(1).collect()
+        if bad:
+            # name the first failing rule for the error
+            row = bad[0]
+            one = df.sparkSession.createDataFrame([row], df.schema)
+            for label, c in checks:
+                if one.filter(
+                    ~F.coalesce(c, F.lit(False))
+                ).limit(1).count():
+                    raise DeltaError(
+                        f"{op}: {label} violated by row {row}"
+                    )
+            raise DeltaError(f"{op}: writer invariant violated by {row}")
+    return df
+
+
+def delta_add_constraint(
+    spark: SparkSession, path: str, name: str, expr: str,
+    max_commit_attempts: int = 10,
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT: validates the CURRENT rows
+    satisfy ``expr`` (the real command's full-table scan — adding
+    an unsatisfied constraint would make the table unwritable),
+    then commits ``delta.constraints.<name>`` with the protocol
+    upgrade constrained writers owe (minWriterVersion ≥ 3, or the
+    checkConstraints writer feature on v7). Returns the version."""
+    fsio.require_local(path, "delta_add_constraint")
+    if not name.isidentifier():
+        raise DeltaError(f"constraint name {name!r} must be an identifier")
+    existing = read_delta(spark, path)
+    n_bad = existing.filter(
+        ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+    ).limit(1).count()
+    if n_bad:
+        raise DeltaError(
+            f"cannot add CHECK constraint {name}: existing rows "
+            f"violate ({expr})"
+        )
+    now_ms = int(time.time() * 1000)
+    for _ in range(max_commit_attempts):
+        state = _replay(path)
+        _check_readable(state)
+        meta = dict(state.metadata)
+        conf = dict(meta.get("configuration") or {})
+        key = f"delta.constraints.{name}"
+        if key in conf:
+            raise DeltaError(f"constraint {name} already exists")
+        conf[key] = expr
+        meta["configuration"] = conf
+        p = dict(state.protocol or {})
+        wv = int(p.get("minWriterVersion", 2))
+        proto_actions = []
+        if wv >= 7:
+            feats = set(p.get("writerFeatures") or [])
+            if "checkConstraints" not in feats:
+                p["writerFeatures"] = sorted(feats | {"checkConstraints"})
+                proto_actions = [{"protocol": p}]
+        elif wv < 3:
+            p["minWriterVersion"] = 3
+            p.setdefault("minReaderVersion", 1)
+            proto_actions = [{"protocol": p}]
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "ADD CONSTRAINT",
+                    "operationParameters": {"name": name, "expr": expr},
+                }
+            },
+            *proto_actions,
+            {"metaData": meta},
+        ]
+        payload = "".join(json.dumps(a) + "\n" for a in actions).encode()
+        target = _commit_file(path, state.version + 1)
+        try:
+            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+        return state.version + 1
+    raise DeltaError("add-constraint could not commit (contention)")
+
+
+def delta_drop_constraint(
+    path: str, name: str, max_commit_attempts: int = 10
+) -> int:
+    """ALTER TABLE DROP CONSTRAINT — metadata-only."""
+    fsio.require_local(path, "delta_drop_constraint")
+    now_ms = int(time.time() * 1000)
+    for _ in range(max_commit_attempts):
+        state = _replay(path)
+        _check_readable(state)
+        meta = dict(state.metadata)
+        conf = dict(meta.get("configuration") or {})
+        key = f"delta.constraints.{name}"
+        if key not in conf:
+            raise DeltaError(f"no CHECK constraint named {name}")
+        del conf[key]
+        meta["configuration"] = conf
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "DROP CONSTRAINT",
+                    "operationParameters": {"name": name},
+                }
+            },
+            {"metaData": meta},
+        ]
+        payload = "".join(json.dumps(a) + "\n" for a in actions).encode()
+        target = _commit_file(path, state.version + 1)
+        try:
+            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+        return state.version + 1
+    raise DeltaError("drop-constraint could not commit (contention)")
+
+
+def _dml_integrity_gate(
+    spark: SparkSession,
+    path: str,
+    state: _State,
+    op: str,
+    new_rows: DataFrame | None,
+) -> None:
+    """The DML verbs' writer-integrity gate: tables with GENERATED
+    columns refuse DML by name (a SET touching a generator input
+    would need recomputation this engine does not implement —
+    write_delta overwrite is the spelling), and CHECK constraints
+    validate against a logical preview of the verb's NEW rows —
+    one pass bounded by the matched/source volume, never the
+    table."""
+    gens = _generated_columns_of(state)
+    if gens:
+        raise DeltaError(
+            f"{op}: table declares generated columns "
+            f"({sorted(gens)}) — DML would need generation-"
+            "expression recomputation; rewrite via write_delta"
+        )
+    cons = _check_constraints_of(state)
+    if not cons or new_rows is None:
+        return
+    checks = [
+        F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+        for expr in cons.values()
+    ]
+    ok = checks[0]
+    for c in checks[1:]:
+        ok = ok & c
+    bad = new_rows.filter(~F.coalesce(ok, F.lit(False))).limit(1).collect()
+    if bad:
+        row = bad[0]
+        one = spark.createDataFrame([row], new_rows.schema)
+        for name, expr in cons.items():
+            c = F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+            if one.filter(~F.coalesce(c, F.lit(False))).limit(1).count():
+                raise DeltaError(
+                    f"{op}: CHECK constraint {name} ({expr}) "
+                    f"violated by row {row}"
+                )
+        raise DeltaError(f"{op}: CHECK constraint violated by {row}")
+
+
+def _updated_preview(
+    spark: SparkSession,
+    path: str,
+    where: list[tuple],
+    set_exprs: dict[str, str],
+) -> DataFrame:
+    """The logical rows an UPDATE will produce — for the integrity
+    gate."""
+    df = _apply_data_filters(read_delta(spark, path), where)
+    types = {f.name: f.dataType for f in df.schema.fields}
+    for c, expr in set_exprs.items():
+        df = df.withColumn(c, F.expr(expr).cast(types[c]))
+    return df

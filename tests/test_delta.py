@@ -1741,3 +1741,138 @@ class TestChangeDataFiles:
         rows = {r["_change_type"]: r.body for r in cdf.collect()}
         assert rows["update_preimage"] == "doc 3 body"
         assert rows["update_postimage"] == "X"
+
+
+class TestCheckConstraints:
+    """CHECK constraints (PROTOCOL.md): delta.constraints.<name>
+    config + the writer-side gate every data-adding commit owes."""
+
+    def test_add_validate_enforce_drop(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark), p)
+        v = D.delta_add_constraint(
+            spark, p, "id_nonneg", "doc_id >= 0"
+        )
+        assert v == 1
+        proto = D._replay(p).protocol
+        assert int(proto["minWriterVersion"]) >= 3
+        # violating append refuses; nothing lands
+        bad = spark.createDataFrame(
+            [(-1, "neg", "en")], "doc_id long, text string, lang string"
+        )
+        with pytest.raises(D.DeltaError, match="id_nonneg"):
+            D.write_delta(bad, p, mode="append")
+        assert D.read_delta(spark, p).count() == 20
+        # satisfying append lands; NULL passes (SQL CHECK semantics)
+        okay = spark.createDataFrame(
+            [(100, "ok", "en"), (None, "null-id", "de")],
+            "doc_id long, text string, lang string",
+        )
+        D.write_delta(okay, p, mode="append")
+        assert D.read_delta(spark, p).count() == 22
+        # adding a constraint existing rows violate refuses
+        with pytest.raises(D.DeltaError, match="existing rows"):
+            D.delta_add_constraint(spark, p, "tiny", "doc_id < 5")
+        D.delta_drop_constraint(p, "id_nonneg")
+        D.write_delta(bad, p, mode="append")
+        assert D.read_delta(spark, p).count() == 23
+        with pytest.raises(D.DeltaError, match="no CHECK constraint"):
+            D.delta_drop_constraint(p, "id_nonneg")
+
+    def test_dml_verbs_enforce(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark).coalesce(1), p)
+        D.delta_add_constraint(spark, p, "chars", "length(text) > 2")
+        # copy-on-write UPDATE violating the constraint refuses
+        with pytest.raises(D.DeltaError, match="chars"):
+            D.delta_update(spark, p, [("doc_id", "=", 3)],
+                           {"text": "'x'"})
+        # merge-on-read UPDATE too
+        with pytest.raises(D.DeltaError, match="chars"):
+            D.delta_update_dv(spark, p, [("doc_id", "=", 3)],
+                              {"text": "'x'"})
+        # satisfying update lands
+        r = D.delta_update(spark, p, [("doc_id", "=", 3)],
+                           {"text": "'xxx'"})
+        assert r["rows_updated"] == 1
+        # merges validate SOURCE rows
+        bad_src = spark.createDataFrame(
+            [(5, "z", "en")], "doc_id long, text string, lang string"
+        )
+        with pytest.raises(D.DeltaError, match="chars"):
+            D.delta_merge(spark, p, bad_src, on=["doc_id"])
+        with pytest.raises(D.DeltaError, match="chars"):
+            D.delta_merge_dv(spark, p, bad_src, on=["doc_id"])
+        ok_src = spark.createDataFrame(
+            [(5, "zzz", "en")], "doc_id long, text string, lang string"
+        )
+        assert D.delta_merge(spark, p, ok_src, on=["doc_id"])[
+            "rows_updated"
+        ] == 1
+
+
+class TestGeneratedColumns:
+    """Generated columns (PROTOCOL.md): declared at creation via
+    delta.generationExpression field metadata; absent columns
+    compute on append, present ones validate."""
+
+    def _table(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        df = _docs(spark, 6).withColumn(
+            "text_len", F.length("text").cast("int")
+        )
+        D.write_delta(
+            df, p, generated={"text_len": "length(text)"}
+        )
+        return p
+
+    def test_create_compute_validate(self, spark, tmp_path):
+        p = self._table(spark, tmp_path)
+        proto = D._replay(p).protocol
+        assert int(proto["minWriterVersion"]) >= 4
+        # absent generated column computes on append
+        more = spark.createDataFrame(
+            [(100, "hello!", "en")],
+            "doc_id long, text string, lang string",
+        )
+        D.write_delta(more, p, mode="append")
+        got = D.read_delta(spark, p).filter("doc_id = 100").first()
+        assert got.text_len == 6
+        # present-but-wrong refuses
+        bad = spark.createDataFrame(
+            [(101, "hey", "en", 99)],
+            "doc_id long, text string, lang string, text_len int",
+        )
+        with pytest.raises(D.DeltaError, match="generated column"):
+            D.write_delta(bad, p, mode="append")
+        # present-and-right lands
+        ok = spark.createDataFrame(
+            [(101, "hey", "en", 3)],
+            "doc_id long, text string, lang string, text_len int",
+        )
+        D.write_delta(ok, p, mode="append")
+        assert D.read_delta(spark, p).count() == 8
+
+    def test_creation_batch_must_satisfy(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        df = _docs(spark, 3).withColumn("text_len", F.lit(0))
+        with pytest.raises(D.DeltaError, match="generated column"):
+            D.write_delta(
+                df, p, generated={"text_len": "length(text)"}
+            )
+
+    def test_dml_refuses_on_generated(self, spark, tmp_path):
+        p = self._table(spark, tmp_path)
+        with pytest.raises(D.DeltaError, match="generated columns"):
+            D.delta_update(spark, p, [("doc_id", "=", 1)],
+                           {"text": "'abcd'"})
+        with pytest.raises(D.DeltaError, match="generated columns"):
+            D.delta_merge_dv(
+                spark, p,
+                spark.createDataFrame(
+                    [(1, "abcd", "en", 4)],
+                    "doc_id long, text string, lang string, "
+                    "text_len int",
+                ),
+                on=["doc_id"],
+            )
