@@ -35,12 +35,14 @@ def register(spark):
     )
     from lwes_contrib_hive_serde_spark.streaming import (
         delta_stream,
+        hudi_stream,
         iceberg_stream,
         journal_stream,
     )
 
     for mod in (codec, datasource, journal_stream, delta_stream,
-                iceberg_stream, warc, jsonl, avro_ocf, zstd_backend):
+                iceberg_stream, hudi_stream, warc, jsonl, avro_ocf,
+                zstd_backend):
         try:
             cloudpickle.register_pickle_by_value(mod)
         except Exception:
@@ -59,4 +61,5 @@ def register(spark):
     spark.dataSource.register(avro_ocf.AvroDataSource)
     spark.dataSource.register(delta_stream.DeltaStreamDataSource)
     spark.dataSource.register(iceberg_stream.IcebergStreamDataSource)
+    spark.dataSource.register(hudi_stream.HudiStreamDataSource)
     return spark

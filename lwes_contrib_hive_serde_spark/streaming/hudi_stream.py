@@ -1,0 +1,309 @@
+"""Streaming Hudi source: ``spark.readStream.format("hudi_stream")
+.option("path", ...)`` — Hudi's INCREMENTAL QUERY as a structured
+stream, the third lakehouse streaming source (delta_stream,
+iceberg_stream are the others).
+
+Semantics (the hudi DeltaStreamer / incremental-source contract,
+which differs deliberately from the append-only Delta/Iceberg
+streams):
+
+- INITIAL SNAPSHOT: the reconciled MOR/COW state at the stream
+  start instant — each file slice's base rows merged with its
+  valid log records, latest-per-key, computed PER TASK (a record
+  key lives in exactly one file group, so the merge never leaves
+  the task).
+- TAIL: each newly COMPLETED instant emits the LATEST VERSION of
+  every record it changed — new records AND new versions of
+  existing keys (consumers are upsert-aware; that is the
+  incremental-consumption contract, so re-emitted keys are not an
+  error here the way they are for append-only Delta tailing).
+  COW upserts emit only rows stamped with the new commit time
+  (survivor rows keep their original meta, so they stay silent);
+  MOR deltacommits emit their log records; compaction commits are
+  INVISIBLE (they preserve record meta and change nothing
+  logically).
+- Payload-level DELETES (``_hoodie_is_deleted``) cannot be
+  represented in an insert-only stream: the stream fails by name,
+  or skips them under ``option("ignoredeletes", "true")``.
+
+Scale shape: planning is a driver-side timeline walk per
+microbatch; tasks read one base file or one log file each and
+merge locally — no shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from lwes_contrib_hive_serde_spark.sources import fsio
+from lwes_contrib_hive_serde_spark.sources import hudi as H
+
+
+class HudiSlice(InputPartition):
+    def __init__(
+        self,
+        kind: str,                      # "snapshot" | "base" | "log"
+        base_path: str = "",
+        logs: list | None = None,       # [(path, logv)] for snapshot
+        log_path: str = "",
+        instant: str = "",              # tail emissions filter
+        valid: frozenset = frozenset(),
+    ):
+        self.kind = kind
+        self.base_path = base_path
+        self.logs = logs or []
+        self.log_path = log_path
+        self.instant = instant
+        self.valid = valid
+
+
+class HudiStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options):
+        self.options = options
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("hudi_stream: path required")
+        self.ignore_deletes = (
+            options.get("ignoredeletes", "false").lower() == "true"
+        )
+        props = H._load_properties(self.path)
+        ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
+        if ttype not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+            raise H.HudiError(f"table type {ttype} not supported")
+        completed, _ = H._timeline(self.path)
+        if not completed:
+            raise H.HudiError(f"no completed commits in {self.path}")
+        self._start_instant = completed[-1]
+        # data schema = first base file minus meta columns
+        slices = H._file_slices(
+            self.path, self._start_instant, set(completed)
+        )
+        if not slices:
+            raise H.HudiError("no data files at the stream start")
+        import pyarrow.parquet as pq
+
+        with fsio.open_read(slices[0]) as fh:
+            pa_schema = pq.read_schema(fh)
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        full = from_arrow_schema(pa_schema)
+        self.schema = StructType(
+            [f for f in full.fields if not f.name.startswith("_hoodie_")]
+        )
+        if schema is not None and len(schema.fields) and schema != self.schema:
+            raise H.HudiError(
+                "hudi_stream: user schema differs from the table's "
+                f"({self.schema.simpleString()}); omit .schema(...)"
+            )
+
+    # -- offsets ----------------------------------------------------
+
+    def initialOffset(self) -> dict:
+        return {"instant": self._start_instant, "snapshot_done": False}
+
+    def latestOffset(self) -> dict:
+        completed, _ = H._timeline(self.path)
+        return {
+            "instant": completed[-1] if completed else "",
+            "snapshot_done": True,
+        }
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    # -- planning ---------------------------------------------------
+
+    def partitions(self, start: dict, end: dict):
+        completed, _ = H._timeline(self.path)
+        completed_set = set(completed)
+        end_i = end["instant"]
+        slices: list[HudiSlice] = []
+        if not start.get("snapshot_done", True):
+            valid = frozenset(c for c in completed_set if c <= end_i)
+            for fp in H._file_slices(self.path, end_i, completed_set):
+                logs = H._slice_log_files(self.path, [fp], completed_set)
+                slices.append(
+                    HudiSlice(
+                        "snapshot", base_path=fp, logs=logs, valid=valid
+                    )
+                )
+            return slices or [HudiSlice("none")]
+        start_i = start["instant"]
+        tail = [c for c in completed if start_i < c <= end_i]
+        if not tail:
+            return [HudiSlice("none")]
+        valid = frozenset(c for c in completed_set if c <= end_i)
+        # every file slice at end; base files stamped with a tailed
+        # instant emit their rows of that commit; log files carry
+        # blocks the task filters by instant
+        seen_logs: set[str] = set()
+        for fp in H._file_slices(self.path, end_i, completed_set):
+            name = (
+                fp.rsplit("/", 1)[-1] if "://" in fp
+                else os.path.basename(fp)
+            )
+            base_instant = name[: -len(".parquet")].split("_")[2]
+            if base_instant in tail and not self._is_compaction(
+                base_instant
+            ):
+                slices.append(
+                    HudiSlice("base", base_path=fp, instant=base_instant)
+                )
+            for lp, _v in H._slice_log_files(
+                self.path, [fp], completed_set
+            ):
+                if lp in seen_logs:
+                    continue
+                seen_logs.add(lp)
+                for inst in tail:
+                    slices.append(
+                        HudiSlice(
+                            "log", log_path=lp, instant=inst,
+                            valid=valid,
+                        )
+                    )
+        return slices or [HudiSlice("none")]
+
+    def _is_compaction(self, instant: str) -> bool:
+        """A commit whose summary says compact is logically silent
+        (record meta is preserved through it)."""
+        import json as _json
+
+        f = fsio.join(self.path, H._HOODIE, f"{instant}.commit")
+        if not fsio.exists(f):
+            return False
+        try:
+            doc = _json.loads(fsio.read_bytes(f).decode("utf-8"))
+        except Exception:
+            return False
+        return doc.get("operation") == "compact"
+
+    # -- execution ----------------------------------------------------
+
+    def _emit(self, tbl, pa):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self.schema)
+        cols = [
+            tbl.column(f.name).cast(f.type) for f in target
+        ]
+        yield from pa.table(cols, schema=target).to_batches(
+            max_chunksize=8192
+        )
+
+    def read(self, partition: HudiSlice) -> Iterator:
+        if partition.kind == "none":
+            return
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if partition.kind == "base":
+            with fsio.open_read(partition.base_path) as fh:
+                tbl = pq.read_table(fh)
+            mask = np.array(
+                [
+                    v == partition.instant
+                    for v in tbl.column("_hoodie_commit_time").to_pylist()
+                ],
+                dtype=bool,
+            )
+            yield from self._emit(tbl.filter(pa.array(mask)), pa)
+            return
+        if partition.kind == "log":
+            data = fsio.read_bytes(partition.log_path)
+            best: dict = {}
+            for inst, bi, ri, names, row in H._iter_log_records(
+                data, partition.log_path, partition.valid
+            ):
+                if inst != partition.instant:
+                    continue
+                rec = dict(zip(names, row))
+                key = rec.get("_hoodie_record_key")
+                best[key] = (bi, ri, rec)
+            rows = [rec for _bi, _ri, rec in best.values()]
+            deleted = [
+                r for r in rows if r.get("_hoodie_is_deleted")
+            ]
+            if deleted and not self.ignore_deletes:
+                raise H.HudiError(
+                    f"instant {partition.instant} carries payload "
+                    "deletes; an insert-only stream cannot represent "
+                    "them. Set option('ignoredeletes','true') to "
+                    "skip delete records."
+                )
+            rows = [r for r in rows if not r.get("_hoodie_is_deleted")]
+            arrays = {
+                f.name: [r.get(f.name) for r in rows]
+                for f in self.schema.fields
+            }
+            tbl = pa.table(arrays) if rows else None
+            if tbl is not None:
+                yield from self._emit(tbl, pa)
+            return
+        # snapshot: base minus masked keys + latest log records
+        with fsio.open_read(partition.base_path) as fh:
+            tbl = pq.read_table(fh)
+        best: dict = {}
+        for lp, logv in sorted(partition.logs, key=lambda x: x[1]):
+            data = fsio.read_bytes(lp)
+            for inst, bi, ri, names, row in H._iter_log_records(
+                data, lp, partition.valid
+            ):
+                rec = dict(zip(names, row))
+                key = rec.get("_hoodie_record_key")
+                cur = best.get(key)
+                rank = (inst, logv, bi, ri)
+                if cur is None or rank >= cur[0]:
+                    best[key] = (rank, rec)
+        if best:
+            keys = tbl.column("_hoodie_record_key").to_pylist()
+            mask = np.array([k not in best for k in keys], dtype=bool)
+            tbl = tbl.filter(pa.array(mask))
+            live = [
+                rec for _rank, rec in best.values()
+                if not rec.get("_hoodie_is_deleted")
+            ]
+            if live:
+                arrays = {
+                    f.name: [r.get(f.name) for r in live]
+                    for f in self.schema.fields
+                }
+                extra = pa.table(arrays)
+                yield from self._emit(extra, pa)
+        yield from self._emit(tbl, pa)
+
+
+class HudiStreamDataSource(DataSource):
+    """``spark.readStream.format("hudi_stream")``. Batch reads go
+    through sources.hudi.read_hudi (native parquet scan); this is
+    the STREAMING entry point only."""
+
+    @classmethod
+    def name(cls):
+        return "hudi_stream"
+
+    def schema(self):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("hudi_stream: path required")
+        return HudiStreamReader(None, {"path": path}).schema
+
+    def reader(self, schema: StructType):
+        raise H.HudiError(
+            "batch Hudi reads use "
+            "lwes_contrib_hive_serde_spark.sources.hudi.read_hudi "
+            "(native parquet scan); format('hudi_stream') is the "
+            "STREAMING entry point"
+        )
+
+    def streamReader(self, schema: StructType):
+        return HudiStreamReader(schema, self.options)

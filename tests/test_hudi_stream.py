@@ -1,0 +1,152 @@
+"""Streaming Hudi source (streaming/hudi_stream.py): the
+incremental query as a stream — snapshot merge per file slice,
+per-instant upsert emissions, compaction invisibility, delete
+refusal."""
+
+import pytest
+from pyspark.sql import Row
+
+from lwes_contrib_hive_serde_spark.sources import hudi as H
+
+
+def _docs(spark, lo, hi):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=i, text=f"t{i}", lang=["en", "de"][i % 2])
+            for i in range(lo, hi)
+        ]
+    )
+
+
+def _start(spark, path, name, **opts):
+    reader = spark.readStream.format("hudi_stream").option("path", path)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return (
+        reader.load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+
+
+class TestHudiStream:
+    def test_mor_snapshot_then_incremental_tail(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        H.write_hudi_table(
+            _docs(spark, 0, 8), p, record_key="doc_id",
+            table_type="MERGE_ON_READ",
+        )
+        upd = spark.createDataFrame(
+            [(1, "PRE", "en")], "doc_id long, text string, lang string"
+        )
+        H.hudi_log_update(spark, p, upd, "doc_id")
+        q = _start(spark, p, "hs_snap")
+        try:
+            q.processAllAvailable()
+            got = {
+                (r.doc_id, r.text)
+                for r in spark.sql("select * from hs_snap").collect()
+            }
+            # snapshot = merged state (PRE applied, once)
+            assert got == {(i, "PRE" if i == 1 else f"t{i}")
+                           for i in range(8)}
+            # tail: a log update emits the new version
+            upd2 = spark.createDataFrame(
+                [(2, "UPD", "en")],
+                "doc_id long, text string, lang string",
+            )
+            H.hudi_log_update(spark, p, upd2, "doc_id")
+            q.processAllAvailable()
+            rows = spark.sql(
+                "select * from hs_snap where doc_id = 2"
+            ).collect()
+            assert {(r.doc_id, r.text) for r in rows} == {
+                (2, "t2"), (2, "UPD")
+            }
+            # compaction is invisible
+            n = spark.sql("select count(*) from hs_snap").first()[0]
+            H.hudi_compact(spark, p, "doc_id")
+            q.processAllAvailable()
+            assert spark.sql(
+                "select count(*) from hs_snap"
+            ).first()[0] == n
+            # append emits only the new rows
+            H.write_hudi_table(
+                _docs(spark, 100, 102), p, record_key="doc_id"
+            )
+            q.processAllAvailable()
+            got = sorted(
+                r.doc_id
+                for r in spark.sql(
+                    "select * from hs_snap where doc_id >= 100"
+                ).collect()
+            )
+            assert got == [100, 101]
+        finally:
+            q.stop()
+
+    def test_cow_upsert_emits_changed_rows_only(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        H.write_hudi_table(
+            _docs(spark, 0, 6).repartition(1), p, record_key="doc_id"
+        )
+        q = _start(spark, p, "hs_cow")
+        try:
+            q.processAllAvailable()
+            assert spark.sql(
+                "select count(*) from hs_cow"
+            ).first()[0] == 6
+            up = spark.createDataFrame(
+                [Row(doc_id=3, text="NEW", lang="fr")]
+            )
+            H.write_hudi_table(up, p, record_key="doc_id", mode="upsert")
+            q.processAllAvailable()
+            fresh = spark.sql(
+                "select * from hs_cow where text = 'NEW'"
+            ).collect()
+            assert len(fresh) == 1
+            # survivors did NOT re-emit
+            assert spark.sql(
+                "select count(*) from hs_cow"
+            ).first()[0] == 7
+        finally:
+            q.stop()
+
+    def test_deletes_refuse_unless_ignored(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        H.write_hudi_table(
+            _docs(spark, 0, 5), p, record_key="doc_id",
+            table_type="MERGE_ON_READ",
+        )
+        q = _start(spark, p, "hs_del")
+        try:
+            q.processAllAvailable()
+            dels = spark.createDataFrame([(2,)], "doc_id long")
+            H.hudi_log_update(spark, p, deletes=dels,
+                              record_key="doc_id")
+            with pytest.raises(Exception, match="insert-only"):
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        q2 = _start(spark, p, "hs_del2", ignoredeletes="true")
+        try:
+            q2.processAllAvailable()
+            # the deleted key is simply absent from the snapshot
+            got = sorted(
+                r.doc_id
+                for r in spark.sql("select * from hs_del2").collect()
+            )
+            assert got == [0, 1, 3, 4]
+        finally:
+            q2.stop()
+
+    def test_batch_read_refused(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        H.write_hudi_table(_docs(spark, 0, 3), p, record_key="doc_id")
+        with pytest.raises(Exception, match="STREAMING entry point"):
+            (
+                spark.read.format("hudi_stream")
+                .option("path", p).load().collect()
+            )
