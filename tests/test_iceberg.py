@@ -294,7 +294,10 @@ class TestPartitioned:
                 spark, p2, partition_filters=[("lang", "=", "en")]
             )
 
-    def test_non_identity_transform_refused(self, spark, tmp_path):
+    def test_transform_pruning_limits(self, spark, tmp_path):
+        # r10: bucket fields PRUNE equality (test_iceberg_transforms
+        # covers it end-to-end); ranges on buckets and unknown
+        # transforms still refuse by name
         p = str(tmp_path / "t")
         I.write_iceberg_table(_docs(spark), p, partition_by=["lang"])
         mp = os.path.join(
@@ -307,7 +310,16 @@ class TestPartitioned:
             for f in spec["fields"]:
                 f["transform"] = "bucket[16]"
         json.dump(meta, open(mp, "w"))
-        with pytest.raises(I.IcebergError, match="identity"):
+        with pytest.raises(I.IcebergError, match="EQUALITY only"):
+            I.read_iceberg(
+                spark, p, partition_filters=[("lang", "<", "x")]
+            )
+        meta = json.load(open(mp))
+        for spec in meta["partition-specs"]:
+            for f in spec["fields"]:
+                f["transform"] = "zorder"
+        json.dump(meta, open(mp, "w"))
+        with pytest.raises(I.IcebergError, match="unknown"):
             I.read_iceberg(
                 spark, p, partition_filters=[("lang", "=", "en")]
             )
