@@ -1612,6 +1612,8 @@ def write_delta(
         # the winning O_EXCL create must not be clobbered).
         prior = _replay(path)
         _check_readable(prior)
+        if mode == "overwrite":
+            _check_append_only(prior, "write_delta(overwrite)")
         # writer integrity gate: CHECK constraints + generated
         # columns (may ADD computed columns, so it precedes every
         # schema-derived step)
@@ -2316,6 +2318,7 @@ def delta_restore(
     from . import delta_dv
 
     fsio.require_local(path, "delta_restore")
+    _check_append_only(_replay(path), "delta_restore")
     target_state = _replay(path, version)
     _check_readable(target_state)
     for a in target_state.adds.values():
@@ -2671,6 +2674,7 @@ def delta_delete(
     fsio.require_local(path, "delta_delete")
     state = _replay(path)
     _check_readable(state)
+    _check_append_only(state, "delta_delete")
     part_cols = _partition_columns(state)
     full_schema = _schema(state)
     phys_of = _physical_name_of(state)
@@ -2892,6 +2896,7 @@ def delta_delete_dv(
     fsio.require_local(path, "delta_delete_dv")
     state = _replay(path)
     _check_readable(state)
+    _check_append_only(state, "delta_delete_dv")
     part_cols = _partition_columns(state)
     full_schema = _schema(state)
     phys_of = _physical_name_of(state)
@@ -3045,6 +3050,7 @@ def delta_update(
     fsio.require_local(path, "delta_update")
     state = _replay(path)
     _check_readable(state)
+    _check_append_only(state, "delta_update")
     part_cols = _partition_columns(state)
     full_schema = _schema(state)
     phys_of = _physical_name_of(state)
@@ -3314,6 +3320,7 @@ def delta_merge(
     fsio.require_local(path, "delta_merge")
     state = _replay(path)
     _check_readable(state)
+    _check_append_only(state, "delta_merge")
     if _generated_columns_of(state) or _check_constraints_of(state):
         # every NEW row a merge produces carries SOURCE values, so
         # validating the source (cast to table types) validates the
@@ -3873,6 +3880,7 @@ def delta_update_dv(
     fsio.require_local(path, "delta_update_dv")
     state = _replay(path)
     _check_readable(state)
+    _check_append_only(state, "delta_update_dv")
     part_cols = _partition_columns(state)
     full_schema = _schema(state)
     phys_of = _physical_name_of(state)
@@ -4516,6 +4524,7 @@ def delta_merge_dv(
     fsio.require_local(path, "delta_merge_dv")
     state = _replay(path)
     _check_readable(state)
+    _check_append_only(state, "delta_merge_dv")
     if _generated_columns_of(state) or _check_constraints_of(state):
         # every NEW row a merge produces carries SOURCE values, so
         # validating the source (cast to table types) validates the
@@ -5093,3 +5102,16 @@ def _updated_preview(
     for c, expr in set_exprs.items():
         df = df.withColumn(c, F.expr(expr).cast(types[c]))
     return df
+
+
+def _check_append_only(state: _State, op: str) -> None:
+    """PROTOCOL.md "Append-only Tables": with delta.appendOnly=true
+    no commit may remove data (dataChange=true removes forbidden);
+    OPTIMIZE's dataChange=false rewrites stay legal, which is why
+    compaction does not call this."""
+    conf = (state.metadata or {}).get("configuration") or {}
+    if str(conf.get("delta.appendOnly", "")).lower() == "true":
+        raise DeltaError(
+            f"{op}: table sets delta.appendOnly=true — data-removing "
+            "commits are forbidden (unset the property to mutate)"
+        )

@@ -1876,3 +1876,49 @@ class TestGeneratedColumns:
                 ),
                 on=["doc_id"],
             )
+
+
+class TestAppendOnly:
+    """delta.appendOnly=true (PROTOCOL.md Append-only Tables):
+    data-removing commits refuse; appends and dataChange=false
+    OPTIMIZE stay legal."""
+
+    def test_enforcement(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark).repartition(2), p)
+        D.delta_set_properties(p, {"delta.appendOnly": "true"})
+        # appends still land
+        D.write_delta(_docs(spark, 3), p, mode="append")
+        assert D.read_delta(spark, p).count() == 23
+        for call in (
+            lambda: D.delta_delete(spark, p, [("doc_id", "=", 1)]),
+            lambda: D.delta_delete_dv(spark, p, [("doc_id", "=", 1)]),
+            lambda: D.delta_update(
+                spark, p, [("doc_id", "=", 1)], {"text": "'x'"}
+            ),
+            lambda: D.delta_update_dv(
+                spark, p, [("doc_id", "=", 1)], {"text": "'x'"}
+            ),
+            lambda: D.write_delta(
+                _docs(spark, 2), p, mode="overwrite"
+            ),
+            lambda: D.delta_restore(p, 0),
+        ):
+            with pytest.raises(D.DeltaError, match="appendOnly"):
+                call()
+        src = spark.createDataFrame(
+            [(1, "m", "en")], "doc_id long, text string, lang string"
+        )
+        with pytest.raises(D.DeltaError, match="appendOnly"):
+            D.delta_merge(spark, p, src, on=["doc_id"])
+        with pytest.raises(D.DeltaError, match="appendOnly"):
+            D.delta_merge_dv(spark, p, src, on=["doc_id"])
+        # OPTIMIZE (dataChange=false) is legal on append-only tables
+        r = D.delta_compact(spark, p, target_file_bytes=1 << 30)
+        assert r["version"] is not None
+        assert D.read_delta(spark, p).count() == 23
+        # unset releases the gate
+        D.delta_set_properties(p, {"delta.appendOnly": "false"})
+        assert D.delta_delete(
+            spark, p, [("doc_id", "=", 1)]
+        )["rows_deleted"] >= 1
