@@ -43,6 +43,10 @@ def _load(spark: SparkSession, spec: str):
     if fmt == "iceberg":
         from lwes_contrib_hive_serde_spark.sources import iceberg as I
 
+        # numeric pin = snapshot id; anything else = a ref
+        # (tag/branch) name
+        if at and not pin.lstrip("-").isdigit():
+            return I.read_iceberg(spark, path, ref=pin)
         return I.read_iceberg(
             spark, path, snapshot_id=int(pin) if at else None
         )

@@ -600,6 +600,7 @@ def read_iceberg(
     timestamp_ms: int | None = None,
     partition_filters: list[tuple] | None = None,
     data_filters: list[tuple] | None = None,
+    ref: str | None = None,
     _keep_keys: bool = False,
 ) -> DataFrame:
     """Read an Iceberg table (HadoopTables directory layout) at the
@@ -618,6 +619,13 @@ def read_iceberg(
     tier's contract, on Iceberg's metadata."""
     meta = load_table_metadata(path)
     schema = _current_schema(meta)
+    if ref is not None:
+        if snapshot_id is not None or timestamp_ms is not None:
+            raise IcebergError(
+                "ref= is mutually exclusive with snapshot_id/"
+                "timestamp_ms"
+            )
+        snapshot_id = resolve_ref(meta, ref)
     snap = _pick_snapshot(meta, snapshot_id, timestamp_ms)
     files, delete_files, eq_delete_files, dv_files = _live_files(
         path, snap
@@ -1493,6 +1501,9 @@ def write_iceberg_table(
         "snapshot-log": snaplog
         + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}],
     }
+    if existing is not None and existing.get("refs"):
+        # appends must not drop snapshot references (tags/branches)
+        meta["refs"] = existing["refs"]
     with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
         json.dump(meta, f)
     tmp = os.path.join(mdir, f".version-hint.tmp-{uuid.uuid4().hex}")
@@ -2797,6 +2808,10 @@ def iceberg_expire_snapshots(
     keep_ids = {int(s["snapshot-id"]) for s in keep}
     if current is not None:
         keep_ids.add(int(current))
+    for r in (meta.get("refs") or {}).values():
+        # tags and branch heads PROTECT their snapshots — expiring
+        # a referenced snapshot would dangle the ref
+        keep_ids.add(int(r["snapshot-id"]))
     kept = [s for s in snaps if int(s["snapshot-id"]) in keep_ids]
     expired = [s for s in snaps if int(s["snapshot-id"]) not in keep_ids]
     if not expired:
@@ -3028,3 +3043,75 @@ def write_iceberg_table_transformed(
     with open(os.path.join(mdir, "version-hint.text"), "w") as f:
         f.write("1")
     return snapshot_id
+
+
+def iceberg_tag(
+    path: str, name: str, snapshot_id: int | None = None
+) -> None:
+    """Create a TAG — a named immutable pointer to a snapshot
+    (spec v2 "Snapshot References"): ``refs[name] = {snapshot-id,
+    type: tag}``. Tags protect their snapshot from
+    iceberg_expire_snapshots."""
+    _set_ref(path, name, snapshot_id, "tag")
+
+
+def iceberg_branch(
+    path: str, name: str, snapshot_id: int | None = None
+) -> None:
+    """Create a BRANCH reference. This engine WRITES only main —
+    branch heads here are stable read/travel handles (advancing
+    them needs branch-aware commits this writer does not
+    implement) — but the metadata shape is the spec's, so real
+    engines read them."""
+    _set_ref(path, name, snapshot_id, "branch")
+
+
+def _set_ref(
+    path: str, name: str, snapshot_id: int | None, rtype: str
+) -> None:
+    fsio.require_local(path, "iceberg_" + rtype)
+    meta = load_table_metadata(path)
+    if snapshot_id is None:
+        snapshot_id = int(_pick_snapshot(meta)["snapshot-id"])
+    known = {int(s["snapshot-id"]) for s in meta.get("snapshots") or []}
+    if int(snapshot_id) not in known:
+        raise IcebergError(
+            f"snapshot {snapshot_id} not in table history"
+        )
+    refs = dict(meta.get("refs") or {})
+    if name in refs:
+        raise IcebergError(f"ref {name!r} already exists")
+    refs[name] = {
+        "snapshot-id": int(snapshot_id),
+        "type": rtype,
+    }
+    meta = dict(meta)
+    meta["refs"] = refs
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _bump_metadata(path, meta)
+
+
+def iceberg_drop_ref(path: str, name: str) -> None:
+    fsio.require_local(path, "iceberg_drop_ref")
+    meta = load_table_metadata(path)
+    refs = dict(meta.get("refs") or {})
+    if name not in refs:
+        raise IcebergError(f"no ref named {name!r}")
+    del refs[name]
+    meta = dict(meta)
+    meta["refs"] = refs
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _bump_metadata(path, meta)
+
+
+def resolve_ref(meta: dict, ref: str) -> int:
+    """ref name → snapshot id; ``main`` means the current
+    snapshot."""
+    if ref == "main":
+        return int(_pick_snapshot(meta)["snapshot-id"])
+    refs = meta.get("refs") or {}
+    if ref not in refs:
+        raise IcebergError(
+            f"no ref named {ref!r} (refs: {sorted(refs)})"
+        )
+    return int(refs[ref]["snapshot-id"])

@@ -1378,3 +1378,44 @@ class TestMixedDataFileFormats:
         I.add_iceberg_position_deletes(p, [(pq_file, 0)])
         with pytest.raises(I.IcebergError, match="row_index"):
             I.read_iceberg(spark, p)
+
+
+class TestSnapshotRefs:
+    """Tags + branches (spec v2 Snapshot References): named
+    pointers that travel, protect snapshots from expiry, and
+    resolve through the catalog's @pin."""
+
+    def test_tag_travel_protect_drop(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        s1 = I.write_iceberg_table(_docs(spark, 5), p)
+        I.iceberg_tag(p, "v1.0")
+        I.write_iceberg_table(_docs(spark, 3), p)
+        assert I.read_iceberg(spark, p, ref="v1.0").count() == 5
+        assert I.read_iceberg(spark, p, ref="main").count() == 8
+        # expire keeps the tagged snapshot alive
+        ex = I.iceberg_expire_snapshots(p, keep_last=1)
+        assert ex["snapshots_expired"] == 0  # tag protected s1
+        I.iceberg_drop_ref(p, "v1.0")
+        ex = I.iceberg_expire_snapshots(p, keep_last=1)
+        assert ex["snapshots_expired"] == 1
+        with pytest.raises(I.IcebergError, match="no ref"):
+            I.read_iceberg(spark, p, ref="v1.0")
+        # s1 is gone now
+        with pytest.raises(I.IcebergError):
+            I.read_iceberg(spark, p, snapshot_id=s1)
+
+    def test_branch_and_catalog_pin(self, spark, tmp_path):
+        from lwes_contrib_hive_serde_spark.sources import catalog as C
+
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 4), p)
+        I.iceberg_branch(p, "audit")
+        I.write_iceberg_table(_docs(spark, 2), p)
+        C.register_lakehouse(spark, {"ref_view": f"iceberg:{p}@audit"})
+        assert spark.sql(
+            "select count(*) from ref_view"
+        ).first()[0] == 4
+        with pytest.raises(I.IcebergError, match="already exists"):
+            I.iceberg_tag(p, "audit")
+        with pytest.raises(I.IcebergError, match="not in table"):
+            I.iceberg_tag(p, "nope", snapshot_id=42)
