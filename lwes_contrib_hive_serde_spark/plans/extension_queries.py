@@ -10687,3 +10687,75 @@ def q_iceberg_transforms(spark, sf_dir):
         "trunc_eq",
     )
     return bucket_eq.unionAll(trunc_eq)
+
+
+def _documents_converted(spark, sf_dir: str) -> str:
+    """documents → Delta (2 files) → merge-on-read DV DELETE of ids
+    ≡2 mod 13 → ZERO-COPY convert to Iceberg (sources/convert.py:
+    metadata-only, DV bitmaps re-encoded into Puffin blobs, data
+    bytes shared in place). Returns the ICEBERG path. Cached per
+    sf_dir."""
+    import os
+
+    from lwes_contrib_hive_serde_spark.sources import (
+        convert as CV,
+        delta as D,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        tag = f"{tag}-{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        pass
+    out = f"/tmp/convert_table_cache/v1/{tag}"
+    dl = os.path.join(out, "delta")
+    ic = os.path.join(out, "iceberg")
+    if not os.path.exists(os.path.join(ic, "metadata")):
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        D.write_delta(
+            docs.repartitionByRange(2, "doc_id")
+            .sortWithinPartitions("doc_id"),
+            dl,
+        )
+        D.delta_delete_dv(spark, dl, [("doc_id", "in", [
+            int(r[0]) for r in docs.filter("doc_id % 13 = 2")
+            .select("doc_id").collect()
+        ])])
+        CV.delta_to_iceberg(spark, dl, ic)
+    return ic
+
+
+@register(
+    "q_convert_delta_iceberg",
+    shadow=True,
+    oracle="""
+    SELECT lang, COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents WHERE doc_id % 13 <> 2 GROUP BY lang
+    """,
+    doc="ZERO-COPY Delta→Iceberg conversion (sources/convert.py, "
+    "round 10 — the XTable/UniForm shape): the Delta snapshot's "
+    "parquet files become an Iceberg v3 table by METADATA COMMIT "
+    "alone, and its deletion vectors re-encode into Puffin "
+    "deletion-vector-v1 blobs (the spec adopted Delta's exact "
+    "frame bytes, so the translation is bitmap-bounded). The "
+    "Iceberg read must drop exactly the Delta-DV-masked rows; the "
+    "DuckDB oracle recomputes the surviving set from the raw "
+    "parquet — a mistranslated vector hash-mismatches.",
+)
+def q_convert_delta_iceberg(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+    out = _documents_converted(spark, sf_dir)
+    return I.read_iceberg(spark, out).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

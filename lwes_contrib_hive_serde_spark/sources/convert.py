@@ -1,0 +1,325 @@
+"""Zero-copy CROSS-FORMAT conversion — the XTable / UniForm idea:
+the data files of Delta and Iceberg tables are plain parquet, so
+switching formats is a METADATA commit that references the same
+bytes in place, never a rewrite. For a 100 TB table that is the
+difference between one small JSON/Avro write and days of cluster
+time.
+
+- ``iceberg_to_delta(spark, src, dst)``: the Iceberg snapshot's
+  live files become a Delta version-0 commit that adds them by
+  ABSOLUTE path (the shallow-clone read machinery resolves those),
+  with numRecords stats straight from the manifests' record_count.
+- ``delta_to_iceberg(spark, src, dst)``: the Delta snapshot's live
+  files become an Iceberg v1/v2 table whose manifest entries point
+  at them absolutely.
+
+DELETION VECTORS CONVERT TOO — and almost for free, because
+Iceberg v3 deliberately adopted Delta's DV blob layout
+(``<len BE><RoaringBitmapArray><crc BE>``, see puffin.py): the
+positions decode from one format's container and re-encode into
+the other's (Puffin blob ↔ ``deletion_vector_*.bin`` sidecar), a
+driver-side pass bounded by BITMAP bytes, never data. v2
+positional delete files likewise translate into Delta DVs.
+
+Refusals, never misreads: partitioned Delta sources (hive-layout
+files do not CONTAIN their partition columns, which Iceberg
+requires), equality deletes (value semantics have no Delta
+counterpart), non-parquet Iceberg data files, and column-mapped
+Delta sources (physical-name files would need schema mapping the
+target lacks).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from pyspark.sql import SparkSession
+
+from lwes_contrib_hive_serde_spark.sources import fsio
+
+
+class ConvertError(ValueError):
+    pass
+
+
+def iceberg_to_delta(
+    spark: SparkSession, src: str, dst: str
+) -> int:
+    """Current Iceberg snapshot → a new Delta table at ``dst``
+    referencing the same parquet files absolutely. Positional
+    deletes and v3 deletion vectors become Delta DV sidecars
+    (bitmap-bytes-bounded). Returns the Delta version (0)."""
+    import json
+    import time
+    import uuid
+
+    from lwes_contrib_hive_serde_spark.sources import (
+        delta as D,
+        delta_dv,
+        iceberg as I,
+        puffin,
+    )
+
+    fsio.require_local(src, "iceberg_to_delta")
+    fsio.require_local(dst, "iceberg_to_delta")
+    meta = I.load_table_metadata(src)
+    snap = I._pick_snapshot(meta)
+    files, pos_del, eq_del, dvs = I._live_files(src, snap)
+    if eq_del:
+        raise ConvertError(
+            "equality deletes have no Delta counterpart — apply "
+            "them first (iceberg_compact)"
+        )
+    for f in files:
+        if (f.get("file_format") or "").upper() != "PARQUET":
+            raise ConvertError(
+                "non-parquet Iceberg data files cannot become Delta "
+                "adds; iceberg_compact first"
+            )
+    if os.path.exists(os.path.join(dst, "_delta_log")):
+        raise ConvertError(f"Delta table already exists at {dst}")
+    # deleted positions per absolute data file path
+    by_file: dict[str, np.ndarray] = {}
+    if pos_del:
+        dpaths, dposs = I._position_delete_pairs(pos_del)
+        for p, q in zip(dpaths, dposs):
+            by_file.setdefault(p, [])
+        tmp: dict[str, list] = {}
+        for p, q in zip(dpaths, dposs):
+            tmp.setdefault(p, []).append(int(q))
+        by_file = {
+            p: np.unique(np.asarray(v, dtype=np.int64))
+            for p, v in tmp.items()
+        }
+    for d in dvs:
+        ref = I._strip_file_uri(d["referenced_data_file"])
+        pos = puffin.decode_dv_blob(
+            puffin.read_blob(
+                I._strip_file_uri(d["file_path"]),
+                int(d["content_offset"]),
+                int(d["content_size_in_bytes"]),
+            )
+        )
+        prev = by_file.get(ref)
+        by_file[ref] = (
+            np.union1d(prev, pos) if prev is not None else pos
+        )
+    os.makedirs(os.path.join(dst, "_delta_log"), exist_ok=True)
+    schema = I._current_schema(meta)
+    now_ms = int(time.time() * 1000)
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "CONVERT FROM ICEBERG",
+                "operationParameters": {"source": src},
+            }
+        },
+        {
+            "protocol": {
+                "minReaderVersion": 3 if by_file else 1,
+                "minWriterVersion": 7 if by_file else 2,
+                **(
+                    {
+                        "readerFeatures": ["deletionVectors"],
+                        "writerFeatures": ["deletionVectors"],
+                    }
+                    if by_file
+                    else {}
+                ),
+            }
+        },
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema.json(),
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": now_ms,
+            }
+        },
+    ]
+    for f in files:
+        fp = os.path.abspath(I._strip_file_uri(f["file_path"]))
+        add = {
+            "path": fp,
+            "partitionValues": {},
+            "size": int(f.get("file_size_in_bytes") or 0),
+            "modificationTime": now_ms,
+            "dataChange": True,
+            "stats": json.dumps(
+                {"numRecords": int(f["record_count"])}
+            ),
+        }
+        dead = by_file.get(fp)
+        if dead is None:
+            dead = by_file.get(I._strip_file_uri(f["file_path"]))
+        if dead is not None and len(dead):
+            desc = delta_dv.dv_write_file(dst, [dead])[0]
+            add["deletionVector"] = desc
+        actions.append({"add": add})
+    payload = "".join(
+        json.dumps(a) + "\n" for a in actions
+    ).encode()
+    with open(D._commit_file(dst, 0), "wb") as fh:
+        fh.write(payload)
+    return 0
+
+
+def delta_to_iceberg(
+    spark: SparkSession, src: str, dst: str
+) -> int:
+    """Current Delta snapshot → a new Iceberg table at ``dst``
+    referencing the same parquet files absolutely. Delta deletion
+    vectors become v3 Puffin DV blobs (the SAME frame bytes).
+    Returns the Iceberg snapshot id."""
+    import json
+    import time
+    import uuid
+
+    from lwes_contrib_hive_serde_spark.sources import (
+        delta as D,
+        delta_dv,
+        iceberg as I,
+        puffin,
+    )
+
+    fsio.require_local(src, "delta_to_iceberg")
+    fsio.require_local(dst, "delta_to_iceberg")
+    state = D._replay(src)
+    D._check_readable(state)
+    if D._column_mapping(state) is not None:
+        raise ConvertError(
+            "column-mapped Delta sources carry PHYSICAL column "
+            "names in their files — the Iceberg side would need "
+            "name mapping; rewrite first"
+        )
+    if D._partition_columns(state):
+        raise ConvertError(
+            "partitioned Delta sources cannot convert zero-copy: "
+            "hive-layout files do not CONTAIN their partition "
+            "columns, which Iceberg data files must"
+        )
+    if os.path.exists(os.path.join(dst, "metadata")):
+        raise ConvertError(f"Iceberg table already exists at {dst}")
+    schema = D._schema(state)
+    mdir = os.path.join(dst, "metadata")
+    ddir = os.path.join(dst, "data")
+    os.makedirs(mdir, exist_ok=True)
+    os.makedirs(ddir, exist_ok=True)
+    snapshot_id = int.from_bytes(os.urandom(6), "big")
+    now_ms = int(time.time() * 1000)
+    entries = []
+    dv_rows = []
+    import pyarrow.parquet as pq
+
+    for a in state.adds.values():
+        fp = os.path.abspath(D._file_abspath(src, a["path"]))
+        st = a.get("stats")
+        try:
+            num = json.loads(st).get("numRecords") if st else None
+        except (TypeError, ValueError):
+            num = None
+        if num is None:
+            num = pq.read_metadata(fp).num_rows
+        size = int(
+            a.get("size") or os.path.getsize(fp)
+        )
+        entries.append((1, None, (fp, "PARQUET", int(num), size, [], [])))
+        desc = a.get("deletionVector")
+        if desc:
+            pos = delta_dv.dv_read_positions(src, desc)
+            pf = os.path.join(ddir, f"dv-{uuid.uuid4().hex}.puffin")
+            m = puffin.write_puffin(
+                pf,
+                [
+                    {
+                        "type": "deletion-vector-v1",
+                        "data": puffin.encode_dv_blob(pos),
+                        "properties": {
+                            "referenced-data-file": fp,
+                            "cardinality": str(len(pos)),
+                        },
+                    }
+                ],
+            )
+            dv_rows.append(
+                (pf, len(pos), fp, m[0]["offset"], m[0]["length"])
+            )
+    manifest = os.path.join(mdir, f"manifest-{snapshot_id}.avro")
+    I._write_avro_file(
+        manifest,
+        I._manifest_entry_schema([], bounds=True),
+        entries,
+        "manifest_entry",
+        field_ids=I._MANIFEST_ENTRY_FIELD_IDS,
+    )
+    ml_rows = [
+        (manifest, os.path.getsize(manifest), 0, 0, snapshot_id, 1)
+    ]
+    if dv_rows:
+        dmanifest = os.path.join(
+            mdir, f"manifest-dv-{snapshot_id}.avro"
+        )
+        I._write_avro_file(
+            dmanifest,
+            I._DV_ENTRY_SCHEMA,
+            [
+                (1, None,
+                 (1, pf, "PUFFIN", int(card), os.path.getsize(pf),
+                  ref, int(off), int(size)))
+                for pf, card, ref, off, size in dv_rows
+            ],
+            "manifest_entry",
+            field_ids=I._DV_ENTRY_FIELD_IDS,
+        )
+        ml_rows.append(
+            (dmanifest, os.path.getsize(dmanifest), 0, 1,
+             snapshot_id, 1)
+        )
+    ml = os.path.join(mdir, f"snap-{snapshot_id}.avro")
+    I._write_avro_file(
+        ml, I._MANIFEST_LIST_SCHEMA, ml_rows, "manifest_file",
+        field_ids=I._MANIFEST_LIST_FIELD_IDS,
+    )
+    fields = [
+        {
+            "id": i,
+            "name": f.name,
+            "required": not f.nullable,
+            "type": I._spark_to_iceberg_type(f.dataType),
+        }
+        for i, f in enumerate(schema.fields, start=1)
+    ]
+    meta = {
+        "format-version": 3 if dv_rows else 1,
+        "table-uuid": str(uuid.uuid4()),
+        "location": dst,
+        "last-updated-ms": now_ms,
+        "last-sequence-number": 1,
+        "last-column-id": len(fields),
+        "schema": {"type": "struct", "fields": fields},
+        "partition-spec": [],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "properties": {"converted-from-delta": src},
+        "current-snapshot-id": snapshot_id,
+        "snapshots": [
+            {
+                "snapshot-id": snapshot_id,
+                "timestamp-ms": now_ms,
+                "manifest-list": ml,
+                "summary": {"operation": "append"},
+            }
+        ],
+        "snapshot-log": [
+            {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+        ],
+    }
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write("1")
+    return snapshot_id

@@ -1,0 +1,94 @@
+"""Zero-copy cross-format conversion (sources/convert.py):
+metadata-only Delta <-> Iceberg switches sharing the same parquet
+bytes, deletion vectors translated between containers."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from lwes_contrib_hive_serde_spark.sources import convert as CV
+from lwes_contrib_hive_serde_spark.sources import delta as D
+from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+
+def _docs(spark, n=12):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=f"body {i}", lang=["en", "de"][i % 2])
+         for i in range(n)]
+    )
+
+
+class TestIcebergToDelta:
+    def test_zero_copy_with_deletes(self, spark, tmp_path):
+        src = str(tmp_path / "ice")
+        dst = str(tmp_path / "dl")
+        I.write_iceberg_table(_docs(spark).coalesce(1), src)
+        files = I._live_files(
+            src, I._pick_snapshot(I.load_table_metadata(src))
+        )[0]
+        fp = I._strip_file_uri(files[0]["file_path"])
+        I.add_iceberg_position_deletes(src, [(fp, 0)])
+        CV.iceberg_to_delta(spark, src, dst)
+        got = sorted(r.doc_id for r in D.read_delta(spark, dst).collect())
+        assert got == list(range(1, 12))
+        # ZERO data files copied: the delta table dir holds only the
+        # log and DV sidecars
+        assert not glob.glob(os.path.join(dst, "*.parquet"))
+        # the clone-style source protection: vacuum never reaches out
+        assert D.delta_vacuum(dst, retention_ms=0) == 0
+        assert I.read_iceberg(spark, src).count() == 11
+        # the new table evolves independently
+        D.write_delta(_docs(spark, 2), dst, mode="append")
+        assert D.read_delta(spark, dst).count() == 13
+        assert I.read_iceberg(spark, src).count() == 11
+
+    def test_eq_deletes_refuse(self, spark, tmp_path):
+        src = str(tmp_path / "ice")
+        I.write_iceberg_table(_docs(spark).coalesce(1), src)
+        I.add_iceberg_equality_deletes(src, [{"doc_id": 1}], ["doc_id"])
+        with pytest.raises(CV.ConvertError, match="equality"):
+            CV.iceberg_to_delta(spark, src, str(tmp_path / "dl"))
+
+
+class TestDeltaToIceberg:
+    def test_zero_copy_with_dvs(self, spark, tmp_path):
+        src = str(tmp_path / "dl")
+        dst = str(tmp_path / "ice")
+        D.write_delta(_docs(spark).repartition(2), src)
+        D.delta_delete_dv(spark, src, [("doc_id", "<", 3)])
+        CV.delta_to_iceberg(spark, src, dst)
+        got = sorted(r.doc_id for r in I.read_iceberg(spark, dst).collect())
+        assert got == list(range(3, 12))
+        assert I.iceberg_count(dst) == 9
+        assert I.load_table_metadata(dst)["format-version"] == 3
+        # v3 DML works on the converted table
+        r = I.iceberg_delete(spark, dst, [("doc_id", "=", 5)])
+        assert r["rows_deleted"] == 1
+        assert I.iceberg_count(dst) == 8
+        # source untouched
+        assert D.read_delta(spark, src).count() == 9
+
+    def test_partitioned_and_mapped_refuse(self, spark, tmp_path):
+        p1 = str(tmp_path / "part")
+        D.write_delta(_docs(spark), p1, partition_by=["lang"])
+        with pytest.raises(CV.ConvertError, match="partition"):
+            CV.delta_to_iceberg(spark, p1, str(tmp_path / "o1"))
+        p2 = str(tmp_path / "mapped")
+        D.write_delta(_docs(spark), p2)
+        D.delta_enable_column_mapping(p2)
+        with pytest.raises(CV.ConvertError, match="column-mapped"):
+            CV.delta_to_iceberg(spark, p2, str(tmp_path / "o2"))
+
+    def test_round_trip(self, spark, tmp_path):
+        a = str(tmp_path / "a")
+        b = str(tmp_path / "b")
+        c = str(tmp_path / "c")
+        D.write_delta(_docs(spark).coalesce(1), a)
+        D.delta_delete_dv(spark, a, [("doc_id", "=", 7)])
+        CV.delta_to_iceberg(spark, a, b)
+        CV.iceberg_to_delta(spark, b, c)
+        va = sorted(map(tuple, D.read_delta(spark, a).collect()))
+        vc = sorted(map(tuple, D.read_delta(spark, c).collect()))
+        assert va == vc
