@@ -1,0 +1,104 @@
+"""Scale probe for the merge-on-read DML paths: build Delta and
+Iceberg tables at N× the sf documents, run a broad DV-writing
+DELETE on each, and report wall time plus the driver's peak RSS —
+the evidence that executor-side bitmap construction keeps driver
+memory bounded by #files, not #deleted rows. Writes only under
+/tmp.
+
+Usage:
+    PYTHONPATH=. python tools/lakehouse_probe.py [N] [SF_DIR]
+    (defaults: N=10, SF_DIR=$SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import os
+import resource
+import shutil
+import sys
+import time
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def rss_mb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(2 * int(cpus)))
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from lwes_contrib_hive_serde_spark.sources import delta as D
+    from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    big = docs
+    for i in range(1, n):
+        big = big.unionByName(
+            docs.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(i * 10_000_000)
+            )
+        )
+    big = big.repartition(2 * int(cpus))
+    n_rows = big.count()
+    print(f"N={n}: rows={n_rows}, driver rss before={rss_mb():.0f}MB")
+
+    root = f"/tmp/lakehouse_probe_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+
+    dl = os.path.join(root, "delta")
+    t0 = time.perf_counter()
+    D.write_delta(big, dl)
+    print(f"  delta write            {time.perf_counter() - t0:7.1f}s")
+    t0 = time.perf_counter()
+    # broad predicate: masks nearly every row
+    r = D.delta_delete_dv(spark, dl, [("n_chars", ">", 0)])
+    dt = time.perf_counter() - t0
+    print(
+        f"  delta_delete_dv        {dt:7.1f}s  rows_deleted="
+        f"{r['rows_deleted']}  files_with_dvs={r.get('files_with_dvs')}"
+        f"  rss={rss_mb():.0f}MB"
+    )
+
+    ic = os.path.join(root, "iceberg")
+    t0 = time.perf_counter()
+    I.write_iceberg_table(big, ic)
+    print(f"  iceberg write          {time.perf_counter() - t0:7.1f}s")
+    # upgrade to v3 so the delete verb takes the executor DV path
+    files = I._live_files(
+        ic, I._pick_snapshot(I.load_table_metadata(ic))
+    )[0]
+    fp = I._strip_file_uri(files[0]["file_path"])
+    I.add_iceberg_deletion_vectors(ic, [(fp, 0)])
+    t0 = time.perf_counter()
+    r = I.iceberg_delete(spark, ic, [("n_chars", ">", 0)])
+    dt = time.perf_counter() - t0
+    print(
+        f"  iceberg_delete (v3 DV) {dt:7.1f}s  rows_deleted="
+        f"{r['rows_deleted']}  rss={rss_mb():.0f}MB"
+    )
+    print(
+        f"peak driver rss={rss_mb():.0f}MB for "
+        f"{n_rows} masked rows — bounded by files, not rows, when "
+        "this stays flat as N grows"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
