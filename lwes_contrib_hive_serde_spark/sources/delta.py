@@ -5115,3 +5115,64 @@ def _check_append_only(state: _State, op: str) -> None:
             f"{op}: table sets delta.appendOnly=true — data-removing "
             "commits are forbidden (unset the property to mutate)"
         )
+
+
+def delta_detail(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE DETAIL — one row of table facts from pure metadata
+    (log replay; no data touched): format, id, createdTime,
+    numFiles, sizeInBytes (live files), partitionColumns,
+    properties, protocol versions, plus the DV tally a
+    merge-on-read table owner actually watches (files_with_dvs /
+    dv_masked_rows — the compaction-debt gauge)."""
+    state = _replay(path)
+    _check_readable(state)
+    meta = state.metadata
+    n_dv = sum(
+        1 for a in state.adds.values() if a.get("deletionVector")
+    )
+    masked = sum(
+        int((a.get("deletionVector") or {}).get("cardinality") or 0)
+        for a in state.adds.values()
+    )
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("format", StringType()),
+            StructField("id", StringType()),
+            StructField("location", StringType()),
+            StructField("created_at", LongType()),
+            StructField("last_modified_version", LongType()),
+            StructField("num_files", LongType()),
+            StructField("size_in_bytes", LongType()),
+            StructField("partition_columns", ArrayType(StringType())),
+            StructField("properties", MapType(StringType(), StringType())),
+            StructField("min_reader_version", LongType()),
+            StructField("min_writer_version", LongType()),
+            StructField("files_with_dvs", LongType()),
+            StructField("dv_masked_rows", LongType()),
+        ]
+    )
+    row = (
+        "delta",
+        meta.get("id"),
+        os.path.abspath(path),
+        int(meta.get("createdTime") or 0),
+        int(state.version),
+        len(state.adds),
+        sum(int(a.get("size") or 0) for a in state.adds.values()),
+        list(meta.get("partitionColumns") or []),
+        dict(meta.get("configuration") or {}),
+        int((state.protocol or {}).get("minReaderVersion") or 1),
+        int((state.protocol or {}).get("minWriterVersion") or 2),
+        n_dv,
+        masked,
+    )
+    return spark.createDataFrame([row], schema)

@@ -1044,3 +1044,42 @@ def hudi_incremental(
         .select(*meta_and_cols)
     )
     return latest if keep_meta_columns else latest.drop(*_META_COLS)
+
+
+def hudi_timeline(spark: SparkSession, path: str) -> DataFrame:
+    """The timeline as a DataFrame: every instant file with its
+    kind and completion state — the first thing a Hudi operator
+    looks at."""
+    from pyspark.sql.types import (
+        BooleanType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    d = _timeline_dir(path)
+    if not fsio.exists(fsio.join(d, "hoodie.properties")):
+        raise HudiError(f"not a Hudi table (no .hoodie/): {path}")
+    rows = []
+    for n in fsio.listdir(d):
+        if n == "hoodie.properties" or n.startswith("."):
+            continue
+        if fsio.isdir(fsio.join(d, n)):
+            continue
+        stem, _, kind = n.partition(".")
+        if not stem.isdigit():
+            continue
+        completed = not kind.endswith((".requested", ".inflight")) and (
+            kind not in ("requested", "inflight")
+        )
+        rows.append((stem, kind, completed))
+    return spark.createDataFrame(
+        sorted(rows),
+        StructType(
+            [
+                StructField("instant", StringType(), False),
+                StructField("kind", StringType(), False),
+                StructField("completed", BooleanType(), False),
+            ]
+        ),
+    )

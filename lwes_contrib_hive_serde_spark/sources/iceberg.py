@@ -3115,3 +3115,60 @@ def resolve_ref(meta: dict, ref: str) -> int:
             f"no ref named {ref!r} (refs: {sorted(refs)})"
         )
     return int(refs[ref]["snapshot-id"])
+
+
+def iceberg_snapshots(spark: SparkSession, path: str) -> DataFrame:
+    """The ``snapshots`` metadata table (spec 'Metadata tables'):
+    every snapshot with its timestamp, operation, and manifest
+    list — pure metadata.json, no data touched."""
+    meta = load_table_metadata(path)
+    current = meta.get("current-snapshot-id")
+    rows = [
+        (
+            int(s["snapshot-id"]),
+            int(s["timestamp-ms"]),
+            (s.get("summary") or {}).get("operation"),
+            s.get("manifest-list"),
+            int(s["snapshot-id"]) == (
+                int(current) if current is not None else -1
+            ),
+        )
+        for s in meta.get("snapshots") or []
+    ]
+    return spark.createDataFrame(
+        rows,
+        StructType(
+            [
+                StructField("snapshot_id", LongType(), False),
+                StructField("committed_at", LongType(), False),
+                StructField("operation", StringType(), True),
+                StructField("manifest_list", StringType(), True),
+                StructField("is_current", __import__(
+                    "pyspark.sql.types", fromlist=["BooleanType"]
+                ).BooleanType(), False),
+            ]
+        ),
+    )
+
+
+def iceberg_refs(spark: SparkSession, path: str) -> DataFrame:
+    """The ``refs`` metadata table: every tag/branch plus the
+    implicit main head."""
+    meta = load_table_metadata(path)
+    rows = [
+        (name, r.get("type"), int(r["snapshot-id"]))
+        for name, r in (meta.get("refs") or {}).items()
+    ]
+    cur = meta.get("current-snapshot-id")
+    if cur is not None:
+        rows.append(("main", "branch", int(cur)))
+    return spark.createDataFrame(
+        rows,
+        StructType(
+            [
+                StructField("name", StringType(), False),
+                StructField("type", StringType(), True),
+                StructField("snapshot_id", LongType(), False),
+            ]
+        ),
+    )

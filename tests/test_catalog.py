@@ -55,3 +55,59 @@ class TestCatalog:
             C.register_lakehouse(spark, {"x": "orc:/nope"})
         with pytest.raises(C.CatalogError, match="only for delta"):
             C.register_lakehouse(spark, {"x": "parquet:/p@3"})
+
+
+class TestDescribeFamily:
+    """Metadata tables / DESCRIBE DETAIL across the three formats
+    (round 10): pure-metadata answers, no data touched."""
+
+    def test_delta_detail(self, spark, tmp_path):
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, lang="en") for i in range(10)]
+        )
+        p = str(tmp_path / "d")
+        D.write_delta(docs.coalesce(1), p, partition_by=["lang"])
+        from lwes_contrib_hive_serde_spark.sources.delta import (
+            delta_delete_dv,
+            delta_detail,
+        )
+
+        delta_delete_dv(spark, p, [("doc_id", "<", 3)])
+        row = delta_detail(spark, p).first()
+        assert row.format == "delta"
+        assert row.partition_columns == ["lang"]
+        assert row.num_files == 1
+        assert row.files_with_dvs == 1
+        assert row.dv_masked_rows == 3
+        assert row.min_reader_version >= 3  # DV protocol
+
+    def test_iceberg_snapshots_and_refs(self, spark, tmp_path):
+        docs = spark.createDataFrame(
+            [Row(doc_id=i) for i in range(4)]
+        )
+        p = str(tmp_path / "i")
+        s1 = I.write_iceberg_table(docs, p)
+        I.iceberg_tag(p, "v1")
+        s2 = I.write_iceberg_table(docs, p)
+        snaps = I.iceberg_snapshots(spark, p).collect()
+        assert [r.snapshot_id for r in snaps] == [s1, s2]
+        assert [r.is_current for r in snaps] == [False, True]
+        refs = {
+            r.name: (r.type, r.snapshot_id)
+            for r in I.iceberg_refs(spark, p).collect()
+        }
+        assert refs["v1"] == ("tag", s1)
+        assert refs["main"] == ("branch", s2)
+
+    def test_hudi_timeline(self, spark, tmp_path):
+        from lwes_contrib_hive_serde_spark.sources import hudi as H
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=i) for i in range(4)]
+        )
+        p = str(tmp_path / "h")
+        t1 = H.write_hudi_table(docs, p, record_key="doc_id")
+        tl = H.hudi_timeline(spark, p).collect()
+        assert [(r.instant, r.kind, r.completed) for r in tl] == [
+            (t1, "commit", True)
+        ]
