@@ -3172,3 +3172,47 @@ def iceberg_refs(spark: SparkSession, path: str) -> DataFrame:
             ]
         ),
     )
+
+
+def iceberg_remove_orphan_files(
+    path: str, older_than_ms: int = 3 * 24 * 3600 * 1000
+) -> int:
+    """REMOVE ORPHAN FILES — the other storage-maintenance verb:
+    delete files under ``data/`` that NO snapshot's manifest tree
+    references (crashed-writer leftovers, aborted staging). The
+    mtime guard (default 3 days, the real procedure's default)
+    protects in-flight commits whose metadata has not landed yet;
+    metadata/ is never swept here (expire_snapshots owns it).
+    Returns the number of files removed."""
+    fsio.require_local(path, "iceberg_remove_orphan_files")
+    meta = load_table_metadata(path)
+    referenced: set[str] = set()
+    for s in meta.get("snapshots") or []:
+        ml = _strip_file_uri(s["manifest-list"])
+        for m in _manifest_list_entries(ml):
+            mp = _strip_file_uri(m["manifest_path"])
+            for e in _named_rows(mp):
+                d = e.get("data_file") or {}
+                fp = d.get("file_path")
+                if fp:
+                    referenced.add(
+                        os.path.realpath(_strip_file_uri(fp))
+                    )
+    ddir = os.path.join(path, "data")
+    cutoff = time.time() * 1000 - older_than_ms
+    removed = 0
+    if os.path.isdir(ddir):
+        for root, _dirs, names in os.walk(ddir):
+            for n in names:
+                fp = os.path.realpath(os.path.join(root, n))
+                if fp in referenced:
+                    continue
+                try:
+                    if os.stat(fp).st_mtime * 1000 > cutoff:
+                        continue  # young: may belong to an
+                        # in-flight commit
+                    os.remove(fp)
+                    removed += 1
+                except FileNotFoundError:
+                    pass
+    return removed

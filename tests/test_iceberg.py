@@ -1419,3 +1419,33 @@ class TestSnapshotRefs:
             I.iceberg_tag(p, "audit")
         with pytest.raises(I.IcebergError, match="not in table"):
             I.iceberg_tag(p, "nope", snapshot_id=42)
+
+
+class TestOrphanFiles:
+    def test_orphans_swept_referenced_kept(self, spark, tmp_path):
+        import time as _time
+
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 8).coalesce(1), p)
+        ddir = os.path.join(p, "data")
+        live = [n for n in os.listdir(ddir)]
+        orphan = os.path.join(ddir, "crashed-writer-leftover.parquet")
+        import shutil
+
+        shutil.copy(os.path.join(ddir, live[0]), orphan)
+        # young orphan protected by the mtime guard
+        assert I.iceberg_remove_orphan_files(p) == 0
+        old = _time.time() - 10
+        os.utime(orphan, (old, old))
+        # age everything: reference (not age) must protect live files
+        for n in os.listdir(ddir):
+            os.utime(os.path.join(ddir, n), (old, old))
+        assert I.iceberg_remove_orphan_files(p, older_than_ms=1000) == 1
+        assert not os.path.exists(orphan)
+        assert I.read_iceberg(spark, p).count() == 8
+        # files referenced only by OLD snapshots still count as
+        # referenced (expire_snapshots owns their lifecycle)
+        I.write_iceberg_table(_docs(spark, 2).coalesce(1), p)
+        for n in os.listdir(ddir):
+            os.utime(os.path.join(ddir, n), (old, old))
+        assert I.iceberg_remove_orphan_files(p, older_than_ms=1000) == 0
