@@ -43,13 +43,21 @@ def _load(spark: SparkSession, spec: str):
     if fmt == "iceberg":
         from lwes_contrib_hive_serde_spark.sources import iceberg as I
 
-        # numeric pin = snapshot id; anything else = a ref
-        # (tag/branch) name
-        if at and not pin.lstrip("-").isdigit():
-            return I.read_iceberg(spark, path, ref=pin)
-        return I.read_iceberg(
-            spark, path, snapshot_id=int(pin) if at else None
-        )
+        # A pin is a REF (tag/branch) name first — refs are
+        # user-chosen and may legitimately be all digits (e.g.
+        # "123") — and only a snapshot id when no ref of that name
+        # exists and the pin parses as an integer.
+        if at:
+            meta = I.load_table_metadata(path)
+            if pin in (meta.get("refs") or {}):
+                return I.read_iceberg(spark, path, ref=pin)
+            if pin.lstrip("-").isdigit():
+                return I.read_iceberg(spark, path, snapshot_id=int(pin))
+            raise CatalogError(
+                f"@{pin} names neither a ref (tag/branch) nor a "
+                f"snapshot id on {path!r}"
+            )
+        return I.read_iceberg(spark, path)
     if fmt == "hudi":
         from lwes_contrib_hive_serde_spark.sources import hudi as H
 

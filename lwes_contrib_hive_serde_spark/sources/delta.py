@@ -2241,16 +2241,24 @@ def delta_vacuum(
     # NO live add and NO unexpired tombstone references it — DVs are
     # superseded in place (re-delete, OPTIMIZE purge), so orphans
     # accumulate exactly like tombstoned data files.
+    # realpath-normalize BOTH sides (like the data-file sweep above):
+    # a storageType "p" descriptor may spell an equivalent path
+    # differently (./, symlink, //) and a raw-string compare would
+    # judge a live DV unreferenced and delete it.
     referenced: set[str] = set()
     for a in state.adds.values():
         d = a.get("deletionVector")
         if d and d.get("storageType") in ("u", "p"):
-            referenced.add(delta_dv.dv_absolute_path(path, d))
+            referenced.add(
+                os.path.realpath(delta_dv.dv_absolute_path(path, d))
+            )
     for p, r in state.tombstones.items():
         ts = int(r.get("deletionTimestamp") or 0)
         d = r.get("deletionVector")
         if d and ts > cutoff and d.get("storageType") in ("u", "p"):
-            referenced.add(delta_dv.dv_absolute_path(path, d))
+            referenced.add(
+                os.path.realpath(delta_dv.dv_absolute_path(path, d))
+            )
     try:
         names = os.listdir(path)
     except FileNotFoundError:
@@ -2261,7 +2269,7 @@ def delta_vacuum(
         ):
             continue
         fp = os.path.join(path, name)
-        if fp in referenced:
+        if os.path.realpath(fp) in referenced:
             continue
         try:
             if os.stat(fp).st_mtime * 1000 > cutoff:
@@ -4951,19 +4959,31 @@ def delta_add_constraint(
     fsio.require_local(path, "delta_add_constraint")
     if not name.isidentifier():
         raise DeltaError(f"constraint name {name!r} must be an identifier")
-    existing = read_delta(spark, path)
-    n_bad = existing.filter(
-        ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
-    ).limit(1).count()
-    if n_bad:
-        raise DeltaError(
-            f"cannot add CHECK constraint {name}: existing rows "
-            f"violate ({expr})"
-        )
+    def _scan_violations(version: int) -> None:
+        existing = read_delta(spark, path, version=version)
+        n_bad = existing.filter(
+            ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+        ).limit(1).count()
+        if n_bad:
+            raise DeltaError(
+                f"cannot add CHECK constraint {name}: existing rows "
+                f"violate ({expr})"
+            )
+
+    state0 = _replay(path)
+    _check_readable(state0)
+    _scan_violations(state0.version)
+    validated_version = state0.version
     now_ms = int(time.time() * 1000)
     for _ in range(max_commit_attempts):
         state = _replay(path)
         _check_readable(state)
+        if state.version != validated_version:
+            # A concurrent data commit landed after the scan — rows it
+            # added were never validated, so re-scan at the version we
+            # are actually constraining before retrying the commit.
+            _scan_violations(state.version)
+            validated_version = state.version
         meta = dict(state.metadata)
         conf = dict(meta.get("configuration") or {})
         key = f"delta.constraints.{name}"

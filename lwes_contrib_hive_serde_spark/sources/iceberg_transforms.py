@@ -25,7 +25,7 @@ range pruning; bucket admits only equality.
 from __future__ import annotations
 
 import struct
-from datetime import date, datetime, timezone
+from datetime import date, datetime, timedelta, timezone
 
 
 def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
@@ -65,6 +65,7 @@ def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
 
 
 _EPOCH = date(1970, 1, 1)
+_EPOCH_DT = datetime(1970, 1, 1, tzinfo=timezone.utc)
 
 
 def _hash_value(value) -> int:
@@ -77,9 +78,12 @@ def _hash_value(value) -> int:
     if isinstance(value, bytes):
         return murmur3_x86_32(value)
     if isinstance(value, datetime):
-        us = int(value.timestamp() * 1_000_000) if value.tzinfo else int(
-            value.replace(tzinfo=timezone.utc).timestamp() * 1_000_000
-        )
+        # Integer arithmetic only: float .timestamp() loses microsecond
+        # precision for ~1.2% of values (e.g. .485659 -> .485658),
+        # which would hash into the wrong bucket and silently break
+        # transform-aware pruning on externally-written tables.
+        aware = value if value.tzinfo else value.replace(tzinfo=timezone.utc)
+        us = (aware - _EPOCH_DT) // timedelta(microseconds=1)
         return murmur3_x86_32(struct.pack("<q", us))
     if isinstance(value, date):
         return murmur3_x86_32(

@@ -74,6 +74,13 @@ class HudiStreamReader(DataSourceStreamReader):
         self.ignore_deletes = (
             options.get("ignoredeletes", "false").lower() == "true"
         )
+        # keepmeta exposes _hoodie_commit_time so an upsert consumer
+        # can order the several versions of a key that one microbatch
+        # may emit when it tails more than one instant (real Hudi
+        # incremental exposes the commit time for exactly this).
+        self.keep_meta = (
+            options.get("keepmeta", "false").lower() == "true"
+        )
         props = H._load_properties(self.path)
         ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
         if ttype not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
@@ -96,7 +103,11 @@ class HudiStreamReader(DataSourceStreamReader):
 
         full = from_arrow_schema(pa_schema)
         self.schema = StructType(
-            [f for f in full.fields if not f.name.startswith("_hoodie_")]
+            [
+                f for f in full.fields
+                if not f.name.startswith("_hoodie_")
+                or (self.keep_meta and f.name == "_hoodie_commit_time")
+            ]
         )
         if schema is not None and len(schema.fields) and schema != self.schema:
             raise H.HudiError(
@@ -241,6 +252,13 @@ class HudiStreamReader(DataSourceStreamReader):
                     "skip delete records."
                 )
             rows = [r for r in rows if not r.get("_hoodie_is_deleted")]
+            if self.keep_meta:
+                for r in rows:
+                    # log records carry meta fields; the tailed
+                    # instant is the authoritative fallback
+                    r["_hoodie_commit_time"] = (
+                        r.get("_hoodie_commit_time") or partition.instant
+                    )
             arrays = {
                 f.name: [r.get(f.name) for r in rows]
                 for f in self.schema.fields
@@ -268,10 +286,15 @@ class HudiStreamReader(DataSourceStreamReader):
             keys = tbl.column("_hoodie_record_key").to_pylist()
             mask = np.array([k not in best for k in keys], dtype=bool)
             tbl = tbl.filter(pa.array(mask))
-            live = [
-                rec for _rank, rec in best.values()
-                if not rec.get("_hoodie_is_deleted")
-            ]
+            live = []
+            for rank, rec in best.values():
+                if rec.get("_hoodie_is_deleted"):
+                    continue
+                if self.keep_meta:
+                    rec["_hoodie_commit_time"] = (
+                        rec.get("_hoodie_commit_time") or rank[0]
+                    )
+                live.append(rec)
             if live:
                 arrays = {
                     f.name: [r.get(f.name) for r in live]
@@ -295,7 +318,8 @@ class HudiStreamDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("hudi_stream: path required")
-        return HudiStreamReader(None, {"path": path}).schema
+        # pass ALL options through — keepmeta changes the schema
+        return HudiStreamReader(None, self.options).schema
 
     def reader(self, schema: StructType):
         raise H.HudiError(

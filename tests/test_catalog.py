@@ -48,6 +48,25 @@ class TestCatalog:
         D.write_delta(docs, dt, mode="append")
         assert spark.sql("select count(*) from latest").first()[0] == 10
 
+    def test_all_digit_ref_name_resolves_as_ref(self, spark, tmp_path):
+        # a tag legitimately named "123" must be addressable — refs
+        # win over the snapshot-id interpretation
+        docs = spark.createDataFrame([Row(doc_id=i) for i in range(3)])
+        ib = str(tmp_path / "ib")
+        I.write_iceberg_table(docs, ib)
+        meta = I.load_table_metadata(ib)
+        snap0 = meta["current-snapshot-id"]
+        I.iceberg_tag(ib, "123", snap0)
+        I.write_iceberg_table(docs, ib, mode="append")
+        C.register_lakehouse(spark, {"tagged": f"iceberg:{ib}@123"})
+        assert spark.sql("select count(*) from tagged").first()[0] == 3
+        # a real snapshot id still works when no ref shadows it
+        C.register_lakehouse(spark, {"snap": f"iceberg:{ib}@{snap0}"})
+        assert spark.sql("select count(*) from snap").first()[0] == 3
+        # and a pin that is neither errs by name
+        with pytest.raises(C.CatalogError, match="neither a ref"):
+            C.register_lakehouse(spark, {"x": f"iceberg:{ib}@nope"})
+
     def test_bad_specs(self, spark, tmp_path):
         with pytest.raises(C.CatalogError, match="format:path"):
             C.register_lakehouse(spark, {"x": "/no/format"})

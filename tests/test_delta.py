@@ -1779,6 +1779,44 @@ class TestCheckConstraints:
         with pytest.raises(D.DeltaError, match="no CHECK constraint"):
             D.delta_drop_constraint(p, "id_nonneg")
 
+    def test_add_constraint_rescans_after_concurrent_commit(
+        self, spark, tmp_path, monkeypatch
+    ):
+        # A data commit landing between the violation scan and the
+        # winning O_EXCL commit must be re-validated — otherwise the
+        # table ends up with committed rows violating the brand-new
+        # CHECK constraint.
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark), p)  # doc_id >= 0 everywhere
+        bad = spark.createDataFrame(
+            [(-1, "neg", "en")], "doc_id long, text string, lang string"
+        )
+        real_replay = D._replay
+        state = {"top_calls": 0, "nested": 0, "fired": False}
+
+        def hooked(path, version=None):
+            if state["nested"] == 0:
+                state["top_calls"] += 1
+                # fire once, after the initial validation replay:
+                # lands a VIOLATING append "concurrently"
+                if state["top_calls"] == 2 and not state["fired"]:
+                    state["fired"] = True
+                    state["nested"] += 1
+                    try:
+                        D.write_delta(bad, p, mode="append")
+                    finally:
+                        state["nested"] -= 1
+            return real_replay(path, version)
+
+        monkeypatch.setattr(D, "_replay", hooked)
+        with pytest.raises(D.DeltaError, match="existing rows"):
+            D.delta_add_constraint(spark, p, "id_nonneg", "doc_id >= 0")
+        monkeypatch.undo()
+        assert state["fired"]
+        # nothing committed: config carries no constraint
+        conf = D._replay(p).metadata.get("configuration") or {}
+        assert not any(k.startswith("delta.constraints.") for k in conf)
+
     def test_dml_verbs_enforce(self, spark, tmp_path):
         p = str(tmp_path / "t")
         D.write_delta(_docs(spark).coalesce(1), p)

@@ -142,6 +142,57 @@ class TestHudiStream:
         finally:
             q2.stop()
 
+    def test_keepmeta_orders_versions_across_instants(
+        self, spark, tmp_path
+    ):
+        # One microbatch can tail SEVERAL instants touching the same
+        # key; without _hoodie_commit_time an upsert consumer cannot
+        # tell which version is latest.
+        p = str(tmp_path / "t")
+        H.write_hudi_table(
+            _docs(spark, 0, 4), p, record_key="doc_id",
+            table_type="MERGE_ON_READ",
+        )
+        for txt in ("V1", "V2"):
+            upd = spark.createDataFrame(
+                [(1, txt, "en")],
+                "doc_id long, text string, lang string",
+            )
+            H.hudi_log_update(spark, p, upd, "doc_id")
+        q = _start(spark, p, "hs_meta", keepmeta="true")
+        try:
+            q.processAllAvailable()
+            df = spark.sql("select * from hs_meta")
+            assert "_hoodie_commit_time" in df.columns
+            rows = df.where("doc_id = 1").collect()
+            # snapshot start collapses to ONE (latest) version…
+            assert {r.text for r in rows} == {"V2"}
+            # …and a tail of two instants emits BOTH, orderable
+            upd3 = spark.createDataFrame(
+                [(2, "W1", "en")],
+                "doc_id long, text string, lang string",
+            )
+            H.hudi_log_update(spark, p, upd3, "doc_id")
+            upd4 = spark.createDataFrame(
+                [(2, "W2", "en")],
+                "doc_id long, text string, lang string",
+            )
+            H.hudi_log_update(spark, p, upd4, "doc_id")
+            q.processAllAvailable()
+            rows = spark.sql(
+                "select * from hs_meta where doc_id = 2 "
+                "and text != 't2' "  # snapshot batch stays in the sink
+                "order by _hoodie_commit_time"
+            ).collect()
+            assert [r.text for r in rows] == ["W1", "W2"]
+            assert all(r["_hoodie_commit_time"] for r in rows)
+            assert (
+                rows[0]["_hoodie_commit_time"]
+                < rows[1]["_hoodie_commit_time"]
+            )
+        finally:
+            q.stop()
+
     def test_batch_read_refused(self, spark, tmp_path):
         p = str(tmp_path / "t")
         H.write_hudi_table(_docs(spark, 0, 3), p, record_key="doc_id")

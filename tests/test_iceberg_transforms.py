@@ -28,6 +28,22 @@ class TestSpecVectors:
         ) == -2047944441
         assert T._hash_value(bytes([0, 1, 2, 3])) == -188683207
 
+    def test_timestamp_hash_uses_integer_microseconds(self):
+        # float .timestamp() truncates ~1.2% of microsecond values one
+        # low (e.g. .485659 -> .485658) — the hash must come from exact
+        # integer micros or pruning reads the wrong bucket on
+        # externally-written tables.
+        ts = dt.datetime(
+            2004, 11, 11, 22, 53, 46, 485659, tzinfo=dt.timezone.utc
+        )
+        us = (ts - dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)) \
+            // dt.timedelta(microseconds=1)
+        assert us % 1_000_000 == 485659
+        import struct as _s
+        assert T._hash_value(ts) == T.murmur3_x86_32(_s.pack("<q", us))
+        # naive datetimes are interpreted as UTC — same hash
+        assert T._hash_value(ts.replace(tzinfo=None)) == T._hash_value(ts)
+
     def test_bucket_and_null(self):
         assert T.bucket(16, 34) == (2017239379 & 0x7FFFFFFF) % 16
         assert T.bucket(16, None) is None
