@@ -449,6 +449,7 @@ def q_wtopn(spark, sf_dir):
 
 @register(
     "q_window_frames",
+    shadow=True,
     oracle="""
     SELECT o_custkey AS custkey, o_orderkey AS orderkey,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
@@ -494,6 +495,7 @@ def q_window_frames(spark, sf_dir):
 
 @register(
     "q_cube",
+    shadow=True,
     oracle="""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
     FROM orders
@@ -579,6 +581,7 @@ def q_distinct_counts(spark, sf_dir):
 
 @register(
     "q_setops",
+    shadow=True,
     oracle="""
     SELECT 'ie' AS op, custkey AS k FROM (
       SELECT custkey FROM (
@@ -1061,6 +1064,7 @@ def q_groupmap_normalize(spark, sf_dir):
 
 @register(
     "q_pivot_unpivot",
+    shadow=True,
     oracle="""
     WITH piv AS (
       SELECT o_orderpriority,

@@ -632,6 +632,7 @@ def _sql_sha_byte(i: int) -> str:
 
 @register(
     "q_multimodal_meta",
+    shadow=True,
     oracle=f"""
     SELECT 1 + {_sql_sha_byte(2)} % 4 AS channels,
            COUNT(*) AS n,
@@ -4287,7 +4288,6 @@ def _dhash_oracle_sql() -> str:
 
 @register(
     "q_image_dhash",
-    shadow=True,
     oracle=_dhash_oracle_sql(),
     doc="Perceptual image difference-hash over REAL image bytes "
     "(multimodal.image_dhash): the query synthesizes decodable 9x8 "
@@ -4941,7 +4941,6 @@ def q_html_extract(spark, sf_dir):
 
 @register(
     "q_warc_extract",
-    shadow=True,
     oracle="""
     SELECT doc_id,
            'http://corpus.example/' || doc_id AS target_uri,
@@ -4978,6 +4977,9 @@ def q_warc_extract(spark, sf_dir):
     import os as _os
     import tempfile
 
+    import lwes_contrib_hive_serde_spark as L
+
+    L.register(spark)  # self-contained: don't rely on a prior query
     d = (
         table(spark, sf_dir, "documents")
         .filter((F.col("doc_id") < 60) & F.col("text").isNotNull())
@@ -9231,7 +9233,6 @@ def _documents_delta_dv(spark, sf_dir: str) -> str:
 
 @register(
     "q_delta_dv",
-    shadow=True,
     oracle="""
     SELECT 'latest' AS snapshot, lang,
            COUNT(*) AS n,
@@ -10316,7 +10317,6 @@ def _documents_hudi_snap(spark, sf_dir: str) -> str:
 
 @register(
     "q_hudi_snapshot",
-    shadow=True,
     oracle="""
     WITH final AS (
       SELECT doc_id, lang,
@@ -10637,7 +10637,6 @@ def _documents_iceberg_bucketed(spark, sf_dir: str) -> str:
 
 @register(
     "q_iceberg_transforms",
-    shadow=True,
     oracle="""
     SELECT 'bucket_eq' AS section, lang, COUNT(*) AS n,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
