@@ -29,6 +29,7 @@ def register(spark):
         codec,
         avro_ocf,
         datasource,
+        fsio,
         jsonl,
         warc,
         zstd_backend,
@@ -42,7 +43,7 @@ def register(spark):
 
     for mod in (codec, datasource, journal_stream, delta_stream,
                 iceberg_stream, hudi_stream, warc, jsonl, avro_ocf,
-                zstd_backend):
+                zstd_backend, fsio):
         try:
             cloudpickle.register_pickle_by_value(mod)
         except Exception:

@@ -533,6 +533,17 @@ _EXTS = (".avro",)
 def _list_avro_files(path: str) -> list[str]:
     import glob as _g
 
+    from lwes_contrib_hive_serde_spark.sources import fsio
+
+    if not fsio.is_local(path):
+        if fsio.isdir(path):
+            return sorted(
+                fsio.join(root, nm)
+                for root, _dirs, names in fsio.walk(path)
+                for nm in names
+                if nm.endswith(_EXTS) and not nm.startswith((".", "_"))
+            )
+        return [path] if fsio.exists(path) else []
     if os.path.isdir(path):
         out = []
         for root, _dirs, names in os.walk(path):

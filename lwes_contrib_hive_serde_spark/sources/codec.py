@@ -468,7 +468,14 @@ def _zstd_backend():
 def open_journal(path: str) -> BinaryIO:
     """Open a journal for reading; codec picked by extension like
     JournalInputFormat.java:94-105 (``.gz`` supported; ``.bz2`` and
-    ``.xz`` via stdlib; ``.zst`` via the zstd backend)."""
+    ``.xz`` via stdlib; ``.zst`` via the zstd backend). Scheme URIs
+    (s3://, mock://, …) stream through fsio — the decompressor
+    wraps the remote byte stream, so a .gz journal on an object
+    store decodes without ever landing on local disk."""
+    from lwes_contrib_hive_serde_spark.sources import fsio
+
+    if not fsio.is_local(path):
+        return wrap_decompress(fsio.open_stream(path), path)
     if path.endswith(".gz"):
         return gzip.open(path, "rb")
     if path.endswith(".bz2"):
@@ -482,6 +489,26 @@ def open_journal(path: str) -> BinaryIO:
     if path.endswith(".zst"):
         return _zstd_backend().open_read(path)
     return open(path, "rb")
+
+
+def wrap_decompress(stream: BinaryIO, name: str) -> BinaryIO:
+    """Layer the extension-picked decompressor over an already-open
+    byte stream (the remote data plane: fsio.open_stream objects
+    have no local path to reopen). Plain extensions pass the stream
+    through untouched."""
+    if name.endswith(".gz"):
+        return gzip.GzipFile(fileobj=stream, mode="rb")
+    if name.endswith(".bz2"):
+        import bz2
+
+        return bz2.BZ2File(stream, "rb")
+    if name.endswith(".xz"):
+        import lzma
+
+        return lzma.LZMAFile(stream, "rb")
+    if name.endswith(".zst"):
+        return _zstd_backend().open_read_fileobj(stream)
+    return stream
 
 
 def open_journal_write(path: str) -> BinaryIO:
@@ -648,7 +675,9 @@ def sniff_v2(path_or_stream) -> bool:
     """True if the file/stream starts with the v2 magic. Streams are
     required to support seek(0) (plain files and gzip/bz2 wrappers do)."""
     if isinstance(path_or_stream, str):
-        with open(path_or_stream, "rb") as f:
+        from lwes_contrib_hive_serde_spark.sources import fsio
+
+        with fsio.open_stream(path_or_stream) as f:
             return f.read(len(V2_MAGIC)) == V2_MAGIC
     head = path_or_stream.read(len(V2_MAGIC))
     path_or_stream.seek(0)

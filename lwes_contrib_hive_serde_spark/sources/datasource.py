@@ -93,6 +93,7 @@ from pyspark.sql.types import (
 )
 
 from lwes_contrib_hive_serde_spark.sources import codec as c
+from lwes_contrib_hive_serde_spark.sources import fsio
 
 EVENT_NAME_COL = "event_name"
 
@@ -103,6 +104,21 @@ def _committed_manifest_files(path: str) -> set[str]:
     import glob as _glob
 
     out: set[str] = set()
+    if not fsio.is_local(path):
+        try:
+            names = fsio.listdir(path)
+        except (OSError, FileNotFoundError):
+            return out
+        for n in names:
+            if n.startswith("_batch-") and n.endswith(".json"):
+                try:
+                    out.update(
+                        json.loads(fsio.read_bytes(fsio.join(path, n)))
+                        .get("files", [])
+                    )
+                except (OSError, ValueError):
+                    continue
+        return out
     for m in _glob.glob(os.path.join(path, "_batch-*.json")):
         try:
             with open(m) as f:
@@ -113,6 +129,26 @@ def _committed_manifest_files(path: str) -> set[str]:
 
 
 def _list_journal_files(path: str) -> list[str]:
+    if not fsio.is_local(path):
+        # scheme URI (s3://, mock://, …): dir → one recursive LIST
+        # via fsio.walk; exact file → itself; wildcards are a typed
+        # refusal (remote LIST has no glob server-side — expanding
+        # one driver-side over an unbounded keyspace is a foot-gun)
+        if any(ch in path for ch in "*?["):
+            raise ValueError(
+                f"glob patterns are not supported on object-store "
+                f"URIs ({path!r}); point at a directory or a file"
+            )
+        if fsio.isdir(path):
+            out = []
+            for root, _dirs, files in fsio.walk(path):
+                for f in sorted(files):
+                    if not f.startswith(("_", ".")):
+                        out.append(fsio.join(root, f))
+            return sorted(out)
+        if fsio.exists(path):
+            return [path]
+        raise FileNotFoundError(f"no journal files at {path!r}")
     if os.path.isfile(path):
         return [path]
     if os.path.isdir(path):
@@ -361,10 +397,17 @@ def _partition_values(file_path: str, root: str) -> dict[str, str]:
     use plain Hive partitioning, e.g. PARTITIONED BY(dt STRING),
     reference README:48 — partition pruning was Hive's job; here it is
     ours)."""
-    rel = os.path.relpath(os.path.dirname(os.path.abspath(file_path)),
-                          os.path.abspath(root))
+    if fsio.is_local(file_path):
+        rel = os.path.relpath(os.path.dirname(os.path.abspath(file_path)),
+                              os.path.abspath(root))
+        sep = os.sep
+    else:
+        import posixpath
+
+        rel = fsio.relpath(posixpath.dirname(file_path), root)
+        sep = "/"
     out: dict[str, str] = {}
-    for seg in rel.split(os.sep):
+    for seg in rel.split(sep):
         if "=" in seg:
             k, _, v = seg.partition("=")
             out[k] = v
@@ -391,6 +434,11 @@ class LwesReader(DataSourceReader):
         # latin-1 host are valid there but not strict UTF-8; option
         # ("charset", "latin-1") decodes them; default stays strict.
         self.charset = options.get("charset", "utf-8")
+        # registered-scheme resolution for executors: read() runs in
+        # a fresh Python worker that never saw the driver's
+        # register_filesystem calls — the snapshot rides the pickled
+        # reader (fsio.registry_snapshot docstring)
+        self._fs_snapshot = fsio.registry_snapshot()
         # Hive-style directory partitioning: key=value path segments
         # become schema columns filled per-file (reference README:48)
         self._files = _list_journal_files(self.path)
@@ -519,12 +567,14 @@ class LwesReader(DataSourceReader):
         events' own [min,max] instead of the file's. Conservative on
         any doubt (missing/stale/corrupt sidecar, NULL bounds,
         pre-events-map sidecars)."""
-        d, base = os.path.split(path)
-        sp = os.path.join(d, f".{base}.stats.json")
+        import posixpath
+
+        _split = os.path.split if fsio.is_local(path) else posixpath.split
+        d, base = _split(path)
+        sp = fsio.join(d, f".{base}.stats.json")
         try:
-            with open(sp) as f:
-                st = json.load(f)
-        except (OSError, ValueError):
+            st = json.loads(fsio.read_bytes(sp))
+        except (OSError, ValueError, FileNotFoundError, fsio.FsIoError):
             return False
         if st.get("size") != size:
             return False  # appended since ANALYZE: stats are stale
@@ -603,7 +653,7 @@ class LwesReader(DataSourceReader):
             if self.partition_filters and not self._eval_partition_filters(pv):
                 continue
             try:
-                size = os.path.getsize(p)
+                size = fsio.file_size(p)
             except OSError:
                 size = 0
             if (rt_filters or wanted_names) and self._stats_prunes(
@@ -660,7 +710,7 @@ class LwesReader(DataSourceReader):
             or fpath.endswith(".journal2")
             or c.sniff_v2(fpath)
         ):
-            with open(fpath, "rb") as f:
+            with fsio.open_seekable(fpath) as f:
                 for block in c.read_journal_v2_blocks(
                     f, start or 0, end, self.strict
                 ):
@@ -755,7 +805,7 @@ class LwesReader(DataSourceReader):
             with c.open_journal(fpath) as fh:
                 raw = fh.read()
         else:
-            with open(fpath, "rb") as fh:
+            with fsio.open_stream(fpath) as fh:
                 raw = fh.read()
         return self._vectorized_decode(raw, pvals, pa, arrow_schema, torn_ok=True)
 
@@ -763,7 +813,7 @@ class LwesReader(DataSourceReader):
         """v2 variant: decompress the range's blocks (framing inside a
         block is identical to v1), concatenate, and run the same
         vectorized decode over the combined buffer."""
-        with open(fpath, "rb") as f:
+        with fsio.open_seekable(fpath) as f:
             blocks = list(
                 c.read_journal_v2_blocks(f, start or 0, end, self.strict)
             )
@@ -1100,6 +1150,7 @@ class LwesReader(DataSourceReader):
     def read(self, partition: LwesFilePartition) -> Iterator:
         import pyarrow as pa
 
+        fsio.ensure_registry(self._fs_snapshot)
         fields = self.schema.fields
         arrow_schema = pa.schema(
             [(f.name, _arrow_type(f.dataType)) for f in fields]

@@ -1552,10 +1552,17 @@ def write_delta(
     the table root; the commit JSON is created O_EXCL so two
     writers racing on the same version lose deterministically and
     retry — the protocol's optimistic concurrency on any FS with
-    atomic create."""
+    atomic create. The gate is ATOMIC CREATE, not locality: a
+    scheme URI whose registration proves POSIX backing (mock://,
+    an NFS mount under a scheme) commits remotely — data files
+    stage in a local temp dir and publish via fsio.put_file, the
+    commit JSON lands via fsio.create_exclusive. Real object
+    stores still refuse (no conditional put through pyarrow.fs —
+    the delta-rs LogStore caveat, fsio._atomic_root docstring)."""
     if mode not in ("append", "overwrite", "error"):
         raise DeltaError(f"unsupported mode {mode!r}")
-    fsio.require_local(path, "write_delta")
+    fsio.require_atomic_create(path, "write_delta")
+    remote = not fsio.is_local(path)
     partition_by = list(partition_by or [])
     spark = df.sparkSession
     types = {f.name: f.dataType for f in df.schema.fields}
@@ -1568,7 +1575,7 @@ def write_delta(
                 f"{types[c].simpleString()} not supported for writing"
             )
 
-    exists = os.path.isdir(_log_path(path))
+    exists = fsio.isdir(_log_path(path))
     if exists:
         commits, checkpoints = _list_log(path)
         exists = bool(commits or checkpoints)
@@ -1651,17 +1658,27 @@ def write_delta(
             phys_of = _physical_name_of(prior)
             stage_partition_by = [phys_of.get(c, c) for c in partition_by]
 
-    # 1. Stage the data with the native parquet writer.
-    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    # 1. Stage the data with the native parquet writer. Local
+    #    tables stage INSIDE the table root (same volume → publish
+    #    is a rename, never a copy); remote tables stage in a local
+    #    temp dir and publish uploads each file once.
+    if remote:
+        import tempfile
+
+        staging = tempfile.mkdtemp(prefix="delta-staging-")
+    else:
+        staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
     writer = staged_df.write.mode("overwrite")
     if stage_partition_by:
         writer = writer.partitionBy(*stage_partition_by)
     writer.parquet(staging)
 
-    # 2. Publish staged files into the table root (same volume →
-    #    rename, never a copy), collecting add actions.
+    # 2. Publish staged files into the table root, collecting add
+    #    actions (stats come from the LOCAL staged footer — no
+    #    remote re-read).
     import pyarrow.parquet as pq
 
+    now_pub_ms = int(time.time() * 1000)
     adds = []
     for root, _dirs, names in os.walk(staging):
         for n in names:
@@ -1679,17 +1696,14 @@ def write_delta(
             rel = "/".join(
                 [urllib.parse.quote(s, safe="/=") for s in segs] + [unique]
             )
-            dst = os.path.join(path, *segs, unique)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
             stats = _footer_stats(src)
-            os.replace(src, dst)
-            st = os.stat(dst)
+            size = fsio.put_file(src, fsio.join(path, *segs, unique))
             adds.append(
                 {
                     "path": rel,
                     "partitionValues": pv,
-                    "size": st.st_size,
-                    "modificationTime": int(st.st_mtime * 1000),
+                    "size": size,
+                    "modificationTime": now_pub_ms,
                     "dataChange": True,
                     "stats": stats,
                 }
@@ -1704,15 +1718,12 @@ def write_delta(
     #    on every attempt, so losing a race to a commit that
     #    evolved the schema (or changed anything else) is either
     #    reconciled or refused, never silently clobbered.
-    os.makedirs(_log_path(path), exist_ok=True)
+    fsio.mkdirs(_log_path(path))
     now_ms = int(time.time() * 1000)
 
     def _abandon():
         for a in adds:
-            try:
-                os.remove(_file_abspath(path, a["path"]))
-            except OSError:
-                pass
+            fsio.delete(_file_abspath(path, a["path"]))
 
     for _ in range(max_commit_attempts):
         commits, checkpoints = _list_log(path)
@@ -1815,13 +1826,10 @@ def write_delta(
                 actions.append({"remove": rm})
         actions.extend({"add": a} for a in adds)
         payload = "".join(json.dumps(a) + "\n" for a in actions).encode()
-        target = _commit_file(path, next_version)
         try:
-            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+            fsio.create_exclusive(_commit_file(path, next_version), payload)
         except FileExistsError:
             continue  # lost the race; re-replay and retry
-        with os.fdopen(fd, "wb") as f:
-            f.write(payload)
         return next_version
     raise DeltaError(
         f"could not commit after {max_commit_attempts} attempts "
@@ -2204,6 +2212,7 @@ def delta_vacuum(
     path: str,
     retention_ms: int = 7 * 24 * 3600 * 1000,
     now_ms: int | None = None,
+    spark: "SparkSession | None" = None,
 ) -> int:
     """Physically delete tombstoned data files whose
     deletionTimestamp is older than the retention window; returns
@@ -2211,7 +2220,15 @@ def delta_vacuum(
     that referenced them stops working — exactly the real VACUUM
     trade-off, which is why the default retention is 7 days; the
     log itself is never touched (checkpoints bound replay cost
-    instead)."""
+    instead).
+
+    DISTRIBUTED: the stat+delete sweep runs as ONE Spark job —
+    tombstone candidates (metadata-derived, from the log replay)
+    in 1000-file chunks, plus one listing task each for the DV-bin
+    and ``_change_data`` directories. A 100 TB table can tombstone
+    millions of files per OPTIMIZE cycle; a driver loop would
+    serialize every unlink. Reference sets ride a broadcast.
+    Sequential fallback when no session is active."""
     from . import delta_dv
 
     fsio.require_local(path, "delta_vacuum")
@@ -2220,29 +2237,24 @@ def delta_vacuum(
         now_ms = int(time.time() * 1000)
     cutoff = now_ms - retention_ms
     live = set(state.adds)
-    n = 0
     root = os.path.realpath(path)
+
+    # 1. expired-tombstone candidates (pure log metadata)
+    candidates: list[str] = []
     for p, r in state.tombstones.items():
         if p in live:
             continue
         ts = int(r.get("deletionTimestamp") or 0)
         if ts > cutoff:
             continue
-        fp = os.path.realpath(_file_abspath(path, p))
-        if not fp.startswith(root + os.sep):
-            continue  # shallow-clone reference: NEVER delete the
-            # source table's files (the real VACUUM contract)
-        try:
-            os.remove(fp)
-            n += 1
-        except FileNotFoundError:
-            pass
-    # DV sidecar hygiene: a deletion_vector_*.bin is deletable once
-    # NO live add and NO unexpired tombstone references it — DVs are
-    # superseded in place (re-delete, OPTIMIZE purge), so orphans
-    # accumulate exactly like tombstoned data files.
-    # realpath-normalize BOTH sides (like the data-file sweep above):
-    # a storageType "p" descriptor may spell an equivalent path
+        candidates.append(_file_abspath(path, p))
+
+    # 2. DV sidecar references: a deletion_vector_*.bin is deletable
+    # once NO live add and NO unexpired tombstone references it —
+    # DVs are superseded in place (re-delete, OPTIMIZE purge), so
+    # orphans accumulate exactly like tombstoned data files.
+    # realpath-normalize BOTH sides (like the data-file sweep): a
+    # storageType "p" descriptor may spell an equivalent path
     # differently (./, symlink, //) and a raw-string compare would
     # judge a live DV unreferenced and delete it.
     referenced: set[str] = set()
@@ -2259,34 +2271,16 @@ def delta_vacuum(
             referenced.add(
                 os.path.realpath(delta_dv.dv_absolute_path(path, d))
             )
-    try:
-        names = os.listdir(path)
-    except FileNotFoundError:
-        names = []
-    for name in names:
-        if not (
-            name.startswith("deletion_vector_") and name.endswith(".bin")
-        ):
-            continue
-        fp = os.path.join(path, name)
-        if os.path.realpath(fp) in referenced:
-            continue
-        try:
-            if os.stat(fp).st_mtime * 1000 > cutoff:
-                continue  # young orphan: an in-flight commit may own it
-            os.remove(fp)
-            n += 1
-        except FileNotFoundError:
-            pass
-    # _change_data hygiene: a cdc file is deletable only when NO
-    # commit references it — committed cdc files serve CDF reads for
-    # as long as their commit JSON exists (this engine never
-    # truncates the log), so this sweep collects exactly the
+
+    # 3. _change_data references: a cdc file is deletable only when
+    # NO commit references it — committed cdc files serve CDF reads
+    # for as long as their commit JSON exists (this engine never
+    # truncates the log), so that sweep collects exactly the
     # leftovers of ABORTED DML attempts (mtime-guarded like DV bins).
     cdir = os.path.join(path, "_change_data")
+    cdc_refs: set[str] = set()
     if os.path.isdir(cdir):
         commits, _cps = _list_log(path)
-        cdc_refs: set[str] = set()
         for v in commits:
             for a in _commit_actions(path, v):
                 c = a.get("cdc")
@@ -2294,20 +2288,84 @@ def delta_vacuum(
                     cdc_refs.add(os.path.realpath(
                         _file_abspath(path, c["path"])
                     ))
-        for name in os.listdir(cdir):
-            if not name.endswith(".parquet"):
-                continue
-            fp = os.path.join(cdir, name)
-            if os.path.realpath(fp) in cdc_refs:
-                continue
+
+    # ---- work items, executed in tasks (or inline as fallback) ----
+    def _rm_candidates(paths: list[str]) -> int:
+        n = 0
+        for cand in paths:
+            fp = os.path.realpath(cand)
+            if not fp.startswith(root + os.sep):
+                continue  # shallow-clone reference: NEVER delete
+                # the source table's files (the real VACUUM contract)
             try:
-                if os.stat(fp).st_mtime * 1000 > cutoff:
-                    continue
                 os.remove(fp)
                 n += 1
             except FileNotFoundError:
                 pass
-    return n
+        return n
+
+    def _rm_scan(d: str, prefix: str, suffix: str, refs: set[str]) -> int:
+        n = 0
+        try:
+            names = os.listdir(d)
+        except FileNotFoundError:
+            names = []
+        for name in names:
+            if not (name.startswith(prefix) and name.endswith(suffix)):
+                continue
+            fp = os.path.join(d, name)
+            if os.path.realpath(fp) in refs:
+                continue
+            try:
+                if os.stat(fp).st_mtime * 1000 > cutoff:
+                    continue  # young orphan: an in-flight commit
+                    # may own it
+                os.remove(fp)
+                n += 1
+            except FileNotFoundError:
+                pass
+        return n
+
+    items: list[tuple] = [
+        ("files", candidates[i:i + 1000])
+        for i in range(0, len(candidates), 1000)
+    ]
+    items.append(("dv", path))
+    if os.path.isdir(cdir):
+        items.append(("cdc", cdir))
+
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    if spark is None:
+        return sum(
+            _rm_candidates(arg) if kind == "files"
+            else _rm_scan(arg, "deletion_vector_", ".bin", referenced)
+            if kind == "dv"
+            else _rm_scan(arg, "", ".parquet", cdc_refs)
+            for kind, arg in items
+        )
+    sc = spark.sparkContext
+    # reference sets ride ONE broadcast, not one pickle per task —
+    # a DV-heavy table can reference hundreds of thousands of bins
+    refs_bc = sc.broadcast((referenced, cdc_refs))
+
+    def _run(item) -> int:
+        kind, arg = item
+        if kind == "files":
+            return _rm_candidates(arg)
+        ref, cdc = refs_bc.value
+        if kind == "dv":
+            return _rm_scan(arg, "deletion_vector_", ".bin", ref)
+        return _rm_scan(arg, "", ".parquet", cdc)
+
+    try:
+        return sum(
+            sc.parallelize(items, len(items)).map(_run).collect()
+        )
+    finally:
+        refs_bc.unpersist()
 
 
 def delta_restore(

@@ -15,12 +15,19 @@ bitmaps, checkpoint parquet) is driver-side Python ``open()`` /
 dispatch keyed on the URI scheme, exactly the delta-rs layering
 (object_store crate under the log replay, native scan for data).
 
-WRITES stay local-only by design, not laziness: every commit in
-this engine lands via ``O_CREAT|O_EXCL`` — the optimistic-
+WRITES are gated on ATOMIC CREATE, not on locality: every commit
+in this engine lands via ``O_CREAT|O_EXCL`` — the optimistic-
 concurrency contract that plain S3 cannot honor without an
-external lock service (the same caveat delta-rs documents). A
-remote write is a typed refusal (``require_local``), never a
-corrupt-on-race maybe.
+external lock service (the same caveat delta-rs documents; their
+answer is a DynamoDB-backed LogStore, out of envelope here). A
+scheme registered with ``local_root`` (the mock:// test double, or
+an NFS/Lustre mount exposed under a scheme) proves POSIX backing
+and passes ``require_atomic_create``; a real object store is a
+typed refusal, never a corrupt-on-race maybe. The DATA plane
+(journal/WARC/JSONL byte scans, staged-parquet publish) is fully
+scheme-routed: ``open_stream``/``open_seekable`` on executors
+(readers ship a ``registry_snapshot`` so fresh worker processes
+can resolve registered schemes), ``put_file`` for publishes.
 
 Testing: ``register_filesystem("mock", local_root=...)`` maps a
 ``mock://`` URI space onto a local directory — the full remote
@@ -63,6 +70,7 @@ def register_filesystem(
     the real local path), which is the no-network test double."""
     from pyarrow import fs as pafs
 
+    root = None
     if local_root is not None:
         root = os.path.abspath(local_root)
         fs = pafs.SubTreeFileSystem(root, pafs.LocalFileSystem())
@@ -71,11 +79,122 @@ def register_filesystem(
                 return os.path.join(_root, p) if p else _root
     if fs is None:
         raise FsIoError("register_filesystem needs fs or local_root")
-    _REGISTRY[scheme.lower()] = {"fs": fs, "spark_path": spark_path}
+    _REGISTRY[scheme.lower()] = {
+        "fs": fs, "spark_path": spark_path, "local_root": root,
+    }
+    if root is not None:
+        _persist_registration(scheme.lower(), root)
+
+
+def _registry_file() -> str:
+    """Bootstrap channel to OTHER Python processes of the same app.
+    PySpark runs Python DataSource code in separate worker processes
+    (a plan worker for reader()/partitions(), task workers for
+    read()) that never execute the user's ``register_filesystem``
+    calls and share no module state — but they DO inherit the
+    driver's environment (the JVM is launched as the driver's child
+    and forks the workers). local-root registrations persist here
+    and ``_fs_for`` consults the file on a scheme miss. Per-session
+    isolation: set LWES_FSIO_REGISTRY_FILE before building the
+    SparkSession. Real schemes (s3/gs/abfs) never need this — every
+    process constructs them lazily from the same env credentials.
+    Single-host by nature, exactly like the local roots it maps."""
+    import getpass
+    import tempfile
+
+    return os.environ.get("LWES_FSIO_REGISTRY_FILE") or os.path.join(
+        tempfile.gettempdir(),
+        f"lwes-fsio-registry-{getpass.getuser()}.json",
+    )
+
+
+def _persist_registration(scheme: str, root: str | None) -> None:
+    import json
+    import tempfile
+
+    path = _registry_file()
+    doc: dict = {}
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except (OSError, ValueError):
+        pass
+    if root is None:
+        doc.pop(scheme, None)
+    else:
+        doc[scheme] = root
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".")
+    with os.fdopen(fd, "w") as f:
+        json.dump(doc, f)
+    os.replace(tmp, path)
+
+
+_PERSIST_CACHE: dict = {"path": None, "mtime": None, "doc": {}}
+
+
+def _persisted_doc() -> dict:
+    """The registry file's current content, re-read only when its
+    mtime moves (one stat per lookup — Spark reuses Python workers
+    across queries, so a worker-side registration can go STALE when
+    the driver re-registers a scheme onto a new root; revalidating
+    against the file catches that)."""
+    import json
+
+    path = _registry_file()
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        return {}
+    if _PERSIST_CACHE["path"] == path and _PERSIST_CACHE["mtime"] == mtime:
+        return _PERSIST_CACHE["doc"]
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except (OSError, ValueError):
+        doc = {}
+    _PERSIST_CACHE.update(path=path, mtime=mtime, doc=doc)
+    return doc
+
+
+def _load_persisted(scheme: str) -> bool:
+    """Scheme-miss fallback: pull a local-root registration written
+    by another process of this app. Returns True when found."""
+    root = _persisted_doc().get(scheme)
+    if root is None or not os.path.isdir(root):
+        return False
+    register_filesystem(scheme, local_root=root)
+    return True
+
+
+def registry_snapshot() -> dict[str, str]:
+    """Picklable {scheme: local_root} for every local-root-backed
+    registration. Python DataSource readers capture this at plan
+    time and ``ensure_registry`` it inside ``read()`` — executor
+    Python workers are fresh processes that never saw the driver's
+    ``register_filesystem`` calls, and module state does not ride
+    the pickle. fs-object registrations are driver-only by nature
+    (a live pyarrow FileSystem is not picklable); real schemes
+    (s3/gs/abfs) need no snapshot — executors build them lazily
+    from the same environment credentials the driver used."""
+    return {
+        s: e["local_root"]
+        for s, e in _REGISTRY.items()
+        if e.get("local_root") is not None
+    }
+
+
+def ensure_registry(snapshot: dict[str, str] | None) -> None:
+    """Executor-side restore of a ``registry_snapshot`` (no-op for
+    schemes already registered, so driver-side calls are safe)."""
+    for scheme, root in (snapshot or {}).items():
+        if scheme not in _REGISTRY:
+            register_filesystem(scheme, local_root=root)
 
 
 def unregister_filesystem(scheme: str) -> None:
-    _REGISTRY.pop(scheme.lower(), None)
+    ent = _REGISTRY.pop(scheme.lower(), None)
+    if ent is not None and ent.get("local_root") is not None:
+        _persist_registration(scheme.lower(), None)
 
 
 def split(uri: str) -> tuple[str | None, str]:
@@ -102,9 +221,21 @@ _LAZY_FS_CACHE: dict[str, object] = {}
 def _fs_for(scheme: str):
     ent = _REGISTRY.get(scheme)
     if ent is not None:
+        root = ent.get("local_root")
+        if root is not None:
+            # long-lived Python workers can hold a mapping from a
+            # PREVIOUS registration of this scheme; the persisted
+            # file is authoritative when it disagrees
+            current = _persisted_doc().get(scheme)
+            if current is not None and current != root:
+                register_filesystem(scheme, local_root=current)
+                return _REGISTRY[scheme]["fs"]
         return ent["fs"]
     if scheme in _LAZY_FS_CACHE:
         return _LAZY_FS_CACHE[scheme]
+    if scheme not in ("s3", "s3a", "gs", "abfs", "abfss", "az", "hdfs") \
+            and _load_persisted(scheme):
+        return _REGISTRY[scheme]["fs"]
     from pyarrow import fs as pafs
 
     try:
@@ -218,6 +349,201 @@ def read_bytes(uri: str) -> bytes:
         return f.read()
 
 
+def open_stream(uri: str):
+    """Sequential binary reader for the DATA plane (journal / WARC /
+    JSONL byte scans on executors) — unlike ``open_read`` this does
+    NOT buffer the whole object: remote URIs return pyarrow's
+    ``open_input_stream`` wrapped in an ``io.BufferedReader`` (1 MiB
+    readahead, and the wrapper adds ``readline`` — line-framed
+    consumers need it and NativeFile lacks it). Local paths are a
+    plain ``open``. Journals can be multi-GB; streaming keeps
+    executor RSS flat at any file size."""
+    import io
+
+    scheme, path = split(uri)
+    if scheme is None:
+        return open(path, "rb")
+    # compression=None: pyarrow's default 'detect' would silently
+    # decompress by extension — the codec layer owns decompression
+    # (extension semantics differ per source format)
+    raw = _fs_for(scheme).open_input_stream(path, compression=None)
+    return io.BufferedReader(_read_shim_cls()(raw), buffer_size=1 << 20)
+
+
+def open_seekable(uri: str):
+    """Random-access binary reader (the v2 journal's byte-range scan
+    units seek to their split start; the WARC CDX fetch path seeks
+    to member offsets). Remote: pyarrow ``open_input_file`` — range
+    GETs under the hood, exactly the parquet reader's access
+    pattern — wrapped in a seekable BufferedReader because
+    NativeFile has no ``readline`` (line-framed consumers need it)
+    and 64 KiB readahead batches the small header reads."""
+    import io
+
+    scheme, path = split(uri)
+    if scheme is None:
+        return open(path, "rb")
+    raw = _fs_for(scheme).open_input_file(path)
+
+    shim_cls = _read_shim_cls()
+
+    class _SeekShim(shim_cls):
+        def seekable(self) -> bool:
+            return True
+
+        def seek(self, pos, whence=0) -> int:
+            return self._f.seek(pos, whence)
+
+        def tell(self) -> int:
+            return self._f.tell()
+
+    return io.BufferedReader(_SeekShim(raw), buffer_size=1 << 16)
+
+
+def _read_shim_cls():
+    import io
+
+    class _ReadShim(io.RawIOBase):
+        """RawIOBase adapter over a ``.read(n)`` stream so
+        io.BufferedReader can layer readline/peek on it (shared
+        shape with zstd_backend._ReadlineShim; duplicated to keep
+        fsio dependency-free of the codec layer)."""
+
+        def __init__(self, f):
+            self._f = f
+
+        def readable(self) -> bool:
+            return True
+
+        def readinto(self, b) -> int:
+            data = self._f.read(len(b))
+            n = len(data)
+            b[:n] = data
+            return n
+
+        def close(self) -> None:
+            try:
+                self._f.close()
+            finally:
+                super().close()
+
+    return _ReadShim
+
+
+def file_size(uri: str) -> int:
+    """st_size for any scheme; OSError if missing (os.path.getsize
+    semantics)."""
+    scheme, path = split(uri)
+    if scheme is None:
+        return os.path.getsize(path)
+    from pyarrow import fs as pafs
+
+    info = _fs_for(scheme).get_file_info(path)
+    if info.type == pafs.FileType.NotFound:
+        raise OSError(f"no such file: {uri}")
+    return info.size
+
+
+def mkdirs(uri: str) -> None:
+    """mkdir -p. Object stores have no real directories; pyarrow's
+    create_dir is a metadata no-op there, which is exactly right."""
+    scheme, path = split(uri)
+    if scheme is None:
+        os.makedirs(path, exist_ok=True)
+        return
+    _fs_for(scheme).create_dir(path, recursive=True)
+
+
+def put_file(local_src: str, uri: str) -> int:
+    """Upload one local file to ``uri`` (the staged-parquet publish
+    step when the table root is remote; local targets fall back to
+    an os.replace rename — same volume, zero copy). Returns the
+    byte size written."""
+    scheme, path = split(uri)
+    size = os.path.getsize(local_src)
+    if scheme is None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        os.replace(local_src, path)
+        return size
+    f = _fs_for(scheme)
+    parent = posixpath.dirname(path)
+    if parent:
+        # object stores no-op this; POSIX-backed schemes need it
+        f.create_dir(parent, recursive=True)
+    with open(local_src, "rb") as src, f.open_output_stream(path) as dst:
+        while True:
+            chunk = src.read(1 << 20)
+            if not chunk:
+                break
+            dst.write(chunk)
+    return size
+
+
+def delete(uri: str) -> None:
+    """Missing-ok single-file delete."""
+    scheme, path = split(uri)
+    try:
+        if scheme is None:
+            os.remove(path)
+        else:
+            _fs_for(scheme).delete_file(path)
+    except (FileNotFoundError, OSError):
+        pass
+
+
+def _atomic_root(uri: str) -> str | None:
+    """The LOCAL path where an O_EXCL create for ``uri`` would land,
+    or None when the backing store offers no atomic create. Local
+    paths qualify; registered local-root schemes qualify because
+    their bytes live on a real POSIX filesystem (the mock:// test
+    double, or an NFS/Lustre mount exposed under a scheme). Real
+    object stores do NOT: S3 conditional PUT (If-None-Match) exists
+    in the service API but pyarrow.fs does not expose it, so a
+    commit there could race-corrupt — we refuse instead (the
+    delta-rs caveat; their answer is an external DynamoDB-style
+    LogStore, which is out of envelope here and documented)."""
+    scheme, path = split(uri)
+    if scheme is None:
+        return path
+    ent = _REGISTRY.get(scheme)
+    if ent is not None and ent.get("local_root") is not None:
+        return os.path.join(ent["local_root"], path)
+    return None
+
+
+def supports_atomic_create(uri: str) -> bool:
+    return _atomic_root(uri) is not None
+
+
+def require_atomic_create(uri: str, op: str) -> None:
+    """The write-verb gate: passes for local paths AND for schemes
+    whose registration proves a POSIX backing (local_root), refuses
+    real object stores with the conditional-put story."""
+    if _atomic_root(uri) is None:
+        raise FsIoError(
+            f"{op}: {uri!r} is on an object store; this engine's "
+            "writes rely on atomic file create (O_EXCL) for "
+            "optimistic concurrency, which plain object storage "
+            "cannot honor — reads work, writes need a local/HDFS "
+            "path (the delta-rs caveat)"
+        )
+
+
+def create_exclusive(uri: str, data: bytes) -> None:
+    """Atomically create ``uri`` with ``data``; FileExistsError if it
+    already exists — THE commit primitive (Delta/Iceberg/Hudi
+    optimistic concurrency). Write-then-rename is not enough (rename
+    overwrites); this is O_CREAT|O_EXCL on the POSIX root, and a
+    typed refusal where no such root exists."""
+    target = _atomic_root(uri)
+    if target is None:
+        require_atomic_create(uri, "create_exclusive")
+    os.makedirs(os.path.dirname(target), exist_ok=True)
+    fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+    with os.fdopen(fd, "wb") as f:
+        f.write(data)
+
+
 def spark_path(uri: str) -> str:
     """The spelling of ``uri`` to hand Spark's reader: registered
     schemes use their translator (mock:// → the real local dir),
@@ -227,6 +553,10 @@ def spark_path(uri: str) -> str:
     if scheme is None:
         return path
     ent = _REGISTRY.get(scheme)
+    if ent is None and scheme not in (
+        "s3", "s3a", "gs", "abfs", "abfss", "az", "hdfs"
+    ) and _load_persisted(scheme):
+        ent = _REGISTRY.get(scheme)
     if ent is not None and ent["spark_path"] is not None:
         return ent["spark_path"](path)
     if scheme == "s3":

@@ -3175,7 +3175,9 @@ def iceberg_refs(spark: SparkSession, path: str) -> DataFrame:
 
 
 def iceberg_remove_orphan_files(
-    path: str, older_than_ms: int = 3 * 24 * 3600 * 1000
+    path: str,
+    older_than_ms: int = 3 * 24 * 3600 * 1000,
+    spark: "SparkSession | None" = None,
 ) -> int:
     """REMOVE ORPHAN FILES — the other storage-maintenance verb:
     delete files under ``data/`` that NO snapshot's manifest tree
@@ -3183,7 +3185,17 @@ def iceberg_remove_orphan_files(
     mtime guard (default 3 days, the real procedure's default)
     protects in-flight commits whose metadata has not landed yet;
     metadata/ is never swept here (expire_snapshots owns it).
-    Returns the number of files removed."""
+    Returns the number of files removed.
+
+    DISTRIBUTED: the data-directory walk + stat + delete run as ONE
+    Spark job — one task per top-level partition directory (plus
+    one for root-level files), the ``build_journal_stats`` shape.
+    At 100 TB a table has millions of data files across thousands
+    of partition dirs; a driver-side os.walk would serialize every
+    stat through one process. The referenced-file set ships as a
+    broadcast (it is metadata-derived: one realpath per live data
+    file). Falls back to the sequential sweep when no session is
+    available (driver metadata is still the only input)."""
     fsio.require_local(path, "iceberg_remove_orphan_files")
     meta = load_table_metadata(path)
     referenced: set[str] = set()
@@ -3200,19 +3212,90 @@ def iceberg_remove_orphan_files(
                     )
     ddir = os.path.join(path, "data")
     cutoff = time.time() * 1000 - older_than_ms
-    removed = 0
-    if os.path.isdir(ddir):
-        for root, _dirs, names in os.walk(ddir):
-            for n in names:
-                fp = os.path.realpath(os.path.join(root, n))
-                if fp in referenced:
+    if not os.path.isdir(ddir):
+        return 0
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    return _sweep_unreferenced(spark, [ddir], referenced, cutoff)
+
+
+def _sweep_unreferenced(
+    spark, roots: list[str], referenced: set[str], cutoff_ms: float,
+    protect_prefixes: tuple[str, ...] = (".", "_"),
+) -> int:
+    """Shared distributed sweep: walk each root, delete files not in
+    ``referenced`` (realpath-compared) and older than ``cutoff_ms``.
+    Work units: one per immediate child DIRECTORY of a root (hive
+    layouts fan out per partition dir) plus 1000-file chunks of the
+    root's own files (this engine's iceberg writer lays data flat —
+    partition values live in manifests, not dirs — so flat layouts
+    must fan out too); returns the delete count summed from the
+    tasks. Sequential fallback when ``spark`` is None keeps the
+    verb usable without a session."""
+
+    def _units(root: str):
+        units: list[tuple] = []
+        files: list[str] = []
+        try:
+            for n in sorted(os.listdir(root)):
+                if n.startswith(protect_prefixes):
                     continue
-                try:
-                    if os.stat(fp).st_mtime * 1000 > cutoff:
-                        continue  # young: may belong to an
-                        # in-flight commit
-                    os.remove(fp)
-                    removed += 1
-                except FileNotFoundError:
-                    pass
-    return removed
+                p = os.path.join(root, n)
+                if os.path.isdir(p):
+                    units.append(("dir", p))
+                else:
+                    files.append(p)
+        except FileNotFoundError:
+            pass
+        units.extend(
+            ("files", files[i:i + 1000])
+            for i in range(0, len(files), 1000)
+        )
+        return units
+
+    def _sweep_one(unit, ref: set[str]) -> int:
+        kind, arg = unit
+        if kind == "dir":
+            cands = (
+                os.path.join(root, nm)
+                for root, _dirs, names in os.walk(arg)
+                for nm in names
+                if not nm.startswith(protect_prefixes)
+            )
+        else:
+            cands = iter(arg)
+        n = 0
+        for cand in cands:
+            fp = os.path.realpath(cand)
+            if fp in ref:
+                continue
+            try:
+                if os.stat(fp).st_mtime * 1000 > cutoff_ms:
+                    continue  # young: may belong to an
+                    # in-flight commit
+                os.remove(fp)
+                n += 1
+            except FileNotFoundError:
+                pass
+        return n
+
+    units = [u for r in roots for u in _units(r)]
+    if not units:
+        return 0
+    if spark is None:
+        return sum(_sweep_one(u, referenced) for u in units)
+    sc = spark.sparkContext
+    ref_bc = sc.broadcast(referenced)
+
+    def _task(it):
+        ref = ref_bc.value
+        yield sum(_sweep_one(unit, ref) for unit in it)
+
+    try:
+        return sum(
+            sc.parallelize(units, len(units)).mapPartitions(_task).collect()
+        )
+    finally:
+        ref_bc.unpersist()

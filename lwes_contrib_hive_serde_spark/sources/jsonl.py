@@ -73,7 +73,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from lwes_contrib_hive_serde_spark.sources import zstd_backend
+from lwes_contrib_hive_serde_spark.sources import fsio, zstd_backend
 
 
 class JsonlError(ValueError):
@@ -85,6 +85,12 @@ _EXTS = (".jsonl", ".jsonl.gz", ".jsonl.zst", ".jsonl.xz",
 
 
 def _open_jsonl(path: str) -> BinaryIO:
+    if not fsio.is_local(path):
+        from lwes_contrib_hive_serde_spark.sources.codec import (
+            wrap_decompress,
+        )
+
+        return wrap_decompress(fsio.open_stream(path), path)
     if path.endswith(".zst"):
         return zstd_backend.open_read(path)
     if path.endswith(".gz"):
@@ -116,6 +122,15 @@ def _iter_lines(f: BinaryIO, chunk: int = 1 << 20) -> Iterator[bytes]:
 def _list_jsonl_files(path: str) -> list[str]:
     import glob as _g
 
+    if not fsio.is_local(path):
+        if fsio.isdir(path):
+            return sorted(
+                fsio.join(root, n)
+                for root, _dirs, names in fsio.walk(path)
+                for n in names
+                if n.endswith(_EXTS) and not n.startswith(".")
+            )
+        return [path] if fsio.exists(path) else []
     if os.path.isdir(path):
         out = []
         for root, _dirs, names in os.walk(path):
@@ -357,7 +372,7 @@ def bin_pack_files(
     sized = []
     for p in files:
         try:
-            sized.append((p, os.path.getsize(p)))
+            sized.append((p, fsio.file_size(p)))
         except OSError:
             sized.append((p, 0))
     total = sum(s + open_cost for _, s in sized)

@@ -49,6 +49,7 @@ import gzip
 import os
 from typing import BinaryIO, Iterator
 
+from lwes_contrib_hive_serde_spark.sources import fsio
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
@@ -94,6 +95,12 @@ def _open_warc(path: str) -> BinaryIO:
     .zst via the shared zstd backend (plain streams; CommonCrawl's
     dictionary-seekable .warc.zst variant is out of envelope and
     fails loudly at decompress time rather than guessing)."""
+    if not fsio.is_local(path):
+        from lwes_contrib_hive_serde_spark.sources.codec import (
+            wrap_decompress,
+        )
+
+        return wrap_decompress(fsio.open_stream(path), path)
     if path.endswith(".gz"):
         return gzip.open(path, "rb")
     if path.endswith(".bz2"):
@@ -338,20 +345,30 @@ def iter_warc_rows(
             )
 
 
+_WARC_EXTS = (
+    ".warc", ".warc.gz", ".warc.bz2", ".warc.xz",
+    ".warc.zst", ".arc", ".arc.gz",
+    ".wet", ".wet.gz", ".wat", ".wat.gz",
+)
+
+
 def _list_warc_files(path: str) -> list[str]:
     import glob as _g
 
+    if not fsio.is_local(path):
+        if fsio.isdir(path):
+            return sorted(
+                fsio.join(root, n)
+                for root, _dirs, names in fsio.walk(path)
+                for n in names
+                if n.endswith(_WARC_EXTS)
+            )
+        return [path] if fsio.exists(path) else []
     if os.path.isdir(path):
         out = []
         for root, _dirs, names in os.walk(path):
             for n in names:
-                if n.endswith(
-                    (
-                        ".warc", ".warc.gz", ".warc.bz2", ".warc.xz",
-                        ".warc.zst", ".arc", ".arc.gz",
-                        ".wet", ".wet.gz", ".wat", ".wat.gz",
-                    )
-                ):
+                if n.endswith(_WARC_EXTS):
                     out.append(os.path.join(root, n))
         return sorted(out)
     return sorted(p for p in _g.glob(path) if os.path.isfile(p))
@@ -422,7 +439,7 @@ class WarcReader(DataSourceReader):
         sized = []
         for p in self._files:
             try:
-                sized.append((p, os.path.getsize(p)))
+                sized.append((p, fsio.file_size(p)))
             except OSError:
                 sized.append((p, 0))
         total = sum(s + open_cost for _, s in sized)
@@ -750,12 +767,12 @@ def iter_cdx_records(path: str):
         )
 
     if path.endswith(".gz"):
-        with open(path, "rb") as f:
+        with fsio.open_stream(path) as f:
             for off, length, data in _iter_gzip_members(f):
                 for headers, block in read_warc_stream(io.BytesIO(data)):
                     yield row(headers, block, off, length)
     else:
-        with open(path, "rb") as f:
+        with fsio.open_seekable(path) as f:
             gen = read_warc_stream(f)
             while True:
                 start = f.tell()
@@ -773,7 +790,7 @@ def fetch_warc_record(path: str, offset: int, length: int):
     import gzip as _gzip
     import io
 
-    with open(path, "rb") as f:
+    with fsio.open_seekable(path) as f:
         f.seek(offset)
         raw = f.read(length)
     data = _gzip.decompress(raw) if path.endswith(".gz") else raw
@@ -839,11 +856,11 @@ def read_warc_via_cdx(spark, cdx_df, base_dir: str, parallelism: int | None = No
         cur_path = None
         handle = None
         for r in rows:
-            path = os.path.join(base_dir, r.filename)
+            path = fsio.join(base_dir, r.filename)
             if path != cur_path:
                 if handle is not None:
                     handle.close()
-                handle = open(path, "rb")
+                handle = fsio.open_seekable(path)
                 cur_path = path
             handle.seek(r.offset)
             raw = handle.read(r.length)

@@ -109,6 +109,19 @@ def open_read(path: str) -> BinaryIO:
     return io.BufferedReader(_ReadlineShim(raw))
 
 
+def open_read_fileobj(f) -> BinaryIO:
+    """Streaming decompressing reader over an already-open binary
+    stream (the scheme-routed data plane hands us fsio.open_stream
+    objects — there is no local path to reopen). Same readline
+    shim as ``open_read``."""
+    name, mod = _provider()
+    if name == "zstandard":
+        raw = mod.ZstdDecompressor().stream_reader(f)
+    else:
+        raw = mod.CompressedInputStream(f, "zstd")
+    return io.BufferedReader(_ReadlineShim(raw))
+
+
 def open_write(path: str) -> BinaryIO:
     name, mod = _provider()
     if name == "zstandard":

@@ -8,6 +8,17 @@ sys.path.insert(0, REPO_ROOT)
 # Spark python workers inherit the env; make the package importable there
 # (register() also pickles the datasource modules by value as a fallback).
 os.environ["PYTHONPATH"] = REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+# Per-session fsio registry file, set BEFORE the JVM launches so Spark's
+# Python workers inherit it (fsio._registry_file docstring): concurrent
+# pytest sessions on one host then cannot cross-talk mock:// roots.
+import tempfile as _tempfile  # noqa: E402
+
+os.environ.setdefault(
+    "LWES_FSIO_REGISTRY_FILE",
+    os.path.join(
+        _tempfile.mkdtemp(prefix="lwes-fsio-"), "registry.json"
+    ),
+)
 
 
 @pytest.fixture(scope="session")

