@@ -491,3 +491,45 @@ class TestTimelineTolerance:
              "w").close()
         with pytest.raises(H.HudiError, match="replacecommit"):
             H.read_hudi(spark, p)
+
+    def test_metadata_table_is_ignored(self, spark, tmp_path):
+        """Real Hudi writers (0.11+) maintain a METADATA TABLE at
+        .hoodie/metadata — itself a little MOR table with its own
+        timeline and HFile/log files under a files/ partition. This
+        engine reads the data files directly (the pre-metadata-table
+        listing path, still valid per the spec); the metadata table
+        must be TOLERATED: never read as data, never surfaced as
+        timeline instants, never swept into file slices."""
+        p = str(tmp_path / "t")
+        H.write_hudi_table(_docs(spark, 8), p, record_key="doc_id")
+        mdt = os.path.join(p, ".hoodie", "metadata")
+        os.makedirs(os.path.join(mdt, ".hoodie"))
+        os.makedirs(os.path.join(mdt, "files"))
+        # the metadata table's own timeline + partition content:
+        # plausible shapes a real writer leaves behind
+        open(os.path.join(
+            mdt, ".hoodie", "00000000000000000.deltacommit"
+        ), "w").close()
+        with open(os.path.join(
+            mdt, ".hoodie", "hoodie.properties"
+        ), "w") as f:
+            f.write("hoodie.table.name=t_metadata\n")
+        with open(os.path.join(
+            mdt, "files",
+            "files-0000_0-1-1_00000000000000000.hfile",
+        ), "wb") as f:
+            f.write(b"HFILEBLOCKJUNK")
+        with open(os.path.join(
+            mdt, "files",
+            ".files-0000_00000000000000000.log.1_0-1-1",
+        ), "wb") as f:
+            f.write(b"#HUDI#JUNKLOG")
+        df = H.read_hudi(spark, p)
+        assert df.count() == 8
+        assert sorted(r.doc_id for r in df.collect()) == list(range(8))
+        # timeline stays the main table's: one commit
+        tl = H.hudi_timeline(spark, p)
+        kinds = {r["kind"] for r in tl.collect()} if "kind" in tl.columns \
+            else set()
+        assert tl.count() >= 1
+        assert "metadata" not in str(kinds)
