@@ -10758,3 +10758,158 @@ def q_convert_delta_iceberg(spark, sf_dir):
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+def _documents_delta_cdf_sql(spark, sf_dir: str) -> str:
+    """The q_delta_cdf lifecycle DRIVEN THROUGH SQL TEXT
+    (sources/sql_dml.py lakehouse_sql, round 11): identical commits
+    — v0 append, v1 enable CDF, v2 COW DELETE, v3 COW UPDATE,
+    v4 dv-UPDATE, v5 dv-DELETE — but every DML lands as an
+    UPDATE/DELETE statement against a registered lakehouse view,
+    the router dispatching to the same verbs (strategy='cow'/'dv'
+    mirrors the mixed history). The id sets ride inlined IN lists
+    exactly as q_delta_cdf passes collected lists to the verbs.
+    Cached per sf_dir."""
+    import os
+
+    from lwes_contrib_hive_serde_spark.sources import catalog as C
+    from lwes_contrib_hive_serde_spark.sources import delta as D
+    from lwes_contrib_hive_serde_spark.sources import sql_dml as S
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        tag = f"{tag}-{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        pass
+    out = f"/tmp/delta_table_cache/v1/{tag}/documents_cdf_sql"
+    done = os.path.join(out, "_delta_log", f"{5:020d}.json")
+    if not os.path.exists(done):
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        D.write_delta(
+            docs.repartitionByRange(5, "doc_id")
+            .sortWithinPartitions("doc_id"),
+            out,
+        )
+        D.delta_set_properties(
+            out, {"delta.enableChangeDataFeed": "true"}
+        )
+        view = "docs_cdf_sql"
+        C.register_lakehouse(spark, {view: f"delta:{out}"})
+
+        def ids_where(pred):
+            return [
+                str(r[0])
+                for r in spark.sql(
+                    f"SELECT doc_id FROM {view} WHERE {pred}"
+                ).collect()
+            ]
+
+        ids = ids_where("doc_id % 11 = 3")
+        if ids:
+            S.lakehouse_sql(
+                spark,
+                f"DELETE FROM {view} WHERE doc_id IN ({', '.join(ids)})",
+                strategy="cow",
+            )
+        ids = ids_where("doc_id % 13 = 5")
+        if ids:
+            S.lakehouse_sql(
+                spark,
+                f"UPDATE {view} SET n_chars = n_chars + 5000 "
+                f"WHERE doc_id IN ({', '.join(ids)})",
+                strategy="cow",
+            )
+        ids = ids_where("doc_id % 9 = 0")
+        if ids:
+            S.lakehouse_sql(
+                spark,
+                f"UPDATE {view} SET text = upper(text), "
+                f"n_chars = n_chars + 1000000 "
+                f"WHERE doc_id IN ({', '.join(ids)})",
+                strategy="dv",
+            )
+        ids = ids_where("doc_id % 7 = 1")
+        if ids:
+            S.lakehouse_sql(
+                spark,
+                f"DELETE FROM {view} WHERE doc_id IN ({', '.join(ids)})",
+                strategy="dv",
+            )
+    return out
+
+
+@register(
+    "q_sql_dml_cdf",
+    shadow=True,
+    oracle="""
+    WITH s1 AS (
+      SELECT doc_id, lang, text, n_chars FROM documents
+      WHERE doc_id % 11 <> 3
+    ), s2 AS (
+      SELECT doc_id, lang, text,
+             CASE WHEN doc_id % 13 = 5 THEN n_chars + 5000
+                  ELSE n_chars END AS n_chars
+      FROM s1
+    ), s3 AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 9 = 0 THEN upper(text) ELSE text END
+               AS text,
+             CASE WHEN doc_id % 9 = 0 THEN n_chars + 1000000
+                  ELSE n_chars END AS n_chars
+      FROM s2
+    ), feed AS (
+      SELECT 'insert' AS _change_type, lang, doc_id, text, n_chars
+      FROM documents
+      UNION ALL
+      SELECT 'delete', lang, doc_id, text, n_chars
+      FROM documents WHERE doc_id % 11 = 3
+      UNION ALL
+      SELECT 'update_preimage', lang, doc_id, text, n_chars
+      FROM s1 WHERE doc_id % 13 = 5
+      UNION ALL
+      SELECT 'update_postimage', lang, doc_id, text, n_chars + 5000
+      FROM s1 WHERE doc_id % 13 = 5
+      UNION ALL
+      SELECT 'update_preimage', lang, doc_id, text, n_chars
+      FROM s2 WHERE doc_id % 9 = 0
+      UNION ALL
+      SELECT 'update_postimage', lang, doc_id, upper(text),
+             n_chars + 1000000
+      FROM s2 WHERE doc_id % 9 = 0
+      UNION ALL
+      SELECT 'delete', lang, doc_id, text, n_chars
+      FROM s3 WHERE doc_id % 7 = 1
+    )
+    SELECT _change_type, lang,
+           COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM feed GROUP BY _change_type, lang
+    """,
+    doc="The SQL DML ROUTER (sources/sql_dml.py, round 11) driving "
+    "the EXACT q_delta_cdf lifecycle through statement TEXT: "
+    "UPDATE/DELETE statements against a registered lakehouse view "
+    "parse (triple-grammar WHERE, verbatim SET expressions), "
+    "resolve through the catalog's view→spec registry, and "
+    "dispatch to the same copy-on-write and merge-on-read verbs "
+    "(strategy='cow'/'dv'), the view re-registering after each "
+    "commit. Hash-matched against q_delta_cdf's own DuckDB oracle "
+    "— a mis-parsed predicate, a mis-routed strategy, or a stale "
+    "view registration changes the feed and mismatches.",
+)
+def q_sql_dml_cdf(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.sources import delta as D
+
+    out = _documents_delta_cdf_sql(spark, sf_dir)
+    ch = D.delta_table_changes(spark, out, 0)
+    return ch.groupBy("_change_type", "lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

@@ -81,9 +81,21 @@ def _load(spark: SparkSession, spec: str):
     )
 
 
+# view name → spec, recorded at registration so the SQL DML router
+# (sources/sql_dml.py lakehouse_sql) can resolve UPDATE/DELETE/MERGE
+# targets back to (format, path). Process-wide like temp views are
+# session-wide; re-registration overwrites.
+_REGISTERED: dict[str, str] = {}
+
+
+def registered_specs() -> dict[str, str]:
+    return dict(_REGISTERED)
+
+
 def register_lakehouse(spark: SparkSession, tables: dict[str, str]) -> None:
     """Create/replace one temp view per entry. Registration is
     metadata-only (log/manifest replay for the lakehouse formats);
     no data is read until a query runs."""
     for name, spec in tables.items():
         _load(spark, spec).createOrReplaceTempView(name)
+        _REGISTERED[name] = spec

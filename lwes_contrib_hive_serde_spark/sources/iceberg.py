@@ -265,7 +265,18 @@ def _strip_file_uri(p: str) -> str:
 def load_table_metadata(path: str) -> dict:
     """Resolve the current metadata.json for a HadoopTables-layout
     table: version-hint.text when present, else the highest
-    v<N>.metadata.json."""
+    v<N>.metadata.json. A ``rest+iceberg://host[/prefix]#ns.table``
+    spec resolves the metadata-location through the Iceberg REST
+    catalog API first (sources/rest_catalog.py), then loads THAT
+    document — every read verb (read_iceberg, snapshots/refs
+    listings, streaming) inherits REST resolution through this one
+    entry point; write verbs refuse at the fsio atomic-create gate
+    (no REST commit protocol)."""
+    from lwes_contrib_hive_serde_spark.sources import rest_catalog
+
+    if rest_catalog.is_rest_spec(path):
+        loc = rest_catalog.resolve_metadata_location(path)
+        return load_metadata_location(loc)
     mdir = fsio.join(path, "metadata")
     if not fsio.isdir(mdir):
         raise IcebergError(f"not an Iceberg table (no metadata/): {path}")
@@ -285,6 +296,22 @@ def load_table_metadata(path: str) -> dict:
             raise IcebergError(f"no v*.metadata.json under {mdir}")
         candidates = [fsio.join(mdir, f"v{max(vs)}.metadata.json")]
     with fsio.open_read(candidates[0]) as f:
+        meta = json.load(f)
+    fv = meta.get("format-version", 1)
+    if fv not in (1, 2, 3):
+        raise IcebergError(
+            f"format-version {fv} not supported (1/2/3 only)"
+        )
+    if fv == 3:
+        _check_v3_features(meta)
+    return meta
+
+
+def load_metadata_location(loc: str) -> dict:
+    """Load one specific ``*.metadata.json`` (REST catalogs hand
+    back a location, not a directory) with the same format-version
+    gates as the directory resolver."""
+    with fsio.open_read(_strip_file_uri(loc)) as f:
         meta = json.load(f)
     fv = meta.get("format-version", 1)
     if fv not in (1, 2, 3):

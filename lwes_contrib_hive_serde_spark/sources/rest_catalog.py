@@ -1,0 +1,131 @@
+"""Iceberg REST catalog resolution — the READ tier.
+
+Resolves a table's current ``metadata-location`` through the public
+Iceberg REST Catalog OpenAPI (the ``LoadTableResult`` of
+``GET /v1/{prefix}/namespaces/{namespace}/tables/{table}``; the
+spec ships in apache/iceberg's open-api/rest-catalog-open-api.yaml).
+Everything after resolution is the existing path-based reader: the
+returned location names a ``*.metadata.json`` whose manifest tree
+carries absolute file paths, so scans proceed through fsio exactly
+as for HadoopTables layouts.
+
+Spec URI shape (accepted by ``read_iceberg`` and the lakehouse
+catalog's ``iceberg:`` specs):
+
+    rest+iceberg://host:port[/prefix]#namespace.table
+    rest+icebergs://host[/prefix]#ns1.ns2.table      (https)
+
+The FRAGMENT is the table identifier; its last dot-segment is the
+table name, the rest the (possibly multi-part) namespace —
+multipart namespaces are joined with the %1F unit separator in the
+URL path, per the spec. Auth: a bearer token from the
+``ICEBERG_REST_TOKEN`` env var (the spec's OAuth2 flows are out of
+envelope — pass a ready token).
+
+WRITE verbs stay path-based: REST commits need the
+``POST .../tables/{table}`` commit protocol (requirements +
+updates) which this engine does not speak yet; a REST spec hitting
+a write verb fails the fsio atomic-create gate with a typed error.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.error
+import urllib.parse
+import urllib.request
+
+
+class RestCatalogError(ValueError):
+    pass
+
+
+_SCHEMES = ("rest+iceberg://", "rest+icebergs://")
+
+
+def is_rest_spec(path: str) -> bool:
+    return path.startswith(_SCHEMES)
+
+
+def parse_rest_spec(path: str) -> tuple[str, str | None, list[str], str]:
+    """``rest+iceberg(s)://host[/prefix]#ns[.ns2].table`` →
+    (base_url, prefix, namespace_parts, table)."""
+    if not is_rest_spec(path):
+        raise RestCatalogError(f"not a rest+iceberg spec: {path!r}")
+    https = path.startswith("rest+icebergs://")
+    rest = path.split("://", 1)[1]
+    authority, frag_sep, ident = rest.partition("#")
+    if not frag_sep or not ident:
+        raise RestCatalogError(
+            f"{path!r}: needs a '#namespace.table' fragment"
+        )
+    host, slash, prefix = authority.partition("/")
+    if not host:
+        raise RestCatalogError(f"{path!r}: empty host")
+    parts = ident.split(".")
+    if len(parts) < 2:
+        raise RestCatalogError(
+            f"{path!r}: identifier {ident!r} needs at least "
+            "'namespace.table'"
+        )
+    base = ("https://" if https else "http://") + host
+    return base, (prefix or None) if slash else None, parts[:-1], parts[-1]
+
+
+def _request(url: str, token: str | None) -> dict:
+    req = urllib.request.Request(url, method="GET")
+    req.add_header("Accept", "application/json")
+    if token:
+        req.add_header("Authorization", f"Bearer {token}")
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return json.loads(resp.read().decode("utf-8"))
+    except urllib.error.HTTPError as e:
+        body = ""
+        try:
+            body = e.read().decode("utf-8", "replace")[:200]
+        except Exception:
+            pass
+        raise RestCatalogError(
+            f"REST catalog GET {url} -> HTTP {e.code}: {body}"
+        ) from e
+    except urllib.error.URLError as e:
+        raise RestCatalogError(
+            f"REST catalog unreachable at {url}: {e.reason}"
+        ) from e
+
+
+def load_table_result(
+    base_url: str,
+    namespace: list[str],
+    table: str,
+    prefix: str | None = None,
+    token: str | None = None,
+) -> dict:
+    """The LoadTableResult document for one table. Multipart
+    namespaces join with the unit separator (0x1F), url-encoded —
+    the spec's multipart-namespace convention."""
+    ns = urllib.parse.quote("\x1f".join(namespace), safe="")
+    segs = [base_url.rstrip("/"), "v1"]
+    if prefix:
+        segs.append(urllib.parse.quote(prefix, safe=""))
+    segs += ["namespaces", ns, "tables", urllib.parse.quote(table, safe="")]
+    return _request(
+        "/".join(segs), token or os.environ.get("ICEBERG_REST_TOKEN")
+    )
+
+
+def resolve_metadata_location(path_spec: str, token: str | None = None) -> str:
+    """rest+iceberg:// spec → the table's current metadata-location
+    (an absolute ``*.metadata.json`` URI/path)."""
+    base, prefix, ns, table = parse_rest_spec(path_spec)
+    doc = load_table_result(base, ns, table, prefix=prefix, token=token)
+    loc = doc.get("metadata-location") or (doc.get("metadata") or {}).get(
+        "location"
+    )
+    if not loc:
+        raise RestCatalogError(
+            f"{path_spec!r}: LoadTableResult has no metadata-location"
+        )
+    return loc

@@ -1,0 +1,601 @@
+"""SQL DML router: UPDATE / DELETE / MERGE / INSERT statements as
+TEXT, dispatched to the lakehouse DML verbs.
+
+Spark's parser rejects DML against temp views ("... is a temp view.
+'UPDATE TABLE' expects a permanent view or table"), so the catalog
+tier (``register_lakehouse``) gives reads plain ``spark.sql`` but
+writes need an entry point. This router closes the gap:
+
+    register_lakehouse(spark, {"docs": "delta:/data/docs"})
+    lakehouse_sql(spark, "DELETE FROM docs WHERE lang = 'xx'")
+    lakehouse_sql(spark,
+        "UPDATE docs SET n_chars = n_chars + 1 WHERE doc_id < 10")
+    lakehouse_sql(spark, '''
+        MERGE INTO docs USING updates ON docs.doc_id = updates.doc_id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *''')
+    lakehouse_sql(spark, "INSERT INTO docs SELECT * FROM staged")
+
+Dispatch: Delta → the DV (merge-on-read) verbs by default, the
+copy-on-write triad under ``strategy='cow'``; Iceberg → the
+positional-delete/DV verbs; Hudi → MERGE as a COW upsert, UPDATE /
+DELETE as MOR log writes (``hudi_log_update``). After a successful
+statement the view is RE-REGISTERED so subsequent ``spark.sql``
+reads see the new snapshot (views pin the snapshot current at
+registration — the catalog's documented semantics).
+
+Grammar — deliberately the verbs' own expressiveness, refusing the
+rest BY NAME rather than misparsing:
+
+- WHERE: conjunctions (AND) of ``col <op> literal`` with op in
+  ``= != <> < <= > >=``, ``col IN (lit, ...)``, ``col IS [NOT]
+  NULL``. Literals: numbers, ``'strings'`` (with '' escape),
+  TRUE/FALSE/NULL. (The verbs take exactly this triple grammar —
+  it is what their stats-based file skipping can push down.)
+- SET: ``col = <sql expression>`` pairs; the right-hand side passes
+  through VERBATIM to the verb (full Spark SQL over the row, e.g.
+  ``SET text = upper(text), n = n + 1``).
+- MERGE: equi-join ON with same-named key columns, and the
+  full-row forms ``WHEN MATCHED THEN UPDATE SET *`` | ``DELETE``,
+  ``WHEN NOT MATCHED THEN INSERT *`` (the verbs' full-row-upsert
+  contract). Source: a registered view name or a parenthesized
+  subquery.
+- INSERT: ``INSERT INTO t SELECT ...`` / ``INSERT INTO t VALUES
+  (...), ...``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SqlDmlError(ValueError):
+    pass
+
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+def _split_top(s: str, sep_word: str | None = None) -> list[str]:
+    """Split ``s`` on top-level separators: the word ``sep_word``
+    (case-insensitive, whole-word) when given, else commas. Quotes
+    and parens protect their content."""
+    parts, depth, i, start = [], 0, 0, 0
+    n = len(s)
+    word = sep_word.upper() if sep_word else None
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if s[j] == "'":
+                    if j + 1 < n and s[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            if word:
+                if (
+                    s[i:i + len(word)].upper() == word
+                    and (i == 0 or not s[i - 1].isalnum())
+                    and (
+                        i + len(word) >= n
+                        or not s[i + len(word)].isalnum()
+                    )
+                ):
+                    parts.append(s[start:i])
+                    i += len(word)
+                    start = i
+                    continue
+            elif ch == ",":
+                parts.append(s[start:i])
+                start = i + 1
+        i += 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts]
+
+
+def _literal(tok: str):
+    t = tok.strip()
+    if re.fullmatch(r"'(?:[^']|'')*'", t):
+        return t[1:-1].replace("''", "'")
+    u = t.upper()
+    if u == "NULL":
+        return None
+    if u == "TRUE":
+        return True
+    if u == "FALSE":
+        return False
+    if re.fullmatch(r"[+-]?\d+", t):
+        return int(t)
+    if re.fullmatch(r"[+-]?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?", t):
+        return float(t)
+    raise SqlDmlError(
+        f"unsupported literal {tok!r} — the DML grammar takes "
+        "numbers, 'strings', TRUE/FALSE/NULL (expressions belong "
+        "in SET, not WHERE)"
+    )
+
+
+def parse_where(text: str) -> list[tuple]:
+    """WHERE text → the verbs' (column, op, value) triple list."""
+    triples: list[tuple] = []
+    for clause in _split_top(text, "AND"):
+        if not clause:
+            raise SqlDmlError(f"empty conjunct in WHERE: {text!r}")
+        m = re.fullmatch(
+            rf"({_IDENT})\s+IS\s+NOT\s+NULL", clause, re.I
+        )
+        if m:
+            triples.append((m.group(1), "isnotnull", None))
+            continue
+        m = re.fullmatch(rf"({_IDENT})\s+IS\s+NULL", clause, re.I)
+        if m:
+            triples.append((m.group(1), "isnull", None))
+            continue
+        m = re.fullmatch(
+            rf"({_IDENT})\s+IN\s*\((.*)\)", clause, re.I | re.S
+        )
+        if m:
+            vals = [_literal(v) for v in _split_top(m.group(2))]
+            triples.append((m.group(1), "in", vals))
+            continue
+        m = re.fullmatch(
+            rf"({_IDENT})\s*(=|!=|<>|<=|>=|<|>)\s*(.+)",
+            clause,
+            re.S,
+        )
+        if m:
+            op = "!=" if m.group(2) == "<>" else m.group(2)
+            triples.append((m.group(1), op, _literal(m.group(3))))
+            continue
+        raise SqlDmlError(
+            f"unsupported WHERE clause {clause!r} — the DML grammar "
+            "is conjunctions of col-op-literal / IN / IS [NOT] NULL "
+            "(what the verbs' file skipping can push down)"
+        )
+    return triples
+
+
+def _parse_set(text: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for item in _split_top(text):
+        m = re.match(rf"\s*({_IDENT})\s*=\s*(.+)\s*$", item, re.S)
+        if not m:
+            raise SqlDmlError(f"unsupported SET item {item!r}")
+        out[m.group(1)] = m.group(2).strip()
+    if not out:
+        raise SqlDmlError("empty SET list")
+    return out
+
+
+def _take_source(s: str) -> tuple[str, str]:
+    """Consume the USING source from ``s``: a parenthesized subquery
+    (balanced) or an identifier. Returns (source_text, rest)."""
+    s = s.lstrip()
+    if s.startswith("("):
+        depth, i = 0, 0
+        while i < len(s):
+            if s[i] == "'":
+                i += 1
+                while i < len(s) and s[i] != "'":
+                    i += 1
+            elif s[i] == "(":
+                depth += 1
+            elif s[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    return s[: i + 1], s[i + 1:]
+            i += 1
+        raise SqlDmlError("unbalanced parens in MERGE source")
+    m = re.match(_IDENT, s)
+    if not m:
+        raise SqlDmlError(f"cannot parse MERGE source at {s[:40]!r}")
+    return m.group(0), s[m.end():]
+
+
+# ------------------------------------------------------------------ dispatch
+
+def _resolve(view: str, tables: dict[str, str] | None) -> tuple[str, str]:
+    """view name → (format, path) through the explicit mapping or
+    the catalog's registrations."""
+    from lwes_contrib_hive_serde_spark.sources import catalog as C
+
+    spec = (tables or {}).get(view) or C.registered_specs().get(view)
+    if spec is None:
+        raise SqlDmlError(
+            f"{view!r} is not a registered lakehouse view — "
+            "register_lakehouse it (or pass tables={...})"
+        )
+    fmt, _, rest = spec.partition(":")
+    path, at, _pin = rest.partition("@")
+    if at:
+        raise SqlDmlError(
+            f"{view!r} is pinned ({spec!r}); DML targets the "
+            "CURRENT snapshot — register an unpinned spec"
+        )
+    if fmt not in ("delta", "iceberg", "hudi"):
+        raise SqlDmlError(
+            f"DML needs a delta/iceberg/hudi table; {view!r} is "
+            f"{fmt!r}"
+        )
+    return fmt, path
+
+
+def _refresh(spark: SparkSession, view: str,
+             tables: dict[str, str] | None) -> None:
+    from lwes_contrib_hive_serde_spark.sources import catalog as C
+
+    spec = (tables or {}).get(view) or C.registered_specs().get(view)
+    C.register_lakehouse(spark, {view: spec})
+
+
+def lakehouse_sql(
+    spark: SparkSession,
+    sql: str,
+    strategy: str = "dv",
+    tables: dict[str, str] | None = None,
+) -> dict:
+    """Execute one DML statement against a registered lakehouse
+    view; returns the underlying verb's result dict plus
+    {"statement", "table"}. ``strategy``: Delta DML runs
+    merge-on-read ('dv', the modern writer shape) or copy-on-write
+    ('cow'); other formats have one shape each."""
+    if strategy not in ("dv", "cow"):
+        raise SqlDmlError(f"strategy must be dv|cow, got {strategy!r}")
+    s = sql.strip().rstrip(";").strip()
+    kw = s.split(None, 1)[0].upper() if s else ""
+    if kw == "DELETE":
+        return _run_delete(spark, s, strategy, tables)
+    if kw == "UPDATE":
+        return _run_update(spark, s, strategy, tables)
+    if kw == "MERGE":
+        return _run_merge(spark, s, strategy, tables)
+    if kw == "INSERT":
+        return _run_insert(spark, s, tables)
+    raise SqlDmlError(
+        f"not a DML statement: {s[:60]!r} (UPDATE/DELETE/MERGE/"
+        "INSERT; reads go through plain spark.sql)"
+    )
+
+
+def _run_delete(spark, s, strategy, tables) -> dict:
+    m = re.fullmatch(
+        rf"DELETE\s+FROM\s+({_IDENT})\s+WHERE\s+(.+)", s, re.I | re.S
+    )
+    if not m:
+        raise SqlDmlError(
+            "DELETE needs 'DELETE FROM <view> WHERE <pred>' — an "
+            "unqualified full-table DELETE is refused by design "
+            "(overwrite with an empty frame to truncate)"
+        )
+    view, where = m.group(1), parse_where(m.group(2))
+    fmt, path = _resolve(view, tables)
+    if fmt == "delta":
+        from lwes_contrib_hive_serde_spark.sources import delta as D
+
+        fn = D.delta_delete_dv if strategy == "dv" else D.delta_delete
+        res = fn(spark, path, where)
+    elif fmt == "iceberg":
+        from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+        res = I.iceberg_delete(spark, path, where)
+    else:
+        from lwes_contrib_hive_serde_spark.sources import hudi as H
+
+        if not _hudi_is_mor(path):
+            raise SqlDmlError(
+                "hudi DELETE routes through MOR log records "
+                "(_hoodie_is_deleted payloads); COPY_ON_WRITE "
+                "tables have no delete verb in this engine — "
+                "refusing by name"
+            )
+        df = H.read_hudi(spark, path)
+        matches = _apply_triples(df, where)
+        key = _hudi_record_key(path)
+        instant = H.hudi_log_update(
+            spark, path, deletes=matches.select(key), record_key=key
+        )
+        res = {"instant": instant}
+    _refresh(spark, view, tables)
+    return {**res, "statement": "delete", "table": view}
+
+
+def _run_update(spark, s, strategy, tables) -> dict:
+    m = re.fullmatch(
+        rf"UPDATE\s+({_IDENT})\s+SET\s+(.+?)\s+WHERE\s+(.+)",
+        s,
+        re.I | re.S,
+    )
+    if not m:
+        raise SqlDmlError(
+            "UPDATE needs 'UPDATE <view> SET c = expr[, ...] "
+            "WHERE <pred>'"
+        )
+    view = m.group(1)
+    set_exprs = _parse_set(m.group(2))
+    where = parse_where(m.group(3))
+    fmt, path = _resolve(view, tables)
+    if fmt == "delta":
+        from lwes_contrib_hive_serde_spark.sources import delta as D
+
+        fn = D.delta_update_dv if strategy == "dv" else D.delta_update
+        res = fn(spark, path, where, set_exprs)
+    elif fmt == "iceberg":
+        from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+        res = I.iceberg_update(spark, path, where, set_exprs)
+    else:
+        from pyspark.sql import functions as F
+
+        from lwes_contrib_hive_serde_spark.sources import hudi as H
+
+        df = H.read_hudi(spark, path)
+        matches = _apply_triples(df, where).select(
+            *[
+                F.expr(set_exprs[c]).alias(c) if c in set_exprs
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+        key = _hudi_record_key(path)
+        if _hudi_is_mor(path):
+            # MOR: updated images land as log records
+            instant = H.hudi_log_update(
+                spark, path, updates=matches, record_key=key
+            )
+        else:
+            # COW: the canonical upsert rewrite of matched groups
+            instant = H.write_hudi_table(
+                matches, path, record_key=key, mode="upsert",
+                partition_by=_hudi_partition_by(path),
+            )
+        res = {"instant": instant}
+    _refresh(spark, view, tables)
+    return {**res, "statement": "update", "table": view}
+
+
+def _run_merge(spark, s, strategy, tables) -> dict:
+    m = re.match(
+        rf"MERGE\s+INTO\s+({_IDENT})(?:\s+AS\s+({_IDENT}))?"
+        rf"\s+USING\s+(.+)$",
+        s,
+        re.I | re.S,
+    )
+    if not m:
+        raise SqlDmlError("MERGE needs 'MERGE INTO <view> USING ...'")
+    view, talias = m.group(1), m.group(2) or m.group(1)
+    src_text, rest = _take_source(m.group(3))
+    am = re.match(rf"\s+AS\s+({_IDENT})", rest, re.I)
+    if am:
+        salias = am.group(1)
+        rest = rest[am.end():]
+    else:
+        salias = src_text if re.fullmatch(_IDENT, src_text) else None
+    om = re.match(r"\s*ON\s+(.+?)\s+(WHEN\s+.+)$", rest, re.I | re.S)
+    if not om:
+        raise SqlDmlError("MERGE needs 'ON <equi-cond> WHEN ...'")
+    on_cols = _parse_on(om.group(1), talias, salias)
+    when_matched, when_not_matched = _parse_when(om.group(2))
+    fmt, path = _resolve(view, tables)
+    source = (
+        spark.sql(f"SELECT * FROM {src_text}")
+        if src_text.startswith("(")
+        else spark.table(src_text)
+    )
+    if fmt == "delta":
+        from lwes_contrib_hive_serde_spark.sources import delta as D
+
+        fn = D.delta_merge_dv if strategy == "dv" else D.delta_merge
+        res = fn(
+            spark, path, source, on_cols,
+            when_matched=when_matched,
+            when_not_matched=when_not_matched,
+        )
+    elif fmt == "iceberg":
+        from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+        if when_matched != "update" or when_not_matched != "insert":
+            raise SqlDmlError(
+                "iceberg MERGE supports the upsert form only "
+                "(WHEN MATCHED UPDATE SET * / NOT MATCHED INSERT *)"
+            )
+        res = I.iceberg_merge(spark, path, source, on_cols)
+    else:
+        from lwes_contrib_hive_serde_spark.sources import hudi as H
+
+        if when_matched != "update" or when_not_matched != "insert":
+            raise SqlDmlError(
+                "hudi MERGE supports the upsert form only"
+            )
+        if len(on_cols) != 1:
+            raise SqlDmlError(
+                "hudi MERGE joins on the single record-key column"
+            )
+        instant = H.write_hudi_table(
+            source, path, record_key=on_cols[0], mode="upsert",
+            partition_by=_hudi_partition_by(path),
+        )
+        res = {"instant": instant}
+    _refresh(spark, view, tables)
+    return {**res, "statement": "merge", "table": view}
+
+
+def _run_insert(spark, s, tables) -> dict:
+    m = re.fullmatch(
+        rf"INSERT\s+INTO\s+({_IDENT})\s+((?:SELECT|VALUES|WITH|TABLE)\b.+)",
+        s,
+        re.I | re.S,
+    )
+    if not m:
+        raise SqlDmlError(
+            "INSERT needs 'INSERT INTO <view> SELECT ...|VALUES ...'"
+        )
+    view, body = m.group(1), m.group(2)
+    fmt, path = _resolve(view, tables)
+    from pyspark.sql import functions as F
+
+    target = spark.table(view)
+    if body.split(None, 1)[0].upper() == "VALUES":
+        df = spark.sql(f"SELECT * FROM ({body})")
+        # VALUES carries no column names: take the target's
+        if len(df.columns) != len(target.columns):
+            raise SqlDmlError(
+                f"VALUES arity {len(df.columns)} != table arity "
+                f"{len(target.columns)}"
+            )
+        df = df.toDF(*target.columns)
+    else:
+        df = spark.sql(body)
+    # SQL INSERT semantics: literals/exprs coerce to the target's
+    # declared types (VALUES (1, ...) into a bigint column must not
+    # read as a schema change)
+    tgt_types = dict(zip(target.columns, [f.dataType for f in
+                                          target.schema.fields]))
+    if set(df.columns) == set(target.columns):
+        df = df.select(
+            *[F.col(c).cast(tgt_types[c]).alias(c) for c in
+              target.columns]
+        )
+    if fmt == "delta":
+        from lwes_contrib_hive_serde_spark.sources import delta as D
+
+        v = D.write_delta(df, path, mode="append")
+        res = {"version": v}
+    elif fmt == "iceberg":
+        from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+        sid = I.write_iceberg_table(df, path, mode="append")
+        res = {"snapshot_id": sid}
+    else:
+        from lwes_contrib_hive_serde_spark.sources import hudi as H
+
+        key = _hudi_record_key(path)
+        instant = H.write_hudi_table(
+            df, path, record_key=key, mode="append",
+            partition_by=_hudi_partition_by(path),
+        )
+        res = {"instant": instant}
+    _refresh(spark, view, tables)
+    return {**res, "statement": "insert", "table": view}
+
+
+# ------------------------------------------------------------------ helpers
+
+def _apply_triples(df: DataFrame, where: list[tuple]) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    cond = F.lit(True)
+    for col, op, val in where:
+        c = F.col(col)
+        cond = cond & (
+            c.isNull() if op == "isnull"
+            else c.isNotNull() if op == "isnotnull"
+            else c.isin(val) if op == "in"
+            else c == val if op == "="
+            else c != val if op == "!="
+            else c < val if op == "<"
+            else c <= val if op == "<="
+            else c > val if op == ">"
+            else c >= val
+        )
+    return df.filter(cond)
+
+
+def _parse_on(text: str, talias: str, salias: str | None) -> list[str]:
+    cols: list[str] = []
+    for clause in _split_top(text, "AND"):
+        m = re.fullmatch(
+            rf"({_IDENT})\.({_IDENT})\s*=\s*({_IDENT})\.({_IDENT})",
+            clause,
+        )
+        if not m:
+            raise SqlDmlError(
+                f"MERGE ON clause {clause!r} must be "
+                "'<t>.<col> = <s>.<col>' equi-conditions"
+            )
+        _a1, c1, _a2, c2 = m.groups()
+        if c1 != c2:
+            raise SqlDmlError(
+                f"MERGE joins on SAME-NAMED columns (the verbs' "
+                f"contract); got {c1!r} vs {c2!r}"
+            )
+        cols.append(c1)
+    if not cols:
+        raise SqlDmlError("empty MERGE ON condition")
+    return cols
+
+
+def _parse_when(text: str) -> tuple[str, str]:
+    t = re.sub(r"\s+", " ", text.strip())
+    when_matched = None
+    when_not_matched = None
+    pat = re.compile(
+        r"WHEN (NOT MATCHED THEN INSERT \*"
+        r"|MATCHED THEN UPDATE SET \*"
+        r"|MATCHED THEN DELETE)\s*",
+        re.I,
+    )
+    pos = 0
+    while pos < len(t):
+        m = pat.match(t, pos)
+        if not m:
+            raise SqlDmlError(
+                f"unsupported MERGE clause at {t[pos:pos + 60]!r} — "
+                "supported: WHEN MATCHED THEN UPDATE SET * | WHEN "
+                "MATCHED THEN DELETE | WHEN NOT MATCHED THEN "
+                "INSERT * (the verbs' full-row contract; no "
+                "conditional WHEN, no partial SET)"
+            )
+        body = m.group(1).upper()
+        if body.startswith("NOT MATCHED"):
+            if when_not_matched is not None:
+                raise SqlDmlError("duplicate WHEN NOT MATCHED")
+            when_not_matched = "insert"
+        else:
+            if when_matched is not None:
+                raise SqlDmlError("duplicate WHEN MATCHED")
+            when_matched = (
+                "delete" if body.endswith("DELETE") else "update"
+            )
+        pos = m.end()
+    return when_matched or "update", when_not_matched or "ignore"
+
+
+def _hudi_is_mor(path: str) -> bool:
+    from lwes_contrib_hive_serde_spark.sources import hudi as H
+
+    return (
+        H._load_properties(path).get("hoodie.table.type")
+        == "MERGE_ON_READ"
+    )
+
+
+def _hudi_record_key(path: str) -> str:
+    from lwes_contrib_hive_serde_spark.sources import hudi as H
+
+    key = H._load_properties(path).get("hoodie.table.recordkey.fields")
+    if not key or "," in key:
+        raise SqlDmlError(
+            f"hudi table at {path} has no single record key "
+            f"(hoodie.table.recordkey.fields={key!r})"
+        )
+    return key
+
+
+def _hudi_partition_by(path: str) -> list[str]:
+    from lwes_contrib_hive_serde_spark.sources import hudi as H
+
+    raw = H._load_properties(path).get(
+        "hoodie.table.partition.fields", ""
+    )
+    return [p for p in raw.split(",") if p]

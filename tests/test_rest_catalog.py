@@ -1,0 +1,199 @@
+"""Iceberg REST catalog resolution (sources/rest_catalog.py): a
+pytest-local mock server implementing the public OpenAPI's
+LoadTable route hands back the metadata-location of a real table
+written on disk; ``read_iceberg`` then scans it exactly as by path
+— proving REST adds only the resolution hop. Write verbs refuse a
+REST spec at the atomic-create gate."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+from pyspark.sql import functions as F
+
+from lwes_contrib_hive_serde_spark.sources import fsio
+from lwes_contrib_hive_serde_spark.sources import iceberg as I
+from lwes_contrib_hive_serde_spark.sources import rest_catalog as R
+
+
+def _docs(spark, n=24):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+        (F.col("id") % 3).alias("bucket"),
+    )
+
+
+@pytest.fixture()
+def rest_server():
+    """Minimal REST catalog: tables dict maps (ns_tuple, table) →
+    metadata-location; records every request path + auth header."""
+    state = {"tables": {}, "requests": [], "auth": []}
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # silence
+            pass
+
+        def do_GET(self):
+            state["requests"].append(self.path)
+            state["auth"].append(self.headers.get("Authorization"))
+            parts = [
+                urllib.parse.unquote(p)
+                for p in self.path.strip("/").split("/")
+            ]
+            # [v1, (prefix)?, namespaces, <ns>, tables, <table>]
+            if "namespaces" in parts and "tables" in parts:
+                ns = tuple(
+                    parts[parts.index("namespaces") + 1].split("\x1f")
+                )
+                tbl = parts[parts.index("tables") + 1]
+                loc = state["tables"].get((ns, tbl))
+                if loc:
+                    body = json.dumps(
+                        {"metadata-location": loc, "config": {}}
+                    ).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                self.send_response(404)
+                self.end_headers()
+                self.wfile.write(b'{"error":{"message":"no such table"}}')
+                return
+            self.send_response(400)
+            self.end_headers()
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    state["base"] = f"127.0.0.1:{srv.server_address[1]}"
+    yield state
+    srv.shutdown()
+    t.join(timeout=5)
+
+
+def _current_metadata_location(path: str) -> str:
+    import os
+
+    mdir = os.path.join(path, "metadata")
+    vs = [
+        int(n[1:].split(".")[0])
+        for n in os.listdir(mdir)
+        if n.startswith("v") and n.endswith(".metadata.json")
+    ]
+    return os.path.join(mdir, f"v{max(vs)}.metadata.json")
+
+
+class TestSpecParsing:
+    def test_shapes(self):
+        base, prefix, ns, tbl = R.parse_rest_spec(
+            "rest+iceberg://h:8181/warehouse#db.raw.events"
+        )
+        assert base == "http://h:8181"
+        assert prefix == "warehouse"
+        assert ns == ["db", "raw"] and tbl == "events"
+        base, prefix, ns, tbl = R.parse_rest_spec(
+            "rest+icebergs://h#db.t"
+        )
+        assert base == "https://h" and prefix is None
+        assert (ns, tbl) == (["db"], "t")
+        for bad in (
+            "rest+iceberg://h",  # no fragment
+            "rest+iceberg://h#tableonly",  # no namespace
+            "rest+iceberg://#db.t",  # no host
+            "iceberg://h#db.t",  # wrong scheme
+        ):
+            with pytest.raises(R.RestCatalogError):
+                R.parse_rest_spec(bad)
+
+
+class TestRestReads:
+    def test_read_via_rest_matches_path_read(
+        self, spark, tmp_path, rest_server
+    ):
+        p = str(tmp_path / "tbl")
+        I.write_iceberg_table(_docs(spark), p, partition_by=["bucket"])
+        rest_server["tables"][(("db",), "docs")] = (
+            _current_metadata_location(p)
+        )
+        spec = f"rest+iceberg://{rest_server['base']}#db.docs"
+        via_rest = I.read_iceberg(spark, spec)
+        by_path = I.read_iceberg(spark, p)
+        assert via_rest.schema == by_path.schema
+        assert sorted(r.doc_id for r in via_rest.collect()) == sorted(
+            r.doc_id for r in by_path.collect()
+        )
+        # the resolution hop hit the OpenAPI route exactly
+        assert any(
+            "/v1/namespaces/db/tables/docs" in r
+            for r in rest_server["requests"]
+        )
+
+    def test_multipart_namespace_and_prefix(
+        self, spark, tmp_path, rest_server
+    ):
+        p = str(tmp_path / "tbl2")
+        I.write_iceberg_table(_docs(spark, 6).coalesce(1), p)
+        rest_server["tables"][(("db", "raw"), "ev")] = (
+            _current_metadata_location(p)
+        )
+        spec = (
+            f"rest+iceberg://{rest_server['base']}/wh#db.raw.ev"
+        )
+        assert I.read_iceberg(spark, spec).count() == 6
+        # %1F-joined multipart namespace, prefix segment present
+        assert any(
+            "/v1/wh/namespaces/db%1Fraw/tables/ev" in r
+            for r in rest_server["requests"]
+        )
+
+    def test_bearer_token_from_env(
+        self, spark, tmp_path, rest_server, monkeypatch
+    ):
+        p = str(tmp_path / "tbl3")
+        I.write_iceberg_table(_docs(spark, 4).coalesce(1), p)
+        rest_server["tables"][(("db",), "t3")] = (
+            _current_metadata_location(p)
+        )
+        monkeypatch.setenv("ICEBERG_REST_TOKEN", "sesame")
+        spec = f"rest+iceberg://{rest_server['base']}#db.t3"
+        assert I.read_iceberg(spark, spec).count() == 4
+        assert "Bearer sesame" in rest_server["auth"]
+
+    def test_missing_table_is_typed(self, rest_server):
+        spec = f"rest+iceberg://{rest_server['base']}#db.nope"
+        with pytest.raises(R.RestCatalogError, match="HTTP 404"):
+            I.load_table_metadata(spec)
+
+    def test_unreachable_is_typed(self):
+        with pytest.raises(R.RestCatalogError, match="unreachable"):
+            I.load_table_metadata(
+                "rest+iceberg://127.0.0.1:1#db.t"
+            )
+
+    def test_writes_refuse_rest_specs(self, spark, rest_server):
+        spec = f"rest+iceberg://{rest_server['base']}#db.docs"
+        with pytest.raises(fsio.FsIoError, match="atomic file create"):
+            I.iceberg_delete(spark, spec, [("doc_id", "=", 1)])
+
+    def test_snapshots_listing_via_rest(
+        self, spark, tmp_path, rest_server
+    ):
+        """Every read verb inherits REST resolution through
+        load_table_metadata — snapshots listing included."""
+        p = str(tmp_path / "tbl4")
+        I.write_iceberg_table(_docs(spark, 4).coalesce(1), p)
+        I.write_iceberg_table(
+            _docs(spark, 4).coalesce(1), p, mode="append"
+        )
+        rest_server["tables"][(("db",), "t4")] = (
+            _current_metadata_location(p)
+        )
+        spec = f"rest+iceberg://{rest_server['base']}#db.t4"
+        snaps = I.iceberg_snapshots(spark, spec)
+        assert snaps.count() == 2

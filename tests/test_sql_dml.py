@@ -1,0 +1,195 @@
+"""SQL DML router (sources/sql_dml.py): UPDATE/DELETE/MERGE/INSERT
+statements as text against registered lakehouse views, dispatched
+to the format verbs. The value gate is the shadow query
+q_sql_dml_cdf (same lifecycle as q_delta_cdf, driven through SQL
+text, hash-matched against the same DuckDB oracle); these tests pin
+the parser and the per-format dispatch edges."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lwes_contrib_hive_serde_spark.sources import catalog as C
+from lwes_contrib_hive_serde_spark.sources import delta as D
+from lwes_contrib_hive_serde_spark.sources import hudi as H
+from lwes_contrib_hive_serde_spark.sources import iceberg as I
+from lwes_contrib_hive_serde_spark.sources import sql_dml as S
+
+
+def _docs(spark, n=30):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+        (F.col("id") % 3).alias("bucket"),
+    )
+
+
+class TestWhereParser:
+    def test_triples(self):
+        assert S.parse_where("a = 1 AND b <> 'x''y' AND c >= 2.5") == [
+            ("a", "=", 1), ("b", "!=", "x'y"), ("c", ">=", 2.5),
+        ]
+        assert S.parse_where("a IN (1, 2, 3)") == [("a", "in", [1, 2, 3])]
+        assert S.parse_where("a IS NULL and b is not null") == [
+            ("a", "isnull", None), ("b", "isnotnull", None),
+        ]
+        assert S.parse_where("flag = TRUE") == [("flag", "=", True)]
+
+    def test_refusals_are_typed(self):
+        for bad in (
+            "a = b",              # column rhs
+            "a + 1 = 2",          # expression lhs
+            "a = 1 OR b = 2",     # disjunction
+            "upper(a) = 'X'",     # function
+        ):
+            with pytest.raises(S.SqlDmlError):
+                S.parse_where(bad)
+
+    def test_and_inside_string_literal(self):
+        assert S.parse_where("a = 'x AND y'") == [("a", "=", "x AND y")]
+
+
+class TestDeltaDml:
+    @pytest.fixture()
+    def view(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        D.write_delta(_docs(spark), p)
+        C.register_lakehouse(spark, {"sqldocs": f"delta:{p}"})
+        return p
+
+    def test_delete_update_refresh(self, spark, view):
+        res = S.lakehouse_sql(
+            spark, "DELETE FROM sqldocs WHERE doc_id < 10;"
+        )
+        assert res["statement"] == "delete"
+        # the view was re-registered: plain spark.sql sees v+1
+        assert spark.sql("SELECT count(*) n FROM sqldocs").first().n == 20
+        S.lakehouse_sql(
+            spark,
+            "UPDATE sqldocs SET text = upper(text), "
+            "bucket = bucket + 10 WHERE doc_id >= 25",
+        )
+        got = spark.sql(
+            "SELECT text, bucket FROM sqldocs WHERE doc_id = 26"
+        ).first()
+        assert got.text == "T26" and got.bucket == 12
+
+    def test_cow_strategy(self, spark, view):
+        S.lakehouse_sql(
+            spark, "DELETE FROM sqldocs WHERE doc_id IN (3, 4)",
+            strategy="cow",
+        )
+        assert spark.sql("SELECT count(*) n FROM sqldocs").first().n == 28
+        # cow rewrote files: no deletionVector on any live add
+        st = D._replay(view)
+        assert not any(a.get("deletionVector") for a in st.adds.values())
+
+    def test_merge_and_insert(self, spark, view):
+        src = _docs(spark, 5).withColumn("text", F.lit("UPD"))
+        src.createOrReplaceTempView("updates_src")
+        res = S.lakehouse_sql(spark, """
+            MERGE INTO sqldocs USING updates_src
+            ON sqldocs.doc_id = updates_src.doc_id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+        """)
+        assert res["rows_updated"] == 5
+        assert spark.sql(
+            "SELECT count(*) n FROM sqldocs WHERE text = 'UPD'"
+        ).first().n == 5
+        S.lakehouse_sql(
+            spark,
+            "INSERT INTO sqldocs VALUES (100, 'new', 1), (101, 'new', 2)",
+        )
+        assert spark.sql("SELECT count(*) n FROM sqldocs").first().n == 32
+
+    def test_merge_subquery_source_and_delete_clause(self, spark, view):
+        S.lakehouse_sql(spark, """
+            MERGE INTO sqldocs AS t
+            USING (SELECT doc_id, text, bucket FROM sqldocs
+                   WHERE doc_id < 5) AS s
+            ON t.doc_id = s.doc_id
+            WHEN MATCHED THEN DELETE
+        """)
+        assert spark.sql("SELECT count(*) n FROM sqldocs").first().n == 25
+
+    def test_refusals(self, spark, view):
+        with pytest.raises(S.SqlDmlError, match="full-table DELETE"):
+            S.lakehouse_sql(spark, "DELETE FROM sqldocs")
+        with pytest.raises(S.SqlDmlError, match="not a registered"):
+            S.lakehouse_sql(spark, "DELETE FROM nosuch WHERE a = 1")
+        with pytest.raises(S.SqlDmlError, match="not a DML"):
+            S.lakehouse_sql(spark, "SELECT 1")
+        with pytest.raises(S.SqlDmlError, match="conditional WHEN|unsupported MERGE"):
+            S.lakehouse_sql(spark, """
+                MERGE INTO sqldocs USING sqldocs
+                ON sqldocs.doc_id = sqldocs.doc_id
+                WHEN MATCHED AND doc_id > 3 THEN UPDATE SET *
+            """)
+
+    def test_pinned_view_refuses(self, spark, tmp_path):
+        p = str(tmp_path / "pinned")
+        D.write_delta(_docs(spark, 5), p)
+        C.register_lakehouse(spark, {"pinned_v": f"delta:{p}@0"})
+        with pytest.raises(S.SqlDmlError, match="pinned"):
+            S.lakehouse_sql(
+                spark, "DELETE FROM pinned_v WHERE doc_id = 1"
+            )
+
+
+class TestIcebergDml:
+    def test_delete_update_merge(self, spark, tmp_path):
+        p = str(tmp_path / "ice")
+        I.write_iceberg_table(_docs(spark).coalesce(2), p)
+        C.register_lakehouse(spark, {"icedocs": f"iceberg:{p}"})
+        S.lakehouse_sql(spark, "DELETE FROM icedocs WHERE doc_id >= 25")
+        assert spark.sql("SELECT count(*) n FROM icedocs").first().n == 25
+        S.lakehouse_sql(
+            spark,
+            "UPDATE icedocs SET text = concat(text, '!') "
+            "WHERE doc_id = 0",
+        )
+        assert spark.sql(
+            "SELECT text FROM icedocs WHERE doc_id = 0"
+        ).first().text == "t0!"
+        src = _docs(spark, 3).withColumn("text", F.lit("M"))
+        src.createOrReplaceTempView("ice_src")
+        S.lakehouse_sql(spark, """
+            MERGE INTO icedocs USING ice_src
+            ON icedocs.doc_id = ice_src.doc_id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+        """)
+        assert spark.sql(
+            "SELECT count(*) n FROM icedocs WHERE text = 'M'"
+        ).first().n == 3
+
+
+class TestHudiDml:
+    def test_cow_update_and_merge(self, spark, tmp_path):
+        p = str(tmp_path / "hud")
+        H.write_hudi_table(_docs(spark, 10), p, record_key="doc_id")
+        C.register_lakehouse(spark, {"huddocs": f"hudi:{p}"})
+        S.lakehouse_sql(
+            spark,
+            "UPDATE huddocs SET text = 'X' WHERE doc_id IN (1, 2)",
+        )
+        assert spark.sql(
+            "SELECT count(*) n FROM huddocs WHERE text = 'X'"
+        ).first().n == 2
+        # COW delete refuses by name
+        with pytest.raises(S.SqlDmlError, match="COPY_ON_WRITE"):
+            S.lakehouse_sql(
+                spark, "DELETE FROM huddocs WHERE doc_id = 1"
+            )
+
+    def test_mor_delete_via_log(self, spark, tmp_path):
+        p = str(tmp_path / "hudmor")
+        H.write_hudi_table(
+            _docs(spark, 8), p, record_key="doc_id",
+            table_type="MERGE_ON_READ",
+        )
+        C.register_lakehouse(spark, {"mordocs": f"hudi:{p}"})
+        S.lakehouse_sql(spark, "DELETE FROM mordocs WHERE doc_id < 3")
+        assert spark.sql("SELECT count(*) n FROM mordocs").first().n == 5
