@@ -1,0 +1,122 @@
+"""Interop goldens: tables whose every metadata byte was written by
+an INDEPENDENT spec-literal generator (tools/interop/
+generate_goldens.py — zero imports from the engine), read back with
+the engine's format tiers and pinned to row-level equality.
+
+Why: everywhere else the format tiers round-trip through their own
+writers, so a co-dependent spec misreading (reader and writer
+sharing the same wrong byte) cannot surface. These fixtures break
+the symmetry. Real ecosystem writers (delta-rs / pyiceberg / Hudi)
+would be stronger still, but this container forbids installs and
+has no network — documented in the generator; the fixtures mirror
+those writers' layouts (feature flags, name schemes, file shapes)
+and can be replaced 1:1 when real outputs are available.
+
+Layouts under test:
+- Delta: column mapping mode=name (physical names in the parquet)
+  + a storageType-u deletion vector (Z85 uuid, Roaring portable
+  bitmap, CRC framing) masking rows — checked-in bytes.
+- Iceberg v2: position deletes + equality deletes at sequence
+  number 2 applying to a seq-1 data file (manifest-list and
+  manifests are real Avro OCF with spec field names) — regenerated
+  into tmp per run because the spec stores ABSOLUTE file URIs.
+- Hudi MERGE_ON_READ: a base file plus a HoodieLogFormat-v1 log
+  block (instant-stamped AVRO_DATA_BLOCK) carrying an update and a
+  payload delete (_hoodie_is_deleted) — checked-in bytes.
+"""
+
+from __future__ import annotations
+
+import os
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "interop")
+
+
+class TestDeltaGolden:
+    P = os.path.join(GOLDEN, "delta_dv_cm")
+
+    def test_rows_with_dv_and_mapping(self, spark):
+        from lwes_contrib_hive_serde_spark.sources import delta as D
+
+        df = D.read_delta(spark, self.P)
+        # logical names surface despite physical col-* names
+        assert df.columns == ["doc_id", "text"]
+        got = sorted((r.doc_id, r.text) for r in df.collect())
+        # DV masks rows 1 and 3 of the first file (doc_id 1 and 3)
+        want = [(i, f"row{i}") for i in range(10) if i not in (1, 3)]
+        assert got == want
+
+    def test_time_travel_before_dv(self, spark):
+        from lwes_contrib_hive_serde_spark.sources import delta as D
+
+        assert D.read_delta(spark, self.P, version=0).count() == 10
+
+    def test_dv_descriptor_fields_honored(self):
+        """The DV file is located via the Z85-embedded uuid and
+        decoded at (offset, sizeInBytes) with CRC verification —
+        decode it directly too."""
+        from lwes_contrib_hive_serde_spark.sources import delta_dv as V
+
+        desc = None
+        from lwes_contrib_hive_serde_spark.sources import delta as D
+
+        st = D._replay(self.P)
+        for a in st.adds.values():
+            if a.get("deletionVector"):
+                desc = a["deletionVector"]
+        assert desc and desc["storageType"] == "u"
+        assert desc["cardinality"] == 2
+        rows = V.dv_read_positions(self.P, desc)
+        assert sorted(int(r) for r in rows) == [1, 3]
+
+
+class TestIcebergGolden:
+    def test_position_and_equality_deletes_apply(self, spark, tmp_path):
+        import subprocess
+        import sys
+
+        from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+        # regenerate into tmp: the spec stores absolute file URIs,
+        # so a relocatable checked-in fixture is impossible by
+        # design — same independent generator, fresh location
+        out = str(tmp_path / "ice")
+        code = (
+            "import sys; sys.path.insert(0, {!r}); "
+            "from tools.interop.generate_goldens import gen_iceberg; "
+            "import os; os.makedirs({!r}); gen_iceberg({!r})"
+        ).format(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            out, out,
+        )
+        subprocess.run(
+            [sys.executable, "-c", code], check=True
+        )
+        df = I.read_iceberg(spark, out)
+        assert df.columns == ["doc_id", "text"]
+        got = sorted(r.doc_id for r in df.collect())
+        # pos deletes drop rows 0 and 2; equality delete drops 7
+        assert got == [1, 3, 4, 5, 6, 8, 9]
+        # snapshot 1 (before the deletes) still reads complete
+        assert I.read_iceberg(spark, out, snapshot_id=1).count() == 10
+
+
+class TestHudiGolden:
+    P = os.path.join(GOLDEN, "hudi_mor_log")
+
+    def test_snapshot_merges_log_block(self, spark):
+        from lwes_contrib_hive_serde_spark.sources import hudi as H
+
+        df = H.read_hudi(spark, self.P)  # snapshot view
+        got = sorted((r.doc_id, r.text) for r in df.collect())
+        # log updates doc_id=1, payload-deletes doc_id=3
+        assert got == [
+            (0, "base0"), (1, "UPDATED"), (2, "base2"), (4, "base4"),
+        ]
+
+    def test_read_optimized_sees_base_only(self, spark):
+        from lwes_contrib_hive_serde_spark.sources import hudi as H
+
+        df = H.read_hudi(spark, self.P, query_type="read_optimized")
+        got = sorted((r.doc_id, r.text) for r in df.collect())
+        assert got == [(i, f"base{i}") for i in range(5)]
