@@ -38,6 +38,7 @@ from typing import Iterator
 from pyspark.sql.datasource import DataSourceStreamReader, InputPartition
 
 from lwes_contrib_hive_serde_spark.sources import codec as c
+from lwes_contrib_hive_serde_spark.sources import fsio
 
 CONSUMED = -1  # offset sentinel: compressed file fully consumed
 
@@ -69,7 +70,7 @@ def _walk_v1(path: str, start: int, limit: int, split_bytes: int):
     splits: list[int] = []
     pos = start
     last_split = start
-    with open(path, "rb") as f:
+    with fsio.open_seekable(path) as f:
         f.seek(start)
         while True:
             hdr = f.read(c.HEADER_LENGTH)
@@ -96,7 +97,7 @@ def _walk_v2(path: str, start: int, limit: int, split_bytes: int):
     journaller that just created it) yields no progress this trigger
     instead of failing the stream — the next trigger re-walks."""
     splits: list[int] = []
-    with open(path, "rb") as f:
+    with fsio.open_seekable(path) as f:
         try:
             marker, _codec = c._v2_read_header(f)
         except c.CodecError:
@@ -173,7 +174,7 @@ class LwesStreamReader(DataSourceStreamReader):
         budget = self.max_bytes
         for p in self._current_files():
             try:
-                size = os.path.getsize(p)
+                size = fsio.file_size(p)
             except OSError:
                 continue
             known = self._known.get(p)
@@ -242,7 +243,7 @@ class LwesStreamReader(DataSourceStreamReader):
                 parts.append(JournalRange(p, 0, CONSUMED, whole=True))
                 continue
             pos = int(start_files.get(p, 0))
-            if end_pos <= pos or not os.path.exists(p):
+            if end_pos <= pos or not fsio.exists(p):
                 continue
             # re-walk [pos, end_pos) for split points: both ends are
             # committed record boundaries, so the walk (and therefore
@@ -280,11 +281,11 @@ class LwesStreamReader(DataSourceStreamReader):
                     yield rtime, ip, port, site, payload
             return
         if _is_v2(part.path):
-            with open(part.path, "rb") as f:
+            with fsio.open_seekable(part.path) as f:
                 for block in c.read_journal_v2_blocks(f, part.start, part.end):
                     yield from c.iter_v2_block_records(block)
             return
-        with open(part.path, "rb") as f:
+        with fsio.open_seekable(part.path) as f:
             f.seek(part.start)
             pos = part.start
             while pos < part.end:

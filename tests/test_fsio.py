@@ -224,6 +224,36 @@ class TestDataPlaneOverMock:
             (i, f"t{i}") for i in range(5)
         ]
 
+    def test_journal_stream_read(self, spark, mock_fs, tmp_path):
+        """The STREAMING journal source over a scheme URI: boundary
+        walks (driver) and byte-range decodes (executors) both ride
+        fsio.open_seekable."""
+        from lwes_contrib_hive_serde_spark.sources import codec as c
+
+        d = os.path.join(mock_fs, "sj")
+        os.makedirs(d)
+        evs = []
+        for i in range(10):
+            ev = c.Event("S")
+            ev.set("uid", c.INT64, i)
+            evs.append(ev)
+        c.write_journal_file(os.path.join(d, "a.journal"), evs)
+        out = str(tmp_path / "out")
+        q = (
+            spark.readStream.format("lwes")
+            .schema("uid long")
+            .option("eventName", "S")
+            .load("mock://sj")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(r.uid for r in spark.read.parquet(out).collect())
+        assert got == list(range(10))
+
     def test_avro_read(self, spark, mock_fs):
         local = os.path.join(mock_fs, "av")
         df = spark.range(5).select(
