@@ -10913,3 +10913,80 @@ def q_sql_dml_cdf(spark, sf_dir):
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+@register(
+    "q_iceberg_rest",
+    shadow=True,
+    oracle="""
+    SELECT lang, COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents GROUP BY lang
+    """,
+    doc="Iceberg REST CATALOG resolution (sources/rest_catalog.py, "
+    "round 11): the table is addressed as "
+    "rest+iceberg://host#db.documents and the engine resolves its "
+    "metadata-location through the public REST OpenAPI LoadTable "
+    "route (an in-process HTTP server backed by the same on-disk "
+    "table), then scans through the ordinary path-based tier. The "
+    "DuckDB oracle aggregates the original parquet, so a hash "
+    "match proves the REST hop changes NOTHING about snapshot "
+    "selection or file membership — resolution is the only new "
+    "moving part, and it is the part under test.",
+)
+def q_iceberg_rest(spark, sf_dir):
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+    out = _documents_iceberg(spark, sf_dir)
+    # current metadata location of the on-disk table
+    import os
+
+    mdir = os.path.join(out, "metadata")
+    v = open(os.path.join(mdir, "version-hint.text")).read().strip()
+    loc = os.path.join(mdir, f"v{v}.metadata.json")
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            if self.path.endswith("/namespaces/db/tables/documents"):
+                body = _json.dumps({"metadata-location": loc}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        spec = (
+            f"rest+iceberg://127.0.0.1:{srv.server_address[1]}"
+            "#db.documents"
+        )
+        df = I.read_iceberg(spark, spec).groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        # materialize the plan's FILE LIST before the server dies:
+        # resolution happens at plan time (load_table_metadata), so
+        # forcing the plan here is enough — the scan itself reads
+        # the local parquet directly
+        df = df.localCheckpoint(eager=True)
+    finally:
+        srv.shutdown()
+        t.join(timeout=5)
+    return df

@@ -116,6 +116,50 @@ def load_table_result(
     )
 
 
+def list_namespaces(
+    base_url: str,
+    prefix: str | None = None,
+    parent: list[str] | None = None,
+    token: str | None = None,
+) -> list[list[str]]:
+    """``GET /v1/{prefix}/namespaces[?parent=...]`` → namespace
+    parts. The response's ``namespaces`` is a list of string-lists
+    per the spec."""
+    segs = [base_url.rstrip("/"), "v1"]
+    if prefix:
+        segs.append(urllib.parse.quote(prefix, safe=""))
+    segs.append("namespaces")
+    url = "/".join(segs)
+    if parent:
+        url += "?parent=" + urllib.parse.quote(
+            "\x1f".join(parent), safe=""
+        )
+    doc = _request(url, token or os.environ.get("ICEBERG_REST_TOKEN"))
+    return [list(ns) for ns in doc.get("namespaces") or []]
+
+
+def list_tables(
+    base_url: str,
+    namespace: list[str],
+    prefix: str | None = None,
+    token: str | None = None,
+) -> list[str]:
+    """``GET /v1/{prefix}/namespaces/{ns}/tables`` → table names
+    (the response's identifiers carry {namespace, name})."""
+    ns = urllib.parse.quote("\x1f".join(namespace), safe="")
+    segs = [base_url.rstrip("/"), "v1"]
+    if prefix:
+        segs.append(urllib.parse.quote(prefix, safe=""))
+    segs += ["namespaces", ns, "tables"]
+    doc = _request(
+        "/".join(segs), token or os.environ.get("ICEBERG_REST_TOKEN")
+    )
+    return [
+        t["name"] for t in doc.get("identifiers") or []
+        if isinstance(t, dict) and t.get("name")
+    ]
+
+
 def resolve_metadata_location(path_spec: str, token: str | None = None) -> str:
     """rest+iceberg:// spec → the table's current metadata-location
     (an absolute ``*.metadata.json`` URI/path)."""

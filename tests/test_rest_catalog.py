@@ -45,7 +45,34 @@ def rest_server():
                 urllib.parse.unquote(p)
                 for p in self.path.strip("/").split("/")
             ]
-            # [v1, (prefix)?, namespaces, <ns>, tables, <table>]
+            # [v1, (prefix)?, namespaces, <ns>, tables, (<table>)?]
+            if parts[-1] == "namespaces" or (
+                len(parts) >= 2 and parts[-2] == "namespaces"
+                and parts[-1].startswith("namespaces?")
+            ):
+                nss = sorted({ns for (ns, _t) in state["tables"]})
+                body = json.dumps(
+                    {"namespaces": [list(ns) for ns in nss]}
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            if parts[-1] == "tables" and "namespaces" in parts:
+                ns = tuple(
+                    parts[parts.index("namespaces") + 1].split("\x1f")
+                )
+                idents = [
+                    {"namespace": list(k[0]), "name": k[1]}
+                    for k in state["tables"] if k[0] == ns
+                ]
+                body = json.dumps({"identifiers": idents}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+                return
             if "namespaces" in parts and "tables" in parts:
                 ns = tuple(
                     parts[parts.index("namespaces") + 1].split("\x1f")
@@ -180,6 +207,22 @@ class TestRestReads:
         spec = f"rest+iceberg://{rest_server['base']}#db.docs"
         with pytest.raises(fsio.FsIoError, match="atomic file create"):
             I.iceberg_delete(spark, spec, [("doc_id", "=", 1)])
+
+    def test_list_namespaces_and_tables(
+        self, spark, tmp_path, rest_server
+    ):
+        p = str(tmp_path / "tl")
+        I.write_iceberg_table(_docs(spark, 3).coalesce(1), p)
+        rest_server["tables"][(("db",), "a")] = (
+            _current_metadata_location(p)
+        )
+        rest_server["tables"][(("db", "raw"), "b")] = (
+            _current_metadata_location(p)
+        )
+        base = f"http://{rest_server['base']}"
+        assert R.list_namespaces(base) == [["db"], ["db", "raw"]]
+        assert R.list_tables(base, ["db"]) == ["a"]
+        assert R.list_tables(base, ["db", "raw"]) == ["b"]
 
     def test_snapshots_listing_via_rest(
         self, spark, tmp_path, rest_server
