@@ -1562,7 +1562,6 @@ def write_delta(
     if mode not in ("append", "overwrite", "error"):
         raise DeltaError(f"unsupported mode {mode!r}")
     fsio.require_atomic_create(path, "write_delta")
-    remote = not fsio.is_local(path)
     partition_by = list(partition_by or [])
     spark = df.sparkSession
     types = {f.name: f.dataType for f in df.schema.fields}
@@ -1658,27 +1657,27 @@ def write_delta(
             phys_of = _physical_name_of(prior)
             stage_partition_by = [phys_of.get(c, c) for c in partition_by]
 
-    # 1. Stage the data with the native parquet writer. Local
-    #    tables stage INSIDE the table root (same volume → publish
-    #    is a rename, never a copy); remote tables stage in a local
-    #    temp dir and publish uploads each file once.
-    if remote:
-        import tempfile
-
-        staging = tempfile.mkdtemp(prefix="delta-staging-")
-    else:
-        staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    # 1. Stage the data with the native parquet writer, INSIDE the
+    #    table's backing volume: for a plain path that is the table
+    #    root itself; for a POSIX-backed scheme it is the scheme's
+    #    translated root (a shared mount on a real cluster — Spark's
+    #    executors write there directly, so the publishing rename
+    #    below sees every staged file; a driver-local tempdir would
+    #    not, and real object stores never reach here — the
+    #    require_atomic_create gate refused them).
+    publish_root = fsio.posix_root(path)
+    staging = os.path.join(
+        publish_root, f".staging-{uuid.uuid4().hex}"
+    )
     writer = staged_df.write.mode("overwrite")
     if stage_partition_by:
         writer = writer.partitionBy(*stage_partition_by)
     writer.parquet(staging)
 
-    # 2. Publish staged files into the table root, collecting add
-    #    actions (stats come from the LOCAL staged footer — no
-    #    remote re-read).
+    # 2. Publish staged files into the table root (same volume →
+    #    rename, never a copy), collecting add actions.
     import pyarrow.parquet as pq
 
-    now_pub_ms = int(time.time() * 1000)
     adds = []
     for root, _dirs, names in os.walk(staging):
         for n in names:
@@ -1696,14 +1695,17 @@ def write_delta(
             rel = "/".join(
                 [urllib.parse.quote(s, safe="/=") for s in segs] + [unique]
             )
+            dst = os.path.join(publish_root, *segs, unique)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
             stats = _footer_stats(src)
-            size = fsio.put_file(src, fsio.join(path, *segs, unique))
+            os.replace(src, dst)
+            st = os.stat(dst)
             adds.append(
                 {
                     "path": rel,
                     "partitionValues": pv,
-                    "size": size,
-                    "modificationTime": now_pub_ms,
+                    "size": st.st_size,
+                    "modificationTime": int(st.st_mtime * 1000),
                     "dataChange": True,
                     "stats": stats,
                 }

@@ -515,6 +515,17 @@ def supports_atomic_create(uri: str) -> bool:
     return _atomic_root(uri) is not None
 
 
+def posix_root(uri: str) -> str | None:
+    """Public face of ``_atomic_root``: the local/shared-mount path
+    backing ``uri``, or None. Writers that passed
+    ``require_atomic_create`` use this to stage and rename ON the
+    backing volume — on a multi-node cluster a scheme's local_root
+    is a shared mount, so executor-written staging files are
+    visible to the publishing driver; a driver-local tempdir would
+    not be."""
+    return _atomic_root(uri)
+
+
 def require_atomic_create(uri: str, op: str) -> None:
     """The write-verb gate: passes for local paths AND for schemes
     whose registration proves a POSIX backing (local_root), refuses

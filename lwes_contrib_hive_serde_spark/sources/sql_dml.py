@@ -84,12 +84,15 @@ def _split_top(s: str, sep_word: str | None = None) -> list[str]:
             depth -= 1
         elif depth == 0:
             if word:
+                def _bchar(c):  # identifier char: no boundary
+                    return c.isalnum() or c == "_"
+
                 if (
                     s[i:i + len(word)].upper() == word
-                    and (i == 0 or not s[i - 1].isalnum())
+                    and (i == 0 or not _bchar(s[i - 1]))
                     and (
                         i + len(word) >= n
-                        or not s[i + len(word)].isalnum()
+                        or not _bchar(s[i + len(word)])
                     )
                 ):
                     parts.append(s[start:i])

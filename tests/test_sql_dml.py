@@ -49,6 +49,12 @@ class TestWhereParser:
     def test_and_inside_string_literal(self):
         assert S.parse_where("a = 'x AND y'") == [("a", "=", "x AND y")]
 
+    def test_and_inside_identifier(self):
+        # '_' is an identifier char: my_AND_col must not split
+        assert S.parse_where("my_AND_col = 1 AND b = 2") == [
+            ("my_AND_col", "=", 1), ("b", "=", 2),
+        ]
+
 
 class TestDeltaDml:
     @pytest.fixture()
