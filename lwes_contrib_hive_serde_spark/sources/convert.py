@@ -61,8 +61,8 @@ def iceberg_to_delta(
         puffin,
     )
 
-    fsio.require_local(src, "iceberg_to_delta")
-    fsio.require_local(dst, "iceberg_to_delta")
+    src = fsio.resolve_write_path(src, "iceberg_to_delta")
+    dst = fsio.resolve_write_path(dst, "iceberg_to_delta")
     meta = I.load_table_metadata(src)
     snap = I._pick_snapshot(meta)
     files, pos_del, eq_del, dvs = I._live_files(src, snap)
@@ -186,8 +186,8 @@ def delta_to_iceberg(
         puffin,
     )
 
-    fsio.require_local(src, "delta_to_iceberg")
-    fsio.require_local(dst, "delta_to_iceberg")
+    src = fsio.resolve_write_path(src, "delta_to_iceberg")
+    dst = fsio.resolve_write_path(dst, "delta_to_iceberg")
     state = D._replay(src)
     D._check_readable(state)
     if D._column_mapping(state) is not None:

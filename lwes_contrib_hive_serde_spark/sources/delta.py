@@ -1849,7 +1849,7 @@ def write_checkpoint(spark: SparkSession, path: str, v2: bool = False) -> int:
     ``sidecar`` action pointing at an add/remove parquet under
     ``_delta_log/_sidecars/`` — the layout current writers emit for
     large tables, where sidecars parallelize checkpoint IO."""
-    fsio.require_local(path, "write_checkpoint")
+    path = fsio.resolve_write_path(path, "write_checkpoint")
     state = _replay(path)
     _check_readable(state)
     version = state.version
@@ -2091,7 +2091,7 @@ def delta_compact(
     compaction never wins a race against a real data change."""
     import shutil
 
-    fsio.require_local(path, "delta_compact")
+    path = fsio.resolve_write_path(path, "delta_compact")
     state = _replay(path)
     _check_readable(state)
     part_cols = _partition_columns(state)
@@ -2233,7 +2233,7 @@ def delta_vacuum(
     Sequential fallback when no session is active."""
     from . import delta_dv
 
-    fsio.require_local(path, "delta_vacuum")
+    path = fsio.resolve_write_path(path, "delta_vacuum")
     state = _replay(path)
     if now_ms is None:
         now_ms = int(time.time() * 1000)
@@ -2385,7 +2385,7 @@ def delta_restore(
     retention). Returns the new version."""
     from . import delta_dv
 
-    fsio.require_local(path, "delta_restore")
+    path = fsio.resolve_write_path(path, "delta_restore")
     _check_append_only(_replay(path), "delta_restore")
     target_state = _replay(path, version)
     _check_readable(target_state)
@@ -2592,7 +2592,7 @@ def delta_zorder(
 
     import shutil
 
-    fsio.require_local(path, "delta_zorder")
+    path = fsio.resolve_write_path(path, "delta_zorder")
     state = _replay(path)
     _check_readable(state)
     part_cols = _partition_columns(state)
@@ -2739,7 +2739,7 @@ def delta_delete(
     the intended use."""
     import shutil
 
-    fsio.require_local(path, "delta_delete")
+    path = fsio.resolve_write_path(path, "delta_delete")
     state = _replay(path)
     _check_readable(state)
     _check_append_only(state, "delta_delete")
@@ -2961,7 +2961,7 @@ def delta_delete_dv(
     deletionVectors feature on first use, as the protocol requires.
     Returns {"rows_deleted", "files_with_dvs", "files_removed",
     "version"}."""
-    fsio.require_local(path, "delta_delete_dv")
+    path = fsio.resolve_write_path(path, "delta_delete_dv")
     state = _replay(path)
     _check_readable(state)
     _check_append_only(state, "delta_delete_dv")
@@ -3115,7 +3115,7 @@ def delta_update(
     {"rows_updated", "files_rewritten", "version"}."""
     import shutil
 
-    fsio.require_local(path, "delta_update")
+    path = fsio.resolve_write_path(path, "delta_update")
     state = _replay(path)
     _check_readable(state)
     _check_append_only(state, "delta_update")
@@ -3385,7 +3385,7 @@ def delta_merge(
         raise DeltaError(
             f"when_not_matched must be insert|ignore, got {when_not_matched!r}"
         )
-    fsio.require_local(path, "delta_merge")
+    path = fsio.resolve_write_path(path, "delta_merge")
     state = _replay(path)
     _check_readable(state)
     _check_append_only(state, "delta_merge")
@@ -3732,7 +3732,7 @@ def delta_enable_column_mapping(
     already on)."""
     now_ms = int(time.time() * 1000)
     for _ in range(max_commit_attempts):
-        fsio.require_local(path, "delta_enable_column_mapping")
+        path = fsio.resolve_write_path(path, "delta_enable_column_mapping")
         state = _replay(path)
         _check_readable(state)
         if _column_mapping(state) is not None:
@@ -3822,7 +3822,7 @@ def delta_set_properties(
     changeDataFeed writer feature on v7 tables) so foreign readers
     see a spec-conformant table. Returns the new version."""
     now_ms = int(time.time() * 1000)
-    fsio.require_local(path, "delta_set_properties")
+    path = fsio.resolve_write_path(path, "delta_set_properties")
     for _ in range(max_commit_attempts):
         state = _replay(path)
         _check_readable(state)
@@ -3877,7 +3877,7 @@ def delta_rename_column(
         raise DeltaError("rename: old and new names are identical")
     now_ms = int(time.time() * 1000)
     for _ in range(max_commit_attempts):
-        fsio.require_local(path, "delta_rename_column")
+        path = fsio.resolve_write_path(path, "delta_rename_column")
         state = _replay(path)
         _check_readable(state)
         if _column_mapping(state) is None:
@@ -3945,7 +3945,7 @@ def delta_update_dv(
     "files_with_dvs", "files_removed", "version"}."""
     import shutil
 
-    fsio.require_local(path, "delta_update_dv")
+    path = fsio.resolve_write_path(path, "delta_update_dv")
     state = _replay(path)
     _check_readable(state)
     _check_append_only(state, "delta_update_dv")
@@ -4504,7 +4504,7 @@ def delta_clone(
     rewritten to 'p' (absolute) descriptors so they keep resolving
     against the SOURCE's sidecar files. Returns the clone's version
     (0)."""
-    fsio.require_local(dst, "delta_clone (destination)")
+    dst = fsio.resolve_write_path(dst, "delta_clone (destination)")
     state = _replay(src, version)
     _check_readable(state)
     if os.path.isdir(_log_path(dst)):
@@ -4589,7 +4589,7 @@ def delta_merge_dv(
             f"when_not_matched must be insert|ignore, got "
             f"{when_not_matched!r}"
         )
-    fsio.require_local(path, "delta_merge_dv")
+    path = fsio.resolve_write_path(path, "delta_merge_dv")
     state = _replay(path)
     _check_readable(state)
     _check_append_only(state, "delta_merge_dv")
@@ -5016,7 +5016,7 @@ def delta_add_constraint(
     then commits ``delta.constraints.<name>`` with the protocol
     upgrade constrained writers owe (minWriterVersion ≥ 3, or the
     checkConstraints writer feature on v7). Returns the version."""
-    fsio.require_local(path, "delta_add_constraint")
+    path = fsio.resolve_write_path(path, "delta_add_constraint")
     if not name.isidentifier():
         raise DeltaError(f"constraint name {name!r} must be an identifier")
     def _scan_violations(version: int) -> None:
@@ -5090,7 +5090,7 @@ def delta_drop_constraint(
     path: str, name: str, max_commit_attempts: int = 10
 ) -> int:
     """ALTER TABLE DROP CONSTRAINT — metadata-only."""
-    fsio.require_local(path, "delta_drop_constraint")
+    path = fsio.resolve_write_path(path, "delta_drop_constraint")
     now_ms = int(time.time() * 1000)
     for _ in range(max_commit_attempts):
         state = _replay(path)

@@ -540,6 +540,19 @@ def require_atomic_create(uri: str, op: str) -> None:
         )
 
 
+def resolve_write_path(uri: str, op: str) -> str:
+    """THE write-verb entry gate: refuse stores without atomic
+    create (require_atomic_create), and hand back the POSIX path
+    backing ``uri`` — the table root every existing local
+    implementation (staging, O_EXCL commits, renames) runs against
+    unchanged. For a plain path this is the identity; for a
+    POSIX-backed scheme it is the translated root, so the whole
+    write surface of all three formats works over mock:// / NFS
+    schemes while real object stores keep their typed refusal."""
+    require_atomic_create(uri, op)
+    return _atomic_root(uri)
+
+
 def create_exclusive(uri: str, data: bytes) -> None:
     """Atomically create ``uri`` with ``data``; FileExistsError if it
     already exists — THE commit primitive (Delta/Iceberg/Hudi

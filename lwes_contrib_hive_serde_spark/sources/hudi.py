@@ -536,7 +536,7 @@ def write_hudi_table(
     new group — the canonical COW upsert. Emits the ``_hoodie_*``
     meta columns and hive-style partition dirs. Returns the commit
     instant."""
-    fsio.require_local(path, "write_hudi_table")
+    path = fsio.resolve_write_path(path, "write_hudi_table")
     if mode not in ("append", "upsert"):
         raise HudiError(f"unsupported mode {mode!r}")
     if table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
@@ -749,7 +749,7 @@ def hudi_log_update(
         schema_to_avro_json,
     )
 
-    fsio.require_local(path, "hudi_log_update")
+    path = fsio.resolve_write_path(path, "hudi_log_update")
     props = _load_properties(path)
     if props.get("hoodie.table.type") != "MERGE_ON_READ":
         raise HudiError("hudi_log_update needs a MERGE_ON_READ table")
@@ -863,7 +863,7 @@ def hudi_compact(spark: SparkSession, path: str, record_key: str) -> str:
     logged updates only from this instant on. Old base versions and
     the log files stay on disk (cleaning is a separate concern),
     which is what exercises the reader's slice resolution."""
-    fsio.require_local(path, "hudi_compact")
+    path = fsio.resolve_write_path(path, "hudi_compact")
     props = _load_properties(path)
     if props.get("hoodie.table.type") != "MERGE_ON_READ":
         raise HudiError("hudi_compact needs a MERGE_ON_READ table")

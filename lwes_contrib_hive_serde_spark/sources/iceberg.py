@@ -1400,7 +1400,7 @@ def write_iceberg_table(
     contain ALL columns, unlike Delta/Hive) and the manifest entry
     records the value in its partition struct — which is what
     read_iceberg's partition_filters prune against."""
-    fsio.require_local(path, "write_iceberg_table")
+    path = fsio.resolve_write_path(path, "write_iceberg_table")
     if mode != "append":
         raise IcebergError("fixture writer supports append only")
     partition_by = list(partition_by or [])
@@ -1718,7 +1718,7 @@ def add_iceberg_position_deletes(
     Returns the new snapshot id. This is both the synthesizer for
     the reader's oracles and a real merge-on-read DELETE for tables
     this writer owns."""
-    fsio.require_local(path, "add_iceberg_position_deletes")
+    path = fsio.resolve_write_path(path, "add_iceberg_position_deletes")
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -2022,7 +2022,7 @@ def add_iceberg_deletion_vectors(
     entry is dropped from the carried manifests — the spec's
     at-most-one-DV-per-file invariant. Upgrades the table to
     format-version 3. Returns the new snapshot id."""
-    fsio.require_local(path, "add_iceberg_deletion_vectors")
+    path = fsio.resolve_write_path(path, "add_iceberg_deletion_vectors")
     import numpy as np
 
     from lwes_contrib_hive_serde_spark.sources import puffin
@@ -2135,7 +2135,7 @@ def add_iceberg_equality_deletes(
     STRICTLY BEFORE it (Flink-CDC upsert semantics: a later append
     of the same key survives). Upgrades metadata to format-version
     2; returns the new snapshot id."""
-    fsio.require_local(path, "add_iceberg_equality_deletes")
+    path = fsio.resolve_write_path(path, "add_iceberg_equality_deletes")
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -2254,7 +2254,7 @@ def iceberg_rename_column(path: str, old: str, new: str) -> None:
     name changes, and readers that resolve parquet columns by field
     id (this one, round 9) keep reading every existing file. Writes
     a new metadata.json version; top-level columns only."""
-    fsio.require_local(path, "iceberg_rename_column")
+    path = fsio.resolve_write_path(path, "iceberg_rename_column")
     if old == new:
         raise IcebergError("rename: old and new names are identical")
     meta = load_table_metadata(path)
@@ -2465,7 +2465,7 @@ def iceberg_delete(
     (groupBy file → applyInPandas, merging any existing DV), so
     driver memory is bounded by #files, never #deleted rows.
     Returns {"rows_deleted", "snapshot_id" | None}."""
-    fsio.require_local(path, "iceberg_delete")
+    path = fsio.resolve_write_path(path, "iceberg_delete")
     import pyarrow.parquet as pq
 
     from pyspark.sql.types import LongType as _Long
@@ -2620,7 +2620,7 @@ def iceberg_update(
     the data_filters grammar; ``set_exprs`` maps column → SQL
     expression over the old row (the delta_update contract).
     Returns {"rows_updated", "snapshot_id" | None}."""
-    fsio.require_local(path, "iceberg_update")
+    path = fsio.resolve_write_path(path, "iceberg_update")
     from lwes_contrib_hive_serde_spark.sources.delta import (
         _apply_data_filters,
     )
@@ -2666,7 +2666,7 @@ def iceberg_merge(
     refuse (a target row would have two replacement candidates).
     Returns {"rows_updated", "rows_inserted", "snapshot_id" |
     None}."""
-    fsio.require_local(path, "iceberg_merge")
+    path = fsio.resolve_write_path(path, "iceberg_merge")
     meta = load_table_metadata(path)
     snap = _pick_snapshot(meta)
     schema = _current_schema(meta)
@@ -2742,7 +2742,7 @@ def iceberg_compact(spark: SparkSession, path: str) -> dict:
     sees them. This is also the migration path off v2 position
     delete files before DV-era DML. Returns {"files_before",
     "files_after", "snapshot_id"}."""
-    fsio.require_local(path, "iceberg_compact")
+    path = fsio.resolve_write_path(path, "iceberg_compact")
     meta = load_table_metadata(path)
     snap = _pick_snapshot(meta)
     files, pos_del, eq_del, dvs = _live_files(path, snap)
@@ -2794,7 +2794,7 @@ def iceberg_rollback(path: str, snapshot_id: int) -> None:
     real ``rollback_to_snapshot``): a metadata-only move — no
     snapshot is deleted, so rolling FORWARD again stays possible
     and time travel across the abandoned range keeps working."""
-    fsio.require_local(path, "iceberg_rollback")
+    path = fsio.resolve_write_path(path, "iceberg_rollback")
     meta = load_table_metadata(path)
     known = {int(s["snapshot-id"]) for s in meta.get("snapshots") or []}
     if int(snapshot_id) not in known:
@@ -2822,7 +2822,7 @@ def iceberg_expire_snapshots(
     expired manifest lists, manifests, data files, delete files,
     and Puffin DV files not in it. Returns {"snapshots_expired",
     "files_deleted"}."""
-    fsio.require_local(path, "iceberg_expire_snapshots")
+    path = fsio.resolve_write_path(path, "iceberg_expire_snapshots")
     if keep_last < 1:
         raise IcebergError("keep_last must be >= 1")
     meta = load_table_metadata(path)
@@ -2915,7 +2915,7 @@ def write_iceberg_table_transformed(
         iceberg_transforms as TR,
     )
 
-    fsio.require_local(path, "write_iceberg_table_transformed")
+    path = fsio.resolve_write_path(path, "write_iceberg_table_transformed")
     mdir = os.path.join(path, "metadata")
     ddir = os.path.join(path, "data")
     if os.path.exists(os.path.join(mdir, "version-hint.text")):
@@ -3096,7 +3096,7 @@ def iceberg_branch(
 def _set_ref(
     path: str, name: str, snapshot_id: int | None, rtype: str
 ) -> None:
-    fsio.require_local(path, "iceberg_" + rtype)
+    path = fsio.resolve_write_path(path, "iceberg_" + rtype)
     meta = load_table_metadata(path)
     if snapshot_id is None:
         snapshot_id = int(_pick_snapshot(meta)["snapshot-id"])
@@ -3119,7 +3119,7 @@ def _set_ref(
 
 
 def iceberg_drop_ref(path: str, name: str) -> None:
-    fsio.require_local(path, "iceberg_drop_ref")
+    path = fsio.resolve_write_path(path, "iceberg_drop_ref")
     meta = load_table_metadata(path)
     refs = dict(meta.get("refs") or {})
     if name not in refs:
@@ -3223,7 +3223,7 @@ def iceberg_remove_orphan_files(
     broadcast (it is metadata-derived: one realpath per live data
     file). Falls back to the sequential sweep when no session is
     available (driver metadata is still the only input)."""
-    fsio.require_local(path, "iceberg_remove_orphan_files")
+    path = fsio.resolve_write_path(path, "iceberg_remove_orphan_files")
     meta = load_table_metadata(path)
     referenced: set[str] = set()
     for s in meta.get("snapshots") or []:

@@ -127,22 +127,46 @@ class TestDeltaOverMock:
             )
         )
 
+    def test_full_write_surface_over_mock(self, spark, mock_fs):
+        """Round-11 convergence: EVERY write verb resolves a
+        POSIX-backed scheme to its backing root
+        (fsio.resolve_write_path) and runs its existing local
+        implementation — O_EXCL commits are atomic on the real
+        filesystem behind the scheme. DML + maintenance over
+        mock:// end to end."""
+        D.write_delta(_docs(spark, 20), "mock://t3")
+        D.delta_delete_dv(spark, "mock://t3", [("doc_id", "<", 5)])
+        D.delta_update_dv(
+            spark, "mock://t3", [("doc_id", "=", 7)],
+            {"text": "upper(text)"},
+        )
+        D.delta_compact(spark, "mock://t3")
+        D.delta_vacuum("mock://t3")
+        got = D.read_delta(spark, "mock://t3")
+        assert got.count() == 15
+        assert got.filter("text = 'T7'").count() == 1
+
+    def test_iceberg_hudi_writes_over_mock(self, spark, mock_fs):
+        from lwes_contrib_hive_serde_spark.sources import hudi as H
+        from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+        I.write_iceberg_table(_docs(spark, 12).coalesce(1), "mock://iw")
+        I.iceberg_delete(spark, "mock://iw", [("doc_id", ">=", 9)])
+        assert I.read_iceberg(spark, "mock://iw").count() == 9
+        H.write_hudi_table(
+            _docs(spark, 6), "mock://hw", record_key="doc_id"
+        )
+        assert H.read_hudi(spark, "mock://hw").count() == 6
+
     def test_writes_refuse_real_object_stores(self, spark, mock_fs):
         """s3:// has no atomic create through pyarrow.fs (no
-        conditional PUT) — write_delta refuses with the delta-rs
-        caveat; DML/maintenance verbs stay local-only even on
-        mock:// (their multi-file rewrites have no staged-publish
-        story yet — one guarded write path per the design)."""
-        with pytest.raises(fsio.FsIoError, match="atomic file create"):
-            D.write_delta(_docs(spark, 5), "s3://bucket/t")
-        p = os.path.join(mock_fs, "t3")
-        D.write_delta(_docs(spark, 5), p)
+        conditional PUT) — every write verb refuses with the
+        delta-rs caveat."""
         for op in (
-            lambda: D.delta_delete_dv(spark, "mock://t3",
+            lambda: D.write_delta(_docs(spark, 5), "s3://bucket/t"),
+            lambda: D.delta_delete_dv(spark, "s3://bucket/t",
                                       [("doc_id", "=", 1)]),
-            lambda: D.delta_compact(spark, "mock://t3"),
-            lambda: D.delta_vacuum("mock://t3"),
-            lambda: D.delta_enable_column_mapping("mock://t3"),
+            lambda: D.delta_vacuum("s3://bucket/t"),
         ):
             with pytest.raises(fsio.FsIoError, match="atomic file create"):
                 op()
@@ -282,8 +306,14 @@ class TestIcebergHudiOverMock:
         df = I.read_iceberg(spark, "mock://ice")
         assert df.columns == ["doc_id", "body", "bucket"]
         assert df.count() == 18
+        # write verbs accept POSIX-backed schemes since r11 —
+        # rename through the scheme URI and read the new name back
+        I.iceberg_rename_column("mock://ice", "body", "corpus")
+        assert I.read_iceberg(spark, "mock://ice").columns == [
+            "doc_id", "corpus", "bucket",
+        ]
         with pytest.raises(fsio.FsIoError):
-            I.iceberg_rename_column("mock://ice", "body", "x")
+            I.iceberg_rename_column("s3://b/ice", "corpus", "x")
 
     def test_hudi_upsert_and_prune(self, spark, mock_fs):
         p = os.path.join(mock_fs, "hud")
@@ -308,4 +338,4 @@ class TestIcebergHudiOverMock:
             spark, "mock://hud", partition_filters=[("lang", "=", "zz")]
         ).count() == 0
         with pytest.raises(fsio.FsIoError):
-            H.write_hudi_table(docs, "mock://hud", record_key="doc_id")
+            H.write_hudi_table(docs, "gs://b/hud", record_key="doc_id")
