@@ -265,9 +265,11 @@ def lakehouse_sql(
         return _run_merge(spark, s, strategy, tables)
     if kw == "INSERT":
         return _run_insert(spark, s, tables)
+    if kw == "ALTER":
+        return _run_alter(spark, s, tables)
     raise SqlDmlError(
         f"not a DML statement: {s[:60]!r} (UPDATE/DELETE/MERGE/"
-        "INSERT; reads go through plain spark.sql)"
+        "INSERT/ALTER TABLE; reads go through plain spark.sql)"
     )
 
 
@@ -490,6 +492,108 @@ def _run_insert(spark, s, tables) -> dict:
         res = {"instant": instant}
     _refresh(spark, view, tables)
     return {**res, "statement": "insert", "table": view}
+
+
+def _run_alter(spark, s, tables) -> dict:
+    """ALTER TABLE forms backed by existing verbs:
+    RENAME COLUMN a TO b (Delta needs column mapping, Iceberg is
+    field-id native), SET TBLPROPERTIES (k=v, ...) (Delta), and
+    ADD/DROP CONSTRAINT (Delta CHECK constraints). Unsupported
+    format/form combinations refuse by name."""
+    m = re.match(
+        rf"ALTER\s+TABLE\s+({_IDENT})\s+(.+)$", s, re.I | re.S
+    )
+    if not m:
+        raise SqlDmlError("ALTER needs 'ALTER TABLE <view> <action>'")
+    view, action = m.group(1), m.group(2).strip()
+    fmt, path = _resolve(view, tables)
+
+    rm = re.fullmatch(
+        rf"RENAME\s+COLUMN\s+({_IDENT})\s+TO\s+({_IDENT})",
+        action, re.I,
+    )
+    if rm:
+        old, new = rm.group(1), rm.group(2)
+        if fmt == "delta":
+            from lwes_contrib_hive_serde_spark.sources import delta as D
+
+            v = D.delta_rename_column(path, old, new)
+            res = {"version": v}
+        elif fmt == "iceberg":
+            from lwes_contrib_hive_serde_spark.sources import (
+                iceberg as I,
+            )
+
+            I.iceberg_rename_column(path, old, new)
+            res = {}
+        else:
+            raise SqlDmlError(
+                "hudi has no metadata-only column rename — refusing"
+            )
+        _refresh(spark, view, tables)
+        return {**res, "statement": "alter", "table": view}
+
+    pm = re.fullmatch(
+        r"SET\s+TBLPROPERTIES\s*\((.+)\)", action, re.I | re.S
+    )
+    if pm:
+        if fmt != "delta":
+            raise SqlDmlError(
+                f"SET TBLPROPERTIES routes to delta_set_properties; "
+                f"{view!r} is {fmt!r}"
+            )
+        props: dict[str, str] = {}
+        for item in _split_top(pm.group(1)):
+            im = re.fullmatch(
+                r"\s*('(?:[^']|'')*'|[\w.]+)\s*=\s*(.+?)\s*",
+                item, re.S,
+            )
+            if not im:
+                raise SqlDmlError(f"bad TBLPROPERTIES item {item!r}")
+            k = im.group(1)
+            if k.startswith("'"):
+                k = k[1:-1].replace("''", "'")
+            v = _literal(im.group(2))
+            props[k] = v if isinstance(v, str) else str(v).lower() \
+                if isinstance(v, bool) else str(v)
+        from lwes_contrib_hive_serde_spark.sources import delta as D
+
+        ver = D.delta_set_properties(path, props)
+        _refresh(spark, view, tables)
+        return {"version": ver, "statement": "alter", "table": view}
+
+    am = re.fullmatch(
+        rf"ADD\s+CONSTRAINT\s+({_IDENT})\s+CHECK\s*\((.+)\)",
+        action, re.I | re.S,
+    )
+    if am:
+        if fmt != "delta":
+            raise SqlDmlError("CHECK constraints are a Delta feature")
+        from lwes_contrib_hive_serde_spark.sources import delta as D
+
+        ver = D.delta_add_constraint(
+            spark, path, am.group(1), am.group(2)
+        )
+        _refresh(spark, view, tables)
+        return {"version": ver, "statement": "alter", "table": view}
+
+    dm = re.fullmatch(
+        rf"DROP\s+CONSTRAINT\s+({_IDENT})", action, re.I
+    )
+    if dm:
+        if fmt != "delta":
+            raise SqlDmlError("CHECK constraints are a Delta feature")
+        from lwes_contrib_hive_serde_spark.sources import delta as D
+
+        ver = D.delta_drop_constraint(path, dm.group(1))
+        _refresh(spark, view, tables)
+        return {"version": ver, "statement": "alter", "table": view}
+
+    raise SqlDmlError(
+        f"unsupported ALTER action {action[:60]!r} — supported: "
+        "RENAME COLUMN a TO b | SET TBLPROPERTIES (...) | "
+        "ADD CONSTRAINT n CHECK (...) | DROP CONSTRAINT n"
+    )
 
 
 # ------------------------------------------------------------------ helpers

@@ -144,6 +144,63 @@ class TestDeltaDml:
             )
 
 
+class TestAlterTable:
+    def test_rename_properties_constraints(self, spark, tmp_path):
+        p = str(tmp_path / "alt")
+        D.write_delta(_docs(spark, 8), p)
+        C.register_lakehouse(spark, {"altdocs": f"delta:{p}"})
+        S.lakehouse_sql(spark, """
+            ALTER TABLE altdocs SET TBLPROPERTIES (
+                'delta.appendOnly' = 'false', 'owner' = 'pipeline')
+        """)
+        S.lakehouse_sql(
+            spark,
+            "ALTER TABLE altdocs ADD CONSTRAINT pos "
+            "CHECK (doc_id >= 0)",
+        )
+        # the constraint enforces on the next write
+        import pytest as _pt
+
+        with _pt.raises(Exception, match="pos|CHECK|constraint"):
+            S.lakehouse_sql(
+                spark,
+                "INSERT INTO altdocs VALUES (-1, 'bad', 0)",
+            )
+        S.lakehouse_sql(
+            spark, "ALTER TABLE altdocs DROP CONSTRAINT pos"
+        )
+        S.lakehouse_sql(
+            spark, "INSERT INTO altdocs VALUES (-1, 'ok', 0)"
+        )
+        # rename needs column mapping first
+        D.delta_enable_column_mapping(p)
+        C.register_lakehouse(spark, {"altdocs": f"delta:{p}"})
+        S.lakehouse_sql(
+            spark,
+            "ALTER TABLE altdocs RENAME COLUMN text TO body",
+        )
+        assert "body" in spark.table("altdocs").columns
+        assert spark.sql("SELECT count(*) n FROM altdocs").first().n == 9
+
+    def test_iceberg_rename(self, spark, tmp_path):
+        p = str(tmp_path / "alti")
+        I.write_iceberg_table(_docs(spark, 4).coalesce(1), p)
+        C.register_lakehouse(spark, {"alti": f"iceberg:{p}"})
+        S.lakehouse_sql(
+            spark, "ALTER TABLE alti RENAME COLUMN text TO body"
+        )
+        assert "body" in spark.table("alti").columns
+
+    def test_unsupported_actions_typed(self, spark, tmp_path):
+        p = str(tmp_path / "altu")
+        D.write_delta(_docs(spark, 3), p)
+        C.register_lakehouse(spark, {"altu": f"delta:{p}"})
+        with pytest.raises(S.SqlDmlError, match="unsupported ALTER"):
+            S.lakehouse_sql(
+                spark, "ALTER TABLE altu DROP COLUMN text"
+            )
+
+
 class TestIcebergDml:
     def test_delete_update_merge(self, spark, tmp_path):
         p = str(tmp_path / "ice")
