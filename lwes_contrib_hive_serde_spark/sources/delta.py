@@ -3924,6 +3924,167 @@ def delta_rename_column(
     raise DeltaError("rename could not commit (sustained contention)")
 
 
+def delta_add_column(
+    path: str,
+    name: str,
+    type_ddl: str,
+    max_commit_attempts: int = 10,
+) -> int:
+    """ALTER TABLE ADD COLUMN — metadata-only (PROTOCOL.md "Change
+    Metadata"): the field appends to schemaString as NULLABLE and
+    existing files simply lack it, which the scan's explicit
+    read-schema fills with nulls; on a column-mapped table the new
+    field gets a fresh id + physical name so a later parquet
+    actually lands it under mapping rules. A 100 TB table grows a
+    column in one tiny JSON commit. ``type_ddl`` is a Spark DDL
+    type string (e.g. 'bigint', 'array<string>'). Returns the new
+    version."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    dt = _parse_datatype_string(type_ddl)
+    now_ms = int(time.time() * 1000)
+    for _ in range(max_commit_attempts):
+        path = fsio.resolve_write_path(path, "delta_add_column")
+        state = _replay(path)
+        _check_readable(state)
+        sch = json.loads(state.metadata["schemaString"])
+        names = [f["name"] for f in sch["fields"]]
+        if name in names:
+            raise DeltaError(f"add column: {name!r} already exists")
+        field = {
+            "name": name,
+            "type": json.loads(
+                StructType([StructField(name, dt, True)]).json()
+            )["fields"][0]["type"],
+            "nullable": True,
+            "metadata": {},
+        }
+        if _schema_phys_map(state.metadata) is not None:
+            max_id = int(
+                (state.metadata.get("configuration") or {}).get(
+                    "delta.columnMapping.maxColumnId", "0"
+                )
+            )
+            field["metadata"] = {
+                "delta.columnMapping.id": max_id + 1,
+                "delta.columnMapping.physicalName":
+                    f"col-{uuid.uuid4().hex}",
+            }
+        meta = dict(state.metadata)
+        meta["schemaString"] = json.dumps(
+            dict(sch, fields=sch["fields"] + [field])
+        )
+        if "delta.columnMapping.id" in field["metadata"]:
+            conf = dict(meta.get("configuration") or {})
+            conf["delta.columnMapping.maxColumnId"] = str(
+                field["metadata"]["delta.columnMapping.id"]
+            )
+            meta["configuration"] = conf
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "ADD COLUMNS",
+                    "operationParameters": {
+                        "column": name, "type": type_ddl,
+                    },
+                }
+            },
+            {"metaData": meta},
+        ]
+        payload = "".join(json.dumps(a) + "\n" for a in actions).encode()
+        target = _commit_file(path, state.version + 1)
+        try:
+            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+        return state.version + 1
+    raise DeltaError("add column could not commit (contention)")
+
+
+def delta_drop_column(
+    path: str, name: str, max_commit_attempts: int = 10
+) -> int:
+    """ALTER TABLE DROP COLUMN — metadata-only, and REQUIRES column
+    mapping exactly like the real command (without mapping the
+    physical parquet column name IS the logical name, and a future
+    re-add would resurrect the old bytes): the field leaves
+    schemaString, the data stays on disk ignored by every read.
+    Refuses dropping partition columns, generated columns, columns
+    a generation expression or CHECK constraint references. Returns
+    the new version."""
+    import re as _re
+
+    now_ms = int(time.time() * 1000)
+    for _ in range(max_commit_attempts):
+        path = fsio.resolve_write_path(path, "delta_drop_column")
+        state = _replay(path)
+        _check_readable(state)
+        if _column_mapping(state) is None:
+            raise DeltaError(
+                "DROP COLUMN requires column mapping; run "
+                "delta_enable_column_mapping first"
+            )
+        sch = json.loads(state.metadata["schemaString"])
+        names = [f["name"] for f in sch["fields"]]
+        if name not in names:
+            raise DeltaError(f"drop: no column {name!r} (have {names})")
+        if len(names) == 1:
+            raise DeltaError("drop: cannot drop the only column")
+        if name in (state.metadata.get("partitionColumns") or []):
+            raise DeltaError(f"drop: {name!r} partitions the table")
+        word = _re.compile(rf"\b{_re.escape(name)}\b")
+        for f in sch["fields"]:
+            gexpr = (f.get("metadata") or {}).get(
+                "delta.generationExpression"
+            )
+            if f["name"] == name and gexpr is not None:
+                raise DeltaError(
+                    f"drop: {name!r} is a generated column"
+                )
+            if gexpr is not None and word.search(gexpr):
+                raise DeltaError(
+                    f"drop: generated column {f['name']!r} is "
+                    f"computed from {name!r}"
+                )
+        for k, v in (state.metadata.get("configuration") or {}).items():
+            if k.startswith("delta.constraints.") and word.search(v):
+                raise DeltaError(
+                    f"drop: CHECK constraint "
+                    f"{k[len('delta.constraints.'):]!r} references "
+                    f"{name!r} — drop the constraint first"
+                )
+        meta = dict(state.metadata)
+        meta["schemaString"] = json.dumps(
+            dict(
+                sch,
+                fields=[f for f in sch["fields"] if f["name"] != name],
+            )
+        )
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "DROP COLUMNS",
+                    "operationParameters": {"column": name},
+                }
+            },
+            {"metaData": meta},
+        ]
+        payload = "".join(json.dumps(a) + "\n" for a in actions).encode()
+        target = _commit_file(path, state.version + 1)
+        try:
+            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+        return state.version + 1
+    raise DeltaError("drop column could not commit (contention)")
+
+
 def delta_update_dv(
     spark: SparkSession,
     path: str,

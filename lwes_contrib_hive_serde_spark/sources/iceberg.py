@@ -2307,6 +2307,126 @@ def iceberg_rename_column(path: str, old: str, new: str) -> None:
     os.replace(tmp, os.path.join(mdir, "version-hint.text"))
 
 
+def _commit_metadata(path: str, meta: dict) -> None:
+    """Write the next v<N>.metadata.json and repoint
+    version-hint.text (the iceberg_rename_column commit shape,
+    shared by every metadata-only evolution verb)."""
+    mdir = os.path.join(path, "metadata")
+    version = int(
+        open(os.path.join(mdir, "version-hint.text")).read().strip()
+    ) + 1
+    meta = dict(meta)
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    tmp = os.path.join(mdir, f".version-hint.tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(mdir, "version-hint.text"))
+
+
+_DDL_TO_ICEBERG = {
+    "bigint": "long", "long": "long", "int": "int", "integer": "int",
+    "string": "string", "double": "double", "float": "float",
+    "boolean": "boolean", "date": "date", "timestamp": "timestamptz",
+    "binary": "binary",
+}
+
+
+def iceberg_add_column(path: str, name: str, type_ddl: str) -> None:
+    """ALTER TABLE ADD COLUMN — spec "Schema Evolution": the field
+    appends to the current schema under a FRESH id
+    (last-column-id + 1; ids are never reused), optional, and
+    existing data files simply lack the id — field-id projection
+    reads them as null. Metadata-only; top-level primitive columns
+    (the fixture writer's envelope)."""
+    path = fsio.resolve_write_path(path, "iceberg_add_column")
+    itype = _DDL_TO_ICEBERG.get(type_ddl.strip().lower())
+    if itype is None:
+        raise IcebergError(
+            f"add column: unsupported type {type_ddl!r} "
+            f"(have {sorted(set(_DDL_TO_ICEBERG))})"
+        )
+    meta = dict(load_table_metadata(path))
+    new_id = int(meta.get("last-column-id") or 0) + 1
+    field = {"id": new_id, "name": name, "required": False,
+             "type": itype}
+
+    def add_in(sch):
+        names = [f["name"] for f in sch.get("fields") or []]
+        if name in names:
+            raise IcebergError(f"add column: {name!r} already exists")
+        return dict(sch, fields=list(sch["fields"]) + [field])
+
+    if "schemas" in meta:
+        sid = meta.get("current-schema-id", 0)
+        meta["schemas"] = [
+            add_in(s_) if s_.get("schema-id") == sid else s_
+            for s_ in meta["schemas"]
+        ]
+    if "schema" in meta:
+        meta["schema"] = add_in(meta["schema"])
+    meta["last-column-id"] = new_id
+    _commit_metadata(path, meta)
+
+
+def iceberg_drop_column(path: str, name: str) -> None:
+    """ALTER TABLE DROP COLUMN — metadata-only (field ids make the
+    data immortal-but-ignored; a later add gets a NEW id so the old
+    bytes can never resurrect). Refuses partition-source columns —
+    the spec keeps their field alive while referenced by any
+    partition spec."""
+    path = fsio.resolve_write_path(path, "iceberg_drop_column")
+    meta = dict(load_table_metadata(path))
+
+    def field_id_of(sch):
+        for f in sch.get("fields") or []:
+            if f["name"] == name:
+                return f["id"]
+        raise IcebergError(
+            f"drop: no column {name!r} "
+            f"(have {[f['name'] for f in sch.get('fields') or []]})"
+        )
+
+    sid = meta.get("current-schema-id", 0)
+    cur = next(
+        (s_ for s_ in meta.get("schemas") or []
+         if s_.get("schema-id") == sid),
+        meta.get("schema"),
+    )
+    if cur is None:
+        raise IcebergError("no current schema")
+    fid = field_id_of(cur)
+    if len(cur.get("fields") or []) == 1:
+        raise IcebergError("drop: cannot drop the only column")
+    for sp in (meta.get("partition-specs") or []) + (
+        [{"fields": meta["partition-spec"]}]
+        if meta.get("partition-spec") else []
+    ):
+        for pf in sp.get("fields") or []:
+            if pf.get("source-id") == fid:
+                raise IcebergError(
+                    f"drop: {name!r} is a partition source column "
+                    f"(field {pf.get('name')!r}) — fields stay "
+                    "alive while a partition spec references them"
+                )
+
+    def drop_in(sch):
+        return dict(
+            sch,
+            fields=[f for f in sch["fields"] if f["name"] != name],
+        )
+
+    if "schemas" in meta:
+        meta["schemas"] = [
+            drop_in(s_) if s_.get("schema-id") == sid else s_
+            for s_ in meta["schemas"]
+        ]
+    if "schema" in meta:
+        meta["schema"] = drop_in(meta["schema"])
+    _commit_metadata(path, meta)
+
+
 def _prior_dvs_by_ref(path: str, snap: dict) -> dict:
     _files, _pos, _eq, prior_dvs = _live_files(path, snap)
     return {

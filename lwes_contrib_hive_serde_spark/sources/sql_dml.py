@@ -533,6 +533,62 @@ def _run_alter(spark, s, tables) -> dict:
         _refresh(spark, view, tables)
         return {**res, "statement": "alter", "table": view}
 
+    cm = re.fullmatch(
+        r"ADD\s+COLUMNS?\s*\(?\s*(.+?)\s*\)?", action, re.I | re.S
+    )
+    if cm:
+        cols = []
+        for item in _split_top(cm.group(1)):
+            im = re.fullmatch(
+                rf"\s*({_IDENT})\s+([\w<>,() ]+?)\s*", item
+            )
+            if not im:
+                raise SqlDmlError(f"bad ADD COLUMNS item {item!r}")
+            cols.append((im.group(1), im.group(2)))
+        if fmt == "delta":
+            from lwes_contrib_hive_serde_spark.sources import delta as D
+
+            ver = None
+            for cname, ctype in cols:
+                ver = D.delta_add_column(path, cname, ctype)
+            res = {"version": ver}
+        elif fmt == "iceberg":
+            from lwes_contrib_hive_serde_spark.sources import (
+                iceberg as I,
+            )
+
+            for cname, ctype in cols:
+                I.iceberg_add_column(path, cname, ctype)
+            res = {}
+        else:
+            raise SqlDmlError(
+                "hudi schema evolution is writer-driven — refusing"
+            )
+        _refresh(spark, view, tables)
+        return {**res, "statement": "alter", "table": view}
+
+    xm = re.fullmatch(
+        rf"DROP\s+COLUMN\s+({_IDENT})", action, re.I
+    )
+    if xm:
+        if fmt == "delta":
+            from lwes_contrib_hive_serde_spark.sources import delta as D
+
+            res = {"version": D.delta_drop_column(path, xm.group(1))}
+        elif fmt == "iceberg":
+            from lwes_contrib_hive_serde_spark.sources import (
+                iceberg as I,
+            )
+
+            I.iceberg_drop_column(path, xm.group(1))
+            res = {}
+        else:
+            raise SqlDmlError(
+                "hudi schema evolution is writer-driven — refusing"
+            )
+        _refresh(spark, view, tables)
+        return {**res, "statement": "alter", "table": view}
+
     pm = re.fullmatch(
         r"SET\s+TBLPROPERTIES\s*\((.+)\)", action, re.I | re.S
     )

@@ -191,13 +191,61 @@ class TestAlterTable:
         )
         assert "body" in spark.table("alti").columns
 
+    def test_add_drop_column_delta(self, spark, tmp_path):
+        p = str(tmp_path / "altc")
+        D.write_delta(_docs(spark, 6), p)
+        C.register_lakehouse(spark, {"altc": f"delta:{p}"})
+        S.lakehouse_sql(
+            spark,
+            "ALTER TABLE altc ADD COLUMNS (score double, tag string)",
+        )
+        # old files read the new columns as nulls
+        row = spark.sql(
+            "SELECT score, tag FROM altc WHERE doc_id = 0"
+        ).first()
+        assert row.score is None and row.tag is None
+        # writes with the new schema land
+        S.lakehouse_sql(
+            spark,
+            "INSERT INTO altc VALUES (100, 'n', 1, 0.5, 'x')",
+        )
+        assert spark.sql(
+            "SELECT count(*) n FROM altc WHERE tag = 'x'"
+        ).first().n == 1
+        # drop requires mapping, exactly like the real command
+        with pytest.raises(Exception, match="column mapping"):
+            S.lakehouse_sql(spark, "ALTER TABLE altc DROP COLUMN tag")
+        D.delta_enable_column_mapping(p)
+        C.register_lakehouse(spark, {"altc": f"delta:{p}"})
+        S.lakehouse_sql(spark, "ALTER TABLE altc DROP COLUMN tag")
+        assert "tag" not in spark.table("altc").columns
+        assert spark.sql("SELECT count(*) n FROM altc").first().n == 7
+
+    def test_add_drop_column_iceberg(self, spark, tmp_path):
+        from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+        p = str(tmp_path / "altci")
+        I.write_iceberg_table(_docs(spark, 4).coalesce(1), p)
+        C.register_lakehouse(spark, {"altci": f"iceberg:{p}"})
+        S.lakehouse_sql(
+            spark, "ALTER TABLE altci ADD COLUMN score double"
+        )
+        assert spark.sql(
+            "SELECT count(*) n FROM altci WHERE score IS NULL"
+        ).first().n == 4
+        S.lakehouse_sql(spark, "ALTER TABLE altci DROP COLUMN text")
+        assert spark.table("altci").columns == [
+            "doc_id", "bucket", "score",
+        ]
+        assert spark.sql("SELECT count(*) n FROM altci").first().n == 4
+
     def test_unsupported_actions_typed(self, spark, tmp_path):
         p = str(tmp_path / "altu")
         D.write_delta(_docs(spark, 3), p)
         C.register_lakehouse(spark, {"altu": f"delta:{p}"})
         with pytest.raises(S.SqlDmlError, match="unsupported ALTER"):
             S.lakehouse_sql(
-                spark, "ALTER TABLE altu DROP COLUMN text"
+                spark, "ALTER TABLE altu ZORDER BY (text)"
             )
 
 
