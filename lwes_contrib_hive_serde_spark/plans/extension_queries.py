@@ -10990,3 +10990,88 @@ def q_iceberg_rest(spark, sf_dir):
         srv.shutdown()
         t.join(timeout=5)
     return df
+
+
+def _documents_delta_evolved(spark, sf_dir: str) -> str:
+    """Delta table carried through the round-11 COLUMN EVOLUTION
+    verbs: v0 appends documents, v1 ADD COLUMN quality double
+    (old files read null), v2 appends rows WITH quality, v3 enables
+    column mapping, v4 DROP COLUMN source (metadata-only; bytes
+    stay), v5 renames n_chars → char_count. Cached per sf_dir."""
+    import os
+
+    from lwes_contrib_hive_serde_spark.sources import delta as D
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        tag = f"{tag}-{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        pass
+    out = f"/tmp/delta_table_cache/v1/{tag}/documents_evolved"
+    done = os.path.join(out, "_delta_log", f"{5:020d}.json")
+    if not os.path.exists(done):
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        half = docs.where("doc_id % 2 = 0")
+        rest = docs.where("doc_id % 2 = 1")
+        D.write_delta(
+            half.repartitionByRange(4, "doc_id")
+            .sortWithinPartitions("doc_id"),
+            out,
+        )
+        D.delta_add_column(out, "quality", "double")
+        D.write_delta(
+            rest.withColumn(
+                "quality", (F.col("doc_id") % 100).cast("double") / 100
+            ).repartitionByRange(4, "doc_id")
+            .sortWithinPartitions("doc_id"),
+            out,
+            mode="append",
+        )
+        D.delta_enable_column_mapping(out)
+        D.delta_drop_column(out, "source")
+        D.delta_rename_column(out, "n_chars", "char_count")
+    return out
+
+
+@register(
+    "q_delta_evolution",
+    shadow=True,
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CASE WHEN doc_id % 2 = 1
+                              THEN (doc_id % 100) / 100.0 END), 3)
+                AS DOUBLE) AS sum_quality,
+           COUNT(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS n_null_q,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents GROUP BY lang
+    """,
+    doc="Delta COLUMN EVOLUTION lifecycle (round 11: "
+    "delta_add_column / delta_drop_column + mapping + rename): ADD "
+    "COLUMN is metadata-only, so pre-evolution files read the new "
+    "column as NULL (n_null_q counts exactly the v0 rows) while "
+    "post-evolution appends carry real values; DROP COLUMN removes "
+    "'source' from the surfaced schema without touching data; the "
+    "rename resolves through physical names. The DuckDB oracle "
+    "recomputes every aggregate from the original parquet — a scan "
+    "that resurrected dropped bytes, misfilled the added column, "
+    "or broke the mapped rename would hash-mismatch.",
+)
+def q_delta_evolution(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.sources import delta as D
+
+    out = _documents_delta_evolved(spark, sf_dir)
+    df = D.read_delta(spark, out)
+    assert "source" not in df.columns
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("quality"), 3).alias("sum_quality"),
+        F.count(F.when(F.col("quality").isNull(), 1)).alias("n_null_q"),
+        F.sum("char_count").alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
