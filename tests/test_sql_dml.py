@@ -239,6 +239,29 @@ class TestAlterTable:
         ]
         assert spark.sql("SELECT count(*) n FROM altci").first().n == 4
 
+    def test_dropped_bytes_never_resurrect(self, spark, tmp_path):
+        """DROP then re-ADD under the same name must read NULLS, not
+        the old bytes — Delta guarantees it via a fresh physical
+        name, Iceberg via a fresh field id."""
+        from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+        p = str(tmp_path / "res")
+        D.write_delta(_docs(spark, 4), p)
+        D.delta_enable_column_mapping(p)
+        D.delta_drop_column(p, "text")
+        D.delta_add_column(p, "text", "string")
+        assert [
+            r.text for r in D.read_delta(spark, p).collect()
+        ] == [None] * 4
+
+        pi = str(tmp_path / "resi")
+        I.write_iceberg_table(_docs(spark, 4).coalesce(1), pi)
+        I.iceberg_drop_column(pi, "text")
+        I.iceberg_add_column(pi, "text", "string")
+        assert [
+            r.text for r in I.read_iceberg(spark, pi).collect()
+        ] == [None] * 4
+
     def test_unsupported_actions_typed(self, spark, tmp_path):
         p = str(tmp_path / "altu")
         D.write_delta(_docs(spark, 3), p)
