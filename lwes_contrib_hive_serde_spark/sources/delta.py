@@ -1554,9 +1554,9 @@ def write_delta(
     retry — the protocol's optimistic concurrency on any FS with
     atomic create. The gate is ATOMIC CREATE, not locality: a
     scheme URI whose registration proves POSIX backing (mock://,
-    an NFS mount under a scheme) commits remotely — data files
-    stage in a local temp dir and publish via fsio.put_file, the
-    commit JSON lands via fsio.create_exclusive. Real object
+    an NFS mount under a scheme) resolves to its backing root and
+    commits there — staging, same-volume rename publish, and the
+    O_EXCL commit all run on the table's own volume. Real object
     stores still refuse (no conditional put through pyarrow.fs —
     the delta-rs LogStore caveat, fsio._atomic_root docstring)."""
     if mode not in ("append", "overwrite", "error"):
@@ -2230,9 +2230,16 @@ def delta_vacuum(
     and ``_change_data`` directories. A 100 TB table can tombstone
     millions of files per OPTIMIZE cycle; a driver loop would
     serialize every unlink. Reference sets ride a broadcast.
-    Sequential fallback when no session is active."""
+    Sequential fallback when no session is active — and when the
+    executors provably CANNOT see the driver's filesystem (a plain
+    local path on a non-local master): tasks deleting nonexistent
+    paths would swallow every FileNotFoundError and report 0
+    removed with no error, where the driver loop works. Scheme URIs
+    distribute on any master — a POSIX-backed scheme is a shared
+    mount by the write-gate contract."""
     from . import delta_dv
 
+    shared_fs = not fsio.is_local(path)
     path = fsio.resolve_write_path(path, "delta_vacuum")
     state = _replay(path)
     if now_ms is None:
@@ -2340,6 +2347,10 @@ def delta_vacuum(
         from pyspark.sql import SparkSession
 
         spark = SparkSession.getActiveSession()
+    if spark is not None and not shared_fs and not str(
+        spark.sparkContext.master
+    ).startswith("local"):
+        spark = None  # executors cannot see this path: driver loop
     if spark is None:
         return sum(
             _rm_candidates(arg) if kind == "files"
@@ -3930,55 +3941,79 @@ def delta_add_column(
     type_ddl: str,
     max_commit_attempts: int = 10,
 ) -> int:
-    """ALTER TABLE ADD COLUMN — metadata-only (PROTOCOL.md "Change
-    Metadata"): the field appends to schemaString as NULLABLE and
-    existing files simply lack it, which the scan's explicit
-    read-schema fills with nulls; on a column-mapped table the new
-    field gets a fresh id + physical name so a later parquet
-    actually lands it under mapping rules. A 100 TB table grows a
-    column in one tiny JSON commit. ``type_ddl`` is a Spark DDL
-    type string (e.g. 'bigint', 'array<string>'). Returns the new
-    version."""
+    """Single-column convenience over ``delta_add_columns``."""
+    return delta_add_columns(
+        path, [(name, type_ddl)], max_commit_attempts
+    )
+
+
+def delta_add_columns(
+    path: str,
+    columns: list[tuple],
+    max_commit_attempts: int = 10,
+) -> int:
+    """ALTER TABLE ADD COLUMNS — metadata-only (PROTOCOL.md "Change
+    Metadata") and ATOMIC for the whole list (one commit; SQL ALTER
+    is per-statement atomic, so a bad second column must not leave
+    the first applied): each field appends to schemaString as
+    NULLABLE and existing files simply lack it, which the scan's
+    explicit read-schema fills with nulls; on a column-mapped table
+    new fields get fresh ids + physical names so a later parquet
+    actually lands them under mapping rules. A 100 TB table grows
+    columns in one tiny JSON commit. ``columns`` is
+    [(name, spark_ddl_type)]. Returns the new version."""
     from pyspark.sql.types import _parse_datatype_string
 
-    dt = _parse_datatype_string(type_ddl)
+    if not columns:
+        raise DeltaError("add columns: empty column list")
+    seen: set = set()
+    parsed = []
+    for name, type_ddl in columns:
+        if name in seen:
+            raise DeltaError(f"add columns: {name!r} listed twice")
+        seen.add(name)
+        parsed.append((name, type_ddl, _parse_datatype_string(type_ddl)))
     now_ms = int(time.time() * 1000)
     for _ in range(max_commit_attempts):
-        path = fsio.resolve_write_path(path, "delta_add_column")
+        path = fsio.resolve_write_path(path, "delta_add_columns")
         state = _replay(path)
         _check_readable(state)
         sch = json.loads(state.metadata["schemaString"])
         names = [f["name"] for f in sch["fields"]]
-        if name in names:
-            raise DeltaError(f"add column: {name!r} already exists")
-        field = {
-            "name": name,
-            "type": json.loads(
-                StructType([StructField(name, dt, True)]).json()
-            )["fields"][0]["type"],
-            "nullable": True,
-            "metadata": {},
-        }
-        if _schema_phys_map(state.metadata) is not None:
-            max_id = int(
-                (state.metadata.get("configuration") or {}).get(
-                    "delta.columnMapping.maxColumnId", "0"
-                )
+        for name, _ddl, _dt in parsed:
+            if name in names:
+                raise DeltaError(f"add column: {name!r} already exists")
+        mapped = _schema_phys_map(state.metadata) is not None
+        max_id = int(
+            (state.metadata.get("configuration") or {}).get(
+                "delta.columnMapping.maxColumnId", "0"
             )
-            field["metadata"] = {
-                "delta.columnMapping.id": max_id + 1,
-                "delta.columnMapping.physicalName":
-                    f"col-{uuid.uuid4().hex}",
+        )
+        new_fields = []
+        for name, _ddl, dt in parsed:
+            field = {
+                "name": name,
+                "type": json.loads(
+                    StructType([StructField(name, dt, True)]).json()
+                )["fields"][0]["type"],
+                "nullable": True,
+                "metadata": {},
             }
+            if mapped:
+                max_id += 1
+                field["metadata"] = {
+                    "delta.columnMapping.id": max_id,
+                    "delta.columnMapping.physicalName":
+                        f"col-{uuid.uuid4().hex}",
+                }
+            new_fields.append(field)
         meta = dict(state.metadata)
         meta["schemaString"] = json.dumps(
-            dict(sch, fields=sch["fields"] + [field])
+            dict(sch, fields=sch["fields"] + new_fields)
         )
-        if "delta.columnMapping.id" in field["metadata"]:
+        if mapped:
             conf = dict(meta.get("configuration") or {})
-            conf["delta.columnMapping.maxColumnId"] = str(
-                field["metadata"]["delta.columnMapping.id"]
-            )
+            conf["delta.columnMapping.maxColumnId"] = str(max_id)
             meta["configuration"] = conf
         actions = [
             {
@@ -3986,7 +4021,10 @@ def delta_add_column(
                     "timestamp": now_ms,
                     "operation": "ADD COLUMNS",
                     "operationParameters": {
-                        "column": name, "type": type_ddl,
+                        "columns": [
+                            {"column": n, "type": t}
+                            for n, t, _ in parsed
+                        ],
                     },
                 }
             },
@@ -4001,7 +4039,7 @@ def delta_add_column(
         with os.fdopen(fd, "wb") as f:
             f.write(payload)
         return state.version + 1
-    raise DeltaError("add column could not commit (contention)")
+    raise DeltaError("add columns could not commit (contention)")
 
 
 def delta_drop_column(

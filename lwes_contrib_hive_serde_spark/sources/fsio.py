@@ -27,7 +27,8 @@ typed refusal, never a corrupt-on-race maybe. The DATA plane
 (journal/WARC/JSONL byte scans, staged-parquet publish) is fully
 scheme-routed: ``open_stream``/``open_seekable`` on executors
 (readers ship a ``registry_snapshot`` so fresh worker processes
-can resolve registered schemes), ``put_file`` for publishes.
+can resolve registered schemes); writers stage and rename on
+the backing volume (``posix_root``).
 
 Testing: ``register_filesystem("mock", local_root=...)`` maps a
 ``mock://`` URI space onto a local directory — the full remote
@@ -61,6 +62,7 @@ def register_filesystem(
     fs=None,
     local_root: str | None = None,
     spark_path=None,
+    _from_file: bool = False,
 ) -> None:
     """Register a filesystem for ``scheme://`` URIs. Pass either a
     ``pyarrow.fs.FileSystem`` (``fs``) plus an optional
@@ -81,8 +83,14 @@ def register_filesystem(
         raise FsIoError("register_filesystem needs fs or local_root")
     _REGISTRY[scheme.lower()] = {
         "fs": fs, "spark_path": spark_path, "local_root": root,
+        # provenance governs revalidation: only entries LOADED FROM
+        # the shared file are revalidated against it (reused Spark
+        # workers holding a stale mapping); an EXPLICIT in-process
+        # register_filesystem is authoritative for this process —
+        # another process's file write must never hijack it
+        "from_file": _from_file,
     }
-    if root is not None:
+    if root is not None and not _from_file:
         _persist_registration(scheme.lower(), root)
 
 
@@ -162,7 +170,7 @@ def _load_persisted(scheme: str) -> bool:
     root = _persisted_doc().get(scheme)
     if root is None or not os.path.isdir(root):
         return False
-    register_filesystem(scheme, local_root=root)
+    register_filesystem(scheme, local_root=root, _from_file=True)
     return True
 
 
@@ -222,13 +230,18 @@ def _fs_for(scheme: str):
     ent = _REGISTRY.get(scheme)
     if ent is not None:
         root = ent.get("local_root")
-        if root is not None:
+        if root is not None and ent.get("from_file"):
             # long-lived Python workers can hold a mapping from a
-            # PREVIOUS registration of this scheme; the persisted
-            # file is authoritative when it disagrees
+            # PREVIOUS registration of this scheme; for FILE-LOADED
+            # entries the persisted file is authoritative when it
+            # disagrees. Explicit in-process registrations are NOT
+            # revalidated — a different process's file write must
+            # never redirect this one's scheme (write-path hijack).
             current = _persisted_doc().get(scheme)
             if current is not None and current != root:
-                register_filesystem(scheme, local_root=current)
+                register_filesystem(
+                    scheme, local_root=current, _from_file=True
+                )
                 return _REGISTRY[scheme]["fs"]
         return ent["fs"]
     if scheme in _LAZY_FS_CACHE:
@@ -452,31 +465,6 @@ def mkdirs(uri: str) -> None:
         os.makedirs(path, exist_ok=True)
         return
     _fs_for(scheme).create_dir(path, recursive=True)
-
-
-def put_file(local_src: str, uri: str) -> int:
-    """Upload one local file to ``uri`` (the staged-parquet publish
-    step when the table root is remote; local targets fall back to
-    an os.replace rename — same volume, zero copy). Returns the
-    byte size written."""
-    scheme, path = split(uri)
-    size = os.path.getsize(local_src)
-    if scheme is None:
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        os.replace(local_src, path)
-        return size
-    f = _fs_for(scheme)
-    parent = posixpath.dirname(path)
-    if parent:
-        # object stores no-op this; POSIX-backed schemes need it
-        f.create_dir(parent, recursive=True)
-    with open(local_src, "rb") as src, f.open_output_stream(path) as dst:
-        while True:
-            chunk = src.read(1 << 20)
-            if not chunk:
-                break
-            dst.write(chunk)
-    return size
 
 
 def delete(uri: str) -> None:

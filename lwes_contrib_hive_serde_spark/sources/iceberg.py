@@ -275,8 +275,10 @@ def load_table_metadata(path: str) -> dict:
     from lwes_contrib_hive_serde_spark.sources import rest_catalog
 
     if rest_catalog.is_rest_spec(path):
-        loc = rest_catalog.resolve_metadata_location(path)
-        return load_metadata_location(loc)
+        loc, inline = rest_catalog.resolve_table(path)
+        if loc:
+            return load_metadata_location(loc)
+        return _validate_metadata_doc(inline)
     mdir = fsio.join(path, "metadata")
     if not fsio.isdir(mdir):
         raise IcebergError(f"not an Iceberg table (no metadata/): {path}")
@@ -312,7 +314,12 @@ def load_metadata_location(loc: str) -> dict:
     back a location, not a directory) with the same format-version
     gates as the directory resolver."""
     with fsio.open_read(_strip_file_uri(loc)) as f:
-        meta = json.load(f)
+        return _validate_metadata_doc(json.load(f))
+
+
+def _validate_metadata_doc(meta: dict) -> dict:
+    """The shared format-version gate (file-loaded and REST-inline
+    metadata documents alike)."""
     fv = meta.get("format-version", 1)
     if fv not in (1, 2, 3):
         raise IcebergError(
@@ -2334,29 +2341,53 @@ _DDL_TO_ICEBERG = {
 
 
 def iceberg_add_column(path: str, name: str, type_ddl: str) -> None:
-    """ALTER TABLE ADD COLUMN — spec "Schema Evolution": the field
-    appends to the current schema under a FRESH id
-    (last-column-id + 1; ids are never reused), optional, and
-    existing data files simply lack the id — field-id projection
-    reads them as null. Metadata-only; top-level primitive columns
-    (the fixture writer's envelope)."""
-    path = fsio.resolve_write_path(path, "iceberg_add_column")
-    itype = _DDL_TO_ICEBERG.get(type_ddl.strip().lower())
-    if itype is None:
-        raise IcebergError(
-            f"add column: unsupported type {type_ddl!r} "
-            f"(have {sorted(set(_DDL_TO_ICEBERG))})"
-        )
+    """Single-column convenience over ``iceberg_add_columns``."""
+    iceberg_add_columns(path, [(name, type_ddl)])
+
+
+def iceberg_add_columns(path: str, columns: list[tuple]) -> None:
+    """ALTER TABLE ADD COLUMNS — spec "Schema Evolution", ATOMIC
+    for the whole list (one metadata version; a bad second column
+    must not leave the first applied): each field appends to the
+    current schema under a FRESH id (last-column-id + 1 onward; ids
+    are never reused), optional, and existing data files simply
+    lack the ids — field-id projection reads them as null.
+    Metadata-only; top-level primitive columns (the fixture
+    writer's envelope)."""
+    path = fsio.resolve_write_path(path, "iceberg_add_columns")
+    if not columns:
+        raise IcebergError("add columns: empty column list")
+    seen: set = set()
+    typed = []
+    for name, type_ddl in columns:
+        if name in seen:
+            raise IcebergError(f"add columns: {name!r} listed twice")
+        seen.add(name)
+        itype = _DDL_TO_ICEBERG.get(type_ddl.strip().lower())
+        if itype is None:
+            raise IcebergError(
+                f"add column: unsupported type {type_ddl!r} "
+                f"(have {sorted(set(_DDL_TO_ICEBERG))})"
+            )
+        typed.append((name, itype))
     meta = dict(load_table_metadata(path))
-    new_id = int(meta.get("last-column-id") or 0) + 1
-    field = {"id": new_id, "name": name, "required": False,
+    next_id = int(meta.get("last-column-id") or 0)
+    fields = []
+    for name, itype in typed:
+        next_id += 1
+        fields.append(
+            {"id": next_id, "name": name, "required": False,
              "type": itype}
+        )
 
     def add_in(sch):
         names = [f["name"] for f in sch.get("fields") or []]
-        if name in names:
-            raise IcebergError(f"add column: {name!r} already exists")
-        return dict(sch, fields=list(sch["fields"]) + [field])
+        for name, _t in typed:
+            if name in names:
+                raise IcebergError(
+                    f"add column: {name!r} already exists"
+                )
+        return dict(sch, fields=list(sch["fields"]) + fields)
 
     if "schemas" in meta:
         sid = meta.get("current-schema-id", 0)
@@ -2366,7 +2397,7 @@ def iceberg_add_column(path: str, name: str, type_ddl: str) -> None:
         ]
     if "schema" in meta:
         meta["schema"] = add_in(meta["schema"])
-    meta["last-column-id"] = new_id
+    meta["last-column-id"] = next_id
     _commit_metadata(path, meta)
 
 
@@ -3342,7 +3373,13 @@ def iceberg_remove_orphan_files(
     stat through one process. The referenced-file set ships as a
     broadcast (it is metadata-derived: one realpath per live data
     file). Falls back to the sequential sweep when no session is
-    available (driver metadata is still the only input)."""
+    available (driver metadata is still the only input) — and when
+    executors provably cannot see the driver's filesystem (plain
+    local path, non-local master): remote tasks would swallow every
+    miss and report 0 removed. Scheme URIs distribute on any master
+    (POSIX-backed schemes are shared mounts by the write-gate
+    contract)."""
+    shared_fs = not fsio.is_local(path)
     path = fsio.resolve_write_path(path, "iceberg_remove_orphan_files")
     meta = load_table_metadata(path)
     referenced: set[str] = set()
@@ -3365,6 +3402,10 @@ def iceberg_remove_orphan_files(
         from pyspark.sql import SparkSession
 
         spark = SparkSession.getActiveSession()
+    if spark is not None and not shared_fs and not str(
+        spark.sparkContext.master
+    ).startswith("local"):
+        spark = None  # executors cannot see this path: driver loop
     return _sweep_unreferenced(spark, [ddir], referenced, cutoff)
 
 

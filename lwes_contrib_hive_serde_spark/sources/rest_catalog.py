@@ -160,16 +160,36 @@ def list_tables(
     ]
 
 
-def resolve_metadata_location(path_spec: str, token: str | None = None) -> str:
-    """rest+iceberg:// spec → the table's current metadata-location
-    (an absolute ``*.metadata.json`` URI/path)."""
+def resolve_table(
+    path_spec: str, token: str | None = None
+) -> tuple[str | None, dict | None]:
+    """rest+iceberg:// spec → (metadata_location, inline_metadata).
+    A catalog normally returns ``metadata-location`` (a
+    ``*.metadata.json`` URI); the spec also allows serving the
+    TableMetadata document INLINE under ``metadata`` with no
+    location (staged/transaction-less catalogs) — callers use the
+    document directly then. ``metadata.location`` is the table's
+    BASE DIRECTORY, never a metadata file — it is deliberately NOT
+    used as a location fallback."""
     base, prefix, ns, table = parse_rest_spec(path_spec)
     doc = load_table_result(base, ns, table, prefix=prefix, token=token)
-    loc = doc.get("metadata-location") or (doc.get("metadata") or {}).get(
-        "location"
-    )
+    loc = doc.get("metadata-location")
+    inline = doc.get("metadata")
+    if not loc and not isinstance(inline, dict):
+        raise RestCatalogError(
+            f"{path_spec!r}: LoadTableResult carries neither "
+            "metadata-location nor an inline metadata document"
+        )
+    return loc, inline if isinstance(inline, dict) else None
+
+
+def resolve_metadata_location(path_spec: str, token: str | None = None) -> str:
+    """Back-compat shim: the metadata-location alone (typed error
+    when the catalog served inline metadata instead)."""
+    loc, _inline = resolve_table(path_spec, token=token)
     if not loc:
         raise RestCatalogError(
-            f"{path_spec!r}: LoadTableResult has no metadata-location"
+            f"{path_spec!r}: catalog served inline metadata only — "
+            "use resolve_table"
         )
     return loc

@@ -397,7 +397,54 @@ def _run_merge(spark, s, strategy, tables) -> dict:
         if src_text.startswith("(")
         else spark.table(src_text)
     )
-    if fmt == "delta":
+    if when_matched is None:
+        # insert-only MERGE ('WHEN NOT MATCHED THEN INSERT *' alone):
+        # matched target rows must stay UNTOUCHED — the verbs have no
+        # when_matched='ignore', so route as insert-if-absent: anti-
+        # join the source against the live target keys, then append.
+        # Defaulting to 'update' here would silently overwrite rows
+        # the statement never asked to touch.
+        fresh = source.join(
+            spark.table(view).select(*on_cols).distinct(),
+            on_cols,
+            "left_anti",
+        )
+        n = fresh.count()
+        if n == 0:
+            res: dict = {"rows_inserted": 0}
+        elif fmt == "delta":
+            from lwes_contrib_hive_serde_spark.sources import delta as D
+
+            res = {
+                "rows_inserted": n,
+                "version": D.write_delta(fresh, path, mode="append"),
+            }
+        elif fmt == "iceberg":
+            from lwes_contrib_hive_serde_spark.sources import (
+                iceberg as I,
+            )
+
+            res = {
+                "rows_inserted": n,
+                "snapshot_id": I.write_iceberg_table(
+                    fresh, path, mode="append"
+                ),
+            }
+        else:
+            from lwes_contrib_hive_serde_spark.sources import hudi as H
+
+            if len(on_cols) != 1:
+                raise SqlDmlError(
+                    "hudi MERGE joins on the single record-key column"
+                )
+            res = {
+                "rows_inserted": n,
+                "instant": H.write_hudi_table(
+                    fresh, path, record_key=on_cols[0], mode="append",
+                    partition_by=_hudi_partition_by(path),
+                ),
+            }
+    elif fmt == "delta":
         from lwes_contrib_hive_serde_spark.sources import delta as D
 
         fn = D.delta_merge_dv if strategy == "dv" else D.delta_merge
@@ -426,11 +473,30 @@ def _run_merge(spark, s, strategy, tables) -> dict:
             raise SqlDmlError(
                 "hudi MERGE joins on the single record-key column"
             )
-        instant = H.write_hudi_table(
-            source, path, record_key=on_cols[0], mode="upsert",
-            partition_by=_hudi_partition_by(path),
-        )
-        res = {"instant": instant}
+        if _hudi_is_mor(path):
+            # MOR: matched source images land as log records, fresh
+            # keys append as new file groups — write_hudi_table
+            # refuses MOR upserts by design (its rewrite is the COW
+            # shape), so the router does the split here
+            key = on_cols[0]
+            existing = H.read_hudi(spark, path).select(key).distinct()
+            matched = source.join(existing, [key], "left_semi")
+            fresh = source.join(existing, [key], "left_anti")
+            res = {}
+            if not matched.isEmpty():
+                res["instant"] = H.hudi_log_update(
+                    spark, path, updates=matched, record_key=key
+                )
+            if not fresh.isEmpty():
+                res["instant"] = H.write_hudi_table(
+                    fresh, path, record_key=key, mode="append",
+                    partition_by=_hudi_partition_by(path),
+                )
+        else:
+            res = {"instant": H.write_hudi_table(
+                source, path, record_key=on_cols[0], mode="upsert",
+                partition_by=_hudi_partition_by(path),
+            )}
     _refresh(spark, view, tables)
     return {**res, "statement": "merge", "table": view}
 
@@ -548,17 +614,13 @@ def _run_alter(spark, s, tables) -> dict:
         if fmt == "delta":
             from lwes_contrib_hive_serde_spark.sources import delta as D
 
-            ver = None
-            for cname, ctype in cols:
-                ver = D.delta_add_column(path, cname, ctype)
-            res = {"version": ver}
+            res = {"version": D.delta_add_columns(path, cols)}
         elif fmt == "iceberg":
             from lwes_contrib_hive_serde_spark.sources import (
                 iceberg as I,
             )
 
-            for cname, ctype in cols:
-                I.iceberg_add_column(path, cname, ctype)
+            I.iceberg_add_columns(path, cols)
             res = {}
         else:
             raise SqlDmlError(
@@ -731,7 +793,10 @@ def _parse_when(text: str) -> tuple[str, str]:
                 "delete" if body.endswith("DELETE") else "update"
             )
         pos = m.end()
-    return when_matched or "update", when_not_matched or "ignore"
+    # when_matched stays None for insert-only MERGE — the caller
+    # routes that as insert-if-absent (defaulting to 'update' would
+    # overwrite matched rows the statement never asked to touch)
+    return when_matched, when_not_matched or "ignore"
 
 
 def _hudi_is_mor(path: str) -> bool:

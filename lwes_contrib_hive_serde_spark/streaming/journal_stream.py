@@ -129,6 +129,12 @@ class LwesStreamReader(DataSourceStreamReader):
             raise ValueError("lwes stream: no path specified")
         self.event_name = options.get("eventname")
         self.charset = options.get("charset", "utf-8")
+        # registered-scheme resolution for executors: read() runs in
+        # a worker process on a possibly DIFFERENT HOST, where the
+        # driver's persisted registry file does not exist — the
+        # snapshot rides the pickled reader, exactly like the batch
+        # LwesReader (fsio.registry_snapshot docstring)
+        self._fs_snapshot = fsio.registry_snapshot()
         self.split_bytes = int(options.get("streamsplitbytes", str(16 * 1024 * 1024)))
         self.max_bytes = int(options.get("maxbytespertrigger", "0")) or None
         # reuse the batch reader's column resolution
@@ -305,6 +311,7 @@ class LwesStreamReader(DataSourceStreamReader):
             _convert_read,
         )
 
+        fsio.ensure_registry(self._fs_snapshot)
         names = {self.event_name} if self.event_name else None
         spec_by_col = {s.column: s for s in self.specs}
         fields = self.schema.fields

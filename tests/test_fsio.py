@@ -106,9 +106,9 @@ class TestDeltaOverMock:
 
     def test_append_over_mock_end_to_end(self, spark, mock_fs):
         """The r11 write tier: write_delta's gate is ATOMIC CREATE,
-        not locality — a POSIX-backed scheme (mock://) commits, with
-        data files staged locally and published via fsio.put_file
-        and the commit JSON landing via fsio.create_exclusive."""
+        not locality — a POSIX-backed scheme (mock://) resolves to
+        its backing root and commits there (staging, same-volume
+        rename publish, O_EXCL commit JSON)."""
         v0 = D.write_delta(_docs(spark, 20), "mock://t2",
                            partition_by=["bucket"])
         v1 = D.write_delta(_docs(spark, 20), "mock://t2",
@@ -170,6 +170,34 @@ class TestDeltaOverMock:
         ):
             with pytest.raises(fsio.FsIoError, match="atomic file create"):
                 op()
+
+    def test_explicit_registration_not_hijacked_by_file(
+        self, mock_fs, tmp_path
+    ):
+        """The shared registry file bootstraps WORKER processes; it
+        must never override an EXPLICIT in-process registration —
+        another process writing the file could otherwise redirect
+        this one's scheme (and its WRITE path) to a foreign root."""
+        import json
+
+        other = str(tmp_path / "foreign")
+        os.makedirs(other)
+        # simulate another process rewriting the shared file
+        with open(fsio._registry_file()) as f:
+            doc = json.load(f)
+        doc["mock"] = other
+        with open(fsio._registry_file(), "w") as f:
+            json.dump(doc, f)
+        # this process registered mock explicitly: stays authoritative
+        assert fsio.posix_root("mock://x") == os.path.join(
+            mock_fs, "x"
+        )
+        with open(os.path.join(mock_fs, "probe.bin"), "wb") as f:
+            f.write(b"1")
+        assert fsio.exists("mock://probe.bin")
+        # restore the file for other tests (fixture teardown also
+        # unregisters)
+        fsio._persist_registration("mock", mock_fs)
 
     def test_create_exclusive_primitive(self, mock_fs):
         fsio.create_exclusive("mock://c/one.json", b"{}")

@@ -192,6 +192,45 @@ class TestRestReads:
         assert I.read_iceberg(spark, spec).count() == 4
         assert "Bearer sesame" in rest_server["auth"]
 
+    def test_inline_metadata_document(self, spark, tmp_path):
+        """A catalog may serve the TableMetadata INLINE under
+        ``metadata`` with no metadata-location (spec-legal
+        LoadTableResult) — the reader must use the document, and
+        must never misuse metadata.location (the table's BASE
+        DIRECTORY) as a file path."""
+        import json
+        import threading
+        from http.server import BaseHTTPRequestHandler, HTTPServer
+
+        p = str(tmp_path / "inl")
+        I.write_iceberg_table(_docs(spark, 5).coalesce(1), p)
+        with open(_current_metadata_location(p)) as f:
+            doc = json.load(f)
+
+        class H2(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_GET(self):
+                body = json.dumps({"metadata": doc}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+
+        srv = HTTPServer(("127.0.0.1", 0), H2)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            spec = (
+                f"rest+iceberg://127.0.0.1:{srv.server_address[1]}"
+                "#db.inl"
+            )
+            assert I.read_iceberg(spark, spec).count() == 5
+        finally:
+            srv.shutdown()
+            t.join(timeout=5)
+
     def test_missing_table_is_typed(self, rest_server):
         spec = f"rest+iceberg://{rest_server['base']}#db.nope"
         with pytest.raises(R.RestCatalogError, match="HTTP 404"):

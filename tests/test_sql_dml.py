@@ -110,6 +110,53 @@ class TestDeltaDml:
         )
         assert spark.sql("SELECT count(*) n FROM sqldocs").first().n == 32
 
+    def test_insert_only_merge_leaves_matched_untouched(
+        self, spark, view
+    ):
+        """'WHEN NOT MATCHED THEN INSERT *' alone is insert-if-
+        absent: matched target rows must keep their values (a
+        when_matched='update' default would overwrite them)."""
+        src = _docs(spark, 3).unionByName(
+            spark.createDataFrame(
+                [(200, "fresh", 2)], "doc_id long, text string, bucket long"
+            )
+        ).withColumn(
+            "text", F.when(F.col("doc_id") < 3, "CLOBBER")
+            .otherwise(F.col("text"))
+        )
+        src.createOrReplaceTempView("ins_src")
+        res = S.lakehouse_sql(spark, """
+            MERGE INTO sqldocs USING ins_src
+            ON sqldocs.doc_id = ins_src.doc_id
+            WHEN NOT MATCHED THEN INSERT *
+        """)
+        assert res["rows_inserted"] == 1
+        # matched rows kept their original text — never CLOBBER
+        assert spark.sql(
+            "SELECT count(*) n FROM sqldocs WHERE text = 'CLOBBER'"
+        ).first().n == 0
+        assert spark.sql(
+            "SELECT text FROM sqldocs WHERE doc_id = 200"
+        ).first().text == "fresh"
+
+    def test_atomic_add_columns(self, spark, view):
+        """A bad second column must not leave the first applied —
+        the whole ADD COLUMNS list is one commit (and duplicates
+        within the list refuse up front)."""
+        with pytest.raises(Exception, match="already exists"):
+            S.lakehouse_sql(
+                spark,
+                "ALTER TABLE sqldocs ADD COLUMNS "
+                "(brand_new double, text string)",
+            )
+        assert "brand_new" not in D.read_delta(spark, view).columns
+        with pytest.raises(Exception, match="listed twice"):
+            S.lakehouse_sql(
+                spark,
+                "ALTER TABLE sqldocs ADD COLUMNS (x long, x double)",
+            )
+        assert "x" not in D.read_delta(spark, view).columns
+
     def test_merge_subquery_source_and_delete_clause(self, spark, view):
         S.lakehouse_sql(spark, """
             MERGE INTO sqldocs AS t
@@ -317,6 +364,34 @@ class TestHudiDml:
             S.lakehouse_sql(
                 spark, "DELETE FROM huddocs WHERE doc_id = 1"
             )
+
+    def test_mor_merge_splits_log_and_append(self, spark, tmp_path):
+        """MERGE into a MERGE_ON_READ table: matched source images
+        land as log records, fresh keys append as a new file group
+        (write_hudi_table refuses MOR upserts — the router owns the
+        split)."""
+        p = str(tmp_path / "hudmm")
+        H.write_hudi_table(
+            _docs(spark, 5), p, record_key="doc_id",
+            table_type="MERGE_ON_READ",
+        )
+        C.register_lakehouse(spark, {"mm": f"hudi:{p}"})
+        src = spark.createDataFrame(
+            [(1, "UPD", 0), (99, "NEW", 1)],
+            "doc_id long, text string, bucket long",
+        )
+        src.createOrReplaceTempView("mm_src")
+        S.lakehouse_sql(spark, """
+            MERGE INTO mm USING mm_src ON mm.doc_id = mm_src.doc_id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+        """)
+        got = {
+            (r.doc_id, r.text)
+            for r in spark.sql("SELECT doc_id, text FROM mm").collect()
+        }
+        assert (1, "UPD") in got and (99, "NEW") in got
+        assert len(got) == 6
 
     def test_mor_delete_via_log(self, spark, tmp_path):
         p = str(tmp_path / "hudmor")
