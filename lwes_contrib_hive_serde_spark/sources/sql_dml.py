@@ -267,10 +267,99 @@ def lakehouse_sql(
         return _run_insert(spark, s, tables)
     if kw == "ALTER":
         return _run_alter(spark, s, tables)
+    if kw == "CREATE":
+        return _run_create(spark, s, strategy, tables)
     raise SqlDmlError(
         f"not a DML statement: {s[:60]!r} (UPDATE/DELETE/MERGE/"
-        "INSERT/ALTER TABLE; reads go through plain spark.sql)"
+        "INSERT/ALTER TABLE/CREATE TABLE; reads go through plain "
+        "spark.sql)"
     )
+
+
+def _run_create(spark, s, strategy, tables) -> dict:
+    """CREATE TABLE <name> USING delta|iceberg|hudi LOCATION '<p>'
+    [PARTITIONED BY (c, ...)] [TBLPROPERTIES (...)] AS <select> —
+    CTAS into a lakehouse table, then register the view so plain
+    spark.sql sees it. Hudi additionally needs OPTIONS
+    (recordkey '<col>')."""
+    m = re.match(
+        rf"CREATE\s+TABLE\s+({_IDENT})\s+USING\s+({_IDENT})\s+(.*?)"
+        rf"\s+AS\s+((?:SELECT|WITH|TABLE|VALUES)\b.+)$",
+        s,
+        re.I | re.S,
+    )
+    if not m:
+        raise SqlDmlError(
+            "CREATE needs \"CREATE TABLE <name> USING "
+            "delta|iceberg|hudi LOCATION '<path>' [PARTITIONED BY "
+            "(...)] [OPTIONS (recordkey '<col>')] AS SELECT ...\""
+        )
+    view, fmt, clauses, select = (
+        m.group(1), m.group(2).lower(), m.group(3), m.group(4),
+    )
+    if fmt not in ("delta", "iceberg", "hudi"):
+        raise SqlDmlError(
+            f"CREATE TABLE USING {fmt!r}: delta|iceberg|hudi only"
+        )
+    lm = re.search(
+        r"LOCATION\s+'((?:[^']|'')+)'", clauses, re.I
+    )
+    if not lm:
+        raise SqlDmlError(
+            "CREATE TABLE needs a LOCATION '<path>' clause (this "
+            "engine's tables are path-addressed)"
+        )
+    path = lm.group(1).replace("''", "'")
+    pb = re.search(
+        r"PARTITIONED\s+BY\s*\(([^)]*)\)", clauses, re.I
+    )
+    partition_by = (
+        [c.strip() for c in pb.group(1).split(",") if c.strip()]
+        if pb else []
+    )
+    km = re.search(
+        r"OPTIONS\s*\(\s*recordkey\s+'((?:[^']|'')+)'\s*\)",
+        clauses, re.I,
+    )
+    df = spark.sql(select)
+    if fmt == "delta":
+        from lwes_contrib_hive_serde_spark.sources import delta as D
+
+        v = D.write_delta(
+            df, path, mode="error", partition_by=partition_by or None
+        )
+        res: dict = {"version": v}
+    elif fmt == "iceberg":
+        from lwes_contrib_hive_serde_spark.sources import fsio
+        from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+        if fsio.isdir(fsio.join(path, "metadata")):
+            raise SqlDmlError(
+                f"CREATE TABLE: an iceberg table already exists at "
+                f"{path!r}"
+            )
+        sid = I.write_iceberg_table(
+            df, path, partition_by=partition_by or None
+        )
+        res = {"snapshot_id": sid}
+    else:
+        from lwes_contrib_hive_serde_spark.sources import hudi as H
+
+        if not km:
+            raise SqlDmlError(
+                "hudi CREATE TABLE needs OPTIONS (recordkey '<col>')"
+            )
+        res = {"instant": H.write_hudi_table(
+            df, path, record_key=km.group(1).replace("''", "'"),
+            partition_by=partition_by or None,
+        )}
+    from lwes_contrib_hive_serde_spark.sources import catalog as C
+
+    spec = f"{fmt}:{path}"
+    C.register_lakehouse(spark, {view: spec})
+    if tables is not None:
+        tables[view] = spec
+    return {**res, "statement": "create", "table": view}
 
 
 def _run_delete(spark, s, strategy, tables) -> dict:

@@ -347,6 +347,63 @@ class TestIcebergDml:
         ).first().n == 3
 
 
+class TestCreateTable:
+    def test_ctas_all_three_formats(self, spark, tmp_path):
+        _docs(spark, 12).createOrReplaceTempView("ctas_src")
+        res = S.lakehouse_sql(spark, f"""
+            CREATE TABLE cdelta USING delta
+            LOCATION '{tmp_path / "cd"}'
+            PARTITIONED BY (bucket)
+            AS SELECT * FROM ctas_src
+        """)
+        assert res["statement"] == "create" and res["version"] == 0
+        assert spark.sql("SELECT count(*) n FROM cdelta").first().n == 12
+        # and the registration feeds DML immediately
+        S.lakehouse_sql(spark, "DELETE FROM cdelta WHERE doc_id < 2")
+        assert spark.sql("SELECT count(*) n FROM cdelta").first().n == 10
+
+        S.lakehouse_sql(spark, f"""
+            CREATE TABLE cice USING iceberg
+            LOCATION '{tmp_path / "ci"}'
+            AS SELECT doc_id, text FROM ctas_src WHERE doc_id < 6
+        """)
+        assert spark.sql("SELECT count(*) n FROM cice").first().n == 6
+
+        S.lakehouse_sql(spark, f"""
+            CREATE TABLE chudi USING hudi
+            LOCATION '{tmp_path / "ch"}'
+            OPTIONS (recordkey 'doc_id')
+            AS SELECT * FROM ctas_src WHERE doc_id >= 6
+        """)
+        assert spark.sql("SELECT count(*) n FROM chudi").first().n == 6
+
+    def test_create_refuses_existing_and_bad_forms(
+        self, spark, tmp_path
+    ):
+        _docs(spark, 3).createOrReplaceTempView("ctas_src2")
+        loc = tmp_path / "dup"
+        S.lakehouse_sql(spark, f"""
+            CREATE TABLE cdup USING delta LOCATION '{loc}'
+            AS SELECT * FROM ctas_src2
+        """)
+        with pytest.raises(Exception, match="already exists"):
+            S.lakehouse_sql(spark, f"""
+                CREATE TABLE cdup2 USING delta LOCATION '{loc}'
+                AS SELECT * FROM ctas_src2
+            """)
+        with pytest.raises(S.SqlDmlError, match="LOCATION"):
+            S.lakehouse_sql(
+                spark,
+                "CREATE TABLE x USING delta AS SELECT 1 AS a",
+            )
+        with pytest.raises(S.SqlDmlError, match="recordkey"):
+            S.lakehouse_sql(spark, f"""
+                CREATE TABLE ch2 USING hudi
+                LOCATION '{tmp_path / "h2"}'
+                AS SELECT * FROM ctas_src2
+            """)
+
+
 class TestHudiDml:
     def test_cow_update_and_merge(self, spark, tmp_path):
         p = str(tmp_path / "hud")
