@@ -65,6 +65,18 @@ def _split_top(s: str, sep_word: str | None = None) -> list[str]:
     parts, depth, i, start = [], 0, 0, 0
     n = len(s)
     word = sep_word.upper() if sep_word else None
+    pending_between = 0  # ANDs owed to open BETWEEN ... AND ... forms
+
+    def _bchar(c):  # identifier char: no boundary
+        return c.isalnum() or c == "_"
+
+    def _word_at(i, w):
+        return (
+            s[i:i + len(w)].upper() == w
+            and (i == 0 or not _bchar(s[i - 1]))
+            and (i + len(w) >= n or not _bchar(s[i + len(w)]))
+        )
+
     while i < n:
         ch = s[i]
         if ch == "'":
@@ -84,17 +96,17 @@ def _split_top(s: str, sep_word: str | None = None) -> list[str]:
             depth -= 1
         elif depth == 0:
             if word:
-                def _bchar(c):  # identifier char: no boundary
-                    return c.isalnum() or c == "_"
-
-                if (
-                    s[i:i + len(word)].upper() == word
-                    and (i == 0 or not _bchar(s[i - 1]))
-                    and (
-                        i + len(word) >= n
-                        or not _bchar(s[i + len(word)])
-                    )
-                ):
+                if word == "AND" and _word_at(i, "BETWEEN"):
+                    # the AND inside 'x BETWEEN a AND b' binds to
+                    # BETWEEN, not the conjunction
+                    pending_between += 1
+                    i += len("BETWEEN")
+                    continue
+                if _word_at(i, word):
+                    if word == "AND" and pending_between:
+                        pending_between -= 1
+                        i += len(word)
+                        continue
                     parts.append(s[start:i])
                     i += len(word)
                     start = i
@@ -151,6 +163,14 @@ def parse_where(text: str) -> list[tuple]:
         if m:
             vals = [_literal(v) for v in _split_top(m.group(2))]
             triples.append((m.group(1), "in", vals))
+            continue
+        m = re.fullmatch(
+            rf"({_IDENT})\s+BETWEEN\s+(.+?)\s+AND\s+(.+)",
+            clause, re.I | re.S,
+        )
+        if m:
+            triples.append((m.group(1), ">=", _literal(m.group(2))))
+            triples.append((m.group(1), "<=", _literal(m.group(3))))
             continue
         m = re.fullmatch(
             rf"({_IDENT})\s*(=|!=|<>|<=|>=|<|>)\s*(.+)",

@@ -49,6 +49,19 @@ class TestWhereParser:
     def test_and_inside_string_literal(self):
         assert S.parse_where("a = 'x AND y'") == [("a", "=", "x AND y")]
 
+    def test_between(self):
+        assert S.parse_where("a BETWEEN 2 AND 5") == [
+            ("a", ">=", 2), ("a", "<=", 5),
+        ]
+        # BETWEEN's AND binds to BETWEEN; conjunction ANDs still split
+        assert S.parse_where(
+            "a between 2 and 5 AND b = 'x' AND c BETWEEN 1 AND 2"
+        ) == [
+            ("a", ">=", 2), ("a", "<=", 5),
+            ("b", "=", "x"),
+            ("c", ">=", 1), ("c", "<=", 2),
+        ]
+
     def test_and_inside_identifier(self):
         # '_' is an identifier char: my_AND_col must not split
         assert S.parse_where("my_AND_col = 1 AND b = 2") == [
