@@ -84,7 +84,11 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from lwes_contrib_hive_serde_spark.sources import snappy_backend, zstd_backend
+from lwes_contrib_hive_serde_spark.sources import (
+    fsio,
+    snappy_backend,
+    zstd_backend,
+)
 
 MAGIC = b"Obj\x01"
 _EPOCH_DAY = 719468  # unused marker; dates go through datetime below
@@ -566,6 +570,10 @@ class AvroReader(DataSourceReader):
     def __init__(self, schema: StructType, options):
         self.schema = schema
         self.options = options
+        # registered-scheme resolution for executor processes on
+        # other hosts: the snapshot rides the pickled reader
+        # (fsio.registry_snapshot docstring)
+        self._fs_snapshot = fsio.registry_snapshot()
         path = options.get("path")
         if not path:
             raise ValueError("avro_ocf: path required")
@@ -610,6 +618,7 @@ class AvroReader(DataSourceReader):
         )
 
     def read(self, partition):
+        fsio.ensure_registry(self._fs_snapshot)
         for path in partition.files:
             yield from iter_avro_rows(path, expected=self.schema)
 
@@ -967,6 +976,10 @@ class AvroStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options):
         self.schema = schema
         self.options = options
+        # registered-scheme resolution for executor processes on
+        # other hosts: the snapshot rides the pickled reader
+        # (fsio.registry_snapshot docstring)
+        self._fs_snapshot = fsio.registry_snapshot()
         path = options.get("path")
         if not path:
             raise ValueError("avro_ocf stream: path required")
@@ -1004,5 +1017,6 @@ class AvroStreamReader(DataSourceStreamReader):
         pass
 
     def read(self, partition):
+        fsio.ensure_registry(self._fs_snapshot)
         for path in partition.files:
             yield from iter_avro_rows(path, expected=self.schema)

@@ -192,11 +192,20 @@ def registry_snapshot() -> dict[str, str]:
 
 
 def ensure_registry(snapshot: dict[str, str] | None) -> None:
-    """Executor-side restore of a ``registry_snapshot`` (no-op for
-    schemes already registered, so driver-side calls are safe)."""
+    """Executor-side restore of a ``registry_snapshot``. The
+    snapshot was captured from the DRIVER's registry when THIS plan
+    was built, so it is authoritative for this task: a reused
+    worker holding the same scheme at a DIFFERENT root (a previous
+    query's mapping) is re-registered, not trusted. Registered as
+    file-provenance so the shared-file revalidation path still
+    applies between tasks; driver-side calls are no-ops (the
+    snapshot equals the live registry there)."""
     for scheme, root in (snapshot or {}).items():
-        if scheme not in _REGISTRY:
-            register_filesystem(scheme, local_root=root)
+        ent = _REGISTRY.get(scheme)
+        if ent is None or ent.get("local_root") != os.path.abspath(root):
+            register_filesystem(
+                scheme, local_root=root, _from_file=True
+            )
 
 
 def unregister_filesystem(scheme: str) -> None:

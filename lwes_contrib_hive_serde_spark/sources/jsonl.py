@@ -396,6 +396,10 @@ class JsonlReader(DataSourceReader):
     def __init__(self, schema: StructType, options):
         self.schema = schema
         self.options = options
+        # registered-scheme resolution for executor processes on
+        # other hosts: the snapshot rides the pickled reader
+        # (fsio.registry_snapshot docstring)
+        self._fs_snapshot = fsio.registry_snapshot()
         path = options.get("path")
         if not path:
             raise ValueError("jsonl: path required")
@@ -428,6 +432,7 @@ class JsonlReader(DataSourceReader):
         return bin_pack_files(self._files, max_bytes, open_cost, par)
 
     def read(self, partition):
+        fsio.ensure_registry(self._fs_snapshot)
         for path in partition.files:
             yield from iter_jsonl_rows(path, self.schema, self.permissive)
 
@@ -629,6 +634,10 @@ class JsonlStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options):
         self.schema = schema
         self.options = options
+        # registered-scheme resolution for executor processes on
+        # other hosts: the snapshot rides the pickled reader
+        # (fsio.registry_snapshot docstring)
+        self._fs_snapshot = fsio.registry_snapshot()
         path = options.get("path")
         if not path:
             raise ValueError("jsonl stream: path required")
@@ -671,5 +680,6 @@ class JsonlStreamReader(DataSourceStreamReader):
         pass
 
     def read(self, partition):
+        fsio.ensure_registry(self._fs_snapshot)
         for path in partition.files:
             yield from iter_jsonl_rows(path, self.schema, self.permissive)

@@ -382,6 +382,10 @@ class WarcPartition(InputPartition):
 class WarcReader(DataSourceReader):
     def __init__(self, schema: StructType, options):
         self.options = options
+        # registered-scheme resolution for executor processes on
+        # other hosts: the snapshot rides the pickled reader
+        # (fsio.registry_snapshot docstring)
+        self._fs_snapshot = fsio.registry_snapshot()
         path = options.get("path")
         if not path:
             raise ValueError("warc: path required")
@@ -457,6 +461,7 @@ class WarcReader(DataSourceReader):
         return bins or [WarcPartition([])]
 
     def read(self, partition):
+        fsio.ensure_registry(self._fs_snapshot)
         for path in partition.files:
             yield from iter_warc_rows(
                 path, self.record_types, self.permissive,
@@ -565,6 +570,10 @@ class WarcStreamReader(DataSourceStreamReader):
 
     def __init__(self, schema, options):
         self.options = options
+        # registered-scheme resolution for executor processes on
+        # other hosts: the snapshot rides the pickled reader
+        # (fsio.registry_snapshot docstring)
+        self._fs_snapshot = fsio.registry_snapshot()
         path = options.get("path")
         if not path:
             raise ValueError("warc stream: path required")
@@ -611,6 +620,7 @@ class WarcStreamReader(DataSourceStreamReader):
         pass
 
     def read(self, partition):
+        fsio.ensure_registry(self._fs_snapshot)
         for path in partition.files:
             yield from iter_warc_rows(
                 path, self.record_types, self.permissive
