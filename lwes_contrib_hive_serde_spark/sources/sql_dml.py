@@ -612,30 +612,61 @@ def _run_merge(spark, s, strategy, tables) -> dict:
 
 def _run_insert(spark, s, tables) -> dict:
     m = re.fullmatch(
-        rf"INSERT\s+INTO\s+({_IDENT})\s+((?:SELECT|VALUES|WITH|TABLE)\b.+)",
+        rf"INSERT\s+INTO\s+({_IDENT})\s*(\([^)]*\))?\s+"
+        rf"((?:SELECT|VALUES|WITH|TABLE)\b.+)",
         s,
         re.I | re.S,
     )
     if not m:
         raise SqlDmlError(
-            "INSERT needs 'INSERT INTO <view> SELECT ...|VALUES ...'"
+            "INSERT needs 'INSERT INTO <view> [(col, ...)] "
+            "SELECT ...|VALUES ...'"
         )
-    view, body = m.group(1), m.group(2)
+    view, col_list, body = m.group(1), m.group(2), m.group(3)
     fmt, path = _resolve(view, tables)
     from pyspark.sql import functions as F
 
     target = spark.table(view)
+    insert_cols = (
+        [c.strip() for c in col_list[1:-1].split(",") if c.strip()]
+        if col_list else list(target.columns)
+    )
+    unknown = [c for c in insert_cols if c not in target.columns]
+    if unknown:
+        raise SqlDmlError(
+            f"INSERT column list names {unknown} not in "
+            f"{view!r} ({target.columns})"
+        )
     if body.split(None, 1)[0].upper() == "VALUES":
         df = spark.sql(f"SELECT * FROM ({body})")
-        # VALUES carries no column names: take the target's
-        if len(df.columns) != len(target.columns):
+        # VALUES carries no column names: take the declared list's
+        if len(df.columns) != len(insert_cols):
             raise SqlDmlError(
-                f"VALUES arity {len(df.columns)} != table arity "
-                f"{len(target.columns)}"
+                f"VALUES arity {len(df.columns)} != column-list "
+                f"arity {len(insert_cols)}"
             )
-        df = df.toDF(*target.columns)
+        df = df.toDF(*insert_cols)
     else:
         df = spark.sql(body)
+        if col_list:
+            if len(df.columns) != len(insert_cols):
+                raise SqlDmlError(
+                    f"SELECT arity {len(df.columns)} != column-list "
+                    f"arity {len(insert_cols)}"
+                )
+            df = df.toDF(*insert_cols)
+    if col_list:
+        # unlisted target columns fill with NULL (SQL semantics)
+        tgt_types_all = {
+            f.name: f.dataType for f in target.schema.fields
+        }
+        df = df.select(
+            *[
+                F.col(c) if c in df.columns
+                else F.lit(None).cast(tgt_types_all[c]).alias(c)
+                for c in target.columns
+            ]
+        )
     # SQL INSERT semantics: literals/exprs coerce to the target's
     # declared types (VALUES (1, ...) into a bigint column must not
     # read as a schema change)

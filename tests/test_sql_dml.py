@@ -170,6 +170,36 @@ class TestDeltaDml:
             )
         assert "x" not in D.read_delta(spark, view).columns
 
+    def test_insert_with_column_list(self, spark, view):
+        """Unlisted target columns fill with NULL; unknown names and
+        arity mismatches refuse."""
+        S.lakehouse_sql(
+            spark,
+            "INSERT INTO sqldocs (doc_id, text) VALUES (500, 'cl')",
+        )
+        row = spark.sql(
+            "SELECT text, bucket FROM sqldocs WHERE doc_id = 500"
+        ).first()
+        assert row.text == "cl" and row.bucket is None
+        S.lakehouse_sql(
+            spark,
+            "INSERT INTO sqldocs (bucket, doc_id) "
+            "SELECT 9, 501",
+        )
+        assert spark.sql(
+            "SELECT bucket FROM sqldocs WHERE doc_id = 501"
+        ).first().bucket == 9
+        with pytest.raises(S.SqlDmlError, match="not in"):
+            S.lakehouse_sql(
+                spark,
+                "INSERT INTO sqldocs (nope) VALUES (1)",
+            )
+        with pytest.raises(S.SqlDmlError, match="arity"):
+            S.lakehouse_sql(
+                spark,
+                "INSERT INTO sqldocs (doc_id, text) VALUES (1)",
+            )
+
     def test_merge_subquery_source_and_delete_clause(self, spark, view):
         S.lakehouse_sql(spark, """
             MERGE INTO sqldocs AS t
