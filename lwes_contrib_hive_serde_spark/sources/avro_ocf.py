@@ -566,7 +566,7 @@ class AvroPartition(InputPartition):
         self.files = files
 
 
-class AvroReader(DataSourceReader):
+class AvroReader(fsio.SnapshotPickleMixin, DataSourceReader):
     def __init__(self, schema: StructType, options):
         self.schema = schema
         self.options = options
@@ -963,7 +963,7 @@ class AvroDataSource(DataSource):
         return AvroStreamReader(schema, self.options)
 
 
-class AvroStreamReader(DataSourceStreamReader):
+class AvroStreamReader(fsio.SnapshotPickleMixin, DataSourceStreamReader):
     """``readStream.format("avro_ocf")`` over a directory that
     container files land in (Kafka archive dumps, export jobs).
     Same write-once contract and restart safety as the jsonl/WARC

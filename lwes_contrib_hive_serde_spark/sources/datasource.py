@@ -414,7 +414,7 @@ def _partition_values(file_path: str, root: str) -> dict[str, str]:
     return out
 
 
-class LwesReader(DataSourceReader):
+class LwesReader(fsio.SnapshotPickleMixin, DataSourceReader):
     def __init__(self, schema: StructType, options):
         self.schema = schema
         self.options = options

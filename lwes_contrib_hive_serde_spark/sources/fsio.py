@@ -193,19 +193,43 @@ def registry_snapshot() -> dict[str, str]:
 
 def ensure_registry(snapshot: dict[str, str] | None) -> None:
     """Executor-side restore of a ``registry_snapshot``. The
-    snapshot was captured from the DRIVER's registry when THIS plan
-    was built, so it is authoritative for this task: a reused
-    worker holding the same scheme at a DIFFERENT root (a previous
-    query's mapping) is re-registered, not trusted. Registered as
-    file-provenance so the shared-file revalidation path still
-    applies between tasks; driver-side calls are no-ops (the
-    snapshot equals the live registry there)."""
+    snapshot was captured when THIS plan's reader was PICKLED (see
+    ``SnapshotPickleMixin``), so it is authoritative for this task:
+    a reused worker holding the same scheme at a DIFFERENT root (a
+    previous query's mapping, or a different app's shared-file
+    write) is re-registered, not trusted. Snapshot provenance is
+    never revalidated against the shared file — only the NEXT
+    task's ensure_registry (or an explicit registration) may move
+    it. Driver-side calls are no-ops (the snapshot equals the live
+    registry there)."""
     for scheme, root in (snapshot or {}).items():
         ent = _REGISTRY.get(scheme)
+        if ent is not None and not ent.get("from_file") \
+                and not ent.get("from_snapshot"):
+            continue  # explicit in-process registration wins
         if ent is None or ent.get("local_root") != os.path.abspath(root):
             register_filesystem(
-                scheme, local_root=root, _from_file=True
+                scheme, local_root=root, _from_file=True,
             )
+            _REGISTRY[scheme]["from_file"] = False
+            _REGISTRY[scheme]["from_snapshot"] = True
+
+
+class SnapshotPickleMixin:
+    """Readers mix this in to carry scheme registrations to task
+    workers. The snapshot is captured at PICKLE time, not __init__:
+    a Python DataSource reader is CONSTRUCTED in a plan worker
+    whose registry starts empty and only fills when the file
+    listing first touches the scheme (``_load_persisted``) — an
+    __init__-time snapshot would pickle ``{}`` and executors on
+    other hosts (no shared registry file) could not resolve the
+    scheme. By serialization time the listing has run, so the
+    registry holds exactly the mappings this plan used."""
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_fs_snapshot"] = registry_snapshot()
+        return state
 
 
 def unregister_filesystem(scheme: str) -> None:

@@ -392,7 +392,7 @@ def bin_pack_files(
     return bins or [part_cls([])]
 
 
-class JsonlReader(DataSourceReader):
+class JsonlReader(fsio.SnapshotPickleMixin, DataSourceReader):
     def __init__(self, schema: StructType, options):
         self.schema = schema
         self.options = options
@@ -615,7 +615,7 @@ class JsonlDataSource(DataSource):
 # ---------------------------------------------------------------------------
 
 
-class JsonlStreamReader(DataSourceStreamReader):
+class JsonlStreamReader(fsio.SnapshotPickleMixin, DataSourceStreamReader):
     """``readStream.format("jsonl")`` over a directory corpus shards
     land in. Shards are WRITE-ONCE (every public corpus publishes by
     atomic rename; a compressed shard has no byte-offset resume

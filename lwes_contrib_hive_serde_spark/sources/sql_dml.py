@@ -165,12 +165,19 @@ def parse_where(text: str) -> list[tuple]:
             triples.append((m.group(1), "in", vals))
             continue
         m = re.fullmatch(
-            rf"({_IDENT})\s+BETWEEN\s+(.+?)\s+AND\s+(.+)",
-            clause, re.I | re.S,
+            rf"({_IDENT})\s+BETWEEN\s+(.+)", clause, re.I | re.S
         )
         if m:
-            triples.append((m.group(1), ">=", _literal(m.group(2))))
-            triples.append((m.group(1), "<=", _literal(m.group(3))))
+            # quote-aware bound split: a string bound may itself
+            # contain ' AND ' (the regex alternative would split
+            # inside the literal)
+            bounds = _split_top(m.group(2), "AND")
+            if len(bounds) != 2:
+                raise SqlDmlError(
+                    f"BETWEEN needs exactly two bounds: {clause!r}"
+                )
+            triples.append((m.group(1), ">=", _literal(bounds[0])))
+            triples.append((m.group(1), "<=", _literal(bounds[1])))
             continue
         m = re.fullmatch(
             rf"({_IDENT})\s*(=|!=|<>|<=|>=|<|>)\s*(.+)",
@@ -321,6 +328,7 @@ def _run_create(spark, s, strategy, tables) -> dict:
         raise SqlDmlError(
             f"CREATE TABLE USING {fmt!r}: delta|iceberg|hudi only"
         )
+    remainder = clauses
     lm = re.search(
         r"LOCATION\s+'((?:[^']|'')+)'", clauses, re.I
     )
@@ -330,6 +338,7 @@ def _run_create(spark, s, strategy, tables) -> dict:
             "engine's tables are path-addressed)"
         )
     path = lm.group(1).replace("''", "'")
+    remainder = remainder.replace(lm.group(0), " ", 1)
     pb = re.search(
         r"PARTITIONED\s+BY\s*\(([^)]*)\)", clauses, re.I
     )
@@ -337,10 +346,51 @@ def _run_create(spark, s, strategy, tables) -> dict:
         [c.strip() for c in pb.group(1).split(",") if c.strip()]
         if pb else []
     )
+    if pb:
+        remainder = remainder.replace(pb.group(0), " ", 1)
     km = re.search(
         r"OPTIONS\s*\(\s*recordkey\s+'((?:[^']|'')+)'\s*\)",
         clauses, re.I,
     )
+    if km:
+        remainder = remainder.replace(km.group(0), " ", 1)
+    tp = re.search(
+        r"TBLPROPERTIES\s*\((.*?)\)", clauses, re.I | re.S
+    )
+    props: dict[str, str] = {}
+    if tp:
+        remainder = remainder.replace(tp.group(0), " ", 1)
+        for item in _split_top(tp.group(1)):
+            im = re.fullmatch(
+                r"\s*('(?:[^']|'')*'|[\w.]+)\s*=\s*(.+?)\s*",
+                item, re.S,
+            )
+            if not im:
+                raise SqlDmlError(f"bad TBLPROPERTIES item {item!r}")
+            k = im.group(1)
+            if k.startswith("'"):
+                k = k[1:-1].replace("''", "'")
+            v = _literal(im.group(2))
+            props[k] = (
+                v if isinstance(v, str)
+                else str(v).lower() if isinstance(v, bool)
+                else str(v)
+            )
+        if fmt != "delta":
+            raise SqlDmlError(
+                "TBLPROPERTIES routes to delta_set_properties; "
+                f"USING {fmt} does not support it"
+            )
+    # anything left over is a clause this grammar does NOT speak —
+    # refuse by name rather than silently dropping it (a typo like
+    # 'PARTITION BY' would otherwise create an unpartitioned table
+    # with no error)
+    if remainder.strip():
+        raise SqlDmlError(
+            f"unsupported CREATE TABLE clause {remainder.strip()[:60]!r}"
+            " — supported: LOCATION '<path>' | PARTITIONED BY (...) "
+            "| OPTIONS (recordkey '<col>') | TBLPROPERTIES (...)"
+        )
     df = spark.sql(select)
     if fmt == "delta":
         from lwes_contrib_hive_serde_spark.sources import delta as D
@@ -363,16 +413,29 @@ def _run_create(spark, s, strategy, tables) -> dict:
         )
         res = {"snapshot_id": sid}
     else:
+        from lwes_contrib_hive_serde_spark.sources import fsio
         from lwes_contrib_hive_serde_spark.sources import hudi as H
 
         if not km:
             raise SqlDmlError(
                 "hudi CREATE TABLE needs OPTIONS (recordkey '<col>')"
             )
+        if fsio.exists(
+            fsio.join(path, ".hoodie", "hoodie.properties")
+        ):
+            raise SqlDmlError(
+                f"CREATE TABLE: a hudi table already exists at "
+                f"{path!r} (write_hudi_table's default append would "
+                "silently extend it)"
+            )
         res = {"instant": H.write_hudi_table(
             df, path, record_key=km.group(1).replace("''", "'"),
             partition_by=partition_by or None,
         )}
+    if props:
+        from lwes_contrib_hive_serde_spark.sources import delta as D
+
+        res["version"] = D.delta_set_properties(path, props)
     from lwes_contrib_hive_serde_spark.sources import catalog as C
 
     spec = f"{fmt}:{path}"
@@ -627,16 +690,34 @@ def _run_insert(spark, s, tables) -> dict:
     from pyspark.sql import functions as F
 
     target = spark.table(view)
-    insert_cols = (
+    # resolve the column list case-insensitively (Spark's default
+    # resolution) onto the target's exact spellings; duplicates and
+    # unknown names refuse with typed errors
+    by_lower = {c.lower(): c for c in target.columns}
+    raw_cols = (
         [c.strip() for c in col_list[1:-1].split(",") if c.strip()]
         if col_list else list(target.columns)
     )
-    unknown = [c for c in insert_cols if c not in target.columns]
+    unknown = [c for c in raw_cols if c.lower() not in by_lower]
     if unknown:
         raise SqlDmlError(
             f"INSERT column list names {unknown} not in "
             f"{view!r} ({target.columns})"
         )
+    insert_cols = [by_lower[c.lower()] for c in raw_cols]
+    if len(set(insert_cols)) != len(insert_cols):
+        dupes = sorted(
+            {c for c in insert_cols if insert_cols.count(c) > 1}
+        )
+        raise SqlDmlError(f"INSERT column list repeats {dupes}")
+    if fmt == "hudi" and col_list:
+        key = _hudi_record_key(path)
+        if key not in insert_cols:
+            raise SqlDmlError(
+                f"hudi INSERT must include the record key "
+                f"{key!r} — a NULL key row would be permanently "
+                "unaddressable by key-based DML"
+            )
     if body.split(None, 1)[0].upper() == "VALUES":
         df = spark.sql(f"SELECT * FROM ({body})")
         # VALUES carries no column names: take the declared list's

@@ -379,7 +379,7 @@ class WarcPartition(InputPartition):
         self.files = files
 
 
-class WarcReader(DataSourceReader):
+class WarcReader(fsio.SnapshotPickleMixin, DataSourceReader):
     def __init__(self, schema: StructType, options):
         self.options = options
         # registered-scheme resolution for executor processes on
@@ -551,7 +551,7 @@ class WatDataSource(WarcDataSource):
 # ---------------------------------------------------------------------------
 
 
-class WarcStreamReader(DataSourceStreamReader):
+class WarcStreamReader(fsio.SnapshotPickleMixin, DataSourceStreamReader):
     """``readStream.format("warc")`` over a directory crawl files land
     in. WARC files are WRITE-ONCE (crawlers publish by atomic rename,
     never append — and a ``.warc.gz`` has no byte-offset resume

@@ -120,7 +120,7 @@ def _walk_v2(path: str, start: int, limit: int, split_bytes: int):
     return splits, pos
 
 
-class LwesStreamReader(DataSourceStreamReader):
+class LwesStreamReader(fsio.SnapshotPickleMixin, DataSourceStreamReader):
     def __init__(self, schema, options):
         self.schema = schema
         self.options = options

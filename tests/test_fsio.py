@@ -199,6 +199,54 @@ class TestDeltaOverMock:
         # unregisters)
         fsio._persist_registration("mock", mock_fs)
 
+    def test_snapshot_captured_at_pickle_time(self, mock_fs):
+        """Readers mix in SnapshotPickleMixin: the snapshot is taken
+        when the reader is SERIALIZED (after listing populated the
+        plan worker's registry), not at __init__ — an __init__-time
+        snapshot in a fresh plan worker would pickle {}."""
+        class R(fsio.SnapshotPickleMixin):
+            def __init__(self):
+                self._fs_snapshot = fsio.registry_snapshot()
+
+        r = R()
+        assert "late" not in r._fs_snapshot
+        fsio.register_filesystem("late", local_root=mock_fs)
+        try:
+            # __getstate__ IS what pickling calls: the serialized
+            # state carries the post-listing registration
+            state = r.__getstate__()
+            assert "late" in state["_fs_snapshot"]
+        finally:
+            fsio.unregister_filesystem("late")
+
+    def test_snapshot_authoritative_over_shared_file(
+        self, tmp_path, mock_fs
+    ):
+        """A task's ensure_registry(snapshot) installs a mapping the
+        shared registry file must NOT override (a different app may
+        have written the file); only the next snapshot or an
+        explicit registration may move it."""
+        import json
+
+        root_a = str(tmp_path / "a")
+        root_b = str(tmp_path / "b")
+        os.makedirs(root_a)
+        os.makedirs(root_b)
+        fsio.ensure_registry({"snapsch": root_a})
+        try:
+            with open(fsio._registry_file()) as f:
+                doc = json.load(f)
+            doc["snapsch"] = root_b
+            with open(fsio._registry_file(), "w") as f:
+                json.dump(doc, f)
+            open(os.path.join(root_a, "probe"), "w").close()
+            assert fsio.exists("snapsch://probe")  # still root_a
+            # the NEXT task's snapshot may move it
+            fsio.ensure_registry({"snapsch": root_b})
+            assert not fsio.exists("snapsch://probe")
+        finally:
+            fsio.unregister_filesystem("snapsch")
+
     def test_create_exclusive_primitive(self, mock_fs):
         fsio.create_exclusive("mock://c/one.json", b"{}")
         assert fsio.read_bytes("mock://c/one.json") == b"{}"

@@ -62,6 +62,16 @@ class TestWhereParser:
             ("c", ">=", 1), ("c", "<=", 2),
         ]
 
+    def test_between_with_quoted_and_bound(self):
+        # a string bound containing ' AND ' must not split inside
+        # the literal
+        assert S.parse_where(
+            "name BETWEEN 'alpha AND beta' AND 'zulu'"
+        ) == [
+            ("name", ">=", "alpha AND beta"),
+            ("name", "<=", "zulu"),
+        ]
+
     def test_and_inside_identifier(self):
         # '_' is an identifier char: my_AND_col must not split
         assert S.parse_where("my_AND_col = 1 AND b = 2") == [
@@ -198,6 +208,31 @@ class TestDeltaDml:
             S.lakehouse_sql(
                 spark,
                 "INSERT INTO sqldocs (doc_id, text) VALUES (1)",
+            )
+        # case-insensitive resolution (Spark's default), duplicate
+        # names refuse typed
+        S.lakehouse_sql(
+            spark,
+            "INSERT INTO sqldocs (DOC_ID, TEXT) VALUES (502, 'ci')",
+        )
+        assert spark.sql(
+            "SELECT text FROM sqldocs WHERE doc_id = 502"
+        ).first().text == "ci"
+        with pytest.raises(S.SqlDmlError, match="repeats"):
+            S.lakehouse_sql(
+                spark,
+                "INSERT INTO sqldocs (doc_id, DOC_ID) VALUES (1, 2)",
+            )
+
+    def test_hudi_insert_list_must_include_record_key(
+        self, spark, tmp_path
+    ):
+        p = str(tmp_path / "hik")
+        H.write_hudi_table(_docs(spark, 3), p, record_key="doc_id")
+        C.register_lakehouse(spark, {"hik": f"hudi:{p}"})
+        with pytest.raises(S.SqlDmlError, match="record key"):
+            S.lakehouse_sql(
+                spark, "INSERT INTO hik (text) VALUES ('x')"
             )
 
     def test_merge_subquery_source_and_delete_clause(self, spark, view):
@@ -419,6 +454,43 @@ class TestCreateTable:
             AS SELECT * FROM ctas_src WHERE doc_id >= 6
         """)
         assert spark.sql("SELECT count(*) n FROM chudi").first().n == 6
+
+    def test_create_tblproperties_and_clause_validation(
+        self, spark, tmp_path
+    ):
+        _docs(spark, 4).createOrReplaceTempView("ctas_src3")
+        S.lakehouse_sql(spark, f"""
+            CREATE TABLE cprops USING delta
+            LOCATION '{tmp_path / "cp"}'
+            TBLPROPERTIES ('delta.appendOnly' = 'true')
+            AS SELECT * FROM ctas_src3
+        """)
+        # the property took: appendOnly blocks the next delete
+        with pytest.raises(Exception, match="appendOnly|append-only"):
+            S.lakehouse_sql(spark, "DELETE FROM cprops WHERE doc_id = 1")
+        # a typo'd clause refuses by name instead of silently
+        # creating an unpartitioned table
+        with pytest.raises(S.SqlDmlError, match="unsupported CREATE"):
+            S.lakehouse_sql(spark, f"""
+                CREATE TABLE cbad USING delta
+                LOCATION '{tmp_path / "cb"}'
+                PARTITION BY (bucket)
+                AS SELECT * FROM ctas_src3
+            """)
+
+    def test_create_hudi_refuses_existing(self, spark, tmp_path):
+        _docs(spark, 3).createOrReplaceTempView("ctas_src4")
+        loc = tmp_path / "hdup"
+        S.lakehouse_sql(spark, f"""
+            CREATE TABLE chd USING hudi LOCATION '{loc}'
+            OPTIONS (recordkey 'doc_id') AS SELECT * FROM ctas_src4
+        """)
+        with pytest.raises(S.SqlDmlError, match="already exists"):
+            S.lakehouse_sql(spark, f"""
+                CREATE TABLE chd2 USING hudi LOCATION '{loc}'
+                OPTIONS (recordkey 'doc_id')
+                AS SELECT * FROM ctas_src4
+            """)
 
     def test_create_refuses_existing_and_bad_forms(
         self, spark, tmp_path
