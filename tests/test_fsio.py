@@ -350,7 +350,11 @@ class TestDataPlaneOverMock:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        # availableNow terminates deterministically; an unbounded
+        # wait is flake-free under a fully loaded host (a fixed
+        # 120 s cap expired mid-batch during full-suite runs)
+        q.awaitTermination()
+        assert q.exception() is None
         got = sorted(r.uid for r in spark.read.parquet(out).collect())
         assert got == list(range(10))
 
