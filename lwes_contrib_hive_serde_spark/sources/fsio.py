@@ -62,6 +62,7 @@ def register_filesystem(
     fs=None,
     local_root: str | None = None,
     spark_path=None,
+    create_exclusive=None,
     _from_file: bool = False,
 ) -> None:
     """Register a filesystem for ``scheme://`` URIs. Pass either a
@@ -69,7 +70,24 @@ def register_filesystem(
     ``spark_path(path_within_scheme) -> str`` translator for the
     Spark-side scan, or ``local_root`` — a local directory the
     scheme proxies onto (SubTreeFileSystem; spark_path defaults to
-    the real local path), which is the no-network test double."""
+    the real local path), which is the no-network test double.
+
+    ``create_exclusive(path_within_scheme, data: bytes)`` is the
+    OBJECT-STORE COMMIT HOOK: a callable that atomically creates
+    the path with ``data`` and raises ``FileExistsError`` when it
+    already exists. Plain object storage has no native atomic
+    create through pyarrow.fs, so commits there refuse by default —
+    a deployment that HAS a conditional-put or lock service (S3
+    If-None-Match PUT, a DynamoDB-style LogStore, GCS
+    if-generation-match) plugs it in here and every write verb's
+    optimistic-concurrency commit rides it. The hook owns ONLY the
+    commit files (kilobytes of JSON); data files still publish
+    through the filesystem. Note the write verbs' staging currently
+    assumes a POSIX backing root (``resolve_write_path``); a
+    hook-registered scheme without ``local_root`` supports
+    ``create_exclusive`` directly but not the staged verbs yet —
+    the documented next step, not a silent half-support: those
+    verbs keep their typed refusal."""
     from pyarrow import fs as pafs
 
     root = None
@@ -83,6 +101,7 @@ def register_filesystem(
         raise FsIoError("register_filesystem needs fs or local_root")
     _REGISTRY[scheme.lower()] = {
         "fs": fs, "spark_path": spark_path, "local_root": root,
+        "create_exclusive": create_exclusive,
         # provenance governs revalidation: only entries LOADED FROM
         # the shared file are revalidated against it (reused Spark
         # workers holding a stale mapping); an EXPLICIT in-process
@@ -578,10 +597,19 @@ def create_exclusive(uri: str, data: bytes) -> None:
     """Atomically create ``uri`` with ``data``; FileExistsError if it
     already exists — THE commit primitive (Delta/Iceberg/Hudi
     optimistic concurrency). Write-then-rename is not enough (rename
-    overwrites); this is O_CREAT|O_EXCL on the POSIX root, and a
-    typed refusal where no such root exists."""
+    overwrites); this is O_CREAT|O_EXCL on the POSIX root, a
+    registered commit hook on schemes that provide one
+    (``register_filesystem(create_exclusive=...)`` — the
+    conditional-put / lock-service extension point), and a typed
+    refusal otherwise."""
     target = _atomic_root(uri)
     if target is None:
+        scheme, path = split(uri)
+        ent = _REGISTRY.get(scheme) if scheme else None
+        hook = ent.get("create_exclusive") if ent else None
+        if hook is not None:
+            hook(path, data)
+            return
         require_atomic_create(uri, "create_exclusive")
     os.makedirs(os.path.dirname(target), exist_ok=True)
     fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)

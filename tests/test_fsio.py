@@ -199,6 +199,42 @@ class TestDeltaOverMock:
         # unregisters)
         fsio._persist_registration("mock", mock_fs)
 
+    def test_commit_hook_extension_point(self, tmp_path):
+        """A scheme registered with create_exclusive= (the
+        conditional-put / lock-service hook, e.g. S3 If-None-Match
+        or a DynamoDB LogStore) serves fsio.create_exclusive even
+        without a POSIX root; losing a race raises FileExistsError
+        exactly like O_EXCL. Staged write verbs keep their typed
+        refusal (hook covers commits only)."""
+        from pyarrow import fs as pafs
+
+        store: dict[str, bytes] = {}
+
+        def hook(path, data):
+            if path in store:
+                raise FileExistsError(path)
+            store[path] = data
+
+        fsio.register_filesystem(
+            "objst",
+            fs=pafs.SubTreeFileSystem(
+                str(tmp_path), pafs.LocalFileSystem()
+            ),
+            create_exclusive=hook,
+        )
+        try:
+            fsio.create_exclusive("objst://t/_delta_log/0.json", b"{}")
+            assert store["t/_delta_log/0.json"] == b"{}"
+            with pytest.raises(FileExistsError):
+                fsio.create_exclusive(
+                    "objst://t/_delta_log/0.json", b"{}"
+                )
+            # no POSIX root: the staged verbs still refuse typed
+            with pytest.raises(fsio.FsIoError, match="atomic"):
+                fsio.resolve_write_path("objst://t", "write_delta")
+        finally:
+            fsio.unregister_filesystem("objst")
+
     def test_snapshot_captured_at_pickle_time(self, mock_fs):
         """Readers mix in SnapshotPickleMixin: the snapshot is taken
         when the reader is SERIALIZED (after listing populated the
