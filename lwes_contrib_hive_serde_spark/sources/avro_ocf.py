@@ -984,6 +984,7 @@ class AvroStreamReader(fsio.SnapshotPickleMixin, DataSourceStreamReader):
         if not path:
             raise ValueError("avro_ocf stream: path required")
         self.path = path
+        fsio.prime(path)
         self.max_files = int(options.get("maxfilespertrigger", "16"))
         self._known: set[str] = set()
         self._seeded = False

@@ -53,8 +53,36 @@ class FsIoError(ValueError):
     attempted against a store without atomic create."""
 
 
-# scheme -> {"fs": pyarrow.fs.FileSystem, "spark_path": callable|None}
-_REGISTRY: dict[str, dict] = {}
+def _state() -> dict:
+    """The registry dicts, fetched AT CALL TIME from an anchor that
+    by-value pickling can never clone (an attribute on ``builtins``)
+    and that pickles by reference everywhere: the package's
+    datasource modules are registered for cloudpickle
+    pickle-BY-VALUE (so workers without the repo on PYTHONPATH can
+    unpickle them), and a by-value deserialization creates a CLONE
+    of this module with its own fresh globals — one process then
+    holds several fsio instances whose registries would disagree
+    (observed: a reader pickled through a clone carried an empty
+    snapshot while the path-imported fsio held the scheme). Module
+    globals cannot hold the dicts either (a clone would copy them);
+    every function resolves the one process-wide state here."""
+    import builtins
+
+    st = getattr(builtins, "_lwes_fsio_state", None)
+    if st is None:
+        st = {
+            "registry": {},
+            "lazy": {},
+            "persist": {"path": None, "mtime": None, "doc": {}},
+        }
+        builtins._lwes_fsio_state = st
+    return st
+
+
+def _registry() -> dict:
+    """scheme -> {"fs": pyarrow.fs.FileSystem, "spark_path":
+    callable|None, "local_root", "create_exclusive", "from_file"}"""
+    return _state()["registry"]
 
 
 def register_filesystem(
@@ -99,7 +127,7 @@ def register_filesystem(
                 return os.path.join(_root, p) if p else _root
     if fs is None:
         raise FsIoError("register_filesystem needs fs or local_root")
-    _REGISTRY[scheme.lower()] = {
+    _registry()[scheme.lower()] = {
         "fs": fs, "spark_path": spark_path, "local_root": root,
         "create_exclusive": create_exclusive,
         # provenance governs revalidation: only entries LOADED FROM
@@ -156,7 +184,6 @@ def _persist_registration(scheme: str, root: str | None) -> None:
     os.replace(tmp, path)
 
 
-_PERSIST_CACHE: dict = {"path": None, "mtime": None, "doc": {}}
 
 
 def _persisted_doc() -> dict:
@@ -172,14 +199,14 @@ def _persisted_doc() -> dict:
         mtime = os.stat(path).st_mtime_ns
     except OSError:
         return {}
-    if _PERSIST_CACHE["path"] == path and _PERSIST_CACHE["mtime"] == mtime:
-        return _PERSIST_CACHE["doc"]
+    if _state()["persist"]["path"] == path and _state()["persist"]["mtime"] == mtime:
+        return _state()["persist"]["doc"]
     try:
         with open(path) as f:
             doc = json.load(f)
     except (OSError, ValueError):
         doc = {}
-    _PERSIST_CACHE.update(path=path, mtime=mtime, doc=doc)
+    _state()["persist"].update(path=path, mtime=mtime, doc=doc)
     return doc
 
 
@@ -205,7 +232,7 @@ def registry_snapshot() -> dict[str, str]:
     from the same environment credentials the driver used."""
     return {
         s: e["local_root"]
-        for s, e in _REGISTRY.items()
+        for s, e in _registry().items()
         if e.get("local_root") is not None
     }
 
@@ -222,7 +249,7 @@ def ensure_registry(snapshot: dict[str, str] | None) -> None:
     it. Driver-side calls are no-ops (the snapshot equals the live
     registry there)."""
     for scheme, root in (snapshot or {}).items():
-        ent = _REGISTRY.get(scheme)
+        ent = _registry().get(scheme)
         if ent is not None and not ent.get("from_file") \
                 and not ent.get("from_snapshot"):
             continue  # explicit in-process registration wins
@@ -230,8 +257,20 @@ def ensure_registry(snapshot: dict[str, str] | None) -> None:
             register_filesystem(
                 scheme, local_root=root, _from_file=True,
             )
-            _REGISTRY[scheme]["from_file"] = False
-            _REGISTRY[scheme]["from_snapshot"] = True
+            _registry()[scheme]["from_file"] = False
+            _registry()[scheme]["from_snapshot"] = True
+
+
+def prime(uri: str) -> None:
+    """Force scheme resolution for ``uri`` NOW (no-op for local
+    paths): readers call this in __init__ so the process registry
+    holds the mapping BEFORE the reader is ever pickled — a STREAM
+    reader can be serialized before its first listing runs, and a
+    pickle-time snapshot taken then would be empty, leaving task
+    workers to trust whatever stale mapping they already hold."""
+    scheme, _ = split(uri)
+    if scheme is not None:
+        _fs_for(scheme)
 
 
 class SnapshotPickleMixin:
@@ -252,7 +291,7 @@ class SnapshotPickleMixin:
 
 
 def unregister_filesystem(scheme: str) -> None:
-    ent = _REGISTRY.pop(scheme.lower(), None)
+    ent = _registry().pop(scheme.lower(), None)
     if ent is not None and ent.get("local_root") is not None:
         _persist_registration(scheme.lower(), None)
 
@@ -275,11 +314,10 @@ def is_local(uri: str) -> bool:
     return split(uri)[0] is None
 
 
-_LAZY_FS_CACHE: dict[str, object] = {}
 
 
 def _fs_for(scheme: str):
-    ent = _REGISTRY.get(scheme)
+    ent = _registry().get(scheme)
     if ent is not None:
         root = ent.get("local_root")
         if root is not None and ent.get("from_file"):
@@ -294,13 +332,13 @@ def _fs_for(scheme: str):
                 register_filesystem(
                     scheme, local_root=current, _from_file=True
                 )
-                return _REGISTRY[scheme]["fs"]
+                return _registry()[scheme]["fs"]
         return ent["fs"]
-    if scheme in _LAZY_FS_CACHE:
-        return _LAZY_FS_CACHE[scheme]
+    if scheme in _state()["lazy"]:
+        return _state()["lazy"][scheme]
     if scheme not in ("s3", "s3a", "gs", "abfs", "abfss", "az", "hdfs") \
             and _load_persisted(scheme):
-        return _REGISTRY[scheme]["fs"]
+        return _registry()[scheme]["fs"]
     from pyarrow import fs as pafs
 
     try:
@@ -331,7 +369,7 @@ def _fs_for(scheme: str):
         raise FsIoError(
             f"could not construct a {scheme}:// filesystem: {e}"
         ) from e
-    _LAZY_FS_CACHE[scheme] = f
+    _state()["lazy"][scheme] = f
     return f
 
 
@@ -545,7 +583,7 @@ def _atomic_root(uri: str) -> str | None:
     scheme, path = split(uri)
     if scheme is None:
         return path
-    ent = _REGISTRY.get(scheme)
+    ent = _registry().get(scheme)
     if ent is not None and ent.get("local_root") is not None:
         return os.path.join(ent["local_root"], path)
     return None
@@ -605,7 +643,7 @@ def create_exclusive(uri: str, data: bytes) -> None:
     target = _atomic_root(uri)
     if target is None:
         scheme, path = split(uri)
-        ent = _REGISTRY.get(scheme) if scheme else None
+        ent = _registry().get(scheme) if scheme else None
         hook = ent.get("create_exclusive") if ent else None
         if hook is not None:
             hook(path, data)
@@ -625,11 +663,11 @@ def spark_path(uri: str) -> str:
     scheme, path = split(uri)
     if scheme is None:
         return path
-    ent = _REGISTRY.get(scheme)
+    ent = _registry().get(scheme)
     if ent is None and scheme not in (
         "s3", "s3a", "gs", "abfs", "abfss", "az", "hdfs"
     ) and _load_persisted(scheme):
-        ent = _REGISTRY.get(scheme)
+        ent = _registry().get(scheme)
     if ent is not None and ent["spark_path"] is not None:
         return ent["spark_path"](path)
     if scheme == "s3":

@@ -642,6 +642,7 @@ class JsonlStreamReader(fsio.SnapshotPickleMixin, DataSourceStreamReader):
         if not path:
             raise ValueError("jsonl stream: path required")
         self.path = path
+        fsio.prime(path)
         self.permissive = (
             options.get("permissive", "false").lower() == "true"
         )

@@ -578,6 +578,7 @@ class WarcStreamReader(fsio.SnapshotPickleMixin, DataSourceStreamReader):
         if not path:
             raise ValueError("warc stream: path required")
         self.path = path
+        fsio.prime(path)
         types = options.get("recordtypes")
         self.record_types = (
             {t.strip() for t in types.split(",") if t.strip()}

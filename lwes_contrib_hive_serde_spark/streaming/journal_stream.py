@@ -127,6 +127,7 @@ class LwesStreamReader(fsio.SnapshotPickleMixin, DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("lwes stream: no path specified")
+        fsio.prime(self.path)
         self.event_name = options.get("eventname")
         self.charset = options.get("charset", "utf-8")
         # registered-scheme resolution for executors: read() runs in
