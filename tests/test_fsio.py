@@ -199,6 +199,32 @@ class TestDeltaOverMock:
         # unregisters)
         fsio._persist_registration("mock", mock_fs)
 
+    def test_state_shared_across_by_value_module_clones(
+        self, tmp_path
+    ):
+        """The registry must survive cloudpickle pickle-BY-VALUE
+        module cloning: a clone of fsio with fresh globals must
+        resolve the SAME registry (the builtins anchor), or a
+        reader pickled through a clone carries an empty snapshot
+        and task workers trust stale mappings — the exact
+        order-dependent failure this round root-caused."""
+        from pyspark import cloudpickle
+
+        clone = cloudpickle.loads(cloudpickle.dumps(fsio))
+        assert clone is not fsio  # genuinely a clone
+        root = str(tmp_path / "cl")
+        os.makedirs(root)
+        fsio.register_filesystem("clonesch", local_root=root)
+        try:
+            # the clone sees the registration made through the
+            # path-imported module, and vice versa
+            assert clone.registry_snapshot().get("clonesch") == root
+            clone.register_filesystem("clonesch2", local_root=root)
+            assert fsio.registry_snapshot().get("clonesch2") == root
+        finally:
+            fsio.unregister_filesystem("clonesch")
+            fsio.unregister_filesystem("clonesch2")
+
     def test_commit_hook_extension_point(self, tmp_path):
         """A scheme registered with create_exclusive= (the
         conditional-put / lock-service hook, e.g. S3 If-None-Match
