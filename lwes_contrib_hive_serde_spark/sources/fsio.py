@@ -70,12 +70,18 @@ def _state() -> dict:
 
     st = getattr(builtins, "_lwes_fsio_state", None)
     if st is None:
-        st = {
-            "registry": {},
-            "lazy": {},
-            "persist": {"path": None, "mtime": None, "doc": {}},
-        }
-        builtins._lwes_fsio_state = st
+        # publish-if-absent via dict.setdefault — atomic under the
+        # GIL, so two threads' first fsio calls cannot each install
+        # their own dict and lose one's registrations (a module
+        # lock would not help: by-value clones get their own lock)
+        st = builtins.__dict__.setdefault(
+            "_lwes_fsio_state",
+            {
+                "registry": {},
+                "lazy": {},
+                "persist": {"path": None, "mtime": None, "doc": {}},
+            },
+        )
     return st
 
 
@@ -107,15 +113,13 @@ def register_filesystem(
     create through pyarrow.fs, so commits there refuse by default —
     a deployment that HAS a conditional-put or lock service (S3
     If-None-Match PUT, a DynamoDB-style LogStore, GCS
-    if-generation-match) plugs it in here and every write verb's
-    optimistic-concurrency commit rides it. The hook owns ONLY the
-    commit files (kilobytes of JSON); data files still publish
-    through the filesystem. Note the write verbs' staging currently
-    assumes a POSIX backing root (``resolve_write_path``); a
-    hook-registered scheme without ``local_root`` supports
-    ``create_exclusive`` directly but not the staged verbs yet —
-    the documented next step, not a silent half-support: those
-    verbs keep their typed refusal."""
+    if-generation-match) plugs it in here and
+    ``fsio.create_exclusive`` rides it for that scheme. REACH
+    today: direct ``create_exclusive`` callers only — the built-in
+    write verbs resolve to a POSIX root first
+    (``resolve_write_path``) and refuse schemes without one BEFORE
+    their commit step, so routing the staged verbs through the
+    hook is the documented next step, not a silent half-support."""
     from pyarrow import fs as pafs
 
     root = None

@@ -210,6 +210,9 @@ class TestDeltaOverMock:
         order-dependent failure this round root-caused."""
         from pyspark import cloudpickle
 
+        # force by-value (L.register does this in production; doing
+        # it here keeps the test order-independent)
+        cloudpickle.register_pickle_by_value(fsio)
         clone = cloudpickle.loads(cloudpickle.dumps(fsio))
         assert clone is not fsio  # genuinely a clone
         root = str(tmp_path / "cl")
@@ -412,10 +415,11 @@ class TestDataPlaneOverMock:
             .trigger(availableNow=True)
             .start()
         )
-        # availableNow terminates deterministically; an unbounded
-        # wait is flake-free under a fully loaded host (a fixed
-        # 120 s cap expired mid-batch during full-suite runs)
-        q.awaitTermination()
+        # availableNow terminates deterministically; the generous
+        # cap is a backstop so a stream regression fails THIS test
+        # instead of hanging the whole suite (120 s expired
+        # mid-batch under full-suite load; 600 s does not)
+        assert q.awaitTermination(600), "stream did not terminate"
         assert q.exception() is None
         got = sorted(r.uid for r in spark.read.parquet(out).collect())
         assert got == list(range(10))
