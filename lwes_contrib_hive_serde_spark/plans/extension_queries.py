@@ -11075,3 +11075,76 @@ def q_delta_evolution(spark, sf_dir):
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+def _documents_delta_vacuumed(spark, sf_dir: str) -> str:
+    """Delta table carried through the round-11 DISTRIBUTED VACUUM:
+    v0 appends documents, v1 copy-on-write DELETEs doc_id % 10 = 4
+    (tombstoning every rewritten file), then delta_vacuum with zero
+    retention physically removes the expired tombstones as one
+    Spark job (chunked candidates + listing tasks). Cached per
+    sf_dir."""
+    import os
+
+    from lwes_contrib_hive_serde_spark.sources import delta as D
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        tag = f"{tag}-{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        pass
+    out = f"/tmp/delta_table_cache/v1/{tag}/documents_vacuumed"
+    done = os.path.join(out, "_VACUUM_DONE")
+    if not os.path.exists(done):
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        D.write_delta(
+            docs.repartitionByRange(6, "doc_id")
+            .sortWithinPartitions("doc_id"),
+            out,
+        )
+        D.delta_delete(spark, out, [("doc_id", "in", [
+            r[0] for r in docs.select("doc_id")
+            .where("doc_id % 10 = 4").collect()
+        ] or [-1])])
+        removed = D.delta_vacuum(out, retention_ms=0, now_ms=2**60)
+        with open(done, "w") as f:
+            f.write(str(removed))
+    return out
+
+
+@register(
+    "q_delta_vacuum",
+    shadow=True,
+    oracle="""
+    SELECT lang, COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents WHERE doc_id % 10 <> 4 GROUP BY lang
+    """,
+    doc="DISTRIBUTED VACUUM (round 11: delta_vacuum's stat+delete "
+    "sweep as one Spark job — chunked tombstone candidates plus "
+    "DV-bin/_change_data listing tasks, broadcast reference sets): "
+    "after a copy-on-write DELETE tombstones every rewritten file, "
+    "zero-retention vacuum physically removes exactly the expired "
+    "files and NOTHING live — the post-vacuum scan must still "
+    "produce the full surviving row set, which the DuckDB oracle "
+    "recomputes from the original parquet. An over-eager sweep "
+    "(deleting a live file) breaks the scan or drops rows; a "
+    "botched candidate chunking leaves the hash unchanged but is "
+    "caught by the job-count pin in test_distributed_sweeps.",
+)
+def q_delta_vacuum(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.sources import delta as D
+
+    out = _documents_delta_vacuumed(spark, sf_dir)
+    return D.read_delta(spark, out).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
