@@ -157,14 +157,59 @@ def _registry_file() -> str:
     isolation: set LWES_FSIO_REGISTRY_FILE before building the
     SparkSession. Real schemes (s3/gs/abfs) never need this — every
     process constructs them lazily from the same env credentials.
-    Single-host by nature, exactly like the local roots it maps."""
-    import getpass
+    Single-host by nature, exactly like the local roots it maps.
+
+    Placement is security-relevant: this file redirects scheme roots
+    — and therefore where WRITES, renames, and vacuum deletes land —
+    so it must never be a name another uid could pre-create. Prefer
+    XDG_RUNTIME_DIR (per-user, 0700 by contract); the world-writable
+    tempdir fallback uses a uid suffix (numeric, unspoofable —
+    getuser() honors $LOGNAME) and every read re-verifies ownership
+    and permissions (``_trusted_registry_doc``) before trusting the
+    mappings."""
     import tempfile
 
-    return os.environ.get("LWES_FSIO_REGISTRY_FILE") or os.path.join(
-        tempfile.gettempdir(),
-        f"lwes-fsio-registry-{getpass.getuser()}.json",
+    explicit = os.environ.get("LWES_FSIO_REGISTRY_FILE")
+    if explicit:
+        return explicit
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    runtime = os.environ.get("XDG_RUNTIME_DIR")
+    if runtime and os.path.isdir(runtime):
+        return os.path.join(runtime, f"lwes-fsio-registry-{uid}.json")
+    return os.path.join(
+        tempfile.gettempdir(), f"lwes-fsio-registry-{uid}.json"
     )
+
+
+def _trusted_registry_doc(path: str) -> dict:
+    """Read and parse the shared registry file ONLY when it provably
+    belongs to this uid and nobody else can modify it: the file's
+    scheme→root mappings steer writes/renames/deletes, so a
+    pre-created or loosened file from another uid must be ignored,
+    never followed (the write-path hijack this module's docstrings
+    warn about). O_NOFOLLOW + fstat close the symlink/swap race —
+    the checks run on the very fd that is read."""
+    import json
+
+    fd = os.open(path, os.O_RDONLY | getattr(os, "O_NOFOLLOW", 0))
+    try:
+        st = os.fstat(fd)
+        if hasattr(os, "getuid") and st.st_uid != os.getuid():
+            raise PermissionError(
+                f"fsio registry {path!r} owned by uid {st.st_uid}, "
+                f"not {os.getuid()} — ignoring its mappings"
+            )
+        if st.st_mode & 0o022:
+            raise PermissionError(
+                f"fsio registry {path!r} is group/other-writable "
+                f"(mode {st.st_mode & 0o777:o}) — ignoring its mappings"
+            )
+        with os.fdopen(fd, "r") as f:
+            fd = -1
+            return json.load(f)
+    finally:
+        if fd >= 0:
+            os.close(fd)
 
 
 def _persist_registration(scheme: str, root: str | None) -> None:
@@ -174,14 +219,18 @@ def _persist_registration(scheme: str, root: str | None) -> None:
     path = _registry_file()
     doc: dict = {}
     try:
-        with open(path) as f:
-            doc = json.load(f)
+        doc = _trusted_registry_doc(path)
     except (OSError, ValueError):
+        # missing, unreadable, foreign-owned, or loose-permission
+        # file: start fresh — the atomic replace below installs OUR
+        # 0600 file over whatever was there
         pass
     if root is None:
         doc.pop(scheme, None)
     else:
         doc[scheme] = root
+    # mkstemp creates 0600 and os.replace preserves the temp's mode,
+    # so the published file always satisfies _trusted_registry_doc
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".")
     with os.fdopen(fd, "w") as f:
         json.dump(doc, f)
@@ -196,8 +245,6 @@ def _persisted_doc() -> dict:
     across queries, so a worker-side registration can go STALE when
     the driver re-registers a scheme onto a new root; revalidating
     against the file catches that)."""
-    import json
-
     path = _registry_file()
     try:
         mtime = os.stat(path).st_mtime_ns
@@ -206,8 +253,7 @@ def _persisted_doc() -> dict:
     if _state()["persist"]["path"] == path and _state()["persist"]["mtime"] == mtime:
         return _state()["persist"]["doc"]
     try:
-        with open(path) as f:
-            doc = json.load(f)
+        doc = _trusted_registry_doc(path)
     except (OSError, ValueError):
         doc = {}
     _state()["persist"].update(path=path, mtime=mtime, doc=doc)

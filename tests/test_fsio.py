@@ -323,6 +323,80 @@ class TestDeltaOverMock:
         assert not fsio.supports_atomic_create("gs://b/t")
 
 
+class TestRegistryFileTrust:
+    """The shared registry file redirects scheme roots — and thus
+    where writes, renames, and vacuum deletes land — so its
+    mappings are only trusted when the file provably belongs to
+    this uid and nobody else can write it (the multi-user /tmp
+    pre-creation hijack from the round-11 advice)."""
+
+    def test_loose_permissions_ignored(self, tmp_path):
+        import json
+
+        reg = str(tmp_path / "registry.json")
+        victim = str(tmp_path / "victim")
+        os.makedirs(victim)
+        with open(reg, "w") as f:
+            json.dump({"loosesch": victim}, f)
+        os.chmod(reg, 0o666)  # group/other-writable: attacker-shaped
+        old = os.environ.get("LWES_FSIO_REGISTRY_FILE")
+        os.environ["LWES_FSIO_REGISTRY_FILE"] = reg
+        try:
+            assert fsio._persisted_doc() == {}
+            with pytest.raises(fsio.FsIoError, match="no filesystem"):
+                fsio._fs_for("loosesch")
+            # tighten it: the same mappings become trustworthy
+            os.chmod(reg, 0o600)
+            os.utime(reg)  # bust the mtime cache
+            assert fsio._persisted_doc() == {"loosesch": victim}
+        finally:
+            if old is None:
+                del os.environ["LWES_FSIO_REGISTRY_FILE"]
+            else:
+                os.environ["LWES_FSIO_REGISTRY_FILE"] = old
+            fsio.unregister_filesystem("loosesch")
+
+    def test_persist_replaces_untrusted_file_with_0600(self, tmp_path):
+        reg = str(tmp_path / "registry.json")
+        with open(reg, "w") as f:
+            f.write('{"evil": "/elsewhere"}')
+        os.chmod(reg, 0o666)
+        old = os.environ.get("LWES_FSIO_REGISTRY_FILE")
+        os.environ["LWES_FSIO_REGISTRY_FILE"] = reg
+        try:
+            root = str(tmp_path / "mine")
+            os.makedirs(root)
+            fsio.register_filesystem("trustsch", local_root=root)
+            # the untrusted doc was dropped, not merged
+            doc = fsio._trusted_registry_doc(reg)
+            assert doc == {"trustsch": root}
+            assert os.stat(reg).st_mode & 0o077 == 0
+        finally:
+            fsio.unregister_filesystem("trustsch")
+            if old is None:
+                del os.environ["LWES_FSIO_REGISTRY_FILE"]
+            else:
+                os.environ["LWES_FSIO_REGISTRY_FILE"] = old
+
+    def test_default_path_is_uid_suffixed(self, monkeypatch):
+        monkeypatch.delenv("LWES_FSIO_REGISTRY_FILE", raising=False)
+        monkeypatch.delenv("XDG_RUNTIME_DIR", raising=False)
+        path = fsio._registry_file()
+        assert path.endswith(f"lwes-fsio-registry-{os.getuid()}.json")
+
+    def test_symlink_rejected(self, tmp_path):
+        import json
+
+        real = str(tmp_path / "real.json")
+        with open(real, "w") as f:
+            json.dump({"linksch": str(tmp_path)}, f)
+        os.chmod(real, 0o600)
+        link = str(tmp_path / "link.json")
+        os.symlink(real, link)
+        with pytest.raises(OSError):
+            fsio._trusted_registry_doc(link)
+
+
 class TestDataPlaneOverMock:
     """Round-11 tier: the Python-codec sources' BYTE IO rides fsio,
     so journal/WARC/JSONL/Avro read straight off a scheme URI — on
