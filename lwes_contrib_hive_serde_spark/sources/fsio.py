@@ -30,6 +30,16 @@ scheme-routed: ``open_stream``/``open_seekable`` on executors
 can resolve registered schemes); writers stage and rename on
 the backing volume (``posix_root``).
 
+REGISTRY SCOPE IS THE PROCESS, BY CONTRACT: one registry serves
+every SparkSession, thread, and by-value module clone in a Python
+process (the ``builtins`` anchor in ``_state`` — see its docstring
+for why module globals cannot hold it). Per-session isolation is
+achieved BETWEEN processes, not within one: point
+LWES_FSIO_REGISTRY_FILE at a session-private path before the JVM
+launches (tests/conftest.py does). Two sessions in ONE process
+share schemes by design — last registration wins, exactly like
+``spark.dataSource.register``.
+
 Testing: ``register_filesystem("mock", local_root=...)`` maps a
 ``mock://`` URI space onto a local directory — the full remote
 code path (scheme split, pyarrow SubTreeFileSystem metadata reads,
@@ -97,6 +107,7 @@ def register_filesystem(
     local_root: str | None = None,
     spark_path=None,
     create_exclusive=None,
+    fs_factory=None,
     _from_file: bool = False,
 ) -> None:
     """Register a filesystem for ``scheme://`` URIs. Pass either a
@@ -114,12 +125,19 @@ def register_filesystem(
     a deployment that HAS a conditional-put or lock service (S3
     If-None-Match PUT, a DynamoDB-style LogStore, GCS
     if-generation-match) plugs it in here and
-    ``fsio.create_exclusive`` rides it for that scheme. REACH
-    today: direct ``create_exclusive`` callers only — the built-in
-    write verbs resolve to a POSIX root first
-    (``resolve_write_path``) and refuse schemes without one BEFORE
-    their commit step, so routing the staged verbs through the
-    hook is the documented next step, not a silent half-support."""
+    ``fsio.create_exclusive`` rides it for that scheme — and the
+    write verbs' COMMIT steps all route through it, so a hook plus
+    an ``fs``/``fs_factory`` is a complete write tier with no POSIX
+    root at all (staged data files land via ``write_bytes``/Spark's
+    own connector; only the commit needs atomicity).
+
+    ``fs_factory`` is a PICKLABLE zero-arg callable returning the
+    filesystem — supply it (instead of, or alongside, a live
+    ``fs``) when EXECUTORS must resolve the scheme: a live pyarrow
+    FileSystem does not pickle, so ``registry_snapshot`` can only
+    carry the scheme to task workers through a factory (or a
+    local_root). ``spark_path`` should then also be picklable
+    (e.g. functools.partial over module-level functions)."""
     from pyarrow import fs as pafs
 
     root = None
@@ -129,11 +147,16 @@ def register_filesystem(
         if spark_path is None:
             def spark_path(p, _root=root):  # noqa: E306
                 return os.path.join(_root, p) if p else _root
+    if fs is None and fs_factory is not None:
+        fs = fs_factory()
     if fs is None:
-        raise FsIoError("register_filesystem needs fs or local_root")
+        raise FsIoError(
+            "register_filesystem needs fs, fs_factory, or local_root"
+        )
     _registry()[scheme.lower()] = {
         "fs": fs, "spark_path": spark_path, "local_root": root,
         "create_exclusive": create_exclusive,
+        "fs_factory": fs_factory,
         # provenance governs revalidation: only entries LOADED FROM
         # the shared file are revalidated against it (reused Spark
         # workers holding a stale mapping); an EXPLICIT in-process
@@ -143,6 +166,21 @@ def register_filesystem(
     }
     if root is not None and not _from_file:
         _persist_registration(scheme.lower(), root)
+
+
+def _subtree_fs(root: str):
+    """Module-level picklable fs_factory building block:
+    ``functools.partial(_subtree_fs, root)`` pickles with the plain
+    pickler (tests, and any deployment mapping a scheme onto a
+    mounted directory WITHOUT granting it POSIX-commit status)."""
+    from pyarrow import fs as pafs
+
+    return pafs.SubTreeFileSystem(root, pafs.LocalFileSystem())
+
+
+def _join_under(root: str, p: str) -> str:
+    """Picklable spark_path building block for _subtree_fs schemes."""
+    return os.path.join(root, p) if p else root
 
 
 def _registry_file() -> str:
@@ -279,12 +317,25 @@ def registry_snapshot() -> dict[str, str]:
     the pickle. fs-object registrations are driver-only by nature
     (a live pyarrow FileSystem is not picklable); real schemes
     (s3/gs/abfs) need no snapshot — executors build them lazily
-    from the same environment credentials the driver used."""
-    return {
-        s: e["local_root"]
-        for s, e in _registry().items()
-        if e.get("local_root") is not None
-    }
+    from the same environment credentials the driver used.
+
+    Values are either a local-root string (the common case) or, for
+    ``fs_factory`` registrations, a picklable descriptor dict
+    {"fs_factory": callable, "spark_path": callable|None,
+    "create_exclusive": callable|None} — the only way a
+    root-less scheme can reach task workers (a live pyarrow
+    FileSystem does not pickle)."""
+    snap: dict = {}
+    for s, e in _registry().items():
+        if e.get("local_root") is not None:
+            snap[s] = e["local_root"]
+        elif e.get("fs_factory") is not None:
+            snap[s] = {
+                "fs_factory": e["fs_factory"],
+                "spark_path": e.get("spark_path"),
+                "create_exclusive": e.get("create_exclusive"),
+            }
+    return snap
 
 
 def ensure_registry(snapshot: dict[str, str] | None) -> None:
@@ -298,11 +349,28 @@ def ensure_registry(snapshot: dict[str, str] | None) -> None:
     task's ensure_registry (or an explicit registration) may move
     it. Driver-side calls are no-ops (the snapshot equals the live
     registry there)."""
-    for scheme, root in (snapshot or {}).items():
+    for scheme, spec in (snapshot or {}).items():
         ent = _registry().get(scheme)
         if ent is not None and not ent.get("from_file") \
                 and not ent.get("from_snapshot"):
             continue  # explicit in-process registration wins
+        if isinstance(spec, dict):
+            # fs_factory descriptor (root-less scheme): re-register
+            # when absent or when the factory moved
+            if ent is None or ent.get("fs_factory") is not spec.get(
+                "fs_factory"
+            ):
+                register_filesystem(
+                    scheme,
+                    fs_factory=spec["fs_factory"],
+                    spark_path=spec.get("spark_path"),
+                    create_exclusive=spec.get("create_exclusive"),
+                    _from_file=True,
+                )
+                _registry()[scheme]["from_file"] = False
+                _registry()[scheme]["from_snapshot"] = True
+            continue
+        root = spec
         if ent is None or ent.get("local_root") != os.path.abspath(root):
             register_filesystem(
                 scheme, local_root=root, _from_file=True,
@@ -617,6 +685,97 @@ def delete(uri: str) -> None:
             _fs_for(scheme).delete_file(path)
     except (FileNotFoundError, OSError):
         pass
+
+
+def write_bytes(uri: str, data: bytes) -> None:
+    """Plain (NON-atomic, last-writer-wins) byte write — the DATA
+    plane's PUT: staged parquet uploads, DV sidecars, manifests —
+    everything whose name is a fresh UUID so overwrite races cannot
+    happen by construction. Commits (whose names are CONTENDED)
+    must use ``create_exclusive`` instead."""
+    scheme, path = split(uri)
+    if scheme is None:
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(data)
+        return
+    f = _fs_for(scheme)
+    parent = posixpath.dirname(path)
+    if parent:
+        f.create_dir(parent, recursive=True)
+    with f.open_output_stream(path, compression=None) as out:
+        out.write(data)
+
+
+def move(src_uri: str, dst_uri: str) -> None:
+    """Same-scheme file move/rename (os.replace semantics locally;
+    pyarrow ``fs.move`` — copy+delete on object stores — for
+    schemes). Data-plane only: object-store moves are NOT atomic,
+    so never use this for a contended commit name."""
+    s1, p1 = split(src_uri)
+    s2, p2 = split(dst_uri)
+    if s1 != s2:
+        raise FsIoError(f"move across schemes: {src_uri} -> {dst_uri}")
+    if s1 is None:
+        os.makedirs(os.path.dirname(p2) or ".", exist_ok=True)
+        os.replace(p1, p2)
+        return
+    f = _fs_for(s1)
+    parent = posixpath.dirname(p2)
+    if parent:
+        f.create_dir(parent, recursive=True)
+    f.move(p1, p2)
+
+
+def rmtree(uri: str) -> None:
+    """Missing-ok recursive delete (staging cleanup)."""
+    scheme, path = split(uri)
+    if scheme is None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        return
+    try:
+        _fs_for(scheme).delete_dir(path)
+    except (FileNotFoundError, OSError):
+        pass
+
+
+def commit_hook_for(uri: str):
+    """The registered ``create_exclusive`` hook serving ``uri``'s
+    scheme, or None."""
+    scheme, _ = split(uri)
+    if scheme is None:
+        return None
+    ent = _registry().get(scheme)
+    return ent.get("create_exclusive") if ent else None
+
+
+def supports_commit(uri: str) -> bool:
+    """True when ``uri`` can host an atomic commit: a POSIX backing
+    (O_EXCL) or a registered conditional-put hook."""
+    return _atomic_root(uri) is not None or commit_hook_for(uri) is not None
+
+
+def require_commit(uri: str, op: str) -> None:
+    """The WRITE-verb gate, hook-aware: passes for local paths, for
+    schemes whose registration proves POSIX backing (local_root),
+    AND for schemes carrying a ``create_exclusive`` commit hook
+    (conditional-put class — S3 If-None-Match, GCS
+    if-generation-match, a lock-service LogStore). Refuses
+    everything else with the optimistic-concurrency story."""
+    if not supports_commit(uri):
+        raise FsIoError(
+            f"{op}: {uri!r} is on an object store; this engine's "
+            "writes rely on atomic file create (O_EXCL or a "
+            "registered create_exclusive commit hook) for "
+            "optimistic concurrency, which plain object storage "
+            "cannot honor — reads work; writes need a local/HDFS "
+            "path, a POSIX-backed scheme, or a conditional-put "
+            "hook (register_filesystem(create_exclusive=...))"
+        )
 
 
 def _atomic_root(uri: str) -> str | None:

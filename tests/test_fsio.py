@@ -228,6 +228,124 @@ class TestDeltaOverMock:
             fsio.unregister_filesystem("clonesch")
             fsio.unregister_filesystem("clonesch2")
 
+    def test_concurrent_registrants_share_one_state(self, tmp_path):
+        """Two threads' first-ever fsio calls must land in ONE
+        process-wide state (builtins.setdefault publish-if-absent):
+        neither thread's registrations may vanish — the second half
+        of the round-11 registry-anchor consolidation ask."""
+        import threading
+
+        import builtins
+
+        saved = builtins.__dict__.pop("_lwes_fsio_state", None)
+        try:
+            roots = {}
+            for n in ("thr1", "thr2"):
+                roots[n] = str(tmp_path / n)
+                os.makedirs(roots[n])
+            barrier = threading.Barrier(2)
+            errs = []
+
+            def reg(name):
+                try:
+                    barrier.wait(timeout=5)
+                    fsio.register_filesystem(name, local_root=roots[name])
+                except Exception as e:  # pragma: no cover
+                    errs.append(e)
+
+            ts = [
+                threading.Thread(target=reg, args=(n,))
+                for n in ("thr1", "thr2")
+            ]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+            assert not errs
+            snap = fsio.registry_snapshot()
+            assert snap.get("thr1") == roots["thr1"]
+            assert snap.get("thr2") == roots["thr2"]
+        finally:
+            fsio.unregister_filesystem("thr1")
+            fsio.unregister_filesystem("thr2")
+            if saved is not None:
+                # merge what the test created back into the saved
+                # anchor so prior registrations (spark fixtures)
+                # are not lost
+                st = builtins.__dict__.pop("_lwes_fsio_state", None)
+                if st:
+                    for k in ("registry", "lazy"):
+                        merged = dict(st[k])
+                        merged.update(saved[k])
+                        saved[k] = merged
+                builtins.__dict__["_lwes_fsio_state"] = saved
+
+    def test_fs_factory_snapshot_roundtrip(self, tmp_path):
+        """A root-less fs_factory registration rides
+        registry_snapshot through a pickle to a fresh 'worker'
+        registry — the only channel a hook-only object-store scheme
+        has to executors (live FileSystems do not pickle)."""
+        import functools
+        import pickle
+
+        root = str(tmp_path / "fac")
+        os.makedirs(root)
+        fsio.register_filesystem(
+            "facsch",
+            fs_factory=functools.partial(fsio._subtree_fs, root),
+            spark_path=functools.partial(fsio._join_under, root),
+        )
+        try:
+            with open(os.path.join(root, "x.bin"), "wb") as f:
+                f.write(b"\x01")
+            snap = pickle.loads(pickle.dumps(fsio.registry_snapshot()))
+            fsio.unregister_filesystem("facsch")
+            with pytest.raises(fsio.FsIoError):
+                fsio._fs_for("facsch")
+            fsio.ensure_registry(snap)
+            assert fsio.read_bytes("facsch://x.bin") == b"\x01"
+            assert fsio.spark_path("facsch://x.bin") == os.path.join(
+                root, "x.bin"
+            )
+            assert fsio.posix_root("facsch://t") is None  # root-less
+        finally:
+            fsio.unregister_filesystem("facsch")
+
+    def test_write_primitives_over_scheme(self, mock_fs):
+        fsio.write_bytes("mock://d/a.bin", b"abc")
+        assert fsio.read_bytes("mock://d/a.bin") == b"abc"
+        fsio.write_bytes("mock://d/a.bin", b"xyz")  # overwrite ok
+        fsio.move("mock://d/a.bin", "mock://d2/b.bin")
+        assert fsio.read_bytes("mock://d2/b.bin") == b"xyz"
+        assert not fsio.exists("mock://d/a.bin")
+        fsio.rmtree("mock://d2")
+        assert not fsio.exists("mock://d2/b.bin")
+        fsio.rmtree("mock://d2")  # missing-ok
+
+    def test_require_commit_hook_aware(self, tmp_path):
+        store: dict[str, bytes] = {}
+
+        def hook(path, data):
+            if path in store:
+                raise FileExistsError(path)
+            store[path] = data
+
+        from pyarrow import fs as pafs
+
+        fsio.register_filesystem(
+            "hooked",
+            fs=pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem()),
+            create_exclusive=hook,
+        )
+        try:
+            fsio.require_commit("hooked://t", "write_delta")  # passes
+            assert fsio.supports_commit("hooked://t")
+            assert not fsio.supports_commit("gs://b/t")
+            with pytest.raises(fsio.FsIoError, match="conditional-put"):
+                fsio.require_commit("gs://b/t", "write_delta")
+        finally:
+            fsio.unregister_filesystem("hooked")
+
     def test_commit_hook_extension_point(self, tmp_path):
         """A scheme registered with create_exclusive= (the
         conditional-put / lock-service hook, e.g. S3 If-None-Match
