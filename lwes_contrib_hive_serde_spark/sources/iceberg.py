@@ -1538,12 +1538,39 @@ def write_iceberg_table(
     if existing is not None and existing.get("refs"):
         # appends must not drop snapshot references (tags/branches)
         meta["refs"] = existing["refs"]
-    with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
-        json.dump(meta, f)
-    tmp = os.path.join(mdir, f".version-hint.tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, os.path.join(mdir, "version-hint.text"))
+    if existing is not None and existing.get("schemas"):
+        # appends must not drop schema HISTORY either: committed
+        # snapshots reference their schema by id. Reuse the current
+        # entry when this write's schema matches it field-for-field;
+        # otherwise append a new entry under a fresh id (ids are
+        # never reused, entries never mutate).
+        def _sig(sch):
+            return [
+                (f["id"], f["name"], f["type"], bool(f.get("required")))
+                for f in sch.get("fields") or []
+            ]
+
+        cur_id = existing.get("current-schema-id", 0)
+        cur = next(
+            (s for s in existing["schemas"]
+             if s.get("schema-id") == cur_id),
+            None,
+        )
+        if cur is not None and _sig(cur) == _sig(meta["schema"]):
+            meta["schemas"] = existing["schemas"]
+            meta["current-schema-id"] = cur_id
+        else:
+            new_id = max(
+                int(s.get("schema-id") or 0) for s in existing["schemas"]
+            ) + 1
+            meta["schemas"] = existing["schemas"] + [
+                dict(meta["schema"], **{"schema-id": new_id})
+            ]
+            meta["current-schema-id"] = new_id
+        meta["last-column-id"] = max(
+            int(existing.get("last-column-id") or 0), len(fields)
+        )
+    _publish_or_conflict(path, meta, version, "iceberg snapshot commit")
     return snapshot_id
 
 
@@ -1842,12 +1869,7 @@ def _commit_position_delete_file(
     meta["snapshot-log"] = (meta.get("snapshot-log") or []) + [
         {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
     ]
-    with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
-        json.dump(meta, f)
-    tmp = os.path.join(mdir, f".version-hint.tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, os.path.join(mdir, "version-hint.text"))
+    _publish_or_conflict(path, meta, version, "iceberg snapshot commit")
     return snapshot_id
 
 
@@ -2007,12 +2029,7 @@ def _commit_dv_entries(
     meta["snapshot-log"] = (meta.get("snapshot-log") or []) + [
         {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
     ]
-    with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
-        json.dump(meta, f)
-    tmp = os.path.join(mdir, f".version-hint.tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, os.path.join(mdir, "version-hint.text"))
+    _publish_or_conflict(path, meta, version, "iceberg snapshot commit")
     return snapshot_id
 
 
@@ -2246,12 +2263,7 @@ def add_iceberg_equality_deletes(
     meta["snapshot-log"] = (meta.get("snapshot-log") or []) + [
         {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
     ]
-    with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
-        json.dump(meta, f)
-    tmp = os.path.join(mdir, f".version-hint.tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, os.path.join(mdir, "version-hint.text"))
+    _publish_or_conflict(path, meta, version, "iceberg snapshot commit")
     return snapshot_id
 
 
@@ -2259,17 +2271,14 @@ def iceberg_rename_column(path: str, old: str, new: str) -> None:
     """Metadata-only column RENAME — field ids make it free (spec
     "Schema Evolution"): the schema's field keeps its id, only the
     name changes, and readers that resolve parquet columns by field
-    id (this one, round 9) keep reading every existing file. Writes
-    a new metadata.json version; top-level columns only."""
+    id (this one, round 9) keep reading every existing file.
+    Appends a NEW schema under a fresh schema-id (prior entries
+    stay untouched for snapshot-by-schema-id readers) and commits
+    O_EXCL with re-derive-and-retry on a lost race; top-level
+    columns only."""
     path = fsio.resolve_write_path(path, "iceberg_rename_column")
     if old == new:
         raise IcebergError("rename: old and new names are identical")
-    meta = load_table_metadata(path)
-    mdir = os.path.join(path, "metadata")
-    version = int(
-        open(os.path.join(mdir, "version-hint.text")).read().strip()
-    ) + 1
-    meta = dict(meta)
 
     def rename_in(sch):
         names = [f["name"] for f in sch.get("fields") or []]
@@ -2285,51 +2294,149 @@ def iceberg_rename_column(path: str, old: str, new: str) -> None:
             ],
         )
 
-    if "schemas" in meta:
-        sid = meta.get("current-schema-id", 0)
-        meta["schemas"] = [
-            rename_in(s_) if s_.get("schema-id") == sid else s_
-            for s_ in meta["schemas"]
-        ]
-    if "schema" in meta:
-        meta["schema"] = rename_in(meta["schema"])
-    # identity partition fields are named after the source column
-    for key in ("partition-spec",):
-        if meta.get(key):
-            meta[key] = [
+    def transform(meta):
+        meta = _evolve_current_schema(meta, rename_in)
+        # identity partition fields are named after the source column
+        if meta.get("partition-spec"):
+            meta["partition-spec"] = [
                 dict(f, name=new) if f.get("name") == old else f
-                for f in meta[key]
+                for f in meta["partition-spec"]
             ]
-    for sp in meta.get("partition-specs") or []:
-        sp["fields"] = [
-            dict(f, name=new) if f.get("name") == old else f
-            for f in sp.get("fields") or []
-        ]
-    meta["last-updated-ms"] = int(time.time() * 1000)
-    with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
-        json.dump(meta, f)
-    tmp = os.path.join(mdir, f".version-hint.tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, os.path.join(mdir, "version-hint.text"))
+        if meta.get("partition-specs"):
+            meta["partition-specs"] = [
+                dict(
+                    sp,
+                    fields=[
+                        dict(f, name=new) if f.get("name") == old else f
+                        for f in sp.get("fields") or []
+                    ],
+                )
+                for sp in meta["partition-specs"]
+            ]
+        return meta
+
+    _commit_metadata(path, transform, "iceberg_rename_column")
 
 
-def _commit_metadata(path: str, meta: dict) -> None:
-    """Write the next v<N>.metadata.json and repoint
-    version-hint.text (the iceberg_rename_column commit shape,
-    shared by every metadata-only evolution verb)."""
-    mdir = os.path.join(path, "metadata")
-    version = int(
-        open(os.path.join(mdir, "version-hint.text")).read().strip()
-    ) + 1
+def _hint_version(path: str) -> int:
+    """Current committed metadata version per version-hint.text."""
+    with fsio.open_read(
+        fsio.join(path, "metadata", "version-hint.text")
+    ) as f:
+        return int(f.read().decode().strip())
+
+
+def _write_version_hint(mdir: str, version: int) -> None:
+    hint = fsio.join(mdir, "version-hint.text")
+    if fsio.is_local(hint):
+        tmp = os.path.join(mdir, f".version-hint.tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, hint)
+    else:
+        # whole-object PUT is an atomic replace on object stores,
+        # and the hint is advisory anyway (readers fall back to
+        # scanning v*.metadata.json when it lags)
+        fsio.write_bytes(hint, str(version).encode())
+
+
+def _publish_metadata(path: str, meta: dict, version: int) -> None:
+    """Create v<version>.metadata.json ATOMICALLY — O_EXCL /
+    commit-hook via fsio.create_exclusive, so a racing writer that
+    computed the same next version gets FileExistsError instead of
+    silently overwriting the winner (HadoopTableOperations' commit
+    contract; previously this was a plain truncating open(), the
+    last-writer-wins bug from the round-11 advice) — then repoint
+    version-hint.text."""
+    mdir = fsio.join(path, "metadata")
+    fsio.create_exclusive(
+        fsio.join(mdir, f"v{version}.metadata.json"),
+        json.dumps(meta).encode(),
+    )
+    _write_version_hint(mdir, version)
+
+
+def _publish_or_conflict(
+    path: str, meta: dict, version: int, op: str
+) -> None:
+    """Snapshot-producing verbs' commit: their manifests were built
+    against a specific parent state, so a lost race cannot be
+    replayed blindly — abort with a typed conflict (staged files
+    are unreferenced; remove_orphan_files sweeps them) and let the
+    caller re-run against the winner's state."""
+    try:
+        _publish_metadata(path, meta, version)
+    except FileExistsError:
+        raise IcebergError(
+            f"{op}: commit conflict — metadata version v{version} "
+            "was created concurrently; aborted cleanly (staged files "
+            "are unreferenced and subject to remove_orphan_files), "
+            "re-run"
+        ) from None
+
+
+def _commit_metadata(
+    path: str, transform, op: str = "iceberg_commit",
+    attempts: int = 10,
+) -> int:
+    """Optimistic METADATA-ONLY commit (schema evolution, refs,
+    rollback): per attempt, re-derive the new metadata from the
+    then-current table state via ``transform(meta) -> meta`` and
+    try to publish at hint+1; a loser re-reads and re-applies, so
+    concurrent evolutions SERIALIZE instead of last-writer-winning
+    — the same O_EXCL + retry contract delta_add_columns keeps.
+    Returns the committed version."""
+    for _ in range(attempts):
+        meta = dict(transform(dict(load_table_metadata(path))))
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        version = _hint_version(path) + 1
+        try:
+            _publish_metadata(path, meta, version)
+        except FileExistsError:
+            # the winner may not have repointed the hint yet; a
+            # short pause lets it, keeping the retry productive
+            time.sleep(0.01)
+            continue
+        return version
+    raise IcebergError(
+        f"{op}: could not commit after {attempts} attempts "
+        "(sustained writer contention)"
+    )
+
+
+def _evolve_current_schema(meta: dict, evolve) -> dict:
+    """Apply ``evolve(schema_dict) -> schema_dict`` the way the
+    spec's "Schema Evolution" demands: the result is APPENDED to
+    ``schemas`` under a FRESH schema-id and ``current-schema-id``
+    moves to it — prior schema entries are NEVER mutated, because
+    committed snapshots reference their schema by id and a foreign
+    reader resolving a snapshot's schema must see the definition
+    that existed when it committed (the in-place mutation bug from
+    the round-11 advice). The legacy top-level ``schema`` field,
+    when present, is refreshed to mirror the new current schema
+    (v1-reader compatibility, per the spec's v1-writing table)."""
     meta = dict(meta)
-    meta["last-updated-ms"] = int(time.time() * 1000)
-    with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
-        json.dump(meta, f)
-    tmp = os.path.join(mdir, f".version-hint.tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, os.path.join(mdir, "version-hint.text"))
+    sid = meta.get("current-schema-id", 0)
+    schemas = list(meta.get("schemas") or [])
+    cur = next(
+        (s for s in schemas if s.get("schema-id") == sid), None
+    )
+    if cur is None:
+        cur = meta.get("schema")
+        if cur is None:
+            raise IcebergError("no current schema")
+        cur = dict(cur)
+        cur.setdefault("schema-id", sid)
+        if not schemas:
+            schemas = [cur]
+    new_schema = dict(evolve(cur))
+    new_id = max(int(s.get("schema-id") or 0) for s in schemas) + 1
+    new_schema["schema-id"] = new_id
+    meta["schemas"] = schemas + [new_schema]
+    meta["current-schema-id"] = new_id
+    if "schema" in meta:
+        meta["schema"] = dict(new_schema)
+    return meta
 
 
 _DDL_TO_ICEBERG = {
@@ -2370,35 +2477,34 @@ def iceberg_add_columns(path: str, columns: list[tuple]) -> None:
                 f"(have {sorted(set(_DDL_TO_ICEBERG))})"
             )
         typed.append((name, itype))
-    meta = dict(load_table_metadata(path))
-    next_id = int(meta.get("last-column-id") or 0)
-    fields = []
-    for name, itype in typed:
-        next_id += 1
-        fields.append(
-            {"id": next_id, "name": name, "required": False,
-             "type": itype}
-        )
 
-    def add_in(sch):
-        names = [f["name"] for f in sch.get("fields") or []]
-        for name, _t in typed:
-            if name in names:
-                raise IcebergError(
-                    f"add column: {name!r} already exists"
-                )
-        return dict(sch, fields=list(sch["fields"]) + fields)
+    def transform(meta):
+        # field ids assigned INSIDE the transform so a retry after
+        # a concurrent add re-derives them from the winner's
+        # last-column-id (ids are never reused)
+        next_id = int(meta.get("last-column-id") or 0)
+        fields = []
+        for name, itype in typed:
+            next_id += 1
+            fields.append(
+                {"id": next_id, "name": name, "required": False,
+                 "type": itype}
+            )
 
-    if "schemas" in meta:
-        sid = meta.get("current-schema-id", 0)
-        meta["schemas"] = [
-            add_in(s_) if s_.get("schema-id") == sid else s_
-            for s_ in meta["schemas"]
-        ]
-    if "schema" in meta:
-        meta["schema"] = add_in(meta["schema"])
-    meta["last-column-id"] = next_id
-    _commit_metadata(path, meta)
+        def add_in(sch):
+            names = [f["name"] for f in sch.get("fields") or []]
+            for name, _t in typed:
+                if name in names:
+                    raise IcebergError(
+                        f"add column: {name!r} already exists"
+                    )
+            return dict(sch, fields=list(sch["fields"]) + fields)
+
+        meta = _evolve_current_schema(meta, add_in)
+        meta["last-column-id"] = next_id
+        return meta
+
+    _commit_metadata(path, transform, "iceberg_add_columns")
 
 
 def iceberg_drop_column(path: str, name: str) -> None:
@@ -2408,54 +2514,49 @@ def iceberg_drop_column(path: str, name: str) -> None:
     the spec keeps their field alive while referenced by any
     partition spec."""
     path = fsio.resolve_write_path(path, "iceberg_drop_column")
-    meta = dict(load_table_metadata(path))
 
-    def field_id_of(sch):
-        for f in sch.get("fields") or []:
-            if f["name"] == name:
-                return f["id"]
-        raise IcebergError(
-            f"drop: no column {name!r} "
-            f"(have {[f['name'] for f in sch.get('fields') or []]})"
+    def transform(meta):
+        def field_id_of(sch):
+            for f in sch.get("fields") or []:
+                if f["name"] == name:
+                    return f["id"]
+            raise IcebergError(
+                f"drop: no column {name!r} "
+                f"(have {[f['name'] for f in sch.get('fields') or []]})"
+            )
+
+        sid = meta.get("current-schema-id", 0)
+        cur = next(
+            (s_ for s_ in meta.get("schemas") or []
+             if s_.get("schema-id") == sid),
+            meta.get("schema"),
         )
+        if cur is None:
+            raise IcebergError("no current schema")
+        fid = field_id_of(cur)
+        if len(cur.get("fields") or []) == 1:
+            raise IcebergError("drop: cannot drop the only column")
+        for sp in (meta.get("partition-specs") or []) + (
+            [{"fields": meta["partition-spec"]}]
+            if meta.get("partition-spec") else []
+        ):
+            for pf in sp.get("fields") or []:
+                if pf.get("source-id") == fid:
+                    raise IcebergError(
+                        f"drop: {name!r} is a partition source column "
+                        f"(field {pf.get('name')!r}) — fields stay "
+                        "alive while a partition spec references them"
+                    )
 
-    sid = meta.get("current-schema-id", 0)
-    cur = next(
-        (s_ for s_ in meta.get("schemas") or []
-         if s_.get("schema-id") == sid),
-        meta.get("schema"),
-    )
-    if cur is None:
-        raise IcebergError("no current schema")
-    fid = field_id_of(cur)
-    if len(cur.get("fields") or []) == 1:
-        raise IcebergError("drop: cannot drop the only column")
-    for sp in (meta.get("partition-specs") or []) + (
-        [{"fields": meta["partition-spec"]}]
-        if meta.get("partition-spec") else []
-    ):
-        for pf in sp.get("fields") or []:
-            if pf.get("source-id") == fid:
-                raise IcebergError(
-                    f"drop: {name!r} is a partition source column "
-                    f"(field {pf.get('name')!r}) — fields stay "
-                    "alive while a partition spec references them"
-                )
+        def drop_in(sch):
+            return dict(
+                sch,
+                fields=[f for f in sch["fields"] if f["name"] != name],
+            )
 
-    def drop_in(sch):
-        return dict(
-            sch,
-            fields=[f for f in sch["fields"] if f["name"] != name],
-        )
+        return _evolve_current_schema(meta, drop_in)
 
-    if "schemas" in meta:
-        meta["schemas"] = [
-            drop_in(s_) if s_.get("schema-id") == sid else s_
-            for s_ in meta["schemas"]
-        ]
-    if "schema" in meta:
-        meta["schema"] = drop_in(meta["schema"])
-    _commit_metadata(path, meta)
+    _commit_metadata(path, transform, "iceberg_drop_column")
 
 
 def _prior_dvs_by_ref(path: str, snap: dict) -> dict:
@@ -2868,17 +2969,12 @@ def iceberg_merge(
 
 
 def _bump_metadata(path: str, meta: dict) -> None:
-    """Write the next vN.metadata.json + version hint."""
-    mdir = os.path.join(path, "metadata")
-    version = int(
-        open(os.path.join(mdir, "version-hint.text")).read().strip()
-    ) + 1
-    with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
-        json.dump(meta, f)
-    tmp = os.path.join(mdir, f".version-hint.tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, os.path.join(mdir, "version-hint.text"))
+    """Write the next vN.metadata.json + version hint — O_EXCL, so
+    a racing writer gets a typed conflict, never a silent
+    overwrite."""
+    _publish_or_conflict(
+        path, meta, _hint_version(path) + 1, "iceberg metadata commit"
+    )
 
 
 def iceberg_compact(spark: SparkSession, path: str) -> dict:
@@ -3216,10 +3312,7 @@ def write_iceberg_table_transformed(
             {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
         ],
     }
-    with open(os.path.join(mdir, "v1.metadata.json"), "w") as f:
-        json.dump(meta, f)
-    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
-        f.write("1")
+    _publish_or_conflict(path, meta, 1, "iceberg table create")
     return snapshot_id
 
 

@@ -654,16 +654,28 @@ def _run_merge(spark, s, strategy, tables) -> dict:
             existing = H.read_hudi(spark, path).select(key).distinct()
             matched = source.join(existing, [key], "left_semi")
             fresh = source.join(existing, [key], "left_anti")
+            # a MERGE that both updates and inserts produces TWO
+            # commits; report each under its own key (and all of
+            # them in order under "instants") — overwriting one
+            # "instant" key would silently drop the log-update
+            # commit from the statement's result
             res = {}
             if not matched.isEmpty():
-                res["instant"] = H.hudi_log_update(
+                res["log_instant"] = H.hudi_log_update(
                     spark, path, updates=matched, record_key=key
                 )
             if not fresh.isEmpty():
-                res["instant"] = H.write_hudi_table(
+                res["append_instant"] = H.write_hudi_table(
                     fresh, path, record_key=key, mode="append",
                     partition_by=_hudi_partition_by(path),
                 )
+            res["instants"] = [
+                res[k]
+                for k in ("log_instant", "append_instant")
+                if k in res
+            ]
+            if res["instants"]:
+                res["instant"] = res["instants"][-1]
         else:
             res = {"instant": H.write_hudi_table(
                 source, path, record_key=on_cols[0], mode="upsert",
@@ -736,6 +748,19 @@ def _run_insert(spark, s, tables) -> dict:
                     f"arity {len(insert_cols)}"
                 )
             df = df.toDF(*insert_cols)
+        else:
+            # no column list: SQL positional semantics — the SELECT's
+            # output maps onto the target's columns IN ORDER, so its
+            # arity must match exactly (previously this fell through
+            # to a writer-layer schema error instead of the router's
+            # typed refusal) and its names are the target's
+            if len(df.columns) != len(target.columns):
+                raise SqlDmlError(
+                    f"INSERT INTO {view} SELECT arity "
+                    f"{len(df.columns)} != target arity "
+                    f"{len(target.columns)} ({target.columns})"
+                )
+            df = df.toDF(*target.columns)
     if col_list:
         # unlisted target columns fill with NULL (SQL semantics)
         tgt_types_all = {

@@ -1380,6 +1380,123 @@ class TestMixedDataFileFormats:
             I.read_iceberg(spark, p)
 
 
+class TestCommitSemantics:
+    """Round-12 advice closures: metadata commits are O_EXCL with
+    re-derive-and-retry (never silent last-writer-wins), and schema
+    evolution APPENDS a fresh schema-id instead of mutating the
+    current entry in place (committed snapshots resolve their
+    schema by id; the definition behind an id must never change)."""
+
+    def test_evolution_appends_new_schema_id(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 6).coalesce(1), p)
+        meta0 = I.load_table_metadata(p)
+        sid0 = meta0.get("current-schema-id", 0)
+        fields0 = [
+            f["name"]
+            for s in meta0.get("schemas") or [meta0["schema"]]
+            if s.get("schema-id", 0) == sid0
+            for f in s["fields"]
+        ]
+        I.iceberg_add_column(p, "score", "double")
+        meta1 = I.load_table_metadata(p)
+        sid1 = meta1["current-schema-id"]
+        assert sid1 != sid0
+        by_id = {s["schema-id"]: s for s in meta1["schemas"]}
+        # the PRIOR entry still exists, under its old id, unchanged
+        assert [f["name"] for f in by_id[sid0]["fields"]] == fields0
+        assert [f["name"] for f in by_id[sid1]["fields"]] == (
+            fields0 + ["score"]
+        )
+        # drop evolves again — another fresh id, prior ids intact
+        I.iceberg_drop_column(p, "score")
+        meta2 = I.load_table_metadata(p)
+        sid2 = meta2["current-schema-id"]
+        assert sid2 not in (sid0, sid1)
+        by_id2 = {s["schema-id"]: s for s in meta2["schemas"]}
+        assert [f["name"] for f in by_id2[sid1]["fields"]] == (
+            fields0 + ["score"]
+        )
+        assert [f["name"] for f in by_id2[sid2]["fields"]] == fields0
+        # rename too
+        I.iceberg_rename_column(p, "text", "body")
+        meta3 = I.load_table_metadata(p)
+        assert meta3["current-schema-id"] not in (sid0, sid1, sid2)
+        assert len(meta3["schemas"]) == 4
+        # the table still reads
+        got = I.read_iceberg(spark, p)
+        assert got.columns == ["doc_id", "body", "lang"]
+        assert got.count() == 6
+
+    def test_append_preserves_schema_history(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 4).coalesce(1), p)
+        I.iceberg_rename_column(p, "text", "body")
+        meta1 = I.load_table_metadata(p)
+        n_schemas = len(meta1["schemas"])
+        renamed = _docs(spark, 4).withColumnRenamed("text", "body")
+        I.write_iceberg_table(renamed.coalesce(1), p)
+        meta2 = I.load_table_metadata(p)
+        # append neither dropped nor mutated the history
+        assert len(meta2.get("schemas") or []) >= n_schemas
+        assert I.read_iceberg(spark, p).count() == 8
+
+    def test_snapshot_commit_conflict_is_typed(self, spark, tmp_path):
+        """A concurrent writer that grabbed the next metadata
+        version makes the loser abort with a typed conflict — the
+        old truncating open() silently overwrote the winner."""
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 4).coalesce(1), p)
+        v = I._hint_version(p)
+        # simulate a winner that created v+1 but has not (yet)
+        # repointed the hint — the exact mid-commit race window
+        with open(
+            os.path.join(p, "metadata", f"v{v + 1}.metadata.json"), "w"
+        ) as f:
+            json.dump(I.load_table_metadata(p), f)
+        with pytest.raises(I.IcebergError, match="commit conflict"):
+            I.write_iceberg_table(_docs(spark, 2).coalesce(1), p)
+
+    def test_concurrent_evolutions_serialize(self, tmp_path, spark):
+        """Two add-column writers racing: both must land (the loser
+        re-derives from the winner's state and retries), assigning
+        DISTINCT field ids — the optimistic-concurrency contract the
+        delta counterparts already keep."""
+        import threading
+
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 4).coalesce(1), p)
+        v0 = I._hint_version(p)
+        barrier = threading.Barrier(2)
+        errs = []
+
+        def add(col):
+            try:
+                barrier.wait(timeout=10)
+                I.iceberg_add_column(p, col, "long")
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        ts = [
+            threading.Thread(target=add, args=(c,))
+            for c in ("extra_a", "extra_b")
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs
+        meta = I.load_table_metadata(p)
+        assert I._hint_version(p) == v0 + 2  # two commits, serialized
+        cur = {
+            s["schema-id"]: s for s in meta["schemas"]
+        }[meta["current-schema-id"]]
+        names = [f["name"] for f in cur["fields"]]
+        assert "extra_a" in names and "extra_b" in names
+        ids = [f["id"] for f in cur["fields"]]
+        assert len(ids) == len(set(ids))  # no field-id reuse
+
+
 class TestSnapshotRefs:
     """Tags + branches (spec v2 Snapshot References): named
     pointers that travel, protect snapshots from expiry, and

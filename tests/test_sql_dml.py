@@ -224,6 +224,29 @@ class TestDeltaDml:
                 "INSERT INTO sqldocs (doc_id, DOC_ID) VALUES (1, 2)",
             )
 
+    def test_insert_select_without_list_is_positional(
+        self, spark, view
+    ):
+        """INSERT INTO t SELECT ... with no column list: SQL
+        positional semantics — arity must equal the target's (a
+        typed router error, not a writer-layer schema failure) and
+        output columns map onto the target's IN ORDER regardless of
+        their SELECT-side names."""
+        with pytest.raises(S.SqlDmlError, match="arity"):
+            S.lakehouse_sql(
+                spark, "INSERT INTO sqldocs SELECT 600, 'two-cols'"
+            )
+        # names that do NOT match the target still insert by position
+        S.lakehouse_sql(
+            spark,
+            "INSERT INTO sqldocs "
+            "SELECT 601 AS a, 'pos' AS b, 7 AS c",
+        )
+        row = spark.sql(
+            "SELECT text, bucket FROM sqldocs WHERE doc_id = 601"
+        ).first()
+        assert row.text == "pos" and row.bucket == 7
+
     def test_hudi_insert_list_must_include_record_key(
         self, spark, tmp_path
     ):
@@ -553,11 +576,18 @@ class TestHudiDml:
             "doc_id long, text string, bucket long",
         )
         src.createOrReplaceTempView("mm_src")
-        S.lakehouse_sql(spark, """
+        res = S.lakehouse_sql(spark, """
             MERGE INTO mm USING mm_src ON mm.doc_id = mm_src.doc_id
             WHEN MATCHED THEN UPDATE SET *
             WHEN NOT MATCHED THEN INSERT *
         """)
+        # BOTH commits are reported — the log-update instant must
+        # not be overwritten by the append's (round-12 advice)
+        assert "log_instant" in res and "append_instant" in res
+        assert res["instants"] == [
+            res["log_instant"], res["append_instant"]
+        ]
+        assert res["log_instant"] != res["append_instant"]
         got = {
             (r.doc_id, r.text)
             for r in spark.sql("SELECT doc_id, text FROM mm").collect()
