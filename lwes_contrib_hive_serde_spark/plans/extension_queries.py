@@ -11148,3 +11148,108 @@ def q_delta_vacuum(spark, sf_dir):
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+def _documents_rest_table(spark, sf_dir: str) -> str:
+    """documents split in two: the EVEN half creates a path-based
+    iceberg table; the ODD half appends THROUGH the mock REST
+    catalog's updateTable commit (requirements + updates — the
+    public OpenAPI shape, sources/rest_mock.py applying them under
+    its server-side lock). Returns the table path; cached per
+    sf_dir so the lifecycle runs once."""
+    import os
+
+    from lwes_contrib_hive_serde_spark.sources import (
+        iceberg as I,
+        rest_mock as RM,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        tag = f"{tag}-{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        pass
+    out = f"/tmp/rest_commit_table_cache/v1/{tag}"
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    if not os.path.exists(os.path.join(out, "metadata")):
+        I.write_iceberg_table(
+            docs.filter(F.col("doc_id") % 2 == 0).coalesce(2), out
+        )
+    meta = I.load_table_metadata(out)
+    if len(meta.get("snapshots") or []) < 2:
+        with RM.MockRestCatalog() as cat:
+            mdir = os.path.join(out, "metadata")
+            vs = [
+                int(n[1:].split(".")[0])
+                for n in os.listdir(mdir)
+                if n.startswith("v") and n.endswith(".metadata.json")
+            ]
+            cat.register(
+                ("db",), "docs",
+                os.path.join(mdir, f"v{max(vs)}.metadata.json"),
+            )
+            I.write_iceberg_table(
+                docs.filter(F.col("doc_id") % 2 == 1).coalesce(2),
+                cat.spec("db.docs"),
+            )
+    return out
+
+
+@register(
+    "q_rest_commit",
+    shadow=True,
+    oracle="""
+    SELECT lang, COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rest_committed,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents GROUP BY lang
+    """,
+    doc="Iceberg REST catalog COMMIT tier (rest_catalog.commit_table "
+    "+ write_iceberg_table over a rest+iceberg:// spec, round 12): "
+    "half the documents land path-based, half commit THROUGH the "
+    "catalog's updateTable POST — add-snapshot/set-snapshot-ref "
+    "updates gated by assert-table-uuid + assert-ref-snapshot-id "
+    "requirements, the server-side CAS real catalogs provide. The "
+    "read resolves metadata-location back through the same catalog "
+    "protocol (loadTable). The DuckDB oracle recomputes the union "
+    "from the raw parquet: a dropped/duplicated REST-committed "
+    "snapshot hash-mismatches on n_rest_committed.",
+)
+def q_rest_commit(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.sources import (
+        iceberg as I,
+        rest_mock as RM,
+    )
+
+    out = _documents_rest_table(spark, sf_dir)
+    with RM.MockRestCatalog() as cat:
+        import os
+
+        mdir = os.path.join(out, "metadata")
+        vs = [
+            int(n[1:].split(".")[0])
+            for n in os.listdir(mdir)
+            if n.startswith("v") and n.endswith(".metadata.json")
+        ]
+        cat.register(
+            ("db",), "docs",
+            os.path.join(mdir, f"v{max(vs)}.metadata.json"),
+        )
+        # resolution happens eagerly inside read_iceberg; the scan
+        # itself is path-based parquet, so closing the catalog after
+        # plan construction is safe (and proves it adds only the hop)
+        df = I.read_iceberg(spark, cat.spec("db.docs"))
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(
+            (F.col("doc_id") % 2 == 1).cast("long")
+        ).alias("n_rest_committed"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

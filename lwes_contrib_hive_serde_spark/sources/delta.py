@@ -571,6 +571,29 @@ def _file_abspath(table_path: str, add_path: str) -> str:
     return os.path.abspath(os.path.join(table_path, rel))
 
 
+_SCHEME_STRIP_RE = None
+
+
+def _scan_key(table_path: str, add_path: str) -> str:
+    """The ``__dv_file`` join key for an add.path: the SPARK-side
+    spelling (what ``input_file_name()`` will yield for this file —
+    a registered scheme's translated local path, s3 → s3a), scheme-
+    stripped exactly like the Column-side ``_strip_scheme``. For
+    local tables this equals ``_file_abspath`` (the historical key);
+    for scheme tables keying on the raw URI would never match the
+    scan and DV-DML would silently touch zero rows."""
+    import re as _re
+
+    global _SCHEME_STRIP_RE
+    if _SCHEME_STRIP_RE is None:
+        _SCHEME_STRIP_RE = _re.compile(
+            r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/{0,2}(/.*)$"
+        )
+    p = fsio.spark_path(_file_abspath(table_path, add_path))
+    m = _SCHEME_STRIP_RE.match(p)
+    return m.group(1) if m else p
+
+
 def _cast_partition_value(raw: str | None, dtype: DataType):
     """Delta serializes partition values as strings (PROTOCOL.md
     'Partition Value Serialization'); null is JSON null."""
@@ -845,7 +868,7 @@ def _mask_existing_dv_rows(
     list: a multi-million-row DV must not be inlined into the
     Catalyst plan). Keeps the key columns for downstream DV build."""
     dv_adds = [
-        (a, _file_abspath(path, a["path"]))
+        (a, fsio.spark_path(_file_abspath(path, a["path"])))
         for a in candidates
         if a.get("deletionVector")
     ]
@@ -885,7 +908,7 @@ def _build_dvs_distributed(
     """
     import pandas as pd
 
-    root = os.path.abspath(path)
+    root = path if not fsio.is_local(path) else os.path.abspath(path)
     info: dict[str, dict] = {}
     for a in candidates:
         st = a.get("stats")
@@ -893,17 +916,24 @@ def _build_dvs_distributed(
             n_phys = json.loads(st).get("numRecords") if st else None
         except (TypeError, ValueError):
             n_phys = None
-        info[_file_abspath(path, a["path"])] = {
+        info[_scan_key(path, a["path"])] = {
             "descriptor": a.get("deletionVector"),
             "n_phys": n_phys,
         }
     bc = spark.sparkContext.broadcast(info)
+    # scheme tables: task workers never saw the driver's
+    # register_filesystem calls — the snapshot rides the broadcast
+    fs_snapshot = fsio.registry_snapshot() if not fsio.is_local(path) \
+        else None
 
     def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
 
         from lwes_contrib_hive_serde_spark.sources import delta_dv
+        from lwes_contrib_hive_serde_spark.sources import fsio as _fsio
 
+        if fs_snapshot:
+            _fsio.ensure_registry(fs_snapshot)
         f = pdf["__dv_file"].iloc[0]
         meta = bc.value.get(f) or {}
         new = np.unique(pdf["__dv_pos"].to_numpy(np.int64))
@@ -959,14 +989,12 @@ def _remove_written_dvs(path: str, dv_results: list[dict]) -> None:
     but a clean abort should not leave litter)."""
     from . import delta_dv
 
+    root = path if not fsio.is_local(path) else os.path.abspath(path)
     for r in dv_results:
         d = r.get("descriptor")
         if not d or d.get("storageType") not in ("u", "p"):
             continue
-        try:
-            os.remove(delta_dv.dv_absolute_path(os.path.abspath(path), d))
-        except OSError:
-            pass
+        fsio.delete(delta_dv.dv_absolute_path(root, d))
 
 
 def _dv_dml_classify(
@@ -1372,7 +1400,7 @@ def delta_history(path: str) -> list[dict]:
     return out
 
 
-def _footer_stats(parquet_path: str) -> str:
+def _footer_stats(parquet_path: str, filesystem=None) -> str:
     """Per-file stats JSON from the parquet footer: numRecords plus
     minValues/maxValues/nullCount for columns whose row-group
     statistics exist (numeric/string/date/timestamp). This is the
@@ -1383,7 +1411,7 @@ def _footer_stats(parquet_path: str) -> str:
 
     import pyarrow.parquet as pq
 
-    md = pq.read_metadata(parquet_path)
+    md = pq.read_metadata(parquet_path, filesystem=filesystem)
     mins: dict = {}
     maxs: dict = {}
     nulls: dict = {}
@@ -1561,7 +1589,7 @@ def write_delta(
     the delta-rs LogStore caveat, fsio._atomic_root docstring)."""
     if mode not in ("append", "overwrite", "error"):
         raise DeltaError(f"unsupported mode {mode!r}")
-    fsio.require_atomic_create(path, "write_delta")
+    fsio.require_commit(path, "write_delta")
     partition_by = list(partition_by or [])
     spark = df.sparkSession
     types = {f.name: f.dataType for f in df.schema.fields}
@@ -1666,53 +1694,104 @@ def write_delta(
     #    not, and real object stores never reach here — the
     #    require_atomic_create gate refused them).
     publish_root = fsio.posix_root(path)
-    staging = os.path.join(
-        publish_root, f".staging-{uuid.uuid4().hex}"
-    )
-    writer = staged_df.write.mode("overwrite")
-    if stage_partition_by:
-        writer = writer.partitionBy(*stage_partition_by)
-    writer.parquet(staging)
-
-    # 2. Publish staged files into the table root (same volume →
-    #    rename, never a copy), collecting add actions.
-    import pyarrow.parquet as pq
-
     adds = []
-    for root, _dirs, names in os.walk(staging):
-        for n in names:
-            if not n.endswith(".parquet"):
-                continue
-            src = os.path.join(root, n)
-            relparts = os.path.relpath(root, staging)
-            pv = {}
-            segs = [] if relparts == "." else relparts.split(os.sep)
-            for seg in segs:
-                col, _, raw = seg.partition("=")
-                raw = urllib.parse.unquote(raw)
-                pv[col] = None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
-            unique = f"part-{uuid.uuid4().hex}.parquet"
-            rel = "/".join(
-                [urllib.parse.quote(s, safe="/=") for s in segs] + [unique]
-            )
-            dst = os.path.join(publish_root, *segs, unique)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            stats = _footer_stats(src)
-            os.replace(src, dst)
-            st = os.stat(dst)
-            adds.append(
-                {
-                    "path": rel,
-                    "partitionValues": pv,
-                    "size": st.st_size,
-                    "modificationTime": int(st.st_mtime * 1000),
-                    "dataChange": True,
-                    "stats": stats,
-                }
-            )
-    import shutil
+    if publish_root is not None:
+        staging = os.path.join(
+            publish_root, f".staging-{uuid.uuid4().hex}"
+        )
+        writer = staged_df.write.mode("overwrite")
+        if stage_partition_by:
+            writer = writer.partitionBy(*stage_partition_by)
+        writer.parquet(staging)
 
-    shutil.rmtree(staging, ignore_errors=True)
+        # 2. Publish staged files into the table root (same volume →
+        #    rename, never a copy), collecting add actions.
+        for root, _dirs, names in os.walk(staging):
+            for n in names:
+                if not n.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, n)
+                relparts = os.path.relpath(root, staging)
+                pv = {}
+                segs = [] if relparts == "." else relparts.split(os.sep)
+                for seg in segs:
+                    col, _, raw = seg.partition("=")
+                    raw = urllib.parse.unquote(raw)
+                    pv[col] = (
+                        None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
+                    )
+                unique = f"part-{uuid.uuid4().hex}.parquet"
+                rel = "/".join(
+                    [urllib.parse.quote(s, safe="/=") for s in segs]
+                    + [unique]
+                )
+                dst = os.path.join(publish_root, *segs, unique)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                stats = _footer_stats(src)
+                os.replace(src, dst)
+                st = os.stat(dst)
+                adds.append(
+                    {
+                        "path": rel,
+                        "partitionValues": pv,
+                        "size": st.st_size,
+                        "modificationTime": int(st.st_mtime * 1000),
+                        "dataChange": True,
+                        "stats": stats,
+                    }
+                )
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+    else:
+        # HOOK-ONLY scheme (require_commit passed via a registered
+        # create_exclusive hook; no POSIX backing): the object-store
+        # writer shape — Spark stages parquet under the table root
+        # through its own connector (fsio.spark_path spelling), the
+        # staged objects move to their final UNIQUE names (a
+        # data-plane copy+delete; visibility is controlled solely by
+        # the commit JSON, so non-atomic moves are safe), and the
+        # commit below rides the scheme's conditional-put hook.
+        staging_uri = fsio.join(path, f".staging-{uuid.uuid4().hex}")
+        writer = staged_df.write.mode("overwrite")
+        if stage_partition_by:
+            writer = writer.partitionBy(*stage_partition_by)
+        writer.parquet(fsio.spark_path(staging_uri))
+        now_pub = int(time.time() * 1000)
+        for root_uri, _dirs, names in fsio.walk(staging_uri):
+            for n in names:
+                if not n.endswith(".parquet"):
+                    continue
+                src_uri = fsio.join(root_uri, n)
+                relparts = fsio.relpath(root_uri, staging_uri)
+                pv = {}
+                segs = [] if relparts == "." else relparts.split("/")
+                for seg in segs:
+                    col, _, raw = seg.partition("=")
+                    raw = urllib.parse.unquote(raw)
+                    pv[col] = (
+                        None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
+                    )
+                unique = f"part-{uuid.uuid4().hex}.parquet"
+                rel = "/".join(
+                    [urllib.parse.quote(s, safe="/=") for s in segs]
+                    + [unique]
+                )
+                f, fp = fsio.pyarrow_fs(src_uri)
+                stats = _footer_stats(fp, filesystem=f)
+                dst_uri = fsio.join(path, *segs, unique)
+                fsio.move(src_uri, dst_uri)
+                adds.append(
+                    {
+                        "path": rel,
+                        "partitionValues": pv,
+                        "size": fsio.file_size(dst_uri),
+                        "modificationTime": now_pub,
+                        "dataChange": True,
+                        "stats": stats,
+                    }
+                )
+        fsio.rmtree(staging_uri)
 
     # 3. Commit with optimistic concurrency. Everything derived
     #    from table state — metaData, schema evolution, txn ledger,
@@ -2197,11 +2276,9 @@ def delta_compact(
         payload = "".join(json.dumps(x) + "\n" for x in actions).encode()
         target = _commit_file(path, version)
         try:
-            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+            fsio.create_exclusive(target, payload)
         except FileExistsError:
             continue
-        with os.fdopen(fd, "wb") as f:
-            f.write(payload)
         return {
             "files_removed": len(removes),
             "files_added": len(adds),
@@ -2468,11 +2545,9 @@ def delta_restore(
         new_version = current.version + 1
         target = _commit_file(path, new_version)
         try:
-            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+            fsio.create_exclusive(target, payload)
         except FileExistsError:
             continue
-        with os.fdopen(fd, "wb") as f:
-            f.write(payload)
         return new_version
     raise DeltaError("restore could not commit (sustained contention)")
 
@@ -2575,9 +2650,7 @@ def convert_to_delta(
     actions.extend({"add": a} for a in adds)
     payload = "".join(json.dumps(a) + "\n" for a in actions).encode()
     target = _commit_file(path, 0)
-    fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
-    with os.fdopen(fd, "wb") as f:
-        f.write(payload)
+    fsio.create_exclusive(target, payload)
     return 0
 
 
@@ -2711,11 +2784,9 @@ def delta_zorder(
         payload = "".join(json.dumps(x) + "\n" for x in actions).encode()
         target = _commit_file(path, version)
         try:
-            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+            fsio.create_exclusive(target, payload)
         except FileExistsError:
             continue
-        with os.fdopen(fd, "wb") as f:
-            f.write(payload)
         return {
             "files_removed": len(removes),
             "files_added": len(adds),
@@ -2928,11 +2999,9 @@ def delta_delete(
         payload = "".join(json.dumps(x) + "\n" for x in actions).encode()
         target = _commit_file(path, version)
         try:
-            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+            fsio.create_exclusive(target, payload)
         except FileExistsError:
             continue
-        with os.fdopen(fd, "wb") as f:
-            f.write(payload)
         return {
             "rows_deleted": rows_deleted,
             "files_rewritten": len(removes),
@@ -2972,7 +3041,16 @@ def delta_delete_dv(
     deletionVectors feature on first use, as the protocol requires.
     Returns {"rows_deleted", "files_with_dvs", "files_removed",
     "version"}."""
-    path = fsio.resolve_write_path(path, "delta_delete_dv")
+    # POSIX-backed paths collapse to their local root (the staged
+    # verbs' historical shape); hook-only schemes keep the URI and
+    # ride scheme-routed IO end to end — DV sidecars land via the
+    # scheme's data-plane PUT, the commit via its conditional-put
+    # hook (fsio.create_exclusive).
+    _posix = fsio.posix_root(path)
+    if _posix is not None:
+        path = _posix
+    else:
+        fsio.require_commit(path, "delta_delete_dv")
     state = _replay(path)
     _check_readable(state)
     _check_append_only(state, "delta_delete_dv")
@@ -3020,7 +3098,7 @@ def delta_delete_dv(
     # masks need no pre-filter here: the executor-side union counts
     # them as newly=0, the same no-op a re-delete is.
     cand_paths = [_file_abspath(path, a["path"]) for a in candidates]
-    by_path = {p: a for p, a in zip(cand_paths, candidates)}
+    by_path = {_scan_key(path, a["path"]): a for a in candidates}
     scan = _scan_data_files_logical(spark, state, cand_paths, with_keys=True)
     cond = _apply_data_filters(scan, data_preds) if data_preds else scan
     matched = cond.select("__dv_file", "__dv_pos")
@@ -3094,11 +3172,9 @@ def delta_delete_dv(
         payload = "".join(json.dumps(x) + "\n" for x in actions).encode()
         target = _commit_file(path, version)
         try:
-            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+            fsio.create_exclusive(target, payload)
         except FileExistsError:
             continue
-        with os.fdopen(fd, "wb") as f:
-            f.write(payload)
         return {
             "rows_deleted": rows_deleted,
             "files_with_dvs": len(new_adds),
@@ -3348,11 +3424,9 @@ def delta_update(
         payload = "".join(json.dumps(x) + "\n" for x in actions).encode()
         target = _commit_file(path, version)
         try:
-            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+            fsio.create_exclusive(target, payload)
         except FileExistsError:
             continue
-        with os.fdopen(fd, "wb") as f:
-            f.write(payload)
         return {
             "rows_updated": rows_updated,
             "files_rewritten": len(removes),
@@ -3713,11 +3787,9 @@ def delta_merge(
         payload = "".join(json.dumps(x) + "\n" for x in actions).encode()
         target = _commit_file(path, version)
         try:
-            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+            fsio.create_exclusive(target, payload)
         except FileExistsError:
             continue
-        with os.fdopen(fd, "wb") as f:
-            f.write(payload)
         return {
             "rows_updated": rows_updated,
             "rows_inserted": rows_inserted,
@@ -3812,11 +3884,9 @@ def delta_enable_column_mapping(
         payload = "".join(json.dumps(a) + "\n" for a in actions).encode()
         target = _commit_file(path, state.version + 1)
         try:
-            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+            fsio.create_exclusive(target, payload)
         except FileExistsError:
             continue
-        with os.fdopen(fd, "wb") as f:
-            f.write(payload)
         return state.version + 1
     raise DeltaError(
         "enable-column-mapping could not commit (sustained contention)"
@@ -3863,11 +3933,9 @@ def delta_set_properties(
         payload = "".join(json.dumps(a) + "\n" for a in actions).encode()
         target = _commit_file(path, state.version + 1)
         try:
-            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+            fsio.create_exclusive(target, payload)
         except FileExistsError:
             continue
-        with os.fdopen(fd, "wb") as f:
-            f.write(payload)
         return state.version + 1
     raise DeltaError(
         "set-properties could not commit (sustained contention)"
@@ -3926,11 +3994,9 @@ def delta_rename_column(
         payload = "".join(json.dumps(a) + "\n" for a in actions).encode()
         target = _commit_file(path, state.version + 1)
         try:
-            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+            fsio.create_exclusive(target, payload)
         except FileExistsError:
             continue
-        with os.fdopen(fd, "wb") as f:
-            f.write(payload)
         return state.version + 1
     raise DeltaError("rename could not commit (sustained contention)")
 
@@ -4033,11 +4099,9 @@ def delta_add_columns(
         payload = "".join(json.dumps(a) + "\n" for a in actions).encode()
         target = _commit_file(path, state.version + 1)
         try:
-            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+            fsio.create_exclusive(target, payload)
         except FileExistsError:
             continue
-        with os.fdopen(fd, "wb") as f:
-            f.write(payload)
         return state.version + 1
     raise DeltaError("add columns could not commit (contention)")
 
@@ -4114,11 +4178,9 @@ def delta_drop_column(
         payload = "".join(json.dumps(a) + "\n" for a in actions).encode()
         target = _commit_file(path, state.version + 1)
         try:
-            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+            fsio.create_exclusive(target, payload)
         except FileExistsError:
             continue
-        with os.fdopen(fd, "wb") as f:
-            f.write(payload)
         return state.version + 1
     raise DeltaError("drop column could not commit (contention)")
 
@@ -4203,7 +4265,7 @@ def delta_update_dv(
     # and per-file bitmaps build in executors. Driver traffic is
     # #files summary rows — never matched positions.
     cand_paths = [_file_abspath(path, a["path"]) for a in candidates]
-    by_path = {p: a for p, a in zip(cand_paths, candidates)}
+    by_path = {_scan_key(path, a["path"]): a for a in candidates}
     scan = _scan_data_files_logical(spark, state, cand_paths, with_keys=True)
     if part_cols:
         pv_rows = [
@@ -4352,11 +4414,9 @@ def delta_update_dv(
         payload = "".join(json.dumps(x) + "\n" for x in actions).encode()
         target = _commit_file(path, version)
         try:
-            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+            fsio.create_exclusive(target, payload)
         except FileExistsError:
             continue
-        with os.fdopen(fd, "wb") as f:
-            f.write(payload)
         return {
             "rows_updated": rows_updated,
             "files_with_dvs": len(masked_adds),
@@ -4747,11 +4807,9 @@ def delta_clone(
     payload = "".join(json.dumps(x) + "\n" for x in actions).encode()
     target = _commit_file(dst, 0)
     try:
-        fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        fsio.create_exclusive(target, payload)
     except FileExistsError:
         raise DeltaError(f"clone target already exists: {dst}")
-    with os.fdopen(fd, "wb") as f:
-        f.write(payload)
     return 0
 
 
@@ -4899,7 +4957,7 @@ def delta_merge_dv(
         # rows and small aggregates reach the driver.
         if candidates:
             cand_paths = [_file_abspath(path, a["path"]) for a in candidates]
-            by_path = {p: a for p, a in zip(cand_paths, candidates)}
+            by_path = {_scan_key(path, a["path"]): a for a in candidates}
             scan = _scan_data_files_logical(
                 spark, state, cand_paths, with_keys=True
             )
@@ -5114,11 +5172,9 @@ def delta_merge_dv(
         payload = "".join(json.dumps(x) + "\n" for x in actions).encode()
         target = _commit_file(path, version)
         try:
-            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+            fsio.create_exclusive(target, payload)
         except FileExistsError:
             continue
-        with os.fdopen(fd, "wb") as f:
-            f.write(payload)
         return {
             "rows_updated": rows_updated,
             "rows_inserted": rows_inserted,
@@ -5276,11 +5332,9 @@ def delta_add_constraint(
         payload = "".join(json.dumps(a) + "\n" for a in actions).encode()
         target = _commit_file(path, state.version + 1)
         try:
-            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+            fsio.create_exclusive(target, payload)
         except FileExistsError:
             continue
-        with os.fdopen(fd, "wb") as f:
-            f.write(payload)
         return state.version + 1
     raise DeltaError("add-constraint could not commit (contention)")
 
@@ -5314,11 +5368,9 @@ def delta_drop_constraint(
         payload = "".join(json.dumps(a) + "\n" for a in actions).encode()
         target = _commit_file(path, state.version + 1)
         try:
-            fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+            fsio.create_exclusive(target, payload)
         except FileExistsError:
             continue
-        with os.fdopen(fd, "wb") as f:
-            f.write(payload)
         return state.version + 1
     raise DeltaError("drop-constraint could not commit (contention)")
 

@@ -407,34 +407,48 @@ def dv_write_file(
     the reader's oracles and the building block for DV-producing
     DELETE: one file, version byte first, each DV framed as
     ``<dataSize BE><data><crc BE>``."""
+    from lwes_contrib_hive_serde_spark.sources import fsio
+
     u = _uuid.uuid4()
     name = f"deletion_vector_{u}.bin"
+    descriptors = []
+    # build the framed file in memory (a DV is a compressed bitmap —
+    # kilobytes, bounded by real writers' maxDeletedRowsRatio), then
+    # publish in one write: local open() on plain paths, fsio's
+    # scheme-routed PUT on object-store URIs (the name is a fresh
+    # UUID, so the non-atomic data-plane write is race-free)
+    buf = bytearray()
+    buf += bytes([_FORMAT_VERSION])
+    pos = 1
+    for positions in dvs:
+        if isinstance(positions, np.ndarray):
+            arr = np.unique(positions.astype(np.int64, copy=False))
+        else:
+            arr = np.unique(np.asarray(list(positions), dtype=np.int64))
+        data = bitmap_array_serialize(arr)
+        buf += struct.pack(">i", len(data))
+        buf += data
+        buf += struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+        descriptors.append(
+            {
+                "storageType": "u",
+                "pathOrInlineDv": prefix + z85_encode(u.bytes),
+                "offset": pos,
+                "sizeInBytes": len(data),
+                "cardinality": int(len(arr)),
+            }
+        )
+        pos += 4 + len(data) + 4
+    if not fsio.is_local(table_path):
+        dir_uri = (
+            fsio.join(table_path, prefix) if prefix else table_path
+        )
+        fsio.write_bytes(fsio.join(dir_uri, name), bytes(buf))
+        return descriptors
     dir_path = os.path.join(table_path, prefix) if prefix else table_path
     os.makedirs(dir_path, exist_ok=True)
-    path = os.path.join(dir_path, name)
-    descriptors = []
-    with open(path, "wb") as f:
-        f.write(bytes([_FORMAT_VERSION]))
-        pos = 1
-        for positions in dvs:
-            if isinstance(positions, np.ndarray):
-                arr = np.unique(positions.astype(np.int64, copy=False))
-            else:
-                arr = np.unique(np.asarray(list(positions), dtype=np.int64))
-            data = bitmap_array_serialize(arr)
-            f.write(struct.pack(">i", len(data)))
-            f.write(data)
-            f.write(struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
-            descriptors.append(
-                {
-                    "storageType": "u",
-                    "pathOrInlineDv": prefix + z85_encode(u.bytes),
-                    "offset": pos,
-                    "sizeInBytes": len(data),
-                    "cardinality": int(len(arr)),
-                }
-            )
-            pos += 4 + len(data) + 4
+    with open(os.path.join(dir_path, name), "wb") as f:
+        f.write(bytes(buf))
     return descriptors
 
 

@@ -743,6 +743,19 @@ def rmtree(uri: str) -> None:
         pass
 
 
+def pyarrow_fs(uri: str):
+    """(pyarrow FileSystem, path-within-fs) serving ``uri`` — for
+    callers that hand pyarrow/parquet APIs a filesystem handle
+    (footer reads issue range GETs instead of buffering the whole
+    object)."""
+    scheme, path = split(uri)
+    if scheme is None:
+        from pyarrow import fs as pafs
+
+        return pafs.LocalFileSystem(), path
+    return _fs_for(scheme), path
+
+
 def commit_hook_for(uri: str):
     """The registered ``create_exclusive`` hook serving ``uri``'s
     scheme, or None."""

@@ -685,11 +685,29 @@ def write_hudi_table(
         "writeStats": [{"path": w} for w in written],
     }
     kind = "deltacommit" if table_type == "MERGE_ON_READ" else "commit"
-    tmp = os.path.join(hdir, f".{instant}.{kind}.tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        json.dump(commit, f)
-    os.replace(tmp, os.path.join(hdir, f"{instant}.{kind}"))
+    _complete_instant(hdir, instant, kind, commit)
     return instant
+
+
+def _complete_instant(
+    hdir: str, instant: str, kind: str, doc: dict
+) -> None:
+    """Publish ``<instant>.<kind>`` ATOMICALLY via
+    fsio.create_exclusive (O_EXCL on POSIX, the registered commit
+    hook on hooked schemes). Completion markers are the timeline's
+    commit points; an instant-name collision (two writers stamping
+    the same millisecond) must be a typed error, never a silent
+    replace — rename-based publish overwrote."""
+    try:
+        fsio.create_exclusive(
+            os.path.join(hdir, f"{instant}.{kind}"),
+            json.dumps(doc).encode(),
+        )
+    except FileExistsError:
+        raise HudiError(
+            f"instant {instant}.{kind} already completed — a "
+            "concurrent writer stamped the same instant; re-run"
+        ) from None
 
 
 def _parse_log_name(name: str):
@@ -847,10 +865,10 @@ def hudi_log_update(
                 "inserts go through write_hudi_table"
             )
     hdir = _timeline_dir(path)
-    tmp = os.path.join(hdir, f".{instant}.deltacommit.tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        json.dump({"operation": "upsert", "logFiles": wrote}, f)
-    os.replace(tmp, os.path.join(hdir, f"{instant}.deltacommit"))
+    _complete_instant(
+        hdir, instant, "deltacommit",
+        {"operation": "upsert", "logFiles": wrote},
+    )
     return instant
 
 
@@ -916,10 +934,10 @@ def hudi_compact(spark: SparkSession, path: str, record_key: str) -> str:
     if not compacted:
         raise HudiError("no file group carries log files")
     hdir = _timeline_dir(path)
-    tmp = os.path.join(hdir, f".{instant}.commit.tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        json.dump({"operation": "compact", "fileGroups": compacted}, f)
-    os.replace(tmp, os.path.join(hdir, f"{instant}.commit"))
+    _complete_instant(
+        hdir, instant, "commit",
+        {"operation": "compact", "fileGroups": compacted},
+    )
     return instant
 
 

@@ -1366,16 +1366,30 @@ def _annotate_field_ids(schema_json: str, ids: dict) -> str:
 
 def _write_avro_file(path: str, schema: StructType, rows: list[tuple],
                      record_name: str, field_ids: dict | None = None) -> None:
+    import io
+
     schema_json, encs = avro_ocf.schema_to_avro_json(schema, name=record_name)
     if field_ids:
         schema_json = _annotate_field_ids(schema_json, field_ids)
+    # buffer the (metadata-sized) file and publish through fsio so
+    # hook-only schemes get their manifests via the data-plane PUT
+    buf = io.BytesIO()
+    real_close = buf.close
+    buf.close = lambda: None  # AvroWriteHandle closes its sink
     h = avro_ocf.AvroWriteHandle(
-        open(path, "wb"), schema_json, encs, "deflate", 64 * 1024,
+        buf, schema_json, encs, "deflate", 64 * 1024,
         uuid.uuid4().bytes,
     )
     for r in rows:
         h.write_row(r)
     h.close()
+    data = buf.getvalue()
+    real_close()
+    if fsio.is_local(path):
+        with open(path, "wb") as f:
+            f.write(data)
+    else:
+        fsio.write_bytes(path, data)
 
 
 def _spark_to_iceberg_type(dtype) -> object:
@@ -1406,8 +1420,44 @@ def write_iceberg_table(
     gets the column added back as a constant (Iceberg data files
     contain ALL columns, unlike Delta/Hive) and the manifest entry
     records the value in its partition struct — which is what
-    read_iceberg's partition_filters prune against."""
-    path = fsio.resolve_write_path(path, "write_iceberg_table")
+    read_iceberg's partition_filters prune against.
+
+    A ``rest+iceberg://host[/prefix]#ns.table`` spec commits THROUGH
+    the catalog (the spec's updateTable POST: requirements +
+    updates): data files and manifests land path-based under the
+    table's ``location``, then one add-snapshot/set-snapshot-ref
+    commit rides the catalog's own CAS — a concurrent writer makes
+    the assert-ref-snapshot-id requirement fail and the loser gets
+    the typed RestCommitConflict. Creation via REST is out of
+    envelope (create path-based, register, append via REST)."""
+    from lwes_contrib_hive_serde_spark.sources import rest_catalog
+
+    rest_ctx = None
+    if rest_catalog.is_rest_spec(path):
+        base, prefix, ns, table = rest_catalog.parse_rest_spec(path)
+        loc, inline = rest_catalog.resolve_table(path)
+        rest_meta = (
+            load_metadata_location(loc) if loc
+            else _validate_metadata_doc(inline)
+        )
+        location = rest_meta.get("location")
+        if not location:
+            raise IcebergError(
+                f"{path!r}: REST table metadata carries no location — "
+                "cannot place data files"
+            )
+        rest_ctx = {
+            "base": base, "prefix": prefix, "ns": ns, "table": table,
+            "meta": rest_meta,
+        }
+        path = location
+    _posix = fsio.posix_root(path)
+    if _posix is not None:
+        path = _posix
+    else:
+        # hook-only scheme: data/manifests ride scheme-routed IO,
+        # the commit rides the registered conditional-put hook
+        fsio.require_commit(path, "write_iceberg_table")
     if mode != "append":
         raise IcebergError("fixture writer supports append only")
     partition_by = list(partition_by or [])
@@ -1420,18 +1470,21 @@ def write_iceberg_table(
                 "fixture writer partitions on string/long/int only, "
                 f"got {types[c].simpleString()} for {c!r}"
             )
-    mdir = os.path.join(path, "metadata")
-    ddir = os.path.join(path, "data")
-    os.makedirs(mdir, exist_ok=True)
-    os.makedirs(ddir, exist_ok=True)
+    mdir = fsio.join(path, "metadata")
+    ddir = fsio.join(path, "data")
+    fsio.mkdirs(mdir)
+    fsio.mkdirs(ddir)
 
     existing = None
     version = 1
-    if os.path.exists(os.path.join(mdir, "version-hint.text")):
+    if rest_ctx is not None:
+        # the catalog's answer IS the current state (the hint file,
+        # if any, may lag a catalog-side commit)
+        existing = rest_ctx["meta"]
+    elif fsio.exists(fsio.join(mdir, "version-hint.text")):
         existing = load_table_metadata(path)
-        version = int(
-            open(os.path.join(mdir, "version-hint.text")).read().strip()
-        ) + 1
+        version = _hint_version(path) + 1
+    if existing is not None:
         prior_parts = [n for n, _t in _identity_partition_fields(existing)]
         if prior_parts != partition_by:
             raise IcebergError(
@@ -1445,7 +1498,7 @@ def write_iceberg_table(
     now_ms = int(time.time() * 1000)
 
     # 2. one manifest for this snapshot's added files
-    manifest = os.path.join(mdir, f"manifest-{snapshot_id}.avro")
+    manifest = fsio.join(mdir, f"manifest-{snapshot_id}.avro")
     entry_schema = _manifest_entry_schema(
         [(c, types[c]) for c in partition_by], bounds=True
     )
@@ -1474,14 +1527,14 @@ def write_iceberg_table(
                     m.get("sequence_number"),
                 )
             )
-    ml = os.path.join(mdir, f"snap-{snapshot_id}.avro")
+    ml = fsio.join(mdir, f"snap-{snapshot_id}.avro")
     seq = (
         int(existing.get("last-sequence-number") or 0) + 1
         if existing is not None
         else 1
     )
     rows = prior_manifests + [
-        (manifest, os.path.getsize(manifest), 0, 0, snapshot_id, seq)
+        (manifest, fsio.file_size(manifest), 0, 0, snapshot_id, seq)
     ]
     _write_avro_file(ml, _MANIFEST_LIST_SCHEMA, rows, "manifest_file",
                      field_ids=_MANIFEST_LIST_FIELD_IDS)
@@ -1512,6 +1565,39 @@ def write_iceberg_table(
         "manifest-list": ml,
         "summary": {"operation": "append"},
     }
+    if rest_ctx is not None:
+        # commit through the catalog: ITS compare-and-swap is the
+        # atomicity (requirements pin the parent state), the new
+        # metadata document is the CATALOG's to build and store
+        parent = existing.get("current-snapshot-id")
+        requirements = [
+            {
+                "type": "assert-table-uuid",
+                "uuid": existing.get("table-uuid"),
+            },
+            {
+                "type": "assert-ref-snapshot-id",
+                "ref": "main",
+                "snapshot-id": parent,
+            },
+        ]
+        updates = [
+            {
+                "action": "add-snapshot",
+                "snapshot": dict(snap, **{"sequence-number": seq}),
+            },
+            {
+                "action": "set-snapshot-ref",
+                "ref-name": "main",
+                "type": "branch",
+                "snapshot-id": snapshot_id,
+            },
+        ]
+        rest_catalog.commit_table(
+            rest_ctx["base"], rest_ctx["ns"], rest_ctx["table"],
+            requirements, updates, prefix=rest_ctx["prefix"],
+        )
+        return snapshot_id
     snapshots = (existing.get("snapshots") if existing else []) or []
     snaplog = (existing.get("snapshot-log") if existing else []) or []
     meta = {
@@ -1536,8 +1622,17 @@ def write_iceberg_table(
         + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}],
     }
     if existing is not None and existing.get("refs"):
-        # appends must not drop snapshot references (tags/branches)
-        meta["refs"] = existing["refs"]
+        # appends must not drop snapshot references (tags/branches);
+        # the main BRANCH follows the current snapshot (spec
+        # "Snapshot References" — main is the default branch), so a
+        # catalog asserting assert-ref-snapshot-id on main after a
+        # path-based append still sees a consistent head
+        refs = dict(existing["refs"])
+        if refs.get("main", {}).get("type") == "branch":
+            refs["main"] = dict(
+                refs["main"], **{"snapshot-id": snapshot_id}
+            )
+        meta["refs"] = refs
     if existing is not None and existing.get("schemas"):
         # appends must not drop schema HISTORY either: committed
         # snapshots reference their schema by id. Reuse the current
@@ -1586,11 +1681,12 @@ def _stage_data_files(
     otherwise) — the data-file half of write_iceberg_table,
     factored out so UPDATE/MERGE can append replacement files
     inside their own commits."""
-    ddir = os.path.join(path, "data")
-    os.makedirs(ddir, exist_ok=True)
+    local = fsio.is_local(path)
+    ddir = fsio.join(path, "data")
+    fsio.mkdirs(ddir)
     import urllib.parse
 
-    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    staging = fsio.join(path, f".staging-{uuid.uuid4().hex}")
     # stamp parquet FIELD IDS (schema position = iceberg field id,
     # matching the metadata.json this writer emits) so readers —
     # ours and external — resolve columns by id and metadata-only
@@ -1609,7 +1705,7 @@ def _stage_data_files(
     writer = annotated.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(staging)
+    writer.parquet(staging if local else fsio.spark_path(staging))
     import shutil
 
     import pyarrow as pa
@@ -1634,7 +1730,8 @@ def _stage_data_files(
 
         from lwes_contrib_hive_serde_spark.sources.delta import _footer_stats
 
-        st = _json.loads(_footer_stats(parquet_path))
+        f, fp = fsio.pyarrow_fs(parquet_path)
+        st = _json.loads(_footer_stats(fp, filesystem=f))
         mins = st.get("minValues") or {}
         maxs = st.get("maxValues") or {}
         names = [f.name for f in df.schema.fields]
@@ -1652,13 +1749,19 @@ def _stage_data_files(
         return lower, upper
 
     entries = []
-    for root, _dirs, names in os.walk(staging):
+    walker = os.walk(staging) if local else fsio.walk(staging)
+    for root, _dirs, names in walker:
         for n in sorted(names):
             if not n.endswith(".parquet"):
                 continue
-            src = os.path.join(root, n)
-            rel = os.path.relpath(root, staging)
-            segs = [] if rel == "." else rel.split(os.sep)
+            src = os.path.join(root, n) if local else fsio.join(root, n)
+            rel = (
+                os.path.relpath(root, staging) if local
+                else fsio.relpath(root, staging)
+            )
+            segs = [] if rel == "." else rel.split(
+                os.sep if local else "/"
+            )
             pv = {}
             for seg in segs:
                 col, _, raw = seg.partition("=")
@@ -1667,11 +1770,12 @@ def _stage_data_files(
                     None if raw == "__HIVE_DEFAULT_PARTITION__"
                     else _cast_part(raw, types[col])
                 )
-            dst = os.path.join(ddir, f"{uuid.uuid4().hex}.parquet")
+            dst = fsio.join(ddir, f"{uuid.uuid4().hex}.parquet")
             if partition_by:
                 # add the partition columns back as constants: iceberg
                 # data files carry every column
-                tbl = pq.read_table(src)
+                sfs, sfp = fsio.pyarrow_fs(src)
+                tbl = pq.read_table(sfp, filesystem=sfs)
                 nrows = tbl.num_rows
                 names = [f.name for f in df.schema.fields]
                 for c in partition_by:
@@ -1692,27 +1796,29 @@ def _stage_data_files(
                     )
                 # restore declared column order
                 tbl = tbl.select(names)
-                pq.write_table(tbl, dst)
-                os.remove(src)
+                dfs, dfp = fsio.pyarrow_fs(dst)
+                pq.write_table(tbl, dfp, filesystem=dfs)
+                fsio.delete(src)
                 num = nrows
             else:
-                num = pq.read_metadata(src).num_rows
-                os.replace(src, dst)
+                sfs, sfp = fsio.pyarrow_fs(src)
+                num = pq.read_metadata(sfp, filesystem=sfs).num_rows
+                fsio.move(src, dst)
             part_tuple = tuple(pv[c] for c in partition_by)
             lower, upper = _file_bounds(dst)
             if partition_by:
                 entries.append(
                     (1, None,
                      (dst, "PARQUET", part_tuple, num,
-                      os.path.getsize(dst), lower, upper))
+                      fsio.file_size(dst), lower, upper))
                 )
             else:
                 entries.append(
                     (1, None,
-                     (dst, "PARQUET", num, os.path.getsize(dst),
+                     (dst, "PARQUET", num, fsio.file_size(dst),
                       lower, upper))
                 )
-    shutil.rmtree(staging, ignore_errors=True)
+    fsio.rmtree(staging)
     return entries
 
 

@@ -22,10 +22,18 @@ URL path, per the spec. Auth: a bearer token from the
 ``ICEBERG_REST_TOKEN`` env var (the spec's OAuth2 flows are out of
 envelope — pass a ready token).
 
-WRITE verbs stay path-based: REST commits need the
-``POST .../tables/{table}`` commit protocol (requirements +
-updates) which this engine does not speak yet; a REST spec hitting
-a write verb fails the fsio atomic-create gate with a typed error.
+WRITE tier (round 12): ``commit_table`` speaks the spec's
+``POST /v1/{prefix}/namespaces/{ns}/tables/{table}`` commit protocol
+— a CommitTableRequest of ``requirements`` (assert-ref-snapshot-id,
+assert-table-uuid, ...) plus ``updates`` (add-snapshot,
+set-snapshot-ref, ...). The CATALOG owns the metadata swap and its
+atomicity; optimistic concurrency surfaces as HTTP 409 → the typed
+``RestCommitConflict``. ``write_iceberg_table`` routes appends
+against a rest spec through this: data files and manifests land
+path-based under the table's ``location`` (the catalog never sees
+data bytes), only the snapshot pointer swap goes through the
+catalog. Table CREATION via REST (the createTable route) stays out
+of envelope — create path-based, register, then append via REST.
 """
 
 from __future__ import annotations
@@ -39,6 +47,11 @@ import urllib.request
 
 class RestCatalogError(ValueError):
     pass
+
+
+class RestCommitConflict(RestCatalogError):
+    """The catalog rejected a commit's requirements (HTTP 409) —
+    another writer moved the table; re-derive and retry."""
 
 
 _SCHEMES = ("rest+iceberg://", "rest+icebergs://")
@@ -158,6 +171,66 @@ def list_tables(
         t["name"] for t in doc.get("identifiers") or []
         if isinstance(t, dict) and t.get("name")
     ]
+
+
+def commit_table(
+    base_url: str,
+    namespace: list[str],
+    table: str,
+    requirements: list[dict],
+    updates: list[dict],
+    prefix: str | None = None,
+    token: str | None = None,
+) -> dict:
+    """``POST /v1/{prefix}/namespaces/{ns}/tables/{table}`` — the
+    spec's CommitTableRequest. ``requirements`` are asserted by the
+    catalog against ITS current table state under whatever lock or
+    CAS it implements (that is the whole point of catalog commits:
+    the atomicity lives server-side, so plain object storage works);
+    ``updates`` are applied in order. Returns the
+    CommitTableResponse ({metadata-location, metadata}). HTTP 409 →
+    RestCommitConflict (re-derive from the catalog's new state and
+    retry); other HTTP errors → RestCatalogError."""
+    ns = urllib.parse.quote("\x1f".join(namespace), safe="")
+    segs = [base_url.rstrip("/"), "v1"]
+    if prefix:
+        segs.append(urllib.parse.quote(prefix, safe=""))
+    segs += ["namespaces", ns, "tables", urllib.parse.quote(table, safe="")]
+    url = "/".join(segs)
+    body = json.dumps(
+        {
+            "identifier": {"namespace": list(namespace), "name": table},
+            "requirements": requirements,
+            "updates": updates,
+        }
+    ).encode("utf-8")
+    req = urllib.request.Request(url, data=body, method="POST")
+    req.add_header("Content-Type", "application/json")
+    req.add_header("Accept", "application/json")
+    tok = token or os.environ.get("ICEBERG_REST_TOKEN")
+    if tok:
+        req.add_header("Authorization", f"Bearer {tok}")
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return json.loads(resp.read().decode("utf-8"))
+    except urllib.error.HTTPError as e:
+        detail = ""
+        try:
+            detail = e.read().decode("utf-8", "replace")[:300]
+        except Exception:
+            pass
+        if e.code == 409:
+            raise RestCommitConflict(
+                f"REST commit conflict for {'.'.join(namespace)}."
+                f"{table}: {detail}"
+            ) from e
+        raise RestCatalogError(
+            f"REST catalog POST {url} -> HTTP {e.code}: {detail}"
+        ) from e
+    except urllib.error.URLError as e:
+        raise RestCatalogError(
+            f"REST catalog unreachable at {url}: {e.reason}"
+        ) from e
 
 
 def resolve_table(

@@ -1,0 +1,252 @@
+"""In-process reference Iceberg REST catalog — the no-network test
+double for the ``rest+iceberg://`` tier, exactly as ``mock://``
+(fsio local_root) is for object-store schemes.
+
+Implements the subset of the public REST Catalog OpenAPI
+(apache/iceberg open-api/rest-catalog-open-api.yaml) this engine
+speaks: listNamespaces / listTables / loadTable GETs and the
+updateTable COMMIT POST — a CommitTableRequest whose
+``requirements`` are validated against the catalog's CURRENT state
+under one lock (the server-side compare-and-swap that IS the point
+of catalog commits) and whose ``updates`` (add-snapshot,
+set-snapshot-ref, set-properties) produce the next
+v<N>.metadata.json on disk, hint repointed so path-based readers
+agree. Requirement mismatch answers HTTP 409 with the spec's
+CommitFailedException shape → the client's typed
+``RestCommitConflict``.
+
+Used by tests/test_rest_catalog.py and the ``q_rest_commit``
+shadow query (plans/extension_queries.py); nothing in the engine's
+own read/write path imports this module.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+
+class MockRestCatalog:
+    """One HTTP server on 127.0.0.1:<ephemeral>. ``tables`` maps
+    (namespace_tuple, name) → current metadata-location;
+    ``requests`` / ``auth`` record every call for assertions."""
+
+    def __init__(self) -> None:
+        self.tables: dict = {}
+        self.requests: list[str] = []
+        self.auth: list = []
+        self.lock = threading.Lock()
+        cat = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # silence
+                pass
+
+            def do_GET(self):
+                cat.requests.append(self.path)
+                cat.auth.append(self.headers.get("Authorization"))
+                parts = [
+                    urllib.parse.unquote(p)
+                    for p in self.path.strip("/").split("/")
+                ]
+                if parts[-1] == "namespaces" or (
+                    len(parts) >= 2 and parts[-2] == "namespaces"
+                    and parts[-1].startswith("namespaces?")
+                ):
+                    nss = sorted({ns for (ns, _t) in cat.tables})
+                    self._json(
+                        200,
+                        {"namespaces": [list(ns) for ns in nss]},
+                    )
+                    return
+                if parts[-1] == "tables" and "namespaces" in parts:
+                    ns = tuple(
+                        parts[parts.index("namespaces") + 1]
+                        .split("\x1f")
+                    )
+                    self._json(200, {
+                        "identifiers": [
+                            {"namespace": list(k[0]), "name": k[1]}
+                            for k in cat.tables if k[0] == ns
+                        ]
+                    })
+                    return
+                if "namespaces" in parts and "tables" in parts:
+                    ns = tuple(
+                        parts[parts.index("namespaces") + 1]
+                        .split("\x1f")
+                    )
+                    tbl = parts[parts.index("tables") + 1]
+                    loc = cat.tables.get((ns, tbl))
+                    if loc:
+                        self._json(
+                            200,
+                            {"metadata-location": loc, "config": {}},
+                        )
+                    else:
+                        self._json(404, {
+                            "error": {"message": "no such table"}
+                        })
+                    return
+                self._json(400, {"error": {"message": "bad route"}})
+
+            def do_POST(self):
+                cat.requests.append("POST " + self.path)
+                cat.auth.append(self.headers.get("Authorization"))
+                parts = [
+                    urllib.parse.unquote(p)
+                    for p in self.path.strip("/").split("/")
+                ]
+                if "namespaces" not in parts or "tables" not in parts:
+                    self._json(400, {"error": {"message": "bad route"}})
+                    return
+                ns = tuple(
+                    parts[parts.index("namespaces") + 1].split("\x1f")
+                )
+                tbl = parts[parts.index("tables") + 1]
+                n = int(self.headers.get("Content-Length") or 0)
+                req = json.loads(self.rfile.read(n).decode())
+                with cat.lock:
+                    loc = cat.tables.get((ns, tbl))
+                    if not loc:
+                        self._json(404, {
+                            "error": {"message": "no such table"}
+                        })
+                        return
+                    with open(loc) as f:
+                        meta = json.load(f)
+                    bad = _first_failed_requirement(
+                        meta, req.get("requirements") or []
+                    )
+                    if bad is not None:
+                        self._json(409, {
+                            "error": {
+                                "message": f"requirement failed: {bad}",
+                                "type": "CommitFailedException",
+                            }
+                        })
+                        return
+                    try:
+                        meta = _apply_updates(
+                            meta, req.get("updates") or []
+                        )
+                    except ValueError as e:
+                        self._json(400, {"error": {"message": str(e)}})
+                        return
+                    mdir = os.path.dirname(loc)
+                    cur_v = int(os.path.basename(loc)[1:].split(".")[0])
+                    new_loc = os.path.join(
+                        mdir, f"v{cur_v + 1}.metadata.json"
+                    )
+                    with open(new_loc, "w") as f:
+                        json.dump(meta, f)
+                    with open(
+                        os.path.join(mdir, "version-hint.text"), "w"
+                    ) as f:
+                        f.write(str(cur_v + 1))
+                    cat.tables[(ns, tbl)] = new_loc
+                self._json(
+                    200,
+                    {"metadata-location": new_loc, "metadata": meta},
+                )
+
+            def _json(self, code: int, doc: dict):
+                body = json.dumps(doc).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+
+        self._srv = HTTPServer(("127.0.0.1", 0), Handler)
+        self._thread = threading.Thread(
+            target=self._srv.serve_forever, daemon=True
+        )
+        self._thread.start()
+        self.base = f"127.0.0.1:{self._srv.server_address[1]}"
+
+    def register(self, namespace: tuple, name: str, location: str):
+        self.tables[(tuple(namespace), name)] = location
+
+    def spec(self, identifier: str) -> str:
+        """``'db.docs'`` → the rest+iceberg:// spec this catalog
+        serves it under."""
+        return f"rest+iceberg://{self.base}#{identifier}"
+
+    def close(self) -> None:
+        self._srv.shutdown()
+        self._thread.join(timeout=5)
+        self._srv.server_close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def _first_failed_requirement(meta: dict, reqs: list[dict]):
+    """The first requirement ``meta`` violates, or None."""
+    for r in reqs:
+        t = r.get("type")
+        if t == "assert-table-uuid":
+            if meta.get("table-uuid") != r.get("uuid"):
+                return r
+        elif t == "assert-ref-snapshot-id":
+            cur = (
+                (meta.get("refs") or {})
+                .get(r.get("ref"), {})
+                .get("snapshot-id", meta.get("current-snapshot-id"))
+            )
+            if cur != r.get("snapshot-id"):
+                return r
+        # unknown requirement types: the spec says servers MUST
+        # fail commits carrying requirements they cannot check
+        elif t not in ("assert-create",):
+            return r
+        elif meta:  # assert-create against an existing table
+            return r
+    return None
+
+
+def _apply_updates(meta: dict, updates: list[dict]) -> dict:
+    meta = dict(meta)
+    for u in updates:
+        a = u.get("action")
+        if a == "add-snapshot":
+            snap = u["snapshot"]
+            meta["snapshots"] = (meta.get("snapshots") or []) + [snap]
+            if "sequence-number" in snap:
+                meta["last-sequence-number"] = max(
+                    int(meta.get("last-sequence-number") or 0),
+                    int(snap["sequence-number"]),
+                )
+        elif a == "set-snapshot-ref":
+            sid = int(u["snapshot-id"])
+            meta["current-snapshot-id"] = sid
+            refs = dict(meta.get("refs") or {})
+            refs[u["ref-name"]] = {
+                "snapshot-id": sid,
+                "type": u.get("type", "branch"),
+            }
+            meta["refs"] = refs
+            ts = max(
+                (
+                    int(s.get("timestamp-ms") or 0)
+                    for s in meta.get("snapshots") or []
+                    if int(s.get("snapshot-id") or -1) == sid
+                ),
+                default=0,
+            )
+            meta["snapshot-log"] = (meta.get("snapshot-log") or []) + [
+                {"timestamp-ms": ts, "snapshot-id": sid}
+            ]
+        elif a == "set-properties":
+            props = dict(meta.get("properties") or {})
+            props.update(u.get("updates") or {})
+            meta["properties"] = props
+        else:
+            raise ValueError(f"unsupported update action {a!r}")
+    return meta

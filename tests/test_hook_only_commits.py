@@ -1,0 +1,198 @@
+"""Hook-only object-store WRITE tier (round 12): a scheme registered
+with a ``create_exclusive`` commit hook and an ``fs_factory`` — but
+NO POSIX ``local_root`` — runs Delta append + DV DELETE + Iceberg
+append end to end. This is the conditional-put deployment shape
+(S3 If-None-Match PUT, GCS if-generation-match, a lock-service
+LogStore): data files and manifests land via plain PUTs under fresh
+UUID names (race-free by construction), only the contended commit
+names ride the hook, and a lost race surfaces as the typed conflict
+— never a silent overwrite.
+
+The hook here is O_EXCL over a local directory, which is exactly
+the atomicity contract a real conditional-put endpoint provides;
+everything else (scheme split, pyarrow SubTreeFileSystem data IO,
+spark_path translation, executor-side snapshot restore) is the full
+remote code path with zero network.
+"""
+
+import functools
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from lwes_contrib_hive_serde_spark.sources import delta as D
+from lwes_contrib_hive_serde_spark.sources import fsio
+from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+SCHEME = "hookst"
+
+
+@pytest.fixture()
+def hook_fs(tmp_path):
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    committed: list[str] = []
+
+    def hook(p, data):
+        full = os.path.join(root, p)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        fd = os.open(full, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        committed.append(p)
+
+    fsio.register_filesystem(
+        SCHEME,
+        fs_factory=functools.partial(fsio._subtree_fs, root),
+        spark_path=functools.partial(fsio._join_under, root),
+        create_exclusive=hook,
+    )
+    assert fsio.posix_root(f"{SCHEME}://t") is None  # genuinely root-less
+    yield root, committed
+    fsio.unregister_filesystem(SCHEME)
+
+
+def _docs(spark, n=40, offset=0):
+    return spark.range(offset, offset + n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+        (F.col("id") % 3).alias("bucket"),
+    )
+
+
+class TestDeltaHookOnly:
+    def test_create_append_read(self, spark, hook_fs):
+        root, committed = hook_fs
+        uri = f"{SCHEME}://t"
+        assert D.write_delta(_docs(spark, 30), uri) == 0
+        assert D.write_delta(_docs(spark, 10, offset=30), uri) == 1
+        got = D.read_delta(spark, uri)
+        assert got.count() == 40
+        assert got.agg(F.sum("doc_id")).first()[0] == sum(range(40))
+        # both commit JSONs went THROUGH the hook (nothing bypassed
+        # to a POSIX O_EXCL — there is no POSIX root to bypass to)
+        logs = [p for p in committed if "_delta_log" in p]
+        assert len(logs) == 2
+        # data files are real parquet objects under the store root
+        n_parts = sum(
+            n.endswith(".parquet")
+            for n in os.listdir(os.path.join(root, "t"))
+        )
+        assert n_parts >= 2
+        # no staging litter survived
+        assert not any(
+            n.startswith(".staging-")
+            for n in os.listdir(os.path.join(root, "t"))
+        )
+
+    def test_partitioned_append(self, spark, hook_fs):
+        root, _ = hook_fs
+        uri = f"{SCHEME}://pt"
+        D.write_delta(_docs(spark, 30), uri, partition_by=["bucket"])
+        got = D.read_delta(
+            spark, uri, partition_filters=[("bucket", "=", 1)]
+        )
+        assert got.count() == 10
+        assert set(os.listdir(os.path.join(root, "pt"))) >= {
+            "bucket=0", "bucket=1", "bucket=2", "_delta_log"
+        }
+
+    def test_dv_delete(self, spark, hook_fs):
+        root, committed = hook_fs
+        uri = f"{SCHEME}://dv"
+        D.write_delta(_docs(spark, 50), uri)
+        res = D.delta_delete_dv(spark, uri, [("doc_id", "<", 20)])
+        assert res["rows_deleted"] == 20
+        got = D.read_delta(spark, uri)
+        assert got.count() == 30
+        assert got.agg(F.min("doc_id")).first()[0] == 20
+        # the DV sidecar landed via the scheme's data-plane PUT
+        assert any(
+            n.startswith("deletion_vector_")
+            for n in os.listdir(os.path.join(root, "dv"))
+        )
+        # the DV commit rode the hook
+        assert sum("_delta_log" in p for p in committed) == 2
+
+    def test_concurrent_appends_serialize(self, spark, hook_fs):
+        """Two writers racing on the same version: the loser's
+        create_exclusive raises FileExistsError, write_delta
+        re-replays and retries — both land, on distinct versions."""
+        _, _ = hook_fs
+        uri = f"{SCHEME}://race"
+        D.write_delta(_docs(spark, 5), uri)
+        barrier = threading.Barrier(2)
+        errs, versions = [], []
+
+        def append(k):
+            try:
+                barrier.wait(timeout=30)
+                versions.append(
+                    D.write_delta(_docs(spark, 5, offset=5 + 5 * k), uri)
+                )
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        ts = [
+            threading.Thread(target=append, args=(k,)) for k in range(2)
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs
+        assert sorted(versions) == [1, 2]
+        assert D.read_delta(spark, uri).count() == 15
+
+    def test_refusal_without_hook(self, spark, tmp_path):
+        """fs_factory alone (no hook, no root) reads fine but writes
+        refuse typed — the no-silent-half-support contract."""
+        root = str(tmp_path / "nhk")
+        os.makedirs(root)
+        fsio.register_filesystem(
+            "nohook",
+            fs_factory=functools.partial(fsio._subtree_fs, root),
+            spark_path=functools.partial(fsio._join_under, root),
+        )
+        try:
+            with pytest.raises(fsio.FsIoError, match="conditional-put"):
+                D.write_delta(_docs(spark, 3), "nohook://t")
+        finally:
+            fsio.unregister_filesystem("nohook")
+
+
+class TestIcebergHookOnly:
+    def test_create_append_read(self, spark, hook_fs):
+        root, committed = hook_fs
+        uri = f"{SCHEME}://ice"
+        I.write_iceberg_table(_docs(spark, 20).coalesce(1), uri)
+        I.write_iceberg_table(_docs(spark, 20, offset=20).coalesce(1), uri)
+        got = I.read_iceberg(spark, uri)
+        assert got.count() == 40
+        assert got.agg(F.sum("doc_id")).first()[0] == sum(range(40))
+        metas = [p for p in committed if "metadata.json" in p]
+        assert len(metas) == 2  # v1 create + v2 append, via the hook
+        # manifests + manifest lists are real avro objects
+        mdir = os.path.join(root, "ice", "metadata")
+        assert any(n.startswith("manifest-") for n in os.listdir(mdir))
+        assert any(n.startswith("snap-") for n in os.listdir(mdir))
+
+    def test_race_loser_gets_typed_conflict(self, spark, hook_fs):
+        """Snapshot commits cannot be replayed blindly: when another
+        writer grabbed the next metadata version, the loser aborts
+        with the typed conflict."""
+        root, _ = hook_fs
+        uri = f"{SCHEME}://icer"
+        I.write_iceberg_table(_docs(spark, 10).coalesce(1), uri)
+        v = I._hint_version(uri)
+        # simulate a winner mid-commit: next version exists, hint
+        # not yet repointed
+        fsio.create_exclusive(
+            f"{uri}/metadata/v{v + 1}.metadata.json", b"{}"
+        )
+        with pytest.raises(I.IcebergError, match="commit conflict"):
+            I.write_iceberg_table(
+                _docs(spark, 5, offset=10).coalesce(1), uri
+            )

@@ -2,8 +2,15 @@
 pytest-local mock server implementing the public OpenAPI's
 LoadTable route hands back the metadata-location of a real table
 written on disk; ``read_iceberg`` then scans it exactly as by path
-— proving REST adds only the resolution hop. Write verbs refuse a
-REST spec at the atomic-create gate."""
+— proving REST adds only the resolution hop.
+
+Round 12 adds the COMMIT route (updateTable POST): the mock
+validates the CommitTableRequest's requirements against its current
+state under a lock (the server-side CAS that IS the point of
+catalog commits), applies the updates to a fresh metadata version
+on disk, and answers 409 on a requirement mismatch —
+``write_iceberg_table`` against a rest spec rides this end to end,
+and a raced writer gets the typed RestCommitConflict."""
 
 from __future__ import annotations
 
@@ -30,78 +37,20 @@ def _docs(spark, n=24):
 
 @pytest.fixture()
 def rest_server():
-    """Minimal REST catalog: tables dict maps (ns_tuple, table) →
-    metadata-location; records every request path + auth header."""
-    state = {"tables": {}, "requests": [], "auth": []}
+    """The shared in-process reference catalog
+    (sources/rest_mock.MockRestCatalog): loadTable/list GETs plus
+    the updateTable commit POST with requirement validation under
+    the server-side lock. The state dict view keeps the historical
+    test surface (tables/requests/auth/base)."""
+    from lwes_contrib_hive_serde_spark.sources import rest_mock as RM
 
-    class Handler(BaseHTTPRequestHandler):
-        def log_message(self, *a):  # silence
-            pass
-
-        def do_GET(self):
-            state["requests"].append(self.path)
-            state["auth"].append(self.headers.get("Authorization"))
-            parts = [
-                urllib.parse.unquote(p)
-                for p in self.path.strip("/").split("/")
-            ]
-            # [v1, (prefix)?, namespaces, <ns>, tables, (<table>)?]
-            if parts[-1] == "namespaces" or (
-                len(parts) >= 2 and parts[-2] == "namespaces"
-                and parts[-1].startswith("namespaces?")
-            ):
-                nss = sorted({ns for (ns, _t) in state["tables"]})
-                body = json.dumps(
-                    {"namespaces": [list(ns) for ns in nss]}
-                ).encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.end_headers()
-                self.wfile.write(body)
-                return
-            if parts[-1] == "tables" and "namespaces" in parts:
-                ns = tuple(
-                    parts[parts.index("namespaces") + 1].split("\x1f")
-                )
-                idents = [
-                    {"namespace": list(k[0]), "name": k[1]}
-                    for k in state["tables"] if k[0] == ns
-                ]
-                body = json.dumps({"identifiers": idents}).encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.end_headers()
-                self.wfile.write(body)
-                return
-            if "namespaces" in parts and "tables" in parts:
-                ns = tuple(
-                    parts[parts.index("namespaces") + 1].split("\x1f")
-                )
-                tbl = parts[parts.index("tables") + 1]
-                loc = state["tables"].get((ns, tbl))
-                if loc:
-                    body = json.dumps(
-                        {"metadata-location": loc, "config": {}}
-                    ).encode()
-                    self.send_response(200)
-                    self.send_header("Content-Type", "application/json")
-                    self.end_headers()
-                    self.wfile.write(body)
-                    return
-                self.send_response(404)
-                self.end_headers()
-                self.wfile.write(b'{"error":{"message":"no such table"}}')
-                return
-            self.send_response(400)
-            self.end_headers()
-
-    srv = HTTPServer(("127.0.0.1", 0), Handler)
-    t = threading.Thread(target=srv.serve_forever, daemon=True)
-    t.start()
-    state["base"] = f"127.0.0.1:{srv.server_address[1]}"
+    cat = RM.MockRestCatalog()
+    state = {
+        "tables": cat.tables, "requests": cat.requests,
+        "auth": cat.auth, "base": cat.base, "lock": cat.lock,
+    }
     yield state
-    srv.shutdown()
-    t.join(timeout=5)
+    cat.close()
 
 
 def _current_metadata_location(path: str) -> str:
@@ -279,3 +228,88 @@ class TestRestReads:
         spec = f"rest+iceberg://{rest_server['base']}#db.t4"
         snaps = I.iceberg_snapshots(spark, spec)
         assert snaps.count() == 2
+
+
+class TestRestCommits:
+    """Round-12 write tier: appends against a rest+iceberg:// spec
+    commit through the catalog's updateTable POST."""
+
+    def _register(self, spark, tmp_path, rest_server, name, n=12):
+        p = str(tmp_path / name)
+        I.write_iceberg_table(_docs(spark, n).coalesce(1), p)
+        rest_server["tables"][(("db",), name)] = (
+            _current_metadata_location(p)
+        )
+        return p, f"rest+iceberg://{rest_server['base']}#db.{name}"
+
+    def test_append_via_rest(self, spark, tmp_path, rest_server):
+        p, spec = self._register(spark, tmp_path, rest_server, "wt")
+        sid = I.write_iceberg_table(
+            _docs(spark, 12).coalesce(1), spec
+        )
+        # the commit went through the catalog, not a hint bump
+        assert any(
+            r.startswith("POST ") for r in rest_server["requests"]
+        )
+        # REST read sees both snapshots and all rows
+        got = I.read_iceberg(spark, spec)
+        assert got.count() == 24
+        snaps = I.iceberg_snapshots(spark, spec)
+        assert snaps.count() == 2
+        assert sid in {r["snapshot_id"] for r in snaps.collect()}
+        # path-based read agrees (the mock repoints the hint, as a
+        # catalog materializing HadoopTables layouts would)
+        assert I.read_iceberg(spark, p).count() == 24
+        # refs carry the catalog-maintained main branch
+        meta = I.load_table_metadata(spec)
+        assert meta["refs"]["main"]["snapshot-id"] == sid
+
+    def test_raced_writer_gets_typed_conflict(
+        self, spark, tmp_path, rest_server
+    ):
+        """Writer B resolves the table, then writer A commits; B's
+        assert-ref-snapshot-id requirement no longer holds and the
+        catalog answers 409 -> RestCommitConflict."""
+        _p, spec = self._register(spark, tmp_path, rest_server, "race")
+        base, prefix, ns, tbl = R.parse_rest_spec(spec)
+        stale_meta = I.load_table_metadata(spec)
+        # writer A lands first
+        I.write_iceberg_table(_docs(spark, 6).coalesce(1), spec)
+        # writer B commits against the stale parent
+        with pytest.raises(R.RestCommitConflict, match="requirement"):
+            R.commit_table(
+                base, ns, tbl,
+                requirements=[{
+                    "type": "assert-ref-snapshot-id",
+                    "ref": "main",
+                    "snapshot-id": stale_meta["current-snapshot-id"],
+                }],
+                updates=[],
+                prefix=prefix,
+            )
+        # the verb path's only commit gate IS this requirements
+        # check (no hint race exists on the REST path), so the
+        # direct commit_table assertion above covers the verb-level
+        # loser too; a post-conflict re-run succeeds
+        assert I.write_iceberg_table(
+            _docs(spark, 3).coalesce(1), spec
+        ) is not None
+        assert I.read_iceberg(spark, spec).count() == 21
+
+    def test_mixed_path_and_rest_appends(
+        self, spark, tmp_path, rest_server
+    ):
+        """A path-based append between two REST appends: the catalog
+        keeps serving the newest metadata because the mock (like a
+        catalog fronting a HadoopTables layout) tracks the location;
+        REST appends assert against the refreshed state."""
+        p, spec = self._register(spark, tmp_path, rest_server, "mix")
+        I.write_iceberg_table(_docs(spark, 6).coalesce(1), spec)
+        # path-based append moves the hint; re-register the catalog
+        # pointer the way an external writer + catalog sync would
+        I.write_iceberg_table(_docs(spark, 6).coalesce(1), p)
+        rest_server["tables"][(("db",), "mix")] = (
+            _current_metadata_location(p)
+        )
+        I.write_iceberg_table(_docs(spark, 6).coalesce(1), spec)
+        assert I.read_iceberg(spark, spec).count() == 30
