@@ -646,6 +646,7 @@ def q_topk(spark, sf_dir):
 
 @register(
     "q_exact_dedup",
+    shadow=True,
     oracle="""
     SELECT DISTINCT user_id, event_type FROM events
     """,
@@ -659,6 +660,7 @@ def q_exact_dedup(spark, sf_dir):
 
 @register(
     "q_sample_systematic",
+    shadow=True,
     oracle="""
     SELECT COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sampled_spend
@@ -682,6 +684,7 @@ def q_sample(spark, sf_dir):
 
 @register(
     "q_scalar_funcs",
+    shadow=True,
     oracle="""
     SELECT l_orderkey AS okey,
            l_linenumber AS lineno,

@@ -111,6 +111,7 @@ _SQL_RATIOS = {
 
 @register(
     "q_doc_langid",
+    shadow=True,
     oracle=f"""
     WITH scored AS (
       SELECT doc_id, lang AS lang_label,
@@ -487,6 +488,7 @@ def q_dup_clusters(spark, sf_dir):
 
 @register(
     "q_salted_agg",
+    shadow=True,
     oracle="""
     SELECT user_id,
            COUNT(*) AS n,
@@ -6491,7 +6493,6 @@ def _pdf_extract_oracle_sql() -> str:
 
 @register(
     "q_pdf_extract",
-    shadow=True,
     oracle=_pdf_extract_oracle_sql(),
     doc="PDF text extraction over REAL, spec-conformant PDF byte "
     "streams (multimodal.parse_pdf_text / decode_pdf_text, VERDICT "
@@ -8489,7 +8490,6 @@ def _documents_avro(spark, sf_dir: str) -> str:
 
 @register(
     "q_avro_roundtrip",
-    shadow=True,
     oracle="""
     SELECT lang,
            COUNT(*) AS n,
@@ -10843,7 +10843,6 @@ def _documents_delta_cdf_sql(spark, sf_dir: str) -> str:
 
 @register(
     "q_sql_dml_cdf",
-    shadow=True,
     oracle="""
     WITH s1 AS (
       SELECT doc_id, lang, text, n_chars FROM documents
@@ -11038,7 +11037,6 @@ def _documents_delta_evolved(spark, sf_dir: str) -> str:
 
 @register(
     "q_delta_evolution",
-    shadow=True,
     oracle="""
     SELECT lang,
            COUNT(*) AS n,
@@ -11200,7 +11198,6 @@ def _documents_rest_table(spark, sf_dir: str) -> str:
 
 @register(
     "q_rest_commit",
-    shadow=True,
     oracle="""
     SELECT lang, COUNT(*) AS n,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

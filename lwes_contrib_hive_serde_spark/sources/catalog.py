@@ -28,6 +28,16 @@ class CatalogError(ValueError):
 
 
 def _load(spark: SparkSession, spec: str):
+    if spec.startswith("hms://"):
+        # Hive-metastore indirection: resolve (format, location)
+        # through the thrift get_table call (sources/hms.py), then
+        # load exactly as the equivalent format:path spec — HMS adds
+        # only the resolution hop, like rest+iceberg:// does
+        from lwes_contrib_hive_serde_spark.sources import hms
+
+        base, at, pin = spec.partition("@")
+        fmt, location = hms.resolve_hms(base)
+        return _load(spark, f"{fmt}:{location}{at}{pin}")
     fmt, sep, rest = spec.partition(":")
     if not sep:
         raise CatalogError(

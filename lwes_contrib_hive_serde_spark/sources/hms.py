@@ -1,0 +1,331 @@
+"""Hive Metastore resolution — the READ tier.
+
+Resolves ``hms://host:port/db.table`` specs to a (format, storage
+location) pair through the public HMS Thrift API: one ``get_table``
+call (hive_metastore.thrift, apache/hive) over the standard
+unframed TBinaryProtocol (the Thrift spec's strict binary
+encoding), returning the Table struct's StorageDescriptor
+(location, inputFormat, serdeInfo) and parameters map. Everything
+after resolution is the existing path-based reader stack — exactly
+the rest_catalog.py layering, with Thrift in place of HTTP.
+
+Format detection follows the conventions real writers leave in the
+metastore:
+
+  * ``parameters["table_type"] == "ICEBERG"`` (the Iceberg
+    HiveCatalog convention) → iceberg at sd.location
+  * ``parameters["spark.sql.sources.provider"]`` = delta/hudi/
+    iceberg/parquet (Spark's datasource provider stamp)
+  * serde/inputFormat mentioning Hoodie → hudi
+  * the REFERENCE's OWN SerDe — ``org.lwes.hadoop.hive.EventSerDe``
+    with the journal input format (EventSerDe.java:58,
+    JournalInputFormat.java:47) → the lwes journal reader: a Hive
+    deployment of the reference resolves straight onto this engine
+  * MapredParquetInputFormat → parquet
+
+The Thrift subset here is hand-rolled from the public protocol
+spec (binary strict framing; field/map/list/struct encodings) with
+a skip-capable reader, so unknown fields in newer HMS versions pass
+through harmlessly. No thrift library exists in this container —
+and the wire format is small enough that carrying one would not
+pay for itself.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+
+# Thrift type ids (public protocol constants)
+T_STOP = 0
+T_BOOL = 2
+T_BYTE = 3
+T_DOUBLE = 4
+T_I16 = 6
+T_I32 = 8
+T_I64 = 10
+T_STRING = 11
+T_STRUCT = 12
+T_MAP = 13
+T_SET = 14
+T_LIST = 15
+
+_MSG_CALL = 1
+_MSG_REPLY = 2
+_MSG_EXCEPTION = 3
+_VERSION_1 = 0x80010000
+
+
+class HmsError(ValueError):
+    pass
+
+
+# --------------------------------------------------------------------------
+# encoding (client request + mock-server replies)
+
+
+def enc_string(s: str) -> bytes:
+    b = s.encode("utf-8")
+    return struct.pack(">i", len(b)) + b
+
+
+def enc_field(ftype: int, fid: int) -> bytes:
+    return struct.pack(">bh", ftype, fid)
+
+
+def enc_message(name: str, mtype: int, seqid: int, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", _VERSION_1 | mtype)
+        + enc_string(name)
+        + struct.pack(">i", seqid)
+        + body
+    )
+
+
+def enc_stop() -> bytes:
+    return struct.pack(">b", T_STOP)
+
+
+def enc_value(val) -> tuple[int, bytes]:
+    """(thrift type, encoded bytes) for the python values the mock
+    and client exchange: str, bool, int (i32), dict[str,str] (map),
+    list (of structs or strings), and dict-with-int-keys = struct
+    {field_id: (type?, value) | value}."""
+    if isinstance(val, bool):
+        return T_BOOL, struct.pack(">b", 1 if val else 0)
+    if isinstance(val, str):
+        return T_STRING, enc_string(val)
+    if isinstance(val, int):
+        return T_I32, struct.pack(">i", val)
+    if isinstance(val, dict) and all(isinstance(k, int) for k in val):
+        out = b""
+        for fid, v in sorted(val.items()):
+            ftype, data = enc_value(v)
+            out += enc_field(ftype, fid) + data
+        return T_STRUCT, out + enc_stop()
+    if isinstance(val, dict):  # map<string,string>
+        out = struct.pack(
+            ">bbi", T_STRING, T_STRING, len(val)
+        )
+        for k, v in val.items():
+            out += enc_string(str(k)) + enc_string(str(v))
+        return T_MAP, out
+    if isinstance(val, list):
+        if not val:
+            return T_LIST, struct.pack(">bi", T_STRING, 0)
+        etype, _ = enc_value(val[0])
+        out = struct.pack(">bi", etype, len(val))
+        for e in val:
+            _t, data = enc_value(e)
+            out += data
+        return T_LIST, out
+    raise HmsError(f"cannot thrift-encode {type(val).__name__}")
+
+
+# --------------------------------------------------------------------------
+# decoding (skip-capable generic reader)
+
+
+class _Reader:
+    def __init__(self, recv):
+        self._recv = recv  # callable(n) -> exactly n bytes
+
+    def _take(self, n: int) -> bytes:
+        return self._recv(n)
+
+    def i8(self) -> int:
+        return struct.unpack(">b", self._take(1))[0]
+
+    def i16(self) -> int:
+        return struct.unpack(">h", self._take(2))[0]
+
+    def i32(self) -> int:
+        return struct.unpack(">i", self._take(4))[0]
+
+    def i64(self) -> int:
+        return struct.unpack(">q", self._take(8))[0]
+
+    def string(self) -> str:
+        n = self.i32()
+        if n < 0 or n > (1 << 26):
+            raise HmsError(f"implausible thrift string length {n}")
+        return self._take(n).decode("utf-8", "replace")
+
+    def value(self, ftype: int):
+        """Decode any value of ``ftype``; structs come back as
+        {field_id: value} dicts, maps/lists as python maps/lists."""
+        if ftype == T_BOOL:
+            return bool(self.i8())
+        if ftype == T_BYTE:
+            return self.i8()
+        if ftype == T_DOUBLE:
+            return struct.unpack(">d", self._take(8))[0]
+        if ftype == T_I16:
+            return self.i16()
+        if ftype == T_I32:
+            return self.i32()
+        if ftype == T_I64:
+            return self.i64()
+        if ftype == T_STRING:
+            return self.string()
+        if ftype == T_STRUCT:
+            out = {}
+            while True:
+                t = self.i8()
+                if t == T_STOP:
+                    return out
+                fid = self.i16()
+                out[fid] = self.value(t)
+        if ftype == T_MAP:
+            kt, vt = self.i8(), self.i8()
+            n = self.i32()
+            return {
+                self.value(kt): self.value(vt) for _ in range(n)
+            }
+        if ftype in (T_LIST, T_SET):
+            et = self.i8()
+            n = self.i32()
+            return [self.value(et) for _ in range(n)]
+        raise HmsError(f"unknown thrift type {ftype}")
+
+    def message(self) -> tuple[str, int, int]:
+        head = self.i32()
+        if head & 0xFFFF0000 != _VERSION_1 & 0xFFFFFFFF:
+            raise HmsError(
+                f"not a strict thrift binary message (head={head:#x})"
+            )
+        mtype = head & 0xFF
+        name = self.string()
+        seqid = self.i32()
+        return name, mtype, seqid
+
+
+def _sock_reader(sock: socket.socket) -> _Reader:
+    def recv(n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = sock.recv(n - len(buf))
+            if not chunk:
+                raise HmsError("metastore closed the connection")
+            buf += chunk
+        return buf
+
+    return _Reader(recv)
+
+
+# --------------------------------------------------------------------------
+# the get_table call
+
+
+def get_table(
+    host: str, port: int, db: str, table: str, timeout: float = 30.0
+) -> dict:
+    """``get_table(dbname, tbl_name)`` → the Table struct as a
+    field-id dict (see hive_metastore.thrift for ids: 7=sd,
+    9=parameters; sd: 2=location, 3=inputFormat, 7=serdeInfo)."""
+    body = (
+        enc_field(T_STRING, 1) + enc_string(db)
+        + enc_field(T_STRING, 2) + enc_string(table)
+        + enc_stop()
+    )
+    msg = enc_message("get_table", _MSG_CALL, 0, body)
+    try:
+        with socket.create_connection((host, port), timeout=timeout) as s:
+            s.sendall(msg)
+            r = _sock_reader(s)
+            name, mtype, _seq = r.message()
+            if mtype == _MSG_EXCEPTION:
+                exc = r.value(T_STRUCT)
+                raise HmsError(
+                    f"metastore exception: {exc.get(1, 'unknown')}"
+                )
+            result = r.value(T_STRUCT)
+    except OSError as e:
+        raise HmsError(
+            f"metastore unreachable at {host}:{port}: {e}"
+        ) from e
+    if 0 in result:
+        return result[0]
+    # field 1 = NoSuchObjectException, 2 = MetaException
+    detail = result.get(1) or result.get(2) or {}
+    raise HmsError(
+        f"no such table {db}.{table}: "
+        f"{detail.get(1) if isinstance(detail, dict) else detail}"
+    )
+
+
+# --------------------------------------------------------------------------
+# spec resolution
+
+_SCHEME = "hms://"
+
+# Table struct field ids (hive_metastore.thrift)
+F_SD = 7
+F_PARAMETERS = 9
+# StorageDescriptor field ids
+SD_LOCATION = 2
+SD_INPUT_FORMAT = 3
+SD_SERDE = 7
+# SerDeInfo field ids
+SERDE_LIB = 2
+
+
+def is_hms_spec(path: str) -> bool:
+    return path.startswith(_SCHEME)
+
+
+def parse_hms_spec(path: str) -> tuple[str, int, str, str]:
+    """``hms://host:port/db.table`` → (host, port, db, table)."""
+    if not is_hms_spec(path):
+        raise HmsError(f"not an hms:// spec: {path!r}")
+    rest = path[len(_SCHEME):]
+    authority, slash, ident = rest.partition("/")
+    if not slash or not ident:
+        raise HmsError(f"{path!r}: needs '/db.table' after the host")
+    host, colon, port = authority.partition(":")
+    if not host or not colon or not port.isdigit():
+        raise HmsError(f"{path!r}: needs 'host:port'")
+    db, dot, table = ident.rpartition(".")
+    if not dot or not db:
+        raise HmsError(f"{path!r}: identifier must be 'db.table'")
+    return host, int(port), db, table
+
+
+def resolve_hms(path_spec: str) -> tuple[str, str]:
+    """hms:// spec → (format, storage location) for the catalog's
+    path-based loaders. Raises HmsError when the table's format is
+    not one this engine reads."""
+    host, port, db, table = parse_hms_spec(path_spec)
+    t = get_table(host, port, db, table)
+    sd = t.get(F_SD) or {}
+    params = {
+        str(k): str(v) for k, v in (t.get(F_PARAMETERS) or {}).items()
+    }
+    location = sd.get(SD_LOCATION)
+    if not location:
+        raise HmsError(
+            f"{path_spec!r}: table carries no storage location"
+        )
+    input_format = str(sd.get(SD_INPUT_FORMAT) or "")
+    serde_lib = str((sd.get(SD_SERDE) or {}).get(SERDE_LIB) or "")
+    if params.get("table_type", "").upper() == "ICEBERG":
+        return "iceberg", location
+    provider = params.get("spark.sql.sources.provider", "").lower()
+    if provider in ("delta", "hudi", "iceberg", "parquet"):
+        return provider, location
+    blob = f"{input_format} {serde_lib}"
+    if "hoodie" in blob.lower():
+        return "hudi", location
+    if "org.lwes.hadoop" in blob:
+        # the reference's own Hive deployment: EventSerDe +
+        # JournalInputFormat → this engine's lwes journal source
+        return "lwes", location
+    if "MapredParquetInputFormat" in input_format or "parquet" in (
+        input_format.lower()
+    ):
+        return "parquet", location
+    raise HmsError(
+        f"{path_spec!r}: unrecognized table format "
+        f"(inputFormat={input_format!r}, serde={serde_lib!r}, "
+        f"params keys={sorted(params)})"
+    )

@@ -1,0 +1,229 @@
+"""Hive Metastore resolution (sources/hms.py): a pytest-local mock
+metastore speaking the real unframed TBinaryProtocol serves
+get_table replies built with the module's own encoders; resolution
+hands (format, location) to the existing path-based loaders, so —
+like rest+iceberg:// — HMS adds only the hop.
+
+The parity case that matters: a table declared with the REFERENCE's
+own SerDe (org.lwes.hadoop.hive.EventSerDe + JournalInputFormat,
+EventSerDe.java:58 / JournalInputFormat.java:47) resolves onto this
+engine's lwes journal source — a Hive deployment of the reference
+can point its metastore at this engine unchanged."""
+
+from __future__ import annotations
+
+import os
+import socketserver
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from lwes_contrib_hive_serde_spark.sources import catalog as C
+from lwes_contrib_hive_serde_spark.sources import delta as D
+from lwes_contrib_hive_serde_spark.sources import hms
+from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+
+@pytest.fixture()
+def metastore():
+    """(db, table) → Table struct (field-id dict); serves get_table
+    over real sockets with the module's wire helpers."""
+    state = {"tables": {}, "calls": []}
+
+    class Handler(socketserver.BaseRequestHandler):
+        def handle(self):
+            r = hms._sock_reader(self.request)
+            try:
+                name, _mtype, seqid = r.message()
+            except hms.HmsError:
+                return
+            args = r.value(hms.T_STRUCT)
+            state["calls"].append((name, args))
+            if name != "get_table":
+                _t, body = hms.enc_value({})  # empty result struct
+                self.request.sendall(
+                    hms.enc_message(name, 3, seqid, body)
+                )
+                return
+            key = (args.get(1), args.get(2))
+            tbl = state["tables"].get(key)
+            if tbl is None:
+                # result struct: field 1 = NoSuchObjectException
+                # {1: message}
+                _t, body = hms.enc_value(
+                    {1: {1: f"{key[0]}.{key[1]} not found"}}
+                )
+            else:
+                _t, body = hms.enc_value({0: tbl})  # field 0 = success
+            self.request.sendall(
+                hms.enc_message("get_table", 2, seqid, body)
+            )
+
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+    srv.daemon_threads = True
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    state["addr"] = f"127.0.0.1:{srv.server_address[1]}"
+    yield state
+    srv.shutdown()
+    t.join(timeout=5)
+    srv.server_close()
+
+
+def _docs(spark, n=20):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+        (F.col("id") % 3).alias("bucket"),
+    )
+
+
+def _table_struct(location, input_format="", serde="", params=None):
+    return {
+        hms.F_SD: {
+            hms.SD_LOCATION: location,
+            hms.SD_INPUT_FORMAT: input_format,
+            hms.SD_SERDE: {hms.SERDE_LIB: serde},
+        },
+        hms.F_PARAMETERS: params or {},
+    }
+
+
+class TestSpecParsing:
+    def test_shapes(self):
+        assert hms.parse_hms_spec("hms://h:9083/db.t") == (
+            "h", 9083, "db", "t"
+        )
+        assert hms.parse_hms_spec("hms://h:1/a.b.c") == (
+            "h", 1, "a.b", "c"
+        )
+        for bad in (
+            "hms://h/db.t",      # no port
+            "hms://h:9083/t",    # no db
+            "hms://h:9083",      # no identifier
+            "thrift://h:9083/db.t",
+        ):
+            with pytest.raises(hms.HmsError):
+                hms.parse_hms_spec(bad)
+
+
+class TestResolution:
+    def test_delta_via_provider_param(self, spark, tmp_path, metastore):
+        p = str(tmp_path / "d")
+        D.write_delta(_docs(spark), p)
+        metastore["tables"][("db", "docs")] = _table_struct(
+            p, params={"spark.sql.sources.provider": "delta"}
+        )
+        spec = f"hms://{metastore['addr']}/db.docs"
+        assert hms.resolve_hms(spec) == ("delta", p)
+        C.register_lakehouse(spark, {"hms_docs": spec})
+        assert spark.sql(
+            "SELECT count(*) n FROM hms_docs"
+        ).first().n == 20
+        assert metastore["calls"][0][0] == "get_table"
+
+    def test_iceberg_via_table_type(self, spark, tmp_path, metastore):
+        p = str(tmp_path / "i")
+        I.write_iceberg_table(_docs(spark, 8).coalesce(1), p)
+        metastore["tables"][("db", "ice")] = _table_struct(
+            p,
+            input_format="org.apache.hadoop.mapred.FileInputFormat",
+            params={"table_type": "ICEBERG",
+                    "metadata_location": p + "/metadata/v1.metadata.json"},
+        )
+        spec = f"hms://{metastore['addr']}/db.ice"
+        assert hms.resolve_hms(spec) == ("iceberg", p)
+        C.register_lakehouse(spark, {"hms_ice": spec})
+        assert spark.sql(
+            "SELECT count(*) n FROM hms_ice"
+        ).first().n == 8
+
+    def test_hudi_via_input_format(self, tmp_path, metastore):
+        metastore["tables"][("db", "h")] = _table_struct(
+            str(tmp_path),
+            input_format=(
+                "org.apache.hudi.hadoop.HoodieParquetInputFormat"
+            ),
+        )
+        fmt, loc = hms.resolve_hms(
+            f"hms://{metastore['addr']}/db.h"
+        )
+        assert fmt == "hudi"
+
+    def test_reference_serde_resolves_to_lwes(
+        self, spark, tmp_path, metastore
+    ):
+        """The reference's Hive DDL (EventSerDe +
+        JournalInputFormat) points this engine at its journals."""
+        from lwes_contrib_hive_serde_spark.sources import codec as c
+
+        d = str(tmp_path / "j")
+        os.makedirs(d)
+        evs = []
+        for i in range(6):
+            ev = c.Event("Click")
+            ev.set("n", c.INT32, i)
+            ev.set("ReceiptTime", c.INT64, 1000 + i)
+            evs.append(ev)
+        c.write_journal_file(os.path.join(d, "a.journal"), evs)
+        metastore["tables"][("db", "clicks")] = _table_struct(
+            d,
+            input_format="org.lwes.hadoop.io.JournalInputFormat",
+            serde="org.lwes.hadoop.hive.EventSerDe",
+        )
+        spec = f"hms://{metastore['addr']}/db.clicks"
+        assert hms.resolve_hms(spec) == ("lwes", d)
+        import lwes_contrib_hive_serde_spark as L
+
+        L.register(spark)
+        C.register_lakehouse(spark, {"hms_clicks": spec})
+        got = spark.sql(
+            "SELECT count(*) n FROM hms_clicks"
+        ).first()
+        assert got.n == 6
+
+    def test_parquet_fallback_and_pin_passthrough(
+        self, spark, tmp_path, metastore
+    ):
+        p = str(tmp_path / "pq")
+        _docs(spark, 9).write.parquet(p)
+        metastore["tables"][("db", "raw")] = _table_struct(
+            p,
+            input_format=(
+                "org.apache.hadoop.hive.ql.io.parquet."
+                "MapredParquetInputFormat"
+            ),
+        )
+        spec = f"hms://{metastore['addr']}/db.raw"
+        assert hms.resolve_hms(spec) == ("parquet", p)
+        # delta @pin rides through the indirection
+        dp = str(tmp_path / "dp")
+        D.write_delta(_docs(spark, 5), dp)
+        D.write_delta(_docs(spark, 5, ), dp)  # v1
+        metastore["tables"][("db", "dpin")] = _table_struct(
+            dp, params={"spark.sql.sources.provider": "delta"}
+        )
+        C.register_lakehouse(spark, {
+            "hms_pin": f"hms://{metastore['addr']}/db.dpin@0"
+        })
+        assert spark.sql(
+            "SELECT count(*) n FROM hms_pin"
+        ).first().n == 5
+
+    def test_typed_errors(self, metastore):
+        with pytest.raises(hms.HmsError, match="not found"):
+            hms.resolve_hms(f"hms://{metastore['addr']}/db.nope")
+        with pytest.raises(hms.HmsError, match="unreachable"):
+            hms.resolve_hms("hms://127.0.0.1:1/db.t")
+        metastore["tables"][("db", "odd")] = _table_struct(
+            "/data/odd", input_format="com.example.WeirdInputFormat"
+        )
+        with pytest.raises(hms.HmsError, match="unrecognized"):
+            hms.resolve_hms(f"hms://{metastore['addr']}/db.odd")
+        metastore["tables"][("db", "noloc")] = {
+            hms.F_SD: {hms.SD_INPUT_FORMAT: "x"},
+            hms.F_PARAMETERS: {},
+        }
+        with pytest.raises(hms.HmsError, match="no storage location"):
+            hms.resolve_hms(f"hms://{metastore['addr']}/db.noloc")
