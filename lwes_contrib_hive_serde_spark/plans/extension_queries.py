@@ -11250,3 +11250,71 @@ def q_rest_commit(spark, sf_dir):
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+@register(
+    "q_hms_resolution",
+    shadow=True,
+    oracle="""
+    SELECT lang, COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents GROUP BY lang
+    """,
+    doc="Hive-metastore resolution (sources/hms.py, round 12): the "
+    "table is addressed as hms://host:port/db.documents and the "
+    "engine resolves (format, location) through ONE thrift "
+    "get_table call — the strict TBinaryProtocol wire format, "
+    "hand-rolled from the public spec, against the in-process "
+    "reference metastore (sources/hms_mock.py) whose Table struct "
+    "stamps spark.sql.sources.provider=delta — then reads through "
+    "the ordinary path-based Delta tier. The DuckDB oracle "
+    "aggregates the original parquet: a hash match proves the HMS "
+    "hop changes nothing about snapshot selection or file "
+    "membership, mirroring q_iceberg_rest for the thrift side.",
+)
+def q_hms_resolution(spark, sf_dir):
+    import os
+
+    from lwes_contrib_hive_serde_spark.sources import (
+        catalog as C,
+        delta as D,
+        hms_mock as HM,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        tag = f"{tag}-{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        pass
+    out = f"/tmp/hms_table_cache/v1/{tag}/documents_delta"
+    if not os.path.exists(os.path.join(out, "_delta_log")):
+        D.write_delta(
+            table(spark, sf_dir, "documents").select(
+                "doc_id", "text", "lang", "source", "n_chars"
+            ),
+            out,
+        )
+    with HM.MockMetastore() as ms:
+        ms.register(
+            "db", "documents",
+            HM.table_struct(
+                out,
+                params={"spark.sql.sources.provider": "delta"},
+            ),
+        )
+        # resolution is eager inside register_lakehouse; the scan
+        # itself is path-based parquet, so the metastore can close
+        # after the view exists (it adds only the hop)
+        C.register_lakehouse(
+            spark, {"hms_documents": ms.spec("db.documents")}
+        )
+    return spark.table("hms_documents").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

@@ -1,0 +1,98 @@
+"""In-process reference Hive Metastore — the no-network test double
+for the ``hms://`` tier, sibling of ``rest_mock.MockRestCatalog``.
+
+Speaks the real unframed strict TBinaryProtocol over real sockets
+using sources/hms.py's own wire helpers: serves ``get_table`` from
+an in-memory (db, table) → Table-struct map, replying with the
+success field (id 0) or a NoSuchObjectException (id 1) exactly as
+hive_metastore.thrift declares. Used by tests/test_hms.py and the
+``q_hms_resolution`` shadow query; nothing in the engine's own
+read path imports this module.
+"""
+
+from __future__ import annotations
+
+import socketserver
+import threading
+
+from lwes_contrib_hive_serde_spark.sources import hms
+
+
+def table_struct(
+    location: str,
+    input_format: str = "",
+    serde: str = "",
+    params: dict | None = None,
+) -> dict:
+    """A minimal Table struct (field-id dict) carrying what
+    resolution reads: sd.location / sd.inputFormat / sd.serdeInfo
+    and the parameters map."""
+    return {
+        hms.F_SD: {
+            hms.SD_LOCATION: location,
+            hms.SD_INPUT_FORMAT: input_format,
+            hms.SD_SERDE: {hms.SERDE_LIB: serde},
+        },
+        hms.F_PARAMETERS: params or {},
+    }
+
+
+class MockMetastore:
+    def __init__(self) -> None:
+        self.tables: dict = {}
+        self.calls: list = []
+        store = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                r = hms._sock_reader(self.request)
+                try:
+                    name, _mtype, seqid = r.message()
+                except hms.HmsError:
+                    return
+                args = r.value(hms.T_STRUCT)
+                store.calls.append((name, args))
+                if name != "get_table":
+                    _t, body = hms.enc_value({})
+                    self.request.sendall(
+                        hms.enc_message(name, 3, seqid, body)
+                    )
+                    return
+                key = (args.get(1), args.get(2))
+                tbl = store.tables.get(key)
+                if tbl is None:
+                    _t, body = hms.enc_value(
+                        {1: {1: f"{key[0]}.{key[1]} not found"}}
+                    )
+                else:
+                    _t, body = hms.enc_value({0: tbl})
+                self.request.sendall(
+                    hms.enc_message("get_table", 2, seqid, body)
+                )
+
+        self._srv = socketserver.ThreadingTCPServer(
+            ("127.0.0.1", 0), Handler
+        )
+        self._srv.daemon_threads = True
+        self._thread = threading.Thread(
+            target=self._srv.serve_forever, daemon=True
+        )
+        self._thread.start()
+        self.addr = f"127.0.0.1:{self._srv.server_address[1]}"
+
+    def register(self, db: str, name: str, struct: dict) -> None:
+        self.tables[(db, name)] = struct
+
+    def spec(self, identifier: str) -> str:
+        return f"hms://{self.addr}/{identifier}"
+
+    def close(self) -> None:
+        self._srv.shutdown()
+        self._thread.join(timeout=5)
+        self._srv.server_close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

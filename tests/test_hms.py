@@ -27,48 +27,16 @@ from lwes_contrib_hive_serde_spark.sources import iceberg as I
 
 @pytest.fixture()
 def metastore():
-    """(db, table) → Table struct (field-id dict); serves get_table
-    over real sockets with the module's wire helpers."""
-    state = {"tables": {}, "calls": []}
+    """The shared in-process reference metastore
+    (sources/hms_mock.MockMetastore) — real sockets, real strict
+    TBinaryProtocol via the module's own wire helpers. The state
+    dict view keeps the historical test surface (tables/calls)."""
+    from lwes_contrib_hive_serde_spark.sources import hms_mock as HM
 
-    class Handler(socketserver.BaseRequestHandler):
-        def handle(self):
-            r = hms._sock_reader(self.request)
-            try:
-                name, _mtype, seqid = r.message()
-            except hms.HmsError:
-                return
-            args = r.value(hms.T_STRUCT)
-            state["calls"].append((name, args))
-            if name != "get_table":
-                _t, body = hms.enc_value({})  # empty result struct
-                self.request.sendall(
-                    hms.enc_message(name, 3, seqid, body)
-                )
-                return
-            key = (args.get(1), args.get(2))
-            tbl = state["tables"].get(key)
-            if tbl is None:
-                # result struct: field 1 = NoSuchObjectException
-                # {1: message}
-                _t, body = hms.enc_value(
-                    {1: {1: f"{key[0]}.{key[1]} not found"}}
-                )
-            else:
-                _t, body = hms.enc_value({0: tbl})  # field 0 = success
-            self.request.sendall(
-                hms.enc_message("get_table", 2, seqid, body)
-            )
-
-    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
-    srv.daemon_threads = True
-    t = threading.Thread(target=srv.serve_forever, daemon=True)
-    t.start()
-    state["addr"] = f"127.0.0.1:{srv.server_address[1]}"
+    ms = HM.MockMetastore()
+    state = {"tables": ms.tables, "calls": ms.calls, "addr": ms.addr}
     yield state
-    srv.shutdown()
-    t.join(timeout=5)
-    srv.server_close()
+    ms.close()
 
 
 def _docs(spark, n=20):
@@ -80,14 +48,11 @@ def _docs(spark, n=20):
 
 
 def _table_struct(location, input_format="", serde="", params=None):
-    return {
-        hms.F_SD: {
-            hms.SD_LOCATION: location,
-            hms.SD_INPUT_FORMAT: input_format,
-            hms.SD_SERDE: {hms.SERDE_LIB: serde},
-        },
-        hms.F_PARAMETERS: params or {},
-    }
+    from lwes_contrib_hive_serde_spark.sources import hms_mock as HM
+
+    return HM.table_struct(
+        location, input_format=input_format, serde=serde, params=params
+    )
 
 
 class TestSpecParsing:
