@@ -1111,28 +1111,52 @@ def _publish_partitioned_staging(
     dirs, possibly nested, possibly none) into the table: each leaf
     directory's parquet files move under the matching table subdir
     with attempt-unique names; returns their add actions with the
-    partitionValues parsed back from the directory segments."""
-    import tempfile
-
+    partitionValues parsed back from the directory segments.
+    fsio-routed throughout, so DV-DML staging publishes on
+    hook-only schemes too (unique names — the non-atomic data-plane
+    move is race-free by construction)."""
+    local = fsio.is_local(table_path)
     adds: list[dict] = []
-    for root, _dirs, names in os.walk(staging):
-        if not any(n.endswith(".parquet") for n in names):
+    now_ms = int(time.time() * 1000)
+    walker = os.walk(staging) if local else fsio.walk(staging)
+    for root, _dirs, names in walker:
+        pnames = sorted(n for n in names if n.endswith(".parquet"))
+        if not pnames:
             continue
-        rel = os.path.relpath(root, staging)
-        segs = [] if rel == "." else rel.split(os.sep)
+        rel = (
+            os.path.relpath(root, staging) if local
+            else fsio.relpath(root, staging)
+        )
+        segs = [] if rel == "." else rel.split(os.sep if local else "/")
         pv: dict = {}
         for seg in segs:
             c, _, raw = seg.partition("=")
             raw = urllib.parse.unquote(raw)
             pv[c] = None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
-        dest = os.path.join(table_path, *segs)
-        tmpd = tempfile.mkdtemp(dir=staging)
-        for n in names:
-            if n.endswith(".parquet"):
-                os.replace(os.path.join(root, n), os.path.join(tmpd, n))
-        for na in _publish_parquet_dir(tmpd, dest, table_path, pv):
-            na["dataChange"] = True
-            adds.append(na)
+        for n in pnames:
+            src = os.path.join(root, n) if local else fsio.join(root, n)
+            unique = f"part-{uuid.uuid4().hex}.parquet"
+            rel_path = "/".join(
+                [urllib.parse.quote(s, safe="/=") for s in segs]
+                + [unique]
+            )
+            dst = fsio.join(table_path, *segs, unique)
+            f, fp = fsio.pyarrow_fs(src)
+            stats = _footer_stats(fp, filesystem=f)
+            fsio.move(src, dst)
+            adds.append(
+                {
+                    "path": rel_path,
+                    "partitionValues": dict(pv),
+                    "size": fsio.file_size(dst),
+                    "modificationTime": (
+                        int(os.stat(dst).st_mtime * 1000) if local
+                        else now_ms
+                    ),
+                    "dataChange": True,
+                    "stats": stats,
+                }
+            )
     return adds
 
 
@@ -4204,9 +4228,11 @@ def delta_update_dv(
     the predicate runs). Same grammar as delta_update; partition
     columns cannot be assigned. Returns {"rows_updated",
     "files_with_dvs", "files_removed", "version"}."""
-    import shutil
-
-    path = fsio.resolve_write_path(path, "delta_update_dv")
+    _posix = fsio.posix_root(path)
+    if _posix is not None:
+        path = _posix
+    else:
+        fsio.require_commit(path, "delta_update_dv")
     state = _replay(path)
     _check_readable(state)
     _check_append_only(state, "delta_update_dv")
@@ -4335,15 +4361,15 @@ def delta_update_dv(
         updated = _rename_to_physical(
             updated, state, [f.name for f in full_schema.fields]
         )
-        staging = os.path.join(path, f".updatedv-{uuid.uuid4().hex}")
+        staging = fsio.join(path, f".updatedv-{uuid.uuid4().hex}")
         writer = updated.write.mode("overwrite")
         if part_cols:
             writer = writer.partitionBy(
                 *[phys_of.get(c, c) for c in part_cols]
             )
-        writer.parquet(staging)
+        writer.parquet(fsio.spark_path(staging))
         new_adds = _publish_partitioned_staging(staging, path)
-        shutil.rmtree(staging, ignore_errors=True)
+        fsio.rmtree(staging)
     finally:
         matched.unpersist()
 
@@ -4357,10 +4383,7 @@ def delta_update_dv(
             for rp in touched_paths
         ):
             for na in new_adds:
-                try:
-                    os.remove(_file_abspath(path, na["path"]))
-                except OSError:
-                    pass
+                fsio.delete(_file_abspath(path, na["path"]))
             _remove_written_dvs(path, dv_results)
             raise DeltaError(
                 "dv-update lost a race against another commit; "
@@ -4835,8 +4858,6 @@ def delta_merge_dv(
     carrying DVs union; masked rows can never match. Returns
     {"rows_updated", "rows_inserted", "files_with_dvs",
     "files_removed", "version"}."""
-    import shutil
-
     if when_matched not in ("update", "delete"):
         raise DeltaError(
             f"when_matched must be update|delete, got {when_matched!r}"
@@ -4846,7 +4867,11 @@ def delta_merge_dv(
             f"when_not_matched must be insert|ignore, got "
             f"{when_not_matched!r}"
         )
-    path = fsio.resolve_write_path(path, "delta_merge_dv")
+    _posix = fsio.posix_root(path)
+    if _posix is not None:
+        path = _posix
+    else:
+        fsio.require_commit(path, "delta_merge_dv")
     state = _replay(path)
     _check_readable(state)
     _check_append_only(state, "delta_merge_dv")
@@ -4928,6 +4953,14 @@ def delta_merge_dv(
         dv_results: list[dict] = []
         cdc_actions: list[dict] = []
         cdf_on = _cdf_enabled(state)
+        if cdf_on and not fsio.is_local(path) \
+                and fsio.posix_root(path) is None:
+            raise DeltaError(
+                "delta_merge_dv: change-data-feed emission is not "
+                "supported on hook-only schemes yet — disable "
+                "delta.enableChangeDataFeed or use a POSIX-backed "
+                "scheme"
+            )
         phys_parts = [phys_of.get(c, c) for c in part_cols]
         full_names = [f.name for f in full_schema.fields]
 
@@ -5044,15 +5077,15 @@ def delta_merge_dv(
             repl = _rename_to_physical(
                 repl, state, [f.name for f in full_schema.fields]
             )
-            staging = os.path.join(path, f".mergedv-{uuid.uuid4().hex}")
+            staging = fsio.join(path, f".mergedv-{uuid.uuid4().hex}")
             writer = repl.write.mode("overwrite")
             if part_cols:
                 writer = writer.partitionBy(
                     *[phys_of.get(c, c) for c in part_cols]
                 )
-            writer.parquet(staging)
+            writer.parquet(fsio.spark_path(staging))
             new_adds.extend(_publish_partitioned_staging(staging, path))
-            shutil.rmtree(staging, ignore_errors=True)
+            fsio.rmtree(staging)
 
         rows_inserted = 0
         if when_not_matched == "insert":
@@ -5065,7 +5098,7 @@ def delta_merge_dv(
             if rows_inserted:
                 if cdf_on:
                     _emit_cdc_part(unmatched, "insert")
-                staging = os.path.join(
+                staging = fsio.join(
                     path, f".mergedv-ins-{uuid.uuid4().hex}"
                 )
                 ins = _rename_to_physical(
@@ -5076,11 +5109,11 @@ def delta_merge_dv(
                     writer = writer.partitionBy(
                         *[phys_of.get(c, c) for c in part_cols]
                     )
-                writer.parquet(staging)
+                writer.parquet(fsio.spark_path(staging))
                 new_adds.extend(
                     _publish_partitioned_staging(staging, path)
                 )
-                shutil.rmtree(staging, ignore_errors=True)
+                fsio.rmtree(staging)
     finally:
         src.unpersist()
 
@@ -5101,15 +5134,9 @@ def delta_merge_dv(
             for rp in touched_paths
         ):
             for na in new_adds:
-                try:
-                    os.remove(_file_abspath(path, na["path"]))
-                except OSError:
-                    pass
+                fsio.delete(_file_abspath(path, na["path"]))
             for c in cdc_actions:
-                try:
-                    os.remove(_file_abspath(path, c["path"]))
-                except OSError:
-                    pass
+                fsio.delete(_file_abspath(path, c["path"]))
             _remove_written_dvs(path, dv_results)
             raise DeltaError(
                 "dv-merge lost a race against another commit; aborted "

@@ -116,6 +116,38 @@ class TestDeltaHookOnly:
         # the DV commit rode the hook
         assert sum("_delta_log" in p for p in committed) == 2
 
+    def test_dv_update_and_merge(self, spark, hook_fs):
+        """The full merge-on-read DML triad works hook-only: UPDATE
+        masks + re-appends via scheme-routed staging, MERGE upserts,
+        both commit through the hook."""
+        root, committed = hook_fs
+        uri = f"{SCHEME}://dml"
+        D.write_delta(_docs(spark, 40), uri)
+        res = D.delta_update_dv(
+            spark, uri, [("doc_id", "<", 10)],
+            {"text": "concat(text, '!')"},
+        )
+        assert res["rows_updated"] == 10
+        got = D.read_delta(spark, uri)
+        assert got.count() == 40
+        assert got.filter(F.col("text").endswith("!")).count() == 10
+        src = _docs(spark, 10, offset=35).withColumn(
+            "text", F.lit("MRG")
+        )
+        mres = D.delta_merge_dv(spark, uri, src, ["doc_id"])
+        assert mres["rows_updated"] == 5
+        assert mres["rows_inserted"] == 5
+        got = D.read_delta(spark, uri)
+        assert got.count() == 45
+        assert got.filter(F.col("text") == "MRG").count() == 10
+        # create + update + merge = three hook commits
+        assert sum("_delta_log" in p for p in committed) == 3
+        # no staging litter survived under the store
+        assert not any(
+            n.startswith((".updatedv-", ".mergedv-", ".staging-"))
+            for n in os.listdir(os.path.join(root, "dml"))
+        )
+
     def test_concurrent_appends_serialize(self, spark, hook_fs):
         """Two writers racing on the same version: the loser's
         create_exclusive raises FileExistsError, write_delta
