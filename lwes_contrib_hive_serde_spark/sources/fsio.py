@@ -16,19 +16,26 @@ dispatch keyed on the URI scheme, exactly the delta-rs layering
 (object_store crate under the log replay, native scan for data).
 
 WRITES are gated on ATOMIC CREATE, not on locality: every commit
-in this engine lands via ``O_CREAT|O_EXCL`` — the optimistic-
-concurrency contract that plain S3 cannot honor without an
-external lock service (the same caveat delta-rs documents; their
-answer is a DynamoDB-backed LogStore, out of envelope here). A
-scheme registered with ``local_root`` (the mock:// test double, or
-an NFS/Lustre mount exposed under a scheme) proves POSIX backing
-and passes ``require_atomic_create``; a real object store is a
-typed refusal, never a corrupt-on-race maybe. The DATA plane
-(journal/WARC/JSONL byte scans, staged-parquet publish) is fully
-scheme-routed: ``open_stream``/``open_seekable`` on executors
-(readers ship a ``registry_snapshot`` so fresh worker processes
-can resolve registered schemes); writers stage and rename on
-the backing volume (``posix_root``).
+in this engine lands via ``fsio.create_exclusive`` — O_CREAT|O_EXCL
+on POSIX backing, or (round 12) a scheme's registered
+``create_exclusive`` COMMIT HOOK — the optimistic-concurrency
+contract plain S3 cannot honor natively (the delta-rs caveat; their
+answer is a DynamoDB-backed LogStore — that is exactly the class of
+thing the hook plugs in, alongside S3 If-None-Match PUT and GCS
+if-generation-match). Three lanes, checked by ``require_commit``:
+a plain path or a ``local_root`` scheme (the mock:// test double,
+or an NFS/Lustre mount) commits O_EXCL on the backing volume and
+publishes staged files by rename; a HOOK-ONLY scheme (hook +
+``fs``/``fs_factory``, no root) stages through Spark's own
+connector, publishes to fresh-UUID names via data-plane moves
+(non-atomic is race-free by construction there), and commits
+through the hook; a scheme with neither is a typed refusal, never
+a corrupt-on-race maybe. The DATA plane (journal/WARC/JSONL byte
+scans, staged-parquet publish, DV sidecars) is fully scheme-routed:
+``open_stream``/``open_seekable``/``write_bytes`` on executors
+(readers ship a ``registry_snapshot`` — which carries picklable
+``fs_factory`` descriptors for root-less schemes — so fresh worker
+processes can resolve registered schemes).
 
 REGISTRY SCOPE IS THE PROCESS, BY CONTRACT: one registry serves
 every SparkSession, thread, and by-value module clone in a Python
