@@ -192,3 +192,71 @@ class TestResolution:
         }
         with pytest.raises(hms.HmsError, match="no storage location"):
             hms.resolve_hms(f"hms://{metastore['addr']}/db.noloc")
+
+
+class TestWireCodec:
+    """The hand-rolled TBinaryProtocol must be self-consistent:
+    whatever enc_value emits, _Reader.value decodes back — pinned
+    by hypothesis over nested struct/map/list/scalar shapes, plus
+    the message framing."""
+
+    def test_roundtrip_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        scalars = st.one_of(
+            st.booleans(),
+            st.integers(min_value=-(2**31), max_value=2**31 - 1),
+            st.text(max_size=40),
+        )
+        # struct = dict with int field-ids; map = str->str
+        values = st.recursive(
+            scalars,
+            lambda children: st.one_of(
+                st.dictionaries(
+                    st.integers(min_value=1, max_value=30),
+                    children, max_size=4,
+                ),
+                st.dictionaries(
+                    st.text(max_size=8), st.text(max_size=8),
+                    max_size=4,
+                ),
+                st.lists(st.text(max_size=8), max_size=4),
+            ),
+            max_leaves=12,
+        )
+
+        @given(values)
+        @settings(max_examples=150, deadline=None)
+        def roundtrip(v):
+            ftype, data = hms.enc_value(v)
+            buf = bytearray(data)
+
+            def recv(n, _b=buf):
+                out = bytes(_b[:n])
+                del _b[:n]
+                return out
+
+            got = hms._Reader(recv).value(ftype)
+            assert got == v, (v, got)
+            assert not buf  # every byte consumed
+
+        roundtrip()
+
+    def test_message_framing_roundtrip(self):
+        body = hms.enc_field(hms.T_STRING, 1) + hms.enc_string(
+            "db"
+        ) + hms.enc_stop()
+        msg = hms.enc_message("get_table", 1, 42, body)
+        buf = bytearray(msg)
+
+        def recv(n):
+            out = bytes(buf[:n])
+            del buf[:n]
+            return out
+
+        r = hms._Reader(recv)
+        name, mtype, seqid = r.message()
+        assert (name, mtype, seqid) == ("get_table", 1, 42)
+        assert r.value(hms.T_STRUCT) == {1: "db"}
+        assert not buf
