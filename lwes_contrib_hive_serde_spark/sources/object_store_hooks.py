@@ -1,0 +1,133 @@
+"""Ready-made ``create_exclusive`` COMMIT HOOKS for real object
+stores — the deployment-facing half of the hook-only write tier
+(``fsio.register_filesystem(create_exclusive=...)``).
+
+Each factory returns a callable ``hook(path_within_scheme, data)``
+that atomically creates the object and raises ``FileExistsError``
+when it already exists, built on the store's public conditional-put
+primitive:
+
+  * S3: ``PutObject`` with ``IfNoneMatch="*"`` — the service
+    answers 412 PreconditionFailed when the key exists (publicly
+    documented conditional write support; also honored by most
+    S3-compatible stores). Needs boto3 at call-construction time
+    unless a client is injected.
+  * GCS: upload with ``if_generation_match=0`` — generation 0
+    means "only if the object does not exist"; the service answers
+    412 on conflict. Needs google-cloud-storage unless a client is
+    injected.
+
+Neither SDK ships in this container, so the factories take an
+injectable ``client`` (any object with the same call surface) and
+only import the real SDK lazily when none is given — the tests
+drive the full translation logic with fakes, and a deployment with
+the SDK installed gets the real thing by passing nothing.
+
+Wiring example (S3, data plane via pyarrow, commits via the hook):
+
+    from pyarrow import fs as pafs
+    fsio.register_filesystem(
+        "s3", fs=pafs.S3FileSystem(region=...),
+        create_exclusive=s3_conditional_put_hook("my-bucket"),
+    )
+    write_delta(df, "s3://my-bucket/tables/docs")
+"""
+
+from __future__ import annotations
+
+
+class HookConfigError(ValueError):
+    pass
+
+
+def _is_precondition_failed(exc) -> bool:
+    """True when ``exc`` is the store's already-exists answer: a
+    botocore-style ClientError whose Error.Code is
+    PreconditionFailed (S3's 412 for IfNoneMatch) / 409-class
+    duplicate codes, or a google-api-core PreconditionFailed (412
+    status code attribute)."""
+    resp = getattr(exc, "response", None)
+    if isinstance(resp, dict):
+        code = str((resp.get("Error") or {}).get("Code") or "")
+        status = (resp.get("ResponseMetadata") or {}).get(
+            "HTTPStatusCode"
+        )
+        if code in ("PreconditionFailed", "ObjectAlreadyExists"):
+            return True
+        if status in (412, 409):
+            return True
+    if getattr(exc, "code", None) == 412:  # google-api-core style
+        return True
+    return False
+
+
+def s3_conditional_put_hook(
+    bucket: str, prefix: str = "", client=None
+):
+    """An fsio commit hook backed by S3 conditional PUT
+    (``IfNoneMatch="*"``). ``path_within_scheme`` is expected to
+    START with the bucket name when the scheme maps a whole
+    authority (``s3://bucket/key`` splits to ``bucket/key``) — pass
+    ``bucket`` and the hook strips a matching leading segment, so
+    one hook serves the scheme regardless of spelling."""
+    if client is None:
+        try:
+            import boto3  # noqa: PLC0415
+
+            client = boto3.client("s3")
+        except ImportError as e:
+            raise HookConfigError(
+                "s3_conditional_put_hook needs boto3 (or pass "
+                "client=)"
+            ) from e
+
+    def hook(path: str, data: bytes) -> None:
+        key = path.lstrip("/")
+        if key.startswith(bucket + "/"):
+            key = key[len(bucket) + 1:]
+        if prefix:
+            key = f"{prefix.rstrip('/')}/{key}"
+        try:
+            client.put_object(
+                Bucket=bucket, Key=key, Body=data, IfNoneMatch="*"
+            )
+        except Exception as e:
+            if _is_precondition_failed(e):
+                raise FileExistsError(f"s3://{bucket}/{key}") from e
+            raise
+
+    return hook
+
+
+def gcs_if_generation_match_hook(
+    bucket: str, prefix: str = "", client=None
+):
+    """An fsio commit hook backed by GCS ``if_generation_match=0``
+    (create-only upload). Same key-normalization contract as the S3
+    factory."""
+    if client is None:
+        try:
+            from google.cloud import storage  # noqa: PLC0415
+
+            client = storage.Client()
+        except ImportError as e:
+            raise HookConfigError(
+                "gcs_if_generation_match_hook needs "
+                "google-cloud-storage (or pass client=)"
+            ) from e
+
+    def hook(path: str, data: bytes) -> None:
+        key = path.lstrip("/")
+        if key.startswith(bucket + "/"):
+            key = key[len(bucket) + 1:]
+        if prefix:
+            key = f"{prefix.rstrip('/')}/{key}"
+        blob = client.bucket(bucket).blob(key)
+        try:
+            blob.upload_from_string(data, if_generation_match=0)
+        except Exception as e:
+            if _is_precondition_failed(e):
+                raise FileExistsError(f"gs://{bucket}/{key}") from e
+            raise
+
+    return hook
