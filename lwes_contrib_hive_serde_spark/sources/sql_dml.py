@@ -296,11 +296,199 @@ def lakehouse_sql(
         return _run_alter(spark, s, tables)
     if kw == "CREATE":
         return _run_create(spark, s, strategy, tables)
+    if kw == "VACUUM":
+        return _run_vacuum(spark, s, tables)
+    if kw == "OPTIMIZE":
+        return _run_optimize(spark, s, tables)
+    if kw == "RESTORE":
+        return _run_restore(spark, s, tables)
+    if kw == "DESCRIBE":
+        return _run_describe(spark, s, tables)
     raise SqlDmlError(
         f"not a DML statement: {s[:60]!r} (UPDATE/DELETE/MERGE/"
-        "INSERT/ALTER TABLE/CREATE TABLE; reads go through plain "
+        "INSERT/ALTER TABLE/CREATE TABLE/VACUUM/OPTIMIZE/"
+        "RESTORE TABLE/DESCRIBE HISTORY; reads go through plain "
         "spark.sql)"
     )
+
+
+def _run_vacuum(spark, s, tables) -> dict:
+    """``VACUUM <view> [RETAIN <n> HOURS]`` — the Delta SQL shape.
+    Delta routes to the distributed delta_vacuum; Iceberg's nearest
+    storage-maintenance verb is remove_orphan_files (same contract:
+    delete unreferenced files older than the window); Hudi has no
+    equivalent here and refuses typed."""
+    m = re.fullmatch(
+        rf"VACUUM\s+({_IDENT})"
+        r"(?:\s+RETAIN\s+(\d+)\s+HOURS?)?",
+        s,
+        re.I,
+    )
+    if not m:
+        raise SqlDmlError(
+            "VACUUM needs 'VACUUM <view> [RETAIN <n> HOURS]'"
+        )
+    view, hours = m.group(1), m.group(2)
+    fmt, path = _resolve(view, tables)
+    if fmt == "delta":
+        from lwes_contrib_hive_serde_spark.sources import delta as D
+
+        kw = {}
+        if hours is not None:
+            kw["retention_ms"] = int(hours) * 3600 * 1000
+        n = D.delta_vacuum(path, spark=spark, **kw)
+    elif fmt == "iceberg":
+        from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+        kw = {}
+        if hours is not None:
+            kw["older_than_ms"] = int(hours) * 3600 * 1000
+        n = I.iceberg_remove_orphan_files(path, spark=spark, **kw)
+    else:
+        raise SqlDmlError(
+            f"VACUUM is not supported for format {fmt!r} "
+            "(delta and iceberg only)"
+        )
+    return {"statement": "vacuum", "table": view, "files_deleted": n}
+
+
+def _run_optimize(spark, s, tables) -> dict:
+    """``OPTIMIZE <view> [ZORDER BY (c1, c2, ...)]``. Delta:
+    small-file compaction, or a Z-ORDER rewrite when the clause is
+    given; Iceberg: rewrite-data-files compaction (ZORDER refuses —
+    that tier is Delta-only today); Hudi MERGE_ON_READ: log
+    compaction."""
+    m = re.fullmatch(
+        rf"OPTIMIZE\s+({_IDENT})"
+        r"(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?",
+        s,
+        re.I,
+    )
+    if not m:
+        raise SqlDmlError(
+            "OPTIMIZE needs 'OPTIMIZE <view> [ZORDER BY (c, ...)]'"
+        )
+    view, zcols = m.group(1), m.group(2)
+    fmt, path = _resolve(view, tables)
+    if fmt == "delta":
+        from lwes_contrib_hive_serde_spark.sources import delta as D
+
+        if zcols:
+            cols = [c.strip() for c in zcols.split(",") if c.strip()]
+            res = D.delta_zorder(spark, path, cols)
+        else:
+            res = D.delta_compact(spark, path)
+    elif fmt == "iceberg":
+        from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+        if zcols:
+            raise SqlDmlError(
+                "ZORDER BY is supported on delta tables only"
+            )
+        res = I.iceberg_compact(spark, path)
+    else:
+        from lwes_contrib_hive_serde_spark.sources import hudi as H
+
+        if zcols:
+            raise SqlDmlError(
+                "ZORDER BY is supported on delta tables only"
+            )
+        if not _hudi_is_mor(path):
+            raise SqlDmlError(
+                "OPTIMIZE on hudi compacts MERGE_ON_READ log files; "
+                "this table is COPY_ON_WRITE"
+            )
+        res = {"instant": H.hudi_compact(
+            spark, path, _hudi_record_key(path)
+        )}
+    _refresh(spark, view, tables)
+    return {**res, "statement": "optimize", "table": view}
+
+
+def _run_restore(spark, s, tables) -> dict:
+    """``RESTORE TABLE <view> TO VERSION AS OF <n>`` (Delta) /
+    ``TO SNAPSHOT AS OF <id>`` (Iceberg rollback)."""
+    m = re.fullmatch(
+        rf"RESTORE\s+TABLE\s+({_IDENT})\s+TO\s+"
+        r"(VERSION|SNAPSHOT)\s+AS\s+OF\s+(-?\d+)",
+        s,
+        re.I,
+    )
+    if not m:
+        raise SqlDmlError(
+            "RESTORE needs 'RESTORE TABLE <view> TO VERSION|SNAPSHOT "
+            "AS OF <n>'"
+        )
+    view, kind, n = m.group(1), m.group(2).upper(), int(m.group(3))
+    fmt, path = _resolve(view, tables)
+    if fmt == "delta":
+        if kind != "VERSION":
+            raise SqlDmlError(
+                "delta restores by VERSION AS OF (snapshot ids are "
+                "iceberg)"
+            )
+        from lwes_contrib_hive_serde_spark.sources import delta as D
+
+        version = D.delta_restore(path, n)
+        res = {"version": version}
+    elif fmt == "iceberg":
+        if kind != "SNAPSHOT":
+            raise SqlDmlError(
+                "iceberg restores by SNAPSHOT AS OF (versions are "
+                "delta)"
+            )
+        from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+        I.iceberg_rollback(path, n)
+        res = {"snapshot_id": n}
+    else:
+        raise SqlDmlError(
+            f"RESTORE is not supported for format {fmt!r}"
+        )
+    _refresh(spark, view, tables)
+    return {**res, "statement": "restore", "table": view}
+
+
+def _run_describe(spark, s, tables) -> dict:
+    """``DESCRIBE HISTORY <view>`` — the commit/snapshot/instant
+    history as a list of dicts (newest first), format-appropriate:
+    Delta commitInfo entries, Iceberg snapshots, the Hudi
+    timeline."""
+    m = re.fullmatch(rf"DESCRIBE\s+HISTORY\s+({_IDENT})", s, re.I)
+    if not m:
+        raise SqlDmlError("DESCRIBE needs 'DESCRIBE HISTORY <view>'")
+    view = m.group(1)
+    fmt, path = _resolve(view, tables)
+    if fmt == "delta":
+        from lwes_contrib_hive_serde_spark.sources import delta as D
+
+        # delta_history is oldest-first; DESCRIBE HISTORY's contract
+        # (matching the real command) is newest-first
+        hist = sorted(
+            D.delta_history(path),
+            key=lambda h: h["version"],
+            reverse=True,
+        )
+    elif fmt == "iceberg":
+        from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+        hist = [
+            r.asDict()
+            for r in I.iceberg_snapshots(spark, path)
+            .orderBy("committed_at", ascending=False)
+            .collect()
+        ]
+    else:
+        from lwes_contrib_hive_serde_spark.sources import hudi as H
+
+        hist = [
+            r.asDict()
+            for r in H.hudi_timeline(spark, path)
+            .orderBy("instant", ascending=False)
+            .collect()
+        ]
+    return {"statement": "describe_history", "table": view,
+            "history": hist}
 
 
 def _run_create(spark, s, strategy, tables) -> dict:

@@ -604,3 +604,105 @@ class TestHudiDml:
         C.register_lakehouse(spark, {"mordocs": f"hudi:{p}"})
         S.lakehouse_sql(spark, "DELETE FROM mordocs WHERE doc_id < 3")
         assert spark.sql("SELECT count(*) n FROM mordocs").first().n == 5
+
+
+class TestMaintenanceStatements:
+    """Round-12 statement surface: VACUUM / OPTIMIZE [ZORDER BY] /
+    RESTORE TABLE / DESCRIBE HISTORY route to the existing
+    maintenance verbs per format."""
+
+    @pytest.fixture()
+    def dview(self, spark, tmp_path):
+        p = str(tmp_path / "mt")
+        D.write_delta(_docs(spark).repartition(4), p)
+        C.register_lakehouse(spark, {"mt": f"delta:{p}"})
+        return p
+
+    def test_delta_lifecycle(self, spark, dview):
+        S.lakehouse_sql(spark, "DELETE FROM mt WHERE doc_id < 5",
+                        strategy="cow")
+        assert spark.sql("SELECT count(*) n FROM mt").first().n == 25
+        # restore BEFORE vacuum: v0's files still exist → resurrect
+        res = S.lakehouse_sql(
+            spark, "RESTORE TABLE mt TO VERSION AS OF 0"
+        )
+        assert res["statement"] == "restore"
+        assert spark.sql("SELECT count(*) n FROM mt").first().n == 30
+        res = S.lakehouse_sql(spark, "OPTIMIZE mt")
+        assert res["statement"] == "optimize"
+        res = S.lakehouse_sql(spark, "VACUUM mt RETAIN 0 HOURS")
+        assert res["statement"] == "vacuum"
+        assert res["files_deleted"] >= 1  # the tombstoned originals
+        hist = S.lakehouse_sql(spark, "DESCRIBE HISTORY mt")["history"]
+        assert [h["version"] for h in hist][:1] == [
+            max(h["version"] for h in hist)
+        ]  # newest first
+        assert any(h["operation"] == "DELETE" for h in hist)
+        # post-vacuum, v1's (post-delete) files are purged: restore
+        # refuses typed — never resurrects a half-missing snapshot
+        with pytest.raises(D.DeltaError, match="vacuumed"):
+            S.lakehouse_sql(
+                spark, "RESTORE TABLE mt TO VERSION AS OF 1"
+            )
+        assert spark.sql("SELECT count(*) n FROM mt").first().n == 30
+
+    def test_delta_zorder_statement(self, spark, tmp_path):
+        p = str(tmp_path / "zt")
+        D.write_delta(_docs(spark, 60).repartition(6), p)
+        C.register_lakehouse(spark, {"zt": f"delta:{p}"})
+        res = S.lakehouse_sql(
+            spark, "OPTIMIZE zt ZORDER BY (doc_id, bucket)"
+        )
+        assert res["statement"] == "optimize"
+        assert spark.sql("SELECT count(*) n FROM zt").first().n == 60
+
+    def test_iceberg_lifecycle(self, spark, tmp_path):
+        p = str(tmp_path / "imt")
+        I.write_iceberg_table(_docs(spark, 10).coalesce(1), p)
+        I.write_iceberg_table(_docs(spark, 10).coalesce(1), p)
+        C.register_lakehouse(spark, {"imt": f"iceberg:{p}"})
+        hist = S.lakehouse_sql(spark, "DESCRIBE HISTORY imt")["history"]
+        assert len(hist) == 2
+        sid0 = hist[-1]["snapshot_id"]  # newest-first: last = first
+        res = S.lakehouse_sql(
+            spark, f"RESTORE TABLE imt TO SNAPSHOT AS OF {sid0}"
+        )
+        assert res["snapshot_id"] == sid0
+        assert spark.sql("SELECT count(*) n FROM imt").first().n == 10
+        res = S.lakehouse_sql(spark, "OPTIMIZE imt")
+        assert res["statement"] == "optimize"
+        res = S.lakehouse_sql(spark, "VACUUM imt RETAIN 0 HOURS")
+        assert res["statement"] == "vacuum"
+
+    def test_refusals(self, spark, tmp_path):
+        p = str(tmp_path / "hm")
+        H.write_hudi_table(_docs(spark, 5), p, record_key="doc_id")
+        C.register_lakehouse(spark, {"hm2": f"hudi:{p}"})
+        with pytest.raises(S.SqlDmlError, match="VACUUM"):
+            S.lakehouse_sql(spark, "VACUUM hm2")
+        with pytest.raises(S.SqlDmlError, match="COPY_ON_WRITE"):
+            S.lakehouse_sql(spark, "OPTIMIZE hm2")
+        with pytest.raises(S.SqlDmlError, match="ZORDER"):
+            S.lakehouse_sql(spark, "OPTIMIZE hm2 ZORDER BY (doc_id)")
+        with pytest.raises(S.SqlDmlError, match="not supported"):
+            S.lakehouse_sql(spark, "RESTORE TABLE hm2 TO VERSION AS OF 0")
+        hist = S.lakehouse_sql(spark, "DESCRIBE HISTORY hm2")["history"]
+        assert hist and hist[0]["kind"] == "commit"
+
+    def test_hudi_mor_optimize_compacts(self, spark, tmp_path):
+        p = str(tmp_path / "hmor")
+        H.write_hudi_table(
+            _docs(spark, 6), p, record_key="doc_id",
+            table_type="MERGE_ON_READ",
+        )
+        upd = spark.createDataFrame(
+            [(1, "U", 0)], "doc_id long, text string, bucket long"
+        )
+        H.hudi_log_update(spark, p, updates=upd, record_key="doc_id")
+        C.register_lakehouse(spark, {"hmor": f"hudi:{p}"})
+        res = S.lakehouse_sql(spark, "OPTIMIZE hmor")
+        assert "instant" in res
+        got = spark.sql(
+            "SELECT text FROM hmor WHERE doc_id = 1"
+        ).first()
+        assert got.text == "U"
