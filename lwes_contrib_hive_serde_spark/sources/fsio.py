@@ -160,7 +160,8 @@ def register_filesystem(
         raise FsIoError(
             "register_filesystem needs fs, fs_factory, or local_root"
         )
-    _registry()[scheme.lower()] = {
+    low = scheme.lower()
+    _registry()[low] = {
         "fs": fs, "spark_path": spark_path, "local_root": root,
         "create_exclusive": create_exclusive,
         "fs_factory": fs_factory,
@@ -171,8 +172,45 @@ def register_filesystem(
         # another process's file write must never hijack it
         "from_file": _from_file,
     }
-    if root is not None and not _from_file:
-        _persist_registration(scheme.lower(), root)
+    if not _from_file:
+        if root is not None:
+            _persist_registration(low, root)
+        elif fs_factory is not None:
+            # root-less scheme: a factory DESCRIPTOR rides the file
+            # (base64 cloudpickle) — Python DataSource PLAN workers
+            # are separate processes that never ran this call and,
+            # with no local_root, have no other bootstrap channel.
+            # Same trust boundary as the roots: the file is
+            # uid-owned, 0600, and validated before ANY read
+            # (_trusted_registry_doc), so unpickling it is reading
+            # this user's own session state.
+            _persist_registration(
+                low,
+                {
+                    "fs_factory_b64": _pickle_descriptor(
+                        {
+                            "fs_factory": fs_factory,
+                            "spark_path": spark_path,
+                            "create_exclusive": create_exclusive,
+                        }
+                    )
+                },
+            )
+
+
+def _pickle_descriptor(doc: dict) -> str:
+    import base64
+
+    from pyspark import cloudpickle
+
+    return base64.b64encode(cloudpickle.dumps(doc)).decode("ascii")
+
+
+def _unpickle_descriptor(b64: str) -> dict:
+    import base64
+    import pickle
+
+    return pickle.loads(base64.b64decode(b64.encode("ascii")))
 
 
 def _subtree_fs(root: str):
@@ -257,7 +295,9 @@ def _trusted_registry_doc(path: str) -> dict:
             os.close(fd)
 
 
-def _persist_registration(scheme: str, root: str | None) -> None:
+def _persist_registration(scheme: str, spec: "str | dict | None") -> None:
+    """spec: a local root string, a factory-descriptor dict
+    ({"fs_factory_b64": ...}), or None to remove."""
     import json
     import tempfile
 
@@ -270,10 +310,10 @@ def _persist_registration(scheme: str, root: str | None) -> None:
         # file: start fresh — the atomic replace below installs OUR
         # 0600 file over whatever was there
         pass
-    if root is None:
+    if spec is None:
         doc.pop(scheme, None)
     else:
-        doc[scheme] = root
+        doc[scheme] = spec
     # mkstemp creates 0600 and os.replace preserves the temp's mode,
     # so the published file always satisfies _trusted_registry_doc
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".")
@@ -306,12 +346,34 @@ def _persisted_doc() -> dict:
 
 
 def _load_persisted(scheme: str) -> bool:
-    """Scheme-miss fallback: pull a local-root registration written
-    by another process of this app. Returns True when found."""
-    root = _persisted_doc().get(scheme)
-    if root is None or not os.path.isdir(root):
+    """Scheme-miss fallback: pull a registration written by another
+    process of this app — a local root, or a pickled factory
+    descriptor for root-less schemes. Returns True when found."""
+    spec = _persisted_doc().get(scheme)
+    if spec is None:
         return False
-    register_filesystem(scheme, local_root=root, _from_file=True)
+    if isinstance(spec, dict):
+        b64 = spec.get("fs_factory_b64")
+        if not b64:
+            return False
+        try:
+            d = _unpickle_descriptor(b64)
+            register_filesystem(
+                scheme,
+                fs_factory=d["fs_factory"],
+                spark_path=d.get("spark_path"),
+                create_exclusive=d.get("create_exclusive"),
+                _from_file=True,
+            )
+            return True
+        except Exception:
+            # a stale descriptor referencing code this process lacks
+            # must not poison resolution — fall through to the typed
+            # unknown-scheme error
+            return False
+    if not os.path.isdir(spec):
+        return False
+    register_filesystem(scheme, local_root=spec, _from_file=True)
     return True
 
 
@@ -417,7 +479,10 @@ class SnapshotPickleMixin:
 
 def unregister_filesystem(scheme: str) -> None:
     ent = _registry().pop(scheme.lower(), None)
-    if ent is not None and ent.get("local_root") is not None:
+    if ent is not None and (
+        ent.get("local_root") is not None
+        or ent.get("fs_factory") is not None
+    ):
         _persist_registration(scheme.lower(), None)
 
 

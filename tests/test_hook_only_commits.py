@@ -195,6 +195,44 @@ class TestDeltaHookOnly:
             fsio.unregister_filesystem("nohook")
 
 
+class TestStreamOverFactoryScheme:
+    def test_journal_stream_on_rootless_scheme(
+        self, spark, hook_fs, tmp_path
+    ):
+        """The STREAMING journal source over a root-less fs_factory
+        scheme: executor task workers restore the scheme from the
+        reader's pickled snapshot (the factory descriptor — there is
+        no local_root for the registry file to bootstrap), so byte
+        ranges decode scheme-routed end to end."""
+        from lwes_contrib_hive_serde_spark.sources import codec as c
+
+        root, _ = hook_fs
+        d = os.path.join(root, "sj")
+        os.makedirs(d)
+        evs = []
+        for i in range(12):
+            ev = c.Event("S")
+            ev.set("uid", c.INT64, i)
+            evs.append(ev)
+        c.write_journal_file(os.path.join(d, "a.journal"), evs)
+        out = str(tmp_path / "out")
+        q = (
+            spark.readStream.format("lwes")
+            .schema("uid long")
+            .option("eventName", "S")
+            .load(f"{SCHEME}://sj")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600), "stream did not terminate"
+        got = spark.read.parquet(out)
+        assert got.count() == 12
+        assert got.agg(F.sum("uid")).first()[0] == sum(range(12))
+
+
 class TestIcebergHookOnly:
     def test_create_append_read(self, spark, hook_fs):
         root, committed = hook_fs
