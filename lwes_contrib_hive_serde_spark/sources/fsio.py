@@ -183,19 +183,35 @@ def register_filesystem(
             # Same trust boundary as the roots: the file is
             # uid-owned, 0600, and validated before ANY read
             # (_trusted_registry_doc), so unpickling it is reading
-            # this user's own session state.
-            _persist_registration(
-                low,
-                {
-                    "fs_factory_b64": _pickle_descriptor(
+            # this user's own session state. BEST-EFFORT and
+            # progressive: the commit hook is driver-side only (plan
+            # workers never commit), so a hook closing over an
+            # unpicklable live client (boto3 SSL contexts, thread
+            # locks) is dropped from the descriptor rather than
+            # failing registration; an unpicklable FACTORY skips
+            # persistence entirely (reads still work in-process).
+            doc = None
+            try:
+                doc = _pickle_descriptor(
+                    {
+                        "fs_factory": fs_factory,
+                        "spark_path": spark_path,
+                        "create_exclusive": create_exclusive,
+                    }
+                )
+            except Exception:
+                try:
+                    doc = _pickle_descriptor(
                         {
                             "fs_factory": fs_factory,
                             "spark_path": spark_path,
-                            "create_exclusive": create_exclusive,
+                            "create_exclusive": None,
                         }
                     )
-                },
-            )
+                except Exception:
+                    doc = None
+            if doc is not None:
+                _persist_registration(low, {"fs_factory_b64": doc})
 
 
 def _pickle_descriptor(doc: dict) -> str:
@@ -425,10 +441,14 @@ def ensure_registry(snapshot: dict[str, str] | None) -> None:
             continue  # explicit in-process registration wins
         if isinstance(spec, dict):
             # fs_factory descriptor (root-less scheme): re-register
-            # when absent or when the factory moved
-            if ent is None or ent.get("fs_factory") is not spec.get(
-                "fs_factory"
-            ):
+            # when absent or when the factory genuinely moved —
+            # compared by a VALUE key, because every task unpickles
+            # a fresh callable object and identity would rebuild the
+            # FileSystem (credential resolution + client setup for a
+            # real store) once per task instead of once per worker
+            if ent is None or _factory_key(
+                ent.get("fs_factory")
+            ) != _factory_key(spec.get("fs_factory")):
                 register_filesystem(
                     scheme,
                     fs_factory=spec["fs_factory"],
@@ -446,6 +466,30 @@ def ensure_registry(snapshot: dict[str, str] | None) -> None:
             )
             _registry()[scheme]["from_file"] = False
             _registry()[scheme]["from_snapshot"] = True
+
+
+def _factory_key(f):
+    """A value-stable identity for an fs_factory across pickling:
+    functools.partial exposes (func, args, kwargs) — the advertised
+    factory shape (partial over a module-level builder) — and plain
+    functions their qualified name. Unknown shapes fall back to the
+    object itself (identity semantics, the pre-round-12 behavior)."""
+    import functools
+
+    if isinstance(f, functools.partial):
+        return (
+            "partial",
+            getattr(f.func, "__module__", None),
+            getattr(f.func, "__qualname__", None),
+            f.args,
+            tuple(sorted((f.keywords or {}).items())),
+        )
+    if callable(f):
+        mod = getattr(f, "__module__", None)
+        qn = getattr(f, "__qualname__", None)
+        if mod and qn and "<locals>" not in qn:
+            return ("fn", mod, qn)
+    return ("obj", id(f))
 
 
 def prime(uri: str) -> None:
@@ -830,11 +874,18 @@ def pyarrow_fs(uri: str):
 
 def commit_hook_for(uri: str):
     """The registered ``create_exclusive`` hook serving ``uri``'s
-    scheme, or None."""
+    scheme, or None. Consults the cross-process bootstrap file on a
+    registry miss — otherwise a sibling process could READ a
+    hook-only scheme (reads go through _fs_for, which bootstraps)
+    but its writes would refuse, an order-dependent gate."""
     scheme, _ = split(uri)
     if scheme is None:
         return None
     ent = _registry().get(scheme)
+    if ent is None and scheme not in (
+        "s3", "s3a", "gs", "abfs", "abfss", "az", "hdfs"
+    ) and _load_persisted(scheme):
+        ent = _registry().get(scheme)
     return ent.get("create_exclusive") if ent else None
 
 
@@ -878,6 +929,10 @@ def _atomic_root(uri: str) -> str | None:
     if scheme is None:
         return path
     ent = _registry().get(scheme)
+    if ent is None and scheme not in (
+        "s3", "s3a", "gs", "abfs", "abfss", "az", "hdfs"
+    ) and _load_persisted(scheme):
+        ent = _registry().get(scheme)
     if ent is not None and ent.get("local_root") is not None:
         return os.path.join(ent["local_root"], path)
     return None

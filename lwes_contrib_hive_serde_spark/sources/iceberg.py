@@ -1482,8 +1482,8 @@ def write_iceberg_table(
         # if any, may lag a catalog-side commit)
         existing = rest_ctx["meta"]
     elif fsio.exists(fsio.join(mdir, "version-hint.text")):
-        existing = load_table_metadata(path)
-        version = _hint_version(path) + 1
+        base_version, existing = _current_version_and_meta(path)
+        version = base_version + 1
     if existing is not None:
         prior_parts = [n for n, _t in _identity_partition_fields(existing)]
         if prior_parts != partition_by:
@@ -1862,7 +1862,8 @@ def add_iceberg_position_deletes(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    meta = load_table_metadata(path)
+    base_version, meta = _current_version_and_meta(path)
+    version = base_version + 1
     snap = _pick_snapshot(meta)
     if int(meta.get("format-version") or 1) >= 3:
         raise IcebergError(
@@ -1879,9 +1880,6 @@ def add_iceberg_position_deletes(
             )
     mdir = os.path.join(path, "metadata")
     ddir = os.path.join(path, "data")
-    version = int(
-        open(os.path.join(mdir, "version-hint.text")).read().strip()
-    ) + 1
 
     ordered = sorted((str(p), int(q)) for p, q in pairs)
     del_schema = pa.schema(
@@ -2157,7 +2155,7 @@ def add_iceberg_deletion_vectors(
 
     from lwes_contrib_hive_serde_spark.sources import puffin
 
-    meta = load_table_metadata(path)
+    base_version, meta = _current_version_and_meta(path)
     snap = _pick_snapshot(meta)
     files, prior_pos, _prior_eq, prior_dvs = _live_files(path, snap)
     if prior_pos:
@@ -2180,9 +2178,7 @@ def add_iceberg_deletion_vectors(
     mdir = os.path.join(path, "metadata")
     ddir = os.path.join(path, "data")
     os.makedirs(ddir, exist_ok=True)
-    version = int(
-        open(os.path.join(mdir, "version-hint.text")).read().strip()
-    ) + 1
+    version = base_version + 1
     blobs, cards, refs = [], [], []
     superseded: set[str] = set()
     for ref in sorted(by_file):
@@ -2277,7 +2273,7 @@ def add_iceberg_equality_deletes(
             "float": pa.float32(), "boolean": pa.bool_(),
             "date": pa.date32(),
         }
-    meta = load_table_metadata(path)
+    base_version, meta = _current_version_and_meta(path)
     snap = _pick_snapshot(meta)
     ids = _schema_field_ids(meta)
     fields = []
@@ -2304,9 +2300,7 @@ def add_iceberg_equality_deletes(
         )
     mdir = os.path.join(path, "metadata")
     ddir = os.path.join(path, "data")
-    version = int(
-        open(os.path.join(mdir, "version-hint.text")).read().strip()
-    ) + 1
+    version = base_version + 1
     del_path = os.path.join(ddir, f"eq-delete-{uuid.uuid4().hex}.parquet")
     pq.write_table(
         pa.table(
@@ -2432,6 +2426,49 @@ def _hint_version(path: str) -> int:
         return int(f.read().decode().strip())
 
 
+def _current_version_and_meta(path: str) -> tuple[int, dict]:
+    """ONE consistent (version, metadata) pair: the hint is read
+    FIRST and exactly v<hint>.metadata.json is loaded, so a commit
+    landing between two separate reads cannot hand a writer version
+    N+1 with the state of N-1 (the lost-update window the round-12
+    review found — load-then-re-read-hint let a racer's commit be
+    silently overwritten WITHOUT a FileExistsError). Hint-less
+    tables fall back to the highest v<N>."""
+    mdir = fsio.join(path, "metadata")
+    hint = fsio.join(mdir, "version-hint.text")
+    if fsio.exists(hint):
+        with fsio.open_read(hint) as f:
+            v = int(f.read().decode().strip())
+    else:
+        vs = [
+            int(n[1:].split(".")[0])
+            for n in fsio.listdir(mdir)
+            if n.startswith("v") and n.endswith(".metadata.json")
+            and n[1:].split(".")[0].isdigit()
+        ]
+        if not vs:
+            raise IcebergError(f"no v*.metadata.json under {mdir}")
+        v = max(vs)
+    return v, load_metadata_location(
+        fsio.join(mdir, f"v{v}.metadata.json")
+    )
+
+
+def _help_repoint(path: str, version: int) -> None:
+    """Crash recovery, the 'helping' pattern: when v<version> exists
+    but the hint still points below it, the creator died between
+    its O_EXCL create and the hint repoint — every later commit
+    would compute the same next version and FileExistsError forever
+    (the wedge the round-12 review found). Completing the stalled
+    commit's pointer is safe: metadata files are immutable once
+    created, and concurrent helpers write the same value."""
+    try:
+        if _hint_version(path) < version:
+            _write_version_hint(fsio.join(path, "metadata"), version)
+    except (OSError, ValueError):
+        pass
+
+
 def _write_version_hint(mdir: str, version: int) -> None:
     hint = fsio.join(mdir, "version-hint.text")
     if fsio.is_local(hint):
@@ -2469,10 +2506,13 @@ def _publish_or_conflict(
     against a specific parent state, so a lost race cannot be
     replayed blindly — abort with a typed conflict (staged files
     are unreferenced; remove_orphan_files sweeps them) and let the
-    caller re-run against the winner's state."""
+    caller re-run against the winner's state. Before raising, the
+    loser helps a CRASHED winner by repointing a lagging hint
+    (_help_repoint), so 're-run' can actually succeed."""
     try:
         _publish_metadata(path, meta, version)
     except FileExistsError:
+        _help_repoint(path, version)
         raise IcebergError(
             f"{op}: commit conflict — metadata version v{version} "
             "was created concurrently; aborted cleanly (staged files "
@@ -2491,19 +2531,24 @@ def _commit_metadata(
     try to publish at hint+1; a loser re-reads and re-applies, so
     concurrent evolutions SERIALIZE instead of last-writer-winning
     — the same O_EXCL + retry contract delta_add_columns keeps.
-    Returns the committed version."""
+    Returns the committed version. The (version, state) pair is
+    read CONSISTENTLY (_current_version_and_meta) so a racer's
+    commit always surfaces as FileExistsError, never as a silent
+    overwrite; on a lost race the loser helps a crashed winner's
+    lagging hint forward before retrying."""
     for _ in range(attempts):
-        meta = dict(transform(dict(load_table_metadata(path))))
+        base, cur = _current_version_and_meta(path)
+        meta = dict(transform(dict(cur)))
         meta["last-updated-ms"] = int(time.time() * 1000)
-        version = _hint_version(path) + 1
         try:
-            _publish_metadata(path, meta, version)
+            _publish_metadata(path, meta, base + 1)
         except FileExistsError:
+            _help_repoint(path, base + 1)
             # the winner may not have repointed the hint yet; a
             # short pause lets it, keeping the retry productive
             time.sleep(0.01)
             continue
-        return version
+        return base + 1
     raise IcebergError(
         f"{op}: could not commit after {attempts} attempts "
         "(sustained writer contention)"
@@ -2772,6 +2817,7 @@ def _iceberg_delete_dv(
     meta: dict,
     snap: dict,
     matched: DataFrame,
+    base_version: int,
 ) -> dict:
     """The v3 tail of iceberg_delete: executor-built merged vectors
     (_build_iceberg_dvs), then one DV-manifest commit."""
@@ -2780,9 +2826,7 @@ def _iceberg_delete_dv(
     if not touched:
         return {"rows_deleted": 0, "snapshot_id": None}
     mdir = os.path.join(path, "metadata")
-    version = int(
-        open(os.path.join(mdir, "version-hint.text")).read().strip()
-    ) + 1
+    version = base_version + 1
     dv_rows = [
         (r["puffin"], int(r["cardinality"]), r["file"],
          int(r["offset"]), int(r["length"]))
@@ -2829,7 +2873,7 @@ def iceberg_delete(
     from pyspark.sql.types import LongType as _Long
     from pyspark.sql.types import StringType as _Str
 
-    meta = load_table_metadata(path)
+    base_version, meta = _current_version_and_meta(path)
     snap = _pick_snapshot(meta)
     schema = _current_schema(meta)
     names = {f.name for f in schema.fields}
@@ -2848,7 +2892,8 @@ def iceberg_delete(
         return {"rows_deleted": 0, "snapshot_id": None}  # empty table
     if int(meta.get("format-version") or 1) >= 3:
         return _iceberg_delete_dv(
-            spark, path, meta, snap, _apply_data_filters(df, where)
+            spark, path, meta, snap, _apply_data_filters(df, where),
+            base_version,
         )
     matched = _apply_data_filters(df, where).select(
         F.col("__if_file").cast(_Str()).alias(
@@ -2886,9 +2931,7 @@ def iceberg_delete(
     del_path = os.path.join(ddir, f"delete-{uuid.uuid4().hex}.parquet")
     os.replace(part, del_path)
     shutil.rmtree(staging, ignore_errors=True)
-    version = int(
-        open(os.path.join(mdir, "version-hint.text")).read().strip()
-    ) + 1
+    version = base_version + 1
     sid = _commit_position_delete_file(
         path, meta, snap, mdir, version, del_path, n_pairs
     )
@@ -2924,6 +2967,7 @@ def _iceberg_dv_dml_commit(
     masked: DataFrame,
     replacements: DataFrame,
     operation: str,
+    base_version: int,
 ) -> tuple[int | None, int, int]:
     """Shared UPDATE/MERGE tail: executor-built merged vectors for
     ``masked`` (__if_file/__if_pos), replacement/inserted rows
@@ -2945,9 +2989,7 @@ def _iceberg_dv_dml_commit(
     if not touched and not rows_added:
         return None, 0, 0
     mdir = os.path.join(path, "metadata")
-    version = int(
-        open(os.path.join(mdir, "version-hint.text")).read().strip()
-    ) + 1
+    version = base_version + 1
     manifest = _write_data_manifest(mdir, entries, partition_by, types)
     dv_rows = [
         (r["puffin"], int(r["cardinality"]), r["file"],
@@ -2983,7 +3025,7 @@ def iceberg_update(
         _apply_data_filters,
     )
 
-    meta = load_table_metadata(path)
+    base_version, meta = _current_version_and_meta(path)
     snap = _pick_snapshot(meta)
     schema = _current_schema(meta)
     names = {f.name for f in schema.fields}
@@ -3005,7 +3047,8 @@ def iceberg_update(
         ]
     )
     sid, masked, _added = _iceberg_dv_dml_commit(
-        spark, path, meta, snap, matched, replacements, "overwrite"
+        spark, path, meta, snap, matched, replacements, "overwrite",
+        base_version,
     )
     return {"rows_updated": masked, "snapshot_id": sid}
 
@@ -3025,7 +3068,7 @@ def iceberg_merge(
     Returns {"rows_updated", "rows_inserted", "snapshot_id" |
     None}."""
     path = fsio.resolve_write_path(path, "iceberg_merge")
-    meta = load_table_metadata(path)
+    base_version, meta = _current_version_and_meta(path)
     snap = _pick_snapshot(meta)
     schema = _current_schema(meta)
     names = [f.name for f in schema.fields]
@@ -3066,6 +3109,7 @@ def iceberg_merge(
     sid, masked, added = _iceberg_dv_dml_commit(
         spark, path, meta, snap, matched,
         replacements.unionByName(inserts), "overwrite",
+        base_version,
     )
     return {
         "rows_updated": masked,
@@ -3074,12 +3118,19 @@ def iceberg_merge(
     }
 
 
-def _bump_metadata(path: str, meta: dict) -> None:
+def _bump_metadata(
+    path: str, meta: dict, base_version: int | None = None
+) -> None:
     """Write the next vN.metadata.json + version hint — O_EXCL, so
     a racing writer gets a typed conflict, never a silent
-    overwrite."""
+    overwrite. Pass ``base_version`` (from
+    _current_version_and_meta at the caller's LOAD) so a commit
+    landing between load and publish conflicts instead of being
+    overwritten by state derived from before it."""
+    if base_version is None:
+        base_version = _hint_version(path)
     _publish_or_conflict(
-        path, meta, _hint_version(path) + 1, "iceberg metadata commit"
+        path, meta, base_version + 1, "iceberg metadata commit"
     )
 
 
@@ -3096,7 +3147,7 @@ def iceberg_compact(spark: SparkSession, path: str) -> dict:
     delete files before DV-era DML. Returns {"files_before",
     "files_after", "snapshot_id"}."""
     path = fsio.resolve_write_path(path, "iceberg_compact")
-    meta = load_table_metadata(path)
+    base_version, meta = _current_version_and_meta(path)
     snap = _pick_snapshot(meta)
     files, pos_del, eq_del, dvs = _live_files(path, snap)
     schema = _current_schema(meta)
@@ -3134,7 +3185,7 @@ def iceberg_compact(spark: SparkSession, path: str) -> dict:
     meta["snapshot-log"] = (meta.get("snapshot-log") or []) + [
         {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
     ]
-    _bump_metadata(path, meta)
+    _bump_metadata(path, meta, base_version)
     return {
         "files_before": len(files) + len(pos_del) + len(eq_del) + len(dvs),
         "files_after": len(entries),
@@ -3148,7 +3199,7 @@ def iceberg_rollback(path: str, snapshot_id: int) -> None:
     snapshot is deleted, so rolling FORWARD again stays possible
     and time travel across the abandoned range keeps working."""
     path = fsio.resolve_write_path(path, "iceberg_rollback")
-    meta = load_table_metadata(path)
+    base_version, meta = _current_version_and_meta(path)
     known = {int(s["snapshot-id"]) for s in meta.get("snapshots") or []}
     if int(snapshot_id) not in known:
         raise IcebergError(
@@ -3161,7 +3212,7 @@ def iceberg_rollback(path: str, snapshot_id: int) -> None:
     meta["snapshot-log"] = (meta.get("snapshot-log") or []) + [
         {"timestamp-ms": now_ms, "snapshot-id": int(snapshot_id)}
     ]
-    _bump_metadata(path, meta)
+    _bump_metadata(path, meta, base_version)
 
 
 def iceberg_expire_snapshots(
@@ -3178,7 +3229,7 @@ def iceberg_expire_snapshots(
     path = fsio.resolve_write_path(path, "iceberg_expire_snapshots")
     if keep_last < 1:
         raise IcebergError("keep_last must be >= 1")
-    meta = load_table_metadata(path)
+    base_version, meta = _current_version_and_meta(path)
     snaps = list(meta.get("snapshots") or [])
     if len(snaps) <= keep_last:
         return {"snapshots_expired": 0, "files_deleted": 0}
@@ -3238,7 +3289,7 @@ def iceberg_expire_snapshots(
         if int(x["snapshot-id"]) in keep_ids
     ]
     meta["last-updated-ms"] = now_ms
-    _bump_metadata(path, meta)
+    _bump_metadata(path, meta, base_version)
     return {
         "snapshots_expired": len(expired),
         "files_deleted": deleted,
@@ -3447,7 +3498,7 @@ def _set_ref(
     path: str, name: str, snapshot_id: int | None, rtype: str
 ) -> None:
     path = fsio.resolve_write_path(path, "iceberg_" + rtype)
-    meta = load_table_metadata(path)
+    base_version, meta = _current_version_and_meta(path)
     if snapshot_id is None:
         snapshot_id = int(_pick_snapshot(meta)["snapshot-id"])
     known = {int(s["snapshot-id"]) for s in meta.get("snapshots") or []}
@@ -3465,12 +3516,12 @@ def _set_ref(
     meta = dict(meta)
     meta["refs"] = refs
     meta["last-updated-ms"] = int(time.time() * 1000)
-    _bump_metadata(path, meta)
+    _bump_metadata(path, meta, base_version)
 
 
 def iceberg_drop_ref(path: str, name: str) -> None:
     path = fsio.resolve_write_path(path, "iceberg_drop_ref")
-    meta = load_table_metadata(path)
+    base_version, meta = _current_version_and_meta(path)
     refs = dict(meta.get("refs") or {})
     if name not in refs:
         raise IcebergError(f"no ref named {name!r}")
@@ -3478,7 +3529,7 @@ def iceberg_drop_ref(path: str, name: str) -> None:
     meta = dict(meta)
     meta["refs"] = refs
     meta["last-updated-ms"] = int(time.time() * 1000)
-    _bump_metadata(path, meta)
+    _bump_metadata(path, meta, base_version)
 
 
 def resolve_ref(meta: dict, ref: str) -> int:

@@ -677,3 +677,85 @@ class TestIcebergHudiOverMock:
         ).count() == 0
         with pytest.raises(fsio.FsIoError):
             H.write_hudi_table(docs, "gs://b/hud", record_key="doc_id")
+
+
+class TestRoundTwelveReviewFindings:
+    """Regression pins for the round-12 self-review."""
+
+    def test_unpicklable_hook_does_not_break_registration(
+        self, tmp_path
+    ):
+        """A commit hook closing over a live client (thread locks,
+        SSL contexts) cannot ride the cross-process file — but it
+        must not CRASH registration; the descriptor persists without
+        the hook (plan workers only read) and in-process use keeps
+        the hook."""
+        import functools
+        import threading
+
+        root = str(tmp_path / "uh")
+        os.makedirs(root)
+        lock = threading.Lock()  # unpicklable by plain pickle
+
+        def hook(p, data, _l=lock):
+            with _l:
+                full = os.path.join(root, p)
+                os.makedirs(os.path.dirname(full), exist_ok=True)
+                fd = os.open(
+                    full, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644
+                )
+                with os.fdopen(fd, "wb") as f:
+                    f.write(data)
+
+        fsio.register_filesystem(
+            "unpick",
+            fs_factory=functools.partial(fsio._subtree_fs, root),
+            spark_path=functools.partial(fsio._join_under, root),
+            create_exclusive=hook,
+        )
+        try:
+            fsio.create_exclusive("unpick://t/0.json", b"{}")
+            assert fsio.read_bytes("unpick://t/0.json") == b"{}"
+            assert fsio.supports_commit("unpick://t")
+        finally:
+            fsio.unregister_filesystem("unpick")
+
+    def test_commit_gate_bootstraps_from_file(self, tmp_path):
+        """A sibling process (simulated: registry entry dropped, file
+        kept) must pass require_commit for a persisted hook-only
+        scheme WITHOUT a read having resolved it first — the gate
+        consults the bootstrap file like the read path does."""
+        import functools
+
+        root = str(tmp_path / "sib")
+        os.makedirs(root)
+        fsio.register_filesystem(
+            "sibsch",
+            fs_factory=functools.partial(fsio._subtree_fs, root),
+            spark_path=functools.partial(fsio._join_under, root),
+            create_exclusive=functools.partial(
+                fsio._join_under, root
+            ),  # any picklable callable works for the gate check
+        )
+        try:
+            # simulate the fresh sibling: in-memory entry gone,
+            # persisted descriptor intact
+            fsio._registry().pop("sibsch")
+            assert fsio.supports_commit("sibsch://t")
+            assert fsio.commit_hook_for("sibsch://t") is not None
+        finally:
+            fsio.unregister_filesystem("sibsch")
+
+    def test_factory_key_is_value_stable(self, tmp_path):
+        """Two separately-unpickled copies of the same partial
+        compare equal — reused workers must not rebuild the
+        FileSystem once per task."""
+        import functools
+        import pickle
+
+        f1 = functools.partial(fsio._subtree_fs, str(tmp_path))
+        f2 = pickle.loads(pickle.dumps(f1))
+        assert f1 is not f2
+        assert fsio._factory_key(f1) == fsio._factory_key(f2)
+        f3 = functools.partial(fsio._subtree_fs, str(tmp_path) + "x")
+        assert fsio._factory_key(f1) != fsio._factory_key(f3)

@@ -1457,6 +1457,66 @@ class TestCommitSemantics:
         with pytest.raises(I.IcebergError, match="commit conflict"):
             I.write_iceberg_table(_docs(spark, 2).coalesce(1), p)
 
+    def test_interleaved_commit_is_never_lost(self, spark, tmp_path):
+        """The round-12 review's lost-update window: a commit
+        landing between a writer's state load and its publish must
+        surface as a retry (re-derived from the winner's state),
+        never be silently overwritten. Deterministic interleave: the
+        transform itself commits a competing change on its first
+        run."""
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 4).coalesce(1), p)
+        fired = {"n": 0}
+
+        def transform(meta):
+            if fired["n"] == 0:
+                fired["n"] += 1
+                # the competing writer lands AFTER our state load
+                def competing(m):
+                    m = dict(m)
+                    props = dict(m.get("properties") or {})
+                    props["raced"] = "yes"
+                    m["properties"] = props
+                    return m
+
+                I._commit_metadata(p, competing, "competing")
+            meta = dict(meta)
+            props = dict(meta.get("properties") or {})
+            props["mine"] = "yes"
+            meta["properties"] = props
+            return meta
+
+        I._commit_metadata(p, transform, "interleave-test")
+        meta = I.load_table_metadata(p)
+        # BOTH commits survive — the loser re-derived from the
+        # winner's state
+        assert meta["properties"] == {"raced": "yes", "mine": "yes"}
+        assert fired["n"] == 1
+
+    def test_crashed_winner_hint_recovery(self, spark, tmp_path):
+        """A writer dying between its O_EXCL metadata create and the
+        hint repoint must not wedge the table: the next committer
+        helps the stalled pointer forward and proceeds."""
+        import shutil
+
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 4).coalesce(1), p)
+        v = I._hint_version(p)
+        # simulate the crash: v+1 exists, hint still points at v
+        shutil.copyfile(
+            os.path.join(p, "metadata", f"v{v}.metadata.json"),
+            os.path.join(p, "metadata", f"v{v + 1}.metadata.json"),
+        )
+        # metadata-only verb: retries through the wedge
+        I.iceberg_add_column(p, "extra", "long")
+        assert I._hint_version(p) == v + 2
+        assert "extra" in [
+            f.name for f in I._current_schema(I.load_table_metadata(p)).fields
+        ]
+        # a plain append now just works (hint is consistent again)
+        I.write_iceberg_table(_docs(spark, 2).coalesce(1), p)
+        assert I.read_iceberg(spark, p).count() == 6
+
     def test_concurrent_evolutions_serialize(self, tmp_path, spark):
         """Two add-column writers racing: both must land (the loser
         re-derives from the winner's state and retries), assigning
