@@ -1143,12 +1143,16 @@ def _publish_partitioned_staging(
             dst = fsio.join(table_path, *segs, unique)
             f, fp = fsio.pyarrow_fs(src)
             stats = _footer_stats(fp, filesystem=f)
+            # size before the move (identical after): one stat/HEAD
+            # on the source instead of a post-move round trip per
+            # published file
+            size = fsio.file_size(src)
             fsio.move(src, dst)
             adds.append(
                 {
                     "path": rel_path,
                     "partitionValues": dict(pv),
-                    "size": fsio.file_size(dst),
+                    "size": size,
                     "modificationTime": (
                         int(os.stat(dst).st_mtime * 1000) if local
                         else now_ms

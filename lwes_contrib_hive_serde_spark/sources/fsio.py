@@ -191,25 +191,19 @@ def register_filesystem(
             # failing registration; an unpicklable FACTORY skips
             # persistence entirely (reads still work in-process).
             doc = None
-            try:
-                doc = _pickle_descriptor(
-                    {
-                        "fs_factory": fs_factory,
-                        "spark_path": spark_path,
-                        "create_exclusive": create_exclusive,
-                    }
-                )
-            except Exception:
+            for attempt in (
+                {"fs_factory": fs_factory, "spark_path": spark_path,
+                 "create_exclusive": create_exclusive},
+                {"fs_factory": fs_factory, "spark_path": spark_path,
+                 "create_exclusive": None},
+                {"fs_factory": fs_factory, "spark_path": None,
+                 "create_exclusive": None},
+            ):
                 try:
-                    doc = _pickle_descriptor(
-                        {
-                            "fs_factory": fs_factory,
-                            "spark_path": spark_path,
-                            "create_exclusive": None,
-                        }
-                    )
+                    doc = _pickle_descriptor(attempt)
+                    break
                 except Exception:
-                    doc = None
+                    continue
             if doc is not None:
                 _persist_registration(low, {"fs_factory_b64": doc})
 
@@ -570,8 +564,7 @@ def _fs_for(scheme: str):
         return ent["fs"]
     if scheme in _state()["lazy"]:
         return _state()["lazy"][scheme]
-    if scheme not in ("s3", "s3a", "gs", "abfs", "abfss", "az", "hdfs") \
-            and _load_persisted(scheme):
+    if scheme not in _NATIVE_SCHEMES and _load_persisted(scheme):
         return _registry()[scheme]["fs"]
     from pyarrow import fs as pafs
 
@@ -872,20 +865,28 @@ def pyarrow_fs(uri: str):
     return _fs_for(scheme), path
 
 
+_NATIVE_SCHEMES = ("s3", "s3a", "gs", "abfs", "abfss", "az", "hdfs")
+
+
+def _resolved_ent(scheme: str):
+    """Registry entry for ``scheme``, consulting the cross-process
+    bootstrap file on a miss — the ONE lookup shape every
+    scheme-sensitive call site shares, so no gate can be
+    order-dependent on whether a read resolved the scheme first."""
+    ent = _registry().get(scheme)
+    if ent is None and scheme not in _NATIVE_SCHEMES \
+            and _load_persisted(scheme):
+        ent = _registry().get(scheme)
+    return ent
+
+
 def commit_hook_for(uri: str):
     """The registered ``create_exclusive`` hook serving ``uri``'s
-    scheme, or None. Consults the cross-process bootstrap file on a
-    registry miss — otherwise a sibling process could READ a
-    hook-only scheme (reads go through _fs_for, which bootstraps)
-    but its writes would refuse, an order-dependent gate."""
+    scheme, or None (bootstrap-aware via _resolved_ent)."""
     scheme, _ = split(uri)
     if scheme is None:
         return None
-    ent = _registry().get(scheme)
-    if ent is None and scheme not in (
-        "s3", "s3a", "gs", "abfs", "abfss", "az", "hdfs"
-    ) and _load_persisted(scheme):
-        ent = _registry().get(scheme)
+    ent = _resolved_ent(scheme)
     return ent.get("create_exclusive") if ent else None
 
 
@@ -928,11 +929,7 @@ def _atomic_root(uri: str) -> str | None:
     scheme, path = split(uri)
     if scheme is None:
         return path
-    ent = _registry().get(scheme)
-    if ent is None and scheme not in (
-        "s3", "s3a", "gs", "abfs", "abfss", "az", "hdfs"
-    ) and _load_persisted(scheme):
-        ent = _registry().get(scheme)
+    ent = _resolved_ent(scheme)
     if ent is not None and ent.get("local_root") is not None:
         return os.path.join(ent["local_root"], path)
     return None
@@ -984,24 +981,45 @@ def create_exclusive(uri: str, data: bytes) -> None:
     """Atomically create ``uri`` with ``data``; FileExistsError if it
     already exists — THE commit primitive (Delta/Iceberg/Hudi
     optimistic concurrency). Write-then-rename is not enough (rename
-    overwrites); this is O_CREAT|O_EXCL on the POSIX root, a
-    registered commit hook on schemes that provide one
-    (``register_filesystem(create_exclusive=...)`` — the
-    conditional-put / lock-service extension point), and a typed
-    refusal otherwise."""
+    overwrites). POSIX path: the content is written to a temp file
+    first and published with ``os.link`` — the target appears
+    ATOMICALLY WITH ITS FULL CONTENT (link fails EEXIST on a race),
+    so a writer crashing mid-commit can never leave a truncated
+    commit file for recovery code or readers to trip over (the
+    plain O_EXCL-then-write shape had exactly that window — the
+    round-12 second review reproduced a table-wide read outage from
+    it). Hooked schemes hand the full byte payload to the
+    conditional-put hook (all-or-nothing by the store's contract);
+    everything else is a typed refusal."""
     target = _atomic_root(uri)
     if target is None:
         scheme, path = split(uri)
-        ent = _registry().get(scheme) if scheme else None
+        ent = _resolved_ent(scheme) if scheme else None
         hook = ent.get("create_exclusive") if ent else None
         if hook is not None:
             hook(path, data)
             return
-        require_atomic_create(uri, "create_exclusive")
-    os.makedirs(os.path.dirname(target), exist_ok=True)
-    fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
-    with os.fdopen(fd, "wb") as f:
-        f.write(data)
+        require_commit(uri, "create_exclusive")
+    import tempfile
+
+    d = os.path.dirname(target)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".commit-")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.chmod(tmp, 0o644)
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            raise
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
 
 
 def spark_path(uri: str) -> str:
@@ -1012,11 +1030,7 @@ def spark_path(uri: str) -> str:
     scheme, path = split(uri)
     if scheme is None:
         return path
-    ent = _registry().get(scheme)
-    if ent is None and scheme not in (
-        "s3", "s3a", "gs", "abfs", "abfss", "az", "hdfs"
-    ) and _load_persisted(scheme):
-        ent = _registry().get(scheme)
+    ent = _resolved_ent(scheme)
     if ent is not None and ent["spark_path"] is not None:
         return ent["spark_path"](path)
     if scheme == "s3":

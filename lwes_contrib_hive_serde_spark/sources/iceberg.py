@@ -279,33 +279,12 @@ def load_table_metadata(path: str) -> dict:
         if loc:
             return load_metadata_location(loc)
         return _validate_metadata_doc(inline)
-    mdir = fsio.join(path, "metadata")
-    if not fsio.isdir(mdir):
-        raise IcebergError(f"not an Iceberg table (no metadata/): {path}")
-    hint = fsio.join(mdir, "version-hint.text")
-    candidates = []
-    if fsio.exists(hint):
-        v = fsio.read_bytes(hint).decode().strip()
-        candidates = [fsio.join(mdir, f"v{v}.metadata.json")]
-    else:
-        vs = []
-        for n in fsio.listdir(mdir):
-            if n.endswith(".metadata.json") and n.startswith("v"):
-                stem = n[1:].split(".")[0]
-                if stem.isdigit():
-                    vs.append(int(stem))
-        if not vs:
-            raise IcebergError(f"no v*.metadata.json under {mdir}")
-        candidates = [fsio.join(mdir, f"v{max(vs)}.metadata.json")]
-    with fsio.open_read(candidates[0]) as f:
-        meta = json.load(f)
-    fv = meta.get("format-version", 1)
-    if fv not in (1, 2, 3):
-        raise IcebergError(
-            f"format-version {fv} not supported (1/2/3 only)"
-        )
-    if fv == 3:
-        _check_v3_features(meta)
+    # the same head resolution the writers use (hint as a starting
+    # point, probe upward past a lagging/backward hint): a metadata
+    # file's existence IS the commit, so reads must never miss an
+    # acknowledged version because a crashed writer left the
+    # advisory pointer behind
+    _v, meta = _current_version_and_meta(path)
     return meta
 
 
@@ -325,6 +304,11 @@ def _validate_metadata_doc(meta: dict) -> dict:
         raise IcebergError(
             f"format-version {fv} not supported (1/2/3 only)"
         )
+    if not (meta.get("schemas") or meta.get("schema")):
+        # TableMetadata REQUIRES a schema (spec table); a schemaless
+        # document is foreign junk, and head resolution must treat
+        # it like a partial — skip/stop, never serve it as a commit
+        raise IcebergError("metadata document carries no schema")
     if fv == 3:
         _check_v3_features(meta)
     return meta
@@ -2427,44 +2411,95 @@ def _hint_version(path: str) -> int:
 
 
 def _current_version_and_meta(path: str) -> tuple[int, dict]:
-    """ONE consistent (version, metadata) pair: the hint is read
-    FIRST and exactly v<hint>.metadata.json is loaded, so a commit
-    landing between two separate reads cannot hand a writer version
-    N+1 with the state of N-1 (the lost-update window the round-12
-    review found — load-then-re-read-hint let a racer's commit be
-    silently overwritten WITHOUT a FileExistsError). Hint-less
-    tables fall back to the highest v<N>."""
+    """ONE consistent (version, metadata) head: resolve a starting
+    version (hint when readable, else the highest parsable
+    v<N>.metadata.json), then PROBE UPWARD while newer parsable
+    versions exist — fsio.create_exclusive publishes metadata files
+    atomically WITH their content, so a file's existence IS the
+    commit and the hint is advisory (the HadoopTableOperations
+    shape). This closes BOTH round-12 review windows at once: a
+    commit landing between a writer's state load and its publish
+    surfaces as FileExistsError (never a silent overwrite, because
+    version and metadata come from one resolution), and a hint
+    moved backward or left lagging by a crashed writer cannot make
+    readers miss an acknowledged commit. Unparsable files (a
+    FOREIGN writer's partial — ours cannot be partial) are skipped
+    downward / stop the upward probe rather than poisoning
+    resolution."""
     mdir = fsio.join(path, "metadata")
+    if not fsio.isdir(mdir):
+        raise IcebergError(f"not an Iceberg table (no metadata/): {path}")
     hint = fsio.join(mdir, "version-hint.text")
+    v = None
+    meta = None
     if fsio.exists(hint):
-        with fsio.open_read(hint) as f:
-            v = int(f.read().decode().strip())
-    else:
-        vs = [
-            int(n[1:].split(".")[0])
-            for n in fsio.listdir(mdir)
-            if n.startswith("v") and n.endswith(".metadata.json")
-            and n[1:].split(".")[0].isdigit()
-        ]
+        try:
+            with fsio.open_read(hint) as f:
+                v = int(f.read().decode().strip())
+            meta = load_metadata_location(
+                fsio.join(mdir, f"v{v}.metadata.json")
+            )
+        except (OSError, ValueError):
+            v, meta = None, None
+    if meta is None:
+        vs = sorted(
+            (
+                int(n[1:].split(".")[0])
+                for n in fsio.listdir(mdir)
+                if n.startswith("v") and n.endswith(".metadata.json")
+                and n[1:].split(".")[0].isdigit()
+            ),
+            reverse=True,
+        )
         if not vs:
             raise IcebergError(f"no v*.metadata.json under {mdir}")
-        v = max(vs)
-    return v, load_metadata_location(
-        fsio.join(mdir, f"v{v}.metadata.json")
-    )
+        last_err = None
+        for cand in vs:
+            try:
+                meta = load_metadata_location(
+                    fsio.join(mdir, f"v{cand}.metadata.json")
+                )
+                v = cand
+                break
+            except (OSError, ValueError) as e:
+                last_err = e
+        if meta is None:
+            raise IcebergError(
+                f"no readable v*.metadata.json under {mdir}: {last_err}"
+            )
+    while True:
+        nxt = fsio.join(mdir, f"v{v + 1}.metadata.json")
+        if not fsio.exists(nxt):
+            break
+        try:
+            meta = load_metadata_location(nxt)
+        except (OSError, ValueError):
+            break  # foreign partial blocker: stop at the last good
+        v += 1
+    return v, meta
 
 
 def _help_repoint(path: str, version: int) -> None:
     """Crash recovery, the 'helping' pattern: when v<version> exists
     but the hint still points below it, the creator died between
-    its O_EXCL create and the hint repoint — every later commit
-    would compute the same next version and FileExistsError forever
-    (the wedge the round-12 review found). Completing the stalled
+    its atomic create and the hint repoint. Completing the stalled
     commit's pointer is safe: metadata files are immutable once
-    created, and concurrent helpers write the same value."""
+    created, concurrent helpers write the same value, and the
+    target is VALIDATED (parsed) first — a foreign writer's
+    truncated file must never become what readers resolve (the
+    read-outage repro from the second review). Readers do not
+    strictly need the hint (resolution probes upward past it), so
+    this is a fast-path repair, not a correctness step."""
+    mdir = fsio.join(path, "metadata")
+    try:
+        load_metadata_location(
+            fsio.join(mdir, f"v{version}.metadata.json")
+        )
+    except Exception:
+        return
     try:
         if _hint_version(path) < version:
-            _write_version_hint(fsio.join(path, "metadata"), version)
+            _write_version_hint(mdir, version)
     except (OSError, ValueError):
         pass
 

@@ -41,11 +41,16 @@ class HookConfigError(ValueError):
 
 
 def _is_precondition_failed(exc) -> bool:
-    """True when ``exc`` is the store's already-exists answer: a
-    botocore-style ClientError whose Error.Code is
-    PreconditionFailed (S3's 412 for IfNoneMatch) / 409-class
-    duplicate codes, or a google-api-core PreconditionFailed (412
-    status code attribute)."""
+    """True when ``exc`` PROVES the object already exists: a
+    botocore-style ClientError with Error.Code PreconditionFailed
+    (S3's 412 for IfNoneMatch) or an HTTP 412 status, or a
+    google-api-core PreconditionFailed (412 code attribute).
+    Deliberately NOT 409: S3 answers 409
+    ConditionalRequestConflict for TRANSIENT concurrent conditional
+    writes where the object may not exist at all (AWS documents it
+    as retryable) — translating that to FileExistsError would turn
+    a retryable race into a spurious commit-conflict abort, so 409s
+    re-raise for the caller/SDK to retry."""
     resp = getattr(exc, "response", None)
     if isinstance(resp, dict):
         code = str((resp.get("Error") or {}).get("Code") or "")
@@ -54,7 +59,7 @@ def _is_precondition_failed(exc) -> bool:
         )
         if code in ("PreconditionFailed", "ObjectAlreadyExists"):
             return True
-        if status in (412, 409):
+        if status == 412:
             return True
     if getattr(exc, "code", None) == 412:  # google-api-core style
         return True

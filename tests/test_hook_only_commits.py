@@ -250,19 +250,21 @@ class TestIcebergHookOnly:
         assert any(n.startswith("snap-") for n in os.listdir(mdir))
 
     def test_race_loser_gets_typed_conflict(self, spark, hook_fs):
-        """Snapshot commits cannot be replayed blindly: when another
-        writer grabbed the next metadata version, the loser aborts
-        with the typed conflict."""
+        """A junk/partial blocker at the next version (a foreign
+        writer's crash): reads keep working off the last good
+        commit and the writer surfaces a typed error through the
+        hook tier — never a silent overwrite or a read outage.
+        (A VALID v+1 is a commit: head resolution probes onto it
+        and the next write simply lands at v+2.)"""
         root, _ = hook_fs
         uri = f"{SCHEME}://icer"
         I.write_iceberg_table(_docs(spark, 10).coalesce(1), uri)
         v = I._hint_version(uri)
-        # simulate a winner mid-commit: next version exists, hint
-        # not yet repointed
         fsio.create_exclusive(
             f"{uri}/metadata/v{v + 1}.metadata.json", b"{}"
         )
-        with pytest.raises(I.IcebergError, match="commit conflict"):
+        with pytest.raises(I.IcebergError):
             I.write_iceberg_table(
                 _docs(spark, 5, offset=10).coalesce(1), uri
             )
+        assert I.read_iceberg(spark, uri).count() == 10

@@ -1442,20 +1442,25 @@ class TestCommitSemantics:
         assert I.read_iceberg(spark, p).count() == 8
 
     def test_snapshot_commit_conflict_is_typed(self, spark, tmp_path):
-        """A concurrent writer that grabbed the next metadata
+        """A concurrent writer that grabbed the same next metadata
         version makes the loser abort with a typed conflict — the
-        old truncating open() silently overwrote the winner."""
+        old truncating open() silently overwrote the winner. (A
+        winner's VALID v+1 created before the loser even loads is
+        no longer a conflict at all: head resolution probes upward
+        and the loser simply builds on it — so the conflict is
+        pinned at the publish primitive, where the race actually
+        lives.)"""
         p = str(tmp_path / "t")
         I.write_iceberg_table(_docs(spark, 4).coalesce(1), p)
-        v = I._hint_version(p)
-        # simulate a winner that created v+1 but has not (yet)
-        # repointed the hint — the exact mid-commit race window
-        with open(
-            os.path.join(p, "metadata", f"v{v + 1}.metadata.json"), "w"
-        ) as f:
-            json.dump(I.load_table_metadata(p), f)
+        v, meta = I._current_version_and_meta(p)
         with pytest.raises(I.IcebergError, match="commit conflict"):
-            I.write_iceberg_table(_docs(spark, 2).coalesce(1), p)
+            I._publish_or_conflict(p, meta, v, "test")  # v taken
+        # and a valid pre-existing v+1 is treated as a COMMIT: the
+        # next append lands at v+2 on top of it
+        I._publish_metadata(p, meta, v + 1)
+        I.write_iceberg_table(_docs(spark, 2).coalesce(1), p)
+        assert I._hint_version(p) == v + 2
+        assert I.read_iceberg(spark, p).count() == 6
 
     def test_interleaved_commit_is_never_lost(self, spark, tmp_path):
         """The round-12 review's lost-update window: a commit
@@ -1626,3 +1631,57 @@ class TestOrphanFiles:
         for n in os.listdir(ddir):
             os.utime(os.path.join(ddir, n), (old, old))
         assert I.iceberg_remove_orphan_files(p, older_than_ms=1000) == 0
+
+
+class TestHeadResolutionRobustness:
+    """Second-review closures: head resolution treats the hint as
+    advisory (probe upward past a lagging/backward pointer), never
+    resolves onto an unparsable foreign partial, and _help_repoint
+    validates before repointing."""
+
+    def test_lagging_hint_reads_newest(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 5).coalesce(1), p)
+        I.write_iceberg_table(_docs(spark, 5).coalesce(1), p)
+        assert I.read_iceberg(spark, p).count() == 10
+        # a crashed writer (or backward helper) left the hint at v1
+        with open(
+            os.path.join(p, "metadata", "version-hint.text"), "w"
+        ) as f:
+            f.write("1")
+        # reads still see the acknowledged v2 commit
+        assert I.read_iceberg(spark, p).count() == 10
+        # and a writer starts from the TRUE head: the append lands
+        # at v3, not a clobbering v2
+        I.write_iceberg_table(_docs(spark, 5).coalesce(1), p)
+        assert I.read_iceberg(spark, p).count() == 15
+        assert os.path.exists(
+            os.path.join(p, "metadata", "v3.metadata.json")
+        )
+
+    def test_foreign_partial_blocker_never_poisons(
+        self, spark, tmp_path
+    ):
+        """An EMPTY v<N+1>.metadata.json from a foreign writer's
+        crash: reads keep working off the last good version, the
+        helper refuses to repoint onto garbage, and writers surface
+        a typed error instead of a JSONDecodeError read outage."""
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 6).coalesce(1), p)
+        v = I._hint_version(p)
+        open(
+            os.path.join(p, "metadata", f"v{v + 1}.metadata.json"), "w"
+        ).close()  # zero bytes
+        # reads: unaffected
+        assert I.read_iceberg(spark, p).count() == 6
+        # helper: validates, refuses
+        I._help_repoint(p, v + 1)
+        assert I._hint_version(p) == v
+        # writers: typed, never a silent overwrite or a read outage
+        with pytest.raises(I.IcebergError):
+            I.iceberg_add_column(p, "x", "long")
+        assert I.read_iceberg(spark, p).count() == 6
+
+    def test_not_a_table_is_typed(self, tmp_path):
+        with pytest.raises(I.IcebergError, match="not an Iceberg"):
+            I.iceberg_rollback(str(tmp_path / "nope"), 1)

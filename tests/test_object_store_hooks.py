@@ -164,3 +164,21 @@ class TestEndToEnd:
             assert keys == ["bkt/t/_delta_log/00000000000000000000.json"]
         finally:
             fsio.unregister_filesystem("fks3")
+
+
+class TestConflict409:
+    def test_409_is_not_exists(self):
+        """S3's 409 ConditionalRequestConflict is a RETRYABLE race
+        (the object may not exist) — it must re-raise, never map to
+        FileExistsError (which upstream turns into a commit-conflict
+        abort)."""
+
+        class Racy:
+            def put_object(self, **kw):
+                raise FakeS3ClientError(
+                    "ConditionalRequestConflict", status=409
+                )
+
+        hook = H.s3_conditional_put_hook("bkt", client=Racy())
+        with pytest.raises(FakeS3ClientError):
+            hook("t/x.json", b"1")
