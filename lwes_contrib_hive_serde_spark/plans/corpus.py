@@ -842,6 +842,7 @@ def q_funnel(spark, sf_dir):
 
 @register(
     "q_time_window",
+    shadow=True,
     oracle="""
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
            event_type,

@@ -52,6 +52,7 @@ def _sql_stop_ratio(lang: str) -> str:
 
 @register(
     "q_doc_token_stats",
+    shadow=True,
     oracle=f"""
     SELECT lang,
            COUNT(*) AS n_docs,
@@ -76,6 +77,7 @@ def q_doc_token_stats(spark, sf_dir):
 
 @register(
     "q_doc_quality",
+    shadow=True,
     oracle=f"""
     SELECT doc_id,
            CAST({_SQL_WS_TOKENS} AS BIGINT) AS n_tokens,
@@ -838,6 +840,7 @@ def q_gopher_quality(spark, sf_dir):
 
 @register(
     "q_c4_clean",
+    shadow=True,
     oracle=f"""
     WITH aug AS (
       SELECT doc_id, {_SQL_AUG} AS t FROM documents
@@ -1171,6 +1174,7 @@ def q_url_filter(spark, sf_dir):
 
 @register(
     "q_pack_sequences",
+    shadow=True,
     oracle="""
     WITH t AS (
       SELECT doc_id, doc_id % 4 AS shard,
@@ -4794,7 +4798,6 @@ def _documents_jsonl(spark, sf_dir: str) -> str:
 
 @register(
     "q_jsonl_roundtrip",
-    shadow=True,
     oracle="""
     SELECT lang,
            COUNT(*) AS n,
@@ -9698,7 +9701,6 @@ def _documents_delta_cdf_mixed(spark, sf_dir: str) -> str:
 
 @register(
     "q_delta_cdf",
-    shadow=True,
     oracle="""
     WITH s1 AS (
       SELECT doc_id, lang, text, n_chars FROM documents
@@ -10107,7 +10109,6 @@ def _documents_hudi_mor(spark, sf_dir: str) -> str:
 
 @register(
     "q_hudi_mor",
-    shadow=True,
     oracle="""
     SELECT 'ro_latest' AS snapshot, lang,
            COUNT(*) AS n,
@@ -10473,7 +10474,6 @@ def _documents_iceberg_dv(spark, sf_dir: str) -> str:
 
 @register(
     "q_iceberg_dv",
-    shadow=True,
     oracle="""
     SELECT lang, COUNT(*) AS n,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
@@ -11254,7 +11254,6 @@ def q_rest_commit(spark, sf_dir):
 
 @register(
     "q_hms_resolution",
-    shadow=True,
     oracle="""
     SELECT lang, COUNT(*) AS n,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
