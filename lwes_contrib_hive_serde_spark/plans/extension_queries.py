@@ -846,11 +846,14 @@ def q_gopher_quality(spark, sf_dir):
       SELECT doc_id, {_SQL_AUG} AS t FROM documents
     ), cleaned AS (
       SELECT doc_id, t,
-             array_to_string(list_filter({_SQL_T_LINES},
+             -- COALESCE: duckdb 1.0's array_to_string([]) is NULL,
+             -- but "every line filtered out" must mean empty text
+             -- (the Spark side's array_join contract)
+             COALESCE(array_to_string(list_filter({_SQL_T_LINES},
                x -> len(string_split_regex(trim(x), '\\s+')) >= 5
                     AND NOT regexp_matches(x,
                         '(?i)(javascript|cookies? (policy|settings)|privacy policy|terms of use)')
-                    AND regexp_matches(x, '[.!?"'']\\s*$')), chr(10)) AS t_clean
+                    AND regexp_matches(x, '[.!?"'']\\s*$')), chr(10)), '') AS t_clean
       FROM aug
     )
     SELECT doc_id,
@@ -11314,6 +11317,117 @@ def q_hms_resolution(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("n_chars").alias("sum_chars"),
         F.sum(F.length("text")).alias("sum_text_len"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+def _documents_hms_table(spark, sf_dir: str) -> str:
+    """documents split in two: the EVEN half creates a path-based
+    iceberg table; the ODD half appends THROUGH the mock Hive
+    metastore's alter_table expected-parameter CAS (sources/hms.py
+    commit tier — the Iceberg HiveCatalog pointer-swap convention,
+    sources/hms_mock.py enforcing the CAS under its lock). Returns
+    the table path; cached per sf_dir so the lifecycle runs once.
+    Sibling of _documents_rest_table with thrift in place of HTTP."""
+    import os
+
+    from lwes_contrib_hive_serde_spark.sources import (
+        hms_mock as HM,
+        iceberg as I,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        tag = f"{tag}-{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        pass
+    out = f"/tmp/hms_commit_table_cache/v1/{tag}"
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    if not os.path.exists(os.path.join(out, "metadata")):
+        I.write_iceberg_table(
+            docs.filter(F.col("doc_id") % 2 == 0).coalesce(2), out
+        )
+    meta = I.load_table_metadata(out)
+    if len(meta.get("snapshots") or []) < 2:
+        with HM.MockMetastore() as ms:
+            # register POINTER-LESS: the commit path must adopt the
+            # existing path-based head (never orphan its snapshot),
+            # then initialize the pointer with expected=""
+            ms.register(
+                "db", "docs",
+                HM.table_struct(out, params={"table_type": "ICEBERG"}),
+            )
+            I.write_iceberg_table(
+                docs.filter(F.col("doc_id") % 2 == 1).coalesce(2),
+                ms.spec("db.docs"),
+            )
+    return out
+
+
+@register(
+    "q_hms_commit",
+    shadow=True,
+    oracle="""
+    SELECT lang, COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hms_committed,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents GROUP BY lang
+    """,
+    doc="Hive-metastore COMMIT tier (hms.commit_iceberg_pointer + "
+    "write_iceberg_table over an hms:// spec, round 13): half the "
+    "documents land path-based, half commit THROUGH the metastore — "
+    "the new metadata document lands path-based under a unique name, "
+    "then the HiveCatalog-convention metadata_location/"
+    "previous_metadata_location pointer swap rides "
+    "alter_table_with_environmentContext's expected-parameter CAS "
+    "(HIVE-26882), the server-side compare-and-set real metastores "
+    "provide. The read resolves the pointer back through thrift "
+    "get_table. The DuckDB oracle recomputes the union from the raw "
+    "parquet: a dropped/duplicated HMS-committed snapshot "
+    "hash-mismatches on n_hms_committed. Thrift sibling of "
+    "q_rest_commit.",
+)
+def q_hms_commit(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.sources import (
+        hms_mock as HM,
+        iceberg as I,
+    )
+
+    out = _documents_hms_table(spark, sf_dir)
+    with HM.MockMetastore() as ms:
+        import os
+
+        mdir = os.path.join(out, "metadata")
+        cands = sorted(
+            n for n in os.listdir(mdir)
+            if n.endswith(".metadata.json") and "-" in n
+        )
+        ms.register(
+            "db", "docs",
+            HM.table_struct(
+                out,
+                params={
+                    "table_type": "ICEBERG",
+                    "metadata_location": os.path.join(mdir, cands[-1]),
+                },
+            ),
+        )
+        # resolution happens eagerly inside read_iceberg; the scan
+        # itself is path-based parquet, so closing the metastore
+        # after plan construction is safe (it adds only the hop)
+        df = I.read_iceberg(spark, ms.spec("db.docs"))
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(
+            (F.col("doc_id") % 2 == 1).cast("long")
+        ).alias("n_hms_committed"),
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )

@@ -37,6 +37,11 @@ def _load(spark: SparkSession, spec: str):
 
         base, at, pin = spec.partition("@")
         fmt, location = hms.resolve_hms(base)
+        if fmt == "iceberg":
+            # keep the hms spec: iceberg.load_table_metadata honors
+            # the HiveCatalog metadata_location pointer, which is
+            # authoritative over any directory-level version hint
+            return _load(spark, f"iceberg:{base}{at}{pin}")
         return _load(spark, f"{fmt}:{location}{at}{pin}")
     fmt, sep, rest = spec.partition(":")
     if not sep:

@@ -29,6 +29,22 @@ a skip-capable reader, so unknown fields in newer HMS versions pass
 through harmlessly. No thrift library exists in this container —
 and the wire format is small enough that carrying one would not
 pay for itself.
+
+COMMIT tier (round 13): ``commit_iceberg_pointer`` CAS-swaps an
+HMS-cataloged Iceberg table's current-metadata pointer the way the
+Iceberg HiveCatalog convention does it — the table parameters
+``metadata_location`` / ``previous_metadata_location`` move
+together, and the swap rides
+``alter_table_with_environmentContext`` carrying the public
+expected-parameter compare-and-set convention (HIVE-26882:
+``expected_parameter_key`` / ``expected_parameter_value`` in the
+EnvironmentContext properties make the alter conditional on one
+parameter's current value, server-side). A lost race surfaces as
+the metastore's "table has been modified" MetaException → the
+typed ``HmsCommitConflict``, symmetric with
+``rest_catalog.RestCommitConflict``: re-resolve and retry. Data
+files and metadata documents never touch the metastore — only the
+pointer swap does, so plain object storage underneath works.
 """
 
 from __future__ import annotations
@@ -58,6 +74,13 @@ _VERSION_1 = 0x80010000
 
 class HmsError(ValueError):
     pass
+
+
+class HmsCommitConflict(HmsError):
+    """The metastore rejected an expected-parameter CAS alter —
+    another writer moved the table's metadata pointer; re-resolve
+    the current state and retry (sibling of
+    rest_catalog.RestCommitConflict)."""
 
 
 # --------------------------------------------------------------------------
@@ -217,6 +240,30 @@ def _sock_reader(sock: socket.socket) -> _Reader:
 # the get_table call
 
 
+def _call(
+    host: str, port: int, name: str, body: bytes, timeout: float = 30.0
+) -> dict:
+    """One thrift method call (fresh connection, strict binary,
+    unframed) → the result struct as a field-id dict. Transport
+    failures and TApplicationExceptions become HmsError."""
+    msg = enc_message(name, _MSG_CALL, 0, body)
+    try:
+        with socket.create_connection((host, port), timeout=timeout) as s:
+            s.sendall(msg)
+            r = _sock_reader(s)
+            _name, mtype, _seq = r.message()
+            if mtype == _MSG_EXCEPTION:
+                exc = r.value(T_STRUCT)
+                raise HmsError(
+                    f"metastore exception: {exc.get(1, 'unknown')}"
+                )
+            return r.value(T_STRUCT)
+    except OSError as e:
+        raise HmsError(
+            f"metastore unreachable at {host}:{port}: {e}"
+        ) from e
+
+
 def get_table(
     host: str, port: int, db: str, table: str, timeout: float = 30.0
 ) -> dict:
@@ -228,22 +275,7 @@ def get_table(
         + enc_field(T_STRING, 2) + enc_string(table)
         + enc_stop()
     )
-    msg = enc_message("get_table", _MSG_CALL, 0, body)
-    try:
-        with socket.create_connection((host, port), timeout=timeout) as s:
-            s.sendall(msg)
-            r = _sock_reader(s)
-            name, mtype, _seq = r.message()
-            if mtype == _MSG_EXCEPTION:
-                exc = r.value(T_STRUCT)
-                raise HmsError(
-                    f"metastore exception: {exc.get(1, 'unknown')}"
-                )
-            result = r.value(T_STRUCT)
-    except OSError as e:
-        raise HmsError(
-            f"metastore unreachable at {host}:{port}: {e}"
-        ) from e
+    result = _call(host, port, "get_table", body, timeout)
     if 0 in result:
         return result[0]
     # field 1 = NoSuchObjectException, 2 = MetaException
@@ -252,6 +284,75 @@ def get_table(
         f"no such table {db}.{table}: "
         f"{detail.get(1) if isinstance(detail, dict) else detail}"
     )
+
+
+# EnvironmentContext field ids (hive_metastore.thrift): 1=properties.
+# The expected-parameter CAS convention (HIVE-26882, what Iceberg's
+# HiveTableOperations rides): stamping these two keys into the
+# EnvironmentContext properties makes alter_table conditional on one
+# table parameter's CURRENT value, enforced server-side under the
+# metastore's own transaction.
+EC_PROPERTIES = 1
+EXPECTED_KEY = "expected_parameter_key"
+EXPECTED_VALUE = "expected_parameter_value"
+
+# Hive's HiveAlterHandler raises MetaException with this phrase when
+# the expected-parameter check fails — the only conflict signal the
+# public API exposes, so the client types the error on it.
+_CONFLICT_PHRASE = "has been modified"
+
+
+def alter_table_cas(
+    host: str,
+    port: int,
+    db: str,
+    table: str,
+    new_tbl: dict,
+    expected_key: str,
+    expected_value: str,
+    timeout: float = 30.0,
+) -> None:
+    """``alter_table_with_environmentContext(dbname, tbl_name,
+    new_tbl, environment_context)`` with the expected-parameter CAS
+    convention. The metastore applies ``new_tbl`` only if its
+    CURRENT parameters carry ``expected_key == expected_value``
+    (absent compares as the empty string — the initial-pointer
+    case); a mismatch raises the typed HmsCommitConflict.
+
+    ``new_tbl`` is a field-id dict as returned by get_table. Note
+    the round-trip restriction of this wire subset: integer values
+    re-encode as i32 — the Table struct fields resolution and the
+    pointer swap touch (strings, maps, nested structs) are all
+    covered losslessly."""
+    env = {
+        EC_PROPERTIES: {
+            EXPECTED_KEY: expected_key,
+            EXPECTED_VALUE: expected_value,
+        }
+    }
+    _t, tbl_bytes = enc_value(new_tbl)
+    _t, env_bytes = enc_value(env)
+    body = (
+        enc_field(T_STRING, 1) + enc_string(db)
+        + enc_field(T_STRING, 2) + enc_string(table)
+        + enc_field(T_STRUCT, 3) + tbl_bytes
+        + enc_field(T_STRUCT, 4) + env_bytes
+        + enc_stop()
+    )
+    result = _call(
+        host, port, "alter_table_with_environmentContext", body, timeout
+    )
+    # void result: success = only the (possibly empty) success slot.
+    # field 1 = InvalidOperationException, 2 = MetaException
+    detail = result.get(1) or result.get(2)
+    if detail is None:
+        return
+    msg = detail.get(1) if isinstance(detail, dict) else str(detail)
+    if _CONFLICT_PHRASE in str(msg):
+        raise HmsCommitConflict(
+            f"alter_table CAS lost on {db}.{table}: {msg}"
+        )
+    raise HmsError(f"alter_table failed on {db}.{table}: {msg}")
 
 
 # --------------------------------------------------------------------------
@@ -328,4 +429,78 @@ def resolve_hms(path_spec: str) -> tuple[str, str]:
         f"{path_spec!r}: unrecognized table format "
         f"(inputFormat={input_format!r}, serde={serde_lib!r}, "
         f"params keys={sorted(params)})"
+    )
+
+
+# --------------------------------------------------------------------------
+# Iceberg pointer resolution + commit (HiveCatalog convention)
+
+# The two table parameters the Iceberg HiveCatalog convention moves
+# together on every commit.
+METADATA_LOCATION = "metadata_location"
+PREVIOUS_METADATA_LOCATION = "previous_metadata_location"
+
+
+def table_params(t: dict) -> dict[str, str]:
+    return {
+        str(k): str(v) for k, v in (t.get(F_PARAMETERS) or {}).items()
+    }
+
+
+def resolve_iceberg_table(
+    path_spec: str,
+) -> tuple[dict, str | None, str | None]:
+    """hms:// spec → (table_struct, metadata_location param or None,
+    sd.location or None) for an ICEBERG-typed table. Typed refusal
+    when the metastore entry is not Iceberg — callers that want
+    format dispatch use resolve_hms."""
+    host, port, db, table = parse_hms_spec(path_spec)
+    t = get_table(host, port, db, table)
+    params = table_params(t)
+    if params.get("table_type", "").upper() != "ICEBERG" and (
+        params.get("spark.sql.sources.provider", "").lower() != "iceberg"
+    ):
+        raise HmsError(
+            f"{path_spec!r}: not an Iceberg table in the metastore "
+            f"(table_type={params.get('table_type')!r})"
+        )
+    loc = (t.get(F_SD) or {}).get(SD_LOCATION) or None
+    return t, params.get(METADATA_LOCATION) or None, loc
+
+
+def commit_iceberg_pointer(
+    path_spec: str,
+    new_metadata_location: str,
+    expected_metadata_location: str,
+    table_struct: dict | None = None,
+    timeout: float = 30.0,
+) -> None:
+    """CAS-swap the table's current-metadata pointer: set
+    ``metadata_location`` to the (already written, uniquely named)
+    new metadata document and roll the old value into
+    ``previous_metadata_location`` — conditional, server-side, on
+    ``metadata_location`` still being
+    ``expected_metadata_location`` ("" = absent: the initial
+    pointer of a freshly registered table). A lost race raises
+    HmsCommitConflict; the new metadata file is then unreferenced
+    (remove_orphan_files territory) and the caller re-derives from
+    the winner's state, exactly the rest_catalog.commit_table
+    contract."""
+    host, port, db, table = parse_hms_spec(path_spec)
+    t = (
+        table_struct
+        if table_struct is not None
+        else get_table(host, port, db, table, timeout)
+    )
+    params = table_params(t)
+    new_params = dict(params)
+    old = params.get(METADATA_LOCATION, "")
+    new_params[METADATA_LOCATION] = new_metadata_location
+    if old:
+        new_params[PREVIOUS_METADATA_LOCATION] = old
+    new_tbl = dict(t)
+    new_tbl[F_PARAMETERS] = new_params
+    alter_table_cas(
+        host, port, db, table, new_tbl,
+        METADATA_LOCATION, expected_metadata_location, timeout,
     )

@@ -5,9 +5,16 @@ Speaks the real unframed strict TBinaryProtocol over real sockets
 using sources/hms.py's own wire helpers: serves ``get_table`` from
 an in-memory (db, table) → Table-struct map, replying with the
 success field (id 0) or a NoSuchObjectException (id 1) exactly as
-hive_metastore.thrift declares. Used by tests/test_hms.py and the
-``q_hms_resolution`` shadow query; nothing in the engine's own
-read path imports this module.
+hive_metastore.thrift declares. Round 13 adds the write route:
+``alter_table_with_environmentContext`` honoring the
+expected-parameter CAS convention (HIVE-26882) — the expected
+key/value in the EnvironmentContext properties are compared against
+the CURRENT table parameters under the store's lock (absent
+compares as ""), a mismatch replying with the MetaException phrase
+real Hive emits ("The table has been modified. ...") so the client
+can type the conflict. Used by tests/test_hms.py and the
+``q_hms_resolution``/``q_hms_commit`` queries; nothing in the
+engine's own read/commit path imports this module.
 """
 
 from __future__ import annotations
@@ -41,6 +48,7 @@ class MockMetastore:
     def __init__(self) -> None:
         self.tables: dict = {}
         self.calls: list = []
+        self._lock = threading.Lock()
         store = self
 
         class Handler(socketserver.BaseRequestHandler):
@@ -52,22 +60,26 @@ class MockMetastore:
                     return
                 args = r.value(hms.T_STRUCT)
                 store.calls.append((name, args))
-                if name != "get_table":
+                if name == "get_table":
+                    with store._lock:
+                        tbl = store.tables.get((args.get(1), args.get(2)))
+                    if tbl is None:
+                        _t, body = hms.enc_value(
+                            {1: {1: f"{args.get(1)}.{args.get(2)}"
+                                    " not found"}}
+                        )
+                    else:
+                        _t, body = hms.enc_value({0: tbl})
+                elif name == "alter_table_with_environmentContext":
+                    _t, body = hms.enc_value(store._alter(args))
+                else:
                     _t, body = hms.enc_value({})
                     self.request.sendall(
                         hms.enc_message(name, 3, seqid, body)
                     )
                     return
-                key = (args.get(1), args.get(2))
-                tbl = store.tables.get(key)
-                if tbl is None:
-                    _t, body = hms.enc_value(
-                        {1: {1: f"{key[0]}.{key[1]} not found"}}
-                    )
-                else:
-                    _t, body = hms.enc_value({0: tbl})
                 self.request.sendall(
-                    hms.enc_message("get_table", 2, seqid, body)
+                    hms.enc_message(name, 2, seqid, body)
                 )
 
         self._srv = socketserver.ThreadingTCPServer(
@@ -80,8 +92,43 @@ class MockMetastore:
         self._thread.start()
         self.addr = f"127.0.0.1:{self._srv.server_address[1]}"
 
+    def _alter(self, args: dict) -> dict:
+        """The alter_table_with_environmentContext result struct —
+        {} on success, {2: MetaException} on failure. The expected-
+        parameter check runs under the store lock: that lock IS the
+        metastore-side transaction real HMS provides, making the
+        alter an atomic compare-and-set on one parameter."""
+        key = (args.get(1), args.get(2))
+        new_tbl = args.get(3)
+        env = args.get(4) or {}
+        props = env.get(hms.EC_PROPERTIES) or {}
+        ek = props.get(hms.EXPECTED_KEY)
+        ev = props.get(hms.EXPECTED_VALUE, "")
+        with self._lock:
+            cur = self.tables.get(key)
+            if cur is None:
+                return {2: {1: f"{key[0]}.{key[1]} not found"}}
+            if ek:
+                curv = str(
+                    (cur.get(hms.F_PARAMETERS) or {}).get(ek, "")
+                )
+                if curv != str(ev):
+                    # the phrase HiveAlterHandler emits on an
+                    # expected-parameter mismatch — the client's
+                    # conflict-typing anchor
+                    return {2: {1: (
+                        "The table has been modified. The parameter "
+                        f"value for key '{ek}' is '{curv}'. "
+                        f"The expected was value was '{ev}'"
+                    )}}
+            if not isinstance(new_tbl, dict):
+                return {2: {1: "alter_table: new_tbl missing"}}
+            self.tables[key] = new_tbl
+        return {}
+
     def register(self, db: str, name: str, struct: dict) -> None:
-        self.tables[(db, name)] = struct
+        with self._lock:
+            self.tables[(db, name)] = struct
 
     def spec(self, identifier: str) -> str:
         return f"hms://{self.addr}/{identifier}"

@@ -271,7 +271,12 @@ def load_table_metadata(path: str) -> dict:
     document — every read verb (read_iceberg, snapshots/refs
     listings, streaming) inherits REST resolution through this one
     entry point; write verbs refuse at the fsio atomic-create gate
-    (no REST commit protocol)."""
+    (no REST commit protocol). An ``hms://host:port/db.table`` spec
+    resolves the HiveCatalog-convention ``metadata_location`` table
+    parameter through thrift (sources/hms.py) — the catalog pointer
+    is authoritative; only a pointer-less entry (registered
+    location-only) falls back to directory head resolution at
+    sd.location."""
     from lwes_contrib_hive_serde_spark.sources import rest_catalog
 
     if rest_catalog.is_rest_spec(path):
@@ -279,6 +284,18 @@ def load_table_metadata(path: str) -> dict:
         if loc:
             return load_metadata_location(loc)
         return _validate_metadata_doc(inline)
+    from lwes_contrib_hive_serde_spark.sources import hms
+
+    if hms.is_hms_spec(path):
+        _t, loc, sd_loc = hms.resolve_iceberg_table(path)
+        if loc:
+            return load_metadata_location(loc)
+        if not sd_loc:
+            raise IcebergError(
+                f"{path!r}: metastore entry has neither a "
+                "metadata_location parameter nor a storage location"
+            )
+        path = sd_loc
     # the same head resolution the writers use (hint as a starting
     # point, probe upward past a lagging/backward hint): a metadata
     # file's existence IS the commit, so reads must never miss an
@@ -1413,10 +1430,52 @@ def write_iceberg_table(
     commit rides the catalog's own CAS — a concurrent writer makes
     the assert-ref-snapshot-id requirement fail and the loser gets
     the typed RestCommitConflict. Creation via REST is out of
-    envelope (create path-based, register, append via REST)."""
-    from lwes_contrib_hive_serde_spark.sources import rest_catalog
+    envelope (create path-based, register, append via REST).
+
+    An ``hms://host:port/db.table`` spec commits through the Hive
+    metastore instead (round 13, sources/hms.py): data files,
+    manifests AND the new metadata document land path-based under
+    sd.location — the metastore never sees data bytes — then the
+    HiveCatalog-convention pointer swap
+    (metadata_location/previous_metadata_location) rides
+    alter_table's expected-parameter CAS; the loser gets the typed
+    HmsCommitConflict. A registered-but-pointer-less table
+    initializes its pointer on first append (expected = "")."""
+    from lwes_contrib_hive_serde_spark.sources import hms, rest_catalog
 
     rest_ctx = None
+    hms_ctx = None
+    if hms.is_hms_spec(path):
+        struct_, cur_loc, sd_loc = hms.resolve_iceberg_table(path)
+        existing_hms = (
+            load_metadata_location(cur_loc) if cur_loc else None
+        )
+        location = (
+            existing_hms.get("location") if existing_hms else None
+        ) or sd_loc
+        if not location:
+            raise IcebergError(
+                f"{path!r}: HMS table metadata carries no location — "
+                "cannot place data files"
+            )
+        if existing_hms is None:
+            # pointer-less entry over an existing path-based table:
+            # ADOPT its head (mirror of the read-path fallback) so
+            # the first catalog-routed append cannot silently orphan
+            # committed snapshots; the commit below initializes the
+            # pointer with expected="" — a concurrent adopter loses
+            # the CAS, never the data
+            try:
+                _v, existing_hms = _current_version_and_meta(location)
+            except IcebergError:
+                existing_hms = None  # genuinely fresh table
+        hms_ctx = {
+            "spec": path,
+            "struct": struct_,
+            "current_loc": cur_loc or "",
+            "meta": existing_hms,
+        }
+        path = location
     if rest_catalog.is_rest_spec(path):
         base, prefix, ns, table = rest_catalog.parse_rest_spec(path)
         loc, inline = rest_catalog.resolve_table(path)
@@ -1465,6 +1524,9 @@ def write_iceberg_table(
         # the catalog's answer IS the current state (the hint file,
         # if any, may lag a catalog-side commit)
         existing = rest_ctx["meta"]
+    elif hms_ctx is not None:
+        # same authority rule for the metastore pointer
+        existing = hms_ctx["meta"]
     elif fsio.exists(fsio.join(mdir, "version-hint.text")):
         base_version, existing = _current_version_and_meta(path)
         version = base_version + 1
@@ -1649,6 +1711,24 @@ def write_iceberg_table(
         meta["last-column-id"] = max(
             int(existing.get("last-column-id") or 0), len(fields)
         )
+    if hms_ctx is not None:
+        # HiveCatalog-convention publish: the metadata document gets
+        # a UNIQUE name (no O_EXCL race to win — collisions are
+        # impossible), atomicity lives in the metastore's
+        # expected-parameter CAS on the pointer swap. A lost race
+        # leaves the document unreferenced (remove_orphan_files
+        # sweeps it) and raises the typed HmsCommitConflict.
+        new_loc = fsio.join(
+            mdir, f"{seq:05d}-{uuid.uuid4().hex}.metadata.json"
+        )
+        fsio.create_exclusive(
+            new_loc, json.dumps(meta).encode("utf-8")
+        )
+        hms.commit_iceberg_pointer(
+            hms_ctx["spec"], new_loc, hms_ctx["current_loc"],
+            table_struct=hms_ctx["struct"],
+        )
+        return snapshot_id
     _publish_or_conflict(path, meta, version, "iceberg snapshot commit")
     return snapshot_id
 

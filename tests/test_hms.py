@@ -260,3 +260,132 @@ class TestWireCodec:
         assert (name, mtype, seqid) == ("get_table", 1, 42)
         assert r.value(hms.T_STRUCT) == {1: "db"}
         assert not buf
+
+
+class TestCommitTier:
+    """Round 13: the HMS write tier — alter_table expected-parameter
+    CAS (HIVE-26882 convention) swapping the Iceberg HiveCatalog
+    metadata_location pointer, symmetric with
+    rest_catalog.commit_table."""
+
+    def test_pointer_swap_and_previous_rolls(self, metastore):
+        metastore["tables"][("db", "t")] = _table_struct(
+            "/tmp/t", params={"table_type": "ICEBERG"}
+        )
+        spec = f"hms://{metastore['addr']}/db.t"
+        hms.commit_iceberg_pointer(spec, "/tmp/t/metadata/a.json", "")
+        _t, loc, _ = hms.resolve_iceberg_table(spec)
+        assert loc == "/tmp/t/metadata/a.json"
+        hms.commit_iceberg_pointer(spec, "/tmp/t/metadata/b.json", loc)
+        t2, loc2, _ = hms.resolve_iceberg_table(spec)
+        params = hms.table_params(t2)
+        assert loc2 == "/tmp/t/metadata/b.json"
+        assert params[hms.PREVIOUS_METADATA_LOCATION] == (
+            "/tmp/t/metadata/a.json"
+        )
+
+    def test_two_writer_race_loser_gets_typed_conflict(self, metastore):
+        metastore["tables"][("db", "t")] = _table_struct(
+            "/tmp/t", params={"table_type": "ICEBERG",
+                              "metadata_location": "/m/v0.json"}
+        )
+        spec = f"hms://{metastore['addr']}/db.t"
+        # both writers read the same head
+        _t, head, _ = hms.resolve_iceberg_table(spec)
+        hms.commit_iceberg_pointer(spec, "/m/v1-winner.json", head)
+        with pytest.raises(hms.HmsCommitConflict):
+            hms.commit_iceberg_pointer(spec, "/m/v1-loser.json", head)
+        _t, loc, _ = hms.resolve_iceberg_table(spec)
+        assert loc == "/m/v1-winner.json"  # loser changed nothing
+
+    def test_concurrent_cas_exactly_one_winner(self, metastore):
+        metastore["tables"][("db", "t")] = _table_struct(
+            "/tmp/t", params={"table_type": "ICEBERG",
+                              "metadata_location": "/m/v0.json"}
+        )
+        spec = f"hms://{metastore['addr']}/db.t"
+        results = []
+
+        def attempt(i):
+            try:
+                hms.commit_iceberg_pointer(
+                    spec, f"/m/v1-{i}.json", "/m/v0.json"
+                )
+                results.append(("win", i))
+            except hms.HmsCommitConflict:
+                results.append(("lose", i))
+
+        ts = [
+            threading.Thread(target=attempt, args=(i,)) for i in range(6)
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert sorted(r for r, _ in results) == (
+            ["lose"] * 5 + ["win"]
+        )
+        _t, loc, _ = hms.resolve_iceberg_table(spec)
+        winner = next(i for r, i in results if r == "win")
+        assert loc == f"/m/v1-{winner}.json"
+
+    def test_non_iceberg_table_refuses(self, metastore):
+        metastore["tables"][("db", "d")] = _table_struct(
+            "/tmp/d", params={"spark.sql.sources.provider": "delta"}
+        )
+        spec = f"hms://{metastore['addr']}/db.d"
+        with pytest.raises(hms.HmsError, match="not an Iceberg"):
+            hms.resolve_iceberg_table(spec)
+
+    def test_write_through_hms_adopts_and_appends(
+        self, spark, tmp_path, metastore
+    ):
+        p = str(tmp_path / "ice")
+        df = _docs(spark, 10).coalesce(1)
+        # path-based create, THEN register pointer-less: the first
+        # catalog-routed append must adopt the existing head, not
+        # orphan it
+        I.write_iceberg_table(df.filter("doc_id < 6"), p)
+        metastore["tables"][("db", "ice")] = _table_struct(
+            p, params={"table_type": "ICEBERG"}
+        )
+        spec = f"hms://{metastore['addr']}/db.ice"
+        I.write_iceberg_table(df.filter("doc_id >= 6"), spec)
+        _t, loc, _ = hms.resolve_iceberg_table(spec)
+        assert loc and loc.endswith(".metadata.json")
+        got = sorted(
+            r.doc_id for r in I.read_iceberg(spark, spec).collect()
+        )
+        assert got == list(range(10))
+        # second append rides the pointer (no version-hint involved)
+        I.write_iceberg_table(
+            df.filter("doc_id < 2").selectExpr(
+                "doc_id + 100 as doc_id", "text", "bucket"
+            ),
+            spec,
+        )
+        assert I.read_iceberg(spark, spec).count() == 12
+        _t2, loc2, _ = hms.resolve_iceberg_table(spec)
+        assert loc2 != loc
+        assert hms.table_params(_t2)[
+            hms.PREVIOUS_METADATA_LOCATION
+        ] == loc
+
+    def test_pointer_is_authoritative_over_stale_hint(
+        self, spark, tmp_path, metastore
+    ):
+        p = str(tmp_path / "ice2")
+        df = _docs(spark, 8).coalesce(1)
+        I.write_iceberg_table(df.filter("doc_id < 4"), p)
+        metastore["tables"][("db", "ice2")] = _table_struct(
+            p, params={"table_type": "ICEBERG"}
+        )
+        spec = f"hms://{metastore['addr']}/db.ice2"
+        I.write_iceberg_table(df.filter("doc_id >= 4"), spec)
+        # the directory hint still says v1 (the path-based create);
+        # reads through the spec must see the HMS-committed append
+        C.register_lakehouse(spark, {"hms_ice2": spec})
+        assert spark.table("hms_ice2").count() == 8
+        hint = os.path.join(p, "metadata", "version-hint.text")
+        with open(hint) as f:
+            assert f.read().strip() == "1"
