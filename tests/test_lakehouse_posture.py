@@ -1,0 +1,120 @@
+"""Machine-checked lakehouse DV-DML posture (round-13 promotion of
+tools/lakehouse_probe.py, VERDICT r12 "What's missing" #4): broad
+merge-on-read DELETEs over N-fold replicated documents on Delta and
+Iceberg v3, with the executor-side-bitmap contract pinned as
+assertions rather than a manual tool's printout:
+
+  * driver RSS stays flat while ~95% of the table is masked (not
+    100%: a fully-masked file is dropped outright, no DV) —
+    DV bitmaps are BUILT IN EXECUTORS and only per-file descriptors
+    (path, cardinality, bytes) reach the driver, so memory is
+    bounded by #files, never #deleted rows. Someone reintroducing a
+    driver-side position collect breaks this suite, not just a
+    probe nobody reruns.
+  * the masks are CORRECT: rows_deleted matches the predicate's
+    ground truth and a post-delete read serves exactly the
+    survivors (a flat-RSS wrong answer would be worse than slow).
+
+Sized like tests/test_scale_posture.py (same N / SF knobs); the
+full 10x run stays in tools/lakehouse_probe.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N = int(os.environ.get("LWES_SCALE_PROBE_N", "6"))
+
+
+def _rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS"):
+                return int(line.split()[1]) / 1024.0
+    return 0.0  # pragma: no cover
+
+
+def _xcopies(df, id_col, n, stride=10_000_000):
+    out = df
+    for i in range(1, n):
+        out = out.unionByName(
+            df.withColumn(id_col, F.col(id_col) + F.lit(i * stride))
+        )
+    return out
+
+
+@pytest.fixture(scope="module")
+def big_docs(spark):
+    docs = (
+        _xcopies(
+            spark.read.parquet(f"{SF}/documents.parquet"), "doc_id", N
+        )
+        # several files per table so "bounded by #files" is a real
+        # multi-file claim, and the per-file DV fan-out actually
+        # fans out
+        .repartition(8)
+        .persist()
+    )
+    n = docs.count()
+    # mask ~95% of rows, NOT 100%: a fully-masked file is removed
+    # outright (no DV), and this suite exists to pin the DV path
+    lo = int(
+        docs.select(F.expr("percentile(n_chars, 0.05)")).first()[0]
+    )
+    hit = docs.filter(F.col("n_chars") > lo).count()
+    assert 0 < hit < n
+    yield docs, n, lo, hit
+    docs.unpersist()
+
+
+class TestDeltaDvPosture:
+    def test_broad_dv_delete_rss_flat_and_correct(
+        self, spark, tmp_path_factory, big_docs
+    ):
+        from lwes_contrib_hive_serde_spark.sources import delta as D
+
+        docs, n, lo, hit = big_docs
+        path = str(tmp_path_factory.mktemp("delta_posture") / "t")
+        D.write_delta(docs, path)
+        rss0 = _rss_mb()
+        r = D.delta_delete_dv(spark, path, [("n_chars", ">", lo)])
+        grew = _rss_mb() - rss0
+        assert r["rows_deleted"] == hit
+        assert r.get("files_with_dvs", 0) >= 2  # multi-file fan-out
+        # observed ~tens of MB; 512 is the alarm threshold, not the
+        # budget (same convention as test_scale_posture.py)
+        assert grew < 512, f"driver RSS grew {grew:.0f} MB"
+        # the masks must be SERVED, not just counted
+        assert D.read_delta(spark, path).count() == n - hit
+
+
+class TestIcebergDvPosture:
+    def test_broad_v3_dv_delete_rss_flat_and_correct(
+        self, spark, tmp_path_factory, big_docs
+    ):
+        from lwes_contrib_hive_serde_spark.sources import iceberg as I
+
+        docs, n, lo, hit = big_docs
+        path = str(tmp_path_factory.mktemp("iceberg_posture") / "t")
+        I.write_iceberg_table(docs, path)
+        # seed one DV so the table is format-version 3 and the
+        # delete verb takes the executor Puffin-DV path (the
+        # tools/lakehouse_probe.py recipe)
+        files = I._live_files(
+            path, I._pick_snapshot(I.load_table_metadata(path))
+        )[0]
+        assert len(files) >= 2  # multi-file claim again
+        fp = I._strip_file_uri(files[0]["file_path"])
+        I.add_iceberg_deletion_vectors(path, [(fp, 0)])
+        rss0 = _rss_mb()
+        r = I.iceberg_delete(spark, path, [("n_chars", ">", lo)])
+        grew = _rss_mb() - rss0
+        # the seed DV already masked one row; the verb reports the
+        # rows ITS commit masked
+        assert r["rows_deleted"] in (hit, hit - 1)
+        assert grew < 512, f"driver RSS grew {grew:.0f} MB"
+        assert I.read_iceberg(spark, path).count() == n - hit
