@@ -1478,7 +1478,45 @@ def write_iceberg_table(
         path = location
     if rest_catalog.is_rest_spec(path):
         base, prefix, ns, table = rest_catalog.parse_rest_spec(path)
-        loc, inline = rest_catalog.resolve_table(path)
+        try:
+            loc, inline = rest_catalog.resolve_table(path)
+        except rest_catalog.RestTableNotFound:
+            # create THROUGH the catalog (round 13): the catalog
+            # builds and stores the initial TableMetadata (assigning
+            # its warehouse location) and answers a LoadTableResult,
+            # so the append below proceeds against the fresh table.
+            # An identifier raced into existence answers 409 →
+            # RestCommitConflict, the caller's retry signal.
+            schema_doc = {
+                "type": "struct",
+                "fields": [
+                    {
+                        "id": i,
+                        "name": f.name,
+                        "required": not f.nullable,
+                        "type": _spark_to_iceberg_type(f.dataType),
+                    }
+                    for i, f in enumerate(df.schema.fields, start=1)
+                ],
+            }
+            names = [f.name for f in df.schema.fields]
+            spec_fields = [
+                {
+                    "name": c,
+                    "transform": "identity",
+                    "source-id": names.index(c) + 1,
+                    "field-id": 1000 + k,
+                }
+                for k, c in enumerate(partition_by or [])
+            ]
+            created = rest_catalog.create_table(
+                base, ns, table, schema_doc,
+                partition_spec=spec_fields, prefix=prefix,
+            )
+            loc, inline = (
+                created.get("metadata-location"),
+                created.get("metadata"),
+            )
         rest_meta = (
             load_metadata_location(loc) if loc
             else _validate_metadata_doc(inline)
@@ -1558,7 +1596,7 @@ def write_iceberg_table(
 
     # 3. manifest list = prior snapshot's manifests + this one
     prior_manifests: list[tuple] = []
-    if existing is not None:
+    if existing is not None and (existing.get("snapshots") or []):
         prev = _pick_snapshot(existing)
         for m in _manifest_list_entries(
             _strip_file_uri(prev["manifest-list"])

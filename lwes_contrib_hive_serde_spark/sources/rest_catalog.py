@@ -32,8 +32,15 @@ atomicity; optimistic concurrency surfaces as HTTP 409 → the typed
 against a rest spec through this: data files and manifests land
 path-based under the table's ``location`` (the catalog never sees
 data bytes), only the snapshot pointer swap goes through the
-catalog. Table CREATION via REST (the createTable route) stays out
-of envelope — create path-based, register, then append via REST.
+catalog.
+
+CREATE tier (round 13): ``create_table`` /``create_namespace``
+speak the spec's createTable/createNamespace POSTs — the catalog
+builds and stores the initial TableMetadata (assigning a warehouse
+location when none is passed) and answers a LoadTableResult, so
+``write_iceberg_table`` against a rest spec naming a table the
+catalog doesn't know (loadTable 404 → typed ``RestTableNotFound``)
+creates it through the catalog and appends in the same call.
 """
 
 from __future__ import annotations
@@ -52,6 +59,12 @@ class RestCatalogError(ValueError):
 class RestCommitConflict(RestCatalogError):
     """The catalog rejected a commit's requirements (HTTP 409) —
     another writer moved the table; re-derive and retry."""
+
+
+class RestTableNotFound(RestCatalogError):
+    """loadTable answered HTTP 404 — the identifier names no table
+    in the catalog (the create-then-append trigger for
+    write_iceberg_table)."""
 
 
 _SCHEMES = ("rest+iceberg://", "rest+icebergs://")
@@ -100,6 +113,10 @@ def _request(url: str, token: str | None) -> dict:
             body = e.read().decode("utf-8", "replace")[:200]
         except Exception:
             pass
+        if e.code == 404:
+            raise RestTableNotFound(
+                f"REST catalog GET {url} -> HTTP 404: {body}"
+            ) from e
         raise RestCatalogError(
             f"REST catalog GET {url} -> HTTP {e.code}: {body}"
         ) from e
@@ -107,6 +124,46 @@ def _request(url: str, token: str | None) -> dict:
         raise RestCatalogError(
             f"REST catalog unreachable at {url}: {e.reason}"
         ) from e
+
+
+def _post(url: str, doc: dict, token: str | None) -> dict:
+    """One JSON POST → parsed JSON reply; 409 → RestCommitConflict
+    (commit requirements / already-exists, both the spec's conflict
+    status), other HTTP errors → RestCatalogError."""
+    body = json.dumps(doc).encode("utf-8")
+    req = urllib.request.Request(url, data=body, method="POST")
+    req.add_header("Content-Type", "application/json")
+    req.add_header("Accept", "application/json")
+    tok = token or os.environ.get("ICEBERG_REST_TOKEN")
+    if tok:
+        req.add_header("Authorization", f"Bearer {tok}")
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return json.loads(resp.read().decode("utf-8"))
+    except urllib.error.HTTPError as e:
+        detail = ""
+        try:
+            detail = e.read().decode("utf-8", "replace")[:300]
+        except Exception:
+            pass
+        if e.code == 409:
+            raise RestCommitConflict(
+                f"REST catalog POST {url} -> HTTP 409: {detail}"
+            ) from e
+        raise RestCatalogError(
+            f"REST catalog POST {url} -> HTTP {e.code}: {detail}"
+        ) from e
+    except urllib.error.URLError as e:
+        raise RestCatalogError(
+            f"REST catalog unreachable at {url}: {e.reason}"
+        ) from e
+
+
+def _v1_segs(base_url: str, prefix: str | None) -> list[str]:
+    segs = [base_url.rstrip("/"), "v1"]
+    if prefix:
+        segs.append(urllib.parse.quote(prefix, safe=""))
+    return segs
 
 
 def load_table_result(
@@ -192,45 +249,72 @@ def commit_table(
     RestCommitConflict (re-derive from the catalog's new state and
     retry); other HTTP errors → RestCatalogError."""
     ns = urllib.parse.quote("\x1f".join(namespace), safe="")
-    segs = [base_url.rstrip("/"), "v1"]
-    if prefix:
-        segs.append(urllib.parse.quote(prefix, safe=""))
-    segs += ["namespaces", ns, "tables", urllib.parse.quote(table, safe="")]
-    url = "/".join(segs)
-    body = json.dumps(
+    segs = _v1_segs(base_url, prefix) + [
+        "namespaces", ns, "tables", urllib.parse.quote(table, safe=""),
+    ]
+    return _post(
+        "/".join(segs),
         {
             "identifier": {"namespace": list(namespace), "name": table},
             "requirements": requirements,
             "updates": updates,
+        },
+        token,
+    )
+
+
+def create_namespace(
+    base_url: str,
+    namespace: list[str],
+    properties: dict | None = None,
+    prefix: str | None = None,
+    token: str | None = None,
+) -> dict:
+    """``POST /v1/{prefix}/namespaces`` — the spec's
+    CreateNamespaceRequest ({namespace, properties}). 409 (already
+    exists) surfaces as RestCommitConflict; idempotent callers catch
+    it."""
+    segs = _v1_segs(base_url, prefix) + ["namespaces"]
+    return _post(
+        "/".join(segs),
+        {"namespace": list(namespace), "properties": properties or {}},
+        token,
+    )
+
+
+def create_table(
+    base_url: str,
+    namespace: list[str],
+    name: str,
+    schema: dict,
+    location: str | None = None,
+    partition_spec: list[dict] | None = None,
+    properties: dict | None = None,
+    prefix: str | None = None,
+    token: str | None = None,
+) -> dict:
+    """``POST /v1/{prefix}/namespaces/{ns}/tables`` — the spec's
+    CreateTableRequest. The CATALOG owns metadata creation: it
+    assigns the location when none is passed (its warehouse
+    convention), builds and stores the v1 TableMetadata, and answers
+    a LoadTableResult ({metadata-location, metadata}) exactly like
+    loadTable — so create-then-append needs no second round trip.
+    ``schema`` is an Iceberg struct schema document; an already-
+    existing table answers 409 → RestCommitConflict."""
+    ns = urllib.parse.quote("\x1f".join(namespace), safe="")
+    segs = _v1_segs(base_url, prefix) + ["namespaces", ns, "tables"]
+    doc: dict = {
+        "name": name,
+        "schema": schema,
+        "properties": properties or {},
+    }
+    if location:
+        doc["location"] = location
+    if partition_spec is not None:
+        doc["partition-spec"] = {
+            "spec-id": 0, "fields": partition_spec,
         }
-    ).encode("utf-8")
-    req = urllib.request.Request(url, data=body, method="POST")
-    req.add_header("Content-Type", "application/json")
-    req.add_header("Accept", "application/json")
-    tok = token or os.environ.get("ICEBERG_REST_TOKEN")
-    if tok:
-        req.add_header("Authorization", f"Bearer {tok}")
-    try:
-        with urllib.request.urlopen(req, timeout=30) as resp:
-            return json.loads(resp.read().decode("utf-8"))
-    except urllib.error.HTTPError as e:
-        detail = ""
-        try:
-            detail = e.read().decode("utf-8", "replace")[:300]
-        except Exception:
-            pass
-        if e.code == 409:
-            raise RestCommitConflict(
-                f"REST commit conflict for {'.'.join(namespace)}."
-                f"{table}: {detail}"
-            ) from e
-        raise RestCatalogError(
-            f"REST catalog POST {url} -> HTTP {e.code}: {detail}"
-        ) from e
-    except urllib.error.URLError as e:
-        raise RestCatalogError(
-            f"REST catalog unreachable at {url}: {e.reason}"
-        ) from e
+    return _post("/".join(segs), doc, token)
 
 
 def resolve_table(

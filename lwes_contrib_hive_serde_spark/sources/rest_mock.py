@@ -4,7 +4,11 @@ double for the ``rest+iceberg://`` tier, exactly as ``mock://``
 
 Implements the subset of the public REST Catalog OpenAPI
 (apache/iceberg open-api/rest-catalog-open-api.yaml) this engine
-speaks: listNamespaces / listTables / loadTable GETs and the
+speaks: listNamespaces / listTables / loadTable GETs, the
+createNamespace / createTable POSTs (round 13 — the catalog builds
+and stores the initial TableMetadata under its warehouse dir and
+answers a LoadTableResult; an existing identifier answers 409 with
+the AlreadyExistsException shape), and the
 updateTable COMMIT POST — a CommitTableRequest whose
 ``requirements`` are validated against the catalog's CURRENT state
 under one lock (the server-side compare-and-swap that IS the point
@@ -34,11 +38,17 @@ class MockRestCatalog:
     (namespace_tuple, name) → current metadata-location;
     ``requests`` / ``auth`` record every call for assertions."""
 
-    def __init__(self) -> None:
+    def __init__(self, warehouse: str | None = None) -> None:
         self.tables: dict = {}
+        self.namespaces: set = set()
         self.requests: list[str] = []
         self.auth: list = []
         self.lock = threading.Lock()
+        if warehouse is None:
+            import tempfile
+
+            warehouse = tempfile.mkdtemp(prefix="rest-warehouse-")
+        self.warehouse = warehouse
         cat = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -56,7 +66,10 @@ class MockRestCatalog:
                     len(parts) >= 2 and parts[-2] == "namespaces"
                     and parts[-1].startswith("namespaces?")
                 ):
-                    nss = sorted({ns for (ns, _t) in cat.tables})
+                    nss = sorted(
+                        {ns for (ns, _t) in cat.tables}
+                        | cat.namespaces
+                    )
                     self._json(
                         200,
                         {"namespaces": [list(ns) for ns in nss]},
@@ -100,15 +113,39 @@ class MockRestCatalog:
                     urllib.parse.unquote(p)
                     for p in self.path.strip("/").split("/")
                 ]
+                n = int(self.headers.get("Content-Length") or 0)
+                req = json.loads(self.rfile.read(n).decode())
+                if parts[-1] == "namespaces":
+                    # createNamespace
+                    ns = tuple(req.get("namespace") or ())
+                    with cat.lock:
+                        if ns in cat.namespaces or any(
+                            k[0] == ns for k in cat.tables
+                        ):
+                            self._json(409, {"error": {
+                                "message": f"namespace {ns} exists",
+                                "type": "AlreadyExistsException",
+                            }})
+                            return
+                        cat.namespaces.add(ns)
+                    self._json(200, {
+                        "namespace": list(ns),
+                        "properties": req.get("properties") or {},
+                    })
+                    return
                 if "namespaces" not in parts or "tables" not in parts:
                     self._json(400, {"error": {"message": "bad route"}})
                     return
                 ns = tuple(
                     parts[parts.index("namespaces") + 1].split("\x1f")
                 )
+                if parts[-1] == "tables":
+                    # createTable: the CATALOG builds and stores the
+                    # initial metadata (spec: the server owns
+                    # TableMetadata construction)
+                    self._create_table(ns, req)
+                    return
                 tbl = parts[parts.index("tables") + 1]
-                n = int(self.headers.get("Content-Length") or 0)
-                req = json.loads(self.rfile.read(n).decode())
                 with cat.lock:
                     loc = cat.tables.get((ns, tbl))
                     if not loc:
@@ -151,6 +188,64 @@ class MockRestCatalog:
                 self._json(
                     200,
                     {"metadata-location": new_loc, "metadata": meta},
+                )
+
+            def _create_table(self, ns: tuple, req: dict):
+                import time
+                import uuid
+
+                name = req.get("name")
+                schema = req.get("schema")
+                if not name or not isinstance(schema, dict):
+                    self._json(400, {"error": {
+                        "message": "createTable needs name + schema"
+                    }})
+                    return
+                spec = req.get("partition-spec") or {
+                    "spec-id": 0, "fields": [],
+                }
+                fields = schema.get("fields") or []
+                location = req.get("location") or os.path.join(
+                    cat.warehouse, *ns, name
+                )
+                meta = {
+                    "format-version": 2,
+                    "table-uuid": str(uuid.uuid4()),
+                    "location": location,
+                    "last-updated-ms": int(time.time() * 1000),
+                    "last-sequence-number": 0,
+                    "last-column-id": max(
+                        (int(f.get("id") or 0) for f in fields),
+                        default=0,
+                    ),
+                    "schemas": [dict(schema, **{"schema-id": 0})],
+                    "current-schema-id": 0,
+                    "partition-specs": [spec],
+                    "default-spec-id": int(spec.get("spec-id") or 0),
+                    "properties": req.get("properties") or {},
+                    "snapshots": [],
+                    "refs": {},
+                }
+                with cat.lock:
+                    if (ns, name) in cat.tables:
+                        self._json(409, {"error": {
+                            "message": f"table {ns}.{name} exists",
+                            "type": "AlreadyExistsException",
+                        }})
+                        return
+                    mdir = os.path.join(location, "metadata")
+                    os.makedirs(mdir, exist_ok=True)
+                    loc = os.path.join(mdir, "v1.metadata.json")
+                    with open(loc, "w") as f:
+                        json.dump(meta, f)
+                    with open(
+                        os.path.join(mdir, "version-hint.text"), "w"
+                    ) as f:
+                        f.write("1")
+                    cat.tables[(ns, name)] = loc
+                    cat.namespaces.add(ns)
+                self._json(
+                    200, {"metadata-location": loc, "metadata": meta}
                 )
 
             def _json(self, code: int, doc: dict):

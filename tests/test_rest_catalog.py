@@ -48,6 +48,7 @@ def rest_server():
     state = {
         "tables": cat.tables, "requests": cat.requests,
         "auth": cat.auth, "base": cat.base, "lock": cat.lock,
+        "warehouse": cat.warehouse,
     }
     yield state
     cat.close()
@@ -313,3 +314,79 @@ class TestRestCommits:
         )
         I.write_iceberg_table(_docs(spark, 6).coalesce(1), spec)
         assert I.read_iceberg(spark, spec).count() == 30
+
+
+class TestRestCreate:
+    """Round 13: the createTable/createNamespace routes — the
+    catalog builds and stores the initial TableMetadata, and
+    write_iceberg_table creates-then-appends on loadTable 404."""
+
+    def test_create_namespace_and_conflict(self, rest_server):
+        base = f"http://{rest_server['base']}"
+        doc = R.create_namespace(base, ["dwh"], {"owner": "ci"})
+        assert doc["namespace"] == ["dwh"]
+        assert ["dwh"] in R.list_namespaces(base)
+        with pytest.raises(R.RestCommitConflict):
+            R.create_namespace(base, ["dwh"])
+
+    def test_create_table_builds_metadata(self, rest_server):
+        base = f"http://{rest_server['base']}"
+        schema = {
+            "type": "struct",
+            "fields": [
+                {"id": 1, "name": "doc_id", "required": True,
+                 "type": "long"},
+                {"id": 2, "name": "text", "required": False,
+                 "type": "string"},
+            ],
+        }
+        doc = R.create_table(base, ["db"], "fresh", schema)
+        loc = doc["metadata-location"]
+        meta = I.load_metadata_location(loc)
+        assert meta["location"].startswith(rest_server["warehouse"])
+        assert meta["schemas"][0]["fields"][0]["name"] == "doc_id"
+        assert meta["snapshots"] == []
+        assert "fresh" in R.list_tables(base, ["db"])
+        with pytest.raises(R.RestCommitConflict):
+            R.create_table(base, ["db"], "fresh", schema)
+
+    def test_loadtable_404_is_the_typed_not_found(self, rest_server):
+        spec = f"rest+iceberg://{rest_server['base']}#db.absent"
+        with pytest.raises(R.RestTableNotFound):
+            R.resolve_table(spec)
+
+    def test_write_creates_then_appends_through_catalog(
+        self, spark, rest_server
+    ):
+        spec = f"rest+iceberg://{rest_server['base']}#db.auto"
+        df = _docs(spark, 12).coalesce(2)
+        # table unknown to the catalog: ONE call creates it through
+        # createTable and appends through updateTable
+        I.write_iceberg_table(
+            df.filter("doc_id < 6"), spec, partition_by=["bucket"]
+        )
+        posts = [
+            r for r in rest_server["requests"]
+            if r.startswith("POST")
+        ]
+        assert any(r.endswith("/tables") for r in posts)  # create
+        assert any(r.endswith("/tables/auto") for r in posts)  # commit
+        # second append takes the plain commit path
+        I.write_iceberg_table(
+            df.filter("doc_id >= 6"), spec, partition_by=["bucket"]
+        )
+        got = sorted(
+            r.doc_id for r in I.read_iceberg(spark, spec).collect()
+        )
+        assert got == list(range(12))
+        # the declared identity partition spec actually prunes
+        assert I.read_iceberg(
+            spark, spec, partition_filters=[("bucket", "=", 1)]
+        ).count() == 4
+
+    def test_partition_spec_mismatch_refuses(self, spark, rest_server):
+        spec = f"rest+iceberg://{rest_server['base']}#db.parted"
+        df = _docs(spark, 6).coalesce(1)
+        I.write_iceberg_table(df, spec, partition_by=["bucket"])
+        with pytest.raises(I.IcebergError, match="partitioned by"):
+            I.write_iceberg_table(df, spec)  # unpartitioned append
