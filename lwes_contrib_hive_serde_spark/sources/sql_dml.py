@@ -1,5 +1,12 @@
-"""SQL DML router: UPDATE / DELETE / MERGE / INSERT statements as
-TEXT, dispatched to the lakehouse DML verbs.
+"""SQL router: lakehouse statements as TEXT — DML (UPDATE / DELETE
+/ MERGE / INSERT) dispatched to the lakehouse verbs, maintenance
+(VACUUM / OPTIMIZE / RESTORE / DESCRIBE HISTORY) to theirs, and
+(round 13) the READ surface in the same call: SELECT/WITH pass
+through ``spark.sql`` after every referenced lakehouse view is
+(re)registered at its CURRENT snapshot, ``SHOW TABLES`` lists the
+registrations, ``DESCRIBE [TABLE] <view>`` answers the current
+schema — so one entry point runs a whole mixed script against
+delta/iceberg/hudi paths and hms:// / rest+iceberg:// specs.
 
 Spark's parser rejects DML against temp views ("... is a temp view.
 'UPDATE TABLE' expects a permanent view or table"), so the catalog
@@ -275,15 +282,24 @@ def lakehouse_sql(
     strategy: str = "dv",
     tables: dict[str, str] | None = None,
 ) -> dict:
-    """Execute one DML statement against a registered lakehouse
-    view; returns the underlying verb's result dict plus
-    {"statement", "table"}. ``strategy``: Delta DML runs
-    merge-on-read ('dv', the modern writer shape) or copy-on-write
-    ('cow'); other formats have one shape each."""
+    """Execute one lakehouse statement. DML/maintenance statements
+    return the underlying verb's result dict plus {"statement",
+    "table"}; the READ surface (round 13: SELECT/WITH passthrough,
+    SHOW TABLES, DESCRIBE [TABLE] <view>) returns a DataFrame —
+    referenced views are (re)registered on demand at their CURRENT
+    snapshot, so one entry point covers a whole mixed
+    read/write/maintenance script over delta/iceberg/hudi paths and
+    hms:// / rest+iceberg:// catalog specs alike. ``strategy``:
+    Delta DML runs merge-on-read ('dv', the modern writer shape) or
+    copy-on-write ('cow'); other formats have one shape each."""
     if strategy not in ("dv", "cow"):
         raise SqlDmlError(f"strategy must be dv|cow, got {strategy!r}")
     s = sql.strip().rstrip(";").strip()
     kw = s.split(None, 1)[0].upper() if s else ""
+    if kw in ("SELECT", "WITH"):
+        return _run_select(spark, s, tables)
+    if kw == "SHOW":
+        return _run_show(spark, s, tables)
     if kw == "DELETE":
         return _run_delete(spark, s, strategy, tables)
     if kw == "UPDATE":
@@ -305,10 +321,64 @@ def lakehouse_sql(
     if kw == "DESCRIBE":
         return _run_describe(spark, s, tables)
     raise SqlDmlError(
-        f"not a DML statement: {s[:60]!r} (UPDATE/DELETE/MERGE/"
+        f"not a lakehouse statement: {s[:60]!r} (SELECT/WITH/"
+        "SHOW TABLES/DESCRIBE [HISTORY]/UPDATE/DELETE/MERGE/"
         "INSERT/ALTER TABLE/CREATE TABLE/VACUUM/OPTIMIZE/"
-        "RESTORE TABLE/DESCRIBE HISTORY; reads go through plain "
-        "spark.sql)"
+        "RESTORE TABLE)"
+    )
+
+
+def _known_specs(tables) -> dict[str, str]:
+    from lwes_contrib_hive_serde_spark.sources import catalog as C
+
+    known = dict(C.registered_specs())
+    known.update(tables or {})
+    return known
+
+
+def _run_select(spark, s, tables) -> DataFrame:
+    """SELECT/WITH passthrough — the one-call catalog read story:
+    every known lakehouse view the statement references is
+    (re)registered at its CURRENT snapshot (registration is
+    metadata-only: log/manifest replay, no data read — exactly what
+    a real catalog does per query to resolve the head), then the
+    text runs through plain ``spark.sql``. CTE names shadow views in
+    Spark's own resolution, so a WITH alias colliding with a view
+    name behaves as SQL says it must. Views never named in the
+    statement are left untouched — their pinned snapshots keep the
+    documented register-time semantics."""
+    words = set(re.findall(_IDENT, s))
+    refs = {
+        name: spec
+        for name, spec in _known_specs(tables).items()
+        if name in words
+    }
+    if refs:
+        from lwes_contrib_hive_serde_spark.sources import catalog as C
+
+        C.register_lakehouse(spark, refs)
+    return spark.sql(s)
+
+
+def _run_show(spark, s, tables) -> DataFrame:
+    """``SHOW TABLES`` — the registered lakehouse views plus any
+    passed mapping, as (table, format, spec) rows. hms:// and
+    rest+iceberg:// specs report their SCHEME as the format (the
+    stored format is the catalog's to answer; resolving it here
+    would cost one network hop per row)."""
+    if not re.fullmatch(r"SHOW\s+TABLES", s, re.I):
+        raise SqlDmlError("SHOW needs 'SHOW TABLES'")
+    rows = []
+    for name, spec in sorted(_known_specs(tables).items()):
+        if spec.startswith("hms://"):
+            fmt = "hms"
+        elif spec.startswith(("rest+iceberg://", "rest+icebergs://")):
+            fmt = "rest+iceberg"
+        else:
+            fmt = spec.partition(":")[0]
+        rows.append((name, fmt, spec))
+    return spark.createDataFrame(
+        rows, "table string, format string, spec string"
     )
 
 
@@ -449,14 +519,41 @@ def _run_restore(spark, s, tables) -> dict:
     return {**res, "statement": "restore", "table": view}
 
 
-def _run_describe(spark, s, tables) -> dict:
+def _run_describe(spark, s, tables):
     """``DESCRIBE HISTORY <view>`` — the commit/snapshot/instant
     history as a list of dicts (newest first), format-appropriate:
     Delta commitInfo entries, Iceberg snapshots, the Hudi
-    timeline."""
+    timeline. ``DESCRIBE [TABLE] <view>`` — the view's columns as a
+    (col_name, data_type, nullable) DataFrame, resolved from the
+    CURRENT snapshot (the view is re-registered first, so a
+    schema-evolving ALTER is visible immediately)."""
+    mt = re.fullmatch(
+        rf"DESCRIBE\s+(?:TABLE\s+)?({_IDENT})", s, re.I
+    )
+    if mt and mt.group(1).upper() != "HISTORY":
+        view = mt.group(1)
+        # any registered view describes (parquet/lwes/hms/... too —
+        # unlike DML, description needs no write verb), so this
+        # checks existence without _resolve's format gate
+        if view not in _known_specs(tables):
+            raise SqlDmlError(
+                f"{view!r} is not a registered lakehouse view — "
+                "register_lakehouse it (or pass tables={...})"
+            )
+        _refresh(spark, view, tables)
+        return spark.createDataFrame(
+            [
+                (f.name, f.dataType.simpleString(), f.nullable)
+                for f in spark.table(view).schema.fields
+            ],
+            "col_name string, data_type string, nullable boolean",
+        )
     m = re.fullmatch(rf"DESCRIBE\s+HISTORY\s+({_IDENT})", s, re.I)
     if not m:
-        raise SqlDmlError("DESCRIBE needs 'DESCRIBE HISTORY <view>'")
+        raise SqlDmlError(
+            "DESCRIBE needs 'DESCRIBE [TABLE] <view>' or "
+            "'DESCRIBE HISTORY <view>'"
+        )
     view = m.group(1)
     fmt, path = _resolve(view, tables)
     if fmt == "delta":

@@ -273,8 +273,10 @@ class TestDeltaDml:
             S.lakehouse_sql(spark, "DELETE FROM sqldocs")
         with pytest.raises(S.SqlDmlError, match="not a registered"):
             S.lakehouse_sql(spark, "DELETE FROM nosuch WHERE a = 1")
-        with pytest.raises(S.SqlDmlError, match="not a DML"):
-            S.lakehouse_sql(spark, "SELECT 1")
+        # SELECT is the READ surface since round 13, not a refusal
+        assert S.lakehouse_sql(spark, "SELECT 1 AS x").first().x == 1
+        with pytest.raises(S.SqlDmlError, match="not a lakehouse"):
+            S.lakehouse_sql(spark, "TRUNCATE TABLE sqldocs")
         with pytest.raises(S.SqlDmlError, match="conditional WHEN|unsupported MERGE"):
             S.lakehouse_sql(spark, """
                 MERGE INTO sqldocs USING sqldocs
@@ -706,3 +708,121 @@ class TestMaintenanceStatements:
             "SELECT text FROM hmor WHERE doc_id = 1"
         ).first()
         assert got.text == "U"
+
+
+class TestReadSurface:
+    """Round 13: the one-call catalog story — SELECT/WITH
+    passthrough with on-demand current-snapshot registration, SHOW
+    TABLES, DESCRIBE [TABLE], mixed with DML in one script, across
+    all three formats and catalog (hms://) specs."""
+
+    def test_mixed_select_dml_script_delta(self, spark, tmp_path):
+        p = str(tmp_path / "d")
+        D.write_delta(_docs(spark, 20), p)
+        t = {"mix_d": f"delta:{p}"}
+        # SELECT registers the view on demand — no prior
+        # register_lakehouse call
+        n0 = S.lakehouse_sql(
+            spark, "SELECT count(*) AS n FROM mix_d", tables=t
+        ).first().n
+        assert n0 == 20
+        S.lakehouse_sql(
+            spark, "DELETE FROM mix_d WHERE bucket = 0", tables=t
+        )
+        # the follow-up SELECT must see the DML's snapshot
+        n1 = S.lakehouse_sql(
+            spark, "SELECT count(*) AS n FROM mix_d", tables=t
+        ).first().n
+        assert n1 == 20 - 7
+        # WITH form, joining the view against itself
+        row = S.lakehouse_sql(
+            spark,
+            """WITH b AS (SELECT bucket, count(*) AS n
+                          FROM mix_d GROUP BY bucket)
+               SELECT count(*) AS n_buckets, sum(n) AS total FROM b""",
+            tables=t,
+        ).first()
+        assert (row.n_buckets, row.total) == (2, 13)
+
+    def test_select_sees_external_append_iceberg(self, spark, tmp_path):
+        p = str(tmp_path / "i")
+        I.write_iceberg_table(_docs(spark, 10).coalesce(1), p)
+        t = {"mix_i": f"iceberg:{p}"}
+        assert S.lakehouse_sql(
+            spark, "SELECT count(*) AS n FROM mix_i", tables=t
+        ).first().n == 10
+        # append OUTSIDE the router: the next SELECT re-resolves the
+        # head (current-snapshot semantics), no manual re-register
+        I.write_iceberg_table(
+            _docs(spark, 14).filter("doc_id >= 10").coalesce(1), p
+        )
+        assert S.lakehouse_sql(
+            spark, "SELECT count(*) AS n FROM mix_i", tables=t
+        ).first().n == 14
+
+    def test_hudi_and_cte_shadowing(self, spark, tmp_path):
+        p = str(tmp_path / "h")
+        H.write_hudi_table(_docs(spark, 9), p, record_key="doc_id")
+        t = {"mix_h": f"hudi:{p}"}
+        assert S.lakehouse_sql(
+            spark, "SELECT count(*) AS n FROM mix_h", tables=t
+        ).first().n == 9
+        # a CTE named like the view shadows it (SQL resolution)
+        assert S.lakehouse_sql(
+            spark,
+            "WITH mix_h AS (SELECT 1 AS x) SELECT count(*) AS n FROM mix_h",
+            tables=t,
+        ).first().n == 1
+
+    def test_show_tables_and_describe(self, spark, tmp_path):
+        p = str(tmp_path / "sd")
+        D.write_delta(_docs(spark, 5), p)
+        t = {"show_d": f"delta:{p}"}
+        rows = {
+            r.table: (r.format, r.spec)
+            for r in S.lakehouse_sql(
+                spark, "SHOW TABLES", tables=t
+            ).collect()
+        }
+        assert rows["show_d"] == ("delta", f"delta:{p}")
+        desc = {
+            r.col_name: r.data_type
+            for r in S.lakehouse_sql(
+                spark, "DESCRIBE show_d", tables=t
+            ).collect()
+        }
+        assert desc == {
+            "doc_id": "bigint", "text": "string", "bucket": "bigint",
+        }
+        # DESCRIBE TABLE form + unknown view refusal
+        assert S.lakehouse_sql(
+            spark, "DESCRIBE TABLE show_d", tables=t
+        ).count() == 3
+        with pytest.raises(S.SqlDmlError, match="not a registered"):
+            S.lakehouse_sql(spark, "DESCRIBE nope", tables=t)
+        with pytest.raises(S.SqlDmlError, match="SHOW TABLES"):
+            S.lakehouse_sql(spark, "SHOW DATABASES", tables=t)
+
+    def test_select_through_hms_spec(self, spark, tmp_path):
+        from lwes_contrib_hive_serde_spark.sources import hms_mock as HM
+
+        p = str(tmp_path / "hmsd")
+        D.write_delta(_docs(spark, 8), p)
+        with HM.MockMetastore() as ms:
+            ms.register(
+                "db", "docs",
+                HM.table_struct(
+                    p, params={"spark.sql.sources.provider": "delta"}
+                ),
+            )
+            t = {"hms_v": ms.spec("db.docs")}
+            assert S.lakehouse_sql(
+                spark, "SELECT count(*) AS n FROM hms_v", tables=t
+            ).first().n == 8
+            shown = {
+                r.table: r.format
+                for r in S.lakehouse_sql(
+                    spark, "SHOW TABLES", tables=t
+                ).collect()
+            }
+            assert shown["hms_v"] == "hms"
