@@ -114,3 +114,12 @@ def register_lakehouse(spark: SparkSession, tables: dict[str, str]) -> None:
     for name, spec in tables.items():
         _load(spark, spec).createOrReplaceTempView(name)
         _REGISTERED[name] = spec
+
+
+def unregister_lakehouse(spark: SparkSession, name: str) -> bool:
+    """Drop one registration and its temp view; True if it existed.
+    Storage is untouched — deleting data is the formats' own verbs
+    (vacuum / remove_orphan_files / delete_table), never a catalog
+    side effect."""
+    existed = _REGISTERED.pop(name, None) is not None
+    return spark.catalog.dropTempView(name) or existed

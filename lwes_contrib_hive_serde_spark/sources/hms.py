@@ -286,6 +286,38 @@ def get_table(
     )
 
 
+def get_all_tables(
+    host: str, port: int, db: str, timeout: float = 30.0
+) -> list[str]:
+    """``get_all_tables(db_name)`` → table names (the catalog
+    listing call, the thrift sibling of the REST tier's
+    listTables)."""
+    body = enc_field(T_STRING, 1) + enc_string(db) + enc_stop()
+    result = _call(host, port, "get_all_tables", body, timeout)
+    if 0 in result:
+        return [str(t) for t in (result[0] or [])]
+    detail = result.get(1) or {}
+    raise HmsError(
+        f"get_all_tables({db!r}): "
+        f"{detail.get(1) if isinstance(detail, dict) else detail}"
+    )
+
+
+def get_all_databases(
+    host: str, port: int, timeout: float = 30.0
+) -> list[str]:
+    """``get_all_databases()`` → database names (the thrift sibling
+    of listNamespaces)."""
+    result = _call(host, port, "get_all_databases", enc_stop(), timeout)
+    if 0 in result:
+        return [str(d) for d in (result[0] or [])]
+    detail = result.get(1) or {}
+    raise HmsError(
+        "get_all_databases: "
+        f"{detail.get(1) if isinstance(detail, dict) else detail}"
+    )
+
+
 # EnvironmentContext field ids (hive_metastore.thrift): 1=properties.
 # The expected-parameter CAS convention (HIVE-26882, what Iceberg's
 # HiveTableOperations rides): stamping these two keys into the

@@ -72,6 +72,17 @@ class MockMetastore:
                         _t, body = hms.enc_value({0: tbl})
                 elif name == "alter_table_with_environmentContext":
                     _t, body = hms.enc_value(store._alter(args))
+                elif name == "get_all_tables":
+                    with store._lock:
+                        names = sorted(
+                            t for (db, t) in store.tables
+                            if db == args.get(1)
+                        )
+                    _t, body = hms.enc_value({0: names})
+                elif name == "get_all_databases":
+                    with store._lock:
+                        dbs = sorted({db for (db, _t2) in store.tables})
+                    _t, body = hms.enc_value({0: dbs})
                 else:
                     _t, body = hms.enc_value({})
                     self.request.sendall(

@@ -282,6 +282,30 @@ def create_namespace(
     )
 
 
+def register_table(
+    base_url: str,
+    namespace: list[str],
+    name: str,
+    metadata_location: str,
+    prefix: str | None = None,
+    token: str | None = None,
+) -> dict:
+    """``POST /v1/{prefix}/namespaces/{ns}/register`` — the spec's
+    RegisterTableRequest ({name, metadata-location}): adopt an
+    EXISTING table (its current metadata document already on
+    storage) into the catalog without rewriting anything — the
+    migration verb for path-based → catalog-managed tables. Answers
+    a LoadTableResult; an existing identifier answers 409 →
+    RestCommitConflict."""
+    ns = urllib.parse.quote("\x1f".join(namespace), safe="")
+    segs = _v1_segs(base_url, prefix) + ["namespaces", ns, "register"]
+    return _post(
+        "/".join(segs),
+        {"name": name, "metadata-location": metadata_location},
+        token,
+    )
+
+
 def create_table(
     base_url: str,
     namespace: list[str],

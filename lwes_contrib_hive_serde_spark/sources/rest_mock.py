@@ -133,12 +133,36 @@ class MockRestCatalog:
                         "properties": req.get("properties") or {},
                     })
                     return
-                if "namespaces" not in parts or "tables" not in parts:
+                if "namespaces" not in parts or (
+                    "tables" not in parts and parts[-1] != "register"
+                ):
                     self._json(400, {"error": {"message": "bad route"}})
                     return
                 ns = tuple(
                     parts[parts.index("namespaces") + 1].split("\x1f")
                 )
+                if parts[-1] == "register":
+                    # registerTable: adopt an existing metadata
+                    # document into the catalog (no rewrite)
+                    name = req.get("name")
+                    loc = req.get("metadata-location")
+                    if not name or not loc:
+                        self._json(400, {"error": {
+                            "message": "register needs name + "
+                                       "metadata-location"
+                        }})
+                        return
+                    with cat.lock:
+                        if (ns, name) in cat.tables:
+                            self._json(409, {"error": {
+                                "message": f"table {ns}.{name} exists",
+                                "type": "AlreadyExistsException",
+                            }})
+                            return
+                        cat.tables[(ns, name)] = loc
+                        cat.namespaces.add(ns)
+                    self._json(200, {"metadata-location": loc})
+                    return
                 if parts[-1] == "tables":
                     # createTable: the CATALOG builds and stores the
                     # initial metadata (spec: the server owns

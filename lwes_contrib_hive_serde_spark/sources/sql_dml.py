@@ -300,6 +300,8 @@ def lakehouse_sql(
         return _run_select(spark, s, tables)
     if kw == "SHOW":
         return _run_show(spark, s, tables)
+    if kw == "DROP":
+        return _run_drop(spark, s, tables)
     if kw == "DELETE":
         return _run_delete(spark, s, strategy, tables)
     if kw == "UPDATE":
@@ -346,18 +348,111 @@ def _run_select(spark, s, tables) -> DataFrame:
     Spark's own resolution, so a WITH alias colliding with a view
     name behaves as SQL says it must. Views never named in the
     statement are left untouched — their pinned snapshots keep the
-    documented register-time semantics."""
+    documented register-time semantics.
+
+    Time travel (Spark's own table-clause syntax): ``<view> VERSION
+    AS OF <pin>`` pins a Delta version / Iceberg snapshot-id-or-ref
+    / Hudi instant; ``<view> TIMESTAMP AS OF '<instant>'`` pins a
+    Hudi instant (Delta/Iceberg refuse by name — their catalog pins
+    are version/snapshot shaped). Each travelled reference is
+    rewritten onto a pinned registration (the catalog's @pin
+    semantics) under a derived view name, so the statement still
+    runs through plain spark.sql."""
+    s, travel = _rewrite_time_travel(s, tables)
     words = set(re.findall(_IDENT, s))
     refs = {
         name: spec
         for name, spec in _known_specs(tables).items()
         if name in words
     }
+    refs.update(travel)
     if refs:
         from lwes_contrib_hive_serde_spark.sources import catalog as C
 
         C.register_lakehouse(spark, refs)
     return spark.sql(s)
+
+
+_TRAVEL_RE = re.compile(
+    rf"\b({_IDENT})\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+    rf"('(?:[^']|'')*'|{_IDENT}|\d+)",
+    re.I,
+)
+
+
+def _rewrite_time_travel(
+    s: str, tables
+) -> tuple[str, dict[str, str]]:
+    """``view VERSION|TIMESTAMP AS OF pin`` → a derived pinned view
+    name (returned in the extra-registrations dict) substituted into
+    the text. Unknown view names are left verbatim — Spark's own
+    resolution errors speak for them."""
+    known = _known_specs(tables)
+    extra: dict[str, str] = {}
+
+    def _sub(m: re.Match) -> str:
+        view, kind, pin = m.group(1), m.group(2).upper(), m.group(3)
+        spec = known.get(view)
+        if spec is None:
+            return m.group(0)
+        # the catalog treats the first '@' anywhere in the spec as
+        # its pin separator, so presence of '@' IS "already pinned"
+        if "@" in spec:
+            raise SqlDmlError(
+                f"{view!r} is already pinned ({spec!r}); travel from "
+                "an unpinned registration"
+            )
+        if pin.startswith("'"):
+            pin_val = pin[1:-1].replace("''", "'")
+        else:
+            pin_val = pin
+        fmt = (
+            "hms" if spec.startswith("hms://")
+            else spec.partition(":")[0]
+        )
+        if kind == "TIMESTAMP" and fmt not in ("hudi",):
+            raise SqlDmlError(
+                f"TIMESTAMP AS OF is hudi-instant travel; {view!r} "
+                f"is {fmt!r} — use VERSION AS OF "
+                "(delta version / iceberg snapshot-id or ref)"
+            )
+        alias = f"{view}__asof_" + re.sub(
+            r"[^A-Za-z0-9_]", "_", pin_val
+        )
+        extra[alias] = f"{spec}@{pin_val}"
+        return alias
+
+    return _TRAVEL_RE.sub(_sub, s), extra
+
+
+def _run_drop(spark, s, tables) -> dict:
+    """``DROP TABLE [IF EXISTS] <view>`` — unregister the view (the
+    catalog's inverse of register_lakehouse). PURGE refuses by name:
+    deleting data is the formats' own distributed sweeps (VACUUM /
+    remove_orphan_files), never a registry side effect."""
+    if re.search(r"\bPURGE\b", s, re.I):
+        raise SqlDmlError(
+            "DROP TABLE ... PURGE is refused — storage deletion goes "
+            "through VACUUM / remove_orphan_files, not the registry"
+        )
+    m = re.fullmatch(
+        rf"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?({_IDENT})", s, re.I
+    )
+    if not m:
+        raise SqlDmlError(
+            "DROP needs 'DROP TABLE [IF EXISTS] <view>'"
+        )
+    if_exists, view = bool(m.group(1)), m.group(2)
+    from lwes_contrib_hive_serde_spark.sources import catalog as C
+
+    if view not in _known_specs(tables) and not if_exists:
+        raise SqlDmlError(
+            f"{view!r} is not a registered lakehouse view "
+            "(DROP TABLE IF EXISTS to tolerate)"
+        )
+    dropped = C.unregister_lakehouse(spark, view)
+    return {"statement": "drop_table", "table": view,
+            "dropped": dropped}
 
 
 def _run_show(spark, s, tables) -> DataFrame:

@@ -389,3 +389,16 @@ class TestCommitTier:
         hint = os.path.join(p, "metadata", "version-hint.text")
         with open(hint) as f:
             assert f.read().strip() == "1"
+
+
+class TestListing:
+    def test_get_all_tables_and_databases(self, metastore):
+        metastore["tables"][("db", "a")] = _table_struct("/tmp/a")
+        metastore["tables"][("db", "b")] = _table_struct("/tmp/b")
+        metastore["tables"][("other", "c")] = _table_struct("/tmp/c")
+        host, port = metastore["addr"].split(":")
+        assert hms.get_all_tables(host, int(port), "db") == ["a", "b"]
+        assert hms.get_all_tables(host, int(port), "nope") == []
+        assert hms.get_all_databases(host, int(port)) == [
+            "db", "other",
+        ]

@@ -143,3 +143,70 @@ class TestIcebergStream:
                 spark.read.format("iceberg_stream")
                 .option("path", p).load().collect()
             )
+
+
+class TestStreamFromCatalogSpecs:
+    """Round 13: the stream path option accepts catalog specs —
+    resolution rides load_table_metadata's rest/hms branches, so
+    every microbatch re-resolves the CURRENT head through the
+    catalog (a lagging directory version-hint cannot stall the
+    stream)."""
+
+    def test_stream_tails_hms_committed_appends(self, spark, tmp_path):
+        from lwes_contrib_hive_serde_spark.sources import (
+            hms_mock as HM,
+        )
+
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 0, 4), p)
+        with HM.MockMetastore() as ms:
+            ms.register(
+                "db", "s",
+                HM.table_struct(p, params={"table_type": "ICEBERG"}),
+            )
+            spec = ms.spec("db.s")
+            q = _start(spark, spec, "is_hms")
+            try:
+                q.processAllAvailable()
+                assert _ids(spark, "is_hms") == list(range(4))
+                # append THROUGH the metastore commit tier: only the
+                # pointer moves (the hint still names v1) — the next
+                # batch must see it
+                I.write_iceberg_table(_docs(spark, 10, 13), spec)
+                q.processAllAvailable()
+                assert _ids(spark, "is_hms") == (
+                    list(range(4)) + [10, 11, 12]
+                )
+            finally:
+                q.stop()
+
+    def test_stream_from_rest_spec(self, spark, tmp_path):
+        import os
+
+        from lwes_contrib_hive_serde_spark.sources import (
+            rest_mock as RM,
+        )
+
+        p = str(tmp_path / "t")
+        I.write_iceberg_table(_docs(spark, 0, 3), p)
+        mdir = os.path.join(p, "metadata")
+        vs = [
+            int(n[1:].split(".")[0])
+            for n in os.listdir(mdir)
+            if n.startswith("v") and n.endswith(".metadata.json")
+        ]
+        with RM.MockRestCatalog() as cat:
+            cat.register(
+                ("db",), "s",
+                os.path.join(mdir, f"v{max(vs)}.metadata.json"),
+            )
+            spec = cat.spec("db.s")
+            q = _start(spark, spec, "is_rest")
+            try:
+                q.processAllAvailable()
+                assert _ids(spark, "is_rest") == [0, 1, 2]
+                I.write_iceberg_table(_docs(spark, 5, 7), spec)
+                q.processAllAvailable()
+                assert _ids(spark, "is_rest") == [0, 1, 2, 5, 6]
+            finally:
+                q.stop()

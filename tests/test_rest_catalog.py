@@ -390,3 +390,23 @@ class TestRestCreate:
         I.write_iceberg_table(df, spec, partition_by=["bucket"])
         with pytest.raises(I.IcebergError, match="partitioned by"):
             I.write_iceberg_table(df, spec)  # unpartitioned append
+
+
+class TestRegisterTable:
+    def test_register_route_adopts_existing_table(
+        self, spark, tmp_path, rest_server
+    ):
+        base = f"http://{rest_server['base']}"
+        p = str(tmp_path / "adopt")
+        I.write_iceberg_table(_docs(spark, 7).coalesce(1), p)
+        doc = R.register_table(
+            base, ["db"], "adopted", _current_metadata_location(p)
+        )
+        assert doc["metadata-location"].endswith(".metadata.json")
+        spec = f"rest+iceberg://{rest_server['base']}#db.adopted"
+        assert I.read_iceberg(spark, spec).count() == 7
+        assert "adopted" in R.list_tables(base, ["db"])
+        with pytest.raises(R.RestCommitConflict):
+            R.register_table(
+                base, ["db"], "adopted", _current_metadata_location(p)
+            )

@@ -826,3 +826,89 @@ class TestReadSurface:
                 ).collect()
             }
             assert shown["hms_v"] == "hms"
+
+
+class TestDropAndTimeTravel:
+    def test_drop_table(self, spark, tmp_path):
+        p = str(tmp_path / "dr")
+        D.write_delta(_docs(spark, 4), p)
+        C.register_lakehouse(spark, {"drop_me": f"delta:{p}"})
+        r = S.lakehouse_sql(spark, "DROP TABLE drop_me")
+        assert r == {"statement": "drop_table", "table": "drop_me",
+                     "dropped": True}
+        assert "drop_me" not in C.registered_specs()
+        with pytest.raises(Exception):
+            spark.table("drop_me")
+        with pytest.raises(S.SqlDmlError, match="not a registered"):
+            S.lakehouse_sql(spark, "DROP TABLE drop_me")
+        r = S.lakehouse_sql(spark, "DROP TABLE IF EXISTS drop_me")
+        assert r["dropped"] is False
+        with pytest.raises(S.SqlDmlError, match="PURGE"):
+            S.lakehouse_sql(spark, "DROP TABLE x PURGE")
+
+    def test_version_as_of_delta(self, spark, tmp_path):
+        p = str(tmp_path / "tt")
+        D.write_delta(_docs(spark, 10), p)
+        t = {"tt_d": f"delta:{p}"}
+        S.lakehouse_sql(
+            spark, "DELETE FROM tt_d WHERE doc_id >= 5", tables=t
+        )
+        cur = S.lakehouse_sql(
+            spark, "SELECT count(*) AS n FROM tt_d", tables=t
+        ).first().n
+        v0 = S.lakehouse_sql(
+            spark,
+            "SELECT count(*) AS n FROM tt_d VERSION AS OF 0",
+            tables=t,
+        ).first().n
+        assert (cur, v0) == (5, 10)
+        # travelled and current in ONE statement
+        row = S.lakehouse_sql(
+            spark,
+            """SELECT (SELECT count(*) FROM tt_d VERSION AS OF 0) AS old,
+                      count(*) AS new FROM tt_d""",
+            tables=t,
+        ).first()
+        assert (row.old, row.new) == (10, 5)
+
+    def test_version_as_of_iceberg_ref_and_snapshot(
+        self, spark, tmp_path
+    ):
+        p = str(tmp_path / "tti")
+        I.write_iceberg_table(_docs(spark, 6).coalesce(1), p)
+        first = I.load_table_metadata(p)["current-snapshot-id"]
+        I.write_iceberg_table(
+            _docs(spark, 9).filter("doc_id >= 6").coalesce(1), p
+        )
+        t = {"tt_i": f"iceberg:{p}"}
+        n_first = S.lakehouse_sql(
+            spark,
+            f"SELECT count(*) AS n FROM tt_i VERSION AS OF {first}",
+            tables=t,
+        ).first().n
+        n_cur = S.lakehouse_sql(
+            spark, "SELECT count(*) AS n FROM tt_i", tables=t
+        ).first().n
+        assert (n_first, n_cur) == (6, 9)
+
+    def test_timestamp_as_of_refuses_non_hudi(self, spark, tmp_path):
+        p = str(tmp_path / "ttr")
+        D.write_delta(_docs(spark, 3), p)
+        t = {"tt_r": f"delta:{p}"}
+        with pytest.raises(S.SqlDmlError, match="hudi-instant"):
+            S.lakehouse_sql(
+                spark,
+                "SELECT * FROM tt_r TIMESTAMP AS OF '2026'",
+                tables=t,
+            )
+
+    def test_pinned_spec_refuses_travel(self, spark, tmp_path):
+        p = str(tmp_path / "ttp")
+        D.write_delta(_docs(spark, 3), p)
+        t = {"tt_p": f"delta:{p}@0"}
+        with pytest.raises(S.SqlDmlError, match="already pinned"):
+            S.lakehouse_sql(
+                spark,
+                "SELECT * FROM tt_p VERSION AS OF 0",
+                tables=t,
+            )
