@@ -11182,14 +11182,20 @@ def _documents_rest_table(spark, sf_dir: str) -> str:
     meta = I.load_table_metadata(out)
     if len(meta.get("snapshots") or []) < 2:
         with RM.MockRestCatalog() as cat:
+            from lwes_contrib_hive_serde_spark.sources import (
+                rest_catalog as RC,
+            )
+
             mdir = os.path.join(out, "metadata")
             vs = [
                 int(n[1:].split(".")[0])
                 for n in os.listdir(mdir)
                 if n.startswith("v") and n.endswith(".metadata.json")
             ]
-            cat.register(
-                ("db",), "docs",
+            # adoption rides the PUBLIC registerTable route (round
+            # 13), not mock-internal state
+            RC.register_table(
+                f"http://{cat.base}", ["db"], "docs",
                 os.path.join(mdir, f"v{max(vs)}.metadata.json"),
             )
             I.write_iceberg_table(
@@ -11230,14 +11236,18 @@ def q_rest_commit(spark, sf_dir):
     with RM.MockRestCatalog() as cat:
         import os
 
+        from lwes_contrib_hive_serde_spark.sources import (
+            rest_catalog as RC,
+        )
+
         mdir = os.path.join(out, "metadata")
         vs = [
             int(n[1:].split(".")[0])
             for n in os.listdir(mdir)
             if n.startswith("v") and n.endswith(".metadata.json")
         ]
-        cat.register(
-            ("db",), "docs",
+        RC.register_table(
+            f"http://{cat.base}", ["db"], "docs",
             os.path.join(mdir, f"v{max(vs)}.metadata.json"),
         )
         # resolution happens eagerly inside read_iceberg; the scan
@@ -11354,11 +11364,15 @@ def _documents_hms_table(spark, sf_dir: str) -> str:
     meta = I.load_table_metadata(out)
     if len(meta.get("snapshots") or []) < 2:
         with HM.MockMetastore() as ms:
-            # register POINTER-LESS: the commit path must adopt the
-            # existing path-based head (never orphan its snapshot),
-            # then initialize the pointer with expected=""
-            ms.register(
-                "db", "docs",
+            from lwes_contrib_hive_serde_spark.sources import hms
+
+            # create POINTER-LESS through the PUBLIC thrift
+            # create_table call (round 13): the commit path must
+            # adopt the existing path-based head (never orphan its
+            # snapshot), then initialize the pointer with expected=""
+            host, port = ms.addr.split(":")
+            hms.create_table(
+                host, int(port), "db", "docs",
                 HM.table_struct(out, params={"table_type": "ICEBERG"}),
             )
             I.write_iceberg_table(
@@ -11408,8 +11422,11 @@ def q_hms_commit(spark, sf_dir):
             n for n in os.listdir(mdir)
             if n.endswith(".metadata.json") and "-" in n
         )
-        ms.register(
-            "db", "docs",
+        from lwes_contrib_hive_serde_spark.sources import hms
+
+        host, port = ms.addr.split(":")
+        hms.create_table(
+            host, int(port), "db", "docs",
             HM.table_struct(
                 out,
                 params={

@@ -286,6 +286,50 @@ def get_table(
     )
 
 
+# Table struct field ids for the create path (hive_metastore.thrift:
+# 1=tableName, 2=dbName; 7=sd / 9=parameters below)
+F_TABLE_NAME = 1
+F_DB_NAME = 2
+
+
+class HmsAlreadyExists(HmsError):
+    """create_table raced an existing identifier — adopt it
+    (get_table) or pick another name."""
+
+
+def create_table(
+    host: str,
+    port: int,
+    db: str,
+    name: str,
+    table_struct: dict,
+    timeout: float = 30.0,
+) -> None:
+    """``create_table(tbl)`` — register a NEW table entry (the
+    thrift sibling of the REST tier's createTable; for Iceberg the
+    convention is table_type=ICEBERG in parameters and the pointer
+    initialized by the first commit_iceberg_pointer). The passed
+    field-id struct gets tableName/dbName stamped; an existing
+    identifier raises the typed HmsAlreadyExists."""
+    tbl = dict(table_struct)
+    tbl[F_TABLE_NAME] = name
+    tbl[F_DB_NAME] = db
+    _t, tbl_bytes = enc_value(tbl)
+    body = enc_field(T_STRUCT, 1) + tbl_bytes + enc_stop()
+    result = _call(host, port, "create_table", body, timeout)
+    # void result; field 1 = AlreadyExistsException,
+    # 2 = InvalidObjectException, 3 = MetaException
+    if not (result.get(1) or result.get(2) or result.get(3)):
+        return
+    detail = result.get(1) or result.get(2) or result.get(3)
+    msg = detail.get(1) if isinstance(detail, dict) else str(detail)
+    if result.get(1):
+        raise HmsAlreadyExists(
+            f"create_table: {db}.{name} already exists: {msg}"
+        )
+    raise HmsError(f"create_table failed on {db}.{name}: {msg}")
+
+
 def get_all_tables(
     host: str, port: int, db: str, timeout: float = 30.0
 ) -> list[str]:

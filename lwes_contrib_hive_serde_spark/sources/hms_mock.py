@@ -72,6 +72,25 @@ class MockMetastore:
                         _t, body = hms.enc_value({0: tbl})
                 elif name == "alter_table_with_environmentContext":
                     _t, body = hms.enc_value(store._alter(args))
+                elif name == "create_table":
+                    tbl = args.get(1) or {}
+                    key = (
+                        tbl.get(hms.F_DB_NAME),
+                        tbl.get(hms.F_TABLE_NAME),
+                    )
+                    with store._lock:
+                        if key in store.tables:
+                            body_doc = {1: {1: (
+                                f"Table {key[0]}.{key[1]} "
+                                "already exists"
+                            )}}
+                        elif not key[0] or not key[1]:
+                            body_doc = {3: {1: "create_table: "
+                                            "dbName/tableName missing"}}
+                        else:
+                            store.tables[key] = tbl
+                            body_doc = {}
+                    _t, body = hms.enc_value(body_doc)
                 elif name == "get_all_tables":
                     with store._lock:
                         names = sorted(

@@ -402,3 +402,43 @@ class TestListing:
         assert hms.get_all_databases(host, int(port)) == [
             "db", "other",
         ]
+
+
+class TestCreateTable:
+    def test_create_then_read_then_conflict(self, spark, tmp_path, metastore):
+        p = str(tmp_path / "ct")
+        D.write_delta(_docs(spark, 6), p)
+        host, port = metastore["addr"].split(":")
+        hms.create_table(
+            host, int(port), "db", "fresh",
+            _table_struct(
+                p, params={"spark.sql.sources.provider": "delta"}
+            ),
+        )
+        spec = f"hms://{metastore['addr']}/db.fresh"
+        assert hms.resolve_hms(spec) == ("delta", p)
+        C.register_lakehouse(spark, {"hms_fresh": spec})
+        assert spark.table("hms_fresh").count() == 6
+        with pytest.raises(hms.HmsAlreadyExists):
+            hms.create_table(
+                host, int(port), "db", "fresh", _table_struct(p)
+            )
+        with pytest.raises(hms.HmsError, match="missing"):
+            hms.create_table(host, int(port), "", "x", _table_struct(p))
+
+    def test_full_thrift_lifecycle_no_mock_internals(
+        self, spark, tmp_path, metastore
+    ):
+        """create_table → write_iceberg_table(hms spec) →
+        commit pointer → read — every step through the public
+        thrift surface, never touching the mock's dicts."""
+        host, port = metastore["addr"].split(":")
+        loc = str(tmp_path / "life")
+        hms.create_table(
+            host, int(port), "db", "life",
+            _table_struct(loc, params={"table_type": "ICEBERG"}),
+        )
+        spec = f"hms://{metastore['addr']}/db.life"
+        I.write_iceberg_table(_docs(spark, 5).coalesce(1), spec)
+        assert I.read_iceberg(spark, spec).count() == 5
+        assert hms.get_all_tables(host, int(port), "db") == ["life"]
