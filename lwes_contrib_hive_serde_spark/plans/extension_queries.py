@@ -11361,8 +11361,18 @@ def _documents_hms_table(spark, sf_dir: str) -> str:
         I.write_iceberg_table(
             docs.filter(F.col("doc_id") % 2 == 0).coalesce(2), out
         )
-    meta = I.load_table_metadata(out)
-    if len(meta.get("snapshots") or []) < 2:
+    # run-once guard: the HMS commit publishes a UNIQUELY NAMED
+    # '00002-<uuid>.metadata.json' that path-based head resolution
+    # (v*.metadata.json + hint) never sees — len(snapshots) over the
+    # directory head would stay 1 forever and the lifecycle would
+    # re-run (and re-orphan) on every call, so the guard is the
+    # presence of an hms-committed metadata document itself
+    mdir = os.path.join(out, "metadata")
+    hms_metas = [
+        n for n in os.listdir(mdir)
+        if n.endswith(".metadata.json") and not n.startswith("v")
+    ]
+    if not hms_metas:
         with HM.MockMetastore() as ms:
             from lwes_contrib_hive_serde_spark.sources import hms
 

@@ -40,9 +40,18 @@ def _load(spark: SparkSession, spec: str):
         if fmt == "iceberg":
             # keep the hms spec: iceberg.load_table_metadata honors
             # the HiveCatalog metadata_location pointer, which is
-            # authoritative over any directory-level version hint
+            # authoritative over any directory-level version hint.
+            # (This costs one extra get_table round trip vs passing
+            # the struct through — accepted: registration happens
+            # per register/refresh, a metastore hop is ~ms, and real
+            # HiveCatalog clients re-resolve per query the same way.)
             return _load(spark, f"iceberg:{base}{at}{pin}")
         return _load(spark, f"{fmt}:{location}{at}{pin}")
+    if spec.startswith(("rest+iceberg://", "rest+icebergs://")):
+        # REST catalog specs are iceberg by construction; the reader
+        # resolves metadata-location through the catalog per load
+        base, at, pin = spec.partition("@")
+        return _load(spark, f"iceberg:{base}{at}{pin}")
     fmt, sep, rest = spec.partition(":")
     if not sep:
         raise CatalogError(
@@ -114,6 +123,14 @@ def register_lakehouse(spark: SparkSession, tables: dict[str, str]) -> None:
     for name, spec in tables.items():
         _load(spark, spec).createOrReplaceTempView(name)
         _REGISTERED[name] = spec
+
+
+def load_spec(spark: SparkSession, spec: str):
+    """Load one spec as a DataFrame WITHOUT registering it — the
+    public face of _load for callers (e.g. the SQL router's
+    time-travel aliases) that want a transient view rather than a
+    catalog registration."""
+    return _load(spark, spec)
 
 
 def unregister_lakehouse(spark: SparkSession, name: str) -> bool:

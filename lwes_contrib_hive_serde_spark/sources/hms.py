@@ -318,12 +318,16 @@ def create_table(
     body = enc_field(T_STRUCT, 1) + tbl_bytes + enc_stop()
     result = _call(host, port, "create_table", body, timeout)
     # void result; field 1 = AlreadyExistsException,
-    # 2 = InvalidObjectException, 3 = MetaException
-    if not (result.get(1) or result.get(2) or result.get(3)):
+    # 2 = InvalidObjectException, 3 = MetaException. Key PRESENCE is
+    # the failure signal (a message-less exception struct decodes to
+    # a falsy {} — truthiness would misread it as success and the
+    # caller would go on to CAS a pre-existing different table).
+    bad = next((k for k in (1, 2, 3) if k in result), None)
+    if bad is None:
         return
-    detail = result.get(1) or result.get(2) or result.get(3)
+    detail = result[bad]
     msg = detail.get(1) if isinstance(detail, dict) else str(detail)
-    if result.get(1):
+    if bad == 1:
         raise HmsAlreadyExists(
             f"create_table: {db}.{name} already exists: {msg}"
         )
@@ -418,11 +422,13 @@ def alter_table_cas(
     result = _call(
         host, port, "alter_table_with_environmentContext", body, timeout
     )
-    # void result: success = only the (possibly empty) success slot.
+    # void result: success = NO exception slot present. Presence is
+    # the signal — an exception struct with its message unset ({})
+    # is still a failure, so never truthiness-test the struct.
     # field 1 = InvalidOperationException, 2 = MetaException
-    detail = result.get(1) or result.get(2)
-    if detail is None:
+    if 1 not in result and 2 not in result:
         return
+    detail = result.get(1) if 1 in result else result.get(2)
     msg = detail.get(1) if isinstance(detail, dict) else str(detail)
     if _CONFLICT_PHRASE in str(msg):
         raise HmsCommitConflict(

@@ -1409,6 +1409,7 @@ def write_iceberg_table(
     path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    create_missing: bool = True,
 ) -> int:
     """FIXTURE-GRADE iceberg v1 writer (see module docstring):
     appends df as a new snapshot (or creates the table). Returns the
@@ -1442,6 +1443,22 @@ def write_iceberg_table(
     HmsCommitConflict. A registered-but-pointer-less table
     initializes its pointer on first append (expected = "")."""
     from lwes_contrib_hive_serde_spark.sources import hms, rest_catalog
+
+    # validate BEFORE any catalog interaction: a refused write must
+    # never leave a phantom table behind in a REST catalog (the
+    # create-then-append path below POSTs createTable)
+    if mode != "append":
+        raise IcebergError("fixture writer supports append only")
+    partition_by = list(partition_by or [])
+    types = {f.name: f.dataType for f in df.schema.fields}
+    for c in partition_by:
+        if c not in types:
+            raise IcebergError(f"partition_by column {c!r} not in df")
+        if not isinstance(types[c], (StringType, LongType, IntegerType)):
+            raise IcebergError(
+                "fixture writer partitions on string/long/int only, "
+                f"got {types[c].simpleString()} for {c!r}"
+            )
 
     rest_ctx = None
     hms_ctx = None
@@ -1484,9 +1501,15 @@ def write_iceberg_table(
             # create THROUGH the catalog (round 13): the catalog
             # builds and stores the initial TableMetadata (assigning
             # its warehouse location) and answers a LoadTableResult,
-            # so the append below proceeds against the fresh table.
-            # An identifier raced into existence answers 409 →
-            # RestCommitConflict, the caller's retry signal.
+            # so the append below proceeds against the fresh table —
+            # Spark's own append-creates-missing saveAsTable
+            # semantics. ``create_missing=False`` opts out for
+            # callers who'd rather a mistyped identifier fail loudly
+            # than materialize a shadow table. An identifier raced
+            # into existence answers 409 → RestCommitConflict, the
+            # caller's retry signal.
+            if not create_missing:
+                raise
             schema_doc = {
                 "type": "struct",
                 "fields": [
@@ -1539,18 +1562,6 @@ def write_iceberg_table(
         # hook-only scheme: data/manifests ride scheme-routed IO,
         # the commit rides the registered conditional-put hook
         fsio.require_commit(path, "write_iceberg_table")
-    if mode != "append":
-        raise IcebergError("fixture writer supports append only")
-    partition_by = list(partition_by or [])
-    types = {f.name: f.dataType for f in df.schema.fields}
-    for c in partition_by:
-        if c not in types:
-            raise IcebergError(f"partition_by column {c!r} not in df")
-        if not isinstance(types[c], (StringType, LongType, IntegerType)):
-            raise IcebergError(
-                "fixture writer partitions on string/long/int only, "
-                f"got {types[c].simpleString()} for {c!r}"
-            )
     mdir = fsio.join(path, "metadata")
     ddir = fsio.join(path, "data")
     fsio.mkdirs(mdir)

@@ -359,17 +359,24 @@ def _run_select(spark, s, tables) -> DataFrame:
     semantics) under a derived view name, so the statement still
     runs through plain spark.sql."""
     s, travel = _rewrite_time_travel(s, tables)
-    words = set(re.findall(_IDENT, s))
+    # Spark SQL identifiers are case-insensitive: FROM MIX_D must
+    # find a view registered as mix_d (and re-pin its head), so the
+    # membership test lowercases both sides
+    words = {w.lower() for w in re.findall(_IDENT, s)}
     refs = {
         name: spec
         for name, spec in _known_specs(tables).items()
-        if name in words
+        if name.lower() in words
     }
-    refs.update(travel)
-    if refs:
-        from lwes_contrib_hive_serde_spark.sources import catalog as C
+    from lwes_contrib_hive_serde_spark.sources import catalog as C
 
+    if refs:
         C.register_lakehouse(spark, refs)
+    for alias, spec in travel.items():
+        # travelled pins are TRANSIENT temp views, never catalog
+        # registrations — SHOW TABLES must not accumulate phantom
+        # __asof_ entries per travelled statement
+        C.load_spec(spark, spec).createOrReplaceTempView(alias)
     return spark.sql(s)
 
 
@@ -384,17 +391,28 @@ def _rewrite_time_travel(
     s: str, tables
 ) -> tuple[str, dict[str, str]]:
     """``view VERSION|TIMESTAMP AS OF pin`` → a derived pinned view
-    name (returned in the extra-registrations dict) substituted into
-    the text. Unknown view names are left verbatim — Spark's own
-    resolution errors speak for them."""
-    known = _known_specs(tables)
+    name (returned in the extra-views dict) substituted into the
+    text. Unknown view names are left verbatim — Spark's own
+    resolution errors speak for them. Quoted string literals are
+    never rewritten (the pattern is matched segment-wise OUTSIDE
+    quotes); view lookup is case-insensitive like every Spark SQL
+    identifier; the alias carries a short hash of the raw pin so two
+    pins that sanitize identically ('a-b' vs 'a.b') cannot collapse
+    onto one view."""
+    import hashlib
+
+    known_ci = {
+        name.lower(): (name, spec)
+        for name, spec in _known_specs(tables).items()
+    }
     extra: dict[str, str] = {}
 
     def _sub(m: re.Match) -> str:
         view, kind, pin = m.group(1), m.group(2).upper(), m.group(3)
-        spec = known.get(view)
-        if spec is None:
+        hit = known_ci.get(view.lower())
+        if hit is None:
             return m.group(0)
+        view, spec = hit
         # the catalog treats the first '@' anywhere in the spec as
         # its pin separator, so presence of '@' IS "already pinned"
         if "@" in spec:
@@ -416,13 +434,30 @@ def _rewrite_time_travel(
                 f"is {fmt!r} — use VERSION AS OF "
                 "(delta version / iceberg snapshot-id or ref)"
             )
-        alias = f"{view}__asof_" + re.sub(
-            r"[^A-Za-z0-9_]", "_", pin_val
+        tag = hashlib.sha1(
+            f"{kind}:{pin_val}".encode()
+        ).hexdigest()[:8]
+        alias = (
+            f"{view}__asof_"
+            + re.sub(r"[^A-Za-z0-9_]", "_", pin_val)[:32]
+            + f"_{tag}"
         )
         extra[alias] = f"{spec}@{pin_val}"
         return alias
 
-    return _TRAVEL_RE.sub(_sub, s), extra
+    # a match STARTING inside a quoted literal is text, not syntax
+    # (the pin itself may legitimately be a quoted string, so the
+    # statement cannot simply be split at quotes)
+    quoted = [
+        m.span() for m in re.finditer(r"'(?:[^']|'')*'", s)
+    ]
+
+    def _outside_quotes(m: re.Match) -> str:
+        if any(a <= m.start() < b for a, b in quoted):
+            return m.group(0)
+        return _sub(m)
+
+    return _TRAVEL_RE.sub(_outside_quotes, s), extra
 
 
 def _run_drop(spark, s, tables) -> dict:

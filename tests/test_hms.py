@@ -442,3 +442,51 @@ class TestCreateTable:
         I.write_iceberg_table(_docs(spark, 5).coalesce(1), spec)
         assert I.read_iceberg(spark, spec).count() == 5
         assert hms.get_all_tables(host, int(port), "db") == ["life"]
+
+
+class TestWirePresenceSemantics:
+    """Round-13 self-review pin: a thrift exception struct whose
+    message field is UNSET ({}) is still a failure — key presence,
+    never struct truthiness, is the signal."""
+
+    def _serve_once(self, reply_fields):
+        import socketserver
+        import threading as th
+
+        class H(socketserver.BaseRequestHandler):
+            def handle(self):
+                r = hms._sock_reader(self.request)
+                name, _mt, seqid = r.message()
+                r.value(hms.T_STRUCT)
+                _t, body = hms.enc_value(reply_fields)
+                self.request.sendall(
+                    hms.enc_message(name, 2, seqid, body)
+                )
+
+        srv = socketserver.TCPServer(("127.0.0.1", 0), H)
+        t = th.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        return srv, srv.server_address[1]
+
+    def test_messageless_already_exists_still_raises(self):
+        srv, port = self._serve_once({1: {}})
+        try:
+            with pytest.raises(hms.HmsAlreadyExists):
+                hms.create_table(
+                    "127.0.0.1", port, "db", "t", {hms.F_PARAMETERS: {}}
+                )
+        finally:
+            srv.shutdown()
+            srv.server_close()
+
+    def test_messageless_alter_exception_still_raises(self):
+        srv, port = self._serve_once({2: {}})
+        try:
+            with pytest.raises(hms.HmsError):
+                hms.alter_table_cas(
+                    "127.0.0.1", port, "db", "t",
+                    {hms.F_PARAMETERS: {}}, "k", "v",
+                )
+        finally:
+            srv.shutdown()
+            srv.server_close()

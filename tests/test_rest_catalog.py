@@ -410,3 +410,35 @@ class TestRegisterTable:
             R.register_table(
                 base, ["db"], "adopted", _current_metadata_location(p)
             )
+
+
+class TestCreateReviewFindings:
+    """Round-13 self-review regression pins for the create tier."""
+
+    def test_refused_write_leaves_no_phantom_table(
+        self, spark, rest_server
+    ):
+        spec = f"rest+iceberg://{rest_server['base']}#db.phantom"
+        df = _docs(spark, 4)
+        with pytest.raises(I.IcebergError, match="append only"):
+            I.write_iceberg_table(df, spec, mode="overwrite")
+        with pytest.raises(I.IcebergError, match="string/long/int"):
+            I.write_iceberg_table(
+                df.withColumn("d", df.doc_id.cast("double")),
+                spec,
+                partition_by=["d"],
+            )
+        # validations ran BEFORE any catalog interaction
+        assert "phantom" not in R.list_tables(
+            f"http://{rest_server['base']}", ["db"]
+        )
+
+    def test_create_missing_false_raises_typed(self, spark, rest_server):
+        spec = f"rest+iceberg://{rest_server['base']}#db.absent2"
+        with pytest.raises(R.RestTableNotFound):
+            I.write_iceberg_table(
+                _docs(spark, 2), spec, create_missing=False
+            )
+        assert "absent2" not in R.list_tables(
+            f"http://{rest_server['base']}", ["db"]
+        )

@@ -912,3 +912,101 @@ class TestDropAndTimeTravel:
                 "SELECT * FROM tt_p VERSION AS OF 0",
                 tables=t,
             )
+
+
+class TestReadSurfaceReviewFindings:
+    """Round-13 self-review regression pins."""
+
+    def test_travel_not_rewritten_inside_string_literal(
+        self, spark, tmp_path
+    ):
+        p = str(tmp_path / "lit")
+        D.write_delta(_docs(spark, 3), p)
+        t = {"lit_v": f"delta:{p}"}
+        # the literal mentions the travel syntax — it must compare
+        # as TEXT, never rewrite to a pinned alias
+        n = S.lakehouse_sql(
+            spark,
+            "SELECT count(*) AS n FROM lit_v "
+            "WHERE text = 'lit_v VERSION AS OF 0'",
+            tables=t,
+        ).first().n
+        assert n == 0
+        shown = [
+            r.table for r in S.lakehouse_sql(
+                spark, "SHOW TABLES", tables=t
+            ).collect()
+        ]
+        assert not any("__asof_" in x for x in shown)
+
+    def test_distinct_pins_get_distinct_aliases(self, spark, tmp_path):
+        s_text = "SELECT 1 FROM v TIMESTAMP AS OF '2024-01-01 10.00' "
+        s2, tr = S._rewrite_time_travel(
+            s_text + "JOIN v TIMESTAMP AS OF '2024-01-01 10_00'",
+            {"v": "hudi:/nowhere"},
+        )
+        assert len(tr) == 2  # sanitize-identical pins stay distinct
+
+    def test_case_insensitive_view_reference(self, spark, tmp_path):
+        p = str(tmp_path / "ci")
+        D.write_delta(_docs(spark, 7), p)
+        t = {"ci_v": f"delta:{p}"}
+        assert S.lakehouse_sql(
+            spark, "SELECT count(*) AS n FROM CI_V", tables=t
+        ).first().n == 7
+        assert S.lakehouse_sql(
+            spark,
+            "SELECT count(*) AS n FROM Ci_V VERSION AS OF 0",
+            tables=t,
+        ).first().n == 7
+
+    def test_travel_alias_never_pollutes_show_tables(
+        self, spark, tmp_path
+    ):
+        p = str(tmp_path / "np")
+        D.write_delta(_docs(spark, 3), p)
+        C.register_lakehouse(spark, {"np_v": f"delta:{p}"})
+        S.lakehouse_sql(spark, "SELECT * FROM np_v VERSION AS OF 0")
+        shown = [
+            r.table
+            for r in S.lakehouse_sql(spark, "SHOW TABLES").collect()
+        ]
+        assert not any("__asof_" in x for x in shown)
+        assert "np_v" in shown
+
+
+class TestRestSpecInRouter:
+    def test_select_and_describe_through_rest_spec(
+        self, spark, tmp_path
+    ):
+        from lwes_contrib_hive_serde_spark.sources import (
+            rest_catalog as RC,
+            rest_mock as RM,
+        )
+
+        with RM.MockRestCatalog() as cat:
+            spec = cat.spec("db.router")
+            I.write_iceberg_table(_docs(spark, 6).coalesce(1), spec)
+            t = {"rest_v": spec}
+            assert S.lakehouse_sql(
+                spark, "SELECT count(*) AS n FROM rest_v", tables=t
+            ).first().n == 6
+            desc = S.lakehouse_sql(
+                spark, "DESCRIBE rest_v", tables=t
+            ).count()
+            assert desc == 3
+            shown = {
+                r.table: r.format
+                for r in S.lakehouse_sql(
+                    spark, "SHOW TABLES", tables=t
+                ).collect()
+            }
+            assert shown["rest_v"] == "rest+iceberg"
+            # a second append is visible to the next SELECT
+            I.write_iceberg_table(
+                _docs(spark, 9).filter("doc_id >= 6").coalesce(1),
+                spec,
+            )
+            assert S.lakehouse_sql(
+                spark, "SELECT count(*) AS n FROM rest_v", tables=t
+            ).first().n == 9
