@@ -1,0 +1,158 @@
+"""Machine-checked similarity-tier scale posture (round 13, the
+third posture suite after tests/test_scale_posture.py — dedup — and
+tests/test_lakehouse_posture.py — DV DML): the ANN claims become
+assertions over N-fold replicated embeddings.
+
+  * ``knn_join`` keeps driver RSS flat while the CORPUS grows — the
+    per-partition GEMM emits only local top-k rows; the driver holds
+    one bounded query chunk, never corpus vectors. Exact-twin recall
+    is the hard floor: a replicated query vector's top-N must be its
+    N cosine-1.0 replicas.
+  * ``ivf_build`` trains on a BOUNDED driver sample (n_train cap):
+    RSS must not scale with the corpus, and assignment happens in
+    executors.
+  * ``ivf_search`` probes nprobe/n_clusters of the data — the probed
+    subset is machine-counted strictly smaller than the corpus (the
+    partition-pruning contract), while the exact twins still rank
+    top (recall survives the pruning for on-centroid queries).
+
+Sized like the sibling suites (same N / SF knobs).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N = int(os.environ.get("LWES_SCALE_PROBE_N", "6"))
+
+
+def _rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS"):
+                return int(line.split()[1]) / 1024.0
+    return 0.0  # pragma: no cover
+
+
+@pytest.fixture(scope="module")
+def big_embs(spark):
+    base = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    out = base
+    for i in range(1, N):
+        out = out.unionByName(
+            base.withColumn(
+                "vec_id", F.col("vec_id") + F.lit(i * 10_000_000)
+            )
+        )
+    out = out.repartition(8).persist()
+    n = out.count()
+    yield out, n
+    out.unpersist()
+
+
+class TestKnnJoinPosture:
+    def test_rss_flat_and_exact_twin_recall(self, spark, big_embs):
+        from lwes_contrib_hive_serde_spark.operators import similarity
+
+        docs, n = big_embs
+        # 25 base vectors as queries; each has exactly N cosine-1.0
+        # replicas in the corpus (itself included)
+        queries = docs.filter(F.col("vec_id") < 25)
+        rss0 = _rss_mb()
+        got = similarity.knn_join(docs, queries, k=N).collect()
+        grew = _rss_mb() - rss0
+        assert grew < 512, f"driver RSS grew {grew:.0f} MB"
+        by_q: dict = {}
+        for r in got:
+            by_q.setdefault(r.query_id, []).append(r)
+        assert len(by_q) == 25
+        for qid, rows in by_q.items():
+            assert len(rows) == N
+            # every replica family member is id-congruent mod stride
+            ids = sorted(x.neighbor_id % 10_000_000 for x in rows)
+            assert ids == [qid] * N, (qid, ids)
+            assert all(x.cosine_sim > 0.999999 for x in rows)
+
+    def test_query_side_chunks_bound_driver(self, spark, big_embs):
+        """max_queries caps the broadcast chunk: a query frame larger
+        than one chunk still answers exactly (disjoint chunk union +
+        one window) — the knob that keeps 10^7 queries off the
+        driver at once."""
+        from lwes_contrib_hive_serde_spark.operators import similarity
+
+        docs, n = big_embs
+        queries = docs.filter(F.col("vec_id") < 40)
+        one = similarity.knn_join(docs, queries, k=3)
+        many = similarity.knn_join(docs, queries, k=3, max_queries=7)
+        # GEMM accumulation order differs per chunking — ids must
+        # match exactly, sims to float tolerance
+        a = sorted((r.query_id, r.neighbor_id) for r in one.collect())
+        b = sorted((r.query_id, r.neighbor_id) for r in many.collect())
+        assert a == b
+
+
+class TestIvfPosture:
+    def test_bounded_training_sample_rss_flat(self, spark, big_embs):
+        from lwes_contrib_hive_serde_spark.operators import similarity
+
+        docs, n = big_embs
+        rss0 = _rss_mb()
+        assigned, centroids = similarity.ivf_build(
+            docs, n_clusters=8, n_train=500
+        )
+        # assignment is lazy/distributed; materialize counts only
+        per_cluster = (
+            assigned.groupBy("cluster_id").count().collect()
+        )
+        grew = _rss_mb() - rss0
+        assert grew < 512, f"driver RSS grew {grew:.0f} MB"
+        assert len(centroids) == 8
+        assert sum(r["count"] for r in per_cluster) == n
+
+    def test_probe_scans_fraction_and_keeps_twins(
+        self, spark, big_embs
+    ):
+        from lwes_contrib_hive_serde_spark.operators import similarity
+
+        docs, n = big_embs
+        assigned, centroids = similarity.ivf_build(
+            docs, n_clusters=8, n_train=500
+        )
+        assigned = assigned.persist()
+        try:
+            q = docs.filter(F.col("vec_id") == 7).first()
+            qvec = list(map(float, q.embedding))
+            # the pruning contract, machine-counted: nprobe=2 of 8
+            # clusters reads a strict subset of the corpus
+            import math
+
+            def cos(a, b):
+                d = sum(x * y for x, y in zip(a, b))
+                na = math.sqrt(sum(x * x for x in a)) or 1e-12
+                nb = math.sqrt(sum(y * y for y in b)) or 1e-12
+                return d / (na * nb)
+
+            ranked = sorted(
+                range(len(centroids)),
+                key=lambda i: -cos(centroids[i], qvec),
+            )
+            probed_rows = assigned.filter(
+                F.col("cluster_id").isin(ranked[:2])
+            ).count()
+            assert probed_rows < n, "probe subset must prune"
+            got = similarity.ivf_search(
+                assigned, centroids, qvec, k=N, nprobe=2
+            ).collect()
+            # identical replicas land in the SAME cluster (identical
+            # vectors share a nearest centroid), so twin recall
+            # survives pruning in full
+            ids = sorted(r.neighbor_id % 10_000_000 for r in got)
+            assert ids == [7] * N, ids
+        finally:
+            assigned.unpersist()
