@@ -1102,20 +1102,38 @@ def _run_merge(spark, s, strategy, tables) -> dict:
 
 def _run_insert(spark, s, tables) -> dict:
     m = re.fullmatch(
-        rf"INSERT\s+INTO\s+({_IDENT})\s*(\([^)]*\))?\s+"
+        rf"INSERT\s+(INTO|OVERWRITE(?:\s+TABLE)?)\s+({_IDENT})"
+        rf"\s*(\([^)]*\))?\s+"
         rf"((?:SELECT|VALUES|WITH|TABLE)\b.+)",
         s,
         re.I | re.S,
     )
     if not m:
         raise SqlDmlError(
-            "INSERT needs 'INSERT INTO <view> [(col, ...)] "
+            "INSERT needs 'INSERT INTO|OVERWRITE <view> [(col, ...)] "
             "SELECT ...|VALUES ...'"
         )
-    view, col_list, body = m.group(1), m.group(2), m.group(3)
+    verb, view, col_list, body = (
+        m.group(1).split()[0].upper(), m.group(2), m.group(3),
+        m.group(4),
+    )
+    overwrite = verb == "OVERWRITE"
     fmt, path = _resolve(view, tables)
+    if overwrite and fmt != "delta":
+        # refuse BEFORE any work: iceberg's fixture writer is
+        # append-only; a hudi overwrite would need key-space
+        # truncation semantics the COW upsert writer doesn't define
+        raise SqlDmlError(
+            f"INSERT OVERWRITE is delta-only here; {view!r} is "
+            f"{fmt!r} (iceberg writer is append-only; hudi upserts "
+            "by record key)"
+        )
     from pyspark.sql import functions as F
 
+    if not spark.catalog.tableExists(view):
+        # one-call story: a view known only through the tables
+        # mapping registers on demand, like the SELECT surface
+        _refresh(spark, view, tables)
     target = spark.table(view)
     # resolve the column list case-insensitively (Spark's default
     # resolution) onto the target's exact spellings; duplicates and
@@ -1155,6 +1173,19 @@ def _run_insert(spark, s, tables) -> dict:
             )
         df = df.toDF(*insert_cols)
     else:
+        # the SELECT body shares the read surface's time-travel
+        # rewrite: INSERT ... SELECT FROM v VERSION AS OF n is the
+        # restore-old-rows idiom
+        body, travel = _rewrite_time_travel(body, tables)
+        if travel:
+            from lwes_contrib_hive_serde_spark.sources import (
+                catalog as C,
+            )
+
+            for alias, spec in travel.items():
+                C.load_spec(spark, spec).createOrReplaceTempView(
+                    alias
+                )
         df = spark.sql(body)
         if col_list:
             if len(df.columns) != len(insert_cols):
@@ -1198,10 +1229,11 @@ def _run_insert(spark, s, tables) -> dict:
             *[F.col(c).cast(tgt_types[c]).alias(c) for c in
               target.columns]
         )
+    mode = "overwrite" if overwrite else "append"
     if fmt == "delta":
         from lwes_contrib_hive_serde_spark.sources import delta as D
 
-        v = D.write_delta(df, path, mode="append")
+        v = D.write_delta(df, path, mode=mode)
         res = {"version": v}
     elif fmt == "iceberg":
         from lwes_contrib_hive_serde_spark.sources import iceberg as I
@@ -1218,7 +1250,11 @@ def _run_insert(spark, s, tables) -> dict:
         )
         res = {"instant": instant}
     _refresh(spark, view, tables)
-    return {**res, "statement": "insert", "table": view}
+    return {
+        **res,
+        "statement": "insert_overwrite" if overwrite else "insert",
+        "table": view,
+    }
 
 
 def _run_alter(spark, s, tables) -> dict:

@@ -1010,3 +1010,49 @@ class TestRestSpecInRouter:
             assert S.lakehouse_sql(
                 spark, "SELECT count(*) AS n FROM rest_v", tables=t
             ).first().n == 9
+
+
+class TestInsertOverwrite:
+    def test_overwrite_replaces_table_delta(self, spark, tmp_path):
+        p = str(tmp_path / "ow")
+        D.write_delta(_docs(spark, 20), p)
+        t = {"ow_v": f"delta:{p}"}
+        r = S.lakehouse_sql(
+            spark,
+            "INSERT OVERWRITE ow_v VALUES (900, 'only', 0)",
+            tables=t,
+        )
+        assert r["statement"] == "insert_overwrite"
+        rows = S.lakehouse_sql(
+            spark, "SELECT * FROM ow_v", tables=t
+        ).collect()
+        assert len(rows) == 1 and rows[0].doc_id == 900
+        # history preserved: time travel still reads the pre-
+        # overwrite snapshot
+        assert S.lakehouse_sql(
+            spark,
+            "SELECT count(*) AS n FROM ow_v VERSION AS OF 0",
+            tables=t,
+        ).first().n == 20
+        # OVERWRITE TABLE form with SELECT body
+        S.lakehouse_sql(
+            spark,
+            "INSERT OVERWRITE TABLE ow_v "
+            "SELECT doc_id, text, bucket FROM ow_v VERSION AS OF 0 "
+            "WHERE doc_id < 5",
+            tables=t,
+        )
+        assert S.lakehouse_sql(
+            spark, "SELECT count(*) AS n FROM ow_v", tables=t
+        ).first().n == 5
+
+    def test_overwrite_refuses_non_delta(self, spark, tmp_path):
+        p = str(tmp_path / "owi")
+        I.write_iceberg_table(_docs(spark, 4).coalesce(1), p)
+        t = {"ow_i": f"iceberg:{p}"}
+        with pytest.raises(S.SqlDmlError, match="delta-only"):
+            S.lakehouse_sql(
+                spark,
+                "INSERT OVERWRITE ow_i VALUES (1, 'x', 0)",
+                tables=t,
+            )
