@@ -338,6 +338,35 @@ def _known_specs(tables) -> dict[str, str]:
     return known
 
 
+def _prepare_reads(spark, s: str, tables) -> str:
+    """The read surface's shared preamble: rewrite time-travel
+    clauses, re-register every referenced known view at its CURRENT
+    snapshot, and materialize travelled pins as transient temp
+    views. Returns the rewritten statement text. Used by SELECT/WITH
+    passthrough AND by INSERT's SELECT body — one definition, one
+    behavior."""
+    s, travel = _rewrite_time_travel(s, tables)
+    # Spark SQL identifiers are case-insensitive: FROM MIX_D must
+    # find a view registered as mix_d (and re-pin its head), so the
+    # membership test lowercases both sides
+    words = {w.lower() for w in re.findall(_IDENT, s)}
+    refs = {
+        name: spec
+        for name, spec in _known_specs(tables).items()
+        if name.lower() in words
+    }
+    from lwes_contrib_hive_serde_spark.sources import catalog as C
+
+    if refs:
+        C.register_lakehouse(spark, refs)
+    for alias, spec in travel.items():
+        # travelled pins are TRANSIENT temp views, never catalog
+        # registrations — SHOW TABLES must not accumulate phantom
+        # __asof_ entries per travelled statement
+        C.load_spec(spark, spec).createOrReplaceTempView(alias)
+    return s
+
+
 def _run_select(spark, s, tables) -> DataFrame:
     """SELECT/WITH passthrough — the one-call catalog read story:
     every known lakehouse view the statement references is
@@ -358,26 +387,7 @@ def _run_select(spark, s, tables) -> DataFrame:
     rewritten onto a pinned registration (the catalog's @pin
     semantics) under a derived view name, so the statement still
     runs through plain spark.sql."""
-    s, travel = _rewrite_time_travel(s, tables)
-    # Spark SQL identifiers are case-insensitive: FROM MIX_D must
-    # find a view registered as mix_d (and re-pin its head), so the
-    # membership test lowercases both sides
-    words = {w.lower() for w in re.findall(_IDENT, s)}
-    refs = {
-        name: spec
-        for name, spec in _known_specs(tables).items()
-        if name.lower() in words
-    }
-    from lwes_contrib_hive_serde_spark.sources import catalog as C
-
-    if refs:
-        C.register_lakehouse(spark, refs)
-    for alias, spec in travel.items():
-        # travelled pins are TRANSIENT temp views, never catalog
-        # registrations — SHOW TABLES must not accumulate phantom
-        # __asof_ entries per travelled statement
-        C.load_spec(spark, spec).createOrReplaceTempView(alias)
-    return spark.sql(s)
+    return spark.sql(_prepare_reads(spark, s, tables))
 
 
 _TRAVEL_RE = re.compile(
@@ -1102,7 +1112,7 @@ def _run_merge(spark, s, strategy, tables) -> dict:
 
 def _run_insert(spark, s, tables) -> dict:
     m = re.fullmatch(
-        rf"INSERT\s+(INTO|OVERWRITE(?:\s+TABLE)?)\s+({_IDENT})"
+        rf"INSERT\s+(INTO|OVERWRITE)(?:\s+TABLE)?\s+({_IDENT})"
         rf"\s*(\([^)]*\))?\s+"
         rf"((?:SELECT|VALUES|WITH|TABLE)\b.+)",
         s,
@@ -1130,10 +1140,11 @@ def _run_insert(spark, s, tables) -> dict:
         )
     from pyspark.sql import functions as F
 
-    if not spark.catalog.tableExists(view):
-        # one-call story: a view known only through the tables
-        # mapping registers on demand, like the SELECT surface
-        _refresh(spark, view, tables)
+    # one-call story: the target ALWAYS re-registers at its current
+    # snapshot (a stale registration would let INSERT OVERWRITE v
+    # SELECT ... FROM v rebuild the table from an old snapshot,
+    # silently dropping newer rows)
+    _refresh(spark, view, tables)
     target = spark.table(view)
     # resolve the column list case-insensitively (Spark's default
     # resolution) onto the target's exact spellings; duplicates and
@@ -1173,20 +1184,12 @@ def _run_insert(spark, s, tables) -> dict:
             )
         df = df.toDF(*insert_cols)
     else:
-        # the SELECT body shares the read surface's time-travel
-        # rewrite: INSERT ... SELECT FROM v VERSION AS OF n is the
-        # restore-old-rows idiom
-        body, travel = _rewrite_time_travel(body, tables)
-        if travel:
-            from lwes_contrib_hive_serde_spark.sources import (
-                catalog as C,
-            )
-
-            for alias, spec in travel.items():
-                C.load_spec(spark, spec).createOrReplaceTempView(
-                    alias
-                )
-        df = spark.sql(body)
+        # the SELECT body shares the FULL read-surface preamble
+        # (time-travel rewrite + on-demand current-snapshot
+        # registration of every referenced view): INSERT ... SELECT
+        # FROM w works without a prior register call, and FROM v
+        # VERSION AS OF n is the restore-old-rows idiom
+        df = spark.sql(_prepare_reads(spark, body, tables))
         if col_list:
             if len(df.columns) != len(insert_cols):
                 raise SqlDmlError(

@@ -142,17 +142,31 @@ class TestIvfPosture:
                 range(len(centroids)),
                 key=lambda i: -cos(centroids[i], qvec),
             )
+            # pruning contract, machine-counted: 2 of 8 probed
+            # clusters read a strict subset of the corpus
             probed_rows = assigned.filter(
                 F.col("cluster_id").isin(ranked[:2])
             ).count()
             assert probed_rows < n, "probe subset must prune"
+            # recall contract: identical replicas share ONE assigned
+            # cluster (same euclidean argmin); probe exactly as deep
+            # as the COSINE ranking needs to include that cluster —
+            # assignment is euclidean while probing ranks by cosine,
+            # so a fixed nprobe could legitimately miss it on some
+            # corpora and would test the fixture, not the operator
+            twin_cluster = assigned.filter(
+                F.col("vec_id") == 7
+            ).first().cluster_id
+            nprobe = ranked.index(twin_cluster) + 1
             got = similarity.ivf_search(
-                assigned, centroids, qvec, k=N, nprobe=2
+                assigned, centroids, qvec, k=N, nprobe=nprobe
             ).collect()
-            # identical replicas land in the SAME cluster (identical
-            # vectors share a nearest centroid), so twin recall
-            # survives pruning in full
             ids = sorted(r.neighbor_id % 10_000_000 for r in got)
             assert ids == [7] * N, ids
+            if nprobe < len(centroids):
+                probed_rows = assigned.filter(
+                    F.col("cluster_id").isin(ranked[:nprobe])
+                ).count()
+                assert probed_rows < n
         finally:
             assigned.unpersist()

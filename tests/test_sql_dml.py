@@ -1056,3 +1056,62 @@ class TestInsertOverwrite:
                 "INSERT OVERWRITE ow_i VALUES (1, 'x', 0)",
                 tables=t,
             )
+
+
+class TestInsertReadPreamble:
+    """Second self-review pass pins: the INSERT path shares the full
+    read-surface preamble."""
+
+    def test_insert_select_from_unregistered_view(
+        self, spark, tmp_path
+    ):
+        pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+        D.write_delta(_docs(spark, 5), pa)
+        D.write_delta(
+            _docs(spark, 9).filter("doc_id >= 5"), pb
+        )
+        t = {"ins_a": f"delta:{pa}", "ins_b": f"delta:{pb}"}
+        # neither view registered beforehand: target AND body views
+        # register on demand
+        S.lakehouse_sql(
+            spark, "INSERT INTO ins_a SELECT * FROM ins_b", tables=t
+        )
+        assert S.lakehouse_sql(
+            spark, "SELECT count(*) AS n FROM ins_a", tables=t
+        ).first().n == 9
+
+    def test_overwrite_from_self_uses_current_snapshot(
+        self, spark, tmp_path
+    ):
+        p = str(tmp_path / "cur")
+        D.write_delta(_docs(spark, 4), p)
+        t = {"cur_v": f"delta:{p}"}
+        # register (pinning v0), then append OUTSIDE the router
+        C.register_lakehouse(spark, t)
+        D.write_delta(
+            _docs(spark, 10).filter("doc_id >= 4"), p, mode="append"
+        )
+        # the overwrite must rebuild from the CURRENT snapshot (10
+        # rows), not the stale registered v0 (4 rows)
+        S.lakehouse_sql(
+            spark,
+            "INSERT OVERWRITE cur_v SELECT * FROM cur_v "
+            "WHERE doc_id >= 0",
+            tables=t,
+        )
+        assert S.lakehouse_sql(
+            spark, "SELECT count(*) AS n FROM cur_v", tables=t
+        ).first().n == 10
+
+    def test_insert_into_table_keyword(self, spark, tmp_path):
+        p = str(tmp_path / "kw")
+        D.write_delta(_docs(spark, 2), p)
+        t = {"kw_v": f"delta:{p}"}
+        S.lakehouse_sql(
+            spark,
+            "INSERT INTO TABLE kw_v VALUES (50, 'x', 0)",
+            tables=t,
+        )
+        assert S.lakehouse_sql(
+            spark, "SELECT count(*) AS n FROM kw_v", tables=t
+        ).first().n == 3
