@@ -58,9 +58,17 @@ def _load(spark: SparkSession, spec: str):
             f"table spec {spec!r} needs a 'format:path' shape"
         )
     path, at, pin = rest.partition("@")
+    # '@ts:<millis>' pins a TIMESTAMP for the formats whose readers
+    # take one (delta timestampAsOf semantics; iceberg snapshot-log
+    # resolution) — the SQL router's TIMESTAMP AS OF lowers onto it
+    ts_pin = (
+        int(pin[3:]) if at and pin.startswith("ts:") else None
+    )
     if fmt == "delta":
         from lwes_contrib_hive_serde_spark.sources import delta as D
 
+        if ts_pin is not None:
+            return D.read_delta(spark, path, timestamp_ms=ts_pin)
         return D.read_delta(
             spark, path, version=int(pin) if at else None
         )
@@ -72,6 +80,10 @@ def _load(spark: SparkSession, spec: str):
         # "123") — and only a snapshot id when no ref of that name
         # exists and the pin parses as an integer.
         if at:
+            if ts_pin is not None:
+                return I.read_iceberg(
+                    spark, path, timestamp_ms=ts_pin
+                )
             meta = I.load_table_metadata(path)
             if pin in (meta.get("refs") or {}):
                 return I.read_iceberg(spark, path, ref=pin)

@@ -397,6 +397,27 @@ _TRAVEL_RE = re.compile(
 )
 
 
+def _parse_ts_ms(raw: str) -> int:
+    """'1700000000000' | '2026-01-01' | '2026-01-01 12:30:00' →
+    epoch millis (naive datetimes read as UTC — both engines' time
+    travel convention)."""
+    t = raw.strip()
+    if re.fullmatch(r"\d{12,}", t):
+        return int(t)
+    import datetime
+
+    try:
+        dt = datetime.datetime.fromisoformat(t)
+    except ValueError as e:
+        raise SqlDmlError(
+            f"TIMESTAMP AS OF {raw!r}: not epoch millis or an ISO "
+            "date[time]"
+        ) from e
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=datetime.timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
 def _rewrite_time_travel(
     s: str, tables
 ) -> tuple[str, dict[str, str]]:
@@ -436,14 +457,25 @@ def _rewrite_time_travel(
             pin_val = pin
         fmt = (
             "hms" if spec.startswith("hms://")
+            else "rest+iceberg" if spec.startswith(
+                ("rest+iceberg://", "rest+icebergs://")
+            )
             else spec.partition(":")[0]
         )
-        if kind == "TIMESTAMP" and fmt not in ("hudi",):
-            raise SqlDmlError(
-                f"TIMESTAMP AS OF is hudi-instant travel; {view!r} "
-                f"is {fmt!r} — use VERSION AS OF "
-                "(delta version / iceberg snapshot-id or ref)"
-            )
+        if kind == "TIMESTAMP":
+            if fmt in ("delta", "iceberg", "rest+iceberg"):
+                # lower onto the catalog's @ts: millis pin (delta
+                # timestampAsOf / iceberg snapshot-log semantics);
+                # accept integer millis or an ISO date[time] (naive
+                # = UTC, matching the engines' convention)
+                pin_val = f"ts:{_parse_ts_ms(pin_val)}"
+            elif fmt != "hudi":
+                raise SqlDmlError(
+                    f"TIMESTAMP AS OF needs a delta/iceberg/hudi "
+                    f"view; {view!r} is {fmt!r}"
+                )
+            # hudi: the raw pin IS the instant (the reader's
+            # as_of_instant string)
         tag = hashlib.sha1(
             f"{kind}:{pin_val}".encode()
         ).hexdigest()[:8]

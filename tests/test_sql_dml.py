@@ -891,14 +891,16 @@ class TestDropAndTimeTravel:
         ).first().n
         assert (n_first, n_cur) == (6, 9)
 
-    def test_timestamp_as_of_refuses_non_hudi(self, spark, tmp_path):
+    def test_timestamp_as_of_refuses_non_travel_formats(
+        self, spark, tmp_path
+    ):
         p = str(tmp_path / "ttr")
-        D.write_delta(_docs(spark, 3), p)
-        t = {"tt_r": f"delta:{p}"}
-        with pytest.raises(S.SqlDmlError, match="hudi-instant"):
+        _docs(spark, 3).write.parquet(p)
+        t = {"tt_r": f"parquet:{p}"}
+        with pytest.raises(S.SqlDmlError, match="delta/iceberg/hudi"):
             S.lakehouse_sql(
                 spark,
-                "SELECT * FROM tt_r TIMESTAMP AS OF '2026'",
+                "SELECT * FROM tt_r TIMESTAMP AS OF '2026-01-01'",
                 tables=t,
             )
 
@@ -1115,3 +1117,51 @@ class TestInsertReadPreamble:
         assert S.lakehouse_sql(
             spark, "SELECT count(*) AS n FROM kw_v", tables=t
         ).first().n == 3
+
+
+class TestTimestampTravel:
+    def test_timestamp_as_of_delta_and_iceberg(self, spark, tmp_path):
+        import time as _time
+
+        pd_, pi = str(tmp_path / "tsd"), str(tmp_path / "tsi")
+        D.write_delta(_docs(spark, 4), pd_)
+        I.write_iceberg_table(_docs(spark, 4).coalesce(1), pi)
+        _time.sleep(1.2)
+        cut_ms = int(_time.time() * 1000)
+        _time.sleep(1.2)
+        D.write_delta(
+            _docs(spark, 9).filter("doc_id >= 4"), pd_, mode="append"
+        )
+        I.write_iceberg_table(
+            _docs(spark, 9).filter("doc_id >= 4").coalesce(1), pi
+        )
+        t = {"ts_d": f"delta:{pd_}", "ts_i": f"iceberg:{pi}"}
+        for v in ("ts_d", "ts_i"):
+            assert S.lakehouse_sql(
+                spark, f"SELECT count(*) AS n FROM {v}", tables=t
+            ).first().n == 9
+            # epoch-millis form pins the pre-append snapshot
+            assert S.lakehouse_sql(
+                spark,
+                f"SELECT count(*) AS n FROM {v} "
+                f"TIMESTAMP AS OF '{cut_ms}'",
+                tables=t,
+            ).first().n == 4
+
+    def test_iso_form_and_refusals(self, spark, tmp_path):
+        p = str(tmp_path / "iso")
+        D.write_delta(_docs(spark, 3), p)
+        t = {"iso_v": f"delta:{p}"}
+        # a far-future ISO timestamp resolves to the latest version
+        assert S.lakehouse_sql(
+            spark,
+            "SELECT count(*) AS n FROM iso_v "
+            "TIMESTAMP AS OF '2100-01-01 00:00:00'",
+            tables=t,
+        ).first().n == 3
+        with pytest.raises(S.SqlDmlError, match="epoch millis"):
+            S.lakehouse_sql(
+                spark,
+                "SELECT * FROM iso_v TIMESTAMP AS OF 'not-a-time'",
+                tables=t,
+            )
