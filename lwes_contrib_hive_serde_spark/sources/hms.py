@@ -334,6 +334,34 @@ def create_table(
     raise HmsError(f"create_table failed on {db}.{name}: {msg}")
 
 
+def drop_table(
+    host: str,
+    port: int,
+    db: str,
+    name: str,
+    timeout: float = 30.0,
+) -> None:
+    """``drop_table(dbname, name, deleteData=false)`` — remove the
+    metastore ENTRY only: this engine never lets a catalog drop
+    cascade into storage deletion (data removal is the formats' own
+    distributed sweeps), so deleteData is pinned false. Unknown
+    tables raise the typed HmsError."""
+    body = (
+        enc_field(T_STRING, 1) + enc_string(db)
+        + enc_field(T_STRING, 2) + enc_string(name)
+        + enc_field(T_BOOL, 3) + struct.pack(">b", 0)
+        + enc_stop()
+    )
+    result = _call(host, port, "drop_table", body, timeout)
+    # field 1 = NoSuchObjectException, 2 = MetaException
+    bad = next((k for k in (1, 2) if k in result), None)
+    if bad is None:
+        return
+    detail = result[bad]
+    msg = detail.get(1) if isinstance(detail, dict) else str(detail)
+    raise HmsError(f"drop_table failed on {db}.{name}: {msg}")
+
+
 def get_all_tables(
     host: str, port: int, db: str, timeout: float = 30.0
 ) -> list[str]:

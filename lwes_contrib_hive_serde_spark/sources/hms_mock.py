@@ -91,6 +91,17 @@ class MockMetastore:
                             store.tables[key] = tbl
                             body_doc = {}
                     _t, body = hms.enc_value(body_doc)
+                elif name == "drop_table":
+                    key = (args.get(1), args.get(2))
+                    with store._lock:
+                        if key in store.tables:
+                            del store.tables[key]
+                            body_doc = {}
+                        else:
+                            body_doc = {1: {1: (
+                                f"{key[0]}.{key[1]} not found"
+                            )}}
+                    _t, body = hms.enc_value(body_doc)
                 elif name == "get_all_tables":
                     with store._lock:
                         names = sorted(

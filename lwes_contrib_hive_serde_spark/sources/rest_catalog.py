@@ -282,6 +282,49 @@ def create_namespace(
     )
 
 
+def drop_table(
+    base_url: str,
+    namespace: list[str],
+    table: str,
+    prefix: str | None = None,
+    token: str | None = None,
+) -> None:
+    """``DELETE /v1/{prefix}/namespaces/{ns}/tables/{table}`` —
+    remove the catalog ENTRY (no purge: storage deletion is the
+    formats' own sweeps; the spec's purgeRequested flag is never
+    sent). 404 → RestTableNotFound."""
+    ns = urllib.parse.quote("\x1f".join(namespace), safe="")
+    segs = _v1_segs(base_url, prefix) + [
+        "namespaces", ns, "tables", urllib.parse.quote(table, safe=""),
+    ]
+    url = "/".join(segs)
+    req = urllib.request.Request(url, method="DELETE")
+    req.add_header("Accept", "application/json")
+    tok = token or os.environ.get("ICEBERG_REST_TOKEN")
+    if tok:
+        req.add_header("Authorization", f"Bearer {tok}")
+    try:
+        with urllib.request.urlopen(req, timeout=30):
+            return
+    except urllib.error.HTTPError as e:
+        detail = ""
+        try:
+            detail = e.read().decode("utf-8", "replace")[:200]
+        except Exception:
+            pass
+        if e.code == 404:
+            raise RestTableNotFound(
+                f"REST catalog DELETE {url} -> HTTP 404: {detail}"
+            ) from e
+        raise RestCatalogError(
+            f"REST catalog DELETE {url} -> HTTP {e.code}: {detail}"
+        ) from e
+    except urllib.error.URLError as e:
+        raise RestCatalogError(
+            f"REST catalog unreachable at {url}: {e.reason}"
+        ) from e
+
+
 def register_table(
     base_url: str,
     namespace: list[str],

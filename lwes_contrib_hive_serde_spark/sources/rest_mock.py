@@ -214,6 +214,31 @@ class MockRestCatalog:
                     {"metadata-location": new_loc, "metadata": meta},
                 )
 
+            def do_DELETE(self):
+                cat.requests.append("DELETE " + self.path)
+                cat.auth.append(self.headers.get("Authorization"))
+                parts = [
+                    urllib.parse.unquote(p)
+                    for p in self.path.strip("/").split("/")
+                ]
+                if "namespaces" not in parts or "tables" not in parts:
+                    self._json(400, {"error": {"message": "bad route"}})
+                    return
+                ns = tuple(
+                    parts[parts.index("namespaces") + 1].split("\x1f")
+                )
+                tbl = parts[parts.index("tables") + 1]
+                with cat.lock:
+                    if (ns, tbl) not in cat.tables:
+                        self._json(404, {
+                            "error": {"message": "no such table"}
+                        })
+                        return
+                    del cat.tables[(ns, tbl)]
+                # the spec's 204 No Content — no body after headers
+                self.send_response(204)
+                self.end_headers()
+
             def _create_table(self, ns: tuple, req: dict):
                 import time
                 import uuid

@@ -490,3 +490,13 @@ class TestWirePresenceSemantics:
         finally:
             srv.shutdown()
             srv.server_close()
+
+
+class TestDropTable:
+    def test_drop_entry_only(self, metastore):
+        metastore["tables"][("db", "g")] = _table_struct("/tmp/g")
+        host, port = metastore["addr"].split(":")
+        hms.drop_table(host, int(port), "db", "g")
+        assert hms.get_all_tables(host, int(port), "db") == []
+        with pytest.raises(hms.HmsError, match="not found"):
+            hms.drop_table(host, int(port), "db", "g")

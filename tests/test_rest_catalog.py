@@ -442,3 +442,20 @@ class TestCreateReviewFindings:
         assert "absent2" not in R.list_tables(
             f"http://{rest_server['base']}", ["db"]
         )
+
+
+class TestDropTableRoute:
+    def test_drop_entry_only(self, spark, tmp_path, rest_server):
+        base = f"http://{rest_server['base']}"
+        p = str(tmp_path / "dropt")
+        I.write_iceberg_table(_docs(spark, 3).coalesce(1), p)
+        R.register_table(
+            base, ["db"], "gone", _current_metadata_location(p)
+        )
+        assert "gone" in R.list_tables(base, ["db"])
+        R.drop_table(base, ["db"], "gone")
+        assert "gone" not in R.list_tables(base, ["db"])
+        # entry-only: the data and metadata stay on storage
+        assert I.read_iceberg(spark, p).count() == 3
+        with pytest.raises(R.RestTableNotFound):
+            R.drop_table(base, ["db"], "gone")
