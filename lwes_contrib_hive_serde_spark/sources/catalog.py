@@ -58,19 +58,28 @@ def _load(spark: SparkSession, spec: str):
             f"table spec {spec!r} needs a 'format:path' shape"
         )
     path, at, pin = rest.partition("@")
-    # '@ts:<millis>' pins a TIMESTAMP for the formats whose readers
-    # take one (delta timestampAsOf semantics; iceberg snapshot-log
-    # resolution) — the SQL router's TIMESTAMP AS OF lowers onto it
+    # '@ts:<millis>' pins a TIMESTAMP for the travel formats (delta
+    # timestampAsOf; iceberg snapshot-log resolution; hudi instant
+    # conversion below) — the SQL router's TIMESTAMP AS OF lowers
+    # onto it. Digits required: an iceberg REF may legitimately be
+    # named 'ts:release' and must still resolve ref-first.
     ts_pin = (
-        int(pin[3:]) if at and pin.startswith("ts:") else None
+        int(pin[3:])
+        if at and pin.startswith("ts:") and pin[3:].isdigit()
+        else None
     )
     if fmt == "delta":
         from lwes_contrib_hive_serde_spark.sources import delta as D
 
-        if ts_pin is not None:
-            return D.read_delta(spark, path, timestamp_ms=ts_pin)
+        if at and ts_pin is None and not pin.lstrip("-").isdigit():
+            raise CatalogError(
+                f"@{pin} is not a delta version (int) or ts:<millis> "
+                f"pin on {path!r}"
+            )
         return D.read_delta(
-            spark, path, version=int(pin) if at else None
+            spark, path,
+            version=int(pin) if at and ts_pin is None else None,
+            timestamp_ms=ts_pin,
         )
     if fmt == "iceberg":
         from lwes_contrib_hive_serde_spark.sources import iceberg as I
@@ -97,6 +106,15 @@ def _load(spark: SparkSession, spec: str):
     if fmt == "hudi":
         from lwes_contrib_hive_serde_spark.sources import hudi as H
 
+        if ts_pin is not None:
+            # millis → the timeline's own instant format
+            # (yyyyMMddHHmmssSSS, UTC) so lexicographic as-of
+            # comparison is millisecond-exact
+            import time as _time
+
+            pin = _time.strftime(
+                "%Y%m%d%H%M%S", _time.gmtime(ts_pin / 1000)
+            ) + f"{ts_pin % 1000:03d}"
         return H.read_hudi(
             spark, path, as_of_instant=pin if at else None
         )

@@ -353,8 +353,10 @@ def drop_table(
         + enc_stop()
     )
     result = _call(host, port, "drop_table", body, timeout)
-    # field 1 = NoSuchObjectException, 2 = MetaException
-    bad = next((k for k in (1, 2) if k in result), None)
+    # hive_metastore.thrift declares drop_table's throws as
+    # 1=NoSuchObjectException, 3=MetaException — check 2 as well for
+    # safety, PRESENCE of any exception slot is failure
+    bad = next((k for k in (1, 2, 3) if k in result), None)
     if bad is None:
         return
     detail = result[bad]

@@ -99,26 +99,31 @@ def parse_rest_spec(path: str) -> tuple[str, str | None, list[str], str]:
     return base, (prefix or None) if slash else None, parts[:-1], parts[-1]
 
 
-def _request(url: str, token: str | None) -> dict:
-    req = urllib.request.Request(url, method="GET")
+def _request(url: str, token: str | None, method: str = "GET") -> dict:
+    """One bodyless request (GET/DELETE) → parsed JSON reply ({} on
+    an empty 204 body). 404 → RestTableNotFound, other HTTP errors →
+    RestCatalogError — ONE definition of the token/error scaffolding
+    for every bodyless route."""
+    req = urllib.request.Request(url, method=method)
     req.add_header("Accept", "application/json")
     if token:
         req.add_header("Authorization", f"Bearer {token}")
     try:
         with urllib.request.urlopen(req, timeout=30) as resp:
-            return json.loads(resp.read().decode("utf-8"))
+            raw = resp.read()
+            return json.loads(raw.decode("utf-8")) if raw else {}
     except urllib.error.HTTPError as e:
         body = ""
         try:
-            body = e.read().decode("utf-8", "replace")[:200]
+            body = e.read().decode("utf-8", "replace")[:300]
         except Exception:
             pass
         if e.code == 404:
             raise RestTableNotFound(
-                f"REST catalog GET {url} -> HTTP 404: {body}"
+                f"REST catalog {method} {url} -> HTTP 404: {body}"
             ) from e
         raise RestCatalogError(
-            f"REST catalog GET {url} -> HTTP {e.code}: {body}"
+            f"REST catalog {method} {url} -> HTTP {e.code}: {body}"
         ) from e
     except urllib.error.URLError as e:
         raise RestCatalogError(
@@ -297,32 +302,11 @@ def drop_table(
     segs = _v1_segs(base_url, prefix) + [
         "namespaces", ns, "tables", urllib.parse.quote(table, safe=""),
     ]
-    url = "/".join(segs)
-    req = urllib.request.Request(url, method="DELETE")
-    req.add_header("Accept", "application/json")
-    tok = token or os.environ.get("ICEBERG_REST_TOKEN")
-    if tok:
-        req.add_header("Authorization", f"Bearer {tok}")
-    try:
-        with urllib.request.urlopen(req, timeout=30):
-            return
-    except urllib.error.HTTPError as e:
-        detail = ""
-        try:
-            detail = e.read().decode("utf-8", "replace")[:200]
-        except Exception:
-            pass
-        if e.code == 404:
-            raise RestTableNotFound(
-                f"REST catalog DELETE {url} -> HTTP 404: {detail}"
-            ) from e
-        raise RestCatalogError(
-            f"REST catalog DELETE {url} -> HTTP {e.code}: {detail}"
-        ) from e
-    except urllib.error.URLError as e:
-        raise RestCatalogError(
-            f"REST catalog unreachable at {url}: {e.reason}"
-        ) from e
+    _request(
+        "/".join(segs),
+        token or os.environ.get("ICEBERG_REST_TOKEN"),
+        method="DELETE",
+    )
 
 
 def register_table(

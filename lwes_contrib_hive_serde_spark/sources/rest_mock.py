@@ -221,7 +221,11 @@ class MockRestCatalog:
                     urllib.parse.unquote(p)
                     for p in self.path.strip("/").split("/")
                 ]
-                if "namespaces" not in parts or "tables" not in parts:
+                if (
+                    "namespaces" not in parts
+                    or "tables" not in parts
+                    or parts.index("tables") + 1 >= len(parts)
+                ):
                     self._json(400, {"error": {"message": "bad route"}})
                     return
                 ns = tuple(

@@ -398,20 +398,35 @@ _TRAVEL_RE = re.compile(
 
 
 def _parse_ts_ms(raw: str) -> int:
-    """'1700000000000' | '2026-01-01' | '2026-01-01 12:30:00' →
-    epoch millis (naive datetimes read as UTC — both engines' time
-    travel convention)."""
-    t = raw.strip()
-    if re.fullmatch(r"\d{12,}", t):
-        return int(t)
+    """'1700000000000' | '2026-01-01[ 12:30:00]' |
+    '20260101123000[123]' → epoch millis (naive forms read as UTC —
+    the engines' time-travel convention). 14/17-digit strings try
+    the COMPACT yyyyMMddHHmmss[SSS] form first (the hudi-instant
+    shape a user used to instants will write) and only fall back to
+    epoch millis when the digits aren't a valid calendar date — a
+    14-digit epoch would mean year ~2600, a 14-digit instant means
+    this decade."""
     import datetime
 
+    t = raw.strip()
+    if t.isdigit():
+        if len(t) in (14, 17):
+            try:
+                dt = datetime.datetime.strptime(
+                    t[:14], "%Y%m%d%H%M%S"
+                ).replace(tzinfo=datetime.timezone.utc)
+                return int(dt.timestamp() * 1000) + (
+                    int(t[14:]) if len(t) == 17 else 0
+                )
+            except ValueError:
+                pass  # not a calendar date: read as epoch millis
+        return int(t)
     try:
         dt = datetime.datetime.fromisoformat(t)
     except ValueError as e:
         raise SqlDmlError(
-            f"TIMESTAMP AS OF {raw!r}: not epoch millis or an ISO "
-            "date[time]"
+            f"TIMESTAMP AS OF {raw!r}: not epoch millis, a compact "
+            "yyyyMMddHHmmss[SSS] instant, or an ISO date[time]"
         ) from e
     if dt.tzinfo is None:
         dt = dt.replace(tzinfo=datetime.timezone.utc)
@@ -463,19 +478,22 @@ def _rewrite_time_travel(
             else spec.partition(":")[0]
         )
         if kind == "TIMESTAMP":
-            if fmt in ("delta", "iceberg", "rest+iceberg"):
-                # lower onto the catalog's @ts: millis pin (delta
-                # timestampAsOf / iceberg snapshot-log semantics);
-                # accept integer millis or an ISO date[time] (naive
-                # = UTC, matching the engines' convention)
+            if fmt in (
+                "delta", "iceberg", "rest+iceberg", "hudi", "hms"
+            ):
+                # lower onto the catalog's @ts: millis pin — delta
+                # timestampAsOf / iceberg snapshot-log semantics;
+                # hudi converts millis back to a timeline instant;
+                # hms specs carry the pin THROUGH resolution onto
+                # whichever travel format the metastore names.
+                # Accepts epoch millis, compact instants, or ISO
+                # date[time] (naive = UTC).
                 pin_val = f"ts:{_parse_ts_ms(pin_val)}"
-            elif fmt != "hudi":
+            else:
                 raise SqlDmlError(
                     f"TIMESTAMP AS OF needs a delta/iceberg/hudi "
                     f"view; {view!r} is {fmt!r}"
                 )
-            # hudi: the raw pin IS the instant (the reader's
-            # as_of_instant string)
         tag = hashlib.sha1(
             f"{kind}:{pin_val}".encode()
         ).hexdigest()[:8]

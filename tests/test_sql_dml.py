@@ -942,10 +942,12 @@ class TestReadSurfaceReviewFindings:
         assert not any("__asof_" in x for x in shown)
 
     def test_distinct_pins_get_distinct_aliases(self, spark, tmp_path):
-        s_text = "SELECT 1 FROM v TIMESTAMP AS OF '2024-01-01 10.00' "
+        # iceberg REF pins stay raw strings: 'a-b' vs 'a.b' sanitize
+        # identically and must still get distinct aliases
         s2, tr = S._rewrite_time_travel(
-            s_text + "JOIN v TIMESTAMP AS OF '2024-01-01 10_00'",
-            {"v": "hudi:/nowhere"},
+            "SELECT 1 FROM v VERSION AS OF 'a-b' "
+            "JOIN v VERSION AS OF 'a.b'",
+            {"v": "iceberg:/nowhere"},
         )
         assert len(tr) == 2  # sanitize-identical pins stay distinct
 
@@ -1165,3 +1167,84 @@ class TestTimestampTravel:
                 "SELECT * FROM iso_v TIMESTAMP AS OF 'not-a-time'",
                 tables=t,
             )
+
+
+class TestTimestampForms:
+    def test_compact_instant_form_reads_as_datetime(self):
+        # 14-digit compact instants parse as yyyyMMddHHmmss (UTC),
+        # NOT as year-2600 epoch millis
+        assert S._parse_ts_ms("20260101123000") == S._parse_ts_ms(
+            "2026-01-01 12:30:00"
+        )
+        # 17-digit hudi-instant form carries millis
+        assert S._parse_ts_ms("20260101123000123") == (
+            S._parse_ts_ms("2026-01-01 12:30:00") + 123
+        )
+        # 13-digit epoch millis pass through
+        assert S._parse_ts_ms("1700000000000") == 1700000000000
+
+    def test_timestamp_as_of_through_hms_spec(self, spark, tmp_path):
+        import time as _time
+
+        from lwes_contrib_hive_serde_spark.sources import (
+            hms_mock as HM,
+        )
+
+        p = str(tmp_path / "hms_ts")
+        D.write_delta(_docs(spark, 4), p)
+        _time.sleep(1.2)
+        cut_ms = int(_time.time() * 1000)
+        _time.sleep(1.2)
+        D.write_delta(
+            _docs(spark, 9).filter("doc_id >= 4"), p, mode="append"
+        )
+        with HM.MockMetastore() as ms:
+            ms.register(
+                "db", "d",
+                HM.table_struct(
+                    p, params={"spark.sql.sources.provider": "delta"}
+                ),
+            )
+            t = {"hms_ts": ms.spec("db.d")}
+            assert S.lakehouse_sql(
+                spark,
+                f"SELECT count(*) AS n FROM hms_ts "
+                f"TIMESTAMP AS OF '{cut_ms}'",
+                tables=t,
+            ).first().n == 4
+
+    def test_timestamp_as_of_hudi(self, spark, tmp_path):
+        import time as _time
+
+        p = str(tmp_path / "hud_ts")
+        H.write_hudi_table(
+            _docs(spark, 4), p, record_key="doc_id"
+        )
+        _time.sleep(1.2)
+        cut_ms = int(_time.time() * 1000)
+        _time.sleep(1.2)
+        H.write_hudi_table(
+            _docs(spark, 9).filter("doc_id >= 4"), p,
+            record_key="doc_id",
+        )
+        t = {"hud_ts": f"hudi:{p}"}
+        assert S.lakehouse_sql(
+            spark, "SELECT count(*) AS n FROM hud_ts", tables=t
+        ).first().n == 9
+        # epoch-millis pin converts to the timeline instant form
+        assert S.lakehouse_sql(
+            spark,
+            f"SELECT count(*) AS n FROM hud_ts "
+            f"TIMESTAMP AS OF '{cut_ms}'",
+            tables=t,
+        ).first().n == 4
+
+    def test_iceberg_ref_named_like_ts_prefix(self, spark, tmp_path):
+        p = str(tmp_path / "refts")
+        I.write_iceberg_table(_docs(spark, 5).coalesce(1), p)
+        sid = I.load_table_metadata(p)["current-snapshot-id"]
+        I.iceberg_tag(p, "ts:release", sid)
+        # ref-first resolution survives the ts: prefix (digits gate)
+        assert C.load_spec(
+            spark, f"iceberg:{p}@ts:release"
+        ).count() == 5
