@@ -395,6 +395,7 @@ def q_outer_joins(spark, sf_dir):
     """,
     doc="Non-equi (theta) join → BroadcastNestedLoopJoin; both sides tiny, "
     "at scale the small side must be the broadcast one.",
+    shadow=True,  # rotated out of the gated window in r14
 )
 def q_theta(spark, sf_dir):
     r = table(spark, sf_dir, "region")
@@ -563,6 +564,7 @@ def q_gsets(spark, sf_dir):
     "approximate operator hash-checkable (the oracle emits TRUE). At "
     "100 TB the HLL sketches merge map-side — distinct-count without "
     "shuffling the key space.",
+    shadow=True,  # rotated out of the gated window in r14
 )
 def q_distinct_counts(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
@@ -886,6 +888,7 @@ def q_time_window(spark, sf_dir):
     """,
     doc="LATERAL VIEW posexplode (Hive UDTF surface) — Generate operator; "
     "position is 0-based like Spark's posexplode.",
+    shadow=True,  # rotated out of the gated window in r14
 )
 def q_lateral_posexplode(spark, sf_dir):
     p = table(spark, sf_dir, "part")
@@ -940,6 +943,7 @@ def q_lateral_posexplode(spark, sf_dir):
     "are pinned by tests/test_operators.py::"
     "test_session_window_exact_gap_boundary, so a TESTDATA change "
     "landing on the boundary cannot silently diverge.",
+    shadow=True,  # rotated out of the gated window in r14
 )
 def q_session_window(spark, sf_dir):
     ev = table(spark, sf_dir, "events")

@@ -9476,7 +9476,7 @@ def _documents_delta_mapped(spark, sf_dir: str) -> str:
 
 @register(
     "q_delta_column_mapping",
-    shadow=True,
+    # gated since r14 (rotated in from shadow)
     oracle="""
     WITH base AS (
       SELECT doc_id, text, lang, n_chars FROM documents
@@ -9822,7 +9822,7 @@ def _documents_iceberg_dml_deleted(spark, sf_dir: str) -> str:
 
 @register(
     "q_iceberg_dml_delete",
-    shadow=True,
+    # gated since r14 (rotated in from shadow)
     oracle="""
     SELECT lang,
            COUNT(*) AS n,
@@ -10215,7 +10215,7 @@ def _documents_delta_dv_merge(spark, sf_dir: str) -> str:
 
 @register(
     "q_delta_dv_merge",
-    shadow=True,
+    # gated since r14 (rotated in from shadow)
     oracle="""
     WITH final AS (
       SELECT doc_id, lang,
@@ -10388,7 +10388,7 @@ def q_hudi_snapshot(spark, sf_dir):
 
 @register(
     "q_hudi_incremental",
-    shadow=True,
+    # gated since r14 (rotated in from shadow)
     oracle="""
     WITH changed AS (
       SELECT doc_id, lang,
@@ -11394,7 +11394,7 @@ def _documents_hms_table(spark, sf_dir: str) -> str:
 
 @register(
     "q_hms_commit",
-    shadow=True,
+    # gated since r14 (rotated in from shadow)
     oracle="""
     SELECT lang, COUNT(*) AS n,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

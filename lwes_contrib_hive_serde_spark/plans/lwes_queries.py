@@ -19,6 +19,9 @@ from lwes_contrib_hive_serde_spark.plans.corpus import Q, dsum, table
 
 REGISTRY: dict[str, Q] = {}
 
+# See plans/corpus.py SHADOW: oracle-checked locally, not driver-gated.
+SHADOW: dict[str, Q] = {}
+
 # bump when the journal encode layout changes — keyed into the /tmp
 # cache path so a stale cache from an older code version never serves
 # a newer reader
@@ -37,9 +40,9 @@ def _source_tag(sf_dir: str) -> str:
         return tag
 
 
-def register(name: str, oracle=None, doc: str = ""):
+def register(name: str, oracle=None, doc: str = "", shadow: bool = False):
     def deco(fn):
-        REGISTRY[name] = Q(fn, oracle, doc)
+        (SHADOW if shadow else REGISTRY)[name] = Q(fn, oracle, doc)
         return fn
 
     return deco
@@ -268,6 +271,7 @@ def _events_v2_journal(spark, sf_dir: str) -> str:
     "so a hash match proves range-split decoding is exact (every "
     "record once, none duplicated at block boundaries) AND the "
     "zlib-block round-trip is lossless.",
+    shadow=True,  # rotated out of the gated window in r14
 )
 def q_v2_split(spark, sf_dir):
     out = _events_v2_journal(spark, sf_dir)

@@ -45,13 +45,17 @@ def _plan(df) -> str:
 @pytest.fixture(scope="module")
 def plans(spark):
     import __spark_entry__ as em
-    from lwes_contrib_hive_serde_spark.plans import corpus, extension_queries
+    from lwes_contrib_hive_serde_spark.plans import (
+        corpus,
+        extension_queries,
+        lwes_queries,
+    )
 
     sf = "/root/testdata/sf0.001"
     fns = dict(em.queries())
     # shadow entries (displaced from the gated window) keep the same
     # plan invariants
-    for reg in (corpus.SHADOW, extension_queries.SHADOW):
+    for reg in (corpus.SHADOW, extension_queries.SHADOW, lwes_queries.SHADOW):
         for name, q in reg.items():
             fns.setdefault(name, q.spark_fn)
     out = {}

@@ -17,10 +17,14 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def _shadow_entries():
-    from lwes_contrib_hive_serde_spark.plans import corpus, extension_queries
+    from lwes_contrib_hive_serde_spark.plans import (
+        corpus,
+        extension_queries,
+        lwes_queries,
+    )
 
     out = {}
-    for reg in (corpus.SHADOW, extension_queries.SHADOW):
+    for reg in (corpus.SHADOW, extension_queries.SHADOW, lwes_queries.SHADOW):
         out.update(reg)
     return out
 

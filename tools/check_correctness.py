@@ -83,9 +83,13 @@ def main():
     if "--shadow" in sys.argv[1:]:
         # also check the non-driver-gated shadow entries (see
         # plans/corpus.py SHADOW)
-        from lwes_contrib_hive_serde_spark.plans import corpus, extension_queries
+        from lwes_contrib_hive_serde_spark.plans import (
+            corpus,
+            extension_queries,
+            lwes_queries,
+        )
 
-        for reg in (corpus.SHADOW, extension_queries.SHADOW):
+        for reg in (corpus.SHADOW, extension_queries.SHADOW, lwes_queries.SHADOW):
             for name, q in reg.items():
                 qs[name] = q.spark_fn
                 if q.oracle is not None:
