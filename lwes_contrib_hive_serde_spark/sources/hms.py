@@ -28,7 +28,11 @@ spec (binary strict framing; field/map/list/struct encodings) with
 a skip-capable reader, so unknown fields in newer HMS versions pass
 through harmlessly. No thrift library exists in this container —
 and the wire format is small enough that carrying one would not
-pay for itself.
+pay for itself. Decode→re-encode round trips (alter_table) preserve
+integer wire widths via ``TypedInt`` (a Hive 3+ Table's i64 writeId
+stays i64); this is exercised against the in-repo mock metastore —
+a real metastore remains out of reach in this sandbox, so treat the
+commit tier as spec-conformant-by-construction, not interop-proven.
 
 COMMIT tier (round 13): ``commit_iceberg_pointer`` CAS-swaps an
 HMS-cataloged Iceberg table's current-metadata pointer the way the
@@ -109,17 +113,53 @@ def enc_stop() -> bytes:
     return struct.pack(">b", T_STOP)
 
 
+class TypedInt(int):
+    """An int decoded from a non-i32 thrift slot (byte/i16/i64).
+    Carries its wire type (class attribute on a width-specific
+    subclass — int instances are immutable) so a decode→re-encode
+    round trip (the alter_table_cas path) emits the ORIGINAL width:
+    a Hive 3+ Table's i64 fields (e.g. writeId) must not come back
+    as i32. Compares/computes as a plain int everywhere else."""
+
+    __slots__ = ()
+    wire_type: int = T_I32
+
+
+_TYPED_INT_CLASSES: dict[int, type] = {}
+
+
+def _typed_int(value: int, wire_type: int) -> int:
+    cls = _TYPED_INT_CLASSES.get(wire_type)
+    if cls is None:
+        cls = type(
+            f"TypedInt_{wire_type}",
+            (TypedInt,),
+            {"__slots__": (), "wire_type": wire_type},
+        )
+        _TYPED_INT_CLASSES[wire_type] = cls
+    return cls(value)
+
+_INT_PACK = {T_BYTE: ">b", T_I16: ">h", T_I32: ">i", T_I64: ">q"}
+
+
 def enc_value(val) -> tuple[int, bytes]:
     """(thrift type, encoded bytes) for the python values the mock
-    and client exchange: str, bool, int (i32), dict[str,str] (map),
-    list (of structs or strings), and dict-with-int-keys = struct
-    {field_id: (type?, value) | value}."""
+    and client exchange: str, bool, int (i32 unless it is a
+    ``TypedInt`` carrying its decoded width), float (double),
+    dict[str,str] (map), list (of structs or strings), and
+    dict-with-int-keys = struct {field_id: (type?, value) | value}."""
     if isinstance(val, bool):
         return T_BOOL, struct.pack(">b", 1 if val else 0)
     if isinstance(val, str):
         return T_STRING, enc_string(val)
+    if isinstance(val, TypedInt):
+        return val.wire_type, struct.pack(
+            _INT_PACK[val.wire_type], int(val)
+        )
     if isinstance(val, int):
         return T_I32, struct.pack(">i", val)
+    if isinstance(val, float):
+        return T_DOUBLE, struct.pack(">d", val)
     if isinstance(val, dict) and all(isinstance(k, int) for k in val):
         out = b""
         for fid, v in sorted(val.items()):
@@ -180,15 +220,15 @@ class _Reader:
         if ftype == T_BOOL:
             return bool(self.i8())
         if ftype == T_BYTE:
-            return self.i8()
+            return _typed_int(self.i8(), T_BYTE)
         if ftype == T_DOUBLE:
             return struct.unpack(">d", self._take(8))[0]
         if ftype == T_I16:
-            return self.i16()
+            return _typed_int(self.i16(), T_I16)
         if ftype == T_I32:
             return self.i32()
         if ftype == T_I64:
-            return self.i64()
+            return _typed_int(self.i64(), T_I64)
         if ftype == T_STRING:
             return self.string()
         if ftype == T_STRUCT:
@@ -429,11 +469,12 @@ def alter_table_cas(
     (absent compares as the empty string — the initial-pointer
     case); a mismatch raises the typed HmsCommitConflict.
 
-    ``new_tbl`` is a field-id dict as returned by get_table. Note
-    the round-trip restriction of this wire subset: integer values
-    re-encode as i32 — the Table struct fields resolution and the
-    pointer swap touch (strings, maps, nested structs) are all
-    covered losslessly."""
+    ``new_tbl`` is a field-id dict as returned by get_table. The
+    decode→re-encode round trip is width-lossless: non-i32 integer
+    slots come back from the decoder as ``TypedInt`` subclasses
+    carrying their wire type, so a Hive 3+ Table's i64 fields (e.g.
+    writeId) re-encode at their original width rather than being
+    silently narrowed to i32."""
     env = {
         EC_PROPERTIES: {
             EXPECTED_KEY: expected_key,

@@ -347,7 +347,9 @@ def create_table(
     """``POST /v1/{prefix}/namespaces/{ns}/tables`` — the spec's
     CreateTableRequest. The CATALOG owns metadata creation: it
     assigns the location when none is passed (its warehouse
-    convention), builds and stores the v1 TableMetadata, and answers
+    convention), builds and stores the initial TableMetadata (the
+    format version is the catalog's choice — typically v2; the
+    reader handles v1/v2/v3 alike), and answers
     a LoadTableResult ({metadata-location, metadata}) exactly like
     loadTable — so create-then-append needs no second round trip.
     ``schema`` is an Iceberg struct schema document; an already-

@@ -281,7 +281,7 @@ def lakehouse_sql(
     sql: str,
     strategy: str = "dv",
     tables: dict[str, str] | None = None,
-) -> dict:
+) -> dict | DataFrame:
     """Execute one lakehouse statement. DML/maintenance statements
     return the underlying verb's result dict plus {"statement",
     "table"}; the READ surface (round 13: SELECT/WITH passthrough,
@@ -291,7 +291,14 @@ def lakehouse_sql(
     read/write/maintenance script over delta/iceberg/hudi paths and
     hms:// / rest+iceberg:// catalog specs alike. ``strategy``:
     Delta DML runs merge-on-read ('dv', the modern writer shape) or
-    copy-on-write ('cow'); other formats have one shape each."""
+    copy-on-write ('cow'); other formats have one shape each.
+
+    ``tables`` scoping: on the READ surface a per-call mapping is
+    TRANSIENT — its views materialize as session temp views only and
+    never enter the catalog registry (SHOW TABLES / later DML do not
+    see them). A mapping passed to a WRITE verb names that verb's
+    target and IS promoted into the registry (the statement mutates
+    the table, so later statements must resolve it)."""
     if strategy not in ("dv", "cow"):
         raise SqlDmlError(f"strategy must be dv|cow, got {strategy!r}")
     s = sql.strip().rstrip(";").strip()
@@ -357,8 +364,26 @@ def _prepare_reads(spark, s: str, tables) -> str:
     }
     from lwes_contrib_hive_serde_spark.sources import catalog as C
 
-    if refs:
-        C.register_lakehouse(spark, refs)
+    # per-call ``tables`` entries are TRANSIENT: they materialize as
+    # session temp views (like travel aliases below) and never enter
+    # the catalog registry — a one-off SELECT with an ephemeral
+    # mapping must not leak registrations into later SHOW TABLES/DML.
+    # Already-registered names re-register (head re-pin) as usual.
+    registered = C.registered_specs()
+    # re-pin only names whose spec IS the registered one; new names
+    # AND per-call overrides of a registered name stay transient (the
+    # next statement that references the name re-registers it from
+    # the registry, undoing the shadow)
+    promote = {
+        n: sp for n, sp in refs.items() if registered.get(n) == sp
+    }
+    transient = {
+        n: sp for n, sp in refs.items() if registered.get(n) != sp
+    }
+    if promote:
+        C.register_lakehouse(spark, promote)
+    for name, spec in transient.items():
+        C.load_spec(spark, spec).createOrReplaceTempView(name)
     for alias, spec in travel.items():
         # travelled pins are TRANSIENT temp views, never catalog
         # registrations — SHOW TABLES must not accumulate phantom
@@ -381,12 +406,15 @@ def _run_select(spark, s, tables) -> DataFrame:
 
     Time travel (Spark's own table-clause syntax): ``<view> VERSION
     AS OF <pin>`` pins a Delta version / Iceberg snapshot-id-or-ref
-    / Hudi instant; ``<view> TIMESTAMP AS OF '<instant>'`` pins a
-    Hudi instant (Delta/Iceberg refuse by name — their catalog pins
-    are version/snapshot shaped). Each travelled reference is
-    rewritten onto a pinned registration (the catalog's @pin
-    semantics) under a derived view name, so the statement still
-    runs through plain spark.sql."""
+    / Hudi instant; ``<view> TIMESTAMP AS OF '<instant>'`` works
+    for delta/iceberg/rest+iceberg/hudi/hms views alike — the
+    instant lowers onto the catalog's ``@ts:`` millis pin (Delta
+    timestampAsOf, Iceberg snapshot-log lookup, Hudi timeline
+    instant; hms specs carry the pin through resolution). Only
+    non-travel formats (parquet/lwes/jsonl/...) refuse. Each
+    travelled reference is rewritten onto a pinned registration
+    (the catalog's @pin semantics) under a derived view name, so
+    the statement still runs through plain spark.sql."""
     return spark.sql(_prepare_reads(spark, s, tables))
 
 

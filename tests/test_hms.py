@@ -243,6 +243,50 @@ class TestWireCodec:
 
         roundtrip()
 
+    def test_typed_int_width_preserved(self):
+        """ADVICE r13: non-i32 int slots must re-encode at their
+        ORIGINAL wire width after a decode→re-encode round trip (the
+        alter_table_cas path on a Hive 3+ Table with i64 writeId)."""
+        import struct as _s
+
+        for wire, fmt, val in (
+            (hms.T_BYTE, ">b", 7),
+            (hms.T_I16, ">h", -1234),
+            (hms.T_I64, ">q", 5_000_000_000),  # > i32 range
+        ):
+            raw = _s.pack(fmt, val)
+            buf = bytearray(raw)
+
+            def recv(n, _b=buf):
+                out = bytes(_b[:n])
+                del _b[:n]
+                return out
+
+            got = hms._Reader(recv).value(wire)
+            assert got == val
+            assert isinstance(got, hms.TypedInt)
+            ftype2, data2 = hms.enc_value(got)
+            assert ftype2 == wire, (wire, ftype2)
+            assert data2 == raw
+        # plain python ints still encode as i32
+        ftype, _ = hms.enc_value(42)
+        assert ftype == hms.T_I32
+        # struct containing an i64 field round-trips the width
+        ftype, data = hms.enc_value({1: hms._typed_int(9, hms.T_I64)})
+        assert data[0:1] == _s.pack(">b", hms.T_I64)
+
+    def test_double_encodes(self):
+        ftype, data = hms.enc_value(1.5)
+        assert ftype == hms.T_DOUBLE
+        buf = bytearray(data)
+
+        def recv(n):
+            out = bytes(buf[:n])
+            del buf[:n]
+            return out
+
+        assert hms._Reader(recv).value(hms.T_DOUBLE) == 1.5
+
     def test_message_framing_roundtrip(self):
         body = hms.enc_field(hms.T_STRING, 1) + hms.enc_string(
             "db"

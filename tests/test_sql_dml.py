@@ -979,6 +979,69 @@ class TestReadSurfaceReviewFindings:
         assert "np_v" in shown
 
 
+class TestTablesParamScoping:
+    """ADVICE r13: a per-call ``tables={...}`` mapping on the READ
+    surface is transient — it must never leak into the catalog
+    registry (later SHOW TABLES / DML resolution)."""
+
+    def test_ephemeral_select_does_not_register(self, spark, tmp_path):
+        p = str(tmp_path / "eph")
+        D.write_delta(_docs(spark, 9), p)
+        t = {"eph_v": f"delta:{p}"}
+        n = S.lakehouse_sql(
+            spark, "SELECT count(*) AS n FROM eph_v", tables=t
+        ).first().n
+        assert n == 9
+        assert "eph_v" not in C.registered_specs()
+        shown = [
+            r.table
+            for r in S.lakehouse_sql(spark, "SHOW TABLES").collect()
+        ]
+        assert "eph_v" not in shown
+
+    def test_override_of_registered_name_is_transient(
+        self, spark, tmp_path
+    ):
+        pa = str(tmp_path / "a")
+        pb = str(tmp_path / "b")
+        D.write_delta(_docs(spark, 5), pa)
+        D.write_delta(_docs(spark, 11), pb)
+        C.register_lakehouse(spark, {"ovr_v": f"delta:{pa}"})
+        try:
+            # per-call override shadows for THIS statement only
+            n = S.lakehouse_sql(
+                spark,
+                "SELECT count(*) AS n FROM ovr_v",
+                tables={"ovr_v": f"delta:{pb}"},
+            ).first().n
+            assert n == 11
+            assert C.registered_specs()["ovr_v"] == f"delta:{pa}"
+            # the next plain statement re-resolves the REGISTERED spec
+            n2 = S.lakehouse_sql(
+                spark, "SELECT count(*) AS n FROM ovr_v"
+            ).first().n
+            assert n2 == 5
+        finally:
+            C.unregister_lakehouse(spark, "ovr_v")
+
+    def test_dml_target_mapping_still_promotes(self, spark, tmp_path):
+        p = str(tmp_path / "dmlp")
+        D.write_delta(_docs(spark, 20), p)
+        t = {"dml_v": f"delta:{p}"}
+        S.lakehouse_sql(
+            spark, "DELETE FROM dml_v WHERE bucket = 0", tables=t
+        )
+        try:
+            # write verbs promote: later statements resolve the table
+            assert C.registered_specs()["dml_v"] == f"delta:{p}"
+            n = S.lakehouse_sql(
+                spark, "SELECT count(*) AS n FROM dml_v"
+            ).first().n
+            assert n == 13
+        finally:
+            C.unregister_lakehouse(spark, "dml_v")
+
+
 class TestRestSpecInRouter:
     def test_select_and_describe_through_rest_spec(
         self, spark, tmp_path
