@@ -1470,7 +1470,14 @@ def _footer_stats(parquet_path: str, filesystem=None) -> str:
                 nulls[name] = nulls.get(name, 0) + st.null_count
             if not st.has_min_max:
                 continue
-            lo, hi = _plain(st.min), _plain(st.max)
+            try:
+                lo, hi = _plain(st.min), _plain(st.max)
+            except NotImplementedError:
+                # pyarrow can't cast this type's statistics (e.g.
+                # decimal in pyarrow 16: ArrowNotImplementedError
+                # "Cannot extract statistics") — skip bounds, keep
+                # null counts; the column just isn't skippable
+                continue
             if lo is None or hi is None:
                 continue
             if name not in mins or lo < mins[name]:

@@ -1404,6 +1404,40 @@ def _spark_to_iceberg_type(dtype) -> object:
     )
 
 
+def iceberg_schema_doc(schema) -> dict:
+    """Spark StructType → the Iceberg struct-schema document a
+    catalog CreateTableRequest carries (field ids assigned 1..n in
+    declaration order, the fresh-table convention)."""
+    return {
+        "type": "struct",
+        "fields": [
+            {
+                "id": i,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": _spark_to_iceberg_type(f.dataType),
+            }
+            for i, f in enumerate(schema.fields, start=1)
+        ],
+    }
+
+
+def identity_spec_fields(schema, partition_by) -> list[dict]:
+    """IDENTITY partition-spec field documents for a fresh table
+    (source ids follow iceberg_schema_doc's 1..n assignment;
+    field ids start at the spec's reserved 1000)."""
+    names = [f.name for f in schema.fields]
+    return [
+        {
+            "name": c,
+            "transform": "identity",
+            "source-id": names.index(c) + 1,
+            "field-id": 1000 + k,
+        }
+        for k, c in enumerate(partition_by or [])
+    ]
+
+
 def write_iceberg_table(
     df: DataFrame,
     path: str,
@@ -1510,28 +1544,8 @@ def write_iceberg_table(
             # caller's retry signal.
             if not create_missing:
                 raise
-            schema_doc = {
-                "type": "struct",
-                "fields": [
-                    {
-                        "id": i,
-                        "name": f.name,
-                        "required": not f.nullable,
-                        "type": _spark_to_iceberg_type(f.dataType),
-                    }
-                    for i, f in enumerate(df.schema.fields, start=1)
-                ],
-            }
-            names = [f.name for f in df.schema.fields]
-            spec_fields = [
-                {
-                    "name": c,
-                    "transform": "identity",
-                    "source-id": names.index(c) + 1,
-                    "field-id": 1000 + k,
-                }
-                for k, c in enumerate(partition_by or [])
-            ]
+            schema_doc = iceberg_schema_doc(df.schema)
+            spec_fields = identity_spec_fields(df.schema, partition_by)
             created = rest_catalog.create_table(
                 base, ns, table, schema_doc,
                 partition_spec=spec_fields, prefix=prefix,

@@ -260,12 +260,43 @@ def _resolve(view: str, tables: dict[str, str] | None) -> tuple[str, str]:
             f"{view!r} is pinned ({spec!r}); DML targets the "
             "CURRENT snapshot — register an unpinned spec"
         )
+    if fmt in ("hms", "rest+iceberg", "rest+icebergs"):
+        raise SqlDmlError(
+            f"{view!r} is catalog-registered ({fmt}); INSERT INTO "
+            "is the catalog-routed DML verb (append commits through "
+            "the catalog CAS) — predicate DML on a catalog table "
+            "needs a path registration of its current location"
+        )
     if fmt not in ("delta", "iceberg", "hudi"):
         raise SqlDmlError(
             f"DML needs a delta/iceberg/hudi table; {view!r} is "
             f"{fmt!r}"
         )
     return fmt, path
+
+
+def _resolve_insert(
+    view: str, tables: dict[str, str] | None
+) -> tuple[str, str]:
+    """INSERT's resolver: like _resolve, but an hms:// or
+    rest+iceberg:// spec resolves to ('iceberg', <the spec itself>)
+    — write_iceberg_table speaks both schemes and commits the
+    append through the catalog's own CAS (thrift pointer swap /
+    REST updateTable), so INSERT INTO a catalog-registered table is
+    first-class."""
+    from lwes_contrib_hive_serde_spark.sources import catalog as C
+
+    spec = (tables or {}).get(view) or C.registered_specs().get(view)
+    if spec is not None and spec.startswith(
+        ("hms://", "rest+iceberg://", "rest+icebergs://")
+    ):
+        if "@" in spec:
+            raise SqlDmlError(
+                f"{view!r} is pinned ({spec!r}); DML targets the "
+                "CURRENT snapshot — register an unpinned spec"
+            )
+        return "iceberg", spec
+    return _resolve(view, tables)
 
 
 def _refresh(spark: SparkSession, view: str,
@@ -806,42 +837,203 @@ def _run_describe(spark, s, tables):
             "history": hist}
 
 
-def _run_create(spark, s, strategy, tables) -> dict:
-    """CREATE TABLE <name> USING delta|iceberg|hudi LOCATION '<p>'
-    [PARTITIONED BY (c, ...)] [TBLPROPERTIES (...)] AS <select> —
-    CTAS into a lakehouse table, then register the view so plain
-    spark.sql sees it. Hudi additionally needs OPTIONS
-    (recordkey '<col>')."""
-    m = re.match(
-        rf"CREATE\s+TABLE\s+({_IDENT})\s+USING\s+({_IDENT})\s+(.*?)"
-        rf"\s+AS\s+((?:SELECT|WITH|TABLE|VALUES)\b.+)$",
-        s,
+def _parse_create_head(s: str):
+    """``CREATE TABLE <name> [(col type, ...)] USING <fmt> ...`` →
+    (view, cols_ddl|None, fmt, clauses, select|None). The optional
+    column list is scanned with paren balancing (types like
+    decimal(10,2) nest); the optional ``AS <select>`` tail is split
+    at the FIRST top-level AS-SELECT boundary."""
+    head = re.match(rf"CREATE\s+TABLE\s+({_IDENT})\s*", s, re.I)
+    if not head:
+        return None
+    view, rest = head.group(1), s[head.end():]
+    cols_ddl = None
+    if rest.startswith("("):
+        depth = 0
+        end = -1
+        for i, ch in enumerate(rest):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+        if end < 0:
+            raise SqlDmlError("CREATE TABLE: unbalanced column list")
+        cols_ddl = rest[1:end].strip()
+        rest = rest[end + 1:].lstrip()
+    # split the CTAS body first (leftmost AS-SELECT boundary, same
+    # rule as the pre-r14 grammar), then parse USING + clauses on
+    # what precedes it
+    select = None
+    am = re.search(
+        r"\s+AS\s+((?:SELECT|WITH|TABLE|VALUES)\b.+)$",
+        rest,
         re.I | re.S,
     )
+    if am:
+        select = am.group(1)
+        rest = rest[: am.start()]
+    m = re.match(rf"USING\s+({_IDENT})\s*(.*)$", rest, re.I | re.S)
     if not m:
+        return None
+    return view, cols_ddl, m.group(1).lower(), m.group(2), select
+
+
+def _create_through_catalog(
+    spark, fmt, cat_spec, path, df, partition_by, props, km
+) -> dict:
+    """SQL-driven table birth onto the catalog tiers: register the
+    identifier in the catalog (thrift create_table / REST
+    createTable), then land the first snapshot through the SAME
+    commit CAS every later write rides. CREATE semantics: an
+    existing identifier is an error, never an append."""
+    if fmt != "iceberg":
         raise SqlDmlError(
-            "CREATE needs \"CREATE TABLE <name> USING "
-            "delta|iceberg|hudi LOCATION '<path>' [PARTITIONED BY "
-            "(...)] [OPTIONS (recordkey '<col>')] AS SELECT ...\""
+            "CATALOG '<spec>' creation is iceberg-shaped (the hms "
+            "table_type=ICEBERG / REST-catalog conventions); "
+            f"USING {fmt} takes a plain LOCATION"
         )
-    view, fmt, clauses, select = (
-        m.group(1), m.group(2).lower(), m.group(3), m.group(4),
+    if props:
+        raise SqlDmlError(
+            "TBLPROPERTIES routes to delta_set_properties; a "
+            "CATALOG-routed iceberg CREATE does not support it"
+        )
+    if km:
+        raise SqlDmlError(
+            "OPTIONS (recordkey ...) is hudi-only; a CATALOG-routed "
+            "iceberg CREATE does not take it"
+        )
+    from lwes_contrib_hive_serde_spark.sources import (
+        hms,
+        iceberg as I,
+        rest_catalog,
     )
+
+    if hms.is_hms_spec(cat_spec):
+        if not path:
+            raise SqlDmlError(
+                "CREATE ... CATALOG 'hms://…' needs LOCATION "
+                "'<path>' — the metastore entry's sd.location is "
+                "where data files land (HMS assigns no warehouse "
+                "location of its own)"
+            )
+        host, port, db, tbl = hms.parse_hms_spec(cat_spec)
+        hms.create_table(
+            host, port, db, tbl,
+            {
+                hms.F_SD: {
+                    hms.SD_LOCATION: path,
+                    hms.SD_INPUT_FORMAT: "",
+                    hms.SD_SERDE: {hms.SERDE_LIB: ""},
+                },
+                # the Iceberg HiveCatalog convention; the pointer
+                # (metadata_location) initializes on the first
+                # commit below with expected=""
+                hms.F_PARAMETERS: {"table_type": "ICEBERG"},
+            },
+        )
+        sid = I.write_iceberg_table(
+            df, cat_spec, partition_by=partition_by or None
+        )
+        return {"snapshot_id": sid}
+    if rest_catalog.is_rest_spec(cat_spec):
+        try:
+            rest_catalog.resolve_table(cat_spec)
+        except rest_catalog.RestTableNotFound:
+            pass
+        else:
+            raise SqlDmlError(
+                f"CREATE TABLE: {cat_spec!r} already exists in the "
+                "catalog (INSERT INTO to append)"
+            )
+        if path:
+            # explicit location overrides the catalog's warehouse
+            # assignment — create here, then append-through-catalog
+            base, prefix, ns, tbl = rest_catalog.parse_rest_spec(
+                cat_spec
+            )
+            rest_catalog.create_table(
+                base, ns, tbl,
+                I.iceberg_schema_doc(df.schema),
+                location=path,
+                partition_spec=I.identity_spec_fields(
+                    df.schema, partition_by
+                ),
+                prefix=prefix,
+            )
+        sid = I.write_iceberg_table(
+            df, cat_spec, partition_by=partition_by or None
+        )
+        return {"snapshot_id": sid}
+    raise SqlDmlError(
+        f"CATALOG spec must be hms:// or rest+iceberg://: "
+        f"{cat_spec!r}"
+    )
+
+
+def _run_create(spark, s, strategy, tables) -> dict:
+    """CREATE TABLE <name> [(col type, ...)] USING delta|iceberg|hudi
+    LOCATION '<p>' [PARTITIONED BY (c, ...)] [TBLPROPERTIES (...)]
+    [AS <select>] — CTAS (or an empty table from the column list)
+    into a lakehouse table, then register the view so plain
+    spark.sql sees it. Hudi additionally needs OPTIONS
+    (recordkey '<col>').
+
+    Catalog-routed creation (round 14): ``USING iceberg CATALOG
+    '<hms://host:port/db.tbl>' LOCATION '<path>'`` registers the
+    table in the Hive metastore (table_type=ICEBERG at sd.location
+    = the LOCATION path) and commits the first snapshot through the
+    thrift CAS pointer swap; ``USING iceberg CATALOG
+    '<rest+iceberg://host[/prefix]#ns.tbl>' [LOCATION '<path>']``
+    creates through the REST catalog's createTable (the catalog
+    assigns the location when none is passed) and appends through
+    its commit CAS. Either way the view registers under the CATALOG
+    spec, so later statements resolve the table's current head
+    through the catalog — SQL-driven table birth onto the same
+    routes write_iceberg_table speaks."""
+    parsed = _parse_create_head(s)
+    if parsed is None:
+        raise SqlDmlError(
+            "CREATE needs \"CREATE TABLE <name> [(col type, ...)] "
+            "USING delta|iceberg|hudi [CATALOG '<spec>'] LOCATION "
+            "'<path>' [PARTITIONED BY (...)] [OPTIONS (recordkey "
+            "'<col>')] [AS SELECT ...]\""
+        )
+    view, cols_ddl, fmt, clauses, select = parsed
     if fmt not in ("delta", "iceberg", "hudi"):
         raise SqlDmlError(
             f"CREATE TABLE USING {fmt!r}: delta|iceberg|hudi only"
         )
+    if cols_ddl is not None and select is not None:
+        raise SqlDmlError(
+            "CREATE TABLE takes a column list OR an AS <select> "
+            "body, not both (Spark SQL's own CTAS rule)"
+        )
+    if cols_ddl is None and select is None:
+        raise SqlDmlError(
+            "CREATE TABLE needs a (col type, ...) column list or an "
+            "AS <select> body"
+        )
     remainder = clauses
+    cm = re.search(r"CATALOG\s+'((?:[^']|'')+)'", clauses, re.I)
+    cat_spec = None
+    if cm:
+        cat_spec = cm.group(1).replace("''", "'")
+        remainder = remainder.replace(cm.group(0), " ", 1)
     lm = re.search(
         r"LOCATION\s+'((?:[^']|'')+)'", clauses, re.I
     )
-    if not lm:
+    if not lm and cat_spec is None:
         raise SqlDmlError(
             "CREATE TABLE needs a LOCATION '<path>' clause (this "
-            "engine's tables are path-addressed)"
+            "engine's tables are path-addressed) or a CATALOG "
+            "'<hms://…|rest+iceberg://…>' spec"
         )
-    path = lm.group(1).replace("''", "'")
-    remainder = remainder.replace(lm.group(0), " ", 1)
+    path = lm.group(1).replace("''", "'") if lm else None
+    if lm:
+        remainder = remainder.replace(lm.group(0), " ", 1)
     pb = re.search(
         r"PARTITIONED\s+BY\s*\(([^)]*)\)", clauses, re.I
     )
@@ -891,10 +1083,27 @@ def _run_create(spark, s, strategy, tables) -> dict:
     if remainder.strip():
         raise SqlDmlError(
             f"unsupported CREATE TABLE clause {remainder.strip()[:60]!r}"
-            " — supported: LOCATION '<path>' | PARTITIONED BY (...) "
-            "| OPTIONS (recordkey '<col>') | TBLPROPERTIES (...)"
+            " — supported: CATALOG '<spec>' | LOCATION '<path>' | "
+            "PARTITIONED BY (...) | OPTIONS (recordkey '<col>') | "
+            "TBLPROPERTIES (...)"
         )
-    df = spark.sql(select)
+    if select is not None:
+        # the CTAS body gets the same read preamble as INSERT's
+        # SELECT: referenced lakehouse views re-register at their
+        # CURRENT snapshot; time-travel clauses rewrite to pins
+        df = spark.sql(_prepare_reads(spark, select, tables))
+    else:
+        df = spark.createDataFrame([], cols_ddl)
+    if cat_spec is not None:
+        res = _create_through_catalog(
+            spark, fmt, cat_spec, path, df, partition_by, props, km
+        )
+        from lwes_contrib_hive_serde_spark.sources import catalog as C
+
+        C.register_lakehouse(spark, {view: cat_spec})
+        if tables is not None:
+            tables[view] = cat_spec
+        return {**res, "statement": "create", "table": view}
     if fmt == "delta":
         from lwes_contrib_hive_serde_spark.sources import delta as D
 
@@ -1206,7 +1415,7 @@ def _run_insert(spark, s, tables) -> dict:
         m.group(4),
     )
     overwrite = verb == "OVERWRITE"
-    fmt, path = _resolve(view, tables)
+    fmt, path = _resolve_insert(view, tables)
     if overwrite and fmt != "delta":
         # refuse BEFORE any work: iceberg's fixture writer is
         # append-only; a hudi overwrite would need key-space

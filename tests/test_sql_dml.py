@@ -544,6 +544,238 @@ class TestCreateTable:
             """)
 
 
+class TestCatalogCreate:
+    """Round-14: SQL-driven table birth onto the catalog tiers —
+    CREATE TABLE ... USING iceberg CATALOG '<hms://|rest+iceberg://>'
+    routes through hms.create_table / rest_catalog.create_table and
+    lands the first snapshot through the same commit CAS every later
+    write rides. Full SQL-only lifecycle pinned on both tiers."""
+
+    def test_hms_sql_lifecycle(self, spark, tmp_path):
+        from lwes_contrib_hive_serde_spark.sources import (
+            hms as HMS,
+            hms_mock as HM,
+        )
+
+        _docs(spark, 8).createOrReplaceTempView("hlc_src")
+        loc = str(tmp_path / "hms_lc")
+        with HM.MockMetastore() as ms:
+            spec = ms.spec("db.lc")
+            try:
+                # CREATE (CTAS) — metastore entry + first CAS commit
+                res = S.lakehouse_sql(spark, f"""
+                    CREATE TABLE hlc USING iceberg
+                    CATALOG '{spec}' LOCATION '{loc}'
+                    AS SELECT * FROM hlc_src
+                """)
+                assert res["statement"] == "create"
+                assert "snapshot_id" in res
+                assert C.registered_specs()["hlc"] == spec
+                # the metastore entry exists with the pointer set
+                host, port = ms.addr.split(":")
+                t = HMS.get_table(host, int(port), "db", "lc")
+                params = {
+                    str(k): str(v)
+                    for k, v in (t.get(HMS.F_PARAMETERS) or {}).items()
+                }
+                assert params.get("table_type") == "ICEBERG"
+                assert params.get("metadata_location", "").endswith(
+                    ".metadata.json"
+                )
+                # SELECT resolves through the catalog
+                assert S.lakehouse_sql(
+                    spark, "SELECT count(*) AS n FROM hlc"
+                ).first().n == 8
+                # INSERT INTO appends through the thrift CAS
+                ins = S.lakehouse_sql(spark, """
+                    INSERT INTO hlc SELECT * FROM hlc_src
+                    WHERE doc_id < 3
+                """)
+                assert ins["statement"] == "insert"
+                assert S.lakehouse_sql(
+                    spark, "SELECT count(*) AS n FROM hlc"
+                ).first().n == 11
+                # the pointer moved: two commits, two metadata docs
+                t2 = HMS.get_table(host, int(port), "db", "lc")
+                p2 = {
+                    str(k): str(v)
+                    for k, v in (t2.get(HMS.F_PARAMETERS) or {}).items()
+                }
+                assert p2["metadata_location"] != params[
+                    "metadata_location"
+                ]
+                assert p2.get("previous_metadata_location") == params[
+                    "metadata_location"
+                ]
+                # duplicate CREATE refuses through the catalog
+                with pytest.raises(HMS.HmsAlreadyExists):
+                    S.lakehouse_sql(spark, f"""
+                        CREATE TABLE hlc2 USING iceberg
+                        CATALOG '{spec}' LOCATION '{loc}'
+                        AS SELECT * FROM hlc_src
+                    """)
+                # DROP unregisters the view (registry-only contract)
+                out = S.lakehouse_sql(spark, "DROP TABLE hlc")
+                assert out["dropped"] is True
+                assert "hlc" not in C.registered_specs()
+            finally:
+                C.unregister_lakehouse(spark, "hlc")
+
+    def test_hms_create_column_list_empty_table(
+        self, spark, tmp_path
+    ):
+        from lwes_contrib_hive_serde_spark.sources import hms_mock as HM
+
+        loc = str(tmp_path / "hms_empty")
+        with HM.MockMetastore() as ms:
+            spec = ms.spec("db.empty")
+            try:
+                S.lakehouse_sql(spark, f"""
+                    CREATE TABLE hempty
+                    (doc_id BIGINT, lang STRING, score DECIMAL(10,2))
+                    USING iceberg CATALOG '{spec}' LOCATION '{loc}'
+                """)
+                df = S.lakehouse_sql(
+                    spark, "SELECT * FROM hempty"
+                )
+                assert df.count() == 0
+                assert df.columns == ["doc_id", "lang", "score"]
+                # the empty table takes appends
+                S.lakehouse_sql(spark, """
+                    INSERT INTO hempty VALUES (1, 'en', 2.50)
+                """)
+                assert S.lakehouse_sql(
+                    spark, "SELECT count(*) AS n FROM hempty"
+                ).first().n == 1
+            finally:
+                C.unregister_lakehouse(spark, "hempty")
+
+    def test_rest_sql_lifecycle(self, spark, tmp_path):
+        from lwes_contrib_hive_serde_spark.sources import (
+            rest_catalog as RC,
+            rest_mock as RM,
+        )
+
+        _docs(spark, 6).createOrReplaceTempView("rlc_src")
+        with RM.MockRestCatalog() as cat:
+            spec = cat.spec("db.lc")
+            try:
+                # CREATE (CTAS) — catalog assigns the location
+                res = S.lakehouse_sql(spark, f"""
+                    CREATE TABLE rlc USING iceberg CATALOG '{spec}'
+                    AS SELECT * FROM rlc_src
+                """)
+                assert "snapshot_id" in res
+                assert C.registered_specs()["rlc"] == spec
+                assert S.lakehouse_sql(
+                    spark, "SELECT count(*) AS n FROM rlc"
+                ).first().n == 6
+                # INSERT INTO appends through the REST commit CAS
+                S.lakehouse_sql(spark, """
+                    INSERT INTO rlc SELECT * FROM rlc_src
+                    WHERE doc_id IN (0, 1)
+                """)
+                assert S.lakehouse_sql(
+                    spark, "SELECT count(*) AS n FROM rlc"
+                ).first().n == 8
+                # duplicate CREATE refuses (CREATE is never append)
+                with pytest.raises(
+                    S.SqlDmlError, match="already exists"
+                ):
+                    S.lakehouse_sql(spark, f"""
+                        CREATE TABLE rlc2 USING iceberg
+                        CATALOG '{spec}'
+                        AS SELECT * FROM rlc_src
+                    """)
+                out = S.lakehouse_sql(spark, "DROP TABLE rlc")
+                assert out["dropped"] is True
+            finally:
+                C.unregister_lakehouse(spark, "rlc")
+
+    def test_rest_create_explicit_location(self, spark, tmp_path):
+        from lwes_contrib_hive_serde_spark.sources import (
+            rest_mock as RM,
+        )
+
+        loc = str(tmp_path / "rest_loc")
+        with RM.MockRestCatalog() as cat:
+            spec = cat.spec("db.at")
+            try:
+                S.lakehouse_sql(spark, f"""
+                    CREATE TABLE rat (doc_id BIGINT, lang STRING)
+                    USING iceberg CATALOG '{spec}' LOCATION '{loc}'
+                """)
+                import os
+
+                assert os.path.isdir(os.path.join(loc, "metadata"))
+                S.lakehouse_sql(
+                    spark, "INSERT INTO rat VALUES (7, 'de')"
+                )
+                row = S.lakehouse_sql(
+                    spark, "SELECT doc_id, lang FROM rat"
+                ).first()
+                assert (row.doc_id, row.lang) == (7, "de")
+            finally:
+                C.unregister_lakehouse(spark, "rat")
+
+    def test_catalog_create_refusals(self, spark, tmp_path):
+        _docs(spark, 3).createOrReplaceTempView("ref_src")
+        # CATALOG is iceberg-shaped
+        with pytest.raises(S.SqlDmlError, match="iceberg"):
+            S.lakehouse_sql(spark, """
+                CREATE TABLE x USING delta
+                CATALOG 'hms://h:1/db.t' LOCATION '/tmp/x'
+                AS SELECT * FROM ref_src
+            """)
+        # hms needs LOCATION
+        with pytest.raises(S.SqlDmlError, match="LOCATION"):
+            S.lakehouse_sql(spark, """
+                CREATE TABLE x USING iceberg
+                CATALOG 'hms://h:1/db.t'
+                AS SELECT * FROM ref_src
+            """)
+        # unknown catalog scheme refuses by name
+        with pytest.raises(S.SqlDmlError, match="CATALOG spec"):
+            S.lakehouse_sql(spark, """
+                CREATE TABLE x USING iceberg
+                CATALOG 'thrift://h:1/db.t'
+                AS SELECT * FROM ref_src
+            """)
+        # column list XOR select body
+        with pytest.raises(S.SqlDmlError, match="not both"):
+            S.lakehouse_sql(spark, """
+                CREATE TABLE x (a INT) USING delta
+                LOCATION '/tmp/x' AS SELECT * FROM ref_src
+            """)
+        # predicate DML on a catalog registration refuses by name
+        with pytest.raises(S.SqlDmlError, match="catalog-registered"):
+            S.lakehouse_sql(
+                spark,
+                "DELETE FROM cat_v WHERE doc_id = 1",
+                tables={"cat_v": "hms://h:1/db.t"},
+            )
+
+    def test_path_create_column_list(self, spark, tmp_path):
+        # the column-list form also works for plain path tables
+        loc = str(tmp_path / "plain")
+        try:
+            S.lakehouse_sql(spark, f"""
+                CREATE TABLE plainv (a BIGINT, b STRING)
+                USING delta LOCATION '{loc}'
+            """)
+            assert S.lakehouse_sql(
+                spark, "SELECT count(*) AS n FROM plainv"
+            ).first().n == 0
+            S.lakehouse_sql(
+                spark, "INSERT INTO plainv VALUES (1, 'x')"
+            )
+            assert S.lakehouse_sql(
+                spark, "SELECT count(*) AS n FROM plainv"
+            ).first().n == 1
+        finally:
+            C.unregister_lakehouse(spark, "plainv")
+
+
 class TestHudiDml:
     def test_cow_update_and_merge(self, spark, tmp_path):
         p = str(tmp_path / "hud")
