@@ -4600,11 +4600,22 @@ def delta_table_changes(
                 cdc_fields
                 + [StructField("_change_type", StringType(), True)]
             )
+            # ONE read per partition-value group, not per file: a
+            # commit's cdc tier can span thousands of files at scale
+            # and per-file DataFrame pieces would swamp the driver
+            # and the plan (r14; same batching as the derived feeds)
+            cdc_groups: dict[tuple, list] = {}
             for c in cdcs:
-                fp = _file_abspath(path, c["path"])
-                cdf = spark.read.schema(cdc_schema).parquet(
-                    fsio.spark_path(fp)
+                key = tuple(
+                    sorted((c.get("partitionValues") or {}).items())
                 )
+                cdc_groups.setdefault(key, []).append(c)
+            for key, group in cdc_groups.items():
+                fps = [
+                    fsio.spark_path(_file_abspath(path, c["path"]))
+                    for c in group
+                ]
+                cdf = spark.read.schema(cdc_schema).parquet(*fps)
                 if mapping:
                     logical_data = [
                         f
@@ -4620,7 +4631,7 @@ def delta_table_changes(
                         ],
                         F.col("_change_type"),
                     )
-                pv = c.get("partitionValues") or {}
+                pv = dict(key)
                 for pc in part_cols:
                     cdf = cdf.withColumn(
                         pc,
@@ -4671,13 +4682,35 @@ def delta_table_changes(
                 df = _scan_data_files_logical(spark, state, [fp])
             return attach_parts(df, add_dict.get("partitionValues") or {})
 
+        def emit(add_dicts, ctype, v=None, ts=None):
+            """Emit one change-typed piece per partition-value group
+            of DV-less files (one scan per group — a commit touching
+            thousands of files must not become thousands of plan
+            pieces), falling back to per-file file_rows for adds
+            that carry a deletion vector."""
+            groups: dict[tuple, list] = {}
+            for a in add_dicts:
+                if a.get("deletionVector"):
+                    pieces.append(tag(file_rows(a), ctype, v, ts))
+                    continue
+                key = tuple(
+                    sorted((a.get("partitionValues") or {}).items())
+                )
+                groups.setdefault(key, []).append(a)
+            for key, group in groups.items():
+                fps = [_file_abspath(path, a["path"]) for a in group]
+                df = _scan_data_files_logical(spark, state, fps)
+                pieces.append(
+                    tag(attach_parts(df, dict(key)), ctype, v, ts)
+                )
+
         dv_mode = params.get("mode") == "deletion-vectors"
         if not dc_removes:
             # adds-only data change = pure insert, whatever the
             # operation label (append, insert-only merge, ...)
-            for a in dc_adds:
-                pieces.append(tag(file_rows(a), "insert", v, ts))
+            emit(dc_adds, "insert", v, ts)
         elif op in ("WRITE", "RESTORE"):
+            olds = []
             for r in dc_removes:
                 # overwrite/restore: the prior snapshot's live rows
                 # die; restored-back files arrive as inserts
@@ -4689,11 +4722,16 @@ def delta_table_changes(
                         f"version {v}: removed file {r['path']} not "
                         "live at the prior version — cannot derive CDF"
                     )
-                pieces.append(tag(file_rows(old), "delete", v, ts))
-            for a in dc_adds:
-                pieces.append(tag(file_rows(a), "insert", v, ts))
+                olds.append(old)
+            emit(olds, "delete", v, ts)
+            emit(dc_adds, "insert", v, ts)
         elif op in ("DELETE", "UPDATE") and dv_mode:
             pre_type = "delete" if op == "DELETE" else "update_preimage"
+            adds_by_path = {a["path"]: a for a in dc_adds}
+            # (pv group) -> [(file, sorted newly-masked positions)]:
+            # ONE scan + ONE (file,pos) semi-join per group instead
+            # of a plan piece per touched file
+            newly_by_pv: dict[tuple, list] = {}
             for r in dc_removes:
                 fp = _file_abspath(path, r["path"])
                 old_desc = r.get("deletionVector")
@@ -4702,9 +4740,7 @@ def delta_table_changes(
                     if old_desc
                     else set()
                 )
-                new_add = next(
-                    (a for a in dc_adds if a["path"] == r["path"]), None
-                )
+                new_add = adds_by_path.get(r["path"])
                 if new_add is not None:
                     new_pos = set(
                         delta_dv.dv_read_positions(
@@ -4712,6 +4748,15 @@ def delta_table_changes(
                         ).tolist()
                     )
                     newly = new_pos - old_pos
+                    if newly:
+                        key = tuple(
+                            sorted(
+                                (r.get("partitionValues") or {}).items()
+                            )
+                        )
+                        newly_by_pv.setdefault(key, []).append(
+                            (fp, sorted(newly))
+                        )
                 else:
                     # full-coverage removal: every still-live row
                     # died — read the file, anti-join the OLD dv
@@ -4742,20 +4787,55 @@ def delta_table_changes(
                     pieces.append(
                         tag(attach_parts(df, pv), pre_type, v, ts)
                     )
-                    continue
-                if newly:
-                    rows = _rows_at_positions(spark, state, fp, newly)
-                    pv = r.get("partitionValues") or {}
-                    pieces.append(
-                        tag(attach_parts(rows, pv), pre_type, v, ts)
-                    )
+            for key, pairs in newly_by_pv.items():
+                import pandas as pd
+
+                fps = [fp_ for fp_, _ps in pairs]
+                df = _scan_data_files_logical(
+                    spark, state, fps, with_keys=True
+                )
+                pos_df = spark.createDataFrame(
+                    pd.DataFrame(
+                        {
+                            "__dv_file": [
+                                fsio.spark_path(fp_)
+                                for fp_, ps in pairs
+                                for _ in ps
+                            ],
+                            "__dv_pos": [
+                                p for _fp, ps in pairs for p in ps
+                            ],
+                        }
+                    ),
+                    schema="__dv_file string, __dv_pos long",
+                ).withColumn(
+                    "__dv_file", _strip_scheme(F.col("__dv_file"))
+                )
+                n_pairs = sum(len(ps) for _fp, ps in pairs)
+                right = (
+                    F.broadcast(pos_df)
+                    if n_pairs <= _DV_BROADCAST_MAX_ROWS
+                    else pos_df
+                )
+                df = df.join(
+                    right, ["__dv_file", "__dv_pos"], "left_semi"
+                ).drop("__dv_file", "__dv_pos")
+                pieces.append(
+                    tag(attach_parts(df, dict(key)), pre_type, v, ts)
+                )
             if op == "UPDATE":
-                for a in dc_adds:
-                    if a["path"] in {r["path"] for r in dc_removes}:
-                        continue  # the DV-masked re-add, not new rows
-                    pieces.append(
-                        tag(file_rows(a), "update_postimage", v, ts)
-                    )
+                removed_paths = {r["path"] for r in dc_removes}
+                emit(
+                    # the DV-masked re-adds are not new rows
+                    [
+                        a
+                        for a in dc_adds
+                        if a["path"] not in removed_paths
+                    ],
+                    "update_postimage",
+                    v,
+                    ts,
+                )
         else:
             raise DeltaError(
                 f"version {v}: operation {op or 'unknown'!r} rewrites "
