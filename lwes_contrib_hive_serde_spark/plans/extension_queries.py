@@ -11458,3 +11458,119 @@ def q_hms_commit(spark, sf_dir):
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+def _tri_travel_tables(spark, sf_dir: str):
+    """One documents-derived table in EACH travel format (delta,
+    iceberg, hudi), each with two timestamp-separated commits:
+    commit A = even doc_ids, commit B appends the odd ones. Returns
+    (delta_path, iceberg_path, hudi_path, t1_ms, t2_ms) where t1
+    falls strictly between the A and B commits on every table and
+    t2 after every B commit — captured once at build time and
+    persisted in a sidecar, so the cached fixture replays the same
+    pins. Cached per sf_dir."""
+    import json
+    import os
+    import time
+
+    from lwes_contrib_hive_serde_spark.sources import (
+        delta as D,
+        hudi as H,
+        iceberg as I,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        tag = f"{tag}-{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        pass
+    base = f"/tmp/tri_travel_cache/v1/{tag}"
+    d, i, h = (os.path.join(base, x) for x in ("d", "i", "h"))
+    sidecar = os.path.join(base, "pins.json")
+    if not os.path.exists(sidecar):
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        a = docs.filter(F.col("doc_id") % 2 == 0).coalesce(2)
+        b = docs.filter(F.col("doc_id") % 2 == 1).coalesce(2)
+        D.write_delta(a, d)
+        I.write_iceberg_table(a, i)
+        H.write_hudi_table(a, h, record_key="doc_id")
+        # the pin separates commits by wall clock: every engine's
+        # timestamp travel resolves at millisecond grain, so a
+        # sub-second margin on each side is enough
+        time.sleep(0.6)
+        t1 = int(time.time() * 1000)
+        time.sleep(0.6)
+        D.write_delta(b, d, mode="append")
+        I.write_iceberg_table(b, i)
+        H.write_hudi_table(b, h, record_key="doc_id", mode="append")
+        time.sleep(0.3)
+        t2 = int(time.time() * 1000)
+        with open(sidecar + ".tmp", "w") as f:
+            json.dump({"t1": t1, "t2": t2}, f)
+        os.replace(sidecar + ".tmp", sidecar)
+    with open(sidecar) as f:
+        pins = json.load(f)
+    return d, i, h, pins["t1"], pins["t2"]
+
+
+@register(
+    "q_tri_timestamp_travel",
+    shadow=True,
+    oracle="""
+    WITH early AS (
+      SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT src, pin, lang, COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM (
+      SELECT 'delta' AS src, 'early' AS pin, lang, n_chars FROM early
+      UNION ALL
+      SELECT 'delta', 'late', lang, n_chars FROM documents
+      UNION ALL
+      SELECT 'iceberg', 'early', lang, n_chars FROM early
+      UNION ALL
+      SELECT 'iceberg', 'late', lang, n_chars FROM documents
+      UNION ALL
+      SELECT 'hudi', 'early', lang, n_chars FROM early
+      UNION ALL
+      SELECT 'hudi', 'late', lang, n_chars FROM documents
+    ) GROUP BY src, pin, lang
+    """,
+    doc="TIMESTAMP AS OF travelling ALL THREE formats in ONE "
+    "statement (round 14, verdict next-#6): the SQL router's "
+    "_rewrite_time_travel lowers each '<view> TIMESTAMP AS OF "
+    "<millis>' reference onto the catalog's @ts: pin — delta "
+    "timestampAsOf, iceberg snapshot-log lookup, hudi instant "
+    "conversion — under distinct derived aliases, six references "
+    "(3 formats x 2 pins) in one spark.sql text. The early pin "
+    "falls between the two commits (state = even doc_ids), the "
+    "late pin after both (full corpus); the DuckDB oracle "
+    "recomputes both states from the raw parquet, so one hash "
+    "gates the millis parsing, per-format pin lowering, alias "
+    "collision-proofing, and that no engine serves CURRENT data "
+    "for a historical pin.",
+)
+def q_tri_timestamp_travel(spark, sf_dir):
+    from lwes_contrib_hive_serde_spark.sources import sql_dml as S
+
+    d, i, h, t1, t2 = _tri_travel_tables(spark, sf_dir)
+    t = {
+        "tt3_d": f"delta:{d}",
+        "tt3_i": f"iceberg:{i}",
+        "tt3_h": f"hudi:{h}",
+    }
+    branches = " UNION ALL ".join(
+        f"SELECT '{fmt}' AS src, '{lbl}' AS pin, lang, "
+        f"count(*) AS n, sum(n_chars) AS sum_chars "
+        f"FROM {view} TIMESTAMP AS OF '{pin}' GROUP BY lang"
+        for fmt, view in (
+            ("delta", "tt3_d"),
+            ("iceberg", "tt3_i"),
+            ("hudi", "tt3_h"),
+        )
+        for lbl, pin in (("early", t1), ("late", t2))
+    )
+    return S.lakehouse_sql(spark, branches, tables=t)
