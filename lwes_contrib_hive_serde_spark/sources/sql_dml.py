@@ -609,14 +609,138 @@ def _run_drop(spark, s, tables) -> dict:
             "dropped": dropped}
 
 
+def _parse_catalog_container(spec: str):
+    """A CATALOG CONTAINER spec for the listing verbs:
+    ``hms://host:port/db`` → ("hms", (host, port, db)) or
+    ``rest+iceberg://host[/prefix][#ns[.ns2...]]`` →
+    ("rest", (base, prefix, ns_parts))."""
+    if spec.startswith("hms://"):
+        rest = spec[len("hms://"):]
+        authority, _slash, db = rest.partition("/")
+        host, colon, port = authority.partition(":")
+        if not (host and colon and port.isdigit()):
+            raise SqlDmlError(
+                f"{spec!r}: needs 'hms://host:port[/db]'"
+            )
+        if "." in db:
+            raise SqlDmlError(
+                f"{spec!r}: the listing verbs take a DATABASE spec "
+                "(hms://host:port/db), not a table"
+            )
+        return "hms", (host, int(port), db or None)
+    if spec.startswith(("rest+iceberg://", "rest+icebergs://")):
+        scheme, _, rest = spec.partition("://")
+        http = "https" if scheme.endswith("s") else "http"
+        hostpath, hash_, ns = rest.partition("#")
+        host, slash, prefix = hostpath.partition("/")
+        return "rest", (
+            f"{http}://{host}",
+            prefix or None,
+            ns.split(".") if hash_ and ns else [],
+        )
+    raise SqlDmlError(
+        f"catalog listing needs an hms:// or rest+iceberg:// spec, "
+        f"got {spec!r}"
+    )
+
+
 def _run_show(spark, s, tables) -> DataFrame:
     """``SHOW TABLES`` — the registered lakehouse views plus any
     passed mapping, as (table, format, spec) rows. hms:// and
     rest+iceberg:// specs report their SCHEME as the format (the
     stored format is the catalog's to answer; resolving it here
-    would cost one network hop per row)."""
-    if not re.fullmatch(r"SHOW\s+TABLES", s, re.I):
-        raise SqlDmlError("SHOW needs 'SHOW TABLES'")
+    would cost one network hop per row).
+
+    ``SHOW TABLES IN '<hms://host:port/db | rest+iceberg://host
+    [/prefix]#ns>'`` (round 14) enumerates a REMOTE namespace
+    through the catalog's own listing call (thrift get_all_tables /
+    REST listTables) — each row carries the per-table spec a
+    register_lakehouse or FROM clause can consume directly.
+    ``SHOW NAMESPACES IN '<catalog>'`` lists databases/namespaces
+    likewise (get_all_databases / listNamespaces)."""
+    m = re.fullmatch(
+        r"SHOW\s+TABLES(?:\s+IN\s+'((?:[^']|'')+)')?", s, re.I
+    )
+    if m and m.group(1):
+        spec = m.group(1).replace("''", "'")
+        kind, parts = _parse_catalog_container(spec)
+        rows = []
+        if kind == "hms":
+            from lwes_contrib_hive_serde_spark.sources import hms
+
+            host, port, db = parts
+            if not db:
+                raise SqlDmlError(
+                    f"{spec!r}: SHOW TABLES IN an HMS catalog needs "
+                    "a '/db' part (SHOW NAMESPACES IN to enumerate "
+                    "databases)"
+                )
+            for t in sorted(hms.get_all_tables(host, port, db)):
+                rows.append(
+                    (t, "hms", f"hms://{host}:{port}/{db}.{t}")
+                )
+        else:
+            from lwes_contrib_hive_serde_spark.sources import (
+                rest_catalog,
+            )
+
+            base, prefix, ns = parts
+            if not ns:
+                raise SqlDmlError(
+                    f"{spec!r}: SHOW TABLES IN a REST catalog needs "
+                    "a '#namespace' part (SHOW NAMESPACES IN to "
+                    "enumerate them)"
+                )
+            scheme = (
+                "rest+icebergs" if base.startswith("https")
+                else "rest+iceberg"
+            )
+            authority = base.partition("://")[2]
+            seg = authority + (f"/{prefix}" if prefix else "")
+            for t in sorted(
+                rest_catalog.list_tables(base, ns, prefix=prefix)
+            ):
+                rows.append(
+                    (
+                        t,
+                        "rest+iceberg",
+                        f"{scheme}://{seg}#{'.'.join(ns)}.{t}",
+                    )
+                )
+        return spark.createDataFrame(
+            rows, "table string, format string, spec string"
+        )
+    nm = re.fullmatch(
+        r"SHOW\s+NAMESPACES\s+IN\s+'((?:[^']|'')+)'", s, re.I
+    )
+    if nm:
+        spec = nm.group(1).replace("''", "'")
+        kind, parts = _parse_catalog_container(spec)
+        if kind == "hms":
+            from lwes_contrib_hive_serde_spark.sources import hms
+
+            host, port, _db = parts
+            names = sorted(hms.get_all_databases(host, port))
+        else:
+            from lwes_contrib_hive_serde_spark.sources import (
+                rest_catalog,
+            )
+
+            base, prefix, ns = parts
+            names = sorted(
+                ".".join(n)
+                for n in rest_catalog.list_namespaces(
+                    base, prefix=prefix, parent=ns or None
+                )
+            )
+        return spark.createDataFrame(
+            [(n,) for n in names], "namespace string"
+        )
+    if not m:
+        raise SqlDmlError(
+            "SHOW needs 'SHOW TABLES [IN '<catalog>']' or "
+            "'SHOW NAMESPACES IN '<catalog>''"
+        )
     rows = []
     for name, spec in sorted(_known_specs(tables).items()):
         if spec.startswith("hms://"):

@@ -776,6 +776,74 @@ class TestCatalogCreate:
             C.unregister_lakehouse(spark, "plainv")
 
 
+class TestShowInCatalog:
+    """Round-14: SHOW TABLES IN / SHOW NAMESPACES IN a catalog spec
+    enumerate the REMOTE namespace through the catalog's own listing
+    calls (thrift get_all_tables/get_all_databases, REST
+    listTables/listNamespaces)."""
+
+    def test_show_in_hms(self, spark, tmp_path):
+        from lwes_contrib_hive_serde_spark.sources import hms_mock as HM
+
+        with HM.MockMetastore() as ms:
+            ms.register("db", "t1", HM.table_struct("/x"))
+            ms.register("db", "t2", HM.table_struct("/y"))
+            ms.register("other", "t3", HM.table_struct("/z"))
+            got = S.lakehouse_sql(
+                spark, f"SHOW TABLES IN 'hms://{ms.addr}/db'"
+            ).collect()
+            assert [(r.table, r.format) for r in got] == [
+                ("t1", "hms"), ("t2", "hms"),
+            ]
+            # each row's spec is directly consumable
+            assert got[0].spec == f"hms://{ms.addr}/db.t1"
+            nss = [
+                r.namespace
+                for r in S.lakehouse_sql(
+                    spark, f"SHOW NAMESPACES IN 'hms://{ms.addr}'"
+                ).collect()
+            ]
+            assert nss == ["db", "other"]
+            with pytest.raises(S.SqlDmlError, match="/db"):
+                S.lakehouse_sql(
+                    spark, f"SHOW TABLES IN 'hms://{ms.addr}'"
+                )
+
+    def test_show_in_rest(self, spark, tmp_path):
+        from lwes_contrib_hive_serde_spark.sources import (
+            rest_mock as RM,
+        )
+
+        with RM.MockRestCatalog() as cat:
+            cat.register(("db",), "ra", "/tmp/nowhere-a")
+            cat.register(("db",), "rb", "/tmp/nowhere-b")
+            base_spec = cat.spec("db.ra").rsplit("#", 1)[0]
+            got = S.lakehouse_sql(
+                spark, f"SHOW TABLES IN '{base_spec}#db'"
+            ).collect()
+            assert [(r.table, r.format) for r in got] == [
+                ("ra", "rest+iceberg"), ("rb", "rest+iceberg"),
+            ]
+            assert got[0].spec == cat.spec("db.ra")
+            nss = [
+                r.namespace
+                for r in S.lakehouse_sql(
+                    spark, f"SHOW NAMESPACES IN '{base_spec}'"
+                ).collect()
+            ]
+            assert "db" in nss
+            with pytest.raises(S.SqlDmlError, match="namespace"):
+                S.lakehouse_sql(
+                    spark, f"SHOW TABLES IN '{base_spec}'"
+                )
+
+    def test_show_in_unknown_scheme_refuses(self, spark):
+        with pytest.raises(S.SqlDmlError, match="hms:// or rest"):
+            S.lakehouse_sql(
+                spark, "SHOW TABLES IN 'thrift://h:1/db'"
+            )
+
+
 class TestHudiDml:
     def test_cow_update_and_merge(self, spark, tmp_path):
         p = str(tmp_path / "hud")
