@@ -11574,3 +11574,156 @@ def q_tri_timestamp_travel(spark, sf_dir):
         for lbl, pin in (("early", t1), ("late", t2))
     )
     return S.lakehouse_sql(spark, branches, tables=t)
+
+
+def _documents_sql_lifecycle_tables(spark, sf_dir: str):
+    """Two iceberg tables born, filled, and retired ENTIRELY through
+    the SQL router's catalog verbs (round 14): the hms:// table via
+    CTAS (CREATE ... CATALOG '<hms://…>' LOCATION) + one catalog-
+    routed INSERT INTO; the rest+iceberg:// table via the column-
+    list CREATE (empty table, explicit LOCATION) + two INSERTs. Each
+    lifecycle ends with the remote DROP TABLE '<spec>' (entry-only —
+    the data survives on disk, which is exactly what this fixture
+    then reads). Returns (hms_path, rest_path); cached per sf_dir so
+    the mocks and commits run once."""
+    import json
+    import os
+    import shutil
+
+    from lwes_contrib_hive_serde_spark.sources import (
+        hms_mock as HM,
+        rest_mock as RM,
+        sql_dml as S,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        tag = f"{tag}-{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        pass
+    base = f"/tmp/sql_catalog_lifecycle_cache/v1/{tag}"
+    out_h, out_r = os.path.join(base, "h"), os.path.join(base, "r")
+    done = os.path.join(base, "done.json")
+    if os.path.exists(done):
+        return out_h, out_r
+    if os.path.isdir(base):
+        shutil.rmtree(base)  # a crashed partial build never serves
+    os.makedirs(base, exist_ok=True)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    docs.createOrReplaceTempView("sqlc_lifecycle_src")
+    with HM.MockMetastore() as ms:
+        spec = ms.spec("db.sqldocs")
+        S.lakehouse_sql(spark, f"""
+            CREATE TABLE sqlc_h USING iceberg
+            CATALOG '{spec}' LOCATION '{out_h}'
+            AS SELECT doc_id, text, lang, source, n_chars
+               FROM sqlc_lifecycle_src WHERE doc_id % 2 = 0
+        """)
+        S.lakehouse_sql(spark, """
+            INSERT INTO sqlc_h
+            SELECT doc_id, text, lang, source, n_chars
+            FROM sqlc_lifecycle_src WHERE doc_id % 2 = 1
+        """)
+        S.lakehouse_sql(spark, f"DROP TABLE '{spec}'")
+    with RM.MockRestCatalog() as cat:
+        spec = cat.spec("db.sqldocs")
+        S.lakehouse_sql(spark, f"""
+            CREATE TABLE sqlc_r
+            (doc_id BIGINT, text STRING, lang STRING,
+             source STRING, n_chars BIGINT)
+            USING iceberg CATALOG '{spec}' LOCATION '{out_r}'
+        """)
+        S.lakehouse_sql(spark, """
+            INSERT INTO sqlc_r
+            SELECT doc_id, text, lang, source, n_chars
+            FROM sqlc_lifecycle_src WHERE doc_id % 2 = 0
+        """)
+        S.lakehouse_sql(spark, """
+            INSERT INTO sqlc_r
+            SELECT doc_id, text, lang, source, n_chars
+            FROM sqlc_lifecycle_src WHERE doc_id % 2 = 1
+        """)
+        S.lakehouse_sql(spark, f"DROP TABLE '{spec}'")
+    with open(done + ".tmp", "w") as f:
+        json.dump({"ok": True}, f)
+    os.replace(done + ".tmp", done)
+    return out_h, out_r
+
+
+@register(
+    "q_sql_catalog_lifecycle",
+    shadow=True,
+    oracle="""
+    WITH g AS (
+      SELECT lang, COUNT(*) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      FROM documents GROUP BY lang
+    )
+    SELECT 'hms_sql' AS src, lang, n, sum_chars, min_id, max_id FROM g
+    UNION ALL
+    SELECT 'rest_sql', lang, n, sum_chars, min_id, max_id FROM g
+    """,
+    doc="SQL-only table birth-to-retirement on BOTH catalog tiers "
+    "(round 14): CREATE TABLE ... CATALOG '<hms://…>' CTAS + "
+    "catalog-routed INSERT INTO + remote DROP TABLE '<spec>' over "
+    "the thrift metastore; column-list CREATE + two INSERTs + "
+    "remote DROP over the REST catalog. Every commit rides the "
+    "tier's own CAS (thrift expected-parameter alter / REST "
+    "updateTable); the drops are ENTRY-only, so the DuckDB oracle's "
+    "full-corpus recompute hash-gates that the SQL lifecycle lost "
+    "no rows, duplicated none, and that retirement never touched "
+    "storage. Driven wholly through lakehouse_sql — none of the "
+    "python client calls appear in this plan.",
+)
+def q_sql_catalog_lifecycle(spark, sf_dir):
+    import os
+
+    from lwes_contrib_hive_serde_spark.sources import (
+        hms as HMS,
+        hms_mock as HM,
+        iceberg as I,
+    )
+
+    out_h, out_r = _documents_sql_lifecycle_tables(spark, sf_dir)
+    # the hms-committed head lives under a uniquely-named
+    # {seq:05d}-<uuid>.metadata.json that path-based v*-resolution
+    # never sees — re-adopt it through a fresh metastore entry and
+    # read through the spec (the q_hms_commit read pattern)
+    mdir = os.path.join(out_h, "metadata")
+    cands = sorted(
+        n for n in os.listdir(mdir)
+        if n.endswith(".metadata.json") and not n.startswith("v")
+    )
+    with HM.MockMetastore() as ms:
+        host, port = ms.addr.split(":")
+        HMS.create_table(
+            host, int(port), "db", "sqldocs",
+            HM.table_struct(
+                out_h,
+                params={
+                    "table_type": "ICEBERG",
+                    "metadata_location": os.path.join(mdir, cands[-1]),
+                },
+            ),
+        )
+        h = I.read_iceberg(spark, ms.spec("db.sqldocs"))
+    # the REST mock repoints v*.metadata.json on every commit, so
+    # the retired table's head IS the path-based head
+    r = I.read_iceberg(spark, out_r)
+
+    def agg(df, src):
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        ).select(
+            F.lit(src).alias("src"),
+            "lang", "n", "sum_chars", "min_id", "max_id",
+        )
+
+    return agg(h, "hms_sql").unionByName(agg(r, "rest_sql"))

@@ -337,6 +337,13 @@ class HmsAlreadyExists(HmsError):
     (get_table) or pick another name."""
 
 
+class HmsNoSuchObject(HmsError):
+    """The identifier does not exist (the thrift call's declared
+    NoSuchObjectException slot) — the typed signal DROP ... IF
+    EXISTS tolerance keys on, distinct from transport errors and
+    MetaException which must always surface."""
+
+
 def create_table(
     host: str,
     port: int,
@@ -401,7 +408,8 @@ def drop_table(
         return
     detail = result[bad]
     msg = detail.get(1) if isinstance(detail, dict) else str(detail)
-    raise HmsError(f"drop_table failed on {db}.{name}: {msg}")
+    cls = HmsNoSuchObject if bad == 1 else HmsError
+    raise cls(f"drop_table failed on {db}.{name}: {msg}")
 
 
 def get_all_tables(

@@ -583,22 +583,51 @@ def _run_drop(spark, s, tables) -> dict:
     """``DROP TABLE [IF EXISTS] <view>`` — unregister the view (the
     catalog's inverse of register_lakehouse). PURGE refuses by name:
     deleting data is the formats' own distributed sweeps (VACUUM /
-    remove_orphan_files), never a registry side effect."""
+    remove_orphan_files), never a registry side effect.
+
+    ``DROP TABLE [IF EXISTS] '<hms://host:port/db.tbl |
+    rest+iceberg://host[/prefix]#ns.tbl>'`` (round 14) drops the
+    REMOTE catalog entry through the catalog's own call (thrift
+    drop_table with deleteData pinned false / REST DELETE without
+    purgeRequested) — ENTRY-ONLY on both tiers, completing the
+    SQL↔catalog symmetry (CREATE births the entry, this retires
+    it). Any local view registered onto that spec unregisters too,
+    so later statements cannot resolve a dangling pointer."""
     if re.search(r"\bPURGE\b", s, re.I):
         raise SqlDmlError(
             "DROP TABLE ... PURGE is refused — storage deletion goes "
             "through VACUUM / remove_orphan_files, not the registry"
         )
     m = re.fullmatch(
-        rf"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?({_IDENT})", s, re.I
+        rf"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?"
+        rf"(?:({_IDENT})|'((?:[^']|'')+)')",
+        s, re.I,
     )
     if not m:
         raise SqlDmlError(
-            "DROP needs 'DROP TABLE [IF EXISTS] <view>'"
+            "DROP needs \"DROP TABLE [IF EXISTS] <view>\" or "
+            "\"DROP TABLE [IF EXISTS] '<hms://…|rest+iceberg://…>'\""
         )
-    if_exists, view = bool(m.group(1)), m.group(2)
+    if_exists = bool(m.group(1))
     from lwes_contrib_hive_serde_spark.sources import catalog as C
 
+    if m.group(3):
+        spec = m.group(3).replace("''", "'")
+        existed = _drop_remote_entry(spec, if_exists)
+        # sweep local registrations resolving through the dropped
+        # entry (exact spec or any @pin of it) — a view left behind
+        # would dangle on its next resolution
+        swept = [
+            name
+            for name, sp in C.registered_specs().items()
+            if sp == spec or sp.partition("@")[0] == spec
+        ]
+        for name in swept:
+            C.unregister_lakehouse(spark, name)
+        return {"statement": "drop_table", "table": spec,
+                "dropped": existed, "remote": True,
+                "unregistered": sorted(swept)}
+    view = m.group(2)
     if view not in _known_specs(tables) and not if_exists:
         raise SqlDmlError(
             f"{view!r} is not a registered lakehouse view "
@@ -607,6 +636,40 @@ def _run_drop(spark, s, tables) -> dict:
     dropped = C.unregister_lakehouse(spark, view)
     return {"statement": "drop_table", "table": view,
             "dropped": dropped}
+
+
+def _drop_remote_entry(spec: str, if_exists: bool) -> bool:
+    """Drop the catalog ENTRY named by a table spec. Returns whether
+    the entry existed; an unknown identifier raises unless
+    ``if_exists`` (the remote analogue of the view form's
+    tolerance)."""
+    from lwes_contrib_hive_serde_spark.sources import hms, rest_catalog
+
+    if hms.is_hms_spec(spec):
+        host, port, db, tbl = hms.parse_hms_spec(spec)
+        try:
+            hms.drop_table(host, port, db, tbl)
+        except hms.HmsNoSuchObject:
+            # the typed NoSuchObjectException throws-slot; any OTHER
+            # failure (transport, MetaException) surfaces even under
+            # IF EXISTS
+            if if_exists:
+                return False
+            raise
+        return True
+    if rest_catalog.is_rest_spec(spec):
+        base, prefix, ns, tbl = rest_catalog.parse_rest_spec(spec)
+        try:
+            rest_catalog.drop_table(base, ns, tbl, prefix=prefix)
+        except rest_catalog.RestTableNotFound:
+            if if_exists:
+                return False
+            raise
+        return True
+    raise SqlDmlError(
+        "DROP TABLE '<spec>' takes an hms:// or rest+iceberg:// "
+        f"table spec, got {spec!r}"
+    )
 
 
 def _parse_catalog_container(spec: str):

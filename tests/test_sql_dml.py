@@ -1611,3 +1611,88 @@ class TestTimestampForms:
         assert C.load_spec(
             spark, f"iceberg:{p}@ts:release"
         ).count() == 5
+
+
+class TestRemoteDrop:
+    """Round-14: DROP TABLE '<spec>' retires the REMOTE catalog
+    entry (thrift drop_table deleteData=false / REST DELETE, both
+    entry-only) and sweeps local registrations resolving through
+    it — the inverse of CREATE ... CATALOG '<spec>'."""
+
+    def test_hms_remote_drop(self, spark, tmp_path):
+        from lwes_contrib_hive_serde_spark.sources import (
+            hms as HMS,
+            hms_mock as HM,
+        )
+
+        loc = str(tmp_path / "rd_h")
+        with HM.MockMetastore() as ms:
+            spec = ms.spec("db.rd")
+            try:
+                S.lakehouse_sql(spark, f"""
+                    CREATE TABLE rdh USING iceberg
+                    CATALOG '{spec}' LOCATION '{loc}'
+                    AS SELECT 1 AS a
+                """)
+                host, port = ms.addr.split(":")
+                assert "rd" in HMS.get_all_tables(host, int(port), "db")
+                out = S.lakehouse_sql(spark, f"DROP TABLE '{spec}'")
+                assert out == {
+                    "statement": "drop_table", "table": spec,
+                    "dropped": True, "remote": True,
+                    "unregistered": ["rdh"],
+                }
+                # entry gone remotely AND the local view swept
+                assert "rd" not in HMS.get_all_tables(
+                    host, int(port), "db"
+                )
+                assert "rdh" not in C.registered_specs()
+                # data files untouched (entry-only contract)
+                import os
+
+                assert os.path.isdir(os.path.join(loc, "metadata"))
+                # second drop: refuses plain, tolerated by IF EXISTS
+                with pytest.raises(HMS.HmsError):
+                    S.lakehouse_sql(spark, f"DROP TABLE '{spec}'")
+                out2 = S.lakehouse_sql(
+                    spark, f"DROP TABLE IF EXISTS '{spec}'"
+                )
+                assert out2["dropped"] is False
+            finally:
+                C.unregister_lakehouse(spark, "rdh")
+
+    def test_rest_remote_drop(self, spark, tmp_path):
+        from lwes_contrib_hive_serde_spark.sources import (
+            rest_catalog as RC,
+            rest_mock as RM,
+        )
+
+        with RM.MockRestCatalog() as cat:
+            spec = cat.spec("db.rd")
+            try:
+                S.lakehouse_sql(spark, f"""
+                    CREATE TABLE rdr USING iceberg CATALOG '{spec}'
+                    AS SELECT 1 AS a
+                """)
+                base = f"http://{cat.base}"
+                assert "rd" in RC.list_tables(base, ["db"])
+                out = S.lakehouse_sql(spark, f"DROP TABLE '{spec}'")
+                assert out["dropped"] is True
+                assert out["unregistered"] == ["rdr"]
+                assert "rd" not in RC.list_tables(base, ["db"])
+                assert "rdr" not in C.registered_specs()
+                with pytest.raises(RC.RestTableNotFound):
+                    S.lakehouse_sql(spark, f"DROP TABLE '{spec}'")
+                assert S.lakehouse_sql(
+                    spark, f"DROP TABLE IF EXISTS '{spec}'"
+                )["dropped"] is False
+            finally:
+                C.unregister_lakehouse(spark, "rdr")
+
+    def test_remote_drop_refusals(self, spark):
+        with pytest.raises(S.SqlDmlError, match="PURGE"):
+            S.lakehouse_sql(
+                spark, "DROP TABLE 'hms://h:1/db.t' PURGE"
+            )
+        with pytest.raises(S.SqlDmlError, match="table spec"):
+            S.lakehouse_sql(spark, "DROP TABLE 'delta:/tmp/x'")
