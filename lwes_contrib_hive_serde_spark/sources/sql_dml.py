@@ -49,6 +49,20 @@ rest BY NAME rather than misparsing:
   subquery.
 - INSERT: ``INSERT INTO t SELECT ...`` / ``INSERT INTO t VALUES
   (...), ...``.
+
+Round 14 — the catalog lifecycle is SQL-complete: ``CREATE TABLE
+<name> [(col type, ...)] USING iceberg CATALOG '<hms://… |
+rest+iceberg://…>' [LOCATION '<path>'] [AS <select>]`` births the
+table through the catalog's own create + commit CAS; ``INSERT
+INTO`` a catalog-registered view appends through the same CAS;
+``SHOW TABLES IN '<catalog>'`` / ``SHOW NAMESPACES IN '<catalog>'``
+enumerate the REMOTE namespace (thrift get_all_tables /
+get_all_databases, REST listTables / listNamespaces); ``DROP TABLE
+'<spec>'`` retires the remote entry (entry-only — deleteData pinned
+false / no purgeRequested) and sweeps local registrations resolving
+through it. ``TIMESTAMP AS OF`` travels delta, iceberg, and hudi
+views alike via the catalog's ``@ts:`` millis pin — all three
+formats in one statement if the query wants it.
 """
 
 from __future__ import annotations
