@@ -444,6 +444,72 @@ def get_all_databases(
     )
 
 
+# Database struct field ids (hive_metastore.thrift struct Database):
+# 1=name, 2=description, 3=locationUri, 4=parameters.
+DB_NAME = 1
+DB_DESCRIPTION = 2
+DB_LOCATION_URI = 3
+DB_PARAMETERS = 4
+
+
+def create_database(
+    host: str,
+    port: int,
+    name: str,
+    location: str | None = None,
+    timeout: float = 30.0,
+) -> None:
+    """``create_database(Database)`` — register a NEW database (the
+    thrift sibling of the REST tier's createNamespace). Throws per
+    the IDL: 1=AlreadyExistsException (typed HmsAlreadyExists),
+    2=InvalidObjectException, 3=MetaException."""
+    db: dict = {DB_NAME: name}
+    if location:
+        db[DB_LOCATION_URI] = location
+    _t, db_bytes = enc_value(db)
+    body = enc_field(T_STRUCT, 1) + db_bytes + enc_stop()
+    result = _call(host, port, "create_database", body, timeout)
+    bad = next((k for k in (1, 2, 3) if k in result), None)
+    if bad is None:
+        return
+    detail = result[bad]
+    msg = detail.get(1) if isinstance(detail, dict) else str(detail)
+    if bad == 1:
+        raise HmsAlreadyExists(
+            f"create_database: {name!r} already exists: {msg}"
+        )
+    raise HmsError(f"create_database failed on {name!r}: {msg}")
+
+
+def drop_database(
+    host: str,
+    port: int,
+    name: str,
+    timeout: float = 30.0,
+) -> None:
+    """``drop_database(name, deleteData=false, cascade=false)`` —
+    remove the database ENTRY. Both destructive flags are pinned
+    false (same entry-only contract as drop_table): a NON-EMPTY
+    database refuses server-side (InvalidOperationException) rather
+    than cascading into its tables. Throws per the IDL:
+    1=NoSuchObjectException (typed HmsNoSuchObject),
+    2=InvalidOperationException, 3=MetaException."""
+    body = (
+        enc_field(T_STRING, 1) + enc_string(name)
+        + enc_field(T_BOOL, 2) + struct.pack(">b", 0)
+        + enc_field(T_BOOL, 3) + struct.pack(">b", 0)
+        + enc_stop()
+    )
+    result = _call(host, port, "drop_database", body, timeout)
+    bad = next((k for k in (1, 2, 3) if k in result), None)
+    if bad is None:
+        return
+    detail = result[bad]
+    msg = detail.get(1) if isinstance(detail, dict) else str(detail)
+    cls = HmsNoSuchObject if bad == 1 else HmsError
+    raise cls(f"drop_database failed on {name!r}: {msg}")
+
+
 # EnvironmentContext field ids (hive_metastore.thrift): 1=properties.
 # The expected-parameter CAS convention (HIVE-26882, what Iceberg's
 # HiveTableOperations rides): stamping these two keys into the

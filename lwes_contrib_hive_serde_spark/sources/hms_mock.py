@@ -47,6 +47,10 @@ def table_struct(
 class MockMetastore:
     def __init__(self) -> None:
         self.tables: dict = {}
+        # explicitly created databases; get_all_databases unions
+        # these with the table-derived ones (real metastores list
+        # empty databases too)
+        self.databases: set = set()
         self.calls: list = []
         self._lock = threading.Lock()
         store = self
@@ -111,8 +115,55 @@ class MockMetastore:
                     _t, body = hms.enc_value({0: names})
                 elif name == "get_all_databases":
                     with store._lock:
-                        dbs = sorted({db for (db, _t2) in store.tables})
+                        dbs = sorted(
+                            {db for (db, _t2) in store.tables}
+                            | store.databases
+                        )
                     _t, body = hms.enc_value({0: dbs})
+                elif name == "create_database":
+                    dbst = args.get(1) or {}
+                    dbname = dbst.get(hms.DB_NAME)
+                    with store._lock:
+                        existing = store.databases | {
+                            db for (db, _t2) in store.tables
+                        }
+                        if not dbname:
+                            body_doc = {3: {1: "create_database: "
+                                            "name missing"}}
+                        elif dbname in existing:
+                            body_doc = {1: {1: (
+                                f"Database {dbname} already exists"
+                            )}}
+                        else:
+                            store.databases.add(dbname)
+                            body_doc = {}
+                    _t, body = hms.enc_value(body_doc)
+                elif name == "drop_database":
+                    dbname = args.get(1)
+                    cascade = bool(args.get(3))
+                    with store._lock:
+                        held = [
+                            t for (db, t) in store.tables
+                            if db == dbname
+                        ]
+                        known = dbname in store.databases or held
+                        if not known:
+                            body_doc = {1: {1: (
+                                f"Database {dbname} not found"
+                            )}}
+                        elif held and not cascade:
+                            # real HMS: InvalidOperationException
+                            # for a non-empty database sans cascade
+                            body_doc = {2: {1: (
+                                f"Database {dbname} is not empty. "
+                                f"One or more tables exist."
+                            )}}
+                        else:
+                            store.databases.discard(dbname)
+                            for t in held:
+                                del store.tables[(dbname, t)]
+                            body_doc = {}
+                    _t, body = hms.enc_value(body_doc)
                 else:
                     _t, body = hms.enc_value({})
                     self.request.sendall(

@@ -287,6 +287,25 @@ def create_namespace(
     )
 
 
+def drop_namespace(
+    base_url: str,
+    namespace: list[str],
+    prefix: str | None = None,
+    token: str | None = None,
+) -> None:
+    """``DELETE /v1/{prefix}/namespaces/{ns}`` — remove the
+    namespace ENTRY. The spec answers 404 for an unknown namespace
+    (→ RestTableNotFound, the shared not-found type) and 409 for a
+    NON-EMPTY one — dropping never cascades into tables."""
+    ns = urllib.parse.quote("\x1f".join(namespace), safe="")
+    segs = _v1_segs(base_url, prefix) + ["namespaces", ns]
+    _request(
+        "/".join(segs),
+        token or os.environ.get("ICEBERG_REST_TOKEN"),
+        method="DELETE",
+    )
+
+
 def drop_table(
     base_url: str,
     namespace: list[str],

@@ -222,6 +222,36 @@ class MockRestCatalog:
                     for p in self.path.strip("/").split("/")
                 ]
                 if (
+                    "namespaces" in parts
+                    and "tables" not in parts
+                    and parts.index("namespaces") + 1 < len(parts)
+                ):
+                    # DELETE /v1/.../namespaces/{ns} — drop the
+                    # namespace ENTRY; 409 when tables remain (the
+                    # spec's non-empty refusal), never a cascade
+                    ns = tuple(
+                        parts[parts.index("namespaces") + 1]
+                        .split("\x1f")
+                    )
+                    with cat.lock:
+                        held = [
+                            t for (n, t) in cat.tables if n == ns
+                        ]
+                        if ns not in cat.namespaces and not held:
+                            self._json(404, {"error": {
+                                "message": "no such namespace"
+                            }})
+                            return
+                        if held:
+                            self._json(409, {"error": {
+                                "message": "namespace not empty"
+                            }})
+                            return
+                        cat.namespaces.discard(ns)
+                    self.send_response(204)
+                    self.end_headers()
+                    return
+                if (
                     "namespaces" not in parts
                     or "tables" not in parts
                     or parts.index("tables") + 1 >= len(parts)

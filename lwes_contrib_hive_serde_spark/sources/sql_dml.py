@@ -57,10 +57,13 @@ table through the catalog's own create + commit CAS; ``INSERT
 INTO`` a catalog-registered view appends through the same CAS;
 ``SHOW TABLES IN '<catalog>'`` / ``SHOW NAMESPACES IN '<catalog>'``
 enumerate the REMOTE namespace (thrift get_all_tables /
-get_all_databases, REST listTables / listNamespaces); ``DROP TABLE
-'<spec>'`` retires the remote entry (entry-only — deleteData pinned
-false / no purgeRequested) and sweeps local registrations resolving
-through it. ``TIMESTAMP AS OF`` travels delta, iceberg, and hudi
+get_all_databases, REST listTables / listNamespaces); ``CREATE
+NAMESPACE [IF NOT EXISTS] '<catalog>'`` / ``DROP NAMESPACE [IF
+EXISTS] '<catalog>'`` run thrift create_database/drop_database and
+REST createNamespace/DELETE (non-empty refuses server-side, never
+a cascade); ``DROP TABLE '<spec>'`` retires the remote entry
+(entry-only — deleteData pinned false / no purgeRequested) and
+sweeps local registrations resolving through it. ``TIMESTAMP AS OF`` travels delta, iceberg, and hudi
 views alike via the catalog's ``@ts:`` millis pin — all three
 formats in one statement if the query wants it.
 """
@@ -353,6 +356,8 @@ def lakehouse_sql(
     if kw == "SHOW":
         return _run_show(spark, s, tables)
     if kw == "DROP":
+        if re.match(r"DROP\s+NAMESPACE\b", s, re.I):
+            return _run_drop_namespace(s)
         return _run_drop(spark, s, tables)
     if kw == "DELETE":
         return _run_delete(spark, s, strategy, tables)
@@ -365,6 +370,8 @@ def lakehouse_sql(
     if kw == "ALTER":
         return _run_alter(spark, s, tables)
     if kw == "CREATE":
+        if re.match(r"CREATE\s+NAMESPACE\b", s, re.I):
+            return _run_create_namespace(s)
         return _run_create(spark, s, strategy, tables)
     if kw == "VACUUM":
         return _run_vacuum(spark, s, tables)
@@ -719,6 +726,108 @@ def _parse_catalog_container(spec: str):
         f"catalog listing needs an hms:// or rest+iceberg:// spec, "
         f"got {spec!r}"
     )
+
+
+def _parse_namespace_stmt(s: str, verb: str, tolerance: str):
+    """``<verb> NAMESPACE [<tolerance>] '<container spec>'`` →
+    (tolerated: bool, kind, parts) via _parse_catalog_container;
+    refuses a spec without a namespace part — these verbs name a
+    DATABASE/namespace, never a bare catalog."""
+    m = re.fullmatch(
+        rf"{verb}\s+NAMESPACE\s+({tolerance}\s+)?'((?:[^']|'')+)'",
+        s, re.I,
+    )
+    if not m:
+        raise SqlDmlError(
+            f"{verb} NAMESPACE needs \"{verb} NAMESPACE "
+            f"[{tolerance}] '<hms://host:port/db | "
+            "rest+iceberg://host[/prefix]#ns>'\""
+        )
+    spec = m.group(2).replace("''", "'")
+    kind, parts = _parse_catalog_container(spec)
+    if kind == "hms" and not parts[2]:
+        raise SqlDmlError(
+            f"{spec!r}: an HMS namespace statement needs the '/db' "
+            "part"
+        )
+    if kind == "rest" and not parts[2]:
+        raise SqlDmlError(
+            f"{spec!r}: a REST namespace statement needs the "
+            "'#namespace' part"
+        )
+    return bool(m.group(1)), spec, kind, parts
+
+
+def _run_create_namespace(s: str) -> dict:
+    """``CREATE NAMESPACE [IF NOT EXISTS] '<hms://host:port/db |
+    rest+iceberg://host[/prefix]#ns>'`` (round 14) — the thrift
+    create_database / REST createNamespace route, completing the
+    namespace lifecycle around SHOW NAMESPACES IN and the
+    catalog-routed CREATE TABLE."""
+    tolerated, spec, kind, parts = _parse_namespace_stmt(
+        s, "CREATE", "IF\\s+NOT\\s+EXISTS"
+    )
+    if kind == "hms":
+        from lwes_contrib_hive_serde_spark.sources import hms
+
+        host, port, db = parts
+        created = True
+        try:
+            hms.create_database(host, port, db)
+        except hms.HmsAlreadyExists:
+            if not tolerated:
+                raise
+            created = False
+        return {"statement": "create_namespace", "namespace": db,
+                "created": created}
+    from lwes_contrib_hive_serde_spark.sources import rest_catalog
+
+    base, prefix, ns = parts
+    created = True
+    try:
+        rest_catalog.create_namespace(base, ns, prefix=prefix)
+    except rest_catalog.RestCommitConflict:
+        if not tolerated:
+            raise
+        created = False
+    return {"statement": "create_namespace",
+            "namespace": ".".join(ns), "created": created}
+
+
+def _run_drop_namespace(s: str) -> dict:
+    """``DROP NAMESPACE [IF EXISTS] '<catalog container>'`` —
+    entry-only like every drop on this router: the thrift call pins
+    deleteData/cascade false and the REST route sends no purge, so
+    a NON-EMPTY namespace refuses server-side (drop its tables
+    first) rather than cascading."""
+    tolerated, spec, kind, parts = _parse_namespace_stmt(
+        s, "DROP", "IF\\s+EXISTS"
+    )
+    if kind == "hms":
+        from lwes_contrib_hive_serde_spark.sources import hms
+
+        host, port, db = parts
+        existed = True
+        try:
+            hms.drop_database(host, port, db)
+        except hms.HmsNoSuchObject:
+            if not tolerated:
+                raise
+            existed = False
+        return {"statement": "drop_namespace", "namespace": db,
+                "dropped": existed}
+    from lwes_contrib_hive_serde_spark.sources import rest_catalog
+
+    base, prefix, ns = parts
+    existed = True
+    try:
+        rest_catalog.drop_namespace(base, ns, prefix=prefix)
+    except rest_catalog.RestTableNotFound:
+        if not tolerated:
+            raise
+        existed = False
+    return {"statement": "drop_namespace",
+            "namespace": ".".join(ns), "dropped": existed}
 
 
 def _run_show(spark, s, tables) -> DataFrame:

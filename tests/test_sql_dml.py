@@ -1696,3 +1696,133 @@ class TestRemoteDrop:
             )
         with pytest.raises(S.SqlDmlError, match="table spec"):
             S.lakehouse_sql(spark, "DROP TABLE 'delta:/tmp/x'")
+
+
+class TestNamespaceLifecycle:
+    """Round-14: CREATE NAMESPACE / DROP NAMESPACE '<catalog
+    container>' — thrift create_database/drop_database and REST
+    createNamespace/DELETE-namespace, entry-only, with non-empty
+    refusing server-side."""
+
+    def test_hms_namespace_lifecycle(self, spark, tmp_path):
+        from lwes_contrib_hive_serde_spark.sources import (
+            hms as HMS,
+            hms_mock as HM,
+        )
+
+        with HM.MockMetastore() as ms:
+            host, port = ms.addr.split(":")
+            container = f"hms://{ms.addr}/fresh"
+            out = S.lakehouse_sql(
+                spark, f"CREATE NAMESPACE '{container}'"
+            )
+            assert out == {"statement": "create_namespace",
+                           "namespace": "fresh", "created": True}
+            rows = S.lakehouse_sql(
+                spark, f"SHOW NAMESPACES IN 'hms://{ms.addr}'"
+            ).collect()
+            assert ["fresh"] == [r.namespace for r in rows]
+            # duplicate refuses typed; IF NOT EXISTS tolerates
+            with pytest.raises(HMS.HmsAlreadyExists):
+                S.lakehouse_sql(
+                    spark, f"CREATE NAMESPACE '{container}'"
+                )
+            assert S.lakehouse_sql(
+                spark,
+                f"CREATE NAMESPACE IF NOT EXISTS '{container}'",
+            )["created"] is False
+            # a table makes the namespace non-empty: drop refuses
+            loc = str(tmp_path / "nst")
+            S.lakehouse_sql(spark, f"""
+                CREATE TABLE nst (a BIGINT) USING iceberg
+                CATALOG 'hms://{ms.addr}/fresh.t' LOCATION '{loc}'
+            """)
+            try:
+                with pytest.raises(HMS.HmsError, match="not empty"):
+                    S.lakehouse_sql(
+                        spark, f"DROP NAMESPACE '{container}'"
+                    )
+                S.lakehouse_sql(
+                    spark, f"DROP TABLE 'hms://{ms.addr}/fresh.t'"
+                )
+                assert S.lakehouse_sql(
+                    spark, f"DROP NAMESPACE '{container}'"
+                )["dropped"] is True
+                with pytest.raises(HMS.HmsNoSuchObject):
+                    S.lakehouse_sql(
+                        spark, f"DROP NAMESPACE '{container}'"
+                    )
+                assert S.lakehouse_sql(
+                    spark,
+                    f"DROP NAMESPACE IF EXISTS '{container}'",
+                )["dropped"] is False
+            finally:
+                C.unregister_lakehouse(spark, "nst")
+
+    def test_rest_namespace_lifecycle(self, spark):
+        from lwes_contrib_hive_serde_spark.sources import (
+            rest_catalog as RC,
+            rest_mock as RM,
+        )
+
+        with RM.MockRestCatalog() as cat:
+            container = f"rest+iceberg://{cat.base}#ana.raw"
+            out = S.lakehouse_sql(
+                spark, f"CREATE NAMESPACE '{container}'"
+            )
+            assert out == {"statement": "create_namespace",
+                           "namespace": "ana.raw", "created": True}
+            rows = S.lakehouse_sql(
+                spark,
+                f"SHOW NAMESPACES IN 'rest+iceberg://{cat.base}'",
+            ).collect()
+            assert "ana.raw" in [r.namespace for r in rows]
+            with pytest.raises(RC.RestCommitConflict):
+                S.lakehouse_sql(
+                    spark, f"CREATE NAMESPACE '{container}'"
+                )
+            assert S.lakehouse_sql(
+                spark,
+                f"CREATE NAMESPACE IF NOT EXISTS '{container}'",
+            )["created"] is False
+            # populate, then non-empty refuses (HTTP 409)
+            spec = cat.spec("ana.raw.t")
+            try:
+                S.lakehouse_sql(spark, f"""
+                    CREATE TABLE rnst USING iceberg
+                    CATALOG '{spec}' AS SELECT 1 AS a
+                """)
+                with pytest.raises(
+                    RC.RestCatalogError, match="409"
+                ):
+                    S.lakehouse_sql(
+                        spark, f"DROP NAMESPACE '{container}'"
+                    )
+                S.lakehouse_sql(spark, f"DROP TABLE '{spec}'")
+                assert S.lakehouse_sql(
+                    spark, f"DROP NAMESPACE '{container}'"
+                )["dropped"] is True
+                with pytest.raises(RC.RestTableNotFound):
+                    S.lakehouse_sql(
+                        spark, f"DROP NAMESPACE '{container}'"
+                    )
+                assert S.lakehouse_sql(
+                    spark,
+                    f"DROP NAMESPACE IF EXISTS '{container}'",
+                )["dropped"] is False
+            finally:
+                C.unregister_lakehouse(spark, "rnst")
+
+    def test_namespace_refusals(self, spark):
+        with pytest.raises(S.SqlDmlError, match="'/db' part"):
+            S.lakehouse_sql(
+                spark, "CREATE NAMESPACE 'hms://h:9083'"
+            )
+        with pytest.raises(S.SqlDmlError, match="#namespace"):
+            S.lakehouse_sql(
+                spark, "DROP NAMESPACE 'rest+iceberg://h'"
+            )
+        with pytest.raises(S.SqlDmlError, match="DATABASE spec"):
+            S.lakehouse_sql(
+                spark, "CREATE NAMESPACE 'hms://h:9083/db.t'"
+            )
