@@ -61,7 +61,10 @@ get_all_databases, REST listTables / listNamespaces); ``CREATE
 NAMESPACE [IF NOT EXISTS] '<catalog>'`` / ``DROP NAMESPACE [IF
 EXISTS] '<catalog>'`` run thrift create_database/drop_database and
 REST createNamespace/DELETE (non-empty refuses server-side, never
-a cascade); ``DROP TABLE '<spec>'`` retires the remote entry
+a cascade); ``REGISTER TABLE '<spec>' AT '<metadata-location>'
+[AS <view>]`` adopts an existing path-based table into a catalog
+without rewriting (the migration verb); ``DROP TABLE '<spec>'``
+retires the remote entry
 (entry-only — deleteData pinned false / no purgeRequested) and
 sweeps local registrations resolving through it. ``TIMESTAMP AS OF`` travels delta, iceberg, and hudi
 views alike via the catalog's ``@ts:`` millis pin — all three
@@ -373,6 +376,8 @@ def lakehouse_sql(
         if re.match(r"CREATE\s+NAMESPACE\b", s, re.I):
             return _run_create_namespace(s)
         return _run_create(spark, s, strategy, tables)
+    if kw == "REGISTER":
+        return _run_register(spark, s, tables)
     if kw == "VACUUM":
         return _run_vacuum(spark, s, tables)
     if kw == "OPTIMIZE":
@@ -383,8 +388,9 @@ def lakehouse_sql(
         return _run_describe(spark, s, tables)
     raise SqlDmlError(
         f"not a lakehouse statement: {s[:60]!r} (SELECT/WITH/"
-        "SHOW TABLES/DESCRIBE [HISTORY]/UPDATE/DELETE/MERGE/"
-        "INSERT/ALTER TABLE/CREATE TABLE/VACUUM/OPTIMIZE/"
+        "SHOW TABLES|NAMESPACES/DESCRIBE [HISTORY]/UPDATE/DELETE/"
+        "MERGE/INSERT/ALTER TABLE/CREATE TABLE|NAMESPACE/"
+        "DROP TABLE|NAMESPACE/REGISTER TABLE/VACUUM/OPTIMIZE/"
         "RESTORE TABLE)"
     )
 
@@ -828,6 +834,76 @@ def _run_drop_namespace(s: str) -> dict:
         existed = False
     return {"statement": "drop_namespace",
             "namespace": ".".join(ns), "dropped": existed}
+
+
+def _run_register(spark, s, tables) -> dict:
+    """``REGISTER TABLE '<hms://host:port/db.tbl |
+    rest+iceberg://host[/prefix]#ns.tbl>' AT '<metadata-location>'
+    [AS <view>]`` (round 14) — ADOPT an existing path-based Iceberg
+    table into a catalog without rewriting anything: the REST tier's
+    registerTable route, the thrift tier the HiveCatalog convention
+    (create_table with table_type=ICEBERG and the metadata_location
+    parameter pre-set — the adopted head needs no initial commit).
+    The migration verb for path-based → catalog-managed tables; with
+    ``AS <view>`` the catalog spec also registers locally so plain
+    SELECT sees it. An existing identifier refuses (the catalogs'
+    own AlreadyExists/409) — adoption is never an overwrite."""
+    m = re.fullmatch(
+        rf"REGISTER\s+TABLE\s+'((?:[^']|'')+)'\s+"
+        rf"AT\s+'((?:[^']|'')+)'(?:\s+AS\s+({_IDENT}))?",
+        s, re.I,
+    )
+    if not m:
+        raise SqlDmlError(
+            "REGISTER needs \"REGISTER TABLE '<hms://…|"
+            "rest+iceberg://…>' AT '<metadata-location>' "
+            "[AS <view>]\""
+        )
+    spec = m.group(1).replace("''", "'")
+    meta_loc = m.group(2).replace("''", "'")
+    view = m.group(3)
+    from lwes_contrib_hive_serde_spark.sources import hms, rest_catalog
+
+    if hms.is_hms_spec(spec):
+        host, port, db, tbl = hms.parse_hms_spec(spec)
+        # sd.location = the table root (metadata/ lives under it)
+        root = meta_loc
+        for _ in range(2):
+            root = root.rsplit("/", 1)[0] if "/" in root else root
+        hms.create_table(
+            host, port, db, tbl,
+            {
+                hms.F_SD: {
+                    hms.SD_LOCATION: root,
+                    hms.SD_INPUT_FORMAT: "",
+                    hms.SD_SERDE: {hms.SERDE_LIB: ""},
+                },
+                hms.F_PARAMETERS: {
+                    "table_type": "ICEBERG",
+                    hms.METADATA_LOCATION: meta_loc,
+                },
+            },
+        )
+    elif rest_catalog.is_rest_spec(spec):
+        base, prefix, ns, tbl = rest_catalog.parse_rest_spec(spec)
+        rest_catalog.register_table(
+            base, ns, tbl, meta_loc, prefix=prefix
+        )
+    else:
+        raise SqlDmlError(
+            "REGISTER TABLE takes an hms:// or rest+iceberg:// "
+            f"table spec, got {spec!r}"
+        )
+    res = {"statement": "register_table", "table": spec,
+           "metadata_location": meta_loc}
+    if view:
+        from lwes_contrib_hive_serde_spark.sources import catalog as C
+
+        C.register_lakehouse(spark, {view: spec})
+        if tables is not None:
+            tables[view] = spec
+        res["view"] = view
+    return res
 
 
 def _run_show(spark, s, tables) -> DataFrame:

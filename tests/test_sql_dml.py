@@ -1826,3 +1826,90 @@ class TestNamespaceLifecycle:
             S.lakehouse_sql(
                 spark, "CREATE NAMESPACE 'hms://h:9083/db.t'"
             )
+
+
+class TestRegisterTable:
+    """Round-14: REGISTER TABLE '<spec>' AT '<metadata-location>'
+    adopts an existing path-based iceberg table into a catalog
+    without rewriting (REST registerTable / thrift HiveCatalog
+    convention) — the migration verb."""
+
+    def _table(self, spark, tmp_path):
+        import os
+
+        p = str(tmp_path / "adopt")
+        I.write_iceberg_table(_docs(spark, 9).coalesce(1), p)
+        mdir = os.path.join(p, "metadata")
+        vs = [
+            int(n[1:].split(".")[0])
+            for n in os.listdir(mdir)
+            if n.startswith("v") and n.endswith(".metadata.json")
+        ]
+        return p, os.path.join(mdir, f"v{max(vs)}.metadata.json")
+
+    def test_hms_adopt(self, spark, tmp_path):
+        from lwes_contrib_hive_serde_spark.sources import (
+            hms as HMS,
+            hms_mock as HM,
+        )
+
+        p, mloc = self._table(spark, tmp_path)
+        with HM.MockMetastore() as ms:
+            spec = ms.spec("db.adopted")
+            try:
+                res = S.lakehouse_sql(
+                    spark,
+                    f"REGISTER TABLE '{spec}' AT '{mloc}' AS adp",
+                )
+                assert res["statement"] == "register_table"
+                assert res["view"] == "adp"
+                # the adopted head serves through the catalog,
+                # and sd.location points at the table root
+                assert S.lakehouse_sql(
+                    spark, "SELECT count(*) AS n FROM adp"
+                ).first().n == 9
+                host, port = ms.addr.split(":")
+                t = HMS.get_table(host, int(port), "db", "adopted")
+                sd = t.get(HMS.F_SD) or {}
+                assert sd.get(HMS.SD_LOCATION) == p
+                # adoption is never an overwrite
+                with pytest.raises(HMS.HmsAlreadyExists):
+                    S.lakehouse_sql(
+                        spark, f"REGISTER TABLE '{spec}' AT '{mloc}'"
+                    )
+            finally:
+                C.unregister_lakehouse(spark, "adp")
+
+    def test_rest_adopt(self, spark, tmp_path):
+        from lwes_contrib_hive_serde_spark.sources import (
+            rest_catalog as RC,
+            rest_mock as RM,
+        )
+
+        p, mloc = self._table(spark, tmp_path)
+        with RM.MockRestCatalog() as cat:
+            spec = cat.spec("db.adopted")
+            try:
+                S.lakehouse_sql(
+                    spark,
+                    f"REGISTER TABLE '{spec}' AT '{mloc}' AS radp",
+                )
+                assert S.lakehouse_sql(
+                    spark, "SELECT count(*) AS n FROM radp"
+                ).first().n == 9
+                assert RC.resolve_metadata_location(spec) == mloc
+                with pytest.raises(RC.RestCommitConflict):
+                    S.lakehouse_sql(
+                        spark, f"REGISTER TABLE '{spec}' AT '{mloc}'"
+                    )
+            finally:
+                C.unregister_lakehouse(spark, "radp")
+
+    def test_register_refusals(self, spark):
+        with pytest.raises(S.SqlDmlError, match="REGISTER needs"):
+            S.lakehouse_sql(spark, "REGISTER TABLE foo AT '/x'")
+        with pytest.raises(S.SqlDmlError, match="table spec"):
+            S.lakehouse_sql(
+                spark,
+                "REGISTER TABLE 'delta:/tmp/x' AT '/x/m.json'",
+            )
