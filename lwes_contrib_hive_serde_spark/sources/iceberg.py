@@ -53,6 +53,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -2502,47 +2503,178 @@ def iceberg_rename_column(path: str, old: str, new: str) -> None:
     Appends a NEW schema under a fresh schema-id (prior entries
     stay untouched for snapshot-by-schema-id readers) and commits
     O_EXCL with re-derive-and-retry on a lost race; top-level
-    columns only."""
-    path = fsio.resolve_write_path(path, "iceberg_rename_column")
+    columns only.
+
+    Round 14: ``path`` may be an ``hms://`` or ``rest+iceberg://``
+    spec — the rename then commits THROUGH the catalog (unique-named
+    metadata doc + thrift pointer CAS, or the REST updateTable
+    add-schema/set-current-schema actions), so renaming a
+    catalog-managed 100 TB table is the same one-document commit."""
     if old == new:
         raise IcebergError("rename: old and new names are identical")
+    from lwes_contrib_hive_serde_spark.sources import (
+        hms,
+        rest_catalog,
+    )
 
-    def rename_in(sch):
-        names = [f["name"] for f in sch.get("fields") or []]
-        if old not in names:
-            raise IcebergError(f"rename: no column {old!r} (have {names})")
-        if new in names:
-            raise IcebergError(f"rename: column {new!r} already exists")
-        return dict(
-            sch,
-            fields=[
-                dict(f, name=new) if f["name"] == old else f
-                for f in sch["fields"]
-            ],
+    if hms.is_hms_spec(path):
+        return _rename_via_hms(path, old, new)
+    if rest_catalog.is_rest_spec(path):
+        return _rename_via_rest(path, old, new)
+    path = fsio.resolve_write_path(path, "iceberg_rename_column")
+    _commit_metadata(
+        path,
+        lambda meta: _rename_transform(meta, old, new),
+        "iceberg_rename_column",
+    )
+
+
+def _rename_schema_in(sch: dict, old: str, new: str) -> dict:
+    """One schema document with top-level column ``old`` renamed to
+    ``new`` (field ids untouched); typed refusal when ``old`` is
+    absent or ``new`` collides."""
+    names = [f["name"] for f in sch.get("fields") or []]
+    if old not in names:
+        raise IcebergError(f"rename: no column {old!r} (have {names})")
+    if new in names:
+        raise IcebergError(f"rename: column {new!r} already exists")
+    return dict(
+        sch,
+        fields=[
+            dict(f, name=new) if f["name"] == old else f
+            for f in sch["fields"]
+        ],
+    )
+
+
+def _rename_transform(meta: dict, old: str, new: str) -> dict:
+    """Full-metadata rename transform: evolve the current schema
+    (fresh schema-id, prior entries untouched) and keep identity
+    partition-field names in step — shared by the path-based O_EXCL
+    commit and the catalog-routed commits."""
+    meta = _evolve_current_schema(
+        meta, lambda sch: _rename_schema_in(sch, old, new)
+    )
+    # identity partition fields are named after the source column
+    if meta.get("partition-spec"):
+        meta["partition-spec"] = [
+            dict(f, name=new) if f.get("name") == old else f
+            for f in meta["partition-spec"]
+        ]
+    if meta.get("partition-specs"):
+        meta["partition-specs"] = [
+            dict(
+                sp,
+                fields=[
+                    dict(f, name=new) if f.get("name") == old else f
+                    for f in sp.get("fields") or []
+                ],
+            )
+            for sp in meta["partition-specs"]
+        ]
+    return meta
+
+
+def _rename_via_hms(spec: str, old: str, new: str) -> None:
+    """Catalog-routed rename, thrift tier: load the pointer's
+    CURRENT metadata, apply the rename transform, publish under a
+    UNIQUE HiveCatalog-convention name, CAS the pointer — a lost
+    race re-derives from the new head and retries (the loser's
+    document is orphaned; remove_orphan_files sweeps it)."""
+    from lwes_contrib_hive_serde_spark.sources import hms
+
+    for _ in range(10):
+        t, cur_loc, _sd = hms.resolve_iceberg_table(spec)
+        if not cur_loc:
+            raise IcebergError(
+                f"{spec!r}: no metadata_location pointer to rename "
+                "through (commit a snapshot first)"
+            )
+        meta = _rename_transform(
+            dict(load_metadata_location(cur_loc)), old, new
         )
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        mdir = cur_loc.rsplit("/", 1)[0]
+        mname = cur_loc.rsplit("/", 1)[1]
+        m = re.match(r"^(\d+)-", mname)
+        nxt = (int(m.group(1)) + 1) if m else 0
+        new_loc = fsio.join(
+            mdir, f"{nxt:05d}-{uuid.uuid4().hex}.metadata.json"
+        )
+        fsio.create_exclusive(
+            new_loc, json.dumps(meta).encode("utf-8")
+        )
+        try:
+            hms.commit_iceberg_pointer(
+                spec, new_loc, cur_loc, table_struct=t
+            )
+        except hms.HmsCommitConflict:
+            continue
+        return
+    raise IcebergError(
+        f"iceberg_rename_column({spec!r}): sustained pointer "
+        "contention"
+    )
 
-    def transform(meta):
-        meta = _evolve_current_schema(meta, rename_in)
-        # identity partition fields are named after the source column
-        if meta.get("partition-spec"):
-            meta["partition-spec"] = [
-                dict(f, name=new) if f.get("name") == old else f
-                for f in meta["partition-spec"]
-            ]
-        if meta.get("partition-specs"):
-            meta["partition-specs"] = [
-                dict(
-                    sp,
-                    fields=[
-                        dict(f, name=new) if f.get("name") == old else f
-                        for f in sp.get("fields") or []
-                    ],
-                )
-                for sp in meta["partition-specs"]
-            ]
-        return meta
 
-    _commit_metadata(path, transform, "iceberg_rename_column")
+def _rename_via_rest(spec: str, old: str, new: str) -> None:
+    """Catalog-routed rename, REST tier: the spec's updateTable
+    add-schema / set-current-schema actions guarded by
+    assert-table-uuid + assert-current-schema-id — the CATALOG
+    builds and stores the resulting metadata; a 409 re-derives and
+    retries."""
+    from lwes_contrib_hive_serde_spark.sources import rest_catalog
+
+    base, prefix, ns, tbl = rest_catalog.parse_rest_spec(spec)
+    for _ in range(10):
+        cur_loc = rest_catalog.resolve_metadata_location(spec)
+        meta = load_metadata_location(cur_loc)
+        sid = meta.get("current-schema-id", 0)
+        schemas = meta.get("schemas") or [
+            dict(meta.get("schema") or {}, **{"schema-id": sid})
+        ]
+        cur = next(
+            (s for s in schemas if s.get("schema-id") == sid), None
+        )
+        if cur is None:
+            raise IcebergError(
+                f"{spec!r}: current-schema-id {sid} not in schemas"
+            )
+        new_id = max(
+            int(s.get("schema-id") or 0) for s in schemas
+        ) + 1
+        new_schema = dict(
+            _rename_schema_in(cur, old, new), **{"schema-id": new_id}
+        )
+        try:
+            rest_catalog.commit_table(
+                base, ns, tbl,
+                [
+                    {
+                        "type": "assert-table-uuid",
+                        "uuid": meta.get("table-uuid"),
+                    },
+                    {
+                        "type": "assert-current-schema-id",
+                        "current-schema-id": sid,
+                    },
+                ],
+                [
+                    {"action": "add-schema", "schema": new_schema},
+                    {
+                        "action": "set-current-schema",
+                        "schema-id": new_id,
+                    },
+                ],
+                prefix=prefix,
+            )
+        except rest_catalog.RestCommitConflict:
+            continue
+        return
+    raise IcebergError(
+        f"iceberg_rename_column({spec!r}): sustained commit "
+        "contention"
+    )
 
 
 def _hint_version(path: str) -> int:

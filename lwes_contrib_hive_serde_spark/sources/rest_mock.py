@@ -380,6 +380,11 @@ def _first_failed_requirement(meta: dict, reqs: list[dict]):
             )
             if cur != r.get("snapshot-id"):
                 return r
+        elif t == "assert-current-schema-id":
+            if meta.get("current-schema-id", 0) != r.get(
+                "current-schema-id"
+            ):
+                return r
         # unknown requirement types: the spec says servers MUST
         # fail commits carrying requirements they cannot check
         elif t not in ("assert-create",):
@@ -425,6 +430,40 @@ def _apply_updates(meta: dict, updates: list[dict]) -> dict:
             props = dict(meta.get("properties") or {})
             props.update(u.get("updates") or {})
             meta["properties"] = props
+        elif a == "add-schema":
+            sch = u["schema"]
+            meta["schemas"] = (meta.get("schemas") or []) + [sch]
+            meta["last-column-id"] = max(
+                int(meta.get("last-column-id") or 0),
+                max(
+                    (int(f.get("id") or 0)
+                     for f in sch.get("fields") or []),
+                    default=0,
+                ),
+            )
+        elif a == "set-current-schema":
+            sid = int(u["schema-id"])
+            if sid == -1:
+                # the spec's "last added schema" sentinel
+                sid = int(
+                    (meta.get("schemas") or [{}])[-1]
+                    .get("schema-id") or 0
+                )
+            if not any(
+                s.get("schema-id") == sid
+                for s in meta.get("schemas") or []
+            ):
+                raise ValueError(
+                    f"set-current-schema: unknown schema-id {sid}"
+                )
+            meta["current-schema-id"] = sid
+            cur = next(
+                s for s in meta["schemas"]
+                if s.get("schema-id") == sid
+            )
+            if "schema" in meta:
+                # v1-reader mirror field, like real catalogs keep
+                meta["schema"] = cur
         else:
             raise ValueError(f"unsupported update action {a!r}")
     return meta

@@ -63,8 +63,10 @@ EXISTS] '<catalog>'`` run thrift create_database/drop_database and
 REST createNamespace/DELETE (non-empty refuses server-side, never
 a cascade); ``REGISTER TABLE '<spec>' AT '<metadata-location>'
 [AS <view>]`` adopts an existing path-based table into a catalog
-without rewriting (the migration verb); ``DROP TABLE '<spec>'``
-retires the remote entry
+without rewriting (the migration verb); ``ALTER TABLE <view>
+RENAME COLUMN`` on a catalog-registered table commits the
+metadata-only rename through the catalog's CAS; ``DROP TABLE
+'<spec>'`` retires the remote entry
 (entry-only — deleteData pinned false / no purgeRequested) and
 sweeps local registrations resolving through it. ``TIMESTAMP AS OF`` travels delta, iceberg, and hudi
 views alike via the catalog's ``@ts:`` millis pin — all three
@@ -1945,6 +1947,33 @@ def _run_alter(spark, s, tables) -> dict:
     if not m:
         raise SqlDmlError("ALTER needs 'ALTER TABLE <view> <action>'")
     view, action = m.group(1), m.group(2).strip()
+    from lwes_contrib_hive_serde_spark.sources import catalog as Cat
+
+    spec = (tables or {}).get(view) or Cat.registered_specs().get(view)
+    rm_cat = re.fullmatch(
+        rf"RENAME\s+COLUMN\s+({_IDENT})\s+TO\s+({_IDENT})",
+        action, re.I,
+    )
+    if (
+        rm_cat
+        and spec is not None
+        and spec.startswith(
+            ("hms://", "rest+iceberg://", "rest+icebergs://")
+        )
+        and "@" not in spec
+    ):
+        # catalog-registered iceberg table: the metadata-only rename
+        # commits THROUGH the catalog (pointer CAS / updateTable) —
+        # field ids keep every data file readable, zero rewrites
+        from lwes_contrib_hive_serde_spark.sources import (
+            iceberg as I,
+        )
+
+        I.iceberg_rename_column(
+            spec, rm_cat.group(1), rm_cat.group(2)
+        )
+        _refresh(spark, view, tables)
+        return {"statement": "alter", "table": view}
     fmt, path = _resolve(view, tables)
 
     rm = re.fullmatch(

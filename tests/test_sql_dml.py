@@ -1913,3 +1913,73 @@ class TestRegisterTable:
                 spark,
                 "REGISTER TABLE 'delta:/tmp/x' AT '/x/m.json'",
             )
+
+
+class TestCatalogAlter:
+    """Round-14: ALTER TABLE <view> RENAME COLUMN on a
+    catalog-registered iceberg table commits through the catalog
+    (thrift pointer CAS / REST add-schema+set-current-schema) —
+    metadata-only, zero data files rewritten."""
+
+    def test_hms_rename_column(self, spark, tmp_path):
+        from lwes_contrib_hive_serde_spark.sources import (
+            hms_mock as HM,
+        )
+
+        loc = str(tmp_path / "alt_h")
+        with HM.MockMetastore() as ms:
+            spec = ms.spec("db.alt")
+            try:
+                S.lakehouse_sql(spark, f"""
+                    CREATE TABLE alth USING iceberg
+                    CATALOG '{spec}' LOCATION '{loc}'
+                    AS SELECT * FROM RANGE(4)
+                """)
+                import glob
+
+                files_before = set(
+                    glob.glob(f"{loc}/**/*.parquet", recursive=True)
+                )
+                S.lakehouse_sql(
+                    spark, "ALTER TABLE alth RENAME COLUMN id TO rid"
+                )
+                df = S.lakehouse_sql(spark, "SELECT * FROM alth")
+                assert df.columns == ["rid"]
+                assert df.count() == 4
+                # metadata-only: same data files
+                assert files_before == set(
+                    glob.glob(f"{loc}/**/*.parquet", recursive=True)
+                )
+                # the catalog head moved — a fresh resolution of the
+                # spec (not the cached view) sees the new name
+                assert C.load_spec(spark, spec).columns == ["rid"]
+            finally:
+                C.unregister_lakehouse(spark, "alth")
+
+    def test_rest_rename_column(self, spark, tmp_path):
+        from lwes_contrib_hive_serde_spark.sources import (
+            iceberg as I2,
+            rest_mock as RM,
+        )
+
+        with RM.MockRestCatalog() as cat:
+            spec = cat.spec("db.alt")
+            try:
+                S.lakehouse_sql(spark, f"""
+                    CREATE TABLE altr USING iceberg CATALOG '{spec}'
+                    AS SELECT * FROM RANGE(6)
+                """)
+                S.lakehouse_sql(
+                    spark, "ALTER TABLE altr RENAME COLUMN id TO rid"
+                )
+                df = S.lakehouse_sql(spark, "SELECT * FROM altr")
+                assert df.columns == ["rid"]
+                assert df.count() == 6
+                # rename refusals surface typed through the router
+                with pytest.raises(I2.IcebergError, match="no column"):
+                    S.lakehouse_sql(
+                        spark,
+                        "ALTER TABLE altr RENAME COLUMN nope TO x",
+                    )
+            finally:
+                C.unregister_lakehouse(spark, "altr")
