@@ -11581,11 +11581,15 @@ def _documents_sql_lifecycle_tables(spark, sf_dir: str):
     the SQL router's catalog verbs (round 14): the hms:// table via
     CTAS (CREATE ... CATALOG '<hms://…>' LOCATION) + one catalog-
     routed INSERT INTO; the rest+iceberg:// table via the column-
-    list CREATE (empty table, explicit LOCATION) + two INSERTs. Each
-    lifecycle ends with the remote DROP TABLE '<spec>' (entry-only —
-    the data survives on disk, which is exactly what this fixture
-    then reads). Returns (hms_path, rest_path); cached per sf_dir so
-    the mocks and commits run once."""
+    list CREATE (empty table, explicit LOCATION) + two INSERTs. Both
+    lifecycles then ``ALTER TABLE ... RENAME COLUMN n_chars TO
+    char_count`` THROUGH the catalog (thrift pointer CAS / REST
+    add-schema+set-current-schema — metadata-only, field ids keep
+    every data file readable), and each ends with the remote DROP
+    TABLE '<spec>' (entry-only — the data survives on disk, which is
+    exactly what this fixture then reads, under the RENAMED column).
+    Returns (hms_path, rest_path); cached per sf_dir so the mocks
+    and commits run once."""
     import json
     import os
     import shutil
@@ -11602,7 +11606,7 @@ def _documents_sql_lifecycle_tables(spark, sf_dir: str):
         tag = f"{tag}-{int(st.st_mtime)}-{st.st_size}"
     except OSError:
         pass
-    base = f"/tmp/sql_catalog_lifecycle_cache/v1/{tag}"
+    base = f"/tmp/sql_catalog_lifecycle_cache/v2/{tag}"
     out_h, out_r = os.path.join(base, "h"), os.path.join(base, "r")
     done = os.path.join(base, "done.json")
     if os.path.exists(done):
@@ -11627,6 +11631,10 @@ def _documents_sql_lifecycle_tables(spark, sf_dir: str):
             SELECT doc_id, text, lang, source, n_chars
             FROM sqlc_lifecycle_src WHERE doc_id % 2 = 1
         """)
+        S.lakehouse_sql(
+            spark,
+            "ALTER TABLE sqlc_h RENAME COLUMN n_chars TO char_count",
+        )
         S.lakehouse_sql(spark, f"DROP TABLE '{spec}'")
     with RM.MockRestCatalog() as cat:
         spec = cat.spec("db.sqldocs")
@@ -11646,6 +11654,10 @@ def _documents_sql_lifecycle_tables(spark, sf_dir: str):
             SELECT doc_id, text, lang, source, n_chars
             FROM sqlc_lifecycle_src WHERE doc_id % 2 = 1
         """)
+        S.lakehouse_sql(
+            spark,
+            "ALTER TABLE sqlc_r RENAME COLUMN n_chars TO char_count",
+        )
         S.lakehouse_sql(spark, f"DROP TABLE '{spec}'")
     with open(done + ".tmp", "w") as f:
         json.dump({"ok": True}, f)
@@ -11669,9 +11681,13 @@ def _documents_sql_lifecycle_tables(spark, sf_dir: str):
     """,
     doc="SQL-only table birth-to-retirement on BOTH catalog tiers "
     "(round 14): CREATE TABLE ... CATALOG '<hms://…>' CTAS + "
-    "catalog-routed INSERT INTO + remote DROP TABLE '<spec>' over "
-    "the thrift metastore; column-list CREATE + two INSERTs + "
-    "remote DROP over the REST catalog. Every commit rides the "
+    "catalog-routed INSERT INTO + catalog-committed ALTER TABLE "
+    "RENAME COLUMN + remote DROP TABLE '<spec>' over "
+    "the thrift metastore; column-list CREATE + two INSERTs + the "
+    "same ALTER + remote DROP over the REST catalog. The aggregate "
+    "reads the RENAMED column, so the hash also gates that the "
+    "metadata-only rename kept every pre-rename file readable by "
+    "field id. Every commit rides the "
     "tier's own CAS (thrift expected-parameter alter / REST "
     "updateTable); the drops are ENTRY-only, so the DuckDB oracle's "
     "full-corpus recompute hash-gates that the SQL lifecycle lost "
@@ -11716,9 +11732,12 @@ def q_sql_catalog_lifecycle(spark, sf_dir):
     r = I.read_iceberg(spark, out_r)
 
     def agg(df, src):
+        # char_count is the catalog-ALTERed name of n_chars: the
+        # value hash only matches if the metadata-only rename left
+        # every pre-rename data file readable (field-id resolution)
         return df.groupBy("lang").agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("n_chars").alias("sum_chars"),
+            F.sum("char_count").alias("sum_chars"),
             F.min("doc_id").alias("min_id"),
             F.max("doc_id").alias("max_id"),
         ).select(
