@@ -1983,3 +1983,47 @@ class TestCatalogAlter:
                     )
             finally:
                 C.unregister_lakehouse(spark, "altr")
+
+    def test_hms_concurrent_renames_serialize(self, spark, tmp_path):
+        import threading
+
+        from lwes_contrib_hive_serde_spark.sources import (
+            hms_mock as HM,
+            iceberg as I2,
+        )
+
+        loc = str(tmp_path / "race")
+        with HM.MockMetastore() as ms:
+            spec = ms.spec("db.race")
+            try:
+                S.lakehouse_sql(spark, f"""
+                    CREATE TABLE race USING iceberg
+                    CATALOG '{spec}' LOCATION '{loc}'
+                    AS SELECT id AS a, id AS b FROM RANGE(3)
+                """)
+                errs = []
+                barrier = threading.Barrier(2)
+
+                def run(old, new):
+                    try:
+                        barrier.wait()
+                        I2.iceberg_rename_column(spec, old, new)
+                    except Exception as e:  # noqa: BLE001
+                        errs.append(e)
+
+                ts = [
+                    threading.Thread(target=run, args=("a", "x")),
+                    threading.Thread(target=run, args=("b", "y")),
+                ]
+                for t in ts:
+                    t.start()
+                for t in ts:
+                    t.join()
+                # both renames serialize through the pointer CAS:
+                # the loser re-derives from the winner's head
+                assert errs == []
+                assert sorted(
+                    C.load_spec(spark, spec).columns
+                ) == ["x", "y"]
+            finally:
+                C.unregister_lakehouse(spark, "race")
