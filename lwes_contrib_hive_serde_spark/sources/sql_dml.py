@@ -642,6 +642,12 @@ def _run_drop(spark, s, tables) -> dict:
 
     if m.group(3):
         spec = m.group(3).replace("''", "'")
+        if "@" in spec:
+            raise SqlDmlError(
+                f"DROP TABLE {spec!r}: a pinned spec names a "
+                "SNAPSHOT, not a catalog entry — drop the unpinned "
+                "identifier"
+            )
         existed = _drop_remote_entry(spec, if_exists)
         # sweep local registrations resolving through the dropped
         # entry (exact spec or any @pin of it) — a view left behind
@@ -864,6 +870,12 @@ def _run_register(spark, s, tables) -> dict:
     spec = m.group(1).replace("''", "'")
     meta_loc = m.group(2).replace("''", "'")
     view = m.group(3)
+    if "@" in spec:
+        raise SqlDmlError(
+            f"REGISTER TABLE {spec!r}: the catalog identifier cannot "
+            "carry an @pin — the metadata-location argument IS the "
+            "adopted head"
+        )
     from lwes_contrib_hive_serde_spark.sources import hms, rest_catalog
 
     if hms.is_hms_spec(spec):

@@ -1696,6 +1696,10 @@ class TestRemoteDrop:
             )
         with pytest.raises(S.SqlDmlError, match="table spec"):
             S.lakehouse_sql(spark, "DROP TABLE 'delta:/tmp/x'")
+        with pytest.raises(S.SqlDmlError, match="pinned spec"):
+            S.lakehouse_sql(
+                spark, "DROP TABLE 'hms://h:1/db.t@ts:123'"
+            )
 
 
 class TestNamespaceLifecycle:
@@ -1908,6 +1912,11 @@ class TestRegisterTable:
     def test_register_refusals(self, spark):
         with pytest.raises(S.SqlDmlError, match="REGISTER needs"):
             S.lakehouse_sql(spark, "REGISTER TABLE foo AT '/x'")
+        with pytest.raises(S.SqlDmlError, match="@pin"):
+            S.lakehouse_sql(
+                spark,
+                "REGISTER TABLE 'hms://h:1/db.t@5' AT '/x/m.json'",
+            )
         with pytest.raises(S.SqlDmlError, match="table spec"):
             S.lakehouse_sql(
                 spark,
