@@ -11489,6 +11489,13 @@ def _tri_travel_tables(spark, sf_dir: str):
     d, i, h = (os.path.join(base, x) for x in ("d", "i", "h"))
     sidecar = os.path.join(base, "pins.json")
     if not os.path.exists(sidecar):
+        if os.path.isdir(base):
+            # a crashed partial build never serves: the writers all
+            # APPEND, so re-running over leftovers would duplicate
+            # commit A and poison the cache permanently
+            import shutil
+
+            shutil.rmtree(base)
         docs = table(spark, sf_dir, "documents").select(
             "doc_id", "text", "lang", "source", "n_chars"
         )

@@ -4491,6 +4491,14 @@ def _rows_at_positions(
     )
 
 
+def _pv_key(action: dict) -> tuple:
+    """Canonical partition-value grouping key for an add/remove/cdc
+    action dict — ONE definition so the batched CDF groupings
+    (cdc reads, emit(), the DV pre-image semi-joins) can never
+    drift apart on partitionValues normalization."""
+    return tuple(sorted((action.get("partitionValues") or {}).items()))
+
+
 def delta_table_changes(
     spark: SparkSession,
     path: str,
@@ -4606,10 +4614,7 @@ def delta_table_changes(
             # and the plan (r14; same batching as the derived feeds)
             cdc_groups: dict[tuple, list] = {}
             for c in cdcs:
-                key = tuple(
-                    sorted((c.get("partitionValues") or {}).items())
-                )
-                cdc_groups.setdefault(key, []).append(c)
+                cdc_groups.setdefault(_pv_key(c), []).append(c)
             for key, group in cdc_groups.items():
                 fps = [
                     fsio.spark_path(_file_abspath(path, c["path"]))
@@ -4693,10 +4698,7 @@ def delta_table_changes(
                 if a.get("deletionVector"):
                     pieces.append(tag(file_rows(a), ctype, v, ts))
                     continue
-                key = tuple(
-                    sorted((a.get("partitionValues") or {}).items())
-                )
-                groups.setdefault(key, []).append(a)
+                groups.setdefault(_pv_key(a), []).append(a)
             for key, group in groups.items():
                 fps = [_file_abspath(path, a["path"]) for a in group]
                 df = _scan_data_files_logical(spark, state, fps)
@@ -4749,14 +4751,9 @@ def delta_table_changes(
                     )
                     newly = new_pos - old_pos
                     if newly:
-                        key = tuple(
-                            sorted(
-                                (r.get("partitionValues") or {}).items()
-                            )
-                        )
-                        newly_by_pv.setdefault(key, []).append(
-                            (fp, sorted(newly))
-                        )
+                        newly_by_pv.setdefault(
+                            _pv_key(r), []
+                        ).append((fp, sorted(newly)))
                 else:
                     # full-coverage removal: every still-live row
                     # died — read the file, anti-join the OLD dv

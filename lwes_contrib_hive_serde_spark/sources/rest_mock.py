@@ -58,18 +58,26 @@ class MockRestCatalog:
             def do_GET(self):
                 cat.requests.append(self.path)
                 cat.auth.append(self.headers.get("Authorization"))
+                route, _q, query = self.path.partition("?")
                 parts = [
                     urllib.parse.unquote(p)
-                    for p in self.path.strip("/").split("/")
+                    for p in route.strip("/").split("/")
                 ]
-                if parts[-1] == "namespaces" or (
-                    len(parts) >= 2 and parts[-2] == "namespaces"
-                    and parts[-1].startswith("namespaces?")
-                ):
+                if parts[-1] == "namespaces":
                     nss = sorted(
                         {ns for (ns, _t) in cat.tables}
                         | cat.namespaces
                     )
+                    params = urllib.parse.parse_qs(query)
+                    if params.get("parent"):
+                        # the spec's listNamespaces?parent=… form:
+                        # namespaces DIRECTLY under the parent
+                        par = tuple(params["parent"][0].split("\x1f"))
+                        nss = [
+                            ns for ns in nss
+                            if len(ns) == len(par) + 1
+                            and ns[: len(par)] == par
+                        ]
                     self._json(
                         200,
                         {"namespaces": [list(ns) for ns in nss]},

@@ -284,10 +284,11 @@ def _resolve(view: str, tables: dict[str, str] | None) -> tuple[str, str]:
         )
     if fmt in ("hms", "rest+iceberg", "rest+icebergs"):
         raise SqlDmlError(
-            f"{view!r} is catalog-registered ({fmt}); INSERT INTO "
-            "is the catalog-routed DML verb (append commits through "
-            "the catalog CAS) — predicate DML on a catalog table "
-            "needs a path registration of its current location"
+            f"{view!r} is catalog-registered ({fmt}); this verb "
+            "needs a PATH registration of the table's current "
+            "location (catalog-routed verbs: INSERT INTO appends "
+            "through the catalog CAS, ALTER ... RENAME COLUMN "
+            "commits metadata-only)"
         )
     if fmt not in ("delta", "iceberg", "hudi"):
         raise SqlDmlError(
@@ -651,14 +652,23 @@ def _run_drop(spark, s, tables) -> dict:
         existed = _drop_remote_entry(spec, if_exists)
         # sweep local registrations resolving through the dropped
         # entry (exact spec or any @pin of it) — a view left behind
-        # would dangle on its next resolution
-        swept = [
+        # would dangle on its next resolution. The caller's per-call
+        # ``tables`` mapping is swept too: REGISTER/CREATE write
+        # into it, so it can hold the same dangling pointer.
+        swept = {
             name
             for name, sp in C.registered_specs().items()
             if sp == spec or sp.partition("@")[0] == spec
-        ]
+        }
         for name in swept:
             C.unregister_lakehouse(spark, name)
+        if tables:
+            for name in [
+                n for n, sp in tables.items()
+                if sp == spec or sp.partition("@")[0] == spec
+            ]:
+                del tables[name]
+                swept.add(name)
         return {"statement": "drop_table", "table": spec,
                 "dropped": existed, "remote": True,
                 "unregistered": sorted(swept)}
@@ -1421,6 +1431,12 @@ def _run_create(spark, s, strategy, tables) -> dict:
     cat_spec = None
     if cm:
         cat_spec = cm.group(1).replace("''", "'")
+        if "@" in cat_spec:
+            raise SqlDmlError(
+                f"CREATE TABLE ... CATALOG {cat_spec!r}: the "
+                "identifier cannot carry an @pin — a pin names a "
+                "snapshot of an EXISTING table"
+            )
         remainder = remainder.replace(cm.group(0), " ", 1)
     lm = re.search(
         r"LOCATION\s+'((?:[^']|'')+)'", clauses, re.I

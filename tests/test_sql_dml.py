@@ -2036,3 +2036,57 @@ class TestCatalogAlter:
                 ) == ["x", "y"]
             finally:
                 C.unregister_lakehouse(spark, "race")
+
+    def test_rest_show_namespaces_parent_form(self, spark):
+        from lwes_contrib_hive_serde_spark.sources import (
+            rest_mock as RM,
+        )
+
+        with RM.MockRestCatalog() as cat:
+            for ns in ("ana", "ana.raw", "ana.cur", "ana.raw.v1",
+                       "other"):
+                S.lakehouse_sql(
+                    spark,
+                    "CREATE NAMESPACE "
+                    f"'rest+iceberg://{cat.base}#{ns}'",
+                )
+            # the #parent form lists namespaces DIRECTLY under it
+            rows = S.lakehouse_sql(
+                spark,
+                f"SHOW NAMESPACES IN 'rest+iceberg://{cat.base}#ana'",
+            ).collect()
+            assert sorted(r.namespace for r in rows) == [
+                "ana.cur", "ana.raw",
+            ]
+
+    def test_remote_drop_sweeps_tables_mapping(self, spark, tmp_path):
+        from lwes_contrib_hive_serde_spark.sources import (
+            iceberg as I2,
+            rest_mock as RM,
+        )
+        import os
+
+        p = str(tmp_path / "sw")
+        I2.write_iceberg_table(_docs(spark, 3).coalesce(1), p)
+        mdir = os.path.join(p, "metadata")
+        v = max(
+            int(n[1:].split(".")[0]) for n in os.listdir(mdir)
+            if n.startswith("v") and n.endswith(".metadata.json")
+        )
+        with RM.MockRestCatalog() as cat:
+            spec = cat.spec("db.sw")
+            t = {}
+            S.lakehouse_sql(
+                spark,
+                f"REGISTER TABLE '{spec}' AT "
+                f"'{mdir}/v{v}.metadata.json' AS swv",
+                tables=t,
+            )
+            assert t == {"swv": spec}
+            out = S.lakehouse_sql(
+                spark, f"DROP TABLE '{spec}'", tables=t
+            )
+            # the per-call mapping is swept too — no dangling
+            # resolution on the next statement using this mapping
+            assert out["unregistered"] == ["swv"]
+            assert t == {}
