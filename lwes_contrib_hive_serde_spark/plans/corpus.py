@@ -625,6 +625,7 @@ def q_setops(spark, sf_dir):
 
 @register(
     "q_topk_global",
+    shadow=True,  # rotated out of the gated window in r14 (2nd swap)
     oracle="""
     SELECT o_orderkey AS orderkey, o_totalprice AS totalprice
     FROM orders
@@ -792,6 +793,7 @@ def q_dates(spark, sf_dir):
 
 @register(
     "q_events_funnel",
+    shadow=True,  # rotated out of the gated window in r14 (2nd swap)
     oracle="""
     SELECT user_id,
            CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,

@@ -11525,7 +11525,7 @@ def _tri_travel_tables(spark, sf_dir: str):
 
 @register(
     "q_tri_timestamp_travel",
-    shadow=True,
+    # gated since r14 (rotated in — the round's own travel depth)
     oracle="""
     WITH early AS (
       SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 0
@@ -11674,7 +11674,7 @@ def _documents_sql_lifecycle_tables(spark, sf_dir: str):
 
 @register(
     "q_sql_catalog_lifecycle",
-    shadow=True,
+    # gated since r14 (rotated in — the round's own catalog depth)
     oracle="""
     WITH g AS (
       SELECT lang, COUNT(*) AS n,
