@@ -2037,6 +2037,12 @@ class TestCatalogAlter:
             finally:
                 C.unregister_lakehouse(spark, "race")
 
+
+class TestCatalogListingEdges:
+    """Round-14 listing/sweep edges: the REST ?parent= namespace
+    filter, remote DROP sweeping the per-call tables mapping, and
+    SHOW TABLES IN a nested REST namespace."""
+
     def test_rest_show_namespaces_parent_form(self, spark):
         from lwes_contrib_hive_serde_spark.sources import (
             rest_mock as RM,
@@ -2090,3 +2096,28 @@ class TestCatalogAlter:
             # resolution on the next statement using this mapping
             assert out["unregistered"] == ["swv"]
             assert t == {}
+
+    def test_rest_show_tables_in_nested_namespace(self, spark):
+        from lwes_contrib_hive_serde_spark.sources import (
+            rest_mock as RM,
+        )
+
+        with RM.MockRestCatalog() as cat:
+            try:
+                S.lakehouse_sql(spark, f"""
+                    CREATE TABLE nt USING iceberg
+                    CATALOG '{cat.spec("ana.raw.t1")}'
+                    AS SELECT 1 AS a
+                """)
+                rows = S.lakehouse_sql(
+                    spark,
+                    "SHOW TABLES IN "
+                    f"'rest+iceberg://{cat.base}#ana.raw'",
+                ).collect()
+                assert [(r.table, r.format) for r in rows] == [
+                    ("t1", "rest+iceberg")
+                ]
+                # the emitted spec is itself consumable
+                assert rows[0].spec.endswith("#ana.raw.t1")
+            finally:
+                C.unregister_lakehouse(spark, "nt")
