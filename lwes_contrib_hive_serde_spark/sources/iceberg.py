@@ -1426,8 +1426,17 @@ def iceberg_schema_doc(schema) -> dict:
 def identity_spec_fields(schema, partition_by) -> list[dict]:
     """IDENTITY partition-spec field documents for a fresh table
     (source ids follow iceberg_schema_doc's 1..n assignment;
-    field ids start at the spec's reserved 1000)."""
+    field ids start at the spec's reserved 1000). Typed refusal on
+    a partition column absent from the schema — callers building
+    CreateTableRequests directly must not surface a raw
+    ValueError."""
     names = [f.name for f in schema.fields]
+    for c in partition_by or []:
+        if c not in names:
+            raise IcebergError(
+                f"partition_by column {c!r} not in schema "
+                f"(have {names})"
+            )
     return [
         {
             "name": c,
@@ -1437,6 +1446,26 @@ def identity_spec_fields(schema, partition_by) -> list[dict]:
         }
         for k, c in enumerate(partition_by or [])
     ]
+
+
+def iceberg_identity_partition_columns(path_or_spec: str) -> list[str]:
+    """The identity partition SOURCE column names of the table's
+    default spec — what an append must re-declare
+    (write_iceberg_table refuses a partition_by mismatch), resolved
+    through paths and hms://​/rest+iceberg:// specs alike. Typed
+    refusal when the default spec carries NON-identity transforms
+    (bucket/truncate/days/...): identity-staged hive dirs under a
+    transform field would corrupt partition pruning."""
+    meta = load_table_metadata(path_or_spec)
+    fields = _identity_partition_fields(meta)
+    bad = [n for n, t in fields if t != "identity"]
+    if bad:
+        raise IcebergError(
+            f"{path_or_spec!r}: default spec has non-identity "
+            f"transform fields {bad} — this writer appends identity "
+            "partitions only"
+        )
+    return [n for n, _t in fields]
 
 
 def write_iceberg_table(
@@ -2646,6 +2675,49 @@ def _rename_via_rest(spec: str, old: str, new: str) -> None:
         new_schema = dict(
             _rename_schema_in(cur, old, new), **{"schema-id": new_id}
         )
+        updates = [
+            {"action": "add-schema", "schema": new_schema},
+            {
+                "action": "set-current-schema",
+                "schema-id": new_id,
+            },
+        ]
+        # identity partition fields are named after their source
+        # column in this engine (resolution is BY NAME, iceberg.py
+        # _identity_partition_fields) — carry the rename into a new
+        # default spec exactly like the hms/path routes do via
+        # _rename_transform, or later writes/pruning on the renamed
+        # column would miss
+        specs = meta.get("partition-specs") or []
+        default_id = meta.get("default-spec-id", 0)
+        cur_spec = next(
+            (sp for sp in specs if sp.get("spec-id") == default_id),
+            None,
+        )
+        if cur_spec and any(
+            f.get("name") == old
+            for f in cur_spec.get("fields") or []
+        ):
+            new_spec_id = max(
+                int(sp.get("spec-id") or 0) for sp in specs
+            ) + 1
+            updates += [
+                {
+                    "action": "add-spec",
+                    "spec": {
+                        "spec-id": new_spec_id,
+                        "fields": [
+                            dict(f, name=new)
+                            if f.get("name") == old else dict(f)
+                            for f in cur_spec.get("fields") or []
+                        ],
+                    },
+                },
+                {
+                    "action": "set-default-spec",
+                    "spec-id": new_spec_id,
+                },
+            ]
         try:
             rest_catalog.commit_table(
                 base, ns, tbl,
@@ -2659,13 +2731,7 @@ def _rename_via_rest(spec: str, old: str, new: str) -> None:
                         "current-schema-id": sid,
                     },
                 ],
-                [
-                    {"action": "add-schema", "schema": new_schema},
-                    {
-                        "action": "set-current-schema",
-                        "schema-id": new_id,
-                    },
-                ],
+                updates,
                 prefix=prefix,
             )
         except rest_catalog.RestCommitConflict:

@@ -449,6 +449,44 @@ def _apply_updates(meta: dict, updates: list[dict]) -> dict:
                     default=0,
                 ),
             )
+        elif a == "add-spec":
+            sp = u["spec"]
+            meta["partition-specs"] = (
+                meta.get("partition-specs") or []
+            ) + [sp]
+            meta["last-partition-id"] = max(
+                int(meta.get("last-partition-id") or 0),
+                max(
+                    (int(f.get("field-id") or 0)
+                     for f in sp.get("fields") or []),
+                    default=0,
+                ),
+            )
+        elif a == "set-default-spec":
+            spid = int(u["spec-id"])
+            if spid == -1:
+                # the spec's "last added spec" sentinel
+                spid = int(
+                    (meta.get("partition-specs") or [{}])[-1]
+                    .get("spec-id") or 0
+                )
+            if not any(
+                sp.get("spec-id") == spid
+                for sp in meta.get("partition-specs") or []
+            ):
+                raise ValueError(
+                    f"set-default-spec: unknown spec-id {spid}"
+                )
+            meta["default-spec-id"] = spid
+            cur = next(
+                sp for sp in meta["partition-specs"]
+                if sp.get("spec-id") == spid
+            )
+            if "partition-spec" in meta:
+                # v1-reader mirror field, like real catalogs keep
+                meta["partition-spec"] = [
+                    dict(f) for f in cur.get("fields") or []
+                ]
         elif a == "set-current-schema":
             sid = int(u["schema-id"])
             if sid == -1:

@@ -406,13 +406,29 @@ def _known_specs(tables) -> dict[str, str]:
     return known
 
 
-def _prepare_reads(spark, s: str, tables) -> str:
+def _analyze_reads(spark, s: str, tables) -> DataFrame:
+    """The read surface's shared entry: _prepare_reads then
+    spark.sql, dropping the per-call transient views once ANALYSIS
+    has resolved them (Spark inlines a temp view's plan at analysis,
+    so the returned DataFrame stays valid) — a later statement
+    naming the view without the mapping must hit 'table not found',
+    never a stale snapshot pinned by a leftover temp view."""
+    sql2, transients = _prepare_reads(spark, s, tables)
+    try:
+        return spark.sql(sql2)
+    finally:
+        for name in transients:
+            spark.catalog.dropTempView(name)
+
+
+def _prepare_reads(spark, s: str, tables) -> tuple[str, list[str]]:
     """The read surface's shared preamble: rewrite time-travel
     clauses, re-register every referenced known view at its CURRENT
     snapshot, and materialize travelled pins as transient temp
-    views. Returns the rewritten statement text. Used by SELECT/WITH
-    passthrough AND by INSERT's SELECT body — one definition, one
-    behavior."""
+    views. Returns (rewritten statement text, the per-call transient
+    view names the caller must drop after analysis). Used by
+    SELECT/WITH passthrough AND by CTAS/INSERT SELECT bodies — one
+    definition, one behavior."""
     s, travel = _rewrite_time_travel(s, tables)
     # Spark SQL identifiers are case-insensitive: FROM MIX_D must
     # find a view registered as mix_d (and re-pin its head), so the
@@ -448,9 +464,11 @@ def _prepare_reads(spark, s: str, tables) -> str:
     for alias, spec in travel.items():
         # travelled pins are TRANSIENT temp views, never catalog
         # registrations — SHOW TABLES must not accumulate phantom
-        # __asof_ entries per travelled statement
+        # __asof_ entries per travelled statement; their DERIVED
+        # names are collision-proof, so persisting them is harmless
+        # (unlike the user-named transients above)
         C.load_spec(spark, spec).createOrReplaceTempView(alias)
-    return s
+    return s, sorted(transient)
 
 
 def _run_select(spark, s, tables) -> DataFrame:
@@ -476,7 +494,7 @@ def _run_select(spark, s, tables) -> DataFrame:
     travelled reference is rewritten onto a pinned registration
     (the catalog's @pin semantics) under a derived view name, so
     the statement still runs through plain spark.sql."""
-    return spark.sql(_prepare_reads(spark, s, tables))
+    return _analyze_reads(spark, s, tables)
 
 
 _TRAVEL_RE = re.compile(
@@ -1005,7 +1023,14 @@ def _run_show(spark, s, tables) -> DataFrame:
         if kind == "hms":
             from lwes_contrib_hive_serde_spark.sources import hms
 
-            host, port, _db = parts
+            host, port, db = parts
+            if db:
+                raise SqlDmlError(
+                    f"{spec!r}: HMS namespaces are FLAT — SHOW "
+                    "NAMESPACES IN takes 'hms://host:port' with no "
+                    "'/db' part (a parent filter has no thrift "
+                    "equivalent)"
+                )
             names = sorted(hms.get_all_databases(host, port))
         else:
             from lwes_contrib_hive_serde_spark.sources import (
@@ -1305,11 +1330,9 @@ def _create_through_catalog(
             "table_type=ICEBERG / REST-catalog conventions); "
             f"USING {fmt} takes a plain LOCATION"
         )
-    if props:
-        raise SqlDmlError(
-            "TBLPROPERTIES routes to delta_set_properties; a "
-            "CATALOG-routed iceberg CREATE does not support it"
-        )
+    # (no TBLPROPERTIES check here: _run_create already refuses it
+    # for every non-delta format before routing to the catalog, so
+    # props is always empty on this path)
     if km:
         raise SqlDmlError(
             "OPTIONS (recordkey ...) is hudi-only; a CATALOG-routed "
@@ -1344,9 +1367,19 @@ def _create_through_catalog(
                 hms.F_PARAMETERS: {"table_type": "ICEBERG"},
             },
         )
-        sid = I.write_iceberg_table(
-            df, cat_spec, partition_by=partition_by or None
-        )
+        try:
+            sid = I.write_iceberg_table(
+                df, cat_spec, partition_by=partition_by or None
+            )
+        except BaseException:
+            # a refused first write must not leave a phantom entry:
+            # re-running the corrected CREATE would hit
+            # AlreadyExists with no table data behind it
+            try:
+                hms.drop_table(host, port, db, tbl)
+            except hms.HmsError:
+                pass
+            raise
         return {"snapshot_id": sid}
     if rest_catalog.is_rest_spec(cat_spec):
         try:
@@ -1373,6 +1406,22 @@ def _create_through_catalog(
                 ),
                 prefix=prefix,
             )
+            try:
+                sid = I.write_iceberg_table(
+                    df, cat_spec, partition_by=partition_by or None
+                )
+            except BaseException:
+                # no phantom entry on a refused first write (the
+                # no-LOCATION branch validates before creating via
+                # write_iceberg_table's own create-missing path)
+                try:
+                    rest_catalog.drop_table(
+                        base, ns, tbl, prefix=prefix
+                    )
+                except rest_catalog.RestCatalogError:
+                    pass
+                raise
+            return {"snapshot_id": sid}
         sid = I.write_iceberg_table(
             df, cat_spec, partition_by=partition_by or None
         )
@@ -1507,7 +1556,7 @@ def _run_create(spark, s, strategy, tables) -> dict:
         # the CTAS body gets the same read preamble as INSERT's
         # SELECT: referenced lakehouse views re-register at their
         # CURRENT snapshot; time-travel clauses rewrite to pins
-        df = spark.sql(_prepare_reads(spark, select, tables))
+        df = _analyze_reads(spark, select, tables)
     else:
         df = spark.createDataFrame([], cols_ddl)
     if cat_spec is not None:
@@ -1892,7 +1941,7 @@ def _run_insert(spark, s, tables) -> dict:
         # registration of every referenced view): INSERT ... SELECT
         # FROM w works without a prior register call, and FROM v
         # VERSION AS OF n is the restore-old-rows idiom
-        df = spark.sql(_prepare_reads(spark, body, tables))
+        df = _analyze_reads(spark, body, tables)
         if col_list:
             if len(df.columns) != len(insert_cols):
                 raise SqlDmlError(
@@ -1944,7 +1993,14 @@ def _run_insert(spark, s, tables) -> dict:
     elif fmt == "iceberg":
         from lwes_contrib_hive_serde_spark.sources import iceberg as I
 
-        sid = I.write_iceberg_table(df, path, mode="append")
+        # the writer refuses a partition_by mismatch, so an append
+        # must re-declare the table's own identity partitioning —
+        # derive it from the current metadata (path or catalog spec)
+        sid = I.write_iceberg_table(
+            df, path, mode="append",
+            partition_by=I.iceberg_identity_partition_columns(path)
+            or None,
+        )
         res = {"snapshot_id": sid}
     else:
         from lwes_contrib_hive_serde_spark.sources import hudi as H

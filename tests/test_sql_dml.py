@@ -2121,3 +2121,166 @@ class TestCatalogListingEdges:
                 assert rows[0].spec.endswith("#ana.raw.t1")
             finally:
                 C.unregister_lakehouse(spark, "nt")
+
+
+class TestReviewFindingsR14b:
+    """Second code-review pass, round-14: phantom-entry rollback on
+    failed catalog CREATE, identity-partition derivation on iceberg
+    INSERT, REST rename carrying the partition spec, transient
+    per-call views not outliving their statement, and the flat-HMS
+    namespace refusal."""
+
+    def test_failed_catalog_create_leaves_no_phantom(
+        self, spark, tmp_path
+    ):
+        from lwes_contrib_hive_serde_spark.sources import (
+            hms as HMS,
+            hms_mock as HM,
+            iceberg as I2,
+            rest_mock as RM,
+        )
+
+        loc = str(tmp_path / "ph")
+        with HM.MockMetastore() as ms:
+            spec = ms.spec("db.ph")
+            # unknown partition column → typed failure mid-CREATE
+            with pytest.raises(I2.IcebergError):
+                S.lakehouse_sql(spark, f"""
+                    CREATE TABLE ph USING iceberg CATALOG '{spec}'
+                    LOCATION '{loc}' PARTITIONED BY (nope)
+                    AS SELECT 1 AS a
+                """)
+            host, port = ms.addr.split(":")
+            assert "ph" not in HMS.get_all_tables(
+                host, int(port), "db"
+            )
+            # the corrected CREATE now succeeds (no AlreadyExists)
+            S.lakehouse_sql(spark, f"""
+                CREATE TABLE ph USING iceberg CATALOG '{spec}'
+                LOCATION '{loc}' AS SELECT 1 AS a
+            """)
+            C.unregister_lakehouse(spark, "ph")
+        with RM.MockRestCatalog() as cat:
+            spec = cat.spec("db.ph")
+            loc2 = str(tmp_path / "phr")
+            with pytest.raises(I2.IcebergError, match="not in schema"):
+                S.lakehouse_sql(spark, f"""
+                    CREATE TABLE phr USING iceberg CATALOG '{spec}'
+                    LOCATION '{loc2}' PARTITIONED BY (nope)
+                    AS SELECT 1 AS a
+                """)
+            from lwes_contrib_hive_serde_spark.sources import (
+                rest_catalog as RC,
+            )
+
+            assert "ph" not in RC.list_tables(
+                f"http://{cat.base}", ["db"]
+            )
+            S.lakehouse_sql(spark, f"""
+                CREATE TABLE phr USING iceberg CATALOG '{spec}'
+                LOCATION '{loc2}' AS SELECT 1 AS a
+            """)
+            C.unregister_lakehouse(spark, "phr")
+
+    def test_insert_into_partitioned_iceberg(self, spark, tmp_path):
+        # path-registered table
+        p = str(tmp_path / "pi")
+        I.write_iceberg_table(
+            _docs(spark, 6).coalesce(1), p, partition_by=["bucket"]
+        )
+        t = {"pi": f"iceberg:{p}"}
+        S.lakehouse_sql(spark, """
+            INSERT INTO pi VALUES (100, 'tx', 1)
+        """, tables=t)
+        assert S.lakehouse_sql(
+            spark, "SELECT count(*) AS n FROM pi", tables=t
+        ).first().n == 7
+        C.unregister_lakehouse(spark, "pi")
+
+    def test_insert_into_partitioned_catalog_table(
+        self, spark, tmp_path
+    ):
+        from lwes_contrib_hive_serde_spark.sources import (
+            rest_mock as RM,
+        )
+
+        with RM.MockRestCatalog() as cat:
+            spec = cat.spec("db.pc")
+            loc = str(tmp_path / "pc")
+            try:
+                S.lakehouse_sql(spark, f"""
+                    CREATE TABLE pc USING iceberg CATALOG '{spec}'
+                    LOCATION '{loc}' PARTITIONED BY (bucket)
+                    AS SELECT doc_id, text, bucket
+                       FROM VALUES (1, 't1', 0), (2, 't2', 1)
+                       AS v(doc_id, text, bucket)
+                """)
+                S.lakehouse_sql(
+                    spark, "INSERT INTO pc VALUES (3, 't3', 0)"
+                )
+                assert S.lakehouse_sql(
+                    spark, "SELECT count(*) AS n FROM pc"
+                ).first().n == 3
+            finally:
+                C.unregister_lakehouse(spark, "pc")
+
+    def test_rest_rename_carries_partition_spec(
+        self, spark, tmp_path
+    ):
+        from lwes_contrib_hive_serde_spark.sources import (
+            rest_mock as RM,
+        )
+
+        with RM.MockRestCatalog() as cat:
+            spec = cat.spec("db.rp")
+            loc = str(tmp_path / "rp")
+            try:
+                S.lakehouse_sql(spark, f"""
+                    CREATE TABLE rp USING iceberg CATALOG '{spec}'
+                    LOCATION '{loc}' PARTITIONED BY (bucket)
+                    AS SELECT doc_id, bucket
+                       FROM VALUES (1, 0), (2, 1)
+                       AS v(doc_id, bucket)
+                """)
+                S.lakehouse_sql(
+                    spark,
+                    "ALTER TABLE rp RENAME COLUMN bucket TO grp",
+                )
+                # the default spec's identity field follows the
+                # rename, so an append derives ['grp'] and lands
+                S.lakehouse_sql(
+                    spark, "INSERT INTO rp VALUES (3, 0)"
+                )
+                df = S.lakehouse_sql(
+                    spark,
+                    "SELECT grp, count(*) AS n FROM rp GROUP BY grp",
+                )
+                assert sorted(
+                    (r.grp, r.n) for r in df.collect()
+                ) == [(0, 2), (1, 1)]
+            finally:
+                C.unregister_lakehouse(spark, "rp")
+
+    def test_transient_view_does_not_outlive_statement(
+        self, spark, tmp_path
+    ):
+        from pyspark.errors import AnalysisException
+
+        p = str(tmp_path / "tv")
+        D.write_delta(_docs(spark, 4), p)
+        assert S.lakehouse_sql(
+            spark, "SELECT count(*) AS n FROM tv_eph",
+            tables={"tv_eph": f"delta:{p}"},
+        ).first().n == 4
+        # without the mapping the name must be GONE — not a stale
+        # temp view pinned at the old snapshot
+        with pytest.raises((S.SqlDmlError, AnalysisException)):
+            S.lakehouse_sql(
+                spark, "SELECT count(*) AS n FROM tv_eph"
+            ).first()
+
+    def test_show_namespaces_hms_refuses_db_part(self, spark):
+        with pytest.raises(S.SqlDmlError, match="FLAT"):
+            S.lakehouse_sql(
+                spark, "SHOW NAMESPACES IN 'hms://h:9083/db'"
+            )
