@@ -427,6 +427,14 @@ def _partition_columns(state: _State) -> list[str]:
     return list(state.metadata.get("partitionColumns") or [])
 
 
+def delta_partition_columns(path: str) -> list[str]:
+    """The table's LOGICAL partition columns at the current version
+    — what an append must re-declare (write_delta refuses a
+    partition_by mismatch). The SQL router's INSERT derives its
+    partitioning through this."""
+    return _partition_columns(_replay(path))
+
+
 def _column_mapping(state: _State) -> dict | None:
     """None when the table has no column mapping; else {"mode",
     "physical": {top-level logical name → physical name}} from each

@@ -1988,7 +1988,13 @@ def _run_insert(spark, s, tables) -> dict:
     if fmt == "delta":
         from lwes_contrib_hive_serde_spark.sources import delta as D
 
-        v = D.write_delta(df, path, mode=mode)
+        # same contract as the iceberg branch below: the writer
+        # refuses a partition_by mismatch, so both append and
+        # overwrite re-declare the table's own partitioning
+        v = D.write_delta(
+            df, path, mode=mode,
+            partition_by=D.delta_partition_columns(path) or None,
+        )
         res = {"version": v}
     elif fmt == "iceberg":
         from lwes_contrib_hive_serde_spark.sources import iceberg as I

@@ -2284,3 +2284,27 @@ class TestReviewFindingsR14b:
             S.lakehouse_sql(
                 spark, "SHOW NAMESPACES IN 'hms://h:9083/db'"
             )
+
+    def test_insert_into_partitioned_delta(self, spark, tmp_path):
+        p = str(tmp_path / "pd")
+        D.write_delta(_docs(spark, 6), p, partition_by=["bucket"])
+        t = {"pd": f"delta:{p}"}
+        S.lakehouse_sql(spark, """
+            INSERT INTO pd VALUES (100, 'tx', 1)
+        """, tables=t)
+        assert S.lakehouse_sql(
+            spark, "SELECT count(*) AS n FROM pd", tables=t
+        ).first().n == 7
+        # overwrite keeps the table's partitioning too
+        S.lakehouse_sql(spark, """
+            INSERT OVERWRITE pd VALUES (1, 'a', 0), (2, 'b', 1)
+        """, tables=t)
+        assert S.lakehouse_sql(
+            spark, "SELECT count(*) AS n FROM pd", tables=t
+        ).first().n == 2
+        import os
+
+        assert any(
+            n.startswith("bucket=") for n in os.listdir(p)
+        )
+        C.unregister_lakehouse(spark, "pd")
