@@ -1,0 +1,132 @@
+"""Per-query profiler for the optimization rounds.
+
+For each named query (default: all declared), builds the DataFrame,
+captures .explain("formatted"), counts plan features (Exchange,
+BatchEvalPython/ArrowEvalPython, join strategies), and times the same
+action the bench times (df.count()) plus a noop-sink run (guide §1.4)
+so computation is separated from the count-pruned plan. Prints one
+line per query and optionally writes plan files.
+
+    PYTHONPATH=. python tools/profile_query.py [--plans-dir DIR] [name ...]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+import time
+from contextlib import redirect_stdout
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def plan_stats(txt: str) -> dict:
+    return {
+        "exchanges": len(re.findall(r"\bExchange\b", txt)),
+        "python": len(
+            re.findall(
+                r"BatchEvalPython|ArrowEvalPython|MapInArrow|MapInPandas|FlatMapGroupsInPandas|PythonDataSource",
+                txt,
+            )
+        ),
+        "smj": len(re.findall(r"SortMergeJoin", txt)),
+        "bhj": len(re.findall(r"BroadcastHashJoin", txt)),
+        "bnlj": len(re.findall(r"BroadcastNestedLoopJoin", txt)),
+        "sorts": len(re.findall(r"\bSort\b", txt)),
+        "codegen": len(re.findall(r"WholeStageCodegen", txt)),
+    }
+
+
+def main():
+    sys.path.insert(0, ".")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    plans_dir = None
+    argv = sys.argv[1:]
+    if "--plans-dir" in argv:
+        i = argv.index("--plans-dir")
+        plans_dir = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    suffix = "plan"
+    if "--suffix" in argv:
+        i = argv.index("--suffix")
+        suffix = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    runs = int(os.environ.get("SPARK_GRAFT_PROFILE_RUNS", "3"))
+    only = set(argv)
+
+    from lwes_contrib_hive_serde_spark.session import make_session
+
+    spark = make_session(
+        master=f"local[{cpus}]",
+        app_name="profile_query",
+        shuffle_partitions=int(cpus),
+        driver_mem=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    )
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    if plans_dir:
+        os.makedirs(plans_dir, exist_ok=True)
+
+    # same warmups as bench.py so first-touch JIT costs don't pollute
+    try:
+        next(iter(qs.values()))(spark, sf_dir).limit(1).collect()
+    except Exception:
+        pass
+
+    sc = spark.sparkContext
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            txt = plan_text(df)
+        except Exception as e:
+            print(f"{name}: ERROR {type(e).__name__}: {e}")
+            continue
+        st = plan_stats(txt)
+        if plans_dir:
+            with open(os.path.join(plans_dir, f"{name}_{suffix}.txt"), "w") as f:
+                f.write(txt)
+        # time the bench action (count) and the noop sink
+        counts, noops = [], []
+        if runs == 0:
+            print(
+                f"{name}: plan-only ex={st['exchanges']} py={st['python']} "
+                f"smj={st['smj']} bhj={st['bhj']} bnlj={st['bnlj']} "
+                f"sort={st['sorts']} wsc={st['codegen']}"
+            )
+            continue
+        for _ in range(runs):
+            sc.setJobDescription(f"{name}: count")
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.count()
+            counts.append(time.perf_counter() - t0)
+            sc.setJobDescription(f"{name}: noop")
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            noops.append(time.perf_counter() - t0)
+        sc.setJobDescription(None)
+        print(
+            f"{name}: count={min(counts):.3f}s noop={min(noops):.3f}s "
+            f"ex={st['exchanges']} py={st['python']} smj={st['smj']} "
+            f"bhj={st['bhj']} bnlj={st['bnlj']} sort={st['sorts']} "
+            f"wsc={st['codegen']}"
+        )
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
