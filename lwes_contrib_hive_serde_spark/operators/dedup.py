@@ -551,6 +551,16 @@ def simhash_column(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             out[i] = (w[vec].sum()).astype(np.int64)
         return pd.Series(out)
 
+    # asNondeterministic: pure optimizer fence (the vote IS
+    # deterministic). Without it, a downstream filter on the simhash
+    # column (hamming_neardup_pairs' isNotNull guard) is pushed below
+    # the projection and the plan evaluates the UDF TWICE per row —
+    # one ArrowEvalPython for the filter, another for the projection
+    # (guide §4.4 pattern; observed in q_simhash_neardup's plan:
+    # 4 ArrowEvalPython nodes for 2 union branches). The fence yields
+    # exactly one evaluation per branch; the result is unchanged.
+    _majority = _majority.asNondeterministic()
+
     token_hashes = F.transform(
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
         lambda t: F.xxhash64(t),

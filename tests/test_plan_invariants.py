@@ -208,6 +208,24 @@ class TestNewOperatorPlans:
             n = len(re.findall(r"\n\(\d+\) Exchange", plans[q]))
             assert n == 0, (q, n)
 
+    def test_simhash_udf_evaluated_once(self, spark):
+        """The simhash majority-vote UDF is evaluated exactly ONCE per
+        input row (optimization r14, guide §4.4): without the
+        asNondeterministic fence, the isNotNull guard in
+        hamming_neardup_pairs is pushed below the projection and the
+        plan grows a second ArrowEvalPython per branch — every row
+        pays the Python boundary twice."""
+        import re
+
+        from lwes_contrib_hive_serde_spark.operators import dedup
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = _plan(
+            dedup.simhash_neardup_pairs(docs, max_hamming=3, max_bucket=200)
+        )
+        n = len(re.findall(r"\(\d+\) ArrowEvalPython", plan))
+        assert n == 1, (n, plan)
+
     def test_decontaminate_broadcasts_benchmark(self, plans):
         """Corpus side never shuffles for the contamination join: the
         benchmark shingles broadcast; no sort-merge join anywhere."""

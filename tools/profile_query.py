@@ -97,6 +97,18 @@ def main():
         if plans_dir:
             with open(os.path.join(plans_dir, f"{name}_{suffix}.txt"), "w") as f:
                 f.write(txt)
+        # exact job count for one count() run (host-noise-free metric):
+        # bracket with two tiny marker jobs and diff the job ids
+        def _cur_job_id():
+            spark.range(1).count()
+            ids = sc.statusTracker().getJobIdsForGroup(None)
+            return max(ids) if ids else -1
+
+        j0 = _cur_job_id()
+        fn(spark, sf_dir).count()
+        j1 = _cur_job_id()
+        njobs = j1 - j0 - 1
+
         # time the bench action (count) and the noop sink
         counts, noops = [], []
         if runs == 0:
@@ -120,9 +132,9 @@ def main():
         sc.setJobDescription(None)
         print(
             f"{name}: count={min(counts):.3f}s noop={min(noops):.3f}s "
-            f"ex={st['exchanges']} py={st['python']} smj={st['smj']} "
-            f"bhj={st['bhj']} bnlj={st['bnlj']} sort={st['sorts']} "
-            f"wsc={st['codegen']}"
+            f"jobs={njobs} ex={st['exchanges']} py={st['python']} "
+            f"smj={st['smj']} bhj={st['bhj']} bnlj={st['bnlj']} "
+            f"sort={st['sorts']} wsc={st['codegen']}"
         )
 
     spark.stop()
