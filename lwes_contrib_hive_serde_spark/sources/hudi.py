@@ -448,7 +448,6 @@ def _merge_log_files(
         StructField,
         StructType,
     )
-    from pyspark.sql.window import Window
 
     logs = _slice_log_files(table_path, base_paths, completed)
     if not logs:
@@ -465,6 +464,11 @@ def _merge_log_files(
     out_schema = StructType(
         list(base_df.schema.fields) + ord_fields
     )
+    # repartition is LOAD-BEARING: createDataFrame on a local list
+    # plans as a single-partition LocalTableScan, so without the
+    # exchange the mapInPandas decode would run on ONE task (coalesce
+    # cannot widen — measured 2x slower when tried in r14). The
+    # shuffle moves only |logs| tiny path rows.
     paths_df = spark.createDataFrame(
         logs, "path string, logv int"
     ).repartition(
@@ -473,6 +477,16 @@ def _merge_log_files(
     log_rows = paths_df.mapInPandas(
         _log_rows_fn(out_cols, valid), schema=out_schema
     )
+    # latest record per key stays the row_number()-over-desc-Window
+    # form: Spark plans it as Sort+WindowGroupLimit with a PARTIAL
+    # WindowGroupLimit before the exchange, so only the per-task top-1
+    # per key crosses the shuffle — measured A/B against a
+    # max_by(struct, ordering-struct) aggregate rewrite this round and
+    # the window form won consistently (the struct-buffered max_by
+    # falls to un-codegen'd SortAggregate; 1.6-2.9s vs 3.1-3.6s for
+    # q_hudi_snapshot, same shuffle volume). Kept deliberately.
+    from pyspark.sql.window import Window
+
     w = (
         Window.partitionBy("_hoodie_record_key")
         .orderBy(
@@ -960,8 +974,6 @@ def hudi_incremental(
     payload-level delete is dropped (it no longer exists). Returns
     the five ``_hoodie_*`` columns only on request, like
     read_hudi."""
-    from pyspark.sql.window import Window
-
     props = _load_properties(path)
     ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
     if ttype not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
@@ -1027,6 +1039,7 @@ def hudi_incremental(
                     StructField("__deleted", BooleanType(), False),
                 ]
             )
+            # repartition is load-bearing — see _merge_log_files
             paths_df = spark.createDataFrame(
                 logs, "path string, logv int"
             ).repartition(
@@ -1048,6 +1061,11 @@ def hudi_incremental(
     allp = pieces[0]
     for p2 in pieces[1:]:
         allp = allp.unionByName(p2)
+    # row_number Window, not max_by — see _merge_log_files for the
+    # measured A/B (WindowGroupLimit pre-reduces map-side and codegens;
+    # struct-buffered max_by falls to SortAggregate and loses).
+    from pyspark.sql.window import Window
+
     w = (
         Window.partitionBy("_hoodie_record_key")
         .orderBy(
