@@ -724,9 +724,14 @@ def dup_clusters(
         .localCheckpoint(eager=True)
     )
     if small_graph_threshold > 0:
-        probe = edges.limit(small_graph_threshold + 1).count()
-        if probe <= small_graph_threshold:
-            rows = edges.collect()  # bounded by the probe above
+        # probe and fetch in ONE bounded job: collecting threshold+1
+        # rows both answers "is the graph small?" and, when yes,
+        # ALREADY IS the full edge list — the old count-probe-then-
+        # collect shape paid a second job for data the probe had
+        # just scanned (optimization r14). Driver memory stays bounded
+        # by threshold+1 rows either way.
+        rows = edges.limit(small_graph_threshold + 1).collect()
+        if len(rows) <= small_graph_threshold:
             parent: dict = {}
 
             def find(x):

@@ -188,6 +188,29 @@ class TestDedup:
         assert out[1] == out[2] == out[3] == 1
         assert out[10] == out[11] == 10
 
+    def test_dup_clusters_small_path_matches_distributed(self, spark):
+        """The bounded limit+collect small-graph fast path (merged
+        probe+fetch, optimization r14) and the distributed
+        label-propagation loop produce IDENTICAL labels — including
+        on a chain long enough to need several propagation rounds."""
+        chain = [(i, i + 1) for i in range(1, 40)]  # 1-2-...-40
+        extra = [(100, 103), (101, 103)]  # a vee
+        pairs = spark.createDataFrame(
+            chain + extra, "id1 long, id2 long"
+        )
+        small = {
+            r.id: r.cluster_id for r in dedup.dup_clusters(pairs).collect()
+        }
+        dist = {
+            r.id: r.cluster_id
+            for r in dedup.dup_clusters(
+                pairs, small_graph_threshold=0
+            ).collect()
+        }
+        assert small == dist
+        assert all(small[i] == 1 for i in range(1, 41))
+        assert small[100] == small[101] == small[103] == 100
+
 
 class TestSimilarity:
     @pytest.fixture(scope="class")
