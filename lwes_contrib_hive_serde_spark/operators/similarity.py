@@ -412,24 +412,38 @@ def hyperplane_signatures(
     n_planes separate zip_with/aggregate JVM expressions evaluate
     interpreted per element — a (batch × dim) @ (dim × planes) matmul
     is ~an order of magnitude faster and embarrassingly parallel)."""
-    import random
-
     import pandas as pd
 
-    dim = len(df.select(vec_col).first()[0])
-    rng = random.Random(seed)
-    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
     weights = [1 << i for i in range(n_planes)]
 
     def signatures(batches):
+        import random
+
         import numpy as np
 
-        P = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes)
+        # planes derived INSIDE the task from (seed, dim of the first
+        # batch) — every task draws the identical gauss sequence, so
+        # no driver-side df.first() action is needed just to learn the
+        # dimension (optimization r14: that probe was a whole extra
+        # Spark job per invocation, and at scale a driver round-trip
+        # before the real work could even be planned). Draw order
+        # matches the old driver-side construction exactly.
+        P = None
         W = np.asarray(weights, dtype=np.int64)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            if P is None:
+                dim = X.shape[1]
+                rng = random.Random(seed)
+                P = np.asarray(
+                    [
+                        [rng.gauss(0, 1) for _ in range(dim)]
+                        for _ in range(n_planes)
+                    ],
+                    dtype=np.float64,
+                ).T  # (dim, n_planes)
             sig = ((X @ P >= 0).astype(np.int64) * W).sum(axis=1)
             yield pd.DataFrame({"id": pdf[id_col].to_numpy(), "sig": sig})
 
