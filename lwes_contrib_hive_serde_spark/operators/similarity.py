@@ -134,8 +134,19 @@ def knn_join(
     import math
 
     qdf = queries.select(query_id, query_vec)
-    total = qdf.count()
-    n_chunks = max(1, math.ceil(total / max_queries))
+    # probe and fetch in one bounded job (optimization r14, same shape
+    # as dedup.dup_clusters): collecting max_queries+1 rows answers
+    # "single chunk?" and, in the common small-query case, ALREADY IS
+    # the full query set — the old count-then-collect paid a separate
+    # counting job first. Driver memory stays bounded either way; only
+    # the rare multi-chunk path pays one extra (still bounded) probe.
+    probe_rows = qdf.limit(max_queries + 1).collect()
+    if len(probe_rows) <= max_queries:
+        total = len(probe_rows)
+        n_chunks = 1
+    else:
+        total = qdf.count()
+        n_chunks = max(1, math.ceil(total / max_queries))
     partials = []
     for i in range(n_chunks):
         chunk = (
@@ -143,7 +154,7 @@ def knn_join(
             if n_chunks == 1
             else qdf.where(F.pmod(F.xxhash64(query_id), F.lit(n_chunks)) == i)
         )
-        rows = chunk.collect()
+        rows = probe_rows if n_chunks == 1 else chunk.collect()
         if not rows:
             continue
         q_ids = [r[0] for r in rows]
@@ -240,8 +251,12 @@ def hard_negatives(
     import math
 
     qdf = anchors.select(anchor_id, anchor_vec, anchor_label)
-    total = qdf.count()
-    n_chunks = max(1, math.ceil(total / max_queries))
+    # one bounded probe+fetch job in the common case — see knn_join
+    probe_rows = qdf.limit(max_queries + 1).collect()
+    if len(probe_rows) <= max_queries:
+        n_chunks = 1
+    else:
+        n_chunks = max(1, math.ceil(qdf.count() / max_queries))
     partials = []
     for i in range(n_chunks):
         chunk = (
@@ -251,7 +266,7 @@ def hard_negatives(
                 F.pmod(F.xxhash64(anchor_id), F.lit(n_chunks)) == i
             )
         )
-        rows = chunk.collect()
+        rows = probe_rows if n_chunks == 1 else chunk.collect()
         if not rows:
             continue
         partials.append(
@@ -586,8 +601,14 @@ def embedding_contamination(
         return projected.mapInPandas(part_pairs, out_schema)
 
     bdf = bench.select(bench_id, bench_vec)
-    total = bdf.count()
-    n_chunks = max(1, math.ceil(total / max_bench))
+    # one bounded probe+fetch job in the common case — see knn_join
+    probe_rows = bdf.limit(max_bench + 1).collect()
+    if len(probe_rows) <= max_bench:
+        n_chunks = 1
+    else:
+        import math as _math
+
+        n_chunks = max(1, _math.ceil(bdf.count() / max_bench))
     partials = []
     for i in range(n_chunks):
         chunk = (
@@ -595,7 +616,7 @@ def embedding_contamination(
             if n_chunks == 1
             else bdf.where(F.pmod(F.xxhash64(bench_id), F.lit(n_chunks)) == i)
         )
-        rows = chunk.collect()
+        rows = probe_rows if n_chunks == 1 else chunk.collect()
         if not rows:
             continue
         partials.append(
