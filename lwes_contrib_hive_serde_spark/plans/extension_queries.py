@@ -816,8 +816,16 @@ _GOPHER_STOPS = ", ".join(f"'{w}'" for w in text.GOPHER_STOPWORDS)
 def q_gopher_quality(spark, sf_dir):
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     aug = d.withColumn("t", _aug_col())
-    g = text.gopher_quality_flags("t")
-    return aug.select(
+    # build each metric expression ONCE and derive the per-rule
+    # booleans from the PROJECTED metric columns (optimization r14):
+    # the old shape also expanded gopher_quality_flags — a second full
+    # copy of every token/line subtree — which doubled the Column
+    # construction cost on the driver (~0.5s/invocation of py4j
+    # round-trips at this tree size) and leaned on codegen CSE to
+    # dedup the work at runtime. Thresholds are the same published
+    # Gopher values gopher_quality_flags defaults to; the result is
+    # column-identical (oracle-checked).
+    m = aug.select(
         "doc_id",
         text.token_count("t").alias("n_words"),
         text.mean_token_len("t").alias("mean_wlen"),
@@ -827,14 +835,27 @@ def q_gopher_quality(spark, sf_dir):
         text.alpha_word_ratio("t").alias("alpha_ratio"),
         text.dup_line_fraction("t").alias("dup_line_frac"),
         text.gopher_stopword_hits("t").alias("stop_hits"),
-        g.getField("word_count_ok").alias("wc_ok"),
-        g.getField("mean_word_len_ok").alias("mwl_ok"),
-        g.getField("symbol_ratio_ok").alias("sym_ok"),
-        g.getField("bullet_ratio_ok").alias("bullet_ok"),
-        g.getField("ellipsis_ratio_ok").alias("ellipsis_ok"),
-        g.getField("alpha_word_ok").alias("alpha_ok"),
-        g.getField("stopwords_ok").alias("stop_ok"),
-        g.getField("pass_all").alias("pass_all"),
+    )
+    wc_ok = (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+    mwl_ok = (F.col("mean_wlen") >= 3.0) & (F.col("mean_wlen") <= 10.0)
+    sym_ok = F.col("sym_ratio") <= 0.1
+    bullet_ok = F.col("bullet_ratio") <= 0.9
+    ellipsis_ok = F.col("ellipsis_ratio") <= 0.3
+    alpha_ok = F.col("alpha_ratio") >= 0.8
+    stop_ok = F.col("stop_hits") >= 2
+    return m.select(
+        "*",
+        wc_ok.alias("wc_ok"),
+        mwl_ok.alias("mwl_ok"),
+        sym_ok.alias("sym_ok"),
+        bullet_ok.alias("bullet_ok"),
+        ellipsis_ok.alias("ellipsis_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stop_ok.alias("stop_ok"),
+        (
+            wc_ok & mwl_ok & sym_ok & bullet_ok
+            & ellipsis_ok & alpha_ok & stop_ok
+        ).alias("pass_all"),
     )
 
 
