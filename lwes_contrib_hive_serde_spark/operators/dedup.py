@@ -68,6 +68,21 @@ def word_shingles(text_col, k: int = 3):
     regexp_extract_all per row. ~13x faster than the natural
     sequence+slice+concat_ws formulation (interpreted lambda + O(n*k)
     slice allocations); output is identical."""
+    from lwes_contrib_hive_serde_spark.operators.text import _sql_ref
+
+    ref = _sql_ref(text_col)
+    if ref is not None:
+        # single-call F.expr rendering of the same expression — see
+        # text.py's fast-path block (optimization r14): one py4j
+        # round-trip instead of ~30, equality pinned in
+        # tests/test_operators.py
+        norm = f"trim(regexp_replace(lower({ref}), '\\\\s+', ' '))"
+        pat = "'(?:(?<= )|^)(?=((?:\\\\S+ ){%d}\\\\S+))'" % (k - 1)
+        return F.expr(
+            f"CASE WHEN size(split({norm}, ' ')) < {k} "
+            f"THEN array(concat_ws(' ', split({norm}, ' '))) "
+            f"ELSE array_distinct(regexp_extract_all({norm}, {pat}, 1)) END"
+        )
     norm = normalize_text(text_col)
     toks = F.split(norm, " ")
     pat = r"(?:(?<= )|^)(?=((?:\S+ ){%d}\S+))" % (k - 1)

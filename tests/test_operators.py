@@ -41,6 +41,54 @@ def make_docs(spark, n=60, seed=7, plant_neardups=8, plant_exact=4):
 
 
 class TestTextOps:
+    def test_sql_fast_paths_match_column_api(self, spark):
+        """Every helper with an F.expr fast path (optimization r14)
+        returns row-identical results to the legacy Column-API branch
+        (reached by passing a Column instead of a name) — including on
+        empty/whitespace/unicode/bullet/ellipsis/repeated-line edge
+        cases."""
+        from pyspark.sql import functions as F
+
+        rows = [
+            (1, "hello world  foo"),
+            (2, ""),
+            (3, "   "),
+            (4, "a,b.c!"),
+            (5, "The and of to...#tag\n- bullet one\n- bullet one\n"
+                "1) numbered\nends with...\ntrailing…\n\n  \nx"),
+            (6, "ünïcode wörds • mixed\nZeile zwei\nZeile zwei"),
+            (7, None),
+            (8, "the be to of and that have with THE BE"),
+            (9, "line one\nline one\nline two"),
+        ]
+        df = spark.createDataFrame(rows, "id int, text string")
+        helpers = [
+            text.tokens,
+            text.token_count,
+            text.mean_token_len,
+            text.symbol_word_ratio,
+            text.bullet_line_ratio,
+            text.ellipsis_line_ratio,
+            text.alpha_word_ratio,
+            text.dup_line_fraction,
+            text.gopher_stopword_hits,
+            text.normalize_text,
+            lambda c: text.doc_lines(c, keep_blank=True),
+            text.doc_lines,
+        ]
+        for h in helpers:
+            fast = df.select("id", h("text").alias("v")).collect()
+            legacy = df.select("id", h(F.col("text")).alias("v")).collect()
+            assert fast == legacy, h
+        for k in (1, 2, 3, 5):
+            fast = df.select(
+                "id", dedup.word_shingles("text", k).alias("v")
+            ).collect()
+            legacy = df.select(
+                "id", dedup.word_shingles(F.col("text"), k).alias("v")
+            ).collect()
+            assert fast == legacy, k
+
     def test_token_counts(self, spark):
         df = spark.createDataFrame(
             [(1, "hello world  foo"), (2, ""), (3, "   "), (4, "a,b.c!")],
