@@ -74,7 +74,32 @@ def register(
     return deco
 
 
+# Session-scoped RELATION cache (optimization r14): a bare-path
+# spark.read.parquet re-resolves the datasource relation — schema
+# inference, file index — on EVERY call (~90 ms of driver work here),
+# which a catalog table would do once (Spark itself caches resolved
+# relations and file listings for catalog tables — guide §6's
+# filesourcePartitionFileCacheSize). Cached per (SparkSession,
+# sf_dir, table): the value is the LAZY DataFrame plan object only —
+# no data is persisted, and every action over it still scans the
+# parquet files. Keyed weakly by session so nothing leaks across
+# sessions or outlives one.
+import weakref
+
+_RELATION_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    per_session = _RELATION_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    cached = per_session.get(key)
+    if cached is None:
+        cached = _build_table(spark, sf_dir, name)
+        per_session[key] = cached
+    return cached
+
+
+def _build_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts varies by testdata generation: TIMESTAMP(NANOS)
