@@ -192,6 +192,62 @@ def q_multievent(spark, sf_dir):
     )
 
 
+def _events_min_ts_ms(spark, sf_dir: str) -> int:
+    """min(unix_millis(ts)) of the events table, from the parquet
+    FOOTER statistics when available (optimization r14: a scan-less
+    driver-side metadata read — the same min/max-stat shortcut real
+    engines take, guide §6 — replaces a whole Spark aggregate job).
+    Timestamp/int64 parquet stats are exact (never truncated like
+    strings), and unix_millis floors micros → millis exactly as
+    ``micros // 1000``. Falls back to the Spark aggregate when stats
+    are missing or the physical type is unexpected."""
+    try:
+        import datetime
+
+        import pyarrow.parquet as pq
+
+        f = pq.ParquetFile(os.path.join(sf_dir, "events.parquet"))
+        idx = f.schema_arrow.get_field_index("ts")
+        typ = str(f.schema_arrow.field("ts").type)
+        mins = []
+        for rg in range(f.metadata.num_row_groups):
+            st = f.metadata.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                raise ValueError("no min/max stats")
+            v = st.min
+            if isinstance(v, datetime.datetime):
+                # naive = stored wall-clock read as UTC (the same
+                # NTZ→LTZ-at-UTC convention table() applies). Pure
+                # integer epoch math — float .timestamp() is only
+                # ~4e-7 s precise at 2024 epochs, too coarse to trust
+                # for exact-micros equality with the oracle.
+                import calendar
+
+                if v.tzinfo is not None:
+                    v = v.astimezone(datetime.timezone.utc).replace(
+                        tzinfo=None
+                    )
+                micros = (
+                    calendar.timegm(v.timetuple()) * 1_000_000
+                    + v.microsecond
+                )
+                mins.append(micros // 1000)
+            elif isinstance(v, int) and "int64" in typ:
+                # int64 nanos variant of the events table
+                mins.append(v // 1_000_000)
+            else:
+                raise ValueError(f"unexpected ts stat {type(v)} / {typ}")
+        if not mins:
+            raise ValueError("no row groups")
+        return min(mins)
+    except Exception:
+        return (
+            table(spark, sf_dir, "events")
+            .agg(F.min(F.unix_millis("ts")))
+            .collect()[0][0]
+        )
+
+
 @register(
     "q_lwes_header_filter",
     oracle="""
@@ -208,11 +264,7 @@ def q_multievent(spark, sf_dir):
 )
 def q_header_filter(spark, sf_dir):
     back = _read_back(spark, sf_dir)
-    t0 = (
-        table(spark, sf_dir, "events")
-        .agg(F.min(F.unix_millis("ts")))
-        .collect()[0][0]
-    )
+    t0 = _events_min_ts_ms(spark, sf_dir)
     return (
         back.filter(
             (F.col("event_type") == "purchase")

@@ -89,6 +89,25 @@ class TestTextOps:
             ).collect()
             assert fast == legacy, k
 
+    def test_events_min_ts_footer_matches_spark_agg(self, spark):
+        """The parquet-footer fast path for min(unix_millis(ts))
+        (optimization r14, q_lwes_header_filter's t0) returns the
+        EXACT value the Spark aggregate computes, at every SF."""
+        from pyspark.sql import functions as F
+
+        from lwes_contrib_hive_serde_spark.plans import lwes_queries as LQ
+        from lwes_contrib_hive_serde_spark.plans.corpus import table
+
+        for sf in ("0.001", "0.01", "0.1"):
+            sf_dir = f"/root/testdata/sf{sf}"
+            fast = LQ._events_min_ts_ms(spark, sf_dir)
+            agg = (
+                table(spark, sf_dir, "events")
+                .agg(F.min(F.unix_millis("ts")))
+                .collect()[0][0]
+            )
+            assert fast == agg, (sf, fast, agg)
+
     def test_token_counts(self, spark):
         df = spark.createDataFrame(
             [(1, "hello world  foo"), (2, ""), (3, "   "), (4, "a,b.c!")],
