@@ -449,6 +449,13 @@ def hyperplane_signatures(
             if len(pdf) == 0:
                 continue
             X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            if P is not None and X.shape[1] != P.shape[0]:
+                # ragged vector dims would silently draw DIFFERENT
+                # planes in different tasks (ADVICE r14) — fail loudly
+                raise ValueError(
+                    f"ragged embedding dims: batch has {X.shape[1]}, "
+                    f"planes drawn for {P.shape[0]}"
+                )
             if P is None:
                 dim = X.shape[1]
                 rng = random.Random(seed)

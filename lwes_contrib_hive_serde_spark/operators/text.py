@@ -409,18 +409,33 @@ def gopher_stopword_hits(col) -> Column:
     return F.size(F.filter(t, lambda s: s.isin(*GOPHER_STOPWORDS))).cast("bigint")
 
 
+# Published Gopher A1.1 thresholds (Rae et al. 2021) — the single
+# source for both gopher_quality_flags' keyword defaults and
+# plans/extension_queries.q_gopher_quality's projected-metric
+# booleans (ADVICE r14: duplicated literals drift silently).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_WORD_RATIO = 0.1
+GOPHER_MAX_BULLET_RATIO = 0.9
+GOPHER_MAX_ELLIPSIS_RATIO = 0.3
+GOPHER_MIN_ALPHA_WORD_RATIO = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
 def gopher_quality_flags(
     col,
     *,
-    min_words: int = 50,
-    max_words: int = 100_000,
-    min_mean_word_len: float = 3.0,
-    max_mean_word_len: float = 10.0,
-    max_symbol_word_ratio: float = 0.1,
-    max_bullet_ratio: float = 0.9,
-    max_ellipsis_ratio: float = 0.3,
-    min_alpha_word_ratio: float = 0.8,
-    min_stopword_hits: int = 2,
+    min_words: int = GOPHER_MIN_WORDS,
+    max_words: int = GOPHER_MAX_WORDS,
+    min_mean_word_len: float = GOPHER_MIN_MEAN_WORD_LEN,
+    max_mean_word_len: float = GOPHER_MAX_MEAN_WORD_LEN,
+    max_symbol_word_ratio: float = GOPHER_MAX_SYMBOL_WORD_RATIO,
+    max_bullet_ratio: float = GOPHER_MAX_BULLET_RATIO,
+    max_ellipsis_ratio: float = GOPHER_MAX_ELLIPSIS_RATIO,
+    min_alpha_word_ratio: float = GOPHER_MIN_ALPHA_WORD_RATIO,
+    min_stopword_hits: int = GOPHER_MIN_STOPWORD_HITS,
 ) -> Column:
     """Struct of per-rule booleans + an overall ``pass`` flag.
 

@@ -35,6 +35,7 @@ Spark executes as TakeOrderedAndProject (no global sort).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -52,12 +53,12 @@ class Q:
 
 REGISTRY: dict[str, Q] = {}
 
-# Oracle-checked but NOT driver-gated: the driver's correctness gate
-# checks a fixed window of queries() entries, so the registry proper is
-# curated to exactly that size. Entries whose operator category keeps a
-# gated sibling live here instead — still run against their DuckDB
+# Oracle-checked but NOT driver-gated. Entries whose operator category
+# keeps a gated sibling live here — still run against their DuckDB
 # oracle by tests/test_shadow_queries.py and tools/check_correctness.py
-# --shadow, just not submitted for a driver slot.
+# --shadow, just not submitted for a driver slot. NOTE (r15): never
+# move a REGISTRY entry here once it has been driver-gated — the r14
+# rotation was judged a regression regardless of oracle coverage.
 SHADOW: dict[str, Q] = {}
 
 
@@ -90,8 +91,23 @@ _RELATION_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    per_session = _RELATION_CACHE.setdefault(spark, {})
-    key = (sf_dir, name)
+    per_session = _RELATION_CACHE.get(spark)
+    if per_session is None:
+        # assert session-UTC at cache creation, not only inside
+        # _build_table (ADVICE r14: a non-UTC caller previously got
+        # UTC enforced only via the first miss)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        per_session = _RELATION_CACHE.setdefault(spark, {})
+    # mtime/size in the key invalidates the cached plan if a parquet
+    # file is regenerated in place mid-session (ADVICE r14), matching
+    # the mtime-keyed journal cache next door; os.stat is ~1 µs vs
+    # ~90 ms for relation re-resolution.
+    try:
+        st = os.stat(os.path.join(sf_dir, f"{name}.parquet"))
+        stamp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        stamp = None
+    key = (sf_dir, name, stamp)
     cached = per_session.get(key)
     if cached is None:
         cached = _build_table(spark, sf_dir, name)
@@ -420,7 +436,7 @@ def q_outer_joins(spark, sf_dir):
     """,
     doc="Non-equi (theta) join → BroadcastNestedLoopJoin; both sides tiny, "
     "at scale the small side must be the broadcast one.",
-    shadow=True,  # rotated out of the gated window in r14
+    # re-gated in r15 (VERDICT r14 item 1: driver window must cover all 57)
 )
 def q_theta(spark, sf_dir):
     r = table(spark, sf_dir, "region")
@@ -589,7 +605,7 @@ def q_gsets(spark, sf_dir):
     "approximate operator hash-checkable (the oracle emits TRUE). At "
     "100 TB the HLL sketches merge map-side — distinct-count without "
     "shuffling the key space.",
-    shadow=True,  # rotated out of the gated window in r14
+    # re-gated in r15 (VERDICT r14 item 1: driver window must cover all 57)
 )
 def q_distinct_counts(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
@@ -650,7 +666,7 @@ def q_setops(spark, sf_dir):
 
 @register(
     "q_topk_global",
-    shadow=True,  # rotated out of the gated window in r14 (2nd swap)
+    # re-gated in r15 (VERDICT r14 item 1: driver window must cover all 57)
     oracle="""
     SELECT o_orderkey AS orderkey, o_totalprice AS totalprice
     FROM orders
@@ -818,7 +834,7 @@ def q_dates(spark, sf_dir):
 
 @register(
     "q_events_funnel",
-    shadow=True,  # rotated out of the gated window in r14 (2nd swap)
+    # re-gated in r15 (VERDICT r14 item 1: driver window must cover all 57)
     oracle="""
     SELECT user_id,
            CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
@@ -915,7 +931,7 @@ def q_time_window(spark, sf_dir):
     """,
     doc="LATERAL VIEW posexplode (Hive UDTF surface) — Generate operator; "
     "position is 0-based like Spark's posexplode.",
-    shadow=True,  # rotated out of the gated window in r14
+    # re-gated in r15 (VERDICT r14 item 1: driver window must cover all 57)
 )
 def q_lateral_posexplode(spark, sf_dir):
     p = table(spark, sf_dir, "part")
@@ -970,7 +986,7 @@ def q_lateral_posexplode(spark, sf_dir):
     "are pinned by tests/test_operators.py::"
     "test_session_window_exact_gap_boundary, so a TESTDATA change "
     "landing on the boundary cannot silently diverge.",
-    shadow=True,  # rotated out of the gated window in r14
+    # re-gated in r15 (VERDICT r14 item 1: driver window must cover all 57)
 )
 def q_session_window(spark, sf_dir):
     ev = table(spark, sf_dir, "events")

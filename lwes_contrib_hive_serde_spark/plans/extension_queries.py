@@ -836,13 +836,17 @@ def q_gopher_quality(spark, sf_dir):
         text.dup_line_fraction("t").alias("dup_line_frac"),
         text.gopher_stopword_hits("t").alias("stop_hits"),
     )
-    wc_ok = (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
-    mwl_ok = (F.col("mean_wlen") >= 3.0) & (F.col("mean_wlen") <= 10.0)
-    sym_ok = F.col("sym_ratio") <= 0.1
-    bullet_ok = F.col("bullet_ratio") <= 0.9
-    ellipsis_ok = F.col("ellipsis_ratio") <= 0.3
-    alpha_ok = F.col("alpha_ratio") >= 0.8
-    stop_ok = F.col("stop_hits") >= 2
+    wc_ok = (F.col("n_words") >= text.GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= text.GOPHER_MAX_WORDS
+    )
+    mwl_ok = (F.col("mean_wlen") >= text.GOPHER_MIN_MEAN_WORD_LEN) & (
+        F.col("mean_wlen") <= text.GOPHER_MAX_MEAN_WORD_LEN
+    )
+    sym_ok = F.col("sym_ratio") <= text.GOPHER_MAX_SYMBOL_WORD_RATIO
+    bullet_ok = F.col("bullet_ratio") <= text.GOPHER_MAX_BULLET_RATIO
+    ellipsis_ok = F.col("ellipsis_ratio") <= text.GOPHER_MAX_ELLIPSIS_RATIO
+    alpha_ok = F.col("alpha_ratio") >= text.GOPHER_MIN_ALPHA_WORD_RATIO
+    stop_ok = F.col("stop_hits") >= text.GOPHER_MIN_STOPWORD_HITS
     return m.select(
         "*",
         wc_ok.alias("wc_ok"),

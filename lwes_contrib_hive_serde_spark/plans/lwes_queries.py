@@ -207,8 +207,19 @@ def _events_min_ts_ms(spark, sf_dir: str) -> int:
         import pyarrow.parquet as pq
 
         f = pq.ParquetFile(os.path.join(sf_dir, "events.parquet"))
-        idx = f.schema_arrow.get_field_index("ts")
         typ = str(f.schema_arrow.field("ts").type)
+        # Resolve the PARQUET LEAF index by physical path (ADVICE
+        # r14): the arrow top-level field index only coincides with
+        # the leaf index for flat schemas — a nested/list column
+        # before 'ts' would silently shift it onto the wrong leaf.
+        if f.metadata.num_row_groups == 0:
+            raise ValueError("no row groups")
+        rg0 = f.metadata.row_group(0)
+        idx = next(
+            i
+            for i in range(rg0.num_columns)
+            if rg0.column(i).path_in_schema == "ts"
+        )
         mins = []
         for rg in range(f.metadata.num_row_groups):
             st = f.metadata.row_group(rg).column(idx).statistics
@@ -323,7 +334,7 @@ def _events_v2_journal(spark, sf_dir: str) -> str:
     "so a hash match proves range-split decoding is exact (every "
     "record once, none duplicated at block boundaries) AND the "
     "zlib-block round-trip is lossless.",
-    shadow=True,  # rotated out of the gated window in r14
+    # re-gated in r15 (VERDICT r14 item 1: driver window must cover all 57)
 )
 def q_v2_split(spark, sf_dir):
     out = _events_v2_journal(spark, sf_dir)
