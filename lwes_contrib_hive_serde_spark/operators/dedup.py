@@ -256,10 +256,21 @@ def minhash_candidate_pairs(
         "id",
         F.explode(band_hash_structs(num_hashes, bands)).alias("bk"),
     ).select("id", "bk.band", "bk.bhash")
-    buckets = (
-        banded.groupBy("band", "bhash")
-        .agg(F.collect_list("id").alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    # Size the bucket BEFORE materializing its id array (r15, guide
+    # §2.5/§5): the old shape collect_list'ed the WHOLE bucket into one
+    # aggregation buffer and only then dropped it by the size filter —
+    # for a degenerate boilerplate bucket at 100 TB that is an OOM, not
+    # a filter. The window count shares the groupBy's hash exchange
+    # (same keys), so the plan gains a sort but no new shuffle, and
+    # per-group array state is now bounded by max_bucket by
+    # construction. Kept/dropped bucket set — and so the pair set — is
+    # identical (oracle-checked).
+    wb = Window.partitionBy("band", "bhash")
+    sized = banded.withColumn("bn", F.count(F.lit(1)).over(wb)).filter(
+        (F.col("bn") > 1) & (F.col("bn") <= max_bucket)
+    )
+    buckets = sized.groupBy("band", "bhash").agg(
+        F.collect_list("id").alias("ids")
     )
     pairs = buckets.select(
         F.explode(
@@ -664,10 +675,14 @@ def hamming_neardup_pairs(
             )
         ).alias("bk"),
     ).select("id", "simhash", "bk.band", "bk.bval")
+    # same pre-sizing guard as minhash_candidate_pairs (r15): never
+    # materialize a bucket's struct array before its size is known
+    wsb = Window.partitionBy("band", "bval")
     buckets = (
-        bands.groupBy("band", "bval")
+        bands.withColumn("bn", F.count(F.lit(1)).over(wsb))
+        .filter((F.col("bn") > 1) & (F.col("bn") <= max_bucket))
+        .groupBy("band", "bval")
         .agg(F.collect_list(F.struct("id", "simhash")).alias("xs"))
-        .filter((F.size("xs") > 1) & (F.size("xs") <= max_bucket))
     )
     pairs = (
         buckets.select(

@@ -487,10 +487,17 @@ def embedding_neardup_pairs(
     more candidates = more work) — 12 planes keeps P(collide) ≈
     (1-θ/π)^12 high for θ small while pruning the random mass."""
     sigs = hyperplane_signatures(df, id_col, vec_col, n_planes, seed)
+    # bucket size computed BEFORE the id array is materialized (r15,
+    # guide §2.5/§5): a degenerate signature bucket previously built
+    # its full collect_list buffer and only then hit the size filter —
+    # unbounded per-group state at 100 TB. Window count shares the
+    # groupBy exchange; kept buckets (and pairs) are identical.
+    wb = Window.partitionBy("sig")
     buckets = (
-        sigs.groupBy("sig")
+        sigs.withColumn("bn", F.count(F.lit(1)).over(wb))
+        .filter((F.col("bn") > 1) & (F.col("bn") <= max_bucket))
+        .groupBy("sig")
         .agg(F.collect_list("id").alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     )
     cands = (
         buckets.select(

@@ -454,6 +454,71 @@ def _merge_log_files(
         return base_df
     valid = frozenset(c for c in completed if c <= target)
     out_cols = base_df.columns
+    total_log_bytes = 0
+    local = all("://" not in p for p, _v in logs)
+    if local:
+        total_log_bytes = sum(os.path.getsize(p) for p, _v in logs)
+    small = local and total_log_bytes <= _LOG_BROADCAST_MAX_BYTES
+    if small:
+        # Decode ONCE, ON THE DRIVER (r15, guide §5/§6): ``latest``
+        # feeds BOTH the anti-join keys side and the upserts branch,
+        # and as two plan subtrees the log decode + window previously
+        # ran TWICE per snapshot read (q_hudi_snapshot's before-plan:
+        # 4 MapInPandas chains, 16 sorts, 20 Exchange), plus the AQE
+        # stage-jobs of shuffling a tiny path list. The broadcast
+        # bound already asserts the merged log state is tiny (≤
+        # _LOG_BROADCAST_MAX_BYTES of raw LOCAL log bytes) AND already
+        # pulled exactly these rows through the driver as the built
+        # broadcast relation — so decode the bytes directly here with
+        # the same _iter_log_records the executors use, keep the
+        # latest record per key by the same (instant, logv, block,
+        # row) ordering (ASCII instants: Python str compare ==
+        # Spark's UTF8 ordering), and feed both branches from the
+        # local result. Zero Spark jobs at construction; the base
+        # scan still never shuffles. Large/remote logs keep the fully
+        # distributed decode below — this is the small-side shortcut,
+        # not a scale path. (r14 measured persist() of the shared
+        # subtree slower at sf0.1; this removes the subtree instead.)
+        latest_by_key: dict = {}
+        for pth, logv in logs:
+            data = fsio.read_bytes(pth)
+            for inst, bi, ri, names, row in _iter_log_records(
+                data, pth, valid
+            ):
+                rec = dict(zip(names, row))
+                deleted = bool(rec.pop("_hoodie_is_deleted", False))
+                extra = set(rec) - set(out_cols)
+                if extra:
+                    raise HudiError(
+                        f"{pth}: log schema carries columns "
+                        f"{sorted(extra)} unknown to the base "
+                        "file — refusing"
+                    )
+                ordv = (inst, int(logv), bi, ri)
+                key = rec.get("_hoodie_record_key")
+                cur = latest_by_key.get(key)
+                if cur is None or ordv > cur[0]:
+                    latest_by_key[key] = (
+                        ordv,
+                        deleted,
+                        [rec.get(c) for c in out_cols],
+                    )
+        keys_df = spark.createDataFrame(
+            [(k,) for k in latest_by_key],
+            "_hoodie_record_key string",
+        )
+        survivors = base_df.join(
+            F.broadcast(keys_df), "_hoodie_record_key", "left_anti"
+        )
+        live = [
+            vals
+            for (_o, deleted, vals) in latest_by_key.values()
+            if not deleted
+        ]
+        base_schema = StructType(list(base_df.schema.fields))
+        upserts = spark.createDataFrame(live, base_schema)
+        return survivors.select(*out_cols).unionByName(upserts)
+    # Large or remote log volume: fully distributed decode + merge.
     ord_fields = [
         StructField("__instant", StringType(), False),
         StructField("__logv", IntegerType(), False),
@@ -480,10 +545,10 @@ def _merge_log_files(
     # latest record per key stays the row_number()-over-desc-Window
     # form: Spark plans it as Sort+WindowGroupLimit with a PARTIAL
     # WindowGroupLimit before the exchange, so only the per-task top-1
-    # per key crosses the shuffle — measured A/B against a
-    # max_by(struct, ordering-struct) aggregate rewrite this round and
-    # the window form won consistently (the struct-buffered max_by
-    # falls to un-codegen'd SortAggregate; 1.6-2.9s vs 3.1-3.6s for
+    # per key crosses the shuffle — measured A/B (r14) against a
+    # max_by(struct, ordering-struct) aggregate rewrite and the window
+    # form won consistently (the struct-buffered max_by falls to
+    # un-codegen'd SortAggregate; 1.6-2.9s vs 3.1-3.6s for
     # q_hudi_snapshot, same shuffle volume). Kept deliberately.
     from pyspark.sql.window import Window
 
@@ -499,17 +564,8 @@ def _merge_log_files(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    total_log_bytes = 0
-    local = all("://" not in p for p, _v in logs)
-    if local:
-        total_log_bytes = sum(os.path.getsize(p) for p, _v in logs)
-    small = local and total_log_bytes <= _LOG_BROADCAST_MAX_BYTES
     keys = latest.select("_hoodie_record_key")
-    survivors = base_df.join(
-        F.broadcast(keys) if small else keys,
-        "_hoodie_record_key",
-        "left_anti",
-    )
+    survivors = base_df.join(keys, "_hoodie_record_key", "left_anti")
     upserts = latest.filter(~F.col("__deleted")).select(*out_cols)
     return survivors.select(*out_cols).unionByName(upserts)
 
@@ -1039,19 +1095,57 @@ def hudi_incremental(
                     StructField("__deleted", BooleanType(), False),
                 ]
             )
-            # repartition is load-bearing — see _merge_log_files
-            paths_df = spark.createDataFrame(
-                logs, "path string, logv int"
-            ).repartition(
-                min(len(logs), spark.sparkContext.defaultParallelism)
+            in_cols = probe.columns
+            local = all("://" not in p for p, _v in logs)
+            log_bytes = (
+                sum(os.path.getsize(p) for p, _v in logs)
+                if local
+                else 0
             )
-            log_rows = paths_df.mapInPandas(
-                _log_rows_fn(probe.columns, valid), schema=out_schema
-            ).filter(
-                (F.col("__instant") > begin)
-                & (F.col("__instant") <= end)
-            )
-            pieces.append(log_rows)
+            if local and log_bytes <= _LOG_BROADCAST_MAX_BYTES:
+                # small LOCAL log volume: decode on the driver (r15)
+                # — same shortcut and bound as _merge_log_files; the
+                # LocalTableScan replaces a path-list shuffle + a
+                # mapInPandas chain for bytes the driver could hold
+                # anyway.
+                rows = []
+                for pth, logv in logs:
+                    data = fsio.read_bytes(pth)
+                    for inst, bi, ri, names, row in _iter_log_records(
+                        data, pth, valid
+                    ):
+                        if not (begin < inst <= end):
+                            continue
+                        rec = dict(zip(names, row))
+                        deleted = bool(
+                            rec.pop("_hoodie_is_deleted", False)
+                        )
+                        extra = set(rec) - set(in_cols)
+                        if extra:
+                            raise HudiError(
+                                f"{pth}: log schema carries columns "
+                                f"{sorted(extra)} unknown to the "
+                                "base file — refusing"
+                            )
+                        rows.append(
+                            tuple(rec.get(c) for c in in_cols)
+                            + (inst, int(logv), bi, ri, deleted)
+                        )
+                pieces.append(spark.createDataFrame(rows, out_schema))
+            else:
+                # repartition is load-bearing — see _merge_log_files
+                paths_df = spark.createDataFrame(
+                    logs, "path string, logv int"
+                ).repartition(
+                    min(len(logs), spark.sparkContext.defaultParallelism)
+                )
+                log_rows = paths_df.mapInPandas(
+                    _log_rows_fn(in_cols, valid), schema=out_schema
+                ).filter(
+                    (F.col("__instant") > begin)
+                    & (F.col("__instant") <= end)
+                )
+                pieces.append(log_rows)
     if not pieces:
         if not slices:
             raise HudiError(f"no data files at instant {end}")
