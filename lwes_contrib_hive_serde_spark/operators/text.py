@@ -750,12 +750,28 @@ def filter_blocked_domains(
     lineage is evaluated in both join branches. Inputs whose analyzed
     plan contains a sample, shuffle-producing node, or
     non-deterministic expression are REFUSED without ``id_col``
-    instead of silently dropping/keeping the wrong rows."""
+    instead of silently dropping/keeping the wrong rows. (The list
+    fast path below decides each row independently, so neither the
+    row id nor the stability guard applies to it.)"""
     spark = df.sparkSession
     if not isinstance(blocked, DataFrame):
-        blocked = spark.createDataFrame(
-            [(d,) for d in blocked], "domain string"
+        # LIST fast path (r15, guide §2.4/§3): a plain-list blocklist
+        # is a driver constant, so suffix membership is a row-local
+        # expression — arrays_overlap(host_suffixes(host),
+        # lit(domains)) — instead of explode + two broadcast joins
+        # over a second full evaluation of the corpus lineage. One
+        # scan, zero joins, zero exchanges added, and no
+        # unstable-lineage hazard (no re-evaluation at all).
+        # Identical semantics: a row is blocked iff some dot-suffix
+        # of its lowercased host equals a (lowercased, deduped)
+        # blocklist entry; NULL hosts never match.
+        doms = sorted({d.lower() for d in blocked})
+        overlap = F.arrays_overlap(
+            host_suffixes(url_host(url_col)),
+            F.lit(doms).cast("array<string>"),
         )
+        hit = F.coalesce(overlap, F.lit(False))
+        return df.filter(hit if keep else ~hit)
     if not id_col:
         marker = _unstable_lineage_marker(df)
         if marker is not None:

@@ -742,17 +742,23 @@ class TestCorpusReportGlobal:
 class TestBlockedDomainDeterminismGuard:
     """VERDICT r3 #5: without id_col the synthetic row key relies on a
     stable re-evaluation order; unstable lineages must be refused with
-    guidance, not silently mis-keyed."""
+    guidance, not silently mis-keyed. Since r15 the guard applies only
+    to DATAFRAME blocklists — a plain-list blocklist is evaluated as a
+    row-local expression with no re-evaluation and needs no row id."""
+
+    @staticmethod
+    def _bl_df(spark):
+        return spark.createDataFrame([(d,) for d in _BLOCKED], "domain string")
 
     def test_sampled_input_without_id_col_raises(self, spark):
         df = spark.createDataFrame(_URL_ROWS, "i int, url string").sample(0.9)
         with pytest.raises(ValueError, match="id_col"):
-            text.filter_blocked_domains(df, "url", _BLOCKED)
+            text.filter_blocked_domains(df, "url", self._bl_df(spark))
 
     def test_shuffled_input_without_id_col_raises(self, spark):
         df = spark.createDataFrame(_URL_ROWS, "i int, url string").repartition(4)
         with pytest.raises(ValueError, match="id_col"):
-            text.filter_blocked_domains(df, "url", _BLOCKED)
+            text.filter_blocked_domains(df, "url", self._bl_df(spark))
 
     def test_aggregated_input_without_id_col_raises(self, spark):
         df = (
@@ -761,18 +767,44 @@ class TestBlockedDomainDeterminismGuard:
             .agg(F.min("i").alias("i"))
         )
         with pytest.raises(ValueError, match="id_col"):
-            text.filter_blocked_domains(df, "url", _BLOCKED)
+            text.filter_blocked_domains(df, "url", self._bl_df(spark))
 
     def test_unstable_input_with_id_col_works(self, spark):
         df = spark.createDataFrame(_URL_ROWS, "i int, url string").repartition(4)
-        out = text.filter_blocked_domains(df, "url", _BLOCKED, id_col="i")
+        out = text.filter_blocked_domains(df, "url", self._bl_df(spark), id_col="i")
         assert out.count() > 0  # no refusal, correct keying by real id
+
+    def test_list_blocklist_on_unstable_lineage_needs_no_id(self, spark):
+        # r15 list fast path: per-row expression — sampled/shuffled
+        # lineage is fine without id_col AND the result matches the
+        # join path keyed by a real id.
+        df = spark.createDataFrame(_URL_ROWS, "i int, url string").repartition(4)
+        got = sorted(r.i for r in text.filter_blocked_domains(df, "url", _BLOCKED).collect())
+        want = sorted(
+            r.i
+            for r in text.filter_blocked_domains(
+                df, "url", self._bl_df(spark), id_col="i"
+            ).collect()
+        )
+        assert got == want
+
+    def test_list_blocklist_plan_has_no_joins(self, spark):
+        import io
+        from contextlib import redirect_stdout
+
+        df = spark.createDataFrame(_URL_ROWS, "i int, url string")
+        out = text.filter_blocked_domains(df, "url", _BLOCKED)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        assert "Join" not in plan and "Generate" not in plan
 
     def test_stable_scan_lineage_still_allowed(self, spark, tmp_path):
         p = str(tmp_path / "urls.parquet")
         spark.createDataFrame(_URL_ROWS, "i int, url string").write.parquet(p)
         df = spark.read.parquet(p).filter("i >= 0").select("i", "url")
-        out = text.filter_blocked_domains(df, "url", _BLOCKED)
+        out = text.filter_blocked_domains(df, "url", self._bl_df(spark))
         assert out.count() > 0
 
     def test_persisted_unstable_input_allowed(self, spark):
@@ -783,7 +815,7 @@ class TestBlockedDomainDeterminismGuard:
         )
         try:
             df.count()  # materialize: the cache pins rows and order
-            out = text.filter_blocked_domains(df, "url", _BLOCKED)
+            out = text.filter_blocked_domains(df, "url", self._bl_df(spark))
             assert out.count() > 0
         finally:
             df.unpersist()
