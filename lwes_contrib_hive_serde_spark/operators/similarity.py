@@ -326,12 +326,24 @@ def ivf_build(
     # skewed quantizer (tests/test_operators.py pins this). A pure
     # Bernoulli fraction — no limit() after it, which would re-bias
     # toward early partitions — lands within ~sqrt(n) of n_train.
-    total = df.count()
-    if total > n_train:
+    #
+    # Merged probe+fetch (r15, the r14 dup_clusters pattern): ONE
+    # bounded limit(n_train+1).collect() answers both "small enough to
+    # train on wholesale?" and, when yes, IS the training set — same
+    # rows in the same partition order as a plain collect (pinned by
+    # tests/test_similarity_posture.py). The count() job is paid only
+    # on the large-corpus path, where the preceding probe early-exits
+    # after n_train+1 rows (a couple of input splits at 100 TB,
+    # negligible next to the corpus-wide count and sample that
+    # follow). The sampling procedure itself is unchanged — it is
+    # result-determining.
+    probe = df.select(vec_col).limit(n_train + 1).collect()
+    if len(probe) <= n_train:
+        sample = probe
+    else:
+        total = df.count()
         frac = min(1.0, 1.05 * n_train / total)
         sample = df.select(vec_col).sample(fraction=frac, seed=seed).collect()
-    else:
-        sample = df.select(vec_col).collect()
     X = np.asarray([list(map(float, r[0])) for r in sample], dtype=np.float64)
     rng = np.random.RandomState(seed)
     centers = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]

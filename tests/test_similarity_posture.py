@@ -98,6 +98,19 @@ class TestKnnJoinPosture:
 
 
 class TestIvfPosture:
+    def test_limit_probe_matches_plain_collect(self, spark):
+        # r15 ivf_build probe merge: the small-corpus training set is
+        # fetched via limit(n_train+1).collect(); the quantizer is
+        # result-determining, so the rows AND their order must equal a
+        # plain collect() of the same frame (partition order).
+        df = spark.range(0, 400, 1, 7).selectExpr(
+            "id as vec_id",
+            "array(cast(id as float), cast(id % 13 as float)) as embedding",
+        )
+        a = df.select("embedding").collect()
+        b = df.select("embedding").limit(401).collect()
+        assert a == b
+
     def test_bounded_training_sample_rss_flat(self, spark, big_embs):
         from lwes_contrib_hive_serde_spark.operators import similarity
 
