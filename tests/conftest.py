@@ -21,6 +21,23 @@ os.environ.setdefault(
 )
 
 
+def pytest_collection_modifyitems(config, items):
+    """Deselect @pytest.mark.slow batteries by default (VERDICT r14
+    item 2: the full 40-minute suite outruns the driver's verify
+    window). Nothing is deleted: SPARK_GRAFT_FULL_TESTS=1 runs
+    everything, and any explicit -m expression takes full control."""
+    if os.environ.get("SPARK_GRAFT_FULL_TESTS") == "1":
+        return
+    if config.option.markexpr:
+        return
+    keep, drop = [], []
+    for it in items:
+        (drop if it.get_closest_marker("slow") else keep).append(it)
+    if drop:
+        config.hook.pytest_deselected(items=drop)
+        items[:] = keep
+
+
 @pytest.fixture(scope="session")
 def spark():
     import lwes_contrib_hive_serde_spark as L

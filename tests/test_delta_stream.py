@@ -5,6 +5,8 @@ ignorechanges contract, and exactly-once restart."""
 import time
 
 import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute battery — deselected by default (pytest.ini); SPARK_GRAFT_FULL_TESTS=1 runs it
 from pyspark.sql import Row
 
 from lwes_contrib_hive_serde_spark.sources import delta as D

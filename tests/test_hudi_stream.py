@@ -4,6 +4,8 @@ per-instant upsert emissions, compaction invisibility, delete
 refusal."""
 
 import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute battery — deselected by default (pytest.ini); SPARK_GRAFT_FULL_TESTS=1 runs it
 from pyspark.sql import Row
 
 from lwes_contrib_hive_serde_spark.sources import hudi as H

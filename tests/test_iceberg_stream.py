@@ -3,6 +3,8 @@ snapshot semantics, snapshot tailing, compaction invisibility, the
 ignorechanges contract, and the expiry/equality refusals."""
 
 import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute battery — deselected by default (pytest.ini); SPARK_GRAFT_FULL_TESTS=1 runs it
 from pyspark.sql import Row
 
 from lwes_contrib_hive_serde_spark.sources import iceberg as I

@@ -6,6 +6,8 @@ append path (a second batch must see the first batch's survivors)."""
 import random
 
 import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute battery — deselected by default (pytest.ini); SPARK_GRAFT_FULL_TESTS=1 runs it
 from pyspark.sql import functions as F
 
 from lwes_contrib_hive_serde_spark.operators import dedup, incremental

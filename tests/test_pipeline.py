@@ -3,6 +3,8 @@ oracle-checked end to end by the q_curation_pipeline shadow entry;
 here we pin the optional stages toggle correctly)."""
 
 import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute battery — deselected by default (pytest.ini); SPARK_GRAFT_FULL_TESTS=1 runs it
 from pyspark.sql import functions as F
 
 from lwes_contrib_hive_serde_spark.operators import pipeline

@@ -8,6 +8,8 @@ import os
 import time
 
 import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute battery — deselected by default (pytest.ini); SPARK_GRAFT_FULL_TESTS=1 runs it
 from pyspark.sql import functions as F
 
 from lwes_contrib_hive_serde_spark.streaming import upsert_sink as U

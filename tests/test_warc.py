@@ -189,6 +189,7 @@ class TestWarcDataSource:
         }
 
 
+@pytest.mark.slow  # streaming battery — deselected by default (pytest.ini)
 class TestWarcStreaming:
     """readStream.format('warc'): files consumed whole on first sight
     (write-once crawl convention), exactly-once across restarts via
