@@ -146,6 +146,7 @@ class TestDiffToChanges:
         assert ch == {2: ("upsert", "B"), 3: ("delete", None),
                       4: ("upsert", "d")}
 
+    @pytest.mark.slow  # randomized round-trip battery (pytest.ini)
     def test_round_trip_property(self, spark):
         """apply_changes(old, diff_to_changes(old, new)) == new, over
         seeded random snapshot pairs with NULLs, empty strings, and

@@ -388,6 +388,7 @@ class TestTimestampTravelPastCheckpoint:
         assert D.read_delta(spark, p).count() == 3
 
 
+@pytest.mark.slow  # streaming battery — deselected by default (pytest.ini)
 class TestStreamingUnderDvs:
     def test_snapshot_applies_dvs(self, spark, tmp_path):
         # a fresh stream's initial snapshot must NOT resurrect
@@ -664,6 +665,7 @@ class TestTableChanges:
         assert D.delta_table_changes(spark, p, 0, 0).count() == 20
 
 
+@pytest.mark.slow  # vacuum-hygiene battery — deselected by default (pytest.ini)
 class TestVacuumDvHygiene:
     def test_orphaned_dv_files_vacuumed(self, spark, tmp_path):
         import glob
@@ -776,6 +778,7 @@ class TestMergeWithDvs:
         assert df.filter("text = 'U'").count() == 10
 
 
+@pytest.mark.slow  # job-count posture battery — deselected by default (pytest.ini)
 class TestScaleShape:
     """The r10 scale contract for the DV-DML triad: per-verb Spark
     job count is CONSTANT in the number of candidate files (one

@@ -19,6 +19,10 @@ from __future__ import annotations
 import os
 import time
 
+import pytest
+
+pytestmark = pytest.mark.slow  # distributed-sweep battery — deselected by default (pytest.ini)
+
 from pyspark.sql import functions as F
 
 from lwes_contrib_hive_serde_spark.sources import delta as D

@@ -132,6 +132,7 @@ class TestHistogramDrift:
         assert abs(out["a"]) < 1e-12 and out["b"] > 1.0
 
 
+@pytest.mark.slow  # streaming battery — deselected by default (pytest.ini)
 class TestStreamDrift:
     """Continuous drift monitoring (streaming/drift_stream.py):
     epoch-idempotent logging against a frozen reference."""

@@ -233,10 +233,17 @@ class TestNewOperatorPlans:
         assert "BroadcastHashJoin" in p
         assert "SortMergeJoin" not in p
 
-    def test_url_filter_broadcasts_blocklist(self, plans):
+    def test_url_filter_is_join_free_scan(self, plans):
+        """r15: a plain-list blocklist is a row-local arrays_overlap
+        expression — single corpus scan, no joins, no Generate (the
+        old shape exploded suffixes and ran two broadcast joins over a
+        second evaluation of the corpus)."""
         p = plans["q_url_filter"]
-        assert "BroadcastHashJoin" in p
-        assert "SortMergeJoin" not in p
+        assert "Join" not in p
+        assert "Generate" not in p
+        # formatted explain prints each node twice (tree + details):
+        # one scan node = 2 occurrences; the old two-scan shape = 4
+        assert p.count("Scan parquet") == 2
 
     def test_pack_sequences_single_window(self, plans):
         """Packing is one shuffle (the window partitioning) + one

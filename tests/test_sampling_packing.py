@@ -242,6 +242,7 @@ class TestWeightedSample:
         assert got == [1, 5]
 
 
+@pytest.mark.slow  # mixture battery — deselected by default (pytest.ini)
 class TestTemperatureMixture:
     def test_rebalances_toward_uniform(self, spark):
         rows = [(i, "big") for i in range(900)] + [

@@ -210,6 +210,7 @@ class TestHistogram:
         assert out == []  # all-null input yields no group rows at all
 
 
+@pytest.mark.slow  # rollup merge-chain battery — deselected by default (pytest.ini)
 class TestRollup:
     def test_hourly_merged_to_day_equals_direct(self, spark, events):
         hourly = R.rollup_partials(
@@ -286,6 +287,7 @@ class TestRollup:
         assert daily.count() < events.count() / 10
 
 
+@pytest.mark.slow  # KLL merge-chain battery — deselected by default (pytest.ini)
 class TestRollupQuantiles:
     """KLL sketch column inside the time-bucket rollup: coarser
     grains answer quantiles by MERGING partials (never re-scanning
@@ -387,6 +389,7 @@ class TestRollupQuantiles:
         assert n_by == exact
 
 
+@pytest.mark.slow  # sketch-algebra battery — deselected by default (pytest.ini)
 class TestCmsInnerProduct:
     def test_join_size_bounds(self, spark):
         import random as _r
@@ -413,6 +416,7 @@ class TestCmsInnerProduct:
         assert est < 2 * exact  # width chosen so the estimate is usable
 
 
+@pytest.mark.slow  # sketch-algebra battery — deselected by default (pytest.ini)
 class TestHllSetAlgebra:
     def test_intersection_and_jaccard_estimates(self, spark):
         # A = [0, 30000), B = [20000, 50000): |∩|=10000, |∪|=50000
@@ -447,6 +451,7 @@ class TestHllSetAlgebra:
         assert 0.0 <= row.i < 500  # near-zero, never negative
 
 
+@pytest.mark.slow  # rollup battery — deselected by default (pytest.ini)
 class TestRollupHistogramDrift:
     """Histogram states inside the rollup: merged == direct exactly,
     and two stored epochs drive drift_from_histograms with no raw
